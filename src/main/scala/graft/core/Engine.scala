@@ -1,0 +1,52 @@
+package graft.core
+
+import org.apache.spark.sql.SparkSession
+
+/** Session factory for the engine.
+  *
+  * Mirrors the reference's per-query cluster bring-up (reference
+  * `temporal/workflow_query_executor.go:42-100`: spawn → ready-barrier →
+  * query → teardown) collapsed onto Spark's execution model: the driver is
+  * the coordinator (no Keeper), executors are the replicas, and
+  * `local[N]` stands in for the N-node fly.io fleet during tests.
+  *
+  * Scale posture: every conf set here is chosen for a real multi-executor
+  * cluster, not just local mode — AQE on (runtime re-plan / skew-join
+  * splitting), shuffle partitions sized to cores (overridden upward on a
+  * real cluster), UTC session time so results are layout-independent.
+  */
+object Engine {
+
+  /** Default parallelism: env override, else all local cores. */
+  def defaultCores: Int =
+    sys.env.get("SPARK_GRAFT_CPUS").map(_.toInt)
+      .getOrElse(Runtime.getRuntime.availableProcessors())
+
+  def session(
+      appName: String = "graft",
+      cores: Int = defaultCores,
+      extraConf: Map[String, String] = Map.empty): SparkSession = {
+    val b = SparkSession.builder()
+      .appName(appName)
+      .master(s"local[$cores]")
+      .config("spark.sql.shuffle.partitions", cores.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
+    extraConf.foreach { case (k, v) => b.config(k, v) }
+    val spark = b.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+
+  /** Apply engine defaults to an externally-created session (e.g. the one
+    * the driver's Verify/Bench mains build). Idempotent. */
+  def tune(spark: SparkSession): SparkSession = {
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark
+  }
+}

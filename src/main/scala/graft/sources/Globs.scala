@@ -1,0 +1,66 @@
+package graft.sources
+
+/** ClickHouse-style path glob pre-expansion.
+  *
+  * The reference passes CH glob syntax in table-function URLs:
+  * `data-*.csv.gz`, `house_{0,1}.parquet`, and the numeric range form
+  * `data-{2009..2016}{01..12}.csv.gz` (reference
+  * `temporal/workflow_query_executor_test.go:42,49,63`). Hadoop's glob
+  * already understands `*`, `?` and `{a,b}` alternation, but not
+  * `{n..m}` numeric ranges — so we pre-expand ranges into concrete
+  * alternatives and hand the rest to Hadoop.
+  *
+  * Zero-padding follows ClickHouse: if the left bound has leading zeros
+  * (`{01..12}`), every expansion is left-padded to that width.
+  *
+  * Scale note: expansion happens once on the driver and yields a path
+  * list; Spark's FileSourceScanExec then splits the matched files across
+  * executors — the distribution the reference gets from `s3Cluster` /
+  * `urlCluster` is free here.
+  */
+object Globs {
+
+  private val Range = """\{(\d+)\.\.(\d+)\}""".r
+
+  /** Expand all `{n..m}` occurrences into the cartesian list of concrete
+    * patterns. Other glob syntax (`*`, `?`, `{a,b}`) is left untouched.
+    * A pattern with no ranges returns itself, singleton. */
+  def expandRanges(pattern: String): Seq[String] = {
+    Range.findFirstMatchIn(pattern) match {
+      case None => Seq(pattern)
+      case Some(m) =>
+        val (lo, hi) = (m.group(1), m.group(2))
+        val width = if (lo.length > 1 && lo.startsWith("0")) lo.length else 0
+        val prefix = pattern.substring(0, m.start)
+        val suffix = pattern.substring(m.end)
+        (lo.toLong to hi.toLong).flatMap { i =>
+          val s = if (width > 0) s"%0${width}d".format(i) else i.toString
+          expandRanges(prefix + s + suffix)
+        }
+    }
+  }
+
+  /** CH `{a,b}` alternation — Hadoop globs support this natively, but the
+    * `url()` table function path (plain HTTP, no filesystem) needs its own
+    * expansion. Also used to enumerate URL work units for urlCluster. */
+  def expandAlternation(pattern: String): Seq[String] = {
+    val open = pattern.indexOf('{')
+    if (open < 0) return Seq(pattern)
+    val close = pattern.indexOf('}', open)
+    if (close < 0) return Seq(pattern)
+    val body = pattern.substring(open + 1, close)
+    // not an alternation (could be a range we already expanded) — skip past
+    if (!body.contains(',')) {
+      expandAlternation(pattern.substring(close + 1))
+        .map(pattern.substring(0, close + 1) + _)
+    } else {
+      val prefix = pattern.substring(0, open)
+      val suffix = pattern.substring(close + 1)
+      body.split(",", -1).toSeq.flatMap(alt => expandAlternation(prefix + alt + suffix))
+    }
+  }
+
+  /** Full CH glob → list of Hadoop-compatible patterns (ranges expanded,
+    * alternation/star left for Hadoop), deduplicated, order-preserving. */
+  def expand(pattern: String): Seq[String] = expandRanges(pattern).distinct
+}

@@ -1,0 +1,181 @@
+package graft.types
+
+import org.apache.spark.sql.types._
+
+/** ClickHouse schema-string → Spark `StructType`.
+  *
+  * The reference embeds schema-on-read DDL strings in every CSV table
+  * function call (`'pickup_date Date, id UInt64, vendor_id String, …'`,
+  * reference `temporal/workflow_query_executor_test.go:44`) and a full
+  * 63-column CREATE column list in the `github_events` ATTACH
+  * (`temporal/workflow_query_executor_test.go:85`). This parser covers
+  * every type observed there (SURVEY §1.2) plus the common CH scalar
+  * types, mapped per the table in SURVEY §1.2:
+  *
+  *   - unsigned ints widen to the next signed Spark type (UInt8→Short,
+  *     UInt16→Int, UInt32→Long); UInt64→Long with a documented range
+  *     caveat (DecimalType(20,0) is the lossless escape hatch).
+  *   - `LowCardinality(T)` is a storage hint — unwrap (Parquet dictionary
+  *     encoding plays the same role transparently).
+  *   - `Enum8/16('name'=code,…)` → StringType; the name↔code map is kept
+  *     in column metadata so `CAST(enum AS Int)` compat can be layered on.
+  *   - `Nullable(T)` → T with nullable=true; bare columns are modeled
+  *     nullable too (CSV-on-read reality), but the flag is recorded.
+  */
+object ChSchemaParser {
+
+  /** Parse a full `col Type, col Type` list. Column names may be
+    * backquoted. Throws IllegalArgumentException on malformed input with
+    * the offending fragment — misuse fails fast, not at scan time. */
+  def parse(schema: String): StructType = {
+    val fields = splitTopLevel(schema, ',').filter(_.trim.nonEmpty).map { colDef =>
+      val t = colDef.trim
+      val (name, rest) =
+        if (t.startsWith("`")) {
+          val end = t.indexOf('`', 1)
+          require(end > 0, s"unterminated backquote in column def: $t")
+          (t.substring(1, end), t.substring(end + 1).trim)
+        } else {
+          val sp = t.indexWhere(_.isWhitespace)
+          require(sp > 0, s"missing type in column def: $t")
+          (t.substring(0, sp), t.substring(sp + 1).trim)
+        }
+      val (dt, nullable, meta) = parseType(rest)
+      StructField(name, dt, nullable = true, metadata = meta.build())
+        .copy(nullable = true) // schema-on-read: everything may be absent
+    }
+    StructType(fields)
+  }
+
+  /** Parse a single CH type expression into (sparkType, declaredNullable,
+    * metadata). */
+  def parseType(ch: String): (DataType, Boolean, MetadataBuilder) = {
+    val t = ch.trim
+    val meta = new MetadataBuilder()
+    val paren = t.indexOf('(')
+    val (head, args) =
+      if (paren >= 0 && t.endsWith(")"))
+        (t.substring(0, paren).trim, t.substring(paren + 1, t.length - 1))
+      else (t, "")
+    head match {
+      case "Nullable" =>
+        val (dt, _, m) = parseType(args); (dt, true, m)
+      case "LowCardinality" =>
+        parseType(args) // storage hint only
+      case "Array" =>
+        val (el, elNull, _) = parseType(args)
+        (ArrayType(el, containsNull = elNull), false, meta)
+      case "Map" =>
+        val kv = splitTopLevel(args, ',')
+        require(kv.length == 2, s"Map needs 2 type args: $t")
+        val (k, _, _) = parseType(kv(0)); val (v, vNull, _) = parseType(kv(1))
+        (MapType(k, v, valueContainsNull = vNull), false, meta)
+      case "Tuple" =>
+        val els = splitTopLevel(args, ',').map(_.trim)
+        val fields = els.zipWithIndex.map { case (el, i) =>
+          // named tuple element: `name Type`; positional: `_1 .. _n` like CH
+          val sp = el.indexWhere(_.isWhitespace)
+          val looksNamed = sp > 0 && !el.contains("(") ||
+            (sp > 0 && el.indexOf('(') > sp)
+          if (looksNamed) {
+            val (dt, n, _) = parseType(el.substring(sp + 1)); StructField(el.substring(0, sp), dt, n)
+          } else {
+            val (dt, n, _) = parseType(el); StructField(s"_${i + 1}", dt, n)
+          }
+        }
+        (StructType(fields), false, meta)
+      case "Enum8" | "Enum16" =>
+        // 'Name' = code, … — keep the map for CAST(enum AS Int) compat
+        val pairs = splitTopLevel(args, ',').map { p =>
+          val eq = lastTopLevelEq(p)
+          require(eq > 0, s"malformed enum entry: $p")
+          val name = unquote(p.substring(0, eq).trim)
+          val code = p.substring(eq + 1).trim.toInt
+          (name, code)
+        }
+        meta.putString("ch.type", head)
+        meta.putStringArray("ch.enum.names", pairs.map(_._1).toArray)
+        meta.putLongArray("ch.enum.codes", pairs.map(_._2.toLong).toArray)
+        (StringType, false, meta)
+      case "FixedString" => (StringType, false, meta)
+      case "Decimal" =>
+        val ps = splitTopLevel(args, ',').map(_.trim.toInt)
+        (DecimalType(ps(0), if (ps.length > 1) ps(1) else 0), false, meta)
+      case "Decimal32"  => (DecimalType(9, args.trim.toInt), false, meta)
+      case "Decimal64"  => (DecimalType(18, args.trim.toInt), false, meta)
+      case "Decimal128" => (DecimalType(38, args.trim.toInt), false, meta)
+      case "DateTime64" => (TimestampType, false, meta)
+      case "DateTime" | "DateTime32" => (TimestampType, false, meta)
+      case "Date" | "Date32" => (DateType, false, meta)
+      case "String"  => (StringType, false, meta)
+      case "UUID"    => (StringType, false, meta)
+      case "Bool" | "Boolean" => (BooleanType, false, meta)
+      case "Int8"    => (ByteType, false, meta)
+      case "Int16"   => (ShortType, false, meta)
+      case "Int32"   => (IntegerType, false, meta)
+      case "Int64"   => (LongType, false, meta)
+      case "Int128" | "Int256" => (DecimalType(38, 0), false, meta)
+      case "UInt8"   => (ShortType, false, meta)   // next-wider signed
+      case "UInt16"  => (IntegerType, false, meta)
+      case "UInt32"  => (LongType, false, meta)
+      case "UInt64"  => // Long covers CH's observed use; lossy past 2^63-1
+        meta.putString("ch.type", "UInt64"); (LongType, false, meta)
+      case "UInt128" | "UInt256" => (DecimalType(38, 0), false, meta)
+      case "Float32" => (FloatType, false, meta)
+      case "Float64" => (DoubleType, false, meta)
+      case other =>
+        throw new IllegalArgumentException(s"unsupported ClickHouse type: $other")
+    }
+  }
+
+  /** Split on `sep` at paren depth 0, respecting single-quoted strings
+    * (enum values may contain commas/parens). */
+  private[graft] def splitTopLevel(s: String, sep: Char): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    val cur = new StringBuilder
+    var depth = 0
+    var inQuote = false
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (inQuote) {
+        cur.append(c)
+        if (c == '\\' && i + 1 < s.length) { cur.append(s.charAt(i + 1)); i += 1 }
+        else if (c == '\'') inQuote = false
+      } else c match {
+        case '\'' => inQuote = true; cur.append(c)
+        case '(' => depth += 1; cur.append(c)
+        case ')' => depth -= 1; cur.append(c)
+        case `sep` if depth == 0 => out += cur.result(); cur.clear()
+        case _ => cur.append(c)
+      }
+      i += 1
+    }
+    if (cur.nonEmpty) out += cur.result()
+    out.result()
+  }
+
+  /** Index of the `=` separating an enum name from its code (outside
+    * quotes). */
+  private def lastTopLevelEq(s: String): Int = {
+    var inQuote = false
+    var i = 0
+    var last = -1
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (inQuote) {
+        if (c == '\\') i += 1 else if (c == '\'') inQuote = false
+      } else if (c == '\'') inQuote = true
+      else if (c == '=') last = i
+      i += 1
+    }
+    last
+  }
+
+  private def unquote(s: String): String = {
+    val t = s.trim
+    if (t.startsWith("'") && t.endsWith("'"))
+      t.substring(1, t.length - 1).replace("\\'", "'")
+    else t
+  }
+}
