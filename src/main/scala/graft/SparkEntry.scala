@@ -1,13 +1,601 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.dialect.{ChFunctions, ChSql}
+import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.service.QueryService
+import graft.sources.Sources
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every entry in [[queries]] is one operator row from SURVEY §2 (or an
+  * LLM-pipeline operator from the builder prompt), and every entry with
+  * an [[oracleSql]] twin is hash-checked against DuckDB on the same
+  * parquet tables. Output columns are deliberately integer/string typed
+  * (sums cast to BIGINT, money to cents) so the cross-engine value
+  * compare never hinges on float formatting.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  /** Flagship: the Spark rendition of the reference's `run.sh:17` PoC
+    * query — a table function in FROM, zero-arg `count()`, `{cluster}`
+    * macro and a trailing SETTINGS clause, all through the dialect front
+    * door. Driver smoke-checks rows>0 on sf0.001. */
+  def entry(spark: SparkSession): DataFrame = {
+    val dir = "/root/testdata/sf0.001"
+    ChSql.sql(spark,
+      s"""SELECT count() AS cnt, '{cluster}' AS cluster_name, _file
+         |FROM s3('$dir/lineitem.parquet', 'Parquet')
+         |GROUP BY _file
+         |SETTINGS max_parallel_replicas=4""".stripMargin)
+  }
+
+  // ---------------------------------------------------------------
+  // helpers
+  // ---------------------------------------------------------------
+
+  private def prep(spark: SparkSession, dir: String): Unit = {
+    ChFunctions.register(spark)
+    Tables.registerViews(spark, dir)
+  }
+
+  /** Run a CH-dialect SQL query against the registered testdata views. */
+  private def ch(sql: String): (SparkSession, String) => DataFrame =
+    (spark, dir) => { prep(spark, dir); ChSql.sql(spark, sql) }
+
+  /** Derived inputs (written once per sfDir, from the testdata itself):
+    * a 4-file parquet directory for `{n..m}` glob scans and a CSV export
+    * for the url() path. Deterministic content; aggregates over them
+    * equal aggregates over the source table. */
+  private val derivedReady = scala.collection.concurrent.TrieMap.empty[String, String]
+
+  private def derivedDir(spark: SparkSession, dir: String): String =
+    derivedReady.getOrElseUpdate(dir, {
+      val key = Integer.toHexString(dir.hashCode).replace('-', 'n')
+      val base = s"/tmp/graft_derived_$key"
+      val fs = new java.io.File(base)
+      val li = Tables.load(spark, dir, "lineitem")
+      // 4 explicit slices → part-0.parquet .. part-3.parquet
+      (0 until 4).foreach { i =>
+        val tmp = s"$base/_stage_$i"
+        li.filter(col("l_orderkey") % 4 === i).coalesce(1)
+          .write.mode("overwrite").parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+          .getOrElse(sys.error(s"no part file in $tmp"))
+        val dest = new java.io.File(s"$base/part-$i.parquet")
+        java.nio.file.Files.createDirectories(dest.getParentFile.toPath)
+        java.nio.file.Files.move(part.toPath, dest.toPath,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
+      // nation → CSV with header, stable order
+      val csvTmp = s"$base/_stage_csv"
+      Tables.load(spark, dir, "nation").orderBy("n_nationkey").coalesce(1)
+        .write.mode("overwrite").option("header", "true").csv(csvTmp)
+      val csvPart = new java.io.File(csvTmp).listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".csv"))
+        .getOrElse(sys.error(s"no csv part in $csvTmp"))
+      java.nio.file.Files.move(csvPart.toPath,
+        new java.io.File(s"$base/nation.csv").toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      base
+    })
+
+  // ---------------------------------------------------------------
+  // the inventory
+  // ---------------------------------------------------------------
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- §2.8 declared inventory (reference-exercised shapes) ----
+
+    // A1: zero-arg count() (…_test.go:53)
+    "q01_count" -> ch("SELECT count() AS cnt FROM lineitem"),
+
+    // S8+A3: count()+_file over a glob scan, GROUP BY _file (…_test.go:42-49)
+    "q02_count_by_file" -> ((spark, dir) => {
+      prep(spark, dir)
+      Sources.parquetWithFile(spark, s"$dir/line*.parquet")
+        .groupBy("_file").agg(count(lit(1)).as("cnt"))
+        .select("cnt", "_file").orderBy("_file")
+    }),
+
+    // A2+A3: sum + GROUP BY (shape of …_test.go:75)
+    "q03_sum_group" -> ((spark, dir) => {
+      prep(spark, dir)
+      Tables.load(spark, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(sum("l_quantity").cast("long").as("sum_qty"))
+        .orderBy("l_returnflag")
+    }),
+
+    // A4: uniqExact via dialect alias (README.md:57)
+    "q04_uniq_exact" -> ch("SELECT uniqExact(o_custkey) AS uniq_custkey FROM orders"),
+
+    // P2+W2: SELECT * … LIMIT (run.sh:17)
+    "q05_star_limit" -> ch("SELECT * FROM nation ORDER BY n_nationkey LIMIT 5"),
+
+    // P3+P4: count()+2 with equality predicate (workflow_query_executor.go:182)
+    "q06_count_plus2" -> ch("SELECT count()+2 AS cnt2 FROM lineitem WHERE l_returnflag = 'R'"),
+
+    // P1+P4+W1: projection + filter + ORDER BY (…_test.go:98-105)
+    "q07_filter_sort" -> ch(
+      "SELECT event_id, user_id, event_type FROM events WHERE event_type = 'click' ORDER BY event_id"),
+
+    // C1: session-init SET path through QueryService (…_test.go:84-87)
+    "q08_init_set" -> ((spark, dir) => {
+      prep(spark, dir)
+      val svc = new QueryService(spark)
+      svc.executeToDf(QueryService.QueryRequest(
+        query = "SELECT o_orderpriority, count() AS cnt FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority",
+        initQueries = Seq("SET spark.sql.shuffle.partitions=16")))._1
+    }),
+
+    // C2: trailing SETTINGS clause accepted and stripped (README.md:68)
+    "q09_settings_clause" -> ch(
+      """SELECT l_linestatus, count() AS cnt FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus
+        |SETTINGS max_parallel_replicas=1, prefer_localhost_replica=1""".stripMargin),
+
+    // S7: {n..m} numeric-range glob scan (…_test.go:63)
+    "q10_glob_range" -> ((spark, dir) => {
+      prep(spark, dir)
+      val base = derivedDir(spark, dir)
+      Sources.parquet(spark, s"$base/part-{0..3}.parquet")
+        .agg(count(lit(1)).as("cnt"), sum("l_quantity").cast("long").as("sum_qty"))
+    }),
+
+    // C4: {cluster} macro substitution (ch/config.xml:854-859)
+    "q11_macro" -> ch("SELECT '{cluster}' AS cluster_name, count() AS cnt FROM lineitem"),
+
+    // S3/S4: url() CSV scan with CH schema string, _file carried (run.sh:17)
+    "q12_url_csv" -> ((spark, dir) => {
+      prep(spark, dir)
+      val base = derivedDir(spark, dir)
+      Sources.urlCsv(spark, s"file://$base/nation.csv",
+          Some("n_nationkey Int32, n_name String, n_regionkey Int32"))
+        .agg(count(lit(1)).as("cnt"),
+          sum("n_nationkey").cast("long").as("sum_key"),
+          max("_file").as("f"))
+    }),
+
+    // ---- joins (SURVEY §2.4 — delegated surface, exercised here) ----
+
+    // broadcast inner equi-join + agg
+    "q13_join_inner" -> ((spark, dir) => {
+      prep(spark, dir)
+      val orders = Tables.load(spark, dir, "orders")
+      val customer = Tables.load(spark, dir, "customer")
+      orders.join(broadcast(customer), col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment").agg(count(lit(1)).as("cnt"))
+        .orderBy("c_mktsegment")
+    }),
+
+    // left anti: customers with no orders
+    "q14_join_anti" -> ((spark, dir) => {
+      prep(spark, dir)
+      val customer = Tables.load(spark, dir, "customer")
+      val orders = Tables.load(spark, dir, "orders")
+      customer.join(orders, col("c_custkey") === col("o_custkey"), "left_anti")
+        .agg(count(lit(1)).as("cnt"))
+    }),
+
+    // left semi: customers with ≥1 order, per nation
+    "q15_join_semi" -> ((spark, dir) => {
+      prep(spark, dir)
+      val customer = Tables.load(spark, dir, "customer")
+      val orders = Tables.load(spark, dir, "orders")
+      customer.join(orders, col("c_custkey") === col("o_custkey"), "left_semi")
+        .groupBy("c_nationkey").agg(count(lit(1)).as("cnt"))
+        .orderBy("c_nationkey")
+    }),
+
+    // 3-way star join, money in cents (exact)
+    "q16_join_multi" -> ((spark, dir) => {
+      prep(spark, dir)
+      val region = Tables.load(spark, dir, "region")
+      val nation = Tables.load(spark, dir, "nation")
+      val customer = Tables.load(spark, dir, "customer")
+      customer
+        .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name")
+        .agg(count(lit(1)).as("cnt"),
+          round(sum(col("c_acctbal") * 100)).cast("long").as("bal_cents"))
+        .orderBy("r_name")
+    }),
+
+    // left outer join with null-aware count
+    "q17_join_outer" -> ((spark, dir) => {
+      prep(spark, dir)
+      val nation = Tables.load(spark, dir, "nation")
+      val customer = Tables.load(spark, dir, "customer")
+      nation.join(customer, col("c_nationkey") === col("n_nationkey"), "left")
+        .groupBy("n_name").agg(count(col("c_custkey")).as("n_cust"))
+        .orderBy("n_name")
+    }),
+
+    // ---- windows / sort / limit / set ops (SURVEY §2.5) ----
+
+    // W4: row_number partitioned top-N
+    "q18_window_topn" -> ch(
+      """SELECT l_returnflag, rn, l_orderkey, l_linenumber FROM (
+        |  SELECT l_returnflag, l_orderkey, l_linenumber,
+        |         row_number() OVER (PARTITION BY l_returnflag ORDER BY l_orderkey, l_linenumber) AS rn
+        |  FROM lineitem) t
+        |WHERE rn <= 3 ORDER BY l_returnflag, rn""".stripMargin),
+
+    // W4: running aggregate frame
+    "q19_window_running" -> ch(
+      """SELECT user_id, event_id,
+        |       CAST(sum(CAST(round(value*100) AS BIGINT))
+        |            OVER (PARTITION BY user_id ORDER BY event_id) AS BIGINT) AS run_cents
+        |FROM events WHERE user_id < 5 ORDER BY user_id, event_id""".stripMargin),
+
+    // W4: lag/lead
+    "q20_window_lag" -> ch(
+      """SELECT event_id,
+        |       lag(event_id) OVER (ORDER BY event_id) AS prev_id,
+        |       lead(event_id) OVER (ORDER BY event_id) AS next_id
+        |FROM events WHERE user_id = 1 ORDER BY event_id""".stripMargin),
+
+    // W5: UNION ALL
+    "q21_union" -> ch(
+      """SELECT k, count() AS c FROM (
+        |  SELECT n_nationkey AS k FROM nation
+        |  UNION ALL SELECT r_regionkey AS k FROM region) t
+        |GROUP BY k ORDER BY k""".stripMargin),
+
+    // W5: INTERSECT
+    "q22_intersect" -> ch(
+      """SELECT c_nationkey AS k FROM customer
+        |INTERSECT SELECT s_nationkey AS k FROM supplier ORDER BY k""".stripMargin),
+
+    // W5: EXCEPT (order priorities that are not market segments — non-empty)
+    "q23_except" -> ch(
+      """SELECT o_orderpriority AS k FROM orders
+        |EXCEPT SELECT c_mktsegment AS k FROM customer ORDER BY k""".stripMargin),
+
+    // W6: DISTINCT
+    "q24_distinct" -> ch(
+      "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem ORDER BY l_returnflag, l_linestatus"),
+
+    // W3: top-k = ORDER BY … LIMIT (TakeOrderedAndProject)
+    "q25_topk" -> ((spark, dir) => {
+      prep(spark, dir)
+      Tables.load(spark, dir, "orders")
+        .select(col("o_orderkey"),
+          round(col("o_totalprice") * 100).cast("long").as("price_cents"))
+        .orderBy(col("price_cents").desc, col("o_orderkey").asc)
+        .limit(10)
+    }),
+
+    // ---- aggregate breadth (SURVEY §2.3 A6/A7) ----
+
+    "q26_agg_suite" -> ch(
+      """SELECT count() AS cnt,
+        |       CAST(min(l_quantity) AS BIGINT) AS min_q,
+        |       CAST(max(l_quantity) AS BIGINT) AS max_q,
+        |       CAST(sum(l_quantity) AS BIGINT) AS sum_q,
+        |       uniqExact(l_partkey) AS nd_part
+        |FROM lineitem""".stripMargin),
+
+    // CH If-combinators via dialect rewrite
+    "q27_cond_agg" -> ch(
+      """SELECT CAST(sumIf(l_quantity, l_returnflag = 'R') AS BIGINT) AS sum_r,
+        |       countIf(l_linestatus = 'F') AS cnt_f
+        |FROM lineitem""".stripMargin),
+
+    // GROUPING SETS family
+    "q28_rollup" -> ch(
+      """SELECT coalesce(l_returnflag, 'ALL') AS rf, coalesce(l_linestatus, 'ALL') AS ls, count() AS cnt
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus) ORDER BY rf, ls""".stripMargin),
+
+    // time bucketing (epoch millis — integer-exact both engines)
+    "q29_time_bucket" -> ((spark, dir) => {
+      prep(spark, dir)
+      Tables.load(spark, dir, "events")
+        .groupBy(unix_millis(date_trunc("hour", col("ts"))).as("bucket_ms"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(round(col("value") * 100).cast("long")).as("cents"))
+        .orderBy("bucket_ms")
+    }),
+
+    // JSON extraction from the events props column
+    "q30_json" -> ((spark, dir) => {
+      prep(spark, dir)
+      Tables.load(spark, dir, "events")
+        .agg(sum(get_json_object(col("props"), "$.k").cast("long")).as("sum_k"))
+    }),
+
+    // ---- engine-defined functions (rows-only; goldens in unit tests) ----
+
+    // P5/A5: sum(cityHash64(…)) — headline shape (README.md:59). The sum
+    // runs over pmod'd hashes: Spark 4 is ANSI-mode by default, so a raw
+    // 64-bit-hash sum would overflow-error instead of wrapping like CH.
+    "q31_cityhash" -> ch(
+      "SELECT sum(pmod(cityHash64(l_orderkey, l_linenumber, l_returnflag), 1000000007)) AS h FROM lineitem"),
+
+    // A4: approximate uniq (HLL++); property-tested, not oracle-hashed
+    "q32_uniq_approx" -> ch("SELECT uniq(o_custkey) AS u FROM orders"),
+
+    // ---- LLM-pipeline operators (builder-prompt families) ----
+
+    // exact dedup stats per language
+    "q40_dedup_exact" -> ((spark, dir) => {
+      prep(spark, dir)
+      Dedup.exactStats(Tables.load(spark, dir, "documents"), "text", "lang")
+        .orderBy("lang")
+    }),
+
+    // exact dedup survivors
+    "q41_dedup_survivors" -> ((spark, dir) => {
+      prep(spark, dir)
+      Dedup.exact(Tables.load(spark, dir, "documents"), Seq("text"))
+        .agg(count(lit(1)).as("cnt"))
+    }),
+
+    // MinHash-LSH near-dup pairs, exact-Jaccard verified (banded join)
+    "q42_minhash_dups" -> ((spark, dir) => {
+      prep(spark, dir)
+      Dedup.minHashDupPairs(Tables.load(spark, dir, "documents"),
+          "doc_id", "text", shingleSize = 3, numHashes = 128, bands = 32,
+          threshold = 0.7)
+        .select("id_a", "id_b").orderBy("id_a", "id_b")
+    }),
+
+    // exact n-gram Jaccard pairs (verify-stage primitive)
+    "q44_ngram_pairs" -> ((spark, dir) => {
+      prep(spark, dir)
+      Dedup.ngramJaccardPairs(Tables.load(spark, dir, "documents"),
+          "doc_id", "text", shingleSize = 3, threshold = 0.8)
+        .select("id_a", "id_b").orderBy("id_a", "id_b")
+    }),
+
+    // SimHash near-dup pairs (banded; engine-defined fingerprint → rows-only)
+    "q43_simhash_dups" -> ((spark, dir) => {
+      prep(spark, dir)
+      Dedup.simHashDupPairs(Tables.load(spark, dir, "documents"),
+          "doc_id", "text", maxHamming = 3)
+        .select("id_a", "id_b").orderBy("id_a", "id_b")
+    }),
+
+    // exact embedding near-dup pairs (cosine ≥ τ)
+    "q45_embed_dups" -> ((spark, dir) => {
+      prep(spark, dir)
+      val emb = Tables.load(spark, dir, "embeddings")
+      val a = emb.select(col("vec_id").as("id_a"), col("embedding").as("va"))
+      val b = emb.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
+      a.join(b, col("id_a") < col("id_b"))
+        .filter(Similarity.cosine(col("va"), col("vb")) >= 0.47)
+        .select("id_a", "id_b").orderBy("id_a", "id_b")
+    }),
+
+    // brute-force cosine top-k ANN (exact baseline)
+    "q46_ann_topk" -> ((spark, dir) => {
+      prep(spark, dir)
+      Similarity.bruteForceTopK(Tables.load(spark, dir, "embeddings"),
+          "vec_id", "embedding", queryIds = Seq(0L, 1L, 2L, 3L, 4L), k = 5)
+        .orderBy("qid", "rank")
+    }),
+
+    // LSH-bucketed ANN (scale path; recall property-tested, rows-only)
+    "q47_lsh_ann" -> ((spark, dir) => {
+      prep(spark, dir)
+      Similarity.lshNeighbors(Tables.load(spark, dir, "embeddings"),
+          "vec_id", "embedding", planes = 8, dim = 64, minCosine = 0.4)
+        .select("id_a", "id_b").orderBy("id_a", "id_b")
+    }),
+
+    // language-ID heuristic (deterministic argmax over stopword scores)
+    "q48_lang_id" -> ((spark, dir) => {
+      prep(spark, dir)
+      TextAnalysis.langId(Tables.load(spark, dir, "documents"), "text")
+        .groupBy("lang_pred").agg(count(lit(1)).as("cnt"))
+        .orderBy("lang_pred")
+    }),
+
+    // quality features, integer-aggregated
+    "q49_quality" -> ((spark, dir) => {
+      prep(spark, dir)
+      TextAnalysis.qualityFeatures(Tables.load(spark, dir, "documents"), "text")
+        .agg(
+          sum("n_chars_m").cast("long").as("sum_chars"),
+          sum("n_tokens").cast("long").as("sum_tokens"),
+          sum("n_punct").cast("long").as("sum_punct"),
+          sum("n_digits").cast("long").as("sum_digits"),
+          sum("n_upper").cast("long").as("sum_upper"))
+    }),
+
+    // token counting (whitespace runs + BPE-ish subwords)
+    "q50_tokens" -> ((spark, dir) => {
+      prep(spark, dir)
+      Tables.load(spark, dir, "documents")
+        .filter(col("doc_id") < 10)
+        .select(col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+          TextAnalysis.subwordCount(col("text")).as("n_subwords"))
+        .orderBy("doc_id")
+    }),
+
+    // document fingerprint (rolling hash — engine-defined, rows-only)
+    "q51_fingerprint" -> ((spark, dir) => {
+      prep(spark, dir)
+      Tables.load(spark, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
+        .orderBy("doc_id")
+    }),
+
+    // multimodal: metadata-only stats (payload never read)
+    "q52_multimodal_meta" -> ((spark, dir) => {
+      prep(spark, dir)
+      val media = Multimodal.fromText(
+        Tables.load(spark, dir, "documents"), "doc_id", "text")
+      Multimodal.metaStats(media)
+    }),
+
+    // multimodal: per-partition batch feature extraction (stubbed decode)
+    "q53_multimodal_features" -> ((spark, dir) => {
+      prep(spark, dir)
+      val media = Multimodal.fromText(
+        Tables.load(spark, dir, "documents"), "doc_id", "text")
+      Multimodal.extractFeatures(spark, media)
+        .agg(count(lit(1)).as("n"), sum("n_bytes").cast("long").as("total_bytes"))
+    })
+  )
+
+  // ---------------------------------------------------------------
+  // DuckDB oracle twins (driver runs these on the same tables)
+  // ---------------------------------------------------------------
+
+  def oracleSql: Map[String, String] = Map(
+    "q01_count" -> "SELECT count(*) AS cnt FROM lineitem",
+    "q02_count_by_file" ->
+      "SELECT count(*) AS cnt, 'lineitem.parquet' AS _file FROM lineitem",
+    "q03_sum_group" ->
+      "SELECT l_returnflag, CAST(sum(l_quantity) AS BIGINT) AS sum_qty FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag",
+    "q04_uniq_exact" ->
+      "SELECT count(DISTINCT o_custkey) AS uniq_custkey FROM orders",
+    "q05_star_limit" ->
+      "SELECT * FROM nation ORDER BY n_nationkey LIMIT 5",
+    "q06_count_plus2" ->
+      "SELECT count(*)+2 AS cnt2 FROM lineitem WHERE l_returnflag = 'R'",
+    "q07_filter_sort" ->
+      "SELECT event_id, user_id, event_type FROM events WHERE event_type = 'click' ORDER BY event_id",
+    "q08_init_set" ->
+      "SELECT o_orderpriority, count(*) AS cnt FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority",
+    "q09_settings_clause" ->
+      "SELECT l_linestatus, count(*) AS cnt FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus",
+    "q10_glob_range" ->
+      "SELECT count(*) AS cnt, CAST(sum(l_quantity) AS BIGINT) AS sum_qty FROM lineitem",
+    "q11_macro" ->
+      "SELECT 'graft' AS cluster_name, count(*) AS cnt FROM lineitem",
+    "q12_url_csv" ->
+      "SELECT count(*) AS cnt, CAST(sum(n_nationkey) AS BIGINT) AS sum_key, 'nation.csv' AS f FROM nation",
+    "q13_join_inner" ->
+      "SELECT c_mktsegment, count(*) AS cnt FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY c_mktsegment ORDER BY c_mktsegment",
+    "q14_join_anti" ->
+      "SELECT count(*) AS cnt FROM customer WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)",
+    "q15_join_semi" ->
+      "SELECT c_nationkey, count(*) AS cnt FROM customer WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey) GROUP BY c_nationkey ORDER BY c_nationkey",
+    "q16_join_multi" ->
+      """SELECT r_name, count(*) AS cnt, CAST(round(sum(c_acctbal*100)) AS BIGINT) AS bal_cents
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin,
+    "q17_join_outer" ->
+      "SELECT n_name, count(c_custkey) AS n_cust FROM nation LEFT JOIN customer ON c_nationkey = n_nationkey GROUP BY n_name ORDER BY n_name",
+    "q18_window_topn" ->
+      """SELECT l_returnflag, rn, l_orderkey, l_linenumber FROM (
+        |  SELECT l_returnflag, l_orderkey, l_linenumber,
+        |         row_number() OVER (PARTITION BY l_returnflag ORDER BY l_orderkey, l_linenumber) AS rn
+        |  FROM lineitem) t
+        |WHERE rn <= 3 ORDER BY l_returnflag, rn""".stripMargin,
+    "q19_window_running" ->
+      """SELECT user_id, event_id,
+        |       CAST(sum(CAST(round(value*100) AS BIGINT))
+        |            OVER (PARTITION BY user_id ORDER BY event_id) AS BIGINT) AS run_cents
+        |FROM events WHERE user_id < 5 ORDER BY user_id, event_id""".stripMargin,
+    "q20_window_lag" ->
+      """SELECT event_id,
+        |       lag(event_id) OVER (ORDER BY event_id) AS prev_id,
+        |       lead(event_id) OVER (ORDER BY event_id) AS next_id
+        |FROM events WHERE user_id = 1 ORDER BY event_id""".stripMargin,
+    "q21_union" ->
+      """SELECT k, count(*) AS c FROM (
+        |  SELECT n_nationkey AS k FROM nation
+        |  UNION ALL SELECT r_regionkey AS k FROM region) t
+        |GROUP BY k ORDER BY k""".stripMargin,
+    "q22_intersect" ->
+      "SELECT c_nationkey AS k FROM customer INTERSECT SELECT s_nationkey AS k FROM supplier ORDER BY k",
+    "q23_except" ->
+      "SELECT o_orderpriority AS k FROM orders EXCEPT SELECT c_mktsegment AS k FROM customer ORDER BY k",
+    "q24_distinct" ->
+      "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem ORDER BY l_returnflag, l_linestatus",
+    "q25_topk" ->
+      """SELECT o_orderkey, CAST(round(o_totalprice*100) AS BIGINT) AS price_cents
+        |FROM orders ORDER BY price_cents DESC, o_orderkey ASC LIMIT 10""".stripMargin,
+    "q26_agg_suite" ->
+      """SELECT count(*) AS cnt, CAST(min(l_quantity) AS BIGINT) AS min_q,
+        |       CAST(max(l_quantity) AS BIGINT) AS max_q, CAST(sum(l_quantity) AS BIGINT) AS sum_q,
+        |       count(DISTINCT l_partkey) AS nd_part
+        |FROM lineitem""".stripMargin,
+    "q27_cond_agg" ->
+      """SELECT CAST(sum(CASE WHEN l_returnflag = 'R' THEN l_quantity END) AS BIGINT) AS sum_r,
+        |       count(CASE WHEN l_linestatus = 'F' THEN 1 END) AS cnt_f
+        |FROM lineitem""".stripMargin,
+    "q28_rollup" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS rf, coalesce(l_linestatus, 'ALL') AS ls, count(*) AS cnt
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus) ORDER BY rf, ls""".stripMargin,
+    "q29_time_bucket" ->
+      """SELECT epoch_ms(date_trunc('hour', ts)) AS bucket_ms, count(*) AS cnt,
+        |       CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS cents
+        |FROM events GROUP BY bucket_ms ORDER BY bucket_ms""".stripMargin,
+    "q30_json" ->
+      "SELECT CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k FROM events",
+    "q40_dedup_exact" ->
+      """SELECT lang, count(*) AS n_rows, count(DISTINCT text) AS n_unique,
+        |       count(*) - count(DISTINCT text) AS n_dupes
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "q41_dedup_survivors" ->
+      "SELECT count(*) AS cnt FROM (SELECT DISTINCT text FROM documents) t",
+    "q42_minhash_dups" ->
+      """WITH sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    range(1, len(string_split_regex(text, '\s+')) - 1),
+        |    i -> string_split_regex(text, '\s+')[i] || ' ' ||
+        |         string_split_regex(text, '\s+')[i+1] || ' ' ||
+        |         string_split_regex(text, '\s+')[i+2])) AS s
+        |  FROM documents)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |WHERE len(list_intersect(a.s, b.s))::DOUBLE / len(list_distinct(list_concat(a.s, b.s))) >= 0.7
+        |ORDER BY id_a, id_b""".stripMargin,
+    "q44_ngram_pairs" ->
+      """WITH sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    range(1, len(string_split_regex(text, '\s+')) - 1),
+        |    i -> string_split_regex(text, '\s+')[i] || ' ' ||
+        |         string_split_regex(text, '\s+')[i+1] || ' ' ||
+        |         string_split_regex(text, '\s+')[i+2])) AS s
+        |  FROM documents)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |WHERE len(list_intersect(a.s, b.s))::DOUBLE / len(list_distinct(list_concat(a.s, b.s))) >= 0.8
+        |ORDER BY id_a, id_b""".stripMargin,
+    "q45_embed_dups" ->
+      """SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.47
+        |ORDER BY id_a, id_b""".stripMargin,
+    "q46_ann_topk" ->
+      """WITH scored AS (
+        |  SELECT q.vec_id AS qid, n.vec_id AS nid,
+        |         list_cosine_similarity(q.embedding, n.embedding) AS sim
+        |  FROM embeddings q JOIN embeddings n ON q.vec_id != n.vec_id
+        |  WHERE q.vec_id IN (0,1,2,3,4))
+        |SELECT qid, rank, nid FROM (
+        |  SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid ASC) AS rank
+        |  FROM scored) t
+        |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+    "q49_quality" ->
+      """SELECT CAST(sum(length(text)) AS BIGINT) AS sum_chars,
+        |       CAST(sum(len(regexp_extract_all(text, '\S+'))) AS BIGINT) AS sum_tokens,
+        |       CAST(sum(len(regexp_extract_all(text, '[.,;:!?]'))) AS BIGINT) AS sum_punct,
+        |       CAST(sum(len(regexp_extract_all(text, '[0-9]'))) AS BIGINT) AS sum_digits,
+        |       CAST(sum(len(regexp_extract_all(text, '[A-Z]'))) AS BIGINT) AS sum_upper
+        |FROM documents""".stripMargin,
+    "q50_tokens" ->
+      """SELECT doc_id, len(regexp_extract_all(text, '\S+')) AS n_tokens,
+        |       len(regexp_extract_all(text, '[A-Za-z]{1,4}|[0-9]{1,3}|[^A-Za-z0-9\s]')) AS n_subwords
+        |FROM documents WHERE doc_id < 10 ORDER BY doc_id""".stripMargin,
+    "q52_multimodal_meta" ->
+      """SELECT 'image' AS kind, count(*) AS n_media,
+        |       CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+        |       CAST(max(length(text) % 640) AS INT) AS max_width
+        |FROM documents""".stripMargin,
+    "q53_multimodal_features" ->
+      "SELECT count(*) AS n, CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes FROM documents"
+  )
 }

@@ -20,7 +20,17 @@ object Tables {
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     require(names.contains(name), s"unknown table '$name' (known: ${names.mkString(", ")})")
-    spark.read.parquet(s"$dir/$name.parquet")
+    // events.ts is parquet TIMESTAMP(NANOS), which Spark's converter
+    // rejects outright; read it as a nanos Long and convert with integer
+    // division (ns→µs is exact; double division would lose precision at
+    // 1.7e18). Session-conf set here so any session the driver hands us
+    // works.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    df.schema.fields.find(f => f.name == "ts" && f.dataType == org.apache.spark.sql.types.LongType) match {
+      case Some(_) => df.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts DIV 1000)"))
+      case None => df
+    }
   }
 
   /** Register every table as a temp view for SQL-path queries.

@@ -1,0 +1,209 @@
+package graft.functions
+
+/** CityHash64 v1.0.2 — a Scala port of the public-domain CityHash by
+  * Google (Geoff Pike / Jyrki Alakuijala), the exact version ClickHouse
+  * vendors for its `cityHash64` SQL function (reference exercises it at
+  * `README.md:57,59` — `SELECT sum(cityHash64(*)) FROM github_events`).
+  *
+  * v1.0.2 specifics (vs later CityHash releases): the `k3` constant
+  * exists and is used in `HashLen0to16`/`HashLen17to32`; later versions
+  * (≥1.1) replaced those paths with `mur`-based mixing. ClickHouse
+  * pinned 1.0.2 forever for stability, so parity means porting 1.0.2.
+  *
+  * All arithmetic is on Java `Long` treated as uint64 — two's-complement
+  * add/mul wrap identically; shifts use `>>>` (logical). Byte fetches
+  * are little-endian, as on x86 where CityHash is defined.
+  */
+object CityHash {
+
+  private val k0 = 0xc3a5c85c97cb3127L
+  private val k1 = 0xb492b66fbe98f273L
+  private val k2 = 0x9ae16a3b2f90404fL
+  private val k3 = 0xc949d7c7509e6557L
+  private val kMul = 0x9ddfea08eb382d69L
+
+  /** Hash value CH-compatible code would produce for a SQL NULL: we
+    * define it as the hash of the empty byte string (k2). Documented
+    * engine choice — the reference never hashes NULLs. */
+  val NullHash: Long = k2
+
+  @inline private def fetch64(b: Array[Byte], i: Int): Long =
+    (b(i) & 0xffL) |
+      ((b(i + 1) & 0xffL) << 8) |
+      ((b(i + 2) & 0xffL) << 16) |
+      ((b(i + 3) & 0xffL) << 24) |
+      ((b(i + 4) & 0xffL) << 32) |
+      ((b(i + 5) & 0xffL) << 40) |
+      ((b(i + 6) & 0xffL) << 48) |
+      ((b(i + 7) & 0xffL) << 56)
+
+  @inline private def fetch32(b: Array[Byte], i: Int): Long =
+    (b(i) & 0xffL) |
+      ((b(i + 1) & 0xffL) << 8) |
+      ((b(i + 2) & 0xffL) << 16) |
+      ((b(i + 3) & 0xffL) << 24)
+
+  @inline private def rotate(v: Long, shift: Int): Long =
+    if (shift == 0) v else (v >>> shift) | (v << (64 - shift))
+
+  // shift is in [1, 63] by construction at the single call site
+  @inline private def rotateByAtLeast1(v: Long, shift: Int): Long =
+    (v >>> shift) | (v << (64 - shift))
+
+  @inline private def shiftMix(v: Long): Long = v ^ (v >>> 47)
+
+  /** CityHash's Hash128to64 — also the multi-argument combiner ClickHouse
+    * uses to fold per-column hashes. */
+  def hash128to64(low: Long, high: Long): Long = {
+    var a = (low ^ high) * kMul
+    a ^= (a >>> 47)
+    var b = (high ^ a) * kMul
+    b ^= (b >>> 47)
+    b *= kMul
+    b
+  }
+
+  @inline private def hashLen16(u: Long, v: Long): Long = hash128to64(u, v)
+
+  private def hashLen0to16(s: Array[Byte], off: Int, len: Int): Long = {
+    if (len > 8) {
+      val a = fetch64(s, off)
+      val b = fetch64(s, off + len - 8)
+      hashLen16(a, rotateByAtLeast1(b + len, len)) ^ b
+    } else if (len >= 4) {
+      val a = fetch32(s, off)
+      hashLen16(len + (a << 3), fetch32(s, off + len - 4))
+    } else if (len > 0) {
+      val a = s(off) & 0xff
+      val b = s(off + (len >> 1)) & 0xff
+      val c = s(off + len - 1) & 0xff
+      val y = a + (b << 8) // uint32
+      val z = len + (c << 2) // uint32
+      shiftMix((y & 0xffffffffL) * k2 ^ (z & 0xffffffffL) * k3) * k2
+    } else k2
+  }
+
+  private def hashLen17to32(s: Array[Byte], off: Int, len: Int): Long = {
+    val a = fetch64(s, off) * k1
+    val b = fetch64(s, off + 8)
+    val c = fetch64(s, off + len - 8) * k2
+    val d = fetch64(s, off + len - 16) * k0
+    hashLen16(
+      rotate(a - b, 43) + rotate(c, 30) + d,
+      a + rotate(b ^ k3, 20) - c + len)
+  }
+
+  // returns (first, second) packed via the two-element array to stay
+  // allocation-light in the hot loop
+  @inline private def weakHashLen32WithSeeds(
+      w: Long, x: Long, y: Long, z: Long, a0: Long, b0: Long): (Long, Long) = {
+    var a = a0 + w
+    var b = rotate(b0 + a + z, 21)
+    val c = a
+    a += x
+    a += y
+    b += rotate(a, 44)
+    (a + z, b + c)
+  }
+
+  @inline private def weakHashLen32WithSeeds(
+      s: Array[Byte], off: Int, a: Long, b: Long): (Long, Long) =
+    weakHashLen32WithSeeds(
+      fetch64(s, off), fetch64(s, off + 8),
+      fetch64(s, off + 16), fetch64(s, off + 24), a, b)
+
+  private def hashLen33to64(s: Array[Byte], off: Int, len: Int): Long = {
+    var z = fetch64(s, off + 24)
+    var a = fetch64(s, off) + (len + fetch64(s, off + len - 16)) * k0
+    var b = rotate(a + z, 52)
+    var c = rotate(a, 37)
+    a += fetch64(s, off + 8)
+    c += rotate(a, 7)
+    a += fetch64(s, off + 16)
+    val vf = a + z
+    val vs = b + rotate(a, 31) + c
+    a = fetch64(s, off + 16) + fetch64(s, off + len - 32)
+    z = fetch64(s, off + len - 8)
+    b = rotate(a + z, 52)
+    c = rotate(a, 37)
+    a += fetch64(s, off + len - 24)
+    c += rotate(a, 7)
+    a += fetch64(s, off + len - 16)
+    val wf = a + z
+    val ws = b + rotate(a, 31) + c
+    val r = shiftMix((vf + ws) * k2 + (wf + vs) * k0)
+    shiftMix(r * k0 + vs) * k2
+  }
+
+  /** CityHash64 over `len` bytes of `s` starting at `off`. */
+  def hash64(s: Array[Byte], off: Int, len: Int): Long = {
+    if (len <= 32) {
+      if (len <= 16) hashLen0to16(s, off, len)
+      else hashLen17to32(s, off, len)
+    } else if (len <= 64) {
+      hashLen33to64(s, off, len)
+    } else {
+      var x = fetch64(s, off)
+      var y = fetch64(s, off + len - 16) ^ k1
+      var z = fetch64(s, off + len - 56) ^ k0
+      var v = weakHashLen32WithSeeds(s, off + len - 64, len.toLong, y)
+      var w = weakHashLen32WithSeeds(s, off + len - 32, len.toLong * k1, k0)
+      z += shiftMix(v._2) * k1
+      x = rotate(z + x, 39) * k1
+      y = rotate(y, 33) * k1
+
+      var remaining = (len - 1) & ~63
+      var pos = off
+      while (remaining != 0) {
+        x = rotate(x + y + v._1 + fetch64(s, pos + 16), 37) * k1
+        y = rotate(y + v._2 + fetch64(s, pos + 48), 42) * k1
+        x ^= w._2
+        y ^= v._1
+        z = rotate(z ^ w._1, 33)
+        v = weakHashLen32WithSeeds(s, pos, v._2 * k1, x + w._1)
+        w = weakHashLen32WithSeeds(s, pos + 32, z + w._2, y)
+        val t = z; z = x; x = t
+        pos += 64
+        remaining -= 64
+      }
+      hashLen16(
+        hashLen16(v._1, w._1) + shiftMix(y) * k1 + z,
+        hashLen16(v._2, w._2) + x)
+    }
+  }
+
+  def hash64(s: Array[Byte]): Long = hash64(s, 0, s.length)
+
+  // ---- fixed-width scalar encodings (little-endian, native width) ----
+  // These mirror hashing the value's memory bytes, the way ClickHouse
+  // hashes fixed-width column values.
+
+  private val oneByte = new ThreadLocal[Array[Byte]] {
+    override def initialValue(): Array[Byte] = new Array[Byte](8)
+  }
+
+  private def hashFixed(v: Long, width: Int): Long = {
+    val b = oneByte.get()
+    var i = 0
+    var x = v
+    while (i < width) { b(i) = (x & 0xff).toByte; x >>>= 8; i += 1 }
+    hash64(b, 0, width)
+  }
+
+  def hashLong(v: Long): Long = hashFixed(v, 8)
+  def hashInt(v: Int): Long = hashFixed(v & 0xffffffffL, 4)
+  def hashShort(v: Short): Long = hashFixed(v & 0xffffL, 2)
+  def hashByte(v: Byte): Long = hashFixed(v & 0xffL, 1)
+  def hashBoolean(v: Boolean): Long = hashFixed(if (v) 1L else 0L, 1)
+  def hashDouble(v: Double): Long = hashFixed(java.lang.Double.doubleToLongBits(v), 8)
+  def hashFloat(v: Float): Long = hashFixed(java.lang.Float.floatToIntBits(v) & 0xffffffffL, 4)
+
+  def hashUTF8(s: org.apache.spark.unsafe.types.UTF8String): Long = {
+    val b = s.getBytes
+    hash64(b, 0, b.length)
+  }
+
+  /** Left-to-right fold of per-argument hashes — matches ClickHouse's
+    * multi-argument combine (Hash128to64 of the running pair). */
+  def combine(h1: Long, h2: Long): Long = hash128to64(h1, h2)
+}

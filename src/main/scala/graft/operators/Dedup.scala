@@ -1,0 +1,206 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for large-scale training-data pipelines.
+  *
+  * Everything here is expressed with declarative DataFrame ops +
+  * codegen'd built-in functions (no UDFs), so Catalyst/Tungsten and AQE
+  * keep working and the plans scale: the only shuffles are the
+  * group-bys/joins on dedup keys, and near-dup candidate generation is
+  * ALWAYS banded/bucketed (LSH band → join key) — never an all-pairs
+  * cross join. At 100 TB the candidate join is the dominant cost and
+  * stays proportional to the number of colliding pairs, not n².
+  *
+  * Four families (builder-prompt requirement, beyond the reference's own
+  * surface):
+  *   - exact: hash-groupBy on a normalized key;
+  *   - MinHash + banded LSH: shingle → k minhashes → b bands → band-hash
+  *     join, then exact-Jaccard verification of candidates only;
+  *   - SimHash: 64-bit sign-aggregate fingerprint, near-dup = small
+  *     Hamming distance within LSH-rotated buckets;
+  *   - n-gram Jaccard: exact verified similarity (used standalone on
+  *     small slices and as the verify stage after LSH).
+  */
+object Dedup {
+
+  /** Exact dedup: first row per key (hash-groupBy semantics). The
+    * shuffle is on the dedup key — at scale pre-partition or use a
+    * normalized hash key to spread skew. */
+  def exact(df: DataFrame, keyCols: Seq[String]): DataFrame =
+    df.dropDuplicates(keyCols)
+
+  /** Exact-dup statistics per group without materializing survivors. */
+  def exactStats(df: DataFrame, keyCol: String, groupCol: String): DataFrame =
+    df.groupBy(groupCol)
+      .agg(
+        count(lit(1)).as("n_rows"),
+        countDistinct(col(keyCol)).as("n_unique"))
+      .withColumn("n_dupes", col("n_rows") - col("n_unique"))
+
+  /** Word-level n-gram shingles of a text column (distinct, sorted for
+    * determinism). */
+  def shingles(text: Column, n: Int): Column = {
+    val words = split(text, "\\s+")
+    // guard: texts shorter than n words have no shingles (sequence()
+    // would otherwise run DOWNWARD and produce garbage slices)
+    val grams = when(size(words) < n, array().cast("array<string>"))
+      .otherwise(transform(
+        sequence(lit(0), size(words) - n),
+        i => concat_ws(" ", slice(words, i + 1, lit(n)))))
+    array_sort(array_distinct(grams))
+  }
+
+  /** Exact Jaccard similarity of two (distinct-element) array columns. */
+  def jaccard(a: Column, b: Column): Column =
+    when(size(array_union(a, b)) === 0, lit(0.0))
+      .otherwise(
+        size(array_intersect(a, b)).cast("double") / size(array_union(a, b)))
+
+  /** MinHash signature as an array column: the i-th component is the min
+    * over shingles of a hash seeded by i (k independent hash functions —
+    * equivalent LSH guarantees to affine permutations, without modular
+    * overflow concerns). Deterministic across runs and engines given the
+    * same shingle sets. */
+  def minHashSignature(shingleCol: Column, numHashes: Int): Column = {
+    val comps = (0 until numHashes).map { i =>
+      array_min(transform(shingleCol, s => xxhash64(s, lit(i))))
+    }
+    array(comps: _*)
+  }
+
+  /** Banded-LSH candidate pairs: split the signature into `bands` bands,
+    * hash each band, shuffle once on (band index, band hash), and emit
+    * intra-bucket pairs. This is the scale path: the only join key is the
+    * band bucket, so work is proportional to collisions.
+    *
+    * Returns (id_a, id_b) with id_a < id_b, distinct.
+    */
+  def lshCandidates(
+      df: DataFrame,
+      idCol: String,
+      signatureCol: String,
+      bands: Int): DataFrame = {
+    val banded = df.select(
+      col(idCol).as("_id"),
+      posexplode(bandHashes(col(signatureCol), bands)).as(Seq("_band", "_bandhash")))
+    val a = banded.as("a")
+    val b = banded.as("b")
+    a.join(b,
+        col("a._band") === col("b._band") &&
+          col("a._bandhash") === col("b._bandhash") &&
+          col("a._id") < col("b._id"))
+      .select(col("a._id").as("id_a"), col("b._id").as("id_b"))
+      .distinct()
+  }
+
+  /** Hash each of `bands` equal slices of the signature array. */
+  def bandHashes(sig: Column, bands: Int): Column =
+    transform(
+      sequence(lit(0), lit(bands - 1)),
+      bnd => xxhash64(concat_ws(",",
+        slice(sig, bnd * (size(sig) / bands) + 1, size(sig) / bands)), bnd))
+
+  /** Full MinHash-LSH near-dup pipeline: shingle → sign → band → candidate
+    * pairs → exact-Jaccard verify (computed only for candidates).
+    * Output: (id_a, id_b, jaccard) for pairs ≥ threshold. */
+  def minHashDupPairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleSize: Int = 3,
+      numHashes: Int = 128,
+      bands: Int = 32,
+      threshold: Double = 0.7): DataFrame = {
+    val withSig = docs.select(
+      col(idCol).as("_id"),
+      shingles(col(textCol), shingleSize).as("_sh"))
+      .withColumn("_sig", minHashSignature(col("_sh"), numHashes))
+    val cand = lshCandidates(withSig, "_id", "_sig", bands)
+    val side = withSig.select(col("_id"), col("_sh"))
+    cand
+      .join(side.as("sa"), cand("id_a") === col("sa._id"))
+      .join(side.as("sb"), cand("id_b") === col("sb._id"))
+      .select(col("id_a"), col("id_b"),
+        jaccard(col("sa._sh"), col("sb._sh")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** SimHash 64-bit fingerprint of a text column: per bit, the sign of
+    * the sum of ±1 votes from each word's hash bit. Single pass over the
+    * word array via higher-order `aggregate` — no explode, no shuffle. */
+  def simHash(text: Column): Column = {
+    val words = array_distinct(split(text, "\\s+"))
+    val votes = aggregate(
+      words,
+      array_repeat(lit(0), 64),
+      (acc, w) => zip_with(
+        acc,
+        transform(sequence(lit(0), lit(63)),
+          i => when(call_function("shiftright", xxhash64(w), i).bitwiseAND(1) === 1, 1).otherwise(-1)),
+        (x, y) => x + y))
+    // fold sign bits into one long
+    aggregate(
+      zip_with(votes, sequence(lit(0), lit(63)),
+        (v, i) => when(v > 0, call_function("shiftleft", lit(1L), i)).otherwise(0L)),
+      lit(0L),
+      (acc, x) => acc.bitwiseOR(x))
+  }
+
+  /** Hamming distance between two 64-bit fingerprints. */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** SimHash near-dup pairs, banded for scale: fingerprints are split
+    * into 4 16-bit blocks; by pigeonhole, any pair within Hamming
+    * distance ≤ 3 of each other shares at least one exact block — so the
+    * candidate join keys on (block index, block value), never all-pairs. */
+  def simHashDupPairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    val fp = docs.select(col(idCol).as("_id"), simHash(col(textCol)).as("_fp"))
+    val blocks = fp.select(
+      col("_id"), col("_fp"),
+      posexplode(transform(sequence(lit(0), lit(3)),
+        i => call_function("shiftright", col("_fp"), i * 16).bitwiseAND(0xffffL))).as(Seq("_blk", "_blkval")))
+    val a = blocks.as("a")
+    val b = blocks.as("b")
+    a.join(b,
+        col("a._blk") === col("b._blk") &&
+          col("a._blkval") === col("b._blkval") &&
+          col("a._id") < col("b._id"))
+      .select(col("a._id").as("id_a"), col("b._id").as("id_b"),
+        hamming(col("a._fp"), col("b._fp")).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Exact n-gram-Jaccard pairs over a (small or pre-blocked) corpus.
+    * NOTE: this is the verify-stage primitive; on a full corpus use
+    * [[minHashDupPairs]] — the banded join — and keep this for candidate
+    * verification or sliced audits. The join below is blocked on a cheap
+    * length band so even the audit path avoids a raw cross join. */
+  def ngramJaccardPairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleSize: Int = 3,
+      threshold: Double = 0.5): DataFrame = {
+    val sh = docs.select(
+      col(idCol).as("_id"),
+      shingles(col(textCol), shingleSize).as("_sh"))
+      .withColumn("_n", size(col("_sh")))
+    val a = sh.as("a")
+    val b = sh.as("b")
+    // length filter: |A∩B| ≥ t·|A∪B| implies t·|A| ≤ |B| ≤ |A|/t
+    a.join(b,
+        col("a._id") < col("b._id") &&
+          col("b._n") >= ceil(col("a._n") * threshold) &&
+          col("b._n") <= floor(col("a._n") / threshold))
+      .select(col("a._id").as("id_a"), col("b._id").as("id_b"),
+        jaccard(col("a._sh"), col("b._sh")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+}

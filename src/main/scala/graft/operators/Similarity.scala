@@ -1,0 +1,109 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`Array[Float]`).
+  *
+  * Two tiers (builder-prompt requirement):
+  *   - brute-force cosine top-k — the exact baseline; a broadcast join
+  *     of the (small) query set against the corpus, so the corpus is
+  *     scanned once, embarrassingly parallel, no shuffle except the
+  *     final per-query top-k (`Window` + filter ≈
+  *     `TakeOrderedAndProject` per group);
+  *   - LSH-bucketed ANN (random-hyperplane signs) — the 100 TB path:
+  *     each vector lands in 2^`planes` buckets' worth of key space; the
+  *     candidate join keys on the bucket signature, so cost tracks
+  *     collisions, not n². Multi-probe (flip one bit) widens recall
+  *     without widening the join.
+  *
+  * All vector math is codegen'd higher-order functions
+  * (`zip_with`/`aggregate`) — no UDFs on the hot path.
+  */
+object Similarity {
+
+  /** Dot product of two float-array columns (computed in double). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** L2 norm. */
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity. */
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Exact top-k cosine neighbors for the given query ids.
+    *
+    * The query side is tiny by construction → broadcast; the corpus side
+    * streams through once. Ranking is per-query (`Window`), with a
+    * deterministic (similarity DESC, neighbor id ASC) tie-break.
+    */
+  def bruteForceTopK(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      queryIds: Seq[Long],
+      k: Int): DataFrame = {
+    val queries = emb
+      .filter(col(idCol).isin(queryIds: _*))
+      .select(col(idCol).as("qid"), col(vecCol).as("qvec"))
+    val corpus = emb.select(col(idCol).as("nid"), col(vecCol).as("nvec"))
+    val scored = corpus
+      .join(broadcast(queries), col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"),
+        cosine(col("qvec"), col("nvec")).as("sim"))
+    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("nid").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("qid", "rank", "nid")
+  }
+
+  /** Random-hyperplane signature: `planes` sign bits packed into a long.
+    * Hyperplane components are deterministic pseudo-random values derived
+    * from (plane, dimension) via xxhash64 — reproducible across runs with
+    * no driver-side randomness to ship. */
+  def lshSignature(vec: Column, planes: Int, dim: Int): Column = {
+    val bits = (0 until planes).map { pIdx =>
+      // dot(vec, hyperplane_p) where hyperplane_p[d] = unit-scaled hash
+      val d = aggregate(
+        zip_with(vec, sequence(lit(0), lit(dim - 1)),
+          (x, i) => x * (pmod(xxhash64(lit(pIdx), i), lit(2000001L)).cast("double") - 1000000.0)),
+        lit(0.0), (acc, x) => acc + x)
+      when(d >= 0, shiftleft(lit(1L), pIdx)).otherwise(0L)
+    }
+    bits.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** ANN near-dup / neighbor candidates via LSH buckets, verified with
+    * exact cosine. Multi-probe: each vector is also registered in every
+    * bucket at Hamming distance 1, trading `planes`× duplication for
+    * recall — still linear, never all-pairs. */
+  def lshNeighbors(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      planes: Int = 12,
+      dim: Int = 64,
+      minCosine: Double = 0.9): DataFrame = {
+    val sig = emb.select(
+      col(idCol).as("_id"), col(vecCol).as("_vec"),
+      lshSignature(col(vecCol), planes, dim).as("_sig"))
+    // probe buckets: own signature + one-bit flips
+    val probes = sig.select(
+      col("_id"), col("_vec"), col("_sig"),
+      explode(concat(
+        array(col("_sig")),
+        transform(sequence(lit(0), lit(planes - 1)),
+          i => col("_sig").bitwiseXOR(call_function("shiftleft", lit(1L), i))))).as("_bucket"))
+    val left = probes.select(col("_id").as("id_a"), col("_vec").as("vec_a"), col("_bucket"))
+    val right = sig.select(col("_id").as("id_b"), col("_vec").as("vec_b"), col("_sig").as("_bucket"))
+    left.join(right, Seq("_bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), cosine(col("vec_a"), col("vec_b")).as("cosine"))
+      .distinct()
+      .filter(col("cosine") >= minCosine)
+  }
+}

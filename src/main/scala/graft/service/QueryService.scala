@@ -1,0 +1,78 @@
+package graft.service
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.dialect.{ChFunctions, ChSql}
+
+/** The BigHouse query API re-expressed on Spark (SURVEY §2.7 O1/O6/O7/O9).
+  *
+  * Mirrors `QueryExecutorInput{Query, InitQueries, …}` →
+  * `QueryExecutorOutput{Cols, Rows}` (reference
+  * `temporal/workflow_query_executor.go:30-39`): init queries run
+  * serially on the session (the Spark analog of CH session-scoped `SET`s
+  * on the pinned coordinator connection, `:302-310`), then the main
+  * query executes and gathers to a column-name list + row list
+  * (`:318-339`). Our envelope adds column TYPES — a strict superset of
+  * the reference's names-only contract (S10 note).
+  *
+  * Lifecycle notes vs the reference:
+  *   - spawn/readiness/teardown (O2/O4/O8) collapse onto Spark's driver
+  *     = coordinator model: the session owns its executors, so
+  *     `execute` needs no barrier; elasticity is the cluster manager's
+  *     dynamic allocation at real scale;
+  *   - `executeOnCurrent` is the warm path (O9, `:368-410`): no init, no
+  *     settings churn, straight to SQL on the live session.
+  */
+object QueryService {
+
+  /** ≈ QueryExecutorInput (reference `workflow_query_executor.go:30-35`).
+    * `macros` feeds `{cluster}`-style substitution (C4). */
+  case class QueryRequest(
+      query: String,
+      initQueries: Seq[String] = Nil,
+      macros: Map[String, String] = ChSql.defaultMacros)
+
+  /** ≈ QueryExecutorOutput + types (reference `:36-39`). */
+  case class QueryResult(
+      cols: Seq[String],
+      types: Seq[String],
+      rows: Seq[Seq[Any]],
+      settings: Map[String, String])
+}
+
+class QueryService(spark: SparkSession) {
+  import QueryService._
+
+  ChFunctions.register(spark)
+
+  /** Build the DataFrame for a request: run init queries, rewrite the
+    * main query through the dialect front door. The plan is lazy — the
+    * caller picks the action (collect, write, explain). */
+  def executeToDf(req: QueryRequest): (DataFrame, Map[String, String]) = {
+    // session init: CH `SET k=v` maps to Spark SQL SET verbatim; other
+    // statements (ATTACH-alikes, view DDL) go through the same rewriter
+    req.initQueries.foreach { q =>
+      val r = ChSql.rewrite(spark, q, req.macros)
+      ChSql.applySettings(spark, r.settings)
+      spark.sql(r.sql).collect() // init statements are eager, like the reference's serial loop
+    }
+    val r = ChSql.rewrite(spark, req.query, req.macros)
+    ChSql.applySettings(spark, r.settings)
+    (spark.sql(r.sql), r.settings)
+  }
+
+  /** Full request → result-envelope path (O1+O6+O7). */
+  def execute(req: QueryRequest): QueryResult = {
+    val (df, settings) = executeToDf(req)
+    val rows = df.collect().map(_.toSeq).toSeq
+    QueryResult(
+      cols = df.columns.toSeq,
+      types = df.schema.fields.map(_.dataType.simpleString).toSeq,
+      rows = rows,
+      settings = settings)
+  }
+
+  /** Warm path (O9): one SQL string against the live session, no init. */
+  def executeOnCurrent(sql: String): QueryResult =
+    execute(QueryRequest(sql))
+}
