@@ -1,0 +1,72 @@
+package graft.dialect
+
+import org.scalatest.funsuite.AnyFunSuite
+
+class ChSqlSpec extends AnyFunSuite {
+
+  test("zero-arg count() rewrites; count(*) and count(x) untouched") {
+    assert(ChSql.zeroArgCount("SELECT count() FROM t") == "SELECT count(*) FROM t")
+    assert(ChSql.zeroArgCount("SELECT COUNT( ) , count(x), count(*) FROM t") ==
+      "SELECT count(*) , count(x), count(*) FROM t")
+    assert(ChSql.zeroArgCount("SELECT mycount() FROM t") == "SELECT mycount() FROM t")
+  }
+
+  test("macros substitute only known keys") {
+    val out = ChSql.substituteMacros(
+      "SELECT '{cluster}' FROM x WHERE p = '{keep}'", Map("cluster" -> "graft"))
+    assert(out == "SELECT 'graft' FROM x WHERE p = '{keep}'")
+  }
+
+  test("ON CLUSTER strips (quoted and bare)") {
+    assert(ChSql.stripOnCluster("DROP TABLE t ON CLUSTER '{cluster}'") == "DROP TABLE t")
+    assert(ChSql.stripOnCluster("ATTACH TABLE g on cluster foo (x Int32)") ==
+      "ATTACH TABLE g (x Int32)")
+  }
+
+  test("trailing SETTINGS clause extracts and strips") {
+    val (sql, s) = ChSql.extractSettings(
+      "SELECT count(*) FROM t SETTINGS max_parallel_replicas=1, prefer_localhost_replica=1")
+    assert(sql == "SELECT count(*) FROM t")
+    assert(s == Map("max_parallel_replicas" -> "1", "prefer_localhost_replica" -> "1"))
+  }
+
+  test("SETTINGS inside parens or strings is untouched") {
+    val q = "ATTACH TABLE g (x Int32) ENGINE = MergeTree SETTINGS disk = disk(type = web, endpoint = 'http://x/')"
+    val (sql, s) = ChSql.extractSettings(q)
+    // the disk(...) spec is not a plain k=v list → clause is preserved
+    assert(s.isEmpty || !sql.contains("disk"))
+    val q2 = "SELECT 'SETTINGS a=1' FROM t"
+    assert(ChSql.extractSettings(q2) == ((q2, Map.empty)))
+  }
+
+  test("quoted setting values unquote") {
+    val (_, s) = ChSql.extractSettings(
+      "SELECT 1 SETTINGS cluster_for_parallel_replicas='{cluster}'")
+    assert(s("cluster_for_parallel_replicas") == "{cluster}")
+  }
+
+  test("full rewrite composes against a real session") {
+    val spark = graft.TestSpark.spark
+    val r = ChSql.rewrite(spark,
+      "SELECT count() AS c FROM x ON CLUSTER '{cluster}' SETTINGS max_threads=4",
+      Map("cluster" -> "graft"))
+    assert(r.sql.contains("count(*)"))
+    assert(!r.sql.toLowerCase.contains("on cluster"))
+    assert(r.settings == Map("max_threads" -> "4"))
+  }
+
+  test("table function in FROM becomes a Sources-backed view") {
+    val spark = graft.TestSpark.spark
+    val df = ChSql.sql(spark,
+      "SELECT count() AS cnt FROM s3('/root/testdata/sf0.001/nation.parquet', 'Parquet')")
+    assert(df.collect().head.getLong(0) == 25L)
+  }
+
+  test("unsupported table-function format fails loudly") {
+    val spark = graft.TestSpark.spark
+    val e = intercept[IllegalArgumentException] {
+      ChSql.sql(spark, "SELECT 1 FROM url('http://x/y.avro', 'Avro')")
+    }
+    assert(e.getMessage.contains("Avro") || e.getMessage.contains("avro"))
+  }
+}

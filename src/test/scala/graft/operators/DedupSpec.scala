@@ -1,0 +1,79 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class DedupSpec extends AnyFunSuite {
+
+  private lazy val spark = graft.TestSpark.spark
+
+  private def docs = {
+    import spark.implicits._
+    Seq(
+      (0L, "the quick brown fox jumps over the lazy dog near the river bank"),
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank"), // exact dup of 0
+      (2L, "the quick brown fox jumps over the lazy dog near the river shore"), // near dup of 0
+      (3L, "completely different words about spark catalyst optimizer internals stuff"),
+      (4L, "another unrelated document mentioning shuffle partitions and broadcast joins")
+    ).toDF("doc_id", "text")
+  }
+
+  test("exact dedup keeps one row per text") {
+    assert(Dedup.exact(docs, Seq("text")).count() == 4)
+  }
+
+  test("jaccard of identical shingle sets is 1.0") {
+    val sh = docs.select(col("doc_id"), Dedup.shingles(col("text"), 3).as("sh"))
+    val j = sh.as("a").join(sh.as("b"),
+        col("a.doc_id") === 0 && col("b.doc_id") === 1)
+      .select(Dedup.jaccard(col("a.sh"), col("b.sh")))
+      .collect().head.getDouble(0)
+    assert(j == 1.0)
+  }
+
+  test("shingles of short texts are empty, not garbage") {
+    import spark.implicits._
+    val one = Seq((0L, "two words")).toDF("doc_id", "text")
+      .select(Dedup.shingles(col("text"), 3).as("sh"))
+      .collect().head.getSeq[String](0)
+    assert(one.isEmpty)
+  }
+
+  test("minhash LSH finds exact and near duplicates, skips unrelated") {
+    val pairs = Dedup.minHashDupPairs(docs, "doc_id", "text",
+        shingleSize = 3, numHashes = 128, bands = 32, threshold = 0.5)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L)), "exact duplicate pair missed")
+    assert(pairs.contains((0L, 2L)) && pairs.contains((1L, 2L)), "near-dup pair missed")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L), "false positive on unrelated doc")
+  }
+
+  test("minhash signature of identical texts is identical") {
+    val sig = docs.filter(col("doc_id") < 2)
+      .select(Dedup.minHashSignature(Dedup.shingles(col("text"), 3), 32).as("sig"))
+      .collect().map(_.getSeq[Long](0))
+    assert(sig(0) == sig(1))
+  }
+
+  test("simhash: identical texts at distance 0, near-dups close, others far") {
+    val fp = docs.select(col("doc_id"), Dedup.simHash(col("text")).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def dist(a: Long, b: Long) = java.lang.Long.bitCount(fp(a) ^ fp(b))
+    assert(dist(0, 1) == 0)
+    assert(dist(0, 2) <= 12, s"near-dup too far: ${dist(0, 2)}")
+    assert(dist(0, 3) > 12, s"unrelated too close: ${dist(0, 3)}")
+  }
+
+  test("simhash banded pairs include the exact-dup pair") {
+    val pairs = Dedup.simHashDupPairs(docs, "doc_id", "text", maxHamming = 3)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L)))
+  }
+
+  test("ngram jaccard pairs agree with a hand-computed threshold") {
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+        shingleSize = 3, threshold = 0.5)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((0L, 1L), (0L, 2L), (1L, 2L)))
+  }
+}

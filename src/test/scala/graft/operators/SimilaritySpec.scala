@@ -1,0 +1,60 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class SimilaritySpec extends AnyFunSuite {
+
+  private lazy val spark = graft.TestSpark.spark
+
+  /** 8-dim corpus with planted structure: 1 ≡ 0 (identical), 2 ≈ 0
+    * (tiny perturbation), 3/4 orthogonal-ish. */
+  private def emb = {
+    import spark.implicits._
+    Seq(
+      (0L, Array(1f, 0f, 0f, 0f, 1f, 0f, 0f, 0f)),
+      (1L, Array(1f, 0f, 0f, 0f, 1f, 0f, 0f, 0f)),
+      (2L, Array(0.95f, 0.05f, 0f, 0f, 1f, 0f, 0f, 0f)),
+      (3L, Array(0f, 1f, 0f, 0f, 0f, 0f, 1f, 0f)),
+      (4L, Array(0f, 0f, 1f, 0f, 0f, 0f, 0f, 1f))
+    ).toDF("vec_id", "embedding")
+  }
+
+  test("cosine of identical vectors is 1, orthogonal is 0") {
+    val a = emb.as("a"); val b = emb.as("b")
+    val sims = a.join(b, col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id"), col("b.vec_id"),
+        Similarity.cosine(col("a.embedding"), col("b.embedding")).as("c"))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(math.abs(sims((0L, 1L)) - 1.0) < 1e-12)
+    assert(math.abs(sims((0L, 4L))) < 1e-12)
+    assert(sims((0L, 2L)) > 0.99)
+  }
+
+  test("brute-force top-k ranks the planted twin first") {
+    val out = Similarity.bruteForceTopK(emb, "vec_id", "embedding", Seq(0L), k = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(out.head == ((0L, 1, 1L)), s"rank-1 neighbor wrong: ${out.head}")
+    assert(out(1) == ((0L, 2, 2L)))
+  }
+
+  test("LSH neighbors recall identical/near-identical vectors") {
+    val pairs = Similarity.lshNeighbors(emb, "vec_id", "embedding",
+        planes = 8, dim = 8, minCosine = 0.9)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // identical vectors share every bucket → must be found
+    assert(pairs.contains((0L, 1L)))
+    // perturbed twin: within 1-bit multiprobe reach with high probability
+    assert(pairs.contains((0L, 2L)) || pairs.contains((1L, 2L)))
+    // orthogonal vectors must not pass the cosine verify
+    assert(!pairs.contains((0L, 4L)))
+  }
+
+  test("LSH signature is deterministic across evaluations") {
+    val s1 = emb.select(Similarity.lshSignature(col("embedding"), 8, 8).as("s"))
+      .collect().map(_.getLong(0)).toSeq
+    val s2 = emb.select(Similarity.lshSignature(col("embedding"), 8, 8).as("s"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(s1 == s2)
+  }
+}

@@ -1,0 +1,88 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class TextAnalysisSpec extends AnyFunSuite {
+
+  private lazy val spark = graft.TestSpark.spark
+
+  test("token count is whitespace-robust") {
+    import spark.implicits._
+    val rows = Seq("a b c", "  a   b  ", "", "one").toDF("text")
+      .select(TextAnalysis.tokenCount(col("text")).as("n"))
+      .collect().map(_.getInt(0)).toSeq
+    assert(rows == Seq(3, 2, 0, 1))
+  }
+
+  test("subword count splits long words and punctuation") {
+    import spark.implicits._
+    val n = Seq("internationalization 123456!").toDF("text")
+      .select(TextAnalysis.subwordCount(col("text")).as("n"))
+      .collect().head.getInt(0)
+    // internationalization → 5 chunks of ≤4, 123456 → 2 chunks, ! → 1
+    assert(n == 8)
+  }
+
+  test("fingerprint is order-sensitive and deterministic") {
+    import spark.implicits._
+    val fps = Seq("alpha beta gamma", "gamma beta alpha", "alpha beta gamma")
+      .toDF("text").select(TextAnalysis.fingerprint(col("text")).as("fp"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(fps(0) == fps(2))
+    assert(fps(0) != fps(1))
+    assert(fps.forall(f => f >= 0 && f < 2147483647L))
+  }
+
+  test("langId picks the language with most stopword hits, ties deterministic") {
+    import spark.implicits._
+    val df = Seq(
+      (0L, "the cat and the dog went to the park"),
+      (1L, "der Hund und die Katze das ist gut"),
+      (2L, "xyz qrs tuv")).toDF("doc_id", "text")
+    val out = TextAnalysis.langId(df, "text")
+      .select("doc_id", "lang_pred").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(0L) == "en")
+    assert(out(1L) == "de")
+    assert(out(2L) == "de") // zero hits everywhere → first language in sorted order
+  }
+
+  test("quality features are integer-exact") {
+    import spark.implicits._
+    val r = TextAnalysis.qualityFeatures(
+        Seq((0L, "Hello, World! 42")).toDF("doc_id", "text"), "text")
+      .select("n_chars_m", "n_tokens", "n_punct", "n_digits", "n_upper")
+      .collect().head
+    assert(r.getInt(0) == 16)
+    assert(r.getInt(1) == 3)
+    assert(r.getInt(2) == 2) // , and !
+    assert(r.getInt(3) == 2) // 4 2
+    assert(r.getInt(4) == 2) // H W
+  }
+
+  test("multimodal: metadata-only stats never read payload (pruning)") {
+    import spark.implicits._
+    val media = Multimodal.fromText(
+      Seq((0L, "abc"), (1L, "defgh")).toDF("doc_id", "text"), "doc_id", "text")
+    val stats = Multimodal.metaStats(media).collect().head
+    assert(stats.getAs[String]("kind") == "image")
+    assert(stats.getAs[Long]("n_media") == 2L)
+    assert(stats.getAs[Long]("total_bytes") == 8L)
+  }
+
+  test("multimodal: batch feature extraction shapes and determinism") {
+    import spark.implicits._
+    val media = Multimodal.fromText(
+      Seq((0L, "abc"), (1L, "defgh")).toDF("doc_id", "text"), "doc_id", "text")
+    val feats = Multimodal.extractFeatures(spark, media, dim = 4)
+      .orderBy("media_id").collect()
+    assert(feats.length == 2)
+    assert(feats(0).getAs[Long]("n_bytes") == 3L)
+    assert(feats(0).getAs[scala.collection.Seq[Double]]("feature").length == 4)
+    // deterministic across runs
+    val again = Multimodal.extractFeatures(spark, media, dim = 4)
+      .orderBy("media_id").collect()
+    assert(feats.map(_.getLong(2)).toSeq == again.map(_.getLong(2)).toSeq)
+  }
+}
