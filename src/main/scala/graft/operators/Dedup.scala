@@ -62,12 +62,51 @@ object Dedup {
     * over shingles of a hash seeded by i (k independent hash functions —
     * equivalent LSH guarantees to affine permutations, without modular
     * overflow concerns). Deterministic across runs and engines given the
-    * same shingle sets. */
+    * same shingle sets.
+    *
+    * NOTE: fine for small arrays/tests, but higher-order functions run
+    * OUTSIDE whole-stage codegen (interpreted lambdas) — on a large
+    * corpus use [[minHashSignatures]], the explode+hash-aggregate form,
+    * which keeps the k×|shingles| arithmetic inside codegen. */
   def minHashSignature(shingleCol: Column, numHashes: Int): Column = {
     val comps = (0 until numHashes).map { i =>
       array_min(transform(shingleCol, s => xxhash64(s, lit(i))))
     }
     array(comps: _*)
+  }
+
+  private val MinHashP = 2147483647L // 2^31 - 1
+
+  /** The i-th derived hash of a base shingle hash, ANSI-overflow-safe:
+    * all intermediates < 2^52. Affine family (a_i·h + b_i) mod p. */
+  private def derivedHash(h0: Column, i: Int): Column =
+    pmod(h0 * (2L * i + 1001L) + (2654435761L % MinHashP) * i, lit(MinHashP))
+
+  /** Scale path: MinHash signatures via explode → codegen'd
+    * hash-aggregate. One xxhash64 per (doc, shingle), then k cheap
+    * affine derivations aggregated with `min` — all inside whole-stage
+    * codegen, with map-side partial aggregation before the doc_id
+    * shuffle. Returns (_id, _sig: array<long>[numHashes]).
+    *
+    * Docs with no shingles (shorter than the shingle size) get the
+    * empty-set sentinel signature (all p), matching the array form. */
+  def minHashSignatures(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleSize: Int,
+      numHashes: Int): DataFrame = {
+    val exploded = docs.select(
+        col(idCol).as("_id"),
+        explode_outer(shingles(col(textCol), shingleSize)).as("_s"))
+      .select(col("_id"), pmod(xxhash64(col("_s")), lit(MinHashP)).as("_h0"))
+    val mins = (0 until numHashes).map { i =>
+      min(when(col("_h0").isNull, MinHashP).otherwise(derivedHash(col("_h0"), i)))
+        .as(s"_m$i")
+    }
+    exploded.groupBy("_id").agg(mins.head, mins.tail: _*)
+      .select(col("_id"),
+        array((0 until numHashes).map(i => col(s"_m$i")): _*).as("_sig"))
   }
 
   /** Banded-LSH candidate pairs: split the signature into `bands` bands,
@@ -113,12 +152,10 @@ object Dedup {
       numHashes: Int = 128,
       bands: Int = 32,
       threshold: Double = 0.7): DataFrame = {
-    val withSig = docs.select(
-      col(idCol).as("_id"),
-      shingles(col(textCol), shingleSize).as("_sh"))
-      .withColumn("_sig", minHashSignature(col("_sh"), numHashes))
-    val cand = lshCandidates(withSig, "_id", "_sig", bands)
-    val side = withSig.select(col("_id"), col("_sh"))
+    val sigs = minHashSignatures(docs, idCol, textCol, shingleSize, numHashes)
+    val cand = lshCandidates(sigs, "_id", "_sig", bands)
+    val side = docs.select(
+      col(idCol).as("_id"), shingles(col(textCol), shingleSize).as("_sh"))
     cand
       .join(side.as("sa"), cand("id_a") === col("sa._id"))
       .join(side.as("sb"), cand("id_b") === col("sb._id"))
@@ -151,6 +188,32 @@ object Dedup {
   /** Hamming distance between two 64-bit fingerprints. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
+  /** Scale path: SimHash fingerprints via explode → codegen'd aggregate.
+    * One row per (doc, word); 64 conditional-sum aggregates vote per
+    * bit, then one packing expression folds signs into a long. All
+    * whole-stage codegen with map-side partial aggregation — the
+    * higher-order [[simHash]] column form runs interpreted and is kept
+    * for small inputs/tests. Returns (_id, _fp). */
+  def simHashFingerprints(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String): DataFrame = {
+    val words = docs.select(
+        col(idCol).as("_id"),
+        explode_outer(array_distinct(split(col(textCol), "\\s+"))).as("_w"))
+      .select(col("_id"), xxhash64(col("_w")).as("_h"))
+    val votes = (0 until 64).map { i =>
+      sum(when(col("_h").isNull, 0)
+        .when(shiftright(col("_h"), i).bitwiseAND(1) === 1, 1)
+        .otherwise(-1)).as(s"_v$i")
+    }
+    val packed = (0 until 64).map { i =>
+      when(col(s"_v$i") > 0, lit(1L << i)).otherwise(0L)
+    }.reduce((a, b) => a.bitwiseOR(b))
+    words.groupBy("_id").agg(votes.head, votes.tail: _*)
+      .select(col("_id"), packed.as("_fp"))
+  }
+
   /** SimHash near-dup pairs, banded for scale: fingerprints are split
     * into 4 16-bit blocks; by pigeonhole, any pair within Hamming
     * distance ≤ 3 of each other shares at least one exact block — so the
@@ -160,7 +223,7 @@ object Dedup {
       idCol: String,
       textCol: String,
       maxHamming: Int = 3): DataFrame = {
-    val fp = docs.select(col(idCol).as("_id"), simHash(col(textCol)).as("_fp"))
+    val fp = simHashFingerprints(docs, idCol, textCol)
     val blocks = fp.select(
       col("_id"), col("_fp"),
       posexplode(transform(sequence(lit(0), lit(3)),
