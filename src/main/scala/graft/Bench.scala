@@ -54,8 +54,11 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
-      // count/min/max answered from parquet footers, like CH metadata
-      .config("spark.sql.parquet.aggregatePushdown", "true")
+      // NOTE: parquet aggregate pushdown (count from footers) needs the
+      // DSv2 scan (useV1SourceList=""); measured end-to-end here the v2
+      // reader is net slower at this scale — scheduling overhead
+      // dominates — so the default v1 scan stays. PlanSpec pins the
+      // pushdown capability with the explicit confs.
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

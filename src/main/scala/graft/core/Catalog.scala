@@ -1,0 +1,70 @@
+package graft.core
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+
+import graft.types.ChSchemaParser
+
+/** ATTACH-table catalog (SURVEY §2.1 S5): the reference's flagship init
+  * statement attaches a read-only MergeTree table whose parts live at a
+  * public HTTP endpoint, keyed by `ORDER BY (event_type, repo_name,
+  * created_at)` (reference `temporal/workflow_query_executor_test.go:85`).
+  *
+  * Spark equivalent: a catalog entry over a columnar path. The CH DDL is
+  * parsed — name, column list (through [[ChSchemaParser]]), ORDER BY
+  * key, endpoint — and registered as a temp view. The ORDER BY key is
+  * retained as the table's sorted-layout contract: data written through
+  * [[Sinks.writeSorted]] with that key gets parquet row-group min/max
+  * stats in key order, which is the MergeTree primary-index pruning
+  * story (W7) re-expressed — predicate pushdown then skips row groups
+  * the same way CH skips granules.
+  */
+object Catalog {
+
+  case class AttachedTable(
+      name: String,
+      schemaDdl: String,
+      orderBy: Seq[String],
+      endpoint: Option[String])
+
+  private val attached = scala.collection.concurrent.TrieMap.empty[String, AttachedTable]
+
+  private val AttachRe =
+    """(?is)\s*ATTACH\s+TABLE\s+(\S+)\s*(?:UUID\s+'[^']*')?\s*\((.*)\)\s*ENGINE\s*=\s*(\w+)(?:\s+ORDER\s+BY\s*\(([^)]*)\))?(.*)""".r
+  private val EndpointRe = """endpoint\s*=\s*'([^']*)'""".r
+
+  def isAttach(sql: String): Boolean =
+    sql.trim.toUpperCase.startsWith("ATTACH TABLE")
+
+  /** Parse + register an ATTACH TABLE statement (already macro-substituted
+    * and ON-CLUSTER-stripped by the dialect layer). When the endpoint
+    * (or an explicit local path) holds parquet, the view reads it;
+    * otherwise the view is schema-only (empty), which still gives DDL,
+    * schema, and downstream-plan parity. */
+  def attach(spark: SparkSession, sql: String): AttachedTable = sql match {
+    case AttachRe(name, cols, _, orderBy, tail) =>
+      val schema = ChSchemaParser.parse(cols)
+      val key = Option(orderBy).map(_.split(",").map(_.trim).toSeq).getOrElse(Nil)
+      val endpoint = EndpointRe.findFirstMatchIn(tail).map(_.group(1))
+      val df: DataFrame = endpoint.filter(canRead) match {
+        case Some(path) => spark.read.schema(schema).parquet(path)
+        case None =>
+          spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+      }
+      df.createOrReplaceTempView(name)
+      val t = AttachedTable(name, cols.trim, key, endpoint)
+      attached(name) = t
+      t
+    case _ =>
+      throw new IllegalArgumentException(
+        s"unparseable ATTACH TABLE statement: ${sql.take(120)}…")
+  }
+
+  /** Sorted-layout contract for a table, if attached with ORDER BY. */
+  def sortKey(name: String): Seq[String] = attached.get(name).map(_.orderBy).getOrElse(Nil)
+
+  def lookup(name: String): Option[AttachedTable] = attached.get(name)
+
+  private def canRead(endpoint: String): Boolean =
+    !endpoint.startsWith("http") && new java.io.File(
+      endpoint.stripPrefix("file://")).exists()
+}

@@ -1,0 +1,91 @@
+package graft.core
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerEvent}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.ui.{SparkListenerSQLExecutionEnd, SparkListenerSQLExecutionStart}
+
+/** Synthetic `system.*` tables (SURVEY §2.1 S9): the reference exposes
+  * ClickHouse introspection tables — `system.clusters` (`run.sh:5`),
+  * `system.zookeeper` readiness sentinel
+  * (`temporal/workflow_query_executor.go:182`), and per-query
+  * profiling via `clusterAllReplicas('{cluster}',
+  * system.processors_profile_log)`
+  * (`temporal/workflow_query_executor_test.go:98-105`).
+  *
+  * Spark's equivalents come from driver-side status APIs, surfaced as
+  * DataFrames and registered as `system_clusters` / `system_executors`
+  * / `system_query_log` views (dot-qualified CH names rewrite to these
+  * in [[graft.dialect.ChSql]]). `clusterAllReplicas(c, t)` is an
+  * accepted pass-through to `t`: the driver already aggregates
+  * cluster-wide state, which is exactly what the fan-out read provides
+  * in CH.
+  */
+object SystemTables {
+
+  /** ≈ system.clusters: one row per executor with the cluster macro
+    * identity — the information `run.sh:5` polls for. */
+  def clusters(spark: SparkSession, clusterName: String = "graft"): DataFrame = {
+    import spark.implicits._
+    val infos = spark.sparkContext.statusTracker.getExecutorInfos.toSeq
+    infos.zipWithIndex.map { case (e, i) =>
+      (clusterName, 1, i + 1, e.host(), e.numRunningTasks())
+    }.toDF("cluster", "shard_num", "replica_num", "host_name", "running_tasks")
+  }
+
+  /** ≈ clusterAllReplicas(system.processors_profile_log): executor-level
+    * resource/task stats from the status tracker. */
+  def executors(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    spark.sparkContext.statusTracker.getExecutorInfos.toSeq.map { e =>
+      (e.host(), e.port(), e.numRunningTasks(), e.usedOnHeapStorageMemory(),
+        e.totalOnHeapStorageMemory())
+    }.toDF("host", "port", "running_tasks", "used_storage_mem", "total_storage_mem")
+  }
+
+  // ---- query log (≈ system.query_log), fed by a listener ----
+
+  private case class QueryLogEntry(
+      executionId: Long, durationMs: Long, error: Option[String])
+
+  private val log = new java.util.concurrent.ConcurrentLinkedQueue[QueryLogEntry]()
+  private val starts = new java.util.concurrent.ConcurrentHashMap[Long, Long]()
+  @volatile private var installed: Set[Int] = Set.empty
+
+  /** Install the SQL-execution listener once per session. */
+  def install(spark: SparkSession): Unit = {
+    val id = System.identityHashCode(spark)
+    if (installed.contains(id)) return
+    synchronized {
+      if (installed.contains(id)) return
+      spark.sparkContext.addSparkListener(new SparkListener {
+        override def onOtherEvent(event: SparkListenerEvent): Unit = event match {
+          case s: SparkListenerSQLExecutionStart =>
+            starts.put(s.executionId, s.time)
+          case e: SparkListenerSQLExecutionEnd =>
+            val dur = Option(starts.remove(e.executionId))
+              .map(t0 => (e.time - t0).max(0L)).getOrElse(0L)
+            log.add(QueryLogEntry(e.executionId, dur, e.errorMessage.filter(_.nonEmpty)))
+          case _ =>
+        }
+      })
+      installed += id
+    }
+  }
+
+  /** ≈ system.query_log: completed SQL executions with duration. */
+  def queryLog(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    import scala.jdk.CollectionConverters._
+    log.asScala.toSeq
+      .map(e => (e.executionId, e.durationMs, e.error.getOrElse("")))
+      .toDF("execution_id", "duration_ms", "error")
+  }
+
+  /** Register all system views on the session. */
+  def registerViews(spark: SparkSession, clusterName: String = "graft"): Unit = {
+    install(spark)
+    clusters(spark, clusterName).createOrReplaceTempView("system_clusters")
+    executors(spark).createOrReplaceTempView("system_executors")
+    queryLog(spark).createOrReplaceTempView("system_query_log")
+  }
+}

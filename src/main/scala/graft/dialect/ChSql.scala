@@ -45,16 +45,40 @@ object ChSql {
     val noCluster = stripOnCluster(m)
     val (body, settings) = extractSettings(noCluster)
     val counted = zeroArgCount(body)
-    val rewritten = rewriteTableFunctions(spark, counted)
+    val sys = rewriteSystemTables(counted)
+    val rewritten = rewriteTableFunctions(spark, sys)
     Rewritten(rewritten, settings)
   }
 
-  /** Run a CH-dialect query end-to-end on this session. */
+  private val ClusterAllReplicas =
+    """(?i)\bclusterAllReplicas\s*\(\s*'[^']*'\s*,\s*(system\.\w+|\w+)\s*\)""".r
+  private val SystemDot = """(?i)\bsystem\.(\w+)""".r
+
+  /** `clusterAllReplicas('<c>', system.t)` → `system_t` (the driver
+    * already sees cluster-wide state — S9), and dot-qualified
+    * `system.t` → the registered `system_t` view. */
+  def rewriteSystemTables(sql: String): String = {
+    val noFanout = ClusterAllReplicas.replaceAllIn(sql, m => m.group(1))
+    SystemDot.replaceAllIn(noFanout, m => s"system_${m.group(1).toLowerCase}")
+  }
+
+  /** Run a CH-dialect query end-to-end on this session. Handles DDL-ish
+    * statements (ATTACH TABLE → catalog registration) as well as
+    * queries; system.* tables resolve to the synthetic views. */
   def sql(spark: SparkSession, query: String,
       macros: Map[String, String] = defaultMacros): DataFrame = {
     ChFunctions.register(spark)
+    val m = stripOnCluster(substituteMacros(query, macros))
+    if (graft.core.Catalog.isAttach(m)) {
+      import spark.implicits._
+      val t = graft.core.Catalog.attach(spark, m)
+      return Seq((t.name, "attached")).toDF("table", "status")
+    }
     val r = rewrite(spark, query, macros)
     applySettings(spark, r.settings)
+    if (r.sql.toLowerCase.contains("system_"))
+      graft.core.SystemTables.registerViews(spark,
+        macros.getOrElse("cluster", "graft"))
     spark.sql(r.sql)
   }
 

@@ -49,12 +49,11 @@ class QueryService(spark: SparkSession) {
     * main query through the dialect front door. The plan is lazy — the
     * caller picks the action (collect, write, explain). */
   def executeToDf(req: QueryRequest): (DataFrame, Map[String, String]) = {
-    // session init: CH `SET k=v` maps to Spark SQL SET verbatim; other
-    // statements (ATTACH-alikes, view DDL) go through the same rewriter
+    // session init: CH `SET k=v` maps to Spark SQL SET verbatim; ATTACH
+    // TABLE routes to the catalog; everything else through the rewriter.
+    // Eager collect mirrors the reference's serial init loop (`:302-310`).
     req.initQueries.foreach { q =>
-      val r = ChSql.rewrite(spark, q, req.macros)
-      ChSql.applySettings(spark, r.settings)
-      spark.sql(r.sql).collect() // init statements are eager, like the reference's serial loop
+      ChSql.sql(spark, q, req.macros).collect()
     }
     val r = ChSql.rewrite(spark, req.query, req.macros)
     ChSql.applySettings(spark, r.settings)

@@ -1,0 +1,54 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.functions.col
+
+/** File sinks (SURVEY §2.1 S10/S11): the reference returns results
+  * row-major to the caller and hints a future S3 result offload
+  * (`workflow_query_executor.go:94` TODO "Return S3 url"). Here both
+  * exist: [[graft.service.QueryService]] is the Cols+Rows envelope;
+  * these writers are the at-scale result path (a 100 TB result never
+  * goes through the driver).
+  */
+object Sinks {
+
+  def writeParquet(
+      df: DataFrame,
+      path: String,
+      partitionBy: Seq[String] = Nil,
+      mode: SaveMode = SaveMode.Overwrite): Unit = {
+    val w = df.write.mode(mode)
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path)
+  }
+
+  def writeCsv(
+      df: DataFrame,
+      path: String,
+      header: Boolean = true,
+      compression: Option[String] = None,
+      mode: SaveMode = SaveMode.Overwrite): Unit = {
+    val w = df.write.mode(mode).option("header", header.toString)
+    compression.foreach(c => w.option("compression", c))
+    w.csv(path)
+  }
+
+  /** MergeTree-ORDER-BY-parity layout (W7): repartition on the leading
+    * key then sort within partitions by the full key before writing.
+    * Parquet row-group min/max stats come out key-clustered, so
+    * predicate pushdown skips row groups the way CH's primary index
+    * skips granules. This is layout-time work — one shuffle — buying
+    * every subsequent keyed scan its pruning. */
+  def writeSorted(
+      df: DataFrame,
+      path: String,
+      sortKey: Seq[String],
+      numFiles: Int = 0,
+      mode: SaveMode = SaveMode.Overwrite): Unit = {
+    require(sortKey.nonEmpty, "writeSorted needs a sort key")
+    val keyed =
+      if (numFiles > 0) df.repartition(numFiles, col(sortKey.head))
+      else df.repartition(col(sortKey.head))
+    keyed.sortWithinPartitions(sortKey.map(col): _*)
+      .write.mode(mode).parquet(path)
+  }
+}

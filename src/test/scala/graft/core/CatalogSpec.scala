@@ -1,0 +1,63 @@
+package graft.core
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.dialect.ChSql
+
+class CatalogSpec extends AnyFunSuite {
+
+  private lazy val spark = graft.TestSpark.spark
+
+  /** Compressed form of the reference's flagship ATTACH
+    * (`temporal/workflow_query_executor_test.go:85`) — same clauses,
+    * fewer columns. */
+  private val attachDdl =
+    """ATTACH TABLE gh_mini UUID '127f4241-4a9b-4ecd-8a84-846b88069cb5' on cluster '{cluster}'
+      |(
+      |  `file_time` DateTime,
+      |  `event_type` Enum8('CommitCommentEvent' = 1, 'CreateEvent' = 2),
+      |  `repo_name` LowCardinality(String),
+      |  `commits` UInt32
+      |)
+      |ENGINE = MergeTree
+      |ORDER BY (event_type, repo_name)
+      |SETTINGS disk = disk(type = web, endpoint = 'http://clickhouse-public-datasets.s3.amazonaws.com/web/')""".stripMargin
+
+  test("ATTACH TABLE through the dialect registers a schema-correct view") {
+    val res = ChSql.sql(spark, attachDdl).collect()
+    assert(res.head.getString(1) == "attached")
+    val schema = spark.table("gh_mini").schema
+    assert(schema.fieldNames.toSeq ==
+      Seq("file_time", "event_type", "repo_name", "commits"))
+    assert(spark.table("gh_mini").count() == 0) // web endpoint → schema-only
+    // ORDER BY key retained as the sorted-layout contract (W7)
+    assert(Catalog.sortKey("gh_mini") == Seq("event_type", "repo_name"))
+  }
+
+  test("ATTACH over a readable local endpoint serves data") {
+    val ddl =
+      """ATTACH TABLE nation_att (n_nationkey Int32, n_name String, n_regionkey Int32)
+        |ENGINE = MergeTree ORDER BY (n_nationkey)
+        |SETTINGS disk = disk(type = web, endpoint = '/root/testdata/sf0.001/nation.parquet')""".stripMargin
+    ChSql.sql(spark, ddl).collect()
+    assert(spark.sql("SELECT count(*) FROM nation_att").collect().head.getLong(0) == 25L)
+  }
+
+  test("ATTACH as an init query through QueryService (the reference's flow)") {
+    val svc = new graft.service.QueryService(spark)
+    val res = svc.execute(graft.service.QueryService.QueryRequest(
+      query = "SELECT count() AS cnt FROM nation_att2",
+      initQueries = Seq(
+        """ATTACH TABLE nation_att2 (n_nationkey Int32, n_name String, n_regionkey Int32)
+          |ENGINE = MergeTree ORDER BY (n_nationkey)
+          |SETTINGS disk = disk(type = web, endpoint = '/root/testdata/sf0.001/nation.parquet')""".stripMargin,
+        "SET spark.sql.shuffle.partitions=4")))
+    assert(res.rows == Seq(Seq(25L)))
+  }
+
+  test("malformed ATTACH fails loudly") {
+    intercept[IllegalArgumentException] {
+      Catalog.attach(spark, "ATTACH TABLE nonsense")
+    }
+  }
+}

@@ -1,0 +1,40 @@
+package graft.core
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.dialect.ChSql
+
+class SystemTablesSpec extends AnyFunSuite {
+
+  private lazy val spark = graft.TestSpark.spark
+
+  test("system.clusters resolves through the dialect (run.sh:5 shape)") {
+    val rows = ChSql.sql(spark,
+      "select * from system.clusters where cluster = '{cluster}'").collect()
+    assert(rows.nonEmpty)
+    assert(rows.head.getAs[String]("cluster") == "graft")
+  }
+
+  test("clusterAllReplicas fan-out strips to the system view (S9)") {
+    val df = ChSql.sql(spark,
+      "SELECT host, running_tasks FROM clusterAllReplicas('{cluster}', system.executors)")
+    assert(df.collect().nonEmpty)
+  }
+
+  test("query log records completed executions with durations") {
+    SystemTables.install(spark)
+    spark.sql("SELECT 1").collect()
+    spark.sql("SELECT 2").collect()
+    // listener events are async — allow a beat
+    Thread.sleep(500)
+    val log = SystemTables.queryLog(spark).collect()
+    assert(log.length >= 2)
+    assert(log.forall(_.getAs[Long]("duration_ms") >= 0))
+  }
+
+  test("ordered projection over a system table (…_test.go:98-105 shape)") {
+    val rows = ChSql.sql(spark,
+      "SELECT host, port FROM system.executors ORDER BY host ASC").collect()
+    assert(rows.nonEmpty)
+  }
+}
