@@ -310,6 +310,40 @@ object SparkEntry {
         .agg(sum(get_json_object(col("props"), "$.k").cast("long")).as("sum_k"))
     }),
 
+    // A7: exact interpolated percentile via dialect quantile alias
+    "q33_percentile" -> ch(
+      """SELECT quantileExact(l_quantity, 0.5) AS p50, quantileExact(l_quantity, 0.9) AS p90
+        |FROM lineitem""".stripMargin),
+
+    // P6: arrayJoin (lateral explode) + splitByChar over documents
+    "q34_array_join" -> ch(
+      """SELECT w, count() AS c FROM (
+        |  SELECT arrayJoin(splitByChar(' ', text)) AS w FROM documents) t
+        |GROUP BY w ORDER BY w LIMIT 20""".stripMargin),
+
+    // P6: multiIf conditional banding
+    "q35_multiif" -> ch(
+      """SELECT multiIf(l_quantity < 10, 'low', l_quantity < 30, 'mid', 'high') AS band,
+        |       count() AS cnt
+        |FROM lineitem GROUP BY band ORDER BY band""".stripMargin),
+
+    // P6: string function surface (lower/length/position/empty)
+    "q36_string_funcs" -> ch(
+      """SELECT countIf(position(lower(p_name), 'a') > 0) AS with_a,
+        |       CAST(sum(lengthUTF8(p_name)) AS BIGINT) AS total_len,
+        |       countIf(notEmpty(p_brand)) AS branded
+        |FROM part""".stripMargin),
+
+    // sessionization (batch path of the streaming state machine)
+    "q37_sessionize" -> ((spark, dir) => {
+      prep(spark, dir)
+      graft.streaming.EventStreams.sessionizeBatch(
+          Tables.load(spark, dir, "events"), gapMs = 30 * 60 * 1000L)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_sessions"), sum("n_events").cast("long").as("n_events"))
+        .orderBy("user_id")
+    }),
+
     // ---- engine-defined functions (rows-only; goldens in unit tests) ----
 
     // P5/A5: sum(cityHash64(…)) — headline shape (README.md:59). The sum
@@ -534,6 +568,33 @@ object SparkEntry {
         |FROM events GROUP BY bucket_ms ORDER BY bucket_ms""".stripMargin,
     "q30_json" ->
       "SELECT CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k FROM events",
+    "q33_percentile" ->
+      "SELECT quantile_cont(l_quantity, 0.5) AS p50, quantile_cont(l_quantity, 0.9) AS p90 FROM lineitem",
+    "q34_array_join" ->
+      """SELECT w, count(*) AS c FROM (
+        |  SELECT unnest(string_split(text, ' ')) AS w FROM documents) t
+        |GROUP BY w ORDER BY w LIMIT 20""".stripMargin,
+    "q35_multiif" ->
+      """SELECT CASE WHEN l_quantity < 10 THEN 'low' WHEN l_quantity < 30 THEN 'mid' ELSE 'high' END AS band,
+        |       count(*) AS cnt
+        |FROM lineitem GROUP BY band ORDER BY band""".stripMargin,
+    "q36_string_funcs" ->
+      """SELECT count(*) FILTER (WHERE position('a' IN lower(p_name)) > 0) AS with_a,
+        |       CAST(sum(length(p_name)) AS BIGINT) AS total_len,
+        |       count(*) FILTER (WHERE length(p_brand) > 0) AS branded
+        |FROM part""".stripMargin,
+    "q37_sessionize" ->
+      """WITH e AS (SELECT user_id, epoch_ms(ts) ems FROM events),
+        |     g AS (SELECT user_id, ems,
+        |             CASE WHEN lag(ems) OVER (PARTITION BY user_id ORDER BY ems) IS NULL
+        |                    OR ems - lag(ems) OVER (PARTITION BY user_id ORDER BY ems) > 1800000
+        |                  THEN 1 ELSE 0 END ns
+        |           FROM e),
+        |     s AS (SELECT user_id,
+        |             sum(ns) OVER (PARTITION BY user_id ORDER BY ems ROWS UNBOUNDED PRECEDING) sid
+        |           FROM g)
+        |SELECT user_id, count(DISTINCT sid) AS n_sessions, count(*) AS n_events
+        |FROM s GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q40_dedup_exact" ->
       """SELECT lang, count(*) AS n_rows, count(DISTINCT text) AS n_unique,
         |       count(*) - count(DISTINCT text) AS n_dupes
@@ -579,6 +640,22 @@ object SparkEntry {
         |  SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid ASC) AS rank
         |  FROM scored) t
         |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+    "q48_lang_id" ->
+      """WITH s AS (SELECT doc_id,
+        |  len(regexp_extract_all(text, '(?:^|\s)(?:der|die|das|und|ist)(?:\s|$)')) s_de,
+        |  len(regexp_extract_all(text, '(?:^|\s)(?:the|a|of|and|to)(?:\s|$)')) s_en,
+        |  len(regexp_extract_all(text, '(?:^|\s)(?:el|la|de|y|es)(?:\s|$)')) s_es,
+        |  len(regexp_extract_all(text, '(?:^|\s)(?:le|la|et|est|un)(?:\s|$)')) s_fr,
+        |  len(regexp_extract_all(text, '(?:^|\s)(?:的|是|了|在|我)(?:\s|$)')) s_zh
+        |  FROM documents),
+        |p AS (SELECT CASE
+        |        WHEN s_de >= greatest(s_en, s_es, s_fr, s_zh) THEN 'de'
+        |        WHEN s_en >= greatest(s_es, s_fr, s_zh) THEN 'en'
+        |        WHEN s_es >= greatest(s_fr, s_zh) THEN 'es'
+        |        WHEN s_fr >= s_zh THEN 'fr'
+        |        ELSE 'zh' END AS lang_pred
+        |      FROM s)
+        |SELECT lang_pred, count(*) AS cnt FROM p GROUP BY lang_pred ORDER BY lang_pred""".stripMargin,
     "q49_quality" ->
       """SELECT CAST(sum(length(text)) AS BIGINT) AS sum_chars,
         |       CAST(sum(len(regexp_extract_all(text, '\S+'))) AS BIGINT) AS sum_tokens,

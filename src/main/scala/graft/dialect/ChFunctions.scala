@@ -92,6 +92,26 @@ object ChFunctions {
       FunctionShim.register(spark, "notEmpty",
         exprs => GreaterThan(Length(exprs.head), Literal(0)))
 
+      // splitByChar(sep, s) — CH argument order (separator first); the
+      // literal separator is regex-quoted for Spark's split
+      FunctionShim.register(spark, "splitByChar", { case Seq(sep, s) =>
+        val escaped = sep match {
+          case Literal(v: org.apache.spark.unsafe.types.UTF8String, StringType) =>
+            Literal(java.util.regex.Pattern.quote(v.toString))
+          case other => other // non-literal: caller supplies a regex-safe separator
+        }
+        StringSplit(s, escaped, Literal(-1))
+      })
+      // position(haystack, needle) — 1-based like CH; 0 when absent
+      FunctionShim.register(spark, "position",
+        { case Seq(hay, needle) => StringInstr(hay, needle) })
+      FunctionShim.register(spark, "lengthUTF8", exprs => Length(exprs.head))
+      // quantile(x, q) / quantileExact — exact interpolated percentile
+      FunctionShim.register(spark, "quantile",
+        { case Seq(x, q) => new Percentile(x, q) })
+      FunctionShim.register(spark, "quantileExact",
+        { case Seq(x, q) => new Percentile(x, q) })
+
       registered += id
     }
   }

@@ -1,0 +1,130 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming over the `events` table shape (event_id, ts,
+  * user_id, event_type, value, props).
+  *
+  * Additive relative to the reference — BigHouse is read-only batch
+  * OLAP with no streaming path (SURVEY §1.1: no INSERT anywhere) — but
+  * designed Spark-first per SURVEY §7: `readStream` → declarative
+  * transforms → `writeStream`, with event-time watermarks bounding
+  * state so every operator here runs indefinitely on an unbounded
+  * stream without unbounded memory. The same column expressions the
+  * batch engine uses apply verbatim — one definition of the semantics,
+  * two execution modes.
+  */
+object EventStreams {
+
+  /** Stream the events table shape from a directory of parquet files
+    * (file-arrival streaming — the classic landing-zone pattern). */
+  def fromParquetDir(spark: SparkSession, dir: String, schemaFrom: String): DataFrame =
+    spark.readStream
+      .schema(spark.read.parquet(schemaFrom).schema)
+      .parquet(dir)
+
+  /** Tumbling-window counts + value sums per event type, watermarked:
+    * state for windows older than the watermark is dropped, so this
+    * runs forever on a real stream. Late events beyond 10 minutes are
+    * discarded — the documented trade. */
+  def windowedCounts(events: DataFrame, window: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(
+        org.apache.spark.sql.functions.window(col("ts"), window).as("w"),
+        col("event_type"))
+      .agg(
+        count(lit(1)).as("cnt"),
+        sum(round(col("value") * 100).cast("long")).as("cents"))
+      .select(
+        col("w.start").as("window_start"),
+        col("event_type"), col("cnt"), col("cents"))
+
+  /** Sliding-window event rate (1h window sliding every 15m). */
+  def slidingRate(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(org.apache.spark.sql.functions.window(col("ts"), "1 hour", "15 minutes").as("w"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("w.start").as("window_start"), col("cnt"))
+
+  // ---- custom sessionization state machine ----
+
+  case class Event(event_id: Long, ts: Timestamp, user_id: Long,
+      event_type: String, value: Double)
+
+  case class SessionState(start: Long, lastSeen: Long, nEvents: Long)
+
+  case class SessionOut(user_id: Long, session_start: Timestamp,
+      session_end: Timestamp, n_events: Long)
+
+  /** Per-user session boundaries via `mapGroupsWithState` — the custom
+    * state-machine escape hatch (SURVEY §7: `KeyValueGroupedDataset`
+    * stateful ops) for semantics windowed aggregation can't express.
+    * A session closes after `gapMs` of inactivity (processing-time
+    * timeout); state per user is O(1). */
+  def sessionize(
+      events: Dataset[Event],
+      gapMs: Long = 30 * 60 * 1000L,
+      timeout: GroupStateTimeout = GroupStateTimeout.ProcessingTimeTimeout): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[SessionState, SessionOut](timeout) {
+        (userId: Long, batch: Iterator[Event], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            SessionOut(userId, new Timestamp(s.start), new Timestamp(s.lastSeen), s.nEvents)
+          } else {
+            val times = batch.map(_.ts.getTime).toSeq
+            val prev = state.getOption
+            val merged = prev match {
+              case Some(s) => SessionState(
+                s.start.min(times.min), s.lastSeen.max(times.max), s.nEvents + times.size)
+              case None => SessionState(times.min, times.max, times.size.toLong)
+            }
+            state.update(merged)
+            if (timeout == GroupStateTimeout.ProcessingTimeTimeout)
+              state.setTimeoutDuration(gapMs)
+            SessionOut(userId, new Timestamp(merged.start), new Timestamp(merged.lastSeen), merged.nEvents)
+          }
+      }
+  }
+
+  /** Batch-mode sessionization with the same gap semantics (event-time
+    * gaps via window lag) — used to cross-check the streaming state
+    * machine and as the backfill path. */
+  def sessionizeBatch(events: DataFrame, gapMs: Long = 30 * 60 * 1000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("ts")
+    // integer-millisecond gap arithmetic: exact, engine-portable (a
+    // double epoch would flip floor() at ns boundaries)
+    events
+      .withColumn("_prev", lag(col("ts"), 1).over(w))
+      .withColumn("_newSession",
+        when(col("_prev").isNull ||
+          unix_millis(col("ts")) - unix_millis(col("_prev")) > gapMs, 1)
+          .otherwise(0))
+      .withColumn("_sid", sum("_newSession").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "_sid")
+      .agg(
+        min("ts").as("session_start"),
+        max("ts").as("session_end"),
+        count(lit(1)).as("n_events"))
+      .drop("_sid")
+  }
+
+  /** Write a streaming result to parquet with checkpointing. */
+  def toParquet(df: DataFrame, path: String, checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    df.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .format("parquet")
+      .start(path)
+}

@@ -54,4 +54,15 @@ class QueryServiceSpec extends AnyFunSuite {
       "SELECT uniqExact(n_regionkey) AS u FROM s3('/root/testdata/sf0.001/nation.parquet', 'Parquet')")
     assert(res.rows == Seq(Seq(5L)))
   }
+
+  test("uniq (HLL++) approximates within 5% of exact — SURVEY §5 property") {
+    val svc = new QueryService(spark)
+    val rows = svc.executeOnCurrent(
+      """SELECT uniq(o_custkey) AS approx, uniqExact(o_custkey) AS exact
+        |FROM s3('/root/testdata/sf0.001/orders.parquet', 'Parquet')""".stripMargin).rows
+    val (approx, exact) = (rows.head(0).asInstanceOf[Long], rows.head(1).asInstanceOf[Long])
+    assert(exact > 0)
+    assert(math.abs(approx - exact).toDouble / exact < 0.05,
+      s"uniq=$approx vs exact=$exact drifts beyond 5%")
+  }
 }

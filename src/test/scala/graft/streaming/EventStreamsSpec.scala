@@ -1,0 +1,101 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class EventStreamsSpec extends AnyFunSuite {
+
+  private lazy val spark = graft.TestSpark.spark
+
+  private def ts(min: Int): Timestamp = Timestamp.valueOf(f"2024-01-01 ${min / 60}%02d:${min % 60}%02d:00")
+
+  test("windowed counts over a MemoryStream match the batch result") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[EventStreams.Event]
+    val events = Seq(
+      EventStreams.Event(0, ts(5), 1, "click", 1.0),
+      EventStreams.Event(1, ts(20), 1, "click", 2.0),
+      EventStreams.Event(2, ts(70), 2, "view", 3.0),
+      EventStreams.Event(3, ts(80), 1, "click", 4.0))
+    mem.addData(events: _*)
+
+    val q = EventStreams.windowedCounts(mem.toDF(), "1 hour")
+      .writeStream.format("memory").queryName("win_counts")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("win_counts")
+        .orderBy("window_start", "event_type")
+        .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      // hour 0: 2 clicks (100+200 cents); hour 1: 1 click (400), 1 view (300)
+      assert(got.length == 3)
+      assert(got(0)._2 == "click" && got(0)._3 == 2L && got(0)._4 == 300L)
+      assert(got(1)._2 == "click" && got(1)._3 == 1L && got(1)._4 == 400L)
+      assert(got(2)._2 == "view" && got(2)._3 == 1L && got(2)._4 == 300L)
+      // batch semantics agree: same expression path over a static frame
+      val batch = EventStreams.windowedCounts(events.toDF(), "1 hour")
+        .orderBy("window_start", "event_type")
+        .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      assert(batch.toSeq == got.toSeq)
+    } finally q.stop()
+  }
+
+  test("streaming sessionization emits per-user state updates") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[EventStreams.Event]
+    mem.addData(
+      EventStreams.Event(0, ts(0), 1, "click", 1.0),
+      EventStreams.Event(1, ts(10), 1, "click", 1.0),
+      EventStreams.Event(2, ts(5), 2, "view", 1.0))
+    // NoTimeout keeps the test deterministic: a single batch, no
+    // wall-clock-driven timer triggers
+    val q = EventStreams.sessionize(mem.toDS(), gapMs = 60000,
+        timeout = org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout)
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode("update").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("sessions").orderBy("user_id").collect()
+      assert(got.length == 2)
+      val u1 = got(0)
+      assert(u1.getAs[Long]("user_id") == 1L)
+      assert(u1.getAs[Long]("n_events") == 2L)
+      assert(u1.getAs[Timestamp]("session_start") == ts(0))
+      assert(u1.getAs[Timestamp]("session_end") == ts(10))
+    } finally q.stop()
+  }
+
+  test("batch sessionization splits on the inactivity gap") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, ts(0)), (1L, ts(10)), // session A
+      (1L, ts(100)), (1L, ts(105)), // session B (90-min gap)
+      (2L, ts(50))).toDF("user_id", "ts")
+    val out = EventStreams.sessionizeBatch(df, gapMs = 30 * 60 * 1000L)
+      .orderBy("user_id", "session_start").collect()
+    assert(out.length == 3)
+    assert(out(0).getAs[Long]("n_events") == 2L)
+    assert(out(1).getAs[Long]("n_events") == 2L)
+    assert(out(2).getAs[Long]("user_id") == 2L)
+  }
+
+  test("file-arrival streaming reads the events shape from a directory") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_stream").toString
+    graft.core.Tables.load(spark, "/root/testdata/sf0.001", "events")
+      .limit(100).write.mode("overwrite").parquet(tmp)
+    val stream = EventStreams.fromParquetDir(spark, tmp, s"$tmp")
+    assert(stream.isStreaming)
+    val q = EventStreams.windowedCounts(stream)
+      .writeStream.format("memory").queryName("file_stream")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("file_stream").count() > 0)
+    } finally q.stop()
+  }
+}
