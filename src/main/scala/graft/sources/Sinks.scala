@@ -32,6 +32,24 @@ object Sinks {
     w.csv(path)
   }
 
+  /** Bucketed + sorted table layout — the co-located-join story: two
+    * tables bucketed by the same key into the same bucket count join
+    * with NO shuffle on either side (Catalyst reuses the bucket
+    * partitioning). This is the "pre-partition the big join" rule from
+    * the builder prompt made durable on disk; at 100 TB it converts
+    * every recurring fact⋈fact join from two full shuffles into zero. */
+  def writeBucketed(
+      df: DataFrame,
+      table: String,
+      bucketKey: String,
+      numBuckets: Int,
+      sortCols: Seq[String] = Nil,
+      mode: SaveMode = SaveMode.Overwrite): Unit = {
+    val w = df.write.mode(mode).bucketBy(numBuckets, bucketKey)
+    (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w)
+      .saveAsTable(table)
+  }
+
   /** MergeTree-ORDER-BY-parity layout (W7): repartition on the leading
     * key then sort within partitions by the full key before writing.
     * Parquet row-group min/max stats come out key-clustered, so
