@@ -221,7 +221,7 @@ object SparkEntry {
 
     // W4: row_number partitioned top-N
     "q18_window_topn" -> ch(
-      """SELECT l_returnflag, rn, l_orderkey, l_linenumber FROM (
+      """SELECT l_returnflag, CAST(rn AS BIGINT) AS rn, l_orderkey, l_linenumber FROM (
         |  SELECT l_returnflag, l_orderkey, l_linenumber,
         |         row_number() OVER (PARTITION BY l_returnflag ORDER BY l_orderkey, l_linenumber) AS rn
         |  FROM lineitem) t
@@ -412,6 +412,7 @@ object SparkEntry {
       prep(spark, dir)
       Similarity.bruteForceTopK(Tables.load(spark, dir, "embeddings"),
           "vec_id", "embedding", queryIds = Seq(0L, 1L, 2L, 3L, 4L), k = 5)
+        .select(col("qid"), col("rank").cast("long").as("rank"), col("nid"))
         .orderBy("qid", "rank")
     }),
 
@@ -449,8 +450,8 @@ object SparkEntry {
       Tables.load(spark, dir, "documents")
         .filter(col("doc_id") < 10)
         .select(col("doc_id"),
-          TextAnalysis.tokenCount(col("text")).as("n_tokens"),
-          TextAnalysis.subwordCount(col("text")).as("n_subwords"))
+          TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"),
+          TextAnalysis.subwordCount(col("text")).cast("long").as("n_subwords"))
         .orderBy("doc_id")
     }),
 
