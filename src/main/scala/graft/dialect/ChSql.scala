@@ -137,27 +137,45 @@ object ChSql {
 
   /** Replace every `s3(…)`/`url(…)`-style call with a temp view created
     * from [[Sources]]. The view name is content-addressed so repeated
-    * queries reuse the same relation (and Spark caches file listings). */
+    * queries reuse the same relation (and Spark caches file listings).
+    * Matches inside single-quoted string literals are left untouched. */
   def rewriteTableFunctions(spark: SparkSession, sql: String): String = {
     val out = new StringBuilder
-    var pos = 0
-    var m = TableFn.findFirstMatchIn(sql)
     var cur = sql
+    var m = TableFn.findFirstMatchIn(cur)
     while (m.isDefined) {
       val mm = m.get
-      val fn = mm.group(1).toLowerCase
-      val argStart = mm.end // after the '('
-      val argEnd = matchParen(cur, argStart - 1)
-      require(argEnd > 0, s"unbalanced parens in table function: ${cur.substring(mm.start)}")
-      val argStr = cur.substring(argStart, argEnd)
-      val view = createView(spark, fn, argStr)
-      out.append(cur.substring(0, mm.start)).append(view)
-      cur = cur.substring(argEnd + 1)
-      pos = 0
+      if (insideQuote(cur, mm.start)) {
+        // literal text, not a call — emit up to and including the match
+        out.append(cur.substring(0, mm.end))
+        cur = cur.substring(mm.end)
+      } else {
+        val fn = mm.group(1).toLowerCase
+        val argStart = mm.end // after the '('
+        val argEnd = matchParen(cur, argStart - 1)
+        require(argEnd > 0, s"unbalanced parens in table function: ${cur.substring(mm.start)}")
+        val argStr = cur.substring(argStart, argEnd)
+        val view = createView(spark, fn, argStr)
+        out.append(cur.substring(0, mm.start)).append(view)
+        cur = cur.substring(argEnd + 1)
+      }
       m = TableFn.findFirstMatchIn(cur)
     }
     out.append(cur)
     out.toString
+  }
+
+  /** Is position `pos` inside a single-quoted SQL string literal? */
+  private def insideQuote(s: String, pos: Int): Boolean = {
+    var inQuote = false
+    var i = 0
+    while (i < pos) {
+      val c = s.charAt(i)
+      if (inQuote && c == '\\') i += 1
+      else if (c == '\'') inQuote = !inQuote
+      i += 1
+    }
+    inQuote
   }
 
   private def createView(spark: SparkSession, fn: String, argStr: String): String = {

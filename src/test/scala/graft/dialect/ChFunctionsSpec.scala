@@ -1,0 +1,95 @@
+package graft.dialect
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** One end-to-end SQL assertion per registered ClickHouse-named
+  * function — every alias must resolve AND compute correctly. */
+class ChFunctionsSpec extends AnyFunSuite {
+
+  private lazy val spark = {
+    val s = graft.TestSpark.spark
+    ChFunctions.register(s)
+    import s.implicits._
+    Seq(
+      (1, 10.0, "R", "2024-03-05 10:30:00"),
+      (2, 20.0, "N", "2024-03-05 11:45:00"),
+      (3, 30.0, "R", "2024-03-06 00:00:00"))
+      .toDF("id", "v", "flag", "t")
+      .createOrReplaceTempView("fx")
+    s
+  }
+
+  private def one(sql: String): Any = spark.sql(sql).collect().head.get(0)
+
+  test("sumIf / countIf / avgIf / minIf / maxIf") {
+    assert(one("SELECT sumIf(v, flag = 'R') FROM fx") == 40.0)
+    assert(one("SELECT countIf(flag = 'R') FROM fx") == 2L)
+    assert(one("SELECT avgIf(v, flag = 'R') FROM fx") == 20.0)
+    assert(one("SELECT minIf(v, flag = 'R') FROM fx") == 10.0)
+    assert(one("SELECT maxIf(id, flag = 'R') FROM fx") == 3)
+  }
+
+  test("any / anyLast return a value from the group") {
+    assert(Set[Any](10.0, 20.0, 30.0).contains(one("SELECT any(v) FROM fx")))
+    assert(Set[Any](10.0, 20.0, 30.0).contains(one("SELECT anyLast(v) FROM fx")))
+  }
+
+  test("multiIf chains conditions with else") {
+    assert(one("SELECT multiIf(v < 15, 'low', v < 25, 'mid', 'high') FROM fx WHERE id = 2") == "mid")
+    assert(one("SELECT multiIf(v < 15, 'low', v < 25, 'mid', 'high') FROM fx WHERE id = 3") == "high")
+  }
+
+  test("to* casts follow the SURVEY §1.2 widening map") {
+    assert(one("SELECT toDate(t) FROM fx WHERE id = 1").toString == "2024-03-05")
+    assert(one("SELECT toDateTime('2024-03-05 10:30:00')").toString == "2024-03-05 10:30:00.0")
+    assert(one("SELECT toInt64(v) FROM fx WHERE id = 1") == 10L)
+    assert(one("SELECT toUInt8(2)") == 2.toShort)
+    assert(one("SELECT toUInt32(id) FROM fx WHERE id = 3") == 3L)
+    assert(one("SELECT toFloat64('2.5')") == 2.5)
+    assert(one("SELECT toString(42)") == "42")
+  }
+
+  test("uniq / uniqExact / uniqCombined over a column") {
+    assert(one("SELECT uniqExact(flag) FROM fx") == 2L)
+    assert(one("SELECT uniq(flag) FROM fx") == 2L) // tiny input: HLL exact
+    assert(one("SELECT uniqCombined(id) FROM fx") == 3L)
+  }
+
+  test("empty / notEmpty string predicates") {
+    assert(one("SELECT countIf(notEmpty(flag)) FROM fx") == 3L)
+    assert(one("SELECT empty('')") == true)
+    assert(one("SELECT empty('x')") == false)
+  }
+
+  test("splitByChar uses CH argument order and literal separators") {
+    assert(one("SELECT splitByChar(',', 'a,b,c')")
+      .asInstanceOf[scala.collection.Seq[String]] == Seq("a", "b", "c"))
+    // regex metachar as separator must be treated literally
+    assert(one("SELECT splitByChar('.', 'a.b')")
+      .asInstanceOf[scala.collection.Seq[String]] == Seq("a", "b"))
+  }
+
+  test("position is 1-based, 0 when absent (CH semantics)") {
+    assert(one("SELECT position('hello', 'll')") == 3)
+    assert(one("SELECT position('hello', 'zz')") == 0)
+  }
+
+  test("lengthUTF8 counts characters") {
+    assert(one("SELECT lengthUTF8('héllo')") == 5)
+  }
+
+  test("quantile / quantileExact interpolate") {
+    assert(one("SELECT quantileExact(v, 0.5) FROM fx") == 20.0)
+    assert(one("SELECT quantile(v, 1.0) FROM fx") == 30.0)
+  }
+
+  test("arrayJoin explodes like a lateral view") {
+    val rows = spark.sql("SELECT arrayJoin(array(1, 2, 3)) AS x").collect().map(_.getInt(0))
+    assert(rows.toSeq == Seq(1, 2, 3))
+  }
+
+  test("cityHash64 resolves as a SQL function") {
+    assert(one("SELECT cityHash64('')") ==
+      java.lang.Long.parseUnsignedLong("9ae16a3b2f90404f", 16))
+  }
+}

@@ -62,6 +62,12 @@ class ChSqlSpec extends AnyFunSuite {
     assert(df.collect().head.getLong(0) == 25L)
   }
 
+  test("table-function names inside string literals are not rewritten") {
+    val spark = graft.TestSpark.spark
+    val df = ChSql.sql(spark, "SELECT 'use s3(path) here' AS advice")
+    assert(df.collect().head.getString(0) == "use s3(path) here")
+  }
+
   test("unsupported table-function format fails loudly") {
     val spark = graft.TestSpark.spark
     val e = intercept[IllegalArgumentException] {
