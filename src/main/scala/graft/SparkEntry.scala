@@ -344,6 +344,21 @@ object SparkEntry {
         .orderBy("user_id")
     }),
 
+    // §2.4 ASOF JOIN: for each click, the latest preceding view by the
+    // same user (the one join class Spark lacks natively — see
+    // operators/AsofJoin.scala; DuckDB has native ASOF as the oracle)
+    "q38_asof_join" -> ((spark, dir) => {
+      prep(spark, dir)
+      val ev = Tables.load(spark, dir, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+      val views = ev.filter(col("event_type") === "view")
+      graft.operators.AsofJoin.asofBackward(
+          clicks, views, "user_id", "ts", "ts",
+          rightPayload = Seq("event_id"), rightTieBreak = Some("event_id"))
+        .agg(count(lit(1)).as("n_matched"),
+          sum(col("event_id") - col("event_id_r")).cast("long").as("id_diff_sum"))
+    }),
+
     // ---- engine-defined functions (rows-only; goldens in unit tests) ----
 
     // P5/A5: sum(cityHash64(…)) — headline shape (README.md:59). The sum
@@ -596,6 +611,12 @@ object SparkEntry {
         |           FROM g)
         |SELECT user_id, count(DISTINCT sid) AS n_sessions, count(*) AS n_events
         |FROM s GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q38_asof_join" ->
+      """SELECT count(*) AS n_matched,
+        |       CAST(sum(c.event_id - v.event_id) AS BIGINT) AS id_diff_sum
+        |FROM (SELECT * FROM events WHERE event_type='click') c
+        |ASOF JOIN (SELECT * FROM events WHERE event_type='view') v
+        |ON c.user_id = v.user_id AND c.ts >= v.ts""".stripMargin,
     "q40_dedup_exact" ->
       """SELECT lang, count(*) AS n_rows, count(DISTINCT text) AS n_unique,
         |       count(*) - count(DISTINCT text) AS n_dupes
