@@ -310,6 +310,12 @@ object SparkEntry {
         .agg(sum(get_json_object(col("props"), "$.k").cast("long")).as("sum_k"))
     }),
 
+    // P6: CH JSONExtract* dialect family over the same column
+    "q39_json_extract" -> ch(
+      """SELECT CAST(sum(JSONExtractInt(props, 'k')) AS BIGINT) AS sum_k,
+        |       countIf(JSONExtractString(props, 'k') = '69') AS k69
+        |FROM events""".stripMargin),
+
     // A7: exact interpolated percentile via dialect quantile alias
     "q33_percentile" -> ch(
       """SELECT quantileExact(l_quantity, 0.5) AS p50, quantileExact(l_quantity, 0.9) AS p90
@@ -403,11 +409,12 @@ object SparkEntry {
         .select("id_a", "id_b").orderBy("id_a", "id_b")
     }),
 
-    // SimHash near-dup pairs (banded; engine-defined fingerprint → rows-only)
+    // SimHash near-dup pairs (banded pigeonhole join; portable md5-based
+    // word hash so the DuckDB oracle reproduces the fingerprint exactly)
     "q43_simhash_dups" -> ((spark, dir) => {
       prep(spark, dir)
       Dedup.simHashDupPairs(Tables.load(spark, dir, "documents"),
-          "doc_id", "text", maxHamming = 3)
+          "doc_id", "text", maxHamming = 3, portable = true)
         .select("id_a", "id_b").orderBy("id_a", "id_b")
     }),
 
@@ -470,11 +477,12 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
-    // document fingerprint (rolling hash — engine-defined, rows-only)
+    // document fingerprint (rolling hash; portable md5-token variant so
+    // the oracle reproduces it via list_reduce)
     "q51_fingerprint" -> ((spark, dir) => {
       prep(spark, dir)
       Tables.load(spark, dir, "documents")
-        .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
+        .select(col("doc_id"), TextAnalysis.fingerprintPortable(col("text")).as("fp"))
         .orderBy("doc_id")
     }),
 
@@ -584,6 +592,10 @@ object SparkEntry {
         |FROM events GROUP BY bucket_ms ORDER BY bucket_ms""".stripMargin,
     "q30_json" ->
       "SELECT CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k FROM events",
+    "q39_json_extract" ->
+      """SELECT CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        |       count(*) FILTER (WHERE json_extract_string(props, '$.k') = '69') AS k69
+        |FROM events""".stripMargin,
     "q33_percentile" ->
       "SELECT quantile_cont(l_quantity, 0.5) AS p50, quantile_cont(l_quantity, 0.9) AS p90 FROM lineitem",
     "q34_array_join" ->
@@ -634,6 +646,22 @@ object SparkEntry {
         |SELECT a.doc_id AS id_a, b.doc_id AS id_b
         |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
         |WHERE len(list_intersect(a.s, b.s))::DOUBLE / len(list_distinct(list_concat(a.s, b.s))) >= 0.7
+        |ORDER BY id_a, id_b""".stripMargin,
+    "q43_simhash_dups" ->
+      """WITH w AS (
+        |  SELECT doc_id, unnest(list_distinct(string_split_regex(text, '\s+'))) AS word
+        |  FROM documents),
+        |h AS (SELECT doc_id, ('0x'||substr(md5(word),1,15))::BIGINT AS hv FROM w),
+        |bt AS (SELECT doc_id, t.b AS bit,
+        |         CASE WHEN ((hv >> t.b) & 1) = 1 THEN 1 ELSE -1 END AS v
+        |       FROM h, (SELECT unnest(range(60)) AS b) t),
+        |vt AS (SELECT doc_id, bit, sum(v) AS sv FROM bt GROUP BY doc_id, bit),
+        |fp AS (SELECT doc_id,
+        |         CAST(sum(CASE WHEN sv > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS BIGINT) AS f
+        |       FROM vt GROUP BY doc_id)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.f, b.f)) <= 3
         |ORDER BY id_a, id_b""".stripMargin,
     "q44_ngram_pairs" ->
       """WITH sh AS (
@@ -689,6 +717,13 @@ object SparkEntry {
       """SELECT doc_id, len(regexp_extract_all(text, '\S+')) AS n_tokens,
         |       len(regexp_extract_all(text, '[A-Za-z]{1,4}|[0-9]{1,3}|[^A-Za-z0-9\s]')) AS n_subwords
         |FROM documents WHERE doc_id < 10 ORDER BY doc_id""".stripMargin,
+    "q51_fingerprint" ->
+      """SELECT doc_id,
+        |  CASE WHEN len(regexp_extract_all(text, '\S+')) = 0 THEN 0
+        |       ELSE list_reduce(list_transform(regexp_extract_all(text, '\S+'),
+        |              t -> ('0x'||substr(md5(t),1,15))::BIGINT % 2147483647),
+        |            (acc, h) -> (acc * 1000003 + h) % 2147483647) END AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "q52_multimodal_meta" ->
       """SELECT 'image' AS kind, count(*) AS n_media,
         |       CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,

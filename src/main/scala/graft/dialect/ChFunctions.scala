@@ -106,6 +106,18 @@ object ChFunctions {
       FunctionShim.register(spark, "position",
         { case Seq(hay, needle) => StringInstr(hay, needle) })
       FunctionShim.register(spark, "lengthUTF8", exprs => Length(exprs.head))
+      // JSONExtract family: CH extracts by top-level key name
+      def jsonPath(key: Expression): Expression = key match {
+        case Literal(v: org.apache.spark.unsafe.types.UTF8String, StringType) =>
+          Literal("$." + v.toString)
+        case other => Concat(Seq(Literal("$."), other))
+      }
+      FunctionShim.register(spark, "JSONExtractString",
+        { case Seq(json, key) => GetJsonObject(json, jsonPath(key)) })
+      FunctionShim.register(spark, "JSONExtractInt",
+        { case Seq(json, key) => Cast(GetJsonObject(json, jsonPath(key)), LongType) })
+      FunctionShim.register(spark, "JSONExtractFloat",
+        { case Seq(json, key) => Cast(GetJsonObject(json, jsonPath(key)), DoubleType) })
       // quantile(x, q) / quantileExact — exact interpolated percentile
       FunctionShim.register(spark, "quantile",
         { case Seq(x, q) => new Percentile(x, q) })

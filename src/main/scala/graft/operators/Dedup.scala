@@ -194,7 +194,7 @@ object Dedup {
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
   /** Scale path: SimHash fingerprints via explode → codegen'd aggregate.
-    * One row per (doc, word); 64 conditional-sum aggregates vote per
+    * One row per (doc, word); one conditional-sum aggregate votes per
     * bit, then one packing expression folds signs into a long. All
     * whole-stage codegen with map-side partial aggregation — the
     * higher-order [[simHash]] column form runs interpreted and is kept
@@ -202,17 +202,40 @@ object Dedup {
   def simHashFingerprints(
       docs: DataFrame,
       idCol: String,
-      textCol: String): DataFrame = {
+      textCol: String): DataFrame =
+    simHashCore(docs, idCol, textCol, w => xxhash64(w), bits = 64)
+
+  /** Engine-portable 60-bit word hash: the first 15 hex digits of md5 —
+    * computable identically in other engines (the DuckDB oracle uses
+    * `('0x'||substr(md5(w),1,15))::BIGINT`). */
+  def md5Hash60(w: Column): Column =
+    conv(substring(md5(w), 1, 15), 16, 10).cast("long")
+
+  /** SimHash over the portable md5-derived hash (60 bits) — same
+    * algorithm, reproducible outside Spark for oracle verification.
+    * xxhash64 stays the default for production (cheaper per word). */
+  def simHashFingerprintsPortable(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String): DataFrame =
+    simHashCore(docs, idCol, textCol, md5Hash60, bits = 60)
+
+  private def simHashCore(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      hashFn: Column => Column,
+      bits: Int): DataFrame = {
     val words = docs.select(
         col(idCol).as("_id"),
         explode_outer(array_distinct(split(col(textCol), "\\s+"))).as("_w"))
-      .select(col("_id"), xxhash64(col("_w")).as("_h"))
-    val votes = (0 until 64).map { i =>
+      .select(col("_id"), hashFn(col("_w")).as("_h"))
+    val votes = (0 until bits).map { i =>
       sum(when(col("_h").isNull, 0)
         .when(shiftright(col("_h"), i).bitwiseAND(1) === 1, 1)
         .otherwise(-1)).as(s"_v$i")
     }
-    val packed = (0 until 64).map { i =>
+    val packed = (0 until bits).map { i =>
       when(col(s"_v$i") > 0, lit(1L << i)).otherwise(0L)
     }.reduce((a, b) => a.bitwiseOR(b))
     words.groupBy("_id").agg(votes.head, votes.tail: _*)
@@ -227,12 +250,16 @@ object Dedup {
       docs: DataFrame,
       idCol: String,
       textCol: String,
-      maxHamming: Int = 3): DataFrame = {
-    val fp = simHashFingerprints(docs, idCol, textCol)
+      maxHamming: Int = 3,
+      portable: Boolean = false): DataFrame = {
+    val (fp, blockBits) =
+      if (portable) (simHashFingerprintsPortable(docs, idCol, textCol), 15)
+      else (simHashFingerprints(docs, idCol, textCol), 16)
+    val blockMask = (1L << blockBits) - 1
     val blocks = fp.select(
       col("_id"), col("_fp"),
       posexplode(transform(sequence(lit(0), lit(3)),
-        i => call_function("shiftright", col("_fp"), i * 16).bitwiseAND(0xffffL))).as(Seq("_blk", "_blkval")))
+        i => call_function("shiftright", col("_fp"), i * blockBits).bitwiseAND(blockMask))).as(Seq("_blk", "_blkval")))
     val a = blocks.as("a")
     val b = blocks.as("b")
     a.join(b,

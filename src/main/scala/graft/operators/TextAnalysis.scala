@@ -83,4 +83,16 @@ object TextAnalysis {
     aggregate(tokens, lit(0L),
       (acc, t) => pmod(acc * b + pmod(xxhash64(t), lit(p)), lit(p)))
   }
+
+  /** Engine-portable fingerprint: same rolling polynomial but over the
+    * md5-derived 60-bit token hash ([[Dedup.md5Hash60]]), reproducible
+    * in the DuckDB oracle via `list_reduce`. xxhash-based
+    * [[fingerprint]] stays the production default (cheaper per token). */
+  def fingerprintPortable(text: Column): Column = {
+    val p = 2147483647L
+    val b = 1000003L
+    val tokens = regexp_extract_all(text, lit("\\S+"), lit(0))
+    aggregate(tokens, lit(0L),
+      (acc, t) => pmod(acc * b + pmod(Dedup.md5Hash60(t), lit(p)), lit(p)))
+  }
 }

@@ -40,9 +40,12 @@ object ChSchemaParser {
           require(sp > 0, s"missing type in column def: $t")
           (t.substring(0, sp), t.substring(sp + 1).trim)
         }
-      val (dt, nullable, meta) = parseType(rest)
+      val (dt, declaredNullable, meta) = parseType(rest)
+      // schema-on-read pragmatism: the Spark field is always nullable
+      // (CSV rows may omit values), but the DECLARED nullability is
+      // recorded so catalog layers can surface CH's contract
+      meta.putBoolean("ch.nullable", declaredNullable)
       StructField(name, dt, nullable = true, metadata = meta.build())
-        .copy(nullable = true) // schema-on-read: everything may be absent
     }
     StructType(fields)
   }
