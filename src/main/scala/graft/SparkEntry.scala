@@ -446,6 +446,17 @@ object SparkEntry {
         .select("id_a", "id_b").orderBy("id_a", "id_b")
     }),
 
+    // IVF ANN: full-probe top-k (exact — oracle-checkable) through the
+    // inverted-list index; reduced-nprobe recall is property-tested
+    "q54_ivf_topk" -> ((spark, dir) => {
+      prep(spark, dir)
+      val emb = Tables.load(spark, dir, "embeddings")
+      val cents = graft.operators.Ivf.trainCentroids(emb, "vec_id", "embedding", k = 8, dim = 64)
+      val idx = graft.operators.Ivf.assign(emb, "vec_id", "embedding", cents)
+      graft.operators.Ivf.topK(idx, cents, Seq(0L, 1L, 2L, 3L, 4L), k = 5, nprobe = 8)
+        .orderBy("qid", "rank")
+    }),
+
     // language-ID heuristic (deterministic argmax over stopword scores)
     "q48_lang_id" -> ((spark, dir) => {
       prep(spark, dir)
@@ -681,6 +692,16 @@ object SparkEntry {
         |WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.47
         |ORDER BY id_a, id_b""".stripMargin,
     "q46_ann_topk" ->
+      """WITH scored AS (
+        |  SELECT q.vec_id AS qid, n.vec_id AS nid,
+        |         list_cosine_similarity(q.embedding, n.embedding) AS sim
+        |  FROM embeddings q JOIN embeddings n ON q.vec_id != n.vec_id
+        |  WHERE q.vec_id IN (0,1,2,3,4))
+        |SELECT qid, rank, nid FROM (
+        |  SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid ASC) AS rank
+        |  FROM scored) t
+        |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+    "q54_ivf_topk" ->
       """WITH scored AS (
         |  SELECT q.vec_id AS qid, n.vec_id AS nid,
         |         list_cosine_similarity(q.embedding, n.embedding) AS sim

@@ -1,0 +1,117 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** IVF (inverted-file) approximate nearest neighbor — the
+  * centroid-partitioned scale path for similarity search, complementing
+  * the hyperplane-LSH variant in [[Similarity]].
+  *
+  * Index build: seed `k` centroids deterministically (lowest ids —
+  * reproducible, no driver randomness), refine with `iters` Lloyd
+  * passes (assign → per-cluster mean), then assign every vector to its
+  * nearest centroid. Centroids are tiny (k × dim doubles) and ride to
+  * executors as broadcast literals; the corpus is scanned, never
+  * self-joined.
+  *
+  * Search: a query probes its `nprobe` nearest centroids and scores
+  * only those inverted lists — work per query is
+  * |corpus| × nprobe / k on average, versus |corpus| for brute force.
+  *
+  * 100 TB posture: build = `iters`+1 scans + one k-way aggregate
+  * (k × dim partial states, trivially small); the assignment column
+  * can be persisted as a partition key so each probe reads only its
+  * clusters' files (partition pruning on `_cluster`).
+  */
+object Ivf {
+
+  /** Per-row squared-L2 distance between a vector column and one
+    * centroid literal. */
+  private def dist2(vec: Column, centroid: Seq[Double]): Column =
+    aggregate(
+      zip_with(vec, lit(centroid.toArray), (x, c) => (x - c) * (x - c)),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** Index of the nearest centroid (deterministic ties → lowest index). */
+  private def nearest(vec: Column, centroids: Seq[Seq[Double]]): Column = {
+    val best = centroids.zipWithIndex.map { case (c, i) =>
+      struct(dist2(vec, c).as("d"), lit(i).as("i"))
+    }.reduce((a, b) => when(b.getField("d") < a.getField("d"), b).otherwise(a))
+    best.getField("i")
+  }
+
+  /** Train centroids: deterministic seeds (lowest `k` ids), `iters`
+    * Lloyd refinement passes. Returns k × dim (clusters may be empty →
+    * their seed survives). */
+  def trainCentroids(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      dim: Int,
+      iters: Int = 2): Seq[Seq[Double]] = {
+    var centroids: Seq[Seq[Double]] = emb
+      .orderBy(col(idCol)).limit(k)
+      .select(col(vecCol)).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toSeq).toSeq
+    (0 until iters).foreach { _ =>
+      val assigned = emb.select(
+        col(vecCol).as("_v"), nearest(col(vecCol), centroids).as("_c"))
+      // mean per (cluster, dimension): explode once, codegen'd aggregate
+      val means = assigned
+        .select(col("_c"), posexplode(col("_v")).as(Seq("_d", "_x")))
+        .groupBy("_c", "_d").agg(avg("_x").as("_m"))
+        .groupBy("_c").agg(map_from_arrays(
+          collect_list("_d"), collect_list("_m")).as("_byDim"))
+        .collect()
+        .map(r => r.getInt(0) -> r.getMap[Int, Double](1)).toMap
+      centroids = centroids.zipWithIndex.map { case (seed, i) =>
+        means.get(i) match {
+          case Some(byDim) => (0 until dim).map(d => byDim.getOrElse(d, 0.0))
+          case None => seed // empty cluster keeps its seed
+        }
+      }
+    }
+    centroids
+  }
+
+  /** Assign every vector to its inverted list. */
+  def assign(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      centroids: Seq[Seq[Double]]): DataFrame =
+    emb.select(col(idCol).as("_id"), col(vecCol).as("_vec"),
+      nearest(col(vecCol), centroids).as("_cluster"))
+
+  /** Top-k cosine neighbors for `queryIds`, probing only the `nprobe`
+    * clusters nearest each query vector. */
+  def topK(
+      indexed: DataFrame,
+      centroids: Seq[Seq[Double]],
+      queryIds: Seq[Long],
+      k: Int,
+      nprobe: Int): DataFrame = {
+    val queries = indexed.filter(col("_id").isin(queryIds: _*))
+      .select(col("_id").as("qid"), col("_vec").as("qvec"))
+    // nprobe nearest centroid ids per query, as an array column
+    val probeArr = {
+      val ranked = centroids.zipWithIndex.map { case (c, i) =>
+        struct(dist2(col("qvec"), c).as("d"), lit(i).as("i"))
+      }
+      array_compact(slice(transform(
+        array_sort(array(ranked: _*)), s => s.getField("i")), 1, nprobe))
+    }
+    val probes = queries
+      .withColumn("_cluster", explode(probeArr))
+    probes.join(indexed, Seq("_cluster"))
+      .filter(col("qid") =!= col("_id"))
+      .select(col("qid"), col("_id").as("nid"),
+        Similarity.cosine(col("qvec"), col("_vec")).as("sim"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("qid").orderBy(col("sim").desc, col("nid").asc)))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank").cast("long").as("rank"), col("nid"))
+  }
+}

@@ -52,6 +52,19 @@ object EventStreams {
       .agg(count(lit(1)).as("cnt"))
       .select(col("w.start").as("window_start"), col("cnt"))
 
+  /** Streaming exact dedup — the ingestion-time twin of
+    * [[graft.operators.Dedup.exact]]: duplicates arriving within the
+    * watermark horizon are dropped exactly once per key; state for
+    * keys older than the watermark is reclaimed, so memory is bounded
+    * by (arrival rate × watermark), not stream length. */
+  def dedupStream(
+      events: DataFrame,
+      keyCols: Seq[String],
+      watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicates(keyCols :+ "ts")
+
   // ---- custom sessionization state machine ----
 
   case class Event(event_id: Long, ts: Timestamp, user_id: Long,

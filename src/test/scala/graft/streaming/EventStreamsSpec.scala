@@ -70,6 +70,26 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming dedup drops in-horizon duplicates exactly once") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[EventStreams.Event]
+    mem.addData(
+      EventStreams.Event(1, ts(0), 1, "click", 1.0),
+      EventStreams.Event(1, ts(0), 1, "click", 1.0), // exact duplicate
+      EventStreams.Event(2, ts(1), 1, "click", 1.0))
+    val q = EventStreams.dedupStream(mem.toDF(), Seq("event_id"))
+      .writeStream.format("memory").queryName("dedup_stream")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // a duplicate arriving in a LATER batch is also dropped
+      mem.addData(EventStreams.Event(2, ts(1), 1, "click", 1.0))
+      q.processAllAvailable()
+      assert(spark.table("dedup_stream").count() == 2)
+    } finally q.stop()
+  }
+
   test("batch sessionization splits on the inactivity gap") {
     import spark.implicits._
     val df = Seq(
