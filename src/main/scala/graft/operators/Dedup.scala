@@ -76,37 +76,83 @@ object Dedup {
   }
 
   private val MinHashP = 2147483647L // 2^31 - 1
+  private val MinHashB = 2654435761L % MinHashP
 
-  /** The i-th derived hash of a base shingle hash, ANSI-overflow-safe:
-    * all intermediates < 2^52. Affine family (a_i·h + b_i) mod p. */
-  private def derivedHash(h0: Column, i: Int): Column =
-    pmod(h0 * (2L * i + 1001L) + (2654435761L % MinHashP) * i, lit(MinHashP))
+  /** One partial-aggregating buffer holding every signature component —
+    * a typed [[org.apache.spark.sql.expressions.Aggregator]] instead of
+    * k separate `min` aggregates: 128 column aggregates overflow the
+    * generated method-size budget and drop the whole stage out of
+    * codegen (measured ~10 s at sf0.1), while this plain-JVM while-loop
+    * does the same 128 affine-derive+min updates per shingle in one
+    * pass (~1 s). Partial/merge semantics match any algebraic
+    * aggregate, so map-side combine before the doc-id shuffle still
+    * applies. */
+  private class MinHashAgg(numHashes: Int)
+      extends org.apache.spark.sql.expressions.Aggregator[Long, Array[Long], Seq[Long]] {
+    override def zero: Array[Long] = Array.fill(numHashes)(MinHashP)
+    override def reduce(buf: Array[Long], h0: Long): Array[Long] = {
+      var i = 0
+      while (i < numHashes) {
+        // affine family (a_i·h + b_i) mod p; h < 2^31, a < 2^11 → no overflow
+        val v = (h0 * (2L * i + 1001L) + MinHashB * i) % MinHashP
+        if (v < buf(i)) buf(i) = v
+        i += 1
+      }
+      buf
+    }
+    override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+      var i = 0
+      while (i < numHashes) { if (b(i) < a(i)) a(i) = b(i); i += 1 }
+      a
+    }
+    override def finish(buf: Array[Long]): Seq[Long] = buf.toSeq
+    override def bufferEncoder: org.apache.spark.sql.Encoder[Array[Long]] =
+      org.apache.spark.sql.Encoders.kryo[Array[Long]]
+    override def outputEncoder: org.apache.spark.sql.Encoder[Seq[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
+  }
 
-  /** Scale path: MinHash signatures via explode → codegen'd
-    * hash-aggregate. One xxhash64 per (doc, shingle), then k cheap
-    * affine derivations aggregated with `min` — all inside whole-stage
-    * codegen, with map-side partial aggregation before the doc_id
-    * shuffle. Returns (_id, _sig: array<long>[numHashes]).
-    *
-    * Docs with no shingles (shorter than the shingle size) get the
-    * empty-set sentinel signature (all p), matching the array form. */
+  /** One row per (doc, shingle), built WITHOUT array lambdas: posexplode
+    * the word array (one split per doc), then n-gram via window `lead`.
+    * The higher-order [[shingles]] column form re-evaluates its inner
+    * `split` per array element (interpreted lambda semantics → O(words²)
+    * regex work per doc — measured as the dominant cost of the whole
+    * LSH pipeline); this shape does O(words) work per doc and every
+    * operator in it is stock codegen/imperative-exec. */
+  def shingleRows(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("_id").orderBy("_p")
+    val parts = col("_wd") +: (1 until n).map(i => lead("_wd", i).over(w))
+    docs.select(
+        col(idCol).as("_id"),
+        posexplode(split(col(textCol), "\\s+")).as(Seq("_p", "_wd")))
+      .select(col("_id"), concat_ws(" ", parts: _*).as("_s"),
+        lead("_wd", n - 1).over(w).isNotNull.as("_full"))
+      .filter(col("_full")).drop("_full")
+  }
+
+  /** Scale path: MinHash signatures via [[shingleRows]] → one typed
+    * aggregate. One xxhash64 per (doc, shingle); the k affine
+    * derivations + mins run inside [[MinHashAgg]]'s JVM loop with
+    * map-side partial aggregation before the doc_id shuffle. Returns
+    * (_id, _sig: array<long>[numHashes]). Docs with fewer than
+    * `shingleSize` words produce no rows and therefore no signature —
+    * they cannot near-duplicate anything at this shingle size. */
   def minHashSignatures(
       docs: DataFrame,
       idCol: String,
       textCol: String,
       shingleSize: Int,
       numHashes: Int): DataFrame = {
-    val exploded = docs.select(
-        col(idCol).as("_id"),
-        explode_outer(shingles(col(textCol), shingleSize)).as("_s"))
+    val exploded = shingleRows(docs, idCol, textCol, shingleSize)
       .select(col("_id"), pmod(xxhash64(col("_s")), lit(MinHashP)).as("_h0"))
-    val mins = (0 until numHashes).map { i =>
-      min(when(col("_h0").isNull, MinHashP).otherwise(derivedHash(col("_h0"), i)))
-        .as(s"_m$i")
-    }
-    exploded.groupBy("_id").agg(mins.head, mins.tail: _*)
-      .select(col("_id"),
-        array((0 until numHashes).map(i => col(s"_m$i")): _*).as("_sig"))
+    val sigAgg = udaf(new MinHashAgg(numHashes))
+    exploded.groupBy("_id")
+      .agg(sigAgg(col("_h0")).as("_sig"))
   }
 
   /** Banded-LSH candidate pairs: split the signature into `bands` bands,
@@ -156,11 +202,10 @@ object Dedup {
     val cand = lshCandidates(sigs, "_id", "_sig", bands)
     // verify on HASHED shingle sets: set arithmetic over longs instead
     // of strings — identical Jaccard up to 64-bit collisions (~1e-11
-    // for this pair volume), an order of magnitude cheaper per pair
-    val side = docs.select(
-      col(idCol).as("_id"),
-      array_distinct(transform(shingles(col(textCol), shingleSize), s => xxhash64(s)))
-        .as("_sh"))
+    // for this pair volume), an order of magnitude cheaper per pair.
+    // Built from shingleRows + collect_set: no array lambdas.
+    val side = shingleRows(docs, idCol, textCol, shingleSize)
+      .groupBy("_id").agg(collect_set(xxhash64(col("_s"))).as("_sh"))
     cand
       .join(side.as("sa"), cand("id_a") === col("sa._id"))
       .join(side.as("sb"), cand("id_b") === col("sb._id"))
