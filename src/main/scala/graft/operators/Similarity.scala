@@ -61,16 +61,23 @@ object Similarity {
       .select("qid", "rank", "nid")
   }
 
+  /** Deterministic hyperplane components, computed once on the driver
+    * (seeded per (plane, dim) — reproducible across runs, and the
+    * executors see plain literals instead of per-element hash
+    * expressions). */
+  private[operators] def hyperplane(pIdx: Int, dim: Int): Array[Double] = {
+    val rng = new java.util.Random(0x5eed0000L + pIdx)
+    Array.fill(dim)(rng.nextGaussian())
+  }
+
   /** Random-hyperplane signature: `planes` sign bits packed into a long.
-    * Hyperplane components are deterministic pseudo-random values derived
-    * from (plane, dimension) via xxhash64 — reproducible across runs with
-    * no driver-side randomness to ship. */
+    * Each plane's dot product is a `zip_with` against a LITERAL
+    * component array — the lambda body is one multiply, not a hash
+    * derivation, keeping the interpreted-lambda cost linear and tiny. */
   def lshSignature(vec: Column, planes: Int, dim: Int): Column = {
     val bits = (0 until planes).map { pIdx =>
-      // dot(vec, hyperplane_p) where hyperplane_p[d] = unit-scaled hash
       val d = aggregate(
-        zip_with(vec, sequence(lit(0), lit(dim - 1)),
-          (x, i) => x * (pmod(xxhash64(lit(pIdx), i), lit(2000001L)).cast("double") - 1000000.0)),
+        zip_with(vec, lit(hyperplane(pIdx, dim)), (x, h) => x * h),
         lit(0.0), (acc, x) => acc + x)
       when(d >= 0, shiftleft(lit(1L), pIdx)).otherwise(0L)
     }
