@@ -340,6 +340,16 @@ object SparkEntry {
         |       countIf(notEmpty(p_brand)) AS branded
         |FROM part""".stripMargin),
 
+    // P6: CH date-function family (toYYYYMM / toStartOfHour / toHour)
+    "q55_date_funcs" -> ch(
+      """SELECT CAST(toYYYYMM(o_orderdate) AS BIGINT) AS ym, count() AS cnt
+        |FROM orders GROUP BY ym ORDER BY ym""".stripMargin),
+
+    "q56_hour_histogram" -> ch(
+      """SELECT toHour(ts) AS h, count() AS cnt,
+        |       CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS cents
+        |FROM events GROUP BY h ORDER BY h""".stripMargin),
+
     // sessionization (batch path of the streaming state machine)
     "q37_sessionize" -> ((spark, dir) => {
       prep(spark, dir)
@@ -622,6 +632,13 @@ object SparkEntry {
         |       CAST(sum(length(p_name)) AS BIGINT) AS total_len,
         |       count(*) FILTER (WHERE length(p_brand) > 0) AS branded
         |FROM part""".stripMargin,
+    "q55_date_funcs" ->
+      """SELECT CAST(year(o_orderdate)*100 + month(o_orderdate) AS BIGINT) AS ym, count(*) AS cnt
+        |FROM orders GROUP BY ym ORDER BY ym""".stripMargin,
+    "q56_hour_histogram" ->
+      """SELECT CAST(hour(ts) AS INT) AS h, count(*) AS cnt,
+        |       CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS cents
+        |FROM events GROUP BY h ORDER BY h""".stripMargin,
     "q37_sessionize" ->
       """WITH e AS (SELECT user_id, epoch_ms(ts) ems FROM events),
         |     g AS (SELECT user_id, ems,

@@ -118,6 +118,25 @@ object ChFunctions {
         { case Seq(json, key) => Cast(GetJsonObject(json, jsonPath(key)), LongType) })
       FunctionShim.register(spark, "JSONExtractFloat",
         { case Seq(json, key) => Cast(GetJsonObject(json, jsonPath(key)), DoubleType) })
+      // date/time helpers (CH names) — all map to native expressions
+      FunctionShim.register(spark, "toStartOfHour",
+        exprs => TruncTimestamp(Literal("hour"), exprs.head))
+      FunctionShim.register(spark, "toStartOfDay",
+        exprs => TruncTimestamp(Literal("day"), exprs.head))
+      FunctionShim.register(spark, "toStartOfMonth",
+        exprs => TruncDate(Cast(exprs.head, DateType), Literal("month")))
+      FunctionShim.register(spark, "toYear",
+        exprs => Year(Cast(exprs.head, DateType)))
+      FunctionShim.register(spark, "toMonth",
+        exprs => Month(Cast(exprs.head, DateType)))
+      FunctionShim.register(spark, "toDayOfMonth",
+        exprs => DayOfMonth(Cast(exprs.head, DateType)))
+      FunctionShim.register(spark, "toHour",
+        exprs => Hour(exprs.head))
+      FunctionShim.register(spark, "toYYYYMM", { exprs =>
+        val d = Cast(exprs.head, DateType)
+        Add(Multiply(Year(d), Literal(100)), Month(d))
+      })
       // quantile(x, q) / quantileExact — exact interpolated percentile
       FunctionShim.register(spark, "quantile",
         { case Seq(x, q) => new Percentile(x, q) })
