@@ -92,4 +92,18 @@ class ChFunctionsSpec extends AnyFunSuite {
     assert(one("SELECT cityHash64('')") ==
       java.lang.Long.parseUnsignedLong("9ae16a3b2f90404f", 16))
   }
+
+  test("SparkSessionExtensions path serves fresh sessions with no runtime call") {
+    // newSession() builds FRESH session state: FunctionShim-registered
+    // names are absent there, so resolution proves the injectFunction
+    // path (spark.sql.extensions=graft.dialect.GraftExtensions) works
+    val fresh = spark.newSession()
+    val h = fresh.sql("SELECT cityHash64('') AS h").collect().head.getLong(0)
+    assert(h == java.lang.Long.parseUnsignedLong("9ae16a3b2f90404f", 16))
+    val x = fresh.sql("SELECT multiIf(1 = 1, 'a', 'b') AS x").collect().head.getString(0)
+    assert(x == "a")
+    val u = fresh.sql("SELECT uniqExact(c) AS u FROM VALUES (1), (2), (2) t(c)")
+      .collect().head.getLong(0)
+    assert(u == 2L)
+  }
 }
