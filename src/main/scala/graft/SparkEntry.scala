@@ -161,6 +161,29 @@ object SparkEntry {
           max("_file").as("f"))
     }),
 
+    // S5+C5+O6: the reference's flagship init flow — ATTACH TABLE … ON
+    // CLUSTER with an ORDER BY key and a disk endpoint (…_test.go:85),
+    // run as an init query, then queried like any table
+    "q57_attach_flow" -> ((spark, dir) => {
+      prep(spark, dir)
+      val svc = new QueryService(spark)
+      svc.executeToDf(QueryService.QueryRequest(
+        query = "SELECT l_returnflag, count() AS cnt FROM lineitem_att GROUP BY l_returnflag ORDER BY l_returnflag",
+        initQueries = Seq(
+          s"""ATTACH TABLE lineitem_att UUID '127f4241-4a9b-4ecd-8a84-846b88069cb5' on cluster '{cluster}'
+             |(
+             |  `l_orderkey` Int64, `l_partkey` Int64, `l_suppkey` Int64,
+             |  `l_linenumber` Int32, `l_quantity` Float64, `l_extendedprice` Float64,
+             |  `l_discount` Float64, `l_tax` Float64,
+             |  `l_returnflag` LowCardinality(String), `l_linestatus` LowCardinality(String),
+             |  `l_shipdate` DateTime
+             |)
+             |ENGINE = MergeTree
+             |ORDER BY (l_returnflag, l_orderkey)
+             |SETTINGS disk = disk(type = web, endpoint = '$dir/lineitem.parquet')""".stripMargin,
+          "SET max_parallel_replicas=10")))._1
+    }),
+
     // ---- joins (SURVEY §2.4 — delegated surface, exercised here) ----
 
     // broadcast inner equi-join + agg
@@ -553,6 +576,8 @@ object SparkEntry {
       "SELECT 'graft' AS cluster_name, count(*) AS cnt FROM lineitem",
     "q12_url_csv" ->
       "SELECT count(*) AS cnt, CAST(sum(n_nationkey) AS BIGINT) AS sum_key, 'nation.csv' AS f FROM nation",
+    "q57_attach_flow" ->
+      "SELECT l_returnflag, count(*) AS cnt FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag",
     "q13_join_inner" ->
       "SELECT c_mktsegment, count(*) AS cnt FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY c_mktsegment ORDER BY c_mktsegment",
     "q14_join_anti" ->
