@@ -328,9 +328,10 @@ object Dedup {
       textCol: String,
       shingleSize: Int = 3,
       threshold: Double = 0.5): DataFrame = {
-    val sh = docs.select(
-      col(idCol).as("_id"),
-      shingles(col(textCol), shingleSize).as("_sh"))
+    // hashed shingle sets from the row-based path (see shingleRows —
+    // the column form's inner lambda is O(words²) per doc)
+    val sh = shingleRows(docs, idCol, textCol, shingleSize)
+      .groupBy("_id").agg(collect_set(xxhash64(col("_s"))).as("_sh"))
       .withColumn("_n", size(col("_sh")))
     val a = sh.as("a")
     val b = sh.as("b")
