@@ -79,6 +79,16 @@ object ChFunctions {
       // lateral array expansion — CH arrayJoin ↔ Spark explode (Generator)
       reg("arrayJoin")(exprs => Explode(exprs.head))
 
+      // CH higher-order array functions: lambda comes FIRST in CH
+      // (`arrayMap(x -> x*2, arr)`); Spark's parser hands us the parsed
+      // LambdaFunction, we re-seat it in Spark's arg order
+      reg("arrayMap")({ case Seq(f, arr) => ArrayTransform(arr, f) })
+      reg("arrayFilter")({ case Seq(f, arr) => ArrayFilter(arr, f) })
+      reg("arrayExists")({ case Seq(f, arr) => ArrayExists(arr, f) })
+      reg("arrayDistinct")(exprs => ArrayDistinct(exprs.head))
+      reg("arraySort")(exprs => new ArraySort(exprs.head))
+      reg("has")({ case Seq(arr, x) => ArrayContains(arr, x) })
+
       // to* casts (CH names); unsigned targets widen per SURVEY §1.2
       def cast(dt: DataType): Seq[Expression] => Expression =
         exprs => Cast(exprs.head, dt)

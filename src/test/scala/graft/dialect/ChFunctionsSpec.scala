@@ -83,6 +83,19 @@ class ChFunctionsSpec extends AnyFunSuite {
     assert(one("SELECT quantile(v, 1.0) FROM fx") == 30.0)
   }
 
+  test("CH higher-order array functions take the lambda first") {
+    assert(one("SELECT arrayMap(x -> x * 2, array(1, 2, 3))")
+      .asInstanceOf[scala.collection.Seq[Int]] == Seq(2, 4, 6))
+    assert(one("SELECT arrayFilter(x -> x > 1, array(1, 2, 3))")
+      .asInstanceOf[scala.collection.Seq[Int]] == Seq(2, 3))
+    assert(one("SELECT arrayExists(x -> x = 2, array(1, 2, 3))") == true)
+    assert(one("SELECT arrayDistinct(array(1, 1, 2))")
+      .asInstanceOf[scala.collection.Seq[Int]] == Seq(1, 2))
+    assert(one("SELECT arraySort(array(3, 1, 2))")
+      .asInstanceOf[scala.collection.Seq[Int]] == Seq(1, 2, 3))
+    assert(one("SELECT has(array(1, 2), 2)") == true)
+  }
+
   test("arrayJoin explodes like a lateral view") {
     val rows = spark.sql("SELECT arrayJoin(array(1, 2, 3)) AS x").collect().map(_.getInt(0))
     assert(rows.toSeq == Seq(1, 2, 3))
