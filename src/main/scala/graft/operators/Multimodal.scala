@@ -92,4 +92,57 @@ object Multimodal {
         count(lit(1)).as("n_media"),
         sum(col("meta.n_bytes")).as("total_bytes"),
         max(col("meta.width")).as("max_width"))
+
+  /** STUB resize: a real implementation would decode, bilinear-resample
+    * to (w, h), re-encode. The deterministic fake keeps the byte-volume
+    * contract (output length = w*h) so downstream size accounting and
+    * the batch shape are exercised for real. */
+  private[operators] def fakeResize(payload: Array[Byte], w: Int, h: Int): Array[Byte] = {
+    val out = new Array[Byte](w * h)
+    if (payload.nonEmpty) {
+      var i = 0
+      while (i < out.length) {
+        out(i) = payload((i.toLong * payload.length / out.length).toInt)
+        i += 1
+      }
+    }
+    out
+  }
+
+  /** Batched resize over the media contract (same `mapPartitions` batch
+    * shape as [[extractFeatures]]): payload replaced, metadata updated
+    * to the new dimensions. Runs executor-side, one batch per
+    * partition, no shuffle. */
+  def resize(spark: SparkSession, media: DataFrame, w: Int, h: Int): DataFrame = {
+    val rdd = media.select("media_id", "payload").rdd.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val payload = if (r.isNullAt(1)) Array.empty[Byte] else r.getAs[Array[Byte]](1)
+        val resized = fakeResize(payload, w, h)
+        Row(id, resized, Row("image", w, h, resized.length.toLong))
+      }
+    }
+    spark.createDataFrame(rdd, mediaSchema)
+  }
+
+  /** Frame sampling for "video" payloads: treat the payload as
+    * fixed-size frame stripes and keep every `stride`-th frame — the
+    * plumbing (per-row fan-out to multiple frame rows with typed frame
+    * metadata) is the real part; the frame decode itself stays opaque
+    * bytes. Output: (media_id, frame_idx, frame_bytes). */
+  def sampleFrames(
+      media: DataFrame,
+      frameBytes: Int,
+      stride: Int): DataFrame = {
+    val nFrames = floor(length(col("payload")) / frameBytes).cast("int")
+    media
+      .filter(col("payload").isNotNull && nFrames > 0)
+      .select(col("media_id"),
+        explode(sequence(lit(0), nFrames - 1, lit(stride))).as("frame_idx"),
+        col("payload"))
+      .select(col("media_id"), col("frame_idx"),
+        call_function("substring",
+          col("payload"), col("frame_idx") * frameBytes + 1, lit(frameBytes))
+          .as("frame_bytes"))
+  }
 }

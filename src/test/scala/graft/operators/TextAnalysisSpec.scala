@@ -71,6 +71,31 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(stats.getAs[Long]("total_bytes") == 8L)
   }
 
+  test("multimodal: resize keeps the byte-volume contract") {
+    import spark.implicits._
+    val media = Multimodal.fromText(
+      Seq((0L, "abcdefghij")).toDF("doc_id", "text"), "doc_id", "text")
+    val resized = Multimodal.resize(spark, media, w = 4, h = 2).collect().head
+    assert(resized.getAs[Array[Byte]]("payload").length == 8)
+    assert(resized.getAs[org.apache.spark.sql.Row]("meta").getAs[Int]("width") == 4)
+    // deterministic
+    val again = Multimodal.resize(spark, media, w = 4, h = 2).collect().head
+    assert(resized.getAs[Array[Byte]]("payload").toSeq ==
+      again.getAs[Array[Byte]]("payload").toSeq)
+  }
+
+  test("multimodal: frame sampling strides through payload stripes") {
+    import spark.implicits._
+    val media = Multimodal.fromText(
+      Seq((0L, "0123456789AB")).toDF("doc_id", "text"), "doc_id", "text")
+    // 12 bytes → 3 frames of 4; stride 2 keeps frames 0 and 2
+    val frames = Multimodal.sampleFrames(media, frameBytes = 4, stride = 2)
+      .orderBy("frame_idx").collect()
+    assert(frames.length == 2)
+    assert(new String(frames(0).getAs[Array[Byte]]("frame_bytes")) == "0123")
+    assert(new String(frames(1).getAs[Array[Byte]]("frame_bytes")) == "89AB")
+  }
+
   test("multimodal: batch feature extraction shapes and determinism") {
     import spark.implicits._
     val media = Multimodal.fromText(
