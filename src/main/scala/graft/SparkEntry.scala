@@ -373,6 +373,13 @@ object SparkEntry {
         |       CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS cents
         |FROM events GROUP BY h ORDER BY h""".stripMargin),
 
+    // P6: CH higher-order array functions (lambda-first) through the
+    // dialect front door
+    "q58_array_hof" -> ch(
+      """SELECT CAST(sum(element_at(arrayMap(w -> lengthUTF8(w), splitByChar(' ', text)), 1)) AS BIGINT) AS first_word_len,
+        |       CAST(sum(size(arrayFilter(w -> lengthUTF8(w) > 4, splitByChar(' ', text)))) AS BIGINT) AS long_words
+        |FROM documents""".stripMargin),
+
     // sessionization (batch path of the streaming state machine)
     "q37_sessionize" -> ((spark, dir) => {
       prep(spark, dir)
@@ -657,6 +664,10 @@ object SparkEntry {
         |       CAST(sum(length(p_name)) AS BIGINT) AS total_len,
         |       count(*) FILTER (WHERE length(p_brand) > 0) AS branded
         |FROM part""".stripMargin,
+    "q58_array_hof" ->
+      """SELECT CAST(sum(length(string_split(text, ' ')[1])) AS BIGINT) AS first_word_len,
+        |       CAST(sum(len(list_filter(string_split(text, ' '), w -> length(w) > 4))) AS BIGINT) AS long_words
+        |FROM documents""".stripMargin,
     "q55_date_funcs" ->
       """SELECT CAST(year(o_orderdate)*100 + month(o_orderdate) AS BIGINT) AS ym, count(*) AS cnt
         |FROM orders GROUP BY ym ORDER BY ym""".stripMargin,
