@@ -193,7 +193,19 @@ object Dedup {
 
   /** Full MinHash-LSH near-dup pipeline: shingle → sign → band → candidate
     * pairs → exact-Jaccard verify (computed only for candidates).
-    * Output: (id_a, id_b, jaccard) for pairs ≥ threshold. */
+    * Output: (id_a, id_b, jaccard) for pairs ≥ threshold.
+    *
+    * The corpus is scanned ONCE: one xxhash64 per (doc, shingle) feeds
+    * both the signature aggregate and the verify-stage hashed shingle
+    * set (set arithmetic over longs — identical Jaccard up to 64-bit
+    * collisions, ~1e-11 at this pair volume) in a single groupBy, and
+    * the resulting (_id, _sig, _sh) state is persisted so the banded
+    * candidate self-join and the two verify joins all read cached
+    * blocks. Without the persist, un-reused lineage re-derived the
+    * whole shingle pipeline on every join side — a 4× corpus-scan
+    * multiplier at 100 TB. The cached state is O(docs × (numHashes +
+    * |shingle set|)) — signatures + hashes, far smaller than the
+    * corpus text — and MEMORY_AND_DISK spills rather than OOMs. */
   def minHashDupPairs(
       docs: DataFrame,
       idCol: String,
@@ -202,14 +214,16 @@ object Dedup {
       numHashes: Int = 128,
       bands: Int = 32,
       threshold: Double = 0.7): DataFrame = {
-    val sigs = minHashSignatures(docs, idCol, textCol, shingleSize, numHashes)
-    val cand = lshCandidates(sigs, "_id", "_sig", bands)
-    // verify on HASHED shingle sets: set arithmetic over longs instead
-    // of strings — identical Jaccard up to 64-bit collisions (~1e-11
-    // for this pair volume), an order of magnitude cheaper per pair.
-    // Built from shingleRows + collect_set: no array lambdas.
-    val side = shingleRows(docs, idCol, textCol, shingleSize)
-      .groupBy("_id").agg(collect_set(xxhash64(col("_s"))).as("_sh"))
+    val sigAgg = udaf(new MinHashAgg(numHashes))
+    val state = shingleRows(docs, idCol, textCol, shingleSize)
+      .select(col("_id"), xxhash64(col("_s")).as("_hs"))
+      .groupBy("_id")
+      .agg(
+        sigAgg(pmod(col("_hs"), lit(MinHashP))).as("_sig"),
+        collect_set(col("_hs")).as("_sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cand = lshCandidates(state, "_id", "_sig", bands)
+    val side = state.select(col("_id"), col("_sh"))
     cand
       .join(side.as("sa"), cand("id_a") === col("sa._id"))
       .join(side.as("sb"), cand("id_b") === col("sb._id"))
@@ -337,14 +351,30 @@ object Dedup {
     val sh = shingleRows(docs, idCol, textCol, shingleSize)
       .groupBy("_id").agg(collect_set(xxhash64(col("_s"))).as("_sh"))
       .withColumn("_n", size(col("_sh")))
-    val a = sh.as("a")
-    val b = sh.as("b")
-    // length filter: |A∩B| ≥ t·|A∪B| implies t·|A| ≤ |B| ≤ |A|/t
+    // Length filter: |A∩B| ≥ t·|A∪B| implies t·|A| ≤ |B| ≤ |A|/t.
+    // Expressed as an EQUI-join on a coarse log-scale length bucket
+    // g = floor(log1p(n)/log(1/t)): for any qualifying pair the buckets
+    // differ by at most 1 (y ≤ x ∧ x/y ≤ 1/t ⇒ (1+x)/(1+y) ≤ x/y), so
+    // side b probes {g, g+1} and the exact range check runs as a
+    // post-filter. A theta-join here planned as BroadcastNestedLoopJoin
+    // — O(n²) compares at corpus scale; the bucketed form shuffles on
+    // the bucket key like every other banded dedup path.
+    val bucket = floor(log1p(col("_n")) / -math.log(threshold)).cast("int")
+    val a = sh.withColumn("_g", bucket).as("a")
+    val b = sh.withColumn("_g", bucket)
+      .select(col("_id"), col("_sh"), col("_n"), col("_g"),
+        explode(array(col("_g"), col("_g") + 1)).as("_probe")).as("b")
     a.join(b,
-        col("a._id") < col("b._id") &&
-          col("b._n") >= ceil(col("a._n") * threshold) &&
-          col("b._n") <= floor(col("a._n") / threshold))
-      .select(col("a._id").as("id_a"), col("b._id").as("id_b"),
+        col("a._g") === col("b._probe") &&
+          // same-bucket pairs match in both orientations — keep one;
+          // adjacent-bucket pairs match exactly once (via b's g+1 probe)
+          (col("a._g") =!= col("b._g") || col("a._id") < col("b._id")) &&
+          // exact symmetric length-ratio check
+          greatest(col("a._n"), col("b._n")) * threshold <=
+            least(col("a._n"), col("b._n")))
+      .select(
+        least(col("a._id"), col("b._id")).as("id_a"),
+        greatest(col("a._id"), col("b._id")).as("id_b"),
         jaccard(col("a._sh"), col("b._sh")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }

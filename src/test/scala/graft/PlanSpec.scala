@@ -66,6 +66,55 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("BroadcastNestedLoopJoin"), s"nested-loop join leaked:\n$plan")
   }
 
+  test("MinHash pipeline scans documents once (state persisted, joins hit the cache)") {
+    val docs = Tables.load(spark, dir, "documents")
+    val df = Dedup.minHashDupPairs(docs, "doc_id", "text")
+    // cache substitution happens in withCachedData → optimizedPlan: every
+    // read of the (_id,_sig,_sh) state must resolve to InMemoryRelation,
+    // leaving ZERO direct file scans of documents in the outer plan — the
+    // single real scan lives inside the cached relation
+    val optimized = df.queryExecution.optimizedPlan
+    val fileScans = optimized.collect {
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation
+          if r.simpleString(100).contains("documents") => r
+    }
+    val cached = optimized.collect {
+      case m: org.apache.spark.sql.execution.columnar.InMemoryRelation => m
+    }
+    assert(fileScans.isEmpty,
+      s"documents scanned outside the cached state ${fileScans.size}x:\n$optimized")
+    assert(cached.size == 4, // candidate self-join (2 sides) + 2 verify sides read cache
+      s"expected all state reads cached:\n$optimized")
+  }
+
+  test("MinHash signature stage shuffles exactly once (the doc-id aggregate)") {
+    val docs = Tables.load(spark, dir, "documents")
+    val df = Dedup.minHashSignatures(docs, "doc_id", "text", 3, 16)
+    val exchanges = "Exchange".r.findAllIn(planOf(df)).size
+    assert(exchanges == 1,
+      s"shingle stage must be shuffle-free ($exchanges Exchanges):\n${planOf(df)}")
+  }
+
+  test("shingle pipeline evaluates split() once per scan (CollapseProject guard)") {
+    // the O(words) guarantee depends on the word array staying
+    // materialized in its own projection; if Catalyst ever re-inlines the
+    // split into the shingle lambda this count goes above 1 and the
+    // O(words²) interpreted-lambda regression is back
+    val docs = Tables.load(spark, dir, "documents")
+    val plan = Dedup.shingleRows(docs, "doc_id", "text", 3)
+      .queryExecution.optimizedPlan.toString
+    val splits = "split\\(".r.findAllIn(plan).size
+    assert(splits == 1, s"expected exactly one split(), got $splits:\n$plan")
+  }
+
+  test("n-gram Jaccard length-band join is an equi-join, never nested-loop") {
+    val docs = Tables.load(spark, dir, "documents")
+    val plan = planOf(Dedup.ngramJaccardPairs(docs, "doc_id", "text"))
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"length band must join as equi-join:\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("SimHash banded join never goes cartesian") {
     val docs = Tables.load(spark, dir, "documents")
     val plan = planOf(Dedup.simHashDupPairs(docs, "doc_id", "text"))
