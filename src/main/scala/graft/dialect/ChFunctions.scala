@@ -64,8 +64,13 @@ object ChFunctions {
       reg("maxIf")(
         { case Seq(x, cond) => Max(ifArm(x, cond)) })
 
-      // any(x) — CH "an arbitrary (first seen) value"
-      reg("any")(exprs => new First(exprs.head))
+      // anyLast(x) — CH "last seen value". CH's `any`/`position` are NOT
+      // registered here: both names shadow standard Spark functions
+      // (`any` = bool_or aggregate, `position(substr IN str)`), which
+      // would silently change behavior for non-dialect queries sharing
+      // the session. The CH spellings are handled by the [[ChSql]]
+      // pre-pass instead (any → any_value, position → instr), so only
+      // dialect-routed text sees them.
       reg("anyLast")(exprs => new Last(exprs.head))
 
       // multiIf(c1,v1, c2,v2, …, else)
@@ -122,9 +127,6 @@ object ChFunctions {
         }
         StringSplit(s, escaped, Literal(-1))
       })
-      // position(haystack, needle) — 1-based like CH; 0 when absent
-      reg("position")(
-        { case Seq(hay, needle) => StringInstr(hay, needle) })
       reg("lengthUTF8")(exprs => Length(exprs.head))
       // JSONExtract family: CH extracts by top-level key name
       def jsonPath(key: Expression): Expression = key match {
@@ -157,11 +159,26 @@ object ChFunctions {
         val d = Cast(exprs.head, DateType)
         Add(Multiply(Year(d), Literal(100)), Month(d))
       })
-      // quantile(x, q) / quantileExact — exact interpolated percentile
+      // quantile(x, q) — CH's default quantile is approximate with
+      // interpolation; Spark's exact interpolated Percentile is a
+      // deterministic stand-in with the same continuous semantics
       reg("quantile")(
         { case Seq(x, q) => new Percentile(x, q) })
-      reg("quantileExact")(
-        { case Seq(x, q) => new Percentile(x, q) })
+      // quantileExact(x, q) — CH returns an ACTUAL ELEMENT, not an
+      // interpolation: nth_element at 0-based index floor(q·n), clamped
+      // to n-1 (ClickHouse QuantileExact::get). Composed from two
+      // aggregates + scalar post-processing — the analyzer extracts the
+      // embedded AggregateExpressions like any `agg(x) + agg(y)` text.
+      reg("quantileExact")({ case Seq(x, q) =>
+        val sorted = new SortArray(
+          CollectList(x).toAggregateExpression(), Literal(true))
+        val n = Count(Seq(x)).toAggregateExpression()
+        val idx = Cast(
+          Least(Seq(Add(Floor(Multiply(q, n)), Literal(1L)), n)),
+          IntegerType)
+        If(EqualTo(n, Literal(0L)), Literal.create(null, NullType),
+          ElementAt(sorted, idx))
+      })
 
     out.result()
   }

@@ -23,15 +23,28 @@ class CatalogSpec extends AnyFunSuite {
       |ORDER BY (event_type, repo_name)
       |SETTINGS disk = disk(type = web, endpoint = 'http://clickhouse-public-datasets.s3.amazonaws.com/web/')""".stripMargin
 
-  test("ATTACH TABLE through the dialect registers a schema-correct view") {
-    val res = ChSql.sql(spark, attachDdl).collect()
-    assert(res.head.getString(1) == "attached")
-    val schema = spark.table("gh_mini").schema
-    assert(schema.fieldNames.toSeq ==
-      Seq("file_time", "event_type", "repo_name", "commits"))
-    assert(spark.table("gh_mini").count() == 0) // web endpoint → schema-only
-    // ORDER BY key retained as the sorted-layout contract (W7)
-    assert(Catalog.sortKey("gh_mini") == Seq("event_type", "repo_name"))
+  test("ATTACH with an unreadable web endpoint FAILS LOUDLY by default") {
+    // a silently-empty view would make every downstream query "succeed"
+    // with 0 rows — the failure must name the endpoint and the escape hatch
+    val e = intercept[IllegalArgumentException] {
+      ChSql.sql(spark, attachDdl).collect()
+    }
+    assert(e.getMessage.contains("clickhouse-public-datasets"))
+    assert(e.getMessage.contains(Catalog.AllowEmptyConf))
+  }
+
+  test("ATTACH TABLE registers schema-only under the explicit escape hatch") {
+    spark.conf.set(Catalog.AllowEmptyConf, "true")
+    try {
+      val res = ChSql.sql(spark, attachDdl).collect()
+      assert(res.head.getString(1) == "attached")
+      val schema = spark.table("gh_mini").schema
+      assert(schema.fieldNames.toSeq ==
+        Seq("file_time", "event_type", "repo_name", "commits"))
+      assert(spark.table("gh_mini").count() == 0) // schema-only by request
+      // ORDER BY key retained as the sorted-layout contract (W7)
+      assert(Catalog.sortKey("gh_mini") == Seq("event_type", "repo_name"))
+    } finally spark.conf.unset(Catalog.AllowEmptyConf)
   }
 
   test("ATTACH over a readable local endpoint serves data") {
