@@ -186,6 +186,18 @@ object SparkEntry {
         .orderBy("id")
     }),
 
+    // S1/S3: parquet over HTTP — the reference's second demo query shape
+    // (`s3('https://…/house_{0,1}.parquet')`, …_test.go:49), served here
+    // by a localhost static server over the derived 4-way lineitem split
+    "q60_http_parquet" -> ((spark, dir) => {
+      prep(spark, dir)
+      val base = derivedDir(spark, dir)
+      val port = graft.sources.StaticHttp.serve(base)
+      ch(s"""SELECT count() AS cnt, CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+            |       uniqExact(_file) AS n_files
+            |FROM s3('http://127.0.0.1:$port/part-{0..3}.parquet')""".stripMargin)(spark, dir)
+    }),
+
     // S5+C5+O6: the reference's flagship init flow — ATTACH TABLE … ON
     // CLUSTER with an ORDER BY key and a disk endpoint (…_test.go:85),
     // run as an init query, then queried like any table
@@ -609,6 +621,10 @@ object SparkEntry {
       "SELECT 'graft' AS cluster_name, count(*) AS cnt FROM lineitem",
     "q12_url_csv" ->
       "SELECT count(*) AS cnt, CAST(sum(n_nationkey) AS BIGINT) AS sum_key, 'nation.csv' AS f FROM nation",
+    "q60_http_parquet" ->
+      """SELECT count(*) AS cnt, CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+        |       CAST(4 AS BIGINT) AS n_files
+        |FROM lineitem""".stripMargin,
     "q59_url_quoted_csv" ->
       """SELECT CAST(n_nationkey AS BIGINT) AS id,
         |       n_name || ', v="' || CAST(n_nationkey AS VARCHAR) || '"' AS note

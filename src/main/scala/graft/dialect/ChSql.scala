@@ -270,8 +270,8 @@ object ChSql {
     val isHttp = url.startsWith("http://") || url.startsWith("https://")
     val df: DataFrame = format match {
       case f if f.contains("parquet") =>
-        require(!isHttp, "parquet over url() is not supported; use a filesystem URI")
-        Sources.parquetWithFile(spark, url)
+        if (isHttp) Sources.httpParquet(spark, url)
+        else Sources.parquetWithFile(spark, url)
       case f if f.contains("csv") =>
         val withNames = f.contains("withnames")
         if (isHttp) Sources.urlCsv(spark, url, schemaStr, withNames)

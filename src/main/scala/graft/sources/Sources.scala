@@ -43,6 +43,10 @@ object Sources {
   def parquetWithFile(spark: SparkSession, pattern: String): DataFrame =
     withFileColumns(parquet(spark, pattern))
 
+  /** Parquet over http(s) — one URL fetched per task; see [[HttpParquet]]. */
+  def httpParquet(spark: SparkSession, urlPattern: String): DataFrame =
+    HttpParquet.read(spark, urlPattern)
+
   /** CSV scan; `schemaStr` is a ClickHouse schema string (schema-on-read)
     * — absent means infer, matching CH's schema-inference default.
     * `withNames` ≈ the CSVWithNames format. gzip is transparent via file

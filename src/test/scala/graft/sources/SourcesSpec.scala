@@ -27,6 +27,46 @@ class SourcesSpec extends AnyFunSuite {
     assert(rows.toSeq == Seq((1, "x", "a_0.csv"), (2, "y", "a_0.csv"), (3, "z", "a_1.csv")))
   }
 
+  test("urlCsv: RFC-4180 quoted fields parse without column shift") {
+    Files.writeString(Paths.get(fixtureDir, "q.csv"),
+      "k,v\n1,\"a, b\"\n2,\"say \"\"hi\"\", ok\"\n3,plain\n")
+    val df = Sources.urlCsv(spark, s"file://$fixtureDir/q.csv",
+      Some("k Int32, v String"))
+    val rows = df.select("k", "v").orderBy("k")
+      .collect().map(r => (r.getInt(0), r.getString(1)))
+    assert(rows.toSeq == Seq((1, "a, b"), (2, "say \"hi\", ok"), (3, "plain")))
+  }
+
+  test("parquet over http round-trips byte-identical to a direct read") {
+    val port = StaticHttp.serve("/root/testdata/sf0.001")
+    val viaHttp = HttpParquet.read(spark,
+      s"http://127.0.0.1:$port/nation.parquet")
+    val direct = spark.read.parquet("/root/testdata/sf0.001/nation.parquet")
+    // same schema (modulo nullability) and same rows
+    assert(viaHttp.drop("_path", "_file").schema.map(f => (f.name, f.dataType)) ==
+      direct.schema.map(f => (f.name, f.dataType)))
+    val a = viaHttp.drop("_path", "_file").collect().map(_.toSeq).sortBy(_.toString)
+    val b = direct.collect().map(_.toSeq).sortBy(_.toString)
+    assert(a.toSeq == b.toSeq)
+    // virtual columns carry the source object like the file-backed scans
+    assert(viaHttp.select("_file").distinct().collect().map(_.getString(0)).toSeq ==
+      Seq("nation.parquet"))
+  }
+
+  test("parquet over http distributes one URL per task and honors globs") {
+    Files.copy(Paths.get("/root/testdata/sf0.001/nation.parquet"),
+      Paths.get(fixtureDir, "n_0.parquet"),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    Files.copy(Paths.get("/root/testdata/sf0.001/nation.parquet"),
+      Paths.get(fixtureDir, "n_1.parquet"),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    val port = StaticHttp.serve(fixtureDir)
+    val df = HttpParquet.read(spark, s"http://127.0.0.1:$port/n_{0..1}.parquet")
+    assert(df.rdd.getNumPartitions == 2)
+    assert(df.count() == 50) // 25 nations per object
+    assert(df.select("_file").distinct().count() == 2)
+  }
+
   test("urlCsv: gzip decodes by extension like CH") {
     val df = Sources.urlCsv(spark, s"file://$fixtureDir/a_2.csv.gz",
       Some("k Int32, v String"))
