@@ -418,6 +418,28 @@ object SparkEntry {
         |       CAST(sum(size(arrayFilter(w -> lengthUTF8(w) > 4, splitByChar(' ', text)))) AS BIGINT) AS long_words
         |FROM documents""".stripMargin),
 
+    // A4 tail: -State/-Merge combinators — per-group mergeable HLL
+    // sketches re-aggregated to a global estimate (CH's partial-agg
+    // contract; `workflow_query_executor.go:313`). Approximate → no SQL
+    // oracle; merge-equals-direct is pinned in ChFunctionsSpec.
+    "q61_uniq_state_merge" -> ch(
+      """SELECT CAST(uniqMerge(s) AS BIGINT) AS u FROM (
+        |  SELECT l_returnflag AS g, uniqState(l_orderkey) AS s
+        |  FROM lineitem GROUP BY g) t""".stripMargin),
+
+    // P6 tail: topK through the CH parametric spelling; exact with a
+    // deterministic tie-break, string-joined for cross-engine hashing
+    "q62_topk" -> ch(
+      """SELECT concat_ws(',', topK(3)(o_orderpriority)) AS top3
+        |FROM orders""".stripMargin),
+
+    // P6 tail: arrayReduce over derived word arrays
+    "q63_array_reduce" -> ch(
+      """SELECT CAST(sum(arrayReduce('count', splitByChar(' ', text))) AS BIGINT) AS tok,
+        |       CAST(sum(arrayReduce('uniqExact', splitByChar(' ', text))) AS BIGINT) AS uniq_tok,
+        |       CAST(sum(arrayReduce('sum', arrayMap(w -> lengthUTF8(w), splitByChar(' ', text)))) AS BIGINT) AS chars
+        |FROM documents""".stripMargin),
+
     // sessionization (batch path of the streaming state machine)
     "q37_sessionize" -> ((spark, dir) => {
       prep(spark, dir)
@@ -715,6 +737,14 @@ object SparkEntry {
     "q58_array_hof" ->
       """SELECT CAST(sum(length(string_split(text, ' ')[1])) AS BIGINT) AS first_word_len,
         |       CAST(sum(len(list_filter(string_split(text, ' '), w -> length(w) > 4))) AS BIGINT) AS long_words
+        |FROM documents""".stripMargin,
+    "q62_topk" ->
+      """SELECT array_to_string(list(o_orderpriority ORDER BY cnt DESC, o_orderpriority)[1:3], ',') AS top3
+        |FROM (SELECT o_orderpriority, count(*) AS cnt FROM orders GROUP BY o_orderpriority) t""".stripMargin,
+    "q63_array_reduce" ->
+      """SELECT CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tok,
+        |       CAST(sum(len(list_distinct(string_split(text, ' ')))) AS BIGINT) AS uniq_tok,
+        |       CAST(sum(list_sum(list_transform(string_split(text, ' '), w -> length(w)))) AS BIGINT) AS chars
         |FROM documents""".stripMargin,
     "q55_date_funcs" ->
       """SELECT CAST(year(o_orderdate)*100 + month(o_orderdate) AS BIGINT) AS ym, count(*) AS cnt

@@ -49,6 +49,18 @@ object ChFunctions {
       // exact distinct
       reg("uniqExact")(exprs => Count(exprs).toAggregateExpression(isDistinct = true))
 
+      // -State/-Merge combinators for uniq: a RE-AGGREGATABLE sketch,
+      // CH's partial-aggregation contract
+      // (`workflow_query_executor.go:313` passes these through to CH).
+      // The state is a DataSketches HLL buffer (binary) — not CH's wire
+      // format, but the same algebra: uniqState produces a mergeable
+      // sketch per group, uniqMerge unions sketches and estimates.
+      // Merging per-group sketches yields the IDENTICAL register state
+      // (and therefore estimate) as one direct pass — pinned by test.
+      reg("uniqState")(exprs => new HllSketchAgg(exprs.head))
+      reg("uniqMerge")(exprs =>
+        HllSketchEstimate(new HllUnionAgg(exprs.head).toAggregateExpression()))
+
       // If-combinators: CH `aggIf(x, cond)` — aggregate over rows where
       // cond holds. Spark aggs skip NULLs, so route through If(cond,x,null).
       def ifArm(x: Expression, cond: Expression): Expression =
@@ -159,6 +171,72 @@ object ChFunctions {
         val d = Cast(exprs.head, DateType)
         Add(Multiply(Year(d), Literal(100)), Month(d))
       })
+      // lambda-building helper for composed higher-order expressions:
+      // fresh UnresolvedNamedLambdaVariables, bound by the analyzer
+      // exactly as parser-written `x -> …` text would be
+      def lv(name: String) = UnresolvedNamedLambdaVariable(Seq(name))
+
+      // topK(x[, k]) — CH's "≈k most frequent values". Exact here (the
+      // approximation in CH is a space bound, not a semantic): rank
+      // distinct values by (count desc, value asc — deterministic
+      // tie-break, unlike CH's arbitrary) and keep k. Composed from
+      // collect_list + higher-order functions; a surface function for
+      // moderate group cardinalities, not a hot-path scan operator.
+      reg("topK")({ exprs =>
+        val (x, k) = exprs match {
+          case Seq(x0) => (x0, Literal(10): Expression)
+          case Seq(x0, k0) => (x0, k0)
+        }
+        val arr = CollectList(x).toAggregateExpression()
+        val e = lv("e"); val y = lv("y"); val s = lv("s")
+        val pairs = ArrayTransform(ArrayDistinct(arr),
+          LambdaFunction(
+            CreateNamedStruct(Seq(
+              Literal("c"),
+              UnaryMinus(Size(ArrayFilter(arr,
+                LambdaFunction(EqualTo(y, e), Seq(y))))),
+              Literal("v"), e)),
+            Seq(e)))
+        val top = Slice(new ArraySort(pairs), Literal(1), Cast(k, IntegerType))
+        ArrayTransform(top, LambdaFunction(
+          org.apache.spark.sql.catalyst.analysis.UnresolvedExtractValue(s, Literal("v")),
+          Seq(s)))
+      })
+
+      // arrayReduce('agg', arr) — CH applies an aggregate function to
+      // array elements. The common reducers map to native array
+      // expressions; integer 'sum' follows CH's Int64 accumulator (a
+      // float array fails analysis loudly rather than truncating).
+      reg("arrayReduce")({ case Seq(nameExpr, arr) =>
+        val name = nameExpr match {
+          case Literal(s: org.apache.spark.unsafe.types.UTF8String, StringType) =>
+            s.toString
+          case _ => throw new IllegalArgumentException(
+            "arrayReduce needs a literal aggregate-function name")
+        }
+        name match {
+          case "sum" =>
+            val acc = lv("acc"); val x = lv("x"); val f = lv("f")
+            ArrayAggregate(arr, Literal(0L),
+              LambdaFunction(Add(acc, x), Seq(acc, x)),
+              LambdaFunction(f, Seq(f)))
+          case "avg" =>
+            val acc = lv("acc2"); val x = lv("x2"); val f = lv("f2")
+            Divide(
+              ArrayAggregate(arr, Literal(0.0d),
+                LambdaFunction(Add(acc, x), Seq(acc, x)),
+                LambdaFunction(f, Seq(f))),
+              Cast(Size(arr), DoubleType))
+          case "min" => ArrayMin(arr)
+          case "max" => ArrayMax(arr)
+          case "count" => Cast(Size(arr), LongType)
+          case "uniqExact" => Cast(Size(ArrayDistinct(arr)), LongType)
+          case "any" => ElementAt(arr, Literal(1))
+          case other => throw new IllegalArgumentException(
+            s"arrayReduce: unsupported aggregate '$other'")
+        }
+      })
+
       // quantile(x, q) — CH's default quantile is approximate with
       // interpolation; Spark's exact interpolated Percentile is a
       // deterministic stand-in with the same continuous semantics

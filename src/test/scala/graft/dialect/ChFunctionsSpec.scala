@@ -60,6 +60,56 @@ class ChFunctionsSpec extends AnyFunSuite {
     assert(one("SELECT uniqCombined(id) FROM fx") == 3L)
   }
 
+  test("uniqState / uniqMerge: re-aggregatable sketch equals the direct pass") {
+    // merging per-group HLL sketches must give the IDENTICAL register
+    // state — and estimate — as one direct sketch over all rows
+    val merged = one(
+      """SELECT uniqMerge(s) FROM
+        |  (SELECT flag, uniqState(id) AS s FROM fx GROUP BY flag)""".stripMargin)
+    val direct = one("SELECT hll_sketch_estimate(hll_sketch_agg(id)) FROM fx")
+    assert(merged == direct)
+    assert(merged == 3L) // tiny input: sparse-mode HLL is exact
+  }
+
+  test("uniqState / uniqMerge property: estimate within 5% of exact at 10k keys") {
+    val merged = spark.sql(
+      """SELECT uniqMerge(s) AS u FROM (
+        |  SELECT id % 16 AS g, uniqState(id) AS s
+        |  FROM range(10000) GROUP BY g)""".stripMargin)
+      .collect().head.getLong(0)
+    assert(math.abs(merged - 10000L) <= 500, s"estimate $merged off by >5%")
+  }
+
+  test("topK ranks by frequency with deterministic value tie-break") {
+    val r = spark.sql(
+      "SELECT topK(x, 2) FROM (SELECT explode(array('b','a','b','c','a','b')) AS x)")
+      .collect().head.getSeq[String](0)
+    assert(r == Seq("b", "a")) // b:3, a:2 (c:1 cut)
+    // default k=10 keeps everything, ties break value-asc
+    val all = spark.sql(
+      "SELECT topK(x) FROM (SELECT explode(array('b','a','b','c','a','b')) AS x)")
+      .collect().head.getSeq[String](0)
+    assert(all == Seq("b", "a", "c"))
+    // CH parametric spelling through the dialect pre-pass
+    val viaCh = ChSql.sql(spark,
+      "SELECT topK(2)(x) FROM (SELECT explode(array('b','a','b','c','a','b')) AS x)")
+      .collect().head.getSeq[String](0)
+    assert(viaCh == Seq("b", "a"))
+  }
+
+  test("arrayReduce maps CH reducers onto native array expressions") {
+    assert(one("SELECT arrayReduce('sum', array(1, 2, 3))") == 6L)
+    assert(one("SELECT arrayReduce('min', array(3, 1, 2))") == 1)
+    assert(one("SELECT arrayReduce('max', array(3, 1, 2))") == 3)
+    assert(one("SELECT arrayReduce('count', array(3, 1, 2))") == 3L)
+    assert(one("SELECT arrayReduce('uniqExact', array(1, 1, 2))") == 2L)
+    assert(one("SELECT arrayReduce('any', array(7, 8))") == 7)
+    assert(one("SELECT arrayReduce('avg', array(1, 2, 3))") == 2.0)
+    // unsupported reducer and float 'sum' (Int64 accumulator) fail loudly
+    intercept[Exception](one("SELECT arrayReduce('median', array(1))"))
+    intercept[Exception](one("SELECT arrayReduce('sum', array(1.5, 2.5))"))
+  }
+
   test("empty / notEmpty string predicates") {
     assert(one("SELECT countIf(notEmpty(flag)) FROM fx") == 3L)
     assert(one("SELECT empty('')") == true)
