@@ -60,6 +60,34 @@ object ChFunctions {
       reg("uniqState")(exprs => new HllSketchAgg(exprs.head))
       reg("uniqMerge")(exprs =>
         HllSketchEstimate(new HllUnionAgg(exprs.head).toAggregateExpression()))
+      reg("uniqHLL12")(exprs => new HyperLogLogPlusPlus(exprs.head))
+
+      // -State/-Merge for the ALGEBRAIC aggregates: their partial state
+      // is expressible in plain SQL types (a sum's state IS a sum, a
+      // count's state is a count merged by summing, an avg's state is
+      // the (sum, count) pair), so the combinators compose from native
+      // aggregates with no opaque buffer
+      reg("sumState")(exprs => Sum(exprs.head))
+      reg("sumMerge")(exprs => Sum(exprs.head))
+      reg("countState")(exprs => Count(exprs))
+      reg("countMerge")(exprs => Sum(exprs.head))
+      reg("minState")(exprs => Min(exprs.head))
+      reg("minMerge")(exprs => Min(exprs.head))
+      reg("maxState")(exprs => Max(exprs.head))
+      reg("maxMerge")(exprs => Max(exprs.head))
+      reg("avgState")({ case Seq(x) =>
+        CreateNamedStruct(Seq(
+          Literal("sum"), Sum(x).toAggregateExpression(),
+          Literal("count"), Count(Seq(x)).toAggregateExpression()))
+      })
+      reg("avgMerge")({ case Seq(s) =>
+        Divide(
+          Sum(org.apache.spark.sql.catalyst.analysis
+            .UnresolvedExtractValue(s, Literal("sum"))).toAggregateExpression(),
+          Cast(Sum(org.apache.spark.sql.catalyst.analysis
+            .UnresolvedExtractValue(s, Literal("count"))).toAggregateExpression(),
+            DoubleType))
+      })
 
       // If-combinators: CH `aggIf(x, cond)` — aggregate over rows where
       // cond holds. Spark aggs skip NULLs, so route through If(cond,x,null).
@@ -241,6 +269,8 @@ object ChFunctions {
       // interpolation; Spark's exact interpolated Percentile is a
       // deterministic stand-in with the same continuous semantics
       reg("quantile")(
+        { case Seq(x, q) => new Percentile(x, q) })
+      reg("quantileTiming")(
         { case Seq(x, q) => new Percentile(x, q) })
       // quantileExact(x, q) — CH returns an ACTUAL ELEMENT, not an
       // interpolation: nth_element at 0-based index floor(q·n), clamped

@@ -87,7 +87,13 @@ object Similarity {
   /** ANN near-dup / neighbor candidates via LSH buckets, verified with
     * exact cosine. Multi-probe: each vector is also registered in every
     * bucket at Hamming distance 1, trading `planes`× duplication for
-    * recall — still linear, never all-pairs. */
+    * recall — still linear, never all-pairs.
+    *
+    * The signature projection is PERSISTED before the self-join: both
+    * join sides read the cached (_id, _vec, _sig) blocks, so the
+    * corpus is scanned once, the `planes`×`dim` dot products run once
+    * per vector (not once per side), and the hyperplane literal arrays
+    * appear once in the plan instead of bloating both branches. */
   def lshNeighbors(
       emb: DataFrame,
       idCol: String,
@@ -96,8 +102,9 @@ object Similarity {
       dim: Int = 64,
       minCosine: Double = 0.9): DataFrame = {
     val sig = emb.select(
-      col(idCol).as("_id"), col(vecCol).as("_vec"),
-      lshSignature(col(vecCol), planes, dim).as("_sig"))
+        col(idCol).as("_id"), col(vecCol).as("_vec"),
+        lshSignature(col(vecCol), planes, dim).as("_sig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // probe buckets: own signature + one-bit flips
     val probes = sig.select(
       col("_id"), col("_vec"), col("_sig"),

@@ -129,6 +129,22 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
+  test("LSH ANN scans embeddings once (signature state persisted)") {
+    val emb = Tables.load(spark, dir, "embeddings")
+    val optimized = Similarity.lshNeighbors(emb, "vec_id", "embedding")
+      .queryExecution.optimizedPlan
+    val fileScans = optimized.collect {
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation
+          if r.simpleString(100).contains("embeddings") => r
+    }
+    val cached = optimized.collect {
+      case m: org.apache.spark.sql.execution.columnar.InMemoryRelation => m
+    }
+    assert(fileScans.isEmpty,
+      s"embeddings scanned outside the cached signatures:\n$optimized")
+    assert(cached.size == 2, s"both self-join sides must hit the cache:\n$optimized")
+  }
+
   test("metadata-only multimodal stats never read the payload column") {
     val media = graft.operators.Multimodal.fromText(
       Tables.load(spark, dir, "documents"), "doc_id", "text")

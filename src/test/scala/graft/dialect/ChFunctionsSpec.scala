@@ -80,6 +80,28 @@ class ChFunctionsSpec extends AnyFunSuite {
     assert(math.abs(merged - 10000L) <= 500, s"estimate $merged off by >5%")
   }
 
+  test("algebraic -State/-Merge combinators re-aggregate exactly") {
+    // two-level aggregation over groups must equal the direct aggregate
+    assert(one(
+      """SELECT sumMerge(s) FROM
+        |  (SELECT flag, sumState(v) AS s FROM fx GROUP BY flag)""".stripMargin) == 60.0)
+    assert(one(
+      """SELECT countMerge(s) FROM
+        |  (SELECT flag, countState(v) AS s FROM fx GROUP BY flag)""".stripMargin) == 3L)
+    assert(one(
+      """SELECT minMerge(s) FROM
+        |  (SELECT flag, minState(v) AS s FROM fx GROUP BY flag)""".stripMargin) == 10.0)
+    assert(one(
+      """SELECT maxMerge(s) FROM
+        |  (SELECT flag, maxState(v) AS s FROM fx GROUP BY flag)""".stripMargin) == 30.0)
+    // avg is NOT mergeable from per-group avgs — the (sum, count) state is
+    assert(one(
+      """SELECT avgMerge(s) FROM
+        |  (SELECT flag, avgState(v) AS s FROM fx GROUP BY flag)""".stripMargin) == 20.0)
+    assert(one("SELECT uniqHLL12(flag) FROM fx") == 2L)
+    assert(one("SELECT quantileTiming(v, 1.0) FROM fx") == 30.0)
+  }
+
   test("topK ranks by frequency with deterministic value tie-break") {
     val r = spark.sql(
       "SELECT topK(x, 2) FROM (SELECT explode(array('b','a','b','c','a','b')) AS x)")
