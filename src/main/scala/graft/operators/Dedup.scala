@@ -315,9 +315,13 @@ object Dedup {
       textCol: String,
       maxHamming: Int = 3,
       portable: Boolean = false): DataFrame = {
-    val (fp, blockBits) =
+    val (fp0, blockBits) =
       if (portable) (simHashFingerprintsPortable(docs, idCol, textCol), 15)
       else (simHashFingerprints(docs, idCol, textCol), 16)
+    // persist the fingerprints: the block self-join below reads the
+    // cached (_id, _fp) pairs instead of re-running the corpus scan and
+    // the per-bit vote aggregate on both sides
+    val fp = fp0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val blockMask = (1L << blockBits) - 1
     val blocks = fp.select(
       col("_id"), col("_fp"),
@@ -347,10 +351,13 @@ object Dedup {
       shingleSize: Int = 3,
       threshold: Double = 0.5): DataFrame = {
     // hashed shingle sets from the row-based path (see shingleRows —
-    // the column form's inner lambda is O(words²) per doc)
+    // the column form's inner lambda is O(words²) per doc), persisted so
+    // the length-bucket self-join reads the cache instead of deriving
+    // the shingle pipeline twice
     val sh = shingleRows(docs, idCol, textCol, shingleSize)
       .groupBy("_id").agg(collect_set(xxhash64(col("_s"))).as("_sh"))
       .withColumn("_n", size(col("_sh")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // Length filter: |A∩B| ≥ t·|A∪B| implies t·|A| ≤ |B| ≤ |A|/t.
     // Expressed as an EQUI-join on a coarse log-scale length bucket
     // g = floor(log1p(n)/log(1/t)): for any qualifying pair the buckets

@@ -121,6 +121,24 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("every banded dedup self-join reads persisted state, not a re-scan") {
+    val docs = Tables.load(spark, dir, "documents")
+    for (df <- Seq(
+        Dedup.simHashDupPairs(docs, "doc_id", "text"),
+        Dedup.ngramJaccardPairs(docs, "doc_id", "text"))) {
+      val optimized = df.queryExecution.optimizedPlan
+      val fileScans = optimized.collect {
+        case r: org.apache.spark.sql.execution.datasources.LogicalRelation
+            if r.simpleString(100).contains("documents") => r
+      }
+      assert(fileScans.isEmpty, s"documents re-scanned:\n$optimized")
+      val cached = optimized.collect {
+        case m: org.apache.spark.sql.execution.columnar.InMemoryRelation => m
+      }
+      assert(cached.size == 2, s"both self-join sides must hit the cache:\n$optimized")
+    }
+  }
+
   test("LSH ANN join keys on buckets, never cartesian") {
     val emb = Tables.load(spark, dir, "embeddings")
     val plan = planOf(Similarity.lshNeighbors(emb, "vec_id", "embedding",
