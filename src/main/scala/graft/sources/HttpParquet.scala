@@ -87,7 +87,9 @@ object HttpParquet {
         lt match {
           case t: TimestampLogicalTypeAnnotation
               if t.getUnit != LogicalTypeAnnotation.TimeUnit.NANOS =>
-            TimestampType
+            // isAdjustedToUTC=false is Spark's TimestampNTZ — mirror the
+            // native reader so http and file scans agree on schema
+            if (t.isAdjustedToUTC) TimestampType else TimestampNTZType
           case _ => LongType
         }
       case FLOAT => FloatType
@@ -167,17 +169,26 @@ object HttpParquet {
       case DateType =>
         java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(g.getInteger(i, 0).toLong))
       case TimestampType =>
-        val unit = p.getLogicalTypeAnnotation
-          .asInstanceOf[TimestampLogicalTypeAnnotation].getUnit
-        val v = g.getLong(i, 0)
-        val micros =
-          if (unit == LogicalTypeAnnotation.TimeUnit.MILLIS) v * 1000L else v
+        val micros = timestampMicros(g, i, p)
         val ts = new java.sql.Timestamp(Math.floorDiv(micros, 1000000L) * 1000L)
         ts.setNanos((Math.floorMod(micros, 1000000L) * 1000L).toInt)
         ts
+      case TimestampNTZType =>
+        val micros = timestampMicros(g, i, p)
+        java.time.LocalDateTime.ofEpochSecond(
+          Math.floorDiv(micros, 1000000L),
+          (Math.floorMod(micros, 1000000L) * 1000L).toInt,
+          java.time.ZoneOffset.UTC)
       case other =>
         throw new IllegalArgumentException(s"unsupported type $other")
     }
+
+  private def timestampMicros(g: Group, i: Int, p: PrimitiveType): Long = {
+    val unit = p.getLogicalTypeAnnotation
+      .asInstanceOf[TimestampLogicalTypeAnnotation].getUnit
+    val v = g.getLong(i, 0)
+    if (unit == LogicalTypeAnnotation.TimeUnit.MILLIS) v * 1000L else v
+  }
 
   private def download(url: String, dest: java.io.File): Unit = {
     val conn = new java.net.URI(url).toURL.openConnection()

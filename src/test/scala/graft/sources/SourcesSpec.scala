@@ -53,6 +53,18 @@ class SourcesSpec extends AnyFunSuite {
       Seq("nation.parquet"))
   }
 
+  test("parquet over http decodes timestamps/doubles identically to a direct read") {
+    val port = StaticHttp.serve("/root/testdata/sf0.001")
+    val viaHttp = HttpParquet.read(spark, s"http://127.0.0.1:$port/orders.parquet")
+      .drop("_path", "_file")
+    val direct = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    assert(viaHttp.schema.map(f => (f.name, f.dataType)) ==
+      direct.schema.map(f => (f.name, f.dataType)))
+    val a = viaHttp.collect().map(_.toSeq).sortBy(_.toString)
+    val b = direct.collect().map(_.toSeq).sortBy(_.toString)
+    assert(a.toSeq == b.toSeq)
+  }
+
   test("parquet over http distributes one URL per task and honors globs") {
     Files.copy(Paths.get("/root/testdata/sf0.001/nation.parquet"),
       Paths.get(fixtureDir, "n_0.parquet"),
