@@ -501,6 +501,18 @@ object SparkEntry {
         .select("id_a", "id_b").orderBy("id_a", "id_b")
     }),
 
+    // near-dup RESOLUTION: MinHash pairs → connected components →
+    // survivor set (smallest id per dedup group + isolated docs) — the
+    // step a training-data pipeline runs after pair detection
+    "q64_neardup_survivors" -> ((spark, dir) => {
+      prep(spark, dir)
+      val docs = Tables.load(spark, dir, "documents")
+      val pairs = Dedup.minHashDupPairs(docs, "doc_id", "text",
+        shingleSize = 3, numHashes = 128, bands = 32, threshold = 0.7)
+      Dedup.nearDupSurvivors(docs, "doc_id", pairs)
+        .agg(count(lit(1)).as("survivors"))
+    }),
+
     // exact n-gram Jaccard pairs (verify-stage primitive)
     "q44_ngram_pairs" -> ((spark, dir) => {
       prep(spark, dir)
@@ -789,6 +801,25 @@ object SparkEntry {
         |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
         |WHERE len(list_intersect(a.s, b.s))::DOUBLE / len(list_distinct(list_concat(a.s, b.s))) >= 0.7
         |ORDER BY id_a, id_b""".stripMargin,
+    "q64_neardup_survivors" ->
+      """WITH RECURSIVE sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    range(1, len(string_split_regex(text, '\s+')) - 1),
+        |    i -> string_split_regex(text, '\s+')[i] || ' ' ||
+        |         string_split_regex(text, '\s+')[i+1] || ' ' ||
+        |         string_split_regex(text, '\s+')[i+2])) AS s
+        |  FROM documents),
+        |p AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE len(list_intersect(a.s, b.s))::DOUBLE / len(list_distinct(list_concat(a.s, b.s))) >= 0.7),
+        |e AS (SELECT id_a AS src, id_b AS dst FROM p UNION ALL SELECT id_b, id_a FROM p),
+        |reach(a, b) AS (
+        |  SELECT src, dst FROM e
+        |  UNION
+        |  SELECT r.a, e2.dst FROM reach r JOIN e e2 ON r.b = e2.src WHERE e2.dst != r.a),
+        |dupes AS (SELECT a AS id FROM reach GROUP BY a HAVING min(b) < a)
+        |SELECT (SELECT count(*) FROM documents) - (SELECT count(*) FROM dupes) AS survivors""".stripMargin,
     "q43_simhash_dups" ->
       """WITH w AS (
         |  SELECT doc_id, unnest(list_distinct(string_split_regex(text, '\s+'))) AS word

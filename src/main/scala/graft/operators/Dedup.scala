@@ -232,6 +232,61 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Connected components over a near-dup pair set (id_a, id_b) by
+    * iterative min-label propagation — the resolution step that turns
+    * pairwise similarity into dedup groups. Returns (id, label) where
+    * label is the smallest id in the component (deterministic).
+    *
+    * Scale posture: the pair graph is orders of magnitude smaller than
+    * the corpus (only colliding near-dups), each iteration is one
+    * equi-join + min-aggregate, and convergence needs O(component
+    * diameter) rounds — near-dup clusters are shallow (most are pairs
+    * or small cliques), so this terminates in a handful of rounds.
+    * `localCheckpoint` truncates lineage per round so the plan does not
+    * grow with iterations (swap for `checkpoint` with a reliable dir on
+    * a real cluster). The per-round driver `count` is over label
+    * CHANGES, not data. */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs
+      .select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint()
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val prop = edges.join(labels, edges("src") === labels("id"))
+        .select(col("dst").as("id"), col("label"))
+      val next = labels.union(prop)
+        .groupBy("id").agg(min("label").as("label"))
+        .localCheckpoint()
+      val changed = next.as("n")
+        .join(labels.as("o"), col("n.id") === col("o.id"))
+        .filter(col("n.label") =!= col("o.label"))
+        .limit(1).count() > 0
+      labels = next
+      converged = !changed
+      iter += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
+  /** Survivors after near-dup resolution: every document that is NOT a
+    * non-representative member of a component (the smallest id in each
+    * dedup group survives; isolated documents trivially survive). */
+  def nearDupSurvivors(
+      docs: DataFrame,
+      idCol: String,
+      pairs: DataFrame): DataFrame = {
+    val dupes = connectedComponents(pairs)
+      .filter(col("label") =!= col("id"))
+      .select(col("id").as("_dup_id"))
+    docs.join(dupes, docs(idCol) === col("_dup_id"), "left_anti")
+  }
+
   /** SimHash 64-bit fingerprint of a text column: per bit, the sign of
     * the sum of ±1 votes from each word's hash bit. Single pass over the
     * word array via higher-order `aggregate` — no explode, no shuffle. */

@@ -76,4 +76,27 @@ class DedupSpec extends AnyFunSuite {
       .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs == Set((0L, 1L), (0L, 2L), (1L, 2L)))
   }
+
+  test("connected components label chains transitively with the min id") {
+    val spark2 = spark
+    import spark2.implicits._
+    // chain 1-2-3-4 (diameter 3, needs >1 propagation round), pair 10-11,
+    // and an edge listed "backwards" (9, 8) → label must still be the min
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (8L, 9L))
+      .toDF("id_a", "id_b")
+    val labels = Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 8L -> 8L, 9L -> 8L))
+  }
+
+  test("near-dup survivors keep the smallest id per component plus isolated docs") {
+    val spark2 = spark
+    import spark2.implicits._
+    val all = (0L to 5L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val pairs = Seq((0L, 1L), (1L, 2L), (4L, 5L)).toDF("id_a", "id_b")
+    val survivors = Dedup.nearDupSurvivors(all, "doc_id", pairs)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(survivors == Set(0L, 3L, 4L)) // 1,2 fold into 0; 5 into 4; 3 isolated
+  }
 }
