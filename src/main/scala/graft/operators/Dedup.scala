@@ -175,7 +175,11 @@ object Dedup {
       col(idCol).as("_id"),
       posexplode(bandHashes(col(signatureCol), bands)).as(Seq("_band", "_bandhash")))
     val a = banded.as("a")
-    val b = banded.as("b")
+    // shuffle-hash, never broadcast: the banded frame is corpus-sized
+    // (docs × bands rows) — a broadcast build would collect the whole
+    // corpus's band table to the driver. Also removes the bench-visible
+    // plan flapping near the autoBroadcast threshold at mid scale.
+    val b = banded.as("b").hint("shuffle_hash")
     a.join(b,
         col("a._band") === col("b._band") &&
           col("a._bandhash") === col("b._bandhash") &&
@@ -223,7 +227,9 @@ object Dedup {
         collect_set(col("_hs")).as("_sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cand = lshCandidates(state, "_id", "_sig", bands)
-    val side = state.select(col("_id"), col("_sh"))
+    // the verify side carries the per-doc hashed shingle SETS — fat
+    // arrays that must shuffle on the id key, never build a broadcast
+    val side = state.select(col("_id"), col("_sh")).hint("shuffle_hash")
     cand
       .join(side.as("sa"), cand("id_a") === col("sa._id"))
       .join(side.as("sb"), cand("id_b") === col("sb._id"))
@@ -383,7 +389,7 @@ object Dedup {
       posexplode(transform(sequence(lit(0), lit(3)),
         i => call_function("shiftright", col("_fp"), i * blockBits).bitwiseAND(blockMask))).as(Seq("_blk", "_blkval")))
     val a = blocks.as("a")
-    val b = blocks.as("b")
+    val b = blocks.as("b").hint("shuffle_hash") // corpus-sized: never broadcast
     a.join(b,
         col("a._blk") === col("b._blk") &&
           col("a._blkval") === col("b._blkval") &&
@@ -426,6 +432,7 @@ object Dedup {
     val b = sh.withColumn("_g", bucket)
       .select(col("_id"), col("_sh"), col("_n"), col("_g"),
         explode(array(col("_g"), col("_g") + 1)).as("_probe")).as("b")
+      .hint("shuffle_hash") // corpus-sized shingle sets: never broadcast
     a.join(b,
         col("a._g") === col("b._probe") &&
           // same-bucket pairs match in both orientations — keep one;

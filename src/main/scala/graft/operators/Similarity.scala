@@ -113,7 +113,10 @@ object Similarity {
         transform(sequence(lit(0), lit(planes - 1)),
           i => col("_sig").bitwiseXOR(call_function("shiftleft", lit(1L), i))))).as("_bucket"))
     val left = probes.select(col("_id").as("id_a"), col("_vec").as("vec_a"), col("_bucket"))
+    // corpus-sized embedding vectors: shuffle on the bucket key, never
+    // build a broadcast of the whole corpus
     val right = sig.select(col("_id").as("id_b"), col("_vec").as("vec_b"), col("_sig").as("_bucket"))
+      .hint("shuffle_hash")
     left.join(right, Seq("_bucket"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"), cosine(col("vec_a"), col("vec_b")).as("cosine"))

@@ -64,6 +64,12 @@ class PlanSpec extends AnyFunSuite {
     val plan = planOf(Dedup.minHashDupPairs(docs, "doc_id", "text"))
     assert(!plan.contains("CartesianProduct"), s"all-pairs join leaked:\n$plan")
     assert(!plan.contains("BroadcastNestedLoopJoin"), s"nested-loop join leaked:\n$plan")
+    // corpus-sized sides (banded signatures, shingle sets) must shuffle
+    // on their keys, never build a driver-collected broadcast — the
+    // 100 TB posture, and the fix for mid-scale plan flapping near the
+    // autoBroadcast threshold
+    assert(!plan.contains("BroadcastExchange"),
+      s"corpus-sized join side would broadcast:\n$plan")
   }
 
   test("MinHash pipeline scans documents once (state persisted, joins hit the cache)") {
