@@ -61,6 +61,15 @@ object ChFunctions {
       reg("uniqMerge")(exprs =>
         HllSketchEstimate(new HllUnionAgg(exprs.head).toAggregateExpression()))
       reg("uniqHLL12")(exprs => new HyperLogLogPlusPlus(exprs.head))
+      // uniqUpTo(N)(x): exact while ≤ N distinct, N+1 past the cap
+      reg("uniqUpTo")({ case Seq(x, n) =>
+        Least(Seq(
+          Count(Seq(x)).toAggregateExpression(isDistinct = true),
+          Cast(Add(n, Literal(1)), LongType)))
+      })
+      // groupArray(x) — CH's collect-into-array (order is arrival order,
+      // engine-defined like CH's)
+      reg("groupArray")(exprs => CollectList(exprs.head))
 
       // -State/-Merge for the ALGEBRAIC aggregates: their partial state
       // is expressible in plain SQL types (a sum's state IS a sum, a
@@ -133,6 +142,28 @@ object ChFunctions {
       reg("arrayDistinct")(exprs => ArrayDistinct(exprs.head))
       reg("arraySort")(exprs => new ArraySort(exprs.head))
       reg("has")({ case Seq(arr, x) => ArrayContains(arr, x) })
+      reg("arrayStringConcat")({
+        case Seq(arr) => ArrayJoin(arr, Literal(""), None)
+        case Seq(arr, sep) => ArrayJoin(arr, sep, None)
+      })
+      reg("arrayFlatten")(exprs => Flatten(exprs.head))
+      reg("arrayConcat")(exprs => Concat(exprs))
+      reg("arrayUniq")(exprs => Size(ArrayDistinct(exprs.head)))
+      reg("indexOf")({ case Seq(arr, x) => ArrayPosition(arr, x) })
+
+      // arithmetic under CH's function-call spellings
+      reg("plus")({ case Seq(a, b) => Add(a, b) })
+      reg("minus")({ case Seq(a, b) => Subtract(a, b) })
+      reg("multiply")({ case Seq(a, b) => Multiply(a, b) })
+      reg("divide")({ case Seq(a, b) => Divide(a, b) })
+      reg("intDiv")({ case Seq(a, b) => IntegralDivide(a, b) })
+      reg("modulo")({ case Seq(a, b) => Remainder(a, b) })
+
+      // time conversions
+      reg("toUnixTimestamp")(exprs =>
+        UnixTimestamp(exprs.head, Literal("yyyy-MM-dd HH:mm:ss")))
+      reg("fromUnixTimestamp")(exprs =>
+        Cast(SecondsToTimestamp(exprs.head), TimestampType))
 
       // to* casts (CH names); unsigned targets widen per SURVEY §1.2
       def cast(dt: DataType): Seq[Expression] => Expression =

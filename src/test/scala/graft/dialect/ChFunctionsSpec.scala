@@ -132,6 +132,33 @@ class ChFunctionsSpec extends AnyFunSuite {
     intercept[Exception](one("SELECT arrayReduce('sum', array(1.5, 2.5))"))
   }
 
+  test("uniqUpTo counts exactly up to the cap, N+1 past it") {
+    assert(one("SELECT uniqUpTo(id, 5) FROM fx") == 3L)   // 3 distinct ≤ 5 → exact
+    assert(one("SELECT uniqUpTo(id, 2) FROM fx") == 3L)   // >2 distinct → cap+1
+    // parametric CH spelling
+    assert(ChSql.sql(spark, "SELECT uniqUpTo(2)(id) FROM fx")
+      .collect().head.get(0) == 3L)
+  }
+
+  test("groupArray / array utilities / arithmetic spellings / time conversions") {
+    assert(one("SELECT size(groupArray(id)) FROM fx") == 3)
+    assert(one("SELECT arrayStringConcat(array('a','b'), '-')") == "a-b")
+    assert(one("SELECT arrayFlatten(array(array(1), array(2)))")
+      .asInstanceOf[scala.collection.Seq[Int]] == Seq(1, 2))
+    assert(one("SELECT arrayConcat(array(1), array(2, 3))")
+      .asInstanceOf[scala.collection.Seq[Int]] == Seq(1, 2, 3))
+    assert(one("SELECT arrayUniq(array(1, 1, 2))") == 2)
+    assert(one("SELECT indexOf(array(7, 8, 9), 8)") == 2L)
+    assert(one("SELECT plus(2, 3)") == 5)
+    assert(one("SELECT minus(5, 3)") == 2)
+    assert(one("SELECT multiply(4, 3)") == 12)
+    assert(one("SELECT divide(7, 2)") == 3.5)
+    assert(one("SELECT intDiv(7, 2)") == 3L)
+    assert(one("SELECT modulo(7, 3)") == 1)
+    assert(one("SELECT toUnixTimestamp('2024-03-05 10:30:00')") == 1709634600L)
+    assert(one("SELECT fromUnixTimestamp(1709634600)").toString == "2024-03-05 10:30:00.0")
+  }
+
   test("empty / notEmpty string predicates") {
     assert(one("SELECT countIf(notEmpty(flag)) FROM fx") == 3L)
     assert(one("SELECT empty('')") == true)
