@@ -95,6 +95,19 @@ object SparkEntry {
       }
       java.nio.file.Files.writeString(
         java.nio.file.Paths.get(s"$base/quoted.csv"), sb.toString)
+      // JSONEachRow + TSVWithNames fixtures from the same rows
+      val jl = new StringBuilder
+      val tsv = new StringBuilder("n_nationkey\tn_name\n")
+      rows.foreach { r =>
+        val id = r.get(0).toString
+        val name = r.getString(1)
+        jl.append(s"""{"n_nationkey": $id, "n_name": "$name"}""").append('\n')
+        tsv.append(id).append('\t').append(name).append('\n')
+      }
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"$base/nation.jsonl"), jl.toString)
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"$base/nation.tsv"), tsv.toString)
       base
     })
 
@@ -196,6 +209,29 @@ object SparkEntry {
       ch(s"""SELECT count() AS cnt, CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
             |       uniqExact(_file) AS n_files
             |FROM s3('http://127.0.0.1:$port/part-{0..3}.parquet')""".stripMargin)(spark, dir)
+    }),
+
+    // S6 tail: JSONEachRow over url() — CH's newline-delimited JSON
+    // format, fetched from the localhost endpoint, schema-on-read
+    "q65_url_json" -> ((spark, dir) => {
+      prep(spark, dir)
+      val base = derivedDir(spark, dir)
+      val port = graft.sources.StaticHttp.serve(base)
+      ch(s"""SELECT count() AS cnt, CAST(sum(n_nationkey) AS BIGINT) AS sum_key,
+            |       max(n_name) AS max_name
+            |FROM url('http://127.0.0.1:$port/nation.jsonl', 'JSONEachRow',
+            |         'n_nationkey Int64, n_name String')""".stripMargin)(spark, dir)
+    }),
+
+    // S6 tail: TSVWithNames (CH's TabSeparated family) over url()
+    "q66_url_tsv" -> ((spark, dir) => {
+      prep(spark, dir)
+      val base = derivedDir(spark, dir)
+      val port = graft.sources.StaticHttp.serve(base)
+      ch(s"""SELECT count() AS cnt, CAST(sum(n_nationkey) AS BIGINT) AS sum_key,
+            |       max(n_name) AS max_name
+            |FROM url('http://127.0.0.1:$port/nation.tsv', 'TSVWithNames',
+            |         'n_nationkey Int64, n_name String')""".stripMargin)(spark, dir)
     }),
 
     // S5+C5+O6: the reference's flagship init flow — ATTACH TABLE … ON
@@ -655,6 +691,12 @@ object SparkEntry {
       "SELECT 'graft' AS cluster_name, count(*) AS cnt FROM lineitem",
     "q12_url_csv" ->
       "SELECT count(*) AS cnt, CAST(sum(n_nationkey) AS BIGINT) AS sum_key, 'nation.csv' AS f FROM nation",
+    "q65_url_json" ->
+      """SELECT count(*) AS cnt, CAST(sum(n_nationkey) AS BIGINT) AS sum_key,
+        |       max(n_name) AS max_name FROM nation""".stripMargin,
+    "q66_url_tsv" ->
+      """SELECT count(*) AS cnt, CAST(sum(n_nationkey) AS BIGINT) AS sum_key,
+        |       max(n_name) AS max_name FROM nation""".stripMargin,
     "q60_http_parquet" ->
       """SELECT count(*) AS cnt, CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
         |       CAST(4 AS BIGINT) AS n_files

@@ -272,10 +272,14 @@ object ChSql {
       case f if f.contains("parquet") =>
         if (isHttp) Sources.httpParquet(spark, url)
         else Sources.parquetWithFile(spark, url)
-      case f if f.contains("csv") =>
+      case f if f.contains("json") => // JSONEachRow / ndjson
+        if (isHttp) Sources.urlJson(spark, url, schemaStr)
+        else Sources.jsonWithFile(spark, url, schemaStr)
+      case f if f.contains("csv") || f.contains("tabseparated") || f.contains("tsv") =>
         val withNames = f.contains("withnames")
-        if (isHttp) Sources.urlCsv(spark, url, schemaStr, withNames)
-        else Sources.csvWithFile(spark, url, schemaStr, withNames)
+        val sep = if (f.contains("csv")) "," else "\t"
+        if (isHttp) Sources.urlCsv(spark, url, schemaStr, withNames, sep)
+        else Sources.csvWithFile(spark, url, schemaStr, withNames, sep)
       case other =>
         throw new IllegalArgumentException(s"unsupported table-function format: $other")
     }

@@ -47,16 +47,21 @@ object Sources {
   def httpParquet(spark: SparkSession, urlPattern: String): DataFrame =
     HttpParquet.read(spark, urlPattern)
 
-  /** CSV scan; `schemaStr` is a ClickHouse schema string (schema-on-read)
-    * — absent means infer, matching CH's schema-inference default.
-    * `withNames` ≈ the CSVWithNames format. gzip is transparent via file
-    * extension, as in Spark's CSV reader. */
+  /** CSV/TSV scan; `schemaStr` is a ClickHouse schema string
+    * (schema-on-read) — absent means infer, matching CH's
+    * schema-inference default. `withNames` ≈ the CSVWithNames /
+    * TSVWithNames formats; `sep` is `\t` for the TabSeparated family.
+    * gzip is transparent via file extension, as in Spark's CSV reader. */
   def csv(
       spark: SparkSession,
       pattern: String,
       schemaStr: Option[String] = None,
-      withNames: Boolean = true): DataFrame = {
-    val r = spark.read.option("header", withNames.toString)
+      withNames: Boolean = true,
+      sep: String = ","): DataFrame = {
+    val r = spark.read
+      .option("header", withNames.toString)
+      .option("sep", sep)
+      .option("escape", "\"")
     val r2 = schemaStr match {
       case Some(s) => r.schema(graft.types.ChSchemaParser.parse(s))
       case None => r.option("inferSchema", "true")
@@ -68,8 +73,28 @@ object Sources {
       spark: SparkSession,
       pattern: String,
       schemaStr: Option[String] = None,
-      withNames: Boolean = true): DataFrame =
-    withFileColumns(csv(spark, pattern, schemaStr, withNames))
+      withNames: Boolean = true,
+      sep: String = ","): DataFrame =
+    withFileColumns(csv(spark, pattern, schemaStr, withNames, sep))
+
+  /** JSONEachRow (newline-delimited JSON) scan over the filesystem. */
+  def json(
+      spark: SparkSession,
+      pattern: String,
+      schemaStr: Option[String] = None): DataFrame = {
+    val r = spark.read
+    val r2 = schemaStr match {
+      case Some(s) => r.schema(graft.types.ChSchemaParser.parse(s))
+      case None => r
+    }
+    r2.json(Globs.expand(pattern): _*)
+  }
+
+  def jsonWithFile(
+      spark: SparkSession,
+      pattern: String,
+      schemaStr: Option[String] = None): DataFrame =
+    withFileColumns(json(spark, pattern, schemaStr))
 
   /** `url()` / `urlCluster()`: fetch HTTP(S)/file URLs as CSV, one URL
     * per task. The reference's urlCluster is precisely "split the
@@ -92,7 +117,8 @@ object Sources {
       spark: SparkSession,
       urlPattern: String,
       schemaStr: Option[String] = None,
-      withNames: Boolean = true): DataFrame = {
+      withNames: Boolean = true,
+      sep: String = ","): DataFrame = {
     import spark.implicits._
     val urls = Globs.expandRanges(urlPattern).flatMap(Globs.expandAlternation).distinct
     require(urls.nonEmpty, s"url() expanded to zero URLs: $urlPattern")
@@ -115,31 +141,62 @@ object Sources {
         // (univocity via from_csv) handles RFC-4180 quoted fields — a
         // naive comma split silently shifts every column after a quoted
         // comma (judge r3/r4 finding)
-        fromCsvCols(lines, st)
+        fromCsvCols(lines, st, sep)
       case None =>
         // inference needs a full pass: cache so parse doesn't re-download
         val cached = lines.cache()
         val df = spark.read
           .option("header", "false")
           .option("inferSchema", "true")
-          .options(CsvOpts)
+          .options(csvOpts(sep))
           .csv(cached.select("value").as[String])
         // re-zip virtual cols: join back by re-parse is wasteful; instead
         // parse once more from the cached lines with the inferred schema
-        fromCsvCols(cached, df.schema)
+        fromCsvCols(cached, df.schema, sep)
     }
     parsed
   }
 
+  /** JSONEachRow over url(): one fetched line per JSON object, parsed
+    * with `from_json`; same per-URL task layout and `_path`/`_file`
+    * carry as [[urlCsv]]. */
+  def urlJson(
+      spark: SparkSession,
+      urlPattern: String,
+      schemaStr: Option[String] = None): DataFrame = {
+    import spark.implicits._
+    val urls = Globs.expandRanges(urlPattern).flatMap(Globs.expandAlternation).distinct
+    require(urls.nonEmpty, s"url() expanded to zero URLs: $urlPattern")
+    val lines = spark.sparkContext
+      .parallelize(urls, urls.size)
+      .mapPartitions { it =>
+        it.flatMap { u =>
+          val file = u.substring(u.lastIndexOf('/') + 1)
+          fetchLines(u).map(line => (line, u, file))
+        }
+      }
+      .toDF("value", "_path", "_file")
+    val st = schemaStr.map(graft.types.ChSchemaParser.parse).getOrElse {
+      val cached = lines.cache()
+      spark.read.json(cached.select("value").as[String]).schema
+    }
+    lines.select(
+      from_json(col("value"), st).as("_r"), col("_path"), col("_file"))
+      .select(
+        st.fields.map(f => col("_r").getField(f.name).as(f.name)).toIndexedSeq ++
+          Seq(col("_path"), col("_file")): _*)
+  }
+
   /** RFC-4180 parsing options: CH and DuckDB escape a quote inside a
     * quoted field by DOUBLING it; Spark's default escape is backslash. */
-  private val CsvOpts = Map("escape" -> "\"")
+  private def csvOpts(sep: String) = Map("escape" -> "\"", "sep" -> sep)
 
   private def fromCsvCols(
       lines: DataFrame,
-      st: org.apache.spark.sql.types.StructType): DataFrame = {
+      st: org.apache.spark.sql.types.StructType,
+      sep: String): DataFrame = {
     val parsed = lines.select(
-      from_csv(col("value"), st, CsvOpts).as("_r"),
+      from_csv(col("value"), st, csvOpts(sep)).as("_r"),
       col("_path"), col("_file"))
     parsed.select(
       st.fields.map(f => col("_r").getField(f.name).as(f.name)).toIndexedSeq ++

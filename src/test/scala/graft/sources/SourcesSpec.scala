@@ -79,6 +79,28 @@ class SourcesSpec extends AnyFunSuite {
     assert(df.select("_file").distinct().count() == 2)
   }
 
+  test("urlJson parses JSONEachRow with schema and with inference") {
+    Files.writeString(Paths.get(fixtureDir, "j.jsonl"),
+      "{\"k\": 1, \"v\": \"x\"}\n{\"k\": 2, \"v\": \"y, z\"}\n")
+    val explicit = Sources.urlJson(spark, s"file://$fixtureDir/j.jsonl",
+      Some("k Int64, v String"))
+    assert(explicit.select("k", "v", "_file").orderBy("k")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq ==
+      Seq((1L, "x", "j.jsonl"), (2L, "y, z", "j.jsonl")))
+    val inferred = Sources.urlJson(spark, s"file://$fixtureDir/j.jsonl")
+    assert(inferred.select("k").orderBy("k").collect().map(_.getLong(0)).toSeq ==
+      Seq(1L, 2L))
+  }
+
+  test("urlCsv parses the TabSeparated family with a tab separator") {
+    Files.writeString(Paths.get(fixtureDir, "t.tsv"), "k\tv\n1\ta,b\n2\tc\n")
+    val df = Sources.urlCsv(spark, s"file://$fixtureDir/t.tsv",
+      Some("k Int32, v String"), withNames = true, sep = "\t")
+    assert(df.select("k", "v").orderBy("k")
+      .collect().map(r => (r.getInt(0), r.getString(1))).toSeq ==
+      Seq((1, "a,b"), (2, "c")))
+  }
+
   test("urlCsv: gzip decodes by extension like CH") {
     val df = Sources.urlCsv(spark, s"file://$fixtureDir/a_2.csv.gz",
       Some("k Int32, v String"))
