@@ -211,6 +211,14 @@ object SparkEntry {
             |FROM s3('http://127.0.0.1:$port/part-{0..3}.parquet')""".stripMargin)(spark, dir)
     }),
 
+    // C2 tail: CH's WITH TOTALS modifier + trailing FORMAT clause —
+    // totals row carries NULL keys (grouping-sets semantics)
+    "q67_with_totals" -> ch(
+      """SELECT l_returnflag, count() AS cnt, CAST(sum(l_quantity) AS BIGINT) AS qty
+        |FROM lineitem GROUP BY l_returnflag WITH TOTALS
+        |ORDER BY l_returnflag
+        |FORMAT JSONEachRow""".stripMargin),
+
     // S6 tail: JSONEachRow over url() — CH's newline-delimited JSON
     // format, fetched from the localhost endpoint, schema-on-read
     "q65_url_json" -> ((spark, dir) => {
@@ -691,6 +699,10 @@ object SparkEntry {
       "SELECT 'graft' AS cluster_name, count(*) AS cnt FROM lineitem",
     "q12_url_csv" ->
       "SELECT count(*) AS cnt, CAST(sum(n_nationkey) AS BIGINT) AS sum_key, 'nation.csv' AS f FROM nation",
+    "q67_with_totals" ->
+      """SELECT l_returnflag, count(*) AS cnt, CAST(sum(l_quantity) AS BIGINT) AS qty
+        |FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), ())
+        |ORDER BY l_returnflag""".stripMargin,
     "q65_url_json" ->
       """SELECT count(*) AS cnt, CAST(sum(n_nationkey) AS BIGINT) AS sum_key,
         |       max(n_name) AS max_name FROM nation""".stripMargin,

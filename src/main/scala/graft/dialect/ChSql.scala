@@ -43,8 +43,10 @@ object ChSql {
       macros: Map[String, String] = defaultMacros): Rewritten = {
     val m = substituteMacros(sql, macros)
     val noCluster = stripOnCluster(m)
-    val (body, settings) = extractSettings(noCluster)
-    val counted = zeroArgCount(body)
+    val (body0, settings) = extractSettings(stripFormat(noCluster))
+    val body = stripFormat(body0) // FORMAT may precede or follow SETTINGS
+    val totaled = rewriteWithTotals(body)
+    val counted = zeroArgCount(totaled)
     val parametric = rewriteParametricAggregates(counted)
     val deconflicted = rewriteConflictingFunctions(parametric)
     val sys = rewriteSystemTables(deconflicted)
@@ -127,6 +129,56 @@ object ChSql {
       case (k, v) if k.startsWith("spark.") => spark.conf.set(k, v)
       case _ => // CH tuning knob — accepted, no Spark equivalent needed
     }
+
+  private val TrailingFormat = """(?is)\s+FORMAT\s+[A-Za-z][A-Za-z0-9]*\s*;?\s*$""".r
+
+  /** Strip a trailing `FORMAT <name>` output-format clause — result
+    * shape is owned by the service envelope (O7), so the clause is an
+    * accepted no-op like the CH tuning SETTINGS. */
+  def stripFormat(sql: String): String =
+    TrailingFormat.replaceAllIn(sql, "")
+
+  private val WithTotals = """(?i)\bWITH\s+TOTALS\b""".r
+  private val GroupBy = """(?i)\bGROUP\s+BY\b""".r
+
+  /** `GROUP BY k WITH TOTALS` → `GROUP BY GROUPING SETS ((k), ())`:
+    * the totals row carries NULL group keys (Spark and DuckDB grouping-
+    * sets semantics; CH renders the same row as a separate totals
+    * block). Only the TOP-LEVEL group-by is rewritten. */
+  def rewriteWithTotals(sql: String): String = {
+    val tot = WithTotals.findAllMatchIn(sql)
+      .find(m => !insideQuote(sql, m.start) && depthAt(sql, m.start) == 0)
+      .getOrElse(return sql)
+    val gb = GroupBy.findAllMatchIn(sql.substring(0, tot.start)).toSeq
+      .filter(m => !insideQuote(sql, m.start) && depthAt(sql, m.start) == 0)
+      .lastOption
+      .getOrElse(throw new IllegalArgumentException(
+        "WITH TOTALS without a matching GROUP BY"))
+    val cols = sql.substring(gb.end, tot.start).trim
+    sql.substring(0, gb.start) +
+      s"GROUP BY GROUPING SETS (($cols), ())" +
+      sql.substring(tot.end)
+  }
+
+  /** Paren depth at position `pos` (quote-aware). */
+  private def depthAt(s: String, pos: Int): Int = {
+    var depth = 0
+    var inQuote = false
+    var i = 0
+    while (i < pos) {
+      val c = s.charAt(i)
+      if (inQuote) {
+        if (c == '\\') i += 1 else if (c == '\'') inQuote = false
+      } else c match {
+        case '\'' => inQuote = true
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case _ =>
+      }
+      i += 1
+    }
+    depth
+  }
 
   private val ZeroArgCount = """(?i)\bcount\s*\(\s*\)""".r
 

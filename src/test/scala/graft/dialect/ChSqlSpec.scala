@@ -55,6 +55,34 @@ class ChSqlSpec extends AnyFunSuite {
     assert(r.settings == Map("max_threads" -> "4"))
   }
 
+  test("trailing FORMAT clause strips in either order with SETTINGS") {
+    assert(ChSql.stripFormat("SELECT 1 FORMAT JSONEachRow") == "SELECT 1")
+    assert(ChSql.stripFormat("SELECT 1 FORMAT TabSeparated;") == "SELECT 1")
+    // FORMAT inside a string literal at the end is NOT a clause… but a
+    // trailing literal can't end a SELECT anyway; check mid-query text
+    assert(ChSql.stripFormat("SELECT 'FORMAT JSON' AS s") == "SELECT 'FORMAT JSON' AS s")
+    val spark = graft.TestSpark.spark
+    val r = ChSql.rewrite(spark,
+      "SELECT count() AS c FROM nation_x SETTINGS max_threads=2 FORMAT JSON")
+    assert(r.sql.trim.endsWith("nation_x"))
+    assert(r.settings == Map("max_threads" -> "2"))
+  }
+
+  test("WITH TOTALS rewrites the top-level GROUP BY to grouping sets") {
+    val spark = graft.TestSpark.spark
+    val r = ChSql.rewrite(spark,
+      "SELECT k, count() AS c FROM t GROUP BY k WITH TOTALS ORDER BY k")
+    assert(r.sql.contains("GROUP BY GROUPING SETS ((k), ())"), r.sql)
+    assert(!r.sql.toUpperCase.contains("WITH TOTALS"))
+    // end-to-end: totals row appears with NULL key
+    import spark.implicits._
+    Seq(("a", 1), ("a", 2), ("b", 3)).toDF("k", "v").createOrReplaceTempView("wt")
+    val rows = ChSql.sql(spark,
+      "SELECT k, CAST(sum(v) AS BIGINT) AS s FROM wt GROUP BY k WITH TOTALS")
+      .collect().map(r2 => (Option(r2.getString(0)), r2.getLong(1))).toSet
+    assert(rows == Set((Some("a"), 3L), (Some("b"), 3L), (None, 6L)))
+  }
+
   test("table function in FROM becomes a Sources-backed view") {
     val spark = graft.TestSpark.spark
     val df = ChSql.sql(spark,
