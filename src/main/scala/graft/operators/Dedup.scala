@@ -106,8 +106,10 @@ object Dedup {
       a
     }
     override def finish(buf: Array[Long]): Seq[Long] = buf.toSeq
+    // native long-array encoder: the buffer crosses the partial→final
+    // exchange as an unsafe array write, not a kryo object blob
     override def bufferEncoder: org.apache.spark.sql.Encoder[Array[Long]] =
-      org.apache.spark.sql.Encoders.kryo[Array[Long]]
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
     override def outputEncoder: org.apache.spark.sql.Encoder[Seq[Long]] =
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
   }
