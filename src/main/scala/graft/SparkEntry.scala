@@ -211,6 +211,18 @@ object SparkEntry {
             |FROM s3('http://127.0.0.1:$port/part-{0..3}.parquet')""".stripMargin)(spark, dir)
     }),
 
+    // embedding mean-pooling per label (centroid/cluster-summary
+    // primitive); scaled-integer output keeps the float avg hashable
+    "q68_embed_mean" -> ((spark, dir) => {
+      prep(spark, dir)
+      Similarity.meanVector(
+          Tables.load(spark, dir, "embeddings"), "label", "embedding")
+        .select(col("_g").cast("long").as("label"),
+          col("_d").cast("long").as("dim"),
+          round(col("_m") * 1e6).cast("long").as("m_scaled"))
+        .orderBy("label", "dim")
+    }),
+
     // C2 tail: CH's WITH TOTALS modifier + trailing FORMAT clause —
     // totals row carries NULL keys (grouping-sets semantics)
     "q67_with_totals" -> ch(
@@ -699,6 +711,13 @@ object SparkEntry {
       "SELECT 'graft' AS cluster_name, count(*) AS cnt FROM lineitem",
     "q12_url_csv" ->
       "SELECT count(*) AS cnt, CAST(sum(n_nationkey) AS BIGINT) AS sum_key, 'nation.csv' AS f FROM nation",
+    "q68_embed_mean" ->
+      """SELECT CAST(label AS BIGINT) AS label, CAST(d - 1 AS BIGINT) AS dim,
+        |       CAST(round(avg(x) * 1000000) AS BIGINT) AS m_scaled
+        |FROM (SELECT label, unnest(embedding) AS x,
+        |             generate_subscripts(embedding, 1) AS d
+        |      FROM embeddings) t
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q67_with_totals" ->
       """SELECT l_returnflag, count(*) AS cnt, CAST(sum(l_quantity) AS BIGINT) AS qty
         |FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), ())

@@ -61,6 +61,17 @@ object Similarity {
       .select("qid", "rank", "nid")
   }
 
+  /** Element-wise mean of an embedding column per group — the pooling
+    * primitive behind centroid building and cluster summaries. One
+    * posexplode → codegen'd avg: a single shuffle on (group, dim),
+    * map-side combined, linear in corpus × dim at any scale. Returns
+    * (_g, _d, _m) rows — pivot back to arrays with
+    * `collect_list` over a (dim, mean) sort if an array shape is
+    * needed downstream. */
+  def meanVector(df: DataFrame, groupCol: String, vecCol: String): DataFrame =
+    df.select(col(groupCol).as("_g"), posexplode(col(vecCol)).as(Seq("_d", "_x")))
+      .groupBy("_g", "_d").agg(avg("_x").as("_m"))
+
   /** Deterministic hyperplane components, computed once on the driver
     * (seeded per (plane, dim) — reproducible across runs, and the
     * executors see plain literals instead of per-element hash

@@ -5,6 +5,17 @@ import org.scalatest.funsuite.AnyFunSuite
 
 class SimilaritySpec extends AnyFunSuite {
 
+  test("meanVector pools element-wise per group") {
+    val spark = graft.TestSpark.spark
+    import spark.implicits._
+    val df = Seq(
+      (1, Seq(1.0f, 2.0f)), (1, Seq(3.0f, 4.0f)), (2, Seq(10.0f, 20.0f)))
+      .toDF("g", "vec")
+    val rows = Similarity.meanVector(df, "g", "vec")
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getDouble(2))).toSet
+    assert(rows == Set((1, 0, 2.0), (1, 1, 3.0), (2, 0, 10.0), (2, 1, 20.0)))
+  }
+
   private lazy val spark = graft.TestSpark.spark
 
   /** 8-dim corpus with planted structure: 1 ≡ 0 (identical), 2 ≈ 0
