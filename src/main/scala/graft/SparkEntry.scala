@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.core.Tables
 import graft.dialect.{ChFunctions, ChSql}
-import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Multimodal, Similarity, Skew, TextAnalysis}
 import graft.service.QueryService
 import graft.sources.Sources
 
@@ -209,6 +209,17 @@ object SparkEntry {
       ch(s"""SELECT count() AS cnt, CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
             |       uniqExact(_file) AS n_files
             |FROM s3('http://127.0.0.1:$port/part-{0..3}.parquet')""".stripMargin)(spark, dir)
+    }),
+
+    // skew-mitigation path: two-phase salted aggregation must equal the
+    // plain group-by (the 100 TB answer to a pathological hot key)
+    "q69_salted_agg" -> ((spark, dir) => {
+      prep(spark, dir)
+      val li = Tables.load(spark, dir, "lineitem")
+      Skew.saltedSum(li, col("l_returnflag"), col("l_quantity"), buckets = 8)
+        .select(col("_k").as("l_returnflag"),
+          col("sum").cast("long").as("sum_qty"))
+        .orderBy("l_returnflag")
     }),
 
     // embedding mean-pooling per label (centroid/cluster-summary
@@ -711,6 +722,9 @@ object SparkEntry {
       "SELECT 'graft' AS cluster_name, count(*) AS cnt FROM lineitem",
     "q12_url_csv" ->
       "SELECT count(*) AS cnt, CAST(sum(n_nationkey) AS BIGINT) AS sum_key, 'nation.csv' AS f FROM nation",
+    "q69_salted_agg" ->
+      """SELECT l_returnflag, CAST(sum(l_quantity) AS BIGINT) AS sum_qty
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q68_embed_mean" ->
       """SELECT CAST(label AS BIGINT) AS label, CAST(d - 1 AS BIGINT) AS dim,
         |       CAST(round(avg(x) * 1000000) AS BIGINT) AS m_scaled
