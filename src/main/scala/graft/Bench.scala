@@ -75,9 +75,20 @@ object Bench {
 
   /** Materialize a 10× copy of the baseline-shape tables (content-keyed
     * under /tmp, built once) so the larger-scale section scans real
-    * tenfold bytes, not a self-union plan. */
+    * tenfold bytes, not a self-union plan. The cache key digests the
+    * source files' names+sizes+mtimes, so regenerated data under the
+    * same path invalidates the copy (a path-only key silently reused
+    * stale bytes). */
   private def ensure10x(spark: SparkSession, sfDir: String): String = {
-    val key = Integer.toHexString(sfDir.hashCode).replace('-', 'n')
+    val sig = Seq("lineitem", "orders").flatMap { t =>
+      val f = new java.io.File(s"$sfDir/$t.parquet")
+      val parts =
+        if (f.isDirectory) f.listFiles().toSeq.sortBy(_.getName) else Seq(f)
+      parts.map(p => s"${p.getPath}:${p.length}:${p.lastModified}")
+    }.mkString("|")
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val key = md.digest(sig.getBytes("UTF-8")).take(8)
+      .map("%02x".format(_)).mkString
     val base = s"/tmp/graft_bench10x_$key"
     val done = new java.io.File(s"$base/_DONE")
     if (!done.exists()) {
@@ -114,6 +125,14 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
+      // Task-memory page size. Spark's default scales with the execution
+      // pool (min(64MB, pool/cores/16)) — under a multi-ten-GB driver
+      // heap every sort/agg task grabs fresh 64MB zero-filled pages, and
+      // a run of many short tasks turns into tens of GB of page-fault
+      // churn (measured here: q5 2.9 s → 14-19 s at -Xmx89g, the r4/r5
+      // driver-bench artifact). 4MB is plenty per task at this
+      // partition size and keeps the allocator reusing warm pages.
+      .config("spark.buffer.pageSize", "4m")
       // NOTE: parquet aggregate pushdown (count from footers) needs the
       // DSv2 scan (useV1SourceList=""); measured end-to-end here the v2
       // reader is net slower at this scale — scheduling overhead

@@ -34,6 +34,10 @@ object Engine {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      // Bound task-memory pages: Spark's heap-proportional default
+      // (up to 64MB/page) makes short interactive tasks zero-fill tens
+      // of GB under a large driver heap (see Bench.scala measurement)
+      .config("spark.buffer.pageSize", "4m")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
       .config("spark.sql.parquet.aggregatePushdown", "true")
