@@ -194,24 +194,38 @@ object ChSql {
     * str)` keep working for non-dialect queries on the same session. */
   def rewriteConflictingFunctions(sql: String): String = {
     val renamed = replaceFnName(sql, "any", "any_value")
-    replaceFnName(renamed, "position", "instr")
+    // `position(substr IN str)` is ANSI syntax Spark parses natively —
+    // rewriting it would produce invalid `instr(substr IN str)`; only
+    // the CH two-argument spelling is renamed.
+    replaceFnName(renamed, "position", "instr",
+      skipArgs = args => """(?i)\bIN\b""".r.findAllMatchIn(args)
+        .exists(m => !insideQuote(args, m.start) && depthAt(args, m.start) == 0))
   }
 
-  /** Rename `from(` → `to(` outside string literals, word-bounded. */
-  private def replaceFnName(sql: String, from: String, to: String): String = {
+  /** Rename `from(` → `to(` outside string literals, word-bounded.
+    * `skipArgs` (given the raw argument-list text) can veto a rewrite.
+    * Quote parity is carried across consumed prefixes (`carry`): a match
+    * found INSIDE a literal leaves the remainder starting mid-quote, and
+    * re-scanning it with fresh state would misclassify later matches. */
+  private def replaceFnName(
+      sql: String,
+      from: String,
+      to: String,
+      skipArgs: String => Boolean = _ => false): String = {
     val re = ("(?i)\\b" + from + "\\s*\\(").r
     val out = new StringBuilder
     var cur = sql
+    var carry = false
     var m = re.findFirstMatchIn(cur)
     while (m.isDefined) {
       val mm = m.get
-      if (insideQuote(cur, mm.start)) {
-        out.append(cur.substring(0, mm.end))
-        cur = cur.substring(mm.end)
-      } else {
-        out.append(cur.substring(0, mm.start)).append(to).append("(")
-        cur = cur.substring(mm.end)
-      }
+      val argEnd = matchParen(cur, mm.end - 1)
+      val skip = insideQuote(cur, mm.start, carry) ||
+        (argEnd > 0 && skipArgs(cur.substring(mm.end, argEnd)))
+      if (skip) out.append(cur.substring(0, mm.end))
+      else out.append(cur.substring(0, mm.start)).append(to).append("(")
+      carry = quoteStateAfter(cur, mm.end, carry)
+      cur = cur.substring(mm.end)
       m = re.findFirstMatchIn(cur)
     }
     out.append(cur)
@@ -228,11 +242,13 @@ object ChSql {
   def rewriteParametricAggregates(sql: String): String = {
     val out = new StringBuilder
     var cur = sql
+    var carry = false
     var m = ParametricAgg.findFirstMatchIn(cur)
     while (m.isDefined) {
       val mm = m.get
-      if (insideQuote(cur, mm.start)) {
+      if (insideQuote(cur, mm.start, carry)) {
         out.append(cur.substring(0, mm.end))
+        carry = quoteStateAfter(cur, mm.end, carry)
         cur = cur.substring(mm.end)
       } else {
         val p1End = matchParen(cur, mm.end - 1)
@@ -248,9 +264,11 @@ object ChSql {
           out.append(cur.substring(0, mm.start))
             .append(mm.group(1)).append('(')
             .append(args).append(", ").append(params).append(')')
+          carry = quoteStateAfter(cur, p2End + 1, carry)
           cur = cur.substring(p2End + 1)
         } else {
           out.append(cur.substring(0, p1End + 1))
+          carry = quoteStateAfter(cur, p1End + 1, carry)
           cur = cur.substring(p1End + 1)
         }
       }
@@ -271,12 +289,14 @@ object ChSql {
   def rewriteTableFunctions(spark: SparkSession, sql: String): String = {
     val out = new StringBuilder
     var cur = sql
+    var carry = false
     var m = TableFn.findFirstMatchIn(cur)
     while (m.isDefined) {
       val mm = m.get
-      if (insideQuote(cur, mm.start)) {
+      if (insideQuote(cur, mm.start, carry)) {
         // literal text, not a call — emit up to and including the match
         out.append(cur.substring(0, mm.end))
+        carry = quoteStateAfter(cur, mm.end, carry)
         cur = cur.substring(mm.end)
       } else {
         val fn = mm.group(1).toLowerCase
@@ -286,6 +306,7 @@ object ChSql {
         val argStr = cur.substring(argStart, argEnd)
         val view = createView(spark, fn, argStr)
         out.append(cur.substring(0, mm.start)).append(view)
+        carry = quoteStateAfter(cur, argEnd + 1, carry)
         cur = cur.substring(argEnd + 1)
       }
       m = TableFn.findFirstMatchIn(cur)
@@ -294,11 +315,18 @@ object ChSql {
     out.toString
   }
 
-  /** Is position `pos` inside a single-quoted SQL string literal? */
-  private def insideQuote(s: String, pos: Int): Boolean = {
-    var inQuote = false
+  /** Is position `pos` inside a single-quoted SQL string literal?
+    * `init` seeds the scan for strings that are a SUFFIX of a larger
+    * statement (the slicing rewriters above carry parity across
+    * consumed prefixes). */
+  private def insideQuote(s: String, pos: Int, init: Boolean = false): Boolean =
+    quoteStateAfter(s, pos, init)
+
+  /** Quote parity after scanning `s[0, until)` starting from `init`. */
+  private def quoteStateAfter(s: String, until: Int, init: Boolean): Boolean = {
+    var inQuote = init
     var i = 0
-    while (i < pos) {
+    while (i < until) {
       val c = s.charAt(i)
       if (inQuote && c == '\\') i += 1
       else if (c == '\'') inQuote = !inQuote

@@ -103,4 +103,25 @@ class ChSqlSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("Avro") || e.getMessage.contains("avro"))
   }
+
+  test("name rewrites keep quote state across literals containing fake calls") {
+    // a literal containing `any(` used to leave the remainder string
+    // starting mid-quote, misclassifying every later match
+    assert(ChSql.rewriteConflictingFunctions(
+      "SELECT 'any(x)' AS lit, any(y) FROM t") ==
+      "SELECT 'any(x)' AS lit, any_value(y) FROM t")
+    assert(ChSql.rewriteParametricAggregates(
+      "SELECT 'quantile(0.5)(v)' AS lit, quantile(0.5)(v) FROM t") ==
+      "SELECT 'quantile(0.5)(v)' AS lit, quantile(v, 0.5) FROM t")
+  }
+
+  test("ANSI position(substr IN str) is not renamed; CH 2-arg form is") {
+    assert(ChSql.rewriteConflictingFunctions("SELECT position('ll' IN s) FROM t") ==
+      "SELECT position('ll' IN s) FROM t")
+    assert(ChSql.rewriteConflictingFunctions("SELECT position(s, 'll') FROM t") ==
+      "SELECT instr(s, 'll') FROM t")
+    // IN inside a nested literal does not suppress the rename
+    assert(ChSql.rewriteConflictingFunctions("SELECT position(s, ' IN ') FROM t") ==
+      "SELECT instr(s, ' IN ') FROM t")
+  }
 }
