@@ -246,14 +246,18 @@ object Dedup {
     * label is the smallest id in the component (deterministic).
     *
     * Scale posture: the pair graph is orders of magnitude smaller than
-    * the corpus (only colliding near-dups), each iteration is one
-    * equi-join + min-aggregate, and convergence needs O(component
-    * diameter) rounds — near-dup clusters are shallow (most are pairs
-    * or small cliques), so this terminates in a handful of rounds.
-    * `localCheckpoint` truncates lineage per round so the plan does not
-    * grow with iterations (swap for `checkpoint` with a reliable dir on
-    * a real cluster). The per-round driver `count` is over label
-    * CHANGES, not data. */
+    * the corpus (only colliding near-dups), and each iteration is one
+    * equi-join + min-aggregate plus a pointer-jumping self-join
+    * (adopt the label of one's current label) — the jump halves the
+    * remaining label-tree depth each round, so convergence is
+    * O(log diameter), not O(diameter): maxIter=20 covers components of
+    * diameter ~2^20, including the long templated-text chains that
+    * would starve plain propagation. If the loop still hits maxIter
+    * without converging it THROWS rather than returning silently-wrong
+    * labels. `localCheckpoint` truncates lineage per round so the plan
+    * does not grow with iterations (swap for `checkpoint` with a
+    * reliable dir on a real cluster). The per-round driver `count` is
+    * over label CHANGES, not data. */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
     val edges = pairs
       .select(col("id_a").as("src"), col("id_b").as("dst"))
@@ -267,7 +271,12 @@ object Dedup {
     while (!converged && iter < maxIter) {
       val prop = edges.join(labels, edges("src") === labels("id"))
         .select(col("dst").as("id"), col("label"))
-      val next = labels.union(prop)
+      // pointer jumping: labels are always node ids, so every node can
+      // look up its label's OWN label and adopt it if smaller
+      val jump = labels.as("x")
+        .join(labels.as("y"), col("x.label") === col("y.id"))
+        .select(col("x.id").as("id"), col("y.label").as("label"))
+      val next = labels.union(prop).union(jump)
         .groupBy("id").agg(min("label").as("label"))
         .localCheckpoint()
       val changed = next.as("n")
@@ -279,6 +288,10 @@ object Dedup {
       iter += 1
     }
     edges.unpersist()
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents: labels still changing after $maxIter rounds " +
+          "— raise maxIter (convergence is O(log component-diameter))")
     labels
   }
 

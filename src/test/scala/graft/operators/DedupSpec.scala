@@ -90,6 +90,16 @@ class DedupSpec extends AnyFunSuite {
       10L -> 10L, 11L -> 10L, 8L -> 8L, 9L -> 8L))
   }
 
+  test("connected components converge on long chains (pointer jumping)") {
+    val spark2 = spark
+    import spark2.implicits._
+    // a 41-node chain: plain min-propagation needs 40 rounds; pointer
+    // jumping doubles the resolved depth per round → ~7, well under 10
+    val pairs = (0L until 40L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val labels = Dedup.connectedComponents(pairs, maxIter = 10)
+    assert(labels.collect().forall(_.getLong(1) == 0L))
+  }
+
   test("near-dup survivors keep the smallest id per component plus isolated docs") {
     val spark2 = spark
     import spark2.implicits._
