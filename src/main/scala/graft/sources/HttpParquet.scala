@@ -76,6 +76,20 @@ object HttpParquet {
 
   private def sparkType(p: PrimitiveType): DataType = {
     val lt = p.getLogicalTypeAnnotation
+    // Logical annotations the decoder below does NOT honor must fail as
+    // loudly as unsupported physical types: falling through to the raw
+    // physical type would return unscaled decimal ints / sign-flipped
+    // uint64 values instead of an error.
+    lt match {
+      case _: LogicalTypeAnnotation.DecimalLogicalTypeAnnotation =>
+        throw new IllegalArgumentException(
+          s"parquet-over-http: DECIMAL column '${p.getName}' is not supported")
+      case t: LogicalTypeAnnotation.IntLogicalTypeAnnotation
+          if !t.isSigned && t.getBitWidth == 64 =>
+        throw new IllegalArgumentException(
+          s"parquet-over-http: unsigned INT(64) column '${p.getName}' does not fit a signed long")
+      case _ => ()
+    }
     p.getPrimitiveTypeName match {
       case BOOLEAN => BooleanType
       case INT32 =>

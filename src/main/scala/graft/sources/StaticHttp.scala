@@ -23,8 +23,10 @@ object StaticHttp {
     server.createContext("/", new HttpHandler {
       override def handle(ex: HttpExchange): Unit = {
         val f = new java.io.File(root, ex.getRequestURI.getPath).getCanonicalFile
-        // canonical-path containment: no ../ escape from the served dir
-        if (!f.getPath.startsWith(root.getPath) || !f.isFile) {
+        // canonical-path containment: no ../ escape from the served dir.
+        // Component-wise Path.startsWith — a string-prefix test would let
+        // a sibling like /data2 pass when serving /data.
+        if (!f.toPath.startsWith(root.toPath) || !f.isFile) {
           ex.sendResponseHeaders(404, -1)
         } else {
           val bytes = java.nio.file.Files.readAllBytes(f.toPath)
@@ -35,7 +37,13 @@ object StaticHttp {
       }
     })
     server.setExecutor(null) // serve on the dispatch thread
-    server.start()
+    // start() spawns the (non-daemon) HTTP-Dispatcher thread, which
+    // inherits daemon status from its creator — start from a daemon
+    // thread so a finished main (Verify/Bench) can actually exit the JVM
+    val starter = new Thread(() => server.start(), "static-http-starter")
+    starter.setDaemon(true)
+    starter.start()
+    starter.join()
     server.getAddress.getPort
   })
 }
