@@ -211,6 +211,70 @@ object SparkEntry {
             |FROM s3('http://127.0.0.1:$port/part-{0..3}.parquet')""".stripMargin)(spark, dir)
     }),
 
+    // near-dup cluster-size histogram: MinHash pairs → connected
+    // components → sizes — the policy input a dedup pipeline reads
+    // (how much of the corpus sits in template families vs pairs)
+    "q70_component_sizes" -> ((spark, dir) => {
+      prep(spark, dir)
+      val docs = Tables.load(spark, dir, "documents")
+      val pairs = Dedup.minHashDupPairs(docs, "doc_id", "text",
+        shingleSize = 3, numHashes = 128, bands = 32, threshold = 0.7)
+      Dedup.componentSizeHistogram(docs, "doc_id", pairs)
+        .select(col("cluster_size").cast("long").as("cluster_size"),
+          col("n_clusters").cast("long").as("n_clusters"))
+        .orderBy("cluster_size")
+    }),
+
+    // Gopher-style repetition signals: duplicate-word counts (scan-stage)
+    // + per-doc most-repeated word bigram (explode → hash-agg — the
+    // distributed shape; array-local would be O(len²) per doc)
+    "q71_repetition" -> ((spark, dir) => {
+      prep(spark, dir)
+      val docs = Tables.load(spark, dir, "documents").filter(col("doc_id") < 20)
+      val rep = TextAnalysis.wordRepetitionFeatures(docs, "text")
+        .select("doc_id", "n_words", "n_distinct_words")
+      val top = TextAnalysis.topNgramStats(docs, "doc_id", "text", n = 2)
+      rep.join(top, "doc_id").orderBy("doc_id")
+    }),
+
+    // PII detection + redaction: deterministic synthetic PII injected in
+    // the query (the corpus has none), counted and scrubbed scan-stage
+    "q72_pii_scrub" -> ((spark, dir) => {
+      prep(spark, dir)
+      val injected = Tables.load(spark, dir, "documents")
+        .filter(col("doc_id") < 10)
+        .withColumn("_t", concat(
+          col("text"), lit(" contact u"), col("doc_id").cast("string"),
+          lit("@ex.com ip 10.0."), (col("doc_id") % 250).cast("string"),
+          lit(".7 tel +1555"),
+          lpad(col("doc_id").cast("string"), 7, "0")))
+      TextAnalysis.piiStats(injected, "_t")
+        .select(col("doc_id"), col("n_emails"), col("n_ipv4"), col("n_phones"),
+          TextAnalysis.piiScrub(col("_t")).as("scrubbed"))
+        .orderBy("doc_id")
+    }),
+
+    // dialect tail: argMax/argMin, plural quantiles()(), dateDiff
+    "q73_agg_tail" -> ch(
+      """SELECT o_orderpriority AS prio,
+        |       argMax(o_orderstatus, o_orderkey) AS last_status,
+        |       argMin(o_orderstatus, o_orderkey) AS first_status,
+        |       CAST(dateDiff('day', min(o_orderdate), max(o_orderdate)) AS BIGINT) AS span_days,
+        |       CAST(round(element_at(quantiles(0.25, 0.5, 0.75)(o_totalprice), 2) * 100) AS BIGINT) AS med_cents
+        |FROM orders GROUP BY prio ORDER BY prio""".stripMargin),
+
+    // dialect tail: regex surface (match/extract/replace/countMatches)
+    // + direct-named array reducers
+    "q74_regex_tail" -> ch(
+      """SELECT CAST(sum(countMatches(text, 'table')) AS BIGINT) AS n_table,
+        |       CAST(countIf(match(text, '(^|\\s)spark(\\s|$)')) AS BIGINT) AS n_spark_docs,
+        |       max(extract(text, '([a-z]+)')) AS first_word_max,
+        |       CAST(sum(lengthUTF8(replaceRegexpAll(text, '[aeiou]', ''))) AS BIGINT) AS len_novowels,
+        |       CAST(sum(lengthUTF8(replaceAll(text, 'a', 'aa'))) AS BIGINT) AS len_dup_a,
+        |       CAST(sum(arraySum(arrayMap(w -> lengthUTF8(w), splitByChar(' ', text)))) AS BIGINT) AS sum_word_lens,
+        |       CAST(max(arrayMax(arrayMap(w -> lengthUTF8(w), splitByChar(' ', text)))) AS BIGINT) AS max_word_len
+        |FROM documents""".stripMargin),
+
     // skew-mitigation path: two-phase salted aggregation must equal the
     // plain group-by (the 100 TB answer to a pathological hot key)
     "q69_salted_agg" -> ((spark, dir) => {
@@ -1000,6 +1064,80 @@ object SparkEntry {
         |       CAST(max(length(text) % 640) AS INT) AS max_width
         |FROM documents""".stripMargin,
     "q53_multimodal_features" ->
-      "SELECT count(*) AS n, CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes FROM documents"
+      "SELECT count(*) AS n, CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes FROM documents",
+    "q70_component_sizes" ->
+      """WITH RECURSIVE sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    range(1, len(string_split_regex(text, '\s+')) - 1),
+        |    i -> string_split_regex(text, '\s+')[i] || ' ' ||
+        |         string_split_regex(text, '\s+')[i+1] || ' ' ||
+        |         string_split_regex(text, '\s+')[i+2])) AS s
+        |  FROM documents),
+        |p AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE len(list_intersect(a.s, b.s))::DOUBLE / len(list_distinct(list_concat(a.s, b.s))) >= 0.7),
+        |e AS (SELECT id_a AS src, id_b AS dst FROM p UNION ALL SELECT id_b, id_a FROM p),
+        |reach(a, b) AS (
+        |  SELECT src, dst FROM e
+        |  UNION
+        |  SELECT r.a, e2.dst FROM reach r JOIN e e2 ON r.b = e2.src WHERE e2.dst != r.a),
+        |lab AS (SELECT a AS id, least(a, min(b)) AS label FROM reach GROUP BY a),
+        |sizes AS (SELECT label, count(*) AS cluster_size FROM lab GROUP BY label),
+        |hist AS (
+        |  SELECT cluster_size, count(*) AS n_clusters FROM sizes GROUP BY cluster_size
+        |  UNION ALL
+        |  SELECT 1, (SELECT count(*) FROM documents) - (SELECT count(*) FROM lab))
+        |SELECT cluster_size, CAST(sum(n_clusters) AS BIGINT) AS n_clusters
+        |FROM hist GROUP BY cluster_size HAVING sum(n_clusters) > 0
+        |ORDER BY cluster_size""".stripMargin,
+    "q71_repetition" ->
+      """WITH d AS (
+        |  SELECT doc_id, regexp_extract_all(text, '\S+') AS w
+        |  FROM documents WHERE doc_id < 20),
+        |g AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(w)),
+        |    i -> w[i] || ' ' || w[i+1])) AS gram
+        |  FROM d),
+        |c AS (SELECT doc_id, gram, count(*) AS c FROM g GROUP BY doc_id, gram),
+        |t AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_ngrams,
+        |             CAST(max(c) AS BIGINT) AS top_count
+        |      FROM c GROUP BY doc_id)
+        |SELECT d.doc_id, CAST(len(w) AS BIGINT) AS n_words,
+        |       CAST(len(list_distinct(w)) AS BIGINT) AS n_distinct_words,
+        |       t.n_ngrams, t.top_count
+        |FROM d JOIN t ON d.doc_id = t.doc_id ORDER BY d.doc_id""".stripMargin,
+    "q72_pii_scrub" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    text || ' contact u' || CAST(doc_id AS VARCHAR) || '@ex.com ip 10.0.' ||
+        |    CAST(doc_id % 250 AS VARCHAR) || '.7 tel +1555' ||
+        |    lpad(CAST(doc_id AS VARCHAR), 7, '0') AS t
+        |  FROM documents WHERE doc_id < 10)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(t, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS BIGINT) AS n_ipv4,
+        |  CAST(len(regexp_extract_all(t, '\+[0-9]{6,14}')) AS BIGINT) AS n_phones,
+        |  regexp_replace(regexp_replace(regexp_replace(t,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g'),
+        |    '\+[0-9]{6,14}', '<PHONE>', 'g') AS scrubbed
+        |FROM t ORDER BY doc_id""".stripMargin,
+    "q73_agg_tail" ->
+      """SELECT o_orderpriority AS prio,
+        |       arg_max(o_orderstatus, o_orderkey) AS last_status,
+        |       arg_min(o_orderstatus, o_orderkey) AS first_status,
+        |       CAST(date_diff('day', min(o_orderdate), max(o_orderdate)) AS BIGINT) AS span_days,
+        |       CAST(round(quantile_cont(o_totalprice, 0.5) * 100) AS BIGINT) AS med_cents
+        |FROM orders GROUP BY prio ORDER BY prio""".stripMargin,
+    "q74_regex_tail" ->
+      """SELECT CAST(sum(len(regexp_extract_all(text, 'table'))) AS BIGINT) AS n_table,
+        |       CAST(sum(CASE WHEN regexp_matches(text, '(^|\s)spark(\s|$)') THEN 1 ELSE 0 END) AS BIGINT) AS n_spark_docs,
+        |       max(regexp_extract(text, '([a-z]+)', 1)) AS first_word_max,
+        |       CAST(sum(length(regexp_replace(text, '[aeiou]', '', 'g'))) AS BIGINT) AS len_novowels,
+        |       CAST(sum(length(replace(text, 'a', 'aa'))) AS BIGINT) AS len_dup_a,
+        |       CAST(sum(list_sum(list_transform(string_split(text, ' '), w -> length(w)))) AS BIGINT) AS sum_word_lens,
+        |       CAST(max(list_max(list_transform(string_split(text, ' '), w -> length(w)))) AS BIGINT) AS max_word_len
+        |FROM documents""".stripMargin
   )
 }

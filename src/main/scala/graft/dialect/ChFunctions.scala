@@ -318,6 +318,84 @@ object ChFunctions {
         If(EqualTo(n, Literal(0L)), Literal.create(null, NullType),
           ElementAt(sorted, idx))
       })
+      // quantiles(q1,…,qk)(x) — plural form returns the array; the
+      // parametric pre-pass delivers the args as (x, q1, …, qk)
+      reg("quantiles")({ case x +: qs if qs.nonEmpty =>
+        new Percentile(x, CreateArray(qs))
+      })
+
+      // argMax(arg, val) / argMin — CH's "arg at the extremum of val"
+      reg("argMax")({ case Seq(arg, v) => MaxBy(arg, v) })
+      reg("argMin")({ case Seq(arg, v) => MinBy(arg, v) })
+
+      // regex surface: RE2-style patterns run unchanged under Java regex
+      // for the common cases (no backrefs in CH patterns)
+      reg("match")({ case Seq(s, p) => RLike(s, p) })
+      // CH extract(): whole match unless the pattern has a capture
+      // group, then the first group — decidable for literal patterns
+      reg("extract")({ case Seq(s, p) =>
+        val group = p match {
+          case Literal(v: org.apache.spark.unsafe.types.UTF8String, StringType)
+              if v.toString.contains("(") => 1
+          case _ => 0
+        }
+        RegExpExtract(s, p, Literal(group))
+      })
+      reg("replaceRegexpAll")({ case Seq(s, p, r) => RegExpReplace(s, p, r) })
+      reg("replaceAll")({ case Seq(s, f, t) => StringReplace(s, f, t) })
+      reg("countMatches")({ case Seq(s, p) =>
+        Cast(Size(new RegExpExtractAll(s, p, Literal(0))), LongType)
+      })
+
+      // array reducers under their direct CH names (arrayReduce('sum',…)
+      // spellings also exist above)
+      reg("arraySum")({ case Seq(arr) =>
+        val acc = lv("accS"); val x = lv("xS"); val f = lv("fS")
+        ArrayAggregate(arr, Literal(0L),
+          LambdaFunction(Add(acc, x), Seq(acc, x)),
+          LambdaFunction(f, Seq(f)))
+      })
+      reg("arrayAvg")({ case Seq(arr) =>
+        val acc = lv("accA"); val x = lv("xA"); val f = lv("fA")
+        Divide(
+          ArrayAggregate(arr, Literal(0.0d),
+            LambdaFunction(Add(acc, x), Seq(acc, x)),
+            LambdaFunction(f, Seq(f))),
+          Cast(Size(arr), DoubleType))
+      })
+      reg("arrayMin")(exprs => ArrayMin(exprs.head))
+      reg("arrayMax")(exprs => ArrayMax(exprs.head))
+
+      // NOTE: CH `dateDiff('unit',…)` is handled by [[ChSql.rewriteDateDiff]]
+      // (→ timestampdiff) — Spark's parser claims the `dateDiff` name with
+      // special unquoted-unit grammar before the registry is consulted,
+      // so a builder under that name is unreachable.
+      // add*(ts, n) — timestamp in, timestamp out (CH widens Date the
+      // same way for sub-day units)
+      def addUnit(unit: String): Seq[Expression] => Expression = {
+        case Seq(ts, n) => TimestampAdd(unit, n, Cast(ts, TimestampType))
+      }
+      reg("addDays")(addUnit("DAY"))
+      reg("addHours")(addUnit("HOUR"))
+      reg("addMinutes")(addUnit("MINUTE"))
+      reg("addSeconds")(addUnit("SECOND"))
+
+      // remaining date-part extractors / truncations
+      reg("toQuarter")(exprs => Quarter(Cast(exprs.head, DateType)))
+      reg("toMinute")(exprs => Minute(exprs.head))
+      reg("toSecond")(exprs => Second(exprs.head))
+      // CH numbers days Monday=1…Sunday=7; Spark's dayofweek is Sunday=1
+      reg("toDayOfWeek")(exprs =>
+        Add(Pmod(Add(DayOfWeek(Cast(exprs.head, DateType)), Literal(5)),
+          Literal(7)), Literal(1)))
+      reg("toMonday")(exprs =>
+        TruncDate(Cast(exprs.head, DateType), Literal("week")))
+      reg("toStartOfMinute")(
+        exprs => TruncTimestamp(Literal("minute"), exprs.head))
+      reg("toStartOfQuarter")(
+        exprs => TruncDate(Cast(exprs.head, DateType), Literal("quarter")))
+      reg("toStartOfYear")(
+        exprs => TruncDate(Cast(exprs.head, DateType), Literal("year")))
 
     out.result()
   }

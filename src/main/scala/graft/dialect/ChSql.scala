@@ -48,10 +48,38 @@ object ChSql {
     val totaled = rewriteWithTotals(body)
     val counted = zeroArgCount(totaled)
     val parametric = rewriteParametricAggregates(counted)
-    val deconflicted = rewriteConflictingFunctions(parametric)
+    val dated = rewriteDateDiff(parametric)
+    val deconflicted = rewriteConflictingFunctions(dated)
     val sys = rewriteSystemTables(deconflicted)
     val rewritten = rewriteTableFunctions(spark, sys)
     Rewritten(rewritten, settings)
+  }
+
+  private val DateDiffCall =
+    """(?i)\b(?:dateDiff|date_diff)\s*\(\s*'([A-Za-z]+)'\s*,""".r
+
+  /** CH `dateDiff('unit', a, b)` (quoted unit) → Spark
+    * `timestampdiff(unit, a, b)`. Spark's PARSER special-cases the
+    * `dateDiff`/`timestampdiff` names with an unquoted unit identifier,
+    * so this cannot be fixed by function registration — the name is
+    * claimed before the registry is consulted. Quote-aware like the
+    * other passes. */
+  def rewriteDateDiff(sql: String): String = {
+    val out = new StringBuilder
+    var cur = sql
+    var carry = false
+    var m = DateDiffCall.findFirstMatchIn(cur)
+    while (m.isDefined) {
+      val mm = m.get
+      if (insideQuote(cur, mm.start, carry)) out.append(cur.substring(0, mm.end))
+      else out.append(cur.substring(0, mm.start))
+        .append("timestampdiff(").append(mm.group(1).toUpperCase).append(",")
+      carry = quoteStateAfter(cur, mm.end, carry)
+      cur = cur.substring(mm.end)
+      m = DateDiffCall.findFirstMatchIn(cur)
+    }
+    out.append(cur)
+    out.toString
   }
 
   private val ClusterAllReplicas =
@@ -233,7 +261,7 @@ object ChSql {
   }
 
   private val ParametricAgg =
-    """(?i)\b(quantileExact|quantile|topK|uniqUpTo)\s*\(""".r
+    """(?i)\b(quantilesExact|quantileExact|quantiles|quantile|topK|uniqUpTo)\s*\(""".r
 
   /** CH parametric-aggregate syntax `f(params)(args)` →
     * `f(args, params)` — the calling convention the registered builders

@@ -308,6 +308,32 @@ object Dedup {
     docs.join(dupes, docs(idCol) === col("_dup_id"), "left_anti")
   }
 
+  /** Near-dup cluster-size histogram: `(cluster_size, n_clusters)` —
+    * the shape a pipeline operator reads to pick a dedup policy (how
+    * much of the corpus sits in big template families vs pairs).
+    * Documents in no pair are size-1 clusters; their count is computed
+    * from totals, never by materializing the (huge) singleton set
+    * through the label join — the component machinery only ever touches
+    * the pair graph, which is collision-proportional, not corpus-sized. */
+  def componentSizeHistogram(
+      docs: DataFrame,
+      idCol: String,
+      pairs: DataFrame): DataFrame = {
+    val labels = connectedComponents(pairs)
+    val multi = labels.groupBy("label")
+      .agg(count(lit(1)).as("cluster_size"))
+      .groupBy("cluster_size")
+      .agg(count(lit(1)).as("n_clusters"))
+    val totalDocs = docs.agg(count(lit(1))).first().getLong(0)
+    val pairedDocs = labels.count()
+    val singletons = docs.sparkSession.range(1)
+      .select(lit(1L).as("cluster_size"),
+        lit(totalDocs - pairedDocs).as("n_clusters"))
+      .filter(col("n_clusters") > 0)
+    multi.unionByName(singletons)
+      .groupBy("cluster_size").agg(sum("n_clusters").as("n_clusters"))
+  }
+
   /** SimHash 64-bit fingerprint of a text column: per bit, the sign of
     * the sum of ±1 votes from each word's hash bit. Single pass over the
     * word array via higher-order `aggregate` — no explode, no shuffle. */

@@ -95,4 +95,64 @@ object TextAnalysis {
     aggregate(tokens, lit(0L),
       (acc, t) => pmod(acc * b + pmod(Dedup.md5Hash60(t), lit(p)), lit(p)))
   }
+
+  /** Gopher-style word-repetition signals, scan-stage and integer-exact:
+    * total words vs distinct words (the duplicate-word fraction is
+    * `1 - n_distinct_words/n_words`, left to the caller so the stored
+    * columns stay float-free). Array-local — zero shuffles. */
+  def wordRepetitionFeatures(df: DataFrame, textCol: String): DataFrame = {
+    val words = regexp_extract_all(col(textCol), lit("\\S+"), lit(0))
+    df.withColumn("n_words", size(words).cast("long"))
+      .withColumn("n_distinct_words", size(array_distinct(words)).cast("long"))
+  }
+
+  /** Per-document most-repeated word n-gram: `(id, n_ngrams, top_count)`.
+    * The repeated-n-gram filters (Gopher §A1.1) key off `top_count /
+    * n_ngrams`. Distributed shape, not array-local: explode n-grams →
+    * hash-aggregate on (doc, gram) → max per doc. One shuffle on the
+    * (doc, gram) key — at 100 TB this is the correct plan (the
+    * array-local alternative is O(len²) per document, quadratic in the
+    * long-document tail), and the partial aggregate collapses each
+    * document's repeats map-side before the exchange. */
+  def topNgramStats(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    require(n >= 1, "n-gram size must be >= 1")
+    val words = regexp_extract_all(col(textCol), lit("\\S+"), lit(0))
+    val grams =
+      if (n == 1) words
+      else transform(
+        slice(words, lit(1), greatest(size(words) - (n - 1), lit(0))),
+        (_, i) => concat_ws(" ", slice(words, i + 1, lit(n))))
+    df.select(col(idCol), explode(grams).as("_gram"))
+      .groupBy(idCol, "_gram").agg(count(lit(1)).as("_c"))
+      .groupBy(idCol).agg(
+        sum("_c").cast("long").as("n_ngrams"),
+        max("_c").cast("long").as("top_count"))
+  }
+
+  /** PII patterns — deliberately RE2-compatible (no backreferences, no
+    * lookaround) so the same pattern text runs identically under Java
+    * regex (Spark) and RE2 (DuckDB/production scrubbers). */
+  val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val ipv4Re = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+  val phoneRe = "\\+[0-9]{6,14}"
+
+  /** Per-document PII hit counts (emails, IPv4 literals, international
+    * phone numbers) — scan-stage, integer-exact. */
+  def piiStats(df: DataFrame, textCol: String): DataFrame =
+    df.withColumn("n_emails",
+        size(regexp_extract_all(col(textCol), lit(emailRe), lit(0))).cast("long"))
+      .withColumn("n_ipv4",
+        size(regexp_extract_all(col(textCol), lit(ipv4Re), lit(0))).cast("long"))
+      .withColumn("n_phones",
+        size(regexp_extract_all(col(textCol), lit(phoneRe), lit(0))).cast("long"))
+
+  /** Redact PII in place: emails → `<EMAIL>`, IPv4 → `<IP>`, phones →
+    * `<PHONE>`. Email first — an address also contains digit runs, so
+    * later passes must only see already-redacted text. */
+  def piiScrub(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, emailRe, "<EMAIL>"),
+        ipv4Re, "<IP>"),
+      phoneRe, "<PHONE>")
 }

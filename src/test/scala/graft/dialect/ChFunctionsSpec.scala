@@ -222,6 +222,54 @@ class ChFunctionsSpec extends AnyFunSuite {
       java.lang.Long.parseUnsignedLong("9ae16a3b2f90404f", 16))
   }
 
+  test("argMax/argMin pick the arg at the value extremum") {
+    assert(one("SELECT argMax(name, v) FROM VALUES ('lo', 1), ('hi', 9), ('mid', 5) t(name, v)") == "hi")
+    assert(one("SELECT argMin(name, v) FROM VALUES ('lo', 1), ('hi', 9), ('mid', 5) t(name, v)") == "lo")
+  }
+
+  test("quantiles plural returns the percentile array") {
+    // scalar-q spelling, as the ChSql parametric pre-pass feeds it:
+    // quantiles(0.0, 0.5, 1.0)(c) → quantiles(c, 0.0, 0.5, 1.0)
+    val arr = spark.sql(
+      "SELECT quantiles(c, 0.0, 0.5, 1.0) AS q FROM VALUES (1), (2), (3), (4), (5) t(c)")
+      .collect().head.getAs[scala.collection.Seq[Double]](0)
+    assert(arr.toSeq == Seq(1.0, 3.0, 5.0))
+    val viaDialect = ChSql.rewriteParametricAggregates(
+      "SELECT quantiles(0.0, 0.5, 1.0)(c) AS q FROM t")
+    assert(viaDialect == "SELECT quantiles(c, 0.0, 0.5, 1.0) AS q FROM t")
+  }
+
+  test("regex tail: match, extract, replaceRegexpAll, replaceAll, countMatches") {
+    assert(one("SELECT match('spark sql', 'sq')") == true)
+    assert(one("SELECT match('spark sql', '^z')") == false)
+    // extract: whole match without groups, first group with
+    assert(one("SELECT extract('abc123', '[0-9]+')") == "123")
+    assert(one("SELECT extract('abc123', '([a-z]+)[0-9]')") == "abc")
+    assert(one("SELECT replaceRegexpAll('a1b2', '[0-9]', '_')") == "a_b_")
+    assert(one("SELECT replaceAll('aaa', 'a', 'ab')") == "ababab")
+    assert(one("SELECT countMatches('aXbXc', 'X')") == 2L)
+  }
+
+  test("array reducers under direct CH names") {
+    assert(one("SELECT arraySum(array(1, 2, 3))") == 6L)
+    assert(one("SELECT arrayAvg(array(1, 2, 3))") == 2.0d)
+    assert(one("SELECT arrayMin(array(3, 1, 2))") == 1)
+    assert(one("SELECT arrayMax(array(3, 1, 2))") == 3)
+  }
+
+  test("date tail: toDayOfWeek is Monday=1, add/trunc helpers") {
+    // 2024-01-01 is a Monday; 2024-01-07 a Sunday
+    assert(one("SELECT toDayOfWeek(DATE'2024-01-01')") == 1)
+    assert(one("SELECT toDayOfWeek(DATE'2024-01-07')") == 7)
+    assert(one("SELECT toMonday(DATE'2024-01-04')").toString == "2024-01-01")
+    assert(one("SELECT toQuarter(DATE'2024-05-15')") == 2)
+    assert(one("SELECT CAST(addDays(TIMESTAMP'2024-01-01 00:00:00', 3) AS STRING)") ==
+      "2024-01-04 00:00:00")
+    assert(one("SELECT CAST(addHours(TIMESTAMP'2024-01-01 00:00:00', 25) AS STRING)") ==
+      "2024-01-02 01:00:00")
+    assert(one("SELECT CAST(toStartOfYear(DATE'2024-05-15') AS STRING)") == "2024-01-01")
+  }
+
   test("SparkSessionExtensions path serves fresh sessions with no runtime call") {
     // newSession() builds FRESH session state: FunctionShim-registered
     // names are absent there, so resolution proves the injectFunction

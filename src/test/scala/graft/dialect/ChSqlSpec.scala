@@ -115,6 +115,16 @@ class ChSqlSpec extends AnyFunSuite {
       "SELECT 'quantile(0.5)(v)' AS lit, quantile(v, 0.5) FROM t")
   }
 
+  test("dateDiff with quoted unit becomes timestampdiff with identifier unit") {
+    assert(ChSql.rewriteDateDiff("SELECT dateDiff('day', a, b) FROM t") ==
+      "SELECT timestampdiff(DAY, a, b) FROM t")
+    assert(ChSql.rewriteDateDiff("SELECT date_diff('month', a, b) FROM t") ==
+      "SELECT timestampdiff(MONTH, a, b) FROM t")
+    // inside a literal: untouched
+    assert(ChSql.rewriteDateDiff("SELECT 'dateDiff(''day'', a, b)' AS s") ==
+      "SELECT 'dateDiff(''day'', a, b)' AS s")
+  }
+
   test("ANSI position(substr IN str) is not renamed; CH 2-arg form is") {
     assert(ChSql.rewriteConflictingFunctions("SELECT position('ll' IN s) FROM t") ==
       "SELECT position('ll' IN s) FROM t")

@@ -100,6 +100,18 @@ class DedupSpec extends AnyFunSuite {
     assert(labels.collect().forall(_.getLong(1) == 0L))
   }
 
+  test("component size histogram counts clusters plus singletons") {
+    val spark2 = spark
+    import spark2.implicits._
+    // components: {0,1,2} (size 3), {5,6} (size 2); docs 0..9 → 5 singletons
+    val docs = (0L until 10L).toDF("doc_id")
+    val pairs = Seq((0L, 1L), (1L, 2L), (5L, 6L)).toDF("id_a", "id_b")
+    val hist = Dedup.componentSizeHistogram(docs, "doc_id", pairs)
+      .orderBy("cluster_size").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(hist == Seq((1L, 5L), (2L, 1L), (3L, 1L)))
+  }
+
   test("near-dup survivors keep the smallest id per component plus isolated docs") {
     val spark2 = spark
     import spark2.implicits._

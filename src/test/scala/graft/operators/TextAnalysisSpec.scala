@@ -110,4 +110,41 @@ class TextAnalysisSpec extends AnyFunSuite {
       .orderBy("media_id").collect()
     assert(feats.map(_.getLong(2)).toSeq == again.map(_.getLong(2)).toSeq)
   }
+
+  test("word repetition features count total vs distinct words") {
+    import spark.implicits._
+    val r = TextAnalysis.wordRepetitionFeatures(
+        Seq("a b a b a", "x y z").toDF("text"), "text")
+      .select("n_words", "n_distinct_words").collect()
+    assert(r(0).getLong(0) == 5L && r(0).getLong(1) == 2L)
+    assert(r(1).getLong(0) == 3L && r(1).getLong(1) == 3L)
+  }
+
+  test("top n-gram stats find the most repeated bigram") {
+    import spark.implicits._
+    // "a b" appears 3x among 6 bigrams
+    val df = Seq((1L, "a b a b a b c")).toDF("id", "text")
+    val r = TextAnalysis.topNgramStats(df, "id", "text", n = 2).collect().head
+    assert(r.getAs[Long]("n_ngrams") == 6L)
+    assert(r.getAs[Long]("top_count") == 3L)
+    // unigram path
+    val u = TextAnalysis.topNgramStats(df, "id", "text", n = 1).collect().head
+    assert(u.getAs[Long]("n_ngrams") == 7L)
+    assert(u.getAs[Long]("top_count") == 3L) // 'a' and 'b' both 3x
+  }
+
+  test("pii stats and scrub: emails, ips, phones") {
+    import spark.implicits._
+    val df = Seq(
+      "mail bob.smith+x@corp.example.org and 192.168.0.1 call +4915112345678",
+      "no pii here").toDF("text")
+    val s = TextAnalysis.piiStats(df, "text")
+      .select("n_emails", "n_ipv4", "n_phones").collect()
+    assert(s(0).getLong(0) == 1L && s(0).getLong(1) == 1L && s(0).getLong(2) == 1L)
+    assert(s(1).getLong(0) == 0L && s(1).getLong(1) == 0L && s(1).getLong(2) == 0L)
+    val scrubbed = df.select(TextAnalysis.piiScrub(col("text")).as("t"))
+      .collect().map(_.getString(0))
+    assert(scrubbed(0) == "mail <EMAIL> and <IP> call <PHONE>")
+    assert(scrubbed(1) == "no pii here")
+  }
 }
