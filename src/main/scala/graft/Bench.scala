@@ -79,8 +79,10 @@ object Bench {
     * source files' names+sizes+mtimes, so regenerated data under the
     * same path invalidates the copy (a path-only key silently reused
     * stale bytes). */
+  private val Tables10x = Seq("lineitem", "orders", "documents")
+
   private def ensure10x(spark: SparkSession, sfDir: String): String = {
-    val sig = Seq("lineitem", "orders").flatMap { t =>
+    val sig = Tables10x.flatMap { t =>
       val f = new java.io.File(s"$sfDir/$t.parquet")
       val parts =
         if (f.isDirectory) f.listFiles().toSeq.sortBy(_.getName) else Seq(f)
@@ -93,11 +95,29 @@ object Bench {
     val done = new java.io.File(s"$base/_DONE")
     if (!done.exists()) {
       val cores = spark.sparkContext.defaultParallelism
-      Seq("lineitem", "orders").foreach { t =>
+      Tables10x.foreach { t =>
         val df = Tables.load(spark, sfDir, t)
         // one file per core: the 10× scan must be able to use the whole
-        // machine, not inherit the source's file granularity
-        Seq.fill(10)(df).reduce(_ union _).repartition(cores)
+        // machine, not inherit the source's file granularity. documents
+        // gets fresh doc_ids AND per-replica word suffixes: a token
+        // bijection preserves every within-replica Jaccard relation
+        // exactly while zeroing cross-replica shingle overlap — so the
+        // 10× corpus has 10× the docs at the SAME dup density (plain
+        // byte-copies would make every doc a 10-clique of exact dups
+        // and measure a pathologically denser problem, not scale-up)
+        val tenfold =
+          if (t == "documents") {
+            val n = df.count()
+            (0 until 10).map { i =>
+              val perturbed =
+                if (i == 0) df
+                else df.withColumn("text",
+                  array_join(transform(split(col("text"), " "),
+                    w => concat(w, lit(s"_$i"))), " "))
+              perturbed.withColumn("doc_id", col("doc_id") + lit(i * n))
+            }.reduce(_ union _)
+          } else Seq.fill(10)(df).reduce(_ union _)
+        tenfold.repartition(cores)
           .write.mode("overwrite").parquet(s"$base/$t.parquet")
       }
       done.createNewFile()
@@ -113,7 +133,14 @@ object Bench {
       "q2_group_sum" -> (() =>
         li.groupBy("l_returnflag").agg(sum("l_quantity").as("s"))),
       "q3_uniq_exact" -> (() => ord.agg(countDistinct(col("o_custkey")).as("u"))),
-      "q4_hash_scan" -> (() => hashScan(li)))
+      "q4_hash_scan" -> (() => hashScan(li)),
+      // flagship LLM operator at 10× docs: near-linear growth here is
+      // the scale-survival evidence for the banded dedup plan (candidate
+      // pairs grow with real collisions, never O(n²))
+      "q5_minhash_dedup" -> (() =>
+        graft.operators.Dedup.minHashDupPairs(
+          Tables.load(spark, base, "documents"), "doc_id", "text",
+          shingleSize = 3, numHashes = 128, bands = 32, threshold = 0.7)))
   }
 
   def main(args: Array[String]): Unit = {
