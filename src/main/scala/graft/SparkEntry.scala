@@ -275,6 +275,23 @@ object SparkEntry {
         |       CAST(max(arrayMax(arrayMap(w -> lengthUTF8(w), splitByChar(' ', text)))) AS BIGINT) AS max_word_len
         |FROM documents""".stripMargin),
 
+    // A7 tail: -Array combinators (agg over array elements across rows)
+    // + groupUniqArray, no explode in user SQL
+    "q76_array_combinators" -> ch(
+      """SELECT CAST(sumArray(arrayMap(w -> lengthUTF8(w), splitByChar(' ', text))) AS BIGINT) AS sum_word_chars,
+        |       CAST(countArray(splitByChar(' ', text)) AS BIGINT) AS n_words_total,
+        |       CAST(uniqArray(splitByChar(' ', text)) AS BIGINT) AS n_distinct_words,
+        |       arrayStringConcat(arraySort(groupUniqArray(lang)), ',') AS langs
+        |FROM documents""".stripMargin),
+
+    // W-tail: CH's LIMIT n BY cols (per-group limit) → ranked-window
+    // rewrite; total ORDER BY keeps row_number deterministic
+    "q75_limit_by" -> ch(
+      """SELECT l_returnflag, l_orderkey, CAST(l_quantity AS BIGINT) AS qty
+        |FROM lineitem
+        |ORDER BY l_returnflag, qty DESC, l_orderkey
+        |LIMIT 2 BY l_returnflag""".stripMargin),
+
     // skew-mitigation path: two-phase salted aggregation must equal the
     // plain group-by (the 100 TB answer to a pathological hot key)
     "q69_salted_agg" -> ((spark, dir) => {
@@ -1130,6 +1147,21 @@ object SparkEntry {
         |       CAST(date_diff('day', min(o_orderdate), max(o_orderdate)) AS BIGINT) AS span_days,
         |       CAST(round(quantile_cont(o_totalprice, 0.5) * 100) AS BIGINT) AS med_cents
         |FROM orders GROUP BY prio ORDER BY prio""".stripMargin,
+    "q76_array_combinators" ->
+      """SELECT
+        |  (SELECT CAST(sum(list_sum(list_transform(string_split(text, ' '), w -> length(w)))) AS BIGINT)
+        |     FROM documents) AS sum_word_chars,
+        |  (SELECT CAST(sum(len(string_split(text, ' '))) AS BIGINT) FROM documents) AS n_words_total,
+        |  (SELECT CAST(count(DISTINCT x.w) AS BIGINT)
+        |     FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents) x) AS n_distinct_words,
+        |  (SELECT array_to_string(list_sort(list(DISTINCT lang)), ',') FROM documents) AS langs""".stripMargin,
+    "q75_limit_by" ->
+      """SELECT l_returnflag, l_orderkey, qty FROM (
+        |  SELECT l_returnflag, l_orderkey, CAST(l_quantity AS BIGINT) AS qty,
+        |         row_number() OVER (PARTITION BY l_returnflag
+        |           ORDER BY CAST(l_quantity AS BIGINT) DESC, l_orderkey) AS rn
+        |  FROM lineitem) t
+        |WHERE rn <= 2 ORDER BY l_returnflag, qty DESC, l_orderkey""".stripMargin,
     "q74_regex_tail" ->
       """SELECT CAST(sum(len(regexp_extract_all(text, 'table'))) AS BIGINT) AS n_table,
         |       CAST(sum(CASE WHEN regexp_matches(text, '(^|\s)spark(\s|$)') THEN 1 ELSE 0 END) AS BIGINT) AS n_spark_docs,

@@ -296,6 +296,36 @@ object ChFunctions {
         }
       })
 
+      // -Array combinators: agg over all ELEMENTS of an array column
+      // across rows (CH applies the combinator to any aggregate; these
+      // cover the common reducers without an explode in user SQL)
+      def localSum(arr: Expression, zero: Expression): Expression = {
+        val acc = lv("accL"); val x = lv("xL"); val f = lv("fL")
+        ArrayAggregate(arr, zero,
+          LambdaFunction(Add(acc, x), Seq(acc, x)),
+          LambdaFunction(f, Seq(f)))
+      }
+      reg("sumArray")(exprs => Sum(localSum(exprs.head, Literal(0L))))
+      reg("countArray")(exprs => Sum(Cast(Size(exprs.head), LongType)))
+      reg("avgArray")({ case Seq(arr) =>
+        Divide(
+          Sum(localSum(arr, Literal(0.0d))).toAggregateExpression(),
+          Cast(Sum(Cast(Size(arr), LongType)).toAggregateExpression(),
+            DoubleType))
+      })
+      reg("minArray")(exprs => Min(ArrayMin(exprs.head)))
+      reg("maxArray")(exprs => Max(ArrayMax(exprs.head)))
+      // uniqArray: distinct elements across rows — EXACT here (CH's is
+      // an estimate; exact is a sound refinement at surface-function
+      // cardinalities): flatten collected arrays, distinct, count
+      reg("uniqArray")(exprs =>
+        Cast(Size(ArrayDistinct(Flatten(
+          CollectList(exprs.head).toAggregateExpression()))), LongType))
+      // groupUniqArray(x) — distinct values of a scalar into an array
+      // (element order engine-defined, like CH — sort for determinism)
+      reg("groupUniqArray")(exprs =>
+        ArrayDistinct(CollectList(exprs.head).toAggregateExpression()))
+
       // quantile(x, q) — CH's default quantile is approximate with
       // interpolation; Spark's exact interpolated Percentile is a
       // deterministic stand-in with the same continuous semantics

@@ -46,13 +46,48 @@ object ChSql {
     val (body0, settings) = extractSettings(stripFormat(noCluster))
     val body = stripFormat(body0) // FORMAT may precede or follow SETTINGS
     val totaled = rewriteWithTotals(body)
-    val counted = zeroArgCount(totaled)
+    val limited = rewriteLimitBy(totaled)
+    val counted = zeroArgCount(limited)
     val parametric = rewriteParametricAggregates(counted)
     val dated = rewriteDateDiff(parametric)
     val deconflicted = rewriteConflictingFunctions(dated)
     val sys = rewriteSystemTables(deconflicted)
     val rewritten = rewriteTableFunctions(spark, sys)
     Rewritten(rewritten, settings)
+  }
+
+  private val LimitByRe = """(?i)\bLIMIT\s+(\d+)\s+BY\b""".r
+  private val OrderByRe = """(?i)\bORDER\s+BY\b""".r
+  private val TailLimitRe = """(?i)\bLIMIT\s+(\d+)\s*$""".r
+
+  /** CH `… ORDER BY o LIMIT n BY cols [LIMIT m]` — first n rows per
+    * distinct `cols` group under the query's ORDER BY → a ranked-window
+    * subquery (`row_number() OVER (PARTITION BY cols ORDER BY o)`).
+    * Top-level clause only (the CH form in practice); an explicit ORDER
+    * BY is required — CH without one takes arbitrary engine order,
+    * which a deterministic engine should refuse, not emulate. */
+  def rewriteLimitBy(sql: String): String = {
+    val hit = LimitByRe.findAllMatchIn(sql)
+      .find(m => !insideQuote(sql, m.start) && depthAt(sql, m.start) == 0)
+    if (hit.isEmpty) return sql
+    val m = hit.get
+    val n = m.group(1).toInt
+    val ob = OrderByRe.findAllMatchIn(sql.substring(0, m.start))
+      .filter(x => !insideQuote(sql, x.start) && depthAt(sql, x.start) == 0)
+      .toSeq.lastOption.getOrElse(throw new IllegalArgumentException(
+        "LIMIT n BY requires an explicit ORDER BY (ClickHouse without " +
+          "one returns arbitrary engine order)"))
+    val head = sql.substring(0, ob.start).trim
+    val order = sql.substring(ob.end, m.start).trim
+    val rest = sql.substring(m.end)
+    val (cols, tail) = TailLimitRe.findFirstMatchIn(rest) match {
+      case Some(t) if !insideQuote(rest, t.start) && depthAt(rest, t.start) == 0 =>
+        (rest.substring(0, t.start).trim, s" LIMIT ${t.group(1)}")
+      case _ => (rest.trim, "")
+    }
+    s"SELECT * EXCEPT (__rn) FROM (SELECT *, row_number() OVER " +
+      s"(PARTITION BY $cols ORDER BY $order) AS __rn FROM ($head) __lb) __lbq " +
+      s"WHERE __rn <= $n ORDER BY $order$tail"
   }
 
   private val DateDiffCall =

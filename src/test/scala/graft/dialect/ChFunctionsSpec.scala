@@ -270,6 +270,20 @@ class ChFunctionsSpec extends AnyFunSuite {
     assert(one("SELECT CAST(toStartOfYear(DATE'2024-05-15') AS STRING)") == "2024-01-01")
   }
 
+  test("-Array combinators aggregate over elements across rows") {
+    val from = "FROM VALUES (array(1, 2)), (array(3)), (array(2)) t(a)"
+    assert(one(s"SELECT sumArray(a) $from") == 8L)
+    assert(one(s"SELECT countArray(a) $from") == 4L)
+    assert(one(s"SELECT avgArray(a) $from") == 2.0d)
+    assert(one(s"SELECT minArray(a) $from") == 1)
+    assert(one(s"SELECT maxArray(a) $from") == 3)
+    assert(one(s"SELECT uniqArray(a) $from") == 3L)
+    val langs = spark.sql(
+      "SELECT arrayStringConcat(arraySort(groupUniqArray(x)), ',') AS l " +
+        "FROM VALUES ('b'), ('a'), ('b') t(x)").collect().head.getString(0)
+    assert(langs == "a,b")
+  }
+
   test("SparkSessionExtensions path serves fresh sessions with no runtime call") {
     // newSession() builds FRESH session state: FunctionShim-registered
     // names are absent there, so resolution proves the injectFunction

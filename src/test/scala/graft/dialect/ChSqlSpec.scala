@@ -115,6 +115,26 @@ class ChSqlSpec extends AnyFunSuite {
       "SELECT 'quantile(0.5)(v)' AS lit, quantile(v, 0.5) FROM t")
   }
 
+  test("LIMIT n BY rewrites to a ranked window; requires ORDER BY") {
+    val out = ChSql.rewriteLimitBy(
+      "SELECT k, v FROM t ORDER BY k, v DESC LIMIT 2 BY k")
+    assert(out ==
+      "SELECT * EXCEPT (__rn) FROM (SELECT *, row_number() OVER " +
+        "(PARTITION BY k ORDER BY k, v DESC) AS __rn FROM " +
+        "(SELECT k, v FROM t) __lb) __lbq WHERE __rn <= 2 ORDER BY k, v DESC")
+    // trailing global LIMIT survives
+    val tail = ChSql.rewriteLimitBy(
+      "SELECT k, v FROM t ORDER BY v LIMIT 2 BY k LIMIT 5")
+    assert(tail.endsWith("ORDER BY v LIMIT 5"))
+    // no LIMIT BY → untouched
+    assert(ChSql.rewriteLimitBy("SELECT k FROM t LIMIT 5") ==
+      "SELECT k FROM t LIMIT 5")
+    val e = intercept[IllegalArgumentException] {
+      ChSql.rewriteLimitBy("SELECT k, v FROM t LIMIT 2 BY k")
+    }
+    assert(e.getMessage.contains("ORDER BY"))
+  }
+
   test("dateDiff with quoted unit becomes timestampdiff with identifier unit") {
     assert(ChSql.rewriteDateDiff("SELECT dateDiff('day', a, b) FROM t") ==
       "SELECT timestampdiff(DAY, a, b) FROM t")
