@@ -275,6 +275,31 @@ object SparkEntry {
         |       CAST(max(arrayMax(arrayMap(w -> lengthUTF8(w), splitByChar(' ', text)))) AS BIGINT) AS max_word_len
         |FROM documents""".stripMargin),
 
+    // int8 embedding quantization (storage contract: q + scale)
+    "q77_quantize_int8" -> ((spark, dir) => {
+      prep(spark, dir)
+      val emb = Tables.load(spark, dir, "embeddings").filter(col("vec_id") < 20)
+      Similarity.quantizeInt8(emb, "embedding", "q8")
+        .select(col("vec_id"), posexplode(col("q8")).as(Seq("dim", "qv")))
+        .select(col("vec_id").cast("long").as("vec_id"),
+          col("dim").cast("long").as("dim"),
+          col("qv").cast("long").as("qv"))
+        .orderBy("vec_id", "dim")
+    }),
+
+    // L2 normalization (unit vectors; scaled-integer output for the
+    // float-free oracle compare)
+    "q78_l2_normalize" -> ((spark, dir) => {
+      prep(spark, dir)
+      val emb = Tables.load(spark, dir, "embeddings").filter(col("vec_id") < 5)
+      Similarity.l2Normalize(emb, "embedding", "unit")
+        .select(col("vec_id"), posexplode(col("unit")).as(Seq("dim", "nx")))
+        .select(col("vec_id").cast("long").as("vec_id"),
+          col("dim").cast("long").as("dim"),
+          round(col("nx") * 1e6).cast("long").as("nx_scaled"))
+        .orderBy("vec_id", "dim")
+    }),
+
     // A7 tail: -Array combinators (agg over array elements across rows)
     // + groupUniqArray, no explode in user SQL
     "q76_array_combinators" -> ch(
@@ -1147,6 +1172,24 @@ object SparkEntry {
         |       CAST(date_diff('day', min(o_orderdate), max(o_orderdate)) AS BIGINT) AS span_days,
         |       CAST(round(quantile_cont(o_totalprice, 0.5) * 100) AS BIGINT) AS med_cents
         |FROM orders GROUP BY prio ORDER BY prio""".stripMargin,
+    "q77_quantize_int8" ->
+      """SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(d - 1 AS BIGINT) AS dim,
+        |       CAST(round(CAST(x AS DOUBLE) * 127 / CAST(m AS DOUBLE)) AS BIGINT) AS qv
+        |FROM (SELECT vec_id, unnest(embedding) AS x,
+        |             generate_subscripts(embedding, 1) AS d,
+        |             list_max(list_transform(embedding, y -> abs(y))) AS m
+        |      FROM embeddings WHERE vec_id < 20) t
+        |ORDER BY vec_id, dim""".stripMargin,
+    "q78_l2_normalize" ->
+      """SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(d - 1 AS BIGINT) AS dim,
+        |       CAST(round(CAST(x AS DOUBLE) / n * 1000000) AS BIGINT) AS nx_scaled
+        |FROM (SELECT vec_id, unnest(embedding) AS x,
+        |             generate_subscripts(embedding, 1) AS d,
+        |             sqrt(list_reduce(list_transform(embedding,
+        |               y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE)),
+        |               (a, b) -> a + b)) AS n
+        |      FROM embeddings WHERE vec_id < 5) t
+        |ORDER BY vec_id, dim""".stripMargin,
     "q76_array_combinators" ->
       """SELECT
         |  (SELECT CAST(sum(list_sum(list_transform(string_split(text, ' '), w -> length(w)))) AS BIGINT)

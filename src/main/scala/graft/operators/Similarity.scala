@@ -34,6 +34,38 @@ object Similarity {
   /** Cosine similarity. */
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
+  /** L2-normalize a vector column into `outCol` (unit vectors; zero
+    * vectors pass through unchanged, in double). The norm is staged in
+    * its own column so it is computed ONCE per row — a naive
+    * `transform(v, x => x / norm(v))` embeds the norm expression per
+    * element, O(d²) work per row. */
+  def l2Normalize(df: DataFrame, vecCol: String, outCol: String): DataFrame =
+    // widen BEFORE squaring: float*float runs in float precision and
+    // the accumulated error is visible at 1e-6 scale
+    df.withColumn("_l2n",
+        norm(transform(col(vecCol), x => x.cast("double"))))
+      .withColumn(outCol,
+        when(col("_l2n") === 0d, transform(col(vecCol), x => x.cast("double")))
+          .otherwise(transform(col(vecCol), x => x.cast("double") / col("_l2n"))))
+      .drop("_l2n")
+
+  /** Symmetric per-vector int8 quantization — the storage/transfer
+    * contract for embedding corpora (4× smaller than float32, dot
+    * products stay rank-faithful): scale = 127/max(|x|), elements
+    * round(x·scale) ∈ [-127, 127], plus the `<out>_scale` column needed
+    * to dequantize (`q/scale`). Zero vectors quantize to zeros with
+    * scale 0. Scan-stage, no shuffle. */
+  def quantizeInt8(df: DataFrame, vecCol: String, outCol: String): DataFrame =
+    df.withColumn("_amax",
+        array_max(transform(col(vecCol), x => abs(x))).cast("double"))
+      .withColumn(outCol,
+        when(col("_amax") === 0d, transform(col(vecCol), _ => lit(0)))
+          .otherwise(transform(col(vecCol),
+            x => round(x.cast("double") * lit(127d) / col("_amax")).cast("int"))))
+      .withColumn(s"${outCol}_scale",
+        when(col("_amax") === 0d, lit(0d)).otherwise(lit(127d) / col("_amax")))
+      .drop("_amax")
+
   /** Exact top-k cosine neighbors for the given query ids.
     *
     * The query side is tiny by construction → broadcast; the corpus side

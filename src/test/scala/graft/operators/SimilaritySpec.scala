@@ -61,6 +61,31 @@ class SimilaritySpec extends AnyFunSuite {
     assert(!pairs.contains((0L, 4L)))
   }
 
+  test("l2Normalize yields unit vectors; zero vectors pass through") {
+    val spark2 = spark
+    import spark2.implicits._
+    val df = Seq((1L, Seq(3f, 4f)), (2L, Seq(0f, 0f))).toDF("id", "embedding")
+    val rows = Similarity.l2Normalize(df, "embedding", "unit")
+      .orderBy("id").collect()
+    val u1 = rows(0).getAs[scala.collection.Seq[Double]]("unit")
+    assert(math.abs(u1(0) - 0.6) < 1e-12 && math.abs(u1(1) - 0.8) < 1e-12)
+    assert(rows(1).getAs[scala.collection.Seq[Double]]("unit").toSeq == Seq(0.0, 0.0))
+  }
+
+  test("quantizeInt8 rounds to [-127,127] with a dequantizable scale") {
+    val spark2 = spark
+    import spark2.implicits._
+    val df = Seq((1L, Seq(0.5f, -1.0f, 0.25f)), (2L, Seq(0f, 0f, 0f)))
+      .toDF("id", "embedding")
+    val rows = Similarity.quantizeInt8(df, "embedding", "q8")
+      .orderBy("id").collect()
+    val q1 = rows(0).getAs[scala.collection.Seq[Int]]("q8")
+    assert(q1.toSeq == Seq(64, -127, 32)) // scale = 127/1.0; round(.5*127)=64
+    assert(math.abs(rows(0).getAs[Double]("q8_scale") - 127.0) < 1e-12)
+    assert(rows(1).getAs[scala.collection.Seq[Int]]("q8").toSeq == Seq(0, 0, 0))
+    assert(rows(1).getAs[Double]("q8_scale") == 0.0)
+  }
+
   test("LSH signature is deterministic across evaluations") {
     val s1 = emb.select(Similarity.lshSignature(col("embedding"), 8, 8).as("s"))
       .collect().map(_.getLong(0)).toSeq
