@@ -178,6 +178,36 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.toLowerCase.contains("payload"), plan)
   }
 
+  test("top n-gram stats partial-aggregate map-side before the exchange") {
+    // explode → hash-agg on (doc, gram): the partial aggregate must
+    // collapse each document's repeated grams BEFORE the shuffle —
+    // at 100 TB the exchange carries (doc, gram, count), not one row
+    // per gram occurrence
+    val docs = Tables.load(spark, dir, "documents")
+    val df = operators.TextAnalysis.topNgramStats(docs, "doc_id", "text", n = 2)
+    val plan = planOf(df)
+    val firstExchange = plan.indexOf("Exchange")
+    val firstPartial = plan.indexOf("HashAggregate")
+    assert(firstPartial >= 0 && firstExchange > firstPartial,
+      s"no map-side partial aggregate before the shuffle:\n$plan")
+  }
+
+  test("PII scrub and quantization are scan-stage (zero exchanges)") {
+    val docs = Tables.load(spark, dir, "documents")
+    val pii = operators.TextAnalysis.piiStats(docs, "text")
+      .select(operators.TextAnalysis.piiScrub(col("text")).as("t"),
+        col("n_emails"), col("n_ipv4"), col("n_phones"))
+    assert(!planOf(pii).contains("Exchange"),
+      s"PII pass shuffles:\n${planOf(pii)}")
+    val emb = Tables.load(spark, dir, "embeddings")
+    val q = Similarity.quantizeInt8(emb, "embedding", "q8")
+    assert(!planOf(q).contains("Exchange"),
+      s"quantization shuffles:\n${planOf(q)}")
+    val n = Similarity.l2Normalize(emb, "embedding", "unit")
+    assert(!planOf(n).contains("Exchange"),
+      s"normalization shuffles:\n${planOf(n)}")
+  }
+
   test("dialect-routed queries stay inside whole-stage codegen") {
     graft.dialect.ChFunctions.register(spark)
     core.Tables.registerViews(spark, dir)
