@@ -142,6 +142,33 @@ object ChFunctions {
       reg("arrayDistinct")(exprs => ArrayDistinct(exprs.head))
       reg("arraySort")(exprs => new ArraySort(exprs.head))
       reg("has")({ case Seq(arr, x) => ArrayContains(arr, x) })
+      reg("arrayAll")({ case Seq(f, arr) => ArrayForAll(arr, f) })
+      // arrayCount: the analyzer requires any expression containing a
+      // parser-supplied lambda to have a HigherOrderFunction ROOT, so
+      // the count is an aggregate over the filtered array, not
+      // Size(ArrayFilter(…))
+      def countElems(arr: Expression): Expression = {
+        val acc = lv("accC"); val x = lv("xC"); val f = lv("fC")
+        ArrayAggregate(arr, Literal(0),
+          LambdaFunction(Add(acc, Literal(1)), Seq(acc, x)),
+          LambdaFunction(f, Seq(f)))
+      }
+      reg("arrayCount")({
+        // arrayCount(arr): non-zero elements; arrayCount(f, arr): matches
+        case Seq(arr) =>
+          val x = lv("xC0")
+          countElems(ArrayFilter(arr, LambdaFunction(
+            Not(EqualTo(x, Literal(0))), Seq(x))))
+        case Seq(f, arr) => countElems(ArrayFilter(arr, f))
+      })
+      reg("arrayEnumerate")(exprs =>
+        new Sequence(Literal(1), Size(exprs.head)))
+      reg("arrayReverse")(exprs => Reverse(exprs.head))
+      reg("arraySlice")({
+        case Seq(arr, off) =>
+          Slice(arr, off, Subtract(Add(Size(arr), Literal(1)), off))
+        case Seq(arr, off, len) => Slice(arr, off, len)
+      })
       reg("arrayStringConcat")({
         case Seq(arr) => ArrayJoin(arr, Literal(""), None)
         case Seq(arr, sep) => ArrayJoin(arr, sep, None)

@@ -42,7 +42,7 @@ object ChSql {
       sql: String,
       macros: Map[String, String] = defaultMacros): Rewritten = {
     val m = substituteMacros(sql, macros)
-    val noCluster = stripOnCluster(m)
+    val noCluster = stripGlobal(stripOnCluster(m))
     val (body0, settings) = extractSettings(stripFormat(noCluster))
     val body = stripFormat(body0) // FORMAT may precede or follow SETTINGS
     val totaled = rewriteWithTotals(body)
@@ -157,6 +157,14 @@ object ChSql {
   private val OnCluster = """(?i)\s+ON\s+CLUSTER\s+('[^']*'|`[^`]*`|\S+)""".r
 
   def stripOnCluster(sql: String): String = OnCluster.replaceAllIn(sql, "")
+
+  // CH `GLOBAL JOIN` / `GLOBAL IN` force the right side to the
+  // initiator before distributing — Spark's planner owns distribution
+  // (broadcast vs shuffle), so the modifier strips to the plain form
+  private val GlobalModifier =
+    """(?i)\bGLOBAL\s+(?=((LEFT|RIGHT|FULL|INNER|CROSS|ANY|ALL|SEMI|ANTI|OUTER)\s+)*JOIN\b|IN\s*\(|NOT\s+IN\s*\()""".r
+
+  def stripGlobal(sql: String): String = GlobalModifier.replaceAllIn(sql, "")
 
   /** Find a TRAILING top-level `SETTINGS k=v, …` clause and strip it.
     * "Top-level" means outside parens/quotes — `SETTINGS` inside a

@@ -270,6 +270,21 @@ class ChFunctionsSpec extends AnyFunSuite {
     assert(one("SELECT CAST(toStartOfYear(DATE'2024-05-15') AS STRING)") == "2024-01-01")
   }
 
+  test("array HOF tail: all/count/enumerate/reverse/slice") {
+    assert(one("SELECT arrayAll(x -> x > 0, array(1, 2))") == true)
+    assert(one("SELECT arrayAll(x -> x > 1, array(1, 2))") == false)
+    assert(one("SELECT arrayCount(array(1, 0, 2, 0))") == 2)
+    assert(one("SELECT arrayCount(x -> x > 1, array(1, 2, 3))") == 2)
+    assert(spark.sql("SELECT arrayEnumerate(array('a', 'b', 'c')) AS e")
+      .collect().head.getAs[scala.collection.Seq[Int]](0).toSeq == Seq(1, 2, 3))
+    assert(spark.sql("SELECT arrayReverse(array(1, 2, 3)) AS r")
+      .collect().head.getAs[scala.collection.Seq[Int]](0).toSeq == Seq(3, 2, 1))
+    assert(spark.sql("SELECT arraySlice(array(1, 2, 3, 4), 2) AS s")
+      .collect().head.getAs[scala.collection.Seq[Int]](0).toSeq == Seq(2, 3, 4))
+    assert(spark.sql("SELECT arraySlice(array(1, 2, 3, 4), 2, 2) AS s")
+      .collect().head.getAs[scala.collection.Seq[Int]](0).toSeq == Seq(2, 3))
+  }
+
   test("-Array combinators aggregate over elements across rows") {
     val from = "FROM VALUES (array(1, 2)), (array(3)), (array(2)) t(a)"
     assert(one(s"SELECT sumArray(a) $from") == 8L)

@@ -115,6 +115,20 @@ class ChSqlSpec extends AnyFunSuite {
       "SELECT 'quantile(0.5)(v)' AS lit, quantile(v, 0.5) FROM t")
   }
 
+  test("GLOBAL JOIN / GLOBAL IN modifiers strip to the plain forms") {
+    assert(ChSql.stripGlobal("SELECT * FROM a GLOBAL JOIN b ON a.k = b.k") ==
+      "SELECT * FROM a JOIN b ON a.k = b.k")
+    assert(ChSql.stripGlobal("SELECT * FROM a GLOBAL LEFT OUTER JOIN b ON a.k = b.k") ==
+      "SELECT * FROM a LEFT OUTER JOIN b ON a.k = b.k")
+    assert(ChSql.stripGlobal("SELECT * FROM t WHERE k GLOBAL IN (SELECT k FROM s)") ==
+      "SELECT * FROM t WHERE k IN (SELECT k FROM s)")
+    assert(ChSql.stripGlobal("SELECT * FROM t WHERE k GLOBAL NOT IN (SELECT k FROM s)") ==
+      "SELECT * FROM t WHERE k NOT IN (SELECT k FROM s)")
+    // a column named global_x or the word in other positions is untouched
+    assert(ChSql.stripGlobal("SELECT global_rank FROM t") ==
+      "SELECT global_rank FROM t")
+  }
+
   test("LIMIT n BY rewrites to a ranked window; requires ORDER BY") {
     val out = ChSql.rewriteLimitBy(
       "SELECT k, v FROM t ORDER BY k, v DESC LIMIT 2 BY k")
