@@ -797,6 +797,41 @@ object SparkEntry {
         Tables.load(spark, dir, "documents"), "doc_id", "text")
       Multimodal.extractFeatures(spark, media)
         .agg(count(lit(1)).as("n"), sum("n_bytes").cast("long").as("total_bytes"))
+    }),
+
+    // C4-style boilerplate-line removal: documents are chunked into
+    // 10-token "lines" (the synthetic corpus is single-line), any line
+    // occurring in ≥2 distinct docs is dropped corpus-wide, and the
+    // survivors are reassembled in order (explode → DF-count →
+    // anti-join → ordered reassembly — the real distributed shape)
+    "q79_line_dedup" -> ((spark, dir) => {
+      prep(spark, dir)
+      val toks = split(col("text"), "\\s+")
+      val chunked = Tables.load(spark, dir, "documents").select(
+        col("doc_id"),
+        array_join(
+          transform(
+            sequence(lit(0), ceil(size(toks) / lit(10.0)).cast("int") - 1),
+            i => concat_ws(" ", slice(toks, i * 10 + 1, lit(10)))),
+          "\n").as("text10"))
+      Dedup.lineDedup(chunked, "doc_id", "text10",
+          sepRe = "\n", joinSep = "\n", minDocs = 2)
+        .withColumnRenamed("_id", "doc_id")
+        .orderBy("doc_id")
+    }),
+
+    // benchmark decontamination: corpus docs sharing any 5-gram with
+    // the benchmark slice (doc_id % 17 == 0), with overlap counts —
+    // the benchmark n-gram set broadcasts, the corpus never shuffles
+    "q80_contamination" -> ((spark, dir) => {
+      prep(spark, dir)
+      val docs = Tables.load(spark, dir, "documents")
+      Dedup.contamination(
+          docs.filter(col("doc_id") % 17 =!= 0),
+          docs.filter(col("doc_id") % 17 === 0),
+          "doc_id", "text", n = 5)
+        .withColumnRenamed("_id", "doc_id")
+        .orderBy("doc_id")
     })
   )
 
@@ -1213,6 +1248,40 @@ object SparkEntry {
         |       CAST(sum(length(replace(text, 'a', 'aa'))) AS BIGINT) AS len_dup_a,
         |       CAST(sum(list_sum(list_transform(string_split(text, ' '), w -> length(w)))) AS BIGINT) AS sum_word_lens,
         |       CAST(max(list_max(list_transform(string_split(text, ' '), w -> length(w)))) AS BIGINT) AS max_word_len
-        |FROM documents""".stripMargin
+        |FROM documents""".stripMargin,
+    "q79_line_dedup" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(text, '\s+') AS w FROM documents),
+        |ch AS (
+        |  SELECT doc_id, array_to_string(list_transform(
+        |    range(0, CAST(ceil(len(w) / 10.0) AS INT)),
+        |    i -> array_to_string(w[i*10+1 : i*10+10], ' ')), chr(10)) AS text10
+        |  FROM t),
+        |lines AS (
+        |  SELECT doc_id, unnest(string_split(text10, chr(10))) AS line FROM ch),
+        |bp AS (
+        |  SELECT line FROM lines GROUP BY line HAVING count(DISTINCT doc_id) >= 2),
+        |bpl AS (SELECT coalesce(list(line), []) AS bl FROM bp),
+        |k AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split(text10, chr(10)),
+        |                     l -> NOT list_contains(b.bl, l)) AS kept,
+        |         len(string_split(text10, chr(10))) AS n_total
+        |  FROM ch CROSS JOIN bpl b)
+        |SELECT doc_id, coalesce(array_to_string(kept, chr(10)), '') AS kept_text,
+        |       CAST(len(kept) AS BIGINT) AS n_kept,
+        |       CAST(n_total - len(kept) AS BIGINT) AS n_removed
+        |FROM k ORDER BY doc_id""".stripMargin,
+    "q80_contamination" ->
+      """WITH sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    range(1, len(string_split_regex(text, '\s+')) - 3),
+        |    i -> array_to_string(string_split_regex(text, '\s+')[i : i+4], ' '))) AS s
+        |  FROM documents),
+        |bench AS (SELECT DISTINCT unnest(s) AS g FROM sh WHERE doc_id % 17 = 0),
+        |corp AS (SELECT doc_id, unnest(s) AS g FROM sh WHERE doc_id % 17 <> 0)
+        |SELECT c.doc_id, count(*) AS n_overlap
+        |FROM corp c JOIN bench b USING (g)
+        |GROUP BY c.doc_id ORDER BY doc_id""".stripMargin
   )
 }

@@ -441,6 +441,91 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Benchmark-contamination check: flag corpus documents sharing at
+    * least one word-level n-gram with any document in a benchmark set —
+    * the decontamination step an LLM training pipeline runs before the
+    * corpus ships (the standard n-gram-overlap test against eval sets).
+    *
+    * Returns (_id, n_overlap): one row per CONTAMINATED corpus doc with
+    * the number of distinct overlapping n-grams. Clean docs are absent
+    * (anti-join against this result to keep them).
+    *
+    * Scale posture: benchmark sets are tiny (thousands of docs) next to
+    * a 100 TB corpus, so the distinct benchmark n-gram set is
+    * BROADCAST — the corpus side streams through a map-side hash probe
+    * at scan stage with no shuffle of corpus text at all; the only
+    * corpus shuffle is the per-doc count aggregate over matching rows
+    * (collision-proportional, like every banded path here). Pass
+    * `broadcastBench = false` if the benchmark side is genuinely large
+    * and the planner should shuffle both sides instead. */
+  def contamination(
+      corpus: DataFrame,
+      bench: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 8,
+      broadcastBench: Boolean = true): DataFrame = {
+    val benchSh = shingleRows(bench, idCol, textCol, n)
+      .select(col("_s")).distinct()
+    val benchSide = if (broadcastBench) broadcast(benchSh) else benchSh
+    shingleRows(corpus, idCol, textCol, n)
+      .distinct() // one row per (doc, distinct n-gram)
+      .join(benchSide, Seq("_s"))
+      .groupBy("_id")
+      .agg(count(lit(1)).as("n_overlap"))
+  }
+
+  /** C4-style boilerplate-line removal: any line occurring in at least
+    * `minDocs` DISTINCT documents is dropped from every document, and
+    * the surviving lines are reassembled in their original order.
+    *
+    * Returns (_id, kept_text, n_kept, n_removed) — one row per input
+    * document (documents whose every line was boilerplate survive with
+    * an empty kept_text, so the row count is stable).
+    *
+    * Distributed shape: posexplode lines at scan stage → one hash
+    * aggregate on the line key for the document-frequency count (map-
+    * side combined) → anti-join lines against the boilerplate set
+    * (shuffle-hash on the line key — the boilerplate set is derived
+    * from the corpus and can be corpus-sized, so it is never
+    * broadcast) → one groupBy on the doc id to reassemble. Line order
+    * is restored by sorting the collected (pos, line) structs, not by
+    * any row-order assumption. */
+  def lineDedup(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      sepRe: String = "\n",
+      joinSep: String = "\n",
+      minDocs: Int = 2): DataFrame = {
+    val lines = df.select(
+      col(idCol).as("_id"),
+      posexplode(split(col(textCol), sepRe)).as(Seq("_pos", "_line")))
+    val boilerplate = lines
+      .groupBy("_line")
+      .agg(countDistinct(col("_id")).as("_nd"))
+      .filter(col("_nd") >= minDocs)
+      .select("_line")
+    val kept = lines
+      .join(boilerplate.hint("shuffle_hash"), Seq("_line"), "left_anti")
+      .groupBy("_id")
+      .agg(
+        concat_ws(joinSep,
+          transform(
+            array_sort(collect_list(struct(col("_pos"), col("_line")))),
+            s => s.getField("_line"))).as("kept_text"),
+        count(lit(1)).as("n_kept"))
+    df.select(
+        col(idCol).as("_id"),
+        size(split(col(textCol), sepRe)).cast("long").as("_n_total"))
+      .join(kept, Seq("_id"), "left")
+      .select(
+        col("_id"),
+        coalesce(col("kept_text"), lit("")).as("kept_text"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (col("_n_total") - coalesce(col("n_kept"), lit(0L))).as("n_removed"))
+  }
+
   /** Exact n-gram-Jaccard pairs over a (small or pre-blocked) corpus.
     * NOTE: this is the verify-stage primitive; on a full corpus use
     * [[minHashDupPairs]] — the banded join — and keep this for candidate

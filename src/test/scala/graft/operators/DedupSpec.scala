@@ -121,4 +121,53 @@ class DedupSpec extends AnyFunSuite {
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(survivors == Set(0L, 3L, 4L)) // 1,2 fold into 0; 5 into 4; 3 isolated
   }
+
+  test("contamination flags corpus docs sharing an n-gram with the benchmark") {
+    val spark2 = spark
+    import spark2.implicits._
+    val corpus = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta"), // shares 3-grams with bench 0
+      (11L, "alpha beta gamma something else entirely"), // shares exactly one 3-gram
+      (12L, "nothing in common with the benchmark at all")
+    ).toDF("doc_id", "text")
+    val bench = Seq(
+      (0L, "alpha beta gamma delta epsilon"),
+      (1L, "totally separate benchmark prompt here")
+    ).toDF("doc_id", "text")
+    val hits = Dedup.contamination(corpus, bench, "doc_id", "text", n = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // doc 10 shares "alpha beta gamma", "beta gamma delta", "gamma delta epsilon"
+    assert(hits == Map(10L -> 3L, 11L -> 1L))
+  }
+
+  test("line dedup removes corpus-frequent lines and preserves order") {
+    val spark2 = spark
+    import spark2.implicits._
+    val docs = Seq(
+      (0L, "keep me zero\nshared boilerplate line\nunique tail zero"),
+      (1L, "shared boilerplate line\nkeep me one"),
+      (2L, "only unique content here\nrepeated inside\nrepeated inside")
+    ).toDF("doc_id", "text")
+    val out = Dedup.lineDedup(docs, "doc_id", "text", minDocs = 2)
+      .orderBy("_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(out(0) == ((0L, "keep me zero\nunique tail zero", 2L, 1L)))
+    assert(out(1) == ((1L, "keep me one", 1L, 1L)))
+    // line repeated WITHIN one doc is not boilerplate (distinct-doc count)
+    assert(out(2) == ((2L, "only unique content here\nrepeated inside\nrepeated inside", 3L, 0L)))
+  }
+
+  test("line dedup keeps a row for fully-boilerplate documents") {
+    val spark2 = spark
+    import spark2.implicits._
+    val docs = Seq(
+      (0L, "all shared"), (1L, "all shared"), (2L, "survivor text")
+    ).toDF("doc_id", "text")
+    val out = Dedup.lineDedup(docs, "doc_id", "text", minDocs = 2)
+      .orderBy("_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(out.length == 3)
+    assert(out(0) == ((0L, "", 0L, 1L)))
+    assert(out(2) == ((2L, "survivor text", 1L, 0L)))
+  }
 }
