@@ -820,6 +820,63 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // CH ARRAY JOIN clause (zipped multi-array unnest): the dialect
+    // rewrite turns it into LATERAL VIEW inline(arrays_zip(...)) — the
+    // scan-stage generator, no shuffle
+    "q81_array_join_clause" -> ch(
+      """SELECT doc_id, w, idx FROM documents
+        |ARRAY JOIN splitByChar(' ', text) AS w,
+        |           arrayEnumerate(splitByChar(' ', text)) AS idx
+        |WHERE doc_id < 5 ORDER BY doc_id, idx""".stripMargin),
+
+    // PREWHERE merges into WHERE; Catalyst pushes both conjuncts to the
+    // parquet scan (the optimization PREWHERE hints at in CH)
+    "q82_prewhere" -> ch(
+      """SELECT l_returnflag, count() AS cnt FROM lineitem
+        |PREWHERE l_quantity > 30 WHERE l_discount < 0.05
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
+
+    // FINAL (accepted no-op on merged snapshots) + deterministic SAMPLE
+    // keyed on the DDL's SAMPLE BY through the full attach flow
+    "q83_sample_final" -> ((spark, dir) => {
+      prep(spark, dir)
+      val svc = new QueryService(spark)
+      svc.executeToDf(QueryService.QueryRequest(
+        query = """SELECT l_returnflag, count() AS cnt FROM lineitem_smp FINAL SAMPLE 1/4
+                  |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+        initQueries = Seq(
+          s"""ATTACH TABLE lineitem_smp
+             |(
+             |  `l_orderkey` Int64, `l_partkey` Int64, `l_suppkey` Int64,
+             |  `l_linenumber` Int32, `l_quantity` Float64, `l_extendedprice` Float64,
+             |  `l_discount` Float64, `l_tax` Float64,
+             |  `l_returnflag` LowCardinality(String), `l_linestatus` LowCardinality(String),
+             |  `l_shipdate` DateTime
+             |)
+             |ENGINE = MergeTree
+             |ORDER BY (l_returnflag, l_orderkey)
+             |SAMPLE BY l_orderkey
+             |SETTINGS disk = disk(type = web, endpoint = '$dir/lineitem.parquet')""".stripMargin)))._1
+    }),
+
+    // CH URL-function family over synthesized URLs (one scheme-less row
+    // in five — CH's lenient parsers still extract the domain there)
+    "q84_url_funcs" -> ch(
+      """SELECT doc_id,
+        |  protocol(u) AS proto, domain(u) AS dom,
+        |  domainWithoutWWW(u) AS dom_nw, topLevelDomain(u) AS tld,
+        |  path(u) AS pth, queryString(u) AS qs,
+        |  extractURLParameter(u, 'id') AS p_id,
+        |  cutQueryStringAndFragment(u) AS cut_qf
+        |FROM (
+        |  SELECT doc_id,
+        |    if(doc_id % 5 = 0,
+        |       concat(source, '.example.com/p/', toString(doc_id)),
+        |       concat('https://www.', source, '.example.org/p/', toString(doc_id),
+        |              '?id=', toString(doc_id), '&x=1#frag')) AS u
+        |  FROM documents WHERE doc_id < 25) t
+        |ORDER BY doc_id""".stripMargin),
+
     // benchmark decontamination: corpus docs sharing any 5-gram with
     // the benchmark slice (doc_id % 17 == 0), with overlap counts —
     // the benchmark n-gram set broadcasts, the corpus never shuffles
@@ -1272,6 +1329,40 @@ object SparkEntry {
         |       CAST(len(kept) AS BIGINT) AS n_kept,
         |       CAST(n_total - len(kept) AS BIGINT) AS n_removed
         |FROM k ORDER BY doc_id""".stripMargin,
+    "q81_array_join_clause" ->
+      """SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+        |       CAST(generate_subscripts(string_split(text, ' '), 1) AS INT) AS idx
+        |FROM documents WHERE doc_id < 5 ORDER BY doc_id, idx""".stripMargin,
+    "q82_prewhere" ->
+      """SELECT l_returnflag, count(*) AS cnt FROM lineitem
+        |WHERE l_quantity > 30 AND l_discount < 0.05
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q83_sample_final" ->
+      """SELECT l_returnflag, count(*) AS cnt FROM lineitem
+        |WHERE l_orderkey % 4 < 1
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q84_url_funcs" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 5 = 0
+        |         THEN source || '.example.com/p/' || CAST(doc_id AS VARCHAR)
+        |         ELSE 'https://www.' || source || '.example.org/p/' || CAST(doc_id AS VARCHAR)
+        |              || '?id=' || CAST(doc_id AS VARCHAR) || '&x=1#frag' END AS u
+        |  FROM documents WHERE doc_id < 25),
+        |d AS (
+        |  SELECT doc_id, u,
+        |    regexp_extract(u, '^(?:[a-zA-Z][a-zA-Z0-9+.-]*://)?(?:[^/?#@]*@)?([^/:?#]+)', 1) AS dom
+        |  FROM t)
+        |SELECT doc_id,
+        |  regexp_extract(u, '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1) AS proto,
+        |  dom,
+        |  regexp_replace(dom, '^www\.', '') AS dom_nw,
+        |  regexp_extract(dom, '\.([A-Za-z0-9-]+)$', 1) AS tld,
+        |  regexp_extract(u, '^(?:[a-zA-Z][a-zA-Z0-9+.-]*://)?[^/?#]*(/[^?#]*)', 1) AS pth,
+        |  regexp_extract(u, '\?([^#]*)', 1) AS qs,
+        |  regexp_extract(u, '[?&]id=([^&#]*)', 1) AS p_id,
+        |  regexp_replace(u, '[?#].*$', '') AS cut_qf
+        |FROM d ORDER BY doc_id""".stripMargin,
     "q80_contamination" ->
       """WITH sh AS (
         |  SELECT doc_id, list_distinct(list_transform(

@@ -24,12 +24,13 @@ object Catalog {
       name: String,
       schemaDdl: String,
       orderBy: Seq[String],
-      endpoint: Option[String])
+      endpoint: Option[String],
+      sampleBy: Option[String] = None)
 
   private val attached = scala.collection.concurrent.TrieMap.empty[String, AttachedTable]
 
   private val AttachRe =
-    """(?is)\s*ATTACH\s+TABLE\s+(\S+)\s*(?:UUID\s+'[^']*')?\s*\((.*)\)\s*ENGINE\s*=\s*(\w+)(?:\s+ORDER\s+BY\s*\(([^)]*)\))?(.*)""".r
+    """(?is)\s*ATTACH\s+TABLE\s+(\S+)\s*(?:UUID\s+'[^']*')?\s*\((.*)\)\s*ENGINE\s*=\s*(\w+)(?:\s+ORDER\s+BY\s*\(([^)]*)\))?(?:\s+SAMPLE\s+BY\s+(\w+\([^)]*\)|\([^)]*\)|[\w.]+))?(.*)""".r
   private val EndpointRe = """endpoint\s*=\s*'([^']*)'""".r
 
   def isAttach(sql: String): Boolean =
@@ -49,7 +50,7 @@ object Catalog {
     * registration. An ATTACH with no endpoint clause at all is plain
     * DDL and registers schema-only as before. */
   def attach(spark: SparkSession, sql: String): AttachedTable = sql match {
-    case AttachRe(name, cols, _, orderBy, tail) =>
+    case AttachRe(name, cols, _, orderBy, sampleBy, tail) =>
       val schema = ChSchemaParser.parse(cols)
       val key = Option(orderBy).map(_.split(",").map(_.trim).toSeq).getOrElse(Nil)
       val endpoint = EndpointRe.findFirstMatchIn(tail).map(_.group(1))
@@ -67,7 +68,7 @@ object Catalog {
           spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
       }
       df.createOrReplaceTempView(name)
-      val t = AttachedTable(name, cols.trim, key, endpoint)
+      val t = AttachedTable(name, cols.trim, key, endpoint, Option(sampleBy))
       attached(name) = t
       t
     case _ =>

@@ -226,6 +226,52 @@ object ChFunctions {
         StringSplit(s, escaped, Literal(-1))
       })
       reg("lengthUTF8")(exprs => Length(exprs.head))
+
+      // ---- URL functions (CH URL family) — regex-native, codegen'd.
+      // CH's parsers are lenient (scheme-less "example.com/p" still
+      // yields a domain) and return '' on no match, which is exactly
+      // RegExpExtract's contract — java.net.URI-based parse_url would
+      // NULL out the scheme-less forms CH accepts. Patterns stay in the
+      // RE2-compatible subset so cross-engine oracles can share them.
+      def SchemeOpt = "^(?:[a-zA-Z][a-zA-Z0-9+.-]*://)?"
+      def rex(s: Expression, pattern: String): Expression =
+        RegExpExtract(s, Literal(pattern), Literal(1))
+      def domainOf(url: Expression): Expression =
+        rex(url, SchemeOpt + """(?:[^/?#@]*@)?([^/:?#]+)""")
+      reg("protocol")(exprs =>
+        rex(exprs.head, """^([a-zA-Z][a-zA-Z0-9+.-]*)://"""))
+      reg("domain")(exprs => domainOf(exprs.head))
+      reg("domainWithoutWWW")(exprs =>
+        RegExpReplace(domainOf(exprs.head), Literal("""^www\."""), Literal("")))
+      reg("topLevelDomain")(exprs =>
+        rex(domainOf(exprs.head), """\.([A-Za-z0-9-]+)$"""))
+      reg("path")(exprs =>
+        rex(exprs.head, SchemeOpt + """[^/?#]*(/[^?#]*)"""))
+      reg("pathFull")(exprs =>
+        rex(exprs.head, SchemeOpt + """[^/?#]*(/[^#]*)"""))
+      reg("queryString")(exprs =>
+        rex(exprs.head, """\?([^#]*)"""))
+      reg("fragment")(exprs =>
+        rex(exprs.head, """#(.*)$"""))
+      reg("cutQueryString")(exprs =>
+        RegExpReplace(exprs.head, Literal("""\?[^#]*"""), Literal("")))
+      reg("cutFragment")(exprs =>
+        RegExpReplace(exprs.head, Literal("""#.*$"""), Literal("")))
+      reg("cutQueryStringAndFragment")(exprs =>
+        RegExpReplace(exprs.head, Literal("""[?#].*$"""), Literal("")))
+      reg("cutWWW")(exprs =>
+        RegExpReplace(exprs.head,
+          Literal("(" + SchemeOpt + """(?:[^/?#@]*@)?)www\."""), Literal("$1")))
+      // extractURLParameter(url, 'name') — value of one query parameter
+      reg("extractURLParameter")({ case Seq(url, name) =>
+        val pat = name match {
+          case Literal(v: org.apache.spark.unsafe.types.UTF8String, StringType) =>
+            Literal("[?&]" + java.util.regex.Pattern.quote(v.toString) + "=([^&#]*)")
+          case other =>
+            Concat(Seq(Literal("[?&]"), other, Literal("=([^&#]*)")))
+        }
+        RegExpExtract(url, pat, Literal(1))
+      })
       // JSONExtract family: CH extracts by top-level key name
       def jsonPath(key: Expression): Expression = key match {
         case Literal(v: org.apache.spark.unsafe.types.UTF8String, StringType) =>

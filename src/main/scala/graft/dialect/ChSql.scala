@@ -45,7 +45,11 @@ object ChSql {
     val noCluster = stripGlobal(stripOnCluster(m))
     val (body0, settings) = extractSettings(stripFormat(noCluster))
     val body = stripFormat(body0) // FORMAT may precede or follow SETTINGS
-    val totaled = rewriteWithTotals(body)
+    val finaled = stripFinal(body)
+    val sampled = rewriteSample(finaled)
+    val arrayJoined = rewriteArrayJoin(sampled)
+    val prewhered = rewritePrewhere(arrayJoined)
+    val totaled = rewriteWithTotals(prewhered)
     val limited = rewriteLimitBy(totaled)
     val counted = zeroArgCount(limited)
     val parametric = rewriteParametricAggregates(counted)
@@ -208,6 +212,205 @@ object ChSql {
     * accepted no-op like the CH tuning SETTINGS. */
   def stripFormat(sql: String): String =
     TrailingFormat.replaceAllIn(sql, "")
+
+  // ---- CH FROM-clause modifiers: FINAL, SAMPLE, ARRAY JOIN, PREWHERE ----
+
+  /** Generic quote-aware rewrite loop: `repl` returns Some(replacement
+    * text) for a match to rewrite, None to leave it untouched. Quote
+    * parity is carried across consumed prefixes like [[replaceFnName]]. */
+  private def replaceQuoteAware(
+      sql: String,
+      re: scala.util.matching.Regex)(
+      repl: scala.util.matching.Regex.Match => Option[String]): String = {
+    val out = new StringBuilder
+    var cur = sql
+    var carry = false
+    var m = re.findFirstMatchIn(cur)
+    while (m.isDefined) {
+      val mm = m.get
+      val r = if (insideQuote(cur, mm.start, carry)) None else repl(mm)
+      r match {
+        case Some(t) => out.append(cur.substring(0, mm.start)).append(t)
+        case None => out.append(cur.substring(0, mm.end))
+      }
+      carry = quoteStateAfter(cur, mm.end, carry)
+      cur = cur.substring(mm.end)
+      m = re.findFirstMatchIn(cur)
+    }
+    out.append(cur)
+    out.toString
+  }
+
+  /** All top-level (outside quotes, paren depth 0) matches of `re`. */
+  private def topLevelMatches(
+      s: String,
+      re: scala.util.matching.Regex): Seq[scala.util.matching.Regex.Match] =
+    re.findAllMatchIn(s)
+      .filter(m => !insideQuote(s, m.start) && depthAt(s, m.start) == 0)
+      .toSeq
+
+  // the alias slot uses a negative lookahead so neither FINAL itself nor
+  // a following clause keyword is ever parsed as the table alias
+  private val FromFinal =
+    ("""(?i)\b(FROM|JOIN)\s+([A-Za-z_][\w.]*(?:\s+(?:AS\s+)?""" +
+      """(?!(?:FINAL|WHERE|PREWHERE|GROUP|HAVING|ORDER|LIMIT|SETTINGS|JOIN|ON|USING|SAMPLE|ARRAY|LEFT|RIGHT|INNER|FULL|CROSS|UNION|INTERSECT|EXCEPT|WINDOW|QUALIFY)\b)""" +
+      """[A-Za-z_]\w*)?)\s+FINAL\b""").r
+
+  /** CH `FROM t FINAL` forces merge-time dedup of a ReplacingMergeTree.
+    * The attached views here are already fully-merged snapshots (S5
+    * registers a parquet export, not live parts), so FINAL is an
+    * accepted no-op and strips — same posture as the CH tuning
+    * SETTINGS. */
+  def stripFinal(sql: String): String =
+    replaceQuoteAware(sql, FromFinal)(m => Some(s"${m.group(1)} ${m.group(2)}"))
+
+  private val SampleRe =
+    """(?i)\bFROM\s+([A-Za-z_]\w*)\s+SAMPLE\s+(\d+(?:\.\d+)?)(?:\s*/\s*(\d+))?""".r
+
+  /** CH `FROM t SAMPLE f` / `SAMPLE n/m` — deterministic repeatable
+    * sampling keyed on the table's declared `SAMPLE BY` expression
+    * (parsed from the ATTACH DDL, [[graft.core.Catalog]]). Rewritten to
+    * a modulo-class filter in a subquery aliased back to the table
+    * name, so the rest of the query is untouched:
+    * `FROM (SELECT * FROM t WHERE pmod(key, m) < n) t`.
+    *
+    * Same contract as CH (deterministic, repeatable, and consistent
+    * across queries with the same key); the slice is a residue class
+    * rather than CH's key-range prefix — both are uniform iff the
+    * sampling key is. Row-count form `SAMPLE 10000` is refused loudly:
+    * it is approximate-by-design in CH and a deterministic engine
+    * should not fake it. Tables without a declared sampling key refuse
+    * too, matching CH's "Illegal SAMPLE" error. */
+  def rewriteSample(sql: String): String =
+    replaceQuoteAware(sql, SampleRe) { m =>
+      val table = m.group(1)
+      val key = graft.core.Catalog.lookup(table).flatMap(_.sampleBy)
+        .getOrElse(throw new IllegalArgumentException(
+          s"SAMPLE on '$table': no SAMPLE BY key declared for the table " +
+            "(attach it with ... ORDER BY (...) SAMPLE BY <expr>)"))
+      val (n0, den0) = (m.group(2), Option(m.group(3))) match {
+        case (num, Some(d)) => (num.toLong, d.toLong)
+        case (num, None) if num.contains('.') || num.toDouble < 1.0 =>
+          val f = num.toDouble
+          require(f > 0 && f <= 1, s"SAMPLE fraction out of range: $num")
+          (math.round(f * 1000000L), 1000000L)
+        case (num, None) =>
+          throw new IllegalArgumentException(
+            s"SAMPLE $num (approximate row count) is not supported — " +
+              "use a fraction (SAMPLE 0.1) or ratio (SAMPLE 1/10)")
+      }
+      require(n0 <= den0, s"SAMPLE $n0/$den0 exceeds the whole table")
+      // lowest terms: pmod(key, m) is only a uniform residue class when
+      // the key domain is large relative to m — SAMPLE 0.2 must become
+      // pmod(key, 5) < 1, not pmod(key, 1000000) < 200000
+      val g = BigInt(n0).gcd(BigInt(den0)).toLong
+      val (n, den) = (n0 / g, den0 / g)
+      Some(s"FROM (SELECT * FROM $table WHERE pmod($key, $den) < $n) $table")
+    }
+
+  private val ArrayJoinRe = """(?i)\b(LEFT\s+)?ARRAY\s+JOIN\b""".r
+  private val ClauseKw =
+    """(?i)\b(PREWHERE|WHERE|GROUP\s+BY|HAVING|ORDER\s+BY|LIMIT|SETTINGS|UNION|INTERSECT|EXCEPT|WINDOW|QUALIFY)\b""".r
+  private val FromKw = """(?i)\bFROM\b""".r
+  private val AsSep = """(?i)\s+AS\s+""".r
+
+  private case class AjItem(expr: String, alias: String, bare: Boolean)
+
+  /** CH `[LEFT] ARRAY JOIN a [AS x], b AS y` — unnest array columns,
+    * multiple arrays ZIPPED element-wise (CH semantics, NOT a cross
+    * product) → `LATERAL VIEW inline[_outer](arrays_zip(a, b)) __aj AS
+    * x, y`. `LEFT ARRAY JOIN` keeps empty-array rows with NULL elements
+    * (CH emits type defaults there — NULL is the Spark-idiomatic
+    * spelling of "no element").
+    *
+    * A bare-identifier item with no alias shadows the source column in
+    * CH (`ARRAY JOIN arr` makes `arr` the element). Spark would reject
+    * the name collision as ambiguous, so the source column is renamed
+    * out of the way in a wrapping subquery (`SELECT * EXCEPT (arr),
+    * arr AS __aj_src_0 FROM t`) and the element keeps the original
+    * name. Non-column expressions must carry an explicit AS alias. */
+  def rewriteArrayJoin(sql: String): String = {
+    val hit = topLevelMatches(sql, ArrayJoinRe).headOption.getOrElse(return sql)
+    val isLeft = hit.group(1) != null
+    val from = topLevelMatches(sql.substring(0, hit.start), FromKw).lastOption
+      .getOrElse(throw new IllegalArgumentException("ARRAY JOIN without FROM"))
+    val baseRef = sql.substring(from.end, hit.start).trim
+    val clauseEnd = ClauseKw.findAllMatchIn(sql)
+      .find(m => m.start >= hit.end && !insideQuote(sql, m.start) &&
+        depthAt(sql, m.start) == 0)
+      .map(_.start).getOrElse(sql.length)
+    val items = ChSchemaParser.splitTopLevel(sql.substring(hit.end, clauseEnd), ',')
+      .map(_.trim).filter(_.nonEmpty)
+    require(items.nonEmpty, "ARRAY JOIN with no array expressions")
+    val parsed = items.map { it =>
+      AsSep.findAllMatchIn(it)
+        .filter(m => !insideQuote(it, m.start) && depthAt(it, m.start) == 0)
+        .toSeq.lastOption match {
+        case Some(a) =>
+          AjItem(it.substring(0, a.start).trim, it.substring(a.end).trim, bare = false)
+        case None =>
+          require(it.matches("[A-Za-z_]\\w*"),
+            s"ARRAY JOIN item '$it' needs an AS alias " +
+              "(only a bare column name can omit it)")
+          AjItem(it, it, bare = true)
+      }
+    }
+    val bare = parsed.filter(_.bare)
+    val (newBase, exprs) =
+      if (bare.isEmpty) (baseRef, parsed.map(_.expr))
+      else {
+        require(baseRef.matches("[A-Za-z_][\\w.]*(?:\\s+(?:(?i:AS)\\s+)?[A-Za-z_]\\w*)?"),
+          s"ARRAY JOIN with bare column items needs a plain table in FROM " +
+            s"(got '$baseRef') — alias the items with AS instead")
+        val renames = bare.zipWithIndex
+          .map { case (b, i) => b.alias -> s"__aj_src_$i" }.toMap
+        val sel = "SELECT * EXCEPT (" + bare.map(_.alias).mkString(", ") + "), " +
+          bare.zipWithIndex
+            .map { case (b, i) => s"${b.alias} AS __aj_src_$i" }.mkString(", ")
+        (s"($sel FROM $baseRef) __ajb",
+          parsed.map(p => if (p.bare) renames(p.alias) else p.expr))
+      }
+    val fn = if (isLeft) "inline_outer" else "inline"
+    val lateral = s" LATERAL VIEW $fn(arrays_zip(${exprs.mkString(", ")})) " +
+      s"__aj AS ${parsed.map(_.alias).mkString(", ")} "
+    // recurse: a second top-level ARRAY JOIN (other UNION branch) rewrites next
+    rewriteArrayJoin(
+      sql.substring(0, from.start) + "FROM " + newBase + lateral +
+        sql.substring(clauseEnd))
+  }
+
+  private val PrewhereRe = """(?i)\bPREWHERE\b""".r
+
+  /** CH `PREWHERE cond` — an execution hint ("evaluate this predicate
+    * on the narrowest columns first, skip granules before reading the
+    * rest"). Semantically it is a conjunct of WHERE, and in Spark the
+    * optimization itself is exactly what Catalyst's predicate pushdown
+    * + parquet row-group pruning already do to any WHERE conjunct — so
+    * the rewrite merges it: `PREWHERE p WHERE w` → `WHERE (p) AND (w)`. */
+  def rewritePrewhere(sql: String): String = {
+    val m = topLevelMatches(sql, PrewhereRe).headOption.getOrElse(return sql)
+    val nextKw = ClauseKw.findAllMatchIn(sql)
+      .find(k => k.start >= m.end && !insideQuote(sql, k.start) &&
+        depthAt(sql, k.start) == 0)
+    val condEnd = nextKw.map(_.start).getOrElse(sql.length)
+    val cond = sql.substring(m.end, condEnd).trim
+    require(cond.nonEmpty, "PREWHERE with no condition")
+    def glue(head: String, tail: String): String =
+      if (tail.isEmpty) head else head + " " + tail
+    val merged = nextKw match {
+      case Some(k) if k.group(1).equalsIgnoreCase("where") =>
+        val wEnd = ClauseKw.findAllMatchIn(sql)
+          .find(x => x.start >= k.end && !insideQuote(sql, x.start) &&
+            depthAt(sql, x.start) == 0)
+          .map(_.start).getOrElse(sql.length)
+        val wcond = sql.substring(k.end, wEnd).trim
+        glue(sql.substring(0, m.start) + s"WHERE ($cond) AND ($wcond)",
+          sql.substring(wEnd))
+      case _ =>
+        glue(sql.substring(0, m.start) + s"WHERE $cond", sql.substring(condEnd))
+    }
+    rewritePrewhere(merged)
+  }
 
   private val WithTotals = """(?i)\bWITH\s+TOTALS\b""".r
   private val GroupBy = """(?i)\bGROUP\s+BY\b""".r

@@ -312,4 +312,30 @@ class ChFunctionsSpec extends AnyFunSuite {
       .collect().head.getLong(0)
     assert(u == 2L)
   }
+
+  test("URL functions: CH-lenient parsing, ports, userinfo, cut variants") {
+    def s(sql: String): String = spark.sql(sql).collect().head.getString(0)
+    val full = "'https://u:p@www.sub.example.com:8443/a/b.html?k=v&id=7#frag'"
+    assert(s(s"SELECT protocol($full)") == "https")
+    assert(s(s"SELECT domain($full)") == "www.sub.example.com") // port/userinfo excluded
+    assert(s(s"SELECT domainWithoutWWW($full)") == "sub.example.com")
+    assert(s(s"SELECT topLevelDomain($full)") == "com")
+    assert(s(s"SELECT path($full)") == "/a/b.html")
+    assert(s(s"SELECT pathFull($full)") == "/a/b.html?k=v&id=7")
+    assert(s(s"SELECT queryString($full)") == "k=v&id=7")
+    assert(s(s"SELECT fragment($full)") == "frag")
+    assert(s(s"SELECT extractURLParameter($full, 'id')") == "7")
+    assert(s(s"SELECT extractURLParameter($full, 'nope')") == "")
+    assert(s(s"SELECT cutQueryString($full)") ==
+      "https://u:p@www.sub.example.com:8443/a/b.html#frag")
+    assert(s(s"SELECT cutFragment($full)") ==
+      "https://u:p@www.sub.example.com:8443/a/b.html?k=v&id=7")
+    assert(s(s"SELECT cutWWW($full)") ==
+      "https://u:p@sub.example.com:8443/a/b.html?k=v&id=7#frag")
+    // scheme-less: CH still extracts the domain; protocol/tld degrade to ''
+    assert(s("SELECT domain('example.com/p?x=1')") == "example.com")
+    assert(s("SELECT protocol('example.com/p')") == "")
+    assert(s("SELECT topLevelDomain('localhost/p')") == "")
+    assert(s("SELECT path('example.com/p/q')") == "/p/q")
+  }
 }

@@ -168,4 +168,83 @@ class ChSqlSpec extends AnyFunSuite {
     assert(ChSql.rewriteConflictingFunctions("SELECT position(s, ' IN ') FROM t") ==
       "SELECT instr(s, ' IN ') FROM t")
   }
+
+  test("FINAL strips after a FROM/JOIN table ref, never as an alias") {
+    assert(ChSql.stripFinal("SELECT * FROM t FINAL WHERE x = 1") ==
+      "SELECT * FROM t WHERE x = 1")
+    assert(ChSql.stripFinal("SELECT * FROM t AS a FINAL JOIN u FINAL ON a.k = u.k") ==
+      "SELECT * FROM t AS a JOIN u ON a.k = u.k")
+    // a column literally named final elsewhere is untouched
+    assert(ChSql.stripFinal("SELECT final FROM t WHERE final > 0") ==
+      "SELECT final FROM t WHERE final > 0")
+    assert(ChSql.stripFinal("SELECT 'FROM t FINAL' AS s") ==
+      "SELECT 'FROM t FINAL' AS s")
+  }
+
+  test("PREWHERE merges into WHERE as a conjunct") {
+    assert(ChSql.rewritePrewhere("SELECT * FROM t PREWHERE a = 1 WHERE b = 2 ORDER BY c")
+      == "SELECT * FROM t WHERE (a = 1) AND (b = 2) ORDER BY c")
+    assert(ChSql.rewritePrewhere("SELECT * FROM t PREWHERE a = 1 GROUP BY k")
+      == "SELECT * FROM t WHERE a = 1 GROUP BY k")
+    assert(ChSql.rewritePrewhere("SELECT * FROM t PREWHERE a = 1")
+      == "SELECT * FROM t WHERE a = 1")
+    // no PREWHERE → identity
+    assert(ChSql.rewritePrewhere("SELECT * FROM t WHERE a = 1") ==
+      "SELECT * FROM t WHERE a = 1")
+  }
+
+  test("ARRAY JOIN rewrites to inline(arrays_zip(...)) with zipped semantics") {
+    val spark = graft.TestSpark.spark
+    import spark.implicits._
+    Seq((1L, Seq(10, 20), Seq("x", "y")), (2L, Seq(30), Seq("z")),
+        (3L, Seq.empty[Int], Seq.empty[String]))
+      .toDF("id", "vals", "tags").createOrReplaceTempView("aj_t")
+    // aliased expr items
+    val r1 = ChSql.sql(spark,
+      "SELECT id, v, tg FROM aj_t ARRAY JOIN vals AS v, tags AS tg ORDER BY id, v")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSeq
+    assert(r1 == Seq((1L, 10, "x"), (1L, 20, "y"), (2L, 30, "z")))
+    // bare column item shadows the source column (CH semantics)
+    val r2 = ChSql.sql(spark,
+      "SELECT id, vals FROM aj_t ARRAY JOIN vals WHERE vals > 15 ORDER BY id, vals")
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSeq
+    assert(r2 == Seq((1L, 20), (2L, 30)))
+    // LEFT ARRAY JOIN keeps the empty-array row with NULL element
+    val r3 = ChSql.sql(spark,
+      "SELECT id, v FROM aj_t LEFT ARRAY JOIN vals AS v ORDER BY id, v")
+      .collect().map(r => (r.getLong(0), if (r.isNullAt(1)) -1 else r.getInt(1))).toSeq
+    assert(r3 == Seq((1L, 10), (1L, 20), (2L, 30), (3L, -1)))
+    // expression item requires an alias
+    val e = intercept[IllegalArgumentException] {
+      ChSql.rewriteArrayJoin("SELECT 1 FROM t ARRAY JOIN arrayMap(x -> x, a)")
+    }
+    assert(e.getMessage.contains("AS alias"))
+  }
+
+  test("SAMPLE rewrites to a deterministic modulo filter on the declared key") {
+    val spark = graft.TestSpark.spark
+    import spark.implicits._
+    (0L until 100L).map(i => (i, s"r$i")).toDF("uid", "payload")
+      .write.mode("overwrite").parquet("/tmp/graft_sample_t")
+    graft.core.Catalog.attach(spark,
+      """ATTACH TABLE sample_t (`uid` Int64, `payload` String)
+        |ENGINE = MergeTree ORDER BY (uid) SAMPLE BY uid
+        |SETTINGS disk = disk(type = web, endpoint = '/tmp/graft_sample_t')""".stripMargin)
+    val cnt = ChSql.sql(spark,
+      "SELECT count() AS c FROM sample_t SAMPLE 1/10").collect().head.getLong(0)
+    assert(cnt == 10) // uids 0..99, pmod(uid,10) < 1 → exactly 10 rows
+    val cnt2 = ChSql.sql(spark,
+      "SELECT count() AS c FROM sample_t SAMPLE 0.2 WHERE uid < 50").collect().head.getLong(0)
+    assert(cnt2 == 10) // pmod(uid, 1000000) < 200000 → uid < 50 keeps 0..49 ∩ mod-class
+    // row-count form refuses
+    val e = intercept[IllegalArgumentException] {
+      ChSql.rewriteSample("SELECT * FROM sample_t SAMPLE 1000")
+    }
+    assert(e.getMessage.contains("not supported"))
+    // undeclared sampling key refuses
+    val e2 = intercept[IllegalArgumentException] {
+      ChSql.rewriteSample("SELECT * FROM nosuch_t SAMPLE 1/10")
+    }
+    assert(e2.getMessage.contains("SAMPLE BY"))
+  }
 }
