@@ -468,11 +468,15 @@ object Dedup {
     val benchSh = shingleRows(bench, idCol, textCol, n)
       .select(col("_s")).distinct()
     val benchSide = if (broadcastBench) broadcast(benchSh) else benchSh
+    // probe FIRST, dedup after: the broadcast probe drops non-matching
+    // grams at scan stage, so the only corpus shuffle (the distinct-
+    // count below) carries matching grams — proportional to actual
+    // contamination, not corpus size. A distinct() before the join
+    // would shuffle every (doc, gram) row in the corpus.
     shingleRows(corpus, idCol, textCol, n)
-      .distinct() // one row per (doc, distinct n-gram)
       .join(benchSide, Seq("_s"))
       .groupBy("_id")
-      .agg(count(lit(1)).as("n_overlap"))
+      .agg(countDistinct(col("_s")).as("n_overlap"))
   }
 
   /** C4-style boilerplate-line removal: any line occurring in at least

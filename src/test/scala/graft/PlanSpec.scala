@@ -121,6 +121,27 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("line dedup: boilerplate anti-join shuffles, never broadcasts the line set") {
+    val docs = Tables.load(spark, dir, "documents")
+    val plan = planOf(Dedup.lineDedup(docs, "doc_id", "text", sepRe = " ", joinSep = " "))
+    // the boilerplate set is corpus-derived — a broadcast build would
+    // collect an unbounded line table to the driver at 100 TB
+    assert(plan.contains("ShuffledHashJoin") && plan.contains("LeftAnti"),
+      s"anti-join must be a shuffled hash join:\n$plan")
+    assert(!plan.matches("(?s).*BroadcastHashJoin[^\\n]*LeftAnti.*"),
+      s"boilerplate set must not broadcast:\n$plan")
+  }
+
+  test("contamination: benchmark n-gram set broadcasts, corpus probes at scan stage") {
+    val docs = Tables.load(spark, dir, "documents")
+    val bench = docs.filter(col("doc_id") % 17 === 0)
+    val corpus = docs.filter(col("doc_id") % 17 =!= 0)
+    val plan = planOf(Dedup.contamination(corpus, bench, "doc_id", "text", n = 3))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"benchmark side must broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("SimHash banded join never goes cartesian") {
     val docs = Tables.load(spark, dir, "documents")
     val plan = planOf(Dedup.simHashDupPairs(docs, "doc_id", "text"))
