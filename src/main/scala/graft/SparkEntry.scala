@@ -867,15 +867,41 @@ object SparkEntry {
         |  domainWithoutWWW(u) AS dom_nw, topLevelDomain(u) AS tld,
         |  path(u) AS pth, queryString(u) AS qs,
         |  extractURLParameter(u, 'id') AS p_id,
-        |  cutQueryStringAndFragment(u) AS cut_qf
+        |  cutQueryStringAndFragment(u) AS cut_qf,
+        |  firstSignificantSubdomain(u) AS fss,
+        |  cutToFirstSignificantSubdomain(u) AS cut_fss
         |FROM (
         |  SELECT doc_id,
-        |    if(doc_id % 5 = 0,
+        |    multiIf(doc_id % 5 = 0,
         |       concat(source, '.example.com/p/', toString(doc_id)),
+        |       doc_id % 5 = 1,
+        |       concat('https://news.', source, '.portal.com.tr/x/', toString(doc_id)),
         |       concat('https://www.', source, '.example.org/p/', toString(doc_id),
         |              '?id=', toString(doc_id), '&x=1#frag')) AS u
         |  FROM documents WHERE doc_id < 25) t
         |ORDER BY doc_id""".stripMargin),
+
+    // CH windowFunnel: view -> click -> purchase within 6h, per-user
+    // level histogram (condition matches filter at scan stage; the one
+    // shuffle is the per-user aggregate over matches)
+    "q85_window_funnel" -> ((spark, dir) => {
+      prep(spark, dir)
+      graft.operators.Funnel.windowFunnel(
+          Tables.load(spark, dir, "events"), "user_id", "ts", windowSec = 21600,
+          conds = Seq(col("event_type") === "view", col("event_type") === "click",
+            col("event_type") === "purchase"))
+        .groupBy("level").agg(count(lit(1)).as("n_users"))
+        .orderBy("level")
+    }),
+
+    // CH retention: signup cohort retained through click / purchase
+    "q86_retention" -> ((spark, dir) => {
+      prep(spark, dir)
+      graft.operators.Funnel.retentionCounts(
+        Tables.load(spark, dir, "events"), "user_id",
+        Seq(col("event_type") === "signup", col("event_type") === "click",
+          col("event_type") === "purchase"))
+    }),
 
     // benchmark decontamination: corpus docs sharing any 5-gram with
     // the benchmark slice (doc_id % 17 == 0), with overlap counts —
@@ -1346,13 +1372,18 @@ object SparkEntry {
         |  SELECT doc_id,
         |    CASE WHEN doc_id % 5 = 0
         |         THEN source || '.example.com/p/' || CAST(doc_id AS VARCHAR)
+        |         WHEN doc_id % 5 = 1
+        |         THEN 'https://news.' || source || '.portal.com.tr/x/' || CAST(doc_id AS VARCHAR)
         |         ELSE 'https://www.' || source || '.example.org/p/' || CAST(doc_id AS VARCHAR)
         |              || '?id=' || CAST(doc_id AS VARCHAR) || '&x=1#frag' END AS u
         |  FROM documents WHERE doc_id < 25),
         |d AS (
         |  SELECT doc_id, u,
         |    regexp_extract(u, '^(?:[a-zA-Z][a-zA-Z0-9+.-]*://)?(?:[^/?#@]*@)?([^/:?#]+)', 1) AS dom
-        |  FROM t)
+        |  FROM t),
+        |s AS (
+        |  SELECT doc_id, u, dom, string_split(dom, '.') AS ls, len(string_split(dom, '.')) AS nl
+        |  FROM d)
         |SELECT doc_id,
         |  regexp_extract(u, '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1) AS proto,
         |  dom,
@@ -1361,8 +1392,43 @@ object SparkEntry {
         |  regexp_extract(u, '^(?:[a-zA-Z][a-zA-Z0-9+.-]*://)?[^/?#]*(/[^?#]*)', 1) AS pth,
         |  regexp_extract(u, '\?([^#]*)', 1) AS qs,
         |  regexp_extract(u, '[?&]id=([^&#]*)', 1) AS p_id,
-        |  regexp_replace(u, '[?#].*$', '') AS cut_qf
-        |FROM d ORDER BY doc_id""".stripMargin,
+        |  regexp_replace(u, '[?#].*$', '') AS cut_qf,
+        |  CASE WHEN nl >= 3 AND ls[nl-1] IN ('com','net','org','co','biz','gov','mil','edu','ac','info')
+        |       THEN ls[nl-2]
+        |       WHEN nl >= 2 THEN ls[nl-1] ELSE '' END AS fss,
+        |  CASE WHEN nl >= 3 AND ls[nl-1] IN ('com','net','org','co','biz','gov','mil','edu','ac','info')
+        |       THEN array_to_string(ls[nl-2:nl], '.')
+        |       WHEN nl >= 2 THEN array_to_string(ls[nl-1:nl], '.') ELSE '' END AS cut_fss
+        |FROM s ORDER BY doc_id""".stripMargin,
+    "q85_window_funnel" ->
+      """WITH m AS (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS t, event_type FROM events),
+        |v AS (SELECT user_id, t FROM m WHERE event_type = 'view'),
+        |c AS (SELECT user_id, t FROM m WHERE event_type = 'click'),
+        |p AS (SELECT user_id, t FROM m WHERE event_type = 'purchase'),
+        |l3 AS (SELECT DISTINCT v.user_id FROM v
+        |         JOIN c ON c.user_id = v.user_id AND c.t >= v.t
+        |         JOIN p ON p.user_id = v.user_id AND p.t >= c.t AND p.t <= v.t + 21600),
+        |l2 AS (SELECT DISTINCT v.user_id FROM v
+        |         JOIN c ON c.user_id = v.user_id AND c.t >= v.t AND c.t <= v.t + 21600),
+        |l1 AS (SELECT DISTINCT user_id FROM v),
+        |anym AS (SELECT DISTINCT user_id FROM m
+        |         WHERE event_type IN ('view', 'click', 'purchase')),
+        |lv AS (SELECT a.user_id,
+        |         CASE WHEN a.user_id IN (SELECT user_id FROM l3) THEN 3
+        |              WHEN a.user_id IN (SELECT user_id FROM l2) THEN 2
+        |              WHEN a.user_id IN (SELECT user_id FROM l1) THEN 1
+        |              ELSE 0 END AS level
+        |       FROM anym a)
+        |SELECT level, count(*) AS n_users FROM lv GROUP BY level ORDER BY level""".stripMargin,
+    "q86_retention" ->
+      """WITH f AS (
+        |  SELECT user_id,
+        |    max(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS c0,
+        |    max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS c1,
+        |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS c2
+        |  FROM events GROUP BY user_id)
+        |SELECT CAST(sum(c0) AS BIGINT) AS r1, CAST(sum(c0 * c1) AS BIGINT) AS r2,
+        |       CAST(sum(c0 * c2) AS BIGINT) AS r3 FROM f""".stripMargin,
     "q80_contamination" ->
       """WITH sh AS (
         |  SELECT doc_id, list_distinct(list_transform(

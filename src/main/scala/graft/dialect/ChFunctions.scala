@@ -262,6 +262,42 @@ object ChFunctions {
       reg("cutWWW")(exprs =>
         RegExpReplace(exprs.head,
           Literal("(" + SchemeOpt + """(?:[^/?#@]*@)?)www\."""), Literal("$1")))
+      // firstSignificantSubdomain: CH's effective-TLD heuristic — for
+      // a.b.c.tld the label before the effective TLD, where a
+      // second-to-last label in the known second-level set (com.tr,
+      // co.uk, …) extends the TLD by one label. CH ships a full public
+      // suffix list; this carries the same common second-level set its
+      // docs illustrate.
+      def urlLabels(u: Expression): Expression =
+        StringSplit(domainOf(u), Literal("""\."""), Literal(-1))
+      def secondLevel: Seq[Expression] =
+        Seq("com", "net", "org", "co", "biz", "gov", "mil", "edu", "ac", "info")
+          .map(Literal(_))
+      def ccTldCase(u: Expression)(
+          cc: (Expression, Expression) => Expression,
+          plain: (Expression, Expression) => Expression): Expression = {
+        val labels = urlLabels(u)
+        val n = Size(labels)
+        If(
+          And(GreaterThanOrEqual(n, Literal(3)),
+            In(ElementAt(labels, Subtract(n, Literal(1))), secondLevel)),
+          cc(labels, n),
+          If(GreaterThanOrEqual(n, Literal(2)), plain(labels, n), Literal("")))
+      }
+      reg("firstSignificantSubdomain")({ case Seq(u) =>
+        ccTldCase(u)(
+          (labels, n) => ElementAt(labels, Subtract(n, Literal(2))),
+          (labels, n) => ElementAt(labels, Subtract(n, Literal(1))))
+      })
+      reg("cutToFirstSignificantSubdomain")({ case Seq(u) =>
+        ccTldCase(u)(
+          (labels, n) =>
+            ArrayJoin(Slice(labels, Subtract(n, Literal(2)), Literal(3)),
+              Literal("."), None),
+          (labels, n) =>
+            ArrayJoin(Slice(labels, Subtract(n, Literal(1)), Literal(2)),
+              Literal("."), None))
+      })
       // extractURLParameter(url, 'name') — value of one query parameter
       reg("extractURLParameter")({ case Seq(url, name) =>
         val pat = name match {

@@ -121,6 +121,25 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("co-bucketed tables join with zero Exchange on either side") {
+    import org.apache.spark.sql.SaveMode
+    val orders = Tables.load(spark, dir, "orders")
+    val customer = Tables.load(spark, dir, "customer")
+    graft.sources.Sinks.writeBucketed(
+      orders, "orders_bkt", "o_custkey", 8, Seq("o_custkey"), SaveMode.Overwrite)
+    graft.sources.Sinks.writeBucketed(
+      customer, "customer_bkt", "c_custkey", 8, Seq("c_custkey"), SaveMode.Overwrite)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val j = spark.table("orders_bkt").join(spark.table("customer_bkt"),
+        col("o_custkey") === col("c_custkey"))
+      val plan = planOf(j)
+      assert(!plan.contains("Exchange"),
+        s"co-bucketed join must not shuffle either side:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("line dedup: boilerplate anti-join shuffles, never broadcasts the line set") {
     val docs = Tables.load(spark, dir, "documents")
     val plan = planOf(Dedup.lineDedup(docs, "doc_id", "text", sepRe = " ", joinSep = " "))

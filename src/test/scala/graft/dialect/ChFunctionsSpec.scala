@@ -338,4 +338,15 @@ class ChFunctionsSpec extends AnyFunSuite {
     assert(s("SELECT topLevelDomain('localhost/p')") == "")
     assert(s("SELECT path('example.com/p/q')") == "/p/q")
   }
+
+  test("firstSignificantSubdomain honors second-level TLDs") {
+    def s(sql: String): String = spark.sql(sql).collect().head.getString(0)
+    // CH docs' own example shape: news.yandex.com.tr → yandex
+    assert(s("SELECT firstSignificantSubdomain('https://news.yandex.com.tr/x')") == "yandex")
+    assert(s("SELECT cutToFirstSignificantSubdomain('https://news.yandex.com.tr/x')") == "yandex.com.tr")
+    assert(s("SELECT firstSignificantSubdomain('https://www.tech.example.org/a')") == "example")
+    assert(s("SELECT cutToFirstSignificantSubdomain('https://www.tech.example.org/a')") == "example.org")
+    assert(s("SELECT firstSignificantSubdomain('example.com/p')") == "example")
+    assert(s("SELECT firstSignificantSubdomain('localhost')") == "")
+  }
 }
