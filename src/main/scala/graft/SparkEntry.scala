@@ -894,6 +894,15 @@ object SparkEntry {
         .orderBy("level")
     }),
 
+    // CH ORDER BY ... WITH FILL: day-of-month activity histogram with
+    // the gaps filled at CH type defaults (count → 0); the grid is a
+    // distributed range, never a driver-side list
+    "q87_with_fill" -> ch(
+      """SELECT d, cnt FROM (
+        |  SELECT toDayOfMonth(ts) AS d, count() AS cnt
+        |  FROM events WHERE user_id = 7 GROUP BY d) t
+        |ORDER BY d WITH FILL FROM 1 TO 32""".stripMargin),
+
     // CH retention: signup cohort retained through click / purchase
     "q86_retention" -> ((spark, dir) => {
       prep(spark, dir)
@@ -1420,6 +1429,13 @@ object SparkEntry {
         |              ELSE 0 END AS level
         |       FROM anym a)
         |SELECT level, count(*) AS n_users FROM lv GROUP BY level ORDER BY level""".stripMargin,
+    "q87_with_fill" ->
+      """WITH h AS (
+        |  SELECT CAST(day(ts) AS INT) AS d, count(*) AS cnt
+        |  FROM events WHERE user_id = 7 GROUP BY d)
+        |SELECT g.d, CAST(coalesce(h.cnt, 0) AS BIGINT) AS cnt
+        |FROM (SELECT CAST(unnest(range(1, 32)) AS INT) AS d) g
+        |LEFT JOIN h USING (d) ORDER BY d""".stripMargin,
     "q86_retention" ->
       """WITH f AS (
         |  SELECT user_id,

@@ -442,6 +442,11 @@ object ChFunctions {
         { case Seq(x, q) => new Percentile(x, q) })
       reg("quantileTiming")(
         { case Seq(x, q) => new Percentile(x, q) })
+      // quantileTDigest — CH's sketch-based approximate quantile; the
+      // Spark analog is ApproximatePercentile (GK sketch): same
+      // mergeable-summary contract, bounded error, re-aggregatable
+      reg("quantileTDigest")(
+        { case Seq(x, q) => new ApproximatePercentile(x, q) })
       // quantileExact(x, q) — CH returns an ACTUAL ELEMENT, not an
       // interpolation: nth_element at 0-based index floor(q·n), clamped
       // to n-1 (ClickHouse QuantileExact::get). Composed from two

@@ -32,8 +32,22 @@ import graft.types.ChSchemaParser
 object ChSql {
 
   /** Result of the pre-pass: Spark-executable SQL + extracted per-query
-    * settings (already applied where they map to Spark confs). */
-  case class Rewritten(sql: String, settings: Map[String, String])
+    * settings (already applied where they map to Spark confs) + an
+    * optional WITH FILL spec applied as a DataFrame transform after
+    * `spark.sql` (gap filling needs the result schema for CH's
+    * type-default fill values — not expressible as a text rewrite). */
+  case class Rewritten(
+      sql: String,
+      settings: Map[String, String],
+      fill: Option[FillSpec] = None)
+
+  /** `ORDER BY col WITH FILL [FROM a] [TO b] [STEP s]` — literal texts,
+    * parsed as expressions at apply time. */
+  case class FillSpec(
+      col: String,
+      from: Option[String],
+      to: Option[String],
+      step: Option[String])
 
   val defaultMacros: Map[String, String] = Map("cluster" -> "graft")
 
@@ -51,13 +65,43 @@ object ChSql {
     val prewhered = rewritePrewhere(arrayJoined)
     val totaled = rewriteWithTotals(prewhered)
     val limited = rewriteLimitBy(totaled)
-    val counted = zeroArgCount(limited)
+    val (unfilled, fillSpec) = extractWithFill(limited)
+    val counted = zeroArgCount(unfilled)
     val parametric = rewriteParametricAggregates(counted)
     val dated = rewriteDateDiff(parametric)
     val deconflicted = rewriteConflictingFunctions(dated)
     val sys = rewriteSystemTables(deconflicted)
     val rewritten = rewriteTableFunctions(spark, sys)
-    Rewritten(rewritten, settings)
+    Rewritten(rewritten, settings, fillSpec)
+  }
+
+  private val WithFillRe =
+    ("""(?i)\bORDER\s+BY\s+([A-Za-z_]\w*)\s+WITH\s+FILL""" +
+      """(?:\s+FROM\s+(\S+))?(?:\s+TO\s+(\S+))?(?:\s+STEP\s+(\S+))?""").r
+
+  /** Detect and strip a top-level `ORDER BY col WITH FILL …` clause,
+    * returning the spec for the DataFrame-side transform (the plain
+    * ORDER BY stays in the text — [[graft.operators.Fill]] re-sorts
+    * after inserting the grid rows anyway). */
+  def extractWithFill(sql: String): (String, Option[FillSpec]) = {
+    val m = topLevelMatches(sql, WithFillRe).headOption.getOrElse(return (sql, None))
+    val spec = FillSpec(m.group(1),
+      Option(m.group(2)), Option(m.group(3)), Option(m.group(4)))
+    val stripped = sql.substring(0, m.start) +
+      s"ORDER BY ${m.group(1)}" + sql.substring(m.end)
+    (stripped, Some(spec))
+  }
+
+  /** Execute a rewritten query: `spark.sql` + the WITH FILL transform
+    * when present. Both execution paths (this object's [[sql]] and
+    * QueryService) go through here. */
+  def finish(spark: SparkSession, r: Rewritten): DataFrame = {
+    val df = spark.sql(r.sql)
+    r.fill.fold(df) { f =>
+      import org.apache.spark.sql.functions.expr
+      graft.operators.Fill.withFill(df, f.col,
+        f.from.map(expr), f.to.map(expr), f.step.map(expr))
+    }
   }
 
   private val LimitByRe = """(?i)\bLIMIT\s+(\d+)\s+BY\b""".r
@@ -150,7 +194,7 @@ object ChSql {
     if (r.sql.toLowerCase.contains("system_"))
       graft.core.SystemTables.registerViews(spark,
         macros.getOrElse("cluster", "graft"))
-    spark.sql(r.sql)
+    finish(spark, r)
   }
 
   // ---- individual passes (each unit-testable) ----
@@ -507,7 +551,7 @@ object ChSql {
   }
 
   private val ParametricAgg =
-    """(?i)\b(quantilesExact|quantileExact|quantiles|quantile|topK|uniqUpTo)\s*\(""".r
+    """(?i)\b(quantilesExact|quantileExact|quantileTDigest|quantileTiming|quantiles|quantile|topK|uniqUpTo)\s*\(""".r
 
   /** CH parametric-aggregate syntax `f(params)(args)` →
     * `f(args, params)` — the calling convention the registered builders

@@ -57,7 +57,7 @@ class QueryService(spark: SparkSession) {
     }
     val r = ChSql.rewrite(spark, req.query, req.macros)
     ChSql.applySettings(spark, r.settings)
-    (spark.sql(r.sql), r.settings)
+    (ChSql.finish(spark, r), r.settings)
   }
 
   /** Full request → result-envelope path (O1+O6+O7). */

@@ -339,6 +339,21 @@ class ChFunctionsSpec extends AnyFunSuite {
     assert(s("SELECT path('example.com/p/q')") == "/p/q")
   }
 
+  test("quantileTDigest/quantileTiming accept the CH parametric spelling") {
+    val spark2 = spark
+    import spark2.implicits._
+    (1 to 1000).map(_.toLong).toDF("v").createOrReplaceTempView("qtd_t")
+    // sketch quantile of an integral column returns an actual element
+    val med = graft.dialect.ChSql.sql(spark,
+      "SELECT quantileTDigest(0.5)(v) AS m FROM qtd_t")
+      .collect().head.getLong(0)
+    assert(math.abs(med - 500L) <= 10L, s"median estimate off: $med") // sketch tolerance
+    val t90 = graft.dialect.ChSql.sql(spark,
+      "SELECT quantileTiming(0.9)(v) AS t FROM qtd_t")
+      .collect().head.getDouble(0)
+    assert(math.abs(t90 - 900.1) < 1.0, s"p90 off: $t90") // exact interpolated
+  }
+
   test("firstSignificantSubdomain honors second-level TLDs") {
     def s(sql: String): String = spark.sql(sql).collect().head.getString(0)
     // CH docs' own example shape: news.yandex.com.tr → yandex

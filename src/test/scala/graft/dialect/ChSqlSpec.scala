@@ -221,6 +221,23 @@ class ChSqlSpec extends AnyFunSuite {
     assert(e.getMessage.contains("AS alias"))
   }
 
+  test("WITH FILL inserts grid rows with type defaults, keeps off-grid rows") {
+    val spark = graft.TestSpark.spark
+    import spark.implicits._
+    Seq((1L, 10L, "a"), (4L, 40L, "d"))
+      .toDF("x", "v", "s").createOrReplaceTempView("wf_t")
+    val out = ChSql.sql(spark,
+      "SELECT x, v, s FROM wf_t ORDER BY x WITH FILL FROM 1 TO 6 STEP 2")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+    // grid {1,3,5}: 1 exists, 3 and 5 filled (v→0, s→''); off-grid 4 kept
+    assert(out == Seq((1L, 10L, "a"), (3L, 0L, ""), (4L, 40L, "d"), (5L, 0L, "")))
+    // bounds from the data when FROM/TO omitted
+    val out2 = ChSql.sql(spark,
+      "SELECT x, v, s FROM wf_t ORDER BY x WITH FILL")
+      .collect().map(_.getLong(0)).toSeq
+    assert(out2 == Seq(1L, 2L, 3L, 4L))
+  }
+
   test("SAMPLE rewrites to a deterministic modulo filter on the declared key") {
     val spark = graft.TestSpark.spark
     import spark.implicits._
