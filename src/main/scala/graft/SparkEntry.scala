@@ -903,6 +903,30 @@ object SparkEntry {
         |  FROM events WHERE user_id = 7 GROUP BY d) t
         |ORDER BY d WITH FILL FROM 1 TO 32""".stripMargin),
 
+    // CH numbers() table function: a distributed range, CH column name
+    "q88_numbers" -> ch(
+      "SELECT sum(number) AS s, count() AS cnt FROM numbers(1000000) WHERE number % 7 = 0"),
+
+    // CH sequenceMatch('(?1).*(?2).*(?3)') — ordered existence of
+    // signup -> error -> purchase per user, counted
+    "q89_sequence_match" -> ((spark, dir) => {
+      prep(spark, dir)
+      graft.operators.Funnel.sequenceMatchOrdered(
+          Tables.load(spark, dir, "events"), "user_id", "ts",
+          Seq(col("event_type") === "signup", col("event_type") === "error",
+            col("event_type") === "purchase"))
+        .agg(sum(when(col("matched"), 1L).otherwise(0L)).cast("long").as("n_matched"),
+          count(lit(1)).as("n_users"))
+    }),
+
+    // WITH FILL + INTERPOLATE: carry the last observed value across
+    // the filled gaps (CH carry-forward form)
+    "q90_fill_interpolate" -> ch(
+      """SELECT d, cnt FROM (
+        |  SELECT toDayOfMonth(ts) AS d, count() AS cnt
+        |  FROM events WHERE user_id = 7 GROUP BY d) t
+        |ORDER BY d WITH FILL FROM 1 TO 32 INTERPOLATE (cnt)""".stripMargin),
+
     // CH retention: signup cohort retained through click / purchase
     "q86_retention" -> ((spark, dir) => {
       prep(spark, dir)
@@ -1434,6 +1458,30 @@ object SparkEntry {
         |  SELECT CAST(day(ts) AS INT) AS d, count(*) AS cnt
         |  FROM events WHERE user_id = 7 GROUP BY d)
         |SELECT g.d, CAST(coalesce(h.cnt, 0) AS BIGINT) AS cnt
+        |FROM (SELECT CAST(unnest(range(1, 32)) AS INT) AS d) g
+        |LEFT JOIN h USING (d) ORDER BY d""".stripMargin,
+    "q88_numbers" ->
+      """SELECT CAST(sum(n) AS BIGINT) AS s, count(*) AS cnt
+        |FROM (SELECT unnest(range(1000000)) AS n) t WHERE n % 7 = 0""".stripMargin,
+    "q89_sequence_match" ->
+      """WITH m AS (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS t, event_type FROM events),
+        |s AS (SELECT user_id, t FROM m WHERE event_type = 'signup'),
+        |e AS (SELECT user_id, t FROM m WHERE event_type = 'error'),
+        |p AS (SELECT user_id, t FROM m WHERE event_type = 'purchase'),
+        |hit AS (SELECT DISTINCT s.user_id FROM s
+        |          JOIN e ON e.user_id = s.user_id AND e.t >= s.t
+        |          JOIN p ON p.user_id = s.user_id AND p.t >= e.t),
+        |anym AS (SELECT DISTINCT user_id FROM m
+        |         WHERE event_type IN ('signup', 'error', 'purchase'))
+        |SELECT CAST((SELECT count(*) FROM hit) AS BIGINT) AS n_matched,
+        |       CAST((SELECT count(*) FROM anym) AS BIGINT) AS n_users""".stripMargin,
+    "q90_fill_interpolate" ->
+      """WITH h AS (
+        |  SELECT CAST(day(ts) AS INT) AS d, count(*) AS cnt
+        |  FROM events WHERE user_id = 7 GROUP BY d)
+        |SELECT g.d,
+        |  CAST(coalesce(last_value(h.cnt IGNORE NULLS)
+        |    OVER (ORDER BY g.d ROWS UNBOUNDED PRECEDING), 0) AS BIGINT) AS cnt
         |FROM (SELECT CAST(unnest(range(1, 32)) AS INT) AS d) g
         |LEFT JOIN h USING (d) ORDER BY d""".stripMargin,
     "q86_retention" ->

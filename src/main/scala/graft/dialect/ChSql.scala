@@ -41,13 +41,17 @@ object ChSql {
       settings: Map[String, String],
       fill: Option[FillSpec] = None)
 
-  /** `ORDER BY col WITH FILL [FROM a] [TO b] [STEP s]` — literal texts,
-    * parsed as expressions at apply time. */
+  /** `ORDER BY col WITH FILL [FROM a] [TO b] [STEP s]
+    * [INTERPOLATE (c1, …)]` — literal texts, parsed as expressions at
+    * apply time; interpolate columns carry the last real value
+    * forward on filled rows (identity form — `c AS <expr>` beyond
+    * `c AS c` is refused loudly rather than half-implemented). */
   case class FillSpec(
       col: String,
       from: Option[String],
       to: Option[String],
-      step: Option[String])
+      step: Option[String],
+      interpolate: Seq[String] = Nil)
 
   val defaultMacros: Map[String, String] = Map("cluster" -> "graft")
 
@@ -77,7 +81,8 @@ object ChSql {
 
   private val WithFillRe =
     ("""(?i)\bORDER\s+BY\s+([A-Za-z_]\w*)\s+WITH\s+FILL""" +
-      """(?:\s+FROM\s+(\S+))?(?:\s+TO\s+(\S+))?(?:\s+STEP\s+(\S+))?""").r
+      """(?:\s+FROM\s+(\S+))?(?:\s+TO\s+(\S+))?(?:\s+STEP\s+(\S+))?""" +
+      """(?:\s+INTERPOLATE\s*\(([^)]*)\))?""").r
 
   /** Detect and strip a top-level `ORDER BY col WITH FILL …` clause,
     * returning the spec for the DataFrame-side transform (the plain
@@ -85,8 +90,16 @@ object ChSql {
     * after inserting the grid rows anyway). */
   def extractWithFill(sql: String): (String, Option[FillSpec]) = {
     val m = topLevelMatches(sql, WithFillRe).headOption.getOrElse(return (sql, None))
+    val interp = Option(m.group(5)).toSeq
+      .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+      .map { item =>
+        val parts = item.split("""(?i)\s+AS\s+""").map(_.trim)
+        require(parts.length == 1 || (parts.length == 2 && parts(0) == parts(1)),
+          s"INTERPOLATE supports carry-forward only ('col' or 'col AS col'), got '$item'")
+        parts(0)
+      }
     val spec = FillSpec(m.group(1),
-      Option(m.group(2)), Option(m.group(3)), Option(m.group(4)))
+      Option(m.group(2)), Option(m.group(3)), Option(m.group(4)), interp)
     val stripped = sql.substring(0, m.start) +
       s"ORDER BY ${m.group(1)}" + sql.substring(m.end)
     (stripped, Some(spec))
@@ -100,7 +113,7 @@ object ChSql {
     r.fill.fold(df) { f =>
       import org.apache.spark.sql.functions.expr
       graft.operators.Fill.withFill(df, f.col,
-        f.from.map(expr), f.to.map(expr), f.step.map(expr))
+        f.from.map(expr), f.to.map(expr), f.step.map(expr), f.interpolate)
     }
   }
 
@@ -598,7 +611,7 @@ object ChSql {
 
   // ---- table functions ----
 
-  private val TableFn = """(?i)\b(s3Cluster|s3|urlCluster|url|file)\s*\(""".r
+  private val TableFn = """(?i)\b(s3Cluster|s3|urlCluster|url|file|numbers)\s*\(""".r
 
   /** Replace every `s3(…)`/`url(…)`-style call with a temp view created
     * from [[Sources]]. The view name is content-addressed so repeated
@@ -655,6 +668,21 @@ object ChSql {
 
   private def createView(spark: SparkSession, fn: String, argStr: String): String = {
     val rawArgs = ChSchemaParser.splitTopLevel(argStr, ',').map(_.trim)
+    if (fn == "numbers") {
+      // CH numbers(N) / numbers(start, N) → a distributed range with
+      // CH's column name; `spark.range` splits across the cluster, no
+      // driver-side materialization
+      val nums = rawArgs.map(_.toLong)
+      val df = nums match {
+        case Seq(n) => spark.range(n)
+        case Seq(start, n) => spark.range(start, start + n)
+        case _ => throw new IllegalArgumentException(
+          s"numbers() takes 1 or 2 arguments, got ${nums.length}")
+      }
+      val view = s"graft_tf_numbers_${Integer.toHexString(argStr.hashCode).replace('-', 'n')}"
+      df.toDF("number").createOrReplaceTempView(view)
+      return view
+    }
     // cluster-variant first arg is the cluster name — drop it; Spark's
     // FileSourceScanExec distributes splits cluster-wide already (S2)
     val args =

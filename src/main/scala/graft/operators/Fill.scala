@@ -19,15 +19,32 @@ import org.apache.spark.sql.types._
   */
 object Fill {
 
+  /** `interpolate` columns take the last real row's value on filled
+    * rows (CH `INTERPOLATE (col)` carry-forward; rows before the first
+    * real value fall back to the type default). The carry is a global
+    * ordered window — the same single-ordered-stream cost CH pays in
+    * its fill transform; keep WITH FILL for final result shaping, not
+    * mid-pipeline. */
   def withFill(
       df: DataFrame,
       orderCol: String,
       from: Option[Column],
       to: Option[Column],
-      step: Option[Column]): DataFrame = {
+      step: Option[Column],
+      interpolate: Seq[String] = Nil): DataFrame = {
     val spark = df.sparkSession
     val dt = df.schema(orderCol).dataType
-    require(dt.isInstanceOf[NumericType] || dt == DateType,
+    if (dt == DateType) {
+      // date grid: fill over epoch-days, convert back — STEP is in days
+      val filled = withFill(
+        df.withColumn(orderCol, unix_date(col(orderCol))),
+        orderCol,
+        from.map(f => unix_date(f.cast(DateType))),
+        to.map(t => unix_date(t.cast(DateType))),
+        step, interpolate)
+      return filled.withColumn(orderCol, date_from_unix_date(col(orderCol)))
+    }
+    require(dt.isInstanceOf[NumericType],
       s"WITH FILL supports numeric/date fill columns, got $dt")
     def const(c: Column): Double =
       spark.range(1).select(c.cast("double")).first().getDouble(0)
@@ -42,16 +59,24 @@ object Fill {
     val n = to.map(t => math.ceil((const(t) - lo) / stepV).toLong)
       .getOrElse(math.floor((bounds.getDouble(1) - lo) / stepV).toLong + 1)
     if (n <= 0) return df
-    val gridCol = (lit(lo) + col("id") * lit(stepV)).cast(
-      if (dt == DateType) IntegerType else dt).cast(dt)
+    val gridCol = (lit(lo) + col("id") * lit(stepV)).cast(dt)
     val grid = spark.range(0, n).select(gridCol.as(orderCol))
     val others = df.schema.fields.filter(_.name != orderCol)
+    val unknown = interpolate.filterNot(c => others.exists(_.name == c))
+    require(unknown.isEmpty, s"INTERPOLATE of unknown column(s): ${unknown.mkString(", ")}")
+    val carry = org.apache.spark.sql.expressions.Window
+      .orderBy(col(orderCol)).rowsBetween(Long.MinValue, 0)
+    def default(dt: DataType): Column = dt match {
+      case _: NumericType => lit(0).cast(dt)
+      case StringType => lit("")
+      case _ => lit(null).cast(dt)
+    }
     val filled = others.map { f =>
-      f.dataType match {
-        case _: NumericType => coalesce(col(f.name), lit(0).cast(f.dataType)).as(f.name)
-        case StringType => coalesce(col(f.name), lit("")).as(f.name)
-        case _ => col(f.name)
-      }
+      if (interpolate.contains(f.name))
+        coalesce(
+          last(col(f.name), ignoreNulls = true).over(carry),
+          default(f.dataType)).as(f.name)
+      else coalesce(col(f.name), default(f.dataType)).as(f.name)
     }
     grid.join(df, Seq(orderCol), "full_outer")
       .select(col(orderCol) +: filled.toIndexedSeq: _*)

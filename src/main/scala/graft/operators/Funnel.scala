@@ -82,6 +82,22 @@ object Funnel {
       size(filter(col("_chain"), x => x >= 0)).cast("int").as("level"))
   }
 
+  /** CH `sequenceMatch('(?1).*(?2)…')(ts, cond1, …, condN)` for the
+    * ordered-existence pattern family (conditions separated by `.*` —
+    * the common decontamination/funnel spelling): true iff the group's
+    * events contain a cond1 match, then later (or same-instant, CH tie
+    * order) a cond2 match, and so on. Exactly [[windowFunnel]] with an
+    * unbounded window reaching the final level. Returns
+    * (groupCol, matched: boolean); groups with no matching events are
+    * absent like windowFunnel's. */
+  def sequenceMatchOrdered(
+      df: DataFrame,
+      groupCol: String,
+      tsCol: String,
+      conds: Seq[Column]): DataFrame =
+    windowFunnel(df, groupCol, tsCol, windowSec = Long.MaxValue / 4, conds)
+      .select(col("_g"), (col("level") === conds.size).as("matched"))
+
   /** CH `retention(cond1, …, condN)`, summed across groups: r1 = number
     * of groups where cond1 ever held; rk = number of groups where BOTH
     * cond1 and condk held (CH's per-group 0/1 array, aggregated).

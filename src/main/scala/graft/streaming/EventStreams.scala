@@ -65,6 +65,29 @@ object EventStreams {
       .withWatermark("ts", watermark)
       .dropDuplicates(keyCols :+ "ts")
 
+  /** Streaming NEAR-dup dedup: the ingestion-time twin of the batch
+    * SimHash pipeline. Each document is keyed by its 64-bit SimHash
+    * fingerprint (scan-stage expression, no shuffle before the dedup
+    * state), so exact dups AND cosmetically-perturbed near-dups that
+    * hash to the same fingerprint are dropped at ingest; state is
+    * watermark-bounded like [[dedupStream]]. Hamming-radius matching
+    * (fingerprints differing in ≤ k bits) needs the banded batch path
+    * ([[graft.operators.Dedup.simHashDupPairs]]) — streaming keyed
+    * state cannot join across keys, so ingest-time dedup trades recall
+    * on that tail for O(rate × watermark) memory. */
+  def nearDupDedupStream(
+      docs: DataFrame,
+      textCol: String,
+      tsCol: String = "ts",
+      watermark: String = "10 minutes"): DataFrame =
+    docs
+      .withColumn("_fp", graft.operators.Dedup.simHash(col(textCol)))
+      .withWatermark(tsCol, watermark)
+      // dedup on the fingerprint ALONE (a near-dup arrives at a
+      // different event time); dropDuplicatesWithinWatermark still
+      // evicts per-key state once the watermark passes it
+      .dropDuplicatesWithinWatermark(Seq("_fp"))
+
   // ---- custom sessionization state machine ----
 
   case class Event(event_id: Long, ts: Timestamp, user_id: Long,

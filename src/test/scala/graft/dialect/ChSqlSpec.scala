@@ -221,6 +221,17 @@ class ChSqlSpec extends AnyFunSuite {
     assert(e.getMessage.contains("AS alias"))
   }
 
+  test("numbers() table function is a distributed range with CH's column name") {
+    val spark = graft.TestSpark.spark
+    val r = ChSql.sql(spark,
+      "SELECT min(number) AS lo, max(number) AS hi, count() AS n FROM numbers(5, 10)")
+      .collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((5L, 14L, 10L)))
+    val one = ChSql.sql(spark, "SELECT count() AS n FROM numbers(3)")
+      .collect().head.getLong(0)
+    assert(one == 3L)
+  }
+
   test("WITH FILL inserts grid rows with type defaults, keeps off-grid rows") {
     val spark = graft.TestSpark.spark
     import spark.implicits._
@@ -236,6 +247,29 @@ class ChSqlSpec extends AnyFunSuite {
       "SELECT x, v, s FROM wf_t ORDER BY x WITH FILL")
       .collect().map(_.getLong(0)).toSeq
     assert(out2 == Seq(1L, 2L, 3L, 4L))
+    // INTERPOLATE carries the last real value; leading gap → default
+    val out3 = ChSql.sql(spark,
+      "SELECT x, v, s FROM wf_t ORDER BY x WITH FILL FROM 0 TO 6 INTERPOLATE (v)")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+    assert(out3 == Seq((0L, 0L, ""), (1L, 10L, "a"), (2L, 10L, ""),
+      (3L, 10L, ""), (4L, 40L, "d"), (5L, 40L, "")))
+    // non-identity INTERPOLATE expressions refuse loudly
+    val e = intercept[IllegalArgumentException] {
+      ChSql.extractWithFill("SELECT x FROM t ORDER BY x WITH FILL INTERPOLATE (v AS v + 1)")
+    }
+    assert(e.getMessage.contains("carry-forward"))
+  }
+
+  test("WITH FILL over a date column fills day gaps") {
+    val spark = graft.TestSpark.spark
+    import spark.implicits._
+    Seq(("2024-03-01", 5L), ("2024-03-04", 7L)).toDF("ds", "v")
+      .selectExpr("CAST(ds AS DATE) AS d", "v")
+      .createOrReplaceTempView("wf_d")
+    val out = ChSql.sql(spark, "SELECT d, v FROM wf_d ORDER BY d WITH FILL")
+      .collect().map(r => (r.getDate(0).toString, r.getLong(1))).toSeq
+    assert(out == Seq(("2024-03-01", 5L), ("2024-03-02", 0L),
+      ("2024-03-03", 0L), ("2024-03-04", 7L)))
   }
 
   test("SAMPLE rewrites to a deterministic modulo filter on the declared key") {

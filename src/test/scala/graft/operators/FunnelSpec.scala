@@ -58,6 +58,16 @@ class FunnelSpec extends AnyFunSuite {
     assert(lv == Map(1L -> 0))
   }
 
+  test("sequenceMatchOrdered is ordered existence, window-free") {
+    val df = ev(
+      (1L, 0L, "a"), (1L, 1000000L, "b"), (1L, 99999999L, "c"), // far apart → still matches
+      (2L, 0L, "c"), (2L, 1L, "b"), (2L, 2L, "a")) // wrong order
+    val m = Funnel.sequenceMatchOrdered(df, "uid", "ts",
+        Seq(col("e") === "a", col("e") === "b", col("e") === "c"))
+      .collect().map(r => (r.getLong(0), r.getBoolean(1))).toMap
+    assert(m == Map(1L -> true, 2L -> false))
+  }
+
   test("retentionCounts gates later conditions on cond1") {
     val spark2 = spark
     import spark2.implicits._

@@ -90,6 +90,29 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming near-dup dedup drops same-fingerprint docs across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    case class Doc(doc_id: Long, ts: Timestamp, text: String)
+    val mem = MemoryStream[(Long, Timestamp, String)]
+    val txt = "the quick brown fox jumps over the lazy dog again and again"
+    mem.addData((1L, ts(0), txt), (2L, ts(1), txt)) // near-dup at a later ts
+    val q = EventStreams.nearDupDedupStream(
+        mem.toDF().toDF("doc_id", "ts", "text"), "text")
+      .writeStream.format("memory").queryName("neardup_stream")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      mem.addData((3L, ts(2), txt)) // later batch, same fingerprint
+      mem.addData((4L, ts(3), "completely different payload about spark plans"))
+      q.processAllAvailable()
+      val kept = spark.table("neardup_stream").select("doc_id")
+        .collect().map(_.getLong(0)).toSet
+      assert(kept.contains(4L), "distinct doc must survive")
+      assert((kept - 4L).size == 1, s"only one of the near-dups may survive, kept: $kept")
+    } finally q.stop()
+  }
+
   test("batch sessionization splits on the inactivity gap") {
     import spark.implicits._
     val df = Seq(
