@@ -799,6 +799,50 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), sum("n_bytes").cast("long").as("total_bytes"))
     }),
 
+    // Gopher-style composite quality filter: per-rule drop counts — the
+    // operational artifact quality tuning reads (scan-stage, no shuffle)
+    "q91_gopher_filter" -> ((spark, dir) => {
+      prep(spark, dir)
+      TextAnalysis.gopherFilter(
+          Tables.load(spark, dir, "documents"), "text",
+          TextAnalysis.GopherThresholds(
+            minWords = 10, maxWords = 1000,
+            minMeanWordLen = 2.0, maxMeanWordLen = 8.0,
+            maxDigitFraction = 0.2, minStopwordHits = 1,
+            maxDupWordFraction = 0.9))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(when(col("keep"), 1L).otherwise(0L)).cast("long").as("n_kept"),
+          sum(when(col("ok_n_words"), 0L).otherwise(1L)).cast("long").as("drop_n_words"),
+          sum(when(col("ok_mean_word_len"), 0L).otherwise(1L)).cast("long").as("drop_mean_len"),
+          sum(when(col("ok_digit_fraction"), 0L).otherwise(1L)).cast("long").as("drop_digits"),
+          sum(when(col("ok_stopwords"), 0L).otherwise(1L)).cast("long").as("drop_stopwords"),
+          sum(when(col("ok_dup_words"), 0L).otherwise(1L)).cast("long").as("drop_dup"))
+    }),
+
+    // unigram log-probability (perplexity proxy): corpus vocabulary
+    // broadcasts back over the corpus, Σ log p per doc
+    "q92_unigram_logprob" -> ((spark, dir) => {
+      prep(spark, dir)
+      TextAnalysis.unigramLogProb(
+          Tables.load(spark, dir, "documents"), "doc_id", "text")
+        .filter(col("_id") < 20)
+        .select(col("_id").as("doc_id"), col("n_scored_words"),
+          round(col("logprob_sum") * 1000).cast("long").as("lp_milli"))
+        .orderBy("doc_id")
+    }),
+
+    // token-budget binning for sequence packing (per-shard running sums
+    // — packing parallelizes across shards, no global ordered stream)
+    "q93_token_bins" -> ((spark, dir) => {
+      prep(spark, dir)
+      TextAnalysis.tokenBudgetBins(
+          Tables.load(spark, dir, "documents"), "doc_id", "text",
+          budget = 256, shards = 8)
+        .filter(col("doc_id") < 100)
+        .orderBy("doc_id")
+    }),
+
     // C4-style boilerplate-line removal: documents are chunked into
     // 10-token "lines" (the synthetic corpus is single-line), any line
     // occurring in ≥2 distinct docs is dropped corpus-wide, and the
@@ -1365,6 +1409,51 @@ object SparkEntry {
         |       CAST(sum(list_sum(list_transform(string_split(text, ' '), w -> length(w)))) AS BIGINT) AS sum_word_lens,
         |       CAST(max(list_max(list_transform(string_split(text, ' '), w -> length(w)))) AS BIGINT) AS max_word_len
         |FROM documents""".stripMargin,
+    "q91_gopher_filter" ->
+      """WITH f AS (
+        |  SELECT
+        |    len(regexp_extract_all(text, '\S+')) AS nw,
+        |    CAST(list_sum(list_transform(regexp_extract_all(text, '\S+'), w -> length(w))) AS BIGINT) AS nc,
+        |    len(regexp_extract_all(text, '[0-9]')) AS nd,
+        |    len(list_distinct(regexp_extract_all(text, '\S+'))) AS ndw,
+        |    len(regexp_extract_all(text, '(?:^|\s)(?:the|a|of|and|to)(?:\s|$)')) AS sw
+        |  FROM documents),
+        |r AS (
+        |  SELECT
+        |    (nw >= 10 AND nw <= 1000) AS ok_w,
+        |    (nc * 100 >= 200 * nw AND nc * 100 <= 800 * nw) AS ok_ml,
+        |    (nd * 100 <= 20 * nw) AS ok_d,
+        |    (sw >= 1) AS ok_s,
+        |    ((nw - ndw) * 100 <= 90 * nw) AS ok_dup
+        |  FROM f)
+        |SELECT count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN ok_w AND ok_ml AND ok_d AND ok_s AND ok_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  CAST(sum(CASE WHEN ok_w THEN 0 ELSE 1 END) AS BIGINT) AS drop_n_words,
+        |  CAST(sum(CASE WHEN ok_ml THEN 0 ELSE 1 END) AS BIGINT) AS drop_mean_len,
+        |  CAST(sum(CASE WHEN ok_d THEN 0 ELSE 1 END) AS BIGINT) AS drop_digits,
+        |  CAST(sum(CASE WHEN ok_s THEN 0 ELSE 1 END) AS BIGINT) AS drop_stopwords,
+        |  CAST(sum(CASE WHEN ok_dup THEN 0 ELSE 1 END) AS BIGINT) AS drop_dup
+        |FROM r""".stripMargin,
+    "q92_unigram_logprob" ->
+      """WITH w AS (
+        |  SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS word FROM documents),
+        |v AS (SELECT word, count(*) AS c FROM w GROUP BY word),
+        |p AS (SELECT word, c::DOUBLE / (SELECT sum(c) FROM v) AS pr FROM v)
+        |SELECT w.doc_id, count(*) AS n_scored_words,
+        |       CAST(round(sum(ln(p.pr)) * 1000) AS BIGINT) AS lp_milli
+        |FROM w JOIN p USING (word) WHERE w.doc_id < 20
+        |GROUP BY w.doc_id ORDER BY w.doc_id""".stripMargin,
+    "q93_token_bins" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |         CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,
+        |         CAST(doc_id % 8 AS INT) AS shard
+        |  FROM documents)
+        |SELECT doc_id, n_tokens, shard,
+        |  CAST(floor(coalesce(sum(n_tokens) OVER (
+        |    PARTITION BY shard ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 256.0) AS BIGINT) AS bin
+        |FROM t WHERE doc_id < 100 ORDER BY doc_id""".stripMargin,
     "q79_line_dedup" ->
       """WITH t AS (
         |  SELECT doc_id, string_split_regex(text, '\s+') AS w FROM documents),

@@ -129,6 +129,104 @@ object TextAnalysis {
         max("_c").cast("long").as("top_count"))
   }
 
+  /** Gopher-rule thresholds (Rae et al. 2021 §A1.1 defaults, scaled
+    * knobs — callers tune per corpus). */
+  case class GopherThresholds(
+      minWords: Int = 50,
+      maxWords: Int = 100000,
+      minMeanWordLen: Double = 3.0,
+      maxMeanWordLen: Double = 10.0,
+      maxDigitFraction: Double = 0.2,
+      minStopwordHits: Int = 2,
+      maxDupWordFraction: Double = 0.4)
+
+  /** Gopher-style composite quality filter, scan-stage and shuffle-free:
+    * each rule lands as its own boolean column (`ok_*`) plus the
+    * conjunction `keep`, so a pipeline can both filter and report WHY
+    * documents drop — the reason histogram is the operational artifact
+    * quality tuning reads. All arithmetic is deterministic rational
+    * (counts and count-ratios), so the filter is oracle-checkable
+    * cross-engine. Stopword hits use the English list (the corpus
+    * language filter runs upstream — see [[langId]]). */
+  def gopherFilter(
+      df: DataFrame,
+      textCol: String,
+      t: GopherThresholds = GopherThresholds()): DataFrame = {
+    val words = regexp_extract_all(col(textCol), lit("\\S+"), lit(0))
+    val nWords = size(words)
+    val nChars = aggregate(words, lit(0L), (acc, w) => acc + length(w))
+    val nDigits = size(regexp_extract_all(col(textCol), lit("[0-9]"), lit(0)))
+    val nDistinct = size(array_distinct(words))
+    val okWords = nWords >= t.minWords && nWords <= t.maxWords
+    // ratio rules stay in integer cross-multiplication: a/b ≥ r ⇔ a ≥ r·b
+    // is evaluated as a·SCALE ≥ r·SCALE·b over longs — float-free
+    val okMeanLen =
+      nChars * 100L >= lit(math.round(t.minMeanWordLen * 100)) * nWords &&
+        nChars * 100L <= lit(math.round(t.maxMeanWordLen * 100)) * nWords
+    val okDigits =
+      nDigits * 100L <= lit(math.round(t.maxDigitFraction * 100)) * nWords
+    val okStopwords =
+      langScore(col(textCol), stopwords("en")) >= t.minStopwordHits
+    val okDup =
+      (nWords - nDistinct) * 100L <= lit(math.round(t.maxDupWordFraction * 100)) * nWords
+    df.withColumn("ok_n_words", okWords)
+      .withColumn("ok_mean_word_len", okMeanLen)
+      .withColumn("ok_digit_fraction", okDigits)
+      .withColumn("ok_stopwords", okStopwords)
+      .withColumn("ok_dup_words", okDup)
+      .withColumn("keep", okWords && okMeanLen && okDigits && okStopwords && okDup)
+  }
+
+  /** Unigram log-probability score — the cheap perplexity proxy a
+    * pipeline runs where a real LM filter (KenLM-style) would sit: the
+    * corpus's own unigram distribution scores each document as the
+    * mean log-probability of its words.
+    *
+    * Two distributed passes: (1) explode → hash-aggregate word counts
+    * (the vocabulary — orders of magnitude smaller than the corpus);
+    * (2) re-explode and probe the BROADCAST vocabulary, aggregating
+    * Σ log p per doc. The corpus text itself never shuffles; only
+    * (doc, word-hit) rows reach the per-doc aggregate. Returns
+    * (idCol, n_scored_words, logprob_sum). */
+  def unigramLogProb(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val words = df.select(col(idCol).as("_id"),
+      explode(regexp_extract_all(col(textCol), lit("\\S+"), lit(0))).as("_w"))
+    val vocab = words.groupBy("_w").agg(count(lit(1)).as("_c"))
+    val total = lit(1.0) * sum(col("_c")).over() // window-total avoids a driver collect
+    val probs = vocab.select(col("_w"), (col("_c") / total).as("_p"))
+    words
+      .join(broadcast(probs), Seq("_w"))
+      .groupBy("_id")
+      .agg(
+        count(lit(1)).as("n_scored_words"),
+        sum(log(col("_p"))).as("logprob_sum"))
+  }
+
+  /** Token-budget binning for sequence packing: shard documents
+    * deterministically, then within each shard assign contiguous
+    * cumulative-token bins of `budget` tokens (bin = ⌊exclusive-prefix
+    * -sum / budget⌋ over the shard's id order). Shards bound the window
+    * state — the running sum is per-shard, so packing parallelizes
+    * across `shards` instead of forcing one global ordered stream.
+    * Returns (idCol, n_tokens, shard, bin). */
+  def tokenBudgetBins(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      budget: Long,
+      shards: Int = 32): DataFrame = {
+    require(budget > 0 && shards > 0)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col(idCol))
+      .rowsBetween(Long.MinValue, -1)
+    df.select(
+        col(idCol),
+        tokenCount(col(textCol)).cast("long").as("n_tokens"),
+        pmod(col(idCol), lit(shards)).cast("int").as("shard"))
+      .withColumn("bin",
+        (coalesce(sum(col("n_tokens")).over(w), lit(0L)) / budget).cast("long"))
+  }
+
   /** PII patterns — deliberately RE2-compatible (no backreferences, no
     * lookaround) so the same pattern text runs identically under Java
     * regex (Spark) and RE2 (DuckDB/production scrubbers). */

@@ -147,4 +147,58 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(scrubbed(0) == "mail <EMAIL> and <IP> call <PHONE>")
     assert(scrubbed(1) == "no pii here")
   }
+
+  test("gopher filter flags each rule independently") {
+    import spark.implicits._
+    val t = TextAnalysis.GopherThresholds(
+      minWords = 3, maxWords = 10, minMeanWordLen = 2.0, maxMeanWordLen = 6.0,
+      maxDigitFraction = 0.5, minStopwordHits = 1, maxDupWordFraction = 0.5)
+    val df = Seq(
+      (1L, "the quick brown fox runs"), // passes everything
+      (2L, "of a"), // too few words
+      (3L, "the x y z w q"), // mean word len 1.5 < 2
+      (4L, "the 11 22 33 44 55 66"), // digits 12/7 words > 0.5
+      (5L, "lorem ipsum dolor sit amet"), // no stopword hit
+      (6L, "the the the the dog dog") // dup fraction 4/6 > 0.5
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.gopherFilter(df, "text", t).orderBy("doc_id")
+      .select("keep", "ok_n_words", "ok_mean_word_len", "ok_digit_fraction",
+        "ok_stopwords", "ok_dup_words")
+      .collect().map(r => (0 until 6).map(r.getBoolean))
+    assert(out(0).forall(identity))
+    assert(!out(1)(1) && !out(1)(0)) // words rule fails → keep false
+    assert(!out(2)(2))
+    assert(!out(3)(3))
+    assert(!out(4)(4))
+    assert(!out(5)(5))
+  }
+
+  test("unigram logprob scores common-word docs higher") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "aa aa aa aa"), // all high-frequency words
+      (2L, "aa aa aa zz") // one rare word
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.unigramLogProb(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(out(1L)._1 == 4L && out(2L)._1 == 4L)
+    // p(aa)=7/8, p(zz)=1/8: doc 1 = 4·ln(7/8), doc 2 = 3·ln(7/8)+ln(1/8)
+    assert(math.abs(out(1L)._2 - 4 * math.log(7.0 / 8)) < 1e-9)
+    assert(math.abs(out(2L)._2 - (3 * math.log(7.0 / 8) + math.log(1.0 / 8))) < 1e-9)
+    assert(out(1L)._2 > out(2L)._2)
+  }
+
+  test("token budget bins pack contiguously per shard") {
+    import spark.implicits._
+    // 1 shard; docs of 3 tokens each; budget 6 → bins of two docs
+    val df = (0L until 6L).map(i => (i, "w w w")).toDF("doc_id", "text")
+    val out = TextAnalysis.tokenBudgetBins(df, "doc_id", "text", budget = 6, shards = 1)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3)))
+    assert(out.map(_._4).toSeq == Seq(0L, 0L, 1L, 1L, 2L, 2L))
+    // sharding keeps ids with different residues in separate running sums
+    val sharded = TextAnalysis.tokenBudgetBins(df, "doc_id", "text", budget = 6, shards = 2)
+      .orderBy("doc_id").collect().map(r => (r.getInt(2), r.getLong(3)))
+    assert(sharded.toSeq == Seq((0, 0L), (1, 0L), (0, 0L), (1, 0L), (0, 1L), (1, 1L)))
+  }
 }
