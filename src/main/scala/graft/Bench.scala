@@ -61,16 +61,22 @@ object Bench {
       .agg(sum(pmod(col("h"), lit(1000000007L))).as("s"))
 
   /** 1 warmup + [[Iters]] timed runs, median. Cache cleared before each
-    * timed run: persisted intermediates must be re-earned every time. */
-  private def timeMedian(spark: SparkSession, mk: () => DataFrame): Double = {
+    * timed run: persisted intermediates must be re-earned every time.
+    * `SPARK_GRAFT_BENCH_VERBOSE=1` prints every iteration to stderr —
+    * the variance diagnostic (median alone hides bimodal runs). */
+  private def timeMedian(
+      spark: SparkSession, name: String, mk: () => DataFrame): Double = {
     mk().write.format("noop").mode("overwrite").save() // JIT/codegen warmup
     val ts = (1 to Iters).map { _ =>
       spark.catalog.clearCache()
       val t0 = System.nanoTime()
       mk().write.format("noop").mode("overwrite").save()
       (System.nanoTime() - t0) / 1e9
-    }.sorted
-    ts(Iters / 2)
+    }
+    if (sys.env.get("SPARK_GRAFT_BENCH_VERBOSE").contains("1"))
+      System.err.println(
+        s"[bench] $name iters: ${ts.map(t => f"$t%.3f").mkString(", ")}")
+    ts.sorted.apply(Iters / 2)
   }
 
   /** Materialize a 10× copy of the baseline-shape tables (content-keyed
@@ -178,7 +184,7 @@ object Bench {
         into: scala.collection.mutable.LinkedHashMap[String, Double],
         errKey: String => String): Unit =
       qs.foreach { case (name, mk) =>
-        try into(name) = timeMedian(spark, mk)
+        try into(name) = timeMedian(spark, name, mk)
         catch {
           case e: Throwable =>
             errors(errKey(name)) = Option(e.getMessage).getOrElse(e.getClass.getName)
