@@ -799,6 +799,33 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), sum("n_bytes").cast("long").as("total_bytes"))
     }),
 
+    // native session_window sessionization (batch twin of the streaming
+    // shape): per-user session stats at a 30-min inactivity gap
+    "q95_session_window" -> ((spark, dir) => {
+      prep(spark, dir)
+      graft.streaming.EventStreams.sessionWindows(
+          Tables.load(spark, dir, "events"), "30 minutes")
+        .filter(col("user_id") < 20)
+        .groupBy("user_id")
+        .agg(
+          count(lit(1)).as("n_sessions"),
+          sum("n_events").cast("long").as("total_events"),
+          max("n_events").cast("long").as("max_session_events"))
+        .orderBy("user_id")
+    }),
+
+    // array predicates + bit/If aggregates (CH spellings) over documents
+    "q94_array_preds" -> ch(
+      """SELECT
+        |  sumIf(1, hasAll(splitByChar(' ', text), array('table', 'row'))) AS n_hasall,
+        |  sumIf(1, hasAny(splitByChar(' ', text), array('zebra', 'spark'))) AS n_hasany,
+        |  sum(countEqual(splitByChar(' ', text), 'the')) AS n_the,
+        |  uniqExactIf(lang, source = 'web') AS n_langs_web,
+        |  groupBitOr(n_chars) AS bits_or,
+        |  groupBitAnd(n_chars) AS bits_and,
+        |  groupBitXor(n_chars) AS bits_xor
+        |FROM documents""".stripMargin),
+
     // Gopher-style composite quality filter: per-rule drop counts — the
     // operational artifact quality tuning reads (scan-stage, no shuffle)
     "q91_gopher_filter" -> ((spark, dir) => {
@@ -1408,6 +1435,34 @@ object SparkEntry {
         |       CAST(sum(length(replace(text, 'a', 'aa'))) AS BIGINT) AS len_dup_a,
         |       CAST(sum(list_sum(list_transform(string_split(text, ' '), w -> length(w)))) AS BIGINT) AS sum_word_lens,
         |       CAST(max(list_max(list_transform(string_split(text, ' '), w -> length(w)))) AS BIGINT) AS max_word_len
+        |FROM documents""".stripMargin,
+    "q95_session_window" ->
+      """WITH o AS (
+        |  SELECT user_id, ts,
+        |         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+        |                   >= INTERVAL 30 MINUTE OR
+        |              lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM events WHERE user_id < 20),
+        |s AS (
+        |  SELECT user_id,
+        |         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |                          ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM o),
+        |g AS (SELECT user_id, sid, count(*) AS n FROM s GROUP BY user_id, sid)
+        |SELECT user_id, count(*) AS n_sessions,
+        |       CAST(sum(n) AS BIGINT) AS total_events,
+        |       CAST(max(n) AS BIGINT) AS max_session_events
+        |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q94_array_preds" ->
+      """SELECT
+        |  CAST(sum(CASE WHEN list_has_all(string_split(text, ' '), ['table','row']) THEN 1 ELSE 0 END) AS BIGINT) AS n_hasall,
+        |  CAST(sum(CASE WHEN list_has_any(string_split(text, ' '), ['zebra','spark']) THEN 1 ELSE 0 END) AS BIGINT) AS n_hasany,
+        |  CAST(sum(len(list_filter(string_split(text, ' '), w -> w = 'the'))) AS BIGINT) AS n_the,
+        |  CAST(count(DISTINCT CASE WHEN source = 'web' THEN lang END) AS BIGINT) AS n_langs_web,
+        |  CAST(bit_or(n_chars) AS BIGINT) AS bits_or,
+        |  CAST(bit_and(n_chars) AS BIGINT) AS bits_and,
+        |  CAST(bit_xor(n_chars) AS BIGINT) AS bits_xor
         |FROM documents""".stripMargin,
     "q91_gopher_filter" ->
       """WITH f AS (

@@ -112,6 +112,15 @@ object ChFunctions {
         { case Seq(x, cond) => Min(ifArm(x, cond)) })
       reg("maxIf")(
         { case Seq(x, cond) => Max(ifArm(x, cond)) })
+      reg("uniqIf")(
+        { case Seq(x, cond) => new HyperLogLogPlusPlus(ifArm(x, cond)) })
+      reg("uniqExactIf")({ case Seq(x, cond) =>
+        Count(Seq(ifArm(x, cond))).toAggregateExpression(isDistinct = true) })
+
+      // bitwise aggregates (CH groupBit* family) — native mergeable aggs
+      reg("groupBitAnd")(exprs => BitAndAgg(exprs.head))
+      reg("groupBitOr")(exprs => BitOrAgg(exprs.head))
+      reg("groupBitXor")(exprs => BitXorAgg(exprs.head))
 
       // anyLast(x) — CH "last seen value". CH's `any`/`position` are NOT
       // registered here: both names shadow standard Spark functions
@@ -177,6 +186,14 @@ object ChFunctions {
       reg("arrayConcat")(exprs => Concat(exprs))
       reg("arrayUniq")(exprs => Size(ArrayDistinct(exprs.head)))
       reg("indexOf")({ case Seq(arr, x) => ArrayPosition(arr, x) })
+      // hasAll(a, b): every element of b occurs in a — set containment,
+      // expressed without a lambda (b \ a empty)
+      reg("hasAll")({ case Seq(a, b) =>
+        EqualTo(Size(ArrayExcept(b, a)), Literal(0)) })
+      reg("hasAny")({ case Seq(a, b) => ArraysOverlap(a, b) })
+      // countEqual(arr, x): occurrences of x — size delta after removal
+      reg("countEqual")({ case Seq(arr, x) =>
+        Subtract(Size(arr), Size(ArrayRemove(arr, x))) })
 
       // arithmetic under CH's function-call spellings
       reg("plus")({ case Seq(a, b) => Add(a, b) })

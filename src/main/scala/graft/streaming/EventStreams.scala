@@ -132,6 +132,22 @@ object EventStreams {
       }
   }
 
+  /** Native event-time sessionization via Spark's `session_window` —
+    * the declarative alternative to the [[sessionize]] state machine:
+    * works identically over batch and streaming input (with a
+    * watermark), merges events closer than `gap`, and lets Catalyst own
+    * the session-merge state. One shuffle on the grouping key.
+    * Returns (user_id, session_start, session_end, n_events). */
+  def sessionWindows(events: DataFrame, gap: String = "30 minutes"): DataFrame =
+    events
+      .groupBy(col("user_id"),
+        session_window(col("ts"), gap).as("_w"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        col("_w.start").as("session_start"),
+        col("_w.end").as("session_end"),
+        col("n_events"))
+
   /** Batch-mode sessionization with the same gap semantics (event-time
     * gaps via window lag) — used to cross-check the streaming state
     * machine and as the backfill path. */

@@ -339,6 +339,22 @@ class ChFunctionsSpec extends AnyFunSuite {
     assert(s("SELECT path('example.com/p/q')") == "/p/q")
   }
 
+  test("array predicates and bit/uniq-If aggregates") {
+    def one(sql: String): Any = spark.sql(sql).collect().head.get(0)
+    assert(one("SELECT hasAll(array(1,2,3), array(1,3))") == true)
+    assert(one("SELECT hasAll(array(1,2,3), array(1,4))") == false)
+    assert(one("SELECT hasAny(array(1,2,3), array(9,3))") == true)
+    assert(one("SELECT hasAny(array(1,2), array(9))") == false)
+    assert(one("SELECT countEqual(array(1,2,1,1), 1)") == 3)
+    assert(one("SELECT countEqual(array(1,2), 9)") == 0)
+    val from = "FROM VALUES (1, 5), (1, 5), (1, 6), (0, 12) t(c, v)"
+    assert(one(s"SELECT uniqExactIf(v, c = 1) $from") == 2L)
+    assert(one(s"SELECT uniqIf(v, c = 1) $from") == 2L)
+    assert(one(s"SELECT groupBitAnd(v) $from") == 4L) // 5&5&6&12 = 4
+    assert(one(s"SELECT groupBitOr(v) $from") == 15L)
+    assert(one(s"SELECT groupBitXor(v) $from") == 10L) // 5^5^6^12
+  }
+
   test("quantileTDigest/quantileTiming accept the CH parametric spelling") {
     val spark2 = spark
     import spark2.implicits._

@@ -113,6 +113,28 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("session_window sessionization works over a stream with watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp)]
+    mem.addData((1L, ts(0)), (1L, ts(10)), (1L, ts(100)), (2L, ts(5)))
+    val q = EventStreams.sessionWindows(
+        mem.toDF().toDF("user_id", "ts").withWatermark("ts", "0 seconds"),
+        "30 minutes")
+      .writeStream.format("memory").queryName("swin")
+      .outputMode("append").start()
+    try {
+      // advance the watermark far past all sessions so they emit
+      mem.addData((9L, ts(10000)))
+      q.processAllAvailable()
+      val got = spark.table("swin")
+        .select("user_id", "n_events").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      // user 1: one session of 2 (0,10 min) + one of 1 (100); user 2: one of 1
+      assert(got.contains((1L, 2L)) && got.contains((1L, 1L)) && got.contains((2L, 1L)))
+    } finally q.stop()
+  }
+
   test("batch sessionization splits on the inactivity gap") {
     import spark.implicits._
     val df = Seq(
