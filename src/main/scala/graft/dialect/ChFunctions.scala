@@ -194,6 +194,38 @@ object ChFunctions {
       // countEqual(arr, x): occurrences of x — size delta after removal
       reg("countEqual")({ case Seq(arr, x) =>
         Subtract(Size(arr), Size(ArrayRemove(arr, x))) })
+      reg("arrayZip")(exprs => ArraysZip(exprs))
+      // arrayCompact: drop CONSECUTIVE duplicates (CH semantics, not
+      // distinct) — keep element i iff i == 0 or it differs from its
+      // predecessor; the 2-arg filter lambda indexes back into the array
+      reg("arrayCompact")({ case Seq(arr) =>
+        val x = lv("xAC"); val i = lv("iAC")
+        ArrayFilter(arr, LambdaFunction(
+          Or(EqualTo(i, Literal(0)),
+            Not(EqualTo(x, ElementAt(arr, i)))), // element_at is 1-based: i = predecessor
+          Seq(x, i)))
+      })
+      // arrayDifference: d[0] = 0, d[i] = x[i] - x[i-1]
+      reg("arrayDifference")({ case Seq(arr) =>
+        val x = lv("xAD"); val i = lv("iAD")
+        ArrayTransform(arr, LambdaFunction(
+          If(EqualTo(i, Literal(0)), Literal(0),
+            Subtract(x, ElementAt(arr, i))),
+          Seq(x, i)))
+      })
+      // arrayCumSum: prefix sums — O(n²) slice+reduce per element, fine
+      // for the row-local array sizes this surface serves
+      reg("arrayCumSum")({ case Seq(arr) =>
+        val x = lv("xCS"); val i = lv("iCS")
+        val acc = lv("accCS"); val e = lv("eCS")
+        ArrayTransform(arr, LambdaFunction(
+          ArrayAggregate(
+            Slice(arr, Literal(1), Add(i, Literal(1))),
+            Literal(0L),
+            LambdaFunction(Add(acc, e), Seq(acc, e)),
+            LambdaFunction(acc, Seq(acc))),
+          Seq(x, i)))
+      })
 
       // arithmetic under CH's function-call spellings
       reg("plus")({ case Seq(a, b) => Add(a, b) })

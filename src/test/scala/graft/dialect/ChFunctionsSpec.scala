@@ -355,6 +355,19 @@ class ChFunctionsSpec extends AnyFunSuite {
     assert(one(s"SELECT groupBitXor(v) $from") == 10L) // 5^5^6^12
   }
 
+  test("arrayZip/arrayCompact/arrayDifference/arrayCumSum") {
+    def one(sql: String): Any = spark.sql(sql).collect().head.get(0)
+    assert(one("SELECT arrayCompact(array(1,1,2,2,2,1,3,3))") ==
+      Seq(1, 2, 1, 3))
+    assert(one("SELECT arrayCompact(array(7))") == Seq(7))
+    assert(one("SELECT arrayDifference(array(1,4,9,16))") == Seq(0, 3, 5, 7))
+    assert(one("SELECT arrayCumSum(array(1,2,3,4))") == Seq(1L, 3L, 6L, 10L))
+    val z = spark.sql("SELECT arrayZip(array(1,2), array('a','b')) AS z")
+      .selectExpr("z[0].`0`", "z[0].`1`", "z[1].`0`", "z[1].`1`").collect().head
+    assert((z.getInt(0), z.getString(1), z.getInt(2), z.getString(3)) ==
+      ((1, "a", 2, "b")))
+  }
+
   test("quantileTDigest/quantileTiming accept the CH parametric spelling") {
     val spark2 = spark
     import spark2.implicits._
