@@ -26,5 +26,7 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 24g default: at 8g the bench's 10x object-agg section GC-thrashes
+  // (one 25 s outlier iteration measured); the machine has 128 GiB
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 ) ++ sys.env.get("GRAFT_JVM_EXTRA").toSeq.flatMap(_.trim.split("\\s+").toSeq)

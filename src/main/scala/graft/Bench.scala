@@ -69,6 +69,11 @@ object Bench {
     mk().write.format("noop").mode("overwrite").save() // JIT/codegen warmup
     val ts = (1 to Iters).map { _ =>
       spark.catalog.clearCache()
+      // settle the heap before timing: the dropped cache blocks and the
+      // previous iteration's aggregation state otherwise surface as a
+      // full-GC pause INSIDE some later iteration (measured: one 25 s
+      // outlier in an otherwise ~4 s query at a tight heap)
+      System.gc()
       val t0 = System.nanoTime()
       mk().write.format("noop").mode("overwrite").save()
       (System.nanoTime() - t0) / 1e9

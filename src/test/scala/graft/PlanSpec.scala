@@ -161,6 +161,20 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("gopher filter is scan-stage: zero exchanges") {
+    val docs = Tables.load(spark, dir, "documents")
+    val plan = planOf(graft.operators.TextAnalysis.gopherFilter(docs, "text"))
+    assert(!plan.contains("Exchange"), s"quality filter must not shuffle:\n$plan")
+  }
+
+  test("unigram logprob broadcasts the vocabulary, never shuffles corpus text") {
+    val docs = Tables.load(spark, dir, "documents")
+    val plan = planOf(
+      graft.operators.TextAnalysis.unigramLogProb(docs, "doc_id", "text"))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"vocabulary probe must broadcast:\n$plan")
+  }
+
   test("SimHash banded join never goes cartesian") {
     val docs = Tables.load(spark, dir, "documents")
     val plan = planOf(Dedup.simHashDupPairs(docs, "doc_id", "text"))
