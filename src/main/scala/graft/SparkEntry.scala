@@ -1019,6 +1019,47 @@ object SparkEntry {
           "doc_id", "text", n = 5)
         .withColumnRenamed("_id", "doc_id")
         .orderBy("doc_id")
+    }),
+
+    // cross-corpus (incremental) dedup: new-crawl rows whose text is
+    // NOT in the reference snapshot — Bloom prefilter broadcast to the
+    // scan, exact anti-join only over the colliding fraction
+    "q96_bloom_dedup" -> ((spark, dir) => {
+      prep(spark, dir)
+      val docs = Tables.load(spark, dir, "documents")
+      graft.operators.BloomDedup.antiJoinAgainst(
+          docs, docs.filter(col("doc_id") < 250), "text")
+        .select("doc_id").orderBy("doc_id")
+    }),
+
+    // deterministic content-hash sampling: same row → same verdict on
+    // every run/engine/partitioning (md5-prefix vs hex threshold)
+    "q97_hash_sample" -> ((spark, dir) => {
+      prep(spark, dir)
+      graft.operators.Sampling.hashSample(
+          Tables.load(spark, dir, "documents"), "text", 0.25)
+        .select("doc_id").orderBy("doc_id")
+    }),
+
+    // data mixing: per-language keep rates compiled to a CASE chain —
+    // one scan-stage filter, zero joins/shuffles before the tiny count
+    "q98_mixture" -> ((spark, dir) => {
+      prep(spark, dir)
+      graft.operators.Sampling.mixture(
+          Tables.load(spark, dir, "documents"), "lang", "text",
+          Map("en" -> 0.5, "de" -> 0.2), defaultFraction = 0.05)
+        .groupBy("lang").agg(count(lit(1)).as("n"))
+        .orderBy("lang")
+    }),
+
+    // token-window chunking (win=32, stride=24): row-local sequence +
+    // slice, the pre-embedding chunking step
+    "q99_chunk_tokens" -> ((spark, dir) => {
+      prep(spark, dir)
+      graft.operators.TextAnalysis.chunkTokens(
+          Tables.load(spark, dir, "documents").filter(col("doc_id") < 60),
+          "doc_id", "text", win = 32, stride = 24)
+        .orderBy("doc_id", "chunk_idx")
     })
   )
 
@@ -1647,6 +1688,33 @@ object SparkEntry {
         |corp AS (SELECT doc_id, unnest(s) AS g FROM sh WHERE doc_id % 17 <> 0)
         |SELECT c.doc_id, count(*) AS n_overlap
         |FROM corp c JOIN bench b USING (g)
-        |GROUP BY c.doc_id ORDER BY doc_id""".stripMargin
+        |GROUP BY c.doc_id ORDER BY doc_id""".stripMargin,
+    "q96_bloom_dedup" ->
+      """SELECT d.doc_id FROM documents d
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM documents r WHERE r.doc_id < 250 AND r.text = d.text)
+        |ORDER BY doc_id""".stripMargin,
+    "q97_hash_sample" ->
+      """SELECT doc_id FROM documents
+        |WHERE substr(md5(text), 1, 6) < '400000'
+        |ORDER BY doc_id""".stripMargin,
+    "q98_mixture" ->
+      """SELECT lang, count(*) AS n FROM documents
+        |WHERE substr(md5(text), 1, 6) <
+        |  CASE lang WHEN 'en' THEN '800000' WHEN 'de' THEN '333333'
+        |            ELSE '0ccccd' END
+        |GROUP BY lang ORDER BY lang""".stripMargin,
+    "q99_chunk_tokens" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+        |  FROM documents WHERE doc_id < 60 AND len(trim(text)) > 0),
+        |s AS (
+        |  SELECT doc_id, w, unnest(generate_series(1, len(w), 24)) AS start
+        |  FROM t)
+        |SELECT doc_id,
+        |       CAST((start - 1) / 24 AS BIGINT) AS chunk_idx,
+        |       array_to_string(w[start : start + 31], ' ') AS chunk_text,
+        |       CAST(least(32, len(w) - start + 1) AS BIGINT) AS n_tokens
+        |FROM s ORDER BY doc_id, chunk_idx""".stripMargin
   )
 }

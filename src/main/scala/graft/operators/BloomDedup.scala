@@ -1,0 +1,90 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Cross-corpus (incremental) dedup: drop rows of a new corpus whose
+  * key already appears in a reference corpus — the "dedupe this crawl
+  * against the last snapshot" step of a training-data pipeline
+  * (builder-prompt family; the reference's own dedup is ClickHouse's
+  * per-table ReplacingMergeTree, `ch/config.xml`, which cannot span
+  * snapshots).
+  *
+  * Scale posture — why not a plain anti-join: at 100 TB the new corpus
+  * dominates and is mostly NOT in the reference, yet an anti-join
+  * shuffles every row of it on the key. Here a Bloom filter over the
+  * reference keys is built distributively (explode positions →
+  * hash-aggregate `bit_or` with map-side combine — the only data that
+  * reaches the driver is the ≤ m/64-word bitset, ~1 MiB for 8M bits),
+  * then broadcast as an array literal into a scan-stage predicate.
+  * Rows the filter rejects are DEFINITELY new and never shuffle; only
+  * the colliding fraction (true dups + ~0.8% false positives at 10
+  * bits/key, k=7) proceeds to an exact anti-join for verification. The
+  * result is exact — the Bloom stage only prunes, never decides — so
+  * the DuckDB `NOT EXISTS` oracle matches hash-for-hash.
+  *
+  * The predicate is built from codegen'd built-ins (`xxhash64`,
+  * `shiftleft`, `element_at`) — no UDF, no closure capture beyond the
+  * bitset literal.
+  */
+object BloomDedup {
+
+  /** Bit positions of `key` under `k` independent hash functions
+    * (xxhash64 seeded by i), each reduced mod `mBits`. */
+  private def positions(key: Column, k: Int, mBits: Long): Seq[Column] =
+    (0 until k).map(i => pmod(xxhash64(key, lit(i)), lit(mBits)))
+
+  /** Distributed Bloom build: one pass over `ref`, map-side-combined
+    * `bit_or` per 64-bit word, collect only the set words. */
+  private[operators] def buildBits(
+      ref: DataFrame, keyCol: String, k: Int, mBits: Long): Array[Long] = {
+    val words = ref
+      .select(explode(array(positions(col(keyCol), k, mBits): _*)).as("pos"))
+      .select(
+        (col("pos") / 64).cast("long").as("w"),
+        call_function("shiftleft", lit(1L), pmod(col("pos"), lit(64)).cast("int")).as("bit"))
+      .groupBy("w").agg(bit_or(col("bit")).as("word"))
+      .collect()
+    val arr = new Array[Long](((mBits + 63) / 64).toInt)
+    words.foreach(r => arr(r.getLong(0).toInt) = r.getLong(1))
+    arr
+  }
+
+  /** Scan-stage membership test against the broadcast bitset. */
+  private[operators] def mightContain(
+      key: Column, bits: Array[Long], k: Int, mBits: Long): Column =
+    positions(key, k, mBits).map { pos =>
+      element_at(typedLit(bits.toSeq), (pos / 64).cast("int") + 1)
+        .bitwiseAND(call_function("shiftleft", lit(1L), pmod(pos, lit(64)).cast("int"))) =!= lit(0L)
+    }.reduce(_ && _)
+
+  /** Exact cross-corpus dedup: rows of `df` whose `keyCol` does NOT
+    * appear in `ref`. Bloom-prefiltered anti-join; `bitsPerKey`=10 with
+    * k=7 hashes ≈ 0.8% false-positive rate, so ~99% of genuinely-new
+    * rows skip the shuffle entirely.
+    *
+    * The two branches (definitely-new scan + candidate anti-join) read
+    * `df` twice, but both reads are scan-stage-filtered and shuffle-
+    * free on the big branch — at scale two cheap scans beat one full
+    * shuffle of the corpus. */
+  def antiJoinAgainst(
+      df: DataFrame,
+      ref: DataFrame,
+      keyCol: String,
+      bitsPerKey: Int = 10,
+      numHashes: Int = 7): DataFrame = {
+    val refKeys = ref.select(col(keyCol)).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nRef = math.max(refKeys.count(), 1L)
+    val mBits = math.max(64L, nRef * bitsPerKey)
+    val bits = buildBits(refKeys, keyCol, numHashes, mBits)
+
+    val maybe = mightContain(col(keyCol), bits, numHashes, mBits)
+    val definitelyNew = df.filter(!maybe)
+    val candidates = df.filter(maybe)
+    val verified = candidates.join(
+      refKeys.withColumnRenamed(keyCol, "_ref_key").hint("shuffle_hash"),
+      candidates(keyCol) === col("_ref_key"), "left_anti")
+    definitelyNew.unionByName(verified)
+  }
+}

@@ -1,0 +1,76 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling and data-mixing operators for training-data
+  * pipelines (builder-prompt family, beyond the reference's surface —
+  * the reference delegates sampling to ClickHouse's `SAMPLE` clause,
+  * `temporal/workflow_query_executor_test.go:49` queries fixed files).
+  *
+  * Everything is keyed on a content hash, NOT `rand()`: the same row
+  * always lands on the same side of the cut, across runs, engines and
+  * cluster sizes — re-running a 100 TB mixing job is reproducible, and
+  * a train/test split never leaks when the corpus is re-partitioned.
+  *
+  * The hash is the first 6 hex digits of md5 (24 bits), compared
+  * LEXICOGRAPHICALLY against a fixed-width lowercase hex threshold:
+  * both Spark's `md5` and DuckDB's `md5` emit identical lowercase hex
+  * over the same UTF-8 bytes, so the oracle reproduces the exact
+  * sample with string comparison alone (no engine-specific hash, no
+  * hex→int cast portability trap). 24 bits → fraction granularity
+  * 2^-24 ≈ 6e-8, far below any mixing-weight precision that matters.
+  *
+  * Scale posture: the predicate is a scan-stage projection + filter —
+  * zero shuffles, zero joins (mixture weights compile to a `CASE`
+  * chain, never a join), codegen end-to-end.
+  */
+object Sampling {
+
+  private val Space = 1 << 24 // 6 hex digits
+
+  /** Fixed-width lowercase hex threshold for `fraction` of the 24-bit
+    * hash space. fraction ≤ 0 keeps nothing; ≥ 1 keeps everything. */
+  private[operators] def hexThreshold(fraction: Double): String = {
+    val cut = math.min(Space.toLong, math.max(0L, math.round(fraction * Space)))
+    // fraction 1 must keep EVERY bucket; a 7-char "1000000" would sort
+    // BELOW "ffffff" lexicographically ('1' < 'f'), so use "g", which
+    // sorts above every hex digit
+    if (cut >= Space) "g" else f"$cut%06x"
+  }
+
+  /** 6-hex-digit bucket of a key column (lowercase, fixed width). */
+  def hashBucket(key: Column): Column = substring(md5(key.cast("string")), 1, 6)
+
+  /** Keep a deterministic `fraction` of rows, keyed on `keyCol`'s
+    * content. Same key → same verdict, independent of partitioning. */
+  def hashSample(df: DataFrame, keyCol: String, fraction: Double): DataFrame =
+    df.filter(hashBucket(col(keyCol)) < lit(hexThreshold(fraction)))
+
+  /** Deterministic train/test split: rows whose bucket falls below
+    * `testFraction` go to test. Returns (train, test); the two are a
+    * partition of `df` (no overlap, no loss) for any re-run. */
+  def splitTrainTest(
+      df: DataFrame, keyCol: String, testFraction: Double): (DataFrame, DataFrame) = {
+    val cut = lit(hexThreshold(testFraction))
+    (df.filter(hashBucket(col(keyCol)) >= cut),
+      df.filter(hashBucket(col(keyCol)) < cut))
+  }
+
+  /** Data mixing: sample each group (domain / source / language) at its
+    * own rate. `weights` maps group value → keep fraction; groups
+    * absent from the map keep `defaultFraction`. The weights compile
+    * to a literal CASE chain — a scan-stage filter, never a join, so
+    * mixing a 100 TB corpus is one pass with zero shuffles. */
+  def mixture(
+      df: DataFrame,
+      groupCol: String,
+      keyCol: String,
+      weights: Map[String, Double],
+      defaultFraction: Double = 0.0): DataFrame = {
+    val cut = weights.foldLeft(lit(hexThreshold(defaultFraction))) {
+      case (acc, (g, f)) => when(col(groupCol) === lit(g), lit(hexThreshold(f))).otherwise(acc)
+    }
+    df.filter(hashBucket(col(keyCol)) < cut)
+  }
+}

@@ -227,6 +227,37 @@ object TextAnalysis {
         (coalesce(sum(col("n_tokens")).over(w), lit(0L)) / budget).cast("long"))
   }
 
+  /** Token-window chunking: split each document into windows of `win`
+    * whitespace tokens advancing by `stride` (overlap = win − stride),
+    * the chunking step before embedding / context-window packing.
+    * Returns one row per chunk: (idCol, chunk_idx, chunk_text,
+    * n_tokens). Chunk starts are 1, 1+stride, … while ≤ token count,
+    * so the final chunk may be short but no token is dropped; empty
+    * documents yield no rows.
+    *
+    * Scale posture: the token array, window starts (`sequence` by
+    * stride) and slices are all built row-locally from built-ins —
+    * the explode multiplies rows ~(1 + overlap/stride)× but the
+    * operator itself is scan-stage with zero shuffles. */
+  def chunkTokens(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      win: Int,
+      stride: Int): DataFrame = {
+    require(win > 0 && stride > 0, s"win=$win stride=$stride must be positive")
+    val words = split(trim(col(textCol)), "\\s+")
+    val starts = when(col(textCol).isNull || length(trim(col(textCol))) === 0,
+        array().cast("array<int>"))
+      .otherwise(sequence(lit(1), size(words), lit(stride)))
+    df.select(col(idCol), words.as("_w"), posexplode(starts).as(Seq("chunk_idx", "_start")))
+      .select(
+        col(idCol),
+        col("chunk_idx").cast("long").as("chunk_idx"),
+        concat_ws(" ", slice(col("_w"), col("_start"), lit(win))).as("chunk_text"),
+        least(lit(win), size(col("_w")) - col("_start") + 1).cast("long").as("n_tokens"))
+  }
+
   /** PII patterns — deliberately RE2-compatible (no backreferences, no
     * lookaround) so the same pattern text runs identically under Java
     * regex (Spark) and RE2 (DuckDB/production scrubbers). */

@@ -1,0 +1,61 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class SamplingSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def corpus =
+    (0 until 400)
+      .map(i => (i.toLong, s"doc text number $i payload", if (i % 3 == 0) "en" else "de"))
+      .toDF("id", "text", "lang")
+
+  test("hexThreshold: fixed width, monotone, exact at power-of-two fractions") {
+    assert(Sampling.hexThreshold(0.25) == "400000")
+    assert(Sampling.hexThreshold(0.5) == "800000")
+    assert(Sampling.hexThreshold(0.0) == "000000")
+    // fraction 1 must sort above every 6-digit bucket
+    assert(Sampling.hexThreshold(1.0) > "ffffff")
+    assert(Sampling.hexThreshold(0.2) == "333333")
+  }
+
+  test("hashSample is deterministic and independent of partitioning") {
+    val a = Sampling.hashSample(corpus, "text", 0.3).select("id").as[Long].collect().sorted
+    val b = Sampling.hashSample(corpus.repartition(7), "text", 0.3)
+      .select("id").as[Long].collect().sorted
+    assert(a.sameElements(b))
+    assert(a.nonEmpty && a.length < 400)
+    // rate lands near the target (24-bit hash, 400 keys: loose band)
+    assert(math.abs(a.length / 400.0 - 0.3) < 0.1)
+  }
+
+  test("splitTrainTest partitions the input: disjoint and exhaustive") {
+    val (train, test0) = Sampling.splitTrainTest(corpus, "text", 0.2)
+    val tr = train.select("id").as[Long].collect().toSet
+    val te = test0.select("id").as[Long].collect().toSet
+    assert((tr & te).isEmpty)
+    assert((tr | te).size == 400)
+  }
+
+  test("mixture equals per-group hashSample union") {
+    val mixed = Sampling.mixture(corpus, "lang", "text",
+      Map("en" -> 0.6), defaultFraction = 0.1)
+      .select("id").as[Long].collect().toSet
+    val manual =
+      Sampling.hashSample(corpus.filter($"lang" === "en"), "text", 0.6)
+        .select("id").as[Long].collect().toSet ++
+      Sampling.hashSample(corpus.filter($"lang" =!= "en"), "text", 0.1)
+        .select("id").as[Long].collect().toSet
+    assert(mixed == manual)
+  }
+
+  test("mixture filter is scan-stage: no exchange before the filter") {
+    val plan = Sampling.mixture(corpus, "lang", "text", Map("en" -> 0.5))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+}

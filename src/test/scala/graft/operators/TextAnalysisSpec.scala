@@ -201,4 +201,33 @@ class TextAnalysisSpec extends AnyFunSuite {
       .orderBy("doc_id").collect().map(r => (r.getInt(2), r.getLong(3)))
     assert(sharded.toSeq == Seq((0, 0L), (1, 0L), (0, 0L), (1, 0L), (0, 1L), (1, 1L)))
   }
+
+  test("chunkTokens: overlapping windows cover every token, tail may be short") {
+    import spark.implicits._
+    val df = Seq((1L, (1 to 10).map(i => s"t$i").mkString(" "))).toDF("doc_id", "text")
+    val out = TextAnalysis.chunkTokens(df, "doc_id", "text", win = 4, stride = 3)
+      .orderBy("chunk_idx").collect()
+      .map(r => (r.getLong(1), r.getString(2), r.getLong(3)))
+    // starts 1,4,7,10 → last chunk is the single trailing token
+    assert(out.map(_._2).toSeq == Seq(
+      "t1 t2 t3 t4", "t4 t5 t6 t7", "t7 t8 t9 t10", "t10"))
+    assert(out.map(_._3).toSeq == Seq(4L, 4L, 4L, 1L))
+    assert(out.map(_._1).toSeq == Seq(0L, 1L, 2L, 3L))
+  }
+
+  test("chunkTokens: empty and whitespace-only docs yield no chunks") {
+    import spark.implicits._
+    val df = Seq((1L, ""), (2L, "   "), (3L, "one")).toDF("doc_id", "text")
+    val out = TextAnalysis.chunkTokens(df, "doc_id", "text", win = 8, stride = 8)
+      .collect().map(r => (r.getLong(0), r.getString(2)))
+    assert(out.toSeq == Seq((3L, "one")))
+  }
+
+  test("chunkTokens is scan-stage: zero exchanges") {
+    import spark.implicits._
+    val df = Seq((1L, "a b c d e")).toDF("doc_id", "text")
+    val plan = TextAnalysis.chunkTokens(df, "doc_id", "text", 4, 2)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
 }
