@@ -1052,6 +1052,28 @@ object SparkEntry {
         .orderBy("lang")
     }),
 
+    // statistical aggregates (CH camelCase over Spark natives) —
+    // integer-scaled so the DuckDB oracle hash-matches doubles
+    "q100_stats_aggs" -> ch(
+      """SELECT
+        |  CAST(round(stddevPop(l_quantity) * 10000) AS BIGINT) AS sd_pop,
+        |  CAST(round(stddevSamp(l_quantity) * 10000) AS BIGINT) AS sd_samp,
+        |  CAST(round(varPop(l_quantity) * 1000) AS BIGINT) AS var_pop,
+        |  CAST(round(varSamp(l_quantity) * 1000) AS BIGINT) AS var_samp,
+        |  CAST(round(covarPop(l_quantity, l_extendedprice)) AS BIGINT) AS cov_pop,
+        |  CAST(round(covarSamp(l_quantity, l_extendedprice)) AS BIGINT) AS cov_samp,
+        |  CAST(round(corr(l_quantity, l_extendedprice) * 1000000) AS BIGINT) AS corr_micro,
+        |  CAST(round(avgWeighted(l_extendedprice, l_quantity) * 100) AS BIGINT) AS aw_cents
+        |FROM lineitem""".stripMargin),
+
+    // formatDateTime / dateDiff / startsWith — CH date-presentation tail
+    "q101_date_format" -> ch(
+      """SELECT formatDateTime(o_orderdate, '%Y-%m') AS ym,
+        |       count() AS n,
+        |       max(dateDiff('day', o_orderdate, toDate('1998-08-02'))) AS max_age,
+        |       countIf(startsWith(o_orderpriority, '1')) AS n_urgent
+        |FROM orders GROUP BY ym ORDER BY ym""".stripMargin),
+
     // token-window chunking (win=32, stride=24): row-local sequence +
     // slice, the pre-embedding chunking step
     "q99_chunk_tokens" -> ((spark, dir) => {
@@ -1715,6 +1737,23 @@ object SparkEntry {
         |       CAST((start - 1) / 24 AS BIGINT) AS chunk_idx,
         |       array_to_string(w[start : start + 31], ' ') AS chunk_text,
         |       CAST(least(32, len(w) - start + 1) AS BIGINT) AS n_tokens
-        |FROM s ORDER BY doc_id, chunk_idx""".stripMargin
+        |FROM s ORDER BY doc_id, chunk_idx""".stripMargin,
+    "q100_stats_aggs" ->
+      """SELECT
+        |  CAST(round(stddev_pop(l_quantity) * 10000) AS BIGINT) AS sd_pop,
+        |  CAST(round(stddev_samp(l_quantity) * 10000) AS BIGINT) AS sd_samp,
+        |  CAST(round(var_pop(l_quantity) * 1000) AS BIGINT) AS var_pop,
+        |  CAST(round(var_samp(l_quantity) * 1000) AS BIGINT) AS var_samp,
+        |  CAST(round(covar_pop(l_quantity, l_extendedprice)) AS BIGINT) AS cov_pop,
+        |  CAST(round(covar_samp(l_quantity, l_extendedprice)) AS BIGINT) AS cov_samp,
+        |  CAST(round(corr(l_quantity, l_extendedprice) * 1000000) AS BIGINT) AS corr_micro,
+        |  CAST(round(sum(l_extendedprice * l_quantity) / sum(l_quantity) * 100) AS BIGINT) AS aw_cents
+        |FROM lineitem""".stripMargin,
+    "q101_date_format" ->
+      """SELECT strftime(o_orderdate, '%Y-%m') AS ym,
+        |       count(*) AS n,
+        |       max(date_diff('day', o_orderdate, DATE '1998-08-02')) AS max_age,
+        |       count(*) FILTER (WHERE starts_with(o_orderpriority, '1')) AS n_urgent
+        |FROM orders GROUP BY ym ORDER BY ym""".stripMargin
   )
 }

@@ -590,6 +590,66 @@ object ChFunctions {
       reg("toStartOfYear")(
         exprs => TruncDate(Cast(exprs.head, DateType), Literal("year")))
 
+      // statistical aggregates — CH camelCase over Spark's snake_case
+      // natives (same population/sample formulas; `corr` needs no alias,
+      // Spark's registry is case-insensitive on identical names)
+      reg("stddevPop")(exprs => StddevPop(Cast(exprs.head, DoubleType)))
+      reg("stddevSamp")(exprs => StddevSamp(Cast(exprs.head, DoubleType)))
+      reg("varPop")(exprs => VariancePop(Cast(exprs.head, DoubleType)))
+      reg("varSamp")(exprs => VarianceSamp(Cast(exprs.head, DoubleType)))
+      reg("covarPop")({ case Seq(a, b) =>
+        CovPopulation(Cast(a, DoubleType), Cast(b, DoubleType)) })
+      reg("covarSamp")({ case Seq(a, b) =>
+        CovSample(Cast(a, DoubleType), Cast(b, DoubleType)) })
+      // avgWeighted(x, w) = Σxw / Σw — two sums, one pass
+      reg("avgWeighted")({ case Seq(x, w) =>
+        Divide(
+          Sum(Multiply(Cast(x, DoubleType), Cast(w, DoubleType)))
+            .toAggregateExpression(),
+          Sum(Cast(w, DoubleType)).toAggregateExpression())
+      })
+
+      // (dateDiff is NOT here: Spark's parser special-cases the name
+      // before the registry, so ChSql.rewriteDateDiff handles it)
+
+      // formatDateTime(ts, '%Y-%m-%d') — CH strftime codes translated
+      // literally to Spark's java.time pattern letters
+      def strftimeToJava(f: String): String = {
+        val sb = new StringBuilder
+        var i = 0
+        while (i < f.length) {
+          if (f.charAt(i) == '%' && i + 1 < f.length) {
+            sb.append(f.charAt(i + 1) match {
+              case 'Y' => "yyyy"; case 'y' => "yy"; case 'm' => "MM"
+              case 'd' => "dd"; case 'H' => "HH"; case 'M' => "mm"
+              case 'S' => "ss"; case 'F' => "yyyy-MM-dd"
+              case 'T' => "HH:mm:ss"; case 'j' => "DDD"; case 'e' => "d"
+              case '%' => "%"
+              case other => throw new IllegalArgumentException(
+                s"formatDateTime: unsupported code %$other")
+            })
+            i += 2
+          } else { sb.append(f.charAt(i)); i += 1 }
+        }
+        sb.toString
+      }
+      reg("formatDateTime")({ case Seq(ts, Literal(f: org.apache.spark.unsafe.types.UTF8String, StringType)) =>
+        DateFormatClass(Cast(ts, TimestampType),
+          Literal(strftimeToJava(f.toString)))
+      })
+
+      // splitByString(sep, s) — multi-char literal separator, CH arg order
+      reg("splitByString")({ case Seq(sep, s) =>
+        val escaped = sep match {
+          case Literal(v: org.apache.spark.unsafe.types.UTF8String, StringType) =>
+            Literal(java.util.regex.Pattern.quote(v.toString))
+          case other => other
+        }
+        StringSplit(s, escaped, Literal(-1))
+      })
+      // (startsWith/endsWith need no alias: Spark's registry resolves
+      // its native startswith/endswith case-insensitively)
+
     out.result()
   }
 }

@@ -393,4 +393,40 @@ class ChFunctionsSpec extends AnyFunSuite {
     assert(s("SELECT firstSignificantSubdomain('example.com/p')") == "example")
     assert(s("SELECT firstSignificantSubdomain('localhost')") == "")
   }
+
+  test("statistical aggregates: pop/samp variance family + avgWeighted") {
+    // v = 10,20,30: mean 20, pop var 200/3, samp var 100
+    assert(math.abs(one("SELECT varPop(v) FROM fx").asInstanceOf[Double] - 200.0 / 3) < 1e-9)
+    assert(math.abs(one("SELECT varSamp(v) FROM fx").asInstanceOf[Double] - 100.0) < 1e-9)
+    assert(math.abs(one("SELECT stddevPop(v) FROM fx").asInstanceOf[Double]
+      - math.sqrt(200.0 / 3)) < 1e-9)
+    assert(math.abs(one("SELECT stddevSamp(v) FROM fx").asInstanceOf[Double] - 10.0) < 1e-9)
+    // id and v are perfectly linear → corr 1, covPop = E[xy]-E[x]E[y]
+    assert(math.abs(one("SELECT covarPop(id, v) FROM fx").asInstanceOf[Double] - 20.0 / 3) < 1e-9)
+    assert(math.abs(one("SELECT covarSamp(id, v) FROM fx").asInstanceOf[Double] - 10.0) < 1e-9)
+    assert(math.abs(one("SELECT corr(id, v) FROM fx").asInstanceOf[Double] - 1.0) < 1e-9)
+    // avgWeighted(v, id) = (10+40+90)/6
+    assert(math.abs(one("SELECT avgWeighted(v, id) FROM fx").asInstanceOf[Double]
+      - 140.0 / 6) < 1e-9)
+  }
+
+  test("dateDiff / formatDateTime / splitByString / startsWith-endsWith") {
+    // dateDiff's quoted unit is a ChSql parse rewrite (the parser owns
+    // the name), so it must go through the dialect entry point
+    def chOne(sql: String): Any = ChSql.sql(spark, sql).collect().head.get(0)
+    assert(chOne("SELECT dateDiff('day', toDate('2024-03-01'), toDate('2024-03-06'))") == 5L)
+    assert(chOne("SELECT dateDiff('hour', toDateTime('2024-03-05 10:00:00'), toDateTime('2024-03-05 13:30:00'))") == 3L)
+    assert(one("SELECT formatDateTime(toDateTime('2024-03-05 10:30:09'), '%Y-%m-%d %H:%M:%S')")
+      == "2024-03-05 10:30:09")
+    assert(one("SELECT formatDateTime(toDate('2024-03-05'), '%F')") == "2024-03-05")
+    // multi-char separator is NOT a regex: '.' splits literally
+    assert(one("SELECT splitByString('..', 'a..b..c')")
+      .asInstanceOf[scala.collection.Seq[String]].toSeq == Seq("a", "b", "c"))
+    assert(one("SELECT startsWith('urgent-1', 'urg')") == true)
+    assert(one("SELECT endsWith('urgent-1', '-1')") == true)
+    // unsupported strftime code must fail loudly, not format garbage
+    val e = intercept[Exception](
+      spark.sql("SELECT formatDateTime(toDate('2024-03-05'), '%Q')").collect())
+    assert(e.getMessage.contains("unsupported") || e.getCause != null)
+  }
 }
