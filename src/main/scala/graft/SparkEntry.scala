@@ -1066,6 +1066,14 @@ object SparkEntry {
         |  CAST(round(avgWeighted(l_extendedprice, l_quantity) * 100) AS BIGINT) AS aw_cents
         |FROM lineitem""".stripMargin),
 
+    // CH `GROUP BY … WITH CUBE` — Spark parses the identical clause;
+    // grouping-set rows surface with NULL keys in both engines
+    "q102_cube" -> ch(
+      """SELECT l_returnflag, l_linestatus,
+        |       CAST(sum(l_quantity) AS BIGINT) AS qty, count() AS n
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus WITH CUBE
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin),
+
     // formatDateTime / dateDiff / startsWith — CH date-presentation tail
     "q101_date_format" -> ch(
       """SELECT formatDateTime(o_orderdate, '%Y-%m') AS ym,
@@ -1749,6 +1757,11 @@ object SparkEntry {
         |  CAST(round(corr(l_quantity, l_extendedprice) * 1000000) AS BIGINT) AS corr_micro,
         |  CAST(round(sum(l_extendedprice * l_quantity) / sum(l_quantity) * 100) AS BIGINT) AS aw_cents
         |FROM lineitem""".stripMargin,
+    "q102_cube" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       CAST(sum(l_quantity) AS BIGINT) AS qty, count(*) AS n
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
     "q101_date_format" ->
       """SELECT strftime(o_orderdate, '%Y-%m') AS ym,
         |       count(*) AS n,

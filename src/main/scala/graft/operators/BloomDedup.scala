@@ -50,13 +50,19 @@ object BloomDedup {
     arr
   }
 
-  /** Scan-stage membership test against the broadcast bitset. */
+  /** Scan-stage membership test against the broadcast bitset. The
+    * bitset literal appears ONCE, inside a `forall` lambda — a per-hash
+    * conjunction would embed k copies of the (possibly MB-sized) array
+    * in the serialized plan and every task binary. The k-iteration
+    * interpreted lambda is noise next to the scan it prunes. */
   private[operators] def mightContain(
-      key: Column, bits: Array[Long], k: Int, mBits: Long): Column =
-    positions(key, k, mBits).map { pos =>
-      element_at(typedLit(bits.toSeq), (pos / 64).cast("int") + 1)
-        .bitwiseAND(call_function("shiftleft", lit(1L), pmod(pos, lit(64)).cast("int"))) =!= lit(0L)
-    }.reduce(_ && _)
+      key: Column, bits: Array[Long], k: Int, mBits: Long): Column = {
+    val bitsLit = typedlit(bits.toSeq)
+    forall(
+      array(positions(key, k, mBits): _*),
+      pos => element_at(bitsLit, (pos / 64).cast("int") + 1)
+        .bitwiseAND(call_function("shiftleft", lit(1L), pmod(pos, lit(64)).cast("int"))) =!= lit(0L))
+  }
 
   /** Exact cross-corpus dedup: rows of `df` whose `keyCol` does NOT
     * appear in `ref`. Bloom-prefiltered anti-join; `bitsPerKey`=10 with
