@@ -1066,6 +1066,13 @@ object SparkEntry {
         |  CAST(round(avgWeighted(l_extendedprice, l_quantity) * 100) AS BIGINT) AS aw_cents
         |FROM lineitem""".stripMargin),
 
+    // Unicode NFC normalization (native codegen'd kernel): the literal
+    // carries a real decomposed→composed case; the corpus column is
+    // ASCII (identity) and pins the fast path at table scale
+    "q103_normalize" -> ch(
+      "SELECT normalizeUTF8NFC('Café') AS c_nfc, " +
+        "countIf(normalizeUTF8NFC(text) = text) AS n_id, count() AS n FROM documents"),
+
     // CH `GROUP BY … WITH CUBE` — Spark parses the identical clause;
     // grouping-set rows surface with NULL keys in both engines
     "q102_cube" -> ch(
@@ -1757,6 +1764,10 @@ object SparkEntry {
         |  CAST(round(corr(l_quantity, l_extendedprice) * 1000000) AS BIGINT) AS corr_micro,
         |  CAST(round(sum(l_extendedprice * l_quantity) / sum(l_quantity) * 100) AS BIGINT) AS aw_cents
         |FROM lineitem""".stripMargin,
+    "q103_normalize" ->
+      ("SELECT nfc_normalize('Café') AS c_nfc, " +
+        "count(*) FILTER (WHERE nfc_normalize(text) = text) AS n_id, " +
+        "count(*) AS n FROM documents"),
     "q102_cube" ->
       """SELECT l_returnflag, l_linestatus,
         |       CAST(sum(l_quantity) AS BIGINT) AS qty, count(*) AS n

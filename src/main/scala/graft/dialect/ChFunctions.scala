@@ -650,6 +650,13 @@ object ChFunctions {
       // (startsWith/endsWith need no alias: Spark's registry resolves
       // its native startswith/endswith case-insensitively)
 
+      // Unicode normalization (native codegen'd kernels; the dedup-key
+      // normalization step — composed/decomposed accents must collide)
+      reg("normalizeUTF8NFC")(exprs => graft.functions.NormalizeUTF8(exprs.head, "nfc"))
+      reg("normalizeUTF8NFD")(exprs => graft.functions.NormalizeUTF8(exprs.head, "nfd"))
+      reg("normalizeUTF8NFKC")(exprs => graft.functions.NormalizeUTF8(exprs.head, "nfkc"))
+      reg("normalizeUTF8NFKD")(exprs => graft.functions.NormalizeUTF8(exprs.head, "nfkd"))
+
     out.result()
   }
 }

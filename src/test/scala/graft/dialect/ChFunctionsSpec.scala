@@ -429,4 +429,19 @@ class ChFunctionsSpec extends AnyFunSuite {
       spark.sql("SELECT formatDateTime(toDate('2024-03-05'), '%Q')").collect())
     assert(e.getMessage.contains("unsupported") || e.getCause != null)
   }
+
+  test("normalizeUTF8 family: composed/decomposed collide, compat folds, ASCII identity") {
+    val composed = "Caf\u00e9"          // \u00e9 as one codepoint
+    val decomposed = "Cafe\u0301"       // e + combining acute
+    assert(composed != decomposed)      // distinct codepoint sequences going in
+    assert(one(s"SELECT normalizeUTF8NFC('$decomposed')") == composed)
+    assert(one(s"SELECT normalizeUTF8NFD('$composed')") == decomposed)
+    // compatibility forms fold the fi-ligature and circled digits
+    assert(one("SELECT normalizeUTF8NFKC('\ufb01nd \u2460')") == "find 1")
+    assert(one("SELECT normalizeUTF8NFKD('\ufb01nd')") == "find")
+    // ASCII is untouched (and takes the no-decode fast path)
+    assert(one("SELECT normalizeUTF8NFC('plain ascii 123')") == "plain ascii 123")
+    // the dedup-key use: both spellings collide after NFC
+    assert(one(s"SELECT normalizeUTF8NFC('$composed') = normalizeUTF8NFC('$decomposed')") == true)
+  }
 }
