@@ -1066,6 +1066,14 @@ object SparkEntry {
         |  CAST(round(avgWeighted(l_extendedprice, l_quantity) * 100) AS BIGINT) AS aw_cents
         |FROM lineitem""".stripMargin),
 
+    // scalar compat tail over real tables: bitwise, date-key, padding
+    "q104_scalar_tail" -> ch(
+      """SELECT toYYYYMMDD(o_orderdate) AS ymd,
+        |       count() AS n,
+        |       CAST(sum(bitAnd(o_orderkey, 255)) AS BIGINT) AS band,
+        |       max(leftPad(toString(o_orderkey), 12, '0')) AS padded
+        |FROM orders GROUP BY ymd ORDER BY ymd LIMIT 30""".stripMargin),
+
     // Unicode NFC normalization (native codegen'd kernel): the literal
     // carries a real decomposed→composed case; the corpus column is
     // ASCII (identity) and pins the fast path at table scale
@@ -1764,6 +1772,12 @@ object SparkEntry {
         |  CAST(round(corr(l_quantity, l_extendedprice) * 1000000) AS BIGINT) AS corr_micro,
         |  CAST(round(sum(l_extendedprice * l_quantity) / sum(l_quantity) * 100) AS BIGINT) AS aw_cents
         |FROM lineitem""".stripMargin,
+    "q104_scalar_tail" ->
+      """SELECT CAST(strftime(o_orderdate, '%Y%m%d') AS INTEGER) AS ymd,
+        |       count(*) AS n,
+        |       CAST(sum(o_orderkey & 255) AS BIGINT) AS band,
+        |       max(lpad(CAST(o_orderkey AS VARCHAR), 12, '0')) AS padded
+        |FROM orders GROUP BY ymd ORDER BY ymd LIMIT 30""".stripMargin,
     "q103_normalize" ->
       ("SELECT nfc_normalize('Café') AS c_nfc, " +
         "count(*) FILTER (WHERE nfc_normalize(text) = text) AS n_id, " +

@@ -650,6 +650,54 @@ object ChFunctions {
       // (startsWith/endsWith need no alias: Spark's registry resolves
       // its native startswith/endswith case-insensitively)
 
+      // scalar-function compat tail: CH camelCase spellings of native
+      // Spark expressions (bitwise, rounding, padding, base64, struct)
+      reg("bitAnd")({ case Seq(a, b) => BitwiseAnd(a, b) })
+      reg("bitOr")({ case Seq(a, b) => BitwiseOr(a, b) })
+      reg("bitXor")({ case Seq(a, b) => BitwiseXor(a, b) })
+      reg("bitNot")(exprs => BitwiseNot(exprs.head))
+      reg("bitShiftLeft")({ case Seq(a, b) => ShiftLeft(a, Cast(b, IntegerType)) })
+      reg("bitShiftRight")({ case Seq(a, b) => ShiftRight(a, Cast(b, IntegerType)) })
+      // CH roundBankers = round-half-even (Spark's bround)
+      reg("roundBankers")({
+        case Seq(x) => BRound(x, Literal(0))
+        case Seq(x, n) => BRound(x, n)
+      })
+      reg("leftPad")({ case Seq(s, n, p) => StringLPad(s, Cast(n, IntegerType), p) })
+      reg("rightPad")({ case Seq(s, n, p) => StringRPad(s, Cast(n, IntegerType), p) })
+      reg("base64Encode")(exprs => Base64(Cast(exprs.head, BinaryType)))
+      reg("base64Decode")(exprs => Cast(UnBase64(exprs.head), StringType))
+      reg("assumeNotNull")(exprs => KnownNotNull(exprs.head))
+      // CH tuples are Spark structs; tupleElement is 1-based positional
+      reg("tuple")(exprs => CreateStruct(exprs))
+      reg("tupleElement")({ case Seq(t, Literal(i: Int, IntegerType)) =>
+        GetStructField(t, i - 1)
+      })
+      // arrayElement: 1-based, negative-from-end — element_at's contract
+      reg("arrayElement")({ case Seq(a, i) => ElementAt(a, i) })
+      reg("toYYYYMMDD")({ exprs =>
+        val d = Cast(exprs.head, DateType)
+        Add(Multiply(Year(d), Literal(10000)),
+          Add(Multiply(Month(d), Literal(100)), DayOfMonth(d)))
+      })
+      // fixed-interval truncations: floor the epoch to the bucket
+      def toStartOfN(secs: Int): Seq[Expression] => Expression = { exprs =>
+        val ep = Cast(Cast(exprs.head, TimestampType), LongType)
+        Cast(Multiply(IntegralDivide(ep, Literal(secs.toLong)),
+          Literal(secs.toLong)), TimestampType)
+      }
+      reg("toStartOfFiveMinutes")(toStartOfN(300))
+      reg("toStartOfTenMinutes")(toStartOfN(600))
+      reg("toStartOfFifteenMinutes")(toStartOfN(900))
+      def subUnit(unit: String): Seq[Expression] => Expression = {
+        case Seq(ts, n) =>
+          TimestampAdd(unit, UnaryMinus(n), Cast(ts, TimestampType))
+      }
+      reg("subtractDays")(subUnit("DAY"))
+      reg("subtractHours")(subUnit("HOUR"))
+      reg("subtractMinutes")(subUnit("MINUTE"))
+      reg("subtractSeconds")(subUnit("SECOND"))
+
       // Unicode normalization (native codegen'd kernels; the dedup-key
       // normalization step — composed/decomposed accents must collide)
       reg("normalizeUTF8NFC")(exprs => graft.functions.NormalizeUTF8(exprs.head, "nfc"))

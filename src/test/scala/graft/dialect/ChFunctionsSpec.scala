@@ -430,6 +430,36 @@ class ChFunctionsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("unsupported") || e.getCause != null)
   }
 
+  test("scalar compat tail: bitwise, roundBankers, pads, base64, tuple, intervals") {
+    assert(one("SELECT bitAnd(12, 10)") == 8)
+    assert(one("SELECT bitOr(12, 10)") == 14)
+    assert(one("SELECT bitXor(12, 10)") == 6)
+    assert(one("SELECT bitNot(0)") == -1)
+    assert(one("SELECT bitShiftLeft(1, 10)") == 1024)
+    assert(one("SELECT bitShiftRight(1024, 3)") == 128)
+    // banker's rounding: half goes to the even neighbor (literal 2.5 is
+    // DECIMAL, so compare numerically, not by runtime class)
+    assert(one("SELECT roundBankers(2.5)").toString.toDouble == 2.0)
+    assert(one("SELECT roundBankers(3.5)").toString.toDouble == 4.0)
+    assert(one("SELECT roundBankers(2.345, 2)").toString.toDouble == 2.34)
+    assert(one("SELECT leftPad('7', 3, '0')") == "007")
+    assert(one("SELECT rightPad('7', 3, 'x')") == "7xx")
+    assert(one("SELECT base64Decode(base64Encode('graft'))") == "graft")
+    assert(one("SELECT assumeNotNull(5)") == 5)
+    assert(one("SELECT tupleElement(tuple('a', 42), 2)") == 42)
+    assert(one("SELECT arrayElement(array(7, 8, 9), 2)") == 8)
+    assert(one("SELECT arrayElement(array(7, 8, 9), -1)") == 9)
+    assert(one("SELECT toYYYYMMDD(toDate('2024-03-05'))") == 20240305)
+    assert(one("SELECT toStartOfFiveMinutes(toDateTime('2024-03-05 10:33:12'))")
+      .toString == "2024-03-05 10:30:00.0")
+    assert(one("SELECT toStartOfFifteenMinutes(toDateTime('2024-03-05 10:47:59'))")
+      .toString == "2024-03-05 10:45:00.0")
+    assert(one("SELECT subtractDays(toDate('2024-03-05'), 4)").toString
+      == "2024-03-01 00:00:00.0")
+    assert(one("SELECT subtractHours(toDateTime('2024-03-05 02:00:00'), 3)").toString
+      == "2024-03-04 23:00:00.0")
+  }
+
   test("normalizeUTF8 family: composed/decomposed collide, compat folds, ASCII identity") {
     val composed = "Caf\u00e9"          // \u00e9 as one codepoint
     val decomposed = "Cafe\u0301"       // e + combining acute
