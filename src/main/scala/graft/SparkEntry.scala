@@ -1066,6 +1066,25 @@ object SparkEntry {
         |  CAST(round(avgWeighted(l_extendedprice, l_quantity) * 100) AS BIGINT) AS aw_cents
         |FROM lineitem""".stripMargin),
 
+    // FULL OUTER + CROSS join coverage (q13-q17 cover inner/semi/anti/
+    // left): regions full-joined to an aggregated nation slice
+    "q105_join_full_cross" -> ch(
+      """SELECT r.r_name, n.n_name,
+        |       (SELECT count() FROM region) AS n_regions
+        |FROM region r
+        |FULL OUTER JOIN (SELECT * FROM nation WHERE n_nationkey < 5) n
+        |  ON r.r_regionkey = n.n_regionkey
+        |ORDER BY r.r_name NULLS FIRST, n.n_name NULLS FIRST""".stripMargin),
+
+    // CH lagInFrame/leadInFrame window spellings over orders
+    "q106_frame_lag" -> ch(
+      """SELECT o_orderkey,
+        |       lagInFrame(o_totalprice) OVER w AS prev_price,
+        |       leadInFrame(o_totalprice, 2) OVER w AS next2_price
+        |FROM orders WHERE o_custkey < 50
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey)
+        |ORDER BY o_orderkey""".stripMargin),
+
     // scalar compat tail over real tables: bitwise, date-key, padding
     "q104_scalar_tail" -> ch(
       """SELECT toYYYYMMDD(o_orderdate) AS ymd,
@@ -1772,6 +1791,20 @@ object SparkEntry {
         |  CAST(round(corr(l_quantity, l_extendedprice) * 1000000) AS BIGINT) AS corr_micro,
         |  CAST(round(sum(l_extendedprice * l_quantity) / sum(l_quantity) * 100) AS BIGINT) AS aw_cents
         |FROM lineitem""".stripMargin,
+    "q105_join_full_cross" ->
+      """SELECT r.r_name, n.n_name,
+        |       (SELECT count(*) FROM region) AS n_regions
+        |FROM region r
+        |FULL OUTER JOIN (SELECT * FROM nation WHERE n_nationkey < 5) n
+        |  ON r.r_regionkey = n.n_regionkey
+        |ORDER BY r.r_name NULLS FIRST, n.n_name NULLS FIRST""".stripMargin,
+    "q106_frame_lag" ->
+      """SELECT o_orderkey,
+        |       lag(o_totalprice) OVER w AS prev_price,
+        |       lead(o_totalprice, 2) OVER w AS next2_price
+        |FROM orders WHERE o_custkey < 50
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey)
+        |ORDER BY o_orderkey""".stripMargin,
     "q104_scalar_tail" ->
       """SELECT CAST(strftime(o_orderdate, '%Y%m%d') AS INTEGER) AS ymd,
         |       count(*) AS n,

@@ -698,6 +698,19 @@ object ChFunctions {
       reg("subtractMinutes")(subUnit("MINUTE"))
       reg("subtractSeconds")(subUnit("SECOND"))
 
+      // CH window-function spellings (used inside OVER clauses — the
+      // registry resolves the name, the parser supplies the window)
+      reg("lagInFrame")({
+        case Seq(e) => Lag(e, Literal(1), Literal(null), ignoreNulls = false)
+        case Seq(e, n) => Lag(e, n, Literal(null), ignoreNulls = false)
+        case Seq(e, n, d) => Lag(e, n, d, ignoreNulls = false)
+      })
+      reg("leadInFrame")({
+        case Seq(e) => Lead(e, Literal(1), Literal(null), ignoreNulls = false)
+        case Seq(e, n) => Lead(e, n, Literal(null), ignoreNulls = false)
+        case Seq(e, n, d) => Lead(e, n, d, ignoreNulls = false)
+      })
+
       // Unicode normalization (native codegen'd kernels; the dedup-key
       // normalization step — composed/decomposed accents must collide)
       reg("normalizeUTF8NFC")(exprs => graft.functions.NormalizeUTF8(exprs.head, "nfc"))
