@@ -1066,6 +1066,13 @@ object SparkEntry {
         |  CAST(round(avgWeighted(l_extendedprice, l_quantity) * 100) AS BIGINT) AS aw_cents
         |FROM lineitem""".stripMargin),
 
+    // JSON predicate/introspection tail over events.props
+    "q107_json_tail" -> ch(
+      """SELECT countIf(JSONHas(props, 'k')) AS n_k,
+        |       countIf(JSONExtractRaw(props, 'k') = '69') AS k69,
+        |       count() AS n
+        |FROM events""".stripMargin),
+
     // FULL OUTER + CROSS join coverage (q13-q17 cover inner/semi/anti/
     // left): regions full-joined to an aggregated nation slice
     "q105_join_full_cross" -> ch(
@@ -1791,6 +1798,11 @@ object SparkEntry {
         |  CAST(round(corr(l_quantity, l_extendedprice) * 1000000) AS BIGINT) AS corr_micro,
         |  CAST(round(sum(l_extendedprice * l_quantity) / sum(l_quantity) * 100) AS BIGINT) AS aw_cents
         |FROM lineitem""".stripMargin,
+    "q107_json_tail" ->
+      """SELECT count(*) FILTER (WHERE json_extract_string(props, '$.k') IS NOT NULL) AS n_k,
+        |       count(*) FILTER (WHERE json_extract_string(props, '$.k') = '69') AS k69,
+        |       count(*) AS n
+        |FROM events""".stripMargin,
     "q105_join_full_cross" ->
       """SELECT r.r_name, n.n_name,
         |       (SELECT count(*) FROM region) AS n_regions

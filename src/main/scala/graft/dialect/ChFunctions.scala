@@ -369,6 +369,19 @@ object ChFunctions {
         { case Seq(json, key) => Cast(GetJsonObject(json, jsonPath(key)), LongType) })
       reg("JSONExtractFloat")(
         { case Seq(json, key) => Cast(GetJsonObject(json, jsonPath(key)), DoubleType) })
+      reg("JSONExtractBool")(
+        { case Seq(json, key) => Cast(GetJsonObject(json, jsonPath(key)), BooleanType) })
+      reg("JSONExtractRaw")(
+        { case Seq(json, key) => GetJsonObject(json, jsonPath(key)) })
+      reg("JSONHas")(
+        { case Seq(json, key) => IsNotNull(GetJsonObject(json, jsonPath(key))) })
+      // CH JSONLength = element count of an array (or keys of an object);
+      // the array form is the one the reference-style event logs use
+      reg("JSONLength")({
+        case Seq(json) => LengthOfJsonArray(json)
+        case Seq(json, key) => LengthOfJsonArray(GetJsonObject(json, jsonPath(key)))
+      })
+      reg("JSONExtractKeys")(exprs => JsonObjectKeys(exprs.head))
       // date/time helpers (CH names) — all map to native expressions
       reg("toStartOfHour")(
         exprs => TruncTimestamp(Literal("hour"), exprs.head))

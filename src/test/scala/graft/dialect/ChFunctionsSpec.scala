@@ -430,6 +430,18 @@ class ChFunctionsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("unsupported") || e.getCause != null)
   }
 
+  test("JSON tail: bool/raw extract, has, array length, keys") {
+    val j = """'{"a": true, "b": [1,2,3], "c": {"d": 1}, "n": 7}'"""
+    assert(one(s"SELECT JSONExtractBool($j, 'a')") == true)
+    assert(one(s"SELECT JSONExtractRaw($j, 'c')") == """{"d":1}""")
+    assert(one(s"SELECT JSONHas($j, 'n')") == true)
+    assert(one(s"SELECT JSONHas($j, 'zz')") == false)
+    assert(one(s"SELECT JSONLength($j, 'b')") == 3)
+    assert(one("SELECT JSONLength('[1,2]')") == 2)
+    assert(one(s"SELECT JSONExtractKeys($j)")
+      .asInstanceOf[scala.collection.Seq[String]].toSeq == Seq("a", "b", "c", "n"))
+  }
+
   test("scalar compat tail: bitwise, roundBankers, pads, base64, tuple, intervals") {
     assert(one("SELECT bitAnd(12, 10)") == 8)
     assert(one("SELECT bitOr(12, 10)") == 14)
