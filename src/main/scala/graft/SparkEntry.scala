@@ -1066,6 +1066,20 @@ object SparkEntry {
         |  CAST(round(avgWeighted(l_extendedprice, l_quantity) * 100) AS BIGINT) AS aw_cents
         |FROM lineitem""".stripMargin),
 
+    // CH sumMap semantics, distributed shape (explode → two-level hash
+    // agg → bounded reassembly; never collects row-maps per group)
+    "q108_summap" -> ((spark, dir) => {
+      prep(spark, dir)
+      val docs = Tables.load(spark, dir, "documents")
+        .select(col("lang"), slice(split(col("text"), "\\s+"), 1, 3).as("k"))
+        .withColumn("v", transform(col("k"), _ => lit(1L)))
+      graft.operators.MapAgg.sumMap(docs, Seq("lang"), "k", "v")
+        .select(col("lang"),
+          concat_ws(",", col("keys")).as("keys_csv"),
+          concat_ws(",", col("vals")).as("vals_csv"))
+        .orderBy("lang")
+    }),
+
     // JSON predicate/introspection tail over events.props
     "q107_json_tail" -> ch(
       """SELECT countIf(JSONHas(props, 'k')) AS n_k,
@@ -1798,6 +1812,15 @@ object SparkEntry {
         |  CAST(round(corr(l_quantity, l_extendedprice) * 1000000) AS BIGINT) AS corr_micro,
         |  CAST(round(sum(l_extendedprice * l_quantity) / sum(l_quantity) * 100) AS BIGINT) AS aw_cents
         |FROM lineitem""".stripMargin,
+    "q108_summap" ->
+      """WITH t AS (
+        |  SELECT lang, string_split_regex(text, '\s+')[1:3] AS k FROM documents),
+        |kv AS (SELECT lang, unnest(k) AS kk FROM t),
+        |pk AS (SELECT lang, kk, CAST(count(*) AS BIGINT) AS s FROM kv GROUP BY lang, kk)
+        |SELECT lang,
+        |       array_to_string(list(kk ORDER BY kk), ',') AS keys_csv,
+        |       array_to_string(list(s ORDER BY kk), ',') AS vals_csv
+        |FROM pk GROUP BY lang ORDER BY lang""".stripMargin,
     "q107_json_tail" ->
       """SELECT count(*) FILTER (WHERE json_extract_string(props, '$.k') IS NOT NULL) AS n_k,
         |       count(*) FILTER (WHERE json_extract_string(props, '$.k') = '69') AS k69,
