@@ -711,6 +711,30 @@ object ChFunctions {
       reg("subtractMinutes")(subUnit("MINUTE"))
       reg("subtractSeconds")(subUnit("SECOND"))
 
+      // map-type spellings over Spark's native map expressions
+      reg("mapKeys")(exprs => MapKeys(exprs.head))
+      reg("mapValues")(exprs => MapValues(exprs.head))
+      reg("mapContains")({ case Seq(m, k) => ArrayContains(MapKeys(m), k) })
+      reg("mapFromArrays")({ case Seq(k, v) => MapFromArrays(k, v) })
+
+      // array-manipulation tail (compositions over native slices/concat)
+      reg("arrayIntersect")({ case Seq(a, b) => ArrayIntersect(a, b) })
+      reg("arrayPushBack")({ case Seq(a, x) => Concat(Seq(a, CreateArray(Seq(x)))) })
+      reg("arrayPushFront")({ case Seq(a, x) => Concat(Seq(CreateArray(Seq(x)), a)) })
+      reg("arrayPopBack")(exprs =>
+        Slice(exprs.head, Literal(1), Greatest(Seq(Subtract(Size(exprs.head), Literal(1)), Literal(0)))))
+      reg("arrayPopFront")(exprs =>
+        Slice(exprs.head, Literal(2), Greatest(Seq(Subtract(Size(exprs.head), Literal(1)), Literal(0)))))
+      // extractAll(s, re): every match's group 1 (whole match if no group)
+      reg("extractAll")({ case Seq(s, p) =>
+        val group = p match {
+          case Literal(v: org.apache.spark.unsafe.types.UTF8String, StringType)
+              if v.toString.contains("(") => 1
+          case _ => 0
+        }
+        RegExpExtractAll(s, p, Literal(group))
+      })
+
       // CH window-function spellings (used inside OVER clauses — the
       // registry resolves the name, the parser supplies the window)
       reg("lagInFrame")({

@@ -430,6 +430,31 @@ class ChFunctionsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("unsupported") || e.getCause != null)
   }
 
+  test("map spellings and array-manipulation tail") {
+    assert(one("SELECT mapKeys(mapFromArrays(array('a','b'), array(1,2)))")
+      .asInstanceOf[scala.collection.Seq[String]].toSeq == Seq("a", "b"))
+    assert(one("SELECT mapValues(mapFromArrays(array('a','b'), array(1,2)))")
+      .asInstanceOf[scala.collection.Seq[Int]].toSeq == Seq(1, 2))
+    assert(one("SELECT mapContains(mapFromArrays(array('a'), array(1)), 'a')") == true)
+    assert(one("SELECT mapContains(mapFromArrays(array('a'), array(1)), 'z')") == false)
+    assert(one("SELECT arrayIntersect(array(1,2,3), array(2,3,4))")
+      .asInstanceOf[scala.collection.Seq[Int]].toSet == Set(2, 3))
+    assert(one("SELECT arrayPushBack(array(1,2), 3)")
+      .asInstanceOf[scala.collection.Seq[Int]].toSeq == Seq(1, 2, 3))
+    assert(one("SELECT arrayPushFront(array(2,3), 1)")
+      .asInstanceOf[scala.collection.Seq[Int]].toSeq == Seq(1, 2, 3))
+    assert(one("SELECT arrayPopBack(array(1,2,3))")
+      .asInstanceOf[scala.collection.Seq[Int]].toSeq == Seq(1, 2))
+    assert(one("SELECT arrayPopFront(array(1,2,3))")
+      .asInstanceOf[scala.collection.Seq[Int]].toSeq == Seq(2, 3))
+    assert(one("SELECT arrayPopBack(array(7))")
+      .asInstanceOf[scala.collection.Seq[Int]].toSeq == Seq())
+    assert(one("SELECT extractAll('a1 b22 c3', '[a-z]([0-9]+)')")
+      .asInstanceOf[scala.collection.Seq[String]].toSeq == Seq("1", "22", "3"))
+    assert(one("SELECT extractAll('a1 b22', '[0-9]+')")
+      .asInstanceOf[scala.collection.Seq[String]].toSeq == Seq("1", "22"))
+  }
+
   test("JSON tail: bool/raw extract, has, array length, keys") {
     val j = """'{"a": true, "b": [1,2,3], "c": {"d": 1}, "n": 7}'"""
     assert(one(s"SELECT JSONExtractBool($j, 'a')") == true)
