@@ -170,6 +170,23 @@ object ChFunctions {
             Not(EqualTo(x, Literal(0))), Seq(x))))
         case Seq(f, arr) => countElems(ArrayFilter(arr, f))
       })
+      // arrayFirst/arrayLast(f, arr): first/last matching element, NULL
+      // if none. Same HOF-ROOT constraint as arrayCount — the result is
+      // an ArrayAggregate over the filtered array (array-typed
+      // accumulator carries "found"; the finish lambda unwraps)
+      def firstElem(arr: Expression): Expression = {
+        val acc = lv("accFst"); val x = lv("xFst"); val fin = lv("fFst")
+        ArrayAggregate(arr, Slice(arr, Literal(1), Literal(0)),
+          LambdaFunction(
+            If(GreaterThan(Size(acc), Literal(0)), acc, CreateArray(Seq(x))),
+            Seq(acc, x)),
+          LambdaFunction(
+            If(GreaterThan(Size(fin), Literal(0)),
+              ElementAt(fin, Literal(1)), Literal(null)),
+            Seq(fin)))
+      }
+      reg("arrayFirst")({ case Seq(f, arr) => firstElem(ArrayFilter(arr, f)) })
+      reg("arrayLast")({ case Seq(f, arr) => firstElem(Reverse(ArrayFilter(arr, f))) })
       reg("arrayEnumerate")(exprs =>
         new Sequence(Literal(1), Size(exprs.head)))
       reg("arrayReverse")(exprs => Reverse(exprs.head))

@@ -430,6 +430,13 @@ class ChFunctionsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("unsupported") || e.getCause != null)
   }
 
+  test("arrayFirst / arrayLast with CH lambda-first argument order") {
+    assert(one("SELECT arrayFirst(x -> x > 1, array(1, 2, 3))") == 2)
+    assert(one("SELECT arrayLast(x -> x > 1, array(1, 2, 3))") == 3)
+    assert(one("SELECT arrayFirst(x -> x > 9, array(1, 2, 3))") == null)
+    assert(one("SELECT arrayLast(x -> x like 'b%', array('a','ba','bb','c'))") == "bb")
+  }
+
   test("map spellings and array-manipulation tail") {
     assert(one("SELECT mapKeys(mapFromArrays(array('a','b'), array(1,2)))")
       .asInstanceOf[scala.collection.Seq[String]].toSeq == Seq("a", "b"))
