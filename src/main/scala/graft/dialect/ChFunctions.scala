@@ -450,6 +450,49 @@ object ChFunctions {
           Seq(s)))
       })
 
+      // topKWeighted(x, w[, k]) — like topK but ranked by summed weight
+      // (desc, value asc tie-break). Same collect-then-rank surface
+      // shape and the same moderate-cardinality caveat as topK.
+      reg("topKWeighted")({ exprs =>
+        val (x, w, k) = exprs match {
+          case Seq(x0, w0) => (x0, w0, Literal(10): Expression)
+          case Seq(x0, w0, k0) => (x0, w0, k0)
+        }
+        val arr = CollectList(CreateNamedStruct(Seq(
+          Literal("x"), x, Literal("w"), Cast(w, LongType)))).toAggregateExpression()
+        val e = lv("eW"); val p = lv("pW"); val p2 = lv("p2W")
+        val a = lv("aW"); val f = lv("fW"); val s = lv("sW")
+        def fld(st: Expression, n: String) =
+          org.apache.spark.sql.catalyst.analysis.UnresolvedExtractValue(st, Literal(n))
+        val vals = ArrayDistinct(ArrayTransform(arr,
+          LambdaFunction(fld(p, "x"), Seq(p))))
+        val pairs = ArrayTransform(vals, LambdaFunction(
+          CreateNamedStruct(Seq(
+            Literal("c"),
+            UnaryMinus(ArrayAggregate(
+              ArrayFilter(arr, LambdaFunction(EqualTo(fld(p2, "x"), e), Seq(p2))),
+              Literal(0L),
+              LambdaFunction(Add(a, fld(s, "w")), Seq(a, s)),
+              LambdaFunction(f, Seq(f)))),
+            Literal("v"), e)),
+          Seq(e)))
+        val top = Slice(new ArraySort(pairs), Literal(1), Cast(k, IntegerType))
+        val s2 = lv("s2W")
+        ArrayTransform(top, LambdaFunction(fld(s2, "v"), Seq(s2)))
+      })
+
+      // arrayEnumerateUniq(arr): occurrence index (1-based) of each
+      // element among its equals so far — CH's per-duplicate counter
+      def enumUniq(arr: Expression): Expression = {
+        val x = lv("xEU"); val i = lv("iEU"); val y = lv("yEU")
+        ZipWith(arr, new Sequence(Literal(1), Size(arr)),
+          LambdaFunction(
+            Size(ArrayFilter(Slice(arr, Literal(1), i),
+              LambdaFunction(EqualTo(y, x), Seq(y)))),
+            Seq(x, i)))
+      }
+      reg("arrayEnumerateUniq")(exprs => enumUniq(exprs.head))
+
       // arrayReduce('agg', arr) — CH applies an aggregate function to
       // array elements. The common reducers map to native array
       // expressions; integer 'sum' follows CH's Int64 accumulator (a

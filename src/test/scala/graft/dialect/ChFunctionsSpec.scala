@@ -430,6 +430,22 @@ class ChFunctionsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("unsupported") || e.getCause != null)
   }
 
+  test("topKWeighted ranks by summed weight; arrayEnumerateUniq counts duplicates") {
+    val r = spark.sql(
+      """SELECT topKWeighted(x, w, 2) FROM (SELECT * FROM VALUES
+        |  ('a', 1), ('a', 1), ('b', 10), ('c', 5) AS t(x, w))""".stripMargin)
+      .collect().head.getSeq[String](0)
+    assert(r == Seq("b", "c")) // b:10, c:5, a:2
+    // CH parametric spelling
+    val viaCh = ChSql.sql(spark,
+      """SELECT topKWeighted(1)(x, w) FROM (SELECT * FROM VALUES
+        |  ('a', 1), ('b', 10) AS t(x, w))""".stripMargin)
+      .collect().head.getSeq[String](0)
+    assert(viaCh == Seq("b"))
+    assert(one("SELECT arrayEnumerateUniq(array('a','b','a','a','b'))")
+      .asInstanceOf[scala.collection.Seq[Int]].toSeq == Seq(1, 1, 2, 3, 2))
+  }
+
   test("arrayFirst / arrayLast with CH lambda-first argument order") {
     assert(one("SELECT arrayFirst(x -> x > 1, array(1, 2, 3))") == 2)
     assert(one("SELECT arrayLast(x -> x > 1, array(1, 2, 3))") == 3)
