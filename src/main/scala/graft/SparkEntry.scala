@@ -1066,6 +1066,12 @@ object SparkEntry {
         |  CAST(round(avgWeighted(l_extendedprice, l_quantity) * 100) AS BIGINT) AS aw_cents
         |FROM lineitem""".stripMargin),
 
+    // topKWeighted: weight-ranked top values (deterministic tie-break →
+    // oracle-able, unlike CH's arbitrary order)
+    "q109_topk_weighted" -> ch(
+      """SELECT arrayStringConcat(topKWeighted(3)(lang, n_chars), ',') AS top3
+        |FROM documents""".stripMargin),
+
     // CH sumMap semantics, distributed shape (explode → two-level hash
     // agg → bounded reassembly; never collects row-maps per group)
     "q108_summap" -> ((spark, dir) => {
@@ -1812,6 +1818,10 @@ object SparkEntry {
         |  CAST(round(corr(l_quantity, l_extendedprice) * 1000000) AS BIGINT) AS corr_micro,
         |  CAST(round(sum(l_extendedprice * l_quantity) / sum(l_quantity) * 100) AS BIGINT) AS aw_cents
         |FROM lineitem""".stripMargin,
+    "q109_topk_weighted" ->
+      """SELECT array_to_string(
+        |  (list(lang ORDER BY s DESC, lang ASC))[1:3], ',') AS top3
+        |FROM (SELECT lang, sum(n_chars) AS s FROM documents GROUP BY lang)""".stripMargin,
     "q108_summap" ->
       """WITH t AS (
         |  SELECT lang, string_split_regex(text, '\s+')[1:3] AS k FROM documents),
