@@ -771,6 +771,31 @@ object ChFunctions {
       reg("subtractMinutes")(subUnit("MINUTE"))
       reg("subtractSeconds")(subUnit("SECOND"))
 
+      reg("arrayReverseSort")(exprs => Reverse(new ArraySort(exprs.head)))
+      // countSubstrings(s, sub): non-overlapping occurrences via length
+      // arithmetic — stays codegen'd, no regex
+      reg("countSubstrings")({ case Seq(s0, sub) =>
+        Cast(Divide(
+          Subtract(Length(s0), Length(StringReplace(s0, sub, Literal("")))),
+          Length(sub)), LongType)
+      })
+      reg("positionCaseInsensitive")({ case Seq(h, n) =>
+        StringLocate(Lower(n), Lower(h), Literal(1)) })
+      // CH range(n) = [0..n-1]; range(start, end[, step]) end-exclusive.
+      // Guarded: Spark's sequence(a, b) runs DESCENDING when a > b, so
+      // an empty CH range (end ≤ start) must short-circuit
+      def chRange(a: Expression, b: Expression, st: Option[Expression]): Expression = {
+        val lo = Cast(a, LongType); val hi = Cast(b, LongType)
+        If(LessThanOrEqual(hi, lo),
+          Literal.create(Seq.empty[Long], ArrayType(LongType)),
+          Sequence(lo, Subtract(hi, Literal(1L)), st.map(Cast(_, LongType)), None))
+      }
+      reg("range")({
+        case Seq(n) => chRange(Literal(0L), n, None)
+        case Seq(a, b) => chRange(a, b, None)
+        case Seq(a, b, st) => chRange(a, b, Some(st))
+      })
+
       // map-type spellings over Spark's native map expressions
       reg("mapKeys")(exprs => MapKeys(exprs.head))
       reg("mapValues")(exprs => MapValues(exprs.head))

@@ -430,6 +430,23 @@ class ChFunctionsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("unsupported") || e.getCause != null)
   }
 
+  test("arrayReverseSort, countSubstrings, positionCaseInsensitive, range") {
+    assert(one("SELECT arrayReverseSort(array(2, 3, 1))")
+      .asInstanceOf[scala.collection.Seq[Int]].toSeq == Seq(3, 2, 1))
+    assert(one("SELECT countSubstrings('ababab', 'ab')") == 3L)
+    assert(one("SELECT countSubstrings('aaa', 'aa')") == 1L) // non-overlapping
+    assert(one("SELECT countSubstrings('abc', 'z')") == 0L)
+    assert(one("SELECT positionCaseInsensitive('Hello World', 'woRLD')") == 7)
+    assert(one("SELECT range(4)").asInstanceOf[scala.collection.Seq[Long]].toSeq
+      == Seq(0L, 1L, 2L, 3L))
+    assert(one("SELECT range(2, 5)").asInstanceOf[scala.collection.Seq[Long]].toSeq
+      == Seq(2L, 3L, 4L))
+    assert(one("SELECT range(0, 10, 4)").asInstanceOf[scala.collection.Seq[Long]].toSeq
+      == Seq(0L, 4L, 8L))
+    assert(one("SELECT range(0)").asInstanceOf[scala.collection.Seq[Long]].isEmpty)
+    assert(one("SELECT range(5, 5)").asInstanceOf[scala.collection.Seq[Long]].isEmpty)
+  }
+
   test("topKWeighted ranks by summed weight; arrayEnumerateUniq counts duplicates") {
     val r = spark.sql(
       """SELECT topKWeighted(x, w, 2) FROM (SELECT * FROM VALUES
