@@ -90,7 +90,7 @@ object Bench {
     * source files' names+sizes+mtimes, so regenerated data under the
     * same path invalidates the copy (a path-only key silently reused
     * stale bytes). */
-  private val Tables10x = Seq("lineitem", "orders", "documents")
+  private val Tables10x = Seq("lineitem", "orders", "documents", "embeddings")
 
   private def ensure10x(spark: SparkSession, sfDir: String): String = {
     val sig = Tables10x.flatMap { t =>
@@ -127,6 +127,21 @@ object Bench {
                     w => concat(w, lit(s"_$i"))), " "))
               perturbed.withColumn("doc_id", col("doc_id") + lit(i * n))
             }.reduce(_ union _)
+          } else if (t == "embeddings") {
+            // fresh vec_ids AND a per-replica deterministic perturbation
+            // of one dimension: byte-copies would make every vector a
+            // 10-clique of exact neighbors and densify every LSH bucket
+            // 10x — not a scale-up, a different (pathological) problem
+            val n = df.count()
+            (0 until 10).map { i =>
+              val perturbed =
+                if (i == 0) df
+                else df.withColumn("embedding",
+                  transform(col("embedding"),
+                    (x, d) => when(d === (i % 64), x + lit(i * 0.05f))
+                      .otherwise(x)))
+              perturbed.withColumn("vec_id", col("vec_id") + lit(i * n))
+            }.reduce(_ union _)
           } else Seq.fill(10)(df).reduce(_ union _)
         tenfold.repartition(cores)
           .write.mode("overwrite").parquet(s"$base/$t.parquet")
@@ -151,7 +166,12 @@ object Bench {
       "q5_minhash_dedup" -> (() =>
         graft.operators.Dedup.minHashDupPairs(
           Tables.load(spark, base, "documents"), "doc_id", "text",
-          shingleSize = 3, numHashes = 128, bands = 32, threshold = 0.7)))
+          shingleSize = 3, numHashes = 128, bands = 32, threshold = 0.7)),
+      // ANN at 10x vectors: bucketed LSH cost tracks bucket population
+      "q6_lsh_ann" -> (() =>
+        graft.operators.Similarity.lshNeighbors(
+          Tables.load(spark, base, "embeddings"), "vec_id", "embedding",
+          planes = 12, dim = 64, minCosine = 0.9)))
   }
 
   def main(args: Array[String]): Unit = {
