@@ -771,6 +771,25 @@ object ChFunctions {
       reg("subtractMinutes")(subUnit("MINUTE"))
       reg("subtractSeconds")(subUnit("SECOND"))
 
+      reg("trimLeft")(exprs => new StringTrimLeft(exprs.head))
+      reg("trimRight")(exprs => new StringTrimRight(exprs.head))
+      reg("trimBoth")(exprs => new StringTrim(exprs.head))
+      reg("concatWithSeparator")(exprs => ConcatWs(exprs))
+      // CH format('{} and {n}', args…) → printf: {} consumes the next
+      // arg, {n} is 0-based positional. Literal patterns only.
+      reg("format")({ case Literal(f: org.apache.spark.unsafe.types.UTF8String, StringType) +: args =>
+        val sb = new StringBuilder; var next = 0
+        val pat = "\\{(\\d*)\\}".r
+        var last = 0
+        for (m <- pat.findAllMatchIn(f.toString)) {
+          sb.append(f.toString.substring(last, m.start).replace("%", "%%"))
+          val idx = if (m.group(1).isEmpty) { next += 1; next } else m.group(1).toInt + 1
+          sb.append(s"%$idx$$s")
+          last = m.end
+        }
+        sb.append(f.toString.substring(last).replace("%", "%%"))
+        FormatString(Literal(sb.toString) +: args: _*)
+      })
       reg("arrayReverseSort")(exprs => Reverse(new ArraySort(exprs.head)))
       // countSubstrings(s, sub): non-overlapping occurrences via length
       // arithmetic — stays codegen'd, no regex

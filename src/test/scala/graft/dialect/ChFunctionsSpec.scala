@@ -430,6 +430,16 @@ class ChFunctionsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("unsupported") || e.getCause != null)
   }
 
+  test("trim spellings, concatWithSeparator, CH-style format placeholders") {
+    assert(one("SELECT trimLeft('  x ')") == "x ")
+    assert(one("SELECT trimRight('  x ')") == "  x")
+    assert(one("SELECT trimBoth('  x ')") == "x")
+    assert(one("SELECT concatWithSeparator('-', 'a', 'b', 'c')") == "a-b-c")
+    assert(one("SELECT format('{} and {}', 'a', 'b')") == "a and b")
+    assert(one("SELECT format('{1} then {0}', 'a', 'b')") == "b then a")
+    assert(one("SELECT format('100% {}', 'sure')") == "100% sure")
+  }
+
   test("arrayReverseSort, countSubstrings, positionCaseInsensitive, range") {
     assert(one("SELECT arrayReverseSort(array(2, 3, 1))")
       .asInstanceOf[scala.collection.Seq[Int]].toSeq == Seq(3, 2, 1))
