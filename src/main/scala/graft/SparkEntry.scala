@@ -1066,6 +1066,12 @@ object SparkEntry {
         |  CAST(round(avgWeighted(l_extendedprice, l_quantity) * 100) AS BIGINT) AS aw_cents
         |FROM lineitem""".stripMargin),
 
+    // string tail over real rows: format placeholders + substring counts
+    "q110_string_tail" -> ch(
+      """SELECT format('{}:{}', lang, toString(count())) AS tag,
+        |       CAST(sum(countSubstrings(text, 'the')) AS BIGINT) AS n_the
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin),
+
     // topKWeighted: weight-ranked top values (deterministic tie-break →
     // oracle-able, unlike CH's arbitrary order)
     "q109_topk_weighted" -> ch(
@@ -1818,6 +1824,10 @@ object SparkEntry {
         |  CAST(round(corr(l_quantity, l_extendedprice) * 1000000) AS BIGINT) AS corr_micro,
         |  CAST(round(sum(l_extendedprice * l_quantity) / sum(l_quantity) * 100) AS BIGINT) AS aw_cents
         |FROM lineitem""".stripMargin,
+    "q110_string_tail" ->
+      """SELECT format('{}:{}', lang, count(*)) AS tag,
+        |       CAST(sum((length(text) - length(replace(text, 'the', ''))) / 3) AS BIGINT) AS n_the
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     "q109_topk_weighted" ->
       """SELECT array_to_string(
         |  (list(lang ORDER BY s DESC, lang ASC))[1:3], ',') AS top3
