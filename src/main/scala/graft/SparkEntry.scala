@@ -1066,6 +1066,74 @@ object SparkEntry {
         |  CAST(round(avgWeighted(l_extendedprice, l_quantity) * 100) AS BIGINT) AS aw_cents
         |FROM lineitem""".stripMargin),
 
+    // corpus TF-IDF: one (doc,term) hash-agg; doc frequencies derive
+    // from it (no second corpus scan) and broadcast back
+    "q111_tfidf" -> ((spark, dir) => {
+      prep(spark, dir)
+      graft.operators.Retrieval.tfidf(
+          Tables.load(spark, dir, "documents"), "doc_id", "text")
+        .filter(col("doc_id") < 5)
+        .select(col("doc_id"), col("term"), col("tf"), col("df"),
+          round(col("tfidf") * 1000).cast("long").as("tfidf_milli"))
+        .orderBy("doc_id", "term")
+    }),
+
+    // Okapi BM25 against a 3-term query: hits filtered to query terms
+    // AT THE SCAN; (N, avgdl) and per-term df broadcast as scalars
+    "q112_bm25" -> ((spark, dir) => {
+      prep(spark, dir)
+      graft.operators.Retrieval.bm25(
+          Tables.load(spark, dir, "documents"), "doc_id", "text",
+          queryTerms = Seq("spark", "vector", "customer"))
+        .filter(col("doc_id") < 30)
+        .select(col("doc_id"), col("n_hit_terms"),
+          round(col("bm25") * 1000).cast("long").as("bm25_milli"))
+        .orderBy("doc_id")
+    }),
+
+    // reciprocal-rank fusion of lexical (BM25) and semantic (cosine
+    // vs vector 0) rankings over the same doc ids — hybrid retrieval
+    "q113_rrf_fusion" -> ((spark, dir) => {
+      prep(spark, dir)
+      import graft.operators.{Retrieval, Similarity}
+      val docs = Tables.load(spark, dir, "documents")
+      val lex = Retrieval.bm25(docs, "doc_id", "text",
+          queryTerms = Seq("spark", "vector", "customer"))
+        .select(lit(0L).as("qid"), col("doc_id"), col("bm25").as("score"))
+      val emb = Tables.load(spark, dir, "embeddings")
+      val q0 = emb.filter(col("vec_id") === 0)
+        .select(col("embedding").as("_q"))
+      val sem = emb.filter(col("vec_id") =!= 0).crossJoin(broadcast(q0))
+        .select(lit(0L).as("qid"), col("vec_id").as("doc_id"),
+          Similarity.cosine(
+            transform(col("embedding"), x => x.cast("double")),
+            transform(col("_q"), x => x.cast("double"))).as("score"))
+      Retrieval.rrfFuse(lex, sem, "qid", "doc_id", "score", k = 60)
+        .select(col("doc_id"),
+          round(col("rrf") * 1000000).cast("long").as("rrf_micro"))
+        .orderBy(col("rrf_micro").desc, col("doc_id")).limit(10)
+    }),
+
+    // stratified sampling: EXACT 5-per-language quota in content-hash
+    // order — deterministic, unlike expectation-only sampleBy
+    "q114_stratified_sample" -> ((spark, dir) => {
+      prep(spark, dir)
+      graft.operators.Sampling.stratifiedSample(
+          Tables.load(spark, dir, "documents"), "lang", "text", n = 5)
+        .select(col("lang"), col("doc_id")).orderBy("lang", "doc_id")
+    }),
+
+    // deterministic sharded global shuffle: (shard, pos) training
+    // order from content hash — per-shard windows, never one global
+    "q115_shuffle_shards" -> ((spark, dir) => {
+      prep(spark, dir)
+      graft.operators.Sampling.shuffleShards(
+          Tables.load(spark, dir, "documents"), "text", shards = 8)
+        .filter(col("shard") < 2)
+        .select(col("shard"), col("pos"), col("doc_id"))
+        .orderBy("shard", "pos")
+    }),
+
     // string tail over real rows: format placeholders + substring counts
     "q110_string_tail" -> ch(
       """SELECT format('{}:{}', lang, toString(count())) AS tag,
@@ -1824,6 +1892,80 @@ object SparkEntry {
         |  CAST(round(corr(l_quantity, l_extendedprice) * 1000000) AS BIGINT) AS corr_micro,
         |  CAST(round(sum(l_extendedprice * l_quantity) / sum(l_quantity) * 100) AS BIGINT) AS aw_cents
         |FROM lineitem""".stripMargin,
+    "q111_tfidf" ->
+      """WITH w AS (
+        |  SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM w GROUP BY doc_id, term),
+        |d AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        |n AS (SELECT count(DISTINCT doc_id) AS n FROM documents)
+        |SELECT tf.doc_id, tf.term, tf.tf, d.df,
+        |  CAST(round(tf.tf * ln(n.n::DOUBLE / d.df) * 1000) AS BIGINT) AS tfidf_milli
+        |FROM tf JOIN d USING (term) CROSS JOIN n
+        |WHERE tf.doc_id < 5 ORDER BY tf.doc_id, tf.term""".stripMargin,
+    "q112_bm25" ->
+      """WITH docs AS (
+        |  SELECT doc_id, CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE) AS dl,
+        |         regexp_extract_all(text, '\S+') AS toks FROM documents),
+        |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM docs),
+        |hits AS (SELECT doc_id, dl, unnest(toks) AS term FROM docs),
+        |tf AS (SELECT doc_id, dl, term, CAST(count(*) AS DOUBLE) AS tf FROM hits
+        |       WHERE term IN ('spark','vector','customer') GROUP BY doc_id, dl, term),
+        |idf AS (SELECT d.term, ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5)) AS idf, s.avgdl
+        |        FROM (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term) d
+        |        CROSS JOIN stats s)
+        |SELECT tf.doc_id, count(*) AS n_hit_terms,
+        |  CAST(round(sum(idf.idf * tf.tf * 2.2 /
+        |    (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / idf.avgdl))) * 1000) AS BIGINT) AS bm25_milli
+        |FROM tf JOIN idf ON tf.term = idf.term
+        |WHERE tf.doc_id < 30
+        |GROUP BY tf.doc_id ORDER BY tf.doc_id""".stripMargin,
+    "q113_rrf_fusion" ->
+      """WITH docs AS (
+        |  SELECT doc_id, CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE) AS dl,
+        |         regexp_extract_all(text, '\S+') AS toks FROM documents),
+        |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM docs),
+        |hits AS (SELECT doc_id, dl, unnest(toks) AS term FROM docs),
+        |tf AS (SELECT doc_id, dl, term, CAST(count(*) AS DOUBLE) AS tf FROM hits
+        |       WHERE term IN ('spark','vector','customer') GROUP BY doc_id, dl, term),
+        |idf AS (SELECT d.term, ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5)) AS idf, s.avgdl
+        |        FROM (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term) d
+        |        CROSS JOIN stats s),
+        |lex AS (SELECT tf.doc_id, sum(idf.idf * tf.tf * 2.2 /
+        |          (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / idf.avgdl))) AS score
+        |        FROM tf JOIN idf ON tf.term = idf.term GROUP BY tf.doc_id),
+        |sem AS (SELECT n.vec_id AS doc_id,
+        |          list_cosine_similarity(n.embedding, q.embedding) AS score
+        |        FROM embeddings n, embeddings q
+        |        WHERE q.vec_id = 0 AND n.vec_id != 0),
+        |ra AS (SELECT doc_id,
+        |         CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS DOUBLE) AS r
+        |       FROM lex),
+        |rb AS (SELECT doc_id,
+        |         CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS DOUBLE) AS r
+        |       FROM sem),
+        |f AS (SELECT doc_id,
+        |        coalesce(1.0 / (60 + ra.r), 0) + coalesce(1.0 / (60 + rb.r), 0) AS rrf
+        |      FROM ra FULL OUTER JOIN rb USING (doc_id))
+        |SELECT doc_id, CAST(round(rrf * 1000000) AS BIGINT) AS rrf_micro
+        |FROM f ORDER BY rrf_micro DESC, doc_id LIMIT 10""".stripMargin,
+    "q114_stratified_sample" ->
+      """SELECT lang, doc_id FROM (
+        |  SELECT lang, doc_id,
+        |         row_number() OVER (PARTITION BY lang ORDER BY md5(text) ASC, text ASC) AS rk
+        |  FROM documents) t
+        |WHERE rk <= 5 ORDER BY lang, doc_id""".stripMargin,
+    "q115_shuffle_shards" ->
+      """WITH h AS (SELECT doc_id, text, md5(text) AS hx FROM documents),
+        |s AS (SELECT doc_id, text, hx,
+        |        CAST(((strpos('0123456789abcdef', substr(hx, 1, 1)) - 1) * 16 +
+        |              (strpos('0123456789abcdef', substr(hx, 2, 1)) - 1)) % 8 AS INT) AS shard
+        |      FROM h)
+        |SELECT shard, pos, doc_id FROM (
+        |  SELECT shard,
+        |         row_number() OVER (PARTITION BY shard ORDER BY hx ASC, text ASC) - 1 AS pos,
+        |         doc_id
+        |  FROM s) t
+        |WHERE shard < 2 ORDER BY shard, pos""".stripMargin,
     "q110_string_tail" ->
       """SELECT format('{}:{}', lang, count(*)) AS tag,
         |       CAST(sum((length(text) - length(replace(text, 'the', ''))) / 3) AS BIGINT) AS n_the

@@ -1,0 +1,143 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Lexical retrieval scoring for training-data pipelines: TF-IDF,
+  * Okapi BM25, and reciprocal-rank fusion (builder-prompt family,
+  * beyond the reference's own surface — the reference delegates all
+  * text search to ClickHouse SQL,
+  * `temporal/workflow_query_executor.go:313`).
+  *
+  * Tokenization matches the rest of the text stack (`\S+` runs,
+  * [[TextAnalysis.tokenCount]]) so scores compose with the quality /
+  * dedup operators over the same token stream.
+  *
+  * Scale posture, shared by all three:
+  *   - the corpus text never shuffles — only exploded (doc, term) hit
+  *     rows reach an aggregate, and for BM25 the hits are pre-filtered
+  *     to the query's terms AT THE SCAN, so corpus-scale rows never
+  *     carry non-query terms into the shuffle;
+  *   - vocabulary-sized side tables (document frequencies, the
+  *     corpus-stats scalar) broadcast — the big side never moves;
+  *   - RRF windows partition by query id, so fusion state is bounded
+  *     by each query's candidate count, never the corpus.
+  */
+object Retrieval {
+
+  private def tokens(text: Column): Column =
+    regexp_extract_all(text, lit("\\S+"), lit(0))
+
+  /** Per-(document, term) TF-IDF over the whole corpus:
+    * `tf * ln(N / df)` with raw term counts, where `df` counts
+    * DOCUMENTS containing the term and `N` is the corpus size.
+    * Returns (idCol, term, tf, df, tfidf).
+    *
+    * Distributed shape: explode → one hash-aggregate to (doc, term)
+    * counts (map-side partial combine eats the duplicate-term mass);
+    * document frequencies derive from THAT aggregate, not a second
+    * corpus scan, and broadcast back (vocabulary-sized — orders of
+    * magnitude smaller than the corpus); N rides the same broadcast
+    * row-set as a window total, so nothing is collected to the
+    * driver. */
+  def tfidf(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val hits = df.select(col(idCol).as("_id"),
+      explode(tokens(col(textCol))).as("term"))
+    // persist the (doc, term) aggregate: document frequencies derive
+    // from this state below — without the persist the un-reused
+    // lineage re-scans and re-explodes the corpus a second time
+    val tf = hits.groupBy("_id", "term").agg(count(lit(1)).as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // df per term from the (doc, term) aggregate: each row is one
+    // distinct (doc, term), so a plain count IS the document frequency
+    val docFreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val nDocs = df.select(countDistinct(col(idCol)).as("_n"))
+    tf.join(broadcast(docFreq), Seq("term"))
+      .crossJoin(broadcast(nDocs))
+      .select(
+        col("_id").as(idCol), col("term"), col("tf"), col("df"),
+        (col("tf") * log(col("_n").cast("double") / col("df"))).as("tfidf"))
+  }
+
+  /** Okapi BM25 score of every document against one bag of query
+    * terms. Returns (idCol, n_hit_terms, bm25) for documents matching
+    * at least one term.
+    *
+    * idf is the standard smoothed Robertson form
+    * `ln(1 + (N - df + 0.5) / (df + 0.5))` (non-negative), and the
+    * term weight `idf * tf * (k1+1) / (tf + k1 * (1 - b + b * dl/avgdl))`.
+    *
+    * Distributed shape: the query-term filter lands INSIDE the explode
+    * projection (an `IN` over a literal set), so only matching hits —
+    * a tiny fraction of tokens — ever leave the scan stage; doc
+    * length is a scan-stage column; (N, avgdl) is one two-value
+    * aggregate broadcast as a scalar row; per-term document
+    * frequencies are at most |queryTerms| rows, broadcast. One
+    * corpus scan, one narrow shuffle of query-term hits. */
+  def bm25(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      queryTerms: Seq[String],
+      k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "bm25 needs at least one query term")
+    val docs = df.select(col(idCol).as("_id"),
+      tokens(col(textCol)).as("_toks"))
+      .select(col("_id"), col("_toks"), size(col("_toks")).cast("double").as("_dl"))
+    val stats = docs.agg(count(lit(1)).cast("double").as("_n"), avg(col("_dl")).as("_avgdl"))
+    val hits = docs
+      .select(col("_id"), col("_dl"), explode(col("_toks")).as("term"))
+      .filter(col("term").isInCollection(queryTerms))
+    // persisted: docs-with-hits × |queryTerms| rows at most — the df
+    // derivation below reads this state instead of re-scanning the corpus
+    val tf = hits.groupBy("_id", "_dl", "term").agg(count(lit(1)).cast("double").as("_tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val docFreq = tf.groupBy("term").agg(count(lit(1)).cast("double").as("_df"))
+    val idf = docFreq.crossJoin(broadcast(stats))
+      .select(col("term"),
+        log(lit(1.0) + (col("_n") - col("_df") + 0.5) / (col("_df") + 0.5)).as("_idf"),
+        col("_avgdl"))
+    tf.join(broadcast(idf), Seq("term"))
+      .withColumn("_w",
+        col("_idf") * col("_tf") * (k1 + 1.0) /
+          (col("_tf") + (col("_dl") / col("_avgdl") * b + (1.0 - b)) * k1))
+      .groupBy(col("_id"))
+      .agg(count(lit(1)).as("n_hit_terms"), sum(col("_w")).as("bm25"))
+      .withColumnRenamed("_id", idCol)
+  }
+
+  /** Reciprocal-rank fusion of two scored candidate lists (e.g. BM25
+    * lexical and embedding-cosine semantic retrieval for the same
+    * queries): `rrf = Σ 1 / (k + rank)` over the lists a document
+    * appears in, higher = better. Inputs carry (queryCol, idCol,
+    * scoreCol); ranks are dense per query, ordered by score DESC with
+    * the id as a deterministic tie-break. Documents missing from one
+    * list contribute only the other's term (standard RRF). Returns
+    * (queryCol, idCol, rrf).
+    *
+    * Scale posture: ranks are window row_numbers PARTITIONED BY QUERY
+    * — state is bounded by a query's candidate count (typically 10²-
+    * 10³ from a top-k stage), never corpus-sized, and queries spread
+    * across the cluster. The fuse itself is a full-outer equi-join on
+    * (query, doc). */
+  def rrfFuse(
+      a: DataFrame,
+      b: DataFrame,
+      queryCol: String,
+      idCol: String,
+      scoreCol: String,
+      k: Int = 60): DataFrame = {
+    def ranked(df: DataFrame, out: String): DataFrame = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col(queryCol))
+        .orderBy(col(scoreCol).desc, col(idCol).asc)
+      df.select(col(queryCol), col(idCol),
+        row_number().over(w).cast("double").as(out))
+    }
+    ranked(a, "_ra").join(ranked(b, "_rb"), Seq(queryCol, idCol), "full_outer")
+      .select(col(queryCol), col(idCol),
+        (coalesce(lit(1.0) / (lit(k.toDouble) + col("_ra")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(k.toDouble) + col("_rb")), lit(0.0))).as("rrf"))
+  }
+}

@@ -73,4 +73,59 @@ object Sampling {
     }
     df.filter(hashBucket(col(keyCol)) < cut)
   }
+
+  /** Stratified sampling with EXACT per-group quotas: keep the first
+    * `n` rows of each group in content-hash order (full md5 of the
+    * key, id tie-break) — deterministic across runs and partitionings,
+    * unlike fraction-based `sampleBy`, which only hits quotas in
+    * expectation. Returns the kept rows.
+    *
+    * Scale posture: one shuffle on the group column; each window
+    * ranks only its own group's rows, and `WindowGroupLimit` prunes
+    * to n per group before the final sort state grows. Strata in a
+    * mixing pipeline are languages/sources — thousands at most — so
+    * per-group state, not group count, is the bound; a pathologically
+    * hot stratum is the same skew problem as any group-by and gets
+    * the same salting remedy. */
+  def stratifiedSample(
+      df: DataFrame, groupCol: String, keyCol: String, n: Int): DataFrame = {
+    require(n > 0)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol))
+      .orderBy(md5(col(keyCol).cast("string")).asc, col(keyCol).cast("string").asc)
+    df.withColumn("_rk", row_number().over(w))
+      .filter(col("_rk") <= n)
+      .drop("_rk")
+  }
+
+  /** Deterministic global shuffle for training order, sharded the way
+    * real pipelines write it: each row lands in one of `shards`
+    * buckets by content hash, and gets a dense position within its
+    * shard in content-hash order. Reading shards 0..S-1 sequentially
+    * (or round-robin) yields a reproducible pseudo-random order of
+    * the whole corpus — same key → same (shard, position) on every
+    * run, engine, and partitioning. Returns the input plus
+    * (shard, pos) columns.
+    *
+    * The shard index is the integer value of the first two md5 hex
+    * digits (0..255) mod `shards` — reproducible in any engine from
+    * the hex string alone (e.g. strpos arithmetic over
+    * "0123456789abcdef" in SQL) — so `shards` may be 1..256.
+    *
+    * Scale posture: this is THE scale-correct global shuffle — a
+    * single global row_number would serialize the corpus through one
+    * partition, while per-shard windows parallelize S-ways and bound
+    * each window's state to corpus/S. At 100 TB, set shards ≥
+    * cluster parallelism and write one file per shard. */
+  def shuffleShards(
+      df: DataFrame, keyCol: String, shards: Int): DataFrame = {
+    require(shards >= 1 && shards <= 256, s"shards=$shards must be in 1..256")
+    val hex = md5(col(keyCol).cast("string"))
+    val shard = pmod(conv(substring(hex, 1, 2), 16, 10).cast("int"), lit(shards))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard"))
+      .orderBy(md5(col(keyCol).cast("string")).asc, col(keyCol).cast("string").asc)
+    df.withColumn("shard", shard)
+      .withColumn("pos", (row_number().over(w) - 1).cast("long"))
+  }
 }

@@ -175,6 +175,56 @@ class PlanSpec extends AnyFunSuite {
       s"vocabulary probe must broadcast:\n$plan")
   }
 
+  test("bm25: query-term filter lands before any exchange; df/stats broadcast") {
+    val docs = Tables.load(spark, dir, "documents")
+    val df = graft.operators.Retrieval.bm25(
+      docs, "doc_id", "text", Seq("spark", "vector"))
+    val plan = df.queryExecution.sparkPlan.toString
+    // the query-term IN-filter sits between the explode and the scan —
+    // directly above Generate, with no Exchange on the path down to the
+    // FileScan — so non-query tokens never leave the scan stage
+    val filterAt = plan.indexOf("IN (spark,vector)")
+    assert(filterAt >= 0, s"query-term filter missing:\n$plan")
+    val below = plan.substring(filterAt)
+    val scanAt = below.indexOf("FileScan")
+    assert(scanAt >= 0 && !below.take(scanAt).contains("Exchange"),
+      s"query-term filter must precede all shuffles:\n$plan")
+    // the (doc,term,tf) state is persisted: df/idf derive from the cache,
+    // so the corpus is scanned for tokens ONCE (plus the pruned stats scan)
+    assert(plan.contains("InMemoryTableScan"),
+      s"tf state must be persisted and reused:\n$plan")
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      s"idf/stats side must broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("tfidf: document frequencies broadcast back; corpus aggregates once") {
+    val docs = Tables.load(spark, dir, "documents")
+    val plan = planOf(graft.operators.Retrieval.tfidf(docs, "doc_id", "text"))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"df side must broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct") || plan.contains("BroadcastNestedLoopJoin"),
+      plan) // the 1-row N scalar may nested-loop-broadcast; never a real cartesian
+  }
+
+  test("rrf fusion windows partition by query (no global single-partition sort)") {
+    import spark.implicits._
+    val a = Seq((0L, 1L, 1.0), (1L, 2L, 2.0)).toDF("q", "d", "s")
+    val plan = planOf(graft.operators.Retrieval.rrfFuse(a, a, "q", "d", "s"))
+    assert(!plan.contains("SinglePartition"),
+      s"rank windows must partition by query:\n$plan")
+  }
+
+  test("stratified sample and shard shuffle: windows partition by stratum/shard") {
+    val docs = Tables.load(spark, dir, "documents")
+    val p1 = planOf(graft.operators.Sampling.stratifiedSample(docs, "lang", "text", 3))
+    assert(!p1.contains("SinglePartition"), s"stratum windows must partition:\n$p1")
+    assert(p1.contains("WindowGroupLimit"),
+      s"quota should prune via WindowGroupLimit before the full sort state:\n$p1")
+    val p2 = planOf(graft.operators.Sampling.shuffleShards(docs, "text", 8))
+    assert(!p2.contains("SinglePartition"), s"shard windows must partition:\n$p2")
+  }
+
   test("SimHash banded join never goes cartesian") {
     val docs = Tables.load(spark, dir, "documents")
     val plan = planOf(Dedup.simHashDupPairs(docs, "doc_id", "text"))
