@@ -53,7 +53,13 @@ object Bench {
     "q6_lsh_ann" -> (() =>
       graft.operators.Similarity.lshNeighbors(
         Tables.load(spark, dir, "embeddings"), "vec_id", "embedding",
-        planes = 12, dim = 64, minCosine = 0.9))
+        planes = 12, dim = 64, minCosine = 0.9)),
+    // lexical retrieval at corpus scale: tokenize + scan-stage term
+    // filter + narrow hit shuffle — a real per-row-work scan shape
+    "q7_bm25" -> (() =>
+      graft.operators.Retrieval.bm25(
+        Tables.load(spark, dir, "documents"), "doc_id", "text",
+        queryTerms = Seq("spark", "vector", "customer")))
   )
 
   private def hashScan(li: DataFrame): DataFrame =
@@ -171,7 +177,15 @@ object Bench {
       "q6_lsh_ann" -> (() =>
         graft.operators.Similarity.lshNeighbors(
           Tables.load(spark, base, "embeddings"), "vec_id", "embedding",
-          planes = 12, dim = 64, minCosine = 0.9)))
+          planes = 12, dim = 64, minCosine = 0.9)),
+      // BM25 at 10x docs: the query terms exist only in replica 0 (the
+      // perturbation suffixes every other replica's tokens), so this
+      // measures the scan/tokenize cost growing 10x while the hit
+      // shuffle stays fixed — the intended 100 TB profile
+      "q7_bm25" -> (() =>
+        graft.operators.Retrieval.bm25(
+          Tables.load(spark, base, "documents"), "doc_id", "text",
+          queryTerms = Seq("spark", "vector", "customer"))))
   }
 
   def main(args: Array[String]): Unit = {

@@ -1134,6 +1134,35 @@ object SparkEntry {
         .orderBy("shard", "pos")
     }),
 
+    // string-search tail: multi-needle substring search, token-bounded
+    // search, regex split, and the CH transform() value remap (routed to
+    // chTransform by the pre-pass so Spark's array transform survives)
+    "q116_search_tail" -> ch(
+      """SELECT transform(lang, array('en', 'de'), array('english', 'german'), 'other') AS lang_name,
+        |       CAST(countIf(multiSearchAny(text, array('spark', 'quantum'))) AS BIGINT) AS n_any,
+        |       CAST(countIf(hasToken(text, 'vector')) AS BIGINT) AS n_tok,
+        |       CAST(sum(size(splitByRegexp('\\s+', text))) AS BIGINT) AS n_toks
+        |FROM documents GROUP BY lang_name ORDER BY lang_name""".stripMargin),
+
+    // GROUPING SETS: arbitrary grouping combinations in one pass
+    // (q28 covers ROLLUP, q102 CUBE) — one shuffle, grouping-id expand
+    "q117_grouping_sets" -> ch(
+      """SELECT l_returnflag, l_linestatus, CAST(sum(l_quantity) AS BIGINT) AS qty
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_returnflag, l_linestatus), ())
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin),
+
+    // value-based RANGE window frame (vs the ROWS frames of q19/q106):
+    // frame membership by key distance — deterministic under ties
+    "q118_range_frame" -> ch(
+      """SELECT o_orderkey, sum_cents FROM (
+        |  SELECT o_orderkey,
+        |         sum(CAST(round(o_totalprice * 100) AS BIGINT)) OVER (
+        |           ORDER BY o_orderkey
+        |           RANGE BETWEEN 100 PRECEDING AND CURRENT ROW) AS sum_cents
+        |  FROM orders) t
+        |WHERE o_orderkey < 500 ORDER BY o_orderkey""".stripMargin),
+
     // string tail over real rows: format placeholders + substring counts
     "q110_string_tail" -> ch(
       """SELECT format('{}:{}', lang, toString(count())) AS tag,
@@ -1892,6 +1921,25 @@ object SparkEntry {
         |  CAST(round(corr(l_quantity, l_extendedprice) * 1000000) AS BIGINT) AS corr_micro,
         |  CAST(round(sum(l_extendedprice * l_quantity) / sum(l_quantity) * 100) AS BIGINT) AS aw_cents
         |FROM lineitem""".stripMargin,
+    "q117_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus, CAST(sum(l_quantity) AS BIGINT) AS qty
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_returnflag, l_linestatus), ())
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q118_range_frame" ->
+      """SELECT o_orderkey, CAST(sum_cents AS BIGINT) AS sum_cents FROM (
+        |  SELECT o_orderkey,
+        |         sum(CAST(round(o_totalprice * 100) AS BIGINT)) OVER (
+        |           ORDER BY o_orderkey
+        |           RANGE BETWEEN 100 PRECEDING AND CURRENT ROW) AS sum_cents
+        |  FROM orders) t
+        |WHERE o_orderkey < 500 ORDER BY o_orderkey""".stripMargin,
+    "q116_search_tail" ->
+      """SELECT CASE lang WHEN 'en' THEN 'english' WHEN 'de' THEN 'german' ELSE 'other' END AS lang_name,
+        |  count(*) FILTER (WHERE strpos(text, 'spark') > 0 OR strpos(text, 'quantum') > 0) AS n_any,
+        |  count(*) FILTER (WHERE regexp_matches(text, '(^|[^A-Za-z0-9_])vector([^A-Za-z0-9_]|$)')) AS n_tok,
+        |  CAST(sum(len(string_split_regex(text, '\s+'))) AS BIGINT) AS n_toks
+        |FROM documents GROUP BY lang_name ORDER BY lang_name""".stripMargin,
     "q111_tfidf" ->
       """WITH w AS (
         |  SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS term FROM documents),

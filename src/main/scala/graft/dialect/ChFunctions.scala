@@ -800,6 +800,29 @@ object ChFunctions {
       })
       reg("positionCaseInsensitive")({ case Seq(h, n) =>
         StringLocate(Lower(n), Lower(h), Literal(1)) })
+      // multiSearchAny(haystack, array('n1','n2',…)): true if any needle
+      // is a substring. The literal needle set expands to an Or-chain of
+      // Contains — stays codegen'd, no regex engine
+      reg("multiSearchAny")({ case Seq(h, CreateArray(needles, _)) =>
+        require(needles.nonEmpty, "multiSearchAny needs at least one needle")
+        needles.map(n => Contains(h, n): Expression).reduceLeft(Or)
+      })
+      // hasToken(haystack, 'tok'): the token bounded by non-word chars
+      // (CH tokenizes on non-alphanumerics). RE2-compatible pattern —
+      // no lookaround — so the same regex runs under Java and RE2
+      reg("hasToken")({ case Seq(h, Literal(t: org.apache.spark.unsafe.types.UTF8String, StringType)) =>
+        RLike(h, Literal(
+          "(^|[^A-Za-z0-9_])" + java.util.regex.Pattern.quote(t.toString) +
+            "([^A-Za-z0-9_]|$)"))
+      })
+      // splitByRegexp(re, s) — CH arg order, regex separator
+      reg("splitByRegexp")({ case Seq(re, s) => StringSplit(s, re, Literal(-1)) })
+      // CH transform(x, [from…], [to…], default) value remap — registered
+      // as chTransform; the ChSql pre-pass routes CH's 4-arg spelling
+      // here so Spark's own array transform(arr, lambda) keeps working
+      reg("chTransform")({ case Seq(x, from, to, default) =>
+        Coalesce(Seq(GetMapValue(MapFromArrays(from, to), x), default))
+      })
       // CH range(n) = [0..n-1]; range(start, end[, step]) end-exclusive.
       // Guarded: Spark's sequence(a, b) runs DESCENDING when a > b, so
       // an empty CH range (end ≤ start) must short-circuit

@@ -525,10 +525,16 @@ object ChSql {
     * str)` keep working for non-dialect queries on the same session. */
   def rewriteConflictingFunctions(sql: String): String = {
     val renamed = replaceFnName(sql, "any", "any_value")
+    // CH `transform(x, [from], [to], default)` value remap collides with
+    // Spark's higher-order array transform(arr, x -> …): only calls
+    // WITHOUT a top-level lambda arrow are CH's remap form.
+    val remapped = replaceFnName(renamed, "transform", "chTransform",
+      skipArgs = args => "->".r.findAllMatchIn(args)
+        .exists(m => !insideQuote(args, m.start) && depthAt(args, m.start) == 0))
     // `position(substr IN str)` is ANSI syntax Spark parses natively —
     // rewriting it would produce invalid `instr(substr IN str)`; only
     // the CH two-argument spelling is renamed.
-    replaceFnName(renamed, "position", "instr",
+    replaceFnName(remapped, "position", "instr",
       skipArgs = args => """(?i)\bIN\b""".r.findAllMatchIn(args)
         .exists(m => !insideQuote(args, m.start) && depthAt(args, m.start) == 0))
   }

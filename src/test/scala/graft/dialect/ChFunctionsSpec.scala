@@ -457,6 +457,35 @@ class ChFunctionsSpec extends AnyFunSuite {
     assert(one("SELECT range(5, 5)").asInstanceOf[scala.collection.Seq[Long]].isEmpty)
   }
 
+  test("string-search tail: multiSearchAny, hasToken, splitByRegexp, transform remap") {
+    assert(one("SELECT multiSearchAny('hello world', array('xyz', 'wor'))") == true)
+    assert(one("SELECT multiSearchAny('hello world', array('xyz'))") == false)
+    // token = bounded by non-word chars: substrings and underscore
+    // compounds never match; start/end of string do
+    assert(one("SELECT hasToken('a spark_x spark b', 'spark')") == true)
+    assert(one("SELECT hasToken('sparkly spark_x', 'spark')") == false)
+    assert(one("SELECT hasToken('end spark', 'spark')") == true)
+    assert(one("SELECT hasToken('spark start', 'spark')") == true)
+    assert(one("SELECT size(splitByRegexp('\\\\s+', 'a  b\tc'))") == 3)
+    // CH transform's 4-arg remap spelling needs the ChSql pre-pass (it
+    // routes to chTransform; plain registration would shadow Spark's
+    // higher-order transform) — evaluate through the dialect entry
+    def oneCh(sql: String): Any =
+      graft.dialect.ChSql.sql(spark, sql).collect().head.get(0)
+    assert(oneCh(
+      "SELECT transform('en', array('en','de'), array('english','german'), 'other')")
+      == "english")
+    assert(oneCh(
+      "SELECT transform('fr', array('en','de'), array('english','german'), 'other')")
+      == "other")
+    // Spark's higher-order array transform survives the pre-pass
+    assert(oneCh("SELECT transform(array(1,2,3), x -> x + 1)")
+      .asInstanceOf[scala.collection.Seq[Int]].toSeq == Seq(2, 3, 4))
+    // and keeps working on the SAME dialect-enabled session outside it
+    assert(one("SELECT transform(array(1,2,3), x -> x + 1)")
+      .asInstanceOf[scala.collection.Seq[Int]].toSeq == Seq(2, 3, 4))
+  }
+
   test("topKWeighted ranks by summed weight; arrayEnumerateUniq counts duplicates") {
     val r = spark.sql(
       """SELECT topKWeighted(x, w, 2) FROM (SELECT * FROM VALUES

@@ -115,6 +115,20 @@ class ChSqlSpec extends AnyFunSuite {
       "SELECT 'quantile(0.5)(v)' AS lit, quantile(v, 0.5) FROM t")
   }
 
+  test("transform remap routes to chTransform; lambda transform untouched") {
+    assert(ChSql.rewriteConflictingFunctions(
+      "SELECT transform(x, array('a'), array('b'), 'c') FROM t") ==
+      "SELECT chTransform(x, array('a'), array('b'), 'c') FROM t")
+    // a top-level lambda arrow marks Spark's own higher-order transform
+    assert(ChSql.rewriteConflictingFunctions(
+      "SELECT transform(a, x -> x + 1) FROM t") ==
+      "SELECT transform(a, x -> x + 1) FROM t")
+    // an arrow NESTED in an inner call doesn't veto the remap
+    assert(ChSql.rewriteConflictingFunctions(
+      "SELECT transform(arrayMap(x -> x, a), array('p'), array('q'), 'd') FROM t") ==
+      "SELECT chTransform(arrayMap(x -> x, a), array('p'), array('q'), 'd') FROM t")
+  }
+
   test("GLOBAL JOIN / GLOBAL IN modifiers strip to the plain forms") {
     assert(ChSql.stripGlobal("SELECT * FROM a GLOBAL JOIN b ON a.k = b.k") ==
       "SELECT * FROM a JOIN b ON a.k = b.k")
