@@ -1134,6 +1134,22 @@ object SparkEntry {
         .orderBy("shard", "pos")
     }),
 
+    // incremental near-dup: new batch (odd doc_ids) deduped against an
+    // EXISTING corpus index (even doc_ids) — the reference state is a
+    // reusable minHashState frame, never a corpus recompute
+    "q119_cross_corpus_dups" -> ((spark, dir) => {
+      prep(spark, dir)
+      val docs = Tables.load(spark, dir, "documents")
+      val refState = Dedup.minHashState(
+        docs.filter(col("doc_id") % 2 === 0), "doc_id", "text",
+        shingleSize = 3, numHashes = 128)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      Dedup.crossCorpusDupPairs(
+          docs.filter(col("doc_id") % 2 === 1), "doc_id", "text", refState,
+          shingleSize = 3, numHashes = 128, bands = 32, threshold = 0.7)
+        .select("new_id", "ref_id").orderBy("new_id", "ref_id")
+    }),
+
     // string-search tail: multi-needle substring search, token-bounded
     // search, regex split, and the CH transform() value remap (routed to
     // chTransform by the pre-pass so Spark's array transform survives)
@@ -1921,6 +1937,18 @@ object SparkEntry {
         |  CAST(round(corr(l_quantity, l_extendedprice) * 1000000) AS BIGINT) AS corr_micro,
         |  CAST(round(sum(l_extendedprice * l_quantity) / sum(l_quantity) * 100) AS BIGINT) AS aw_cents
         |FROM lineitem""".stripMargin,
+    "q119_cross_corpus_dups" ->
+      """WITH sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    range(1, len(string_split_regex(text, '\s+')) - 1),
+        |    i -> string_split_regex(text, '\s+')[i] || ' ' ||
+        |         string_split_regex(text, '\s+')[i+1] || ' ' ||
+        |         string_split_regex(text, '\s+')[i+2])) AS s
+        |  FROM documents)
+        |SELECT n.doc_id AS new_id, r.doc_id AS ref_id
+        |FROM sh n JOIN sh r ON n.doc_id % 2 = 1 AND r.doc_id % 2 = 0
+        |WHERE len(list_intersect(n.s, r.s))::DOUBLE / len(list_distinct(list_concat(n.s, r.s))) >= 0.7
+        |ORDER BY new_id, ref_id""".stripMargin,
     "q117_grouping_sets" ->
       """SELECT l_returnflag, l_linestatus, CAST(sum(l_quantity) AS BIGINT) AS qty
         |FROM lineitem

@@ -220,13 +220,7 @@ object Dedup {
       numHashes: Int = 128,
       bands: Int = 32,
       threshold: Double = 0.7): DataFrame = {
-    val sigAgg = udaf(new MinHashAgg(numHashes))
-    val state = shingleRows(docs, idCol, textCol, shingleSize)
-      .select(col("_id"), xxhash64(col("_s")).as("_hs"))
-      .groupBy("_id")
-      .agg(
-        sigAgg(pmod(col("_hs"), lit(MinHashP))).as("_sig"),
-        collect_set(col("_hs")).as("_sh"))
+    val state = minHashState(docs, idCol, textCol, shingleSize, numHashes)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cand = lshCandidates(state, "_id", "_sig", bands)
     // the verify side carries the per-doc hashed shingle SETS — fat
@@ -237,6 +231,75 @@ object Dedup {
       .join(side.as("sb"), cand("id_b") === col("sb._id"))
       .select(col("id_a"), col("id_b"),
         jaccard(col("sa._sh"), col("sb._sh")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** The reusable MinHash index state: one corpus scan → (_id, _sig:
+    * array<long>[numHashes], _sh: hashed shingle set). One xxhash64 per
+    * (doc, shingle) feeds BOTH the signature aggregate and the
+    * verify-stage shingle set in a single groupBy. This is the frame a
+    * pipeline persists (in memory for one run) or writes to parquet
+    * (across runs) so later batches dedup against it without
+    * recomputing the corpus — see [[crossCorpusDupPairs]]. */
+  def minHashState(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleSize: Int = 3,
+      numHashes: Int = 128): DataFrame = {
+    val sigAgg = udaf(new MinHashAgg(numHashes))
+    shingleRows(docs, idCol, textCol, shingleSize)
+      .select(col("_id"), xxhash64(col("_s")).as("_hs"))
+      .groupBy("_id")
+      .agg(
+        sigAgg(pmod(col("_hs"), lit(MinHashP))).as("_sig"),
+        collect_set(col("_hs")).as("_sh"))
+  }
+
+  /** Incremental / cross-corpus near-dup detection: which NEW documents
+    * near-duplicate something in an EXISTING corpus, without
+    * recomputing the corpus. `refState` is a previously-built
+    * [[minHashState]] frame (persisted in-session or read back from
+    * parquet). Returns (new_id, ref_id, jaccard) for pairs ≥
+    * `threshold`. With [[BloomDedup]] (exact) this completes the
+    * snapshot-dedup story for a training pipeline ingesting batches
+    * against a 100 TB base corpus.
+    *
+    * Scale posture: the reference corpus is touched only through its
+    * (much smaller) state frame; the candidate join keys on (band,
+    * bandhash) between the new batch's banded signatures and the
+    * reference's — shuffle-hash on both sides (either side may be
+    * corpus-sized; nothing broadcasts) — and the Jaccard verify joins
+    * shingle sets by id for CANDIDATES only. `bands` must match the
+    * value the state was built with (`numHashes` is embedded in
+    * `_sig`'s length). */
+  def crossCorpusDupPairs(
+      newDocs: DataFrame,
+      idCol: String,
+      textCol: String,
+      refState: DataFrame,
+      shingleSize: Int = 3,
+      numHashes: Int = 128,
+      bands: Int = 32,
+      threshold: Double = 0.7): DataFrame = {
+    val newState = minHashState(newDocs, idCol, textCol, shingleSize, numHashes)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def banded(df: DataFrame) = df.select(
+      col("_id"),
+      posexplode(bandHashes(col("_sig"), bands)).as(Seq("_band", "_bandhash")))
+    val cand = banded(newState).as("n")
+      .join(banded(refState).as("r").hint("shuffle_hash"),
+        col("n._band") === col("r._band") &&
+          col("n._bandhash") === col("r._bandhash"))
+      .select(col("n._id").as("new_id"), col("r._id").as("ref_id"))
+      .distinct()
+    val newSide = newState.select(col("_id"), col("_sh")).hint("shuffle_hash")
+    val refSide = refState.select(col("_id"), col("_sh")).hint("shuffle_hash")
+    cand
+      .join(newSide.as("sn"), cand("new_id") === col("sn._id"))
+      .join(refSide.as("sr"), cand("ref_id") === col("sr._id"))
+      .select(col("new_id"), col("ref_id"),
+        jaccard(col("sn._sh"), col("sr._sh")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 

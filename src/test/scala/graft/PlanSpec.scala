@@ -225,6 +225,19 @@ class PlanSpec extends AnyFunSuite {
     assert(!p2.contains("SinglePartition"), s"shard windows must partition:\n$p2")
   }
 
+  test("cross-corpus candidate join is banded shuffle-hash, never cartesian or broadcast") {
+    val docs = Tables.load(spark, dir, "documents")
+    val refState = Dedup.minHashState(
+      docs.filter(col("doc_id") % 2 === 0), "doc_id", "text", 3, 128)
+    val plan = planOf(Dedup.crossCorpusDupPairs(
+      docs.filter(col("doc_id") % 2 === 1), "doc_id", "text", refState))
+    assert(!plan.contains("CartesianProduct"), plan)
+    // both banded sides and both shingle-set sides may be corpus-sized —
+    // nothing on this path may build a broadcast relation
+    assert(!plan.contains("BroadcastHashJoin"),
+      s"cross-corpus joins must shuffle, not broadcast:\n$plan")
+  }
+
   test("SimHash banded join never goes cartesian") {
     val docs = Tables.load(spark, dir, "documents")
     val plan = planOf(Dedup.simHashDupPairs(docs, "doc_id", "text"))

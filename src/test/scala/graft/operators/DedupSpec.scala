@@ -170,4 +170,29 @@ class DedupSpec extends AnyFunSuite {
     assert(out(0) == ((0L, "", 0L, 1L)))
     assert(out(2) == ((2L, "survivor text", 1L, 0L)))
   }
+
+  test("cross-corpus dup pairs find new-vs-ref near-dups only, matching direct Jaccard") {
+    val spark2 = spark
+    import spark2.implicits._
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val ref = Seq(
+      (0L, base),                                    // near-dup of new 10
+      (2L, "one two three four five six seven"),     // unrelated
+      (4L, "lorem ipsum dolor sit amet consectetur") // unrelated
+    ).toDF("doc_id", "text")
+    val fresh = Seq(
+      (10L, base + " lambda"),                       // ≥0.7 Jaccard vs ref 0
+      (11L, "one two three COMPLETELY different things here now"), // < 0.7
+      (12L, base)                                    // exact dup of ref 0
+    ).toDF("doc_id", "text")
+    val refState = Dedup.minHashState(ref, "doc_id", "text",
+      shingleSize = 3, numHashes = 128)
+    val pairs = Dedup.crossCorpusDupPairs(fresh, "doc_id", "text", refState,
+      shingleSize = 3, numHashes = 128, bands = 32, threshold = 0.7)
+      .select("new_id", "ref_id").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((10L, 0L), (12L, 0L)))
+    // new-vs-new pairs (10, 12 are near-dups of each other) never appear:
+    // the operator's contract is strictly new-vs-reference
+    assert(!pairs.exists { case (a, b) => a >= 10 && b >= 10 })
+  }
 }
