@@ -742,6 +742,21 @@ object SparkEntry {
         .orderBy("qid", "rank")
     }),
 
+    // IVF index persistence: train once, SAVE (cluster-partitioned
+    // layout → probes prune files), LOAD in place of retraining, search
+    // — full-probe over the loaded index stays exact (same oracle)
+    "q120_ivf_saved_index" -> ((spark, dir) => {
+      prep(spark, dir)
+      val emb = Tables.load(spark, dir, "embeddings")
+      val cents = graft.operators.Ivf.trainCentroids(emb, "vec_id", "embedding", k = 8, dim = 64)
+      val path = s"${derivedDir(spark, dir)}/ivf_index"
+      graft.operators.Ivf.saveIndex(
+        graft.operators.Ivf.assign(emb, "vec_id", "embedding", cents), cents, path)
+      val (loaded, loadedCents) = graft.operators.Ivf.loadIndex(spark, path)
+      graft.operators.Ivf.topK(loaded, loadedCents, Seq(0L, 1L, 2L, 3L, 4L), k = 5, nprobe = 8)
+        .orderBy("qid", "rank")
+    }),
+
     // language-ID heuristic (deterministic argmax over stopword scores)
     "q48_lang_id" -> ((spark, dir) => {
       prep(spark, dir)
@@ -1530,6 +1545,16 @@ object SparkEntry {
         |  FROM scored) t
         |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
     "q54_ivf_topk" ->
+      """WITH scored AS (
+        |  SELECT q.vec_id AS qid, n.vec_id AS nid,
+        |         list_cosine_similarity(q.embedding, n.embedding) AS sim
+        |  FROM embeddings q JOIN embeddings n ON q.vec_id != n.vec_id
+        |  WHERE q.vec_id IN (0,1,2,3,4))
+        |SELECT qid, rank, nid FROM (
+        |  SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid ASC) AS rank
+        |  FROM scored) t
+        |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+    "q120_ivf_saved_index" ->
       """WITH scored AS (
         |  SELECT q.vec_id AS qid, n.vec_id AS nid,
         |         list_cosine_similarity(q.embedding, n.embedding) AS sim

@@ -85,6 +85,37 @@ object Ivf {
     emb.select(col(idCol).as("_id"), col(vecCol).as("_vec"),
       nearest(col(vecCol), centroids).as("_cluster"))
 
+  /** Persist the index: inverted lists written PARTITIONED BY CLUSTER —
+    * on disk each cluster is its own directory, so a probe's scan
+    * partition-prunes to its `nprobe` clusters' files (the IVF "read
+    * nprobe/k of the data" contract realized at the file-layout level) —
+    * plus the centroid table. The index outlives the session; later
+    * batches and query jobs [[loadIndex]] instead of retraining. */
+  def saveIndex(
+      indexed: DataFrame, centroids: Seq[Seq[Double]], path: String): Unit = {
+    indexed.write.mode("overwrite").partitionBy("_cluster")
+      .parquet(s"$path/lists")
+    val spark = indexed.sparkSession
+    import spark.implicits._
+    centroids.zipWithIndex.map { case (c, i) => (i, c) }
+      .toDF("_cluster", "_centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+  }
+
+  /** Load a persisted index: (inverted lists, centroids) — the same pair
+    * [[assign]] + [[trainCentroids]] produce, usable directly by
+    * [[topK]]. */
+  def loadIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String): (DataFrame, Seq[Seq[Double]]) = {
+    val lists = spark.read.parquet(s"$path/lists")
+      .select(col("_id"), col("_vec"), col("_cluster").cast("int").as("_cluster"))
+    val centroids = spark.read.parquet(s"$path/centroids")
+      .orderBy("_cluster").select("_centroid").collect()
+      .map(_.getSeq[Double](0).toSeq).toSeq
+    (lists, centroids)
+  }
+
   /** Top-k cosine neighbors for `queryIds`, probing only the `nprobe`
     * clusters nearest each query vector. */
   def topK(

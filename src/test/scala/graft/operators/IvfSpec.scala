@@ -48,4 +48,25 @@ class IvfSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct"), plan)
   }
+
+  test("saved index round-trips: loaded topK equals fresh; layout prunes by cluster") {
+    val cents = Ivf.trainCentroids(emb, "vec_id", "embedding", k = 4, dim = 64)
+    val idx = Ivf.assign(emb, "vec_id", "embedding", cents)
+    val path = "/tmp/graft_ivf_index_spec"
+    Ivf.saveIndex(idx, cents, path)
+    val (loaded, loadedCents) = Ivf.loadIndex(spark, path)
+    assert(loadedCents == cents)
+    val qids = Seq(0L, 1L, 2L)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(rows(Ivf.topK(loaded, loadedCents, qids, k = 5, nprobe = 4)) ==
+      rows(Ivf.topK(idx, cents, qids, k = 5, nprobe = 4)))
+    // the on-disk layout is partitioned by cluster: a single-cluster scan
+    // prunes at the partition level (reads nprobe/k of the FILES)
+    val plan = loaded.filter(org.apache.spark.sql.functions.col("_cluster") === 1)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(_cluster_") ||
+      plan.contains("PartitionFilters: [isnotnull(_cluster"),
+      s"cluster filter must prune partitions:\n$plan")
+  }
 }
