@@ -1194,6 +1194,15 @@ object SparkEntry {
         |  FROM orders) t
         |WHERE o_orderkey < 500 ORDER BY o_orderkey""".stripMargin),
 
+    // string-similarity tail: alphanumeric tokenization, character
+    // n-grams, and 4-gram set distance — all scan-stage native lambdas
+    "q121_ngram_tail" -> ch(
+      """SELECT source,
+        |       CAST(sum(size(tokens(text))) AS BIGINT) AS n_tokens,
+        |       CAST(sum(size(ngrams(text, 4))) AS BIGINT) AS n_grams4,
+        |       CAST(round(sum(ngramDistance(source, 'src0')) * 1000) AS BIGINT) AS dist_milli
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin),
+
     // string tail over real rows: format placeholders + substring counts
     "q110_string_tail" -> ch(
       """SELECT format('{}:{}', lang, toString(count())) AS tag,
@@ -1974,6 +1983,20 @@ object SparkEntry {
         |FROM sh n JOIN sh r ON n.doc_id % 2 = 1 AND r.doc_id % 2 = 0
         |WHERE len(list_intersect(n.s, r.s))::DOUBLE / len(list_distinct(list_concat(n.s, r.s))) >= 0.7
         |ORDER BY new_id, ref_id""".stripMargin,
+    "q121_ngram_tail" ->
+      """WITH g AS (
+        |  SELECT source, text,
+        |    list_distinct(list_transform(range(1, greatest(length(source) - 3, 0) + 1),
+        |      i -> substr(source, i, 4))) AS gs,
+        |    list_distinct(list_transform(range(1, greatest(length('src0') - 3, 0) + 1),
+        |      i -> substr('src0', i, 4))) AS g0
+        |  FROM documents)
+        |SELECT source,
+        |  CAST(sum(len(list_filter(string_split_regex(text, '[^A-Za-z0-9]+'), x -> x != ''))) AS BIGINT) AS n_tokens,
+        |  CAST(sum(greatest(length(text) - 3, 0)) AS BIGINT) AS n_grams4,
+        |  CAST(round(sum(1.0 - len(list_intersect(gs, g0))::DOUBLE /
+        |    len(list_distinct(list_concat(gs, g0)))) * 1000) AS BIGINT) AS dist_milli
+        |FROM g GROUP BY source ORDER BY source""".stripMargin,
     "q117_grouping_sets" ->
       """SELECT l_returnflag, l_linestatus, CAST(sum(l_quantity) AS BIGINT) AS qty
         |FROM lineitem

@@ -823,6 +823,36 @@ object ChFunctions {
       reg("chTransform")({ case Seq(x, from, to, default) =>
         Coalesce(Seq(GetMapValue(MapFromArrays(from, to), x), default))
       })
+      // tokens(s): maximal alphanumeric runs (CH tokenizes on everything
+      // else); boundary splits leave empty strings — removed
+      reg("tokens")(exprs => ArrayRemove(
+        StringSplit(exprs.head, Literal("[^A-Za-z0-9]+"), Literal(-1)),
+        Literal("")))
+      // character n-gram array: substrings of length n at offsets 1..len-n+1
+      // (built as a native transform-over-sequence lambda — codegen'd,
+      // no UDF); shorter strings yield an empty array
+      def charNgrams(s: Expression, n: Expression): Expression = {
+        val i = NamedLambdaVariable("i", LongType, nullable = false)
+        val len = Length(s)
+        If(LessThan(len, n),
+          Literal.create(Seq.empty[String], ArrayType(StringType)),
+          ArrayTransform(
+            Sequence(Literal(1L), Add(Cast(Subtract(len, n), LongType), Literal(1L)), None),
+            LambdaFunction(Substring(s, Cast(i, IntegerType), Cast(n, IntegerType)), Seq(i))))
+      }
+      reg("ngrams")({ case Seq(s, n) => charNgrams(s, n) })
+      // ngramDistance(a, b): 1 − Jaccard over distinct 4-gram sets.
+      // CH's implementation hashes 4-gram multisets; this is the set
+      // variant of the same signal — 0 = identical gram sets, 1 =
+      // disjoint. Both inputs gramless → 0; exactly one → 1.
+      reg("ngramDistance")({ case Seq(a, b) =>
+        val ga = ArrayDistinct(charNgrams(a, Literal(4)))
+        val gb = ArrayDistinct(charNgrams(b, Literal(4)))
+        val union = Cast(Size(ArrayDistinct(Concat(Seq(ga, gb)))), DoubleType)
+        val inter = Cast(Size(ArrayIntersect(ga, gb)), DoubleType)
+        If(EqualTo(union, Literal(0.0)), Literal(0.0),
+          Subtract(Literal(1.0), Divide(inter, union)))
+      })
       // CH range(n) = [0..n-1]; range(start, end[, step]) end-exclusive.
       // Guarded: Spark's sequence(a, b) runs DESCENDING when a > b, so
       // an empty CH range (end ≤ start) must short-circuit

@@ -486,6 +486,24 @@ class ChFunctionsSpec extends AnyFunSuite {
       .asInstanceOf[scala.collection.Seq[Int]].toSeq == Seq(2, 3, 4))
   }
 
+  test("tokens, ngrams, ngramDistance") {
+    assert(one("SELECT tokens('a-b c_1  d!')")
+      .asInstanceOf[scala.collection.Seq[String]].toSeq == Seq("a", "b", "c", "1", "d"))
+    assert(one("SELECT ngrams('abcd', 2)")
+      .asInstanceOf[scala.collection.Seq[String]].toSeq == Seq("ab", "bc", "cd"))
+    assert(one("SELECT ngrams('ab', 4)")
+      .asInstanceOf[scala.collection.Seq[String]].isEmpty)
+    assert(one("SELECT ngramDistance('abcd', 'abcd')") == 0.0)
+    assert(one("SELECT ngramDistance('abcd', 'wxyz')") == 1.0)
+    // both too short for any 4-gram → identical (0); one-sided → 1
+    assert(one("SELECT ngramDistance('ab', 'cd')") == 0.0)
+    assert(one("SELECT ngramDistance('abcd', 'xy')") == 1.0)
+    // overlapping halves: 'abcdef' {abcd,bcde,cdef}, 'cdefgh' {cdef,defg,efgh}
+    // → intersect 1, union 5 → 0.8
+    assert(math.abs(one("SELECT ngramDistance('abcdef', 'cdefgh')")
+      .asInstanceOf[Double] - 0.8) < 1e-12)
+  }
+
   test("topKWeighted ranks by summed weight; arrayEnumerateUniq counts duplicates") {
     val r = spark.sql(
       """SELECT topKWeighted(x, w, 2) FROM (SELECT * FROM VALUES
