@@ -193,6 +193,9 @@ object ChSql {
   /** Run a CH-dialect query end-to-end on this session. Handles DDL-ish
     * statements (ATTACH TABLE → catalog registration) as well as
     * queries; system.* tables resolve to the synthetic views. */
+  private val ExplainPrefix =
+    """(?is)^\s*EXPLAIN(?:\s+(?:AST|SYNTAX|QUERY\s+TREE|PLAN|PIPELINE|ESTIMATE))?\s+(SELECT|WITH)\b""".r
+
   def sql(spark: SparkSession, query: String,
       macros: Map[String, String] = defaultMacros): DataFrame = {
     ChFunctions.register(spark)
@@ -201,6 +204,16 @@ object ChSql {
       import spark.implicits._
       val t = graft.core.Catalog.attach(spark, m)
       return Seq((t.name, "attached")).toDF("table", "status")
+    }
+    // CH `EXPLAIN [mode] SELECT …` returns the plan as result rows; the
+    // Spark rendition explains the rewritten query's physical plan (all
+    // CH modes map to the one plan Spark has — the Catalyst one)
+    ExplainPrefix.findFirstMatchIn(m).foreach { mm =>
+      import spark.implicits._
+      val inner = sql(spark, m.substring(mm.start(1)), macros)
+      return inner.queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode)
+        .linesIterator.toSeq.toDF("explain")
     }
     val r = rewrite(spark, query, macros)
     applySettings(spark, r.settings)

@@ -115,6 +115,21 @@ class ChSqlSpec extends AnyFunSuite {
       "SELECT 'quantile(0.5)(v)' AS lit, quantile(v, 0.5) FROM t")
   }
 
+  test("EXPLAIN returns the physical plan as result rows (CH parity)") {
+    val spark = graft.TestSpark.spark
+    import spark.implicits._
+    Seq((1L, "a"), (2L, "b")).toDF("k", "v").createOrReplaceTempView("exp_t")
+    val rows = ChSql.sql(spark,
+      "EXPLAIN SELECT count() AS c FROM exp_t WHERE k > 1")
+      .as[String].collect()
+    assert(rows.nonEmpty && rows.head.contains("Physical Plan"))
+    assert(rows.exists(_.contains("HashAggregate")), rows.mkString("\n"))
+    // CH's mode word is accepted; the dialect rewrites still apply
+    val rows2 = ChSql.sql(spark,
+      "EXPLAIN PIPELINE SELECT uniqExact(v) AS u FROM exp_t").as[String].collect()
+    assert(rows2.exists(_.contains("HashAggregate")))
+  }
+
   test("transform remap routes to chTransform; lambda transform untouched") {
     assert(ChSql.rewriteConflictingFunctions(
       "SELECT transform(x, array('a'), array('b'), 'c') FROM t") ==
