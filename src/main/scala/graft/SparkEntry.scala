@@ -1194,6 +1194,15 @@ object SparkEntry {
         |  FROM orders) t
         |WHERE o_orderkey < 500 ORDER BY o_orderkey""".stripMargin),
 
+    // QUALIFY: post-window filter (top-2 orders per customer slice)
+    // rewritten to subquery+WHERE — the window still partitions by key
+    "q122_qualify" -> ch(
+      """SELECT o_custkey, o_orderkey,
+        |       CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rk
+        |FROM orders
+        |QUALIFY rk <= 2
+        |ORDER BY o_custkey, rk LIMIT 200""".stripMargin),
+
     // string-similarity tail: alphanumeric tokenization, character
     // n-grams, and 4-gram set distance — all scan-stage native lambdas
     "q121_ngram_tail" -> ch(
@@ -1983,6 +1992,12 @@ object SparkEntry {
         |FROM sh n JOIN sh r ON n.doc_id % 2 = 1 AND r.doc_id % 2 = 0
         |WHERE len(list_intersect(n.s, r.s))::DOUBLE / len(list_distinct(list_concat(n.s, r.s))) >= 0.7
         |ORDER BY new_id, ref_id""".stripMargin,
+    "q122_qualify" ->
+      """SELECT o_custkey, o_orderkey,
+        |       CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rk
+        |FROM orders
+        |QUALIFY rk <= 2
+        |ORDER BY o_custkey, rk LIMIT 200""".stripMargin,
     "q121_ngram_tail" ->
       """WITH g AS (
         |  SELECT source, text,

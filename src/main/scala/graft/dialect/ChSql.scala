@@ -68,7 +68,8 @@ object ChSql {
     val arrayJoined = rewriteArrayJoin(sampled)
     val prewhered = rewritePrewhere(arrayJoined)
     val totaled = rewriteWithTotals(prewhered)
-    val limited = rewriteLimitBy(totaled)
+    val qualified = rewriteQualify(totaled)
+    val limited = rewriteLimitBy(qualified)
     val (unfilled, fillSpec) = extractWithFill(limited)
     val counted = zeroArgCount(unfilled)
     val parametric = rewriteParametricAggregates(counted)
@@ -127,6 +128,35 @@ object ChSql {
     * Top-level clause only (the CH form in practice); an explicit ORDER
     * BY is required — CH without one takes arbitrary engine order,
     * which a deterministic engine should refuse, not emulate. */
+  private val QualifyRe = """(?i)\bQUALIFY\b""".r
+
+  /** CH/modern-SQL `QUALIFY <pred>` — post-window filtering — rewrites
+    * to a subquery + WHERE: `SELECT … QUALIFY p [ORDER BY …] [LIMIT n]`
+    * → `SELECT * FROM (SELECT …) __qf WHERE p [ORDER BY …] [LIMIT n]`.
+    * The predicate must reference select-list ALIASES (the subquery's
+    * output columns) — the same restriction CH documents for
+    * qualify-on-alias; window functions repeated verbatim in the
+    * predicate would re-plan anyway. */
+  def rewriteQualify(sql: String): String = {
+    val hit = QualifyRe.findAllMatchIn(sql)
+      .find(m => !insideQuote(sql, m.start) && depthAt(sql, m.start) == 0)
+    if (hit.isEmpty) return sql
+    val m = hit.get
+    val head = sql.substring(0, m.start).trim
+    val rest = sql.substring(m.end)
+    // the predicate runs to a trailing top-level ORDER BY / LIMIT, if any
+    val tailKw = Seq("ORDER\\s+BY", "LIMIT").flatMap { kw =>
+      ("(?i)\\b" + kw + "\\b").r.findAllMatchIn(rest)
+        .filter(x => !insideQuote(rest, x.start) && depthAt(rest, x.start) == 0)
+        .map(_.start).toSeq
+    }.sorted.headOption
+    val (pred, tail) = tailKw match {
+      case Some(i) => (rest.substring(0, i).trim, " " + rest.substring(i).trim)
+      case None => (rest.trim, "")
+    }
+    s"SELECT * FROM ($head) __qf WHERE $pred$tail"
+  }
+
   def rewriteLimitBy(sql: String): String = {
     val hit = LimitByRe.findAllMatchIn(sql)
       .find(m => !insideQuote(sql, m.start) && depthAt(sql, m.start) == 0)

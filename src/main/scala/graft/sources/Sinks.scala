@@ -32,6 +32,34 @@ object Sinks {
     w.csv(path)
   }
 
+  /** JSONEachRow (newline-delimited JSON) export — the write twin of
+    * the `JSONEachRow` read format in [[Sources.json]]/`urlJson`
+    * (reference format surface, SURVEY §2.1 S6). One JSON object per
+    * line, gzip optional, distributed (one file per partition). */
+  def writeJsonEachRow(
+      df: DataFrame,
+      path: String,
+      compression: Option[String] = None,
+      mode: SaveMode = SaveMode.Overwrite): Unit = {
+    val w = df.write.mode(mode)
+    compression.foreach(c => w.option("compression", c))
+    w.json(path)
+  }
+
+  /** Sharded training-order export: the write twin of
+    * [[graft.operators.Sampling.shuffleShards]] — one directory per
+    * shard (`shard=<s>/`), rows within a shard laid out by `pos`. A
+    * trainer reads shard directories round-robin for a reproducible
+    * pseudo-random epoch order; at 100 TB this is S independent sorted
+    * writes, never a global sort. */
+  def writeShards(
+      df: DataFrame,
+      path: String,
+      mode: SaveMode = SaveMode.Overwrite): Unit =
+    df.repartition(org.apache.spark.sql.functions.col("shard"))
+      .sortWithinPartitions("shard", "pos")
+      .write.mode(mode).partitionBy("shard").parquet(path)
+
   /** Bucketed + sorted table layout — the co-located-join story: two
     * tables bucketed by the same key into the same bucket count join
     * with NO shuffle on either side (Catalyst reuses the bucket

@@ -115,6 +115,28 @@ class ChSqlSpec extends AnyFunSuite {
       "SELECT 'quantile(0.5)(v)' AS lit, quantile(v, 0.5) FROM t")
   }
 
+  test("QUALIFY rewrites to subquery + WHERE; GROUP BY ALL passes through") {
+    assert(ChSql.rewriteQualify(
+      "SELECT a, row_number() OVER (ORDER BY b) AS rk FROM t QUALIFY rk <= 2 ORDER BY a LIMIT 5") ==
+      "SELECT * FROM (SELECT a, row_number() OVER (ORDER BY b) AS rk FROM t) __qf WHERE rk <= 2 ORDER BY a LIMIT 5")
+    assert(ChSql.rewriteQualify(
+      "SELECT a, rank() OVER (PARTITION BY g ORDER BY b) AS r FROM t QUALIFY r = 1") ==
+      "SELECT * FROM (SELECT a, rank() OVER (PARTITION BY g ORDER BY b) AS r FROM t) __qf WHERE r = 1")
+    assert(ChSql.rewriteQualify("SELECT 1") == "SELECT 1")
+    // 'QUALIFY' inside a string literal is data, not a clause
+    assert(ChSql.rewriteQualify("SELECT 'use QUALIFY here' AS s FROM t") ==
+      "SELECT 'use QUALIFY here' AS s FROM t")
+    // CH GROUP BY ALL is native Spark SQL — runs through the dialect
+    val spark = graft.TestSpark.spark
+    import spark.implicits._
+    Seq(("a", 1L), ("a", 2L), ("b", 3L)).toDF("g", "v")
+      .createOrReplaceTempView("gba_t")
+    val rows = ChSql.sql(spark,
+      "SELECT g, sum(v) AS s FROM gba_t GROUP BY ALL ORDER BY g")
+      .as[(String, Long)].collect().toSeq
+    assert(rows == Seq(("a", 3L), ("b", 3L)))
+  }
+
   test("EXPLAIN returns the physical plan as result rows (CH parity)") {
     val spark = graft.TestSpark.spark
     import spark.implicits._
