@@ -115,6 +115,22 @@ class ChSqlSpec extends AnyFunSuite {
       "SELECT 'quantile(0.5)(v)' AS lit, quantile(v, 0.5) FROM t")
   }
 
+  test("two table functions join in one query (each FROM call becomes its own scan)") {
+    val spark = graft.TestSpark.spark
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_twotf").toString
+    Seq((1L, "x"), (2L, "y")).toDF("k", "v")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/a")
+    Seq((1L, 10L), (3L, 30L)).toDF("k", "w")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/b")
+    val rows = ChSql.sql(spark,
+      s"""SELECT a.k AS k, a.v AS v, b.w AS w
+         |FROM s3('file://$dir/a/*.parquet') a
+         |JOIN s3('file://$dir/b/*.parquet') b ON a.k = b.k""".stripMargin)
+      .as[(Long, String, Long)].collect().toSeq
+    assert(rows == Seq((1L, "x", 10L)))
+  }
+
   test("QUALIFY rewrites to subquery + WHERE; GROUP BY ALL passes through") {
     assert(ChSql.rewriteQualify(
       "SELECT a, row_number() OVER (ORDER BY b) AS rk FROM t QUALIFY rk <= 2 ORDER BY a LIMIT 5") ==

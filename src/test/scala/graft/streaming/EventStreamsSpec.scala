@@ -12,6 +12,37 @@ class EventStreamsSpec extends AnyFunSuite {
 
   private def ts(min: Int): Timestamp = Timestamp.valueOf(f"2024-01-01 ${min / 60}%02d:${min % 60}%02d:00")
 
+  test("text-pipeline quality filter + mixture run unchanged on a stream (scan-stage ops are stream-safe)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String, String)]
+    val docs = Seq(
+      (0L, "en", "a solid document with enough words to pass the quality gate and then some more padding words here"),
+      (1L, "en", "x"), // fails min-words
+      (2L, "de", "ein weiteres dokument mit genug worten um die qualitaet zu bestehen und noch etwas mehr text dazu"))
+    mem.addData(docs: _*)
+    val streamed = mem.toDF().toDF("doc_id", "lang", "text")
+    // the SAME operators, no streaming-specific variants: gopherFilter
+    // and mixture are scan-stage expressions, legal on unbounded plans
+    val piped = graft.operators.Sampling.mixture(
+      graft.operators.TextAnalysis.gopherFilter(streamed, "text").filter($"keep"),
+      "lang", "text", Map("en" -> 1.0, "de" -> 1.0))
+    val q = piped.select("doc_id").writeStream
+      .format("memory").queryName("stream_quality").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("stream_quality").as[Long].collect().toSet
+      // batch twin over the identical rows
+      val batch = graft.operators.Sampling.mixture(
+        graft.operators.TextAnalysis.gopherFilter(
+          docs.toDF("doc_id", "lang", "text"), "text").filter($"keep"),
+        "lang", "text", Map("en" -> 1.0, "de" -> 1.0))
+        .select("doc_id").as[Long].collect().toSet
+      assert(got == batch)
+      assert(!got.contains(1L)) // the quality gate dropped the junk doc
+    } finally q.stop()
+  }
+
   test("windowed counts over a MemoryStream match the batch result") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
