@@ -1203,6 +1203,18 @@ object SparkEntry {
         |QUALIFY rk <= 2
         |ORDER BY o_custkey, rk LIMIT 200""".stripMargin),
 
+    // weighted exact quantile (CH quantileExactWeighted semantics as
+    // the distributed window shape): median price weighted by quantity
+    "q123_weighted_quantile" -> ((spark, dir) => {
+      prep(spark, dir)
+      graft.operators.Quantiles.weightedQuantile(
+          Tables.load(spark, dir, "lineitem"),
+          Seq("l_returnflag"), "l_extendedprice", "l_quantity", q = 0.5)
+        .select(col("l_returnflag"),
+          round(col("wq_l_extendedprice") * 100).cast("long").as("wq_cents"))
+        .orderBy("l_returnflag")
+    }),
+
     // string-similarity tail: alphanumeric tokenization, character
     // n-grams, and 4-gram set distance — all scan-stage native lambdas
     "q121_ngram_tail" -> ch(
@@ -1992,6 +2004,16 @@ object SparkEntry {
         |FROM sh n JOIN sh r ON n.doc_id % 2 = 1 AND r.doc_id % 2 = 0
         |WHERE len(list_intersect(n.s, r.s))::DOUBLE / len(list_distinct(list_concat(n.s, r.s))) >= 0.7
         |ORDER BY new_id, ref_id""".stripMargin,
+    "q123_weighted_quantile" ->
+      """WITH m AS (
+        |  SELECT l_returnflag, l_extendedprice,
+        |         sum(l_quantity) OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumw,
+        |         sum(l_quantity) OVER (PARTITION BY l_returnflag) AS totw
+        |  FROM lineitem WHERE l_quantity > 0)
+        |SELECT l_returnflag, CAST(round(min(l_extendedprice) * 100) AS BIGINT) AS wq_cents
+        |FROM m WHERE cumw >= totw * 0.5
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q122_qualify" ->
       """SELECT o_custkey, o_orderkey,
         |       CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rk
