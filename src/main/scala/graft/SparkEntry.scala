@@ -1203,6 +1203,16 @@ object SparkEntry {
         |QUALIFY rk <= 2
         |ORDER BY o_custkey, rk LIMIT 200""".stripMargin),
 
+    // zero-safe arithmetic + ISO date spellings over real rows
+    "q124_scalar_tail2" -> ch(
+      """SELECT CAST(sum(intDivOrZero(l_orderkey, l_linenumber - 1)) AS BIGINT) AS idz,
+        |       CAST(sum(moduloOrZero(l_orderkey, l_linenumber - 1)) AS BIGINT) AS mdz,
+        |       CAST(round(sum(divideOrZero(l_quantity, l_linenumber - 1)) * 100) AS BIGINT) AS dvz_c,
+        |       CAST(round(sum(ifNotFinite(CASE WHEN l_linenumber = 1 THEN CAST('Infinity' AS DOUBLE) WHEN l_linenumber = 2 THEN CAST('NaN' AS DOUBLE) ELSE l_quantity END, -1)) * 100) AS BIGINT) AS inf_c,
+        |       CAST(sum(toDayOfYear(l_shipdate)) AS BIGINT) AS doy,
+        |       CAST(sum(toISOWeek(l_shipdate)) AS BIGINT) AS isow
+        |FROM lineitem""".stripMargin),
+
     // weighted exact quantile (CH quantileExactWeighted semantics as
     // the distributed window shape): median price weighted by quantity
     "q123_weighted_quantile" -> ((spark, dir) => {
@@ -2004,6 +2014,15 @@ object SparkEntry {
         |FROM sh n JOIN sh r ON n.doc_id % 2 = 1 AND r.doc_id % 2 = 0
         |WHERE len(list_intersect(n.s, r.s))::DOUBLE / len(list_distinct(list_concat(n.s, r.s))) >= 0.7
         |ORDER BY new_id, ref_id""".stripMargin,
+    "q124_scalar_tail2" ->
+      """SELECT
+        |  CAST(sum(CASE WHEN l_linenumber = 1 THEN 0 ELSE l_orderkey // (l_linenumber - 1) END) AS BIGINT) AS idz,
+        |  CAST(sum(CASE WHEN l_linenumber = 1 THEN 0 ELSE l_orderkey % (l_linenumber - 1) END) AS BIGINT) AS mdz,
+        |  CAST(round(sum(CASE WHEN l_linenumber = 1 THEN 0 ELSE l_quantity / (l_linenumber - 1) END) * 100) AS BIGINT) AS dvz_c,
+        |  CAST(round(sum(CASE WHEN l_linenumber <= 2 THEN -1 ELSE l_quantity END) * 100) AS BIGINT) AS inf_c,
+        |  CAST(sum(dayofyear(l_shipdate)) AS BIGINT) AS doy,
+        |  CAST(sum(weekofyear(l_shipdate)) AS BIGINT) AS isow
+        |FROM lineitem""".stripMargin,
     "q123_weighted_quantile" ->
       """WITH m AS (
         |  SELECT l_returnflag, l_extendedprice,

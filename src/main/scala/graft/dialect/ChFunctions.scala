@@ -251,6 +251,27 @@ object ChFunctions {
       reg("divide")({ case Seq(a, b) => Divide(a, b) })
       reg("intDiv")({ case Seq(a, b) => IntegralDivide(a, b) })
       reg("modulo")({ case Seq(a, b) => Remainder(a, b) })
+      // zero-divisor-safe variants (CH returns 0 instead of erroring —
+      // Spark ANSI mode would throw on the plain forms)
+      reg("intDivOrZero")({ case Seq(a, b) =>
+        If(EqualTo(b, Literal(0L)), Literal(0L),
+          IntegralDivide(a, If(EqualTo(b, Literal(0L)), Literal(1L), b)))
+      })
+      reg("moduloOrZero")({ case Seq(a, b) =>
+        If(EqualTo(b, Literal(0L)), Literal(0L),
+          Remainder(a, If(EqualTo(b, Literal(0L)), Literal(1L), b)))
+      })
+      reg("divideOrZero")({ case Seq(a, b) =>
+        If(EqualTo(Cast(b, DoubleType), Literal(0.0)), Literal(0.0),
+          Divide(Cast(a, DoubleType),
+            If(EqualTo(Cast(b, DoubleType), Literal(0.0)), Literal(1.0),
+              Cast(b, DoubleType))))
+      })
+      reg("ifNotFinite")({ case Seq(x, alt) =>
+        val d = Cast(x, DoubleType)
+        If(Or(IsNaN(d), Or(EqualTo(d, Literal(Double.PositiveInfinity)),
+          EqualTo(d, Literal(Double.NegativeInfinity)))), alt, d)
+      })
 
       // time conversions
       reg("toUnixTimestamp")(exprs =>
@@ -412,6 +433,10 @@ object ChFunctions {
         exprs => Month(Cast(exprs.head, DateType)))
       reg("toDayOfMonth")(
         exprs => DayOfMonth(Cast(exprs.head, DateType)))
+      reg("toDayOfYear")(
+        exprs => DayOfYear(Cast(exprs.head, DateType)))
+      reg("toISOWeek")( // Spark's weekofyear IS the ISO-8601 week
+        exprs => WeekOfYear(Cast(exprs.head, DateType)))
       reg("toHour")(
         exprs => Hour(exprs.head))
       reg("toYYYYMM")({ exprs =>

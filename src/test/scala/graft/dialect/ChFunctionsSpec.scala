@@ -486,6 +486,20 @@ class ChFunctionsSpec extends AnyFunSuite {
       .asInstanceOf[scala.collection.Seq[Int]].toSeq == Seq(2, 3, 4))
   }
 
+  test("zero-safe arithmetic and ISO date spellings") {
+    assert(one("SELECT intDivOrZero(7, 2)") == 3L)
+    assert(one("SELECT intDivOrZero(7, 0)") == 0L)
+    assert(one("SELECT moduloOrZero(7, 3)") == 1)
+    assert(one("SELECT moduloOrZero(7, 0)") == 0)
+    assert(one("SELECT divideOrZero(7, 2)") == 3.5)
+    assert(one("SELECT divideOrZero(7, 0)") == 0.0)
+    assert(one("SELECT ifNotFinite(CAST('NaN' AS DOUBLE), 9)") == 9.0)
+    assert(one("SELECT ifNotFinite(CAST('Infinity' AS DOUBLE), 9)") == 9.0)
+    assert(one("SELECT ifNotFinite(1.5, 9)") == 1.5)
+    assert(one("SELECT toISOWeek(toDate('2024-01-01'))") == 1)
+    assert(one("SELECT toDayOfYear(toDate('2024-02-01'))") == 32)
+  }
+
   test("tokens, ngrams, ngramDistance") {
     assert(one("SELECT tokens('a-b c_1  d!')")
       .asInstanceOf[scala.collection.Seq[String]].toSeq == Seq("a", "b", "c", "1", "d"))
