@@ -32,6 +32,23 @@ object SystemTables {
     }.toDF("cluster", "shard_num", "replica_num", "host_name", "running_tasks")
   }
 
+  /** ≈ system.zookeeper: the coordination-tree view the reference polls
+    * for readiness (`run.sh:6`:
+    * `select 3 from system.zookeeper where path='/clickhouse/task_queue/'`
+    * — success-with-rows means the cluster is bootstrapped). Spark has
+    * no keeper; the driver IS the coordinator, so the task-queue path
+    * "exists" exactly when the session is live: one `ddl` child (CH's
+    * task-queue node) plus one child per registered executor. */
+  def zookeeper(spark: SparkSession, clusterName: String = "graft"): DataFrame = {
+    import spark.implicits._
+    val replicas = spark.sparkContext.statusTracker.getExecutorInfos.toSeq
+      .zipWithIndex.map { case (e, i) =>
+        (s"replica_${i + 1}", e.host(), "/clickhouse/task_queue/")
+      }
+    (("ddl", clusterName, "/clickhouse/task_queue/") +: replicas)
+      .toDF("name", "value", "path")
+  }
+
   /** ≈ clusterAllReplicas(system.processors_profile_log): executor-level
     * resource/task stats from the status tracker. */
   def executors(spark: SparkSession): DataFrame = {
@@ -87,5 +104,6 @@ object SystemTables {
     clusters(spark, clusterName).createOrReplaceTempView("system_clusters")
     executors(spark).createOrReplaceTempView("system_executors")
     queryLog(spark).createOrReplaceTempView("system_query_log")
+    zookeeper(spark, clusterName).createOrReplaceTempView("system_zookeeper")
   }
 }

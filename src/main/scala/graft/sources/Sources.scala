@@ -150,11 +150,49 @@ object Sources {
           .option("inferSchema", "true")
           .options(csvOpts(sep))
           .csv(cached.select("value").as[String])
+        // CSVWithNames without a schema takes column NAMES from the
+        // header (CH inference contract) — the data pass above stripped
+        // headers per file, so read the first URL's header line here
+        // (driver-side; one tiny ranged fetch) and rename the inferred
+        // _c0… columns. Count mismatch (ragged header) keeps _cN names.
+        val named =
+          if (withNames) {
+            val head = fetchLines(urls.head)
+            val names =
+              if (head.hasNext) parseHeaderNames(head.next(), sep) else Seq.empty
+            if (names.length == df.schema.length)
+              org.apache.spark.sql.types.StructType(
+                df.schema.fields.zip(names).map { case (f, n) => f.copy(name = n) })
+            else df.schema
+          } else df.schema
         // re-zip virtual cols: join back by re-parse is wasteful; instead
         // parse once more from the cached lines with the inferred schema
-        fromCsvCols(cached, df.schema, sep)
+        fromCsvCols(cached, named, sep)
     }
     parsed
+  }
+
+  /** Column names from a CSV header line: split on the separator with
+    * RFC-4180 quote awareness (a quoted name may contain the sep). */
+  private[sources] def parseHeaderNames(header: String, sep: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val cur = new StringBuilder
+    var inQuote = false
+    var i = 0
+    while (i < header.length) {
+      val c = header.charAt(i)
+      if (inQuote) {
+        if (c == '"' && i + 1 < header.length && header.charAt(i + 1) == '"') {
+          cur.append('"'); i += 1
+        } else if (c == '"') inQuote = false
+        else cur.append(c)
+      } else if (c == '"') inQuote = true
+      else if (sep.length == 1 && c == sep.charAt(0)) { out += cur.toString; cur.clear() }
+      else cur.append(c)
+      i += 1
+    }
+    out += cur.toString
+    out.map(_.trim).toSeq
   }
 
   /** JSONEachRow over url(): one fetched line per JSON object, parsed

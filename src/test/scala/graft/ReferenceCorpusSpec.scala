@@ -41,7 +41,9 @@ class ReferenceCorpusSpec extends AnyFunSuite {
     * parquet endpoint. Returns (dir, staticHttpPort). */
   private lazy val fixture: (String, Int) = {
     val dir = "/tmp/graft_refcorpus"
-    val done = new java.io.File(s"$dir/_DONE")
+    // sentinel names the fixture GENERATION: bump when files are added
+    // so an existing dir regenerates instead of silently missing them
+    val done = new java.io.File(s"$dir/_DONE_g2")
     if (!done.exists()) {
       java.nio.file.Files.createDirectories(new java.io.File(dir).toPath)
       months.foreach { case (ym, n) =>
@@ -65,6 +67,14 @@ class ReferenceCorpusSpec extends AnyFunSuite {
           new java.io.File(dir, s"house_$i.parquet").toPath,
           java.nio.file.StandardCopyOption.REPLACE_EXISTING)
       }
+      // run.sh's aapl_stock.csv: schema-INFERRED CSVWithNames (the only
+      // demo statement with no explicit schema string)
+      val aapl = ("Date,Open,High,Low,Close,Volume" +:
+        (0 until 10).map(i =>
+          s"2021-01-${i + 10},130.$i,131.$i,129.$i,130.${i + 1},${1000000 + i}"))
+        .mkString("", "\n", "\n")
+      java.nio.file.Files.writeString(
+        new java.io.File(dir, "aapl_stock.csv").toPath, aapl)
       // github_events endpoint: only the columns the workflow query
       // touches need data — Catalog reads the endpoint THROUGH the
       // attached DDL schema, so the other 60 columns resolve as nulls
@@ -133,6 +143,27 @@ class ReferenceCorpusSpec extends AnyFunSuite {
 \t'gzip') limit 10"""
     // data-201612 is months index 95 → 95 % 5 + 2 = 2 rows
     assert(ChSql.sql(spark, sql).collect().head.getLong(0) == 2L)
+  }
+
+  test("run.sh readiness poll: select 3 from system.zookeeper (run.sh:6)") {
+    val rows = ChSql.sql(spark,
+      "select 3 from system.zookeeper where path='/clickhouse/task_queue/'")
+      .collect()
+    assert(rows.nonEmpty && rows.forall(_.getInt(0) == 3))
+  }
+
+  test("run.sh demo query: urlCluster over aapl_stock.csv, schema inferred (run.sh:17)") {
+    val (_, port) = fixture
+    val rows = ChSql.sql(spark,
+      s"select * from urlCluster('randomclustername', 'http://127.0.0.1:$port/aapl_stock.csv', 'CSVWithNames') LIMIT 5")
+      .collect()
+    assert(rows.length == 5)
+    // inference produced real types for the numeric columns
+    val df = ChSql.sql(spark,
+      s"select * from urlCluster('randomclustername', 'http://127.0.0.1:$port/aapl_stock.csv', 'CSVWithNames') LIMIT 5")
+    val types = df.schema.fields.map(f => f.name -> f.dataType.typeName).toMap
+    assert(types("Volume") == "integer" || types("Volume") == "long", types.toString)
+    assert(types("Open") == "double", types.toString)
   }
 
   /** The workflow input (`…_test.go:80-90`): the verbatim 63-column
