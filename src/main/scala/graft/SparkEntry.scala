@@ -1213,6 +1213,25 @@ object SparkEntry {
         |       CAST(sum(toISOWeek(l_shipdate)) AS BIGINT) AS isow
         |FROM lineitem""".stripMargin),
 
+    // halfMD5 — the second bit-exact CH sharding hash (md5 top half as
+    // UInt64, two's-complement Long mapping), mod-folded like q31
+    "q125_halfmd5" -> ch(
+      """SELECT CAST(sum(pmod(halfMD5(text), 1000000007)) AS BIGINT) AS h,
+        |       CAST(uniqExact(pmod(halfMD5(lang), 8)) AS BIGINT) AS shards
+        |FROM documents""".stripMargin),
+
+    // sparse lexical cosine near-dups over the inverted index (tf-idf
+    // weights, L2-normalized, term-keyed self-join with df pruning)
+    "q126_lexical_cosine" -> ((spark, dir) => {
+      prep(spark, dir)
+      graft.operators.Retrieval.lexicalCosinePairs(
+          Tables.load(spark, dir, "documents"), "doc_id", "text",
+          minCosine = 0.8, maxDf = 200L)
+        .select(col("id_a"), col("id_b"),
+          round(col("cos") * 1000).cast("long").as("cos_milli"))
+        .orderBy("id_a", "id_b")
+    }),
+
     // weighted exact quantile (CH quantileExactWeighted semantics as
     // the distributed window shape): median price weighted by quantity
     "q123_weighted_quantile" -> ((spark, dir) => {
@@ -2014,6 +2033,36 @@ object SparkEntry {
         |FROM sh n JOIN sh r ON n.doc_id % 2 = 1 AND r.doc_id % 2 = 0
         |WHERE len(list_intersect(n.s, r.s))::DOUBLE / len(list_distinct(list_concat(n.s, r.s))) >= 0.7
         |ORDER BY new_id, ref_id""".stripMargin,
+    "q125_halfmd5" ->
+      """WITH t AS (SELECT text, lang, md5(text) AS hx, md5(lang) AS hl FROM documents),
+        |v AS (SELECT
+        |  CAST(('0x' || substr(hx, 1, 8))::BIGINT AS HUGEINT) * 4294967296 + ('0x' || substr(hx, 9, 8))::BIGINT AS ut,
+        |  CAST(('0x' || substr(hl, 1, 8))::BIGINT AS HUGEINT) * 4294967296 + ('0x' || substr(hl, 9, 8))::BIGINT AS ul
+        |  FROM t),
+        |s AS (SELECT
+        |  CASE WHEN ut >= 9223372036854775808 THEN ut - 18446744073709551616 ELSE ut END AS st,
+        |  CASE WHEN ul >= 9223372036854775808 THEN ul - 18446744073709551616 ELSE ul END AS sl
+        |  FROM v)
+        |SELECT CAST(sum(((st % 1000000007) + 1000000007) % 1000000007) AS BIGINT) AS h,
+        |       CAST(count(DISTINCT ((sl % 8) + 8) % 8) AS BIGINT) AS shards
+        |FROM s""".stripMargin,
+    "q126_lexical_cosine" ->
+      """WITH w AS (
+        |  SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM w GROUP BY doc_id, term),
+        |d AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        |n AS (SELECT count(DISTINCT doc_id) AS n FROM documents),
+        |wt AS (SELECT tf.doc_id, tf.term, tf.tf * ln(n.n::DOUBLE / d.df) AS w
+        |       FROM tf JOIN d USING (term) CROSS JOIN n WHERE d.df <= 200),
+        |nm AS (SELECT doc_id, sqrt(sum(w * w)) AS nn FROM wt GROUP BY doc_id),
+        |u AS (SELECT wt.doc_id, wt.term, wt.w / nm.nn AS w
+        |      FROM wt JOIN nm USING (doc_id) WHERE nm.nn > 0)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |       CAST(round(sum(a.w * b.w) * 1000) AS BIGINT) AS cos_milli
+        |FROM u a JOIN u b ON a.term = b.term AND a.doc_id < b.doc_id
+        |GROUP BY a.doc_id, b.doc_id
+        |HAVING sum(a.w * b.w) >= 0.8
+        |ORDER BY id_a, id_b""".stripMargin,
     "q124_scalar_tail2" ->
       """SELECT
         |  CAST(sum(CASE WHEN l_linenumber = 1 THEN 0 ELSE l_orderkey // (l_linenumber - 1) END) AS BIGINT) AS idz,

@@ -848,6 +848,19 @@ object ChFunctions {
       reg("chTransform")({ case Seq(x, from, to, default) =>
         Coalesce(Seq(GetMapValue(MapFromArrays(from, to), x), default))
       })
+      // halfMD5(s): the first 8 bytes of md5 as a big-endian 64-bit
+      // value (CH's cheap sharding hash). Assembled from two 32-bit
+      // halves with shift-or — conv() of the full 16 hex digits would
+      // produce an unsigned decimal string that overflows an ANSI
+      // signed-long cast for half the hash space. UInt64 lands in Long
+      // two's-complement (the documented UInt64 mapping, §1.2).
+      reg("halfMD5")({ exprs =>
+        val hex = Md5(Cast(exprs.head, BinaryType))
+        def half(start: Int) = Cast(
+          Conv(Substring(hex, Literal(start), Literal(8)), Literal(16), Literal(10)),
+          LongType)
+        BitwiseOr(ShiftLeft(half(1), Literal(32)), half(9))
+      })
       // tokens(s): maximal alphanumeric runs (CH tokenizes on everything
       // else); boundary splits leave empty strings — removed
       reg("tokens")(exprs => ArrayRemove(

@@ -107,6 +107,43 @@ object Retrieval {
       .withColumnRenamed("_id", idCol)
   }
 
+  /** Sparse lexical cosine similarity between documents, via the
+    * inverted index: per-(doc, term) TF-IDF weights, L2-normalized per
+    * document, pairwise dot products accumulated term-by-term. Returns
+    * (id_a, id_b, cos) with id_a < id_b and cos ≥ `minCosine` — the
+    * lexical counterpart of the embedding near-dup pairs.
+    *
+    * Scale posture: the self-join keys on the TERM, so cost is
+    * Σ postings(term)² — dominated by the commonest terms. `maxDf`
+    * caps posting-list length (terms in more than `maxDf` documents
+    * are pruned BEFORE the join — they carry near-zero idf weight and
+    * quadratic join mass; this is the standard stopword-pruning bound
+    * that keeps an inverted-index self-join collision-proportional).
+    * Both join sides are posting-list-sized — shuffle-hash, never
+    * broadcast. */
+  def lexicalCosinePairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      minCosine: Double,
+      maxDf: Long): DataFrame = {
+    val w = tfidf(df, idCol, textCol)
+      .filter(col("df") <= maxDf)
+      .select(col(idCol).as("_id"), col("term"), col("tfidf"))
+    val byDoc = org.apache.spark.sql.expressions.Window.partitionBy(col("_id"))
+    val unit = w
+      .withColumn("_n", sqrt(sum(col("tfidf") * col("tfidf")).over(byDoc)))
+      .filter(col("_n") > 0) // docs whose every term was pruned (or all-zero idf)
+      .select(col("_id"), col("term"), (col("tfidf") / col("_n")).as("_w"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    unit.as("a")
+      .join(unit.as("b").hint("shuffle_hash"),
+        col("a.term") === col("b.term") && col("a._id") < col("b._id"))
+      .groupBy(col("a._id").as("id_a"), col("b._id").as("id_b"))
+      .agg(sum(col("a._w") * col("b._w")).as("cos"))
+      .filter(col("cos") >= minCosine)
+  }
+
   /** Reciprocal-rank fusion of two scored candidate lists (e.g. BM25
     * lexical and embedding-cosine semantic retrieval for the same
     * queries): `rrf = Σ 1 / (k + rank)` over the lists a document

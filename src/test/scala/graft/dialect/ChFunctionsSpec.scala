@@ -500,6 +500,15 @@ class ChFunctionsSpec extends AnyFunSuite {
     assert(one("SELECT toDayOfYear(toDate('2024-02-01'))") == 32)
   }
 
+  test("halfMD5: md5 top half as two's-complement UInt64, golden vectors") {
+    // goldens: int(md5(s).hexdigest()[:16], 16) mapped to signed 64-bit
+    assert(one("SELECT halfMD5('abc')") == -8070080442485551184L)
+    assert(one("SELECT halfMD5('')") == -3162216497309240828L)
+    assert(one("SELECT halfMD5('graft')") == 7465882805023196413L)
+    // stable under concat (hash of bytes, not of Spark's value identity)
+    assert(one("SELECT halfMD5(concat('gr', 'aft'))") == 7465882805023196413L)
+  }
+
   test("tokens, ngrams, ngramDistance") {
     assert(one("SELECT tokens('a-b c_1  d!')")
       .asInstanceOf[scala.collection.Seq[String]].toSeq == Seq("a", "b", "c", "1", "d"))

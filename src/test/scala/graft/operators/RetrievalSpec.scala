@@ -70,6 +70,22 @@ class RetrievalSpec extends AnyFunSuite {
     assert(r(11L) > r(10L))
   }
 
+  test("lexicalCosinePairs: identical docs hit cos 1, disjoint docs never pair, df pruning works") {
+    val docs = Seq(
+      (0L, "rare unique words here"),
+      (1L, "rare unique words here"),     // identical to 0 → cos 1
+      (2L, "completely different tokens entirely"),
+      (3L, "stop stop stop stop")          // only the common term
+    ).toDF("id", "text")
+    val pairs = Retrieval.lexicalCosinePairs(docs, "id", "text",
+      minCosine = 0.5, maxDf = 10L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(pairs.keySet == Set((0L, 1L)))
+    assert(math.abs(pairs((0L, 1L)) - 1.0) < 1e-12)
+    // pruning every term (maxDf = 0) yields no vectors and no pairs
+    assert(Retrieval.lexicalCosinePairs(docs, "id", "text", 0.0, 0L).count() == 0)
+  }
+
   test("rrfFuse partitions by query: same doc ranks independently per query") {
     val a = Seq((0L, 1L, 1.0), (9L, 1L, 1.0), (9L, 2L, 2.0)).toDF("q", "d", "s")
     val b = spark.emptyDataset[(Long, Long, Double)].toDF("q", "d", "s")
