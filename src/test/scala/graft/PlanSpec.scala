@@ -225,6 +225,23 @@ class PlanSpec extends AnyFunSuite {
     assert(!p2.contains("SinglePartition"), s"shard windows must partition:\n$p2")
   }
 
+  test("lexical cosine self-join: term-keyed, persisted unit vectors, no broadcast") {
+    val docs = Tables.load(spark, dir, "documents")
+    val plan = planOf(graft.operators.Retrieval.lexicalCosinePairs(
+      docs, "doc_id", "text", minCosine = 0.8, maxDf = 50L))
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("InMemoryTableScan"),
+      s"unit-vector state must be persisted for both join sides:\n$plan")
+    // posting lists are corpus-derived — the PAIR join (everything above
+    // the persisted cache; the cache's own build plan legitimately
+    // broadcasts tfidf's vocabulary-sized df/N sides) must shuffle
+    val aboveCache = plan.substring(0, plan.indexOf("InMemoryRelation"))
+    assert(aboveCache.contains("ShuffledHashJoin"),
+      s"posting-list join must be a shuffled hash join:\n$plan")
+    assert(!aboveCache.contains("BroadcastHashJoin"),
+      s"posting-list join must shuffle, not broadcast:\n$plan")
+  }
+
   test("cross-corpus candidate join is banded shuffle-hash, never cartesian or broadcast") {
     val docs = Tables.load(spark, dir, "documents")
     val refState = Dedup.minHashState(
