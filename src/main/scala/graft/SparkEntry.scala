@@ -1134,7 +1134,8 @@ object SparkEntry {
     "q114_stratified_sample" -> ((spark, dir) => {
       prep(spark, dir)
       graft.operators.Sampling.stratifiedSample(
-          Tables.load(spark, dir, "documents"), "lang", "text", n = 5)
+          Tables.load(spark, dir, "documents"), "lang", "text", n = 5,
+          idCol = "doc_id")
         .select(col("lang"), col("doc_id")).orderBy("lang", "doc_id")
     }),
 
@@ -1143,7 +1144,8 @@ object SparkEntry {
     "q115_shuffle_shards" -> ((spark, dir) => {
       prep(spark, dir)
       graft.operators.Sampling.shuffleShards(
-          Tables.load(spark, dir, "documents"), "text", shards = 8)
+          Tables.load(spark, dir, "documents"), "text", shards = 8,
+          idCol = "doc_id")
         .filter(col("shard") < 2)
         .select(col("shard"), col("pos"), col("doc_id"))
         .orderBy("shard", "pos")
@@ -2118,7 +2120,7 @@ object SparkEntry {
     "q116_search_tail" ->
       """SELECT CASE lang WHEN 'en' THEN 'english' WHEN 'de' THEN 'german' ELSE 'other' END AS lang_name,
         |  count(*) FILTER (WHERE strpos(text, 'spark') > 0 OR strpos(text, 'quantum') > 0) AS n_any,
-        |  count(*) FILTER (WHERE regexp_matches(text, '(^|[^A-Za-z0-9_])vector([^A-Za-z0-9_]|$)')) AS n_tok,
+        |  count(*) FILTER (WHERE regexp_matches(text, '(^|[^A-Za-z0-9])vector([^A-Za-z0-9]|$)')) AS n_tok,
         |  CAST(sum(len(string_split_regex(text, '\s+'))) AS BIGINT) AS n_toks
         |FROM documents GROUP BY lang_name ORDER BY lang_name""".stripMargin,
     "q111_tfidf" ->
@@ -2180,7 +2182,7 @@ object SparkEntry {
     "q114_stratified_sample" ->
       """SELECT lang, doc_id FROM (
         |  SELECT lang, doc_id,
-        |         row_number() OVER (PARTITION BY lang ORDER BY md5(text) ASC, text ASC) AS rk
+        |         row_number() OVER (PARTITION BY lang ORDER BY md5(text) ASC, doc_id ASC) AS rk
         |  FROM documents) t
         |WHERE rk <= 5 ORDER BY lang, doc_id""".stripMargin,
     "q115_shuffle_shards" ->
@@ -2191,7 +2193,7 @@ object SparkEntry {
         |      FROM h)
         |SELECT shard, pos, doc_id FROM (
         |  SELECT shard,
-        |         row_number() OVER (PARTITION BY shard ORDER BY hx ASC, text ASC) - 1 AS pos,
+        |         row_number() OVER (PARTITION BY shard ORDER BY hx ASC, doc_id ASC) - 1 AS pos,
         |         doc_id
         |  FROM s) t
         |WHERE shard < 2 ORDER BY shard, pos""".stripMargin,

@@ -832,21 +832,28 @@ object ChFunctions {
         require(needles.nonEmpty, "multiSearchAny needs at least one needle")
         needles.map(n => Contains(h, n): Expression).reduceLeft(Or)
       })
-      // hasToken(haystack, 'tok'): the token bounded by non-word chars
-      // (CH tokenizes on non-alphanumerics). RE2-compatible pattern —
+      // hasToken(haystack, 'tok'): the token bounded by non-alphanumeric
+      // chars — INCLUDING underscore, which CH treats as a separator
+      // (tokens are maximal [A-Za-z0-9] runs). RE2-compatible pattern —
       // no lookaround — so the same regex runs under Java and RE2
       reg("hasToken")({ case Seq(h, Literal(t: org.apache.spark.unsafe.types.UTF8String, StringType)) =>
         RLike(h, Literal(
-          "(^|[^A-Za-z0-9_])" + java.util.regex.Pattern.quote(t.toString) +
-            "([^A-Za-z0-9_]|$)"))
+          "(^|[^A-Za-z0-9])" + java.util.regex.Pattern.quote(t.toString) +
+            "([^A-Za-z0-9]|$)"))
       })
       // splitByRegexp(re, s) — CH arg order, regex separator
       reg("splitByRegexp")({ case Seq(re, s) => StringSplit(s, re, Literal(-1)) })
       // CH transform(x, [from…], [to…], default) value remap — registered
       // as chTransform; the ChSql pre-pass routes CH's 4-arg spelling
-      // here so Spark's own array transform(arr, lambda) keeps working
+      // here so Spark's own array transform(arr, lambda) keeps working.
+      // array_position (FIRST match) instead of a map: CH allows
+      // duplicate 'from' values with first-match-wins, while
+      // MapFromArrays would throw on duplicates under the default
+      // map-key dedup policy
       reg("chTransform")({ case Seq(x, from, to, default) =>
-        Coalesce(Seq(GetMapValue(MapFromArrays(from, to), x), default))
+        val pos = ArrayPosition(from, x)
+        If(EqualTo(pos, Literal(0L)), default,
+          ElementAt(to, Cast(pos, IntegerType)))
       })
       // halfMD5(s): the first 8 bytes of md5 as a big-endian 64-bit
       // value (CH's cheap sharding hash). Assembled from two 32-bit

@@ -122,12 +122,6 @@ object ChSql {
   private val OrderByRe = """(?i)\bORDER\s+BY\b""".r
   private val TailLimitRe = """(?i)\bLIMIT\s+(\d+)\s*$""".r
 
-  /** CH `… ORDER BY o LIMIT n BY cols [LIMIT m]` — first n rows per
-    * distinct `cols` group under the query's ORDER BY → a ranked-window
-    * subquery (`row_number() OVER (PARTITION BY cols ORDER BY o)`).
-    * Top-level clause only (the CH form in practice); an explicit ORDER
-    * BY is required — CH without one takes arbitrary engine order,
-    * which a deterministic engine should refuse, not emulate. */
   private val QualifyRe = """(?i)\bQUALIFY\b""".r
 
   /** CH/modern-SQL `QUALIFY <pred>` — post-window filtering — rewrites
@@ -157,6 +151,12 @@ object ChSql {
     s"SELECT * FROM ($head) __qf WHERE $pred$tail"
   }
 
+  /** CH `… ORDER BY o LIMIT n BY cols [LIMIT m]` — first n rows per
+    * distinct `cols` group under the query's ORDER BY → a ranked-window
+    * subquery (`row_number() OVER (PARTITION BY cols ORDER BY o)`).
+    * Top-level clause only (the CH form in practice); an explicit ORDER
+    * BY is required — CH without one takes arbitrary engine order,
+    * which a deterministic engine should refuse, not emulate. */
   def rewriteLimitBy(sql: String): String = {
     val hit = LimitByRe.findAllMatchIn(sql)
       .find(m => !insideQuote(sql, m.start) && depthAt(sql, m.start) == 0)

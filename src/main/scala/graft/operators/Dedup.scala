@@ -282,6 +282,15 @@ object Dedup {
       numHashes: Int = 128,
       bands: Int = 32,
       threshold: Double = 0.7): DataFrame = {
+    // fail loudly on a parameter/state mismatch: band hashes over
+    // different-width signature slices match essentially nothing, so a
+    // wrong numHashes would silently declare the batch duplicate-free
+    refState.select(org.apache.spark.sql.functions.size(col("_sig")))
+      .head(1).foreach { r =>
+        require(r.getInt(0) == numHashes,
+          s"refState signatures have ${r.getInt(0)} hashes but numHashes=$numHashes " +
+            "was requested — rebuild the state or pass the value it was built with")
+      }
     val newState = minHashState(newDocs, idCol, textCol, shingleSize, numHashes)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     def banded(df: DataFrame) = df.select(

@@ -38,7 +38,11 @@ object Quantiles {
       .select((groups :+ col(valueCol) :+ col(weightCol).cast("double").as("_w")): _*)
       .filter(col("_w") > 0)
       .withColumn("_cumw", sum(col("_w")).over(cum))
-      .withColumn("_totw", sum(col("_w")).over(byGroup))
+      // the total is the MAX of the same running sum, not an
+      // independently-ordered window sum: with fractional weights the
+      // two could differ by an ulp, and at q = 1.0 a total one ulp
+      // above the final prefix sum would silently drop the group
+      .withColumn("_totw", max(col("_cumw")).over(byGroup))
     marked
       .filter(col("_cumw") >= col("_totw") * q)
       .groupBy(groups: _*)

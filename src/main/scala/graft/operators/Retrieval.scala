@@ -35,11 +35,11 @@ object Retrieval {
     *
     * Distributed shape: explode → one hash-aggregate to (doc, term)
     * counts (map-side partial combine eats the duplicate-term mass);
-    * document frequencies derive from THAT aggregate, not a second
-    * corpus scan, and broadcast back (vocabulary-sized — orders of
-    * magnitude smaller than the corpus); N rides the same broadcast
-    * row-set as a window total, so nothing is collected to the
-    * driver. */
+    * document frequencies derive from THAT persisted aggregate, not a
+    * second corpus scan, and broadcast back (vocabulary-sized — orders
+    * of magnitude smaller than the corpus). N is its own
+    * count-distinct over the id column only (a pruned scan), joined in
+    * as a broadcast scalar — nothing is collected to the driver. */
   def tfidf(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val hits = df.select(col(idCol).as("_id"),
       explode(tokens(col(textCol))).as("term"))
@@ -70,10 +70,13 @@ object Retrieval {
     * Distributed shape: the query-term filter lands INSIDE the explode
     * projection (an `IN` over a literal set), so only matching hits —
     * a tiny fraction of tokens — ever leave the scan stage; doc
-    * length is a scan-stage column; (N, avgdl) is one two-value
-    * aggregate broadcast as a scalar row; per-term document
-    * frequencies are at most |queryTerms| rows, broadcast. One
-    * corpus scan, one narrow shuffle of query-term hits. */
+    * length is a scan-stage column; per-term document frequencies are
+    * at most |queryTerms| rows, broadcast. TWO corpus passes total:
+    * the (N, avgdl) stats pass (a text-column aggregate that never
+    * shuffles row data) and the hit scan — folding stats into the hit
+    * lineage would require persisting the tokenized corpus, which is
+    * corpus-sized; two cheap passes beat that. One narrow shuffle of
+    * query-term hits. */
   def bm25(
       df: DataFrame,
       idCol: String,

@@ -76,9 +76,14 @@ object Sampling {
 
   /** Stratified sampling with EXACT per-group quotas: keep the first
     * `n` rows of each group in content-hash order (full md5 of the
-    * key, id tie-break) — deterministic across runs and partitionings,
-    * unlike fraction-based `sampleBy`, which only hits quotas in
-    * expectation. Returns the kept rows.
+    * key, then the UNIQUE `idCol` as tie-break) — deterministic across
+    * runs and partitionings, unlike fraction-based `sampleBy`, which
+    * only hits quotas in expectation. Returns the kept rows.
+    *
+    * `idCol` must be unique per row: duplicate keys (exactly the rows
+    * a dup-heavy corpus has) carry identical (md5, key) sort keys, so
+    * without a unique tie-break WHICH duplicate crosses the quota
+    * boundary would depend on partitioning.
     *
     * Scale posture: one shuffle on the group column; each window
     * ranks only its own group's rows, and `WindowGroupLimit` prunes
@@ -88,11 +93,12 @@ object Sampling {
     * hot stratum is the same skew problem as any group-by and gets
     * the same salting remedy. */
   def stratifiedSample(
-      df: DataFrame, groupCol: String, keyCol: String, n: Int): DataFrame = {
+      df: DataFrame, groupCol: String, keyCol: String, n: Int,
+      idCol: String): DataFrame = {
     require(n > 0)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(groupCol))
-      .orderBy(md5(col(keyCol).cast("string")).asc, col(keyCol).cast("string").asc)
+      .orderBy(md5(col(keyCol).cast("string")).asc, col(idCol).asc)
     df.withColumn("_rk", row_number().over(w))
       .filter(col("_rk") <= n)
       .drop("_rk")
@@ -118,13 +124,16 @@ object Sampling {
     * each window's state to corpus/S. At 100 TB, set shards ≥
     * cluster parallelism and write one file per shard. */
   def shuffleShards(
-      df: DataFrame, keyCol: String, shards: Int): DataFrame = {
+      df: DataFrame, keyCol: String, shards: Int, idCol: String): DataFrame = {
     require(shards >= 1 && shards <= 256, s"shards=$shards must be in 1..256")
     val hex = md5(col(keyCol).cast("string"))
     val shard = pmod(conv(substring(hex, 1, 2), 16, 10).cast("int"), lit(shards))
+    // tie-break on the UNIQUE id, not the key: duplicate keys hash
+    // identically, and their relative positions must not depend on
+    // partitioning
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("shard"))
-      .orderBy(md5(col(keyCol).cast("string")).asc, col(keyCol).cast("string").asc)
+      .orderBy(md5(col(keyCol).cast("string")).asc, col(idCol).asc)
     df.withColumn("shard", shard)
       .withColumn("pos", (row_number().over(w) - 1).cast("long"))
   }

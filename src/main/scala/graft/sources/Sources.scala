@@ -153,13 +153,14 @@ object Sources {
         // CSVWithNames without a schema takes column NAMES from the
         // header (CH inference contract) — the data pass above stripped
         // headers per file, so read the first URL's header line here
-        // (driver-side; one tiny ranged fetch) and rename the inferred
-        // _c0… columns. Count mismatch (ragged header) keeps _cN names.
+        // (driver-side, explicitly closed: the task-completion close in
+        // fetchLines only arms on executors, and an unclosed driver
+        // fetch per inference query would leak sockets). Count mismatch
+        // (ragged header) keeps the inferred _cN names.
         val named =
           if (withNames) {
-            val head = fetchLines(urls.head)
-            val names =
-              if (head.hasNext) parseHeaderNames(head.next(), sep) else Seq.empty
+            val names = fetchFirstLine(urls.head)
+              .map(parseHeaderNames(_, sep)).getOrElse(Seq.empty)
             if (names.length == df.schema.length)
               org.apache.spark.sql.types.StructType(
                 df.schema.fields.zip(names).map { case (f, n) => f.copy(name = n) })
@@ -244,6 +245,22 @@ object Sources {
   /** Executor-side fetch. gzip-decodes by extension like CH. The stream
     * is closed when the task completes (success or failure), and carries
     * connect/read timeouts so a hung endpoint fails fast. */
+  /** Driver-side single-line fetch with an EXPLICIT close — for header
+    * peeks outside any task context (where [[fetchLines]]'s
+    * task-completion close never arms). */
+  private[sources] def fetchFirstLine(url: String): Option[String] = {
+    val conn = new java.net.URI(url).toURL.openConnection()
+    conn.setConnectTimeout(30000)
+    conn.setReadTimeout(120000)
+    val raw = conn.getInputStream
+    val in =
+      if (url.endsWith(".gz")) new java.util.zip.GZIPInputStream(raw) else raw
+    try {
+      val it = scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+      if (it.hasNext) Some(it.next()) else None
+    } finally in.close()
+  }
+
   private[sources] def fetchLines(url: String): Iterator[String] = {
     val conn = new java.net.URI(url).toURL.openConnection()
     conn.setConnectTimeout(30000)

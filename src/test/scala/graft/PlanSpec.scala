@@ -217,11 +217,11 @@ class PlanSpec extends AnyFunSuite {
 
   test("stratified sample and shard shuffle: windows partition by stratum/shard") {
     val docs = Tables.load(spark, dir, "documents")
-    val p1 = planOf(graft.operators.Sampling.stratifiedSample(docs, "lang", "text", 3))
+    val p1 = planOf(graft.operators.Sampling.stratifiedSample(docs, "lang", "text", 3, "doc_id"))
     assert(!p1.contains("SinglePartition"), s"stratum windows must partition:\n$p1")
     assert(p1.contains("WindowGroupLimit"),
       s"quota should prune via WindowGroupLimit before the full sort state:\n$p1")
-    val p2 = planOf(graft.operators.Sampling.shuffleShards(docs, "text", 8))
+    val p2 = planOf(graft.operators.Sampling.shuffleShards(docs, "text", 8, "doc_id"))
     assert(!p2.contains("SinglePartition"), s"shard windows must partition:\n$p2")
   }
 

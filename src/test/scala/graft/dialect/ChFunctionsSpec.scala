@@ -460,10 +460,10 @@ class ChFunctionsSpec extends AnyFunSuite {
   test("string-search tail: multiSearchAny, hasToken, splitByRegexp, transform remap") {
     assert(one("SELECT multiSearchAny('hello world', array('xyz', 'wor'))") == true)
     assert(one("SELECT multiSearchAny('hello world', array('xyz'))") == false)
-    // token = bounded by non-word chars: substrings and underscore
-    // compounds never match; start/end of string do
-    assert(one("SELECT hasToken('a spark_x spark b', 'spark')") == true)
-    assert(one("SELECT hasToken('sparkly spark_x', 'spark')") == false)
+    // token = maximal alphanumeric run (CH separates on '_' too):
+    // substrings never match; underscore-adjacent tokens DO
+    assert(one("SELECT hasToken('a spark_x b', 'spark')") == true)
+    assert(one("SELECT hasToken('sparkly sparks', 'spark')") == false)
     assert(one("SELECT hasToken('end spark', 'spark')") == true)
     assert(one("SELECT hasToken('spark start', 'spark')") == true)
     assert(one("SELECT size(splitByRegexp('\\\\s+', 'a  b\tc'))") == 3)
@@ -478,6 +478,11 @@ class ChFunctionsSpec extends AnyFunSuite {
     assert(oneCh(
       "SELECT transform('fr', array('en','de'), array('english','german'), 'other')")
       == "other")
+    // duplicate 'from' values: first match wins (CH semantics); a map
+    // build would throw on the duplicate key
+    assert(oneCh(
+      "SELECT transform('en', array('en','en'), array('first','second'), 'other')")
+      == "first")
     // Spark's higher-order array transform survives the pre-pass
     assert(oneCh("SELECT transform(array(1,2,3), x -> x + 1)")
       .asInstanceOf[scala.collection.Seq[Int]].toSeq == Seq(2, 3, 4))

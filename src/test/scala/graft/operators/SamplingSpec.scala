@@ -60,20 +60,20 @@ class SamplingSpec extends AnyFunSuite {
   }
 
   test("stratifiedSample: exact quotas, deterministic, partition-independent") {
-    val a = Sampling.stratifiedSample(corpus, "lang", "text", 7)
+    val a = Sampling.stratifiedSample(corpus, "lang", "text", 7, "id")
     val byLang = a.groupBy("lang").count().as[(String, Long)].collect().toMap
     assert(byLang == Map("en" -> 7L, "de" -> 7L)) // exact, not in expectation
     val ids1 = a.select("id").as[Long].collect().sorted
-    val ids2 = Sampling.stratifiedSample(corpus.repartition(13), "lang", "text", 7)
+    val ids2 = Sampling.stratifiedSample(corpus.repartition(13), "lang", "text", 7, "id")
       .select("id").as[Long].collect().sorted
     assert(ids1.sameElements(ids2))
     // a quota above the group size keeps the whole group
-    val all = Sampling.stratifiedSample(corpus, "lang", "text", 1000)
+    val all = Sampling.stratifiedSample(corpus, "lang", "text", 1000, "id")
     assert(all.count() == 400)
   }
 
   test("shuffleShards: dense per-shard positions, deterministic, covers input") {
-    val s = Sampling.shuffleShards(corpus, "text", shards = 8)
+    val s = Sampling.shuffleShards(corpus, "text", shards = 8, idCol = "id")
     assert(s.count() == 400)
     // every shard's positions are 0..count-1 (dense, no gaps)
     val perShard = s.groupBy("shard")
@@ -83,7 +83,7 @@ class SamplingSpec extends AnyFunSuite {
     perShard.foreach { case (_, n, mx, mn) => assert(mn == 0L && mx == n - 1) }
     // deterministic across partitionings: same (id → shard, pos)
     val m1 = s.select("id", "shard", "pos").as[(Long, Int, Long)].collect().toSet
-    val m2 = Sampling.shuffleShards(corpus.repartition(11), "text", shards = 8)
+    val m2 = Sampling.shuffleShards(corpus.repartition(11), "text", shards = 8, idCol = "id")
       .select("id", "shard", "pos").as[(Long, Int, Long)].collect().toSet
     assert(m1 == m2)
     // the order is a real shuffle: per-shard pos order differs from id order

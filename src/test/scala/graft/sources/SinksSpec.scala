@@ -73,7 +73,7 @@ class SinksSpec extends AnyFunSuite {
     import spark2.implicits._
     val docs = (0 until 200).map(i => (i.toLong, s"text payload $i"))
       .toDF("id", "text")
-    val sharded = graft.operators.Sampling.shuffleShards(docs, "text", shards = 4)
+    val sharded = graft.operators.Sampling.shuffleShards(docs, "text", shards = 4, idCol = "id")
     Sinks.writeShards(sharded, s"$dir/s")
     val shardDirs = new java.io.File(s"$dir/s").listFiles()
       .filter(_.getName.startsWith("shard=")).map(_.getName).sorted
