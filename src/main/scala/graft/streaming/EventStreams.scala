@@ -52,6 +52,40 @@ object EventStreams {
       .agg(count(lit(1)).as("cnt"))
       .select(col("w.start").as("window_start"), col("cnt"))
 
+  /** Stream-stream interval join: pair each left event with the right
+    * events for the SAME user whose timestamp falls within
+    * [left.ts, left.ts + `within`] — the attribution shape
+    * (impression ⋈ click-within-N-minutes). Both sides are
+    * watermarked, and the time-range condition bounds join state: a
+    * buffered row is dropped once the other side's watermark passes
+    * its interval, so state is (rate × (watermark + within)), never
+    * stream length. Inner join; unmatched rows simply age out.
+    * Returns (user_id, l_id, r_id, l_ts, r_ts).
+    *
+    * The same call works on two batch frames (the condition is plain
+    * columns) — one definition, two execution modes, like the rest of
+    * this module. */
+  def intervalJoinStream(
+      left: DataFrame,
+      right: DataFrame,
+      within: String = "15 minutes",
+      watermark: String = "10 minutes"): DataFrame = {
+    val l = left.select(col("user_id").as("l_user"),
+      col("event_id").as("l_id"), col("ts").as("l_ts"))
+    val r = right.select(col("user_id").as("r_user"),
+      col("event_id").as("r_id"), col("ts").as("r_ts"))
+    val (lw, rw) =
+      if (left.isStreaming || right.isStreaming)
+        (l.withWatermark("l_ts", watermark), r.withWatermark("r_ts", watermark))
+      else (l, r)
+    lw.join(rw,
+        col("l_user") === col("r_user") &&
+          col("r_ts") >= col("l_ts") &&
+          col("r_ts") <= col("l_ts") + expr(s"INTERVAL $within"))
+      .select(col("l_user").as("user_id"),
+        col("l_id"), col("r_id"), col("l_ts"), col("r_ts"))
+  }
+
   /** Streaming exact dedup — the ingestion-time twin of
     * [[graft.operators.Dedup.exact]]: duplicates arriving within the
     * watermark horizon are dropped exactly once per key; state for

@@ -43,6 +43,39 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream interval join attributes clicks to impressions within the window") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val imps = MemoryStream[EventStreams.Event]
+    val clicks = MemoryStream[EventStreams.Event]
+    imps.addData(
+      EventStreams.Event(0, ts(0), 1, "imp", 0),
+      EventStreams.Event(1, ts(0), 2, "imp", 0))
+    clicks.addData(
+      EventStreams.Event(10, ts(5), 1, "click", 0),   // within 15m of imp 0
+      EventStreams.Event(11, ts(60), 1, "click", 0),  // too late for imp 0
+      EventStreams.Event(12, ts(3), 3, "click", 0))   // no matching user
+    val q = EventStreams.intervalJoinStream(imps.toDF(), clicks.toDF(),
+        within = "15 minutes")
+      .select("user_id", "l_id", "r_id")
+      .writeStream.format("memory").queryName("ij").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("ij").as[(Long, Long, Long)].collect().toSet
+      assert(got == Set((1L, 0L, 10L)))
+      // the batch twin over identical frames agrees (same expressions)
+      val batch = EventStreams.intervalJoinStream(
+        Seq(EventStreams.Event(0, ts(0), 1, "imp", 0),
+          EventStreams.Event(1, ts(0), 2, "imp", 0)).toDF(),
+        Seq(EventStreams.Event(10, ts(5), 1, "click", 0),
+          EventStreams.Event(11, ts(60), 1, "click", 0),
+          EventStreams.Event(12, ts(3), 3, "click", 0)).toDF(),
+        within = "15 minutes")
+        .select("user_id", "l_id", "r_id").as[(Long, Long, Long)].collect().toSet
+      assert(batch == got)
+    } finally q.stop()
+  }
+
   test("windowed counts over a MemoryStream match the batch result") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
