@@ -868,6 +868,44 @@ object ChFunctions {
           LongType)
         BitwiseOr(ShiftLeft(half(1), Literal(32)), half(9))
       })
+      // human-readable display helpers (CH dashboard staples): pick the
+      // largest unit whose threshold |v| reaches, render "%.2f unit".
+      // The ascending fold nests each smaller-unit branch as the else of
+      // the next, so the FINAL expression tests the largest unit first.
+      def readableLadder(units: Seq[String], base: Double): Seq[Expression] => Expression = {
+        exprs =>
+          val v = Cast(exprs.head, DoubleType)
+          val absV = Abs(v)
+          def fmt(u: String, scaled: Expression): Expression =
+            FormatString(Literal(if (u.isEmpty) "%.2f" else s"%.2f $u"), scaled)
+          var e: Expression = fmt(units.head, v)
+          for ((u, k) <- units.zipWithIndex.drop(1)) {
+            val p = math.pow(base, k.toDouble)
+            e = If(GreaterThanOrEqual(absV, Literal(p)),
+              fmt(u, Divide(v, Literal(p))), e)
+          }
+          e
+      }
+      reg("formatReadableSize")(readableLadder(
+        Seq("B", "KiB", "MiB", "GiB", "TiB", "PiB", "EiB"), 1024.0))
+      reg("formatReadableQuantity")(readableLadder(
+        Seq("", "thousand", "million", "billion", "trillion", "quadrillion"), 1000.0))
+      // bar(x, min, max, width): unicode bar with eighth-block partials
+      // (CH's rendering) — full blocks plus one of ▏▎▍▌▋▊▉ for the
+      // fractional eighths, clamped to [0, width]
+      reg("bar")({ case Seq(x, mn, mx, w) =>
+        val frac = Least(Seq(Greatest(Seq(
+          Multiply(Divide(Subtract(Cast(x, DoubleType), Cast(mn, DoubleType)),
+            Subtract(Cast(mx, DoubleType), Cast(mn, DoubleType))), Cast(w, DoubleType)),
+          Literal(0.0))), Cast(w, DoubleType)))
+        val full = Cast(Floor(frac), IntegerType)
+        val rem8 = Cast(Floor(Multiply(Subtract(frac, Floor(frac)), Literal(8.0))),
+          IntegerType)
+        Concat(Seq(
+          StringRepeat(Literal("█"), full),
+          If(EqualTo(rem8, Literal(0)), Literal(""),
+            Substring(Literal("▏▎▍▌▋▊▉"), rem8, Literal(1)))))
+      })
       // tokens(s): maximal alphanumeric runs (CH tokenizes on everything
       // else); boundary splits leave empty strings — removed
       reg("tokens")(exprs => ArrayRemove(

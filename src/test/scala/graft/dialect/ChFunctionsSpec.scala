@@ -505,6 +505,20 @@ class ChFunctionsSpec extends AnyFunSuite {
     assert(one("SELECT toDayOfYear(toDate('2024-02-01'))") == 32)
   }
 
+  test("formatReadableSize/Quantity and bar render CH display strings") {
+    assert(one("SELECT formatReadableSize(0)") == "0.00 B")
+    assert(one("SELECT formatReadableSize(1536)") == "1.50 KiB")
+    assert(one("SELECT formatReadableSize(1073741824)") == "1.00 GiB")
+    assert(one("SELECT formatReadableSize(1023)") == "1023.00 B")
+    assert(one("SELECT formatReadableQuantity(999)") == "999.00")
+    assert(one("SELECT formatReadableQuantity(1234567)") == "1.23 million")
+    assert(one("SELECT formatReadableQuantity(5000)") == "5.00 thousand")
+    assert(one("SELECT bar(5, 0, 10, 10)") == "█████")
+    assert(one("SELECT bar(3, 0, 8, 4)") == "█▌") // 1.5 blocks → 1 full + 4/8
+    assert(one("SELECT bar(0, 0, 10, 10)") == "")
+    assert(one("SELECT bar(99, 0, 10, 10)") == "██████████") // clamped
+  }
+
   test("halfMD5: md5 top half as two's-complement UInt64, golden vectors") {
     // goldens: int(md5(s).hexdigest()[:16], 16) mapped to signed 64-bit
     assert(one("SELECT halfMD5('abc')") == -8070080442485551184L)

@@ -93,4 +93,24 @@ class SimilaritySpec extends AnyFunSuite {
       .collect().map(_.getLong(0)).toSeq
     assert(s1 == s2)
   }
+
+  test("int8 quantization is rank-faithful: top-k over dequantized vectors ≈ float top-k") {
+    // the storage-contract claim: dot products on (q / scale) preserve
+    // neighbor RANKING well enough that recall@5 stays high
+    val deq = Similarity.quantizeInt8(emb, "embedding", "q8")
+      .withColumn("deq",
+        org.apache.spark.sql.functions.transform(col("q8"),
+          x => x.cast("double") / col("q8_scale")))
+      .select(col("vec_id"), col("deq").as("embedding"))
+    val qids = Seq(0L, 1L, 2L, 3L, 4L)
+    def topk(df: org.apache.spark.sql.DataFrame) =
+      Similarity.bruteForceTopK(df, "vec_id", "embedding", qids, k = 5)
+        .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val floatTop = topk(emb.select(col("vec_id"),
+      org.apache.spark.sql.functions.transform(col("embedding"),
+        x => x.cast("double")).as("embedding")))
+    val int8Top = topk(deq)
+    val recall = floatTop.count(int8Top.contains).toDouble / floatTop.size
+    assert(recall >= 0.8, s"int8 recall@5 too low: $recall")
+  }
 }
