@@ -1234,6 +1234,15 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // display helpers over real aggregates: readable sizes/quantities
+    // and unicode bars — the CH dashboard idiom, string-exact vs printf
+    "q127_readable" -> ch(
+      """SELECT l_returnflag,
+        |       formatReadableQuantity(sum(l_quantity)) AS qty_h,
+        |       formatReadableSize(sum(l_quantity) * 1024) AS sz_h,
+        |       bar(count(), 0, 20000, 10) AS load_bar
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
+
     // weighted exact quantile (CH quantileExactWeighted semantics as
     // the distributed window shape): median price weighted by quantity
     "q123_weighted_quantile" -> ((spark, dir) => {
@@ -2035,6 +2044,26 @@ object SparkEntry {
         |FROM sh n JOIN sh r ON n.doc_id % 2 = 1 AND r.doc_id % 2 = 0
         |WHERE len(list_intersect(n.s, r.s))::DOUBLE / len(list_distinct(list_concat(n.s, r.s))) >= 0.7
         |ORDER BY new_id, ref_id""".stripMargin,
+    "q127_readable" ->
+      """WITH a AS (
+        |  SELECT l_returnflag, sum(l_quantity) AS s,
+        |         CAST(count(*) AS DOUBLE) AS c
+        |  FROM lineitem GROUP BY l_returnflag),
+        |b AS (SELECT l_returnflag, s, s * 1024 AS v,
+        |             least(greatest(c / 20000 * 10, 0), 10) AS frac
+        |      FROM a)
+        |SELECT l_returnflag,
+        |  CASE WHEN s >= 1000000 THEN printf('%.2f million', s / 1000000)
+        |       WHEN s >= 1000 THEN printf('%.2f thousand', s / 1000)
+        |       ELSE printf('%.2f', s) END AS qty_h,
+        |  CASE WHEN v >= 1073741824 THEN printf('%.2f GiB', v / 1073741824)
+        |       WHEN v >= 1048576 THEN printf('%.2f MiB', v / 1048576)
+        |       WHEN v >= 1024 THEN printf('%.2f KiB', v / 1024)
+        |       ELSE printf('%.2f B', v) END AS sz_h,
+        |  repeat('█', CAST(floor(frac) AS INT)) ||
+        |    CASE WHEN CAST(floor((frac - floor(frac)) * 8) AS INT) = 0 THEN ''
+        |         ELSE substr('▏▎▍▌▋▊▉', CAST(floor((frac - floor(frac)) * 8) AS INT), 1) END AS load_bar
+        |FROM b ORDER BY l_returnflag""".stripMargin,
     "q125_halfmd5" ->
       """WITH t AS (SELECT text, lang, md5(text) AS hx, md5(lang) AS hl FROM documents),
         |v AS (SELECT

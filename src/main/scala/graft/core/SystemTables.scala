@@ -105,5 +105,8 @@ object SystemTables {
     executors(spark).createOrReplaceTempView("system_executors")
     queryLog(spark).createOrReplaceTempView("system_query_log")
     zookeeper(spark, clusterName).createOrReplaceTempView("system_zookeeper")
+    // system.one: CH's 1-row dummy table (FROM system.one idiom)
+    import spark.implicits._
+    Seq(Tuple1(0: Byte)).toDF("dummy").createOrReplaceTempView("system_one")
   }
 }

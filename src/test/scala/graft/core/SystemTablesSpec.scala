@@ -37,4 +37,12 @@ class SystemTablesSpec extends AnyFunSuite {
       "SELECT host, port FROM system.executors ORDER BY host ASC").collect()
     assert(rows.nonEmpty)
   }
+
+  test("system.one is the CH 1-row dummy; system.zookeeper has the task-queue path") {
+    val one = ChSql.sql(spark, "SELECT 1 + 1 AS two FROM system.one").collect()
+    assert(one.length == 1 && one.head.getInt(0) == 2)
+    val zk = ChSql.sql(spark,
+      "SELECT name FROM system.zookeeper WHERE path='/clickhouse/task_queue/'").collect()
+    assert(zk.map(_.getString(0)).contains("ddl"))
+  }
 }
