@@ -115,6 +115,18 @@ class ChSqlSpec extends AnyFunSuite {
       "SELECT 'quantile(0.5)(v)' AS lit, quantile(v, 0.5) FROM t")
   }
 
+  test("file() table function reads local CSV with a CH schema string") {
+    val spark = graft.TestSpark.spark
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_filetf").toString
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/t.csv"), "k,v\n1,a\n2,b\n")
+    val rows = ChSql.sql(spark,
+      s"SELECT k, v FROM file('$dir/t.csv', 'CSVWithNames', 'k Int64, v String') ORDER BY k")
+      .as[(Long, String)].collect().toSeq
+    assert(rows == Seq((1L, "a"), (2L, "b")))
+  }
+
   test("two table functions join in one query (each FROM call becomes its own scan)") {
     val spark = graft.TestSpark.spark
     import spark.implicits._
