@@ -1234,6 +1234,12 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // groupArraySorted: deterministic n-smallest per group (parametric)
+    "q128_group_array_sorted" -> ch(
+      """SELECT l_returnflag,
+        |       arrayStringConcat(groupArraySorted(5)(l_orderkey), ',') AS five_smallest
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
+
     // display helpers over real aggregates: readable sizes/quantities
     // and unicode bars — the CH dashboard idiom, string-exact vs printf
     "q127_readable" -> ch(
@@ -2044,6 +2050,10 @@ object SparkEntry {
         |FROM sh n JOIN sh r ON n.doc_id % 2 = 1 AND r.doc_id % 2 = 0
         |WHERE len(list_intersect(n.s, r.s))::DOUBLE / len(list_distinct(list_concat(n.s, r.s))) >= 0.7
         |ORDER BY new_id, ref_id""".stripMargin,
+    "q128_group_array_sorted" ->
+      """SELECT l_returnflag,
+        |       array_to_string((list(l_orderkey ORDER BY l_orderkey))[1:5], ',') AS five_smallest
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q127_readable" ->
       """WITH a AS (
         |  SELECT l_returnflag, sum(l_quantity) AS s,

@@ -70,6 +70,15 @@ object ChFunctions {
       // groupArray(x) — CH's collect-into-array (order is arrival order,
       // engine-defined like CH's)
       reg("groupArray")(exprs => CollectList(exprs.head))
+      // groupArraySorted(n)(x) → (x, n) via the parametric pre-pass: the
+      // n SMALLEST values, sorted. Deterministic (unlike groupArray).
+      // State caveat vs CH: this collects the group then sorts/slices —
+      // per-group memory is the group size, not n; at corpus scale
+      // bound the group first or use topK-style shapes.
+      reg("groupArraySorted")({ case Seq(x, n) =>
+        Slice(new ArraySort(CollectList(x).toAggregateExpression()),
+          Literal(1), Cast(n, IntegerType))
+      })
 
       // -State/-Merge for the ALGEBRAIC aggregates: their partial state
       // is expressible in plain SQL types (a sum's state IS a sum, a

@@ -505,6 +505,18 @@ class ChFunctionsSpec extends AnyFunSuite {
     assert(one("SELECT toDayOfYear(toDate('2024-02-01'))") == 32)
   }
 
+  test("groupArraySorted keeps the n smallest values, sorted (parametric spelling)") {
+    def oneCh(sql: String): Any =
+      graft.dialect.ChSql.sql(spark, sql).collect().head.get(0)
+    assert(oneCh("SELECT groupArraySorted(3)(v) FROM fx")
+      .asInstanceOf[scala.collection.Seq[Double]].toSeq.length == 3)
+    assert(oneCh("SELECT groupArraySorted(2)(x) FROM (SELECT explode(array(5, 1, 4, 2)) AS x)")
+      .asInstanceOf[scala.collection.Seq[Int]].toSeq == Seq(1, 2))
+    // n larger than the group returns the whole group sorted
+    assert(oneCh("SELECT groupArraySorted(99)(x) FROM (SELECT explode(array(3, 1, 2)) AS x)")
+      .asInstanceOf[scala.collection.Seq[Int]].toSeq == Seq(1, 2, 3))
+  }
+
   test("formatReadableSize/Quantity and bar render CH display strings") {
     assert(one("SELECT formatReadableSize(0)") == "0.00 B")
     assert(one("SELECT formatReadableSize(1536)") == "1.50 KiB")
