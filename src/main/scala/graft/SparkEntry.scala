@@ -1240,6 +1240,46 @@ object SparkEntry {
         |       arrayStringConcat(groupArraySorted(5)(l_orderkey), ',') AS five_smallest
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
 
+    // CH behavioral-analytics family: retention cohort arms (anchored
+    // on 'view'), summed across per-user groups
+    "q129_retention" -> ch(
+      """SELECT CAST(sum(arrayElement(r, 1)) AS BIGINT) AS step1,
+        |       CAST(sum(arrayElement(r, 2)) AS BIGINT) AS step2,
+        |       CAST(sum(arrayElement(r, 3)) AS BIGINT) AS step3
+        |FROM (SELECT user_id,
+        |             retention(event_type = 'view', event_type = 'click',
+        |                       event_type = 'purchase') AS r
+        |      FROM events GROUP BY user_id)""".stripMargin),
+
+    // windowFunnel: view → click → purchase within 24 h, histogram of
+    // the deepest level reached per user
+    "q130_window_funnel" -> ch(
+      """SELECT level, count() AS users FROM (
+        |  SELECT user_id,
+        |         windowFunnel(86400)(ts, event_type = 'view',
+        |                             event_type = 'click',
+        |                             event_type = 'purchase') AS level
+        |  FROM events GROUP BY user_id)
+        |GROUP BY level ORDER BY level""".stripMargin),
+
+    // sequenceMatch: users whose event stream contains a signup
+    // directly followed (among signup/purchase events) by a purchase
+    "q131_sequence_match" -> ch(
+      """SELECT CAST(count() AS BIGINT) AS n_users FROM (
+        |  SELECT user_id,
+        |         sequenceMatch('(?1)(?2)')(ts, event_type = 'signup',
+        |                                   event_type = 'purchase') AS m
+        |  FROM events GROUP BY user_id)
+        |WHERE m = 1""".stripMargin),
+
+    // sequenceCount: total non-overlapping view→purchase chains
+    "q132_sequence_count" -> ch(
+      """SELECT CAST(sum(c) AS BIGINT) AS n_chains FROM (
+        |  SELECT user_id,
+        |         sequenceCount('(?1)(?2)')(ts, event_type = 'view',
+        |                                   event_type = 'purchase') AS c
+        |  FROM events GROUP BY user_id)""".stripMargin),
+
     // display helpers over real aggregates: readable sizes/quantities
     // and unicode bars — the CH dashboard idiom, string-exact vs printf
     "q127_readable" -> ch(
@@ -2054,6 +2094,48 @@ object SparkEntry {
       """SELECT l_returnflag,
         |       array_to_string((list(l_orderkey ORDER BY l_orderkey))[1:5], ',') AS five_smallest
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q129_retention" ->
+      """SELECT CAST(sum(CASE WHEN v THEN 1 ELSE 0 END) AS BIGINT) AS step1,
+        |       CAST(sum(CASE WHEN v AND c THEN 1 ELSE 0 END) AS BIGINT) AS step2,
+        |       CAST(sum(CASE WHEN v AND p THEN 1 ELSE 0 END) AS BIGINT) AS step3
+        |FROM (SELECT user_id, bool_or(event_type = 'view') AS v,
+        |             bool_or(event_type = 'click') AS c,
+        |             bool_or(event_type = 'purchase') AS p
+        |      FROM events GROUP BY user_id)""".stripMargin,
+    "q130_window_funnel" ->
+      """WITH u AS (SELECT DISTINCT user_id FROM events)
+        |SELECT level, count(*) AS users FROM (
+        |  SELECT u.user_id,
+        |    CASE
+        |      WHEN EXISTS (SELECT 1 FROM events a, events b, events c
+        |                   WHERE a.user_id = u.user_id AND b.user_id = u.user_id
+        |                     AND c.user_id = u.user_id
+        |                     AND a.event_type = 'view' AND b.event_type = 'click'
+        |                     AND c.event_type = 'purchase'
+        |                     AND a.ts < b.ts AND b.ts < c.ts
+        |                     AND epoch_us(c.ts) - epoch_us(a.ts) <= 86400000000) THEN 3
+        |      WHEN EXISTS (SELECT 1 FROM events a, events b
+        |                   WHERE a.user_id = u.user_id AND b.user_id = u.user_id
+        |                     AND a.event_type = 'view' AND b.event_type = 'click'
+        |                     AND a.ts < b.ts
+        |                     AND epoch_us(b.ts) - epoch_us(a.ts) <= 86400000000) THEN 2
+        |      WHEN EXISTS (SELECT 1 FROM events a
+        |                   WHERE a.user_id = u.user_id AND a.event_type = 'view') THEN 1
+        |      ELSE 0 END AS level
+        |  FROM u) GROUP BY level ORDER BY level""".stripMargin,
+    "q131_sequence_match" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_users FROM (
+        |  SELECT user_id, string_agg(d, '' ORDER BY ts) AS s FROM (
+        |    SELECT user_id, ts,
+        |           CASE WHEN event_type = 'signup' THEN '1' ELSE '2' END AS d
+        |    FROM events WHERE event_type IN ('signup', 'purchase')) GROUP BY user_id)
+        |WHERE regexp_matches(s, '12')""".stripMargin,
+    "q132_sequence_count" ->
+      """SELECT CAST(sum(len(regexp_extract_all(s, '12'))) AS BIGINT) AS n_chains FROM (
+        |  SELECT user_id, string_agg(d, '' ORDER BY ts) AS s FROM (
+        |    SELECT user_id, ts,
+        |           CASE WHEN event_type = 'view' THEN '1' ELSE '2' END AS d
+        |    FROM events WHERE event_type IN ('view', 'purchase')) GROUP BY user_id)""".stripMargin,
     "q127_readable" ->
       """WITH a AS (
         |  SELECT l_returnflag, sum(l_quantity) AS s,

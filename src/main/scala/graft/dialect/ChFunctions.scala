@@ -515,6 +515,144 @@ object ChFunctions {
         ArrayTransform(top, LambdaFunction(fld(s2, "v"), Seq(s2)))
       })
 
+      // ---- behavioral analytics: CH's funnel family ----
+      // retention(c1, …, cn): array of 0/1 per group — r[1] = "c1 ever
+      // held"; r[i] = "c1 AND c_i both held" (each over ANY row of the
+      // group, independently — CH semantics). Pure native Max
+      // aggregates, n ints of state, map-side combinable.
+      reg("retention")({ exprs =>
+        require(exprs.nonEmpty, "retention needs at least one condition")
+        def ever(c: Expression): Expression =
+          Max(Cast(c, IntegerType)).toAggregateExpression()
+        CreateArray(
+          ever(exprs.head) +:
+            exprs.tail.map(c => Multiply(ever(exprs.head), ever(c))))
+      })
+
+      // windowFunnel(window)(t, c1, …, cn) — the parametric pre-pass
+      // hands the builder (t, c1…cn, window); window is in SECONDS
+      // (CH's DateTime convention; timestamps are compared at
+      // microsecond precision internally). Returns the deepest level k
+      // for which events e1 … ek exist in processing order (time, then
+      // condition bitmask — a strict chain when timestamps are
+      // distinct) matching c1…ck with t(ek) - t(e1) ≤ window.
+      // One pass over the time-sorted event array; state is
+      // array<long> of per-level chain-START times. Keeping only the
+      // LATEST viable start per level is exact: a later start is
+      // easier to extend within the window and starts propagate
+      // unchanged up the chain, so it dominates every earlier one
+      // (CH keeps a list per level instead).
+      reg("windowFunnel")({ exprs =>
+        require(exprs.length >= 3, "windowFunnel(window)(t, cond1, …)")
+        val t = exprs.head
+        val conds = exprs.slice(1, exprs.length - 1)
+        val w = exprs.last
+        val n = conds.length
+        require(n <= 32, "windowFunnel supports at most 32 steps")
+        def fld(s: Expression, nme: String) =
+          org.apache.spark.sql.catalyst.analysis.UnresolvedExtractValue(s, Literal(nme))
+        val bits = conds.zipWithIndex
+          .map { case (c, i) => If(c, Literal(1L << i), Literal(0L)) }
+          .reduce[Expression]((a, b) => BitwiseOr(a, b))
+        val ev = CreateNamedStruct(Seq(
+          Literal("t"), UnixMicros(Cast(t, TimestampType)),
+          Literal("b"), bits))
+        val evs = new ArraySort(CollectList(ev).toAggregateExpression())
+        val sentinel = Literal(Long.MinValue)
+        val winUs = Multiply(Cast(w, LongType), Literal(1000000L))
+        val st = lv("stWF"); val e = lv("eWF"); val k = lv("kWF")
+        val f = lv("fWF"); val v = lv("vWF")
+        val tE = fld(e, "t"); val bE = fld(e, "b")
+        def hit(kE: Expression): Expression =
+          Not(EqualTo(BitwiseAnd(bE, ShiftLeft(Literal(1L), kE)), Literal(0L)))
+        val cur = ElementAt(st, Add(k, Literal(1)))  // 1-based slot k+1
+        val prev = ElementAt(st, k)                  // the level below
+        // newState[k] from the OLD state (an event never chains on
+        // itself); ANSI-safe: the prev≠sentinel guard short-circuits
+        // before tE - prev could overflow
+        val step = ArrayTransform(
+          new Sequence(Literal(0), Literal(n - 1)),
+          LambdaFunction(
+            If(EqualTo(k, Literal(0)),
+              If(hit(Literal(0)), Greatest(Seq(cur, tE)), cur),
+              If(And(And(hit(k), Not(EqualTo(prev, sentinel))),
+                  LessThanOrEqual(Subtract(tE, prev), winUs)),
+                Greatest(Seq(cur, prev)), cur)),
+            Seq(k)))
+        // levels fill bottom-up, so depth = populated slots
+        ArrayAggregate(evs,
+          CreateArray(Seq.fill(n)(sentinel)),
+          LambdaFunction(step, Seq(st, e)),
+          LambdaFunction(
+            Size(ArrayFilter(f,
+              LambdaFunction(Not(EqualTo(v, sentinel)), Seq(v)))),
+            Seq(f)))
+      })
+
+      // sequenceMatch('pattern')(t, c1, …, cn) / sequenceCount — the
+      // time-ordered subsequence of events matching ANY condition is
+      // encoded as a digit string (events matching none are invisible,
+      // CH semantics) and the pattern (atoms `(?N)`, wildcards `.` and
+      // `.*`) becomes a regex over it. Exact when the conditions are
+      // mutually exclusive — each event takes its FIRST matching
+      // condition, where CH explores every assignment. `(?t…)` time
+      // bounds are not supported (loud failure). n ≤ 9.
+      def seqString(t: Expression, conds: Seq[Expression]): Expression = {
+        require(conds.nonEmpty && conds.length <= 9,
+          "sequence functions support 1–9 conditions")
+        val chr = CaseWhen(
+          conds.zipWithIndex.map { case (c, i) =>
+            (c, Literal(String.valueOf(i + 1)): Expression) },
+          Some(Literal(null, StringType)))
+        val ev = CreateNamedStruct(Seq(
+          Literal("t"), UnixMicros(Cast(t, TimestampType)),
+          Literal("c"), chr))
+        val s = lv("sSQ")
+        // ArrayJoin with no null-replacement drops the unmatched events
+        ArrayJoin(
+          ArrayTransform(new ArraySort(CollectList(ev).toAggregateExpression()),
+            LambdaFunction(
+              org.apache.spark.sql.catalyst.analysis
+                .UnresolvedExtractValue(s, Literal("c")), Seq(s))),
+          Literal(""), None)
+      }
+      def seqPattern(p: Expression): String = {
+        val raw = p.eval() match {
+          case u: org.apache.spark.unsafe.types.UTF8String => u.toString
+          case other => throw new IllegalArgumentException(
+            s"sequence pattern must be a string literal, got $other")
+        }
+        val sb = new StringBuilder
+        var i = 0
+        while (i < raw.length) {
+          if (raw.startsWith("(?", i)) {
+            val close = raw.indexOf(')', i)
+            require(close > 0, s"unclosed atom in sequence pattern: $raw")
+            val body = raw.substring(i + 2, close)
+            require(body.nonEmpty && body.forall(_.isDigit),
+              s"unsupported sequence atom (?$body) — only (?N) refs, '.' and '.*'")
+            require(body.toInt >= 1 && body.toInt <= 9, "condition refs must be 1–9")
+            sb.append(body.toInt)
+            i = close + 1
+          } else if (raw.charAt(i) == '.') {
+            if (i + 1 < raw.length && raw.charAt(i + 1) == '*') { sb.append(".*"); i += 2 }
+            else { sb.append('.'); i += 1 }
+          } else throw new IllegalArgumentException(
+            s"unsupported character '${raw.charAt(i)}' in sequence pattern: $raw")
+        }
+        sb.toString
+      }
+      reg("sequenceMatch")({ exprs =>
+        val pat = seqPattern(exprs.last)
+        val str = seqString(exprs.head, exprs.slice(1, exprs.length - 1))
+        Cast(RLike(str, Literal(pat)), IntegerType) // CH returns UInt8
+      })
+      reg("sequenceCount")({ exprs =>
+        val pat = seqPattern(exprs.last)
+        val str = seqString(exprs.head, exprs.slice(1, exprs.length - 1))
+        RegExpCount(str, Literal(pat)) // non-overlapping, like CH
+      })
+
       // arrayEnumerateUniq(arr): occurrence index (1-based) of each
       // element among its equals so far — CH's per-duplicate counter
       def enumUniq(arr: Expression): Expression = {

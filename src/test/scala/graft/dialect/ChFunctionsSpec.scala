@@ -517,6 +517,71 @@ class ChFunctionsSpec extends AnyFunSuite {
       .asInstanceOf[scala.collection.Seq[Int]].toSeq == Seq(1, 2, 3))
   }
 
+  test("retention marks c1-anchored arms independently per group") {
+    def oneCh(sql: String): Any =
+      graft.dialect.ChSql.sql(spark, sql).collect().head.get(0)
+    // group has R rows and an id=2 row, but no id=99 row:
+    // r = [seen R, seen R && seen id=2, seen R && seen id=99]
+    assert(oneCh("SELECT retention(flag = 'R', id = 2, id = 99) FROM fx")
+      .asInstanceOf[scala.collection.Seq[Int]].toSeq == Seq(1, 1, 0))
+    // anchor never fires → every arm is 0 even when its own cond held
+    assert(oneCh("SELECT retention(flag = 'X', id = 2) FROM fx")
+      .asInstanceOf[scala.collection.Seq[Int]].toSeq == Seq(0, 0))
+  }
+
+  test("windowFunnel chains strictly-ordered steps within the window") {
+    def oneCh(sql: String): Any =
+      graft.dialect.ChSql.sql(spark, sql).collect().head.get(0)
+    // fx rows: R@10:30, N@11:45, R@next-day-00:00.
+    // R→N within 2h: levels 1,2 reachable; N→R needs 12h15m more
+    assert(oneCh(
+      "SELECT windowFunnel(7200)(t, flag = 'R', flag = 'N') FROM fx") == 2)
+    // 1-second window: only level 1
+    assert(oneCh(
+      "SELECT windowFunnel(1)(t, flag = 'R', flag = 'N') FROM fx") == 1)
+    // step-2 cond never fires → level 1
+    assert(oneCh(
+      "SELECT windowFunnel(7200)(t, flag = 'R', flag = 'X') FROM fx") == 1)
+    // anchor never fires → 0
+    assert(oneCh(
+      "SELECT windowFunnel(7200)(t, flag = 'X', flag = 'N') FROM fx") == 0)
+    // wide window reaches level 3 across the day boundary (R, N, R)
+    assert(oneCh(
+      "SELECT windowFunnel(86400)(t, flag = 'R', flag = 'N', flag = 'R') FROM fx") == 3)
+    // window revival: a later anchor within range beats a stale one —
+    // chain must use the 11:45 N, not an earlier-started stale chain
+    assert(oneCh(
+      "SELECT windowFunnel(44100)(t, flag = 'N', flag = 'R') FROM fx") == 2)
+  }
+
+  test("sequenceMatch/sequenceCount run the digit-regex over matched events") {
+    def oneCh(sql: String): Any =
+      graft.dialect.ChSql.sql(spark, sql).collect().head.get(0)
+    // time order: R, N, R → pattern "R then N" matches
+    assert(oneCh(
+      "SELECT sequenceMatch('(?1)(?2)')(t, flag = 'R', flag = 'N') FROM fx") == 1)
+    // "N directly followed by N" does not
+    assert(oneCh(
+      "SELECT sequenceMatch('(?2)(?2)')(t, flag = 'R', flag = 'N') FROM fx") == 0)
+    // unmatched events are invisible: with only cond1 given, R..R are
+    // adjacent even though N sits between them in time
+    assert(oneCh(
+      "SELECT sequenceMatch('(?1)(?1)')(t, flag = 'R') FROM fx") == 1)
+    // but naming the N condition makes the middle event visible (CH doc
+    // semantics): R,N,R has no adjacent R,R pair any more
+    assert(oneCh(
+      "SELECT sequenceMatch('(?1)(?1)')(t, flag = 'R', flag = 'N') FROM fx") == 0)
+    // wildcard gap
+    assert(oneCh(
+      "SELECT sequenceMatch('(?1).*(?1)')(t, flag = 'R', flag = 'N') FROM fx") == 1)
+    assert(oneCh(
+      "SELECT sequenceCount('(?1)')(t, flag = 'R', flag = 'N') FROM fx") == 2)
+    // unsupported time-bound atoms fail loudly, not silently
+    intercept[Exception] {
+      oneCh("SELECT sequenceMatch('(?1)(?t>10)(?2)')(t, flag = 'R', flag = 'N') FROM fx")
+    }
+  }
+
   test("formatReadableSize/Quantity and bar render CH display strings") {
     assert(one("SELECT formatReadableSize(0)") == "0.00 B")
     assert(one("SELECT formatReadableSize(1536)") == "1.50 KiB")
