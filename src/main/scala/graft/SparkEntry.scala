@@ -1280,6 +1280,21 @@ object SparkEntry {
         |                                   event_type = 'purchase') AS c
         |  FROM events GROUP BY user_id)""".stripMargin),
 
+    // sumMap/minMap/maxMap: keyed per-group reduction into CH's
+    // (keys, values) tuple — rendered as strings for the oracle
+    "q133_map_aggregates" -> ch(
+      """SELECT l_returnflag,
+        |  arrayStringConcat(tupleElement(sm, 'keys'), ',') AS statuses,
+        |  arrayStringConcat(arrayMap(x -> toString(x), tupleElement(sm, 'values')), ',') AS sum_qty,
+        |  arrayStringConcat(arrayMap(x -> toString(x), tupleElement(mn, 'values')), ',') AS min_qty,
+        |  arrayStringConcat(arrayMap(x -> toString(x), tupleElement(mx, 'values')), ',') AS max_qty
+        |FROM (SELECT l_returnflag,
+        |        sumMap(array(l_linestatus), array(CAST(l_quantity AS BIGINT))) AS sm,
+        |        minMap(array(l_linestatus), array(CAST(l_quantity AS BIGINT))) AS mn,
+        |        maxMap(array(l_linestatus), array(CAST(l_quantity AS BIGINT))) AS mx
+        |      FROM lineitem GROUP BY l_returnflag)
+        |ORDER BY l_returnflag""".stripMargin),
+
     // display helpers over real aggregates: readable sizes/quantities
     // and unicode bars — the CH dashboard idiom, string-exact vs printf
     "q127_readable" -> ch(
@@ -2094,6 +2109,18 @@ object SparkEntry {
       """SELECT l_returnflag,
         |       array_to_string((list(l_orderkey ORDER BY l_orderkey))[1:5], ',') AS five_smallest
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q133_map_aggregates" ->
+      """SELECT l_returnflag,
+        |       string_agg(l_linestatus, ',' ORDER BY l_linestatus) AS statuses,
+        |       string_agg(CAST(s AS VARCHAR), ',' ORDER BY l_linestatus) AS sum_qty,
+        |       string_agg(CAST(mn AS VARCHAR), ',' ORDER BY l_linestatus) AS min_qty,
+        |       string_agg(CAST(mx AS VARCHAR), ',' ORDER BY l_linestatus) AS max_qty
+        |FROM (SELECT l_returnflag, l_linestatus,
+        |             sum(CAST(l_quantity AS BIGINT)) AS s,
+        |             min(CAST(l_quantity AS BIGINT)) AS mn,
+        |             max(CAST(l_quantity AS BIGINT)) AS mx
+        |      FROM lineitem GROUP BY 1, 2)
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q129_retention" ->
       """SELECT CAST(sum(CASE WHEN v THEN 1 ELSE 0 END) AS BIGINT) AS step1,
         |       CAST(sum(CASE WHEN v AND c THEN 1 ELSE 0 END) AS BIGINT) AS step2,

@@ -515,6 +515,41 @@ object ChFunctions {
         ArrayTransform(top, LambdaFunction(fld(s2, "v"), Seq(s2)))
       })
 
+      // sumMap/minMap/maxMap(keys, vals): per-group reduce of the
+      // zipped (key, value) pairs, keyed by distinct key, returned as
+      // CH's tuple of (sorted keys, reduced values). Same
+      // collect-then-rank surface shape (and moderate-cardinality
+      // caveat) as topK; sumMap uses the Int64 accumulator the
+      // arrayReduce('sum') path documents.
+      def mapAgg(keys: Expression, vals: Expression,
+                 red: Expression => Expression): Expression = {
+        def fld(s: Expression, nme: String) =
+          org.apache.spark.sql.catalyst.analysis.UnresolvedExtractValue(s, Literal(nme))
+        val k0 = lv("k0MM"); val v0 = lv("v0MM"); val p = lv("pMM")
+        val kk = lv("kkMM"); val q = lv("qMM"); val r = lv("rMM")
+        val pairs = Flatten(CollectList(
+          ZipWith(keys, vals, LambdaFunction(
+            CreateNamedStruct(Seq(Literal("k"), k0, Literal("v"), v0)),
+            Seq(k0, v0)))).toAggregateExpression())
+        val ks = new ArraySort(ArrayDistinct(
+          ArrayTransform(pairs, LambdaFunction(fld(p, "k"), Seq(p)))))
+        val vs = ArrayTransform(ks, LambdaFunction(
+          red(ArrayTransform(
+            ArrayFilter(pairs, LambdaFunction(EqualTo(fld(q, "k"), kk), Seq(q))),
+            LambdaFunction(fld(r, "v"), Seq(r)))),
+          Seq(kk)))
+        CreateNamedStruct(Seq(Literal("keys"), ks, Literal("values"), vs))
+      }
+      def foldSum(arr: Expression): Expression = {
+        val acc = lv("accMM"); val x = lv("xMM"); val f = lv("fMM")
+        ArrayAggregate(arr, Literal(0L),
+          LambdaFunction(Add(acc, x), Seq(acc, x)),
+          LambdaFunction(f, Seq(f)))
+      }
+      reg("sumMap")({ case Seq(k, v) => mapAgg(k, v, foldSum) })
+      reg("minMap")({ case Seq(k, v) => mapAgg(k, v, ArrayMin) })
+      reg("maxMap")({ case Seq(k, v) => mapAgg(k, v, ArrayMax) })
+
       // ---- behavioral analytics: CH's funnel family ----
       // retention(c1, …, cn): array of 0/1 per group — r[1] = "c1 ever
       // held"; r[i] = "c1 AND c_i both held" (each over ANY row of the
@@ -915,8 +950,11 @@ object ChFunctions {
       reg("assumeNotNull")(exprs => KnownNotNull(exprs.head))
       // CH tuples are Spark structs; tupleElement is 1-based positional
       reg("tuple")(exprs => CreateStruct(exprs))
-      reg("tupleElement")({ case Seq(t, Literal(i: Int, IntegerType)) =>
-        GetStructField(t, i - 1)
+      // tupleElement: CH allows an index OR a field name
+      reg("tupleElement")({
+        case Seq(t, Literal(i: Int, IntegerType)) => GetStructField(t, i - 1)
+        case Seq(t, n @ Literal(_, StringType)) =>
+          org.apache.spark.sql.catalyst.analysis.UnresolvedExtractValue(t, n)
       })
       // arrayElement: 1-based, negative-from-end — element_at's contract
       reg("arrayElement")({ case Seq(a, i) => ElementAt(a, i) })

@@ -517,6 +517,27 @@ class ChFunctionsSpec extends AnyFunSuite {
       .asInstanceOf[scala.collection.Seq[Int]].toSeq == Seq(1, 2, 3))
   }
 
+  test("sumMap/minMap/maxMap merge keyed values across rows") {
+    // rows contribute overlapping key sets; result keys are sorted
+    val row = spark.sql(
+      """SELECT sumMap(k, v) AS s, minMap(k, v) AS mn, maxMap(k, v) AS mx FROM (
+        |  SELECT array('b', 'a') AS k, array(10L, 1L) AS v
+        |  UNION ALL SELECT array('a', 'c'), array(4L, 7L))""".stripMargin)
+      .collect().head
+    def tup(a: Any) = {
+      val s = a.asInstanceOf[org.apache.spark.sql.Row]
+      (s.getSeq[String](0).toSeq, s.getSeq[Long](1).toSeq)
+    }
+    assert(tup(row.get(0)) == (Seq("a", "b", "c"), Seq(5L, 10L, 7L)))
+    assert(tup(row.get(1)) == (Seq("a", "b", "c"), Seq(1L, 10L, 7L)))
+    assert(tup(row.get(2)) == (Seq("a", "b", "c"), Seq(4L, 10L, 7L)))
+  }
+
+  test("tupleElement accepts a field name as well as an index") {
+    assert(one("SELECT tupleElement(named_struct('a', 7, 'b', 'x'), 'b')") == "x")
+    assert(one("SELECT tupleElement(named_struct('a', 7, 'b', 'x'), 1)") == 7)
+  }
+
   test("retention marks c1-anchored arms independently per group") {
     def oneCh(sql: String): Any =
       graft.dialect.ChSql.sql(spark, sql).collect().head.get(0)
