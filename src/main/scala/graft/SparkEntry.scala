@@ -646,6 +646,14 @@ object SparkEntry {
     "q31_cityhash" -> ch(
       "SELECT sum(pmod(cityHash64(l_orderkey, l_linenumber, l_returnflag), 1000000007)) AS h FROM lineitem"),
 
+    // reference XXH at seed 0 (CH xxHash64/xxHash32) — golden-vector
+    // tested in ChFunctionsSpec; rows-only here like q31
+    "q134_xxhash_scan" -> ch(
+      """SELECT sum(pmod(xxHash64(l_linestatus), 1000000007)) AS h64,
+        |       sum(pmod(xxHash32(l_returnflag), 1000000007)) AS h32,
+        |       sum(pmod(xxHash64(l_orderkey), 1000000007)) AS h64n
+        |FROM lineitem""".stripMargin),
+
     // A4: approximate uniq (HLL++); property-tested, not oracle-hashed
     "q32_uniq_approx" -> ch("SELECT uniq(o_custkey) AS u FROM orders"),
 

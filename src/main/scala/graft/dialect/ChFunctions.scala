@@ -42,6 +42,12 @@ object ChFunctions {
     def reg(name: String)(b: Seq[Expression] => Expression): Unit = out += (name -> b)
 
     reg("cityHash64")(exprs => CityHash64Expr(exprs))
+      // CH xxHash64/xxHash32 (reference XXH at seed 0 — NOT Spark's
+      // seed-42 xxhash64). Dialect text routes here via the
+      // rewriteConflictingFunctions pre-pass so Spark's own xxhash64
+      // keeps its semantics on non-dialect queries of the same session.
+      reg("chXxHash64")({ case Seq(x) => graft.functions.XxHashChExpr(x, 64) })
+      reg("chXxHash32")({ case Seq(x) => graft.functions.XxHashChExpr(x, 32) })
 
       // approximate distinct — HLL++, the same sketch family as CH uniq
       reg("uniq")(exprs => new HyperLogLogPlusPlus(exprs.head))

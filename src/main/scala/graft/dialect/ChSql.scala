@@ -574,10 +574,17 @@ object ChSql {
     val remapped = replaceFnName(renamed, "transform", "chTransform",
       skipArgs = args => "->".r.findAllMatchIn(args)
         .exists(m => !insideQuote(args, m.start) && depthAt(args, m.start) == 0))
+    // CH xxHash64/xxHash32 are reference XXH at seed 0; Spark's
+    // builtin xxhash64 (seed 42, non-spec tail) must keep working on
+    // non-dialect queries, so the CH spelling renames to the ch-prefixed
+    // registrations here instead of shadowing the registry.
+    val xx = replaceFnName(
+      replaceFnName(remapped, "xxHash64", "chXxHash64"),
+      "xxHash32", "chXxHash32")
     // `position(substr IN str)` is ANSI syntax Spark parses natively —
     // rewriting it would produce invalid `instr(substr IN str)`; only
     // the CH two-argument spelling is renamed.
-    replaceFnName(remapped, "position", "instr",
+    replaceFnName(xx, "position", "instr",
       skipArgs = args => """(?i)\bIN\b""".r.findAllMatchIn(args)
         .exists(m => !insideQuote(args, m.start) && depthAt(args, m.start) == 0))
   }

@@ -342,6 +342,24 @@ class PlanSpec extends AnyFunSuite {
       s"normalization shuffles:\n${planOf(n)}")
   }
 
+  test("windowFunnel SQL: pruned scan, one user-keyed data shuffle, partial collect map-side") {
+    graft.dialect.ChFunctions.register(spark)
+    core.Tables.registerViews(spark, dir)
+    val df = dialect.ChSql.sql(spark,
+      """SELECT user_id, windowFunnel(86400)(ts, event_type = 'view',
+        |  event_type = 'click', event_type = 'purchase') AS level
+        |FROM events GROUP BY user_id""".stripMargin)
+    val plan = planOf(df)
+    // only the three referenced columns reach the scan
+    assert(plan.contains("ReadSchema: struct<ts:bigint,user_id:bigint,event_type:string>"),
+      s"funnel scan not pruned:\n$plan")
+    // one Exchange total: the collect_list partials shuffle on user_id;
+    // the fold itself is a scalar post-projection, never a second shuffle
+    assert("Exchange".r.findAllIn(plan).size == 1, s"funnel shuffled more than once:\n$plan")
+    // partial collect runs map-side (ObjectHashAggregate below the Exchange)
+    assert(plan.contains("ObjectHashAggregate"), s"no map-side partial collect:\n$plan")
+  }
+
   test("dialect-routed queries stay inside whole-stage codegen") {
     graft.dialect.ChFunctions.register(spark)
     core.Tables.registerViews(spark, dir)

@@ -533,6 +533,41 @@ class ChFunctionsSpec extends AnyFunSuite {
     assert(tup(row.get(2)) == (Seq("a", "b", "c"), Seq(4L, 10L, 7L)))
   }
 
+  test("xxHash64/xxHash32 match reference XXH vectors at seed 0") {
+    def oneCh(sql: String): Any =
+      graft.dialect.ChSql.sql(spark, sql).collect().head.get(0)
+    // string goldens from an independently validated spec implementation
+    // (canonical known-answer tests: xxh64('') = 0xEF46DB3751D8E999,
+    // xxh32('') = 0x02CC5D05)
+    assert(oneCh("SELECT xxHash64('')") == -1205034819632174695L)
+    assert(oneCh("SELECT xxHash64('abc')") == 4952883123889572249L)
+    assert(oneCh("SELECT xxHash64('Hello, world!')") == -755700219241327498L)
+    assert(oneCh("SELECT xxHash64('graft')") == -1167401599366637795L)
+    assert(oneCh("SELECT xxHash64(repeat('a', 40))") == 6241609220271238915L)
+    assert(oneCh(
+      "SELECT xxHash64('the quick brown fox jumps over the lazy dog once more')")
+      == 7373554487817629051L)
+    assert(oneCh("SELECT xxHash32('')") == 46947589L)
+    assert(oneCh("SELECT xxHash32('abc')") == 852579327L)
+    assert(oneCh("SELECT xxHash32('Hello, world!')") == 834093149L)
+    assert(oneCh("SELECT xxHash32('graft')") == 1282873741L)
+    assert(oneCh("SELECT xxHash32(repeat('a', 40))") == 1788221142L)
+    // fixed-width little-endian byte goldens
+    assert(oneCh("SELECT xxHash64(CAST(42 AS BIGINT))") == -5379971487550586029L)
+    assert(oneCh("SELECT xxHash64(CAST(42 AS INT))") == -2929917330072466447L)
+    assert(oneCh("SELECT xxHash64(CAST(-1 AS BIGINT))") == -8804195676797548855L)
+    assert(oneCh("SELECT xxHash64(CAST(7 AS SMALLINT))") == 4376666672736524220L)
+    assert(oneCh("SELECT xxHash64(CAST(2.5 AS DOUBLE))") == -491007997570073712L)
+    assert(oneCh("SELECT xxHash64(CAST(2.5 AS FLOAT))") == -4950783548250085208L)
+    assert(oneCh("SELECT xxHash64(CAST(7 AS TINYINT))") == -6238471690400515145L)
+    assert(oneCh("SELECT xxHash64(true)") == -8484456787529832656L)
+    assert(oneCh("SELECT xxHash32(CAST(42 AS BIGINT))") == 2332451213L)
+    assert(oneCh("SELECT xxHash32(CAST(42 AS INT))") == 1161967057L)
+    // Spark's builtin keeps its own semantics on the same session
+    assert(spark.sql("SELECT xxhash64('abc')").collect().head.get(0)
+      == 1423657621850124518L)
+  }
+
   test("tupleElement accepts a field name as well as an index") {
     assert(one("SELECT tupleElement(named_struct('a', 7, 'b', 'x'), 'b')") == "x")
     assert(one("SELECT tupleElement(named_struct('a', 7, 'b', 'x'), 1)") == 7)
