@@ -1303,6 +1303,21 @@ object SparkEntry {
         |      FROM lineitem GROUP BY l_returnflag)
         |ORDER BY l_returnflag""".stripMargin),
 
+    // entropy: per-group Shannon bits of the linestatus distribution
+    // (rounded — summation order differs between engines at the ulp)
+    "q135_entropy" -> ch(
+      """SELECT l_returnflag,
+        |       CAST(round(entropy(l_linestatus) * 1000000) AS BIGINT) AS h_micro
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
+
+    // IPv4 family round-trip over synthesized addresses
+    "q136_ipv4" -> ch(
+      """SELECT c_nationkey,
+        |       IPv4NumToString(CAST(10 * 16777216 + c_nationkey * 65536 + 257 AS BIGINT)) AS ip,
+        |       CAST(sum(IPv4StringToNum(concat('10.', toString(c_nationkey), '.0.1'))) AS BIGINT) AS back,
+        |       countIf(isIPv4String(concat('10.', toString(c_nationkey), '.0.1'))) AS n_valid
+        |FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin),
+
     // display helpers over real aggregates: readable sizes/quantities
     // and unicode bars — the CH dashboard idiom, string-exact vs printf
     "q127_readable" -> ch(
@@ -2117,6 +2132,22 @@ object SparkEntry {
       """SELECT l_returnflag,
         |       array_to_string((list(l_orderkey ORDER BY l_orderkey))[1:5], ',') AS five_smallest
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q135_entropy" ->
+      """SELECT l_returnflag,
+        |       CAST(round(1000000 * -sum(p * log2(p))) AS BIGINT) AS h_micro
+        |FROM (SELECT l_returnflag,
+        |             count(*)::DOUBLE / sum(count(*)) OVER (PARTITION BY l_returnflag) AS p
+        |      FROM lineitem GROUP BY l_returnflag, l_linestatus)
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q136_ipv4" ->
+      """SELECT c_nationkey,
+        |       (10 * 16777216 + c_nationkey * 65536 + 257) // 16777216 % 256
+        |         || '.' || (10 * 16777216 + c_nationkey * 65536 + 257) // 65536 % 256
+        |         || '.' || (10 * 16777216 + c_nationkey * 65536 + 257) // 256 % 256
+        |         || '.' || (10 * 16777216 + c_nationkey * 65536 + 257) % 256 AS ip,
+        |       CAST(sum(10 * 16777216 + c_nationkey * 65536 + 1) AS BIGINT) AS back,
+        |       count(*) AS n_valid
+        |FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
     "q133_map_aggregates" ->
       """SELECT l_returnflag,
         |       string_agg(l_linestatus, ',' ORDER BY l_linestatus) AS statuses,

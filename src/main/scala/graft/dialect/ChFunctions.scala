@@ -521,6 +521,50 @@ object ChFunctions {
         ArrayTransform(top, LambdaFunction(fld(s2, "v"), Seq(s2)))
       })
 
+      // entropy(x): Shannon entropy (bits) of the group's value
+      // distribution — -Σ p·log2(p) over distinct values. Same
+      // collect-then-rank surface shape as topK (per-group memory is
+      // the distinct-value count).
+      reg("entropy")({ case Seq(x) =>
+        val arr = CollectList(x).toAggregateExpression()
+        val e = lv("eEN"); val y = lv("yEN")
+        val acc = lv("accEN"); val p = lv("pEN"); val f = lv("fEN")
+        val n = Cast(Size(arr), DoubleType)
+        // per distinct value: p = count(v)/n, contribute -p*log2(p)
+        val probs = ArrayTransform(ArrayDistinct(arr), LambdaFunction(
+          Divide(Cast(Size(ArrayFilter(arr,
+            LambdaFunction(EqualTo(y, e), Seq(y)))), DoubleType), n),
+          Seq(e)))
+        ArrayAggregate(probs, Literal(0.0d),
+          LambdaFunction(
+            Subtract(acc, Multiply(p, Logarithm(Literal(2.0d), p))),
+            Seq(acc, p)),
+          LambdaFunction(f, Seq(f)))
+      })
+
+      // IPv4 family: dotted-quad rendering/parsing on the UInt32 value
+      // (carried in a Long, CH's storage), all codegen-native
+      def octet(n: Expression, shift: Int): Expression =
+        Cast(BitwiseAnd(ShiftRightUnsigned(n, Literal(shift)), Literal(255L)), StringType)
+      reg("IPv4NumToString")({ case Seq(x) =>
+        val n = Cast(x, LongType)
+        Concat(Seq(
+          octet(n, 24), Literal("."), octet(n, 16), Literal("."),
+          octet(n, 8), Literal("."), octet(n, 0)))
+      })
+      reg("IPv4StringToNum")({ case Seq(s) =>
+        val parts = StringSplit(s, Literal("\\."), Literal(-1))
+        def part(i: Int): Expression =
+          Cast(ElementAt(parts, Literal(i)), LongType)
+        Add(Add(Multiply(part(1), Literal(16777216L)),
+            Multiply(part(2), Literal(65536L))),
+          Add(Multiply(part(3), Literal(256L)), part(4)))
+      })
+      reg("isIPv4String")({ case Seq(s) =>
+        RLike(s, Literal(
+          "^((25[0-5]|2[0-4][0-9]|[01]?[0-9]?[0-9])\\.){3}(25[0-5]|2[0-4][0-9]|[01]?[0-9]?[0-9])$"))
+      })
+
       // sumMap/minMap/maxMap(keys, vals): per-group reduce of the
       // zipped (key, value) pairs, keyed by distinct key, returned as
       // CH's tuple of (sorted keys, reduced values). Same

@@ -533,6 +533,31 @@ class ChFunctionsSpec extends AnyFunSuite {
     assert(tup(row.get(2)) == (Seq("a", "b", "c"), Seq(4L, 10L, 7L)))
   }
 
+  test("entropy computes Shannon bits over the group distribution") {
+    // uniform over 4 values → exactly 2 bits
+    assert(one("SELECT entropy(x) FROM (SELECT explode(array(1, 2, 3, 4)) AS x)") == 2.0)
+    // single value → 0 bits
+    assert(one("SELECT entropy(x) FROM (SELECT explode(array(7, 7, 7)) AS x)") == 0.0)
+    // p = [0.75, 0.25] → 0.75*log2(4/3) + 0.25*2
+    val h = one("SELECT entropy(x) FROM (SELECT explode(array(1, 1, 1, 2)) AS x)")
+      .asInstanceOf[Double]
+    val expect = -(0.75 * math.log(0.75) / math.log(2) + 0.25 * math.log(0.25) / math.log(2))
+    assert(math.abs(h - expect) < 1e-12)
+  }
+
+  test("IPv4 functions render, parse and validate dotted quads") {
+    assert(one("SELECT IPv4NumToString(3232235777)") == "192.168.1.1")
+    assert(one("SELECT IPv4NumToString(0)") == "0.0.0.0")
+    assert(one("SELECT IPv4NumToString(4294967295)") == "255.255.255.255")
+    assert(one("SELECT IPv4StringToNum('192.168.1.1')") == 3232235777L)
+    assert(one("SELECT IPv4StringToNum('255.255.255.255')") == 4294967295L)
+    assert(one("SELECT IPv4NumToString(IPv4StringToNum('10.0.42.7'))") == "10.0.42.7")
+    assert(one("SELECT isIPv4String('10.0.42.7')") == true)
+    assert(one("SELECT isIPv4String('256.0.0.1')") == false)
+    assert(one("SELECT isIPv4String('a.b.c.d')") == false)
+    assert(one("SELECT isIPv4String('1.2.3')") == false)
+  }
+
   test("xxHash64/xxHash32 match reference XXH vectors at seed 0") {
     def oneCh(sql: String): Any =
       graft.dialect.ChSql.sql(spark, sql).collect().head.get(0)
