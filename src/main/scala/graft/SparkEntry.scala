@@ -651,7 +651,9 @@ object SparkEntry {
     "q134_xxhash_scan" -> ch(
       """SELECT sum(pmod(xxHash64(l_linestatus), 1000000007)) AS h64,
         |       sum(pmod(xxHash32(l_returnflag), 1000000007)) AS h32,
-        |       sum(pmod(xxHash64(l_orderkey), 1000000007)) AS h64n
+        |       sum(pmod(xxHash64(l_orderkey), 1000000007)) AS h64n,
+        |       sum(pmod(sipHash64(l_linestatus), 1000000007)) AS hsip,
+        |       sum(pmod(sipHash64(l_orderkey), 1000000007)) AS hsipn
         |FROM lineitem""".stripMargin),
 
     // A4: approximate uniq (HLL++); property-tested, not oracle-hashed

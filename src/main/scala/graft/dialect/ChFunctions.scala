@@ -48,6 +48,8 @@ object ChFunctions {
       // keeps its semantics on non-dialect queries of the same session.
       reg("chXxHash64")({ case Seq(x) => graft.functions.XxHashChExpr(x, 64) })
       reg("chXxHash32")({ case Seq(x) => graft.functions.XxHashChExpr(x, 32) })
+      // SipHash-2-4, zero key — CH's default sharding/sampling hash
+      reg("sipHash64")({ case Seq(x) => graft.functions.SipHash64Expr(x) })
 
       // approximate distinct — HLL++, the same sketch family as CH uniq
       reg("uniq")(exprs => new HyperLogLogPlusPlus(exprs.head))

@@ -558,6 +558,25 @@ class ChFunctionsSpec extends AnyFunSuite {
     assert(one("SELECT isIPv4String('1.2.3')") == false)
   }
 
+  test("sipHash64 matches SipHash-2-4 zero-key vectors") {
+    // goldens from a spec implementation validated against the SipHash
+    // paper's canonical key-0x000102…0f vector table
+    assert(one("SELECT sipHash64('')") == 2202906307356721367L)
+    assert(one("SELECT sipHash64('abc')") == 4596069200710135518L)
+    assert(one("SELECT sipHash64('Hello, world!')") == -5886168601705459377L)
+    assert(one("SELECT sipHash64('graft')") == -4139002242451511434L)
+    assert(one("SELECT sipHash64(repeat('a', 40))") == 8327882462384188153L)
+    assert(one("SELECT sipHash64('0123456789abcdef')") == -7727204972271523916L)
+    assert(one("SELECT sipHash64(CAST(42 AS BIGINT))") == 1135563785245924819L)
+    assert(one("SELECT sipHash64(CAST(42 AS INT))") == 4686640835114562322L)
+    assert(one("SELECT sipHash64(CAST(7 AS SMALLINT))") == 5706559902361314815L)
+    assert(one("SELECT sipHash64(CAST(7 AS TINYINT))") == -4382412938923039844L)
+    assert(one("SELECT sipHash64(true)") == 7385293435322750976L)
+    assert(one("SELECT sipHash64(CAST(2.5 AS DOUBLE))") == 3077741333373958167L)
+    assert(one("SELECT sipHash64(CAST(2.5 AS FLOAT))") == -4893336054932645290L)
+    assert(one("SELECT sipHash64(CAST(-1 AS BIGINT))") == -9200641234181697186L)
+  }
+
   test("xxHash64/xxHash32 match reference XXH vectors at seed 0") {
     def oneCh(sql: String): Any =
       graft.dialect.ChSql.sql(spark, sql).collect().head.get(0)
