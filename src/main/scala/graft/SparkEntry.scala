@@ -1320,6 +1320,14 @@ object SparkEntry {
         |       countIf(isIPv4String(concat('10.', toString(c_nationkey), '.0.1'))) AS n_valid
         |FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin),
 
+    // argMax/argMin If-combinators (tie-free subset: the one duplicated
+    // o_totalprice in the testdata sits in status 'O')
+    "q137_argmax_if" -> ch(
+      """SELECT o_orderpriority,
+        |       argMaxIf(o_orderkey, o_totalprice, o_orderstatus = 'F') AS k_max,
+        |       argMinIf(o_orderkey, o_totalprice, o_orderstatus = 'F') AS k_min
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin),
+
     // display helpers over real aggregates: readable sizes/quantities
     // and unicode bars — the CH dashboard idiom, string-exact vs printf
     "q127_readable" -> ch(
@@ -2134,6 +2142,11 @@ object SparkEntry {
       """SELECT l_returnflag,
         |       array_to_string((list(l_orderkey ORDER BY l_orderkey))[1:5], ',') AS five_smallest
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q137_argmax_if" ->
+      """SELECT o_orderpriority,
+        |       arg_max(o_orderkey, o_totalprice) FILTER (WHERE o_orderstatus = 'F') AS k_max,
+        |       arg_min(o_orderkey, o_totalprice) FILTER (WHERE o_orderstatus = 'F') AS k_min
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "q135_entropy" ->
       """SELECT l_returnflag,
         |       CAST(round(1000000 * -sum(p * log2(p))) AS BIGINT) AS h_micro

@@ -88,6 +88,44 @@ object ChFunctions {
           Literal(1), Cast(n, IntegerType))
       })
 
+      // groupArrayMovingSum/Avg(x[, n]): running (windowed) sums/avgs in
+      // the group's arrival order — same engine-defined ordering caveat
+      // as groupArray, same Int64 sum accumulator as arraySum, O(n²)
+      // slice+fold per group (a surface function, not a scan operator)
+      def movingAgg(x: Expression, nOpt: Option[Expression],
+                    finish: (Expression, Expression, Expression) => Expression): Expression = {
+        val arr = CollectList(x).toAggregateExpression()
+        val e = lv("eMV"); val i = lv("iMV")
+        val acc = lv("accMV"); val y = lv("yMV"); val f = lv("fMV")
+        ArrayTransform(arr, LambdaFunction({
+          val from = nOpt match {
+            case Some(n) => Greatest(Seq(Literal(1),
+              Subtract(Add(i, Literal(2)), Cast(n, IntegerType))))
+            case None => Literal(1)
+          }
+          val len = Subtract(Add(i, Literal(2)), from)
+          val winSum = ArrayAggregate(Slice(arr, from, len), Literal(0L),
+            LambdaFunction(Add(acc, y), Seq(acc, y)),
+            LambdaFunction(f, Seq(f)))
+          finish(winSum, len, arr)
+        }, Seq(e, i)))
+      }
+      reg("groupArrayMovingSum")({
+        case Seq(x) => movingAgg(x, None, (s, _, _) => s)
+        case Seq(x, n) => movingAgg(x, Some(n), (s, _, _) => s)
+      })
+      // CH divides by the WINDOW SIZE even for incomplete leading
+      // windows (group size when no window given); we keep that divisor
+      // but return Float64 where CH truncates integer inputs
+      reg("groupArrayMovingAvg")({
+        case Seq(x) =>
+          val out = movingAgg(x, None, (s, _, arrRef) =>
+            Divide(Cast(s, DoubleType), Cast(Size(arrRef), DoubleType)))
+          out
+        case Seq(x, n) => movingAgg(x, Some(n),
+          (s, _, _) => Divide(Cast(s, DoubleType), Cast(n, DoubleType)))
+      })
+
       // -State/-Merge for the ALGEBRAIC aggregates: their partial state
       // is expressible in plain SQL types (a sum's state IS a sum, a
       // count's state is a count merged by summing, an avg's state is
@@ -852,6 +890,12 @@ object ChFunctions {
       // argMax(arg, val) / argMin — CH's "arg at the extremum of val"
       reg("argMax")({ case Seq(arg, v) => MaxBy(arg, v) })
       reg("argMin")({ case Seq(arg, v) => MinBy(arg, v) })
+      // If-combinators for argMax/argMin: rows failing cond get a NULL
+      // ordering value, which max_by/min_by skip
+      reg("argMaxIf")({ case Seq(arg, v, cond) =>
+        MaxBy(arg, If(cond, v, Literal(null))) })
+      reg("argMinIf")({ case Seq(arg, v, cond) =>
+        MinBy(arg, If(cond, v, Literal(null))) })
 
       // regex surface: RE2-style patterns run unchanged under Java regex
       // for the common cases (no backrefs in CH patterns)

@@ -558,6 +558,29 @@ class ChFunctionsSpec extends AnyFunSuite {
     assert(one("SELECT isIPv4String('1.2.3')") == false)
   }
 
+  test("argMaxIf/argMinIf pick the arg at the conditional extreme") {
+    assert(one("SELECT argMaxIf(flag, v, id < 3) FROM fx") == "N")  // v=20 max among id<3
+    assert(one("SELECT argMinIf(id, v, flag = 'R') FROM fx") == 1)
+    // no row passes → NULL
+    assert(one("SELECT argMaxIf(flag, v, id > 99) FROM fx") == null)
+  }
+
+  test("groupArrayMovingSum/Avg compute running and windowed prefixes") {
+    def arrD(sql: String): Seq[Double] =
+      spark.sql(sql).collect().head.getSeq[Double](0).toSeq
+    def arrL(sql: String): Seq[Long] =
+      spark.sql(sql).collect().head.getSeq[Long](0).toSeq
+    assert(arrL("SELECT groupArrayMovingSum(x) FROM (SELECT explode(array(1, 2, 3, 4)) AS x)")
+      == Seq(1L, 3L, 6L, 10L))
+    assert(arrL("SELECT groupArrayMovingSum(x, 2) FROM (SELECT explode(array(1, 2, 3, 4)) AS x)")
+      == Seq(1L, 3L, 5L, 7L))
+    // CH divisor: full group size without a window, the window size with
+    assert(arrD("SELECT groupArrayMovingAvg(x) FROM (SELECT explode(array(1, 2, 3, 4)) AS x)")
+      == Seq(0.25, 0.75, 1.5, 2.5))
+    assert(arrD("SELECT groupArrayMovingAvg(x, 2) FROM (SELECT explode(array(1, 2, 3, 4)) AS x)")
+      == Seq(0.5, 1.5, 2.5, 3.5))
+  }
+
   test("sipHash64 matches SipHash-2-4 zero-key vectors") {
     // goldens from a spec implementation validated against the SipHash
     // paper's canonical key-0x000102…0f vector table
