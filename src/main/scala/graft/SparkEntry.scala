@@ -549,6 +549,14 @@ object SparkEntry {
         |       countIf(JSONExtractString(props, 'k') = '69') AS k69
         |FROM events""".stripMargin),
 
+    // simpleJSON (visitParam) variants + arrayFold over the same props
+    "q138_simple_json" -> ch(
+      """SELECT CAST(sum(simpleJSONExtractInt(props, 'k')) AS BIGINT) AS sum_k,
+        |       countIf(simpleJSONHas(props, 'k')) AS n_has,
+        |       CAST(sum(arrayFold((acc, x) -> acc + x,
+        |                array(simpleJSONExtractInt(props, 'k'), 1), CAST(0 AS BIGINT))) AS BIGINT) AS folded
+        |FROM events""".stripMargin),
+
     // A7: CH nearest-rank percentile, exercised through the authentic
     // parametric-aggregate syntax f(params)(args)
     "q33_percentile" -> ch(
@@ -2142,6 +2150,11 @@ object SparkEntry {
       """SELECT l_returnflag,
         |       array_to_string((list(l_orderkey ORDER BY l_orderkey))[1:5], ',') AS five_smallest
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q138_simple_json" ->
+      """SELECT CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        |       count(*) FILTER (WHERE json_extract_string(props, '$.k') IS NOT NULL) AS n_has,
+        |       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT) + 1) AS BIGINT) AS folded
+        |FROM events""".stripMargin,
     "q137_argmax_if" ->
       """SELECT o_orderpriority,
         |       arg_max(o_orderkey, o_totalprice) FILTER (WHERE o_orderstatus = 'F') AS k_max,

@@ -475,6 +475,21 @@ object ChFunctions {
         case Seq(json, key) => LengthOfJsonArray(GetJsonObject(json, jsonPath(key)))
       })
       reg("JSONExtractKeys")(exprs => JsonObjectKeys(exprs.head))
+      // simpleJSON* (a.k.a. visitParam*): CH's naive-scan variants; we
+      // parse properly — a documented superset (CH finds the first
+      // occurrence of the key at ANY nesting level, we resolve the
+      // top-level field; identical on the flat metadata JSON they are
+      // used for)
+      reg("simpleJSONExtractString")(
+        { case Seq(json, key) => GetJsonObject(json, jsonPath(key)) })
+      reg("simpleJSONExtractInt")(
+        { case Seq(json, key) => Cast(GetJsonObject(json, jsonPath(key)), LongType) })
+      reg("simpleJSONExtractFloat")(
+        { case Seq(json, key) => Cast(GetJsonObject(json, jsonPath(key)), DoubleType) })
+      reg("simpleJSONExtractBool")(
+        { case Seq(json, key) => Cast(GetJsonObject(json, jsonPath(key)), BooleanType) })
+      reg("simpleJSONHas")(
+        { case Seq(json, key) => IsNotNull(GetJsonObject(json, jsonPath(key))) })
       // date/time helpers (CH names) — all map to native expressions
       reg("toStartOfHour")(
         exprs => TruncTimestamp(Literal("hour"), exprs.head))
@@ -789,6 +804,16 @@ object ChFunctions {
             Seq(x, i)))
       }
       reg("arrayEnumerateUniq")(exprs => enumUniq(exprs.head))
+      // arrayFold(acc_lambda, arr, init) — CH's fold maps 1:1 onto
+      // aggregate(); CH puts the lambda first and init last
+      reg("arrayFold")({ case Seq(f, arr, init) =>
+        val fin = lv("finAF")
+        ArrayAggregate(arr, init, f, LambdaFunction(fin, Seq(fin)))
+      })
+      // arrayPartialSort(n, arr): CH's contract is "first n positions
+      // hold the n smallest, sorted; the rest unspecified" — a full
+      // sort is a valid (stronger) instance of that contract
+      reg("arrayPartialSort")({ case Seq(_, arr) => new ArraySort(arr) })
 
       // arrayReduce('agg', arr) — CH applies an aggregate function to
       // array elements. The common reducers map to native array

@@ -558,6 +558,18 @@ class ChFunctionsSpec extends AnyFunSuite {
     assert(one("SELECT isIPv4String('1.2.3')") == false)
   }
 
+  test("arrayFold / arrayPartialSort / simpleJSON family") {
+    assert(one("SELECT arrayFold((acc, x) -> acc * 10 + x, array(1, 2, 3), 0)") == 123)
+    assert(one("SELECT arrayPartialSort(2, array(3, 1, 2))")
+      .asInstanceOf[scala.collection.Seq[Int]].take(2) == Seq(1, 2))
+    assert(one("""SELECT simpleJSONExtractString('{"k": "v", "n": 7}', 'k')""") == "v")
+    assert(one("""SELECT simpleJSONExtractInt('{"k": "v", "n": 7}', 'n')""") == 7L)
+    assert(one("""SELECT simpleJSONExtractFloat('{"n": 2.5}', 'n')""") == 2.5)
+    assert(one("""SELECT simpleJSONExtractBool('{"b": true}', 'b')""") == true)
+    assert(one("""SELECT simpleJSONHas('{"k": 1}', 'k')""") == true)
+    assert(one("""SELECT simpleJSONHas('{"k": 1}', 'z')""") == false)
+  }
+
   test("argMaxIf/argMinIf pick the arg at the conditional extreme") {
     assert(one("SELECT argMaxIf(flag, v, id < 3) FROM fx") == "N")  // v=20 max among id<3
     assert(one("SELECT argMinIf(id, v, flag = 'R') FROM fx") == 1)
