@@ -1328,6 +1328,16 @@ object SparkEntry {
         |       countIf(isIPv4String(concat('10.', toString(c_nationkey), '.0.1'))) AS n_valid
         |FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin),
 
+    // time-bound sequenceMatch: signup adjacently followed by a
+    // purchase within 2 h (among signup/purchase events)
+    "q139_sequence_timed" -> ch(
+      """SELECT CAST(count() AS BIGINT) AS n_users FROM (
+        |  SELECT user_id,
+        |         sequenceMatch('(?1)(?t<7200)(?2)')(ts, event_type = 'signup',
+        |                                            event_type = 'purchase') AS m
+        |  FROM events GROUP BY user_id)
+        |WHERE m = 1""".stripMargin),
+
     // argMax/argMin If-combinators (tie-free subset: the one duplicated
     // o_totalprice in the testdata sits in status 'O')
     "q137_argmax_if" -> ch(
@@ -2150,6 +2160,16 @@ object SparkEntry {
       """SELECT l_returnflag,
         |       array_to_string((list(l_orderkey ORDER BY l_orderkey))[1:5], ',') AS five_smallest
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q139_sequence_timed" ->
+      """WITH f AS (
+        |  SELECT user_id, ts, event_type,
+        |         lead(ts) OVER (PARTITION BY user_id ORDER BY ts) AS nts,
+        |         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts) AS ne
+        |  FROM events WHERE event_type IN ('signup', 'purchase'))
+        |SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM f
+        |WHERE event_type = 'signup' AND ne = 'purchase'
+        |  AND epoch_us(nts) - epoch_us(ts) < 7200000000""".stripMargin,
     "q138_simple_json" ->
       """SELECT CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
         |       count(*) FILTER (WHERE json_extract_string(props, '$.k') IS NOT NULL) AS n_has,

@@ -782,10 +782,67 @@ object ChFunctions {
         }
         sb.toString
       }
+      // time-bound form `(?a)(?t OP n)(?b)`: the two atoms match
+      // ADJACENT events of the matched subsequence with the time gap
+      // constrained (n in seconds, CH's DateTime convention; compared
+      // at microsecond precision). Only this adjacent-pair shape is
+      // supported — anything else with `(?t…)` refuses loudly.
+      val TimeBound =
+        """^\(\?(\d)\)\(\?t\s*(>=|<=|!=|>|<|=)\s*(\d+)\)\(\?(\d)\)$""".r
+      def timeBoundMatch(t: Expression, conds: Seq[Expression],
+                         a: Int, op: String, secs: Long, bIdx: Int): Expression = {
+        require(a >= 1 && a <= conds.length && bIdx >= 1 && bIdx <= conds.length,
+          "sequence pattern refs exceed the condition count")
+        val chr = CaseWhen(
+          conds.zipWithIndex.map { case (c, i) =>
+            (c, Literal(i + 1): Expression) },
+          Some(Literal(null, IntegerType)))
+        val ev = CreateNamedStruct(Seq(
+          Literal("t"), UnixMicros(Cast(t, TimestampType)),
+          Literal("c"), chr))
+        val m = lv("mTB"); val l = lv("lTB"); val r = lv("rTB")
+        def fldOf(s: Expression, nme: String) =
+          org.apache.spark.sql.catalyst.analysis.UnresolvedExtractValue(s, Literal(nme))
+        val matched = ArrayFilter(
+          new ArraySort(CollectList(ev).toAggregateExpression()),
+          LambdaFunction(IsNotNull(fldOf(m, "c")), Seq(m)))
+        // adjacent pairs: zip with the 1-shifted tail (ZipWith pads the
+        // shorter side with NULL — the IsNotNull(r) guard drops the pad)
+        val gapUs = Multiply(Literal(secs), Literal(1000000L))
+        def cmp(gap: Expression): Expression = op match {
+          case ">"  => GreaterThan(gap, gapUs)
+          case ">=" => GreaterThanOrEqual(gap, gapUs)
+          case "<"  => LessThan(gap, gapUs)
+          case "<=" => LessThanOrEqual(gap, gapUs)
+          case "="  => EqualTo(gap, gapUs)
+          case "!=" => Not(EqualTo(gap, gapUs))
+        }
+        Cast(ArrayExists(
+          ZipWith(matched,
+            Slice(matched, Literal(2),
+              Greatest(Seq(Literal(0), Subtract(Size(matched), Literal(1))))),
+            LambdaFunction(
+              And(And(IsNotNull(r),
+                  And(EqualTo(fldOf(l, "c"), Literal(a)),
+                    EqualTo(fldOf(r, "c"), Literal(bIdx)))),
+                cmp(Subtract(fldOf(r, "t"), fldOf(l, "t")))),
+              Seq(l, r))),
+          { val b = lv("bTB"); LambdaFunction(b, Seq(b)) }), IntegerType)
+      }
       reg("sequenceMatch")({ exprs =>
-        val pat = seqPattern(exprs.last)
-        val str = seqString(exprs.head, exprs.slice(1, exprs.length - 1))
-        Cast(RLike(str, Literal(pat)), IntegerType) // CH returns UInt8
+        val rawPat = exprs.last.eval() match {
+          case u: org.apache.spark.unsafe.types.UTF8String => u.toString
+          case other => String.valueOf(other)
+        }
+        val conds = exprs.slice(1, exprs.length - 1)
+        rawPat match {
+          case TimeBound(a, op, n, b) =>
+            timeBoundMatch(exprs.head, conds, a.toInt, op, n.toLong, b.toInt)
+          case _ =>
+            val pat = seqPattern(exprs.last)
+            val str = seqString(exprs.head, conds)
+            Cast(RLike(str, Literal(pat)), IntegerType) // CH returns UInt8
+        }
       })
       reg("sequenceCount")({ exprs =>
         val pat = seqPattern(exprs.last)

@@ -711,9 +711,21 @@ class ChFunctionsSpec extends AnyFunSuite {
       "SELECT sequenceMatch('(?1).*(?1)')(t, flag = 'R', flag = 'N') FROM fx") == 1)
     assert(oneCh(
       "SELECT sequenceCount('(?1)')(t, flag = 'R', flag = 'N') FROM fx") == 2)
-    // unsupported time-bound atoms fail loudly, not silently
+    // time-bound adjacent-pair form: R@10:30 → N@11:45 gap = 4500 s
+    assert(oneCh(
+      "SELECT sequenceMatch('(?1)(?t<5400)(?2)')(t, flag = 'R', flag = 'N') FROM fx") == 1)
+    assert(oneCh(
+      "SELECT sequenceMatch('(?1)(?t<3600)(?2)')(t, flag = 'R', flag = 'N') FROM fx") == 0)
+    // N@11:45 → R@next-day-00:00 gap = 44100 s
+    assert(oneCh(
+      "SELECT sequenceMatch('(?2)(?t>43000)(?1)')(t, flag = 'R', flag = 'N') FROM fx") == 1)
+    assert(oneCh(
+      "SELECT sequenceMatch('(?2)(?t>=44100)(?1)')(t, flag = 'R', flag = 'N') FROM fx") == 1)
+    assert(oneCh(
+      "SELECT sequenceMatch('(?2)(?t>44100)(?1)')(t, flag = 'R', flag = 'N') FROM fx") == 0)
+    // time bounds outside the adjacent-pair shape fail loudly
     intercept[Exception] {
-      oneCh("SELECT sequenceMatch('(?1)(?t>10)(?2)')(t, flag = 'R', flag = 'N') FROM fx")
+      oneCh("SELECT sequenceMatch('(?1)(?t>10)(?2)(?1)')(t, flag = 'R', flag = 'N') FROM fx")
     }
   }
 
