@@ -1328,6 +1328,14 @@ object SparkEntry {
         |       countIf(isIPv4String(concat('10.', toString(c_nationkey), '.0.1'))) AS n_valid
         |FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin),
 
+    // population skewness/kurtosis per group (micro-scaled for a
+    // summation-order-safe integer compare)
+    "q140_skew_kurt" -> ch(
+      """SELECT l_returnflag,
+        |       CAST(round(skewPop(l_quantity) * 1000000) AS BIGINT) AS skew_micro,
+        |       CAST(round(kurtPop(l_quantity) * 1000000) AS BIGINT) AS kurt_micro
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
+
     // time-bound sequenceMatch: signup adjacently followed by a
     // purchase within 2 h (among signup/purchase events)
     "q139_sequence_timed" -> ch(
@@ -2160,6 +2168,14 @@ object SparkEntry {
       """SELECT l_returnflag,
         |       array_to_string((list(l_orderkey ORDER BY l_orderkey))[1:5], ',') AS five_smallest
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q140_skew_kurt" ->
+      """SELECT l_returnflag,
+        |       CAST(round((avg(x*x*x) - 3*avg(x)*avg(x*x) + 2*avg(x)^3)
+        |                  / (avg(x*x) - avg(x)^2)^1.5 * 1000000) AS BIGINT) AS skew_micro,
+        |       CAST(round((avg(x*x*x*x) - 4*avg(x)*avg(x*x*x) + 6*avg(x)^2*avg(x*x) - 3*avg(x)^4)
+        |                  / (avg(x*x) - avg(x)^2)^2 * 1000000) AS BIGINT) AS kurt_micro
+        |FROM (SELECT l_returnflag, l_quantity::DOUBLE AS x FROM lineitem)
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q139_sequence_timed" ->
       """WITH f AS (
         |  SELECT user_id, ts, event_type,

@@ -1066,6 +1066,32 @@ object ChFunctions {
             .toAggregateExpression(),
           Sum(Cast(w, DoubleType)).toAggregateExpression())
       })
+      // skewPop/kurtPop: population central moments via raw-moment
+      // averages (E[x^k]); kurtPop is CH's NON-excess μ4/σ⁴ (3 for a
+      // normal), unlike Spark's excess `kurtosis`. Single pass, all
+      // map-side combinable. The -Samp variants are deliberately
+      // absent (CH's sample-correction formulas are not documented
+      // precisely enough to claim parity).
+      def rawMoment(x: Expression, k: Int): Expression =
+        Average(Pow(Cast(x, DoubleType), Literal(k.toDouble))).toAggregateExpression()
+      reg("skewPop")({ case Seq(x) =>
+        val e1 = rawMoment(x, 1); val e2 = rawMoment(x, 2); val e3 = rawMoment(x, 3)
+        val mu3 = Add(Subtract(e3, Multiply(Literal(3.0d), Multiply(rawMoment(x, 1), rawMoment(x, 2)))),
+          Multiply(Literal(2.0d), Pow(rawMoment(x, 1), Literal(3.0d))))
+        val sig2 = Subtract(e2, Multiply(e1, e1))
+        Divide(mu3, Pow(sig2, Literal(1.5d)))
+      })
+      reg("kurtPop")({ case Seq(x) =>
+        val e1 = rawMoment(x, 1); val e2 = rawMoment(x, 2)
+        val e3 = rawMoment(x, 3); val e4 = rawMoment(x, 4)
+        val mu4 = Add(
+          Subtract(Add(e4, Multiply(Literal(6.0d),
+              Multiply(Multiply(rawMoment(x, 1), rawMoment(x, 1)), rawMoment(x, 2)))),
+            Multiply(Literal(4.0d), Multiply(rawMoment(x, 1), e3))),
+          Multiply(Literal(-3.0d), Pow(rawMoment(x, 1), Literal(4.0d))))
+        val sig2 = Subtract(e2, Multiply(e1, e1))
+        Divide(mu4, Multiply(sig2, sig2))
+      })
 
       // (dateDiff is NOT here: Spark's parser special-cases the name
       // before the registry, so ChSql.rewriteDateDiff handles it)

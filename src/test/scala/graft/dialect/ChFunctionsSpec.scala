@@ -558,6 +558,21 @@ class ChFunctionsSpec extends AnyFunSuite {
     assert(one("SELECT isIPv4String('1.2.3')") == false)
   }
 
+  test("skewPop/kurtPop compute population moments") {
+    // symmetric {1,2,3}: skew 0; μ4/σ⁴ = (2/3 · 1)/ (2/3)² = 1.5
+    val sk = one("SELECT skewPop(x) FROM (SELECT explode(array(1, 2, 3)) AS x)")
+      .asInstanceOf[Double]
+    assert(math.abs(sk) < 1e-12)
+    val ku = one("SELECT kurtPop(x) FROM (SELECT explode(array(1, 2, 3)) AS x)")
+      .asInstanceOf[Double]
+    assert(math.abs(ku - 1.5) < 1e-9)
+    // right-skewed {1,1,1,5}: μ3 = 13.5? mean=2, devs -1,-1,-1,3 →
+    // μ3 = (−1−1−1+27)/4 = 6, σ² = (1+1+1+9)/4 = 3 → skew = 6/3^1.5
+    val sk2 = one("SELECT skewPop(x) FROM (SELECT explode(array(1, 1, 1, 5)) AS x)")
+      .asInstanceOf[Double]
+    assert(math.abs(sk2 - 6.0 / math.pow(3.0, 1.5)) < 1e-9)
+  }
+
   test("arrayFold / arrayPartialSort / simpleJSON family") {
     assert(one("SELECT arrayFold((acc, x) -> acc * 10 + x, array(1, 2, 3), 0)") == 123)
     assert(one("SELECT arrayPartialSort(2, array(3, 1, 2))")
