@@ -1328,6 +1328,15 @@ object SparkEntry {
         |       countIf(isIPv4String(concat('10.', toString(c_nationkey), '.0.1'))) AS n_valid
         |FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin),
 
+    // interval-union coverage: seconds of "active" time per user when
+    // every event opens a 30-min window — the sweep-line aggregate
+    "q141_interval_union" -> ch(
+      """SELECT user_id,
+        |       CAST(round(intervalLengthSum(toUnixTimestamp(ts),
+        |                                    toUnixTimestamp(ts) + 1800)) AS BIGINT) AS covered
+        |FROM events WHERE user_id < 10
+        |GROUP BY user_id ORDER BY user_id""".stripMargin),
+
     // population skewness/kurtosis per group (micro-scaled for a
     // summation-order-safe integer compare)
     "q140_skew_kurt" -> ch(
@@ -2168,6 +2177,19 @@ object SparkEntry {
       """SELECT l_returnflag,
         |       array_to_string((list(l_orderkey ORDER BY l_orderkey))[1:5], ',') AS five_smallest
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q141_interval_union" ->
+      """WITH iv AS (
+        |  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS s,
+        |         CAST(floor(epoch(ts)) AS BIGINT) + 1800 AS e
+        |  FROM events WHERE user_id < 10),
+        |w AS (
+        |  SELECT user_id, s, e,
+        |         max(e) OVER (PARTITION BY user_id ORDER BY s, e
+        |                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS cov
+        |  FROM iv)
+        |SELECT user_id,
+        |       CAST(round(sum(greatest(0, e - greatest(s, coalesce(cov, -4611686018427387904))))) AS BIGINT) AS covered
+        |FROM w GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q140_skew_kurt" ->
       """SELECT l_returnflag,
         |       CAST(round((avg(x*x*x) - 3*avg(x)*avg(x*x) + 2*avg(x)^3)

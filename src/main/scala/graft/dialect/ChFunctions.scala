@@ -1066,6 +1066,78 @@ object ChFunctions {
             .toAggregateExpression(),
           Sum(Cast(w, DoubleType)).toAggregateExpression())
       })
+      // sumCount(x) → CH's (sum, count) tuple
+      reg("sumCount")({ case Seq(x) =>
+        CreateNamedStruct(Seq(
+          Literal("sum"), Sum(x).toAggregateExpression(),
+          Literal("count"), Count(Seq(x)).toAggregateExpression()))
+      })
+      // anyHeavy(x): CH promises "a frequently-occurring value"
+      // (heavy-hitter, result engine-defined) — we return the exact
+      // mode with a value-ascending tie-break, a valid and
+      // deterministic instance of that contract (topK(1) head)
+      reg("anyHeavy")({ case Seq(x) =>
+        val arr = CollectList(x).toAggregateExpression()
+        val e = lv("eAH"); val y = lv("yAH"); val s = lv("sAH")
+        val pairs = ArrayTransform(ArrayDistinct(arr),
+          LambdaFunction(
+            CreateNamedStruct(Seq(
+              Literal("c"),
+              UnaryMinus(Size(ArrayFilter(arr,
+                LambdaFunction(EqualTo(y, e), Seq(y))))),
+              Literal("v"), e)),
+            Seq(e)))
+        ElementAt(
+          ArrayTransform(Slice(new ArraySort(pairs), Literal(1), Literal(1)),
+            LambdaFunction(
+              org.apache.spark.sql.catalyst.analysis
+                .UnresolvedExtractValue(s, Literal("v")), Seq(s))),
+          Literal(1))
+      })
+      // deltaSum(x): sum of positive deltas between consecutive values
+      // in the group's arrival order (groupArray's ordering caveat)
+      reg("deltaSum")({ case Seq(x) =>
+        val arr = CollectList(Cast(x, DoubleType)).toAggregateExpression()
+        val l = lv("lDS"); val r = lv("rDS")
+        val acc = lv("accDS"); val d = lv("dDS"); val f = lv("fDS")
+        val diffs = ZipWith(arr,
+          Slice(arr, Literal(2),
+            Greatest(Seq(Literal(0), Subtract(Size(arr), Literal(1))))),
+          LambdaFunction(
+            If(IsNull(r), Literal(0.0d),
+              Greatest(Seq(Literal(0.0d), Subtract(r, l)))),
+            Seq(l, r)))
+        ArrayAggregate(diffs, Literal(0.0d),
+          LambdaFunction(Add(acc, d), Seq(acc, d)),
+          LambdaFunction(f, Seq(f)))
+      })
+      // intervalLengthSum(start, end): total length of the UNION of the
+      // group's [start, end) intervals — sort by (start, end), one
+      // sweep carrying (total, covered-end); per-group memory is the
+      // interval count (surface aggregate, not a scan operator)
+      reg("intervalLengthSum")({ case Seq(st, en) =>
+        val arr = new ArraySort(CollectList(CreateNamedStruct(Seq(
+          Literal("s"), Cast(st, DoubleType),
+          Literal("e"), Cast(en, DoubleType)))).toAggregateExpression())
+        val acc = lv("accIL"); val iv = lv("ivIL"); val f = lv("fIL")
+        def fldOf(x: Expression, nme: String) =
+          org.apache.spark.sql.catalyst.analysis.UnresolvedExtractValue(x, Literal(nme))
+        val negInf = Literal(Double.NegativeInfinity)
+        val zero = CreateNamedStruct(Seq(
+          Literal("tot"), Literal(0.0d), Literal("cov"), negInf))
+        val step = CreateNamedStruct(Seq(
+          Literal("tot"),
+          Add(fldOf(acc, "tot"),
+            Greatest(Seq(Literal(0.0d),
+              Subtract(fldOf(iv, "e"),
+                Greatest(Seq(fldOf(iv, "s"), fldOf(acc, "cov"))))))),
+          Literal("cov"),
+          Greatest(Seq(fldOf(acc, "cov"), fldOf(iv, "e")))))
+        ArrayAggregate(arr, zero,
+          LambdaFunction(step, Seq(acc, iv)),
+          LambdaFunction(fldOf(f, "tot"), Seq(f)))
+      })
+
       // skewPop/kurtPop: population central moments via raw-moment
       // averages (E[x^k]); kurtPop is CH's NON-excess μ4/σ⁴ (3 for a
       // normal), unlike Spark's excess `kurtosis`. Single pass, all

@@ -558,6 +558,22 @@ class ChFunctionsSpec extends AnyFunSuite {
     assert(one("SELECT isIPv4String('1.2.3')") == false)
   }
 
+  test("sumCount / anyHeavy / deltaSum / intervalLengthSum") {
+    val sc = one("SELECT sumCount(v) FROM fx").asInstanceOf[org.apache.spark.sql.Row]
+    assert(sc.getDouble(0) == 60.0 && sc.getLong(1) == 3L)
+    assert(one("SELECT anyHeavy(x) FROM (SELECT explode(array('b','a','b','c','a','b')) AS x)") == "b")
+    // deltaSum over a single-partition ordered array: 1→3 (+2), 3→2, 2→5 (+3)
+    assert(one("SELECT deltaSum(x) FROM (SELECT explode(array(1, 3, 2, 5)) AS x)") == 5.0)
+    // intervals [0,10), [5,15), [20,25) → union length 15 + 5
+    assert(one(
+      """SELECT intervalLengthSum(s, e) FROM VALUES (0, 10), (5, 15), (20, 25) AS t(s, e)""")
+      == 20.0)
+    // fully nested interval adds nothing
+    assert(one(
+      """SELECT intervalLengthSum(s, e) FROM VALUES (0, 100), (10, 20) AS t(s, e)""")
+      == 100.0)
+  }
+
   test("skewPop/kurtPop compute population moments") {
     // symmetric {1,2,3}: skew 0; μ4/σ⁴ = (2/3 · 1)/ (2/3)² = 1.5
     val sk = one("SELECT skewPop(x) FROM (SELECT explode(array(1, 2, 3)) AS x)")
