@@ -624,6 +624,28 @@ class ChFunctionsSpec extends AnyFunSuite {
       == Seq(0.5, 1.5, 2.5, 3.5))
   }
 
+  test("xxHash/sipHash codegen compiles (no silent interpreted fallback)") {
+    // CODEGEN_ONLY turns any doGenCode defect into a hard error
+    // instead of a logged fallback
+    val prev = spark.conf.getOption("spark.sql.codegen.factoryMode")
+    spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    try {
+      val r = graft.dialect.ChSql.sql(spark,
+        """SELECT sum(pmod(xxHash64(flag), 97)) AS a,
+          |       sum(pmod(xxHash32(flag), 97)) AS b,
+          |       sum(pmod(sipHash64(flag), 97)) AS c,
+          |       sum(pmod(xxHash64(id), 97)) AS d,
+          |       sum(pmod(sipHash64(v), 97)) AS e
+          |FROM fx""".stripMargin).collect().head
+      assert((0 until 5).forall(i => r.getLong(i) >= 0))
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.codegen.factoryMode", p)
+        case None => spark.conf.unset("spark.sql.codegen.factoryMode")
+      }
+    }
+  }
+
   test("sipHash64 matches SipHash-2-4 zero-key vectors") {
     // goldens from a spec implementation validated against the SipHash
     // paper's canonical key-0x000102…0f vector table
