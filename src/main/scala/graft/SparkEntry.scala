@@ -1337,6 +1337,16 @@ object SparkEntry {
         |FROM events WHERE user_id < 10
         |GROUP BY user_id ORDER BY user_id""".stripMargin),
 
+    // ANSI EXTRACT(field FROM ts) and CH regex extract(s, re) coexist
+    // on one dialect session (the r7 shadowing fix): the FROM form
+    // stays with Spark's builtin, the comma form routes to chExtract
+    "q142_ansi_extract" -> ch(
+      """SELECT CAST(EXTRACT(YEAR FROM ts) AS BIGINT) AS yr,
+        |       CAST(EXTRACT(MONTH FROM ts) AS BIGINT) AS mth,
+        |       count() AS n,
+        |       max(extract(event_type, '([a-z]+)')) AS etype_max
+        |FROM events GROUP BY yr, mth ORDER BY yr, mth""".stripMargin),
+
     // population skewness/kurtosis per group (micro-scaled for a
     // summation-order-safe integer compare)
     "q140_skew_kurt" -> ch(
@@ -2190,6 +2200,12 @@ object SparkEntry {
         |SELECT user_id,
         |       CAST(round(sum(greatest(0, e - greatest(s, coalesce(cov, -4611686018427387904))))) AS BIGINT) AS covered
         |FROM w GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q142_ansi_extract" ->
+      """SELECT CAST(EXTRACT(YEAR FROM ts) AS BIGINT) AS yr,
+        |       CAST(EXTRACT(MONTH FROM ts) AS BIGINT) AS mth,
+        |       count(*) AS n,
+        |       max(regexp_extract(event_type, '([a-z]+)', 1)) AS etype_max
+        |FROM events GROUP BY yr, mth ORDER BY yr, mth""".stripMargin,
     "q140_skew_kurt" ->
       """SELECT l_returnflag,
         |       CAST(round((avg(x*x*x) - 3*avg(x)*avg(x*x) + 2*avg(x)^3)

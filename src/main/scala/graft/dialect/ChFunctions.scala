@@ -983,8 +983,12 @@ object ChFunctions {
       // for the common cases (no backrefs in CH patterns)
       reg("match")({ case Seq(s, p) => RLike(s, p) })
       // CH extract(): whole match unless the pattern has a capture
-      // group, then the first group — decidable for literal patterns
-      reg("extract")({ case Seq(s, p) =>
+      // group, then the first group — decidable for literal patterns.
+      // Registered ch-prefixed (dialect text routes here via the
+      // rewriteConflictingFunctions pre-pass) because plain `extract`
+      // would shadow Spark's builtin and break standard
+      // EXTRACT(YEAR FROM ts) on every dialect-registered session.
+      reg("chExtract")({ case Seq(s, p) =>
         val group = p match {
           case Literal(v: org.apache.spark.unsafe.types.UTF8String, StringType)
               if v.toString.contains("(") => 1
@@ -1456,6 +1460,16 @@ object ChFunctions {
       reg("normalizeUTF8NFKC")(exprs => graft.functions.NormalizeUTF8(exprs.head, "nfkc"))
       reg("normalizeUTF8NFKD")(exprs => graft.functions.NormalizeUTF8(exprs.head, "nfkd"))
 
-    out.result()
+    val built = out.result()
+    // Shadowing Spark's builtin registry is the twice-shipped bug class
+    // (r4: any/position; r7: extract). Fail construction — not warn —
+    // so a colliding name can never reach a session: CH spellings that
+    // overlap a builtin must be renamed in ChSql.rewriteConflictingFunctions
+    // and registered ch-prefixed (chExtract, chXxHash64, chTransform).
+    val collisions = built.map(_._1).filter(FunctionShim.isBuiltin)
+    require(collisions.isEmpty,
+      s"dialect builder name(s) would shadow Spark builtins: ${collisions.mkString(", ")}; " +
+        "rename via ChSql.rewriteConflictingFunctions instead")
+    built
   }
 }
