@@ -394,6 +394,27 @@ object SparkEntry {
           "SET max_parallel_replicas=10")))._1
     }),
 
+    // S5 over the web: ATTACH whose disk endpoint is http(s) parquet —
+    // the reference's flagship workflow shape end-to-end
+    // (temporal/workflow_query_executor_test.go:85), served by the
+    // localhost static server; must hash-match the same data read
+    // directly (oracle runs on the source lineitem table)
+    "q143_attach_http" -> ((spark, dir) => {
+      prep(spark, dir)
+      val base = derivedDir(spark, dir)
+      val port = graft.sources.StaticHttp.serve(base)
+      val svc = new QueryService(spark)
+      svc.executeToDf(QueryService.QueryRequest(
+        query = """SELECT l_returnflag, count() AS cnt,
+                  |       CAST(round(sum(l_quantity)) AS BIGINT) AS sum_qty
+                  |FROM lineitem_http GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+        initQueries = Seq(
+          s"""ATTACH TABLE lineitem_http
+             |(`l_orderkey` Int64, `l_quantity` Float64, `l_returnflag` String)
+             |ENGINE = MergeTree ORDER BY (l_returnflag, l_orderkey)
+             |SETTINGS disk = disk(type = web, endpoint = 'http://127.0.0.1:$port/part-{0..3}.parquet')""".stripMargin)))._1
+    }),
+
     // ---- joins (SURVEY §2.4 — delegated surface, exercised here) ----
 
     // broadcast inner equi-join + agg
@@ -1555,6 +1576,10 @@ object SparkEntry {
         |FROM nation ORDER BY id""".stripMargin,
     "q57_attach_flow" ->
       "SELECT l_returnflag, count(*) AS cnt FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag",
+    "q143_attach_http" ->
+      """SELECT l_returnflag, count(*) AS cnt,
+        |       CAST(round(sum(l_quantity)) AS BIGINT) AS sum_qty
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q13_join_inner" ->
       "SELECT c_mktsegment, count(*) AS cnt FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY c_mktsegment ORDER BY c_mktsegment",
     "q14_join_anti" ->

@@ -57,12 +57,23 @@ object Catalog {
       val df: DataFrame = endpoint match {
         case Some(path) if canRead(path) =>
           spark.read.schema(schema).parquet(path)
+        case Some(path) if isHttpParquet(path) =>
+          // the reference's flagship shape: a web disk endpoint
+          // (temporal/workflow_query_executor_test.go:85). When the
+          // endpoint serves parquet object(s), the existing http scan
+          // path reads them; the declared column list projects/casts the
+          // footer schema (missing declared columns fail analysis loudly,
+          // extra remote columns are pruned).
+          import org.apache.spark.sql.functions.col
+          val raw = graft.sources.HttpParquet.read(spark, path)
+          raw.select(schema.fields.toSeq.map(f => col(f.name).cast(f.dataType).as(f.name)): _*)
         case Some(path)
             if !spark.conf.get(AllowEmptyConf, "false").toBoolean =>
           throw new IllegalArgumentException(
             s"ATTACH TABLE $name: endpoint '$path' is not readable " +
               "(http MergeTree part layouts cannot be served; export the " +
-              s"data to parquet, or set $AllowEmptyConf=true to register " +
+              s"data to parquet — an http(s) endpoint ending in .parquet " +
+              s"is read directly — or set $AllowEmptyConf=true to register " +
               "a schema-only view)")
         case _ =>
           spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
@@ -84,4 +95,12 @@ object Catalog {
   private def canRead(endpoint: String): Boolean =
     !endpoint.startsWith("http") && new java.io.File(
       endpoint.stripPrefix("file://")).exists()
+
+  /** http(s) endpoints naming parquet object(s) — possibly with CH
+    * `{a,b}`/`{n..m}` globs — route through [[graft.sources.HttpParquet]].
+    * Anything else over http (MergeTree part directories) stays
+    * unreadable and fails loudly above. */
+  private def isHttpParquet(endpoint: String): Boolean =
+    (endpoint.startsWith("http://") || endpoint.startsWith("https://")) &&
+      endpoint.endsWith(".parquet")
 }

@@ -68,6 +68,34 @@ class CatalogSpec extends AnyFunSuite {
     assert(res.rows == Seq(Seq(25L)))
   }
 
+  test("ATTACH over an http(s) parquet endpoint reads through HttpParquet") {
+    val port = graft.sources.StaticHttp.serve("/root/testdata/sf0.001")
+    val ddl =
+      s"""ATTACH TABLE nation_http (n_nationkey Int32, n_name String, n_regionkey Int32)
+         |ENGINE = MergeTree ORDER BY (n_nationkey)
+         |SETTINGS disk = disk(type = web, endpoint = 'http://127.0.0.1:$port/nation.parquet')""".stripMargin
+    ChSql.sql(spark, ddl).collect()
+    // hash-match the same data read directly off disk (declared-column
+    // projection: the remote file's extra n_comment column is pruned)
+    val viaHttp = spark.sql(
+      "SELECT n_nationkey, n_name, n_regionkey FROM nation_http ORDER BY n_nationkey")
+      .collect().toSeq
+    val direct = spark.read.parquet("/root/testdata/sf0.001/nation.parquet")
+      .selectExpr("CAST(n_nationkey AS INT)", "n_name", "CAST(n_regionkey AS INT)")
+      .orderBy("n_nationkey").collect().toSeq
+    assert(viaHttp == direct)
+  }
+
+  test("non-parquet http endpoints still fail loudly") {
+    val port = graft.sources.StaticHttp.serve("/root/testdata/sf0.001")
+    val e = intercept[IllegalArgumentException] {
+      Catalog.attach(spark,
+        s"""ATTACH TABLE web_parts (x Int64) ENGINE = MergeTree ORDER BY (x)
+           |SETTINGS disk = disk(type = web, endpoint = 'http://127.0.0.1:$port/web/')""".stripMargin)
+    }
+    assert(e.getMessage.contains("not readable"))
+  }
+
   test("malformed ATTACH fails loudly") {
     intercept[IllegalArgumentException] {
       Catalog.attach(spark, "ATTACH TABLE nonsense")
