@@ -38,6 +38,58 @@ object QueryService {
       types: Seq[String],
       rows: Seq[Seq[Any]],
       settings: Map[String, String])
+
+  /** Temporal-shaped retry policy (SURVEY §2.7 O1): the reference gets
+    * per-activity retry from Temporal's defaults — exponential backoff,
+    * every error retryable unless converted to a non-retryable failure
+    * (`temporal/config.go:121-133`). Bounded here by attempts instead
+    * of ScheduleToClose wall-clock, the meaningful unit for a local
+    * driver. */
+  case class RetryPolicy(
+      maxAttempts: Int = 4,
+      initialBackoffMs: Long = 200,
+      backoffMultiplier: Double = 2.0,
+      maxBackoffMs: Long = 5000)
+
+  /** Fault attribution, mirroring `permFailureConverter`
+    * (`temporal/config.go:121-133`): known caller-fault errors —
+    * analysis, parse, bad arguments — are PERMANENT (retrying cannot
+    * help and hides the bug); everything else is presumed transient,
+    * exactly Temporal's retry-unless-marked-non-retryable posture.
+    * Fetch failures, lost executors, and IO hiccups land in the
+    * transient bucket via their SparkException wrapper. */
+  def isPermanent(e: Throwable): Boolean = {
+    val chain = Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(8).toSeq
+    chain.exists {
+      case _: org.apache.spark.sql.AnalysisException => true
+      case _: org.apache.spark.sql.catalyst.parser.ParseException => true
+      case _: IllegalArgumentException => true
+      case _: UnsupportedOperationException => true
+      case _ => false
+    }
+  }
+
+  /** Run `thunk` under `policy`: permanent errors rethrow immediately,
+    * transient ones retry with exponential backoff until the attempt
+    * budget runs out (the last error rethrows). Exposed generically so
+    * callers can wrap any driver-side action, not just [[QueryService
+    * .execute]]. */
+  @annotation.tailrec
+  def retry[A](policy: RetryPolicy, attempt: Int = 1)(thunk: () => A): A = {
+    val r =
+      try Right(thunk())
+      catch {
+        case e: Exception if !isPermanent(e) && attempt < policy.maxAttempts => Left(e)
+      }
+    r match {
+      case Right(a) => a
+      case Left(_) =>
+        val backoff = (policy.initialBackoffMs *
+          math.pow(policy.backoffMultiplier, (attempt - 1).toDouble)).toLong
+        Thread.sleep(math.min(backoff, policy.maxBackoffMs))
+        retry(policy, attempt + 1)(thunk)
+    }
+  }
 }
 
 class QueryService(spark: SparkSession) {
@@ -74,4 +126,15 @@ class QueryService(spark: SparkSession) {
   /** Warm path (O9): one SQL string against the live session, no init. */
   def executeOnCurrent(sql: String): QueryResult =
     execute(QueryRequest(sql))
+
+  /** [[execute]] under the durability wrapper (O1): the reference's
+    * whole query lifecycle runs as retried Temporal activities; here
+    * transient faults (fetch failure, lost executor, IO) replay the
+    * request — init queries are idempotent (SET/ATTACH re-apply) so the
+    * whole envelope is safe to re-run — while analysis/parse errors
+    * surface immediately. */
+  def executeWithRetry(
+      req: QueryRequest,
+      policy: RetryPolicy = RetryPolicy()): QueryResult =
+    QueryService.retry(policy)(() => execute(req))
 }

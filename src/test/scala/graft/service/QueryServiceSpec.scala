@@ -65,4 +65,63 @@ class QueryServiceSpec extends AnyFunSuite {
     assert(math.abs(approx - exact).toDouble / exact < 0.05,
       s"uniq=$approx vs exact=$exact drifts beyond 5%")
   }
+
+  // ---- durability wrapper (O1): fault-injection ----
+
+  test("retry replays transient faults and returns the eventual success") {
+    val attempts = new java.util.concurrent.atomic.AtomicInteger(0)
+    val fast = QueryService.RetryPolicy(maxAttempts = 4, initialBackoffMs = 1)
+    val out = QueryService.retry(fast) { () =>
+      if (attempts.incrementAndGet() < 3)
+        throw new org.apache.spark.SparkException(
+          "Job aborted due to stage failure: FetchFailed(BlockManagerId(...))")
+      42
+    }
+    assert(out == 42)
+    assert(attempts.get() == 3)
+  }
+
+  test("permanent (analysis/parse/argument) errors do NOT retry") {
+    val attempts = new java.util.concurrent.atomic.AtomicInteger(0)
+    val fast = QueryService.RetryPolicy(maxAttempts = 5, initialBackoffMs = 1)
+    intercept[IllegalArgumentException] {
+      QueryService.retry(fast) { () =>
+        attempts.incrementAndGet()
+        throw new IllegalArgumentException("caller fault")
+      }
+    }
+    assert(attempts.get() == 1)
+    // wrapped permanent causes are still permanent (cause-chain walk)
+    val wrapped = new java.util.concurrent.atomic.AtomicInteger(0)
+    intercept[RuntimeException] {
+      QueryService.retry(fast) { () =>
+        wrapped.incrementAndGet()
+        throw new RuntimeException("activity shell",
+          new UnsupportedOperationException("no such operator"))
+      }
+    }
+    assert(wrapped.get() == 1)
+  }
+
+  test("attempt budget bounds transient retries; last error rethrows") {
+    val attempts = new java.util.concurrent.atomic.AtomicInteger(0)
+    val fast = QueryService.RetryPolicy(maxAttempts = 3, initialBackoffMs = 1)
+    val e = intercept[java.io.IOException] {
+      QueryService.retry(fast) { () =>
+        attempts.incrementAndGet()
+        throw new java.io.IOException("connection reset by peer")
+      }
+    }
+    assert(attempts.get() == 3)
+    assert(e.getMessage.contains("connection reset"))
+  }
+
+  test("executeWithRetry: analysis errors surface immediately, good queries run") {
+    val svc = new QueryService(spark)
+    intercept[org.apache.spark.sql.AnalysisException] {
+      svc.executeWithRetry(QueryService.QueryRequest("SELECT nope FROM no_such_table"))
+    }
+    val res = svc.executeWithRetry(QueryService.QueryRequest("SELECT 1 + 1 AS two"))
+    assert(res.rows == Seq(Seq(2)))
+  }
 }
