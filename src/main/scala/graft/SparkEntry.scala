@@ -1196,10 +1196,11 @@ object SparkEntry {
     "q119_cross_corpus_dups" -> ((spark, dir) => {
       prep(spark, dir)
       val docs = Tables.load(spark, dir, "documents")
-      val refState = Dedup.minHashState(
+      // caller-owned state handle, registered for the session-level
+      // release sweep (this entry runs once per Verify/Bench process)
+      val refState = graft.operators.OpCache.persist(Dedup.minHashState(
         docs.filter(col("doc_id") % 2 === 0), "doc_id", "text",
-        shingleSize = 3, numHashes = 128)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        shingleSize = 3, numHashes = 128))
       Dedup.crossCorpusDupPairs(
           docs.filter(col("doc_id") % 2 === 1), "doc_id", "text", refState,
           shingleSize = 3, numHashes = 128, bands = 32, threshold = 0.7)

@@ -92,6 +92,17 @@ object ChFunctions {
       // the group's arrival order — same engine-defined ordering caveat
       // as groupArray, same Int64 sum accumulator as arraySum, O(n²)
       // slice+fold per group (a surface function, not a scan operator)
+      // ArrayAggregate's zero and merge types must MATCH the element
+      // type (no implicit cast is applied there): a hardcoded 0L fails
+      // analysis on Float64/Decimal columns (advisor r7). Deriving the
+      // zero from the data — first element × 0L — types it per input
+      // AND applies CH's sum-type promotion: integer elements widen to
+      // Int64 (no ANSI overflow on Int32 sums), fractional/decimal stay
+      // fractional. The element access is non-throwing and only
+      // evaluated when the array is nonempty.
+      def typedZero(arr: Expression): Expression =
+        Multiply(new ElementAt(arr, Literal(1), None, false), Literal(0L))
+
       def movingAgg(x: Expression, nOpt: Option[Expression],
                     finish: (Expression, Expression, Expression) => Expression): Expression = {
         val arr = CollectList(x).toAggregateExpression()
@@ -104,7 +115,7 @@ object ChFunctions {
             case None => Literal(1)
           }
           val len = Subtract(Add(i, Literal(2)), from)
-          val winSum = ArrayAggregate(Slice(arr, from, len), Literal(0L),
+          val winSum = ArrayAggregate(Slice(arr, from, len), typedZero(arr),
             LambdaFunction(Add(acc, y), Seq(acc, y)),
             LambdaFunction(f, Seq(f)))
           finish(winSum, len, arr)
@@ -293,7 +304,7 @@ object ChFunctions {
         ArrayTransform(arr, LambdaFunction(
           ArrayAggregate(
             Slice(arr, Literal(1), Add(i, Literal(1))),
-            Literal(0L),
+            typedZero(arr),
             LambdaFunction(Add(acc, e), Seq(acc, e)),
             LambdaFunction(acc, Seq(acc))),
           Seq(x, i)))
@@ -647,7 +658,7 @@ object ChFunctions {
       }
       def foldSum(arr: Expression): Expression = {
         val acc = lv("accMM"); val x = lv("xMM"); val f = lv("fMM")
-        ArrayAggregate(arr, Literal(0L),
+        ArrayAggregate(arr, typedZero(arr),
           LambdaFunction(Add(acc, x), Seq(acc, x)),
           LambdaFunction(f, Seq(f)))
       }
@@ -674,8 +685,9 @@ object ChFunctions {
       // (CH's DateTime convention; timestamps are compared at
       // microsecond precision internally). Returns the deepest level k
       // for which events e1 … ek exist in processing order (time, then
-      // condition bitmask — a strict chain when timestamps are
-      // distinct) matching c1…ck with t(ek) - t(e1) ≤ window.
+      // condition bitmask) matching c1…ck with t(ek) - t(e1) ≤ window;
+      // one event may satisfy consecutive steps (CH inserts an entry
+      // per matched condition — see the inner fold below).
       // One pass over the time-sorted event array; state is
       // array<long> of per-level chain-START times. Keeping only the
       // LATEST viable start per level is exact: a later start is
@@ -705,20 +717,35 @@ object ChFunctions {
         val tE = fld(e, "t"); val bE = fld(e, "b")
         def hit(kE: Expression): Expression =
           Not(EqualTo(BitwiseAnd(bE, ShiftLeft(Literal(1L), kE)), Literal(0L)))
-        val cur = ElementAt(st, Add(k, Literal(1)))  // 1-based slot k+1
-        val prev = ElementAt(st, k)                  // the level below
-        // newState[k] from the OLD state (an event never chains on
-        // itself); ANSI-safe: the prev≠sentinel guard short-circuits
-        // before tE - prev could overflow
-        val step = ArrayTransform(
+        // Per event, conditions apply SEQUENTIALLY in ascending index
+        // order (an inner fold over 0…n-1), each seeing the slots the
+        // same event already updated — CH inserts one entry per matched
+        // condition, so an event matching cond_k AND cond_{k+1} (or two
+        // events sharing a timestamp) advances multiple levels
+        // (advisor r7; the previous all-slots-from-old-state transform
+        // could not chain within one event). ANSI-safe: the
+        // prev≠sentinel guard short-circuits before tE - prev could
+        // overflow.
+        val inner = lv("innWF"); val ki = lv("kiWF"); val g = lv("gWF")
+        val curI = ElementAt(inner, Add(ki, Literal(1)))  // 1-based slot ki+1
+        val prevI = ElementAt(inner, ki)                  // the level below
+        val slotVal =
+          If(EqualTo(ki, Literal(0)),
+            If(hit(Literal(0)), Greatest(Seq(curI, tE)), curI),
+            If(And(And(hit(ki), Not(EqualTo(prevI, sentinel))),
+                LessThanOrEqual(Subtract(tE, prevI), winUs)),
+              Greatest(Seq(curI, prevI)), curI))
+        val step = ArrayAggregate(
           new Sequence(Literal(0), Literal(n - 1)),
+          st,
           LambdaFunction(
-            If(EqualTo(k, Literal(0)),
-              If(hit(Literal(0)), Greatest(Seq(cur, tE)), cur),
-              If(And(And(hit(k), Not(EqualTo(prev, sentinel))),
-                  LessThanOrEqual(Subtract(tE, prev), winUs)),
-                Greatest(Seq(cur, prev)), cur)),
-            Seq(k)))
+            ArrayTransform(
+              new Sequence(Literal(0), Literal(n - 1)),
+              LambdaFunction(
+                If(EqualTo(k, ki), slotVal, ElementAt(inner, Add(k, Literal(1)))),
+                Seq(k))),
+            Seq(inner, ki)),
+          LambdaFunction(g, Seq(g)))
         // levels fill bottom-up, so depth = populated slots
         ArrayAggregate(evs,
           CreateArray(Seq.fill(n)(sentinel)),

@@ -79,8 +79,7 @@ object BloomDedup {
       keyCol: String,
       bitsPerKey: Int = 10,
       numHashes: Int = 7): DataFrame = {
-    val refKeys = ref.select(col(keyCol)).distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val refKeys = OpCache.persist(ref.select(col(keyCol)).distinct())
     val nRef = math.max(refKeys.count(), 1L)
     val mBits = math.max(64L, nRef * bitsPerKey)
     val bits = buildBits(refKeys, keyCol, numHashes, mBits)

@@ -220,8 +220,8 @@ object Dedup {
       numHashes: Int = 128,
       bands: Int = 32,
       threshold: Double = 0.7): DataFrame = {
-    val state = minHashState(docs, idCol, textCol, shingleSize, numHashes)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val state = OpCache.persist(
+      minHashState(docs, idCol, textCol, shingleSize, numHashes, bands))
     val cand = lshCandidates(state, "_id", "_sig", bands)
     // the verify side carries the per-doc hashed shingle SETS — fat
     // arrays that must shuffle on the id key, never build a broadcast
@@ -234,26 +234,49 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Column-metadata keys recording the parameters a [[minHashState]]
+    * frame was built/tuned with. Metadata on `_sig` survives a parquet
+    * write/read round-trip, so a state saved across runs still carries
+    * them; [[crossCorpusDupPairs]] validates its arguments against
+    * whichever are present (advisor r7: a mismatched `bands` silently
+    * yields near-zero candidates at the tuned threshold — the exact
+    * silent-duplicate-free failure the numHashes check guards). */
+  val MetaNumHashes = "graft.minhash.numHashes"
+  val MetaShingleSize = "graft.minhash.shingleSize"
+  val MetaBands = "graft.minhash.bands"
+
   /** The reusable MinHash index state: one corpus scan → (_id, _sig:
     * array<long>[numHashes], _sh: hashed shingle set). One xxhash64 per
     * (doc, shingle) feeds BOTH the signature aggregate and the
     * verify-stage shingle set in a single groupBy. This is the frame a
     * pipeline persists (in memory for one run) or writes to parquet
     * (across runs) so later batches dedup against it without
-    * recomputing the corpus — see [[crossCorpusDupPairs]]. */
+    * recomputing the corpus — see [[crossCorpusDupPairs]].
+    *
+    * `bands` is not used in the computation — it records the band count
+    * the dedup family is TUNED for (the threshold's S-curve position
+    * depends on it), stamped into the state's metadata so a later
+    * cross-corpus run cannot silently band differently. */
   def minHashState(
       docs: DataFrame,
       idCol: String,
       textCol: String,
       shingleSize: Int = 3,
-      numHashes: Int = 128): DataFrame = {
+      numHashes: Int = 128,
+      bands: Int = 32): DataFrame = {
     val sigAgg = udaf(new MinHashAgg(numHashes))
+    val meta = new org.apache.spark.sql.types.MetadataBuilder()
+      .putLong(MetaNumHashes, numHashes.toLong)
+      .putLong(MetaShingleSize, shingleSize.toLong)
+      .putLong(MetaBands, bands.toLong)
+      .build()
     shingleRows(docs, idCol, textCol, shingleSize)
       .select(col("_id"), xxhash64(col("_s")).as("_hs"))
       .groupBy("_id")
       .agg(
         sigAgg(pmod(col("_hs"), lit(MinHashP))).as("_sig"),
         collect_set(col("_hs")).as("_sh"))
+      .withColumn("_sig", col("_sig").as("_sig", meta))
   }
 
   /** Incremental / cross-corpus near-dup detection: which NEW documents
@@ -291,8 +314,23 @@ object Dedup {
           s"refState signatures have ${r.getInt(0)} hashes but numHashes=$numHashes " +
             "was requested — rebuild the state or pass the value it was built with")
       }
-    val newState = minHashState(newDocs, idCol, textCol, shingleSize, numHashes)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // the stamped build parameters (survive parquet round-trips) catch
+    // the mismatches the data alone cannot: a different shingleSize
+    // tokenizes the new batch incompatibly, and fewer bands than the
+    // state's tuning collapses candidate recall at the tuned threshold —
+    // both silently duplicate-free failures (advisor r7)
+    refState.schema.find(_.name == "_sig").map(_.metadata).foreach { m =>
+      def check(key: String, passed: Int, what: String): Unit =
+        if (m.contains(key)) require(m.getLong(key) == passed.toLong,
+          s"refState was built with $what=${m.getLong(key)} but $what=$passed " +
+            "was requested — matching the state's parameters is required " +
+            "(a mismatch silently yields near-zero candidates)")
+      check(MetaShingleSize, shingleSize, "shingleSize")
+      check(MetaNumHashes, numHashes, "numHashes")
+      check(MetaBands, bands, "bands")
+    }
+    val newState = OpCache.persist(
+      minHashState(newDocs, idCol, textCol, shingleSize, numHashes, bands))
     def banded(df: DataFrame) = df.select(
       col("_id"),
       posexplode(bandHashes(col("_sig"), bands)).as(Seq("_band", "_bandhash")))
@@ -495,7 +533,7 @@ object Dedup {
     // persist the fingerprints: the block self-join below reads the
     // cached (_id, _fp) pairs instead of re-running the corpus scan and
     // the per-bit vote aggregate on both sides
-    val fp = fp0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val fp = OpCache.persist(fp0)
     val blockMask = (1L << blockBits) - 1
     val blocks = fp.select(
       col("_id"), col("_fp"),
@@ -617,10 +655,9 @@ object Dedup {
     // the column form's inner lambda is O(words²) per doc), persisted so
     // the length-bucket self-join reads the cache instead of deriving
     // the shingle pipeline twice
-    val sh = shingleRows(docs, idCol, textCol, shingleSize)
+    val sh = OpCache.persist(shingleRows(docs, idCol, textCol, shingleSize)
       .groupBy("_id").agg(collect_set(xxhash64(col("_s"))).as("_sh"))
-      .withColumn("_n", size(col("_sh")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .withColumn("_n", size(col("_sh"))))
     // Length filter: |A∩B| ≥ t·|A∪B| implies t·|A| ≤ |B| ≤ |A|/t.
     // Expressed as an EQUI-join on a coarse log-scale length bucket
     // g = floor(log1p(n)/log(1/t)): for any qualifying pair the buckets

@@ -36,7 +36,10 @@ object Quantiles {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val marked = df
       .select((groups :+ col(valueCol) :+ col(weightCol).cast("double").as("_w")): _*)
-      .filter(col("_w") > 0)
+      // CH quantileExactWeighted skips NULL values; counting their
+      // weights (NULLs sort first under asc) would shift the
+      // nearest-rank threshold on groups containing NULLs (advisor r7)
+      .filter(col(valueCol).isNotNull && col("_w") > 0)
       .withColumn("_cumw", sum(col("_w")).over(cum))
       // the total is the MAX of the same running sum, not an
       // independently-ordered window sum: with fractional weights the

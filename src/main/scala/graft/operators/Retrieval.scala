@@ -46,8 +46,8 @@ object Retrieval {
     // persist the (doc, term) aggregate: document frequencies derive
     // from this state below — without the persist the un-reused
     // lineage re-scans and re-explodes the corpus a second time
-    val tf = hits.groupBy("_id", "term").agg(count(lit(1)).as("tf"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tf = OpCache.persist(
+      hits.groupBy("_id", "term").agg(count(lit(1)).as("tf")))
     // df per term from the (doc, term) aggregate: each row is one
     // distinct (doc, term), so a plain count IS the document frequency
     val docFreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
@@ -94,8 +94,8 @@ object Retrieval {
       .filter(col("term").isInCollection(queryTerms))
     // persisted: docs-with-hits × |queryTerms| rows at most — the df
     // derivation below reads this state instead of re-scanning the corpus
-    val tf = hits.groupBy("_id", "_dl", "term").agg(count(lit(1)).cast("double").as("_tf"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tf = OpCache.persist(hits.groupBy("_id", "_dl", "term")
+      .agg(count(lit(1)).cast("double").as("_tf")))
     val docFreq = tf.groupBy("term").agg(count(lit(1)).cast("double").as("_df"))
     val idf = docFreq.crossJoin(broadcast(stats))
       .select(col("term"),
@@ -134,11 +134,10 @@ object Retrieval {
       .filter(col("df") <= maxDf)
       .select(col(idCol).as("_id"), col("term"), col("tfidf"))
     val byDoc = org.apache.spark.sql.expressions.Window.partitionBy(col("_id"))
-    val unit = w
+    val unit = OpCache.persist(w
       .withColumn("_n", sqrt(sum(col("tfidf") * col("tfidf")).over(byDoc)))
       .filter(col("_n") > 0) // docs whose every term was pruned (or all-zero idf)
-      .select(col("_id"), col("term"), (col("tfidf") / col("_n")).as("_w"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .select(col("_id"), col("term"), (col("tfidf") / col("_n")).as("_w")))
     unit.as("a")
       .join(unit.as("b").hint("shuffle_hash"),
         col("a.term") === col("b.term") && col("a._id") < col("b._id"))

@@ -144,10 +144,9 @@ object Similarity {
       planes: Int = 12,
       dim: Int = 64,
       minCosine: Double = 0.9): DataFrame = {
-    val sig = emb.select(
+    val sig = OpCache.persist(emb.select(
         col(idCol).as("_id"), col(vecCol).as("_vec"),
-        lshSignature(col(vecCol), planes, dim).as("_sig"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        lshSignature(col(vecCol), planes, dim).as("_sig")))
     // probe buckets: own signature + one-bit flips
     val probes = sig.select(
       col("_id"), col("_vec"), col("_sig"),

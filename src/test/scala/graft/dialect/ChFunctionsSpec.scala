@@ -630,6 +630,24 @@ class ChFunctionsSpec extends AnyFunSuite {
       == Seq(0.25, 0.75, 1.5, 2.5))
     assert(arrD("SELECT groupArrayMovingAvg(x, 2) FROM (SELECT explode(array(1, 2, 3, 4)) AS x)")
       == Seq(0.5, 1.5, 2.5, 3.5))
+    // fractional inputs (advisor r7: the 0L accumulator failed analysis
+    // on Float64 columns — the zero must derive from the element type)
+    assert(arrD("SELECT groupArrayMovingSum(x) FROM (SELECT explode(array(1.5d, 2.5d)) AS x)")
+      == Seq(1.5, 4.0))
+    assert(arrD("SELECT groupArrayMovingAvg(x, 2) FROM (SELECT explode(array(1.0d, 3.0d)) AS x)")
+      == Seq(0.5, 2.0))
+  }
+
+  test("sumMap and arrayCumSum accept fractional values (typed zero)") {
+    val r = spark.sql(
+      """SELECT sumMap(k, v) AS s FROM (
+        |  SELECT array('a', 'b') AS k, array(1.5d, 2.0d) AS v
+        |  UNION ALL SELECT array('a'), array(0.5d))""".stripMargin)
+      .collect().head.getStruct(0)
+    assert(r.getSeq[String](0) == Seq("a", "b"))
+    assert(r.getSeq[Double](1) == Seq(2.0, 2.0))
+    assert(spark.sql("SELECT arrayCumSum(array(0.5d, 1.5d, 2.0d))")
+      .collect().head.getSeq[Double](0) == Seq(0.5, 2.0, 4.0))
   }
 
   test("xxHash/sipHash codegen compiles (no silent interpreted fallback)") {
@@ -748,6 +766,15 @@ class ChFunctionsSpec extends AnyFunSuite {
     // chain must use the 11:45 N, not an earlier-started stale chain
     assert(oneCh(
       "SELECT windowFunnel(44100)(t, flag = 'N', flag = 'R') FROM fx") == 2)
+    // overlapping conditions: ONE event may satisfy consecutive steps
+    // (CH inserts one entry per matched condition — advisor r7); the
+    // single R@10:30 row satisfies both "is R" and "id >= 1"
+    assert(oneCh(
+      "SELECT windowFunnel(1)(t, flag = 'R', id >= 1) FROM fx WHERE id = 1") == 2)
+    // and a 3-deep chain can complete on two events when the middle
+    // condition overlaps the first
+    assert(oneCh(
+      "SELECT windowFunnel(7200)(t, flag = 'R', id >= 1, flag = 'N') FROM fx") == 3)
   }
 
   test("sequenceMatch/sequenceCount run the digit-regex over matched events") {

@@ -195,4 +195,37 @@ class DedupSpec extends AnyFunSuite {
     // the operator's contract is strictly new-vs-reference
     assert(!pairs.exists { case (a, b) => a >= 10 && b >= 10 })
   }
+
+  test("minHashState stamps build parameters; cross-corpus rejects mismatched bands (advisor r7)") {
+    val spark2 = spark
+    import spark2.implicits._
+    val ref = Seq((0L, "a b c d e f g h i j")).toDF("doc_id", "text")
+    val state = Dedup.minHashState(ref, "doc_id", "text",
+      shingleSize = 3, numHashes = 32, bands = 16)
+    // metadata survives a parquet round-trip (the cross-run state path)
+    val dir = java.nio.file.Files.createTempDirectory("graft_mh_state").toString
+    state.write.mode("overwrite").parquet(dir)
+    val loaded = spark.read.parquet(dir)
+    val m = loaded.schema.find(_.name == "_sig").get.metadata
+    assert(m.getLong(Dedup.MetaNumHashes) == 32L)
+    assert(m.getLong(Dedup.MetaShingleSize) == 3L)
+    assert(m.getLong(Dedup.MetaBands) == 16L)
+    val fresh = Seq((10L, "a b c d e f g h i j")).toDF("doc_id", "text")
+    // banding differently than the state's tuning silently collapses
+    // recall — must throw, not return an empty frame
+    val e = intercept[IllegalArgumentException] {
+      Dedup.crossCorpusDupPairs(fresh, "doc_id", "text", loaded,
+        shingleSize = 3, numHashes = 32, bands = 8, threshold = 0.7)
+    }
+    assert(e.getMessage.contains("bands"))
+    intercept[IllegalArgumentException] {
+      Dedup.crossCorpusDupPairs(fresh, "doc_id", "text", loaded,
+        shingleSize = 4, numHashes = 32, bands = 16, threshold = 0.7)
+    }
+    // matching parameters run and find the exact dup
+    val ok = Dedup.crossCorpusDupPairs(fresh, "doc_id", "text", loaded,
+      shingleSize = 3, numHashes = 32, bands = 16, threshold = 0.7)
+      .select("new_id", "ref_id").as[(Long, Long)].collect().toSet
+    assert(ok == Set((10L, 0L)))
+  }
 }

@@ -1,0 +1,30 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Advisor r7: operator-internal persists (tfidf/bm25/lexical cosine/
+  * cross-corpus dedup) accumulated cache entries indefinitely in a
+  * long-lived session. They now register in [[OpCache]]; `releaseAll`
+  * is the session-maintenance seam. */
+class OpCacheSpec extends AnyFunSuite {
+  private lazy val spark = graft.TestSpark.spark
+
+  test("operator-internal persists register and releaseAll drops them") {
+    val spark2 = spark
+    import spark2.implicits._
+    OpCache.releaseAll()
+    val docs = Seq(
+      (1L, "alpha beta gamma"), (2L, "alpha beta delta"), (3L, "epsilon zeta eta"))
+      .toDF("doc_id", "text")
+    val before = OpCache.trackedCount
+    Retrieval.tfidf(docs, "doc_id", "text").count()
+    Retrieval.bm25(docs, "doc_id", "text", Seq("alpha")).count()
+    assert(OpCache.trackedCount >= before + 2)
+    // the persisted intermediates hold real cache entries…
+    assert(!spark.sharedState.cacheManager.isEmpty)
+    OpCache.releaseAll()
+    assert(OpCache.trackedCount == 0)
+    // …and the sweep leaves no operator-internal entries behind
+    assert(spark.sharedState.cacheManager.isEmpty)
+  }
+}

@@ -43,4 +43,19 @@ class QuantilesSpec extends AnyFunSuite {
     assert(Quantiles.weightedQuantile(withZero, Seq("grp"), "v", "w", 0.5)
       .as[(String, Double)].collect().toMap == Map("g" -> 1.0))
   }
+
+  test("weightedQuantile: NULL values are skipped, their weights excluded (CH parity)") {
+    val spark2 = spark
+    import spark2.implicits._
+    // NULLs sort first under asc — counting their weight (100) would
+    // shift the threshold to the end of the run and return 3.0
+    val df = Seq(
+      ("g", Some(1.0), 3L), ("g", None, 100L), ("g", Some(2.0), 1L), ("g", Some(3.0), 1L)
+    ).toDF("grp", "v", "w")
+    assert(Quantiles.weightedQuantile(df, Seq("grp"), "v", "w", 0.5)
+      .as[(String, Double)].collect().toMap == Map("g" -> 1.0))
+    // a group that is ALL NULL disappears (no quantile to report)
+    val allNull = Seq(("n", Option.empty[Double], 5L)).toDF("grp", "v", "w")
+    assert(Quantiles.weightedQuantile(allNull, Seq("grp"), "v", "w", 0.5).count() == 0L)
+  }
 }
