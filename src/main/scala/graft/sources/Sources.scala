@@ -144,7 +144,8 @@ object Sources {
         fromCsvCols(lines, st, sep)
       case None =>
         // inference needs a full pass: cache so parse doesn't re-download
-        val cached = lines.cache()
+        // (tracked in OpCache — released by the session sweep)
+        val cached = graft.operators.OpCache.persist(lines)
         val df = spark.read
           .option("header", "false")
           .option("inferSchema", "true")
@@ -216,7 +217,7 @@ object Sources {
       }
       .toDF("value", "_path", "_file")
     val st = schemaStr.map(graft.types.ChSchemaParser.parse).getOrElse {
-      val cached = lines.cache()
+      val cached = graft.operators.OpCache.persist(lines)
       spark.read.json(cached.select("value").as[String]).schema
     }
     lines.select(
