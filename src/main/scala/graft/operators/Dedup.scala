@@ -93,8 +93,15 @@ object Dedup {
     override def reduce(buf: Array[Long], h0: Long): Array[Long] = {
       var i = 0
       while (i < numHashes) {
-        // affine family (a_i·h + b_i) mod p; h < 2^31, a < 2^11 → no overflow
-        val v = (h0 * (2L * i + 1001L) + MinHashB * i) % MinHashP
+        // affine family (a_i·h + b_i) mod p; h < 2^31, a < 2^11 → the
+        // pre-reduction value x stays under 2^43. p = 2^31 - 1 is
+        // Mersenne, so 2^31 ≡ 1 (mod p) and x mod p folds to
+        // (x & p) + (x >>> 31) with one conditional subtract — 3 ALU
+        // ops replacing a hardware divide in the numHashes×shingles
+        // hot loop (x >>> 31 < 2^12, so one fold suffices)
+        val x = h0 * (2L * i + 1001L) + MinHashB * i
+        var v = (x & MinHashP) + (x >>> 31)
+        if (v >= MinHashP) v -= MinHashP
         if (v < buf(i)) buf(i) = v
         i += 1
       }

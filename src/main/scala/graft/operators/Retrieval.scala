@@ -67,16 +67,19 @@ object Retrieval {
     * `ln(1 + (N - df + 0.5) / (df + 0.5))` (non-negative), and the
     * term weight `idf * tf * (k1+1) / (tf + k1 * (1 - b + b * dl/avgdl))`.
     *
-    * Distributed shape: the query-term filter lands INSIDE the explode
-    * projection (an `IN` over a literal set), so only matching hits —
-    * a tiny fraction of tokens — ever leave the scan stage; doc
-    * length is a scan-stage column; per-term document frequencies are
-    * at most |queryTerms| rows, broadcast. TWO corpus passes total:
-    * the (N, avgdl) stats pass (a text-column aggregate that never
-    * shuffles row data) and the hit scan — folding stats into the hit
-    * lineage would require persisting the tokenized corpus, which is
-    * corpus-sized; two cheap passes beat that. One narrow shuffle of
-    * query-term hits. */
+    * Distributed shape — ONE corpus pass (tokenizing is the dominant
+    * cost; the r7 form paid it twice, once for the (N, avgdl) stats
+    * aggregate and once for the hit scan): the token stream explodes
+    * inside codegen and hash-aggregates straight back to one row per
+    * document carrying its length plus one tf column per query term —
+    * map-side combine folds each document's tokens before the narrow
+    * per-doc shuffle, so token rows never cross the wire. That per-doc
+    * frame (doc-count-sized — id + dl + |terms| doubles, no text) is
+    * the only persisted state; corpus stats and per-term document
+    * frequencies aggregate from it to a single broadcast row, and the
+    * score is a pure projection — no joins at all beyond that scalar.
+    * `explode_outer` keeps zero-token documents counting toward N and
+    * avgdl exactly as a separate stats pass would. */
   def bm25(
       df: DataFrame,
       idCol: String,
@@ -85,29 +88,40 @@ object Retrieval {
       k1: Double = 1.2,
       b: Double = 0.75): DataFrame = {
     require(queryTerms.nonEmpty, "bm25 needs at least one query term")
-    val docs = df.select(col(idCol).as("_id"),
-      tokens(col(textCol)).as("_toks"))
-      .select(col("_id"), col("_toks"), size(col("_toks")).cast("double").as("_dl"))
-    val stats = docs.agg(count(lit(1)).cast("double").as("_n"), avg(col("_dl")).as("_avgdl"))
-    val hits = docs
-      .select(col("_id"), col("_dl"), explode(col("_toks")).as("term"))
-      .filter(col("term").isInCollection(queryTerms))
-    // persisted: docs-with-hits × |queryTerms| rows at most — the df
-    // derivation below reads this state instead of re-scanning the corpus
-    val tf = OpCache.persist(hits.groupBy("_id", "_dl", "term")
-      .agg(count(lit(1)).cast("double").as("_tf")))
-    val docFreq = tf.groupBy("term").agg(count(lit(1)).cast("double").as("_df"))
-    val idf = docFreq.crossJoin(broadcast(stats))
-      .select(col("term"),
-        log(lit(1.0) + (col("_n") - col("_df") + 0.5) / (col("_df") + 0.5)).as("_idf"),
-        col("_avgdl"))
-    tf.join(broadcast(idf), Seq("term"))
-      .withColumn("_w",
-        col("_idf") * col("_tf") * (k1 + 1.0) /
-          (col("_tf") + (col("_dl") / col("_avgdl") * b + (1.0 - b)) * k1))
-      .groupBy(col("_id"))
-      .agg(count(lit(1)).as("n_hit_terms"), sum(col("_w")).as("bm25"))
-      .withColumnRenamed("_id", idCol)
+    val terms = queryTerms.distinct
+    require(terms.size <= 64,
+      s"bm25 supports at most 64 query terms per call, got ${terms.size} " +
+        "(one tf aggregate column is generated per term)")
+    val tfCols = terms.zipWithIndex.map { case (t, i) =>
+      sum(when(col("_tok") === lit(t), 1d).otherwise(0d)).as(s"_tf$i") }
+    val perDoc = OpCache.persist(
+      df.select(col(idCol).as("_id"), explode_outer(tokens(col(textCol))).as("_tok"))
+        .groupBy("_id")
+        .agg(count(col("_tok")).cast("double").as("_dl"), tfCols: _*))
+    val dfCols = terms.indices.map(i =>
+      sum(when(col(s"_tf$i") > 0, 1d).otherwise(0d)).as(s"_df$i"))
+    val stats = perDoc.agg(
+      count(lit(1)).cast("double").as("_n"),
+      (avg(col("_dl")).as("_avgdl") +: dfCols): _*)
+    val nHit = terms.indices
+      .map(i => when(col(s"_tf$i") > 0, 1L).otherwise(0L))
+      .reduce(_ + _)
+    def termWeight(i: Int): Column = {
+      val tf = col(s"_tf$i")
+      val dfi = col(s"_df$i")
+      val idf = log(lit(1.0) + (col("_n") - dfi + 0.5) / (dfi + 0.5))
+      when(tf > 0,
+        idf * tf * (k1 + 1.0) /
+          (tf + (col("_dl") / col("_avgdl") * b + (1.0 - b)) * k1))
+        .otherwise(0d)
+    }
+    perDoc
+      .filter(terms.indices.map(i => col(s"_tf$i") > 0).reduce(_ || _))
+      .crossJoin(broadcast(stats))
+      .select(
+        col("_id").as(idCol),
+        nHit.as("n_hit_terms"),
+        terms.indices.map(termWeight).reduce(_ + _).as("bm25"))
   }
 
   /** Sparse lexical cosine similarity between documents, via the

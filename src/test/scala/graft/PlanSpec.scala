@@ -175,26 +175,32 @@ class PlanSpec extends AnyFunSuite {
       s"vocabulary probe must broadcast:\n$plan")
   }
 
-  test("bm25: query-term filter lands before any exchange; df/stats broadcast") {
+  test("bm25: one tokenize pass; per-doc tf aggregate combines map-side; stats broadcast") {
     val docs = Tables.load(spark, dir, "documents")
     val df = graft.operators.Retrieval.bm25(
       docs, "doc_id", "text", Seq("spark", "vector"))
     val plan = df.queryExecution.sparkPlan.toString
-    // the query-term IN-filter sits between the explode and the scan —
-    // directly above Generate, with no Exchange on the path down to the
-    // FileScan — so non-query tokens never leave the scan stage
-    val filterAt = plan.indexOf("IN (spark,vector)")
-    assert(filterAt >= 0, s"query-term filter missing:\n$plan")
-    val below = plan.substring(filterAt)
-    val scanAt = below.indexOf("FileScan")
-    assert(scanAt >= 0 && !below.take(scanAt).contains("Exchange"),
-      s"query-term filter must precede all shuffles:\n$plan")
-    // the (doc,term,tf) state is persisted: df/idf derive from the cache,
-    // so the corpus is scanned for tokens ONCE (plus the pruned stats scan)
+    // the token explode feeds a PARTIAL hash aggregate in the same
+    // stage (map-side combine): between Generate and the Exchange above
+    // it there must be a partial HashAggregate, so raw token rows never
+    // cross the wire — only one combined row per (doc, partition)
+    val genAt = plan.indexOf("Generate explode")
+    assert(genAt >= 0, s"token explode missing:\n$plan")
+    val aboveGen = plan.substring(0, genAt)
+    val partialAt = aboveGen.lastIndexOf("partial_count")
+    val exchangeAt = aboveGen.lastIndexOf("Exchange")
+    assert(partialAt >= 0 && partialAt > exchangeAt,
+      s"per-doc tf aggregate must partial-combine below the exchange:\n$plan")
+    // the per-doc frame is the ONLY persisted state, read by both the
+    // stats aggregate and the score projection — the corpus is
+    // tokenized exactly once
     assert(plan.contains("InMemoryTableScan"),
-      s"tf state must be persisted and reused:\n$plan")
-    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
-      s"idf/stats side must broadcast:\n$plan")
+      s"per-doc tf state must be persisted and reused:\n$plan")
+    // corpus stats + per-term document frequencies reach the score
+    // projection as a single broadcast row
+    assert(plan.contains("BroadcastNestedLoopJoin BuildRight, Cross") ||
+      plan.contains("BroadcastExchange"),
+      s"stats row must broadcast:\n$plan")
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
