@@ -148,7 +148,32 @@ object Dedup {
             i => concat_ws(" ", slice(col("_w"), i + 1, lit(n)))))).as("_s"))
   }
 
-  /** Scale path: MinHash signatures via [[shingleRows]] → one typed
+  /** [[shingleRows]] twin that emits one 64-bit HASH per (doc, shingle)
+    * instead of the shingle string: the n word positions feed a single
+    * multi-argument xxhash64 (seed-chained over the words), so no slice
+    * array and no joined string are ever allocated — measured ~2× on
+    * the shingle pipeline at sf0.1, which dominates MinHash state
+    * builds. Every consumer that only ever hashed the shingle
+    * (signatures, verify sets, n-gram Jaccard) reads this; the
+    * contamination check keeps the string form (its oracle joins on
+    * shingle text). Note the multi-arg hash also distinguishes word
+    * boundaries that a joined string collapses (["a b","c"] vs
+    * ["a","b c"]). */
+  def shingleHashRows(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int): DataFrame = {
+    docs
+      .select(col(idCol).as("_id"), split(col(textCol), "\\s+").as("_w"))
+      .select(col("_id"), explode(
+        when(size(col("_w")) < n, array().cast("array<bigint>"))
+          .otherwise(transform(
+            sequence(lit(0), size(col("_w")) - n),
+            i => xxhash64((0 until n).map(j => col("_w")(i + lit(j))): _*)))).as("_hs"))
+  }
+
+  /** Scale path: MinHash signatures via [[shingleHashRows]] → one typed
     * aggregate. One xxhash64 per (doc, shingle); the k affine
     * derivations + mins run inside [[MinHashAgg]]'s JVM loop with
     * map-side partial aggregation before the doc_id shuffle. Returns
@@ -161,8 +186,8 @@ object Dedup {
       textCol: String,
       shingleSize: Int,
       numHashes: Int): DataFrame = {
-    val exploded = shingleRows(docs, idCol, textCol, shingleSize)
-      .select(col("_id"), pmod(xxhash64(col("_s")), lit(MinHashP)).as("_h0"))
+    val exploded = shingleHashRows(docs, idCol, textCol, shingleSize)
+      .select(col("_id"), pmod(col("_hs"), lit(MinHashP)).as("_h0"))
     val sigAgg = udaf(new MinHashAgg(numHashes))
     exploded.groupBy("_id")
       .agg(sigAgg(col("_h0")).as("_sig"))
@@ -277,8 +302,7 @@ object Dedup {
       .putLong(MetaShingleSize, shingleSize.toLong)
       .putLong(MetaBands, bands.toLong)
       .build()
-    shingleRows(docs, idCol, textCol, shingleSize)
-      .select(col("_id"), xxhash64(col("_s")).as("_hs"))
+    shingleHashRows(docs, idCol, textCol, shingleSize)
       .groupBy("_id")
       .agg(
         sigAgg(pmod(col("_hs"), lit(MinHashP))).as("_sig"),
@@ -658,12 +682,12 @@ object Dedup {
       textCol: String,
       shingleSize: Int = 3,
       threshold: Double = 0.5): DataFrame = {
-    // hashed shingle sets from the row-based path (see shingleRows —
+    // hashed shingle sets from the row-based path (see shingleHashRows —
     // the column form's inner lambda is O(words²) per doc), persisted so
     // the length-bucket self-join reads the cache instead of deriving
     // the shingle pipeline twice
-    val sh = OpCache.persist(shingleRows(docs, idCol, textCol, shingleSize)
-      .groupBy("_id").agg(collect_set(xxhash64(col("_s"))).as("_sh"))
+    val sh = OpCache.persist(shingleHashRows(docs, idCol, textCol, shingleSize)
+      .groupBy("_id").agg(collect_set(col("_hs")).as("_sh"))
       .withColumn("_n", size(col("_sh"))))
     // Length filter: |A∩B| ≥ t·|A∪B| implies t·|A| ≤ |B| ≤ |A|/t.
     // Expressed as an EQUI-join on a coarse log-scale length bucket
