@@ -3,6 +3,8 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.FunctionShim
+import graft.functions.{CosineSimExpr, HyperplaneSigExpr, VectorKernels}
 
 /** Similarity search over an embedding column (`Array[Float]`).
   *
@@ -18,8 +20,11 @@ import org.apache.spark.sql.functions._
   *     collisions, not n². Multi-probe (flip one bit) widens recall
   *     without widening the join.
   *
-  * All vector math is codegen'd higher-order functions
-  * (`zip_with`/`aggregate`) — no UDFs on the hot path.
+  * Hot-path vector math (cosine, LSH signatures) runs as native
+  * codegen'd Catalyst expressions ([[graft.functions.CosineSimExpr]],
+  * [[graft.functions.HyperplaneSigExpr]]) — single fused pass per row,
+  * no boxing, no interpreted lambdas, no UDFs. Cold-path shaping
+  * (normalize, quantize, pooling) stays on built-in functions.
   */
 object Similarity {
 
@@ -31,8 +36,15 @@ object Similarity {
   /** L2 norm. */
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  /** Cosine similarity. */
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** Cosine similarity — a native codegen'd expression
+    * ([[graft.functions.CosineSimExpr]]): one fused pass computes dot
+    * and both norms, instead of three interpreted
+    * `zip_with`+`aggregate` folds per row. Bit-exact with the HOF
+    * formulation it replaced (float×float products stay in float, the
+    * accumulation runs in double, left to right). */
+  def cosine(a: Column, b: Column): Column =
+    FunctionShim.column(CosineSimExpr(
+      FunctionShim.expression(a), FunctionShim.expression(b)))
 
   /** L2-normalize a vector column into `outCol` (unit vectors; zero
     * vectors pass through unchanged, in double). The norm is staged in
@@ -108,24 +120,17 @@ object Similarity {
     * (seeded per (plane, dim) — reproducible across runs, and the
     * executors see plain literals instead of per-element hash
     * expressions). */
-  private[operators] def hyperplane(pIdx: Int, dim: Int): Array[Double] = {
-    val rng = new java.util.Random(0x5eed0000L + pIdx)
-    Array.fill(dim)(rng.nextGaussian())
-  }
+  private[operators] def hyperplane(pIdx: Int, dim: Int): Array[Double] =
+    VectorKernels.hyperplane(pIdx, dim)
 
-  /** Random-hyperplane signature: `planes` sign bits packed into a long.
-    * Each plane's dot product is a `zip_with` against a LITERAL
-    * component array — the lambda body is one multiply, not a hash
-    * derivation, keeping the interpreted-lambda cost linear and tiny. */
-  def lshSignature(vec: Column, planes: Int, dim: Int): Column = {
-    val bits = (0 until planes).map { pIdx =>
-      val d = aggregate(
-        zip_with(vec, lit(hyperplane(pIdx, dim)), (x, h) => x * h),
-        lit(0.0), (acc, x) => acc + x)
-      when(d >= 0, shiftleft(lit(1L), pIdx)).otherwise(0L)
-    }
-    bits.reduce((a, b) => a.bitwiseOR(b))
-  }
+  /** Random-hyperplane signature: `planes` sign bits packed into a
+    * long — a native codegen'd expression
+    * ([[graft.functions.HyperplaneSigExpr]]) advancing all plane dot
+    * products in ONE pass over the vector, with the hyperplane matrix
+    * shipped once per task instead of `planes` literal arrays in the
+    * plan. */
+  def lshSignature(vec: Column, planes: Int, dim: Int): Column =
+    FunctionShim.column(HyperplaneSigExpr(FunctionShim.expression(vec), planes, dim))
 
   /** ANN near-dup / neighbor candidates via LSH buckets, verified with
     * exact cosine. Multi-probe: each vector is also registered in every

@@ -1,6 +1,6 @@
 package org.apache.spark.sql.graft
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
@@ -13,6 +13,23 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   * these functions inside whole-stage codegen.
   */
 object FunctionShim {
+
+  /** Wrap a raw Catalyst expression as a `Column` — the DataFrame-side
+    * entry point for the native expressions in `graft.functions`
+    * (operators build `Column` trees; the registry route only serves
+    * SQL text). Thin alias over the classic-module converter. */
+  def column(e: Expression): Column =
+    org.apache.spark.sql.classic.ExpressionUtils.column(e)
+
+  /** Inverse of [[column]]: the Catalyst expression a `Column` wraps. */
+  def expression(c: Column): Expression =
+    org.apache.spark.sql.classic.ExpressionUtils.expression(c)
+
+  /** The exact DIVIDE_BY_ZERO error Spark's `Divide` raises under ANSI
+    * mode — for kernels that fold a division and must fail
+    * identically ([[graft.functions.VectorKernels.cosine]]). */
+  def divideByZeroError(): ArithmeticException =
+    org.apache.spark.sql.errors.QueryExecutionErrors.divideByZeroError(null)
 
   /** True when `name` resolves in Spark's BUILTIN registry (the
     * case-insensitive global table every session clones). Registering a
