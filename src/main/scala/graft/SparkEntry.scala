@@ -415,6 +415,29 @@ object SparkEntry {
              |SETTINGS disk = disk(type = web, endpoint = 'http://127.0.0.1:$port/part-{0..3}.parquet')""".stripMargin)))._1
     }),
 
+    // CH vector-distance family (dotProduct/cosineDistance/L1/L2/Linf)
+    // over real embeddings, paired (vec_id, vec_id+1) — native codegen'd
+    // kernels, oracle = DuckDB list_* on the same double-widened arrays
+    "q144_vector_dist" -> ch(
+      """SELECT a.vec_id AS id,
+        |       CAST(round(dotProduct(a.embedding, b.embedding) * 1000) AS BIGINT) AS dot_m,
+        |       CAST(round(cosineDistance(a.embedding, b.embedding) * 1000000) AS BIGINT) AS cosd_u,
+        |       CAST(round(L1Distance(a.embedding, b.embedding) * 1000) AS BIGINT) AS l1_m,
+        |       CAST(round(L2Distance(a.embedding, b.embedding) * 1000) AS BIGINT) AS l2_m,
+        |       CAST(round(L2SquaredDistance(a.embedding, b.embedding) * 1000) AS BIGINT) AS l2sq_m,
+        |       CAST(round(LinfDistance(a.embedding, b.embedding) * 1000) AS BIGINT) AS linf_m
+        |FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
+        |ORDER BY id""".stripMargin),
+
+    // CH vector norms over every embedding row
+    "q145_vector_norms" -> ch(
+      """SELECT vec_id,
+        |       CAST(round(L1Norm(embedding) * 1000) AS BIGINT) AS l1_m,
+        |       CAST(round(L2Norm(embedding) * 1000) AS BIGINT) AS l2_m,
+        |       CAST(round(L2SquaredNorm(embedding) * 1000) AS BIGINT) AS l2sq_m,
+        |       CAST(round(LinfNorm(embedding) * 1000) AS BIGINT) AS linf_m
+        |FROM embeddings ORDER BY vec_id""".stripMargin),
+
     // ---- joins (SURVEY §2.4 — delegated surface, exercised here) ----
 
     // broadcast inner equi-join + agg
@@ -1581,6 +1604,25 @@ object SparkEntry {
       """SELECT l_returnflag, count(*) AS cnt,
         |       CAST(round(sum(l_quantity)) AS BIGINT) AS sum_qty
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q144_vector_dist" ->
+      """WITH p AS (
+        |  SELECT a.vec_id AS id, CAST(a.embedding AS DOUBLE[]) AS va, CAST(b.embedding AS DOUBLE[]) AS vb
+        |  FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1)
+        |SELECT id,
+        |       CAST(round(list_inner_product(va, vb) * 1000) AS BIGINT) AS dot_m,
+        |       CAST(round((1 - list_cosine_similarity(va, vb)) * 1000000) AS BIGINT) AS cosd_u,
+        |       CAST(round(list_aggregate(list_transform(list_zip(va, vb), x -> abs(x[1]-x[2])), 'sum') * 1000) AS BIGINT) AS l1_m,
+        |       CAST(round(list_distance(va, vb) * 1000) AS BIGINT) AS l2_m,
+        |       CAST(round(list_aggregate(list_transform(list_zip(va, vb), x -> (x[1]-x[2])*(x[1]-x[2])), 'sum') * 1000) AS BIGINT) AS l2sq_m,
+        |       CAST(round(list_aggregate(list_transform(list_zip(va, vb), x -> abs(x[1]-x[2])), 'max') * 1000) AS BIGINT) AS linf_m
+        |FROM p ORDER BY id""".stripMargin,
+    "q145_vector_norms" ->
+      """SELECT vec_id,
+        |       CAST(round(list_aggregate(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x)), 'sum') * 1000) AS BIGINT) AS l1_m,
+        |       CAST(round(sqrt(list_inner_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) * 1000) AS BIGINT) AS l2_m,
+        |       CAST(round(list_inner_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])) * 1000) AS BIGINT) AS l2sq_m,
+        |       CAST(round(list_aggregate(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x)), 'max') * 1000) AS BIGINT) AS linf_m
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
     "q13_join_inner" ->
       "SELECT c_mktsegment, count(*) AS cnt FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY c_mktsegment ORDER BY c_mktsegment",
     "q14_join_anti" ->

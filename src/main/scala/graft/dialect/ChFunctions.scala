@@ -1048,6 +1048,23 @@ object ChFunctions {
       reg("arrayMin")(exprs => ArrayMin(exprs.head))
       reg("arrayMax")(exprs => ArrayMax(exprs.head))
 
+      // CH vector-distance family over numeric arrays — native
+      // codegen'd single-pass kernels (graft.functions.VectorKernels),
+      // double accumulation, Float64 results (CH's Distance-family
+      // convention, extended to dotProduct). Size mismatch throws like
+      // CH ARRAY_SIZES_DONT_MATCH; see reference embeddings usage at
+      // BigHouse README.md (ClickHouse image delegates these natively).
+      reg("dotProduct")({ case Seq(a, b) => graft.functions.VectorDistExpr(a, b, "dot") })
+      reg("cosineDistance")({ case Seq(a, b) => graft.functions.VectorDistExpr(a, b, "cosd") })
+      reg("L1Distance")({ case Seq(a, b) => graft.functions.VectorDistExpr(a, b, "l1") })
+      reg("L2Distance")({ case Seq(a, b) => graft.functions.VectorDistExpr(a, b, "l2") })
+      reg("L2SquaredDistance")({ case Seq(a, b) => graft.functions.VectorDistExpr(a, b, "l2sq") })
+      reg("LinfDistance")({ case Seq(a, b) => graft.functions.VectorDistExpr(a, b, "linf") })
+      reg("L1Norm")({ case Seq(a) => graft.functions.VectorNormExpr(a, "l1") })
+      reg("L2Norm")({ case Seq(a) => graft.functions.VectorNormExpr(a, "l2") })
+      reg("L2SquaredNorm")({ case Seq(a) => graft.functions.VectorNormExpr(a, "l2sq") })
+      reg("LinfNorm")({ case Seq(a) => graft.functions.VectorNormExpr(a, "linf") })
+
       // NOTE: CH `dateDiff('unit',…)` is handled by [[ChSql.rewriteDateDiff]]
       // (→ timestampdiff) — Spark's parser claims the `dateDiff` name with
       // special unquoted-unit grammar before the registry is consulted,

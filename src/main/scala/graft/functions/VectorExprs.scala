@@ -77,6 +77,171 @@ case class CosineSimExpr(left: Expression, right: Expression) extends Expression
     copy(left = newChildren(0), right = newChildren(1))
 }
 
+/** Shared typing for the CH vector-distance family: numeric-array
+  * inputs, double output, one fused kernel pass per row. */
+private[functions] object VectorExprs {
+  /** Element type tag for [[VectorKernels]] accessors; -1 = unsupported. */
+  def elemTag(dt: DataType): Int = dt match {
+    case ArrayType(FloatType, _) => 0
+    case ArrayType(DoubleType, _) => 1
+    case ArrayType(IntegerType, _) => 2
+    case ArrayType(LongType, _) => 3
+    case ArrayType(ShortType, _) => 4
+    case ArrayType(ByteType, _) => 5
+    case _ => -1
+  }
+}
+
+/** CH binary vector functions — `dotProduct`, `L1Distance`,
+  * `L2Distance`, `L2SquaredDistance`, `LinfDistance`,
+  * `cosineDistance` — as one native codegen'd expression over two
+  * numeric arrays. All compute in double and return Float64 (CH's
+  * Distance-family convention, extended to dotProduct — documented
+  * deviation from its input-typed return). Length mismatch throws
+  * (CH ARRAY_SIZES_DONT_MATCH); null input or element → null. */
+case class VectorDistExpr(left: Expression, right: Expression, kind: String)
+    extends Expression {
+
+  require(VectorDistExpr.Kinds.contains(kind), s"unknown kind $kind")
+
+  override def children: Seq[Expression] = Seq(left, right)
+  override def nullable: Boolean = true
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = VectorDistExpr.Names(kind)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (VectorExprs.elemTag(left.dataType) >= 0 && VectorExprs.elemTag(right.dataType) >= 0)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires numeric-array inputs, got " +
+        s"${left.dataType.sql} / ${right.dataType.sql}")
+
+  // raw pairReduce op for the non-cosine kinds
+  private def op: Int = kind match {
+    case "dot" => VectorKernels.OpDot
+    case "l1" => VectorKernels.OpL1
+    case "l2" | "l2sq" => VectorKernels.OpL2Sq
+    case "linf" => VectorKernels.OpLinf
+  }
+
+  override def eval(input: InternalRow): Any = {
+    val a = left.eval(input)
+    if (a == null) return null
+    val b = right.eval(input)
+    if (b == null) return null
+    val ad = a.asInstanceOf[ArrayData]
+    val bd = b.asInstanceOf[ArrayData]
+    val ta = VectorExprs.elemTag(left.dataType)
+    val tb = VectorExprs.elemTag(right.dataType)
+    val r =
+      if (kind == "cosd") VectorKernels.cosineDistance(ad, bd, ta, tb)
+      else VectorKernels.pairReduce(ad, bd, ta, tb, op)
+    if (r == null) null
+    else if (kind == "l2") Math.sqrt(r.doubleValue())
+    else r.doubleValue()
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val VK = VectorKernels.getClass.getName.stripSuffix("$")
+    val ga = left.genCode(ctx)
+    val gb = right.genCode(ctx)
+    val ta = VectorExprs.elemTag(left.dataType)
+    val tb = VectorExprs.elemTag(right.dataType)
+    val boxed = ctx.freshName("vdBoxed")
+    val call =
+      if (kind == "cosd") s"$VK.cosineDistance(${ga.value}, ${gb.value}, $ta, $tb)"
+      else s"$VK.pairReduce(${ga.value}, ${gb.value}, $ta, $tb, $op)"
+    val finish =
+      if (kind == "l2") s"Math.sqrt($boxed.doubleValue())" else s"$boxed.doubleValue()"
+    ev.copy(code = code"""
+      |${ga.code}
+      |boolean ${ev.isNull} = true;
+      |double ${ev.value} = 0.0;
+      |if (!${ga.isNull}) {
+      |  ${gb.code}
+      |  if (!${gb.isNull}) {
+      |    java.lang.Double $boxed = $call;
+      |    if ($boxed != null) { ${ev.isNull} = false; ${ev.value} = $finish; }
+      |  }
+      |}
+    """.stripMargin)
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(left = newChildren(0), right = newChildren(1))
+}
+
+object VectorDistExpr {
+  val Kinds: Set[String] = Set("dot", "l1", "l2", "l2sq", "linf", "cosd")
+  val Names: Map[String, String] = Map(
+    "dot" -> "dotProduct", "l1" -> "L1Distance", "l2" -> "L2Distance",
+    "l2sq" -> "L2SquaredDistance", "linf" -> "LinfDistance",
+    "cosd" -> "cosineDistance")
+}
+
+/** CH vector norms — `L1Norm`, `L2Norm`, `L2SquaredNorm`, `LinfNorm` —
+  * over one numeric array; double accumulation, Float64 result. Null
+  * input or element → null. */
+case class VectorNormExpr(child: Expression, kind: String) extends Expression {
+
+  require(VectorNormExpr.Kinds.contains(kind), s"unknown kind $kind")
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = true
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = VectorNormExpr.Names(kind)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (VectorExprs.elemTag(child.dataType) >= 0) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a numeric-array input, got ${child.dataType.sql}")
+
+  private def op: Int = kind match {
+    case "l1" => VectorKernels.OpL1
+    case "l2" | "l2sq" => VectorKernels.OpL2Sq
+    case "linf" => VectorKernels.OpLinf
+  }
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) return null
+    val r = VectorKernels.normReduce(
+      v.asInstanceOf[ArrayData], VectorExprs.elemTag(child.dataType), op)
+    if (r == null) null
+    else if (kind == "l2") Math.sqrt(r.doubleValue())
+    else r.doubleValue()
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val VK = VectorKernels.getClass.getName.stripSuffix("$")
+    val gen = child.genCode(ctx)
+    val t = VectorExprs.elemTag(child.dataType)
+    val boxed = ctx.freshName("vnBoxed")
+    val finish =
+      if (kind == "l2") s"Math.sqrt($boxed.doubleValue())" else s"$boxed.doubleValue()"
+    ev.copy(code = code"""
+      |${gen.code}
+      |boolean ${ev.isNull} = true;
+      |double ${ev.value} = 0.0;
+      |if (!${gen.isNull}) {
+      |  java.lang.Double $boxed = $VK.normReduce(${gen.value}, $t, $op);
+      |  if ($boxed != null) { ${ev.isNull} = false; ${ev.value} = $finish; }
+      |}
+    """.stripMargin)
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression = copy(child = newChildren.head)
+}
+
+object VectorNormExpr {
+  val Kinds: Set[String] = Set("l1", "l2", "l2sq", "linf")
+  val Names: Map[String, String] = Map(
+    "l1" -> "L1Norm", "l2" -> "L2Norm", "l2sq" -> "L2SquaredNorm",
+    "linf" -> "LinfNorm")
+}
+
 /** Packed random-hyperplane sign signature as a native codegen'd
   * expression: all `planes` dot products advance in ONE pass over the
   * vector ([[VectorKernels.hyperplaneSig]]), replacing `planes`

@@ -67,6 +67,104 @@ object VectorKernels {
     } else java.lang.Double.valueOf(dot / denom)
   }
 
+  // ---- CH vector-distance family (dotProduct/L1/L2/Linf/cosineDistance) ----
+  //
+  // All reductions run in double regardless of element type (CH's
+  // Distance family returns Float64; we extend that to dotProduct — a
+  // documented deviation from CH's input-typed dotProduct return).
+  // Element type tags: 0=float 1=double 2=int 3=long 4=short 5=byte.
+
+  private def elem(a: ArrayData, i: Int, t: Int): Double = (t: @annotation.switch) match {
+    case 0 => a.getFloat(i).toDouble
+    case 1 => a.getDouble(i)
+    case 2 => a.getInt(i).toDouble
+    case 3 => a.getLong(i).toDouble
+    case 4 => a.getShort(i).toDouble
+    case 5 => a.getByte(i).toDouble
+  }
+
+  /** Op codes for [[pairReduce]]/[[normReduce]]: 0 = sum of products
+    * (dot), 1 = sum of |a-b| (L1), 2 = sum of (a-b)² (L2 squared),
+    * 3 = max |a-b| (Linf). For norms b is implicitly 0. */
+  final val OpDot = 0
+  final val OpL1 = 1
+  final val OpL2Sq = 2
+  final val OpLinf = 3
+
+  /** Pairwise reduction over two equal-length numeric arrays; null on
+    * any null element (CH arrays are non-nullable — a null here is
+    * corrupt input, surfaced as SQL NULL not a wrong number); THROWS on
+    * a length mismatch, mirroring CH's ARRAY_SIZES_DONT_MATCH (a
+    * silent null would hide a schema bug). */
+  def pairReduce(a: ArrayData, b: ArrayData, ta: Int, tb: Int, op: Int): java.lang.Double = {
+    val n = a.numElements()
+    if (b.numElements() != n)
+      throw new IllegalArgumentException(
+        s"vector function: array sizes don't match: $n vs ${b.numElements()}")
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      val x = elem(a, i, ta)
+      val y = elem(b, i, tb)
+      (op: @annotation.switch) match {
+        case 0 => acc += x * y
+        case 1 => acc += Math.abs(x - y)
+        case 2 => val d = x - y; acc += d * d
+        case 3 => val d = Math.abs(x - y); if (d > acc) acc = d
+      }
+      i += 1
+    }
+    java.lang.Double.valueOf(acc)
+  }
+
+  /** Single-array reduction (norms): op 1 = Σ|x| (L1), 2 = Σx² (L2
+    * squared), 3 = max|x| (Linf). Null on any null element. */
+  def normReduce(a: ArrayData, t: Int, op: Int): java.lang.Double = {
+    val n = a.numElements()
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i)) return null
+      val x = elem(a, i, t)
+      (op: @annotation.switch) match {
+        case 1 => acc += Math.abs(x)
+        case 2 => acc += x * x
+        case 3 => val d = Math.abs(x); if (d > acc) acc = d
+      }
+      i += 1
+    }
+    java.lang.Double.valueOf(acc)
+  }
+
+  /** CH `cosineDistance` = 1 − cos(a, b), computed fully in double
+    * (unlike [[cosine]], which preserves the HOF float-product parity
+    * the oracle corpus pinned). Zero-norm input → null — there is no
+    * Divide in the plan to inherit ANSI semantics from, and a NULL
+    * surfaces the degenerate vector where NaN would propagate
+    * silently. Throws on length mismatch like [[pairReduce]]. */
+  def cosineDistance(a: ArrayData, b: ArrayData, ta: Int, tb: Int): java.lang.Double = {
+    val n = a.numElements()
+    if (b.numElements() != n)
+      throw new IllegalArgumentException(
+        s"cosineDistance: array sizes don't match: $n vs ${b.numElements()}")
+    var dot = 0.0
+    var na = 0.0
+    var nb = 0.0
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      val x = elem(a, i, ta)
+      val y = elem(b, i, tb)
+      dot += x * y
+      na += x * x
+      nb += y * y
+      i += 1
+    }
+    val denom = Math.sqrt(na) * Math.sqrt(nb)
+    if (denom == 0.0) null else java.lang.Double.valueOf(1.0 - dot / denom)
+  }
+
   /** Deterministic random-hyperplane components, seeded per
     * `(plane, dim)` — the single source of truth shared by the driver
     * (probe-bucket construction) and the codegen'd signature kernel.
