@@ -242,6 +242,61 @@ object VectorNormExpr {
     "linf" -> "LinfNorm")
 }
 
+/** Argmin-over-centroids as a native codegen'd expression: one pass
+  * over the vector advances all `k` squared-L2 accumulators
+  * ([[VectorKernels.nearestCentroid]]), replacing `k` interpreted
+  * `zip_with`+`aggregate` folds and a `k`-deep `when` chain per row.
+  * The centroid matrix ships once per task via `addReferenceObj`.
+  * Never null: degenerate inputs collapse to index 0, the value the
+  * all-null `when` chain produced. */
+case class NearestCentroidExpr(child: Expression, centroids: Array[Array[Double]])
+    extends Expression {
+
+  require(centroids.nonEmpty, "centroids must be non-empty")
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "nearest_centroid"
+
+  private def elemFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires an array<float|double> input, got ${other.sql}")
+  }
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) 0
+    else VectorKernels.nearestCentroid(v.asInstanceOf[ArrayData], centroids, elemFloat)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val VK = VectorKernels.getClass.getName.stripSuffix("$")
+    val mat = ctx.addReferenceObj("centroids", centroids, "double[][]")
+    val gen = child.genCode(ctx)
+    ev.copy(
+      code = code"""
+        |${gen.code}
+        |final int ${ev.value} = ${gen.isNull}
+        |  ? 0
+        |  : $VK.nearestCentroid(${gen.value}, $mat, $elemFloat);
+      """.stripMargin,
+      isNull = FalseLiteral)
+  }
+
+  // the matrix is a constructor param but not a child expression;
+  // equality/semanticHash fall back to case-class equals over the
+  // array reference — fine, these expressions are built per-plan
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression = copy(child = newChildren.head)
+}
+
 /** Packed random-hyperplane sign signature as a native codegen'd
   * expression: all `planes` dot products advance in ONE pass over the
   * vector ([[VectorKernels.hyperplaneSig]]), replacing `planes`

@@ -165,6 +165,44 @@ object VectorKernels {
     if (denom == 0.0) null else java.lang.Double.valueOf(1.0 - dot / denom)
   }
 
+  /** Index of the nearest centroid by squared-L2 — all `k` distance
+    * accumulators advance in ONE pass over the vector; argmin uses
+    * Spark's nan-safe `<` (NaN sorts above every double) with ties
+    * keeping the LOWEST index, exactly like the
+    * `when(b.d < a.d, b).otherwise(a)` reduce chain it replaces. A
+    * null vector, a length mismatch, or a null element made every
+    * distance null in that chain, which collapsed to the first
+    * centroid — so the kernel returns 0 for those. */
+  def nearestCentroid(vec: ArrayData, m: Array[Array[Double]], isFloat: Boolean): Int = {
+    val k = m.length
+    val dim = if (k == 0) 0 else m(0).length
+    if (vec == null || vec.numElements() != dim) return 0
+    val dists = new Array[Double](k)
+    var i = 0
+    while (i < dim) {
+      if (vec.isNullAt(i)) return 0
+      val v = if (isFloat) vec.getFloat(i).toDouble else vec.getDouble(i)
+      var j = 0
+      while (j < k) {
+        val d = v - m(j)(i)
+        dists(j) += d * d
+        j += 1
+      }
+      i += 1
+    }
+    var best = 0
+    var j = 1
+    while (j < k) {
+      val db = dists(j)
+      val da = dists(best)
+      // nan-safe strict less-than: NaN is larger than everything
+      if (!java.lang.Double.isNaN(db) && (java.lang.Double.isNaN(da) || db < da))
+        best = j
+      j += 1
+    }
+    best
+  }
+
   /** Deterministic random-hyperplane components, seeded per
     * `(plane, dim)` — the single source of truth shared by the driver
     * (probe-bucket construction) and the codegen'd signature kernel.

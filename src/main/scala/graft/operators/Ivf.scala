@@ -3,6 +3,8 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.FunctionShim
+import graft.functions.{NearestCentroidExpr, VectorDistExpr}
 
 /** IVF (inverted-file) approximate nearest neighbor — the
   * centroid-partitioned scale path for similarity search, complementing
@@ -27,19 +29,21 @@ import org.apache.spark.sql.functions._
 object Ivf {
 
   /** Per-row squared-L2 distance between a vector column and one
-    * centroid literal. */
+    * centroid literal — the codegen'd pair-reduce kernel
+    * ([[graft.functions.VectorDistExpr]]), one fused pass per row. */
   private def dist2(vec: Column, centroid: Seq[Double]): Column =
-    aggregate(
-      zip_with(vec, lit(centroid.toArray), (x, c) => (x - c) * (x - c)),
-      lit(0.0), (acc, x) => acc + x)
+    FunctionShim.column(VectorDistExpr(
+      FunctionShim.expression(vec),
+      FunctionShim.expression(lit(centroid.toArray)), "l2sq"))
 
-  /** Index of the nearest centroid (deterministic ties → lowest index). */
-  private def nearest(vec: Column, centroids: Seq[Seq[Double]]): Column = {
-    val best = centroids.zipWithIndex.map { case (c, i) =>
-      struct(dist2(vec, c).as("d"), lit(i).as("i"))
-    }.reduce((a, b) => when(b.getField("d") < a.getField("d"), b).otherwise(a))
-    best.getField("i")
-  }
+  /** Index of the nearest centroid (deterministic ties → lowest
+    * index) — a single codegen'd argmin pass
+    * ([[graft.functions.NearestCentroidExpr]]): all k distance
+    * accumulators advance per element instead of k interpreted folds
+    * plus a k-deep `when` chain per row. */
+  private def nearest(vec: Column, centroids: Seq[Seq[Double]]): Column =
+    FunctionShim.column(NearestCentroidExpr(
+      FunctionShim.expression(vec), centroids.map(_.toArray).toArray))
 
   /** Train centroids: deterministic seeds (lowest `k` ids), `iters`
     * Lloyd refinement passes. Returns k × dim (clusters may be empty →

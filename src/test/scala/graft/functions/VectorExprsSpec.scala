@@ -125,6 +125,26 @@ class VectorExprsSpec extends AnyFunSuite {
     assert(!nullRow.isNullAt(1) && nullRow.getLong(1) == 0L && nullRow.getLong(0) == 0L)
   }
 
+  test("nearestCentroid argmin is bit-exact with the when-chain reduce") {
+    import org.apache.spark.sql.graft.FunctionShim
+    val emb = graft.core.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val cents: Seq[Seq[Double]] = emb.orderBy(col("vec_id")).limit(7)
+      .select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toSeq).toSeq
+    def dist2H(vec: Column, c: Seq[Double]): Column =
+      aggregate(zip_with(vec, lit(c.toArray), (x, h) => (x - h) * (x - h)),
+        lit(0.0), (acc, x) => acc + x)
+    val hofNearest = cents.zipWithIndex.map { case (c, i) =>
+      struct(dist2H(col("embedding"), c).as("d"), lit(i).as("i"))
+    }.reduce((a, b) => when(b.getField("d") < a.getField("d"), b).otherwise(a))
+      .getField("i")
+    val kNearest = FunctionShim.column(NearestCentroidExpr(
+      FunctionShim.expression(col("embedding")), cents.map(_.toArray).toArray))
+    val bad = emb.select(hofNearest.as("o"), kNearest.as("n"))
+      .filter(!(col("o") <=> col("n"))).count()
+    assert(bad == 0L)
+  }
+
   test("codegen and interpreted paths agree") {
     val emb = graft.core.Tables.load(spark, "/root/testdata/sf0.001", "embeddings").limit(50)
     val q = emb.select(
