@@ -75,51 +75,13 @@ object Dedup {
     array(comps: _*)
   }
 
-  private val MinHashP = 2147483647L // 2^31 - 1
-  private val MinHashB = 2654435761L % MinHashP
-
-  /** One partial-aggregating buffer holding every signature component —
-    * a typed [[org.apache.spark.sql.expressions.Aggregator]] instead of
-    * k separate `min` aggregates: 128 column aggregates overflow the
-    * generated method-size budget and drop the whole stage out of
-    * codegen (measured ~10 s at sf0.1), while this plain-JVM while-loop
-    * does the same 128 affine-derive+min updates per shingle in one
-    * pass (~1 s). Partial/merge semantics match any algebraic
-    * aggregate, so map-side combine before the doc-id shuffle still
-    * applies. */
-  private class MinHashAgg(numHashes: Int)
-      extends org.apache.spark.sql.expressions.Aggregator[Long, Array[Long], Seq[Long]] {
-    override def zero: Array[Long] = Array.fill(numHashes)(MinHashP)
-    override def reduce(buf: Array[Long], h0: Long): Array[Long] = {
-      var i = 0
-      while (i < numHashes) {
-        // affine family (a_i·h + b_i) mod p; h < 2^31, a < 2^11 → the
-        // pre-reduction value x stays under 2^43. p = 2^31 - 1 is
-        // Mersenne, so 2^31 ≡ 1 (mod p) and x mod p folds to
-        // (x & p) + (x >>> 31) with one conditional subtract — 3 ALU
-        // ops replacing a hardware divide in the numHashes×shingles
-        // hot loop (x >>> 31 < 2^12, so one fold suffices)
-        val x = h0 * (2L * i + 1001L) + MinHashB * i
-        var v = (x & MinHashP) + (x >>> 31)
-        if (v >= MinHashP) v -= MinHashP
-        if (v < buf(i)) buf(i) = v
-        i += 1
-      }
-      buf
-    }
-    override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
-      var i = 0
-      while (i < numHashes) { if (b(i) < a(i)) a(i) = b(i); i += 1 }
-      a
-    }
-    override def finish(buf: Array[Long]): Seq[Long] = buf.toSeq
-    // native long-array encoder: the buffer crosses the partial→final
-    // exchange as an unsafe array write, not a kryo object blob
-    override def bufferEncoder: org.apache.spark.sql.Encoder[Array[Long]] =
-      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
-    override def outputEncoder: org.apache.spark.sql.Encoder[Seq[Long]] =
-      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
-  }
+  // The affine family (a_i·h + b_i) mod p and its Mersenne fold now
+  // live in graft.functions.MinHashKernel, which computes signatures
+  // scan-side in one fused pass (tokenize → shingle-hash → k mins) —
+  // see [[minHashSignatures]]. The historical explode → typed-Aggregator
+  // formulation (and the r3-r7 rationale for a single buffered
+  // aggregate over k column mins) is preserved verbatim as the
+  // equivalence oracle in DedupSpec's bit-exactness pin.
 
   /** One row per (doc, shingle), built with ZERO shuffles: the word
     * array is materialized into its own projected column first (multiple
@@ -173,24 +135,33 @@ object Dedup {
             i => xxhash64((0 until n).map(j => col("_w")(i + lit(j))): _*)))).as("_hs"))
   }
 
-  /** Scale path: MinHash signatures via [[shingleHashRows]] → one typed
-    * aggregate. One xxhash64 per (doc, shingle); the k affine
-    * derivations + mins run inside [[MinHashAgg]]'s JVM loop with
-    * map-side partial aggregation before the doc_id shuffle. Returns
-    * (_id, _sig: array<long>[numHashes]). Docs with fewer than
-    * `shingleSize` words produce no rows and therefore no signature —
-    * they cannot near-duplicate anything at this shingle size. */
+  /** Scale path: MinHash signatures as ONE scan-stage kernel pass per
+    * document ([[graft.functions.MinHashStateExpr]]) — tokenize,
+    * shingle-hash, and all k affine mins run inside a single codegen'd
+    * expression, so the build is a pure map over the corpus: no
+    * (doc, shingle) explode, no shuffle, no aggregate. Returns
+    * (_id, _sig: array<long>[numHashes]); `idCol` is assumed unique
+    * (it is a document key). Docs with fewer than `shingleSize` words
+    * produce no row — they cannot near-duplicate anything at this
+    * shingle size. Signatures are bit-exact with the historical
+    * explode+aggregate form (pinned in DedupSpec). */
   def minHashSignatures(
       docs: DataFrame,
       idCol: String,
       textCol: String,
       shingleSize: Int,
       numHashes: Int): DataFrame = {
-    val exploded = shingleHashRows(docs, idCol, textCol, shingleSize)
-      .select(col("_id"), pmod(col("_hs"), lit(MinHashP)).as("_h0"))
-    val sigAgg = udaf(new MinHashAgg(numHashes))
-    exploded.groupBy("_id")
-      .agg(sigAgg(col("_h0")).as("_sig"))
+    import org.apache.spark.sql.graft.FunctionShim
+    docs
+      // cheap scan-stage gate FIRST: filtering on the state itself
+      // pushes `isnotnull(minhash_state(…))` below the projection and
+      // evaluates the full kernel twice per row
+      .where(FunctionShim.column(graft.functions.WordCountExpr(
+        FunctionShim.expression(col(textCol)))) >= shingleSize)
+      .select(col(idCol).as("_id"),
+        FunctionShim.column(graft.functions.MinHashStateExpr(
+          FunctionShim.expression(col(textCol)), shingleSize, numHashes)).as("_st"))
+      .select(col("_id"), col("_st").getField("sig").as("_sig"))
   }
 
   /** Banded-LSH candidate pairs: split the signature into `bands` bands,
@@ -296,18 +267,28 @@ object Dedup {
       shingleSize: Int = 3,
       numHashes: Int = 128,
       bands: Int = 32): DataFrame = {
-    val sigAgg = udaf(new MinHashAgg(numHashes))
+    import org.apache.spark.sql.graft.FunctionShim
     val meta = new org.apache.spark.sql.types.MetadataBuilder()
       .putLong(MetaNumHashes, numHashes.toLong)
       .putLong(MetaShingleSize, shingleSize.toLong)
       .putLong(MetaBands, bands.toLong)
       .build()
-    shingleHashRows(docs, idCol, textCol, shingleSize)
-      .groupBy("_id")
-      .agg(
-        sigAgg(pmod(col("_hs"), lit(MinHashP))).as("_sig"),
-        collect_set(col("_hs")).as("_sh"))
-      .withColumn("_sig", col("_sig").as("_sig", meta))
+    // one scan-stage kernel pass per document (MinHashStateExpr):
+    // signature AND sorted distinct shingle-hash set from a single
+    // tokenization, no explode / shuffle / aggregate in the state
+    // build. The word-count gate runs FIRST (cheap byte scan, pushed
+    // to the scan) — filtering on the state's own null pushes
+    // `isnotnull(minhash_state(…))` below the projection and evaluates
+    // the full kernel twice per row.
+    docs
+      .where(FunctionShim.column(graft.functions.WordCountExpr(
+        FunctionShim.expression(col(textCol)))) >= shingleSize)
+      .select(col(idCol).as("_id"),
+        FunctionShim.column(graft.functions.MinHashStateExpr(
+          FunctionShim.expression(col(textCol)), shingleSize, numHashes)).as("_st"))
+      .select(col("_id"),
+        col("_st").getField("sig").as("_sig", meta),
+        col("_st").getField("sh").as("_sh"))
   }
 
   /** Incremental / cross-corpus near-dup detection: which NEW documents

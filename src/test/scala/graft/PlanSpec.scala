@@ -93,12 +93,20 @@ class PlanSpec extends AnyFunSuite {
       s"expected all state reads cached:\n$optimized")
   }
 
-  test("MinHash signature stage shuffles exactly once (the doc-id aggregate)") {
+  test("MinHash signature build is a pure scan: zero shuffles, one kernel eval per row") {
     val docs = Tables.load(spark, dir, "documents")
     val df = Dedup.minHashSignatures(docs, "doc_id", "text", 3, 16)
-    val exchanges = "Exchange".r.findAllIn(planOf(df)).size
-    assert(exchanges == 1,
-      s"shingle stage must be shuffle-free ($exchanges Exchanges):\n${planOf(df)}")
+    val plan = planOf(df)
+    val exchanges = "Exchange".r.findAllIn(plan).size
+    assert(exchanges == 0,
+      s"fused signature build must be shuffle-free ($exchanges Exchanges):\n$plan")
+    // the word-count gate keeps the expensive kernel out of the pushed
+    // filter — exactly one minhash_state in the plan, in the projection
+    val kernelEvals = "minhash_state".r.findAllIn(plan).size
+    assert(kernelEvals == 1,
+      s"minhash_state must evaluate once per row, found $kernelEvals:\n$plan")
+    assert(plan.contains("word_count"),
+      s"cheap word-count gate missing from the plan:\n$plan")
   }
 
   test("shingle pipeline evaluates split() once per scan (CollapseProject guard)") {

@@ -48,6 +48,35 @@ class DedupSpec extends AnyFunSuite {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L), "false positive on unrelated doc")
   }
 
+  test("fused minhash state is bit-exact with the explode+aggregate formulation") {
+    import spark.implicits._
+    val real = graft.core.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("doc_id"), col("text"))
+      // texts with leading/trailing/repeated whitespace exercise the
+      // kernel's split("\\s+",-1) replication; too-short docs must drop
+      .union(docs.select(col("doc_id") + 100000, col("text")))
+      .union(Seq(
+        (200001L, "  leading and trailing  whitespace runs here  "),
+        (200002L, "one two"), // < shingleSize words → no state row
+        (200003L, ""),
+        (200004L, "tabs\tand\nnewlinesseparate\ftokens\rtoo yes")
+      ).toDF("doc_id", "text"))
+    val sigAgg = udaf(new LegacyMinHashAgg(16))
+    val legacy = Dedup.shingleHashRows(real, "doc_id", "text", 3)
+      .groupBy("_id")
+      .agg(sigAgg(pmod(col("_hs"), lit(graft.functions.MinHashKernel.P))).as("_sig"),
+        collect_set(col("_hs")).as("_sh"))
+    val fused = Dedup.minHashState(real, "doc_id", "text", shingleSize = 3, numHashes = 16)
+    val l = legacy.select(col("_id"), col("_sig"), sort_array(col("_sh")).as("_sh"))
+    val f = fused.select(col("_id"), col("_sig"), col("_sh")) // kernel emits sorted
+    assert(l.count() == f.count(), "same document coverage")
+    val joined = l.as("l").join(f.as("f"), col("l._id") === col("f._id"), "full")
+    val bad = joined.filter(
+      col("l._id").isNull || col("f._id").isNull ||
+        !(col("l._sig") <=> col("f._sig")) || !(col("l._sh") <=> col("f._sh"))).count()
+    assert(bad == 0L, "signatures and shingle sets must match row for row")
+  }
+
   test("minhash signature of identical texts is identical") {
     val sig = docs.filter(col("doc_id") < 2)
       .select(Dedup.minHashSignature(Dedup.shingles(col("text"), 3), 32).as("sig"))
@@ -228,4 +257,41 @@ class DedupSpec extends AnyFunSuite {
       .select("new_id", "ref_id").as[(Long, Long)].collect().toSet
     assert(ok == Set((10L, 0L)))
   }
+}
+
+/** The HISTORICAL MinHash signature aggregate, verbatim — the
+  * typed-Aggregator half of the explode → pmod → affine-min →
+  * collect_set state build that [[graft.functions.MinHashKernel]]'s
+  * fused scan-stage kernel replaced. Kept top-level (a nested class
+  * would drag the non-serializable suite into the task closure) as the
+  * equivalence oracle for the bit-exactness pin above. A typed
+  * Aggregator rather than k column mins because 128 column aggregates
+  * overflow the generated-method budget and drop the stage out of
+  * codegen (r3 measurement). */
+private[operators] class LegacyMinHashAgg(numHashes: Int)
+    extends org.apache.spark.sql.expressions.Aggregator[Long, Array[Long], Seq[Long]] {
+  private val P = graft.functions.MinHashKernel.P
+  private val B = graft.functions.MinHashKernel.B
+  override def zero: Array[Long] = Array.fill(numHashes)(P)
+  override def reduce(buf: Array[Long], h0: Long): Array[Long] = {
+    var i = 0
+    while (i < numHashes) {
+      val x = h0 * (2L * i + 1001L) + B * i
+      var v = (x & P) + (x >>> 31)
+      if (v >= P) v -= P
+      if (v < buf(i)) buf(i) = v
+      i += 1
+    }
+    buf
+  }
+  override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < numHashes) { if (b(i) < a(i)) a(i) = b(i); i += 1 }
+    a
+  }
+  override def finish(buf: Array[Long]): Seq[Long] = buf.toSeq
+  override def bufferEncoder: org.apache.spark.sql.Encoder[Array[Long]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+  override def outputEncoder: org.apache.spark.sql.Encoder[Seq[Long]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
 }
