@@ -31,6 +31,10 @@ object ChFunctions {
     synchronized {
       if (registered.contains(id)) return
       builders.foreach { case (name, b) => FunctionShim.register(spark, name, b) }
+      // the optimizer surface rides the same registration choke point:
+      // any session that can resolve the dialect also answers count(*)
+      // from parquet footers (graft.plans.CountFromFooters)
+      FunctionShim.addOptimization(spark, graft.plans.CountFromFooters(spark))
       registered += id
     }
   }

@@ -20,11 +20,13 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ChFunctions.builders.foreach { case (name, builder) =>
       ext.injectFunction((
         FunctionIdentifier(name),
         new ExpressionInfo("graft.dialect.ChFunctions", name),
         (exprs: Seq[Expression]) => builder(exprs)))
     }
+    ext.injectOptimizerRule(graft.plans.CountFromFooters.apply)
+  }
 }

@@ -51,4 +51,40 @@ object FunctionShim {
       new ExpressionInfo("graft.dialect.ChFunctions", name),
       (exprs: Seq[Expression]) => builder(exprs))
   }
+
+  /** Idempotently append a logical optimizer rule to an ALREADY-RUNNING
+    * session (`experimental.extraOptimizations` — the runtime twin of
+    * `SparkSessionExtensions.injectOptimizerRule`, same contract: the
+    * rule runs in the user-provided batch after Spark's own). */
+  def addOptimization(
+      spark: SparkSession,
+      rule: org.apache.spark.sql.catalyst.rules.Rule[
+        org.apache.spark.sql.catalyst.plans.logical.LogicalPlan]): Unit = {
+    val exp = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession].experimental
+    if (!exp.extraOptimizations.exists(_.getClass == rule.getClass))
+      exp.extraOptimizations = exp.extraOptimizations :+ rule
+  }
+
+  /** Sum of parquet footer `num_rows` over `paths`, read cluster-side:
+    * one Spark task per slice of files, each opening ONLY the footer
+    * (no row-group page reads). The driver never touches file contents
+    * — at 100 TB / 100k objects this is the listing-shaped metadata
+    * job that replaces a full corpus scan for `count(*)`. Lives in the
+    * shim because [[org.apache.spark.util.SerializableConfiguration]]
+    * (the standard way to ship the Hadoop conf into tasks) is
+    * `private[spark]`. */
+  def distributedParquetRowCount(
+      spark: SparkSession,
+      paths: Seq[String],
+      hadoopConf: org.apache.hadoop.conf.Configuration): Long = {
+    val serConf = new org.apache.spark.util.SerializableConfiguration(hadoopConf)
+    val bc = spark.sparkContext.broadcast(serConf)
+    val slices = math.min(paths.size, spark.sparkContext.defaultParallelism * 4)
+    spark.sparkContext.parallelize(paths, slices).map { p =>
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile
+        .fromPath(new org.apache.hadoop.fs.Path(p), bc.value.value)
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try r.getRecordCount finally r.close()
+    }.sum().toLong
+  }
 }

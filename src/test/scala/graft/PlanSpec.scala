@@ -51,6 +51,42 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("bare count(*) over parquet collapses to a footer-read LocalRelation (v1 scan)") {
+    // the CountFromFooters optimizer rule: no scan, no Exchange — the
+    // whole plan is a LocalRelation holding the footer row-count sum
+    val li = Tables.load(spark, dir, "lineitem")
+    val df = li.agg(count(lit(1)).as("cnt"))
+    val plan = planOf(df)
+    assert(plan.contains("LocalTableScan") && !plan.contains("FileScan"),
+      s"count(*) should be answered from footers:\n$plan")
+    val expected = spark.read.parquet(s"$dir/lineitem.parquet")
+      .withColumn("_one", lit(1)).select("_one").collect().length.toLong
+    assert(df.collect().head.getLong(0) == expected)
+    // the nanos-converted events table (Project over the relation) too
+    val ev = Tables.load(spark, dir, "events").agg(count(lit(1)))
+    assert(planOf(ev).contains("LocalTableScan"), planOf(ev))
+  }
+
+  test("filtered / grouped / column counts do NOT use the footer shortcut") {
+    val li = Tables.load(spark, dir, "lineitem")
+    val filtered = li.filter(col("l_quantity") > 10).agg(count(lit(1)))
+    assert(planOf(filtered).contains("FileScan"),
+      s"filtered count must scan:\n${planOf(filtered)}")
+    val grouped = li.groupBy("l_returnflag").agg(count(lit(1)))
+    assert(planOf(grouped).contains("FileScan"),
+      s"grouped count must scan:\n${planOf(grouped)}")
+    // count(col) skips null values — footers cannot answer it
+    val colCount = li.agg(count(col("l_returnflag")))
+    assert(planOf(colCount).contains("FileScan"),
+      s"count(col) must scan:\n${planOf(colCount)}")
+    val distinct = li.agg(countDistinct(col("l_orderkey")))
+    assert(planOf(distinct).contains("FileScan"),
+      s"count(distinct) must scan:\n${planOf(distinct)}")
+    // limit under the aggregate changes cardinality
+    val limited = li.limit(7).agg(count(lit(1)).as("c"))
+    assert(limited.collect().head.getLong(0) == 7L)
+  }
+
   test("small dimension joins broadcast (no shuffle of the fact side)") {
     val orders = Tables.load(spark, dir, "orders")
     val customer = Tables.load(spark, dir, "customer")
