@@ -438,6 +438,38 @@ object SparkEntry {
         |       CAST(round(LinfNorm(embedding) * 1000) AS BIGINT) AS linf_m
         |FROM embeddings ORDER BY vec_id""".stripMargin),
 
+    // CH aggregate-combinator GRAMMAR (Combinators.scala): none of the
+    // spellings below is individually registered — each resolves by
+    // composing base × suffix chain at query time. Small-integer
+    // arrays keep every partial sum exact in double, so the micro-
+    // scaled averages hash-match the oracle deterministically.
+    "q146_sum_array_if" -> ch(
+      """SELECT o_orderpriority AS prio,
+        |       CAST(sumArrayIf(array(o_orderkey % 7, o_custkey % 5), o_orderkey % 2 = 0) AS BIGINT) AS s,
+        |       CAST(round(avgArrayIf(array(o_orderkey % 7, o_custkey % 5), o_orderkey % 2 = 0) * 1000000) AS BIGINT) AS a_micro,
+        |       maxArrayIf(array(o_orderkey % 97, o_custkey % 89), o_orderkey % 3 = 0) AS mx,
+        |       minArrayIf(array(o_orderkey % 97 + 1, o_custkey % 89 + 1), o_orderkey % 3 = 0) AS mn
+        |FROM orders GROUP BY prio ORDER BY prio""".stripMargin),
+
+    "q147_sum_distinct_if" -> ch(
+      """SELECT o_orderstatus AS st,
+        |       CAST(sumDistinctIf(o_custkey % 101, o_orderkey % 3 = 0) AS BIGINT) AS sd,
+        |       CAST(round(avgDistinctIf(o_custkey % 101, o_orderkey % 3 = 0) * 1000000) AS BIGINT) AS ad_micro
+        |FROM orders GROUP BY st ORDER BY st""".stripMargin),
+
+    // -OrNull: empty aggregation sets contract to NULL (CH contract);
+    // scalar subqueries give one empty and one populated set
+    "q148_count_or_null" -> ch(
+      """SELECT (SELECT countOrNull() FROM orders WHERE o_orderkey < 0) AS c_empty,
+        |       (SELECT countOrNull() FROM orders WHERE o_custkey % 2 = 0) AS c_some,
+        |       (SELECT uniqExactOrNull(o_custkey) FROM orders WHERE o_orderkey < 0) AS u_empty""".stripMargin),
+
+    "q149_uniq_array_if" -> ch(
+      """SELECT o_orderpriority AS prio,
+        |       uniqExactArrayIf(array(o_orderkey % 50, o_custkey % 50), o_orderkey % 4 = 0) AS u,
+        |       CAST(countArrayIf(array(o_orderkey, o_custkey), o_orderkey % 4 = 0) AS BIGINT) AS ne
+        |FROM orders GROUP BY prio ORDER BY prio""".stripMargin),
+
     // ---- joins (SURVEY §2.4 — delegated surface, exercised here) ----
 
     // broadcast inner equi-join + agg
@@ -1623,6 +1655,31 @@ object SparkEntry {
         |       CAST(round(list_inner_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])) * 1000) AS BIGINT) AS l2sq_m,
         |       CAST(round(list_aggregate(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x)), 'max') * 1000) AS BIGINT) AS linf_m
         |FROM embeddings ORDER BY vec_id""".stripMargin,
+    "q146_sum_array_if" ->
+      """SELECT o_orderpriority AS prio,
+        |       CAST(sum(CASE WHEN o_orderkey % 2 = 0 THEN (o_orderkey % 7) + (o_custkey % 5) END) AS BIGINT) AS s,
+        |       CAST(round(sum(CASE WHEN o_orderkey % 2 = 0 THEN (o_orderkey % 7) + (o_custkey % 5) END)::DOUBLE
+        |                  / (2 * count(*) FILTER (WHERE o_orderkey % 2 = 0)) * 1000000) AS BIGINT) AS a_micro,
+        |       max(CASE WHEN o_orderkey % 3 = 0 THEN greatest(o_orderkey % 97, o_custkey % 89) END) AS mx,
+        |       min(CASE WHEN o_orderkey % 3 = 0 THEN least(o_orderkey % 97 + 1, o_custkey % 89 + 1) END) AS mn
+        |FROM orders GROUP BY prio ORDER BY prio""".stripMargin,
+    "q147_sum_distinct_if" ->
+      """SELECT o_orderstatus AS st,
+        |       CAST(sum(DISTINCT CASE WHEN o_orderkey % 3 = 0 THEN o_custkey % 101 END) AS BIGINT) AS sd,
+        |       CAST(round(avg(DISTINCT CASE WHEN o_orderkey % 3 = 0 THEN o_custkey % 101 END) * 1000000) AS BIGINT) AS ad_micro
+        |FROM orders GROUP BY st ORDER BY st""".stripMargin,
+    "q148_count_or_null" ->
+      """SELECT (SELECT CASE WHEN count(*) = 0 THEN NULL ELSE count(*) END
+        |        FROM orders WHERE o_orderkey < 0) AS c_empty,
+        |       (SELECT count(*) FROM orders WHERE o_custkey % 2 = 0) AS c_some,
+        |       (SELECT CASE WHEN count(DISTINCT o_custkey) = 0 THEN NULL ELSE count(DISTINCT o_custkey) END
+        |        FROM orders WHERE o_orderkey < 0) AS u_empty""".stripMargin,
+    "q149_uniq_array_if" ->
+      """WITH el AS (
+        |  SELECT o_orderpriority AS prio, unnest([o_orderkey % 50, o_custkey % 50]) AS v
+        |  FROM orders WHERE o_orderkey % 4 = 0)
+        |SELECT prio, count(DISTINCT v) AS u, count(*) AS ne
+        |FROM el GROUP BY prio ORDER BY prio""".stripMargin,
     "q13_join_inner" ->
       "SELECT c_mktsegment, count(*) AS cnt FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY c_mktsegment ORDER BY c_mktsegment",
     "q14_join_anti" ->

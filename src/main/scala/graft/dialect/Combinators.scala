@@ -1,0 +1,189 @@
+package graft.dialect
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate._
+import org.apache.spark.sql.types._
+
+/** ClickHouse aggregate-combinator grammar (SURVEY §2.3 A7 tail): any
+  * base aggregate composed with a suffix chain — `sumArrayIf`,
+  * `avgArrayIf`, `sumDistinctIf`, `uniqExactArrayIf`, `countOrNull` —
+  * resolves WITHOUT an individual registration. The statically
+  * registered spellings (`sumIf`, `uniqState`, …) stay as they are;
+  * this grammar only serves names the registry does not already hold
+  * (reference delegates the whole combinator surface to ClickHouse,
+  * `temporal/workflow_query_executor.go:313`).
+  *
+  * Semantics per combinator, composed left-to-right as written
+  * (`sumArrayIf` = (`sum` over array elements) restricted by the
+  * trailing condition):
+  *   - `-If`: appends a condition argument; value arguments are
+  *     wrapped `If(cond, x, NULL)` — Spark aggregates skip NULLs, so
+  *     rows failing the condition contribute nothing. Composes with
+  *     every kernel here because each is NULL-propagating per row.
+  *   - `-Array`: the aggregate consumes every ELEMENT of an array
+  *     column. Expressed per base as a scan-stage local reduction
+  *     (fold / size / array_min / array_max) feeding the scalar
+  *     aggregate — no explode, stays inside whole-stage codegen.
+  *     Allowed only directly after the base (CH's canonical order).
+  *   - `-Distinct`: sets the DISTINCT flag on the underlying aggregate
+  *     function. Allowed where the kernel is a single
+  *     [[AggregateFunction]] (not a composed expression).
+  *   - `-OrNull`: CH returns NULL for an empty aggregation set. Spark's
+  *     sum/min/max/avg already do; the counting bases (`count`, `uniq`,
+  *     `uniqExact`) return 0 and are wrapped `nullIf(x, 0)`.
+  *   - `-State` / `-Merge`: partial-state and merge forms. Spark's
+  *     aggregation buffers are not CH-serializable, so State finalizes
+  *     (state ≡ value) and Merge re-aggregates — the same contract the
+  *     static `sumState`/`sumMerge`/`uniqState`/`uniqMerge`
+  *     registrations document.
+  *
+  * Registration happens lazily from [[ChSql.registerCombinators]]: the
+  * dialect pre-pass scans query text for `name(`-shaped calls, and any
+  * name that (a) is absent from the session registry, (b) is not a
+  * Spark builtin (never shadow — the r4/r7 bug class), and (c) parses
+  * under this grammar, is registered as a native expression builder.
+  */
+object Combinators {
+
+  /** `arity` = argument count the USER passes; `build` receives exactly
+    * those arguments (plus any kernel-injected ones upstream). */
+  private case class Kernel(arity: Int, build: Seq[Expression] => Expression)
+
+  /** Longest-match order: `uniqExact` before `uniq`. */
+  private val BaseNames =
+    Seq("uniqExact", "groupArray", "uniq", "sum", "count", "min", "max", "avg")
+
+  private val SuffixTokens =
+    Seq("Array", "Distinct", "OrNull", "State", "Merge", "If")
+
+  /** The composed builder for `name`, when `name` is base+suffix-chain
+    * under this grammar and the combination is exactly expressible. */
+  def builderFor(name: String): Option[Seq[Expression] => Expression] =
+    tokenize(name).filter(_._2.nonEmpty).flatMap { case (base, suffixes) =>
+      kernel(base, suffixes).map { k =>
+        // `count` aggregates a synthetic row marker: inject it so the
+        // user arity stays CH's (`countIf(cond)`, `countOrNull()`)
+        if (base == "count" && !suffixes.headOption.contains("Array"))
+          (args: Seq[Expression]) => k.build(Literal(1) +: args)
+        else k.build
+      }
+    }
+
+  /** Case-insensitive split into (base, suffix tokens); None when any
+    * residue fails to tokenize (so `summary`, `countSubstrings`, …
+    * never match). */
+  private def tokenize(name: String): Option[(String, List[String])] =
+    BaseNames
+      .find(b => name.regionMatches(true, 0, b, 0, b.length))
+      .flatMap { base =>
+        peel(name.substring(base.length), Nil).map(s => (base, s))
+      }
+
+  @annotation.tailrec
+  private def peel(rest: String, acc: List[String]): Option[List[String]] =
+    if (rest.isEmpty) Some(acc.reverse)
+    else SuffixTokens.find(s =>
+      rest.length >= s.length && rest.regionMatches(true, 0, s, 0, s.length)) match {
+      case Some(s) => peel(rest.substring(s.length), s :: acc)
+      case None => None
+    }
+
+  private def kernel(base: String, suffixes: List[String]): Option[Kernel] = {
+    val (k0, rest) = suffixes match {
+      case "Array" :: tail => (arrayKernel(base), tail)
+      case "Merge" :: tail => (mergeKernel(base), tail)
+      case _ => (plainKernel(base), suffixes)
+    }
+    rest.foldLeft(k0)((acc, s) => acc.flatMap(applySuffix(base, _, s)))
+  }
+
+  private def plainKernel(base: String): Option[Kernel] = base match {
+    case "sum" => Some(Kernel(1, a => Sum(a.head)))
+    case "count" => Some(Kernel(1, a => Count(a)))
+    case "min" => Some(Kernel(1, a => Min(a.head)))
+    case "max" => Some(Kernel(1, a => Max(a.head)))
+    case "avg" => Some(Kernel(1, a => Average(a.head)))
+    case "uniq" => Some(Kernel(1, a => new HyperLogLogPlusPlus(a.head)))
+    case "uniqExact" =>
+      Some(Kernel(1, a => Count(a).toAggregateExpression(isDistinct = true)))
+    case "groupArray" => Some(Kernel(1, a => CollectList(a.head)))
+    case _ => None
+  }
+
+  /** Per-base element-wise kernels: a per-row local reduction feeding
+    * the scalar aggregate. Every kernel is NULL-propagating (a NULL
+    * array contributes nothing), which is what makes a later `-If`
+    * wrap compose exactly. */
+  private def arrayKernel(base: String): Option[Kernel] = {
+    def lv(n: String) = UnresolvedNamedLambdaVariable(Seq(n))
+    // zero derived from the data (first element × 0L) so fractional
+    // element types fold without an analysis error, and integer
+    // elements widen to Int64 — CH's sum-type promotion (advisor r7)
+    def typedZero(arr: Expression): Expression =
+      Multiply(new ElementAt(arr, Literal(1), None, false), Literal(0L))
+    def localSum(arr: Expression, zero: Expression): Expression = {
+      val acc = lv("accCB"); val x = lv("xCB"); val f = lv("fCB")
+      ArrayAggregate(arr, zero,
+        LambdaFunction(Add(acc, x), Seq(acc, x)),
+        LambdaFunction(f, Seq(f)))
+    }
+    base match {
+      case "sum" => Some(Kernel(1, a => Sum(localSum(a.head, typedZero(a.head)))))
+      case "count" => Some(Kernel(1, a => Sum(Cast(Size(a.head), LongType))))
+      case "min" => Some(Kernel(1, a => Min(ArrayMin(a.head))))
+      case "max" => Some(Kernel(1, a => Max(ArrayMax(a.head))))
+      case "avg" => Some(Kernel(1, a => Divide(
+        Sum(localSum(a.head, Literal(0.0d))).toAggregateExpression(),
+        Cast(Sum(Cast(Size(a.head), LongType)).toAggregateExpression(),
+          DoubleType))))
+      // distinct elements across rows — EXACT for both spellings (the
+      // sound refinement the static uniqArray documents)
+      case "uniq" | "uniqExact" => Some(Kernel(1, a =>
+        Cast(Size(ArrayDistinct(Flatten(
+          CollectList(a.head).toAggregateExpression()))), LongType)))
+      case "groupArray" => Some(Kernel(1, a =>
+        Flatten(CollectList(a.head).toAggregateExpression())))
+      case _ => None
+    }
+  }
+
+  /** Merge of finalized values (state ≡ value here): counts merge by
+    * summing, min/max/sum by themselves. Bases whose merge needs a
+    * real sketch or pair-struct keep their static registrations
+    * (`uniqMerge`, `avgMerge`). */
+  private def mergeKernel(base: String): Option[Kernel] = base match {
+    case "sum" | "count" => Some(Kernel(1, a => Sum(a.head)))
+    case "min" => Some(Kernel(1, a => Min(a.head)))
+    case "max" => Some(Kernel(1, a => Max(a.head)))
+    case _ => None
+  }
+
+  private def applySuffix(base: String, k: Kernel, s: String): Option[Kernel] =
+    s match {
+      case "If" => Some(Kernel(k.arity + 1, args => {
+        val cond = args.last
+        k.build(args.init.map(a => If(cond, a, Literal(null, NullType))))
+      }))
+      case "State" => Some(k)
+      case "Distinct" => Some(Kernel(k.arity, args => k.build(args) match {
+        case af: AggregateFunction =>
+          af.toAggregateExpression(isDistinct = true)
+        case _ => throw new IllegalArgumentException(
+          s"-Distinct cannot compose with ${base}'s ${k.build.getClass.getSimpleName} kernel here")
+      }))
+      case "OrNull" => Some(Kernel(k.arity, args => {
+        val agg = k.build(args) match {
+          case af: AggregateFunction => af.toAggregateExpression()
+          case other => other
+        }
+        base match {
+          // empty-set result is 0 for the counting bases; CH -OrNull
+          // contracts it to NULL (sum/min/max/avg are NULL already)
+          case "count" | "uniq" | "uniqExact" =>
+            If(EqualTo(agg, Literal(0L)), Literal(null, NullType), agg)
+          case _ => agg
+        }
+      }))
+      case _ => None // "Array"/"Merge" only directly after the base
+    }
+}

@@ -41,6 +41,14 @@ object FunctionShim {
     org.apache.spark.sql.catalyst.analysis.FunctionRegistry.builtin
       .functionExists(FunctionIdentifier(name))
 
+  /** True when `name` already resolves in this SESSION's registry
+    * (builtins included — the session registry is a builtin clone plus
+    * additions). The combinator grammar checks this before a dynamic
+    * registration so static spellings always win. */
+  def sessionHas(spark: SparkSession, name: String): Boolean =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.functionRegistry.functionExists(FunctionIdentifier(name))
+
   def register(
       spark: SparkSession,
       name: String,

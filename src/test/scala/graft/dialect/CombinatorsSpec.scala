@@ -1,0 +1,82 @@
+package graft.dialect
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** The aggregate-combinator grammar: composed spellings resolve without
+  * individual registrations, statics and builtins always win, and
+  * non-grammar names never match. */
+class CombinatorsSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+
+  private def one(sql: String): Seq[Any] =
+    ChSql.sql(spark, sql).collect().head.toSeq
+
+  test("grammar parses composed spellings and rejects non-grammar names") {
+    assert(Combinators.builderFor("sumArrayIf").isDefined)
+    assert(Combinators.builderFor("avgArrayIf").isDefined)
+    assert(Combinators.builderFor("sumDistinctIf").isDefined)
+    assert(Combinators.builderFor("uniqExactArrayIf").isDefined)
+    assert(Combinators.builderFor("countOrNull").isDefined)
+    assert(Combinators.builderFor("maxArrayIfOrNull").isDefined)
+    // bare bases are the static registry's business
+    assert(Combinators.builderFor("sum").isEmpty)
+    assert(Combinators.builderFor("uniqExact").isEmpty)
+    // residue that is not a suffix chain never matches
+    assert(Combinators.builderFor("summary").isEmpty)
+    assert(Combinators.builderFor("countSubstrings").isEmpty)
+    assert(Combinators.builderFor("minSampleSize").isEmpty)
+    // Array/Merge only directly after the base
+    assert(Combinators.builderFor("sumIfArray").isEmpty)
+    assert(Combinators.builderFor("sumIfMerge").isEmpty)
+  }
+
+  test("sumArrayIf / avgArrayIf / countArrayIf aggregate elements of matching rows") {
+    val r = one(
+      """SELECT sumArrayIf(a, c) AS s, avgArrayIf(a, c) AS a, countArrayIf(a, c) AS n
+        |FROM VALUES (array(1L, 2L), true), (array(10L, 20L), false),
+        |            (array(3L, 4L), true) AS t(a, c)""".stripMargin)
+    assert(r == Seq(10L, 2.5d, 4L))
+  }
+
+  test("fractional arrays fold without an analysis error (typed zero)") {
+    val r = one(
+      "SELECT sumArrayIf(a, c) AS s FROM VALUES (array(1.5d, 2.5d), true) AS t(a, c)")
+    assert(r == Seq(4.0d))
+  }
+
+  test("sumDistinctIf sums distinct matching values") {
+    val r = one(
+      """SELECT sumDistinctIf(x, c) AS sd
+        |FROM VALUES (5L, true), (5L, true), (7L, true), (9L, false) AS t(x, c)""".stripMargin)
+    assert(r == Seq(12L))
+  }
+
+  test("uniqExactArrayIf counts distinct elements across matching rows") {
+    val r = one(
+      """SELECT uniqExactArrayIf(a, c) AS u
+        |FROM VALUES (array(1L, 2L), true), (array(2L, 3L), true),
+        |            (array(9L, 9L), false) AS t(a, c)""".stripMargin)
+    assert(r == Seq(3L))
+  }
+
+  test("countOrNull / uniqExactOrNull contract empty sets to NULL") {
+    val r = one(
+      """SELECT (SELECT countOrNull() FROM VALUES (1) AS t(x) WHERE x < 0) AS c0,
+        |       (SELECT countOrNull() FROM VALUES (1), (2) AS t(x)) AS c2,
+        |       (SELECT uniqExactOrNull(x) FROM VALUES (1) AS t(x) WHERE x < 0) AS u0""".stripMargin)
+    assert(r == Seq(null, 2L, null))
+  }
+
+  test("dynamic registration never shadows builtins or static names") {
+    // a builtin name is skipped even if the grammar could parse it
+    ChSql.registerCombinators(spark, "SELECT sum(x) FROM t")
+    // static countIf keeps its registration (2 args would throw in the
+    // dynamic kernel only if it had replaced the static one-arg form)
+    val r = one(
+      "SELECT countIf(x > 1) AS n FROM VALUES (1L), (2L), (3L) AS t(x)")
+    assert(r == Seq(2L))
+  }
+}
