@@ -376,18 +376,37 @@ object Dedup {
     * diameter ~2^20, including the long templated-text chains that
     * would starve plain propagation. If the loop still hits maxIter
     * without converging it THROWS rather than returning silently-wrong
-    * labels. `localCheckpoint` truncates lineage per round so the plan
-    * does not grow with iterations (swap for `checkpoint` with a
-    * reliable dir on a real cluster). The per-round driver `count` is
-    * over label CHANGES, not data. */
+    * labels. Lineage is truncated per round so the plan does not grow
+    * with iterations: RELIABLE `checkpoint` when a checkpoint dir is
+    * configured ([[CheckpointDirConf]] or an sc-level
+    * `setCheckpointDir`) — the cluster-safe default, surviving executor
+    * loss mid-iteration — falling back to `localCheckpoint` (executor-
+    * memory blocks, fine for local mode) only when no dir exists. The
+    * per-round driver `count` is over label CHANGES, not data. */
+
+  /** Reliable-checkpoint directory for iterative operators; should be
+    * fault-tolerant storage (HDFS/S3) on a real cluster. */
+  val CheckpointDirConf = "spark.graft.checkpointDir"
+
+  /** Truncate `df`'s lineage: reliable checkpoint when a dir is
+    * available, local blocks otherwise. */
+  private def truncateLineage(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    val sc = spark.sparkContext
+    val confDir = spark.conf.get(CheckpointDirConf, "")
+    if (confDir.nonEmpty && !sc.getCheckpointDir.contains(confDir))
+      sc.setCheckpointDir(confDir)
+    if (confDir.nonEmpty || sc.getCheckpointDir.isDefined) df.checkpoint()
+    else df.localCheckpoint()
+  }
+
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
     val edges = pairs
       .select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id"))
-      .localCheckpoint()
+    var labels = truncateLineage(edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id")))
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
@@ -398,9 +417,8 @@ object Dedup {
       val jump = labels.as("x")
         .join(labels.as("y"), col("x.label") === col("y.id"))
         .select(col("x.id").as("id"), col("y.label").as("label"))
-      val next = labels.union(prop).union(jump)
-        .groupBy("id").agg(min("label").as("label"))
-        .localCheckpoint()
+      val next = truncateLineage(labels.union(prop).union(jump)
+        .groupBy("id").agg(min("label").as("label")))
       val changed = next.as("n")
         .join(labels.as("o"), col("n.id") === col("o.id"))
         .filter(col("n.label") =!= col("o.label"))

@@ -129,6 +129,27 @@ class DedupSpec extends AnyFunSuite {
     assert(labels.collect().forall(_.getLong(1) == 0L))
   }
 
+  test("connected components use the reliable checkpoint dir when configured") {
+    val spark2 = spark
+    import spark2.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    spark.conf.set(Dedup.CheckpointDirConf, dir)
+    try {
+      val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+      val labels = Dedup.connectedComponents(pairs)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(labels == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+      // the reliable path actually wrote checkpoint data under the dir
+      def rddFiles(f: java.io.File): Int =
+        Option(f.listFiles()).toSeq.flatten.map { c =>
+          (if (c.isDirectory) rddFiles(c) else 0) +
+            (if (c.getName.startsWith("rdd-")) 1 else 0)
+        }.sum
+      assert(rddFiles(new java.io.File(dir)) > 0,
+        s"no rdd-* checkpoint dirs under $dir")
+    } finally spark.conf.unset(Dedup.CheckpointDirConf)
+  }
+
   test("component size histogram counts clusters plus singletons") {
     val spark2 = spark
     import spark2.implicits._
