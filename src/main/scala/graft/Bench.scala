@@ -243,6 +243,21 @@ object Bench {
           .linesIterator.take(1).mkString.take(200)
     }
 
+    // 10×-growth ratios per query (t10x / t1x) — the scale-survival
+    // evidence as a number, plus a regression GATE for the banded
+    // operators: 10× input must cost ≤6× time (near-linear; candidate
+    // pairs grow with real collisions, never O(n²)). A breach lands in
+    // `errors` so the driver records the regression, not a silent total.
+    val ratios = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    times10.foreach { case (k, t10) =>
+      times.get(k).filter(_ > 0).foreach(t1 => ratios(k) = t10 / t1)
+    }
+    Seq("q5_minhash_dedup", "q6_lsh_ann").foreach { q =>
+      ratios.get(q).filter(_ > 6.0).foreach(r =>
+        errors(s"ratio_10x_$q") =
+          f"10x growth ratio $r%.2f exceeds the 6.0 near-linear gate")
+    }
+
     def jstr(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
     def jmap(m: scala.collection.Map[String, Double]) =
       m.map { case (k, v) => s"${jstr(k)}:${"%.3f".format(v)}" }.mkString("{", ",", "}")
@@ -250,7 +265,7 @@ object Bench {
       .mkString("{", ",", "}")
     val total = times.values.sum
     println(
-      s"""{"metric":"total","value":${"%.3f".format(total)},"unit":"sec","iters":$Iters,"queries":${jmap(times)},"sf10x":${jmap(times10)},"errors":$es,"sf":${jstr(sfDir)}}""")
+      s"""{"metric":"total","value":${"%.3f".format(total)},"unit":"sec","iters":$Iters,"queries":${jmap(times)},"sf10x":${jmap(times10)},"ratio_10x":${jmap(ratios)},"errors":$es,"sf":${jstr(sfDir)}}""")
     spark.stop()
   }
 }

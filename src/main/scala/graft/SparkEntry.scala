@@ -470,6 +470,14 @@ object SparkEntry {
         |       CAST(countArrayIf(array(o_orderkey, o_custkey), o_orderkey % 4 = 0) AS BIGINT) AS ne
         |FROM orders GROUP BY prio ORDER BY prio""".stripMargin),
 
+    // global min/max/count answered from parquet FOOTER metadata
+    // (plans/FooterAggregates — no data pages read; PlanSpec pins the
+    // LocalRelation collapse); the oracle scans, so a hash match proves
+    // the footer path exact
+    "q150_footer_minmax" -> ch(
+      """SELECT min(o_orderkey) AS mn, max(o_orderkey) AS mx,
+        |       count(o_custkey) AS nc, count() AS n FROM orders""".stripMargin),
+
     // ---- joins (SURVEY §2.4 — delegated surface, exercised here) ----
 
     // broadcast inner equi-join + agg
@@ -1680,6 +1688,9 @@ object SparkEntry {
         |  FROM orders WHERE o_orderkey % 4 = 0)
         |SELECT prio, count(DISTINCT v) AS u, count(*) AS ne
         |FROM el GROUP BY prio ORDER BY prio""".stripMargin,
+    "q150_footer_minmax" ->
+      """SELECT min(o_orderkey) AS mn, max(o_orderkey) AS mx,
+        |       count(o_custkey) AS nc, count(*) AS n FROM orders""".stripMargin,
     "q13_join_inner" ->
       "SELECT c_mktsegment, count(*) AS cnt FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY c_mktsegment ORDER BY c_mktsegment",
     "q14_join_anti" ->

@@ -32,9 +32,9 @@ object ChFunctions {
       if (registered.contains(id)) return
       builders.foreach { case (name, b) => FunctionShim.register(spark, name, b) }
       // the optimizer surface rides the same registration choke point:
-      // any session that can resolve the dialect also answers count(*)
-      // from parquet footers (graft.plans.CountFromFooters)
-      FunctionShim.addOptimization(spark, graft.plans.CountFromFooters(spark))
+      // any session that can resolve the dialect also answers global
+      // count/min/max from parquet footers (graft.plans.FooterAggregates)
+      FunctionShim.addOptimization(spark, graft.plans.FooterAggregates(spark))
       registered += id
     }
   }

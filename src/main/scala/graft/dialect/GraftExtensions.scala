@@ -27,6 +27,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         new ExpressionInfo("graft.dialect.ChFunctions", name),
         (exprs: Seq[Expression]) => builder(exprs)))
     }
-    ext.injectOptimizerRule(graft.plans.CountFromFooters.apply)
+    ext.injectOptimizerRule(graft.plans.FooterAggregates.apply)
   }
 }

@@ -73,26 +73,36 @@ object FunctionShim {
       exp.extraOptimizations = exp.extraOptimizations :+ rule
   }
 
-  /** Sum of parquet footer `num_rows` over `paths`, read cluster-side:
-    * one Spark task per slice of files, each opening ONLY the footer
-    * (no row-group page reads). The driver never touches file contents
-    * — at 100 TB / 100k objects this is the listing-shaped metadata
-    * job that replaces a full corpus scan for `count(*)`. Lives in the
-    * shim because [[org.apache.spark.util.SerializableConfiguration]]
-    * (the standard way to ship the Hadoop conf into tasks) is
-    * `private[spark]`. */
-  def distributedParquetRowCount(
+  /** Open ONLY the footer of one parquet file (a ~kilobyte ranged
+    * read; no row-group page IO). */
+  def readParquetFooter(
+      path: String,
+      hadoopConf: org.apache.hadoop.conf.Configuration)
+      : org.apache.parquet.hadoop.metadata.ParquetMetadata = {
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile
+      .fromPath(new org.apache.hadoop.fs.Path(path), hadoopConf)
+    val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try r.getFooter finally r.close()
+  }
+
+  /** Map `f` over parquet footers cluster-side: one Spark task per
+    * slice of files, each opening ONLY the footer. The driver never
+    * touches file contents — at 100 TB / 100k objects this is the
+    * listing-shaped metadata job that replaces a full corpus scan for
+    * footer-answerable aggregates ([[graft.plans.FooterAggregates]]).
+    * Lives in the shim because
+    * [[org.apache.spark.util.SerializableConfiguration]] (the standard
+    * way to ship the Hadoop conf into tasks) is `private[spark]`. */
+  def mapParquetFooters[T: scala.reflect.ClassTag](
       spark: SparkSession,
       paths: Seq[String],
-      hadoopConf: org.apache.hadoop.conf.Configuration): Long = {
+      hadoopConf: org.apache.hadoop.conf.Configuration)(
+      f: org.apache.parquet.hadoop.metadata.ParquetMetadata => T): Array[T] = {
     val serConf = new org.apache.spark.util.SerializableConfiguration(hadoopConf)
     val bc = spark.sparkContext.broadcast(serConf)
     val slices = math.min(paths.size, spark.sparkContext.defaultParallelism * 4)
-    spark.sparkContext.parallelize(paths, slices).map { p =>
-      val in = org.apache.parquet.hadoop.util.HadoopInputFile
-        .fromPath(new org.apache.hadoop.fs.Path(p), bc.value.value)
-      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-      try r.getRecordCount finally r.close()
-    }.sum().toLong
+    spark.sparkContext.parallelize(paths, slices)
+      .map(p => f(readParquetFooter(p, bc.value.value)))
+      .collect()
   }
 }

@@ -52,7 +52,7 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("bare count(*) over parquet collapses to a footer-read LocalRelation (v1 scan)") {
-    // the CountFromFooters optimizer rule: no scan, no Exchange — the
+    // the FooterAggregates optimizer rule: no scan, no Exchange — the
     // whole plan is a LocalRelation holding the footer row-count sum
     val li = Tables.load(spark, dir, "lineitem")
     val df = li.agg(count(lit(1)).as("cnt"))
@@ -67,7 +67,25 @@ class PlanSpec extends AnyFunSuite {
     assert(planOf(ev).contains("LocalTableScan"), planOf(ev))
   }
 
-  test("filtered / grouped / column counts do NOT use the footer shortcut") {
+  test("global min/max/count(col) over parquet answer from footer statistics") {
+    val li = Tables.load(spark, dir, "lineitem")
+    val df = li.agg(
+      min(col("l_orderkey")).as("mn"),
+      max(col("l_orderkey")).as("mx"),
+      count(col("l_suppkey")).as("nc"),
+      count(lit(1)).as("n"))
+    val plan = planOf(df)
+    assert(plan.contains("LocalTableScan") && !plan.contains("FileScan"),
+      s"integer min/max + counts should be answered from footers:\n$plan")
+    // values must equal the scanned truth
+    val truth = spark.read.parquet(s"$dir/lineitem.parquet")
+      .withColumn("_x", col("l_orderkey") * 1) // defeat the rule
+      .agg(min(col("l_orderkey")), max(col("l_orderkey")),
+        count(col("l_suppkey")), count(lit(1))).collect().head
+    assert(df.collect().head.toSeq == truth.toSeq)
+  }
+
+  test("non-footer-answerable aggregates do NOT use the footer shortcut") {
     val li = Tables.load(spark, dir, "lineitem")
     val filtered = li.filter(col("l_quantity") > 10).agg(count(lit(1)))
     assert(planOf(filtered).contains("FileScan"),
@@ -75,13 +93,20 @@ class PlanSpec extends AnyFunSuite {
     val grouped = li.groupBy("l_returnflag").agg(count(lit(1)))
     assert(planOf(grouped).contains("FileScan"),
       s"grouped count must scan:\n${planOf(grouped)}")
-    // count(col) skips null values — footers cannot answer it
-    val colCount = li.agg(count(col("l_returnflag")))
-    assert(planOf(colCount).contains("FileScan"),
-      s"count(col) must scan:\n${planOf(colCount)}")
+    // double stats can be NaN-poisoned, string stats truncated — scan
+    val dblMin = li.agg(min(col("l_quantity")))
+    assert(planOf(dblMin).contains("FileScan"),
+      s"min(double col) must scan:\n${planOf(dblMin)}")
+    val strMin = li.agg(min(col("l_returnflag")))
+    assert(planOf(strMin).contains("FileScan"),
+      s"min(string col) must scan:\n${planOf(strMin)}")
     val distinct = li.agg(countDistinct(col("l_orderkey")))
     assert(planOf(distinct).contains("FileScan"),
       s"count(distinct) must scan:\n${planOf(distinct)}")
+    // min over a derived expression (not a bare column) must scan
+    val derived = li.agg(min(col("l_orderkey") + 1))
+    assert(planOf(derived).contains("FileScan"),
+      s"min(expr) must scan:\n${planOf(derived)}")
     // limit under the aggregate changes cardinality
     val limited = li.limit(7).agg(count(lit(1)).as("c"))
     assert(limited.collect().head.getLong(0) == 7L)
