@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.core.Tables
 import graft.dialect.{ChFunctions, ChSql}
-import graft.operators.{Dedup, Multimodal, Similarity, Skew, TextAnalysis}
+import graft.operators.{Dedup, Multimodal, SemDedup, Similarity, Skew, TextAnalysis}
 import graft.service.QueryService
 import graft.sources.Sources
 
@@ -477,6 +477,28 @@ object SparkEntry {
     "q150_footer_minmax" -> ch(
       """SELECT min(o_orderkey) AS mn, max(o_orderkey) AS mx,
         |       count(o_custkey) AS nc, count() AS n FROM orders""".stripMargin),
+
+    // SemDeDup cluster-then-prune semantic dedup (SemDedup.scala,
+    // arXiv:2303.09540): k=4 seed centroids with iters=0 make the
+    // assignment engine-portable, so the oracle replicates the FULL
+    // path — argmin L2 to the 4 lowest-id vectors, then within-cluster
+    // cosine ≥ 0.47 — not just the pair filter
+    "q151_semantic_dedup" -> ((spark, dir) => {
+      prep(spark, dir)
+      SemDedup.dupPairs(Tables.load(spark, dir, "embeddings"),
+          "vec_id", "embedding", k = 4, dim = 64, threshold = 0.47, iters = 0)
+        .select("id_a", "id_b").orderBy("id_a", "id_b")
+    }),
+
+    // SemDeDup survivors: connected components over the within-cluster
+    // pair graph, min id per component survives (oracle: recursive-CTE
+    // transitive closure over the tiny pair set)
+    "q152_semantic_survivors" -> ((spark, dir) => {
+      prep(spark, dir)
+      SemDedup.survivors(Tables.load(spark, dir, "embeddings"),
+          "vec_id", "embedding", k = 4, dim = 64, threshold = 0.47, iters = 0)
+        .agg(count(lit(1)).as("n_survivors"), sum(col("vec_id")).as("id_sum"))
+    }),
 
     // ---- joins (SURVEY §2.4 — delegated surface, exercised here) ----
 
@@ -1691,6 +1713,53 @@ object SparkEntry {
     "q150_footer_minmax" ->
       """SELECT min(o_orderkey) AS mn, max(o_orderkey) AS mx,
         |       count(o_custkey) AS nc, count(*) AS n FROM orders""".stripMargin,
+    "q151_semantic_dedup" ->
+      """WITH c AS (
+        |  SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cvec
+        |  FROM embeddings WHERE vec_id < 4),
+        |d AS (
+        |  SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS v, c.cid,
+        |         list_distance(CAST(e.embedding AS DOUBLE[]), c.cvec) AS dist
+        |  FROM embeddings e CROSS JOIN c),
+        |a AS (
+        |  SELECT vec_id, v, cid FROM (
+        |    SELECT vec_id, v, cid,
+        |           row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+        |    FROM d)
+        |  WHERE rn = 1)
+        |SELECT x.vec_id AS id_a, y.vec_id AS id_b
+        |FROM a x JOIN a y ON x.cid = y.cid AND x.vec_id < y.vec_id
+        |WHERE list_cosine_similarity(x.v, y.v) >= 0.47
+        |ORDER BY id_a, id_b""".stripMargin,
+    "q152_semantic_survivors" ->
+      """WITH c AS (
+        |  SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cvec
+        |  FROM embeddings WHERE vec_id < 4),
+        |d AS (
+        |  SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS v, c.cid,
+        |         list_distance(CAST(e.embedding AS DOUBLE[]), c.cvec) AS dist
+        |  FROM embeddings e CROSS JOIN c),
+        |a AS (
+        |  SELECT vec_id, v, cid FROM (
+        |    SELECT vec_id, v, cid,
+        |           row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+        |    FROM d)
+        |  WHERE rn = 1),
+        |p AS (
+        |  SELECT x.vec_id AS id_a, y.vec_id AS id_b
+        |  FROM a x JOIN a y ON x.cid = y.cid AND x.vec_id < y.vec_id
+        |  WHERE list_cosine_similarity(x.v, y.v) >= 0.47),
+        |e AS (SELECT id_a AS s, id_b AS t FROM p UNION SELECT id_b, id_a FROM p),
+        |reach AS (
+        |  WITH RECURSIVE r(id, m) AS (
+        |    SELECT s, t FROM e
+        |    UNION
+        |    SELECT r.id, e.t FROM r JOIN e ON r.m = e.s)
+        |  SELECT id, least(id, min(m)) AS m FROM r GROUP BY id),
+        |dropped AS (SELECT id, m FROM reach WHERE m < id)
+        |SELECT (SELECT count(*) FROM embeddings) - (SELECT count(*) FROM dropped) AS n_survivors,
+        |       CAST((SELECT sum(vec_id) FROM embeddings) -
+        |            coalesce((SELECT sum(id) FROM dropped), 0) AS BIGINT) AS id_sum""".stripMargin,
     "q13_join_inner" ->
       "SELECT c_mktsegment, count(*) AS cnt FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY c_mktsegment ORDER BY c_mktsegment",
     "q14_join_anti" ->
