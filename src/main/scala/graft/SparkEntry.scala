@@ -490,6 +490,17 @@ object SparkEntry {
         .select("id_a", "id_b").orderBy("id_a", "id_b")
     }),
 
+    // -ForEach combinator (per-array-position aggregation across rows)
+    // on RAGGED arrays: rows contribute only to the positions they
+    // have; none of the four spellings is individually registered
+    "q153_foreach" -> ch(
+      """SELECT o_orderpriority AS prio,
+        |       array_join(sumForEach(slice(array(o_orderkey % 7, o_custkey % 5, o_orderkey % 3), 1, CAST(2 + o_orderkey % 2 AS INT))), ',') AS s_csv,
+        |       array_join(minForEach(slice(array(o_orderkey % 7, o_custkey % 5, o_orderkey % 3), 1, CAST(2 + o_orderkey % 2 AS INT))), ',') AS mn_csv,
+        |       array_join(maxForEach(slice(array(o_orderkey % 7, o_custkey % 5, o_orderkey % 3), 1, CAST(2 + o_orderkey % 2 AS INT))), ',') AS mx_csv,
+        |       array_join(countForEachIf(slice(array(o_orderkey % 7, o_custkey % 5, o_orderkey % 3), 1, CAST(2 + o_orderkey % 2 AS INT)), o_orderkey % 2 = 0), ',') AS cf_csv
+        |FROM orders GROUP BY prio ORDER BY prio""".stripMargin),
+
     // SemDeDup survivors: connected components over the within-cluster
     // pair graph, min id per component survives (oracle: recursive-CTE
     // transitive closure over the tiny pair set)
@@ -1713,6 +1724,33 @@ object SparkEntry {
     "q150_footer_minmax" ->
       """SELECT min(o_orderkey) AS mn, max(o_orderkey) AS mx,
         |       count(o_custkey) AS nc, count(*) AS n FROM orders""".stripMargin,
+    "q153_foreach" ->
+      """WITH arrs AS (
+        |  SELECT o_orderpriority AS prio,
+        |         ([o_orderkey % 7, o_custkey % 5, o_orderkey % 3])[1:(2 + o_orderkey % 2)] AS a,
+        |         o_orderkey % 2 = 0 AS c
+        |  FROM orders),
+        |el AS (
+        |  SELECT prio, unnest(a) AS v, unnest(range(1, len(a)+1)) AS pos, c FROM arrs),
+        |agg AS (
+        |  SELECT prio, pos, CAST(sum(v) AS BIGINT) AS s, min(v) AS mn, max(v) AS mx
+        |  FROM el GROUP BY prio, pos),
+        |cfa AS (
+        |  -- the -If form collects MATCHING rows only, so its result
+        |  -- length is the max length among matching rows
+        |  SELECT prio, pos, CAST(count(v) AS BIGINT) AS cf
+        |  FROM el WHERE c GROUP BY prio, pos),
+        |l1 AS (
+        |  SELECT prio,
+        |         array_to_string(list(s ORDER BY pos), ',') AS s_csv,
+        |         array_to_string(list(mn ORDER BY pos), ',') AS mn_csv,
+        |         array_to_string(list(mx ORDER BY pos), ',') AS mx_csv
+        |  FROM agg GROUP BY prio),
+        |l2 AS (
+        |  SELECT prio, array_to_string(list(cf ORDER BY pos), ',') AS cf_csv
+        |  FROM cfa GROUP BY prio)
+        |SELECT prio, s_csv, mn_csv, mx_csv, cf_csv
+        |FROM l1 JOIN l2 USING (prio) ORDER BY prio""".stripMargin,
     "q151_semantic_dedup" ->
       """WITH c AS (
         |  SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cvec

@@ -54,7 +54,7 @@ object Combinators {
     Seq("uniqExact", "groupArray", "uniq", "sum", "count", "min", "max", "avg")
 
   private val SuffixTokens =
-    Seq("Array", "Distinct", "OrNull", "State", "Merge", "If")
+    Seq("Array", "Distinct", "OrNull", "State", "Merge", "ForEach", "If")
 
   /** The composed builder for `name`, when `name` is base+suffix-chain
     * under this grammar and the combination is exactly expressible. */
@@ -62,8 +62,10 @@ object Combinators {
     tokenize(name).filter(_._2.nonEmpty).flatMap { case (base, suffixes) =>
       kernel(base, suffixes).map { k =>
         // `count` aggregates a synthetic row marker: inject it so the
-        // user arity stays CH's (`countIf(cond)`, `countOrNull()`)
-        if (base == "count" && !suffixes.headOption.contains("Array"))
+        // user arity stays CH's (`countIf(cond)`, `countOrNull()`) —
+        // except the array-consuming forms, whose argument IS the array
+        if (base == "count" &&
+            !Seq("Array", "ForEach").exists(suffixes.headOption.contains))
           (args: Seq[Expression]) => k.build(Literal(1) +: args)
         else k.build
       }
@@ -92,6 +94,7 @@ object Combinators {
     val (k0, rest) = suffixes match {
       case "Array" :: tail => (arrayKernel(base), tail)
       case "Merge" :: tail => (mergeKernel(base), tail)
+      case "ForEach" :: tail => (forEachKernel(base), tail)
       case _ => (plainKernel(base), suffixes)
     }
     rest.foldLeft(k0)((acc, s) => acc.flatMap(applySuffix(base, _, s)))
@@ -143,6 +146,51 @@ object Combinators {
           CollectList(a.head).toAggregateExpression()))), LongType)))
       case "groupArray" => Some(Kernel(1, a =>
         Flatten(CollectList(a.head).toAggregateExpression())))
+      case _ => None
+    }
+  }
+
+  /** `-ForEach`: the aggregate applies PER ARRAY POSITION across rows —
+    * `sumForEach([1,2],[10,20,30])` = `[11,22,30]`. Expressed as a
+    * collect + zip-fold: ragged rows pad with NULL and contribute
+    * nothing to the positions they lack (CH's contract). The zero array
+    * borrows its element type from the first collected row (a
+    * zero-length slice), so fractional and integral element types both
+    * fold; an empty input yields NULL. */
+  private def forEachKernel(base: String): Option[Kernel] = {
+    def lv(n: String) = UnresolvedNamedLambdaVariable(Seq(n))
+    def fold(
+        arr: Expression,
+        zero: Expression => Expression,
+        merge: (Expression, Expression) => Expression): Expression = {
+      val c = CollectList(arr).toAggregateExpression()
+      val acc = lv("accFE"); val x = lv("xFE"); val f = lv("fFE")
+      val u = lv("uFE"); val v = lv("vFE")
+      ArrayAggregate(c, zero(c),
+        LambdaFunction(
+          ZipWith(acc, x, LambdaFunction(merge(u, v), Seq(u, v))), Seq(acc, x)),
+        LambdaFunction(f, Seq(f)))
+    }
+    // empty array typed like the collected rows' elements
+    def emptyLike(c: Expression): Expression =
+      Slice(new ElementAt(c, Literal(1), None, false), Literal(1), Literal(0))
+    def zeroOf(e: Expression): Expression = Multiply(e, Literal(0))
+    base match {
+      case "sum" => Some(Kernel(1, a => fold(a.head, emptyLike,
+        (u, v) => Add(Coalesce(Seq(u, zeroOf(v))), Coalesce(Seq(v, zeroOf(u)))))))
+      case "min" => Some(Kernel(1, a => fold(a.head, emptyLike,
+        (u, v) => Least(Seq(u, v)))))
+      case "max" => Some(Kernel(1, a => fold(a.head, emptyLike,
+        (u, v) => Greatest(Seq(u, v)))))
+      case "count" => Some(Kernel(1, a => fold(a.head,
+        c => {
+          val e = lv("eFE")
+          Slice(ArrayTransform(
+            new ElementAt(c, Literal(1), None, false),
+            LambdaFunction(Literal(0L), Seq(e))), Literal(1), Literal(0))
+        },
+        (u, v) => Add(Coalesce(Seq(u, Literal(0L))),
+          If(IsNotNull(v), Literal(1L), Literal(0L))))))
       case _ => None
     }
   }

@@ -62,6 +62,24 @@ class CombinatorsSpec extends AnyFunSuite {
     assert(r == Seq(3L))
   }
 
+  test("ForEach aggregates per array position, padding ragged rows") {
+    val r = one(
+      """SELECT array_join(sumForEach(a), ',') AS s,
+        |       array_join(minForEach(a), ',') AS mn,
+        |       array_join(maxForEach(a), ',') AS mx,
+        |       array_join(countForEach(a), ',') AS n
+        |FROM VALUES (array(1L, 2L, 3L)), (array(10L, 20L)) AS t(a)""".stripMargin)
+    assert(r == Seq("11,22,3", "1,2,3", "10,20,3", "2,2,1"))
+  }
+
+  test("ForEach composes with If (condition-gated rows)") {
+    val r = one(
+      """SELECT array_join(sumForEachIf(a, c), ',') AS s
+        |FROM VALUES (array(1L, 2L), true), (array(10L, 20L), false),
+        |            (array(100L, 200L), true) AS t(a, c)""".stripMargin)
+    assert(r == Seq("101,202"))
+  }
+
   test("countOrNull / uniqExactOrNull contract empty sets to NULL") {
     val r = one(
       """SELECT (SELECT countOrNull() FROM VALUES (1) AS t(x) WHERE x < 0) AS c0,
