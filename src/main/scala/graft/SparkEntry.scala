@@ -490,6 +490,20 @@ object SparkEntry {
         .select("id_a", "id_b").orderBy("id_a", "id_b")
     }),
 
+    // token-budget sequence packing (Sampling.packByTokenBudget):
+    // cumulative-fill pack assignment within md5-ordered shards — the
+    // approximate packing shape training pipelines run before example
+    // serialization; deterministic and engine-portable end-to-end
+    "q154_pack_budget" -> ((spark, dir) => {
+      prep(spark, dir)
+      graft.operators.Sampling.packByTokenBudget(
+          Tables.load(spark, dir, "documents"), "text", "n_chars",
+          budget = 4096, shards = 4, idCol = "doc_id")
+        .filter(col("shard") === 1)
+        .select(col("doc_id"), col("pack"), col("pack_tokens_before"))
+        .orderBy("pack", "pack_tokens_before", "doc_id")
+    }),
+
     // -ForEach combinator (per-array-position aggregation across rows)
     // on RAGGED arrays: rows contribute only to the positions they
     // have; none of the four spellings is individually registered
@@ -1724,6 +1738,21 @@ object SparkEntry {
     "q150_footer_minmax" ->
       """SELECT min(o_orderkey) AS mn, max(o_orderkey) AS mx,
         |       count(o_custkey) AS nc, count(*) AS n FROM orders""".stripMargin,
+    "q154_pack_budget" ->
+      """WITH h AS (SELECT doc_id, n_chars, md5(text) AS hx FROM documents),
+        |s AS (SELECT doc_id, n_chars, hx,
+        |        CAST(((strpos('0123456789abcdef', substr(hx, 1, 1)) - 1) * 16 +
+        |              (strpos('0123456789abcdef', substr(hx, 2, 1)) - 1)) % 4 AS INT) AS shard
+        |      FROM h),
+        |c AS (SELECT doc_id, shard,
+        |        sum(n_chars) OVER (PARTITION BY shard ORDER BY hx ASC, doc_id ASC
+        |                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |          - n_chars AS before
+        |      FROM s)
+        |SELECT doc_id, CAST(floor(before / 4096) AS BIGINT) AS pack,
+        |       CAST(before % 4096 AS BIGINT) AS pack_tokens_before
+        |FROM c WHERE shard = 1
+        |ORDER BY pack, pack_tokens_before, doc_id""".stripMargin,
     "q153_foreach" ->
       """WITH arrs AS (
         |  SELECT o_orderpriority AS prio,

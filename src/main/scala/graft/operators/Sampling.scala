@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deterministic sampling and data-mixing operators for training-data
@@ -136,5 +137,44 @@ object Sampling {
       .orderBy(md5(col(keyCol).cast("string")).asc, col(idCol).asc)
     df.withColumn("shard", shard)
       .withColumn("pos", (row_number().over(w) - 1).cast("long"))
+  }
+
+  /** Pack documents into fixed token-budget training examples: within
+    * each deterministic shard, rows are laid out in content-hash order
+    * and assigned `pack = floor(running_tokens / budget)` — the
+    * cumulative-fill packing used for approximate sequence packing at
+    * corpus scale (exact bin-packing is sequentially dependent and
+    * cannot be a window aggregate; cumulative fill is the standard
+    * approximation — a document may straddle a budget boundary by at
+    * most its own length, bounded by chunking long documents first,
+    * e.g. [[graft.operators.TextAnalysis]] chunking).
+    *
+    * Deterministic and engine-portable (md5 order, same keying as
+    * [[shuffleShards]]); one window shuffle per shard, no global sort.
+    * Returns the input plus `shard`, `pack`, and `pack_tokens_before`
+    * (the running token count before this row — the row's offset
+    * inside its pack modulo budget). */
+  def packByTokenBudget(
+      df: DataFrame,
+      keyCol: String,
+      tokenCol: String,
+      budget: Long,
+      shards: Int,
+      idCol: String): DataFrame = {
+    require(budget >= 1, s"budget=$budget must be positive")
+    require(shards >= 1 && shards <= 256, s"shards=$shards must be in 1..256")
+    val hex = md5(col(keyCol).cast("string"))
+    val shard = pmod(conv(substring(hex, 1, 2), 16, 10).cast("int"), lit(shards))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard"))
+      .orderBy(md5(col(keyCol).cast("string")).asc, col(idCol).asc)
+    val running = sum(col(tokenCol).cast("long"))
+      .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    df.withColumn("shard", shard)
+      .withColumn("_cum", running)
+      .withColumn("pack", floor((col("_cum") - col(tokenCol)) / lit(budget)))
+      .withColumn("pack_tokens_before",
+        (col("_cum") - col(tokenCol)) % lit(budget))
+      .drop("_cum")
   }
 }

@@ -90,4 +90,30 @@ class SamplingSpec extends AnyFunSuite {
     val shard0 = m1.filter(_._2 == perShard.head._1).toSeq.sortBy(_._3).map(_._1)
     assert(shard0 != shard0.sorted)
   }
+
+  test("packByTokenBudget: packs fill cumulatively, deterministic, bounded straddle") {
+    val docs = corpus.withColumn("tok", (length($"text") % lit(50)) + 1)
+    val p = Sampling.packByTokenBudget(docs, "text", "tok",
+      budget = 120, shards = 4, idCol = "id")
+    assert(p.count() == 400)
+    // within a (shard, pack): offsets start where the previous row ended
+    // (cumulative fill) and stay under budget
+    val rows = p.select($"shard", $"pack", $"pack_tokens_before", $"tok".cast("long"))
+      .as[(Int, Long, Long, Long)].collect()
+    rows.foreach { case (_, pk, before, _) =>
+      assert(pk >= 0 && before >= 0 && before < 120) }
+    // pack ids are dense per shard and total tokens per pack stay within
+    // budget + max single doc (the bounded straddle)
+    rows.groupBy(r => (r._1, r._2)).foreach { case ((_, pk), rs) =>
+      val total = rs.map(_._4).sum
+      assert(total <= 120 + 50, s"pack $pk holds $total tokens") }
+    // deterministic across partitionings
+    val p2 = Sampling.packByTokenBudget(docs.repartition(7), "text", "tok",
+      budget = 120, shards = 4, idCol = "id")
+      .select($"id", $"shard", $"pack", $"pack_tokens_before")
+      .as[(Long, Int, Long, Long)].collect().toSet
+    val p1 = p.select($"id", $"shard", $"pack", $"pack_tokens_before")
+      .as[(Long, Int, Long, Long)].collect().toSet
+    assert(p1 == p2)
+  }
 }
