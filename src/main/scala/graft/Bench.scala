@@ -59,7 +59,13 @@ object Bench {
     "q7_bm25" -> (() =>
       graft.operators.Retrieval.bm25(
         Tables.load(spark, dir, "documents"), "doc_id", "text",
-        queryTerms = Seq("spark", "vector", "customer")))
+        queryTerms = Seq("spark", "vector", "customer"))),
+    // semantic dedup (SemDeDup): cluster assignment + within-cluster
+    // cosine pairs — the n²/k bound made measurable
+    "q8_semantic_dedup" -> (() =>
+      graft.operators.SemDedup.dupPairs(
+        Tables.load(spark, dir, "embeddings"), "vec_id", "embedding",
+        k = 16, dim = 64, threshold = 0.9, iters = 1))
   )
 
   private def hashScan(li: DataFrame): DataFrame =
@@ -185,7 +191,14 @@ object Bench {
       "q7_bm25" -> (() =>
         graft.operators.Retrieval.bm25(
           Tables.load(spark, base, "documents"), "doc_id", "text",
-          queryTerms = Seq("spark", "vector", "customer"))))
+          queryTerms = Seq("spark", "vector", "customer"))),
+      // semantic dedup at 10x vectors with 10x clusters: SemDeDup's own
+      // scaling prescription (k grows with n keeps cluster size — and
+      // the n²/k pair work — proportional to n, hence near-linear time)
+      "q8_semantic_dedup" -> (() =>
+        graft.operators.SemDedup.dupPairs(
+          Tables.load(spark, base, "embeddings"), "vec_id", "embedding",
+          k = 160, dim = 64, threshold = 0.9, iters = 1)))
   }
 
   def main(args: Array[String]): Unit = {
@@ -252,7 +265,7 @@ object Bench {
     times10.foreach { case (k, t10) =>
       times.get(k).filter(_ > 0).foreach(t1 => ratios(k) = t10 / t1)
     }
-    Seq("q5_minhash_dedup", "q6_lsh_ann").foreach { q =>
+    Seq("q5_minhash_dedup", "q6_lsh_ann", "q8_semantic_dedup").foreach { q =>
       ratios.get(q).filter(_ > 6.0).foreach(r =>
         errors(s"ratio_10x_$q") =
           f"10x growth ratio $r%.2f exceeds the 6.0 near-linear gate")
