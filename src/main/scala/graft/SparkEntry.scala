@@ -490,6 +490,20 @@ object SparkEntry {
         .select("id_a", "id_b").orderBy("id_a", "id_b")
     }),
 
+    // common-name dialect tail: negate/substringUTF8/exp10/intExp2/
+    // hasSubstr/multiSearchAllPositions/emptyArray*/today/yesterday
+    "q155_common_tail" -> ch(
+      """SELECT CAST(negate(n_nationkey) AS BIGINT) AS neg,
+        |       substringUTF8(n_name, 1, 3) AS pre,
+        |       CAST(round(exp10(2)) AS BIGINT) AS e10,
+        |       CAST(intExp2(n_nationkey % 5) AS BIGINT) AS p2,
+        |       hasSubstr(array(1, 2, 3, 4), array(2, 3)) AS hs,
+        |       hasSubstr(array(1, 2, 3), array(3, 2)) AS hs2,
+        |       array_join(multiSearchAllPositions(n_name, array('A', 'ZZZ')), ',') AS pos_csv,
+        |       size(emptyArrayInt64()) AS ez,
+        |       CAST(datediff(today(), yesterday()) AS BIGINT) AS dd
+        |FROM nation ORDER BY neg DESC""".stripMargin),
+
     // token-budget sequence packing (Sampling.packByTokenBudget):
     // cumulative-fill pack assignment within md5-ordered shards — the
     // approximate packing shape training pipelines run before example
@@ -1738,6 +1752,17 @@ object SparkEntry {
     "q150_footer_minmax" ->
       """SELECT min(o_orderkey) AS mn, max(o_orderkey) AS mx,
         |       count(o_custkey) AS nc, count(*) AS n FROM orders""".stripMargin,
+    "q155_common_tail" ->
+      """SELECT CAST(-n_nationkey AS BIGINT) AS neg,
+        |       substring(n_name, 1, 3) AS pre,
+        |       CAST(round(pow(10, 2)) AS BIGINT) AS e10,
+        |       CAST(1 << (n_nationkey % 5) AS BIGINT) AS p2,
+        |       TRUE AS hs,
+        |       FALSE AS hs2,
+        |       array_to_string([strpos(n_name, 'A'), strpos(n_name, 'ZZZ')], ',') AS pos_csv,
+        |       0 AS ez,
+        |       CAST(1 AS BIGINT) AS dd
+        |FROM nation ORDER BY neg DESC""".stripMargin,
     "q154_pack_budget" ->
       """WITH h AS (SELECT doc_id, n_chars, md5(text) AS hx FROM documents),
         |s AS (SELECT doc_id, n_chars, hx,

@@ -1488,6 +1488,50 @@ object ChFunctions {
         RegExpExtractAll(s, p, Literal(group))
       })
 
+      // common-name tail: CH spellings whose Spark twin exists under a
+      // different name (or composes from two builtins)
+      reg("negate")({ case Seq(x) => UnaryMinus(x) })
+      // toNullable is a TYPE assertion in CH; values pass through
+      reg("toNullable")({ case Seq(x) => x })
+      reg("today")(_ => CurrentDate())
+      reg("yesterday")(_ => DateSub(CurrentDate(), Literal(1)))
+      reg("substringUTF8")({ case Seq(s, p, l) => Substring(s, p, l) })
+      reg("exp10")({ case Seq(x) => Pow(Literal(10.0d), x) })
+      reg("intExp2")({ case Seq(x) => ShiftLeft(Literal(1L), Cast(x, IntegerType)) })
+      // hasSubstr(a, b): b appears in a as a CONTIGUOUS subsequence
+      // (CH contract; empty b holds). Row-local window scan. The
+      // length guard matters: Spark's sequence(1, 0) DESCENDS instead
+      // of being empty, so short arrays must short-circuit to false.
+      reg("hasSubstr")({ case Seq(a, b) =>
+        val i = lv("iHS")
+        val scan = ArrayExists(
+          ArrayTransform(
+            Sequence(Literal(1),
+              Subtract(Size(a), Subtract(Size(b), Literal(1))), None),
+            LambdaFunction(EqualTo(Slice(a, i, Size(b)), b), Seq(i))),
+          LambdaFunction(lv("xHS"), Seq(lv("xHS"))))
+        If(EqualTo(Size(b), Literal(0)), Literal(true),
+          If(LessThan(Size(a), Size(b)), Literal(false), scan))
+      })
+      // multiSearchAllPositions(s, [n1,…]): 1-based position per
+      // needle, 0 when absent — one row-local pass per needle
+      reg("multiSearchAllPositions")({ case Seq(s, needles) =>
+        val n = lv("nMS")
+        ArrayTransform(needles,
+          LambdaFunction(Cast(new StringLocate(n, s), LongType), Seq(n)))
+      })
+      // emptyArray<T>() family — typed empty-array literals
+      Seq(
+        "emptyArrayInt8" -> ByteType, "emptyArrayInt16" -> ShortType,
+        "emptyArrayInt32" -> IntegerType, "emptyArrayInt64" -> LongType,
+        "emptyArrayUInt8" -> ShortType, "emptyArrayUInt16" -> IntegerType,
+        "emptyArrayUInt32" -> LongType, "emptyArrayUInt64" -> LongType,
+        "emptyArrayFloat32" -> FloatType, "emptyArrayFloat64" -> DoubleType,
+        "emptyArrayString" -> StringType, "emptyArrayDate" -> DateType
+      ).foreach { case (name, dt) =>
+        reg(name)(_ => Cast(CreateArray(Nil), ArrayType(dt)))
+      }
+
       // CH window-function spellings (used inside OVER clauses — the
       // registry resolves the name, the parser supplies the window)
       reg("lagInFrame")({

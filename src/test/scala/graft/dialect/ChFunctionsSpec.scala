@@ -962,4 +962,20 @@ class ChFunctionsSpec extends AnyFunSuite {
     // the dedup-key use: both spellings collide after NFC
     assert(one(s"SELECT normalizeUTF8NFC('$composed') = normalizeUTF8NFC('$decomposed')") == true)
   }
+
+  test("hasSubstr: contiguous-subsequence contract incl. edge lengths") {
+    assert(one("SELECT hasSubstr(array(1,2,3,4), array(2,3))") == true)
+    assert(one("SELECT hasSubstr(array(1,2,3,4), array(2,4))") == false)
+    assert(one("SELECT hasSubstr(array(1,2), array())") == true)
+    // needle longer than haystack: the sequence() guard (Spark's
+    // sequence(1,0) would DESCEND, not be empty)
+    assert(one("SELECT hasSubstr(array(1), array(1,2))") == false)
+    assert(one("SELECT hasSubstr(array(1,2,3), array(1,2,3))") == true)
+    assert(one("SELECT hasSubstr(array(1,2,3), array(3))") == true)
+  }
+
+  test("multiSearchAllPositions: 1-based hits, 0 for misses") {
+    assert(one("SELECT multiSearchAllPositions('hello world', array('world', 'o', 'zz'))")
+      .asInstanceOf[scala.collection.Seq[Long]].toSeq == Seq(7L, 5L, 0L))
+  }
 }
