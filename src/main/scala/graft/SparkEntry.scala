@@ -490,6 +490,20 @@ object SparkEntry {
         .select("id_a", "id_b").orderBy("id_a", "id_b")
     }),
 
+    // -Map combinator chains through the grammar (avgMap/countMap/
+    // sumMapIf are NOT individually registered — only sum/min/maxMap
+    // are static); micro-scaled averages for a deterministic compare
+    "q156_map_combinators" -> ch(
+      """SELECT arrayStringConcat(tupleElement(am, 'keys'), ',') AS ks,
+        |  arrayStringConcat(arrayMap(x -> toString(CAST(round(x * 1000000) AS BIGINT)), tupleElement(am, 'values')), ',') AS av_csv,
+        |  arrayStringConcat(arrayMap(x -> toString(x), tupleElement(cm, 'values')), ',') AS cn_csv,
+        |  arrayStringConcat(arrayMap(x -> toString(x), tupleElement(sif, 'values')), ',') AS sif_csv
+        |FROM (SELECT
+        |        avgMap(array(o_orderstatus, o_orderpriority), array(o_orderkey % 5, o_custkey % 7)) AS am,
+        |        countMap(array(o_orderstatus, o_orderpriority), array(o_orderkey % 5, o_custkey % 7)) AS cm,
+        |        sumMapIf(array(o_orderstatus, o_orderpriority), array(o_orderkey % 5, o_custkey % 7), o_orderkey % 2 = 0) AS sif
+        |      FROM orders)""".stripMargin),
+
     // common-name dialect tail: negate/substringUTF8/exp10/intExp2/
     // hasSubstr/multiSearchAllPositions/emptyArray*/today/yesterday
     "q155_common_tail" -> ch(
@@ -1752,6 +1766,20 @@ object SparkEntry {
     "q150_footer_minmax" ->
       """SELECT min(o_orderkey) AS mn, max(o_orderkey) AS mx,
         |       count(o_custkey) AS nc, count(*) AS n FROM orders""".stripMargin,
+    "q156_map_combinators" ->
+      """WITH el AS (
+        |  SELECT unnest([o_orderstatus, o_orderpriority]) AS k,
+        |         unnest([o_orderkey % 5, o_custkey % 7]) AS v,
+        |         o_orderkey % 2 = 0 AS c
+        |  FROM orders),
+        |a AS (SELECT k, CAST(round(avg(v) * 1000000) AS BIGINT) AS av,
+        |             CAST(count(v) AS BIGINT) AS cn
+        |      FROM el GROUP BY k),
+        |s AS (SELECT k, CAST(sum(v) AS BIGINT) AS sv FROM el WHERE c GROUP BY k)
+        |SELECT (SELECT array_to_string(list(k ORDER BY k), ',') FROM a) AS ks,
+        |       (SELECT array_to_string(list(av ORDER BY k), ',') FROM a) AS av_csv,
+        |       (SELECT array_to_string(list(cn ORDER BY k), ',') FROM a) AS cn_csv,
+        |       (SELECT array_to_string(list(sv ORDER BY k), ',') FROM s) AS sif_csv""".stripMargin,
     "q155_common_tail" ->
       """SELECT CAST(-n_nationkey AS BIGINT) AS neg,
         |       substring(n_name, 1, 3) AS pre,

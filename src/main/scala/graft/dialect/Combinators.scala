@@ -54,7 +54,7 @@ object Combinators {
     Seq("uniqExact", "groupArray", "uniq", "sum", "count", "min", "max", "avg")
 
   private val SuffixTokens =
-    Seq("Array", "Distinct", "OrNull", "State", "Merge", "ForEach", "If")
+    Seq("Array", "Distinct", "OrNull", "State", "Merge", "ForEach", "Map", "If")
 
   /** The composed builder for `name`, when `name` is base+suffix-chain
     * under this grammar and the combination is exactly expressible. */
@@ -65,7 +65,7 @@ object Combinators {
         // user arity stays CH's (`countIf(cond)`, `countOrNull()`) —
         // except the array-consuming forms, whose argument IS the array
         if (base == "count" &&
-            !Seq("Array", "ForEach").exists(suffixes.headOption.contains))
+            !Seq("Array", "ForEach", "Map").exists(suffixes.headOption.contains))
           (args: Seq[Expression]) => k.build(Literal(1) +: args)
         else k.build
       }
@@ -95,6 +95,7 @@ object Combinators {
       case "Array" :: tail => (arrayKernel(base), tail)
       case "Merge" :: tail => (mergeKernel(base), tail)
       case "ForEach" :: tail => (forEachKernel(base), tail)
+      case "Map" :: tail => (mapKernel(base), tail)
       case _ => (plainKernel(base), suffixes)
     }
     rest.foldLeft(k0)((acc, s) => acc.flatMap(applySuffix(base, _, s)))
@@ -193,6 +194,57 @@ object Combinators {
           If(IsNotNull(v), Literal(1L), Literal(0L))))))
       case _ => None
     }
+  }
+
+  /** `-Map`: keyed reduce over zipped (keys, values) array pairs —
+    * `avgMap(k, v)`, `countMap(k, v)`, `uniqExactMap(k, v)`, and the
+    * chains (`sumMapIf`, …). Same collect-then-reduce surface shape
+    * (and moderate key-cardinality caveat) as the statically
+    * registered `sumMap`/`minMap`/`maxMap`, which keep winning for
+    * their exact names; returns CH's (keys, values) tuple with keys
+    * sorted. */
+  private def mapKernel(base: String): Option[Kernel] = {
+    def lv(n: String) = UnresolvedNamedLambdaVariable(Seq(n))
+    def fld(s: Expression, nme: String) =
+      org.apache.spark.sql.catalyst.analysis.UnresolvedExtractValue(s, Literal(nme))
+    def mapAgg(keys: Expression, vals: Expression,
+               red: Expression => Expression): Expression = {
+      val k0 = lv("k0CB"); val v0 = lv("v0CB"); val p = lv("pCB")
+      val kk = lv("kkCB"); val q = lv("qCB"); val r = lv("rCB")
+      val pairs = Flatten(CollectList(
+        ZipWith(keys, vals, LambdaFunction(
+          CreateNamedStruct(Seq(Literal("k"), k0, Literal("v"), v0)),
+          Seq(k0, v0)))).toAggregateExpression())
+      val ks = new ArraySort(ArrayDistinct(
+        ArrayTransform(pairs, LambdaFunction(fld(p, "k"), Seq(p)))))
+      val vs = ArrayTransform(ks, LambdaFunction(
+        red(ArrayTransform(
+          ArrayFilter(pairs, LambdaFunction(EqualTo(fld(q, "k"), kk), Seq(q))),
+          LambdaFunction(fld(r, "v"), Seq(r)))),
+        Seq(kk)))
+      CreateNamedStruct(Seq(Literal("keys"), ks, Literal("values"), vs))
+    }
+    def typedZero(arr: Expression): Expression =
+      Multiply(new ElementAt(arr, Literal(1), None, false), Literal(0L))
+    def localSum(arr: Expression, zero: Expression): Expression = {
+      val acc = lv("accCM"); val x = lv("xCM"); val f = lv("fCM")
+      ArrayAggregate(arr, zero,
+        LambdaFunction(Add(acc, x), Seq(acc, x)),
+        LambdaFunction(f, Seq(f)))
+    }
+    val reducer: Option[Expression => Expression] = base match {
+      case "sum" => Some(arr => localSum(arr, typedZero(arr)))
+      case "min" => Some(ArrayMin)
+      case "max" => Some(ArrayMax)
+      case "avg" => Some(arr => Divide(
+        localSum(arr, Literal(0.0d)), Cast(Size(arr), DoubleType)))
+      case "count" => Some(arr => Cast(Size(arr), LongType))
+      case "uniq" | "uniqExact" =>
+        Some(arr => Cast(Size(ArrayDistinct(arr)), LongType))
+      case "groupArray" => Some(identity)
+      case _ => None
+    }
+    reducer.map(red => Kernel(2, a => mapAgg(a(0), a(1), red)))
   }
 
   /** Merge of finalized values (state ≡ value here): counts merge by

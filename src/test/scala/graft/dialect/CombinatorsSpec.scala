@@ -80,6 +80,21 @@ class CombinatorsSpec extends AnyFunSuite {
     assert(r == Seq("101,202"))
   }
 
+  test("Map combinator: keyed reduce with sorted keys, If-gated rows") {
+    val r = one(
+      """SELECT avgMap(k, v).keys AS ks, avgMap(k, v).values AS vs,
+        |       countMap(k, v).values AS cs,
+        |       sumMapIf(k, v, c).values AS sif
+        |FROM VALUES (array('b', 'a'), array(2L, 10L), true),
+        |            (array('a', 'b'), array(20L, 4L), true),
+        |            (array('a'), array(999L), false) AS t(k, v, c)""".stripMargin)
+    assert(r(0).asInstanceOf[scala.collection.Seq[String]].toSeq == Seq("a", "b"))
+    // 'a' averages (10, 20, 999) — only the -If form excludes row 3
+    assert(r(1).asInstanceOf[scala.collection.Seq[Double]].toSeq == Seq(343.0, 3.0))
+    assert(r(2).asInstanceOf[scala.collection.Seq[Long]].toSeq == Seq(3L, 2L))
+    assert(r(3).asInstanceOf[scala.collection.Seq[Long]].toSeq == Seq(30L, 6L))
+  }
+
   test("countOrNull / uniqExactOrNull contract empty sets to NULL") {
     val r = one(
       """SELECT (SELECT countOrNull() FROM VALUES (1) AS t(x) WHERE x < 0) AS c0,
