@@ -58,6 +58,7 @@ object ChFunctions {
       // approximate distinct — HLL++, the same sketch family as CH uniq
       reg("uniq")(exprs => new HyperLogLogPlusPlus(exprs.head))
       reg("uniqCombined")(exprs => new HyperLogLogPlusPlus(exprs.head))
+      reg("uniqCombined64")(exprs => new HyperLogLogPlusPlus(exprs.head))
       // exact distinct
       reg("uniqExact")(exprs => Count(exprs).toAggregateExpression(isDistinct = true))
 
@@ -999,6 +1000,13 @@ object ChFunctions {
       reg("quantiles")({ case x +: qs if qs.nonEmpty =>
         new Percentile(x, CreateArray(qs))
       })
+      reg("quantilesTDigest")({ case x +: qs if qs.nonEmpty =>
+        new ApproximatePercentile(x, CreateArray(qs))
+      })
+      // quantileDeterministic(q)(x, determinator): CH trades exactness
+      // for run-determinism via the determinator seed; exact nearest
+      // interpolation is both — the determinator is accepted and unused
+      reg("quantileDeterministic")({ case Seq(x, _, q) => new Percentile(x, q) })
 
       // argMax(arg, val) / argMin — CH's "arg at the extremum of val"
       reg("argMax")({ case Seq(arg, v) => MaxBy(arg, v) })

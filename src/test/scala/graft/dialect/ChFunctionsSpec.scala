@@ -963,6 +963,21 @@ class ChFunctionsSpec extends AnyFunSuite {
     assert(one(s"SELECT normalizeUTF8NFC('$composed') = normalizeUTF8NFC('$decomposed')") == true)
   }
 
+  test("sketch-name tail: quantilesTDigest / quantileDeterministic / uniqCombined64") {
+    // approximate sketches land within tolerance of the exact answer
+    // registry-level calls use the flattened (args, params) convention
+    // the ChSql parametric pre-pass produces (pinned in ChSqlSpec)
+    val qs = one(
+      "SELECT quantilesTDigest(x, 0.25, 0.75) FROM VALUES (1.0D),(2.0D),(3.0D),(4.0D) AS t(x)")
+      .asInstanceOf[scala.collection.Seq[Double]].toSeq
+    assert(qs.length == 2 && qs.head <= 2.0 + 0.5 && qs(1) >= 3.0 - 0.5)
+    // determinator accepted and unused; value is the exact quantile
+    assert(one(
+      "SELECT quantileDeterministic(x, 42, 0.5) FROM VALUES (1.0D),(2.0D),(3.0D) AS t(x)") == 2.0)
+    assert(one(
+      "SELECT uniqCombined64(x) FROM VALUES (1),(2),(2),(3) AS t(x)") == 3L)
+  }
+
   test("hasSubstr: contiguous-subsequence contract incl. edge lengths") {
     assert(one("SELECT hasSubstr(array(1,2,3,4), array(2,3))") == true)
     assert(one("SELECT hasSubstr(array(1,2,3,4), array(2,4))") == false)

@@ -113,6 +113,10 @@ class ChSqlSpec extends AnyFunSuite {
     assert(ChSql.rewriteParametricAggregates(
       "SELECT 'quantile(0.5)(v)' AS lit, quantile(0.5)(v) FROM t") ==
       "SELECT 'quantile(0.5)(v)' AS lit, quantile(v, 0.5) FROM t")
+    // the sketch-name tail flattens through the same pre-pass
+    assert(ChSql.rewriteParametricAggregates(
+      "SELECT quantilesTDigest(0.25, 0.75)(x), quantileDeterministic(0.5)(x, 42) FROM t") ==
+      "SELECT quantilesTDigest(x, 0.25, 0.75), quantileDeterministic(x, 42, 0.5) FROM t")
   }
 
   test("file() table function reads local CSV with a CH schema string") {
