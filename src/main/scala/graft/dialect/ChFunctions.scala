@@ -1045,7 +1045,9 @@ object ChFunctions {
       // spellings also exist above)
       reg("arraySum")({ case Seq(arr) =>
         val acc = lv("accS"); val x = lv("xS"); val f = lv("fS")
-        ArrayAggregate(arr, Literal(0L),
+        // typed zero (first element × 0L): fractional arrays fold
+        // without the bigint/double mismatch a 0L zero caused
+        ArrayAggregate(arr, typedZero(arr),
           LambdaFunction(Add(acc, x), Seq(acc, x)),
           LambdaFunction(f, Seq(f)))
       })

@@ -98,7 +98,14 @@ object Combinators {
       case "Map" :: tail => (mapKernel(base), tail)
       case _ => (plainKernel(base), suffixes)
     }
-    rest.foldLeft(k0)((acc, s) => acc.flatMap(applySuffix(base, _, s)))
+    // -Distinct after an argument-lifting combinator would dedupe the
+    // PER-ROW REDUCED value (e.g. sumArrayDistinct deduping row sums),
+    // not the argument as CH does — refuse the name (unresolved-
+    // function error) rather than serve a silently different number
+    val liftingHead = suffixes.headOption.exists(
+      s => s == "Array" || s == "ForEach" || s == "Map")
+    if (liftingHead && rest.contains("Distinct")) None
+    else rest.foldLeft(k0)((acc, s) => acc.flatMap(applySuffix(base, _, s)))
   }
 
   private def plainKernel(base: String): Option[Kernel] = base match {

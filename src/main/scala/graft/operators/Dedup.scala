@@ -389,14 +389,20 @@ object Dedup {
   val CheckpointDirConf = "spark.graft.checkpointDir"
 
   /** Truncate `df`'s lineage: reliable checkpoint when a dir is
-    * available, local blocks otherwise. */
+    * available, local blocks otherwise. `setCheckpointDir` is called
+    * at most ONCE per context (Spark appends a fresh UUID subdir and
+    * mkdirs it on every call — re-setting per iteration would scatter
+    * checkpoint data across ~20 directories per run and stomp a dir
+    * the user set themselves). Reliable checkpoint files are not
+    * auto-deleted; set `spark.cleaner.referenceTracking.cleanCheckpoints`
+    * or clean the dir between pipeline runs. */
   private def truncateLineage(df: DataFrame): DataFrame = {
     val spark = df.sparkSession
     val sc = spark.sparkContext
     val confDir = spark.conf.get(CheckpointDirConf, "")
-    if (confDir.nonEmpty && !sc.getCheckpointDir.contains(confDir))
+    if (confDir.nonEmpty && sc.getCheckpointDir.isEmpty)
       sc.setCheckpointDir(confDir)
-    if (confDir.nonEmpty || sc.getCheckpointDir.isDefined) df.checkpoint()
+    if (sc.getCheckpointDir.isDefined) df.checkpoint()
     else df.localCheckpoint()
   }
 

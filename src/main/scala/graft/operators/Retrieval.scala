@@ -79,7 +79,13 @@ object Retrieval {
     * frequencies aggregate from it to a single broadcast row, and the
     * score is a pure projection — no joins at all beyond that scalar.
     * `explode_outer` keeps zero-token documents counting toward N and
-    * avgdl exactly as a separate stats pass would. */
+    * avgdl exactly as a separate stats pass would. NULL-text rows are
+    * not documents: they are excluded from N and avgdl entirely (the
+    * one-pass and many-terms paths agree on this definition).
+    *
+    * Query bags wider than [[Bm25MaxTfColumns]] switch to the
+    * two-pass explode+group form automatically (one tf aggregate
+    * column per term stops being reasonable past that width). */
   def bm25(
       df: DataFrame,
       idCol: String,
@@ -89,13 +95,13 @@ object Retrieval {
       b: Double = 0.75): DataFrame = {
     require(queryTerms.nonEmpty, "bm25 needs at least one query term")
     val terms = queryTerms.distinct
-    require(terms.size <= 64,
-      s"bm25 supports at most 64 query terms per call, got ${terms.size} " +
-        "(one tf aggregate column is generated per term)")
+    if (terms.size > Bm25MaxTfColumns)
+      return bm25ManyTerms(df, idCol, textCol, terms, k1, b)
     val tfCols = terms.zipWithIndex.map { case (t, i) =>
       sum(when(col("_tok") === lit(t), 1d).otherwise(0d)).as(s"_tf$i") }
     val perDoc = OpCache.persist(
-      df.select(col(idCol).as("_id"), explode_outer(tokens(col(textCol))).as("_tok"))
+      df.where(col(textCol).isNotNull)
+        .select(col(idCol).as("_id"), explode_outer(tokens(col(textCol))).as("_tok"))
         .groupBy("_id")
         .agg(count(col("_tok")).cast("double").as("_dl"), tfCols: _*))
     val dfCols = terms.indices.map(i =>
@@ -122,6 +128,47 @@ object Retrieval {
         col("_id").as(idCol),
         nHit.as("n_hit_terms"),
         terms.indices.map(termWeight).reduce(_ + _).as("bm25"))
+  }
+
+  /** Past this many distinct query terms [[bm25]] stops generating one
+    * tf column per term and uses [[bm25ManyTerms]]. */
+  val Bm25MaxTfColumns = 64
+
+  /** Wide-query BM25: the two-pass explode+group form — a hit scan
+    * keyed on (doc, term) plus a stats pass — identical scores to the
+    * one-pass path (pinned by test), usable at any term count. Costs a
+    * second tokenize pass and a doc-length join the narrow path
+    * avoids. */
+  private def bm25ManyTerms(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      terms: Seq[String],
+      k1: Double,
+      b: Double): DataFrame = {
+    val corpus = df.where(col(textCol).isNotNull)
+    val stats = corpus.agg(
+      count(lit(1)).cast("double").as("_n"),
+      avg(size(tokens(col(textCol)))).cast("double").as("_avgdl"))
+    val hits = OpCache.persist(
+      corpus
+        .select(col(idCol).as("_id"), explode(tokens(col(textCol))).as("_tok"))
+        .where(col("_tok").isin(terms: _*))
+        .groupBy("_id", "_tok").agg(count(lit(1)).cast("double").as("_tf")))
+    val dfPerTerm = hits.groupBy("_tok")
+      .agg(count(lit(1)).cast("double").as("_df"))
+    val dl = corpus.select(col(idCol).as("_id"),
+      size(tokens(col(textCol))).cast("double").as("_dl"))
+    val idf = log(lit(1.0) + (col("_n") - col("_df") + 0.5) / (col("_df") + 0.5))
+    val weight = idf * col("_tf") * (k1 + 1.0) /
+      (col("_tf") + (col("_dl") / col("_avgdl") * b + (1.0 - b)) * k1)
+    hits
+      .join(broadcast(dfPerTerm), "_tok")
+      .join(dl, "_id")
+      .crossJoin(broadcast(stats))
+      .groupBy("_id")
+      .agg(count(lit(1)).as("n_hit_terms"), sum(weight).as("bm25"))
+      .select(col("_id").as(idCol), col("n_hit_terms"), col("bm25"))
   }
 
   /** Sparse lexical cosine similarity between documents, via the

@@ -60,10 +60,17 @@ case class FooterAggregates(spark: SparkSession) extends Rule[LogicalPlan] {
         val rel = plainParquet(child).get
         classifyAll(aggExprs, child, rel) match {
           case Some(specs) =>
-            answer(rel, specs) match {
+            // an optimization must never fail the query: any sweep
+            // error (transient IO, unreadable footer) keeps the scan
+            // plan, which has task-level retries of its own
+            try answer(rel, specs) match {
               case Some(values) =>
                 LocalRelation(agg.output, Seq(InternalRow.fromSeq(values)))
               case None => agg // stats not exact enough — keep the scan
+            } catch {
+              case scala.util.control.NonFatal(e) =>
+                logWarning(s"footer-aggregate sweep failed; keeping the scan plan: $e")
+                agg
             }
           case None => agg
         }
@@ -186,11 +193,21 @@ case class FooterAggregates(spark: SparkSession) extends Rule[LogicalPlan] {
   }
 
   /** One footer pass over every file: num_rows always; null counts and
-    * min/max for `wanted` columns. */
+    * min/max for `wanted` columns. MEMOIZED on the file listing
+    * (path+size+mtime) and wanted set: optimizer batches run to
+    * fixpoint, so without the cache one query could pay the sweep
+    * several times over (and a 100k-object sweep is a real job). */
   private def sweep(rel: HadoopFsRelation, wanted: Seq[String]): FileStats = {
+    val files = rel.location.listFiles(Nil, Nil)
+      .flatMap(_.files).filter(_.getLen > 0)
+    val key = files.map(f =>
+      s"${f.getPath}:${f.getLen}:${f.getModificationTime}")
+      .mkString("|") + "##" + wanted.sorted.mkString(",")
+    cached(key, doSweep(files.map(_.getPath.toString), wanted))
+  }
+
+  private def doSweep(paths: Seq[String], wanted: Seq[String]): FileStats = {
     val hadoopConf = spark.sparkContext.hadoopConfiguration
-    val paths = rel.location.listFiles(Nil, Nil)
-      .flatMap(_.files).filter(_.getLen > 0).map(_.getPath.toString)
     val perFile: Seq[FileStats] =
       if (paths.isEmpty) Nil
       else if (paths.size > DriverReadMaxFiles)
@@ -218,6 +235,26 @@ case class FooterAggregates(spark: SparkSession) extends Rule[LogicalPlan] {
 }
 
 object FooterAggregates {
+
+  /** Bounded LRU of sweep results, shared across rule instances (the
+    * extensions path and the runtime path each build one). */
+  private val SweepCacheMax = 128
+  private val sweepCache =
+    new java.util.LinkedHashMap[String, FileStats](SweepCacheMax, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, FileStats]): Boolean =
+        size() > SweepCacheMax
+    }
+
+  private def cached(key: String, compute: => FileStats): FileStats = {
+    sweepCache.synchronized {
+      val hit = sweepCache.get(key)
+      if (hit != null) return hit
+    }
+    val v = compute
+    sweepCache.synchronized(sweepCache.put(key, v))
+    v
+  }
 
   /** Per-column running state over row groups. `exact` collapses to
     * false the moment any row group's metadata cannot answer exactly. */

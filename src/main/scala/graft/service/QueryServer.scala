@@ -38,7 +38,6 @@ import org.apache.spark.sql.SparkSession
   */
 class QueryServer(spark: SparkSession, port: Int = 0) {
 
-  private val service = new QueryService(spark)
   private val mapper = new ObjectMapper()
 
   private val queriesTotal = new LongAdder
@@ -61,7 +60,13 @@ class QueryServer(spark: SparkSession, port: Int = 0) {
         val t0 = System.nanoTime()
         try {
           val req = parseRequest(body)
-          val res = service.execute(req)
+          // per-request session isolation (the reference gives each
+          // workflow its own CH session, `workflow_query_executor.go:302`):
+          // newSession() shares the SparkContext and cached data but
+          // carries its OWN SQLConf, temp views, and function registry,
+          // so one request's SETs / ATTACHes never leak into another
+          // running concurrently on this 4-thread pool
+          val res = new QueryService(spark.newSession()).execute(req)
           queriesTotal.increment()
           querySecondsTotal.add((System.nanoTime() - t0) / 1e9)
           (200, "application/json", renderResult(res))

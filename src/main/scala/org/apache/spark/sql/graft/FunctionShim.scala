@@ -68,8 +68,14 @@ object FunctionShim {
       spark: SparkSession,
       rule: org.apache.spark.sql.catalyst.rules.Rule[
         org.apache.spark.sql.catalyst.plans.logical.LogicalPlan]): Unit = {
-    val exp = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession].experimental
-    if (!exp.extraOptimizations.exists(_.getClass == rule.getClass))
+    val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    // a session built WITH GraftExtensions already carries the rule in
+    // its operator-optimization batch — adding it again via the
+    // runtime path would run it twice per query
+    val injected = classic.sessionState.optimizer
+      .extendedOperatorOptimizationRules.exists(_.getClass == rule.getClass)
+    val exp = classic.experimental
+    if (!injected && !exp.extraOptimizations.exists(_.getClass == rule.getClass))
       exp.extraOptimizations = exp.extraOptimizations :+ rule
   }
 

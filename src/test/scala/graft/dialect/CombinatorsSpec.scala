@@ -31,6 +31,12 @@ class CombinatorsSpec extends AnyFunSuite {
     // Array/Merge only directly after the base
     assert(Combinators.builderFor("sumIfArray").isEmpty)
     assert(Combinators.builderFor("sumIfMerge").isEmpty)
+    // -Distinct after a lifting combinator would dedupe per-row reduced
+    // values, not the argument — refused rather than silently wrong
+    assert(Combinators.builderFor("sumArrayDistinct").isEmpty)
+    assert(Combinators.builderFor("countArrayDistinct").isEmpty)
+    assert(Combinators.builderFor("sumForEachDistinct").isEmpty)
+    assert(Combinators.builderFor("sumMapDistinctIf").isEmpty)
   }
 
   test("sumArrayIf / avgArrayIf / countArrayIf aggregate elements of matching rows") {

@@ -94,4 +94,34 @@ class RetrievalSpec extends AnyFunSuite {
     assert(math.abs(r((0L, 1L)) - 1.0 / 61) < 1e-15) // rank 1 in its own query
     assert(math.abs(r((9L, 1L)) - 1.0 / 62) < 1e-15) // rank 2 behind score 2.0
   }
+
+  test("bm25 wide-query fallback scores identically to the one-pass path") {
+    val narrow = Retrieval.bm25(corpus, "id", "text", Seq("apple", "date"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // pad the query bag past the tf-column cap with misses: scores of
+    // the real terms must not move, path switch included
+    val wideTerms = Seq("apple", "date") ++ (1 to 70).map(i => s"zz_miss_$i")
+    val wide = Retrieval.bm25(corpus, "id", "text", wideTerms)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(wide.keySet == narrow.keySet)
+    narrow.foreach { case (id, (nHit, score)) =>
+      assert(wide(id)._1 == nHit, s"doc $id n_hit_terms")
+      assert(math.abs(wide(id)._2 - score) < 1e-9, s"doc $id score") }
+  }
+
+  test("bm25 excludes NULL-text rows from N and avgdl on both paths") {
+    val withNulls = corpus.union(
+      Seq((8L, null.asInstanceOf[String]), (9L, null.asInstanceOf[String]))
+        .toDF("id", "text"))
+    def scores(terms: Seq[String]) =
+      Retrieval.bm25(withNulls, "id", "text", terms)
+        .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val clean = Retrieval.bm25(corpus, "id", "text", Seq("apple"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(scores(Seq("apple")) == clean)
+    val wideTerms = Seq("apple") ++ (1 to 70).map(i => s"zz_$i")
+    assert(scores(wideTerms).keySet == clean.keySet)
+    scores(wideTerms).foreach { case (id, s) =>
+      assert(math.abs(s - clean(id)) < 1e-9) }
+  }
 }

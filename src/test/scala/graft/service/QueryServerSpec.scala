@@ -74,4 +74,19 @@ class QueryServerSpec extends AnyFunSuite {
   test("GET on /query is rejected with 405") {
     assert(get("/query").statusCode() == 405)
   }
+
+  test("requests are session-isolated: one request's SET never leaks into the next") {
+    // request A pins a setting via init_queries; request B reads it
+    // back — with per-request newSession() isolation B sees the
+    // default, not A's value
+    val a = post("/query", """{"query": "SELECT 1 AS x",
+      "init_queries": ["SET spark.sql.shuffle.partitions=1"]}""")
+    assert(a.statusCode() == 200)
+    val b = post("/query",
+      """{"query": "SET spark.sql.shuffle.partitions"}""")
+    assert(b.statusCode() == 200)
+    assert(!b.body().contains("\"1\""), s"A's SET leaked: ${b.body()}")
+    // and the server's base session is untouched too
+    assert(spark.conf.get("spark.sql.shuffle.partitions") != "1")
+  }
 }
