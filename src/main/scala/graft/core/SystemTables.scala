@@ -108,5 +108,19 @@ object SystemTables {
     // system.one: CH's 1-row dummy table (FROM system.one idiom)
     import spark.implicits._
     Seq(Tuple1(0: Byte)).toDF("dummy").createOrReplaceTempView("system_one")
+    functions(spark).createOrReplaceTempView("system_functions")
+  }
+
+  /** ≈ system.functions: every name the dialect registers (one row per
+    * static builder; the combinator GRAMMAR's composed spellings are
+    * unbounded and resolve on demand, so they appear only after use —
+    * noted in the `origin` column). */
+  def functions(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val static = graft.dialect.ChFunctions.builders.map(_._1).distinct.sorted
+      .map(n => (n, "graft_dialect"))
+    (static :+ (("<base><Array|Distinct|OrNull|State|Merge|ForEach|Map|If>*",
+      "combinator_grammar")))
+      .toDF("name", "origin")
   }
 }

@@ -45,4 +45,13 @@ class SystemTablesSpec extends AnyFunSuite {
       "SELECT name FROM system.zookeeper WHERE path='/clickhouse/task_queue/'").collect()
     assert(zk.map(_.getString(0)).contains("ddl"))
   }
+
+  test("system.functions lists the registered dialect surface") {
+    val names = ChSql.sql(spark,
+      "SELECT name FROM system.functions WHERE origin = 'graft_dialect'")
+      .collect().map(_.getString(0)).toSet
+    assert(names.contains("cityHash64") && names.contains("uniqExact") &&
+      names.contains("windowFunnel"))
+    assert(names.size > 250, s"expected the full static surface, got ${names.size}")
+  }
 }
