@@ -30,6 +30,8 @@ object Globs {
       case None => Seq(pattern)
       case Some(m) =>
         val (lo, hi) = (m.group(1), m.group(2))
+        require(lo.toLong <= hi.toLong,
+          s"glob range {$lo..$hi} is descending - it would expand to nothing")
         val width = if (lo.length > 1 && lo.startsWith("0")) lo.length else 0
         val prefix = pattern.substring(0, m.start)
         val suffix = pattern.substring(m.end)

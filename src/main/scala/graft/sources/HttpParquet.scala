@@ -85,9 +85,12 @@ object HttpParquet {
         throw new IllegalArgumentException(
           s"parquet-over-http: DECIMAL column '${p.getName}' is not supported")
       case t: LogicalTypeAnnotation.IntLogicalTypeAnnotation
-          if !t.isSigned && t.getBitWidth == 64 =>
+          if !t.isSigned && t.getBitWidth >= 32 =>
+        // UINT64 has no signed home at all; UINT32 values above 2^31
+        // would sign-flip through getInteger — both refuse loudly
         throw new IllegalArgumentException(
-          s"parquet-over-http: unsigned INT(64) column '${p.getName}' does not fit a signed long")
+          s"parquet-over-http: unsigned INT(${t.getBitWidth}) column " +
+            s"'${p.getName}' would be mis-read through the signed decoder")
       case _ => ()
     }
     p.getPrimitiveTypeName match {
@@ -123,9 +126,16 @@ object HttpParquet {
 
   private def readRows(url: String, expected: StructType): Iterator[Row] = {
     val tmp = java.io.File.createTempFile("graft_httpq_", ".parquet")
-    download(url, tmp)
-    val reader = ParquetFileReader.open(
-      HadoopInputFile.fromPath(new HPath(tmp.toURI), new Configuration()))
+    // a failed download / corrupt body must not leak the tmp file on a
+    // long-lived executor (each task retry would leave another one)
+    val reader =
+      try {
+        download(url, tmp)
+        ParquetFileReader.open(
+          HadoopInputFile.fromPath(new HPath(tmp.toURI), new Configuration()))
+      } catch {
+        case e: Throwable => tmp.delete(); throw e
+      }
     val cleanup = () => { reader.close(); tmp.delete(): Unit }
     Option(TaskContext.get()).foreach {
       _.addTaskCompletionListener[Unit](_ => cleanup())
@@ -205,10 +215,7 @@ object HttpParquet {
   }
 
   private def download(url: String, dest: java.io.File): Unit = {
-    val conn = new java.net.URI(url).toURL.openConnection()
-    conn.setConnectTimeout(30000)
-    conn.setReadTimeout(120000)
-    val in = conn.getInputStream
+    val in = Sources.openHttpStream(url)
     try java.nio.file.Files.copy(in, dest.toPath,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     finally in.close()

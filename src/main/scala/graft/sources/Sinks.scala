@@ -28,6 +28,10 @@ object Sinks {
       compression: Option[String] = None,
       mode: SaveMode = SaveMode.Overwrite): Unit = {
     val w = df.write.mode(mode).option("header", header.toString)
+      // RFC-4180 doubled quotes, matching every reader in this package
+      // (Spark's default backslash escape would corrupt a round-trip
+      // through Sources.csv/urlCsv)
+      .option("escape", "\"")
     compression.foreach(c => w.option("compression", c))
     w.csv(path)
   }

@@ -29,9 +29,10 @@ object StaticHttp {
         if (!f.toPath.startsWith(root.toPath) || !f.isFile) {
           ex.sendResponseHeaders(404, -1)
         } else {
-          val bytes = java.nio.file.Files.readAllBytes(f.toPath)
-          ex.sendResponseHeaders(200, bytes.length.toLong)
-          ex.getResponseBody.write(bytes)
+          // stream at constant memory: multi-GB fixtures must not be
+          // buffered whole on the dispatch thread
+          ex.sendResponseHeaders(200, f.length())
+          java.nio.file.Files.copy(f.toPath, ex.getResponseBody)
         }
         ex.close()
       }

@@ -48,4 +48,11 @@ class GlobsSpec extends AnyFunSuite {
     val out = Globs.expandRanges("f{1..2}-{a,b}.csv").flatMap(Globs.expandAlternation)
     assert(out.toSet == Set("f1-a.csv", "f1-b.csv", "f2-a.csv", "f2-b.csv"))
   }
+
+  test("descending range refuses loudly instead of expanding to nothing") {
+    val e = intercept[IllegalArgumentException] {
+      Globs.expandRanges("part-{5..1}.parquet")
+    }
+    assert(e.getMessage.contains("descending"))
+  }
 }

@@ -140,4 +140,35 @@ class SourcesSpec extends AnyFunSuite {
     val df = Sources.parquet(spark, "/root/testdata/sf0.00{1..1}/nation.parquet")
     assert(df.count() == 25)
   }
+
+  test("urlCsv refuses a file whose header reorders the declared columns") {
+    val p = java.nio.file.Paths.get(fixtureDir, "reordered.csv")
+    java.nio.file.Files.writeString(p, "v,k\nx,1\ny,2\n")
+    val e = intercept[org.apache.spark.SparkException] {
+      Sources.urlCsv(spark, s"file://$fixtureDir/reordered.csv",
+        Some("k Int64, v String")).collect()
+    }
+    assert(e.getMessage.contains("header order") ||
+      Option(e.getCause).exists(_.getMessage.contains("header order")))
+  }
+
+  test("inferred duplicate header names dedup instead of failing analysis") {
+    val p = java.nio.file.Paths.get(fixtureDir, "dup_header.csv")
+    java.nio.file.Files.writeString(p, "id,id,value\n1,2,a\n3,4,b\n")
+    val df = Sources.urlCsv(spark, s"file://$fixtureDir/dup_header.csv", None)
+    assert(df.columns.count(_.startsWith("id")) == 2)
+    assert(df.columns.distinct.length == df.columns.length)
+    assert(df.count() == 2)
+  }
+
+  test("writeCsv round-trips RFC-4180 quoted fields through the package readers") {
+    val spark2 = spark
+    import spark2.implicits._
+    val out = java.nio.file.Files.createTempDirectory("graft_csv_rt").toString
+    val df = Seq((1L, "he said \"hi\", twice"), (2L, "plain")).toDF("k", "v")
+    Sinks.writeCsv(df.coalesce(1), s"$out/t")
+    val back = Sources.csv(spark, s"$out/t/*.csv", Some("k Int64, v String"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(back == Set((1L, "he said \"hi\", twice"), (2L, "plain")))
+  }
 }
