@@ -21,11 +21,20 @@ object Serve {
     spark.sparkContext.setLogLevel("WARN")
     args.headOption.foreach(dir => graft.core.Tables.registerViews(spark, dir))
     val port = sys.env.getOrElse("GRAFT_HTTP_PORT", "8080").toInt
-    val bound = new graft.service.QueryServer(spark, port).start()
+    // GRAFT_JOURNAL_DIR turns on the accepted-request journal; recover
+    // mode "report" (default) logs unfinished entries from a previous
+    // process, "rerun" replays them before the listener binds
+    val srv = new graft.service.QueryServer(spark, port,
+      journalDir = sys.env.get("GRAFT_JOURNAL_DIR"),
+      recover = sys.env.getOrElse("GRAFT_JOURNAL_RECOVER", "report"))
+    val bound = srv.start()
     System.err.println(s"[serve] listening on 127.0.0.1:$bound (GET /hc, POST /query, GET /metrics)")
-    // block until signalled, like the reference's signal.Notify loop
+    // block until signalled, like the reference's signal.Notify +
+    // e.Shutdown loop (`http_server.go:87-90`): the JVM shutdown hook is
+    // the SIGTERM/SIGINT path, and stop() drains in-flight queries
+    // before the listener dies
     val latch = new java.util.concurrent.CountDownLatch(1)
-    sys.addShutdownHook { latch.countDown() }
+    sys.addShutdownHook { srv.stop(30000L); latch.countDown() }
     latch.await()
   }
 }

@@ -553,6 +553,29 @@ object SparkEntry {
         |       array_join(countForEachIf(slice(array(o_orderkey % 7, o_custkey % 5, o_orderkey % 3), 1, CAST(2 + o_orderkey % 2 AS INT)), o_orderkey % 2 = 0), ',') AS cf_csv
         |FROM orders GROUP BY prio ORDER BY prio""".stripMargin),
 
+    // sumForEach over Int32-TYPED arrays whose per-position totals far
+    // exceed 2³¹ — pins the Int64 accumulation contract (verdict r8 #2:
+    // the ×0 NULL-pad substitute kept Int32 arithmetic and wrapped);
+    // the scalar subquery pins CH's empty-set -ForEach result: [] (not
+    // NULL), so array_join gives '' where a NULL array gives NULL
+    "q158_foreach_int32" -> ch(
+      """SELECT array_join(sumForEach(array(CAST(o_orderkey % 100000 * 20000 AS INT),
+        |                                   CAST(o_custkey % 1000 * 1000000 AS INT))), ',') AS s_csv,
+        |       (SELECT array_join(sumForEach(array(CAST(o_orderkey AS INT))), ',')
+        |        FROM orders WHERE o_orderkey < 0) AS fe_empty
+        |FROM orders""".stripMargin),
+
+    // arraySum over EMPTY arrays folds to 0, not NULL (advisor r8: the
+    // r7 typed-zero fix regressed this — element_at([],1)×0L is NULL);
+    // empty-by-filter, empty-by-literal, and a fractional nonempty fold
+    // all pinned per row
+    "q159_empty_array_sum" -> ch(
+      """SELECT CAST(n_nationkey AS BIGINT) AS k,
+        |       CAST(arraySum(arrayFilter(x -> x > 100, array(n_nationkey, 1))) AS BIGINT) AS z_i,
+        |       CAST(arraySum(emptyArrayInt64()) AS BIGINT) AS z_e,
+        |       CAST(round(arraySum(array(toFloat64(n_nationkey), 0.5)) * 10) AS BIGINT) AS s_d
+        |FROM nation ORDER BY k""".stripMargin),
+
     // SemDeDup survivors: connected components over the within-cluster
     // pair graph, min id per component survives (oracle: recursive-CTE
     // transitive closure over the tiny pair set)
@@ -1849,6 +1872,17 @@ object SparkEntry {
         |  FROM cfa GROUP BY prio)
         |SELECT prio, s_csv, mn_csv, mx_csv, cf_csv
         |FROM l1 JOIN l2 USING (prio) ORDER BY prio""".stripMargin,
+    "q158_foreach_int32" ->
+      """SELECT array_to_string([CAST(sum(o_orderkey % 100000 * 20000) AS BIGINT),
+        |                        CAST(sum(o_custkey % 1000 * 1000000) AS BIGINT)], ',') AS s_csv,
+        |       '' AS fe_empty
+        |FROM orders""".stripMargin,
+    "q159_empty_array_sum" ->
+      """SELECT CAST(n_nationkey AS BIGINT) AS k,
+        |       CAST(0 AS BIGINT) AS z_i,
+        |       CAST(0 AS BIGINT) AS z_e,
+        |       CAST(round((n_nationkey + 0.5) * 10) AS BIGINT) AS s_d
+        |FROM nation ORDER BY k""".stripMargin,
     "q151_semantic_dedup" ->
       """WITH c AS (
         |  SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cvec

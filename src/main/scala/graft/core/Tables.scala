@@ -20,16 +20,23 @@ object Tables {
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     require(names.contains(name), s"unknown table '$name' (known: ${names.mkString(", ")})")
-    // events.ts is parquet TIMESTAMP(NANOS), which Spark's converter
-    // rejects outright; read it as a nanos Long and convert with integer
-    // division (ns→µs is exact; double division would lose precision at
-    // 1.7e18). Session-conf set here so any session the driver hands us
-    // works.
+    // events.ts arrives in whatever physical form the generator chose —
+    // TIMESTAMP(NANOS) (rejected outright by Spark's converter unless
+    // read as a nanos Long) in some rounds, TIMESTAMP(MICROS) without
+    // isAdjustedToUTC (read as TIMESTAMP_NTZ) in others. Normalize both
+    // to session-zone TIMESTAMP here so every operator above this choke
+    // point sees one type. ns→µs uses integer division (exact; double
+    // division would lose precision at 1.7e18); NTZ→LTZ under the UTC
+    // session zone re-tags the same wall-clock instant.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$dir/$name.parquet")
-    df.schema.fields.find(f => f.name == "ts" && f.dataType == org.apache.spark.sql.types.LongType) match {
-      case Some(_) => df.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts DIV 1000)"))
-      case None => df
+    df.schema.fields.find(_.name == "ts").map(_.dataType) match {
+      case Some(org.apache.spark.sql.types.LongType) =>
+        df.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts DIV 1000)"))
+      case Some(org.apache.spark.sql.types.TimestampNTZType) =>
+        df.withColumn("ts",
+          org.apache.spark.sql.functions.col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => df
     }
   }
 

@@ -103,10 +103,14 @@ object ChFunctions {
       // zero from the data — first element × 0L — types it per input
       // AND applies CH's sum-type promotion: integer elements widen to
       // Int64 (no ANSI overflow on Int32 sums), fractional/decimal stay
-      // fractional. The element access is non-throwing and only
-      // evaluated when the array is nonempty.
+      // fractional. The Coalesce keeps the zero NON-NULL for EMPTY
+      // arrays (element_at on [] is NULL), so arraySum([]) folds to 0
+      // like ClickHouse (advisor r8); a NULL array still yields NULL
+      // because ArrayAggregate is null-intolerant on the array itself.
       def typedZero(arr: Expression): Expression =
-        Multiply(new ElementAt(arr, Literal(1), None, false), Literal(0L))
+        Coalesce(Seq(
+          Multiply(new ElementAt(arr, Literal(1), None, false), Literal(0L)),
+          Literal(0L)))
 
       def movingAgg(x: Expression, nOpt: Option[Expression],
                     finish: (Expression, Expression, Expression) => Expression): Expression = {

@@ -113,7 +113,14 @@ object ChSql {
     var inQuote = false
     while (i < sql.length) {
       val c = sql.charAt(i)
-      if (inQuote) { out.append(c); if (c == '\'') inQuote = false; i += 1 }
+      // same quoting model as matchParen/quoteStateAfter: a backslash
+      // inside a literal escapes the next char, so '\'' does not close
+      // the literal — desync here let a '(' inside a string be taken as
+      // a subquery opener (advisor r8)
+      if (inQuote && c == '\\' && i + 1 < sql.length) {
+        out.append(c).append(sql.charAt(i + 1)); i += 2
+      }
+      else if (inQuote) { out.append(c); if (c == '\'') inQuote = false; i += 1 }
       else if (c == '\'') { out.append(c); inQuote = true; i += 1 }
       else if (c == '(') {
         val end = matchParen(sql, i)

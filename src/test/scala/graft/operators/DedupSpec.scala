@@ -278,6 +278,22 @@ class DedupSpec extends AnyFunSuite {
       .select("new_id", "ref_id").as[(Long, Long)].collect().toSet
     assert(ok == Set((10L, 0L)))
   }
+
+  test("cross-corpus refuses an unversioned (pre-v2) state frame (advisor r8)") {
+    val spark2 = spark
+    import spark2.implicits._
+    // a state with the right SHAPE but no format stamp — what a parquet
+    // state written by a round-≤7 build (string-hashed shingles) looks
+    // like: same columns, incompatible hash values, no metadata
+    val v1ish = Seq((0L, Array.fill(32)(7L), Array(1L, 2L, 3L)))
+      .toDF("_id", "_sig", "_sh")
+    val fresh = Seq((10L, "a b c d e f g h i j")).toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.crossCorpusDupPairs(fresh, "doc_id", "text", v1ish,
+        shingleSize = 3, numHashes = 32, bands = 16, threshold = 0.7)
+    }
+    assert(e.getMessage.contains("format"))
+  }
 }
 
 /** The HISTORICAL MinHash signature aggregate, verbatim — the

@@ -75,6 +75,112 @@ class QueryServerSpec extends AnyFunSuite {
     assert(get("/query").statusCode() == 405)
   }
 
+  test("X-Request-Id round-trips; absent one is generated (custom_context.go contract)") {
+    val r = client.send(
+      HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port/query"))
+        .header("X-Request-Id", "req-abc-123")
+        .POST(HttpRequest.BodyPublishers.ofString("""{"query": "SELECT 1 AS one"}"""))
+        .build(),
+      HttpResponse.BodyHandlers.ofString())
+    assert(r.statusCode() == 200)
+    assert(r.headers().firstValue("X-Request-Id").orElse("") == "req-abc-123")
+    // no caller ID → server generates one (non-empty, echoed)
+    val gen = post("/query", """{"query": "SELECT 1 AS one"}""")
+    assert(gen.headers().firstValue("X-Request-Id").orElse("").nonEmpty)
+  }
+
+  test("CORS: every response allows *, preflight answers 204 (http_server.go:46 posture)") {
+    val r = get("/hc")
+    assert(r.headers().firstValue("Access-Control-Allow-Origin").orElse("") == "*")
+    val pre = client.send(
+      HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port/query"))
+        .method("OPTIONS", HttpRequest.BodyPublishers.noBody()).build(),
+      HttpResponse.BodyHandlers.ofString())
+    assert(pre.statusCode() == 204)
+    assert(pre.headers().firstValue("Access-Control-Allow-Methods").orElse("").contains("POST"))
+  }
+
+  test("stop() drains an in-flight query before the listener dies (http_server.go:87-90)") {
+    val srv = new QueryServer(spark)
+    val p = srv.start()
+    // a query slow enough to still be running when stop() is called:
+    // a heavy self-join aggregation on numbers()
+    val fut = new java.util.concurrent.CompletableFuture[HttpResponse[String]]()
+    val t = new Thread(() => fut.complete(client.send(
+      HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$p/query"))
+        .POST(HttpRequest.BodyPublishers.ofString(
+          """{"query": "SELECT count() AS n FROM (SELECT a.number FROM numbers(2000000) a, numbers(30) b)"}"""))
+        .build(),
+      HttpResponse.BodyHandlers.ofString())))
+    t.start()
+    // give the request time to arrive and start executing
+    Thread.sleep(400)
+    srv.stop(drainMs = 60000L)
+    // the in-flight query produced its full response despite the stop
+    val r = fut.get(60, java.util.concurrent.TimeUnit.SECONDS)
+    assert(r.statusCode() == 200)
+    assert(r.body().contains("60000000"))
+    // and the listener is down now
+    intercept[Exception] {
+      client.send(
+        HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$p/hc")).GET().build(),
+        HttpResponse.BodyHandlers.ofString())
+    }
+  }
+
+  test("journal: a request with no recorded response replays on next start (rerun) or is reported") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_journal").toString
+    // simulate a process killed mid-query: the journal holds an accepted
+    // entry with no completion — exactly what record()-without-complete()
+    // leaves behind (the in-process spelling of kill -9 between them)
+    val j = new QueryJournal(dir)
+    j.record("dead-1", QueryService.QueryRequest("SELECT 41 + 1 AS answer"))
+    assert(j.unfinished().size == 1)
+
+    // report mode: surfaced, left in place
+    val reporter = new QueryServer(spark, journalDir = Some(dir), recover = "report")
+    val rp = reporter.start()
+    val rm = client.send(
+      HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$rp/metrics")).GET().build(),
+      HttpResponse.BodyHandlers.ofString()).body()
+    assert(rm.linesIterator.exists(_.startsWith("graft_journal_unfinished_at_start 1")))
+    reporter.stop(0)
+    assert(j.unfinished().size == 1, "report mode must leave the entry in place")
+
+    // rerun mode: replayed before the listener binds, then cleared
+    val rerunner = new QueryServer(spark, journalDir = Some(dir), recover = "rerun")
+    val rr = rerunner.start()
+    val mm = client.send(
+      HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$rr/metrics")).GET().build(),
+      HttpResponse.BodyHandlers.ofString()).body()
+    assert(mm.linesIterator.exists(_.startsWith("graft_journal_recovered_total 1")))
+    assert(j.unfinished().isEmpty, "rerun mode must clear the replayed entry")
+
+    // a served request journals transiently: nothing remains after the
+    // response (completion is recorded), so a clean shutdown leaves an
+    // empty journal
+    val ok = client.send(
+      HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$rr/query"))
+        .POST(HttpRequest.BodyPublishers.ofString("""{"query": "SELECT 1 AS one"}"""))
+        .build(),
+      HttpResponse.BodyHandlers.ofString())
+    assert(ok.statusCode() == 200)
+    assert(j.unfinished().isEmpty)
+    rerunner.stop(0)
+  }
+
+  test("idle sweep releases operator-internal persisted intermediates (advisor r8)") {
+    import spark.implicits._
+    graft.operators.OpCache.persist(Seq(1, 2, 3).toDF("x"))
+    assert(graft.operators.OpCache.trackedCount >= 1)
+    // any completed request sweeps once in-flight drops to zero
+    val r = post("/query", """{"query": "SELECT 1 AS one"}""")
+    assert(r.statusCode() == 200)
+    assert(graft.operators.OpCache.trackedCount == 0)
+    // and the gauge is exported
+    assert(get("/metrics").body().contains("graft_opcache_tracked"))
+  }
+
   test("requests are session-isolated: one request's SET never leaks into the next") {
     // request A pins a setting via init_queries; request B reads it
     // back — with per-request newSession() isolation B sees the
