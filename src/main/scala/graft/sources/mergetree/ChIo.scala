@@ -1,0 +1,217 @@
+package graft.sources.mergetree
+
+import java.io.{File, RandomAccessFile}
+
+/** IO primitives for ClickHouse's on-disk MergeTree streams (SURVEY §2.1
+  * S5; reference `temporal/workflow_query_executor_test.go:85` attaches a
+  * web-disk MergeTree table). Two layers:
+  *
+  *   - the COMPRESSED FRAME format every `.bin` stream uses (public
+  *     format, ClickHouse `CompressedWriteBuffer`): repeated frames of
+  *     `[16B CityHash128 checksum][1B method][4B LE compressed size incl
+  *     9B header][4B LE decompressed size][payload]`, method `0x82` LZ4
+  *     (the default codec), `0x90` ZSTD, `0x02` None;
+  *   - the NATIVE VALUE encodings layered on the decompressed stream
+  *     (little-endian fixed ints/floats, LEB128 varints, varint-prefixed
+  *     strings).
+  *
+  * Checksums are not VERIFIED on read (the CityHash128 variant CH uses
+  * is not ported here — only cityHash64 is); a corrupt frame surfaces as
+  * a decompression failure instead of a checksum mismatch. The fixture
+  * writer stamps zeros, which this reader ignores but real ClickHouse
+  * would reject — fixtures are for this engine, not for CH.
+  */
+private[mergetree] object ChIo {
+  val MethodLz4: Int = 0x82
+  val MethodZstd: Int = 0x90
+  val MethodNone: Int = 0x02
+  val FrameHeaderBytes = 25 // 16 checksum + 1 method + 4 + 4
+}
+
+/** Random-access view of one stream file — local path or an
+  * executor-local downloaded copy of an http object ([[PartFiles]]
+  * decides which). */
+private[mergetree] final class SeekableFile(path: String) extends AutoCloseable {
+  private val raf = new RandomAccessFile(new File(path), "r")
+  def length: Long = raf.length()
+  def readAt(off: Long, n: Int): Array[Byte] = {
+    val b = new Array[Byte](n)
+    raf.seek(off)
+    raf.readFully(b)
+    b
+  }
+  override def close(): Unit = raf.close()
+}
+
+/** Sequential reader over a compressed `.bin` stream with mark-style
+  * seeking: a mark addresses (start offset of a compressed frame in the
+  * file, byte offset within that frame's decompressed payload). Values
+  * may span frames — reads continue transparently into the next frame.
+  */
+private[mergetree] final class ChCompressedReader(file: SeekableFile) {
+  private var fileOff: Long = 0L       // next frame's start
+  private var block: Array[Byte] = Array.emptyByteArray
+  private var pos: Int = 0
+
+  def seek(compressedOffset: Long, decompressedOffset: Long): Unit = {
+    fileOff = compressedOffset
+    block = Array.emptyByteArray
+    pos = 0
+    if (decompressedOffset > 0) {
+      loadNextBlock()
+      require(decompressedOffset <= block.length,
+        s"mark decompressed offset $decompressedOffset exceeds block of ${block.length}B")
+      pos = decompressedOffset.toInt
+    }
+  }
+
+  private def loadNextBlock(): Unit = {
+    require(fileOff < file.length,
+      s"read past end of compressed stream (offset $fileOff of ${file.length})")
+    val header = file.readAt(fileOff, ChIo.FrameHeaderBytes)
+    val method = header(16) & 0xFF
+    val compSize = leInt(header, 17)   // includes the 9 header bytes after the checksum
+    val rawSize = leInt(header, 21)
+    val payload = file.readAt(fileOff + ChIo.FrameHeaderBytes, compSize - 9)
+    block = method match {
+      case ChIo.MethodLz4 =>
+        val out = new Array[Byte](rawSize)
+        net.jpountz.lz4.LZ4Factory.fastestInstance().fastDecompressor()
+          .decompress(payload, 0, out, 0, rawSize)
+        out
+      case ChIo.MethodZstd =>
+        val out = new Array[Byte](rawSize)
+        com.github.luben.zstd.Zstd.decompress(out, payload)
+        out
+      case ChIo.MethodNone => payload
+      case other => throw new IllegalArgumentException(
+        f"unsupported ClickHouse compression method 0x$other%02x " +
+          "(LZ4, ZSTD and None are supported; codec-chained/delta streams are not)")
+    }
+    fileOff += ChIo.FrameHeaderBytes + (compSize - 9)
+    pos = 0
+  }
+
+  private def leInt(b: Array[Byte], o: Int): Int =
+    (b(o) & 0xFF) | ((b(o + 1) & 0xFF) << 8) | ((b(o + 2) & 0xFF) << 16) | ((b(o + 3) & 0xFF) << 24)
+
+  def readByte(): Int = {
+    if (pos >= block.length) loadNextBlock()
+    val b = block(pos) & 0xFF
+    pos += 1
+    b
+  }
+
+  def readBytes(n: Int): Array[Byte] = {
+    val out = new Array[Byte](n)
+    var got = 0
+    while (got < n) {
+      if (pos >= block.length) loadNextBlock()
+      val take = math.min(n - got, block.length - pos)
+      System.arraycopy(block, pos, out, got, take)
+      pos += take
+      got += take
+    }
+    out
+  }
+
+  def skipBytes(n: Long): Unit = {
+    var left = n
+    while (left > 0) {
+      if (pos >= block.length) loadNextBlock()
+      val take = math.min(left, (block.length - pos).toLong)
+      pos += take.toInt
+      left -= take
+    }
+  }
+
+  def readShortLE(): Short = {
+    val b = readBytes(2)
+    ((b(0) & 0xFF) | ((b(1) & 0xFF) << 8)).toShort
+  }
+  def readIntLE(): Int = {
+    val b = readBytes(4)
+    (b(0) & 0xFF) | ((b(1) & 0xFF) << 8) | ((b(2) & 0xFF) << 16) | ((b(3) & 0xFF) << 24)
+  }
+  def readLongLE(): Long = {
+    val b = readBytes(8)
+    var v = 0L
+    var i = 7
+    while (i >= 0) { v = (v << 8) | (b(i) & 0xFFL); i -= 1 }
+    v
+  }
+  def readFloatLE(): Float = java.lang.Float.intBitsToFloat(readIntLE())
+  def readDoubleLE(): Double = java.lang.Double.longBitsToDouble(readLongLE())
+
+  /** LEB128 unsigned varint — string lengths, array counts. */
+  def readVarUInt(): Long = {
+    var v = 0L
+    var shift = 0
+    var b = readByte()
+    while ((b & 0x80) != 0) {
+      v |= (b & 0x7FL) << shift
+      shift += 7
+      require(shift <= 63, "varint too long")
+      b = readByte()
+    }
+    v | ((b & 0x7FL) << shift)
+  }
+
+  def readString(): String = {
+    val n = readVarUInt()
+    require(n <= Int.MaxValue, s"string of $n bytes")
+    new String(readBytes(n.toInt), java.nio.charset.StandardCharsets.UTF_8)
+  }
+}
+
+/** Compressed `.bin` stream writer (fixture/export side): buffers
+  * decompressed bytes and emits LZ4 frames at `blockSize` boundaries.
+  * [[markHere]] snapshots the (file offset, buffered bytes) pair that a
+  * `.mrk2` mark stores — the un-flushed buffer always starts a fresh
+  * frame at the current end of file, which is exactly CH's invariant. */
+private[mergetree] final class ChCompressedWriter(blockSize: Int = 1 << 16) {
+  private val out = new java.io.ByteArrayOutputStream()
+  private val buf = new java.io.ByteArrayOutputStream()
+
+  def markHere: (Long, Long) = (out.size().toLong, buf.size().toLong)
+
+  def writeByte(b: Int): Unit = { buf.write(b); maybeFlush() }
+  def writeBytes(b: Array[Byte]): Unit = { buf.write(b); maybeFlush() }
+  def writeShortLE(v: Short): Unit =
+    writeBytes(Array((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte))
+  def writeIntLE(v: Int): Unit =
+    writeBytes(Array.tabulate(4)(i => ((v >> (8 * i)) & 0xFF).toByte))
+  def writeLongLE(v: Long): Unit =
+    writeBytes(Array.tabulate(8)(i => ((v >> (8 * i)) & 0xFF).toByte))
+  def writeFloatLE(v: Float): Unit = writeIntLE(java.lang.Float.floatToIntBits(v))
+  def writeDoubleLE(v: Double): Unit = writeLongLE(java.lang.Double.doubleToLongBits(v))
+  def writeVarUInt(v0: Long): Unit = {
+    var v = v0
+    require(v >= 0, "negative varint")
+    while (v >= 0x80) { buf.write(((v & 0x7F) | 0x80).toInt); v >>= 7 }
+    buf.write(v.toInt)
+    maybeFlush()
+  }
+  def writeString(s: String): Unit = {
+    val b = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    writeVarUInt(b.length.toLong)
+    writeBytes(b)
+  }
+
+  private def maybeFlush(): Unit = if (buf.size() >= blockSize) flushBlock()
+
+  private def flushBlock(): Unit = if (buf.size() > 0) {
+    val raw = buf.toByteArray
+    buf.reset()
+    val comp = net.jpountz.lz4.LZ4Factory.fastestInstance().fastCompressor().compress(raw)
+    // 16B checksum (zeros — see ChIo scaladoc), method, sizes, payload
+    out.write(new Array[Byte](16))
+    out.write(ChIo.MethodLz4)
+    val compSize = comp.length + 9
+    out.write(Array.tabulate(4)(i => ((compSize >> (8 * i)) & 0xFF).toByte))
+    out.write(Array.tabulate(4)(i => ((raw.length >> (8 * i)) & 0xFF).toByte))
+    out.write(comp)
+  }
+
+  def finish(): Array[Byte] = { flushBlock(); out.toByteArray }
+}

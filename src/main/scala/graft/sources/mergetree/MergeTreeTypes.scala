@@ -1,0 +1,381 @@
+package graft.sources.mergetree
+
+import graft.types.ChSchemaParser
+
+/** ClickHouse column-type AST for the MergeTree binary data path — the
+  * decoding twin of [[graft.types.ChSchemaParser]] (which maps the same
+  * type strings to Spark types for the RELATIONAL layer; `MergeTreeScan`
+  * asserts the two stay consistent by construction: every decoded value
+  * is produced in the Catalyst representation of the parser's mapping).
+  *
+  * Scope (VERDICT r9 task #1): the documented wide-part subset covering
+  * every type the reference's 63-column `github_events` ATTACH uses
+  * (`temporal/workflow_query_executor_test.go:85`) — fixed-width
+  * (U)Ints, Float32/64, String, FixedString, Date/Date32, DateTime,
+  * DateTime64, Enum8/16, Bool, Nullable(scalar),
+  * LowCardinality(scalar), Array(scalar | LowCardinality(scalar)).
+  * Anything else — nested Arrays, Maps, Tuples, UUID, Decimal,
+  * LowCardinality(Nullable(…)) — refuses loudly at ATTACH time rather
+  * than decoding garbage.
+  */
+private[mergetree] sealed trait ChType extends Serializable
+private[mergetree] object ChType {
+  // fixed-width ints carry (bytes, signed); value mapping follows
+  // ChSchemaParser: unsigned widens to the next signed Spark type,
+  // UInt64 stays Long with the documented wrap caveat
+  final case class FixedInt(bytes: Int, signed: Boolean) extends ChType
+  case object F32 extends ChType
+  case object F64 extends ChType
+  case object Str extends ChType
+  final case class FixedStr(n: Int) extends ChType
+  case object Date16 extends ChType            // UInt16 days
+  case object Date32T extends ChType           // Int32 days
+  case object DateTime32 extends ChType        // UInt32 epoch seconds
+  final case class DateTime64T(scale: Int) extends ChType
+  final case class Enum(bytes: Int, codeToName: Map[Int, String]) extends ChType
+  case object BoolT extends ChType
+  final case class NullableT(inner: ChType) extends ChType
+  final case class LowCardinalityT(inner: ChType) extends ChType
+  final case class ArrayT(elem: ChType) extends ChType
+
+  /** Parse a CH type string into the decodable AST; throws on anything
+    * outside the supported subset. */
+  def parse(s: String): ChType = {
+    val t = s.trim
+    val paren = t.indexOf('(')
+    val (head, args) =
+      if (paren >= 0 && t.endsWith(")")) (t.substring(0, paren).trim, t.substring(paren + 1, t.length - 1))
+      else (t, "")
+    head match {
+      case "Nullable" =>
+        val inner = parse(args)
+        inner match {
+          case _: ArrayT | _: NullableT | _: LowCardinalityT =>
+            throw new IllegalArgumentException(s"unsupported MergeTree type: $t")
+          case _ => NullableT(inner)
+        }
+      case "LowCardinality" =>
+        val inner = parse(args)
+        inner match {
+          case _: ArrayT | _: NullableT | _: LowCardinalityT =>
+            throw new IllegalArgumentException(s"unsupported MergeTree type: $t")
+          case _ => LowCardinalityT(inner)
+        }
+      case "Array" =>
+        val inner = parse(args)
+        inner match {
+          case _: ArrayT | _: NullableT =>
+            throw new IllegalArgumentException(
+              s"unsupported MergeTree type: $t (nested/nullable arrays not in the subset)")
+          case _ => ArrayT(inner)
+        }
+      case "Enum8" | "Enum16" =>
+        val pairs = ChSchemaParser.splitTopLevel(args, ',').map { p =>
+          val eq = p.lastIndexOf('=')
+          require(eq > 0, s"malformed enum entry: $p")
+          val name = p.substring(0, eq).trim.stripPrefix("'").stripSuffix("'").replace("\\'", "'")
+          (p.substring(eq + 1).trim.toInt, name)
+        }
+        Enum(if (head == "Enum8") 1 else 2, pairs.toMap)
+      case "String" => Str
+      case "FixedString" => FixedStr(args.trim.toInt)
+      case "Date" => Date16
+      case "Date32" => Date32T
+      case "DateTime" | "DateTime32" => DateTime32
+      case "DateTime64" =>
+        val scale = ChSchemaParser.splitTopLevel(args, ',').headOption
+          .map(_.trim.toInt).getOrElse(3)
+        require(scale >= 0 && scale <= 9, s"DateTime64 scale $scale")
+        DateTime64T(scale)
+      case "Bool" | "Boolean" => BoolT
+      case "Int8" => FixedInt(1, signed = true)
+      case "Int16" => FixedInt(2, signed = true)
+      case "Int32" => FixedInt(4, signed = true)
+      case "Int64" => FixedInt(8, signed = true)
+      case "UInt8" => FixedInt(1, signed = false)
+      case "UInt16" => FixedInt(2, signed = false)
+      case "UInt32" => FixedInt(4, signed = false)
+      case "UInt64" => FixedInt(8, signed = false)
+      case "Float32" => F32
+      case "Float64" => F64
+      case other =>
+        throw new IllegalArgumentException(
+          s"unsupported MergeTree column type: $other (supported subset: " +
+            "ints, floats, String, FixedString, Date[32], DateTime[64], " +
+            "Enum8/16, Bool, Nullable/LowCardinality/Array of those)")
+    }
+  }
+
+  /** Substream file basenames (without `.bin`/`.mrk2`) for column
+    * `name`, in read order — CH's `ISerialization::getFileNameForStream`
+    * naming: `c.null` (null map), `c.size0` (array sizes), `c.dict`
+    * (LowCardinality dictionary), `c` (values/indexes). */
+  def streams(name: String, t: ChType): Seq[String] = t match {
+    case NullableT(_) => Seq(s"$name.null", name)
+    case ArrayT(LowCardinalityT(_)) => Seq(s"$name.size0", s"$name.dict", name)
+    case ArrayT(_) => Seq(s"$name.size0", name)
+    case LowCardinalityT(_) => Seq(s"$name.dict", name)
+    case _ => Seq(name)
+  }
+
+  /** The substream whose marks carry per-granule ROW counts — for Array
+    * columns the value stream's marks count ELEMENTS, so granule
+    * accounting must read the sizes stream instead. */
+  def rowGranularStream(name: String, t: ChType): String = t match {
+    case ArrayT(_) => s"$name.size0"
+    case NullableT(_) => s"$name.null"
+    case _ => name
+  }
+}
+
+/** Decodes one column's values for a mark-aligned row range, producing
+  * CATALYST representations matching [[ChSchemaParser]]'s Spark mapping
+  * (UTF8String for strings, epoch days Int for dates, epoch micros Long
+  * for timestamps, GenericArrayData for arrays). */
+private[mergetree] object ColumnCodec {
+  import ChType._
+  import org.apache.spark.unsafe.types.UTF8String
+  import org.apache.spark.sql.catalyst.util.GenericArrayData
+
+  // LowCardinality index-block flags (CH `IndexesSerializationType`)
+  private val NeedGlobalDictionaryBit = 1L << 8
+  private val HasAdditionalKeysBit = 1L << 9
+  private val NeedUpdateDictionaryBit = 1L << 10
+
+  /** One mark: frame offset in the compressed file, byte offset in the
+    * decompressed frame, rows in the granule. */
+  final case class Mark(comp: Long, decomp: Long, rows: Long)
+
+  /** Context handed to the decoder: open a reader positioned anywhere,
+    * and the marks for every substream of this column. */
+  final class Streams(
+      open: String => ChCompressedReader,
+      marks: String => Array[Mark]) {
+    private val readers = scala.collection.mutable.Map.empty[String, ChCompressedReader]
+    def marksOf(stream: String): Array[Mark] = marks(stream)
+    def reader(stream: String): ChCompressedReader =
+      readers.getOrElseUpdate(stream, open(stream))
+    def seek(stream: String, mark: Int): ChCompressedReader = {
+      val r = reader(stream)
+      val m = marks(stream)(mark)
+      r.seek(m.comp, m.decomp)
+      r
+    }
+    /** Absolute stream start — the LowCardinality dictionary version
+      * prefix is written BEFORE mark 0, so mark-seeking cannot reach it. */
+    def seekStart(stream: String): ChCompressedReader = {
+      val r = reader(stream)
+      r.seek(0L, 0L)
+      r
+    }
+  }
+
+  /** Decode `granuleRows.sum` rows of column `name` starting at granule
+    * `markStart`. `granuleRows` are the split's per-granule row counts
+    * (needed by the per-granule LowCardinality block structure). */
+  def decode(
+      name: String,
+      t: ChType,
+      st: Streams,
+      markStart: Int,
+      granuleRows: Array[Int]): Array[Any] = {
+    val n = granuleRows.sum
+    t match {
+      case NullableT(inner) =>
+        val nm = st.seek(s"$name.null", markStart)
+        val mask = Array.fill(n)(nm.readByte() != 0)
+        val vals = scalars(inner, st.seek(name, markStart), n)
+        var i = 0
+        while (i < n) { if (mask(i)) vals(i) = null; i += 1 }
+        vals
+      case LowCardinalityT(inner) =>
+        decodeLowCardinality(name, inner, st, markStart, granuleRows)
+      case ArrayT(elem) =>
+        val (sizes, elemTotalPerGranule) = arraySizes(name, st, markStart, granuleRows)
+        val flat = elem match {
+          case LowCardinalityT(inner) =>
+            decodeLowCardinality(name, inner, st, markStart, elemTotalPerGranule)
+          case scalar =>
+            scalars(scalar, st.seek(name, markStart), sizes.map(_.toInt).sum)
+        }
+        val out = new Array[Any](n)
+        var i = 0
+        var off = 0
+        while (i < n) {
+          val len = sizes(i).toInt
+          val a = new Array[Any](len)
+          System.arraycopy(flat, off, a, 0, len)
+          out(i) = new GenericArrayData(a)
+          off += len
+          i += 1
+        }
+        out
+      case scalar =>
+        scalars(scalar, st.seek(name, markStart), n)
+    }
+  }
+
+  /** Per-row array lengths for the split, plus per-granule ELEMENT
+    * totals (the LowCardinality element path needs them). `size0` stores
+    * ABSOLUTE cumulative element offsets, so a split starting at granule
+    * g > 0 reads granule g-1 first to learn its last offset — one cheap
+    * extra granule of 8-byte values, no part-wide rewind. */
+  private def arraySizes(
+      name: String,
+      st: Streams,
+      markStart: Int,
+      granuleRows: Array[Int]): (Array[Long], Array[Int]) = {
+    val r =
+      if (markStart == 0) st.seek(s"$name.size0", 0)
+      else {
+        val rr = st.seek(s"$name.size0", markStart - 1)
+        rr // positioned at granule markStart-1; its rows are read below
+      }
+    var base = 0L
+    if (markStart > 0) {
+      val prevRows = st.marksOf(s"$name.size0")(markStart - 1).rows.toInt
+      var i = 0
+      while (i < prevRows) { base = r.readLongLE(); i += 1 }
+    }
+    val n = granuleRows.sum
+    val sizes = new Array[Long](n)
+    val perGranule = new Array[Int](granuleRows.length)
+    var i = 0
+    var g = 0
+    var inG = 0
+    var gElems = 0L
+    var prev = base
+    while (i < n) {
+      val off = r.readLongLE()
+      sizes(i) = off - prev
+      require(sizes(i) >= 0, s"corrupt size0 stream for $name: offsets not monotone")
+      gElems += sizes(i)
+      prev = off
+      i += 1
+      inG += 1
+      if (inG == granuleRows(g)) {
+        require(gElems <= Int.MaxValue, s"granule of $gElems array elements")
+        perGranule(g) = gElems.toInt
+        g += 1; inG = 0; gElems = 0L
+      }
+    }
+    (sizes, perGranule)
+  }
+
+  /** Per-granule LowCardinality blocks: `[UInt64 flags][optional UInt64
+    * key-count + keys][index per row]`, dictionary version prefix in the
+    * `.dict` substream. Global-dictionary blocks read their keys from
+    * `.dict`; additional-keys blocks carry them inline. Both-at-once
+    * (shared dictionary WITH overflow keys) is outside the subset and
+    * refuses loudly. */
+  private def decodeLowCardinality(
+      name: String,
+      inner: ChType,
+      st: Streams,
+      markStart: Int,
+      granuleCounts: Array[Int]): Array[Any] = {
+    val dict = st.seekStart(s"$name.dict")
+    val version = dict.readLongLE()
+    require(version == 1L,
+      s"LowCardinality keys-serialization version $version (expected 1) for $name")
+    var globalKeys: Array[Any] = null
+    val out = new Array[Any](granuleCounts.sum)
+    val r = st.seek(name, markStart)
+    var g = 0
+    var pos = 0
+    while (g < granuleCounts.length) {
+      val rows = granuleCounts(g)
+      if (rows > 0) {
+        val flags = r.readLongLE()
+        val width = (flags & 0xFF) match {
+          case 0 => 1; case 1 => 2; case 2 => 4; case 3 => 8
+          case w => throw new IllegalArgumentException(s"LowCardinality index width tag $w")
+        }
+        val needGlobal = (flags & NeedGlobalDictionaryBit) != 0
+        val hasAdditional = (flags & HasAdditionalKeysBit) != 0
+        require(!(needGlobal && hasAdditional),
+          s"LowCardinality block for $name mixes a global dictionary with " +
+            "additional keys — outside the supported subset")
+        val keys: Array[Any] =
+          if (needGlobal) {
+            if (globalKeys == null || (flags & NeedUpdateDictionaryBit) != 0) {
+              val nKeys = dict.readLongLE()
+              require(nKeys <= Int.MaxValue, s"dictionary of $nKeys keys")
+              globalKeys = scalars(inner, dict, nKeys.toInt)
+            }
+            globalKeys
+          } else if (hasAdditional) {
+            val nKeys = r.readLongLE()
+            require(nKeys <= Int.MaxValue, s"dictionary of $nKeys keys")
+            scalars(inner, r, nKeys.toInt)
+          } else {
+            throw new IllegalArgumentException(
+              s"LowCardinality block for $name declares neither a global " +
+                "dictionary nor additional keys")
+          }
+        var i = 0
+        while (i < rows) {
+          val idx = width match {
+            case 1 => r.readByte()
+            case 2 => r.readShortLE() & 0xFFFF
+            case 4 => r.readIntLE()
+            case 8 =>
+              val v = r.readLongLE()
+              require(v >= 0 && v <= Int.MaxValue, s"LowCardinality index $v")
+              v.toInt
+          }
+          require(idx >= 0 && idx < keys.length,
+            s"LowCardinality index $idx outside dictionary of ${keys.length} for $name")
+          out(pos) = keys(idx)
+          pos += 1
+          i += 1
+        }
+      }
+      g += 1
+    }
+    out
+  }
+
+  /** `n` scalar values off an already-positioned reader. */
+  private def scalars(t: ChType, r: ChCompressedReader, n: Int): Array[Any] = {
+    val out = new Array[Any](n)
+    var i = 0
+    t match {
+      case FixedInt(1, true)  => while (i < n) { out(i) = r.readByte().toByte; i += 1 }
+      case FixedInt(1, false) => while (i < n) { out(i) = r.readByte().toShort; i += 1 }
+      case FixedInt(2, true)  => while (i < n) { out(i) = r.readShortLE(); i += 1 }
+      case FixedInt(2, false) => while (i < n) { out(i) = r.readShortLE() & 0xFFFF; i += 1 }
+      case FixedInt(4, true)  => while (i < n) { out(i) = r.readIntLE(); i += 1 }
+      case FixedInt(4, false) => while (i < n) { out(i) = r.readIntLE() & 0xFFFFFFFFL; i += 1 }
+      case FixedInt(8, _)     => while (i < n) { out(i) = r.readLongLE(); i += 1 }
+      case FixedInt(b, _) => throw new IllegalArgumentException(s"int width $b")
+      case F32 => while (i < n) { out(i) = r.readFloatLE(); i += 1 }
+      case F64 => while (i < n) { out(i) = r.readDoubleLE(); i += 1 }
+      case Str => while (i < n) { out(i) = UTF8String.fromString(r.readString()); i += 1 }
+      case FixedStr(len) =>
+        while (i < n) { out(i) = UTF8String.fromBytes(r.readBytes(len)); i += 1 }
+      case Date16 => while (i < n) { out(i) = r.readShortLE() & 0xFFFF; i += 1 }
+      case Date32T => while (i < n) { out(i) = r.readIntLE(); i += 1 }
+      case DateTime32 =>
+        while (i < n) { out(i) = (r.readIntLE() & 0xFFFFFFFFL) * 1000000L; i += 1 }
+      case DateTime64T(scale) =>
+        val factor = math.pow(10, math.abs(6 - scale)).toLong
+        while (i < n) {
+          val ticks = r.readLongLE()
+          out(i) = if (scale <= 6) ticks * factor else ticks / factor
+          i += 1
+        }
+      case e: Enum =>
+        while (i < n) {
+          val code = if (e.bytes == 1) r.readByte().toByte.toInt else r.readShortLE().toInt
+          out(i) = UTF8String.fromString(e.codeToName.getOrElse(code,
+            throw new IllegalArgumentException(s"enum code $code not in declaration")))
+          i += 1
+        }
+      case BoolT => while (i < n) { out(i) = r.readByte() != 0; i += 1 }
+      case other =>
+        throw new IllegalArgumentException(s"not a scalar MergeTree type: $other")
+    }
+    out
+  }
+}
