@@ -483,6 +483,43 @@ object SparkEntry {
              |SETTINGS disk = disk(type = web, endpoint = 'http://127.0.0.1:$port/mt_nation/')""".stripMargin)))._1
     }),
 
+    // SQL write front door round-trip (VERDICT r9 task #3): INSERT a
+    // filtered selection to parquet via the statement form, ATTACH the
+    // written path back, aggregate — the oracle runs the same filter +
+    // aggregation on the source table, so a hash match proves the write
+    // lossless
+    "q161_insert_roundtrip" -> ((spark, dir) => {
+      prep(spark, dir)
+      val base = derivedDir(spark, dir)
+      val out = s"$base/ins_orders"
+      val svc = new QueryService(spark)
+      svc.executeToDf(QueryService.QueryRequest(
+        query = """SELECT st, count() AS n, CAST(round(sum(tp)) AS BIGINT) AS total
+                  |FROM ins_back GROUP BY st ORDER BY st""".stripMargin,
+        initQueries = Seq(
+          s"""INSERT INTO '$out' FORMAT Parquet
+             |SELECT o_orderkey, o_orderstatus AS st, o_totalprice AS tp
+             |FROM orders WHERE o_orderkey % 3 = 0""".stripMargin,
+          s"""ATTACH TABLE ins_back (`o_orderkey` Int64, `st` String, `tp` Float64)
+             |ENGINE = MergeTree ORDER BY (o_orderkey)
+             |SETTINGS disk = disk(type = web, endpoint = '$out')""".stripMargin)))._1
+    }),
+
+    // CREATE TABLE … AS SELECT with a MergeTree-parity ORDER BY: the
+    // materialized table registers as a view and queries like any other
+    "q162_ctas" -> ((spark, dir) => {
+      prep(spark, dir)
+      val svc = new QueryService(spark)
+      svc.executeToDf(QueryService.QueryRequest(
+        query = """SELECT c_nationkey, count() AS n,
+                  |       CAST(round(sum(bal) * 100) AS BIGINT) AS bal_c
+                  |FROM ctas_cust GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+        initQueries = Seq(
+          """CREATE TABLE ctas_cust ENGINE = MergeTree ORDER BY (c_nationkey) AS
+            |SELECT c_custkey, c_nationkey, c_acctbal AS bal
+            |FROM customer WHERE c_custkey % 2 = 0""".stripMargin)))._1
+    }),
+
     // CH vector-distance family (dotProduct/cosineDistance/L1/L2/Linf)
     // over real embeddings, paired (vec_id, vec_id+1) — native codegen'd
     // kernels, oracle = DuckDB list_* on the same double-widened arrays
@@ -1940,6 +1977,16 @@ object SparkEntry {
         |  FROM cfa GROUP BY prio)
         |SELECT prio, s_csv, mn_csv, mx_csv, cf_csv
         |FROM l1 JOIN l2 USING (prio) ORDER BY prio""".stripMargin,
+    "q161_insert_roundtrip" ->
+      """SELECT o_orderstatus AS st, count(*) AS n,
+        |       CAST(round(sum(o_totalprice)) AS BIGINT) AS total
+        |FROM orders WHERE o_orderkey % 3 = 0
+        |GROUP BY st ORDER BY st""".stripMargin,
+    "q162_ctas" ->
+      """SELECT c_nationkey, count(*) AS n,
+        |       CAST(round(sum(c_acctbal) * 100) AS BIGINT) AS bal_c
+        |FROM customer WHERE c_custkey % 2 = 0
+        |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
     "q160_attach_mergetree" ->
       """SELECT 'R' || n_regionkey AS region,
         |       count(*) AS n,

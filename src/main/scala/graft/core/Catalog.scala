@@ -97,6 +97,13 @@ object Catalog {
   /** Sorted-layout contract for a table, if attached with ORDER BY. */
   def sortKey(name: String): Seq[String] = attached.get(name).map(_.orderBy).getOrElse(Nil)
 
+  /** Record a CREATE TABLE … AS SELECT materialization (write front
+    * door, [[graft.dialect.ChWrites]]): same catalog surface as ATTACH —
+    * the ORDER BY key documents the clustered parquet layout the table
+    * was written with. */
+  def recordCtas(name: String, path: String, orderBy: Seq[String]): Unit =
+    attached(name) = AttachedTable(name, "", orderBy, Some(path))
+
   def lookup(name: String): Option[AttachedTable] = attached.get(name)
 
   private def canRead(endpoint: String): Boolean =

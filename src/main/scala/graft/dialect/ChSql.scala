@@ -302,6 +302,9 @@ object ChSql {
       val t = graft.core.Catalog.attach(spark, m)
       return Seq((t.name, "attached")).toDF("table", "status")
     }
+    // write statements: INSERT INTO '<path>'/FUNCTION file(…) SELECT …,
+    // CREATE TABLE … AS SELECT … — routed through Sinks (S11)
+    if (ChWrites.isWrite(m)) return ChWrites.run(spark, m, macros)
     // CH `EXPLAIN [mode] SELECT …` returns the plan as result rows; the
     // Spark rendition explains the rewritten query's physical plan (all
     // CH modes map to the one plan Spark has — the Catalyst one)

@@ -1,0 +1,164 @@
+package graft.dialect
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+import graft.sources.Sinks
+
+/** SQL write front door (SURVEY §2.1 S11; VERDICT r9 task #3): the
+  * reference returns results through the driver envelope and hints at a
+  * result offload to object storage (`workflow_query_executor.go:94`
+  * TODO "Return S3 url"); every real pipeline needs the write path as a
+  * STATEMENT, not just the [[Sinks]] API. Supported statements:
+  *
+  *   - `INSERT INTO '<path>' [FORMAT <fmt>] SELECT …`
+  *   - `INSERT INTO FUNCTION file('<path>'[, '<fmt>']) SELECT …`
+  *     (CH's own table-function spelling)
+  *   - `CREATE TABLE <name> [ENGINE = MergeTree] [ORDER BY (k, …)] AS
+  *     SELECT …` — materialized under the warehouse dir
+  *     (`spark.graft.warehouseDir`, default `<java.io.tmpdir>/
+  *     graft_warehouse`), ORDER BY becoming [[Sinks.writeSorted]]'s
+  *     clustered layout (the MergeTree primary-index parity story) and
+  *     the result registered as a queryable view + catalog entry.
+  *
+  * The SELECT body goes through the full dialect rewrite, so every CH
+  * clause/function works inside a write. Formats mirror the READ
+  * surface: Parquet (default), CSVWithNames/CSV, TSVWithNames/TSV,
+  * JSONEachRow; `.gz` compression by extension for the text formats.
+  *
+  * Scale posture: the write is `df.write` — executor-parallel, never
+  * driver-gathered; `INSERT INTO FUNCTION s3(…)` with an http(s) URL is
+  * refused loudly (no credentialed object-store egress here) rather
+  * than half-written.
+  */
+object ChWrites {
+
+  private val InsertFnRe =
+    """(?is)^\s*INSERT\s+INTO\s+FUNCTION\s+(file|s3)\s*\(\s*'([^']+)'\s*(?:,\s*'([^']+)')?\s*\)\s*(.*)$""".r
+  private val InsertPathRe =
+    """(?is)^\s*INSERT\s+INTO\s+'([^']+)'\s*(.*)$""".r
+  private val InsertTableRe =
+    """(?is)^\s*INSERT\s+INTO\s+(\S+).*$""".r
+  private val CtasRe =
+    """(?is)^\s*CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?([`"]?[\w.]+[`"]?)\s*(.*?)\s*\bAS\s+((?:SELECT|WITH)\b.*)$""".r
+  private val FormatPrefixRe = """(?is)^FORMAT\s+(\w+)\s+(.*)$""".r
+  private val OrderByRe = """(?is)\bORDER\s+BY\s*\(([^)]*)\)""".r
+  private val OrderByBareRe = """(?is)\bORDER\s+BY\s+([\w`."]+)""".r
+
+  val WarehouseConf = "spark.graft.warehouseDir"
+
+  def isWrite(sql: String): Boolean = {
+    val t = sql.trim
+    t.regionMatches(true, 0, "INSERT INTO", 0, "INSERT INTO".length) ||
+      CtasRe.matches(t)
+  }
+
+  /** Execute a write statement; returns a one-row status frame (the
+    * statement analog of the ATTACH status row). */
+  def run(spark: SparkSession, sql: String,
+      macros: Map[String, String]): DataFrame = {
+    import spark.implicits._
+    sql match {
+      case InsertFnRe(fn, path, fmt, rest) =>
+        if (fn.equalsIgnoreCase("s3") &&
+            (path.startsWith("http://") || path.startsWith("https://")))
+          throw new IllegalArgumentException(
+            s"INSERT INTO FUNCTION s3('$path', …): writing to an http(s) " +
+              "endpoint is not supported — write to a local/file path and " +
+              "publish it, or use INSERT INTO '<path>'")
+        val (fmtName, body) = formatAndBody(Option(fmt), rest)
+        val n = writeSelect(spark, body, macros, path, fmtName)
+        Seq((path, fmtName, n)).toDF("path", "format", "rows")
+      case InsertPathRe(path, rest) =>
+        val (fmtName, body) = formatAndBody(None, rest)
+        val n = writeSelect(spark, body, macros, path, fmtName)
+        Seq((path, fmtName, n)).toDF("path", "format", "rows")
+      case CtasRe(rawName, middle, body) =>
+        val name = rawName.stripPrefix("`").stripSuffix("`")
+          .stripPrefix("\"").stripSuffix("\"")
+        val sortKey =
+          OrderByRe.findFirstMatchIn(middle)
+            .map(_.group(1).split(",").map(_.trim.stripPrefix("`").stripSuffix("`")).toSeq)
+            .orElse(OrderByBareRe.findFirstMatchIn(middle)
+              .map(m => Seq(m.group(1).stripPrefix("`").stripSuffix("`"))))
+            .getOrElse(Nil)
+        val warehouse = spark.conf.get(WarehouseConf,
+          s"${System.getProperty("java.io.tmpdir")}/graft_warehouse")
+        val path = s"$warehouse/$name"
+        val df = selectDf(spark, body, macros)
+        if (sortKey.nonEmpty) Sinks.writeSorted(df, path, sortKey)
+        else Sinks.writeParquet(df, path)
+        val back = spark.read.parquet(path)
+        back.createOrReplaceTempView(name)
+        // record the sorted-layout contract like an ATTACH would (W7)
+        if (sortKey.nonEmpty) graft.core.Catalog.recordCtas(name, path, sortKey)
+        Seq((name, path, back.count())).toDF("table", "path", "rows")
+      case InsertTableRe(target) =>
+        throw new IllegalArgumentException(
+          s"INSERT INTO $target: only path targets are writable " +
+            "(INSERT INTO '<path>' [FORMAT f] SELECT …, or INSERT INTO " +
+            "FUNCTION file('<path>', '<format>') SELECT …); attached " +
+            "web-disk tables and views are read-only, like CH web disks")
+      case other =>
+        throw new IllegalArgumentException(s"unparseable write statement: ${other.take(120)}…")
+    }
+  }
+
+  private def formatAndBody(explicit: Option[String], rest: String): (String, String) =
+    explicit match {
+      case Some(f) => (normalizeFormat(f), rest.trim)
+      case None => rest.trim match {
+        case FormatPrefixRe(f, body) => (normalizeFormat(f), body)
+        case body => ("Parquet", body)
+      }
+    }
+
+  private def normalizeFormat(f: String): String = f.toLowerCase match {
+    case "parquet" => "Parquet"
+    case "csvwithnames" => "CSVWithNames"
+    case "csv" => "CSV"
+    case "tsvwithnames" | "tabseparatedwithnames" => "TSVWithNames"
+    case "tsv" | "tabseparated" => "TSV"
+    case "jsoneachrow" | "ndjson" => "JSONEachRow"
+    case other => throw new IllegalArgumentException(
+      s"unsupported INSERT format '$other' (Parquet, CSV[WithNames], " +
+        "TSV[WithNames], JSONEachRow)")
+  }
+
+  private def selectDf(spark: SparkSession, body: String,
+      macros: Map[String, String]): DataFrame = {
+    val r = ChSql.rewrite(spark, body, macros)
+    ChSql.applySettings(spark, r.settings)
+    ChSql.finish(spark, r)
+  }
+
+  /** Write and return the row count (counted from the WRITTEN data for
+    * parquet — no second scan of the source; text formats count the
+    * source frame once before writing). */
+  private def writeSelect(spark: SparkSession, body: String,
+      macros: Map[String, String], path: String, fmt: String): Long = {
+    val df = selectDf(spark, body, macros)
+    val gz = if (path.endsWith(".gz")) Some("gzip") else None
+    fmt match {
+      case "Parquet" =>
+        Sinks.writeParquet(df, path)
+        spark.read.parquet(path).count()
+      case "CSVWithNames" | "CSV" =>
+        val n = df.count()
+        Sinks.writeCsv(df, path, header = fmt == "CSVWithNames", compression = gz)
+        n
+      case "TSVWithNames" | "TSV" =>
+        val n = df.count()
+        val w = df.write.mode(SaveMode.Overwrite)
+          .option("header", (fmt == "TSVWithNames").toString)
+          .option("sep", "\t").option("escape", "\"")
+        gz.foreach(c => w.option("compression", c))
+        w.csv(path)
+        n
+      case "JSONEachRow" =>
+        val n = df.count()
+        Sinks.writeJsonEachRow(df, path, compression = gz)
+        n
+      case other => throw new IllegalArgumentException(s"format $other")
+    }
+  }
+}

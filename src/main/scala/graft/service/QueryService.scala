@@ -107,6 +107,12 @@ class QueryService(spark: SparkSession) {
     req.initQueries.foreach { q =>
       ChSql.sql(spark, q, req.macros).collect()
     }
+    // write statements (INSERT INTO …/CREATE TABLE … AS SELECT) as the
+    // MAIN query return their status frame — same contract as init-path
+    // writes through ChSql.sql
+    val main = ChSql.stripOnCluster(ChSql.substituteMacros(req.query, req.macros))
+    if (graft.dialect.ChWrites.isWrite(main))
+      return (graft.dialect.ChWrites.run(spark, main, req.macros), Map.empty)
     val r = ChSql.rewrite(spark, req.query, req.macros)
     ChSql.applySettings(spark, r.settings)
     (ChSql.finish(spark, r), r.settings)

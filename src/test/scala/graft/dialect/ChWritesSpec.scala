@@ -1,0 +1,91 @@
+package graft.dialect
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** SQL write front door (S11 statement forms): INSERT INTO path /
+  * FUNCTION file(…), format surface, CTAS with ORDER BY clustering,
+  * and the read-only refusals. */
+class ChWritesSpec extends AnyFunSuite {
+
+  private lazy val spark = graft.TestSpark.spark
+
+  private def freshView(): Unit = {
+    import spark.implicits._
+    Seq((1L, "a", 10.5), (2L, "b", 20.0), (3L, "a", 30.25), (4L, "c", 5.0))
+      .toDF("id", "k", "v").createOrReplaceTempView("wsrc")
+  }
+
+  test("INSERT INTO '<path>' FORMAT Parquet writes the SELECT and reports rows") {
+    freshView()
+    val out = Files.createTempDirectory("graft_w").toString + "/p"
+    val st = ChSql.sql(spark,
+      s"INSERT INTO '$out' FORMAT Parquet SELECT id, k, v FROM wsrc WHERE id % 2 = 1")
+    val row = st.collect().head
+    assert(row.getString(0) == out && row.getString(1) == "Parquet" && row.getLong(2) == 2L)
+    val back = spark.read.parquet(out).orderBy("id").collect()
+    assert(back.map(_.getLong(0)).toSeq == Seq(1L, 3L))
+  }
+
+  test("INSERT INTO FUNCTION file(path, fmt) — CH's spelling; CSVWithNames/JSONEachRow formats") {
+    freshView()
+    val csv = Files.createTempDirectory("graft_w").toString + "/c"
+    ChSql.sql(spark,
+      s"INSERT INTO FUNCTION file('$csv', 'CSVWithNames') SELECT id, k FROM wsrc").collect()
+    val backCsv = spark.read.option("header", "true").csv(csv)
+    assert(backCsv.count() == 4 && backCsv.columns.toSeq == Seq("id", "k"))
+    val jl = Files.createTempDirectory("graft_w").toString + "/j"
+    ChSql.sql(spark,
+      s"INSERT INTO FUNCTION file('$jl', 'JSONEachRow') SELECT id, v FROM wsrc").collect()
+    assert(spark.read.json(jl).count() == 4)
+  }
+
+  test("the SELECT body goes through the dialect (count(), combinators, SETTINGS)") {
+    freshView()
+    val out = Files.createTempDirectory("graft_w").toString + "/d"
+    ChSql.sql(spark,
+      s"INSERT INTO '$out' SELECT k, count() AS n, sumIf(v, id % 2 = 1) AS s FROM wsrc GROUP BY k").collect()
+    val back = spark.read.parquet(out).orderBy("k").collect()
+    assert(back.length == 3)
+    assert(back(0).getAs[Long]("n") == 2L && back(0).getAs[Double]("s") == 40.75)
+  }
+
+  test("CREATE TABLE … ENGINE=MergeTree ORDER BY … AS SELECT materializes, registers, clusters") {
+    freshView()
+    val wh = Files.createTempDirectory("graft_wh").toString
+    spark.conf.set(ChWrites.WarehouseConf, wh)
+    try {
+      val st = ChSql.sql(spark,
+        "CREATE TABLE ctas_t ENGINE = MergeTree ORDER BY (k) AS SELECT k, v FROM wsrc")
+      val row = st.collect().head
+      assert(row.getString(0) == "ctas_t" && row.getLong(2) == 4L)
+      // registered: queryable through the dialect, with catalog sort key
+      val q = ChSql.sql(spark, "SELECT k, count() AS n FROM ctas_t GROUP BY k ORDER BY k")
+      assert(q.collect().map(r => (r.getString(0), r.getLong(1))).toSeq ==
+        Seq(("a", 2L), ("b", 1L), ("c", 1L)))
+      assert(graft.core.Catalog.sortKey("ctas_t") == Seq("k"))
+      assert(new java.io.File(s"$wh/ctas_t").isDirectory)
+    } finally spark.conf.unset(ChWrites.WarehouseConf)
+  }
+
+  test("INSERT INTO a view/table name refuses with guidance; s3 http refuses") {
+    freshView()
+    val e = intercept[IllegalArgumentException] {
+      ChSql.sql(spark, "INSERT INTO wsrc SELECT 1, 'x', 2.0")
+    }
+    assert(e.getMessage.contains("read-only"))
+    val e2 = intercept[IllegalArgumentException] {
+      ChSql.sql(spark, "INSERT INTO FUNCTION s3('http://example.invalid/x', 'Parquet') SELECT 1")
+    }
+    assert(e2.getMessage.contains("http"))
+  }
+
+  test("unsupported format refuses loudly") {
+    freshView()
+    val e = intercept[IllegalArgumentException] {
+      ChSql.sql(spark, "INSERT INTO '/tmp/graft_w_nope' FORMAT Arrow SELECT id FROM wsrc")
+    }
+    assert(e.getMessage.toLowerCase.contains("format"))
+  }
+}
