@@ -271,14 +271,60 @@ object Bench {
           f"10x growth ratio $r%.2f exceeds the 6.0 near-linear gate")
     }
 
+    // DuckDB oracle self-measurement (VERDICT r8 task #6): time the four
+    // baseline shapes in DuckDB inside THIS run — same machine, same
+    // cache state — so the 2×-gate ratio is produced by the gate itself,
+    // not re-measured by each judge with session variance. Python/duckdb
+    // are driver-harness tools (not library deps); absence is reported,
+    // never silently skipped.
+    val duck = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    val ratioDuck = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    try {
+      val script = new java.io.File("scripts/bench_duckdb.py")
+      if (!script.exists()) {
+        errors("duckdb_oracle") = s"${script.getPath} not found (run from repo root)"
+      } else {
+        val p = new ProcessBuilder("python3", script.getPath, sfDir, cpus).start()
+        val outStr = new String(p.getInputStream.readAllBytes(), "UTF-8").trim
+        val errStr = new String(p.getErrorStream.readAllBytes(), "UTF-8").trim
+        p.waitFor()
+        require(p.exitValue() == 0,
+          s"bench_duckdb.py exited ${p.exitValue()}: ${errStr.take(200)}")
+        val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(outStr)
+        Seq("q1_scan_count", "q2_group_sum", "q3_uniq_exact", "q4_hash_scan").foreach { q =>
+          if (root.has(q)) {
+            duck(q) = root.get(q).asDouble()
+            times.get(q).filter(_ => duck(q) > 0)
+              .foreach(t => ratioDuck(q) = t / duck(q))
+          }
+        }
+      }
+    } catch {
+      case e: Throwable =>
+        errors("duckdb_oracle") = Option(e.getMessage).getOrElse(e.getClass.getName)
+          .linesIterator.take(1).mkString.take(200)
+    }
+
     def jstr(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
     def jmap(m: scala.collection.Map[String, Double]) =
       m.map { case (k, v) => s"${jstr(k)}:${"%.3f".format(v)}" }.mkString("{", ",", "}")
     val es = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }
       .mkString("{", ",", "}")
     val total = times.values.sum
-    println(
-      s"""{"metric":"total","value":${"%.3f".format(total)},"unit":"sec","iters":$Iters,"queries":${jmap(times)},"sf10x":${jmap(times10)},"ratio_10x":${jmap(ratios)},"errors":$es,"sf":${jstr(sfDir)}}""")
+    val line =
+      s"""{"metric":"total","value":${"%.3f".format(total)},"unit":"sec","iters":$Iters,"queries":${jmap(times)},"sf10x":${jmap(times10)},"ratio_10x":${jmap(ratios)},"duckdb":${jmap(duck)},"ratio_vs_duckdb":${jmap(ratioDuck)},"errors":$es,"sf":${jstr(sfDir)}}"""
+    println(line)
+    // machine-readable artifact independent of log scraping (the r8
+    // driver harness failed to extract the metric line from the sbt
+    // tail): always mirror the JSON line to a file
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench_out.json")
+    try {
+      java.nio.file.Files.createDirectories(
+        java.nio.file.Paths.get(outFile).toAbsolutePath.getParent)
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), line + "\n")
+    } catch { case e: Exception =>
+      System.err.println(s"[bench] could not write $outFile: ${e.getMessage}")
+    }
     spark.stop()
   }
 }

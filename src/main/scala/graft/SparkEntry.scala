@@ -520,6 +520,38 @@ object SparkEntry {
             |FROM customer WHERE c_custkey % 2 = 0""".stripMargin)))._1
     }),
 
+    // State→parquet→Merge re-aggregation round-trip (VERDICT r9 task
+    // #8): avgState's (sum,count) pair-struct and quantileExactState's
+    // sorted multiset are written per (prio, status) group through the
+    // INSERT front door, ATTACHed back, and merged per prio — the
+    // oracle computes the same aggregates directly from orders, so a
+    // hash match proves the partial states re-aggregate exactly
+    "q163_state_merge" -> ((spark, dir) => {
+      prep(spark, dir)
+      val base = derivedDir(spark, dir)
+      val out = s"$base/agg_states"
+      val svc = new QueryService(spark)
+      svc.executeToDf(QueryService.QueryRequest(
+        query = """SELECT prio,
+                  |       CAST(round(avgMerge(a) * 100) AS BIGINT) AS avg_c,
+                  |       CAST(quantileExactMerge(0.5)(qs) AS BIGINT) AS med,
+                  |       CAST(sumMerge(s) AS BIGINT) AS tot,
+                  |       CAST(countMerge(c) AS BIGINT) AS n
+                  |FROM st_back GROUP BY prio ORDER BY prio""".stripMargin,
+        initQueries = Seq(
+          s"""INSERT INTO '$out' FORMAT Parquet
+             |SELECT o_orderpriority AS prio, o_orderstatus AS st,
+             |       avgState(o_totalprice) AS a,
+             |       quantileExactState(o_orderkey) AS qs,
+             |       sumState(o_orderkey % 97) AS s,
+             |       countState(o_orderkey) AS c
+             |FROM orders GROUP BY prio, st""".stripMargin,
+          s"""ATTACH TABLE st_back (`prio` String, `st` String,
+             | `a` Tuple(sum Float64, count Int64), `qs` Array(Int64), `s` Int64, `c` Int64)
+             |ENGINE = MergeTree ORDER BY (prio)
+             |SETTINGS disk = disk(type = web, endpoint = '$out')""".stripMargin)))._1
+    }),
+
     // CH vector-distance family (dotProduct/cosineDistance/L1/L2/Linf)
     // over real embeddings, paired (vec_id, vec_id+1) — native codegen'd
     // kernels, oracle = DuckDB list_* on the same double-widened arrays
@@ -1977,6 +2009,13 @@ object SparkEntry {
         |  FROM cfa GROUP BY prio)
         |SELECT prio, s_csv, mn_csv, mx_csv, cf_csv
         |FROM l1 JOIN l2 USING (prio) ORDER BY prio""".stripMargin,
+    "q163_state_merge" ->
+      """SELECT o_orderpriority AS prio,
+        |       CAST(round(avg(o_totalprice) * 100) AS BIGINT) AS avg_c,
+        |       CAST((list(o_orderkey ORDER BY o_orderkey))[CAST(least(floor(0.5 * count(*)) + 1, count(*)) AS INT)] AS BIGINT) AS med,
+        |       CAST(sum(o_orderkey % 97) AS BIGINT) AS tot,
+        |       count(*) AS n
+        |FROM orders GROUP BY prio ORDER BY prio""".stripMargin,
     "q161_insert_roundtrip" ->
       """SELECT o_orderstatus AS st, count(*) AS n,
         |       CAST(round(sum(o_totalprice)) AS BIGINT) AS total

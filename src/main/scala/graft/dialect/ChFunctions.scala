@@ -999,6 +999,28 @@ object ChFunctions {
         If(EqualTo(n, Literal(0L)), Literal.create(null, NullType),
           ElementAt(sorted, idx))
       })
+      // -State/-Merge for the EXACT quantile family (VERDICT r9 task #8):
+      // the exact state IS the value multiset, which plain SQL types
+      // express (sorted array) and parquet round-trips — so re-aggregation
+      // pipelines (state per group → persist → merge) work end-to-end.
+      // Merge = flatten the partial arrays and run the same nth-element
+      // selection quantileExact uses. The sketch families (TDigest/HLL
+      // buffers) keep their opaque-state caveat — their buffers are not
+      // SQL-representable, which the scaladoc on uniqState documents.
+      reg("quantileExactState")({ case Seq(x) =>
+        new SortArray(CollectList(x).toAggregateExpression(), Literal(true))
+      })
+      reg("quantileExactMerge")({ case Seq(st, q) =>
+        val all = new SortArray(
+          Flatten(CollectList(st).toAggregateExpression()), Literal(true))
+        val n = Cast(Size(all), LongType)
+        val idx = Cast(
+          Least(Seq(Add(Floor(Multiply(q, n)), Literal(1L)), n)),
+          IntegerType)
+        If(EqualTo(n, Literal(0L)), Literal.create(null, NullType),
+          ElementAt(all, idx))
+      })
+
       // quantiles(q1,…,qk)(x) — plural form returns the array; the
       // parametric pre-pass delivers the args as (x, q1, …, qk)
       reg("quantiles")({ case x +: qs if qs.nonEmpty =>

@@ -112,6 +112,47 @@ class PlanSpec extends AnyFunSuite {
     assert(limited.collect().head.getLong(0) == 7L)
   }
 
+  test("footer shortcut disqualifies on unsigned logical types and absent stats (VERDICT r9 #7)") {
+    // fixtures a Spark writer cannot produce: pyarrow (driver-side
+    // harness tool) writes (a) a UINT32 column — footer min/max compare
+    // by the PHYSICAL signed int, so trusting them would mis-answer
+    // values past 2³¹ — and (b) a file with statistics disabled
+    def pywrite(code: String): Unit = {
+      val p = new ProcessBuilder("python3", "-c", code).redirectErrorStream(true).start()
+      val out = new String(p.getInputStream.readAllBytes(), "UTF-8")
+      p.waitFor()
+      assert(p.exitValue() == 0, s"pyarrow fixture write failed: $out")
+    }
+    val base = java.nio.file.Files.createTempDirectory("graft_footer_neg").toString
+    pywrite(
+      s"""import pyarrow as pa, pyarrow.parquet as pq
+         |t = pa.table({'u': pa.array([1, 2**31 + 5, 7], type=pa.uint32()), 'k': [1, 2, 3]})
+         |pq.write_table(t, '$base/unsigned.parquet')
+         |t2 = pa.table({'v': [10, 20, 30], 'k': [1, 2, 3]})
+         |pq.write_table(t2, '$base/nostats.parquet', write_statistics=False)
+         |""".stripMargin)
+    // (1) unsigned logical type: min/max must SCAN, and scanned answers
+    // must be the unsigned values (Spark widens UINT32 → long)
+    val u = spark.read.parquet(s"$base/unsigned.parquet")
+    val uAgg = u.agg(min(col("u")).as("mn"), max(col("u")).as("mx"))
+    assert(planOf(uAgg).contains("FileScan"),
+      s"min/max over an unsigned column must scan:\n${planOf(uAgg)}")
+    val r = uAgg.collect().head
+    assert(r.getLong(0) == 1L && r.getLong(1) == (1L << 31) + 5L)
+    // count(*) stays footer-answerable (row counts don't involve stats)
+    val uCnt = u.agg(count(lit(1)).as("n"))
+    assert(planOf(uCnt).contains("LocalTableScan"),
+      s"count(*) is stats-free and may use footers:\n${planOf(uCnt)}")
+    // (2) statistics absent: min/max and count(col) must scan — there
+    // is nothing exact to answer from — and still produce right values
+    val ns = spark.read.parquet(s"$base/nostats.parquet")
+    val nsAgg = ns.agg(min(col("v")).as("mn"), count(col("v")).as("nc"))
+    assert(planOf(nsAgg).contains("FileScan"),
+      s"aggregates over a stats-less file must scan:\n${planOf(nsAgg)}")
+    val nr = nsAgg.collect().head
+    assert(nr.getLong(0) == 10L && nr.getLong(1) == 3L)
+  }
+
   test("small dimension joins broadcast (no shuffle of the fact side)") {
     val orders = Tables.load(spark, dir, "orders")
     val customer = Tables.load(spark, dir, "customer")
