@@ -138,12 +138,18 @@ object SparkEntry {
             java.sql.Timestamp.from(epoch.plusSeconds(k * 86400L)),
             if (k % 5 == 0) null else Long.box(k * 7))
         }
-        val (older, newer) = nat.partition(_.get(0).toString.toLong <= 12)
+        // rows sorted by the declared ORDER BY (region, n_nationkey) so
+        // the parts carry a truthful primary.idx for granule pruning
+        val sortedRows = nat.toSeq.map(mtRow)
+          .sortBy(r => (r(2).asInstanceOf[String], r(0).asInstanceOf[Long]))
+        val (older, newer) = sortedRows.splitAt(13)
         val mtDir = s"$base/mt_nation"
         graft.sources.mergetree.MergeTreePartWriter.writePart(
-          mtDir, mtCols, older.toSeq.map(mtRow), granularity = 5, partName = "all_1_1_0")
+          mtDir, mtCols, older, granularity = 5, partName = "all_1_1_0",
+          orderBy = Seq("region", "n_nationkey"))
         graft.sources.mergetree.MergeTreePartWriter.writePart(
-          mtDir, mtCols, newer.toSeq.map(mtRow), granularity = 5, partName = "all_2_2_0")
+          mtDir, mtCols, newer, granularity = 5, partName = "all_2_2_0",
+          orderBy = Seq("region", "n_nationkey"))
         graft.sources.mergetree.MergeTreePartWriter.writeHttpIndex(mtDir)
       }
       base

@@ -59,8 +59,10 @@ object Catalog {
           // the reference's flagship shape END-TO-END: the endpoint serves
           // an actual MergeTree wide-part tree (local dir, or http(s) with
           // a `.index` listing) — granule-split, column-pruned reads via
-          // the mergetree DataSource V2 (VERDICT r9 task #1)
-          graft.sources.mergetree.MergeTree.read(spark, path, cols)
+          // the mergetree DataSource V2 (VERDICT r9 task #1). The ORDER BY
+          // key flows through so leading-key predicates prune granule
+          // ranges off primary.idx — CH's primary-index skipping.
+          graft.sources.mergetree.MergeTree.read(spark, path, cols, key)
         case Some(path) if canRead(path) =>
           spark.read.schema(schema).parquet(path)
         case Some(path) if isHttpParquet(path) =>

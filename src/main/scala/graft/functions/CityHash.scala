@@ -135,6 +135,111 @@ object CityHash {
     shiftMix(r * k0 + vs) * k2
   }
 
+  // ---- CityHash128 (same 1.0.2 lineage) ------------------------------
+  // ClickHouse uses CityHash128 for its compressed-frame checksums
+  // (every MergeTree `.bin` frame is prefixed with the 128-bit hash of
+  // its method byte + sizes + payload). Ported from the same
+  // public-domain 1.0.2 source as hash64 above: the `k3`-seeded entry
+  // form below is the 1.0.2 spelling (1.1 reseeded it differently).
+  // No external golden vectors are runnable in this sandbox (no CH
+  // binary, no egress); the MergeTree round-trip spec pins
+  // writer↔reader agreement and corruption detection.
+
+  /** CityMurmur — the < 128-byte arm of CityHash128WithSeed. */
+  private def cityMurmur(
+      s: Array[Byte], off: Int, len: Int, seedLo: Long, seedHi: Long): (Long, Long) = {
+    var a = seedLo
+    var b = seedHi
+    var c = 0L
+    var d = 0L
+    val l = len - 16
+    if (l <= 0) {
+      a = shiftMix(a * k1) * k1
+      c = b * k1 + hashLen0to16(s, off, len)
+      d = shiftMix(a + (if (len >= 8) fetch64(s, off) else c))
+    } else {
+      c = hashLen16(fetch64(s, off + len - 8) + k1, a)
+      d = hashLen16(b + len, c + fetch64(s, off + len - 16))
+      a += d
+      var p = off
+      var left = l
+      while (left > 0) {
+        a ^= shiftMix(fetch64(s, p) * k1) * k1
+        a *= k1
+        b ^= a
+        c ^= shiftMix(fetch64(s, p + 8) * k1) * k1
+        c *= k1
+        d ^= c
+        p += 16
+        left -= 16
+      }
+    }
+    a = hashLen16(a, c)
+    b = hashLen16(d, b)
+    (a ^ b, hashLen16(b, a))
+  }
+
+  /** CityHash128WithSeed, 1.0.2. Returns (low, high). */
+  def hash128WithSeed(
+      s: Array[Byte], off0: Int, len0: Int, seedLo: Long, seedHi: Long): (Long, Long) = {
+    if (len0 < 128) return cityMurmur(s, off0, len0, seedLo, seedHi)
+    var off = off0
+    var len = len0
+    var x = seedLo
+    var y = seedHi
+    var z = len * k1
+    var vf = rotate(y ^ k1, 49) * k1 + fetch64(s, off)
+    var vs = rotate(vf, 42) * k1 + fetch64(s, off + 8)
+    var wf = rotate(y + z, 35) * k1 + x
+    var ws = rotate(x + fetch64(s, off + 88), 53) * k1
+    while (len >= 128) {
+      var i = 0
+      while (i < 2) {
+        x = rotate(x + y + vf + fetch64(s, off + 16), 37) * k1
+        y = rotate(y + vs + fetch64(s, off + 48), 42) * k1
+        x ^= ws
+        y ^= vf
+        z = rotate(z ^ wf, 33)
+        val v = weakHashLen32WithSeeds(s, off, vs * k1, x + wf)
+        vf = v._1; vs = v._2
+        val w = weakHashLen32WithSeeds(s, off + 32, z + ws, y)
+        wf = w._1; ws = w._2
+        val t = z; z = x; x = t
+        off += 64
+        i += 1
+      }
+      len -= 128
+    }
+    y += rotate(wf, 37) * k0 + z
+    x += rotate(vf + z, 49) * k0
+    var tailDone = 0
+    while (tailDone < len) {
+      tailDone += 32
+      y = rotate(y - x, 42) * k0 + vs
+      wf += fetch64(s, off + len - tailDone + 16)
+      x = rotate(x, 49) * k0 + wf
+      wf += vf
+      val v = weakHashLen32WithSeeds(s, off + len - tailDone, vf, vs)
+      vf = v._1; vs = v._2
+    }
+    x = hashLen16(x, vf)
+    y = hashLen16(y, wf)
+    (hashLen16(x + vs, ws) + y, hashLen16(x + ws, y + vs))
+  }
+
+  /** CityHash128, 1.0.2 entry. Returns (low, high). */
+  def hash128(s: Array[Byte], off: Int, len: Int): (Long, Long) = {
+    if (len >= 16)
+      hash128WithSeed(s, off + 16, len - 16, fetch64(s, off) ^ k3, fetch64(s, off + 8))
+    else if (len >= 8)
+      hash128WithSeed(Array.emptyByteArray, 0, 0,
+        fetch64(s, off) ^ (len * k0), fetch64(s, off + len - 8) ^ k1)
+    else
+      hash128WithSeed(s, off, len, k0, k1)
+  }
+
+  def hash128(s: Array[Byte]): (Long, Long) = hash128(s, 0, s.length)
+
   /** CityHash64 over `len` bytes of `s` starting at `off`. */
   def hash64(s: Array[Byte], off: Int, len: Int): Long = {
     if (len <= 32) {

@@ -15,11 +15,12 @@ import java.io.{File, RandomAccessFile}
   *     (little-endian fixed ints/floats, LEB128 varints, varint-prefixed
   *     strings).
   *
-  * Checksums are not VERIFIED on read (the CityHash128 variant CH uses
-  * is not ported here — only cityHash64 is); a corrupt frame surfaces as
-  * a decompression failure instead of a checksum mismatch. The fixture
-  * writer stamps zeros, which this reader ignores but real ClickHouse
-  * would reject — fixtures are for this engine, not for CH.
+  * Frame checksums are CityHash128 of the frame body (method byte +
+  * sizes + payload) — [[graft.functions.CityHash.hash128]], the same
+  * 1.0.2 lineage as the cityHash64 port. The writer stamps real
+  * checksums; the reader VERIFIES any non-zero stored checksum and
+  * fails loudly on mismatch (an all-zero checksum is treated as
+  * absent — pre-checksum fixtures and hand-built parts still read).
   */
 private[mergetree] object ChIo {
   val MethodLz4: Int = 0x82
@@ -73,6 +74,21 @@ private[mergetree] final class ChCompressedReader(file: SeekableFile) {
     val compSize = leInt(header, 17)   // includes the 9 header bytes after the checksum
     val rawSize = leInt(header, 21)
     val payload = file.readAt(fileOff + ChIo.FrameHeaderBytes, compSize - 9)
+    // checksum covers the frame BODY: method + sizes + payload
+    if (header.take(16).exists(_ != 0)) {
+      val body = new Array[Byte](9 + payload.length)
+      System.arraycopy(header, 16, body, 0, 9)
+      System.arraycopy(payload, 0, body, 9, payload.length)
+      val (lo, hi) = graft.functions.CityHash.hash128(body)
+      val storedLo = leLong(header, 0)
+      val storedHi = leLong(header, 8)
+      if (lo != storedLo || hi != storedHi)
+        throw new IllegalArgumentException(
+          f"compressed-frame checksum mismatch at offset $fileOff " +
+            f"(stored $storedLo%016x:$storedHi%016x, computed $lo%016x:$hi%016x) — " +
+            "the stream is corrupt, or was written by a tool with a " +
+            "different CityHash lineage (zero the checksum field to skip)")
+    }
     block = method match {
       case ChIo.MethodLz4 =>
         val out = new Array[Byte](rawSize)
@@ -94,6 +110,13 @@ private[mergetree] final class ChCompressedReader(file: SeekableFile) {
 
   private def leInt(b: Array[Byte], o: Int): Int =
     (b(o) & 0xFF) | ((b(o + 1) & 0xFF) << 8) | ((b(o + 2) & 0xFF) << 16) | ((b(o + 3) & 0xFF) << 24)
+
+  private def leLong(b: Array[Byte], o: Int): Long = {
+    var v = 0L
+    var i = 7
+    while (i >= 0) { v = (v << 8) | (b(o + i) & 0xFFL); i -= 1 }
+    v
+  }
 
   def readByte(): Int = {
     if (pos >= block.length) loadNextBlock()
@@ -164,12 +187,80 @@ private[mergetree] final class ChCompressedReader(file: SeekableFile) {
   }
 }
 
+/** Value-encoding surface shared by the compressed stream writer and
+  * the PLAIN writer `primary.idx` needs (the primary index is the one
+  * uncompressed file in a part). */
+private[mergetree] trait BinValueOut {
+  def writeByte(b: Int): Unit
+  def writeBytes(b: Array[Byte]): Unit
+  final def writeShortLE(v: Short): Unit =
+    writeBytes(Array((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte))
+  final def writeIntLE(v: Int): Unit =
+    writeBytes(Array.tabulate(4)(i => ((v >> (8 * i)) & 0xFF).toByte))
+  final def writeLongLE(v: Long): Unit =
+    writeBytes(Array.tabulate(8)(i => ((v >> (8 * i)) & 0xFF).toByte))
+  final def writeFloatLE(v: Float): Unit = writeIntLE(java.lang.Float.floatToIntBits(v))
+  final def writeDoubleLE(v: Double): Unit = writeLongLE(java.lang.Double.doubleToLongBits(v))
+  final def writeVarUInt(v0: Long): Unit = {
+    var v = v0
+    require(v >= 0, "negative varint")
+    while (v >= 0x80) { writeByte(((v & 0x7F) | 0x80).toInt); v >>= 7 }
+    writeByte(v.toInt)
+  }
+  final def writeString(s: String): Unit = {
+    val b = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    writeVarUInt(b.length.toLong)
+    writeBytes(b)
+  }
+}
+
+/** Uncompressed value writer — `primary.idx`. */
+private[mergetree] final class PlainBinWriter extends BinValueOut {
+  private val out = new java.io.ByteArrayOutputStream()
+  def writeByte(b: Int): Unit = out.write(b)
+  def writeBytes(b: Array[Byte]): Unit = out.write(b)
+  def bytes: Array[Byte] = out.toByteArray
+}
+
+/** Uncompressed value reader — `primary.idx`. */
+private[mergetree] final class PlainBinReader(data: Array[Byte]) {
+  private var pos = 0
+  def atEnd: Boolean = pos >= data.length
+  def readByte(): Int = { val b = data(pos) & 0xFF; pos += 1; b }
+  def readBytes(n: Int): Array[Byte] = {
+    val out = java.util.Arrays.copyOfRange(data, pos, pos + n); pos += n; out
+  }
+  def readShortLE(): Short = ((readByte()) | (readByte() << 8)).toShort
+  def readIntLE(): Int =
+    readByte() | (readByte() << 8) | (readByte() << 16) | (readByte() << 24)
+  def readLongLE(): Long = {
+    var v = 0L
+    var i = 0
+    while (i < 8) { v |= (readByte().toLong << (8 * i)); i += 1 }
+    v
+  }
+  def readFloatLE(): Float = java.lang.Float.intBitsToFloat(readIntLE())
+  def readDoubleLE(): Double = java.lang.Double.longBitsToDouble(readLongLE())
+  def readVarUInt(): Long = {
+    var v = 0L
+    var shift = 0
+    var b = readByte()
+    while ((b & 0x80) != 0) {
+      v |= (b & 0x7FL) << shift; shift += 7; b = readByte()
+    }
+    v | ((b & 0x7FL) << shift)
+  }
+  def readString(): String =
+    new String(readBytes(readVarUInt().toInt), java.nio.charset.StandardCharsets.UTF_8)
+}
+
 /** Compressed `.bin` stream writer (fixture/export side): buffers
   * decompressed bytes and emits LZ4 frames at `blockSize` boundaries.
   * [[markHere]] snapshots the (file offset, buffered bytes) pair that a
   * `.mrk2` mark stores — the un-flushed buffer always starts a fresh
   * frame at the current end of file, which is exactly CH's invariant. */
-private[mergetree] final class ChCompressedWriter(blockSize: Int = 1 << 16) {
+private[mergetree] final class ChCompressedWriter(blockSize: Int = 1 << 16)
+  extends BinValueOut {
   private val out = new java.io.ByteArrayOutputStream()
   private val buf = new java.io.ByteArrayOutputStream()
 
@@ -177,26 +268,6 @@ private[mergetree] final class ChCompressedWriter(blockSize: Int = 1 << 16) {
 
   def writeByte(b: Int): Unit = { buf.write(b); maybeFlush() }
   def writeBytes(b: Array[Byte]): Unit = { buf.write(b); maybeFlush() }
-  def writeShortLE(v: Short): Unit =
-    writeBytes(Array((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte))
-  def writeIntLE(v: Int): Unit =
-    writeBytes(Array.tabulate(4)(i => ((v >> (8 * i)) & 0xFF).toByte))
-  def writeLongLE(v: Long): Unit =
-    writeBytes(Array.tabulate(8)(i => ((v >> (8 * i)) & 0xFF).toByte))
-  def writeFloatLE(v: Float): Unit = writeIntLE(java.lang.Float.floatToIntBits(v))
-  def writeDoubleLE(v: Double): Unit = writeLongLE(java.lang.Double.doubleToLongBits(v))
-  def writeVarUInt(v0: Long): Unit = {
-    var v = v0
-    require(v >= 0, "negative varint")
-    while (v >= 0x80) { buf.write(((v & 0x7F) | 0x80).toInt); v >>= 7 }
-    buf.write(v.toInt)
-    maybeFlush()
-  }
-  def writeString(s: String): Unit = {
-    val b = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-    writeVarUInt(b.length.toLong)
-    writeBytes(b)
-  }
 
   private def maybeFlush(): Unit = if (buf.size() >= blockSize) flushBlock()
 
@@ -204,13 +275,23 @@ private[mergetree] final class ChCompressedWriter(blockSize: Int = 1 << 16) {
     val raw = buf.toByteArray
     buf.reset()
     val comp = net.jpountz.lz4.LZ4Factory.fastestInstance().fastCompressor().compress(raw)
-    // 16B checksum (zeros — see ChIo scaladoc), method, sizes, payload
-    out.write(new Array[Byte](16))
-    out.write(ChIo.MethodLz4)
     val compSize = comp.length + 9
-    out.write(Array.tabulate(4)(i => ((compSize >> (8 * i)) & 0xFF).toByte))
-    out.write(Array.tabulate(4)(i => ((raw.length >> (8 * i)) & 0xFF).toByte))
-    out.write(comp)
+    // frame body (method + sizes + payload), checksummed as CH does
+    val body = new Array[Byte](9 + comp.length)
+    body(0) = ChIo.MethodLz4.toByte
+    var i = 0
+    while (i < 4) {
+      body(1 + i) = ((compSize >> (8 * i)) & 0xFF).toByte
+      body(5 + i) = ((raw.length >> (8 * i)) & 0xFF).toByte
+      i += 1
+    }
+    System.arraycopy(comp, 0, body, 9, comp.length)
+    val (lo, hi) = graft.functions.CityHash.hash128(body)
+    i = 0
+    while (i < 8) { out.write(((lo >> (8 * i)) & 0xFF).toInt); i += 1 }
+    i = 0
+    while (i < 8) { out.write(((hi >> (8 * i)) & 0xFF).toInt); i += 1 }
+    out.write(body)
   }
 
   def finish(): Array[Byte] = { flushBlock(); out.toByteArray }

@@ -146,6 +146,63 @@ private[mergetree] object PartMeta {
       ColumnCodec.Mark(bb.getLong(), bb.getLong(), bb.getLong()))
   }
 
+  /** First-key-column value per granule from `primary.idx` (entries are
+    * ALL key columns' first-row values concatenated; trailing columns
+    * are read and discarded). None when the index is absent/empty or a
+    * key type falls outside the scalar subset — callers then simply
+    * don't prune. A final-mark entry, if present, is ignored. */
+  def primaryIndex(
+      tf: TableFiles,
+      part: String,
+      keyTypes: Seq[ChType],
+      granules: Int): Option[Array[Any]] = {
+    if (keyTypes.isEmpty || !tf.exists(s"$part/primary.idx")) return None
+    val bytes = tf.smallFile(s"$part/primary.idx")
+    if (bytes.isEmpty) return None
+    try {
+      val r = new PlainBinReader(bytes)
+      val out = new Array[Any](granules)
+      var g = 0
+      while (g < granules) {
+        out(g) = readKeyScalar(r, keyTypes.head)
+        keyTypes.tail.foreach(t => readKeyScalar(r, t))
+        g += 1
+      }
+      Some(out)
+    } catch { case _: Exception => None }
+  }
+
+  /** Key-value decode off the PLAIN index stream. Enums come back as
+    * their CODE (CH's ordering domain — [[KeyOrdering]] compares codes);
+    * LowCardinality keys are stored as plain inner values. */
+  private def readKeyScalar(r: PlainBinReader, t: ChType): Any = {
+    import ChType._
+    t match {
+      case LowCardinalityT(inner) => readKeyScalar(r, inner)
+      case FixedInt(1, true) => r.readByte().toByte.toLong
+      case FixedInt(1, false) => r.readByte().toLong
+      case FixedInt(2, true) => r.readShortLE().toLong
+      case FixedInt(2, false) => (r.readShortLE() & 0xFFFF).toLong
+      case FixedInt(4, true) => r.readIntLE().toLong
+      case FixedInt(4, false) => r.readIntLE() & 0xFFFFFFFFL
+      case FixedInt(8, _) => r.readLongLE()
+      case F32 => r.readFloatLE().toDouble
+      case F64 => r.readDoubleLE()
+      case Str => r.readString()
+      case FixedStr(n) => new String(r.readBytes(n), java.nio.charset.StandardCharsets.UTF_8)
+      case Date16 => (r.readShortLE() & 0xFFFF).toLong
+      case Date32T => r.readIntLE().toLong
+      case DateTime32 => (r.readIntLE() & 0xFFFFFFFFL) * 1000000L
+      case DateTime64T(scale) =>
+        val ticks = r.readLongLE()
+        val f = math.pow(10, math.abs(6 - scale)).toLong
+        if (scale <= 6) ticks * f else ticks / f
+      case e: Enum => if (e.bytes == 1) r.readByte().toByte.toLong else r.readShortLE().toLong
+      case BoolT => if (r.readByte() != 0) 1L else 0L
+      case other => throw new IllegalArgumentException(s"key type $other")
+    }
+  }
+
   def read(tf: TableFiles, part: String): PartMeta = {
     val cols = parseColumnsTxt(tf.text(s"$part/columns.txt"))
     val rows = tf.text(s"$part/count.txt").trim.toLong

@@ -14,24 +14,33 @@ import java.nio.file.{Files, Paths}
   * `primary.idx`.
   *
   * Deliberate deltas from a CH-written part, all read-side harmless:
-  * frame checksums are zeros (see [[ChIo]]), `checksums.txt` is not
-  * produced, `primary.idx` is empty, and LowCardinality blocks use the
+  * `checksums.txt` is not produced, and LowCardinality blocks use the
   * per-granule additional-keys form rather than a part-shared
-  * dictionary (the reader handles both).
+  * dictionary (the reader handles both). Frame checksums are real
+  * CityHash128 stamps and `primary.idx` carries the per-granule key
+  * values when `orderBy` is given.
   */
 object MergeTreePartWriter {
 
   /** Write `rows` as one wide part under `tableDir/partName`. `columns`
     * are (name, CH type string) pairs; row values are plain JVM values
     * (String, Number, Boolean, java.sql.Timestamp/Date, Seq for
-    * arrays, null inside Nullable columns). */
+    * arrays, null inside Nullable columns).
+    *
+    * `orderBy` names the primary-key columns: rows are REQUIRED to
+    * arrive sorted by that key (CH's invariant — an unsorted part would
+    * make the primary index lie), and `primary.idx` is written with
+    * each granule's first-row key values, which the reader's
+    * granule-pruning path consumes. Empty `orderBy` writes an empty
+    * index (no pruning, everything else works). */
   def writePart(
       tableDir: String,
       columns: Seq[(String, String)],
       rows: Seq[Seq[Any]],
       granularity: Int = 8192,
       partName: String = "all_1_1_0",
-      blockSize: Int = 1 << 16): Unit = {
+      blockSize: Int = 1 << 16,
+      orderBy: Seq[String] = Nil): Unit = {
     require(granularity > 0)
     val dir = Paths.get(tableDir, partName)
     Files.createDirectories(dir)
@@ -50,7 +59,49 @@ object MergeTreePartWriter {
     Files.write(dir.resolve("columns.txt"), colsTxt.toString.getBytes(UTF_8))
     Files.write(dir.resolve("count.txt"), rows.size.toString.getBytes(UTF_8))
     Files.write(dir.resolve("default_compression_codec.txt"), "CODEC(LZ4)".getBytes(UTF_8))
-    Files.write(dir.resolve("primary.idx"), Array.emptyByteArray)
+    Files.write(dir.resolve("primary.idx"), primaryIdx(columns, rows, granules, orderBy))
+  }
+
+  /** Per-granule first-row key values, all key columns concatenated in
+    * native binary — CH's primary.idx shape (one entry per granule; the
+    * optional final mark is not written, matching the marks files). */
+  private def primaryIdx(
+      columns: Seq[(String, String)],
+      rows: Seq[Seq[Any]],
+      granules: Seq[Seq[Seq[Any]]],
+      orderBy: Seq[String]): Array[Byte] = {
+    if (orderBy.isEmpty || rows.isEmpty) return Array.emptyByteArray
+    val keyCols = orderBy.map { k =>
+      val ci = columns.indexWhere(_._1 == k)
+      require(ci >= 0, s"ORDER BY column `$k` not in the column list")
+      val t = ChType.parse(columns(ci)._2) match {
+        case ChType.LowCardinalityT(inner) => inner // idx stores plain values
+        case other => other
+      }
+      t match {
+        case _: ChType.ArrayT | _: ChType.NullableT =>
+          throw new IllegalArgumentException(
+            s"ORDER BY column `$k`: array/nullable key columns are not supported")
+        case _ => ()
+      }
+      (ci, t)
+    }
+    // CH's invariant: a part's rows are sorted by the primary key — an
+    // unsorted part would make every index entry a lie, so refuse
+    val ord = KeyOrdering(keyCols.map(_._2))
+    rows.sliding(2).zipWithIndex.foreach {
+      case (Seq(a, b), i) =>
+        require(ord.compareRows(keyCols.map { case (ci, _) => a(ci) },
+            keyCols.map { case (ci, _) => b(ci) }) <= 0,
+          s"rows are not sorted by ORDER BY (${orderBy.mkString(", ")}) at row ${i + 1}")
+      case _ => ()
+    }
+    val w = new PlainBinWriter
+    granules.foreach { g =>
+      val first = g.head
+      keyCols.foreach { case (ci, t) => writeScalar(w, t, first(ci)) }
+    }
+    w.bytes
   }
 
   /** Write the `.index` listing [[HttpTableFiles]] requires — every file
@@ -198,7 +249,7 @@ object MergeTreePartWriter {
     case other => throw new IllegalArgumentException(s"numeric value expected: $other")
   }
 
-  private def writeScalar(w: ChCompressedWriter, t: ChType, x: Any): Unit = {
+  private def writeScalar(w: BinValueOut, t: ChType, x: Any): Unit = {
     import ChType._
     t match {
       case FixedInt(1, _) => w.writeByte((toLong(x) & 0xFF).toInt)

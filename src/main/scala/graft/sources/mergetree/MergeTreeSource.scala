@@ -57,9 +57,11 @@ final class MergeTreeSource extends TableProvider with DataSourceRegister {
       partitioning: Array[Transform],
       properties: util.Map[String, String]): Table = {
     val opts = new CaseInsensitiveStringMap(properties)
+    val orderBy = Option(opts.get("orderBy")).map(_.split(",").map(_.trim).toSeq)
+      .getOrElse(Nil).filter(_.nonEmpty)
     new MergeTreeTable(
       MergeTreeSource.endpoint(opts), MergeTreeSource.ddl(opts), schema,
-      opts.getLong("rowsPerSplit", 1L << 20))
+      opts.getLong("rowsPerSplit", 1L << 20), orderBy)
   }
 }
 
@@ -69,9 +71,11 @@ object MergeTree {
   def looksLikeMergeTree(endpoint: String): Boolean =
     TableFiles.looksLikeMergeTree(endpoint)
   def read(spark: org.apache.spark.sql.SparkSession, endpoint: String,
-      ddl: String): org.apache.spark.sql.DataFrame =
+      ddl: String, orderBy: Seq[String] = Nil): org.apache.spark.sql.DataFrame =
     spark.read.format("mergetree")
-      .option("endpoint", endpoint).option("ddl", ddl).load()
+      .option("endpoint", endpoint).option("ddl", ddl)
+      .option("orderBy", orderBy.mkString(","))
+      .load()
 }
 
 private object MergeTreeSource {
@@ -89,33 +93,68 @@ private object MergeTreeSource {
 }
 
 private final class MergeTreeTable(
-    endpoint: String, ddl: String, tableSchema: StructType, rowsPerSplit: Long)
+    endpoint: String, ddl: String, tableSchema: StructType, rowsPerSplit: Long,
+    orderBy: Seq[String])
   extends Table with SupportsRead {
   override def name(): String = s"mergetree($endpoint)"
   override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new MergeTreeScanBuilder(endpoint, ddl, tableSchema, rowsPerSplit)
+    new MergeTreeScanBuilder(endpoint, ddl, tableSchema, rowsPerSplit, orderBy)
 }
 
 private final class MergeTreeScanBuilder(
-    endpoint: String, ddl: String, full: StructType, rowsPerSplit: Long)
-  extends ScanBuilder with SupportsPushDownRequiredColumns {
+    endpoint: String, ddl: String, full: StructType, rowsPerSplit: Long,
+    orderBy: Seq[String])
+  extends ScanBuilder with SupportsPushDownRequiredColumns
+  with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
+  import org.apache.spark.sql.sources._
+
   private var required: StructType = full
+  private var prunePredicates: Array[Filter] = Array.empty
+
   override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
+
+  /** Granule pruning is SKIPPING, not filtering — like parquet row-group
+    * stats, every filter is returned for Spark to re-evaluate; the ones
+    * on the leading primary-key column are additionally recorded (and
+    * reported via pushedFilters, so `.explain` shows them) to drive the
+    * mark-range selection in [[MergeTreeScan]]. */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val key = orderBy.headOption
+    prunePredicates = key match {
+      case Some(k) => filters.filter {
+        case EqualTo(a, v) => a == k && v != null
+        case GreaterThan(a, v) => a == k && v != null
+        case GreaterThanOrEqual(a, v) => a == k && v != null
+        case LessThan(a, v) => a == k && v != null
+        case LessThanOrEqual(a, v) => a == k && v != null
+        case In(a, vs) => a == k && vs.nonEmpty && !vs.contains(null)
+        case _ => false
+      }
+      case None => Array.empty[Filter]
+    }
+    filters
+  }
+  override def pushedFilters(): Array[Filter] = prunePredicates
+
   override def build(): Scan =
-    new MergeTreeScan(endpoint, ddl, required, rowsPerSplit)
+    new MergeTreeScan(endpoint, ddl, required, rowsPerSplit, orderBy, prunePredicates)
 }
 
 private final class MergeTreeScan(
-    endpoint: String, ddl: String, required: StructType, rowsPerSplit: Long)
+    endpoint: String, ddl: String, required: StructType, rowsPerSplit: Long,
+    orderBy: Seq[String],
+    prunePredicates: Array[org.apache.spark.sql.sources.Filter])
   extends Scan with Batch {
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
-    s"mergetree endpoint=$endpoint columns=[${required.fieldNames.mkString(",")}]"
+    s"mergetree endpoint=$endpoint columns=[${required.fieldNames.mkString(",")}]" +
+      (if (prunePredicates.nonEmpty)
+        s" prune=[${prunePredicates.mkString(",")}]" else "")
 
   override def planInputPartitions(): Array[InputPartition] = {
     val tf = TableFiles(endpoint)
@@ -123,23 +162,74 @@ private final class MergeTreeScan(
     require(parts.nonEmpty, s"no MergeTree parts under endpoint '$endpoint'")
     parts.iterator.flatMap { part =>
       val meta = PartMeta.read(tf, part)
-      // group granules into row-bounded splits
+      val keep = qualifyingGranules(tf, part, meta)
+      // split CONTIGUOUS runs of qualifying granules into row-bounded
+      // mark ranges (mid-part starts are fully supported by the decode)
       val splits = Array.newBuilder[InputPartition]
-      var start = 0
-      var i = 0
+      var start = -1
       var acc = 0L
-      while (i < meta.granuleRows.length) {
-        acc += meta.granuleRows(i)
-        i += 1
-        if (acc >= rowsPerSplit || i == meta.granuleRows.length) {
-          splits += MergeTreeSplit(tf, part, start,
-            meta.granuleRows.slice(start, i), meta.columns)
-          start = i
-          acc = 0L
-        }
+      def flush(end: Int): Unit = if (start >= 0) {
+        splits += MergeTreeSplit(tf, part, start,
+          meta.granuleRows.slice(start, end), meta.columns)
+        start = -1; acc = 0L
       }
+      var i = 0
+      while (i < meta.granuleRows.length) {
+        if (keep(i)) {
+          if (start < 0) start = i
+          acc += meta.granuleRows(i)
+          if (acc >= rowsPerSplit) flush(i + 1)
+        } else flush(i)
+        i += 1
+      }
+      flush(meta.granuleRows.length)
       splits.result()
     }.toArray
+  }
+
+  /** Which granules can contain rows matching the pushed key-prefix
+    * predicates. Granule g's leading-key range is [idx(g), idx(g+1)] —
+    * inclusive BOTH ends, a boundary value can straddle granules; the
+    * last granule of a part is unbounded above. No index / no
+    * predicates / uncomparable key type → keep everything. */
+  private def qualifyingGranules(
+      tf: TableFiles, part: String, meta: PartMeta): Int => Boolean = {
+    val n = meta.granuleRows.length
+    if (prunePredicates.isEmpty || orderBy.isEmpty) return _ => true
+    val partTypes = meta.columns.toMap
+    val keyTypes =
+      try orderBy.flatMap(k => partTypes.get(k).map(ChType.parse))
+      catch { case _: Exception => Nil }
+    if (keyTypes.size != orderBy.size) return _ => true
+    val ord = KeyOrdering(keyTypes)
+    val keyT = keyTypes.head match {
+      case ChType.LowCardinalityT(inner) => inner
+      case t => t
+    }
+    if (!ord.comparable(keyT)) return _ => true
+    PartMeta.primaryIndex(tf, part, keyTypes, n) match {
+      case None => _ => true
+      case Some(idx) =>
+        import org.apache.spark.sql.sources._
+        def cmp(a: Any, b: Any): Int =
+          try ord.compareValues(keyT, a, b)
+          catch { case _: Exception => 0 } // incomparable literal → no pruning power
+        (g: Int) => {
+          val gLo = idx(g)
+          val gHi = if (g + 1 < n) Some(idx(g + 1)) else None
+          prunePredicates.forall {
+            case EqualTo(_, v) =>
+              cmp(gLo, v) <= 0 && gHi.forall(h => cmp(h, v) >= 0)
+            case GreaterThan(_, v) => gHi.forall(h => cmp(h, v) > 0)
+            case GreaterThanOrEqual(_, v) => gHi.forall(h => cmp(h, v) >= 0)
+            case LessThan(_, v) => cmp(gLo, v) < 0
+            case LessThanOrEqual(_, v) => cmp(gLo, v) <= 0
+            case In(_, vs) =>
+              vs.exists(v => cmp(gLo, v) <= 0 && gHi.forall(h => cmp(h, v) >= 0))
+            case _ => true
+          }
+        }
+    }
   }
 
   override def createReaderFactory(): PartitionReaderFactory =

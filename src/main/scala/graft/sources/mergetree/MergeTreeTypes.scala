@@ -128,6 +128,76 @@ private[mergetree] object ChType {
   }
 }
 
+/** Ordering over primary-key values — shared by the part writer (the
+  * rows-sorted-by-key invariant check) and the reader's granule pruning
+  * (comparing `primary.idx` entries against pushed-down predicate
+  * bounds). Values arrive in mixed representations (external JVM values
+  * on the write side, decoded index values and Spark `Filter` literals
+  * on the read side); each is normalized per key type before comparing.
+  * Enums compare by their declared CODE — CH's enum order — never
+  * lexicographically. */
+private[mergetree] final case class KeyOrdering(types: Seq[ChType]) {
+  import ChType._
+
+  /** Is `t` usable for pruning comparisons at all? */
+  def comparable(t: ChType): Boolean = t match {
+    case Str | _: FixedStr | F32 | F64 | BoolT => true
+    case _: FixedInt | Date16 | Date32T | DateTime32 | _: DateTime64T | _: Enum => true
+    case LowCardinalityT(inner) => comparable(inner)
+    case _ => false
+  }
+
+  def compareRows(a: Seq[Any], b: Seq[Any]): Int = {
+    var i = 0
+    while (i < types.length) {
+      val c = compareValues(types(i), a(i), b(i))
+      if (c != 0) return c
+      i += 1
+    }
+    0
+  }
+
+  def compareValues(t: ChType, x: Any, y: Any): Int = t match {
+    case Str | _: FixedStr => str(x).compareTo(str(y))
+    case F32 | F64 => java.lang.Double.compare(num(x), num(y))
+    case FixedInt(8, false) => java.lang.Long.compareUnsigned(lng(x), lng(y))
+    case _: FixedInt | BoolT => java.lang.Long.compare(lng(x), lng(y))
+    case Date16 | Date32T => java.lang.Long.compare(days(x), days(y))
+    case DateTime32 | _: DateTime64T => java.lang.Long.compare(micros(x), micros(y))
+    case e: Enum => java.lang.Long.compare(enumCode(e, x), enumCode(e, y))
+    case LowCardinalityT(inner) => compareValues(inner, x, y)
+    case other => throw new IllegalArgumentException(s"not a comparable key type: $other")
+  }
+
+  private def str(x: Any): String = x.toString
+  private def num(x: Any): Double = x match {
+    case n: Number => n.doubleValue()
+    case other => throw new IllegalArgumentException(s"numeric key expected: $other")
+  }
+  private def lng(x: Any): Long = x match {
+    case n: Number => n.longValue()
+    case b: Boolean => if (b) 1L else 0L
+    case other => throw new IllegalArgumentException(s"integer key expected: $other")
+  }
+  private def days(x: Any): Long = x match {
+    case n: Number => n.longValue()
+    case d: java.sql.Date => d.toLocalDate.toEpochDay
+    case d: java.time.LocalDate => d.toEpochDay
+    case other => throw new IllegalArgumentException(s"date key expected: $other")
+  }
+  private def micros(x: Any): Long = x match {
+    case n: Number => n.longValue()
+    case t: java.sql.Timestamp => t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
+    case i: java.time.Instant => i.getEpochSecond * 1000000L + i.getNano / 1000L
+    case other => throw new IllegalArgumentException(s"timestamp key expected: $other")
+  }
+  private def enumCode(e: Enum, x: Any): Long = x match {
+    case n: Number => n.longValue()
+    case s => e.codeToName.collectFirst { case (c, n) if n == s.toString => c.toLong }
+      .getOrElse(throw new IllegalArgumentException(s"'$s' not in enum declaration"))
+  }
+}
+
 /** Decodes one column's values for a mark-aligned row range, producing
   * CATALYST representations matching [[ChSchemaParser]]'s Spark mapping
   * (UTF8String for strings, epoch days Int for dates, epoch micros Long

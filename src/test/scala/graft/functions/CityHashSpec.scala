@@ -52,4 +52,31 @@ class CityHashSpec extends AnyFunSuite {
     val a = h("alpha"); val b = h("beta")
     assert(CityHash.combine(a, b) != CityHash.combine(b, a))
   }
+
+  test("hash128: every length arm is deterministic, avalanches, and arms differ") {
+    // exercise all code paths: <8, 8..15, 16..127+16 (CityMurmur),
+    // >=144 (main loop with 0/1/2+ tail chunks), multi-256 blocks
+    val lengths = Seq(0, 1, 5, 7, 8, 9, 15, 16, 17, 31, 64, 127, 143,
+      144, 145, 175, 207, 271, 400, 1000)
+    val seen = scala.collection.mutable.Set.empty[(Long, Long)]
+    lengths.foreach { n =>
+      val bytes = Array.tabulate(n)(i => ((i * 131 + 7) & 0xff).toByte)
+      val once = CityHash.hash128(bytes)
+      assert(once == CityHash.hash128(bytes), s"non-deterministic at len $n")
+      assert(seen.add(once), s"collision across lengths at len $n")
+      if (n > 0) {
+        // single-bit flip changes both halves with high probability
+        val flipped = bytes.clone(); flipped(n / 2) = (flipped(n / 2) ^ 1).toByte
+        val other = CityHash.hash128(flipped)
+        assert(other != once, s"no avalanche at len $n")
+        assert(java.lang.Long.bitCount(once._1 ^ other._1) +
+          java.lang.Long.bitCount(once._2 ^ other._2) > 16,
+          s"weak 128-bit avalanche at len $n")
+      }
+    }
+    // offset reads hash the same bytes the same way
+    val buf = Array.tabulate(300)(i => (i & 0xff).toByte)
+    assert(CityHash.hash128(buf, 37, 200) ==
+      CityHash.hash128(java.util.Arrays.copyOfRange(buf, 37, 237)))
+  }
 }

@@ -161,6 +161,113 @@ class MergeTreeSpec extends AnyFunSuite {
     assert(e.getMessage.contains("not readable"))
   }
 
+  test("primary-index pruning: leading-key predicates skip granule ranges (marks not read)") {
+    import org.apache.spark.sql.functions.col
+    val dir = Files.createTempDirectory("graft_mt_prune_idx").toString
+    val cols = Seq("id" -> "UInt64", "v" -> "String")
+    val rows = (0 until 30).map(i => Seq(i.toLong, s"v$i"))
+    MergeTreePartWriter.writePart(dir, cols, rows, granularity = 3,
+      orderBy = Seq("id"))
+    val df = spark.read.format("mergetree")
+      .option("endpoint", dir).option("ddl", "`id` UInt64, `v` String")
+      .option("orderBy", "id").option("rowsPerSplit", 3).load()
+    assert(df.rdd.getNumPartitions == 10, "one split per granule unfiltered")
+    // granule g spans keys [3g, 3g+3] inclusive-boundary (the upper
+    // bound is the NEXT granule's first key, so a predicate exactly on
+    // a boundary keeps the adjacent granule too — conservative, exact)
+    val hi = df.filter(col("id") >= 28)
+    assert(hi.rdd.getNumPartitions == 1, "id >= 28 is inside the last granule only")
+    assert(hi.collect().map(_.getLong(0)).sorted.toSeq == Seq(28L, 29L))
+    val hiBoundary = df.filter(col("id") >= 27)
+    assert(hiBoundary.rdd.getNumPartitions == 2, "27 is a boundary value")
+    assert(hiBoundary.count() == 3)
+    val eq = df.filter(col("id") === 5)
+    assert(eq.rdd.getNumPartitions == 1, "point lookup hits one granule")
+    assert(eq.count() == 1)
+    val range = df.filter(col("id") > 10 && col("id") <= 16)
+    assert(range.rdd.getNumPartitions == 3, "range [11,16] spans granules 3-5")
+    assert(range.collect().map(_.getLong(0)).sorted.toSeq == (11L to 16L))
+    // boundary values may straddle two granules — both kept, result exact
+    val boundary = df.filter(col("id") === 6)
+    assert(boundary.rdd.getNumPartitions == 2)
+    assert(boundary.count() == 1)
+    // pruning is visible in the plan (PushedFilters-style reporting)
+    assert(hi.queryExecution.executedPlan.toString.contains("GreaterThanOrEqual"),
+      "pushed prune predicate should appear in the scan description")
+    // non-key predicates prune nothing and still answer exactly
+    val nv = df.filter(col("v") === "v7")
+    assert(nv.rdd.getNumPartitions == 10 && nv.count() == 1)
+  }
+
+  test("writer refuses rows not sorted by the declared ORDER BY") {
+    val dir = Files.createTempDirectory("graft_mt_unsorted").toString
+    val cols = Seq("id" -> "UInt64")
+    val e = intercept[IllegalArgumentException] {
+      MergeTreePartWriter.writePart(dir, cols,
+        Seq(Seq(5L), Seq(3L), Seq(9L)), granularity = 2, orderBy = Seq("id"))
+    }
+    assert(e.getMessage.contains("sorted"))
+  }
+
+  test("string-key pruning and multi-column key entries (trailing columns skipped)") {
+    import org.apache.spark.sql.functions.col
+    val dir = Files.createTempDirectory("graft_mt_strkey").toString
+    val cols = Seq("tag" -> "LowCardinality(String)", "id" -> "UInt64")
+    val rows = ('a' to 'l').zipWithIndex.map { case (c, i) => Seq(s"k$c", i.toLong) }
+    MergeTreePartWriter.writePart(dir, cols, rows, granularity = 3,
+      orderBy = Seq("tag", "id"))
+    val df = spark.read.format("mergetree")
+      .option("endpoint", dir)
+      .option("ddl", "`tag` LowCardinality(String), `id` UInt64")
+      .option("orderBy", "tag,id").option("rowsPerSplit", 3).load()
+    assert(df.rdd.getNumPartitions == 4)
+    val one = df.filter(col("tag") === "kb")
+    assert(one.rdd.getNumPartitions == 1 && one.count() == 1)
+    val tail = df.filter(col("tag") > "kj")
+    assert(tail.rdd.getNumPartitions == 1)
+    assert(tail.collect().map(_.getString(0)).sorted.toSeq == Seq("kk", "kl"))
+    // boundary predicate keeps the straddling granule, result stays exact
+    val tail2 = df.filter(col("tag") > "ki")
+    assert(tail2.rdd.getNumPartitions == 2)
+    assert(tail2.collect().map(_.getString(0)).sorted.toSeq == Seq("kj", "kk", "kl"))
+  }
+
+  test("frame checksums: corruption fails loudly, zeroed checksums read as legacy") {
+    val dir = Files.createTempDirectory("graft_mt_crc").toString
+    val cols = Seq("id" -> "UInt64", "s" -> "String")
+    MergeTreePartWriter.writePart(dir, cols,
+      (0 until 50).map(i => Seq(i.toLong, s"value-$i-padding-padding")), granularity = 10)
+    val ddl = "`id` UInt64, `s` String"
+    def read() = spark.read.format("mergetree")
+      .option("endpoint", dir).option("ddl", ddl).load()
+    assert(read().count() == 50, "checksummed part reads clean")
+    // flip one payload byte deep inside s.bin → checksum mismatch, loud
+    val bin = Paths.get(dir, "all_1_1_0", "s.bin")
+    val orig = Files.readAllBytes(bin)
+    val corrupted = orig.clone()
+    corrupted(40) = (corrupted(40) ^ 0x5A).toByte
+    Files.write(bin, corrupted)
+    val e = intercept[Exception] { read().select("s").collect() }
+    assert(Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .take(8).exists(_.getMessage != null &&
+        (e.getMessage.contains("checksum") ||
+          Option(e.getCause).exists(_.getMessage.contains("checksum")))),
+      s"expected a checksum failure, got: ${e.getMessage}")
+    // zero the stored checksum of every frame → treated as absent;
+    // the corrupt byte then surfaces (or not) downstream, but the
+    // LEGACY zero-checksum read path itself must work on intact data
+    val zeroed = orig.clone()
+    var off = 0
+    while (off + 25 <= zeroed.length) {
+      val compSize = (zeroed(off + 17) & 0xFF) | ((zeroed(off + 18) & 0xFF) << 8) |
+        ((zeroed(off + 19) & 0xFF) << 16) | ((zeroed(off + 20) & 0xFF) << 24)
+      java.util.Arrays.fill(zeroed, off, off + 16, 0.toByte)
+      off += 16 + compSize
+    }
+    Files.write(bin, zeroed)
+    assert(read().select("s").count() == 50, "zero-checksum frames read as legacy")
+  }
+
   test("unsupported column types refuse at decode, not silently") {
     val dir = Files.createTempDirectory("graft_mt_badtype").toString
     MergeTreePartWriter.writePart(dir, Seq("id" -> "UInt64"),
