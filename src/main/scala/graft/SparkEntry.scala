@@ -558,6 +558,36 @@ object SparkEntry {
              |SETTINGS disk = disk(type = web, endpoint = '$out')""".stripMargin)))._1
     }),
 
+    // round-9 dialect tail, array/bit half: enumerateDense ranks,
+    // union/resize/rotate, bit probes — all scan-stage expressions
+    "q164_array_bit_tail" -> ch(
+      """SELECT CAST(n_nationkey AS BIGINT) AS k,
+        |  array_join(arrayEnumerateDense(array(n_regionkey % 3, n_nationkey % 2, n_regionkey % 3)), ',') AS dense_csv,
+        |  array_join(arraySort(arrayUnion(array(n_nationkey % 5, n_nationkey % 7), array(n_nationkey % 7, 3))), ',') AS union_csv,
+        |  array_join(arrayResize(array(n_nationkey, n_nationkey + 1), 4), ',') AS pad_csv,
+        |  array_join(arrayResize(array(n_nationkey, n_nationkey + 1, n_nationkey + 2), 2), ',') AS cut_csv,
+        |  array_join(arrayRotateLeft(array(n_nationkey, n_nationkey + 1, n_nationkey + 2), n_nationkey), ',') AS rot_csv,
+        |  CAST(bitCount(n_nationkey) AS BIGINT) AS bc,
+        |  CAST(bitTest(n_nationkey, 2) AS BIGINT) AS bt,
+        |  CAST(bitRotateLeft(n_nationkey, 3) AS BIGINT) AS brl
+        |FROM nation ORDER BY k""".stripMargin),
+
+    // round-9 dialect tail, date/string/geo half
+    "q165_date_string_tail" -> ch(
+      """SELECT CAST(o_orderkey AS BIGINT) AS k,
+        |  toStartOfWeek(o_orderdate) AS w0,
+        |  toStartOfWeek(o_orderdate, 1) AS w1,
+        |  CAST(toISOYear(o_orderdate) AS BIGINT) AS iso_y,
+        |  CAST(age('day', toDateTime('1992-01-01 00:00:00'), o_orderdate) AS BIGINT) AS age_d,
+        |  addMonths(o_orderdate, 2) AS plus2m,
+        |  CAST(toRelativeDayNum(o_orderdate) AS BIGINT) AS daynum,
+        |  dateName('month', o_orderdate) AS mname,
+        |  dateName('weekday', o_orderdate) AS wday,
+        |  CAST(toUnixTimestamp(timeSlot(toDateTime(1704067200 + o_orderkey * 1000))) AS BIGINT) AS slot_s,
+        |  CAST(toUnixTimestamp(parseDateTimeBestEffort('05/03/2024 10:30:00')) AS BIGINT) AS pbe,
+        |  CAST(round(greatCircleDistance(2.3522, 48.8566, CAST(o_orderkey % 90 AS DOUBLE), 45.0)) AS BIGINT) AS gcd_m
+        |FROM orders WHERE o_orderkey % 997 = 0 ORDER BY k""".stripMargin),
+
     // CH vector-distance family (dotProduct/cosineDistance/L1/L2/Linf)
     // over real embeddings, paired (vec_id, vec_id+1) — native codegen'd
     // kernels, oracle = DuckDB list_* on the same double-widened arrays
@@ -2015,6 +2045,41 @@ object SparkEntry {
         |  FROM cfa GROUP BY prio)
         |SELECT prio, s_csv, mn_csv, mx_csv, cf_csv
         |FROM l1 JOIN l2 USING (prio) ORDER BY prio""".stripMargin,
+    "q164_array_bit_tail" ->
+      """SELECT CAST(n_nationkey AS BIGINT) AS k,
+        |  '1,' || (CASE WHEN n_nationkey % 2 = n_regionkey % 3 THEN '1' ELSE '2' END) || ',1' AS dense_csv,
+        |  array_to_string(list_sort(list_distinct([n_nationkey % 5, n_nationkey % 7, 3])), ',') AS union_csv,
+        |  n_nationkey || ',' || (n_nationkey + 1) || ',0,0' AS pad_csv,
+        |  n_nationkey || ',' || (n_nationkey + 1) AS cut_csv,
+        |  CASE CAST(n_nationkey % 3 AS INT)
+        |    WHEN 0 THEN n_nationkey || ',' || (n_nationkey + 1) || ',' || (n_nationkey + 2)
+        |    WHEN 1 THEN (n_nationkey + 1) || ',' || (n_nationkey + 2) || ',' || n_nationkey
+        |    ELSE (n_nationkey + 2) || ',' || n_nationkey || ',' || (n_nationkey + 1)
+        |  END AS rot_csv,
+        |  CAST(bit_count(CAST(n_nationkey AS BIGINT)) AS BIGINT) AS bc,
+        |  CAST((n_nationkey >> 2) & 1 AS BIGINT) AS bt,
+        |  CAST(n_nationkey * 8 AS BIGINT) AS brl
+        |FROM nation ORDER BY k""".stripMargin,
+    "q165_date_string_tail" ->
+      """WITH o AS (SELECT o_orderkey, CAST(o_orderdate AS DATE) AS d
+        |           FROM orders WHERE o_orderkey % 997 = 0)
+        |SELECT CAST(o_orderkey AS BIGINT) AS k,
+        |  d - CAST(dayofweek(d) AS INT) AS w0,
+        |  d - CAST((dayofweek(d) + 6) % 7 AS INT) AS w1,
+        |  CAST(isoyear(d) AS BIGINT) AS iso_y,
+        |  CAST(date_diff('day', DATE '1992-01-01', d) AS BIGINT) AS age_d,
+        |  CAST(d + INTERVAL 2 MONTH AS DATE) AS plus2m,
+        |  CAST(date_diff('day', DATE '1970-01-01', d) AS BIGINT) AS daynum,
+        |  monthname(d) AS mname,
+        |  dayname(d) AS wday,
+        |  CAST((1704067200 + o_orderkey * 1000) // 1800 * 1800 AS BIGINT) AS slot_s,
+        |  CAST(epoch(TIMESTAMP '2024-03-05 10:30:00') AS BIGINT) AS pbe,
+        |  CAST(round(2 * 6371000.0 * asin(sqrt(
+        |    sin((radians(45.0) - radians(48.8566)) / 2) * sin((radians(45.0) - radians(48.8566)) / 2) +
+        |    (cos(radians(48.8566)) * cos(radians(45.0))) *
+        |    (sin((radians(CAST(o_orderkey % 90 AS DOUBLE)) - radians(2.3522)) / 2) *
+        |     sin((radians(CAST(o_orderkey % 90 AS DOUBLE)) - radians(2.3522)) / 2))))) AS BIGINT) AS gcd_m
+        |FROM o ORDER BY k""".stripMargin,
     "q163_state_merge" ->
       """SELECT o_orderpriority AS prio,
         |       CAST(round(avg(o_totalprice) * 100) AS BIGINT) AS avg_c,

@@ -1588,6 +1588,178 @@ object ChFunctions {
       reg("normalizeUTF8NFKC")(exprs => graft.functions.NormalizeUTF8(exprs.head, "nfkc"))
       reg("normalizeUTF8NFKD")(exprs => graft.functions.NormalizeUTF8(exprs.head, "nfkd"))
 
+      // ---- round-9 dialect tail (array/bit/date/string/geo) ----
+
+      // foldable string argument (units, part names)
+      object StringLit {
+        def unapply(e: Expression): Option[String] = e match {
+          case Literal(u: org.apache.spark.unsafe.types.UTF8String, StringType) =>
+            Some(u.toString)
+          case _ => None
+        }
+      }
+      def arrayResizeExpr(arr: Expression, n0: Expression, pad: Expression): Expression = {
+        val n = Cast(n0, IntegerType)
+        val len = Size(arr)
+        If(LessThanOrEqual(n, len), Slice(arr, Literal(1), n),
+          Concat(Seq(arr, ArrayRepeat(pad, Subtract(n, len)))))
+      }
+      def startOfWeek(d: Expression, sundayFirst: Boolean): Expression = {
+        val date = Cast(d, DateType)
+        val back =
+          if (sundayFirst) Subtract(DayOfWeek(date), Literal(1))
+          else Pmod(Subtract(DayOfWeek(date), Literal(2)), Literal(7))
+        DateSub(date, back)
+      }
+      def tryTs(s: Expression, fmt: String): Expression =
+        org.apache.spark.sql.catalyst.analysis.UnresolvedFunction(
+          "try_to_timestamp", Seq(s, Literal(fmt)), isDistinct = false)
+
+      // arrayEnumerateDense([10,20,10]) = [1,2,1]: rank by order of
+      // first appearance — 1-based position in the distinct-order array
+      reg("arrayEnumerateDense")({ case Seq(arr) =>
+        val x = lv("xED")
+        ArrayTransform(arr,
+          LambdaFunction(Cast(ArrayPosition(ArrayDistinct(arr), x), LongType), Seq(x)))
+      })
+      reg("arrayUnion")({ exprs =>
+        require(exprs.nonEmpty, "arrayUnion needs ≥1 array")
+        ArrayDistinct(exprs.reduce((a, b) => Concat(Seq(a, b))))
+      })
+      // arrayResize(arr, n[, pad]): truncate, or extend with `pad`
+      // (CH pads with the type default when omitted — 0; strings need
+      // the explicit pad form here)
+      reg("arrayResize")({
+        case Seq(arr, n) =>
+          val zero = Multiply(new ElementAt(arr, Literal(1), None, false), Literal(0L))
+          arrayResizeExpr(arr, n, Coalesce(Seq(zero, Literal(0L))))
+        case Seq(arr, n, pad) => arrayResizeExpr(arr, n, pad)
+      })
+      reg("arrayRotateLeft")({ case Seq(arr, n0) =>
+        val len = Size(arr)
+        val n = Pmod(Cast(n0, IntegerType), Greatest(Seq(len, Literal(1))))
+        If(LessThanOrEqual(len, Literal(1)), arr,
+          Concat(Seq(
+            Slice(arr, Add(n, Literal(1)), Subtract(len, n)),
+            Slice(arr, Literal(1), n))))
+      })
+
+      // bit family over 64-bit integers (CH's unsigned spellings widen
+      // through the same two's-complement lanes)
+      reg("bitCount")({ case Seq(x) => BitwiseCount(x) })
+      reg("bitTest")({ case Seq(x, n) =>
+        Cast(BitwiseAnd(ShiftRight(Cast(x, LongType), Cast(n, IntegerType)),
+          Literal(1L)), ShortType)
+      })
+      // 64-bit lane rotate (CH rotates at the argument's width; narrower
+      // ints here widen to 64 first — documented engine deviation)
+      reg("bitRotateLeft")({ case Seq(x, n0) =>
+        val v = Cast(x, LongType)
+        val n = Pmod(Cast(n0, IntegerType), Literal(64))
+        BitwiseOr(ShiftLeft(v, n), ShiftRightUnsigned(v, Subtract(Literal(64), n)))
+      })
+
+      // toStartOfWeek(d[, mode]): mode 0 (CH default) weeks start
+      // Sunday, mode 1 Monday — Spark's dayofweek is 1=Sunday
+      reg("toStartOfWeek")({
+        case Seq(d) => startOfWeek(d, sundayFirst = true)
+        case Seq(d, Literal(m, _)) =>
+          startOfWeek(d, sundayFirst = String.valueOf(m) == "0")
+      })
+      // ISO-8601 year: the year of the ISO week = the year of that
+      // week's Thursday (weekday: Monday = 0)
+      reg("toISOYear")({ case Seq(d) =>
+        Cast(Year(DateAdd(Cast(d, DateType),
+          Subtract(Literal(3), WeekDay(Cast(d, DateType))))), IntegerType)
+      })
+      // age('unit', a, b): COMPLETE units between a and b (dateDiff
+      // counts boundary crossings; age truncates toward zero)
+      reg("age")({ case Seq(StringLit(unit), a, b) =>
+        val micros = Subtract(UnixMicros(Cast(b, TimestampType)),
+          UnixMicros(Cast(a, TimestampType)))
+        val perUnit = unit.toLowerCase match {
+          case "second" | "ss" | "s" => Some(1000000L)
+          case "minute" | "mi" | "n" => Some(60L * 1000000L)
+          case "hour" | "hh" | "h" => Some(3600L * 1000000L)
+          case "day" | "dd" | "d" => Some(86400L * 1000000L)
+          case "week" | "wk" | "ww" => Some(7L * 86400L * 1000000L)
+          case _ => None
+        }
+        perUnit match {
+          case Some(u) => Cast(IntegralDivide(micros, Literal(u)), LongType)
+          case None => unit.toLowerCase match {
+            case "month" | "mm" | "m" => Cast(Floor(
+              new MonthsBetween(Cast(b, TimestampType), Cast(a, TimestampType))), LongType)
+            case "year" | "yyyy" | "yy" => Cast(IntegralDivide(Cast(Floor(
+              new MonthsBetween(Cast(b, TimestampType), Cast(a, TimestampType))),
+              LongType), Literal(12L)), LongType)
+            case other => throw new IllegalArgumentException(s"age: unsupported unit '$other'")
+          }
+        }
+      })
+      reg("addMonths")({ case Seq(d, n) => AddMonths(d, n) })
+      reg("subtractMonths")({ case Seq(d, n) =>
+        AddMonths(d, UnaryMinus(Cast(n, IntegerType))) })
+      reg("toRelativeDayNum")({ case Seq(d) => UnixDate(Cast(d, DateType)) })
+      // NOTE: CH's monthName/initcap spellings are Spark builtins
+      // (monthname/initcap) — the registry guard refuses shadowing, so
+      // they resolve natively; full month names come from
+      // dateName('month', d) below (Spark's monthname abbreviates)
+      // dateName('part', d): the named subset CH documents
+      reg("dateName")({ case Seq(StringLit(part), d) =>
+        val fmt = part.toLowerCase match {
+          case "year" => "yyyy"
+          case "month" => "MMMM"
+          case "weekday" => "EEEE"
+          case "day" => "d"
+          case "hour" => "H"
+          case "minute" => "m"
+          case "second" => "s"
+          case other => throw new IllegalArgumentException(s"dateName: unsupported part '$other'")
+        }
+        new DateFormatClass(Cast(d, TimestampType), Literal(fmt))
+      })
+      // timeSlot(t): floor to the half-hour (CH's fixed 1800 s slot)
+      reg("timeSlot")({ case Seq(t) =>
+        SecondsToTimestamp(Multiply(
+          IntegralDivide(UnixSeconds(Cast(t, TimestampType)), Literal(1800L)),
+          Literal(1800L)))
+      })
+
+      reg("endsWithUTF8")({ case Seq(s, suffix) => EndsWith(s, suffix) })
+      reg("reverseUTF8")({ case Seq(s) => Reverse(s) })
+
+      // greatCircleDistance(lon1, lat1, lon2, lat2) → meters. Exact
+      // haversine on the R=6371 km sphere — CH ships a faster polynomial
+      // APPROXIMATION of the same quantity (sub-percent error); exact
+      // trig is the documented deviation here, not a bug
+      reg("greatCircleDistance")({ case Seq(lon1, lat1, lon2, lat2) =>
+        def rad(e: Expression) = Multiply(Cast(e, DoubleType),
+          Literal(math.Pi / 180.0))
+        val dLat = Divide(Subtract(rad(lat2), rad(lat1)), Literal(2.0))
+        val dLon = Divide(Subtract(rad(lon2), rad(lon1)), Literal(2.0))
+        val a = Add(
+          Multiply(Sin(dLat), Sin(dLat)),
+          Multiply(Multiply(Cos(rad(lat1)), Cos(rad(lat2))),
+            Multiply(Sin(dLon), Sin(dLon))))
+        Multiply(Literal(2.0 * 6371000.0), Asin(Sqrt(a)))
+      })
+
+      // parseDateTimeBestEffort(s): the common formats, first match
+      // wins, NULL only when nothing parses (CH errors; the OrNull
+      // spelling returns NULL — we fold both onto the lenient form)
+      def bestEffort(s: Expression): Expression = Coalesce(Seq(
+        tryTs(s, "yyyy-MM-dd HH:mm:ss"),
+        tryTs(s, "yyyy-MM-dd'T'HH:mm:ss"),
+        tryTs(s, "yyyy-MM-dd'T'HH:mm:ssXXX"),
+        tryTs(s, "yyyy-MM-dd"),
+        tryTs(s, "dd/MM/yyyy HH:mm:ss"),
+        tryTs(s, "dd/MM/yyyy"),
+        tryTs(s, "yyyyMMddHHmmss"),
+        tryTs(s, "yyyyMMdd")))
+      reg("parseDateTimeBestEffort")({ case Seq(s) => bestEffort(s) })
+      reg("parseDateTimeBestEffortOrNull")({ case Seq(s) => bestEffort(s) })
+
     val built = out.result()
     // Shadowing Spark's builtin registry is the twice-shipped bug class
     // (r4: any/position; r7: extract). Fail construction — not warn —
