@@ -108,6 +108,9 @@ object Catalog {
 
   def lookup(name: String): Option[AttachedTable] = attached.get(name)
 
+  /** Every registered ATTACH/CTAS entry — `system.parts` introspection. */
+  def all: Seq[AttachedTable] = attached.values.toSeq.sortBy(_.name)
+
   private def canRead(endpoint: String): Boolean =
     !endpoint.startsWith("http") && new java.io.File(
       endpoint.stripPrefix("file://")).exists()

@@ -109,6 +109,27 @@ object SystemTables {
     import spark.implicits._
     Seq(Tuple1(0: Byte)).toDF("dummy").createOrReplaceTempView("system_one")
     functions(spark).createOrReplaceTempView("system_functions")
+    parts(spark).createOrReplaceTempView("system_parts")
+  }
+
+  /** ≈ system.parts: one row per MergeTree part of every ATTACHed table
+    * whose endpoint serves an actual part tree (parquet endpoints and
+    * schema-only registrations contribute no rows — they have no
+    * parts). Read from part metadata (count.txt + marks), never a data
+    * scan. */
+  def parts(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val rows = Catalog.all.flatMap { t =>
+      t.endpoint.toSeq
+        .filter(graft.sources.mergetree.MergeTree.looksLikeMergeTree)
+        .flatMap { ep =>
+          try graft.sources.mergetree.MergeTree.partsInfo(ep).map {
+            case (part, nRows, granules, nCols) =>
+              (t.name, part, 1: Byte, nRows, granules, nCols)
+          } catch { case _: Exception => Nil }
+        }
+    }
+    rows.toDF("table", "name", "active", "rows", "marks", "columns")
   }
 
   /** ≈ system.functions: every name the dialect registers (one row per

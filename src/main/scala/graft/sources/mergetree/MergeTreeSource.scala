@@ -59,9 +59,13 @@ final class MergeTreeSource extends TableProvider with DataSourceRegister {
     val opts = new CaseInsensitiveStringMap(properties)
     val orderBy = Option(opts.get("orderBy")).map(_.split(",").map(_.trim).toSeq)
       .getOrElse(Nil).filter(_.nonEmpty)
+    // default 256k rows/split: the reader decodes a split's projected
+    // columns eagerly (then streams rows out), so the split size bounds
+    // per-task memory — 256k amortizes task overhead while keeping even
+    // a 63-column decode comfortably inside executor memory
     new MergeTreeTable(
       MergeTreeSource.endpoint(opts), MergeTreeSource.ddl(opts), schema,
-      opts.getLong("rowsPerSplit", 1L << 20), orderBy)
+      opts.getLong("rowsPerSplit", 1L << 18), orderBy)
   }
 }
 
@@ -70,6 +74,16 @@ final class MergeTreeSource extends TableProvider with DataSourceRegister {
 object MergeTree {
   def looksLikeMergeTree(endpoint: String): Boolean =
     TableFiles.looksLikeMergeTree(endpoint)
+
+  /** Part inventory for `system.parts`: (part name, rows, granules,
+    * column count) per part under the endpoint. */
+  def partsInfo(endpoint: String): Seq[(String, Long, Int, Int)] = {
+    val tf = TableFiles(endpoint)
+    tf.partDirs().map { p =>
+      val meta = PartMeta.read(tf, p)
+      (p, meta.rows, meta.granuleRows.length, meta.columns.size)
+    }
+  }
   def read(spark: org.apache.spark.sql.SparkSession, endpoint: String,
       ddl: String, orderBy: Seq[String] = Nil): org.apache.spark.sql.DataFrame =
     spark.read.format("mergetree")

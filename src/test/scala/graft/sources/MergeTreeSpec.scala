@@ -268,6 +268,25 @@ class MergeTreeSpec extends AnyFunSuite {
     assert(read().select("s").count() == 50, "zero-checksum frames read as legacy")
   }
 
+  test("system.parts lists attached MergeTree parts from metadata only") {
+    val dir = Files.createTempDirectory("graft_mt_sysparts").toString
+    val cols = Seq("id" -> "UInt64", "v" -> "String")
+    MergeTreePartWriter.writePart(dir, cols,
+      (0 until 7).map(i => Seq(i.toLong, s"a$i")), granularity = 3, partName = "all_1_1_0")
+    MergeTreePartWriter.writePart(dir, cols,
+      (7 until 12).map(i => Seq(i.toLong, s"b$i")), granularity = 3, partName = "all_2_2_0")
+    val s2 = spark.newSession()
+    graft.dialect.ChSql.sql(s2,
+      s"""ATTACH TABLE sysparts_t (`id` UInt64, `v` String)
+         |ENGINE = MergeTree ORDER BY (id)
+         |SETTINGS disk = disk(type = web, endpoint = '$dir')""".stripMargin).collect()
+    val rows = graft.dialect.ChSql.sql(s2,
+      """SELECT name, rows, marks, columns FROM system.parts
+        |WHERE table = 'sysparts_t' ORDER BY name""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2), r.getInt(3)))
+    assert(rows.toSeq == Seq(("all_1_1_0", 7L, 3, 2), ("all_2_2_0", 5L, 2, 2)))
+  }
+
   test("unsupported column types refuse at decode, not silently") {
     val dir = Files.createTempDirectory("graft_mt_badtype").toString
     MergeTreePartWriter.writePart(dir, Seq("id" -> "UInt64"),
