@@ -166,13 +166,11 @@ class ReferenceCorpusSpec extends AnyFunSuite {
     assert(types("Open") == "double", types.toString)
   }
 
-  /** The workflow input (`…_test.go:80-90`): the verbatim 63-column
-    * github_events ATTACH (endpoint swapped to the local parquet dir),
-    * the verbatim parallel-replica SET line, then the query. */
-  test("github_events workflow: verbatim ATTACH + SET init, then the aggregate query (…_test.go:81-87)") {
-    val (dir, _) = fixture
-    val attach =
-      s"""ATTACH TABLE github_events UUID '127f4241-4a9b-4ecd-8a84-846b88069cb5' on cluster '{cluster}'
+  /** The verbatim 63-column ATTACH statement (`…_test.go:81-87`),
+    * parameterized ONLY on the endpoint (the one environment-not-
+    * semantics part of the statement). */
+  private def githubEventsAttach(endpoint: String): String =
+    s"""ATTACH TABLE github_events UUID '127f4241-4a9b-4ecd-8a84-846b88069cb5' on cluster '{cluster}'
 (
     `file_time` DateTime,
     `event_type` Enum8('CommitCommentEvent' = 1, 'CreateEvent' = 2, 'DeleteEvent' = 3, 'ForkEvent' = 4, 'GollumEvent' = 5, 'IssueCommentEvent' = 6, 'IssuesEvent' = 7, 'MemberEvent' = 8, 'PublicEvent' = 9, 'PullRequestEvent' = 10, 'PullRequestReviewCommentEvent' = 11, 'PushEvent' = 12, 'ReleaseEvent' = 13, 'SponsorshipEvent' = 14, 'WatchEvent' = 15, 'GistEvent' = 16, 'FollowEvent' = 17, 'DownloadEvent' = 18, 'PullRequestReviewEvent' = 19, 'ForkApplyEvent' = 20, 'Event' = 21, 'TeamAddEvent' = 22),
@@ -231,13 +229,20 @@ class ReferenceCorpusSpec extends AnyFunSuite {
 )
 ENGINE = MergeTree
 ORDER BY (event_type, repo_name, created_at)
-SETTINGS disk = disk(type = web, endpoint = '$dir/github_events_parquet')"""
-    val initSet =
-      "SET allow_experimental_parallel_reading_from_replicas = 1, use_hedged_requests = 0, prefer_localhost_replica = 0, max_parallel_replicas = 10, cluster_for_parallel_replicas = '{cluster}', parallel_replicas_for_non_replicated_merge_tree = 1"
+SETTINGS disk = disk(type = web, endpoint = '$endpoint')"""
+
+  private val initSet =
+    "SET allow_experimental_parallel_reading_from_replicas = 1, use_hedged_requests = 0, prefer_localhost_replica = 0, max_parallel_replicas = 10, cluster_for_parallel_replicas = '{cluster}', parallel_replicas_for_non_replicated_merge_tree = 1"
+
+  /** The workflow input (`…_test.go:80-90`): the verbatim 63-column
+    * github_events ATTACH (endpoint swapped to the local parquet dir),
+    * the verbatim parallel-replica SET line, then the query. */
+  test("github_events workflow: verbatim ATTACH + SET init, then the aggregate query (…_test.go:81-87)") {
+    val (dir, _) = fixture
     val svc = new QueryService(spark)
     val out = svc.execute(QueryService.QueryRequest(
       query = "SELECT sum(commits), event_type FROM github_events group by event_type",
-      initQueries = Seq(attach, initSet)))
+      initQueries = Seq(githubEventsAttach(s"$dir/github_events_parquet"), initSet)))
     assert(out.cols.length == 2)
     val byType = out.rows.map(r => r(1).toString -> r(0)).toMap
     assert(byType("PushEvent") == 8L)
@@ -246,5 +251,69 @@ SETTINGS disk = disk(type = web, endpoint = '$dir/github_events_parquet')"""
     // the sorted-layout contract from ORDER BY is retained
     assert(graft.core.Catalog.sortKey("github_events") ==
       Seq("event_type", "repo_name", "created_at"))
+  }
+
+  /** The SAME verbatim statement against an endpoint serving an actual
+    * MergeTree wide-part tree over http — the reference's real flagship
+    * shape end-to-end: all 63 columns (DateTime, two dozen Enum8s,
+    * LowCardinality strings, Array(LowCardinality(String)), UInt8-64)
+    * decoded from `.bin`/`.mrk2` streams, not parquet. */
+  test("github_events workflow over a REAL MergeTree part tree (…_test.go:85 data path)") {
+    // column list parsed out of the verbatim DDL itself, so the fixture
+    // can never drift from the statement
+    val ddl = githubEventsAttach("ignored")
+    val colsDdl = ddl.substring(ddl.indexOf("(\n") + 1, ddl.lastIndexOf(")\nENGINE"))
+    val columns: Seq[(String, String)] =
+      graft.types.ChSchemaParser.splitTopLevel(colsDdl, ',').map(_.trim).filter(_.nonEmpty)
+        .map { c =>
+          val end = c.indexOf('`', 1)
+          (c.substring(1, end), c.substring(end + 1).trim)
+        }
+    // the reference's embedded DDL carries 54 columns (the full public
+    // github_events table has 63 — the workflow attaches a subset)
+    assert(columns.size == 54, s"expected the 54-column schema, got ${columns.size}")
+    val firstEnumName = "'([^']*)'".r
+    val epoch = java.time.Instant.parse("2024-01-01T00:00:00Z")
+    def valueFor(t: String, i: Int): Any = t match {
+      case s if s.startsWith("Enum") => firstEnumName.findFirstMatchIn(s).get.group(1)
+      case s if s.startsWith("Array") => Seq(s"t${i % 3}", s"t${(i + 1) % 3}")
+      case s if s.startsWith("LowCardinality") => s"v${i % 4}"
+      case "String" => s"s$i"
+      case "DateTime" => java.sql.Timestamp.from(epoch.plusSeconds(i.toLong))
+      case s if s.startsWith("UInt") || s.startsWith("Int") => (i % 100).toLong
+      case other => throw new IllegalArgumentException(s"unexpected type in fixture: $other")
+    }
+    val eventIdx = columns.indexWhere(_._1 == "event_type")
+    val commitsIdx = columns.indexWhere(_._1 == "commits")
+    val rows = Seq(("PushEvent", 3L), ("PushEvent", 5L),
+      ("PullRequestEvent", 2L), ("WatchEvent", 0L)).zipWithIndex.map {
+      case ((ev, commits), i) =>
+        columns.zipWithIndex.map { case ((_, t), ci) =>
+          if (ci == eventIdx) ev
+          else if (ci == commitsIdx) commits
+          else valueFor(t, i)
+        }
+    }
+    val mtDir = java.nio.file.Files.createTempDirectory("graft_refcorpus_mt").toString
+    graft.sources.mergetree.MergeTreePartWriter.writePart(
+      mtDir, columns, rows, granularity = 2, blockSize = 64)
+    graft.sources.mergetree.MergeTreePartWriter.writeHttpIndex(mtDir)
+    val port = graft.sources.StaticHttp.serve(mtDir)
+    val s2 = spark.newSession()
+    val svc = new QueryService(s2)
+    val out = svc.execute(QueryService.QueryRequest(
+      query = "SELECT sum(commits), event_type FROM github_events group by event_type",
+      initQueries = Seq(githubEventsAttach(s"http://127.0.0.1:$port/"), initSet)))
+    val byType = out.rows.map(r => r(1).toString -> r(0)).toMap
+    assert(byType("PushEvent") == 8L)
+    assert(byType("PullRequestEvent") == 2L)
+    assert(byType("WatchEvent") == 0L)
+    // every column decodes, not just the queried two — incl. all four
+    // enum families, arrays, and low-cardinality strings
+    val wide = svc.execute(QueryService.QueryRequest(
+      "SELECT actor_login, action, labels, author_association, merged, push_size FROM github_events ORDER BY created_at"))
+    assert(wide.rows.length == 4)
+    assert(wide.rows.head(1).toString == "none")
+    assert(wide.rows.head(3).toString == "NONE")
   }
 }
