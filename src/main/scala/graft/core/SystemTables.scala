@@ -109,8 +109,17 @@ object SystemTables {
     import spark.implicits._
     Seq(Tuple1(0: Byte)).toDF("dummy").createOrReplaceTempView("system_one")
     functions(spark).createOrReplaceTempView("system_functions")
-    parts(spark).createOrReplaceTempView("system_parts")
+    // NOT system_parts: building it fetches part metadata (over http for
+    // remote endpoints) eagerly, so it registers only when a query
+    // actually references it — registerParts, called by the dialect
+    // front door on a system_parts mention (review finding)
   }
+
+  /** Register `system_parts` on demand — see the note in
+    * [[registerViews]]; [[graft.dialect.ChSql]] calls this only when
+    * the query text references the view. */
+  def registerParts(spark: SparkSession): Unit =
+    parts(spark).createOrReplaceTempView("system_parts")
 
   /** ≈ system.parts: one row per MergeTree part of every ATTACHed table
     * whose endpoint serves an actual part tree (parquet endpoints and

@@ -84,8 +84,13 @@ object ChSql {
     // the service path calls rewrite()+finish() directly (never sql()),
     // so system view registration must live HERE or `FROM system.*`
     // resolves only through one of the two front doors
-    if (sys.toLowerCase.contains("system_"))
+    if (sys.toLowerCase.contains("system_")) {
       graft.core.SystemTables.registerViews(spark)
+      // parts is metadata-FETCHING (http for remote endpoints): build it
+      // only for queries that actually name it
+      if (sys.toLowerCase.contains("system_parts"))
+        graft.core.SystemTables.registerParts(spark)
+    }
     val rewritten = rewriteTableFunctions(spark, sys)
     registerCombinators(spark, rewritten)
     Rewritten(rewritten, settings, fillSpec)
@@ -317,9 +322,12 @@ object ChSql {
     }
     val r = rewrite(spark, query, macros)
     applySettings(spark, r.settings)
-    if (r.sql.toLowerCase.contains("system_"))
+    if (r.sql.toLowerCase.contains("system_")) {
       graft.core.SystemTables.registerViews(spark,
         macros.getOrElse("cluster", "graft"))
+      if (r.sql.toLowerCase.contains("system_parts"))
+        graft.core.SystemTables.registerParts(spark)
+    }
     finish(spark, r)
   }
 

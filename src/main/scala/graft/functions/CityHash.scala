@@ -224,7 +224,11 @@ object CityHash {
     }
     x = hashLen16(x, vf)
     y = hashLen16(y, wf)
-    (hashLen16(x + vs, ws) + y, hashLen16(x + ws, y + vs))
+    // 1.0.2's final combine pairs (x + v.second) with w.FIRST — pairing
+    // it with w.second here diverged from the reference for every input
+    // ≥ 128 bytes (caught in review; the round-trip tests couldn't see
+    // it because writer and reader shared the same combine)
+    (hashLen16(x + vs, wf) + y, hashLen16(x + ws, y + vs))
   }
 
   /** CityHash128, 1.0.2 entry. Returns (low, high). */

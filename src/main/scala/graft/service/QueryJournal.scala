@@ -31,8 +31,16 @@ final class QueryJournal(dirPath: String) {
   private val dir: Path = Paths.get(dirPath)
   Files.createDirectories(dir)
 
+  /** Journal ids become filenames — enforce filesystem-safety here too,
+    * independent of the server's sanitization (defense in depth against
+    * a future caller passing a raw header through). */
+  private def checkId(id: String): Unit =
+    require(id.matches("[A-Za-z0-9._-]{1,100}") && !id.forall(_ == '.'),
+      s"journal id must be filesystem-safe ([A-Za-z0-9._-]): '$id'")
+
   /** Persist an accepted request; must return before execution starts. */
   def record(id: String, req: QueryService.QueryRequest): Unit = {
+    checkId(id)
     val node = mapper.createObjectNode()
     node.put("id", id)
     node.put("query", req.query)
@@ -49,8 +57,10 @@ final class QueryJournal(dirPath: String) {
 
   /** The request produced a response (success OR error) — its fate is
     * known to the caller, so it must never replay. */
-  def complete(id: String): Unit =
+  def complete(id: String): Unit = {
+    checkId(id)
     Files.deleteIfExists(dir.resolve(s"$id.json"))
+  }
 
   /** Entries with no recorded completion — requests in flight when a
     * previous process died. Torn/unparseable files surface as

@@ -89,14 +89,11 @@ class QueryServer(
     require(server == null, "already started")
     recoverJournal()
     server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
-    server.createContext("/hc", handler { _ => (200, "text/plain", "ok") })
-    server.createContext("/metrics", handler { _ => (200, "text/plain", metricsText()) })
-    server.createContext("/query", handler { ex =>
+    server.createContext("/hc", handler { (_, _) => (200, "text/plain", "ok") })
+    server.createContext("/metrics", handler { (_, _) => (200, "text/plain", metricsText()) })
+    server.createContext("/query", handler { (ex, reqId) =>
       if (ex.getRequestMethod != "POST") (405, "text/plain", "POST only")
       else {
-        // assigned once by the handler wrapper: same ID in the echoed
-        // header, the log line, and the journal entry
-        val reqId = ex.getAttribute("graft.requestId").asInstanceOf[String]
         val body = new String(ex.getRequestBody.readAllBytes(), UTF_8)
         val t0 = System.nanoTime()
         inFlight.incrementAndGet()
@@ -165,17 +162,18 @@ class QueryServer(
     server.getAddress.getPort
   }
 
-  /** Graceful shutdown (reference `http_server.go:87-90`): stop
-    * accepting, then wait up to `drainMs` for in-flight queries to
-    * produce their responses before the exchanges are torn down. */
+  /** Graceful shutdown (reference `http_server.go:87-90`): close the
+    * LISTENER first — no new work is admitted into a dying server
+    * (review finding: a drain loop before the close kept accepting and
+    * could drain forever under steady traffic) — then let in-flight
+    * exchanges finish within the drain budget. `HttpServer.stop(delay)`
+    * is exactly this contract: socket closes immediately, the call
+    * blocks until current handlers complete or ~delay seconds pass. */
   def stop(drainMs: Long = 30000L): Unit = synchronized {
     if (server != null) {
-      val deadline = System.currentTimeMillis() + drainMs
-      while (inFlight.get() > 0 && System.currentTimeMillis() < deadline)
-        Thread.sleep(10)
-      // in-flight exchanges have written their responses (or overran the
-      // drain budget); delay 0 closes the listener and dispatcher now
-      server.stop(0)
+      val delaySec =
+        if (drainMs <= 0) 0 else math.max(1, math.ceil(drainMs / 1000.0).toInt)
+      server.stop(delaySec)
       server = null
     }
   }
@@ -195,16 +193,22 @@ class QueryServer(
           try {
             new QueryService(spark.newSession()).execute(req)
             recoveredTotal.increment()
+            j.complete(id)
           } catch {
+            case e: Exception if QueryService.isPermanent(e) =>
+              // a permanent failure is a known fate — clear it
+              log.warn(s"journal: request_id=$id fails permanently " +
+                s"(${e.getClass.getSimpleName}) — clearing")
+              j.complete(id)
             case e: Exception =>
-              // a permanent failure is a known fate; keep transient
-              // failures journaled for the next start
-              if (QueryService.isPermanent(e)) {
-                log.warn(s"journal: request_id=$id fails permanently " +
-                  s"(${e.getClass.getSimpleName}) — clearing")
-              } else throw e
+              // transient (endpoint briefly unreachable at boot, …):
+              // leave the entry for the NEXT start and keep going —
+              // rethrowing here would abort start() and crash-loop the
+              // whole service on one bad entry (review finding)
+              log.warn(s"journal: request_id=$id failed transiently " +
+                s"(${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(120)}) — " +
+                "left in the journal for the next start")
           }
-          j.complete(id)
         } else {
           log.warn(s"journal: unfinished request_id=$id from a previous " +
             s"process: ${req.query.take(120)} (recover=report — left in place)")
@@ -215,10 +219,15 @@ class QueryServer(
   // ---- request/response wire format ----
 
   /** Caller-supplied `X-Request-Id` or a fresh one — the reference's
-    * request-ID middleware contract (`custom_context.go:20-37`). */
+    * request-ID middleware contract (`custom_context.go:20-37`).
+    * SANITIZED to filesystem-safe characters before use: the id becomes
+    * a journal filename, so a raw `../../x` header would reach outside
+    * the journal dir (review finding); anything that sanitizes to empty
+    * gets a generated id. */
   private def requestId(ex: HttpExchange): String =
     Option(ex.getRequestHeaders.getFirst("X-Request-Id"))
-      .filter(_.nonEmpty)
+      .map(_.replaceAll("[^A-Za-z0-9._-]", "").take(100))
+      .filter(s => s.nonEmpty && !s.forall(_ == '.'))
       .getOrElse(java.util.UUID.randomUUID().toString)
 
   private def parseRequest(body: String): QueryService.QueryRequest = {
@@ -317,7 +326,12 @@ class QueryServer(
        |""".stripMargin
   }
 
-  private def handler(f: HttpExchange => (Int, String, String)): HttpHandler =
+  /** Route wrapper: CORS + preflight, request-ID assignment, response
+    * write. The id is passed to the route function DIRECTLY — JDK
+    * HttpExchange attributes live on the shared HttpContext, so two
+    * concurrent requests stashing ids there would journal and log under
+    * each other's ids (review finding). */
+  private def handler(f: (HttpExchange, String) => (Int, String, String)): HttpHandler =
     (ex: HttpExchange) => {
       // CORS on every response + preflight, the Echo-default posture
       // the reference's shell installs (`http_server.go:46`)
@@ -329,13 +343,11 @@ class QueryServer(
         ex.close()
       } else {
         // echo the request ID — caller-supplied or generated — so every
-        // response is correlatable with the server log; stashed on the
-        // exchange so the route handler journals/logs the SAME id
+        // response is correlatable with the server log
         val rid = requestId(ex)
-        ex.setAttribute("graft.requestId", rid)
         ex.getResponseHeaders.set("X-Request-Id", rid)
         val (code, ctype, body) =
-          try f(ex)
+          try f(ex, rid)
           catch { case e: Exception => (500, "application/json", errorJson(e.toString)) }
         val bytes = body.getBytes(UTF_8)
         ex.getResponseHeaders.set("Content-Type", ctype)

@@ -202,6 +202,17 @@ object MergeTreePartWriter {
     dict.w.writeLongLE(1L) // KeysSerializationVersion: SharedDictionariesWithAdditionalKeys
     eachGranule(values, granuleSizes) { (g, _) =>
       dict.mark(g.size); main.mark(g.size)
+      // a zero-ELEMENT granule (every array empty) writes no block at
+      // all — the reader skips rows==0 granules, so an unconditional
+      // [flags][0 keys] here would desync the stream mid-split (review
+      // finding); the marks above still record the correct position
+      if (g.isEmpty) ()
+      else writeLcBlock(main, inner, g)
+    }
+  }
+
+  private def writeLcBlock(main: StreamOut, inner: ChType, g: Seq[Any]): Unit = {
+    {
       val keys = g.distinct
       val index = keys.zipWithIndex.toMap
       val widthTag = if (keys.size <= 0x100) 0 else if (keys.size <= 0x10000) 1 else 2

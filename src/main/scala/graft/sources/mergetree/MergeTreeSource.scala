@@ -137,14 +137,25 @@ private final class MergeTreeScanBuilder(
     * mark-range selection in [[MergeTreeScan]]. */
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val key = orderBy.headOption
+    // Enum keys: the part orders by CH enum CODE while Spark evaluates
+    // the surfaced String column LEXICOGRAPHICALLY — the two orders
+    // disagree, so RANGE predicates must not prune on enum keys (review
+    // finding: a code-ordered granule can hold names inside a
+    // lexicographic range its code range excludes). Equality/IN stay
+    // sound: name↔code is a bijection, membership is order-free.
+    val keyIsEnum = key.exists { k =>
+      try graft.types.ChSchemaParser.splitTopLevel(ddl, ',').map(_.trim)
+        .exists(c => c.startsWith(s"`$k`") && c.contains("Enum"))
+      catch { case _: Exception => true } // unparseable → be conservative
+    }
     prunePredicates = key match {
       case Some(k) => filters.filter {
         case EqualTo(a, v) => a == k && v != null
-        case GreaterThan(a, v) => a == k && v != null
-        case GreaterThanOrEqual(a, v) => a == k && v != null
-        case LessThan(a, v) => a == k && v != null
-        case LessThanOrEqual(a, v) => a == k && v != null
         case In(a, vs) => a == k && vs.nonEmpty && !vs.contains(null)
+        case GreaterThan(a, v) => a == k && v != null && !keyIsEnum
+        case GreaterThanOrEqual(a, v) => a == k && v != null && !keyIsEnum
+        case LessThan(a, v) => a == k && v != null && !keyIsEnum
+        case LessThanOrEqual(a, v) => a == k && v != null && !keyIsEnum
         case _ => false
       }
       case None => Array.empty[Filter]
@@ -225,21 +236,28 @@ private final class MergeTreeScan(
       case None => _ => true
       case Some(idx) =>
         import org.apache.spark.sql.sources._
-        def cmp(a: Any, b: Any): Int =
-          try ord.compareValues(keyT, a, b)
-          catch { case _: Exception => 0 } // incomparable literal → no pruning power
         (g: Int) => {
           val gLo = idx(g)
           val gHi = if (g + 1 < n) Some(idx(g + 1)) else None
+          // a predicate whose literal cannot be compared (e.g. a value
+          // outside an enum declaration) must KEEP the granule — mapping
+          // the failure to "equal" would actively prune and silently
+          // drop rows (review finding)
+          def keep(p: => Boolean): Boolean =
+            try p catch { case _: Exception => true }
           prunePredicates.forall {
-            case EqualTo(_, v) =>
-              cmp(gLo, v) <= 0 && gHi.forall(h => cmp(h, v) >= 0)
-            case GreaterThan(_, v) => gHi.forall(h => cmp(h, v) > 0)
-            case GreaterThanOrEqual(_, v) => gHi.forall(h => cmp(h, v) >= 0)
-            case LessThan(_, v) => cmp(gLo, v) < 0
-            case LessThanOrEqual(_, v) => cmp(gLo, v) <= 0
-            case In(_, vs) =>
-              vs.exists(v => cmp(gLo, v) <= 0 && gHi.forall(h => cmp(h, v) >= 0))
+            case EqualTo(_, v) => keep(
+              ord.compareValues(keyT, gLo, v) <= 0 &&
+                gHi.forall(h => ord.compareValues(keyT, h, v) >= 0))
+            case GreaterThan(_, v) => keep(
+              gHi.forall(h => ord.compareValues(keyT, h, v) > 0))
+            case GreaterThanOrEqual(_, v) => keep(
+              gHi.forall(h => ord.compareValues(keyT, h, v) >= 0))
+            case LessThan(_, v) => keep(ord.compareValues(keyT, gLo, v) < 0)
+            case LessThanOrEqual(_, v) => keep(ord.compareValues(keyT, gLo, v) <= 0)
+            case In(_, vs) => keep(
+              vs.exists(v => ord.compareValues(keyT, gLo, v) <= 0 &&
+                gHi.forall(h => ord.compareValues(keyT, h, v) >= 0)))
             case _ => true
           }
         }
