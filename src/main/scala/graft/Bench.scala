@@ -284,13 +284,19 @@ object Bench {
       if (!script.exists()) {
         errors("duckdb_oracle") = s"${script.getPath} not found (run from repo root)"
       } else {
-        val p = new ProcessBuilder("python3", script.getPath, sfDir, cpus).start()
+        // merged streams: reading stdout to EOF with stderr un-drained
+        // deadlocks if the child fills the stderr pipe (review finding);
+        // the JSON metric line is recovered as the last '{'-line
+        val p = new ProcessBuilder("python3", script.getPath, sfDir, cpus)
+          .redirectErrorStream(true).start()
         val outStr = new String(p.getInputStream.readAllBytes(), "UTF-8").trim
-        val errStr = new String(p.getErrorStream.readAllBytes(), "UTF-8").trim
         p.waitFor()
         require(p.exitValue() == 0,
-          s"bench_duckdb.py exited ${p.exitValue()}: ${errStr.take(200)}")
-        val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(outStr)
+          s"bench_duckdb.py exited ${p.exitValue()}: ${outStr.takeRight(200)}")
+        val jsonLine = outStr.linesIterator.filter(_.startsWith("{")).toSeq.lastOption
+          .getOrElse(throw new IllegalStateException(
+            s"no JSON line in bench_duckdb.py output: ${outStr.takeRight(200)}"))
+        val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(jsonLine)
         Seq("q1_scan_count", "q2_group_sum", "q3_uniq_exact", "q4_hash_scan").foreach { q =>
           if (root.has(q)) {
             duck(q) = root.get(q).asDouble()
@@ -306,13 +312,16 @@ object Bench {
     }
 
     def jstr(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    // ROOT locale: a decimal-comma default locale would emit malformed
+    // JSON through "%.3f".format (review finding)
+    def jnum(v: Double) = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     def jmap(m: scala.collection.Map[String, Double]) =
-      m.map { case (k, v) => s"${jstr(k)}:${"%.3f".format(v)}" }.mkString("{", ",", "}")
+      m.map { case (k, v) => s"${jstr(k)}:${jnum(v)}" }.mkString("{", ",", "}")
     val es = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }
       .mkString("{", ",", "}")
     val total = times.values.sum
     val line =
-      s"""{"metric":"total","value":${"%.3f".format(total)},"unit":"sec","iters":$Iters,"queries":${jmap(times)},"sf10x":${jmap(times10)},"ratio_10x":${jmap(ratios)},"duckdb":${jmap(duck)},"ratio_vs_duckdb":${jmap(ratioDuck)},"errors":$es,"sf":${jstr(sfDir)}}"""
+      s"""{"metric":"total","value":${jnum(total)},"unit":"sec","iters":$Iters,"queries":${jmap(times)},"sf10x":${jmap(times10)},"ratio_10x":${jmap(ratios)},"duckdb":${jmap(duck)},"ratio_vs_duckdb":${jmap(ratioDuck)},"errors":$es,"sf":${jstr(sfDir)}}"""
     println(line)
     // machine-readable artifact independent of log scraping (the r8
     // driver harness failed to extract the metric line from the sbt

@@ -1007,8 +1007,14 @@ object ChFunctions {
       // selection quantileExact uses. The sketch families (TDigest/HLL
       // buffers) keep their opaque-state caveat — their buffers are not
       // SQL-representable, which the scaladoc on uniqState documents.
-      reg("quantileExactState")({ case Seq(x) =>
-        new SortArray(CollectList(x).toAggregateExpression(), Literal(true))
+      // the CH parametric spelling quantileExactState(q)(x) arrives as
+      // (x, q) — the quantile PARAMETER is finalization-time information
+      // the state doesn't need, so it's accepted and unused
+      reg("quantileExactState")({
+        case Seq(x) =>
+          new SortArray(CollectList(x).toAggregateExpression(), Literal(true))
+        case Seq(x, _) =>
+          new SortArray(CollectList(x).toAggregateExpression(), Literal(true))
       })
       reg("quantileExactMerge")({ case Seq(st, q) =>
         val all = new SortArray(
@@ -1617,10 +1623,22 @@ object ChFunctions {
 
       // arrayEnumerateDense([10,20,10]) = [1,2,1]: rank by order of
       // first appearance — 1-based position in the distinct-order array
+      // (array_distinct preserves first-occurrence order). NULL elements
+      // REFUSE loudly: array_position cannot probe NULL, and a silent
+      // NULL rank would diverge from CH's treat-NULL-as-a-value answer
+      // (review finding). Per-element distinct+position is O(n²) on the
+      // ROW-LOCAL array — the same accepted bound as arrayCumSum.
       reg("arrayEnumerateDense")({ case Seq(arr) =>
         val x = lv("xED")
         ArrayTransform(arr,
-          LambdaFunction(Cast(ArrayPosition(ArrayDistinct(arr), x), LongType), Seq(x)))
+          LambdaFunction(
+            If(IsNull(x),
+              Cast(RaiseError(Literal(
+                "arrayEnumerateDense: NULL elements are not supported here " +
+                  "(CH ranks NULL as a value; this port refuses rather than " +
+                  "returning a silently different rank)")), LongType),
+              Cast(ArrayPosition(ArrayDistinct(arr), x), LongType)),
+            Seq(x)))
       })
       reg("arrayUnion")({ exprs =>
         require(exprs.nonEmpty, "arrayUnion needs ≥1 array")
@@ -1659,12 +1677,17 @@ object ChFunctions {
         BitwiseOr(ShiftLeft(v, n), ShiftRightUnsigned(v, Subtract(Literal(64), n)))
       })
 
-      // toStartOfWeek(d[, mode]): mode 0 (CH default) weeks start
-      // Sunday, mode 1 Monday — Spark's dayofweek is 1=Sunday
+      // toStartOfWeek(d[, mode]): CH follows MySQL WEEK modes — EVEN
+      // modes (0,2,4,6) start Sunday, ODD modes Monday (review finding:
+      // collapsing all nonzero modes to Monday was wrong for 2/4/6).
+      // The mode must be a literal; a column-valued mode refuses loudly.
       reg("toStartOfWeek")({
         case Seq(d) => startOfWeek(d, sundayFirst = true)
         case Seq(d, Literal(m, _)) =>
-          startOfWeek(d, sundayFirst = String.valueOf(m) == "0")
+          val mode = String.valueOf(m).toInt
+          startOfWeek(d, sundayFirst = mode % 2 == 0)
+        case Seq(_, other) => throw new IllegalArgumentException(
+          s"toStartOfWeek: mode must be a literal integer, got $other")
       })
       // ISO-8601 year: the year of the ISO week = the year of that
       // week's Thursday (weekday: Monday = 0)
@@ -1688,10 +1711,14 @@ object ChFunctions {
         perUnit match {
           case Some(u) => Cast(IntegralDivide(micros, Literal(u)), LongType)
           case None => unit.toLowerCase match {
-            case "month" | "mm" | "m" => Cast(Floor(
-              new MonthsBetween(Cast(b, TimestampType), Cast(a, TimestampType))), LongType)
-            case "year" | "yyyy" | "yy" => Cast(IntegralDivide(Cast(Floor(
-              new MonthsBetween(Cast(b, TimestampType), Cast(a, TimestampType))),
+            // COMPLETE months truncate TOWARD ZERO (the double→long cast)
+            // like the integral-divide units above — Floor here rounded
+            // negative intervals away from zero (review finding:
+            // age('month', later, earlier) was off by one)
+            case "month" | "mm" | "m" => Cast(
+              new MonthsBetween(Cast(b, TimestampType), Cast(a, TimestampType)), LongType)
+            case "year" | "yyyy" | "yy" => Cast(IntegralDivide(Cast(
+              new MonthsBetween(Cast(b, TimestampType), Cast(a, TimestampType)),
               LongType), Literal(12L)), LongType)
             case other => throw new IllegalArgumentException(s"age: unsupported unit '$other'")
           }

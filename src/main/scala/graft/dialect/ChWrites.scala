@@ -75,12 +75,12 @@ object ChWrites {
       case CtasRe(rawName, middle, body) =>
         val name = rawName.stripPrefix("`").stripSuffix("`")
           .stripPrefix("\"").stripSuffix("\"")
-        val sortKey =
-          OrderByRe.findFirstMatchIn(middle)
-            .map(_.group(1).split(",").map(_.trim.stripPrefix("`").stripSuffix("`")).toSeq)
-            .orElse(OrderByBareRe.findFirstMatchIn(middle)
-              .map(m => Seq(m.group(1).stripPrefix("`").stripSuffix("`"))))
-            .getOrElse(Nil)
+        // temp views cannot be multi-part — refuse BEFORE executing the
+        // SELECT, not after the data landed (review finding)
+        require(!name.contains('.'),
+          s"CREATE TABLE $name: multi-part names are not supported — " +
+            "use a simple table name (registered as a session view)")
+        val sortKey = parseOrderBy(middle)
         val warehouse = spark.conf.get(WarehouseConf,
           s"${System.getProperty("java.io.tmpdir")}/graft_warehouse")
         val path = s"$warehouse/$name"
@@ -100,6 +100,30 @@ object ChWrites {
             "web-disk tables and views are read-only, like CH web disks")
       case other =>
         throw new IllegalArgumentException(s"unparseable write statement: ${other.take(120)}…")
+    }
+  }
+
+  /** CTAS ORDER BY: `tuple()` (CH's canonical no-key spelling) → no
+    * key; a parenthesized or bare COLUMN list → those columns;
+    * expression keys (`ORDER BY cityHash64(id)`) refuse loudly — a
+    * function name silently taken as a column would crash deep inside
+    * the write (review finding). */
+  private val IdentRe = """[A-Za-z_][A-Za-z0-9_]*""".r
+  private def parseOrderBy(middle: String): Seq[String] = {
+    if ("""(?is)\bORDER\s+BY\s+tuple\s*\(\s*\)""".r.findFirstIn(middle).isDefined)
+      return Nil
+    val keys = OrderByRe.findFirstMatchIn(middle)
+      .map(_.group(1).split(",").map(_.trim.stripPrefix("`").stripSuffix("`")).toSeq)
+      .orElse(OrderByBareRe.findFirstMatchIn(middle)
+        .map(m => Seq(m.group(1).stripPrefix("`").stripSuffix("`")
+          .stripPrefix("\"").stripSuffix("\""))))
+      .getOrElse(Nil)
+    keys.filter(_.nonEmpty).map { k =>
+      require(IdentRe.matches(k),
+        s"CREATE TABLE … ORDER BY: expression key '$k' is not supported — " +
+          "order by plain column names (compute the expression as a column " +
+          "in the SELECT first), or ORDER BY tuple() for no key")
+      k
     }
   }
 
@@ -131,9 +155,12 @@ object ChWrites {
     ChSql.finish(spark, r)
   }
 
-  /** Write and return the row count (counted from the WRITTEN data for
-    * parquet — no second scan of the source; text formats count the
-    * source frame once before writing). */
+  /** Write and return the row count. Parquet counts the WRITTEN footers
+    * (a metadata job). Text formats persist the frame first so the
+    * reported count and the written bytes come from ONE execution — a
+    * separate count() run could disagree with the write for any
+    * non-deterministic SELECT, and paid a second source scan even for
+    * deterministic ones (review finding). */
   private def writeSelect(spark: SparkSession, body: String,
       macros: Map[String, String], path: String, fmt: String): Long = {
     val df = selectDf(spark, body, macros)
@@ -142,23 +169,25 @@ object ChWrites {
       case "Parquet" =>
         Sinks.writeParquet(df, path)
         spark.read.parquet(path).count()
-      case "CSVWithNames" | "CSV" =>
-        val n = df.count()
-        Sinks.writeCsv(df, path, header = fmt == "CSVWithNames", compression = gz)
-        n
-      case "TSVWithNames" | "TSV" =>
-        val n = df.count()
-        val w = df.write.mode(SaveMode.Overwrite)
-          .option("header", (fmt == "TSVWithNames").toString)
-          .option("sep", "\t").option("escape", "\"")
-        gz.foreach(c => w.option("compression", c))
-        w.csv(path)
-        n
-      case "JSONEachRow" =>
-        val n = df.count()
-        Sinks.writeJsonEachRow(df, path, compression = gz)
-        n
-      case other => throw new IllegalArgumentException(s"format $other")
+      case _ =>
+        df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          val n = df.count()
+          fmt match {
+            case "CSVWithNames" | "CSV" =>
+              Sinks.writeCsv(df, path, header = fmt == "CSVWithNames", compression = gz)
+            case "TSVWithNames" | "TSV" =>
+              val w = df.write.mode(SaveMode.Overwrite)
+                .option("header", (fmt == "TSVWithNames").toString)
+                .option("sep", "\t").option("escape", "\"")
+              gz.foreach(c => w.option("compression", c))
+              w.csv(path)
+            case "JSONEachRow" =>
+              Sinks.writeJsonEachRow(df, path, compression = gz)
+            case other => throw new IllegalArgumentException(s"format $other")
+          }
+          n
+        } finally df.unpersist(blocking = false)
     }
   }
 }

@@ -38,8 +38,13 @@ final class QueryJournal(dirPath: String) {
     require(id.matches("[A-Za-z0-9._-]{1,100}") && !id.forall(_ == '.'),
       s"journal id must be filesystem-safe ([A-Za-z0-9._-]): '$id'")
 
-  /** Persist an accepted request; must return before execution starts. */
-  def record(id: String, req: QueryService.QueryRequest): Unit = {
+  /** Persist an accepted request; must return before execution starts.
+    * Returns the journal KEY actually used — the caller's id, or a
+    * uniquified `id.N` when two in-flight requests share an
+    * X-Request-Id (review finding: REPLACE_EXISTING collapsed them to
+    * one entry, and the first completion deleted the survivor's
+    * durability record). [[complete]] must be called with this key. */
+  def record(id: String, req: QueryService.QueryRequest): String = {
     checkId(id)
     val node = mapper.createObjectNode()
     node.put("id", id)
@@ -51,8 +56,23 @@ final class QueryJournal(dirPath: String) {
     node.put("accepted_at_ms", System.currentTimeMillis())
     val tmp = Files.createTempFile(dir, s".$id", ".tmp")
     Files.write(tmp, mapper.writeValueAsBytes(node))
-    Files.move(tmp, dir.resolve(s"$id.json"),
-      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    // atomic move WITHOUT replace: a key collision surfaces as
+    // FileAlreadyExists and the entry lands under the next suffix
+    var key = id
+    var n = 1
+    var placed = false
+    while (!placed) {
+      try {
+        Files.move(tmp, dir.resolve(s"$key.json"), StandardCopyOption.ATOMIC_MOVE)
+        placed = true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          n += 1
+          key = s"$id.$n"
+          require(n <= 1000, s"over 1000 journal entries share id '$id'")
+      }
+    }
+    key
   }
 
   /** The request produced a response (success OR error) — its fate is

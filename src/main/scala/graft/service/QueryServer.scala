@@ -97,13 +97,16 @@ class QueryServer(
         val body = new String(ex.getRequestBody.readAllBytes(), UTF_8)
         val t0 = System.nanoTime()
         inFlight.incrementAndGet()
+        // the journal may uniquify the key when concurrent requests
+        // share an X-Request-Id — completion must use the same key
+        var journalKey: Option[String] = None
         try {
           val res =
             try {
               val req = parseRequest(body)
               // journal BEFORE execution: a crash between here and the
               // response leaves exactly this entry for the next start
-              journal.foreach(_.record(reqId, req))
+              journalKey = journal.map(_.record(reqId, req))
               // per-request session isolation (the reference gives each
               // workflow its own CH session, `workflow_query_executor.go:302`):
               // newSession() shares the SparkContext and cached data but
@@ -135,7 +138,7 @@ class QueryServer(
             }
           // any response — success or error — means the caller learns
           // this request's fate: it must never replay
-          journal.foreach(_.complete(reqId))
+          journalKey.foreach(k => journal.foreach(_.complete(k)))
           res
         } finally {
           // sweep operator-internal persisted intermediates once the
