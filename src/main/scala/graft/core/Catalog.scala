@@ -30,7 +30,7 @@ object Catalog {
   private val attached = scala.collection.concurrent.TrieMap.empty[String, AttachedTable]
 
   private val AttachRe =
-    """(?is)\s*ATTACH\s+TABLE\s+(\S+)\s*(?:UUID\s+'[^']*')?\s*\((.*)\)\s*ENGINE\s*=\s*(\w+)(?:\s+ORDER\s+BY\s*\(([^)]*)\))?(?:\s+SAMPLE\s+BY\s+(\w+\([^)]*\)|\([^)]*\)|[\w.]+))?(.*)""".r
+    """(?is)\s*ATTACH\s+TABLE\s+(\S+)\s*(?:UUID\s+'([^']*)')?\s*\((.*)\)\s*ENGINE\s*=\s*(\w+)(?:\s+ORDER\s+BY\s*\(([^)]*)\))?(?:\s+SAMPLE\s+BY\s+(\w+\([^)]*\)|\([^)]*\)|[\w.]+))?(.*)""".r
   private val EndpointRe = """endpoint\s*=\s*'([^']*)'""".r
 
   def isAttach(sql: String): Boolean =
@@ -50,10 +50,23 @@ object Catalog {
     * registration. An ATTACH with no endpoint clause at all is plain
     * DDL and registers schema-only as before. */
   def attach(spark: SparkSession, sql: String): AttachedTable = sql match {
-    case AttachRe(name, cols, _, orderBy, sampleBy, tail) =>
+    case AttachRe(name, uuid, cols, _, orderBy, sampleBy, tail) =>
       val schema = ChSchemaParser.parse(cols)
       val key = Option(orderBy).map(_.split(",").map(_.trim).toSeq).getOrElse(Nil)
-      val endpoint = EndpointRe.findFirstMatchIn(tail).map(_.group(1))
+      val rawEndpoint = EndpointRe.findFirstMatchIn(tail).map(_.group(1))
+      // a web disk stores the table under `store/<uuid[0,3)>/<uuid>/` of
+      // its endpoint — when the ATTACH carries a UUID and the bare
+      // endpoint isn't itself a part tree, probe the store root (the
+      // verbatim github_events shape: endpoint='…/web/' + UUID)
+      val endpoint = rawEndpoint.map { ep =>
+        import graft.sources.mergetree.MergeTree
+        if (!MergeTree.looksLikeMergeTree(ep))
+          Option(uuid).map(_.trim).filter(_.nonEmpty)
+            .map(u => MergeTree.storeRoot(ep, u))
+            .filter(MergeTree.looksLikeMergeTree)
+            .getOrElse(ep)
+        else ep
+      }
       val df: DataFrame = endpoint match {
         case Some(path) if graft.sources.mergetree.MergeTree.looksLikeMergeTree(path) =>
           // the reference's flagship shape END-TO-END: the endpoint serves
@@ -80,10 +93,12 @@ object Catalog {
           throw new IllegalArgumentException(
             s"ATTACH TABLE $name: endpoint '$path' is not readable. " +
               "Supported endpoints: local/parquet paths, http(s) .parquet " +
-              "objects, and MergeTree wide-part trees (local directory, or " +
-              "http(s) with a `.index` listing file — the content-hashed " +
-              s"`store/…` web-disk layout is not implemented). Set " +
-              s"$AllowEmptyConf=true to register a schema-only view instead.")
+              "objects, and MergeTree wide-part trees — a local directory, " +
+              "an http(s) root with a `.index` listing (flat paths, or the " +
+              "static-files-disk-uploader's per-directory format), or a " +
+              "web-disk endpoint whose `store/<uuid>` root the ATTACH's " +
+              s"UUID names. Set $AllowEmptyConf=true to register a " +
+              "schema-only view instead.")
         case _ =>
           spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
       }

@@ -294,5 +294,11 @@ private[mergetree] final class ChCompressedWriter(blockSize: Int = 1 << 16)
     out.write(body)
   }
 
+  /** Force the buffered bytes out as a frame now — the compact-part
+    * writer ends every (granule, column) chunk's frame the way CH's
+    * writer does (each chunk starts a fresh frame, marks carry
+    * decompressed offset 0). */
+  def endFrame(): Unit = flushBlock()
+
   def finish(): Array[Byte] = { flushBlock(); out.toByteArray }
 }

@@ -7,14 +7,21 @@ import java.nio.file.{Files, Paths, StandardCopyOption}
   * endpoint. Serializable: shipped inside every input partition so
   * executors fetch their own streams (no driver relay).
   *
-  * Http layout note: a real ClickHouse web disk serves a content-hashed
-  * object store with metadata indirection (the `store/…` layout the
-  * `clickhouse-static-files-disk-uploader` emits); that indirection is
-  * NOT implemented. The supported http convention is the plain part
-  * tree — `<endpoint>/<part>/<file>` — plus a `.index` listing file at
-  * the endpoint root naming every served path (one relative path per
-  * line), which stands in for directory listing that bare HTTP cannot
-  * do. Endpoints without `.index` refuse loudly at ATTACH.
+  * Http layout conventions (the root `.index` is sniffed to pick one):
+  *
+  *   - the REAL web-disk listing the
+  *     `clickhouse-static-files-disk-uploader` emits: one `.index` PER
+  *     DIRECTORY, each line `<name>\t<is_directory 0|1>[\t<size>]`
+  *     (directories carry no size; files do). A table's root is
+  *     `<disk endpoint>/store/<uuid[0,3)>/<uuid>/` — the ATTACH's UUID
+  *     names it; [[TableFiles.storeRoot]] builds that path and the
+  *     catalog probes it when the bare endpoint isn't a part tree.
+  *   - a plain flat listing: a single root `.index` naming every served
+  *     path (one relative path per line, no tabs) — the convention the
+  *     fixture writer used before the web-disk format landed; kept for
+  *     hand-built trees.
+  *
+  * Endpoints without `.index` refuse loudly at ATTACH.
   */
 private[mergetree] sealed trait TableFiles extends Serializable {
   def list(): Seq[String]                 // all relative paths
@@ -45,6 +52,14 @@ private[mergetree] object TableFiles {
       val tf = apply(endpoint)
       tf.partDirs().exists(p => tf.exists(s"$p/columns.txt"))
     } catch { case _: Exception => false }
+
+  /** The table root a web disk stores under its endpoint for a given
+    * table UUID — ClickHouse's `store/<first 3 hex>/<uuid>/` layout (the
+    * ATTACH statement's `UUID '…'` clause names it). */
+  def storeRoot(endpoint: String, uuid: String): String = {
+    val u = uuid.trim.toLowerCase
+    s"${endpoint.stripSuffix("/")}/store/${u.take(3)}/$u"
+  }
 }
 
 private[mergetree] final case class LocalTableFiles(root: String) extends TableFiles {
@@ -71,13 +86,43 @@ private[mergetree] final case class LocalTableFiles(root: String) extends TableF
   * the cost to one fetch per file per executor.) */
 private[mergetree] final case class HttpTableFiles(endpoint: String) extends TableFiles {
   @transient private lazy val index: Seq[String] = {
-    val in = new java.net.URI(s"$endpoint/.index").toURL.openConnection()
+    val root = fetchIndex("")
+    // sniff: tab-separated lines = the uploader's per-directory format;
+    // plain lines = the flat full-path listing
+    if (root.exists(_.contains('\t'))) walk("", root, depth = 0) else root
+  }
+  def list(): Seq[String] = index
+
+  private def fetchIndex(rel: String): Seq[String] = {
+    val url = if (rel.isEmpty) s"$endpoint/.index" else s"$endpoint/$rel/.index"
+    val in = new java.net.URI(url).toURL.openConnection()
     in.setConnectTimeout(30000)
     in.setReadTimeout(120000)
     val s = scala.io.Source.fromInputStream(in.getInputStream, "UTF-8")
-    try s.getLines().map(_.trim).filter(_.nonEmpty).toList finally s.close()
+    try s.getLines().map(_.stripSuffix("\r")).filter(_.nonEmpty).toList
+    finally s.close()
   }
-  def list(): Seq[String] = index
+
+  /** Recursive listing off per-directory `.index` files. Line format is
+    * the static-files-disk-uploader's `<name>\t<is_dir>[\t<size>]` —
+    * `is_dir` is `1`/`true` for directories (no size) and `0`/`false`
+    * for files. Anything else refuses loudly rather than guessing. */
+  private def walk(rel: String, lines: Seq[String], depth: Int): Seq[String] = {
+    require(depth <= 3, s"web-disk .index nesting deeper than 3 under '$endpoint/$rel'")
+    lines.flatMap { line =>
+      val f = line.split('\t')
+      require(f.length >= 2,
+        s"malformed web-disk .index line (expected <name>\\t<is_dir>[\\t<size>]): $line")
+      val name = f(0)
+      val path = if (rel.isEmpty) name else s"$rel/$name"
+      f(1).toLowerCase match {
+        case "1" | "true" => walk(path, fetchIndex(path), depth + 1)
+        case "0" | "false" => Seq(path)
+        case other => throw new IllegalArgumentException(
+          s"malformed web-disk .index is_directory flag '$other' in line: $line")
+      }
+    }
+  }
   def smallFile(rel: String): Array[Byte] = {
     val in = graft.sources.Sources.openHttpStream(s"$endpoint/$rel")
     try in.readAllBytes() finally in.close()
@@ -107,13 +152,16 @@ private[mergetree] object HttpTableFiles {
 }
 
 /** One part's metadata, read driver-side at planning: `columns.txt`
-  * (names + CH types), `count.txt` (rows), and the `.mrk2` marks of
-  * every substream (granule boundaries for splitting and seeking). */
+  * (names + CH types), `count.txt` (rows), and granule boundaries —
+  * from the first column's `.mrk2` marks (wide parts) or from
+  * `data.mrk3` (compact parts). `compact` records the storage kind the
+  * reader must use. */
 private[mergetree] final case class PartMeta(
     name: String,
     columns: Seq[(String, String)], // name -> CH type string
     rows: Long,
-    granuleRows: Array[Int])
+    granuleRows: Array[Int],
+    compact: Boolean = false)
 
 private[mergetree] object PartMeta {
 
@@ -206,13 +254,53 @@ private[mergetree] object PartMeta {
   def read(tf: TableFiles, part: String): PartMeta = {
     val cols = parseColumnsTxt(tf.text(s"$part/columns.txt"))
     val rows = tf.text(s"$part/count.txt").trim.toLong
-    val firstStream = ChType.rowGranularStream(cols.head._1, ChType.parse(cols.head._2))
-    val marks = marksOf(tf, part, firstStream)
-    val granules = marks.map { m =>
-      require(m.rows <= Int.MaxValue, s"granule of ${m.rows} rows"); m.rows.toInt
-    }
+    val isCompact = tf.exists(s"$part/data.bin") && tf.exists(s"$part/data.mrk3")
+    val granules =
+      if (isCompact) compactMarks(tf, part, cols.size)._2
+      else {
+        val firstStream = ChType.rowGranularStream(cols.head._1, ChType.parse(cols.head._2))
+        marksOf(tf, part, firstStream).map { m =>
+          require(m.rows <= Int.MaxValue, s"granule of ${m.rows} rows"); m.rows.toInt
+        }
+      }
     require(granules.map(_.toLong).sum == rows,
       s"part $part: count.txt says $rows rows but marks sum to ${granules.map(_.toLong).sum}")
-    PartMeta(part, cols, rows, granules)
+    PartMeta(part, cols, rows, granules, compact = isCompact)
+  }
+
+  /** Compact-part `data.mrk3` marks: per granule, per column a
+    * `(offset_in_compressed_file, offset_in_decompressed_block)` UInt64
+    * pair, then ONE UInt64 rows-in-granule — mark entry size is
+    * `columns*16 + 8` bytes. A trailing final mark (0 rows at EOF) is
+    * dropped. Returns (per-granule per-column offsets, per-granule
+    * rows). */
+  def compactMarks(
+      tf: TableFiles,
+      part: String,
+      nColumns: Int): (Array[Array[(Long, Long)]], Array[Int]) = {
+    val rel = s"$part/data.mrk3"
+    require(tf.exists(rel), {
+      val cmrk = s"$part/data.cmrk3"
+      if (tf.exists(cmrk)) s"compressed marks ($cmrk) are not supported — write plain .mrk3"
+      else s"missing marks file $rel"
+    })
+    val b = tf.smallFile(rel)
+    val entry = nColumns * 16 + 8
+    require(b.length % entry == 0,
+      s"$rel length ${b.length} not a multiple of $entry (=$nColumns columns*16+8)")
+    val bb = java.nio.ByteBuffer.wrap(b).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val n = b.length / entry
+    val offsets = Array.newBuilder[Array[(Long, Long)]]
+    val rows = Array.newBuilder[Int]
+    var g = 0
+    while (g < n) {
+      val cols = Array.fill(nColumns)((bb.getLong(), bb.getLong()))
+      val r = bb.getLong()
+      require(r >= 0 && r <= Int.MaxValue, s"granule of $r rows")
+      // a final mark (rows==0 at the last entry) marks EOF, not data
+      if (!(r == 0 && g == n - 1)) { offsets += cols; rows += r.toInt }
+      g += 1
+    }
+    (offsets.result(), rows.result())
   }
 }

@@ -104,6 +104,76 @@ object MergeTreePartWriter {
     w.bytes
   }
 
+  /** Write `rows` as one COMPACT part — all columns interleaved in a
+    * single `data.bin` with `data.mrk3` marks (`MergeTreeDataPartCompact`;
+    * CH writes small parts compact by default, so real part trees mix
+    * both kinds). Layout per granule, column by column in declaration
+    * order: the column's substreams concatenated with
+    * position-independent encoding (Nullable `[null map][values]`,
+    * Array `[per-row UInt64 sizes][elements]`), each chunk ending its
+    * LZ4 frame — `data.mrk3` records `(frame offset, 0)` per
+    * (granule, column) plus the granule's row count, and a final mark
+    * at EOF. Supported subset: scalars, Nullable(scalar),
+    * Array(scalar); LowCardinality refuses (its shared-dictionary
+    * serialization is the wide writer's job). */
+  def writeCompactPart(
+      tableDir: String,
+      columns: Seq[(String, String)],
+      rows: Seq[Seq[Any]],
+      granularity: Int = 8192,
+      partName: String = "all_1_1_0",
+      orderBy: Seq[String] = Nil): Unit = {
+    require(granularity > 0)
+    val types = columns.map { case (n, ts) =>
+      val t = ChType.parse(ts)
+      require(CompactCodec.supported(t),
+        s"column `$n` of type $ts is outside the compact-part subset " +
+          "(scalars, Nullable(scalar), Array(scalar)) — use writePart (wide)")
+      t
+    }
+    val dir = Paths.get(tableDir, partName)
+    Files.createDirectories(dir)
+    val granules: Seq[Seq[Seq[Any]]] = rows.grouped(granularity).toSeq
+    val w = new ChCompressedWriter()
+    val marks = java.nio.ByteBuffer
+      .allocate((granules.size + 1) * (columns.size * 16 + 8))
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    granules.foreach { g =>
+      columns.indices.foreach { ci =>
+        val (comp, decomp) = w.markHere
+        require(decomp == 0L, "compact chunk must start a fresh frame")
+        marks.putLong(comp); marks.putLong(decomp)
+        types(ci) match {
+          case ChType.NullableT(inner) =>
+            g.foreach(r => w.writeByte(if (r(ci) == null) 1 else 0))
+            g.foreach(r => writeScalar(w, inner,
+              if (r(ci) == null) defaultOf(inner) else r(ci)))
+          case ChType.ArrayT(elem) =>
+            g.foreach(r => w.writeLongLE(asSeq(r(ci)).size.toLong))
+            g.foreach(r => asSeq(r(ci)).foreach(writeScalar(w, elem, _)))
+          case scalar =>
+            g.foreach(r => writeScalar(w, scalar, r(ci)))
+        }
+        w.endFrame()
+      }
+      marks.putLong(g.size.toLong)
+    }
+    // final mark: every column points at EOF, 0 rows
+    val (eof, _) = w.markHere
+    columns.indices.foreach { _ => marks.putLong(eof); marks.putLong(0L) }
+    marks.putLong(0L)
+    Files.write(dir.resolve("data.bin"), w.finish())
+    Files.write(dir.resolve("data.mrk3"), marks.array())
+    val colsTxt = new StringBuilder()
+      .append("columns format version: 1\n")
+      .append(s"${columns.size} columns:\n")
+    columns.foreach { case (n, tp) => colsTxt.append(s"`$n` $tp\n") }
+    Files.write(dir.resolve("columns.txt"), colsTxt.toString.getBytes(UTF_8))
+    Files.write(dir.resolve("count.txt"), rows.size.toString.getBytes(UTF_8))
+    Files.write(dir.resolve("default_compression_codec.txt"), "CODEC(LZ4)".getBytes(UTF_8))
+    Files.write(dir.resolve("primary.idx"), primaryIdx(columns, rows, granules, orderBy))
+  }
+
   /** Write the `.index` listing [[HttpTableFiles]] requires — every file
     * under `tableDir`, one relative path per line. */
   def writeHttpIndex(tableDir: String): Unit = {
@@ -114,6 +184,33 @@ object MergeTreePartWriter {
         out.append(base.relativize(p).toString).append('\n')
     }
     Files.write(base.resolve(".index"), out.toString.getBytes(UTF_8))
+  }
+
+  /** Write per-directory `.index` files in the real web-disk listing
+    * format (`clickhouse-static-files-disk-uploader`): each directory
+    * lists its children, one line per entry — `<name>\t1` for a child
+    * directory, `<name>\t0\t<size>` for a file. Recurses the whole
+    * tree; pair with a `store/<uuid[0,3)>/<uuid>/` layout to serve the
+    * verbatim ATTACH-by-UUID shape over http. */
+  def writeWebDiskIndexes(tableDir: String): Unit = {
+    def rec(dir: java.nio.file.Path): Unit = {
+      val out = new StringBuilder
+      val stream = Files.list(dir)
+      val children =
+        try stream.toArray.map(_.asInstanceOf[java.nio.file.Path])
+          .sortBy(_.getFileName.toString)
+        finally stream.close()
+      children.foreach { c =>
+        val name = c.getFileName.toString
+        if (Files.isDirectory(c)) {
+          out.append(name).append("\t1\n")
+          rec(c)
+        } else if (name != ".index")
+          out.append(name).append("\t0\t").append(Files.size(c)).append('\n')
+      }
+      Files.write(dir.resolve(".index"), out.toString.getBytes(UTF_8))
+    }
+    rec(Paths.get(tableDir))
   }
 
   // ---- per-column stream encoding ----

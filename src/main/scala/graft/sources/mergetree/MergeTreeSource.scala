@@ -75,6 +75,11 @@ object MergeTree {
   def looksLikeMergeTree(endpoint: String): Boolean =
     TableFiles.looksLikeMergeTree(endpoint)
 
+  /** `<endpoint>/store/<uuid[0,3)>/<uuid>` — where a web disk keeps a
+    * table's part tree (the ATTACH statement's UUID names it). */
+  def storeRoot(endpoint: String, uuid: String): String =
+    TableFiles.storeRoot(endpoint, uuid)
+
   /** Part inventory for `system.parts`: (part name, rows, granules,
     * column count) per part under the endpoint. */
   def partsInfo(endpoint: String): Seq[(String, Long, Int, Int)] = {
@@ -187,6 +192,20 @@ private final class MergeTreeScan(
     require(parts.nonEmpty, s"no MergeTree parts under endpoint '$endpoint'")
     parts.iterator.flatMap { part =>
       val meta = PartMeta.read(tf, part)
+      // compact parts: refuse unsupported column types at PLANNING, not
+      // mid-task on an executor
+      if (meta.compact) {
+        val partTypes = meta.columns.toMap
+        required.fieldNames.foreach { c =>
+          partTypes.get(c).foreach { ts =>
+            val t = ChType.parse(ts)
+            require(CompactCodec.supported(t),
+              s"compact part $part: column `$c` of type $ts is outside " +
+                "the compact-part subset (scalars, Nullable(scalar), " +
+                "Array(scalar))")
+          }
+        }
+      }
       val keep = qualifyingGranules(tf, part, meta)
       // split CONTIGUOUS runs of qualifying granules into row-bounded
       // mark ranges (mid-part starts are fully supported by the decode)
@@ -195,7 +214,7 @@ private final class MergeTreeScan(
       var acc = 0L
       def flush(end: Int): Unit = if (start >= 0) {
         splits += MergeTreeSplit(tf, part, start,
-          meta.granuleRows.slice(start, end), meta.columns)
+          meta.granuleRows.slice(start, end), meta.columns, meta.compact)
         start = -1; acc = 0L
       }
       var i = 0
@@ -275,7 +294,8 @@ private final case class MergeTreeSplit(
     part: String,
     markStart: Int,
     granuleRows: Array[Int],
-    partColumns: Seq[(String, String)]) extends InputPartition
+    partColumns: Seq[(String, String)],
+    compact: Boolean) extends InputPartition
 
 private final class MergeTreeReaderFactory(requiredCols: Seq[String], ddl: String)
   extends PartitionReaderFactory {
@@ -286,23 +306,25 @@ private final class MergeTreeReaderFactory(requiredCols: Seq[String], ddl: Strin
     val partTypes = split.partColumns.toMap
     // decode eagerly (bounded by rowsPerSplit), then iterate; an
     // unprojected or part-missing column never opens a stream
-    val colValues: Array[Array[Any]] = requiredCols.toArray.map { c =>
-      partTypes.get(c) match {
-        case None => Array.fill[Any](n)(null) // column added after this part was written
-        case Some(chTypeStr) =>
-          val t = ChType.parse(chTypeStr)
-          val opened = scala.collection.mutable.ArrayBuffer.empty[SeekableFile]
-          val streams = new ColumnCodec.Streams(
-            s => {
-              val f = split.files.seekable(s"${split.part}/$s.bin")
-              opened += f
-              new ChCompressedReader(f)
-            },
-            s => PartMeta.marksOf(split.files, split.part, s))
-          try ColumnCodec.decode(c, t, streams, split.markStart, split.granuleRows)
-          finally opened.foreach(_.close())
+    val colValues: Array[Array[Any]] =
+      if (split.compact) decodeCompact(split, n)
+      else requiredCols.toArray.map { c =>
+        partTypes.get(c) match {
+          case None => Array.fill[Any](n)(null) // column added after this part was written
+          case Some(chTypeStr) =>
+            val t = ChType.parse(chTypeStr)
+            val opened = scala.collection.mutable.ArrayBuffer.empty[SeekableFile]
+            val streams = new ColumnCodec.Streams(
+              s => {
+                val f = split.files.seekable(s"${split.part}/$s.bin")
+                opened += f
+                new ChCompressedReader(f)
+              },
+              s => PartMeta.marksOf(split.files, split.part, s))
+            try ColumnCodec.decode(c, t, streams, split.markStart, split.granuleRows)
+            finally opened.foreach(_.close())
+        }
       }
-    }
     new PartitionReader[InternalRow] {
       private var i = -1
       override def next(): Boolean = { i += 1; i < n }
@@ -310,5 +332,28 @@ private final class MergeTreeReaderFactory(requiredCols: Seq[String], ddl: Strin
         new GenericInternalRow(Array.tabulate[Any](colValues.length)(c => colValues(c)(i)))
       override def close(): Unit = ()
     }
+  }
+
+  /** Compact part: one shared `data.bin`, per-(granule, column) marks
+    * from `data.mrk3`. Column pruning still skips DECODE for
+    * unprojected columns (their chunks are seeked past, never
+    * deserialized), though the shared file is opened once regardless. */
+  private def decodeCompact(split: MergeTreeSplit, n: Int): Array[Array[Any]] = {
+    val partTypes = split.partColumns.toMap
+    val colIdx = split.partColumns.map(_._1).zipWithIndex.toMap
+    if (requiredCols.isEmpty) return Array.empty
+    val (marks, _) = PartMeta.compactMarks(split.files, split.part, split.partColumns.size)
+    val f = split.files.seekable(s"${split.part}/data.bin")
+    try {
+      val r = new ChCompressedReader(f)
+      requiredCols.toArray.map { c =>
+        partTypes.get(c) match {
+          case None => Array.fill[Any](n)(null)
+          case Some(chTypeStr) =>
+            CompactCodec.decode(c, ChType.parse(chTypeStr), r, marks,
+              colIdx(c), split.markStart, split.granuleRows)
+        }
+      }
+    } finally f.close()
   }
 }

@@ -407,7 +407,7 @@ private[mergetree] object ColumnCodec {
   }
 
   /** `n` scalar values off an already-positioned reader. */
-  private def scalars(t: ChType, r: ChCompressedReader, n: Int): Array[Any] = {
+  private[mergetree] def scalars(t: ChType, r: ChCompressedReader, n: Int): Array[Any] = {
     val out = new Array[Any](n)
     var i = 0
     t match {
@@ -447,5 +447,91 @@ private[mergetree] object ColumnCodec {
         throw new IllegalArgumentException(s"not a scalar MergeTree type: $other")
     }
     out
+  }
+}
+
+/** Decoder for COMPACT parts — all columns interleaved in one `data.bin`,
+  * marks in `data.mrk3` (ClickHouse `MergeTreeDataPartCompact`): each
+  * granule stores, column by column, that column's substreams
+  * CONCATENATED into the shared stream with position-independent
+  * encoding — Nullable writes `[null map][values]`, Array writes
+  * `[per-row SIZES as UInt64][elements]` (sizes, not the wide layout's
+  * cumulative offsets — compact chunks must decode without part-wide
+  * context). The `data.mrk3` pair for (granule, column) addresses the
+  * chunk start.
+  *
+  * Supported compact subset: every scalar type [[ColumnCodec]] decodes,
+  * plus Nullable(scalar) and Array(scalar). LowCardinality inside a
+  * compact part (a shared-dictionary serialization that spans granules)
+  * refuses loudly at ATTACH rather than decoding garbage. */
+private[mergetree] object CompactCodec {
+  import ChType._
+  import org.apache.spark.sql.catalyst.util.GenericArrayData
+
+  def supported(t: ChType): Boolean = t match {
+    case NullableT(inner) => scalar(inner)
+    case ArrayT(elem) => scalar(elem)
+    case other => scalar(other)
+  }
+  private def scalar(t: ChType): Boolean = t match {
+    case _: NullableT | _: ArrayT | _: LowCardinalityT => false
+    case _ => true
+  }
+
+  /** Decode a granule range of column `colIdx` off a shared `data.bin`
+    * reader. `marks(g)(colIdx)` addresses granule g's chunk for this
+    * column; `granuleRows` are the split's row counts (absolute granule
+    * indexes `markStart until markStart+granuleRows.length`). */
+  def decode(
+      name: String,
+      t: ChType,
+      r: ChCompressedReader,
+      marks: Array[Array[(Long, Long)]],
+      colIdx: Int,
+      markStart: Int,
+      granuleRows: Array[Int]): Array[Any] = {
+    require(supported(t),
+      s"column `$name`: type $t is outside the compact-part subset " +
+        "(scalars, Nullable(scalar), Array(scalar) — LowCardinality " +
+        "refuses; write the part wide instead)")
+    val out = Array.newBuilder[Any]
+    var g = 0
+    while (g < granuleRows.length) {
+      val rows = granuleRows(g)
+      if (rows > 0) {
+        val (comp, decomp) = marks(markStart + g)(colIdx)
+        r.seek(comp, decomp)
+        t match {
+          case NullableT(inner) =>
+            val mask = Array.fill(rows)(r.readByte() != 0)
+            val vals = ColumnCodec.scalars(inner, r, rows)
+            var i = 0
+            while (i < rows) { out += (if (mask(i)) null else vals(i)); i += 1 }
+          case ArrayT(elem) =>
+            val sizes = new Array[Int](rows)
+            var total = 0L
+            var i = 0
+            while (i < rows) {
+              val s = r.readLongLE()
+              require(s >= 0 && s <= Int.MaxValue, s"array size $s in `$name`")
+              sizes(i) = s.toInt; total += s; i += 1
+            }
+            require(total <= Int.MaxValue, s"granule of $total array elements")
+            val flat = ColumnCodec.scalars(elem, r, total.toInt)
+            var off = 0
+            i = 0
+            while (i < rows) {
+              val a = new Array[Any](sizes(i))
+              System.arraycopy(flat, off, a, 0, sizes(i))
+              out += new GenericArrayData(a)
+              off += sizes(i); i += 1
+            }
+          case scalarT =>
+            out ++= ColumnCodec.scalars(scalarT, r, rows)
+        }
+      }
+      g += 1
+    }
+    out.result()
   }
 }

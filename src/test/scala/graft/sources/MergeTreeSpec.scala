@@ -146,6 +146,137 @@ class MergeTreeSpec extends AnyFunSuite {
       Seq(List("alpha", 4L, 18L), List("beta", 3L, 12L), List("gamma", 3L, 15L)))
   }
 
+  test("compact part round-trips: scalars, Nullable, Array through one data.bin") {
+    val dir = Files.createTempDirectory("graft_mt_compact").toString
+    val columns = Seq(
+      "id" -> "UInt64",
+      "sname" -> "String",
+      "kind" -> "Enum8('alpha' = 1, 'beta' = 2)",
+      "score" -> "Float64",
+      "maybe" -> "Nullable(Int32)",
+      "nums" -> "Array(Int64)")
+    val rows = (0 until 10).map { i =>
+      Seq(i.toLong, s"n$i" + "y" * (i % 5), Seq("alpha", "beta")(i % 2), i * 0.5,
+        if (i % 3 == 0) null else Int.box(i * 10),
+        (0 until (i % 4)).map(j => (i * 100 + j).toLong))
+    }
+    MergeTreePartWriter.writeCompactPart(dir, columns, rows,
+      granularity = 3, orderBy = Seq("id"))
+    assert(Files.exists(Paths.get(dir, "all_1_1_0", "data.bin")))
+    assert(Files.exists(Paths.get(dir, "all_1_1_0", "data.mrk3")))
+    val got = readBack(dir, columns).orderBy("id").collect()
+    assert(got.length == 10)
+    assert(got(4).getAs[String]("sname") == "n4yyyy")
+    assert(got(5).getAs[String]("kind") == "beta")
+    assert(got(3).isNullAt(got(3).fieldIndex("maybe")))
+    assert(got(4).getAs[Int]("maybe") == 40)
+    assert(got(7).getSeq[Long](got(7).fieldIndex("nums")) == Seq(700L, 701L, 702L))
+    assert(got(8).getSeq[Long](got(8).fieldIndex("nums")).isEmpty)
+    // granule-range splits decode identically (mid-part seek off mrk3)
+    val split = readBack(dir, columns, rowsPerSplit = 3)
+    assert(split.rdd.getNumPartitions == 4)
+    assert(split.orderBy("id").collect().toSeq == got.toSeq)
+    // primary-index pruning applies to compact parts too
+    val pruned = spark.read.format("mergetree")
+      .option("endpoint", dir).option("ddl", ddlOf(columns))
+      .option("rowsPerSplit", 3).option("orderBy", "id")
+      .load().filter("id >= 9")
+    // granules [0-2][3-5][6-8][9]: granule 2 stays (its idx upper bound
+    // is inclusive — a boundary value can straddle), 0 and 1 prune
+    assert(pruned.rdd.getNumPartitions == 2)
+    assert(pruned.collect().map(_.getAs[Long]("id")).toSeq == Seq(9L))
+  }
+
+  test("compact and wide parts mix under one table root") {
+    val dir = Files.createTempDirectory("graft_mt_mix").toString
+    val cols = Seq("id" -> "UInt64", "v" -> "String")
+    MergeTreePartWriter.writePart(dir, cols,
+      (0 until 5).map(i => Seq(i.toLong, s"w$i")), granularity = 2, partName = "all_1_1_0")
+    MergeTreePartWriter.writeCompactPart(dir, cols,
+      (5 until 9).map(i => Seq(i.toLong, s"c$i")), granularity = 2, partName = "all_2_2_0")
+    val got = readBack(dir, cols).orderBy("id").collect()
+    assert(got.map(_.getAs[String]("v")).toSeq ==
+      Seq("w0", "w1", "w2", "w3", "w4", "c5", "c6", "c7", "c8"))
+  }
+
+  test("LowCardinality in a compact part refuses loudly at planning") {
+    val dir = Files.createTempDirectory("graft_mt_compact_lc").toString
+    val cols = Seq("id" -> "UInt64", "tag" -> "LowCardinality(String)")
+    val e = intercept[IllegalArgumentException] {
+      MergeTreePartWriter.writeCompactPart(dir, cols,
+        Seq(Seq(1L, "a")), granularity = 2)
+    }
+    assert(e.getMessage.contains("compact-part subset"))
+    // a hand-assembled compact part with an unsupported declared type
+    // refuses at PLANNING, before any executor decodes garbage
+    MergeTreePartWriter.writeCompactPart(dir,
+      Seq("id" -> "UInt64", "tag" -> "String"),
+      Seq(Seq(1L, "a")), granularity = 2)
+    val colsFile = Paths.get(dir, "all_1_1_0", "columns.txt")
+    Files.writeString(colsFile,
+      "columns format version: 1\n2 columns:\n`id` UInt64\n`tag` LowCardinality(String)\n")
+    val e2 = intercept[Exception] {
+      spark.read.format("mergetree")
+        .option("endpoint", dir)
+        .option("ddl", "`id` UInt64, `tag` LowCardinality(String)")
+        .load().collect()
+    }
+    assert(e2.getMessage.contains("compact-part subset") ||
+      Option(e2.getCause).exists(_.getMessage.contains("compact-part subset")))
+  }
+
+  test("web-disk store layout: ATTACH by UUID resolves store/<uuid> with per-directory .index files") {
+    val base = Files.createTempDirectory("graft_mt_webdisk").toString
+    val uuid = "feedc0de-1234-5678-9abc-def012345678"
+    val storeDir = s"$base/store/${uuid.take(3)}/$uuid"
+    val columns = writeFixture(storeDir)
+    Files.writeString(Paths.get(storeDir, "format_version.txt"), "1\n")
+    MergeTreePartWriter.writeWebDiskIndexes(storeDir)
+    // the uploader's format: root .index lists part dirs as `<name>\t1`
+    // and files as `<name>\t0\t<size>`
+    val rootIdx = Files.readString(Paths.get(storeDir, ".index"))
+    assert(rootIdx.contains("all_1_1_0\t1"))
+    assert(rootIdx.linesIterator.exists(l =>
+      l.startsWith("format_version.txt\t0\t") && l.split('\t')(2).toLong > 0))
+    val partIdx = Files.readString(Paths.get(storeDir, "all_1_1_0", ".index"))
+    assert(partIdx.linesIterator.exists(_.startsWith("id.bin\t0\t")))
+    val port = StaticHttp.serve(base)
+    val svc = new QS(spark.newSession())
+    val res = svc.execute(QS.QueryRequest(
+      query = "SELECT kind, count() AS n, sum(id) AS ids FROM mt_web GROUP BY kind ORDER BY kind",
+      initQueries = Seq(
+        s"""ATTACH TABLE mt_web UUID '$uuid' (${ddlOf(columns)})
+           |ENGINE = MergeTree ORDER BY (id)
+           |SETTINGS disk = disk(type = web, endpoint = 'http://127.0.0.1:$port/')""".stripMargin)))
+    assert(res.rows.map(_.toList) ==
+      Seq(List("alpha", 4L, 18L), List("beta", 3L, 12L), List("gamma", 3L, 15L)))
+  }
+
+  test("web-disk store layout resolves for a LOCAL endpoint too") {
+    val base = Files.createTempDirectory("graft_mt_webdisk_local").toString
+    val uuid = "0badcafe-0000-4000-8000-000000000001"
+    val storeDir = s"$base/store/${uuid.take(3)}/$uuid"
+    val columns = writeFixture(storeDir)
+    val svc = new QS(spark.newSession())
+    val res = svc.execute(QS.QueryRequest(
+      query = "SELECT count() AS n FROM mt_webl",
+      initQueries = Seq(
+        s"""ATTACH TABLE mt_webl UUID '$uuid' (${ddlOf(columns)})
+           |ENGINE = MergeTree ORDER BY (id)
+           |SETTINGS disk = disk(type = web, endpoint = '$base')""".stripMargin)))
+    assert(res.rows.map(_.toList) == Seq(List(10L)))
+  }
+
+  test("malformed web-disk .index line refuses loudly") {
+    val base = Files.createTempDirectory("graft_mt_badidx").toString
+    Files.writeString(Paths.get(base, ".index"), "all_1_1_0\tmaybe\n")
+    val port = StaticHttp.serve(base)
+    val e = intercept[Exception] {
+      graft.sources.mergetree.MergeTree.partsInfo(s"http://127.0.0.1:$port")
+    }
+    assert(e.getMessage.contains("is_directory") || e.getMessage.contains("malformed"))
+  }
+
   test("http endpoint WITHOUT .index refuses loudly at ATTACH") {
     val dir = Files.createTempDirectory("graft_mt_noindex").toString
     writeFixture(dir) // no writeHttpIndex
