@@ -1235,6 +1235,24 @@ object SparkEntry {
         .orderBy("qid", "rank")
     }),
 
+    // Product-quantization ANN (Jégou et al. 2011): codes are 4 ints
+    // per 64-dim float vector, search is table lookups (ADC) over the
+    // code column only. iters=0 makes the WHOLE pipeline closed-form
+    // (codebooks ARE the first-k subvectors), so the DuckDB oracle
+    // replicates train → encode → ADC → top-k exactly; Lloyd-refined
+    // codebooks are covered by PqSpec's recall property instead
+    "q168_pq_adc" -> ((spark, dir) => {
+      prep(spark, dir)
+      val emb = Tables.load(spark, dir, "embeddings")
+      val cb = graft.operators.Pq.trainCodebooks(
+        emb, "vec_id", "embedding", m = 4, k = 8, dim = 64, iters = 0)
+      graft.operators.Pq.searchTopK(emb, "vec_id", "embedding", cb,
+          queryIds = Seq(0L, 17L), k = 5)
+        .select(col("qid"), col("rank"), col("nid"),
+          round(col("dist") * 1000000).cast("long").as("dist_m"))
+        .orderBy("qid", "rank")
+    }),
+
     // language-ID heuristic (deterministic argmax over stopword scores)
     "q48_lang_id" -> ((spark, dir) => {
       prep(spark, dir)
@@ -2223,6 +2241,40 @@ object SparkEntry {
         |       CAST(sum(CASE n_nationkey % 3 WHEN 0 THEN 0 WHEN 1 THEN n_nationkey * 10
         |                ELSE 2 * n_nationkey * 10 + 1 END) AS BIGINT) AS numsum
         |FROM nation""".stripMargin,
+    "q168_pq_adc" ->
+      """WITH emb AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |seeds AS (
+        |  SELECT vec_id AS sid, v AS sv FROM emb WHERE vec_id < 8),
+        |mis AS (SELECT unnest(range(0, 4)) AS mi),
+        |subdist AS (
+        |  SELECT e.vec_id, s.sid, m.mi,
+        |         list_sum(list_transform(range(1, 17),
+        |           j -> (e.v[m.mi*16 + j] - s.sv[m.mi*16 + j])
+        |              * (e.v[m.mi*16 + j] - s.sv[m.mi*16 + j]))) AS d
+        |  FROM emb e CROSS JOIN seeds s CROSS JOIN mis m),
+        |codes AS (
+        |  SELECT vec_id, mi, sid AS code FROM (
+        |    SELECT vec_id, mi, sid,
+        |           row_number() OVER (PARTITION BY vec_id, mi ORDER BY d, sid) AS rn
+        |    FROM subdist) WHERE rn = 1),
+        |qtab AS (
+        |  SELECT q.vec_id AS qid, s.sid, m.mi,
+        |         list_sum(list_transform(range(1, 17),
+        |           j -> (q.v[m.mi*16 + j] - s.sv[m.mi*16 + j])
+        |              * (q.v[m.mi*16 + j] - s.sv[m.mi*16 + j]))) AS d
+        |  FROM emb q CROSS JOIN seeds s CROSS JOIN mis m
+        |  WHERE q.vec_id IN (0, 17)),
+        |adc AS (
+        |  SELECT t.qid, c.vec_id AS nid, sum(t.d) AS dist
+        |  FROM codes c JOIN qtab t ON c.mi = t.mi AND c.code = t.sid
+        |  GROUP BY t.qid, c.vec_id),
+        |ranked AS (
+        |  SELECT qid, nid, dist,
+        |         row_number() OVER (PARTITION BY qid ORDER BY dist, nid) AS rank
+        |  FROM adc WHERE qid <> nid)
+        |SELECT qid, rank, nid, CAST(round(dist * 1000000) AS BIGINT) AS dist_m
+        |FROM ranked WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
     "q158_foreach_int32" ->
       """SELECT array_to_string([CAST(sum(o_orderkey % 100000 * 20000) AS BIGINT),
         |                        CAST(sum(o_custkey % 1000 * 1000000) AS BIGINT)], ',') AS s_csv,
