@@ -683,6 +683,29 @@ object SparkEntry {
         |  CAST(round(greatCircleDistance(2.3522, 48.8566, CAST(o_orderkey % 90 AS DOUBLE), 45.0)) AS BIGINT) AS gcd_m
         |FROM orders WHERE o_orderkey % 997 = 0 ORDER BY k""".stripMargin),
 
+    // string-distance tail: editDistance/Levenshtein, full
+    // Damerau-Levenshtein, Jaro and Jaro-Winkler, byte-set Jaccard —
+    // codegen'd kernels hash-matched against DuckDB's implementations
+    // of the same textbook algorithms
+    "q169_string_dist" -> ch(
+      """SELECT n_nationkey AS k,
+        |  CAST(editDistance(n_name, reverse(n_name)) AS BIGINT) AS ed,
+        |  CAST(damerauLevenshteinDistance(n_name, reverse(n_name)) AS BIGINT) AS dl,
+        |  CAST(round(jaroSimilarity(n_name, reverse(n_name)) * 1000000) AS BIGINT) AS jaro_m,
+        |  CAST(round(jaroWinklerSimilarity(n_name, concat(substr(n_name, 1, 3), 'XYZ')) * 1000000) AS BIGINT) AS jw_m,
+        |  CAST(round(stringJaccardIndex(n_name, concat(substr(n_name, 2), 'Z')) * 1000000) AS BIGINT) AS jac_m
+        |FROM nation ORDER BY k""".stripMargin),
+
+    // date/time tail: dateTrunc + toStartOfInterval bucketing over the
+    // events stream, Modified-Julian-Day arithmetic — the oracle
+    // recomputes the 6-hour buckets from raw epoch microseconds
+    "q170_date_tail" -> ch(
+      """SELECT dateTrunc('day', ts) AS d,
+        |  toStartOfInterval(ts, INTERVAL 6 HOUR) AS h6,
+        |  count() AS n,
+        |  CAST(min(toModifiedJulianDay(CAST(CAST(ts AS DATE) AS STRING))) AS BIGINT) AS mjd
+        |FROM events GROUP BY d, h6 ORDER BY d, h6""".stripMargin),
+
     // CH vector-distance family (dotProduct/cosineDistance/L1/L2/Linf)
     // over real embeddings, paired (vec_id, vec_id+1) — native codegen'd
     // kernels, oracle = DuckDB list_* on the same double-widened arrays
@@ -2275,6 +2298,20 @@ object SparkEntry {
         |  FROM adc WHERE qid <> nid)
         |SELECT qid, rank, nid, CAST(round(dist * 1000000) AS BIGINT) AS dist_m
         |FROM ranked WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+    "q169_string_dist" ->
+      """SELECT n_nationkey AS k,
+        |  CAST(levenshtein(n_name, reverse(n_name)) AS BIGINT) AS ed,
+        |  CAST(damerau_levenshtein(n_name, reverse(n_name)) AS BIGINT) AS dl,
+        |  CAST(round(jaro_similarity(n_name, reverse(n_name)) * 1000000) AS BIGINT) AS jaro_m,
+        |  CAST(round(jaro_winkler_similarity(n_name, concat(substr(n_name, 1, 3), 'XYZ')) * 1000000) AS BIGINT) AS jw_m,
+        |  CAST(round(jaccard(n_name, concat(substr(n_name, 2), 'Z')) * 1000000) AS BIGINT) AS jac_m
+        |FROM nation ORDER BY k""".stripMargin,
+    "q170_date_tail" ->
+      """SELECT date_trunc('day', ts) AS d,
+        |  make_timestamp(CAST(floor(epoch_us(ts) / 21600000000) AS BIGINT) * 21600000000) AS h6,
+        |  count(*) AS n,
+        |  CAST(min(datediff('day', DATE '1858-11-17', CAST(ts AS DATE))) AS BIGINT) AS mjd
+        |FROM events GROUP BY d, h6 ORDER BY d, h6""".stripMargin,
     "q158_foreach_int32" ->
       """SELECT array_to_string([CAST(sum(o_orderkey % 100000 * 20000) AS BIGINT),
         |                        CAST(sum(o_custkey % 1000 * 1000000) AS BIGINT)], ',') AS s_csv,

@@ -1787,6 +1787,114 @@ object ChFunctions {
       reg("parseDateTimeBestEffort")({ case Seq(s) => bestEffort(s) })
       reg("parseDateTimeBestEffortOrNull")({ case Seq(s) => bestEffort(s) })
 
+      // ---- string-similarity distances (data-cleaning staples) ----
+      // editDistance IS Levenshtein; the rest are the textbook
+      // algorithms as codegen'd kernels (graft.functions.StringDistExpr)
+      // — full Damerau-Levenshtein (alphabet table, not OSA), Jaro with
+      // half-transpositions, Winkler boost 0.1 above 0.7, byte-set
+      // Jaccard (CH's byte-string contract)
+      reg("editDistance")({ case Seq(a, b) => Levenshtein(a, b) })
+      reg("levenshteinDistance")({ case Seq(a, b) => Levenshtein(a, b) })
+      reg("damerauLevenshteinDistance")({ case Seq(a, b) =>
+        graft.functions.StringDistExpr(a, b, "damerau") })
+      reg("jaroSimilarity")({ case Seq(a, b) =>
+        graft.functions.StringDistExpr(a, b, "jaro") })
+      reg("jaroWinklerSimilarity")({ case Seq(a, b) =>
+        graft.functions.StringDistExpr(a, b, "jaroWinkler") })
+      reg("stringJaccardIndex")({ case Seq(a, b) =>
+        graft.functions.StringDistExpr(a, b, "jaccard") })
+
+      // geohash (public base32 bisection format; CH arg order lon, lat)
+      reg("geohashEncode")({
+        case Seq(lon, lat) => graft.functions.GeohashEncodeExpr(
+          Cast(lon, DoubleType), Cast(lat, DoubleType), Literal(12))
+        case Seq(lon, lat, p) => graft.functions.GeohashEncodeExpr(
+          Cast(lon, DoubleType), Cast(lat, DoubleType), Cast(p, IntegerType))
+      })
+
+      // ---- date/time tail ----
+      // dateTrunc(unit, ts) — CH and Spark agree on arg order and the
+      // unit vocabulary (second…year); Monday-start weeks both sides
+      reg("dateTrunc")({ case Seq(unit, ts) => TruncTimestamp(unit, ts) })
+      // Modified Julian Day epoch = 1858-11-17 (epoch day -40587)
+      reg("toModifiedJulianDay")({ case Seq(s) =>
+        DateDiff(Cast(s, DateType), Literal(-40587, DateType)) })
+      reg("fromModifiedJulianDay")({ case Seq(d) =>
+        DateAdd(Literal(-40587, DateType), Cast(d, IntegerType)) })
+      // toStartOfInterval(ts, INTERVAL n unit): time units floor the
+      // epoch-microsecond clock; month-family units floor the
+      // months-since-1970 counter (CH's origin for both)
+      reg("toStartOfInterval")({ case Seq(ts, ivl) =>
+        require(ivl.foldable,
+          "toStartOfInterval requires a literal INTERVAL argument")
+        ivl.dataType match {
+          case _: DayTimeIntervalType =>
+            val n = ivl.eval().asInstanceOf[Long] // micros
+            require(n > 0, "toStartOfInterval: INTERVAL must be positive")
+            val um = UnixMicros(Cast(ts, TimestampType))
+            MicrosToTimestamp(Subtract(um, Pmod(um, Literal(n))))
+          case _: YearMonthIntervalType =>
+            val n = ivl.eval().asInstanceOf[Int] // months
+            require(n > 0, "toStartOfInterval: INTERVAL must be positive")
+            val m = Add(
+              Multiply(Subtract(Year(Cast(ts, DateType)), Literal(1970)), Literal(12)),
+              Subtract(Month(Cast(ts, DateType)), Literal(1)))
+            val m2 = Subtract(m, Pmod(m, Literal(n)))
+            Cast(MakeDate(
+              Add(Literal(1970), Cast(IntegralDivide(m2, Literal(12)), IntegerType)),
+              Add(Cast(Pmod(m2, Literal(12)), IntegerType), Literal(1)),
+              Literal(1)), TimestampType)
+          case other => throw new IllegalArgumentException(
+            s"toStartOfInterval: second argument must be an INTERVAL, got ${other.sql}")
+        }
+      })
+      // timeSlots(start, duration[, size=1800]): slot starts of `size`
+      // seconds from floor(start) through floor(start+duration),
+      // inclusive (CH's documented example: 12:20 + default 1800 →
+      // [12:00, 12:30])
+      reg("timeSlots")({ exprs =>
+        val (start, dur, size) = exprs match {
+          case Seq(s, d) => (s, d, Literal(1800L))
+          case Seq(s, d, sz) => (s, d, Cast(sz, LongType))
+          case _ => throw new IllegalArgumentException(
+            "timeSlots(start, duration[, size]) takes 2 or 3 arguments")
+        }
+        val secs = Cast(Cast(start, TimestampType), LongType) // epoch seconds
+        val s0 = Subtract(secs, Pmod(secs, size))
+        val end = Add(secs, Cast(dur, LongType))
+        val e0 = Subtract(end, Pmod(end, size))
+        val xv = lv("tsSlot")
+        ArrayTransform(
+          new Sequence(s0, e0, Some(size)),
+          LambdaFunction(
+            MicrosToTimestamp(Multiply(xv, Literal(1000000L))), Seq(xv)))
+      })
+
+      // ---- map tail ----
+      // mapFilter: CH puts the lambda first
+      reg("mapFilter")({ case Seq(f, m) => MapFilter(m, f) })
+      // mapUpdate(m1, m2): m2's entries win on key collision — filter
+      // m1 down to keys m2 lacks, then concat (keys disjoint, so
+      // MapConcat's duplicate policy never fires)
+      reg("mapUpdate")({ case Seq(m1, m2) =>
+        val k = lv("muK"); val v = lv("muV")
+        MapConcat(Seq(
+          MapFilter(m1, LambdaFunction(
+            Not(ArrayContains(MapKeys(m2), k)), Seq(k, v))),
+          m2))
+      })
+
+      // ---- approximate-aggregate tail ----
+      // uniqTheta: CH uses a theta sketch; same
+      // approximate-distinct-with-engine-defined-error contract as the
+      // uniq family, answered by the HLL++ sketch here (documented
+      // estimator deviation, like uniq/uniqCombined)
+      reg("uniqTheta")(exprs => new HyperLogLogPlusPlus(exprs.head))
+      // quantileGK(accuracy, level)(x): Spark's ApproximatePercentile
+      // IS a Greenwald-Khanna summary — accuracy maps through directly
+      reg("quantileGK")({ case Seq(x, acc, q) =>
+        new ApproximatePercentile(x, q, Cast(acc, IntegerType)) })
+
     val built = out.result()
     // Shadowing Spark's builtin registry is the twice-shipped bug class
     // (r4: any/position; r7: extract). Fail construction — not warn —

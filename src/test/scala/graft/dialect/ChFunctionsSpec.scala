@@ -993,4 +993,67 @@ class ChFunctionsSpec extends AnyFunSuite {
     assert(one("SELECT multiSearchAllPositions('hello world', array('world', 'o', 'zz'))")
       .asInstanceOf[scala.collection.Seq[Long]].toSeq == Seq(7L, 5L, 0L))
   }
+
+  test("string-distance tail: editDistance, Damerau, Jaro(-Winkler), byte Jaccard") {
+    assert(one("SELECT editDistance('kitten', 'sitting')") == 3)
+    assert(one("SELECT levenshteinDistance('kitten', 'sitting')") == 3)
+    // full Damerau-Levenshtein, not OSA: CA→ABC is 2 (transpose+insert)
+    assert(one("SELECT damerauLevenshteinDistance('CA', 'ABC')") == 2)
+    assert(one("SELECT damerauLevenshteinDistance('ab', 'ba')") == 1)
+    assert(one("SELECT damerauLevenshteinDistance('', 'abc')") == 3)
+    // the canonical MARTHA/MARHTA vector
+    assert(math.abs(one("SELECT jaroSimilarity('MARTHA', 'MARHTA')")
+      .asInstanceOf[Double] - 0.9444444444444445) < 1e-12)
+    assert(math.abs(one("SELECT jaroWinklerSimilarity('MARTHA', 'MARHTA')")
+      .asInstanceOf[Double] - 0.9611111111111111) < 1e-12)
+    // below the 0.7 threshold Winkler adds no boost
+    assert(one("SELECT jaroWinklerSimilarity('abcdxx', 'abyyyy')") ==
+      one("SELECT jaroSimilarity('abcdxx', 'abyyyy')"))
+    assert(one("SELECT stringJaccardIndex('abc', 'bcd')") == 0.5)
+    assert(one("SELECT stringJaccardIndex('', '')") == 1.0)
+    assert(one("SELECT stringJaccardIndex('a', '')") == 0.0)
+  }
+
+  test("geohashEncode: public-format vectors, precision clamp") {
+    assert(one("SELECT geohashEncode(-5.60302734375, 42.60498046875, 5)") == "ezs42")
+    assert(one("SELECT geohashEncode(10.40744, 57.64911, 11)") == "u4pruydqqvj")
+    assert(one("SELECT geohashEncode(10.40744, 57.64911)").toString.length == 12)
+    assert(one("SELECT geohashEncode(10.40744, 57.64911, 99)").toString.length == 12)
+    val enc = one("SELECT geohashEncode(10.40744, 57.64911, 9)").toString
+    val dec = graft.functions.Geohash.decode(
+      org.apache.spark.unsafe.types.UTF8String.fromString(enc))
+    assert(math.abs(dec(0) - 10.40744) < 1e-3 && math.abs(dec(1) - 57.64911) < 1e-3)
+  }
+
+  test("date tail: dateTrunc, toStartOfInterval, timeSlots, Modified Julian Day") {
+    assert(one("SELECT dateTrunc('month', timestamp'2024-03-05 10:30:00')").toString ==
+      "2024-03-01 00:00:00.0")
+    assert(one("SELECT toStartOfInterval(timestamp'2024-03-05 10:37:11', INTERVAL 15 MINUTE)")
+      .toString == "2024-03-05 10:30:00.0")
+    assert(one("SELECT toStartOfInterval(timestamp'2024-04-05 10:37:11', INTERVAL 5 MONTH)")
+      .toString == "2024-03-01 00:00:00.0")
+    // CH's documented example: 12:20 with the default 1800s slot size
+    assert(one("SELECT timeSlots(timestamp'2012-01-01 12:20:00', 600)")
+      .asInstanceOf[scala.collection.Seq[java.sql.Timestamp]].map(_.toString).toSeq ==
+      Seq("2012-01-01 12:00:00.0", "2012-01-01 12:30:00.0"))
+    assert(one("SELECT timeSlots(timestamp'2012-01-01 12:20:00', 600, 299)")
+      .asInstanceOf[scala.collection.Seq[java.sql.Timestamp]].size == 3)
+    assert(one("SELECT toModifiedJulianDay('2020-01-01')") == 58849)
+    assert(one("SELECT fromModifiedJulianDay(58849)").toString == "2020-01-01")
+  }
+
+  test("map tail: mapUpdate right-wins, mapFilter lambda-first") {
+    assert(one("SELECT mapUpdate(map(1,'a',2,'b'), map(2,'c',3,'d'))")
+      .asInstanceOf[Map[Int, String]] == Map(1 -> "a", 2 -> "c", 3 -> "d"))
+    assert(one("SELECT mapFilter((k, v) -> k > 1, map(1,'a',2,'b'))")
+      .asInstanceOf[Map[Int, String]] == Map(2 -> "b"))
+  }
+
+  test("uniqTheta and quantileGK resolve with the approximate contract") {
+    assert(one("SELECT uniqTheta(x) FROM VALUES (1),(2),(2),(3) AS t(x)") == 3L)
+    val med = ChSql.sql(spark,
+      "SELECT quantileGK(100, 0.5)(x) AS med FROM (SELECT explode(sequence(1, 99)) AS x)")
+      .collect().head.get(0).asInstanceOf[Number].intValue()
+    assert(med >= 45 && med <= 55)
+  }
 }
