@@ -706,6 +706,56 @@ object SparkEntry {
         |  CAST(min(toModifiedJulianDay(CAST(CAST(ts AS DATE) AS STRING))) AS BIGINT) AS mjd
         |FROM events GROUP BY d, h6 ORDER BY d, h6""".stripMargin),
 
+    // replace/url/encoding tail: first-occurrence replace (literal and
+    // regex), trailing-char append, leftmost multi-needle position,
+    // RFC-3986 URL encode/decode, lenient base64, 1000-ladder sizes
+    "q171_replace_url_tail" -> ch(
+      """SELECT CAST(n_nationkey AS BIGINT) AS k,
+        |  replaceOne(n_name, 'A', '_') AS r1,
+        |  replaceRegexpOne(n_name, '[AEIOU]', '#') AS rr1,
+        |  appendTrailingCharIfAbsent(n_name, 'A') AS app,
+        |  CAST(multiSearchFirstPosition(n_name, array('AN', 'RA')) AS BIGINT) AS msfp,
+        |  decodeURLComponent('%41%2Bb%20c') AS dec,
+        |  encodeURLComponent('a b*c~d/') AS enc,
+        |  tryBase64Decode(base64Encode(n_name)) AS b64rt,
+        |  formatReadableDecimalSize(n_nationkey * 1500) AS sz
+        |FROM nation ORDER BY k""".stripMargin),
+
+    // DateTime64 tail: epoch accessors at ms/us/ns, 64-bit epoch
+    // constructors round-tripped, dateAdd/dateSub unit forms (pre-pass
+    // normalized), interval constructors in date arithmetic, full-name
+    // monthName, numeric yyyyMMddHHmmss rendering
+    "q172_datetime64_tail" -> ch(
+      """SELECT CAST(o_orderkey AS BIGINT) AS k,
+        |  CAST(toUnixTimestamp64Milli(toDateTime64(1704067200 + o_orderkey, 3)) AS BIGINT) AS ms,
+        |  CAST(toUnixTimestamp64Micro(toDateTime64(1704067200 + o_orderkey, 6)) AS BIGINT) AS us,
+        |  CAST(toUnixTimestamp64Nano(toDateTime64(1704067200 + o_orderkey, 9)) AS BIGINT) AS ns,
+        |  CAST(toUnixTimestamp(fromUnixTimestamp64Milli((1704067200 + o_orderkey) * 1000)) AS BIGINT) AS rt,
+        |  CAST(toYYYYMMDDhhmmss(dateAdd('day', o_orderkey % 28, toDateTime64('2024-03-01 10:30:45', 3))) AS BIGINT) AS ymd1,
+        |  CAST(toYYYYMMDDhhmmss(dateSub('hour', o_orderkey % 5, toDateTime64('2024-03-01 10:30:45', 3))) AS BIGINT) AS ymd2,
+        |  CAST(o_orderdate + toIntervalMonth(2) AS DATE) AS plus2m,
+        |  CAST(o_orderdate + toIntervalDay(o_orderkey % 7) AS DATE) AS plusd,
+        |  monthName(o_orderdate) AS mname
+        |FROM orders WHERE o_orderkey % 997 = 0 ORDER BY k""".stripMargin),
+
+    // JSON/misc tail: raw array extraction, visitParam aliases,
+    // finiteness predicates, materialize, set-floor rounding, power-of-2
+    // rounding, fixed-precision decimal casts
+    "q173_json_misc_tail" -> ch(
+      """SELECT CAST(o_orderkey AS BIGINT) AS k,
+        |  arrayStringConcat(JSONExtractArrayRaw(
+        |    concat('{"a":[1,2,', CAST(o_orderkey % 100 AS STRING), '],"s":"x"}'), 'a'), ',') AS raw_csv,
+        |  visitParamExtractString(concat('{"s":"v', CAST(o_orderkey % 10 AS STRING), '"}'), 's') AS vp_s,
+        |  CAST(visitParamExtractInt(concat('{"n":', CAST(o_orderkey % 1000 AS STRING), '}'), 'n') AS BIGINT) AS vp_n,
+        |  isFinite(CAST(o_orderkey AS DOUBLE)) AS fin,
+        |  isInfinite(CAST('Infinity' AS DOUBLE)) AS inf,
+        |  materialize(o_orderstatus) AS st,
+        |  CAST(roundDown(CAST(o_orderkey % 50 AS DOUBLE), array(0.0, 10.0, 20.0, 30.0, 40.0)) AS BIGINT) AS rdown,
+        |  CAST(roundToExp2(o_orderkey % 100 + 1) AS BIGINT) AS rexp2,
+        |  CAST(toDecimal32(o_totalprice, 2) AS STRING) AS dec32,
+        |  CAST(toDecimal64(o_totalprice * 10, 3) AS STRING) AS dec64
+        |FROM orders WHERE o_orderkey % 997 = 0 ORDER BY k""".stripMargin),
+
     // CH vector-distance family (dotProduct/cosineDistance/L1/L2/Linf)
     // over real embeddings, paired (vec_id, vec_id+1) — native codegen'd
     // kernels, oracle = DuckDB list_* on the same double-widened arrays
@@ -2312,6 +2362,51 @@ object SparkEntry {
         |  count(*) AS n,
         |  CAST(min(datediff('day', DATE '1858-11-17', CAST(ts AS DATE))) AS BIGINT) AS mjd
         |FROM events GROUP BY d, h6 ORDER BY d, h6""".stripMargin,
+    "q171_replace_url_tail" ->
+      """SELECT CAST(n_nationkey AS BIGINT) AS k,
+        |  regexp_replace(n_name, 'A', '_') AS r1,
+        |  regexp_replace(n_name, '[AEIOU]', '#') AS rr1,
+        |  CASE WHEN n_name LIKE '%A' THEN n_name ELSE n_name || 'A' END AS app,
+        |  CAST(CASE
+        |    WHEN strpos(n_name, 'AN') > 0 AND strpos(n_name, 'RA') > 0
+        |      THEN least(strpos(n_name, 'AN'), strpos(n_name, 'RA'))
+        |    WHEN strpos(n_name, 'AN') > 0 THEN strpos(n_name, 'AN')
+        |    WHEN strpos(n_name, 'RA') > 0 THEN strpos(n_name, 'RA')
+        |    ELSE 0 END AS BIGINT) AS msfp,
+        |  'A+b c' AS dec,
+        |  'a%20b%2Ac~d%2F' AS enc,
+        |  n_name AS b64rt,
+        |  CASE WHEN n_nationkey * 1500 >= 1000
+        |    THEN printf('%.2f KB', n_nationkey * 1500 / 1000.0)
+        |    ELSE printf('%.2f B', CAST(n_nationkey * 1500 AS DOUBLE)) END AS sz
+        |FROM nation ORDER BY k""".stripMargin,
+    "q172_datetime64_tail" ->
+      """SELECT CAST(o_orderkey AS BIGINT) AS k,
+        |  (1704067200 + o_orderkey) * 1000 AS ms,
+        |  (1704067200 + o_orderkey) * 1000000 AS us,
+        |  (1704067200 + o_orderkey) * 1000000000 AS ns,
+        |  1704067200 + o_orderkey AS rt,
+        |  CAST(strftime(TIMESTAMP '2024-03-01 10:30:45'
+        |    + (o_orderkey % 28) * INTERVAL 1 DAY, '%Y%m%d%H%M%S') AS BIGINT) AS ymd1,
+        |  CAST(strftime(TIMESTAMP '2024-03-01 10:30:45'
+        |    - (o_orderkey % 5) * INTERVAL 1 HOUR, '%Y%m%d%H%M%S') AS BIGINT) AS ymd2,
+        |  CAST(CAST(o_orderdate AS DATE) + INTERVAL 2 MONTH AS DATE) AS plus2m,
+        |  CAST(CAST(o_orderdate AS DATE) + (o_orderkey % 7) * INTERVAL 1 DAY AS DATE) AS plusd,
+        |  monthname(CAST(o_orderdate AS DATE)) AS mname
+        |FROM orders WHERE o_orderkey % 997 = 0 ORDER BY k""".stripMargin,
+    "q173_json_misc_tail" ->
+      """SELECT CAST(o_orderkey AS BIGINT) AS k,
+        |  '1,2,' || CAST(o_orderkey % 100 AS VARCHAR) AS raw_csv,
+        |  'v' || CAST(o_orderkey % 10 AS VARCHAR) AS vp_s,
+        |  CAST(o_orderkey % 1000 AS BIGINT) AS vp_n,
+        |  TRUE AS fin,
+        |  TRUE AS inf,
+        |  o_orderstatus AS st,
+        |  CAST((o_orderkey % 50) // 10 * 10 AS BIGINT) AS rdown,
+        |  CAST(power(2, floor(log2(o_orderkey % 100 + 1))) AS BIGINT) AS rexp2,
+        |  CAST(CAST(o_totalprice AS DECIMAL(9,2)) AS VARCHAR) AS dec32,
+        |  CAST(CAST(o_totalprice * 10 AS DECIMAL(18,3)) AS VARCHAR) AS dec64
+        |FROM orders WHERE o_orderkey % 997 = 0 ORDER BY k""".stripMargin,
     "q158_foreach_int32" ->
       """SELECT array_to_string([CAST(sum(o_orderkey % 100000 * 20000) AS BIGINT),
         |                        CAST(sum(o_custkey % 1000 * 1000000) AS BIGINT)], ',') AS s_csv,

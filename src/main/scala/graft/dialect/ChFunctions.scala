@@ -1895,6 +1895,168 @@ object ChFunctions {
       reg("quantileGK")({ case Seq(x, acc, q) =>
         new ApproximatePercentile(x, q, Cast(acc, IntegerType)) })
 
+      // ---- round-9b dialect tail (replace/url/json/decimal/interval) ----
+
+      reg("replaceOne")({ case Seq(s, f, t) =>
+        graft.functions.ReplaceFirstExpr(s, f, t, regex = false) })
+      reg("replaceRegexpOne")({ case Seq(s, p, r) =>
+        graft.functions.ReplaceFirstExpr(s, p, r, regex = true) })
+      reg("appendTrailingCharIfAbsent")({ case Seq(s, c) =>
+        If(EndsWith(s, c), s, Concat(Seq(s, c))) })
+      // multiSearchFirstPosition: 1-based position of the leftmost hit
+      // across all needles, 0 when none match (CH contract)
+      reg("multiSearchFirstPosition")({ case Seq(h, needles) =>
+        val n = lv("msfpN")
+        val p = lv("msfpP")
+        val poss = ArrayTransform(needles,
+          LambdaFunction(Cast(new StringLocate(n, h), LongType), Seq(n)))
+        val hits = ArrayFilter(poss,
+          LambdaFunction(GreaterThan(p, Literal(0L)), Seq(p)))
+        Coalesce(Seq(ArrayMin(hits), Literal(0L)))
+      })
+      reg("JSONExtractArrayRaw")({
+        case Seq(json) => graft.functions.JsonArrayRawExpr(json, None)
+        case Seq(json, key) => graft.functions.JsonArrayRawExpr(json, Some(key))
+      })
+      // visitParam* — CH's historical aliases of the simpleJSON family
+      reg("visitParamExtractString")(
+        { case Seq(json, key) => GetJsonObject(json, jsonPath(key)) })
+      reg("visitParamExtractInt")(
+        { case Seq(json, key) => Cast(GetJsonObject(json, jsonPath(key)), LongType) })
+      reg("visitParamExtractFloat")(
+        { case Seq(json, key) => Cast(GetJsonObject(json, jsonPath(key)), DoubleType) })
+      reg("visitParamExtractBool")(
+        { case Seq(json, key) => Cast(GetJsonObject(json, jsonPath(key)), BooleanType) })
+      reg("visitParamHas")(
+        { case Seq(json, key) => IsNotNull(GetJsonObject(json, jsonPath(key))) })
+
+      // decodeURLComponent decodes %XX only — '+' stays '+' (RFC 3986;
+      // Java's URLDecoder under Spark's url_decode treats '+' as space,
+      // so '+' is shielded through the decode)
+      reg("decodeURLComponent")({ case Seq(s) =>
+        new UrlDecode(StringReplace(s, Literal("+"), Literal("%2B")), false) })
+      // encodeURLComponent: RFC 3986 unreserved set — post-fix the three
+      // places Java's URLEncoder disagrees (space→'+', '*' kept, '~'
+      // escaped)
+      reg("encodeURLComponent")({ case Seq(s) =>
+        StringReplace(
+          StringReplace(
+            StringReplace(new UrlEncode(s), Literal("+"), Literal("%20")),
+            Literal("*"), Literal("%2A")),
+          Literal("%7E"), Literal("~"))
+      })
+      // tryBase64Decode: lenient decode, NULL (not error) on garbage —
+      // CH returns '' on invalid input; NULL is the engine's lenient
+      // convention (same family as parseDateTimeBestEffortOrNull)
+      reg("tryBase64Decode")({ case Seq(s) =>
+        Cast(new UnBase64(s, false), StringType) })
+
+      reg("formatReadableDecimalSize")(readableLadder(
+        Seq("B", "KB", "MB", "GB", "TB", "PB", "EB"), 1000.0))
+
+      // toDecimalNN(x, scale) — CH's fixed-precision casts (32→9
+      // digits, 64→18, 128→38); the scale must be a literal
+      def decimalCast(precision: Int): Seq[Expression] => Expression = {
+        case Seq(x, Literal(s, _)) =>
+          Cast(x, DecimalType(precision, String.valueOf(s).toInt))
+        case other => throw new IllegalArgumentException(
+          s"toDecimal: (value, literal scale) expected, got $other")
+      }
+      reg("toDecimal32")(decimalCast(9))
+      reg("toDecimal64")(decimalCast(18))
+      reg("toDecimal128")(decimalCast(38))
+
+      // toInterval*(n) — interval constructors (day-time lanes carry
+      // micros, year-month lanes carry months)
+      def dtInterval(unitMicros: Long): Seq[Expression] => Expression = {
+        case Seq(n) => MultiplyDTInterval(
+          Literal(unitMicros, DayTimeIntervalType()), Cast(n, IntegerType))
+      }
+      def ymInterval(unitMonths: Int): Seq[Expression] => Expression = {
+        case Seq(n) => MultiplyYMInterval(
+          Literal(unitMonths, YearMonthIntervalType()), Cast(n, IntegerType))
+      }
+      reg("toIntervalSecond")(dtInterval(1000000L))
+      reg("toIntervalMinute")(dtInterval(60L * 1000000L))
+      reg("toIntervalHour")(dtInterval(3600L * 1000000L))
+      reg("toIntervalDay")(dtInterval(86400L * 1000000L))
+      reg("toIntervalWeek")(dtInterval(7L * 86400L * 1000000L))
+      reg("toIntervalMonth")(ymInterval(1))
+      reg("toIntervalQuarter")(ymInterval(3))
+      reg("toIntervalYear")(ymInterval(12))
+
+      // DateTime64 epoch accessors (micros-precision timestamps here:
+      // Nano emits micros×1000, the sub-micro digits are zero)
+      reg("toUnixTimestamp64Milli")({ case Seq(ts) =>
+        UnixMillis(Cast(ts, TimestampType)) })
+      reg("toUnixTimestamp64Micro")({ case Seq(ts) =>
+        UnixMicros(Cast(ts, TimestampType)) })
+      reg("toUnixTimestamp64Nano")({ case Seq(ts) =>
+        Multiply(UnixMicros(Cast(ts, TimestampType)), Literal(1000L)) })
+      reg("fromUnixTimestamp64Milli")({ case Seq(n) =>
+        MillisToTimestamp(Cast(n, LongType)) })
+      reg("fromUnixTimestamp64Micro")({ case Seq(n) =>
+        MicrosToTimestamp(Cast(n, LongType)) })
+      reg("fromUnixTimestamp64Nano")({ case Seq(n) =>
+        MicrosToTimestamp(IntegralDivide(Cast(n, LongType), Literal(1000L))) })
+      reg("toYYYYMMDDhhmmss")({ case Seq(ts) =>
+        Cast(new DateFormatClass(Cast(ts, TimestampType),
+          Literal("yyyyMMddHHmmss")), LongType) })
+      // toDateTime64(x[, scale[, tz]]): micros-precision timestamp —
+      // the scale argument is accepted and recorded nowhere (this
+      // engine's timestamps are fixed micros; scale>6 would silently
+      // truncate identically in CH→parquet interchange)
+      reg("toDateTime64")({ exprs => Cast(exprs.head, TimestampType) })
+
+      // chDateAdd/chDateSub — ChSql pre-pass normalizes CH's
+      // dateAdd('unit', n, ts) / dateSub(unit, n, ts) here (the bare
+      // `dateAdd`/`date_sub` names belong to Spark's 2-arg builtins)
+      object UnitLit {
+        def unapply(e: Expression): Option[String] = e match {
+          case Literal(u: org.apache.spark.unsafe.types.UTF8String, StringType) =>
+            Some(u.toString.toUpperCase)
+          case _ => None
+        }
+      }
+      reg("chDateAdd")({ case Seq(UnitLit(u), n, ts) =>
+        TimestampAdd(u, Cast(n, IntegerType), Cast(ts, TimestampType)) })
+      reg("chDateSub")({ case Seq(UnitLit(u), n, ts) =>
+        TimestampAdd(u, UnaryMinus(Cast(n, IntegerType)), Cast(ts, TimestampType)) })
+      // chMonthName — pre-pass target for CH monthName (full English
+      // name; Spark's builtin monthname abbreviates, which would be
+      // silently different on dialect sessions)
+      reg("chMonthName")({ case Seq(d) =>
+        new DateFormatClass(Cast(d, TimestampType), Literal("MMMM")) })
+
+      reg("isFinite")({ case Seq(x) =>
+        val d = Cast(x, DoubleType)
+        And(Not(IsNaN(d)),
+          LessThan(Abs(d), Literal(Double.PositiveInfinity)))
+      })
+      reg("isInfinite")({ case Seq(x) =>
+        val d = Cast(x, DoubleType)
+        EqualTo(Abs(d), Literal(Double.PositiveInfinity))
+      })
+      reg("materialize")(exprs => exprs.head)
+      // roundDown(x, arr): largest element ≤ x, else the array's FIRST
+      // element (CH saturates below the set to its first entry)
+      reg("roundDown")({ case Seq(x, arr) =>
+        val e = lv("rdE")
+        Coalesce(Seq(
+          ArrayMax(ArrayFilter(arr,
+            LambdaFunction(LessThanOrEqual(e, x), Seq(e)))),
+          new ElementAt(arr, Literal(1), None, false)))
+      })
+      // roundToExp2: 0 below 1, else the power of two at or below x.
+      // The 1e-9 nudge keeps exact powers from floor-slipping on the
+      // ln-quotient (log2(8) can evaluate a hair under 3.0)
+      reg("roundToExp2")({ case Seq(x) =>
+        val d = Cast(x, DoubleType)
+        If(LessThan(d, Literal(1.0)), Literal(0L),
+          Cast(Pow(Literal(2.0),
+            Floor(Add(Log2(d), Literal(1e-9)))), LongType))
+      })
+
     val built = out.result()
     // Shadowing Spark's builtin registry is the twice-shipped bug class
     // (r4: any/position; r7: extract). Fail construction — not warn —

@@ -78,7 +78,7 @@ object ChSql {
     val (unfilled, fillSpec) = extractWithFill(limited)
     val counted = zeroArgCount(unfilled)
     val parametric = rewriteParametricAggregates(counted)
-    val dated = rewriteDateDiff(parametric)
+    val dated = rewriteDateAddSub(rewriteDateDiff(parametric))
     val deconflicted = rewriteConflictingFunctions(dated)
     val sys = rewriteSystemTables(deconflicted)
     // the service path calls rewrite()+finish() directly (never sql()),
@@ -278,6 +278,26 @@ object ChSql {
   def rewriteDateDiff(sql: String): String =
     replaceQuoteAware(sql, DateDiffCall)(
       m => Some(s"timestampdiff(${m.group(1).toUpperCase},"))
+
+  private val DateAddSubCall =
+    ("""(?i)\b(dateAdd|date_add|dateSub|date_sub)\s*\(\s*""" +
+      """(?:'(year|quarter|month|week|day|hour|minute|second)'""" +
+      """|(year|quarter|month|week|day|hour|minute|second))\s*,""").r
+
+  /** CH `dateAdd('unit', n, ts)` / `dateSub(unit, n, ts)` (unit quoted
+    * or bare) → the registry's `chDateAdd`/`chDateSub`. Only unit-headed
+    * calls rewrite: Spark's own 2-arg `date_add(start, days)` keeps its
+    * name because a date literal can never spell a unit keyword. (A
+    * column literally named `day` as the first argument of the 2-arg
+    * builtin would mis-take the CH reading — on a dialect session the
+    * CH reading wins by design.) */
+  def rewriteDateAddSub(sql: String): String =
+    replaceQuoteAware(sql, DateAddSubCall) { m =>
+      val unit = Option(m.group(2)).getOrElse(m.group(3)).toLowerCase
+      val target =
+        if (m.group(1).toLowerCase.contains("sub")) "chDateSub" else "chDateAdd"
+      Some(s"$target('$unit',")
+    }
 
   private val ClusterAllReplicas =
     """(?i)\bclusterAllReplicas\s*\(\s*'[^']*'\s*,\s*(system\.\w+|\w+)\s*\)""".r
@@ -670,10 +690,15 @@ object ChSql {
     val ext = replaceFnName(xx, "extract", "chExtract",
       skipArgs = args => """(?i)\bFROM\b""".r.findAllMatchIn(args)
         .exists(m => !insideQuote(args, m.start) && depthAt(args, m.start) == 0))
+    // CH monthName returns the FULL English name ('April'); Spark's
+    // builtin monthname abbreviates ('Apr') — letting the builtin
+    // resolve would be silently different, so the dialect session
+    // reroutes to the full-name registration.
+    val mn = replaceFnName(ext, "monthName", "chMonthName")
     // `position(substr IN str)` is ANSI syntax Spark parses natively —
     // rewriting it would produce invalid `instr(substr IN str)`; only
     // the CH two-argument spelling is renamed.
-    replaceFnName(ext, "position", "instr",
+    replaceFnName(mn, "position", "instr",
       skipArgs = args => """(?i)\bIN\b""".r.findAllMatchIn(args)
         .exists(m => !insideQuote(args, m.start) && depthAt(args, m.start) == 0))
   }

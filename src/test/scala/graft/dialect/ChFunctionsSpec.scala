@@ -1056,4 +1056,89 @@ class ChFunctionsSpec extends AnyFunSuite {
       .collect().head.get(0).asInstanceOf[Number].intValue()
     assert(med >= 45 && med <= 55)
   }
+
+  test("replaceOne / replaceRegexpOne: first occurrence only, corners") {
+    assert(one("SELECT replaceOne('aXbXc', 'X', '_')") == "a_bXc")
+    assert(one("SELECT replaceOne('abc', 'Z', '_')") == "abc")
+    // empty needle: CH returns the subject unchanged (Java would prepend)
+    assert(one("SELECT replaceOne('abc', '', '_')") == "abc")
+    assert(one("SELECT replaceRegexpOne('a1b22c', '[0-9]+', '#')") == "a#b22c")
+    // Java $1 group refs (registry-wide regex dialect, like replaceRegexpAll)
+    assert(one("SELECT replaceRegexpOne('key=val', '(\\\\w+)=(\\\\w+)', '$2=$1')") == "val=key")
+    assert(one("SELECT replaceRegexpOne('abc', 'z+', '#')") == "abc")
+  }
+
+  test("multiSearchFirstPosition: leftmost hit across needles, 0 when none") {
+    assert(one("SELECT multiSearchFirstPosition('hello world', array('wor', 'ell'))") == 2L)
+    assert(one("SELECT multiSearchFirstPosition('hello', array('x', 'zz'))") == 0L)
+  }
+
+  test("JSONExtractArrayRaw: raw element strings, lenient corners") {
+    assert(one("""SELECT array_join(JSONExtractArrayRaw('{"a":[1,"x",{"b":2}]}', 'a'), '|')""")
+      == """1|"x"|{"b":2}""")
+    assert(one("""SELECT array_join(JSONExtractArrayRaw('[true,null,3.5]'), '|')""")
+      == "true|null|3.5")
+    // missing key / non-array value / malformed JSON → []
+    assert(one("""SELECT size(JSONExtractArrayRaw('{"a":1}', 'b'))""") == 0)
+    assert(one("""SELECT size(JSONExtractArrayRaw('{"a":1}', 'a'))""") == 0)
+    assert(one("""SELECT size(JSONExtractArrayRaw('not json'))""") == 0)
+  }
+
+  test("URL component encode/decode: RFC 3986, '+' is literal") {
+    assert(one("SELECT decodeURLComponent('%41%2Bb%20c')") == "A+b c")
+    assert(one("SELECT decodeURLComponent('a+b')") == "a+b")
+    assert(one("SELECT encodeURLComponent('a b*c~d/')") == "a%20b%2Ac~d%2F")
+  }
+
+  test("interval constructors and DateTime64 epoch accessors") {
+    assert(one("SELECT CAST(DATE '2024-01-31' + toIntervalMonth(1) AS DATE)").toString
+      == "2024-02-29")
+    assert(one("SELECT CAST(DATE '2024-03-01' + toIntervalDay(2) AS DATE)").toString
+      == "2024-03-03")
+    assert(one("SELECT toUnixTimestamp64Milli(toDateTime64(1704067200, 3))") == 1704067200000L)
+    assert(one("SELECT toUnixTimestamp64Nano(toDateTime64(1704067200, 9))") == 1704067200000000000L)
+    assert(one("SELECT toUnixTimestamp(fromUnixTimestamp64Micro(1704067200000000))") == 1704067200L)
+    assert(one("SELECT toYYYYMMDDhhmmss(toDateTime('2024-03-05 10:30:45'))") == 20240305103045L)
+  }
+
+  test("dateAdd/dateSub unit forms normalize through the pre-pass") {
+    // quoted and bare units, add and sub — all route to chDateAdd/chDateSub
+    assert(ChSql.sql(spark,
+      "SELECT toYYYYMMDDhhmmss(dateAdd('day', 3, toDateTime('2024-03-01 10:00:00'))) AS x")
+      .collect().head.get(0) == 20240304100000L)
+    assert(ChSql.sql(spark,
+      "SELECT toYYYYMMDDhhmmss(dateAdd(hour, 2, toDateTime('2024-03-01 10:00:00'))) AS x")
+      .collect().head.get(0) == 20240301120000L)
+    assert(ChSql.sql(spark,
+      "SELECT toYYYYMMDDhhmmss(dateSub('month', 1, toDateTime('2024-03-31 00:00:00'))) AS x")
+      .collect().head.get(0) == 20240229000000L)
+    // Spark's own 2-arg date_add keeps its meaning on a dialect session
+    assert(ChSql.sql(spark, "SELECT date_add(DATE '2024-03-01', 3) AS x")
+      .collect().head.get(0).toString == "2024-03-04")
+  }
+
+  test("monthName gives the FULL name on dialect sessions") {
+    assert(ChSql.sql(spark, "SELECT monthName(DATE '2024-04-09') AS m")
+      .collect().head.get(0) == "April")
+  }
+
+  test("roundDown / roundToExp2 / finiteness / decimals / materialize") {
+    // bare SQL decimals type the array DECIMAL — cast pins the lane
+    assert(one("SELECT CAST(roundDown(27.5, array(0.0, 10.0, 20.0, 30.0)) AS DOUBLE)") == 20.0)
+    assert(one("SELECT CAST(roundDown(-5.0, array(0.0, 10.0)) AS DOUBLE)") == 0.0) // below set → first
+    assert(one("SELECT roundToExp2(100)") == 64L)
+    assert(one("SELECT roundToExp2(64)") == 64L)
+    assert(one("SELECT roundToExp2(0.5)") == 0L)
+    assert(one("SELECT isFinite(1.5)") == true)
+    assert(one("SELECT isFinite(CAST('Infinity' AS DOUBLE))") == false)
+    assert(one("SELECT isInfinite(CAST('-Infinity' AS DOUBLE))") == true)
+    assert(one("SELECT isInfinite(CAST('NaN' AS DOUBLE))") == false)
+    assert(one("SELECT CAST(toDecimal32(1.005, 2) AS STRING)") == "1.01") // exact decimal literal, HALF_UP
+    assert(one("SELECT CAST(toDecimal64(2.5, 3) AS STRING)") == "2.500")
+    assert(one("SELECT materialize(42)") == 42)
+    assert(one("SELECT formatReadableDecimalSize(1536000)") == "1.54 MB")
+    assert(one("SELECT tryBase64Decode(base64Encode('hi'))") == "hi")
+    assert(one("SELECT appendTrailingCharIfAbsent('dir', '/')") == "dir/")
+    assert(one("SELECT appendTrailingCharIfAbsent('dir/', '/')") == "dir/")
+  }
 }
