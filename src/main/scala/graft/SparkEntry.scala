@@ -52,6 +52,10 @@ object SparkEntry {
     * equal aggregates over the source table. */
   private val derivedReady = scala.collection.concurrent.TrieMap.empty[String, String]
 
+  /** One aggregate projection per sfDir (q174): materialized via the
+    * dialect's ALTER TABLE front door on first use. */
+  private val projectionReady = scala.collection.concurrent.TrieMap.empty[String, String]
+
   private def derivedDir(spark: SparkSession, dir: String): String =
     derivedReady.getOrElseUpdate(dir, {
       val key = Integer.toHexString(dir.hashCode).replace('-', 'n')
@@ -755,6 +759,32 @@ object SparkEntry {
         |  CAST(toDecimal32(o_totalprice, 2) AS STRING) AS dec32,
         |  CAST(toDecimal64(o_totalprice * 10, 3) AS STRING) AS dec64
         |FROM orders WHERE o_orderkey % 997 = 0 ORDER BY k""".stripMargin),
+
+    // CH-style aggregate projection (ALTER TABLE … ADD PROJECTION →
+    // AggProjections materialization + the AggProjectionRewrite rule):
+    // the GROUP BY below is answered from the pre-aggregated companion;
+    // the oracle proves the ANSWER equals a direct aggregation, and
+    // AggProjectionsSpec plan-pins that the reroute actually fired
+    "q174_agg_projection" -> ((spark, dir) => {
+      prep(spark, dir)
+      projectionReady.getOrElseUpdate(dir, {
+        ChSql.sql(spark,
+          s"""ALTER TABLE '$dir/lineitem.parquet' ADD PROJECTION li_flag
+             |(SELECT l_returnflag, l_linestatus, sum(l_quantity),
+             |        avg(l_extendedprice), min(l_orderkey), max(l_orderkey),
+             |        count() GROUP BY l_returnflag, l_linestatus)""".stripMargin)
+        dir
+      })
+      ChSql.sql(spark,
+        """SELECT l_returnflag AS rf, l_linestatus AS ls,
+          |  CAST(round(sum(l_quantity)) AS BIGINT) AS sq,
+          |  CAST(round(avg(l_extendedprice) * 100) AS BIGINT) AS avg_c,
+          |  CAST(min(l_orderkey) AS BIGINT) AS mn,
+          |  CAST(max(l_orderkey) AS BIGINT) AS mx,
+          |  count() AS n
+          |FROM lineitem GROUP BY l_returnflag, l_linestatus
+          |ORDER BY rf, ls""".stripMargin)
+    }),
 
     // CH vector-distance family (dotProduct/cosineDistance/L1/L2/Linf)
     // over real embeddings, paired (vec_id, vec_id+1) — native codegen'd
@@ -2407,6 +2437,14 @@ object SparkEntry {
         |  CAST(CAST(o_totalprice AS DECIMAL(9,2)) AS VARCHAR) AS dec32,
         |  CAST(CAST(o_totalprice * 10 AS DECIMAL(18,3)) AS VARCHAR) AS dec64
         |FROM orders WHERE o_orderkey % 997 = 0 ORDER BY k""".stripMargin,
+    "q174_agg_projection" ->
+      """SELECT l_returnflag AS rf, l_linestatus AS ls,
+        |  CAST(round(sum(l_quantity)) AS BIGINT) AS sq,
+        |  CAST(round(avg(l_extendedprice) * 100) AS BIGINT) AS avg_c,
+        |  CAST(min(l_orderkey) AS BIGINT) AS mn,
+        |  CAST(max(l_orderkey) AS BIGINT) AS mx,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY rf, ls ORDER BY rf, ls""".stripMargin,
     "q158_foreach_int32" ->
       """SELECT array_to_string([CAST(sum(o_orderkey % 100000 * 20000) AS BIGINT),
         |                        CAST(sum(o_custkey % 1000 * 1000000) AS BIGINT)], ',') AS s_csv,

@@ -35,6 +35,7 @@ object ChFunctions {
       // any session that can resolve the dialect also answers global
       // count/min/max from parquet footers (graft.plans.FooterAggregates)
       FunctionShim.addOptimization(spark, graft.plans.FooterAggregates(spark))
+      FunctionShim.addOptimization(spark, graft.plans.AggProjectionRewrite(spark))
       registered += id
     }
   }

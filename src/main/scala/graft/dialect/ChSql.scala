@@ -330,6 +330,8 @@ object ChSql {
     // write statements: INSERT INTO '<path>'/FUNCTION file(…) SELECT …,
     // CREATE TABLE … AS SELECT … — routed through Sinks (S11)
     if (ChWrites.isWrite(m)) return ChWrites.run(spark, m, macros)
+    // projection DDL: ALTER TABLE … ADD/MATERIALIZE/DROP PROJECTION
+    if (ProjectionSql.isProjection(m)) return ProjectionSql.run(spark, m)
     // CH `EXPLAIN [mode] SELECT …` returns the plan as result rows; the
     // Spark rendition explains the rewritten query's physical plan (all
     // CH modes map to the one plan Spark has — the Catalyst one)

@@ -28,5 +28,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         (exprs: Seq[Expression]) => builder(exprs)))
     }
     ext.injectOptimizerRule(graft.plans.FooterAggregates.apply)
+    ext.injectOptimizerRule(graft.plans.AggProjectionRewrite.apply)
   }
 }

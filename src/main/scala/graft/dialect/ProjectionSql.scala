@@ -1,0 +1,112 @@
+package graft.dialect
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Project, SubqueryAlias}
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+
+import graft.plans.AggProjections
+
+/** CH projection DDL front door (reference analog: `ALTER TABLE … ADD
+  * PROJECTION p (SELECT k, sum(x) GROUP BY k)` — the ClickHouse image
+  * behind the reference materializes these and reroutes matching
+  * queries; here [[AggProjections]] + [[graft.plans.AggProjectionRewrite]]
+  * do the same over parquet). Statements:
+  *
+  *   - `ALTER TABLE <t> ADD PROJECTION <p> (SELECT … GROUP BY k[, …])`
+  *     — aggregate items: `sum|min|max|avg|count(col)`; bare columns
+  *     must be group keys; `count()` needs no declaration (the row
+  *     count is always stored). Materializes IMMEDIATELY (CH defers to
+  *     a MATERIALIZE for existing parts; one statement here).
+  *   - `ALTER TABLE <t> MATERIALIZE PROJECTION <p>` — re-aggregate the
+  *     current source files, refresh the staleness fingerprint.
+  *   - `ALTER TABLE <t> DROP PROJECTION <p>` — registry + data.
+  *
+  * `<t>` is a session table/view over parquet, or a quoted path
+  * (`ALTER TABLE '/data/events' ADD …`).
+  */
+object ProjectionSql {
+
+  private val StmtRe =
+    ("""(?is)^\s*ALTER\s+TABLE\s+(?:'([^']+)'|([\w.`"]+))\s+""" +
+      """(ADD|MATERIALIZE|DROP)\s+PROJECTION\s+(?:IF\s+(?:NOT\s+)?EXISTS\s+)?(\w+)\s*(?:\((.*)\))?\s*$""").r
+  private val BodyRe =
+    """(?is)^\s*SELECT\s+(.*?)\s+GROUP\s+BY\s+(.*?)\s*$""".r
+  private val AggItemRe = """(?i)^\s*(sum|min|max|avg|count)\s*\(\s*([\w`"]*)\s*\)\s*$""".r
+
+  def isProjection(sql: String): Boolean = StmtRe.matches(sql)
+
+  def run(spark: SparkSession, sql: String): DataFrame = {
+    import spark.implicits._
+    sql match {
+      case StmtRe(pathLit, tableName, verb, name, body) =>
+        val source = Option(pathLit).getOrElse(resolvePath(spark, tableName))
+        verb.toUpperCase match {
+          case "ADD" =>
+            val b = Option(body).getOrElse(throw new IllegalArgumentException(
+              "ADD PROJECTION needs a (SELECT … GROUP BY …) body"))
+            val (groupCols, aggs) = parseBody(b)
+            AggProjections.create(spark, source, name, groupCols, aggs)
+            Seq((name, "materialized")).toDF("projection", "status")
+          case "MATERIALIZE" =>
+            AggProjections.rematerialize(spark, source, name)
+            Seq((name, "materialized")).toDF("projection", "status")
+          case "DROP" =>
+            val dropped = AggProjections.drop(spark, source, name)
+            Seq((name, if (dropped) "dropped" else "not_found"))
+              .toDF("projection", "status")
+        }
+      case _ => throw new IllegalArgumentException(s"not a projection statement: $sql")
+    }
+  }
+
+  /** The SELECT list declares the states; GROUP BY declares the keys.
+    * Bare select items must BE keys (CH requires keys in the select
+    * list) — anything else refuses loudly rather than materializing a
+    * projection that can never answer its declaration. */
+  private def parseBody(body: String): (Seq[String], Seq[(String, String)]) = body match {
+    case BodyRe(items, keys) =>
+      val groupCols = keys.split(",").map(clean).filter(_.nonEmpty).toSeq
+      val aggs = Seq.newBuilder[(String, String)]
+      items.split(",").map(_.trim).filter(_.nonEmpty).foreach {
+        case AggItemRe(op, col) =>
+          if (clean(col).isEmpty) {
+            require(op.equalsIgnoreCase("count"),
+              s"$op() needs a column argument in a projection declaration")
+            // count() = the always-stored row count; nothing to declare
+          } else aggs += ((op.toLowerCase, clean(col)))
+        case bare if groupCols.contains(clean(bare)) => // group key passthrough
+        case other => throw new IllegalArgumentException(
+          s"unsupported projection select item '$other' " +
+            "(sum|min|max|avg|count(col), count(), or a GROUP BY key)")
+      }
+      (groupCols, aggs.result())
+    case _ => throw new IllegalArgumentException(
+      "projection body must be SELECT … GROUP BY …")
+  }
+
+  private def clean(s: String): String =
+    s.trim.stripPrefix("`").stripSuffix("`").stripPrefix("\"").stripSuffix("\"")
+
+  /** A named table resolves through the session catalog to the parquet
+    * relation's root path — same shape the rewrite rule keys on. */
+  private def resolvePath(spark: SparkSession, table: String): String = {
+    val plan = spark.table(clean(table)).queryExecution.analyzed
+    def find(p: LogicalPlan): Option[HadoopFsRelation] = p match {
+      case l: LogicalRelation => l.relation match {
+        case r: HadoopFsRelation => Some(r)
+        case _ => None
+      }
+      case Project(_, c) => find(c)
+      case SubqueryAlias(_, c) => find(c)
+      case v: org.apache.spark.sql.catalyst.plans.logical.View => find(v.child)
+      case _ => None
+    }
+    val rel = find(plan).getOrElse(throw new IllegalArgumentException(
+      s"table '$table' is not a plain parquet relation — projections attach to " +
+        "parquet sources (use ALTER TABLE '<path>' … for an explicit path)"))
+    val roots = rel.location.rootPaths
+    require(roots.size == 1,
+      s"table '$table' spans ${roots.size} root paths; projections need one source root")
+    roots.head.toString
+  }
+}

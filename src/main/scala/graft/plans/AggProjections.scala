@@ -1,0 +1,430 @@
+package graft.plans
+
+import scala.collection.concurrent.TrieMap
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, Cast, Coalesce, Divide, Expression, Literal, NamedExpression}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Count, Max, Min, Sum}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Project, SubqueryAlias}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.functions.{col, count, lit, max, min, sum}
+import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
+
+/** ClickHouse-style aggregate PROJECTIONS: a materialized,
+  * pre-aggregated companion of a parquet table, plus an optimizer rule
+  * that reroutes matching GROUP BY queries to it (reference analog:
+  * `ALTER TABLE … ADD PROJECTION (SELECT k, sum(x) … GROUP BY k)` —
+  * queries use the projection automatically; the reference delegates
+  * the same to its ClickHouse image).
+  *
+  * The scale story: at 100 TB a recurring `GROUP BY` dashboard query
+  * re-scans the corpus every run; a projection turns it into a scan of
+  * the (usually thousands-of-rows) aggregate companion. Partial states
+  * are mergeable, so queries that group by any SUBSET of the
+  * projection's keys re-aggregate the companion instead of the corpus:
+  * sums re-sum, counts re-sum, min/max re-min/max, avg merges as
+  * (Σsum ÷ Σcount).
+  *
+  * Correctness guardrails (the rewrite must be provably
+  * answer-identical or it must not fire):
+  *   - the query's aggregate child is the bare parquet relation under
+  *     cardinality-preserving wrappers only (any Filter / Sample /
+  *     Limit / join disqualifies — same discipline as
+  *     [[FooterAggregates]]);
+  *   - every group expression is a plain data column ⊆ the projection's
+  *     group keys;
+  *   - every aggregate rewrites onto a stored state (count(*) /
+  *     count(col) / sum / min / max / avg, no DISTINCT, no FILTER
+  *     clause, no decimal sums — decimal re-summing widens precision
+  *     and would change the result type);
+  *   - the rewritten output's data types equal the original's exactly;
+  *   - the companion's recorded source fingerprint (file name + length
+  *     + mtime, [[Fingerprint.TtlMs]]-memoized) still matches the
+  *     relation's current files — a stale projection silently reverts
+  *     to the corpus scan, never a wrong answer.
+  *
+  * Storage: `spark.graft.projectionDir` (default
+  * `/tmp/graft_projections`) / md5(source) / name, parquet sorted
+  * within partitions by the group keys, with a `_manifest.json`
+  * sidecar (hidden from parquet listings by the underscore
+  * convention). [[AggProjections.loadAll]] re-registers persisted
+  * manifests in a fresh session.
+  *
+  * Disable the rewrite (never the catalog) with
+  * `spark.graft.aggProjections=false`.
+  */
+object AggProjections {
+
+  final case class AggDef(op: String, column: String) {
+    def stateCols: Seq[String] = op match {
+      case "sum" => Seq(s"s_$column")
+      case "count" => Seq(s"c_$column")
+      case "min" => Seq(s"mn_$column")
+      case "max" => Seq(s"mx_$column")
+      case "avg" => Seq(s"s_$column", s"c_$column")
+      case other => throw new IllegalArgumentException(
+        s"unknown projection aggregate '$other' (sum|count|min|max|avg)")
+    }
+  }
+
+  final case class Manifest(
+      name: String,
+      sourceKey: String,
+      groupCols: Seq[String],
+      aggs: Seq[AggDef],
+      dataPath: String,
+      fingerprint: String)
+
+  /** sourceKey → (projection name → manifest); smallest (most
+    * aggregated) candidates are preferred at rewrite time. */
+  private val registry = TrieMap.empty[String, Map[String, Manifest]]
+
+  def lookup(sourceKey: String): Seq[Manifest] =
+    registry.getOrElse(sourceKey, Map.empty).values.toSeq
+      .sortBy(m => (m.groupCols.size, m.name))
+
+  def clear(): Unit = registry.clear()
+
+  def projectionRoot(spark: SparkSession): String =
+    spark.conf.getOption("spark.graft.projectionDir")
+      .getOrElse("/tmp/graft_projections")
+
+  /** Canonical identity of a parquet source: the fully-qualified,
+    * sorted root paths — matches `HadoopFsRelation.location.rootPaths`
+    * on the query side. */
+  def sourceKey(spark: SparkSession, source: String): String = {
+    val p = new Path(source)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.makeQualified(p).toString
+  }
+
+  /** Materialize a projection: group the source by `groupCols`, store
+    * one row per group with mergeable partial states (plus `_cnt`, the
+    * group row count, always). Overwrites a same-named projection. */
+  def create(
+      spark: SparkSession,
+      source: String,
+      name: String,
+      groupCols: Seq[String],
+      aggs: Seq[(String, String)]): Manifest = {
+    require(groupCols.nonEmpty, "projection needs at least one group column")
+    val defs = aggs.map { case (op, c) => AggDef(op, c) }
+    val df = spark.read.parquet(source)
+    val missing = (groupCols ++ defs.map(_.column)).distinct
+      .filterNot(df.schema.fieldNames.contains)
+    require(missing.isEmpty, s"projection columns not in source: ${missing.mkString(", ")}")
+
+    val states: Seq[org.apache.spark.sql.Column] =
+      count(lit(1)).as("_cnt") +: defs.flatMap { d =>
+        d.op match {
+          case "sum" => Seq(sum(col(d.column)).as(s"s_${d.column}"))
+          case "count" => Seq(count(col(d.column)).as(s"c_${d.column}"))
+          case "min" => Seq(min(col(d.column)).as(s"mn_${d.column}"))
+          case "max" => Seq(max(col(d.column)).as(s"mx_${d.column}"))
+          case "avg" => Seq(sum(col(d.column)).as(s"s_${d.column}"),
+            count(col(d.column)).as(s"c_${d.column}"))
+        }
+      }
+    // dedup avg-over-sum'd columns sharing states
+    val seen = scala.collection.mutable.Set.empty[String]
+    val uniqueStates = states.filter { c =>
+      val n = c.toString
+      seen.add(n)
+    }
+
+    val key = sourceKey(spark, source)
+    val fp = Fingerprint.of(spark, df.inputFiles)
+    val dir = s"${projectionRoot(spark)}/${md5(key).take(12)}/$name"
+    df.groupBy(groupCols.map(col): _*).agg(uniqueStates.head, uniqueStates.tail: _*)
+      .sortWithinPartitions(groupCols.map(col): _*)
+      .write.mode("overwrite").parquet(dir)
+
+    val m = Manifest(name, key, groupCols, defs, dir, fp)
+    writeManifest(spark, m)
+    register(m)
+    m
+  }
+
+  def register(m: Manifest): Unit = registry.updateWith(m.sourceKey) {
+    case Some(existing) => Some(existing + (m.name -> m))
+    case None => Some(Map(m.name -> m))
+  }
+
+  /** Drop a projection: registry entry plus its materialized data.
+    * Returns false when no such projection is registered. */
+  def drop(spark: SparkSession, source: String, name: String): Boolean = {
+    val key = sourceKey(spark, source)
+    val found = registry.get(key).exists(_.contains(name))
+    registry.updateWith(key)(_.map(_ - name).filter(_.nonEmpty))
+    if (found) {
+      val dir = new Path(s"${projectionRoot(spark)}/${md5(key).take(12)}/$name")
+      val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+      if (fs.exists(dir)) fs.delete(dir, true)
+    }
+    found
+  }
+
+  /** Refresh a projection from its recorded spec (the `MATERIALIZE
+    * PROJECTION` statement): re-aggregates the CURRENT source files and
+    * stamps the new fingerprint. */
+  def rematerialize(spark: SparkSession, source: String, name: String): Manifest = {
+    val key = sourceKey(spark, source)
+    val m = registry.get(key).flatMap(_.get(name)).getOrElse(
+      throw new IllegalArgumentException(s"no projection '$name' on $source"))
+    create(spark, source, name, m.groupCols, m.aggs.map(d => (d.op, d.column)))
+  }
+
+  /** Re-register every persisted manifest under the projection root
+    * (fresh-session path; stale ones are harmless — the fingerprint
+    * gate keeps them from firing). */
+  def loadAll(spark: SparkSession): Int = {
+    val root = new Path(projectionRoot(spark))
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(root)) return 0
+    var n = 0
+    for (src <- fs.listStatus(root) if src.isDirectory;
+         proj <- fs.listStatus(src.getPath) if proj.isDirectory) {
+      val mf = new Path(proj.getPath, "_manifest.json")
+      if (fs.exists(mf)) {
+        try { register(readManifest(fs, mf)); n += 1 }
+        catch { case scala.util.control.NonFatal(_) => /* skip unreadable */ }
+      }
+    }
+    n
+  }
+
+  private val mapper = {
+    val m = new com.fasterxml.jackson.databind.ObjectMapper
+    m.registerModule(com.fasterxml.jackson.module.scala.DefaultScalaModule)
+    m
+  }
+
+  private def writeManifest(spark: SparkSession, m: Manifest): Unit = {
+    val p = new Path(m.dataPath, "_manifest.json")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val out = fs.create(p, true)
+    try out.write(mapper.writeValueAsBytes(Map(
+      "name" -> m.name, "sourceKey" -> m.sourceKey,
+      "groupCols" -> m.groupCols,
+      "aggs" -> m.aggs.map(a => Map("op" -> a.op, "column" -> a.column)),
+      "dataPath" -> m.dataPath, "fingerprint" -> m.fingerprint)))
+    finally out.close()
+  }
+
+  private def readManifest(fs: org.apache.hadoop.fs.FileSystem, p: Path): Manifest = {
+    val in = fs.open(p)
+    val bytes = try org.apache.commons.io.IOUtils.toByteArray(in) finally in.close()
+    val node = mapper.readTree(bytes)
+    import scala.jdk.CollectionConverters._
+    Manifest(
+      name = node.get("name").asText,
+      sourceKey = node.get("sourceKey").asText,
+      groupCols = node.get("groupCols").elements.asScala.map(_.asText).toSeq,
+      aggs = node.get("aggs").elements.asScala
+        .map(a => AggDef(a.get("op").asText, a.get("column").asText)).toSeq,
+      dataPath = node.get("dataPath").asText,
+      fingerprint = node.get("fingerprint").asText)
+  }
+
+  private def md5(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  /** Source-file fingerprints, memoized briefly: the staleness gate
+    * runs per query and a 100k-object status sweep is a real cost. */
+  object Fingerprint {
+    val TtlMs = 60000L
+    private val cache = TrieMap.empty[String, (String, Long)]
+
+    def of(spark: SparkSession, files: Seq[String]): String = {
+      val sorted = files.sorted
+      val cacheKey = md5(sorted.mkString("\n"))
+      val now = System.currentTimeMillis()
+      cache.get(cacheKey).filter(now - _._2 < TtlMs).map(_._1).getOrElse {
+        val conf = spark.sessionState.newHadoopConf()
+        val parts = sorted.map { f =>
+          val p = new Path(f)
+          val st = p.getFileSystem(conf).getFileStatus(p)
+          s"${p.getName}:${st.getLen}:${st.getModificationTime}"
+        }
+        val fp = md5(parts.mkString("\n"))
+        cache.put(cacheKey, (fp, now))
+        fp
+      }
+    }
+  }
+}
+
+/** The reroute rule: `Aggregate` over a bare parquet relation whose
+  * source has a registered, still-fresh projection → the same
+  * aggregate re-expressed as a merge over the projection's states.
+  * See [[AggProjections]] for the guardrails. */
+case class AggProjectionRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
+
+  import AggProjections._
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    if (!spark.conf.getOption("spark.graft.aggProjections").forall(_.toBoolean))
+      return plan
+    plan.transformDown {
+      case agg @ Aggregate(groupExprs, aggExprs, child, _) =>
+        (for {
+          rel <- plainParquet(child)
+          rewritten <- tryRewrite(agg, groupExprs, aggExprs, child, rel)
+        } yield rewritten).getOrElse(agg)
+    }
+  }
+
+  private def tryRewrite(
+      agg: Aggregate,
+      groupExprs: Seq[Expression],
+      aggExprs: Seq[NamedExpression],
+      child: LogicalPlan,
+      rel: HadoopFsRelation): Option[LogicalPlan] = {
+    val key = rel.location.rootPaths.map(_.toString).sorted.mkString("\n")
+    val candidates = lookup(key)
+    if (candidates.isEmpty) return None
+
+    // every group expression must be a plain source data column
+    val groupNames: Option[Seq[(Attribute, String)]] = {
+      val resolved = groupExprs.map {
+        case a: AttributeReference => resolve(child, a).map(n => (a: Attribute, n))
+        case _ => None
+      }
+      if (resolved.forall(_.isDefined)) Some(resolved.map(_.get)) else None
+    }
+
+    groupNames.flatMap { gn =>
+      candidates.view.flatMap { m =>
+        if (!gn.forall { case (_, n) => m.groupCols.contains(n) }) None
+        else rewriteWith(agg, gn, aggExprs, child, rel, m)
+      }.headOption
+    }
+  }
+
+  private def rewriteWith(
+      agg: Aggregate,
+      groupAttrs: Seq[(Attribute, String)],
+      aggExprs: Seq[NamedExpression],
+      child: LogicalPlan,
+      rel: HadoopFsRelation,
+      m: Manifest): Option[LogicalPlan] = try {
+    // staleness gate first — cheap metadata, and nothing else matters
+    // if the companion no longer reflects the source
+    if (Fingerprint.of(spark, rel.location.inputFiles.toIndexedSeq) != m.fingerprint)
+      return None
+
+    val projPlan = spark.read.parquet(m.dataPath).queryExecution.analyzed
+    val projAttr: Map[String, Attribute] = projPlan.output.map(a => a.name -> a).toMap
+    // manifest/data drift (partial write, older layout) disqualifies
+    if (!(m.groupCols :+ "_cnt").forall(projAttr.contains)) return None
+
+    val groupMap: Map[Long, Attribute] =
+      groupAttrs.map { case (a, n) => a.exprId.id -> projAttr(n) }.toMap
+
+    def stateFor(op: String, colName: String): Option[Attribute] = {
+      val stored = m.aggs.exists(d =>
+        d.column == colName && (d.op == op || (d.op == "avg" && (op == "sum" || op == "count"))))
+      if (stored) projAttr.get(AggDef(op, colName).stateCols.head) else None
+    }
+
+    def mergeAgg(ae: AggregateExpression): Option[Expression] = {
+      if (ae.isDistinct || ae.filter.isDefined) return None
+      def colOf(e: Expression): Option[String] = e match {
+        case a: AttributeReference => resolve(child, a)
+        case _ => None
+      }
+      ae.aggregateFunction match {
+        case Count(cs) if cs.forall { case l: Literal => l.value != null; case _ => false } =>
+          Some(Coalesce(Seq(
+            Sum(projAttr("_cnt")).toAggregateExpression(), Literal(0L))))
+        case Count(Seq(e)) =>
+          colOf(e).flatMap(stateFor("count", _)).map(s =>
+            Coalesce(Seq(Sum(s).toAggregateExpression(), Literal(0L))))
+        case s: Sum if !s.child.dataType.isInstanceOf[DecimalType] =>
+          colOf(s.child).flatMap(stateFor("sum", _)).map(st =>
+            Sum(st).toAggregateExpression())
+        case mi: Min =>
+          colOf(mi.child).flatMap(stateFor("min", _)).map(st =>
+            Min(st).toAggregateExpression())
+        case mx: Max =>
+          colOf(mx.child).flatMap(stateFor("max", _)).map(st =>
+            Max(st).toAggregateExpression())
+        case av: Average if !av.child.dataType.isInstanceOf[DecimalType] =>
+          for {
+            cn <- colOf(av.child)
+            s <- stateFor("sum", cn)
+            c <- stateFor("count", cn)
+          } yield Divide(
+            Cast(Sum(s).toAggregateExpression(), DoubleType),
+            Cast(Sum(c).toAggregateExpression(), DoubleType))
+        case _ => None
+      }
+    }
+
+    // rewrite an output expression: aggregate calls merge onto states,
+    // group-column references remap to projection attributes, anything
+    // else must be built from those two plus literals
+    def rewriteExpr(e: Expression): Option[Expression] = e match {
+      case ae: AggregateExpression => mergeAgg(ae)
+      case a: AttributeReference => groupMap.get(a.exprId.id)
+      case l: Literal => Some(l)
+      case other if other.children.nonEmpty && other.deterministic =>
+        val kids = other.children.map(rewriteExpr)
+        if (kids.forall(_.isDefined)) Some(other.withNewChildren(kids.map(_.get)))
+        else None
+      case _ => None
+    }
+
+    val outputs: Seq[Option[NamedExpression]] = aggExprs.map { ne =>
+      val (inner, name) = ne match {
+        case Alias(c, n) => (c, n)
+        case a: Attribute => (a: Expression, a.name)
+        case other => (other: Expression, other.name)
+      }
+      rewriteExpr(inner)
+        .filter(_.dataType == ne.dataType) // exact type or no rewrite
+        .map(r => Alias(r, name)(exprId = ne.exprId, qualifier = ne.qualifier))
+    }
+    if (!outputs.forall(_.isDefined)) return None
+
+    val newGroup: Seq[Expression] = groupAttrs.map { case (a, _) => groupMap(a.exprId.id) }
+    logInfo(s"rewriting aggregate over ${m.sourceKey} to projection '${m.name}'")
+    Some(Aggregate(newGroup, outputs.map(_.get), projPlan))
+  } catch {
+    // an optimization must never fail the query (IO against the
+    // projection dir, races with re-materialization): keep the scan
+    case scala.util.control.NonFatal(e) =>
+      logWarning(s"projection rewrite failed; keeping the scan plan: $e")
+      None
+  }
+
+  // same resolution discipline as FooterAggregates: an attribute is
+  // usable only if it reaches the relation as a bare data column
+  private def resolve(p: LogicalPlan, attr: Attribute): Option[String] = p match {
+    case l: LogicalRelation =>
+      l.output.find(_.exprId == attr.exprId).map(_.name)
+    case Project(projList, c) =>
+      projList.find(_.exprId == attr.exprId).flatMap {
+        case a: AttributeReference => resolve(c, a)
+        case Alias(a: AttributeReference, _) => resolve(c, a)
+        case _ => None
+      }
+    case SubqueryAlias(_, c) => resolve(c, attr)
+    case _ => None
+  }
+
+  private def plainParquet(p: LogicalPlan): Option[HadoopFsRelation] = p match {
+    case l: LogicalRelation if !l.isStreaming =>
+      l.relation match {
+        case r: HadoopFsRelation if r.fileFormat.isInstanceOf[ParquetFileFormat] => Some(r)
+        case _ => None
+      }
+    case Project(_, c) => plainParquet(c)
+    case SubqueryAlias(_, c) => plainParquet(c)
+    case _ => None
+  }
+}

@@ -1,0 +1,204 @@
+package graft.plans
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The projection reroute must be answer-identical where it fires and
+  * provably silent where it can't (filters, distinct, unknown columns,
+  * stale companions). */
+class AggProjectionsSpec extends AnyFunSuite {
+
+  private lazy val spark = {
+    val s = graft.TestSpark.spark
+    graft.dialect.ChFunctions.register(s)
+    s
+  }
+
+  private lazy val projRoot = {
+    val d = Files.createTempDirectory("graft_proj_spec").toString
+    spark.conf.set("spark.graft.projectionDir", d)
+    d
+  }
+
+  /** A mutable COPY of sf0.001 lineitem (directory form, so staleness
+    * can be exercised by adding a file). */
+  private lazy val srcDir: String = {
+    val d = Files.createTempDirectory("graft_proj_src").toString + "/lineitem"
+    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+      .coalesce(2).write.parquet(d)
+    d
+  }
+
+  private lazy val projection = {
+    projRoot // force conf before create
+    AggProjections.create(spark, srcDir, "by_flag_status",
+      Seq("l_returnflag", "l_linestatus"),
+      Seq(("sum", "l_quantity"), ("avg", "l_extendedprice"),
+        ("min", "l_orderkey"), ("max", "l_orderkey"),
+        ("count", "l_suppkey")))
+  }
+
+  private def scansProjection(df: DataFrame): Boolean =
+    df.queryExecution.optimizedPlan.collectFirst {
+      case l: LogicalRelation if l.relation.isInstanceOf[HadoopFsRelation] &&
+        l.relation.asInstanceOf[HadoopFsRelation].location.rootPaths
+          .exists(_.toString.contains(projRoot)) => true
+    }.getOrElse(false)
+
+  private def base: DataFrame = spark.read.parquet(srcDir)
+
+  private def unoptimized[T](body: => T): T = {
+    spark.conf.set("spark.graft.aggProjections", "false")
+    try body finally spark.conf.set("spark.graft.aggProjections", "true")
+  }
+
+  private def sortedRows(df: DataFrame): Seq[String] =
+    df.collect().map(_.toString).sorted.toSeq
+
+  test("exact-group query reroutes to the projection and matches the scan") {
+    projection
+    base.createOrReplaceTempView("li_proj")
+    val q =
+      """SELECT l_returnflag, l_linestatus,
+        |       sum(l_quantity) AS sq, avg(l_extendedprice) AS ap,
+        |       min(l_orderkey) AS mn, max(l_orderkey) AS mx,
+        |       count(l_suppkey) AS cc, count(*) AS n
+        |FROM li_proj GROUP BY l_returnflag, l_linestatus""".stripMargin
+    val rerouted = spark.sql(q)
+    assert(scansProjection(rerouted), rerouted.queryExecution.optimizedPlan.toString)
+    val direct = unoptimized(sortedRows(spark.sql(q)))
+    assert(sortedRows(rerouted) == direct)
+  }
+
+  test("subset-of-keys query re-aggregates the projection") {
+    projection
+    base.createOrReplaceTempView("li_proj")
+    val q = "SELECT l_returnflag, sum(l_quantity) AS sq, count(*) AS n " +
+      "FROM li_proj GROUP BY l_returnflag"
+    val rerouted = spark.sql(q)
+    assert(scansProjection(rerouted))
+    assert(sortedRows(rerouted) == unoptimized(sortedRows(spark.sql(q))))
+  }
+
+  test("global aggregate (no GROUP BY) merges all states") {
+    projection
+    base.createOrReplaceTempView("li_proj")
+    // round(avg…): double summation ORDER differs between one-pass and
+    // merge-of-partials, so the last ULPs legitimately move (true of
+    // any repartitioned double sum) — the value is pinned to 6 dp
+    val q = "SELECT sum(l_quantity) AS sq, round(avg(l_extendedprice), 6) AS ap FROM li_proj"
+    val rerouted = spark.sql(q)
+    assert(scansProjection(rerouted))
+    assert(sortedRows(rerouted) == unoptimized(sortedRows(spark.sql(q))))
+  }
+
+  test("expressions over merged aggregates and group keys still reroute") {
+    projection
+    base.createOrReplaceTempView("li_proj")
+    val q = "SELECT concat(l_returnflag, '!') AS tag, " +
+      "sum(l_quantity) + count(*) AS blend FROM li_proj GROUP BY l_returnflag"
+    val rerouted = spark.sql(q)
+    assert(scansProjection(rerouted))
+    assert(sortedRows(rerouted) == unoptimized(sortedRows(spark.sql(q))))
+  }
+
+  test("guardrails: filter, distinct, unknown aggregates, foreign keys stay on the scan") {
+    projection
+    base.createOrReplaceTempView("li_proj")
+    // WHERE on any column — the companion cannot answer a filtered scan
+    assert(!scansProjection(spark.sql(
+      "SELECT l_returnflag, sum(l_quantity) FROM li_proj " +
+        "WHERE l_quantity > 10 GROUP BY l_returnflag")))
+    // DISTINCT aggregate has no mergeable state
+    assert(!scansProjection(spark.sql(
+      "SELECT l_returnflag, count(DISTINCT l_orderkey) FROM li_proj GROUP BY l_returnflag")))
+    // aggregate over a column without a stored state
+    assert(!scansProjection(spark.sql(
+      "SELECT l_returnflag, sum(l_tax) FROM li_proj GROUP BY l_returnflag")))
+    // grouping key outside the projection's keys
+    assert(!scansProjection(spark.sql(
+      "SELECT l_linenumber, sum(l_quantity) FROM li_proj GROUP BY l_linenumber")))
+    // avg over a column with only a sum state (no count) must refuse
+    assert(!scansProjection(spark.sql(
+      "SELECT l_returnflag, avg(l_quantity) FROM li_proj GROUP BY l_returnflag")))
+  }
+
+  test("kill switch spark.graft.aggProjections=false keeps the scan") {
+    projection
+    base.createOrReplaceTempView("li_proj")
+    unoptimized {
+      assert(!scansProjection(spark.sql(
+        "SELECT l_returnflag, sum(l_quantity) FROM li_proj GROUP BY l_returnflag")))
+    }
+  }
+
+  test("loadAll re-registers persisted manifests in a fresh registry") {
+    projection
+    AggProjections.clear()
+    base.createOrReplaceTempView("li_proj")
+    assert(!scansProjection(spark.sql(
+      "SELECT l_returnflag, sum(l_quantity) FROM li_proj GROUP BY l_returnflag")))
+    assert(AggProjections.loadAll(spark) >= 1)
+    assert(scansProjection(spark.sql(
+      "SELECT l_returnflag, sum(l_quantity) FROM li_proj GROUP BY l_returnflag")))
+  }
+
+  test("ALTER TABLE ADD/MATERIALIZE/DROP PROJECTION round-trips through the dialect") {
+    projection
+    base.createOrReplaceTempView("li_sql")
+    val add = graft.dialect.ChSql.sql(spark,
+      """ALTER TABLE li_sql ADD PROJECTION p_flag
+        |(SELECT l_returnflag, sum(l_quantity), count() GROUP BY l_returnflag)""".stripMargin)
+    assert(add.collect().head.getString(1) == "materialized")
+    val q = "SELECT l_returnflag, sum(l_quantity) AS sq, count(*) AS n " +
+      "FROM li_sql GROUP BY l_returnflag"
+    assert(scansProjection(spark.sql(q)))
+    assert(sortedRows(spark.sql(q)) == unoptimized(sortedRows(spark.sql(q))))
+    // MATERIALIZE refreshes; DROP removes data + registry
+    assert(graft.dialect.ChSql.sql(spark,
+      "ALTER TABLE li_sql MATERIALIZE PROJECTION p_flag")
+      .collect().head.getString(1) == "materialized")
+    assert(graft.dialect.ChSql.sql(spark,
+      "ALTER TABLE li_sql DROP PROJECTION p_flag")
+      .collect().head.getString(1) == "dropped")
+    // gone: the OTHER registered projection (by_flag_status) still
+    // answers this shape — drop it too, then the scan must come back
+    assert(AggProjections.drop(spark, srcDir, "by_flag_status"))
+    assert(!scansProjection(spark.sql(q)))
+    // an undeclared select item refuses loudly
+    val e = intercept[IllegalArgumentException] {
+      graft.dialect.ChSql.sql(spark,
+        "ALTER TABLE li_sql ADD PROJECTION bad (SELECT l_returnflag, " +
+          "sum(l_quantity * 2) GROUP BY l_returnflag)")
+    }
+    assert(e.getMessage.contains("unsupported projection select item"))
+    // restore the shared projection for later tests
+    AggProjections.create(spark, srcDir, "by_flag_status",
+      Seq("l_returnflag", "l_linestatus"),
+      Seq(("sum", "l_quantity"), ("avg", "l_extendedprice"),
+        ("min", "l_orderkey"), ("max", "l_orderkey"),
+        ("count", "l_suppkey")))
+  }
+
+  test("a stale companion (source grew a file) silently reverts to the scan") {
+    projection
+    // grow the source AFTER materialization: new file list → fresh
+    // fingerprint (no TTL shadowing — the cache is keyed on the list)
+    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+      .limit(7).write.mode("append").parquet(srcDir)
+    val df = spark.read.parquet(srcDir)
+    df.createOrReplaceTempView("li_stale")
+    val q = "SELECT l_returnflag, sum(l_quantity) AS sq FROM li_stale GROUP BY l_returnflag"
+    val after = spark.sql(q)
+    assert(!scansProjection(after))
+    // and the answer includes the appended rows
+    assert(sortedRows(after) == unoptimized(sortedRows(spark.sql(q))))
+    // re-materializing refreshes the fingerprint and reroutes again
+    AggProjections.create(spark, srcDir, "by_flag_status",
+      Seq("l_returnflag", "l_linestatus"), Seq(("sum", "l_quantity")))
+    assert(scansProjection(spark.sql(q)))
+  }
+}
