@@ -282,9 +282,16 @@ object Bench {
     val times10 = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     try {
       val base10 = ensure10x(spark, sfDir)
-      graft.plans.AggProjections.create(spark, s"$base10/lineitem.parquet",
+      // isolated like the 1x build: a q9 build failure must cost q9's
+      // 10x line only, never the q1-q8 timings and ratio gates
+      try graft.plans.AggProjections.create(spark, s"$base10/lineitem.parquet",
         "bench_flag", Seq("l_returnflag", "l_linestatus"),
         Seq(("sum", "l_quantity"), ("avg", "l_extendedprice")))
+      catch {
+        case e: Throwable =>
+          errors("sf10x_q9_projection_build") = Option(e.getMessage)
+            .getOrElse(e.getClass.getName).linesIterator.take(1).mkString.take(200)
+      }
       runAll(shapes10x(spark, base10), times10, n => s"sf10x_$n")
     } catch {
       case e: Throwable =>

@@ -1913,7 +1913,10 @@ object ChFunctions {
           LambdaFunction(Cast(new StringLocate(n, h), LongType), Seq(n)))
         val hits = ArrayFilter(poss,
           LambdaFunction(GreaterThan(p, Literal(0L)), Seq(p)))
-        Coalesce(Seq(ArrayMin(hits), Literal(0L)))
+        // NULL input propagates NULL; only a genuine no-match is 0
+        // (review finding: the bare Coalesce conflated the two)
+        If(Or(IsNull(h), IsNull(needles)), Literal.create(null, LongType),
+          Coalesce(Seq(ArrayMin(hits), Literal(0L))))
       })
       reg("JSONExtractArrayRaw")({
         case Seq(json) => graft.functions.JsonArrayRawExpr(json, None)
@@ -1946,11 +1949,16 @@ object ChFunctions {
             Literal("*"), Literal("%2A")),
           Literal("%7E"), Literal("~"))
       })
-      // tryBase64Decode: lenient decode, NULL (not error) on garbage —
-      // CH returns '' on invalid input; NULL is the engine's lenient
-      // convention (same family as parseDateTimeBestEffortOrNull)
+      // tryBase64Decode: NULL (not error) on garbage — CH returns '' on
+      // invalid input; NULL is the engine's lenient convention (same
+      // family as parseDateTimeBestEffortOrNull). try_to_binary, not
+      // UnBase64(failOnError=false): the latter skips VALIDATION but
+      // Java's MIME decoder still throws on dangling units like 'a'
+      // (review finding — lenient-in-name-only)
       reg("tryBase64Decode")({ case Seq(s) =>
-        Cast(new UnBase64(s, false), StringType) })
+        Cast(org.apache.spark.sql.catalyst.analysis.UnresolvedFunction(
+          "try_to_binary", Seq(s, Literal("base64")), isDistinct = false),
+          StringType) })
 
       reg("formatReadableDecimalSize")(readableLadder(
         Seq("B", "KB", "MB", "GB", "TB", "PB", "EB"), 1000.0))
@@ -2040,13 +2048,21 @@ object ChFunctions {
       })
       reg("materialize")(exprs => exprs.head)
       // roundDown(x, arr): largest element ≤ x, else the array's FIRST
-      // element (CH saturates below the set to its first entry)
+      // element (CH saturates below the set to its first entry). A NULL
+      // x propagates NULL (review finding: the Coalesce fallback also
+      // captured the null-input case) — the typed NULL comes from
+      // max-of-nothing so the branch types agree without knowing the
+      // element type statically.
       reg("roundDown")({ case Seq(x, arr) =>
         val e = lv("rdE")
-        Coalesce(Seq(
-          ArrayMax(ArrayFilter(arr,
-            LambdaFunction(LessThanOrEqual(e, x), Seq(e)))),
-          new ElementAt(arr, Literal(1), None, false)))
+        val e2 = lv("rdN")
+        val typedNull = ArrayMax(ArrayFilter(arr,
+          LambdaFunction(Literal(false), Seq(e2))))
+        If(IsNull(x), typedNull,
+          Coalesce(Seq(
+            ArrayMax(ArrayFilter(arr,
+              LambdaFunction(LessThanOrEqual(e, x), Seq(e)))),
+            new ElementAt(arr, Literal(1), None, false))))
       })
       // roundToExp2: 0 below 1, else the power of two at or below x.
       // The 1e-9 nudge keeps exact powers from floor-slipping on the

@@ -28,7 +28,7 @@ object ProjectionSql {
 
   private val StmtRe =
     ("""(?is)^\s*ALTER\s+TABLE\s+(?:'([^']+)'|([\w.`"]+))\s+""" +
-      """(ADD|MATERIALIZE|DROP)\s+PROJECTION\s+(?:IF\s+(?:NOT\s+)?EXISTS\s+)?(\w+)\s*(?:\((.*)\))?\s*$""").r
+      """(ADD|MATERIALIZE|DROP)\s+PROJECTION\s+(IF\s+(?:NOT\s+)?EXISTS\s+)?(\w+)\s*(?:\((.*)\))?\s*$""").r
   private val BodyRe =
     """(?is)^\s*SELECT\s+(.*?)\s+GROUP\s+BY\s+(.*?)\s*$""".r
   private val AggItemRe = """(?i)^\s*(sum|min|max|avg|count)\s*\(\s*([\w`"]*)\s*\)\s*$""".r
@@ -38,10 +38,15 @@ object ProjectionSql {
   def run(spark: SparkSession, sql: String): DataFrame = {
     import spark.implicits._
     sql match {
-      case StmtRe(pathLit, tableName, verb, name, body) =>
+      case StmtRe(pathLit, tableName, verb, ifClause, name, body) =>
         val source = Option(pathLit).getOrElse(resolvePath(spark, tableName))
         verb.toUpperCase match {
           case "ADD" =>
+            // IF NOT EXISTS is a real no-op, not a rebuild: re-running
+            // an idempotent init script must not re-shuffle the source
+            // (review finding — a full-corpus aggregation at scale)
+            if (ifClause != null && AggProjections.get(spark, source, name).isDefined)
+              return Seq((name, "exists")).toDF("projection", "status")
             val b = Option(body).getOrElse(throw new IllegalArgumentException(
               "ADD PROJECTION needs a (SELECT … GROUP BY …) body"))
             val (groupCols, aggs) = parseBody(b)

@@ -86,6 +86,9 @@ object AggProjections {
     registry.getOrElse(sourceKey, Map.empty).values.toSeq
       .sortBy(m => (m.groupCols.size, m.name))
 
+  def get(spark: SparkSession, source: String, name: String): Option[Manifest] =
+    registry.get(sourceKey(spark, source)).flatMap(_.get(name))
+
   def clear(): Unit = registry.clear()
 
   def projectionRoot(spark: SparkSession): String =
@@ -233,27 +236,55 @@ object AggProjections {
     java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
 
-  /** Source-file fingerprints, memoized briefly: the staleness gate
-    * runs per query and a 100k-object status sweep is a real cost. */
+  /** Source-file fingerprints. Default: re-stat every planning — the
+    * cache key can only be the file LIST, so any TTL window masks an
+    * in-place same-name rewrite (review finding), and "never a wrong
+    * answer" outranks saved metadata calls. At a 100k-object store set
+    * [[TtlConf]] (ms) to amortize the status sweep, explicitly
+    * accepting that masking window. */
   object Fingerprint {
-    val TtlMs = 60000L
+    val TtlConf = "spark.graft.projectionFingerprintTtlMs"
     private val cache = TrieMap.empty[String, (String, Long)]
 
     def of(spark: SparkSession, files: Seq[String]): String = {
+      val ttl = spark.conf.getOption(TtlConf).map(_.toLong).getOrElse(0L)
       val sorted = files.sorted
       val cacheKey = md5(sorted.mkString("\n"))
       val now = System.currentTimeMillis()
-      cache.get(cacheKey).filter(now - _._2 < TtlMs).map(_._1).getOrElse {
-        val conf = spark.sessionState.newHadoopConf()
-        val parts = sorted.map { f =>
-          val p = new Path(f)
-          val st = p.getFileSystem(conf).getFileStatus(p)
-          s"${p.getName}:${st.getLen}:${st.getModificationTime}"
+      cache.get(cacheKey).filter(_ => ttl > 0).filter(now - _._2 < ttl)
+        .map(_._1).getOrElse {
+          val conf = spark.sessionState.newHadoopConf()
+          val parts = sorted.map { f =>
+            val p = new Path(f)
+            val st = p.getFileSystem(conf).getFileStatus(p)
+            s"${p.getName}:${st.getLen}:${st.getModificationTime}"
+          }
+          val fp = md5(parts.mkString("\n"))
+          cache.put(cacheKey, (fp, now))
+          fp
         }
-        val fp = md5(parts.mkString("\n"))
-        cache.put(cacheKey, (fp, now))
-        fp
-      }
+    }
+  }
+
+  /** Analyzed companion plans, keyed by data path and VERSIONED by the
+    * manifest fingerprint (re-materialization changes it): without
+    * this, every planning of every matching query re-pays a driver
+    * listing + schema read of the companion (review finding). Each use
+    * gets a fresh-exprId instance so two reroutes in one query plan
+    * can't collide. */
+  private val planCache = TrieMap.empty[String, (String, LogicalPlan)]
+
+  private[plans] def companionPlan(spark: SparkSession, m: Manifest): LogicalPlan = {
+    val base = planCache.get(m.dataPath) match {
+      case Some((fp, p)) if fp == m.fingerprint => p
+      case _ =>
+        val p = spark.read.parquet(m.dataPath).queryExecution.analyzed
+        planCache.put(m.dataPath, (m.fingerprint, p))
+        p
+    }
+    base match {
+      case l: LogicalRelation => l.newInstance()
+      case other => other
     }
   }
 }
@@ -317,7 +348,7 @@ case class AggProjectionRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     if (Fingerprint.of(spark, rel.location.inputFiles.toIndexedSeq) != m.fingerprint)
       return None
 
-    val projPlan = spark.read.parquet(m.dataPath).queryExecution.analyzed
+    val projPlan = AggProjections.companionPlan(spark, m)
     val projAttr: Map[String, Attribute] = projPlan.output.map(a => a.name -> a).toMap
     // manifest/data drift (partial write, older layout) disqualifies
     if (!(m.groupCols :+ "_cnt").forall(projAttr.contains)) return None

@@ -113,6 +113,10 @@ class QueryService(spark: SparkSession) {
     val main = ChSql.stripOnCluster(ChSql.substituteMacros(req.query, req.macros))
     if (graft.dialect.ChWrites.isWrite(main))
       return (graft.dialect.ChWrites.run(spark, main, req.macros), Map.empty)
+    // projection DDL as the main query (advisor r9: the statement was
+    // reachable only through ChSql.sql — one of the two front doors)
+    if (graft.dialect.ProjectionSql.isProjection(main))
+      return (graft.dialect.ProjectionSql.run(spark, main), Map.empty)
     val r = ChSql.rewrite(spark, req.query, req.macros)
     ChSql.applySettings(spark, r.settings)
     (ChSql.finish(spark, r), r.settings)

@@ -1138,6 +1138,12 @@ class ChFunctionsSpec extends AnyFunSuite {
     assert(one("SELECT materialize(42)") == 42)
     assert(one("SELECT formatReadableDecimalSize(1536000)") == "1.54 MB")
     assert(one("SELECT tryBase64Decode(base64Encode('hi'))") == "hi")
+    // garbage (dangling unit) → NULL, never a runtime throw
+    assert(one("SELECT tryBase64Decode('a')") == null)
+    assert(one("SELECT tryBase64Decode('%%%')") == null)
+    // NULL inputs propagate NULL (not the no-match/below-set answers)
+    assert(one("SELECT roundDown(CAST(NULL AS DOUBLE), array(0.0, 10.0))") == null)
+    assert(one("SELECT multiSearchFirstPosition(CAST(NULL AS STRING), array('a'))") == null)
     assert(one("SELECT appendTrailingCharIfAbsent('dir', '/')") == "dir/")
     assert(one("SELECT appendTrailingCharIfAbsent('dir/', '/')") == "dir/")
   }

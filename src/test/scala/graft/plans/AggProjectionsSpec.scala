@@ -168,6 +168,20 @@ class AggProjectionsSpec extends AnyFunSuite {
     // answers this shape — drop it too, then the scan must come back
     assert(AggProjections.drop(spark, srcDir, "by_flag_status"))
     assert(!scansProjection(spark.sql(q)))
+    // IF NOT EXISTS on an existing projection is a true no-op (no
+    // rebuild): the companion's files must be untouched
+    graft.dialect.ChSql.sql(spark,
+      """ALTER TABLE li_sql ADD PROJECTION p_tmp
+        |(SELECT l_returnflag, sum(l_quantity) GROUP BY l_returnflag)""".stripMargin)
+    val dataDir = AggProjections.get(spark, srcDir, "p_tmp").get.dataPath
+    def mtimes = new java.io.File(dataDir).listFiles().map(f => f.getName -> f.lastModified).toMap
+    val before = mtimes
+    val again = graft.dialect.ChSql.sql(spark,
+      """ALTER TABLE li_sql ADD PROJECTION IF NOT EXISTS p_tmp
+        |(SELECT l_returnflag, sum(l_quantity) GROUP BY l_returnflag)""".stripMargin)
+    assert(again.collect().head.getString(1) == "exists")
+    assert(mtimes == before)
+    assert(AggProjections.drop(spark, srcDir, "p_tmp"))
     // an undeclared select item refuses loudly
     val e = intercept[IllegalArgumentException] {
       graft.dialect.ChSql.sql(spark,
