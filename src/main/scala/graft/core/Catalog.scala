@@ -58,17 +58,22 @@ object Catalog {
       // its endpoint — when the ATTACH carries a UUID and the bare
       // endpoint isn't itself a part tree, probe the store root (the
       // verbatim github_events shape: endpoint='…/web/' + UUID)
-      val endpoint = rawEndpoint.map { ep =>
+      // resolve the MergeTree probe ONCE per candidate path: each
+      // looksLikeMergeTree on an http endpoint walks the recursive
+      // .index tree, and the previous probe-again-in-the-match shape
+      // paid that network cost up to three times per ATTACH (review
+      // finding)
+      val endpoint: Option[(String, Boolean)] = rawEndpoint.map { ep =>
         import graft.sources.mergetree.MergeTree
-        if (!MergeTree.looksLikeMergeTree(ep))
-          Option(uuid).map(_.trim).filter(_.nonEmpty)
-            .map(u => MergeTree.storeRoot(ep, u))
-            .filter(MergeTree.looksLikeMergeTree)
-            .getOrElse(ep)
-        else ep
+        if (MergeTree.looksLikeMergeTree(ep)) (ep, true)
+        else Option(uuid).map(_.trim).filter(_.nonEmpty)
+          .map(u => MergeTree.storeRoot(ep, u))
+          .filter(MergeTree.looksLikeMergeTree)
+          .map((_, true))
+          .getOrElse((ep, false))
       }
       val df: DataFrame = endpoint match {
-        case Some(path) if graft.sources.mergetree.MergeTree.looksLikeMergeTree(path) =>
+        case Some((path, true)) =>
           // the reference's flagship shape END-TO-END: the endpoint serves
           // an actual MergeTree wide-part tree (local dir, or http(s) with
           // a `.index` listing) — granule-split, column-pruned reads via
@@ -76,9 +81,9 @@ object Catalog {
           // key flows through so leading-key predicates prune granule
           // ranges off primary.idx — CH's primary-index skipping.
           graft.sources.mergetree.MergeTree.read(spark, path, cols, key)
-        case Some(path) if canRead(path) =>
+        case Some((path, _)) if canRead(path) =>
           spark.read.schema(schema).parquet(path)
-        case Some(path) if isHttpParquet(path) =>
+        case Some((path, _)) if isHttpParquet(path) =>
           // the reference's flagship shape: a web disk endpoint
           // (temporal/workflow_query_executor_test.go:85). When the
           // endpoint serves parquet object(s), the existing http scan
@@ -88,7 +93,7 @@ object Catalog {
           import org.apache.spark.sql.functions.col
           val raw = graft.sources.HttpParquet.read(spark, path)
           raw.select(schema.fields.toSeq.map(f => col(f.name).cast(f.dataType).as(f.name)): _*)
-        case Some(path)
+        case Some((path, _))
             if !spark.conf.get(AllowEmptyConf, "false").toBoolean =>
           throw new IllegalArgumentException(
             s"ATTACH TABLE $name: endpoint '$path' is not readable. " +
@@ -103,7 +108,7 @@ object Catalog {
           spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
       }
       df.createOrReplaceTempView(name)
-      val t = AttachedTable(name, cols.trim, key, endpoint, Option(sampleBy))
+      val t = AttachedTable(name, cols.trim, key, endpoint.map(_._1), Option(sampleBy))
       attached(name) = t
       t
     case _ =>

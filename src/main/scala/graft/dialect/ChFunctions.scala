@@ -1812,6 +1812,11 @@ object ChFunctions {
         case Seq(lon, lat, p) => graft.functions.GeohashEncodeExpr(
           Cast(lon, DoubleType), Cast(lat, DoubleType), Cast(p, IntegerType))
       })
+      // geohashDecode → tuple(longitude, latitude), the cell center —
+      // CH's return shape (was encode-only; review finding: the decoder
+      // existed but had no registered name)
+      reg("geohashDecode")({ case Seq(h) =>
+        graft.functions.GeohashDecodeExpr(h) })
 
       // ---- date/time tail ----
       // dateTrunc(unit, ts) — CH and Spark agree on arg order and the
@@ -1832,8 +1837,20 @@ object ChFunctions {
           case _: DayTimeIntervalType =>
             val n = ivl.eval().asInstanceOf[Long] // micros
             require(n > 0, "toStartOfInterval: INTERVAL must be positive")
-            val um = UnixMicros(Cast(ts, TimestampType))
-            MicrosToTimestamp(Subtract(um, Pmod(um, Literal(n))))
+            // WEEK intervals (Spark normalizes them to 7-day day-time
+            // intervals) floor from a MONDAY origin — CH's week
+            // alignment; the raw 1970-01-01 origin is a Thursday and
+            // put every week bucket 3 days off (review finding). The
+            // origin shift deliberately also catches a literal
+            // `INTERVAL 7 DAY` — indistinguishable after parsing, and
+            // the week reading is CH's own for that bucketing.
+            val weekMicros = 7L * 86400L * 1000000L
+            val origin =
+              if (n % weekMicros == 0) -3L * 86400L * 1000000L // 1969-12-29, a Monday
+              else 0L
+            val um = Subtract(UnixMicros(Cast(ts, TimestampType)), Literal(origin))
+            MicrosToTimestamp(
+              Add(Subtract(um, Pmod(um, Literal(n))), Literal(origin)))
           case _: YearMonthIntervalType =>
             val n = ivl.eval().asInstanceOf[Int] // months
             require(n > 0, "toStartOfInterval: INTERVAL must be positive")
@@ -1841,8 +1858,14 @@ object ChFunctions {
               Multiply(Subtract(Year(Cast(ts, DateType)), Literal(1970)), Literal(12)),
               Subtract(Month(Cast(ts, DateType)), Literal(1)))
             val m2 = Subtract(m, Pmod(m, Literal(n)))
+            // year = 1970 + (m2 - pmod(m2,12))/12: the numerator is an
+            // exact multiple of 12, so truncating division IS floor —
+            // bare IntegralDivide truncated toward zero and paired a
+            // 1970 year with a floored month for pre-1970 timestamps
+            // (review finding: off by a full year)
+            val ym = Subtract(m2, Pmod(m2, Literal(12)))
             Cast(MakeDate(
-              Add(Literal(1970), Cast(IntegralDivide(m2, Literal(12)), IntegerType)),
+              Add(Literal(1970), Cast(IntegralDivide(ym, Literal(12)), IntegerType)),
               Add(Cast(Pmod(m2, Literal(12)), IntegerType), Literal(1)),
               Literal(1)), TimestampType)
           case other => throw new IllegalArgumentException(
@@ -1856,7 +1879,16 @@ object ChFunctions {
       reg("timeSlots")({ exprs =>
         val (start, dur, size) = exprs match {
           case Seq(s, d) => (s, d, Literal(1800L))
-          case Seq(s, d, sz) => (s, d, Cast(sz, LongType))
+          case Seq(s, d, sz) =>
+            // a zero size would Pmod to NULL silently, a negative one
+            // would throw an opaque Sequence error (review finding) —
+            // refuse the foldable case loudly like toStartOfInterval
+            if (sz.foldable) {
+              val v = sz.eval()
+              require(v != null && String.valueOf(v).toLong > 0,
+                s"timeSlots: size must be a positive number of seconds, got $v")
+            }
+            (s, d, Cast(sz, LongType))
           case _ => throw new IllegalArgumentException(
             "timeSlots(start, duration[, size]) takes 2 or 3 arguments")
         }

@@ -43,6 +43,14 @@ object Geohash {
 
   /** Cell-center decode: (longitude, latitude). Unknown characters
     * refuse loudly. */
+  /** Struct-shaped decode for [[GeohashDecodeExpr]] (interpreted and
+    * generated paths share it). */
+  def decodeRow(hash: UTF8String): InternalRow = {
+    val a = decode(hash)
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](a(0), a(1)))
+  }
+
   def decode(hash: UTF8String): Array[Double] = {
     var latLo = -90.0; var latHi = 90.0
     var lonLo = -180.0; var lonHi = 180.0
@@ -72,6 +80,45 @@ object Geohash {
 }
 
 /** `geohashEncode(longitude, latitude[, precision])` — codegen'd. */
+/** `geohashDecode(s)` → struct(longitude, latitude) — the cell-center
+  * coordinates (CH returns the same tuple). */
+case class GeohashDecodeExpr(hash: Expression) extends Expression {
+
+  override def children: Seq[Expression] = Seq(hash)
+  override def nullable: Boolean = true
+  override def dataType: DataType = StructType(Seq(
+    StructField("longitude", DoubleType, nullable = false),
+    StructField("latitude", DoubleType, nullable = false)))
+  override def prettyName: String = "geohashDecode"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (hash.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string, got ${hash.dataType.sql}")
+
+  override def eval(input: InternalRow): Any = {
+    val h = hash.eval(input)
+    if (h == null) return null
+    Geohash.decodeRow(h.asInstanceOf[UTF8String])
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val GH = Geohash.getClass.getName.stripSuffix("$")
+    val gh = hash.genCode(ctx)
+    val IR = classOf[InternalRow].getName
+    ev.copy(code = code"""
+      |${gh.code}
+      |boolean ${ev.isNull} = ${gh.isNull};
+      |$IR ${ev.value} = null;
+      |if (!${ev.isNull}) ${ev.value} = $GH.decodeRow(${gh.value});
+    """.stripMargin)
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(hash = newChildren(0))
+}
+
 case class GeohashEncodeExpr(lon: Expression, lat: Expression, prec: Expression)
     extends Expression {
 

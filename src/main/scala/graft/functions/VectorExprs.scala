@@ -249,6 +249,16 @@ object VectorNormExpr {
   * The centroid matrix ships once per task via `addReferenceObj`.
   * Never null: degenerate inputs collapse to index 0, the value the
   * all-null `when` chain produced. */
+object NearestCentroidExpr {
+  /** Column-API wrapper shared by the IVF and PQ tiers (review finding:
+    * both operators carried verbatim copies of this glue). */
+  def column(vec: org.apache.spark.sql.Column,
+      centroids: Seq[Seq[Double]]): org.apache.spark.sql.Column =
+    org.apache.spark.sql.graft.FunctionShim.column(NearestCentroidExpr(
+      org.apache.spark.sql.graft.FunctionShim.expression(vec),
+      centroids.map(_.toArray).toArray))
+}
+
 case class NearestCentroidExpr(child: Expression, centroids: Array[Array[Double]])
     extends Expression {
 

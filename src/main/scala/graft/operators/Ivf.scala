@@ -42,8 +42,7 @@ object Ivf {
     * accumulators advance per element instead of k interpreted folds
     * plus a k-deep `when` chain per row. */
   private def nearest(vec: Column, centroids: Seq[Seq[Double]]): Column =
-    FunctionShim.column(NearestCentroidExpr(
-      FunctionShim.expression(vec), centroids.map(_.toArray).toArray))
+    NearestCentroidExpr.column(vec, centroids)
 
   /** Train centroids: deterministic seeds (lowest `k` ids), `iters`
     * Lloyd refinement passes. Returns k × dim (clusters may be empty →

@@ -56,8 +56,7 @@ object Pq {
     slice(vec, mi * subDim + 1, subDim)
 
   private def nearest(vec: Column, cents: Seq[Seq[Double]]): Column =
-    FunctionShim.column(NearestCentroidExpr(
-      FunctionShim.expression(vec), cents.map(_.toArray).toArray))
+    NearestCentroidExpr.column(vec, cents)
 
   private def vecOf(r: org.apache.spark.sql.Row): Seq[Double] =
     r.getSeq[Any](0).map(_.asInstanceOf[Number].doubleValue())

@@ -1040,6 +1040,35 @@ class ChFunctionsSpec extends AnyFunSuite {
       .asInstanceOf[scala.collection.Seq[java.sql.Timestamp]].size == 3)
     assert(one("SELECT toModifiedJulianDay('2020-01-01')") == 58849)
     assert(one("SELECT fromModifiedJulianDay(58849)").toString == "2020-01-01")
+    // pre-1970 month buckets: truncating division paired year 1970 with
+    // a floored month (review finding — off by a full year)
+    assert(one("SELECT toStartOfInterval(timestamp'1969-03-15 10:00:00', INTERVAL 1 MONTH)")
+      .toString == "1969-03-01 00:00:00.0")
+    assert(one("SELECT toStartOfInterval(timestamp'1968-11-02 10:00:00', INTERVAL 2 MONTH)")
+      .toString == "1968-11-01 00:00:00.0")
+    // WEEK buckets are Monday-aligned (raw epoch flooring gave Thursday:
+    // 1970-01-01's weekday — review finding); 2024-01-10 is a Wednesday
+    assert(one("SELECT toStartOfInterval(timestamp'2024-01-10 09:00:00', INTERVAL 1 WEEK)")
+      .toString == "2024-01-08 00:00:00.0")
+    // timeSlots refuses a non-positive literal size loudly
+    val eTs = intercept[Exception] {
+      one("SELECT timeSlots(timestamp'2012-01-01 12:20:00', 600, 0)")
+    }
+    assert(eTs.getMessage.contains("positive"))
+  }
+
+  test("geohashDecode returns the (lon, lat) cell center") {
+    val r = spark.sql("SELECT geohashDecode('ezs42') AS g").collect().head
+      .getStruct(0)
+    assert(math.abs(r.getDouble(0) - -5.603) < 1e-2)
+    assert(math.abs(r.getDouble(1) - 42.605) < 1e-2)
+    // roundtrip through encode at high precision
+    val rt = spark.sql(
+      "SELECT geohashDecode(geohashEncode(10.40744, 57.64911, 12)) AS g")
+      .collect().head.getStruct(0)
+    assert(math.abs(rt.getDouble(0) - 10.40744) < 1e-5)
+    assert(math.abs(rt.getDouble(1) - 57.64911) < 1e-5)
+    assert(one("SELECT geohashDecode(CAST(NULL AS STRING))") == null)
   }
 
   test("map tail: mapUpdate right-wins, mapFilter lambda-first") {
