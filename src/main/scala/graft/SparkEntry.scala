@@ -786,6 +786,29 @@ object SparkEntry {
           |ORDER BY rf, ls""".stripMargin)
     }),
 
+    // filtered-dashboard shape through the same projection: the WHERE
+    // is a predicate on projection group keys (one grouped, one not),
+    // so it applies to the companion verbatim — whole groups in, whole
+    // groups out
+    "q175_projection_filter" -> ((spark, dir) => {
+      prep(spark, dir)
+      projectionReady.getOrElseUpdate(dir, {
+        ChSql.sql(spark,
+          s"""ALTER TABLE '$dir/lineitem.parquet' ADD PROJECTION li_flag
+             |(SELECT l_returnflag, l_linestatus, sum(l_quantity),
+             |        avg(l_extendedprice), min(l_orderkey), max(l_orderkey),
+             |        count() GROUP BY l_returnflag, l_linestatus)""".stripMargin)
+        dir
+      })
+      ChSql.sql(spark,
+        """SELECT l_returnflag AS rf,
+          |  CAST(round(sum(l_quantity)) AS BIGINT) AS sq,
+          |  count() AS n
+          |FROM lineitem
+          |WHERE l_returnflag IN ('R', 'A') AND l_linestatus = 'F'
+          |GROUP BY l_returnflag ORDER BY rf""".stripMargin)
+    }),
+
     // CH vector-distance family (dotProduct/cosineDistance/L1/L2/Linf)
     // over real embeddings, paired (vec_id, vec_id+1) — native codegen'd
     // kernels, oracle = DuckDB list_* on the same double-widened arrays
@@ -2445,6 +2468,13 @@ object SparkEntry {
         |  CAST(max(l_orderkey) AS BIGINT) AS mx,
         |  count(*) AS n
         |FROM lineitem GROUP BY rf, ls ORDER BY rf, ls""".stripMargin,
+    "q175_projection_filter" ->
+      """SELECT l_returnflag AS rf,
+        |  CAST(round(sum(l_quantity)) AS BIGINT) AS sq,
+        |  count(*) AS n
+        |FROM lineitem
+        |WHERE l_returnflag IN ('R', 'A') AND l_linestatus = 'F'
+        |GROUP BY rf ORDER BY rf""".stripMargin,
     "q158_foreach_int32" ->
       """SELECT array_to_string([CAST(sum(o_orderkey % 100000 * 20000) AS BIGINT),
         |                        CAST(sum(o_custkey % 1000 * 1000000) AS BIGINT)], ',') AS s_csv,

@@ -13,7 +13,7 @@ import graft.plans.AggProjections
   * do the same over parquet). Statements:
   *
   *   - `ALTER TABLE <t> ADD PROJECTION <p> (SELECT … GROUP BY k[, …])`
-  *     — aggregate items: `sum|min|max|avg|count(col)`; bare columns
+  *     — aggregate items: `sum|min|max|avg|count|uniq(col)`; bare columns
   *     must be group keys; `count()` needs no declaration (the row
   *     count is always stored). Materializes IMMEDIATELY (CH defers to
   *     a MATERIALIZE for existing parts; one statement here).
@@ -31,7 +31,7 @@ object ProjectionSql {
       """(ADD|MATERIALIZE|DROP)\s+PROJECTION\s+(IF\s+(?:NOT\s+)?EXISTS\s+)?(\w+)\s*(?:\((.*)\))?\s*$""").r
   private val BodyRe =
     """(?is)^\s*SELECT\s+(.*?)\s+GROUP\s+BY\s+(.*?)\s*$""".r
-  private val AggItemRe = """(?i)^\s*(sum|min|max|avg|count)\s*\(\s*([\w`"]*)\s*\)\s*$""".r
+  private val AggItemRe = """(?i)^\s*(sum|min|max|avg|count|uniq)\s*\(\s*([\w`"]*)\s*\)\s*$""".r
 
   def isProjection(sql: String): Boolean = StmtRe.matches(sql)
 
@@ -82,7 +82,7 @@ object ProjectionSql {
         case bare if groupCols.contains(clean(bare)) => // group key passthrough
         case other => throw new IllegalArgumentException(
           s"unsupported projection select item '$other' " +
-            "(sum|min|max|avg|count(col), count(), or a GROUP BY key)")
+            "(sum|min|max|avg|count|uniq(col), count(), or a GROUP BY key)")
       }
       (groupCols, aggs.result())
     case _ => throw new IllegalArgumentException(

@@ -4,9 +4,9 @@ import scala.collection.concurrent.TrieMap
 
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, Cast, Coalesce, Divide, Expression, Literal, NamedExpression}
-import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Count, Max, Min, Sum}
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Project, SubqueryAlias}
+import org.apache.spark.sql.catalyst.expressions.{Alias, And, Attribute, AttributeReference, Cast, Coalesce, Divide, Expression, HllSketchEstimate, Literal, NamedExpression, PlanExpression}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Count, HllUnionAgg, HyperLogLogPlusPlus, Max, Min, Sum}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project, SubqueryAlias}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
@@ -30,10 +30,12 @@ import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
   *
   * Correctness guardrails (the rewrite must be provably
   * answer-identical or it must not fire):
-  *   - the query's aggregate child is the bare parquet relation under
-  *     cardinality-preserving wrappers only (any Filter / Sample /
-  *     Limit / join disqualifies — same discipline as
-  *     [[FooterAggregates]]);
+  *   - the query's aggregate child is the parquet relation under
+  *     cardinality-preserving wrappers, plus Filters whose predicates
+  *     are deterministic row-level functions of the projection's GROUP
+  *     KEYS only — such a predicate selects whole groups, so it applies
+  *     to the companion verbatim; a predicate touching any non-key
+  *     column (or a Sample / Limit / join anywhere) disqualifies;
   *   - every group expression is a plain data column ⊆ the projection's
   *     group keys;
   *   - every aggregate rewrites onto a stored state (count(*) /
@@ -65,8 +67,9 @@ object AggProjections {
       case "min" => Seq(s"mn_$column")
       case "max" => Seq(s"mx_$column")
       case "avg" => Seq(s"s_$column", s"c_$column")
+      case "uniq" => Seq(s"u_$column")
       case other => throw new IllegalArgumentException(
-        s"unknown projection aggregate '$other' (sum|count|min|max|avg)")
+        s"unknown projection aggregate '$other' (sum|count|min|max|avg|uniq)")
     }
   }
 
@@ -129,6 +132,12 @@ object AggProjections {
           case "max" => Seq(max(col(d.column)).as(s"mx_${d.column}"))
           case "avg" => Seq(sum(col(d.column)).as(s"s_${d.column}"),
             count(col(d.column)).as(s"c_${d.column}"))
+          // distinct-count state: a mergeable DataSketches HLL sketch
+          // (CH's uniqState-in-a-projection analog). Sketchable input
+          // types only (int/long/string/binary) — doubles refuse at
+          // materialization, loudly.
+          case "uniq" => Seq(org.apache.spark.sql.functions
+            .hll_sketch_agg(col(d.column)).as(s"u_${d.column}"))
         }
       }
     // dedup avg-over-sum'd columns sharing states
@@ -303,8 +312,8 @@ case class AggProjectionRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     plan.transformDown {
       case agg @ Aggregate(groupExprs, aggExprs, child, _) =>
         (for {
-          rel <- plainParquet(child)
-          rewritten <- tryRewrite(agg, groupExprs, aggExprs, child, rel)
+          (rel, filters) <- relationAndFilters(child)
+          rewritten <- tryRewrite(agg, groupExprs, aggExprs, child, rel, filters)
         } yield rewritten).getOrElse(agg)
     }
   }
@@ -314,7 +323,8 @@ case class AggProjectionRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       groupExprs: Seq[Expression],
       aggExprs: Seq[NamedExpression],
       child: LogicalPlan,
-      rel: HadoopFsRelation): Option[LogicalPlan] = {
+      rel: HadoopFsRelation,
+      filters: Seq[(Expression, LogicalPlan)]): Option[LogicalPlan] = {
     val key = rel.location.rootPaths.map(_.toString).sorted.mkString("\n")
     val candidates = lookup(key)
     if (candidates.isEmpty) return None
@@ -331,7 +341,7 @@ case class AggProjectionRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     groupNames.flatMap { gn =>
       candidates.view.flatMap { m =>
         if (!gn.forall { case (_, n) => m.groupCols.contains(n) }) None
-        else rewriteWith(agg, gn, aggExprs, child, rel, m)
+        else rewriteWith(agg, gn, aggExprs, child, rel, filters, m)
       }.headOption
     }
   }
@@ -342,6 +352,7 @@ case class AggProjectionRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       aggExprs: Seq[NamedExpression],
       child: LogicalPlan,
       rel: HadoopFsRelation,
+      filters: Seq[(Expression, LogicalPlan)],
       m: Manifest): Option[LogicalPlan] = try {
     // staleness gate first — cheap metadata, and nothing else matters
     // if the companion no longer reflects the source
@@ -355,6 +366,29 @@ case class AggProjectionRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
 
     val groupMap: Map[Long, Attribute] =
       groupAttrs.map { case (a, n) => a.exprId.id -> projAttr(n) }.toMap
+
+    // Filter predicates over GROUP KEYS apply to the companion verbatim
+    // (a row-level function of the keys selects whole groups). Each
+    // condition's attributes resolve against the subplan BELOW its
+    // Filter; anything non-deterministic, subquery-bearing, or touching
+    // a non-key column disqualifies the whole rewrite.
+    def rewriteCond(e: Expression, below: LogicalPlan): Option[Expression] = e match {
+      case a: AttributeReference =>
+        resolve(below, a).filter(m.groupCols.contains).map(projAttr)
+      case other if other.references.isEmpty && other.deterministic &&
+          !other.exists(_.isInstanceOf[PlanExpression[_]]) =>
+        Some(other) // attribute-free subtree (literals, constants) — as-is
+      case other if other.children.nonEmpty && other.deterministic =>
+        val kids = other.children.map(rewriteCond(_, below))
+        if (kids.forall(_.isDefined)) Some(other.withNewChildren(kids.map(_.get)))
+        else None
+      case _ => None
+    }
+    val newConds: Seq[Option[Expression]] = filters.map { case (cond, below) =>
+      if (!cond.deterministic || cond.exists(_.isInstanceOf[PlanExpression[_]])) None
+      else rewriteCond(cond, below)
+    }
+    if (!newConds.forall(_.isDefined)) return None
 
     def stateFor(op: String, colName: String): Option[Attribute] = {
       val stored = m.aggs.exists(d =>
@@ -384,6 +418,15 @@ case class AggProjectionRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
         case mx: Max =>
           colOf(mx.child).flatMap(stateFor("max", _)).map(st =>
             Max(st).toAggregateExpression())
+        // uniq()/approx_count_distinct: estimate from the merged HLL
+        // sketches. Estimate-for-estimate, not bit-identical: the
+        // direct path runs HLL++, the projection path a DataSketches
+        // HLL union — both inside the function's engine-defined
+        // approximation contract (CH merges uniqState the same way)
+        case hll: HyperLogLogPlusPlus =>
+          colOf(hll.child).flatMap(stateFor("uniq", _)).map { st =>
+            HllSketchEstimate(new HllUnionAgg(st).toAggregateExpression())
+          }
         case av: Average if !av.child.dataType.isInstanceOf[DecimalType] =>
           for {
             cn <- colOf(av.child)
@@ -423,8 +466,12 @@ case class AggProjectionRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     if (!outputs.forall(_.isDefined)) return None
 
     val newGroup: Seq[Expression] = groupAttrs.map { case (a, _) => groupMap(a.exprId.id) }
+    val newChild: LogicalPlan = newConds.flatten match {
+      case Nil => projPlan
+      case conds => Filter(conds.reduceLeft(And(_, _)), projPlan)
+    }
     logInfo(s"rewriting aggregate over ${m.sourceKey} to projection '${m.name}'")
-    Some(Aggregate(newGroup, outputs.map(_.get), projPlan))
+    Some(Aggregate(newGroup, outputs.map(_.get), newChild))
   } catch {
     // an optimization must never fail the query (IO against the
     // projection dir, races with re-materialization): keep the scan
@@ -445,17 +492,29 @@ case class AggProjectionRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
         case _ => None
       }
     case SubqueryAlias(_, c) => resolve(c, attr)
+    // name resolution only — the filter itself is handled (or refused)
+    // by relationAndFilters
+    case Filter(_, c) => resolve(c, attr)
     case _ => None
   }
 
-  private def plainParquet(p: LogicalPlan): Option[HadoopFsRelation] = p match {
-    case l: LogicalRelation if !l.isStreaming =>
-      l.relation match {
-        case r: HadoopFsRelation if r.fileFormat.isInstanceOf[ParquetFileFormat] => Some(r)
-        case _ => None
-      }
-    case Project(_, c) => plainParquet(c)
-    case SubqueryAlias(_, c) => plainParquet(c)
-    case _ => None
-  }
+  /** The parquet relation under cardinality-preserving wrappers and
+    * Filters; each Filter's condition is returned WITH the subplan
+    * below it (the condition's attributes resolve against that
+    * subplan, not the top of the chain). */
+  private def relationAndFilters(
+      p: LogicalPlan): Option[(HadoopFsRelation, Seq[(Expression, LogicalPlan)])] =
+    p match {
+      case l: LogicalRelation if !l.isStreaming =>
+        l.relation match {
+          case r: HadoopFsRelation if r.fileFormat.isInstanceOf[ParquetFileFormat] =>
+            Some((r, Nil))
+          case _ => None
+        }
+      case Project(_, c) => relationAndFilters(c)
+      case SubqueryAlias(_, c) => relationAndFilters(c)
+      case f: Filter => relationAndFilters(f.child)
+        .map { case (r, fs) => (r, (f.condition, f.child) +: fs) }
+      case _ => None
+    }
 }

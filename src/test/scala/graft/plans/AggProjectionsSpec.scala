@@ -105,13 +105,71 @@ class AggProjectionsSpec extends AnyFunSuite {
     assert(sortedRows(rerouted) == unoptimized(sortedRows(spark.sql(q))))
   }
 
+  test("filters on group keys reroute; each shape matches the scan answer") {
+    projection
+    base.createOrReplaceTempView("li_proj")
+    // equality on a grouped key
+    val q1 = "SELECT l_returnflag, sum(l_quantity) AS sq FROM li_proj " +
+      "WHERE l_returnflag = 'R' GROUP BY l_returnflag"
+    assert(scansProjection(spark.sql(q1)))
+    assert(sortedRows(spark.sql(q1)) == unoptimized(sortedRows(spark.sql(q1))))
+    // predicate on a projection key that is NOT in the query's GROUP BY
+    val q2 = "SELECT l_returnflag, count(*) AS n FROM li_proj " +
+      "WHERE l_linestatus = 'O' GROUP BY l_returnflag"
+    assert(scansProjection(spark.sql(q2)))
+    assert(sortedRows(spark.sql(q2)) == unoptimized(sortedRows(spark.sql(q2))))
+    // expression over keys (IN list + function of a key)
+    val q3 = "SELECT l_linestatus, max(l_orderkey) AS mx FROM li_proj " +
+      "WHERE l_returnflag IN ('R', 'N') AND upper(l_linestatus) = 'O' " +
+      "GROUP BY l_linestatus"
+    assert(scansProjection(spark.sql(q3)))
+    assert(sortedRows(spark.sql(q3)) == unoptimized(sortedRows(spark.sql(q3))))
+    // filtered GLOBAL aggregate (no GROUP BY) over key predicates
+    val q4 = "SELECT sum(l_quantity) AS sq, count(*) AS n FROM li_proj " +
+      "WHERE l_returnflag = 'A'"
+    assert(scansProjection(spark.sql(q4)))
+    assert(sortedRows(spark.sql(q4)) == unoptimized(sortedRows(spark.sql(q4))))
+  }
+
+  test("uniq states: distinct-count estimates merge from HLL sketches") {
+    projection
+    base.createOrReplaceTempView("li_proj")
+    AggProjections.create(spark, srcDir, "with_uniq",
+      Seq("l_returnflag"), Seq(("uniq", "l_suppkey"), ("sum", "l_quantity")))
+    val q = "SELECT l_returnflag, approx_count_distinct(l_suppkey) AS u " +
+      "FROM li_proj GROUP BY l_returnflag"
+    val rerouted = spark.sql(q)
+    assert(scansProjection(rerouted))
+    // estimate-for-estimate: direct HLL++ vs merged DataSketches HLL —
+    // both estimates of the same exact count; compare to TRUTH within
+    // the functions' error contracts
+    val exact = spark.sql("SELECT l_returnflag, count(DISTINCT l_suppkey) AS u " +
+      "FROM li_proj GROUP BY l_returnflag").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    rerouted.collect().foreach { r =>
+      val est = r.getLong(1).toDouble
+      val truth = exact(r.getString(0)).toDouble
+      assert(math.abs(est - truth) / truth < 0.1,
+        s"estimate $est too far from $truth for ${r.getString(0)}")
+    }
+    assert(AggProjections.drop(spark, srcDir, "with_uniq"))
+  }
+
   test("guardrails: filter, distinct, unknown aggregates, foreign keys stay on the scan") {
     projection
     base.createOrReplaceTempView("li_proj")
-    // WHERE on any column — the companion cannot answer a filtered scan
+    // WHERE on a NON-KEY column — the companion cannot answer that scan
     assert(!scansProjection(spark.sql(
       "SELECT l_returnflag, sum(l_quantity) FROM li_proj " +
         "WHERE l_quantity > 10 GROUP BY l_returnflag")))
+    // non-deterministic key predicate must refuse (groups still whole,
+    // but the rewrite contract demands determinism). NOTE rand() < 2
+    // doesn't test this: Spark's own optimizer proves it true from
+    // rand's [0,1) bounds and removes it before this rule runs — the
+    // in-range 0.99 survives to the rule
+    assert(!scansProjection(spark.sql(
+      "SELECT l_returnflag, sum(l_quantity) FROM li_proj " +
+        "WHERE l_returnflag = 'R' AND rand() < 0.99 GROUP BY l_returnflag")))
     // DISTINCT aggregate has no mergeable state
     assert(!scansProjection(spark.sql(
       "SELECT l_returnflag, count(DISTINCT l_orderkey) FROM li_proj GROUP BY l_returnflag")))
