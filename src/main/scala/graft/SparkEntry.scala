@@ -52,9 +52,21 @@ object SparkEntry {
     * equal aggregates over the source table. */
   private val derivedReady = scala.collection.concurrent.TrieMap.empty[String, String]
 
-  /** One aggregate projection per sfDir (q174): materialized via the
-    * dialect's ALTER TABLE front door on first use. */
+  /** One aggregate projection per sfDir (q174/q175): materialized via
+    * the dialect's ALTER TABLE front door on first use. One shared
+    * helper — the two queries must see the SAME declaration (review
+    * finding: duplicated DDL blocks had to stay byte-identical). */
   private val projectionReady = scala.collection.concurrent.TrieMap.empty[String, String]
+
+  private def ensureLiFlagProjection(spark: SparkSession, dir: String): Unit =
+    projectionReady.getOrElseUpdate(dir, {
+      ChSql.sql(spark,
+        s"""ALTER TABLE '$dir/lineitem.parquet' ADD PROJECTION li_flag
+           |(SELECT l_returnflag, l_linestatus, sum(l_quantity),
+           |        avg(l_extendedprice), min(l_orderkey), max(l_orderkey),
+           |        count() GROUP BY l_returnflag, l_linestatus)""".stripMargin)
+      dir
+    })
 
   private def derivedDir(spark: SparkSession, dir: String): String =
     derivedReady.getOrElseUpdate(dir, {
@@ -767,14 +779,7 @@ object SparkEntry {
     // AggProjectionsSpec plan-pins that the reroute actually fired
     "q174_agg_projection" -> ((spark, dir) => {
       prep(spark, dir)
-      projectionReady.getOrElseUpdate(dir, {
-        ChSql.sql(spark,
-          s"""ALTER TABLE '$dir/lineitem.parquet' ADD PROJECTION li_flag
-             |(SELECT l_returnflag, l_linestatus, sum(l_quantity),
-             |        avg(l_extendedprice), min(l_orderkey), max(l_orderkey),
-             |        count() GROUP BY l_returnflag, l_linestatus)""".stripMargin)
-        dir
-      })
+      ensureLiFlagProjection(spark, dir)
       ChSql.sql(spark,
         """SELECT l_returnflag AS rf, l_linestatus AS ls,
           |  CAST(round(sum(l_quantity)) AS BIGINT) AS sq,
@@ -792,14 +797,7 @@ object SparkEntry {
     // groups out
     "q175_projection_filter" -> ((spark, dir) => {
       prep(spark, dir)
-      projectionReady.getOrElseUpdate(dir, {
-        ChSql.sql(spark,
-          s"""ALTER TABLE '$dir/lineitem.parquet' ADD PROJECTION li_flag
-             |(SELECT l_returnflag, l_linestatus, sum(l_quantity),
-             |        avg(l_extendedprice), min(l_orderkey), max(l_orderkey),
-             |        count() GROUP BY l_returnflag, l_linestatus)""".stripMargin)
-        dir
-      })
+      ensureLiFlagProjection(spark, dir)
       ChSql.sql(spark,
         """SELECT l_returnflag AS rf,
           |  CAST(round(sum(l_quantity)) AS BIGINT) AS sq,

@@ -373,7 +373,14 @@ case class AggProjectionRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     // Filter; anything non-deterministic, subquery-bearing, or touching
     // a non-key column disqualifies the whole rewrite.
     def rewriteCond(e: Expression, below: LogicalPlan): Option[Expression] = e match {
-      case a: AttributeReference =>
+      // float keys refuse: groupBy NORMALIZES -0.0 to 0.0 (and unifies
+      // NaNs), so a row-level predicate can distinguish values the
+      // companion collapsed into one group — e.g. cast(k AS STRING) =
+      // '-0.0' keeps a PARTIAL group on the direct path but whole
+      // groups here (review finding). Non-float keys have no such
+      // normalization, so predicate-on-key ⇒ whole groups holds.
+      case a: AttributeReference
+          if a.dataType != DoubleType && a.dataType != org.apache.spark.sql.types.FloatType =>
         resolve(below, a).filter(m.groupCols.contains).map(projAttr)
       case other if other.references.isEmpty && other.deterministic &&
           !other.exists(_.isInstanceOf[PlanExpression[_]]) =>
@@ -422,8 +429,12 @@ case class AggProjectionRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
         // sketches. Estimate-for-estimate, not bit-identical: the
         // direct path runs HLL++, the projection path a DataSketches
         // HLL union — both inside the function's engine-defined
-        // approximation contract (CH merges uniqState the same way)
-        case hll: HyperLogLogPlusPlus =>
+        // approximation contract (CH merges uniqState the same way).
+        // Only at DEFAULT-or-looser requested precision: the stored
+        // sketch (lgK=12, ~1.6% stderr) dominates the default 5%
+        // contract but NOT an explicit approx_count_distinct(x, 0.005)
+        // (review finding — a tighter user request must keep the scan)
+        case hll: HyperLogLogPlusPlus if hll.relativeSD >= 0.05 - 1e-9 =>
           colOf(hll.child).flatMap(stateFor("uniq", _)).map { st =>
             HllSketchEstimate(new HllUnionAgg(st).toAggregateExpression())
           }

@@ -136,23 +136,32 @@ class AggProjectionsSpec extends AnyFunSuite {
     base.createOrReplaceTempView("li_proj")
     AggProjections.create(spark, srcDir, "with_uniq",
       Seq("l_returnflag"), Seq(("uniq", "l_suppkey"), ("sum", "l_quantity")))
-    val q = "SELECT l_returnflag, approx_count_distinct(l_suppkey) AS u " +
-      "FROM li_proj GROUP BY l_returnflag"
-    val rerouted = spark.sql(q)
-    assert(scansProjection(rerouted))
-    // estimate-for-estimate: direct HLL++ vs merged DataSketches HLL —
-    // both estimates of the same exact count; compare to TRUTH within
-    // the functions' error contracts
-    val exact = spark.sql("SELECT l_returnflag, count(DISTINCT l_suppkey) AS u " +
-      "FROM li_proj GROUP BY l_returnflag").collect()
-      .map(r => r.getString(0) -> r.getLong(1)).toMap
-    rerouted.collect().foreach { r =>
-      val est = r.getLong(1).toDouble
-      val truth = exact(r.getString(0)).toDouble
-      assert(math.abs(est - truth) / truth < 0.1,
-        s"estimate $est too far from $truth for ${r.getString(0)}")
+    try {
+      val q = "SELECT l_returnflag, approx_count_distinct(l_suppkey) AS u " +
+        "FROM li_proj GROUP BY l_returnflag"
+      val rerouted = spark.sql(q)
+      assert(scansProjection(rerouted))
+      // a TIGHTER-than-default precision request must keep the scan
+      assert(!scansProjection(spark.sql(
+        "SELECT l_returnflag, approx_count_distinct(l_suppkey, 0.005) AS u " +
+          "FROM li_proj GROUP BY l_returnflag")))
+      // estimate-for-estimate: direct HLL++ vs merged DataSketches HLL —
+      // both estimates of the same exact count; compare to TRUTH within
+      // the functions' error contracts
+      val exact = spark.sql("SELECT l_returnflag, count(DISTINCT l_suppkey) AS u " +
+        "FROM li_proj GROUP BY l_returnflag").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      rerouted.collect().foreach { r =>
+        val est = r.getLong(1).toDouble
+        val truth = exact(r.getString(0)).toDouble
+        assert(math.abs(est - truth) / truth < 0.1,
+          s"estimate $est too far from $truth for ${r.getString(0)}")
+      }
+    } finally {
+      // finally, not a trailing assert: a failed accuracy check must
+      // not leak this 1-key projection into later tests' lookups
+      AggProjections.drop(spark, srcDir, "with_uniq")
     }
-    assert(AggProjections.drop(spark, srcDir, "with_uniq"))
   }
 
   test("guardrails: filter, distinct, unknown aggregates, foreign keys stay on the scan") {
