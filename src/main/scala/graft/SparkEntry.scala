@@ -807,6 +807,23 @@ object SparkEntry {
           |GROUP BY l_returnflag ORDER BY rf""".stripMargin)
     }),
 
+    // OPTIMIZE TABLE round-trip: fragment a selection into many small
+    // files, compact through the statement, read it back — the oracle
+    // proves compaction moved the LAYOUT and not the content
+    "q176_optimize_table" -> ((spark, dir) => {
+      prep(spark, dir)
+      val out = s"${derivedDir(spark, dir)}/opt_orders"
+      core.Tables.load(spark, dir, "orders")
+        .filter("o_orderkey % 2 = 0")
+        .repartition(8).write.mode("overwrite").parquet(out)
+      ChSql.sql(spark, s"OPTIMIZE TABLE '$out' FINAL").collect()
+      spark.read.parquet(out).createOrReplaceTempView("opt_back")
+      ChSql.sql(spark,
+        """SELECT o_orderstatus AS st, count() AS n,
+          |       CAST(round(sum(o_totalprice)) AS BIGINT) AS total
+          |FROM opt_back GROUP BY st ORDER BY st""".stripMargin)
+    }),
+
     // CH vector-distance family (dotProduct/cosineDistance/L1/L2/Linf)
     // over real embeddings, paired (vec_id, vec_id+1) — native codegen'd
     // kernels, oracle = DuckDB list_* on the same double-widened arrays
@@ -2473,6 +2490,11 @@ object SparkEntry {
         |FROM lineitem
         |WHERE l_returnflag IN ('R', 'A') AND l_linestatus = 'F'
         |GROUP BY rf ORDER BY rf""".stripMargin,
+    "q176_optimize_table" ->
+      """SELECT o_orderstatus AS st, count(*) AS n,
+        |       CAST(round(sum(o_totalprice)) AS BIGINT) AS total
+        |FROM orders WHERE o_orderkey % 2 = 0
+        |GROUP BY st ORDER BY st""".stripMargin,
     "q158_foreach_int32" ->
       """SELECT array_to_string([CAST(sum(o_orderkey % 100000 * 20000) AS BIGINT),
         |                        CAST(sum(o_custkey % 1000 * 1000000) AS BIGINT)], ',') AS s_csv,

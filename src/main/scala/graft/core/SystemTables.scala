@@ -115,6 +115,20 @@ object SystemTables {
     // front door on a system_parts mention (review finding)
   }
 
+  /** ≈ system.projections: one row per registered aggregate projection
+    * (name, source, keys, declared states, companion path). Registered
+    * on demand like `system_parts` — the registry mutates as ALTER
+    * TABLE ADD/DROP PROJECTION statements run, and a view frozen at
+    * session start would go stale. */
+  def registerProjections(spark: SparkSession): Unit = {
+    import spark.implicits._
+    graft.plans.AggProjections.allManifests
+      .map(m => (m.name, m.sourceKey, m.groupCols.mkString(","),
+        m.aggs.map(d => s"${d.op}(${d.column})").mkString(","), m.dataPath))
+      .toDF("name", "source", "group_by", "aggregates", "data_path")
+      .createOrReplaceTempView("system_projections")
+  }
+
   /** Register `system_parts` on demand — see the note in
     * [[registerViews]]; [[graft.dialect.ChSql]] calls this only when
     * the query text references the view. */

@@ -90,6 +90,10 @@ object ChSql {
       // only for queries that actually name it
       if (sys.toLowerCase.contains("system_parts"))
         graft.core.SystemTables.registerParts(spark)
+      // projections: registry mutates via ALTER statements — register
+      // fresh per referencing query, like parts
+      if (sys.toLowerCase.contains("system_projections"))
+        graft.core.SystemTables.registerProjections(spark)
     }
     val rewritten = rewriteTableFunctions(spark, sys)
     registerCombinators(spark, rewritten)
@@ -332,6 +336,8 @@ object ChSql {
     if (ChWrites.isWrite(m)) return ChWrites.run(spark, m, macros)
     // projection DDL: ALTER TABLE … ADD/MATERIALIZE/DROP PROJECTION
     if (ProjectionSql.isProjection(m)) return ProjectionSql.run(spark, m)
+    // OPTIMIZE TABLE … [FINAL]: compact the table's parquet layout
+    if (OptimizeSql.isOptimize(m)) return OptimizeSql.run(spark, m)
     // CH `EXPLAIN [mode] SELECT …` returns the plan as result rows; the
     // Spark rendition explains the rewritten query's physical plan (all
     // CH modes map to the one plan Spark has — the Catalyst one)
@@ -349,6 +355,8 @@ object ChSql {
         macros.getOrElse("cluster", "graft"))
       if (r.sql.toLowerCase.contains("system_parts"))
         graft.core.SystemTables.registerParts(spark)
+      if (r.sql.toLowerCase.contains("system_projections"))
+        graft.core.SystemTables.registerProjections(spark)
     }
     finish(spark, r)
   }

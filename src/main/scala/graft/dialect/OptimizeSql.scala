@@ -1,0 +1,98 @@
+package graft.dialect
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.sources.Sinks
+
+/** CH `OPTIMIZE TABLE t [FINAL]` re-expressed for parquet: compact a
+  * table's files into few, large, sorted ones (the reference's
+  * ClickHouse image merges parts the same way; here the enemy is the
+  * small-files problem — a 100 TB table accreted from thousands of
+  * INSERT batches scans at file-open cost, not byte cost).
+  *
+  * Behavior: read the table, repartition to
+  * ceil(bytes / `spark.graft.optimize.targetFileBytes`, default
+  * 512 MiB) files, re-sort by the catalog's ORDER BY key when one is
+  * recorded (ATTACH/CTAS — restoring the row-group min/max clustering
+  * that makes keyed scans prune), and swap atomically-ish: write to a
+  * sibling temp dir, rename the original to `.bak`, promote, delete
+  * the backup — a failure at any step leaves either the original or
+  * the backup intact, never neither. The logical CONTENT is
+  * unchanged; only the physical layout moves. Companion projections'
+  * fingerprints go stale by design (they revert to scans until
+  * re-materialized — conservative, never wrong).
+  *
+  * `FINAL` is accepted and means the same thing (we always fully
+  * compact); `PARTITION` clauses are refused loudly. */
+object OptimizeSql {
+
+  val TargetBytesConf = "spark.graft.optimize.targetFileBytes"
+
+  private val StmtRe =
+    """(?is)^\s*OPTIMIZE\s+TABLE\s+(?:'([^']+)'|([\w.`"]+))\s*(FINAL)?\s*$""".r
+  private val PartitionRe = """(?is)^\s*OPTIMIZE\s+TABLE\b.*\bPARTITION\b.*$""".r
+
+  def isOptimize(sql: String): Boolean =
+    sql.trim.toUpperCase.startsWith("OPTIMIZE TABLE")
+
+  def run(spark: SparkSession, sql: String): DataFrame = {
+    import spark.implicits._
+    if (PartitionRe.matches(sql))
+      throw new IllegalArgumentException(
+        "OPTIMIZE TABLE … PARTITION is not supported — this engine " +
+          "compacts the whole table (parquet has no CH partition parts)")
+    sql match {
+      case StmtRe(pathLit, tableName, _) =>
+        val name = Option(tableName).map(stripQuotes)
+        val source = Option(pathLit)
+          .getOrElse(ProjectionSql.resolvePath(spark, name.get))
+        val sortKey = name.map(graft.core.Catalog.sortKey).getOrElse(Nil)
+
+        val conf = spark.sessionState.newHadoopConf()
+        val src = new Path(source)
+        val fs = src.getFileSystem(conf)
+        require(fs.exists(src), s"OPTIMIZE TABLE: $source does not exist")
+        val bytes = fs.getContentSummary(src).getLength
+        val filesBefore = dataFiles(fs, src)
+        val target = spark.conf.getOption(TargetBytesConf)
+          .map(_.toLong).getOrElse(512L * 1024 * 1024)
+        val nFiles = math.max(1, math.ceil(bytes.toDouble / target).toInt)
+
+        val df = spark.read.parquet(source)
+        val tmp = new Path(src.getParent, s".${src.getName}.optimize_tmp")
+        fs.delete(tmp, true)
+        if (sortKey.nonEmpty)
+          Sinks.writeSorted(df, tmp.toString, sortKey, numFiles = nFiles)
+        else df.repartition(nFiles).write.parquet(tmp.toString)
+
+        // swap with a backup so no failure point loses BOTH copies
+        val bak = new Path(src.getParent, s".${src.getName}.optimize_bak")
+        fs.delete(bak, true)
+        require(fs.rename(src, bak), s"OPTIMIZE TABLE: could not stage $source aside")
+        if (!fs.rename(tmp, src)) {
+          fs.rename(bak, src) // restore; tmp still holds the compacted copy
+          throw new IllegalStateException(
+            s"OPTIMIZE TABLE: promote failed for $source; original restored")
+        }
+        fs.delete(bak, true)
+        spark.catalog.refreshByPath(source)
+        val filesAfter = dataFiles(fs, src)
+        // a NAMED table's view must re-bind to the new file listing
+        name.foreach(n => spark.read.parquet(source).createOrReplaceTempView(n))
+
+        Seq((name.getOrElse(source), filesBefore, filesAfter, bytes))
+          .toDF("table", "files_before", "files_after", "bytes")
+      case other =>
+        throw new IllegalArgumentException(s"unparseable OPTIMIZE statement: $other")
+    }
+  }
+
+  private def dataFiles(fs: org.apache.hadoop.fs.FileSystem, p: Path): Int =
+    if (fs.getFileStatus(p).isFile) 1
+    else fs.listStatus(p).count(s => s.isFile && !s.getPath.getName.startsWith("_")
+      && !s.getPath.getName.startsWith("."))
+
+  private def stripQuotes(s: String): String =
+    s.trim.stripPrefix("`").stripSuffix("`").stripPrefix("\"").stripSuffix("\"")
+}

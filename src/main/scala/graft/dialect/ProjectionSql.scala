@@ -93,8 +93,9 @@ object ProjectionSql {
     s.trim.stripPrefix("`").stripSuffix("`").stripPrefix("\"").stripSuffix("\"")
 
   /** A named table resolves through the session catalog to the parquet
-    * relation's root path — same shape the rewrite rule keys on. */
-  private def resolvePath(spark: SparkSession, table: String): String = {
+    * relation's root path — same shape the rewrite rule keys on
+    * (shared with [[OptimizeSql]]). */
+  private[dialect] def resolvePath(spark: SparkSession, table: String): String = {
     val plan = spark.table(clean(table)).queryExecution.analyzed
     def find(p: LogicalPlan): Option[HadoopFsRelation] = p match {
       case l: LogicalRelation => l.relation match {

@@ -92,6 +92,10 @@ object AggProjections {
   def get(spark: SparkSession, source: String, name: String): Option[Manifest] =
     registry.get(sourceKey(spark, source)).flatMap(_.get(name))
 
+  /** Every registered projection — `system.projections` introspection. */
+  def allManifests: Seq[Manifest] =
+    registry.values.flatMap(_.values).toSeq.sortBy(m => (m.sourceKey, m.name))
+
   def clear(): Unit = registry.clear()
 
   def projectionRoot(spark: SparkSession): String =

@@ -117,6 +117,8 @@ class QueryService(spark: SparkSession) {
     // reachable only through ChSql.sql — one of the two front doors)
     if (graft.dialect.ProjectionSql.isProjection(main))
       return (graft.dialect.ProjectionSql.run(spark, main), Map.empty)
+    if (graft.dialect.OptimizeSql.isOptimize(main))
+      return (graft.dialect.OptimizeSql.run(spark, main), Map.empty)
     val r = ChSql.rewrite(spark, req.query, req.macros)
     ChSql.applySettings(spark, r.settings)
     (ChSql.finish(spark, r), r.settings)

@@ -54,4 +54,25 @@ class SystemTablesSpec extends AnyFunSuite {
       names.contains("windowFunnel"))
     assert(names.size > 250, s"expected the full static surface, got ${names.size}")
   }
+
+  test("system.projections reflects the live registry, not a frozen view") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_sysproj").toString + "/t"
+    spark.read.parquet("/root/testdata/sf0.001/nation.parquet")
+      .write.parquet(dir)
+    spark.conf.set("spark.graft.projectionDir",
+      java.nio.file.Files.createTempDirectory("graft_sysproj_root").toString)
+    graft.plans.AggProjections.create(spark, dir, "sys_p",
+      Seq("n_regionkey"), Seq(("sum", "n_nationkey")))
+    try {
+      val rows = ChSql.sql(spark,
+        "SELECT name, group_by, aggregates FROM system.projections WHERE name = 'sys_p'")
+        .collect()
+      assert(rows.length == 1)
+      assert(rows.head.getString(1) == "n_regionkey")
+      assert(rows.head.getString(2) == "sum(n_nationkey)")
+    } finally graft.plans.AggProjections.drop(spark, dir, "sys_p")
+    // dropped → the next referencing query sees an empty registry row set
+    assert(ChSql.sql(spark,
+      "SELECT name FROM system.projections WHERE name = 'sys_p'").collect().isEmpty)
+  }
 }
