@@ -824,6 +824,27 @@ object SparkEntry {
           |FROM opt_back GROUP BY st ORDER BY st""".stripMargin)
     }),
 
+    // CH mutations end-to-end: DELETE prunes a slice, UPDATE rewrites
+    // another conditionally — the oracle recomputes both as plain
+    // filter/CASE algebra over the pristine source
+    "q177_mutations" -> ((spark, dir) => {
+      prep(spark, dir)
+      val out = s"${derivedDir(spark, dir)}/mut_orders"
+      core.Tables.load(spark, dir, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .write.mode("overwrite").parquet(out)
+      ChSql.sql(spark,
+        s"ALTER TABLE '$out' DELETE WHERE o_orderkey % 3 = 0").collect()
+      ChSql.sql(spark,
+        s"ALTER TABLE '$out' UPDATE o_totalprice = o_totalprice * 2 " +
+          "WHERE o_orderstatus = 'O'").collect()
+      spark.read.parquet(out).createOrReplaceTempView("mut_back")
+      ChSql.sql(spark,
+        """SELECT o_orderstatus AS st, count() AS n,
+          |       CAST(round(sum(o_totalprice)) AS BIGINT) AS total
+          |FROM mut_back GROUP BY st ORDER BY st""".stripMargin)
+    }),
+
     // CH vector-distance family (dotProduct/cosineDistance/L1/L2/Linf)
     // over real embeddings, paired (vec_id, vec_id+1) — native codegen'd
     // kernels, oracle = DuckDB list_* on the same double-widened arrays
@@ -2494,6 +2515,13 @@ object SparkEntry {
       """SELECT o_orderstatus AS st, count(*) AS n,
         |       CAST(round(sum(o_totalprice)) AS BIGINT) AS total
         |FROM orders WHERE o_orderkey % 2 = 0
+        |GROUP BY st ORDER BY st""".stripMargin,
+    "q177_mutations" ->
+      """SELECT o_orderstatus AS st, count(*) AS n,
+        |       CAST(round(sum(CASE WHEN o_orderstatus = 'O'
+        |                          THEN o_totalprice * 2
+        |                          ELSE o_totalprice END)) AS BIGINT) AS total
+        |FROM orders WHERE o_orderkey % 3 != 0
         |GROUP BY st ORDER BY st""".stripMargin,
     "q158_foreach_int32" ->
       """SELECT array_to_string([CAST(sum(o_orderkey % 100000 * 20000) AS BIGINT),

@@ -338,6 +338,8 @@ object ChSql {
     if (ProjectionSql.isProjection(m)) return ProjectionSql.run(spark, m)
     // OPTIMIZE TABLE … [FINAL]: compact the table's parquet layout
     if (OptimizeSql.isOptimize(m)) return OptimizeSql.run(spark, m)
+    // mutations: ALTER TABLE … DELETE/UPDATE WHERE, DELETE FROM …
+    if (MutateSql.isMutation(m)) return MutateSql.run(spark, m, macros)
     // CH `EXPLAIN [mode] SELECT …` returns the plan as result rows; the
     // Spark rendition explains the rewritten query's physical plan (all
     // CH modes map to the one plan Spark has — the Catalyst one)

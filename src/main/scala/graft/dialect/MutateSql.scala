@@ -1,0 +1,157 @@
+package graft.dialect
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.sources.Sinks
+
+/** CH mutations re-expressed for parquet (reference analog: `ALTER
+  * TABLE … DELETE/UPDATE` rewrite whole parts in ClickHouse; here the
+  * whole table rewrites through [[OptimizeSql.swapRewrite]]'s
+  * backup-staged swap — the same all-or-nothing posture). The
+  * flagship 100 TB use is PII/contamination removal: pair
+  * [[graft.operators.TextAnalysis]]'s detectors with a DELETE.
+  *
+  *   - `ALTER TABLE <t> DELETE WHERE <cond>` — drop rows where the
+  *     condition is TRUE; NULL-condition rows are KEPT (CH's
+  *     tri-valued contract: only a true predicate deletes).
+  *   - `DELETE FROM <t> WHERE <cond>` — CH's lightweight-delete
+  *     spelling, same semantics (the rewrite IS the mutation here —
+  *     there is no mask column to defer to).
+  *   - `ALTER TABLE <t> UPDATE c1 = e1[, c2 = e2 …] WHERE <cond>` —
+  *     assignments apply where the condition is TRUE, cast back to the
+  *     column's type (CH casts assignments to the column type);
+  *     non-matching and NULL-condition rows keep their values.
+  *
+  * Conditions and assignment expressions run through the dialect front
+  * door, so the full CH function surface works inside them. Tables
+  * with a recorded ORDER BY key are re-sorted on rewrite (mutations
+  * must not destroy the clustered layout). `<t>` is a session
+  * table/view over parquet or a quoted path. */
+object MutateSql {
+
+  private val DeleteRe =
+    """(?is)^\s*ALTER\s+TABLE\s+(?:'([^']+)'|([\w.`"]+))\s+DELETE\s+WHERE\s+(.+?)\s*$""".r
+  private val LightDeleteRe =
+    """(?is)^\s*DELETE\s+FROM\s+(?:'([^']+)'|([\w.`"]+))\s+WHERE\s+(.+?)\s*$""".r
+  private val UpdateRe =
+    """(?is)^\s*ALTER\s+TABLE\s+(?:'([^']+)'|([\w.`"]+))\s+UPDATE\s+(.+?)\s+WHERE\s+(.+?)\s*$""".r
+
+  def isMutation(sql: String): Boolean =
+    DeleteRe.matches(sql) || LightDeleteRe.matches(sql) || UpdateRe.matches(sql)
+
+  def run(spark: SparkSession, sql: String,
+      macros: Map[String, String] = ChSql.defaultMacros): DataFrame = {
+    import spark.implicits._
+    sql match {
+      case DeleteRe(pathLit, tableName, cond) =>
+        delete(spark, pathLit, tableName, cond, macros)
+      case LightDeleteRe(pathLit, tableName, cond) =>
+        delete(spark, pathLit, tableName, cond, macros)
+      case UpdateRe(pathLit, tableName, assigns, cond) =>
+        // syntax-check the assignment list BEFORE touching storage
+        val parsedAssigns = splitAssignments(assigns)
+        val (name, source) = resolve(spark, pathLit, tableName)
+        val df = spark.read.parquet(source)
+        df.createOrReplaceTempView("__mutate_src")
+        val fieldType = df.schema.fields.map(f => f.name -> f.dataType).toMap
+        val setList = parsedAssigns.map { case (c, e) =>
+          val t = fieldType.getOrElse(c, throw new IllegalArgumentException(
+            s"UPDATE: column '$c' does not exist in ${name.getOrElse(source)}"))
+          // assignment applies where cond is TRUE; cast back to the
+          // column's type (CH's contract); NULL cond keeps the old value
+          c -> (s"CAST(CASE WHEN coalesce(($cond), false) THEN ($e) " +
+            s"ELSE `$c` END AS ${t.sql}) AS `$c`")
+        }.toMap
+        val selectList = df.schema.fieldNames.map(c =>
+          setList.getOrElse(c, s"`$c`")).mkString(", ")
+        val updated = ChSql.sql(spark,
+          s"SELECT $selectList FROM __mutate_src", macros)
+        val matched = ChSql.sql(spark,
+          s"SELECT count(*) FROM __mutate_src WHERE coalesce(($cond), false)", macros)
+          .collect().head.getLong(0)
+        rewrite(spark, source, name, updated)
+        Seq((name.getOrElse(source), "updated", matched))
+          .toDF("table", "mutation", "rows_affected")
+      case other =>
+        throw new IllegalArgumentException(s"unparseable mutation: ${other.take(120)}…")
+    }
+  }
+
+  private def delete(spark: SparkSession, pathLit: String, tableName: String,
+      cond: String, macros: Map[String, String]): DataFrame = {
+    import spark.implicits._
+    val (name, source) = resolve(spark, pathLit, tableName)
+    val df = spark.read.parquet(source)
+    df.createOrReplaceTempView("__mutate_src")
+    // keep rows where cond is NOT true — coalesce, or NULL-cond rows
+    // would be silently deleted by NOT(NULL)
+    val kept = ChSql.sql(spark,
+      s"SELECT * FROM __mutate_src WHERE NOT coalesce(($cond), false)", macros)
+    val before = df.count()
+    rewrite(spark, source, name, kept)
+    val after = spark.read.parquet(source).count()
+    Seq((name.getOrElse(source), "deleted", before - after))
+      .toDF("table", "mutation", "rows_affected")
+  }
+
+  private def resolve(spark: SparkSession, pathLit: String,
+      tableName: String): (Option[String], String) = {
+    val name = Option(tableName)
+      .map(_.trim.stripPrefix("`").stripSuffix("`").stripPrefix("\"").stripSuffix("\""))
+    (name, Option(pathLit).getOrElse(ProjectionSql.resolvePath(spark, name.get)))
+  }
+
+  private def rewrite(spark: SparkSession, source: String,
+      name: Option[String], out: DataFrame): Unit = {
+    val sortKey = name.map(graft.core.Catalog.sortKey).getOrElse(Nil)
+    OptimizeSql.swapRewrite(spark, source) { tmp =>
+      if (sortKey.nonEmpty) Sinks.writeSorted(out, tmp.toString, sortKey)
+      else out.write.parquet(tmp.toString)
+    }
+    name.foreach(n => spark.read.parquet(source).createOrReplaceTempView(n))
+  }
+
+  /** Split `a = e1, b = e2` on top-level commas (parens and quotes
+    * respected — an expression like `concat(x, ',')` must not split). */
+  private def splitAssignments(s: String): Seq[(String, String)] = {
+    val parts = Seq.newBuilder[String]
+    var depth = 0
+    var inQuote = false
+    var start = 0
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (inQuote) {
+        if (c == '\\' && i + 1 < s.length) i += 1
+        else if (c == '\'') inQuote = false
+      }
+      else if (c == '\'') inQuote = true
+      else if (c == '(') depth += 1
+      else if (c == ')') depth -= 1
+      else if (c == ',' && depth == 0) { parts += s.substring(start, i); start = i + 1 }
+      i += 1
+    }
+    parts += s.substring(start)
+    parts.result().map(_.trim).filter(_.nonEmpty).map { a =>
+      val eq = {
+        // first top-level '=' not part of <=, >=, ==, !=
+        var j = 0; var d = 0; var q = false; var found = -1
+        while (j < a.length && found < 0) {
+          val c = a.charAt(j)
+          if (q) { if (c == '\'') q = false }
+          else if (c == '\'') q = true
+          else if (c == '(') d += 1
+          else if (c == ')') d -= 1
+          else if (c == '=' && d == 0 &&
+            (j == 0 || !"<>!=".contains(a.charAt(j - 1))) &&
+            (j + 1 >= a.length || a.charAt(j + 1) != '=')) found = j
+          j += 1
+        }
+        require(found > 0, s"UPDATE: malformed assignment '$a' (expected col = expr)")
+        found
+      }
+      val colName = a.substring(0, eq).trim
+        .stripPrefix("`").stripSuffix("`").stripPrefix("\"").stripSuffix("\"")
+      (colName, a.substring(eq + 1).trim)
+    }
+  }
+}

@@ -60,23 +60,11 @@ object OptimizeSql {
         val nFiles = math.max(1, math.ceil(bytes.toDouble / target).toInt)
 
         val df = spark.read.parquet(source)
-        val tmp = new Path(src.getParent, s".${src.getName}.optimize_tmp")
-        fs.delete(tmp, true)
-        if (sortKey.nonEmpty)
-          Sinks.writeSorted(df, tmp.toString, sortKey, numFiles = nFiles)
-        else df.repartition(nFiles).write.parquet(tmp.toString)
-
-        // swap with a backup so no failure point loses BOTH copies
-        val bak = new Path(src.getParent, s".${src.getName}.optimize_bak")
-        fs.delete(bak, true)
-        require(fs.rename(src, bak), s"OPTIMIZE TABLE: could not stage $source aside")
-        if (!fs.rename(tmp, src)) {
-          fs.rename(bak, src) // restore; tmp still holds the compacted copy
-          throw new IllegalStateException(
-            s"OPTIMIZE TABLE: promote failed for $source; original restored")
+        swapRewrite(spark, source) { tmp =>
+          if (sortKey.nonEmpty)
+            Sinks.writeSorted(df, tmp.toString, sortKey, numFiles = nFiles)
+          else df.repartition(nFiles).write.parquet(tmp.toString)
         }
-        fs.delete(bak, true)
-        spark.catalog.refreshByPath(source)
         val filesAfter = dataFiles(fs, src)
         // a NAMED table's view must re-bind to the new file listing
         name.foreach(n => spark.read.parquet(source).createOrReplaceTempView(n))
@@ -86,6 +74,30 @@ object OptimizeSql {
       case other =>
         throw new IllegalArgumentException(s"unparseable OPTIMIZE statement: $other")
     }
+  }
+
+  /** Rewrite `source` in place: `write` materializes the replacement
+    * into a sibling temp dir, then the swap stages the original aside
+    * as a backup before promoting — a failure at any step leaves
+    * either the original or the backup intact, never neither. Shared
+    * by OPTIMIZE and the ALTER DELETE/UPDATE mutations. */
+  private[dialect] def swapRewrite(
+      spark: SparkSession, source: String)(write: Path => Unit): Unit = {
+    val src = new Path(source)
+    val fs = src.getFileSystem(spark.sessionState.newHadoopConf())
+    val tmp = new Path(src.getParent, s".${src.getName}.rewrite_tmp")
+    fs.delete(tmp, true)
+    write(tmp)
+    val bak = new Path(src.getParent, s".${src.getName}.rewrite_bak")
+    fs.delete(bak, true)
+    require(fs.rename(src, bak), s"table rewrite: could not stage $source aside")
+    if (!fs.rename(tmp, src)) {
+      fs.rename(bak, src) // restore; tmp still holds the rewritten copy
+      throw new IllegalStateException(
+        s"table rewrite: promote failed for $source; original restored")
+    }
+    fs.delete(bak, true)
+    spark.catalog.refreshByPath(source)
   }
 
   private def dataFiles(fs: org.apache.hadoop.fs.FileSystem, p: Path): Int =

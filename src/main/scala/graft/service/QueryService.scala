@@ -119,6 +119,8 @@ class QueryService(spark: SparkSession) {
       return (graft.dialect.ProjectionSql.run(spark, main), Map.empty)
     if (graft.dialect.OptimizeSql.isOptimize(main))
       return (graft.dialect.OptimizeSql.run(spark, main), Map.empty)
+    if (graft.dialect.MutateSql.isMutation(main))
+      return (graft.dialect.MutateSql.run(spark, main, req.macros), Map.empty)
     val r = ChSql.rewrite(spark, req.query, req.macros)
     ChSql.applySettings(spark, r.settings)
     (ChSql.finish(spark, r), r.settings)

@@ -1,0 +1,111 @@
+package graft.dialect
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Mutations must follow CH's tri-valued contract (only a TRUE
+  * predicate deletes/updates), cast assignments to the column type,
+  * preserve sorted layouts, and leave untouched rows byte-identical. */
+class MutateSqlSpec extends AnyFunSuite {
+
+  private lazy val spark = {
+    val s = graft.TestSpark.spark
+    graft.dialect.ChFunctions.register(s)
+    s
+  }
+
+  private def freshCopy(): String = {
+    val d = Files.createTempDirectory("graft_mut").toString + "/t"
+    spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+      .write.parquet(d)
+    d
+  }
+
+  test("ALTER TABLE DELETE drops only TRUE-condition rows") {
+    val d = freshCopy()
+    val before = spark.read.parquet(d).count()
+    val evens = spark.read.parquet(d).filter("o_orderkey % 2 = 0").count()
+    val status = ChSql.sql(spark,
+      s"ALTER TABLE '$d' DELETE WHERE o_orderkey % 2 = 0").collect().head
+    assert(status.getString(1) == "deleted")
+    assert(status.getLong(2) == evens)
+    val after = spark.read.parquet(d)
+    assert(after.count() == before - evens)
+    assert(after.filter("o_orderkey % 2 = 0").count() == 0)
+  }
+
+  test("DELETE FROM (lightweight spelling) with a CH dialect function in the condition") {
+    val d = freshCopy()
+    val hits = spark.read.parquet(d)
+      .filter("o_orderstatus = 'O'").count()
+    // multiIf is a dialect-only name — proves the condition routes
+    // through the CH front door
+    val status = ChSql.sql(spark,
+      s"DELETE FROM '$d' WHERE multiIf(o_orderstatus = 'O', 1, 0) = 1")
+      .collect().head
+    assert(status.getLong(2) == hits)
+    assert(spark.read.parquet(d).filter("o_orderstatus = 'O'").count() == 0)
+  }
+
+  test("NULL-condition rows are KEPT on delete") {
+    val d = Files.createTempDirectory("graft_mut_null").toString + "/t"
+    import spark.implicits._
+    Seq((1, Some(10)), (2, None), (3, Some(30)))
+      .toDF("id", "v").write.parquet(d)
+    // v > 15 is NULL for id=2 → kept (NOT coalesce(NULL, false))
+    ChSql.sql(spark, s"ALTER TABLE '$d' DELETE WHERE v > 15").collect()
+    val ids = spark.read.parquet(d).select("id").collect().map(_.getInt(0)).sorted
+    assert(ids.toSeq == Seq(1, 2))
+  }
+
+  test("ALTER TABLE UPDATE: conditional assignment, type cast back, others untouched") {
+    val d = freshCopy()
+    val untouched = spark.read.parquet(d).filter("o_orderkey % 10 != 0")
+      .collect().map(_.toString).sorted.toSeq
+    val status = ChSql.sql(spark,
+      s"ALTER TABLE '$d' UPDATE o_totalprice = o_totalprice * 2, " +
+        s"o_orderstatus = concat(o_orderstatus, 'X') WHERE o_orderkey % 10 = 0")
+      .collect().head
+    assert(status.getString(1) == "updated")
+    assert(status.getLong(2) > 0)
+    val after = spark.read.parquet(d)
+    // schema (types) unchanged
+    assert(after.schema == spark.read
+      .parquet("/root/testdata/sf0.001/orders.parquet").schema)
+    // matched rows transformed
+    assert(after.filter("o_orderkey % 10 = 0")
+      .filter("o_orderstatus NOT LIKE '%X'").count() == 0)
+    // unmatched rows byte-identical
+    assert(after.filter("o_orderkey % 10 != 0")
+      .collect().map(_.toString).sorted.toSeq == untouched)
+  }
+
+  test("named CTAS table: mutation re-sorts and re-binds the view") {
+    spark.conf.set(ChWrites.WarehouseConf,
+      Files.createTempDirectory("graft_mut_wh").toString)
+    ChSql.sql(spark,
+      """CREATE TABLE mut_ctas ENGINE = MergeTree ORDER BY (o_orderkey) AS
+        |SELECT o_orderkey, o_orderstatus, o_totalprice
+        |FROM parquet.`/root/testdata/sf0.001/orders.parquet`""".stripMargin)
+    val before = spark.table("mut_ctas").count()
+    val evens = spark.table("mut_ctas").filter("o_orderkey % 2 = 0").count()
+    ChSql.sql(spark, "ALTER TABLE mut_ctas DELETE WHERE o_orderkey % 2 = 0").collect()
+    assert(spark.table("mut_ctas").count() == before - evens)
+    // sorted layout preserved through the mutation
+    val path = graft.core.Catalog.lookup("mut_ctas").get.endpoint.get
+    val keys = spark.read.parquet(path).select("o_orderkey")
+      .collect().map(_.getLong(0))
+    assert(keys.zip(keys.tail).forall { case (a, b) => a <= b })
+  }
+
+  test("malformed statements refuse loudly") {
+    intercept[IllegalArgumentException] {
+      MutateSql.run(spark, "ALTER TABLE t UPDATE novalue WHERE x = 1")
+    }
+    val d = freshCopy()
+    intercept[IllegalArgumentException] {
+      ChSql.sql(spark, s"ALTER TABLE '$d' UPDATE no_such_col = 1 WHERE true")
+    }
+  }
+}
