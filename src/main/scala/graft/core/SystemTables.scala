@@ -122,6 +122,12 @@ object SystemTables {
     * session start would go stale. */
   def registerProjections(spark: SparkSession): Unit = {
     import spark.implicits._
+    // persisted manifests from prior sessions surface too (review
+    // finding: a fresh session otherwise misreported an empty catalog);
+    // loadAll is idempotent and drop() removes manifests from disk, so
+    // nothing dropped can resurrect
+    try graft.plans.AggProjections.loadAll(spark)
+    catch { case scala.util.control.NonFatal(_) => /* root unreadable */ }
     graft.plans.AggProjections.allManifests
       .map(m => (m.name, m.sourceKey, m.groupCols.mkString(","),
         m.aggs.map(d => s"${d.op}(${d.column})").mkString(","), m.dataPath))

@@ -357,8 +357,8 @@ object ChSql {
         macros.getOrElse("cluster", "graft"))
       if (r.sql.toLowerCase.contains("system_parts"))
         graft.core.SystemTables.registerParts(spark)
-      if (r.sql.toLowerCase.contains("system_projections"))
-        graft.core.SystemTables.registerProjections(spark)
+      // (no projections twin here: rewrite() above already registered
+      // it for this very query — review finding)
     }
     finish(spark, r)
   }

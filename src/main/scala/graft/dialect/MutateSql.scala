@@ -52,14 +52,19 @@ object MutateSql {
         val (name, source) = resolve(spark, pathLit, tableName)
         val df = spark.read.parquet(source)
         df.createOrReplaceTempView("__mutate_src")
-        val fieldType = df.schema.fields.map(f => f.name -> f.dataType).toMap
-        val setList = parsedAssigns.map { case (c, e) =>
-          val t = fieldType.getOrElse(c, throw new IllegalArgumentException(
-            s"UPDATE: column '$c' does not exist in ${name.getOrElse(source)}"))
+        // case-insensitive like the rest of the SQL surface (review
+        // finding: the schema map was exact-case)
+        val fieldByLower = df.schema.fields
+          .map(f => f.name.toLowerCase -> f).toMap
+        val setList = parsedAssigns.map { case (c0, e) =>
+          val f = fieldByLower.getOrElse(c0.toLowerCase,
+            throw new IllegalArgumentException(
+              s"UPDATE: column '$c0' does not exist in ${name.getOrElse(source)}"))
+          val c = f.name
           // assignment applies where cond is TRUE; cast back to the
           // column's type (CH's contract); NULL cond keeps the old value
           c -> (s"CAST(CASE WHEN coalesce(($cond), false) THEN ($e) " +
-            s"ELSE `$c` END AS ${t.sql}) AS `$c`")
+            s"ELSE `$c` END AS ${f.dataType.sql}) AS `$c`")
         }.toMap
         val selectList = df.schema.fieldNames.map(c =>
           setList.getOrElse(c, s"`$c`")).mkString(", ")
@@ -86,29 +91,70 @@ object MutateSql {
     // would be silently deleted by NOT(NULL)
     val kept = ChSql.sql(spark,
       s"SELECT * FROM __mutate_src WHERE NOT coalesce(($cond), false)", macros)
-    val before = df.count()
+    // one filtered count, like the UPDATE path — before/after full
+    // counts cost two extra whole-table scans (review finding)
+    val matched = ChSql.sql(spark,
+      s"SELECT count(*) FROM __mutate_src WHERE coalesce(($cond), false)", macros)
+      .collect().head.getLong(0)
     rewrite(spark, source, name, kept)
-    val after = spark.read.parquet(source).count()
-    Seq((name.getOrElse(source), "deleted", before - after))
+    Seq((name.getOrElse(source), "deleted", matched))
       .toDF("table", "mutation", "rows_affected")
   }
 
   private def resolve(spark: SparkSession, pathLit: String,
       tableName: String): (Option[String], String) = {
-    val name = Option(tableName)
-      .map(_.trim.stripPrefix("`").stripSuffix("`").stripPrefix("\"").stripSuffix("\""))
+    val name = Option(tableName).map(ProjectionSql.clean)
+    // refuse BEFORE the rewrite: a dot-qualified name would mutate the
+    // data and then throw from the single-part-only temp-view re-bind,
+    // reporting failure for a mutation that committed (review finding)
+    name.filter(_.contains('.')).foreach { n =>
+      throw new IllegalArgumentException(
+        s"mutation on '$n': multi-part names are not supported — use a " +
+          "simple session view name or a quoted path")
+    }
     (name, Option(pathLit).getOrElse(ProjectionSql.resolvePath(spark, name.get)))
   }
 
   private def rewrite(spark: SparkSession, source: String,
       name: Option[String], out: DataFrame): Unit = {
     val sortKey = name.map(graft.core.Catalog.sortKey).getOrElse(Nil)
+    // aim for OPTIMIZE's file count: the default writeSorted
+    // repartition would fragment a just-compacted table into
+    // shuffle-partition-many files (review finding). Source bytes are
+    // an upper bound for the rewritten size — a delete only shrinks.
+    val src = new org.apache.hadoop.fs.Path(source)
+    val bytes = src.getFileSystem(spark.sessionState.newHadoopConf())
+      .getContentSummary(src).getLength
+    val nFiles = OptimizeSql.targetFiles(spark, bytes)
     OptimizeSql.swapRewrite(spark, source) { tmp =>
-      if (sortKey.nonEmpty) Sinks.writeSorted(out, tmp.toString, sortKey)
-      else out.write.parquet(tmp.toString)
+      if (sortKey.nonEmpty)
+        Sinks.writeSorted(out, tmp.toString, sortKey, numFiles = nFiles)
+      else out.repartition(nFiles).write.parquet(tmp.toString)
     }
-    name.foreach(n => spark.read.parquet(source).createOrReplaceTempView(n))
+    // re-bind ONLY a bare-scan view: a derived view (column-pruned or
+    // computed) must not be silently replaced by a full-width scan
+    // (review finding) — its next use fails loudly on the stale file
+    // listing instead, which is the honest outcome
+    name.filter(n => isBareScanView(spark, n)).foreach(n =>
+      spark.read.parquet(source).createOrReplaceTempView(n))
   }
+
+  /** True when the session view is nothing but a scan of its relation
+    * (every relation output column, unrenamed). */
+  private[dialect] def isBareScanView(spark: SparkSession, n: String): Boolean = try {
+    import org.apache.spark.sql.catalyst.plans.logical._
+    def bare(p: LogicalPlan): Boolean = p match {
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation => true
+      case Project(projList, c) =>
+        val outNames = projList.map(_.name)
+        projList.forall(_.isInstanceOf[org.apache.spark.sql.catalyst.expressions.AttributeReference]) &&
+          outNames == c.output.map(_.name) && bare(c)
+      case SubqueryAlias(_, c) => bare(c)
+      case v: View => bare(v.child)
+      case _ => false
+    }
+    bare(spark.table(n).queryExecution.analyzed)
+  } catch { case scala.util.control.NonFatal(_) => false }
 
   /** Split `a = e1, b = e2` on top-level commas (parens and quotes
     * respected — an expression like `concat(x, ',')` must not split). */

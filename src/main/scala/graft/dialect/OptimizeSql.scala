@@ -31,20 +31,15 @@ object OptimizeSql {
 
   private val StmtRe =
     """(?is)^\s*OPTIMIZE\s+TABLE\s+(?:'([^']+)'|([\w.`"]+))\s*(FINAL)?\s*$""".r
-  private val PartitionRe = """(?is)^\s*OPTIMIZE\s+TABLE\b.*\bPARTITION\b.*$""".r
+  private val HeadRe = """(?is)^\s*OPTIMIZE\s+TABLE\b.*$""".r
 
-  def isOptimize(sql: String): Boolean =
-    sql.trim.toUpperCase.startsWith("OPTIMIZE TABLE")
+  def isOptimize(sql: String): Boolean = HeadRe.matches(sql)
 
   def run(spark: SparkSession, sql: String): DataFrame = {
     import spark.implicits._
-    if (PartitionRe.matches(sql))
-      throw new IllegalArgumentException(
-        "OPTIMIZE TABLE … PARTITION is not supported — this engine " +
-          "compacts the whole table (parquet has no CH partition parts)")
     sql match {
       case StmtRe(pathLit, tableName, _) =>
-        val name = Option(tableName).map(stripQuotes)
+        val name = Option(tableName).map(ProjectionSql.clean)
         val source = Option(pathLit)
           .getOrElse(ProjectionSql.resolvePath(spark, name.get))
         val sortKey = name.map(graft.core.Catalog.sortKey).getOrElse(Nil)
@@ -55,9 +50,7 @@ object OptimizeSql {
         require(fs.exists(src), s"OPTIMIZE TABLE: $source does not exist")
         val bytes = fs.getContentSummary(src).getLength
         val filesBefore = dataFiles(fs, src)
-        val target = spark.conf.getOption(TargetBytesConf)
-          .map(_.toLong).getOrElse(512L * 1024 * 1024)
-        val nFiles = math.max(1, math.ceil(bytes.toDouble / target).toInt)
+        val nFiles = targetFiles(spark, bytes)
 
         val df = spark.read.parquet(source)
         swapRewrite(spark, source) { tmp =>
@@ -66,14 +59,33 @@ object OptimizeSql {
           else df.repartition(nFiles).write.parquet(tmp.toString)
         }
         val filesAfter = dataFiles(fs, src)
-        // a NAMED table's view must re-bind to the new file listing
-        name.foreach(n => spark.read.parquet(source).createOrReplaceTempView(n))
+        // a NAMED table's bare-scan view re-binds to the new file
+        // listing; a derived view is left alone (re-binding would
+        // silently widen its schema to the raw scan — review finding)
+        name.filter(n => MutateSql.isBareScanView(spark, n)).foreach(n =>
+          spark.read.parquet(source).createOrReplaceTempView(n))
 
         Seq((name.getOrElse(source), filesBefore, filesAfter, bytes))
           .toDF("table", "files_before", "files_after", "bytes")
       case other =>
+        // PARTITION diagnosed only when the statement shape didn't parse:
+        // a quoted PATH containing a 'partition' segment is a valid
+        // whole-table compaction (review finding)
+        if ("""(?i)\bPARTITION\b""".r.findFirstIn(other).isDefined)
+          throw new IllegalArgumentException(
+            "OPTIMIZE TABLE … PARTITION is not supported — this engine " +
+              "compacts the whole table (parquet has no CH partition parts)")
         throw new IllegalArgumentException(s"unparseable OPTIMIZE statement: $other")
     }
+  }
+
+  /** ceil(bytes / target-file-size) — the output file count OPTIMIZE
+    * and the mutations both aim for (a mutation must not fragment the
+    * layout a compaction just built — review finding). */
+  private[dialect] def targetFiles(spark: SparkSession, bytes: Long): Int = {
+    val target = spark.conf.getOption(TargetBytesConf)
+      .map(_.toLong).getOrElse(512L * 1024 * 1024)
+    math.max(1, math.ceil(bytes.toDouble / target).toInt)
   }
 
   /** Rewrite `source` in place: `write` materializes the replacement
@@ -105,6 +117,4 @@ object OptimizeSql {
     else fs.listStatus(p).count(s => s.isFile && !s.getPath.getName.startsWith("_")
       && !s.getPath.getName.startsWith("."))
 
-  private def stripQuotes(s: String): String =
-    s.trim.stripPrefix("`").stripSuffix("`").stripPrefix("\"").stripSuffix("\"")
 }

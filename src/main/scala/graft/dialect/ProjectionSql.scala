@@ -89,7 +89,10 @@ object ProjectionSql {
       "projection body must be SELECT … GROUP BY …")
   }
 
-  private def clean(s: String): String =
+  /** Strip back-tick / double-quote identifier quoting (single shared
+    * helper — review finding: four copies had grown across the DDL
+    * objects). */
+  private[dialect] def clean(s: String): String =
     s.trim.stripPrefix("`").stripSuffix("`").stripPrefix("\"").stripSuffix("\"")
 
   /** A named table resolves through the session catalog to the parquet
