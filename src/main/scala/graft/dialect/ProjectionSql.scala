@@ -53,8 +53,9 @@ object ProjectionSql {
             AggProjections.create(spark, source, name, groupCols, aggs)
             Seq((name, "materialized")).toDF("projection", "status")
           case "MATERIALIZE" =>
-            AggProjections.rematerialize(spark, source, name)
-            Seq((name, "materialized")).toDF("projection", "status")
+            val (_, incremental) = AggProjections.rematerialize(spark, source, name)
+            Seq((name, if (incremental) "merged_incremental" else "materialized"))
+              .toDF("projection", "status")
           case "DROP" =>
             val dropped = AggProjections.drop(spark, source, name)
             Seq((name, if (dropped) "dropped" else "not_found"))

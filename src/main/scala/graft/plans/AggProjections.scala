@@ -73,13 +73,16 @@ object AggProjections {
     }
   }
 
+  final case class FileEntry(path: String, len: Long, mtime: Long)
+
   final case class Manifest(
       name: String,
       sourceKey: String,
       groupCols: Seq[String],
       aggs: Seq[AggDef],
       dataPath: String,
-      fingerprint: String)
+      fingerprint: String,
+      files: Seq[FileEntry] = Nil)
 
   /** sourceKey → (projection name → manifest); smallest (most
     * aggregated) candidates are preferred at rewrite time. */
@@ -127,6 +130,25 @@ object AggProjections {
       .filterNot(df.schema.fieldNames.contains)
     require(missing.isEmpty, s"projection columns not in source: ${missing.mkString(", ")}")
 
+    val uniqueStates = stateColumns(defs)
+
+    val key = sourceKey(spark, source)
+    val fp = Fingerprint.of(spark, df.inputFiles)
+    val dir = s"${projectionRoot(spark)}/${md5(key).take(12)}/$name"
+    df.groupBy(groupCols.map(col): _*).agg(uniqueStates.head, uniqueStates.tail: _*)
+      .sortWithinPartitions(groupCols.map(col): _*)
+      .write.mode("overwrite").parquet(dir)
+
+    val m = Manifest(name, key, groupCols, defs, dir, fp,
+      fileEntries(spark, df.inputFiles))
+    writeManifest(spark, m)
+    register(m)
+    m
+  }
+
+  /** The per-group partial-state expressions (shared by the initial
+    * build and the incremental delta aggregate). */
+  private def stateColumns(defs: Seq[AggDef]): Seq[org.apache.spark.sql.Column] = {
     val states: Seq[org.apache.spark.sql.Column] =
       count(lit(1)).as("_cnt") +: defs.flatMap { d =>
         d.op match {
@@ -146,22 +168,16 @@ object AggProjections {
       }
     // dedup avg-over-sum'd columns sharing states
     val seen = scala.collection.mutable.Set.empty[String]
-    val uniqueStates = states.filter { c =>
-      val n = c.toString
-      seen.add(n)
+    states.filter(c => seen.add(c.toString))
+  }
+
+  private def fileEntries(spark: SparkSession, files: Seq[String]): Seq[FileEntry] = {
+    val conf = spark.sessionState.newHadoopConf()
+    files.sorted.map { f =>
+      val p = new Path(f)
+      val st = p.getFileSystem(conf).getFileStatus(p)
+      FileEntry(f, st.getLen, st.getModificationTime)
     }
-
-    val key = sourceKey(spark, source)
-    val fp = Fingerprint.of(spark, df.inputFiles)
-    val dir = s"${projectionRoot(spark)}/${md5(key).take(12)}/$name"
-    df.groupBy(groupCols.map(col): _*).agg(uniqueStates.head, uniqueStates.tail: _*)
-      .sortWithinPartitions(groupCols.map(col): _*)
-      .write.mode("overwrite").parquet(dir)
-
-    val m = Manifest(name, key, groupCols, defs, dir, fp)
-    writeManifest(spark, m)
-    register(m)
-    m
   }
 
   def register(m: Manifest): Unit = registry.updateWith(m.sourceKey) {
@@ -183,14 +199,85 @@ object AggProjections {
     found
   }
 
-  /** Refresh a projection from its recorded spec (the `MATERIALIZE
-    * PROJECTION` statement): re-aggregates the CURRENT source files and
-    * stamps the new fingerprint. */
-  def rematerialize(spark: SparkSession, source: String, name: String): Manifest = {
+  /** Refresh a projection (the `MATERIALIZE PROJECTION` statement).
+    * INCREMENTAL when the source only GREW — the recorded file set is
+    * intact (same paths, lengths, mtimes) and new files appeared:
+    * aggregate ONLY the new files' partial states and merge them into
+    * the companion (sums/counts re-sum, min/max re-extremize, HLL
+    * sketches union) — one batch pass instead of a corpus pass, the
+    * refresh cost that makes projections viable against an append-only
+    * 100 TB table. Any removed or changed file forces a full rebuild
+    * (merging can't subtract). Returns the manifest and whether the
+    * incremental path ran. */
+  def rematerialize(
+      spark: SparkSession, source: String, name: String): (Manifest, Boolean) = {
     val key = sourceKey(spark, source)
     val m = registry.get(key).flatMap(_.get(name)).getOrElse(
       throw new IllegalArgumentException(s"no projection '$name' on $source"))
-    create(spark, source, name, m.groupCols, m.aggs.map(d => (d.op, d.column)))
+    // the refresh exists BECAUSE the source changed — drop Spark's
+    // session file-status cache first or both the growth detection and
+    // a rebuild read a stale listing
+    spark.catalog.refreshByPath(source)
+    val df = spark.read.parquet(source)
+    val current = fileEntries(spark, df.inputFiles)
+    val oldSet = m.files.toSet
+    val added = current.filterNot(oldSet)
+    val removedOrChanged = oldSet -- current.toSet
+    val incrementalOk =
+      m.files.nonEmpty && removedOrChanged.isEmpty && added.nonEmpty
+    if (!incrementalOk)
+      return (create(spark, source, name, m.groupCols,
+        m.aggs.map(d => (d.op, d.column))), false)
+
+    val states = stateColumns(m.aggs)
+    val delta = spark.read.parquet(added.map(_.path): _*)
+      .groupBy(m.groupCols.map(col): _*).agg(states.head, states.tail: _*)
+    val companion = spark.read.parquet(m.dataPath)
+    // merge column-by-column on the companion's own schema
+    val mergeExprs = companion.columns.filterNot(m.groupCols.contains).map {
+      case c if c == "_cnt" || c.startsWith("s_") || c.startsWith("c_") =>
+        sum(col(c)).as(c)
+      case c if c.startsWith("mn_") => min(col(c)).as(c)
+      case c if c.startsWith("mx_") => max(col(c)).as(c)
+      case c if c.startsWith("u_") =>
+        org.apache.spark.sql.functions.hll_union_agg(col(c)).as(c)
+      case c => throw new IllegalStateException(
+        s"projection '$name': unmergeable companion column '$c'")
+    }
+    val merged = companion.unionByName(delta.select(companion.columns.map(col): _*))
+      .groupBy(m.groupCols.map(col): _*)
+      .agg(mergeExprs.head, mergeExprs.tail: _*)
+      .sortWithinPartitions(m.groupCols.map(col): _*)
+
+    replaceDir(spark, m.dataPath)(tmp => merged.write.parquet(tmp.toString))
+    val m2 = m.copy(fingerprint = Fingerprint.of(spark, df.inputFiles),
+      files = current)
+    writeManifest(spark, m2)
+    register(m2)
+    (m2, true)
+  }
+
+  /** Backup-staged in-place replacement of the companion directory —
+    * same protocol as the dialect layer's table rewrite (which lives in
+    * a package this one cannot see): write the replacement to a sibling
+    * temp dir while the original is still readable, stage the original
+    * aside, promote, drop the backup. */
+  private def replaceDir(
+      spark: SparkSession, target: String)(write: Path => Unit): Unit = {
+    val dst = new Path(target)
+    val fs = dst.getFileSystem(spark.sessionState.newHadoopConf())
+    val tmp = new Path(dst.getParent, s".${dst.getName}.refresh_tmp")
+    fs.delete(tmp, true)
+    write(tmp)
+    val bak = new Path(dst.getParent, s".${dst.getName}.refresh_bak")
+    fs.delete(bak, true)
+    require(fs.rename(dst, bak), s"projection refresh: could not stage $target aside")
+    if (!fs.rename(tmp, dst)) {
+      fs.rename(bak, dst)
+      throw new IllegalStateException(
+        s"projection refresh: promote failed for $target; original restored")
+    }
+    fs.delete(bak, true)
   }
 
   /** Re-register every persisted manifest under the projection root
@@ -226,7 +313,9 @@ object AggProjections {
       "name" -> m.name, "sourceKey" -> m.sourceKey,
       "groupCols" -> m.groupCols,
       "aggs" -> m.aggs.map(a => Map("op" -> a.op, "column" -> a.column)),
-      "dataPath" -> m.dataPath, "fingerprint" -> m.fingerprint)))
+      "dataPath" -> m.dataPath, "fingerprint" -> m.fingerprint,
+      "files" -> m.files.map(e =>
+        Map("path" -> e.path, "len" -> e.len, "mtime" -> e.mtime)))))
     finally out.close()
   }
 
@@ -242,7 +331,10 @@ object AggProjections {
       aggs = node.get("aggs").elements.asScala
         .map(a => AggDef(a.get("op").asText, a.get("column").asText)).toSeq,
       dataPath = node.get("dataPath").asText,
-      fingerprint = node.get("fingerprint").asText)
+      fingerprint = node.get("fingerprint").asText,
+      files = Option(node.get("files")).map(_.elements.asScala.map(e =>
+        FileEntry(e.get("path").asText, e.get("len").asLong,
+          e.get("mtime").asLong)).toSeq).getOrElse(Nil))
   }
 
   private def md5(s: String): String =

@@ -264,6 +264,49 @@ class AggProjectionsSpec extends AnyFunSuite {
         ("count", "l_suppkey")))
   }
 
+  test("MATERIALIZE merges incrementally on append-only growth, rebuilds otherwise") {
+    projRoot
+    import org.apache.spark.sql.functions.{col => c}
+    val d = Files.createTempDirectory("graft_proj_incr").toString + "/src"
+    val base0 = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    base0.filter("l_orderkey % 2 = 0").coalesce(1).write.parquet(d)
+    AggProjections.create(spark, d, "incr",
+      Seq("l_returnflag"),
+      Seq(("sum", "l_quantity"), ("avg", "l_extendedprice"),
+        ("uniq", "l_suppkey")))
+    try {
+      // append-only growth → the refresh must MERGE, not rebuild
+      base0.filter("l_orderkey % 2 = 1").coalesce(1)
+        .write.mode("append").parquet(d)
+      val (m2, incremental) = AggProjections.rematerialize(spark, d, "incr")
+      assert(incremental, "append-only growth should take the merge path")
+      assert(m2.files.size > 1)
+      // merged companion answers EXACTLY like a from-scratch aggregate
+      spark.read.parquet(d).createOrReplaceTempView("li_incr")
+      val q = "SELECT l_returnflag, sum(l_quantity) AS sq, count(*) AS n, " +
+        "round(avg(l_extendedprice), 4) AS ap FROM li_incr GROUP BY l_returnflag"
+      assert(scansProjection(spark.sql(q)))
+      assert(sortedRows(spark.sql(q)) == unoptimized(sortedRows(spark.sql(q))))
+      // merged uniq sketches still estimate within contract
+      val est = spark.sql("SELECT approx_count_distinct(l_suppkey) AS u FROM li_incr")
+      assert(scansProjection(est))
+      val truth = unoptimized(
+        spark.sql("SELECT count(DISTINCT l_suppkey) FROM li_incr").collect().head.getLong(0))
+      val got = est.collect().head.getLong(0).toDouble
+      assert(math.abs(got - truth) / truth < 0.1, s"$got vs $truth")
+      // a REMOVED file cannot be merged away → full rebuild
+      val firstPart = new java.io.File(d).listFiles()
+        .filter(f => f.getName.endsWith(".parquet")).minBy(_.getName)
+      assert(firstPart.delete())
+      val (_, incremental2) = AggProjections.rematerialize(spark, d, "incr")
+      assert(!incremental2, "a shrunk source must force the rebuild path")
+      // the view captured the pre-delete file listing — re-bind it
+      // (the engine under test never touched this test-local view)
+      spark.read.parquet(d).createOrReplaceTempView("li_incr")
+      assert(sortedRows(spark.sql(q)) == unoptimized(sortedRows(spark.sql(q))))
+    } finally AggProjections.drop(spark, d, "incr")
+  }
+
   test("a stale companion (source grew a file) silently reverts to the scan") {
     projection
     // grow the source AFTER materialization: new file list → fresh
