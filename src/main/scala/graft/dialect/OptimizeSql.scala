@@ -88,29 +88,11 @@ object OptimizeSql {
     math.max(1, math.ceil(bytes.toDouble / target).toInt)
   }
 
-  /** Rewrite `source` in place: `write` materializes the replacement
-    * into a sibling temp dir, then the swap stages the original aside
-    * as a backup before promoting — a failure at any step leaves
-    * either the original or the backup intact, never neither. Shared
-    * by OPTIMIZE and the ALTER DELETE/UPDATE mutations. */
+  /** Table rewrite = [[graft.core.FsSwap]] with the table tag (shared
+    * by OPTIMIZE and the ALTER DELETE/UPDATE mutations). */
   private[dialect] def swapRewrite(
-      spark: SparkSession, source: String)(write: Path => Unit): Unit = {
-    val src = new Path(source)
-    val fs = src.getFileSystem(spark.sessionState.newHadoopConf())
-    val tmp = new Path(src.getParent, s".${src.getName}.rewrite_tmp")
-    fs.delete(tmp, true)
-    write(tmp)
-    val bak = new Path(src.getParent, s".${src.getName}.rewrite_bak")
-    fs.delete(bak, true)
-    require(fs.rename(src, bak), s"table rewrite: could not stage $source aside")
-    if (!fs.rename(tmp, src)) {
-      fs.rename(bak, src) // restore; tmp still holds the rewritten copy
-      throw new IllegalStateException(
-        s"table rewrite: promote failed for $source; original restored")
-    }
-    fs.delete(bak, true)
-    spark.catalog.refreshByPath(source)
-  }
+      spark: SparkSession, source: String)(write: Path => Unit): Unit =
+    graft.core.FsSwap.replace(spark, source, "rewrite")(write)
 
   private def dataFiles(fs: org.apache.hadoop.fs.FileSystem, p: Path): Int =
     if (fs.getFileStatus(p).isFile) 1

@@ -53,9 +53,8 @@ object ProjectionSql {
             AggProjections.create(spark, source, name, groupCols, aggs)
             Seq((name, "materialized")).toDF("projection", "status")
           case "MATERIALIZE" =>
-            val (_, incremental) = AggProjections.rematerialize(spark, source, name)
-            Seq((name, if (incremental) "merged_incremental" else "materialized"))
-              .toDF("projection", "status")
+            val (_, mode) = AggProjections.rematerialize(spark, source, name)
+            Seq((name, mode)).toDF("projection", "status")
           case "DROP" =>
             val dropped = AggProjections.drop(spark, source, name)
             Seq((name, if (dropped) "dropped" else "not_found"))

@@ -133,14 +133,20 @@ object AggProjections {
     val uniqueStates = stateColumns(defs)
 
     val key = sourceKey(spark, source)
-    val fp = Fingerprint.of(spark, df.inputFiles)
+    // ONE stat sweep taken BEFORE the data pass drives both the
+    // fingerprint and the recorded file set (review finding: stats
+    // taken after the read let a concurrent in-place file change be
+    // recorded as if the companion reflected it — stale-stats-vs-new-
+    // data errs the safe way: the gate reads stale and reverts to the
+    // scan)
+    val entries = fileEntries(spark, df.inputFiles)
+    val fp = Fingerprint.fromEntries(entries)
     val dir = s"${projectionRoot(spark)}/${md5(key).take(12)}/$name"
     df.groupBy(groupCols.map(col): _*).agg(uniqueStates.head, uniqueStates.tail: _*)
       .sortWithinPartitions(groupCols.map(col): _*)
       .write.mode("overwrite").parquet(dir)
 
-    val m = Manifest(name, key, groupCols, defs, dir, fp,
-      fileEntries(spark, df.inputFiles))
+    val m = Manifest(name, key, groupCols, defs, dir, fp, entries)
     writeManifest(spark, m)
     register(m)
     m
@@ -210,7 +216,7 @@ object AggProjections {
     * (merging can't subtract). Returns the manifest and whether the
     * incremental path ran. */
   def rematerialize(
-      spark: SparkSession, source: String, name: String): (Manifest, Boolean) = {
+      spark: SparkSession, source: String, name: String): (Manifest, String) = {
     val key = sourceKey(spark, source)
     val m = registry.get(key).flatMap(_.get(name)).getOrElse(
       throw new IllegalArgumentException(s"no projection '$name' on $source"))
@@ -219,18 +225,30 @@ object AggProjections {
     // a rebuild read a stale listing
     spark.catalog.refreshByPath(source)
     val df = spark.read.parquet(source)
+    // ONE pre-read stat sweep drives the detection, the new manifest,
+    // AND the new fingerprint (review finding: a second post-merge
+    // sweep could capture stats of a concurrently changed file and
+    // mask the change behind a matching fingerprint)
     val current = fileEntries(spark, df.inputFiles)
     val oldSet = m.files.toSet
     val added = current.filterNot(oldSet)
     val removedOrChanged = oldSet -- current.toSet
-    val incrementalOk =
-      m.files.nonEmpty && removedOrChanged.isEmpty && added.nonEmpty
-    if (!incrementalOk)
+    if (m.files.nonEmpty && removedOrChanged.isEmpty && added.isEmpty)
+      return (m, "noop") // provably current — a scheduled refresh with
+                         // no new data must not re-shuffle the corpus
+    val incrementalOk = m.files.nonEmpty && removedOrChanged.isEmpty
+    lazy val deltaDf =
+      spark.read.parquet(added.map(_.path): _*)
+    // hive-partitioned sources: reading leaf files directly drops the
+    // partition columns — fall back to the full rebuild rather than
+    // fail the statement (review finding)
+    val needed = (m.groupCols ++ m.aggs.map(_.column)).distinct
+    if (!incrementalOk || !needed.forall(deltaDf.schema.fieldNames.contains))
       return (create(spark, source, name, m.groupCols,
-        m.aggs.map(d => (d.op, d.column))), false)
+        m.aggs.map(d => (d.op, d.column))), "rebuilt")
 
     val states = stateColumns(m.aggs)
-    val delta = spark.read.parquet(added.map(_.path): _*)
+    val delta = deltaDf
       .groupBy(m.groupCols.map(col): _*).agg(states.head, states.tail: _*)
     val companion = spark.read.parquet(m.dataPath)
     // merge column-by-column on the companion's own schema
@@ -249,35 +267,17 @@ object AggProjections {
       .agg(mergeExprs.head, mergeExprs.tail: _*)
       .sortWithinPartitions(m.groupCols.map(col): _*)
 
-    replaceDir(spark, m.dataPath)(tmp => merged.write.parquet(tmp.toString))
-    val m2 = m.copy(fingerprint = Fingerprint.of(spark, df.inputFiles),
-      files = current)
-    writeManifest(spark, m2)
-    register(m2)
-    (m2, true)
-  }
-
-  /** Backup-staged in-place replacement of the companion directory —
-    * same protocol as the dialect layer's table rewrite (which lives in
-    * a package this one cannot see): write the replacement to a sibling
-    * temp dir while the original is still readable, stage the original
-    * aside, promote, drop the backup. */
-  private def replaceDir(
-      spark: SparkSession, target: String)(write: Path => Unit): Unit = {
-    val dst = new Path(target)
-    val fs = dst.getFileSystem(spark.sessionState.newHadoopConf())
-    val tmp = new Path(dst.getParent, s".${dst.getName}.refresh_tmp")
-    fs.delete(tmp, true)
-    write(tmp)
-    val bak = new Path(dst.getParent, s".${dst.getName}.refresh_bak")
-    fs.delete(bak, true)
-    require(fs.rename(dst, bak), s"projection refresh: could not stage $target aside")
-    if (!fs.rename(tmp, dst)) {
-      fs.rename(bak, dst)
-      throw new IllegalStateException(
-        s"projection refresh: promote failed for $target; original restored")
+    val m2 = m.copy(fingerprint = Fingerprint.fromEntries(current), files = current)
+    // the manifest promotes WITH the data (written into the temp dir
+    // before the swap) — a failure between data swap and manifest
+    // write would otherwise let a retried MATERIALIZE merge the same
+    // delta twice, doubling sums (review finding)
+    graft.core.FsSwap.replace(spark, m.dataPath, "refresh") { tmp =>
+      merged.write.parquet(tmp.toString)
+      writeManifestAt(spark, new Path(tmp, "_manifest.json"), m2)
     }
-    fs.delete(bak, true)
+    register(m2)
+    (m2, "merged_incremental")
   }
 
   /** Re-register every persisted manifest under the projection root
@@ -305,8 +305,10 @@ object AggProjections {
     m
   }
 
-  private def writeManifest(spark: SparkSession, m: Manifest): Unit = {
-    val p = new Path(m.dataPath, "_manifest.json")
+  private def writeManifest(spark: SparkSession, m: Manifest): Unit =
+    writeManifestAt(spark, new Path(m.dataPath, "_manifest.json"), m)
+
+  private def writeManifestAt(spark: SparkSession, p: Path, m: Manifest): Unit = {
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     val out = fs.create(p, true)
     try out.write(mapper.writeValueAsBytes(Map(
@@ -350,6 +352,14 @@ object AggProjections {
   object Fingerprint {
     val TtlConf = "spark.graft.projectionFingerprintTtlMs"
     private val cache = TrieMap.empty[String, (String, Long)]
+
+    /** Fingerprint from an already-taken stat sweep — byte-identical
+      * to [[of]] over the same files (same name:len:mtime parts, same
+      * path-sorted order). */
+    def fromEntries(entries: Seq[FileEntry]): String =
+      md5(entries.sortBy(_.path)
+        .map(e => s"${new Path(e.path).getName}:${e.len}:${e.mtime}")
+        .mkString("\n"))
 
     def of(spark: SparkSession, files: Seq[String]): String = {
       val ttl = spark.conf.getOption(TtlConf).map(_.toLong).getOrElse(0L)

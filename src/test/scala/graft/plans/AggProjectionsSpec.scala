@@ -224,10 +224,11 @@ class AggProjectionsSpec extends AnyFunSuite {
       "FROM li_sql GROUP BY l_returnflag"
     assert(scansProjection(spark.sql(q)))
     assert(sortedRows(spark.sql(q)) == unoptimized(sortedRows(spark.sql(q))))
-    // MATERIALIZE refreshes; DROP removes data + registry
+    // MATERIALIZE with an unchanged source is a provable no-op;
+    // DROP removes data + registry
     assert(graft.dialect.ChSql.sql(spark,
       "ALTER TABLE li_sql MATERIALIZE PROJECTION p_flag")
-      .collect().head.getString(1) == "materialized")
+      .collect().head.getString(1) == "noop")
     assert(graft.dialect.ChSql.sql(spark,
       "ALTER TABLE li_sql DROP PROJECTION p_flag")
       .collect().head.getString(1) == "dropped")
@@ -278,8 +279,9 @@ class AggProjectionsSpec extends AnyFunSuite {
       // append-only growth → the refresh must MERGE, not rebuild
       base0.filter("l_orderkey % 2 = 1").coalesce(1)
         .write.mode("append").parquet(d)
-      val (m2, incremental) = AggProjections.rematerialize(spark, d, "incr")
-      assert(incremental, "append-only growth should take the merge path")
+      val (m2, mode) = AggProjections.rematerialize(spark, d, "incr")
+      assert(mode == "merged_incremental",
+        "append-only growth should take the merge path")
       assert(m2.files.size > 1)
       // merged companion answers EXACTLY like a from-scratch aggregate
       spark.read.parquet(d).createOrReplaceTempView("li_incr")
@@ -298,8 +300,10 @@ class AggProjectionsSpec extends AnyFunSuite {
       val firstPart = new java.io.File(d).listFiles()
         .filter(f => f.getName.endsWith(".parquet")).minBy(_.getName)
       assert(firstPart.delete())
-      val (_, incremental2) = AggProjections.rematerialize(spark, d, "incr")
-      assert(!incremental2, "a shrunk source must force the rebuild path")
+      val (_, mode2) = AggProjections.rematerialize(spark, d, "incr")
+      assert(mode2 == "rebuilt", "a shrunk source must force the rebuild path")
+      // and an unchanged source is a no-op, not a corpus re-shuffle
+      assert(AggProjections.rematerialize(spark, d, "incr")._2 == "noop")
       // the view captured the pre-delete file listing — re-bind it
       // (the engine under test never touched this test-local view)
       spark.read.parquet(d).createOrReplaceTempView("li_incr")
