@@ -124,4 +124,31 @@ class QueryServiceSpec extends AnyFunSuite {
     val res = svc.executeWithRetry(QueryService.QueryRequest("SELECT 1 + 1 AS two"))
     assert(res.rows == Seq(Seq(2)))
   }
+
+  test("DDL statements route through the service front door: projection, optimize, mutation") {
+    val svc = new QueryService(spark)
+    val dir = java.nio.file.Files.createTempDirectory("graft_svc_ddl").toString + "/t"
+    spark.read.parquet("/root/testdata/sf0.001/nation.parquet")
+      .repartition(3).write.parquet(dir)
+    spark.conf.set("spark.graft.projectionDir",
+      java.nio.file.Files.createTempDirectory("graft_svc_proj").toString)
+    // projection DDL as the MAIN query returns its status frame
+    val add = svc.execute(QueryService.QueryRequest(
+      s"ALTER TABLE '$dir' ADD PROJECTION svc_p " +
+        "(SELECT n_regionkey, sum(n_nationkey) GROUP BY n_regionkey)"))
+    assert(add.cols == Seq("projection", "status"))
+    assert(add.rows.head(1) == "materialized")
+    // OPTIMIZE compacts the 3-file table
+    val opt = svc.execute(QueryService.QueryRequest(s"OPTIMIZE TABLE '$dir' FINAL"))
+    assert(opt.cols.contains("files_after"))
+    assert(opt.rows.head(2).asInstanceOf[Int] < 3)
+    // a mutation reports rows_affected
+    val del = svc.execute(QueryService.QueryRequest(
+      s"DELETE FROM '$dir' WHERE n_nationkey % 2 = 0"))
+    assert(del.cols == Seq("table", "mutation", "rows_affected"))
+    assert(del.rows.head(1) == "deleted")
+    assert(del.rows.head(2).asInstanceOf[Long] > 0)
+    assert(spark.read.parquet(dir).filter("n_nationkey % 2 = 0").count() == 0)
+    graft.plans.AggProjections.drop(spark, dir, "svc_p")
+  }
 }
