@@ -17,8 +17,10 @@ import graft.plans.AggProjections
   *     must be group keys; `count()` needs no declaration (the row
   *     count is always stored). Materializes IMMEDIATELY (CH defers to
   *     a MATERIALIZE for existing parts; one statement here).
-  *   - `ALTER TABLE <t> MATERIALIZE PROJECTION <p>` — re-aggregate the
-  *     current source files, refresh the staleness fingerprint.
+  *   - `ALTER TABLE <t> MATERIALIZE PROJECTION <p>` — refresh:
+  *     incremental state-merge when the source only grew, full
+  *     re-aggregate when it shrank/changed, no-op when provably
+  *     current (the status column reports which ran).
   *   - `ALTER TABLE <t> DROP PROJECTION <p>` — registry + data.
   *
   * `<t>` is a session table/view over parquet, or a quoted path

@@ -116,38 +116,67 @@ object AggProjections {
 
   /** Materialize a projection: group the source by `groupCols`, store
     * one row per group with mergeable partial states (plus `_cnt`, the
-    * group row count, always). Overwrites a same-named projection. */
+    * group row count, always). Overwrites a same-named projection
+    * (swap-protected when one exists — a crashed rebuild must leave
+    * the previous companion + manifest intact). */
   def create(
       spark: SparkSession,
       source: String,
       name: String,
       groupCols: Seq[String],
       aggs: Seq[(String, String)]): Manifest = {
-    require(groupCols.nonEmpty, "projection needs at least one group column")
-    val defs = aggs.map { case (op, c) => AggDef(op, c) }
     val df = spark.read.parquet(source)
-    val missing = (groupCols ++ defs.map(_.column)).distinct
-      .filterNot(df.schema.fieldNames.contains)
-    require(missing.isEmpty, s"projection columns not in source: ${missing.mkString(", ")}")
-
-    val uniqueStates = stateColumns(defs)
-
-    val key = sourceKey(spark, source)
     // ONE stat sweep taken BEFORE the data pass drives both the
     // fingerprint and the recorded file set (review finding: stats
     // taken after the read let a concurrent in-place file change be
     // recorded as if the companion reflected it — stale-stats-vs-new-
     // data errs the safe way: the gate reads stale and reverts to the
     // scan)
-    val entries = fileEntries(spark, df.inputFiles)
+    build(spark, df, source, name, groupCols, aggs,
+      fileEntries(spark, df.inputFiles))
+  }
+
+  private def build(
+      spark: SparkSession,
+      df: DataFrame,
+      source: String,
+      name: String,
+      groupCols: Seq[String],
+      aggs: Seq[(String, String)],
+      entries: Seq[FileEntry]): Manifest = {
+    require(groupCols.nonEmpty, "projection needs at least one group column")
+    val defs = aggs.map { case (op, c) => AggDef(op, c) }
+    val missing = (groupCols ++ defs.map(_.column)).distinct
+      .filterNot(df.schema.fieldNames.contains)
+    require(missing.isEmpty, s"projection columns not in source: ${missing.mkString(", ")}")
+
+    val uniqueStates = stateColumns(defs)
+    val key = sourceKey(spark, source)
     val fp = Fingerprint.fromEntries(entries)
     val dir = s"${projectionRoot(spark)}/${md5(key).take(12)}/$name"
-    df.groupBy(groupCols.map(col): _*).agg(uniqueStates.head, uniqueStates.tail: _*)
-      .sortWithinPartitions(groupCols.map(col): _*)
-      .write.mode("overwrite").parquet(dir)
-
     val m = Manifest(name, key, groupCols, defs, dir, fp, entries)
-    writeManifest(spark, m)
+    val agg = df.groupBy(groupCols.map(col): _*)
+      .agg(uniqueStates.head, uniqueStates.tail: _*)
+      .sortWithinPartitions(groupCols.map(col): _*)
+    val dst = new Path(dir)
+    val fs = dst.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(dst))
+      // rebuild over a live companion: swap-protected, manifest
+      // promoted WITH the data (review finding: mode("overwrite")
+      // deletes companion+manifest first, so a mid-write crash
+      // destroyed both)
+      graft.core.FsSwap.replace(spark, dir, "rebuild") { tmp =>
+        agg.write.parquet(tmp.toString)
+        writeManifestAt(spark, new Path(tmp, "_manifest.json"), m)
+      }
+    else {
+      agg.write.parquet(dir)
+      writeManifest(spark, m)
+    }
+    // same-source rebuilds keep the same fingerprint, so the versioned
+    // plan cache would otherwise serve a plan listing the replaced
+    // part files (review finding)
+    planCache.remove(dir)
     register(m)
     m
   }
@@ -213,8 +242,10 @@ object AggProjections {
     * sketches union) — one batch pass instead of a corpus pass, the
     * refresh cost that makes projections viable against an append-only
     * 100 TB table. Any removed or changed file forces a full rebuild
-    * (merging can't subtract). Returns the manifest and whether the
-    * incremental path ran. */
+    * (merging can't subtract); an unchanged, HEALTHY projection
+    * (fingerprint consistent, companion present) is a no-op. Returns
+    * the manifest and which path ran:
+    * `"noop" | "merged_incremental" | "rebuilt"`. */
   def rematerialize(
       spark: SparkSession, source: String, name: String): (Manifest, String) = {
     val key = sourceKey(spark, source)
@@ -233,19 +264,32 @@ object AggProjections {
     val oldSet = m.files.toSet
     val added = current.filterNot(oldSet)
     val removedOrChanged = oldSet -- current.toSet
-    if (m.files.nonEmpty && removedOrChanged.isEmpty && added.isEmpty)
+    // noop needs the projection HEALTHY, not just the file set
+    // unchanged: the fingerprint must be consistent with the recorded
+    // files (legacy manifests stamped from a different sweep are not)
+    // and the companion must exist on disk — otherwise MATERIALIZE
+    // loses its repair role (review finding)
+    val companionPath = new Path(m.dataPath)
+    val companionFs = companionPath.getFileSystem(spark.sessionState.newHadoopConf())
+    if (m.files.nonEmpty && removedOrChanged.isEmpty && added.isEmpty &&
+        m.fingerprint == Fingerprint.fromEntries(current) &&
+        companionFs.exists(companionPath))
       return (m, "noop") // provably current — a scheduled refresh with
                          // no new data must not re-shuffle the corpus
-    val incrementalOk = m.files.nonEmpty && removedOrChanged.isEmpty
-    lazy val deltaDf =
-      spark.read.parquet(added.map(_.path): _*)
+    def rebuild(): (Manifest, String) =
+      // reuses the sweep this refresh already took (review finding:
+      // the rebuild path re-stat'd every file a second time)
+      (build(spark, df, source, name, m.groupCols,
+        m.aggs.map(d => (d.op, d.column)), current), "rebuilt")
+    val incrementalOk = m.files.nonEmpty && removedOrChanged.isEmpty &&
+      added.nonEmpty && companionFs.exists(companionPath)
+    if (!incrementalOk) return rebuild()
+    val deltaDf = spark.read.parquet(added.map(_.path): _*)
     // hive-partitioned sources: reading leaf files directly drops the
     // partition columns — fall back to the full rebuild rather than
     // fail the statement (review finding)
     val needed = (m.groupCols ++ m.aggs.map(_.column)).distinct
-    if (!incrementalOk || !needed.forall(deltaDf.schema.fieldNames.contains))
-      return (create(spark, source, name, m.groupCols,
-        m.aggs.map(d => (d.op, d.column))), "rebuilt")
+    if (!needed.forall(deltaDf.schema.fieldNames.contains)) return rebuild()
 
     val states = stateColumns(m.aggs)
     val delta = deltaDf
@@ -276,6 +320,7 @@ object AggProjections {
       merged.write.parquet(tmp.toString)
       writeManifestAt(spark, new Path(tmp, "_manifest.json"), m2)
     }
+    planCache.remove(m.dataPath)
     register(m2)
     (m2, "merged_incremental")
   }
@@ -288,8 +333,14 @@ object AggProjections {
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(root)) return 0
     var n = 0
-    for (src <- fs.listStatus(root) if src.isDirectory;
-         proj <- fs.listStatus(src.getPath) if proj.isDirectory) {
+    // dot-prefixed dirs are swap temp/backup leftovers — a crashed
+    // refresh's tmp carries a manifest whose fingerprint covers data
+    // that never promoted; registering it would serve wrong answers
+    // (review finding)
+    for (src <- fs.listStatus(root)
+           if src.isDirectory && !src.getPath.getName.startsWith(".");
+         proj <- fs.listStatus(src.getPath)
+           if proj.isDirectory && !proj.getPath.getName.startsWith(".")) {
       val mf = new Path(proj.getPath, "_manifest.json")
       if (fs.exists(mf)) {
         try { register(readManifest(fs, mf)); n += 1 }
