@@ -338,8 +338,11 @@ object ChSql {
     if (ProjectionSql.isProjection(m)) return ProjectionSql.run(spark, m)
     // OPTIMIZE TABLE … [FINAL]: compact the table's parquet layout
     if (OptimizeSql.isOptimize(m)) return OptimizeSql.run(spark, m)
-    // mutations: ALTER TABLE … DELETE/UPDATE WHERE, DELETE FROM …
+    // mutations: ALTER TABLE … DELETE/UPDATE WHERE, DELETE FROM …,
+    // TRUNCATE TABLE
     if (MutateSql.isMutation(m)) return MutateSql.run(spark, m, macros)
+    // SHOW CREATE TABLE — session-view DDL reconstruction
+    if (ShowSql.isShowCreate(m)) return ShowSql.run(spark, m)
     // CH `EXPLAIN [mode] SELECT …` returns the plan as result rows; the
     // Spark rendition explains the rewritten query's physical plan (all
     // CH modes map to the one plan Spark has — the Catalyst one)

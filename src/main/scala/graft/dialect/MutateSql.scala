@@ -34,14 +34,26 @@ object MutateSql {
     """(?is)^\s*DELETE\s+FROM\s+(?:'([^']+)'|([\w.`"]+))\s+WHERE\s+(.+?)\s*$""".r
   private val UpdateRe =
     """(?is)^\s*ALTER\s+TABLE\s+(?:'([^']+)'|([\w.`"]+))\s+UPDATE\s+(.+?)\s+WHERE\s+(.+?)\s*$""".r
+  private val TruncateRe =
+    """(?is)^\s*TRUNCATE\s+TABLE\s+(?:IF\s+EXISTS\s+)?(?:'([^']+)'|([\w.`"]+))\s*$""".r
 
   def isMutation(sql: String): Boolean =
-    DeleteRe.matches(sql) || LightDeleteRe.matches(sql) || UpdateRe.matches(sql)
+    DeleteRe.matches(sql) || LightDeleteRe.matches(sql) ||
+      UpdateRe.matches(sql) || TruncateRe.matches(sql)
 
   def run(spark: SparkSession, sql: String,
       macros: Map[String, String] = ChSql.defaultMacros): DataFrame = {
     import spark.implicits._
     sql match {
+      case TruncateRe(pathLit, tableName) =>
+        // TRUNCATE = keep the schema, drop every row — an empty
+        // same-schema parquet write through the usual swap
+        val (name, source) = resolve(spark, pathLit, tableName)
+        val df = spark.read.parquet(source)
+        val n = df.count()
+        rewrite(spark, source, name, df.limit(0))
+        Seq((name.getOrElse(source), "truncated", n))
+          .toDF("table", "mutation", "rows_affected")
       case DeleteRe(pathLit, tableName, cond) =>
         delete(spark, pathLit, tableName, cond, macros)
       case LightDeleteRe(pathLit, tableName, cond) =>

@@ -431,4 +431,23 @@ class ChSqlSpec extends AnyFunSuite {
     }
     assert(e2.getMessage.contains("SAMPLE BY"))
   }
+
+  test("SHOW CREATE TABLE replays ATTACH DDL and renders view schemas in CH types") {
+    val spark = graft.TestSpark.spark
+    // ATTACH'd table: recorded column list + ORDER BY replay verbatim
+    ChSql.sql(spark,
+      "ATTACH TABLE show_t (`id` Int64, `name` String) ENGINE = MergeTree " +
+        "ORDER BY (id)")
+    val attach = ChSql.sql(spark, "SHOW CREATE TABLE show_t")
+      .collect().head.getString(0)
+    assert(attach.startsWith("ATTACH TABLE show_t"))
+    assert(attach.contains("`id` Int64") && attach.contains("ORDER BY (id)"))
+    // plain parquet-backed view: live schema rendered in CH type names
+    spark.read.parquet("/root/testdata/sf0.001/nation.parquet")
+      .createOrReplaceTempView("show_nation")
+    val view = ChSql.sql(spark, "SHOW CREATE TABLE show_nation")
+      .collect().head.getString(0)
+    assert(view.startsWith("CREATE TABLE show_nation"))
+    assert(view.contains("`n_nationkey` Int32") && view.contains("`n_name` String"))
+  }
 }

@@ -99,6 +99,18 @@ class MutateSqlSpec extends AnyFunSuite {
     assert(keys.zip(keys.tail).forall { case (a, b) => a <= b })
   }
 
+  test("TRUNCATE TABLE keeps the schema, drops every row") {
+    val d = freshCopy()
+    val before = spark.read.parquet(d).count()
+    val status = ChSql.sql(spark, s"TRUNCATE TABLE '$d'").collect().head
+    assert(status.getString(1) == "truncated")
+    assert(status.getLong(2) == before)
+    val after = spark.read.parquet(d)
+    assert(after.count() == 0)
+    assert(after.schema == spark.read
+      .parquet("/root/testdata/sf0.001/orders.parquet").schema)
+  }
+
   test("malformed statements refuse loudly") {
     intercept[IllegalArgumentException] {
       MutateSql.run(spark, "ALTER TABLE t UPDATE novalue WHERE x = 1")
