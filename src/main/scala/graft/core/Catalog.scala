@@ -25,7 +25,8 @@ object Catalog {
       schemaDdl: String,
       orderBy: Seq[String],
       endpoint: Option[String],
-      sampleBy: Option[String] = None)
+      sampleBy: Option[String] = None,
+      uuid: Option[String] = None)
 
   private val attached = scala.collection.concurrent.TrieMap.empty[String, AttachedTable]
 
@@ -108,7 +109,8 @@ object Catalog {
           spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
       }
       df.createOrReplaceTempView(name)
-      val t = AttachedTable(name, cols.trim, key, endpoint.map(_._1), Option(sampleBy))
+      val t = AttachedTable(name, cols.trim, key, endpoint.map(_._1),
+        Option(sampleBy), Option(uuid).map(_.trim).filter(_.nonEmpty))
       attached(name) = t
       t
     case _ =>

@@ -35,7 +35,7 @@ object MutateSql {
   private val UpdateRe =
     """(?is)^\s*ALTER\s+TABLE\s+(?:'([^']+)'|([\w.`"]+))\s+UPDATE\s+(.+?)\s+WHERE\s+(.+?)\s*$""".r
   private val TruncateRe =
-    """(?is)^\s*TRUNCATE\s+TABLE\s+(?:IF\s+EXISTS\s+)?(?:'([^']+)'|([\w.`"]+))\s*$""".r
+    """(?is)^\s*TRUNCATE\s+TABLE\s+(IF\s+EXISTS\s+)?(?:'([^']+)'|([\w.`"]+))\s*$""".r
 
   def isMutation(sql: String): Boolean =
     DeleteRe.matches(sql) || LightDeleteRe.matches(sql) ||
@@ -45,15 +45,38 @@ object MutateSql {
       macros: Map[String, String] = ChSql.defaultMacros): DataFrame = {
     import spark.implicits._
     sql match {
-      case TruncateRe(pathLit, tableName) =>
+      case TruncateRe(ifExists, pathLit, tableName) =>
         // TRUNCATE = keep the schema, drop every row — an empty
-        // same-schema parquet write through the usual swap
-        val (name, source) = resolve(spark, pathLit, tableName)
-        val df = spark.read.parquet(source)
-        val n = df.count()
-        rewrite(spark, source, name, df.limit(0))
-        Seq((name.getOrElse(source), "truncated", n))
-          .toDF("table", "mutation", "rows_affected")
+        // same-schema parquet write through the usual swap. IF EXISTS
+        // no-ops on a missing table/path (review finding: the clause
+        // was parsed but a missing target still threw)
+        val resolved =
+          try {
+            val r = resolve(spark, pathLit, tableName)
+            // a quoted path resolves without touching storage — probe
+            // existence here so IF EXISTS can catch it
+            val p = new org.apache.hadoop.fs.Path(r._2)
+            val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+            if (!fs.exists(p))
+              throw new IllegalArgumentException(s"${r._2} does not exist")
+            Some(r)
+          } catch {
+            case _: Exception if ifExists != null => None
+            case e: Exception => throw e
+          }
+        resolved match {
+          case None =>
+            Seq((Option(tableName).getOrElse(pathLit), "not_found", 0L))
+              .toDF("table", "mutation", "rows_affected")
+          case Some((name, source)) =>
+            val df = spark.read.parquet(source)
+            val n = df.count()
+            // an empty rewrite needs ONE file, not ceil(bytes/target)
+            // empties (review finding)
+            rewrite(spark, source, name, df.limit(0), nFilesOverride = Some(1))
+            Seq((name.getOrElse(source), "truncated", n))
+              .toDF("table", "mutation", "rows_affected")
+        }
       case DeleteRe(pathLit, tableName, cond) =>
         delete(spark, pathLit, tableName, cond, macros)
       case LightDeleteRe(pathLit, tableName, cond) =>
@@ -128,7 +151,8 @@ object MutateSql {
   }
 
   private def rewrite(spark: SparkSession, source: String,
-      name: Option[String], out: DataFrame): Unit = {
+      name: Option[String], out: DataFrame,
+      nFilesOverride: Option[Int] = None): Unit = {
     val sortKey = name.map(graft.core.Catalog.sortKey).getOrElse(Nil)
     // aim for OPTIMIZE's file count: the default writeSorted
     // repartition would fragment a just-compacted table into
@@ -137,7 +161,7 @@ object MutateSql {
     val src = new org.apache.hadoop.fs.Path(source)
     val bytes = src.getFileSystem(spark.sessionState.newHadoopConf())
       .getContentSummary(src).getLength
-    val nFiles = OptimizeSql.targetFiles(spark, bytes)
+    val nFiles = nFilesOverride.getOrElse(OptimizeSql.targetFiles(spark, bytes))
     OptimizeSql.swapRewrite(spark, source) { tmp =>
       if (sortKey.nonEmpty)
         Sinks.writeSorted(out, tmp.toString, sortKey, numFiles = nFiles)

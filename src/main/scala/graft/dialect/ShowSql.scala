@@ -8,45 +8,71 @@ import org.apache.spark.sql.types._
   * way; Spark's own SHOW CREATE TABLE only covers catalog tables, not
   * the session views the ATTACH/CTAS flow registers).
   *
-  *   - ATTACH'd tables replay their recorded column list, ORDER BY and
-  *     endpoint verbatim;
-  *   - CTAS tables and plain parquet-backed views render their Spark
-  *     schema in CH type names (`Int64`, `Float64`, `DateTime`, …).
+  *   - ATTACH'd tables replay their recorded column list, UUID, ORDER
+  *     BY, SAMPLE BY and endpoint — a FUNCTIONAL replay (the endpoint
+  *     is the resolved one, e.g. a probed `store/<uuid>` root, and its
+  *     disk type reflects where it actually points), re-runnable
+  *     through this engine's own ATTACH parser;
+  *   - CTAS tables, quoted paths, and plain parquet-backed views
+  *     render their live Spark schema in CH type names (`Int64`,
+  *     `Nullable(String)`, `DateTime`, …).
   */
 object ShowSql {
 
   private val StmtRe =
-    """(?is)^\s*SHOW\s+CREATE\s+(?:TABLE\s+)?([\w.`"]+)\s*$""".r
+    """(?is)^\s*SHOW\s+CREATE\s+(?:TABLE\s+)?(?:'([^']+)'|([\w.`"]+))\s*$""".r
 
   def isShowCreate(sql: String): Boolean = StmtRe.matches(sql)
 
   def run(spark: SparkSession, sql: String): DataFrame = {
     import spark.implicits._
-    val name = sql match {
-      case StmtRe(n) => ProjectionSql.clean(n)
+    val (pathLit, name) = sql match {
+      case StmtRe(p, n) => (Option(p), Option(n).map(ProjectionSql.clean))
       case other => throw new IllegalArgumentException(
         s"unparseable SHOW CREATE statement: $other")
     }
-    val stmt = graft.core.Catalog.lookup(name) match {
+    // quoted-path form: same table-designator grammar as the sibling
+    // statements — render the parquet schema directly
+    pathLit.foreach { p =>
+      val cols = spark.read.parquet(p).schema.fields
+        .map(f => s"`${f.name}` ${chType(f)}").mkString(", ")
+      return Seq(s"CREATE TABLE `$p` ($cols) ENGINE = MergeTree")
+        .toDF("statement")
+    }
+    val n = name.get
+    // case-insensitive like table resolution — an exact-case miss must
+    // not silently fall through to the generic rendering
+    val entry = graft.core.Catalog.lookup(n).orElse(
+      graft.core.Catalog.all.find(_.name.equalsIgnoreCase(n)))
+    val stmt = entry match {
       case Some(t) if t.schemaDdl.nonEmpty =>
+        val uuid = t.uuid.map(u => s" UUID '$u'").getOrElse("")
         val orderBy =
           if (t.orderBy.nonEmpty) s" ORDER BY (${t.orderBy.mkString(", ")})" else ""
-        val settings = t.endpoint
-          .map(e => s" SETTINGS disk = disk(type = web, endpoint = '$e')")
-          .getOrElse("")
-        s"ATTACH TABLE ${t.name} (${t.schemaDdl}) ENGINE = MergeTree$orderBy$settings"
+        val sampleBy = t.sampleBy.map(sb => s" SAMPLE BY $sb").getOrElse("")
+        val settings = t.endpoint.map { e =>
+          val diskType = if (e.startsWith("http")) "web" else "local"
+          s" SETTINGS disk = disk(type = $diskType, endpoint = '$e')"
+        }.getOrElse("")
+        s"ATTACH TABLE ${t.name}$uuid (${t.schemaDdl}) " +
+          s"ENGINE = MergeTree$orderBy$sampleBy$settings"
       case other =>
         // CTAS entry (schema not recorded as DDL) or a plain session
         // view — render the live schema in CH type names
-        val schema = spark.table(name).schema
+        val schema = spark.table(n).schema
         val cols = schema.fields
-          .map(f => s"`${f.name}` ${chType(f.dataType)}").mkString(", ")
+          .map(f => s"`${f.name}` ${chType(f)}").mkString(", ")
         val orderBy = other.filter(_.orderBy.nonEmpty)
           .map(t => s" ORDER BY (${t.orderBy.mkString(", ")})").getOrElse("")
-        s"CREATE TABLE $name ($cols) ENGINE = MergeTree$orderBy"
+        s"CREATE TABLE $n ($cols) ENGINE = MergeTree$orderBy"
     }
     Seq(stmt).toDF("statement")
   }
+
+  /** Field rendering honors nullability — the parser's `Nullable(T)`
+    * is the correct inverse for Spark's default-nullable columns. */
+  private def chType(f: StructField): String =
+    if (f.nullable) s"Nullable(${chType(f.dataType)})" else chType(f.dataType)
 
   /** Spark → ClickHouse type spelling (the inverse of the subset
     * [[graft.types.ChSchemaParser]] accepts). */

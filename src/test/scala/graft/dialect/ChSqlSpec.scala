@@ -448,6 +448,12 @@ class ChSqlSpec extends AnyFunSuite {
     val view = ChSql.sql(spark, "SHOW CREATE TABLE show_nation")
       .collect().head.getString(0)
     assert(view.startsWith("CREATE TABLE show_nation"))
-    assert(view.contains("`n_nationkey` Int32") && view.contains("`n_name` String"))
+    assert(view.contains("`n_nationkey` Nullable(Int32)") &&
+      view.contains("`n_name` Nullable(String)"))
+    // quoted-path form works like the sibling statement handlers
+    val byPath = ChSql.sql(spark,
+      "SHOW CREATE TABLE '/root/testdata/sf0.001/nation.parquet'")
+      .collect().head.getString(0)
+    assert(byPath.contains("`n_regionkey` Nullable(Int32)"))
   }
 }

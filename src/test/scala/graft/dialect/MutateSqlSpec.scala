@@ -109,6 +109,16 @@ class MutateSqlSpec extends AnyFunSuite {
     assert(after.count() == 0)
     assert(after.schema == spark.read
       .parquet("/root/testdata/sf0.001/orders.parquet").schema)
+    // the empty rewrite lands as ONE file, not ceil(bytes/target) empties
+    assert(new java.io.File(d).listFiles()
+      .count(f => f.getName.endsWith(".parquet")) == 1)
+    // IF EXISTS no-ops on a missing target instead of throwing
+    val missing = ChSql.sql(spark,
+      "TRUNCATE TABLE IF EXISTS '/no/such/graft/table'").collect().head
+    assert(missing.getString(1) == "not_found")
+    intercept[Exception] {
+      ChSql.sql(spark, "TRUNCATE TABLE '/no/such/graft/table'").collect()
+    }
   }
 
   test("malformed statements refuse loudly") {
