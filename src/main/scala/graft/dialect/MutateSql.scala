@@ -33,7 +33,7 @@ object MutateSql {
   private val LightDeleteRe =
     """(?is)^\s*DELETE\s+FROM\s+(?:'([^']+)'|([\w.`"]+))\s+WHERE\s+(.+?)\s*$""".r
   private val UpdateRe =
-    """(?is)^\s*ALTER\s+TABLE\s+(?:'([^']+)'|([\w.`"]+))\s+UPDATE\s+(.+?)\s+WHERE\s+(.+?)\s*$""".r
+    """(?is)^\s*ALTER\s+TABLE\s+(?:'([^']+)'|([\w.`"]+))\s+UPDATE\s+(.+?)\s*$""".r
   private val TruncateRe =
     """(?is)^\s*TRUNCATE\s+TABLE\s+(IF\s+EXISTS\s+)?(?:'([^']+)'|([\w.`"]+))\s*$""".r
 
@@ -81,7 +81,15 @@ object MutateSql {
         delete(spark, pathLit, tableName, cond, macros)
       case LightDeleteRe(pathLit, tableName, cond) =>
         delete(spark, pathLit, tableName, cond, macros)
-      case UpdateRe(pathLit, tableName, assigns, cond) =>
+      case UpdateRe(pathLit, tableName, assignsAndCond) =>
+        // the assignments/condition split locates the first TOP-LEVEL
+        // WHERE (outside quotes and parens) with a real scan — the
+        // previous lazy-regex split broke on an assignment whose string
+        // literal contained the word WHERE (advisor r9)
+        val (assigns, cond) = splitAtTopLevelWhere(assignsAndCond).getOrElse(
+          throw new IllegalArgumentException(
+            "ALTER TABLE … UPDATE requires a WHERE clause " +
+              "(use WHERE 1 to update every row)"))
         // syntax-check the assignment list BEFORE touching storage
         val parsedAssigns = splitAssignments(assigns)
         val (name, source) = resolve(spark, pathLit, tableName)
@@ -191,6 +199,36 @@ object MutateSql {
     }
     bare(spark.table(n).queryExecution.analyzed)
   } catch { case scala.util.control.NonFatal(_) => false }
+
+  /** First top-level `WHERE` keyword — outside single quotes and parens,
+    * whole-word — splitting `<assignments> WHERE <condition>`. Returns
+    * None when no top-level WHERE exists (a quoted or parenthesized
+    * WHERE does not count). */
+  private def splitAtTopLevelWhere(s: String): Option[(String, String)] = {
+    var i = 0
+    var depth = 0
+    var inQuote = false
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (inQuote) {
+        if (c == '\\' && i + 1 < s.length) i += 1
+        else if (c == '\'') inQuote = false
+      }
+      else if (c == '\'') inQuote = true
+      else if (c == '(') depth += 1
+      else if (c == ')') depth -= 1
+      else if (depth == 0 && (c == 'w' || c == 'W') && i + 5 <= s.length &&
+        s.regionMatches(true, i, "WHERE", 0, 5) &&
+        (i == 0 || !Character.isLetterOrDigit(s.charAt(i - 1)) && s.charAt(i - 1) != '_') &&
+        (i + 5 == s.length || !Character.isLetterOrDigit(s.charAt(i + 5)) && s.charAt(i + 5) != '_')) {
+        val assigns = s.substring(0, i).trim
+        val cond = s.substring(i + 5).trim
+        if (assigns.nonEmpty && cond.nonEmpty) return Some((assigns, cond))
+      }
+      i += 1
+    }
+    None
+  }
 
   /** Split `a = e1, b = e2` on top-level commas (parens and quotes
     * respected — an expression like `concat(x, ',')` must not split). */

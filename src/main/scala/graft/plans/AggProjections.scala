@@ -405,11 +405,15 @@ object AggProjections {
     private val cache = TrieMap.empty[String, (String, Long)]
 
     /** Fingerprint from an already-taken stat sweep — byte-identical
-      * to [[of]] over the same files (same name:len:mtime parts, same
-      * path-sorted order). */
+      * to [[of]] over the same files (same path:len:mtime parts, same
+      * path-sorted order). The FULL path is hashed, not the basename:
+      * on a hive-partitioned source a part file moved between
+      * partition directories keeps name/len/mtime but changes its
+      * partition-column values, and a basename fingerprint would let a
+      * projection on that column serve stale answers (advisor r9). */
     def fromEntries(entries: Seq[FileEntry]): String =
       md5(entries.sortBy(_.path)
-        .map(e => s"${new Path(e.path).getName}:${e.len}:${e.mtime}")
+        .map(e => s"${e.path}:${e.len}:${e.mtime}")
         .mkString("\n"))
 
     def of(spark: SparkSession, files: Seq[String]): String = {
@@ -423,7 +427,7 @@ object AggProjections {
           val parts = sorted.map { f =>
             val p = new Path(f)
             val st = p.getFileSystem(conf).getFileStatus(p)
-            s"${p.getName}:${st.getLen}:${st.getModificationTime}"
+            s"$f:${st.getLen}:${st.getModificationTime}"
           }
           val fp = md5(parts.mkString("\n"))
           cache.put(cacheKey, (fp, now))
@@ -464,7 +468,12 @@ case class AggProjectionRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
   import AggProjections._
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
-    if (!spark.conf.getOption("spark.graft.aggProjections").forall(_.toBoolean))
+    // case-insensitive "false" disables; anything else — including a
+    // typo'd value — keeps the default-on behavior instead of throwing
+    // from every query's optimization pass (advisor r9: _.toBoolean on
+    // a malformed conf failed all queries)
+    if (spark.conf.getOption("spark.graft.aggProjections")
+        .exists(_.trim.equalsIgnoreCase("false")))
       return plan
     plan.transformDown {
       case agg @ Aggregate(groupExprs, aggExprs, child, _) =>
@@ -596,13 +605,20 @@ case class AggProjectionRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
             HllSketchEstimate(new HllUnionAgg(st).toAggregateExpression())
           }
         case av: Average if !av.child.dataType.isInstanceOf[DecimalType] =>
+          // LEGACY eval mode, not the session's ANSI default: an
+          // all-NULL group stores count state 0, and the direct path's
+          // Average divides with failOnError=false (→ NULL) — an ANSI
+          // Divide here would turn that query into a DIVIDE_BY_ZERO
+          // runtime failure the planning-time NonFatal catch cannot
+          // intercept (advisor r9)
           for {
             cn <- colOf(av.child)
             s <- stateFor("sum", cn)
             c <- stateFor("count", cn)
           } yield Divide(
             Cast(Sum(s).toAggregateExpression(), DoubleType),
-            Cast(Sum(c).toAggregateExpression(), DoubleType))
+            Cast(Sum(c).toAggregateExpression(), DoubleType),
+            org.apache.spark.sql.catalyst.expressions.EvalMode.LEGACY)
         case _ => None
       }
     }

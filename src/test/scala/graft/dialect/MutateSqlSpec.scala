@@ -121,6 +121,27 @@ class MutateSqlSpec extends AnyFunSuite {
     }
   }
 
+  test("UPDATE splits at the top-level WHERE, not one inside a string literal") {
+    val d = Files.createTempDirectory("graft_mut_where").toString + "/t"
+    import spark.implicits._
+    Seq((1, "a"), (2, "b")).toDF("id", "note").write.parquet(d)
+    // the assignment literal contains ' WHERE ' — the quote-aware scan
+    // must split at the real clause (advisor r9: the lazy regex split
+    // broke here with a misleading downstream parse error)
+    val status = ChSql.sql(spark,
+      s"ALTER TABLE '$d' UPDATE note = 'x WHERE y' WHERE id = 1").collect().head
+    assert(status.getString(1) == "updated")
+    assert(status.getLong(2) == 1L)
+    val notes = spark.read.parquet(d).orderBy("id")
+      .select("note").collect().map(_.getString(0)).toSeq
+    assert(notes == Seq("x WHERE y", "b"))
+    // no top-level WHERE at all → a clear refusal, not a mis-split
+    val e = intercept[IllegalArgumentException] {
+      MutateSql.run(spark, s"ALTER TABLE '$d' UPDATE note = 'a WHERE b'")
+    }
+    assert(e.getMessage.contains("WHERE"))
+  }
+
   test("malformed statements refuse loudly") {
     intercept[IllegalArgumentException] {
       MutateSql.run(spark, "ALTER TABLE t UPDATE novalue WHERE x = 1")

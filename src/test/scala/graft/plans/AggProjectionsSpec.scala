@@ -200,6 +200,55 @@ class AggProjectionsSpec extends AnyFunSuite {
       assert(!scansProjection(spark.sql(
         "SELECT l_returnflag, sum(l_quantity) FROM li_proj GROUP BY l_returnflag")))
     }
+    // a malformed value degrades to the default (on), never an
+    // exception from every query's optimization pass (advisor r9)
+    spark.conf.set("spark.graft.aggProjections", "off")
+    try assert(scansProjection(spark.sql(
+      "SELECT l_returnflag, sum(l_quantity) FROM li_proj GROUP BY l_returnflag")))
+    finally spark.conf.set("spark.graft.aggProjections", "true")
+  }
+
+  test("avg over an all-NULL group returns NULL through the reroute (ANSI divide)") {
+    projRoot // conf before create
+    val d = Files.createTempDirectory("graft_proj_nullavg").toString + "/t"
+    import spark.implicits._
+    // group 'b' has ONLY nulls in v: the stored count state sums to 0,
+    // so the rewritten Σsum/Σcount divide must be LEGACY (NULL), never
+    // an ANSI DIVIDE_BY_ZERO runtime failure (advisor r9)
+    Seq(("a", Some(10.0)), ("a", Some(20.0)), ("b", None: Option[Double]))
+      .toDF("k", "v").write.parquet(d)
+    AggProjections.create(spark, d, "null_avg", Seq("k"), Seq(("avg", "v")))
+    val q = spark.read.parquet(d).groupBy("k")
+      .agg(org.apache.spark.sql.functions.avg("v").as("a"))
+    assert(scansProjection(q), q.queryExecution.optimizedPlan.toString)
+    val rows = q.collect().map(r => r.getString(0) -> Option(r.get(1))).toMap
+    assert(rows("a") == Some(15.0))
+    assert(rows("b").isEmpty) // NULL, matching the direct path's Average
+  }
+
+  test("a part file moved between hive partition directories reverts the reroute") {
+    projRoot // conf before create
+    val d = Files.createTempDirectory("graft_proj_hive").toString + "/t"
+    import spark.implicits._
+    (1 to 100).map(i => (i % 2, i.toLong)).toDF("p", "v")
+      .repartition(2).write.partitionBy("p").parquet(d)
+    AggProjections.create(spark, d, "by_p", Seq("p"), Seq(("sum", "v")))
+    def q = spark.read.parquet(d).groupBy("p")
+      .agg(org.apache.spark.sql.functions.sum("v").as("s"))
+    assert(scansProjection(q), q.queryExecution.optimizedPlan.toString)
+    // move one parquet file p=0 → p=2: name, length, and (on a local
+    // move) mtime are preserved, but every row's partition-column value
+    // changed — the full-path fingerprint must catch it (advisor r9:
+    // a basename fingerprint served stale groups here)
+    val from = new java.io.File(s"$d/p=0").listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    val to = new java.io.File(s"$d/p=2", from.getName)
+    to.getParentFile.mkdirs()
+    val mtime = from.lastModified()
+    java.nio.file.Files.move(from.toPath, to.toPath)
+    to.setLastModified(mtime)
+    spark.catalog.refreshByPath(d)
+    assert(!scansProjection(q), q.queryExecution.optimizedPlan.toString)
   }
 
   test("loadAll re-registers persisted manifests in a fresh registry") {
