@@ -22,8 +22,14 @@ threads = int(sys.argv[2]) if len(sys.argv) > 2 else (os.cpu_count() or 8)
 con = duckdb.connect()
 con.execute(f"SET threads TO {threads}")
 
-li = f"'{sf}/lineitem.parquet'"
-orders = f"'{sf}/orders.parquet'"
+def table(name):
+    """Single-file parquet or a directory of part files (the generated
+    10x copies are directories) — glob the parts in the latter case."""
+    p = f"{sf}/{name}.parquet"
+    return f"'{p}/*.parquet'" if os.path.isdir(p) else f"'{p}'"
+
+li = table("lineitem")
+orders = table("orders")
 li_cols = [r[0] for r in con.execute(f"DESCRIBE SELECT * FROM {li}").fetchall()]
 hash_expr = "hash(" + ", ".join(li_cols) + ")"
 

@@ -80,6 +80,81 @@ object Bench {
     li.select(call_function("cityHash64", li.columns.map(col).toIndexedSeq: _*).as("h"))
       .agg(sum(pmod(col("h"), lit(1000000007L))).as("s"))
 
+  // ---- MergeTree ATTACH-path bench (VERDICT r9 task #2) ----
+  //
+  // The reference's entire published baseline is MergeTree scans
+  // (README.md:58: `sum(commits), event_type … GROUP BY event_type` at
+  // 2.22 B rows/s over the web-disk github_events table); q1-q9 are all
+  // parquet. q10 times the same group-by-sum shape over a real
+  // multi-part wide-part tree written by MergeTreePartWriter from the
+  // sf lineitem table, with a parquet twin of the same four columns so
+  // the format overhead is its own number.
+
+  private val MtCols = Seq(
+    "l_returnflag" -> "LowCardinality(String)",
+    "l_linestatus" -> "LowCardinality(String)",
+    "l_quantity" -> "Float64",
+    "l_extendedprice" -> "Float64")
+  private val MtDdl = MtCols.map { case (n, t) => s"`$n` $t" }.mkString(", ")
+  private val MtParts = 8
+
+  /** Build (once, content-keyed) a MergeTree fixture tree of [[MtParts]]
+    * wide parts sorted by (l_returnflag, l_linestatus), a 10× tree (the
+    * same parts replicated under fresh part names — identical decode
+    * cost per part, tenfold bytes, zero extra driver memory), and the
+    * four-column parquet twin. Returns (mt1xDir, mt10xDir, twinPath). */
+  private def ensureMergeTree(spark: SparkSession, sfDir: String): (String, String, String) = {
+    val src = new java.io.File(s"$sfDir/lineitem.parquet")
+    val parts =
+      if (src.isDirectory) src.listFiles().toSeq.sortBy(_.getName) else Seq(src)
+    val sig = parts.map(p => s"${p.getPath}:${p.length}:${p.lastModified}").mkString("|")
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(sig.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
+    val base = s"/tmp/graft_bench_mt_$key"
+    val mt1 = s"$base/mt"
+    val mt10 = s"$base/mt10x"
+    val twin = s"$base/twin.parquet"
+    val done = new java.io.File(s"$base/_DONE")
+    if (!done.exists()) {
+      val df = Tables.load(spark, sfDir, "lineitem")
+        .select("l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice")
+        .orderBy("l_returnflag", "l_linestatus")
+      val rows: Seq[Seq[Any]] = df.collect().iterator.map(r =>
+        Seq[Any](r.getString(0), r.getString(1), r.getDouble(2), r.getDouble(3))).toSeq
+      val chunk = math.max(1, (rows.size + MtParts - 1) / MtParts)
+      rows.grouped(chunk).zipWithIndex.foreach { case (c, i) =>
+        graft.sources.mergetree.MergeTreePartWriter.writePart(
+          mt1, MtCols, c, granularity = 8192, partName = s"all_${i + 1}_${i + 1}_0",
+          orderBy = Seq("l_returnflag", "l_linestatus"))
+      }
+      // 10×: replicate the written parts byte-for-byte under fresh names
+      val partDirs = new java.io.File(mt1).listFiles().filter(_.isDirectory)
+      var n = 0
+      for (_ <- 0 until 10; p <- partDirs) {
+        n += 1
+        val dst = java.nio.file.Paths.get(mt10, s"all_${n}_${n}_0")
+        java.nio.file.Files.createDirectories(dst)
+        p.listFiles().foreach(f => java.nio.file.Files.copy(
+          f.toPath, dst.resolve(f.getName)))
+      }
+      df.write.mode("overwrite").parquet(twin)
+      done.getParentFile.mkdirs()
+      done.createNewFile()
+    }
+    (mt1, mt10, twin)
+  }
+
+  /** The baseline group-by-sum shape over a MergeTree part tree.
+    * rowsPerSplit 32k fans each ~75k-row part into a few granule-range
+    * splits so the scan uses the whole machine. */
+  private def mergeTreeScan(spark: SparkSession, dir: String): DataFrame =
+    spark.read.format("mergetree")
+      .option("endpoint", dir).option("ddl", MtDdl)
+      .option("orderBy", "l_returnflag,l_linestatus")
+      .option("rowsPerSplit", 32768)
+      .load()
+      .groupBy("l_returnflag").agg(sum("l_quantity").as("s"))
+
   /** 1 warmup + [[Iters]] timed runs, median. Cache cleared before each
     * timed run: persisted intermediates must be re-earned every time.
     * `SPARK_GRAFT_BENCH_VERBOSE=1` prints every iteration to stderr —
@@ -276,12 +351,40 @@ object Bench {
         errors("q9_projection_build") = Option(e.getMessage)
           .getOrElse(e.getClass.getName).linesIterator.take(1).mkString.take(200)
     }
-    runAll(heads(spark, sfDir), times, identity)
+    // the ATTACH-path fixture (isolated: a fixture failure costs q10's
+    // lines only, never the q1-q9 timings)
+    val mtFix: Option[(String, String, String)] =
+      try Some(ensureMergeTree(spark, sfDir))
+      catch {
+        case e: Throwable =>
+          errors("q10_mergetree_setup") = Option(e.getMessage)
+            .getOrElse(e.getClass.getName).linesIterator.take(1).mkString.take(200)
+          None
+      }
+    val headQs = heads(spark, sfDir) ++ mtFix.map { case (mt1, _, _) =>
+      "q10_mergetree_scan" -> (() => mergeTreeScan(spark, mt1))
+    }
+    runAll(headQs, times, identity)
+    // the same shape over the same four columns as parquet — the format
+    // overhead isolated to one comparison, outside the total
+    var twinSec = -1.0
+    mtFix.foreach { case (_, _, twin) =>
+      try twinSec = timeMedian(spark, "q10_parquet_twin", () =>
+        spark.read.parquet(twin).groupBy("l_returnflag")
+          .agg(sum("l_quantity").as("s")))
+      catch {
+        case e: Throwable =>
+          errors("q10_parquet_twin") = Option(e.getMessage)
+            .getOrElse(e.getClass.getName).linesIterator.take(1).mkString.take(200)
+      }
+    }
 
     // larger-scale section: same four baseline shapes on 10× the bytes
     val times10 = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    var base10Opt: Option[String] = None
     try {
       val base10 = ensure10x(spark, sfDir)
+      base10Opt = Some(base10)
       // isolated like the 1x build: a q9 build failure must cost q9's
       // 10x line only, never the q1-q8 timings and ratio gates
       try graft.plans.AggProjections.create(spark, s"$base10/lineitem.parquet",
@@ -292,7 +395,10 @@ object Bench {
           errors("sf10x_q9_projection_build") = Option(e.getMessage)
             .getOrElse(e.getClass.getName).linesIterator.take(1).mkString.take(200)
       }
-      runAll(shapes10x(spark, base10), times10, n => s"sf10x_$n")
+      val shapes = shapes10x(spark, base10) ++ mtFix.map { case (_, mt10, _) =>
+        "q10_mergetree_scan" -> (() => mergeTreeScan(spark, mt10))
+      }
+      runAll(shapes, times10, n => s"sf10x_$n")
     } catch {
       case e: Throwable =>
         errors("sf10x_setup") = Option(e.getMessage).getOrElse(e.getClass.getName)
@@ -308,7 +414,8 @@ object Bench {
     times10.foreach { case (k, t10) =>
       times.get(k).filter(_ > 0).foreach(t1 => ratios(k) = t10 / t1)
     }
-    Seq("q5_minhash_dedup", "q6_lsh_ann", "q8_semantic_dedup").foreach { q =>
+    Seq("q5_minhash_dedup", "q6_lsh_ann", "q8_semantic_dedup",
+      "q10_mergetree_scan").foreach { q =>
       ratios.get(q).filter(_ > 6.0).foreach(r =>
         errors(s"ratio_10x_$q") =
           f"10x growth ratio $r%.2f exceeds the 6.0 near-linear gate")
@@ -322,15 +429,20 @@ object Bench {
     // never silently skipped.
     val duck = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val ratioDuck = scala.collection.mutable.LinkedHashMap.empty[String, Double]
-    try {
+    val duckSf1 = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    val ratioDuckSf1 = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    def duckRun(dir: String, spk: scala.collection.Map[String, Double],
+        into: scala.collection.mutable.LinkedHashMap[String, Double],
+        ratioInto: scala.collection.mutable.LinkedHashMap[String, Double],
+        errKey: String): Unit = try {
       val script = new java.io.File("scripts/bench_duckdb.py")
       if (!script.exists()) {
-        errors("duckdb_oracle") = s"${script.getPath} not found (run from repo root)"
+        errors(errKey) = s"${script.getPath} not found (run from repo root)"
       } else {
         // merged streams: reading stdout to EOF with stderr un-drained
         // deadlocks if the child fills the stderr pipe (review finding);
         // the JSON metric line is recovered as the last '{'-line
-        val p = new ProcessBuilder("python3", script.getPath, sfDir, cpus)
+        val p = new ProcessBuilder("python3", script.getPath, dir, cpus)
           .redirectErrorStream(true).start()
         val outStr = new String(p.getInputStream.readAllBytes(), "UTF-8").trim
         p.waitFor()
@@ -342,17 +454,23 @@ object Bench {
         val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(jsonLine)
         Seq("q1_scan_count", "q2_group_sum", "q3_uniq_exact", "q4_hash_scan").foreach { q =>
           if (root.has(q)) {
-            duck(q) = root.get(q).asDouble()
-            times.get(q).filter(_ => duck(q) > 0)
-              .foreach(t => ratioDuck(q) = t / duck(q))
+            into(q) = root.get(q).asDouble()
+            spk.get(q).filter(_ => into(q) > 0)
+              .foreach(t => ratioInto(q) = t / into(q))
           }
         }
       }
     } catch {
       case e: Throwable =>
-        errors("duckdb_oracle") = Option(e.getMessage).getOrElse(e.getClass.getName)
+        errors(errKey) = Option(e.getMessage).getOrElse(e.getClass.getName)
           .linesIterator.take(1).mkString.take(200)
     }
+    duckRun(sfDir, times, duck, ratioDuck, "duckdb_oracle")
+    // the sf1-scale gate (VERDICT r9 task #5): three rounds of sf0.1
+    // diagnosis put the q1-q3 gap on Spark's fixed per-query scheduling
+    // floor over sub-second data — decide the 2× gate where the floor
+    // amortizes: the same four shapes vs DuckDB on the 10× (≈sf1) copy
+    base10Opt.foreach(b => duckRun(b, times10, duckSf1, ratioDuckSf1, "duckdb_oracle_sf1"))
 
     def jstr(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
     // ROOT locale: a decimal-comma default locale would emit malformed
@@ -364,7 +482,7 @@ object Bench {
       .mkString("{", ",", "}")
     val total = times.values.sum
     val line =
-      s"""{"metric":"total","value":${jnum(total)},"unit":"sec","iters":$Iters,"queries":${jmap(times)},"sf10x":${jmap(times10)},"ratio_10x":${jmap(ratios)},"projection_build":${jnum(projBuild)},"duckdb":${jmap(duck)},"ratio_vs_duckdb":${jmap(ratioDuck)},"errors":$es,"sf":${jstr(sfDir)}}"""
+      s"""{"metric":"total","value":${jnum(total)},"unit":"sec","iters":$Iters,"queries":${jmap(times)},"sf10x":${jmap(times10)},"ratio_10x":${jmap(ratios)},"projection_build":${jnum(projBuild)},"q10_parquet_twin":${jnum(twinSec)},"duckdb":${jmap(duck)},"ratio_vs_duckdb":${jmap(ratioDuck)},"duckdb_sf1":${jmap(duckSf1)},"ratio_vs_duckdb_sf1":${jmap(ratioDuckSf1)},"errors":$es,"sf":${jstr(sfDir)}}"""
     println(line)
     // machine-readable artifact independent of log scraping (the r8
     // driver harness failed to extract the metric line from the sbt

@@ -399,9 +399,17 @@ object AggProjections {
     * in-place same-name rewrite (review finding), and "never a wrong
     * answer" outranks saved metadata calls. At a 100k-object store set
     * [[TtlConf]] (ms) to amortize the status sweep, explicitly
-    * accepting that masking window. */
+    * accepting that masking window.
+    *
+    * Sweep shape (VERDICT r9 task #4, the [[FooterAggregates]]
+    * pattern): ≤[[DriverStatMaxFiles]] files stat on a bounded driver
+    * pool (each is one metadata call; a Spark job would cost more than
+    * it saves); beyond that the sweep runs as a distributed job — the
+    * stats still ALL flow into one fingerprint, the work just stops
+    * being serial single-threaded driver time. */
   object Fingerprint {
     val TtlConf = "spark.graft.projectionFingerprintTtlMs"
+    val DriverStatMaxFiles = 64
     private val cache = TrieMap.empty[String, (String, Long)]
 
     /** Fingerprint from an already-taken stat sweep — byte-identical
@@ -424,11 +432,28 @@ object AggProjections {
       cache.get(cacheKey).filter(_ => ttl > 0).filter(now - _._2 < ttl)
         .map(_._1).getOrElse {
           val conf = spark.sessionState.newHadoopConf()
-          val parts = sorted.map { f =>
-            val p = new Path(f)
-            val st = p.getFileSystem(conf).getFileStatus(p)
-            s"$f:${st.getLen}:${st.getModificationTime}"
-          }
+          val parts: Seq[String] =
+            if (sorted.size > DriverStatMaxFiles)
+              org.apache.spark.sql.graft.FunctionShim
+                .statFiles(spark, sorted, conf)
+                .sortBy(_._1).map { case (p, len, mtime) => s"$p:$len:$mtime" }
+                .toSeq
+            else {
+              val pool = java.util.concurrent.Executors.newFixedThreadPool(
+                math.min(math.max(sorted.size, 1), 8))
+              try {
+                import scala.jdk.CollectionConverters._
+                pool.invokeAll(sorted.map { f =>
+                  new java.util.concurrent.Callable[String] {
+                    override def call(): String = {
+                      val p = new Path(f)
+                      val st = p.getFileSystem(conf).getFileStatus(p)
+                      s"$f:${st.getLen}:${st.getModificationTime}"
+                    }
+                  }
+                }.asJava).asScala.map(_.get()).toSeq
+              } finally pool.shutdown()
+            }
           val fp = md5(parts.mkString("\n"))
           cache.put(cacheKey, (fp, now))
           fp

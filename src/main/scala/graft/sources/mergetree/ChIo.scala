@@ -148,20 +148,43 @@ private[mergetree] final class ChCompressedReader(file: SeekableFile) {
     }
   }
 
+  // fixed-width reads stay INSIDE the current decompressed block on the
+  // fast path — no per-value allocation (the original readBytes(n) form
+  // allocated a fresh array per scalar, the dominant cost of a wide
+  // scan); the frame-spanning tail falls back to the copying path
   def readShortLE(): Short = {
-    val b = readBytes(2)
-    ((b(0) & 0xFF) | ((b(1) & 0xFF) << 8)).toShort
+    if (pos + 2 <= block.length) {
+      val b = block; val p = pos; pos += 2
+      ((b(p) & 0xFF) | ((b(p + 1) & 0xFF) << 8)).toShort
+    } else {
+      val b = readBytes(2)
+      ((b(0) & 0xFF) | ((b(1) & 0xFF) << 8)).toShort
+    }
   }
   def readIntLE(): Int = {
-    val b = readBytes(4)
-    (b(0) & 0xFF) | ((b(1) & 0xFF) << 8) | ((b(2) & 0xFF) << 16) | ((b(3) & 0xFF) << 24)
+    if (pos + 4 <= block.length) {
+      val b = block; val p = pos; pos += 4
+      (b(p) & 0xFF) | ((b(p + 1) & 0xFF) << 8) |
+        ((b(p + 2) & 0xFF) << 16) | ((b(p + 3) & 0xFF) << 24)
+    } else {
+      val b = readBytes(4)
+      (b(0) & 0xFF) | ((b(1) & 0xFF) << 8) | ((b(2) & 0xFF) << 16) | ((b(3) & 0xFF) << 24)
+    }
   }
   def readLongLE(): Long = {
-    val b = readBytes(8)
-    var v = 0L
-    var i = 7
-    while (i >= 0) { v = (v << 8) | (b(i) & 0xFFL); i -= 1 }
-    v
+    if (pos + 8 <= block.length) {
+      val b = block; val p = pos; pos += 8
+      var v = 0L
+      var i = 7
+      while (i >= 0) { v = (v << 8) | (b(p + i) & 0xFFL); i -= 1 }
+      v
+    } else {
+      val b = readBytes(8)
+      var v = 0L
+      var i = 7
+      while (i >= 0) { v = (v << 8) | (b(i) & 0xFFL); i -= 1 }
+      v
+    }
   }
   def readFloatLE(): Float = java.lang.Float.intBitsToFloat(readIntLE())
   def readDoubleLE(): Double = java.lang.Double.longBitsToDouble(readLongLE())
@@ -184,6 +207,15 @@ private[mergetree] final class ChCompressedReader(file: SeekableFile) {
     val n = readVarUInt()
     require(n <= Int.MaxValue, s"string of $n bytes")
     new String(readBytes(n.toInt), java.nio.charset.StandardCharsets.UTF_8)
+  }
+
+  /** Raw UTF-8 bytes of a varint-prefixed string — the scan path wraps
+    * these in UTF8String directly, skipping the decode-to-String +
+    * re-encode round-trip [[readString]] would pay per value. */
+  def readStringBytes(): Array[Byte] = {
+    val n = readVarUInt()
+    require(n <= Int.MaxValue, s"string of $n bytes")
+    readBytes(n.toInt)
   }
 }
 

@@ -27,7 +27,14 @@ private[mergetree] sealed trait TableFiles extends Serializable {
   def list(): Seq[String]                 // all relative paths
   def smallFile(rel: String): Array[Byte] // marks, columns.txt, count.txt
   def seekable(rel: String): SeekableFile // .bin streams
-  final def exists(rel: String): Boolean = list().contains(rel)
+  // memoized per instance: exists() is called per substream per split,
+  // and a Seq.contains over a fresh walk made it O(files) filesystem
+  // work each time — at 80 parts × hundreds of splits that walk was the
+  // scan's dominant cost (measured: 15× superlinear at 10× the parts).
+  // A planning constructs a fresh TableFiles, so staleness is bounded
+  // by one query; executors recompute once per deserialized split.
+  @transient private lazy val pathSet: Set[String] = list().toSet
+  final def exists(rel: String): Boolean = pathSet.contains(rel)
   final def text(rel: String): String = new String(smallFile(rel), UTF_8)
 
   /** Part directories present, sorted — `all_1_1_0`-shaped names. */
@@ -63,7 +70,9 @@ private[mergetree] object TableFiles {
 }
 
 private[mergetree] final case class LocalTableFiles(root: String) extends TableFiles {
-  def list(): Seq[String] = {
+  // one walk per instance (like HttpTableFiles' index) — list() backs
+  // exists()/partDirs() and was re-walking the whole tree per call
+  @transient private lazy val listing: Seq[String] = {
     val base = Paths.get(root)
     if (!Files.isDirectory(base)) Seq.empty
     else {
@@ -74,6 +83,7 @@ private[mergetree] final case class LocalTableFiles(root: String) extends TableF
       out.result()
     }
   }
+  def list(): Seq[String] = listing
   def smallFile(rel: String): Array[Byte] = Files.readAllBytes(Paths.get(root, rel))
   def seekable(rel: String): SeekableFile = new SeekableFile(s"$root/$rel")
 }

@@ -284,7 +284,7 @@ private final class MergeTreeScan(
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new MergeTreeReaderFactory(required.fieldNames.toSeq, ddl)
+    new MergeTreeReaderFactory(required, ddl)
 }
 
 /** One granule range of one part. Carries the part's own column list so
@@ -297,40 +297,75 @@ private final case class MergeTreeSplit(
     partColumns: Seq[(String, String)],
     compact: Boolean) extends InputPartition
 
-private final class MergeTreeReaderFactory(requiredCols: Seq[String], ddl: String)
+private final class MergeTreeReaderFactory(required: StructType, ddl: String)
   extends PartitionReaderFactory {
+
+  private val requiredCols: Seq[String] = required.fieldNames.toSeq
+
+  /** Columnar whenever the projected schema is vectorizable (the full
+    * supported MergeTree subset is) — decided from the scan-wide
+    * schema, never per split, so Spark sees a uniform answer. */
+  override def supportColumnarReads(partition: InputPartition): Boolean =
+    ColumnarFill.supported(required)
+
+  /** One decode shared by both emit shapes: per-column Catalyst values
+    * for the split, bounded by rowsPerSplit. An unprojected or
+    * part-missing column never opens a stream. */
+  private def decodeColumns(split: MergeTreeSplit, n: Int): Array[Array[Any]] = {
+    val partTypes = split.partColumns.toMap
+    if (split.compact) decodeCompact(split, n)
+    else requiredCols.toArray.map { c =>
+      partTypes.get(c) match {
+        case None => Array.fill[Any](n)(null) // column added after this part was written
+        case Some(chTypeStr) =>
+          val t = ChType.parse(chTypeStr)
+          val opened = scala.collection.mutable.ArrayBuffer.empty[SeekableFile]
+          val streams = new ColumnCodec.Streams(
+            s => {
+              val f = split.files.seekable(s"${split.part}/$s.bin")
+              opened += f
+              new ChCompressedReader(f)
+            },
+            s => PartMeta.marksOf(split.files, split.part, s))
+          try ColumnCodec.decode(c, t, streams, split.markStart, split.granuleRows)
+          finally opened.foreach(_.close())
+      }
+    }
+  }
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val split = partition.asInstanceOf[MergeTreeSplit]
     val n = split.granuleRows.sum
-    val partTypes = split.partColumns.toMap
-    // decode eagerly (bounded by rowsPerSplit), then iterate; an
-    // unprojected or part-missing column never opens a stream
-    val colValues: Array[Array[Any]] =
-      if (split.compact) decodeCompact(split, n)
-      else requiredCols.toArray.map { c =>
-        partTypes.get(c) match {
-          case None => Array.fill[Any](n)(null) // column added after this part was written
-          case Some(chTypeStr) =>
-            val t = ChType.parse(chTypeStr)
-            val opened = scala.collection.mutable.ArrayBuffer.empty[SeekableFile]
-            val streams = new ColumnCodec.Streams(
-              s => {
-                val f = split.files.seekable(s"${split.part}/$s.bin")
-                opened += f
-                new ChCompressedReader(f)
-              },
-              s => PartMeta.marksOf(split.files, split.part, s))
-            try ColumnCodec.decode(c, t, streams, split.markStart, split.granuleRows)
-            finally opened.foreach(_.close())
-        }
-      }
+    val colValues = decodeColumns(split, n)
     new PartitionReader[InternalRow] {
       private var i = -1
       override def next(): Boolean = { i += 1; i < n }
       override def get(): InternalRow =
         new GenericInternalRow(Array.tabulate[Any](colValues.length)(c => colValues(c)(i)))
       override def close(): Unit = ()
+    }
+  }
+
+  /** The columnar emit (VERDICT r9 task #1): one primitive-vector batch
+    * per split — downstream operators and the ColumnarToRow transition
+    * run inside whole-stage codegen over vector slots instead of
+    * unboxing a GenericInternalRow per row. */
+  override def createColumnarReader(
+      partition: InputPartition): PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
+    val split = partition.asInstanceOf[MergeTreeSplit]
+    val n = split.granuleRows.sum
+    new PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
+      private var emitted = false
+      private var batch: org.apache.spark.sql.vectorized.ColumnarBatch = _
+      override def next(): Boolean =
+        if (emitted) false
+        else {
+          batch = ColumnarFill.batch(required, decodeColumns(split, n), n)
+          emitted = true
+          true
+        }
+      override def get(): org.apache.spark.sql.vectorized.ColumnarBatch = batch
+      override def close(): Unit = if (batch != null) batch.close()
     }
   }
 

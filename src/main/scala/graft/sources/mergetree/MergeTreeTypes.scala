@@ -421,7 +421,7 @@ private[mergetree] object ColumnCodec {
       case FixedInt(b, _) => throw new IllegalArgumentException(s"int width $b")
       case F32 => while (i < n) { out(i) = r.readFloatLE(); i += 1 }
       case F64 => while (i < n) { out(i) = r.readDoubleLE(); i += 1 }
-      case Str => while (i < n) { out(i) = UTF8String.fromString(r.readString()); i += 1 }
+      case Str => while (i < n) { out(i) = UTF8String.fromBytes(r.readStringBytes()); i += 1 }
       case FixedStr(len) =>
         while (i < n) { out(i) = UTF8String.fromBytes(r.readBytes(len)); i += 1 }
       case Date16 => while (i < n) { out(i) = r.readShortLE() & 0xFFFF; i += 1 }

@@ -111,4 +111,27 @@ object FunctionShim {
       .map(p => f(readParquetFooter(p, bc.value.value)))
       .collect()
   }
+
+  /** File-status sweep cluster-side: (path, length, mtime) per file,
+    * one Spark task per slice. The projection staleness gate uses this
+    * past its driver threshold — at a 100k-object store a serial
+    * driver stat sweep per query planning is minutes of metadata calls
+    * ([[graft.plans.AggProjections.Fingerprint]]). Same shim rationale
+    * as [[mapParquetFooters]]: SerializableConfiguration is
+    * `private[spark]`. */
+  def statFiles(
+      spark: SparkSession,
+      paths: Seq[String],
+      hadoopConf: org.apache.hadoop.conf.Configuration): Array[(String, Long, Long)] = {
+    val serConf = new org.apache.spark.util.SerializableConfiguration(hadoopConf)
+    val bc = spark.sparkContext.broadcast(serConf)
+    val slices = math.min(paths.size, spark.sparkContext.defaultParallelism * 4)
+    spark.sparkContext.parallelize(paths, slices)
+      .map { p =>
+        val hp = new org.apache.hadoop.fs.Path(p)
+        val st = hp.getFileSystem(bc.value.value).getFileStatus(hp)
+        (p, st.getLen, st.getModificationTime)
+      }
+      .collect()
+  }
 }

@@ -251,6 +251,55 @@ class AggProjectionsSpec extends AnyFunSuite {
     assert(!scansProjection(q), q.queryExecution.optimizedPlan.toString)
   }
 
+  test("a >64-file source fingerprints via a distributed job; in-place change still reverts") {
+    projRoot // conf before create
+    val d = Files.createTempDirectory("graft_proj_manyfiles").toString + "/t"
+    import spark.implicits._
+    // 70 files > Fingerprint.DriverStatMaxFiles (64): the sweep must
+    // leave the driver (VERDICT r9 task #4 — serial driver stats are
+    // minutes per planning at a 100k-object store)
+    (1 to 700).map(i => (i % 7, i.toLong)).toDF("k", "v")
+      .repartition(70).write.parquet(d)
+    assert(spark.read.parquet(d).inputFiles.length > AggProjections.Fingerprint.DriverStatMaxFiles)
+    AggProjections.create(spark, d, "many", Seq("k"), Seq(("sum", "v")))
+    def q = spark.read.parquet(d).groupBy("k")
+      .agg(org.apache.spark.sql.functions.sum("v").as("s"))
+    // count Spark jobs across one planning: the fingerprint sweep must
+    // run as at least one job (the plan itself is lazy — optimizedPlan
+    // triggers planning only, so any job seen here is the sweep's)
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val plan = q.queryExecution.optimizedPlan
+      assert(scansProjection(q), plan.toString)
+      // the listener bus is async — poll briefly for the job event
+      val deadline = System.currentTimeMillis() + 5000
+      while (jobs.get() < 1 && System.currentTimeMillis() < deadline)
+        Thread.sleep(20)
+      assert(jobs.get() >= 1, "expected the fingerprint stat sweep to run as a Spark job")
+    } finally spark.sparkContext.removeSparkListener(listener)
+    // overwrite ONE file in place (same name, different content/length):
+    // the distributed sweep must still catch it and revert to the scan
+    val f = new java.io.File(d).listFiles()
+      .filter(_.getName.endsWith(".parquet")).minBy(_.getName)
+    val one = Seq((0, 999999L)).toDF("k", "v")
+    val tmp = Files.createTempDirectory("graft_proj_onefile").toString
+    one.coalesce(1).write.mode("overwrite").parquet(tmp)
+    val newFile = new java.io.File(tmp).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    java.nio.file.Files.copy(newFile.toPath, f.toPath,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    // drop Hadoop's local-FS checksum sidecar — the raw overwrite
+    // invalidates it and a later read would fail on the stale .crc
+    new java.io.File(f.getParentFile, s".${f.getName}.crc").delete()
+    spark.catalog.refreshByPath(d)
+    assert(!scansProjection(q), q.queryExecution.optimizedPlan.toString)
+  }
+
   test("loadAll re-registers persisted manifests in a fresh registry") {
     projection
     AggProjections.clear()
