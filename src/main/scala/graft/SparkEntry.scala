@@ -632,7 +632,7 @@ object SparkEntry {
                   |       CAST(round(sum(bal) * 100) AS BIGINT) AS bal_c
                   |FROM ctas_cust GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
         initQueries = Seq(
-          """CREATE TABLE ctas_cust ENGINE = MergeTree ORDER BY (c_nationkey) AS
+          """CREATE TABLE ctas_cust ORDER BY (c_nationkey) AS
             |SELECT c_custkey, c_nationkey, c_acctbal AS bal
             |FROM customer WHERE c_custkey % 2 = 0""".stripMargin)))._1
     }),
@@ -843,6 +843,62 @@ object SparkEntry {
         """SELECT o_orderstatus AS st, count() AS n,
           |       CAST(round(sum(o_totalprice)) AS BIGINT) AS total
           |FROM mut_back GROUP BY st ORDER BY st""".stripMargin)
+    }),
+
+    // Aggregate projection ON AN ATTACHED MERGETREE TABLE (VERDICT r9
+    // task #3): the reference's flagship workflow is the github_events
+    // MergeTree ATTACH, and in ClickHouse ADD PROJECTION is a MergeTree
+    // feature first. The q160 part tree is ATTACHed (local endpoint),
+    // carries a projection via the ALTER front door, and the GROUP BY
+    // below reroutes to the companion (part-set fingerprint gate;
+    // AggProjectionsSpec plan-pins the reroute) — the oracle recomputes
+    // the answer from nation.parquet, so a hash match proves the
+    // rerouted MergeTree answer exact
+    "q178_mt_projection" -> ((spark, dir) => {
+      prep(spark, dir)
+      val base = derivedDir(spark, dir)
+      val svc = new QueryService(spark)
+      svc.executeToDf(QueryService.QueryRequest(
+        query = """SELECT region, count() AS n,
+                  |       sum(n_nationkey) AS keysum,
+                  |       CAST(round(sum(score) * 100) AS BIGINT) AS score_c,
+                  |       min(n_name) AS first_name
+                  |FROM mt_nation_proj GROUP BY region ORDER BY region""".stripMargin,
+        initQueries = Seq(
+          s"""ATTACH TABLE mt_nation_proj
+             |(`n_nationkey` UInt32, `n_name` String,
+             | `region` LowCardinality(String),
+             | `flags` Array(LowCardinality(String)),
+             | `score` Float64, `since` DateTime, `maybe` Nullable(Int32))
+             |ENGINE = MergeTree ORDER BY (region, n_nationkey)
+             |SETTINGS disk = disk(type = web, endpoint = '$base/mt_nation')""".stripMargin,
+          """ALTER TABLE mt_nation_proj ADD PROJECTION IF NOT EXISTS p_region
+            |(SELECT region, sum(n_nationkey), sum(score), min(n_name), count()
+            | GROUP BY region)""".stripMargin)))._1
+    }),
+
+    // CTAS ENGINE=MergeTree round-trip (VERDICT r9 task #9/#8): the
+    // write front door materializes a REAL wide-part tree, an
+    // independent ATTACH reads it back through the q160 data path, and
+    // the aggregate hash-matches the oracle's recomputation from
+    // customer.parquet — proving encode AND decode exact
+    "q179_ctas_mergetree" -> ((spark, dir) => {
+      prep(spark, dir)
+      val wh = s"${derivedDir(spark, dir)}/wh"
+      spark.conf.set(graft.dialect.ChWrites.WarehouseConf, wh)
+      val svc = new QueryService(spark)
+      svc.executeToDf(QueryService.QueryRequest(
+        query = """SELECT c_nationkey, count() AS n,
+                  |       CAST(round(sum(bal) * 100) AS BIGINT) AS bal_c
+                  |FROM ctas_mt_back GROUP BY c_nationkey
+                  |ORDER BY c_nationkey""".stripMargin,
+        initQueries = Seq(
+          """CREATE TABLE ctas_mt ENGINE = MergeTree ORDER BY (c_nationkey) AS
+            |SELECT c_nationkey, c_acctbal AS bal
+            |FROM customer WHERE c_custkey % 3 = 0""".stripMargin,
+          s"""ATTACH TABLE ctas_mt_back (`c_nationkey` Int32, `bal` Float64)
+             |ENGINE = MergeTree ORDER BY (c_nationkey)
+             |SETTINGS disk = disk(type = web, endpoint = '$wh/ctas_mt')""".stripMargin)))._1
     }),
 
     // CH vector-distance family (dotProduct/cosineDistance/L1/L2/Linf)
@@ -2511,6 +2567,18 @@ object SparkEntry {
         |FROM lineitem
         |WHERE l_returnflag IN ('R', 'A') AND l_linestatus = 'F'
         |GROUP BY rf ORDER BY rf""".stripMargin,
+    "q178_mt_projection" ->
+      """SELECT 'R' || n_regionkey AS region,
+        |       count(*) AS n,
+        |       CAST(sum(n_nationkey) AS BIGINT) AS keysum,
+        |       CAST(round(sum(n_nationkey * 1.25) * 100) AS BIGINT) AS score_c,
+        |       min(n_name) AS first_name
+        |FROM nation GROUP BY region ORDER BY region""".stripMargin,
+    "q179_ctas_mergetree" ->
+      """SELECT c_nationkey, count(*) AS n,
+        |       CAST(round(sum(c_acctbal) * 100) AS BIGINT) AS bal_c
+        |FROM customer WHERE c_custkey % 3 = 0
+        |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
     "q176_optimize_table" ->
       """SELECT o_orderstatus AS st, count(*) AS n,
         |       CAST(round(sum(o_totalprice)) AS BIGINT) AS total

@@ -41,6 +41,7 @@ object ChWrites {
   private val CtasRe =
     """(?is)^\s*CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?([`"]?[\w.]+[`"]?)\s*(.*?)\s*\bAS\s+((?:SELECT|WITH)\b.*)$""".r
   private val FormatPrefixRe = """(?is)^FORMAT\s+(\w+)\s+(.*)$""".r
+  private val EngineRe = """(?i)\bENGINE\s*=\s*(\w+)""".r
   private val OrderByRe = """(?is)\bORDER\s+BY\s*\(([^)]*)\)""".r
   private val OrderByBareRe = """(?is)\bORDER\s+BY\s+([\w`."]+)""".r
 
@@ -85,13 +86,32 @@ object ChWrites {
           s"${System.getProperty("java.io.tmpdir")}/graft_warehouse")
         val path = s"$warehouse/$name"
         val df = selectDf(spark, body, macros)
-        if (sortKey.nonEmpty) Sinks.writeSorted(df, path, sortKey)
-        else Sinks.writeParquet(df, path)
-        val back = spark.read.parquet(path)
-        back.createOrReplaceTempView(name)
-        // record the sorted-layout contract like an ATTACH would (W7)
-        if (sortKey.nonEmpty) graft.core.Catalog.recordCtas(name, path, sortKey)
-        Seq((name, path, back.count())).toDF("table", "path", "rows")
+        val engine = EngineRe.findFirstMatchIn(middle).map(_.group(1).toLowerCase)
+        if (engine.contains("mergetree")) {
+          // ENGINE = MergeTree writes a REAL wide-part tree (VERDICT r9
+          // task #8) — ATTACH-able by the q160 data path, locally or
+          // over http. Bounded driver-side materialization; plain CTAS
+          // (no ENGINE) keeps the executor-parallel sorted-parquet path.
+          val (rows, ddl) = graft.sources.mergetree.MergeTreeCtas
+            .write(spark, df, path, sortKey)
+          graft.sources.mergetree.MergeTree.read(spark, path, ddl, sortKey)
+            .createOrReplaceTempView(name)
+          graft.core.Catalog.recordCtas(name, path, sortKey)
+          Seq((name, path, rows)).toDF("table", "path", "rows")
+        } else {
+          engine.filterNot(_ == "mergetree").foreach { e =>
+            require(Set("log", "memory", "file", "tinylog").contains(e),
+              s"CREATE TABLE … ENGINE = $e is not supported " +
+                "(MergeTree writes a part tree; no ENGINE writes clustered parquet)")
+          }
+          if (sortKey.nonEmpty) Sinks.writeSorted(df, path, sortKey)
+          else Sinks.writeParquet(df, path)
+          val back = spark.read.parquet(path)
+          back.createOrReplaceTempView(name)
+          // record the sorted-layout contract like an ATTACH would (W7)
+          if (sortKey.nonEmpty) graft.core.Catalog.recordCtas(name, path, sortKey)
+          Seq((name, path, back.count())).toDF("table", "path", "rows")
+        }
       case InsertTableRe(target) =>
         throw new IllegalArgumentException(
           s"INSERT INTO $target: only path targets are writable " +

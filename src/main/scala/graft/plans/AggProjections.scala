@@ -75,6 +75,11 @@ object AggProjections {
 
   final case class FileEntry(path: String, len: Long, mtime: Long)
 
+  /** How to re-read an ATTACHed MergeTree source at MATERIALIZE time —
+    * recorded in the manifest because the endpoint alone can't rebuild
+    * the frame (the ATTACH column list and ORDER BY live in the DDL). */
+  final case class MtSource(endpoint: String, ddl: String, orderBy: Seq[String])
+
   final case class Manifest(
       name: String,
       sourceKey: String,
@@ -82,7 +87,8 @@ object AggProjections {
       aggs: Seq[AggDef],
       dataPath: String,
       fingerprint: String,
-      files: Seq[FileEntry] = Nil)
+      files: Seq[FileEntry] = Nil,
+      mt: Option[MtSource] = None)
 
   /** sourceKey → (projection name → manifest); smallest (most
     * aggregated) candidates are preferred at rewrite time. */
@@ -114,6 +120,11 @@ object AggProjections {
     fs.makeQualified(p).toString
   }
 
+  /** Canonical identity of an ATTACHed MergeTree source — prefixed so a
+    * parquet path and an endpoint can never collide in the registry. */
+  def mergeTreeKey(endpoint: String): String =
+    "mergetree:" + endpoint.stripSuffix("/")
+
   /** Materialize a projection: group the source by `groupCols`, store
     * one row per group with mergeable partial states (plus `_cnt`, the
     * group row count, always). Overwrites a same-named projection
@@ -136,6 +147,27 @@ object AggProjections {
       fileEntries(spark, df.inputFiles))
   }
 
+  /** Materialize a projection over an ATTACHed MergeTree table
+    * (VERDICT r9 task #3): same companion layout and rewrite machinery,
+    * with the PART SET as the staleness fingerprint — parts are
+    * immutable by name, so appends/merges/mutations all change it. The
+    * fingerprint is taken BEFORE the data pass (same safe-staleness
+    * ordering as the parquet path). */
+  def createMergeTree(
+      spark: SparkSession,
+      endpoint: String,
+      ddl: String,
+      orderBy: Seq[String],
+      name: String,
+      groupCols: Seq[String],
+      aggs: Seq[(String, String)]): Manifest = {
+    import graft.sources.mergetree.MergeTree
+    val fp = MergeTree.partsFingerprint(endpoint)
+    val df = MergeTree.read(spark, endpoint, ddl, orderBy)
+    buildWith(spark, df, mergeTreeKey(endpoint), name, groupCols, aggs,
+      fp, Nil, Some(MtSource(endpoint, ddl, orderBy)))
+  }
+
   private def build(
       spark: SparkSession,
       df: DataFrame,
@@ -143,7 +175,20 @@ object AggProjections {
       name: String,
       groupCols: Seq[String],
       aggs: Seq[(String, String)],
-      entries: Seq[FileEntry]): Manifest = {
+      entries: Seq[FileEntry]): Manifest =
+    buildWith(spark, df, sourceKey(spark, source), name, groupCols, aggs,
+      Fingerprint.fromEntries(entries), entries, None)
+
+  private def buildWith(
+      spark: SparkSession,
+      df: DataFrame,
+      key: String,
+      name: String,
+      groupCols: Seq[String],
+      aggs: Seq[(String, String)],
+      fp: String,
+      entries: Seq[FileEntry],
+      mt: Option[MtSource]): Manifest = {
     require(groupCols.nonEmpty, "projection needs at least one group column")
     val defs = aggs.map { case (op, c) => AggDef(op, c) }
     val missing = (groupCols ++ defs.map(_.column)).distinct
@@ -151,10 +196,8 @@ object AggProjections {
     require(missing.isEmpty, s"projection columns not in source: ${missing.mkString(", ")}")
 
     val uniqueStates = stateColumns(defs)
-    val key = sourceKey(spark, source)
-    val fp = Fingerprint.fromEntries(entries)
     val dir = s"${projectionRoot(spark)}/${md5(key).take(12)}/$name"
-    val m = Manifest(name, key, groupCols, defs, dir, fp, entries)
+    val m = Manifest(name, key, groupCols, defs, dir, fp, entries, mt)
     val agg = df.groupBy(groupCols.map(col): _*)
       .agg(uniqueStates.head, uniqueStates.tail: _*)
       .sortWithinPartitions(groupCols.map(col): _*)
@@ -222,8 +265,10 @@ object AggProjections {
 
   /** Drop a projection: registry entry plus its materialized data.
     * Returns false when no such projection is registered. */
-  def drop(spark: SparkSession, source: String, name: String): Boolean = {
-    val key = sourceKey(spark, source)
+  def drop(spark: SparkSession, source: String, name: String): Boolean =
+    dropByKey(spark, sourceKey(spark, source), name)
+
+  def dropByKey(spark: SparkSession, key: String, name: String): Boolean = {
     val found = registry.get(key).exists(_.contains(name))
     registry.updateWith(key)(_.map(_ - name).filter(_.nonEmpty))
     if (found) {
@@ -232,6 +277,29 @@ object AggProjections {
       if (fs.exists(dir)) fs.delete(dir, true)
     }
     found
+  }
+
+  /** MATERIALIZE for a MergeTree-backed projection: part-set
+    * fingerprint unchanged and the companion healthy → no-op; anything
+    * else → full rebuild. (No incremental part-delta merge yet — parts
+    * ARE the append unit, so that is the natural next slice; a full
+    * rebuild is always correct.) */
+  def rematerializeMergeTree(
+      spark: SparkSession, endpoint: String, name: String): (Manifest, String) = {
+    import graft.sources.mergetree.MergeTree
+    val key = mergeTreeKey(endpoint)
+    val m = registry.get(key).flatMap(_.get(name)).getOrElse(
+      throw new IllegalArgumentException(s"no projection '$name' on $endpoint"))
+    val src = m.mt.getOrElse(throw new IllegalStateException(
+      s"projection '$name' on $key has no recorded MergeTree source"))
+    val companionPath = new Path(m.dataPath)
+    val fs = companionPath.getFileSystem(spark.sessionState.newHadoopConf())
+    if (m.fingerprint == MergeTree.partsFingerprint(endpoint) &&
+        fs.exists(companionPath))
+      (m, "noop")
+    else
+      (createMergeTree(spark, src.endpoint, src.ddl, src.orderBy, name,
+        m.groupCols, m.aggs.map(d => (d.op, d.column))), "rebuilt")
   }
 
   /** Refresh a projection (the `MATERIALIZE PROJECTION` statement).
@@ -368,7 +436,9 @@ object AggProjections {
       "aggs" -> m.aggs.map(a => Map("op" -> a.op, "column" -> a.column)),
       "dataPath" -> m.dataPath, "fingerprint" -> m.fingerprint,
       "files" -> m.files.map(e =>
-        Map("path" -> e.path, "len" -> e.len, "mtime" -> e.mtime)))))
+        Map("path" -> e.path, "len" -> e.len, "mtime" -> e.mtime))) ++
+      m.mt.map(s => "mt" -> Map("endpoint" -> s.endpoint, "ddl" -> s.ddl,
+        "orderBy" -> s.orderBy))))
     finally out.close()
   }
 
@@ -387,7 +457,10 @@ object AggProjections {
       fingerprint = node.get("fingerprint").asText,
       files = Option(node.get("files")).map(_.elements.asScala.map(e =>
         FileEntry(e.get("path").asText, e.get("len").asLong,
-          e.get("mtime").asLong)).toSeq).getOrElse(Nil))
+          e.get("mtime").asLong)).toSeq).getOrElse(Nil),
+      mt = Option(node.get("mt")).map(s => MtSource(
+        s.get("endpoint").asText, s.get("ddl").asText,
+        s.get("orderBy").elements.asScala.map(_.asText).toSeq)))
   }
 
   private def md5(s: String): String =
@@ -484,13 +557,31 @@ object AggProjections {
   }
 }
 
-/** The reroute rule: `Aggregate` over a bare parquet relation whose
+/** The reroute rule: `Aggregate` over a bare parquet relation — or an
+  * ATTACHed MergeTree DSv2 relation (VERDICT r9 task #3) — whose
   * source has a registered, still-fresh projection → the same
   * aggregate re-expressed as a merge over the projection's states.
   * See [[AggProjections]] for the guardrails. */
 case class AggProjectionRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
 
   import AggProjections._
+
+  /** The two rewriteable source shapes, unified behind (registry key,
+    * fresh-fingerprint probe, output attributes). */
+  private sealed trait Src {
+    def key: String
+    def freshFingerprint(): String
+  }
+  private final case class ParquetSrc(rel: HadoopFsRelation) extends Src {
+    def key: String = rel.location.rootPaths.map(_.toString).sorted.mkString("\n")
+    def freshFingerprint(): String =
+      Fingerprint.of(spark, rel.location.inputFiles.toIndexedSeq)
+  }
+  private final case class MtSrc(endpoint: String) extends Src {
+    def key: String = AggProjections.mergeTreeKey(endpoint)
+    def freshFingerprint(): String =
+      graft.sources.mergetree.MergeTree.partsFingerprint(endpoint)
+  }
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
     // case-insensitive "false" disables; anything else — including a
@@ -514,10 +605,9 @@ case class AggProjectionRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       groupExprs: Seq[Expression],
       aggExprs: Seq[NamedExpression],
       child: LogicalPlan,
-      rel: HadoopFsRelation,
+      rel: Src,
       filters: Seq[(Expression, LogicalPlan)]): Option[LogicalPlan] = {
-    val key = rel.location.rootPaths.map(_.toString).sorted.mkString("\n")
-    val candidates = lookup(key)
+    val candidates = lookup(rel.key)
     if (candidates.isEmpty) return None
 
     // every group expression must be a plain source data column
@@ -542,12 +632,12 @@ case class AggProjectionRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       groupAttrs: Seq[(Attribute, String)],
       aggExprs: Seq[NamedExpression],
       child: LogicalPlan,
-      rel: HadoopFsRelation,
+      rel: Src,
       filters: Seq[(Expression, LogicalPlan)],
       m: Manifest): Option[LogicalPlan] = try {
     // staleness gate first — cheap metadata, and nothing else matters
     // if the companion no longer reflects the source
-    if (Fingerprint.of(spark, rel.location.inputFiles.toIndexedSeq) != m.fingerprint)
+    if (rel.freshFingerprint() != m.fingerprint)
       return None
 
     val projPlan = AggProjections.companionPlan(spark, m)
@@ -694,6 +784,9 @@ case class AggProjectionRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
   private def resolve(p: LogicalPlan, attr: Attribute): Option[String] = p match {
     case l: LogicalRelation =>
       l.output.find(_.exprId == attr.exprId).map(_.name)
+    case d: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+        if graft.sources.mergetree.MergeTree.relationInfo(d).isDefined =>
+      d.output.find(_.exprId == attr.exprId).map(_.name)
     case Project(projList, c) =>
       projList.find(_.exprId == attr.exprId).flatMap {
         case a: AttributeReference => resolve(c, a)
@@ -707,19 +800,22 @@ case class AggProjectionRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     case _ => None
   }
 
-  /** The parquet relation under cardinality-preserving wrappers and
-    * Filters; each Filter's condition is returned WITH the subplan
-    * below it (the condition's attributes resolve against that
+  /** The parquet or MergeTree relation under cardinality-preserving
+    * wrappers and Filters; each Filter's condition is returned WITH the
+    * subplan below it (the condition's attributes resolve against that
     * subplan, not the top of the chain). */
   private def relationAndFilters(
-      p: LogicalPlan): Option[(HadoopFsRelation, Seq[(Expression, LogicalPlan)])] =
+      p: LogicalPlan): Option[(Src, Seq[(Expression, LogicalPlan)])] =
     p match {
       case l: LogicalRelation if !l.isStreaming =>
         l.relation match {
           case r: HadoopFsRelation if r.fileFormat.isInstanceOf[ParquetFileFormat] =>
-            Some((r, Nil))
+            Some((ParquetSrc(r), Nil))
           case _ => None
         }
+      case d: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation =>
+        graft.sources.mergetree.MergeTree.relationInfo(d)
+          .map { case (endpoint, _, _) => (MtSrc(endpoint), Nil) }
       case Project(_, c) => relationAndFilters(c)
       case SubqueryAlias(_, c) => relationAndFilters(c)
       case f: Filter => relationAndFilters(f.child)

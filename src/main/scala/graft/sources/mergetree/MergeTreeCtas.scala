@@ -1,0 +1,133 @@
+package graft.sources.mergetree
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types._
+
+/** CTAS `ENGINE = MergeTree` materialization (VERDICT r9 task #8): the
+  * write front door accepted the ENGINE clause but produced parquet;
+  * this writes a REAL wide-part tree through [[MergeTreePartWriter]] —
+  * ATTACH-able by the same path the reference's github_events ATTACH
+  * reads (q160), locally or served over http (the `.index` listing is
+  * written too).
+  *
+  * Scale posture, stated loudly: parts are materialized DRIVER-SIDE
+  * (the part writer is a local-filesystem encoder), bounded by
+  * [[MaxRowsConf]] (default 10M rows) — the right tool for dimension
+  * tables, curated exports, and fixtures, NOT for re-shaping a corpus
+  * (use plain CTAS for that: executor-parallel sorted parquet carries
+  * the same pruning story). Exceeding the bound refuses with that
+  * guidance rather than OOMing the driver.
+  */
+object MergeTreeCtas {
+
+  val MaxRowsConf = "spark.graft.ctasMergeTreeMaxRows"
+  private val DefaultMaxRows = 10L * 1000 * 1000
+  private val PartRows = 1 << 20
+  private val Granularity = 8192
+
+  /** CH type string for a Spark field. Nullability is decided from the
+    * DATA (observed nulls), not the schema flag — Spark marks almost
+    * everything nullable, and a Nullable key column would refuse the
+    * primary index. */
+  private def chBase(dt: DataType): String = dt match {
+    case ByteType => "Int8"
+    case ShortType => "Int16"
+    case IntegerType => "Int32"
+    case LongType => "Int64"
+    case FloatType => "Float32"
+    case DoubleType => "Float64"
+    case StringType => "String"
+    case BooleanType => "Bool"
+    case DateType => "Date32"
+    case TimestampType | TimestampNTZType => "DateTime64(6)"
+    case other => throw new IllegalArgumentException(
+      s"CTAS ENGINE=MergeTree: no MergeTree encoding for Spark type " +
+        s"${other.simpleString} — cast it in the SELECT (decimals → " +
+        "double or string, maps/structs → explicit columns)")
+  }
+
+  /** Write `df` as a part tree under `dir`; returns (rows, ATTACH ddl).
+    * Rows are globally sorted by `orderBy` then chunked, so every part
+    * is sorted and carries a truthful primary.idx. */
+  def write(
+      spark: SparkSession,
+      df: DataFrame,
+      dir: String,
+      orderBy: Seq[String]): (Long, String) = {
+    val fields = df.schema.fields
+    orderBy.foreach { k =>
+      require(fields.exists(_.name == k),
+        s"CTAS ENGINE=MergeTree: ORDER BY column '$k' is not in the SELECT")
+    }
+    val arrayElem: Map[String, DataType] = fields.collect {
+      case StructField(n, ArrayType(et, _), _, _) => n -> et
+    }.toMap
+    val cap = spark.conf.getOption(MaxRowsConf).map(_.toLong).getOrElse(DefaultMaxRows)
+    require(cap > 0 && cap <= Int.MaxValue, s"$MaxRowsConf out of range: $cap")
+    val sorted = if (orderBy.nonEmpty)
+      df.orderBy(orderBy.map(org.apache.spark.sql.functions.col): _*) else df
+    val rows = sorted.limit(cap.toInt + 1).collect()
+    require(rows.length <= cap,
+      s"CTAS ENGINE=MergeTree materializes parts driver-side and is " +
+        s"bounded to $cap rows ($MaxRowsConf); this SELECT exceeds it — " +
+        "use plain CREATE TABLE … ORDER BY … AS SELECT (executor-parallel " +
+        "sorted parquet, same pruning story) for corpus-scale results")
+    require(rows.nonEmpty,
+      "CTAS ENGINE=MergeTree: empty result — a part tree needs at least " +
+        "one row (use plain CTAS for empty-schema registration)")
+
+    // nullability from the data; null ARRAY ELEMENTS have no MergeTree
+    // encoding in the supported subset and refuse loudly
+    val hasNull = Array.fill(fields.length)(false)
+    rows.foreach { r =>
+      var i = 0
+      while (i < fields.length) {
+        if (r.isNullAt(i)) hasNull(i) = true
+        else if (arrayElem.contains(fields(i).name)) {
+          val s = r.getSeq[Any](i)
+          require(!s.contains(null),
+            s"CTAS ENGINE=MergeTree: column '${fields(i).name}' has a NULL " +
+              "array element — Nullable inside Array is outside the " +
+              "MergeTree subset; coalesce the elements in the SELECT")
+        }
+        i += 1
+      }
+    }
+    val cols: Seq[(String, String)] = fields.zipWithIndex.map { case (f, i) =>
+      val base = f.dataType match {
+        case ArrayType(et, _) => s"Array(${chBase(et)})"
+        case dt => chBase(dt)
+      }
+      val t =
+        if (hasNull(i)) {
+          require(!f.dataType.isInstanceOf[ArrayType],
+            s"CTAS ENGINE=MergeTree: array column '${f.name}' has NULL rows " +
+              "— Nullable(Array) is outside the MergeTree subset")
+          require(!orderBy.contains(f.name),
+            s"CTAS ENGINE=MergeTree: ORDER BY column '${f.name}' contains " +
+              "NULLs — a primary-key column must be non-null")
+          s"Nullable($base)"
+        } else base
+      f.name -> t
+    }.toSeq
+
+    // CTAS defines the table: a leftover tree from a previous run must
+    // not contribute stale extra parts to the new one
+    val root = java.nio.file.Paths.get(dir)
+    if (java.nio.file.Files.isDirectory(root)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+    val asRows: Seq[Seq[Any]] = rows.iterator.map(_.toSeq).toSeq
+    var partNo = 0
+    asRows.grouped(PartRows).foreach { chunk =>
+      partNo += 1
+      MergeTreePartWriter.writePart(
+        dir, cols, chunk, granularity = Granularity,
+        partName = s"all_${partNo}_${partNo}_0", orderBy = orderBy)
+    }
+    MergeTreePartWriter.writeHttpIndex(dir)
+    (rows.length.toLong, cols.map { case (n, t) => s"`$n` $t" }.mkString(", "))
+  }
+}

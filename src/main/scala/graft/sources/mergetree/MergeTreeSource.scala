@@ -95,6 +95,32 @@ object MergeTree {
       .option("endpoint", endpoint).option("ddl", ddl)
       .option("orderBy", orderBy.mkString(","))
       .load()
+
+  /** (endpoint, ddl, orderBy) when the logical-plan node is a mergetree
+    * DSv2 relation — the hook the projection reroute and DDL layer use
+    * to recognize an ATTACHed MergeTree table
+    * ([[graft.plans.AggProjectionRewrite]], VERDICT r9 task #3). */
+  def relationInfo(
+      p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : Option[(String, String, Seq[String])] = p match {
+    case d: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation =>
+      d.table match {
+        case t: MergeTreeTable => Some((t.endpoint, t.ddl, t.orderBy))
+        case _ => None
+      }
+    case _ => None
+  }
+
+  /** Stable identity + content fingerprint of a part tree: the sorted
+    * (part name, rows) inventory. Parts are immutable BY NAME in
+    * MergeTree semantics — appends add parts, merges/mutations replace
+    * them under new names — so the part set is the table version. */
+  def partsFingerprint(endpoint: String): String = {
+    val inv = partsInfo(endpoint).map { case (p, rows, g, c) => s"$p:$rows:$g:$c" }
+      .sorted.mkString("\n")
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(inv.getBytes("UTF-8")).map("%02x".format(_)).mkString
+  }
 }
 
 private object MergeTreeSource {
@@ -111,9 +137,9 @@ private object MergeTreeSource {
   }
 }
 
-private final class MergeTreeTable(
-    endpoint: String, ddl: String, tableSchema: StructType, rowsPerSplit: Long,
-    orderBy: Seq[String])
+private[mergetree] final class MergeTreeTable(
+    val endpoint: String, val ddl: String, tableSchema: StructType,
+    rowsPerSplit: Long, val orderBy: Seq[String])
   extends Table with SupportsRead {
   override def name(): String = s"mergetree($endpoint)"
   override def schema(): StructType = tableSchema

@@ -51,7 +51,7 @@ class ChWritesSpec extends AnyFunSuite {
     assert(back(0).getAs[Long]("n") == 2L && back(0).getAs[Double]("s") == 40.75)
   }
 
-  test("CREATE TABLE … ENGINE=MergeTree ORDER BY … AS SELECT materializes, registers, clusters") {
+  test("CREATE TABLE … ENGINE=MergeTree ORDER BY … AS SELECT writes REAL parts") {
     freshView()
     val wh = Files.createTempDirectory("graft_wh").toString
     spark.conf.set(ChWrites.WarehouseConf, wh)
@@ -60,12 +60,34 @@ class ChWritesSpec extends AnyFunSuite {
         "CREATE TABLE ctas_t ENGINE = MergeTree ORDER BY (k) AS SELECT k, v FROM wsrc")
       val row = st.collect().head
       assert(row.getString(0) == "ctas_t" && row.getLong(2) == 4L)
+      // a REAL wide-part tree landed (VERDICT r9 task #8): part dir,
+      // per-column .bin/.mrk2 streams, primary.idx, and the .index
+      // listing that makes it servable over http
+      val tree = new java.io.File(s"$wh/ctas_t/all_1_1_0")
+      assert(tree.isDirectory, s"expected a part dir under $wh/ctas_t")
+      val names = tree.listFiles().map(_.getName).toSet
+      assert(names.contains("k.bin") && names.contains("k.mrk2"))
+      assert(names.contains("columns.txt") && names.contains("primary.idx"))
+      assert(new java.io.File(s"$wh/ctas_t/.index").isFile)
       // registered: queryable through the dialect, with catalog sort key
       val q = ChSql.sql(spark, "SELECT k, count() AS n FROM ctas_t GROUP BY k ORDER BY k")
       assert(q.collect().map(r => (r.getString(0), r.getLong(1))).toSeq ==
         Seq(("a", 2L), ("b", 1L), ("c", 1L)))
       assert(graft.core.Catalog.sortKey("ctas_t") == Seq("k"))
-      assert(new java.io.File(s"$wh/ctas_t").isDirectory)
+      // ATTACH-able by the q160 data path: the tree reads back through
+      // an independent ATTACH and hash-matches the source
+      graft.core.Catalog.attach(spark,
+        s"""ATTACH TABLE ctas_back (`k` String, `v` Float64)
+           |ENGINE = MergeTree ORDER BY (k)
+           |SETTINGS disk = disk(type = web, endpoint = '$wh/ctas_t')""".stripMargin)
+      val back = spark.table("ctas_back").orderBy("k", "v")
+        .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+      assert(back == Seq(("a", 10.5), ("a", 30.25), ("b", 20.0), ("c", 5.0)))
+      // plain CTAS (no ENGINE) keeps the parquet path
+      ChSql.sql(spark,
+        "CREATE TABLE ctas_pq ORDER BY (k) AS SELECT k, v FROM wsrc").collect()
+      assert(new java.io.File(s"$wh/ctas_pq").listFiles()
+        .exists(_.getName.endsWith(".parquet")))
     } finally spark.conf.unset(ChWrites.WarehouseConf)
   }
 

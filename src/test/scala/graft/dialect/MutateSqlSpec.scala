@@ -85,7 +85,7 @@ class MutateSqlSpec extends AnyFunSuite {
     spark.conf.set(ChWrites.WarehouseConf,
       Files.createTempDirectory("graft_mut_wh").toString)
     ChSql.sql(spark,
-      """CREATE TABLE mut_ctas ENGINE = MergeTree ORDER BY (o_orderkey) AS
+      """CREATE TABLE mut_ctas ORDER BY (o_orderkey) AS
         |SELECT o_orderkey, o_orderstatus, o_totalprice
         |FROM parquet.`/root/testdata/sf0.001/orders.parquet`""".stripMargin)
     val before = spark.table("mut_ctas").count()

@@ -31,7 +31,7 @@ class OptimizeSqlSpec extends AnyFunSuite {
     spark.conf.set(ChWrites.WarehouseConf,
       Files.createTempDirectory("graft_opt_wh").toString)
     ChSql.sql(spark,
-      """CREATE TABLE opt_ctas ENGINE = MergeTree ORDER BY (o_orderkey) AS
+      """CREATE TABLE opt_ctas ORDER BY (o_orderkey) AS
         |SELECT o_orderkey, o_orderstatus, o_totalprice
         |FROM parquet.`/root/testdata/sf0.001/orders.parquet`""".stripMargin)
     // fragment it behind the catalog's back, then compact by NAME

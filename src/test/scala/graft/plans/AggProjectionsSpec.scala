@@ -300,6 +300,44 @@ class AggProjectionsSpec extends AnyFunSuite {
     assert(!scansProjection(q), q.queryExecution.optimizedPlan.toString)
   }
 
+  test("ATTACHed MergeTree table: projection reroutes (plan-pinned) and a new part reverts it") {
+    projRoot // conf before create
+    val d = Files.createTempDirectory("graft_proj_mt").toString + "/tree"
+    val cols = Seq("k" -> "LowCardinality(String)", "v" -> "Int64")
+    def part(name: String, rows: Seq[Seq[Any]]): Unit =
+      graft.sources.mergetree.MergeTreePartWriter.writePart(
+        d, cols, rows, granularity = 4, partName = name, orderBy = Seq("k"))
+    part("all_1_1_0", (1 to 20).map(i => Seq[Any](s"k${i % 3}", i.toLong)).sortBy(_.head.toString))
+    val ddl = "`k` LowCardinality(String), `v` Int64"
+    graft.sources.mergetree.MergeTree.read(spark, d, ddl, Seq("k"))
+      .createOrReplaceTempView("mt_proj_t")
+    val add = graft.dialect.ChSql.sql(spark,
+      "ALTER TABLE mt_proj_t ADD PROJECTION p_k (SELECT k, sum(v), count() GROUP BY k)")
+    assert(add.collect().head.getString(1) == "materialized")
+    def q = spark.sql("SELECT k, sum(v) AS s, count(*) AS n FROM mt_proj_t GROUP BY k")
+    assert(scansProjection(q), q.queryExecution.optimizedPlan.toString)
+    val direct = unoptimized(sortedRows(
+      spark.sql("SELECT k, sum(v) AS s, count(*) AS n FROM mt_proj_t GROUP BY k")))
+    assert(sortedRows(q) == direct)
+    // a NEW PART lands (MergeTree's append unit): the part-set
+    // fingerprint changes, the reroute must revert to the scan — and
+    // MATERIALIZE rebuilds the companion, re-arming it
+    part("all_2_2_0", (21 to 28).map(i => Seq[Any](s"k${i % 3}", i.toLong)).sortBy(_.head.toString))
+    assert(!scansProjection(q), q.queryExecution.optimizedPlan.toString)
+    val mat = graft.dialect.ChSql.sql(spark,
+      "ALTER TABLE mt_proj_t MATERIALIZE PROJECTION p_k").collect().head
+    assert(mat.getString(1) == "rebuilt")
+    assert(scansProjection(q), q.queryExecution.optimizedPlan.toString)
+    assert(sortedRows(q) == unoptimized(sortedRows(
+      spark.sql("SELECT k, sum(v) AS s, count(*) AS n FROM mt_proj_t GROUP BY k"))))
+    // an unchanged tree is a provable no-op; DROP unregisters
+    assert(graft.dialect.ChSql.sql(spark,
+      "ALTER TABLE mt_proj_t MATERIALIZE PROJECTION p_k").collect().head.getString(1) == "noop")
+    assert(graft.dialect.ChSql.sql(spark,
+      "ALTER TABLE mt_proj_t DROP PROJECTION p_k").collect().head.getString(1) == "dropped")
+    assert(!scansProjection(q))
+  }
+
   test("loadAll re-registers persisted manifests in a fresh registry") {
     projection
     AggProjections.clear()
