@@ -421,12 +421,26 @@ object ChSql {
     }
 
   private val TrailingFormat = """(?is)\s+FORMAT\s+[A-Za-z][A-Za-z0-9]*\s*;?\s*$""".r
+  private val TrailingFormatName = """(?is)\s+FORMAT\s+([A-Za-z][A-Za-z0-9]*)\s*;?\s*$""".r
 
-  /** Strip a trailing `FORMAT <name>` output-format clause — result
-    * shape is owned by the service envelope (O7), so the clause is an
-    * accepted no-op like the CH tuning SETTINGS. */
+  /** Strip a trailing `FORMAT <name>` output-format clause — the
+    * DataFrame result is format-less; the SERVICE shell renders the
+    * requested format at the response edge ([[requestedFormat]] +
+    * [[graft.service.QueryServer]], VERDICT r9 task #6). */
   def stripFormat(sql: String): String =
     TrailingFormat.replaceAllIn(sql, "")
+
+  /** The output format a statement requests — a trailing `FORMAT f`,
+    * either after or before a trailing SETTINGS clause (both orders are
+    * legal CH). None when absent. */
+  def requestedFormat(sql: String): Option[String] = {
+    val noCluster = stripOnCluster(sql)
+    TrailingFormatName.findFirstMatchIn(noCluster).map(_.group(1)).orElse {
+      val (body0, settings) = extractSettings(noCluster)
+      if (settings.isEmpty) None
+      else TrailingFormatName.findFirstMatchIn(body0).map(_.group(1))
+    }
+  }
 
   // ---- CH FROM-clause modifiers: FINAL, SAMPLE, ARRAY JOIN, PREWHERE ----
 

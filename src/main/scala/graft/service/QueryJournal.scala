@@ -53,6 +53,7 @@ final class QueryJournal(dirPath: String) {
     req.initQueries.foreach(init.add)
     val macros = node.putObject("macros")
     req.macros.toSeq.sortBy(_._1).foreach { case (k, v) => macros.put(k, v) }
+    req.sinkPath.foreach(node.put("sink_path", _))
     node.put("accepted_at_ms", System.currentTimeMillis())
     val tmp = Files.createTempFile(dir, s".$id", ".tmp")
     Files.write(tmp, mapper.writeValueAsBytes(node))
@@ -99,7 +100,8 @@ final class QueryJournal(dirPath: String) {
           macros = Option(root.get("macros"))
             .map(m => m.properties().asScala
               .map(e => e.getKey -> e.getValue.asText()).toMap)
-            .getOrElse(graft.dialect.ChSql.defaultMacros))
+            .getOrElse(graft.dialect.ChSql.defaultMacros),
+          sinkPath = Option(root.get("sink_path")).map(_.asText()))
         Right(root.get("id").asText() -> req)
       } catch {
         case _: Exception => Left(p.getFileName.toString)

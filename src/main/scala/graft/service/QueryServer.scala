@@ -119,7 +119,8 @@ class QueryServer(
               querySecondsTotal.add(secs)
               log.info(s"request_id=$reqId status=200 rows=${out.rows.size} " +
                 f"seconds=$secs%.3f")
-              (200, "application/json", renderResult(out))
+              val (ctype, respBody) = renderInFormat(out)
+              (200, ctype, respBody)
             } catch {
               case e: com.fasterxml.jackson.core.JacksonException =>
                 errorsTotal.increment()
@@ -242,7 +243,116 @@ class QueryServer(
     val macros = Option(root.get("macros"))
       .map(m => m.properties().asScala.map(e => e.getKey -> e.getValue.asText()).toMap)
       .getOrElse(graft.dialect.ChSql.defaultMacros)
-    QueryService.QueryRequest(query, init, macros)
+    val sink = Option(root.get("sink_path")).map(_.asText()).filter(_.nonEmpty)
+    QueryService.QueryRequest(query, init, macros, sink)
+  }
+
+  /** Render the response body in the statement's trailing `FORMAT`
+    * (VERDICT r9 task #6) — `clickhouse-client`/HTTP users drive the
+    * body shape with it (`run.sh:17` relies on client-side default
+    * formatting). Supported: JSONEachRow/NDJSON, CSV[WithNames],
+    * TSV/TabSeparated[WithNames], Pretty[Compact], JSON (the default
+    * envelope). Anything else is the caller's fault → 400 via
+    * IllegalArgumentException. */
+  private def renderInFormat(r: QueryService.QueryResult): (String, String) =
+    r.format.map(_.toLowerCase) match {
+      case None | Some("json") => ("application/json", renderResult(r))
+      case Some("jsoneachrow") | Some("ndjson") =>
+        ("application/x-ndjson", ndjsonBody(r))
+      case Some("csv") => ("text/csv", sepBody(r, header = false, Csv))
+      case Some("csvwithnames") => ("text/csv", sepBody(r, header = true, Csv))
+      case Some("tsv") | Some("tabseparated") =>
+        ("text/tab-separated-values", sepBody(r, header = false, Tsv))
+      case Some("tsvwithnames") | Some("tabseparatedwithnames") =>
+        ("text/tab-separated-values", sepBody(r, header = true, Tsv))
+      case Some("pretty") | Some("prettycompact") =>
+        ("text/plain", prettyBody(r))
+      case Some(other) => throw new IllegalArgumentException(
+        s"unsupported FORMAT $other (JSON, JSONEachRow, CSV[WithNames], " +
+          "TSV[WithNames], Pretty)")
+    }
+
+  private def ndjsonBody(r: QueryService.QueryResult): String = {
+    val sb = new StringBuilder(256)
+    r.rows.foreach { row =>
+      sb.append('{')
+      var first = true
+      r.cols.zip(row).foreach { case (c, v) =>
+        if (!first) sb.append(','); first = false
+        sb.append(jsonStr(c)).append(':').append(jsonVal(v))
+      }
+      sb.append("}\n")
+    }
+    sb.toString
+  }
+
+  private sealed trait SepKind
+  private case object Csv extends SepKind
+  private case object Tsv extends SepKind
+
+  /** CH text conventions: CSV quotes strings (doubling inner quotes),
+    * leaves numbers bare, renders NULL as empty; TSV escapes
+    * tab/newline/backslash and renders NULL as `\N`. */
+  private def sepBody(
+      r: QueryService.QueryResult, header: Boolean, kind: SepKind): String = {
+    val sep = kind match { case Csv => ','; case Tsv => '\t' }
+    def cell(v: Any): String = (kind, v) match {
+      case (Csv, null) => ""
+      case (Tsv, null) => "\\N"
+      case (_, b: Boolean) => if (b) "true" else "false"
+      case (_, n @ (_: Byte | _: Short | _: Int | _: Long | _: Float | _: Double)) =>
+        n.toString
+      case (_, d: java.math.BigDecimal) => d.toPlainString
+      case (_, d: BigDecimal) => d.underlying.toPlainString
+      case (Csv, other) =>
+        "\"" + other.toString.replace("\"", "\"\"") + "\""
+      case (Tsv, other) =>
+        other.toString.replace("\\", "\\\\").replace("\t", "\\t")
+          .replace("\n", "\\n").replace("\r", "\\r")
+    }
+    def headerCell(c: String): String = kind match {
+      case Csv => "\"" + c.replace("\"", "\"\"") + "\""
+      case Tsv => c.replace("\\", "\\\\").replace("\t", "\\t").replace("\n", "\\n")
+    }
+    val sb = new StringBuilder(256)
+    if (header) sb.append(r.cols.map(headerCell).mkString(sep.toString)).append('\n')
+    r.rows.foreach(row => sb.append(row.map(cell).mkString(sep.toString)).append('\n'))
+    sb.toString
+  }
+
+  /** CH PrettyCompact: column names embedded in the top border, numbers
+    * right-aligned, strings left-aligned, NULL as ᴺᵁᴸᴸ. */
+  private def prettyBody(r: QueryService.QueryResult): String = {
+    def cell(v: Any): String = v match {
+      case null => "\u1d3a\u1d41\u1d38\u1d38" // ᴺᵁᴸᴸ
+      case other => other.toString
+    }
+    val numeric = r.rows.transpose match {
+      case cols if cols.nonEmpty => cols.map(_.forall {
+        case null => true
+        case _: Byte | _: Short | _: Int | _: Long | _: Float | _: Double |
+             _: java.math.BigDecimal | _: BigDecimal => true
+        case _ => false
+      })
+      case _ => r.cols.map(_ => false)
+    }
+    val cells = r.rows.map(_.map(cell))
+    val widths = r.cols.zipWithIndex.map { case (c, i) =>
+      (c.length +: cells.map(_(i).length)).max
+    }
+    val sb = new StringBuilder(256)
+    sb.append(r.cols.zip(widths).map { case (c, w) =>
+      "\u2500" + c + "\u2500" * (w - c.length + 1)
+    }.mkString("\u250c", "\u252c", "\u2510\n"))
+    cells.foreach { row =>
+      sb.append(row.zip(widths).zip(numeric).map { case ((s, w), num) =>
+        if (num) " " * (w - s.length + 1) + s + " "
+        else " " + s + " " * (w - s.length + 1)
+      }.mkString("\u2502", "\u2502", "\u2502\n"))
+    }
+    sb.append(widths.map(w => "\u2500" * (w + 2))
+      .mkString("\u2514", "\u2534", "\u2518\n"))
+    sb.toString
   }
 
   private def renderResult(r: QueryService.QueryResult): String = {

@@ -26,18 +26,27 @@ import graft.dialect.{ChFunctions, ChSql}
 object QueryService {
 
   /** ≈ QueryExecutorInput (reference `workflow_query_executor.go:30-35`).
-    * `macros` feeds `{cluster}`-style substitution (C4). */
+    * `macros` feeds `{cluster}`-style substitution (C4). `sinkPath`
+    * offloads the result to parquet at that path instead of the row
+    * envelope — the reference's "Return S3 url" TODO
+    * (`workflow_query_executor.go:94`) made real, and the idempotency
+    * unit for journal replay (VERDICT r9 task #7: a replayed request
+    * whose artifact already landed serves it instead of re-running). */
   case class QueryRequest(
       query: String,
       initQueries: Seq[String] = Nil,
-      macros: Map[String, String] = ChSql.defaultMacros)
+      macros: Map[String, String] = ChSql.defaultMacros,
+      sinkPath: Option[String] = None)
 
-  /** ≈ QueryExecutorOutput + types (reference `:36-39`). */
+  /** ≈ QueryExecutorOutput + types (reference `:36-39`). `format` is
+    * the statement's trailing `FORMAT <name>`, rendered by the service
+    * shell at the response edge. */
   case class QueryResult(
       cols: Seq[String],
       types: Seq[String],
       rows: Seq[Seq[Any]],
-      settings: Map[String, String])
+      settings: Map[String, String],
+      format: Option[String] = None)
 
   /** Temporal-shaped retry policy (SURVEY §2.7 O1): the reference gets
     * per-activity retry from Temporal's defaults — exponential backoff,
@@ -128,15 +137,51 @@ class QueryService(spark: SparkSession) {
     (ChSql.finish(spark, r), r.settings)
   }
 
-  /** Full request → result-envelope path (O1+O6+O7). */
+  /** Full request → result-envelope path (O1+O6+O7). A `sinkPath`
+    * request writes the result as parquet (atomic: tmp dir + rename,
+    * `_SUCCESS` is the completion marker) and answers with a status
+    * frame; when the marker already exists the artifact is SERVED, not
+    * recomputed — that makes journal replay of a
+    * completed-but-unacknowledged request idempotent. */
   def execute(req: QueryRequest): QueryResult = {
-    val (df, settings) = executeToDf(req)
-    val rows = df.collect().map(_.toSeq).toSeq
-    QueryResult(
-      cols = df.columns.toSeq,
-      types = df.schema.fields.map(_.dataType.simpleString).toSeq,
-      rows = rows,
-      settings = settings)
+    val main = ChSql.stripOnCluster(ChSql.substituteMacros(req.query, req.macros))
+    val fmt =
+      if (graft.dialect.ChWrites.isWrite(main)) None // INSERT's FORMAT is the INPUT format
+      else ChSql.requestedFormat(main)
+    req.sinkPath match {
+      case Some(path) =>
+        val (n, reused) = offload(req, path)
+        QueryResult(
+          cols = Seq("path", "rows", "status"),
+          types = Seq("string", "bigint", "string"),
+          rows = Seq(Seq(path, n, if (reused) "already_written" else "written")),
+          settings = Map.empty)
+      case None =>
+        val (df, settings) = executeToDf(req)
+        QueryResult(
+          cols = df.columns.toSeq,
+          types = df.schema.fields.map(_.dataType.simpleString).toSeq,
+          rows = df.collect().map(_.toSeq).toSeq,
+          settings = settings,
+          format = fmt)
+    }
+  }
+
+  /** Returns (row count, whether an existing artifact was served). */
+  private def offload(req: QueryRequest, path: String): (Long, Boolean) = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS")))
+      return (spark.read.parquet(path).count(), true)
+    val (df, _) = executeToDf(req)
+    val tmp = new org.apache.hadoop.fs.Path(
+      p.getParent, s".${p.getName}.__sink_tmp")
+    if (fs.exists(tmp)) fs.delete(tmp, true)
+    df.write.mode("overwrite").parquet(tmp.toString)
+    // a leftover COMPLETE-marker-less dir is a torn previous write
+    if (fs.exists(p)) fs.delete(p, true)
+    require(fs.rename(tmp, p), s"sink rename $tmp -> $path failed")
+    (spark.read.parquet(path).count(), false)
   }
 
   /** Warm path (O9): one SQL string against the live session, no init. */

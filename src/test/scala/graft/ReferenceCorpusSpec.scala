@@ -166,6 +166,20 @@ class ReferenceCorpusSpec extends AnyFunSuite {
     assert(types("Open") == "double", types.toString)
   }
 
+  test("run.sh demo query with a trailing FORMAT renders through the service shell") {
+    val (_, port) = fixture
+    // the same statement a clickhouse-client user would type with an
+    // explicit output format — the service shell renders the body
+    // (VERDICT r9 task #6); the dialect strips the clause for the plan
+    val res = new graft.service.QueryService(spark).execute(
+      graft.service.QueryService.QueryRequest(
+        s"select Date, Volume from urlCluster('randomclustername', " +
+          s"'http://127.0.0.1:$port/aapl_stock.csv', 'CSVWithNames') " +
+          "ORDER BY Date LIMIT 2 FORMAT JSONEachRow"))
+    assert(res.format.contains("JSONEachRow"))
+    assert(res.rows.length == 2)
+  }
+
   /** The verbatim 63-column ATTACH statement (`…_test.go:81-87`),
     * parameterized ONLY on the endpoint (the one environment-not-
     * semantics part of the statement). */

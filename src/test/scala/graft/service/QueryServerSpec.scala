@@ -169,6 +169,78 @@ class QueryServerSpec extends AnyFunSuite {
     rerunner.stop(0)
   }
 
+  test("trailing FORMAT shapes the response body (golden per format)") {
+    val q = "SELECT n_name, n_nationkey FROM nation_fmt " +
+      "WHERE n_nationkey < 2 ORDER BY n_nationkey"
+    val attach = "ATTACH TABLE nation_fmt (n_nationkey Int32, n_name String, " +
+      "n_regionkey Int32) ENGINE = MergeTree ORDER BY (n_nationkey) SETTINGS " +
+      "disk = disk(type = web, endpoint = '/root/testdata/sf0.001/nation.parquet')"
+    def run(fmt: String): HttpResponse[String] = post("/query",
+      s"""{"query": "$q FORMAT $fmt", "init_queries": ["$attach"]}""")
+    val nd = run("JSONEachRow")
+    assert(nd.statusCode() == 200)
+    assert(nd.headers().firstValue("Content-Type").orElse("") == "application/x-ndjson")
+    assert(nd.body() ==
+      "{\"n_name\":\"NATION_0\",\"n_nationkey\":0}\n{\"n_name\":\"NATION_1\",\"n_nationkey\":1}\n")
+    val csv = run("CSVWithNames")
+    assert(csv.headers().firstValue("Content-Type").orElse("") == "text/csv")
+    assert(csv.body() == "\"n_name\",\"n_nationkey\"\n\"NATION_0\",0\n\"NATION_1\",1\n")
+    assert(run("CSV").body() == "\"NATION_0\",0\n\"NATION_1\",1\n")
+    val tsv = run("TSVWithNames")
+    assert(tsv.body() == "n_name\tn_nationkey\nNATION_0\t0\nNATION_1\t1\n")
+    val pretty = run("Pretty")
+    assert(pretty.body() ==
+      "┌─n_name───┬─n_nationkey─┐\n" +
+      "│ NATION_0 │           0 │\n" +
+      "│ NATION_1 │           1 │\n" +
+      "└──────────┴─────────────┘\n")
+    // FORMAT before SETTINGS is legal CH too; JSON keeps the envelope
+    val js = post("/query",
+      s"""{"query": "$q FORMAT JSON SETTINGS max_threads=4", "init_queries": ["$attach"]}""")
+    assert(js.body().startsWith("{\"cols\":[\"n_name\",\"n_nationkey\"]"))
+    // unknown format = caller's fault
+    assert(run("Arrow").statusCode() == 400)
+  }
+
+  test("sink_path offloads the result and replay serves the artifact (kill-after-write)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_sink").toString
+    val sink = s"$dir/out"
+    val jdir = java.nio.file.Files.createTempDirectory("graft_sink_journal").toString
+    // the view lives only in THIS base session's catalog... each request
+    // gets newSession() sharing the catalog? No — newSession() isolates
+    // temp views, so the query must be self-contained
+    val q = "SELECT n_regionkey AS r, count() AS n FROM " +
+      "parquet.`/root/testdata/sf0.001/nation.parquet` GROUP BY r"
+    val srv = new QueryServer(spark, journalDir = Some(jdir), recover = "rerun")
+    val p = srv.start()
+    val r = client.send(
+      HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$p/query"))
+        .POST(HttpRequest.BodyPublishers.ofString(
+          s"""{"query": "$q", "sink_path": "$sink"}"""))
+        .build(),
+      HttpResponse.BodyHandlers.ofString())
+    assert(r.statusCode() == 200)
+    assert(r.body().contains("\"written\""))
+    assert(spark.read.parquet(sink).count() == 5)
+    srv.stop(0)
+    // kill-after-write: the artifact landed but the response was never
+    // acknowledged — journal an entry for a query that CANNOT run in a
+    // fresh session (names a view that no longer exists); replay must
+    // serve the existing artifact instead of re-executing
+    val j = new QueryJournal(jdir)
+    j.record("dead-sink", QueryService.QueryRequest(
+      "SELECT * FROM view_that_is_gone", sinkPath = Some(sink)))
+    val mtimeBefore = new java.io.File(sink).lastModified()
+    val srv2 = new QueryServer(spark, journalDir = Some(jdir), recover = "rerun")
+    srv2.start()
+    assert(j.unfinished().isEmpty,
+      "replay of a completed-but-unacked sink request must clear the journal")
+    assert(new java.io.File(sink).lastModified() == mtimeBefore,
+      "the artifact must be served, not rewritten")
+    assert(spark.read.parquet(sink).count() == 5)
+    srv2.stop(0)
+  }
+
   test("idle sweep releases operator-internal persisted intermediates (advisor r8)") {
     import spark.implicits._
     graft.operators.OpCache.persist(Seq(1, 2, 3).toDF("x"))
