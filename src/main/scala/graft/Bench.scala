@@ -144,14 +144,14 @@ object Bench {
     (mt1, mt10, twin)
   }
 
-  /** The baseline group-by-sum shape over a MergeTree part tree.
-    * rowsPerSplit 32k fans each ~75k-row part into a few granule-range
-    * splits so the scan uses the whole machine. */
+  /** The baseline group-by-sum shape over a MergeTree part tree. Split
+    * sizing stays AUTO — the scan sizes granule-range splits to the
+    * session's parallelism, the same adaptivity a parquet scan gets
+    * from maxPartitionBytes. */
   private def mergeTreeScan(spark: SparkSession, dir: String): DataFrame =
     spark.read.format("mergetree")
       .option("endpoint", dir).option("ddl", MtDdl)
       .option("orderBy", "l_returnflag,l_linestatus")
-      .option("rowsPerSplit", 32768)
       .load()
       .groupBy("l_returnflag").agg(sum("l_quantity").as("s"))
 

@@ -162,10 +162,15 @@ object AggProjections {
       groupCols: Seq[String],
       aggs: Seq[(String, String)]): Manifest = {
     import graft.sources.mergetree.MergeTree
-    val fp = MergeTree.partsFingerprint(endpoint)
+    // ONE inventory sweep BEFORE the data pass drives both the
+    // fingerprint and the recorded part set (same safe-staleness
+    // ordering as the parquet path); the inventory lines live in
+    // `files` so a later refresh can diff for the append delta
+    val inv = MergeTree.partsInventory(endpoint)
     val df = MergeTree.read(spark, endpoint, ddl, orderBy)
     buildWith(spark, df, mergeTreeKey(endpoint), name, groupCols, aggs,
-      fp, Nil, Some(MtSource(endpoint, ddl, orderBy)))
+      MergeTree.fingerprintOf(inv), inv.map(FileEntry(_, 0L, 0L)),
+      Some(MtSource(endpoint, ddl, orderBy)))
   }
 
   private def build(
@@ -279,11 +284,12 @@ object AggProjections {
     found
   }
 
-  /** MATERIALIZE for a MergeTree-backed projection: part-set
-    * fingerprint unchanged and the companion healthy → no-op; anything
-    * else → full rebuild. (No incremental part-delta merge yet — parts
-    * ARE the append unit, so that is the natural next slice; a full
-    * rebuild is always correct.) */
+  /** MATERIALIZE for a MergeTree-backed projection. INCREMENTAL when
+    * the table only GREW — the recorded part inventory is intact and
+    * new parts appeared (parts are MergeTree's append unit, so the
+    * delta is a parts-filtered scan of exactly the new parts, merged
+    * into the companion); a removed or replaced part forces a full
+    * rebuild (merging can't subtract); unchanged and healthy → no-op. */
   def rematerializeMergeTree(
       spark: SparkSession, endpoint: String, name: String): (Manifest, String) = {
     import graft.sources.mergetree.MergeTree
@@ -294,12 +300,24 @@ object AggProjections {
       s"projection '$name' on $key has no recorded MergeTree source"))
     val companionPath = new Path(m.dataPath)
     val fs = companionPath.getFileSystem(spark.sessionState.newHadoopConf())
-    if (m.fingerprint == MergeTree.partsFingerprint(endpoint) &&
-        fs.exists(companionPath))
-      (m, "noop")
-    else
+    // ONE inventory sweep drives detection, the new manifest, and the
+    // new fingerprint (same ordering discipline as the parquet path)
+    val current = MergeTree.partsInventory(endpoint)
+    val old = m.files.map(_.path)
+    val healthy = fs.exists(companionPath) &&
+      m.fingerprint == MergeTree.fingerprintOf(old) && old.nonEmpty
+    if (healthy && current == old.sorted) return (m, "noop")
+    val removed = old.toSet -- current.toSet
+    val added = current.filterNot(old.toSet)
+    def rebuild(): (Manifest, String) =
       (createMergeTree(spark, src.endpoint, src.ddl, src.orderBy, name,
         m.groupCols, m.aggs.map(d => (d.op, d.column))), "rebuilt")
+    if (!healthy || removed.nonEmpty || added.isEmpty) return rebuild()
+    val addedParts = added.map(_.split(':').head)
+    val deltaDf = MergeTree.read(spark, src.endpoint, src.ddl, src.orderBy, addedParts)
+    val m2 = m.copy(fingerprint = MergeTree.fingerprintOf(current),
+      files = current.map(FileEntry(_, 0L, 0L)))
+    (mergeDelta(spark, m, deltaDf, m2), "merged_incremental")
   }
 
   /** Refresh a projection (the `MATERIALIZE PROJECTION` statement).
@@ -359,6 +377,19 @@ object AggProjections {
     val needed = (m.groupCols ++ m.aggs.map(_.column)).distinct
     if (!needed.forall(deltaDf.schema.fieldNames.contains)) return rebuild()
 
+    val m2 = m.copy(fingerprint = Fingerprint.fromEntries(current), files = current)
+    (mergeDelta(spark, m, deltaDf, m2), "merged_incremental")
+  }
+
+  /** Merge a delta frame's partial states into the companion (shared by
+    * the parquet file-delta and MergeTree part-delta refresh paths).
+    * `m2` is the post-merge manifest — it promotes WITH the data
+    * (written into the temp dir before the swap): a failure between
+    * data swap and manifest write would otherwise let a retried
+    * MATERIALIZE merge the same delta twice, doubling sums (review
+    * finding). */
+  private def mergeDelta(
+      spark: SparkSession, m: Manifest, deltaDf: DataFrame, m2: Manifest): Manifest = {
     val states = stateColumns(m.aggs)
     val delta = deltaDf
       .groupBy(m.groupCols.map(col): _*).agg(states.head, states.tail: _*)
@@ -372,25 +403,19 @@ object AggProjections {
       case c if c.startsWith("u_") =>
         org.apache.spark.sql.functions.hll_union_agg(col(c)).as(c)
       case c => throw new IllegalStateException(
-        s"projection '$name': unmergeable companion column '$c'")
+        s"projection '${m.name}': unmergeable companion column '$c'")
     }
     val merged = companion.unionByName(delta.select(companion.columns.map(col): _*))
       .groupBy(m.groupCols.map(col): _*)
       .agg(mergeExprs.head, mergeExprs.tail: _*)
       .sortWithinPartitions(m.groupCols.map(col): _*)
-
-    val m2 = m.copy(fingerprint = Fingerprint.fromEntries(current), files = current)
-    // the manifest promotes WITH the data (written into the temp dir
-    // before the swap) — a failure between data swap and manifest
-    // write would otherwise let a retried MATERIALIZE merge the same
-    // delta twice, doubling sums (review finding)
     graft.core.FsSwap.replace(spark, m.dataPath, "refresh") { tmp =>
       merged.write.parquet(tmp.toString)
       writeManifestAt(spark, new Path(tmp, "_manifest.json"), m2)
     }
     planCache.remove(m.dataPath)
     register(m2)
-    (m2, "merged_incremental")
+    m2
   }
 
   /** Re-register every persisted manifest under the projection root

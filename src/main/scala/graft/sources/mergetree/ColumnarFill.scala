@@ -47,18 +47,24 @@ private[mergetree] object ColumnarFill {
   /** Build one batch from per-column decoded values (the Catalyst
     * representations [[ColumnCodec]] produces: boxed primitives,
     * UTF8String, ArrayData). The boxed intermediate is paid once here;
-    * everything downstream reads primitive slots. */
+    * everything downstream reads primitive slots. (Plain scalar
+    * columns skip this path entirely — [[ColumnCodec.scalarsInto]]
+    * decodes straight into the vector, no boxing at all.) */
   def batch(schema: StructType, cols: Array[Array[Any]], n: Int): ColumnarBatch = {
     val vectors = schema.fields.zipWithIndex.map { case (f, i) =>
       val v = new OnHeapColumnVector(n, f.dataType)
-      f.dataType match {
-        case ArrayType(et, _) => fillArray(v, et, cols(i), n)
-        case dt => fillAtomic(v, dt, cols(i), n)
-      }
+      fillColumn(v, f.dataType, cols(i), n)
       v
     }
     new ColumnarBatch(vectors.toArray[ColumnVector], n)
   }
+
+  def fillColumn(
+      v: OnHeapColumnVector, dt: DataType, vals: Array[Any], n: Int): Unit =
+    dt match {
+      case ArrayType(et, _) => fillArray(v, et, vals, n)
+      case other => fillAtomic(v, other, vals, n)
+    }
 
   private def fillAtomic(
       v: OnHeapColumnVector, dt: DataType, vals: Array[Any], n: Int): Unit = {

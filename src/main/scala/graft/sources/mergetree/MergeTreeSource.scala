@@ -59,13 +59,21 @@ final class MergeTreeSource extends TableProvider with DataSourceRegister {
     val opts = new CaseInsensitiveStringMap(properties)
     val orderBy = Option(opts.get("orderBy")).map(_.split(",").map(_.trim).toSeq)
       .getOrElse(Nil).filter(_.nonEmpty)
-    // default 256k rows/split: the reader decodes a split's projected
-    // columns eagerly (then streams rows out), so the split size bounds
-    // per-task memory — 256k amortizes task overhead while keeping even
-    // a 63-column decode comfortably inside executor memory
+    // `parts`: restrict the scan to the named part dirs — the delta
+    // unit for incremental projection refresh (parts are MergeTree's
+    // append granule); empty = whole table
+    val parts = Option(opts.get("parts")).map(_.split(",").map(_.trim).toSeq)
+      .getOrElse(Nil).filter(_.nonEmpty)
+    // rowsPerSplit 0 (the default) = AUTO: sized from the table's total
+    // rows and the session's parallelism at planning (see
+    // [[MergeTreeScan.planInputPartitions]]) — small tables get
+    // row-bounded fan-out, large ones avoid drowning the scheduler in
+    // tiny tasks (measured: 6M rows in 240 splits cost 2-10× the same
+    // scan in 80). An explicit value pins it; either way the split
+    // bounds per-task decode memory.
     new MergeTreeTable(
       MergeTreeSource.endpoint(opts), MergeTreeSource.ddl(opts), schema,
-      opts.getLong("rowsPerSplit", 1L << 18), orderBy)
+      opts.getLong("rowsPerSplit", 0L), orderBy, parts)
   }
 }
 
@@ -90,37 +98,49 @@ object MergeTree {
     }
   }
   def read(spark: org.apache.spark.sql.SparkSession, endpoint: String,
-      ddl: String, orderBy: Seq[String] = Nil): org.apache.spark.sql.DataFrame =
+      ddl: String, orderBy: Seq[String] = Nil,
+      parts: Seq[String] = Nil): org.apache.spark.sql.DataFrame =
     spark.read.format("mergetree")
       .option("endpoint", endpoint).option("ddl", ddl)
       .option("orderBy", orderBy.mkString(","))
+      .option("parts", parts.mkString(","))
       .load()
 
   /** (endpoint, ddl, orderBy) when the logical-plan node is a mergetree
-    * DSv2 relation — the hook the projection reroute and DDL layer use
-    * to recognize an ATTACHed MergeTree table
-    * ([[graft.plans.AggProjectionRewrite]], VERDICT r9 task #3). */
+    * DSv2 relation over the WHOLE table — the hook the projection
+    * reroute and DDL layer use to recognize an ATTACHed MergeTree table
+    * ([[graft.plans.AggProjectionRewrite]], VERDICT r9 task #3). A
+    * parts-filtered read (the incremental-refresh delta scan) is NOT
+    * the table and must never match — a reroute would answer a partial
+    * read from the full companion. */
   def relationInfo(
       p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
       : Option[(String, String, Seq[String])] = p match {
     case d: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation =>
       d.table match {
-        case t: MergeTreeTable => Some((t.endpoint, t.ddl, t.orderBy))
+        case t: MergeTreeTable if t.partsFilter.isEmpty =>
+          Some((t.endpoint, t.ddl, t.orderBy))
         case _ => None
       }
     case _ => None
   }
 
-  /** Stable identity + content fingerprint of a part tree: the sorted
-    * (part name, rows) inventory. Parts are immutable BY NAME in
-    * MergeTree semantics — appends add parts, merges/mutations replace
-    * them under new names — so the part set is the table version. */
-  def partsFingerprint(endpoint: String): String = {
-    val inv = partsInfo(endpoint).map { case (p, rows, g, c) => s"$p:$rows:$g:$c" }
-      .sorted.mkString("\n")
+  /** Sorted part inventory lines `name:rows:granules:columns` — the
+    * table's content identity. Parts are immutable BY NAME in MergeTree
+    * semantics — appends add parts, merges/mutations replace them under
+    * new names — so the part set is the table version, and set
+    * difference against a recorded inventory yields the append delta. */
+  def partsInventory(endpoint: String): Seq[String] =
+    partsInfo(endpoint).map { case (p, rows, g, c) => s"$p:$rows:$g:$c" }.sorted
+
+  /** md5 of [[partsInventory]] — the staleness fingerprint. */
+  def partsFingerprint(endpoint: String): String =
+    fingerprintOf(partsInventory(endpoint))
+
+  def fingerprintOf(inventory: Seq[String]): String =
     java.security.MessageDigest.getInstance("MD5")
-      .digest(inv.getBytes("UTF-8")).map("%02x".format(_)).mkString
-  }
+      .digest(inventory.sorted.mkString("\n").getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
 }
 
 private object MergeTreeSource {
@@ -139,19 +159,21 @@ private object MergeTreeSource {
 
 private[mergetree] final class MergeTreeTable(
     val endpoint: String, val ddl: String, tableSchema: StructType,
-    rowsPerSplit: Long, val orderBy: Seq[String])
+    rowsPerSplit: Long, val orderBy: Seq[String],
+    val partsFilter: Seq[String] = Nil)
   extends Table with SupportsRead {
   override def name(): String = s"mergetree($endpoint)"
   override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new MergeTreeScanBuilder(endpoint, ddl, tableSchema, rowsPerSplit, orderBy)
+    new MergeTreeScanBuilder(endpoint, ddl, tableSchema, rowsPerSplit, orderBy,
+      partsFilter)
 }
 
 private final class MergeTreeScanBuilder(
     endpoint: String, ddl: String, full: StructType, rowsPerSplit: Long,
-    orderBy: Seq[String])
+    orderBy: Seq[String], partsFilter: Seq[String])
   extends ScanBuilder with SupportsPushDownRequiredColumns
   with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
   import org.apache.spark.sql.sources._
@@ -196,13 +218,16 @@ private final class MergeTreeScanBuilder(
   override def pushedFilters(): Array[Filter] = prunePredicates
 
   override def build(): Scan =
-    new MergeTreeScan(endpoint, ddl, required, rowsPerSplit, orderBy, prunePredicates)
+    new MergeTreeScan(endpoint, ddl, required, rowsPerSplit, orderBy,
+      prunePredicates, partsFilter)
 }
 
 private final class MergeTreeScan(
-    endpoint: String, ddl: String, required: StructType, rowsPerSplit: Long,
+    endpoint: String, ddl: String, required: StructType,
+    configuredRowsPerSplit: Long,
     orderBy: Seq[String],
-    prunePredicates: Array[org.apache.spark.sql.sources.Filter])
+    prunePredicates: Array[org.apache.spark.sql.sources.Filter],
+    partsFilter: Seq[String] = Nil)
   extends Scan with Batch {
 
   override def readSchema(): StructType = required
@@ -214,10 +239,46 @@ private final class MergeTreeScan(
 
   override def planInputPartitions(): Array[InputPartition] = {
     val tf = TableFiles(endpoint)
-    val parts = tf.partDirs()
+    val allParts = tf.partDirs()
+    val parts =
+      if (partsFilter.isEmpty) allParts
+      else {
+        val missing = partsFilter.filterNot(allParts.contains)
+        require(missing.isEmpty,
+          s"parts option names absent parts under '$endpoint': ${missing.mkString(", ")}")
+        allParts.filter(partsFilter.contains)
+      }
     require(parts.nonEmpty, s"no MergeTree parts under endpoint '$endpoint'")
+    // per-part metadata on a bounded driver pool — serial reads make
+    // planning linear in part count single-threaded (the same shape as
+    // the projection fingerprint sweep), and each http part costs a
+    // round-trip
+    val metas: Map[String, PartMeta] = {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(parts.size, 16))
+      try {
+        import scala.jdk.CollectionConverters._
+        pool.invokeAll(parts.map { p =>
+          new java.util.concurrent.Callable[(String, PartMeta)] {
+            override def call(): (String, PartMeta) = p -> PartMeta.read(tf, p)
+          }
+        }.asJava).asScala.map(_.get()).toMap
+      } finally pool.shutdown()
+    }
+    // AUTO split size: aim for ~2 tasks per core over the SELECTED
+    // parts, floored at 64k rows (under that, task overhead dominates
+    // decode — measured) and capped at 1M (bounds per-task memory for
+    // wide decodes)
+    val rowsPerSplit =
+      if (configuredRowsPerSplit > 0) configuredRowsPerSplit
+      else {
+        val total = metas.values.map(_.rows).sum
+        val par = math.max(org.apache.spark.sql.SparkSession.active
+          .sparkContext.defaultParallelism, 1)
+        math.min(math.max(total / (2L * par), 1L << 16), 1L << 20)
+      }
     parts.iterator.flatMap { part =>
-      val meta = PartMeta.read(tf, part)
+      val meta = metas(part)
       // compact parts: refuse unsupported column types at PLANNING, not
       // mid-task on an executor
       if (meta.compact) {
@@ -334,6 +395,20 @@ private final class MergeTreeReaderFactory(required: StructType, ddl: String)
   override def supportColumnarReads(partition: InputPartition): Boolean =
     ColumnarFill.supported(required)
 
+  /** Run `body` with a stream context for one column of one wide part;
+    * every opened file closes on exit. */
+  private def withStreams[A](split: MergeTreeSplit)(body: ColumnCodec.Streams => A): A = {
+    val opened = scala.collection.mutable.ArrayBuffer.empty[SeekableFile]
+    val streams = new ColumnCodec.Streams(
+      s => {
+        val f = split.files.seekable(s"${split.part}/$s.bin")
+        opened += f
+        new ChCompressedReader(f)
+      },
+      s => PartMeta.marksOf(split.files, split.part, s))
+    try body(streams) finally opened.foreach(_.close())
+  }
+
   /** One decode shared by both emit shapes: per-column Catalyst values
     * for the split, bounded by rowsPerSplit. An unprojected or
     * part-missing column never opens a stream. */
@@ -345,16 +420,8 @@ private final class MergeTreeReaderFactory(required: StructType, ddl: String)
         case None => Array.fill[Any](n)(null) // column added after this part was written
         case Some(chTypeStr) =>
           val t = ChType.parse(chTypeStr)
-          val opened = scala.collection.mutable.ArrayBuffer.empty[SeekableFile]
-          val streams = new ColumnCodec.Streams(
-            s => {
-              val f = split.files.seekable(s"${split.part}/$s.bin")
-              opened += f
-              new ChCompressedReader(f)
-            },
-            s => PartMeta.marksOf(split.files, split.part, s))
-          try ColumnCodec.decode(c, t, streams, split.markStart, split.granuleRows)
-          finally opened.foreach(_.close())
+          withStreams(split)(st =>
+            ColumnCodec.decode(c, t, st, split.markStart, split.granuleRows))
       }
     }
   }
@@ -375,7 +442,11 @@ private final class MergeTreeReaderFactory(required: StructType, ddl: String)
   /** The columnar emit (VERDICT r9 task #1): one primitive-vector batch
     * per split — downstream operators and the ColumnarToRow transition
     * run inside whole-stage codegen over vector slots instead of
-    * unboxing a GenericInternalRow per row. */
+    * unboxing a GenericInternalRow per row. Plain scalar columns (the
+    * hot numeric/string case) decode STRAIGHT into the vector with no
+    * boxed intermediate ([[ColumnCodec.scalarsInto]]); wrapper types
+    * (Nullable/LowCardinality/Array) and compact parts decode boxed and
+    * fill. */
   override def createColumnarReader(
       partition: InputPartition): PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
     val split = partition.asInstanceOf[MergeTreeSplit]
@@ -386,7 +457,32 @@ private final class MergeTreeReaderFactory(required: StructType, ddl: String)
       override def next(): Boolean =
         if (emitted) false
         else {
-          batch = ColumnarFill.batch(required, decodeColumns(split, n), n)
+          batch =
+            if (split.compact)
+              ColumnarFill.batch(required, decodeColumns(split, n), n)
+            else {
+              val partTypes = split.partColumns.toMap
+              val vectors = required.fields.map { f =>
+                val v = new org.apache.spark.sql.execution.vectorized
+                  .OnHeapColumnVector(n, f.dataType)
+                partTypes.get(f.name) match {
+                  case None => v.putNulls(0, n) // column added after this part
+                  case Some(chTypeStr) =>
+                    val t = ChType.parse(chTypeStr)
+                    if (ColumnCodec.fastScalar(t))
+                      withStreams(split)(st => ColumnCodec.scalarsInto(
+                        t, st.seek(f.name, split.markStart), n, v))
+                    else {
+                      val vals = withStreams(split)(st => ColumnCodec.decode(
+                        f.name, t, st, split.markStart, split.granuleRows))
+                      ColumnarFill.fillColumn(v, f.dataType, vals, n)
+                    }
+                }
+                v
+              }
+              new org.apache.spark.sql.vectorized.ColumnarBatch(
+                vectors.toArray[org.apache.spark.sql.vectorized.ColumnVector], n)
+            }
           emitted = true
           true
         }

@@ -406,6 +406,73 @@ private[mergetree] object ColumnCodec {
     out
   }
 
+  /** Plain scalar column types whose decode can write STRAIGHT into a
+    * writable column vector — the no-boxing fast path of the columnar
+    * scan. Wrappers (Nullable/LowCardinality/Array) go through the
+    * boxed structural decode + vector fill. */
+  private[mergetree] def fastScalar(t: ChType): Boolean = t match {
+    case _: FixedInt | F32 | F64 | Date16 | Date32T | DateTime32 |
+         _: DateTime64T | BoolT | Str | _: FixedStr | _: Enum => true
+    case _ => false
+  }
+
+  /** Decode `n` values of plain scalar type `t` directly into vector
+    * slots — the unboxed twin of [[scalars]], same value mapping
+    * (verified against each other by the columnar-vs-row spec). */
+  private[mergetree] def scalarsInto(
+      t: ChType, r: ChCompressedReader, n: Int,
+      v: org.apache.spark.sql.execution.vectorized.WritableColumnVector): Unit = {
+    var i = 0
+    t match {
+      case FixedInt(1, true)  => while (i < n) { v.putByte(i, r.readByte().toByte); i += 1 }
+      case FixedInt(1, false) => while (i < n) { v.putShort(i, r.readByte().toShort); i += 1 }
+      case FixedInt(2, true)  => while (i < n) { v.putShort(i, r.readShortLE()); i += 1 }
+      case FixedInt(2, false) => while (i < n) { v.putInt(i, r.readShortLE() & 0xFFFF); i += 1 }
+      case FixedInt(4, true)  => while (i < n) { v.putInt(i, r.readIntLE()); i += 1 }
+      case FixedInt(4, false) => while (i < n) { v.putLong(i, r.readIntLE() & 0xFFFFFFFFL); i += 1 }
+      case FixedInt(8, _)     => while (i < n) { v.putLong(i, r.readLongLE()); i += 1 }
+      case FixedInt(b, _) => throw new IllegalArgumentException(s"int width $b")
+      case F32 => while (i < n) { v.putFloat(i, r.readFloatLE()); i += 1 }
+      case F64 => while (i < n) { v.putDouble(i, r.readDoubleLE()); i += 1 }
+      case Str =>
+        while (i < n) {
+          val b = r.readStringBytes()
+          v.putByteArray(i, b, 0, b.length)
+          i += 1
+        }
+      case FixedStr(len) =>
+        while (i < n) {
+          val b = r.readBytes(len)
+          v.putByteArray(i, b, 0, b.length)
+          i += 1
+        }
+      case Date16 => while (i < n) { v.putInt(i, r.readShortLE() & 0xFFFF); i += 1 }
+      case Date32T => while (i < n) { v.putInt(i, r.readIntLE()); i += 1 }
+      case DateTime32 =>
+        while (i < n) { v.putLong(i, (r.readIntLE() & 0xFFFFFFFFL) * 1000000L); i += 1 }
+      case DateTime64T(scale) =>
+        val factor = math.pow(10, math.abs(6 - scale)).toLong
+        while (i < n) {
+          val ticks = r.readLongLE()
+          v.putLong(i, if (scale <= 6) ticks * factor else ticks / factor)
+          i += 1
+        }
+      case e: Enum =>
+        // code → utf8 bytes precomputed once, not per row
+        val codeBytes: Map[Int, Array[Byte]] =
+          e.codeToName.map { case (c, s) => c -> s.getBytes("UTF-8") }
+        while (i < n) {
+          val code = if (e.bytes == 1) r.readByte().toByte.toInt else r.readShortLE().toInt
+          val b = codeBytes.getOrElse(code,
+            throw new IllegalArgumentException(s"enum code $code not in declaration"))
+          v.putByteArray(i, b, 0, b.length)
+          i += 1
+        }
+      case other =>
+        throw new IllegalArgumentException(s"not a fast-scalar MergeTree type: $other")
+    }
+  }
+
   /** `n` scalar values off an already-positioned reader. */
   private[mergetree] def scalars(t: ChType, r: ChCompressedReader, n: Int): Array[Any] = {
     val out = new Array[Any](n)

@@ -321,18 +321,30 @@ class AggProjectionsSpec extends AnyFunSuite {
     assert(sortedRows(q) == direct)
     // a NEW PART lands (MergeTree's append unit): the part-set
     // fingerprint changes, the reroute must revert to the scan — and
-    // MATERIALIZE rebuilds the companion, re-arming it
+    // MATERIALIZE merges ONLY the new part's states into the companion
+    // (the incremental path), re-arming the reroute
     part("all_2_2_0", (21 to 28).map(i => Seq[Any](s"k${i % 3}", i.toLong)).sortBy(_.head.toString))
     assert(!scansProjection(q), q.queryExecution.optimizedPlan.toString)
     val mat = graft.dialect.ChSql.sql(spark,
       "ALTER TABLE mt_proj_t MATERIALIZE PROJECTION p_k").collect().head
-    assert(mat.getString(1) == "rebuilt")
+    assert(mat.getString(1) == "merged_incremental")
     assert(scansProjection(q), q.queryExecution.optimizedPlan.toString)
     assert(sortedRows(q) == unoptimized(sortedRows(
       spark.sql("SELECT k, sum(v) AS s, count(*) AS n FROM mt_proj_t GROUP BY k"))))
-    // an unchanged tree is a provable no-op; DROP unregisters
+    // an unchanged tree is a provable no-op
     assert(graft.dialect.ChSql.sql(spark,
       "ALTER TABLE mt_proj_t MATERIALIZE PROJECTION p_k").collect().head.getString(1) == "noop")
+    // a REMOVED part (merge/mutation replaced it) cannot merge-subtract:
+    // full rebuild, still answer-identical
+    val gone = new java.io.File(d, "all_1_1_0")
+    gone.listFiles().foreach(_.delete()); gone.delete()
+    assert(!scansProjection(q), q.queryExecution.optimizedPlan.toString)
+    assert(graft.dialect.ChSql.sql(spark,
+      "ALTER TABLE mt_proj_t MATERIALIZE PROJECTION p_k").collect().head.getString(1) == "rebuilt")
+    assert(scansProjection(q), q.queryExecution.optimizedPlan.toString)
+    assert(sortedRows(q) == unoptimized(sortedRows(
+      spark.sql("SELECT k, sum(v) AS s, count(*) AS n FROM mt_proj_t GROUP BY k"))))
+    // DROP unregisters
     assert(graft.dialect.ChSql.sql(spark,
       "ALTER TABLE mt_proj_t DROP PROJECTION p_k").collect().head.getString(1) == "dropped")
     assert(!scansProjection(q))
