@@ -123,9 +123,22 @@ object MergeTreeCtas {
     var partNo = 0
     asRows.grouped(PartRows).foreach { chunk =>
       partNo += 1
-      MergeTreePartWriter.writePart(
-        dir, cols, chunk, granularity = Granularity,
-        partName = s"all_${partNo}_${partNo}_0", orderBy = orderBy)
+      val partName = s"all_${partNo}_${partNo}_0"
+      // CH writes small parts COMPACT by default (min_bytes_for_wide_part
+      // / min_rows_for_wide_part): a sub-granularity chunk lands as one
+      // interleaved data.bin instead of per-column streams — matched
+      // here when the chunk's types fit the compact subset (the mixed
+      // wide/compact tree is the normal shape of a real table)
+      val compactOk = chunk.size < Granularity &&
+        cols.forall { case (_, ts) => CompactCodec.supported(ChType.parse(ts)) }
+      if (compactOk)
+        MergeTreePartWriter.writeCompactPart(
+          dir, cols, chunk, granularity = Granularity,
+          partName = partName, orderBy = orderBy)
+      else
+        MergeTreePartWriter.writePart(
+          dir, cols, chunk, granularity = Granularity,
+          partName = partName, orderBy = orderBy)
     }
     MergeTreePartWriter.writeHttpIndex(dir)
     (rows.length.toLong, cols.map { case (n, t) => s"`$n` $t" }.mkString(", "))
