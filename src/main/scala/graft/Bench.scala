@@ -116,6 +116,15 @@ object Bench {
     val twin = s"$base/twin.parquet"
     val done = new java.io.File(s"$base/_DONE")
     if (!done.exists()) {
+      // a content-keyed dir without the marker is a torn previous build
+      // (killed mid-write): clear it, or the partial part copies below
+      // collide on every subsequent run (review finding)
+      val baseDir = new java.io.File(base)
+      if (baseDir.exists()) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(baseDir.toPath).iterator().asScala.toSeq
+          .reverse.foreach(java.nio.file.Files.deleteIfExists(_))
+      }
       val df = Tables.load(spark, sfDir, "lineitem")
         .select("l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice")
         .orderBy("l_returnflag", "l_linestatus")

@@ -523,7 +523,10 @@ object AggProjections {
         .mkString("\n"))
 
     def of(spark: SparkSession, files: Seq[String]): String = {
-      val ttl = spark.conf.getOption(TtlConf).map(_.toLong).getOrElse(0L)
+      // malformed conf degrades to the safe default (sweep), it must
+      // not fail the optimization pass
+      val ttl = spark.conf.getOption(TtlConf)
+        .flatMap(v => scala.util.Try(v.toLong).toOption).getOrElse(0L)
       val sorted = files.sorted
       val cacheKey = md5(sorted.mkString("\n"))
       val now = System.currentTimeMillis()
@@ -536,24 +539,35 @@ object AggProjections {
                 .statFiles(spark, sorted, conf)
                 .sortBy(_._1).map { case (p, len, mtime) => s"$p:$len:$mtime" }
                 .toSeq
-            else {
-              val pool = java.util.concurrent.Executors.newFixedThreadPool(
-                math.min(math.max(sorted.size, 1), 8))
-              try {
-                import scala.jdk.CollectionConverters._
-                pool.invokeAll(sorted.map { f =>
-                  new java.util.concurrent.Callable[String] {
-                    override def call(): String = {
-                      val p = new Path(f)
-                      val st = p.getFileSystem(conf).getFileStatus(p)
-                      s"$f:${st.getLen}:${st.getModificationTime}"
-                    }
-                  }
-                }.asJava).asScala.map(_.get()).toSeq
-              } finally pool.shutdown()
+            else graft.core.DriverPool.map(sorted, maxThreads = 8) { f =>
+              val p = new Path(f)
+              val st = p.getFileSystem(conf).getFileStatus(p)
+              s"$f:${st.getLen}:${st.getModificationTime}"
             }
           val fp = md5(parts.mkString("\n"))
           cache.put(cacheKey, (fp, now))
+          fp
+        }
+    }
+  }
+
+  /** Part-set fingerprints for MergeTree sources — the same TTL
+    * discipline as [[Fingerprint]] (default 0 = sweep every planning;
+    * correctness first). Without it every optimizer pass over a
+    * projection-carrying ATTACHed table re-fetches per-part metadata —
+    * an http round-trip per part per query for web endpoints. The
+    * refresh paths bypass this cache deliberately (they must see the
+    * true current inventory). */
+  object MtFingerprint {
+    private val cache = TrieMap.empty[String, (String, Long)]
+    def of(spark: SparkSession, endpoint: String): String = {
+      val ttl = spark.conf.getOption(Fingerprint.TtlConf)
+        .flatMap(v => scala.util.Try(v.toLong).toOption).getOrElse(0L)
+      val now = System.currentTimeMillis()
+      cache.get(endpoint).filter(_ => ttl > 0).filter(now - _._2 < ttl)
+        .map(_._1).getOrElse {
+          val fp = graft.sources.mergetree.MergeTree.partsFingerprint(endpoint)
+          cache.put(endpoint, (fp, now))
           fp
         }
     }
@@ -604,8 +618,7 @@ case class AggProjectionRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
   }
   private final case class MtSrc(endpoint: String) extends Src {
     def key: String = AggProjections.mergeTreeKey(endpoint)
-    def freshFingerprint(): String =
-      graft.sources.mergetree.MergeTree.partsFingerprint(endpoint)
+    def freshFingerprint(): String = MtFingerprint.of(spark, endpoint)
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan = {

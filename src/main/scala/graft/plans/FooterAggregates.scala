@@ -216,18 +216,9 @@ case class FooterAggregates(spark: SparkSession) extends Rule[LogicalPlan] {
       else {
         // few files: footer reads on a bounded driver pool (each is a
         // ~kilobyte ranged read; a Spark job would cost more than it saves)
-        val pool = java.util.concurrent.Executors.newFixedThreadPool(
-          math.min(paths.size, 8))
-        try {
-          import scala.jdk.CollectionConverters._
-          val f: ParquetMetadata => FileStats = footerStats(wanted)
-          pool.invokeAll(paths.map { p =>
-            new java.util.concurrent.Callable[FileStats] {
-              override def call(): FileStats =
-                f(FunctionShim.readParquetFooter(p, hadoopConf))
-            }
-          }.asJava).asScala.map(_.get()).toSeq
-        } finally pool.shutdown()
+        val f: ParquetMetadata => FileStats = footerStats(wanted)
+        graft.core.DriverPool.map(paths, maxThreads = 8)(p =>
+          f(FunctionShim.readParquetFooter(p, hadoopConf)))
       }
     perFile.foldLeft(FileStats(0L, Map.empty))(_ merge _)
   }

@@ -114,12 +114,15 @@ class QueryServer(
               // so one request's SETs / ATTACHes never leak into another
               // running concurrently on this 4-thread pool
               val out = new QueryService(spark.newSession()).execute(req)
+              // render BEFORE counting success: a render failure must
+              // land in exactly one bucket, not a 200 log line followed
+              // by a 400 for the same request (review finding)
+              val (ctype, respBody) = renderInFormat(out)
               queriesTotal.increment()
               val secs = (System.nanoTime() - t0) / 1e9
               querySecondsTotal.add(secs)
               log.info(s"request_id=$reqId status=200 rows=${out.rows.size} " +
                 f"seconds=$secs%.3f")
-              val (ctype, respBody) = renderInFormat(out)
               (200, ctype, respBody)
             } catch {
               case e: com.fasterxml.jackson.core.JacksonException =>
@@ -251,9 +254,11 @@ class QueryServer(
     * (VERDICT r9 task #6) — `clickhouse-client`/HTTP users drive the
     * body shape with it (`run.sh:17` relies on client-side default
     * formatting). Supported: JSONEachRow/NDJSON, CSV[WithNames],
-    * TSV/TabSeparated[WithNames], Pretty[Compact], JSON (the default
-    * envelope). Anything else is the caller's fault → 400 via
-    * IllegalArgumentException. */
+    * TSV/TabSeparated[WithNames], Pretty[Compact], Values, Vertical,
+    * Null (execute, return nothing — CH's benchmarking format), JSON
+    * (the default envelope). Unknown names were already refused BEFORE
+    * execution ([[QueryService.execute]]); the fallback here is
+    * defense, not a contract. */
   private def renderInFormat(r: QueryService.QueryResult): (String, String) =
     r.format.map(_.toLowerCase) match {
       case None | Some("json") => ("application/json", renderResult(r))
@@ -267,10 +272,44 @@ class QueryServer(
         ("text/tab-separated-values", sepBody(r, header = true, Tsv))
       case Some("pretty") | Some("prettycompact") =>
         ("text/plain", prettyBody(r))
-      case Some(other) => throw new IllegalArgumentException(
-        s"unsupported FORMAT $other (JSON, JSONEachRow, CSV[WithNames], " +
-          "TSV[WithNames], Pretty)")
+      case Some("values") => ("text/plain", valuesBody(r))
+      case Some("vertical") => ("text/plain", verticalBody(r))
+      case Some("null") => ("text/plain", "")
+      case Some(_) => ("application/json", renderResult(r))
     }
+
+  /** CH Values: `(v1,'s'),(v2,'t')` — single-quoted strings with
+    * backslash escaping, NULL literal. */
+  private def valuesBody(r: QueryService.QueryResult): String = {
+    def cell(v: Any): String = v match {
+      case null => "NULL"
+      case b: Boolean => if (b) "true" else "false"
+      case n @ (_: Byte | _: Short | _: Int | _: Long | _: Float | _: Double) => n.toString
+      case d: java.math.BigDecimal => d.toPlainString
+      case d: BigDecimal => d.underlying.toPlainString
+      case other =>
+        "'" + other.toString.replace("\\", "\\\\").replace("'", "\\'") + "'"
+    }
+    r.rows.map(_.map(cell).mkString("(", ",", ")")).mkString(",") +
+      (if (r.rows.nonEmpty) "\n" else "")
+  }
+
+  /** CH Vertical: one `col: value` block per row, names padded. */
+  private def verticalBody(r: QueryService.QueryResult): String = {
+    val w = if (r.cols.isEmpty) 0 else r.cols.map(_.length).max + 1
+    val sb = new StringBuilder(256)
+    r.rows.zipWithIndex.foreach { case (row, i) =>
+      val head = s"Row ${i + 1}:"
+      sb.append(head).append('\n').append("─" * head.length).append('\n')
+      r.cols.zip(row).foreach { case (c, v) =>
+        sb.append(c).append(':').append(" " * (w - c.length))
+          .append(if (v == null) "ᴺᵁᴸᴸ" else v.toString)
+          .append('\n')
+      }
+      sb.append('\n')
+    }
+    sb.toString
+  }
 
   private def ndjsonBody(r: QueryService.QueryResult): String = {
     val sb = new StringBuilder(256)

@@ -148,6 +148,13 @@ class QueryService(spark: SparkSession) {
     val fmt =
       if (graft.dialect.ChWrites.isWrite(main)) None // INSERT's FORMAT is the INPUT format
       else ChSql.requestedFormat(main)
+    // unknown format refuses BEFORE execution (CH errors on unknown
+    // format names too) — failing after the query ran wasted the work
+    // and double-counted the request (review finding)
+    fmt.filterNot(ResponseFormats.supported).foreach { f =>
+      throw new IllegalArgumentException(
+        s"unsupported FORMAT $f (${ResponseFormats.names.mkString(", ")})")
+    }
     req.sinkPath match {
       case Some(path) =>
         val (n, reused) = offload(req, path)

@@ -1,0 +1,15 @@
+package graft.service
+
+/** The output-format names the service shell can render — shared by
+  * [[QueryService]] (which refuses unknown names BEFORE execution;
+  * ClickHouse errors on unknown format names too) and [[QueryServer]]
+  * (which renders). Names are case-insensitive, as in CH. */
+object ResponseFormats {
+  val names: Seq[String] = Seq(
+    "JSON", "JSONEachRow", "NDJSON",
+    "CSV", "CSVWithNames",
+    "TSV", "TabSeparated", "TSVWithNames", "TabSeparatedWithNames",
+    "Pretty", "PrettyCompact", "Values", "Vertical", "Null")
+  private val lower = names.map(_.toLowerCase).toSet
+  def supported(name: String): Boolean = lower.contains(name.toLowerCase)
+}

@@ -59,6 +59,15 @@ object MergeTreeCtas {
       require(fields.exists(_.name == k),
         s"CTAS ENGINE=MergeTree: ORDER BY column '$k' is not in the SELECT")
     }
+    // type support refuses from the SCHEMA, before any execution — an
+    // unsupported column must not cost the full sort + driver collect
+    // first (review finding)
+    fields.foreach { f =>
+      f.dataType match {
+        case ArrayType(et, _) => chBase(et)
+        case dt => chBase(dt)
+      }
+    }
     val arrayElem: Map[String, DataType] = fields.collect {
       case StructField(n, ArrayType(et, _), _, _) => n -> et
     }.toMap
@@ -111,36 +120,41 @@ object MergeTreeCtas {
       f.name -> t
     }.toSeq
 
-    // CTAS defines the table: a leftover tree from a previous run must
-    // not contribute stale extra parts to the new one
-    val root = java.nio.file.Paths.get(dir)
-    if (java.nio.file.Files.isDirectory(root)) {
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverse
-        .foreach(java.nio.file.Files.deleteIfExists(_))
-    }
     val asRows: Seq[Seq[Any]] = rows.iterator.map(_.toSeq).toSeq
-    var partNo = 0
-    asRows.grouped(PartRows).foreach { chunk =>
-      partNo += 1
-      val partName = s"all_${partNo}_${partNo}_0"
-      // CH writes small parts COMPACT by default (min_bytes_for_wide_part
-      // / min_rows_for_wide_part): a sub-granularity chunk lands as one
-      // interleaved data.bin instead of per-column streams — matched
-      // here when the chunk's types fit the compact subset (the mixed
-      // wide/compact tree is the normal shape of a real table)
-      val compactOk = chunk.size < Granularity &&
-        cols.forall { case (_, ts) => CompactCodec.supported(ChType.parse(ts)) }
-      if (compactOk)
-        MergeTreePartWriter.writeCompactPart(
-          dir, cols, chunk, granularity = Granularity,
-          partName = partName, orderBy = orderBy)
-      else
-        MergeTreePartWriter.writePart(
-          dir, cols, chunk, granularity = Granularity,
-          partName = partName, orderBy = orderBy)
+    def writeTree(treeDir: String): Unit = {
+      var partNo = 0
+      asRows.grouped(PartRows).foreach { chunk =>
+        partNo += 1
+        val partName = s"all_${partNo}_${partNo}_0"
+        // CH writes small parts COMPACT by default (min_bytes_for_wide_part
+        // / min_rows_for_wide_part): a sub-granularity chunk lands as one
+        // interleaved data.bin instead of per-column streams — matched
+        // here when the chunk's types fit the compact subset (the mixed
+        // wide/compact tree is the normal shape of a real table)
+        val compactOk = chunk.size < Granularity &&
+          cols.forall { case (_, ts) => CompactCodec.supported(ChType.parse(ts)) }
+        if (compactOk)
+          MergeTreePartWriter.writeCompactPart(
+            treeDir, cols, chunk, granularity = Granularity,
+            partName = partName, orderBy = orderBy)
+        else
+          MergeTreePartWriter.writePart(
+            treeDir, cols, chunk, granularity = Granularity,
+            partName = partName, orderBy = orderBy)
+      }
+      MergeTreePartWriter.writeHttpIndex(treeDir)
     }
-    MergeTreePartWriter.writeHttpIndex(dir)
+    // CTAS defines the table: a re-run over an existing tree goes
+    // through the backup-staged swap, so a mid-write failure leaves the
+    // previous tree intact rather than a deleted original plus a torn
+    // replacement (review finding); a fresh path writes directly
+    val root = java.nio.file.Paths.get(dir)
+    if (java.nio.file.Files.isDirectory(root))
+      graft.core.FsSwap.replace(spark, dir, "ctas") { tmp =>
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(tmp.toString))
+        writeTree(tmp.toString)
+      }
+    else writeTree(dir)
     (rows.length.toLong, cols.map { case (n, t) => s"`$n` $t" }.mkString(", "))
   }
 }

@@ -253,18 +253,8 @@ private final class MergeTreeScan(
     // planning linear in part count single-threaded (the same shape as
     // the projection fingerprint sweep), and each http part costs a
     // round-trip
-    val metas: Map[String, PartMeta] = {
-      val pool = java.util.concurrent.Executors.newFixedThreadPool(
-        math.min(parts.size, 16))
-      try {
-        import scala.jdk.CollectionConverters._
-        pool.invokeAll(parts.map { p =>
-          new java.util.concurrent.Callable[(String, PartMeta)] {
-            override def call(): (String, PartMeta) = p -> PartMeta.read(tf, p)
-          }
-        }.asJava).asScala.map(_.get()).toMap
-      } finally pool.shutdown()
-    }
+    val metas: Map[String, PartMeta] =
+      graft.core.DriverPool.map(parts)(p => p -> PartMeta.read(tf, p)).toMap
     // AUTO split size: aim for ~2 tasks per core over the SELECTED
     // parts, floored at 64k rows (under that, task overhead dominates
     // decode — measured) and capped at 1M (bounds per-task memory for

@@ -446,6 +446,7 @@ private[mergetree] object ColumnCodec {
           v.putByteArray(i, b, 0, b.length)
           i += 1
         }
+      case BoolT => while (i < n) { v.putBoolean(i, r.readByte() != 0); i += 1 }
       case Date16 => while (i < n) { v.putInt(i, r.readShortLE() & 0xFFFF); i += 1 }
       case Date32T => while (i < n) { v.putInt(i, r.readIntLE()); i += 1 }
       case DateTime32 =>

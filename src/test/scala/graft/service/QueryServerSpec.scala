@@ -198,7 +198,14 @@ class QueryServerSpec extends AnyFunSuite {
     val js = post("/query",
       s"""{"query": "$q FORMAT JSON SETTINGS max_threads=4", "init_queries": ["$attach"]}""")
     assert(js.body().startsWith("{\"cols\":[\"n_name\",\"n_nationkey\"]"))
-    // unknown format = caller's fault
+    // Null executes and returns nothing (CH's benchmarking format);
+    // Values and Vertical are the other client staples
+    val nul = run("Null")
+    assert(nul.statusCode() == 200 && nul.body() == "")
+    assert(run("Values").body() == "('NATION_0',0),('NATION_1',1)\n")
+    val vert = run("Vertical").body()
+    assert(vert.startsWith("Row 1:\n") && vert.contains("n_name:      NATION_0"))
+    // unknown format = caller's fault, refused BEFORE execution
     assert(run("Arrow").statusCode() == 400)
   }
 

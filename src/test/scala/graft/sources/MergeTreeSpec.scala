@@ -32,7 +32,8 @@ class MergeTreeSpec extends AnyFunSuite {
       "d" -> "Date",
       "maybe" -> "Nullable(Int32)",
       "nums" -> "Array(Int64)",
-      "labels" -> "Array(LowCardinality(String))")
+      "labels" -> "Array(LowCardinality(String))",
+      "ok" -> "Bool")
     val rows = (0 until 10).map { i =>
       Seq(
         i.toLong,
@@ -45,7 +46,8 @@ class MergeTreeSpec extends AnyFunSuite {
         java.sql.Date.valueOf(java.time.LocalDate.of(2024, 1, 1).plusDays(i.toLong)),
         if (i % 3 == 0) null else Int.box(i * 100),
         (0 until (i % 4)).map(j => (i * 10 + j).toLong),
-        (0 until (i % 3)).map(j => Seq("hot", "cold")(j % 2)))
+        (0 until (i % 3)).map(j => Seq("hot", "cold")(j % 2)),
+        i % 2 == 0)
     }
     MergeTreePartWriter.writePart(dir, columns, rows,
       granularity = granularity, blockSize = 32)
@@ -105,6 +107,7 @@ class MergeTreeSpec extends AnyFunSuite {
     assert(r4.getAs[String]("tag") == "green")
     assert(r4.getAs[Int]("maybe") == 400)
     assert(r4.getSeq[Long](r4.fieldIndex("nums")).isEmpty)
+    assert(r4.getAs[Boolean]("ok"))
   }
 
   test("granule-range splits decode identically to the single-split read") {
