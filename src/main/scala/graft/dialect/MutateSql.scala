@@ -46,6 +46,15 @@ object MutateSql {
     import spark.implicits._
     sql match {
       case TruncateRe(ifExists, pathLit, tableName) =>
+        // a MergeTree tree cannot hold zero parts — CH's TRUNCATE works
+        // because its catalog owns the table; here the honest move is
+        // an explicit refusal with the alternative
+        resolveMt(spark, pathLit, tableName).foreach { case (label, _, _, _) =>
+          throw new IllegalArgumentException(
+            s"TRUNCATE TABLE $label: a MergeTree part tree cannot be " +
+              "empty — drop/recreate the table (CTAS), or DELETE the " +
+              "rows you can name")
+        }
         // TRUNCATE = keep the schema, drop every row — an empty
         // same-schema parquet write through the usual swap. IF EXISTS
         // no-ops on a missing table/path (review finding: the clause
@@ -92,8 +101,16 @@ object MutateSql {
               "(use WHERE 1 to update every row)"))
         // syntax-check the assignment list BEFORE touching storage
         val parsedAssigns = splitAssignments(assigns)
-        val (name, source) = resolve(spark, pathLit, tableName)
-        val df = spark.read.parquet(source)
+        val mt = resolveMt(spark, pathLit, tableName)
+        val (name, source) = mt match {
+          case Some((label, ep, _, _)) => (Some(label), ep)
+          case None => resolve(spark, pathLit, tableName)
+        }
+        val df = mt match {
+          case Some((_, ep, ddl, key)) =>
+            graft.sources.mergetree.MergeTree.read(spark, ep, ddl, key)
+          case None => spark.read.parquet(source)
+        }
         df.createOrReplaceTempView("__mutate_src")
         // case-insensitive like the rest of the SQL surface (review
         // finding: the schema map was exact-case)
@@ -116,7 +133,10 @@ object MutateSql {
         val matched = ChSql.sql(spark,
           s"SELECT count(*) FROM __mutate_src WHERE coalesce(($cond), false)", macros)
           .collect().head.getLong(0)
-        rewrite(spark, source, name, updated)
+        mt match {
+          case Some((_, ep, _, key)) => rewriteMt(spark, ep, key, updated)
+          case None => rewrite(spark, source, name, updated)
+        }
         Seq((name.getOrElse(source), "updated", matched))
           .toDF("table", "mutation", "rows_affected")
       case other =>
@@ -127,6 +147,18 @@ object MutateSql {
   private def delete(spark: SparkSession, pathLit: String, tableName: String,
       cond: String, macros: Map[String, String]): DataFrame = {
     import spark.implicits._
+    resolveMt(spark, pathLit, tableName).foreach { case (label, ep, ddl, key) =>
+      graft.sources.mergetree.MergeTree.read(spark, ep, ddl, key)
+        .createOrReplaceTempView("__mutate_src")
+      val kept = ChSql.sql(spark,
+        s"SELECT * FROM __mutate_src WHERE NOT coalesce(($cond), false)", macros)
+      val matched = ChSql.sql(spark,
+        s"SELECT count(*) FROM __mutate_src WHERE coalesce(($cond), false)", macros)
+        .collect().head.getLong(0)
+      rewriteMt(spark, ep, key, kept)
+      return Seq((label, "deleted", matched))
+        .toDF("table", "mutation", "rows_affected")
+    }
     val (name, source) = resolve(spark, pathLit, tableName)
     val df = spark.read.parquet(source)
     df.createOrReplaceTempView("__mutate_src")
@@ -143,6 +175,32 @@ object MutateSql {
     Seq((name.getOrElse(source), "deleted", matched))
       .toDF("table", "mutation", "rows_affected")
   }
+
+  /** Mutation target resolution for MergeTree trees (local only — web
+    * disks are read-only in CH's own contract): a named ATTACHed table
+    * via its relation, or a quoted path that IS a part tree. The
+    * rewrite is CH's own mutation cost model — parts rewrite — done
+    * whole-tree through the bounded CTAS materializer and the
+    * backup-staged swap. A mutation that deletes EVERY row refuses
+    * (a part tree cannot be empty); TRUNCATE-level removal should drop
+    * the table instead. */
+  private def resolveMt(spark: SparkSession, pathLit: String, tableName: String)
+      : Option[(String, String, String, Seq[String])] = {
+    import graft.sources.mergetree.MergeTree
+    val name = Option(tableName).map(ProjectionSql.clean)
+    name.flatMap(n => ProjectionSql.resolveMergeTree(spark, n))
+      .map { case (ep, ddl, key) => (name.get, ep, ddl, key) }
+      .orElse(Option(pathLit).filter(MergeTree.looksLikeMergeTree)
+        .map(p => (p, p, MergeTree.ddlOf(p), Nil)))
+      .map { case t @ (_, ep, _, _) =>
+        MergeTree.requireLocalForMaintenance(ep, "mutation")
+        t
+      }
+  }
+
+  private def rewriteMt(spark: SparkSession, ep: String,
+      key: Seq[String], out: org.apache.spark.sql.DataFrame): Unit =
+    graft.sources.mergetree.MergeTreeCtas.write(spark, out, ep, key)
 
   private def resolve(spark: SparkSession, pathLit: String,
       tableName: String): (Option[String], String) = {

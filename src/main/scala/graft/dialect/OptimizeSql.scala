@@ -40,6 +40,29 @@ object OptimizeSql {
     sql match {
       case StmtRe(pathLit, tableName, _) =>
         val name = Option(tableName).map(ProjectionSql.clean)
+        // a MergeTree target compacts as a PART MERGE (CH's FINAL):
+        // all parts rewrite into one merged tree through the
+        // backup-staged swap. Local trees only — web disks are
+        // read-only in CH's own contract. Named ATTACHed tables
+        // resolve through the relation; bare paths by tree sniffing.
+        import graft.sources.mergetree.MergeTree
+        val mt: Option[(String, String, Seq[String])] =
+          name.flatMap(n => ProjectionSql.resolveMergeTree(spark, n))
+            .orElse(Option(pathLit).filter(MergeTree.looksLikeMergeTree)
+              .map(p => (p, MergeTree.ddlOf(p), Nil)))
+        mt.foreach { case (ep, ddl, orderBy) =>
+          MergeTree.requireLocalForMaintenance(ep, "OPTIMIZE TABLE")
+          val partsBefore = MergeTree.partsInfo(ep).size
+          val key = if (orderBy.nonEmpty) orderBy
+            else name.map(graft.core.Catalog.sortKey).getOrElse(Nil)
+          val df = MergeTree.read(spark, ep, ddl, key)
+          val bytes = new Path(ep).getFileSystem(spark.sessionState.newHadoopConf())
+            .getContentSummary(new Path(ep)).getLength
+          graft.sources.mergetree.MergeTreeCtas.write(spark, df, ep, key)
+          val partsAfter = MergeTree.partsInfo(ep).size
+          return Seq((name.getOrElse(ep), partsBefore, partsAfter, bytes))
+            .toDF("table", "files_before", "files_after", "bytes")
+        }
         val source = Option(pathLit)
           .getOrElse(ProjectionSql.resolvePath(spark, name.get))
         val sortKey = name.map(graft.core.Catalog.sortKey).getOrElse(Nil)

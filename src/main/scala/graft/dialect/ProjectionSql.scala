@@ -90,8 +90,9 @@ object ProjectionSql {
   }
 
   /** (endpoint, ddl, orderBy) when the named session table is an
-    * ATTACHed MergeTree DSv2 relation. */
-  private def resolveMergeTree(
+    * ATTACHed MergeTree DSv2 relation (shared with the OPTIMIZE and
+    * mutation routers). */
+  private[dialect] def resolveMergeTree(
       spark: SparkSession, table: String): Option[(String, String, Seq[String])] =
     try {
       val plan = spark.table(clean(table)).queryExecution.analyzed

@@ -132,6 +132,26 @@ object MergeTree {
     case _ => None
   }
 
+  /** ATTACH-style column list synthesized from a tree's first part
+    * (`columns.txt`) — lets maintenance statements target a bare path
+    * with no session DDL in scope. */
+  def ddlOf(endpoint: String): String = {
+    val tf = TableFiles(endpoint)
+    val parts = tf.partDirs()
+    require(parts.nonEmpty, s"no MergeTree parts under endpoint '$endpoint'")
+    PartMeta.read(tf, parts.head).columns
+      .map { case (n, t) => s"`$n` $t" }.mkString(", ")
+  }
+
+  /** Maintenance (OPTIMIZE / mutations) applies to LOCAL trees only:
+    * an http(s) endpoint is a web disk, and web disks are READ-ONLY in
+    * ClickHouse's own contract — refusing is the faithful behavior. */
+  def requireLocalForMaintenance(endpoint: String, op: String): Unit =
+    require(!endpoint.startsWith("http://") && !endpoint.startsWith("https://"),
+      s"$op on '$endpoint': an http(s) web-disk endpoint is read-only " +
+        "(ClickHouse web disks are too) — mirror the parts to a local " +
+        "tree to maintain them")
+
   /** Sorted part inventory lines `name:rows:granules:columns` — the
     * table's content identity. Parts are immutable BY NAME in MergeTree
     * semantics — appends add parts, merges/mutations replace them under

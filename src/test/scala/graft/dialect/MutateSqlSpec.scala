@@ -142,6 +142,45 @@ class MutateSqlSpec extends AnyFunSuite {
     assert(e.getMessage.contains("WHERE"))
   }
 
+  test("mutations on a LOCAL MergeTree tree rewrite parts; web disks refuse") {
+    val d = Files.createTempDirectory("graft_mut_mt").toString + "/tree"
+    val cols = Seq("k" -> "Int64", "status" -> "String", "v" -> "Float64")
+    graft.sources.mergetree.MergeTreePartWriter.writePart(
+      d, cols, (1 to 30).map(i =>
+        Seq[Any](i.toLong, if (i % 2 == 0) "even" else "odd", i * 1.5)),
+      granularity = 8, orderBy = Seq("k"))
+    graft.sources.mergetree.MergeTree
+      .read(spark, d, "`k` Int64, `status` String, `v` Float64", Seq("k"))
+      .createOrReplaceTempView("mut_mt")
+    // DELETE: only TRUE-condition rows go, tree rewrites through the swap
+    val del = ChSql.sql(spark,
+      "ALTER TABLE mut_mt DELETE WHERE status = 'even'").collect().head
+    assert(del.getString(1) == "deleted" && del.getLong(2) == 15L)
+    assert(spark.table("mut_mt").count() == 15)
+    assert(spark.table("mut_mt").filter("status = 'even'").count() == 0)
+    // UPDATE: conditional assignment with the CH cast-back contract
+    val up = ChSql.sql(spark,
+      "ALTER TABLE mut_mt UPDATE v = v * 10 WHERE k <= 5").collect().head
+    assert(up.getString(1) == "updated" && up.getLong(2) == 3L) // k=1,3,5 remain
+    assert(spark.table("mut_mt").filter("k = 5").collect().head.getAs[Double]("v") == 75.0)
+    assert(spark.table("mut_mt").filter("k = 7").collect().head.getAs[Double]("v") == 10.5)
+    // TRUNCATE has no empty-tree representation: explicit refusal
+    val e = intercept[IllegalArgumentException] {
+      ChSql.sql(spark, "TRUNCATE TABLE mut_mt")
+    }
+    assert(e.getMessage.contains("MergeTree"))
+    // an http(s) endpoint is a read-only web disk — mutation refuses
+    graft.sources.mergetree.MergeTreePartWriter.writeHttpIndex(d)
+    val port = graft.sources.StaticHttp.serve(new java.io.File(d).getParent)
+    graft.sources.mergetree.MergeTree.read(spark,
+      s"http://127.0.0.1:$port/tree", "`k` Int64, `status` String, `v` Float64", Seq("k"))
+      .createOrReplaceTempView("mut_mt_http")
+    val eh = intercept[IllegalArgumentException] {
+      ChSql.sql(spark, "ALTER TABLE mut_mt_http DELETE WHERE k = 1")
+    }
+    assert(eh.getMessage.contains("read-only"))
+  }
+
   test("malformed statements refuse loudly") {
     intercept[IllegalArgumentException] {
       MutateSql.run(spark, "ALTER TABLE t UPDATE novalue WHERE x = 1")

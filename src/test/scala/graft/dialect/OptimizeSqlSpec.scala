@@ -55,6 +55,27 @@ class OptimizeSqlSpec extends AnyFunSuite {
     assert(keys.zip(keys.tail).forall { case (a, b) => a <= b })
   }
 
+  test("OPTIMIZE on a MergeTree tree merges parts into one (CH FINAL)") {
+    val d = java.nio.file.Files.createTempDirectory("graft_opt_mt").toString + "/tree"
+    val cols = Seq("k" -> "Int64", "v" -> "Float64")
+    // three parts, as an append-heavy table accretes them
+    (0 until 3).foreach { p =>
+      graft.sources.mergetree.MergeTreePartWriter.writePart(
+        d, cols, (1 to 20).map(i => Seq[Any]((p * 100 + i).toLong, i * 0.5)),
+        granularity = 8, partName = s"all_${p + 1}_${p + 1}_0", orderBy = Seq("k"))
+    }
+    graft.sources.mergetree.MergeTree
+      .read(spark, d, "`k` Int64, `v` Float64", Seq("k"))
+      .createOrReplaceTempView("opt_mt")
+    val before = spark.table("opt_mt").collect().map(_.toString).sorted.toSeq
+    val st = ChSql.sql(spark, "OPTIMIZE TABLE opt_mt FINAL").collect().head
+    assert(st.getInt(1) == 3 && st.getInt(2) == 1,
+      s"expected 3 parts -> 1, got ${st.getInt(1)} -> ${st.getInt(2)}")
+    // content identical, and the merged part still reads through ATTACH
+    assert(spark.table("opt_mt").collect().map(_.toString).sorted.toSeq == before)
+    assert(graft.sources.mergetree.MergeTree.partsInfo(d).size == 1)
+  }
+
   test("PARTITION form and missing paths refuse loudly") {
     val e1 = intercept[IllegalArgumentException] {
       ChSql.sql(spark, "OPTIMIZE TABLE t PARTITION '2024' FINAL")
