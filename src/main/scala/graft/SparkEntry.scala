@@ -925,6 +925,29 @@ object SparkEntry {
           "ALTER TABLE mut_mt_orders UPDATE price = price * 2 WHERE st = 'O'")))._1
     }),
 
+    // INSERT INTO a MergeTree table = a PART APPEND (CH's own write
+    // model — every INSERT batch is a part): CTAS materializes one
+    // slice, INSERT appends another as a second part, and the
+    // aggregate over the two-part tree hash-matches the oracle's union
+    "q181_mt_insert_append" -> ((spark, dir) => {
+      prep(spark, dir)
+      val wh = s"${derivedDir(spark, dir)}/wh"
+      spark.conf.set(graft.dialect.ChWrites.WarehouseConf, wh)
+      val svc = new QueryService(spark)
+      svc.executeToDf(QueryService.QueryRequest(
+        query = """SELECT c_nationkey, count() AS n,
+                  |       CAST(round(sum(bal) * 100) AS BIGINT) AS bal_c
+                  |FROM ins_mt_cust GROUP BY c_nationkey
+                  |ORDER BY c_nationkey""".stripMargin,
+        initQueries = Seq(
+          """CREATE TABLE ins_mt_cust ENGINE = MergeTree ORDER BY (c_nationkey) AS
+            |SELECT c_nationkey, c_acctbal AS bal
+            |FROM customer WHERE c_custkey % 7 = 0""".stripMargin,
+          """INSERT INTO ins_mt_cust
+            |SELECT c_nationkey, c_acctbal
+            |FROM customer WHERE c_custkey % 7 = 1""".stripMargin)))._1
+    }),
+
     // CH vector-distance family (dotProduct/cosineDistance/L1/L2/Linf)
     // over real embeddings, paired (vec_id, vec_id+1) — native codegen'd
     // kernels, oracle = DuckDB list_* on the same double-widened arrays
@@ -2611,6 +2634,11 @@ object SparkEntry {
         |FROM orders
         |WHERE o_custkey % 5 = 0 AND o_orderkey % 3 != 0
         |GROUP BY st ORDER BY st""".stripMargin,
+    "q181_mt_insert_append" ->
+      """SELECT c_nationkey, count(*) AS n,
+        |       CAST(round(sum(c_acctbal) * 100) AS BIGINT) AS bal_c
+        |FROM customer WHERE c_custkey % 7 IN (0, 1)
+        |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
     "q176_optimize_table" ->
       """SELECT o_orderstatus AS st, count(*) AS n,
         |       CAST(round(sum(o_totalprice)) AS BIGINT) AS total

@@ -36,6 +36,8 @@ object ChWrites {
     """(?is)^\s*INSERT\s+INTO\s+FUNCTION\s+(file|s3)\s*\(\s*'([^']+)'\s*(?:,\s*'([^']+)')?\s*\)\s*(.*)$""".r
   private val InsertPathRe =
     """(?is)^\s*INSERT\s+INTO\s+'([^']+)'\s*(.*)$""".r
+  private val InsertTableSelectRe =
+    """(?is)^\s*INSERT\s+INTO\s+(?:TABLE\s+)?([`"\w.]+)\s+((?:SELECT|WITH)\b.*)$""".r
   private val InsertTableRe =
     """(?is)^\s*INSERT\s+INTO\s+(\S+).*$""".r
   private val CtasRe =
@@ -112,12 +114,47 @@ object ChWrites {
           if (sortKey.nonEmpty) graft.core.Catalog.recordCtas(name, path, sortKey)
           Seq((name, path, back.count())).toDF("table", "path", "rows")
         }
+      case InsertTableSelectRe(rawName, body) =>
+        // a LOCAL MergeTree table accepts INSERT as a PART APPEND —
+        // CH's own write model: every INSERT batch becomes a part,
+        // merges come later (OPTIMIZE). Web-disk endpoints stay
+        // read-only, like CH web disks.
+        val name = ProjectionSql.clean(rawName)
+        ProjectionSql.resolveMergeTree(spark, name) match {
+          case Some((ep, _, orderBy)) =>
+            graft.sources.mergetree.MergeTree
+              .requireLocalForMaintenance(ep, "INSERT INTO")
+            val df0 = selectDf(spark, body, macros)
+            val table = spark.table(name)
+            require(df0.columns.length == table.schema.fields.length,
+              s"INSERT INTO $name: the SELECT produces " +
+                s"${df0.columns.length} columns; the table has " +
+                s"${table.schema.fields.length}")
+            // positional mapping, cast to the table's types — CH's
+            // INSERT … SELECT contract
+            val aligned = df0.select(df0.columns.zip(table.schema.fields).map {
+              case (c, f) => org.apache.spark.sql.functions.col(s"`$c`")
+                .cast(f.dataType).as(f.name)
+            }.toIndexedSeq: _*)
+            val n = graft.sources.mergetree.MergeTreeCtas
+              .appendPart(spark, aligned, ep, orderBy)
+            Seq((name, "MergeTreePart", n)).toDF("path", "format", "rows")
+          case None =>
+            throw new IllegalArgumentException(
+              s"INSERT INTO $name: only path targets and local MergeTree " +
+                "tables are writable (INSERT INTO '<path>' [FORMAT f] " +
+                "SELECT …, INSERT INTO FUNCTION file('<path>', '<format>') " +
+                "SELECT …, or INSERT INTO <mergetree table> SELECT … — a " +
+                "part append); parquet views and attached web-disk tables " +
+                "are read-only, like CH web disks")
+        }
       case InsertTableRe(target) =>
         throw new IllegalArgumentException(
-          s"INSERT INTO $target: only path targets are writable " +
-            "(INSERT INTO '<path>' [FORMAT f] SELECT …, or INSERT INTO " +
-            "FUNCTION file('<path>', '<format>') SELECT …); attached " +
-            "web-disk tables and views are read-only, like CH web disks")
+          s"INSERT INTO $target: only path targets and local MergeTree " +
+            "tables are writable (INSERT INTO '<path>' [FORMAT f] SELECT …, " +
+            "INSERT INTO FUNCTION file('<path>', '<format>') SELECT …, or " +
+            "INSERT INTO <mergetree table> SELECT …); attached web-disk " +
+            "tables and views are read-only, like CH web disks")
       case other =>
         throw new IllegalArgumentException(s"unparseable write statement: ${other.take(120)}…")
     }

@@ -54,6 +54,42 @@ object MergeTreeCtas {
       df: DataFrame,
       dir: String,
       orderBy: Seq[String]): (Long, String) = {
+    val (asRows, cols) = prepare(spark, df, orderBy, allowEmpty = false)
+    writeOrSwapTree(spark, dir, cols, asRows, orderBy)
+    (asRows.size.toLong, cols.map { case (n, t) => s"`$n` $t" }.mkString(", "))
+  }
+
+  /** Append the frame as ONE NEW PART of an existing tree — CH's own
+    * INSERT model (every INSERT batch is a part; merges come later via
+    * OPTIMIZE). Bounded driver-side like [[write]]; an empty frame
+    * appends nothing. Returns the appended row count. */
+  def appendPart(
+      spark: SparkSession,
+      df: DataFrame,
+      dir: String,
+      orderBy: Seq[String]): Long = {
+    val (asRows, cols) = prepare(spark, df, orderBy, allowEmpty = true)
+    if (asRows.isEmpty) return 0L
+    require(asRows.size <= PartRows,
+      s"INSERT INTO a MergeTree table appends ONE part, bounded to $PartRows " +
+        "rows per statement — batch larger loads into multiple INSERTs")
+    val existing = TableFiles(dir).partDirs()
+    val next = 1 + existing.flatMap { p =>
+      "^all_(\\d+)_".r.findFirstMatchIn(p).map(_.group(1).toInt)
+    }.maxOption.getOrElse(0)
+    writeChunk(dir, cols, asRows, s"all_${next}_${next}_0", orderBy)
+    MergeTreePartWriter.writeHttpIndex(dir)
+    spark.catalog.refreshByPath(dir)
+    asRows.size.toLong
+  }
+
+  /** Validate, sort, collect (bounded), derive CH column types from the
+    * schema + observed nullability. */
+  private def prepare(
+      spark: SparkSession,
+      df: DataFrame,
+      orderBy: Seq[String],
+      allowEmpty: Boolean): (Seq[Seq[Any]], Seq[(String, String)]) = {
     val fields = df.schema.fields
     orderBy.foreach { k =>
       require(fields.exists(_.name == k),
@@ -81,7 +117,7 @@ object MergeTreeCtas {
         s"bounded to $cap rows ($MaxRowsConf); this SELECT exceeds it — " +
         "use plain CREATE TABLE … ORDER BY … AS SELECT (executor-parallel " +
         "sorted parquet, same pruning story) for corpus-scale results")
-    require(rows.nonEmpty,
+    require(allowEmpty || rows.nonEmpty,
       "CTAS ENGINE=MergeTree: empty result — a part tree needs at least " +
         "one row (use plain CTAS for empty-schema registration)")
 
@@ -120,34 +156,42 @@ object MergeTreeCtas {
       f.name -> t
     }.toSeq
 
-    val asRows: Seq[Seq[Any]] = rows.iterator.map(_.toSeq).toSeq
+    (rows.iterator.map(_.toSeq).toSeq, cols)
+  }
+
+  /** One chunk as one part — COMPACT below the granularity when its
+    * types fit the compact subset (CH's min_bytes_for_wide_part rule;
+    * a mixed wide/compact tree is the normal shape of a real table). */
+  private def writeChunk(
+      treeDir: String, cols: Seq[(String, String)], chunk: Seq[Seq[Any]],
+      partName: String, orderBy: Seq[String]): Unit = {
+    val compactOk = chunk.size < Granularity &&
+      cols.forall { case (_, ts) => CompactCodec.supported(ChType.parse(ts)) }
+    if (compactOk)
+      MergeTreePartWriter.writeCompactPart(
+        treeDir, cols, chunk, granularity = Granularity,
+        partName = partName, orderBy = orderBy)
+    else
+      MergeTreePartWriter.writePart(
+        treeDir, cols, chunk, granularity = Granularity,
+        partName = partName, orderBy = orderBy)
+  }
+
+  /** Whole-tree materialization. A re-run over an existing tree goes
+    * through the backup-staged swap, so a mid-write failure leaves the
+    * previous tree intact rather than a deleted original plus a torn
+    * replacement (review finding); a fresh path writes directly. */
+  private def writeOrSwapTree(
+      spark: SparkSession, dir: String, cols: Seq[(String, String)],
+      asRows: Seq[Seq[Any]], orderBy: Seq[String]): Unit = {
     def writeTree(treeDir: String): Unit = {
       var partNo = 0
       asRows.grouped(PartRows).foreach { chunk =>
         partNo += 1
-        val partName = s"all_${partNo}_${partNo}_0"
-        // CH writes small parts COMPACT by default (min_bytes_for_wide_part
-        // / min_rows_for_wide_part): a sub-granularity chunk lands as one
-        // interleaved data.bin instead of per-column streams — matched
-        // here when the chunk's types fit the compact subset (the mixed
-        // wide/compact tree is the normal shape of a real table)
-        val compactOk = chunk.size < Granularity &&
-          cols.forall { case (_, ts) => CompactCodec.supported(ChType.parse(ts)) }
-        if (compactOk)
-          MergeTreePartWriter.writeCompactPart(
-            treeDir, cols, chunk, granularity = Granularity,
-            partName = partName, orderBy = orderBy)
-        else
-          MergeTreePartWriter.writePart(
-            treeDir, cols, chunk, granularity = Granularity,
-            partName = partName, orderBy = orderBy)
+        writeChunk(treeDir, cols, chunk, s"all_${partNo}_${partNo}_0", orderBy)
       }
       MergeTreePartWriter.writeHttpIndex(treeDir)
     }
-    // CTAS defines the table: a re-run over an existing tree goes
-    // through the backup-staged swap, so a mid-write failure leaves the
-    // previous tree intact rather than a deleted original plus a torn
-    // replacement (review finding); a fresh path writes directly
     val root = java.nio.file.Paths.get(dir)
     if (java.nio.file.Files.isDirectory(root))
       graft.core.FsSwap.replace(spark, dir, "ctas") { tmp =>
@@ -155,6 +199,5 @@ object MergeTreeCtas {
         writeTree(tmp.toString)
       }
     else writeTree(dir)
-    (rows.length.toLong, cols.map { case (n, t) => s"`$n` $t" }.mkString(", "))
   }
 }

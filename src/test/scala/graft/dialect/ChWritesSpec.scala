@@ -93,6 +93,40 @@ class ChWritesSpec extends AnyFunSuite {
     } finally spark.conf.unset(ChWrites.WarehouseConf)
   }
 
+  test("INSERT INTO a local MergeTree table appends ONE part (CH's write model)") {
+    freshView()
+    val wh = Files.createTempDirectory("graft_wh_ins").toString
+    spark.conf.set(ChWrites.WarehouseConf, wh)
+    try {
+      ChSql.sql(spark,
+        "CREATE TABLE ins_mt ENGINE = MergeTree ORDER BY (k) AS SELECT k, v FROM wsrc")
+      assert(graft.sources.mergetree.MergeTree.partsInfo(s"$wh/ins_mt").size == 1)
+      // positional mapping + cast to the table's types (v: Int → Float64)
+      val st = ChSql.sql(spark,
+        "INSERT INTO ins_mt SELECT 'z' AS a, 99 AS b").collect().head
+      assert(st.getString(1) == "MergeTreePart" && st.getLong(2) == 1L)
+      assert(graft.sources.mergetree.MergeTree.partsInfo(s"$wh/ins_mt").size == 2)
+      val back = spark.table("ins_mt").orderBy("k", "v").collect()
+        .map(r => (r.getString(0), r.getDouble(1))).toSeq
+      assert(back == Seq(("a", 10.5), ("a", 30.25), ("b", 20.0), ("c", 5.0), ("z", 99.0)))
+      // the append is exactly the incremental-refresh delta: a
+      // projection on the table re-materializes by merging the new part
+      spark.conf.set("spark.graft.projectionDir",
+        Files.createTempDirectory("graft_wh_ins_proj").toString)
+      ChSql.sql(spark,
+        "ALTER TABLE ins_mt ADD PROJECTION ins_p (SELECT k, sum(v), count() GROUP BY k)")
+      ChSql.sql(spark, "INSERT INTO ins_mt SELECT 'z', 1").collect()
+      val mat = ChSql.sql(spark,
+        "ALTER TABLE ins_mt MATERIALIZE PROJECTION ins_p").collect().head
+      assert(mat.getString(1) == "merged_incremental")
+      // an empty SELECT appends nothing (no empty part)
+      val none = ChSql.sql(spark,
+        "INSERT INTO ins_mt SELECT k, v FROM wsrc WHERE id < 0").collect().head
+      assert(none.getLong(2) == 0L)
+      assert(graft.sources.mergetree.MergeTree.partsInfo(s"$wh/ins_mt").size == 3)
+    } finally spark.conf.unset(ChWrites.WarehouseConf)
+  }
+
   test("INSERT INTO a view/table name refuses with guidance; s3 http refuses") {
     freshView()
     val e = intercept[IllegalArgumentException] {
