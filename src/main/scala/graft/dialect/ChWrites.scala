@@ -121,23 +121,33 @@ object ChWrites {
         // read-only, like CH web disks.
         val name = ProjectionSql.clean(rawName)
         ProjectionSql.resolveMergeTree(spark, name) match {
-          case Some((ep, _, orderBy)) =>
+          case Some((ep, ddl, orderBy)) =>
             graft.sources.mergetree.MergeTree
               .requireLocalForMaintenance(ep, "INSERT INTO")
             val df0 = selectDf(spark, body, macros)
             val table = spark.table(name)
-            require(df0.columns.length == table.schema.fields.length,
+            // the named view must BE the table — a column-pruned or
+            // renamed view over the relation would append a part shaped
+            // by the VIEW into the base tree (review finding); the
+            // declared DDL is the authoritative column list
+            val ddlFields = graft.types.ChSchemaParser.parse(ddl).fields
+            require(table.schema.fields.map(_.name).toSeq ==
+                ddlFields.map(_.name).toSeq,
+              s"INSERT INTO $name: the view does not expose the table's " +
+                "own columns (pruned/renamed view?) — INSERT through the " +
+                "table view itself")
+            require(df0.columns.length == ddlFields.length,
               s"INSERT INTO $name: the SELECT produces " +
                 s"${df0.columns.length} columns; the table has " +
-                s"${table.schema.fields.length}")
+                s"${ddlFields.length}")
             // positional mapping, cast to the table's types — CH's
             // INSERT … SELECT contract
-            val aligned = df0.select(df0.columns.zip(table.schema.fields).map {
+            val aligned = df0.select(df0.columns.zip(ddlFields).map {
               case (c, f) => org.apache.spark.sql.functions.col(s"`$c`")
                 .cast(f.dataType).as(f.name)
             }.toIndexedSeq: _*)
             val n = graft.sources.mergetree.MergeTreeCtas
-              .appendPart(spark, aligned, ep, orderBy)
+              .appendPart(spark, aligned, ep, orderBy, declaredDdl = Some(ddl))
             Seq((name, "MergeTreePart", n)).toDF("path", "format", "rows")
           case None =>
             throw new IllegalArgumentException(

@@ -49,7 +49,8 @@ object MutateSql {
         // a MergeTree tree cannot hold zero parts — CH's TRUNCATE works
         // because its catalog owns the table; here the honest move is
         // an explicit refusal with the alternative
-        resolveMt(spark, pathLit, tableName).foreach { case (label, _, _, _) =>
+        resolveMt(spark, pathLit, tableName, op = "TRUNCATE TABLE")
+          .foreach { case (label, _, _, _) =>
           throw new IllegalArgumentException(
             s"TRUNCATE TABLE $label: a MergeTree part tree cannot be " +
               "empty — drop/recreate the table (CTAS), or DELETE the " +
@@ -134,7 +135,7 @@ object MutateSql {
           s"SELECT count(*) FROM __mutate_src WHERE coalesce(($cond), false)", macros)
           .collect().head.getLong(0)
         mt match {
-          case Some((_, ep, _, key)) => rewriteMt(spark, ep, key, updated)
+          case Some((_, ep, ddl, key)) => rewriteMt(spark, ep, ddl, key, updated)
           case None => rewrite(spark, source, name, updated)
         }
         Seq((name.getOrElse(source), "updated", matched))
@@ -147,20 +148,19 @@ object MutateSql {
   private def delete(spark: SparkSession, pathLit: String, tableName: String,
       cond: String, macros: Map[String, String]): DataFrame = {
     import spark.implicits._
-    resolveMt(spark, pathLit, tableName).foreach { case (label, ep, ddl, key) =>
-      graft.sources.mergetree.MergeTree.read(spark, ep, ddl, key)
-        .createOrReplaceTempView("__mutate_src")
-      val kept = ChSql.sql(spark,
-        s"SELECT * FROM __mutate_src WHERE NOT coalesce(($cond), false)", macros)
-      val matched = ChSql.sql(spark,
-        s"SELECT count(*) FROM __mutate_src WHERE coalesce(($cond), false)", macros)
-        .collect().head.getLong(0)
-      rewriteMt(spark, ep, key, kept)
-      return Seq((label, "deleted", matched))
-        .toDF("table", "mutation", "rows_affected")
+    // one shared flow; only the source frame and the rewrite target
+    // differ between parquet and MergeTree (review finding: the two
+    // branches had drifted into near-copies)
+    val mt = resolveMt(spark, pathLit, tableName)
+    val (label, source) = mt match {
+      case Some((l, ep, _, _)) => (Some(l), ep)
+      case None => resolve(spark, pathLit, tableName)
     }
-    val (name, source) = resolve(spark, pathLit, tableName)
-    val df = spark.read.parquet(source)
+    val df = mt match {
+      case Some((_, ep, ddl, key)) =>
+        graft.sources.mergetree.MergeTree.read(spark, ep, ddl, key)
+      case None => spark.read.parquet(source)
+    }
     df.createOrReplaceTempView("__mutate_src")
     // keep rows where cond is NOT true — coalesce, or NULL-cond rows
     // would be silently deleted by NOT(NULL)
@@ -171,8 +171,11 @@ object MutateSql {
     val matched = ChSql.sql(spark,
       s"SELECT count(*) FROM __mutate_src WHERE coalesce(($cond), false)", macros)
       .collect().head.getLong(0)
-    rewrite(spark, source, name, kept)
-    Seq((name.getOrElse(source), "deleted", matched))
+    mt match {
+      case Some((_, ep, ddl, key)) => rewriteMt(spark, ep, ddl, key, kept)
+      case None => rewrite(spark, source, label, kept)
+    }
+    Seq((label.getOrElse(source), "deleted", matched))
       .toDF("table", "mutation", "rows_affected")
   }
 
@@ -184,23 +187,34 @@ object MutateSql {
     * backup-staged swap. A mutation that deletes EVERY row refuses
     * (a part tree cannot be empty); TRUNCATE-level removal should drop
     * the table instead. */
-  private def resolveMt(spark: SparkSession, pathLit: String, tableName: String)
+  private def resolveMt(spark: SparkSession, pathLit: String, tableName: String,
+      op: String = "ALTER TABLE mutation")
       : Option[(String, String, String, Seq[String])] = {
     import graft.sources.mergetree.MergeTree
     val name = Option(tableName).map(ProjectionSql.clean)
     name.flatMap(n => ProjectionSql.resolveMergeTree(spark, n))
       .map { case (ep, ddl, key) => (name.get, ep, ddl, key) }
       .orElse(Option(pathLit).filter(MergeTree.looksLikeMergeTree)
-        .map(p => (p, p, MergeTree.ddlOf(p), Nil)))
+        .map { p =>
+          // a bare path carries no ORDER BY key: rewriting an indexed
+          // tree would silently drop its primary.idx and clustering —
+          // refuse and point at the named table (review finding)
+          require(!MergeTree.hasPrimaryIndex(p),
+            s"$op on path '$p': this tree carries a primary index but a " +
+              "bare path has no ORDER BY key to preserve it — address " +
+              "the ATTACHed table by NAME so the key is known")
+          (p, p, MergeTree.ddlOf(p), Nil: Seq[String])
+        })
       .map { case t @ (_, ep, _, _) =>
-        MergeTree.requireLocalForMaintenance(ep, "mutation")
+        MergeTree.requireLocalForMaintenance(ep, op)
         t
       }
   }
 
-  private def rewriteMt(spark: SparkSession, ep: String,
+  private def rewriteMt(spark: SparkSession, ep: String, ddl: String,
       key: Seq[String], out: org.apache.spark.sql.DataFrame): Unit =
-    graft.sources.mergetree.MergeTreeCtas.write(spark, out, ep, key)
+    graft.sources.mergetree.MergeTreeCtas.write(spark, out, ep, key,
+      declaredDdl = Some(ddl), op = "ALTER TABLE mutation")
 
   private def resolve(spark: SparkSession, pathLit: String,
       tableName: String): (Option[String], String) = {

@@ -49,7 +49,16 @@ object OptimizeSql {
         val mt: Option[(String, String, Seq[String])] =
           name.flatMap(n => ProjectionSql.resolveMergeTree(spark, n))
             .orElse(Option(pathLit).filter(MergeTree.looksLikeMergeTree)
-              .map(p => (p, MergeTree.ddlOf(p), Nil)))
+              .map { p =>
+                // a bare path has no ORDER BY key: compacting an
+                // indexed tree would silently drop its primary.idx —
+                // refuse and point at the named table (review finding)
+                require(!MergeTree.hasPrimaryIndex(p),
+                  s"OPTIMIZE TABLE on path '$p': this tree carries a " +
+                    "primary index but a bare path has no ORDER BY key " +
+                    "to preserve it — address the ATTACHed table by NAME")
+                (p, MergeTree.ddlOf(p), Nil)
+              })
         mt.foreach { case (ep, ddl, orderBy) =>
           MergeTree.requireLocalForMaintenance(ep, "OPTIMIZE TABLE")
           val partsBefore = MergeTree.partsInfo(ep).size
@@ -58,7 +67,8 @@ object OptimizeSql {
           val df = MergeTree.read(spark, ep, ddl, key)
           val bytes = new Path(ep).getFileSystem(spark.sessionState.newHadoopConf())
             .getContentSummary(new Path(ep)).getLength
-          graft.sources.mergetree.MergeTreeCtas.write(spark, df, ep, key)
+          graft.sources.mergetree.MergeTreeCtas.write(spark, df, ep, key,
+            declaredDdl = Some(ddl), op = "OPTIMIZE TABLE")
           val partsAfter = MergeTree.partsInfo(ep).size
           return Seq((name.getOrElse(ep), partsBefore, partsAfter, bytes))
             .toDF("table", "files_before", "files_after", "bytes")

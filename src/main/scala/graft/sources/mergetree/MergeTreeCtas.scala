@@ -48,13 +48,21 @@ object MergeTreeCtas {
 
   /** Write `df` as a part tree under `dir`; returns (rows, ATTACH ddl).
     * Rows are globally sorted by `orderBy` then chunked, so every part
-    * is sorted and carries a truthful primary.idx. */
+    * is sorted and carries a truthful primary.idx. `declaredDdl` (the
+    * maintenance paths pass the table's own column list) PRESERVES the
+    * original CH types — Enum stays Enum, LowCardinality stays
+    * LowCardinality, unsigned widths stay unsigned — instead of
+    * re-deriving wider Spark-mapped types, so a mutated tree still
+    * decodes under its original ATTACH DDL (review finding). */
   def write(
       spark: SparkSession,
       df: DataFrame,
-      dir: String,
-      orderBy: Seq[String]): (Long, String) = {
-    val (asRows, cols) = prepare(spark, df, orderBy, allowEmpty = false)
+      dir0: String,
+      orderBy: Seq[String],
+      declaredDdl: Option[String] = None,
+      op: String = "CTAS ENGINE=MergeTree"): (Long, String) = {
+    val dir = localDir(dir0)
+    val (asRows, cols) = prepare(spark, df, orderBy, allowEmpty = false, declaredDdl, op)
     writeOrSwapTree(spark, dir, cols, asRows, orderBy)
     (asRows.size.toLong, cols.map { case (n, t) => s"`$n` $t" }.mkString(", "))
   }
@@ -62,13 +70,19 @@ object MergeTreeCtas {
   /** Append the frame as ONE NEW PART of an existing tree — CH's own
     * INSERT model (every INSERT batch is a part; merges come later via
     * OPTIMIZE). Bounded driver-side like [[write]]; an empty frame
-    * appends nothing. Returns the appended row count. */
+    * appends nothing. The part is STAGED under a `tmp_` name (excluded
+    * from part listings, as CH's own tmp_ parts are) and renamed into
+    * place, so a mid-write death never leaves a torn readable part
+    * (review finding). Returns the appended row count. */
   def appendPart(
       spark: SparkSession,
       df: DataFrame,
-      dir: String,
-      orderBy: Seq[String]): Long = {
-    val (asRows, cols) = prepare(spark, df, orderBy, allowEmpty = true)
+      dir0: String,
+      orderBy: Seq[String],
+      declaredDdl: Option[String] = None,
+      op: String = "INSERT INTO"): Long = {
+    val dir = localDir(dir0)
+    val (asRows, cols) = prepare(spark, df, orderBy, allowEmpty = true, declaredDdl, op)
     if (asRows.isEmpty) return 0L
     require(asRows.size <= PartRows,
       s"INSERT INTO a MergeTree table appends ONE part, bounded to $PartRows " +
@@ -77,29 +91,67 @@ object MergeTreeCtas {
     val next = 1 + existing.flatMap { p =>
       "^all_(\\d+)_".r.findFirstMatchIn(p).map(_.group(1).toInt)
     }.maxOption.getOrElse(0)
-    writeChunk(dir, cols, asRows, s"all_${next}_${next}_0", orderBy)
+    val partName = s"all_${next}_${next}_0"
+    val staged = s"tmp_$partName" // fails PartNameRe → invisible to readers
+    // sweep staged leftovers from crashed appends before writing
+    Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("tmp_"))
+      .foreach { d =>
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(d.toPath).iterator().asScala.toSeq
+          .reverse.foreach(java.nio.file.Files.deleteIfExists(_))
+      }
+    writeChunk(dir, cols, asRows, staged, orderBy)
+    java.nio.file.Files.move(
+      java.nio.file.Paths.get(dir, staged),
+      java.nio.file.Paths.get(dir, partName),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     MergeTreePartWriter.writeHttpIndex(dir)
     spark.catalog.refreshByPath(dir)
     asRows.size.toLong
   }
 
+  /** Maintenance writes address trees by the ATTACH endpoint string,
+    * which may carry a file:// scheme the java.nio paths below would
+    * read as a RELATIVE path (writing a junk ./file:/… tree while
+    * reporting success — review finding). */
+  private def localDir(dir: String): String = dir.stripPrefix("file://")
+
+  /** `name -> CH type` from an ATTACH-style column list. */
+  private def parseDdl(ddl: String): Map[String, String] =
+    graft.types.ChSchemaParser.splitTopLevel(ddl, ',').map(_.trim).map { entry =>
+      if (entry.startsWith("`")) {
+        val end = entry.indexOf('`', 1)
+        (entry.substring(1, end), entry.substring(end + 1).trim)
+      } else {
+        val sp = entry.indexWhere(_.isWhitespace)
+        require(sp > 0, s"unparseable DDL entry: $entry")
+        (entry.substring(0, sp), entry.substring(sp + 1).trim)
+      }
+    }.toMap
+
   /** Validate, sort, collect (bounded), derive CH column types from the
-    * schema + observed nullability. */
+    * declared DDL (maintenance) or the schema (CTAS) + observed
+    * nullability. */
   private def prepare(
       spark: SparkSession,
       df: DataFrame,
       orderBy: Seq[String],
-      allowEmpty: Boolean): (Seq[Seq[Any]], Seq[(String, String)]) = {
+      allowEmpty: Boolean,
+      declaredDdl: Option[String] = None,
+      op: String = "CTAS ENGINE=MergeTree"): (Seq[Seq[Any]], Seq[(String, String)]) = {
     val fields = df.schema.fields
+    val declared: Map[String, String] = declaredDdl.map(parseDdl).getOrElse(Map.empty)
     orderBy.foreach { k =>
       require(fields.exists(_.name == k),
-        s"CTAS ENGINE=MergeTree: ORDER BY column '$k' is not in the SELECT")
+        s"$op: ORDER BY column '$k' is not in the SELECT")
     }
     // type support refuses from the SCHEMA, before any execution — an
     // unsupported column must not cost the full sort + driver collect
-    // first (review finding)
+    // first (review finding); a column covered by the declared DDL
+    // keeps ITS type and needs no Spark-side derivation
     fields.foreach { f =>
-      f.dataType match {
+      if (!declared.contains(f.name)) f.dataType match {
         case ArrayType(et, _) => chBase(et)
         case dt => chBase(dt)
       }
@@ -113,13 +165,15 @@ object MergeTreeCtas {
       df.orderBy(orderBy.map(org.apache.spark.sql.functions.col): _*) else df
     val rows = sorted.limit(cap.toInt + 1).collect()
     require(rows.length <= cap,
-      s"CTAS ENGINE=MergeTree materializes parts driver-side and is " +
-        s"bounded to $cap rows ($MaxRowsConf); this SELECT exceeds it — " +
-        "use plain CREATE TABLE … ORDER BY … AS SELECT (executor-parallel " +
-        "sorted parquet, same pruning story) for corpus-scale results")
+      s"$op materializes MergeTree parts driver-side and is " +
+        s"bounded to $cap rows ($MaxRowsConf — raise it if the driver " +
+        "heap allows); for corpus-scale results use plain CREATE TABLE " +
+        "… ORDER BY … AS SELECT (executor-parallel sorted parquet, same " +
+        "pruning story)")
     require(allowEmpty || rows.nonEmpty,
-      "CTAS ENGINE=MergeTree: empty result — a part tree needs at least " +
-        "one row (use plain CTAS for empty-schema registration)")
+      s"$op: empty result — a MergeTree part tree cannot be empty " +
+        "(for CTAS use the plain parquet form; a mutation deleting every " +
+        "row should drop/recreate the table instead)")
 
     // nullability from the data; null ARRAY ELEMENTS have no MergeTree
     // encoding in the supported subset and refuse loudly
@@ -131,7 +185,7 @@ object MergeTreeCtas {
         else if (arrayElem.contains(fields(i).name)) {
           val s = r.getSeq[Any](i)
           require(!s.contains(null),
-            s"CTAS ENGINE=MergeTree: column '${fields(i).name}' has a NULL " +
+            s"$op: column '${fields(i).name}' has a NULL " +
               "array element — Nullable inside Array is outside the " +
               "MergeTree subset; coalesce the elements in the SELECT")
         }
@@ -139,21 +193,34 @@ object MergeTreeCtas {
       }
     }
     val cols: Seq[(String, String)] = fields.zipWithIndex.map { case (f, i) =>
-      val base = f.dataType match {
-        case ArrayType(et, _) => s"Array(${chBase(et)})"
-        case dt => chBase(dt)
+      declared.get(f.name) match {
+        case Some(dt) =>
+          // the table's own type is authoritative; NULLs into a
+          // non-Nullable column refuse, as ClickHouse itself does — a
+          // silently-Nullable rewrite would contradict the registered
+          // view's schema and fold IS NULL to false (review finding)
+          require(!hasNull(i) || dt.trim.startsWith("Nullable"),
+            s"$op: cannot write NULL into non-Nullable column " +
+              s"'${f.name}' ($dt) — ClickHouse refuses this too; " +
+              "coalesce the value or declare the column Nullable")
+          f.name -> dt
+        case None =>
+          val base = f.dataType match {
+            case ArrayType(et, _) => s"Array(${chBase(et)})"
+            case dt => chBase(dt)
+          }
+          val t =
+            if (hasNull(i)) {
+              require(!f.dataType.isInstanceOf[ArrayType],
+                s"$op: array column '${f.name}' has NULL rows " +
+                  "— Nullable(Array) is outside the MergeTree subset")
+              require(!orderBy.contains(f.name),
+                s"$op: ORDER BY column '${f.name}' contains " +
+                  "NULLs — a primary-key column must be non-null")
+              s"Nullable($base)"
+            } else base
+          f.name -> t
       }
-      val t =
-        if (hasNull(i)) {
-          require(!f.dataType.isInstanceOf[ArrayType],
-            s"CTAS ENGINE=MergeTree: array column '${f.name}' has NULL rows " +
-              "— Nullable(Array) is outside the MergeTree subset")
-          require(!orderBy.contains(f.name),
-            s"CTAS ENGINE=MergeTree: ORDER BY column '${f.name}' contains " +
-              "NULLs — a primary-key column must be non-null")
-          s"Nullable($base)"
-        } else base
-      f.name -> t
     }.toSeq
 
     (rows.iterator.map(_.toSeq).toSeq, cols)

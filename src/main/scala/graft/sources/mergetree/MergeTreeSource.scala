@@ -143,6 +143,17 @@ object MergeTree {
       .map { case (n, t) => s"`$n` $t" }.mkString(", ")
   }
 
+  /** Does any part of the tree carry a non-empty primary index? Used by
+    * the path-form maintenance statements: rewriting such a tree with
+    * an unknown ORDER BY key would silently drop the index and the
+    * clustering it documents — refuse and point at the named table,
+    * whose key the catalog knows. */
+  def hasPrimaryIndex(endpoint: String): Boolean = {
+    val tf = TableFiles(endpoint)
+    tf.partDirs().exists(p =>
+      tf.exists(s"$p/primary.idx") && tf.smallFile(s"$p/primary.idx").nonEmpty)
+  }
+
   /** Maintenance (OPTIMIZE / mutations) applies to LOCAL trees only:
     * an http(s) endpoint is a web disk, and web disks are READ-ONLY in
     * ClickHouse's own contract — refusing is the faithful behavior. */

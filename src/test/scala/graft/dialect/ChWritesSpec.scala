@@ -124,6 +124,13 @@ class ChWritesSpec extends AnyFunSuite {
         "INSERT INTO ins_mt SELECT k, v FROM wsrc WHERE id < 0").collect().head
       assert(none.getLong(2) == 0L)
       assert(graft.sources.mergetree.MergeTree.partsInfo(s"$wh/ins_mt").size == 3)
+      // a PRUNED/renamed view over the table must not append a
+      // view-shaped part into the base tree (review finding)
+      spark.table("ins_mt").select("k").createOrReplaceTempView("ins_mt_k")
+      val ev = intercept[IllegalArgumentException] {
+        ChSql.sql(spark, "INSERT INTO ins_mt_k SELECT 'q'")
+      }
+      assert(ev.getMessage.contains("own columns"), ev.getMessage)
     } finally spark.conf.unset(ChWrites.WarehouseConf)
   }
 

@@ -181,6 +181,45 @@ class MutateSqlSpec extends AnyFunSuite {
     assert(eh.getMessage.contains("read-only"))
   }
 
+  test("tree mutations preserve declared CH types; NULL into non-Nullable refuses") {
+    val d = Files.createTempDirectory("graft_mut_mt_types").toString + "/tree"
+    val cols = Seq(
+      "k" -> "UInt32",
+      "kind" -> "Enum8('a' = 1, 'b' = 2)",
+      "tag" -> "LowCardinality(String)",
+      "v" -> "Float64")
+    graft.sources.mergetree.MergeTreePartWriter.writePart(
+      d, cols, (1 to 10).map(i => Seq[Any](i.toLong,
+        if (i % 2 == 0) "a" else "b", s"t${i % 3}", i * 1.0)),
+      granularity = 4, orderBy = Seq("k"))
+    val ddl = cols.map { case (n, t) => s"`$n` $t" }.mkString(", ")
+    graft.sources.mergetree.MergeTree.read(spark, d, ddl, Seq("k"))
+      .createOrReplaceTempView("mut_mt_types")
+    ChSql.sql(spark, "ALTER TABLE mut_mt_types DELETE WHERE k > 8").collect()
+    // the rewritten part's columns.txt keeps the ORIGINAL CH types —
+    // Enum stays Enum, LowCardinality stays, UInt32 stays unsigned
+    // (review finding: the rewrite used to widen to Spark-mapped types)
+    val colsTxt = new String(java.nio.file.Files.readAllBytes(
+      new java.io.File(d).listFiles().filter(_.isDirectory).head
+        .toPath.resolve("columns.txt")), "UTF-8")
+    assert(colsTxt.contains("`kind` Enum8('a' = 1, 'b' = 2)"), colsTxt)
+    assert(colsTxt.contains("`tag` LowCardinality(String)"), colsTxt)
+    assert(colsTxt.contains("`k` UInt32"), colsTxt)
+    assert(spark.table("mut_mt_types").count() == 8)
+    // UPDATE to NULL on a non-Nullable column refuses, as CH does
+    val e = intercept[Exception] {
+      ChSql.sql(spark,
+        "ALTER TABLE mut_mt_types UPDATE v = NULL WHERE k = 1").collect()
+    }
+    assert(e.getMessage.contains("non-Nullable"), e.getMessage)
+    // path-form mutation on an INDEXED tree refuses (the key is unknown
+    // from a bare path; rewriting would drop primary.idx)
+    val e2 = intercept[IllegalArgumentException] {
+      ChSql.sql(spark, s"ALTER TABLE '$d' DELETE WHERE k = 1")
+    }
+    assert(e2.getMessage.contains("primary index"), e2.getMessage)
+  }
+
   test("malformed statements refuse loudly") {
     intercept[IllegalArgumentException] {
       MutateSql.run(spark, "ALTER TABLE t UPDATE novalue WHERE x = 1")
