@@ -57,14 +57,22 @@ object ShowSql {
         s"ATTACH TABLE ${t.name}$uuid (${t.schemaDdl}) " +
           s"ENGINE = MergeTree$orderBy$sampleBy$settings"
       case other =>
-        // CTAS entry (schema not recorded as DDL) or a plain session
-        // view — render the live schema in CH type names
-        val schema = spark.table(n).schema
-        val cols = schema.fields
-          .map(f => s"`${f.name}` ${chType(f)}").mkString(", ")
         val orderBy = other.filter(_.orderBy.nonEmpty)
           .map(t => s" ORDER BY (${t.orderBy.mkString(", ")})").getOrElse("")
-        s"CREATE TABLE $n ($cols) ENGINE = MergeTree$orderBy"
+        // a MergeTree-backed view (CTAS ENGINE=MergeTree) carries its
+        // TRUE column list in the relation — render that, not the Spark
+        // schema, which marks everything nullable and would print a
+        // Nullable ORDER BY key no CH table could declare
+        ProjectionSql.resolveMergeTree(spark, n) match {
+          case Some((_, ddl, _)) =>
+            s"CREATE TABLE $n ($ddl) ENGINE = MergeTree$orderBy"
+          case None =>
+            // CTAS parquet entry or a plain session view — render the
+            // live schema in CH type names
+            val cols = spark.table(n).schema.fields
+              .map(f => s"`${f.name}` ${chType(f)}").mkString(", ")
+            s"CREATE TABLE $n ($cols) ENGINE = MergeTree$orderBy"
+        }
     }
     Seq(stmt).toDF("statement")
   }

@@ -455,5 +455,20 @@ class ChSqlSpec extends AnyFunSuite {
       "SHOW CREATE TABLE '/root/testdata/sf0.001/nation.parquet'")
       .collect().head.getString(0)
     assert(byPath.contains("`n_regionkey` Nullable(Int32)"))
+    // a MergeTree CTAS table renders its TRUE column list — the ORDER
+    // BY key must NOT print as Nullable (the Spark schema marks
+    // everything nullable; no CH table could declare a Nullable key)
+    spark.conf.set(ChWrites.WarehouseConf,
+      java.nio.file.Files.createTempDirectory("graft_show_wh").toString)
+    try {
+      import spark.implicits._
+      Seq((1L, "a"), (2L, "b")).toDF("k", "n").createOrReplaceTempView("show_src")
+      ChSql.sql(spark,
+        "CREATE TABLE show_mt ENGINE = MergeTree ORDER BY (k) AS SELECT k, n FROM show_src")
+      val mt = ChSql.sql(spark, "SHOW CREATE TABLE show_mt")
+        .collect().head.getString(0)
+      assert(mt.contains("`k` Int64") && !mt.contains("`k` Nullable"), mt)
+      assert(mt.contains("ORDER BY (k)"), mt)
+    } finally spark.conf.unset(ChWrites.WarehouseConf)
   }
 }
