@@ -63,7 +63,11 @@ object MergeTreeCtas {
       op: String = "CTAS ENGINE=MergeTree"): (Long, String) = {
     val dir = localDir(dir0)
     val (asRows, cols) = prepare(spark, df, orderBy, allowEmpty = false, declaredDdl, op)
-    writeOrSwapTree(spark, dir, cols, asRows, orderBy)
+    // same per-endpoint serialization as appendPart: two concurrent
+    // rewrites would race the backup-staged swap
+    treeLock(dir).synchronized {
+      writeOrSwapTree(spark, dir, cols, asRows, orderBy)
+    }
     (asRows.size.toLong, cols.map { case (n, t) => s"`$n` $t" }.mkString(", "))
   }
 
@@ -87,35 +91,66 @@ object MergeTreeCtas {
     require(asRows.size <= PartRows,
       s"INSERT INTO a MergeTree table appends ONE part, bounded to $PartRows " +
         "rows per statement — batch larger loads into multiple INSERTs")
-    val existing = TableFiles(dir).partDirs()
-    val next = 1 + existing.flatMap { p =>
-      "^all_(\\d+)_".r.findFirstMatchIn(p).map(_.group(1).toInt)
-    }.maxOption.getOrElse(0)
-    val partName = s"all_${next}_${next}_0"
-    val staged = s"tmp_$partName" // fails PartNameRe → invisible to readers
-    // sweep staged leftovers from crashed appends before writing
+    // number allocation + staging + rename are serialized per endpoint:
+    // the QueryServer runs statements on a thread pool, and two
+    // unlocked INSERTs could allocate the same part number or sweep
+    // each other's in-flight staged dir (advisor finding)
+    treeLock(dir).synchronized {
+      // the NEXT part starts above every existing block RANGE — max of
+      // the MAX block field, so an appended part is never "covered" by
+      // a merged part like all_1_5_1 (advisor finding: the MIN field
+      // computed 2 here, and real ClickHouse would silently drop the
+      // covered part's rows on ATTACH)
+      val next = 1 + TableFiles(dir).partDirs()
+        .flatMap(TableFiles.maxBlock).maxOption.getOrElse(0)
+      val partName = s"all_${next}_${next}_0"
+      // unique staged name (fails PartNameRe → invisible to readers);
+      // sweep only AGED staged leftovers — a concurrent statement's
+      // fresh tmp dir must survive the sweep
+      val staged = s"tmp_${java.util.UUID.randomUUID().toString.take(8)}"
+      sweepStaged(dir, olderThanMs = StagedSweepAgeMs)
+      writeChunk(dir, cols, asRows, staged, orderBy)
+      java.nio.file.Files.move(
+        java.nio.file.Paths.get(dir, staged),
+        java.nio.file.Paths.get(dir, partName),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      MergeTreePartWriter.writeHttpIndex(dir)
+    }
+    spark.catalog.refreshByPath(dir)
+    asRows.size.toLong
+  }
+
+  private val StagedSweepAgeMs = 60L * 60 * 1000
+
+  /** Delete `tmp_*` staging dirs under the tree older than the given
+    * age — crashed-append debris, never a concurrent writer's live
+    * staging (those are seconds old; debris is hours). */
+  private def sweepStaged(dir: String, olderThanMs: Long): Unit = {
+    val cutoff = System.currentTimeMillis() - olderThanMs
     Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isDirectory && f.getName.startsWith("tmp_"))
+      .filter(f => f.isDirectory && f.getName.startsWith("tmp_") &&
+        f.lastModified() < cutoff)
       .foreach { d =>
         import scala.jdk.CollectionConverters._
         java.nio.file.Files.walk(d.toPath).iterator().asScala.toSeq
           .reverse.foreach(java.nio.file.Files.deleteIfExists(_))
       }
-    writeChunk(dir, cols, asRows, staged, orderBy)
-    java.nio.file.Files.move(
-      java.nio.file.Paths.get(dir, staged),
-      java.nio.file.Paths.get(dir, partName),
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-    MergeTreePartWriter.writeHttpIndex(dir)
-    spark.catalog.refreshByPath(dir)
-    asRows.size.toLong
   }
 
+  /** One JVM-wide lock object per normalized tree dir. */
+  private val treeLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private def treeLock(dir: String): Object =
+    treeLocks.computeIfAbsent(
+      java.nio.file.Paths.get(dir).toAbsolutePath.normalize.toString,
+      _ => new Object)
+
   /** Maintenance writes address trees by the ATTACH endpoint string,
-    * which may carry a file:// scheme the java.nio paths below would
-    * read as a RELATIVE path (writing a junk ./file:/… tree while
-    * reporting success — review finding). */
-  private def localDir(dir: String): String = dir.stripPrefix("file://")
+    * which may carry a file: scheme in any rendering — `file:///p`,
+    * `file:/p` (the hadoop Path/URI form the old literal `file://`
+    * stripPrefix let through as a RELATIVE path — advisor finding).
+    * [[TableFiles.localPath]] is the one normalizer. */
+  private def localDir(dir: String): String = TableFiles.localPath(dir)
 
   /** `name -> CH type` from an ATTACH-style column list. */
   private def parseDdl(ddl: String): Map[String, String] =
@@ -247,20 +282,35 @@ object MergeTreeCtas {
   /** Whole-tree materialization. A re-run over an existing tree goes
     * through the backup-staged swap, so a mid-write failure leaves the
     * previous tree intact rather than a deleted original plus a torn
-    * replacement (review finding); a fresh path writes directly. */
+    * replacement (review finding); a fresh path writes directly.
+    *
+    * Parts of a REWRITE are numbered above the previous tree's max
+    * block: part names are MergeTree's content-version unit, and
+    * reusing `all_1_1_0…` across a row-count-preserving mutation left
+    * the `name:rows:granules:columns` inventory — and therefore the
+    * projection staleness fingerprint — unchanged, so queries kept
+    * rerouting to a stale pre-mutation companion (advisor finding,
+    * HIGH). Monotonic renumbering restores the doc'd invariant:
+    * "merges/mutations replace parts under new names". */
   private def writeOrSwapTree(
       spark: SparkSession, dir: String, cols: Seq[(String, String)],
       asRows: Seq[Seq[Any]], orderBy: Seq[String]): Unit = {
+    val root = java.nio.file.Paths.get(dir)
+    val existingTree = java.nio.file.Files.isDirectory(root)
+    val base =
+      if (existingTree)
+        TableFiles(dir).partDirs().flatMap(TableFiles.maxBlock)
+          .maxOption.getOrElse(0)
+      else 0
     def writeTree(treeDir: String): Unit = {
-      var partNo = 0
+      var partNo = base
       asRows.grouped(PartRows).foreach { chunk =>
         partNo += 1
         writeChunk(treeDir, cols, chunk, s"all_${partNo}_${partNo}_0", orderBy)
       }
       MergeTreePartWriter.writeHttpIndex(treeDir)
     }
-    val root = java.nio.file.Paths.get(dir)
-    if (java.nio.file.Files.isDirectory(root))
+    if (existingTree)
       graft.core.FsSwap.replace(spark, dir, "ctas") { tmp =>
         java.nio.file.Files.createDirectories(java.nio.file.Paths.get(tmp.toString))
         writeTree(tmp.toString)

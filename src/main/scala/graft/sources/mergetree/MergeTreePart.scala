@@ -46,11 +46,39 @@ private[mergetree] sealed trait TableFiles extends Serializable {
 
 private[mergetree] object TableFiles {
   val PartNameRe = "^[A-Za-z0-9-]+_\\d+_\\d+_\\d+(_\\d+)?$".r
+  private val PartBlocksRe = "^[A-Za-z0-9-]+_(\\d+)_(\\d+)_\\d+(?:_\\d+)?$".r
+
+  /** A part name's MAX block number (`all_<min>_<max>_<level>[_<mut>]`).
+    * Next-part allocation must go ABOVE every existing block range: a
+    * merged part like `all_1_5_1` covers blocks 1-5, and a new part
+    * numbered inside that range would be treated as covered — and its
+    * rows silently dropped — by real ClickHouse ATTACHing the tree
+    * (advisor finding: the old code read the MIN field). */
+  def maxBlock(partName: String): Option[Int] = partName match {
+    case PartBlocksRe(_, mx) => Some(mx.toInt)
+    case _ => None
+  }
+
+  /** Normalize a local endpoint to a filesystem path. A `file:` scheme
+    * in ANY of its renderings (`file:///p`, `file://p`, `file:/p` — the
+    * single-slash form is what hadoop `Path.toString`/URI emit) strips
+    * to the plain path; the old literal `file://` stripPrefix let
+    * `file:/p` through as a RELATIVE path, recreating the junk
+    * `./file:/…` tree bug (advisor finding). */
+  def localPath(endpoint: String): String = {
+    val e = endpoint.stripSuffix("/")
+    if (e.startsWith("file:")) {
+      val u = new org.apache.hadoop.fs.Path(e).toUri
+      require(u.getAuthority == null || u.getAuthority.isEmpty,
+        s"file: endpoint with an authority component is not local: $endpoint")
+      u.getPath.stripSuffix("/")
+    } else e
+  }
 
   def apply(endpoint: String): TableFiles =
     if (endpoint.startsWith("http://") || endpoint.startsWith("https://"))
       HttpTableFiles(endpoint.stripSuffix("/"))
-    else LocalTableFiles(endpoint.stripPrefix("file://").stripSuffix("/"))
+    else LocalTableFiles(localPath(endpoint))
 
   /** Does this endpoint look like a MergeTree part tree at all? Used by
     * the catalog to route between parquet and MergeTree data paths. */

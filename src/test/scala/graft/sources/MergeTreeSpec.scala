@@ -466,4 +466,58 @@ class MergeTreeSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("Map") || e.getMessage.contains("unsupported"))
   }
+
+  test("append numbers above MERGED block ranges; rewrite renumbers parts so the fingerprint changes") {
+    import graft.sources.mergetree.{MergeTree, MergeTreeCtas}
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_mt_adv").toString + "/tree"
+    val cols = Seq("k" -> "Int64", "v" -> "Float64")
+    val ddl = "`k` Int64, `v` Float64"
+    // a merged part covering blocks 1-5, as real ClickHouse writes them
+    MergeTreePartWriter.writePart(dir, cols,
+      (1 to 10).map(i => Seq[Any](i.toLong, i * 1.0)), granularity = 4,
+      partName = "all_1_5_1", orderBy = Seq("k"))
+    // next block must come from the MAX field (6), never the MIN (2):
+    // a part numbered inside the covered range would be silently
+    // dropped by real CH ATTACHing this tree (advisor finding)
+    MergeTreeCtas.appendPart(spark, Seq((11L, 11.0)).toDF("k", "v"),
+      dir, Seq("k"), declaredDdl = Some(ddl))
+    val names = MergeTree.partsInfo(dir).map(_._1)
+    assert(names.contains("all_6_6_0"), s"parts: $names")
+    // a row-count-preserving rewrite (same rows, same granules, same
+    // columns) must still change the parts fingerprint, or the
+    // projection staleness gate reroutes to a stale companion
+    // (advisor finding, HIGH)
+    val fpBefore = MergeTree.partsFingerprint(dir)
+    val doubled = MergeTree.read(spark, dir, ddl, Seq("k"))
+      .withColumn("v", org.apache.spark.sql.functions.col("v") * 2)
+    MergeTreeCtas.write(spark, doubled, dir, Seq("k"),
+      declaredDdl = Some(ddl), op = "test rewrite")
+    assert(MergeTree.partsFingerprint(dir) != fpBefore,
+      "rewrite left the parts fingerprint unchanged")
+    val after = MergeTree.partsInfo(dir).map(_._1)
+    assert(after.forall(n => "^all_(\\d+)_".r.findFirstMatchIn(n)
+      .exists(_.group(1).toInt > 6)), s"rewrite reused old block numbers: $after")
+    assert(MergeTree.read(spark, dir, ddl, Seq("k")).count() == 11)
+  }
+
+  test("file:/ single-slash endpoints normalize to the plain local path") {
+    import graft.sources.mergetree.MergeTreeCtas
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft_mt_file").toString
+    val dir = s"$base/tree"
+    // hadoop Path.toString/URI render file URLs as file:/p — the old
+    // literal file:// stripPrefix let this through as a RELATIVE path
+    // and wrote a junk ./file:/… tree while reporting success
+    MergeTreeCtas.write(spark,
+      (1 to 3).map(i => (i.toLong, i * 1.0)).toDF("k", "v"),
+      s"file:$dir", Seq("k"))
+    assert(Files.isDirectory(Paths.get(dir, "all_1_1_0")),
+      "file:/ endpoint did not write to the plain path")
+    assert(!Files.exists(Paths.get("file:")),
+      "junk ./file: tree written in the working directory")
+    val back = graft.sources.mergetree.MergeTree
+      .read(spark, s"file://$dir", "`k` Int64, `v` Float64", Seq("k"))
+    assert(back.count() == 3)
+  }
 }
