@@ -92,8 +92,9 @@ object ChWrites {
         if (engine.contains("mergetree")) {
           // ENGINE = MergeTree writes a REAL wide-part tree (VERDICT r9
           // task #8) — ATTACH-able by the q160 data path, locally or
-          // over http. Bounded driver-side materialization; plain CTAS
-          // (no ENGINE) keeps the executor-parallel sorted-parquet path.
+          // over http. Executor-parallel since r11 (range-partitioned,
+          // per-task part encode); plain CTAS (no ENGINE) keeps the
+          // sorted-parquet path.
           val (rows, ddl) = graft.sources.mergetree.MergeTreeCtas
             .write(spark, df, path, sortKey)
           graft.sources.mergetree.MergeTree.read(spark, path, ddl, sortKey)

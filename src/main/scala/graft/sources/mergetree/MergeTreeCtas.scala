@@ -10,19 +10,33 @@ import org.apache.spark.sql.types._
   * reads (q160), locally or served over http (the `.index` listing is
   * written too).
   *
-  * Scale posture, stated loudly: parts are materialized DRIVER-SIDE
-  * (the part writer is a local-filesystem encoder), bounded by
-  * [[MaxRowsConf]] (default 10M rows) — the right tool for dimension
-  * tables, curated exports, and fixtures, NOT for re-shaping a corpus
-  * (use plain CTAS for that: executor-parallel sorted parquet carries
-  * the same pruning story). Exceeding the bound refuses with that
-  * guidance rather than OOMing the driver.
+  * Scale shape (VERDICT r10 task #4 — the old driver-side collect and
+  * its 10M-row cap are gone): parts are encoded ON EXECUTORS.
+  *   - one distributed stats pass derives row count and observed
+  *     nullability (the only driver-side result is that one row);
+  *   - `repartitionByRange` on the ORDER BY key + per-partition sort
+  *     ranges the rows so every part is sorted AND parts are
+  *     key-disjoint (each task's range is contiguous);
+  *   - each task encodes its partition as one part via the same
+  *     [[writeChunk]] the driver path used (staged under a `tmp_` name
+  *     invisible to readers, atomic-renamed — a task retry either wins
+  *     the rename or deletes its duplicate);
+  *   - the driver only assembles the http `.index` afterwards.
+  * Part size targets ceil(rows/parallelism) clamped to [128k, 1M] rows
+  * ([[PartRowsConf]] pins it — CH's own ~1M part-per-INSERT shape);
+  * a heavily skewed ORDER BY key can exceed the target (range
+  * partitioning can't split one key value), exactly as a CH part can.
+  * Executors write through the local filesystem, so a multi-node
+  * cluster needs `dir` on a shared mount — the same contract the
+  * maintenance tier already states for local trees.
   */
 object MergeTreeCtas {
 
-  val MaxRowsConf = "spark.graft.ctasMergeTreeMaxRows"
-  private val DefaultMaxRows = 10L * 1000 * 1000
-  private val PartRows = 1 << 20
+  /** Target rows per written part (default: sized from the data and
+    * the session's parallelism, clamped to [128k, 1M]). */
+  val PartRowsConf = "spark.graft.mergeTreePartRows"
+  private val MaxPartRows = 1L << 20
+  private val MinPartRows = 1L << 17
   private val Granularity = 8192
 
   /** CH type string for a Spark field. Nullability is decided from the
@@ -47,10 +61,11 @@ object MergeTreeCtas {
   }
 
   /** Write `df` as a part tree under `dir`; returns (rows, ATTACH ddl).
-    * Rows are globally sorted by `orderBy` then chunked, so every part
-    * is sorted and carries a truthful primary.idx. `declaredDdl` (the
-    * maintenance paths pass the table's own column list) PRESERVES the
-    * original CH types — Enum stays Enum, LowCardinality stays
+    * Rows are range-partitioned and per-partition sorted by `orderBy`,
+    * so every part is sorted (and parts are key-disjoint) with a
+    * truthful primary.idx; encoding runs on executors. `declaredDdl`
+    * (the maintenance paths pass the table's own column list) PRESERVES
+    * the original CH types — Enum stays Enum, LowCardinality stays
     * LowCardinality, unsigned widths stay unsigned — instead of
     * re-deriving wider Spark-mapped types, so a mutated tree still
     * decodes under its original ATTACH DDL (review finding). */
@@ -62,22 +77,51 @@ object MergeTreeCtas {
       declaredDdl: Option[String] = None,
       op: String = "CTAS ENGINE=MergeTree"): (Long, String) = {
     val dir = localDir(dir0)
-    val (asRows, cols) = prepare(spark, df, orderBy, allowEmpty = false, declaredDdl, op)
-    // same per-endpoint serialization as appendPart: two concurrent
-    // rewrites would race the backup-staged swap
+    val (total, cols) = analyze(spark, df, orderBy, declaredDdl, op)
+    require(total > 0,
+      s"$op: empty result — a MergeTree part tree cannot be empty " +
+        "(for CTAS use the plain parquet form; a mutation deleting every " +
+        "row should drop/recreate the table instead)")
+    // per-endpoint serialization: two concurrent rewrites would race
+    // the backup-staged swap
     treeLock(dir).synchronized {
-      writeOrSwapTree(spark, dir, cols, asRows, orderBy)
+      val existingTree = java.nio.file.Files.isDirectory(java.nio.file.Paths.get(dir))
+      // parts of a REWRITE are numbered above the previous tree's max
+      // block: part names are MergeTree's content-version unit, and
+      // reusing all_1_1_0… across a row-count-preserving mutation left
+      // the projection staleness fingerprint unchanged — queries kept
+      // rerouting to a stale pre-mutation companion (advisor finding,
+      // HIGH)
+      val base =
+        if (existingTree)
+          TableFiles(dir).partDirs().flatMap(TableFiles.maxBlock)
+            .maxOption.getOrElse(0)
+        else 0
+      if (existingTree)
+        // a re-run over an existing tree goes through the backup-staged
+        // swap, so a mid-write failure leaves the previous tree intact
+        graft.core.FsSwap.replace(spark, dir, "ctas") { tmp =>
+          java.nio.file.Files.createDirectories(java.nio.file.Paths.get(tmp.toString))
+          writeParts(spark, df, tmp.toString, cols, orderBy, base, total)
+          MergeTreePartWriter.writeHttpIndex(tmp.toString)
+        }
+      else {
+        writeParts(spark, df, dir, cols, orderBy, base = 0, total)
+        MergeTreePartWriter.writeHttpIndex(dir)
+      }
     }
-    (asRows.size.toLong, cols.map { case (n, t) => s"`$n` $t" }.mkString(", "))
+    (total, cols.map { case (n, t) => s"`$n` $t" }.mkString(", "))
   }
 
-  /** Append the frame as ONE NEW PART of an existing tree — CH's own
-    * INSERT model (every INSERT batch is a part; merges come later via
-    * OPTIMIZE). Bounded driver-side like [[write]]; an empty frame
-    * appends nothing. The part is STAGED under a `tmp_` name (excluded
-    * from part listings, as CH's own tmp_ parts are) and renamed into
-    * place, so a mid-write death never leaves a torn readable part
-    * (review finding). Returns the appended row count. */
+  /** Append the frame as NEW PARTS of an existing tree — CH's own
+    * INSERT model (every INSERT batch becomes parts of ~1M rows;
+    * merges come later via OPTIMIZE). Executor-parallel like [[write]]
+    * (the old ONE-part 1M-row bound is gone); an empty frame appends
+    * nothing. Parts are staged executor-side under a `tmp_` dir
+    * (excluded from part listings, as CH's own tmp_ parts are) OUTSIDE
+    * the endpoint lock — only the block-number allocation and the
+    * renames into place serialize — so a mid-write death never leaves
+    * a torn readable part. Returns the appended row count. */
   def appendPart(
       spark: SparkSession,
       df: DataFrame,
@@ -86,55 +130,60 @@ object MergeTreeCtas {
       declaredDdl: Option[String] = None,
       op: String = "INSERT INTO"): Long = {
     val dir = localDir(dir0)
-    val (asRows, cols) = prepare(spark, df, orderBy, allowEmpty = true, declaredDdl, op)
-    if (asRows.isEmpty) return 0L
-    require(asRows.size <= PartRows,
-      s"INSERT INTO a MergeTree table appends ONE part, bounded to $PartRows " +
-        "rows per statement — batch larger loads into multiple INSERTs")
-    // number allocation + staging + rename are serialized per endpoint:
-    // the QueryServer runs statements on a thread pool, and two
-    // unlocked INSERTs could allocate the same part number or sweep
-    // each other's in-flight staged dir (advisor finding)
+    val (total, cols) = analyze(spark, df, orderBy, declaredDdl, op)
+    if (total == 0) return 0L
+    // encode on executors into a unique staging dir under the tree
+    // (same filesystem → the final moves are atomic renames); the name
+    // fails PartNameRe so readers never see it
+    val staging = s"tmp_${java.util.UUID.randomUUID().toString.take(8)}"
+    val stagingDir = java.nio.file.Paths.get(dir, staging)
+    java.nio.file.Files.createDirectories(stagingDir)
+    val written = writeParts(spark, df, stagingDir.toString, cols, orderBy,
+      base = 0, total)
+    // number allocation + rename are serialized per endpoint: the
+    // QueryServer runs statements on a thread pool, and two unlocked
+    // INSERTs could allocate the same part numbers (advisor finding)
     treeLock(dir).synchronized {
+      // sweep only AGED staged leftovers — a concurrent statement's
+      // fresh tmp dir must survive the sweep (advisor finding)
+      sweepStaged(dir, olderThanMs = StagedSweepAgeMs, keep = staging)
       // the NEXT part starts above every existing block RANGE — max of
       // the MAX block field, so an appended part is never "covered" by
-      // a merged part like all_1_5_1 (advisor finding: the MIN field
-      // computed 2 here, and real ClickHouse would silently drop the
-      // covered part's rows on ATTACH)
+      // a merged part like all_1_5_1 (advisor finding: real ClickHouse
+      // silently drops covered parts' rows on ATTACH)
       val next = 1 + TableFiles(dir).partDirs()
         .flatMap(TableFiles.maxBlock).maxOption.getOrElse(0)
-      val partName = s"all_${next}_${next}_0"
-      // unique staged name (fails PartNameRe → invisible to readers);
-      // sweep only AGED staged leftovers — a concurrent statement's
-      // fresh tmp dir must survive the sweep
-      val staged = s"tmp_${java.util.UUID.randomUUID().toString.take(8)}"
-      sweepStaged(dir, olderThanMs = StagedSweepAgeMs)
-      writeChunk(dir, cols, asRows, staged, orderBy)
-      java.nio.file.Files.move(
-        java.nio.file.Paths.get(dir, staged),
-        java.nio.file.Paths.get(dir, partName),
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      written.zipWithIndex.foreach { case (staged, i) =>
+        java.nio.file.Files.move(
+          stagingDir.resolve(staged),
+          java.nio.file.Paths.get(dir, s"all_${next + i}_${next + i}_0"),
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      }
+      deleteTree(stagingDir)
       MergeTreePartWriter.writeHttpIndex(dir)
     }
     spark.catalog.refreshByPath(dir)
-    asRows.size.toLong
+    total
   }
 
   private val StagedSweepAgeMs = 60L * 60 * 1000
 
   /** Delete `tmp_*` staging dirs under the tree older than the given
     * age — crashed-append debris, never a concurrent writer's live
-    * staging (those are seconds old; debris is hours). */
-  private def sweepStaged(dir: String, olderThanMs: Long): Unit = {
+    * staging (those are seconds old; debris is hours). `keep` names
+    * this statement's own staging dir, excluded regardless of age. */
+  private def sweepStaged(dir: String, olderThanMs: Long, keep: String = ""): Unit = {
     val cutoff = System.currentTimeMillis() - olderThanMs
     Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
       .filter(f => f.isDirectory && f.getName.startsWith("tmp_") &&
-        f.lastModified() < cutoff)
-      .foreach { d =>
-        import scala.jdk.CollectionConverters._
-        java.nio.file.Files.walk(d.toPath).iterator().asScala.toSeq
-          .reverse.foreach(java.nio.file.Files.deleteIfExists(_))
-      }
+        f.getName != keep && f.lastModified() < cutoff)
+      .foreach(d => deleteTree(d.toPath))
+  }
+
+  private def deleteTree(p: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.walk(p).iterator().asScala.toSeq
+      .reverse.foreach(java.nio.file.Files.deleteIfExists(_))
   }
 
   /** One JVM-wide lock object per normalized tree dir. */
@@ -165,16 +214,18 @@ object MergeTreeCtas {
       }
     }.toMap
 
-  /** Validate, sort, collect (bounded), derive CH column types from the
-    * declared DDL (maintenance) or the schema (CTAS) + observed
-    * nullability. */
-  private def prepare(
+  /** Validate and derive CH column types from the declared DDL
+    * (maintenance) or the schema (CTAS) + observed nullability —
+    * nullability comes from ONE distributed aggregate pass (row count,
+    * per-column null flags, per-array-column element-null flags), not
+    * a driver collect. Returns (total rows, name → CH type). */
+  private def analyze(
       spark: SparkSession,
       df: DataFrame,
       orderBy: Seq[String],
-      allowEmpty: Boolean,
       declaredDdl: Option[String] = None,
-      op: String = "CTAS ENGINE=MergeTree"): (Seq[Seq[Any]], Seq[(String, String)]) = {
+      op: String = "CTAS ENGINE=MergeTree"): (Long, Seq[(String, String)]) = {
+    import org.apache.spark.sql.functions._
     val fields = df.schema.fields
     val declared: Map[String, String] = declaredDdl.map(parseDdl).getOrElse(Map.empty)
     orderBy.foreach { k =>
@@ -182,59 +233,48 @@ object MergeTreeCtas {
         s"$op: ORDER BY column '$k' is not in the SELECT")
     }
     // type support refuses from the SCHEMA, before any execution — an
-    // unsupported column must not cost the full sort + driver collect
-    // first (review finding); a column covered by the declared DDL
-    // keeps ITS type and needs no Spark-side derivation
+    // unsupported column must not cost a data pass first (review
+    // finding); a column covered by the declared DDL keeps ITS type
+    // and needs no Spark-side derivation
     fields.foreach { f =>
       if (!declared.contains(f.name)) f.dataType match {
         case ArrayType(et, _) => chBase(et)
         case dt => chBase(dt)
       }
     }
-    val arrayElem: Map[String, DataType] = fields.collect {
-      case StructField(n, ArrayType(et, _), _, _) => n -> et
-    }.toMap
-    val cap = spark.conf.getOption(MaxRowsConf).map(_.toLong).getOrElse(DefaultMaxRows)
-    require(cap > 0 && cap <= Int.MaxValue, s"$MaxRowsConf out of range: $cap")
-    val sorted = if (orderBy.nonEmpty)
-      df.orderBy(orderBy.map(org.apache.spark.sql.functions.col): _*) else df
-    val rows = sorted.limit(cap.toInt + 1).collect()
-    require(rows.length <= cap,
-      s"$op materializes MergeTree parts driver-side and is " +
-        s"bounded to $cap rows ($MaxRowsConf — raise it if the driver " +
-        "heap allows); for corpus-scale results use plain CREATE TABLE " +
-        "… ORDER BY … AS SELECT (executor-parallel sorted parquet, same " +
-        "pruning story)")
-    require(allowEmpty || rows.nonEmpty,
-      s"$op: empty result — a MergeTree part tree cannot be empty " +
-        "(for CTAS use the plain parquet form; a mutation deleting every " +
-        "row should drop/recreate the table instead)")
-
-    // nullability from the data; null ARRAY ELEMENTS have no MergeTree
-    // encoding in the supported subset and refuse loudly
-    val hasNull = Array.fill(fields.length)(false)
-    rows.foreach { r =>
-      var i = 0
-      while (i < fields.length) {
-        if (r.isNullAt(i)) hasNull(i) = true
-        else if (arrayElem.contains(fields(i).name)) {
-          val s = r.getSeq[Any](i)
-          require(!s.contains(null),
-            s"$op: column '${fields(i).name}' has a NULL " +
-              "array element — Nullable inside Array is outside the " +
-              "MergeTree subset; coalesce the elements in the SELECT")
-        }
-        i += 1
-      }
+    // one stats pass: _n = count, n<i> = column i saw a NULL row,
+    // e<i> = array column i saw a NULL element (null array ELEMENTS
+    // have no MergeTree encoding in the supported subset)
+    val nullChecks = fields.zipWithIndex.map { case (f, i) =>
+      max(when(col(s"`${f.name}`").isNull, 1).otherwise(0)).as(s"n$i")
+    }
+    val elemChecks = fields.zipWithIndex.collect {
+      case (StructField(n, ArrayType(_, _), _, _), i) =>
+        max(when(exists(col(s"`$n`"), x => x.isNull), 1).otherwise(0)).as(s"e$i")
+    }
+    val stat = df.agg(count(lit(1)).as("_n"), (nullChecks ++ elemChecks): _*)
+      .collect().head
+    val total = stat.getLong(0)
+    def flag(name: String): Boolean = {
+      val j = stat.fieldIndex(name)
+      !stat.isNullAt(j) && stat.getInt(j) == 1
+    }
+    fields.zipWithIndex.foreach { case (f, i) =>
+      if (f.dataType.isInstanceOf[ArrayType])
+        require(!flag(s"e$i"),
+          s"$op: column '${f.name}' has a NULL array element — " +
+            "Nullable inside Array is outside the MergeTree subset; " +
+            "coalesce the elements in the SELECT")
     }
     val cols: Seq[(String, String)] = fields.zipWithIndex.map { case (f, i) =>
+      val hasNull = flag(s"n$i")
       declared.get(f.name) match {
         case Some(dt) =>
           // the table's own type is authoritative; NULLs into a
           // non-Nullable column refuse, as ClickHouse itself does — a
           // silently-Nullable rewrite would contradict the registered
           // view's schema and fold IS NULL to false (review finding)
-          require(!hasNull(i) || dt.trim.startsWith("Nullable"),
+          require(!hasNull || dt.trim.startsWith("Nullable"),
             s"$op: cannot write NULL into non-Nullable column " +
               s"'${f.name}' ($dt) — ClickHouse refuses this too; " +
               "coalesce the value or declare the column Nullable")
@@ -245,7 +285,7 @@ object MergeTreeCtas {
             case dt => chBase(dt)
           }
           val t =
-            if (hasNull(i)) {
+            if (hasNull) {
               require(!f.dataType.isInstanceOf[ArrayType],
                 s"$op: array column '${f.name}' has NULL rows " +
                   "— Nullable(Array) is outside the MergeTree subset")
@@ -257,8 +297,59 @@ object MergeTreeCtas {
           f.name -> t
       }
     }.toSeq
+    (total, cols)
+  }
 
-    (rows.iterator.map(_.toSeq).toSeq, cols)
+  /** Rows per part: [[PartRowsConf]], or ceil(total/parallelism)
+    * clamped to [128k, 1M] — small frames land in one part, big ones
+    * use the whole machine without dropping below a granule-amortizing
+    * floor or above CH's ~1M part shape. */
+  private def partRows(spark: SparkSession, total: Long): Long =
+    spark.conf.getOption(PartRowsConf).map(_.toLong).getOrElse {
+      val par = math.max(spark.sparkContext.defaultParallelism, 1)
+      math.min(math.max((total + par - 1) / par, MinPartRows), MaxPartRows)
+    }
+
+  /** Encode `df` as sorted parts under `treeDir` ON EXECUTORS: range
+    * partition + per-partition sort on the ORDER BY key, one part per
+    * non-empty partition, each staged under a `tmp_w` name and
+    * atomic-renamed (a task retry either wins the rename or deletes
+    * its duplicate — first writer wins, both wrote identical rows).
+    * Returns the written part names in block order. */
+  private def writeParts(
+      spark: SparkSession, df: DataFrame, treeDir: String,
+      cols: Seq[(String, String)], orderBy: Seq[String],
+      base: Int, total: Long): Seq[String] = {
+    import org.apache.spark.sql.functions.col
+    val perPart = partRows(spark, total)
+    require(perPart > 0, s"$PartRowsConf out of range: $perPart")
+    val nParts = math.max(1L, (total + perPart - 1) / perPart).toInt
+    val orderCols = orderBy.map(c => col(s"`$c`"))
+    val arranged =
+      if (orderBy.nonEmpty)
+        df.repartitionByRange(nParts, orderCols: _*)
+          .sortWithinPartitions(orderCols: _*)
+      else if (nParts == 1) df.coalesce(1)
+      else df.repartition(nParts)
+    val (dirB, colsB, obB, baseB) = (treeDir, cols, orderBy, base)
+    arranged.rdd.mapPartitionsWithIndex { (idx, it) =>
+      val rows = it.map(_.toSeq).toVector
+      if (rows.isEmpty) Iterator.empty
+      else {
+        val partName = s"all_${baseB + idx + 1}_${baseB + idx + 1}_0"
+        val staged = s"tmp_w${java.util.UUID.randomUUID().toString.take(8)}"
+        writeChunk(dirB, colsB, rows, staged, obB)
+        try java.nio.file.Files.move(
+          java.nio.file.Paths.get(dirB, staged),
+          java.nio.file.Paths.get(dirB, partName),
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        catch {
+          case _: java.nio.file.FileAlreadyExistsException =>
+            deleteTree(java.nio.file.Paths.get(dirB, staged))
+        }
+        Iterator.single((idx, partName))
+      }
+    }.collect().sortBy(_._1).map(_._2).toSeq
   }
 
   /** One chunk as one part — COMPACT below the granularity when its
@@ -279,42 +370,4 @@ object MergeTreeCtas {
         partName = partName, orderBy = orderBy)
   }
 
-  /** Whole-tree materialization. A re-run over an existing tree goes
-    * through the backup-staged swap, so a mid-write failure leaves the
-    * previous tree intact rather than a deleted original plus a torn
-    * replacement (review finding); a fresh path writes directly.
-    *
-    * Parts of a REWRITE are numbered above the previous tree's max
-    * block: part names are MergeTree's content-version unit, and
-    * reusing `all_1_1_0…` across a row-count-preserving mutation left
-    * the `name:rows:granules:columns` inventory — and therefore the
-    * projection staleness fingerprint — unchanged, so queries kept
-    * rerouting to a stale pre-mutation companion (advisor finding,
-    * HIGH). Monotonic renumbering restores the doc'd invariant:
-    * "merges/mutations replace parts under new names". */
-  private def writeOrSwapTree(
-      spark: SparkSession, dir: String, cols: Seq[(String, String)],
-      asRows: Seq[Seq[Any]], orderBy: Seq[String]): Unit = {
-    val root = java.nio.file.Paths.get(dir)
-    val existingTree = java.nio.file.Files.isDirectory(root)
-    val base =
-      if (existingTree)
-        TableFiles(dir).partDirs().flatMap(TableFiles.maxBlock)
-          .maxOption.getOrElse(0)
-      else 0
-    def writeTree(treeDir: String): Unit = {
-      var partNo = base
-      asRows.grouped(PartRows).foreach { chunk =>
-        partNo += 1
-        writeChunk(treeDir, cols, chunk, s"all_${partNo}_${partNo}_0", orderBy)
-      }
-      MergeTreePartWriter.writeHttpIndex(treeDir)
-    }
-    if (existingTree)
-      graft.core.FsSwap.replace(spark, dir, "ctas") { tmp =>
-        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(tmp.toString))
-        writeTree(tmp.toString)
-      }
-    else writeTree(dir)
-  }
 }

@@ -501,6 +501,49 @@ class MergeTreeSpec extends AnyFunSuite {
     assert(MergeTree.read(spark, dir, ddl, Seq("k")).count() == 11)
   }
 
+  test("CTAS writes parts ON EXECUTORS: multi-part, per-part sorted, key-disjoint; INSERT appends multiple parts") {
+    import graft.sources.mergetree.{MergeTree, MergeTreeCtas}
+    val dir = Files.createTempDirectory("graft_mt_exec").toString + "/tree"
+    val ddl = "`o_orderkey` Int64, `o_totalprice` Float64"
+    val src = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+      .selectExpr("CAST(o_orderkey AS BIGINT) AS o_orderkey", "o_totalprice")
+    val total = src.count()
+    spark.conf.set(MergeTreeCtas.PartRowsConf, "400")
+    try {
+      val (rows, _) = MergeTreeCtas.write(spark, src, dir, Seq("o_orderkey"))
+      assert(rows == total)
+      val parts = MergeTree.partsInfo(dir)
+      assert(parts.size > 1, s"expected a multi-part tree, got ${parts.map(_._1)}")
+      // per-part sortedness AND cross-part key disjointness: each
+      // part's key range must start after the previous part's end
+      // (range partitioning; block numbers follow range order)
+      var prevMax = Long.MinValue
+      parts.sortBy(p => "all_(\\d+)_".r.findFirstMatchIn(p._1).get.group(1).toInt)
+        .foreach { case (p, _, _, _) =>
+          val keys = MergeTree.read(spark, dir, ddl, Seq("o_orderkey"), Seq(p))
+            .select("o_orderkey").collect().map(_.getLong(0))
+          assert(keys.sameElements(keys.sorted), s"part $p is not sorted")
+          assert(keys.head > prevMax, s"part $p overlaps the previous part's range")
+          prevMax = keys.last
+        }
+      // content round-trips exactly
+      val back = MergeTree.read(spark, dir, ddl, Seq("o_orderkey"))
+      assert(back.count() == total)
+      assert(back.agg(org.apache.spark.sql.functions.sum("o_orderkey")).collect().head.getLong(0) ==
+        src.agg(org.apache.spark.sql.functions.sum("o_orderkey")).collect().head.getLong(0))
+      // INSERT of a frame larger than one part appends SEVERAL parts
+      import spark.implicits._
+      val extra = (1000001L to 1001000L).map(k => (k, k * 0.5)).toDF("o_orderkey", "o_totalprice")
+      val n = MergeTreeCtas.appendPart(spark, extra, dir, Seq("o_orderkey"),
+        declaredDdl = Some(ddl))
+      assert(n == 1000)
+      val after = MergeTree.partsInfo(dir)
+      assert(after.size >= parts.size + 2,
+        s"a 1000-row INSERT at 400 rows/part should append >1 part: ${after.map(_._1)}")
+      assert(MergeTree.read(spark, dir, ddl, Seq("o_orderkey")).count() == total + 1000)
+    } finally spark.conf.unset(MergeTreeCtas.PartRowsConf)
+  }
+
   test("file:/ single-slash endpoints normalize to the plain local path") {
     import graft.sources.mergetree.MergeTreeCtas
     import spark.implicits._
