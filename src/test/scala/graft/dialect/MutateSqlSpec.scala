@@ -164,11 +164,12 @@ class MutateSqlSpec extends AnyFunSuite {
     assert(up.getString(1) == "updated" && up.getLong(2) == 3L) // k=1,3,5 remain
     assert(spark.table("mut_mt").filter("k = 5").collect().head.getAs[Double]("v") == 75.0)
     assert(spark.table("mut_mt").filter("k = 7").collect().head.getAs[Double]("v") == 10.5)
-    // TRUNCATE has no empty-tree representation: explicit refusal
-    val e = intercept[IllegalArgumentException] {
-      ChSql.sql(spark, "TRUNCATE TABLE mut_mt")
-    }
-    assert(e.getMessage.contains("MergeTree"))
+    // TRUNCATE rewrites to a valid PARTLESS tree (r11): zero rows,
+    // still scannable, still INSERTable
+    val tr = ChSql.sql(spark, "TRUNCATE TABLE mut_mt").collect().head
+    assert(tr.getString(1) == "truncated" && tr.getLong(2) == 15L)
+    assert(spark.table("mut_mt").count() == 0)
+    assert(graft.sources.mergetree.MergeTree.partsInfo(d).isEmpty)
     // an http(s) endpoint is a read-only web disk — mutation refuses
     graft.sources.mergetree.MergeTreePartWriter.writeHttpIndex(d)
     val port = graft.sources.StaticHttp.serve(new java.io.File(d).getParent)

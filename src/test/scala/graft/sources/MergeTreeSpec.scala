@@ -544,6 +544,31 @@ class MergeTreeSpec extends AnyFunSuite {
     } finally spark.conf.unset(MergeTreeCtas.PartRowsConf)
   }
 
+  test("empty MergeTree tables exist: empty CTAS scans as zero rows, INSERT refills; no marker still refuses") {
+    import graft.sources.mergetree.{MergeTree, MergeTreeCtas}
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_mt_empty").toString + "/tree"
+    val ddl = "`k` Int64, `v` String"
+    val (rows, _) = MergeTreeCtas.write(spark,
+      Seq.empty[(Long, String)].toDF("k", "v"), dir, Seq("k"))
+    assert(rows == 0)
+    assert(MergeTree.partsInfo(dir).isEmpty)
+    assert(MergeTree.looksLikeMergeTree(dir), "partless tree must still route as MergeTree")
+    assert(MergeTree.read(spark, dir, ddl, Seq("k")).count() == 0)
+    val n = MergeTreeCtas.appendPart(spark,
+      Seq((1L, "a"), (2L, "b")).toDF("k", "v"), dir, Seq("k"),
+      declaredDdl = Some(ddl))
+    assert(n == 2)
+    assert(MergeTree.read(spark, dir, ddl, Seq("k")).count() == 2)
+    // a partless dir WITHOUT format_version.txt still refuses — a
+    // typo'd endpoint must not silently scan as an empty table
+    val bogus = Files.createTempDirectory("graft_mt_bogus").toString
+    val e = intercept[Exception] {
+      MergeTree.read(spark, bogus, ddl, Seq("k")).count()
+    }
+    assert(e.getMessage.contains("no MergeTree parts"))
+  }
+
   test("file:/ single-slash endpoints normalize to the plain local path") {
     import graft.sources.mergetree.MergeTreeCtas
     import spark.implicits._
