@@ -19,9 +19,13 @@ import graft.sources.Sinks
   * sibling temp dir, rename the original to `.bak`, promote, delete
   * the backup — a failure at any step leaves either the original or
   * the backup intact, never neither. The logical CONTENT is
-  * unchanged; only the physical layout moves. Companion projections'
-  * fingerprints go stale by design (they revert to scans until
-  * re-materialized — conservative, never wrong).
+  * unchanged; only the physical layout moves. Parquet companions'
+  * projection fingerprints go stale by design (they revert to scans
+  * until re-materialized — conservative, never wrong); MergeTree
+  * targets do better: OPTIMIZE KNOWS content was preserved, so
+  * companions that were fresh before the merge are re-fingerprinted in
+  * place (stale ones stay stale — see
+  * [[graft.plans.AggProjections.refingerprintMergeTree]]).
   *
   * `FINAL` is accepted and means the same thing (we always fully
   * compact); `PARTITION` clauses are refused loudly. */
@@ -67,8 +71,18 @@ object OptimizeSql {
           val df = MergeTree.read(spark, ep, ddl, key)
           val bytes = new Path(ep).getFileSystem(spark.sessionState.newHadoopConf())
             .getContentSummary(new Path(ep)).getLength
-          graft.sources.mergetree.MergeTreeCtas.write(spark, df, ep, key,
-            declaredDdl = Some(ddl), op = "OPTIMIZE TABLE")
+          // merge + projection re-stamp are one atomic unit under the
+          // tree write lock: OPTIMIZE preserves CONTENT (parts merge,
+          // rows don't change), so companions that were fresh BEFORE
+          // the merge re-fingerprint in place instead of falling back
+          // to a full rebuild — a concurrent INSERT must not slip a
+          // part into the stamped inventory (VERDICT r10 task #7)
+          graft.sources.mergetree.MergeTreeCtas.withTreeLock(ep) {
+            val preFp = MergeTree.partsFingerprint(ep)
+            graft.sources.mergetree.MergeTreeCtas.write(spark, df, ep, key,
+              declaredDdl = Some(ddl), op = "OPTIMIZE TABLE")
+            graft.plans.AggProjections.refingerprintMergeTree(spark, ep, preFp)
+          }
           val partsAfter = MergeTree.partsInfo(ep).size
           return Seq((name.getOrElse(ep), partsBefore, partsAfter, bytes))
             .toDF("table", "files_before", "files_after", "bytes")

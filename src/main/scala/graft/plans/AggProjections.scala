@@ -320,6 +320,35 @@ object AggProjections {
     (mergeDelta(spark, m, deltaDf, m2), "merged_incremental")
   }
 
+  /** After a CONTENT-PRESERVING tree rewrite (OPTIMIZE [FINAL] merges
+    * parts; rows are unchanged), re-stamp registered projections with
+    * the tree's new part inventory IN PLACE — the companion's data is
+    * still exact, only the part set (the staleness fingerprint) moved,
+    * so invalidating would force a pointless corpus re-aggregation
+    * (VERDICT r10 task #7). Safety: only projections whose fingerprint
+    * matched the tree BEFORE the rewrite (`ifFingerprint`) re-stamp —
+    * an already-stale companion must stay stale, or the fresh stamp
+    * would mask real divergence and serve wrong answers. Callers hold
+    * the tree write lock across rewrite + re-stamp so a concurrent
+    * INSERT can't slip a part into the stamped inventory. Returns the
+    * number of projections re-stamped. */
+  def refingerprintMergeTree(
+      spark: SparkSession, endpoint: String, ifFingerprint: String): Int = {
+    import graft.sources.mergetree.MergeTree
+    val key = mergeTreeKey(endpoint)
+    val fresh = registry.getOrElse(key, Map.empty).values
+      .filter(_.fingerprint == ifFingerprint).toSeq
+    if (fresh.isEmpty) return 0
+    val inv = MergeTree.partsInventory(endpoint)
+    val fp = MergeTree.fingerprintOf(inv)
+    fresh.foreach { m =>
+      val m2 = m.copy(fingerprint = fp, files = inv.map(FileEntry(_, 0L, 0L)))
+      writeManifest(spark, m2)
+      register(m2)
+    }
+    fresh.size
+  }
+
   /** Refresh a projection (the `MATERIALIZE PROJECTION` statement).
     * INCREMENTAL when the source only GREW — the recorded file set is
     * intact (same paths, lengths, mtimes) and new files appeared:

@@ -207,6 +207,15 @@ object MergeTreeCtas {
       java.nio.file.Paths.get(dir).toAbsolutePath.normalize.toString,
       _ => new Object)
 
+  /** Run `f` holding the tree's write lock — for callers that need a
+    * write plus follow-up metadata atomically against concurrent
+    * INSERT/rewrite (e.g. OPTIMIZE's projection re-fingerprint: a part
+    * appended between the merge and the re-stamp would be masked).
+    * Reentrant — [[write]]/[[appendPart]] inside `f` take the same
+    * monitor. */
+  def withTreeLock[A](dir0: String)(f: => A): A =
+    treeLock(localDir(dir0)).synchronized(f)
+
   /** Maintenance writes address trees by the ATTACH endpoint string,
     * which may carry a file: scheme in any rendering — `file:///p`,
     * `file:/p` (the hadoop Path/URI form the old literal `file://`

@@ -365,6 +365,58 @@ class AggProjectionsSpec extends AnyFunSuite {
     assert(!scansProjection(q))
   }
 
+  test("OPTIMIZE on a MergeTree tree re-fingerprints fresh projections in place: no rebuild, reroute survives") {
+    projRoot
+    val d = Files.createTempDirectory("graft_proj_opt").toString + "/tree"
+    val cols = Seq("k" -> "LowCardinality(String)", "v" -> "Int64")
+    (1 to 3).foreach { p =>
+      graft.sources.mergetree.MergeTreePartWriter.writePart(
+        d, cols, (1 to 12).map(i => Seq[Any](s"k${i % 3}", (p * 100 + i).toLong))
+          .sortBy(_.head.toString),
+        granularity = 4, partName = s"all_${p}_${p}_0", orderBy = Seq("k"))
+    }
+    val ddl = "`k` LowCardinality(String), `v` Int64"
+    graft.sources.mergetree.MergeTree.read(spark, d, ddl, Seq("k"))
+      .createOrReplaceTempView("mt_opt_t")
+    assert(graft.dialect.ChSql.sql(spark,
+      "ALTER TABLE mt_opt_t ADD PROJECTION p_k (SELECT k, sum(v), count() GROUP BY k)")
+      .collect().head.getString(1) == "materialized")
+    def q = spark.sql("SELECT k, sum(v) AS s, count(*) AS n FROM mt_opt_t GROUP BY k")
+    assert(scansProjection(q), q.queryExecution.optimizedPlan.toString)
+    val expected = sortedRows(q)
+    val m0 = AggProjections.allManifests
+      .find(m => m.sourceKey == AggProjections.mergeTreeKey(d) && m.name == "p_k").get
+    val companionFiles = new java.io.File(m0.dataPath).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(f => f.getName -> f.lastModified).toMap
+    // OPTIMIZE merges the three parts into one — content preserved, so
+    // the companion re-stamps IN PLACE: reroute still fires, no
+    // rebuild job touched the companion's data files
+    val opt = graft.dialect.ChSql.sql(spark, "OPTIMIZE TABLE mt_opt_t FINAL").collect().head
+    assert(opt.getInt(1) == 3 && opt.getInt(2) == 1,
+      s"expected 3 parts -> 1, got $opt")
+    assert(scansProjection(q),
+      "reroute must survive OPTIMIZE: " + q.queryExecution.optimizedPlan.toString)
+    assert(sortedRows(q) == expected)
+    val after = new java.io.File(m0.dataPath).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(f => f.getName -> f.lastModified).toMap
+    assert(after == companionFiles, "companion data was rebuilt, not re-stamped")
+    val m1 = AggProjections.allManifests
+      .find(m => m.sourceKey == AggProjections.mergeTreeKey(d) && m.name == "p_k").get
+    assert(m1.fingerprint != m0.fingerprint, "fingerprint did not move to the merged part set")
+    // a STALE companion stays stale: append a part (fingerprint now
+    // behind), OPTIMIZE again — the re-stamp must NOT mask divergence
+    graft.sources.mergetree.MergeTreeCtas.appendPart(spark,
+      { import spark.implicits._
+        Seq(("k0", 1000L), ("k1", 2000L)).toDF("k", "v") },
+      d, Seq("k"), declaredDdl = Some(ddl))
+    assert(!scansProjection(q), q.queryExecution.optimizedPlan.toString)
+    graft.dialect.ChSql.sql(spark, "OPTIMIZE TABLE mt_opt_t FINAL").collect()
+    assert(!scansProjection(q),
+      "OPTIMIZE must not re-stamp a companion that was already stale: " +
+        q.queryExecution.optimizedPlan.toString)
+    assert(sortedRows(q) == unoptimized(sortedRows(q)))
+  }
+
   test("loadAll re-registers persisted manifests in a fresh registry") {
     projection
     AggProjections.clear()
