@@ -24,6 +24,13 @@ import org.apache.spark.sql.SparkSession
   *     [[QueryService.execute]] → `{"cols", "types", "rows",
   *     "settings"}` — the `QueryExecutorInput`/`Output` wire shape
   *     (`temporal/workflow_query_executor.go:30-39`) with types added
+  *   - `POST /` (and `GET /?query=`) → ClickHouse's OWN HTTP interface:
+  *     the SQL is the body, `?default_format=` shapes the output when
+  *     the statement has no trailing FORMAT (default TabSeparated, as
+  *     CH), errors are plain text, an empty `GET /` answers `Ok.` —
+  *     the reference's PoC drives queries through
+  *     clickhouse-client/HTTP (`run.sh:4-18`) and curl works
+  *     unmodified here
   *   - `GET /metrics` → Prometheus text exposition of query
   *     counts/errors/latency, the internal-server contract
   *
@@ -95,64 +102,39 @@ class QueryServer(
       if (ex.getRequestMethod != "POST") (405, "text/plain", "POST only")
       else {
         val body = new String(ex.getRequestBody.readAllBytes(), UTF_8)
-        val t0 = System.nanoTime()
-        inFlight.incrementAndGet()
-        // the journal may uniquify the key when concurrent requests
-        // share an X-Request-Id — completion must use the same key
-        var journalKey: Option[String] = None
-        try {
-          val res =
-            try {
-              val req = parseRequest(body)
-              // journal BEFORE execution: a crash between here and the
-              // response leaves exactly this entry for the next start
-              journalKey = journal.map(_.record(reqId, req))
-              // per-request session isolation (the reference gives each
-              // workflow its own CH session, `workflow_query_executor.go:302`):
-              // newSession() shares the SparkContext and cached data but
-              // carries its OWN SQLConf, temp views, and function registry,
-              // so one request's SETs / ATTACHes never leak into another
-              // running concurrently on this 4-thread pool
-              val out = new QueryService(spark.newSession()).execute(req)
-              // render BEFORE counting success: a render failure must
-              // land in exactly one bucket, not a 200 log line followed
-              // by a 400 for the same request (review finding)
-              val (ctype, respBody) = renderInFormat(out)
-              queriesTotal.increment()
-              val secs = (System.nanoTime() - t0) / 1e9
-              querySecondsTotal.add(secs)
-              log.info(s"request_id=$reqId status=200 rows=${out.rows.size} " +
-                f"seconds=$secs%.3f")
-              (200, ctype, respBody)
-            } catch {
-              case e: com.fasterxml.jackson.core.JacksonException =>
-                errorsTotal.increment()
-                log.info(s"request_id=$reqId status=400 error=malformed_json")
-                (400, "application/json", errorJson(s"malformed request JSON: ${e.getMessage}"))
-              case e @ (_: org.apache.spark.sql.AnalysisException |
-                        _: IllegalArgumentException |
-                        _: org.apache.spark.sql.catalyst.parser.ParseException) =>
-                errorsTotal.increment()
-                log.info(s"request_id=$reqId status=400")
-                (400, "application/json", errorJson(e.getMessage))
-              case e: Exception =>
-                errorsTotal.increment()
-                log.warn(s"request_id=$reqId status=500 error=${e.getClass.getSimpleName}")
-                (500, "application/json", errorJson(e.toString))
-            }
-          // any response — success or error — means the caller learns
-          // this request's fate: it must never replay
-          journalKey.foreach(k => journal.foreach(_.complete(k)))
-          res
-        } finally {
-          // sweep operator-internal persisted intermediates once the
-          // server goes idle (advisor r8: only tests called releaseAll,
-          // so the service accumulated tracked frames without bound).
-          // Idle-only so a concurrent request's intermediates aren't
-          // evicted mid-plan (they'd recompute — correct but wasteful).
-          if (inFlight.decrementAndGet() == 0L)
-            graft.operators.OpCache.releaseAll()
-        }
+        serveQuery(reqId, () => parseRequest(body),
+          defaultFormat = None, plainErrors = false)
+      }
+    })
+    // ClickHouse's own HTTP interface (VERDICT r10 task #5): the SQL
+    // IS the request — `POST /` with the statement as the body (or
+    // `?query=`), `?default_format=` naming the output format when the
+    // statement carries no trailing FORMAT (CH's HTTP default:
+    // TabSeparated), plain-text errors, and `GET /` with no query
+    // answering `Ok.` (CH's root banner — what a load balancer probes).
+    // `curl 'http://host/?default_format=CSVWithNames' -d 'SELECT …'`
+    // works unmodified; /query stays the structured superset.
+    server.createContext("/", handler { (ex, reqId) =>
+      val params = queryParams(ex.getRequestURI.getRawQuery)
+      ex.getRequestMethod match {
+        case m if m != "POST" && m != "GET" => (405, "text/plain", "POST or GET")
+        case m =>
+          val bodySql =
+            if (m == "POST") new String(ex.getRequestBody.readAllBytes(), UTF_8)
+            else ""
+          // CH concatenates ?query= and the body (a statement may be
+          // split across both)
+          val sql = (params.getOrElse("query", "") + "\n" + bodySql).trim
+          val fmt = params.get("default_format").filter(_.nonEmpty)
+          if (sql.isEmpty)
+            if (m == "GET") (200, "text/plain", "Ok.\n")
+            else (400, "text/plain", "empty query")
+          else if (fmt.exists(!ResponseFormats.supported(_)))
+            (400, "text/plain", s"unknown default_format: ${fmt.get}")
+          else serveQuery(reqId,
+            () => QueryService.QueryRequest(sql),
+            defaultFormat = fmt.orElse(Some("TabSeparated")),
+            plainErrors = true)
       }
     })
     // small fixed pool: control-plane requests only; Spark owns the cores
@@ -222,6 +204,98 @@ class QueryServer(
         }
     }
   }
+
+  // ---- the one execution core behind /query and the raw CH door ----
+
+  /** Parse → journal → execute → render, with the metrics/idle-sweep
+    * bookkeeping both routes share. `defaultFormat` shapes the body
+    * when the statement carries no trailing FORMAT (the raw door's
+    * `?default_format=`, falling back to CH's TabSeparated); errors
+    * render as plain text on the raw door (CH's own convention) and as
+    * the JSON envelope on /query. */
+  private def serveQuery(
+      reqId: String,
+      buildReq: () => QueryService.QueryRequest,
+      defaultFormat: Option[String],
+      plainErrors: Boolean): (Int, String, String) = {
+    val t0 = System.nanoTime()
+    inFlight.incrementAndGet()
+    def err(msg: String): (String, String) =
+      if (plainErrors) ("text/plain", Option(msg).getOrElse("unknown") + "\n")
+      else ("application/json", errorJson(msg))
+    // the journal may uniquify the key when concurrent requests
+    // share an X-Request-Id — completion must use the same key
+    var journalKey: Option[String] = None
+    try {
+      val res =
+        try {
+          val req = buildReq()
+          // journal BEFORE execution: a crash between here and the
+          // response leaves exactly this entry for the next start
+          journalKey = journal.map(_.record(reqId, req))
+          // per-request session isolation (the reference gives each
+          // workflow its own CH session, `workflow_query_executor.go:302`):
+          // newSession() shares the SparkContext and cached data but
+          // carries its OWN SQLConf, temp views, and function registry,
+          // so one request's SETs / ATTACHes never leak into another
+          // running concurrently on this 4-thread pool
+          val out = new QueryService(spark.newSession()).execute(req)
+          // a statement-level FORMAT always wins; default_format only
+          // fills the gap (CH's precedence)
+          val shaped = defaultFormat.filter(_ => out.format.isEmpty)
+            .map(f => out.copy(format = Some(f))).getOrElse(out)
+          // render BEFORE counting success: a render failure must
+          // land in exactly one bucket, not a 200 log line followed
+          // by a 400 for the same request (review finding)
+          val (ctype, respBody) = renderInFormat(shaped)
+          queriesTotal.increment()
+          val secs = (System.nanoTime() - t0) / 1e9
+          querySecondsTotal.add(secs)
+          log.info(s"request_id=$reqId status=200 rows=${out.rows.size} " +
+            f"seconds=$secs%.3f")
+          (200, ctype, respBody)
+        } catch {
+          case e: com.fasterxml.jackson.core.JacksonException =>
+            errorsTotal.increment()
+            log.info(s"request_id=$reqId status=400 error=malformed_json")
+            val (ct, b) = err(s"malformed request JSON: ${e.getMessage}")
+            (400, ct, b)
+          case e @ (_: org.apache.spark.sql.AnalysisException |
+                    _: IllegalArgumentException |
+                    _: org.apache.spark.sql.catalyst.parser.ParseException) =>
+            errorsTotal.increment()
+            log.info(s"request_id=$reqId status=400")
+            val (ct, b) = err(e.getMessage)
+            (400, ct, b)
+          case e: Exception =>
+            errorsTotal.increment()
+            log.warn(s"request_id=$reqId status=500 error=${e.getClass.getSimpleName}")
+            val (ct, b) = err(e.toString)
+            (500, ct, b)
+        }
+      // any response — success or error — means the caller learns
+      // this request's fate: it must never replay
+      journalKey.foreach(k => journal.foreach(_.complete(k)))
+      res
+    } finally {
+      // sweep operator-internal persisted intermediates once the
+      // server goes idle (advisor r8: only tests called releaseAll,
+      // so the service accumulated tracked frames without bound).
+      // Idle-only so a concurrent request's intermediates aren't
+      // evicted mid-plan (they'd recompute — correct but wasteful).
+      if (inFlight.decrementAndGet() == 0L)
+        graft.operators.OpCache.releaseAll()
+    }
+  }
+
+  /** URL-decoded query parameters of the raw door. */
+  private def queryParams(rawQuery: String): Map[String, String] =
+    Option(rawQuery).getOrElse("").split('&').filter(_.nonEmpty).map { kv =>
+      val i = kv.indexOf('=')
+      val k = java.net.URLDecoder.decode(if (i < 0) kv else kv.substring(0, i), "UTF-8")
+      val v = if (i < 0) "" else java.net.URLDecoder.decode(kv.substring(i + 1), "UTF-8")
+      k -> v
+    }.toMap
 
   // ---- request/response wire format ----
 

@@ -209,6 +209,48 @@ class QueryServerSpec extends AnyFunSuite {
     assert(run("Arrow").statusCode() == 400)
   }
 
+  test("raw ClickHouse HTTP door: POST / with SQL body + default_format drives run.sh:17's statement") {
+    // the reference's PoC statement (run.sh:17) against a locally
+    // served aapl_stock.csv — same rows ReferenceCorpusSpec uses
+    val dir = java.nio.file.Files.createTempDirectory("graft_raw_door").toFile
+    val aapl = ("Date,Open,High,Low,Close,Volume" +:
+      (0 until 10).map(i =>
+        s"2021-01-${i + 10},130.$i,131.$i,129.$i,130.${i + 1},${1000000 + i}"))
+      .mkString("", "\n", "\n")
+    java.nio.file.Files.writeString(
+      new java.io.File(dir, "aapl_stock.csv").toPath, aapl)
+    val csvPort = graft.sources.StaticHttp.serve(dir.toString)
+    val sql = "select Date, Volume from urlCluster('randomclustername', " +
+      s"'http://127.0.0.1:$csvPort/aapl_stock.csv', 'CSVWithNames') " +
+      "ORDER BY Date LIMIT 2"
+    // curl shape: POST / with the SQL as the body, format via param
+    val r = post("/?default_format=CSVWithNames", sql)
+    assert(r.statusCode() == 200, r.body())
+    assert(r.headers().firstValue("Content-Type").orElse("") == "text/csv")
+    assert(r.body() ==
+      "\"Date\",\"Volume\"\n\"2021-01-10\",1000000\n\"2021-01-11\",1000001\n")
+    // a statement-level FORMAT wins over default_format (CH precedence)
+    val nd = post("/?default_format=CSVWithNames", sql + " FORMAT JSONEachRow")
+    assert(nd.body() ==
+      "{\"Date\":\"2021-01-10\",\"Volume\":1000000}\n" +
+        "{\"Date\":\"2021-01-11\",\"Volume\":1000001}\n")
+    // no format anywhere → CH's HTTP default, TabSeparated
+    assert(post("/", "SELECT 41 + 1 AS x").body() == "42\n")
+    // GET / with no query is CH's root banner; ?query= executes on GET
+    assert(get("/").body() == "Ok.\n")
+    assert(get("/?query=" + java.net.URLEncoder.encode(
+      "SELECT 41 + 1 AS x FORMAT CSV", "UTF-8")).body() == "42\n")
+    // unknown default_format refuses before execution; errors are
+    // PLAIN TEXT on this door (CH convention), not the JSON envelope
+    assert(post("/?default_format=Arrow", "SELECT 1").statusCode() == 400)
+    val err = post("/", "SELECT nope FROM missing_table")
+    assert(err.statusCode() == 400)
+    assert(err.headers().firstValue("Content-Type").orElse("").startsWith("text/plain"))
+    assert(!err.body().startsWith("{"))
+    // the structured routes still win the longest-prefix match
+    assert(get("/hc").body() == "ok")
+  }
+
   test("sink_path offloads the result and replay serves the artifact (kill-after-write)") {
     val dir = java.nio.file.Files.createTempDirectory("graft_sink").toString
     val sink = s"$dir/out"
