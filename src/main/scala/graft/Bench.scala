@@ -255,6 +255,87 @@ object Bench {
     base
   }
 
+  /** The sf10 decade (VERDICT r10 task #2): lineitem + orders at 100×
+    * the bench sf — built once, content-keyed, by unioning the 10×
+    * copy tenfold (the four baseline shapes don't care about key
+    * multiplicity, they measure scan/agg throughput; DuckDB reads the
+    * same files). At sf0.1 input this is sf≈10: ~60M lineitem rows,
+    * ~1 GB parquet — the first decade where scan time dominates both
+    * engines' floors, so the 2× gate finally measures throughput. */
+  private def ensure100x(spark: SparkSession, base10: String): String = {
+    val sig = Seq("lineitem", "orders").flatMap { t =>
+      val f = new java.io.File(s"$base10/$t.parquet")
+      val parts =
+        if (f.isDirectory) f.listFiles().toSeq.sortBy(_.getName) else Seq(f)
+      parts.map(p => s"${p.getPath}:${p.length}:${p.lastModified}")
+    }.mkString("|")
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(sig.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
+    val base = s"/tmp/graft_bench100x_$key"
+    val done = new java.io.File(s"$base/_DONE")
+    if (!done.exists()) {
+      val cores = spark.sparkContext.defaultParallelism
+      Seq("lineitem", "orders").foreach { t =>
+        val df = Tables.load(spark, base10, t)
+        Seq.fill(10)(df).reduce(_ union _)
+          .repartition(cores)
+          .write.mode("overwrite").parquet(s"$base/$t.parquet")
+      }
+      done.getParentFile.mkdirs()
+      done.createNewFile()
+    }
+    base
+  }
+
+  private def shapes100x(spark: SparkSession, base: String): Seq[(String, () => DataFrame)] = {
+    def li = Tables.load(spark, base, "lineitem")
+    def ord = Tables.load(spark, base, "orders")
+    Seq(
+      "q1_scan_count" -> (() => li.agg(count(lit(1)).as("cnt"))),
+      "q2_group_sum" -> (() =>
+        li.groupBy("l_returnflag").agg(sum("l_quantity").as("s"))),
+      "q3_uniq_exact" -> (() => ord.agg(countDistinct(col("o_custkey")).as("u"))),
+      "q4_hash_scan" -> (() => hashScan(li)))
+  }
+
+  /** Per-stage decomposition of q3_uniq_exact over the 10× copy
+    * (VERDICT r10 task #1): one instrumented run, reporting for each
+    * stage its task count, wall seconds, summed executor run/GC
+    * seconds, and shuffle bytes — the data that separates "plan
+    * problem" from "per-task concurrency overhead". Emitted as a JSON
+    * array under `q3_decomposition`. */
+  private def q3Decompose(spark: SparkSession, base10: String): String = {
+    val stages = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, Int, Double, Double, Double, Long)]
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          e: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        val si = e.stageInfo
+        val m = si.taskMetrics
+        stages += ((si.stageId, si.numTasks,
+          (si.completionTime.getOrElse(0L) - si.submissionTime.getOrElse(0L)) / 1e3,
+          m.executorRunTime / 1e3, m.jvmGCTime / 1e3,
+          m.shuffleWriteMetrics.bytesWritten + m.shuffleReadMetrics.totalBytesRead))
+      }
+    }
+    def q = Tables.load(spark, base10, "orders")
+      .agg(countDistinct(col("o_custkey")).as("u"))
+    q.write.format("noop").mode("overwrite").save() // warmup
+    spark.catalog.clearCache(); System.gc()
+    spark.sparkContext.addSparkListener(l)
+    val t0 = System.nanoTime()
+    q.write.format("noop").mode("overwrite").save()
+    val wall = (System.nanoTime() - t0) / 1e9
+    Thread.sleep(500) // listener bus drain
+    spark.sparkContext.removeSparkListener(l)
+    def n(v: Double) = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val items = stages.sortBy(_._1).map { case (id, tasks, w, run, gc, shuf) =>
+      s"""{"stage":$id,"tasks":$tasks,"wall_s":${n(w)},"run_sum_s":${n(run)},""" +
+        s""""gc_sum_s":${n(gc)},"shuffle_bytes":$shuf}"""
+    }
+    s"""{"wall_s":${n(wall)},"stages":[${items.mkString(",")}]}"""
+  }
+
   private def shapes10x(spark: SparkSession, base: String): Seq[(String, () => DataFrame)] = {
     def li = Tables.load(spark, base, "lineitem")
     def ord = Tables.load(spark, base, "orders")
@@ -306,7 +387,7 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors().toString)
-    val spark = SparkSession.builder()
+    val builder0 = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
@@ -325,6 +406,23 @@ object Bench {
       // dominates — so the default v1 scan stays. PlanSpec pins the
       // pushdown capability with the explicit confs.
       .config("spark.ui.enabled", "false")
+      // Leaf-scan packing (r11, the q3 finding): Spark's default
+      // minPartitionNum = cores splits a 32-small-file table into 32
+      // tiny scan tasks. Measured on this box (Q3Probe decomposition):
+      // the partial-distinct map stage over 32×47k-row tasks burns
+      // 5.9µs/row and 0.31 s wall; the SAME rows in 8 tasks cost
+      // 0.33µs/row and 0.13 s wall — per-row cost inflates ~10× under
+      // 32-way concurrency (GC-pause amplification across concurrent
+      // tasks + memory-subsystem contention), and the shuffle grows 4×
+      // (more per-partition duplicate keys). cores/4 only affects
+      // tables small enough that maxPartitionBytes doesn't already
+      // bound the split (<~1 GB at 32 cores): big scans keep 128MB
+      // partitions and full parallelism — exactly the 100 TB posture.
+      // SPARK_GRAFT_MIN_PART overrides; 0 = leave Spark's default.
+    val minPart = sys.env.getOrElse("SPARK_GRAFT_MIN_PART",
+      math.max(1, cpus.toInt / 4).toString)
+    val spark = (if (minPart == "0") builder0
+      else builder0.config("spark.sql.files.minPartitionNum", minPart))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.dialect.ChFunctions.register(spark)
@@ -414,6 +512,33 @@ object Bench {
           .linesIterator.take(1).mkString.take(200)
     }
 
+    // q3 stage decomposition over the 10× copy (VERDICT r10 task #1)
+    var q3Decomp = "null"
+    base10Opt.foreach { b =>
+      try q3Decomp = q3Decompose(spark, b)
+      catch {
+        case e: Throwable =>
+          errors("q3_decomposition") = Option(e.getMessage)
+            .getOrElse(e.getClass.getName).linesIterator.take(1).mkString.take(200)
+      }
+    }
+
+    // the sf10 decade (VERDICT r10 task #2): four shapes at 100× the
+    // bench sf, where scan time finally dominates both engines' floors
+    val timesSf10 = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    var base100Opt: Option[String] = None
+    base10Opt.foreach { b10 =>
+      try {
+        val base100 = ensure100x(spark, b10)
+        base100Opt = Some(base100)
+        runAll(shapes100x(spark, base100), timesSf10, n => s"sf10_$n")
+      } catch {
+        case e: Throwable =>
+          errors("sf10_setup") = Option(e.getMessage).getOrElse(e.getClass.getName)
+            .linesIterator.take(1).mkString.take(200)
+      }
+    }
+
     // 10×-growth ratios per query (t10x / t1x) — the scale-survival
     // evidence as a number, plus a regression GATE for the banded
     // operators: 10× input must cost ≤6× time (near-linear; candidate
@@ -480,6 +605,12 @@ object Bench {
     // floor over sub-second data — decide the 2× gate where the floor
     // amortizes: the same four shapes vs DuckDB on the 10× (≈sf1) copy
     base10Opt.foreach(b => duckRun(b, times10, duckSf1, ratioDuckSf1, "duckdb_oracle_sf1"))
+    // …and at the sf10 decade, where r10 proved BOTH engines are still
+    // floor-bound at sf1 (VERDICT r10 task #2)
+    val duckSf10 = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    val ratioDuckSf10 = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    base100Opt.foreach(b =>
+      duckRun(b, timesSf10, duckSf10, ratioDuckSf10, "duckdb_oracle_sf10"))
 
     def jstr(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
     // ROOT locale: a decimal-comma default locale would emit malformed
@@ -491,7 +622,7 @@ object Bench {
       .mkString("{", ",", "}")
     val total = times.values.sum
     val line =
-      s"""{"metric":"total","value":${jnum(total)},"unit":"sec","iters":$Iters,"queries":${jmap(times)},"sf10x":${jmap(times10)},"ratio_10x":${jmap(ratios)},"projection_build":${jnum(projBuild)},"q10_parquet_twin":${jnum(twinSec)},"duckdb":${jmap(duck)},"ratio_vs_duckdb":${jmap(ratioDuck)},"duckdb_sf1":${jmap(duckSf1)},"ratio_vs_duckdb_sf1":${jmap(ratioDuckSf1)},"errors":$es,"sf":${jstr(sfDir)}}"""
+      s"""{"metric":"total","value":${jnum(total)},"unit":"sec","iters":$Iters,"queries":${jmap(times)},"sf10x":${jmap(times10)},"ratio_10x":${jmap(ratios)},"projection_build":${jnum(projBuild)},"q10_parquet_twin":${jnum(twinSec)},"duckdb":${jmap(duck)},"ratio_vs_duckdb":${jmap(ratioDuck)},"duckdb_sf1":${jmap(duckSf1)},"ratio_vs_duckdb_sf1":${jmap(ratioDuckSf1)},"sf10":${jmap(timesSf10)},"duckdb_sf10":${jmap(duckSf10)},"ratio_vs_duckdb_sf10":${jmap(ratioDuckSf10)},"q3_decomposition":$q3Decomp,"errors":$es,"sf":${jstr(sfDir)}}"""
     println(line)
     // machine-readable artifact independent of log scraping (the r8
     // driver harness failed to extract the metric line from the sbt

@@ -41,6 +41,15 @@ object Engine {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
       .config("spark.sql.parquet.aggregatePushdown", "true")
+      // Leaf-scan packing (r11): Spark's default minPartitionNum=cores
+      // shreds small many-file tables into per-file tiny tasks; measured
+      // here (Bench.scala/Q3Probe) per-row aggregate cost inflates ~10×
+      // under 32-way concurrency on sub-MB tasks while 4×-fewer, bigger
+      // tasks cut both CPU and wall. Only affects tables small enough
+      // that maxPartitionBytes doesn't already bound the split — large
+      // scans keep 128MB partitions and full parallelism.
+      .config("spark.sql.files.minPartitionNum",
+        math.max(1, cores / 4).toString)
     extraConf.foreach { case (k, v) => b.config(k, v) }
     val spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
