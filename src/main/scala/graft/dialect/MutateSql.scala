@@ -52,9 +52,15 @@ object MutateSql {
         // that scans as zero rows and accepts INSERT
         resolveMt(spark, pathLit, tableName, op = "TRUNCATE TABLE")
           .foreach { case (label, ep, ddl, key) =>
-            val df = graft.sources.mergetree.MergeTree.read(spark, ep, ddl, key)
-            val n = df.count()
-            rewriteMt(spark, ep, ddl, key, df.limit(0))
+            // rows_affected from part metadata (count.txt sums) — CH's
+            // TRUNCATE is metadata-time; a distributed count would scan
+            // the whole tree just for the report (review finding). An
+            // already-empty tree (ddl = "" for the path form) no-ops.
+            val n = graft.sources.mergetree.MergeTree.partsInfo(ep).map(_._2).sum
+            if (n > 0 && ddl.nonEmpty) {
+              val df = graft.sources.mergetree.MergeTree.read(spark, ep, ddl, key)
+              rewriteMt(spark, ep, ddl, key, df.limit(0))
+            }
             return Seq((label, "truncated", n))
               .toDF("table", "mutation", "rows_affected")
           }
@@ -105,6 +111,12 @@ object MutateSql {
         // syntax-check the assignment list BEFORE touching storage
         val parsedAssigns = splitAssignments(assigns)
         val mt = resolveMt(spark, pathLit, tableName)
+        // a validated PARTLESS tree addressed by path has no schema
+        // (ddl = "") and no rows: the mutation is a no-op, as in CH
+        mt.filter(_._3.isEmpty).foreach { case (label, _, _, _) =>
+          return Seq((label, "updated", 0L))
+            .toDF("table", "mutation", "rows_affected")
+        }
         val (name, source) = mt match {
           case Some((label, ep, _, _)) => (Some(label), ep)
           case None => resolve(spark, pathLit, tableName)
@@ -154,6 +166,11 @@ object MutateSql {
     // differ between parquet and MergeTree (review finding: the two
     // branches had drifted into near-copies)
     val mt = resolveMt(spark, pathLit, tableName)
+    // a validated PARTLESS tree addressed by path has no schema
+    // (ddl = "") and no rows: the delete is a no-op, as in CH
+    mt.filter(_._3.isEmpty).foreach { case (l, _, _, _) =>
+      return Seq((l, "deleted", 0L)).toDF("table", "mutation", "rows_affected")
+    }
     val (label, source) = mt match {
       case Some((l, ep, _, _)) => (Some(l), ep)
       case None => resolve(spark, pathLit, tableName)

@@ -66,6 +66,11 @@ object OptimizeSql {
         mt.foreach { case (ep, ddl, orderBy) =>
           MergeTree.requireLocalForMaintenance(ep, "OPTIMIZE TABLE")
           val partsBefore = MergeTree.partsInfo(ep).size
+          // a PARTLESS tree has nothing to merge (and the path form
+          // carries no schema, ddl = "") — no-op, as in CH
+          if (partsBefore == 0 || ddl.isEmpty)
+            return Seq((name.getOrElse(ep), partsBefore, partsBefore, 0L))
+              .toDF("table", "files_before", "files_after", "bytes")
           val key = if (orderBy.nonEmpty) orderBy
             else name.map(graft.core.Catalog.sortKey).getOrElse(Nil)
           val df = MergeTree.read(spark, ep, ddl, key)

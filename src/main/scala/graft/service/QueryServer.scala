@@ -115,8 +115,16 @@ class QueryServer(
     // `curl 'http://host/?default_format=CSVWithNames' -d 'SELECT …'`
     // works unmodified; /query stays the structured superset.
     server.createContext("/", handler { (ex, reqId) =>
+      val path = ex.getRequestURI.getPath
       val params = queryParams(ex.getRequestURI.getRawQuery)
-      ex.getRequestMethod match {
+      // only the CH handles live here: `/` (query door) and `/ping`.
+      // Any other path is 404, as CH answers — a catch-all 200 would
+      // bless typo'd health probes and execute bodies POSTed to typo'd
+      // routes (review finding)
+      if (path == "/ping") (200, "text/plain", "Ok.\n")
+      else if (path != "/")
+        (404, "text/plain", s"There is no handle $path\n")
+      else ex.getRequestMethod match {
         case m if m != "POST" && m != "GET" => (405, "text/plain", "POST or GET")
         case m =>
           val bodySql =
@@ -129,6 +137,13 @@ class QueryServer(
           if (sql.isEmpty)
             if (m == "GET") (200, "text/plain", "Ok.\n")
             else (400, "text/plain", "empty query")
+          else if (m == "GET" && isWriteStatement(sql))
+            // CH's HTTP contract: GET implies readonly — a proxy
+            // retry or link prefetch must never re-execute a write
+            // (review finding)
+            (400, "text/plain",
+              "Cannot execute query in readonly mode (HTTP GET is " +
+                "read-only — POST the statement instead)\n")
           else if (fmt.exists(!ResponseFormats.supported(_)))
             (400, "text/plain", s"unknown default_format: ${fmt.get}")
           else serveQuery(reqId,
@@ -287,6 +302,13 @@ class QueryServer(
         graft.operators.OpCache.releaseAll()
     }
   }
+
+  /** Statements the GET form of the raw door refuses — ClickHouse's
+    * HTTP interface forces readonly for GET, so state-changing
+    * statements only execute over POST. */
+  private val WriteStmtRe =
+    "(?is)^\\s*(INSERT|CREATE|ALTER|TRUNCATE|DELETE|OPTIMIZE|DROP|ATTACH|DETACH)\\b.*".r
+  private def isWriteStatement(sql: String): Boolean = WriteStmtRe.matches(sql)
 
   /** URL-decoded query parameters of the raw door. */
   private def queryParams(rawQuery: String): Map[String, String] =

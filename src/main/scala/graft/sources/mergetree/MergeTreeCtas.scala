@@ -68,7 +68,14 @@ object MergeTreeCtas {
     * the original CH types — Enum stays Enum, LowCardinality stays
     * LowCardinality, unsigned widths stay unsigned — instead of
     * re-deriving wider Spark-mapped types, so a mutated tree still
-    * decodes under its original ATTACH DDL (review finding). */
+    * decodes under its original ATTACH DDL (review finding).
+    *
+    * The SELECT is evaluated twice (a stats pass, then the write
+    * pass); a non-deterministic source can surface a NULL the stats
+    * pass never saw — the encoder then fails the task LOUDLY (no
+    * silent mis-encode), and the returned row count is the WRITTEN
+    * parts' own count.txt sum, never the stats pass's (review
+    * finding). Pre-materialize non-deterministic SELECTs. */
   def write(
       spark: SparkSession,
       df: DataFrame,
@@ -80,26 +87,32 @@ object MergeTreeCtas {
     val (total, cols) = analyze(spark, df, orderBy, declaredDdl, op)
     // per-endpoint serialization: two concurrent rewrites would race
     // the backup-staged swap
+    var written = 0L
     treeLock(dir).synchronized {
       val existingTree = java.nio.file.Files.isDirectory(java.nio.file.Paths.get(dir))
-      // parts of a REWRITE are numbered above the previous tree's max
-      // block: part names are MergeTree's content-version unit, and
-      // reusing all_1_1_0… across a row-count-preserving mutation left
-      // the projection staleness fingerprint unchanged — queries kept
-      // rerouting to a stale pre-mutation companion (advisor finding,
-      // HIGH)
-      val base =
-        if (existingTree)
-          TableFiles(dir).partDirs().flatMap(TableFiles.maxBlock)
-            .maxOption.getOrElse(0)
-        else 0
+      // parts of a REWRITE are numbered above the previous tree's
+      // durable block watermark: part names are MergeTree's
+      // content-version unit, and reusing all_1_1_0… across a
+      // row-count-preserving mutation left the projection staleness
+      // fingerprint unchanged — queries kept rerouting to a stale
+      // pre-mutation companion (advisor finding, HIGH)
+      val base = if (existingTree) blockWatermark(dir) else 0
       // an empty result writes a PARTLESS tree — a MergeTree table IS
       // its metadata, parts are optional (CH holds empty tables fine;
       // VERDICT r10 missing #3): format_version.txt marks the root so
       // the scan can tell "validated empty table" from "wrong path"
       def writeTree(treeDir: String): Unit = {
-        if (total > 0) writeParts(spark, df, treeDir, cols, orderBy, base, total)
+        val parts =
+          if (total > 0) writeParts(spark, df, treeDir, cols, orderBy, base, total)
+          else Nil
+        written = parts.map(_._2).sum
         writeFormatVersion(treeDir)
+        // the watermark persists even when the tree is partless: a
+        // TRUNCATE-then-refill that restarted numbering at 1 could
+        // reproduce a byte-identical parts inventory and collide with
+        // a stale projection fingerprint (review finding)
+        writeWatermark(treeDir,
+          math.max(base, parts.flatMap(p => TableFiles.maxBlock(p._1)).maxOption.getOrElse(0)))
         MergeTreePartWriter.writeHttpIndex(treeDir)
       }
       if (existingTree)
@@ -114,18 +127,20 @@ object MergeTreeCtas {
         writeTree(dir)
       }
     }
-    (total, cols.map { case (n, t) => s"`$n` $t" }.mkString(", "))
+    (written, cols.map { case (n, t) => s"`$n` $t" }.mkString(", "))
   }
 
   /** Append the frame as NEW PARTS of an existing tree — CH's own
     * INSERT model (every INSERT batch becomes parts of ~1M rows;
     * merges come later via OPTIMIZE). Executor-parallel like [[write]]
     * (the old ONE-part 1M-row bound is gone); an empty frame appends
-    * nothing. Parts are staged executor-side under a `tmp_` dir
-    * (excluded from part listings, as CH's own tmp_ parts are) OUTSIDE
-    * the endpoint lock — only the block-number allocation and the
-    * renames into place serialize — so a mid-write death never leaves
-    * a torn readable part. Returns the appended row count. */
+    * nothing. Parts are staged executor-side in a dot-prefixed SIBLING
+    * dir (invisible to readers and safe from a concurrent whole-tree
+    * swap) OUTSIDE the endpoint lock — only the block-number
+    * allocation and the renames into place serialize — so a mid-write
+    * death never leaves a torn readable part. Returns the appended row
+    * count (the written parts' own sum, robust to non-deterministic
+    * SELECTs — see [[write]]). */
   def appendPart(
       spark: SparkSession,
       df: DataFrame,
@@ -136,39 +151,46 @@ object MergeTreeCtas {
     val dir = localDir(dir0)
     val (total, cols) = analyze(spark, df, orderBy, declaredDdl, op)
     if (total == 0) return 0L
-    // encode on executors into a unique staging dir under the tree
-    // (same filesystem → the final moves are atomic renames); the name
-    // fails PartNameRe so readers never see it
-    val staging = s"tmp_${java.util.UUID.randomUUID().toString.take(8)}"
-    val stagingDir = java.nio.file.Paths.get(dir, staging)
+    // encode on executors into a unique SIBLING staging dir (same
+    // parent → same filesystem → the final moves are atomic renames).
+    // A sibling, NOT a subdir of the tree: a concurrent OPTIMIZE or
+    // mutation swaps the whole tree dir aside and deletes it, which
+    // would destroy an in-flight INSERT's staging written inside it
+    // (review finding); the dot-prefixed sibling survives the swap.
+    val treePath = java.nio.file.Paths.get(dir).toAbsolutePath.normalize
+    val staging = s".${treePath.getFileName}.insert_" +
+      java.util.UUID.randomUUID().toString.take(8)
+    val stagingDir = treePath.getParent.resolve(staging)
     java.nio.file.Files.createDirectories(stagingDir)
-    val written = writeParts(spark, df, stagingDir.toString, cols, orderBy,
-      base = 0, total)
+    val written =
+      try writeParts(spark, df, stagingDir.toString, cols, orderBy, base = 0, total)
+      catch { case e: Throwable => deleteTree(stagingDir); throw e }
     // number allocation + rename are serialized per endpoint: the
     // QueryServer runs statements on a thread pool, and two unlocked
     // INSERTs could allocate the same part numbers (advisor finding)
     treeLock(dir).synchronized {
       // sweep only AGED staged leftovers — a concurrent statement's
-      // fresh tmp dir must survive the sweep (advisor finding)
+      // fresh staging must survive the sweep (advisor finding)
       sweepStaged(dir, olderThanMs = StagedSweepAgeMs, keep = staging)
-      // the NEXT part starts above every existing block RANGE — max of
-      // the MAX block field, so an appended part is never "covered" by
-      // a merged part like all_1_5_1 (advisor finding: real ClickHouse
-      // silently drops covered parts' rows on ATTACH)
-      val next = 1 + TableFiles(dir).partDirs()
-        .flatMap(TableFiles.maxBlock).maxOption.getOrElse(0)
-      written.zipWithIndex.foreach { case (staged, i) =>
+      // the NEXT part starts above the durable block watermark (max of
+      // MAX block fields + the sidecar surviving TRUNCATE) — an
+      // appended part must never be "covered" by a merged part like
+      // all_1_5_1 (advisor finding: real ClickHouse silently drops
+      // covered parts' rows on ATTACH), nor reuse a pre-TRUNCATE name
+      val next = 1 + blockWatermark(dir)
+      written.zipWithIndex.foreach { case ((staged, _), i) =>
         java.nio.file.Files.move(
           stagingDir.resolve(staged),
-          java.nio.file.Paths.get(dir, s"all_${next + i}_${next + i}_0"),
+          treePath.resolve(s"all_${next + i}_${next + i}_0"),
           java.nio.file.StandardCopyOption.ATOMIC_MOVE)
       }
       deleteTree(stagingDir)
       writeFormatVersion(dir)
+      writeWatermark(dir, next + written.size - 1)
       MergeTreePartWriter.writeHttpIndex(dir)
     }
     spark.catalog.refreshByPath(dir)
-    total
+    written.map(_._2).sum
   }
 
   /** Root `format_version.txt` — MergeTree's own tree marker (real CH
@@ -181,15 +203,50 @@ object MergeTreeCtas {
 
   private val StagedSweepAgeMs = 60L * 60 * 1000
 
-  /** Delete `tmp_*` staging dirs under the tree older than the given
-    * age — crashed-append debris, never a concurrent writer's live
+  /** Block-number watermark: max over live part names AND the sidecar
+    * file. Parts alone lose the watermark when a TRUNCATE (or
+    * delete-all mutation) empties the tree — a refill that restarted
+    * at 1 could reproduce a byte-identical `name:rows:granules:columns`
+    * inventory and collide with a STALE projection fingerprint,
+    * serving pre-TRUNCATE aggregates (review finding). */
+  private val WatermarkFile = ".graft_max_block"
+
+  private def blockWatermark(dir: String): Int = {
+    val fromParts = TableFiles(dir).partDirs()
+      .flatMap(TableFiles.maxBlock).maxOption.getOrElse(0)
+    val fromFile =
+      try {
+        val p = java.nio.file.Paths.get(dir, WatermarkFile)
+        if (java.nio.file.Files.exists(p))
+          new String(java.nio.file.Files.readAllBytes(p),
+            java.nio.charset.StandardCharsets.UTF_8).trim.toInt
+        else 0
+      } catch { case _: Exception => 0 }
+    math.max(fromParts, fromFile)
+  }
+
+  private def writeWatermark(treeDir: String, max: Int): Unit =
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(treeDir, WatermarkFile),
+      s"$max\n".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
+  /** Delete AGED staging debris from crashed statements — `tmp_*` dirs
+    * under the tree (the legacy in-tree staging) and dot-prefixed
+    * `.<tree>.insert_*` siblings — never a concurrent writer's live
     * staging (those are seconds old; debris is hours). `keep` names
     * this statement's own staging dir, excluded regardless of age. */
   private def sweepStaged(dir: String, olderThanMs: Long, keep: String = ""): Unit = {
     val cutoff = System.currentTimeMillis() - olderThanMs
+    def aged(f: java.io.File): Boolean =
+      f.isDirectory && f.getName != keep && f.lastModified() < cutoff
     Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isDirectory && f.getName.startsWith("tmp_") &&
-        f.getName != keep && f.lastModified() < cutoff)
+      .filter(f => aged(f) && f.getName.startsWith("tmp_"))
+      .foreach(d => deleteTree(d.toPath))
+    val tree = java.nio.file.Paths.get(dir).toAbsolutePath.normalize
+    Option(tree.getParent).map(_.toFile.listFiles()).flatMap(Option(_))
+      .getOrElse(Array.empty)
+      .filter(f => aged(f) &&
+        f.getName.startsWith(s".${tree.getFileName}.insert_"))
       .foreach(d => deleteTree(d.toPath))
   }
 
@@ -337,11 +394,12 @@ object MergeTreeCtas {
     * non-empty partition, each staged under a `tmp_w` name and
     * atomic-renamed (a task retry either wins the rename or deletes
     * its duplicate — first writer wins, both wrote identical rows).
-    * Returns the written part names in block order. */
+    * Returns (part name, rows) in block order — the written counts are
+    * authoritative for the caller's row accounting. */
   private def writeParts(
       spark: SparkSession, df: DataFrame, treeDir: String,
       cols: Seq[(String, String)], orderBy: Seq[String],
-      base: Int, total: Long): Seq[String] = {
+      base: Int, total: Long): Seq[(String, Long)] = {
     import org.apache.spark.sql.functions.col
     val perPart = partRows(spark, total)
     require(perPart > 0, s"$PartRowsConf out of range: $perPart")
@@ -359,19 +417,26 @@ object MergeTreeCtas {
       if (rows.isEmpty) Iterator.empty
       else {
         val partName = s"all_${baseB + idx + 1}_${baseB + idx + 1}_0"
+        val target = java.nio.file.Paths.get(dirB, partName)
         val staged = s"tmp_w${java.util.UUID.randomUUID().toString.take(8)}"
         writeChunk(dirB, colsB, rows, staged, obB)
         try java.nio.file.Files.move(
-          java.nio.file.Paths.get(dirB, staged),
-          java.nio.file.Paths.get(dirB, partName),
+          java.nio.file.Paths.get(dirB, staged), target,
           java.nio.file.StandardCopyOption.ATOMIC_MOVE)
         catch {
           case _: java.nio.file.FileAlreadyExistsException =>
             deleteTree(java.nio.file.Paths.get(dirB, staged))
+          // Linux rename(2) onto an existing NON-EMPTY dir is
+          // ENOTEMPTY, which the JDK surfaces as a bare
+          // FileSystemException, not FileAlreadyExists (review
+          // finding) — same meaning here: the retry lost the race
+          case _: java.nio.file.FileSystemException
+              if java.nio.file.Files.isDirectory(target) =>
+            deleteTree(java.nio.file.Paths.get(dirB, staged))
         }
-        Iterator.single((idx, partName))
+        Iterator.single((idx, partName, rows.size.toLong))
       }
-    }.collect().sortBy(_._1).map(_._2).toSeq
+    }.collect().sortBy(_._1).map(t => (t._2, t._3)).toSeq
   }
 
   /** One chunk as one part — COMPACT below the granularity when its

@@ -134,13 +134,20 @@ object MergeTree {
 
   /** ATTACH-style column list synthesized from a tree's first part
     * (`columns.txt`) — lets maintenance statements target a bare path
-    * with no session DDL in scope. */
+    * with no session DDL in scope. A VALIDATED partless tree (root
+    * format_version.txt, no parts) returns "" — it has no schema to
+    * synthesize, and path-form maintenance on it is a no-op (review
+    * finding: the empty-table feature's own statements threw here). */
   def ddlOf(endpoint: String): String = {
     val tf = TableFiles(endpoint)
     val parts = tf.partDirs()
-    require(parts.nonEmpty, s"no MergeTree parts under endpoint '$endpoint'")
-    PartMeta.read(tf, parts.head).columns
-      .map { case (n, t) => s"`$n` $t" }.mkString(", ")
+    if (parts.isEmpty) {
+      require(tf.exists("format_version.txt"),
+        s"no MergeTree parts under endpoint '$endpoint'")
+      ""
+    } else
+      PartMeta.read(tf, parts.head).columns
+        .map { case (n, t) => s"`$n` $t" }.mkString(", ")
   }
 
   /** Does any part of the tree carry a non-empty primary index? Used by

@@ -221,6 +221,24 @@ class MutateSqlSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("primary index"), e2.getMessage)
   }
 
+  test("path-form maintenance on a PARTLESS tree no-ops instead of throwing") {
+    import spark.implicits._
+    val d = Files.createTempDirectory("graft_mut_empty").toString + "/tree"
+    graft.sources.mergetree.MergeTreeCtas.write(spark,
+      Seq.empty[(Long, String)].toDF("k", "v"), d, Seq("k"))
+    // TRUNCATE of an already-empty tree: success, zero rows
+    val tr = ChSql.sql(spark, s"TRUNCATE TABLE '$d'").collect().head
+    assert(tr.getString(1) == "truncated" && tr.getLong(2) == 0L)
+    // OPTIMIZE: nothing to merge
+    val opt = ChSql.sql(spark, s"OPTIMIZE TABLE '$d'").collect().head
+    assert(opt.getInt(1) == 0 && opt.getInt(2) == 0)
+    // mutations: zero rows affected
+    val del = ChSql.sql(spark, s"ALTER TABLE '$d' DELETE WHERE 1").collect().head
+    assert(del.getString(1) == "deleted" && del.getLong(2) == 0L)
+    val up = ChSql.sql(spark, s"ALTER TABLE '$d' UPDATE v = 'x' WHERE 1").collect().head
+    assert(up.getString(1) == "updated" && up.getLong(2) == 0L)
+  }
+
   test("malformed statements refuse loudly") {
     intercept[IllegalArgumentException] {
       MutateSql.run(spark, "ALTER TABLE t UPDATE novalue WHERE x = 1")

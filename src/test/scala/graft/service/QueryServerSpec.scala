@@ -249,6 +249,18 @@ class QueryServerSpec extends AnyFunSuite {
     assert(!err.body().startsWith("{"))
     // the structured routes still win the longest-prefix match
     assert(get("/hc").body() == "ok")
+    // CH's /ping handle; unknown paths are 404 like CH, never a
+    // catch-all 200 (review finding: typo'd health probes, bodies
+    // executed on typo'd routes)
+    assert(get("/ping").body() == "Ok.\n")
+    val nf = get("/healthz")
+    assert(nf.statusCode() == 404 && nf.body().contains("no handle"))
+    assert(post("/queri", "SELECT 1").statusCode() == 404)
+    // GET is READ-ONLY, as in CH's HTTP interface: a write over
+    // ?query= refuses so proxy retries/prefetches can't re-execute it
+    val ro = get("/?query=" + java.net.URLEncoder.encode(
+      "TRUNCATE TABLE nothing", "UTF-8"))
+    assert(ro.statusCode() == 400 && ro.body().contains("readonly"))
   }
 
   test("sink_path offloads the result and replay serves the artifact (kill-after-write)") {

@@ -569,6 +569,31 @@ class MergeTreeSpec extends AnyFunSuite {
     assert(e.getMessage.contains("no MergeTree parts"))
   }
 
+  test("the block watermark survives TRUNCATE: a refill never reuses pre-truncate part names") {
+    import graft.sources.mergetree.{MergeTree, MergeTreeCtas}
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_mt_wm").toString + "/tree"
+    val ddl = "`k` Int64, `v` Float64"
+    MergeTreeCtas.write(spark,
+      Seq((1L, 1.0), (2L, 2.0)).toDF("k", "v"), dir, Seq("k"))
+    assert(MergeTree.partsInfo(dir).map(_._1) == Seq("all_1_1_0"))
+    // truncate-like rewrite to a partless tree
+    MergeTreeCtas.write(spark,
+      Seq.empty[(Long, Double)].toDF("k", "v"), dir, Seq("k"),
+      declaredDdl = Some(ddl))
+    assert(MergeTree.partsInfo(dir).isEmpty)
+    // refill: the part must number ABOVE the old watermark — reusing
+    // all_1_1_0 with the same rows/granules/columns would reproduce a
+    // byte-identical parts inventory and collide with a stale
+    // projection fingerprint (review finding)
+    MergeTreeCtas.appendPart(spark,
+      Seq((9L, 9.0), (8L, 8.0)).toDF("k", "v"), dir, Seq("k"),
+      declaredDdl = Some(ddl))
+    assert(MergeTree.partsInfo(dir).map(_._1) == Seq("all_2_2_0"),
+      MergeTree.partsInfo(dir).toString)
+    assert(MergeTree.read(spark, dir, ddl, Seq("k")).count() == 2)
+  }
+
   test("file:/ single-slash endpoints normalize to the plain local path") {
     import graft.sources.mergetree.MergeTreeCtas
     import spark.implicits._
