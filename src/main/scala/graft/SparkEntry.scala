@@ -974,6 +974,47 @@ object SparkEntry {
             |FROM customer WHERE c_custkey % 11 = 1""".stripMargin)))._1
     }),
 
+    // STREAMING ingest into a MergeTree tree (r11): a file-arrival
+    // stream drained with Trigger.AvailableNow appends each
+    // micro-batch as parts (CH's Kafka-engine loop re-expressed as
+    // Structured Streaming), and the aggregate over the ingested tree
+    // hash-matches the oracle's plain aggregate over the same slice —
+    // the streaming write path lands byte-faithful, ATTACH-readable
+    // parts
+    "q183_mt_stream_ingest" -> ((spark, dir) => {
+      prep(spark, dir)
+      val base = derivedDir(spark, dir)
+      val land = s"$base/stream_land"
+      val tree = s"$base/stream_tree"
+      val ckpt = s"$base/stream_ckpt"
+      // fresh tree + checkpoint per run: ingest is append-only state
+      // and a Verify re-run must be deterministic
+      Seq(tree, ckpt).foreach { d =>
+        val f = new java.io.File(d)
+        if (f.exists()) {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(f.toPath).iterator().asScala.toSeq
+            .reverse.foreach(java.nio.file.Files.deleteIfExists(_))
+        }
+      }
+      if (!new java.io.File(land).exists())
+        Tables.load(spark, dir, "customer")
+          .filter(col("c_custkey") % 4 === 1)
+          .select(col("c_custkey").cast("long").as("ck"),
+            col("c_nationkey"), col("c_acctbal").as("bal"))
+          .write.parquet(land)
+      val stream = graft.streaming.EventStreams.fromParquetDir(spark, land, land)
+      val q = graft.streaming.EventStreams.toMergeTree(
+        stream, tree, Seq("ck"), ckpt, availableNow = true)
+      q.awaitTermination()
+      val ddl = graft.sources.mergetree.MergeTree.ddlOf(tree)
+      graft.sources.mergetree.MergeTree.read(spark, tree, ddl, Seq("ck"))
+        .groupBy("c_nationkey")
+        .agg(count(lit(1)).as("n"),
+          expr("CAST(round(sum(bal) * 100) AS BIGINT)").as("bal_c"))
+        .orderBy("c_nationkey")
+    }),
+
     // CH vector-distance family (dotProduct/cosineDistance/L1/L2/Linf)
     // over real embeddings, paired (vec_id, vec_id+1) — native codegen'd
     // kernels, oracle = DuckDB list_* on the same double-widened arrays
@@ -2669,6 +2710,11 @@ object SparkEntry {
       """SELECT c_nationkey, count(*) AS n,
         |       CAST(round(sum(c_acctbal) * 100) AS BIGINT) AS bal_c
         |FROM customer WHERE c_custkey % 11 = 1
+        |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+    "q183_mt_stream_ingest" ->
+      """SELECT c_nationkey, count(*) AS n,
+        |       CAST(round(sum(c_acctbal) * 100) AS BIGINT) AS bal_c
+        |FROM customer WHERE c_custkey % 4 = 1
         |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
     "q176_optimize_table" ->
       """SELECT o_orderstatus AS st, count(*) AS n,

@@ -158,6 +158,9 @@ object MergeTreeCtas {
     // would destroy an in-flight INSERT's staging written inside it
     // (review finding); the dot-prefixed sibling survives the swap.
     val treePath = java.nio.file.Paths.get(dir).toAbsolutePath.normalize
+    // first append may CREATE the tree (streaming ingest's first
+    // micro-batch lands on a fresh path)
+    java.nio.file.Files.createDirectories(treePath)
     val staging = s".${treePath.getFileName}.insert_" +
       java.util.UUID.randomUUID().toString.take(8)
     val stagingDir = treePath.getParent.resolve(staging)

@@ -213,4 +213,40 @@ object EventStreams {
       .option("checkpointLocation", checkpoint)
       .format("parquet")
       .start(path)
+
+  /** Continuous ingest into a LOCAL MergeTree part tree — ClickHouse's
+    * Kafka/streaming-table story re-expressed as Structured Streaming:
+    * every micro-batch appends as new parts (CH's part-per-INSERT
+    * write model, executor-parallel since r11), so the accreting tree
+    * is readable through the ATTACH data path THROUGHOUT ingest, the
+    * incremental projection MATERIALIZE merges exactly the new parts,
+    * and a periodic `OPTIMIZE TABLE … FINAL` compacts the accretion —
+    * the same operational loop a CH table fed by its Kafka engine
+    * lives. The first micro-batch creates the tree.
+    *
+    * Delivery is AT-LEAST-ONCE across crash/restart: a batch whose
+    * append completed but whose checkpoint commit didn't can replay —
+    * the contract CH's own Kafka engine ships; dedup downstream by key
+    * (exact dedup / FINAL) when it matters. `availableNow = true`
+    * drains the current source and terminates — the batch-backfill
+    * trigger. */
+  def toMergeTree(
+      df: DataFrame,
+      dir: String,
+      orderBy: Seq[String],
+      checkpoint: String,
+      availableNow: Boolean = false): org.apache.spark.sql.streaming.StreamingQuery = {
+    val w = df.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.sources.mergetree.MergeTreeCtas.appendPart(
+          batch.sparkSession, batch.toDF(), dir, orderBy,
+          op = "streaming INSERT")
+        ()
+      }
+    (if (availableNow)
+      w.trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+    else w).start()
+  }
 }

@@ -213,6 +213,36 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(out(2).getAs[Long]("user_id") == 2L)
   }
 
+  test("streaming ingest into a MergeTree tree: part per batch, readable mid-stream, OPTIMIZE compacts") {
+    import spark.implicits._
+    import graft.sources.mergetree.MergeTree
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Double)]
+    val base = java.nio.file.Files.createTempDirectory("graft_stream_mt").toString
+    val tree = s"$base/tree"
+    val q = EventStreams.toMergeTree(
+      mem.toDF().toDF("k", "v"), tree, Seq("k"), s"$base/ckpt")
+    var ddl = ""
+    try {
+      mem.addData((2L, 2.0), (1L, 1.0))
+      q.processAllAvailable()
+      ddl = MergeTree.ddlOf(tree)
+      assert(MergeTree.partsInfo(tree).size == 1)
+      // the tree is readable THROUGH the ATTACH data path mid-stream
+      assert(MergeTree.read(spark, tree, ddl, Seq("k")).count() == 2)
+      mem.addData((3L, 3.0))
+      q.processAllAvailable()
+      assert(MergeTree.partsInfo(tree).size == 2, "each micro-batch appends parts")
+      assert(MergeTree.read(spark, tree, ddl, Seq("k"))
+        .agg(org.apache.spark.sql.functions.sum("k")).collect().head.getLong(0) == 6L)
+    } finally q.stop()
+    // the CH operational loop: OPTIMIZE FINAL compacts the accretion
+    MergeTree.read(spark, tree, ddl, Seq("k")).createOrReplaceTempView("stream_mt")
+    graft.dialect.ChSql.sql(spark, "OPTIMIZE TABLE stream_mt FINAL").collect()
+    assert(MergeTree.partsInfo(tree).size == 1)
+    assert(MergeTree.read(spark, tree, ddl, Seq("k")).count() == 3)
+  }
+
   test("file-arrival streaming reads the events shape from a directory") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_stream").toString
     graft.core.Tables.load(spark, "/root/testdata/sf0.001", "events")
