@@ -240,9 +240,16 @@ object EventStreams {
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        // after the first batch established the tree, its own column
+        // list is authoritative — without it a later batch with (say)
+        // an observed NULL would derive a DIFFERENT CH type than the
+        // tree's and silently drift the per-part schemas
+        val ddl =
+          try Some(graft.sources.mergetree.MergeTree.ddlOf(dir)).filter(_.nonEmpty)
+          catch { case _: Exception => None } // no tree yet: first batch derives
         graft.sources.mergetree.MergeTreeCtas.appendPart(
           batch.sparkSession, batch.toDF(), dir, orderBy,
-          op = "streaming INSERT")
+          declaredDdl = ddl, op = "streaming INSERT")
         ()
       }
     (if (availableNow)
