@@ -341,8 +341,10 @@ object ChSql {
     // mutations: ALTER TABLE … DELETE/UPDATE WHERE, DELETE FROM …,
     // TRUNCATE TABLE
     if (MutateSql.isMutation(m)) return MutateSql.run(spark, m, macros)
-    // SHOW CREATE TABLE — session-view DDL reconstruction
-    if (ShowSql.isShowCreate(m)) return ShowSql.run(spark, m)
+    // introspection: SHOW CREATE TABLE (session-view DDL
+    // reconstruction), SHOW TABLES [LIKE], DESCRIBE TABLE (CH's
+    // seven-column shape), EXISTS TABLE
+    if (ShowSql.isIntrospection(m)) return ShowSql.run(spark, m)
     // CH `EXPLAIN [mode] SELECT …` returns the plan as result rows; the
     // Spark rendition explains the rewritten query's physical plan (all
     // CH modes map to the one plan Spark has — the Catalyst one)

@@ -21,11 +21,93 @@ object ShowSql {
 
   private val StmtRe =
     """(?is)^\s*SHOW\s+CREATE\s+(?:TABLE\s+)?(?:'([^']+)'|([\w.`"]+))\s*$""".r
+  private val ShowTablesRe =
+    """(?is)^\s*SHOW\s+TABLES\s*(?:LIKE\s+'([^']*)')?\s*$""".r
+  private val DescribeRe =
+    """(?is)^\s*DESC(?:RIBE)?\s+(?:TABLE\s+)?(?:'([^']+)'|([\w.`"]+))\s*$""".r
+  private val ExistsRe =
+    """(?is)^\s*EXISTS\s+(?:TABLE\s+)?(?:'([^']+)'|([\w.`"]+))\s*$""".r
 
   def isShowCreate(sql: String): Boolean = StmtRe.matches(sql)
+  def isIntrospection(sql: String): Boolean =
+    StmtRe.matches(sql) || ShowTablesRe.matches(sql) ||
+      DescribeRe.matches(sql) || ExistsRe.matches(sql)
+
+  /** `SHOW TABLES [LIKE '%pat%']` — the session's visible tables (temp
+    * views from ATTACH/CTAS plus registered catalog entries), one
+    * `name` per row, sorted, as CH lists the current database. */
+  private def showTables(spark: SparkSession, like: Option[String]): DataFrame = {
+    import spark.implicits._
+    val views = spark.catalog.listTables().collect().map(_.name)
+    val catalog = graft.core.Catalog.all.map(_.name)
+    val all = (views ++ catalog).distinct.sorted
+    val filtered = like.filter(_.nonEmpty) match {
+      case None => all
+      case Some(p) =>
+        // CH LIKE: % any run, _ one char, case-sensitive
+        val re = java.util.regex.Pattern.quote(p)
+          .replace("%", "\\E.*\\Q").replace("_", "\\E.\\Q").r
+        all.filter(re.matches(_))
+    }
+    filtered.toSeq.toDF("name")
+  }
+
+  /** `DESCRIBE TABLE t` — CH's seven-column shape (name, type,
+    * default_type, default_expression, comment, codec_expression,
+    * ttl_expression); the tails render empty, as CH does for columns
+    * with no default/comment/codec/TTL. MergeTree-backed tables render
+    * their TRUE declared types; everything else the live Spark schema
+    * in CH spellings. */
+  private def describe(spark: SparkSession, pathLit: Option[String],
+      name: Option[String]): DataFrame = {
+    import spark.implicits._
+    val cols: Seq[(String, String)] = pathLit match {
+      case Some(p) =>
+        spark.read.parquet(p).schema.fields
+          .map(f => f.name -> chType(f)).toSeq
+      case None =>
+        val n = name.get
+        ProjectionSql.resolveMergeTree(spark, n) match {
+          case Some((_, ddl, _)) =>
+            graft.types.ChSchemaParser.splitTopLevel(ddl, ',').map(_.trim).map { e =>
+              val end = e.indexOf('`', 1)
+              (e.substring(1, end), e.substring(end + 1).trim)
+            }
+          case None => spark.table(n).schema.fields
+            .map(f => f.name -> chType(f)).toSeq
+        }
+    }
+    cols.map { case (c, t) => (c, t, "", "", "", "", "") }
+      .toDF("name", "type", "default_type", "default_expression",
+        "comment", "codec_expression", "ttl_expression")
+  }
+
+  /** `EXISTS TABLE t` — CH's one-row `result` 0/1. */
+  private def exists(spark: SparkSession, pathLit: Option[String],
+      name: Option[String]): DataFrame = {
+    import spark.implicits._
+    val found = pathLit match {
+      case Some(p) =>
+        val hp = new org.apache.hadoop.fs.Path(p)
+        hp.getFileSystem(spark.sessionState.newHadoopConf()).exists(hp)
+      case None =>
+        val n = name.get
+        spark.catalog.tableExists(n) || graft.core.Catalog.lookup(n).isDefined ||
+          graft.core.Catalog.all.exists(_.name.equalsIgnoreCase(n))
+    }
+    Seq(if (found) 1 else 0).toDF("result")
+  }
 
   def run(spark: SparkSession, sql: String): DataFrame = {
     import spark.implicits._
+    sql match {
+      case ShowTablesRe(pat) => return showTables(spark, Option(pat))
+      case DescribeRe(p, n) =>
+        return describe(spark, Option(p), Option(n).map(ProjectionSql.clean))
+      case ExistsRe(p, n) =>
+        return exists(spark, Option(p), Option(n).map(ProjectionSql.clean))
+      case _ => ()
+    }
     val (pathLit, name) = sql match {
       case StmtRe(p, n) => (Option(p), Option(n).map(ProjectionSql.clean))
       case other => throw new IllegalArgumentException(

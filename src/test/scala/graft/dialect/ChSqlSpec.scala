@@ -432,6 +432,42 @@ class ChSqlSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("SAMPLE BY"))
   }
 
+  test("SHOW TABLES / DESCRIBE TABLE / EXISTS TABLE introspection") {
+    val spark = graft.TestSpark.spark
+    spark.read.parquet("/root/testdata/sf0.001/nation.parquet")
+      .createOrReplaceTempView("intro_nation")
+    // SHOW TABLES lists the session's views; LIKE filters with CH %
+    val names = ChSql.sql(spark, "SHOW TABLES")
+      .collect().map(_.getString(0))
+    assert(names.contains("intro_nation"))
+    val filtered = ChSql.sql(spark, "SHOW TABLES LIKE 'intro%'")
+      .collect().map(_.getString(0))
+    assert(filtered.contains("intro_nation") && !filtered.contains("lineitem"))
+    // DESCRIBE: CH's seven-column shape, CH type spellings
+    val desc = ChSql.sql(spark, "DESCRIBE TABLE intro_nation")
+    assert(desc.columns.toSeq == Seq("name", "type", "default_type",
+      "default_expression", "comment", "codec_expression", "ttl_expression"))
+    val byName = desc.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(byName("n_nationkey") == "Nullable(Int32)")
+    assert(byName("n_name") == "Nullable(String)")
+    // a MergeTree-backed table DESCRIBEs its TRUE declared types
+    ChSql.sql(spark,
+      "ATTACH TABLE intro_mt (`id` UInt64, `tag` LowCardinality(String)) " +
+        "ENGINE = MergeTree ORDER BY (id) SETTINGS " +
+        "disk = disk(type = web, endpoint = '/root/testdata/sf0.001/nation.parquet')")
+    // (attach over parquet: the DESCRIBE still reads the declared list)
+    val mtDesc = ChSql.sql(spark, "DESC intro_mt")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(mtDesc.get("id").exists(_.contains("Int")) && mtDesc.contains("tag"))
+    // EXISTS: 1 for live tables, 0 for unknown; path form probes storage
+    assert(ChSql.sql(spark, "EXISTS TABLE intro_nation").collect().head.getInt(0) == 1)
+    assert(ChSql.sql(spark, "EXISTS TABLE no_such_table_xyz").collect().head.getInt(0) == 0)
+    assert(ChSql.sql(spark,
+      "EXISTS TABLE '/root/testdata/sf0.001/nation.parquet'").collect().head.getInt(0) == 1)
+    assert(ChSql.sql(spark,
+      "EXISTS TABLE '/no/such/path_xyz'").collect().head.getInt(0) == 0)
+  }
+
   test("SHOW CREATE TABLE replays ATTACH DDL and renders view schemas in CH types") {
     val spark = graft.TestSpark.spark
     // ATTACH'd table: recorded column list + ORDER BY replay verbatim
