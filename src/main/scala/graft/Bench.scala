@@ -120,11 +120,7 @@ object Bench {
       // (killed mid-write): clear it, or the partial part copies below
       // collide on every subsequent run (review finding)
       val baseDir = new java.io.File(base)
-      if (baseDir.exists()) {
-        import scala.jdk.CollectionConverters._
-        java.nio.file.Files.walk(baseDir.toPath).iterator().asScala.toSeq
-          .reverse.foreach(java.nio.file.Files.deleteIfExists(_))
-      }
+      if (baseDir.exists()) org.apache.commons.io.FileUtils.deleteDirectory(baseDir)
       val df = Tables.load(spark, sfDir, "lineitem")
         .select("l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice")
         .orderBy("l_returnflag", "l_linestatus")

@@ -991,11 +991,7 @@ object SparkEntry {
       // and a Verify re-run must be deterministic
       Seq(tree, ckpt).foreach { d =>
         val f = new java.io.File(d)
-        if (f.exists()) {
-          import scala.jdk.CollectionConverters._
-          java.nio.file.Files.walk(f.toPath).iterator().asScala.toSeq
-            .reverse.foreach(java.nio.file.Files.deleteIfExists(_))
-        }
+        if (f.exists()) org.apache.commons.io.FileUtils.deleteDirectory(f)
       }
       if (!new java.io.File(land).exists())
         Tables.load(spark, dir, "customer")

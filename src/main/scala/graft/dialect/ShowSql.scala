@@ -41,10 +41,11 @@ object ShowSql {
     val views = spark.catalog.listTables().collect().map(_.name)
     val catalog = graft.core.Catalog.all.map(_.name)
     val all = (views ++ catalog).distinct.sorted
-    val filtered = like.filter(_.nonEmpty) match {
+    val filtered = like match {
       case None => all
       case Some(p) =>
-        // CH LIKE: % any run, _ one char, case-sensitive
+        // CH LIKE: % any run, _ one char, case-sensitive; LIKE ''
+        // matches only the empty string (zero tables), as in CH
         val re = java.util.regex.Pattern.quote(p)
           .replace("%", "\\E.*\\Q").replace("_", "\\E.\\Q").r
         all.filter(re.matches(_))
@@ -61,7 +62,13 @@ object ShowSql {
   private def describe(spark: SparkSession, pathLit: Option[String],
       name: Option[String]): DataFrame = {
     import spark.implicits._
+    import graft.sources.mergetree.MergeTree
     val cols: Seq[(String, String)] = pathLit match {
+      // a quoted path that IS a part tree describes its own columns.txt
+      // (the same sniffing the sibling maintenance statements use —
+      // review finding: the parquet reader threw on a tree path)
+      case Some(p) if MergeTree.looksLikeMergeTree(p) =>
+        graft.types.ChSchemaParser.columnPairs(MergeTree.ddlOf(p))
       case Some(p) =>
         spark.read.parquet(p).schema.fields
           .map(f => f.name -> chType(f)).toSeq
@@ -69,10 +76,9 @@ object ShowSql {
         val n = name.get
         ProjectionSql.resolveMergeTree(spark, n) match {
           case Some((_, ddl, _)) =>
-            graft.types.ChSchemaParser.splitTopLevel(ddl, ',').map(_.trim).map { e =>
-              val end = e.indexOf('`', 1)
-              (e.substring(1, end), e.substring(end + 1).trim)
-            }
+            // both name spellings — backquoted and bare (review
+            // finding: the hand-rolled parse threw on bare names)
+            graft.types.ChSchemaParser.columnPairs(ddl)
           case None => spark.table(n).schema.fields
             .map(f => f.name -> chType(f)).toSeq
         }
@@ -92,7 +98,9 @@ object ShowSql {
         hp.getFileSystem(spark.sessionState.newHadoopConf()).exists(hp)
       case None =>
         val n = name.get
-        spark.catalog.tableExists(n) || graft.core.Catalog.lookup(n).isDefined ||
+        // case-insensitive catalog scan subsumes the exact lookup —
+        // the same resolution SHOW CREATE uses
+        spark.catalog.tableExists(n) ||
           graft.core.Catalog.all.exists(_.name.equalsIgnoreCase(n))
     }
     Seq(if (found) 1 else 0).toDF("result")

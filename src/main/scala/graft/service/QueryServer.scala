@@ -117,11 +117,14 @@ class QueryServer(
     server.createContext("/", handler { (ex, reqId) =>
       val path = ex.getRequestURI.getPath
       val params = queryParams(ex.getRequestURI.getRawQuery)
-      // only the CH handles live here: `/` (query door) and `/ping`.
-      // Any other path is 404, as CH answers — a catch-all 200 would
-      // bless typo'd health probes and execute bodies POSTed to typo'd
-      // routes (review finding)
-      if (path == "/ping") (200, "text/plain", "Ok.\n")
+      // only the CH handles live here: `/` (query door), `/ping`, and
+      // `/replicas_status` (both real CH health handles — a
+      // CH-configured load balancer probes either). Any other path is
+      // 404, as CH answers — a catch-all 200 would bless typo'd health
+      // probes and execute bodies POSTed to typo'd routes (review
+      // finding)
+      if (path == "/ping" || path == "/replicas_status")
+        (200, "text/plain", "Ok.\n")
       else if (path != "/")
         (404, "text/plain", s"There is no handle $path\n")
       else ex.getRequestMethod match {

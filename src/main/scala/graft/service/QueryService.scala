@@ -130,7 +130,7 @@ class QueryService(spark: SparkSession) {
       return (graft.dialect.OptimizeSql.run(spark, main), Map.empty)
     if (graft.dialect.MutateSql.isMutation(main))
       return (graft.dialect.MutateSql.run(spark, main, req.macros), Map.empty)
-    if (graft.dialect.ShowSql.isShowCreate(main))
+    if (graft.dialect.ShowSql.isIntrospection(main))
       return (graft.dialect.ShowSql.run(spark, main), Map.empty)
     val r = ChSql.rewrite(spark, req.query, req.macros)
     ChSql.applySettings(spark, r.settings)

@@ -254,9 +254,13 @@ object MergeTreeCtas {
   }
 
   private def deleteTree(p: java.nio.file.Path): Unit = {
-    import scala.jdk.CollectionConverters._
-    java.nio.file.Files.walk(p).iterator().asScala.toSeq
-      .reverse.foreach(java.nio.file.Files.deleteIfExists(_))
+    // close the walk stream (review finding: the iterator form leaked
+    // a directory handle per sweep)
+    val s = java.nio.file.Files.walk(p)
+    try
+      s.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(q => { java.nio.file.Files.deleteIfExists(q); () })
+    finally s.close()
   }
 
   /** One JVM-wide lock object per normalized tree dir. */
@@ -285,16 +289,7 @@ object MergeTreeCtas {
 
   /** `name -> CH type` from an ATTACH-style column list. */
   private def parseDdl(ddl: String): Map[String, String] =
-    graft.types.ChSchemaParser.splitTopLevel(ddl, ',').map(_.trim).map { entry =>
-      if (entry.startsWith("`")) {
-        val end = entry.indexOf('`', 1)
-        (entry.substring(1, end), entry.substring(end + 1).trim)
-      } else {
-        val sp = entry.indexWhere(_.isWhitespace)
-        require(sp > 0, s"unparseable DDL entry: $entry")
-        (entry.substring(0, sp), entry.substring(sp + 1).trim)
-      }
-    }.toMap
+    graft.types.ChSchemaParser.columnPairs(ddl).toMap
 
   /** Validate and derive CH column types from the declared DDL
     * (maintenance) or the schema (CTAS) + observed nullability —

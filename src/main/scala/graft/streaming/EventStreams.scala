@@ -243,10 +243,23 @@ object EventStreams {
         // after the first batch established the tree, its own column
         // list is authoritative — without it a later batch with (say)
         // an observed NULL would derive a DIFFERENT CH type than the
-        // tree's and silently drift the per-part schemas
+        // tree's and silently drift the per-part schemas. Only the
+        // validated no-tree-yet refusal falls back to derivation; a
+        // REAL read error must fail the batch so the checkpoint
+        // retries it, not silently re-derive (review finding)
         val ddl =
           try Some(graft.sources.mergetree.MergeTree.ddlOf(dir)).filter(_.nonEmpty)
-          catch { case _: Exception => None } // no tree yet: first batch derives
+          catch { case _: IllegalArgumentException => None }
+        // the stream must BE the tree, column for column — a stream
+        // pointed at a different-shaped tree would append mixed-schema
+        // parts (the same guard the INSERT INTO front door applies)
+        ddl.foreach { d =>
+          val declared = graft.types.ChSchemaParser.columnPairs(d).map(_._1)
+          require(batch.columns.toSeq == declared,
+            s"streaming INSERT into '$dir': the stream's columns " +
+              s"(${batch.columns.mkString(", ")}) do not match the " +
+              s"tree's (${declared.mkString(", ")})")
+        }
         graft.sources.mergetree.MergeTreeCtas.appendPart(
           batch.sparkSession, batch.toDF(), dir, orderBy,
           declaredDdl = ddl, op = "streaming INSERT")

@@ -24,22 +24,30 @@ import org.apache.spark.sql.types._
   */
 object ChSchemaParser {
 
+  /** `name -> CH type string` pairs of a `col Type, col Type` list —
+    * BOTH name spellings (backquoted and bare), shared by the schema
+    * parse, the CTAS/maintenance DDL reader, and DESCRIBE (review
+    * finding: a hand-rolled copy assumed backquotes and threw on the
+    * bare spelling). */
+  def columnPairs(schema: String): Seq[(String, String)] =
+    splitTopLevel(schema, ',').filter(_.trim.nonEmpty).map { colDef =>
+      val t = colDef.trim
+      if (t.startsWith("`")) {
+        val end = t.indexOf('`', 1)
+        require(end > 0, s"unterminated backquote in column def: $t")
+        (t.substring(1, end), t.substring(end + 1).trim)
+      } else {
+        val sp = t.indexWhere(_.isWhitespace)
+        require(sp > 0, s"missing type in column def: $t")
+        (t.substring(0, sp), t.substring(sp + 1).trim)
+      }
+    }
+
   /** Parse a full `col Type, col Type` list. Column names may be
     * backquoted. Throws IllegalArgumentException on malformed input with
     * the offending fragment — misuse fails fast, not at scan time. */
   def parse(schema: String): StructType = {
-    val fields = splitTopLevel(schema, ',').filter(_.trim.nonEmpty).map { colDef =>
-      val t = colDef.trim
-      val (name, rest) =
-        if (t.startsWith("`")) {
-          val end = t.indexOf('`', 1)
-          require(end > 0, s"unterminated backquote in column def: $t")
-          (t.substring(1, end), t.substring(end + 1).trim)
-        } else {
-          val sp = t.indexWhere(_.isWhitespace)
-          require(sp > 0, s"missing type in column def: $t")
-          (t.substring(0, sp), t.substring(sp + 1).trim)
-        }
+    val fields = columnPairs(schema).map { case (name, rest) =>
       val (dt, declaredNullable, meta) = parseType(rest)
       // schema-on-read pragmatism: the Spark field is always nullable
       // (CSV rows may omit values), but the DECLARED nullability is

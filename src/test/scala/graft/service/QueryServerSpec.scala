@@ -261,6 +261,10 @@ class QueryServerSpec extends AnyFunSuite {
     val ro = get("/?query=" + java.net.URLEncoder.encode(
       "TRUNCATE TABLE nothing", "UTF-8"))
     assert(ro.statusCode() == 400 && ro.body().contains("readonly"))
+    // the introspection statements route through the SERVICE door too
+    // (review finding: /query once fell through to Spark's own parser
+    // for everything but SHOW CREATE)
+    assert(post("/", "EXISTS TABLE no_such_thing").body() == "0\n")
   }
 
   test("sink_path offloads the result and replay serves the artifact (kill-after-write)") {
