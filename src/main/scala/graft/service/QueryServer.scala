@@ -101,7 +101,7 @@ class QueryServer(
     server.createContext("/query", handler { (ex, reqId) =>
       if (ex.getRequestMethod != "POST") (405, "text/plain", "POST only")
       else {
-        val body = new String(ex.getRequestBody.readAllBytes(), UTF_8)
+        val body = requestBody(ex)
         serveQuery(reqId, () => parseRequest(body),
           defaultFormat = None, plainErrors = false)
       }
@@ -130,9 +130,7 @@ class QueryServer(
       else ex.getRequestMethod match {
         case m if m != "POST" && m != "GET" => (405, "text/plain", "POST or GET")
         case m =>
-          val bodySql =
-            if (m == "POST") new String(ex.getRequestBody.readAllBytes(), UTF_8)
-            else ""
+          val bodySql = if (m == "POST") requestBody(ex) else ""
           // CH concatenates ?query= and the body (a statement may be
           // split across both)
           val sql = (params.getOrElse("query", "") + "\n" + bodySql).trim
@@ -312,6 +310,18 @@ class QueryServer(
   private val WriteStmtRe =
     "(?is)^\\s*(INSERT|CREATE|ALTER|TRUNCATE|DELETE|OPTIMIZE|DROP|ATTACH|DETACH)\\b.*".r
   private def isWriteStatement(sql: String): Boolean = WriteStmtRe.matches(sql)
+
+  /** Request body, transparently gunzipped when the caller sent
+    * `Content-Encoding: gzip` — `curl --data-binary @big.sql.gz` is a
+    * standard ClickHouse HTTP pattern for bulk statements. */
+  private def requestBody(ex: HttpExchange): String = {
+    val gz = Option(ex.getRequestHeaders.getFirst("Content-Encoding"))
+      .exists(_.equalsIgnoreCase("gzip"))
+    val in =
+      if (gz) new java.util.zip.GZIPInputStream(ex.getRequestBody)
+      else ex.getRequestBody
+    new String(in.readAllBytes(), UTF_8)
+  }
 
   /** URL-decoded query parameters of the raw door. */
   private def queryParams(rawQuery: String): Map[String, String] =
@@ -600,7 +610,20 @@ class QueryServer(
         val (code, ctype, body) =
           try f(ex, rid)
           catch { case e: Exception => (500, "application/json", errorJson(e.toString)) }
-        val bytes = body.getBytes(UTF_8)
+        val plain = body.getBytes(UTF_8)
+        // response compression on request (`Accept-Encoding: gzip`),
+        // as CH's HTTP interface honors — only worth it past a small
+        // floor (tiny bodies grow under gzip framing)
+        val acceptsGzip = Option(ex.getRequestHeaders.getFirst("Accept-Encoding"))
+          .exists(_.toLowerCase.contains("gzip"))
+        val bytes =
+          if (acceptsGzip && plain.length > 1024) {
+            val bos = new java.io.ByteArrayOutputStream(plain.length / 2 + 64)
+            val gz = new java.util.zip.GZIPOutputStream(bos)
+            gz.write(plain); gz.close()
+            ex.getResponseHeaders.set("Content-Encoding", "gzip")
+            bos.toByteArray
+          } else plain
         ex.getResponseHeaders.set("Content-Type", ctype)
         ex.sendResponseHeaders(code, bytes.length.toLong)
         ex.getResponseBody.write(bytes)

@@ -267,6 +267,42 @@ class QueryServerSpec extends AnyFunSuite {
     assert(post("/", "EXISTS TABLE no_such_thing").body() == "0\n")
   }
 
+  test("gzip on the HTTP doors: gzipped request bodies and Accept-Encoding gzip responses") {
+    // gzipped SQL body — curl --data-binary @big.sql.gz, a standard CH
+    // HTTP pattern
+    val sql = "SELECT 41 + 1 AS x"
+    val bos = new java.io.ByteArrayOutputStream()
+    val gz = new java.util.zip.GZIPOutputStream(bos)
+    gz.write(sql.getBytes("UTF-8")); gz.close()
+    val gzReq = client.send(
+      HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port/"))
+        .header("Content-Encoding", "gzip")
+        .POST(HttpRequest.BodyPublishers.ofByteArray(bos.toByteArray)).build(),
+      HttpResponse.BodyHandlers.ofString())
+    assert(gzReq.statusCode() == 200 && gzReq.body() == "42\n")
+    // compressed RESPONSE on request; tiny bodies stay plain (framing
+    // would grow them)
+    val big = client.send(
+      HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port/"))
+        .header("Accept-Encoding", "gzip")
+        .POST(HttpRequest.BodyPublishers.ofString(
+          "SELECT n1.number AS a, n2.number AS b FROM numbers(80) n1, numbers(80) n2 FORMAT CSV"))
+        .build(),
+      HttpResponse.BodyHandlers.ofByteArray())
+    assert(big.statusCode() == 200)
+    assert(big.headers().firstValue("Content-Encoding").orElse("") == "gzip")
+    val back = new String(new java.util.zip.GZIPInputStream(
+      new java.io.ByteArrayInputStream(big.body())).readAllBytes(), "UTF-8")
+    assert(back.linesIterator.size == 6400)
+    val small = client.send(
+      HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port/"))
+        .header("Accept-Encoding", "gzip")
+        .POST(HttpRequest.BodyPublishers.ofString("SELECT 1 AS x")).build(),
+      HttpResponse.BodyHandlers.ofString())
+    assert(small.headers().firstValue("Content-Encoding").isEmpty &&
+      small.body() == "1\n")
+  }
+
   test("sink_path offloads the result and replay serves the artifact (kill-after-write)") {
     val dir = java.nio.file.Files.createTempDirectory("graft_sink").toString
     val sink = s"$dir/out"
