@@ -130,6 +130,10 @@ object Catalog {
 
   def lookup(name: String): Option[AttachedTable] = attached.get(name)
 
+  /** Remove a catalog entry (DROP/DETACH TABLE) — returns it so the
+    * caller can decide what happens to the storage it points at. */
+  def detach(name: String): Option[AttachedTable] = attached.remove(name)
+
   /** Every registered ATTACH/CTAS entry — `system.parts` introspection. */
   def all: Seq[AttachedTable] = attached.values.toSeq.sortBy(_.name)
 

@@ -345,6 +345,8 @@ object ChSql {
     // reconstruction), SHOW TABLES [LIKE], DESCRIBE TABLE (CH's
     // seven-column shape), EXISTS TABLE
     if (ShowSql.isIntrospection(m)) return ShowSql.run(spark, m)
+    // lifecycle: DROP TABLE (deletes CTAS-owned storage) / DETACH TABLE
+    if (DropSql.isDrop(m)) return DropSql.run(spark, m)
     // CH `EXPLAIN [mode] SELECT …` returns the plan as result rows; the
     // Spark rendition explains the rewritten query's physical plan (all
     // CH modes map to the one plan Spark has — the Catalyst one)

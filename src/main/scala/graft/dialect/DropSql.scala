@@ -1,0 +1,76 @@
+package graft.dialect
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** CH `DROP TABLE` / `DETACH TABLE` — the missing half of the
+  * ATTACH/CTAS lifecycle (a user who can create and attach tables needs
+  * to remove them without restarting the session).
+  *
+  *   - `DETACH TABLE [IF EXISTS] t` — remove the session view and the
+  *     catalog entry; the DATA stays wherever it lives, and the same
+  *     ATTACH statement brings the table back (CH's contract).
+  *   - `DROP TABLE [IF EXISTS] t [SYNC]` — detach AND, for tables THIS
+  *     ENGINE materialized (CTAS into the warehouse — parquet or
+  *     MergeTree trees), delete the storage and any registered
+  *     projections over it. An ATTACHed external endpoint is never
+  *     deleted — dropping a web-disk table in CH removes metadata only
+  *     too (the static files are read-only); `SYNC` is accepted and
+  *     meaningless here (deletion is already synchronous).
+  *
+  * A plain session view (no catalog entry) drops/detaches its view
+  * only — the engine doesn't own its storage.
+  */
+object DropSql {
+
+  private val DropRe =
+    """(?is)^\s*DROP\s+TABLE\s+(IF\s+EXISTS\s+)?([\w.`"]+)\s*(?:SYNC)?\s*$""".r
+  private val DetachRe =
+    """(?is)^\s*DETACH\s+TABLE\s+(IF\s+EXISTS\s+)?([\w.`"]+)\s*$""".r
+
+  def isDrop(sql: String): Boolean =
+    DropRe.matches(sql) || DetachRe.matches(sql)
+
+  def run(spark: SparkSession, sql: String): DataFrame = {
+    import spark.implicits._
+    val (ifExists, rawName, drop) = sql match {
+      case DropRe(ie, n) => (ie != null, n, true)
+      case DetachRe(ie, n) => (ie != null, n, false)
+      case other => throw new IllegalArgumentException(
+        s"unparseable DROP/DETACH statement: $other")
+    }
+    val name = ProjectionSql.clean(rawName)
+    val entry = graft.core.Catalog.detach(name)
+    val hadView = spark.catalog.tableExists(name)
+    if (hadView) spark.catalog.dropTempView(name)
+    if (entry.isEmpty && !hadView) {
+      if (ifExists)
+        return Seq((name, "not_found")).toDF("table", "action")
+      throw new IllegalArgumentException(
+        s"DROP/DETACH TABLE $name: no such table or session view")
+    }
+    val action =
+      if (!drop) "detached"
+      else entry match {
+        // CTAS-materialized (schemaDdl empty, endpoint = the warehouse
+        // path this engine wrote): DROP owns the storage — delete it
+        // and any projections registered over either identity of it
+        case Some(t) if t.schemaDdl.isEmpty && t.endpoint.isDefined =>
+          val path = t.endpoint.get
+          val keys = Seq(
+            graft.plans.AggProjections.sourceKey(spark, path),
+            graft.plans.AggProjections.mergeTreeKey(path))
+          keys.foreach { k =>
+            graft.plans.AggProjections.lookup(k).map(_.name)
+              .foreach(graft.plans.AggProjections.dropByKey(spark, k, _))
+          }
+          val hp = new org.apache.hadoop.fs.Path(path)
+          val fs = hp.getFileSystem(spark.sessionState.newHadoopConf())
+          if (fs.exists(hp)) fs.delete(hp, true)
+          "dropped"
+        // ATTACHed external endpoint: metadata removed, data untouched
+        // (CH's own posture for read-only disks); plain views likewise
+        case _ => "dropped"
+      }
+    Seq((name, action)).toDF("table", "action")
+  }
+}

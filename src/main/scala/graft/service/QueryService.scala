@@ -132,6 +132,8 @@ class QueryService(spark: SparkSession) {
       return (graft.dialect.MutateSql.run(spark, main, req.macros), Map.empty)
     if (graft.dialect.ShowSql.isIntrospection(main))
       return (graft.dialect.ShowSql.run(spark, main), Map.empty)
+    if (graft.dialect.DropSql.isDrop(main))
+      return (graft.dialect.DropSql.run(spark, main), Map.empty)
     val r = ChSql.rewrite(spark, req.query, req.macros)
     ChSql.applySettings(spark, r.settings)
     (ChSql.finish(spark, r), r.settings)

@@ -468,6 +468,45 @@ class ChSqlSpec extends AnyFunSuite {
       "EXISTS TABLE '/no/such/path_xyz'").collect().head.getInt(0) == 0)
   }
 
+  test("DROP TABLE deletes CTAS-owned storage; DETACH keeps data and re-ATTACHes") {
+    val spark = graft.TestSpark.spark
+    graft.dialect.ChFunctions.register(spark)
+    val wh = java.nio.file.Files.createTempDirectory("graft_drop_wh").toString
+    spark.conf.set(graft.dialect.ChWrites.WarehouseConf, wh)
+    spark.read.parquet("/root/testdata/sf0.001/nation.parquet")
+      .createOrReplaceTempView("drop_nation_src")
+    // CTAS-owned table: DROP removes the view, the catalog entry, AND
+    // the warehouse storage
+    ChSql.sql(spark,
+      "CREATE TABLE drop_ctas ENGINE = MergeTree ORDER BY (n_nationkey) AS " +
+        "SELECT n_nationkey, n_name FROM drop_nation_src").collect()
+    assert(new java.io.File(s"$wh/drop_ctas").exists())
+    val d = ChSql.sql(spark, "DROP TABLE drop_ctas").collect().head
+    assert(d.getString(1) == "dropped")
+    assert(!new java.io.File(s"$wh/drop_ctas").exists(), "storage must be deleted")
+    assert(ChSql.sql(spark, "EXISTS TABLE drop_ctas").collect().head.getInt(0) == 0)
+    // ATTACHed external endpoint: DETACH removes metadata only; the
+    // same ATTACH brings it back, data untouched
+    val attach = "ATTACH TABLE drop_att (n_nationkey Int32, n_name String) " +
+      "ENGINE = MergeTree ORDER BY (n_nationkey) SETTINGS " +
+      "disk = disk(type = web, endpoint = '/root/testdata/sf0.001/nation.parquet')"
+    ChSql.sql(spark, attach)
+    assert(ChSql.sql(spark, "DETACH TABLE drop_att").collect().head.getString(1) == "detached")
+    assert(ChSql.sql(spark, "EXISTS TABLE drop_att").collect().head.getInt(0) == 0)
+    assert(new java.io.File("/root/testdata/sf0.001/nation.parquet").exists())
+    ChSql.sql(spark, attach) // re-ATTACH works
+    assert(spark.table("drop_att").count() == 25)
+    // DROP of an ATTACHed external table never deletes the endpoint
+    assert(ChSql.sql(spark, "DROP TABLE drop_att").collect().head.getString(1) == "dropped")
+    assert(new java.io.File("/root/testdata/sf0.001/nation.parquet").exists())
+    // IF EXISTS no-ops; without it a missing table refuses
+    assert(ChSql.sql(spark, "DROP TABLE IF EXISTS drop_gone")
+      .collect().head.getString(1) == "not_found")
+    intercept[IllegalArgumentException] {
+      ChSql.sql(spark, "DROP TABLE drop_gone")
+    }
+  }
+
   test("SHOW CREATE TABLE replays ATTACH DDL and renders view schemas in CH types") {
     val spark = graft.TestSpark.spark
     // ATTACH'd table: recorded column list + ORDER BY replay verbatim
