@@ -141,6 +141,26 @@ object SystemTables {
   def registerParts(spark: SparkSession): Unit =
     parts(spark).createOrReplaceTempView("system_parts")
 
+  /** ≈ system.tables: the session's visible tables — catalog entries
+    * (ATTACH/CTAS) with engine, sorting key, endpoint, and origin, plus
+    * plain session views. Registered on demand like `system_parts`: the
+    * catalog mutates as ATTACH/CTAS/DROP statements run, so a view
+    * frozen at session start would go stale. */
+  def registerTables(spark: SparkSession): Unit = {
+    import spark.implicits._
+    val cat = graft.core.Catalog.all.map(t =>
+      (t.name, "MergeTree", t.orderBy.mkString(", "),
+        t.endpoint.getOrElse(""),
+        if (t.schemaDdl.nonEmpty) "attached" else "created"))
+    val catNames = cat.map(_._1).toSet
+    val views = spark.catalog.listTables().collect()
+      .filter(v => !catNames.contains(v.name) && !v.name.startsWith("system_"))
+      .map(v => (v.name, "View", "", "", "view")).toSeq
+    (cat ++ views).sortBy(_._1)
+      .toDF("name", "engine", "sorting_key", "endpoint", "origin")
+      .createOrReplaceTempView("system_tables")
+  }
+
   /** ≈ system.parts: one row per MergeTree part of every ATTACHed table
     * whose endpoint serves an actual part tree (parquet endpoints and
     * schema-only registrations contribute no rows — they have no

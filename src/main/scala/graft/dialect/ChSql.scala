@@ -94,6 +94,9 @@ object ChSql {
       // fresh per referencing query, like parts
       if (sys.toLowerCase.contains("system_projections"))
         graft.core.SystemTables.registerProjections(spark)
+      // tables: the catalog mutates via ATTACH/CTAS/DROP — same story
+      if (sys.toLowerCase.contains("system_tables"))
+        graft.core.SystemTables.registerTables(spark)
     }
     val rewritten = rewriteTableFunctions(spark, sys)
     registerCombinators(spark, rewritten)
@@ -364,8 +367,8 @@ object ChSql {
         macros.getOrElse("cluster", "graft"))
       if (r.sql.toLowerCase.contains("system_parts"))
         graft.core.SystemTables.registerParts(spark)
-      // (no projections twin here: rewrite() above already registered
-      // it for this very query — review finding)
+      // (no projections/tables twin here: rewrite() above already
+      // registered them for this very query — review finding)
     }
     finish(spark, r)
   }

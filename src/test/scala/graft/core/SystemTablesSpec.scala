@@ -75,4 +75,21 @@ class SystemTablesSpec extends AnyFunSuite {
     assert(ChSql.sql(spark,
       "SELECT name FROM system.projections WHERE name = 'sys_p'").collect().isEmpty)
   }
+
+  test("system.tables reflects the live catalog: ATTACH appears, DROP disappears") {
+    ChSql.sql(spark,
+      "ATTACH TABLE sys_tbl_t (n_nationkey Int32, n_name String) " +
+        "ENGINE = MergeTree ORDER BY (n_nationkey) SETTINGS " +
+        "disk = disk(type = web, endpoint = '/root/testdata/sf0.001/nation.parquet')")
+    val row = ChSql.sql(spark,
+      "SELECT engine, sorting_key, origin FROM system.tables WHERE name = 'sys_tbl_t'")
+      .collect()
+    assert(row.length == 1)
+    assert(row.head.getString(0) == "MergeTree")
+    assert(row.head.getString(1) == "n_nationkey")
+    assert(row.head.getString(2) == "attached")
+    ChSql.sql(spark, "DROP TABLE sys_tbl_t")
+    assert(ChSql.sql(spark,
+      "SELECT name FROM system.tables WHERE name = 'sys_tbl_t'").collect().isEmpty)
+  }
 }
