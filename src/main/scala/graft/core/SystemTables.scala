@@ -146,17 +146,28 @@ object SystemTables {
     * plain session views. Registered on demand like `system_parts`: the
     * catalog mutates as ATTACH/CTAS/DROP statements run, so a view
     * frozen at session start would go stale. */
-  def registerTables(spark: SparkSession): Unit = {
-    import spark.implicits._
+  /** The session's visible tables — catalog entries (ATTACH/CTAS) plus
+    * plain session views — as (name, engine, sorting_key, endpoint,
+    * origin) rows. The ONE listing behind both `system.tables` and
+    * `SHOW TABLES` (review finding: two copies had already diverged).
+    * Dedup is case-insensitive: Spark lowercases temp-view names while
+    * the catalog keeps the declared spelling. */
+  def visibleTables(spark: SparkSession): Seq[(String, String, String, String, String)] = {
     val cat = graft.core.Catalog.all.map(t =>
       (t.name, "MergeTree", t.orderBy.mkString(", "),
         t.endpoint.getOrElse(""),
         if (t.schemaDdl.nonEmpty) "attached" else "created"))
-    val catNames = cat.map(_._1).toSet
+    val catNames = cat.map(_._1.toLowerCase).toSet
     val views = spark.catalog.listTables().collect()
-      .filter(v => !catNames.contains(v.name) && !v.name.startsWith("system_"))
+      .filter(v => !catNames.contains(v.name.toLowerCase) &&
+        !v.name.startsWith("system_"))
       .map(v => (v.name, "View", "", "", "view")).toSeq
     (cat ++ views).sortBy(_._1)
+  }
+
+  def registerTables(spark: SparkSession): Unit = {
+    import spark.implicits._
+    visibleTables(spark)
       .toDF("name", "engine", "sorting_key", "endpoint", "origin")
       .createOrReplaceTempView("system_tables")
   }

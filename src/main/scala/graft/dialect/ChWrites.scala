@@ -111,8 +111,12 @@ object ChWrites {
           else Sinks.writeParquet(df, path)
           val back = spark.read.parquet(path)
           back.createOrReplaceTempView(name)
-          // record the sorted-layout contract like an ATTACH would (W7)
-          if (sortKey.nonEmpty) graft.core.Catalog.recordCtas(name, path, sortKey)
+          // EVERY CTAS records in the catalog (sorted or not): the
+          // entry is how DROP TABLE knows it owns the warehouse
+          // storage — unrecorded unsorted CTAS leaked its directory on
+          // drop (review finding); a sort key additionally documents
+          // the clustered-layout contract like an ATTACH would (W7)
+          graft.core.Catalog.recordCtas(name, path, sortKey)
           Seq((name, path, back.count())).toDF("table", "path", "rows")
         }
       case InsertTableSelectRe(rawName, body) =>

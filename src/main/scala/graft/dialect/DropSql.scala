@@ -7,8 +7,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * to remove them without restarting the session).
   *
   *   - `DETACH TABLE [IF EXISTS] t` — remove the session view and the
-  *     catalog entry; the DATA stays wherever it lives, and the same
-  *     ATTACH statement brings the table back (CH's contract).
+  *     catalog entry; the DATA stays wherever it lives, and the result
+  *     row reports the endpoint so an ATTACH brings the table back
+  *     (CH's contract): ATTACHed tables replay their original
+  *     statement, CTAS-created ones ATTACH against the reported
+  *     warehouse path (parquet dirs and part trees both route).
   *   - `DROP TABLE [IF EXISTS] t [SYNC]` — detach AND, for tables THIS
   *     ENGINE materialized (CTAS into the warehouse — parquet or
   *     MergeTree trees), delete the storage and any registered
@@ -39,17 +42,29 @@ object DropSql {
         s"unparseable DROP/DETACH statement: $other")
     }
     val name = ProjectionSql.clean(rawName)
-    val entry = graft.core.Catalog.detach(name)
+    // Spark temp views are case-insensitive while the catalog map is
+    // exact — resolve the canonical entry name first, or a
+    // case-variant DROP removes the view but orphans the entry and
+    // its CTAS storage (review finding)
+    val canonical = graft.core.Catalog.all
+      .find(_.name.equalsIgnoreCase(name)).map(_.name).getOrElse(name)
+    val entry = graft.core.Catalog.detach(canonical)
     val hadView = spark.catalog.tableExists(name)
     if (hadView) spark.catalog.dropTempView(name)
     if (entry.isEmpty && !hadView) {
       if (ifExists)
-        return Seq((name, "not_found")).toDF("table", "action")
+        return Seq((name, "not_found", "")).toDF("table", "action", "endpoint")
       throw new IllegalArgumentException(
         s"DROP/DETACH TABLE $name: no such table or session view")
     }
-    val action =
-      if (!drop) "detached"
+    // the result always names the storage the table pointed at —
+    // DETACH of a CTAS-created table has no ATTACH statement to
+    // replay, so the reported endpoint is what lets the user
+    // re-register it (ATTACH works against both parquet dirs and
+    // MergeTree trees) instead of orphaning the data (review finding)
+    val endpoint = entry.flatMap(_.endpoint).getOrElse("")
+    val (action, reportEndpoint) =
+      if (!drop) ("detached", endpoint)
       else entry match {
         // CTAS-materialized (schemaDdl empty, endpoint = the warehouse
         // path this engine wrote): DROP owns the storage — delete it
@@ -66,11 +81,11 @@ object DropSql {
           val hp = new org.apache.hadoop.fs.Path(path)
           val fs = hp.getFileSystem(spark.sessionState.newHadoopConf())
           if (fs.exists(hp)) fs.delete(hp, true)
-          "dropped"
+          ("dropped", "") // storage deleted — nothing left to point at
         // ATTACHed external endpoint: metadata removed, data untouched
         // (CH's own posture for read-only disks); plain views likewise
-        case _ => "dropped"
+        case _ => ("dropped", endpoint)
       }
-    Seq((name, action)).toDF("table", "action")
+    Seq((name, action, reportEndpoint)).toDF("table", "action", "endpoint")
   }
 }

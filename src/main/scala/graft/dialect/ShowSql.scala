@@ -38,9 +38,9 @@ object ShowSql {
     * `name` per row, sorted, as CH lists the current database. */
   private def showTables(spark: SparkSession, like: Option[String]): DataFrame = {
     import spark.implicits._
-    val views = spark.catalog.listTables().collect().map(_.name)
-    val catalog = graft.core.Catalog.all.map(_.name)
-    val all = (views ++ catalog).distinct.sorted
+    // the ONE listing shared with system.tables (review finding: two
+    // hand-copies of the merge had already diverged on dedup)
+    val all = graft.core.SystemTables.visibleTables(spark).map(_._1)
     val filtered = like match {
       case None => all
       case Some(p) =>

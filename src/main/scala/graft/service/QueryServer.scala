@@ -100,7 +100,7 @@ class QueryServer(
     server.createContext("/metrics", handler { (_, _) => (200, "text/plain", metricsText()) })
     server.createContext("/query", handler { (ex, reqId) =>
       if (ex.getRequestMethod != "POST") (405, "text/plain", "POST only")
-      else {
+      else withDecodedBody(plainErrors = false) {
         val body = requestBody(ex)
         serveQuery(reqId, () => parseRequest(body),
           defaultFormat = None, plainErrors = false)
@@ -129,7 +129,7 @@ class QueryServer(
         (404, "text/plain", s"There is no handle $path\n")
       else ex.getRequestMethod match {
         case m if m != "POST" && m != "GET" => (405, "text/plain", "POST or GET")
-        case m =>
+        case m => withDecodedBody(plainErrors = true) {
           val bodySql = if (m == "POST") requestBody(ex) else ""
           // CH concatenates ?query= and the body (a statement may be
           // split across both)
@@ -151,6 +151,7 @@ class QueryServer(
             () => QueryService.QueryRequest(sql),
             defaultFormat = fmt.orElse(Some("TabSeparated")),
             plainErrors = true)
+        }
       }
     })
     // small fixed pool: control-plane requests only; Spark owns the cores
@@ -313,15 +314,42 @@ class QueryServer(
 
   /** Request body, transparently gunzipped when the caller sent
     * `Content-Encoding: gzip` — `curl --data-binary @big.sql.gz` is a
-    * standard ClickHouse HTTP pattern for bulk statements. */
+    * standard ClickHouse HTTP pattern for bulk statements. An encoding
+    * we can't decode refuses loudly (decoding zstd bytes as UTF-8
+    * "SQL" would produce a baffling parse error — review finding);
+    * corrupt gzip surfaces as ZipException for the routes to map to a
+    * 400, the caller's fault, not a 500. */
   private def requestBody(ex: HttpExchange): String = {
-    val gz = Option(ex.getRequestHeaders.getFirst("Content-Encoding"))
-      .exists(_.equalsIgnoreCase("gzip"))
-    val in =
-      if (gz) new java.util.zip.GZIPInputStream(ex.getRequestBody)
-      else ex.getRequestBody
-    new String(in.readAllBytes(), UTF_8)
+    val enc = Option(ex.getRequestHeaders.getFirst("Content-Encoding"))
+      .map(_.trim.toLowerCase).filter(e => e.nonEmpty && e != "identity")
+    enc match {
+      case None => new String(ex.getRequestBody.readAllBytes(), UTF_8)
+      case Some("gzip") => new String(
+        new java.util.zip.GZIPInputStream(ex.getRequestBody).readAllBytes(), UTF_8)
+      case Some(other) => throw new UnsupportedEncodingBody(other)
+    }
   }
+
+  private final class UnsupportedEncodingBody(val enc: String)
+    extends RuntimeException(s"unsupported Content-Encoding: $enc (gzip or identity)")
+
+  /** Map a body-decode failure to the route's 400 shape; `None` when
+    * the body decoded fine and `run` produced the response. */
+  private def withDecodedBody(plainErrors: Boolean)(
+      run: => (Int, String, String)): (Int, String, String) =
+    try run
+    catch {
+      case e: UnsupportedEncodingBody =>
+        errorsTotal.increment()
+        val msg = e.getMessage + "\n"
+        if (plainErrors) (415, "text/plain", msg)
+        else (415, "application/json", errorJson(e.getMessage))
+      case e: java.util.zip.ZipException =>
+        errorsTotal.increment()
+        val msg = s"malformed gzip request body: ${e.getMessage}"
+        if (plainErrors) (400, "text/plain", msg + "\n")
+        else (400, "application/json", errorJson(msg))
+    }
 
   /** URL-decoded query parameters of the raw door. */
   private def queryParams(rawQuery: String): Map[String, String] =
@@ -613,15 +641,23 @@ class QueryServer(
         val plain = body.getBytes(UTF_8)
         // response compression on request (`Accept-Encoding: gzip`),
         // as CH's HTTP interface honors — only worth it past a small
-        // floor (tiny bodies grow under gzip framing)
+        // floor (tiny bodies grow under gzip framing). Token-parsed,
+        // not substring-matched: `gzip;q=0` is an explicit REFUSAL
+        // (review finding), and the negotiated response carries
+        // `Vary: Accept-Encoding` so caches key the variant correctly
         val acceptsGzip = Option(ex.getRequestHeaders.getFirst("Accept-Encoding"))
-          .exists(_.toLowerCase.contains("gzip"))
+          .exists(_.toLowerCase.split(',').exists { t =>
+            val parts = t.split(';').map(_.trim)
+            parts.headOption.contains("gzip") &&
+              !parts.tail.exists(_.replace(" ", "").matches("q=0(\\.0+)?"))
+          })
         val bytes =
           if (acceptsGzip && plain.length > 1024) {
             val bos = new java.io.ByteArrayOutputStream(plain.length / 2 + 64)
             val gz = new java.util.zip.GZIPOutputStream(bos)
             gz.write(plain); gz.close()
             ex.getResponseHeaders.set("Content-Encoding", "gzip")
+            ex.getResponseHeaders.set("Vary", "Accept-Encoding")
             bos.toByteArray
           } else plain
         ex.getResponseHeaders.set("Content-Type", ctype)

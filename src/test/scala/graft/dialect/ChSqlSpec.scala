@@ -505,6 +505,26 @@ class ChSqlSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       ChSql.sql(spark, "DROP TABLE drop_gone")
     }
+    // plain CTAS (no ORDER BY, no ENGINE) is catalog-recorded too, so
+    // DROP owns and deletes its storage (review finding: unrecorded
+    // unsorted CTAS leaked its warehouse dir on drop) — and a
+    // case-variant name still resolves the entry
+    ChSql.sql(spark,
+      "CREATE TABLE Drop_Plain AS SELECT n_name FROM drop_nation_src").collect()
+    assert(new java.io.File(s"$wh/Drop_Plain").exists())
+    assert(ChSql.sql(spark, "DROP TABLE drop_plain").collect().head.getString(1) == "dropped")
+    assert(!new java.io.File(s"$wh/Drop_Plain").exists(),
+      "plain-CTAS storage must be deleted on DROP")
+    // DETACH reports the endpoint so a CTAS-created table can be
+    // re-registered instead of orphaned
+    ChSql.sql(spark,
+      "CREATE TABLE drop_det ENGINE = MergeTree ORDER BY (n_nationkey) AS " +
+        "SELECT n_nationkey, n_name FROM drop_nation_src").collect()
+    val det = ChSql.sql(spark, "DETACH TABLE drop_det").collect().head
+    assert(det.getString(1) == "detached")
+    val ep = det.getString(2)
+    assert(ep.nonEmpty && new java.io.File(ep).exists(),
+      "DETACH must report the surviving storage path")
   }
 
   test("SHOW CREATE TABLE replays ATTACH DDL and renders view schemas in CH types") {
