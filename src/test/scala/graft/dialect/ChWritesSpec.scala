@@ -93,7 +93,7 @@ class ChWritesSpec extends AnyFunSuite {
     } finally spark.conf.unset(ChWrites.WarehouseConf)
   }
 
-  test("INSERT INTO a local MergeTree table appends ONE part (CH's write model)") {
+  test("INSERT INTO a local MergeTree table appends parts (CH's part-per-batch write model)") {
     freshView()
     val wh = Files.createTempDirectory("graft_wh_ins").toString
     spark.conf.set(ChWrites.WarehouseConf, wh)
