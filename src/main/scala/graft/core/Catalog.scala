@@ -134,6 +134,50 @@ object Catalog {
     * caller can decide what happens to the storage it points at. */
   def detach(name: String): Option[AttachedTable] = attached.remove(name)
 
+  /** Re-materialize every catalog-recorded table as a view in THIS
+    * session. The service executes each HTTP request in a fresh
+    * `newSession()` for isolation, but the CATALOG outlives requests —
+    * in CH a table created by one HTTP request is queryable by the
+    * next, and without this hook a CTAS/ATTACH from request 1 was
+    * invisible to request 2 (r11 gap). Endpoints were already resolved
+    * at ATTACH/CTAS time; an entry whose endpoint has become
+    * unreadable is skipped — its own next use fails loudly, unrelated
+    * queries are unaffected. */
+  def ensureSessionViews(spark: SparkSession, mentionedIn: String): Unit = {
+    // only entries the request TEXT mentions: re-materializing every
+    // absent entry would pay a remote .index walk per http-attached
+    // table per request; a name substring false-positive just
+    // registers an unused view
+    val text = mentionedIn.toLowerCase
+    attached.values.foreach { t =>
+      if (text.contains(t.name.toLowerCase) && !spark.catalog.tableExists(t.name)) {
+        try {
+          import graft.sources.mergetree.MergeTree
+          t.endpoint.foreach { ep =>
+            val df: Option[DataFrame] =
+              if (MergeTree.looksLikeMergeTree(ep)) {
+                val ddl =
+                  if (t.schemaDdl.nonEmpty) t.schemaDdl else MergeTree.ddlOf(ep)
+                // a PARTLESS CTAS tree carries no recoverable schema —
+                // leave it unregistered (its direct use fails loudly)
+                if (ddl.nonEmpty) Some(MergeTree.read(spark, ep, ddl, t.orderBy))
+                else None
+              } else if (t.schemaDdl.nonEmpty && isHttpParquet(ep)) {
+                import org.apache.spark.sql.functions.col
+                val schema = ChSchemaParser.parse(t.schemaDdl)
+                val raw = graft.sources.HttpParquet.read(spark, ep)
+                Some(raw.select(schema.fields.toSeq
+                  .map(f => col(f.name).cast(f.dataType).as(f.name)): _*))
+              } else if (t.schemaDdl.nonEmpty)
+                Some(spark.read.schema(ChSchemaParser.parse(t.schemaDdl)).parquet(ep))
+              else Some(spark.read.parquet(ep))
+            df.foreach(_.createOrReplaceTempView(t.name))
+          }
+        } catch { case scala.util.control.NonFatal(_) => () }
+      }
+    }
+  }
+
   /** Every registered ATTACH/CTAS entry — `system.parts` introspection. */
   def all: Seq[AttachedTable] = attached.values.toSeq.sortBy(_.name)
 

@@ -110,6 +110,12 @@ class QueryService(spark: SparkSession) {
     * main query through the dialect front door. The plan is lazy — the
     * caller picks the action (collect, write, explain). */
   def executeToDf(req: QueryRequest): (DataFrame, Map[String, String]) = {
+    // the catalog outlives the per-request session isolation: tables
+    // CTAS'd/ATTACH'd by EARLIER requests re-materialize as views here,
+    // so request 2 can query what request 1 created (CH's own HTTP
+    // behavior — its catalog is durable across requests)
+    graft.core.Catalog.ensureSessionViews(spark,
+      (req.query +: req.initQueries).mkString(" "))
     // session init: CH `SET k=v` maps to Spark SQL SET verbatim; ATTACH
     // TABLE routes to the catalog; everything else through the rewriter.
     // Eager collect mirrors the reference's serial init loop (`:302-310`).

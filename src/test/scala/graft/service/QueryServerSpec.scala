@@ -267,6 +267,30 @@ class QueryServerSpec extends AnyFunSuite {
     assert(post("/", "EXISTS TABLE no_such_thing").body() == "0\n")
   }
 
+  test("tables persist ACROSS requests: CTAS in one request, query/INSERT/DROP in later ones") {
+    // each request runs in its own isolated newSession(); the CATALOG
+    // outlives them, so created tables re-materialize per request —
+    // CH's own HTTP behavior (its catalog is durable)
+    val mk = post("/",
+      "CREATE TABLE xreq_t ENGINE = MergeTree ORDER BY (n) AS " +
+        "SELECT number AS n, number * 2 AS v FROM numbers(100)")
+    assert(mk.statusCode() == 200, mk.body())
+    // a LATER request sees and queries the table
+    val q1 = post("/?default_format=CSV", "SELECT count(), sum(v) FROM xreq_t")
+    assert(q1.statusCode() == 200, q1.body())
+    assert(q1.body() == "100,9900\n")
+    // INSERT from yet another request appends parts
+    assert(post("/", "INSERT INTO xreq_t SELECT 1000 + number, 7 FROM numbers(5)")
+      .statusCode() == 200)
+    assert(post("/?default_format=CSV", "SELECT count() FROM xreq_t").body() == "105\n")
+    // introspection + lifecycle across requests too
+    assert(post("/?default_format=CSV", "EXISTS TABLE xreq_t").body() == "1\n")
+    assert(post("/", "DROP TABLE xreq_t").statusCode() == 200)
+    assert(post("/?default_format=CSV", "EXISTS TABLE xreq_t").body() == "0\n")
+    val gone = post("/", "SELECT count() FROM xreq_t")
+    assert(gone.statusCode() == 400 || gone.statusCode() == 500, gone.body())
+  }
+
   test("gzip on the HTTP doors: gzipped request bodies and Accept-Encoding gzip responses") {
     // gzipped SQL body — curl --data-binary @big.sql.gz, a standard CH
     // HTTP pattern
