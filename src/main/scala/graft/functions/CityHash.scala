@@ -1,5 +1,7 @@
 package graft.functions
 
+import org.apache.spark.unsafe.Platform
+
 /** CityHash64 v1.0.2 — a Scala port of the public-domain CityHash by
   * Google (Geoff Pike / Jyrki Alakuijala), the exact version ClickHouse
   * vendors for its `cityHash64` SQL function (reference exercises it at
@@ -13,6 +15,16 @@ package graft.functions
   * All arithmetic is on Java `Long` treated as uint64 — two's-complement
   * add/mul wrap identically; shifts use `>>>` (logical). Byte fetches
   * are little-endian, as on x86 where CityHash is defined.
+  *
+  * The byte fetches go through `Platform.getLong/getInt/getByte` on a
+  * (base, offset) pair rather than `Array[Byte]` indexing: the hot
+  * caller is `cityHash64(*)` over string columns, where the value is a
+  * slice of an `UnsafeRow` page — hashing the slice in place through
+  * [[hashMem]] avoids the per-row `UTF8String.getBytes` copy (one
+  * allocation per string per row at 60M+ rows is real GC pressure).
+  * Array entry points delegate with `BYTE_ARRAY_OFFSET`. Reads are
+  * unaligned, which x86/ARM64 support natively; a native big-endian
+  * platform byte-reverses to keep the little-endian definition.
   */
 object CityHash {
 
@@ -27,21 +39,22 @@ object CityHash {
     * engine choice — the reference never hashes NULLs. */
   val NullHash: Long = k2
 
-  @inline private def fetch64(b: Array[Byte], i: Int): Long =
-    (b(i) & 0xffL) |
-      ((b(i + 1) & 0xffL) << 8) |
-      ((b(i + 2) & 0xffL) << 16) |
-      ((b(i + 3) & 0xffL) << 24) |
-      ((b(i + 4) & 0xffL) << 32) |
-      ((b(i + 5) & 0xffL) << 40) |
-      ((b(i + 6) & 0xffL) << 48) |
-      ((b(i + 7) & 0xffL) << 56)
+  private val BigEndian =
+    java.nio.ByteOrder.nativeOrder() == java.nio.ByteOrder.BIG_ENDIAN
+  private val AOff: Long = Platform.BYTE_ARRAY_OFFSET.toLong
 
-  @inline private def fetch32(b: Array[Byte], i: Int): Long =
-    (b(i) & 0xffL) |
-      ((b(i + 1) & 0xffL) << 8) |
-      ((b(i + 2) & 0xffL) << 16) |
-      ((b(i + 3) & 0xffL) << 24)
+  @inline private def fetch64(b: AnyRef, i: Long): Long = {
+    val v = Platform.getLong(b, i)
+    if (BigEndian) java.lang.Long.reverseBytes(v) else v
+  }
+
+  @inline private def fetch32(b: AnyRef, i: Long): Long = {
+    val v = Platform.getInt(b, i)
+    (if (BigEndian) Integer.reverseBytes(v) else v) & 0xffffffffL
+  }
+
+  @inline private def fetch8(b: AnyRef, i: Long): Int =
+    Platform.getByte(b, i) & 0xff
 
   @inline private def rotate(v: Long, shift: Int): Long =
     if (shift == 0) v else (v >>> shift) | (v << (64 - shift))
@@ -65,7 +78,7 @@ object CityHash {
 
   @inline private def hashLen16(u: Long, v: Long): Long = hash128to64(u, v)
 
-  private def hashLen0to16(s: Array[Byte], off: Int, len: Int): Long = {
+  private def hashLen0to16(s: AnyRef, off: Long, len: Int): Long = {
     if (len > 8) {
       val a = fetch64(s, off)
       val b = fetch64(s, off + len - 8)
@@ -74,16 +87,16 @@ object CityHash {
       val a = fetch32(s, off)
       hashLen16(len + (a << 3), fetch32(s, off + len - 4))
     } else if (len > 0) {
-      val a = s(off) & 0xff
-      val b = s(off + (len >> 1)) & 0xff
-      val c = s(off + len - 1) & 0xff
+      val a = fetch8(s, off)
+      val b = fetch8(s, off + (len >> 1))
+      val c = fetch8(s, off + len - 1)
       val y = a + (b << 8) // uint32
       val z = len + (c << 2) // uint32
       shiftMix((y & 0xffffffffL) * k2 ^ (z & 0xffffffffL) * k3) * k2
     } else k2
   }
 
-  private def hashLen17to32(s: Array[Byte], off: Int, len: Int): Long = {
+  private def hashLen17to32(s: AnyRef, off: Long, len: Int): Long = {
     val a = fetch64(s, off) * k1
     val b = fetch64(s, off + 8)
     val c = fetch64(s, off + len - 8) * k2
@@ -107,12 +120,12 @@ object CityHash {
   }
 
   @inline private def weakHashLen32WithSeeds(
-      s: Array[Byte], off: Int, a: Long, b: Long): (Long, Long) =
+      s: AnyRef, off: Long, a: Long, b: Long): (Long, Long) =
     weakHashLen32WithSeeds(
       fetch64(s, off), fetch64(s, off + 8),
       fetch64(s, off + 16), fetch64(s, off + 24), a, b)
 
-  private def hashLen33to64(s: Array[Byte], off: Int, len: Int): Long = {
+  private def hashLen33to64(s: AnyRef, off: Long, len: Int): Long = {
     var z = fetch64(s, off + 24)
     var a = fetch64(s, off) + (len + fetch64(s, off + len - 16)) * k0
     var b = rotate(a + z, 52)
@@ -147,7 +160,7 @@ object CityHash {
 
   /** CityMurmur — the < 128-byte arm of CityHash128WithSeed. */
   private def cityMurmur(
-      s: Array[Byte], off: Int, len: Int, seedLo: Long, seedHi: Long): (Long, Long) = {
+      s: AnyRef, off: Long, len: Int, seedLo: Long, seedHi: Long): (Long, Long) = {
     var a = seedLo
     var b = seedHi
     var c = 0L
@@ -179,9 +192,9 @@ object CityHash {
     (a ^ b, hashLen16(b, a))
   }
 
-  /** CityHash128WithSeed, 1.0.2. Returns (low, high). */
-  def hash128WithSeed(
-      s: Array[Byte], off0: Int, len0: Int, seedLo: Long, seedHi: Long): (Long, Long) = {
+  /** CityHash128WithSeed, 1.0.2, over memory. Returns (low, high). */
+  private def hash128WithSeedMem(
+      s: AnyRef, off0: Long, len0: Int, seedLo: Long, seedHi: Long): (Long, Long) = {
     if (len0 < 128) return cityMurmur(s, off0, len0, seedLo, seedHi)
     var off = off0
     var len = len0
@@ -231,21 +244,28 @@ object CityHash {
     (hashLen16(x + vs, wf) + y, hashLen16(x + ws, y + vs))
   }
 
+  def hash128WithSeed(
+      s: Array[Byte], off: Int, len: Int, seedLo: Long, seedHi: Long): (Long, Long) =
+    hash128WithSeedMem(s, AOff + off, len, seedLo, seedHi)
+
   /** CityHash128, 1.0.2 entry. Returns (low, high). */
   def hash128(s: Array[Byte], off: Int, len: Int): (Long, Long) = {
+    val o = AOff + off
     if (len >= 16)
-      hash128WithSeed(s, off + 16, len - 16, fetch64(s, off) ^ k3, fetch64(s, off + 8))
+      hash128WithSeedMem(s, o + 16, len - 16, fetch64(s, o) ^ k3, fetch64(s, o + 8))
     else if (len >= 8)
-      hash128WithSeed(Array.emptyByteArray, 0, 0,
-        fetch64(s, off) ^ (len * k0), fetch64(s, off + len - 8) ^ k1)
+      hash128WithSeedMem(Array.emptyByteArray, AOff, 0,
+        fetch64(s, o) ^ (len * k0), fetch64(s, o + len - 8) ^ k1)
     else
-      hash128WithSeed(s, off, len, k0, k1)
+      hash128WithSeedMem(s, o, len, k0, k1)
   }
 
   def hash128(s: Array[Byte]): (Long, Long) = hash128(s, 0, s.length)
 
-  /** CityHash64 over `len` bytes of `s` starting at `off`. */
-  def hash64(s: Array[Byte], off: Int, len: Int): Long = {
+  /** CityHash64 over `len` bytes of memory at `(s, off)` — `s` a byte
+    * array with `Platform.BYTE_ARRAY_OFFSET`-based `off`, or an
+    * `UnsafeRow` page base for in-place string hashing. */
+  def hashMem(s: AnyRef, off: Long, len: Int): Long = {
     if (len <= 32) {
       if (len <= 16) hashLen0to16(s, off, len)
       else hashLen17to32(s, off, len)
@@ -281,36 +301,52 @@ object CityHash {
     }
   }
 
-  def hash64(s: Array[Byte]): Long = hash64(s, 0, s.length)
+  /** CityHash64 over `len` bytes of `s` starting at `off`. */
+  def hash64(s: Array[Byte], off: Int, len: Int): Long =
+    hashMem(s, AOff + off, len)
+
+  def hash64(s: Array[Byte]): Long = hashMem(s, AOff, s.length)
 
   // ---- fixed-width scalar encodings (little-endian, native width) ----
   // These mirror hashing the value's memory bytes, the way ClickHouse
-  // hashes fixed-width column values.
+  // hashes fixed-width column values. Widths ≤ 8 always land in
+  // hashLen0to16, whose byte fetches reduce to shifts on the value
+  // itself — the closed forms below are that reduction (pinned equal to
+  // the byte-array form in CityHashSpec), with no buffer on the hot path.
 
-  private val oneByte = new ThreadLocal[Array[Byte]] {
-    override def initialValue(): Array[Byte] = new Array[Byte](8)
+  /** len=8 arm: fetch32(s) = low half, fetch32(s+4) = high half. */
+  def hashLong(v: Long): Long =
+    hashLen16(8L + ((v & 0xffffffffL) << 3), v >>> 32)
+
+  /** len=4 arm: both fetch32 reads see the same four bytes. */
+  def hashInt(v: Int): Long = {
+    val u = v & 0xffffffffL
+    hashLen16(4L + (u << 3), u)
   }
 
-  private def hashFixed(v: Long, width: Int): Long = {
-    val b = oneByte.get()
-    var i = 0
-    var x = v
-    while (i < width) { b(i) = (x & 0xff).toByte; x >>>= 8; i += 1 }
-    hash64(b, 0, width)
+  /** len<4 arm: a = byte0, b = byte(len/2), c = byte(len-1). */
+  def hashShort(v: Short): Long = {
+    val b1 = (v >> 8) & 0xff
+    val y = (v & 0xffffL) // byte0 + (byte1 << 8)
+    val z = 2L + (b1 << 2)
+    shiftMix(y * k2 ^ z * k3) * k2
   }
 
-  def hashLong(v: Long): Long = hashFixed(v, 8)
-  def hashInt(v: Int): Long = hashFixed(v & 0xffffffffL, 4)
-  def hashShort(v: Short): Long = hashFixed(v & 0xffffL, 2)
-  def hashByte(v: Byte): Long = hashFixed(v & 0xffL, 1)
-  def hashBoolean(v: Boolean): Long = hashFixed(if (v) 1L else 0L, 1)
-  def hashDouble(v: Double): Long = hashFixed(java.lang.Double.doubleToLongBits(v), 8)
-  def hashFloat(v: Float): Long = hashFixed(java.lang.Float.floatToIntBits(v) & 0xffffffffL, 4)
-
-  def hashUTF8(s: org.apache.spark.unsafe.types.UTF8String): Long = {
-    val b = s.getBytes
-    hash64(b, 0, b.length)
+  def hashByte(v: Byte): Long = {
+    val a = v & 0xff
+    val y = (a + (a << 8)) & 0xffffffffL
+    val z = (1 + (a << 2)) & 0xffffffffL
+    shiftMix(y * k2 ^ z * k3) * k2
   }
+
+  def hashBoolean(v: Boolean): Long = hashByte(if (v) 1 else 0)
+  def hashDouble(v: Double): Long = hashLong(java.lang.Double.doubleToLongBits(v))
+  def hashFloat(v: Float): Long = hashInt(java.lang.Float.floatToIntBits(v))
+
+  /** Zero-copy: hashes the string's bytes in place (typically a slice of
+    * an UnsafeRow page) — `getBytes` would copy every value. */
+  def hashUTF8(s: org.apache.spark.unsafe.types.UTF8String): Long =
+    hashMem(s.getBaseObject, s.getBaseOffset, s.numBytes)
 
   /** Left-to-right fold of per-argument hashes — matches ClickHouse's
     * multi-argument combine (Hash128to64 of the running pair). */

@@ -1,0 +1,35 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Throwaway measurement driver for the cityHash64 hot path (q4 shape).
+  * Not part of the shipped surface; run manually against a bench dir.
+  */
+object HashBench {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/tmp/graft_bench100x_b9247a6acc2a4629")
+    val iters = if (args.length > 1) args(1).toInt else 5
+    val spark = SparkSession.builder()
+      .appName("hash-bench").master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    graft.dialect.ChFunctions.register(spark)
+    spark.sparkContext.setLogLevel("WARN")
+    val li = graft.core.Tables.load(spark, dir, "lineitem")
+    def q = li.select(call_function("cityHash64", li.columns.map(col).toIndexedSeq: _*).as("h"))
+      .agg(sum(pmod(col("h"), lit(1000000007L))).as("s"))
+    // warm
+    q.collect()
+    val times = (1 to iters).map { _ =>
+      val t0 = System.nanoTime()
+      val r = q.collect()(0).getLong(0)
+      val s = (System.nanoTime() - t0) / 1e9
+      System.err.println(f"[hashbench] $s%.3f s  result=$r")
+      s
+    }
+    System.err.println(f"[hashbench] median=${times.sorted.apply(iters / 2)}%.3f s")
+    spark.stop()
+  }
+}
