@@ -410,15 +410,20 @@ object Bench {
       // 0.33µs/row and 0.13 s wall — per-row cost inflates ~10× under
       // 32-way concurrency (GC-pause amplification across concurrent
       // tasks + memory-subsystem contention), and the shuffle grows 4×
-      // (more per-partition duplicate keys). cores/4 only affects
-      // tables small enough that maxPartitionBytes doesn't already
-      // bound the split (<~1 GB at 32 cores): big scans keep 128MB
-      // partitions and full parallelism — exactly the 100 TB posture.
-      // SPARK_GRAFT_MIN_PART overrides; 0 = leave Spark's default.
+      // (more per-partition duplicate keys). But the floor alone also
+      // CAPS big scans — maxSplitBytes = min(maxPartitionBytes,
+      // max(openCost, totalBytes/minPartitionNum)) — so the sf10 1 GB
+      // lineitem scan ran 8 tasks on 32 cores (q4: 3-5 s vs 1.3 s at
+      // full width). Pairing the floor with a 32 MB size cap expresses
+      // both regimes: small tables pack to cores/4 tasks, anything
+      // ≥ cores/4 × 32 MB fans back out to every core.
+      // SPARK_GRAFT_MIN_PART overrides; 0 = leave Spark's defaults.
     val minPart = sys.env.getOrElse("SPARK_GRAFT_MIN_PART",
       math.max(1, cpus.toInt / 4).toString)
     val spark = (if (minPart == "0") builder0
-      else builder0.config("spark.sql.files.minPartitionNum", minPart))
+      else builder0
+        .config("spark.sql.files.minPartitionNum", minPart)
+        .config("spark.sql.files.maxPartitionBytes", (32L * 1024 * 1024).toString))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.dialect.ChFunctions.register(spark)

@@ -45,11 +45,17 @@ object Engine {
       // shreds small many-file tables into per-file tiny tasks; measured
       // here (Bench.scala/Q3Probe) per-row aggregate cost inflates ~10×
       // under 32-way concurrency on sub-MB tasks while 4×-fewer, bigger
-      // tasks cut both CPU and wall. Only affects tables small enough
-      // that maxPartitionBytes doesn't already bound the split — large
-      // scans keep 128MB partitions and full parallelism.
+      // tasks cut both CPU and wall. But the knob is one formula for
+      // every scan — maxSplitBytes = min(maxPartitionBytes,
+      // max(openCost, totalBytes/minPartitionNum)) — so a low floor
+      // alone also CAPS a 1 GB scan at cores/4 tasks (measured: the
+      // full-width hash scan at sf10 ran 8 tasks on 32 cores, 3-5 s vs
+      // 1.3 s at full width). The pair below expresses both regimes:
+      // small tables pack into cores/4 tasks, and the 32 MB size cap
+      // keeps anything ≥ cores/4 × 32 MB fanning out to all cores.
       .config("spark.sql.files.minPartitionNum",
         math.max(1, cores / 4).toString)
+      .config("spark.sql.files.maxPartitionBytes", (32L * 1024 * 1024).toString)
     extraConf.foreach { case (k, v) => b.config(k, v) }
     val spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -10,11 +10,20 @@ object HashBench {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/tmp/graft_bench100x_b9247a6acc2a4629")
     val iters = if (args.length > 1) args(1).toInt else 5
-    val spark = SparkSession.builder()
+    // Env knobs to bisect config differences vs graft.Bench's session.
+    val b0 = SparkSession.builder()
       .appName("hash-bench").master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val b1 = sys.env.get("HB_MIN_PART").fold(b0)(v =>
+      b0.config("spark.sql.files.minPartitionNum", v))
+    val b2 = sys.env.get("HB_PAGE_SIZE").fold(b1)(v =>
+      b1.config("spark.buffer.pageSize", v))
+    val b2b = sys.env.get("HB_MAX_PART_BYTES").fold(b2)(v =>
+      b2.config("spark.sql.files.maxPartitionBytes", v))
+    val b3 = sys.env.get("HB_AQE").fold(b2b)(v =>
+      b2b.config("spark.sql.adaptive.enabled", v))
+    val spark = b3.getOrCreate()
     graft.dialect.ChFunctions.register(spark)
     spark.sparkContext.setLogLevel("WARN")
     val li = graft.core.Tables.load(spark, dir, "lineitem")
