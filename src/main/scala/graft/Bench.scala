@@ -417,13 +417,16 @@ object Bench {
       // full width). Pairing the floor with a 32 MB size cap expresses
       // both regimes: small tables pack to cores/4 tasks, anything
       // ≥ cores/4 × 32 MB fans back out to every core.
-      // SPARK_GRAFT_MIN_PART overrides; 0 = leave Spark's defaults.
+      // SPARK_GRAFT_MIN_PART / SPARK_GRAFT_MAX_PART_BYTES override
+      // independently; 0 = leave Spark's default for that knob.
     val minPart = sys.env.getOrElse("SPARK_GRAFT_MIN_PART",
       math.max(1, cpus.toInt / 4).toString)
-    val spark = (if (minPart == "0") builder0
-      else builder0
-        .config("spark.sql.files.minPartitionNum", minPart)
-        .config("spark.sql.files.maxPartitionBytes", (32L * 1024 * 1024).toString))
+    val maxPartBytes = sys.env.getOrElse("SPARK_GRAFT_MAX_PART_BYTES",
+      (32L * 1024 * 1024).toString)
+    val builder1 = if (minPart == "0") builder0
+      else builder0.config("spark.sql.files.minPartitionNum", minPart)
+    val spark = (if (maxPartBytes == "0") builder1
+      else builder1.config("spark.sql.files.maxPartitionBytes", maxPartBytes))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.dialect.ChFunctions.register(spark)

@@ -20,13 +20,31 @@ import graft.types.ChSchemaParser
   */
 object Catalog {
 
+  /** How an entry's endpoint was RESOLVED at ATTACH/CTAS time — stored
+    * so re-materialization in later sessions replays the decision
+    * instead of re-probing (an http MergeTree probe walks the remote
+    * `.index` tree; paying it once per request was a review finding). */
+  object Kind {
+    val MergeTree = "mergetree"
+    val Parquet = "parquet"
+    val HttpParquet = "http-parquet"
+    val SchemaOnly = "schema-only"
+  }
+
   case class AttachedTable(
       name: String,
       schemaDdl: String,
       orderBy: Seq[String],
       endpoint: Option[String],
       sampleBy: Option[String] = None,
-      uuid: Option[String] = None)
+      uuid: Option[String] = None,
+      kind: String = Kind.Parquet,
+      /** true when THIS engine materialized the storage (CTAS into the
+        * warehouse) — DROP deletes it; ATTACHed external endpoints are
+        * never deleted. Explicit, because inferring ownership from
+        * "schemaDdl is empty" broke the moment CTAS started recording
+        * its DDL (review finding). */
+      ownsStorage: Boolean = false)
 
   private val attached = scala.collection.concurrent.TrieMap.empty[String, AttachedTable]
 
@@ -73,27 +91,12 @@ object Catalog {
           .map((_, true))
           .getOrElse((ep, false))
       }
-      val df: DataFrame = endpoint match {
-        case Some((path, true)) =>
-          // the reference's flagship shape END-TO-END: the endpoint serves
-          // an actual MergeTree wide-part tree (local dir, or http(s) with
-          // a `.index` listing) — granule-split, column-pruned reads via
-          // the mergetree DataSource V2 (VERDICT r9 task #1). The ORDER BY
-          // key flows through so leading-key predicates prune granule
-          // ranges off primary.idx — CH's primary-index skipping.
-          graft.sources.mergetree.MergeTree.read(spark, path, cols, key)
-        case Some((path, _)) if canRead(path) =>
-          spark.read.schema(schema).parquet(path)
-        case Some((path, _)) if isHttpParquet(path) =>
-          // the reference's flagship shape: a web disk endpoint
-          // (temporal/workflow_query_executor_test.go:85). When the
-          // endpoint serves parquet object(s), the existing http scan
-          // path reads them; the declared column list projects/casts the
-          // footer schema (missing declared columns fail analysis loudly,
-          // extra remote columns are pruned).
-          import org.apache.spark.sql.functions.col
-          val raw = graft.sources.HttpParquet.read(spark, path)
-          raw.select(schema.fields.toSeq.map(f => col(f.name).cast(f.dataType).as(f.name)): _*)
+      // classify ONCE; later sessions replay the decision via
+      // [[materialize]] instead of re-probing the endpoint
+      val kind: String = endpoint match {
+        case Some((_, true)) => Kind.MergeTree
+        case Some((path, _)) if canRead(path) => Kind.Parquet
+        case Some((path, _)) if isHttpParquet(path) => Kind.HttpParquet
         case Some((path, _))
             if !spark.conf.get(AllowEmptyConf, "false").toBoolean =>
           throw new IllegalArgumentException(
@@ -105,12 +108,11 @@ object Catalog {
               "web-disk endpoint whose `store/<uuid>` root the ATTACH's " +
               s"UUID names. Set $AllowEmptyConf=true to register a " +
               "schema-only view instead.")
-        case _ =>
-          spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+        case _ => Kind.SchemaOnly
       }
-      df.createOrReplaceTempView(name)
       val t = AttachedTable(name, cols.trim, key, endpoint.map(_._1),
-        Option(sampleBy), Option(uuid).map(_.trim).filter(_.nonEmpty))
+        Option(sampleBy), Option(uuid).map(_.trim).filter(_.nonEmpty), kind)
+      materialize(spark, t).foreach(_.createOrReplaceTempView(name))
       attached(name) = t
       t
     case _ =>
@@ -124,9 +126,14 @@ object Catalog {
   /** Record a CREATE TABLE … AS SELECT materialization (write front
     * door, [[graft.dialect.ChWrites]]): same catalog surface as ATTACH —
     * the ORDER BY key documents the clustered parquet layout the table
-    * was written with. */
-  def recordCtas(name: String, path: String, orderBy: Seq[String]): Unit =
-    attached(name) = AttachedTable(name, "", orderBy, Some(path))
+    * was written with. MergeTree CTAS passes the DDL the writer just
+    * derived so re-materialization never re-walks the part tree — and a
+    * ZERO-part tree (CTAS of an empty result) stays queryable in later
+    * requests, which `ddlOf` alone could not recover (review finding). */
+  def recordCtas(name: String, path: String, orderBy: Seq[String],
+      ddl: String = "", kind: String = Kind.Parquet): Unit =
+    attached(name) = AttachedTable(name, ddl, orderBy, Some(path),
+      kind = kind, ownsStorage = true)
 
   def lookup(name: String): Option[AttachedTable] = attached.get(name)
 
@@ -144,37 +151,62 @@ object Catalog {
     * unreadable is skipped — its own next use fails loudly, unrelated
     * queries are unaffected. */
   def ensureSessionViews(spark: SparkSession, mentionedIn: String): Unit = {
-    // only entries the request TEXT mentions: re-materializing every
-    // absent entry would pay a remote .index walk per http-attached
-    // table per request; a name substring false-positive just
-    // registers an unused view
+    // only entries the request TEXT mentions (macro-substituted by the
+    // caller): re-materializing every absent entry would pay a remote
+    // read per attached table per request; a name substring
+    // false-positive just registers an unused view
     val text = mentionedIn.toLowerCase
     attached.values.foreach { t =>
       if (text.contains(t.name.toLowerCase) && !spark.catalog.tableExists(t.name)) {
-        try {
-          import graft.sources.mergetree.MergeTree
-          t.endpoint.foreach { ep =>
-            val df: Option[DataFrame] =
-              if (MergeTree.looksLikeMergeTree(ep)) {
-                val ddl =
-                  if (t.schemaDdl.nonEmpty) t.schemaDdl else MergeTree.ddlOf(ep)
-                // a PARTLESS CTAS tree carries no recoverable schema —
-                // leave it unregistered (its direct use fails loudly)
-                if (ddl.nonEmpty) Some(MergeTree.read(spark, ep, ddl, t.orderBy))
-                else None
-              } else if (t.schemaDdl.nonEmpty && isHttpParquet(ep)) {
-                import org.apache.spark.sql.functions.col
-                val schema = ChSchemaParser.parse(t.schemaDdl)
-                val raw = graft.sources.HttpParquet.read(spark, ep)
-                Some(raw.select(schema.fields.toSeq
-                  .map(f => col(f.name).cast(f.dataType).as(f.name)): _*))
-              } else if (t.schemaDdl.nonEmpty)
-                Some(spark.read.schema(ChSchemaParser.parse(t.schemaDdl)).parquet(ep))
-              else Some(spark.read.parquet(ep))
-            df.foreach(_.createOrReplaceTempView(t.name))
-          }
-        } catch { case scala.util.control.NonFatal(_) => () }
+        try materialize(spark, t).foreach(_.createOrReplaceTempView(t.name))
+        catch { case scala.util.control.NonFatal(_) => () }
       }
+    }
+  }
+
+  /** Build the DataFrame a catalog entry reads — the ONE resolution
+    * used both at ATTACH time and by [[ensureSessionViews]] replay
+    * (two divergent copies drifted; review finding). Switches on the
+    * stored [[Kind]], so replay never re-probes the endpoint. */
+  private def materialize(spark: SparkSession, t: AttachedTable): Option[DataFrame] = {
+    import graft.sources.mergetree.MergeTree
+    t.kind match {
+      case Kind.MergeTree =>
+        t.endpoint.flatMap { ep =>
+          // pre-r11 CTAS entries carry no DDL — recover it from the
+          // tree's own columns.txt (non-empty trees only)
+          val ddl = if (t.schemaDdl.nonEmpty) t.schemaDdl else MergeTree.ddlOf(ep)
+          if (ddl.nonEmpty) Some(MergeTree.read(spark, ep, ddl, t.orderBy))
+          else None
+        }
+      case Kind.HttpParquet =>
+        t.endpoint.map { ep =>
+          // the declared column list projects/casts the remote footer
+          // schema: missing declared columns fail analysis loudly,
+          // extra remote columns are pruned
+          val raw = graft.sources.HttpParquet.read(spark, ep)
+          if (t.schemaDdl.isEmpty) raw
+          else {
+            import org.apache.spark.sql.functions.col
+            val schema = ChSchemaParser.parse(t.schemaDdl)
+            raw.select(schema.fields.toSeq
+              .map(f => col(f.name).cast(f.dataType).as(f.name)): _*)
+          }
+        }
+      case Kind.SchemaOnly =>
+        // ATTACH with no endpoint clause, or AllowEmptyConf over an
+        // unreadable one: the schema IS the table — replays as the
+        // same empty view (skipping it broke request-2 queries while
+        // EXISTS still answered 1; review finding)
+        if (t.schemaDdl.isEmpty) None
+        else Some(spark.createDataFrame(
+          spark.sparkContext.emptyRDD[Row], ChSchemaParser.parse(t.schemaDdl)))
+      case _ =>
+        t.endpoint.map { ep =>
+          if (t.schemaDdl.nonEmpty)
+            spark.read.schema(ChSchemaParser.parse(t.schemaDdl)).parquet(ep)
+          else spark.read.parquet(ep)
+        }
     }
   }
 

@@ -53,9 +53,16 @@ object Engine {
       // 1.3 s at full width). The pair below expresses both regimes:
       // small tables pack into cores/4 tasks, and the 32 MB size cap
       // keeps anything ≥ cores/4 × 32 MB fanning out to all cores.
+      // The cap is sized for THIS single-node regime (splits ≤ a few
+      // GB per table): on a 1000-executor cluster 32 MB would 4× the
+      // task count of a 100 TB scan for no gain — deployments at that
+      // scale should raise it back to 128 MB via env/extraConf.
       .config("spark.sql.files.minPartitionNum",
-        math.max(1, cores / 4).toString)
-      .config("spark.sql.files.maxPartitionBytes", (32L * 1024 * 1024).toString)
+        sys.env.getOrElse("SPARK_GRAFT_MIN_PART",
+          math.max(1, cores / 4).toString))
+      .config("spark.sql.files.maxPartitionBytes",
+        sys.env.getOrElse("SPARK_GRAFT_MAX_PART_BYTES",
+          (32L * 1024 * 1024).toString))
     extraConf.foreach { case (k, v) => b.config(k, v) }
     val spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

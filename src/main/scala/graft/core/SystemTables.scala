@@ -156,7 +156,7 @@ object SystemTables {
     val cat = graft.core.Catalog.all.map(t =>
       (t.name, "MergeTree", t.orderBy.mkString(", "),
         t.endpoint.getOrElse(""),
-        if (t.schemaDdl.nonEmpty) "attached" else "created"))
+        if (t.ownsStorage) "created" else "attached"))
     val catNames = cat.map(_._1.toLowerCase).toSet
     val views = spark.catalog.listTables().collect()
       .filter(v => !catNames.contains(v.name.toLowerCase) &&

@@ -99,7 +99,8 @@ object ChWrites {
             .write(spark, df, path, sortKey)
           graft.sources.mergetree.MergeTree.read(spark, path, ddl, sortKey)
             .createOrReplaceTempView(name)
-          graft.core.Catalog.recordCtas(name, path, sortKey)
+          graft.core.Catalog.recordCtas(name, path, sortKey, ddl,
+            graft.core.Catalog.Kind.MergeTree)
           Seq((name, path, rows)).toDF("table", "path", "rows")
         } else {
           engine.filterNot(_ == "mergetree").foreach { e =>

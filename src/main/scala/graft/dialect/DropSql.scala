@@ -66,10 +66,10 @@ object DropSql {
     val (action, reportEndpoint) =
       if (!drop) ("detached", endpoint)
       else entry match {
-        // CTAS-materialized (schemaDdl empty, endpoint = the warehouse
-        // path this engine wrote): DROP owns the storage — delete it
-        // and any projections registered over either identity of it
-        case Some(t) if t.schemaDdl.isEmpty && t.endpoint.isDefined =>
+        // CTAS-materialized (ownsStorage: this engine wrote the
+        // warehouse path): DROP owns the storage — delete it and any
+        // projections registered over either identity of it
+        case Some(t) if t.ownsStorage && t.endpoint.isDefined =>
           val path = t.endpoint.get
           val keys = Seq(
             graft.plans.AggProjections.sourceKey(spark, path),

@@ -135,7 +135,9 @@ object ShowSql {
     val entry = graft.core.Catalog.lookup(n).orElse(
       graft.core.Catalog.all.find(_.name.equalsIgnoreCase(n)))
     val stmt = entry match {
-      case Some(t) if t.schemaDdl.nonEmpty =>
+      // ownsStorage (CTAS) entries render CREATE TABLE below even
+      // though they now record their DDL too (review-era fix)
+      case Some(t) if t.schemaDdl.nonEmpty && !t.ownsStorage =>
         val uuid = t.uuid.map(u => s" UUID '$u'").getOrElse("")
         val orderBy =
           if (t.orderBy.nonEmpty) s" ORDER BY (${t.orderBy.mkString(", ")})" else ""

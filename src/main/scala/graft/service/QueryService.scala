@@ -114,8 +114,11 @@ class QueryService(spark: SparkSession) {
     // CTAS'd/ATTACH'd by EARLIER requests re-materialize as views here,
     // so request 2 can query what request 1 created (CH's own HTTP
     // behavior — its catalog is durable across requests)
+    // scan the SUBSTITUTED text: a table referenced only through a
+    // {macro} never matched the raw request body (review finding)
     graft.core.Catalog.ensureSessionViews(spark,
-      (req.query +: req.initQueries).mkString(" "))
+      (req.query +: req.initQueries)
+        .map(q => ChSql.substituteMacros(q, req.macros)).mkString(" "))
     // session init: CH `SET k=v` maps to Spark SQL SET verbatim; ATTACH
     // TABLE routes to the catalog; everything else through the rewriter.
     // Eager collect mirrors the reference's serial init loop (`:302-310`).
@@ -126,6 +129,14 @@ class QueryService(spark: SparkSession) {
     // MAIN query return their status frame — same contract as init-path
     // writes through ChSql.sql
     val main = ChSql.stripOnCluster(ChSql.substituteMacros(req.query, req.macros))
+    // ATTACH TABLE as the MAIN statement: route to the catalog like the
+    // init path does — it otherwise fell through to Spark's own parser
+    // (review-era gap surfaced by the schema-only persistence test)
+    if (graft.core.Catalog.isAttach(main)) {
+      import spark.implicits._
+      val t = graft.core.Catalog.attach(spark, main)
+      return (Seq((t.name, "attached")).toDF("table", "status"), Map.empty)
+    }
     if (graft.dialect.ChWrites.isWrite(main))
       return (graft.dialect.ChWrites.run(spark, main, req.macros), Map.empty)
     // projection DDL as the main query (advisor r9: the statement was

@@ -291,6 +291,42 @@ class QueryServerSpec extends AnyFunSuite {
     assert(gone.statusCode() == 400 || gone.statusCode() == 500, gone.body())
   }
 
+  test("cross-request persistence covers empty CTAS, schema-only ATTACH, and {macro} references") {
+    // a ZERO-row MergeTree CTAS must stay queryable in later requests:
+    // its partless tree has no columns.txt to recover a schema from, so
+    // the catalog entry itself carries the DDL (review finding)
+    assert(post("/",
+      "CREATE TABLE xreq_empty ENGINE = MergeTree ORDER BY (n) AS " +
+        "SELECT number AS n FROM numbers(10) WHERE number > 100").statusCode() == 200)
+    assert(post("/?default_format=CSV", "SELECT count() FROM xreq_empty").body() == "0\n")
+    assert(post("/", "INSERT INTO xreq_empty SELECT number FROM numbers(3)")
+      .statusCode() == 200)
+    assert(post("/?default_format=CSV", "SELECT count() FROM xreq_empty").body() == "3\n")
+    assert(post("/", "DROP TABLE xreq_empty").statusCode() == 200)
+
+    // an ATTACH with NO endpoint clause registers schema-only; request 2
+    // must see the same empty table, not TABLE_OR_VIEW_NOT_FOUND while
+    // EXISTS answers 1 (review finding)
+    val at = post("/",
+      "ATTACH TABLE xreq_schema (`id` UInt64, `s` String) ENGINE = MergeTree ORDER BY (id)")
+    assert(at.statusCode() == 200, at.body())
+    assert(post("/?default_format=CSV", "EXISTS TABLE xreq_schema").body() == "1\n")
+    val so = post("/?default_format=CSV", "SELECT count() FROM xreq_schema")
+    assert(so.statusCode() == 200, so.body())
+    assert(so.body() == "0\n")
+    assert(post("/", "DROP TABLE xreq_schema").statusCode() == 200)
+
+    // a table referenced ONLY through a {macro}: the mention scan runs
+    // on the substituted text (review finding)
+    assert(post("/",
+      "CREATE TABLE xreq_mac AS SELECT number AS n FROM numbers(7)").statusCode() == 200)
+    val viaMacro = post("/query",
+      """{"query": "SELECT count() AS c FROM {t}", "macros": {"t": "xreq_mac"}}""")
+    assert(viaMacro.statusCode() == 200, viaMacro.body())
+    assert(viaMacro.body().contains("[[7]]"))
+    assert(post("/", "DROP TABLE xreq_mac").statusCode() == 200)
+  }
+
   test("gzip on the HTTP doors: gzipped request bodies and Accept-Encoding gzip responses") {
     // gzipped SQL body — curl --data-binary @big.sql.gz, a standard CH
     // HTTP pattern

@@ -3,8 +3,11 @@ package graft.tools
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-/** Throwaway measurement driver for the cityHash64 hot path (q4 shape).
-  * Not part of the shipped surface; run manually against a bench dir.
+/** Measurement driver for the cityHash64 hot path (q4 shape) — a dev
+  * tool in the TEST sourceset (not shipped). Run with
+  * `sbt "Test/runMain graft.tools.HashBench <benchDir> [iters]"`; the
+  * HB_* env knobs mirror graft.Bench's session confs one at a time so
+  * config differences can be bisected.
   */
 object HashBench {
   def main(args: Array[String]): Unit = {
