@@ -1011,6 +1011,53 @@ object SparkEntry {
         .orderBy("c_nationkey")
     }),
 
+    // MergeTree PARTITION BY (r11): a partitioned CTAS writes per-year
+    // part trees (`<pid>_N_N_0` names, partition.dat + minmax_<col>.idx
+    // sidecars), and the one-year query both exercises the part-level
+    // MINMAX pruning path and hash-matches the oracle's plain
+    // filter/agg over the pristine source
+    "q184_mt_partitioned_ctas" -> ((spark, dir) => {
+      prep(spark, dir)
+      val wh = s"${derivedDir(spark, dir)}/wh"
+      spark.conf.set(graft.dialect.ChWrites.WarehouseConf, wh)
+      val svc = new QueryService(spark)
+      svc.executeToDf(QueryService.QueryRequest(
+        query = """SELECT st, count() AS n,
+                  |       CAST(round(sum(price)) AS BIGINT) AS total
+                  |FROM part_mt_orders
+                  |WHERE d >= toDate('1994-01-01') AND d <= toDate('1994-12-31')
+                  |GROUP BY st ORDER BY st""".stripMargin,
+        initQueries = Seq(
+          """CREATE TABLE part_mt_orders ENGINE = MergeTree
+            |PARTITION BY toYear(d) ORDER BY (okey) AS
+            |SELECT o_orderkey AS okey, o_orderdate AS d,
+            |       o_orderstatus AS st, o_totalprice AS price
+            |FROM orders WHERE o_custkey % 6 = 0""".stripMargin)))._1
+    }),
+
+    // ALTER TABLE … DROP PARTITION (r11): CH's instant-retention
+    // statement — the 1994 partition's parts are REMOVED at
+    // metadata-time cost, nothing else rewrites, and the remaining
+    // per-year aggregate hash-matches the oracle's year-excluding
+    // filter over the source
+    "q185_mt_drop_partition" -> ((spark, dir) => {
+      prep(spark, dir)
+      val wh = s"${derivedDir(spark, dir)}/wh"
+      spark.conf.set(graft.dialect.ChWrites.WarehouseConf, wh)
+      val svc = new QueryService(spark)
+      svc.executeToDf(QueryService.QueryRequest(
+        query = """SELECT toYear(d) AS y, count() AS n,
+                  |       CAST(round(sum(price)) AS BIGINT) AS total
+                  |FROM drop_mt_orders GROUP BY y ORDER BY y""".stripMargin,
+        initQueries = Seq(
+          """CREATE TABLE drop_mt_orders ENGINE = MergeTree
+            |PARTITION BY toYear(d) ORDER BY (okey) AS
+            |SELECT o_orderkey AS okey, o_orderdate AS d,
+            |       o_totalprice AS price
+            |FROM orders WHERE o_custkey % 9 = 0""".stripMargin,
+          "ALTER TABLE drop_mt_orders DROP PARTITION 1994")))._1
+    }),
+
     // CH vector-distance family (dotProduct/cosineDistance/L1/L2/Linf)
     // over real embeddings, paired (vec_id, vec_id+1) — native codegen'd
     // kernels, oracle = DuckDB list_* on the same double-widened arrays
@@ -2712,6 +2759,20 @@ object SparkEntry {
         |       CAST(round(sum(c_acctbal) * 100) AS BIGINT) AS bal_c
         |FROM customer WHERE c_custkey % 4 = 1
         |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+    "q184_mt_partitioned_ctas" ->
+      """SELECT o_orderstatus AS st, count(*) AS n,
+        |       CAST(round(sum(o_totalprice)) AS BIGINT) AS total
+        |FROM orders
+        |WHERE o_custkey % 6 = 0
+        |  AND o_orderdate >= DATE '1994-01-01'
+        |  AND o_orderdate <= DATE '1994-12-31'
+        |GROUP BY st ORDER BY st""".stripMargin,
+    "q185_mt_drop_partition" ->
+      """SELECT year(o_orderdate) AS y, count(*) AS n,
+        |       CAST(round(sum(o_totalprice)) AS BIGINT) AS total
+        |FROM orders
+        |WHERE o_custkey % 9 = 0 AND year(o_orderdate) != 1994
+        |GROUP BY y ORDER BY y""".stripMargin,
     "q176_optimize_table" ->
       """SELECT o_orderstatus AS st, count(*) AS n,
         |       CAST(round(sum(o_totalprice)) AS BIGINT) AS total

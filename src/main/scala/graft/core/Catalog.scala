@@ -44,12 +44,16 @@ object Catalog {
         * never deleted. Explicit, because inferring ownership from
         * "schemaDdl is empty" broke the moment CTAS started recording
         * its DDL (review finding). */
-      ownsStorage: Boolean = false)
+      ownsStorage: Boolean = false,
+      /** `PARTITION BY` expression for MergeTree tables — INSERT,
+        * mutations, and OPTIMIZE must re-apply it or a rewrite would
+        * silently de-partition the tree. */
+      partitionBy: Option[String] = None)
 
   private val attached = scala.collection.concurrent.TrieMap.empty[String, AttachedTable]
 
   private val AttachRe =
-    """(?is)\s*ATTACH\s+TABLE\s+(\S+)\s*(?:UUID\s+'([^']*)')?\s*\((.*)\)\s*ENGINE\s*=\s*(\w+)(?:\s+ORDER\s+BY\s*\(([^)]*)\))?(?:\s+SAMPLE\s+BY\s+(\w+\([^)]*\)|\([^)]*\)|[\w.]+))?(.*)""".r
+    """(?is)\s*ATTACH\s+TABLE\s+(\S+)\s*(?:UUID\s+'([^']*)')?\s*\((.*)\)\s*ENGINE\s*=\s*(\w+)(?:\s+PARTITION\s+BY\s+((?:(?!\s+ORDER\s+BY\b|\s+SAMPLE\s+BY\b|\s+SETTINGS\b).)+))?(?:\s+ORDER\s+BY\s*\(([^)]*)\))?(?:\s+SAMPLE\s+BY\s+(\w+\([^)]*\)|\([^)]*\)|[\w.]+))?(.*)""".r
   private val EndpointRe = """endpoint\s*=\s*'([^']*)'""".r
 
   def isAttach(sql: String): Boolean =
@@ -69,7 +73,7 @@ object Catalog {
     * registration. An ATTACH with no endpoint clause at all is plain
     * DDL and registers schema-only as before. */
   def attach(spark: SparkSession, sql: String): AttachedTable = sql match {
-    case AttachRe(name, uuid, cols, _, orderBy, sampleBy, tail) =>
+    case AttachRe(name, uuid, cols, _, partitionBy, orderBy, sampleBy, tail) =>
       val schema = ChSchemaParser.parse(cols)
       val key = Option(orderBy).map(_.split(",").map(_.trim).toSeq).getOrElse(Nil)
       val rawEndpoint = EndpointRe.findFirstMatchIn(tail).map(_.group(1))
@@ -111,7 +115,8 @@ object Catalog {
         case _ => Kind.SchemaOnly
       }
       val t = AttachedTable(name, cols.trim, key, endpoint.map(_._1),
-        Option(sampleBy), Option(uuid).map(_.trim).filter(_.nonEmpty), kind)
+        Option(sampleBy), Option(uuid).map(_.trim).filter(_.nonEmpty), kind,
+        partitionBy = Option(partitionBy).map(_.trim).filter(_.nonEmpty))
       materialize(spark, t).foreach(_.createOrReplaceTempView(name))
       attached(name) = t
       t
@@ -131,11 +136,25 @@ object Catalog {
     * ZERO-part tree (CTAS of an empty result) stays queryable in later
     * requests, which `ddlOf` alone could not recover (review finding). */
   def recordCtas(name: String, path: String, orderBy: Seq[String],
-      ddl: String = "", kind: String = Kind.Parquet): Unit =
+      ddl: String = "", kind: String = Kind.Parquet,
+      partitionBy: Option[String] = None): Unit =
     attached(name) = AttachedTable(name, ddl, orderBy, Some(path),
-      kind = kind, ownsStorage = true)
+      kind = kind, ownsStorage = true, partitionBy = partitionBy)
 
   def lookup(name: String): Option[AttachedTable] = attached.get(name)
+
+  /** The recorded PARTITION BY for the table whose MergeTree endpoint
+    * this is (path-identity compare, `file:` renderings normalized) —
+    * maintenance rewrites and streaming appends re-apply it so a
+    * partitioned tree never comes back flat. */
+  def partitionByForEndpoint(ep: String): Option[String] = {
+    import graft.sources.mergetree.MergeTree
+    def norm(p: String): String =
+      try MergeTree.localPath(p) catch { case _: Exception => p }
+    val target = norm(ep)
+    attached.values.find(_.endpoint.exists(e => norm(e) == target))
+      .flatMap(_.partitionBy)
+  }
 
   /** Remove a catalog entry (DROP/DETACH TABLE) — returns it so the
     * caller can decide what happens to the storage it points at. */

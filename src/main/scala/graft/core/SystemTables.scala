@@ -185,11 +185,15 @@ object SystemTables {
         .flatMap { ep =>
           try graft.sources.mergetree.MergeTree.partsInfo(ep).map {
             case (part, nRows, granules, nCols) =>
-              (t.name, part, 1: Byte, nRows, granules, nCols)
+              // the part-name prefix IS the partition id (CH's naming:
+              // `all` for unpartitioned tables) — what DROP PARTITION
+              // ID takes
+              val pid = part.substring(0, part.indexOf('_'))
+              (t.name, part, pid, 1: Byte, nRows, granules, nCols)
           } catch { case _: Exception => Nil }
         }
     }
-    rows.toDF("table", "name", "active", "rows", "marks", "columns")
+    rows.toDF("table", "name", "partition_id", "active", "rows", "marks", "columns")
   }
 
   /** ≈ system.functions: every name the dialect registers (one row per

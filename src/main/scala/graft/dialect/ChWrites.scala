@@ -84,11 +84,15 @@ object ChWrites {
           s"CREATE TABLE $name: multi-part names are not supported — " +
             "use a simple table name (registered as a session view)")
         val sortKey = parseOrderBy(middle)
+        val partitionBy = parsePartitionBy(middle)
         val warehouse = spark.conf.get(WarehouseConf,
           s"${System.getProperty("java.io.tmpdir")}/graft_warehouse")
         val path = s"$warehouse/$name"
         val df = selectDf(spark, body, macros)
         val engine = EngineRe.findFirstMatchIn(middle).map(_.group(1).toLowerCase)
+        require(partitionBy.isEmpty || engine.contains("mergetree"),
+          s"CREATE TABLE $name: PARTITION BY needs ENGINE = MergeTree " +
+            "(clustered parquet CTAS expresses layout via ORDER BY)")
         if (engine.contains("mergetree")) {
           // ENGINE = MergeTree writes a REAL wide-part tree (VERDICT r9
           // task #8) — ATTACH-able by the q160 data path, locally or
@@ -96,11 +100,11 @@ object ChWrites {
           // per-task part encode); plain CTAS (no ENGINE) keeps the
           // sorted-parquet path.
           val (rows, ddl) = graft.sources.mergetree.MergeTreeCtas
-            .write(spark, df, path, sortKey)
+            .write(spark, df, path, sortKey, partitionBy = partitionBy)
           graft.sources.mergetree.MergeTree.read(spark, path, ddl, sortKey)
             .createOrReplaceTempView(name)
           graft.core.Catalog.recordCtas(name, path, sortKey, ddl,
-            graft.core.Catalog.Kind.MergeTree)
+            graft.core.Catalog.Kind.MergeTree, partitionBy)
           Seq((name, path, rows)).toDF("table", "path", "rows")
         } else {
           engine.filterNot(_ == "mergetree").foreach { e =>
@@ -152,8 +156,15 @@ object ChWrites {
               case (c, f) => org.apache.spark.sql.functions.col(s"`$c`")
                 .cast(f.dataType).as(f.name)
             }.toIndexedSeq: _*)
+            // a partitioned table's INSERT partitions its batch the
+            // same way the CTAS did — the expression lives on the
+            // catalog entry
+            val pb = graft.core.Catalog.lookup(name)
+              .orElse(graft.core.Catalog.all.find(_.name.equalsIgnoreCase(name)))
+              .flatMap(_.partitionBy)
             val n = graft.sources.mergetree.MergeTreeCtas
-              .appendPart(spark, aligned, ep, orderBy, declaredDdl = Some(ddl))
+              .appendPart(spark, aligned, ep, orderBy, declaredDdl = Some(ddl),
+                partitionBy = pb)
             Seq((name, "MergeTreePart", n)).toDF("path", "format", "rows")
           case None =>
             throw new IllegalArgumentException(
@@ -181,6 +192,16 @@ object ChWrites {
     * expression keys (`ORDER BY cityHash64(id)`) refuse loudly — a
     * function name silently taken as a column would crash deep inside
     * the write (review finding). */
+  /** `PARTITION BY <expr>` from the CTAS middle clause — the expression
+    * runs up to the next clause keyword (ORDER BY / SAMPLE BY /
+    * SETTINGS) or the end; parens inside (toYYYYMM(d)) are fine because
+    * the stop condition is keyword-based, not paren-based. */
+  private val PartitionByRe =
+    """(?is)\bPARTITION\s+BY\s+((?:(?!\s+ORDER\s+BY\b|\s+SAMPLE\s+BY\b|\s+SETTINGS\b).)+)""".r
+  private def parsePartitionBy(middle: String): Option[String] =
+    PartitionByRe.findFirstMatchIn(middle).map(_.group(1).trim)
+      .filter(_.nonEmpty)
+
   private val IdentRe = """[A-Za-z_][A-Za-z0-9_]*""".r
   private def parseOrderBy(middle: String): Seq[String] = {
     if ("""(?is)\bORDER\s+BY\s+tuple\s*\(\s*\)""".r.findFirstIn(middle).isDefined)

@@ -36,10 +36,13 @@ object MutateSql {
     """(?is)^\s*ALTER\s+TABLE\s+(?:'([^']+)'|([\w.`"]+))\s+UPDATE\s+(.+?)\s*$""".r
   private val TruncateRe =
     """(?is)^\s*TRUNCATE\s+TABLE\s+(IF\s+EXISTS\s+)?(?:'([^']+)'|([\w.`"]+))\s*$""".r
+  private val DropPartitionRe =
+    """(?is)^\s*ALTER\s+TABLE\s+(?:'([^']+)'|([\w.`"]+))\s+DROP\s+PARTITION\s+(ID\s+)?('[^']*'|\S+)\s*$""".r
 
   def isMutation(sql: String): Boolean =
     DeleteRe.matches(sql) || LightDeleteRe.matches(sql) ||
-      UpdateRe.matches(sql) || TruncateRe.matches(sql)
+      UpdateRe.matches(sql) || TruncateRe.matches(sql) ||
+      DropPartitionRe.matches(sql)
 
   def run(spark: SparkSession, sql: String,
       macros: Map[String, String] = ChSql.defaultMacros): DataFrame = {
@@ -95,6 +98,21 @@ object MutateSql {
             Seq((name.getOrElse(source), "truncated", n))
               .toDF("table", "mutation", "rows_affected")
         }
+      case DropPartitionRe(pathLit, tableName, idKw, literal) =>
+        // CH's instant-retention statement: the partition's parts are
+        // REMOVED, no rewrite of anything else — metadata-time cost at
+        // any table size, which is exactly why production tables
+        // partition in the first place
+        import graft.sources.mergetree.{MergeTree, MergeTreePartitioning}
+        val (label, ep, _, _) = resolveMt(spark, pathLit, tableName,
+          op = "ALTER TABLE … DROP PARTITION").getOrElse(
+          throw new IllegalArgumentException(
+            "ALTER TABLE … DROP PARTITION targets a MergeTree table " +
+              "(parquet tables have no partitions — use DELETE WHERE)"))
+        val pid = MergeTreePartitioning.renderDropId(literal, idKw != null)
+        val dropped = MergeTree.dropPartition(spark, ep, pid)
+        Seq((label, s"drop_partition $pid", dropped))
+          .toDF("table", "mutation", "rows_affected")
       case DeleteRe(pathLit, tableName, cond) =>
         delete(spark, pathLit, tableName, cond, macros)
       case LightDeleteRe(pathLit, tableName, cond) =>
@@ -232,7 +250,14 @@ object MutateSql {
   private def rewriteMt(spark: SparkSession, ep: String, ddl: String,
       key: Seq[String], out: org.apache.spark.sql.DataFrame): Unit =
     graft.sources.mergetree.MergeTreeCtas.write(spark, out, ep, key,
-      declaredDdl = Some(ddl), op = "ALTER TABLE mutation")
+      declaredDdl = Some(ddl), op = "ALTER TABLE mutation",
+      partitionBy = partitionByOf(ep))
+
+  /** The catalog's PARTITION BY for the table whose endpoint this is —
+    * a mutation rewrite must re-apply it or the rewritten tree would
+    * silently come back unpartitioned. */
+  private[dialect] def partitionByOf(ep: String): Option[String] =
+    graft.core.Catalog.partitionByForEndpoint(ep)
 
   private def resolve(spark: SparkSession, pathLit: String,
       tableName: String): (Option[String], String) = {

@@ -85,7 +85,8 @@ object OptimizeSql {
           graft.sources.mergetree.MergeTreeCtas.withTreeLock(ep) {
             val preFp = MergeTree.partsFingerprint(ep)
             graft.sources.mergetree.MergeTreeCtas.write(spark, df, ep, key,
-              declaredDdl = Some(ddl), op = "OPTIMIZE TABLE")
+              declaredDdl = Some(ddl), op = "OPTIMIZE TABLE",
+              partitionBy = MutateSql.partitionByOf(ep))
             graft.plans.AggProjections.refingerprintMergeTree(spark, ep, preFp)
           }
           val partsAfter = MergeTree.partsInfo(ep).size

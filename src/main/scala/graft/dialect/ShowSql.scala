@@ -139,6 +139,7 @@ object ShowSql {
       // though they now record their DDL too (review-era fix)
       case Some(t) if t.schemaDdl.nonEmpty && !t.ownsStorage =>
         val uuid = t.uuid.map(u => s" UUID '$u'").getOrElse("")
+        val partBy = t.partitionBy.map(p => s" PARTITION BY $p").getOrElse("")
         val orderBy =
           if (t.orderBy.nonEmpty) s" ORDER BY (${t.orderBy.mkString(", ")})" else ""
         val sampleBy = t.sampleBy.map(sb => s" SAMPLE BY $sb").getOrElse("")
@@ -147,17 +148,19 @@ object ShowSql {
           s" SETTINGS disk = disk(type = $diskType, endpoint = '$e')"
         }.getOrElse("")
         s"ATTACH TABLE ${t.name}$uuid (${t.schemaDdl}) " +
-          s"ENGINE = MergeTree$orderBy$sampleBy$settings"
+          s"ENGINE = MergeTree$partBy$orderBy$sampleBy$settings"
       case other =>
         val orderBy = other.filter(_.orderBy.nonEmpty)
           .map(t => s" ORDER BY (${t.orderBy.mkString(", ")})").getOrElse("")
+        val partBy = other.flatMap(_.partitionBy)
+          .map(p => s" PARTITION BY $p").getOrElse("")
         // a MergeTree-backed view (CTAS ENGINE=MergeTree) carries its
         // TRUE column list in the relation — render that, not the Spark
         // schema, which marks everything nullable and would print a
         // Nullable ORDER BY key no CH table could declare
         ProjectionSql.resolveMergeTree(spark, n) match {
           case Some((_, ddl, _)) =>
-            s"CREATE TABLE $n ($ddl) ENGINE = MergeTree$orderBy"
+            s"CREATE TABLE $n ($ddl) ENGINE = MergeTree$partBy$orderBy"
           case None =>
             // CTAS parquet entry or a plain session view — render the
             // live schema in CH type names

@@ -82,7 +82,8 @@ object MergeTreeCtas {
       dir0: String,
       orderBy: Seq[String],
       declaredDdl: Option[String] = None,
-      op: String = "CTAS ENGINE=MergeTree"): (Long, String) = {
+      op: String = "CTAS ENGINE=MergeTree",
+      partitionBy: Option[String] = None): (Long, String) = {
     val dir = localDir(dir0)
     val (total, cols) = analyze(spark, df, orderBy, declaredDdl, op)
     // per-endpoint serialization: two concurrent rewrites would race
@@ -90,6 +91,7 @@ object MergeTreeCtas {
     var written = 0L
     treeLock(dir).synchronized {
       val existingTree = java.nio.file.Files.isDirectory(java.nio.file.Paths.get(dir))
+      if (existingTree) requireSchemeMatch(dir, partitionBy, op)
       // parts of a REWRITE are numbered above the previous tree's
       // durable block watermark: part names are MergeTree's
       // content-version unit, and reusing all_1_1_0… across a
@@ -103,7 +105,8 @@ object MergeTreeCtas {
       // the scan can tell "validated empty table" from "wrong path"
       def writeTree(treeDir: String): Unit = {
         val parts =
-          if (total > 0) writeParts(spark, df, treeDir, cols, orderBy, base, total)
+          if (total > 0)
+            writeParts(spark, df, treeDir, cols, orderBy, base, total, partitionBy)
           else Nil
         written = parts.map(_._2).sum
         writeFormatVersion(treeDir)
@@ -147,10 +150,12 @@ object MergeTreeCtas {
       dir0: String,
       orderBy: Seq[String],
       declaredDdl: Option[String] = None,
-      op: String = "INSERT INTO"): Long = {
+      op: String = "INSERT INTO",
+      partitionBy: Option[String] = None): Long = {
     val dir = localDir(dir0)
     val (total, cols) = analyze(spark, df, orderBy, declaredDdl, op)
     if (total == 0) return 0L
+    requireSchemeMatch(dir, partitionBy, op)
     // encode on executors into a unique SIBLING staging dir (same
     // parent → same filesystem → the final moves are atomic renames).
     // A sibling, NOT a subdir of the tree: a concurrent OPTIMIZE or
@@ -166,7 +171,8 @@ object MergeTreeCtas {
     val stagingDir = treePath.getParent.resolve(staging)
     java.nio.file.Files.createDirectories(stagingDir)
     val written =
-      try writeParts(spark, df, stagingDir.toString, cols, orderBy, base = 0, total)
+      try writeParts(spark, df, stagingDir.toString, cols, orderBy,
+        base = 0, total, partitionBy)
       catch { case e: Throwable => deleteTree(stagingDir); throw e }
     // number allocation + rename are serialized per endpoint: the
     // QueryServer runs statements on a thread pool, and two unlocked
@@ -182,9 +188,14 @@ object MergeTreeCtas {
       // covered parts' rows on ATTACH), nor reuse a pre-TRUNCATE name
       val next = 1 + blockWatermark(dir)
       written.zipWithIndex.foreach { case ((staged, _), i) =>
+        // preserve the staged part's partition-id prefix: blocks are
+        // table-global (above the watermark regardless of partition),
+        // which is stricter than CH's per-partition coverage rule and
+        // therefore always safe
+        val pid = staged.substring(0, staged.indexOf('_'))
         java.nio.file.Files.move(
           stagingDir.resolve(staged),
-          treePath.resolve(s"all_${next + i}_${next + i}_0"),
+          treePath.resolve(s"${pid}_${next + i}_${next + i}_0"),
           java.nio.file.StandardCopyOption.ATOMIC_MOVE)
       }
       deleteTree(stagingDir)
@@ -394,48 +405,165 @@ object MergeTreeCtas {
     * its duplicate — first writer wins, both wrote identical rows).
     * Returns (part name, rows) in block order — the written counts are
     * authoritative for the caller's row accounting. */
+  /** A tree's write must keep its partition scheme: rewriting or
+    * appending unpartitioned parts into a partitioned tree (or the
+    * reverse) would mix `all_…` and `<pid>_…` parts — readable, but no
+    * longer a coherent CH table (DROP PARTITION would miss rows).
+    * Callers that address the table by NAME thread the catalog's
+    * PARTITION BY; a path-addressed write on a mismatched tree refuses
+    * with that guidance. */
+  private def requireSchemeMatch(
+      dir: String, partitionBy: Option[String], op: String): Unit = {
+    val parts = TableFiles(dir).partDirs()
+    if (parts.isEmpty) return
+    val treePartitioned = MergeTreePartitioning.isPartitioned(parts)
+    require(treePartitioned == partitionBy.isDefined,
+      if (treePartitioned)
+        s"$op: tree at '$dir' is PARTITIONED (ids: " +
+          s"${MergeTreePartitioning.partitionIds(parts).take(5).mkString(", ")}…) " +
+          "but no PARTITION BY is known — address the table by its " +
+          "catalog name so the partition expression is applied"
+      else
+        s"$op: tree at '$dir' is UNPARTITIONED but a PARTITION BY was " +
+          "supplied — partitioning an existing tree requires a rewrite " +
+          "(CREATE a new partitioned table AS SELECT from this one)")
+  }
+
+  /** One task partition may span several PARTITION BY values (range
+    * partitioning on (pid, key) keeps them contiguous): each run of one
+    * pid becomes its own part named `<pid>_<block>_<block>_0`. Blocks
+    * are unique per (task, run-set) because coverage is judged within a
+    * partition — two parts of different pids may share a block number,
+    * exactly CH's model. */
   private def writeParts(
       spark: SparkSession, df: DataFrame, treeDir: String,
       cols: Seq[(String, String)], orderBy: Seq[String],
-      base: Int, total: Long): Seq[(String, Long)] = {
+      base: Int, total: Long,
+      partitionBy: Option[String] = None): Seq[(String, Long)] = {
     import org.apache.spark.sql.functions.col
     val perPart = partRows(spark, total)
     require(perPart > 0, s"$PartRowsConf out of range: $perPart")
     val nParts = math.max(1L, (total + perPart - 1) / perPart).toInt
     val orderCols = orderBy.map(c => col(s"`$c`"))
-    val arranged =
-      if (orderBy.nonEmpty)
-        df.repartitionByRange(nParts, orderCols: _*)
-          .sortWithinPartitions(orderCols: _*)
-      else if (nParts == 1) df.coalesce(1)
-      else df.repartition(nParts)
+    val width = cols.size
+    // partitioned: stage pid/pval columns and range on (pid, key) so
+    // every task's rows are pid-contiguous and key-sorted within a pid
+    val stagedOpt = partitionBy.map(pe => MergeTreePartitioning.stage(df, pe))
+    val arranged = stagedOpt match {
+      case Some((staged, _, _)) =>
+        val pidC = col(MergeTreePartitioning.PidCol)
+        staged.repartitionByRange(nParts, (pidC +: orderCols): _*)
+          .sortWithinPartitions((pidC +: orderCols): _*)
+      case None =>
+        if (orderBy.nonEmpty)
+          df.repartitionByRange(nParts, orderCols: _*)
+            .sortWithinPartitions(orderCols: _*)
+        else if (nParts == 1) df.coalesce(1)
+        else df.repartition(nParts)
+    }
+    val pvalT = stagedOpt.map(_._2)
+    // minmax subject: the partition expression's single source column,
+    // when it is one of the table's own scalar columns
+    val minmaxCol: Option[(Int, String, String)] = for {
+      (_, _, srcOpt) <- stagedOpt
+      src <- srcOpt
+      ci = cols.indexWhere(_._1 == src) if ci >= 0
+      ts = cols(ci)._2
+      if scalarForMinmax(ts)
+    } yield (ci, src, ts)
     val (dirB, colsB, obB, baseB) = (treeDir, cols, orderBy, base)
+    val (partitionedB, pvalTB, minmaxB) = (stagedOpt.isDefined, pvalT, minmaxCol)
     arranged.rdd.mapPartitionsWithIndex { (idx, it) =>
-      val rows = it.map(_.toSeq).toVector
-      if (rows.isEmpty) Iterator.empty
+      val all = it.map(_.toSeq).toVector
+      if (all.isEmpty) Iterator.empty
       else {
-        val partName = s"all_${baseB + idx + 1}_${baseB + idx + 1}_0"
-        val target = java.nio.file.Paths.get(dirB, partName)
-        val staged = s"tmp_w${java.util.UUID.randomUUID().toString.take(8)}"
-        writeChunk(dirB, colsB, rows, staged, obB)
-        try java.nio.file.Files.move(
-          java.nio.file.Paths.get(dirB, staged), target,
-          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-        catch {
-          case _: java.nio.file.FileAlreadyExistsException =>
-            deleteTree(java.nio.file.Paths.get(dirB, staged))
-          // Linux rename(2) onto an existing NON-EMPTY dir is
-          // ENOTEMPTY, which the JDK surfaces as a bare
-          // FileSystemException, not FileAlreadyExists (review
-          // finding) — same meaning here: the retry lost the race
-          case _: java.nio.file.FileSystemException
-              if java.nio.file.Files.isDirectory(target) =>
-            deleteTree(java.nio.file.Paths.get(dirB, staged))
+        // split the task's rows into runs of one partition id (the
+        // whole task is one run when unpartitioned)
+        val runs: Seq[(String, Vector[Seq[Any]])] =
+          if (!partitionedB) Seq(("all", all))
+          else {
+            val pidIdx = all.head.size - 1
+            val grouped = Vector.newBuilder[(String, Vector[Seq[Any]])]
+            var runPid: String = null
+            var run = Vector.newBuilder[Seq[Any]]
+            all.foreach { r =>
+              val pid = r(pidIdx)
+              require(pid != null,
+                "PARTITION BY expression evaluated to NULL — CH refuses " +
+                  "NULL partition keys; coalesce the value in the SELECT")
+              val p = pid.toString
+              if (p != runPid) {
+                if (runPid != null) grouped += ((runPid, run.result()))
+                runPid = p; run = Vector.newBuilder[Seq[Any]]
+              }
+              run += r
+            }
+            if (runPid != null) grouped += ((runPid, run.result()))
+            grouped.result()
+          }
+        runs.iterator.map { case (pid, runRows) =>
+          val partName = s"${pid}_${baseB + idx + 1}_${baseB + idx + 1}_0"
+          val target = java.nio.file.Paths.get(dirB, partName)
+          val staged = s"tmp_w${java.util.UUID.randomUUID().toString.take(8)}"
+          val bare = if (partitionedB) runRows.map(_.take(colsB.size)) else runRows
+          writeChunk(dirB, colsB, bare, staged, obB)
+          if (partitionedB) {
+            val pvalIdx = runRows.head.size - 2
+            val pval = runRows.head(pvalIdx)
+            val minmax = minmaxB.flatMap { case (ci, src, ts) =>
+              val vs = runRows.view.map(_(ci))
+              if (vs.exists(_ == null)) None
+              else {
+                var mn = vs.head; var mx = vs.head
+                vs.foreach { v =>
+                  val c = v.asInstanceOf[Comparable[Any]]
+                  if (c.compareTo(mn) < 0) mn = v
+                  if (c.compareTo(mx) > 0) mx = v
+                }
+                Some((src, ts, mn, mx))
+              }
+            }
+            MergeTreePartWriter.writePartitionMeta(
+              java.nio.file.Paths.get(dirB, staged).toString,
+              pvalTB.get, pval, minmax)
+          }
+          try java.nio.file.Files.move(
+            java.nio.file.Paths.get(dirB, staged), target,
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+          catch {
+            case _: java.nio.file.FileAlreadyExistsException =>
+              deleteTree(java.nio.file.Paths.get(dirB, staged))
+            // Linux rename(2) onto an existing NON-EMPTY dir is
+            // ENOTEMPTY, which the JDK surfaces as a bare
+            // FileSystemException, not FileAlreadyExists (review
+            // finding) — same meaning here: the retry lost the race
+            case _: java.nio.file.FileSystemException
+                if java.nio.file.Files.isDirectory(target) =>
+              deleteTree(java.nio.file.Paths.get(dirB, staged))
+          }
+          (idx, partName, runRows.size.toLong)
         }
-        Iterator.single((idx, partName, rows.size.toLong))
       }
-    }.collect().sortBy(_._1).map(t => (t._2, t._3)).toSeq
+    }.collect().sortBy(t => (t._1, t._2)).map(t => (t._2, t._3)).toSeq
   }
+
+  /** Types whose run min/max we can serialize into a `minmax_<col>.idx`
+    * AND whose JVM row values order consistently with the index's
+    * binary domain (enums order by CODE while rows surface names —
+    * excluded; floats excluded with them: CH forbids float partition
+    * keys outright). */
+  private def scalarForMinmax(chTypeStr: String): Boolean =
+    try {
+      import ChType._
+      (ChType.parse(chTypeStr) match {
+        case LowCardinalityT(inner) => inner
+        case t => t
+      }) match {
+        case FixedInt(_, _) | Str | Date16 | Date32T | DateTime32 |
+            DateTime64T(_) => true
+        case _ => false
+      }
+    } catch { case _: Exception => false }
 
   /** One chunk as one part — COMPACT below the granularity when its
     * types fit the compact subset (CH's min_bytes_for_wide_part rule;

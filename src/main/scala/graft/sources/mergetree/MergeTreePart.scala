@@ -262,6 +262,27 @@ private[mergetree] object PartMeta {
     } catch { case _: Exception => None }
   }
 
+  /** Part-level min/max of `column` from the part's `minmax_<col>.idx`
+    * (written for partition-key source columns — by real ClickHouse and
+    * by [[MergeTreePartWriter.writePartitionMeta]]): min then max in the
+    * same serialization as `primary.idx` entries. None when absent or
+    * undecodable — callers then keep the part. */
+  def minMaxIndex(
+      tf: TableFiles, part: String, column: String, t: ChType): Option[(Any, Any)] = {
+    val rel = s"$part/minmax_$column.idx"
+    if (!tf.exists(rel)) return None
+    try {
+      val inner = t match {
+        case ChType.LowCardinalityT(i) => i
+        case x => x
+      }
+      val r = new PlainBinReader(tf.smallFile(rel))
+      val lo = readKeyScalar(r, inner)
+      val hi = readKeyScalar(r, inner)
+      Some((lo, hi))
+    } catch { case _: Exception => None }
+  }
+
   /** Key-value decode off the PLAIN index stream. Enums come back as
     * their CODE (CH's ordering domain — [[KeyOrdering]] compares codes);
     * LowCardinality keys are stored as plain inner values. */

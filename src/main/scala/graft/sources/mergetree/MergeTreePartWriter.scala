@@ -174,6 +174,33 @@ object MergeTreePartWriter {
     Files.write(dir.resolve("primary.idx"), primaryIdx(columns, rows, granules, orderBy))
   }
 
+  /** Partition sidecars of one part dir: `partition.dat` (the partition
+    * VALUE in native binary — what real CH stores) and, when the
+    * partition key derives from one scalar column, `minmax_<col>.idx`
+    * (min then max of the SOURCE column, `primary.idx`-style
+    * serialization) — the file CH's own part-level minmax pruning
+    * reads. `minmax` is (column, CH type string, min, max). */
+  def writePartitionMeta(
+      partDir: String,
+      pvalType: String,
+      pval: Any,
+      minmax: Option[(String, String, Any, Any)]): Unit = {
+    val dir = Paths.get(partDir)
+    val w = new PlainBinWriter
+    writeScalar(w, ChType.parse(pvalType), pval)
+    Files.write(dir.resolve("partition.dat"), w.bytes)
+    minmax.foreach { case (c, ts, mn, mx) =>
+      val t = ChType.parse(ts) match {
+        case ChType.LowCardinalityT(inner) => inner
+        case other => other
+      }
+      val w2 = new PlainBinWriter
+      writeScalar(w2, t, mn)
+      writeScalar(w2, t, mx)
+      Files.write(dir.resolve(s"minmax_$c.idx"), w2.bytes)
+    }
+  }
+
   /** Write the `.index` listing [[HttpTableFiles]] requires — every file
     * under `tableDir`, one relative path per line. */
   def writeHttpIndex(tableDir: String): Unit = {
@@ -404,6 +431,10 @@ object MergeTreePartWriter {
   private def epochMicrosOf(x: Any): Long = x match {
     case t: java.sql.Timestamp => t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
     case i: java.time.Instant => i.getEpochSecond * 1000000L + i.getNano / 1000L
+    // TIMESTAMP_NTZ surfaces as LocalDateTime: wall-clock taken at UTC,
+    // matching the session's UTC timezone contract
+    case l: java.time.LocalDateTime =>
+      l.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L + l.getNano / 1000L
     case n: Number => n.longValue() // already micros
     case other => throw new IllegalArgumentException(s"timestamp value expected: $other")
   }

@@ -88,6 +88,42 @@ object MergeTree {
   def storeRoot(endpoint: String, uuid: String): String =
     TableFiles.storeRoot(endpoint, uuid)
 
+  /** Normalized local filesystem path of an endpoint (any `file:`
+    * rendering stripped) — the identity the maintenance tier compares
+    * endpoints by. */
+  def localPath(endpoint: String): String = TableFiles.localPath(endpoint)
+
+  /** Remove every part of partition `pid` from a LOCAL tree — CH's
+    * `ALTER TABLE … DROP PARTITION`: metadata-time retention, no
+    * rewrite of surviving parts. Dropping an absent partition is a
+    * no-op (CH's behavior). Returns the dropped row count (the parts'
+    * own count.txt sums). The part-set change moves the tree's
+    * fingerprint, so registered projections fall back to source until
+    * re-materialized. */
+  def dropPartition(
+      spark: org.apache.spark.sql.SparkSession,
+      endpoint: String, pid: String): Long = {
+    val dir = TableFiles.localPath(endpoint)
+    val rows = MergeTreeCtas.withTreeLock(dir) {
+      val tf = TableFiles(dir)
+      val victims = tf.partDirs().filter(p =>
+        p.startsWith(s"${pid}_") &&
+          p.substring(0, p.indexOf('_')) == pid)
+      val n = victims.map(p => tf.text(s"$p/count.txt").trim.toLong).sum
+      victims.foreach { p =>
+        val root = java.nio.file.Paths.get(dir, p)
+        val s = java.nio.file.Files.walk(root)
+        try s.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .forEach(q => { java.nio.file.Files.deleteIfExists(q); () })
+        finally s.close()
+      }
+      if (victims.nonEmpty) MergeTreePartWriter.writeHttpIndex(dir)
+      n
+    }
+    spark.catalog.refreshByPath(dir)
+    rows
+  }
+
   /** Part inventory for `system.parts`: (part name, rows, granules,
     * column count) per part under the endpoint. */
   def partsInfo(endpoint: String): Seq[(String, Long, Int, Int)] = {
@@ -225,6 +261,7 @@ private final class MergeTreeScanBuilder(
 
   private var required: StructType = full
   private var prunePredicates: Array[Filter] = Array.empty
+  private var partPredicates: Array[Filter] = Array.empty
 
   override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
 
@@ -258,13 +295,27 @@ private final class MergeTreeScanBuilder(
       }
       case None => Array.empty[Filter]
     }
+    // part-level minmax pruning considers simple predicates on ANY
+    // column: only parts that actually carry a `minmax_<col>.idx` for
+    // the column (partition-key source columns) are affected, so
+    // recording broadly costs one memoized exists() per part
+    partPredicates = filters.filter {
+      case EqualTo(_, v) => v != null
+      case In(_, vs) => vs.nonEmpty && !vs.contains(null)
+      case GreaterThan(_, v) => v != null
+      case GreaterThanOrEqual(_, v) => v != null
+      case LessThan(_, v) => v != null
+      case LessThanOrEqual(_, v) => v != null
+      case _ => false
+    }
     filters
   }
-  override def pushedFilters(): Array[Filter] = prunePredicates
+  override def pushedFilters(): Array[Filter] =
+    (prunePredicates ++ partPredicates).distinct
 
   override def build(): Scan =
     new MergeTreeScan(endpoint, ddl, required, rowsPerSplit, orderBy,
-      prunePredicates, partsFilter)
+      prunePredicates, partsFilter, partPredicates)
 }
 
 private final class MergeTreeScan(
@@ -272,7 +323,8 @@ private final class MergeTreeScan(
     configuredRowsPerSplit: Long,
     orderBy: Seq[String],
     prunePredicates: Array[org.apache.spark.sql.sources.Filter],
-    partsFilter: Seq[String] = Nil)
+    partsFilter: Seq[String] = Nil,
+    partPredicates: Array[org.apache.spark.sql.sources.Filter] = Array.empty)
   extends Scan with Batch {
 
   override def readSchema(): StructType = required
@@ -303,12 +355,18 @@ private final class MergeTreeScan(
         s"no MergeTree parts under endpoint '$endpoint'")
       return Array.empty
     }
+    // part-level MINMAX pruning (CH's partition pruning): a part whose
+    // `minmax_<col>.idx` range excludes a pushed predicate never has
+    // its metadata read, let alone its data — at a year-partitioned
+    // 100 TB table a one-month query plans over one partition's parts
+    val selected = parts.filter(partQualifies(tf, _))
+    if (selected.isEmpty) return Array.empty
     // per-part metadata on a bounded driver pool — serial reads make
     // planning linear in part count single-threaded (the same shape as
     // the projection fingerprint sweep), and each http part costs a
     // round-trip
     val metas: Map[String, PartMeta] =
-      graft.core.DriverPool.map(parts)(p => p -> PartMeta.read(tf, p)).toMap
+      graft.core.DriverPool.map(selected)(p => p -> PartMeta.read(tf, p)).toMap
     // AUTO split size: aim for ~2 tasks per core over the SELECTED
     // parts, floored at 64k rows (under that, task overhead dominates
     // decode — measured) and capped at 1M (bounds per-task memory for
@@ -321,7 +379,7 @@ private final class MergeTreeScan(
           .sparkContext.defaultParallelism, 1)
         math.min(math.max(total / (2L * par), 1L << 16), 1L << 20)
       }
-    parts.iterator.flatMap { part =>
+    selected.iterator.flatMap { part =>
       val meta = metas(part)
       // compact parts: refuse unsupported column types at PLANNING, not
       // mid-task on an executor
@@ -360,6 +418,71 @@ private final class MergeTreeScan(
       flush(meta.granuleRows.length)
       splits.result()
     }.toArray
+  }
+
+  /** Can this part contain rows matching the pushed predicates, judged
+    * by its `minmax_<col>.idx` sidecars? A column with no minmax file,
+    * an uncomparable/enum type, or an uncomparable literal KEEPS the
+    * part — pruning is skipping, never filtering. */
+  private def partQualifies(tf: TableFiles, part: String): Boolean = {
+    if (partPredicates.isEmpty) return true
+    import org.apache.spark.sql.sources._
+    lazy val ddlTypes: Map[String, String] =
+      try graft.types.ChSchemaParser.columnPairs(ddl).toMap
+      catch { case _: Exception => Map.empty }
+    def attrOf(f: Filter): Option[String] = f match {
+      case EqualTo(a, _) => Some(a)
+      case In(a, _) => Some(a)
+      case GreaterThan(a, _) => Some(a)
+      case GreaterThanOrEqual(a, _) => Some(a)
+      case LessThan(a, _) => Some(a)
+      case LessThanOrEqual(a, _) => Some(a)
+      case _ => None
+    }
+    partPredicates.forall { f =>
+      attrOf(f).forall { a =>
+        val tOpt =
+          try ddlTypes.get(a).map(ChType.parse)
+          catch { case _: Exception => None }
+        tOpt match {
+          case None => true
+          case Some(t0) =>
+            val inner = t0 match {
+              case ChType.LowCardinalityT(i) => i
+              case x => x
+            }
+            val enumLike = inner match {
+              case _: ChType.Enum => true
+              case _ => false
+            }
+            val ord = KeyOrdering(Seq(t0))
+            if (enumLike || !ord.comparable(inner)) true
+            else PartMeta.minMaxIndex(tf, part, a, t0) match {
+              case None => true
+              case Some((lo, hi)) =>
+                def keep(p: => Boolean): Boolean =
+                  try p catch { case _: Exception => true }
+                f match {
+                  case EqualTo(_, v) => keep(
+                    ord.compareValues(inner, lo, v) <= 0 &&
+                      ord.compareValues(inner, hi, v) >= 0)
+                  case In(_, vs) => keep(vs.exists(v =>
+                    ord.compareValues(inner, lo, v) <= 0 &&
+                      ord.compareValues(inner, hi, v) >= 0))
+                  case GreaterThan(_, v) =>
+                    keep(ord.compareValues(inner, hi, v) > 0)
+                  case GreaterThanOrEqual(_, v) =>
+                    keep(ord.compareValues(inner, hi, v) >= 0)
+                  case LessThan(_, v) =>
+                    keep(ord.compareValues(inner, lo, v) < 0)
+                  case LessThanOrEqual(_, v) =>
+                    keep(ord.compareValues(inner, lo, v) <= 0)
+                  case _ => true
+                }
+            }
+        }
+      }
+    }
   }
 
   /** Which granules can contain rows matching the pushed key-prefix

@@ -189,6 +189,9 @@ private[mergetree] final case class KeyOrdering(types: Seq[ChType]) {
     case n: Number => n.longValue()
     case t: java.sql.Timestamp => t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
     case i: java.time.Instant => i.getEpochSecond * 1000000L + i.getNano / 1000L
+    // TIMESTAMP_NTZ filter values: wall-clock at UTC (session contract)
+    case l: java.time.LocalDateTime =>
+      l.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L + l.getNano / 1000L
     case other => throw new IllegalArgumentException(s"timestamp key expected: $other")
   }
   private def enumCode(e: Enum, x: Any): Long = x match {

@@ -262,7 +262,8 @@ object EventStreams {
         }
         graft.sources.mergetree.MergeTreeCtas.appendPart(
           batch.sparkSession, batch.toDF(), dir, orderBy,
-          declaredDdl = ddl, op = "streaming INSERT")
+          declaredDdl = ddl, op = "streaming INSERT",
+          partitionBy = graft.core.Catalog.partitionByForEndpoint(dir))
         ()
       }
     (if (availableNow)

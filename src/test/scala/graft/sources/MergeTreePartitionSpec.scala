@@ -1,0 +1,170 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.dialect.{ChSql, ChWrites}
+
+/** MergeTree PARTITION BY: partitioned CTAS part naming, partition
+  * sidecars (partition.dat / minmax idx), part-level minmax pruning,
+  * partitioned INSERT, DROP PARTITION retention, and
+  * scheme-preservation through mutations. */
+class MergeTreePartitionSpec extends AnyFunSuite {
+
+  private lazy val spark = graft.TestSpark.spark
+
+  private def freshSrc(): Unit = {
+    import spark.implicits._
+    // three years, two rows each except 1997 (three), dates spread out
+    Seq(
+      (1L, java.sql.Date.valueOf("1995-03-01"), 10.0),
+      (2L, java.sql.Date.valueOf("1995-09-15"), 11.0),
+      (3L, java.sql.Date.valueOf("1996-01-20"), 12.0),
+      (4L, java.sql.Date.valueOf("1996-12-31"), 13.0),
+      (5L, java.sql.Date.valueOf("1997-06-06"), 14.0),
+      (6L, java.sql.Date.valueOf("1997-07-07"), 15.0),
+      (7L, java.sql.Date.valueOf("1997-08-08"), 16.0))
+      .toDF("id", "d", "v").createOrReplaceTempView("psrc")
+  }
+
+  private def partNames(dir: String): Seq[String] =
+    new java.io.File(dir).listFiles().map(_.getName)
+      .filter(_.matches("^[A-Za-z0-9-]+_\\d+_\\d+_\\d+$")).toSeq.sorted
+
+  test("partitioned CTAS writes per-year parts with partition sidecars; DROP PARTITION retains") {
+    freshSrc()
+    val wh = Files.createTempDirectory("graft_pwh").toString
+    spark.conf.set(ChWrites.WarehouseConf, wh)
+    try {
+      val st = ChSql.sql(spark,
+        "CREATE TABLE part_t ENGINE = MergeTree PARTITION BY toYear(d) " +
+          "ORDER BY (id) AS SELECT id, d, v FROM psrc")
+      assert(st.collect().head.getLong(2) == 7L)
+      val tree = s"$wh/part_t"
+      val names = partNames(tree)
+      // part-name prefixes are the partition ids (CH naming)
+      assert(names.map(_.split('_').head).distinct.sorted ==
+        Seq("1995", "1996", "1997"), names.mkString(", "))
+      // partition sidecars: partition.dat (the value) and the SOURCE
+      // column's minmax idx (what part-level pruning reads)
+      names.foreach { p =>
+        val files = new java.io.File(s"$tree/$p").listFiles().map(_.getName).toSet
+        assert(files.contains("partition.dat"), s"$p lacks partition.dat")
+        assert(files.contains("minmax_d.idx"), s"$p lacks minmax_d.idx")
+      }
+      // full count + per-partition counts through the dialect
+      assert(ChSql.sql(spark, "SELECT count() AS n FROM part_t")
+        .collect().head.getLong(0) == 7L)
+      val perYear = ChSql.sql(spark,
+        "SELECT toYear(d) AS y, count() AS n FROM part_t GROUP BY y ORDER BY y")
+        .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
+      assert(perYear == Seq((1995, 2L), (1996, 2L), (1997, 3L)))
+
+      // part-level MINMAX pruning: a one-year date predicate plans only
+      // that partition's parts (each part here is one split)
+      val all = spark.table("part_t")
+      val y96 = all.filter(
+        org.apache.spark.sql.functions.col("d") >= "1996-01-01" &&
+          org.apache.spark.sql.functions.col("d") <= "1996-12-31")
+      val parts96 = names.count(_.startsWith("1996_"))
+      assert(y96.rdd.getNumPartitions == parts96,
+        s"expected only 1996's $parts96 part(s) to plan, " +
+          s"got ${y96.rdd.getNumPartitions}")
+      assert(y96.count() == 2L)
+
+      // INSERT partitions its batch: a 1996 row lands in a 1996_ part
+      ChSql.sql(spark,
+        "INSERT INTO part_t SELECT 8, toDate('1996-05-05'), 17.0").collect()
+      val after = partNames(tree)
+      assert(after.size == names.size + 1)
+      assert((after.toSet -- names.toSet).forall(_.startsWith("1996_")))
+      assert(ChSql.sql(spark, "SELECT count() AS n FROM part_t")
+        .collect().head.getLong(0) == 8L)
+
+      // DROP PARTITION: metadata-time retention; absent id no-ops
+      val d = ChSql.sql(spark, "ALTER TABLE part_t DROP PARTITION 1996")
+        .collect().head
+      assert(d.getLong(2) == 3L, d.toString)
+      assert(partNames(tree).forall(!_.startsWith("1996_")))
+      assert(ChSql.sql(spark, "SELECT count() AS n FROM part_t")
+        .collect().head.getLong(0) == 5L)
+      assert(ChSql.sql(spark, "ALTER TABLE part_t DROP PARTITION ID '2001'")
+        .collect().head.getLong(2) == 0L)
+
+      // system.parts exposes the partition id
+      val pids = ChSql.sql(spark,
+        "SELECT DISTINCT partition_id FROM system.parts WHERE table = 'part_t'")
+        .collect().map(_.getString(0)).sorted
+      assert(pids.toSeq == Seq("1995", "1997"))
+
+      // a mutation rewrite PRESERVES the partition scheme
+      ChSql.sql(spark, "ALTER TABLE part_t DELETE WHERE v = 14.0").collect()
+      val mutated = partNames(tree)
+      assert(mutated.nonEmpty &&
+        mutated.forall(p => p.startsWith("1995_") || p.startsWith("1997_")),
+        mutated.mkString(", "))
+      assert(ChSql.sql(spark, "SELECT count() AS n FROM part_t")
+        .collect().head.getLong(0) == 4L)
+
+      // SHOW CREATE renders the PARTITION BY clause
+      val create = graft.dialect.ShowSql
+        .run(spark, "SHOW CREATE TABLE part_t").collect().head.getString(0)
+      assert(create.contains("PARTITION BY toYear(d)"), create)
+
+      ChSql.sql(spark, "DROP TABLE part_t").collect()
+    } finally spark.conf.unset(ChWrites.WarehouseConf)
+  }
+
+  test("a partitioned tree ATTACHes independently with PARTITION BY in the DDL") {
+    freshSrc()
+    val wh = Files.createTempDirectory("graft_pwh2").toString
+    spark.conf.set(ChWrites.WarehouseConf, wh)
+    try {
+      ChSql.sql(spark,
+        "CREATE TABLE part_a ENGINE = MergeTree PARTITION BY toYear(d) " +
+          "ORDER BY (id) AS SELECT id, d, v FROM psrc").collect()
+      graft.core.Catalog.attach(spark,
+        s"""ATTACH TABLE part_b (`id` Int64, `d` Date32, `v` Float64)
+           |ENGINE = MergeTree PARTITION BY toYear(d) ORDER BY (id)
+           |SETTINGS disk = disk(type = web, endpoint = '$wh/part_a')""".stripMargin)
+      assert(spark.table("part_b").count() == 7L)
+      // the ATTACH carried the partition expression into the catalog —
+      // INSERT through the attached name partitions correctly
+      assert(graft.core.Catalog.lookup("part_b")
+        .flatMap(_.partitionBy).contains("toYear(d)"))
+      ChSql.sql(spark,
+        "INSERT INTO part_b SELECT 9, toDate('1995-01-01'), 18.0").collect()
+      val added = partNames(s"$wh/part_a").filter(_.startsWith("1995_"))
+      assert(added.size == 2, added.mkString(", "))
+      ChSql.sql(spark, "DROP TABLE part_a").collect()
+      graft.core.Catalog.detach("part_b")
+      spark.catalog.dropTempView("part_b")
+    } finally spark.conf.unset(ChWrites.WarehouseConf)
+  }
+
+  test("string partition ids: safe values verbatim, NULL partition keys refuse") {
+    import spark.implicits._
+    val wh = Files.createTempDirectory("graft_pwh3").toString
+    spark.conf.set(ChWrites.WarehouseConf, wh)
+    try {
+      Seq((1L, "alpha"), (2L, "beta"), (3L, "alpha"))
+        .toDF("id", "cat").createOrReplaceTempView("psrc_s")
+      ChSql.sql(spark,
+        "CREATE TABLE part_s ENGINE = MergeTree PARTITION BY cat " +
+          "ORDER BY (id) AS SELECT id, cat FROM psrc_s").collect()
+      val prefixes = partNames(s"$wh/part_s").map(_.split('_').head).distinct.sorted
+      assert(prefixes == Seq("alpha", "beta"))
+      ChSql.sql(spark, "DROP TABLE part_s").collect()
+
+      Seq((1L, "x"), (2L, null.asInstanceOf[String]))
+        .toDF("id", "cat").createOrReplaceTempView("psrc_n")
+      val e = intercept[Exception] {
+        ChSql.sql(spark,
+          "CREATE TABLE part_n ENGINE = MergeTree PARTITION BY cat " +
+            "ORDER BY (id) AS SELECT id, cat FROM psrc_n").collect()
+      }
+      assert(e.getMessage != null)
+    } finally spark.conf.unset(ChWrites.WarehouseConf)
+  }
+}
