@@ -116,7 +116,9 @@ object Catalog {
       }
       val t = AttachedTable(name, cols.trim, key, endpoint.map(_._1),
         Option(sampleBy), Option(uuid).map(_.trim).filter(_.nonEmpty), kind,
-        partitionBy = Option(partitionBy).map(_.trim).filter(_.nonEmpty))
+        partitionBy = Option(partitionBy).map(_.trim).filter(_.nonEmpty)
+          // `PARTITION BY tuple()` is CH's unpartitioned spelling
+          .filterNot(graft.sources.mergetree.MergeTreePartitioning.isNoPartition))
       materialize(spark, t).foreach(_.createOrReplaceTempView(name))
       attached(name) = t
       t
@@ -152,8 +154,19 @@ object Catalog {
     def norm(p: String): String =
       try MergeTree.localPath(p) catch { case _: Exception => p }
     val target = norm(ep)
-    attached.values.find(_.endpoint.exists(e => norm(e) == target))
-      .flatMap(_.partitionBy)
+    // several catalog entries may alias one endpoint (CTAS + a later
+    // ATTACH of the same tree), and TrieMap iteration order is
+    // arbitrary — an entry WITHOUT the clause must not shadow the one
+    // that declares it (review finding). Conflicting declarations
+    // refuse: silently applying either would rewrite the tree under
+    // the other table's scheme.
+    val declared = attached.values.toSeq
+      .filter(_.endpoint.exists(e => norm(e) == target))
+      .flatMap(_.partitionBy).distinct
+    require(declared.size <= 1,
+      s"tables aliasing endpoint '$ep' declare conflicting PARTITION BY " +
+        s"expressions (${declared.mkString(" vs ")}) — DETACH one")
+    declared.headOption
   }
 
   /** Remove a catalog entry (DROP/DETACH TABLE) — returns it so the

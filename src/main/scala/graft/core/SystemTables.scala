@@ -188,7 +188,7 @@ object SystemTables {
               // the part-name prefix IS the partition id (CH's naming:
               // `all` for unpartitioned tables) — what DROP PARTITION
               // ID takes
-              val pid = part.substring(0, part.indexOf('_'))
+              val pid = graft.sources.mergetree.MergeTreePartitioning.pidOf(part)
               (t.name, part, pid, 1: Byte, nRows, granules, nCols)
           } catch { case _: Exception => Nil }
         }

@@ -201,6 +201,8 @@ object ChWrites {
   private def parsePartitionBy(middle: String): Option[String] =
     PartitionByRe.findFirstMatchIn(middle).map(_.group(1).trim)
       .filter(_.nonEmpty)
+      // CH's own "unpartitioned" spelling (SHOW CREATE emits it)
+      .filterNot(graft.sources.mergetree.MergeTreePartitioning.isNoPartition)
 
   private val IdentRe = """[A-Za-z_][A-Za-z0-9_]*""".r
   private def parseOrderBy(middle: String): Seq[String] = {

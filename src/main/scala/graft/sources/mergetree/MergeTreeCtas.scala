@@ -192,7 +192,7 @@ object MergeTreeCtas {
         // table-global (above the watermark regardless of partition),
         // which is stricter than CH's per-partition coverage rule and
         // therefore always safe
-        val pid = staged.substring(0, staged.indexOf('_'))
+        val pid = MergeTreePartitioning.pidOf(staged)
         java.nio.file.Files.move(
           stagingDir.resolve(staged),
           treePath.resolve(s"${pid}_${next + i}_${next + i}_0"),
@@ -514,11 +514,20 @@ object MergeTreeCtas {
               val vs = runRows.view.map(_(ci))
               if (vs.exists(_ == null)) None
               else {
+                // compare in the SAME domain the scan's pruning uses
+                // (KeyOrdering: unsigned for UInt64, UTF-8 byte order
+                // for strings) — JVM Comparable disagreed on both and
+                // a too-small stored max prunes live rows (review
+                // finding)
+                val inner = ChType.parse(ts) match {
+                  case ChType.LowCardinalityT(i) => i
+                  case t => t
+                }
+                val ord = KeyOrdering(Seq(inner))
                 var mn = vs.head; var mx = vs.head
                 vs.foreach { v =>
-                  val c = v.asInstanceOf[Comparable[Any]]
-                  if (c.compareTo(mn) < 0) mn = v
-                  if (c.compareTo(mx) > 0) mx = v
+                  if (ord.compareValues(inner, v, mn) < 0) mn = v
+                  if (ord.compareValues(inner, v, mx) > 0) mx = v
                 }
                 Some((src, ts, mn, mx))
               }

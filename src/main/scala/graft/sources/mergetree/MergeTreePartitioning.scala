@@ -77,11 +77,24 @@ object MergeTreePartitioning {
       case ByteType | ShortType | IntegerType | LongType => pv.cast(StringType)
       case DateType => date_format(pv, "yyyyMMdd")
       case StringType =>
-        when(pv.rlike(SafeId), pv).otherwise(lower(hex(xxhash64(pv))))
+        // NULL must PROPAGATE so the writer's refusal fires with its
+        // clean message — Spark's xxhash64 ignores null args and
+        // returns its seed, which would mint a phantom id (review
+        // finding). 'all' is the unpartitioned sentinel in part names
+        // — a literal 'all' value takes the hashed spelling instead.
+        when(pv.isNull, lit(null).cast(StringType))
+          .when(pv.rlike(SafeId) && pv =!= "all", pv)
+          .otherwise(lower(hex(xxhash64(pv))))
       case other => throw new IllegalArgumentException(other.simpleString)
     }).as(PidCol)
     (df.select(col("*"), pvalC, pidC), chT, srcCol)
   }
+
+  /** CH's "no partitioning" spelling — `PARTITION BY tuple()` — which
+    * its own SHOW CREATE emits for unpartitioned tables. Callers map it
+    * to None before recording. */
+  def isNoPartition(expr: String): Boolean =
+    expr.trim.matches("(?i)tuple\\s*\\(\\s*\\)")
 
   /** Render a DROP PARTITION literal the way the writer rendered the
     * ID. `isId` is the explicit `DROP PARTITION ID '…'` form (verbatim).
@@ -91,19 +104,30 @@ object MergeTreePartitioning {
   def renderDropId(literal: String, isId: Boolean): String = {
     val raw = literal.trim.stripPrefix("'").stripSuffix("'").trim
     require(raw.nonEmpty, "empty partition id")
-    if (isId || raw.matches("^-?\\d+$") || raw.matches(SafeId)) raw
+    if (isId) raw
+    // a date literal must render the way the writer rendered Date
+    // partition values (yyyyMMdd digits) — passing '1994-01-01' through
+    // verbatim silently dropped nothing (review finding)
+    else if (raw.matches("^\\d{4}-\\d{2}-\\d{2}$")) raw.replace("-", "")
+    else if (raw.matches("^-?\\d+$") || (raw.matches(SafeId) && raw != "all")) raw
     else throw new IllegalArgumentException(
       s"DROP PARTITION $literal: this value renders as a hashed " +
         "partition id — use DROP PARTITION ID '<id>' with the id shown " +
         "in the part names / system.parts")
   }
 
+  /** The partition-id prefix of a part name (`all` for unpartitioned
+    * tables) — the ONE place this parse lives (review finding: four
+    * copies had appeared). */
+  def pidOf(partName: String): String =
+    partName.substring(0, partName.indexOf('_'))
+
   /** Part-name prefixes present in a tree (the live partition ids). */
   def partitionIds(parts: Seq[String]): Seq[String] =
-    parts.map(p => p.substring(0, p.indexOf('_'))).distinct.sorted
+    parts.map(pidOf).distinct.sorted
 
   /** True when the tree's parts carry a partition scheme (any prefix
     * other than CH's unpartitioned `all`). */
   def isPartitioned(parts: Seq[String]): Boolean =
-    parts.exists(!_.startsWith("all_"))
+    parts.exists(p => pidOf(p) != "all")
 }

@@ -106,9 +106,8 @@ object MergeTree {
     val dir = TableFiles.localPath(endpoint)
     val rows = MergeTreeCtas.withTreeLock(dir) {
       val tf = TableFiles(dir)
-      val victims = tf.partDirs().filter(p =>
-        p.startsWith(s"${pid}_") &&
-          p.substring(0, p.indexOf('_')) == pid)
+      val victims = tf.partDirs()
+        .filter(p => MergeTreePartitioning.pidOf(p) == pid)
       val n = victims.map(p => tf.text(s"$p/count.txt").trim.toLong).sum
       victims.foreach { p =>
         val root = java.nio.file.Paths.get(dir, p)
@@ -358,8 +357,14 @@ private final class MergeTreeScan(
     // part-level MINMAX pruning (CH's partition pruning): a part whose
     // `minmax_<col>.idx` range excludes a pushed predicate never has
     // its metadata read, let alone its data — at a year-partitioned
-    // 100 TB table a one-month query plans over one partition's parts
-    val selected = parts.filter(partQualifies(tf, _))
+    // 100 TB table a one-month query plans over one partition's parts.
+    // The sweep runs on the same bounded pool as the metadata reads
+    // (each http part costs a round-trip) and decodes each referenced
+    // column's minmax ONCE per part however many predicates touch it.
+    val selected =
+      if (partPredicates.isEmpty) parts
+      else graft.core.DriverPool.map(parts)(p => (p, partQualifies(tf, p)))
+        .filter(_._2).map(_._1)
     if (selected.isEmpty) return Array.empty
     // per-part metadata on a bounded driver pool — serial reads make
     // planning linear in part count single-threaded (the same shape as
@@ -424,10 +429,13 @@ private final class MergeTreeScan(
     * by its `minmax_<col>.idx` sidecars? A column with no minmax file,
     * an uncomparable/enum type, or an uncomparable literal KEEPS the
     * part — pruning is skipping, never filtering. */
-  private def partQualifies(tf: TableFiles, part: String): Boolean = {
-    if (partPredicates.isEmpty) return true
+  /** Predicates grouped by referenced column with that column's
+    * prunable CH type — computed once per scan, not per part. A column
+    * outside the DDL, with an enum/uncomparable type, never prunes. */
+  private lazy val partPruneByColumn
+      : Seq[(String, ChType, Seq[org.apache.spark.sql.sources.Filter])] = {
     import org.apache.spark.sql.sources._
-    lazy val ddlTypes: Map[String, String] =
+    val ddlTypes: Map[String, String] =
       try graft.types.ChSchemaParser.columnPairs(ddl).toMap
       catch { case _: Exception => Map.empty }
     def attrOf(f: Filter): Option[String] = f match {
@@ -439,48 +447,56 @@ private final class MergeTreeScan(
       case LessThanOrEqual(a, _) => Some(a)
       case _ => None
     }
-    partPredicates.forall { f =>
-      attrOf(f).forall { a =>
+    partPredicates.toSeq.flatMap(f => attrOf(f).map(_ -> f))
+      .groupBy(_._1).toSeq.flatMap { case (a, fs) =>
         val tOpt =
           try ddlTypes.get(a).map(ChType.parse)
           catch { case _: Exception => None }
-        tOpt match {
-          case None => true
-          case Some(t0) =>
-            val inner = t0 match {
-              case ChType.LowCardinalityT(i) => i
-              case x => x
-            }
-            val enumLike = inner match {
-              case _: ChType.Enum => true
-              case _ => false
-            }
-            val ord = KeyOrdering(Seq(t0))
-            if (enumLike || !ord.comparable(inner)) true
-            else PartMeta.minMaxIndex(tf, part, a, t0) match {
-              case None => true
-              case Some((lo, hi)) =>
-                def keep(p: => Boolean): Boolean =
-                  try p catch { case _: Exception => true }
-                f match {
-                  case EqualTo(_, v) => keep(
-                    ord.compareValues(inner, lo, v) <= 0 &&
-                      ord.compareValues(inner, hi, v) >= 0)
-                  case In(_, vs) => keep(vs.exists(v =>
-                    ord.compareValues(inner, lo, v) <= 0 &&
-                      ord.compareValues(inner, hi, v) >= 0))
-                  case GreaterThan(_, v) =>
-                    keep(ord.compareValues(inner, hi, v) > 0)
-                  case GreaterThanOrEqual(_, v) =>
-                    keep(ord.compareValues(inner, hi, v) >= 0)
-                  case LessThan(_, v) =>
-                    keep(ord.compareValues(inner, lo, v) < 0)
-                  case LessThanOrEqual(_, v) =>
-                    keep(ord.compareValues(inner, lo, v) <= 0)
-                  case _ => true
-                }
-            }
+        tOpt.flatMap { t0 =>
+          val inner = t0 match {
+            case ChType.LowCardinalityT(i) => i
+            case x => x
+          }
+          val enumLike = inner match {
+            case _: ChType.Enum => true
+            case _ => false
+          }
+          if (enumLike || !KeyOrdering(Seq(t0)).comparable(inner)) None
+          else Some((a, t0, fs.map(_._2)))
         }
+      }
+  }
+
+  private def partQualifies(tf: TableFiles, part: String): Boolean = {
+    import org.apache.spark.sql.sources._
+    partPruneByColumn.forall { case (a, t0, fs) =>
+      val inner = t0 match {
+        case ChType.LowCardinalityT(i) => i
+        case x => x
+      }
+      val ord = KeyOrdering(Seq(t0))
+      PartMeta.minMaxIndex(tf, part, a, t0) match {
+        case None => true
+        case Some((lo, hi)) =>
+          def keep(p: => Boolean): Boolean =
+            try p catch { case _: Exception => true }
+          fs.forall {
+            case EqualTo(_, v) => keep(
+              ord.compareValues(inner, lo, v) <= 0 &&
+                ord.compareValues(inner, hi, v) >= 0)
+            case In(_, vs) => keep(vs.exists(v =>
+              ord.compareValues(inner, lo, v) <= 0 &&
+                ord.compareValues(inner, hi, v) >= 0))
+            case GreaterThan(_, v) =>
+              keep(ord.compareValues(inner, hi, v) > 0)
+            case GreaterThanOrEqual(_, v) =>
+              keep(ord.compareValues(inner, hi, v) >= 0)
+            case LessThan(_, v) =>
+              keep(ord.compareValues(inner, lo, v) < 0)
+            case LessThanOrEqual(_, v) =>
+              keep(ord.compareValues(inner, lo, v) <= 0)
+            case _ => true
+          }
       }
     }
   }

@@ -158,7 +158,13 @@ private[mergetree] final case class KeyOrdering(types: Seq[ChType]) {
   }
 
   def compareValues(t: ChType, x: Any, y: Any): Int = t match {
-    case Str | _: FixedStr => str(x).compareTo(str(y))
+    // UTF-8 unsigned-byte order — the domain EVERY other comparer in
+    // the pipeline uses: Spark sorts/filters strings as UTF8String
+    // binary, ClickHouse memcmps, and parts are written in Spark's
+    // sort order. String.compareTo (UTF-16 code units) disagrees above
+    // U+FFFF (surrogates sort low), which made index pruning on
+    // supplementary-plane keys unsound (review finding).
+    case Str | _: FixedStr => utf8Compare(str(x), str(y))
     case F32 | F64 => java.lang.Double.compare(num(x), num(y))
     case FixedInt(8, false) => java.lang.Long.compareUnsigned(lng(x), lng(y))
     case _: FixedInt | BoolT => java.lang.Long.compare(lng(x), lng(y))
@@ -170,6 +176,19 @@ private[mergetree] final case class KeyOrdering(types: Seq[ChType]) {
   }
 
   private def str(x: Any): String = x.toString
+
+  private def utf8Compare(a: String, b: String): Int = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    val n = math.min(x.length, y.length)
+    while (i < n) {
+      val c = java.lang.Integer.compare(x(i) & 0xFF, y(i) & 0xFF)
+      if (c != 0) return c
+      i += 1
+    }
+    java.lang.Integer.compare(x.length, y.length)
+  }
   private def num(x: Any): Double = x match {
     case n: Number => n.doubleValue()
     case other => throw new IllegalArgumentException(s"numeric key expected: $other")

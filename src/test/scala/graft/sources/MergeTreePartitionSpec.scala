@@ -159,12 +159,67 @@ class MergeTreePartitionSpec extends AnyFunSuite {
 
       Seq((1L, "x"), (2L, null.asInstanceOf[String]))
         .toDF("id", "cat").createOrReplaceTempView("psrc_n")
+      // the refusal must be the writer's own message, not a hashed
+      // phantom id or an opaque NPE (review finding: xxhash64(null)
+      // returns its seed)
       val e = intercept[Exception] {
         ChSql.sql(spark,
           "CREATE TABLE part_n ENGINE = MergeTree PARTITION BY cat " +
             "ORDER BY (id) AS SELECT id, cat FROM psrc_n").collect()
       }
-      assert(e.getMessage != null)
+      def messages(t: Throwable): Seq[String] =
+        Option(t).toSeq.flatMap(x =>
+          Option(x.getMessage).toSeq ++ messages(x.getCause))
+      assert(messages(e).exists(_.contains("PARTITION BY")), messages(e))
+
+      // a literal 'all' value must NOT mint the unpartitioned sentinel
+      // as its id (review finding) — it takes the hashed spelling
+      Seq((1L, "all"), (2L, "beta"))
+        .toDF("id", "cat").createOrReplaceTempView("psrc_a")
+      ChSql.sql(spark,
+        "CREATE TABLE part_all ENGINE = MergeTree PARTITION BY cat " +
+          "ORDER BY (id) AS SELECT id, cat FROM psrc_a").collect()
+      val pfx = partNames(s"$wh/part_all").map(_.split('_').head).distinct
+      assert(!pfx.contains("all") && pfx.contains("beta"), pfx.mkString(", "))
+      assert(ChSql.sql(spark, "SELECT count() AS n FROM part_all")
+        .collect().head.getLong(0) == 2L)
+      ChSql.sql(spark, "DROP TABLE part_all").collect()
+    } finally spark.conf.unset(ChWrites.WarehouseConf)
+  }
+
+  test("date partitions: raw Date keys render yyyyMMdd and DROP PARTITION takes a date literal") {
+    import spark.implicits._
+    val wh = Files.createTempDirectory("graft_pwh4").toString
+    spark.conf.set(ChWrites.WarehouseConf, wh)
+    try {
+      Seq(
+        (1L, java.sql.Date.valueOf("1994-01-01")),
+        (2L, java.sql.Date.valueOf("1994-01-01")),
+        (3L, java.sql.Date.valueOf("1995-06-15")))
+        .toDF("id", "d").createOrReplaceTempView("psrc_d")
+      ChSql.sql(spark,
+        "CREATE TABLE part_d ENGINE = MergeTree PARTITION BY d " +
+          "ORDER BY (id) AS SELECT id, d FROM psrc_d").collect()
+      val pfx = partNames(s"$wh/part_d").map(_.split('_').head).distinct.sorted
+      assert(pfx == Seq("19940101", "19950615"), pfx.mkString(", "))
+      // the hyphenated date literal renders to the writer's yyyyMMdd id
+      // (review finding: verbatim pass-through silently dropped nothing)
+      val d = ChSql.sql(spark, "ALTER TABLE part_d DROP PARTITION '1994-01-01'")
+        .collect().head
+      assert(d.getLong(2) == 2L, d.toString)
+      assert(ChSql.sql(spark, "SELECT count() AS n FROM part_d")
+        .collect().head.getLong(0) == 1L)
+      ChSql.sql(spark, "DROP TABLE part_d").collect()
+
+      // PARTITION BY tuple() — CH's unpartitioned spelling — writes a
+      // plain all_ tree (review finding: it refused)
+      Seq((1L, "x")).toDF("id", "cat").createOrReplaceTempView("psrc_t")
+      ChSql.sql(spark,
+        "CREATE TABLE part_tup ENGINE = MergeTree PARTITION BY tuple() " +
+          "ORDER BY (id) AS SELECT id, cat FROM psrc_t").collect()
+      assert(partNames(s"$wh/part_tup").forall(_.startsWith("all_")))
+      assert(graft.core.Catalog.lookup("part_tup").flatMap(_.partitionBy).isEmpty)
+      ChSql.sql(spark, "DROP TABLE part_tup").collect()
     } finally spark.conf.unset(ChWrites.WarehouseConf)
   }
 }
