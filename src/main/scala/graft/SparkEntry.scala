@@ -1058,6 +1058,56 @@ object SparkEntry {
           "ALTER TABLE drop_mt_orders DROP PARTITION 1994")))._1
     }),
 
+    // ReplacingMergeTree + FINAL (r11): the multiversion table shape —
+    // CTAS seeds version-0 rows, INSERT appends updated versions as
+    // new parts, and `FROM t FINAL` keeps one row per sorting key
+    // (highest version), hash-matching the oracle's CASE algebra over
+    // the pristine source; without FINAL the raw multiversion rows
+    // stay visible, exactly CH's contract
+    "q186_replacing_final" -> ((spark, dir) => {
+      prep(spark, dir)
+      val wh = s"${derivedDir(spark, dir)}/wh"
+      spark.conf.set(graft.dialect.ChWrites.WarehouseConf, wh)
+      val svc = new QueryService(spark)
+      svc.executeToDf(QueryService.QueryRequest(
+        query = """SELECT nk, count() AS n,
+                  |       CAST(round(sum(bal) * 100) AS BIGINT) AS bal_c
+                  |FROM repl_cust FINAL GROUP BY nk ORDER BY nk""".stripMargin,
+        initQueries = Seq(
+          """CREATE TABLE repl_cust ENGINE = ReplacingMergeTree(ver)
+            |ORDER BY (ck) AS
+            |SELECT c_custkey AS ck, c_nationkey AS nk,
+            |       CAST(0 AS BIGINT) AS ver, c_acctbal AS bal
+            |FROM customer WHERE c_custkey % 8 = 0""".stripMargin,
+          """INSERT INTO repl_cust
+            |SELECT c_custkey, c_nationkey, 1, c_acctbal * 2
+            |FROM customer WHERE c_custkey % 16 = 0""".stripMargin)))._1
+    }),
+
+    // OPTIMIZE TABLE … FINAL on a Replacing table physically collapses
+    // the versions (CH's merge-with-dedup); the plain read AFTER the
+    // merge — no FINAL modifier — already sees one row per key
+    "q187_replacing_optimize" -> ((spark, dir) => {
+      prep(spark, dir)
+      val wh = s"${derivedDir(spark, dir)}/wh"
+      spark.conf.set(graft.dialect.ChWrites.WarehouseConf, wh)
+      val svc = new QueryService(spark)
+      svc.executeToDf(QueryService.QueryRequest(
+        query = """SELECT nk, count() AS n,
+                  |       CAST(round(sum(bal) * 100) AS BIGINT) AS bal_c
+                  |FROM replo_cust GROUP BY nk ORDER BY nk""".stripMargin,
+        initQueries = Seq(
+          """CREATE TABLE replo_cust ENGINE = ReplacingMergeTree(ver)
+            |ORDER BY (ck) AS
+            |SELECT c_custkey AS ck, c_nationkey AS nk,
+            |       CAST(0 AS BIGINT) AS ver, c_acctbal AS bal
+            |FROM customer WHERE c_custkey % 10 = 0""".stripMargin,
+          """INSERT INTO replo_cust
+            |SELECT c_custkey, c_nationkey, 1, c_acctbal * 3
+            |FROM customer WHERE c_custkey % 20 = 0""".stripMargin,
+          "OPTIMIZE TABLE replo_cust FINAL")))._1
+    }),
+
     // CH vector-distance family (dotProduct/cosineDistance/L1/L2/Linf)
     // over real embeddings, paired (vec_id, vec_id+1) — native codegen'd
     // kernels, oracle = DuckDB list_* on the same double-widened arrays
@@ -2773,6 +2823,20 @@ object SparkEntry {
         |FROM orders
         |WHERE o_custkey % 9 = 0 AND year(o_orderdate) != 1994
         |GROUP BY y ORDER BY y""".stripMargin,
+    "q186_replacing_final" ->
+      """SELECT c_nationkey AS nk, count(*) AS n,
+        |       CAST(round(sum(CASE WHEN c_custkey % 16 = 0
+        |                           THEN c_acctbal * 2
+        |                           ELSE c_acctbal END) * 100) AS BIGINT) AS bal_c
+        |FROM customer WHERE c_custkey % 8 = 0
+        |GROUP BY nk ORDER BY nk""".stripMargin,
+    "q187_replacing_optimize" ->
+      """SELECT c_nationkey AS nk, count(*) AS n,
+        |       CAST(round(sum(CASE WHEN c_custkey % 20 = 0
+        |                           THEN c_acctbal * 3
+        |                           ELSE c_acctbal END) * 100) AS BIGINT) AS bal_c
+        |FROM customer WHERE c_custkey % 10 = 0
+        |GROUP BY nk ORDER BY nk""".stripMargin,
     "q176_optimize_table" ->
       """SELECT o_orderstatus AS st, count(*) AS n,
         |       CAST(round(sum(o_totalprice)) AS BIGINT) AS total

@@ -48,12 +48,16 @@ object Catalog {
       /** `PARTITION BY` expression for MergeTree tables — INSERT,
         * mutations, and OPTIMIZE must re-apply it or a rewrite would
         * silently de-partition the tree. */
-      partitionBy: Option[String] = None)
+      partitionBy: Option[String] = None,
+      /** Declared engine spelling incl. args — `MergeTree`,
+        * `ReplacingMergeTree(ver)`, … The Replacing family gives
+        * `FINAL` its real dedup semantics. */
+      engine: String = "MergeTree")
 
   private val attached = scala.collection.concurrent.TrieMap.empty[String, AttachedTable]
 
   private val AttachRe =
-    """(?is)\s*ATTACH\s+TABLE\s+(\S+)\s*(?:UUID\s+'([^']*)')?\s*\((.*)\)\s*ENGINE\s*=\s*(\w+)(?:\s+PARTITION\s+BY\s+((?:(?!\s+ORDER\s+BY\b|\s+SAMPLE\s+BY\b|\s+SETTINGS\b).)+))?(?:\s+ORDER\s+BY\s*\(([^)]*)\))?(?:\s+SAMPLE\s+BY\s+(\w+\([^)]*\)|\([^)]*\)|[\w.]+))?(.*)""".r
+    """(?is)\s*ATTACH\s+TABLE\s+(\S+)\s*(?:UUID\s+'([^']*)')?\s*\((.*)\)\s*ENGINE\s*=\s*(\w+(?:\s*\([^)]*\))?)(?:\s+PARTITION\s+BY\s+((?:(?!\s+ORDER\s+BY\b|\s+SAMPLE\s+BY\b|\s+SETTINGS\b).)+))?(?:\s+ORDER\s+BY\s*\(([^)]*)\))?(?:\s+SAMPLE\s+BY\s+(\w+\([^)]*\)|\([^)]*\)|[\w.]+))?(.*)""".r
   private val EndpointRe = """endpoint\s*=\s*'([^']*)'""".r
 
   def isAttach(sql: String): Boolean =
@@ -73,7 +77,7 @@ object Catalog {
     * registration. An ATTACH with no endpoint clause at all is plain
     * DDL and registers schema-only as before. */
   def attach(spark: SparkSession, sql: String): AttachedTable = sql match {
-    case AttachRe(name, uuid, cols, _, partitionBy, orderBy, sampleBy, tail) =>
+    case AttachRe(name, uuid, cols, engineSpec, partitionBy, orderBy, sampleBy, tail) =>
       val schema = ChSchemaParser.parse(cols)
       val key = Option(orderBy).map(_.split(",").map(_.trim).toSeq).getOrElse(Nil)
       val rawEndpoint = EndpointRe.findFirstMatchIn(tail).map(_.group(1))
@@ -118,7 +122,9 @@ object Catalog {
         Option(sampleBy), Option(uuid).map(_.trim).filter(_.nonEmpty), kind,
         partitionBy = Option(partitionBy).map(_.trim).filter(_.nonEmpty)
           // `PARTITION BY tuple()` is CH's unpartitioned spelling
-          .filterNot(graft.sources.mergetree.MergeTreePartitioning.isNoPartition))
+          .filterNot(graft.sources.mergetree.MergeTreePartitioning.isNoPartition),
+        engine = Option(engineSpec).map(_.trim).filter(_.nonEmpty)
+          .getOrElse("MergeTree"))
       materialize(spark, t).foreach(_.createOrReplaceTempView(name))
       attached(name) = t
       t
@@ -139,9 +145,31 @@ object Catalog {
     * requests, which `ddlOf` alone could not recover (review finding). */
   def recordCtas(name: String, path: String, orderBy: Seq[String],
       ddl: String = "", kind: String = Kind.Parquet,
-      partitionBy: Option[String] = None): Unit =
+      partitionBy: Option[String] = None,
+      engine: String = "MergeTree"): Unit =
     attached(name) = AttachedTable(name, ddl, orderBy, Some(path),
-      kind = kind, ownsStorage = true, partitionBy = partitionBy)
+      kind = kind, ownsStorage = true, partitionBy = partitionBy,
+      engine = engine)
+
+  private val ReplacingRe =
+    """(?i)^ReplacingMergeTree\s*(?:\(\s*([\w`"]*)\s*\))?$""".r
+
+  /** For a table of the Replacing family: its dedup key (the ORDER BY
+    * tuple) and optional version column — what gives `FROM t FINAL`
+    * its CH semantics (keep one row per key, highest version wins).
+    * None for plain MergeTree / unknown tables. */
+  def replacingInfo(table: String): Option[(Seq[String], Option[String])] = {
+    val t = attached.get(table)
+      .orElse(attached.values.find(_.name.equalsIgnoreCase(table)))
+    t.flatMap { e =>
+      e.engine match {
+        case ReplacingRe(ver) if e.orderBy.nonEmpty =>
+          Some((e.orderBy, Option(ver)
+            .map(_.replaceAll("[`\"]", "").trim).filter(_.nonEmpty)))
+        case _ => None
+      }
+    }
+  }
 
   def lookup(name: String): Option[AttachedTable] = attached.get(name)
 

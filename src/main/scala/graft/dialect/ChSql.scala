@@ -492,13 +492,41 @@ object ChSql {
       """(?!(?:FINAL|WHERE|PREWHERE|GROUP|HAVING|ORDER|LIMIT|SETTINGS|JOIN|ON|USING|SAMPLE|ARRAY|LEFT|RIGHT|INNER|FULL|CROSS|UNION|INTERSECT|EXCEPT|WINDOW|QUALIFY)\b)""" +
       """[A-Za-z_]\w*)?)\s+FINAL\b""").r
 
-  /** CH `FROM t FINAL` forces merge-time dedup of a ReplacingMergeTree.
-    * The attached views here are already fully-merged snapshots (S5
-    * registers a parquet export, not live parts), so FINAL is an
-    * accepted no-op and strips — same posture as the CH tuning
+  /** CH `FROM t FINAL`. For a table the catalog declares as
+    * ReplacingMergeTree, FINAL gets its REAL semantics: one row per
+    * sorting-key value survives — the highest declared version, or
+    * (no version column, where CH keeps the last-merged row) the
+    * deterministic max over the payload columns; the raw multiversion
+    * rows stay visible WITHOUT the modifier, exactly CH's contract.
+    * For everything else — parquet views and plain-MergeTree tables,
+    * whose registered snapshots hold no duplicate versions — FINAL is
+    * an accepted no-op and strips, same posture as the CH tuning
     * SETTINGS. */
   def stripFinal(sql: String): String =
-    replaceQuoteAware(sql, FromFinal)(m => Some(s"${m.group(1)} ${m.group(2)}"))
+    replaceQuoteAware(sql, FromFinal) { m =>
+      val tref = m.group(2).trim
+      val toks = tref.split("\\s+").filterNot(_.equalsIgnoreCase("AS"))
+      val table = toks.head
+      val alias = if (toks.length > 1) toks.last else table
+      graft.core.Catalog.replacingInfo(table) match {
+        case Some((key, ver)) =>
+          val keyList = key.map(c => s"`$c`").mkString(", ")
+          // versionless Replacing keeps whichever row merged last in
+          // CH — part-order state a snapshot-level rewrite cannot
+          // observe. A deterministic engine refuses rather than fakes
+          // it (same posture as the SAMPLE row-count form).
+          val v = ver.getOrElse(throw new IllegalArgumentException(
+            s"FROM $table FINAL: ReplacingMergeTree without a version " +
+              "column keeps an order-of-merges-dependent row per key — " +
+              "declare ReplacingMergeTree(<version column>) for " +
+              "deterministic FINAL semantics"))
+          Some(s"${m.group(1)} (SELECT * EXCEPT (__graft_rn) FROM (" +
+            s"SELECT *, row_number() OVER (PARTITION BY $keyList " +
+            s"ORDER BY `$v` DESC) AS __graft_rn FROM $table) WHERE " +
+            s"__graft_rn = 1) $alias")
+        case None => Some(s"${m.group(1)} ${m.group(2)}")
+      }
+    }
 
   private val SampleRe =
     """(?i)\bFROM\s+([A-Za-z_]\w*)\s+SAMPLE\s+(\d+(?:\.\d+)?)(?:\s*/\s*(\d+))?""".r

@@ -43,7 +43,7 @@ object ChWrites {
   private val CtasRe =
     """(?is)^\s*CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?([`"]?[\w.]+[`"]?)\s*(.*?)\s*\bAS\s+((?:SELECT|WITH)\b.*)$""".r
   private val FormatPrefixRe = """(?is)^FORMAT\s+(\w+)\s+(.*)$""".r
-  private val EngineRe = """(?i)\bENGINE\s*=\s*(\w+)""".r
+  private val EngineRe = """(?i)\bENGINE\s*=\s*(\w+)(\s*\(([^)]*)\))?""".r
   private val OrderByRe = """(?is)\bORDER\s+BY\s*\(([^)]*)\)""".r
   private val OrderByBareRe = """(?is)\bORDER\s+BY\s+([\w`."]+)""".r
 
@@ -89,22 +89,42 @@ object ChWrites {
           s"${System.getProperty("java.io.tmpdir")}/graft_warehouse")
         val path = s"$warehouse/$name"
         val df = selectDf(spark, body, macros)
-        val engine = EngineRe.findFirstMatchIn(middle).map(_.group(1).toLowerCase)
-        require(partitionBy.isEmpty || engine.contains("mergetree"),
-          s"CREATE TABLE $name: PARTITION BY needs ENGINE = MergeTree " +
-            "(clustered parquet CTAS expresses layout via ORDER BY)")
-        if (engine.contains("mergetree")) {
+        val engineM = EngineRe.findFirstMatchIn(middle)
+        val engine = engineM.map(_.group(1).toLowerCase)
+        val mtFamily = engine.exists(e =>
+          e == "mergetree" || e == "replacingmergetree")
+        require(partitionBy.isEmpty || mtFamily,
+          s"CREATE TABLE $name: PARTITION BY needs a MergeTree-family " +
+            "ENGINE (clustered parquet CTAS expresses layout via ORDER BY)")
+        if (mtFamily) {
           // ENGINE = MergeTree writes a REAL wide-part tree (VERDICT r9
           // task #8) — ATTACH-able by the q160 data path, locally or
           // over http. Executor-parallel since r11 (range-partitioned,
           // per-task part encode); plain CTAS (no ENGINE) keeps the
-          // sorted-parquet path.
+          // sorted-parquet path. ReplacingMergeTree(ver) writes the
+          // SAME tree (rows multiversion; CH stores them too) — FINAL
+          // reads and OPTIMIZE FINAL apply the dedup semantics.
+          val engineSpec = engineM.map { m =>
+            val word = m.group(1)
+            Option(m.group(3)).map(a => s"$word(${a.trim})").getOrElse(word)
+          }.getOrElse("MergeTree")
+          if (engine.contains("replacingmergetree")) {
+            require(sortKey.nonEmpty,
+              s"CREATE TABLE $name: ReplacingMergeTree needs ORDER BY " +
+                "(the sorting key IS the dedup key)")
+            Option(engineM.get.group(3)).map(_.replaceAll("[`\"]", "").trim)
+              .filter(_.nonEmpty).foreach { v =>
+                require(df.columns.contains(v),
+                  s"CREATE TABLE $name: ReplacingMergeTree version " +
+                    s"column '$v' is not in the SELECT")
+              }
+          }
           val (rows, ddl) = graft.sources.mergetree.MergeTreeCtas
             .write(spark, df, path, sortKey, partitionBy = partitionBy)
           graft.sources.mergetree.MergeTree.read(spark, path, ddl, sortKey)
             .createOrReplaceTempView(name)
           graft.core.Catalog.recordCtas(name, path, sortKey, ddl,
-            graft.core.Catalog.Kind.MergeTree, partitionBy)
+            graft.core.Catalog.Kind.MergeTree, partitionBy, engineSpec)
           Seq((name, path, rows)).toDF("table", "path", "rows")
         } else {
           engine.filterNot(_ == "mergetree").foreach { e =>

@@ -42,7 +42,7 @@ object OptimizeSql {
   def run(spark: SparkSession, sql: String): DataFrame = {
     import spark.implicits._
     sql match {
-      case StmtRe(pathLit, tableName, _) =>
+      case StmtRe(pathLit, tableName, finalKw) =>
         val name = Option(tableName).map(ProjectionSql.clean)
         // a MergeTree target compacts as a PART MERGE (CH's FINAL):
         // all parts rewrite into one merged tree through the
@@ -73,21 +73,47 @@ object OptimizeSql {
               .toDF("table", "files_before", "files_after", "bytes")
           val key = if (orderBy.nonEmpty) orderBy
             else name.map(graft.core.Catalog.sortKey).getOrElse(Nil)
-          val df = MergeTree.read(spark, ep, ddl, key)
+          val df0 = MergeTree.read(spark, ep, ddl, key)
+          // OPTIMIZE … FINAL on a ReplacingMergeTree physically
+          // COLLAPSES versions — CH's merge-with-dedup: one row per
+          // sorting key survives, highest version wins. Plain
+          // MergeTree (or no FINAL) merges without touching rows.
+          val replacing = if (finalKw == null) None
+            else name.flatMap(graft.core.Catalog.replacingInfo)
+          val df = replacing match {
+            case Some((k, Some(v))) =>
+              import org.apache.spark.sql.expressions.Window
+              import org.apache.spark.sql.functions._
+              val w = Window.partitionBy(k.map(c => col(s"`$c`")): _*)
+                .orderBy(col(s"`$v`").desc)
+              df0.withColumn("__graft_rn", row_number().over(w))
+                .filter(col("__graft_rn") === 1).drop("__graft_rn")
+            case Some((_, None)) => throw new IllegalArgumentException(
+              s"OPTIMIZE TABLE ${name.get} FINAL: ReplacingMergeTree " +
+                "without a version column collapses to an " +
+                "order-of-merges-dependent row per key — declare " +
+                "ReplacingMergeTree(<version column>) for deterministic " +
+                "dedup")
+            case None => df0
+          }
+          val contentPreserved = replacing.isEmpty
           val bytes = new Path(ep).getFileSystem(spark.sessionState.newHadoopConf())
             .getContentSummary(new Path(ep)).getLength
           // merge + projection re-stamp are one atomic unit under the
-          // tree write lock: OPTIMIZE preserves CONTENT (parts merge,
-          // rows don't change), so companions that were fresh BEFORE
-          // the merge re-fingerprint in place instead of falling back
-          // to a full rebuild — a concurrent INSERT must not slip a
-          // part into the stamped inventory (VERDICT r10 task #7)
+          // tree write lock: a content-preserving OPTIMIZE (parts
+          // merge, rows don't change) re-fingerprints companions that
+          // were fresh BEFORE the merge instead of falling back to a
+          // full rebuild — a concurrent INSERT must not slip a part
+          // into the stamped inventory (VERDICT r10 task #7). A
+          // Replacing dedup CHANGES content, so its companions go
+          // honestly stale instead.
           graft.sources.mergetree.MergeTreeCtas.withTreeLock(ep) {
             val preFp = MergeTree.partsFingerprint(ep)
             graft.sources.mergetree.MergeTreeCtas.write(spark, df, ep, key,
               declaredDdl = Some(ddl), op = "OPTIMIZE TABLE",
               partitionBy = MutateSql.partitionByOf(ep))
-            graft.plans.AggProjections.refingerprintMergeTree(spark, ep, preFp)
+            if (contentPreserved)
+              graft.plans.AggProjections.refingerprintMergeTree(spark, ep, preFp)
           }
           val partsAfter = MergeTree.partsInfo(ep).size
           return Seq((name.getOrElse(ep), partsBefore, partsAfter, bytes))

@@ -148,7 +148,7 @@ object ShowSql {
           s" SETTINGS disk = disk(type = $diskType, endpoint = '$e')"
         }.getOrElse("")
         s"ATTACH TABLE ${t.name}$uuid (${t.schemaDdl}) " +
-          s"ENGINE = MergeTree$partBy$orderBy$sampleBy$settings"
+          s"ENGINE = ${t.engine}$partBy$orderBy$sampleBy$settings"
       case other =>
         val orderBy = other.filter(_.orderBy.nonEmpty)
           .map(t => s" ORDER BY (${t.orderBy.mkString(", ")})").getOrElse("")
@@ -160,7 +160,8 @@ object ShowSql {
         // Nullable ORDER BY key no CH table could declare
         ProjectionSql.resolveMergeTree(spark, n) match {
           case Some((_, ddl, _)) =>
-            s"CREATE TABLE $n ($ddl) ENGINE = MergeTree$partBy$orderBy"
+            val eng = other.map(_.engine).getOrElse("MergeTree")
+            s"CREATE TABLE $n ($ddl) ENGINE = $eng$partBy$orderBy"
           case None =>
             // CTAS parquet entry or a plain session view — render the
             // live schema in CH type names
