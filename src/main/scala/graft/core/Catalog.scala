@@ -57,7 +57,17 @@ object Catalog {
   private val attached = scala.collection.concurrent.TrieMap.empty[String, AttachedTable]
 
   private val AttachRe =
-    """(?is)\s*ATTACH\s+TABLE\s+(\S+)\s*(?:UUID\s+'([^']*)')?\s*\((.*)\)\s*ENGINE\s*=\s*(\w+(?:\s*\([^)]*\))?)(?:\s+PARTITION\s+BY\s+((?:(?!\s+ORDER\s+BY\b|\s+SAMPLE\s+BY\b|\s+SETTINGS\b).)+))?(?:\s+ORDER\s+BY\s*\(([^)]*)\))?(?:\s+SAMPLE\s+BY\s+(\w+\([^)]*\)|\([^)]*\)|[\w.]+))?(.*)""".r
+    ("""(?is)\s*ATTACH\s+TABLE\s+(\S+)\s*(?:UUID\s+'([^']*)')?\s*\((.*)\)\s*ENGINE\s*=\s*(\w+(?:\s*\([^)]*\))?)(?:\s+PARTITION\s+BY\s+((?:(?!\s+ORDER\s+BY\b|\s+SAMPLE\s+BY\b|\s+SETTINGS\b).)+))?""" +
+      // ORDER BY: parenthesized tuple, or CH's bare single-column
+      // spelling (its own SHOW CREATE emits `ORDER BY id`); bare
+      // `tuple()` stays unmatched = no key, as before
+      """(?:\s+ORDER\s+BY\s+(?:\(([^)]*)\)|(?!tuple\s*\()([\w.`"]+)))?(?:\s+SAMPLE\s+BY\s+(\w+\([^)]*\)|\([^)]*\)|[\w.]+))?(.*)""").r
+
+  /** Strip identifier quoting from a declared key column — ATTACH DDL
+    * may spell `` `id` ``/`"id"`; downstream consumers (pruning
+    * attribute compare, the FINAL rewrite) work on bare names. */
+  private def cleanIdent(c: String): String =
+    c.trim.stripPrefix("`").stripSuffix("`").stripPrefix("\"").stripSuffix("\"")
   private val EndpointRe = """endpoint\s*=\s*'([^']*)'""".r
 
   def isAttach(sql: String): Boolean =
@@ -77,9 +87,13 @@ object Catalog {
     * registration. An ATTACH with no endpoint clause at all is plain
     * DDL and registers schema-only as before. */
   def attach(spark: SparkSession, sql: String): AttachedTable = sql match {
-    case AttachRe(name, uuid, cols, engineSpec, partitionBy, orderBy, sampleBy, tail) =>
+    case AttachRe(name, uuid, cols, engineSpec, partitionBy, orderBy,
+        orderByBare, sampleBy, tail) =>
       val schema = ChSchemaParser.parse(cols)
-      val key = Option(orderBy).map(_.split(",").map(_.trim).toSeq).getOrElse(Nil)
+      val key = Option(orderBy)
+        .map(_.split(",").map(cleanIdent).filter(_.nonEmpty).toSeq)
+        .orElse(Option(orderByBare).map(b => Seq(cleanIdent(b))))
+        .getOrElse(Nil)
       val rawEndpoint = EndpointRe.findFirstMatchIn(tail).map(_.group(1))
       // a web disk stores the table under `store/<uuid[0,3)>/<uuid>/` of
       // its endpoint — when the ATTACH carries a UUID and the bare
@@ -152,20 +166,35 @@ object Catalog {
       engine = engine)
 
   private val ReplacingRe =
-    """(?i)^ReplacingMergeTree\s*(?:\(\s*([\w`"]*)\s*\))?$""".r
+    """(?i)^ReplacingMergeTree\s*(?:\(([^)]*)\))?$""".r
 
-  /** For a table of the Replacing family: its dedup key (the ORDER BY
-    * tuple) and optional version column — what gives `FROM t FINAL`
-    * its CH semantics (keep one row per key, highest version wins).
-    * None for plain MergeTree / unknown tables. */
-  def replacingInfo(table: String): Option[(Seq[String], Option[String])] = {
+  /** ReplacingMergeTree dedup contract: `key` is the ORDER BY tuple,
+    * `ver` the declared version column, `isDeleted` the optional
+    * second engine argument (rows whose surviving version has it = 1
+    * vanish from FINAL reads), and `columns` the table's declared
+    * column list when known — the deterministic tiebreak for equal
+    * versions. */
+  case class ReplacingSpec(
+      key: Seq[String],
+      ver: Option[String],
+      isDeleted: Option[String],
+      columns: Seq[String])
+
+  /** The [[ReplacingSpec]] for a table of the Replacing family — what
+    * gives `FROM t FINAL` its CH semantics. None for plain MergeTree /
+    * unknown tables. */
+  def replacingInfo(table: String): Option[ReplacingSpec] = {
     val t = attached.get(table)
       .orElse(attached.values.find(_.name.equalsIgnoreCase(table)))
     t.flatMap { e =>
       e.engine match {
-        case ReplacingRe(ver) if e.orderBy.nonEmpty =>
-          Some((e.orderBy, Option(ver)
-            .map(_.replaceAll("[`\"]", "").trim).filter(_.nonEmpty)))
+        case ReplacingRe(args) if e.orderBy.nonEmpty =>
+          val as = Option(args).map(_.split(",").toSeq).getOrElse(Nil)
+            .map(_.replaceAll("[`\"]", "").trim).filter(_.nonEmpty)
+          val cols =
+            try graft.types.ChSchemaParser.columnPairs(e.schemaDdl).map(_._1)
+            catch { case _: Exception => Nil }
+          Some(ReplacingSpec(e.orderBy, as.headOption, as.lift(1), cols))
         case _ => None
       }
     }

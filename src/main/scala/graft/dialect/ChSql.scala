@@ -490,7 +490,11 @@ object ChSql {
   private val FromFinal =
     ("""(?i)\b(FROM|JOIN)\s+([A-Za-z_][\w.]*(?:\s+(?:AS\s+)?""" +
       """(?!(?:FINAL|WHERE|PREWHERE|GROUP|HAVING|ORDER|LIMIT|SETTINGS|JOIN|ON|USING|SAMPLE|ARRAY|LEFT|RIGHT|INNER|FULL|CROSS|UNION|INTERSECT|EXCEPT|WINDOW|QUALIFY)\b)""" +
-      """[A-Za-z_]\w*)?)\s+FINAL\b""").r
+      """[A-Za-z_]\w*)?)\s+FINAL\b""" +
+      // a trailing SAMPLE clause (CH order: FROM t FINAL SAMPLE f) is
+      // captured so the Replacing rewrite can move it INSIDE the
+      // dedup subquery, where rewriteSample still finds it
+      """(\s+SAMPLE\s+\d+(?:\.\d+)?(?:\s*/\s*\d+)?)?""").r
 
   /** CH `FROM t FINAL`. For a table the catalog declares as
     * ReplacingMergeTree, FINAL gets its REAL semantics: one row per
@@ -502,29 +506,49 @@ object ChSql {
     * whose registered snapshots hold no duplicate versions — FINAL is
     * an accepted no-op and strips, same posture as the CH tuning
     * SETTINGS. */
+  /** Backtick a plain identifier; leave an expression key (CH allows
+    * `ORDER BY (id, toDate(ts))`) as-is for Spark to parse. */
+  private def qIdent(c: String): String =
+    if (c.matches("[A-Za-z_]\\w*")) s"`$c`" else c
+
   def stripFinal(sql: String): String =
     replaceQuoteAware(sql, FromFinal) { m =>
       val tref = m.group(2).trim
       val toks = tref.split("\\s+").filterNot(_.equalsIgnoreCase("AS"))
       val table = toks.head
       val alias = if (toks.length > 1) toks.last else table
+      val sample = Option(m.group(3)).getOrElse("")
       graft.core.Catalog.replacingInfo(table) match {
-        case Some((key, ver)) =>
-          val keyList = key.map(c => s"`$c`").mkString(", ")
+        case Some(spec) =>
+          val keyList = spec.key.map(qIdent).mkString(", ")
           // versionless Replacing keeps whichever row merged last in
           // CH — part-order state a snapshot-level rewrite cannot
           // observe. A deterministic engine refuses rather than fakes
           // it (same posture as the SAMPLE row-count form).
-          val v = ver.getOrElse(throw new IllegalArgumentException(
+          val v = spec.ver.getOrElse(throw new IllegalArgumentException(
             s"FROM $table FINAL: ReplacingMergeTree without a version " +
               "column keeps an order-of-merges-dependent row per key — " +
               "declare ReplacingMergeTree(<version column>) for " +
               "deterministic FINAL semantics"))
+          // equal versions: deterministic tiebreak over the remaining
+          // declared columns (identical payloads collapse identically
+          // either way; differing ones pick a stable winner)
+          val tie = spec.columns
+            .filterNot(c => spec.key.contains(c) || c == v ||
+              spec.isDeleted.contains(c))
+            .map(c => s"${qIdent(c)} DESC")
+          val ord = (s"${qIdent(v)} DESC" +: tie).mkString(", ")
+          // ReplacingMergeTree(ver, is_deleted): a surviving version
+          // flagged deleted disappears from the FINAL read (CH's
+          // lightweight-delete spelling for this engine)
+          val del = spec.isDeleted.map(d =>
+            s" AND coalesce(CAST(${qIdent(d)} AS BIGINT), 0) <> 1")
+            .getOrElse("")
           Some(s"${m.group(1)} (SELECT * EXCEPT (__graft_rn) FROM (" +
             s"SELECT *, row_number() OVER (PARTITION BY $keyList " +
-            s"ORDER BY `$v` DESC) AS __graft_rn FROM $table) WHERE " +
-            s"__graft_rn = 1) $alias")
-        case None => Some(s"${m.group(1)} ${m.group(2)}")
+            s"ORDER BY $ord) AS __graft_rn FROM $table$sample) WHERE " +
+            s"__graft_rn = 1$del) $alias")
+        case None => Some(s"${m.group(1)} ${m.group(2)}$sample")
       }
     }
 

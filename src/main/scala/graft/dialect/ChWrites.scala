@@ -112,10 +112,13 @@ object ChWrites {
             require(sortKey.nonEmpty,
               s"CREATE TABLE $name: ReplacingMergeTree needs ORDER BY " +
                 "(the sorting key IS the dedup key)")
-            Option(engineM.get.group(3)).map(_.replaceAll("[`\"]", "").trim)
-              .filter(_.nonEmpty).foreach { v =>
+            // args: (ver[, is_deleted]) — both must be SELECT columns
+            Option(engineM.get.group(3)).toSeq
+              .flatMap(_.split(",").toSeq)
+              .map(_.replaceAll("[`\"]", "").trim).filter(_.nonEmpty)
+              .foreach { v =>
                 require(df.columns.contains(v),
-                  s"CREATE TABLE $name: ReplacingMergeTree version " +
+                  s"CREATE TABLE $name: ReplacingMergeTree engine " +
                     s"column '$v' is not in the SELECT")
               }
           }

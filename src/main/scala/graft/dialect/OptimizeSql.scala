@@ -76,24 +76,39 @@ object OptimizeSql {
           val df0 = MergeTree.read(spark, ep, ddl, key)
           // OPTIMIZE … FINAL on a ReplacingMergeTree physically
           // COLLAPSES versions — CH's merge-with-dedup: one row per
-          // sorting key survives, highest version wins. Plain
-          // MergeTree (or no FINAL) merges without touching rows.
+          // (partition, sorting key) survives, highest version wins.
+          // The window partitions by the PARTITION BY expression too:
+          // CH merges never cross partitions, so a key duplicated
+          // across partitions keeps one row per partition (review
+          // finding — the global window silently deleted CH-surviving
+          // rows). Plain MergeTree (or no FINAL) merges without
+          // touching rows. is_deleted rows are KEPT here (CH's plain
+          // OPTIMIZE FINAL keeps them; only SELECT FINAL hides them).
           val replacing = if (finalKw == null) None
             else name.flatMap(graft.core.Catalog.replacingInfo)
           val df = replacing match {
-            case Some((k, Some(v))) =>
+            case Some(spec) =>
               import org.apache.spark.sql.expressions.Window
               import org.apache.spark.sql.functions._
-              val w = Window.partitionBy(k.map(c => col(s"`$c`")): _*)
-                .orderBy(col(s"`$v`").desc)
+              val v = spec.ver.getOrElse(throw new IllegalArgumentException(
+                s"OPTIMIZE TABLE ${name.get} FINAL: ReplacingMergeTree " +
+                  "without a version column collapses to an " +
+                  "order-of-merges-dependent row per key — declare " +
+                  "ReplacingMergeTree(<version column>) for deterministic " +
+                  "dedup"))
+              def colOf(c: String) =
+                if (c.matches("[A-Za-z_]\\w*")) col(s"`$c`") else expr(c)
+              val partCols =
+                MutateSql.partitionByOf(ep).map(expr).toSeq ++
+                  spec.key.map(colOf)
+              val tie = spec.columns
+                .filterNot(c => spec.key.contains(c) || c == v ||
+                  spec.isDeleted.contains(c))
+                .map(c => colOf(c).desc)
+              val w = Window.partitionBy(partCols: _*)
+                .orderBy(colOf(v).desc +: tie: _*)
               df0.withColumn("__graft_rn", row_number().over(w))
                 .filter(col("__graft_rn") === 1).drop("__graft_rn")
-            case Some((_, None)) => throw new IllegalArgumentException(
-              s"OPTIMIZE TABLE ${name.get} FINAL: ReplacingMergeTree " +
-                "without a version column collapses to an " +
-                "order-of-merges-dependent row per key — declare " +
-                "ReplacingMergeTree(<version column>) for deterministic " +
-                "dedup")
             case None => df0
           }
           val contentPreserved = replacing.isEmpty
@@ -108,12 +123,17 @@ object OptimizeSql {
           // Replacing dedup CHANGES content, so its companions go
           // honestly stale instead.
           graft.sources.mergetree.MergeTreeCtas.withTreeLock(ep) {
-            val preFp = MergeTree.partsFingerprint(ep)
+            // the pre-merge fingerprint is only needed for the
+            // content-preserving re-stamp — don't pay the inventory
+            // scan under the write lock otherwise (review finding)
+            val preFp =
+              if (contentPreserved) Some(MergeTree.partsFingerprint(ep))
+              else None
             graft.sources.mergetree.MergeTreeCtas.write(spark, df, ep, key,
               declaredDdl = Some(ddl), op = "OPTIMIZE TABLE",
               partitionBy = MutateSql.partitionByOf(ep))
-            if (contentPreserved)
-              graft.plans.AggProjections.refingerprintMergeTree(spark, ep, preFp)
+            preFp.foreach(fp =>
+              graft.plans.AggProjections.refingerprintMergeTree(spark, ep, fp))
           }
           val partsAfter = MergeTree.partsInfo(ep).size
           return Seq((name.getOrElse(ep), partsBefore, partsAfter, bytes))

@@ -89,4 +89,86 @@ class ReplacingMergeTreeSpec extends AnyFunSuite {
       ChSql.sql(spark, "DROP TABLE repl_src").collect()
     } finally spark.conf.unset(ChWrites.WarehouseConf)
   }
+
+  test("ReplacingMergeTree(ver, is_deleted): FINAL hides deleted rows; OPTIMIZE keeps them") {
+    import spark.implicits._
+    val wh = Files.createTempDirectory("graft_repl3").toString
+    spark.conf.set(ChWrites.WarehouseConf, wh)
+    try {
+      Seq((1L, 0L, 0L, 10.0), (2L, 0L, 0L, 20.0))
+        .toDF("id", "ver", "del", "v").createOrReplaceTempView("rdsrc")
+      ChSql.sql(spark,
+        "CREATE TABLE repl_del ENGINE = ReplacingMergeTree(ver, del) " +
+          "ORDER BY (id) AS SELECT id, ver, del, v FROM rdsrc").collect()
+      // a newer version flags id=2 deleted
+      ChSql.sql(spark,
+        "INSERT INTO repl_del SELECT 2 AS id, 1 AS ver, 1 AS del, 20.0 AS v").collect()
+      assert(ChSql.sql(spark, "SELECT count() AS n FROM repl_del")
+        .collect().head.getLong(0) == 3L)
+      // FINAL: the surviving highest-version row of id=2 is deleted →
+      // only id=1 remains (CH's lightweight-delete spelling)
+      val fin = ChSql.sql(spark, "SELECT id FROM repl_del FINAL ORDER BY id")
+        .collect().map(_.getLong(0)).toSeq
+      assert(fin == Seq(1L), fin.mkString(", "))
+      // OPTIMIZE FINAL collapses versions but KEEPS the deleted row
+      // (CH's plain OPTIMIZE FINAL posture; only SELECT FINAL hides it)
+      ChSql.sql(spark, "OPTIMIZE TABLE repl_del FINAL").collect()
+      assert(ChSql.sql(spark, "SELECT count() AS n FROM repl_del")
+        .collect().head.getLong(0) == 2L)
+      assert(ChSql.sql(spark, "SELECT count() AS n FROM repl_del FINAL")
+        .collect().head.getLong(0) == 1L)
+      ChSql.sql(spark, "DROP TABLE repl_del").collect()
+    } finally spark.conf.unset(ChWrites.WarehouseConf)
+  }
+
+  test("bare ORDER BY in ATTACH carries the dedup key; FINAL composes with SAMPLE") {
+    fresh()
+    val wh = Files.createTempDirectory("graft_repl4").toString
+    spark.conf.set(ChWrites.WarehouseConf, wh)
+    try {
+      ChSql.sql(spark,
+        "CREATE TABLE repl_s2 ENGINE = ReplacingMergeTree(ver) ORDER BY (id) AS " +
+          "SELECT id, k, ver, v FROM rsrc").collect()
+      ChSql.sql(spark,
+        "INSERT INTO repl_s2 SELECT id, k, ver, v FROM rupd").collect()
+      // CH's own SHOW CREATE spelling for a single-column key is
+      // unparenthesized — the ATTACH must still record it
+      graft.core.Catalog.attach(spark,
+        s"""ATTACH TABLE repl_bare (`id` Int64, `k` String, `ver` Int64, `v` Float64)
+           |ENGINE = ReplacingMergeTree(ver) ORDER BY id SAMPLE BY id
+           |SETTINGS disk = disk(type = web, endpoint = '$wh/repl_s2')""".stripMargin)
+      assert(graft.core.Catalog.lookup("repl_bare").map(_.orderBy).contains(Seq("id")))
+      assert(ChSql.sql(spark, "SELECT count() AS n FROM repl_bare FINAL")
+        .collect().head.getLong(0) == 3L)
+      // CH clause order FROM t FINAL SAMPLE f: the sample moves inside
+      // the dedup subquery (SAMPLE 1/1 = the full residue class)
+      assert(ChSql.sql(spark, "SELECT count() AS n FROM repl_bare FINAL SAMPLE 1/1")
+        .collect().head.getLong(0) == 3L)
+      graft.core.Catalog.detach("repl_bare")
+      spark.catalog.dropTempView("repl_bare")
+      ChSql.sql(spark, "DROP TABLE repl_s2").collect()
+    } finally spark.conf.unset(ChWrites.WarehouseConf)
+  }
+
+  test("OPTIMIZE FINAL on a PARTITIONED Replacing table dedups within partitions only") {
+    import spark.implicits._
+    val wh = Files.createTempDirectory("graft_repl5").toString
+    spark.conf.set(ChWrites.WarehouseConf, wh)
+    try {
+      // the same sorting key (id=1) lives in TWO partitions — CH merges
+      // never cross partitions, so both rows must survive the collapse
+      Seq((1L, "p1", 0L, 10.0), (1L, "p2", 0L, 11.0), (1L, "p1", 1L, 12.0))
+        .toDF("id", "p", "ver", "v").createOrReplaceTempView("rpsrc")
+      ChSql.sql(spark,
+        "CREATE TABLE repl_part ENGINE = ReplacingMergeTree(ver) " +
+          "PARTITION BY p ORDER BY (id) AS " +
+          "SELECT id, p, ver, v FROM rpsrc").collect()
+      ChSql.sql(spark, "OPTIMIZE TABLE repl_part FINAL").collect()
+      val rows = ChSql.sql(spark,
+        "SELECT p, CAST(round(v) AS BIGINT) AS v FROM repl_part ORDER BY p")
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      assert(rows == Seq(("p1", 12L), ("p2", 11L)), rows.mkString(", "))
+      ChSql.sql(spark, "DROP TABLE repl_part").collect()
+    } finally spark.conf.unset(ChWrites.WarehouseConf)
+  }
 }
