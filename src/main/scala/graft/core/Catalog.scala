@@ -59,9 +59,12 @@ object Catalog {
   private val AttachRe =
     ("""(?is)\s*ATTACH\s+TABLE\s+(\S+)\s*(?:UUID\s+'([^']*)')?\s*\((.*)\)\s*ENGINE\s*=\s*(\w+(?:\s*\([^)]*\))?)(?:\s+PARTITION\s+BY\s+((?:(?!\s+ORDER\s+BY\b|\s+SAMPLE\s+BY\b|\s+SETTINGS\b).)+))?""" +
       // ORDER BY: parenthesized tuple, or CH's bare single-column
-      // spelling (its own SHOW CREATE emits `ORDER BY id`); bare
-      // `tuple()` stays unmatched = no key, as before
-      """(?:\s+ORDER\s+BY\s+(?:\(([^)]*)\)|(?!tuple\s*\()([\w.`"]+)))?(?:\s+SAMPLE\s+BY\s+(\w+\([^)]*\)|\([^)]*\)|[\w.]+))?(.*)""").r
+      // spelling (its own SHOW CREATE emits `ORDER BY id`). The bare
+      // arm refuses a following '(' so an expression key
+      // (`ORDER BY cityHash64(id)`) is NOT truncated to a bogus column
+      // name — it falls to the tail and the key stays empty, the
+      // pre-bare-support behavior (review finding). `tuple()` likewise.
+      """(?:\s+ORDER\s+BY\s+(?:\(([^)]*)\)|(?!tuple\s*\()([\w.`"]+)(?!\s*\()))?(?:\s+SAMPLE\s+BY\s+(\w+\([^)]*\)|\([^)]*\)|[\w.]+))?(.*)""").r
 
   /** Strip identifier quoting from a declared key column — ATTACH DDL
     * may spell `` `id` ``/`"id"`; downstream consumers (pruning
@@ -172,17 +175,37 @@ object Catalog {
     * `ver` the declared version column, `isDeleted` the optional
     * second engine argument (rows whose surviving version has it = 1
     * vanish from FINAL reads), and `columns` the table's declared
-    * column list when known — the deterministic tiebreak for equal
-    * versions. */
+    * (name, CH type) pairs when known — the deterministic tiebreak for
+    * equal versions (callers exclude unorderable types). */
   case class ReplacingSpec(
       key: Seq[String],
       ver: Option[String],
       isDeleted: Option[String],
-      columns: Seq[String])
+      columns: Seq[(String, String)]) {
+    /** Tiebreak columns: everything except key/ver whose type Spark
+      * can sort (Map cannot appear in a sort order). The delete flag
+      * IS included — two equal-version rows differing only in it must
+      * resolve the same way every run, it decides visibility (review
+      * finding). */
+    def tieColumns: Seq[String] = {
+      val skip = key.toSet ++ ver
+      // the delete flag sorts FIRST among the tiebreaks: treating the
+      // deleted spelling as the later event is the deterministic
+      // reading of CH's "whichever merged last"
+      val del = isDeleted.filterNot(skip).toSeq
+      val rest = columns.collect {
+        case (n, t) if !skip(n) && !isDeleted.contains(n) &&
+          !t.trim.toLowerCase.startsWith("map(") => n
+      }
+      del ++ rest
+    }
+  }
 
   /** The [[ReplacingSpec]] for a table of the Replacing family — what
     * gives `FROM t FINAL` its CH semantics. None for plain MergeTree /
-    * unknown tables. */
+    * unknown tables. More than two engine arguments refuse loudly (CH
+    * rejects them too; silently dropping one would misassign the
+    * version/delete roles). */
   def replacingInfo(table: String): Option[ReplacingSpec] = {
     val t = attached.get(table)
       .orElse(attached.values.find(_.name.equalsIgnoreCase(table)))
@@ -191,8 +214,11 @@ object Catalog {
         case ReplacingRe(args) if e.orderBy.nonEmpty =>
           val as = Option(args).map(_.split(",").toSeq).getOrElse(Nil)
             .map(_.replaceAll("[`\"]", "").trim).filter(_.nonEmpty)
+          require(as.size <= 2,
+            s"table '$table': ReplacingMergeTree takes at most " +
+              s"(version[, is_deleted]) — got (${as.mkString(", ")})")
           val cols =
-            try graft.types.ChSchemaParser.columnPairs(e.schemaDdl).map(_._1)
+            try graft.types.ChSchemaParser.columnPairs(e.schemaDdl)
             catch { case _: Exception => Nil }
           Some(ReplacingSpec(e.orderBy, as.headOption, as.lift(1), cols))
         case _ => None

@@ -506,10 +506,12 @@ object ChSql {
     * whose registered snapshots hold no duplicate versions — FINAL is
     * an accepted no-op and strips, same posture as the CH tuning
     * SETTINGS. */
-  /** Backtick a plain identifier; leave an expression key (CH allows
-    * `ORDER BY (id, toDate(ts))`) as-is for Spark to parse. */
+  /** Backtick a column name — including exotic names with spaces,
+    * which the old identifier-only test left unquoted (review
+    * finding) — but pass an expression key (contains a call, e.g.
+    * `toDate(ts)`) through for Spark to parse. */
   private def qIdent(c: String): String =
-    if (c.matches("[A-Za-z_]\\w*")) s"`$c`" else c
+    if (c.contains("(") || c.contains("`")) c else s"`$c`"
 
   def stripFinal(sql: String): String =
     replaceQuoteAware(sql, FromFinal) { m =>
@@ -530,13 +532,10 @@ object ChSql {
               "column keeps an order-of-merges-dependent row per key — " +
               "declare ReplacingMergeTree(<version column>) for " +
               "deterministic FINAL semantics"))
-          // equal versions: deterministic tiebreak over the remaining
+          // equal versions: deterministic tiebreak over the orderable
           // declared columns (identical payloads collapse identically
           // either way; differing ones pick a stable winner)
-          val tie = spec.columns
-            .filterNot(c => spec.key.contains(c) || c == v ||
-              spec.isDeleted.contains(c))
-            .map(c => s"${qIdent(c)} DESC")
+          val tie = spec.tieColumns.map(c => s"${qIdent(c)} DESC")
           val ord = (s"${qIdent(v)} DESC" +: tie).mkString(", ")
           // ReplacingMergeTree(ver, is_deleted): a surviving version
           // flagged deleted disappears from the FINAL read (CH's

@@ -112,15 +112,20 @@ object ChWrites {
             require(sortKey.nonEmpty,
               s"CREATE TABLE $name: ReplacingMergeTree needs ORDER BY " +
                 "(the sorting key IS the dedup key)")
-            // args: (ver[, is_deleted]) — both must be SELECT columns
-            Option(engineM.get.group(3)).toSeq
+            // args: (ver[, is_deleted]) — both must be SELECT columns;
+            // more than two refuse (CH rejects them too, and silently
+            // dropping one would misassign the version/delete roles)
+            val eArgs = Option(engineM.get.group(3)).toSeq
               .flatMap(_.split(",").toSeq)
               .map(_.replaceAll("[`\"]", "").trim).filter(_.nonEmpty)
-              .foreach { v =>
-                require(df.columns.contains(v),
-                  s"CREATE TABLE $name: ReplacingMergeTree engine " +
-                    s"column '$v' is not in the SELECT")
-              }
+            require(eArgs.size <= 2,
+              s"CREATE TABLE $name: ReplacingMergeTree takes at most " +
+                s"(version[, is_deleted]) — got (${eArgs.mkString(", ")})")
+            eArgs.foreach { v =>
+              require(df.columns.contains(v),
+                s"CREATE TABLE $name: ReplacingMergeTree engine " +
+                  s"column '$v' is not in the SELECT")
+            }
           }
           val (rows, ddl) = graft.sources.mergetree.MergeTreeCtas
             .write(spark, df, path, sortKey, partitionBy = partitionBy)

@@ -86,6 +86,10 @@ object OptimizeSql {
           // OPTIMIZE FINAL keeps them; only SELECT FINAL hides them).
           val replacing = if (finalKw == null) None
             else name.flatMap(graft.core.Catalog.replacingInfo)
+          // one read of the partition scheme for both the dedup window
+          // and the rewrite — two reads could disagree under a
+          // concurrent ATTACH of an aliasing table (review finding)
+          val partitionBy = MutateSql.partitionByOf(ep)
           val df = replacing match {
             case Some(spec) =>
               import org.apache.spark.sql.expressions.Window
@@ -97,14 +101,10 @@ object OptimizeSql {
                   "ReplacingMergeTree(<version column>) for deterministic " +
                   "dedup"))
               def colOf(c: String) =
-                if (c.matches("[A-Za-z_]\\w*")) col(s"`$c`") else expr(c)
+                if (c.contains("(")) expr(c) else col(s"`$c`")
               val partCols =
-                MutateSql.partitionByOf(ep).map(expr).toSeq ++
-                  spec.key.map(colOf)
-              val tie = spec.columns
-                .filterNot(c => spec.key.contains(c) || c == v ||
-                  spec.isDeleted.contains(c))
-                .map(c => colOf(c).desc)
+                partitionBy.map(expr).toSeq ++ spec.key.map(colOf)
+              val tie = spec.tieColumns.map(c => colOf(c).desc)
               val w = Window.partitionBy(partCols: _*)
                 .orderBy(colOf(v).desc +: tie: _*)
               df0.withColumn("__graft_rn", row_number().over(w))
@@ -131,7 +131,7 @@ object OptimizeSql {
               else None
             graft.sources.mergetree.MergeTreeCtas.write(spark, df, ep, key,
               declaredDdl = Some(ddl), op = "OPTIMIZE TABLE",
-              partitionBy = MutateSql.partitionByOf(ep))
+              partitionBy = partitionBy)
             preFp.foreach(fp =>
               graft.plans.AggProjections.refingerprintMergeTree(spark, ep, fp))
           }
