@@ -64,7 +64,10 @@ object Catalog {
       // (`ORDER BY cityHash64(id)`) is NOT truncated to a bogus column
       // name — it falls to the tail and the key stays empty, the
       // pre-bare-support behavior (review finding). `tuple()` likewise.
-      """(?:\s+ORDER\s+BY\s+(?:\(([^)]*)\)|(?!tuple\s*\()([\w.`"]+)(?!\s*\()))?(?:\s+SAMPLE\s+BY\s+(\w+\([^)]*\)|\([^)]*\)|[\w.]+))?(.*)""").r
+      // the first lookahead pins the token MAXIMAL (no identifier char
+      // follows) so backtracking cannot shrink `cityHash64(` into a
+      // bogus `cityHash6` key just to satisfy the no-paren guard
+      """(?:\s+ORDER\s+BY\s+(?:\(([^)]*)\)|(?!tuple\s*\()([\w.`"]+)(?![\w.`"])(?!\s*\()))?(?:\s+SAMPLE\s+BY\s+(\w+\([^)]*\)|\([^)]*\)|[\w.]+))?(.*)""").r
 
   /** Strip identifier quoting from a declared key column — ATTACH DDL
     * may spell `` `id` ``/`"id"`; downstream consumers (pruning

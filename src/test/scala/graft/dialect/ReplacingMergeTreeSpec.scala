@@ -138,6 +138,16 @@ class ReplacingMergeTreeSpec extends AnyFunSuite {
            |ENGINE = ReplacingMergeTree(ver) ORDER BY id SAMPLE BY id
            |SETTINGS disk = disk(type = web, endpoint = '$wh/repl_s2')""".stripMargin)
       assert(graft.core.Catalog.lookup("repl_bare").map(_.orderBy).contains(Seq("id")))
+      // a bare EXPRESSION key must not truncate to a bogus column via
+      // regex backtracking (`cityHash64(id)` -> `cityHash6`): the key
+      // stays empty, the pre-bare-support behavior
+      graft.core.Catalog.attach(spark,
+        s"""ATTACH TABLE repl_expr (`id` Int64, `k` String, `ver` Int64, `v` Float64)
+           |ENGINE = MergeTree ORDER BY cityHash64(id)
+           |SETTINGS disk = disk(type = web, endpoint = '$wh/repl_s2')""".stripMargin)
+      assert(graft.core.Catalog.lookup("repl_expr").map(_.orderBy).contains(Nil))
+      graft.core.Catalog.detach("repl_expr")
+      spark.catalog.dropTempView("repl_expr")
       assert(ChSql.sql(spark, "SELECT count() AS n FROM repl_bare FINAL")
         .collect().head.getLong(0) == 3L)
       // CH clause order FROM t FINAL SAMPLE f: the sample moves inside
