@@ -214,6 +214,19 @@ object Catalog {
       .orElse(attached.values.find(_.name.equalsIgnoreCase(table)))
     t.flatMap { e =>
       e.engine match {
+        // Replacing-family with NO parsed sorting key (e.g. an
+        // expression ORDER BY like `cityHash64(id)`, recorded as Nil):
+        // falling through to None would silently strip FINAL and
+        // return raw multiversion rows where CH dedups — refuse with
+        // guidance instead, the same loud posture as the
+        // missing-version-column case (advisor r11).
+        case ReplacingRe(_) if e.orderBy.isEmpty =>
+          throw new IllegalArgumentException(
+            s"table '$table': ReplacingMergeTree with an expression or " +
+              "unparsed sorting key — FINAL dedups per sorting-key " +
+              "VALUE, which needs named key columns; re-ATTACH with an " +
+              "explicit column ORDER BY (or query without FINAL for " +
+              "the raw multiversion rows)")
         case ReplacingRe(args) if e.orderBy.nonEmpty =>
           val as = Option(args).map(_.split(",").toSeq).getOrElse(Nil)
             .map(_.replaceAll("[`\"]", "").trim).filter(_.nonEmpty)

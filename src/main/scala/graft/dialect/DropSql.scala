@@ -71,6 +71,20 @@ object DropSql {
         // projections registered over either identity of it
         case Some(t) if t.ownsStorage && t.endpoint.isDefined =>
           val path = t.endpoint.get
+          // another live catalog entry (a later ATTACH of the same
+          // tree) may still alias this storage — deleting it would
+          // leave that entry pointing at nothing, so DROP degrades to
+          // detach-only and says so (advisor r11). Path-identity
+          // compare, `file:` renderings normalized, same rule as
+          // Catalog.partitionByForEndpoint.
+          def norm(p: String): String =
+            try graft.sources.mergetree.MergeTree.localPath(p)
+            catch { case _: Exception => p }
+          val aliased = graft.core.Catalog.all.exists(o =>
+            o.name != t.name && o.endpoint.exists(e => norm(e) == norm(path)))
+          if (aliased)
+            return Seq((name, "detached_storage_aliased", path))
+              .toDF("table", "action", "endpoint")
           val keys = Seq(
             graft.plans.AggProjections.sourceKey(spark, path),
             graft.plans.AggProjections.mergeTreeKey(path))

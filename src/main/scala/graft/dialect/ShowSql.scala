@@ -44,10 +44,27 @@ object ShowSql {
     val filtered = like match {
       case None => all
       case Some(p) =>
-        // CH LIKE: % any run, _ one char, case-sensitive; LIKE ''
-        // matches only the empty string (zero tables), as in CH
-        val re = java.util.regex.Pattern.quote(p)
-          .replace("%", "\\E.*\\Q").replace("_", "\\E.\\Q").r
+        // CH LIKE: % any run, _ one char, case-sensitive; \% and \_
+        // match the literal characters; LIKE '' matches only the
+        // empty string (zero tables), as in CH. Escaped per-character
+        // — the old quote-then-splice built the regex by substituting
+        // inside a \Q…\E block, which both ignored backslash escapes
+        // and broke on patterns containing \E (advisor r11).
+        val sb = new StringBuilder
+        var i = 0
+        def lit(c: Char): Unit = {
+          if ("\\^$.|?*+()[]{}".indexOf(c.toInt) >= 0) sb.append('\\')
+          sb.append(c)
+        }
+        while (i < p.length) {
+          p.charAt(i) match {
+            case '\\' if i + 1 < p.length => lit(p.charAt(i + 1)); i += 2
+            case '%' => sb.append(".*"); i += 1
+            case '_' => sb.append("."); i += 1
+            case c => lit(c); i += 1
+          }
+        }
+        val re = sb.toString.r
         all.filter(re.matches(_))
     }
     filtered.toSeq.toDF("name")

@@ -307,10 +307,27 @@ class QueryServer(
 
   /** Statements the GET form of the raw door refuses — ClickHouse's
     * HTTP interface forces readonly for GET, so state-changing
-    * statements only execute over POST. */
+    * statements only execute over POST. Classification happens AFTER
+    * stripping leading whitespace, SQL comments, parentheses and
+    * stray semicolons: a prefix-only regex let
+    * `GET /?query=/*x*/DROP TABLE t` execute a write over GET, where
+    * proxy retries and prefetchers replay freely (advisor r11). */
   private val WriteStmtRe =
-    "(?is)^\\s*(INSERT|CREATE|ALTER|TRUNCATE|DELETE|OPTIMIZE|DROP|ATTACH|DETACH)\\b.*".r
-  private def isWriteStatement(sql: String): Boolean = WriteStmtRe.matches(sql)
+    "(?is)^(INSERT|CREATE|ALTER|TRUNCATE|DELETE|OPTIMIZE|DROP|ATTACH|DETACH)\\b.*".r
+  @annotation.tailrec
+  private def stripStatementPrefix(s: String): String = {
+    val t = s.dropWhile(c => c.isWhitespace || c == '(' || c == ';')
+    if (t.startsWith("--")) stripStatementPrefix(t.dropWhile(c => c != '\n' && c != '\r'))
+    else if (t.startsWith("/*")) {
+      val end = t.indexOf("*/", 2)
+      // unterminated comment: nothing executable follows — and an
+      // empty head classifies as non-write, which is fine (the
+      // statement itself will fail to parse downstream)
+      if (end < 0) "" else stripStatementPrefix(t.substring(end + 2))
+    } else t
+  }
+  private def isWriteStatement(sql: String): Boolean =
+    WriteStmtRe.matches(stripStatementPrefix(sql))
 
   /** Request body, transparently gunzipped when the caller sent
     * `Content-Encoding: gzip` — `curl --data-binary @big.sql.gz` is a

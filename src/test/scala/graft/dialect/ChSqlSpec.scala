@@ -443,6 +443,17 @@ class ChSqlSpec extends AnyFunSuite {
     val filtered = ChSql.sql(spark, "SHOW TABLES LIKE 'intro%'")
       .collect().map(_.getString(0))
     assert(filtered.contains("intro_nation") && !filtered.contains("lineitem"))
+    // CH LIKE escapes: \_ is a LITERAL underscore (matches), \% a
+    // literal percent (no table has one); regex metachars in the
+    // pattern are literal; \E must not break the translation
+    // (advisor r11: the \Q…\E splice both ignored escapes and broke
+    // on \E)
+    def like(p: String) = ChSql.sql(spark, s"SHOW TABLES LIKE '$p'")
+      .collect().map(_.getString(0))
+    assert(like("intro\\_nation").contains("intro_nation"))
+    assert(!like("intro\\%nation").contains("intro_nation"))
+    assert(!like("intro.nation").contains("intro_nation"))
+    assert(like("intro\\E%").isEmpty) // no crash, no match
     // DESCRIBE: CH's seven-column shape, CH type spellings
     val desc = ChSql.sql(spark, "DESCRIBE TABLE intro_nation")
     assert(desc.columns.toSeq == Seq("name", "type", "default_type",
@@ -515,6 +526,25 @@ class ChSqlSpec extends AnyFunSuite {
     assert(ChSql.sql(spark, "DROP TABLE drop_plain").collect().head.getString(1) == "dropped")
     assert(!new java.io.File(s"$wh/Drop_Plain").exists(),
       "plain-CTAS storage must be deleted on DROP")
+    // a CTAS-owned tree that ANOTHER catalog entry still aliases (a
+    // later ATTACH of the same tree) must NOT lose its storage on
+    // DROP — the drop degrades to detach-only and says so (advisor
+    // r11: the surviving entry pointed at deleted storage)
+    ChSql.sql(spark,
+      "CREATE TABLE drop_alias_own ENGINE = MergeTree ORDER BY (n_nationkey) AS " +
+        "SELECT n_nationkey, n_name FROM drop_nation_src").collect()
+    ChSql.sql(spark,
+      "ATTACH TABLE drop_alias_two (n_nationkey Int32, n_name String) " +
+        "ENGINE = MergeTree ORDER BY (n_nationkey) SETTINGS " +
+        s"disk = disk(type = web, endpoint = '$wh/drop_alias_own')")
+    val da = ChSql.sql(spark, "DROP TABLE drop_alias_own").collect().head
+    assert(da.getString(1) == "detached_storage_aliased", da.toString)
+    assert(new java.io.File(s"$wh/drop_alias_own").exists(),
+      "aliased storage must survive the DROP")
+    assert(spark.table("drop_alias_two").count() == 25)
+    ChSql.sql(spark, "DROP TABLE drop_alias_two").collect()
+    assert(new java.io.File(s"$wh/drop_alias_own").exists(),
+      "ATTACHed entry never owns storage — still present after its drop")
     // DETACH reports the endpoint so a CTAS-created table can be
     // re-registered instead of orphaned
     ChSql.sql(spark,

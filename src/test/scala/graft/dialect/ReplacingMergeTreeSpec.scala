@@ -148,6 +148,22 @@ class ReplacingMergeTreeSpec extends AnyFunSuite {
       assert(graft.core.Catalog.lookup("repl_expr").map(_.orderBy).contains(Nil))
       graft.core.Catalog.detach("repl_expr")
       spark.catalog.dropTempView("repl_expr")
+      // a REPLACING table with an expression key must refuse FINAL
+      // loudly — the silent fall-through returned raw multiversion
+      // rows where CH dedups (advisor r11)
+      graft.core.Catalog.attach(spark,
+        s"""ATTACH TABLE repl_exprv (`id` Int64, `k` String, `ver` Int64, `v` Float64)
+           |ENGINE = ReplacingMergeTree(ver) ORDER BY cityHash64(id)
+           |SETTINGS disk = disk(type = web, endpoint = '$wh/repl_s2')""".stripMargin)
+      val eKey = intercept[IllegalArgumentException] {
+        ChSql.sql(spark, "SELECT count() AS n FROM repl_exprv FINAL").collect()
+      }
+      assert(eKey.getMessage.contains("sorting key"), eKey.getMessage)
+      // without FINAL the raw rows stay readable
+      assert(ChSql.sql(spark, "SELECT count() AS n FROM repl_exprv")
+        .collect().head.getLong(0) > 0L)
+      graft.core.Catalog.detach("repl_exprv")
+      spark.catalog.dropTempView("repl_exprv")
       assert(ChSql.sql(spark, "SELECT count() AS n FROM repl_bare FINAL")
         .collect().head.getLong(0) == 3L)
       // CH clause order FROM t FINAL SAMPLE f: the sample moves inside

@@ -261,6 +261,16 @@ class QueryServerSpec extends AnyFunSuite {
     val ro = get("/?query=" + java.net.URLEncoder.encode(
       "TRUNCATE TABLE nothing", "UTF-8"))
     assert(ro.statusCode() == 400 && ro.body().contains("readonly"))
+    // …and the classifier sees THROUGH leading comments/parens/semis —
+    // a prefix-only regex let /*x*/DROP execute over GET (advisor r11)
+    for (sneaky <- Seq("/*x*/DROP TABLE t", "-- c\nDROP TABLE t",
+        " ; TRUNCATE TABLE t", "/*a*/ /*b*/ -- c\n INSERT INTO t VALUES (1)")) {
+      val s = get("/?query=" + java.net.URLEncoder.encode(sneaky, "UTF-8"))
+      assert(s.statusCode() == 400 && s.body().contains("readonly"), sneaky)
+    }
+    // a read behind a comment still runs on GET
+    assert(get("/?query=" + java.net.URLEncoder.encode(
+      "/*hi*/SELECT 2 + 2 AS x FORMAT CSV", "UTF-8")).body() == "4\n")
     // the introspection statements route through the SERVICE door too
     // (review finding: /query once fell through to Spark's own parser
     // for everything but SHOW CREATE)
