@@ -1025,7 +1025,7 @@ object SparkEntry {
         query = """SELECT st, count() AS n,
                   |       CAST(round(sum(price)) AS BIGINT) AS total
                   |FROM part_mt_orders
-                  |WHERE d >= toDate('1994-01-01') AND d <= toDate('1994-12-31')
+                  |WHERE d >= toDate('1996-01-01') AND d <= toDate('1996-12-31')
                   |GROUP BY st ORDER BY st""".stripMargin,
         initQueries = Seq(
           """CREATE TABLE part_mt_orders ENGINE = MergeTree
@@ -1036,7 +1036,7 @@ object SparkEntry {
     }),
 
     // ALTER TABLE … DROP PARTITION (r11): CH's instant-retention
-    // statement — the 1994 partition's parts are REMOVED at
+    // statement — the 1996 partition's parts are REMOVED at
     // metadata-time cost, nothing else rewrites, and the remaining
     // per-year aggregate hash-matches the oracle's year-excluding
     // filter over the source
@@ -1055,7 +1055,7 @@ object SparkEntry {
             |SELECT o_orderkey AS okey, o_orderdate AS d,
             |       o_totalprice AS price
             |FROM orders WHERE o_custkey % 9 = 0""".stripMargin,
-          "ALTER TABLE drop_mt_orders DROP PARTITION 1994")))._1
+          "ALTER TABLE drop_mt_orders DROP PARTITION 1996")))._1
     }),
 
     // ReplacingMergeTree + FINAL (r11): the multiversion table shape —
@@ -1106,6 +1106,85 @@ object SparkEntry {
             |SELECT c_custkey, c_nationkey, 1, c_acctbal * 3
             |FROM customer WHERE c_custkey % 20 = 0""".stripMargin,
           "OPTIMIZE TABLE replo_cust FINAL")))._1
+    }),
+
+    // ALTER TABLE … ATTACH PARTITION … FROM (r12): the inbound half of
+    // CH partition rotation — the 1995 partition's parts are COPIED
+    // from a structurally identical sibling at metadata cost (block
+    // renumber, no data decode), and the per-year aggregate afterwards
+    // hash-matches the oracle's UNION of both residue classes
+    "q189_mt_attach_partition" -> ((spark, dir) => {
+      prep(spark, dir)
+      val wh = s"${derivedDir(spark, dir)}/wh"
+      spark.conf.set(graft.dialect.ChWrites.WarehouseConf, wh)
+      val svc = new QueryService(spark)
+      svc.executeToDf(QueryService.QueryRequest(
+        query = """SELECT toYear(d) AS y, count() AS n,
+                  |       CAST(round(sum(price)) AS BIGINT) AS total
+                  |FROM attach_dst GROUP BY y ORDER BY y""".stripMargin,
+        initQueries = Seq(
+          """CREATE TABLE attach_src ENGINE = MergeTree
+            |PARTITION BY toYear(d) ORDER BY (okey) AS
+            |SELECT o_orderkey AS okey, o_orderdate AS d,
+            |       o_totalprice AS price
+            |FROM orders WHERE o_custkey % 5 = 0""".stripMargin,
+          """CREATE TABLE attach_dst ENGINE = MergeTree
+            |PARTITION BY toYear(d) ORDER BY (okey) AS
+            |SELECT o_orderkey AS okey, o_orderdate AS d,
+            |       o_totalprice AS price
+            |FROM orders WHERE o_custkey % 5 = 1""".stripMargin,
+          "ALTER TABLE attach_dst ATTACH PARTITION 1995 FROM attach_src")))._1
+    }),
+
+    // SummingMergeTree + FINAL (r12): CTAS seeds per-order rows keyed
+    // by customer, INSERT appends more parts, and `FROM t FINAL` sums
+    // the declared tuple per sorting key (non-summed payload takes the
+    // deterministic max) — hash-matching the oracle's UNION-ALL
+    // group-by; without FINAL the raw per-order rows stay visible
+    "q188_summing_final" -> ((spark, dir) => {
+      prep(spark, dir)
+      val wh = s"${derivedDir(spark, dir)}/wh"
+      spark.conf.set(graft.dialect.ChWrites.WarehouseConf, wh)
+      val svc = new QueryService(spark)
+      svc.executeToDf(QueryService.QueryRequest(
+        query = """SELECT ck, qty AS q,
+                  |       CAST(round(revenue * 100) AS BIGINT) AS rev_c,
+                  |       last_d
+                  |FROM summ_sales FINAL ORDER BY ck""".stripMargin,
+        initQueries = Seq(
+          """CREATE TABLE summ_sales ENGINE = SummingMergeTree((qty, revenue))
+            |ORDER BY (ck) AS
+            |SELECT o_custkey AS ck, CAST(1 AS BIGINT) AS qty,
+            |       o_totalprice AS revenue, o_orderdate AS last_d
+            |FROM orders WHERE o_custkey % 7 = 0""".stripMargin,
+          """INSERT INTO summ_sales
+            |SELECT o_custkey, CAST(2 AS BIGINT), o_totalprice * 2,
+            |       o_orderdate
+            |FROM orders WHERE o_custkey % 14 = 0""".stripMargin)))._1
+    }),
+
+    // OPTIMIZE TABLE … FINAL on a Summing table physically collapses
+    // the rows (CH's merge-with-sum); the plain read AFTER the merge —
+    // no FINAL modifier — already sees one summed row per key
+    "q190_summing_optimize" -> ((spark, dir) => {
+      prep(spark, dir)
+      val wh = s"${derivedDir(spark, dir)}/wh"
+      spark.conf.set(graft.dialect.ChWrites.WarehouseConf, wh)
+      val svc = new QueryService(spark)
+      svc.executeToDf(QueryService.QueryRequest(
+        query = """SELECT ck, qty AS q,
+                  |       CAST(round(revenue * 100) AS BIGINT) AS rev_c
+                  |FROM summo_sales ORDER BY ck""".stripMargin,
+        initQueries = Seq(
+          """CREATE TABLE summo_sales ENGINE = SummingMergeTree((qty, revenue))
+            |ORDER BY (ck) AS
+            |SELECT o_custkey AS ck, CAST(1 AS BIGINT) AS qty,
+            |       o_totalprice AS revenue
+            |FROM orders WHERE o_custkey % 11 = 0""".stripMargin,
+          """INSERT INTO summo_sales
+            |SELECT o_custkey, CAST(3 AS BIGINT), o_totalprice * 3
+            |FROM orders WHERE o_custkey % 22 = 0""".stripMargin,
+          "OPTIMIZE TABLE summo_sales FINAL")))._1
     }),
 
     // CH vector-distance family (dotProduct/cosineDistance/L1/L2/Linf)
@@ -2814,14 +2893,14 @@ object SparkEntry {
         |       CAST(round(sum(o_totalprice)) AS BIGINT) AS total
         |FROM orders
         |WHERE o_custkey % 6 = 0
-        |  AND o_orderdate >= DATE '1994-01-01'
-        |  AND o_orderdate <= DATE '1994-12-31'
+        |  AND o_orderdate >= DATE '1996-01-01'
+        |  AND o_orderdate <= DATE '1996-12-31'
         |GROUP BY st ORDER BY st""".stripMargin,
     "q185_mt_drop_partition" ->
       """SELECT year(o_orderdate) AS y, count(*) AS n,
         |       CAST(round(sum(o_totalprice)) AS BIGINT) AS total
         |FROM orders
-        |WHERE o_custkey % 9 = 0 AND year(o_orderdate) != 1994
+        |WHERE o_custkey % 9 = 0 AND year(o_orderdate) != 1996
         |GROUP BY y ORDER BY y""".stripMargin,
     "q186_replacing_final" ->
       """SELECT c_nationkey AS nk, count(*) AS n,
@@ -2837,6 +2916,40 @@ object SparkEntry {
         |                           ELSE c_acctbal END) * 100) AS BIGINT) AS bal_c
         |FROM customer WHERE c_custkey % 10 = 0
         |GROUP BY nk ORDER BY nk""".stripMargin,
+    "q189_mt_attach_partition" ->
+      """SELECT y, count(*) AS n, CAST(round(sum(price)) AS BIGINT) AS total
+        |FROM (
+        |  SELECT year(o_orderdate) AS y, o_totalprice AS price
+        |  FROM orders WHERE o_custkey % 5 = 1
+        |  UNION ALL
+        |  SELECT year(o_orderdate), o_totalprice
+        |  FROM orders WHERE o_custkey % 5 = 0
+        |    AND year(o_orderdate) = 1995)
+        |GROUP BY y ORDER BY y""".stripMargin,
+    "q188_summing_final" ->
+      """WITH rows AS (
+        |  SELECT o_custkey AS ck, CAST(1 AS BIGINT) AS qty,
+        |         o_totalprice AS rev, o_orderdate AS d
+        |  FROM orders WHERE o_custkey % 7 = 0
+        |  UNION ALL
+        |  SELECT o_custkey, CAST(2 AS BIGINT), o_totalprice * 2,
+        |         o_orderdate
+        |  FROM orders WHERE o_custkey % 14 = 0)
+        |SELECT ck, CAST(sum(qty) AS BIGINT) AS q,
+        |       CAST(round(sum(rev) * 100) AS BIGINT) AS rev_c,
+        |       max(d) AS last_d
+        |FROM rows GROUP BY ck ORDER BY ck""".stripMargin,
+    "q190_summing_optimize" ->
+      """WITH rows AS (
+        |  SELECT o_custkey AS ck, CAST(1 AS BIGINT) AS qty,
+        |         o_totalprice AS rev
+        |  FROM orders WHERE o_custkey % 11 = 0
+        |  UNION ALL
+        |  SELECT o_custkey, CAST(3 AS BIGINT), o_totalprice * 3
+        |  FROM orders WHERE o_custkey % 22 = 0)
+        |SELECT ck, CAST(sum(qty) AS BIGINT) AS q,
+        |       CAST(round(sum(rev) * 100) AS BIGINT) AS rev_c
+        |FROM rows GROUP BY ck ORDER BY ck""".stripMargin,
     "q176_optimize_table" ->
       """SELECT o_orderstatus AS st, count(*) AS n,
         |       CAST(round(sum(o_totalprice)) AS BIGINT) AS total

@@ -57,7 +57,9 @@ object Catalog {
   private val attached = scala.collection.concurrent.TrieMap.empty[String, AttachedTable]
 
   private val AttachRe =
-    ("""(?is)\s*ATTACH\s+TABLE\s+(\S+)\s*(?:UUID\s+'([^']*)')?\s*\((.*)\)\s*ENGINE\s*=\s*(\w+(?:\s*\([^)]*\))?)(?:\s+PARTITION\s+BY\s+((?:(?!\s+ORDER\s+BY\b|\s+SAMPLE\s+BY\b|\s+SETTINGS\b).)+))?""" +
+    // engine args allow ONE nesting level: CH spells a multi-column
+    // summing tuple `SummingMergeTree((a, b))`
+    ("""(?is)\s*ATTACH\s+TABLE\s+(\S+)\s*(?:UUID\s+'([^']*)')?\s*\((.*)\)\s*ENGINE\s*=\s*(\w+(?:\s*\((?:[^()]|\([^()]*\))*\))?)(?:\s+PARTITION\s+BY\s+((?:(?!\s+ORDER\s+BY\b|\s+SAMPLE\s+BY\b|\s+SETTINGS\b).)+))?""" +
       // ORDER BY: parenthesized tuple, or CH's bare single-column
       // spelling (its own SHOW CREATE emits `ORDER BY id`). The bare
       // arm refuses a following '(' so an expression key
@@ -237,6 +239,102 @@ object Catalog {
             try graft.types.ChSchemaParser.columnPairs(e.schemaDdl)
             catch { case _: Exception => Nil }
           Some(ReplacingSpec(e.orderBy, as.headOption, as.lift(1), cols))
+        case _ => None
+      }
+    }
+  }
+
+  // args may carry CH's tuple spelling `((a, b))` — capture greedily
+  // to the final paren, the tuple parens are stripped below
+  private val SummingRe =
+    """(?i)^SummingMergeTree\s*(?:\((.*)\))?$""".r
+
+  /** SummingMergeTree merge contract: `key` is the ORDER BY tuple,
+    * `sumCols` the columns summed on merge (the engine-argument tuple
+    * when declared, else every numeric non-key column — CH's rule),
+    * `otherCols` the remaining payload (CH keeps an arbitrary value;
+    * this engine picks the deterministic max), and `columns` the
+    * declared (name, CH type) pairs in table order — the FINAL rewrite
+    * rebuilds the row in that order. */
+  case class SummingSpec(
+      key: Seq[String],
+      sumCols: Seq[String],
+      otherCols: Seq[String],
+      columns: Seq[(String, String)])
+
+  /** CH numeric types (the set SummingMergeTree sums), through
+    * Nullable/LowCardinality wrappers. */
+  private def numericCh(t: String): Boolean = {
+    val inner = t.trim
+      .replaceAll("(?i)^Nullable\\s*\\(\\s*(.*)\\s*\\)$", "$1")
+      .replaceAll("(?i)^LowCardinality\\s*\\(\\s*(.*)\\s*\\)$", "$1")
+      .trim
+    inner.matches("(?i)U?Int(8|16|32|64)|Float(32|64)|Decimal.*|Bool(ean)?")
+  }
+
+  /** The [[SummingSpec]] for a SummingMergeTree table — what gives
+    * `FROM t FINAL` its per-key summing semantics. None for other
+    * engines / unknown tables. Declared sum columns must exist, be
+    * numeric, and stay out of the sorting key (CH's own rules). */
+  def summingInfo(table: String): Option[SummingSpec] = {
+    val t = attached.get(table)
+      .orElse(attached.values.find(_.name.equalsIgnoreCase(table)))
+    t.flatMap { e =>
+      e.engine match {
+        // same loud posture as the Replacing expression-key case: a
+        // silent FINAL strip would return unmerged multirow data
+        case SummingRe(_) if e.orderBy.isEmpty =>
+          throw new IllegalArgumentException(
+            s"table '$table': SummingMergeTree with an expression or " +
+              "unparsed sorting key — FINAL sums per sorting-key " +
+              "VALUE, which needs named key columns; re-ATTACH with an " +
+              "explicit column ORDER BY (or query without FINAL for " +
+              "the raw unmerged rows)")
+        case SummingRe(args) =>
+          // parens stripped: CH spells a multi-column tuple
+          // SummingMergeTree((a, b)) and the regex capture keeps the
+          // inner parens
+          val declared = Option(args).map(_.split(",").toSeq).getOrElse(Nil)
+            .map(_.replaceAll("[`\"()]", "").trim).filter(_.nonEmpty)
+          val cols =
+            try graft.types.ChSchemaParser.columnPairs(e.schemaDdl)
+            catch { case _: Exception => Nil }
+          require(cols.nonEmpty,
+            s"table '$table': SummingMergeTree FINAL needs the declared " +
+              "column list to rebuild merged rows — ATTACH/CREATE with " +
+              "explicit columns")
+          val byName = cols.toMap
+          val keySet = e.orderBy.toSet
+          declared.foreach { c =>
+            require(byName.contains(c),
+              s"table '$table': SummingMergeTree column '$c' is not a " +
+                "declared column")
+            require(!keySet.contains(c),
+              s"table '$table': SummingMergeTree column '$c' is in the " +
+                "sorting key — CH refuses summing key columns")
+            require(numericCh(byName(c)),
+              s"table '$table': SummingMergeTree column '$c' " +
+                s"(${byName(c)}) is not numeric")
+          }
+          val sums =
+            if (declared.nonEmpty) declared
+            else cols.collect {
+              case (n, ct) if !keySet.contains(n) && numericCh(ct) => n
+            }
+          require(sums.nonEmpty,
+            s"table '$table': SummingMergeTree has no summable column " +
+              "(no numeric non-key column) — declare the tuple or use " +
+              "plain MergeTree")
+          val others = cols.collect {
+            case (n, ct) if !keySet.contains(n) && !sums.contains(n) =>
+              require(!ct.trim.toLowerCase.startsWith("map("),
+                s"table '$table': SummingMergeTree FINAL cannot carry " +
+                  s"Map column '$n' (no deterministic merge for " +
+                  "non-summed maps) — add it to the summing tuple is " +
+                  "not supported either; drop or restructure the column")
+              n
+          }
+          Some(SummingSpec(e.orderBy, sums, others, cols))
         case _ => None
       }
     }

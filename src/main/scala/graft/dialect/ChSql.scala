@@ -520,23 +520,42 @@ object ChSql {
       val table = toks.head
       val alias = if (toks.length > 1) toks.last else table
       val sample = Option(m.group(3)).getOrElse("")
+      // CH merges never cross partitions, and FINAL applies MERGE
+      // semantics — so the dedup/summing scope is (partition value,
+      // sorting key), not the key alone: a key duplicated across
+      // partitions keeps one row PER PARTITION (the key-only window
+      // silently merged across partitions — review finding)
+      val pexpr = graft.core.Catalog.lookup(table).flatMap(_.partitionBy)
+        .map(_.trim).filter(_.nonEmpty)
       graft.core.Catalog.replacingInfo(table) match {
         case Some(spec) =>
-          val keyList = spec.key.map(qIdent).mkString(", ")
-          // versionless Replacing keeps whichever row merged last in
-          // CH — part-order state a snapshot-level rewrite cannot
-          // observe. A deterministic engine refuses rather than fakes
-          // it (same posture as the SAMPLE row-count form).
-          val v = spec.ver.getOrElse(throw new IllegalArgumentException(
-            s"FROM $table FINAL: ReplacingMergeTree without a version " +
-              "column keeps an order-of-merges-dependent row per key — " +
-              "declare ReplacingMergeTree(<version column>) for " +
-              "deterministic FINAL semantics"))
+          val keyList = (pexpr.toSeq ++ spec.key.map(qIdent)).mkString(", ")
           // equal versions: deterministic tiebreak over the orderable
           // declared columns (identical payloads collapse identically
           // either way; differing ones pick a stable winner)
           val tie = spec.tieColumns.map(c => s"${qIdent(c)} DESC")
-          val ord = (s"${qIdent(v)} DESC" +: tie).mkString(", ")
+          // versionless Replacing keeps whichever row merged last in
+          // CH — part-order state a snapshot-level rewrite cannot
+          // observe. A deterministic engine refuses rather than fakes
+          // it (same posture as the SAMPLE row-count form) — unless
+          // the session opts into the deterministic payload tiebreak
+          // (`SET spark.graft.finalTiebreak = 'payload'`), which
+          // unblocks verbatim CH DDL ports at the documented cost of
+          // picking the payload-max row instead of the last-merged one.
+          val ord = spec.ver match {
+            case Some(v) => (s"${qIdent(v)} DESC" +: tie).mkString(", ")
+            case None =>
+              val optIn = org.apache.spark.sql.SparkSession.getActiveSession
+                .flatMap(_.conf.getOption(FinalTiebreakConf))
+                .exists(_.trim.equalsIgnoreCase("payload"))
+              if (optIn && tie.nonEmpty) tie.mkString(", ")
+              else throw new IllegalArgumentException(
+                s"FROM $table FINAL: ReplacingMergeTree without a " +
+                  "version column keeps an order-of-merges-dependent " +
+                  "row per key — declare ReplacingMergeTree(<version " +
+                  "column>), or opt into the deterministic payload-max " +
+                  s"tiebreak with SET $FinalTiebreakConf = 'payload'")
+          }
           // ReplacingMergeTree(ver, is_deleted): a surviving version
           // flagged deleted disappears from the FINAL read (CH's
           // lightweight-delete spelling for this engine)
@@ -547,9 +566,45 @@ object ChSql {
             s"SELECT *, row_number() OVER (PARTITION BY $keyList " +
             s"ORDER BY $ord) AS __graft_rn FROM $table$sample) WHERE " +
             s"__graft_rn = 1$del) $alias")
-        case None => Some(s"${m.group(1)} ${m.group(2)}$sample")
+        case None => graft.core.Catalog.summingInfo(table) match {
+          case Some(sp) =>
+            // SummingMergeTree FINAL: one row per (partition, sorting
+            // key) with the sum columns aggregated; non-summed payload
+            // takes the deterministic max (CH keeps an arbitrary one);
+            // the sums CAST back to the column's own type so the FINAL
+            // read's schema matches the raw read's (an ANSI overflow
+            // there refuses loudly — CH wraps, a silent wrap here would
+            // diverge from the raw rows). Rows whose sums are ALL zero
+            // vanish — CH deletes them on merge, and FINAL is the
+            // merged view.
+            val groupList = (pexpr.toSeq ++ sp.key.map(qIdent)).mkString(", ")
+            // a bare-column partition expression IS a grouping column —
+            // aggregating it too would alias-collide with the GROUP BY
+            val pcol = pexpr.filter(p => sp.columns.exists(_._1 == p))
+            val sel = sp.columns.map { case (n, ct) =>
+              if (sp.key.contains(n) || pcol.contains(n)) qIdent(n)
+              else if (sp.sumCols.contains(n)) {
+                val sparkT =
+                  try graft.types.ChSchemaParser.parseType(ct)._1.sql
+                  catch { case _: Exception => "" }
+                if (sparkT.nonEmpty)
+                  s"CAST(sum(${qIdent(n)}) AS $sparkT) AS ${qIdent(n)}"
+                else s"sum(${qIdent(n)}) AS ${qIdent(n)}"
+              } else s"max(${qIdent(n)}) AS ${qIdent(n)}"
+            }.mkString(", ")
+            val nonzero = sp.sumCols
+              .map(c => s"coalesce(CAST(sum(${qIdent(c)}) AS DOUBLE), 0) <> 0")
+              .mkString(" OR ")
+            Some(s"${m.group(1)} (SELECT $sel FROM $table$sample " +
+              s"GROUP BY $groupList HAVING $nonzero) $alias")
+          case None => Some(s"${m.group(1)} ${m.group(2)}$sample")
+        }
       }
     }
+
+  /** Session opt-in for deterministic versionless-Replacing FINAL:
+    * `payload` uses the payload-max tiebreak instead of refusing. */
+  val FinalTiebreakConf = "spark.graft.finalTiebreak"
 
   private val SampleRe =
     """(?i)\bFROM\s+([A-Za-z_]\w*)\s+SAMPLE\s+(\d+(?:\.\d+)?)(?:\s*/\s*(\d+))?""".r

@@ -92,7 +92,8 @@ object ChWrites {
         val engineM = EngineRe.findFirstMatchIn(middle)
         val engine = engineM.map(_.group(1).toLowerCase)
         val mtFamily = engine.exists(e =>
-          e == "mergetree" || e == "replacingmergetree")
+          e == "mergetree" || e == "replacingmergetree" ||
+            e == "summingmergetree")
         require(partitionBy.isEmpty || mtFamily,
           s"CREATE TABLE $name: PARTITION BY needs a MergeTree-family " +
             "ENGINE (clustered parquet CTAS expresses layout via ORDER BY)")
@@ -125,6 +126,27 @@ object ChWrites {
               require(df.columns.contains(v),
                 s"CREATE TABLE $name: ReplacingMergeTree engine " +
                   s"column '$v' is not in the SELECT")
+            }
+          }
+          if (engine.contains("summingmergetree")) {
+            // SummingMergeTree((c1, …)) — the tuple names the columns
+            // summed on merge; they must be SELECT columns outside the
+            // sorting key (CH's rules; the full numeric/type check runs
+            // against the derived DDL at FINAL/OPTIMIZE time)
+            require(sortKey.nonEmpty,
+              s"CREATE TABLE $name: SummingMergeTree needs ORDER BY " +
+                "(the sorting key IS the merge key)")
+            val eArgs = Option(engineM.get.group(3)).toSeq
+              .flatMap(_.split(",").toSeq)
+              .map(_.replaceAll("[`\"()]", "").trim).filter(_.nonEmpty)
+            eArgs.foreach { c =>
+              require(df.columns.contains(c),
+                s"CREATE TABLE $name: SummingMergeTree summing " +
+                  s"column '$c' is not in the SELECT")
+              require(!sortKey.contains(c),
+                s"CREATE TABLE $name: SummingMergeTree summing " +
+                  s"column '$c' is in the sorting key — CH refuses " +
+                  "summing key columns")
             }
           }
           val (rows, ddl) = graft.sources.mergetree.MergeTreeCtas

@@ -38,11 +38,15 @@ object MutateSql {
     """(?is)^\s*TRUNCATE\s+TABLE\s+(IF\s+EXISTS\s+)?(?:'([^']+)'|([\w.`"]+))\s*$""".r
   private val DropPartitionRe =
     """(?is)^\s*ALTER\s+TABLE\s+(?:'([^']+)'|([\w.`"]+))\s+DROP\s+PARTITION\s+(ID\s+)?('[^']*'|\S+)\s*$""".r
+  private val AttachPartitionRe =
+    ("""(?is)^\s*ALTER\s+TABLE\s+(?:'([^']+)'|([\w.`"]+))\s+""" +
+      """(ATTACH|REPLACE)\s+PARTITION\s+(ID\s+)?('[^']*'|\S+)\s+""" +
+      """FROM\s+(?:'([^']+)'|([\w.`"]+))\s*$""").r
 
   def isMutation(sql: String): Boolean =
     DeleteRe.matches(sql) || LightDeleteRe.matches(sql) ||
       UpdateRe.matches(sql) || TruncateRe.matches(sql) ||
-      DropPartitionRe.matches(sql)
+      DropPartitionRe.matches(sql) || AttachPartitionRe.matches(sql)
 
   def run(spark: SparkSession, sql: String,
       macros: Map[String, String] = ChSql.defaultMacros): DataFrame = {
@@ -112,6 +116,52 @@ object MutateSql {
         val pid = MergeTreePartitioning.renderDropId(literal, idKw != null)
         val dropped = MergeTree.dropPartition(spark, ep, pid)
         Seq((label, s"drop_partition $pid", dropped))
+          .toDF("table", "mutation", "rows_affected")
+      case AttachPartitionRe(pathLit, tableName, verb, idKw, literal,
+          srcPathLit, srcTableName) =>
+        // CH's inbound partition rotation: ATTACH PARTITION … FROM
+        // copies a partition's parts between structurally identical
+        // tables at metadata cost (block renumber, no data decode);
+        // REPLACE PARTITION … FROM drops the destination's partition
+        // first. DROP on the source afterwards = a partition MOVE.
+        import graft.sources.mergetree.{MergeTree, MergeTreePartitioning}
+        val op = s"ALTER TABLE … ${verb.toUpperCase} PARTITION FROM"
+        val (label, ep, ddl, key) =
+          resolveMt(spark, pathLit, tableName, op).getOrElse(
+            throw new IllegalArgumentException(
+              s"$op targets a MergeTree table"))
+        val (srcLabel, srcEp, srcDdl, srcKey) =
+          resolveMt(spark, srcPathLit, srcTableName, op).getOrElse(
+            throw new IllegalArgumentException(
+              s"$op: source is not a MergeTree table"))
+        // CH refuses structural mismatches: same columns, same sorting
+        // key, same partition expression — a copied part must decode
+        // under the destination's DDL and group under its scheme
+        def cols(d: String) =
+          try graft.types.ChSchemaParser.columnPairs(d)
+          catch { case _: Exception => Nil }
+        require(cols(ddl) == cols(srcDdl) && cols(ddl).nonEmpty,
+          s"$op: '$srcLabel' and '$label' have different structures " +
+            "— CH requires identical column lists")
+        require(key == srcKey,
+          s"$op: sorting keys differ (${srcKey.mkString(", ")} vs " +
+            s"${key.mkString(", ")})")
+        val dstPb = partitionByOf(ep)
+        val srcPb = partitionByOf(srcEp)
+        require(dstPb.isDefined && dstPb == srcPb,
+          s"$op: partition expressions differ or are missing " +
+            s"(${srcPb.getOrElse("none")} vs ${dstPb.getOrElse("none")})")
+        val pid = MergeTreePartitioning.renderDropId(literal, idKw != null)
+        // REPLACE = drop-then-attach as ONE unit under the destination's
+        // write lock (reentrant monitor) so no reader-visible window
+        // where a concurrent INSERT slots parts between the two steps
+        val copied = graft.sources.mergetree.MergeTreeCtas.withTreeLock(ep) {
+          if (verb.equalsIgnoreCase("REPLACE"))
+            MergeTree.dropPartition(spark, ep, pid)
+          graft.sources.mergetree.MergeTreeCtas
+            .attachPartitionFrom(spark, ep, srcEp, pid)
+        }
+        Seq((label, s"${verb.toLowerCase}_partition $pid", copied))
           .toDF("table", "mutation", "rows_affected")
       case DeleteRe(pathLit, tableName, cond) =>
         delete(spark, pathLit, tableName, cond, macros)

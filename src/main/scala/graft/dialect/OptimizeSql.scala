@@ -86,32 +86,77 @@ object OptimizeSql {
           // OPTIMIZE FINAL keeps them; only SELECT FINAL hides them).
           val replacing = if (finalKw == null) None
             else name.flatMap(graft.core.Catalog.replacingInfo)
+          val summing = if (finalKw == null || replacing.isDefined) None
+            else name.flatMap(graft.core.Catalog.summingInfo)
           // one read of the partition scheme for both the dedup window
           // and the rewrite — two reads could disagree under a
           // concurrent ATTACH of an aliasing table (review finding)
           val partitionBy = MutateSql.partitionByOf(ep)
+          import org.apache.spark.sql.functions._
+          def colOf(c: String) =
+            if (c.contains("(")) expr(c) else col(s"`$c`")
           val df = replacing match {
             case Some(spec) =>
               import org.apache.spark.sql.expressions.Window
-              import org.apache.spark.sql.functions._
-              val v = spec.ver.getOrElse(throw new IllegalArgumentException(
-                s"OPTIMIZE TABLE ${name.get} FINAL: ReplacingMergeTree " +
-                  "without a version column collapses to an " +
-                  "order-of-merges-dependent row per key — declare " +
-                  "ReplacingMergeTree(<version column>) for deterministic " +
-                  "dedup"))
-              def colOf(c: String) =
-                if (c.contains("(")) expr(c) else col(s"`$c`")
+              // versionless Replacing: refuse, unless the session opted
+              // into the deterministic payload-max tiebreak (the same
+              // knob the FINAL read honors — [[ChSql.FinalTiebreakConf]])
+              val tie = spec.tieColumns.map(c => colOf(c).desc)
+              val ord = spec.ver match {
+                case Some(v) => colOf(v).desc +: tie
+                case None =>
+                  val optIn = spark.conf.getOption(ChSql.FinalTiebreakConf)
+                    .exists(_.trim.equalsIgnoreCase("payload"))
+                  if (optIn && tie.nonEmpty) tie
+                  else throw new IllegalArgumentException(
+                    s"OPTIMIZE TABLE ${name.get} FINAL: ReplacingMergeTree " +
+                      "without a version column collapses to an " +
+                      "order-of-merges-dependent row per key — declare " +
+                      "ReplacingMergeTree(<version column>), or opt into " +
+                      "the deterministic payload-max tiebreak with SET " +
+                      s"${ChSql.FinalTiebreakConf} = 'payload'")
+              }
               val partCols =
                 partitionBy.map(expr).toSeq ++ spec.key.map(colOf)
-              val tie = spec.tieColumns.map(c => colOf(c).desc)
-              val w = Window.partitionBy(partCols: _*)
-                .orderBy(colOf(v).desc +: tie: _*)
+              val w = Window.partitionBy(partCols: _*).orderBy(ord: _*)
               df0.withColumn("__graft_rn", row_number().over(w))
                 .filter(col("__graft_rn") === 1).drop("__graft_rn")
-            case None => df0
+            case None => summing match {
+              case Some(sp) =>
+                // SummingMergeTree merge: one row per (partition,
+                // sorting key), sums summed in place (cast back to the
+                // declared type so the tree re-encodes under its own
+                // DDL), non-summed payload takes the deterministic max,
+                // all-zero-sum rows deleted — CH's own merge rules
+                // a bare-column partition expression IS a grouping
+                // column — aggregating it too would alias-collide
+                val pcol = partitionBy.filter(p => sp.columns.exists(_._1 == p))
+                val groupCols = partitionBy.map(expr).toSeq ++
+                  sp.key.map(colOf)
+                val aggs = sp.columns.filterNot(c =>
+                    sp.key.contains(c._1) || pcol.contains(c._1))
+                  .map { case (n, ct) =>
+                    if (sp.sumCols.contains(n)) {
+                      val st =
+                        try Some(graft.types.ChSchemaParser.parseType(ct)._1)
+                        catch { case _: Exception => None }
+                      st.map(t => sum(col(s"`$n`")).cast(t).as(n))
+                        .getOrElse(sum(col(s"`$n`")).as(n))
+                    } else max(col(s"`$n`")).as(n)
+                  }
+                require(aggs.nonEmpty,
+                  s"OPTIMIZE TABLE ${name.get} FINAL: every non-key " +
+                    "column is the partition key — nothing to sum")
+                val merged = df0.groupBy(groupCols: _*)
+                  .agg(aggs.head, aggs.tail: _*)
+                  .where(sp.sumCols
+                    .map(c => coalesce(col(s"`$c`").cast("double"), lit(0d)) =!= 0d)
+                    .reduce(_ || _))
+                merged.select(sp.columns.map(c => col(s"`${c._1}`")): _*)
+              case None => df0
+            }
           }
-          val contentPreserved = replacing.isEmpty
+          val contentPreserved = replacing.isEmpty && summing.isEmpty
           val bytes = new Path(ep).getFileSystem(spark.sessionState.newHadoopConf())
             .getContentSummary(new Path(ep)).getLength
           // merge + projection re-stamp are one atomic unit under the

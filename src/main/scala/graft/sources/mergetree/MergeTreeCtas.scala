@@ -207,6 +207,75 @@ object MergeTreeCtas {
     written.map(_._2).sum
   }
 
+  /** `ALTER TABLE dst ATTACH PARTITION <pid> FROM src` — CH's
+    * metadata-cost partition COPY: the source partition's parts are
+    * file-copied into the destination tree under fresh block numbers
+    * above the destination's watermark (a copied part must never be
+    * "covered" by an existing merged part); the source is untouched
+    * (CH's `ATTACH … FROM` copies — `MOVE PARTITION TO TABLE` is the
+    * moving spelling). No data decode, no shuffle: at 100 TB this is
+    * the inbound half of partition rotation, the same cost shape as
+    * DROP PARTITION. The CALLER validates structural compatibility
+    * (columns, sorting key, partition expression — CH refuses
+    * mismatches too); this function validates the scheme mechanically.
+    * Returns the copied row count (the parts' own count.txt sums). */
+  def attachPartitionFrom(
+      spark: SparkSession, dstDir0: String, srcDir0: String,
+      pid: String): Long = {
+    val dst = localDir(dstDir0)
+    val src = localDir(srcDir0)
+    require(dst != src,
+      "ATTACH PARTITION FROM: source and destination are the same tree")
+    require(pid != "all",
+      "ATTACH PARTITION FROM: 'all' is the unpartitioned sentinel, not " +
+        "a partition id")
+    // only the DESTINATION locks: the source is read-only here, and
+    // taking both monitors would deadlock against a concurrent
+    // opposite-direction attach
+    val rows = treeLock(dst).synchronized {
+      val stf = TableFiles(src)
+      val victims = stf.partDirs()
+        .filter(p => MergeTreePartitioning.pidOf(p) == pid)
+      if (victims.isEmpty) 0L
+      else {
+        val dstParts = TableFiles(dst).partDirs()
+        require(dstParts.isEmpty ||
+            MergeTreePartitioning.isPartitioned(dstParts),
+          s"ATTACH PARTITION FROM: destination tree at '$dst' is " +
+            "UNPARTITIONED — partitioned parts cannot mix into it")
+        var next = 1 + blockWatermark(dst)
+        var n = 0L
+        victims.foreach { p =>
+          n += stf.text(s"$p/count.txt").trim.toLong
+          val staged = java.nio.file.Paths.get(dst,
+            s"tmp_a${java.util.UUID.randomUUID().toString.take(8)}")
+          copyTree(java.nio.file.Paths.get(src, p), staged)
+          java.nio.file.Files.move(staged,
+            java.nio.file.Paths.get(dst, s"${pid}_${next}_${next}_0"),
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+          next += 1
+        }
+        writeFormatVersion(dst)
+        writeWatermark(dst, next - 1)
+        MergeTreePartWriter.writeHttpIndex(dst)
+        n
+      }
+    }
+    spark.catalog.refreshByPath(dst)
+    rows
+  }
+
+  private def copyTree(from: java.nio.file.Path, to: java.nio.file.Path): Unit = {
+    val s = java.nio.file.Files.walk(from)
+    try s.forEach { p =>
+      val t = to.resolve(from.relativize(p))
+      if (java.nio.file.Files.isDirectory(p))
+        java.nio.file.Files.createDirectories(t)
+      else java.nio.file.Files.copy(p, t,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    } finally s.close()
+  }
+
   /** Root `format_version.txt` — MergeTree's own tree marker (real CH
     * writes `1`). Its presence is what lets a PARTLESS tree scan as an
     * empty table instead of refusing as a wrong path. */

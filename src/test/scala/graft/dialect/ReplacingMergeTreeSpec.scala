@@ -176,6 +176,57 @@ class ReplacingMergeTreeSpec extends AnyFunSuite {
     } finally spark.conf.unset(ChWrites.WarehouseConf)
   }
 
+  test("FINAL READS on a PARTITIONED Replacing table dedup within partitions only") {
+    import spark.implicits._
+    val wh = Files.createTempDirectory("graft_repl6").toString
+    spark.conf.set(ChWrites.WarehouseConf, wh)
+    try {
+      // id=1 lives in two partitions: the read-side FINAL must keep one
+      // row PER PARTITION, like CH's per-partition merge — a key-only
+      // window silently merged across partitions (review finding)
+      Seq((1L, "p1", 0L, 10.0), (1L, "p2", 0L, 11.0), (1L, "p1", 1L, 12.0))
+        .toDF("id", "p", "ver", "v").createOrReplaceTempView("rrsrc")
+      ChSql.sql(spark,
+        "CREATE TABLE repl_pread ENGINE = ReplacingMergeTree(ver) " +
+          "PARTITION BY p ORDER BY (id) AS " +
+          "SELECT id, p, ver, v FROM rrsrc").collect()
+      val rows = ChSql.sql(spark,
+        "SELECT p, CAST(round(v) AS BIGINT) AS v FROM repl_pread FINAL ORDER BY p")
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      assert(rows == Seq(("p1", 12L), ("p2", 11L)), rows.mkString(", "))
+      ChSql.sql(spark, "DROP TABLE repl_pread").collect()
+    } finally spark.conf.unset(ChWrites.WarehouseConf)
+  }
+
+  test("versionless Replacing: the payload-max tiebreak opt-in unblocks FINAL and OPTIMIZE") {
+    import spark.implicits._
+    val wh = Files.createTempDirectory("graft_repl7").toString
+    spark.conf.set(ChWrites.WarehouseConf, wh)
+    try {
+      Seq((1L, "a", 10.0), (1L, "b", 12.0), (2L, "c", 20.0))
+        .toDF("id", "k", "v").createOrReplaceTempView("rvsrc")
+      ChSql.sql(spark,
+        "CREATE TABLE repl_nv ENGINE = ReplacingMergeTree ORDER BY (id) AS " +
+          "SELECT id, k, v FROM rvsrc").collect()
+      // without the opt-in: the documented refusal
+      val e = intercept[IllegalArgumentException] {
+        ChSql.sql(spark, "SELECT count() AS n FROM repl_nv FINAL").collect()
+      }
+      assert(e.getMessage.contains("finalTiebreak"), e.getMessage)
+      // with it: deterministic payload-max row per key
+      spark.conf.set(ChSql.FinalTiebreakConf, "payload")
+      try {
+        val fin = ChSql.sql(spark, "SELECT id, k FROM repl_nv FINAL ORDER BY id")
+          .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+        assert(fin == Seq((1L, "b"), (2L, "c")), fin.mkString(", "))
+        ChSql.sql(spark, "OPTIMIZE TABLE repl_nv FINAL").collect()
+        assert(ChSql.sql(spark, "SELECT count() AS n FROM repl_nv")
+          .collect().head.getLong(0) == 2L)
+      } finally spark.conf.unset(ChSql.FinalTiebreakConf)
+      ChSql.sql(spark, "DROP TABLE repl_nv").collect()
+    } finally spark.conf.unset(ChWrites.WarehouseConf)
+  }
+
   test("OPTIMIZE FINAL on a PARTITIONED Replacing table dedups within partitions only") {
     import spark.implicits._
     val wh = Files.createTempDirectory("graft_repl5").toString

@@ -222,4 +222,62 @@ class MergeTreePartitionSpec extends AnyFunSuite {
       ChSql.sql(spark, "DROP TABLE part_tup").collect()
     } finally spark.conf.unset(ChWrites.WarehouseConf)
   }
+
+  test("ATTACH PARTITION FROM copies a partition; DROP+ATTACH = move; REPLACE swaps") {
+    import spark.implicits._
+    freshSrc()
+    val wh = Files.createTempDirectory("graft_pattach").toString
+    spark.conf.set(ChWrites.WarehouseConf, wh)
+    try {
+      Seq((100L, java.sql.Date.valueOf("1995-05-05"), 50.0),
+        (101L, java.sql.Date.valueOf("1998-01-01"), 60.0))
+        .toDF("id", "d", "v").createOrReplaceTempView("pdst")
+      ChSql.sql(spark,
+        "CREATE TABLE att_src ENGINE = MergeTree PARTITION BY toYear(d) " +
+          "ORDER BY (id) AS SELECT id, d, v FROM psrc").collect()
+      ChSql.sql(spark,
+        "CREATE TABLE att_dst ENGINE = MergeTree PARTITION BY toYear(d) " +
+          "ORDER BY (id) AS SELECT id, d, v FROM pdst").collect()
+      // ATTACH copies 1996's two rows into the destination; the source
+      // keeps them (CH's ATTACH … FROM is a copy)
+      val r = ChSql.sql(spark,
+        "ALTER TABLE att_dst ATTACH PARTITION 1996 FROM att_src")
+        .collect().head
+      assert(r.getLong(2) == 2L, r.toString)
+      assert(ChSql.sql(spark, "SELECT count() AS n FROM att_dst")
+        .collect().head.getLong(0) == 4L)
+      assert(ChSql.sql(spark, "SELECT count() AS n FROM att_src")
+        .collect().head.getLong(0) == 7L)
+      // ids survive the copy byte-identically
+      val ids = ChSql.sql(spark, "SELECT id FROM att_dst ORDER BY id")
+        .collect().map(_.getLong(0)).toSeq
+      assert(ids == Seq(3L, 4L, 100L, 101L), ids.mkString(", "))
+      // DROP on the source afterwards = a partition MOVE
+      ChSql.sql(spark, "ALTER TABLE att_src DROP PARTITION 1996").collect()
+      assert(ChSql.sql(spark, "SELECT count() AS n FROM att_src")
+        .collect().head.getLong(0) == 5L)
+      // re-ATTACHing the same partition under REPLACE swaps, not stacks
+      ChSql.sql(spark,
+        "ALTER TABLE att_dst REPLACE PARTITION 1995 FROM att_src").collect()
+      val ids95 = ChSql.sql(spark,
+        "SELECT id FROM att_dst WHERE toYear(d) = 1995 ORDER BY id")
+        .collect().map(_.getLong(0)).toSeq
+      assert(ids95 == Seq(1L, 2L), ids95.mkString(", "))
+      // structural mismatch refuses (CH does too)
+      ChSql.sql(spark,
+        "CREATE TABLE att_other ENGINE = MergeTree PARTITION BY toYear(d) " +
+          "ORDER BY (id) AS SELECT id, d, v * 2 AS w FROM psrc").collect()
+      val e = intercept[IllegalArgumentException] {
+        ChSql.sql(spark,
+          "ALTER TABLE att_dst ATTACH PARTITION 1997 FROM att_other").collect()
+      }
+      assert(e.getMessage.contains("structure"), e.getMessage)
+      // attaching a partition the source does not have copies nothing
+      assert(ChSql.sql(spark,
+        "ALTER TABLE att_dst ATTACH PARTITION 2001 FROM att_src")
+        .collect().head.getLong(2) == 0L)
+      Seq("att_src", "att_dst", "att_other").foreach(t =>
+        ChSql.sql(spark, s"DROP TABLE $t").collect())
+    } finally spark.conf.unset(ChWrites.WarehouseConf)
+  }
 }
