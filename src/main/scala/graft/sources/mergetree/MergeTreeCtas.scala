@@ -26,9 +26,12 @@ import org.apache.spark.sql.types._
   * ([[PartRowsConf]] pins it — CH's own ~1M part-per-INSERT shape);
   * a heavily skewed ORDER BY key can exceed the target (range
   * partitioning can't split one key value), exactly as a CH part can.
-  * Executors write through the local filesystem, so a multi-node
-  * cluster needs `dir` on a shared mount — the same contract the
-  * maintenance tier already states for local trees.
+  * Targets route through [[TreeFs]]: plain/`file:` paths take the
+  * local fast path (a multi-node cluster then needs `dir` on a shared
+  * mount), and remote Hadoop schemes (`hdfs:`, `s3a:`, …) write
+  * through the `FileSystem` API from every executor — the reference's
+  * own data plane is S3-backed web disks. Rename-atomicity caveats for
+  * object stores are documented on [[TreeFs]].
   */
 object MergeTreeCtas {
 
@@ -84,13 +87,13 @@ object MergeTreeCtas {
       declaredDdl: Option[String] = None,
       op: String = "CTAS ENGINE=MergeTree",
       partitionBy: Option[String] = None): (Long, String) = {
-    val dir = localDir(dir0)
+    val (dir, fs) = TreeFs.forWrite(dir0)
     val (total, cols) = analyze(spark, df, orderBy, declaredDdl, op)
     // per-endpoint serialization: two concurrent rewrites would race
     // the backup-staged swap
     var written = 0L
     treeLock(dir).synchronized {
-      val existingTree = java.nio.file.Files.isDirectory(java.nio.file.Paths.get(dir))
+      val existingTree = fs.isDir(dir)
       if (existingTree) requireSchemeMatch(dir, partitionBy, op)
       // parts of a REWRITE are numbered above the previous tree's
       // durable block watermark: part names are MergeTree's
@@ -106,27 +109,28 @@ object MergeTreeCtas {
       def writeTree(treeDir: String): Unit = {
         val parts =
           if (total > 0)
-            writeParts(spark, df, treeDir, cols, orderBy, base, total, partitionBy)
+            writeParts(spark, df, treeDir, cols, orderBy, base, total,
+              partitionBy, fs)
           else Nil
         written = parts.map(_._2).sum
-        writeFormatVersion(treeDir)
+        writeFormatVersion(fs, treeDir)
         // the watermark persists even when the tree is partless: a
         // TRUNCATE-then-refill that restarted numbering at 1 could
         // reproduce a byte-identical parts inventory and collide with
         // a stale projection fingerprint (review finding)
-        writeWatermark(treeDir,
+        writeWatermark(fs, treeDir,
           math.max(base, parts.flatMap(p => TableFiles.maxBlock(p._1)).maxOption.getOrElse(0)))
-        MergeTreePartWriter.writeHttpIndex(treeDir)
+        MergeTreePartWriter.writeHttpIndex(treeDir, fs)
       }
       if (existingTree)
         // a re-run over an existing tree goes through the backup-staged
         // swap, so a mid-write failure leaves the previous tree intact
         graft.core.FsSwap.replace(spark, dir, "ctas") { tmp =>
-          java.nio.file.Files.createDirectories(java.nio.file.Paths.get(tmp.toString))
+          fs.mkdirs(tmp.toString)
           writeTree(tmp.toString)
         }
       else {
-        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+        fs.mkdirs(dir)
         writeTree(dir)
       }
     }
@@ -152,7 +156,7 @@ object MergeTreeCtas {
       declaredDdl: Option[String] = None,
       op: String = "INSERT INTO",
       partitionBy: Option[String] = None): Long = {
-    val dir = localDir(dir0)
+    val (dir, fs) = TreeFs.forWrite(dir0)
     val (total, cols) = analyze(spark, df, orderBy, declaredDdl, op)
     if (total == 0) return 0L
     requireSchemeMatch(dir, partitionBy, op)
@@ -162,25 +166,24 @@ object MergeTreeCtas {
     // mutation swaps the whole tree dir aside and deletes it, which
     // would destroy an in-flight INSERT's staging written inside it
     // (review finding); the dot-prefixed sibling survives the swap.
-    val treePath = java.nio.file.Paths.get(dir).toAbsolutePath.normalize
     // first append may CREATE the tree (streaming ingest's first
     // micro-batch lands on a fresh path)
-    java.nio.file.Files.createDirectories(treePath)
-    val staging = s".${treePath.getFileName}.insert_" +
+    fs.mkdirs(dir)
+    val staging = s".${fs.name(dir)}.insert_" +
       java.util.UUID.randomUUID().toString.take(8)
-    val stagingDir = treePath.getParent.resolve(staging)
-    java.nio.file.Files.createDirectories(stagingDir)
+    val stagingDir = fs.join(fs.parent(dir), staging)
+    fs.mkdirs(stagingDir)
     val written =
-      try writeParts(spark, df, stagingDir.toString, cols, orderBy,
-        base = 0, total, partitionBy)
-      catch { case e: Throwable => deleteTree(stagingDir); throw e }
+      try writeParts(spark, df, stagingDir, cols, orderBy,
+        base = 0, total, partitionBy, fs)
+      catch { case e: Throwable => fs.deleteTree(stagingDir); throw e }
     // number allocation + rename are serialized per endpoint: the
     // QueryServer runs statements on a thread pool, and two unlocked
     // INSERTs could allocate the same part numbers (advisor finding)
     treeLock(dir).synchronized {
       // sweep only AGED staged leftovers — a concurrent statement's
       // fresh staging must survive the sweep (advisor finding)
-      sweepStaged(dir, olderThanMs = StagedSweepAgeMs, keep = staging)
+      sweepStaged(fs, dir, olderThanMs = StagedSweepAgeMs, keep = staging)
       // the NEXT part starts above the durable block watermark (max of
       // MAX block fields + the sidecar surviving TRUNCATE) — an
       // appended part must never be "covered" by a merged part like
@@ -193,15 +196,15 @@ object MergeTreeCtas {
         // which is stricter than CH's per-partition coverage rule and
         // therefore always safe
         val pid = MergeTreePartitioning.pidOf(staged)
-        java.nio.file.Files.move(
-          stagingDir.resolve(staged),
-          treePath.resolve(s"${pid}_${next + i}_${next + i}_0"),
-          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        require(fs.moveInto(fs.join(stagingDir, staged),
+            fs.join(dir, s"${pid}_${next + i}_${next + i}_0")),
+          s"$op: part rename collided under the endpoint lock — " +
+            s"$staged onto block ${next + i}")
       }
-      deleteTree(stagingDir)
-      writeFormatVersion(dir)
-      writeWatermark(dir, next + written.size - 1)
-      MergeTreePartWriter.writeHttpIndex(dir)
+      fs.deleteTree(stagingDir)
+      writeFormatVersion(fs, dir)
+      writeWatermark(fs, dir, next + written.size - 1)
+      MergeTreePartWriter.writeHttpIndex(dir, fs)
     }
     spark.catalog.refreshByPath(dir)
     written.map(_._2).sum
@@ -222,8 +225,8 @@ object MergeTreeCtas {
   def attachPartitionFrom(
       spark: SparkSession, dstDir0: String, srcDir0: String,
       pid: String): Long = {
-    val dst = localDir(dstDir0)
-    val src = localDir(srcDir0)
+    val (dst, dfs) = TreeFs.forWrite(dstDir0)
+    val (src, sfs) = TreeFs.forWrite(srcDir0)
     require(dst != src,
       "ATTACH PARTITION FROM: source and destination are the same tree")
     require(pid != "all",
@@ -247,17 +250,21 @@ object MergeTreeCtas {
         var n = 0L
         victims.foreach { p =>
           n += stf.text(s"$p/count.txt").trim.toLong
-          val staged = java.nio.file.Paths.get(dst,
+          val staged = dfs.join(dst,
             s"tmp_a${java.util.UUID.randomUUID().toString.take(8)}")
-          copyTree(java.nio.file.Paths.get(src, p), staged)
-          java.nio.file.Files.move(staged,
-            java.nio.file.Paths.get(dst, s"${pid}_${next}_${next}_0"),
-            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+          // per-file copy through the two filesystems' own APIs — the
+          // source and destination may live on DIFFERENT filesystems
+          // (hdfs -> local, local -> s3a); part files are bounded by
+          // the ~1M-row part shape, so whole-file buffering is fine
+          copyTree(sfs, sfs.join(src, p), dfs, staged)
+          require(dfs.moveInto(staged, dfs.join(dst, s"${pid}_${next}_${next}_0")),
+            s"ATTACH PARTITION FROM: part rename collided under the " +
+              s"endpoint lock — block $next")
           next += 1
         }
-        writeFormatVersion(dst)
-        writeWatermark(dst, next - 1)
-        MergeTreePartWriter.writeHttpIndex(dst)
+        writeFormatVersion(dfs, dst)
+        writeWatermark(dfs, dst, next - 1)
+        MergeTreePartWriter.writeHttpIndex(dst, dfs)
         n
       }
     }
@@ -265,23 +272,21 @@ object MergeTreeCtas {
     rows
   }
 
-  private def copyTree(from: java.nio.file.Path, to: java.nio.file.Path): Unit = {
-    val s = java.nio.file.Files.walk(from)
-    try s.forEach { p =>
-      val t = to.resolve(from.relativize(p))
-      if (java.nio.file.Files.isDirectory(p))
-        java.nio.file.Files.createDirectories(t)
-      else java.nio.file.Files.copy(p, t,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    } finally s.close()
+  private def copyTree(
+      sfs: TreeFs, from: String, dfs: TreeFs, to: String): Unit = {
+    dfs.mkdirs(to)
+    sfs.walkFiles(from).foreach { rel =>
+      val target = dfs.join(to, rel)
+      if (rel.contains('/')) dfs.mkdirs(dfs.parent(target))
+      dfs.write(target, sfs.readBytes(sfs.join(from, rel)))
+    }
   }
 
   /** Root `format_version.txt` — MergeTree's own tree marker (real CH
     * writes `1`). Its presence is what lets a PARTLESS tree scan as an
     * empty table instead of refusing as a wrong path. */
-  private def writeFormatVersion(treeDir: String): Unit =
-    java.nio.file.Files.write(
-      java.nio.file.Paths.get(treeDir, "format_version.txt"),
+  private def writeFormatVersion(fs: TreeFs, treeDir: String): Unit =
+    fs.write(fs.join(treeDir, "format_version.txt"),
       "1\n".getBytes(java.nio.charset.StandardCharsets.UTF_8))
 
   private val StagedSweepAgeMs = 60L * 60 * 1000
@@ -295,22 +300,22 @@ object MergeTreeCtas {
   private val WatermarkFile = ".graft_max_block"
 
   private def blockWatermark(dir: String): Int = {
+    val fs = TreeFs.forWrite(dir)._2
     val fromParts = TableFiles(dir).partDirs()
       .flatMap(TableFiles.maxBlock).maxOption.getOrElse(0)
     val fromFile =
       try {
-        val p = java.nio.file.Paths.get(dir, WatermarkFile)
-        if (java.nio.file.Files.exists(p))
-          new String(java.nio.file.Files.readAllBytes(p),
+        val p = fs.join(dir, WatermarkFile)
+        if (fs.exists(p))
+          new String(fs.readBytes(p),
             java.nio.charset.StandardCharsets.UTF_8).trim.toInt
         else 0
       } catch { case _: Exception => 0 }
     math.max(fromParts, fromFile)
   }
 
-  private def writeWatermark(treeDir: String, max: Int): Unit =
-    java.nio.file.Files.write(
-      java.nio.file.Paths.get(treeDir, WatermarkFile),
+  private def writeWatermark(fs: TreeFs, treeDir: String, max: Int): Unit =
+    fs.write(fs.join(treeDir, WatermarkFile),
       s"$max\n".getBytes(java.nio.charset.StandardCharsets.UTF_8))
 
   /** Delete AGED staging debris from crashed statements — `tmp_*` dirs
@@ -318,37 +323,30 @@ object MergeTreeCtas {
     * `.<tree>.insert_*` siblings — never a concurrent writer's live
     * staging (those are seconds old; debris is hours). `keep` names
     * this statement's own staging dir, excluded regardless of age. */
-  private def sweepStaged(dir: String, olderThanMs: Long, keep: String = ""): Unit = {
+  private def sweepStaged(
+      fs: TreeFs, dir: String, olderThanMs: Long, keep: String = ""): Unit = {
     val cutoff = System.currentTimeMillis() - olderThanMs
-    def aged(f: java.io.File): Boolean =
-      f.isDirectory && f.getName != keep && f.lastModified() < cutoff
-    Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
-      .filter(f => aged(f) && f.getName.startsWith("tmp_"))
-      .foreach(d => deleteTree(d.toPath))
-    val tree = java.nio.file.Paths.get(dir).toAbsolutePath.normalize
-    Option(tree.getParent).map(_.toFile.listFiles()).flatMap(Option(_))
-      .getOrElse(Array.empty)
-      .filter(f => aged(f) &&
-        f.getName.startsWith(s".${tree.getFileName}.insert_"))
-      .foreach(d => deleteTree(d.toPath))
+    def aged(name: String, isDir: Boolean, mtime: Long): Boolean =
+      isDir && name != keep && mtime < cutoff
+    fs.listStatus(dir)
+      .filter { case (n, d, _, m) => aged(n, d, m) && n.startsWith("tmp_") }
+      .foreach { case (n, _, _, _) => fs.deleteTree(fs.join(dir, n)) }
+    val parent = fs.parent(dir)
+    fs.listStatus(parent)
+      .filter { case (n, d, _, m) =>
+        aged(n, d, m) && n.startsWith(s".${fs.name(dir)}.insert_") }
+      .foreach { case (n, _, _, _) => fs.deleteTree(fs.join(parent, n)) }
   }
 
-  private def deleteTree(p: java.nio.file.Path): Unit = {
-    // close the walk stream (review finding: the iterator form leaked
-    // a directory handle per sweep)
-    val s = java.nio.file.Files.walk(p)
-    try
-      s.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-        .forEach(q => { java.nio.file.Files.deleteIfExists(q); () })
-    finally s.close()
-  }
-
-  /** One JVM-wide lock object per normalized tree dir. */
+  /** One JVM-wide lock object per normalized tree dir. Remote-scheme
+    * endpoints key on their own URI string (already normalized by
+    * [[TreeFs.forWrite]]); local paths absolute-normalize. */
   private val treeLocks =
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
   private def treeLock(dir: String): Object =
     treeLocks.computeIfAbsent(
-      java.nio.file.Paths.get(dir).toAbsolutePath.normalize.toString,
+      if (TreeFs.hadoopScheme(dir).isDefined) dir
+      else java.nio.file.Paths.get(dir).toAbsolutePath.normalize.toString,
       _ => new Object)
 
   /** Run `f` holding the tree's write lock — for callers that need a
@@ -363,9 +361,10 @@ object MergeTreeCtas {
   /** Maintenance writes address trees by the ATTACH endpoint string,
     * which may carry a file: scheme in any rendering — `file:///p`,
     * `file:/p` (the hadoop Path/URI form the old literal `file://`
-    * stripPrefix let through as a RELATIVE path — advisor finding).
-    * [[TableFiles.localPath]] is the one normalizer. */
-  private def localDir(dir: String): String = TableFiles.localPath(dir)
+    * stripPrefix let through as a RELATIVE path — advisor finding) —
+    * or a remote Hadoop scheme. [[TreeFs.forWrite]] is the one
+    * normalizer. */
+  private def localDir(dir: String): String = TreeFs.forWrite(dir)._1
 
   /** `name -> CH type` from an ATTACH-style column list. */
   private def parseDdl(ddl: String): Map[String, String] =
@@ -508,7 +507,8 @@ object MergeTreeCtas {
       spark: SparkSession, df: DataFrame, treeDir: String,
       cols: Seq[(String, String)], orderBy: Seq[String],
       base: Int, total: Long,
-      partitionBy: Option[String] = None): Seq[(String, Long)] = {
+      partitionBy: Option[String] = None,
+      fs: TreeFs = NioTreeFs): Seq[(String, Long)] = {
     import org.apache.spark.sql.functions.col
     val perPart = partRows(spark, total)
     require(perPart > 0, s"$PartRowsConf out of range: $perPart")
@@ -542,6 +542,9 @@ object MergeTreeCtas {
     } yield (ci, src, ts)
     val (dirB, colsB, obB, baseB) = (treeDir, cols, orderBy, base)
     val (partitionedB, pvalTB, minmaxB) = (stagedOpt.isDefined, pvalT, minmaxCol)
+    // the filesystem handle rides the closure — executors on a remote
+    // scheme carry the serialized Hadoop configuration with it
+    val fsB = fs
     arranged.rdd.mapPartitionsWithIndex { (idx, it) =>
       val all = it.map(_.toSeq).toVector
       if (all.isEmpty) Iterator.empty
@@ -572,10 +575,9 @@ object MergeTreeCtas {
           }
         runs.iterator.map { case (pid, runRows) =>
           val partName = s"${pid}_${baseB + idx + 1}_${baseB + idx + 1}_0"
-          val target = java.nio.file.Paths.get(dirB, partName)
           val staged = s"tmp_w${java.util.UUID.randomUUID().toString.take(8)}"
           val bare = if (partitionedB) runRows.map(_.take(colsB.size)) else runRows
-          writeChunk(dirB, colsB, bare, staged, obB)
+          writeChunk(fsB, dirB, colsB, bare, staged, obB)
           if (partitionedB) {
             val pvalIdx = runRows.head.size - 2
             val pval = runRows.head(pvalIdx)
@@ -602,23 +604,12 @@ object MergeTreeCtas {
               }
             }
             MergeTreePartWriter.writePartitionMeta(
-              java.nio.file.Paths.get(dirB, staged).toString,
-              pvalTB.get, pval, minmax)
+              fsB.join(dirB, staged), pvalTB.get, pval, minmax, fsB)
           }
-          try java.nio.file.Files.move(
-            java.nio.file.Paths.get(dirB, staged), target,
-            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-          catch {
-            case _: java.nio.file.FileAlreadyExistsException =>
-              deleteTree(java.nio.file.Paths.get(dirB, staged))
-            // Linux rename(2) onto an existing NON-EMPTY dir is
-            // ENOTEMPTY, which the JDK surfaces as a bare
-            // FileSystemException, not FileAlreadyExists (review
-            // finding) — same meaning here: the retry lost the race
-            case _: java.nio.file.FileSystemException
-                if java.nio.file.Files.isDirectory(target) =>
-              deleteTree(java.nio.file.Paths.get(dirB, staged))
-          }
+          // a task retry either wins the rename or deletes its
+          // duplicate — first writer wins, both wrote identical rows
+          if (!fsB.moveInto(fsB.join(dirB, staged), fsB.join(dirB, partName)))
+            fsB.deleteTree(fsB.join(dirB, staged))
           (idx, partName, runRows.size.toLong)
         }
       }
@@ -647,18 +638,18 @@ object MergeTreeCtas {
     * types fit the compact subset (CH's min_bytes_for_wide_part rule;
     * a mixed wide/compact tree is the normal shape of a real table). */
   private def writeChunk(
-      treeDir: String, cols: Seq[(String, String)], chunk: Seq[Seq[Any]],
-      partName: String, orderBy: Seq[String]): Unit = {
+      fs: TreeFs, treeDir: String, cols: Seq[(String, String)],
+      chunk: Seq[Seq[Any]], partName: String, orderBy: Seq[String]): Unit = {
     val compactOk = chunk.size < Granularity &&
       cols.forall { case (_, ts) => CompactCodec.supported(ChType.parse(ts)) }
     if (compactOk)
       MergeTreePartWriter.writeCompactPart(
         treeDir, cols, chunk, granularity = Granularity,
-        partName = partName, orderBy = orderBy)
+        partName = partName, orderBy = orderBy, fs = fs)
     else
       MergeTreePartWriter.writePart(
         treeDir, cols, chunk, granularity = Granularity,
-        partName = partName, orderBy = orderBy)
+        partName = partName, orderBy = orderBy, fs = fs)
   }
 
 }

@@ -78,6 +78,11 @@ private[mergetree] object TableFiles {
   def apply(endpoint: String): TableFiles =
     if (endpoint.startsWith("http://") || endpoint.startsWith("https://"))
       HttpTableFiles(endpoint.stripSuffix("/"))
+    else if (TreeFs.hadoopScheme(endpoint).isDefined)
+      // remote Hadoop filesystem (hdfs:, s3a:, any registered scheme):
+      // the serialized configuration rides with the instance so
+      // executor-side splits resolve the same filesystem
+      HadoopTableFiles(endpoint.stripSuffix("/"), TreeFs.serializableConf())
     else LocalTableFiles(localPath(endpoint))
 
   /** Does this endpoint look like a MergeTree part tree at all? Used by
@@ -118,6 +123,28 @@ private[mergetree] final case class LocalTableFiles(root: String) extends TableF
   def list(): Seq[String] = listing
   def smallFile(rel: String): Array[Byte] = Files.readAllBytes(Paths.get(root, rel))
   def seekable(rel: String): SeekableFile = new SeekableFile(s"$root/$rel")
+}
+
+/** A table on a remote Hadoop filesystem (hdfs:, s3a:, …): listings and
+  * small files go through the FileSystem API; `.bin` streams are
+  * fetched once per executor into the same content-addressed local
+  * cache the http branch uses, then read with random access — repeated
+  * splits of the same part reuse the download, and parts are immutable
+  * BY NAME in MergeTree semantics, so the cache never serves stale
+  * bytes. */
+private[mergetree] final case class HadoopTableFiles(
+    endpoint: String, conf: SerializableHadoopConf) extends TableFiles {
+  @transient private lazy val io = new HadoopTreeFs(conf)
+  @transient private lazy val listing: Seq[String] = io.walkFiles(endpoint)
+  def list(): Seq[String] = listing
+  def smallFile(rel: String): Array[Byte] = io.readBytes(s"$endpoint/$rel")
+  def seekable(rel: String): SeekableFile = {
+    val url = s"$endpoint/$rel"
+    new SeekableFile(HttpTableFiles.cachedBy(url) { tmp =>
+      java.nio.file.Files.write(tmp, io.readBytes(url))
+      ()
+    })
+  }
 }
 
 /** Http endpoint with a `.index` listing. Stream files are fetched once
@@ -176,7 +203,16 @@ private[mergetree] final case class HttpTableFiles(endpoint: String) extends Tab
 private[mergetree] object HttpTableFiles {
   /** Download-once cache, keyed by URL hash; atomic rename so concurrent
     * tasks never see a torn file. */
-  def cached(url: String): String = {
+  def cached(url: String): String =
+    cachedBy(url) { tmp =>
+      val in = graft.sources.Sources.openHttpStream(url)
+      try { Files.copy(in, tmp, StandardCopyOption.REPLACE_EXISTING); () }
+      finally in.close()
+    }
+
+  /** The cache protocol with a pluggable fetcher — shared by the http
+    * and remote-Hadoop-FS read branches. */
+  def cachedBy(url: String)(fetch: java.nio.file.Path => Unit): String = {
     val key = java.security.MessageDigest.getInstance("SHA-256")
       .digest(url.getBytes(UTF_8)).take(16).map("%02x".format(_)).mkString
     val dir = Paths.get(System.getProperty("java.io.tmpdir"), "graft_mt_cache")
@@ -184,8 +220,7 @@ private[mergetree] object HttpTableFiles {
     val dest = dir.resolve(key)
     if (!Files.exists(dest)) {
       val tmp = Files.createTempFile(dir, key, ".part")
-      val in = graft.sources.Sources.openHttpStream(url)
-      try Files.copy(in, tmp, StandardCopyOption.REPLACE_EXISTING) finally in.close()
+      fetch(tmp)
       try Files.move(tmp, dest, StandardCopyOption.ATOMIC_MOVE)
       catch { case _: java.nio.file.FileAlreadyExistsException => Files.deleteIfExists(tmp) }
     }

@@ -40,26 +40,27 @@ object MergeTreePartWriter {
       granularity: Int = 8192,
       partName: String = "all_1_1_0",
       blockSize: Int = 1 << 16,
-      orderBy: Seq[String] = Nil): Unit = {
+      orderBy: Seq[String] = Nil,
+      fs: TreeFs = NioTreeFs): Unit = {
     require(granularity > 0)
-    val dir = Paths.get(tableDir, partName)
-    Files.createDirectories(dir)
+    val dir = fs.join(tableDir, partName)
+    fs.mkdirs(dir)
     val granules: Seq[Seq[Seq[Any]]] = rows.grouped(granularity).toSeq
 
     columns.zipWithIndex.foreach { case ((name, typeStr), ci) =>
       val t = ChType.parse(typeStr)
       val colRows = rows.map(_(ci))
-      writeColumn(dir.toString, name, t, colRows, granules.map(_.size), blockSize)
+      writeColumn(dir, name, t, colRows, granules.map(_.size), blockSize, fs)
     }
 
     val colsTxt = new StringBuilder()
       .append("columns format version: 1\n")
       .append(s"${columns.size} columns:\n")
     columns.foreach { case (n, tp) => colsTxt.append(s"`$n` $tp\n") }
-    Files.write(dir.resolve("columns.txt"), colsTxt.toString.getBytes(UTF_8))
-    Files.write(dir.resolve("count.txt"), rows.size.toString.getBytes(UTF_8))
-    Files.write(dir.resolve("default_compression_codec.txt"), "CODEC(LZ4)".getBytes(UTF_8))
-    Files.write(dir.resolve("primary.idx"), primaryIdx(columns, rows, granules, orderBy))
+    fs.write(fs.join(dir, "columns.txt"), colsTxt.toString.getBytes(UTF_8))
+    fs.write(fs.join(dir, "count.txt"), rows.size.toString.getBytes(UTF_8))
+    fs.write(fs.join(dir, "default_compression_codec.txt"), "CODEC(LZ4)".getBytes(UTF_8))
+    fs.write(fs.join(dir, "primary.idx"), primaryIdx(columns, rows, granules, orderBy))
   }
 
   /** Per-granule first-row key values, all key columns concatenated in
@@ -122,7 +123,8 @@ object MergeTreePartWriter {
       rows: Seq[Seq[Any]],
       granularity: Int = 8192,
       partName: String = "all_1_1_0",
-      orderBy: Seq[String] = Nil): Unit = {
+      orderBy: Seq[String] = Nil,
+      fs: TreeFs = NioTreeFs): Unit = {
     require(granularity > 0)
     val types = columns.map { case (n, ts) =>
       val t = ChType.parse(ts)
@@ -131,8 +133,8 @@ object MergeTreePartWriter {
           "(scalars, Nullable(scalar), Array(scalar)) — use writePart (wide)")
       t
     }
-    val dir = Paths.get(tableDir, partName)
-    Files.createDirectories(dir)
+    val dir = fs.join(tableDir, partName)
+    fs.mkdirs(dir)
     val granules: Seq[Seq[Seq[Any]]] = rows.grouped(granularity).toSeq
     val w = new ChCompressedWriter()
     val marks = java.nio.ByteBuffer
@@ -162,16 +164,16 @@ object MergeTreePartWriter {
     val (eof, _) = w.markHere
     columns.indices.foreach { _ => marks.putLong(eof); marks.putLong(0L) }
     marks.putLong(0L)
-    Files.write(dir.resolve("data.bin"), w.finish())
-    Files.write(dir.resolve("data.mrk3"), marks.array())
+    fs.write(fs.join(dir, "data.bin"), w.finish())
+    fs.write(fs.join(dir, "data.mrk3"), marks.array())
     val colsTxt = new StringBuilder()
       .append("columns format version: 1\n")
       .append(s"${columns.size} columns:\n")
     columns.foreach { case (n, tp) => colsTxt.append(s"`$n` $tp\n") }
-    Files.write(dir.resolve("columns.txt"), colsTxt.toString.getBytes(UTF_8))
-    Files.write(dir.resolve("count.txt"), rows.size.toString.getBytes(UTF_8))
-    Files.write(dir.resolve("default_compression_codec.txt"), "CODEC(LZ4)".getBytes(UTF_8))
-    Files.write(dir.resolve("primary.idx"), primaryIdx(columns, rows, granules, orderBy))
+    fs.write(fs.join(dir, "columns.txt"), colsTxt.toString.getBytes(UTF_8))
+    fs.write(fs.join(dir, "count.txt"), rows.size.toString.getBytes(UTF_8))
+    fs.write(fs.join(dir, "default_compression_codec.txt"), "CODEC(LZ4)".getBytes(UTF_8))
+    fs.write(fs.join(dir, "primary.idx"), primaryIdx(columns, rows, granules, orderBy))
   }
 
   /** Partition sidecars of one part dir: `partition.dat` (the partition
@@ -184,11 +186,11 @@ object MergeTreePartWriter {
       partDir: String,
       pvalType: String,
       pval: Any,
-      minmax: Option[(String, String, Any, Any)]): Unit = {
-    val dir = Paths.get(partDir)
+      minmax: Option[(String, String, Any, Any)],
+      fs: TreeFs = NioTreeFs): Unit = {
     val w = new PlainBinWriter
     writeScalar(w, ChType.parse(pvalType), pval)
-    Files.write(dir.resolve("partition.dat"), w.bytes)
+    fs.write(fs.join(partDir, "partition.dat"), w.bytes)
     minmax.foreach { case (c, ts, mn, mx) =>
       val t = ChType.parse(ts) match {
         case ChType.LowCardinalityT(inner) => inner
@@ -197,20 +199,17 @@ object MergeTreePartWriter {
       val w2 = new PlainBinWriter
       writeScalar(w2, t, mn)
       writeScalar(w2, t, mx)
-      Files.write(dir.resolve(s"minmax_$c.idx"), w2.bytes)
+      fs.write(fs.join(partDir, s"minmax_$c.idx"), w2.bytes)
     }
   }
 
   /** Write the `.index` listing [[HttpTableFiles]] requires — every file
     * under `tableDir`, one relative path per line. */
-  def writeHttpIndex(tableDir: String): Unit = {
-    val base = Paths.get(tableDir)
+  def writeHttpIndex(tableDir: String, fs: TreeFs = NioTreeFs): Unit = {
     val out = new StringBuilder
-    Files.walk(base).forEach { p =>
-      if (Files.isRegularFile(p) && p.getFileName.toString != ".index")
-        out.append(base.relativize(p).toString).append('\n')
-    }
-    Files.write(base.resolve(".index"), out.toString.getBytes(UTF_8))
+    fs.walkFiles(tableDir).filter(_ != ".index").sorted
+      .foreach(rel => out.append(rel).append('\n'))
+    fs.write(fs.join(tableDir, ".index"), out.toString.getBytes(UTF_8))
   }
 
   /** Write per-directory `.index` files in the real web-disk listing
@@ -257,7 +256,8 @@ object MergeTreePartWriter {
       t: ChType,
       values: Seq[Any],
       granuleSizes: Seq[Int],
-      blockSize: Int): Unit = {
+      blockSize: Int,
+      fs: TreeFs = NioTreeFs): Unit = {
     import ChType._
     val outs = scala.collection.mutable.LinkedHashMap.empty[String, StreamOut]
     def out(stream: String): StreamOut = outs.getOrElseUpdate(stream, new StreamOut(blockSize))
@@ -305,12 +305,12 @@ object MergeTreePartWriter {
         }
     }
     outs.foreach { case (stream, s) =>
-      Files.write(Paths.get(partDir, s"$stream.bin"), s.w.finish())
+      fs.write(fs.join(partDir, s"$stream.bin"), s.w.finish())
       val marks = s.marks.result()
       val bb = java.nio.ByteBuffer.allocate(marks.length * 24)
         .order(java.nio.ByteOrder.LITTLE_ENDIAN)
       marks.foreach { case (c, d, r) => bb.putLong(c); bb.putLong(d); bb.putLong(r) }
-      Files.write(Paths.get(partDir, s"$stream.mrk2"), bb.array())
+      fs.write(fs.join(partDir, s"$stream.mrk2"), bb.array())
     }
   }
 

@@ -93,6 +93,10 @@ object MergeTree {
     * endpoints by. */
   def localPath(endpoint: String): String = TableFiles.localPath(endpoint)
 
+  /** Session knob routing even local tree writes through the Hadoop
+    * FileSystem API (`hadoop`) — see [[TreeFs.ForceHadoopConf]]. */
+  val FsConf: String = TreeFs.ForceHadoopConf
+
   /** Remove every part of partition `pid` from a LOCAL tree — CH's
     * `ALTER TABLE … DROP PARTITION`: metadata-time retention, no
     * rewrite of surviving parts. Dropping an absent partition is a
@@ -103,20 +107,14 @@ object MergeTree {
   def dropPartition(
       spark: org.apache.spark.sql.SparkSession,
       endpoint: String, pid: String): Long = {
-    val dir = TableFiles.localPath(endpoint)
+    val (dir, fs) = TreeFs.forWrite(endpoint)
     val rows = MergeTreeCtas.withTreeLock(dir) {
       val tf = TableFiles(dir)
       val victims = tf.partDirs()
         .filter(p => MergeTreePartitioning.pidOf(p) == pid)
       val n = victims.map(p => tf.text(s"$p/count.txt").trim.toLong).sum
-      victims.foreach { p =>
-        val root = java.nio.file.Paths.get(dir, p)
-        val s = java.nio.file.Files.walk(root)
-        try s.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-          .forEach(q => { java.nio.file.Files.deleteIfExists(q); () })
-        finally s.close()
-      }
-      if (victims.nonEmpty) MergeTreePartWriter.writeHttpIndex(dir)
+      victims.foreach(p => fs.deleteTree(fs.join(dir, p)))
+      if (victims.nonEmpty) MergeTreePartWriter.writeHttpIndex(dir, fs)
       n
     }
     spark.catalog.refreshByPath(dir)
