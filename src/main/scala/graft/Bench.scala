@@ -300,7 +300,18 @@ object Bench {
     * seconds, and shuffle bytes — the data that separates "plan
     * problem" from "per-task concurrency overhead". Emitted as a JSON
     * array under `q3_decomposition`. */
-  private def q3Decompose(spark: SparkSession, base10: String): String = {
+  private def q3Decompose(spark: SparkSession, base10: String): String =
+    decompose(spark, () => Tables.load(spark, base10, "orders")
+      .agg(countDistinct(col("o_custkey")).as("u")))
+
+  /** q2's decomposition runs at the sf10 decade — the one scale where
+    * its vs-DuckDB ratio (≈4.5×) measures throughput rather than the
+    * scheduling floor (VERDICT r11 task #7). */
+  private def q2Decompose(spark: SparkSession, base100: String): String =
+    decompose(spark, () => Tables.load(spark, base100, "lineitem")
+      .groupBy("l_returnflag").agg(sum("l_quantity").as("s")))
+
+  private def decompose(spark: SparkSession, mk: () => DataFrame): String = {
     val stages = scala.collection.mutable.ArrayBuffer
       .empty[(Int, Int, Double, Double, Double, Long)]
     val l = new org.apache.spark.scheduler.SparkListener {
@@ -314,8 +325,7 @@ object Bench {
           m.shuffleWriteMetrics.bytesWritten + m.shuffleReadMetrics.totalBytesRead))
       }
     }
-    def q = Tables.load(spark, base10, "orders")
-      .agg(countDistinct(col("o_custkey")).as("u"))
+    def q = mk()
     q.write.format("noop").mode("overwrite").save() // warmup
     spark.catalog.clearCache(); System.gc()
     spark.sparkContext.addSparkListener(l)
@@ -425,8 +435,19 @@ object Bench {
       (32L * 1024 * 1024).toString)
     val builder1 = if (minPart == "0") builder0
       else builder0.config("spark.sql.files.minPartitionNum", minPart)
-    val spark = (if (maxPartBytes == "0") builder1
-      else builder1.config("spark.sql.files.maxPartitionBytes", maxPartBytes))
+    val builder2 = if (maxPartBytes == "0") builder1
+      else builder1.config("spark.sql.files.maxPartitionBytes", maxPartBytes)
+    // OFF-HEAP column vectors (r12, the q2 finding): in this long-lived
+    // bench JVM the q2 sf10 decomposition measured 30% of executor CPU
+    // in GC, and the Q2Probe A/B showed on-heap readers collapsing ~10×
+    // under heap pressure while off-heap stayed flat (0.43-0.46 s).
+    // SPARK_GRAFT_OFFHEAP=0 opts out.
+    val offheap = sys.env.getOrElse("SPARK_GRAFT_OFFHEAP", (4L << 30).toString)
+    val spark = (if (offheap == "0") builder2
+      else builder2
+        .config("spark.sql.columnVector.offheap.enabled", "true")
+        .config("spark.memory.offHeap.enabled", "true")
+        .config("spark.memory.offHeap.size", offheap))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.dialect.ChFunctions.register(spark)
@@ -526,6 +547,9 @@ object Bench {
             .getOrElse(e.getClass.getName).linesIterator.take(1).mkString.take(200)
       }
     }
+    // q2 stage decomposition at the sf10 decade (VERDICT r11 task #7);
+    // assigned after the decade section builds base100Opt below
+    var q2Decomp = "null"
 
     // the sf10 decade (VERDICT r10 task #2): four shapes at 100× the
     // bench sf, where scan time finally dominates both engines' floors
@@ -536,6 +560,12 @@ object Bench {
         val base100 = ensure100x(spark, b10)
         base100Opt = Some(base100)
         runAll(shapes100x(spark, base100), timesSf10, n => s"sf10_$n")
+        try q2Decomp = q2Decompose(spark, base100)
+        catch {
+          case e: Throwable =>
+            errors("q2_decomposition") = Option(e.getMessage)
+              .getOrElse(e.getClass.getName).linesIterator.take(1).mkString.take(200)
+        }
       } catch {
         case e: Throwable =>
           errors("sf10_setup") = Option(e.getMessage).getOrElse(e.getClass.getName)
@@ -626,7 +656,7 @@ object Bench {
       .mkString("{", ",", "}")
     val total = times.values.sum
     val line =
-      s"""{"metric":"total","value":${jnum(total)},"unit":"sec","iters":$Iters,"queries":${jmap(times)},"sf10x":${jmap(times10)},"ratio_10x":${jmap(ratios)},"projection_build":${jnum(projBuild)},"q10_parquet_twin":${jnum(twinSec)},"duckdb":${jmap(duck)},"ratio_vs_duckdb":${jmap(ratioDuck)},"duckdb_sf1":${jmap(duckSf1)},"ratio_vs_duckdb_sf1":${jmap(ratioDuckSf1)},"sf10":${jmap(timesSf10)},"duckdb_sf10":${jmap(duckSf10)},"ratio_vs_duckdb_sf10":${jmap(ratioDuckSf10)},"q3_decomposition":$q3Decomp,"errors":$es,"sf":${jstr(sfDir)}}"""
+      s"""{"metric":"total","value":${jnum(total)},"unit":"sec","iters":$Iters,"queries":${jmap(times)},"sf10x":${jmap(times10)},"ratio_10x":${jmap(ratios)},"projection_build":${jnum(projBuild)},"q10_parquet_twin":${jnum(twinSec)},"duckdb":${jmap(duck)},"ratio_vs_duckdb":${jmap(ratioDuck)},"duckdb_sf1":${jmap(duckSf1)},"ratio_vs_duckdb_sf1":${jmap(ratioDuckSf1)},"sf10":${jmap(timesSf10)},"duckdb_sf10":${jmap(duckSf10)},"ratio_vs_duckdb_sf10":${jmap(ratioDuckSf10)},"q3_decomposition":$q3Decomp,"q2_decomposition":$q2Decomp,"errors":$es,"sf":${jstr(sfDir)}}"""
     println(line)
     // machine-readable artifact independent of log scraping (the r8
     // driver harness failed to extract the metric line from the sbt
