@@ -1136,6 +1136,62 @@ object SparkEntry {
           "ALTER TABLE attach_dst ATTACH PARTITION 1995 FROM attach_src")))._1
     }),
 
+    // row-level TTL (r12): CH's merge-time retention — rows whose TTL
+    // timestamp has passed are dropped by MATERIALIZE TTL (and every
+    // OPTIMIZE), and the surviving aggregate hash-matches the oracle's
+    // filter; timestamps are per-row constants (1990/2100) so the
+    // check does not depend on the run date
+    "q192_ttl_retention" -> ((spark, dir) => {
+      prep(spark, dir)
+      val wh = s"${derivedDir(spark, dir)}/wh"
+      spark.conf.set(graft.dialect.ChWrites.WarehouseConf, wh)
+      val svc = new QueryService(spark)
+      svc.executeToDf(QueryService.QueryRequest(
+        query = """SELECT st, count() AS n,
+                  |       CAST(round(sum(price)) AS BIGINT) AS total
+                  |FROM ttl_orders GROUP BY st ORDER BY st""".stripMargin,
+        initQueries = Seq(
+          """CREATE TABLE ttl_orders ENGINE = MergeTree ORDER BY (okey)
+            |TTL exp AS
+            |SELECT o_orderkey AS okey, o_orderstatus AS st,
+            |       o_totalprice AS price,
+            |       CAST(CASE WHEN o_orderkey % 3 = 0
+            |                 THEN '1990-01-01 00:00:00'
+            |                 ELSE '2100-01-01 00:00:00' END
+            |            AS TIMESTAMP) AS exp
+            |FROM orders WHERE o_custkey % 4 = 2""".stripMargin,
+          "ALTER TABLE ttl_orders MATERIALIZE TTL")))._1
+    }),
+
+    // VersionedCollapsingMergeTree + FINAL (r12): state rows, cancel
+    // rows, and replacement versions — +1/-1 pairs annihilate per
+    // (sorting key, version) and the per-nation aggregate afterwards
+    // hash-matches the oracle's CASE algebra over the pristine source
+    "q191_vcollapsing_final" -> ((spark, dir) => {
+      prep(spark, dir)
+      val wh = s"${derivedDir(spark, dir)}/wh"
+      spark.conf.set(graft.dialect.ChWrites.WarehouseConf, wh)
+      val svc = new QueryService(spark)
+      svc.executeToDf(QueryService.QueryRequest(
+        query = """SELECT nk, count() AS n,
+                  |       CAST(round(sum(bal) * 100) AS BIGINT) AS bal_c
+                  |FROM vcoll_cust FINAL GROUP BY nk ORDER BY nk""".stripMargin,
+        initQueries = Seq(
+          """CREATE TABLE vcoll_cust
+            |ENGINE = VersionedCollapsingMergeTree(sign, ver)
+            |ORDER BY (ck) AS
+            |SELECT c_custkey AS ck, c_nationkey AS nk,
+            |       CAST(1 AS INT) AS sign, CAST(0 AS BIGINT) AS ver,
+            |       c_acctbal AS bal
+            |FROM customer WHERE c_custkey % 6 = 1""".stripMargin,
+          """INSERT INTO vcoll_cust
+            |SELECT c_custkey, c_nationkey, CAST(-1 AS INT), 0, c_acctbal
+            |FROM customer WHERE c_custkey % 12 = 1""".stripMargin,
+          """INSERT INTO vcoll_cust
+            |SELECT c_custkey, c_nationkey, CAST(1 AS INT), 1, c_acctbal * 2
+            |FROM customer WHERE c_custkey % 12 = 1""".stripMargin)))._1
+    }),
+
     // SummingMergeTree + FINAL (r12): CTAS seeds per-order rows keyed
     // by customer, INSERT appends more parts, and `FROM t FINAL` sums
     // the declared tuple per sorting key (non-summed payload takes the
@@ -2915,6 +2971,19 @@ object SparkEntry {
         |                           THEN c_acctbal * 3
         |                           ELSE c_acctbal END) * 100) AS BIGINT) AS bal_c
         |FROM customer WHERE c_custkey % 10 = 0
+        |GROUP BY nk ORDER BY nk""".stripMargin,
+    "q192_ttl_retention" ->
+      """SELECT o_orderstatus AS st, count(*) AS n,
+        |       CAST(round(sum(o_totalprice)) AS BIGINT) AS total
+        |FROM orders
+        |WHERE o_custkey % 4 = 2 AND o_orderkey % 3 != 0
+        |GROUP BY st ORDER BY st""".stripMargin,
+    "q191_vcollapsing_final" ->
+      """SELECT c_nationkey AS nk, count(*) AS n,
+        |       CAST(round(sum(CASE WHEN c_custkey % 12 = 1
+        |                           THEN c_acctbal * 2
+        |                           ELSE c_acctbal END) * 100) AS BIGINT) AS bal_c
+        |FROM customer WHERE c_custkey % 6 = 1
         |GROUP BY nk ORDER BY nk""".stripMargin,
     "q189_mt_attach_partition" ->
       """SELECT y, count(*) AS n, CAST(round(sum(price)) AS BIGINT) AS total

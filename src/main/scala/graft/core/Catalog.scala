@@ -52,14 +52,18 @@ object Catalog {
       /** Declared engine spelling incl. args — `MergeTree`,
         * `ReplacingMergeTree(ver)`, … The Replacing family gives
         * `FINAL` its real dedup semantics. */
-      engine: String = "MergeTree")
+      engine: String = "MergeTree",
+      /** Row-level `TTL <expr>` — rows whose expression is ≤ now are
+        * deleted when merges run (OPTIMIZE / MATERIALIZE TTL), CH's
+        * own merge-time retention model. */
+      ttl: Option[String] = None)
 
   private val attached = scala.collection.concurrent.TrieMap.empty[String, AttachedTable]
 
   private val AttachRe =
     // engine args allow ONE nesting level: CH spells a multi-column
     // summing tuple `SummingMergeTree((a, b))`
-    ("""(?is)\s*ATTACH\s+TABLE\s+(\S+)\s*(?:UUID\s+'([^']*)')?\s*\((.*)\)\s*ENGINE\s*=\s*(\w+(?:\s*\((?:[^()]|\([^()]*\))*\))?)(?:\s+PARTITION\s+BY\s+((?:(?!\s+ORDER\s+BY\b|\s+SAMPLE\s+BY\b|\s+SETTINGS\b).)+))?""" +
+    ("""(?is)\s*ATTACH\s+TABLE\s+(\S+)\s*(?:UUID\s+'([^']*)')?\s*\((.*)\)\s*ENGINE\s*=\s*(\w+(?:\s*\((?:[^()]|\([^()]*\))*\))?)(?:\s+PARTITION\s+BY\s+((?:(?!\s+ORDER\s+BY\b|\s+SAMPLE\s+BY\b|\s+TTL\b|\s+SETTINGS\b).)+))?""" +
       // ORDER BY: parenthesized tuple, or CH's bare single-column
       // spelling (its own SHOW CREATE emits `ORDER BY id`). The bare
       // arm refuses a following '(' so an expression key
@@ -69,7 +73,7 @@ object Catalog {
       // the first lookahead pins the token MAXIMAL (no identifier char
       // follows) so backtracking cannot shrink `cityHash64(` into a
       // bogus `cityHash6` key just to satisfy the no-paren guard
-      """(?:\s+ORDER\s+BY\s+(?:\(([^)]*)\)|(?!tuple\s*\()([\w.`"]+)(?![\w.`"])(?!\s*\()))?(?:\s+SAMPLE\s+BY\s+(\w+\([^)]*\)|\([^)]*\)|[\w.]+))?(.*)""").r
+      """(?:\s+ORDER\s+BY\s+(?:\(([^)]*)\)|(?!tuple\s*\()([\w.`"]+)(?![\w.`"])(?!\s*\()))?(?:\s+SAMPLE\s+BY\s+(\w+\([^)]*\)|\([^)]*\)|[\w.]+))?(?:\s+TTL\s+((?:(?!\s+SETTINGS\b).)+))?(.*)""").r
 
   /** Strip identifier quoting from a declared key column — ATTACH DDL
     * may spell `` `id` ``/`"id"`; downstream consumers (pruning
@@ -96,7 +100,7 @@ object Catalog {
     * DDL and registers schema-only as before. */
   def attach(spark: SparkSession, sql: String): AttachedTable = sql match {
     case AttachRe(name, uuid, cols, engineSpec, partitionBy, orderBy,
-        orderByBare, sampleBy, tail) =>
+        orderByBare, sampleBy, ttl, tail) =>
       val schema = ChSchemaParser.parse(cols)
       val key = Option(orderBy)
         .map(_.split(",").map(cleanIdent).filter(_.nonEmpty).toSeq)
@@ -146,7 +150,8 @@ object Catalog {
           // `PARTITION BY tuple()` is CH's unpartitioned spelling
           .filterNot(graft.sources.mergetree.MergeTreePartitioning.isNoPartition),
         engine = Option(engineSpec).map(_.trim).filter(_.nonEmpty)
-          .getOrElse("MergeTree"))
+          .getOrElse("MergeTree"),
+        ttl = Option(ttl).map(_.trim).filter(_.nonEmpty))
       materialize(spark, t).foreach(_.createOrReplaceTempView(name))
       attached(name) = t
       t
@@ -168,10 +173,11 @@ object Catalog {
   def recordCtas(name: String, path: String, orderBy: Seq[String],
       ddl: String = "", kind: String = Kind.Parquet,
       partitionBy: Option[String] = None,
-      engine: String = "MergeTree"): Unit =
+      engine: String = "MergeTree",
+      ttl: Option[String] = None): Unit =
     attached(name) = AttachedTable(name, ddl, orderBy, Some(path),
       kind = kind, ownsStorage = true, partitionBy = partitionBy,
-      engine = engine)
+      engine = engine, ttl = ttl)
 
   private val ReplacingRe =
     """(?i)^ReplacingMergeTree\s*(?:\(([^)]*)\))?$""".r
@@ -335,6 +341,55 @@ object Catalog {
               n
           }
           Some(SummingSpec(e.orderBy, sums, others, cols))
+        case _ => None
+      }
+    }
+  }
+
+  private val CollapsingRe =
+    """(?i)^(Versioned)?CollapsingMergeTree\s*\(([^)]*)\)$""".r
+
+  /** (Versioned)CollapsingMergeTree contract: `key` the ORDER BY tuple,
+    * `sign` the +1/-1 state/cancel column, `ver` the version column
+    * (Versioned only — the versionless engine's pair-cancellation
+    * depends on merge ORDER in CH, so its FINAL refuses here), and
+    * `columns` the declared pairs (payload tiebreak for the surviving
+    * representative). */
+  case class CollapsingSpec(
+      key: Seq[String],
+      sign: String,
+      ver: Option[String],
+      columns: Seq[(String, String)]) {
+    def tieColumns: Seq[String] = {
+      val skip = key.toSet + sign ++ ver
+      columns.collect {
+        case (n, t) if !skip(n) && !t.trim.toLowerCase.startsWith("map(") => n
+      }
+    }
+  }
+
+  def collapsingInfo(table: String): Option[CollapsingSpec] = {
+    val t = attached.get(table)
+      .orElse(attached.values.find(_.name.equalsIgnoreCase(table)))
+    t.flatMap { e =>
+      e.engine match {
+        case CollapsingRe(_, _) if e.orderBy.isEmpty =>
+          throw new IllegalArgumentException(
+            s"table '$table': CollapsingMergeTree with an expression or " +
+              "unparsed sorting key — FINAL cancels per sorting-key " +
+              "VALUE, which needs named key columns; re-ATTACH with an " +
+              "explicit column ORDER BY")
+        case CollapsingRe(versioned, args) =>
+          val as = args.split(",").toSeq
+            .map(_.replaceAll("[`\"]", "").trim).filter(_.nonEmpty)
+          val isVersioned = versioned != null
+          require(as.size == (if (isVersioned) 2 else 1),
+            s"table '$table': ${if (isVersioned) "VersionedCollapsingMergeTree takes (sign, version)"
+              else "CollapsingMergeTree takes (sign)"} — got (${as.mkString(", ")})")
+          val cols =
+            try graft.types.ChSchemaParser.columnPairs(e.schemaDdl)
+            catch { case _: Exception => Nil }
+          Some(CollapsingSpec(e.orderBy, as.head, as.lift(1), cols))
         case _ => None
       }
     }

@@ -597,7 +597,45 @@ object ChSql {
               .mkString(" OR ")
             Some(s"${m.group(1)} (SELECT $sel FROM $table$sample " +
               s"GROUP BY $groupList HAVING $nonzero) $alias")
-          case None => Some(s"${m.group(1)} ${m.group(2)}$sample")
+          case None => graft.core.Catalog.collapsingInfo(table) match {
+            case Some(cs) =>
+              // VersionedCollapsingMergeTree(sign, version) FINAL: CH's
+              // pair-cancellation made exact — within (partition,
+              // sorting key, version), +1 state rows and -1 cancel rows
+              // annihilate in pairs; |sum(sign)| rows of the majority
+              // sign survive, representatives picked by the
+              // deterministic payload-max ranking. The VERSIONLESS
+              // engine refuses: which unpaired row survives there is
+              // merge-order state in CH (the Replacing-versionless
+              // posture).
+              val v = cs.ver.getOrElse(throw new IllegalArgumentException(
+                s"FROM $table FINAL: CollapsingMergeTree keeps an " +
+                  "order-of-merges-dependent row per key — use " +
+                  "VersionedCollapsingMergeTree(sign, version) for " +
+                  "deterministic FINAL semantics (raw rows stay " +
+                  "readable without the modifier)"))
+              val sg = qIdent(cs.sign)
+              val grp = (pexpr.toSeq ++ cs.key.map(qIdent) :+ qIdent(v))
+                .mkString(", ")
+              val tie = cs.tieColumns.map(c => s"${qIdent(c)} DESC") match {
+                case Nil => qIdent(cs.sign) // constant within the window
+                case ts => ts.mkString(", ")
+              }
+              Some(s"${m.group(1)} (SELECT * EXCEPT (__graft_rn, " +
+                s"__graft_pos, __graft_neg) FROM (SELECT *, " +
+                s"row_number() OVER (PARTITION BY $grp, $sg ORDER BY $tie) " +
+                s"AS __graft_rn, " +
+                s"sum(CASE WHEN CAST($sg AS BIGINT) = 1 THEN 1 ELSE 0 END) " +
+                s"OVER (PARTITION BY $grp) AS __graft_pos, " +
+                s"sum(CASE WHEN CAST($sg AS BIGINT) = -1 THEN 1 ELSE 0 END) " +
+                s"OVER (PARTITION BY $grp) AS __graft_neg " +
+                s"FROM $table$sample) WHERE " +
+                s"(__graft_pos > __graft_neg AND CAST($sg AS BIGINT) = 1 " +
+                s"AND __graft_rn <= __graft_pos - __graft_neg) OR " +
+                s"(__graft_neg > __graft_pos AND CAST($sg AS BIGINT) = -1 " +
+                s"AND __graft_rn <= __graft_neg - __graft_pos)) $alias")
+            case None => Some(s"${m.group(1)} ${m.group(2)}$sample")
+          }
         }
       }
     }

@@ -85,6 +85,7 @@ object ChWrites {
             "use a simple table name (registered as a session view)")
         val sortKey = parseOrderBy(middle)
         val partitionBy = parsePartitionBy(middle)
+        val ttl = parseTtl(middle)
         val warehouse = spark.conf.get(WarehouseConf,
           s"${System.getProperty("java.io.tmpdir")}/graft_warehouse")
         val path = s"$warehouse/$name"
@@ -93,10 +94,14 @@ object ChWrites {
         val engine = engineM.map(_.group(1).toLowerCase)
         val mtFamily = engine.exists(e =>
           e == "mergetree" || e == "replacingmergetree" ||
-            e == "summingmergetree")
+            e == "summingmergetree" || e == "collapsingmergetree" ||
+            e == "versionedcollapsingmergetree")
         require(partitionBy.isEmpty || mtFamily,
           s"CREATE TABLE $name: PARTITION BY needs a MergeTree-family " +
             "ENGINE (clustered parquet CTAS expresses layout via ORDER BY)")
+        require(ttl.isEmpty || mtFamily,
+          s"CREATE TABLE $name: TTL needs a MergeTree-family ENGINE " +
+            "(TTL is merge-time retention; parquet CTAS has no merges)")
         if (mtFamily) {
           // ENGINE = MergeTree writes a REAL wide-part tree (VERDICT r9
           // task #8) — ATTACH-able by the q160 data path, locally or
@@ -128,6 +133,29 @@ object ChWrites {
                   s"column '$v' is not in the SELECT")
             }
           }
+          if (engine.exists(_.endsWith("collapsingmergetree"))) {
+            // CollapsingMergeTree(sign) / VersionedCollapsing(sign, ver)
+            // — columns must be in the SELECT; arity per engine (CH's
+            // rule). The versionless form stores fine but FINAL refuses
+            // (merge-order semantics), same posture as versionless
+            // Replacing.
+            require(sortKey.nonEmpty,
+              s"CREATE TABLE $name: CollapsingMergeTree needs ORDER BY " +
+                "(the sorting key IS the cancellation key)")
+            val versioned = engine.contains("versionedcollapsingmergetree")
+            val eArgs = Option(engineM.get.group(3)).toSeq
+              .flatMap(_.split(",").toSeq)
+              .map(_.replaceAll("[`\"]", "").trim).filter(_.nonEmpty)
+            require(eArgs.size == (if (versioned) 2 else 1),
+              s"CREATE TABLE $name: ${if (versioned)
+                "VersionedCollapsingMergeTree takes (sign, version)"
+              else "CollapsingMergeTree takes (sign)"} — " +
+                s"got (${eArgs.mkString(", ")})")
+            eArgs.foreach { c =>
+              require(df.columns.contains(c),
+                s"CREATE TABLE $name: engine column '$c' is not in the SELECT")
+            }
+          }
           if (engine.contains("summingmergetree")) {
             // SummingMergeTree((c1, …)) — the tuple names the columns
             // summed on merge; they must be SELECT columns outside the
@@ -154,7 +182,7 @@ object ChWrites {
           graft.sources.mergetree.MergeTree.read(spark, path, ddl, sortKey)
             .createOrReplaceTempView(name)
           graft.core.Catalog.recordCtas(name, path, sortKey, ddl,
-            graft.core.Catalog.Kind.MergeTree, partitionBy, engineSpec)
+            graft.core.Catalog.Kind.MergeTree, partitionBy, engineSpec, ttl)
           Seq((name, path, rows)).toDF("table", "path", "rows")
         } else {
           engine.filterNot(_ == "mergetree").foreach { e =>
@@ -247,12 +275,19 @@ object ChWrites {
     * SETTINGS) or the end; parens inside (toYYYYMM(d)) are fine because
     * the stop condition is keyword-based, not paren-based. */
   private val PartitionByRe =
-    """(?is)\bPARTITION\s+BY\s+((?:(?!\s+ORDER\s+BY\b|\s+SAMPLE\s+BY\b|\s+SETTINGS\b).)+)""".r
+    """(?is)\bPARTITION\s+BY\s+((?:(?!\s+ORDER\s+BY\b|\s+SAMPLE\s+BY\b|\s+TTL\b|\s+SETTINGS\b).)+)""".r
   private def parsePartitionBy(middle: String): Option[String] =
     PartitionByRe.findFirstMatchIn(middle).map(_.group(1).trim)
       .filter(_.nonEmpty)
       // CH's own "unpartitioned" spelling (SHOW CREATE emits it)
       .filterNot(graft.sources.mergetree.MergeTreePartitioning.isNoPartition)
+
+  /** Row-level `TTL <expr>` — merge-time retention, recorded in the
+    * catalog and applied by OPTIMIZE / ALTER … MATERIALIZE TTL. */
+  private val TtlRe =
+    """(?is)\bTTL\s+((?:(?!\s+SETTINGS\b).)+)""".r
+  private def parseTtl(middle: String): Option[String] =
+    TtlRe.findFirstMatchIn(middle).map(_.group(1).trim).filter(_.nonEmpty)
 
   private val IdentRe = """[A-Za-z_][A-Za-z0-9_]*""".r
   private def parseOrderBy(middle: String): Seq[String] = {

@@ -42,11 +42,69 @@ object MutateSql {
     ("""(?is)^\s*ALTER\s+TABLE\s+(?:'([^']+)'|([\w.`"]+))\s+""" +
       """(ATTACH|REPLACE)\s+PARTITION\s+(ID\s+)?('[^']*'|\S+)\s+""" +
       """FROM\s+(?:'([^']+)'|([\w.`"]+))\s*$""").r
+  private val MaterializeTtlRe =
+    """(?is)^\s*ALTER\s+TABLE\s+([\w.`"]+)\s+MATERIALIZE\s+TTL\s*$""".r
+  private val MovePartitionRe =
+    ("""(?is)^\s*ALTER\s+TABLE\s+(?:'([^']+)'|([\w.`"]+))\s+""" +
+      """MOVE\s+PARTITION\s+(ID\s+)?('[^']*'|\S+)\s+""" +
+      """TO\s+TABLE\s+(?:'([^']+)'|([\w.`"]+))\s*$""").r
 
   def isMutation(sql: String): Boolean =
     DeleteRe.matches(sql) || LightDeleteRe.matches(sql) ||
       UpdateRe.matches(sql) || TruncateRe.matches(sql) ||
-      DropPartitionRe.matches(sql) || AttachPartitionRe.matches(sql)
+      DropPartitionRe.matches(sql) || AttachPartitionRe.matches(sql) ||
+      MaterializeTtlRe.matches(sql) || MovePartitionRe.matches(sql)
+
+  /** CH partition rotation between structurally identical tables:
+    * `ATTACH PARTITION … FROM` copies, `REPLACE … FROM` drops the
+    * destination's partition first, `MOVE PARTITION TO TABLE` copies
+    * then drops the source's — all at metadata cost (block renumber,
+    * no data decode). CH refuses structural mismatches; so does this. */
+  private def transferPartition(
+      spark: SparkSession, dstPathLit: String, dstTableName: String,
+      srcPathLit: String, srcTableName: String,
+      isId: Boolean, literal: String, verb: String): DataFrame = {
+    import spark.implicits._
+    import graft.sources.mergetree.{MergeTree, MergeTreePartitioning}
+    val op = s"ALTER TABLE … $verb PARTITION"
+    val (label, ep, ddl, key) =
+      resolveMt(spark, dstPathLit, dstTableName, op).getOrElse(
+        throw new IllegalArgumentException(
+          s"$op targets a MergeTree table"))
+    val (srcLabel, srcEp, srcDdl, srcKey) =
+      resolveMt(spark, srcPathLit, srcTableName, op).getOrElse(
+        throw new IllegalArgumentException(
+          s"$op: source is not a MergeTree table"))
+    def cols(d: String) =
+      try graft.types.ChSchemaParser.columnPairs(d)
+      catch { case _: Exception => Nil }
+    require(cols(ddl) == cols(srcDdl) && cols(ddl).nonEmpty,
+      s"$op: '$srcLabel' and '$label' have different structures " +
+        "— CH requires identical column lists")
+    require(key == srcKey,
+      s"$op: sorting keys differ (${srcKey.mkString(", ")} vs " +
+        s"${key.mkString(", ")})")
+    val dstPb = partitionByOf(ep)
+    val srcPb = partitionByOf(srcEp)
+    require(dstPb.isDefined && dstPb == srcPb,
+      s"$op: partition expressions differ or are missing " +
+        s"(${srcPb.getOrElse("none")} vs ${dstPb.getOrElse("none")})")
+    val pid = MergeTreePartitioning.renderDropId(literal, isId)
+    // REPLACE = drop-then-attach as ONE unit under the destination's
+    // write lock (reentrant monitor) so no reader-visible window where
+    // a concurrent INSERT slots parts between the two steps
+    val copied = graft.sources.mergetree.MergeTreeCtas.withTreeLock(ep) {
+      if (verb == "REPLACE") MergeTree.dropPartition(spark, ep, pid)
+      graft.sources.mergetree.MergeTreeCtas
+        .attachPartitionFrom(spark, ep, srcEp, pid)
+    }
+    // MOVE drops the source AFTER the copy landed — a failure before
+    // this line leaves both tables intact (copy-then-delete, never a
+    // window with the partition nowhere)
+    if (verb == "MOVE") MergeTree.dropPartition(spark, srcEp, pid)
+    Seq((label, s"${verb.toLowerCase}_partition $pid", copied))
+      .toDF("table", "mutation", "rows_affected")
+  }
 
   def run(spark: SparkSession, sql: String,
       macros: Map[String, String] = ChSql.defaultMacros): DataFrame = {
@@ -119,49 +177,37 @@ object MutateSql {
           .toDF("table", "mutation", "rows_affected")
       case AttachPartitionRe(pathLit, tableName, verb, idKw, literal,
           srcPathLit, srcTableName) =>
-        // CH's inbound partition rotation: ATTACH PARTITION … FROM
-        // copies a partition's parts between structurally identical
-        // tables at metadata cost (block renumber, no data decode);
-        // REPLACE PARTITION … FROM drops the destination's partition
-        // first. DROP on the source afterwards = a partition MOVE.
-        import graft.sources.mergetree.{MergeTree, MergeTreePartitioning}
-        val op = s"ALTER TABLE … ${verb.toUpperCase} PARTITION FROM"
-        val (label, ep, ddl, key) =
-          resolveMt(spark, pathLit, tableName, op).getOrElse(
-            throw new IllegalArgumentException(
-              s"$op targets a MergeTree table"))
-        val (srcLabel, srcEp, srcDdl, srcKey) =
-          resolveMt(spark, srcPathLit, srcTableName, op).getOrElse(
-            throw new IllegalArgumentException(
-              s"$op: source is not a MergeTree table"))
-        // CH refuses structural mismatches: same columns, same sorting
-        // key, same partition expression — a copied part must decode
-        // under the destination's DDL and group under its scheme
-        def cols(d: String) =
-          try graft.types.ChSchemaParser.columnPairs(d)
-          catch { case _: Exception => Nil }
-        require(cols(ddl) == cols(srcDdl) && cols(ddl).nonEmpty,
-          s"$op: '$srcLabel' and '$label' have different structures " +
-            "— CH requires identical column lists")
-        require(key == srcKey,
-          s"$op: sorting keys differ (${srcKey.mkString(", ")} vs " +
-            s"${key.mkString(", ")})")
-        val dstPb = partitionByOf(ep)
-        val srcPb = partitionByOf(srcEp)
-        require(dstPb.isDefined && dstPb == srcPb,
-          s"$op: partition expressions differ or are missing " +
-            s"(${srcPb.getOrElse("none")} vs ${dstPb.getOrElse("none")})")
-        val pid = MergeTreePartitioning.renderDropId(literal, idKw != null)
-        // REPLACE = drop-then-attach as ONE unit under the destination's
-        // write lock (reentrant monitor) so no reader-visible window
-        // where a concurrent INSERT slots parts between the two steps
-        val copied = graft.sources.mergetree.MergeTreeCtas.withTreeLock(ep) {
-          if (verb.equalsIgnoreCase("REPLACE"))
-            MergeTree.dropPartition(spark, ep, pid)
-          graft.sources.mergetree.MergeTreeCtas
-            .attachPartitionFrom(spark, ep, srcEp, pid)
-        }
-        Seq((label, s"${verb.toLowerCase}_partition $pid", copied))
+        transferPartition(spark, pathLit, tableName, srcPathLit,
+          srcTableName, idKw != null, literal, verb.toUpperCase)
+      case MovePartitionRe(srcPathLit, srcTableName, idKw, literal,
+          dstPathLit, dstTableName) =>
+        // CH's `MOVE PARTITION TO TABLE`: the first table is the
+        // SOURCE; the transfer is an attach into the destination plus
+        // a drop from the source
+        transferPartition(spark, dstPathLit, dstTableName, srcPathLit,
+          srcTableName, idKw != null, literal, "MOVE")
+      case MaterializeTtlRe(tableName) =>
+        // CH's on-demand TTL application: rewrite the tree dropping
+        // rows whose TTL expression has passed (NULL TTL kept). The
+        // instant is captured ONCE so the count and the rewrite agree.
+        import org.apache.spark.sql.functions.{current_timestamp, expr, lit}
+        val name = ProjectionSql.clean(tableName)
+        val ttl = graft.core.Catalog.lookup(name).flatMap(_.ttl)
+          .getOrElse(throw new IllegalArgumentException(
+            s"ALTER TABLE $name MATERIALIZE TTL: the table declares no " +
+              "TTL — add it in the CREATE/ATTACH DDL"))
+        val (label, ep, ddl, key) = resolveMt(spark, null, tableName,
+          op = "ALTER TABLE … MATERIALIZE TTL").getOrElse(
+          throw new IllegalArgumentException(
+            "ALTER TABLE … MATERIALIZE TTL targets a MergeTree table " +
+              "(parquet tables have no merges — use DELETE WHERE)"))
+        val now = new java.sql.Timestamp(System.currentTimeMillis())
+        val df = graft.sources.mergetree.MergeTree.read(spark, ep, ddl, key)
+        val e = expr(ttl).cast("timestamp")
+        val expired = df.filter(e.isNotNull && e <= lit(now)).count()
+        if (expired > 0)
+          rewriteMt(spark, ep, ddl, key, df.filter(e.isNull || e > lit(now)))
+        Seq((label, "materialize_ttl", expired))
           .toDF("table", "mutation", "rows_affected")
       case DeleteRe(pathLit, tableName, cond) =>
         delete(spark, pathLit, tableName, cond, macros)

@@ -88,6 +88,9 @@ object OptimizeSql {
             else name.flatMap(graft.core.Catalog.replacingInfo)
           val summing = if (finalKw == null || replacing.isDefined) None
             else name.flatMap(graft.core.Catalog.summingInfo)
+          val collapsing =
+            if (finalKw == null || replacing.isDefined || summing.isDefined) None
+            else name.flatMap(graft.core.Catalog.collapsingInfo)
           // one read of the partition scheme for both the dedup window
           // and the rewrite — two reads could disagree under a
           // concurrent ATTACH of an aliasing table (review finding)
@@ -153,10 +156,59 @@ object OptimizeSql {
                     .map(c => coalesce(col(s"`$c`").cast("double"), lit(0d)) =!= 0d)
                     .reduce(_ || _))
                 merged.select(sp.columns.map(c => col(s"`${c._1}`")): _*)
-              case None => df0
+              case None => collapsing match {
+                case Some(cs) =>
+                  // VersionedCollapsing merge: +1/-1 pairs annihilate
+                  // within (partition, key, version); |sum(sign)| rows
+                  // of the majority sign survive (same window logic as
+                  // the FINAL read). Versionless Collapsing refuses —
+                  // its survivor is merge-order state in CH.
+                  import org.apache.spark.sql.expressions.Window
+                  val v = cs.ver.getOrElse(throw new IllegalArgumentException(
+                    s"OPTIMIZE TABLE ${name.get} FINAL: CollapsingMergeTree " +
+                      "collapses to an order-of-merges-dependent row per " +
+                      "key — use VersionedCollapsingMergeTree(sign, " +
+                      "version) for deterministic collapse"))
+                  val grp = partitionBy.map(expr).toSeq ++
+                    cs.key.map(colOf) :+ colOf(v)
+                  val signL = colOf(cs.sign).cast("long")
+                  val tie = cs.tieColumns.map(c => colOf(c).desc) match {
+                    case Nil => Seq(colOf(cs.sign).desc)
+                    case ts => ts
+                  }
+                  val wRank = Window.partitionBy(grp :+ colOf(cs.sign): _*)
+                    .orderBy(tie: _*)
+                  val wGrp = Window.partitionBy(grp: _*)
+                  df0.withColumn("__graft_rn", row_number().over(wRank))
+                    .withColumn("__graft_pos",
+                      sum(when(signL === 1, 1).otherwise(0)).over(wGrp))
+                    .withColumn("__graft_neg",
+                      sum(when(signL === -1, 1).otherwise(0)).over(wGrp))
+                    .filter(
+                      (col("__graft_pos") > col("__graft_neg") &&
+                        signL === 1 &&
+                        col("__graft_rn") <= col("__graft_pos") - col("__graft_neg")) ||
+                      (col("__graft_neg") > col("__graft_pos") &&
+                        signL === -1 &&
+                        col("__graft_rn") <= col("__graft_neg") - col("__graft_pos")))
+                    .drop("__graft_rn", "__graft_pos", "__graft_neg")
+                case None => df0
+              }
             }
           }
-          val contentPreserved = replacing.isEmpty && summing.isEmpty
+          // row-level TTL applies on EVERY merge (CH's model): rows
+          // whose TTL expression has passed are dropped by the rewrite;
+          // NULL TTL values are kept. current_timestamp() is fixed per
+          // query, so one rewrite sees one instant.
+          val ttl = name.flatMap(graft.core.Catalog.lookup).flatMap(_.ttl)
+          val dfT = ttl match {
+            case Some(t) =>
+              val e = expr(t).cast("timestamp")
+              df.filter(e.isNull || e > current_timestamp())
+            case None => df
+          }
+          val contentPreserved = replacing.isEmpty && summing.isEmpty &&
+            collapsing.isEmpty && ttl.isEmpty
           val bytes = new Path(ep).getFileSystem(spark.sessionState.newHadoopConf())
             .getContentSummary(new Path(ep)).getLength
           // merge + projection re-stamp are one atomic unit under the
@@ -174,7 +226,7 @@ object OptimizeSql {
             val preFp =
               if (contentPreserved) Some(MergeTree.partsFingerprint(ep))
               else None
-            graft.sources.mergetree.MergeTreeCtas.write(spark, df, ep, key,
+            graft.sources.mergetree.MergeTreeCtas.write(spark, dfT, ep, key,
               declaredDdl = Some(ddl), op = "OPTIMIZE TABLE",
               partitionBy = partitionBy)
             preFp.foreach(fp =>

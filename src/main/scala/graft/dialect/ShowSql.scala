@@ -164,8 +164,9 @@ object ShowSql {
           val diskType = if (e.startsWith("http")) "web" else "local"
           s" SETTINGS disk = disk(type = $diskType, endpoint = '$e')"
         }.getOrElse("")
+        val ttl = t.ttl.map(x => s" TTL $x").getOrElse("")
         s"ATTACH TABLE ${t.name}$uuid (${t.schemaDdl}) " +
-          s"ENGINE = ${t.engine}$partBy$orderBy$sampleBy$settings"
+          s"ENGINE = ${t.engine}$partBy$orderBy$sampleBy$ttl$settings"
       case other =>
         val orderBy = other.filter(_.orderBy.nonEmpty)
           .map(t => s" ORDER BY (${t.orderBy.mkString(", ")})").getOrElse("")
@@ -178,7 +179,8 @@ object ShowSql {
         ProjectionSql.resolveMergeTree(spark, n) match {
           case Some((_, ddl, _)) =>
             val eng = other.map(_.engine).getOrElse("MergeTree")
-            s"CREATE TABLE $n ($ddl) ENGINE = $eng$partBy$orderBy"
+            val ttl = other.flatMap(_.ttl).map(x => s" TTL $x").getOrElse("")
+            s"CREATE TABLE $n ($ddl) ENGINE = $eng$partBy$orderBy$ttl"
           case None =>
             // CTAS parquet entry or a plain session view — render the
             // live schema in CH type names

@@ -276,6 +276,17 @@ class MergeTreePartitionSpec extends AnyFunSuite {
       assert(ChSql.sql(spark,
         "ALTER TABLE att_dst ATTACH PARTITION 2001 FROM att_src")
         .collect().head.getLong(2) == 0L)
+      // MOVE PARTITION TO TABLE: copy-then-drop as one statement (the
+      // first table is the SOURCE in CH's spelling)
+      assert(ChSql.sql(spark,
+        "ALTER TABLE att_src MOVE PARTITION 1997 TO TABLE att_dst")
+        .collect().head.getLong(2) == 3L)
+      assert(ChSql.sql(spark,
+        "SELECT count() AS n FROM att_src WHERE toYear(d) = 1997")
+        .collect().head.getLong(0) == 0L)
+      assert(ChSql.sql(spark,
+        "SELECT count() AS n FROM att_dst WHERE toYear(d) = 1997")
+        .collect().head.getLong(0) == 3L)
       Seq("att_src", "att_dst", "att_other").foreach(t =>
         ChSql.sql(spark, s"DROP TABLE $t").collect())
     } finally spark.conf.unset(ChWrites.WarehouseConf)
