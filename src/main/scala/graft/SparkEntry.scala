@@ -1136,6 +1136,36 @@ object SparkEntry {
           "ALTER TABLE attach_dst ATTACH PARTITION 1995 FROM attach_src")))._1
     }),
 
+    // AggregatingMergeTree (r12): per-key aggregate STATE rows in a
+    // REAL part tree (q163 proved the State→Merge algebra over a
+    // parquet endpoint; this stores the states through the MergeTree
+    // writer) — two INSERT batches land as parts, and the -Merge read
+    // grouped coarser hash-matches the oracle's direct aggregation
+    "q193_aggregating_tree" -> ((spark, dir) => {
+      prep(spark, dir)
+      val wh = s"${derivedDir(spark, dir)}/wh"
+      spark.conf.set(graft.dialect.ChWrites.WarehouseConf, wh)
+      val svc = new QueryService(spark)
+      svc.executeToDf(QueryService.QueryRequest(
+        query = """SELECT prio, CAST(round(sumMerge(s)) AS BIGINT) AS tot,
+                  |       CAST(countMerge(c) AS BIGINT) AS n,
+                  |       CAST(round(maxMerge(mx)) AS BIGINT) AS mx
+                  |FROM agg_states GROUP BY prio ORDER BY prio""".stripMargin,
+        initQueries = Seq(
+          """CREATE TABLE agg_states ENGINE = AggregatingMergeTree
+            |ORDER BY (prio) AS
+            |SELECT o_orderpriority AS prio, o_orderstatus AS st,
+            |       sumState(o_totalprice) AS s,
+            |       countState(o_orderkey) AS c,
+            |       maxState(o_totalprice) AS mx
+            |FROM orders WHERE o_orderkey % 2 = 0 GROUP BY prio, st""".stripMargin,
+          """INSERT INTO agg_states
+            |SELECT o_orderpriority, o_orderstatus,
+            |       sumState(o_totalprice), countState(o_orderkey),
+            |       maxState(o_totalprice)
+            |FROM orders WHERE o_orderkey % 2 = 1 GROUP BY 1, 2""".stripMargin)))._1
+    }),
+
     // row-level TTL (r12): CH's merge-time retention — rows whose TTL
     // timestamp has passed are dropped by MATERIALIZE TTL (and every
     // OPTIMIZE), and the surviving aggregate hash-matches the oracle's
@@ -2972,6 +3002,12 @@ object SparkEntry {
         |                           ELSE c_acctbal END) * 100) AS BIGINT) AS bal_c
         |FROM customer WHERE c_custkey % 10 = 0
         |GROUP BY nk ORDER BY nk""".stripMargin,
+    "q193_aggregating_tree" ->
+      """SELECT o_orderpriority AS prio,
+        |       CAST(round(sum(o_totalprice)) AS BIGINT) AS tot,
+        |       count(*) AS n,
+        |       CAST(round(max(o_totalprice)) AS BIGINT) AS mx
+        |FROM orders GROUP BY prio ORDER BY prio""".stripMargin,
     "q192_ttl_retention" ->
       """SELECT o_orderstatus AS st, count(*) AS n,
         |       CAST(round(sum(o_totalprice)) AS BIGINT) AS total

@@ -395,6 +395,16 @@ object Catalog {
     }
   }
 
+  /** True when the table declares ENGINE = AggregatingMergeTree. Its
+    * FINAL would merge aggregate STATES per key — state-merge is not
+    * generic here, so FINAL refuses with guidance: a `-Merge` read
+    * (`SELECT k, xMerge(s) … GROUP BY k`) subsumes it, producing the
+    * fully merged RESULT. */
+  def isAggregating(table: String): Boolean =
+    attached.get(table)
+      .orElse(attached.values.find(_.name.equalsIgnoreCase(table)))
+      .exists(_.engine.trim.toLowerCase.startsWith("aggregatingmergetree"))
+
   def lookup(name: String): Option[AttachedTable] = attached.get(name)
 
   /** The recorded PARTITION BY for the table whose MergeTree endpoint

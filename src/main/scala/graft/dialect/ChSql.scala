@@ -634,7 +634,15 @@ object ChSql {
                 s"AND __graft_rn <= __graft_pos - __graft_neg) OR " +
                 s"(__graft_neg > __graft_pos AND CAST($sg AS BIGINT) = -1 " +
                 s"AND __graft_rn <= __graft_neg - __graft_pos)) $alias")
-            case None => Some(s"${m.group(1)} ${m.group(2)}$sample")
+            case None =>
+              if (graft.core.Catalog.isAggregating(table))
+                throw new IllegalArgumentException(
+                  s"FROM $table FINAL: AggregatingMergeTree FINAL merges " +
+                    "aggregate STATES per key — read with the -Merge " +
+                    "combinators instead (SELECT key, xMerge(state) … " +
+                    "GROUP BY key), which produces the fully merged " +
+                    "result; raw state rows stay readable without FINAL")
+              Some(s"${m.group(1)} ${m.group(2)}$sample")
           }
         }
       }

@@ -95,7 +95,8 @@ object ChWrites {
         val mtFamily = engine.exists(e =>
           e == "mergetree" || e == "replacingmergetree" ||
             e == "summingmergetree" || e == "collapsingmergetree" ||
-            e == "versionedcollapsingmergetree")
+            e == "versionedcollapsingmergetree" ||
+            e == "aggregatingmergetree")
         require(partitionBy.isEmpty || mtFamily,
           s"CREATE TABLE $name: PARTITION BY needs a MergeTree-family " +
             "ENGINE (clustered parquet CTAS expresses layout via ORDER BY)")

@@ -192,7 +192,16 @@ object OptimizeSql {
                         signL === -1 &&
                         col("__graft_rn") <= col("__graft_neg") - col("__graft_pos")))
                     .drop("__graft_rn", "__graft_pos", "__graft_neg")
-                case None => df0
+                case None =>
+                  if (finalKw != null &&
+                      name.exists(graft.core.Catalog.isAggregating))
+                    throw new IllegalArgumentException(
+                      s"OPTIMIZE TABLE ${name.get} FINAL: " +
+                        "AggregatingMergeTree's merge combines aggregate " +
+                        "STATES per key, which is not generic here — " +
+                        "read with -Merge combinators (GROUP BY key), or " +
+                        "OPTIMIZE without FINAL to compact parts")
+                  df0
               }
             }
           }
