@@ -335,9 +335,9 @@ object Catalog {
             case (n, ct) if !keySet.contains(n) && !sums.contains(n) =>
               require(!ct.trim.toLowerCase.startsWith("map("),
                 s"table '$table': SummingMergeTree FINAL cannot carry " +
-                  s"Map column '$n' (no deterministic merge for " +
-                  "non-summed maps) — add it to the summing tuple is " +
-                  "not supported either; drop or restructure the column")
+                  s"Map column '$n' — non-summed maps have no " +
+                  "deterministic merge here (CH sums them key-wise); " +
+                  "restructure the column or use plain MergeTree")
               n
           }
           Some(SummingSpec(e.orderBy, sums, others, cols))

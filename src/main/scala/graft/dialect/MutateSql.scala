@@ -190,7 +190,7 @@ object MutateSql {
         // CH's on-demand TTL application: rewrite the tree dropping
         // rows whose TTL expression has passed (NULL TTL kept). The
         // instant is captured ONCE so the count and the rewrite agree.
-        import org.apache.spark.sql.functions.{current_timestamp, expr, lit}
+        import org.apache.spark.sql.functions.{expr, lit}
         val name = ProjectionSql.clean(tableName)
         val ttl = graft.core.Catalog.lookup(name).flatMap(_.ttl)
           .getOrElse(throw new IllegalArgumentException(
