@@ -154,6 +154,26 @@ object MultiJvmSmoke {
       // executor JVMs), cached state, band-bucket + shuffle-hash verify
       ok &= check("minhash_pairs", fmt(minhash(spark, dir)), expPairs)
 
+      // (d) the Hadoop-FS write tier across REAL JVM boundaries (r12):
+      // forced-hadoop mode routes the same executor-parallel part
+      // encode through org.apache.hadoop.fs.FileSystem, shipping the
+      // Hadoop Configuration to the forked executors via its Writable
+      // serialization — the one piece of TreeFs that only a multi-JVM
+      // run can prove
+      spark.conf.set(graft.sources.mergetree.MergeTree.FsConf, "hadoop")
+      val mtH =
+        try svc.executeToDf(QueryService.QueryRequest(
+          query = """SELECT c_nationkey, count() AS n,
+                    |       CAST(round(sum(bal) * 100) AS BIGINT) AS bal_c
+                    |FROM mj_hfs GROUP BY c_nationkey
+                    |ORDER BY c_nationkey""".stripMargin,
+          initQueries = Seq(
+            s"""CREATE TABLE mj_hfs ENGINE = MergeTree ORDER BY (c_custkey) AS
+               |SELECT c_custkey, c_nationkey, c_acctbal AS bal
+               |FROM parquet.`$dir/customer.parquet`""".stripMargin)))._1
+        finally spark.conf.unset(graft.sources.mergetree.MergeTree.FsConf)
+      ok &= check("hadoopfs_ctas", fmt(mtH), fmt(expMt))
+
       println(s"[multijvm] ${if (ok) "ALL OK" else "FAILED"}")
       if (!ok) sys.exit(1)
     } finally {
