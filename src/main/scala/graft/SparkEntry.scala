@@ -1136,6 +1136,33 @@ object SparkEntry {
           "ALTER TABLE attach_dst ATTACH PARTITION 1995 FROM attach_src")))._1
     }),
 
+    // schema evolution (r12): ADD COLUMN at metadata cost (pre-ALTER
+    // parts read NULL for the Nullable column), INSERT fills the new
+    // generation, RENAME COLUMN rewrites — and the mixed-generation
+    // aggregate hash-matches the oracle's UNION algebra
+    "q194_schema_evolution" -> ((spark, dir) => {
+      prep(spark, dir)
+      val wh = s"${derivedDir(spark, dir)}/wh"
+      spark.conf.set(graft.dialect.ChWrites.WarehouseConf, wh)
+      val svc = new QueryService(spark)
+      svc.executeToDf(QueryService.QueryRequest(
+        query = """SELECT st, count() AS n,
+                  |       CAST(round(sum(amount)) AS BIGINT) AS total,
+                  |       CAST(round(sum(coalesce(bonus, 0)) * 10) AS BIGINT) AS bonus_d
+                  |FROM evo_orders GROUP BY st ORDER BY st""".stripMargin,
+        initQueries = Seq(
+          """CREATE TABLE evo_orders ENGINE = MergeTree ORDER BY (okey) AS
+            |SELECT o_orderkey AS okey, o_orderstatus AS st,
+            |       o_totalprice AS price
+            |FROM orders WHERE o_custkey % 5 = 3""".stripMargin,
+          "ALTER TABLE evo_orders ADD COLUMN bonus Nullable(Float64)",
+          """INSERT INTO evo_orders
+            |SELECT o_orderkey + 100000000, o_orderstatus, o_totalprice,
+            |       o_totalprice * 0.1
+            |FROM orders WHERE o_custkey % 5 = 4""".stripMargin,
+          "ALTER TABLE evo_orders RENAME COLUMN price TO amount")))._1
+    }),
+
     // AggregatingMergeTree (r12): per-key aggregate STATE rows in a
     // REAL part tree (q163 proved the State→Merge algebra over a
     // parquet endpoint; this stores the states through the MergeTree
@@ -3002,6 +3029,18 @@ object SparkEntry {
         |                           ELSE c_acctbal END) * 100) AS BIGINT) AS bal_c
         |FROM customer WHERE c_custkey % 10 = 0
         |GROUP BY nk ORDER BY nk""".stripMargin,
+    "q194_schema_evolution" ->
+      """SELECT st, count(*) AS n,
+        |       CAST(round(sum(amount)) AS BIGINT) AS total,
+        |       CAST(round(sum(bonus) * 10) AS BIGINT) AS bonus_d
+        |FROM (
+        |  SELECT o_orderstatus AS st, o_totalprice AS amount,
+        |         0.0 AS bonus
+        |  FROM orders WHERE o_custkey % 5 = 3
+        |  UNION ALL
+        |  SELECT o_orderstatus, o_totalprice, o_totalprice * 0.1
+        |  FROM orders WHERE o_custkey % 5 = 4)
+        |GROUP BY st ORDER BY st""".stripMargin,
     "q193_aggregating_tree" ->
       """SELECT o_orderpriority AS prio,
         |       CAST(round(sum(o_totalprice)) AS BIGINT) AS tot,

@@ -435,6 +435,12 @@ object Catalog {
     * caller can decide what happens to the storage it points at. */
   def detach(name: String): Option[AttachedTable] = attached.remove(name)
 
+  /** Replace a catalog entry in place (schema evolution: ALTER TABLE
+    * ADD/DROP/MODIFY/RENAME COLUMN update the recorded DDL; RENAME
+    * TABLE re-keys the entry). The caller re-registers the session
+    * view. */
+  def update(t: AttachedTable): Unit = attached(t.name) = t
+
   /** Re-materialize every catalog-recorded table as a view in THIS
     * session. The service executes each HTTP request in a fresh
     * `newSession()` for isolation, but the CATALOG outlives requests —

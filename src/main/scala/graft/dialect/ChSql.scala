@@ -344,6 +344,9 @@ object ChSql {
     // mutations: ALTER TABLE … DELETE/UPDATE WHERE, DELETE FROM …,
     // TRUNCATE TABLE
     if (MutateSql.isMutation(m)) return MutateSql.run(spark, m, macros)
+    // schema evolution: ALTER TABLE … ADD/DROP/MODIFY/RENAME COLUMN,
+    // RENAME TABLE
+    if (AlterSchemaSql.isAlterSchema(m)) return AlterSchemaSql.run(spark, m)
     // introspection: SHOW CREATE TABLE (session-view DDL
     // reconstruction), SHOW TABLES [LIKE], DESCRIBE TABLE (CH's
     // seven-column shape), EXISTS TABLE

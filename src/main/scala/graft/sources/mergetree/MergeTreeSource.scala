@@ -97,6 +97,11 @@ object MergeTree {
     * FileSystem API (`hadoop`) — see [[TreeFs.ForceHadoopConf]]. */
   val FsConf: String = TreeFs.ForceHadoopConf
 
+  /** Validate a CH type string against the decodable MergeTree subset
+    * (throws with the subset description) — the schema-evolution DDL
+    * check, surfaced here because [[ChType]] is package-private. */
+  def validateType(ts: String): Unit = { ChType.parse(ts); () }
+
   /** Remove every part of partition `pid` from a LOCAL tree — CH's
     * `ALTER TABLE … DROP PARTITION`: metadata-time retention, no
     * rewrite of surviving parts. Dropping an absent partition is a
