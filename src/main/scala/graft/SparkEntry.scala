@@ -1136,6 +1136,29 @@ object SparkEntry {
           "ALTER TABLE attach_dst ATTACH PARTITION 1995 FROM attach_src")))._1
     }),
 
+    // plain DDL + literal rows (r12): CH's create-then-load flow — an
+    // EMPTY declared table (partless tree), filled by INSERT SELECT
+    // and INSERT VALUES; the aggregate hash-matches the oracle's UNION
+    "q195_create_then_load" -> ((spark, dir) => {
+      prep(spark, dir)
+      val wh = s"${derivedDir(spark, dir)}/wh"
+      spark.conf.set(graft.dialect.ChWrites.WarehouseConf, wh)
+      val svc = new QueryService(spark)
+      svc.executeToDf(QueryService.QueryRequest(
+        query = """SELECT st, count() AS n,
+                  |       CAST(round(sum(price) * 100) AS BIGINT) AS total_c
+                  |FROM loaded_orders GROUP BY st ORDER BY st""".stripMargin,
+        initQueries = Seq(
+          """CREATE TABLE loaded_orders
+            |(`okey` Int64, `st` LowCardinality(String), `price` Float64)
+            |ENGINE = MergeTree ORDER BY (okey)""".stripMargin,
+          """INSERT INTO loaded_orders
+            |SELECT o_orderkey, o_orderstatus, o_totalprice
+            |FROM orders WHERE o_custkey % 7 = 2""".stripMargin,
+          """INSERT INTO loaded_orders VALUES
+            |(900000001, 'Z', 1000.5), (900000002, 'Z', 2000.25)""".stripMargin)))._1
+    }),
+
     // schema evolution (r12): ADD COLUMN at metadata cost (pre-ALTER
     // parts read NULL for the Nullable column), INSERT fills the new
     // generation, RENAME COLUMN rewrites — and the mixed-generation
@@ -3029,6 +3052,15 @@ object SparkEntry {
         |                           ELSE c_acctbal END) * 100) AS BIGINT) AS bal_c
         |FROM customer WHERE c_custkey % 10 = 0
         |GROUP BY nk ORDER BY nk""".stripMargin,
+    "q195_create_then_load" ->
+      """SELECT st, count(*) AS n,
+        |       CAST(round(sum(price) * 100) AS BIGINT) AS total_c
+        |FROM (
+        |  SELECT o_orderstatus AS st, o_totalprice AS price
+        |  FROM orders WHERE o_custkey % 7 = 2
+        |  UNION ALL SELECT 'Z', 1000.5
+        |  UNION ALL SELECT 'Z', 2000.25)
+        |GROUP BY st ORDER BY st""".stripMargin,
     "q194_schema_evolution" ->
       """SELECT st, count(*) AS n,
         |       CAST(round(sum(amount)) AS BIGINT) AS total,

@@ -46,11 +46,13 @@ object AlterSchemaSql {
       """(IF\s+EXISTS\s+)?([`"]?[\w]+[`"]?)\s+TO\s+([`"]?[\w]+[`"]?)\s*$""").r
   private val RenameTableRe =
     """(?is)^\s*RENAME\s+TABLE\s+([\w.`"]+)\s+TO\s+([\w.`"]+)\s*$""".r
+  private val ExchangeRe =
+    """(?is)^\s*EXCHANGE\s+TABLES\s+([\w.`"]+)\s+AND\s+([\w.`"]+)\s*$""".r
 
   def isAlterSchema(sql: String): Boolean =
     AddColRe.matches(sql) || DropColRe.matches(sql) ||
       ModifyColRe.matches(sql) || RenameColRe.matches(sql) ||
-      RenameTableRe.matches(sql)
+      RenameTableRe.matches(sql) || ExchangeRe.matches(sql)
 
   def run(spark: SparkSession, sql: String): DataFrame = {
     import spark.implicits._
@@ -170,6 +172,23 @@ object AlterSchemaSql {
         view.createOrReplaceTempView(to)
         spark.catalog.dropTempView(from)
         Seq((to, s"renamed_from $from", 0L))
+          .toDF("table", "mutation", "rows_affected")
+
+      case ExchangeRe(rawA, rawB) =>
+        // CH's atomic name swap — blue/green table rollover: readers of
+        // either name see the OTHER table's data afterwards; storage
+        // never moves
+        val a = clean(rawA); val b = clean(rawB)
+        val ta = Catalog.lookup(a).getOrElse(throw new IllegalArgumentException(
+          s"EXCHANGE TABLES: no catalog table '$a'"))
+        val tb = Catalog.lookup(b).getOrElse(throw new IllegalArgumentException(
+          s"EXCHANGE TABLES: no catalog table '$b'"))
+        val va = spark.table(a); val vb = spark.table(b)
+        Catalog.update(ta.copy(name = b))
+        Catalog.update(tb.copy(name = a))
+        va.createOrReplaceTempView(b)
+        vb.createOrReplaceTempView(a)
+        Seq((a, s"exchanged_with $b", 0L))
           .toDF("table", "mutation", "rows_affected")
     }
   }

@@ -42,6 +42,18 @@ object ChWrites {
     """(?is)^\s*INSERT\s+INTO\s+(\S+).*$""".r
   private val CtasRe =
     """(?is)^\s*CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?([`"]?[\w.]+[`"]?)\s*(.*?)\s*\bAS\s+((?:SELECT|WITH)\b.*)$""".r
+  // CH's plain DDL: an EMPTY table with a declared column list — the
+  // most basic statement a CH estate ports. Greedy `(.+)\)` pins the
+  // column list to the LAST close-paren before ENGINE (types nest
+  // parens: Nullable(…), Enum8('a' = 1)). Engine args allow one
+  // nesting level like the ATTACH parser.
+  private val CreateEmptyRe =
+    ("""(?is)^\s*CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?([`"]?[\w.]+[`"]?)\s*""" +
+      """\((.+)\)\s*ENGINE\s*=\s*(\w+(?:\s*\((?:[^()]|\([^()]*\))*\))?)(.*)$""").r
+  private val SampleByRe =
+    """(?is)\bSAMPLE\s+BY\s+(\w+\([^)]*\)|\([^)]*\)|[\w.]+)""".r
+  private val InsertValuesRe =
+    """(?is)^\s*INSERT\s+INTO\s+(?:TABLE\s+)?([`"\w.]+)\s*(?:\(([^)]*)\)\s*)?VALUES\s+(.+)$""".r
   private val FormatPrefixRe = """(?is)^FORMAT\s+(\w+)\s+(.*)$""".r
   private val EngineRe = """(?i)\bENGINE\s*=\s*(\w+)(\s*\(([^)]*)\))?""".r
   private val OrderByRe = """(?is)\bORDER\s+BY\s*\(([^)]*)\)""".r
@@ -52,7 +64,7 @@ object ChWrites {
   def isWrite(sql: String): Boolean = {
     val t = sql.trim
     t.regionMatches(true, 0, "INSERT INTO", 0, "INSERT INTO".length) ||
-      CtasRe.matches(t)
+      CtasRe.matches(t) || CreateEmptyRe.matches(t)
   }
 
   /** Execute a write statement; returns a one-row status frame (the
@@ -203,6 +215,73 @@ object ChWrites {
           graft.core.Catalog.recordCtas(name, path, sortKey)
           Seq((name, path, back.count())).toDF("table", "path", "rows")
         }
+      case CreateEmptyRe(ifNot, rawName, colsDdl, engineSpec0, tail) =>
+        // EMPTY MergeTree-family table from plain DDL: a partless tree
+        // (format_version.txt marks the root), a catalog entry carrying
+        // the declared columns/keys/partitioning/TTL, and an empty view
+        // — INSERT then fills it, CH's own create-then-load flow
+        val name = rawName.stripPrefix("`").stripSuffix("`")
+          .stripPrefix("\"").stripSuffix("\"")
+        require(!name.contains('.'),
+          s"CREATE TABLE $name: multi-part names are not supported — " +
+            "use a simple table name (registered as a session view)")
+        if (graft.core.Catalog.lookup(name).isDefined) {
+          require(ifNot != null,
+            s"CREATE TABLE $name: table already exists " +
+              "(use IF NOT EXISTS to no-op, or DROP TABLE first)")
+          return Seq((name, "exists", 0L)).toDF("table", "path", "rows")
+        }
+        val engineWord = engineSpec0.takeWhile(_ != '(').trim.toLowerCase
+        require(engineWord.endsWith("mergetree"),
+          s"CREATE TABLE $name: ENGINE = $engineSpec0 — empty-table DDL " +
+            "supports the MergeTree family (use CREATE TABLE … AS SELECT " +
+            "for materialized parquet tables)")
+        val sortKey = parseOrderBy(tail)
+        val partitionBy = parsePartitionBy(tail)
+        val ttl = parseTtl(tail)
+        val sampleBy = SampleByRe.findFirstMatchIn(tail).map(_.group(1).trim)
+        val schema = graft.types.ChSchemaParser.parse(colsDdl)
+        sortKey.foreach(k => require(schema.fieldNames.contains(k),
+          s"CREATE TABLE $name: ORDER BY column '$k' is not declared"))
+        val warehouse = spark.conf.get(WarehouseConf,
+          s"${System.getProperty("java.io.tmpdir")}/graft_warehouse")
+        val path = s"$warehouse/$name"
+        val empty = spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+        graft.sources.mergetree.MergeTreeCtas.write(spark, empty, path,
+          sortKey, declaredDdl = Some(colsDdl.trim), op = "CREATE TABLE",
+          partitionBy = partitionBy)
+        graft.sources.mergetree.MergeTree
+          .read(spark, path, colsDdl.trim, sortKey)
+          .createOrReplaceTempView(name)
+        graft.core.Catalog.update(graft.core.Catalog.AttachedTable(
+          name, colsDdl.trim, sortKey, Some(path), sampleBy = sampleBy,
+          kind = graft.core.Catalog.Kind.MergeTree, ownsStorage = true,
+          partitionBy = partitionBy, engine = engineSpec0.trim, ttl = ttl))
+        Seq((name, path, 0L)).toDF("table", "path", "rows")
+      case InsertValuesRe(rawName, colList, tuples) =>
+        // CH's literal-rows spelling: rewrite to the INSERT … SELECT
+        // part-append path via Spark's inline VALUES table, each value
+        // cast to its column's own type; unmentioned columns take NULL
+        // (the writer refuses NULL into non-Nullable columns, as CH
+        // semantics require explicit defaults we do not fake)
+        val name = ProjectionSql.clean(rawName)
+        val fields = spark.table(name).schema.fields
+        val targets = Option(colList)
+          .map(_.split(",").map(ProjectionSql.clean).filter(_.nonEmpty).toSeq)
+          .getOrElse(fields.map(_.name).toSeq)
+        targets.foreach(c => require(fields.exists(_.name == c),
+          s"INSERT INTO $name: unknown column '$c'"))
+        val aliases = targets.indices.map(i => s"__c$i")
+        val sel = fields.map { f =>
+          targets.indexOf(f.name) match {
+            case -1 => s"CAST(NULL AS ${f.dataType.sql}) AS `${f.name}`"
+            case i => s"CAST(__c$i AS ${f.dataType.sql}) AS `${f.name}`"
+          }
+        }.mkString(", ")
+        run(spark,
+          s"INSERT INTO $name SELECT $sel FROM VALUES $tuples " +
+            s"AS __vals(${aliases.mkString(", ")})", macros)
       case InsertTableSelectRe(rawName, body) =>
         // a LOCAL MergeTree table accepts INSERT as a PART APPEND —
         // CH's own write model: every INSERT batch becomes a part,

@@ -128,4 +128,80 @@ class AlterSchemaSpec extends AnyFunSuite {
       ChSql.sql(spark, "DROP TABLE alt_renamed").collect()
     } finally spark.conf.unset(ChWrites.WarehouseConf)
   }
+
+  test("empty CREATE TABLE DDL + INSERT VALUES: CH's create-then-load flow") {
+    val wh = Files.createTempDirectory("graft_alter4").toString
+    spark.conf.set(ChWrites.WarehouseConf, wh)
+    try {
+      ChSql.sql(spark,
+        """CREATE TABLE plain_t (`id` Int64, `k` LowCardinality(String),
+          | `v` Nullable(Float64), `d` Date32)
+          |ENGINE = MergeTree PARTITION BY toYear(d) ORDER BY (id)""".stripMargin)
+        .collect()
+      // a valid PARTLESS tree: scans empty, catalog carries the DDL
+      assert(ChSql.sql(spark, "SELECT count() AS n FROM plain_t")
+        .collect().head.getLong(0) == 0L)
+      assert(graft.core.Catalog.lookup("plain_t")
+        .flatMap(_.partitionBy).contains("toYear(d)"))
+      // IF NOT EXISTS no-ops; re-create without it refuses
+      ChSql.sql(spark,
+        "CREATE TABLE IF NOT EXISTS plain_t (`id` Int64) " +
+          "ENGINE = MergeTree ORDER BY (id)").collect()
+      val e = intercept[IllegalArgumentException] {
+        ChSql.sql(spark,
+          "CREATE TABLE plain_t (`id` Int64) ENGINE = MergeTree " +
+            "ORDER BY (id)").collect()
+      }
+      assert(e.getMessage.contains("already exists"), e.getMessage)
+      // INSERT VALUES: full rows, then a column subset (missing column
+      // is Nullable -> NULL)
+      ChSql.sql(spark,
+        "INSERT INTO plain_t VALUES " +
+          "(1, 'a', 1.5, DATE '1995-03-01'), (2, 'b', 2.5, DATE '1996-07-01')")
+        .collect()
+      ChSql.sql(spark,
+        "INSERT INTO plain_t (id, k, d) VALUES (3, 'c', DATE '1995-09-09')")
+        .collect()
+      val rows = ChSql.sql(spark,
+        "SELECT id, k, v, CAST(toYear(d) AS BIGINT) AS y FROM plain_t ORDER BY id")
+        .collect().map(r => (r.getLong(0), r.getString(1),
+          if (r.isNullAt(2)) -1.0 else r.getDouble(2), r.getLong(3))).toSeq
+      assert(rows == Seq((1L, "a", 1.5, 1995L), (2L, "b", 2.5, 1996L),
+        (3L, "c", -1.0, 1995L)), rows.mkString(", "))
+      // the partitioned scheme held through the VALUES appends
+      val pids = new java.io.File(s"$wh/plain_t").listFiles()
+        .map(_.getName).filter(_.matches("^\\d+_\\d+_\\d+_\\d+$"))
+        .map(_.split('_').head).distinct.sorted.toSeq
+      assert(pids == Seq("1995", "1996"), pids.mkString(", "))
+      // NULL into a non-Nullable column refuses loudly
+      val e2 = intercept[Exception] {
+        ChSql.sql(spark, "INSERT INTO plain_t (id, d) VALUES (4, DATE '1995-01-01')")
+          .collect()
+      }
+      assert(e2.getMessage.contains("Nullable"), e2.getMessage)
+      ChSql.sql(spark, "DROP TABLE plain_t").collect()
+    } finally spark.conf.unset(ChWrites.WarehouseConf)
+  }
+
+  test("EXCHANGE TABLES swaps two catalog tables atomically") {
+    import spark.implicits._
+    fresh()
+    val wh = Files.createTempDirectory("graft_alter5").toString
+    spark.conf.set(ChWrites.WarehouseConf, wh)
+    try {
+      ChSql.sql(spark,
+        "CREATE TABLE ex_a ENGINE = MergeTree ORDER BY (id) AS " +
+          "SELECT id, k, v FROM alsrc WHERE id <= 1").collect()
+      ChSql.sql(spark,
+        "CREATE TABLE ex_b ENGINE = MergeTree ORDER BY (id) AS " +
+          "SELECT id, k, v FROM alsrc").collect()
+      ChSql.sql(spark, "EXCHANGE TABLES ex_a AND ex_b").collect()
+      assert(ChSql.sql(spark, "SELECT count() AS n FROM ex_a")
+        .collect().head.getLong(0) == 3L)
+      assert(ChSql.sql(spark, "SELECT count() AS n FROM ex_b")
+        .collect().head.getLong(0) == 1L)
+      Seq("ex_a", "ex_b").foreach(t =>
+        ChSql.sql(spark, s"DROP TABLE $t").collect())
+    } finally spark.conf.unset(ChWrites.WarehouseConf)
+  }
 }
