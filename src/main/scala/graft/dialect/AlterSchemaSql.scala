@@ -179,6 +179,7 @@ object AlterSchemaSql {
         // either name see the OTHER table's data afterwards; storage
         // never moves
         val a = clean(rawA); val b = clean(rawB)
+        require(a != b, "EXCHANGE TABLES: the two names are the same table")
         val ta = Catalog.lookup(a).getOrElse(throw new IllegalArgumentException(
           s"EXCHANGE TABLES: no catalog table '$a'"))
         val tb = Catalog.lookup(b).getOrElse(throw new IllegalArgumentException(
