@@ -1136,6 +1136,37 @@ object SparkEntry {
           "ALTER TABLE attach_dst ATTACH PARTITION 1995 FROM attach_src")))._1
     }),
 
+    // materialized view (r12): CH's flagship rollup pattern — an MV
+    // trigger feeds per-batch partial aggregates into a
+    // SummingMergeTree, and the FINAL read re-merges them; two INSERT
+    // batches hash-match the oracle's direct aggregation
+    "q196_materialized_view" -> ((spark, dir) => {
+      prep(spark, dir)
+      val wh = s"${derivedDir(spark, dir)}/wh"
+      spark.conf.set(graft.dialect.ChWrites.WarehouseConf, wh)
+      val svc = new QueryService(spark)
+      svc.executeToDf(QueryService.QueryRequest(
+        query = """SELECT st, CAST(round(total * 100) AS BIGINT) AS total_c,
+                  |       n
+                  |FROM mv_daily FINAL ORDER BY st""".stripMargin,
+        initQueries = Seq(
+          """CREATE TABLE mv_orders
+            |(`okey` Int64, `st` LowCardinality(String), `price` Float64)
+            |ENGINE = MergeTree ORDER BY (okey)""".stripMargin,
+          """CREATE TABLE mv_daily
+            |(`st` LowCardinality(String), `total` Float64, `n` Int64)
+            |ENGINE = SummingMergeTree((total, n)) ORDER BY (st)""".stripMargin,
+          """CREATE MATERIALIZED VIEW mv_roll TO mv_daily AS
+            |SELECT st, sum(price) AS total, count() AS n
+            |FROM mv_orders GROUP BY st""".stripMargin,
+          """INSERT INTO mv_orders
+            |SELECT o_orderkey, o_orderstatus, o_totalprice
+            |FROM orders WHERE o_custkey % 8 = 1""".stripMargin,
+          """INSERT INTO mv_orders
+            |SELECT o_orderkey, o_orderstatus, o_totalprice
+            |FROM orders WHERE o_custkey % 8 = 5""".stripMargin)))._1
+    }),
+
     // plain DDL + literal rows (r12): CH's create-then-load flow — an
     // EMPTY declared table (partless tree), filled by INSERT SELECT
     // and INSERT VALUES; the aggregate hash-matches the oracle's UNION
@@ -3052,6 +3083,16 @@ object SparkEntry {
         |                           ELSE c_acctbal END) * 100) AS BIGINT) AS bal_c
         |FROM customer WHERE c_custkey % 10 = 0
         |GROUP BY nk ORDER BY nk""".stripMargin,
+    "q196_materialized_view" ->
+      """SELECT st, CAST(round(sum(price) * 100) AS BIGINT) AS total_c,
+        |       count(*) AS n
+        |FROM (
+        |  SELECT o_orderstatus AS st, o_totalprice AS price
+        |  FROM orders WHERE o_custkey % 8 = 1
+        |  UNION ALL
+        |  SELECT o_orderstatus, o_totalprice
+        |  FROM orders WHERE o_custkey % 8 = 5)
+        |GROUP BY st ORDER BY st""".stripMargin,
     "q195_create_then_load" ->
       """SELECT st, count(*) AS n,
         |       CAST(round(sum(price) * 100) AS BIGINT) AS total_c

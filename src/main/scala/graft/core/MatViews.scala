@@ -1,0 +1,54 @@
+package graft.core
+
+import scala.collection.concurrent.TrieMap
+
+/** Materialized-view registry — CH's INSERT-TRIGGER semantics: a
+  * materialized view runs its SELECT over EACH INSERTED BATCH of its
+  * source table and appends the result to its target table (never a
+  * retroactive view over the source — CH's own model, including its
+  * consequences: pre-existing rows are only captured by POPULATE /
+  * an explicit backfill INSERT).
+  *
+  * The registry is JVM-global like [[Catalog]]'s table map, so views
+  * survive across HTTP requests within a service lifetime. */
+object MatViews {
+
+  /** `inner` marks the ENGINE-form view that owns its backing table
+    * (`<name>__inner`) — DROP removes that table too, like CH drops
+    * its `.inner.<uuid>` table. */
+  case class MatView(
+      name: String,
+      source: String,
+      target: String,
+      select: String,
+      inner: Boolean)
+
+  private val views = TrieMap.empty[String, MatView]
+
+  def register(v: MatView): Unit = views(v.name) = v
+  def lookup(name: String): Option[MatView] =
+    views.get(name).orElse(views.values.find(_.name.equalsIgnoreCase(name)))
+  def drop(name: String): Option[MatView] =
+    lookup(name).flatMap(v => views.remove(v.name))
+  def all: Seq[MatView] = views.values.toSeq.sortBy(_.name)
+
+  /** Views triggered by an insert into `table`. */
+  def onSource(table: String): Seq[MatView] =
+    views.values.filter(_.source.equalsIgnoreCase(table)).toSeq.sortBy(_.name)
+
+  // chained views (an MV whose target feeds another MV) cascade through
+  // the same INSERT path; the depth cap turns an accidental cycle into
+  // a loud error instead of a stack overflow
+  private val depth = new ThreadLocal[Integer] {
+    override def initialValue: Integer = 0
+  }
+
+  def cascade[A](mvName: String)(f: => A): A = {
+    val d = depth.get()
+    require(d < 10,
+      s"materialized-view cascade deeper than 10 at '$mvName' — " +
+        "is there a cycle in the view graph?")
+    depth.set(d + 1)
+    try f finally depth.set(d)
+  }
+}

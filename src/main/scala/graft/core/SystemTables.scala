@@ -157,12 +157,14 @@ object SystemTables {
       (t.name, t.engine, t.orderBy.mkString(", "),
         t.endpoint.getOrElse(""),
         if (t.ownsStorage) "created" else "attached"))
-    val catNames = cat.map(_._1.toLowerCase).toSet
+    val mvs = graft.core.MatViews.all.map(v =>
+      (v.name, "MaterializedView", "", v.target, "materialized-view"))
+    val catNames = (cat.map(_._1) ++ mvs.map(_._1)).map(_.toLowerCase).toSet
     val views = spark.catalog.listTables().collect()
       .filter(v => !catNames.contains(v.name.toLowerCase) &&
-        !v.name.startsWith("system_"))
+        !v.name.startsWith("system_") && !v.name.startsWith("__mv_batch_"))
       .map(v => (v.name, "View", "", "", "view")).toSeq
-    (cat ++ views).sortBy(_._1)
+    (cat ++ mvs ++ views).sortBy(_._1)
   }
 
   def registerTables(spark: SparkSession): Unit = {

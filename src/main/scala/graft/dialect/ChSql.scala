@@ -457,7 +457,7 @@ object ChSql {
   /** Generic quote-aware rewrite loop: `repl` returns Some(replacement
     * text) for a match to rewrite, None to leave it untouched. Quote
     * parity is carried across consumed prefixes like [[replaceFnName]]. */
-  private def replaceQuoteAware(
+  private[dialect] def replaceQuoteAware(
       sql: String,
       re: scala.util.matching.Regex)(
       repl: scala.util.matching.Regex.Match => Option[String]): String = {

@@ -54,6 +54,21 @@ object ChWrites {
     """(?is)\bSAMPLE\s+BY\s+(\w+\([^)]*\)|\([^)]*\)|[\w.]+)""".r
   private val InsertValuesRe =
     """(?is)^\s*INSERT\s+INTO\s+(?:TABLE\s+)?([`"\w.]+)\s*(?:\(([^)]*)\)\s*)?VALUES\s+(.+)$""".r
+  // CH materialized views — INSERT TRIGGERS, not retroactive views:
+  // the TO form appends into an existing table; the ENGINE form owns a
+  // backing table (`<name>__inner`, CH's `.inner.<uuid>` analog) and
+  // may POPULATE it from the pre-existing source rows (CH forbids
+  // POPULATE with TO; so does this parser by shape)
+  private val CreateMvToRe =
+    ("""(?is)^\s*CREATE\s+MATERIALIZED\s+VIEW\s+(IF\s+NOT\s+EXISTS\s+)?""" +
+      """([`"]?[\w.]+[`"]?)\s+TO\s+([`"]?[\w.]+[`"]?)\s+AS\s+""" +
+      """((?:SELECT|WITH)\b.*)$""").r
+  private val CreateMvEngineRe =
+    ("""(?is)^\s*CREATE\s+MATERIALIZED\s+VIEW\s+(IF\s+NOT\s+EXISTS\s+)?""" +
+      """([`"]?[\w.]+[`"]?)\s+(ENGINE\s*=.*?)\s+(POPULATE\s+)?AS\s+""" +
+      """((?:SELECT|WITH)\b.*)$""").r
+  private val MvPrefixRe =
+    """(?is)^\s*CREATE\s+MATERIALIZED\s+VIEW\b.*$""".r
   private val FormatPrefixRe = """(?is)^FORMAT\s+(\w+)\s+(.*)$""".r
   private val EngineRe = """(?i)\bENGINE\s*=\s*(\w+)(\s*\(([^)]*)\))?""".r
   private val OrderByRe = """(?is)\bORDER\s+BY\s*\(([^)]*)\)""".r
@@ -64,7 +79,7 @@ object ChWrites {
   def isWrite(sql: String): Boolean = {
     val t = sql.trim
     t.regionMatches(true, 0, "INSERT INTO", 0, "INSERT INTO".length) ||
-      CtasRe.matches(t) || CreateEmptyRe.matches(t)
+      CtasRe.matches(t) || CreateEmptyRe.matches(t) || MvPrefixRe.matches(t)
   }
 
   /** Execute a write statement; returns a one-row status frame (the
@@ -215,6 +230,12 @@ object ChWrites {
           graft.core.Catalog.recordCtas(name, path, sortKey)
           Seq((name, path, back.count())).toDF("table", "path", "rows")
         }
+      case CreateMvToRe(ifNot, rawName, rawTarget, body) =>
+        createMv(spark, ifNot != null, rawName, Some(rawTarget),
+          engineClause = "", populate = false, body, macros)
+      case CreateMvEngineRe(ifNot, rawName, engineClause, populateKw, body) =>
+        createMv(spark, ifNot != null, rawName, None,
+          engineClause, populateKw != null, body, macros)
       case CreateEmptyRe(ifNot, rawName, colsDdl, engineSpec0, tail) =>
         // EMPTY MergeTree-family table from plain DDL: a partless tree
         // (format_version.txt marks the root), a catalog entry carrying
@@ -323,6 +344,11 @@ object ChWrites {
             val n = graft.sources.mergetree.MergeTreeCtas
               .appendPart(spark, aligned, ep, orderBy, declaredDdl = Some(ddl),
                 partitionBy = pb)
+            // materialized views fire on the BATCH (CH's insert-trigger
+            // contract): each registered view's SELECT runs over the
+            // just-inserted rows and appends into its target — which may
+            // itself feed further views (cascade, cycle-capped)
+            fireMatViews(spark, name, aligned, macros)
             Seq((name, "MergeTreePart", n)).toDF("path", "format", "rows")
           case None =>
             throw new IllegalArgumentException(
@@ -450,5 +476,95 @@ object ChWrites {
           n
         } finally df.unpersist(blocking = false)
     }
+  }
+
+  // ---- materialized views (CH insert triggers) ----
+
+  private val MvFromRe =
+    """(?i)\b(FROM|JOIN)\s+([A-Za-z_][\w]*)""".r
+
+  /** The single named table an MV's SELECT reads — CH's own contract
+    * (a view triggers on ONE source; joined dimensions are allowed but
+    * the trigger binds to the first FROM). Quote-aware: a string
+    * literal containing "from x" never counts. */
+  private def mvSource(select: String): String = {
+    var found: Option[String] = None
+    ChSql.replaceQuoteAware(select, MvFromRe) { m =>
+      if (found.isEmpty && m.group(1).equalsIgnoreCase("FROM"))
+        found = Some(m.group(2))
+      None
+    }
+    found.getOrElse(throw new IllegalArgumentException(
+      "CREATE MATERIALIZED VIEW: the SELECT must read FROM a named " +
+        "table (the view's insert-trigger source)"))
+  }
+
+  private def createMv(spark: SparkSession, ifNot: Boolean,
+      rawName: String, rawTarget: Option[String], engineClause: String,
+      populate: Boolean, body: String,
+      macros: Map[String, String]): DataFrame = {
+    import spark.implicits._
+    def clean(s: String) = s.trim.stripPrefix("`").stripSuffix("`")
+      .stripPrefix("\"").stripSuffix("\"")
+    val name = clean(rawName)
+    require(!name.contains('.'),
+      s"CREATE MATERIALIZED VIEW $name: multi-part names are not supported")
+    if (graft.core.MatViews.lookup(name).isDefined) {
+      require(ifNot,
+        s"CREATE MATERIALIZED VIEW $name: already exists " +
+          "(use IF NOT EXISTS to no-op, or DROP TABLE first)")
+      return Seq((name, "exists", 0L)).toDF("view", "target", "rows")
+    }
+    val source = mvSource(body)
+    require(spark.catalog.tableExists(source),
+      s"CREATE MATERIALIZED VIEW $name: source table '$source' does not exist")
+    val (target, inner) = rawTarget match {
+      case Some(t) =>
+        val tn = clean(t)
+        require(spark.catalog.tableExists(tn),
+          s"CREATE MATERIALIZED VIEW $name TO $tn: target table does " +
+            "not exist — create it first (CH requires this too)")
+        (tn, false)
+      case None =>
+        // ENGINE form: the view owns a backing table, built partless
+        // from the SELECT's own schema (CH's `.inner.<uuid>` analog);
+        // POPULATE backfills it from the pre-existing source rows
+        val tn = s"${name}__inner"
+        require(graft.core.Catalog.lookup(tn).isEmpty,
+          s"CREATE MATERIALIZED VIEW $name: backing table '$tn' already exists")
+        run(spark,
+          s"CREATE TABLE $tn $engineClause AS " +
+            s"SELECT * FROM ($body) __mv_shape WHERE 1 = 0", macros)
+        if (populate)
+          run(spark, s"INSERT INTO $tn $body", macros)
+        (tn, true)
+    }
+    graft.core.MatViews.register(
+      graft.core.MatViews.MatView(name, source, target, body, inner))
+    // reading FROM the view reads its target (CH's contract)
+    spark.table(target).createOrReplaceTempView(name)
+    Seq((name, target, 0L)).toDF("view", "target", "rows")
+  }
+
+  /** Run every view registered on `source` over the just-inserted
+    * batch, appending results into the views' targets. The batch is
+    * exposed under a unique temp-view name and the view's SELECT has
+    * its source token substituted (quote-aware) — CH evaluates the
+    * trigger over the inserted block, never the whole table. */
+  private def fireMatViews(spark: SparkSession, source: String,
+      batch: DataFrame, macros: Map[String, String]): Unit = {
+    val mvs = graft.core.MatViews.onSource(source)
+    if (mvs.isEmpty) return
+    val batchView = s"__mv_batch_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    batch.createOrReplaceTempView(batchView)
+    try mvs.foreach { mv =>
+      graft.core.MatViews.cascade(mv.name) {
+        val re = ("""(?i)\b(FROM|JOIN)\s+(""" +
+          java.util.regex.Pattern.quote(mv.source) + """)\b""").r
+        val rewritten = ChSql.replaceQuoteAware(mv.select, re)(m =>
+          Some(s"${m.group(1)} $batchView"))
+        run(spark, s"INSERT INTO ${mv.target} $rewritten", macros)
+      }
+    } finally spark.catalog.dropTempView(batchView)
   }
 }

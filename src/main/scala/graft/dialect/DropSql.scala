@@ -26,9 +26,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object DropSql {
 
   private val DropRe =
-    """(?is)^\s*DROP\s+TABLE\s+(IF\s+EXISTS\s+)?([\w.`"]+)\s*(?:SYNC)?\s*$""".r
+    """(?is)^\s*DROP\s+(?:TABLE|VIEW)\s+(IF\s+EXISTS\s+)?([\w.`"]+)\s*(?:SYNC)?\s*$""".r
   private val DetachRe =
-    """(?is)^\s*DETACH\s+TABLE\s+(IF\s+EXISTS\s+)?([\w.`"]+)\s*$""".r
+    """(?is)^\s*DETACH\s+(?:TABLE|VIEW)\s+(IF\s+EXISTS\s+)?([\w.`"]+)\s*$""".r
 
   def isDrop(sql: String): Boolean =
     DropRe.matches(sql) || DetachRe.matches(sql)
@@ -42,6 +42,18 @@ object DropSql {
         s"unparseable DROP/DETACH statement: $other")
     }
     val name = ProjectionSql.clean(rawName)
+    // a MATERIALIZED VIEW drops/detaches its trigger registration; the
+    // ENGINE form's backing table (`<mv>__inner`) is CTAS-owned and
+    // falls with a DROP (CH drops its `.inner` table too) but survives
+    // a DETACH
+    graft.core.MatViews.drop(name).foreach { mv =>
+      if (spark.catalog.tableExists(mv.name))
+        spark.catalog.dropTempView(mv.name)
+      if (drop && mv.inner)
+        run(spark, s"DROP TABLE IF EXISTS ${mv.target}")
+      return Seq((mv.name, if (drop) "dropped" else "detached", mv.target))
+        .toDF("table", "action", "endpoint")
+    }
     // Spark temp views are case-insensitive while the catalog map is
     // exact — resolve the canonical entry name first, or a
     // case-variant DROP removes the view but orphans the entry and
