@@ -462,6 +462,30 @@ object Catalog {
         catch { case scala.util.control.NonFatal(_) => () }
       }
     }
+    // materialized views outlive requests like tables do: a mentioned
+    // view first materializes its TARGET (a catalog table the request
+    // text may not name), then re-binds to the target's relation; an
+    // insert into a view's SOURCE likewise pulls the target in so the
+    // trigger can append (fireMatViews runs INSERT INTO <target>)
+    MatViews.all.foreach { v =>
+      val mentioned = text.contains(v.name.toLowerCase) ||
+        text.contains(v.source.toLowerCase)
+      if (mentioned) {
+        if (!spark.catalog.tableExists(v.target))
+          attached.get(v.target)
+            .orElse(attached.values.find(_.name.equalsIgnoreCase(v.target)))
+            .foreach { t =>
+              try materialize(spark, t).foreach(_.createOrReplaceTempView(t.name))
+              catch { case scala.util.control.NonFatal(_) => () }
+            }
+        if (!spark.catalog.tableExists(v.name)) {
+          try {
+            if (spark.catalog.tableExists(v.target))
+              spark.table(v.target).createOrReplaceTempView(v.name)
+          } catch { case scala.util.control.NonFatal(_) => () }
+        }
+      }
+    }
   }
 
   /** Build the DataFrame a catalog entry reads — the ONE resolution

@@ -312,8 +312,11 @@ class QueryServer(
     * stray semicolons: a prefix-only regex let
     * `GET /?query=/*x*/DROP TABLE t` execute a write over GET, where
     * proxy retries and prefetchers replay freely (advisor r11). */
+  // SET stays GET-allowed: CH's GET maps to readonly=2, which permits
+  // changing non-protected settings
   private val WriteStmtRe =
-    "(?is)^(INSERT|CREATE|ALTER|TRUNCATE|DELETE|OPTIMIZE|DROP|ATTACH|DETACH)\\b.*".r
+    ("(?is)^(INSERT|CREATE|ALTER|TRUNCATE|DELETE|OPTIMIZE|DROP|ATTACH|" +
+      "DETACH|RENAME|EXCHANGE)\\b.*").r
   @annotation.tailrec
   private def stripStatementPrefix(s: String): String = {
     val t = s.dropWhile(c => c.isWhitespace || c == '(' || c == ';')

@@ -60,6 +60,39 @@ class MatViewSpec extends AnyFunSuite {
     } finally spark.conf.unset(ChWrites.WarehouseConf)
   }
 
+  test("views survive across HTTP-style requests (fresh sessions): trigger and reads") {
+    import graft.service.QueryService
+    val wh = Files.createTempDirectory("graft_mv3").toString
+    spark.conf.set(ChWrites.WarehouseConf, wh)
+    try {
+      val svc = new QueryService(spark)
+      // request 1: create tables + view
+      svc.executeToDf(QueryService.QueryRequest(
+        query = "SELECT 1 AS ok",
+        initQueries = Seq(
+          "CREATE TABLE mvr_src (`id` Int64, `v` Float64) " +
+            "ENGINE = MergeTree ORDER BY (id)",
+          "CREATE TABLE mvr_tgt (`total` Float64) " +
+            "ENGINE = MergeTree ORDER BY tuple()",
+          "CREATE MATERIALIZED VIEW mvr_v TO mvr_tgt AS " +
+            "SELECT sum(v) AS total FROM mvr_src")))
+      // request 2 (fresh session): an INSERT into the source fires the
+      // trigger even though the request never names the target
+      svc.executeToDf(QueryService.QueryRequest(
+        query = "SELECT count() AS n FROM mvr_src",
+        initQueries = Seq(
+          "INSERT INTO mvr_src VALUES (1, 2.5), (2, 7.5)")))
+      // request 3 (fresh session): reading FROM the view reads the target
+      val r = svc.executeToDf(QueryService.QueryRequest(
+        query = "SELECT CAST(round(sum(total)) AS BIGINT) AS s FROM mvr_v"))
+        ._1.collect().head.getLong(0)
+      assert(r == 10L, r.toString)
+      ChSql.sql(spark, "DROP VIEW mvr_v").collect()
+      Seq("mvr_src", "mvr_tgt").foreach(t =>
+        ChSql.sql(spark, s"DROP TABLE $t").collect())
+    } finally spark.conf.unset(ChWrites.WarehouseConf)
+  }
+
   test("ENGINE form owns its inner table; POPULATE backfills; chained views cascade") {
     import spark.implicits._
     val wh = Files.createTempDirectory("graft_mv2").toString
