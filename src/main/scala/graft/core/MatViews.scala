@@ -10,7 +10,14 @@ import scala.collection.concurrent.TrieMap
   * an explicit backfill INSERT).
   *
   * The registry is JVM-global like [[Catalog]]'s table map, so views
-  * survive across HTTP requests within a service lifetime. */
+  * survive across HTTP requests within a service lifetime.
+  *
+  * Trigger scope: statement INSERTs (`INSERT … SELECT`, `INSERT …
+  * VALUES`) fire views; the streaming MergeTree sink appends parts
+  * below the statement layer and does NOT — route a stream through a
+  * `foreachBatch` INSERT when its views must fire (documented
+  * limitation, mirroring CH's own Kafka-engine-to-MV wiring being an
+  * explicit choice). */
 object MatViews {
 
   /** `inner` marks the ENGINE-form view that owns its backing table

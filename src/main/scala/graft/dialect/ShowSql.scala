@@ -149,6 +149,19 @@ object ShowSql {
     val n = name.get
     // case-insensitive like table resolution — an exact-case miss must
     // not silently fall through to the generic rendering
+    // a materialized view renders its own statement (it has no catalog
+    // entry — the registry is the source of truth)
+    graft.core.MatViews.lookup(n).foreach { v =>
+      import spark.implicits._
+      val head = s"CREATE MATERIALIZED VIEW ${v.name}"
+      val stmt =
+        if (v.inner) {
+          val eng = graft.core.Catalog.lookup(v.target)
+            .map(_.engine).getOrElse("MergeTree")
+          s"$head ENGINE = $eng AS ${v.select}"
+        } else s"$head TO ${v.target} AS ${v.select}"
+      return Seq(stmt).toDF("statement")
+    }
     val entry = graft.core.Catalog.lookup(n).orElse(
       graft.core.Catalog.all.find(_.name.equalsIgnoreCase(n)))
     val stmt = entry match {
