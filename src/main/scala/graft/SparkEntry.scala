@@ -1136,6 +1136,21 @@ object SparkEntry {
           "ALTER TABLE attach_dst ATTACH PARTITION 1995 FROM attach_src")))._1
     }),
 
+    // plain CREATE VIEW (r12): a lazy named query through the dialect
+    // front door, queried like a table
+    "q197_create_view" -> ((spark, dir) => {
+      prep(spark, dir)
+      val svc = new QueryService(spark)
+      svc.executeToDf(QueryService.QueryRequest(
+        query = """SELECT st, count() AS n,
+                  |       CAST(round(sum(price)) AS BIGINT) AS total
+                  |FROM ord_view GROUP BY st ORDER BY st""".stripMargin,
+        initQueries = Seq(
+          """CREATE VIEW ord_view AS
+            |SELECT o_orderstatus AS st, o_totalprice AS price
+            |FROM orders WHERE o_custkey % 9 = 4""".stripMargin)))._1
+    }),
+
     // materialized view (r12): CH's flagship rollup pattern — an MV
     // trigger feeds per-batch partial aggregates into a
     // SummingMergeTree, and the FINAL read re-merges them; two INSERT
@@ -3083,6 +3098,11 @@ object SparkEntry {
         |                           ELSE c_acctbal END) * 100) AS BIGINT) AS bal_c
         |FROM customer WHERE c_custkey % 10 = 0
         |GROUP BY nk ORDER BY nk""".stripMargin,
+    "q197_create_view" ->
+      """SELECT o_orderstatus AS st, count(*) AS n,
+        |       CAST(round(sum(o_totalprice)) AS BIGINT) AS total
+        |FROM orders WHERE o_custkey % 9 = 4
+        |GROUP BY st ORDER BY st""".stripMargin,
     "q196_materialized_view" ->
       """SELECT st, CAST(round(sum(price) * 100) AS BIGINT) AS total_c,
         |       count(*) AS n

@@ -58,4 +58,21 @@ object MatViews {
     depth.set(d + 1)
     try f finally depth.set(d)
   }
+
+  // ---- plain (non-materialized) views ----
+  // CH `CREATE VIEW v AS SELECT …`: a lazy named query. The session
+  // temp view holds the LOGICAL PLAN (re-planned per query, so new
+  // parts of an underlying MergeTree table stay visible); this
+  // registry holds the original text for SHOW CREATE and
+  // cross-request replay.
+
+  private val plain = TrieMap.empty[String, String]
+
+  def registerPlain(name: String, select: String): Unit = plain(name) = select
+  def lookupPlain(name: String): Option[(String, String)] =
+    plain.get(name).map((name, _)).orElse(
+      plain.find { case (n, _) => n.equalsIgnoreCase(name) })
+  def dropPlain(name: String): Option[String] =
+    lookupPlain(name).flatMap { case (n, _) => plain.remove(n) }
+  def allPlain: Seq[(String, String)] = plain.toSeq.sortBy(_._1)
 }

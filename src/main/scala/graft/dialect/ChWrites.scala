@@ -69,6 +69,12 @@ object ChWrites {
       """((?:SELECT|WITH)\b.*)$""").r
   private val MvPrefixRe =
     """(?is)^\s*CREATE\s+MATERIALIZED\s+VIEW\b.*$""".r
+  // plain (non-materialized) views — a lazy named query, re-planned
+  // per referencing query
+  private val CreateViewRe =
+    ("""(?is)^\s*CREATE\s+(OR\s+REPLACE\s+)?VIEW\s+""" +
+      """(IF\s+NOT\s+EXISTS\s+)?([`"]?[\w.]+[`"]?)\s+AS\s+""" +
+      """((?:SELECT|WITH)\b.*)$""").r
   private val FormatPrefixRe = """(?is)^FORMAT\s+(\w+)\s+(.*)$""".r
   private val EngineRe = """(?i)\bENGINE\s*=\s*(\w+)(\s*\(([^)]*)\))?""".r
   private val OrderByRe = """(?is)\bORDER\s+BY\s*\(([^)]*)\)""".r
@@ -79,7 +85,8 @@ object ChWrites {
   def isWrite(sql: String): Boolean = {
     val t = sql.trim
     t.regionMatches(true, 0, "INSERT INTO", 0, "INSERT INTO".length) ||
-      CtasRe.matches(t) || CreateEmptyRe.matches(t) || MvPrefixRe.matches(t)
+      CtasRe.matches(t) || CreateEmptyRe.matches(t) ||
+      MvPrefixRe.matches(t) || CreateViewRe.matches(t)
   }
 
   /** Execute a write statement; returns a one-row status frame (the
@@ -230,6 +237,23 @@ object ChWrites {
           graft.core.Catalog.recordCtas(name, path, sortKey)
           Seq((name, path, back.count())).toDF("table", "path", "rows")
         }
+      case CreateViewRe(orReplace, ifNot, rawName, body) =>
+        val name = rawName.stripPrefix("`").stripSuffix("`")
+          .stripPrefix("\"").stripSuffix("\"")
+        require(!name.contains('.'),
+          s"CREATE VIEW $name: multi-part names are not supported")
+        if (spark.catalog.tableExists(name) && orReplace == null) {
+          require(ifNot != null,
+            s"CREATE VIEW $name: already exists (use OR REPLACE or " +
+              "IF NOT EXISTS)")
+          return Seq((name, "exists", 0L)).toDF("view", "target", "rows")
+        }
+        // the dialect-rewritten SELECT becomes the view's logical plan:
+        // lazy (nothing materializes) and re-planned per query, so new
+        // parts of an underlying table stay visible
+        selectDf(spark, body, macros).createOrReplaceTempView(name)
+        graft.core.MatViews.registerPlain(name, body.trim)
+        Seq((name, "view", 0L)).toDF("view", "target", "rows")
       case CreateMvToRe(ifNot, rawName, rawTarget, body) =>
         createMv(spark, ifNot != null, rawName, Some(rawTarget),
           engineClause = "", populate = false, body, macros)

@@ -46,6 +46,9 @@ object DropSql {
     // ENGINE form's backing table (`<mv>__inner`) is CTAS-owned and
     // falls with a DROP (CH drops its `.inner` table too) but survives
     // a DETACH
+    // a plain CREATE VIEW drops its registry text alongside the session
+    // view (the fall-through below removes the view itself)
+    graft.core.MatViews.dropPlain(name)
     graft.core.MatViews.drop(name).foreach { mv =>
       if (spark.catalog.tableExists(mv.name))
         spark.catalog.dropTempView(mv.name)

@@ -149,6 +149,11 @@ object ShowSql {
     val n = name.get
     // case-insensitive like table resolution — an exact-case miss must
     // not silently fall through to the generic rendering
+    // a plain view renders its registered statement
+    graft.core.MatViews.lookupPlain(n).foreach { case (vn, select) =>
+      import spark.implicits._
+      return Seq(s"CREATE VIEW $vn AS $select").toDF("statement")
+    }
     // a materialized view renders its own statement (it has no catalog
     // entry — the registry is the source of truth)
     graft.core.MatViews.lookup(n).foreach { v =>

@@ -116,9 +116,30 @@ class QueryService(spark: SparkSession) {
     // behavior — its catalog is durable across requests)
     // scan the SUBSTITUTED text: a table referenced only through a
     // {macro} never matched the raw request body (review finding)
-    graft.core.Catalog.ensureSessionViews(spark,
-      (req.query +: req.initQueries)
-        .map(q => ChSql.substituteMacros(q, req.macros)).mkString(" "))
+    val mentioned = (req.query +: req.initQueries)
+      .map(q => ChSql.substituteMacros(q, req.macros)).mkString(" ")
+    graft.core.Catalog.ensureSessionViews(spark, mentioned)
+    // plain CREATE VIEW views replay the same way — their select text
+    // re-runs through the dialect front door in THIS session (lazy: a
+    // logical plan, no materialization). Fixpoint: a replayed view's
+    // own text counts as mentioned, so view-on-view and
+    // view-on-unmentioned-table chains resolve too.
+    var need = mentioned
+    var progress = true
+    while (progress) {
+      progress = false
+      val lower = need.toLowerCase
+      graft.core.MatViews.allPlain.foreach { case (n, select) =>
+        if (lower.contains(n.toLowerCase) && !spark.catalog.tableExists(n)) {
+          graft.core.Catalog.ensureSessionViews(spark, select)
+          try {
+            ChSql.sql(spark, select, req.macros).createOrReplaceTempView(n)
+            need += " " + select
+            progress = true
+          } catch { case scala.util.control.NonFatal(_) => () }
+        }
+      }
+    }
     // session init: CH `SET k=v` maps to Spark SQL SET verbatim; ATTACH
     // TABLE routes to the catalog; everything else through the rewriter.
     // Eager collect mirrors the reference's serial init loop (`:302-310`).

@@ -60,6 +60,53 @@ class MatViewSpec extends AnyFunSuite {
     } finally spark.conf.unset(ChWrites.WarehouseConf)
   }
 
+  test("plain CREATE VIEW: lazy, CH-dialect body, replayed across requests, SHOW CREATE") {
+    import graft.service.QueryService
+    val wh = Files.createTempDirectory("graft_pview").toString
+    spark.conf.set(ChWrites.WarehouseConf, wh)
+    try {
+      val svc = new QueryService(spark)
+      svc.executeToDf(QueryService.QueryRequest(
+        query = "SELECT 1 AS ok",
+        initQueries = Seq(
+          "CREATE TABLE pv_src (`id` Int64, `v` Float64) " +
+            "ENGINE = MergeTree ORDER BY (id)",
+          "INSERT INTO pv_src VALUES (1, 2.0), (2, 4.0)",
+          // CH dialect inside the body (zero-arg count, FINAL-free)
+          "CREATE VIEW pv_v AS SELECT count() AS n, " +
+            "CAST(round(sum(v)) AS BIGINT) AS s FROM pv_src",
+          // view-on-view chains too
+          "CREATE VIEW pv_v2 AS SELECT n + 1 AS n1 FROM pv_v")))
+      // a LATER fresh-session request sees the view; it is LAZY — rows
+      // inserted after creation show through
+      svc.executeToDf(QueryService.QueryRequest(
+        query = "SELECT 1 AS ok",
+        initQueries = Seq("INSERT INTO pv_src VALUES (3, 10.0)")))
+      val r = svc.executeToDf(QueryService.QueryRequest(
+        query = "SELECT n, s FROM pv_v"))._1.collect().head
+      assert((r.getLong(0), r.getLong(1)) == ((3L, 16L)), r.toString)
+      // the chained view resolves even when only IT is mentioned
+      assert(svc.executeToDf(QueryService.QueryRequest(
+        query = "SELECT n1 FROM pv_v2"))._1.collect().head.getLong(0) == 4L)
+      // SHOW CREATE renders the registered statement
+      val create = ShowSql.run(spark, "SHOW CREATE TABLE pv_v")
+        .collect().head.getString(0)
+      assert(create.startsWith("CREATE VIEW pv_v AS"), create)
+      // OR REPLACE swaps the body; plain re-create refuses
+      ChSql.sql(spark,
+        "CREATE OR REPLACE VIEW pv_v AS SELECT count() AS n FROM pv_src")
+        .collect()
+      val e = intercept[IllegalArgumentException] {
+        ChSql.sql(spark, "CREATE VIEW pv_v AS SELECT 1 AS x").collect()
+      }
+      assert(e.getMessage.contains("already exists"), e.getMessage)
+      Seq("pv_v2", "pv_v").foreach(v =>
+        ChSql.sql(spark, s"DROP VIEW $v").collect())
+      ChSql.sql(spark, "DROP TABLE pv_src").collect()
+      assert(graft.core.MatViews.allPlain.isEmpty)
+    } finally spark.conf.unset(ChWrites.WarehouseConf)
+  }
+
   test("views survive across HTTP-style requests (fresh sessions): trigger and reads") {
     import graft.service.QueryService
     val wh = Files.createTempDirectory("graft_mv3").toString
