@@ -1136,6 +1136,27 @@ object SparkEntry {
           "ALTER TABLE attach_dst ATTACH PARTITION 1995 FROM attach_src")))._1
     }),
 
+    // dictionaries (r12): CH's enrichment primitive — dictGet over a
+    // nation dictionary rewrites to a correlated scalar subquery
+    // (a broadcast join under Catalyst) and hash-matches the oracle's
+    // explicit join
+    "q198_dictionary" -> ((spark, dir) => {
+      prep(spark, dir)
+      val svc = new QueryService(spark)
+      svc.executeToDf(QueryService.QueryRequest(
+        query = """SELECT dictGet('nation_dict', 'n_name', c_nationkey) AS nation,
+                  |       count() AS n,
+                  |       CAST(round(sum(c_acctbal) * 100) AS BIGINT) AS bal_c
+                  |FROM customer WHERE c_custkey % 6 = 2
+                  |GROUP BY nation ORDER BY nation""".stripMargin,
+        initQueries = Seq(
+          """CREATE DICTIONARY nation_dict
+            |(n_nationkey UInt64, n_name String DEFAULT 'UNKNOWN')
+            |PRIMARY KEY n_nationkey
+            |SOURCE(CLICKHOUSE(TABLE 'nation'))
+            |LAYOUT(HASHED()) LIFETIME(MIN 0 MAX 300)""".stripMargin)))._1
+    }),
+
     // plain CREATE VIEW (r12): a lazy named query through the dialect
     // front door, queried like a table
     "q197_create_view" -> ((spark, dir) => {
@@ -3098,6 +3119,12 @@ object SparkEntry {
         |                           ELSE c_acctbal END) * 100) AS BIGINT) AS bal_c
         |FROM customer WHERE c_custkey % 10 = 0
         |GROUP BY nk ORDER BY nk""".stripMargin,
+    "q198_dictionary" ->
+      """SELECT n_name AS nation, count(*) AS n,
+        |       CAST(round(sum(c_acctbal) * 100) AS BIGINT) AS bal_c
+        |FROM customer JOIN nation ON n_nationkey = c_nationkey
+        |WHERE c_custkey % 6 = 2
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
     "q197_create_view" ->
       """SELECT o_orderstatus AS st, count(*) AS n,
         |       CAST(round(sum(o_totalprice)) AS BIGINT) AS total

@@ -462,6 +462,19 @@ object Catalog {
         catch { case scala.util.control.NonFatal(_) => () }
       }
     }
+    // a mentioned DICTIONARY pulls its source table in — dictGet
+    // rewrites to a subquery over the source, which the request text
+    // never names
+    Dictionaries.all.foreach { d =>
+      if (text.contains(d.name.toLowerCase) &&
+          !spark.catalog.tableExists(d.sourceTable))
+        attached.get(d.sourceTable)
+          .orElse(attached.values.find(_.name.equalsIgnoreCase(d.sourceTable)))
+          .foreach { t =>
+            try materialize(spark, t).foreach(_.createOrReplaceTempView(t.name))
+            catch { case scala.util.control.NonFatal(_) => () }
+          }
+    }
     // materialized views outlive requests like tables do: a mentioned
     // view first materializes its TARGET (a catalog table the request
     // text may not name), then re-binds to the target's relation; an

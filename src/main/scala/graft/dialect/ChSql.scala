@@ -67,7 +67,11 @@ object ChSql {
     // CH clause rewrites fire per SELECT level: recurse into
     // parenthesized subqueries first (their own "top level"), then the
     // passes below handle depth 0 of the outer query
-    val deep = rewriteSubqueryClauses(body)
+    // dictGet-family calls become correlated scalar subqueries BEFORE
+    // the subquery recursion, so the injected (SELECT …) bodies get the
+    // per-level clause passes like any user subquery
+    val dicted = DictionarySql.rewriteFunctions(body)
+    val deep = rewriteSubqueryClauses(dicted)
     val finaled = stripFinal(deep)
     val sampled = rewriteSample(finaled)
     val arrayJoined = rewriteArrayJoin(sampled)
@@ -347,6 +351,9 @@ object ChSql {
     // schema evolution: ALTER TABLE … ADD/DROP/MODIFY/RENAME COLUMN,
     // RENAME TABLE
     if (AlterSchemaSql.isAlterSchema(m)) return AlterSchemaSql.run(spark, m)
+    // dictionaries: CREATE/DROP DICTIONARY (dictGet calls rewrite in
+    // the query pipeline)
+    if (DictionarySql.isDictionary(m)) return DictionarySql.run(spark, m)
     // introspection: SHOW CREATE TABLE (session-view DDL
     // reconstruction), SHOW TABLES [LIKE], DESCRIBE TABLE (CH's
     // seven-column shape), EXISTS TABLE
