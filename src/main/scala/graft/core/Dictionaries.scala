@@ -33,4 +33,11 @@ object Dictionaries {
   def drop(name: String): Option[Dict] =
     lookup(name).flatMap(d => dicts.remove(d.name))
   def all: Seq[Dict] = dicts.values.toSeq.sortBy(_.name)
+
+  /** RENAME/EXCHANGE TABLE follow-through for dictionary sources. */
+  def retarget(from: String, to: String): Unit =
+    dicts.values.toSeq.foreach { d =>
+      if (d.sourceTable.equalsIgnoreCase(from))
+        dicts(d.name) = d.copy(sourceTable = to)
+    }
 }

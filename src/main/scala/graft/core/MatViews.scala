@@ -43,6 +43,27 @@ object MatViews {
   def onSource(table: String): Seq[MatView] =
     views.values.filter(_.source.equalsIgnoreCase(table)).toSeq.sortBy(_.name)
 
+  /** RENAME/EXCHANGE TABLE follow-through: re-point source/target
+    * references so triggers keep firing after a table moves names.
+    * (The view's SELECT text keeps the old spelling for SHOW CREATE;
+    * the trigger substitutes by the SOURCE field, so renaming the
+    * source also updates the substitution token via this hook.) */
+  def retarget(from: String, to: String): Unit =
+    views.values.toSeq.foreach { v =>
+      val ns = if (v.source.equalsIgnoreCase(from)) to else v.source
+      val nt = if (v.target.equalsIgnoreCase(from)) to else v.target
+      if (ns != v.source || nt != v.target) {
+        val sel =
+          if (ns != v.source)
+            v.select.replaceAll(
+              "(?i)\\b(FROM|JOIN)\\s+" +
+                java.util.regex.Pattern.quote(v.source) + "\\b",
+              "$1 " + to)
+          else v.select
+        views(v.name) = v.copy(source = ns, target = nt, select = sel)
+      }
+    }
+
   // chained views (an MV whose target feeds another MV) cascade through
   // the same INSERT path; the depth cap turns an accidental cycle into
   // a loud error instead of a stack overflow

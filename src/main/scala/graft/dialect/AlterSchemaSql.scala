@@ -171,6 +171,10 @@ object AlterSchemaSql {
         Catalog.update(t.copy(name = to))
         view.createOrReplaceTempView(to)
         spark.catalog.dropTempView(from)
+        // materialized views and dictionaries referencing the old name
+        // follow the rename (their triggers/probes keep working)
+        graft.core.MatViews.retarget(from, to)
+        graft.core.Dictionaries.retarget(from, to)
         Seq((to, s"renamed_from $from", 0L))
           .toDF("table", "mutation", "rows_affected")
 
@@ -189,6 +193,15 @@ object AlterSchemaSql {
         Catalog.update(tb.copy(name = a))
         va.createOrReplaceTempView(b)
         vb.createOrReplaceTempView(a)
+        // MV/dictionary references swap via a temp name (a -> tmp,
+        // b -> a, tmp -> b) so the two retargets never collide
+        val tmp = s"__exchange_${java.util.UUID.randomUUID().toString.take(8)}"
+        graft.core.MatViews.retarget(a, tmp)
+        graft.core.MatViews.retarget(b, a)
+        graft.core.MatViews.retarget(tmp, b)
+        graft.core.Dictionaries.retarget(a, tmp)
+        graft.core.Dictionaries.retarget(b, a)
+        graft.core.Dictionaries.retarget(tmp, b)
         Seq((a, s"exchanged_with $b", 0L))
           .toDF("table", "mutation", "rows_affected")
     }

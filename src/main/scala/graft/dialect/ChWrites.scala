@@ -38,6 +38,10 @@ object ChWrites {
     """(?is)^\s*INSERT\s+INTO\s+'([^']+)'\s*(.*)$""".r
   private val InsertTableSelectRe =
     """(?is)^\s*INSERT\s+INTO\s+(?:TABLE\s+)?([`"\w.]+)\s+((?:SELECT|WITH)\b.*)$""".r
+  // CH's column-list INSERT SELECT: listed columns take the SELECT's
+  // output positionally, unmentioned columns take NULL
+  private val InsertTableColsSelectRe =
+    """(?is)^\s*INSERT\s+INTO\s+(?:TABLE\s+)?([`"\w.]+)\s*\(([^)]*)\)\s*((?:SELECT|WITH)\b.*)$""".r
   private val InsertTableRe =
     """(?is)^\s*INSERT\s+INTO\s+(\S+).*$""".r
   private val CtasRe =
@@ -327,6 +331,25 @@ object ChWrites {
         run(spark,
           s"INSERT INTO $name SELECT $sel FROM VALUES $tuples " +
             s"AS __vals(${aliases.mkString(", ")})", macros)
+      case InsertTableColsSelectRe(rawName, colList, body) =>
+        // same column algebra as the VALUES form, with the SELECT as a
+        // column-aliased subquery
+        val name = ProjectionSql.clean(rawName)
+        val fields = spark.table(name).schema.fields
+        val targets = colList.split(",").map(ProjectionSql.clean)
+          .filter(_.nonEmpty).toSeq
+        targets.foreach(c => require(fields.exists(_.name == c),
+          s"INSERT INTO $name: unknown column '$c'"))
+        val aliases = targets.indices.map(i => s"__c$i")
+        val sel = fields.map { f =>
+          targets.indexOf(f.name) match {
+            case -1 => s"CAST(NULL AS ${f.dataType.sql}) AS `${f.name}`"
+            case i => s"CAST(__c$i AS ${f.dataType.sql}) AS `${f.name}`"
+          }
+        }.mkString(", ")
+        run(spark,
+          s"INSERT INTO $name SELECT $sel FROM ($body) " +
+            s"AS __cols(${aliases.mkString(", ")})", macros)
       case InsertTableSelectRe(rawName, body) =>
         // a LOCAL MergeTree table accepts INSERT as a PART APPEND —
         // CH's own write model: every INSERT batch becomes a part,

@@ -168,6 +168,12 @@ class QueryService(spark: SparkSession) {
       return (graft.dialect.OptimizeSql.run(spark, main), Map.empty)
     if (graft.dialect.MutateSql.isMutation(main))
       return (graft.dialect.MutateSql.run(spark, main, req.macros), Map.empty)
+    // schema evolution / dictionaries as the main statement — same
+    // routing as the init path's ChSql.sql front door
+    if (graft.dialect.AlterSchemaSql.isAlterSchema(main))
+      return (graft.dialect.AlterSchemaSql.run(spark, main), Map.empty)
+    if (graft.dialect.DictionarySql.isDictionary(main))
+      return (graft.dialect.DictionarySql.run(spark, main), Map.empty)
     if (graft.dialect.ShowSql.isIntrospection(main))
       return (graft.dialect.ShowSql.run(spark, main), Map.empty)
     if (graft.dialect.DropSql.isDrop(main))

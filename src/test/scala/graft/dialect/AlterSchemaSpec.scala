@@ -183,6 +183,51 @@ class AlterSchemaSpec extends AnyFunSuite {
     } finally spark.conf.unset(ChWrites.WarehouseConf)
   }
 
+  test("INSERT INTO t (cols) SELECT: listed columns positional, the rest NULL") {
+    val wh = Files.createTempDirectory("graft_alter6").toString
+    spark.conf.set(ChWrites.WarehouseConf, wh)
+    try {
+      ChSql.sql(spark,
+        "CREATE TABLE ins_cols (`id` Int64, `k` String, `v` Nullable(Float64)) " +
+          "ENGINE = MergeTree ORDER BY (id)").collect()
+      ChSql.sql(spark,
+        "INSERT INTO ins_cols (id, k) SELECT 7 AS a, 'x' AS b").collect()
+      val r = ChSql.sql(spark, "SELECT id, k, v FROM ins_cols").collect().head
+      assert(r.getLong(0) == 7L && r.getString(1) == "x" && r.isNullAt(2), r.toString)
+      ChSql.sql(spark, "DROP TABLE ins_cols").collect()
+    } finally spark.conf.unset(ChWrites.WarehouseConf)
+  }
+
+  test("RENAME TABLE follows through MV and dictionary references") {
+    import spark.implicits._
+    val wh = Files.createTempDirectory("graft_alter7").toString
+    spark.conf.set(ChWrites.WarehouseConf, wh)
+    try {
+      ChSql.sql(spark,
+        "CREATE TABLE ref_src (`id` Int64, `v` Float64) " +
+          "ENGINE = MergeTree ORDER BY (id)").collect()
+      ChSql.sql(spark,
+        "CREATE TABLE ref_tgt (`s` Float64) " +
+          "ENGINE = MergeTree ORDER BY tuple()").collect()
+      ChSql.sql(spark,
+        "CREATE MATERIALIZED VIEW ref_mv TO ref_tgt AS " +
+          "SELECT sum(v) AS s FROM ref_src").collect()
+      Seq((1L, "a")).toDF("id", "name").createOrReplaceTempView("dsrc")
+      ChSql.sql(spark,
+        "CREATE DICTIONARY ref_dict (id UInt64, name String) " +
+          "PRIMARY KEY id SOURCE(CLICKHOUSE(TABLE 'dsrc'))").collect()
+      // rename the MV's source: the trigger keeps firing under the new name
+      ChSql.sql(spark, "RENAME TABLE ref_src TO ref_src2").collect()
+      ChSql.sql(spark, "INSERT INTO ref_src2 VALUES (1, 4.0)").collect()
+      assert(ChSql.sql(spark, "SELECT count() AS n FROM ref_tgt")
+        .collect().head.getLong(0) == 1L)
+      ChSql.sql(spark, "DROP VIEW ref_mv").collect()
+      ChSql.sql(spark, "DROP DICTIONARY ref_dict").collect()
+      Seq("ref_src2", "ref_tgt").foreach(t =>
+        ChSql.sql(spark, s"DROP TABLE $t").collect())
+    } finally spark.conf.unset(ChWrites.WarehouseConf)
+  }
+
   test("EXCHANGE TABLES swaps two catalog tables atomically") {
     import spark.implicits._
     fresh()
