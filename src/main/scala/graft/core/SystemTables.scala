@@ -167,6 +167,16 @@ object SystemTables {
     (cat ++ mvs ++ views).sortBy(_._1)
   }
 
+  /** ≈ system.dictionaries: the live dictGet registry. */
+  def registerDictionaries(spark: SparkSession): Unit = {
+    import spark.implicits._
+    graft.core.Dictionaries.all
+      .map(d => (d.name, d.key, d.sourceTable,
+        d.attrs.map(a => s"${a.name} ${a.chType}").mkString(", ")))
+      .toDF("name", "key", "source", "attributes")
+      .createOrReplaceTempView("system_dictionaries")
+  }
+
   def registerTables(spark: SparkSession): Unit = {
     import spark.implicits._
     visibleTables(spark)

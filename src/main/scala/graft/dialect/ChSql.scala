@@ -101,6 +101,8 @@ object ChSql {
       // tables: the catalog mutates via ATTACH/CTAS/DROP — same story
       if (sys.toLowerCase.contains("system_tables"))
         graft.core.SystemTables.registerTables(spark)
+      if (sys.toLowerCase.contains("system_dictionaries"))
+        graft.core.SystemTables.registerDictionaries(spark)
     }
     val rewritten = rewriteTableFunctions(spark, sys)
     registerCombinators(spark, rewritten)

@@ -53,6 +53,12 @@ class DictionarySpec extends AnyFunSuite {
         "SELECT count() AS n FROM dict_facts " +
           "WHERE dictHas('country_dict', cid) = 1")
         .collect().head.getLong(0) == 2L)
+      // introspection: system.dictionaries lists the live registry
+      val sys = ChSql.sql(spark,
+        "SELECT name, key, source FROM system.dictionaries " +
+          "WHERE name = 'country_dict'").collect().head
+      assert((sys.getString(0), sys.getString(1), sys.getString(2)) ==
+        (("country_dict", "cid", "dict_src")), sys.toString)
       // unknown dictionary / attribute refuse loudly
       val e = intercept[IllegalArgumentException] {
         ChSql.sql(spark, "SELECT dictGet('nope', 'x', 1) AS v").collect()
