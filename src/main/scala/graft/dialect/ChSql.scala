@@ -67,10 +67,14 @@ object ChSql {
     // CH clause rewrites fire per SELECT level: recurse into
     // parenthesized subqueries first (their own "top level"), then the
     // passes below handle depth 0 of the outer query
+    // CH bracket array literals ([1,2,3]) become array(1,2,3) BEFORE
+    // anything else parses the text; map element access (m['k'])
+    // passes through — Spark reads it natively
+    val bracketed = rewriteArrayLiterals(body)
     // dictGet-family calls become correlated scalar subqueries BEFORE
     // the subquery recursion, so the injected (SELECT …) bodies get the
     // per-level clause passes like any user subquery
-    val dicted = DictionarySql.rewriteFunctions(body)
+    val dicted = DictionarySql.rewriteFunctions(bracketed)
     val deep = rewriteSubqueryClauses(dicted)
     val finaled = stripFinal(deep)
     val sampled = rewriteSample(finaled)
@@ -319,6 +323,122 @@ object ChSql {
   /** `clusterAllReplicas('<c>', system.t)` → `system_t` (the driver
     * already sees cluster-wide state — S9), and dot-qualified
     * `system.t` → the registered `system_t` view. */
+  /** CH bracket ARRAY LITERALS → `array(…)`. A `[` is a literal opener
+    * when the previous non-space char is an operator / comma / opening
+    * paren / start-of-text (CH's grammar); a `[` following an
+    * identifier, `)`, `]`, or a string literal is ELEMENT ACCESS
+    * (`m['key']`, `arr[1]`), which Spark parses natively and must pass
+    * through untouched. Nesting works because each bracket's role is
+    * remembered on a stack; string literals are never touched. */
+  /** SQL keywords after which a `[` starts a LITERAL (an identifier
+    * cannot follow them directly, so bracket-access is impossible). */
+  private val PreLiteralKeywords = Set(
+    "SELECT", "WHERE", "AND", "OR", "NOT", "IN", "AS", "BY", "ON",
+    "WHEN", "THEN", "ELSE", "HAVING", "UNION", "ALL", "DISTINCT",
+    "BETWEEN", "LIKE", "ILIKE", "IS", "CASE", "VALUES", "SET", "IF",
+    "RETURN", "PREWHERE", "LIMIT", "OFFSET", "INTERSECT", "EXCEPT")
+
+  private[dialect] def rewriteArrayLiterals(sql: String): String = {
+    if (!sql.contains('[')) return sql
+    // stack entry kinds for open parens/brackets in the OUTPUT buffer
+    sealed trait Open
+    case class Paren(primary: Int) extends Open       // '(' — primary of the call/group
+    case class LitBracket(primary: Int) extends Open  // '[' converted to array(
+    case class AccBracket(primary: Int) extends Open  // '[' converted to element_at(
+    val out = new StringBuilder(sql.length + 32)
+    val stack = scala.collection.mutable.Stack.empty[Open]
+    var q = false
+    var lastSignificant: Char = 0
+    var primaryStart = -1 // start (in `out`) of the last complete primary expression
+    var sawSpace = false  // whitespace since the last significant char
+    val word = new StringBuilder
+    var i = 0
+    while (i < sql.length) {
+      val c = sql.charAt(i)
+      if (q) {
+        out.append(c)
+        if (c == '\\' && i + 1 < sql.length) { out.append(sql.charAt(i + 1)); i += 1 }
+        else if (c == '\'') { q = false; lastSignificant = '\'' }
+      } else c match {
+        case '\'' =>
+          primaryStart = out.length; out.append(c); q = true; word.clear()
+        case '`' =>
+          // backticked identifier: copy verbatim to the closing tick
+          if (lastSignificant != '.') primaryStart = out.length
+          out.append(c)
+          var j = i + 1
+          while (j < sql.length && sql.charAt(j) != '`') { out.append(sql.charAt(j)); j += 1 }
+          if (j < sql.length) { out.append('`'); i = j }
+          lastSignificant = '`'; word.clear()
+        case '(' =>
+          val p =
+            if (lastSignificant.isLetterOrDigit || lastSignificant == '_' ||
+                lastSignificant == '`') primaryStart // function call: primary = name(
+            else out.length // grouped expression
+          stack.push(Paren(if (p >= 0) p else out.length))
+          out.append(c); lastSignificant = '('; word.clear(); primaryStart = -1
+        case ')' =>
+          stack.headOption match {
+            case Some(Paren(p)) => stack.pop(); primaryStart = p
+            case _ => primaryStart = -1 // unbalanced — leave untouched
+          }
+          out.append(c); lastSignificant = ')'; word.clear()
+        case '[' =>
+          // access after `)`/`]`/a string/backticked name, or after an
+          // IDENTIFIER word; a word that is a clause keyword (SELECT,
+          // IN, WHEN, …) cannot be accessed, so `[` there is a literal
+          val wordAccess = (lastSignificant.isLetterOrDigit ||
+            lastSignificant == '_') &&
+            !PreLiteralKeywords.contains(word.toString.toUpperCase)
+          val access = (wordAccess || lastSignificant == ')' ||
+            lastSignificant == ']' || lastSignificant == '\'' ||
+            lastSignificant == '`') && primaryStart >= 0
+          if (access) {
+            // x[i] → element_at(x, i): CH element access is 1-BASED
+            // (negative = from the end) and Spark's bracket form is
+            // 0-based — passing it through would silently shift every
+            // array index; element_at carries CH's convention
+            out.insert(primaryStart, "element_at(")
+            stack.push(AccBracket(primaryStart))
+            out.append(", ")
+          } else {
+            stack.push(LitBracket(out.length))
+            out.append("array(")
+          }
+          lastSignificant = '['; word.clear(); primaryStart = -1
+        case ']' =>
+          stack.headOption match {
+            case Some(LitBracket(p)) => stack.pop(); out.append(')'); primaryStart = p
+            case Some(AccBracket(p)) => stack.pop(); out.append(')'); primaryStart = p
+            case _ => out.append(']'); primaryStart = -1
+          }
+          lastSignificant = ']'; word.clear()
+        case _ =>
+          if (c.isLetterOrDigit || c == '_') {
+            val continuing = !sawSpace && (lastSignificant.isLetterOrDigit ||
+              lastSignificant == '_' || lastSignificant == '.')
+            if (!continuing) { primaryStart = out.length; word.clear() }
+            word.append(c); lastSignificant = c
+          } else if (c == '.') {
+            // qualified name continues the primary (tbl.arr[1]); a dot
+            // after anything else is part of a number/operator soup
+            if (!(lastSignificant.isLetterOrDigit || lastSignificant == '_' ||
+                lastSignificant == '`')) primaryStart = -1
+            lastSignificant = c; word.clear()
+          } else if (!c.isWhitespace) {
+            primaryStart = -1; lastSignificant = c; word.clear()
+          }
+          // whitespace: keep primary and word — `IN [1,2]` and
+          // `arr [1]` both separate with a space
+          out.append(c)
+      }
+      if (c.isWhitespace) { if (!q) sawSpace = true }
+      else sawSpace = false
+      i += 1
+    }
+    out.toString
+  }
+
   def rewriteSystemTables(sql: String): String = {
     val noFanout = replaceQuoteAware(sql, ClusterAllReplicas)(m => Some(m.group(1)))
     replaceQuoteAware(noFanout, SystemDot)(

@@ -596,4 +596,34 @@ class ChSqlSpec extends AnyFunSuite {
       assert(mt.contains("ORDER BY (k)"), mt)
     } finally spark.conf.unset(ChWrites.WarehouseConf)
   }
+
+  test("CH bracket array literals rewrite; element access becomes 1-based element_at") {
+    // pure text-level pins
+    assert(ChSql.rewriteArrayLiterals("SELECT [1, 2, 3]") ==
+      "SELECT array(1, 2, 3)")
+    assert(ChSql.rewriteArrayLiterals("SELECT [[1], [2, 3]]") ==
+      "SELECT array(array(1), array(2, 3))")
+    // element access converts to CH's 1-based element_at — Spark's own
+    // bracket form is 0-based and would silently shift every index
+    assert(ChSql.rewriteArrayLiterals("SELECT m['key'], arr[1]") ==
+      "SELECT element_at(m, 'key'), element_at(arr, 1)")
+    assert(ChSql.rewriteArrayLiterals("SELECT f(x)[1], '[not me]'") ==
+      "SELECT element_at(f(x), 1), '[not me]'")
+    assert(ChSql.rewriteArrayLiterals("SELECT t.arr[i + 1]") ==
+      "SELECT element_at(t.arr, i + 1)")
+    assert(ChSql.rewriteArrayLiterals("SELECT has(['a', 'b'], s)") ==
+      "SELECT has(array('a', 'b'), s)")
+    // chained access and access on a literal
+    assert(ChSql.rewriteArrayLiterals("SELECT [[1],[2]][1][1]") ==
+      "SELECT element_at(element_at(array(array(1),array(2)), 1), 1)")
+    // end to end: 1-based access (CH semantics), negative from the end
+    val spark = graft.TestSpark.spark
+    val r = ChSql.sql(spark,
+      "SELECT arraySort([3, 1, 2]) AS a, has([1, 2], 2) AS h, " +
+        "[10, 20][1] AS first, [10, 20][-1] AS last").collect().head
+    assert(r.getSeq[Int](0) == Seq(1, 2, 3), r.toString)
+    assert(r.getBoolean(1), r.toString)
+    assert(r.getInt(2) == 10, r.toString)
+    assert(r.getInt(3) == 20, r.toString)
+  }
 }
