@@ -82,7 +82,7 @@ object ChSql {
     val prewhered = rewritePrewhere(arrayJoined)
     val totaled = rewriteWithTotals(prewhered)
     val qualified = rewriteQualify(totaled)
-    val limited = rewriteLimitBy(qualified)
+    val limited = rewriteLimitOffset(rewriteLimitBy(qualified))
     val (unfilled, fillSpec) = extractWithFill(limited)
     val counted = zeroArgCount(unfilled)
     val parametric = rewriteParametricAggregates(counted)
@@ -120,8 +120,8 @@ object ChSql {
     * TOTALS and WITH FILL stay outer-query-only: their semantics attach
     * to the final result set. */
   private def subqueryClausePasses(body: String): String =
-    rewriteLimitBy(rewriteQualify(rewritePrewhere(
-      rewriteArrayJoin(rewriteSample(stripFinal(body))))))
+    rewriteLimitOffset(rewriteLimitBy(rewriteQualify(rewritePrewhere(
+      rewriteArrayJoin(rewriteSample(stripFinal(body)))))))
 
   /** Recursively rewrite CH clauses inside parenthesized subqueries —
     * `FROM (SELECT … PREWHERE p) x`, `IN (SELECT … FINAL)`, CTE bodies —
@@ -221,6 +221,12 @@ object ChSql {
   }
 
   private val LimitByRe = """(?i)\bLIMIT\s+(\d+)\s+BY\b""".r
+
+  /** CH `LIMIT offset, n` (MySQL-style) → `LIMIT n OFFSET offset`. */
+  private val LimitOffsetRe = """(?i)\bLIMIT\s+(\d+)\s*,\s*(\d+)\b""".r
+  private[dialect] def rewriteLimitOffset(sql: String): String =
+    replaceQuoteAware(sql, LimitOffsetRe)(m =>
+      Some(s"LIMIT ${m.group(2)} OFFSET ${m.group(1)}"))
   private val OrderByRe = """(?i)\bORDER\s+BY\b""".r
   private val TailLimitRe = """(?i)\bLIMIT\s+(\d+)\s*$""".r
 

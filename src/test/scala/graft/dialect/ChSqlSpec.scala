@@ -626,4 +626,13 @@ class ChSqlSpec extends AnyFunSuite {
     assert(r.getInt(2) == 10, r.toString)
     assert(r.getInt(3) == 20, r.toString)
   }
+
+  test("CH LIMIT offset, n maps to LIMIT n OFFSET offset") {
+    val spark = graft.TestSpark.spark
+    val got = ChSql.sql(spark,
+      "SELECT id FROM (SELECT explode(sequence(1, 10)) AS id) t " +
+        "ORDER BY id LIMIT 3, 4")
+      .collect().map(_.getInt(0)).toSeq
+    assert(got == Seq(4, 5, 6, 7), got.mkString(", "))
+  }
 }
