@@ -1136,6 +1136,16 @@ object SparkEntry {
           "ALTER TABLE attach_dst ATTACH PARTITION 1995 FROM attach_src")))._1
     }),
 
+    // CH bracket syntax (r12): array literals and 1-BASED element
+    // access (Spark's own bracket form is 0-based — the rewrite maps
+    // to element_at, negative-from-the-end included)
+    "q199_bracket_syntax" -> ch(
+      """SELECT CAST(n_nationkey AS BIGINT) AS k,
+        |       CAST([n_nationkey, n_regionkey][1] AS BIGINT) AS first,
+        |       CAST(arraySort([n_regionkey, n_nationkey % 3])[-1] AS BIGINT) AS mx,
+        |       CAST(has([0, 2], n_regionkey) AS INT) AS h
+        |FROM nation ORDER BY k""".stripMargin),
+
     // dictionaries (r12): CH's enrichment primitive — dictGet over a
     // nation dictionary rewrites to a correlated scalar subquery
     // (a broadcast join under Catalyst) and hash-matches the oracle's
@@ -3119,6 +3129,12 @@ object SparkEntry {
         |                           ELSE c_acctbal END) * 100) AS BIGINT) AS bal_c
         |FROM customer WHERE c_custkey % 10 = 0
         |GROUP BY nk ORDER BY nk""".stripMargin,
+    "q199_bracket_syntax" ->
+      """SELECT CAST(n_nationkey AS BIGINT) AS k,
+        |       CAST([n_nationkey, n_regionkey][1] AS BIGINT) AS first,
+        |       CAST(list_sort([n_regionkey, n_nationkey % 3])[-1] AS BIGINT) AS mx,
+        |       CAST(list_contains([0, 2], n_regionkey) AS INT) AS h
+        |FROM nation ORDER BY k""".stripMargin,
     "q198_dictionary" ->
       """SELECT n_name AS nation, count(*) AS n,
         |       CAST(round(sum(c_acctbal) * 100) AS BIGINT) AS bal_c
