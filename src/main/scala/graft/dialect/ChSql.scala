@@ -457,6 +457,16 @@ object ChSql {
   private val ExplainPrefix =
     """(?is)^\s*EXPLAIN(?:\s+(?:AST|SYNTAX|QUERY\s+TREE|PLAN|PIPELINE|ESTIMATE))?\s+(SELECT|WITH)\b""".r
 
+  /** The CH `SYSTEM` maintenance statements a client runbook replays —
+    * only the ones that are HONEST no-ops here (no background loops to
+    * poke). `SYSTEM STOP/START MERGES` is NOT accepted: merges only
+    * run via explicit OPTIMIZE, so "stopping" them would promise a
+    * control that doesn't exist. */
+  private val SystemStmtRe =
+    ("""(?is)^\s*SYSTEM\s+(RELOAD\s+DICTIONAR(?:Y|IES)(?:\s+\S+)?|""" +
+      """FLUSH\s+LOGS|DROP\s+(?:MARK|UNCOMPRESSED|QUERY)\s+CACHE|""" +
+      """RELOAD\s+FUNCTIONS)\s*$""").r
+
   def sql(spark: SparkSession, query: String,
       macros: Map[String, String] = defaultMacros): DataFrame = {
     ChFunctions.register(spark)
@@ -488,6 +498,16 @@ object ChSql {
     if (ShowSql.isIntrospection(m)) return ShowSql.run(spark, m)
     // lifecycle: DROP TABLE (deletes CTAS-owned storage) / DETACH TABLE
     if (DropSql.isDrop(m)) return DropSql.run(spark, m)
+    // CH `SYSTEM …` maintenance statements: accepted no-ops with a
+    // status row — this engine has no background loops to poke
+    // (dictionaries are always live, logs flush synchronously, merges
+    // only run via OPTIMIZE), so the correct response to a client
+    // replaying its CH runbook is "done", not a parse error
+    SystemStmtRe.findFirstMatchIn(m).foreach { sm =>
+      import spark.implicits._
+      return Seq((sm.group(1).trim, "noop"))
+        .toDF("statement", "status")
+    }
     // CH `EXPLAIN [mode] SELECT …` returns the plan as result rows; the
     // Spark rendition explains the rewritten query's physical plan (all
     // CH modes map to the one plan Spark has — the Catalyst one)

@@ -377,9 +377,12 @@ object ChWrites {
                 s"${df0.columns.length} columns; the table has " +
                 s"${ddlFields.length}")
             // positional mapping, cast to the table's types — CH's
-            // INSERT … SELECT contract
-            val aligned = df0.select(df0.columns.zip(ddlFields).map {
-              case (c, f) => org.apache.spark.sql.functions.col(s"`$c`")
+            // INSERT … SELECT contract. Rename FIRST (toDF is purely
+            // positional), then cast: selecting by name broke on a
+            // SELECT with duplicate output names (two bare literals)
+            val renamed = df0.toDF(ddlFields.map(_.name).toIndexedSeq: _*)
+            val aligned = renamed.select(ddlFields.map { f =>
+              org.apache.spark.sql.functions.col(s"`${f.name}`")
                 .cast(f.dataType).as(f.name)
             }.toIndexedSeq: _*)
             // a partitioned table's INSERT partitions its batch the

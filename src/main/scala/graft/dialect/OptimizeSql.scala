@@ -28,13 +28,22 @@ import graft.sources.Sinks
   * [[graft.plans.AggProjections.refingerprintMergeTree]]).
   *
   * `FINAL` is accepted and means the same thing (we always fully
-  * compact); `PARTITION` clauses are refused loudly. */
+  * compact). `OPTIMIZE TABLE t PARTITION <val|ID 'id'> [FINAL]` (r12)
+  * merges ONE partition of a partitioned MergeTree table — the
+  * collapsed partition materializes into a staging tree and swaps in
+  * via the DROP+ATTACH PARTITION primitives under the tree lock, so
+  * the rest of the table never rewrites (CH's own partition-scoped
+  * merge economics); parquet tables refuse the clause (no partition
+  * parts to merge). */
 object OptimizeSql {
 
   val TargetBytesConf = "spark.graft.optimize.targetFileBytes"
 
   private val StmtRe =
     """(?is)^\s*OPTIMIZE\s+TABLE\s+(?:'([^']+)'|([\w.`"]+))\s*(FINAL)?\s*$""".r
+  private val PartitionStmtRe =
+    ("""(?is)^\s*OPTIMIZE\s+TABLE\s+(?:'([^']+)'|([\w.`"]+))\s+""" +
+      """PARTITION\s+(ID\s+)?('[^']*'|\S+)\s*(FINAL)?\s*$""").r
   private val HeadRe = """(?is)^\s*OPTIMIZE\s+TABLE\b.*$""".r
 
   def isOptimize(sql: String): Boolean = HeadRe.matches(sql)
@@ -42,6 +51,55 @@ object OptimizeSql {
   def run(spark: SparkSession, sql: String): DataFrame = {
     import spark.implicits._
     sql match {
+      case PartitionStmtRe(pathLit, tableName, idKw, literal, finalKw) =>
+        import graft.sources.mergetree.{MergeTree, MergeTreeCtas, MergeTreePartitioning}
+        val name = Option(tableName).map(ProjectionSql.clean)
+        val (ep, ddl, key) = name
+          .flatMap(n => ProjectionSql.resolveMergeTree(spark, n))
+          .getOrElse(throw new IllegalArgumentException(
+            "OPTIMIZE TABLE … PARTITION targets a partitioned MergeTree " +
+              "table by NAME (parquet tables have no partition parts — " +
+              "OPTIMIZE the whole table)"))
+        MergeTree.requireLocalForMaintenance(ep, "OPTIMIZE TABLE PARTITION")
+        val partitionBy = MutateSql.partitionByOf(ep)
+        require(partitionBy.isDefined,
+          s"OPTIMIZE TABLE ${name.get} PARTITION: the table is not " +
+            "partitioned")
+        val pid = MergeTreePartitioning.renderDropId(literal, idKw != null)
+        val pidParts = MergeTree.partsInfo(ep).map(_._1)
+          .filter(p => MergeTreePartitioning.pidOf(p) == pid)
+        if (pidParts.isEmpty)
+          return Seq((name.get, 0, 0, 0L))
+            .toDF("table", "files_before", "files_after", "bytes")
+        // the partition's rows, engine-collapsed/TTL'd like a whole-table
+        // OPTIMIZE would
+        val df0 = MergeTree.read(spark, ep, ddl, key, parts = pidParts)
+        val (dfT, _) = collapse(spark, df0, name, finalKw, partitionBy)
+        // materialize into a sibling staging tree, then swap the
+        // partition in via the DROP+ATTACH primitives — one lock scope,
+        // nothing outside the partition rewrites
+        val staging = s"${graft.sources.mergetree.MergeTree.localPath(ep)}" +
+          s".optimize_${java.util.UUID.randomUUID().toString.take(8)}"
+        try {
+          MergeTreeCtas.write(spark, dfT, staging, key,
+            declaredDdl = Some(ddl), op = "OPTIMIZE TABLE PARTITION",
+            partitionBy = partitionBy)
+          MergeTreeCtas.withTreeLock(ep) {
+            MergeTree.dropPartition(spark, ep, pid)
+            MergeTreeCtas.attachPartitionFrom(spark, ep, staging, pid)
+          }
+        } finally {
+          try {
+            val sp = new Path(staging)
+            sp.getFileSystem(spark.sessionState.newHadoopConf())
+              .delete(sp, true); ()
+          } catch { case scala.util.control.NonFatal(_) => () }
+        }
+        spark.catalog.refreshByPath(ep)
+        val partsAfter = MergeTree.partsInfo(ep).map(_._1)
+          .count(p => MergeTreePartitioning.pidOf(p) == pid)
+        Seq((name.get, pidParts.size, partsAfter, 0L))
+          .toDF("table", "files_before", "files_after", "bytes")
       case StmtRe(pathLit, tableName, finalKw) =>
         val name = Option(tableName).map(ProjectionSql.clean)
         // a MergeTree target compacts as a PART MERGE (CH's FINAL):
@@ -74,150 +132,12 @@ object OptimizeSql {
           val key = if (orderBy.nonEmpty) orderBy
             else name.map(graft.core.Catalog.sortKey).getOrElse(Nil)
           val df0 = MergeTree.read(spark, ep, ddl, key)
-          // OPTIMIZE … FINAL on a ReplacingMergeTree physically
-          // COLLAPSES versions — CH's merge-with-dedup: one row per
-          // (partition, sorting key) survives, highest version wins.
-          // The window partitions by the PARTITION BY expression too:
-          // CH merges never cross partitions, so a key duplicated
-          // across partitions keeps one row per partition (review
-          // finding — the global window silently deleted CH-surviving
-          // rows). Plain MergeTree (or no FINAL) merges without
-          // touching rows. is_deleted rows are KEPT here (CH's plain
-          // OPTIMIZE FINAL keeps them; only SELECT FINAL hides them).
-          val replacing = if (finalKw == null) None
-            else name.flatMap(graft.core.Catalog.replacingInfo)
-          val summing = if (finalKw == null || replacing.isDefined) None
-            else name.flatMap(graft.core.Catalog.summingInfo)
-          val collapsing =
-            if (finalKw == null || replacing.isDefined || summing.isDefined) None
-            else name.flatMap(graft.core.Catalog.collapsingInfo)
           // one read of the partition scheme for both the dedup window
           // and the rewrite — two reads could disagree under a
           // concurrent ATTACH of an aliasing table (review finding)
           val partitionBy = MutateSql.partitionByOf(ep)
-          import org.apache.spark.sql.functions._
-          def colOf(c: String) =
-            if (c.contains("(")) expr(c) else col(s"`$c`")
-          val df = replacing match {
-            case Some(spec) =>
-              import org.apache.spark.sql.expressions.Window
-              // versionless Replacing: refuse, unless the session opted
-              // into the deterministic payload-max tiebreak (the same
-              // knob the FINAL read honors — [[ChSql.FinalTiebreakConf]])
-              val tie = spec.tieColumns.map(c => colOf(c).desc)
-              val ord = spec.ver match {
-                case Some(v) => colOf(v).desc +: tie
-                case None =>
-                  val optIn = spark.conf.getOption(ChSql.FinalTiebreakConf)
-                    .exists(_.trim.equalsIgnoreCase("payload"))
-                  if (optIn && tie.nonEmpty) tie
-                  else throw new IllegalArgumentException(
-                    s"OPTIMIZE TABLE ${name.get} FINAL: ReplacingMergeTree " +
-                      "without a version column collapses to an " +
-                      "order-of-merges-dependent row per key — declare " +
-                      "ReplacingMergeTree(<version column>), or opt into " +
-                      "the deterministic payload-max tiebreak with SET " +
-                      s"${ChSql.FinalTiebreakConf} = 'payload'")
-              }
-              val partCols =
-                partitionBy.map(expr).toSeq ++ spec.key.map(colOf)
-              val w = Window.partitionBy(partCols: _*).orderBy(ord: _*)
-              df0.withColumn("__graft_rn", row_number().over(w))
-                .filter(col("__graft_rn") === 1).drop("__graft_rn")
-            case None => summing match {
-              case Some(sp) =>
-                // SummingMergeTree merge: one row per (partition,
-                // sorting key), sums summed in place (cast back to the
-                // declared type so the tree re-encodes under its own
-                // DDL), non-summed payload takes the deterministic max,
-                // all-zero-sum rows deleted — CH's own merge rules
-                // a bare-column partition expression IS a grouping
-                // column — aggregating it too would alias-collide
-                val pcol = partitionBy.filter(p => sp.columns.exists(_._1 == p))
-                val groupCols = partitionBy.map(expr).toSeq ++
-                  sp.key.map(colOf)
-                val aggs = sp.columns.filterNot(c =>
-                    sp.key.contains(c._1) || pcol.contains(c._1))
-                  .map { case (n, ct) =>
-                    if (sp.sumCols.contains(n)) {
-                      val st =
-                        try Some(graft.types.ChSchemaParser.parseType(ct)._1)
-                        catch { case _: Exception => None }
-                      st.map(t => sum(col(s"`$n`")).cast(t).as(n))
-                        .getOrElse(sum(col(s"`$n`")).as(n))
-                    } else max(col(s"`$n`")).as(n)
-                  }
-                require(aggs.nonEmpty,
-                  s"OPTIMIZE TABLE ${name.get} FINAL: every non-key " +
-                    "column is the partition key — nothing to sum")
-                val merged = df0.groupBy(groupCols: _*)
-                  .agg(aggs.head, aggs.tail: _*)
-                  .where(sp.sumCols
-                    .map(c => coalesce(col(s"`$c`").cast("double"), lit(0d)) =!= 0d)
-                    .reduce(_ || _))
-                merged.select(sp.columns.map(c => col(s"`${c._1}`")): _*)
-              case None => collapsing match {
-                case Some(cs) =>
-                  // VersionedCollapsing merge: +1/-1 pairs annihilate
-                  // within (partition, key, version); |sum(sign)| rows
-                  // of the majority sign survive (same window logic as
-                  // the FINAL read). Versionless Collapsing refuses —
-                  // its survivor is merge-order state in CH.
-                  import org.apache.spark.sql.expressions.Window
-                  val v = cs.ver.getOrElse(throw new IllegalArgumentException(
-                    s"OPTIMIZE TABLE ${name.get} FINAL: CollapsingMergeTree " +
-                      "collapses to an order-of-merges-dependent row per " +
-                      "key — use VersionedCollapsingMergeTree(sign, " +
-                      "version) for deterministic collapse"))
-                  val grp = partitionBy.map(expr).toSeq ++
-                    cs.key.map(colOf) :+ colOf(v)
-                  val signL = colOf(cs.sign).cast("long")
-                  val tie = cs.tieColumns.map(c => colOf(c).desc) match {
-                    case Nil => Seq(colOf(cs.sign).desc)
-                    case ts => ts
-                  }
-                  val wRank = Window.partitionBy(grp :+ colOf(cs.sign): _*)
-                    .orderBy(tie: _*)
-                  val wGrp = Window.partitionBy(grp: _*)
-                  df0.withColumn("__graft_rn", row_number().over(wRank))
-                    .withColumn("__graft_pos",
-                      sum(when(signL === 1, 1).otherwise(0)).over(wGrp))
-                    .withColumn("__graft_neg",
-                      sum(when(signL === -1, 1).otherwise(0)).over(wGrp))
-                    .filter(
-                      (col("__graft_pos") > col("__graft_neg") &&
-                        signL === 1 &&
-                        col("__graft_rn") <= col("__graft_pos") - col("__graft_neg")) ||
-                      (col("__graft_neg") > col("__graft_pos") &&
-                        signL === -1 &&
-                        col("__graft_rn") <= col("__graft_neg") - col("__graft_pos")))
-                    .drop("__graft_rn", "__graft_pos", "__graft_neg")
-                case None =>
-                  if (finalKw != null &&
-                      name.exists(graft.core.Catalog.isAggregating))
-                    throw new IllegalArgumentException(
-                      s"OPTIMIZE TABLE ${name.get} FINAL: " +
-                        "AggregatingMergeTree's merge combines aggregate " +
-                        "STATES per key, which is not generic here — " +
-                        "read with -Merge combinators (GROUP BY key), or " +
-                        "OPTIMIZE without FINAL to compact parts")
-                  df0
-              }
-            }
-          }
-          // row-level TTL applies on EVERY merge (CH's model): rows
-          // whose TTL expression has passed are dropped by the rewrite;
-          // NULL TTL values are kept. current_timestamp() is fixed per
-          // query, so one rewrite sees one instant.
-          val ttl = name.flatMap(graft.core.Catalog.lookup).flatMap(_.ttl)
-          val dfT = ttl match {
-            case Some(t) =>
-              val e = expr(t).cast("timestamp")
-              df.filter(e.isNull || e > current_timestamp())
-            case None => df
-          }
-          val contentPreserved = replacing.isEmpty && summing.isEmpty &&
-            collapsing.isEmpty && ttl.isEmpty
+          val (dfT, contentPreserved) =
+            collapse(spark, df0, name, finalKw, partitionBy)
           val bytes = new Path(ep).getFileSystem(spark.sessionState.newHadoopConf())
             .getContentSummary(new Path(ep)).getLength
           // merge + projection re-stamp are one atomic unit under the
@@ -282,6 +202,161 @@ object OptimizeSql {
               "compacts the whole table (parquet has no CH partition parts)")
         throw new IllegalArgumentException(s"unparseable OPTIMIZE statement: $other")
     }
+  }
+
+
+  /** The merge-time row transform a MergeTree OPTIMIZE applies: engine
+    * collapse (Replacing dedup / Summing sum / VersionedCollapsing
+    * cancellation — FINAL only) plus row-level TTL, all scoped within
+    * (partition, sorting key). Returns (transformed frame, whether
+    * CONTENT is preserved — parts merge but rows don't change). */
+  private def collapse(
+      spark: SparkSession,
+      df0: org.apache.spark.sql.DataFrame,
+      name: Option[String],
+      finalKw: String,
+      partitionBy: Option[String]): (org.apache.spark.sql.DataFrame, Boolean) = {
+    // OPTIMIZE … FINAL on a ReplacingMergeTree physically
+    // COLLAPSES versions — CH's merge-with-dedup: one row per
+    // (partition, sorting key) survives, highest version wins.
+    // The window partitions by the PARTITION BY expression too:
+    // CH merges never cross partitions, so a key duplicated
+    // across partitions keeps one row per partition (review
+    // finding — the global window silently deleted CH-surviving
+    // rows). Plain MergeTree (or no FINAL) merges without
+    // touching rows. is_deleted rows are KEPT here (CH's plain
+    // OPTIMIZE FINAL keeps them; only SELECT FINAL hides them).
+    val replacing = if (finalKw == null) None
+      else name.flatMap(graft.core.Catalog.replacingInfo)
+    val summing = if (finalKw == null || replacing.isDefined) None
+      else name.flatMap(graft.core.Catalog.summingInfo)
+    val collapsing =
+      if (finalKw == null || replacing.isDefined || summing.isDefined) None
+      else name.flatMap(graft.core.Catalog.collapsingInfo)
+    import org.apache.spark.sql.functions._
+    def colOf(c: String) =
+      if (c.contains("(")) expr(c) else col(s"`$c`")
+    val df = replacing match {
+      case Some(spec) =>
+        import org.apache.spark.sql.expressions.Window
+        // versionless Replacing: refuse, unless the session opted
+        // into the deterministic payload-max tiebreak (the same
+        // knob the FINAL read honors — [[ChSql.FinalTiebreakConf]])
+        val tie = spec.tieColumns.map(c => colOf(c).desc)
+        val ord = spec.ver match {
+          case Some(v) => colOf(v).desc +: tie
+          case None =>
+            val optIn = spark.conf.getOption(ChSql.FinalTiebreakConf)
+              .exists(_.trim.equalsIgnoreCase("payload"))
+            if (optIn && tie.nonEmpty) tie
+            else throw new IllegalArgumentException(
+              s"OPTIMIZE TABLE ${name.get} FINAL: ReplacingMergeTree " +
+                "without a version column collapses to an " +
+                "order-of-merges-dependent row per key — declare " +
+                "ReplacingMergeTree(<version column>), or opt into " +
+                "the deterministic payload-max tiebreak with SET " +
+                s"${ChSql.FinalTiebreakConf} = 'payload'")
+        }
+        val partCols =
+          partitionBy.map(expr).toSeq ++ spec.key.map(colOf)
+        val w = Window.partitionBy(partCols: _*).orderBy(ord: _*)
+        df0.withColumn("__graft_rn", row_number().over(w))
+          .filter(col("__graft_rn") === 1).drop("__graft_rn")
+      case None => summing match {
+        case Some(sp) =>
+          // SummingMergeTree merge: one row per (partition,
+          // sorting key), sums summed in place (cast back to the
+          // declared type so the tree re-encodes under its own
+          // DDL), non-summed payload takes the deterministic max,
+          // all-zero-sum rows deleted — CH's own merge rules
+          // a bare-column partition expression IS a grouping
+          // column — aggregating it too would alias-collide
+          val pcol = partitionBy.filter(p => sp.columns.exists(_._1 == p))
+          val groupCols = partitionBy.map(expr).toSeq ++
+            sp.key.map(colOf)
+          val aggs = sp.columns.filterNot(c =>
+              sp.key.contains(c._1) || pcol.contains(c._1))
+            .map { case (n, ct) =>
+              if (sp.sumCols.contains(n)) {
+                val st =
+                  try Some(graft.types.ChSchemaParser.parseType(ct)._1)
+                  catch { case _: Exception => None }
+                st.map(t => sum(col(s"`$n`")).cast(t).as(n))
+                  .getOrElse(sum(col(s"`$n`")).as(n))
+              } else max(col(s"`$n`")).as(n)
+            }
+          require(aggs.nonEmpty,
+            s"OPTIMIZE TABLE ${name.get} FINAL: every non-key " +
+              "column is the partition key — nothing to sum")
+          val merged = df0.groupBy(groupCols: _*)
+            .agg(aggs.head, aggs.tail: _*)
+            .where(sp.sumCols
+              .map(c => coalesce(col(s"`$c`").cast("double"), lit(0d)) =!= 0d)
+              .reduce(_ || _))
+          merged.select(sp.columns.map(c => col(s"`${c._1}`")): _*)
+        case None => collapsing match {
+          case Some(cs) =>
+            // VersionedCollapsing merge: +1/-1 pairs annihilate
+            // within (partition, key, version); |sum(sign)| rows
+            // of the majority sign survive (same window logic as
+            // the FINAL read). Versionless Collapsing refuses —
+            // its survivor is merge-order state in CH.
+            import org.apache.spark.sql.expressions.Window
+            val v = cs.ver.getOrElse(throw new IllegalArgumentException(
+              s"OPTIMIZE TABLE ${name.get} FINAL: CollapsingMergeTree " +
+                "collapses to an order-of-merges-dependent row per " +
+                "key — use VersionedCollapsingMergeTree(sign, " +
+                "version) for deterministic collapse"))
+            val grp = partitionBy.map(expr).toSeq ++
+              cs.key.map(colOf) :+ colOf(v)
+            val signL = colOf(cs.sign).cast("long")
+            val tie = cs.tieColumns.map(c => colOf(c).desc) match {
+              case Nil => Seq(colOf(cs.sign).desc)
+              case ts => ts
+            }
+            val wRank = Window.partitionBy(grp :+ colOf(cs.sign): _*)
+              .orderBy(tie: _*)
+            val wGrp = Window.partitionBy(grp: _*)
+            df0.withColumn("__graft_rn", row_number().over(wRank))
+              .withColumn("__graft_pos",
+                sum(when(signL === 1, 1).otherwise(0)).over(wGrp))
+              .withColumn("__graft_neg",
+                sum(when(signL === -1, 1).otherwise(0)).over(wGrp))
+              .filter(
+                (col("__graft_pos") > col("__graft_neg") &&
+                  signL === 1 &&
+                  col("__graft_rn") <= col("__graft_pos") - col("__graft_neg")) ||
+                (col("__graft_neg") > col("__graft_pos") &&
+                  signL === -1 &&
+                  col("__graft_rn") <= col("__graft_neg") - col("__graft_pos")))
+              .drop("__graft_rn", "__graft_pos", "__graft_neg")
+          case None =>
+            if (finalKw != null &&
+                name.exists(graft.core.Catalog.isAggregating))
+              throw new IllegalArgumentException(
+                s"OPTIMIZE TABLE ${name.get} FINAL: " +
+                  "AggregatingMergeTree's merge combines aggregate " +
+                  "STATES per key, which is not generic here — " +
+                  "read with -Merge combinators (GROUP BY key), or " +
+                  "OPTIMIZE without FINAL to compact parts")
+            df0
+        }
+      }
+    }
+    // row-level TTL applies on EVERY merge (CH's model): rows
+    // whose TTL expression has passed are dropped by the rewrite;
+    // NULL TTL values are kept. current_timestamp() is fixed per
+    // query, so one rewrite sees one instant.
+    val ttl = name.flatMap(graft.core.Catalog.lookup).flatMap(_.ttl)
+    val dfT = ttl match {
+      case Some(t) =>
+        val e = expr(t).cast("timestamp")
+        df.filter(e.isNull || e > current_timestamp())
+      case None => df
+    }
+    val contentPreserved = replacing.isEmpty && summing.isEmpty &&
+      collapsing.isEmpty && ttl.isEmpty
+    (dfT, contentPreserved)
   }
 
   /** ceil(bytes / target-file-size) — the output file count OPTIMIZE

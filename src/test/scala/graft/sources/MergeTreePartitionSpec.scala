@@ -223,6 +223,43 @@ class MergeTreePartitionSpec extends AnyFunSuite {
     } finally spark.conf.unset(ChWrites.WarehouseConf)
   }
 
+  test("OPTIMIZE TABLE PARTITION merges one partition; the rest never rewrites") {
+    import spark.implicits._
+    freshSrc()
+    val wh = Files.createTempDirectory("graft_popt").toString
+    spark.conf.set(ChWrites.WarehouseConf, wh)
+    try {
+      ChSql.sql(spark,
+        "CREATE TABLE popt_t ENGINE = ReplacingMergeTree(ver) " +
+          "PARTITION BY toYear(d) ORDER BY (id) AS " +
+          "SELECT id, d, CAST(0 AS BIGINT) AS ver, v FROM psrc").collect()
+      // a second part in 1995 with a newer version of id=1
+      ChSql.sql(spark,
+        "INSERT INTO popt_t SELECT 1, toDate('1995-03-01'), 1, 99.0").collect()
+      val tree = s"$wh/popt_t"
+      val before96 = partNames(tree).filter(_.startsWith("1996_"))
+      assert(partNames(tree).count(_.startsWith("1995_")) == 2)
+      // merge ONLY 1995 with FINAL: versions collapse, one part remains
+      val r = ChSql.sql(spark,
+        "OPTIMIZE TABLE popt_t PARTITION 1995 FINAL").collect().head
+      assert(r.getInt(1) == 2 && r.getInt(2) == 1, r.toString)
+      // 1996's parts are byte-identical by NAME — nothing else rewrote
+      assert(partNames(tree).filter(_.startsWith("1996_")) == before96)
+      val rows95 = ChSql.sql(spark,
+        "SELECT id, CAST(round(v) AS BIGINT) AS v FROM popt_t " +
+          "WHERE toYear(d) = 1995 ORDER BY id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(rows95 == Seq((1L, 99L), (2L, 11L)), rows95.mkString(", "))
+      // whole-table row count intact elsewhere
+      assert(ChSql.sql(spark, "SELECT count() AS n FROM popt_t")
+        .collect().head.getLong(0) == 7L)
+      // an absent partition no-ops
+      assert(ChSql.sql(spark, "OPTIMIZE TABLE popt_t PARTITION 2001")
+        .collect().head.getInt(1) == 0)
+      ChSql.sql(spark, "DROP TABLE popt_t").collect()
+    } finally spark.conf.unset(ChWrites.WarehouseConf)
+  }
+
   test("ATTACH PARTITION FROM copies a partition; DROP+ATTACH = move; REPLACE swaps") {
     import spark.implicits._
     freshSrc()
