@@ -1136,6 +1136,44 @@ object SparkEntry {
           "ALTER TABLE attach_dst ATTACH PARTITION 1995 FROM attach_src")))._1
     }),
 
+    // the r12 composition showcase: plain DDL creates a fact table and
+    // a partitioned SummingMergeTree rollup, a materialized view feeds
+    // per-batch partials into it, OPTIMIZE PARTITION FINAL physically
+    // merges one year, and the FINAL read re-merges the rest — the
+    // whole CH ingest idiom in one flow, hash-matched to the oracle's
+    // direct aggregation
+    "q200_rollup_pipeline" -> ((spark, dir) => {
+      prep(spark, dir)
+      val wh = s"${derivedDir(spark, dir)}/wh"
+      spark.conf.set(graft.dialect.ChWrites.WarehouseConf, wh)
+      val svc = new QueryService(spark)
+      svc.executeToDf(QueryService.QueryRequest(
+        query = """SELECT y, st, CAST(round(total * 100) AS BIGINT) AS total_c,
+                  |       n
+                  |FROM combo_roll FINAL ORDER BY y, st""".stripMargin,
+        initQueries = Seq(
+          """CREATE TABLE combo_src
+            |(`okey` Int64, `d` DateTime64(6), `st` LowCardinality(String),
+            | `price` Float64)
+            |ENGINE = MergeTree ORDER BY (okey)""".stripMargin,
+          """CREATE TABLE combo_roll
+            |(`y` Int64, `st` LowCardinality(String), `total` Float64,
+            | `n` Int64)
+            |ENGINE = SummingMergeTree((total, n))
+            |PARTITION BY y ORDER BY (st)""".stripMargin,
+          """CREATE MATERIALIZED VIEW combo_mv TO combo_roll AS
+            |SELECT CAST(toYear(d) AS BIGINT) AS y, st,
+            |       sum(price) AS total, count() AS n
+            |FROM combo_src GROUP BY y, st""".stripMargin,
+          """INSERT INTO combo_src
+            |SELECT o_orderkey, o_orderdate, o_orderstatus, o_totalprice
+            |FROM orders WHERE o_custkey % 10 = 3""".stripMargin,
+          """INSERT INTO combo_src
+            |SELECT o_orderkey, o_orderdate, o_orderstatus, o_totalprice
+            |FROM orders WHERE o_custkey % 10 = 7""".stripMargin,
+          "OPTIMIZE TABLE combo_roll PARTITION 1996 FINAL")))._1
+    }),
+
     // CH bracket syntax (r12): array literals and 1-BASED element
     // access (Spark's own bracket form is 0-based — the rewrite maps
     // to element_at, negative-from-the-end included)
@@ -3129,6 +3167,12 @@ object SparkEntry {
         |                           ELSE c_acctbal END) * 100) AS BIGINT) AS bal_c
         |FROM customer WHERE c_custkey % 10 = 0
         |GROUP BY nk ORDER BY nk""".stripMargin,
+    "q200_rollup_pipeline" ->
+      """SELECT year(o_orderdate) AS y, o_orderstatus AS st,
+        |       CAST(round(sum(o_totalprice) * 100) AS BIGINT) AS total_c,
+        |       count(*) AS n
+        |FROM orders WHERE o_custkey % 10 IN (3, 7)
+        |GROUP BY y, st ORDER BY y, st""".stripMargin,
     "q199_bracket_syntax" ->
       """SELECT CAST(n_nationkey AS BIGINT) AS k,
         |       CAST([n_nationkey, n_regionkey][1] AS BIGINT) AS first,
