@@ -56,7 +56,17 @@ object Catalog {
       /** Row-level `TTL <expr>` — rows whose expression is ≤ now are
         * deleted when merges run (OPTIMIZE / MATERIALIZE TTL), CH's
         * own merge-time retention model. */
-      ttl: Option[String] = None)
+      ttl: Option[String] = None,
+      /** Verbatim declared engine spelling when it differed from the
+        * normalized one (`Replicated*MergeTree` replication args
+        * stripped) — what SHOW CREATE renders. Empty = same as
+        * [[engine]]. */
+      declaredEngine: String = "") {
+    /** The engine spelling introspection renders — declared verbatim
+      * (CH's SHOW CREATE keeps the Replicated spelling too). */
+    def engineShown: String =
+      if (declaredEngine.nonEmpty) declaredEngine else engine
+  }
 
   private val attached = scala.collection.concurrent.TrieMap.empty[String, AttachedTable]
 
@@ -149,9 +159,11 @@ object Catalog {
         partitionBy = Option(partitionBy).map(_.trim).filter(_.nonEmpty)
           // `PARTITION BY tuple()` is CH's unpartitioned spelling
           .filterNot(graft.sources.mergetree.MergeTreePartitioning.isNoPartition),
-        engine = Option(engineSpec).map(_.trim).filter(_.nonEmpty)
-          .getOrElse("MergeTree"),
-        ttl = Option(ttl).map(_.trim).filter(_.nonEmpty))
+        engine = normalizeEngine(Option(engineSpec).map(_.trim)
+          .filter(_.nonEmpty).getOrElse("MergeTree")),
+        ttl = Option(ttl).map(_.trim).filter(_.nonEmpty),
+        declaredEngine = Option(engineSpec).map(_.trim).filter(e =>
+          e.nonEmpty && normalizeEngine(e) != e).getOrElse(""))
       materialize(spark, t).foreach(_.createOrReplaceTempView(name))
       attached(name) = t
       t
@@ -174,10 +186,60 @@ object Catalog {
       ddl: String = "", kind: String = Kind.Parquet,
       partitionBy: Option[String] = None,
       engine: String = "MergeTree",
-      ttl: Option[String] = None): Unit =
+      ttl: Option[String] = None,
+      declaredEngine: String = ""): Unit =
     attached(name) = AttachedTable(name, ddl, orderBy, Some(path),
       kind = kind, ownsStorage = true, partitionBy = partitionBy,
-      engine = engine, ttl = ttl)
+      engine = engine, ttl = ttl, declaredEngine = declaredEngine)
+
+  private val ReplicatedSpecRe =
+    """(?is)^Replicated(\w*MergeTree)\s*(?:\(\s*(.*?)\s*\))?$""".r
+
+  /** `Replicated<Family>MergeTree('/zk/path', '{replica}'[, args…])` →
+    * `<Family>MergeTree(args…)`. The two replication arguments name a
+    * Keeper path and a replica macro that have no referent under the
+    * driver-as-coordinator model — the driver IS the replication
+    * coordinator, the same argument as the ON CLUSTER strip (SURVEY
+    * §2.6 C5) — so verbatim production DDL ports run unchanged. The
+    * argless `ENGINE = ReplicatedMergeTree` spelling (path/replica
+    * from server config in CH) normalizes too. Reference analog:
+    * the reference's own cluster is replicated (`ch/config.xml`),
+    * so real DDL thrown at it is almost always the Replicated
+    * variant. Non-Replicated spellings pass through verbatim. */
+  def normalizeEngine(spec: String): String = spec.trim match {
+    case ReplicatedSpecRe(family, args) =>
+      val as = Option(args).filter(_.nonEmpty)
+        .map(splitTopLevelArgs).getOrElse(Nil)
+      // the replication pair is always two leading quoted strings;
+      // anything else is already a family argument (argless
+      // Replicated DDL relies on server-config defaults)
+      val rest =
+        if (as.size >= 2 && as.take(2).forall(_.trim.startsWith("'"))) as.drop(2)
+        else as
+      if (rest.isEmpty) family else s"$family(${rest.mkString(", ")})"
+    case other => other
+  }
+
+  /** Split an engine-argument list on TOP-LEVEL commas — respects
+    * single-quoted strings ('/zk/{layer}-{shard}/t') and one paren
+    * nesting level (the SummingMergeTree `((a, b))` tuple). */
+  private def splitTopLevelArgs(s: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val cur = new StringBuilder
+    var depth = 0; var q = false
+    s.foreach { c =>
+      c match {
+        case '\'' => q = !q; cur.append(c)
+        case '(' if !q => depth += 1; cur.append(c)
+        case ')' if !q => depth -= 1; cur.append(c)
+        case ',' if !q && depth == 0 =>
+          out += cur.toString.trim; cur.clear()
+        case _ => cur.append(c)
+      }
+    }
+    if (cur.toString.trim.nonEmpty) out += cur.toString.trim
+    out.toSeq
+  }
 
   private val ReplacingRe =
     """(?i)^ReplacingMergeTree\s*(?:\(([^)]*)\))?$""".r
@@ -431,6 +493,25 @@ object Catalog {
     declared.headOption
   }
 
+  /** Refuse a CTAS/CREATE-TABLE storage path that is already the
+    * endpoint of a DIFFERENTLY-named catalog entry (r12 advisor:
+    * rename-then-recreate would otherwise write into — and later DROP
+    * delete — the renamed table's live storage through the alias). */
+  def requireEndpointFree(path: String, name: String, op: String): Unit = {
+    import graft.sources.mergetree.MergeTree
+    def norm(p: String): String =
+      try MergeTree.localPath(p) catch { case _: Exception => p }
+    val target = norm(path)
+    attached.values.find(t =>
+        t.name != name && t.endpoint.exists(e => norm(e) == target))
+      .foreach { other =>
+        throw new IllegalArgumentException(
+          s"$op $name: storage path '$path' is the endpoint of catalog " +
+            s"table '${other.name}' — writing there would corrupt its " +
+            "data (DROP/DETACH it first, or use a different name)")
+      }
+  }
+
   /** Remove a catalog entry (DROP/DETACH TABLE) — returns it so the
     * caller can decide what happens to the storage it points at. */
   def detach(name: String): Option[AttachedTable] = attached.remove(name)
@@ -440,6 +521,12 @@ object Catalog {
     * TABLE re-keys the entry). The caller re-registers the session
     * view. */
   def update(t: AttachedTable): Unit = attached(t.name) = t
+
+  /** Re-materialize ONE entry's session view from its (possibly just
+    * changed) endpoint — RENAME TABLE moves owned storage and the old
+    * DataFrame still lists the old files. */
+  def register(spark: SparkSession, t: AttachedTable): Unit =
+    materialize(spark, t).foreach(_.createOrReplaceTempView(t.name))
 
   /** Re-materialize every catalog-recorded table as a view in THIS
     * session. The service executes each HTTP request in a fresh

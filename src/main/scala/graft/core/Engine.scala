@@ -63,18 +63,22 @@ object Engine {
       .config("spark.sql.files.maxPartitionBytes",
         sys.env.getOrElse("SPARK_GRAFT_MAX_PART_BYTES",
           (32L * 1024 * 1024).toString))
-      // OFF-HEAP column vectors (r12): the parquet reader's on-heap
-      // batches are GC bait at high task concurrency — in a long-lived
-      // session the q2 sf10 decomposition measured 3.66 s of GC inside
-      // 12 s of executor CPU (30%), and the Q2Probe A/B showed on-heap
-      // runs COLLAPSING ~10× (1-2 s GC per run) under heap pressure
-      // while off-heap stayed flat at 0.43-0.46 s across every run.
-      // At 1000 executors the same GC amplification compounds per
-      // executor; off-heap vectors are the standard mitigation.
-      .config("spark.sql.columnVector.offheap.enabled", "true")
-      .config("spark.memory.offHeap.enabled", "true")
-      .config("spark.memory.offHeap.size",
-        sys.env.getOrElse("SPARK_GRAFT_OFFHEAP", (4L << 30).toString))
+    // OFF-HEAP column vectors (r12): the parquet reader's on-heap
+    // batches are GC bait at high task concurrency — in a long-lived
+    // session the q2 sf10 decomposition measured 3.66 s of GC inside
+    // 12 s of executor CPU (30%), and the Q2Probe A/B showed on-heap
+    // runs COLLAPSING ~10× (1-2 s GC per run) under heap pressure
+    // while off-heap stayed flat at 0.43-0.46 s across every run.
+    // At 1000 executors the same GC amplification compounds per
+    // executor; off-heap vectors are the standard mitigation.
+    // SPARK_GRAFT_OFFHEAP=0 is the documented A/B opt-out: skip all
+    // three configs (offHeap.enabled=true with size=0 fails init).
+    val offHeap = sys.env.getOrElse("SPARK_GRAFT_OFFHEAP", (4L << 30).toString)
+    if (offHeap != "0") {
+      b.config("spark.sql.columnVector.offheap.enabled", "true")
+        .config("spark.memory.offHeap.enabled", "true")
+        .config("spark.memory.offHeap.size", offHeap)
+    }
     extraConf.foreach { case (k, v) => b.config(k, v) }
     val spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -154,7 +154,7 @@ object SystemTables {
     * the catalog keeps the declared spelling. */
   def visibleTables(spark: SparkSession): Seq[(String, String, String, String, String)] = {
     val cat = graft.core.Catalog.all.map(t =>
-      (t.name, t.engine, t.orderBy.mkString(", "),
+      (t.name, t.engineShown, t.orderBy.mkString(", "),
         t.endpoint.getOrElse(""),
         if (t.ownsStorage) "created" else "attached"))
     val mvs = graft.core.MatViews.all.map(v =>

@@ -166,10 +166,25 @@ object AlterSchemaSql {
               "views rename by re-CREATE)"))
         require(Catalog.lookup(to).isEmpty,
           s"RENAME TABLE: '$to' already exists")
+        // Owned CTAS storage lives at $warehouse/<name> — move it WITH
+        // the name (r12 advisor, high): otherwise a later CREATE TABLE
+        // <from> computes the same path and writes into the renamed
+        // table's live tree, and DROP of either name deletes the
+        // other's data. ATTACHed external endpoints are location-pinned
+        // and keep their path.
         val view = spark.table(from)
+        val nt = if (t.ownsStorage && t.endpoint.isDefined) {
+          val warehouse = spark.conf.get(ChWrites.WarehouseConf,
+            s"${System.getProperty("java.io.tmpdir")}/graft_warehouse")
+          val newEp = s"$warehouse/$to"
+          graft.sources.mergetree.MergeTreeCtas.moveTree(
+            t.endpoint.get, newEp, s"RENAME TABLE $from TO $to")
+          t.copy(name = to, endpoint = Some(newEp))
+        } else t.copy(name = to)
         Catalog.detach(from)
-        Catalog.update(t.copy(name = to))
-        view.createOrReplaceTempView(to)
+        Catalog.update(nt)
+        if (nt.endpoint == t.endpoint) view.createOrReplaceTempView(to)
+        else Catalog.register(spark, nt) // old view lists the old files
         spark.catalog.dropTempView(from)
         // materialized views and dictionaries referencing the old name
         // follow the rename (their triggers/probes keep working)

@@ -400,11 +400,15 @@ object ChSql {
             lastSignificant == ']' || lastSignificant == '\'' ||
             lastSignificant == '`') && primaryStart >= 0
           if (access) {
-            // x[i] → element_at(x, i): CH element access is 1-BASED
-            // (negative = from the end) and Spark's bracket form is
-            // 0-based — passing it through would silently shift every
-            // array index; element_at carries CH's convention
-            out.insert(primaryStart, "element_at(")
+            // x[i] → try_element_at(x, i): CH element access is
+            // 1-BASED (negative = from the end) and Spark's bracket
+            // form is 0-based — passing it through would silently
+            // shift every array index; try_element_at carries CH's
+            // convention AND returns NULL out of range instead of the
+            // ANSI throw (CH renders the TYPE DEFAULT — 0/'' — there;
+            // NULL is this engine's documented no-fake-defaults
+            // posture, the same divergence ADD COLUMN declares)
+            out.insert(primaryStart, "try_element_at(")
             stack.push(AccBracket(primaryStart))
             out.append(", ")
           } else {

@@ -81,6 +81,25 @@ object ChWrites {
       """((?:SELECT|WITH)\b.*)$""").r
   private val FormatPrefixRe = """(?is)^FORMAT\s+(\w+)\s+(.*)$""".r
   private val EngineRe = """(?i)\bENGINE\s*=\s*(\w+)(\s*\(([^)]*)\))?""".r
+
+  // `ENGINE = Replicated<Family>MergeTree('/zk', '{replica}'[, …])` —
+  // quoted args + one paren nesting level (the Summing tuple)
+  private val ReplicatedClauseRe =
+    ("""(?is)\bENGINE\s*=\s*""" +
+      """(Replicated\w*MergeTree\s*(?:\((?:[^()']|'[^']*'|\([^()]*\))*\))?)""").r
+
+  /** Normalize a CREATE TABLE tail's Replicated engine spelling via
+    * [[graft.core.Catalog.normalizeEngine]]; returns the verbatim
+    * declared spec when it changed (recorded for SHOW CREATE). */
+  private def stripReplicated(text: String): (String, Option[String]) =
+    ReplicatedClauseRe.findFirstMatchIn(text) match {
+      case None => (text, None)
+      case Some(m) =>
+        val declared = m.group(1).trim
+        val norm = graft.core.Catalog.normalizeEngine(declared)
+        (text.substring(0, m.start) + s"ENGINE = $norm" +
+          text.substring(m.end), Some(declared))
+    }
   private val OrderByRe = """(?is)\bORDER\s+BY\s*\(([^)]*)\)""".r
   private val OrderByBareRe = """(?is)\bORDER\s+BY\s+([\w`."]+)""".r
 
@@ -127,8 +146,14 @@ object ChWrites {
         val warehouse = spark.conf.get(WarehouseConf,
           s"${System.getProperty("java.io.tmpdir")}/graft_warehouse")
         val path = s"$warehouse/$name"
+        graft.core.Catalog.requireEndpointFree(path, name, "CREATE TABLE")
         val df = selectDf(spark, body, macros)
-        val engineM = EngineRe.findFirstMatchIn(middle)
+        // Replicated* spellings normalize (replication args stripped —
+        // driver-as-coordinator, same posture as ON CLUSTER) so
+        // verbatim production DDL ports run; declared spelling kept
+        // for SHOW CREATE
+        val (middleN, declaredEngine) = stripReplicated(middle)
+        val engineM = EngineRe.findFirstMatchIn(middleN)
         val engine = engineM.map(_.group(1).toLowerCase)
         val mtFamily = engine.exists(e =>
           e == "mergetree" || e == "replacingmergetree" ||
@@ -221,7 +246,8 @@ object ChWrites {
           graft.sources.mergetree.MergeTree.read(spark, path, ddl, sortKey)
             .createOrReplaceTempView(name)
           graft.core.Catalog.recordCtas(name, path, sortKey, ddl,
-            graft.core.Catalog.Kind.MergeTree, partitionBy, engineSpec, ttl)
+            graft.core.Catalog.Kind.MergeTree, partitionBy, engineSpec, ttl,
+            declaredEngine = declaredEngine.getOrElse(""))
           Seq((name, path, rows)).toDF("table", "path", "rows")
         } else {
           engine.filterNot(_ == "mergetree").foreach { e =>
@@ -280,7 +306,11 @@ object ChWrites {
               "(use IF NOT EXISTS to no-op, or DROP TABLE first)")
           return Seq((name, "exists", 0L)).toDF("table", "path", "rows")
         }
-        val engineWord = engineSpec0.takeWhile(_ != '(').trim.toLowerCase
+        // Replicated* spellings normalize (replication args stripped)
+        val engineSpecN = graft.core.Catalog.normalizeEngine(engineSpec0.trim)
+        val declaredEngine0 =
+          if (engineSpecN != engineSpec0.trim) engineSpec0.trim else ""
+        val engineWord = engineSpecN.takeWhile(_ != '(').trim.toLowerCase
         require(engineWord.endsWith("mergetree"),
           s"CREATE TABLE $name: ENGINE = $engineSpec0 — empty-table DDL " +
             "supports the MergeTree family (use CREATE TABLE … AS SELECT " +
@@ -295,6 +325,7 @@ object ChWrites {
         val warehouse = spark.conf.get(WarehouseConf,
           s"${System.getProperty("java.io.tmpdir")}/graft_warehouse")
         val path = s"$warehouse/$name"
+        graft.core.Catalog.requireEndpointFree(path, name, "CREATE TABLE")
         val empty = spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
         graft.sources.mergetree.MergeTreeCtas.write(spark, empty, path,
@@ -306,7 +337,8 @@ object ChWrites {
         graft.core.Catalog.update(graft.core.Catalog.AttachedTable(
           name, colsDdl.trim, sortKey, Some(path), sampleBy = sampleBy,
           kind = graft.core.Catalog.Kind.MergeTree, ownsStorage = true,
-          partitionBy = partitionBy, engine = engineSpec0.trim, ttl = ttl))
+          partitionBy = partitionBy, engine = engineSpecN, ttl = ttl,
+          declaredEngine = declaredEngine0))
         Seq((name, path, 0L)).toDF("table", "path", "rows")
       case InsertValuesRe(rawName, colList, tuples) =>
         // CH's literal-rows spelling: rewrite to the INSERT … SELECT
@@ -609,10 +641,23 @@ object ChWrites {
     batch.createOrReplaceTempView(batchView)
     try mvs.foreach { mv =>
       graft.core.MatViews.cascade(mv.name) {
-        val re = ("""(?i)\b(FROM|JOIN)\s+(""" +
+        // CH substitutes ONLY the trigger (FROM) side: a JOIN back to
+        // the source reads the FULL table (dedup-against-history MV
+        // shapes depend on it), so only the first FROM occurrence
+        // becomes the batch; JOIN-side and later FROM references keep
+        // reading the table (advisor r12 — the old FROM|JOIN regex
+        // silently computed self-join MVs over the batch twice).
+        val re = ("""(?i)\b(FROM)\s+(""" +
           java.util.regex.Pattern.quote(mv.source) + """)\b""").r
-        val rewritten = ChSql.replaceQuoteAware(mv.select, re)(m =>
-          Some(s"${m.group(1)} $batchView"))
+        var substituted = false
+        val rewritten = ChSql.replaceQuoteAware(mv.select, re) { m =>
+          if (substituted) None
+          else { substituted = true; Some(s"${m.group(1)} $batchView") }
+        }
+        require(substituted,
+          s"MATERIALIZED VIEW ${mv.name}: trigger source '${mv.source}' " +
+            "has no FROM occurrence in the view's SELECT — cannot " +
+            "scope the insert trigger to the batch")
         run(spark, s"INSERT INTO ${mv.target} $rewritten", macros)
       }
     } finally spark.catalog.dropTempView(batchView)

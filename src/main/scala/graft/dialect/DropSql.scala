@@ -26,22 +26,38 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object DropSql {
 
   private val DropRe =
-    """(?is)^\s*DROP\s+(?:TABLE|VIEW)\s+(IF\s+EXISTS\s+)?([\w.`"]+)\s*(?:SYNC)?\s*$""".r
+    """(?is)^\s*DROP\s+(TABLE|VIEW)\s+(IF\s+EXISTS\s+)?([\w.`"]+)\s*(?:SYNC)?\s*$""".r
   private val DetachRe =
-    """(?is)^\s*DETACH\s+(?:TABLE|VIEW)\s+(IF\s+EXISTS\s+)?([\w.`"]+)\s*$""".r
+    """(?is)^\s*DETACH\s+(TABLE|VIEW)\s+(IF\s+EXISTS\s+)?([\w.`"]+)\s*$""".r
 
   def isDrop(sql: String): Boolean =
     DropRe.matches(sql) || DetachRe.matches(sql)
 
   def run(spark: SparkSession, sql: String): DataFrame = {
     import spark.implicits._
-    val (ifExists, rawName, drop) = sql match {
-      case DropRe(ie, n) => (ie != null, n, true)
-      case DetachRe(ie, n) => (ie != null, n, false)
+    val (kw, ifExists, rawName, drop) = sql match {
+      case DropRe(k, ie, n) => (k.toUpperCase, ie != null, n, true)
+      case DetachRe(k, ie, n) => (k.toUpperCase, ie != null, n, false)
       case other => throw new IllegalArgumentException(
         s"unparseable DROP/DETACH statement: $other")
     }
     val name = ProjectionSql.clean(rawName)
+    // CH refuses the kind mismatch ('is a view' / 'is not a view'):
+    // DROP VIEW on a table must not delete a CTAS table's owned
+    // storage, and DROP TABLE on a view must not remove a view
+    // (advisor r12). MATERIALIZED VIEWs accept both spellings, as CH
+    // does. IF EXISTS does not soften a mismatch — the object exists,
+    // it is just the wrong kind.
+    val isView = graft.core.MatViews.lookupPlain(name).isDefined
+    val isTable = graft.core.Catalog.all.exists(_.name.equalsIgnoreCase(name))
+    val verb = if (drop) "DROP" else "DETACH"
+    if (kw == "VIEW" && isTable && !isView)
+      throw new IllegalArgumentException(
+        s"$verb VIEW $name: '$name' is not a view (it is a table — use " +
+          s"$verb TABLE)")
+    if (kw == "TABLE" && isView)
+      throw new IllegalArgumentException(
+        s"$verb TABLE $name: '$name' is a view (use $verb VIEW)")
     // a MATERIALIZED VIEW drops/detaches its trigger registration; the
     // ENGINE form's backing table (`<mv>__inner`) is CTAS-owned and
     // falls with a DROP (CH drops its `.inner` table too) but survives

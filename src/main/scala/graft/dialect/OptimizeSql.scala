@@ -84,9 +84,15 @@ object OptimizeSql {
           MergeTreeCtas.write(spark, dfT, staging, key,
             declaredDdl = Some(ddl), op = "OPTIMIZE TABLE PARTITION",
             partitionBy = partitionBy)
+          // crash-safe order (advisor r12): ATTACH the merged
+          // replacements under fresh block numbers FIRST, then drop
+          // the superseded originals BY NAME — a death between the
+          // two steps leaves duplicates the next OPTIMIZE collapses,
+          // never a lost partition; drop-by-name also spares parts a
+          // concurrent INSERT appended after the merge read its input
           MergeTreeCtas.withTreeLock(ep) {
-            MergeTree.dropPartition(spark, ep, pid)
             MergeTreeCtas.attachPartitionFrom(spark, ep, staging, pid)
+            MergeTree.dropParts(spark, ep, pidParts)
           }
         } finally {
           try {

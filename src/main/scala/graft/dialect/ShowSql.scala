@@ -162,7 +162,7 @@ object ShowSql {
       val stmt =
         if (v.inner) {
           val eng = graft.core.Catalog.lookup(v.target)
-            .map(_.engine).getOrElse("MergeTree")
+            .map(_.engineShown).getOrElse("MergeTree")
           s"$head ENGINE = $eng AS ${v.select}"
         } else s"$head TO ${v.target} AS ${v.select}"
       return Seq(stmt).toDF("statement")
@@ -184,7 +184,7 @@ object ShowSql {
         }.getOrElse("")
         val ttl = t.ttl.map(x => s" TTL $x").getOrElse("")
         s"ATTACH TABLE ${t.name}$uuid (${t.schemaDdl}) " +
-          s"ENGINE = ${t.engine}$partBy$orderBy$sampleBy$ttl$settings"
+          s"ENGINE = ${t.engineShown}$partBy$orderBy$sampleBy$ttl$settings"
       case other =>
         val orderBy = other.filter(_.orderBy.nonEmpty)
           .map(t => s" ORDER BY (${t.orderBy.mkString(", ")})").getOrElse("")
@@ -196,7 +196,7 @@ object ShowSql {
         // Nullable ORDER BY key no CH table could declare
         ProjectionSql.resolveMergeTree(spark, n) match {
           case Some((_, ddl, _)) =>
-            val eng = other.map(_.engine).getOrElse("MergeTree")
+            val eng = other.map(_.engineShown).getOrElse("MergeTree")
             val ttl = other.flatMap(_.ttl).map(x => s" TTL $x").getOrElse("")
             s"CREATE TABLE $n ($ddl) ENGINE = $eng$partBy$orderBy$ttl"
           case None =>

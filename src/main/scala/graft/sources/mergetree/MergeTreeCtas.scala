@@ -358,6 +358,27 @@ object MergeTreeCtas {
   def withTreeLock[A](dir0: String)(f: => A): A =
     treeLock(localDir(dir0)).synchronized(f)
 
+  /** Move a whole owned storage directory to a new endpoint (RENAME
+    * TABLE of a CTAS table — advisor r12 high finding: re-keying the
+    * catalog while the tree stays at `$warehouse/<old>` lets a later
+    * `CREATE TABLE <old>` write into the renamed table's live storage).
+    * One rename under the source tree's lock; refuses if the
+    * destination exists. Works for MergeTree trees and sorted-parquet
+    * CTAS dirs alike — it never looks inside. */
+  def moveTree(srcEndpoint: String, dstEndpoint: String, op: String): Unit = {
+    val (src, fs) = TreeFs.forWrite(srcEndpoint)
+    val (dst, _) = TreeFs.forWrite(dstEndpoint)
+    withTreeLock(src) {
+      require(fs.exists(src), s"$op: storage '$src' does not exist")
+      require(!fs.exists(dst),
+        s"$op: destination storage '$dst' already exists")
+      fs.mkdirs(fs.parent(dst))
+      require(fs.moveInto(src, dst),
+        s"$op: move '$src' -> '$dst' failed (destination appeared " +
+          "concurrently)")
+    }
+  }
+
   /** Maintenance writes address trees by the ATTACH endpoint string,
     * which may carry a file: scheme in any rendering — `file:///p`,
     * `file:/p` (the hadoop Path/URI form the old literal `file://`

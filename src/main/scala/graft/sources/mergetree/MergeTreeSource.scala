@@ -126,6 +126,32 @@ object MergeTree {
     rows
   }
 
+  /** Delete EXACTLY the named parts (already-absent names no-op).
+    * The crash-safe half of OPTIMIZE PARTITION: the merged
+    * replacements ATTACH under fresh block numbers FIRST, then the
+    * superseded originals drop BY NAME — a failure between the two
+    * steps leaves duplicate rows the next OPTIMIZE collapses, never
+    * lost rows (advisor r12: drop-then-attach lost the partition when
+    * the attach failed); drop-by-name also spares any part a
+    * concurrent INSERT added to the partition after the merge read
+    * its inputs. */
+  def dropParts(
+      spark: org.apache.spark.sql.SparkSession,
+      endpoint: String, parts: Seq[String]): Long = {
+    val (dir, fs) = TreeFs.forWrite(endpoint)
+    val rows = MergeTreeCtas.withTreeLock(dir) {
+      val tf = TableFiles(dir)
+      val live = tf.partDirs().toSet
+      val victims = parts.filter(live)
+      val n = victims.map(p => tf.text(s"$p/count.txt").trim.toLong).sum
+      victims.foreach(p => fs.deleteTree(fs.join(dir, p)))
+      if (victims.nonEmpty) MergeTreePartWriter.writeHttpIndex(dir, fs)
+      n
+    }
+    spark.catalog.refreshByPath(dir)
+    rows
+  }
+
   /** Part inventory for `system.parts`: (part name, rows, granules,
     * column count) per part under the endpoint. */
   def partsInfo(endpoint: String): Seq[(String, Long, Int, Int)] = {

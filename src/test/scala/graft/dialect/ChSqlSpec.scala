@@ -597,25 +597,28 @@ class ChSqlSpec extends AnyFunSuite {
     } finally spark.conf.unset(ChWrites.WarehouseConf)
   }
 
-  test("CH bracket array literals rewrite; element access becomes 1-based element_at") {
+  test("CH bracket array literals rewrite; element access becomes 1-based try_element_at") {
     // pure text-level pins
     assert(ChSql.rewriteArrayLiterals("SELECT [1, 2, 3]") ==
       "SELECT array(1, 2, 3)")
     assert(ChSql.rewriteArrayLiterals("SELECT [[1], [2, 3]]") ==
       "SELECT array(array(1), array(2, 3))")
-    // element access converts to CH's 1-based element_at — Spark's own
-    // bracket form is 0-based and would silently shift every index
+    // element access converts to CH's 1-based try_element_at — Spark's
+    // own bracket form is 0-based and would silently shift every
+    // index; the try_ form returns NULL out of range instead of the
+    // ANSI throw (CH renders the type default there — documented
+    // divergence, the engine's no-fake-defaults posture)
     assert(ChSql.rewriteArrayLiterals("SELECT m['key'], arr[1]") ==
-      "SELECT element_at(m, 'key'), element_at(arr, 1)")
+      "SELECT try_element_at(m, 'key'), try_element_at(arr, 1)")
     assert(ChSql.rewriteArrayLiterals("SELECT f(x)[1], '[not me]'") ==
-      "SELECT element_at(f(x), 1), '[not me]'")
+      "SELECT try_element_at(f(x), 1), '[not me]'")
     assert(ChSql.rewriteArrayLiterals("SELECT t.arr[i + 1]") ==
-      "SELECT element_at(t.arr, i + 1)")
+      "SELECT try_element_at(t.arr, i + 1)")
     assert(ChSql.rewriteArrayLiterals("SELECT has(['a', 'b'], s)") ==
       "SELECT has(array('a', 'b'), s)")
     // chained access and access on a literal
     assert(ChSql.rewriteArrayLiterals("SELECT [[1],[2]][1][1]") ==
-      "SELECT element_at(element_at(array(array(1),array(2)), 1), 1)")
+      "SELECT try_element_at(try_element_at(array(array(1),array(2)), 1), 1)")
     // end to end: 1-based access (CH semantics), negative from the end
     val spark = graft.TestSpark.spark
     val r = ChSql.sql(spark,
