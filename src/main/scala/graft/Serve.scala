@@ -29,6 +29,17 @@ object Serve {
       recover = sys.env.getOrElse("GRAFT_JOURNAL_RECOVER", "report"))
     val bound = srv.start()
     System.err.println(s"[serve] listening on 127.0.0.1:$bound (GET /hc, POST /query, GET /metrics)")
+    // the ClickHouse native TCP door — what the reference's control
+    // plane dials (workflow_query_executor.go builds a clickhouse-go
+    // conn on port 9000); GRAFT_NATIVE_PORT=0 picks an ephemeral port,
+    // -1 disables
+    val nativePort = sys.env.getOrElse("GRAFT_NATIVE_PORT", "9000").toInt
+    if (nativePort >= 0) {
+      val native = new graft.service.native.NativeServer(spark, nativePort)
+      val nbound = native.start()
+      System.err.println(s"[serve] native protocol on 127.0.0.1:$nbound")
+      sys.addShutdownHook(native.stop())
+    }
     // block until signalled, like the reference's signal.Notify +
     // e.Shutdown loop (`http_server.go:87-90`): the JVM shutdown hook is
     // the SIGTERM/SIGINT path, and stop() drains in-flight queries

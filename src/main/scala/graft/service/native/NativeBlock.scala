@@ -1,0 +1,344 @@
+package graft.service.native
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+
+import NativeWire.{ByteSource, WireOut}
+
+/** Native-protocol Data block codec — CH's `Block` layout (public
+  * protocol; clickhouse-go `lib/proto/block.go` reads exactly this):
+  *
+  * ```
+  * BlockInfo: (varint 1, UInt8 is_overflows, varint 2, Int32
+  *             bucket_num = -1, varint 0)
+  * varint num_columns, varint num_rows
+  * per column: name string, type string,
+  *             [UInt8 has_custom_serialization = 0  (rev ≥ 54454)],
+  *             column data
+  * ```
+  *
+  * Column data is columnar fixed-width little-endian / varint-length
+  * strings; `Nullable(T)` is a UInt8 null map then T with placeholder
+  * defaults; `Array(T)` is cumulative UInt64 offsets then the
+  * flattened inner column.
+  *
+  * Type surface: the github_events families the reference serves —
+  * Int8..64, UInt8..64, Float32/64, String, Date, DateTime,
+  * DateTime64, Bool, and Array/Nullable over them. Results map from
+  * Spark types; Enum columns are rendered as String on the way out
+  * (the engine's documented posture — type defaults are never faked),
+  * Decimal/Binary/struct-likes as String.
+  */
+object NativeBlock {
+
+  // ---- CH wire type model ----
+
+  sealed trait ChT
+  case object TInt8 extends ChT
+  case object TInt16 extends ChT
+  case object TInt32 extends ChT
+  case object TInt64 extends ChT
+  case object TUInt8 extends ChT
+  case object TUInt16 extends ChT
+  case object TUInt32 extends ChT
+  case object TUInt64 extends ChT
+  case object TFloat32 extends ChT
+  case object TFloat64 extends ChT
+  case object TString extends ChT
+  case object TDate extends ChT
+  case object TBool extends ChT
+  /** Wire UInt32 seconds. */
+  case object TDateTime extends ChT
+  /** Wire Int64 scaled by 10^precision. */
+  final case class TDateTime64(precision: Int) extends ChT
+  final case class TNullable(inner: ChT) extends ChT
+  final case class TArray(inner: ChT) extends ChT
+
+  def parseType(s0: String): ChT = {
+    val s = s0.trim
+    def inner(prefix: String): String =
+      s.substring(prefix.length + 1, s.length - 1)
+    if (s.startsWith("Nullable(")) TNullable(parseType(inner("Nullable")))
+    else if (s.startsWith("Array(")) TArray(parseType(inner("Array")))
+    else if (s.startsWith("LowCardinality("))
+      // dictionary-encoded transport is an optimization, not a type —
+      // this codec never EMITS it; accepting the spelling in a decode
+      // header would require the dict wire format, so refuse loudly
+      throw new IllegalArgumentException(
+        "native protocol: LowCardinality transport is not supported " +
+          "(the server emits plain types)")
+    else if (s.startsWith("DateTime64(")) {
+      val args = inner("DateTime64").split(",")
+      TDateTime64(args(0).trim.toInt)
+    }
+    else if (s.startsWith("DateTime")) TDateTime // optional ('tz')
+    else s match {
+      case "Int8" => TInt8
+      case "Int16" => TInt16
+      case "Int32" => TInt32
+      case "Int64" => TInt64
+      case "UInt8" => TUInt8
+      case "UInt16" => TUInt16
+      case "UInt32" => TUInt32
+      case "UInt64" => TUInt64
+      case "Float32" => TFloat32
+      case "Float64" => TFloat64
+      case "String" => TString
+      case "Date" => TDate
+      case "Bool" | "Boolean" => TBool
+      case other => throw new IllegalArgumentException(
+        s"native protocol: unsupported column type '$other'")
+    }
+  }
+
+  def renderType(t: ChT): String = t match {
+    case TInt8 => "Int8"
+    case TInt16 => "Int16"
+    case TInt32 => "Int32"
+    case TInt64 => "Int64"
+    case TUInt8 => "UInt8"
+    case TUInt16 => "UInt16"
+    case TUInt32 => "UInt32"
+    case TUInt64 => "UInt64"
+    case TFloat32 => "Float32"
+    case TFloat64 => "Float64"
+    case TString => "String"
+    case TDate => "Date"
+    case TBool => "Bool"
+    case TDateTime => "DateTime('UTC')"
+    case TDateTime64(p) => s"DateTime64($p, 'UTC')"
+    case TNullable(i) => s"Nullable(${renderType(i)})"
+    case TArray(i) => s"Array(${renderType(i)})"
+  }
+
+  /** Spark result field → CH wire type (session results are UTC). */
+  def chTypeFor(dt: DataType, nullable: Boolean): ChT = {
+    def wrap(t: ChT): ChT = if (nullable) TNullable(t) else t
+    dt match {
+      case ByteType => wrap(TInt8)
+      case ShortType => wrap(TInt16)
+      case IntegerType => wrap(TInt32)
+      case LongType => wrap(TInt64)
+      case FloatType => wrap(TFloat32)
+      case DoubleType => wrap(TFloat64)
+      case BooleanType => wrap(TBool)
+      case StringType => wrap(TString)
+      case DateType => wrap(TDate)
+      case _: TimestampType => wrap(TDateTime64(6))
+      // Decimal keeps full precision as text; Binary is a CH byte
+      // string already; anything else (struct/map) renders as text
+      case _: DecimalType => wrap(TString)
+      case BinaryType => wrap(TString)
+      case ArrayType(et, containsNull) =>
+        // CH has no Nullable(Array) — the array itself is never null
+        // on the wire (a null Spark array renders empty)
+        TArray(chTypeFor(et, containsNull))
+      case _ => wrap(TString)
+    }
+  }
+
+  // ---- encode ----
+
+  /** A column ready for the wire: `values` use the JVM shapes produced
+    * by Spark's `Row` (java.lang boxes, String, java.sql.Date/
+    * Timestamp, Seq for arrays, null). */
+  final case class Col(name: String, t: ChT, values: IndexedSeq[Any])
+
+  def writeBlock(o: WireOut, cols: Seq[Col], rows: Int, revision: Long): Unit = {
+    // BlockInfo (field-id/value pairs, 0-terminated)
+    o.writeVarUInt(1); o.writeByte(0)        // is_overflows = false
+    o.writeVarUInt(2); o.writeIntLE(-1)      // bucket_num = -1
+    o.writeVarUInt(0)
+    o.writeVarUInt(cols.size.toLong)
+    o.writeVarUInt(rows.toLong)
+    cols.foreach { c =>
+      o.writeString(c.name)
+      o.writeString(renderType(c.t))
+      if (revision >= NativeProtocol.MinRevisionWithCustomSerialization)
+        o.writeByte(0) // no custom (sparse/const) serialization
+      writeColumnData(o, c.t, c.values)
+    }
+  }
+
+  private def toLongNum(v: Any): Long = v match {
+    case b: java.lang.Byte => b.longValue
+    case s: java.lang.Short => s.longValue
+    case i: java.lang.Integer => i.longValue
+    case l: java.lang.Long => l.longValue
+    case b: java.lang.Boolean => if (b) 1L else 0L
+    case d: java.math.BigDecimal => d.longValueExact
+    case d: scala.math.BigDecimal => d.toLongExact
+    case other => throw new IllegalArgumentException(
+      s"native protocol: cannot encode ${other.getClass.getName} as integer")
+  }
+
+  private def toStringBytes(v: Any): Array[Byte] = v match {
+    case s: String => s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    case b: Array[Byte] => b
+    case d: java.math.BigDecimal => d.toPlainString
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    case d: scala.math.BigDecimal => d.bigDecimal.toPlainString
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    case other => String.valueOf(other)
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+  }
+
+  private def epochDay(v: Any): Long = v match {
+    case d: java.sql.Date => d.toLocalDate.toEpochDay
+    case d: java.time.LocalDate => d.toEpochDay
+    case other => toLongNum(other)
+  }
+
+  private def epochMicros(v: Any): Long = v match {
+    case t: java.sql.Timestamp => t.getTime * 1000L + (t.getNanos % 1000000L) / 1000L
+    case i: java.time.Instant =>
+      i.getEpochSecond * 1000000L + i.getNano / 1000L
+    case other => toLongNum(other)
+  }
+
+  private def writeColumnData(o: WireOut, t: ChT, vs: IndexedSeq[Any]): Unit =
+    t match {
+      case TNullable(inner) =>
+        vs.foreach(v => o.writeByte(if (v == null) 1 else 0))
+        val zero: Any = inner match {
+          case TString => ""
+          case TFloat32 => java.lang.Float.valueOf(0f)
+          case TFloat64 => java.lang.Double.valueOf(0d)
+          case TBool => java.lang.Boolean.FALSE
+          case TDate => java.time.LocalDate.ofEpochDay(0)
+          case TDateTime | TDateTime64(_) => java.time.Instant.EPOCH
+          case _ => java.lang.Long.valueOf(0L)
+        }
+        writeColumnData(o, inner, vs.map(v => if (v == null) zero else v))
+      case TArray(inner) =>
+        val seqs = vs.map {
+          case null => IndexedSeq.empty[Any]
+          case s: scala.collection.Seq[_] => s.toIndexedSeq
+          case a: Array[_] => a.toIndexedSeq
+          case other => throw new IllegalArgumentException(
+            s"native protocol: cannot encode ${other.getClass.getName} as Array")
+        }
+        var off = 0L
+        seqs.foreach { s => off += s.size; o.writeLongLE(off) }
+        writeColumnData(o, inner, seqs.flatten)
+      case TInt8 => vs.foreach(v => o.writeByte((toLongNum(v) & 0xFF).toInt))
+      case TUInt8 => vs.foreach(v => o.writeByte((toLongNum(v) & 0xFF).toInt))
+      case TBool => vs.foreach(v => o.writeByte(if (toLongNum(v) != 0) 1 else 0))
+      case TInt16 => vs.foreach(v => o.writeShortLE(toLongNum(v).toShort))
+      case TUInt16 => vs.foreach(v => o.writeShortLE(toLongNum(v).toShort))
+      case TInt32 => vs.foreach(v => o.writeIntLE(toLongNum(v).toInt))
+      case TUInt32 => vs.foreach(v => o.writeIntLE(toLongNum(v).toInt))
+      case TInt64 => vs.foreach(v => o.writeLongLE(toLongNum(v)))
+      case TUInt64 => vs.foreach(v => o.writeLongLE(toLongNum(v)))
+      case TFloat32 => vs.foreach {
+        case f: java.lang.Float => o.writeFloatLE(f.floatValue)
+        case v => o.writeFloatLE(toLongNum(v).toFloat)
+      }
+      case TFloat64 => vs.foreach {
+        case d: java.lang.Double => o.writeDoubleLE(d.doubleValue)
+        case f: java.lang.Float => o.writeDoubleLE(f.doubleValue)
+        case v => o.writeDoubleLE(toLongNum(v).toDouble)
+      }
+      case TString => vs.foreach { v =>
+        val b = toStringBytes(v)
+        o.writeVarUInt(b.length.toLong)
+        o.writeBytes(b)
+      }
+      case TDate => vs.foreach { v =>
+        // CH Date is UInt16 days since epoch — clamp like CH does
+        val d = math.min(math.max(epochDay(v), 0L), 65535L)
+        o.writeShortLE(d.toShort)
+      }
+      case TDateTime => vs.foreach(v =>
+        o.writeIntLE((epochMicros(v) / 1000000L).toInt))
+      case TDateTime64(p) => vs.foreach { v =>
+        val micros = epochMicros(v)
+        val scaled =
+          if (p == 6) micros
+          else if (p < 6) micros / math.pow(10, (6 - p).toDouble).toLong
+          else micros * math.pow(10, (p - 6).toDouble).toLong
+        o.writeLongLE(scaled)
+      }
+    }
+
+  // ---- decode ----
+
+  final case class DecodedBlock(cols: Seq[Col], rows: Int)
+
+  def readBlock(src: ByteSource, revision: Long): DecodedBlock = {
+    // BlockInfo field pairs until 0
+    var field = src.readVarUInt()
+    while (field != 0) {
+      field match {
+        case 1 => src.readByte()
+        case 2 => src.readIntLE()
+        case other => throw new IllegalArgumentException(
+          s"native protocol: unknown BlockInfo field $other")
+      }
+      field = src.readVarUInt()
+    }
+    val nCols = src.readVarUInt().toInt
+    val nRows = src.readVarUInt().toInt
+    val cols = (0 until nCols).map { _ =>
+      val name = src.readString()
+      val t = parseType(src.readString())
+      if (revision >= NativeProtocol.MinRevisionWithCustomSerialization) {
+        val custom = src.readByte()
+        require(custom == 0,
+          "native protocol: custom column serialization is not supported")
+      }
+      Col(name, t, readColumnData(src, t, nRows))
+    }
+    DecodedBlock(cols, nRows)
+  }
+
+  private def readColumnData(src: ByteSource, t: ChT,
+      rows: Int): IndexedSeq[Any] = t match {
+    case TNullable(inner) =>
+      val nulls = (0 until rows).map(_ => src.readByte() != 0)
+      val vals = readColumnData(src, inner, rows)
+      (0 until rows).map(i => if (nulls(i)) null else vals(i))
+    case TArray(inner) =>
+      val offsets = (0 until rows).map(_ => src.readLongLE())
+      val total = if (rows == 0) 0 else offsets.last.toInt
+      val flat = readColumnData(src, inner, total)
+      var prev = 0
+      offsets.map { o =>
+        val s = flat.slice(prev, o.toInt); prev = o.toInt; s
+      }
+    case TInt8 => (0 until rows).map(_ => src.readByte().toByte)
+    case TUInt8 => (0 until rows).map(_ => (src.readByte() & 0xFF).toShort)
+    case TBool => (0 until rows).map(_ => src.readByte() != 0)
+    case TInt16 => (0 until rows).map(_ => src.readShortLE())
+    case TUInt16 => (0 until rows).map(_ => src.readShortLE() & 0xFFFF)
+    case TInt32 => (0 until rows).map(_ => src.readIntLE())
+    case TUInt32 => (0 until rows).map(_ => src.readIntLE().toLong & 0xFFFFFFFFL)
+    case TInt64 => (0 until rows).map(_ => src.readLongLE())
+    case TUInt64 => (0 until rows).map(_ => src.readLongLE()) // signed reinterpret
+    case TFloat32 => (0 until rows).map(_ => src.readFloatLE())
+    case TFloat64 => (0 until rows).map(_ => src.readDoubleLE())
+    case TString => (0 until rows).map(_ => src.readString())
+    case TDate => (0 until rows).map(_ =>
+      java.time.LocalDate.ofEpochDay((src.readShortLE() & 0xFFFF).toLong))
+    case TDateTime => (0 until rows).map(_ =>
+      java.time.Instant.ofEpochSecond(src.readIntLE().toLong & 0xFFFFFFFFL))
+    case TDateTime64(p) => (0 until rows).map { _ =>
+      val v = src.readLongLE()
+      val micros =
+        if (p == 6) v
+        else if (p < 6) v * math.pow(10, (6 - p).toDouble).toLong
+        else v / math.pow(10, (p - 6).toDouble).toLong
+      java.time.Instant.ofEpochSecond(
+        Math.floorDiv(micros, 1000000L), Math.floorMod(micros, 1000000L) * 1000L)
+    }
+  }
+
+  // ---- Spark bridge ----
+
+  /** Result rows → wire columns under the schema-derived types. */
+  def fromRows(schema: StructType, rows: Array[Row]): Seq[Col] =
+    schema.fields.zipWithIndex.toSeq.map { case (f, i) =>
+      Col(f.name, chTypeFor(f.dataType, f.nullable),
+        rows.toIndexedSeq.map(r => r.get(i)))
+    }
+}

@@ -1,0 +1,449 @@
+package graft.service.native
+
+import java.io.{BufferedInputStream, BufferedOutputStream, EOFException, InputStream, OutputStream}
+import java.net.{InetAddress, ServerSocket, Socket}
+import java.util.concurrent.atomic.AtomicBoolean
+
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.{Row, SparkSession}
+
+import graft.dialect.ChSql
+import graft.service.QueryService
+import graft.service.QueryService.QueryRequest
+import NativeProtocol._
+import NativeWire._
+
+/** ClickHouse native TCP protocol (port 9000) — the door the
+  * reference's control plane actually dials. Its Temporal workflow
+  * never speaks HTTP: it builds a clickhouse-go conn with LZ4
+  * compression (reference `temporal/workflow_query_executor.go:222-236`),
+  * pins it, runs SET/ATTACH init queries then the main query on that
+  * one connection (`:302-313`). This server speaks the subset that
+  * flow needs, against the SAME [[QueryService]] the HTTP door uses:
+  *
+  *   - ClientHello / ServerHello with revision negotiation
+  *     (`min(client, [[NativeProtocol.ServerRevision]])` gates every
+  *     conditional field on both sides);
+  *   - Query with string-serialized settings, client info, external
+  *     Data blocks (registered as session temp tables, CH's external
+  *     table semantics), and the end-of-external-data empty block;
+  *   - Data blocks out: a zero-row header block (names + types), row
+  *     blocks chunked at [[BlockRows]], Progress, EndOfStream;
+  *   - native batch INSERT: `INSERT INTO t [(cols)]` with no inline
+  *     source → the server answers the target's header block, consumes
+  *     client Data blocks, and appends through the SQL INSERT path
+  *     (part-append on MergeTree targets, triggers materialized views);
+  *   - Ping/Pong, Cancel, Exception frames (code + name + message +
+  *     stack + nested flag);
+  *   - LZ4 block compression both ways when the client asked for it
+  *     (the frame layout is byte-identical to the MergeTree `.bin`
+  *     frames this engine already reads/writes — CityHash128 checksum
+  *     over the 9-byte header + payload).
+  *
+  * Session model: one `spark.newSession()` + [[QueryService]] per
+  * connection, so SET/ATTACH init state persists across queries on the
+  * pinned connection exactly as the reference's init-then-query flow
+  * assumes — and is isolated from other connections (CH's own session
+  * = connection contract). The catalog outlives connections (tables
+  * CTAS'd on one conn are visible to the next), as on the HTTP door.
+  *
+  * Scale posture: a driver-side control door, like the HTTP shell —
+  * thread-per-connection is fine for the handful of control-plane
+  * conns the reference holds; the heavy lifting stays in Spark jobs.
+  */
+class NativeServer(spark: SparkSession, port: Int = 0) {
+
+  /** Result rows per Data block — CH's own default block granularity
+    * (max_block_size = 65409 in CH; smaller here keeps per-block
+    * buffering bounded without measurable overhead at control-door
+    * result sizes). */
+  val BlockRows = 8192
+
+  private val log = org.slf4j.LoggerFactory.getLogger(classOf[NativeServer])
+  private val running = new AtomicBoolean(false)
+  @volatile private var server: ServerSocket = _
+  @volatile private var acceptor: Thread = _
+  private val conns = java.util.concurrent.ConcurrentHashMap.newKeySet[Socket]()
+
+  def start(): Int = {
+    require(running.compareAndSet(false, true), "native server already started")
+    server = new ServerSocket(port, 64, InetAddress.getLoopbackAddress)
+    acceptor = new Thread(() => acceptLoop(), "graft-native-accept")
+    acceptor.setDaemon(true)
+    acceptor.start()
+    server.getLocalPort
+  }
+
+  def stop(): Unit = if (running.compareAndSet(true, false)) {
+    try server.close() catch { case scala.util.control.NonFatal(_) => () }
+    conns.forEach(s => try s.close() catch { case scala.util.control.NonFatal(_) => () })
+    conns.clear()
+  }
+
+  private def acceptLoop(): Unit =
+    while (running.get) {
+      try {
+        val sock = server.accept()
+        sock.setTcpNoDelay(true)
+        conns.add(sock)
+        val t = new Thread(() => {
+          try serve(sock)
+          catch {
+            case _: EOFException => () // client hung up — normal
+            case scala.util.control.NonFatal(e) =>
+              log.warn(s"native conn failed: ${e.getMessage}")
+          } finally {
+            conns.remove(sock)
+            try sock.close() catch { case scala.util.control.NonFatal(_) => () }
+          }
+        }, s"graft-native-conn-${sock.getPort}")
+        t.setDaemon(true)
+        t.start()
+      } catch {
+        case scala.util.control.NonFatal(_) if !running.get => () // closed
+        case scala.util.control.NonFatal(e) =>
+          if (running.get) log.warn(s"native accept failed: ${e.getMessage}")
+      }
+    }
+
+  // ---- per-connection protocol loop ----
+
+  private def serve(sock: Socket): Unit = {
+    val in = new BufferedInputStream(sock.getInputStream)
+    val out = new BufferedOutputStream(sock.getOutputStream)
+
+    // ClientHello
+    val first = NativeWire.readVarUInt(in)
+    require(first == ClientHello,
+      s"native protocol: expected ClientHello(0), got packet $first")
+    val clientName = NativeWire.readString(in)
+    val major = NativeWire.readVarUInt(in)
+    val minor = NativeWire.readVarUInt(in)
+    val clientRev = NativeWire.readVarUInt(in)
+    val database = NativeWire.readString(in)
+    val user = NativeWire.readString(in)
+    NativeWire.readString(in) // password — accepted, not enforced (like the HTTP door)
+    require(clientRev >= MinRevisionWithSettingsSerializedAsStrings,
+      s"native protocol: client revision $clientRev is older than " +
+        s"$MinRevisionWithSettingsSerializedAsStrings (typed-binary " +
+        "settings serialization is not supported)")
+    val revision = math.min(clientRev, ServerRevision)
+    log.info(s"native hello: $clientName $major.$minor rev=$clientRev " +
+      s"db=$database user=$user -> negotiated $revision")
+
+    // ServerHello (tail gated on the negotiated revision, see
+    // [[NativeProtocol]] scaladoc)
+    val hello = new WireOut
+    hello.writeVarUInt(ServerHello)
+    hello.writeString("graft")
+    hello.writeVarUInt(23); hello.writeVarUInt(8) // version presented
+    hello.writeVarUInt(revision)
+    if (revision >= MinRevisionWithServerTimezone) hello.writeString("UTC")
+    if (revision >= MinRevisionWithServerDisplayName) hello.writeString("graft")
+    if (revision >= MinRevisionWithVersionPatch) hello.writeVarUInt(0)
+    out.write(hello.bytes); out.flush()
+
+    // client addendum (quota key) — present from 54458 on
+    if (revision >= MinProtocolWithAddendum) NativeWire.readString(in)
+
+    // one Spark session per connection: SET/ATTACH state persists
+    // across this conn's queries and is invisible to other conns
+    val session = spark.newSession()
+    val svc = new QueryService(session)
+
+    var open = true
+    while (open) {
+      val packet =
+        try NativeWire.readVarUInt(in)
+        catch { case _: EOFException => open = false; -1L }
+      packet match {
+        case -1L => ()
+        case ClientPing =>
+          NativeWire.writeVarUInt(out, ServerPong); out.flush()
+        case ClientCancel => () // nothing in flight at top level
+        case ClientQuery =>
+          try handleQuery(session, svc, in, out, revision)
+          catch {
+            case _: EOFException => throw new EOFException("client hung up mid-query")
+            case scala.util.control.NonFatal(e) =>
+              sendException(out, e)
+          }
+        case other =>
+          throw new IllegalArgumentException(
+            s"native protocol: unexpected client packet $other")
+      }
+    }
+  }
+
+  private def handleQuery(session: SparkSession, svc: QueryService,
+      in: InputStream, out: OutputStream, revision: Long): Unit = {
+    NativeWire.readString(in) // query id
+    if (revision >= MinRevisionWithClientInfo) readClientInfo(in, revision)
+    // settings: (name, flags, value as string)* terminated by ""
+    val settings = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    var name = NativeWire.readString(in)
+    while (name.nonEmpty) {
+      NativeWire.readVarUInt(in) // flags (important/custom)
+      settings(name) = NativeWire.readString(in)
+      name = NativeWire.readString(in)
+    }
+    if (revision >= MinRevisionWithInterserverSecret) NativeWire.readString(in)
+    NativeWire.readVarUInt(in) // stage (complete)
+    val compression = NativeWire.readVarUInt(in) != 0
+    val query = NativeWire.readString(in)
+    if (revision >= MinProtocolWithParameters) {
+      var p = NativeWire.readString(in)
+      while (p.nonEmpty) {
+        NativeWire.readVarUInt(in) // flags
+        NativeWire.readString(in) // value — parameters unsupported, tolerated
+        p = NativeWire.readString(in)
+      }
+    }
+
+    ChSql.applySettings(session, settings.toMap)
+
+    if (isClientDataInsert(query)) {
+      insertFromClientBlocks(session, svc, in, out, revision, compression,
+        query)
+      return
+    }
+
+    // external tables: Data packets before the end-of-data empty block
+    // register as session temp views (CH's external-table semantics)
+    readClientBlocks(in, revision, compression) { (tableName, block) =>
+      if (tableName.nonEmpty && block.cols.nonEmpty)
+        blockToDf(session, block).createOrReplaceTempView(tableName)
+    }
+
+    val started = System.nanoTime()
+    val (df, _) = svc.executeToDf(QueryRequest(query))
+    val schema = df.schema
+    val rows = df.collect()
+
+    sendBlock(out, revision, compression,
+      NativeBlock.fromRows(schema, Array.empty[Row]), 0) // header
+    var off = 0
+    while (off < rows.length) {
+      val chunk = rows.slice(off, math.min(off + BlockRows, rows.length))
+      sendBlock(out, revision, compression,
+        NativeBlock.fromRows(schema, chunk), chunk.length)
+      off += chunk.length
+    }
+    sendProgress(out, revision, rows.length.toLong, System.nanoTime() - started)
+    NativeWire.writeVarUInt(out, ServerEndOfStream)
+    out.flush()
+  }
+
+  /** `INSERT INTO t [(cols)]` with NO inline source (no SELECT, no
+    * VALUES tuples) — the native batch-insert opening: the client
+    * expects the target's header block back, then streams Data blocks. */
+  private val ClientDataInsertRe =
+    ("""(?is)^\s*INSERT\s+INTO\s+(?:TABLE\s+)?([`"\w.]+)\s*""" +
+      """(\(([^)]*)\))?\s*(?:VALUES|FORMAT\s+Native)?\s*$""").r
+
+  private def isClientDataInsert(q: String): Boolean =
+    ClientDataInsertRe.matches(q)
+
+  private def insertFromClientBlocks(session: SparkSession,
+      svc: QueryService, in: InputStream, out: OutputStream,
+      revision: Long, compression: Boolean, query: String): Unit = {
+    val m = ClientDataInsertRe.findFirstMatchIn(query).get
+    val table = m.group(1).replaceAll("[`\"]", "")
+    graft.core.Catalog.ensureSessionViews(session, table)
+    val full = session.table(table).schema
+    val wanted: Seq[String] = Option(m.group(3))
+      .map(_.split(",").map(_.trim.replaceAll("[`\"]", ""))
+        .filter(_.nonEmpty).toSeq)
+      .getOrElse(full.fieldNames.toSeq)
+    wanted.foreach(c => require(full.fieldNames.contains(c),
+      s"INSERT INTO $table: no column '$c'"))
+    val schema = StructType(wanted.map(c => full(c)))
+
+    // the header block tells the client the column names + wire types —
+    // a catalog MergeTree target reports its DECLARED CH types (the
+    // Spark view marks everything nullable, which would misreport
+    // `id Int64` as Nullable(Int64) — CH sends the declared types)
+    val declared: Map[String, String] =
+      graft.core.Catalog.lookup(table)
+        .orElse(graft.core.Catalog.all.find(_.name.equalsIgnoreCase(table)))
+        .filter(_.schemaDdl.nonEmpty)
+        .map(t => scala.util.Try(
+            graft.types.ChSchemaParser.columnPairs(t.schemaDdl).toMap)
+          .getOrElse(Map.empty[String, String]))
+        .getOrElse(Map.empty)
+    val headerCols = wanted.map { c =>
+      val t = declared.get(c)
+        .flatMap(ts => scala.util.Try(NativeBlock.parseType(ts)).toOption)
+        .getOrElse(NativeBlock.chTypeFor(full(c).dataType, full(c).nullable))
+      NativeBlock.Col(c, t, IndexedSeq.empty)
+    }
+    sendBlock(out, revision, compression, headerCols, 0)
+    out.flush()
+
+    val batches = scala.collection.mutable.ArrayBuffer.empty[Row]
+    readClientBlocks(in, revision, compression) { (_, block) =>
+      if (block.rows > 0) {
+        require(block.cols.map(_.name) == wanted,
+          s"INSERT INTO $table: block columns ${block.cols.map(_.name)} " +
+            s"do not match the insert target $wanted")
+        var i = 0
+        while (i < block.rows) {
+          batches += Row.fromSeq(block.cols.map(c => c.values(i)))
+          i += 1
+        }
+      }
+    }
+
+    if (batches.nonEmpty) {
+      val view = s"__native_insert_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      val df = session.createDataFrame(
+        new java.util.ArrayList[Row](scala.jdk.CollectionConverters
+          .SeqHasAsJava(batches.toSeq).asJava), schema)
+      df.createOrReplaceTempView(view)
+      try {
+        val cols = wanted.map(c => s"`$c`").mkString(", ")
+        svc.executeToDf(QueryRequest(
+          s"INSERT INTO $table ($cols) SELECT $cols FROM $view"))._1.collect()
+      } finally session.catalog.dropTempView(view)
+    }
+    NativeWire.writeVarUInt(out, ServerEndOfStream)
+    out.flush()
+  }
+
+  /** Read Data packets until the empty end-of-data block; Pings are
+    * answered inline (clickhouse-go health-checks between packets). */
+  private def readClientBlocks(in: InputStream, revision: Long,
+      compression: Boolean)(
+      f: (String, NativeBlock.DecodedBlock) => Unit): Unit = {
+    var done = false
+    while (!done) {
+      val packet = NativeWire.readVarUInt(in)
+      packet match {
+        case ClientData =>
+          val tableName = NativeWire.readString(in)
+          val src: ByteSource =
+            if (compression) new FrameIn(in) else new StreamIn(in)
+          val block = NativeBlock.readBlock(src, revision)
+          if (block.cols.isEmpty && block.rows == 0) done = true
+          else f(tableName, block)
+        case ClientCancel => done = true
+        case other => throw new IllegalArgumentException(
+          s"native protocol: expected Data during insert, got packet $other")
+      }
+    }
+  }
+
+  private def blockToDf(session: SparkSession,
+      block: NativeBlock.DecodedBlock): org.apache.spark.sql.DataFrame = {
+    val schema = StructType(block.cols.map(c =>
+      org.apache.spark.sql.types.StructField(c.name, sparkType(c.t),
+        nullable = true)))
+    val rows = (0 until block.rows).map(i =>
+      Row.fromSeq(block.cols.map(_.values(i))))
+    session.createDataFrame(
+      new java.util.ArrayList[Row](
+        scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava), schema)
+  }
+
+  private def sparkType(t: NativeBlock.ChT): org.apache.spark.sql.types.DataType = {
+    import NativeBlock._
+    import org.apache.spark.sql.types._
+    t match {
+      case TInt8 => ByteType
+      case TInt16 => ShortType
+      case TInt32 => IntegerType
+      case TInt64 => LongType
+      case TUInt8 => ShortType
+      case TUInt16 => IntegerType
+      case TUInt32 => LongType
+      case TUInt64 => LongType // signed reinterpretation, documented
+      case TFloat32 => FloatType
+      case TFloat64 => DoubleType
+      case TBool => BooleanType
+      case TString => StringType
+      case TDate => DateType
+      case TDateTime | TDateTime64(_) => TimestampType
+      case TNullable(i) => sparkType(i)
+      case TArray(i) => ArrayType(sparkType(i))
+    }
+  }
+
+  private def sendBlock(out: OutputStream, revision: Long,
+      compression: Boolean, cols: Seq[NativeBlock.Col], rows: Int): Unit = {
+    NativeWire.writeVarUInt(out, ServerData)
+    NativeWire.writeString(out, "") // no temporary-table name
+    val body = new WireOut
+    NativeBlock.writeBlock(body, cols, rows, revision)
+    if (compression) out.write(NativeWire.lz4Frame(body.bytes))
+    else out.write(body.bytes)
+    out.flush()
+  }
+
+  private def sendProgress(out: OutputStream, revision: Long,
+      rows: Long, elapsedNs: Long): Unit = {
+    NativeWire.writeVarUInt(out, ServerProgress)
+    val b = new WireOut
+    b.writeVarUInt(rows) // rows
+    b.writeVarUInt(0)    // bytes
+    b.writeVarUInt(0)    // total rows to read
+    if (revision >= MinRevisionWithClientWriteInfo) {
+      b.writeVarUInt(0)  // wrote rows
+      b.writeVarUInt(0)  // wrote bytes
+    }
+    if (revision >= MinProtocolWithServerQueryTime)
+      b.writeVarUInt(math.max(elapsedNs, 0L))
+    out.write(b.bytes)
+    out.flush()
+  }
+
+  private def sendException(out: OutputStream, e: Throwable): Unit = {
+    val timeout = e.isInstanceOf[java.util.concurrent.TimeoutException]
+    NativeWire.writeVarUInt(out, ServerException)
+    val b = new WireOut
+    b.writeIntLE(if (timeout) ErrTimeoutExceeded else ErrGeneric)
+    b.writeString("DB::Exception")
+    b.writeString(Option(e.getMessage).getOrElse(e.getClass.getName))
+    b.writeString("") // stack trace — message carries the cause
+    b.writeByte(0)    // no nested exception
+    out.write(b.bytes)
+    out.flush()
+  }
+
+  private def readClientInfo(in: InputStream, revision: Long): Unit = {
+    val kind = NativeWire.readFully(in, 1)(0)
+    if (kind == 0) return // empty client info
+    NativeWire.readString(in) // initial user
+    NativeWire.readString(in) // initial query id
+    NativeWire.readString(in) // initial address
+    if (revision >= MinProtocolWithInitialQueryStartTime)
+      NativeWire.readFully(in, 8) // initial query start micros (fixed64)
+    val iface = NativeWire.readFully(in, 1)(0)
+    require(iface == 1, s"native protocol: interface $iface is not TCP")
+    NativeWire.readString(in) // os user
+    NativeWire.readString(in) // client hostname
+    NativeWire.readString(in) // client name
+    NativeWire.readVarUInt(in) // client major
+    NativeWire.readVarUInt(in) // client minor
+    NativeWire.readVarUInt(in) // client protocol revision
+    if (revision >= MinRevisionWithQuotaKeyInClientInfo)
+      NativeWire.readString(in) // quota key
+    if (revision >= MinProtocolWithDistributedDepth)
+      NativeWire.readVarUInt(in)
+    if (revision >= MinRevisionWithVersionPatch)
+      NativeWire.readVarUInt(in) // client patch
+    if (revision >= MinRevisionWithOpenTelemetry) {
+      val hasTrace = NativeWire.readFully(in, 1)(0)
+      if (hasTrace == 1) {
+        NativeWire.readFully(in, 16) // trace id
+        NativeWire.readFully(in, 8) // span id
+        NativeWire.readString(in) // tracestate
+        NativeWire.readFully(in, 1) // trace flags
+      }
+    }
+    if (revision >= MinRevisionWithParallelReplicas) {
+      NativeWire.readVarUInt(in) // collaborate_with_initiator
+      NativeWire.readVarUInt(in) // count_participating_replicas
+      NativeWire.readVarUInt(in) // number_of_current_replica
+    }
+  }
+}

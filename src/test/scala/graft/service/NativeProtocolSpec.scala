@@ -1,0 +1,269 @@
+package graft.service
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.service.native._
+import graft.service.native.NativeBlock._
+import graft.service.native.NativeWire._
+
+/** The ClickHouse native TCP protocol subset (port 9000) — proven the
+  * way the hash ports were proven (no client jar exists in this
+  * offline sandbox): golden byte frames against the published protocol
+  * layout, plus the in-repo loopback [[NativeClient]] replaying the
+  * reference's init-then-query flow
+  * (`temporal/workflow_query_executor.go:302-313`: SET/ATTACH init on
+  * the pinned conn, then the query) over a real socket, with the LZ4
+  * compression the reference's clickhouse-go options request
+  * (`:222-236`). */
+class NativeProtocolSpec extends AnyFunSuite {
+
+  private lazy val spark = graft.TestSpark.spark
+
+  private def hex(b: Array[Byte]): String =
+    b.map(x => f"${x & 0xFF}%02x").mkString
+
+  // ---- golden byte frames ----
+
+  test("varint golden vectors (ULEB128)") {
+    def enc(v: Long): String = { val o = new WireOut; o.writeVarUInt(v); hex(o.bytes) }
+    assert(enc(0L) == "00")
+    assert(enc(1L) == "01")
+    assert(enc(127L) == "7f")
+    assert(enc(128L) == "8001")
+    assert(enc(300L) == "ac02")
+    assert(enc(54460L) == "bca903")
+    // round-trip through every reader
+    Seq(0L, 1L, 127L, 128L, 300L, 54460L, Long.MaxValue).foreach { v =>
+      val o = new WireOut; o.writeVarUInt(v)
+      assert(new WireIn(o.bytes).readVarUInt() == v)
+    }
+  }
+
+  test("Data block golden frame: Int64 column, two rows, revision 54460") {
+    val o = new WireOut
+    writeBlock(o, Seq(Col("n", TInt64, IndexedSeq(1L, 2L))), 2,
+      NativeProtocol.ServerRevision)
+    // hand-derived from the published layout: BlockInfo
+    // (1, overflows=0, 2, bucket=-1, 0), 1 column, 2 rows, name "n",
+    // type "Int64", no custom serialization, LE values
+    assert(hex(o.bytes) ==
+      "0100" + "02ffffffff" + "00" + // BlockInfo
+        "01" + "02" +                // columns, rows
+        "016e" +                     // "n"
+        "05496e743634" +             // "Int64"
+        "00" +                       // custom serialization = false
+        "0100000000000000" + "0200000000000000")
+    // and back
+    val d = readBlock(new WireIn(o.bytes), NativeProtocol.ServerRevision)
+    assert(d.rows == 2 && d.cols.head.values == IndexedSeq(1L, 2L))
+  }
+
+  test("block codec round-trips the full type surface") {
+    val cols = Seq(
+      Col("i8", TInt8, IndexedSeq(1.toByte, (-2).toByte)),
+      Col("i16", TInt16, IndexedSeq(300.toShort, (-300).toShort)),
+      Col("i32", TInt32, IndexedSeq(70000, -70000)),
+      Col("i64", TInt64, IndexedSeq(1L << 40, -(1L << 40))),
+      Col("u8", TUInt8, IndexedSeq(200.toShort, 0.toShort)),
+      Col("u16", TUInt16, IndexedSeq(60000, 0)),
+      Col("u32", TUInt32, IndexedSeq(4000000000L, 0L)),
+      Col("f32", TFloat32, IndexedSeq(1.5f, -2.25f)),
+      Col("f64", TFloat64, IndexedSeq(math.Pi, -1e100)),
+      Col("s", TString, IndexedSeq("héllo", "")),
+      Col("b", TBool, IndexedSeq(true, false)),
+      Col("d", TDate, IndexedSeq(
+        java.time.LocalDate.of(2024, 3, 1), java.time.LocalDate.of(1970, 1, 1))),
+      Col("dt", TDateTime64(6), IndexedSeq(
+        java.time.Instant.parse("2024-03-01T12:34:56.789012Z"),
+        java.time.Instant.EPOCH)),
+      Col("ns", TNullable(TString), IndexedSeq("x", null)),
+      Col("arr", TArray(TInt64), IndexedSeq(
+        IndexedSeq(1L, 2L, 3L), IndexedSeq.empty[Any])),
+      Col("nar", TArray(TNullable(TString)), IndexedSeq(
+        IndexedSeq("a", null), IndexedSeq("b"))))
+    val o = new WireOut
+    writeBlock(o, cols, 2, NativeProtocol.ServerRevision)
+    val d = readBlock(new WireIn(o.bytes), NativeProtocol.ServerRevision)
+    assert(d.rows == 2)
+    val got = d.cols.map(c => c.name -> c.values).toMap
+    assert(got("i8") == IndexedSeq(1.toByte, (-2).toByte))
+    assert(got("i16") == IndexedSeq(300.toShort, (-300).toShort))
+    assert(got("i32") == IndexedSeq(70000, -70000))
+    assert(got("i64") == IndexedSeq(1L << 40, -(1L << 40)))
+    assert(got("u8") == IndexedSeq(200.toShort, 0.toShort))
+    assert(got("u16") == IndexedSeq(60000, 0))
+    assert(got("u32") == IndexedSeq(4000000000L, 0L))
+    assert(got("f32") == IndexedSeq(1.5f, -2.25f))
+    assert(got("f64") == IndexedSeq(math.Pi, -1e100))
+    assert(got("s") == IndexedSeq("héllo", ""))
+    assert(got("b") == IndexedSeq(true, false))
+    assert(got("d") == IndexedSeq(
+      java.time.LocalDate.of(2024, 3, 1), java.time.LocalDate.of(1970, 1, 1)))
+    assert(got("dt") == IndexedSeq(
+      java.time.Instant.parse("2024-03-01T12:34:56.789012Z"),
+      java.time.Instant.EPOCH))
+    assert(got("ns") == IndexedSeq("x", null))
+    assert(got("arr") == IndexedSeq(IndexedSeq(1L, 2L, 3L), IndexedSeq()))
+    assert(got("nar") == IndexedSeq(IndexedSeq("a", null), IndexedSeq("b")))
+  }
+
+  test("LZ4 frame: layout, round-trip, checksum tamper detection") {
+    val raw = ("the quick brown fox jumps over the lazy dog " * 10).getBytes
+    val frame = lz4Frame(raw)
+    // layout: 16B CityHash128, method 0x82, comp size (incl 9B header), raw size
+    assert((frame(16) & 0xFF) == 0x82)
+    def leInt(o: Int): Int =
+      (0 until 4).map(i => (frame(o + i) & 0xFF) << (8 * i)).sum
+    assert(leInt(17) == frame.length - 16) // comp size = frame minus checksum
+    assert(leInt(21) == raw.length)
+    val back = readFrame(new java.io.ByteArrayInputStream(frame))
+    assert(back.sameElements(raw))
+    // flip one payload byte: the CityHash128 checksum must catch it
+    val bad = frame.clone()
+    bad(30) = (bad(30) ^ 0x01).toByte
+    val e = intercept[IllegalArgumentException] {
+      readFrame(new java.io.ByteArrayInputStream(bad))
+    }
+    assert(e.getMessage.contains("checksum"), e.getMessage)
+  }
+
+  // ---- loopback socket end-to-end ----
+
+  private def withServer[A](f: Int => A): A = {
+    val srv = new NativeServer(spark)
+    val port = srv.start()
+    try f(port) finally srv.stop()
+  }
+
+  test("reference init-then-query flow: SET + ATTACH init, then the query, LZ4 on") {
+    val wh = Files.createTempDirectory("graft_native").toString
+    spark.conf.set(graft.dialect.ChWrites.WarehouseConf, wh)
+    try {
+      import spark.implicits._
+      Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("id", "v")
+        .createOrReplaceTempView("native_src")
+      graft.dialect.ChSql.sql(spark,
+        "CREATE TABLE native_tree ENGINE = MergeTree ORDER BY (id) AS " +
+          "SELECT id, v FROM native_src").collect()
+      graft.dialect.ChSql.sql(spark, "DETACH TABLE native_tree").collect()
+
+      withServer { port =>
+        val c = new NativeClient("127.0.0.1", port,
+          database = "default", user = "default", compression = true)
+        try {
+          assert(c.revision == NativeProtocol.ServerRevision)
+          assert(c.serverTimezone == "UTC")
+          c.ping()
+          // the reference's init loop: Exec each init query on the
+          // pinned conn (workflow_query_executor.go:302-310)
+          c.exec("SET max_threads = 8")
+          c.exec(
+            s"""ATTACH TABLE native_back (`id` Int64, `v` Int64)
+               |ENGINE = MergeTree ORDER BY (id)
+               |SETTINGS disk = disk(type = local, endpoint = '$wh/native_tree')"""
+              .stripMargin)
+          // then the query on the same conn (:313)
+          val r = c.query(
+            "SELECT count() AS cnt, sum(v) AS sv FROM native_back")
+          assert(r.cols == Seq("cnt", "sv"), r.cols)
+          assert(r.rows == Seq(Seq(3L, 60L)), r.rows)
+          assert(r.progressRows == 1L)
+          // session state persisted across the three round-trips —
+          // the ATTACH made on this conn still resolves
+          val r2 = c.query("SELECT id FROM native_back ORDER BY id")
+          assert(r2.rows.map(_.head) == Seq(1L, 2L, 3L))
+        } finally c.close()
+      }
+    } finally {
+      graft.dialect.ChSql.sql(spark, "DROP TABLE IF EXISTS native_back").collect()
+      spark.conf.unset(graft.dialect.ChWrites.WarehouseConf)
+    }
+  }
+
+  test("uncompressed conn: full type surface through a real socket") {
+    withServer { port =>
+      val c = new NativeClient("127.0.0.1", port, compression = false)
+      try {
+        val r = c.query(
+          "SELECT 42 AS i, CAST(1.5 AS DOUBLE) AS f, 2.25 AS dec, " +
+            "'hi' AS s, toDate('2024-03-01') AS d, " +
+            "array(1, 2, 3) AS a, if(1 = 1, NULL, 'x') AS n")
+        assert(r.cols == Seq("i", "f", "dec", "s", "d", "a", "n"))
+        val row = r.rows.head
+        assert(row(0) == 42)
+        assert(row(1) == 1.5)
+        assert(row(2) == "2.25") // Decimal rides as full-precision text
+        assert(row(3) == "hi")
+        assert(row(4) == java.time.LocalDate.of(2024, 3, 1))
+        assert(row(5) == IndexedSeq(1, 2, 3))
+        assert(row(6) == null)
+      } finally c.close()
+    }
+  }
+
+  test("multi-block results: rows stream in BlockRows chunks") {
+    withServer { port =>
+      val c = new NativeClient("127.0.0.1", port)
+      try {
+        val r = c.query(
+          "SELECT id FROM (SELECT explode(sequence(1, 20000)) AS id) t ORDER BY id")
+        assert(r.rows.size == 20000)
+        assert(r.rows.head.head == 1 && r.rows.last.head == 20000)
+      } finally c.close()
+    }
+  }
+
+  test("external table blocks register as session temp tables") {
+    withServer { port =>
+      val c = new NativeClient("127.0.0.1", port)
+      try {
+        val r = c.queryWithExternal(
+          "SELECT k, n * 2 AS d FROM ext1 ORDER BY k",
+          "ext1",
+          Seq(Col("k", TString, IndexedSeq("a", "b")),
+            Col("n", TInt64, IndexedSeq(1L, 2L))))
+        assert(r.rows == Seq(Seq("a", 2L), Seq("b", 4L)))
+      } finally c.close()
+    }
+  }
+
+  test("native batch INSERT: header block out, client blocks in, MergeTree append") {
+    val wh = Files.createTempDirectory("graft_native_ins").toString
+    spark.conf.set(graft.dialect.ChWrites.WarehouseConf, wh)
+    try {
+      withServer { port =>
+        val c = new NativeClient("127.0.0.1", port)
+        try {
+          c.exec("CREATE TABLE native_ins (id Int64, s String) " +
+            "ENGINE = MergeTree ORDER BY id")
+          val header = c.insert("INSERT INTO native_ins",
+            Seq(Seq(
+              Col("id", TInt64, IndexedSeq(1L, 2L)),
+              Col("s", TString, IndexedSeq("a", "b")))))
+          assert(header == Seq("id" -> "Int64", "s" -> "String"), header)
+          val r = c.query("SELECT id, s FROM native_ins ORDER BY id")
+          assert(r.rows == Seq(Seq(1L, "a"), Seq(2L, "b")))
+          c.exec("DROP TABLE native_ins")
+        } finally c.close()
+      }
+    } finally spark.conf.unset(graft.dialect.ChWrites.WarehouseConf)
+  }
+
+  test("errors arrive as CH Exception frames and the conn stays usable") {
+    withServer { port =>
+      val c = new NativeClient("127.0.0.1", port)
+      try {
+        val e = intercept[NativeClient.ServerSideException] {
+          c.query("SELECT broken syntax here FROM")
+        }
+        assert(e.name == "DB::Exception")
+        assert(e.code == NativeProtocol.ErrGeneric)
+        // the connection survives the exception (CH's contract)
+        val r = c.query("SELECT 1 AS ok")
+        assert(r.rows == Seq(Seq(1)))
+      } finally c.close()
+    }
+  }
+}
