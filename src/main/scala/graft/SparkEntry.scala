@@ -2728,14 +2728,95 @@ object SparkEntry {
           Tables.load(spark, dir, "documents").filter(col("doc_id") < 60),
           "doc_id", "text", win = 32, stride = 24)
         .orderBy("doc_id", "chunk_idx")
-    })
+    }),
+
+    // verbatim production Replicated DDL (r13): the replication args
+    // strip (driver-as-coordinator, like the ON CLUSTER strip) and the
+    // Replacing FINAL semantics route through unchanged
+    "q201_replicated_ddl" -> ((spark, dir) => {
+      prep(spark, dir)
+      val wh = s"${derivedDir(spark, dir)}/wh"
+      spark.conf.set(graft.dialect.ChWrites.WarehouseConf, wh)
+      val svc = new QueryService(spark)
+      svc.executeToDf(QueryService.QueryRequest(
+        query = """SELECT nk, count() AS n FROM repl_prod FINAL
+                  |GROUP BY nk ORDER BY nk""".stripMargin,
+        initQueries = Seq(
+          """CREATE TABLE repl_prod ENGINE = ReplicatedReplacingMergeTree(
+            |  '/clickhouse/tables/{shard}/repl_prod', '{replica}', ver)
+            |ORDER BY (ck) AS
+            |SELECT c_custkey AS ck, c_nationkey AS nk,
+            |       CAST(0 AS BIGINT) AS ver
+            |FROM customer WHERE c_custkey % 10 = 0""".stripMargin,
+          """INSERT INTO repl_prod
+            |SELECT c_custkey, c_nationkey + 100, 1
+            |FROM customer WHERE c_custkey % 20 = 0""".stripMargin)))._1
+    }),
+
+    // q202-q207: the LLM-pipeline operators through their SQL
+    // table-function spellings (VERDICT r12 #2) — same computations as
+    // their Scala-API twins (q42/q96/q112/q114/q151/q97), now reachable
+    // from every query door as a SQL string; each checks against the
+    // twin's own DuckDB oracle
+    "q202_sql_minhash_pairs" -> ch(
+      "SELECT id_a, id_b FROM minHashDupPairs(documents, 'doc_id', " +
+        "'text', 3, 128, 32, 0.7) ORDER BY id_a, id_b"),
+
+    "q203_sql_bloom_anti" -> ch(
+      "SELECT doc_id FROM bloomAntiJoin(documents, " +
+        "'SELECT * FROM documents WHERE doc_id < 250', 'text') " +
+        "ORDER BY doc_id"),
+
+    "q204_sql_bm25" -> ch(
+      "SELECT doc_id, n_hit_terms, " +
+        "CAST(round(bm25 * 1000) AS BIGINT) AS bm25_milli " +
+        "FROM bm25(documents, 'doc_id', 'text', 'spark vector customer') " +
+        "WHERE doc_id < 30 ORDER BY doc_id"),
+
+    "q205_sql_stratified" -> ch(
+      "SELECT lang, doc_id FROM stratifiedSample(documents, 'lang', " +
+        "'text', 5, 'doc_id') ORDER BY lang, doc_id"),
+
+    "q206_sql_semantic_dedup" -> ch(
+      "SELECT id_a, id_b FROM semanticDedup(embeddings, 'vec_id', " +
+        "'embedding', 4, 64, 0.47, 0) ORDER BY id_a, id_b"),
+
+    "q207_sql_hash_sample" -> ch(
+      "SELECT doc_id FROM hashSample(documents, 'text', 0.25) " +
+        "ORDER BY doc_id")
   )
 
   // ---------------------------------------------------------------
   // DuckDB oracle twins (driver runs these on the same tables)
   // ---------------------------------------------------------------
 
-  def oracleSql: Map[String, String] = Map(
+  /** The q202-q207 SQL-door table functions compute the SAME results
+    * as their Scala-API twins — each checks against the twin's own
+    * DuckDB oracle. */
+  private val sqlDoorTwins: Seq[(String, String)] = Seq(
+    "q202_sql_minhash_pairs" -> "q42_minhash_dups",
+    "q203_sql_bloom_anti" -> "q96_bloom_dedup",
+    "q204_sql_bm25" -> "q112_bm25",
+    "q205_sql_stratified" -> "q114_stratified_sample",
+    "q206_sql_semantic_dedup" -> "q151_semantic_dedup",
+    "q207_sql_hash_sample" -> "q97_hash_sample")
+
+  def oracleSql: Map[String, String] =
+    baseOracleSql ++ sqlDoorTwins.map { case (k, twin) =>
+      k -> baseOracleSql(twin) }
+
+  private val baseOracleSql: Map[String, String] = Map(
+    "q201_replicated_ddl" ->
+      """WITH base AS (
+        |  SELECT c_custkey AS ck, c_nationkey AS nk, 0 AS ver
+        |  FROM customer WHERE c_custkey % 10 = 0
+        |  UNION ALL
+        |  SELECT c_custkey, c_nationkey + 100, 1
+        |  FROM customer WHERE c_custkey % 20 = 0),
+        |d AS (SELECT ck, nk FROM (
+        |  SELECT ck, nk, row_number() OVER (PARTITION BY ck ORDER BY ver DESC) AS rn
+        |  FROM base) WHERE rn = 1)
+        |SELECT nk, count(*) AS n FROM d GROUP BY nk ORDER BY nk""".stripMargin,
     "q01_count" -> "SELECT count(*) AS cnt FROM lineitem",
     "q02_count_by_file" ->
       "SELECT count(*) AS cnt, 'lineitem.parquet' AS _file FROM lineitem",

@@ -1131,7 +1131,9 @@ object ChSql {
 
   // ---- table functions ----
 
-  private val TableFn = """(?i)\b(s3Cluster|s3|urlCluster|url|file|numbers)\s*\(""".r
+  private val TableFn =
+    ("""(?i)\b(s3Cluster|s3|urlCluster|url|file|numbers|""" +
+      PipelineTableFns.Names + """)\s*\(""").r
 
   /** Replace every `s3(…)`/`url(…)`-style call with a temp view created
     * from [[Sources]]. The view name is content-addressed so repeated
@@ -1196,6 +1198,15 @@ object ChSql {
 
   private def createView(spark: SparkSession, fn: String, argStr: String): String = {
     val rawArgs = ChSchemaParser.splitTopLevel(argStr, ',').map(_.trim)
+    if (PipelineTableFns.handles(fn)) {
+      // LLM-pipeline operators as table functions (VERDICT r12 #2) —
+      // the DataFrame is a lazy plan; re-registered per query so new
+      // data in the argument tables stays visible
+      val view = s"graft_tf_${viewKey(fn + argStr)}"
+      PipelineTableFns.build(spark, fn, rawArgs)
+        .createOrReplaceTempView(view)
+      return view
+    }
     if (fn == "numbers") {
       // CH numbers(N) / numbers(start, N) → a distributed range with
       // CH's column name; `spark.range` splits across the cluster, no

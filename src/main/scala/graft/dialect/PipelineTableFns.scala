@@ -1,0 +1,124 @@
+package graft.dialect
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** SQL spellings for the engine's LLM-data-pipeline operators — table
+  * functions in FROM position, riding the same rewrite slot as
+  * `s3()`/`url()`/`numbers()` (SURVEY §2 S1-S4). Before this layer the
+  * dedup/retrieval/sampling families existed only as Scala calls: a
+  * user at the engine's actual doors (the CH HTTP interface, the
+  * native TCP protocol, `QueryService` SQL) could not reach them
+  * (VERDICT r12 "next round" #2). The reference's model is
+  * capabilities-reachable-by-SQL-string
+  * (`temporal/workflow_query_executor.go:313`); these make the
+  * pipeline families first-class there:
+  *
+  *   - `minHashDupPairs(t, 'id', 'text'[, shingle, hashes, bands,
+  *     threshold])` → near-duplicate id pairs
+  *     ([[graft.operators.Dedup.minHashDupPairs]])
+  *   - `bloomAntiJoin(t, ref, 'key'[, bitsPerKey, numHashes])` → rows
+  *     of `t` whose key is absent from `ref`
+  *     ([[graft.operators.BloomDedup.antiJoinAgainst]])
+  *   - `bm25(t, 'id', 'text', 'term term …'[, k1, b])` → per-doc BM25
+  *     scores for the whitespace-separated query terms
+  *     ([[graft.operators.Retrieval.bm25]])
+  *   - `stratifiedSample(t, 'group', 'key', n, 'id')` → exactly n rows
+  *     per group in content-hash order
+  *     ([[graft.operators.Sampling.stratifiedSample]])
+  *   - `semanticDedup(t, 'id', 'vec', k, dim, threshold[, iters])` →
+  *     embedding near-dup pairs within IVF clusters
+  *     ([[graft.operators.SemDedup.dupPairs]])
+  *   - `hashSample(t, 'key', fraction)` → deterministic content-hash
+  *     sample ([[graft.operators.Sampling.hashSample]])
+  *
+  * A table argument is a session/catalog table NAME, or a
+  * single-quoted SQL string evaluated through the dialect front door
+  * (`bloomAntiJoin(docs, 'SELECT * FROM docs WHERE id < 250', …)`) —
+  * CH's own table functions nest the same way (`s3(…)` inside
+  * `url(…)` et al).
+  *
+  * Scale posture is the operators' own — this layer only parses
+  * arguments and hands the DataFrame back to the FROM rewrite; no
+  * collects, no extra shuffles.
+  */
+object PipelineTableFns {
+
+  /** Regex-alternation fragment for [[ChSql]]'s table-function
+    * matcher. */
+  val Names = "minHashDupPairs|bloomAntiJoin|bm25|stratifiedSample|" +
+    "semanticDedup|hashSample"
+
+  private val nameSet: Set[String] =
+    Names.split("\\|").map(_.toLowerCase).toSet
+
+  def handles(fnLower: String): Boolean = nameSet(fnLower)
+
+  /** Build the operator DataFrame for `fn(args…)`. `rawArgs` are the
+    * top-level comma-split argument texts, quotes intact. */
+  def build(spark: SparkSession, fnLower: String,
+      rawArgs: Seq[String]): DataFrame = {
+    def lit(i: Int): String = unquote(arg(i))
+    def arg(i: Int): String = {
+      require(i < rawArgs.length,
+        s"$fnLower(): missing argument ${i + 1}")
+      rawArgs(i).trim
+    }
+    def num(i: Int): Double = {
+      val a = arg(i)
+      require(!a.startsWith("'"),
+        s"$fnLower(): argument ${i + 1} must be a number, got $a")
+      a.toDouble
+    }
+    def intArg(i: Int): Int = num(i).toInt
+    def optInt(i: Int, default: Int): Int =
+      if (i < rawArgs.length) intArg(i) else default
+    def optNum(i: Int, default: Double): Double =
+      if (i < rawArgs.length) num(i) else default
+
+    fnLower match {
+      case "minhashduppairs" =>
+        graft.operators.Dedup.minHashDupPairs(
+          tableArg(spark, arg(0)), lit(1), lit(2),
+          shingleSize = optInt(3, 3), numHashes = optInt(4, 128),
+          bands = optInt(5, 32), threshold = optNum(6, 0.7))
+      case "bloomantijoin" =>
+        graft.operators.BloomDedup.antiJoinAgainst(
+          tableArg(spark, arg(0)), tableArg(spark, arg(1)), lit(2),
+          bitsPerKey = optInt(3, 10), numHashes = optInt(4, 7))
+      case "bm25" =>
+        val terms = lit(3).split("\\s+").toSeq.filter(_.nonEmpty)
+        graft.operators.Retrieval.bm25(
+          tableArg(spark, arg(0)), lit(1), lit(2), terms,
+          k1 = optNum(4, 1.2), b = optNum(5, 0.75))
+      case "stratifiedsample" =>
+        graft.operators.Sampling.stratifiedSample(
+          tableArg(spark, arg(0)), lit(1), lit(2), intArg(3), lit(4))
+      case "semanticdedup" =>
+        graft.operators.SemDedup.dupPairs(
+          tableArg(spark, arg(0)), lit(1), lit(2),
+          k = intArg(3), dim = intArg(4), threshold = num(5),
+          iters = optInt(6, 2))
+      case "hashsample" =>
+        graft.operators.Sampling.hashSample(
+          tableArg(spark, arg(0)), lit(1), num(2))
+      case other =>
+        throw new IllegalArgumentException(
+          s"unknown pipeline table function: $other")
+    }
+  }
+
+  /** A table argument: quoted → a SQL string through the dialect front
+    * door; bare → a session/catalog table name. */
+  private def tableArg(spark: SparkSession, raw: String): DataFrame =
+    if (raw.startsWith("'")) ChSql.sql(spark, unquote(raw))
+    else {
+      val name = raw.replaceAll("[`\"]", "")
+      graft.core.Catalog.ensureSessionViews(spark, name)
+      spark.table(name)
+    }
+
+  private def unquote(s: String): String =
+    if (s.length >= 2 && s.startsWith("'") && s.endsWith("'"))
+      s.substring(1, s.length - 1).replace("\\'", "'")
+    else s
+}

@@ -1,0 +1,132 @@
+package graft.dialect
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The LLM-pipeline operators' SQL table-function spellings
+  * (VERDICT r12 #2: the families were Scala-API-only — unreachable
+  * from every query door). Each flagship function runs here as a pure
+  * SQL string: through [[ChSql.sql]], through the raw ClickHouse HTTP
+  * door, and through the native TCP door — the reference's model is
+  * capabilities-reachable-by-SQL-string
+  * (`workflow_query_executor.go:313`). */
+class PipelineTableFnsSpec extends AnyFunSuite {
+
+  private lazy val spark = graft.TestSpark.spark
+
+  private def docs(): Unit = {
+    import spark.implicits._
+    Seq(
+      (1L, "en", "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "en", "the quick brown fox jumps over the lazy dog again and again today"),
+      (3L, "en", "spark vector customer text about retrieval and ranking"),
+      (4L, "de", "völlig anderer deutscher text ohne überschneidung"),
+      (5L, "de", "noch ein deutscher text der anders ist"),
+      (6L, "en", "spark spark spark customer"))
+      .toDF("doc_id", "lang", "text").createOrReplaceTempView("ptf_docs")
+    Seq(
+      (0L, Array(1f, 0f, 0f, 0f)),
+      (1L, Array(0f, 1f, 0f, 0f)),
+      (2L, Array(0.99f, 0.1f, 0f, 0f)),
+      (3L, Array(0f, 0f, 1f, 0f)),
+      (4L, Array(0f, 0.98f, 0.15f, 0f)))
+      .toDF("vec_id", "embedding").createOrReplaceTempView("ptf_emb")
+  }
+
+  test("minHashDupPairs as SQL: near-dup pair surfaces") {
+    docs()
+    val got = ChSql.sql(spark,
+      "SELECT id_a, id_b FROM minHashDupPairs(ptf_docs, 'doc_id', 'text'," +
+        " 3, 128, 32, 0.5) ORDER BY id_a, id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got.contains((1L, 2L)), got.mkString(", "))
+    assert(!got.exists(p => p._1 == 4L || p._2 == 4L), got.mkString(", "))
+  }
+
+  test("bloomAntiJoin as SQL, with a quoted-subquery reference side") {
+    docs()
+    val got = ChSql.sql(spark,
+      "SELECT doc_id FROM bloomAntiJoin(ptf_docs, " +
+        "'SELECT text FROM ptf_docs WHERE doc_id <= 2', 'text') " +
+        "ORDER BY doc_id").collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(3L, 4L, 5L, 6L), got.mkString(", "))
+  }
+
+  test("bm25 as SQL: whitespace-separated terms, standard defaults") {
+    docs()
+    val got = ChSql.sql(spark,
+      "SELECT doc_id, n_hit_terms FROM bm25(ptf_docs, 'doc_id', 'text', " +
+        "'spark customer') ORDER BY doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == Seq((3L, 2L), (6L, 2L)), got.mkString(", "))
+  }
+
+  test("stratifiedSample + hashSample as SQL") {
+    docs()
+    val strat = ChSql.sql(spark,
+      "SELECT lang, count() AS n FROM stratifiedSample(ptf_docs, 'lang', " +
+        "'text', 2, 'doc_id') GROUP BY lang ORDER BY lang")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(strat == Seq(("de", 2L), ("en", 2L)), strat.mkString(", "))
+    val n = ChSql.sql(spark,
+      "SELECT count() AS n FROM hashSample(ptf_docs, 'text', 1.0)")
+      .collect()(0).getLong(0)
+    assert(n == 6L)
+  }
+
+  test("semanticDedup as SQL: cosine near-dups within clusters") {
+    docs()
+    val got = ChSql.sql(spark,
+      "SELECT id_a, id_b FROM semanticDedup(ptf_emb, 'vec_id', " +
+        "'embedding', 1, 4, 0.9, 0) ORDER BY id_a, id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == Seq((0L, 2L), (1L, 4L)), got.mkString(", "))
+  }
+
+  test("the pipeline functions are served: raw HTTP door and native TCP door") {
+    // the whole flow rides the doors as SQL strings: the HTTP door
+    // executes each request in a fresh isolated session, so the input
+    // is a CATALOG table created through the door itself
+    val srv = new graft.service.QueryServer(spark)
+    val port = srv.start()
+    val client = HttpClient.newHttpClient()
+    def door(sql: String): HttpResponse[String] = client.send(
+      HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port/"))
+        .POST(HttpRequest.BodyPublishers.ofString(sql)).build(),
+      HttpResponse.BodyHandlers.ofString())
+    try {
+      assert(door("CREATE TABLE ptf_srv (doc_id Int64, lang String, " +
+        "text String) ENGINE = MergeTree ORDER BY doc_id").statusCode() == 200)
+      assert(door("INSERT INTO ptf_srv VALUES " +
+        "(1, 'en', 'alpha beta gamma'), (2, 'en', 'alpha beta gamma'), " +
+        "(3, 'en', 'delta epsilon zeta'), (4, 'de', 'eins zwei drei'), " +
+        "(5, 'de', 'vier fuenf sechs'), (6, 'en', 'eta theta iota')")
+        .statusCode() == 200)
+      val r = door(
+        "SELECT doc_id FROM bloomAntiJoin(ptf_srv, " +
+          "'SELECT text FROM ptf_srv WHERE doc_id <= 2', 'text') " +
+          "ORDER BY doc_id FORMAT CSV")
+      assert(r.statusCode() == 200, r.body())
+      assert(r.body().trim.linesIterator.toSeq == Seq("3", "4", "5", "6"),
+        r.body())
+      // native TCP door: the same capability as a SQL string on the
+      // reference's own port-9000 protocol
+      val native = new graft.service.native.NativeServer(spark)
+      val nport = native.start()
+      try {
+        val c = new graft.service.native.NativeClient("127.0.0.1", nport)
+        try {
+          val res = c.query(
+            "SELECT lang, count() AS n FROM stratifiedSample(ptf_srv, " +
+              "'lang', 'text', 2, 'doc_id') GROUP BY lang ORDER BY lang")
+          assert(res.rows == Seq(Seq("de", 2L), Seq("en", 2L)), res.rows)
+        } finally c.close()
+      } finally native.stop()
+    } finally {
+      door("DROP TABLE IF EXISTS ptf_srv")
+      srv.stop(5000L)
+    }
+  }
+}
