@@ -586,6 +586,11 @@ object ChSql {
   def applySettings(spark: SparkSession, settings: Map[String, String]): Unit =
     settings.foreach {
       case (k, v) if k.startsWith("spark.") => spark.conf.set(k, v)
+      case (k, v) if graft.service.Governance.Keys(k.toLowerCase) =>
+        // resource governance (max_execution_time / max_result_rows /
+        // result_overflow_mode) is ENFORCED at collect time — forward
+        // into the session instead of dropping as a no-op knob
+        spark.conf.set(k.toLowerCase, v)
       case _ => // CH tuning knob — accepted, no Spark equivalent needed
     }
 

@@ -214,7 +214,10 @@ class QueryService(spark: SparkSession) {
         QueryResult(
           cols = df.columns.toSeq,
           types = df.schema.fields.map(_.dataType.simpleString).toSeq,
-          rows = df.collect().map(_.toSeq).toSeq,
+          // governance settings (max_execution_time / max_result_rows)
+          // enforce here — the one point every door's result
+          // materializes through
+          rows = Governance.collectBounded(df).map(_.toSeq).toSeq,
           settings = settings,
           format = fmt)
     }

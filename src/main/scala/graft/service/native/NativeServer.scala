@@ -218,7 +218,10 @@ class NativeServer(spark: SparkSession, port: Int = 0) {
     val started = System.nanoTime()
     val (df, _) = svc.executeToDf(QueryRequest(query))
     val schema = df.schema
-    val rows = df.collect()
+    // governance: max_execution_time cancels the job group at the
+    // deadline (TIMEOUT_EXCEEDED, code 159 on this door),
+    // max_result_rows bounds the result
+    val rows = graft.service.Governance.collectBounded(df)
 
     sendBlock(out, revision, compression,
       NativeBlock.fromRows(schema, Array.empty[Row]), 0) // header

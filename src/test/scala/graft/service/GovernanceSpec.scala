@@ -1,0 +1,82 @@
+package graft.service
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.service.QueryService.QueryRequest
+
+/** Resource governance on the query doors: `max_execution_time`
+  * cancels the running job group at the deadline (and the session
+  * stays usable), `max_result_rows` bounds results with CH's
+  * throw/break overflow modes. */
+class GovernanceSpec extends AnyFunSuite {
+
+  private lazy val spark = graft.TestSpark.spark
+
+  // ~2e10 hash evaluations — minutes of CPU; the deadline fires first
+  // (no arithmetic on `number` — ANSI overflow must not beat the clock)
+  private val slowSql =
+    "SELECT max(cityHash64(toString(number))) AS h " +
+      "FROM numbers(20000000000)"
+
+  private def clear(): Unit =
+    Seq(Governance.MaxExecutionTime, Governance.MaxResultRows,
+      Governance.ResultOverflowMode).foreach(spark.conf.unset)
+
+  test("max_execution_time kills the query at the deadline; session stays usable") {
+    val svc = new QueryService(spark)
+    try {
+      val started = System.nanoTime()
+      val e = intercept[java.util.concurrent.TimeoutException] {
+        svc.execute(QueryRequest(s"$slowSql SETTINGS max_execution_time = 1"))
+      }
+      val elapsedSec = (System.nanoTime() - started) / 1e9
+      assert(e.getMessage.contains("TIMEOUT_EXCEEDED"), e.getMessage)
+      assert(elapsedSec < 30, s"deadline kill took ${elapsedSec}s")
+      clear()
+      // job-group cancel killed only that query's jobs
+      val ok = svc.execute(QueryRequest("SELECT 1 AS ok"))
+      assert(ok.rows == Seq(Seq(1)))
+    } finally clear()
+  }
+
+  test("max_result_rows: throw errors, break truncates (limit reaches the plan)") {
+    val svc = new QueryService(spark)
+    try {
+      spark.conf.set(Governance.MaxResultRows, "10")
+      val e = intercept[IllegalArgumentException] {
+        svc.execute(QueryRequest(
+          "SELECT number FROM numbers(100) ORDER BY number"))
+      }
+      assert(e.getMessage.contains("TOO_MANY_ROWS"), e.getMessage)
+      spark.conf.set(Governance.ResultOverflowMode, "break")
+      val r = svc.execute(QueryRequest(
+        "SELECT number FROM numbers(100) ORDER BY number"))
+      assert(r.rows.size == 10)
+      assert(r.rows.map(_.head) == (0L until 10L).toSeq)
+      // under the limit: untouched
+      val small = svc.execute(QueryRequest(
+        "SELECT number FROM numbers(3) ORDER BY number"))
+      assert(small.rows.size == 3)
+    } finally clear()
+  }
+
+  test("native door: deadline kill arrives as TIMEOUT_EXCEEDED code 159, conn usable after") {
+    val native = new graft.service.native.NativeServer(spark)
+    val port = native.start()
+    try {
+      val c = new graft.service.native.NativeClient("127.0.0.1", port)
+      try {
+        val e = intercept[graft.service.native.NativeClient.ServerSideException] {
+          c.query(slowSql, settings = Map("max_execution_time" -> "1"))
+        }
+        assert(e.code == graft.service.native.NativeProtocol.ErrTimeoutExceeded,
+          s"${e.code}: ${e.getMessage}")
+        assert(e.getMessage.contains("TIMEOUT_EXCEEDED"), e.getMessage)
+        // the connection survives and the session still answers
+        val ok = c.query("SELECT 1 AS ok",
+          settings = Map("max_execution_time" -> "0"))
+        assert(ok.rows == Seq(Seq(1)))
+      } finally c.close()
+    } finally native.stop()
+  }
+}
