@@ -190,21 +190,24 @@ object MergeTreeCtas {
       // all_1_5_1 (advisor finding: real ClickHouse silently drops
       // covered parts' rows on ATTACH), nor reuse a pre-TRUNCATE name
       val next = 1 + blockWatermark(dir)
-      written.zipWithIndex.foreach { case ((staged, _), i) =>
+      val renamed = written.zipWithIndex.map { case ((staged, _), i) =>
         // preserve the staged part's partition-id prefix: blocks are
         // table-global (above the watermark regardless of partition),
         // which is stricter than CH's per-partition coverage rule and
         // therefore always safe
         val pid = MergeTreePartitioning.pidOf(staged)
-        require(fs.moveInto(fs.join(stagingDir, staged),
-            fs.join(dir, s"${pid}_${next + i}_${next + i}_0")),
+        val name = s"${pid}_${next + i}_${next + i}_0"
+        require(fs.moveInto(fs.join(stagingDir, staged), fs.join(dir, name)),
           s"$op: part rename collided under the endpoint lock — " +
             s"$staged onto block ${next + i}")
+        name
       }
       fs.deleteTree(stagingDir)
       writeFormatVersion(fs, dir)
       writeWatermark(fs, dir, next + written.size - 1)
-      MergeTreePartWriter.writeHttpIndex(dir, fs)
+      // manifest publish = the INSERT's commit point (exactly these
+      // parts become visible; debris never re-manifests)
+      MergeTreePartWriter.writeHttpIndex(dir, fs, addParts = renamed)
     }
     spark.catalog.refreshByPath(dir)
     written.map(_._2).sum
@@ -248,6 +251,7 @@ object MergeTreeCtas {
             "UNPARTITIONED — partitioned parts cannot mix into it")
         var next = 1 + blockWatermark(dst)
         var n = 0L
+        val attached = Seq.newBuilder[String]
         victims.foreach { p =>
           n += stf.text(s"$p/count.txt").trim.toLong
           val staged = dfs.join(dst,
@@ -257,14 +261,17 @@ object MergeTreeCtas {
           // (hdfs -> local, local -> s3a); part files are bounded by
           // the ~1M-row part shape, so whole-file buffering is fine
           copyTree(sfs, sfs.join(src, p), dfs, staged)
-          require(dfs.moveInto(staged, dfs.join(dst, s"${pid}_${next}_${next}_0")),
+          val name = s"${pid}_${next}_${next}_0"
+          require(dfs.moveInto(staged, dfs.join(dst, name)),
             s"ATTACH PARTITION FROM: part rename collided under the " +
               s"endpoint lock — block $next")
+          attached += name
           next += 1
         }
         writeFormatVersion(dfs, dst)
         writeWatermark(dfs, dst, next - 1)
-        MergeTreePartWriter.writeHttpIndex(dst, dfs)
+        MergeTreePartWriter.writeHttpIndex(dst, dfs,
+          addParts = attached.result())
         n
       }
     }
@@ -301,7 +308,14 @@ object MergeTreeCtas {
 
   private def blockWatermark(dir: String): Int = {
     val fs = TreeFs.forWrite(dir)._2
-    val fromParts = TableFiles(dir).partDirs()
+    // RAW directory listing, not the manifest view: an unmanifested
+    // part dir (a crashed writer's debris, invisible to readers) must
+    // still push allocation above its block numbers or the next
+    // rename would collide with it
+    val fromParts = (
+        if (fs.isDir(dir)) fs.listStatus(dir).collect {
+          case (name, true, _, _) if TableFiles.PartNameRe.matches(name) => name
+        } else Seq.empty)
       .flatMap(TableFiles.maxBlock).maxOption.getOrElse(0)
     val fromFile =
       try {

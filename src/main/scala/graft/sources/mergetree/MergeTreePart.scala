@@ -104,22 +104,46 @@ private[mergetree] object TableFiles {
     val u = uuid.trim.toLowerCase
     s"${endpoint.stripSuffix("/")}/store/${u.take(3)}/$u"
   }
+
+  /** Listing policy shared by the local and Hadoop readers: the root
+    * `.index` manifest when present (flat format — one relative path
+    * per line; reject the tab-separated web-disk per-dir format, which
+    * never appears at a locally-written root), else the raw walk. */
+  def manifestListing(manifest: () => Option[String],
+      walk: () => Seq[String]): Seq[String] =
+    (try manifest() catch { case _: Exception => None }) match {
+      case Some(text) if !text.contains('\t') =>
+        text.linesIterator.map(_.trim)
+          .filter(l => l.nonEmpty && l != ".index" && !l.startsWith(".index.pub_"))
+          .toSeq
+      case _ => walk()
+    }
 }
 
 private[mergetree] final case class LocalTableFiles(root: String) extends TableFiles {
   // one walk per instance (like HttpTableFiles' index) — list() backs
-  // exists()/partDirs() and was re-walking the whole tree per call
-  @transient private lazy val listing: Seq[String] = {
-    val base = Paths.get(root)
-    if (!Files.isDirectory(base)) Seq.empty
-    else {
-      val out = Seq.newBuilder[String]
-      Files.walk(base).forEach { p =>
-        if (Files.isRegularFile(p)) out += base.relativize(p).toString
-      }
-      out.result()
-    }
-  }
+  // exists()/partDirs() and was re-walking the whole tree per call.
+  // When the root `.index` manifest exists it IS the listing (r13):
+  // the manifest is the tree's commit point on every backend — parts
+  // a writer staged (or a torn copy+delete rename left behind) are
+  // invisible until the one-file manifest swap publishes them. Trees
+  // without a manifest (hand-built fixtures) fall back to the walk.
+  @transient private lazy val listing: Seq[String] =
+    TableFiles.manifestListing(
+      () => if (Files.isRegularFile(Paths.get(root, ".index")))
+        Some(new String(Files.readAllBytes(Paths.get(root, ".index")), UTF_8))
+      else None,
+      () => {
+        val base = Paths.get(root)
+        if (!Files.isDirectory(base)) Seq.empty
+        else {
+          val out = Seq.newBuilder[String]
+          Files.walk(base).forEach { p =>
+            if (Files.isRegularFile(p)) out += base.relativize(p).toString
+          }
+          out.result()
+        }
+      })
   def list(): Seq[String] = listing
   def smallFile(rel: String): Array[Byte] = Files.readAllBytes(Paths.get(root, rel))
   def seekable(rel: String): SeekableFile = new SeekableFile(s"$root/$rel")
@@ -135,7 +159,18 @@ private[mergetree] final case class LocalTableFiles(root: String) extends TableF
 private[mergetree] final case class HadoopTableFiles(
     endpoint: String, conf: SerializableHadoopConf) extends TableFiles {
   @transient private lazy val io = new HadoopTreeFs(conf)
-  @transient private lazy val listing: Seq[String] = io.walkFiles(endpoint)
+  // manifest-committed like the local reader — on object stores this
+  // is what closes the torn-rename window entirely (one atomic PUT
+  // publishes; half-copied part dirs are never listed)
+  @transient private lazy val listing: Seq[String] =
+    TableFiles.manifestListing(
+      () => {
+        val idx = s"$endpoint/.index"
+        if (io.exists(idx))
+          Some(new String(io.readBytes(idx), UTF_8))
+        else None
+      },
+      () => io.walkFiles(endpoint))
   def list(): Seq[String] = listing
   def smallFile(rel: String): Array[Byte] = io.readBytes(s"$endpoint/$rel")
   def seekable(rel: String): SeekableFile = {

@@ -203,13 +203,56 @@ object MergeTreePartWriter {
     }
   }
 
-  /** Write the `.index` listing [[HttpTableFiles]] requires — every file
-    * under `tableDir`, one relative path per line. */
-  def writeHttpIndex(tableDir: String, fs: TreeFs = NioTreeFs): Unit = {
+  /** Write the `.index` listing — one relative path per line. This is
+    * the tree's COMMIT POINT, not just the http serving manifest:
+    * [[TableFiles]] readers on every backend list from it when
+    * present, so parts land invisibly and become readable only when
+    * this one small file atomically swaps ([[TreeFs.publish]]).
+    * Called last by every mutation, under the tree lock.
+    *
+    * When a previous manifest exists, part entries are INCREMENTAL —
+    * carried forward if the part is still on disk, plus exactly this
+    * mutation's `addParts` — never re-walked: a crashed writer's
+    * debris (a half-copied part dir, or a copy+delete rename that
+    * copied fully but died before deleting the source) is not merely
+    * invisible at crash time, it stays unmanifested through every
+    * LATER mutation too. Root-level metadata files refresh from the
+    * walk. A tree with no manifest yet (fresh CTAS target, staged
+    * FsSwap dir, hand-built fixture) manifests everything it holds —
+    * all of it is this writer's own output. */
+  def writeHttpIndex(tableDir: String, fs: TreeFs = NioTreeFs,
+      addParts: Seq[String] = Nil): Unit = {
+    val idxPath = fs.join(tableDir, ".index")
+    def partOf(rel: String): Option[String] = {
+      val head = rel.split('/').head
+      if (head != rel && TableFiles.PartNameRe.matches(head)) Some(head)
+      else None
+    }
+    val walk = fs.walkFiles(tableDir)
+      .filter(rel => rel != ".index" && !rel.startsWith(".index.pub_"))
+    val prev: Option[Seq[String]] =
+      if (fs.exists(idxPath))
+        try {
+          val text = new String(fs.readBytes(idxPath), UTF_8)
+          if (text.contains('\t')) None // web-disk per-dir format: rebuild
+          else Some(text.linesIterator.map(_.trim).filter(_.nonEmpty).toSeq)
+        } catch { case scala.util.control.NonFatal(_) => None }
+      else None
+    val lines: Seq[String] = prev match {
+      case None => walk
+      case Some(old) =>
+        val liveCarried = old.flatMap(partOf).distinct
+          .filter(p => fs.isDir(fs.join(tableDir, p))).toSet
+        val addSet = addParts.toSet
+        val carried = old.filter(rel =>
+          partOf(rel).exists(p => liveCarried(p) && !addSet(p)))
+        val added = walk.filter(rel => partOf(rel).exists(addSet))
+        val rootFiles = walk.filter(rel => partOf(rel).isEmpty)
+        (carried ++ added ++ rootFiles).distinct
+    }
     val out = new StringBuilder
-    fs.walkFiles(tableDir).filter(_ != ".index").sorted
-      .foreach(rel => out.append(rel).append('\n'))
-    fs.write(fs.join(tableDir, ".index"), out.toString.getBytes(UTF_8))
+    lines.sorted.foreach(rel => out.append(rel).append('\n'))
+    fs.publish(idxPath, out.toString.getBytes(UTF_8))
   }
 
   /** Write per-directory `.index` files in the real web-disk listing

@@ -13,13 +13,17 @@ import org.apache.hadoop.fs.{FileSystem, LocalFileSystem, Path}
   * shared cluster storage, which is where the reference keeps its
   * entire data plane (S3-backed web disks).
   *
-  * Rename semantics: the protocol's correctness leans on rename being
-  * atomic and refusing an existing destination. That holds for the
-  * local filesystem and HDFS; object stores emulating rename by
-  * copy+delete (s3a without a committer) lose the atomicity — a
-  * mid-rename death there can leave a torn part visible, the same
-  * caveat Hadoop's own output committers document. Deployments on such
-  * stores should write locally/HDFS and publish, or accept the window.
+  * Rename semantics: writer-side collision safety leans on rename
+  * refusing an existing destination (local and HDFS honor this;
+  * object stores emulate rename by copy+delete). Reader-side
+  * VISIBILITY does not lean on rename at all (r13): the root `.index`
+  * manifest is the tree's single commit point — [[TableFiles]] readers
+  * on every backend list from it, writers finish every mutation by
+  * atomically swapping it ([[TreeFs.publish]]) under the tree lock, so
+  * a mid-rename death (even a torn copy+delete on s3a) leaves debris
+  * that is never listed, the same commit discipline as
+  * Iceberg/Delta's metadata-file swap. Block allocation reads the RAW
+  * directory so debris cannot collide with future part names.
   *
   * Instances are Serializable — the executor-parallel part writers
   * capture one in the task closure (the Hadoop branch ships its
@@ -33,6 +37,11 @@ private[mergetree] sealed trait TreeFs extends Serializable {
   def exists(path: String): Boolean
   def isDir(path: String): Boolean
   def write(path: String, bytes: Array[Byte]): Unit
+  /** Atomic small-file publish — the MANIFEST commit point: readers of
+    * the target see the old content or the new, never a torn mix.
+    * Local: write-temp + ATOMIC_MOVE(REPLACE). Object stores: a single
+    * PUT (atomic on close). */
+  def publish(path: String, bytes: Array[Byte]): Unit
   def readBytes(path: String): Array[Byte]
 
   /** Atomic-intent rename. Returns false when the destination already
@@ -62,6 +71,14 @@ private[mergetree] object NioTreeFs extends TreeFs {
   def isDir(path: String): Boolean = Files.isDirectory(Paths.get(path))
   def write(path: String, bytes: Array[Byte]): Unit = {
     Files.write(Paths.get(path), bytes); ()
+  }
+  def publish(path: String, bytes: Array[Byte]): Unit = {
+    val dst = Paths.get(path)
+    val tmp = dst.resolveSibling(
+      s".${dst.getFileName}.pub_${java.util.UUID.randomUUID().toString.take(8)}")
+    Files.write(tmp, bytes)
+    Files.move(tmp, dst, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING); ()
   }
   def readBytes(path: String): Array[Byte] = Files.readAllBytes(Paths.get(path))
   def moveInto(src: String, dst: String): Boolean =
@@ -146,6 +163,11 @@ private[mergetree] final class HadoopTreeFs(
     val out = fs(p).create(p, true)
     try out.write(bytes) finally out.close()
   }
+  // create(overwrite)+close is one atomic PUT on object stores (the
+  // manifest's main remote home); HDFS overwrites in place — its brief
+  // absent/partial window falls back to the raw-walk listing, which is
+  // only reachable mid-write under the tree lock
+  def publish(path: String, bytes: Array[Byte]): Unit = write(path, bytes)
   def readBytes(path: String): Array[Byte] = {
     val p = new Path(path)
     val in = fs(p).open(p)
