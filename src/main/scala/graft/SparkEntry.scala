@@ -2783,7 +2783,29 @@ object SparkEntry {
 
     "q207_sql_hash_sample" -> ch(
       "SELECT doc_id FROM hashSample(documents, 'text', 0.25) " +
-        "ORDER BY doc_id")
+        "ORDER BY doc_id"),
+
+    "q208_sql_tfidf" -> ch(
+      "SELECT doc_id, term, tf, df, " +
+        "CAST(round(tfidf * 1000) AS BIGINT) AS tfidf_milli " +
+        "FROM tfidf(documents, 'doc_id', 'text') " +
+        "WHERE doc_id < 5 ORDER BY doc_id, term"),
+
+    "q209_sql_shuffle_shards" -> ch(
+      "SELECT shard, pos, doc_id " +
+        "FROM shuffleShards(documents, 'text', 8, 'doc_id') " +
+        "WHERE shard < 2 ORDER BY shard, pos"),
+
+    "q210_sql_pack_budget" -> ch(
+      "SELECT doc_id, pack, pack_tokens_before " +
+        "FROM packByTokenBudget(documents, 'text', 'n_chars', 4096, 4, " +
+        "'doc_id') WHERE shard = 1 " +
+        "ORDER BY pack, pack_tokens_before, doc_id"),
+
+    "q211_sql_mixture" -> ch(
+      "SELECT lang, count() AS n " +
+        "FROM mixture(documents, 'lang', 'text', 'en:0.5,de:0.2', 0.05) " +
+        "GROUP BY lang ORDER BY lang")
   )
 
   // ---------------------------------------------------------------
@@ -2799,7 +2821,11 @@ object SparkEntry {
     "q204_sql_bm25" -> "q112_bm25",
     "q205_sql_stratified" -> "q114_stratified_sample",
     "q206_sql_semantic_dedup" -> "q151_semantic_dedup",
-    "q207_sql_hash_sample" -> "q97_hash_sample")
+    "q207_sql_hash_sample" -> "q97_hash_sample",
+    "q208_sql_tfidf" -> "q111_tfidf",
+    "q209_sql_shuffle_shards" -> "q115_shuffle_shards",
+    "q210_sql_pack_budget" -> "q154_pack_budget",
+    "q211_sql_mixture" -> "q98_mixture")
 
   def oracleSql: Map[String, String] =
     baseOracleSql ++ sqlDoorTwins.map { case (k, twin) =>

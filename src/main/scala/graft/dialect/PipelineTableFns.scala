@@ -30,6 +30,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *     ([[graft.operators.SemDedup.dupPairs]])
   *   - `hashSample(t, 'key', fraction)` → deterministic content-hash
   *     sample ([[graft.operators.Sampling.hashSample]])
+  *   - `tfidf(t, 'id', 'text')` → per-(doc, term) TF-IDF
+  *     ([[graft.operators.Retrieval.tfidf]])
+  *   - `shuffleShards(t, 'key', shards, 'id')` → deterministic sharded
+  *     training order ([[graft.operators.Sampling.shuffleShards]])
+  *   - `packByTokenBudget(t, 'key', 'tokens', budget, shards, 'id')` →
+  *     sequence packing ([[graft.operators.Sampling.packByTokenBudget]])
+  *   - `mixture(t, 'group', 'key', 'g:frac,g:frac'[, default])` →
+  *     per-group keep rates ([[graft.operators.Sampling.mixture]])
   *
   * A table argument is a session/catalog table NAME, or a
   * single-quoted SQL string evaluated through the dialect front door
@@ -46,7 +54,8 @@ object PipelineTableFns {
   /** Regex-alternation fragment for [[ChSql]]'s table-function
     * matcher. */
   val Names = "minHashDupPairs|bloomAntiJoin|bm25|stratifiedSample|" +
-    "semanticDedup|hashSample"
+    "semanticDedup|hashSample|tfidf|shuffleShards|packByTokenBudget|" +
+    "mixture"
 
   private val nameSet: Set[String] =
     Names.split("\\|").map(_.toLowerCase).toSet
@@ -101,6 +110,26 @@ object PipelineTableFns {
       case "hashsample" =>
         graft.operators.Sampling.hashSample(
           tableArg(spark, arg(0)), lit(1), num(2))
+      case "tfidf" =>
+        graft.operators.Retrieval.tfidf(
+          tableArg(spark, arg(0)), lit(1), lit(2))
+      case "shuffleshards" =>
+        graft.operators.Sampling.shuffleShards(
+          tableArg(spark, arg(0)), lit(1), intArg(2), lit(3))
+      case "packbytokenbudget" =>
+        graft.operators.Sampling.packByTokenBudget(
+          tableArg(spark, arg(0)), lit(1), lit(2),
+          budget = num(3).toLong, shards = intArg(4), idCol = lit(5))
+      case "mixture" =>
+        // weights spell as 'group:fraction,group:fraction'
+        val weights = lit(3).split(",").toSeq.filter(_.nonEmpty).map { p =>
+          val i = p.lastIndexOf(':')
+          require(i > 0, s"mixture(): weight '$p' is not group:fraction")
+          p.substring(0, i).trim -> p.substring(i + 1).trim.toDouble
+        }.toMap
+        graft.operators.Sampling.mixture(
+          tableArg(spark, arg(0)), lit(1), lit(2), weights,
+          defaultFraction = optNum(4, 0.0))
       case other =>
         throw new IllegalArgumentException(
           s"unknown pipeline table function: $other")
