@@ -42,8 +42,13 @@ object Governance {
   private def conf(df: DataFrame, key: String): Option[String] =
     df.sparkSession.conf.getOption(key).map(_.trim).filter(_.nonEmpty)
 
-  /** `df.collect()` under the session's governance settings. */
-  def collectBounded(df: DataFrame): Array[Row] = {
+  /** `df.collect()` under the session's governance settings.
+    * `jobGroup` lets a door that needs EXTERNAL cancellation (the
+    * native protocol's Cancel packet) name the group every job of this
+    * collect runs under — deadline or not, one `cancelJobGroup(name)`
+    * kills the query. */
+  def collectBounded(df: DataFrame,
+      jobGroup: Option[String] = None): Array[Row] = {
     val timeoutSec = conf(df, MaxExecutionTime).map(_.toDouble).getOrElse(0d)
     val maxRows = conf(df, MaxResultRows).map(_.toLong).getOrElse(0L)
     val overflow = conf(df, ResultOverflowMode).getOrElse("throw").toLowerCase
@@ -55,8 +60,14 @@ object Governance {
         df.limit(maxRows.toInt + 1)
       else df
     val rows =
-      if (timeoutSec <= 0) limited.collect()
-      else collectWithDeadline(limited, (timeoutSec * 1000).toLong)
+      if (timeoutSec <= 0) jobGroup match {
+        case None => limited.collect()
+        case Some(g) =>
+          val sc = df.sparkSession.sparkContext
+          sc.setJobGroup(g, "governed collect", interruptOnCancel = true)
+          try limited.collect() finally sc.clearJobGroup()
+      }
+      else collectWithDeadline(limited, (timeoutSec * 1000).toLong, jobGroup)
     if (maxRows > 0 && rows.length > maxRows) {
       if (overflow == "break") rows.take(maxRows.toInt)
       else throw new IllegalArgumentException(
@@ -66,9 +77,11 @@ object Governance {
     } else rows
   }
 
-  private def collectWithDeadline(df: DataFrame, ms: Long): Array[Row] = {
+  private def collectWithDeadline(df: DataFrame, ms: Long,
+      jobGroup: Option[String] = None): Array[Row] = {
     val sc = df.sparkSession.sparkContext
-    val group = s"graft-deadline-${java.util.UUID.randomUUID().toString.take(8)}"
+    val group = jobGroup.getOrElse(
+      s"graft-deadline-${java.util.UUID.randomUUID().toString.take(8)}")
     @volatile var result: Either[Throwable, Array[Row]] = null
     val worker = new Thread(() => {
       // job group is a thread-local on the submitting thread;

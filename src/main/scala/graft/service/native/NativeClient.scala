@@ -93,6 +93,22 @@ final class NativeClient(
     readResult()
   }
 
+  /** Fire a query without waiting — pair with [[cancel]] and
+    * [[awaitResult]] (clickhouse-go's ctx-cancellation shape). */
+  def queryAsync(sql: String,
+      settings: Map[String, String] = Map.empty): Unit = {
+    sendQuery(sql, settings)
+    sendBlock(Nil, 0)
+  }
+
+  /** The Cancel packet — the server stops the running query's jobs and
+    * answers EndOfStream. */
+  def cancel(): Unit = {
+    NativeWire.writeVarUInt(out, ClientCancel); out.flush()
+  }
+
+  def awaitResult(): Result = readResult()
+
   /** Query with an external temporary table shipped as a named Data
     * block before the end-of-external-data marker (CH's external-data
     * feature — the server registers it for this query's session). */

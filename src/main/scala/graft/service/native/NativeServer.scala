@@ -218,10 +218,49 @@ class NativeServer(spark: SparkSession, port: Int = 0) {
     val started = System.nanoTime()
     val (df, _) = svc.executeToDf(QueryRequest(query))
     val schema = df.schema
-    // governance: max_execution_time cancels the job group at the
-    // deadline (TIMEOUT_EXCEEDED, code 159 on this door),
-    // max_result_rows bounds the result
-    val rows = graft.service.Governance.collectBounded(df)
+    // governance + cancellation: the collect runs on a worker thread
+    // under ONE job group (max_execution_time's deadline uses the same
+    // group), while this thread watches the socket for the client's
+    // Cancel packet — clickhouse-go sends Cancel(3) when its ctx
+    // expires, CH's contract being "stop working, answer EndOfStream".
+    // Pings between packets are answered inline.
+    val group = s"graft-native-${java.util.UUID.randomUUID().toString.take(8)}"
+    @volatile var outcome: Either[Throwable, Array[Row]] = null
+    val worker = new Thread(() => {
+      try outcome = Right(
+        graft.service.Governance.collectBounded(df, jobGroup = Some(group)))
+      catch { case e: Throwable => outcome = Left(e) }
+    }, group)
+    worker.setDaemon(true)
+    worker.start()
+    var cancelled = false
+    while (worker.isAlive) {
+      worker.join(50)
+      if (worker.isAlive && in.available() > 0) {
+        NativeWire.readVarUInt(in) match {
+          case ClientCancel if !cancelled =>
+            session.sparkContext.cancelJobGroup(group)
+            cancelled = true
+          case ClientCancel => ()
+          case ClientPing =>
+            NativeWire.writeVarUInt(out, ServerPong); out.flush()
+          case other => throw new IllegalArgumentException(
+            s"native protocol: unexpected packet $other during query")
+        }
+      }
+    }
+    if (cancelled) {
+      // CH answers a cancelled query with EndOfStream, no data
+      NativeWire.writeVarUInt(out, ServerEndOfStream)
+      out.flush()
+      return
+    }
+    val rows = outcome match {
+      case Right(r) => r
+      case Left(e) => throw e
+      case null => throw new IllegalStateException(
+        "native query worker finished without a result")
+    }
 
     sendBlock(out, revision, compression,
       NativeBlock.fromRows(schema, Array.empty[Row]), 0) // header

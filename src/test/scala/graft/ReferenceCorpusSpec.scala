@@ -267,6 +267,34 @@ SETTINGS disk = disk(type = web, endpoint = '$endpoint')"""
       Seq("event_type", "repo_name", "created_at"))
   }
 
+  /** The same workflow over the wire the reference ACTUALLY dials:
+    * a native-protocol conn with LZ4 (the clickhouse-go options at
+    * `workflow_query_executor.go:222-236`), each init query Exec'd on
+    * the pinned conn, then the query (`:302-313`) — byte-for-byte the
+    * control plane's own flow, over a real socket. */
+  test("github_events workflow through the native TCP door (workflow_query_executor.go:302-313)") {
+    val (dir, _) = fixture
+    val native = new graft.service.native.NativeServer(spark)
+    val port = native.start()
+    try {
+      val conn = new graft.service.native.NativeClient("127.0.0.1", port,
+        database = "default", user = "default", compression = true)
+      try {
+        // for idx, query := range input.InitQueries { savedConn.Exec(ctx, query) }
+        Seq(githubEventsAttach(s"$dir/github_events_parquet"), initSet)
+          .foreach(conn.exec(_))
+        // rows, err := savedConn.Query(ctx, input.Query)
+        val out = conn.query(
+          "SELECT sum(commits), event_type FROM github_events group by event_type")
+        assert(out.cols.length == 2, out.cols)
+        val byType = out.rows.map(r => r(1).toString -> r(0)).toMap
+        assert(byType("PushEvent") == 8L)
+        assert(byType("PullRequestEvent") == 2L)
+        assert(byType("WatchEvent") == 0L)
+      } finally conn.close()
+    } finally native.stop()
+  }
+
   /** The SAME verbatim statement against an endpoint serving an actual
     * MergeTree wide-part tree over http — the reference's real flagship
     * shape end-to-end: all 63 columns (DateTime, two dozen Enum8s,

@@ -60,6 +60,26 @@ class GovernanceSpec extends AnyFunSuite {
     } finally clear()
   }
 
+  test("native door: the Cancel packet stops the running query (EndOfStream), conn usable after") {
+    val native = new graft.service.native.NativeServer(spark)
+    val port = native.start()
+    try {
+      val c = new graft.service.native.NativeClient("127.0.0.1", port)
+      try {
+        val started = System.nanoTime()
+        c.queryAsync(slowSql)
+        Thread.sleep(500)
+        c.cancel() // clickhouse-go's ctx-cancellation path
+        val r = c.awaitResult() // CH answers EndOfStream, no data
+        val elapsedSec = (System.nanoTime() - started) / 1e9
+        assert(r.rows.isEmpty, r.rows)
+        assert(elapsedSec < 30, s"cancel took ${elapsedSec}s")
+        val ok = c.query("SELECT 1 AS ok")
+        assert(ok.rows == Seq(Seq(1)))
+      } finally c.close()
+    } finally native.stop()
+  }
+
   test("native door: deadline kill arrives as TIMEOUT_EXCEEDED code 159, conn usable after") {
     val native = new graft.service.native.NativeServer(spark)
     val port = native.start()
