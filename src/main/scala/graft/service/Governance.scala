@@ -28,6 +28,13 @@ import org.apache.spark.sql.{DataFrame, Row}
   * land there from `SET k = v` (verbatim Spark SQL SET), the `SETTINGS`
   * clause ([[graft.dialect.ChSql.applySettings]]), and the native
   * protocol's per-query settings block.
+  *
+  * Scope: the guard sits at the RESULT materialization point. Write
+  * statements (CTAS, INSERT … SELECT) do their heavy work before it
+  * and return small status frames — their jobs are not
+  * deadline-killed (CH's `max_execution_time` covers inserts too;
+  * documented divergence, same class as the session-scoped SETTINGS
+  * clause).
   */
 object Governance {
 

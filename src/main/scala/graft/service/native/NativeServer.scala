@@ -210,7 +210,7 @@ class NativeServer(spark: SparkSession, port: Int = 0) {
 
     // external tables: Data packets before the end-of-data empty block
     // register as session temp views (CH's external-table semantics)
-    readClientBlocks(in, revision, compression) { (tableName, block) =>
+    readClientBlocks(in, out, revision, compression) { (tableName, block) =>
       if (tableName.nonEmpty && block.cols.nonEmpty)
         blockToDf(session, block).createOrReplaceTempView(tableName)
     }
@@ -323,7 +323,7 @@ class NativeServer(spark: SparkSession, port: Int = 0) {
     out.flush()
 
     val batches = scala.collection.mutable.ArrayBuffer.empty[Row]
-    readClientBlocks(in, revision, compression) { (_, block) =>
+    readClientBlocks(in, out, revision, compression) { (_, block) =>
       if (block.rows > 0) {
         require(block.cols.map(_.name) == wanted,
           s"INSERT INTO $table: block columns ${block.cols.map(_.name)} " +
@@ -354,8 +354,8 @@ class NativeServer(spark: SparkSession, port: Int = 0) {
 
   /** Read Data packets until the empty end-of-data block; Pings are
     * answered inline (clickhouse-go health-checks between packets). */
-  private def readClientBlocks(in: InputStream, revision: Long,
-      compression: Boolean)(
+  private def readClientBlocks(in: InputStream, out: OutputStream,
+      revision: Long, compression: Boolean)(
       f: (String, NativeBlock.DecodedBlock) => Unit): Unit = {
     var done = false
     while (!done) {
@@ -369,6 +369,8 @@ class NativeServer(spark: SparkSession, port: Int = 0) {
           if (block.cols.isEmpty && block.rows == 0) done = true
           else f(tableName, block)
         case ClientCancel => done = true
+        case ClientPing =>
+          NativeWire.writeVarUInt(out, ServerPong); out.flush()
         case other => throw new IllegalArgumentException(
           s"native protocol: expected Data during insert, got packet $other")
       }

@@ -228,8 +228,12 @@ object MergeTreePartWriter {
       if (head != rel && TableFiles.PartNameRe.matches(head)) Some(head)
       else None
     }
+    // a MergeTree tree holds part dirs + root metadata files, nothing
+    // else — dir-prefixed entries under a NON-part name are staging
+    // debris (a crashed `tmp_a*` attach copy) and never manifest
     val walk = fs.walkFiles(tableDir)
-      .filter(rel => rel != ".index" && !rel.startsWith(".index.pub_"))
+      .filter(rel => rel != ".index" && !rel.startsWith(".index.pub_") &&
+        (partOf(rel).isDefined || !rel.contains('/')))
     val prev: Option[Seq[String]] =
       if (fs.exists(idxPath))
         try {
