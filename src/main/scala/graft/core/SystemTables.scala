@@ -184,6 +184,23 @@ object SystemTables {
       .createOrReplaceTempView("system_tables")
   }
 
+  /** ≈ system.processes: one row per LIVE query across every door
+    * (HTTP, native TCP, QueryService) — query_id, user, door, elapsed
+    * seconds, the query text. `KILL QUERY WHERE query_id = '…'` takes
+    * the ids. Registered on demand (the registry mutates per query),
+    * like system.parts. */
+  def processes(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val now = System.currentTimeMillis()
+    graft.service.Processes.all
+      .map(p => (p.queryId, p.user, p.door,
+        (now - p.startedMs) / 1000.0, p.query))
+      .toDF("query_id", "user", "door", "elapsed", "query")
+  }
+
+  def registerProcesses(spark: SparkSession): Unit =
+    processes(spark).createOrReplaceTempView("system_processes")
+
   /** ≈ system.parts: one row per MergeTree part of every ATTACHed table
     * whose endpoint serves an actual part tree (parquet endpoints and
     * schema-only registrations contribute no rows — they have no

@@ -107,6 +107,9 @@ object ChSql {
         graft.core.SystemTables.registerTables(spark)
       if (sys.toLowerCase.contains("system_dictionaries"))
         graft.core.SystemTables.registerDictionaries(spark)
+      // processes: the live-query registry mutates per request
+      if (sys.toLowerCase.contains("system_processes"))
+        graft.core.SystemTables.registerProcesses(spark)
     }
     val rewritten = rewriteTableFunctions(spark, sys)
     registerCombinators(spark, rewritten)
@@ -502,6 +505,8 @@ object ChSql {
     if (ShowSql.isIntrospection(m)) return ShowSql.run(spark, m)
     // lifecycle: DROP TABLE (deletes CTAS-owned storage) / DETACH TABLE
     if (DropSql.isDrop(m)) return DropSql.run(spark, m)
+    // operator verbs over the live-query registry
+    if (KillSql.isKill(m)) return KillSql.run(spark, m)
     // CH `SYSTEM …` maintenance statements: accepted no-ops with a
     // status row — this engine has no background loops to poke
     // (dictionaries are always live, logs flush synchronously, merges

@@ -28,10 +28,13 @@ object ShowSql {
   private val ExistsRe =
     """(?is)^\s*EXISTS\s+(?:TABLE\s+)?(?:'([^']+)'|([\w.`"]+))\s*$""".r
 
+  private val ProcesslistRe = """(?is)^\s*SHOW\s+PROCESSLIST\s*$""".r
+
   def isShowCreate(sql: String): Boolean = StmtRe.matches(sql)
   def isIntrospection(sql: String): Boolean =
     StmtRe.matches(sql) || ShowTablesRe.matches(sql) ||
-      DescribeRe.matches(sql) || ExistsRe.matches(sql)
+      DescribeRe.matches(sql) || ExistsRe.matches(sql) ||
+      ProcesslistRe.matches(sql)
 
   /** `SHOW TABLES [LIKE '%pat%']` — the session's visible tables (temp
     * views from ATTACH/CTAS plus registered catalog entries), one
@@ -126,6 +129,9 @@ object ShowSql {
   def run(spark: SparkSession, sql: String): DataFrame = {
     import spark.implicits._
     sql match {
+      case ProcesslistRe() =>
+        // CH's SHOW PROCESSLIST ≡ SELECT * FROM system.processes
+        return graft.core.SystemTables.processes(spark)
       case ShowTablesRe(pat) => return showTables(spark, Option(pat))
       case DescribeRe(p, n) =>
         return describe(spark, Option(p), Option(n).map(ProjectionSql.clean))

@@ -178,6 +178,8 @@ class QueryService(spark: SparkSession) {
       return (graft.dialect.ShowSql.run(spark, main), Map.empty)
     if (graft.dialect.DropSql.isDrop(main))
       return (graft.dialect.DropSql.run(spark, main), Map.empty)
+    if (graft.dialect.KillSql.isKill(main))
+      return (graft.dialect.KillSql.run(spark, main), Map.empty)
     val r = ChSql.rewrite(spark, req.query, req.macros)
     ChSql.applySettings(spark, r.settings)
     (ChSql.finish(spark, r), r.settings)
@@ -211,13 +213,22 @@ class QueryService(spark: SparkSession) {
           settings = Map.empty)
       case None =>
         val (df, settings) = executeToDf(req)
+        // governance settings (max_execution_time / max_result_rows)
+        // enforce here — the one point every door's result
+        // materializes through; the query registers in
+        // system.processes under the same job group, so KILL QUERY
+        // has a handle on it
+        val qid = java.util.UUID.randomUUID().toString
+        val group = s"graft-query-${qid.take(8)}"
+        Processes.register(Processes.Proc(qid, req.query, "default",
+          "sql", System.currentTimeMillis(), group, spark))
+        val rows =
+          try Governance.collectBounded(df, Some(group)).map(_.toSeq).toSeq
+          finally Processes.unregister(qid)
         QueryResult(
           cols = df.columns.toSeq,
           types = df.schema.fields.map(_.dataType.simpleString).toSeq,
-          // governance settings (max_execution_time / max_result_rows)
-          // enforce here — the one point every door's result
-          // materializes through
-          rows = Governance.collectBounded(df).map(_.toSeq).toSeq,
+          rows = rows,
           settings = settings,
           format = fmt)
     }

@@ -177,7 +177,7 @@ class NativeServer(spark: SparkSession, port: Int = 0) {
 
   private def handleQuery(session: SparkSession, svc: QueryService,
       in: InputStream, out: OutputStream, revision: Long): Unit = {
-    NativeWire.readString(in) // query id
+    val clientQueryId = NativeWire.readString(in)
     if (revision >= MinRevisionWithClientInfo) readClientInfo(in, revision)
     // settings: (name, flags, value as string)* terminated by ""
     val settings = scala.collection.mutable.LinkedHashMap.empty[String, String]
@@ -225,11 +225,20 @@ class NativeServer(spark: SparkSession, port: Int = 0) {
     // expires, CH's contract being "stop working, answer EndOfStream".
     // Pings between packets are answered inline.
     val group = s"graft-native-${java.util.UUID.randomUUID().toString.take(8)}"
+    // registered in system.processes under the client's own query id
+    // (or a generated one) — KILL QUERY and the Cancel packet share
+    // the job-group kill handle
+    val qid = if (clientQueryId.nonEmpty) clientQueryId
+      else java.util.UUID.randomUUID().toString
+    graft.service.Processes.register(graft.service.Processes.Proc(
+      qid, query, "default", "native", System.currentTimeMillis(),
+      group, session))
     @volatile var outcome: Either[Throwable, Array[Row]] = null
     val worker = new Thread(() => {
       try outcome = Right(
         graft.service.Governance.collectBounded(df, jobGroup = Some(group)))
       catch { case e: Throwable => outcome = Left(e) }
+      finally graft.service.Processes.unregister(qid)
     }, group)
     worker.setDaemon(true)
     worker.start()
