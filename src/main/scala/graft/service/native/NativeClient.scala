@@ -87,8 +87,10 @@ final class NativeClient(
 
   /** Run a query, return header + rows — `conn.Query`'s shape. */
   def query(sql: String,
-      settings: Map[String, String] = Map.empty): Result = {
-    sendQuery(sql, settings)
+      settings: Map[String, String] = Map.empty,
+      params: Map[String, String] = Map.empty,
+      queryId: String = ""): Result = {
+    sendQuery(sql, settings, params, queryId)
     sendBlock(Nil, 0) // end of external data
     readResult()
   }
@@ -150,10 +152,12 @@ final class NativeClient(
     header.cols.map(c => (c.name, NativeBlock.renderType(c.t)))
   }
 
-  private def sendQuery(sql: String, settings: Map[String, String]): Unit = {
+  private def sendQuery(sql: String, settings: Map[String, String],
+      params: Map[String, String] = Map.empty,
+      queryId: String = ""): Unit = {
     val b = new WireOut
     b.writeVarUInt(ClientQuery)
-    b.writeString("") // query id — server-assigned
+    b.writeString(queryId) // empty = server-assigned
     if (revision >= MinRevisionWithClientInfo) {
       b.writeByte(1) // initial query
       b.writeString("") // initial user
@@ -185,7 +189,14 @@ final class NativeClient(
     b.writeVarUInt(StageComplete)
     b.writeVarUInt(if (compression) 1L else 0L)
     b.writeString(sql)
-    if (revision >= MinProtocolWithParameters) b.writeString("")
+    if (revision >= MinProtocolWithParameters) {
+      params.foreach { case (k, v) =>
+        b.writeString(k)
+        b.writeVarUInt(0x02) // custom-serialized (string) flag
+        b.writeString(v)
+      }
+      b.writeString("")
+    }
     out.write(b.bytes); out.flush()
   }
 

@@ -190,15 +190,24 @@ class NativeServer(spark: SparkSession, port: Int = 0) {
     if (revision >= MinRevisionWithInterserverSecret) NativeWire.readString(in)
     NativeWire.readVarUInt(in) // stage (complete)
     val compression = NativeWire.readVarUInt(in) != 0
-    val query = NativeWire.readString(in)
+    val rawQuery = NativeWire.readString(in)
+    val params = scala.collection.mutable.LinkedHashMap.empty[String, String]
     if (revision >= MinProtocolWithParameters) {
       var p = NativeWire.readString(in)
       while (p.nonEmpty) {
-        NativeWire.readVarUInt(in) // flags
-        NativeWire.readString(in) // value — parameters unsupported, tolerated
+        NativeWire.readVarUInt(in) // flags (custom)
+        params(p) = NativeWire.readString(in)
         p = NativeWire.readString(in)
       }
     }
+    // CH substitutes {name:Type} server-side; values arrive as text.
+    // A substitution error must not throw before the client's pending
+    // external-data blocks are drained, or the conn desynchronizes —
+    // defer it past the protocol exchange.
+    val querySub: Either[Throwable, String] =
+      try Right(substituteParams(rawQuery, params.toMap))
+      catch { case scala.util.control.NonFatal(e) => Left(e) }
+    val query = querySub.getOrElse(rawQuery)
 
     ChSql.applySettings(session, settings.toMap)
 
@@ -214,6 +223,8 @@ class NativeServer(spark: SparkSession, port: Int = 0) {
       if (tableName.nonEmpty && block.cols.nonEmpty)
         blockToDf(session, block).createOrReplaceTempView(tableName)
     }
+    // the protocol exchange is complete — deferred errors surface now
+    querySub.left.foreach(e => throw e)
 
     val started = System.nanoTime()
     val (df, _) = svc.executeToDf(QueryRequest(query))
@@ -283,6 +294,38 @@ class NativeServer(spark: SparkSession, port: Int = 0) {
     sendProgress(out, revision, rows.length.toLong, System.nanoTime() - started)
     NativeWire.writeVarUInt(out, ServerEndOfStream)
     out.flush()
+  }
+
+  /** CH query parameters: every `{name:Type}` placeholder substitutes
+    * its client-sent text value — string-family types land as escaped
+    * SQL literals, everything else (numbers, arrays, tuples) verbatim
+    * in the value's own text form, which is how CH's HTTP `param_x`
+    * interface reads them too. An unbound placeholder refuses loudly
+    * (CH errors on missing parameters as well). */
+  private val ParamRe = """\{\s*([A-Za-z_][A-Za-z0-9_]*)\s*:\s*([^}]*)\}""".r
+  private def substituteParams(q: String,
+      params: Map[String, String]): String = {
+    // substitution engages only when the client actually bound
+    // parameters — a brace group in a param-less query (a {macro}, a
+    // literal) passes through untouched
+    if (params.isEmpty || !q.contains('{')) return q
+    ParamRe.replaceAllIn(q, m => {
+      val name = m.group(1)
+      val t = m.group(2).trim
+      val v = params.getOrElse(name,
+        // a brace group that is NOT a parameter reference (e.g. a
+        // {macro}) has no type colon and never matches; one that does
+        // match but has no value is a client error
+        throw new IllegalArgumentException(
+          s"query parameter '$name' ($t) has no bound value"))
+      val base = t.takeWhile(c => c.isLetterOrDigit).toLowerCase
+      val stringLike = Set("string", "fixedstring", "date", "date32",
+        "datetime", "datetime64", "uuid", "enum8", "enum16", "ipv4", "ipv6")
+      val lit =
+        if (stringLike(base)) "'" + v.replace("\\", "\\\\").replace("'", "\\'") + "'"
+        else v
+      java.util.regex.Matcher.quoteReplacement(lit)
+    })
   }
 
   /** `INSERT INTO t [(cols)]` with NO inline source (no SELECT, no

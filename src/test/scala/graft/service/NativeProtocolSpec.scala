@@ -251,6 +251,29 @@ class NativeProtocolSpec extends AnyFunSuite {
     } finally spark.conf.unset(graft.dialect.ChWrites.WarehouseConf)
   }
 
+  test("query parameters: {name:Type} substitutes the client-bound value") {
+    withServer { port =>
+      val c = new NativeClient("127.0.0.1", port)
+      try {
+        val r = c.query(
+          "SELECT number FROM numbers({n:UInt64}) " +
+            "WHERE {label:String} = 'keep' ORDER BY number",
+          params = Map("n" -> "4", "label" -> "keep"))
+        assert(r.rows.map(_.head) == Seq(0L, 1L, 2L, 3L), r.rows)
+        // an unbound placeholder refuses loudly when params are in play
+        val e = intercept[NativeClient.ServerSideException] {
+          c.query("SELECT {missing:UInt8} AS x",
+            params = Map("other" -> "1"))
+        }
+        assert(e.getMessage.contains("no bound value"), e.getMessage)
+        // a param-less query keeps brace groups untouched (macros,
+        // literals)
+        val lit = c.query("SELECT '{not:a_param}' AS s")
+        assert(lit.rows == Seq(Seq("{not:a_param}")))
+      } finally c.close()
+    }
+  }
+
   test("errors arrive as CH Exception frames and the conn stays usable") {
     withServer { port =>
       val c = new NativeClient("127.0.0.1", port)
