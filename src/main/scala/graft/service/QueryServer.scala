@@ -134,6 +134,13 @@ class QueryServer(
           // CH concatenates ?query= and the body (a statement may be
           // split across both)
           val sql = (params.getOrElse("query", "") + "\n" + bodySql).trim
+          // CH's HTTP parameters: ?param_<name>=v binds {name:Type};
+          // substitution runs inside serveQuery's error envelope (an
+          // unbound placeholder is the caller's fault → 400)
+          val bound = params.collect {
+            case (k, v) if k.startsWith("param_") =>
+              k.stripPrefix("param_") -> v
+          }
           val fmt = params.get("default_format").filter(_.nonEmpty)
           if (sql.isEmpty)
             if (m == "GET") (200, "text/plain", "Ok.\n")
@@ -148,7 +155,7 @@ class QueryServer(
           else if (fmt.exists(!ResponseFormats.supported(_)))
             (400, "text/plain", s"unknown default_format: ${fmt.get}")
           else serveQuery(reqId,
-            () => QueryService.QueryRequest(sql),
+            () => QueryService.QueryRequest(QueryParams.substitute(sql, bound)),
             defaultFormat = fmt.orElse(Some("TabSeparated")),
             plainErrors = true)
         }

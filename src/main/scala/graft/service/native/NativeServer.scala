@@ -205,7 +205,7 @@ class NativeServer(spark: SparkSession, port: Int = 0) {
     // external-data blocks are drained, or the conn desynchronizes —
     // defer it past the protocol exchange.
     val querySub: Either[Throwable, String] =
-      try Right(substituteParams(rawQuery, params.toMap))
+      try Right(graft.service.QueryParams.substitute(rawQuery, params.toMap))
       catch { case scala.util.control.NonFatal(e) => Left(e) }
     val query = querySub.getOrElse(rawQuery)
 
@@ -294,38 +294,6 @@ class NativeServer(spark: SparkSession, port: Int = 0) {
     sendProgress(out, revision, rows.length.toLong, System.nanoTime() - started)
     NativeWire.writeVarUInt(out, ServerEndOfStream)
     out.flush()
-  }
-
-  /** CH query parameters: every `{name:Type}` placeholder substitutes
-    * its client-sent text value — string-family types land as escaped
-    * SQL literals, everything else (numbers, arrays, tuples) verbatim
-    * in the value's own text form, which is how CH's HTTP `param_x`
-    * interface reads them too. An unbound placeholder refuses loudly
-    * (CH errors on missing parameters as well). */
-  private val ParamRe = """\{\s*([A-Za-z_][A-Za-z0-9_]*)\s*:\s*([^}]*)\}""".r
-  private def substituteParams(q: String,
-      params: Map[String, String]): String = {
-    // substitution engages only when the client actually bound
-    // parameters — a brace group in a param-less query (a {macro}, a
-    // literal) passes through untouched
-    if (params.isEmpty || !q.contains('{')) return q
-    ParamRe.replaceAllIn(q, m => {
-      val name = m.group(1)
-      val t = m.group(2).trim
-      val v = params.getOrElse(name,
-        // a brace group that is NOT a parameter reference (e.g. a
-        // {macro}) has no type colon and never matches; one that does
-        // match but has no value is a client error
-        throw new IllegalArgumentException(
-          s"query parameter '$name' ($t) has no bound value"))
-      val base = t.takeWhile(c => c.isLetterOrDigit).toLowerCase
-      val stringLike = Set("string", "fixedstring", "date", "date32",
-        "datetime", "datetime64", "uuid", "enum8", "enum16", "ipv4", "ipv6")
-      val lit =
-        if (stringLike(base)) "'" + v.replace("\\", "\\\\").replace("'", "\\'") + "'"
-        else v
-      java.util.regex.Matcher.quoteReplacement(lit)
-    })
   }
 
   /** `INSERT INTO t [(cols)]` with NO inline source (no SELECT, no

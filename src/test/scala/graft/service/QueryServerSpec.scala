@@ -209,6 +209,18 @@ class QueryServerSpec extends AnyFunSuite {
     assert(run("Arrow").statusCode() == 400)
   }
 
+  test("raw door binds ?param_<name>= into {name:Type} placeholders (CH's HTTP parameters)") {
+    val r = post("/?param_n=3&param_tag=keep&default_format=CSV",
+      "SELECT number FROM numbers({n:UInt64}) " +
+        "WHERE {tag:String} = 'keep' ORDER BY number")
+    assert(r.statusCode() == 200, r.body())
+    assert(r.body() == "0\n1\n2\n", r.body())
+    // an unbound placeholder is the caller's fault
+    val bad = post("/?param_x=1", "SELECT {y:UInt8} AS v")
+    assert(bad.statusCode() == 400, bad.body())
+    assert(bad.body().contains("no bound value"), bad.body())
+  }
+
   test("raw ClickHouse HTTP door: POST / with SQL body + default_format drives run.sh:17's statement") {
     // the reference's PoC statement (run.sh:17) against a locally
     // served aapl_stock.csv — same rows ReferenceCorpusSpec uses
