@@ -254,20 +254,28 @@ class NativeServer(spark: SparkSession, port: Int = 0) {
     worker.setDaemon(true)
     worker.start()
     var cancelled = false
-    while (worker.isAlive) {
-      worker.join(50)
-      if (worker.isAlive && in.available() > 0) {
-        NativeWire.readVarUInt(in) match {
-          case ClientCancel if !cancelled =>
-            session.sparkContext.cancelJobGroup(group)
-            cancelled = true
-          case ClientCancel => ()
-          case ClientPing =>
-            NativeWire.writeVarUInt(out, ServerPong); out.flush()
-          case other => throw new IllegalArgumentException(
-            s"native protocol: unexpected packet $other during query")
+    try {
+      while (worker.isAlive) {
+        worker.join(50)
+        if (worker.isAlive && in.available() > 0) {
+          NativeWire.readVarUInt(in) match {
+            case ClientCancel if !cancelled =>
+              session.sparkContext.cancelJobGroup(group)
+              cancelled = true
+            case ClientCancel => ()
+            case ClientPing =>
+              NativeWire.writeVarUInt(out, ServerPong); out.flush()
+            case other => throw new IllegalArgumentException(
+              s"native protocol: unexpected packet $other during query")
+          }
         }
       }
+    } catch {
+      // the watch loop dying (protocol error, broken socket) must not
+      // leak a running query — nobody is left to read its result
+      case e: Throwable =>
+        session.sparkContext.cancelJobGroup(group)
+        throw e
     }
     if (cancelled) {
       // CH answers a cancelled query with EndOfStream, no data
