@@ -274,6 +274,33 @@ class NativeProtocolSpec extends AnyFunSuite {
     }
   }
 
+  test("concurrent connections: per-conn session isolation, shared catalog") {
+    withServer { port =>
+      val a = new NativeClient("127.0.0.1", port)
+      val b = new NativeClient("127.0.0.1", port, compression = false)
+      try {
+        // conn-scoped state: a SET on conn A is invisible on conn B
+        a.exec("SET spark.graft.isolation_probe = 'conn_a'")
+        val seenA = a.query(
+          "SELECT 1 FROM system.one SETTINGS max_threads = 2")
+        assert(seenA.rows.nonEmpty)
+        // interleave queries on both conns — the protocol is
+        // per-connection sequential, connections are independent
+        val threads = Seq(a, b).zipWithIndex.map { case (c, i) =>
+          val t = new Thread(() => {
+            (0 until 5).foreach { j =>
+              val r = c.query(s"SELECT ${i * 100 + j} AS v")
+              assert(r.rows == Seq(Seq(i * 100 + j)), r.rows)
+            }
+          }, s"native-conc-$i")
+          t.start(); t
+        }
+        threads.foreach(_.join(60000))
+        assert(threads.forall(!_.isAlive))
+      } finally { a.close(); b.close() }
+    }
+  }
+
   test("errors arrive as CH Exception frames and the conn stays usable") {
     withServer { port =>
       val c = new NativeClient("127.0.0.1", port)
