@@ -29,12 +29,13 @@ import org.apache.spark.sql.{DataFrame, Row}
   * clause ([[graft.dialect.ChSql.applySettings]]), and the native
   * protocol's per-query settings block.
   *
-  * Scope: the guard sits at the RESULT materialization point. Write
-  * statements (CTAS, INSERT … SELECT) do their heavy work before it
-  * and return small status frames — their jobs are not
-  * deadline-killed (CH's `max_execution_time` covers inserts too;
-  * documented divergence, same class as the session-scoped SETTINGS
-  * clause).
+  * Scope: [[runGoverned]] wraps the WHOLE request on both doors —
+  * plan, DDL/INSERT side effects, collect — so a runaway
+  * INSERT … SELECT or CTAS is deadline-killed too (CH's
+  * `max_execution_time` covers inserts); a cancelled write is a
+  * crashed write, which the staged-swap/manifest-commit protocol
+  * leaves consistent. A deadline set by the statement's own SETTINGS
+  * clause (applied mid-request) engages at the collect.
   */
 object Governance {
 
@@ -48,6 +49,59 @@ object Governance {
 
   private def conf(df: DataFrame, key: String): Option[String] =
     df.sparkSession.conf.getOption(key).map(_.trim).filter(_.nonEmpty)
+
+  /** Run `body` — the WHOLE request: plan, DDL/INSERT side effects,
+    * collect — on a worker thread under `jobGroup`, cancelled at the
+    * session's `max_execution_time` deadline. This is what lets the
+    * deadline (and KILL QUERY / the native Cancel packet, which share
+    * the group) stop a runaway INSERT … SELECT or CTAS, not just a
+    * SELECT's result materialization: a cancelled write is a crashed
+    * write, which the staged-swap/manifest-commit protocol already
+    * leaves consistent. Without a configured deadline the body runs
+    * on this thread under the group (one kill handle, no thread). */
+  def runGoverned[A](spark: org.apache.spark.sql.SparkSession,
+      jobGroup: String)(body: => A): A = {
+    val timeoutSec = spark.conf.getOption(MaxExecutionTime)
+      .map(_.trim).filter(_.nonEmpty).map(_.toDouble).getOrElse(0d)
+    val sc = spark.sparkContext
+    if (timeoutSec <= 0) {
+      sc.setJobGroup(jobGroup, "governed request", interruptOnCancel = true)
+      try body finally sc.clearJobGroup()
+    } else {
+      val ms = (timeoutSec * 1000).toLong
+      @volatile var result: Either[Throwable, A] = null
+      val worker = new Thread(() => {
+        // active session is a THREAD-local — the body's write paths
+        // resolve hadoop conf / implicits through it
+        org.apache.spark.sql.SparkSession.setActiveSession(spark)
+        sc.setJobGroup(jobGroup, s"deadline ${ms}ms", interruptOnCancel = true)
+        try result = Right(body)
+        catch { case e: Throwable => result = Left(e) }
+        finally sc.clearJobGroup()
+      }, jobGroup)
+      worker.setDaemon(true)
+      worker.start()
+      worker.join(ms)
+      if (worker.isAlive) {
+        sc.cancelJobGroup(jobGroup)
+        worker.join(10000)
+        throw new TimeoutException(
+          s"Timeout exceeded: maximum ${ms / 1000.0} seconds " +
+            s"($MaxExecutionTime). TIMEOUT_EXCEEDED")
+      }
+      result match {
+        case Right(r) => r
+        case Left(e: org.apache.spark.SparkException)
+            if e.getMessage != null && e.getMessage.contains("cancelled") =>
+          throw new TimeoutException(
+            s"Timeout exceeded: maximum ${ms / 1000.0} seconds " +
+              s"($MaxExecutionTime). TIMEOUT_EXCEEDED")
+        case Left(e) => throw e
+        case null => throw new IllegalStateException(
+          "governed worker finished without a result")
+      }
+    }
+  }
 
   /** `df.collect()` under the session's governance settings.
     * `jobGroup` lets a door that needs EXTERNAL cancellation (the

@@ -212,22 +212,27 @@ class QueryService(spark: SparkSession) {
           rows = Seq(Seq(path, n, if (reused) "already_written" else "written")),
           settings = Map.empty)
       case None =>
-        val (df, settings) = executeToDf(req)
-        // governance settings (max_execution_time / max_result_rows)
-        // enforce here — the one point every door's result
-        // materializes through; the query registers in
-        // system.processes under the same job group, so KILL QUERY
-        // has a handle on it
+        // governance (max_execution_time / max_result_rows) wraps the
+        // WHOLE request — plan, DDL/INSERT side effects, collect — in
+        // one job group; the query registers in system.processes under
+        // that group, so the deadline and KILL QUERY share the kill
+        // handle. A statement-level SETTINGS deadline (applied inside
+        // executeToDf) still engages at the collect.
         val qid = java.util.UUID.randomUUID().toString
         val group = s"graft-query-${qid.take(8)}"
         Processes.register(Processes.Proc(qid, req.query, "default",
           "sql", System.currentTimeMillis(), group, spark))
-        val rows =
-          try Governance.collectBounded(df, Some(group)).map(_.toSeq).toSeq
-          finally Processes.unregister(qid)
+        val (cols, types, rows, settings) =
+          try Governance.runGoverned(spark, group) {
+            val (df, settings) = executeToDf(req)
+            (df.columns.toSeq,
+              df.schema.fields.map(_.dataType.simpleString).toSeq,
+              Governance.collectBounded(df, Some(group)).map(_.toSeq).toSeq,
+              settings)
+          } finally Processes.unregister(qid)
         QueryResult(
-          cols = df.columns.toSeq,
-          types = df.schema.fields.map(_.dataType.simpleString).toSeq,
+          cols = cols,
+          types = types,
           rows = rows,
           settings = settings,
           format = fmt)

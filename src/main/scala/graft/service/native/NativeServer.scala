@@ -227,14 +227,13 @@ class NativeServer(spark: SparkSession, port: Int = 0) {
     querySub.left.foreach(e => throw e)
 
     val started = System.nanoTime()
-    val (df, _) = svc.executeToDf(QueryRequest(query))
-    val schema = df.schema
-    // governance + cancellation: the collect runs on a worker thread
-    // under ONE job group (max_execution_time's deadline uses the same
-    // group), while this thread watches the socket for the client's
-    // Cancel packet — clickhouse-go sends Cancel(3) when its ctx
-    // expires, CH's contract being "stop working, answer EndOfStream".
-    // Pings between packets are answered inline.
+    // governance + cancellation: the WHOLE request (plan, DDL/INSERT
+    // side effects, collect) runs on a worker thread under ONE job
+    // group (max_execution_time's deadline uses the same group), while
+    // this thread watches the socket for the client's Cancel packet —
+    // clickhouse-go sends Cancel(3) when its ctx expires, CH's
+    // contract being "stop working, answer EndOfStream". Pings between
+    // packets are answered inline.
     val group = s"graft-native-${java.util.UUID.randomUUID().toString.take(8)}"
     // registered in system.processes under the client's own query id
     // (or a generated one) — KILL QUERY and the Cancel packet share
@@ -244,10 +243,15 @@ class NativeServer(spark: SparkSession, port: Int = 0) {
     graft.service.Processes.register(graft.service.Processes.Proc(
       qid, query, "default", "native", System.currentTimeMillis(),
       group, session))
-    @volatile var outcome: Either[Throwable, Array[Row]] = null
+    @volatile var outcome: Either[Throwable, (StructType, Array[Row])] = null
     val worker = new Thread(() => {
+      org.apache.spark.sql.SparkSession.setActiveSession(session)
       try outcome = Right(
-        graft.service.Governance.collectBounded(df, jobGroup = Some(group)))
+        graft.service.Governance.runGoverned(session, group) {
+          val (df, _) = svc.executeToDf(QueryRequest(query))
+          (df.schema,
+            graft.service.Governance.collectBounded(df, Some(group)))
+        })
       catch { case e: Throwable => outcome = Left(e) }
       finally graft.service.Processes.unregister(qid)
     }, group)
@@ -283,7 +287,7 @@ class NativeServer(spark: SparkSession, port: Int = 0) {
       out.flush()
       return
     }
-    val rows = outcome match {
+    val (schema, rows) = outcome match {
       case Right(r) => r
       case Left(e) => throw e
       case null => throw new IllegalStateException(

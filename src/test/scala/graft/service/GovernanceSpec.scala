@@ -60,6 +60,35 @@ class GovernanceSpec extends AnyFunSuite {
     } finally clear()
   }
 
+  test("the deadline also governs write statements (runaway INSERT SELECT)") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_gov_write").toString
+    spark.conf.set(graft.dialect.ChWrites.WarehouseConf, wh)
+    val svc = new QueryService(spark)
+    try {
+      svc.execute(QueryRequest(
+        "CREATE TABLE gov_w (h Int64) ENGINE = MergeTree ORDER BY h"))
+      spark.conf.set(Governance.MaxExecutionTime, "1")
+      val started = System.nanoTime()
+      val e = intercept[java.util.concurrent.TimeoutException] {
+        svc.execute(QueryRequest(
+          "INSERT INTO gov_w SELECT CAST(cityHash64(toString(number)) " +
+            "AS BIGINT) AS h FROM numbers(20000000000)"))
+      }
+      val elapsedSec = (System.nanoTime() - started) / 1e9
+      assert(e.getMessage.contains("TIMEOUT_EXCEEDED"), e.getMessage)
+      assert(elapsedSec < 60, s"write deadline kill took ${elapsedSec}s")
+      clear()
+      // the cancelled write is a crashed write: the table stays
+      // consistent (no committed rows from the killed insert)
+      val n = svc.execute(QueryRequest("SELECT count() AS n FROM gov_w"))
+      assert(n.rows == Seq(Seq(0L)), n.rows)
+      svc.execute(QueryRequest("DROP TABLE gov_w"))
+    } finally {
+      clear()
+      spark.conf.unset(graft.dialect.ChWrites.WarehouseConf)
+    }
+  }
+
   test("native door: the Cancel packet stops the running query (EndOfStream), conn usable after") {
     val native = new graft.service.native.NativeServer(spark)
     val port = native.start()
