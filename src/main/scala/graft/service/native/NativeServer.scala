@@ -304,7 +304,26 @@ class NativeServer(spark: SparkSession, port: Int = 0) {
       off += chunk.length
     }
     sendProgress(out, revision, rows.length.toLong, System.nanoTime() - started)
+    sendProfileInfo(out, rows.length.toLong,
+      blocks = (rows.length.toLong + BlockRows - 1) / BlockRows)
     NativeWire.writeVarUInt(out, ServerEndOfStream)
+    out.flush()
+  }
+
+  /** CH sends a ProfileInfo frame before EndOfStream — rows, blocks,
+    * bytes, applied-limit flag, rows-before-limit, calculated flag
+    * (clickhouse-go decodes and exposes it). */
+  private def sendProfileInfo(out: OutputStream, rows: Long,
+      blocks: Long): Unit = {
+    NativeWire.writeVarUInt(out, ServerProfileInfo)
+    val b = new WireOut
+    b.writeVarUInt(rows)
+    b.writeVarUInt(blocks)
+    b.writeVarUInt(0) // bytes — not tracked
+    b.writeByte(0)    // applied limit
+    b.writeVarUInt(rows) // rows before limit
+    b.writeByte(0)    // calculated rows before limit
+    out.write(b.bytes)
     out.flush()
   }
 
