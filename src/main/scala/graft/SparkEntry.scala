@@ -2805,7 +2805,25 @@ object SparkEntry {
     "q211_sql_mixture" -> ch(
       "SELECT lang, count() AS n " +
         "FROM mixture(documents, 'lang', 'text', 'en:0.5,de:0.2', 0.05) " +
-        "GROUP BY lang ORDER BY lang")
+        "GROUP BY lang ORDER BY lang"),
+
+    "q212_sql_simhash" -> ch(
+      "SELECT id_a, id_b FROM simHashDupPairs(documents, 'doc_id', " +
+        "'text', 3, 'true') ORDER BY id_a, id_b"),
+
+    "q213_sql_ngram" -> ch(
+      "SELECT id_a, id_b FROM ngramJaccardPairs(documents, 'doc_id', " +
+        "'text', 3, 0.8) ORDER BY id_a, id_b"),
+
+    "q214_sql_contamination" -> ch(
+      "SELECT _id AS doc_id, n_overlap FROM contamination(" +
+        "'SELECT * FROM documents WHERE doc_id % 17 <> 0', " +
+        "'SELECT * FROM documents WHERE doc_id % 17 = 0', " +
+        "'doc_id', 'text', 5) ORDER BY doc_id"),
+
+    "q215_sql_langid" -> ch(
+      "SELECT lang_pred, count() AS cnt FROM langId(documents, 'text') " +
+        "GROUP BY lang_pred ORDER BY lang_pred")
   )
 
   // ---------------------------------------------------------------
@@ -2825,7 +2843,11 @@ object SparkEntry {
     "q208_sql_tfidf" -> "q111_tfidf",
     "q209_sql_shuffle_shards" -> "q115_shuffle_shards",
     "q210_sql_pack_budget" -> "q154_pack_budget",
-    "q211_sql_mixture" -> "q98_mixture")
+    "q211_sql_mixture" -> "q98_mixture",
+    "q212_sql_simhash" -> "q43_simhash_dups",
+    "q213_sql_ngram" -> "q44_ngram_pairs",
+    "q214_sql_contamination" -> "q80_contamination",
+    "q215_sql_langid" -> "q48_lang_id")
 
   def oracleSql: Map[String, String] =
     baseOracleSql ++ sqlDoorTwins.map { case (k, twin) =>

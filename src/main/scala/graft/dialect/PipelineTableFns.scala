@@ -55,7 +55,9 @@ object PipelineTableFns {
     * matcher. */
   val Names = "minHashDupPairs|bloomAntiJoin|bm25|stratifiedSample|" +
     "semanticDedup|hashSample|tfidf|shuffleShards|packByTokenBudget|" +
-    "mixture"
+    "mixture|simHashDupPairs|ngramJaccardPairs|lineDedup|contamination|" +
+    "nearDupSurvivors|exactDupStats|langId|qualityFeatures|gopherFilter|" +
+    "chunkTokens"
 
   private val nameSet: Set[String] =
     Names.split("\\|").map(_.toLowerCase).toSet
@@ -130,6 +132,41 @@ object PipelineTableFns {
         graft.operators.Sampling.mixture(
           tableArg(spark, arg(0)), lit(1), lit(2), weights,
           defaultFraction = optNum(4, 0.0))
+      case "simhashduppairs" =>
+        graft.operators.Dedup.simHashDupPairs(
+          tableArg(spark, arg(0)), lit(1), lit(2),
+          maxHamming = optInt(3, 3),
+          portable = rawArgs.length > 4 && lit(4).equalsIgnoreCase("true"))
+      case "ngramjaccardpairs" =>
+        graft.operators.Dedup.ngramJaccardPairs(
+          tableArg(spark, arg(0)), lit(1), lit(2),
+          shingleSize = optInt(3, 3), threshold = optNum(4, 0.5))
+      case "linededup" =>
+        graft.operators.Dedup.lineDedup(
+          tableArg(spark, arg(0)), lit(1), lit(2),
+          minDocs = optInt(3, 2))
+      case "contamination" =>
+        graft.operators.Dedup.contamination(
+          tableArg(spark, arg(0)), tableArg(spark, arg(1)), lit(2), lit(3),
+          n = optInt(4, 8))
+      case "neardupsurvivors" =>
+        graft.operators.Dedup.nearDupSurvivors(
+          tableArg(spark, arg(0)), lit(1), tableArg(spark, arg(2)))
+      case "exactdupstats" =>
+        graft.operators.Dedup.exactStats(
+          tableArg(spark, arg(0)), lit(1), lit(2))
+      case "langid" =>
+        graft.operators.TextAnalysis.langId(tableArg(spark, arg(0)), lit(1))
+      case "qualityfeatures" =>
+        graft.operators.TextAnalysis.qualityFeatures(
+          tableArg(spark, arg(0)), lit(1))
+      case "gopherfilter" =>
+        graft.operators.TextAnalysis.gopherFilter(
+          tableArg(spark, arg(0)), lit(1))
+      case "chunktokens" =>
+        graft.operators.TextAnalysis.chunkTokens(
+          tableArg(spark, arg(0)), lit(1), lit(2),
+          win = intArg(3), stride = intArg(4))
       case other =>
         throw new IllegalArgumentException(
           s"unknown pipeline table function: $other")
