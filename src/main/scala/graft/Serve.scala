@@ -19,7 +19,12 @@ object Serve {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    args.headOption.foreach(dir => graft.core.Tables.registerViews(spark, dir))
+    args.headOption.foreach { dir =>
+      graft.core.Tables.registerViews(spark, dir)
+      // per-request sessions resolve tables through the CATALOG, not
+      // this session's temp views — record them there too
+      graft.core.Tables.recordInCatalog(spark, dir)
+    }
     val port = sys.env.getOrElse("GRAFT_HTTP_PORT", "8080").toInt
     // GRAFT_JOURNAL_DIR turns on the accepted-request journal; recover
     // mode "report" (default) logs unfinished entries from a previous

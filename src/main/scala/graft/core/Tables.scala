@@ -44,4 +44,23 @@ object Tables {
     * Idempotent; cheap (no scan — just catalog entries). */
   def registerViews(spark: SparkSession, dir: String): Unit =
     names.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+
+  /** Record the testdata tables in the CATALOG, not just this session's
+    * temp views, so the service doors' per-request isolated sessions
+    * resolve them — `ensureSessionViews` re-materializes catalog
+    * entries per request, while plain temp views never cross sessions
+    * (r13 finding: `Serve <dir>` answered /hc but a fresh request
+    * couldn't see lineitem). `events` registers only when its physical
+    * timestamp type is plain-readable — the nanos-normalizing [[load]]
+    * is a loader concern the generic catalog materializer does not
+    * reproduce. */
+  def recordInCatalog(spark: SparkSession, dir: String): Unit =
+    names.foreach { n =>
+      val ep = s"$dir/$n.parquet"
+      val readable =
+        try { spark.read.parquet(ep).schema; true }
+        catch { case scala.util.control.NonFatal(_) => false }
+      if (readable)
+        Catalog.update(Catalog.AttachedTable(n, "", Nil, Some(ep)))
+    }
 }
