@@ -42,10 +42,17 @@ object Governance {
   val MaxExecutionTime = "max_execution_time"
   val MaxResultRows = "max_result_rows"
   val ResultOverflowMode = "result_overflow_mode"
+  val MaxInsertBlockSize = "max_insert_block_size"
+
+  /** CH's default `max_insert_block_size` — the row count at which a
+    * streaming native INSERT flushes its buffered client blocks into a
+    * part (bounding driver memory to one flush, not the whole load). */
+  val DefaultInsertBlockSize = 1048449L
 
   /** The conf keys [[graft.dialect.ChSql.applySettings]] must forward
     * into the session instead of dropping as no-op CH knobs. */
-  val Keys: Set[String] = Set(MaxExecutionTime, MaxResultRows, ResultOverflowMode)
+  val Keys: Set[String] = Set(MaxExecutionTime, MaxResultRows,
+    ResultOverflowMode, MaxInsertBlockSize)
 
   private def conf(df: DataFrame, key: String): Option[String] =
     df.sparkSession.conf.getOption(key).map(_.trim).filter(_.nonEmpty)
@@ -136,6 +143,55 @@ object Governance {
           s"maximum $maxRows. TOO_MANY_ROWS (set $ResultOverflowMode = " +
           "'break' to truncate instead)")
     } else rows
+  }
+
+  /** Iterator analog of [[collectBounded]] for the STREAMING doors
+    * (VERDICT r13 task #1 — both doors fully materialized every result
+    * driver-side before the first byte left, the one real scale-killer
+    * at 100 TB): rows arrive per-partition via `toLocalIterator`, so
+    * the driver holds at most one partition's fetch, never the whole
+    * result.
+    *
+    * `max_result_rows` still reaches the PLAN as limit+1; overflow
+    * surfaces DURING iteration — `break` ends the stream at the limit,
+    * `throw` raises CH's TOO_MANY_ROWS (the client may already hold
+    * the first maxRows rows; CH streams-then-errors the same way).
+    *
+    * The DRAINING thread carries the job group: `toLocalIterator`
+    * submits one job per partition lazily from `hasNext`, and Spark's
+    * job group is a thread-local of the submitting thread —
+    * [[runGoverned]] sets it on the thread that runs the body, which
+    * is where the doors drain. `max_execution_time` is therefore
+    * enforced by the [[runGoverned]] wrapper around the whole
+    * plan-and-stream, not re-checked here. */
+  def iterateBounded(df: DataFrame): Iterator[Row] = {
+    val maxRows = conf(df, MaxResultRows).map(_.toLong).getOrElse(0L)
+    val overflow = conf(df, ResultOverflowMode).getOrElse("throw").toLowerCase
+    require(overflow == "throw" || overflow == "break",
+      s"$ResultOverflowMode must be 'throw' or 'break', got '$overflow'")
+    val limited =
+      if (maxRows > 0 && maxRows < Int.MaxValue - 1)
+        df.limit(maxRows.toInt + 1)
+      else df
+    val it = scala.jdk.CollectionConverters
+      .IteratorHasAsScala(limited.toLocalIterator()).asScala
+    if (maxRows <= 0) it
+    else new Iterator[Row] {
+      private var taken = 0L
+      override def hasNext: Boolean =
+        if (taken < maxRows) it.hasNext
+        else if (overflow == "break") false
+        else if (it.hasNext) throw new IllegalArgumentException(
+          s"Limit for result rows exceeded: read ${taken + 1}+ rows, " +
+            s"maximum $maxRows. TOO_MANY_ROWS (set $ResultOverflowMode = " +
+            "'break' to truncate instead)")
+        else false
+      override def next(): Row = {
+        if (!hasNext) throw new NoSuchElementException("drained")
+        taken += 1
+        it.next()
+      }
+    }
   }
 
   private def collectWithDeadline(df: DataFrame, ms: Long,

@@ -102,7 +102,7 @@ class QueryServer(
       if (ex.getRequestMethod != "POST") (405, "text/plain", "POST only")
       else withDecodedBody(plainErrors = false) {
         val body = requestBody(ex)
-        serveQuery(reqId, () => parseRequest(body),
+        serveQuery(ex, reqId, () => parseRequest(body),
           defaultFormat = None, plainErrors = false)
       }
     })
@@ -154,7 +154,7 @@ class QueryServer(
                 "read-only — POST the statement instead)\n")
           else if (fmt.exists(!ResponseFormats.supported(_)))
             (400, "text/plain", s"unknown default_format: ${fmt.get}")
-          else serveQuery(reqId,
+          else serveQuery(ex, reqId,
             () => QueryService.QueryRequest(QueryParams.substitute(sql, bound)),
             defaultFormat = fmt.orElse(Some("TabSeparated")),
             plainErrors = true)
@@ -231,13 +231,34 @@ class QueryServer(
 
   // ---- the one execution core behind /query and the raw CH door ----
 
-  /** Parse → journal → execute → render, with the metrics/idle-sweep
-    * bookkeeping both routes share. `defaultFormat` shapes the body
-    * when the statement carries no trailing FORMAT (the raw door's
-    * `?default_format=`, falling back to CH's TabSeparated); errors
-    * render as plain text on the raw door (CH's own convention) and as
-    * the JSON envelope on /query. */
+  /** Sentinel: the route already wrote its response (chunked stream) —
+    * [[handler]] must not write another one. */
+  private val ResponseSent = (-1, "", "")
+
+  /** Responses spool in memory up to this size, then upgrade to
+    * chunked streaming. Under it, behavior is byte-identical to the
+    * pre-streaming server (Content-Length, the gzip floor); past it
+    * the body streams as the governed iterator produces rows, so a big
+    * SELECT holds one spool buffer + one partition driver-side, never
+    * the rendered result. */
+  private val StreamSpoolBytes = 256 * 1024
+
+  /** Parse → journal → execute → STREAM-render, with the metrics/
+    * idle-sweep bookkeeping both routes share (VERDICT r13 task #1:
+    * the render previously consumed a fully collected result).
+    * `defaultFormat` shapes the body when the statement carries no
+    * trailing FORMAT (the raw door's `?default_format=`, falling back
+    * to CH's TabSeparated); errors render as plain text on the raw
+    * door (CH's own convention) and as the JSON envelope on /query.
+    *
+    * Error posture with streaming: failures BEFORE the response
+    * commits (parse, analysis, or a runtime failure inside the spool
+    * window) keep their 400/500 envelopes — the spool is discarded. A
+    * failure AFTER the chunked 200 committed surfaces IN-BAND as a
+    * trailing `Code: N. DB::Exception: …` line, CH's own HTTP behavior
+    * once a streamed response has started. */
   private def serveQuery(
+      ex: HttpExchange,
       reqId: String,
       buildReq: () => QueryService.QueryRequest,
       defaultFormat: Option[String],
@@ -250,6 +271,10 @@ class QueryServer(
     // the journal may uniquify the key when concurrent requests
     // share an X-Request-Id — completion must use the same key
     var journalKey: Option[String] = None
+    // non-null once the render sink exists; `committed` on it means
+    // the chunked 200 is on the wire and no second response may go out
+    @volatile var sinkRef: SpoolSink = null
+    def committed: Boolean = sinkRef != null && sinkRef.committed
     try {
       val res =
         try {
@@ -263,39 +288,79 @@ class QueryServer(
           // carries its OWN SQLConf, temp views, and function registry,
           // so one request's SETs / ATTACHes never leak into another
           // running concurrently on this 4-thread pool
-          val out = new QueryService(spark.newSession()).execute(req)
-          // a statement-level FORMAT always wins; default_format only
-          // fills the gap (CH's precedence)
-          val shaped = defaultFormat.filter(_ => out.format.isEmpty)
-            .map(f => out.copy(format = Some(f))).getOrElse(out)
-          // render BEFORE counting success: a render failure must
-          // land in exactly one bucket, not a 200 log line followed
-          // by a 400 for the same request (review finding)
-          val (ctype, respBody) = renderInFormat(shaped)
-          queriesTotal.increment()
-          val secs = (System.nanoTime() - t0) / 1e9
-          querySecondsTotal.add(secs)
-          log.info(s"request_id=$reqId status=200 rows=${out.rows.size} " +
-            f"seconds=$secs%.3f")
-          (200, ctype, respBody)
+          val svc = new QueryService(spark.newSession())
+          var spooled: Option[(String, String)] = None
+          var streamedRows = 0L
+          var streamAborted: Option[Throwable] = None
+          // consume runs INSIDE the governance window — the deadline
+          // covers plan + stream, and max_result_rows bounds the
+          // iterator (whose jobs run per-partition via toLocalIterator)
+          svc.executeStreamed(req) { (meta, rowIt) =>
+            // a statement-level FORMAT always wins; default_format
+            // only fills the gap (CH's precedence)
+            val fmtKey = meta.format.orElse(defaultFormat).map(_.toLowerCase)
+            val ctype = formatContentType(fmtKey)
+            val sink = new SpoolSink(ex, ctype, acceptsGzip(ex))
+            sinkRef = sink
+            try {
+              streamedRows = renderStream(fmtKey, meta, rowIt, sink.writer)
+              spooled = sink.finishOk().map(b => (ctype, b))
+            } catch {
+              case e: Throwable if sink.committed =>
+                sink.abort("\nCode: " +
+                  (if (e.isInstanceOf[java.util.concurrent.TimeoutException]) 159
+                   else 1000) +
+                  s". DB::Exception: ${Option(e.getMessage).getOrElse(e.getClass.getName)}\n")
+                streamAborted = Some(e)
+              // not committed: rethrow — the spool is discarded and the
+              // error maps to the same 400/500 it always did
+            }
+          }
+          streamAborted match {
+            case Some(e) =>
+              errorsTotal.increment()
+              log.warn(s"request_id=$reqId status=200 aborted_mid_stream " +
+                s"error=${e.getClass.getSimpleName}")
+              ResponseSent
+            case None =>
+              queriesTotal.increment()
+              val secs = (System.nanoTime() - t0) / 1e9
+              querySecondsTotal.add(secs)
+              log.info(s"request_id=$reqId status=200 rows=$streamedRows " +
+                f"seconds=$secs%.3f")
+              spooled match {
+                case Some((ctype, body)) => (200, ctype, body)
+                case None => ResponseSent // streamed chunked + finished
+              }
+          }
         } catch {
-          case e: com.fasterxml.jackson.core.JacksonException =>
+          case e: com.fasterxml.jackson.core.JacksonException if !committed =>
             errorsTotal.increment()
             log.info(s"request_id=$reqId status=400 error=malformed_json")
             val (ct, b) = err(s"malformed request JSON: ${e.getMessage}")
             (400, ct, b)
           case e @ (_: org.apache.spark.sql.AnalysisException |
                     _: IllegalArgumentException |
-                    _: org.apache.spark.sql.catalyst.parser.ParseException) =>
+                    _: org.apache.spark.sql.catalyst.parser.ParseException)
+              if !committed =>
             errorsTotal.increment()
             log.info(s"request_id=$reqId status=400")
             val (ct, b) = err(e.getMessage)
             (400, ct, b)
-          case e: Exception =>
+          case e: Exception if !committed =>
             errorsTotal.increment()
             log.warn(s"request_id=$reqId status=500 error=${e.getClass.getSimpleName}")
             val (ct, b) = err(e.toString)
             (500, ct, b)
+          case e: Exception =>
+            // the chunked 200 already committed (e.g. the governed
+            // deadline fired and the in-band abort ran on the worker
+            // thread) — that abort IS the response; just account
+            errorsTotal.increment()
+            log.warn(s"request_id=$reqId status=200 aborted_mid_stream " +
+              s"error=${e.getClass.getSimpleName}")
+            if (sinkRef != null) sinkRef.abortQuietly()
+            ResponseSent
         }
       // any response — success or error — means the caller learns
       // this request's fate: it must never replay
@@ -310,6 +375,76 @@ class QueryServer(
       if (inFlight.decrementAndGet() == 0L)
         graft.operators.OpCache.releaseAll()
     }
+  }
+
+  /** Token-parsed Accept-Encoding gzip check (`gzip;q=0` is an
+    * explicit refusal). */
+  private def acceptsGzip(ex: HttpExchange): Boolean =
+    Option(ex.getRequestHeaders.getFirst("Accept-Encoding"))
+      .exists(_.toLowerCase.split(',').exists { t =>
+        val parts = t.split(';').map(_.trim)
+        parts.headOption.contains("gzip") &&
+          !parts.tail.exists(_.replace(" ", "").matches("q=0(\\.0+)?"))
+      })
+
+  /** Response sink that SPOOLS to memory up to [[StreamSpoolBytes]]
+    * and upgrades to chunked streaming beyond it. Small responses are
+    * handed back as a string for the classic Content-Length +
+    * gzip-floor path; big ones commit a chunked 200 (gzipped when the
+    * caller accepts it) and flow through with bounded memory. Written
+    * from ONE thread (the governed render thread); `committed` is read
+    * cross-thread by the error paths. */
+  private final class SpoolSink(ex: HttpExchange, ctype: String, gzipOk: Boolean) {
+    private val spool = new java.io.ByteArrayOutputStream(8192)
+    private var streamOut: java.io.OutputStream = _
+    @volatile var committed = false
+    private val encoder = new java.io.OutputStream {
+      override def write(b: Int): Unit = write(Array(b.toByte), 0, 1)
+      override def write(b: Array[Byte], off: Int, len: Int): Unit =
+        if (committed) streamOut.write(b, off, len)
+        else {
+          spool.write(b, off, len)
+          if (spool.size > StreamSpoolBytes) commit()
+        }
+    }
+    val writer = new java.io.BufferedWriter(
+      new java.io.OutputStreamWriter(encoder, UTF_8), 16384)
+    private def commit(): Unit = {
+      ex.getResponseHeaders.set("Content-Type", ctype)
+      if (gzipOk) {
+        ex.getResponseHeaders.set("Content-Encoding", "gzip")
+        ex.getResponseHeaders.set("Vary", "Accept-Encoding")
+      }
+      ex.sendResponseHeaders(200, 0) // 0 = chunked
+      streamOut =
+        if (gzipOk) new java.util.zip.GZIPOutputStream(ex.getResponseBody, 16384)
+        else ex.getResponseBody
+      spool.writeTo(streamOut)
+      spool.reset()
+      committed = true
+    }
+    /** Some(body) when everything fit the spool (classic path); None
+      * when the response streamed chunked and is now closed. */
+    def finishOk(): Option[String] = {
+      writer.flush()
+      if (committed) { streamOut.close(); None }
+      else Some(spool.toString("UTF-8"))
+    }
+    /** Mid-stream failure: write the in-band error text and end the
+      * chunked body. Only meaningful after commit. */
+    def abort(inBandError: String): Unit = {
+      try writer.flush()
+      catch { case scala.util.control.NonFatal(_) => () }
+      try {
+        streamOut.write(inBandError.getBytes(UTF_8))
+        streamOut.close()
+      } catch { case scala.util.control.NonFatal(_) => () }
+    }
+    def abortQuietly(): Unit =
+      if (committed) {
+        try streamOut.close()
+        catch { case scala.util.control.NonFatal(_) => () }
+      }
   }
 
   /** Statements the GET form of the raw door refuses — ClickHouse's
@@ -414,37 +549,58 @@ class QueryServer(
     QueryService.QueryRequest(query, init, macros, sink)
   }
 
-  /** Render the response body in the statement's trailing `FORMAT`
-    * (VERDICT r9 task #6) — `clickhouse-client`/HTTP users drive the
-    * body shape with it (`run.sh:17` relies on client-side default
-    * formatting). Supported: JSONEachRow/NDJSON, CSV[WithNames],
-    * TSV/TabSeparated[WithNames], Pretty[Compact], Values, Vertical,
-    * Null (execute, return nothing — CH's benchmarking format), JSON
-    * (the default envelope). Unknown names were already refused BEFORE
-    * execution ([[QueryService.execute]]); the fallback here is
-    * defense, not a contract. */
-  private def renderInFormat(r: QueryService.QueryResult): (String, String) =
-    r.format.map(_.toLowerCase) match {
-      case None | Some("json") => ("application/json", renderResult(r))
-      case Some("jsoneachrow") | Some("ndjson") =>
-        ("application/x-ndjson", ndjsonBody(r))
-      case Some("csv") => ("text/csv", sepBody(r, header = false, Csv))
-      case Some("csvwithnames") => ("text/csv", sepBody(r, header = true, Csv))
-      case Some("tsv") | Some("tabseparated") =>
-        ("text/tab-separated-values", sepBody(r, header = false, Tsv))
-      case Some("tsvwithnames") | Some("tabseparatedwithnames") =>
-        ("text/tab-separated-values", sepBody(r, header = true, Tsv))
-      case Some("pretty") | Some("prettycompact") =>
-        ("text/plain", prettyBody(r))
-      case Some("values") => ("text/plain", valuesBody(r))
-      case Some("vertical") => ("text/plain", verticalBody(r))
-      case Some("null") => ("text/plain", "")
-      case Some(_) => ("application/json", renderResult(r))
-    }
+  /** Content type per `FORMAT` name (lower-cased); unknown names fall
+    * back to the JSON envelope — defense, not a contract (unknown
+    * formats were refused BEFORE execution). */
+  private def formatContentType(fmtKey: Option[String]): String = fmtKey match {
+    case None | Some("json") => "application/json"
+    case Some("jsoneachrow") | Some("ndjson") => "application/x-ndjson"
+    case Some("csv") | Some("csvwithnames") => "text/csv"
+    case Some("tsv") | Some("tabseparated") |
+         Some("tsvwithnames") | Some("tabseparatedwithnames") =>
+      "text/tab-separated-values"
+    case Some("pretty") | Some("prettycompact") | Some("values") |
+         Some("vertical") | Some("null") => "text/plain"
+    case Some(_) => "application/json"
+  }
+
+  /** CH's own `output_format_pretty_max_rows` default — Pretty is the
+    * one format whose column widths need the rows buffered, so it caps
+    * there (the other formats stream row-by-row). */
+  private val PrettyMaxRows = 10000
+
+  /** Render rows to `w` AS THEY ARRIVE from the governed iterator
+    * (VERDICT r13 task #1) — the output bytes are identical to the
+    * pre-streaming renderers (QueryServerSpec pins goldens). Supported:
+    * JSONEachRow/NDJSON, CSV[WithNames], TSV/TabSeparated[WithNames],
+    * Pretty[Compact], Values, Vertical, Null (execute, return nothing
+    * — CH's benchmarking format), JSON (the default envelope). Returns
+    * the row count. */
+  private def renderStream(
+      fmtKey: Option[String], meta: QueryService.QueryResult,
+      rows: Iterator[Seq[Any]], w: java.io.Writer): Long = fmtKey match {
+    case None | Some("json") => envelopeStream(meta, rows, w)
+    case Some("jsoneachrow") | Some("ndjson") => ndjsonStream(meta.cols, rows, w)
+    case Some("csv") => sepStream(meta.cols, rows, header = false, Csv, w)
+    case Some("csvwithnames") => sepStream(meta.cols, rows, header = true, Csv, w)
+    case Some("tsv") | Some("tabseparated") =>
+      sepStream(meta.cols, rows, header = false, Tsv, w)
+    case Some("tsvwithnames") | Some("tabseparatedwithnames") =>
+      sepStream(meta.cols, rows, header = true, Tsv, w)
+    case Some("pretty") | Some("prettycompact") => prettyStream(meta.cols, rows, w)
+    case Some("values") => valuesStream(rows, w)
+    case Some("vertical") => verticalStream(meta.cols, rows, w)
+    case Some("null") =>
+      // drain (the query executes) but emit nothing
+      var n = 0L
+      while (rows.hasNext) { rows.next(); n += 1 }
+      n
+    case Some(_) => envelopeStream(meta, rows, w)
+  }
 
   /** CH Values: `(v1,'s'),(v2,'t')` — single-quoted strings with
     * backslash escaping, NULL literal. */
-  private def valuesBody(r: QueryService.QueryResult): String = {
+  private def valuesStream(rows: Iterator[Seq[Any]], w: java.io.Writer): Long = {
     def cell(v: Any): String = v match {
       case null => "NULL"
       case b: Boolean => if (b) "true" else "false"
@@ -454,39 +610,52 @@ class QueryServer(
       case other =>
         "'" + other.toString.replace("\\", "\\\\").replace("'", "\\'") + "'"
     }
-    r.rows.map(_.map(cell).mkString("(", ",", ")")).mkString(",") +
-      (if (r.rows.nonEmpty) "\n" else "")
-  }
-
-  /** CH Vertical: one `col: value` block per row, names padded. */
-  private def verticalBody(r: QueryService.QueryResult): String = {
-    val w = if (r.cols.isEmpty) 0 else r.cols.map(_.length).max + 1
-    val sb = new StringBuilder(256)
-    r.rows.zipWithIndex.foreach { case (row, i) =>
-      val head = s"Row ${i + 1}:"
-      sb.append(head).append('\n').append("─" * head.length).append('\n')
-      r.cols.zip(row).foreach { case (c, v) =>
-        sb.append(c).append(':').append(" " * (w - c.length))
-          .append(if (v == null) "ᴺᵁᴸᴸ" else v.toString)
-          .append('\n')
-      }
-      sb.append('\n')
+    var n = 0L
+    rows.foreach { row =>
+      if (n > 0) w.write(",")
+      w.write(row.map(cell).mkString("(", ",", ")"))
+      n += 1
     }
-    sb.toString
+    if (n > 0) w.write("\n")
+    n
   }
 
-  private def ndjsonBody(r: QueryService.QueryResult): String = {
-    val sb = new StringBuilder(256)
-    r.rows.foreach { row =>
+  /** CH Vertical: one `col: value` block per row, names padded (the
+    * pad width depends only on the column names — streams freely). */
+  private def verticalStream(cols: Seq[String], rows: Iterator[Seq[Any]],
+      w: java.io.Writer): Long = {
+    val pad = if (cols.isEmpty) 0 else cols.map(_.length).max + 1
+    var n = 0L
+    rows.foreach { row =>
+      val head = s"Row ${n + 1}:"
+      w.write(head); w.write("\n"); w.write("─" * head.length); w.write("\n")
+      cols.zip(row).foreach { case (c, v) =>
+        w.write(c); w.write(":"); w.write(" " * (pad - c.length))
+        w.write(if (v == null) "ᴺᵁᴸᴸ" else v.toString)
+        w.write("\n")
+      }
+      w.write("\n")
+      n += 1
+    }
+    n
+  }
+
+  private def ndjsonStream(cols: Seq[String], rows: Iterator[Seq[Any]],
+      w: java.io.Writer): Long = {
+    var n = 0L
+    rows.foreach { row =>
+      val sb = new StringBuilder(128)
       sb.append('{')
       var first = true
-      r.cols.zip(row).foreach { case (c, v) =>
+      cols.zip(row).foreach { case (c, v) =>
         if (!first) sb.append(','); first = false
         sb.append(jsonStr(c)).append(':').append(jsonVal(v))
       }
       sb.append("}\n")
+      w.write(sb.toString)
+      n += 1
     }
-    sb.toString
+    n
   }
 
   private sealed trait SepKind
@@ -496,8 +665,8 @@ class QueryServer(
   /** CH text conventions: CSV quotes strings (doubling inner quotes),
     * leaves numbers bare, renders NULL as empty; TSV escapes
     * tab/newline/backslash and renders NULL as `\N`. */
-  private def sepBody(
-      r: QueryService.QueryResult, header: Boolean, kind: SepKind): String = {
+  private def sepStream(cols: Seq[String], rows: Iterator[Seq[Any]],
+      header: Boolean, kind: SepKind, w: java.io.Writer): Long = {
     val sep = kind match { case Csv => ','; case Tsv => '\t' }
     def cell(v: Any): String = (kind, v) match {
       case (Csv, null) => ""
@@ -517,64 +686,90 @@ class QueryServer(
       case Csv => "\"" + c.replace("\"", "\"\"") + "\""
       case Tsv => c.replace("\\", "\\\\").replace("\t", "\\t").replace("\n", "\\n")
     }
-    val sb = new StringBuilder(256)
-    if (header) sb.append(r.cols.map(headerCell).mkString(sep.toString)).append('\n')
-    r.rows.foreach(row => sb.append(row.map(cell).mkString(sep.toString)).append('\n'))
-    sb.toString
+    if (header) {
+      w.write(cols.map(headerCell).mkString(sep.toString)); w.write("\n")
+    }
+    var n = 0L
+    rows.foreach { row =>
+      w.write(row.map(cell).mkString(sep.toString)); w.write("\n")
+      n += 1
+    }
+    n
   }
 
   /** CH PrettyCompact: column names embedded in the top border, numbers
-    * right-aligned, strings left-aligned, NULL as ᴺᵁᴸᴸ. */
-  private def prettyBody(r: QueryService.QueryResult): String = {
+    * right-aligned, strings left-aligned, NULL as ᴺᵁᴸᴸ. Widths need
+    * the rows, so this is the one BUFFERING format — capped at CH's
+    * own Pretty row cap; the tail beyond it drains uncounted into the
+    * `Showed first N.` trailer, exactly CH's behavior. */
+  private def prettyStream(cols: Seq[String], rows: Iterator[Seq[Any]],
+      w: java.io.Writer): Long = {
+    val buf = scala.collection.mutable.ArrayBuffer.empty[Seq[Any]]
+    var n = 0L
+    var more = false
+    while (rows.hasNext) {
+      val r = rows.next(); n += 1
+      if (buf.length < PrettyMaxRows) buf += r else more = true
+    }
     def cell(v: Any): String = v match {
       case null => "\u1d3a\u1d41\u1d38\u1d38" // ᴺᵁᴸᴸ
       case other => other.toString
     }
-    val numeric = r.rows.transpose match {
-      case cols if cols.nonEmpty => cols.map(_.forall {
+    val numeric = buf.toSeq.transpose match {
+      case cs if cs.nonEmpty => cs.map(_.forall {
         case null => true
         case _: Byte | _: Short | _: Int | _: Long | _: Float | _: Double |
              _: java.math.BigDecimal | _: BigDecimal => true
         case _ => false
       })
-      case _ => r.cols.map(_ => false)
+      case _ => cols.map(_ => false)
     }
-    val cells = r.rows.map(_.map(cell))
-    val widths = r.cols.zipWithIndex.map { case (c, i) =>
+    val cells = buf.toSeq.map(_.map(cell))
+    val widths = cols.zipWithIndex.map { case (c, i) =>
       (c.length +: cells.map(_(i).length)).max
     }
-    val sb = new StringBuilder(256)
-    sb.append(r.cols.zip(widths).map { case (c, w) =>
-      "\u2500" + c + "\u2500" * (w - c.length + 1)
+    w.write(cols.zip(widths).map { case (c, wd) =>
+      "\u2500" + c + "\u2500" * (wd - c.length + 1)
     }.mkString("\u250c", "\u252c", "\u2510\n"))
     cells.foreach { row =>
-      sb.append(row.zip(widths).zip(numeric).map { case ((s, w), num) =>
-        if (num) " " * (w - s.length + 1) + s + " "
-        else " " + s + " " * (w - s.length + 1)
+      w.write(row.zip(widths).zip(numeric).map { case ((s, wd), num) =>
+        if (num) " " * (wd - s.length + 1) + s + " "
+        else " " + s + " " * (wd - s.length + 1)
       }.mkString("\u2502", "\u2502", "\u2502\n"))
     }
-    sb.append(widths.map(w => "\u2500" * (w + 2))
+    w.write(widths.map(wd => "\u2500" * (wd + 2))
       .mkString("\u2514", "\u2534", "\u2518\n"))
-    sb.toString
+    if (more) w.write(s"  Showed first $PrettyMaxRows.\n")
+    n
   }
 
-  private def renderResult(r: QueryService.QueryResult): String = {
-    val sb = new StringBuilder(256)
-    sb.append("{\"cols\":")
-    jsonArr(sb, r.cols.map(jsonStr))
-    sb.append(",\"types\":")
-    jsonArr(sb, r.types.map(jsonStr))
-    sb.append(",\"rows\":[")
-    var first = true
-    r.rows.foreach { row =>
-      if (!first) sb.append(','); first = false
+  /** The `{"cols":…,"types":…,"rows":…,"settings":…}` envelope —
+    * cols/types lead, rows stream, settings trail (all known before
+    * the first row). */
+  private def envelopeStream(meta: QueryService.QueryResult,
+      rows: Iterator[Seq[Any]], w: java.io.Writer): Long = {
+    val head = new StringBuilder(128)
+    head.append("{\"cols\":")
+    jsonArr(head, meta.cols.map(jsonStr))
+    head.append(",\"types\":")
+    jsonArr(head, meta.types.map(jsonStr))
+    head.append(",\"rows\":[")
+    w.write(head.toString)
+    var n = 0L
+    rows.foreach { row =>
+      val sb = new StringBuilder(64)
+      if (n > 0) sb.append(',')
       jsonArr(sb, row.map(jsonVal))
+      w.write(sb.toString)
+      n += 1
     }
-    sb.append("],\"settings\":{")
-    sb.append(r.settings.toSeq.sortBy(_._1)
+    val tail = new StringBuilder(64)
+    tail.append("],\"settings\":{")
+    tail.append(meta.settings.toSeq.sortBy(_._1)
       .map { case (k, v) => s"${jsonStr(k)}:${jsonStr(v)}" }.mkString(","))
-    sb.append("}}")
-    sb.toString
+    tail.append("}}")
+    w.write(tail.toString)
+    n
   }
 
   private def jsonArr(sb: StringBuilder, items: Seq[String]): Unit = {
@@ -665,32 +860,32 @@ class QueryServer(
         val (code, ctype, body) =
           try f(ex, rid)
           catch { case e: Exception => (500, "application/json", errorJson(e.toString)) }
-        val plain = body.getBytes(UTF_8)
-        // response compression on request (`Accept-Encoding: gzip`),
-        // as CH's HTTP interface honors — only worth it past a small
-        // floor (tiny bodies grow under gzip framing). Token-parsed,
-        // not substring-matched: `gzip;q=0` is an explicit REFUSAL
-        // (review finding), and the negotiated response carries
-        // `Vary: Accept-Encoding` so caches key the variant correctly
-        val acceptsGzip = Option(ex.getRequestHeaders.getFirst("Accept-Encoding"))
-          .exists(_.toLowerCase.split(',').exists { t =>
-            val parts = t.split(';').map(_.trim)
-            parts.headOption.contains("gzip") &&
-              !parts.tail.exists(_.replace(" ", "").matches("q=0(\\.0+)?"))
-          })
-        val bytes =
-          if (acceptsGzip && plain.length > 1024) {
-            val bos = new java.io.ByteArrayOutputStream(plain.length / 2 + 64)
-            val gz = new java.util.zip.GZIPOutputStream(bos)
-            gz.write(plain); gz.close()
-            ex.getResponseHeaders.set("Content-Encoding", "gzip")
-            ex.getResponseHeaders.set("Vary", "Accept-Encoding")
-            bos.toByteArray
-          } else plain
-        ex.getResponseHeaders.set("Content-Type", ctype)
-        ex.sendResponseHeaders(code, bytes.length.toLong)
-        ex.getResponseBody.write(bytes)
-        ex.close()
+        if (code < 0) {
+          // the route streamed its own chunked response (serveQuery's
+          // SpoolSink committed it) — nothing left but to close
+          ex.close()
+        } else {
+          val plain = body.getBytes(UTF_8)
+          // response compression on request (`Accept-Encoding: gzip`),
+          // as CH's HTTP interface honors — only worth it past a small
+          // floor (tiny bodies grow under gzip framing). Token-parsed,
+          // not substring-matched: `gzip;q=0` is an explicit REFUSAL
+          // (review finding), and the negotiated response carries
+          // `Vary: Accept-Encoding` so caches key the variant correctly
+          val bytes =
+            if (acceptsGzip(ex) && plain.length > 1024) {
+              val bos = new java.io.ByteArrayOutputStream(plain.length / 2 + 64)
+              val gz = new java.util.zip.GZIPOutputStream(bos)
+              gz.write(plain); gz.close()
+              ex.getResponseHeaders.set("Content-Encoding", "gzip")
+              ex.getResponseHeaders.set("Vary", "Accept-Encoding")
+              bos.toByteArray
+            } else plain
+          ex.getResponseHeaders.set("Content-Type", ctype)
+          ex.sendResponseHeaders(code, bytes.length.toLong)
+          ex.getResponseBody.write(bytes)
+          ex.close()
+        }
       }
     }
 }

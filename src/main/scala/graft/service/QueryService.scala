@@ -239,6 +239,53 @@ class QueryService(spark: SparkSession) {
     }
   }
 
+  /** Streaming analog of [[execute]] (VERDICT r13 task #1: the HTTP
+    * door rendered from a fully collected array — a driver-memory
+    * incident for a big SELECT at scale): `consume` receives the
+    * result META (cols/types/settings/format; `rows` empty) plus a
+    * GOVERNED row iterator fed by `toLocalIterator` — one partition
+    * driver-side at a time — and runs INSIDE the governance window, so
+    * `max_execution_time` covers the whole plan-and-stream and
+    * `max_result_rows` bounds the iterator (throw mid-stream / break).
+    * Same request routing as [[execute]]: sink offload and write/DDL
+    * statements produce their status frame as a one-row iterator. */
+  def executeStreamed[A](req: QueryRequest)(
+      consume: (QueryResult, Iterator[Seq[Any]]) => A): A = {
+    val main = ChSql.stripOnCluster(ChSql.substituteMacros(req.query, req.macros))
+    val fmt =
+      if (graft.dialect.ChWrites.isWrite(main)) None
+      else ChSql.requestedFormat(main)
+    fmt.filterNot(ResponseFormats.supported).foreach { f =>
+      throw new IllegalArgumentException(
+        s"unsupported FORMAT $f (${ResponseFormats.names.mkString(", ")})")
+    }
+    req.sinkPath match {
+      case Some(path) =>
+        val (n, reused) = offload(req, path)
+        consume(
+          QueryResult(
+            cols = Seq("path", "rows", "status"),
+            types = Seq("string", "bigint", "string"),
+            rows = Nil, settings = Map.empty),
+          Iterator(Seq[Any](path, n,
+            if (reused) "already_written" else "written")))
+      case None =>
+        val qid = java.util.UUID.randomUUID().toString
+        val group = s"graft-query-${qid.take(8)}"
+        Processes.register(Processes.Proc(qid, req.query, "default",
+          "sql", System.currentTimeMillis(), group, spark))
+        try Governance.runGoverned(spark, group) {
+          val (df, settings) = executeToDf(req)
+          consume(
+            QueryResult(
+              cols = df.columns.toSeq,
+              types = df.schema.fields.map(_.dataType.simpleString).toSeq,
+              rows = Nil, settings = settings, format = fmt),
+            Governance.iterateBounded(df).map(_.toSeq))
+        } finally Processes.unregister(qid)
+    }
+  }
+
   /** Returns (row count, whether an existing artifact was served). */
   private def offload(req: QueryRequest, path: String): (Long, Boolean) = {
     val p = new org.apache.hadoop.fs.Path(path)

@@ -22,9 +22,13 @@ final class NativeClient(
     password: String = "",
     compression: Boolean = true) extends AutoCloseable {
 
+  /** `dataBlocks` counts the NON-EMPTY Data frames — the streaming
+    * proof surface: a server that materialized-then-chunked and one
+    * that streams both send >1 block for big results, but specs pair
+    * this with a job-count spy to pin the incremental fetch. */
   final case class Result(
       cols: Seq[String], types: Seq[String], rows: Seq[Seq[Any]],
-      progressRows: Long)
+      progressRows: Long, dataBlocks: Int = 0)
 
   private val sock = new Socket()
   sock.setTcpNoDelay(true)
@@ -152,6 +156,41 @@ final class NativeClient(
     header.cols.map(c => (c.name, NativeBlock.renderType(c.t)))
   }
 
+  /** Open an INSERT, stream `blocks`, then CANCEL instead of sending
+    * the end-of-data marker — the mid-load abort path (clickhouse-go's
+    * ctx cancellation during a batch send). Returns when the server
+    * answers EndOfStream. */
+  def insertCancelled(opener: String,
+      blocks: Seq[Seq[NativeBlock.Col]]): Unit = {
+    sendQuery(opener, Map.empty)
+    val packet = NativeWire.readVarUInt(in)
+    if (packet == ServerException) throw readException()
+    require(packet == ServerData, s"expected header Data(1), got $packet")
+    NativeWire.readString(in)
+    val src: ByteSource =
+      if (compression) new FrameIn(in) else new StreamIn(in)
+    NativeBlock.readBlock(src, revision)
+    blocks.foreach { cols =>
+      sendBlock(cols, cols.headOption.map(_.values.size).getOrElse(0))
+    }
+    cancel()
+    var done = false
+    while (!done) {
+      NativeWire.readVarUInt(in) match {
+        case ServerEndOfStream => done = true
+        case ServerProgress => readProgress()
+        case ServerException => throw readException()
+        case other => throw new IllegalStateException(
+          s"unexpected packet $other after insert cancel")
+      }
+    }
+  }
+
+  /** Send just the Query frame — test harness hook for exercising the
+    * external-data phase (blocks/cancel) step by step. */
+  private[service] def sendQueryRaw(sql: String): Unit =
+    sendQuery(sql, Map.empty)
+
   private def sendQuery(sql: String, settings: Map[String, String],
       params: Map[String, String] = Map.empty,
       queryId: String = ""): Unit = {
@@ -218,6 +257,7 @@ final class NativeClient(
     var types: Seq[String] = Nil
     val rows = scala.collection.mutable.ArrayBuffer.empty[Seq[Any]]
     var progressRows = 0L
+    var dataBlocks = 0
     var done = false
     while (!done) {
       val packet = NativeWire.readVarUInt(in)
@@ -231,6 +271,7 @@ final class NativeClient(
             cols = block.cols.map(_.name)
             types = block.cols.map(c => NativeBlock.renderType(c.t))
           }
+          if (block.rows > 0) dataBlocks += 1
           var i = 0
           while (i < block.rows) {
             rows += block.cols.map(_.values(i))
@@ -249,7 +290,7 @@ final class NativeClient(
           s"unexpected server packet $other")
       }
     }
-    Result(cols, types, rows.toSeq, progressRows)
+    Result(cols, types, rows.toSeq, progressRows, dataBlocks)
   }
 
   private def readProgress(): Long = {

@@ -109,6 +109,34 @@ class GovernanceSpec extends AnyFunSuite {
     } finally native.stop()
   }
 
+  test("native door: max_result_rows governs the STREAM (throw mid-stream, break truncates)") {
+    val native = new graft.service.native.NativeServer(spark)
+    val port = native.start()
+    try {
+      val c = new graft.service.native.NativeClient("127.0.0.1", port)
+      try {
+        // throw (CH's default): the limit+1 plan bound detects the
+        // overflow during streaming and the Exception frame ends the
+        // stream — the client may already hold maxRows rows, as in CH
+        val e = intercept[graft.service.native.NativeClient.ServerSideException] {
+          c.query("SELECT number FROM numbers(100000)",
+            settings = Map("max_result_rows" -> "10"))
+        }
+        assert(e.getMessage.contains("TOO_MANY_ROWS"), e.getMessage)
+        // break: the stream ends cleanly at the limit
+        val r = c.query("SELECT number FROM numbers(100000)",
+          settings = Map("max_result_rows" -> "10",
+            "result_overflow_mode" -> "break"))
+        assert(r.rows.size == 10, r.rows.size)
+        // reset the conn-session governance for the sanity check
+        val ok = c.query("SELECT count() AS n FROM numbers(100)",
+          settings = Map("max_result_rows" -> "0",
+            "result_overflow_mode" -> "throw"))
+        assert(ok.rows == Seq(Seq(100L)))
+      } finally c.close()
+    } finally native.stop()
+  }
+
   test("native door: deadline kill arrives as TIMEOUT_EXCEEDED code 159, conn usable after") {
     val native = new graft.service.native.NativeServer(spark)
     val port = native.start()

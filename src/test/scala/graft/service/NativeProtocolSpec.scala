@@ -215,6 +215,91 @@ class NativeProtocolSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming results: partitions fetch incrementally, never one driver collect") {
+    // spy: toLocalIterator submits ONE JOB PER PARTITION lazily from
+    // the draining thread; a collect-then-chunk server runs exactly one
+    // job for this shuffle-free scan. Count jobs under the query's
+    // graft-native-* group.
+    val jobs = new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicInteger]()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        val g = Option(js.properties)
+          .flatMap(p => Option(p.getProperty("spark.jobGroup.id"))).getOrElse("")
+        if (g.startsWith("graft-native-"))
+          jobs.computeIfAbsent(g, _ => new java.util.concurrent.atomic.AtomicInteger)
+            .incrementAndGet()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      withServer { port =>
+        val c = new NativeClient("127.0.0.1", port)
+        try {
+          // numbers() is a multi-partition range scan — no shuffle, so
+          // a materializing server would run exactly one job
+          val r = c.query("SELECT number FROM numbers(100000)")
+          assert(r.rows.size == 100000)
+          assert(r.dataBlocks >= 2, s"expected chunked blocks, got ${r.dataBlocks}")
+          // listener bus is async — wait for the job-start events
+          val deadline = System.nanoTime() + 10e9.toLong
+          def maxJobs: Int =
+            jobs.values.stream.mapToInt(_.get).max.orElse(0)
+          while (maxJobs < 2 && System.nanoTime() < deadline) Thread.sleep(50)
+          assert(maxJobs >= 2,
+            s"expected per-partition incremental fetch (>=2 jobs in the " +
+              s"query's group), got $jobs")
+        } finally c.close()
+      }
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
+  test("streaming INSERT: flushes at max_insert_block_size — bounded buffer, parts per flush") {
+    val wh = Files.createTempDirectory("graft_native_stream_ins").toString
+    spark.conf.set(graft.dialect.ChWrites.WarehouseConf, wh)
+    val srv = new NativeServer(spark)
+    val port = srv.start()
+    try {
+      {
+        val c = new NativeClient("127.0.0.1", port)
+        try {
+          c.exec("CREATE TABLE native_ins_stream (id Int64) " +
+            "ENGINE = MergeTree ORDER BY id")
+          // 5 client blocks × 1000 rows with a 1500-row flush bound:
+          // the driver buffer must stay ≤ 1500 + one block, and the
+          // tree must carry >1 part (one per flush), not one 5000-row
+          // part from a whole-payload materialization
+          c.exec("SET max_insert_block_size = 1500")
+          val blocks = (0 until 5).map { b =>
+            Seq(Col("id", TInt64,
+              IndexedSeq.tabulate(1000)(i => (b * 1000 + i).toLong)))
+          }
+          c.insert("INSERT INTO native_ins_stream", blocks)
+          val r = c.query(
+            "SELECT count() AS n, min(id) AS lo, max(id) AS hi " +
+              "FROM native_ins_stream")
+          assert(r.rows == Seq(Seq(5000L, 0L, 4999L)), r.rows)
+          // the per-conn session resolves its own warehouse conf — take
+          // the tree's real endpoint from the catalog record
+          val treeDir = graft.core.Catalog.lookup("native_ins_stream")
+            .flatMap(_.endpoint).getOrElse(fail("table not in catalog"))
+          val parts = new java.io.File(treeDir).listFiles()
+            .filter(f => f.isDirectory && !f.getName.startsWith("."))
+            .map(_.getName).sorted
+          assert(parts.length >= 3,
+            s"expected one part per flush (ceil(5000/1500)+tail), got ${parts.toSeq}")
+          // the driver-side bound: buffer never exceeded flush size +
+          // one client block (a materializing server would peak at 5000)
+          assert(srv.peakInsertBufferRows <= 2500,
+            s"peak insert buffer ${srv.peakInsertBufferRows} rows")
+          c.exec("DROP TABLE native_ins_stream")
+        } finally c.close()
+      }
+    } finally {
+      srv.stop()
+      spark.conf.unset(graft.dialect.ChWrites.WarehouseConf)
+    }
+  }
+
   test("external table blocks register as session temp tables") {
     withServer { port =>
       val c = new NativeClient("127.0.0.1", port)
@@ -299,6 +384,58 @@ class NativeProtocolSpec extends AnyFunSuite {
         assert(threads.forall(!_.isAlive))
       } finally { a.close(); b.close() }
     }
+  }
+
+  test("Cancel during external data aborts before execution (EndOfStream, no side effect)") {
+    val wh = Files.createTempDirectory("graft_native_extcancel").toString
+    spark.conf.set(graft.dialect.ChWrites.WarehouseConf, wh)
+    try {
+      withServer { port =>
+        val c = new NativeClient("127.0.0.1", port)
+        try {
+          // a write statement as the probe: if the server executed the
+          // query anyway (advisor r13), the table would exist
+          c.sendQueryRaw(
+            "CREATE TABLE native_cancel_probe ENGINE = MergeTree " +
+              "ORDER BY (x) AS SELECT 1 AS x")
+          c.sendBlock(Seq(Col("k", TInt64, IndexedSeq(1L))), 1, "extc")
+          c.cancel()
+          val r = c.awaitResult()
+          assert(r.rows.isEmpty, r.rows)
+          assert(graft.core.Catalog.lookup("native_cancel_probe").isEmpty,
+            "cancelled query executed anyway")
+          // conn stays usable
+          val ok = c.query("SELECT 1 AS ok")
+          assert(ok.rows == Seq(Seq(1)))
+        } finally c.close()
+      }
+    } finally spark.conf.unset(graft.dialect.ChWrites.WarehouseConf)
+  }
+
+  test("Cancel mid-INSERT keeps flushed batches, discards the unflushed tail") {
+    val wh = Files.createTempDirectory("graft_native_inscancel").toString
+    spark.conf.set(graft.dialect.ChWrites.WarehouseConf, wh)
+    try {
+      withServer { port =>
+        val c = new NativeClient("127.0.0.1", port)
+        try {
+          c.exec("CREATE TABLE native_ins_cancel (id Int64) " +
+            "ENGINE = MergeTree ORDER BY id")
+          c.exec("SET max_insert_block_size = 1500")
+          // block1 (1000) buffers; block2 → 2000 ≥ 1500 flushes (a
+          // committed batch, CH keeps it); block3 (1000) buffers and
+          // the Cancel DISCARDS it (advisor r13: it was committed)
+          val blocks = (0 until 3).map { b =>
+            Seq(Col("id", TInt64,
+              IndexedSeq.tabulate(1000)(i => (b * 1000 + i).toLong)))
+          }
+          c.insertCancelled("INSERT INTO native_ins_cancel", blocks)
+          val r = c.query("SELECT count() AS n FROM native_ins_cancel")
+          assert(r.rows == Seq(Seq(2000L)), r.rows)
+          c.exec("DROP TABLE native_ins_cancel")
+        } finally c.close()
+      }
+    } finally spark.conf.unset(graft.dialect.ChWrites.WarehouseConf)
   }
 
   test("errors arrive as CH Exception frames and the conn stays usable") {

@@ -436,6 +436,47 @@ class QueryServerSpec extends AnyFunSuite {
     assert(get("/metrics").body().contains("graft_opcache_tracked"))
   }
 
+  test("big results stream chunked with incremental partition fetch (never one collect)") {
+    // spy: the governed drain runs toLocalIterator — one job per
+    // partition; a collect-then-render server runs exactly one job for
+    // this shuffle-free scan
+    val jobs = new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicInteger]()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        val g = Option(js.properties)
+          .flatMap(p => Option(p.getProperty("spark.jobGroup.id"))).getOrElse("")
+        if (g.startsWith("graft-query-"))
+          jobs.computeIfAbsent(g, _ => new java.util.concurrent.atomic.AtomicInteger)
+            .incrementAndGet()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      // ~1.2 MB of CSV — far past the 256 KiB spool, so the response
+      // upgrades to chunked streaming (no Content-Length)
+      val r = post("/?default_format=CSV",
+        "SELECT number, number * 2 FROM numbers(120000)")
+      assert(r.statusCode() == 200)
+      assert(r.headers().firstValue("Content-Length").isEmpty,
+        "big results must stream chunked, not carry a Content-Length")
+      val lines = r.body().linesIterator.toSeq
+      assert(lines.size == 120000)
+      assert(lines.head == "0,0" && lines.last == "119999,239998")
+      val deadline = System.nanoTime() + 10e9.toLong
+      def maxJobs: Int = {
+        var m = 0
+        jobs.values.forEach(v => m = math.max(m, v.get))
+        m
+      }
+      while (maxJobs < 2 && System.nanoTime() < deadline) Thread.sleep(50)
+      assert(maxJobs >= 2,
+        s"expected per-partition incremental fetch (>=2 jobs), got $jobs")
+      // small results keep the classic Content-Length path
+      val small = post("/?default_format=CSV", "SELECT 1 AS x")
+      assert(small.headers().firstValue("Content-Length").isPresent)
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("requests are session-isolated: one request's SET never leaks into the next") {
     // request A pins a setting via init_queries; request B reads it
     // back — with per-request newSession() isolation B sees the
