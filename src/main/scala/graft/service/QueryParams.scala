@@ -3,13 +3,26 @@ package graft.service
 /** CH query-parameter substitution — `{name:Type}` placeholders bound
   * by the native protocol's parameter block or the HTTP door's
   * `param_<name>=` URL parameters. Values arrive as text; the
-  * string-family types render as escaped SQL literals, everything else
-  * (numbers, arrays, tuples) verbatim in its own text form — exactly
-  * how CH's HTTP interface reads `param_x`. Substitution engages only
-  * when the caller bound parameters, so `{macro}` groups and brace
-  * literals in parameter-less requests pass through untouched. An
-  * unbound placeholder refuses loudly (CH errors on missing
-  * parameters too). */
+  * string-family types render as escaped SQL literals, and every
+  * OTHER family is VALIDATED against its declared type before
+  * splicing (advisor r14: a bound `{id:UInt64}` of `1; DROP TABLE t`
+  * previously spliced verbatim — the one interface meant to be
+  * injection-safe was not; CH parses the value as the declared type
+  * and rejects garbage, so does this):
+  *
+  *   - integer/float/decimal families must parse as a single numeric
+  *     literal;
+  *   - Bool must be true/false/1/0;
+  *   - Nullable(X)/LowCardinality(X) unwrap (a NULL value for
+  *     Nullable splices the NULL keyword);
+  *   - Array/Tuple/Map (and any unrecognized type) are restricted to
+  *     a literal-only grammar — numbers, quoted strings, NULL,
+  *     true/false, brackets, commas — never raw SQL text.
+  *
+  * Substitution engages only when the caller bound parameters, so
+  * `{macro}` groups and brace literals in parameter-less requests pass
+  * through untouched. An unbound placeholder refuses loudly (CH errors
+  * on missing parameters too). */
 object QueryParams {
 
   private val ParamRe =
@@ -17,6 +30,15 @@ object QueryParams {
 
   private val stringLike = Set("string", "fixedstring", "date", "date32",
     "datetime", "datetime64", "uuid", "enum8", "enum16", "ipv4", "ipv6")
+
+  private val intLike = Set("int8", "int16", "int32", "int64", "int128",
+    "int256", "uint8", "uint16", "uint32", "uint64", "uint128", "uint256")
+
+  private val floatLike = Set("float32", "float64", "decimal", "decimal32",
+    "decimal64", "decimal128", "decimal256")
+
+  private val IntRe = """[+-]?\d+""".r
+  private val NumRe = """[+-]?(\d+(\.\d*)?|\.\d+)([eE][+-]?\d+)?""".r
 
   def substitute(q: String, params: Map[String, String]): String = {
     if (params.isEmpty || !q.contains('{')) return q
@@ -26,12 +48,76 @@ object QueryParams {
       val v = params.getOrElse(name,
         throw new IllegalArgumentException(
           s"query parameter '$name' ($t) has no bound value"))
-      val base = t.takeWhile(_.isLetterOrDigit).toLowerCase
-      val lit =
-        if (stringLike(base))
-          "'" + v.replace("\\", "\\\\").replace("'", "\\'") + "'"
-        else v
-      java.util.regex.Matcher.quoteReplacement(lit)
+      java.util.regex.Matcher.quoteReplacement(render(t, v, name))
     })
+  }
+
+  private def render(declared: String, v: String, name: String): String = {
+    val t = declared.trim
+    val base = t.takeWhile(_.isLetterOrDigit).toLowerCase
+    def bad(why: String): Nothing = throw new IllegalArgumentException(
+      s"query parameter '$name' ($declared): $why: '$v'")
+    base match {
+      case "nullable" | "lowcardinality" =>
+        val open = t.indexOf('(')
+        val close = t.lastIndexOf(')')
+        if (open < 0 || close <= open) bad("malformed type")
+        if (base == "nullable" && v.trim.equalsIgnoreCase("null")) "NULL"
+        else render(t.substring(open + 1, close), v, name)
+      case b if stringLike(b) =>
+        "'" + v.replace("\\", "\\\\").replace("'", "\\'") + "'"
+      case b if intLike(b) =>
+        val s = v.trim
+        if (!IntRe.matches(s)) bad("not an integer literal")
+        s
+      case b if floatLike(b) =>
+        val s = v.trim
+        if (!NumRe.matches(s)) bad("not a numeric literal")
+        s
+      case "bool" | "boolean" => v.trim.toLowerCase match {
+        case "true" | "1" => "true"
+        case "false" | "0" => "false"
+        case _ => bad("not a boolean literal")
+      }
+      case _ =>
+        // Array/Tuple/Map and anything unrecognized: accept only what
+        // the literal grammar can produce — never raw SQL text
+        if (!literalOnly(v)) bad(
+          "not a literal (numbers, quoted strings, NULL, true/false, " +
+            "brackets, commas only)")
+        v
+    }
+  }
+
+  /** Token scan over a composite value: whitespace, bracket/brace/
+    * paren punctuation, commas/colons, numeric literals, single-quoted
+    * strings (backslash escapes), and the NULL/true/false keywords.
+    * Any bare identifier or operator — the injection surface — fails. */
+  private def literalOnly(v: String): Boolean = {
+    var i = 0
+    val n = v.length
+    while (i < n) {
+      val c = v(i)
+      if (c.isWhitespace || "[](){},:".indexOf(c.toInt) >= 0) i += 1
+      else if (c == '\'') {
+        i += 1
+        var closed = false
+        while (i < n && !closed) {
+          if (v(i) == '\\' && i + 1 < n) i += 2
+          else if (v(i) == '\'') { closed = true; i += 1 }
+          else i += 1
+        }
+        if (!closed) return false
+      } else if (c.isDigit || c == '+' || c == '-' || c == '.') {
+        i += 1
+        while (i < n && (v(i).isDigit || "+-.eE".indexOf(v(i).toInt) >= 0)) i += 1
+      } else if (c.isLetter) {
+        val start = i
+        while (i < n && v(i).isLetter) i += 1
+        val w = v.substring(start, i).toLowerCase
+        if (w != "null" && w != "true" && w != "false") return false
+      } else return false
+    }
+    true
   }
 }

@@ -53,6 +53,16 @@ object NativeBlock {
   final case class TDateTime64(precision: Int) extends ChT
   final case class TNullable(inner: ChT) extends ChT
   final case class TArray(inner: ChT) extends ChT
+  /** Dictionary-encoded transport (CH `SerializationLowCardinality`,
+    * clickhouse-go `lib/column/lowcardinality.go`): per block, a
+    * UInt64 keys-serialization version (1 = shared dictionaries with
+    * additional keys), a UInt64 index type (low byte = key width,
+    * bit 9 = keys inline, bit 10 = update dictionary), the inline
+    * dictionary in the NESTED plain format, then the row indices.
+    * Decoded/encoded for CLIENT blocks (external data, INSERT payloads
+    * — github_events declares LC columns); server RESULTS still emit
+    * plain types, which CH clients accept. */
+  final case class TLowCardinality(inner: ChT) extends ChT
 
   def parseType(s0: String): ChT = {
     val s = s0.trim
@@ -61,12 +71,7 @@ object NativeBlock {
     if (s.startsWith("Nullable(")) TNullable(parseType(inner("Nullable")))
     else if (s.startsWith("Array(")) TArray(parseType(inner("Array")))
     else if (s.startsWith("LowCardinality("))
-      // dictionary-encoded transport is an optimization, not a type —
-      // this codec never EMITS it; accepting the spelling in a decode
-      // header would require the dict wire format, so refuse loudly
-      throw new IllegalArgumentException(
-        "native protocol: LowCardinality transport is not supported " +
-          "(the server emits plain types)")
+      TLowCardinality(parseType(inner("LowCardinality")))
     else if (s.startsWith("DateTime64(")) {
       val args = inner("DateTime64").split(",")
       TDateTime64(args(0).trim.toInt)
@@ -109,6 +114,7 @@ object NativeBlock {
     case TDateTime64(p) => s"DateTime64($p, 'UTC')"
     case TNullable(i) => s"Nullable(${renderType(i)})"
     case TArray(i) => s"Array(${renderType(i)})"
+    case TLowCardinality(i) => s"LowCardinality(${renderType(i)})"
   }
 
   /** Spark result field → CH wire type (session results are UTC). */
@@ -249,8 +255,13 @@ object NativeBlock {
         val d = math.min(math.max(epochDay(v), 0L), 65535L)
         o.writeShortLE(d.toShort)
       }
-      case TDateTime => vs.foreach(v =>
-        o.writeIntLE((epochMicros(v) / 1000000L).toInt))
+      case TDateTime => vs.foreach { v =>
+        // floor-divide (truncation shifted pre-1970 sub-second values
+        // one second late) and clamp to DateTime's UInt32 range, the
+        // same posture as the Date branch (advisor r14)
+        val s = Math.floorDiv(epochMicros(v), 1000000L)
+        o.writeIntLE(math.min(math.max(s, 0L), 0xFFFFFFFFL).toInt)
+      }
       case TDateTime64(p) => vs.foreach { v =>
         val micros = epochMicros(v)
         val scaled =
@@ -259,7 +270,62 @@ object NativeBlock {
           else micros * math.pow(10, (p - 6).toDouble).toLong
         o.writeLongLE(scaled)
       }
+      case TLowCardinality(inner0) => {
+        // CH SerializationLowCardinality / clickhouse-go
+        // lowcardinality.go layout: UInt64 keys version, then (when
+        // rows exist) UInt64 index type (low byte = key width, bit 9 =
+        // keys inline, bit 10 = update dictionary), the inline dict in
+        // the NESTED plain format, UInt64 row count, the indices. For
+        // Nullable inner the dictionary reserves index 0 as the
+        // default/null slot and the dict serializes as the nested
+        // non-null type.
+        o.writeLongLE(LcKeysVersion)
+        if (vs.nonEmpty) {
+          val nullable = inner0.isInstanceOf[TNullable]
+          val nested = inner0 match {
+            case TNullable(i) => i
+            case i => i
+          }
+          val dict = scala.collection.mutable.LinkedHashMap.empty[Any, Int]
+          val nestedDefault: Any = nested match {
+            case TString => ""
+            case TFloat32 => java.lang.Float.valueOf(0f)
+            case TFloat64 => java.lang.Double.valueOf(0d)
+            case TBool => java.lang.Boolean.FALSE
+            case TDate => java.time.LocalDate.ofEpochDay(0)
+            case TDateTime | TDateTime64(_) => java.time.Instant.EPOCH
+            case _ => java.lang.Long.valueOf(0L)
+          }
+          if (nullable) dict(nestedDefault) = 0
+          val indices = vs.map {
+            case null if nullable => 0
+            case null => throw new IllegalArgumentException(
+              "native protocol: null in non-Nullable LowCardinality column")
+            case v => dict.getOrElseUpdate(v, dict.size)
+          }
+          val keyWidth = // 0:UInt8 1:UInt16 2:UInt32 3:UInt64
+            if (dict.size <= 0xFF) 0
+            else if (dict.size <= 0xFFFF) 1
+            else 2
+          o.writeLongLE(keyWidth.toLong | LcHasAdditionalKeys | LcNeedUpdateDict)
+          o.writeLongLE(dict.size.toLong)
+          writeColumnData(o, nested, dict.keys.toIndexedSeq)
+          o.writeLongLE(vs.size.toLong)
+          keyWidth match {
+            case 0 => indices.foreach(i => o.writeByte(i))
+            case 1 => indices.foreach(i => o.writeShortLE(i.toShort))
+            case _ => indices.foreach(i => o.writeIntLE(i))
+          }
+        }
+      }
     }
+
+  /** `SharedDictionariesWithAdditionalKeys` — the one keys version
+    * current CH servers and clients speak. */
+  private val LcKeysVersion = 1L
+  private val LcHasAdditionalKeys = 1L << 9
+  private val LcNeedUpdateDict = 1L << 10
+  private val LcNeedGlobalDict = 1L << 8
 
   // ---- decode ----
 
@@ -331,6 +397,41 @@ object NativeBlock {
       java.time.Instant.ofEpochSecond(
         Math.floorDiv(micros, 1000000L), Math.floorMod(micros, 1000000L) * 1000L)
     }
+    case TLowCardinality(inner0) =>
+      val version = src.readLongLE()
+      require(version == LcKeysVersion,
+        s"native protocol: LowCardinality keys version $version " +
+          s"(expected $LcKeysVersion)")
+      if (rows == 0) IndexedSeq.empty
+      else {
+        val serType = src.readLongLE()
+        require((serType & LcNeedGlobalDict) == 0,
+          "native protocol: global LowCardinality dictionaries are not " +
+            "supported (send inline additional keys)")
+        require((serType & LcHasAdditionalKeys) != 0,
+          "native protocol: LowCardinality block without inline keys")
+        val nullable = inner0.isInstanceOf[TNullable]
+        val nested = inner0 match {
+          case TNullable(i) => i
+          case i => i
+        }
+        val dictSize = src.readLongLE().toInt
+        val dict = readColumnData(src, nested, dictSize)
+        val n = src.readLongLE().toInt
+        require(n == rows,
+          s"native protocol: LowCardinality row count $n != block rows $rows")
+        val indices: IndexedSeq[Int] = (serType & 0xFF) match {
+          case 0 => (0 until n).map(_ => src.readByte() & 0xFF)
+          case 1 => (0 until n).map(_ => src.readShortLE() & 0xFFFF)
+          case 2 => (0 until n).map(_ => src.readIntLE())
+          case 3 => (0 until n).map(_ => src.readLongLE().toInt)
+          case w => throw new IllegalArgumentException(
+            s"native protocol: LowCardinality key width $w")
+        }
+        indices.map { i =>
+          if (nullable && i == 0) null else dict(i)
+        }
+      }
   }
 
   // ---- Spark bridge ----

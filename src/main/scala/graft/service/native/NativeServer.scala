@@ -548,6 +548,7 @@ class NativeServer(spark: SparkSession, port: Int = 0) {
       case TDateTime | TDateTime64(_) => TimestampType
       case TNullable(i) => sparkType(i)
       case TArray(i) => ArrayType(sparkType(i))
+      case TLowCardinality(i) => sparkType(i) // a transport, not a type
     }
   }
 

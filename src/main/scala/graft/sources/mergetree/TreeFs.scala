@@ -74,8 +74,13 @@ private[mergetree] object NioTreeFs extends TreeFs {
   }
   def publish(path: String, bytes: Array[Byte]): Unit = {
     val dst = Paths.get(path)
+    // temp name is `<name>.pub_<id>` — for the `.index` manifest that
+    // is exactly the `.index.pub_` prefix the manifest filters exclude
+    // (advisor r14: a prepended dot made it `..index.pub_`, which the
+    // filters missed, so a crash between write and move left debris a
+    // later manifest carried as a root entry)
     val tmp = dst.resolveSibling(
-      s".${dst.getFileName}.pub_${java.util.UUID.randomUUID().toString.take(8)}")
+      s"${dst.getFileName}.pub_${java.util.UUID.randomUUID().toString.take(8)}")
     Files.write(tmp, bytes)
     Files.move(tmp, dst, StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING); ()

@@ -109,6 +109,49 @@ class NativeProtocolSpec extends AnyFunSuite {
     assert(got("nar") == IndexedSeq(IndexedSeq("a", null), IndexedSeq("b")))
   }
 
+  test("LowCardinality golden frame: dictionary layout per the published serialization") {
+    val o = new WireOut
+    writeBlock(o, Seq(Col("s", TLowCardinality(TString),
+      IndexedSeq("a", "b", "a"))), 3, NativeProtocol.ServerRevision)
+    // hand-derived: BlockInfo, 1 col, 3 rows, name "s",
+    // type "LowCardinality(String)", no custom serialization, then the
+    // LC stream — keys version 1 (shared dicts + additional keys),
+    // index type UInt8 | HasAdditionalKeys(1<<9) | NeedUpdate(1<<10)
+    // = 0x600, dict size 2, dict values "a" "b", 3 rows, UInt8 indices
+    assert(hex(o.bytes) ==
+      "0100" + "02ffffffff" + "00" +
+        "01" + "03" +
+        "0173" +
+        "164c6f7743617264696e616c69747928537472696e6729" +
+        "00" +
+        "0100000000000000" +
+        "0006000000000000" +
+        "0200000000000000" +
+        "0161" + "0162" +
+        "0300000000000000" +
+        "000100")
+    val d = readBlock(new WireIn(o.bytes), NativeProtocol.ServerRevision)
+    assert(d.rows == 3 && d.cols.head.values == IndexedSeq("a", "b", "a"))
+  }
+
+  test("LowCardinality codec round-trips: Nullable inner, wide dictionaries") {
+    // Nullable inner: index 0 is the reserved null/default slot
+    val nul = Col("ns", TLowCardinality(TNullable(TString)),
+      IndexedSeq("x", null, "y", "x", null))
+    // >255 distinct values force UInt16 keys
+    val wide = Col("w", TLowCardinality(TInt64),
+      IndexedSeq.tabulate(600)(i => (i % 300).toLong))
+    for (c <- Seq(nul, wide)) {
+      val o = new WireOut
+      writeBlock(o, Seq(c), c.values.size, NativeProtocol.ServerRevision)
+      val d = readBlock(new WireIn(o.bytes), NativeProtocol.ServerRevision)
+      assert(d.cols.head.values == c.values, c.name)
+    }
+    // the type spelling round-trips through parse/render
+    assert(renderType(parseType("LowCardinality(Nullable(String))")) ==
+      "LowCardinality(Nullable(String))")
+  }
+
   test("LZ4 frame: layout, round-trip, checksum tamper detection") {
     val raw = ("the quick brown fox jumps over the lazy dog " * 10).getBytes
     val frame = lz4Frame(raw)
@@ -384,6 +427,38 @@ class NativeProtocolSpec extends AnyFunSuite {
         assert(threads.forall(!_.isAlive))
       } finally { a.close(); b.close() }
     }
+  }
+
+  test("LowCardinality client blocks: external data + INSERT header pass-through") {
+    val wh = Files.createTempDirectory("graft_native_lc").toString
+    spark.conf.set(graft.dialect.ChWrites.WarehouseConf, wh)
+    try {
+      withServer { port =>
+        val c = new NativeClient("127.0.0.1", port)
+        try {
+          // LC-typed external table decodes and registers
+          val r = c.queryWithExternal(
+            "SELECT lang, count() AS n FROM extlc GROUP BY lang ORDER BY lang",
+            "extlc",
+            Seq(Col("lang", TLowCardinality(TString),
+              IndexedSeq("en", "de", "en"))))
+          assert(r.rows == Seq(Seq("de", 1L), Seq("en", 2L)), r.rows)
+          // an INSERT target declaring LC columns (github_events
+          // declares many): the header carries the DECLARED spelling —
+          // no Try-fallback to the plain Spark type — and LC data
+          // blocks decode and land
+          c.exec("CREATE TABLE native_lc (id Int64, " +
+            "tag LowCardinality(String)) ENGINE = MergeTree ORDER BY id")
+          val header = c.insert("INSERT INTO native_lc", Seq(Seq(
+            Col("id", TInt64, IndexedSeq(1L, 2L, 3L)),
+            Col("tag", TLowCardinality(TString), IndexedSeq("a", "b", "a")))))
+          assert(header.contains("tag" -> "LowCardinality(String)"), header)
+          val q = c.query("SELECT id, tag FROM native_lc ORDER BY id")
+          assert(q.rows == Seq(Seq(1L, "a"), Seq(2L, "b"), Seq(3L, "a")))
+          c.exec("DROP TABLE native_lc")
+        } finally c.close()
+      }
+    } finally spark.conf.unset(graft.dialect.ChWrites.WarehouseConf)
   }
 
   test("Cancel during external data aborts before execution (EndOfStream, no side effect)") {

@@ -94,6 +94,24 @@ class ManifestCommitSpec extends AnyFunSuite {
     }
   }
 
+  test("crashed-publish debris (.index.pub_*) never re-manifests (advisor r14)") {
+    withTable("mc_dbr") { (_, tree) =>
+      // a writer killed between the temp write and the ATOMIC_MOVE
+      // leaves exactly this file (NioTreeFs.publish's temp name)
+      Files.write(Paths.get(tree, ".index.pub_deadbeef"),
+        "junk".getBytes("UTF-8"))
+      // the next commit rebuilds the manifest from the raw walk — the
+      // debris must be excluded, not carried as a root entry
+      sql("INSERT INTO mc_dbr VALUES (3, 'c')").collect()
+      val idx = new String(
+        Files.readAllBytes(Paths.get(tree, ".index")), "UTF-8")
+      assert(!idx.contains(".pub_"), idx)
+      val rows = sql("SELECT id FROM mc_dbr ORDER BY id")
+        .collect().map(_.getLong(0)).toSeq
+      assert(rows == Seq(1L, 2L, 3L))
+    }
+  }
+
   test("hand-built trees without a manifest fall back to the raw walk") {
     withTable("mc_w") { (_, tree) =>
       Files.delete(Paths.get(tree, ".index"))
