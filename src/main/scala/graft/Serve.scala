@@ -26,12 +26,18 @@ object Serve {
       graft.core.Tables.recordInCatalog(spark, dir)
     }
     val port = sys.env.getOrElse("GRAFT_HTTP_PORT", "8080").toInt
+    // GRAFT_AUTH_USER[/GRAFT_AUTH_PASSWORD] turns on the single-user
+    // credential check on BOTH doors (CH's users.xml single-user
+    // shape); unset = accept anything, the sandbox default
+    val auth = sys.env.get("GRAFT_AUTH_USER")
+      .map(u => (u, sys.env.getOrElse("GRAFT_AUTH_PASSWORD", "")))
     // GRAFT_JOURNAL_DIR turns on the accepted-request journal; recover
     // mode "report" (default) logs unfinished entries from a previous
     // process, "rerun" replays them before the listener binds
     val srv = new graft.service.QueryServer(spark, port,
       journalDir = sys.env.get("GRAFT_JOURNAL_DIR"),
-      recover = sys.env.getOrElse("GRAFT_JOURNAL_RECOVER", "report"))
+      recover = sys.env.getOrElse("GRAFT_JOURNAL_RECOVER", "report"),
+      auth = auth)
     val bound = srv.start()
     System.err.println(s"[serve] listening on 127.0.0.1:$bound (GET /hc, POST /query, GET /metrics)")
     // the ClickHouse native TCP door — what the reference's control
@@ -40,7 +46,8 @@ object Serve {
     // -1 disables
     val nativePort = sys.env.getOrElse("GRAFT_NATIVE_PORT", "9000").toInt
     if (nativePort >= 0) {
-      val native = new graft.service.native.NativeServer(spark, nativePort)
+      val native = new graft.service.native.NativeServer(spark, nativePort,
+        auth = auth)
       val nbound = native.start()
       System.err.println(s"[serve] native protocol on 127.0.0.1:$nbound")
       sys.addShutdownHook(native.stop())

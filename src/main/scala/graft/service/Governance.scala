@@ -43,6 +43,13 @@ object Governance {
   val MaxResultRows = "max_result_rows"
   val ResultOverflowMode = "result_overflow_mode"
   val MaxInsertBlockSize = "max_insert_block_size"
+  val MaxBytesToRead = "max_bytes_to_read"
+  /** Accepted as an ALIAS for [[MaxBytesToRead]] with a documented
+    * caveat: Spark cannot meter per-query heap the way CH meters
+    * per-query RAM, but the runaway case both settings exist for — a
+    * query whose scan is orders of magnitude bigger than intended —
+    * is honestly covered by refusing on the scan-size estimate. */
+  val MaxMemoryUsage = "max_memory_usage"
 
   /** CH's default `max_insert_block_size` — the row count at which a
     * streaming native INSERT flushes its buffered client blocks into a
@@ -52,7 +59,31 @@ object Governance {
   /** The conf keys [[graft.dialect.ChSql.applySettings]] must forward
     * into the session instead of dropping as no-op CH knobs. */
   val Keys: Set[String] = Set(MaxExecutionTime, MaxResultRows,
-    ResultOverflowMode, MaxInsertBlockSize)
+    ResultOverflowMode, MaxInsertBlockSize, MaxBytesToRead, MaxMemoryUsage)
+
+  /** Refuse a query whose SCAN estimate exceeds `max_bytes_to_read`
+    * (or its `max_memory_usage` alias) BEFORE running it — the sum of
+    * the optimized plan's leaf-relation sizes, i.e. the bytes the scan
+    * would read after partition/file pruning but before row filters.
+    * CH meters the read at runtime; refusing on the estimate is the
+    * conservative spelling of the same guard (a refused query that CH
+    * would have squeaked under the limit is a documented divergence —
+    * the setting exists to stop runaway scans, and an estimate catches
+    * those before they burn the cluster). Called where the doors have
+    * the plan in hand, inside the governed window. */
+  def checkScanBudget(df: DataFrame): Unit = {
+    val limit = conf(df, MaxBytesToRead)
+      .orElse(conf(df, MaxMemoryUsage))
+      .map(_.toLong).filter(_ > 0)
+    limit.foreach { max =>
+      val est = df.queryExecution.optimizedPlan.collectLeaves()
+        .map(_.stats.sizeInBytes).sum
+      if (est > max) throw new IllegalArgumentException(
+        s"Limit for bytes to read exceeded: the scan would read ~$est " +
+          s"bytes (leaf-relation estimate), maximum $max. TOO_MANY_BYTES " +
+          s"($MaxBytesToRead; $MaxMemoryUsage is honored as its alias)")
+    }
+  }
 
   private def conf(df: DataFrame, key: String): Option[String] =
     df.sparkSession.conf.getOption(key).map(_.trim).filter(_.nonEmpty)
@@ -117,6 +148,7 @@ object Governance {
     * kills the query. */
   def collectBounded(df: DataFrame,
       jobGroup: Option[String] = None): Array[Row] = {
+    checkScanBudget(df)
     val timeoutSec = conf(df, MaxExecutionTime).map(_.toDouble).getOrElse(0d)
     val maxRows = conf(df, MaxResultRows).map(_.toLong).getOrElse(0L)
     val overflow = conf(df, ResultOverflowMode).getOrElse("throw").toLowerCase
@@ -165,6 +197,7 @@ object Governance {
     * enforced by the [[runGoverned]] wrapper around the whole
     * plan-and-stream, not re-checked here. */
   def iterateBounded(df: DataFrame): Iterator[Row] = {
+    checkScanBudget(df)
     val maxRows = conf(df, MaxResultRows).map(_.toLong).getOrElse(0L)
     val overflow = conf(df, ResultOverflowMode).getOrElse("throw").toLowerCase
     require(overflow == "throw" || overflow == "break",

@@ -69,7 +69,15 @@ class QueryServer(
     spark: SparkSession,
     port: Int = 0,
     journalDir: Option[String] = None,
-    recover: String = "report") {
+    recover: String = "report",
+    /** Single configured user — CH's `users.xml` single-user shape.
+      * None = accept anything (the sandbox posture). When set, the
+      * QUERY routes (`/query`, `/`) require matching credentials via
+      * `X-ClickHouse-User`/`X-ClickHouse-Key` headers, `?user=` /
+      * `?password=` URL params, or HTTP Basic auth — CH's own three
+      * spellings; health/metrics handles stay open, as CH's `/ping`
+      * does. Mismatches answer 403 with CH's code-516 text. */
+    auth: Option[(String, String)] = None) {
 
   require(recover == "report" || recover == "rerun",
     s"recover must be 'report' or 'rerun', got '$recover'")
@@ -100,10 +108,12 @@ class QueryServer(
     server.createContext("/metrics", handler { (_, _) => (200, "text/plain", metricsText()) })
     server.createContext("/query", handler { (ex, reqId) =>
       if (ex.getRequestMethod != "POST") (405, "text/plain", "POST only")
-      else withDecodedBody(plainErrors = false) {
-        val body = requestBody(ex)
-        serveQuery(ex, reqId, () => parseRequest(body),
-          defaultFormat = None, plainErrors = false)
+      else refuseUnauthorized(ex, plainErrors = false).getOrElse {
+        withDecodedBody(plainErrors = false) {
+          val body = requestBody(ex)
+          serveQuery(ex, reqId, () => parseRequest(body),
+            defaultFormat = None, plainErrors = false)
+        }
       }
     })
     // ClickHouse's own HTTP interface (VERDICT r10 task #5): the SQL
@@ -129,7 +139,8 @@ class QueryServer(
         (404, "text/plain", s"There is no handle $path\n")
       else ex.getRequestMethod match {
         case m if m != "POST" && m != "GET" => (405, "text/plain", "POST or GET")
-        case m => withDecodedBody(plainErrors = true) {
+        case m => refuseUnauthorized(ex, plainErrors = true).getOrElse(
+          withDecodedBody(plainErrors = true) {
           val bodySql = if (m == "POST") requestBody(ex) else ""
           // CH concatenates ?query= and the body (a statement may be
           // split across both)
@@ -158,7 +169,7 @@ class QueryServer(
             () => QueryService.QueryRequest(QueryParams.substitute(sql, bound)),
             defaultFormat = fmt.orElse(Some("TabSeparated")),
             plainErrors = true)
-        }
+        })
       }
     })
     // small fixed pool: control-plane requests only; Spark owns the cores
@@ -376,6 +387,48 @@ class QueryServer(
         graft.operators.OpCache.releaseAll()
     }
   }
+
+  /** Caller credentials in CH's three spellings, most specific first:
+    * `X-ClickHouse-User`/`X-ClickHouse-Key` headers, `?user=`/
+    * `?password=` URL params, HTTP Basic auth. Absent pieces default
+    * to CH's (`default` user, empty password). */
+  private def credentials(ex: HttpExchange): (String, String) = {
+    val params = queryParams(ex.getRequestURI.getRawQuery)
+    val hu = Option(ex.getRequestHeaders.getFirst("X-ClickHouse-User"))
+    val hk = Option(ex.getRequestHeaders.getFirst("X-ClickHouse-Key"))
+    if (hu.isDefined || hk.isDefined) (hu.getOrElse("default"), hk.getOrElse(""))
+    else if (params.contains("user") || params.contains("password"))
+      (params.getOrElse("user", "default"), params.getOrElse("password", ""))
+    else Option(ex.getRequestHeaders.getFirst("Authorization"))
+      .filter(_.startsWith("Basic "))
+      .flatMap { h =>
+        scala.util.Try {
+          val dec = new String(java.util.Base64.getDecoder
+            .decode(h.stripPrefix("Basic ").trim), UTF_8)
+          val i = dec.indexOf(':')
+          if (i < 0) (dec, "") else (dec.take(i), dec.drop(i + 1))
+        }.toOption
+      }
+      .getOrElse(("default", ""))
+  }
+
+  /** None when authorized; Some(403 response) otherwise — CH's
+    * AUTHENTICATION_FAILED shape (code 516). */
+  private def refuseUnauthorized(ex: HttpExchange,
+      plainErrors: Boolean): Option[(Int, String, String)] =
+    auth.flatMap { case (wantUser, wantPass) =>
+      val (u, p) = credentials(ex)
+      if (u == wantUser && p == wantPass) None
+      else {
+        errorsTotal.increment()
+        val msg = s"Code: 516. DB::Exception: $u: Authentication " +
+          "failed: password is incorrect, or there is no user with " +
+          "such name"
+        Some(
+          if (plainErrors) (403, "text/plain", msg + "\n")
+          else (403, "application/json", errorJson(msg)))
+      }
+    }
 
   /** Token-parsed Accept-Encoding gzip check (`gzip;q=0` is an
     * explicit refusal). */

@@ -63,4 +63,7 @@ object NativeProtocol {
   /** Generic server-side failure (CH UNKNOWN_EXCEPTION=1002 /
     * analysis errors vary; one stable code keeps clients simple). */
   val ErrGeneric = 1002
+  /** CH's AUTHENTICATION_FAILED (`ErrorCodes.cpp`) — sent instead of
+    * ServerHello when configured credentials don't match. */
+  val ErrAuthFailed = 516
 }

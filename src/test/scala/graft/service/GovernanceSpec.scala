@@ -109,6 +109,43 @@ class GovernanceSpec extends AnyFunSuite {
     } finally native.stop()
   }
 
+  test("max_bytes_to_read refuses an oversized scan BEFORE running it; alias max_memory_usage") {
+    val svc = new QueryService(spark)
+    try {
+      // a query that must actually SCAN (sum isn't footer-answerable;
+      // a bare count() is metadata-served and rightly costs ~nothing):
+      // lineitem sf0.001 is ~115 KB, so a 1 KB budget refuses on the
+      // estimate before any job runs
+      val scanQ = "SELECT sum(l_quantity) AS n FROM " +
+        "parquet.`/root/testdata/sf0.001/lineitem.parquet`"
+      spark.conf.set(Governance.MaxBytesToRead, "1024")
+      val e = intercept[IllegalArgumentException] {
+        svc.execute(QueryRequest(scanQ))
+      }
+      assert(e.getMessage.contains("TOO_MANY_BYTES"), e.getMessage)
+      // a bare count() stays metadata-served under the same budget —
+      // the gate prices the plan's real scan, not the table size
+      val cnt = svc.execute(QueryRequest("SELECT count() AS n FROM " +
+        "parquet.`/root/testdata/sf0.001/lineitem.parquet`"))
+      assert(cnt.rows == Seq(Seq(6000L)), cnt.rows)
+      // a generous budget lets the scan run
+      spark.conf.set(Governance.MaxBytesToRead, "1000000000")
+      val ok = svc.execute(QueryRequest(scanQ))
+      assert(ok.rows.nonEmpty)
+      spark.conf.unset(Governance.MaxBytesToRead)
+      // max_memory_usage is honored as the alias
+      spark.conf.set(Governance.MaxMemoryUsage, "1024")
+      val e2 = intercept[IllegalArgumentException] {
+        svc.execute(QueryRequest(scanQ))
+      }
+      assert(e2.getMessage.contains("max_memory_usage"), e2.getMessage)
+    } finally {
+      Seq(Governance.MaxBytesToRead, Governance.MaxMemoryUsage)
+        .foreach(spark.conf.unset)
+      clear()
+    }
+  }
+
   test("native door: max_result_rows governs the STREAM (throw mid-stream, break truncates)") {
     val native = new graft.service.native.NativeServer(spark)
     val port = native.start()
