@@ -2823,7 +2823,32 @@ object SparkEntry {
 
     "q215_sql_langid" -> ch(
       "SELECT lang_pred, count() AS cnt FROM langId(documents, 'text') " +
-        "GROUP BY lang_pred ORDER BY lang_pred")
+        "GROUP BY lang_pred ORDER BY lang_pred"),
+
+    // ANN read side through the SQL door (VERDICT r13 task #5): the
+    // index BUILD stays Scala (train + saveIndex, the q120 flow); the
+    // SEARCH is the FROM-clause call — full-probe stays exact, so the
+    // q120 oracle checks it
+    "q216_sql_ivf_topk" -> ((spark, dir) => {
+      prep(spark, dir)
+      val emb = Tables.load(spark, dir, "embeddings")
+      val cents = graft.operators.Ivf.trainCentroids(
+        emb, "vec_id", "embedding", k = 8, dim = 64)
+      val path = s"${derivedDir(spark, dir)}/ivf_index_sql"
+      graft.operators.Ivf.saveIndex(
+        graft.operators.Ivf.assign(emb, "vec_id", "embedding", cents),
+        cents, path)
+      ChSql.sql(spark,
+        s"SELECT qid, rank, nid FROM ivfTopK('$path', '0 1 2 3 4', 5, 8) " +
+          "ORDER BY qid, rank")
+    }),
+
+    // PQ ADC search through the SQL door — iters=0 closed-form
+    // codebooks, the q168 oracle checks it
+    "q217_sql_pq_adc" -> ch(
+      "SELECT qid, rank, nid, toInt64(round(dist * 1000000)) AS dist_m " +
+        "FROM pqTopK(embeddings, 'vec_id', 'embedding', 4, 8, 64, " +
+        "'0 17', 5) ORDER BY qid, rank")
   )
 
   // ---------------------------------------------------------------
@@ -2847,7 +2872,9 @@ object SparkEntry {
     "q212_sql_simhash" -> "q43_simhash_dups",
     "q213_sql_ngram" -> "q44_ngram_pairs",
     "q214_sql_contamination" -> "q80_contamination",
-    "q215_sql_langid" -> "q48_lang_id")
+    "q215_sql_langid" -> "q48_lang_id",
+    "q216_sql_ivf_topk" -> "q120_ivf_saved_index",
+    "q217_sql_pq_adc" -> "q168_pq_adc")
 
   def oracleSql: Map[String, String] =
     baseOracleSql ++ sqlDoorTwins.map { case (k, twin) =>

@@ -38,6 +38,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *     sequence packing ([[graft.operators.Sampling.packByTokenBudget]])
   *   - `mixture(t, 'group', 'key', 'g:frac,g:frac'[, default])` →
   *     per-group keep rates ([[graft.operators.Sampling.mixture]])
+  *   - `ivfTopK('index_path', 'qids', k, nprobe)` → ANN search over a
+  *     PERSISTED IVF index ([[graft.operators.Ivf.loadIndex]] +
+  *     [[graft.operators.Ivf.topK]]; the index build stays Scala/DDL)
+  *   - `pqTopK(t, 'id', 'vec', m, k, dim, 'qids', topk[, iters])` →
+  *     product-quantization ADC search
+  *     ([[graft.operators.Pq.searchTopK]])
   *
   * A table argument is a session/catalog table NAME, or a
   * single-quoted SQL string evaluated through the dialect front door
@@ -57,7 +63,7 @@ object PipelineTableFns {
     "semanticDedup|hashSample|tfidf|shuffleShards|packByTokenBudget|" +
     "mixture|simHashDupPairs|ngramJaccardPairs|lineDedup|contamination|" +
     "nearDupSurvivors|exactDupStats|langId|qualityFeatures|gopherFilter|" +
-    "chunkTokens"
+    "chunkTokens|ivfTopK|pqTopK"
 
   private val nameSet: Set[String] =
     Names.split("\\|").map(_.toLowerCase).toSet
@@ -167,6 +173,28 @@ object PipelineTableFns {
         graft.operators.TextAnalysis.chunkTokens(
           tableArg(spark, arg(0)), lit(1), lit(2),
           win = intArg(3), stride = intArg(4))
+      // ANN read side (VERDICT r13 task #5): the index BUILD stays a
+      // Scala/DDL concern (train + saveIndex is a two-step stateful
+      // flow); the SEARCH is a clean FROM-clause call over the
+      // persisted index — `ivfTopK('<index_path>', '<qid qid …>', k,
+      // nprobe)` loads the cluster-partitioned inverted lists (probes
+      // prune to nprobe clusters' files) and answers (qid, rank, nid)
+      case "ivftopk" =>
+        val qids = lit(1).split("\\s+").toSeq.filter(_.nonEmpty).map(_.toLong)
+        val (lists, cents) = graft.operators.Ivf.loadIndex(spark, lit(0))
+        graft.operators.Ivf.topK(lists, cents, qids,
+          k = intArg(2), nprobe = intArg(3))
+      // `pqTopK(t, 'id', 'vec', m, k, dim, '<qid qid …>', topk[,
+      // iters])` — product-quantization ADC search; iters=0 (default)
+      // keeps the codebooks closed-form, the oracle-checkable variant
+      case "pqtopk" =>
+        val emb = tableArg(spark, arg(0))
+        val cb = graft.operators.Pq.trainCodebooks(emb, lit(1), lit(2),
+          m = intArg(3), k = intArg(4), dim = intArg(5),
+          iters = optInt(8, 0))
+        val qids = lit(6).split("\\s+").toSeq.filter(_.nonEmpty).map(_.toLong)
+        graft.operators.Pq.searchTopK(emb, lit(1), lit(2), cb, qids,
+          k = intArg(7))
       case other =>
         throw new IllegalArgumentException(
           s"unknown pipeline table function: $other")

@@ -85,6 +85,35 @@ class PipelineTableFnsSpec extends AnyFunSuite {
     assert(got == Seq((0L, 2L), (1L, 4L)), got.mkString(", "))
   }
 
+  test("ivfTopK / pqTopK as SQL: ANN search over a persisted index and PQ codes") {
+    docs()
+    // build + persist the IVF index in Scala (the stateful half), then
+    // search through the pure-SQL read side
+    val emb = spark.table("ptf_emb")
+    val cents = graft.operators.Ivf.trainCentroids(
+      emb, "vec_id", "embedding", k = 2, dim = 4)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_ivf_sql").toString + "/idx"
+    graft.operators.Ivf.saveIndex(
+      graft.operators.Ivf.assign(emb, "vec_id", "embedding", cents),
+      cents, path)
+    val ivf = ChSql.sql(spark,
+      s"SELECT qid, rank, nid FROM ivfTopK('$path', '0 1', 2, 2) " +
+        "ORDER BY qid, rank").collect()
+    // full probe = exact: 0's nearest is 2 (cos≈0.995), 1's nearest 4
+    assert(ivf.length == 4)
+    assert(ivf.head.getLong(0) == 0L && ivf.head.getLong(2) == 2L,
+      ivf.mkString(", "))
+    assert(ivf(2).getLong(0) == 1L && ivf(2).getLong(2) == 4L,
+      ivf.mkString(", "))
+    // PQ: closed-form codebooks (iters=0), self-search top-1
+    val pq = ChSql.sql(spark,
+      "SELECT qid, rank, nid FROM pqTopK(ptf_emb, 'vec_id', " +
+        "'embedding', 2, 2, 4, '0 1', 1) ORDER BY qid").collect()
+    assert(pq.length == 2)
+    assert(pq.map(_.getLong(0)).toSeq == Seq(0L, 1L))
+  }
+
   test("the pipeline functions are served: raw HTTP door and native TCP door") {
     // the whole flow rides the doors as SQL strings: the HTTP door
     // executes each request in a fresh isolated session, so the input
