@@ -398,6 +398,10 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
+      // Vectorized first-level agg hash map (r14, the q3 finding):
+      // q3_uniq_exact sf10 0.39 → 0.26 s median with AQE on (Q3Matrix);
+      // automatic fallback for unsupported key shapes
+      .config("spark.sql.codegen.aggregate.map.vectorized.enable", "true")
       // Task-memory page size. Spark's default scales with the execution
       // pool (min(64MB, pool/cores/16)) — under a multi-ten-GB driver
       // heap every sort/agg task grabs fresh 64MB zero-filled pages, and
@@ -437,12 +441,13 @@ object Bench {
       else builder0.config("spark.sql.files.minPartitionNum", minPart)
     val builder2 = if (maxPartBytes == "0") builder1
       else builder1.config("spark.sql.files.maxPartitionBytes", maxPartBytes)
-    // OFF-HEAP column vectors (r12, the q2 finding): in this long-lived
-    // bench JVM the q2 sf10 decomposition measured 30% of executor CPU
-    // in GC, and the Q2Probe A/B showed on-heap readers collapsing ~10×
-    // under heap pressure while off-heap stayed flat (0.43-0.46 s).
-    // SPARK_GRAFT_OFFHEAP=0 opts out.
-    val offheap = sys.env.getOrElse("SPARK_GRAFT_OFFHEAP", (4L << 30).toString)
+    // OFF-HEAP column vectors: DEFAULT OFF since r14 (Engine.scala has
+    // the full rationale) — on-heap won q4 in every clean-window A/B
+    // (r13 ×3, r14 Q4Probe: on-heap 0.96-1.9 s vs off-heap 4.4-28 s
+    // back-to-back) and off-heap amplifies 10-15× under host
+    // contention. SPARK_GRAFT_OFFHEAP=<bytes> opts back in (the q2
+    // wide-row GC-at-scale case).
+    val offheap = sys.env.getOrElse("SPARK_GRAFT_OFFHEAP", "0")
     val spark = (if (offheap == "0") builder2
       else builder2
         .config("spark.sql.columnVector.offheap.enabled", "true")
@@ -655,8 +660,8 @@ object Bench {
     // same-HEAD spread needed attribution). Memory mode is fixed at
     // SparkContext init, so the A/B stops the shared session LAST —
     // after every other measurement — and times the full-width hash
-    // scan in two fresh contexts: the engine's off-heap default vs
-    // on-heap. Exclusive probe runs (Q4Probe, 2×/5-7 iters) already
+    // scan in two fresh contexts: off-heap vs on-heap (the engine
+    // default since r14). Exclusive probe runs (Q4Probe, 2×/5-7 iters) already
     // showed medians ~1.0-1.3 s EITHER way with negligible GC and 7-8 s
     // outliers in BOTH modes — the spread is machine noise, not the
     // off-heap pool; this section keeps that attribution pinned in

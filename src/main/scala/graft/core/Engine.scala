@@ -41,6 +41,13 @@ object Engine {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
       .config("spark.sql.parquet.aggregatePushdown", "true")
+      // Vectorized first-level agg hash map (r14, the q3 finding):
+      // keyed hash-aggs with fixed-width keys spend ~55ns/row in the
+      // row-based first-level map; the vectorized map cut
+      // q3_uniq_exact sf10 from 0.39 to 0.26 s median (Q3Matrix, 7
+      // iters) with AQE on, and is a no-op for key shapes it doesn't
+      // support (automatic fallback)
+      .config("spark.sql.codegen.aggregate.map.vectorized.enable", "true")
       // Leaf-scan packing (r11): Spark's default minPartitionNum=cores
       // shreds small many-file tables into per-file tiny tasks; measured
       // here (Bench.scala/Q3Probe) per-row aggregate cost inflates ~10×
@@ -63,17 +70,19 @@ object Engine {
       .config("spark.sql.files.maxPartitionBytes",
         sys.env.getOrElse("SPARK_GRAFT_MAX_PART_BYTES",
           (32L * 1024 * 1024).toString))
-    // OFF-HEAP column vectors (r12): the parquet reader's on-heap
-    // batches are GC bait at high task concurrency — in a long-lived
-    // session the q2 sf10 decomposition measured 3.66 s of GC inside
-    // 12 s of executor CPU (30%), and the Q2Probe A/B showed on-heap
-    // runs COLLAPSING ~10× (1-2 s GC per run) under heap pressure
-    // while off-heap stayed flat at 0.43-0.46 s across every run.
-    // At 1000 executors the same GC amplification compounds per
-    // executor; off-heap vectors are the standard mitigation.
-    // SPARK_GRAFT_OFFHEAP=0 is the documented A/B opt-out: skip all
-    // three configs (offHeap.enabled=true with size=0 fails init).
-    val offHeap = sys.env.getOrElse("SPARK_GRAFT_OFFHEAP", (4L << 30).toString)
+    // OFF-HEAP column vectors: DEFAULT OFF since r14. The r12 case for
+    // off-heap was q2's GC under a long-lived pressured heap (on-heap
+    // collapsing ~10× in that window); every clean-window A/B since —
+    // r13's three runs and r14's Q4Probe (off-heap 4.4-28 s vs on-heap
+    // 0.96-1.9 s back-to-back on the same box) — shows on-heap winning
+    // the full-width scan shape outright AND off-heap amplifying
+    // 10-15× under host IO/CPU contention, making it the riskier
+    // default on a shared machine. The 1000-executor GC argument is
+    // real but is an argument, not a local measurement; deployments
+    // with dedicated memory opt in with SPARK_GRAFT_OFFHEAP=<bytes>
+    // (e.g. 4294967296), which sets all three configs. SCALING.md
+    // records both shapes' numbers.
+    val offHeap = sys.env.getOrElse("SPARK_GRAFT_OFFHEAP", "0")
     if (offHeap != "0") {
       b.config("spark.sql.columnVector.offheap.enabled", "true")
         .config("spark.memory.offHeap.enabled", "true")

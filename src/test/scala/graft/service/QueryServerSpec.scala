@@ -474,7 +474,40 @@ class QueryServerSpec extends AnyFunSuite {
       // small results keep the classic Content-Length path
       val small = post("/?default_format=CSV", "SELECT 1 AS x")
       assert(small.headers().firstValue("Content-Length").isPresent)
+      // chunked + gzip: a streamed big response compresses on the fly
+      // when the caller accepts it
+      val gz = client.send(
+        HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port/?default_format=CSV"))
+          .header("Accept-Encoding", "gzip")
+          .POST(HttpRequest.BodyPublishers.ofString(
+            "SELECT number, number * 2 FROM numbers(120000)"))
+          .build(),
+        HttpResponse.BodyHandlers.ofByteArray())
+      assert(gz.statusCode() == 200)
+      assert(gz.headers().firstValue("Content-Encoding").orElse("") == "gzip")
+      val back = new String(new java.util.zip.GZIPInputStream(
+        new java.io.ByteArrayInputStream(gz.body())).readAllBytes(), "UTF-8")
+      assert(back.linesIterator.size == 120000)
     } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
+  test("a failure after the chunked 200 committed surfaces IN-BAND, CH's streaming contract") {
+    // wide rows push past the 256 KiB spool (committing the chunked
+    // 200) long before the poisoned row near the end errors — the
+    // failure can only surface in the body, as CH's HTTP door does
+    val r = post("/?default_format=CSV",
+      "SELECT concat(repeat('x', 50), toString(intDiv(1, number - 95000))) " +
+        "FROM numbers(100000)")
+    assert(r.statusCode() == 200)
+    assert(r.body().contains("DB::Exception"), r.body().takeRight(200))
+    // the lines before the abort streamed intact
+    assert(r.body().startsWith("\"" + "x" * 50), r.body().take(80))
+    // and a failure INSIDE the spool window still maps to a clean 400/500
+    val early = post("/?default_format=CSV",
+      "SELECT intDiv(1, number - 1) FROM numbers(5)")
+    assert(early.statusCode() == 500 || early.statusCode() == 400,
+      s"${early.statusCode()}: ${early.body().take(120)}")
+    assert(!early.body().startsWith("\""), early.body().take(80))
   }
 
   test("requests are session-isolated: one request's SET never leaks into the next") {
