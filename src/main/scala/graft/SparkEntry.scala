@@ -2848,7 +2848,31 @@ object SparkEntry {
     "q217_sql_pq_adc" -> ch(
       "SELECT qid, rank, nid, toInt64(round(dist * 1000000)) AS dist_m " +
         "FROM pqTopK(embeddings, 'vec_id', 'embedding', 4, 8, 64, " +
-        "'0 17', 5) ORDER BY qid, rank")
+        "'0 17', 5) ORDER BY qid, rank"),
+
+    // INLINE-data INSERT (r14): CH's HTTP bulk-load spelling — rows
+    // ride in the statement text after FORMAT <fmt>, parse against the
+    // target's declared types, and append parts like any INSERT.
+    // Covers CSV (positional), JSONEachRow (by name), CSVWithNames
+    // (header-mapped, shuffled column order), TSV (with \N null into a
+    // Nullable column — declared so the oracle can carry it)
+    "q218_inline_insert" -> ((spark, dir) => {
+      prep(spark, dir)
+      val wh = s"${derivedDir(spark, dir)}/wh"
+      spark.conf.set(graft.dialect.ChWrites.WarehouseConf, wh)
+      val svc = new QueryService(spark)
+      svc.executeToDf(QueryService.QueryRequest(
+        query = "SELECT id, s, v FROM inline_ins ORDER BY id",
+        initQueries = Seq(
+          "DROP TABLE IF EXISTS inline_ins",
+          "CREATE TABLE inline_ins (id Int64, s Nullable(String), " +
+            "v Float64) ENGINE = MergeTree ORDER BY id",
+          "INSERT INTO inline_ins FORMAT CSV\n1,a,1.5\n2,b,2.5",
+          "INSERT INTO inline_ins FORMAT JSONEachRow\n" +
+            """{"id": 3, "s": "c", "v": 3.5}""",
+          "INSERT INTO inline_ins FORMAT CSVWithNames\nv,id,s\n4.5,4,d",
+          "INSERT INTO inline_ins FORMAT TSV\n5\t\\N\t5.5")))._1
+    })
   )
 
   // ---------------------------------------------------------------
@@ -2876,9 +2900,17 @@ object SparkEntry {
     "q216_sql_ivf_topk" -> "q120_ivf_saved_index",
     "q217_sql_pq_adc" -> "q168_pq_adc")
 
+  /** q218's inline rows are constants — the oracle is their literal
+    * VALUES table (the statement text IS the dataset). */
+  private val inlineInsertOracle: (String, String) =
+    "q218_inline_insert" ->
+      ("SELECT * FROM (VALUES (1, 'a', 1.5), (2, 'b', 2.5), " +
+        "(3, 'c', 3.5), (4, 'd', 4.5), (5, NULL, 5.5)) " +
+        "AS t(id, s, v) ORDER BY id")
+
   def oracleSql: Map[String, String] =
     baseOracleSql ++ sqlDoorTwins.map { case (k, twin) =>
-      k -> baseOracleSql(twin) }
+      k -> baseOracleSql(twin) } + inlineInsertOracle
 
   private val baseOracleSql: Map[String, String] = Map(
     "q201_replicated_ddl" ->

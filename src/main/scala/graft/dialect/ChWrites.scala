@@ -58,6 +58,14 @@ object ChWrites {
     """(?is)\bSAMPLE\s+BY\s+(\w+\([^)]*\)|\([^)]*\)|[\w.]+)""".r
   private val InsertValuesRe =
     """(?is)^\s*INSERT\s+INTO\s+(?:TABLE\s+)?([`"\w.]+)\s*(?:\(([^)]*)\)\s*)?VALUES\s+(.+)$""".r
+  // CH's inline-data INSERT: `INSERT INTO t [(cols)] FORMAT <fmt>`
+  // followed by the rows themselves — the standard HTTP bulk-load
+  // spelling (`curl -d 'INSERT INTO t FORMAT CSV
+  // 1,a' http://host/`) and what `cat data.csv | clickhouse-client
+  // --query="INSERT … FORMAT CSV"` sends
+  private val InsertTableFormatRe =
+    ("""(?is)^\s*INSERT\s+INTO\s+(?:TABLE\s+)?([`"\w.]+)\s*""" +
+      """(?:\(([^)]*)\)\s*)?FORMAT\s+(\w+)\s+(.+)$""").r
   // CH materialized views — INSERT TRIGGERS, not retroactive views:
   // the TO form appends into an existing table; the ENGINE form owns a
   // backing table (`<name>__inner`, CH's `.inner.<uuid>` analog) and
@@ -340,6 +348,68 @@ object ChWrites {
           partitionBy = partitionBy, engine = engineSpecN, ttl = ttl,
           declaredEngine = declaredEngine0))
         Seq((name, path, 0L)).toDF("table", "path", "rows")
+      case InsertTableFormatRe(rawName, colList, fmtName, data0) =>
+        // The inline text parses against the TARGET's declared column
+        // types and rides the same INSERT … SELECT path as every other
+        // insert (part append on MergeTree, MV triggers, the
+        // NULL-into-non-Nullable refusal). Inline data is driver-side
+        // by nature — it IS the request body; bulk loads at scale use
+        // the native door's streamed batches or INSERT … SELECT over
+        // files.
+        val name = ProjectionSql.clean(rawName)
+        val fmt = fmtName.toLowerCase
+        if (fmt == "values")
+          // CH treats FORMAT Values as the VALUES literal spelling
+          run(spark, s"INSERT INTO `$name` " +
+            Option(colList).map(c => s"($c) ").getOrElse("") +
+            s"VALUES ${data0.trim}", macros)
+        else {
+          val fields = spark.table(name).schema.fields
+          val targets = Option(colList)
+            .map(_.split(",").map(ProjectionSql.clean).filter(_.nonEmpty).toSeq)
+            .getOrElse(fields.map(_.name).toSeq)
+          targets.foreach(c => require(fields.exists(_.name == c),
+            s"INSERT INTO $name: unknown column '$c'"))
+          // typed positional schema for header-less formats; WithNames
+          // formats read their OWN header (all-string columns) and map
+          // by name — the recursive INSERT … SELECT casts either way
+          val schema = org.apache.spark.sql.types.StructType(
+            targets.map(c => fields.find(_.name == c).get).toArray)
+          import spark.implicits._
+          val lines = spark.createDataset(
+            data0.split("\r?\n").toIndexedSeq.filter(_.trim.nonEmpty))
+          val withNames = fmt.endsWith("withnames")
+          val parsed = fmt match {
+            case "jsoneachrow" | "ndjson" =>
+              // FAILFAST: malformed rows refuse the INSERT, as CH does
+              // (PERMISSIVE would silently land NULL rows)
+              spark.read.schema(schema)
+                .option("mode", "FAILFAST").json(lines)
+            case "csv" | "csvwithnames" | "tsv" | "tabseparated" |
+                 "tsvwithnames" | "tabseparatedwithnames" =>
+              val sep = if (fmt.startsWith("csv")) "," else "\t"
+              val r = spark.read
+                .option("sep", sep)
+                .option("header", withNames)
+                .option("nullValue", "\\N") // CH's text NULL
+                .option("mode", "FAILFAST")
+              (if (withNames) r else r.schema(schema)).csv(lines)
+            case other => throw new IllegalArgumentException(
+              s"INSERT INTO $name FORMAT $other: inline data supports " +
+                "CSV[WithNames], TSV[WithNames], JSONEachRow, Values")
+          }
+          targets.foreach(c => require(parsed.columns.contains(c),
+            s"INSERT INTO $name FORMAT $fmtName: inline data has no " +
+              s"column '$c' (found: ${parsed.columns.mkString(", ")})"))
+          val df = parsed.select(targets.map(c =>
+            org.apache.spark.sql.functions.col(s"`$c`")): _*)
+          val view = s"__insert_inline_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+          df.createOrReplaceTempView(view)
+          val cols = targets.map(c => s"`$c`").mkString(", ")
+          try run(spark,
+            s"INSERT INTO `$name` ($cols) SELECT $cols FROM $view", macros)
+          finally spark.catalog.dropTempView(view)
+        }
       case InsertValuesRe(rawName, colList, tuples) =>
         // CH's literal-rows spelling: rewrite to the INSERT … SELECT
         // part-append path via Spark's inline VALUES table, each value

@@ -134,6 +134,47 @@ class ChWritesSpec extends AnyFunSuite {
     } finally spark.conf.unset(ChWrites.WarehouseConf)
   }
 
+  test("INSERT INTO t FORMAT <fmt> with INLINE data: CSV/TSV/JSONEachRow/Values (CH's HTTP bulk-load)") {
+    val wh = Files.createTempDirectory("graft_wh_inline").toString
+    spark.conf.set(ChWrites.WarehouseConf, wh)
+    try {
+      ChSql.sql(spark, "CREATE TABLE inline_mt (id Int64, s String, " +
+        "v Float64) ENGINE = MergeTree ORDER BY id")
+      // CSV, positional against the declared types
+      ChSql.sql(spark, "INSERT INTO inline_mt FORMAT CSV\n1,a,1.5\n2,b,2.5")
+      // TSV with \N null into a column subset (v takes NULL → refuses?
+      // v is non-Nullable in CH terms but the Spark view is nullable —
+      // give all three columns)
+      ChSql.sql(spark, "INSERT INTO inline_mt FORMAT TSV\n3\tc\t3.5")
+      // JSONEachRow by name
+      ChSql.sql(spark, "INSERT INTO inline_mt FORMAT JSONEachRow\n" +
+        """{"id": 4, "s": "d", "v": 4.5}""")
+      // CSVWithNames maps by HEADER name, any column order
+      ChSql.sql(spark,
+        "INSERT INTO inline_mt FORMAT CSVWithNames\nv,id,s\n5.5,5,e")
+      // FORMAT Values = the literal spelling
+      ChSql.sql(spark, "INSERT INTO inline_mt FORMAT Values (6, 'f', 6.5)")
+      // column-subset insert: unmentioned column takes NULL → the
+      // Spark-side table accepts it (declared nullable on the view)
+      val got = ChSql.sql(spark,
+        "SELECT id, s, v FROM inline_mt ORDER BY id").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq
+      assert(got == Seq((1L, "a", 1.5), (2L, "b", 2.5), (3L, "c", 3.5),
+        (4L, "d", 4.5), (5L, "e", 5.5), (6L, "f", 6.5)), got)
+      // malformed inline rows refuse the INSERT (FAILFAST, as CH)
+      intercept[Exception] {
+        ChSql.sql(spark,
+          "INSERT INTO inline_mt FORMAT CSV\nnot_a_number,x,y")
+      }
+      // unknown inline format refuses with guidance
+      val e = intercept[IllegalArgumentException] {
+        ChSql.sql(spark, "INSERT INTO inline_mt FORMAT Arrow\nxx")
+      }
+      assert(e.getMessage.contains("inline data supports"), e.getMessage)
+      ChSql.sql(spark, "DROP TABLE inline_mt")
+    } finally spark.conf.unset(ChWrites.WarehouseConf)
+  }
+
   test("INSERT INTO a view/table name refuses with guidance; s3 http refuses") {
     freshView()
     val e = intercept[IllegalArgumentException] {

@@ -349,6 +349,19 @@ class QueryServerSpec extends AnyFunSuite {
     assert(post("/", "DROP TABLE xreq_mac").statusCode() == 200)
   }
 
+  test("inline-data INSERT over the raw door: the curl bulk-load shape") {
+    // `curl -d 'INSERT INTO t FORMAT CSV
+    // 1,a' http://host/` — the rows ride in the POST body after the
+    // format name, CH's standard HTTP load
+    assert(post("/", "CREATE TABLE xreq_inline (id Int64, s String) " +
+      "ENGINE = MergeTree ORDER BY id").statusCode() == 200)
+    val ins = post("/", "INSERT INTO xreq_inline FORMAT CSV\n1,a\n2,b")
+    assert(ins.statusCode() == 200, ins.body())
+    assert(post("/?default_format=CSV",
+      "SELECT count(), min(s) FROM xreq_inline").body() == "2,\"a\"\n")
+    assert(post("/", "DROP TABLE xreq_inline").statusCode() == 200)
+  }
+
   test("gzip on the HTTP doors: gzipped request bodies and Accept-Encoding gzip responses") {
     // gzipped SQL body — curl --data-binary @big.sql.gz, a standard CH
     // HTTP pattern
