@@ -287,19 +287,26 @@ class QueryServer(
     @volatile var sinkRef: SpoolSink = null
     def committed: Boolean = sinkRef != null && sinkRef.committed
     try {
+      // per-request session isolation (the reference gives each
+      // workflow its own CH session, `workflow_query_executor.go:302`):
+      // the default is a fresh newSession() — own SQLConf, temp views,
+      // function registry — so one request's SETs / ATTACHes never
+      // leak into another on this 4-thread pool. `?session_id=` pins a
+      // persistent session instead (CH's HTTP sessions).
+      val acquired = acquireSession(ex, plainErrors)
+      if (acquired.isLeft) {
+        errorsTotal.increment()
+        log.info(s"request_id=$reqId status=${acquired.left.toOption.get._1} error=session")
+        return acquired.left.toOption.get
+      }
+      val (reqSession, releaseSession) = acquired.toOption.get
       val res =
         try {
           val req = buildReq()
           // journal BEFORE execution: a crash between here and the
           // response leaves exactly this entry for the next start
           journalKey = journal.map(_.record(reqId, req))
-          // per-request session isolation (the reference gives each
-          // workflow its own CH session, `workflow_query_executor.go:302`):
-          // newSession() shares the SparkContext and cached data but
-          // carries its OWN SQLConf, temp views, and function registry,
-          // so one request's SETs / ATTACHes never leak into another
-          // running concurrently on this 4-thread pool
-          val svc = new QueryService(spark.newSession())
+          val svc = new QueryService(reqSession)
           var spooled: Option[(String, String)] = None
           var streamedRows = 0L
           var streamAborted: Option[Throwable] = None
@@ -372,7 +379,7 @@ class QueryServer(
               s"error=${e.getClass.getSimpleName}")
             if (sinkRef != null) sinkRef.abortQuietly()
             ResponseSent
-        }
+        } finally releaseSession()
       // any response — success or error — means the caller learns
       // this request's fate: it must never replay
       journalKey.foreach(k => journal.foreach(_.complete(k)))
@@ -385,6 +392,67 @@ class QueryServer(
       // evicted mid-plan (they'd recompute — correct but wasteful).
       if (inFlight.decrementAndGet() == 0L)
         graft.operators.OpCache.releaseAll()
+    }
+  }
+
+  // ---- CH HTTP sessions (?session_id=) ----
+
+  /** One pinned SQL session per `session_id`: SET state and temp views
+    * persist across requests until `session_timeout` (default 60 s)
+    * of idleness — CH's own HTTP-session contract, incl. the
+    * one-request-at-a-time lock (code 373 SESSION_IS_LOCKED) and
+    * `session_check=1` (code 372 SESSION_NOT_FOUND). */
+  private final class HttpSession(val spark: SparkSession) {
+    @volatile var lastUsed: Long = System.currentTimeMillis()
+    @volatile var timeoutMs: Long = 60000L
+    val inUse = new java.util.concurrent.atomic.AtomicBoolean(false)
+  }
+  private val sessions =
+    new java.util.concurrent.ConcurrentHashMap[String, HttpSession]()
+
+  private def sweepSessions(): Unit = {
+    val now = System.currentTimeMillis()
+    sessions.forEach { (id, s) =>
+      if (!s.inUse.get && now - s.lastUsed > s.timeoutMs)
+        sessions.remove(id, s)
+    }
+  }
+
+  /** Resolve the request's Spark session: a fresh isolated one (the
+    * default), or the `?session_id=` pinned session. Returns the error
+    * response instead when the session is locked / not found. The
+    * returned release() MUST run when the request finishes. */
+  private def acquireSession(ex: HttpExchange, plainErrors: Boolean)
+      : Either[(Int, String, String), (SparkSession, () => Unit)] = {
+    sweepSessions()
+    val params = queryParams(ex.getRequestURI.getRawQuery)
+    def err(code: Int, msg: String): (Int, String, String) =
+      if (plainErrors) (code, "text/plain", msg + "\n")
+      else (code, "application/json", errorJson(msg))
+    params.get("session_id").map(_.trim).filter(_.nonEmpty) match {
+      case None => Right((spark.newSession(), () => ()))
+      case Some(rawId) =>
+        val id = rawId.replaceAll("[^A-Za-z0-9._-]", "").take(100)
+        val timeoutMs = params.get("session_timeout")
+          .flatMap(t => scala.util.Try(t.trim.toLong).toOption)
+          .filter(_ > 0).map(_ * 1000L)
+        val checkOnly = params.get("session_check")
+          .exists(v => v == "1" || v.equalsIgnoreCase("true"))
+        if (checkOnly && !sessions.containsKey(id))
+          return Left(err(400,
+            s"Code: 372. DB::Exception: Session $id not found " +
+              "(session_check=1)"))
+        val entry = sessions.computeIfAbsent(id,
+          _ => new HttpSession(spark.newSession()))
+        timeoutMs.foreach(entry.timeoutMs = _)
+        if (!entry.inUse.compareAndSet(false, true))
+          Left(err(500,
+            "Code: 373. DB::Exception: Session is locked by a " +
+              "concurrent connection"))
+        else Right((entry.spark, () => {
+          entry.lastUsed = System.currentTimeMillis()
+          entry.inUse.set(false)
+        }))
     }
   }
 

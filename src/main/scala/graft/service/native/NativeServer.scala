@@ -313,6 +313,11 @@ class NativeServer(spark: SparkSession, port: Int = 0,
             outLock.synchronized {
               sendBlock(out, revision, compression,
                 NativeBlock.fromRows(schema, chunk), chunk.length)
+              // CH interleaves Progress with Data as the pipeline
+              // produces blocks (clickhouse-go surfaces it as the
+              // progress callback) — cumulative rows so far
+              sendProgress(out, revision, sent + chunk.length,
+                System.nanoTime() - started)
             }
             sent += chunk.length
             blocks += 1

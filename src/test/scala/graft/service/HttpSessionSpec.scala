@@ -1,0 +1,81 @@
+package graft.service
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** CH's HTTP sessions (`?session_id=`): SET state persists across
+  * requests on the same id, a session admits one request at a time
+  * (code 373 SESSION_IS_LOCKED), `session_check=1` refuses unknown ids
+  * (code 372), and idle sessions expire after `session_timeout`
+  * (default 60 s). Without a session_id every request stays isolated
+  * in its own fresh session — the posture every other spec pins. */
+class HttpSessionSpec extends AnyFunSuite {
+
+  private lazy val spark = graft.TestSpark.spark
+  private lazy val port = new QueryServer(spark).start()
+  private val client = HttpClient.newHttpClient()
+
+  private def post(path: String, body: String): HttpResponse[String] =
+    client.send(
+      HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port$path"))
+        .POST(HttpRequest.BodyPublishers.ofString(body)).build(),
+      HttpResponse.BodyHandlers.ofString())
+
+  test("SET persists across requests on the same session_id, isolated from others") {
+    val set = post("/?session_id=sess_a",
+      "SET spark.sql.shuffle.partitions = 7")
+    assert(set.statusCode() == 200, set.body())
+    val sameSess = post("/?session_id=sess_a&default_format=CSV",
+      "SET spark.sql.shuffle.partitions")
+    assert(sameSess.body().contains("7"), sameSess.body())
+    // another session id sees the default
+    val otherSess = post("/?session_id=sess_b&default_format=CSV",
+      "SET spark.sql.shuffle.partitions")
+    assert(!otherSess.body().contains("\t7"), otherSess.body())
+    // a session-less request is isolated too
+    val isolated = post("/?default_format=CSV",
+      "SET spark.sql.shuffle.partitions")
+    assert(!isolated.body().contains("\t7"), isolated.body())
+  }
+
+  test("session_check=1 refuses an unknown id with code 372") {
+    val r = post("/?session_id=never_created&session_check=1", "SELECT 1")
+    assert(r.statusCode() == 400, r.body())
+    assert(r.body().contains("372"), r.body())
+    // ...and accepts an existing one
+    post("/?session_id=sess_c", "SELECT 1")
+    val ok = post("/?session_id=sess_c&session_check=1&default_format=CSV",
+      "SELECT 1")
+    assert(ok.statusCode() == 200, ok.body())
+  }
+
+  test("a session admits one request at a time: code 373 for the concurrent caller") {
+    // request A holds the session with a slow query on a worker thread
+    val slow = new Thread(() => {
+      post("/?session_id=sess_lock&default_format=CSV",
+        "SELECT count() FROM (SELECT a.number FROM numbers(3000000) a, " +
+          "numbers(40) b)")
+    }, "sess-lock-holder")
+    slow.start()
+    Thread.sleep(400) // let A acquire
+    val b = post("/?session_id=sess_lock", "SELECT 1")
+    assert(b.statusCode() == 500, s"${b.statusCode()}: ${b.body()}")
+    assert(b.body().contains("373"), b.body())
+    slow.join(60000)
+    assert(!slow.isAlive)
+    // released after A finishes
+    val after = post("/?session_id=sess_lock&default_format=CSV", "SELECT 1")
+    assert(after.statusCode() == 200, after.body())
+  }
+
+  test("idle sessions expire after session_timeout") {
+    assert(post("/?session_id=sess_ttl&session_timeout=1",
+      "SET spark.sql.shuffle.partitions = 9").statusCode() == 200)
+    Thread.sleep(1500)
+    val gone = post("/?session_id=sess_ttl&session_check=1", "SELECT 1")
+    assert(gone.statusCode() == 400 && gone.body().contains("372"),
+      s"${gone.statusCode()}: ${gone.body()}")
+  }
+}

@@ -359,6 +359,14 @@ class QueryServerSpec extends AnyFunSuite {
     assert(ins.statusCode() == 200, ins.body())
     assert(post("/?default_format=CSV",
       "SELECT count(), min(s) FROM xreq_inline").body() == "2,\"a\"\n")
+    // CH's SPLIT form: the statement in ?query=, ONLY the rows in the
+    // body (`curl 'http://host/?query=INSERT...FORMAT+CSV'
+    // --data-binary @rows.csv`) — the door concatenates them
+    val q = java.net.URLEncoder.encode(
+      "INSERT INTO xreq_inline FORMAT CSV", "UTF-8")
+    assert(post(s"/?query=$q", "10,z\n11,z").statusCode() == 200)
+    assert(post("/?default_format=CSV",
+      "SELECT count() FROM xreq_inline").body() == "4\n")
     assert(post("/", "DROP TABLE xreq_inline").statusCode() == 200)
   }
 
