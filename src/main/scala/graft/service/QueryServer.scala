@@ -407,6 +407,7 @@ class QueryServer(
     @volatile var timeoutMs: Long = 60000L
     val inUse = new java.util.concurrent.atomic.AtomicBoolean(false)
   }
+  private val MaxHttpSessions = 1000
   private val sessions =
     new java.util.concurrent.ConcurrentHashMap[String, HttpSession]()
 
@@ -442,6 +443,12 @@ class QueryServer(
           return Left(err(400,
             s"Code: 372. DB::Exception: Session $id not found " +
               "(session_check=1)"))
+        // bound the registry: each session pins a Spark session; a
+        // flood of unique ids must not grow the driver without limit
+        if (!sessions.containsKey(id) && sessions.size >= MaxHttpSessions)
+          return Left(err(500,
+            s"Code: 1000. DB::Exception: too many active HTTP sessions " +
+              s"($MaxHttpSessions) — reuse or let idle ones expire"))
         val entry = sessions.computeIfAbsent(id,
           _ => new HttpSession(spark.newSession()))
         timeoutMs.foreach(entry.timeoutMs = _)
