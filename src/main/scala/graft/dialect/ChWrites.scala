@@ -376,8 +376,14 @@ object ChWrites {
           val schema = org.apache.spark.sql.types.StructType(
             targets.map(c => fields.find(_.name == c).get).toArray)
           import spark.implicits._
-          val lines = spark.createDataset(
-            data0.split("\r?\n").toIndexedSeq.filter(_.trim.nonEmpty))
+          // CSV rows may carry NEWLINES inside quoted fields (legal CH
+          // CSV) — split quote-aware, not on every newline (review
+          // finding); TSV escapes newlines as \n and JSONEachRow
+          // strings escape them, so those stay line-split
+          val rawRows =
+            if (fmt.startsWith("csv")) splitCsvRows(data0)
+            else data0.split("\r?\n").toIndexedSeq
+          val lines = spark.createDataset(rawRows.filter(_.trim.nonEmpty))
           val withNames = fmt.endsWith("withnames")
           val parsed = fmt match {
             case "jsoneachrow" | "ndjson" =>
@@ -566,6 +572,35 @@ object ChWrites {
     }
   }
 
+  /** Split CSV text into rows, treating newlines inside double-quoted
+    * fields as data ("" is the escaped quote). */
+  private def splitCsvRows(data: String): IndexedSeq[String] = {
+    val rows = scala.collection.mutable.ArrayBuffer.empty[String]
+    val cur = new StringBuilder
+    var inQuote = false
+    var i = 0
+    val n = data.length
+    while (i < n) {
+      val c = data.charAt(i)
+      if (c == '"') {
+        if (inQuote && i + 1 < n && data.charAt(i + 1) == '"') {
+          cur.append("\"\"") // escaped quote stays inside the field
+          i += 1
+        } else {
+          inQuote = !inQuote
+          cur.append(c)
+        }
+      } else if (!inQuote && (c == '\n' || c == '\r')) {
+        if (c == '\r' && i + 1 < n && data.charAt(i + 1) == '\n') i += 1
+        rows += cur.toString
+        cur.clear()
+      } else cur.append(c)
+      i += 1
+    }
+    if (cur.nonEmpty) rows += cur.toString
+    rows.toIndexedSeq
+  }
+
   private def formatAndBody(explicit: Option[String], rest: String): (String, String) =
     explicit match {
       case Some(f) => (normalizeFormat(f), rest.trim)
@@ -591,7 +626,13 @@ object ChWrites {
       macros: Map[String, String]): DataFrame = {
     val r = ChSql.rewrite(spark, body, macros)
     ChSql.applySettings(spark, r.settings)
-    ChSql.finish(spark, r)
+    val df = ChSql.finish(spark, r)
+    // max_bytes_to_read governs WRITE-driving scans too (CH applies it
+    // to INSERT … SELECT reads; review finding: the gate only fired at
+    // result iteration, so a runaway INSERT/CTAS scan bypassed it —
+    // the write executes eagerly long before any result iterator)
+    graft.service.Governance.checkScanBudget(df)
+    df
   }
 
   /** Write and return the row count. Parquet counts the WRITTEN footers

@@ -62,8 +62,16 @@ object QueryParams {
         val open = t.indexOf('(')
         val close = t.lastIndexOf(')')
         if (open < 0 || close <= open) bad("malformed type")
-        if (base == "nullable" && v.trim.equalsIgnoreCase("null")) "NULL"
-        else render(t.substring(open + 1, close), v, name)
+        val innerT = t.substring(open + 1, close)
+        val innerBase = innerT.trim.takeWhile(_.isLetterOrDigit).toLowerCase
+        // CH spells a parameter NULL as \N; the bare word is accepted
+        // for NON-string inners only (for a String inner "null" is a
+        // legitimate 4-char value — coercing it was a silent data
+        // change, review finding)
+        val isNull = base == "nullable" && (v == "\\N" ||
+          (!stringLike(innerBase) && v.trim.equalsIgnoreCase("null")))
+        if (isNull) "NULL"
+        else render(innerT, v, name)
       case b if stringLike(b) =>
         "'" + v.replace("\\", "\\\\").replace("'", "\\'") + "'"
       case b if intLike(b) =>
@@ -89,17 +97,27 @@ object QueryParams {
     }
   }
 
-  /** Token scan over a composite value: whitespace, bracket/brace/
-    * paren punctuation, commas/colons, numeric literals, single-quoted
-    * strings (backslash escapes), and the NULL/true/false keywords.
-    * Any bare identifier or operator — the injection surface — fails. */
+  /** Token scan over a composite value: whitespace, BALANCED bracket/
+    * brace/paren punctuation, commas/colons, STRICT numeric literals,
+    * single-quoted strings (backslash escapes), and the
+    * NULL/true/false keywords. Any bare identifier, operator, comment,
+    * or unbalanced close — the injection surface — fails. (Review
+    * finding: a lax numeric scan accepted `--` as a "number", letting
+    * a composite value comment out the rest of the statement, and an
+    * unbalanced `)` could escape a call context.) */
   private def literalOnly(v: String): Boolean = {
     var i = 0
+    var depth = 0
     val n = v.length
     while (i < n) {
       val c = v(i)
-      if (c.isWhitespace || "[](){},:".indexOf(c.toInt) >= 0) i += 1
-      else if (c == '\'') {
+      if (c.isWhitespace || c == ',' || c == ':') i += 1
+      else if (c == '[' || c == '(' || c == '{') { depth += 1; i += 1 }
+      else if (c == ']' || c == ')' || c == '}') {
+        depth -= 1
+        if (depth < 0) return false
+        i += 1
+      } else if (c == '\'') {
         i += 1
         var closed = false
         while (i < n && !closed) {
@@ -109,8 +127,11 @@ object QueryParams {
         }
         if (!closed) return false
       } else if (c.isDigit || c == '+' || c == '-' || c == '.') {
+        val start = i
         i += 1
         while (i < n && (v(i).isDigit || "+-.eE".indexOf(v(i).toInt) >= 0)) i += 1
+        // the token must BE a number — `--`, `1-1`, `.e` are not
+        if (!NumRe.matches(v.substring(start, i))) return false
       } else if (c.isLetter) {
         val start = i
         while (i < n && v(i).isLetter) i += 1
@@ -118,6 +139,6 @@ object QueryParams {
         if (w != "null" && w != "true" && w != "false") return false
       } else return false
     }
-    true
+    depth == 0
   }
 }

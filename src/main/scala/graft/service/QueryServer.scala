@@ -325,10 +325,12 @@ class QueryServer(
               spooled = sink.finishOk().map(b => (ctype, b))
             } catch {
               case e: Throwable if sink.committed =>
-                sink.abort("\nCode: " +
-                  (if (e.isInstanceOf[java.util.concurrent.TimeoutException]) 159
-                   else 1000) +
-                  s". DB::Exception: ${Option(e.getMessage).getOrElse(e.getClass.getName)}\n")
+                // this IS the render thread — flush its own buffered
+                // rows before the in-band error line (a cross-thread
+                // abort cannot; see SpoolSink.abort)
+                try sink.writer.flush()
+                catch { case scala.util.control.NonFatal(_) => () }
+                sink.abort(inBandError(e))
                 streamAborted = Some(e)
               // not committed: rethrow — the spool is discarded and the
               // error maps to the same 400/500 it always did
@@ -371,13 +373,17 @@ class QueryServer(
             val (ct, b) = err(e.toString)
             (500, ct, b)
           case e: Exception =>
-            // the chunked 200 already committed (e.g. the governed
-            // deadline fired and the in-band abort ran on the worker
-            // thread) — that abort IS the response; just account
+            // the chunked 200 already committed — if the render
+            // thread's own catch didn't already write the in-band
+            // error (e.g. the deadline's TimeoutException surfaced on
+            // THIS thread after the governed join), write it now so
+            // the truncated body never looks like a clean success
+            // (review finding: a clean gzip close read as complete)
             errorsTotal.increment()
             log.warn(s"request_id=$reqId status=200 aborted_mid_stream " +
               s"error=${e.getClass.getSimpleName}")
-            if (sinkRef != null) sinkRef.abortQuietly()
+            if (sinkRef != null && !sinkRef.aborted)
+              sinkRef.abort(inBandError(e))
             ResponseSent
         } finally releaseSession()
       // any response — success or error — means the caller learns
@@ -414,7 +420,13 @@ class QueryServer(
   private def sweepSessions(): Unit = {
     val now = System.currentTimeMillis()
     sessions.forEach { (id, s) =>
-      if (!s.inUse.get && now - s.lastUsed > s.timeoutMs)
+      // take the session's own lock before removing: a bare
+      // check-then-remove raced a concurrent acquire, which could then
+      // run on an unmapped session while a THIRD request created a
+      // fresh one under the same id — two live requests, no 373
+      // (review finding). CAS winners are the only remover.
+      if (now - s.lastUsed > s.timeoutMs &&
+          s.inUse.compareAndSet(false, true))
         sessions.remove(id, s)
     }
   }
@@ -433,33 +445,56 @@ class QueryServer(
     params.get("session_id").map(_.trim).filter(_.nonEmpty) match {
       case None => Right((spark.newSession(), () => ()))
       case Some(rawId) =>
-        val id = rawId.replaceAll("[^A-Za-z0-9._-]", "").take(100)
+        // the id is only a map key — no sanitization beyond a length
+        // cap (collapsing characters made distinct ids collide onto
+        // one session, review finding)
+        val id = rawId.take(200)
         val timeoutMs = params.get("session_timeout")
           .flatMap(t => scala.util.Try(t.trim.toLong).toOption)
-          .filter(_ > 0).map(_ * 1000L)
+          .filter(t => t > 0 && t <= 3600).map(_ * 1000L)
         val checkOnly = params.get("session_check")
           .exists(v => v == "1" || v.equalsIgnoreCase("true"))
         if (checkOnly && !sessions.containsKey(id))
           return Left(err(400,
             s"Code: 372. DB::Exception: Session $id not found " +
               "(session_check=1)"))
-        // bound the registry: each session pins a Spark session; a
-        // flood of unique ids must not grow the driver without limit
-        if (!sessions.containsKey(id) && sessions.size >= MaxHttpSessions)
-          return Left(err(500,
-            s"Code: 1000. DB::Exception: too many active HTTP sessions " +
-              s"($MaxHttpSessions) — reuse or let idle ones expire"))
-        val entry = sessions.computeIfAbsent(id,
-          _ => new HttpSession(spark.newSession()))
-        timeoutMs.foreach(entry.timeoutMs = _)
-        if (!entry.inUse.compareAndSet(false, true))
-          Left(err(500,
-            "Code: 373. DB::Exception: Session is locked by a " +
-              "concurrent connection"))
-        else Right((entry.spark, () => {
-          entry.lastUsed = System.currentTimeMillis()
-          entry.inUse.set(false)
-        }))
+        // a sweep may remove the entry between computeIfAbsent and the
+        // CAS (it locks entries before removing) — retry a fresh entry
+        var attempt = 0
+        while (attempt < 3) {
+          attempt += 1
+          var created = false
+          val entry = sessions.computeIfAbsent(id, _ => {
+            created = true
+            new HttpSession(spark.newSession())
+          })
+          // bound the registry AFTER the insert (a pre-check raced
+          // concurrent creates past the cap, review finding): each
+          // session pins a Spark session, so overshoot rolls back
+          if (created && sessions.size > MaxHttpSessions) {
+            sessions.remove(id, entry)
+            return Left(err(500,
+              s"Code: 1000. DB::Exception: too many active HTTP " +
+                s"sessions ($MaxHttpSessions) — reuse or let idle ones " +
+                "expire"))
+          }
+          timeoutMs.foreach(entry.timeoutMs = _)
+          if (entry.inUse.compareAndSet(false, true)) {
+            if (sessions.get(id) eq entry)
+              return Right((entry.spark, () => {
+                entry.lastUsed = System.currentTimeMillis()
+                entry.inUse.set(false)
+              }))
+            // the sweeper unmapped it between insert and CAS — retry
+          } else if (sessions.get(id) eq entry)
+            return Left(err(500,
+              "Code: 373. DB::Exception: Session is locked by a " +
+                "concurrent connection"))
+          // else: entry was swept — loop creates a fresh one
+        }
+        Left(err(500,
+          "Code: 1000. DB::Exception: session acquire raced the sweeper " +
+            "repeatedly — retry"))
     }
   }
 
@@ -515,24 +550,43 @@ class QueryServer(
           !parts.tail.exists(_.replace(" ", "").matches("q=0(\\.0+)?"))
       })
 
+  /** The CH-shaped error text appended to an already-committed chunked
+    * body: the deadline maps to CH's 159, a job-group cancel (KILL
+    * QUERY / the deadline seen from inside the render thread) to CH's
+    * 394 QUERY_WAS_CANCELLED, everything else to the generic 1000. */
+  private def inBandError(e: Throwable): String = {
+    val code =
+      if (e.isInstanceOf[java.util.concurrent.TimeoutException]) 159
+      else if (e.isInstanceOf[org.apache.spark.SparkException] &&
+        Option(e.getMessage).exists(_.contains("cancelled"))) 394
+      else 1000
+    s"\nCode: $code. DB::Exception: " +
+      s"${Option(e.getMessage).getOrElse(e.getClass.getName)}\n"
+  }
+
   /** Response sink that SPOOLS to memory up to [[StreamSpoolBytes]]
     * and upgrades to chunked streaming beyond it. Small responses are
     * handed back as a string for the classic Content-Length +
     * gzip-floor path; big ones commit a chunked 200 (gzipped when the
-    * caller accepts it) and flow through with bounded memory. Written
-    * from ONE thread (the governed render thread); `committed` is read
-    * cross-thread by the error paths. */
+    * caller accepts it) and flow through with bounded memory. The
+    * render thread writes; the request thread may call [[abort]] after
+    * a governed deadline while the render thread is still mid-write —
+    * every sink operation synchronizes on the sink (review finding). */
   private final class SpoolSink(ex: HttpExchange, ctype: String, gzipOk: Boolean) {
     private val spool = new java.io.ByteArrayOutputStream(8192)
     private var streamOut: java.io.OutputStream = _
     @volatile var committed = false
+    @volatile var aborted = false
     private val encoder = new java.io.OutputStream {
       override def write(b: Int): Unit = write(Array(b.toByte), 0, 1)
       override def write(b: Array[Byte], off: Int, len: Int): Unit =
-        if (committed) streamOut.write(b, off, len)
-        else {
-          spool.write(b, off, len)
-          if (spool.size > StreamSpoolBytes) commit()
+        SpoolSink.this.synchronized {
+          if (aborted) throw new java.io.IOException("response aborted")
+          if (committed) streamOut.write(b, off, len)
+          else {
+            spool.write(b, off, len)
+            if (spool.size > StreamSpoolBytes) commit()
+          }
         }
     }
     val writer = new java.io.BufferedWriter(
@@ -555,24 +609,27 @@ class QueryServer(
       * when the response streamed chunked and is now closed. */
     def finishOk(): Option[String] = {
       writer.flush()
-      if (committed) { streamOut.close(); None }
-      else Some(spool.toString("UTF-8"))
+      synchronized {
+        if (committed) { streamOut.close(); None }
+        else Some(spool.toString("UTF-8"))
+      }
     }
     /** Mid-stream failure: write the in-band error text and end the
-      * chunked body. Only meaningful after commit. */
-    def abort(inBandError: String): Unit = {
-      try writer.flush()
-      catch { case scala.util.control.NonFatal(_) => () }
-      try {
-        streamOut.write(inBandError.getBytes(UTF_8))
-        streamOut.close()
-      } catch { case scala.util.control.NonFatal(_) => () }
-    }
-    def abortQuietly(): Unit =
-      if (committed) {
-        try streamOut.close()
-        catch { case scala.util.control.NonFatal(_) => () }
+      * chunked body. Only meaningful after commit. Deliberately does
+      * NOT flush the (single-threaded) BufferedWriter — a cross-thread
+      * flush could block behind a render write stuck on the socket;
+      * buffered tail chars are dropped, which is what a truncated
+      * response means. */
+    def abort(inBandText: String): Unit = synchronized {
+      if (aborted || !committed) { aborted = true; () }
+      else {
+        aborted = true
+        try {
+          streamOut.write(inBandText.getBytes(UTF_8))
+          streamOut.close()
+        } catch { case scala.util.control.NonFatal(_) => () }
       }
+    }
   }
 
   /** Statements the GET form of the raw door refuses — ClickHouse's

@@ -286,7 +286,18 @@ object NativeBlock {
             case TNullable(i) => i
             case i => i
           }
-          val dict = scala.collection.mutable.LinkedHashMap.empty[Any, Int]
+          // for Nullable inners slot 0 is RESERVED for null — a real
+          // value equal to the nested default ("" / 0 / false) gets its
+          // own slot, never index 0 (review finding: reusing slot 0
+          // silently turned inserted empty strings into NULLs)
+          val realDict = scala.collection.mutable.LinkedHashMap.empty[Any, Int]
+          val offset = if (nullable) 1 else 0
+          val indices = vs.map {
+            case null if nullable => 0
+            case null => throw new IllegalArgumentException(
+              "native protocol: null in non-Nullable LowCardinality column")
+            case v => offset + realDict.getOrElseUpdate(v, realDict.size)
+          }
           val nestedDefault: Any = nested match {
             case TString => ""
             case TFloat32 => java.lang.Float.valueOf(0f)
@@ -296,20 +307,16 @@ object NativeBlock {
             case TDateTime | TDateTime64(_) => java.time.Instant.EPOCH
             case _ => java.lang.Long.valueOf(0L)
           }
-          if (nullable) dict(nestedDefault) = 0
-          val indices = vs.map {
-            case null if nullable => 0
-            case null => throw new IllegalArgumentException(
-              "native protocol: null in non-Nullable LowCardinality column")
-            case v => dict.getOrElseUpdate(v, dict.size)
-          }
+          val dictValues: IndexedSeq[Any] =
+            if (nullable) nestedDefault +: realDict.keys.toIndexedSeq
+            else realDict.keys.toIndexedSeq
           val keyWidth = // 0:UInt8 1:UInt16 2:UInt32 3:UInt64
-            if (dict.size <= 0xFF) 0
-            else if (dict.size <= 0xFFFF) 1
+            if (dictValues.size <= 0xFF) 0
+            else if (dictValues.size <= 0xFFFF) 1
             else 2
           o.writeLongLE(keyWidth.toLong | LcHasAdditionalKeys | LcNeedUpdateDict)
-          o.writeLongLE(dict.size.toLong)
-          writeColumnData(o, nested, dict.keys.toIndexedSeq)
+          o.writeLongLE(dictValues.size.toLong)
+          writeColumnData(o, nested, dictValues)
           o.writeLongLE(vs.size.toLong)
           keyWidth match {
             case 0 => indices.foreach(i => o.writeByte(i))

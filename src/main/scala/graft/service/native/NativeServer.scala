@@ -306,7 +306,7 @@ class NativeServer(spark: SparkSession, port: Int = 0,
           val it = graft.service.Governance.iterateBounded(df)
           val buf = new scala.collection.mutable.ArrayBuffer[Row](BlockRows)
           var sent = 0L
-          var blocks = 1L
+          var blocks = 0L // DATA blocks (the header is not counted)
           def flush(): Unit = if (buf.nonEmpty) {
             val chunk = buf.toArray
             buf.clear()
@@ -375,12 +375,18 @@ class NativeServer(spark: SparkSession, port: Int = 0,
         // CH answers a cancelled query with EndOfStream, no more data —
         // a cancel-induced job failure in the worker is the cancel
         // doing its job, not an error to surface
-        if (!sentEos) {
+        if (!sentEos) outLock.synchronized {
           NativeWire.writeVarUInt(out, ServerEndOfStream)
           out.flush()
         }
       case Right(()) => () // worker sent data + progress + EndOfStream
-      case Left(e) => throw e // serve()'s catch sends the Exception frame
+      case Left(e) =>
+        // send the Exception frame UNDER the write lock: on the
+        // deadline path runGoverned's inner governed thread may still
+        // be blocked mid-sendBlock after the grace join expired — an
+        // unsynchronized frame would interleave into its Data frame
+        // and desync the client (review finding)
+        outLock.synchronized { sendException(out, e) }
       case null => throw new IllegalStateException(
         "native query worker finished without a result")
     }

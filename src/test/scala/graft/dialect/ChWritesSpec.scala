@@ -161,6 +161,13 @@ class ChWritesSpec extends AnyFunSuite {
         .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq
       assert(got == Seq((1L, "a", 1.5), (2L, "b", 2.5), (3L, "c", 3.5),
         (4L, "d", 4.5), (5L, "e", 5.5), (6L, "f", 6.5)), got)
+      // a NEWLINE inside a quoted CSV field is data, not a row break
+      // (review r14: a naive line split broke the quoted field)
+      ChSql.sql(spark,
+        "INSERT INTO inline_mt FORMAT CSV\n7,\"two\nlines\",7.5")
+      val multi = ChSql.sql(spark,
+        "SELECT s FROM inline_mt WHERE id = 7").collect()
+      assert(multi.head.getString(0) == "two\nlines", multi.toSeq)
       // malformed inline rows refuse the INSERT (FAILFAST, as CH)
       intercept[Exception] {
         ChSql.sql(spark,

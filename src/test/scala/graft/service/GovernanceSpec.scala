@@ -139,6 +139,22 @@ class GovernanceSpec extends AnyFunSuite {
         svc.execute(QueryRequest(scanQ))
       }
       assert(e2.getMessage.contains("max_memory_usage"), e2.getMessage)
+      spark.conf.unset(Governance.MaxMemoryUsage)
+      // the budget also governs WRITE-driving scans (review r14: the
+      // gate only fired at result iteration, so INSERT … SELECT / CTAS
+      // bypassed it)
+      spark.conf.set(Governance.MaxBytesToRead, "1024")
+      val wh = java.nio.file.Files.createTempDirectory("graft_gov_scan").toString
+      spark.conf.set(graft.dialect.ChWrites.WarehouseConf, wh)
+      try {
+        val e3 = intercept[IllegalArgumentException] {
+          svc.execute(QueryRequest(
+            "CREATE TABLE gov_scan ENGINE = MergeTree ORDER BY (q) AS " +
+              "SELECT l_quantity AS q FROM " +
+              "parquet.`/root/testdata/sf0.001/lineitem.parquet`"))
+        }
+        assert(e3.getMessage.contains("TOO_MANY_BYTES"), e3.getMessage)
+      } finally spark.conf.unset(graft.dialect.ChWrites.WarehouseConf)
     } finally {
       Seq(Governance.MaxBytesToRead, Governance.MaxMemoryUsage)
         .foreach(spark.conf.unset)

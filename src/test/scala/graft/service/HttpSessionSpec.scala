@@ -52,18 +52,24 @@ class HttpSessionSpec extends AnyFunSuite {
   }
 
   test("a session admits one request at a time: code 373 for the concurrent caller") {
-    // request A holds the session with a slow query on a worker thread
+    // request A holds the session with a slow query on a worker
+    // thread; poll with B until the lock refusal shows (timing-robust:
+    // a fixed sleep raced a warm JVM finishing A early)
     val slow = new Thread(() => {
       post("/?session_id=sess_lock&default_format=CSV",
         "SELECT count() FROM (SELECT a.number FROM numbers(3000000) a, " +
-          "numbers(40) b)")
+          "numbers(300) b)")
     }, "sess-lock-holder")
     slow.start()
-    Thread.sleep(400) // let A acquire
-    val b = post("/?session_id=sess_lock", "SELECT 1")
-    assert(b.statusCode() == 500, s"${b.statusCode()}: ${b.body()}")
-    assert(b.body().contains("373"), b.body())
-    slow.join(60000)
+    var saw373 = false
+    val deadline = System.nanoTime() + 60e9.toLong
+    while (!saw373 && slow.isAlive && System.nanoTime() < deadline) {
+      val b = post("/?session_id=sess_lock", "SELECT 1")
+      if (b.statusCode() == 500 && b.body().contains("373")) saw373 = true
+      else Thread.sleep(25)
+    }
+    assert(saw373, "never observed SESSION_IS_LOCKED while the holder ran")
+    slow.join(120000)
     assert(!slow.isAlive)
     // released after A finishes
     val after = post("/?session_id=sess_lock&default_format=CSV", "SELECT 1")

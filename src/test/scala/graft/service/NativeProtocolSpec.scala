@@ -135,13 +135,17 @@ class NativeProtocolSpec extends AnyFunSuite {
   }
 
   test("LowCardinality codec round-trips: Nullable inner, wide dictionaries") {
-    // Nullable inner: index 0 is the reserved null/default slot
+    // Nullable inner: slot 0 is RESERVED for null — a real value equal
+    // to the nested default ("" here) must keep its own slot and
+    // round-trip as "" , never as NULL (review r14)
     val nul = Col("ns", TLowCardinality(TNullable(TString)),
-      IndexedSeq("x", null, "y", "x", null))
+      IndexedSeq("x", null, "", "x", null, ""))
+    val nulInt = Col("ni", TLowCardinality(TNullable(TInt64)),
+      IndexedSeq(5L, null, 0L, null))
     // >255 distinct values force UInt16 keys
     val wide = Col("w", TLowCardinality(TInt64),
       IndexedSeq.tabulate(600)(i => (i % 300).toLong))
-    for (c <- Seq(nul, wide)) {
+    for (c <- Seq(nul, nulInt, wide)) {
       val o = new WireOut
       writeBlock(o, Seq(c), c.values.size, NativeProtocol.ServerRevision)
       val d = readBlock(new WireIn(o.bytes), NativeProtocol.ServerRevision)

@@ -60,6 +60,30 @@ class QueryParamsSpec extends AnyFunSuite {
     }
   }
 
+  test("composite values refuse comments and unbalanced brackets (review r14)") {
+    // `--` must not pass as a numeric token — it comments out the rest
+    // of the statement after splicing
+    for (evil <- Seq("[1]--", "[1] --", "(1)--comment", "[1]]", "(1))",
+        "[", "--", "1-1")) {
+      intercept[IllegalArgumentException] {
+        sub("SELECT {a:Array(UInt64)}", "a" -> evil)
+      }
+    }
+    // balanced, strictly-literal composites still pass
+    assert(sub("SELECT {a:Array(Float64)}", "a" -> "[1.5, -2e3, NULL]") ==
+      "SELECT [1.5, -2e3, NULL]")
+  }
+
+  test("Nullable NULL spellings: \\N always; bare 'null' only for non-string inners") {
+    assert(sub("SELECT {x:Nullable(Int64)}", "x" -> "\\N") == "SELECT NULL")
+    assert(sub("SELECT {s:Nullable(String)}", "s" -> "\\N") == "SELECT NULL")
+    // the 4-char STRING "null" is a legitimate value — it must bind as
+    // a literal, not silently coerce to SQL NULL (review r14)
+    assert(sub("SELECT {s:Nullable(String)}", "s" -> "null") ==
+      "SELECT 'null'")
+    assert(sub("SELECT {x:Nullable(Int64)}", "x" -> "NULL") == "SELECT NULL")
+  }
+
   test("unbound placeholders refuse; parameter-less queries untouched") {
     val e = intercept[IllegalArgumentException] {
       sub("SELECT {missing:UInt8}", "other" -> "1")
