@@ -528,7 +528,11 @@ class QueryServer(
       plainErrors: Boolean): Option[(Int, String, String)] =
     auth.flatMap { case (wantUser, wantPass) =>
       val (u, p) = credentials(ex)
-      if (u == wantUser && p == wantPass) None
+      // constant-time compares — string equality leaks the prefix
+      // length through timing
+      def eq(a: String, b: String): Boolean = java.security.MessageDigest
+        .isEqual(a.getBytes(UTF_8), b.getBytes(UTF_8))
+      if (eq(u, wantUser) && eq(p, wantPass)) None
       else {
         errorsTotal.increment()
         val msg = s"Code: 516. DB::Exception: $u: Authentication " +

@@ -136,7 +136,11 @@ class NativeServer(spark: SparkSession, port: Int = 0,
     val user = NativeWire.readString(in)
     val password = NativeWire.readString(in)
     auth.foreach { case (wantUser, wantPass) =>
-      if (user != wantUser || password != wantPass) {
+      // constant-time compares (string equality leaks prefix length)
+      def eq(a: String, b: String): Boolean = java.security.MessageDigest
+        .isEqual(a.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+          b.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      if (!eq(user, wantUser) || !eq(password, wantPass)) {
         // CH answers the hello with an Exception frame and closes
         val b = new WireOut
         b.writeVarUInt(ServerException)
