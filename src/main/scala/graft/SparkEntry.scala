@@ -2872,6 +2872,24 @@ object SparkEntry {
             """{"id": 3, "s": "c", "v": 3.5}""",
           "INSERT INTO inline_ins FORMAT CSVWithNames\nv,id,s\n4.5,4,d",
           "INSERT INTO inline_ins FORMAT TSV\n5\t\\N\t5.5")))._1
+    }),
+
+    // DEFAULT column expressions (r14): declared in DDL, applied by
+    // every column-subset INSERT spelling (VALUES, inline CSV)
+    "q219_default_columns" -> ((spark, dir) => {
+      prep(spark, dir)
+      val wh = s"${derivedDir(spark, dir)}/wh"
+      spark.conf.set(graft.dialect.ChWrites.WarehouseConf, wh)
+      val svc = new QueryService(spark)
+      svc.executeToDf(QueryService.QueryRequest(
+        query = "SELECT id, s, v FROM def_cols ORDER BY id",
+        initQueries = Seq(
+          "DROP TABLE IF EXISTS def_cols",
+          "CREATE TABLE def_cols (id Int64, s String DEFAULT 'none', " +
+            "v Float64 DEFAULT 2.5) ENGINE = MergeTree ORDER BY id",
+          "INSERT INTO def_cols (id) VALUES (1)",
+          "INSERT INTO def_cols (id, s) VALUES (2, 'x')",
+          "INSERT INTO def_cols (id, v) FORMAT CSV\n3,9.5")))._1
     })
   )
 
@@ -2900,17 +2918,20 @@ object SparkEntry {
     "q216_sql_ivf_topk" -> "q120_ivf_saved_index",
     "q217_sql_pq_adc" -> "q168_pq_adc")
 
-  /** q218's inline rows are constants — the oracle is their literal
-    * VALUES table (the statement text IS the dataset). */
-  private val inlineInsertOracle: (String, String) =
+  /** q218/q219's inserted rows are constants — the oracle is their
+    * literal VALUES table (the statement text IS the dataset). */
+  private val inlineInsertOracle: Seq[(String, String)] = Seq(
     "q218_inline_insert" ->
       ("SELECT * FROM (VALUES (1, 'a', 1.5), (2, 'b', 2.5), " +
         "(3, 'c', 3.5), (4, 'd', 4.5), (5, NULL, 5.5)) " +
-        "AS t(id, s, v) ORDER BY id")
+        "AS t(id, s, v) ORDER BY id"),
+    "q219_default_columns" ->
+      ("SELECT * FROM (VALUES (1, 'none', 2.5), (2, 'x', 2.5), " +
+        "(3, 'none', 9.5)) AS t(id, s, v) ORDER BY id"))
 
   def oracleSql: Map[String, String] =
     baseOracleSql ++ sqlDoorTwins.map { case (k, twin) =>
-      k -> baseOracleSql(twin) } + inlineInsertOracle
+      k -> baseOracleSql(twin) } ++ inlineInsertOracle
 
   private val baseOracleSql: Map[String, String] = Map(
     "q201_replicated_ddl" ->

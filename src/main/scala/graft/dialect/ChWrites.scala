@@ -419,9 +419,10 @@ object ChWrites {
       case InsertValuesRe(rawName, colList, tuples) =>
         // CH's literal-rows spelling: rewrite to the INSERT … SELECT
         // part-append path via Spark's inline VALUES table, each value
-        // cast to its column's own type; unmentioned columns take NULL
-        // (the writer refuses NULL into non-Nullable columns, as CH
-        // semantics require explicit defaults we do not fake)
+        // cast to its column's own type; unmentioned columns take
+        // their declared DEFAULT expr (r14) or NULL (the writer
+        // refuses NULL into non-Nullable columns — CH semantics:
+        // absent a declared default we never fake one)
         val name = ProjectionSql.clean(rawName)
         val fields = spark.table(name).schema.fields
         val targets = Option(colList)
@@ -430,12 +431,8 @@ object ChWrites {
         targets.foreach(c => require(fields.exists(_.name == c),
           s"INSERT INTO $name: unknown column '$c'"))
         val aliases = targets.indices.map(i => s"__c$i")
-        val sel = fields.map { f =>
-          targets.indexOf(f.name) match {
-            case -1 => s"CAST(NULL AS ${f.dataType.sql}) AS `${f.name}`"
-            case i => s"CAST(__c$i AS ${f.dataType.sql}) AS `${f.name}`"
-          }
-        }.mkString(", ")
+        val sel = fields.map(f =>
+          unmentionedOrAlias(f, targets, declaredDefaults(name))).mkString(", ")
         run(spark,
           s"INSERT INTO $name SELECT $sel FROM VALUES $tuples " +
             s"AS __vals(${aliases.mkString(", ")})", macros)
@@ -449,12 +446,8 @@ object ChWrites {
         targets.foreach(c => require(fields.exists(_.name == c),
           s"INSERT INTO $name: unknown column '$c'"))
         val aliases = targets.indices.map(i => s"__c$i")
-        val sel = fields.map { f =>
-          targets.indexOf(f.name) match {
-            case -1 => s"CAST(NULL AS ${f.dataType.sql}) AS `${f.name}`"
-            case i => s"CAST(__c$i AS ${f.dataType.sql}) AS `${f.name}`"
-          }
-        }.mkString(", ")
+        val sel = fields.map(f =>
+          unmentionedOrAlias(f, targets, declaredDefaults(name))).mkString(", ")
         run(spark,
           s"INSERT INTO $name SELECT $sel FROM ($body) " +
             s"AS __cols(${aliases.mkString(", ")})", macros)
@@ -571,6 +564,37 @@ object ChWrites {
       k
     }
   }
+
+  /** The declared `DEFAULT <expr>` per column of a catalog table —
+    * CH-dialect expressions from the recorded DDL; INSERT's
+    * column-subset paths splice them for unmentioned columns (the
+    * generated SELECT runs back through the dialect front door, so
+    * `now()`/`toUInt32(0)`-style defaults resolve). */
+  private def declaredDefaults(name: String): Map[String, String] =
+    graft.core.Catalog.lookup(name)
+      .orElse(graft.core.Catalog.all.find(_.name.equalsIgnoreCase(name)))
+      .filter(_.schemaDdl.nonEmpty)
+      .map(t => scala.util.Try(
+          graft.types.ChSchemaParser.columnDefs(t.schemaDdl)
+            .flatMap { case (n, _, o) => o.get("default").map(n -> _) }
+            .toMap)
+        .getOrElse(Map.empty[String, String]))
+      .getOrElse(Map.empty)
+
+  /** One SELECT item for the column-subset INSERT algebra: a mentioned
+    * column takes the aliased input positionally; an unmentioned one
+    * takes its declared DEFAULT (cast to the column type) or NULL. */
+  private def unmentionedOrAlias(
+      f: org.apache.spark.sql.types.StructField,
+      targets: Seq[String],
+      defaults: Map[String, String]): String =
+    targets.indexOf(f.name) match {
+      case -1 => defaults.get(f.name) match {
+        case Some(expr) => s"CAST(($expr) AS ${f.dataType.sql}) AS `${f.name}`"
+        case None => s"CAST(NULL AS ${f.dataType.sql}) AS `${f.name}`"
+      }
+      case i => s"CAST(__c$i AS ${f.dataType.sql}) AS `${f.name}`"
+    }
 
   /** Split CSV text into rows, treating newlines inside double-quoted
     * fields as data ("" is the escaped quote). */

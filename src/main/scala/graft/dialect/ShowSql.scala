@@ -83,29 +83,43 @@ object ShowSql {
       name: Option[String]): DataFrame = {
     import spark.implicits._
     import graft.sources.mergetree.MergeTree
-    val cols: Seq[(String, String)] = pathLit match {
+    def fromDdl(ddl: String): Seq[(String, String, Map[String, String])] =
+      graft.types.ChSchemaParser.columnDefs(ddl)
+    val cols: Seq[(String, String, Map[String, String])] = pathLit match {
       // a quoted path that IS a part tree describes its own columns.txt
       // (the same sniffing the sibling maintenance statements use —
       // review finding: the parquet reader threw on a tree path)
       case Some(p) if MergeTree.looksLikeMergeTree(p) =>
-        graft.types.ChSchemaParser.columnPairs(MergeTree.ddlOf(p))
+        fromDdl(MergeTree.ddlOf(p))
       case Some(p) =>
         spark.read.parquet(p).schema.fields
-          .map(f => f.name -> chType(f)).toSeq
+          .map(f => (f.name, chType(f), Map.empty[String, String])).toSeq
       case None =>
         val n = name.get
         ProjectionSql.resolveMergeTree(spark, n) match {
           case Some((_, ddl, _)) =>
             // both name spellings — backquoted and bare (review
             // finding: the hand-rolled parse threw on bare names)
-            graft.types.ChSchemaParser.columnPairs(ddl)
+            fromDdl(ddl)
           case None => spark.table(n).schema.fields
-            .map(f => f.name -> chType(f)).toSeq
+            .map(f => (f.name, chType(f), Map.empty[String, String])).toSeq
         }
     }
-    cols.map { case (c, t) => (c, t, "", "", "", "", "") }
-      .toDF("name", "type", "default_type", "default_expression",
-        "comment", "codec_expression", "ttl_expression")
+    cols.map { case (c, t, o) =>
+      val (defType, defExpr) = o.get("default")
+        .map(e => ("DEFAULT", e)).getOrElse(("", ""))
+      (c, t, defType, defExpr,
+        o.get("comment").map(stripQuotes).getOrElse(""),
+        o.get("codec").map(v => "CODEC" + v).getOrElse(""), "")
+    }.toDF("name", "type", "default_type", "default_expression",
+      "comment", "codec_expression", "ttl_expression")
+  }
+
+  private def stripQuotes(s: String): String = {
+    val t = s.trim
+    if (t.length >= 2 && t.startsWith("'") && t.endsWith("'"))
+      t.substring(1, t.length - 1).replace("\\'", "'")
+    else t
   }
 
   /** `EXISTS TABLE t` — CH's one-row `result` 0/1. */

@@ -24,35 +24,110 @@ import org.apache.spark.sql.types._
   */
 object ChSchemaParser {
 
-  /** `name -> CH type string` pairs of a `col Type, col Type` list —
-    * BOTH name spellings (backquoted and bare), shared by the schema
-    * parse, the CTAS/maintenance DDL reader, and DESCRIBE (review
-    * finding: a hand-rolled copy assumed backquotes and threw on the
-    * bare spelling). */
+  /** `name -> PURE CH type string` pairs of a `col Type, col Type`
+    * list — BOTH name spellings (backquoted and bare), shared by the
+    * schema parse, the CTAS/maintenance DDL reader, and DESCRIBE
+    * (review finding: a hand-rolled copy assumed backquotes and threw
+    * on the bare spelling). Column OPTIONS (`DEFAULT expr`,
+    * `CODEC(…)`, `COMMENT '…'`) are validated and STRIPPED — every
+    * consumer of the type string (wire headers, columns.txt, casts)
+    * needs the bare type; [[columnDefs]] keeps the options. */
   def columnPairs(schema: String): Seq[(String, String)] =
+    columnDefs(schema).map { case (n, t, _) => (n, t) }
+
+  /** `(name, pure type, options)` triples. Supported options:
+    * `DEFAULT <expr>` (applied by INSERT for unmentioned columns),
+    * `CODEC(…)` (a storage hint — recorded, compression is the
+    * engine's own), `COMMENT '…'` (cosmetic). `MATERIALIZED`/`ALIAS`/
+    * column-level `TTL` refuse loudly: always-computed columns,
+    * query-time aliases, and merge-time value expiry are semantics
+    * this engine does not implement — silently dropping them would
+    * corrupt reads. */
+  def columnDefs(schema: String): Seq[(String, String, Map[String, String])] =
     splitTopLevel(schema, ',').filter(_.trim.nonEmpty).map { colDef =>
       val t = colDef.trim
-      if (t.startsWith("`")) {
-        val end = t.indexOf('`', 1)
-        require(end > 0, s"unterminated backquote in column def: $t")
-        (t.substring(1, end), t.substring(end + 1).trim)
-      } else {
-        val sp = t.indexWhere(_.isWhitespace)
-        require(sp > 0, s"missing type in column def: $t")
-        (t.substring(0, sp), t.substring(sp + 1).trim)
+      val (name, rest) =
+        if (t.startsWith("`")) {
+          val end = t.indexOf('`', 1)
+          require(end > 0, s"unterminated backquote in column def: $t")
+          (t.substring(1, end), t.substring(end + 1).trim)
+        } else {
+          val sp = t.indexWhere(_.isWhitespace)
+          require(sp > 0, s"missing type in column def: $t")
+          (t.substring(0, sp), t.substring(sp + 1).trim)
+        }
+      val (tpe, opts) = typeAndOptions(rest)
+      require(tpe.nonEmpty,
+        s"column $name: an explicit type is required (CH's type-less " +
+          "DEFAULT inference is not supported)")
+      Seq("materialized", "alias", "ttl").foreach { bad =>
+        if (opts.contains(bad)) throw new IllegalArgumentException(
+          s"column $name: ${bad.toUpperCase} columns are not supported " +
+            "(always-computed columns / query-time aliases / per-column " +
+            "TTL are unimplemented semantics — refusing beats silently " +
+            "dropping them)")
       }
+      (name, tpe, opts)
     }
+
+  private val OptionKws = Seq("DEFAULT", "MATERIALIZED", "ALIAS",
+    "CODEC", "TTL", "COMMENT")
+
+  /** Split a column-def TAIL (after the name) into the pure type and
+    * its options — the option keywords are matched at paren depth 0
+    * outside quotes, so `Enum8('DEFAULT' = 1)` and `lower(comment)`
+    * stay part of the type/expression. */
+  def typeAndOptions(rest0: String): (String, Map[String, String]) = {
+    val rest = rest0.trim
+    val hits = scala.collection.mutable.ArrayBuffer.empty[(Int, String)]
+    var depth = 0
+    var inQuote = false
+    var i = 0
+    while (i < rest.length) {
+      val c = rest.charAt(i)
+      if (inQuote) {
+        if (c == '\\') i += 1 else if (c == '\'') inQuote = false
+        i += 1
+      } else if (c == '\'') { inQuote = true; i += 1 }
+      else if (c == '(') { depth += 1; i += 1 }
+      else if (c == ')') { depth -= 1; i += 1 }
+      else if (depth == 0 && c.isLetter &&
+          (i == 0 || rest.charAt(i - 1).isWhitespace)) {
+        OptionKws.find(k => rest.regionMatches(true, i, k, 0, k.length) &&
+            (i + k.length == rest.length ||
+              (!rest.charAt(i + k.length).isLetterOrDigit &&
+                rest.charAt(i + k.length) != '_'))) match {
+          case Some(k) => hits += ((i, k)); i += k.length
+          case None =>
+            while (i < rest.length && (rest.charAt(i).isLetterOrDigit ||
+                rest.charAt(i) == '_')) i += 1
+        }
+      } else i += 1
+    }
+    if (hits.isEmpty) (rest, Map.empty)
+    else {
+      val tpe = rest.substring(0, hits.head._1).trim
+      val opts = hits.zipWithIndex.map { case ((pos, kw), idx) =>
+        val end = if (idx + 1 < hits.length) hits(idx + 1)._1 else rest.length
+        kw.toLowerCase -> rest.substring(pos + kw.length, end).trim
+      }.toMap
+      (tpe, opts)
+    }
+  }
 
   /** Parse a full `col Type, col Type` list. Column names may be
     * backquoted. Throws IllegalArgumentException on malformed input with
     * the offending fragment — misuse fails fast, not at scan time. */
   def parse(schema: String): StructType = {
-    val fields = columnPairs(schema).map { case (name, rest) =>
-      val (dt, declaredNullable, meta) = parseType(rest)
+    val fields = columnDefs(schema).map { case (name, tpe, opts) =>
+      val (dt, declaredNullable, meta) = parseType(tpe)
       // schema-on-read pragmatism: the Spark field is always nullable
       // (CSV rows may omit values), but the DECLARED nullability is
       // recorded so catalog layers can surface CH's contract
       meta.putBoolean("ch.nullable", declaredNullable)
+      // the declared DEFAULT expr (CH dialect) — INSERT applies it to
+      // unmentioned columns
+      opts.get("default").foreach(meta.putString("ch.default", _))
       StructField(name, dt, nullable = true, metadata = meta.build())
     }
     StructType(fields)

@@ -182,6 +182,44 @@ class ChWritesSpec extends AnyFunSuite {
     } finally spark.conf.unset(ChWrites.WarehouseConf)
   }
 
+  test("DEFAULT column expressions: declared in DDL, applied by column-subset INSERTs") {
+    val wh = Files.createTempDirectory("graft_wh_default").toString
+    spark.conf.set(ChWrites.WarehouseConf, wh)
+    try {
+      ChSql.sql(spark, "CREATE TABLE def_mt (id Int64, " +
+        "s String DEFAULT 'none' COMMENT 'label', " +
+        "v Float64 DEFAULT 2.5 CODEC(ZSTD(3)), " +
+        "w Float64 DEFAULT toFloat64(4) * 2) ENGINE = MergeTree ORDER BY id")
+      // VALUES with a column subset: s/v/w take their declared
+      // defaults (self-contained CH-dialect expressions; a default
+      // referencing a SIBLING column refuses at analysis — loud, the
+      // documented limitation — rather than faking CH's block-scoped
+      // default resolution)
+      ChSql.sql(spark, "INSERT INTO def_mt (id) VALUES (1)")
+      // inline-data INSERT subset rides the same algebra
+      ChSql.sql(spark, "INSERT INTO def_mt (id, s) FORMAT CSV\n2,x")
+      val got = ChSql.sql(spark,
+        "SELECT id, s, v, w FROM def_mt ORDER BY id").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getDouble(3))).toSeq
+      assert(got == Seq((1L, "none", 2.5, 8.0), (2L, "x", 2.5, 8.0)), got)
+      // DESCRIBE surfaces the declared default/comment/codec
+      val d = ChSql.sql(spark, "DESCRIBE TABLE def_mt").collect()
+        .map(r => (r.getString(0), r.getString(1), r.getString(2),
+          r.getString(3), r.getString(4), r.getString(5)))
+      assert(d.exists(r => r._1 == "s" && r._2 == "String" &&
+        r._3 == "DEFAULT" && r._4 == "'none'" && r._5 == "label"), d.toSeq)
+      assert(d.exists(r => r._1 == "v" && r._3 == "DEFAULT" &&
+        r._6 == "CODEC(ZSTD(3))"), d.toSeq)
+      // unsupported column options refuse loudly, never silently drop
+      val e = intercept[Exception] {
+        ChSql.sql(spark, "CREATE TABLE bad_mat (id Int64, " +
+          "m Int64 MATERIALIZED id * 2) ENGINE = MergeTree ORDER BY id")
+      }
+      assert(e.getMessage.contains("MATERIALIZED"), e.getMessage)
+      ChSql.sql(spark, "DROP TABLE def_mt")
+    } finally spark.conf.unset(ChWrites.WarehouseConf)
+  }
+
   test("INSERT INTO a view/table name refuses with guidance; s3 http refuses") {
     freshView()
     val e = intercept[IllegalArgumentException] {

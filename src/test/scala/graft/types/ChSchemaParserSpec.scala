@@ -99,6 +99,29 @@ class ChSchemaParserSpec extends AnyFunSuite {
     assert(st("g").dataType == StringType)
   }
 
+  test("column options: DEFAULT recorded, CODEC/COMMENT stripped, MATERIALIZED refuses") {
+    val defs = ChSchemaParser.columnDefs(
+      "id Int64, s String DEFAULT 'none' COMMENT 'label', " +
+        "v Float64 DEFAULT 2.5 CODEC(ZSTD(3)), " +
+        "e Enum8('DEFAULT' = 1, 'b' = 2)")
+    assert(defs.map(d => (d._1, d._2)) == Seq(
+      "id" -> "Int64", "s" -> "String", "v" -> "Float64",
+      "e" -> "Enum8('DEFAULT' = 1, 'b' = 2)"), defs)
+    assert(defs(1)._3 == Map("default" -> "'none'", "comment" -> "'label'"))
+    assert(defs(2)._3 == Map("default" -> "2.5", "codec" -> "(ZSTD(3))"))
+    assert(defs(3)._3.isEmpty) // 'DEFAULT' inside the enum is a VALUE
+    // parse() carries the default into field metadata
+    val st = ChSchemaParser.parse("s String DEFAULT 'none'")
+    assert(st.fields.head.metadata.getString("ch.default") == "'none'")
+    // unsupported options refuse loudly
+    for (bad <- Seq("m Int64 MATERIALIZED id * 2", "a Int64 ALIAS id",
+        "t DateTime TTL t + INTERVAL 1 DAY")) {
+      intercept[Exception] { ChSchemaParser.columnDefs(bad) }
+    }
+    // a type-less default refuses (CH's inference is not supported)
+    intercept[Exception] { ChSchemaParser.columnDefs("c DEFAULT 1") }
+  }
+
   test("malformed input fails fast with the offending fragment") {
     val e = intercept[IllegalArgumentException] {
       ChSchemaParser.parse("a Int32, nonsense")
