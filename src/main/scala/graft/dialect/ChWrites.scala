@@ -46,6 +46,12 @@ object ChWrites {
     """(?is)^\s*INSERT\s+INTO\s+(\S+).*$""".r
   private val CtasRe =
     """(?is)^\s*CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?([`"]?[\w.]+[`"]?)\s*(.*?)\s*\bAS\s+((?:SELECT|WITH)\b.*)$""".r
+  // `CREATE TABLE t2 AS t1` — CH's schema-clone spelling: t2 gets t1's
+  // columns, engine, keys, partitioning, and TTL, EMPTY. A bare
+  // identifier after AS (the SELECT/WITH forms match CtasRe first, and
+  // anything with arguments has parens so it never matches here).
+  private val CloneRe =
+    """(?is)^\s*CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?([`"]?[\w.]+[`"]?)\s+AS\s+([`"]?[\w.]+[`"]?)\s*;?\s*$""".r
   // CH's plain DDL: an EMPTY table with a declared column list — the
   // most basic statement a CH estate ports. Greedy `(.+)\)` pins the
   // column list to the LAST close-paren before ENGINE (types nest
@@ -117,6 +123,7 @@ object ChWrites {
     val t = sql.trim
     t.regionMatches(true, 0, "INSERT INTO", 0, "INSERT INTO".length) ||
       CtasRe.matches(t) || CreateEmptyRe.matches(t) ||
+      CloneRe.matches(t) ||
       MvPrefixRe.matches(t) || CreateViewRe.matches(t)
   }
 
@@ -140,6 +147,31 @@ object ChWrites {
         val (fmtName, body) = formatAndBody(None, rest)
         val n = writeSelect(spark, body, macros, path, fmtName)
         Seq((path, fmtName, n)).toDF("path", "format", "rows")
+      case CloneRe(ifNot, rawName, rawSrc) =>
+        // synthesize the clone's own CREATE from the source's recorded
+        // declaration — one code path (CreateEmpty) owns table creation
+        val name = ProjectionSql.clean(rawName)
+        val src = ProjectionSql.clean(rawSrc)
+        if (ifNot != null && graft.core.Catalog.lookup(name).isDefined)
+          return Seq((name, "already_exists", 0L))
+            .toDF("table", "status", "rows")
+        val t = graft.core.Catalog.lookup(src)
+          .orElse(graft.core.Catalog.all.find(_.name.equalsIgnoreCase(src)))
+          .getOrElse(throw new IllegalArgumentException(
+            s"CREATE TABLE $name AS $src: no catalog table '$src' to " +
+              "clone (only catalog-recorded tables carry the declared " +
+              "DDL; use CREATE TABLE … AS SELECT * FROM <view> for " +
+              "session views)"))
+        require(t.schemaDdl.nonEmpty,
+          s"CREATE TABLE $name AS $src: '$src' has no recorded column " +
+            "DDL to clone")
+        val ob =
+          if (t.orderBy.nonEmpty) s" ORDER BY (${t.orderBy.mkString(", ")})"
+          else " ORDER BY tuple()"
+        val pb = t.partitionBy.map(e => s" PARTITION BY $e").getOrElse("")
+        val ttlC = t.ttl.map(e => s" TTL $e").getOrElse("")
+        run(spark, s"CREATE TABLE $name (${t.schemaDdl}) " +
+          s"ENGINE = ${t.engineShown}$pb$ob$ttlC", macros)
       case CtasRe(rawName, middle, body) =>
         val name = rawName.stripPrefix("`").stripSuffix("`")
           .stripPrefix("\"").stripSuffix("\"")

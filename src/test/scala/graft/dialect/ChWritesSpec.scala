@@ -182,6 +182,42 @@ class ChWritesSpec extends AnyFunSuite {
     } finally spark.conf.unset(ChWrites.WarehouseConf)
   }
 
+  test("CREATE TABLE t2 AS t1 clones schema, engine, keys, partitioning — empty") {
+    val wh = Files.createTempDirectory("graft_wh_clone").toString
+    spark.conf.set(ChWrites.WarehouseConf, wh)
+    try {
+      ChSql.sql(spark, "CREATE TABLE clone_src (d Date, k Int64, " +
+        "v Float64 DEFAULT 1.5) ENGINE = ReplacingMergeTree(k) " +
+        "PARTITION BY toYear(d) ORDER BY k")
+      ChSql.sql(spark, "INSERT INTO clone_src (d, k) VALUES ('2024-03-01', 1)")
+      ChSql.sql(spark, "CREATE TABLE clone_dst AS clone_src")
+      // empty, same shape — DESCRIBE matches, engine/keys carried
+      val s = ChSql.sql(spark, "DESCRIBE TABLE clone_src").collect().toSeq
+      val d = ChSql.sql(spark, "DESCRIBE TABLE clone_dst").collect().toSeq
+      assert(s.map(_.toSeq) == d.map(_.toSeq), (s, d))
+      assert(ChSql.sql(spark, "SELECT count() FROM clone_dst")
+        .collect().head.getLong(0) == 0L)
+      val dst = graft.core.Catalog.lookup("clone_dst").get
+      assert(dst.engineShown == "ReplacingMergeTree(k)", dst.engineShown)
+      assert(dst.partitionBy.contains("toYear(d)"), dst.partitionBy)
+      assert(dst.orderBy == Seq("k"), dst.orderBy)
+      // the clone accepts INSERT with the inherited defaults
+      ChSql.sql(spark, "INSERT INTO clone_dst (d, k) VALUES ('2025-01-02', 7)")
+      val back = ChSql.sql(spark,
+        "SELECT k, v FROM clone_dst").collect().head
+      assert(back.getLong(0) == 7L && back.getDouble(1) == 1.5)
+      // IF NOT EXISTS is a no-op on an existing name
+      ChSql.sql(spark, "CREATE TABLE IF NOT EXISTS clone_dst AS clone_src")
+      // unknown source refuses with guidance
+      val e = intercept[IllegalArgumentException] {
+        ChSql.sql(spark, "CREATE TABLE c2 AS no_such_table")
+      }
+      assert(e.getMessage.contains("clone"), e.getMessage)
+      ChSql.sql(spark, "DROP TABLE clone_dst")
+      ChSql.sql(spark, "DROP TABLE clone_src")
+    } finally spark.conf.unset(ChWrites.WarehouseConf)
+  }
+
   test("DEFAULT column expressions: declared in DDL, applied by column-subset INSERTs") {
     val wh = Files.createTempDirectory("graft_wh_default").toString
     spark.conf.set(ChWrites.WarehouseConf, wh)
