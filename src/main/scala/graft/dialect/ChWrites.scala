@@ -51,7 +51,7 @@ object ChWrites {
   // identifier after AS (the SELECT/WITH forms match CtasRe first, and
   // anything with arguments has parens so it never matches here).
   private val CloneRe =
-    """(?is)^\s*CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?([`"]?[\w.]+[`"]?)\s+AS\s+([`"]?[\w.]+[`"]?)\s*;?\s*$""".r
+    """(?is)^\s*CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?([`"]?[\w.]+[`"]?)\s+AS\s+([`"]?[\w.]+[`"]?)\s*(ENGINE\s*=.*?)?\s*;?\s*$""".r
   // CH's plain DDL: an EMPTY table with a declared column list — the
   // most basic statement a CH estate ports. Greedy `(.+)\)` pins the
   // column list to the LAST close-paren before ENGINE (types nest
@@ -147,9 +147,12 @@ object ChWrites {
         val (fmtName, body) = formatAndBody(None, rest)
         val n = writeSelect(spark, body, macros, path, fmtName)
         Seq((path, fmtName, n)).toDF("path", "format", "rows")
-      case CloneRe(ifNot, rawName, rawSrc) =>
+      case CloneRe(ifNot, rawName, rawSrc, engineTail) =>
         // synthesize the clone's own CREATE from the source's recorded
-        // declaration — one code path (CreateEmpty) owns table creation
+        // declaration — one code path (CreateEmpty) owns table
+        // creation. A trailing `ENGINE = … [PARTITION BY …][ORDER BY
+        // …]` (CH's engine-override clone) replaces the source's
+        // layout clauses verbatim.
         val name = ProjectionSql.clean(rawName)
         val src = ProjectionSql.clean(rawSrc)
         if (ifNot != null && graft.core.Catalog.lookup(name).isDefined)
@@ -165,13 +168,16 @@ object ChWrites {
         require(t.schemaDdl.nonEmpty,
           s"CREATE TABLE $name AS $src: '$src' has no recorded column " +
             "DDL to clone")
-        val ob =
-          if (t.orderBy.nonEmpty) s" ORDER BY (${t.orderBy.mkString(", ")})"
-          else " ORDER BY tuple()"
-        val pb = t.partitionBy.map(e => s" PARTITION BY $e").getOrElse("")
-        val ttlC = t.ttl.map(e => s" TTL $e").getOrElse("")
-        run(spark, s"CREATE TABLE $name (${t.schemaDdl}) " +
-          s"ENGINE = ${t.engineShown}$pb$ob$ttlC", macros)
+        val tail = Option(engineTail).map(_.trim).filter(_.nonEmpty)
+          .getOrElse {
+            val ob =
+              if (t.orderBy.nonEmpty) s"ORDER BY (${t.orderBy.mkString(", ")})"
+              else "ORDER BY tuple()"
+            val pb = t.partitionBy.map(e => s"PARTITION BY $e ").getOrElse("")
+            val ttlC = t.ttl.map(e => s" TTL $e").getOrElse("")
+            s"ENGINE = ${t.engineShown} $pb$ob$ttlC"
+          }
+        run(spark, s"CREATE TABLE $name (${t.schemaDdl}) $tail", macros)
       case CtasRe(rawName, middle, body) =>
         val name = rawName.stripPrefix("`").stripSuffix("`")
           .stripPrefix("\"").stripSuffix("\"")
@@ -187,7 +193,7 @@ object ChWrites {
           s"${System.getProperty("java.io.tmpdir")}/graft_warehouse")
         val path = s"$warehouse/$name"
         graft.core.Catalog.requireEndpointFree(path, name, "CREATE TABLE")
-        val df = selectDf(spark, body, macros)
+        val df = selectDfGoverned(spark, body, macros)
         // Replicated* spellings normalize (replication args stripped —
         // driver-as-coordinator, same posture as ON CLUSTER) so
         // verbatim production DDL ports run; declared spelling kept
@@ -463,8 +469,9 @@ object ChWrites {
         targets.foreach(c => require(fields.exists(_.name == c),
           s"INSERT INTO $name: unknown column '$c'"))
         val aliases = targets.indices.map(i => s"__c$i")
+        val defaults = declaredDefaults(name)
         val sel = fields.map(f =>
-          unmentionedOrAlias(f, targets, declaredDefaults(name))).mkString(", ")
+          unmentionedOrAlias(f, targets, defaults)).mkString(", ")
         run(spark,
           s"INSERT INTO $name SELECT $sel FROM VALUES $tuples " +
             s"AS __vals(${aliases.mkString(", ")})", macros)
@@ -478,8 +485,9 @@ object ChWrites {
         targets.foreach(c => require(fields.exists(_.name == c),
           s"INSERT INTO $name: unknown column '$c'"))
         val aliases = targets.indices.map(i => s"__c$i")
+        val defaults = declaredDefaults(name)
         val sel = fields.map(f =>
-          unmentionedOrAlias(f, targets, declaredDefaults(name))).mkString(", ")
+          unmentionedOrAlias(f, targets, defaults)).mkString(", ")
         run(spark,
           s"INSERT INTO $name SELECT $sel FROM ($body) " +
             s"AS __cols(${aliases.mkString(", ")})", macros)
@@ -493,7 +501,7 @@ object ChWrites {
           case Some((ep, ddl, orderBy)) =>
             graft.sources.mergetree.MergeTree
               .requireLocalForMaintenance(ep, "INSERT INTO")
-            val df0 = selectDf(spark, body, macros)
+            val df0 = selectDfGoverned(spark, body, macros)
             val table = spark.table(name)
             // the named view must BE the table — a column-pruned or
             // renamed view over the relation would append a part shaped
@@ -682,11 +690,17 @@ object ChWrites {
       macros: Map[String, String]): DataFrame = {
     val r = ChSql.rewrite(spark, body, macros)
     ChSql.applySettings(spark, r.settings)
-    val df = ChSql.finish(spark, r)
-    // max_bytes_to_read governs WRITE-driving scans too (CH applies it
-    // to INSERT … SELECT reads; review finding: the gate only fired at
-    // result iteration, so a runaway INSERT/CTAS scan bypassed it —
-    // the write executes eagerly long before any result iterator)
+    ChSql.finish(spark, r)
+  }
+
+  /** [[selectDf]] + the `max_bytes_to_read` scan gate — for the
+    * WRITE-DRIVING selects only (CH applies the read budget to
+    * INSERT … SELECT / CTAS reads; review r14 round 2: putting the
+    * gate inside selectDf itself made CREATE VIEW — lazy, zero-scan
+    * DDL — refuse too). */
+  private def selectDfGoverned(spark: SparkSession, body: String,
+      macros: Map[String, String]): DataFrame = {
+    val df = selectDf(spark, body, macros)
     graft.service.Governance.checkScanBudget(df)
     df
   }
@@ -699,7 +713,7 @@ object ChWrites {
     * deterministic ones (review finding). */
   private def writeSelect(spark: SparkSession, body: String,
       macros: Map[String, String], path: String, fmt: String): Long = {
-    val df = selectDf(spark, body, macros)
+    val df = selectDfGoverned(spark, body, macros)
     val gz = if (path.endsWith(".gz")) Some("gzip") else None
     fmt match {
       case "Parquet" =>

@@ -411,6 +411,10 @@ class QueryServer(
   private final class HttpSession(val spark: SparkSession) {
     @volatile var lastUsed: Long = System.currentTimeMillis()
     @volatile var timeoutMs: Long = 60000L
+    /** true once the SWEEPER holds the lock to retire this entry — an
+      * acquire that loses the CAS to it retries instead of answering a
+      * spurious 373 (no concurrent CLIENT exists). */
+    @volatile var sweeping = false
     val inUse = new java.util.concurrent.atomic.AtomicBoolean(false)
   }
   private val MaxHttpSessions = 1000
@@ -424,10 +428,15 @@ class QueryServer(
       // check-then-remove raced a concurrent acquire, which could then
       // run on an unmapped session while a THIRD request created a
       // fresh one under the same id — two live requests, no 373
-      // (review finding). CAS winners are the only remover.
-      if (now - s.lastUsed > s.timeoutMs &&
-          s.inUse.compareAndSet(false, true))
-        sessions.remove(id, s)
+      // (review finding). CAS winners are the only remover; the
+      // sweeping flag lets a racing acquire distinguish "being
+      // retired" from "held by a client" (round-2 review finding:
+      // losing the CAS to the sweeper answered a spurious 373).
+      if (now - s.lastUsed > s.timeoutMs) {
+        s.sweeping = true
+        if (s.inUse.compareAndSet(false, true)) sessions.remove(id, s)
+        else s.sweeping = false // a client got there first — it lives
+      }
     }
   }
 
@@ -449,9 +458,12 @@ class QueryServer(
         // cap (collapsing characters made distinct ids collide onto
         // one session, review finding)
         val id = rawId.take(200)
+        // clamp to [1s, 1h] rather than silently dropping an
+        // over-limit value back to the 60 s default (round-2 review
+        // finding: a requested 7200 became 60 with no signal)
         val timeoutMs = params.get("session_timeout")
           .flatMap(t => scala.util.Try(t.trim.toLong).toOption)
-          .filter(t => t > 0 && t <= 3600).map(_ * 1000L)
+          .filter(_ > 0).map(t => math.min(t, 3600L) * 1000L)
         val checkOnly = params.get("session_check")
           .exists(v => v == "1" || v.equalsIgnoreCase("true"))
         if (checkOnly && !sessions.containsKey(id))
@@ -470,13 +482,21 @@ class QueryServer(
           })
           // bound the registry AFTER the insert (a pre-check raced
           // concurrent creates past the cap, review finding): each
-          // session pins a Spark session, so overshoot rolls back
+          // session pins a Spark session, so overshoot rolls back —
+          // but only when nobody ACQUIRED the entry in the meantime
+          // (round-2 review finding: removing an in-use mapped entry
+          // recreated the duplicate-live-session bug)
           if (created && sessions.size > MaxHttpSessions) {
-            sessions.remove(id, entry)
-            return Left(err(500,
-              s"Code: 1000. DB::Exception: too many active HTTP " +
-                s"sessions ($MaxHttpSessions) — reuse or let idle ones " +
-                "expire"))
+            if (entry.inUse.compareAndSet(false, true)) {
+              sessions.remove(id, entry)
+              return Left(err(500,
+                s"Code: 1000. DB::Exception: too many active HTTP " +
+                  s"sessions ($MaxHttpSessions) — reuse or let idle " +
+                  "ones expire"))
+            }
+            // a concurrent same-id request already runs on it — the
+            // entry stays (bounded overshoot); fall through to the
+            // normal acquire below, which will answer 373
           }
           timeoutMs.foreach(entry.timeoutMs = _)
           if (entry.inUse.compareAndSet(false, true)) {
@@ -486,6 +506,10 @@ class QueryServer(
                 entry.inUse.set(false)
               }))
             // the sweeper unmapped it between insert and CAS — retry
+          } else if (entry.sweeping) {
+            // the SWEEPER holds it (retirement in flight, no client) —
+            // brief wait, then retry onto a fresh entry
+            Thread.sleep(2)
           } else if (sessions.get(id) eq entry)
             return Left(err(500,
               "Code: 373. DB::Exception: Session is locked by a " +
@@ -580,18 +604,27 @@ class QueryServer(
     private val spool = new java.io.ByteArrayOutputStream(8192)
     private var streamOut: java.io.OutputStream = _
     @volatile var committed = false
-    @volatile var aborted = false
+    private val abortedFlag = new java.util.concurrent.atomic.AtomicBoolean(false)
+    def aborted: Boolean = abortedFlag.get
+    // a ReentrantLock, NOT the monitor: abort() must TRY the lock with
+    // a timeout — the render thread can hold it indefinitely inside a
+    // socket write to a stalled client, and a blocking abort would
+    // leak one of the four handler-pool threads past the deadline
+    // (round-2 review finding)
+    private val lock = new java.util.concurrent.locks.ReentrantLock()
     private val encoder = new java.io.OutputStream {
       override def write(b: Int): Unit = write(Array(b.toByte), 0, 1)
-      override def write(b: Array[Byte], off: Int, len: Int): Unit =
-        SpoolSink.this.synchronized {
+      override def write(b: Array[Byte], off: Int, len: Int): Unit = {
+        lock.lock()
+        try {
           if (aborted) throw new java.io.IOException("response aborted")
           if (committed) streamOut.write(b, off, len)
           else {
             spool.write(b, off, len)
             if (spool.size > StreamSpoolBytes) commit()
           }
-        }
+        } finally lock.unlock()
+      }
     }
     val writer = new java.io.BufferedWriter(
       new java.io.OutputStreamWriter(encoder, UTF_8), 16384)
@@ -613,25 +646,39 @@ class QueryServer(
       * when the response streamed chunked and is now closed. */
     def finishOk(): Option[String] = {
       writer.flush()
-      synchronized {
+      lock.lock()
+      try {
         if (committed) { streamOut.close(); None }
         else Some(spool.toString("UTF-8"))
-      }
+      } finally lock.unlock()
     }
     /** Mid-stream failure: write the in-band error text and end the
       * chunked body. Only meaningful after commit. Deliberately does
       * NOT flush the (single-threaded) BufferedWriter — a cross-thread
       * flush could block behind a render write stuck on the socket;
       * buffered tail chars are dropped, which is what a truncated
-      * response means. */
-    def abort(inBandText: String): Unit = synchronized {
-      if (aborted || !committed) { aborted = true; () }
-      else {
-        aborted = true
+      * response means. If the render thread holds the lock past the
+      * grace window (stalled client socket), close the EXCHANGE
+      * instead — the broken chunked stream is itself the error signal,
+      * and the handler thread must not block forever. */
+    def abort(inBandText: String): Unit = {
+      // idempotent: a render write failing with "response aborted"
+      // funnels back here via the catch paths — write the text once
+      if (!abortedFlag.compareAndSet(false, true)) return
+      val got =
+        try lock.tryLock(2, java.util.concurrent.TimeUnit.SECONDS)
+        catch { case _: InterruptedException => false }
+      if (got) {
         try {
-          streamOut.write(inBandText.getBytes(UTF_8))
-          streamOut.close()
+          if (committed) {
+            streamOut.write(inBandText.getBytes(UTF_8))
+            streamOut.close()
+          }
         } catch { case scala.util.control.NonFatal(_) => () }
+        finally lock.unlock()
+      } else {
+        try ex.close()
+        catch { case scala.util.control.NonFatal(_) => () }
       }
     }
   }

@@ -304,8 +304,9 @@ class NativeServer(spark: SparkSession, port: Int = 0,
           // header first (names + wire types), CH's frame order; plan
           // and analysis errors already threw before any frame left
           outLock.synchronized {
-            sendBlock(out, revision, compression,
-              NativeBlock.fromRows(schema, Array.empty[Row]), 0)
+            if (!cancelled)
+              sendBlock(out, revision, compression,
+                NativeBlock.fromRows(schema, Array.empty[Row]), 0)
           }
           val it = graft.service.Governance.iterateBounded(df)
           val buf = new scala.collection.mutable.ArrayBuffer[Row](BlockRows)
@@ -315,16 +316,20 @@ class NativeServer(spark: SparkSession, port: Int = 0,
             val chunk = buf.toArray
             buf.clear()
             outLock.synchronized {
-              sendBlock(out, revision, compression,
-                NativeBlock.fromRows(schema, chunk), chunk.length)
-              // CH interleaves Progress with Data as the pipeline
-              // produces blocks (clickhouse-go surfaces it as the
-              // progress callback) — cumulative rows so far
-              sendProgress(out, revision, sent + chunk.length,
-                System.nanoTime() - started)
+              // checked UNDER the lock — a Data frame must never
+              // follow the Exception/cancel frames sent under it
+              if (!cancelled) {
+                sendBlock(out, revision, compression,
+                  NativeBlock.fromRows(schema, chunk), chunk.length)
+                // CH interleaves Progress with Data as the pipeline
+                // produces blocks (clickhouse-go surfaces it as the
+                // progress callback) — cumulative rows so far
+                sendProgress(out, revision, sent + chunk.length,
+                  System.nanoTime() - started)
+                sent += chunk.length
+                blocks += 1
+              }
             }
-            sent += chunk.length
-            blocks += 1
           }
           while (!cancelled && it.hasNext) {
             buf += it.next()
@@ -333,11 +338,17 @@ class NativeServer(spark: SparkSession, port: Int = 0,
           if (!cancelled) {
             flush()
             outLock.synchronized {
-              sendProgress(out, revision, sent, System.nanoTime() - started)
-              sendProfileInfo(out, sent, blocks)
-              NativeWire.writeVarUInt(out, ServerEndOfStream)
-              out.flush()
-              sentEos = true
+              // re-check UNDER the lock: a deadline/cancel may have
+              // raced past the loop guard, and the Exception frame (or
+              // cancel EOS) is sent under this same lock — the tail
+              // frames must never follow it
+              if (!cancelled) {
+                sendProgress(out, revision, sent, System.nanoTime() - started)
+                sendProfileInfo(out, sent, blocks)
+                NativeWire.writeVarUInt(out, ServerEndOfStream)
+                out.flush()
+                sentEos = true
+              }
             }
           }
         }
@@ -385,11 +396,13 @@ class NativeServer(spark: SparkSession, port: Int = 0,
         }
       case Right(()) => () // worker sent data + progress + EndOfStream
       case Left(e) =>
-        // send the Exception frame UNDER the write lock: on the
-        // deadline path runGoverned's inner governed thread may still
-        // be blocked mid-sendBlock after the grace join expired — an
-        // unsynchronized frame would interleave into its Data frame
-        // and desync the client (review finding)
+        // stop a SURVIVING governed render thread first (the deadline
+        // path's inner thread may outlive the grace join; with
+        // cancelled=false it would keep writing Data frames and an
+        // EndOfStream AFTER our Exception frame — review finding),
+        // then send the Exception frame UNDER the write lock so it
+        // never interleaves into an in-flight Data frame
+        cancelled = true
         outLock.synchronized { sendException(out, e) }
       case null => throw new IllegalStateException(
         "native query worker finished without a result")

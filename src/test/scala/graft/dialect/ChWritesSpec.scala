@@ -208,6 +208,13 @@ class ChWritesSpec extends AnyFunSuite {
       assert(back.getLong(0) == 7L && back.getDouble(1) == 1.5)
       // IF NOT EXISTS is a no-op on an existing name
       ChSql.sql(spark, "CREATE TABLE IF NOT EXISTS clone_dst AS clone_src")
+      // the engine-override clone spelling replaces the layout clauses
+      ChSql.sql(spark,
+        "CREATE TABLE clone_plain AS clone_src ENGINE = MergeTree ORDER BY k")
+      val cp = graft.core.Catalog.lookup("clone_plain").get
+      assert(cp.engineShown == "MergeTree", cp.engineShown)
+      assert(cp.partitionBy.isEmpty, cp.partitionBy)
+      ChSql.sql(spark, "DROP TABLE clone_plain")
       // unknown source refuses with guidance
       val e = intercept[IllegalArgumentException] {
         ChSql.sql(spark, "CREATE TABLE c2 AS no_such_table")

@@ -154,6 +154,14 @@ class GovernanceSpec extends AnyFunSuite {
               "parquet.`/root/testdata/sf0.001/lineitem.parquet`"))
         }
         assert(e3.getMessage.contains("TOO_MANY_BYTES"), e3.getMessage)
+        // CREATE VIEW is lazy zero-scan DDL — it must NOT trip the
+        // budget (round-2 review finding: the gate inside the shared
+        // select helper refused view creation too)
+        val v = svc.execute(QueryRequest(
+          "CREATE VIEW gov_scan_view AS SELECT l_quantity FROM " +
+            "parquet.`/root/testdata/sf0.001/lineitem.parquet`"))
+        assert(v.rows.nonEmpty)
+        svc.execute(QueryRequest("DROP VIEW gov_scan_view"))
       } finally spark.conf.unset(graft.dialect.ChWrites.WarehouseConf)
     } finally {
       Seq(Governance.MaxBytesToRead, Governance.MaxMemoryUsage)
