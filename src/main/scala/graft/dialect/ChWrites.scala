@@ -39,9 +39,13 @@ object ChWrites {
   private val InsertTableSelectRe =
     """(?is)^\s*INSERT\s+INTO\s+(?:TABLE\s+)?([`"\w.]+)\s+((?:SELECT|WITH)\b.*)$""".r
   // CH's column-list INSERT SELECT: listed columns take the SELECT's
-  // output positionally, unmentioned columns take NULL
+  // output positionally, unmentioned columns take NULL. The list
+  // capture admits quoted identifiers containing `,`/`)`/`(` (r15 —
+  // the native door's opener got the same treatment; `[^)]*` was the
+  // r14 fragility finding), split later by the quote-aware tokenizer.
   private val InsertTableColsSelectRe =
-    """(?is)^\s*INSERT\s+INTO\s+(?:TABLE\s+)?([`"\w.]+)\s*\(([^)]*)\)\s*((?:SELECT|WITH)\b.*)$""".r
+    ("""(?is)^\s*INSERT\s+INTO\s+(?:TABLE\s+)?([`"\w.]+)\s*""" +
+      """\(((?:[^()`"]|`[^`]*`|"[^"]*")*)\)\s*((?:SELECT|WITH)\b.*)$""").r
   private val InsertTableRe =
     """(?is)^\s*INSERT\s+INTO\s+(\S+).*$""".r
   private val CtasRe =
@@ -63,7 +67,8 @@ object ChWrites {
   private val SampleByRe =
     """(?is)\bSAMPLE\s+BY\s+(\w+\([^)]*\)|\([^)]*\)|[\w.]+)""".r
   private val InsertValuesRe =
-    """(?is)^\s*INSERT\s+INTO\s+(?:TABLE\s+)?([`"\w.]+)\s*(?:\(([^)]*)\)\s*)?VALUES\s+(.+)$""".r
+    ("""(?is)^\s*INSERT\s+INTO\s+(?:TABLE\s+)?([`"\w.]+)\s*""" +
+      """(?:\(((?:[^()`"]|`[^`]*`|"[^"]*")*)\)\s*)?VALUES\s+(.+)$""").r
   // CH's inline-data INSERT: `INSERT INTO t [(cols)] FORMAT <fmt>`
   // followed by the rows themselves — the standard HTTP bulk-load
   // spelling (`curl -d 'INSERT INTO t FORMAT CSV
@@ -71,7 +76,7 @@ object ChWrites {
   // --query="INSERT … FORMAT CSV"` sends
   private val InsertTableFormatRe =
     ("""(?is)^\s*INSERT\s+INTO\s+(?:TABLE\s+)?([`"\w.]+)\s*""" +
-      """(?:\(([^)]*)\)\s*)?FORMAT\s+(\w+)\s+(.+)$""").r
+      """(?:\(((?:[^()`"]|`[^`]*`|"[^"]*")*)\)\s*)?FORMAT\s+(\w+)\s+(.+)$""").r
   // CH materialized views — INSERT TRIGGERS, not retroactive views:
   // the TO form appends into an existing table; the ENGINE form owns a
   // backing table (`<name>__inner`, CH's `.inner.<uuid>` analog) and
@@ -404,7 +409,8 @@ object ChWrites {
         else {
           val fields = spark.table(name).schema.fields
           val targets = Option(colList)
-            .map(_.split(",").map(ProjectionSql.clean).filter(_.nonEmpty).toSeq)
+            .map(graft.types.ChSchemaParser.splitTopLevel(_, ',')
+              .map(ProjectionSql.clean).filter(_.nonEmpty).toSeq)
             .getOrElse(fields.map(_.name).toSeq)
           targets.foreach(c => require(fields.exists(_.name == c),
             s"INSERT INTO $name: unknown column '$c'"))
@@ -429,15 +435,43 @@ object ChWrites {
               // (PERMISSIVE would silently land NULL rows)
               spark.read.schema(schema)
                 .option("mode", "FAILFAST").json(lines)
-            case "csv" | "csvwithnames" | "tsv" | "tabseparated" |
-                 "tsvwithnames" | "tabseparatedwithnames" =>
-              val sep = if (fmt.startsWith("csv")) "," else "\t"
+            case "csv" | "csvwithnames" =>
               val r = spark.read
-                .option("sep", sep)
+                .option("sep", ",")
                 .option("header", withNames)
                 .option("nullValue", "\\N") // CH's text NULL
                 .option("mode", "FAILFAST")
               (if (withNames) r else r.schema(schema)).csv(lines)
+            case "tsv" | "tabseparated" |
+                 "tsvwithnames" | "tabseparatedwithnames" =>
+              // CH TSV escapes \t \n \r \\ \0 \b \f … WITHIN fields —
+              // Spark's csv reader keeps them as literal two-char text
+              // (advisor r14), so decode per field AFTER splitting on
+              // real tabs, driver-side (inline data IS the request
+              // body); unescaped `\N` is NULL. The all-string frame is
+              // cast by the recursive INSERT … SELECT, same as the
+              // WithNames csv path.
+              val all = rawRows.filter(_.trim.nonEmpty)
+              val colNames: Seq[String] =
+                if (withNames) all.head.split("\t", -1)
+                  .map(unescapeTsvField).toSeq
+                else schema.fieldNames.toSeq
+              val body = if (withNames) all.tail else all
+              val rows = body.map { ln =>
+                val cells = ln.split("\t", -1)
+                require(cells.length == colNames.length,
+                  s"INSERT INTO $name FORMAT $fmtName: row has " +
+                    s"${cells.length} fields, expected ${colNames.length}")
+                org.apache.spark.sql.Row.fromSeq(cells.toSeq.map(f =>
+                  if (f == "\\N") null else unescapeTsvField(f)))
+              }
+              val strSchema = org.apache.spark.sql.types.StructType(
+                colNames.map(n => org.apache.spark.sql.types.StructField(
+                  n, org.apache.spark.sql.types.StringType)))
+              spark.createDataFrame(
+                new java.util.ArrayList[org.apache.spark.sql.Row](
+                  scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
+                strSchema)
             case other => throw new IllegalArgumentException(
               s"INSERT INTO $name FORMAT $other: inline data supports " +
                 "CSV[WithNames], TSV[WithNames], JSONEachRow, Values")
@@ -464,7 +498,8 @@ object ChWrites {
         val name = ProjectionSql.clean(rawName)
         val fields = spark.table(name).schema.fields
         val targets = Option(colList)
-          .map(_.split(",").map(ProjectionSql.clean).filter(_.nonEmpty).toSeq)
+          .map(graft.types.ChSchemaParser.splitTopLevel(_, ',')
+              .map(ProjectionSql.clean).filter(_.nonEmpty).toSeq)
           .getOrElse(fields.map(_.name).toSeq)
         targets.foreach(c => require(fields.exists(_.name == c),
           s"INSERT INTO $name: unknown column '$c'"))
@@ -480,8 +515,8 @@ object ChWrites {
         // column-aliased subquery
         val name = ProjectionSql.clean(rawName)
         val fields = spark.table(name).schema.fields
-        val targets = colList.split(",").map(ProjectionSql.clean)
-          .filter(_.nonEmpty).toSeq
+        val targets = graft.types.ChSchemaParser.splitTopLevel(colList, ',')
+          .map(ProjectionSql.clean).filter(_.nonEmpty).toSeq
         targets.foreach(c => require(fields.exists(_.name == c),
           s"INSERT INTO $name: unknown column '$c'"))
         val aliases = targets.indices.map(i => s"__c$i")
@@ -635,6 +670,37 @@ object ChWrites {
       }
       case i => s"CAST(__c$i AS ${f.dataType.sql}) AS `${f.name}`"
     }
+
+  /** Decode CH TSV field escapes (`\t \n \r \0 \b \f \a \v`; any other
+    * `\x` keeps the char, dropping the backslash — CH's own escape
+    * parser does the same, which also covers `\\ \' \"`). Called per
+    * field AFTER the tab split: an escaped `\t` is literal
+    * backslash-t text on the wire, never a real tab (advisor r14: the
+    * csv reader stored the two-char sequences verbatim). */
+  private def unescapeTsvField(s: String): String = {
+    if (s.indexOf('\\') < 0) return s
+    val b = new java.lang.StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\\' && i + 1 < s.length) {
+        i += 1
+        s.charAt(i) match {
+          case 'n' => b.append('\n')
+          case 't' => b.append('\t')
+          case 'r' => b.append('\r')
+          case '0' => b.append('\u0000')
+          case 'b' => b.append('\b')
+          case 'f' => b.append('\f')
+          case 'a' => b.append('\u0007')
+          case 'v' => b.append('\u000B')
+          case other => b.append(other)
+        }
+      } else b.append(c)
+      i += 1
+    }
+    b.toString
+  }
 
   /** Split CSV text into rows, treating newlines inside double-quoted
     * fields as data ("" is the escaped quote). */

@@ -44,11 +44,15 @@ object Governance {
   val ResultOverflowMode = "result_overflow_mode"
   val MaxInsertBlockSize = "max_insert_block_size"
   val MaxBytesToRead = "max_bytes_to_read"
-  /** Accepted as an ALIAS for [[MaxBytesToRead]] with a documented
-    * caveat: Spark cannot meter per-query heap the way CH meters
-    * per-query RAM, but the runaway case both settings exist for — a
-    * query whose scan is orders of magnitude bigger than intended —
-    * is honestly covered by refusing on the scan-size estimate. */
+  /** ACCEPTED but NOT enforced (r15, ADVICE): CH's `max_memory_usage`
+    * caps per-query RAM, which is routinely far smaller than the bytes
+    * a query legitimately scans (a 10 GB RAM cap over a 1 TB scan is a
+    * normal CH profile). r14 treated it as an alias for the bytes-READ
+    * gate, which refused mainstream workloads CH would run fine — a
+    * behavioral divergence. Spark cannot meter per-query heap, so the
+    * honest spelling is: accept the key (SET succeeds, sessions carry
+    * it) and enforce only [[MaxBytesToRead]], whose semantics we CAN
+    * honor on the scan estimate. */
   val MaxMemoryUsage = "max_memory_usage"
 
   /** CH's default `max_insert_block_size` — the row count at which a
@@ -62,26 +66,34 @@ object Governance {
     ResultOverflowMode, MaxInsertBlockSize, MaxBytesToRead, MaxMemoryUsage)
 
   /** Refuse a query whose SCAN estimate exceeds `max_bytes_to_read`
-    * (or its `max_memory_usage` alias) BEFORE running it — the sum of
-    * the optimized plan's leaf-relation sizes, i.e. the bytes the scan
-    * would read after partition/file pruning but before row filters.
-    * CH meters the read at runtime; refusing on the estimate is the
-    * conservative spelling of the same guard (a refused query that CH
-    * would have squeaked under the limit is a documented divergence —
-    * the setting exists to stop runaway scans, and an estimate catches
-    * those before they burn the cluster). Called where the doors have
-    * the plan in hand, inside the governed window. */
+    * BEFORE running it — the sum of the optimized plan's leaf-relation
+    * sizes, i.e. the bytes the scan would read after partition/file
+    * pruning but before row filters. CH meters the read at runtime;
+    * refusing on the estimate is the conservative spelling of the same
+    * guard (a refused query that CH would have squeaked under the
+    * limit is a documented divergence — the setting exists to stop
+    * runaway scans, and an estimate catches those before they burn the
+    * cluster). Called where the doors have the plan in hand, inside
+    * the governed window.
+    *
+    * Leaves with NO real size estimate are SKIPPED (r15, ADVICE): a
+    * stats-less leaf (LogicalRDD-backed temp view, a native-door
+    * external-data table, a system table) reports
+    * `spark.sql.defaultSizeInBytes` = Long.MaxValue, which would
+    * unconditionally refuse any query touching one. Those leaves are
+    * small driver-side constructs, not scans — the budget meters the
+    * file-backed read. */
   def checkScanBudget(df: DataFrame): Unit = {
-    val limit = conf(df, MaxBytesToRead)
-      .orElse(conf(df, MaxMemoryUsage))
-      .map(_.toLong).filter(_ > 0)
+    val limit = conf(df, MaxBytesToRead).map(_.toLong).filter(_ > 0)
     limit.foreach { max =>
+      val defaultSize = BigInt(
+        df.sparkSession.sessionState.conf.defaultSizeInBytes)
       val est = df.queryExecution.optimizedPlan.collectLeaves()
-        .map(_.stats.sizeInBytes).sum
+        .map(_.stats.sizeInBytes).filter(_ < defaultSize).sum
       if (est > max) throw new IllegalArgumentException(
         s"Limit for bytes to read exceeded: the scan would read ~$est " +
           s"bytes (leaf-relation estimate), maximum $max. TOO_MANY_BYTES " +
-          s"($MaxBytesToRead; $MaxMemoryUsage is honored as its alias)")
+          s"($MaxBytesToRead)")
     }
   }
 

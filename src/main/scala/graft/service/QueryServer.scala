@@ -648,6 +648,10 @@ class QueryServer(
       writer.flush()
       lock.lock()
       try {
+        // an abort that raced the final render write must not let the
+        // stream close CLEANLY — a truncated body would read as a
+        // complete success (advisor r14)
+        if (aborted) throw new java.io.IOException("response aborted")
         if (committed) { streamOut.close(); None }
         else Some(spool.toString("UTF-8"))
       } finally lock.unlock()
@@ -677,8 +681,34 @@ class QueryServer(
         } catch { case scala.util.control.NonFatal(_) => () }
         finally lock.unlock()
       } else {
-        try ex.close()
-        catch { case scala.util.control.NonFatal(_) => () }
+        // The render thread is stuck in a socket write to a stalled
+        // client. Closing the exchange HERE would let the JDK server
+        // end the chunked body with a CLEAN terminal chunk once it can
+        // flush — the truncated stream reading as a complete success,
+        // the exact failure the in-band error line exists to prevent
+        // (advisor r14). Hand the abort to a daemon reaper that WAITS
+        // for the lock off the handler pool: when the stuck write
+        // returns (or the socket dies and it throws), the reaper
+        // writes the in-band error and closes; a dead socket makes
+        // that write fail, leaving the framing broken — which is the
+        // correct signal. The handler thread returns immediately, and
+        // the `aborted` flag already poisons every later render write
+        // and finishOk, so no clean close can happen first.
+        val reaper = new Thread(() => {
+          lock.lock()
+          try {
+            if (committed) {
+              streamOut.write(inBandText.getBytes(UTF_8))
+              streamOut.close()
+            }
+          } catch {
+            case scala.util.control.NonFatal(_) =>
+              try ex.close()
+              catch { case scala.util.control.NonFatal(_) => () }
+          } finally lock.unlock()
+        }, "graft-http-abort-reaper")
+        reaper.setDaemon(true)
+        reaper.start()
       }
     }
   }

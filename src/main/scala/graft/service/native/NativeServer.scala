@@ -401,9 +401,13 @@ class NativeServer(spark: SparkSession, port: Int = 0,
         // cancelled=false it would keep writing Data frames and an
         // EndOfStream AFTER our Exception frame — review finding),
         // then send the Exception frame UNDER the write lock so it
-        // never interleaves into an in-flight Data frame
+        // never interleaves into an in-flight Data frame. sentEos is
+        // re-checked UNDER the lock (advisor r14): runGoverned's
+        // join(ms) can expire just as the body completes — EndOfStream
+        // already on the wire — and an Exception frame after EOS
+        // desyncs a kept-alive connection; the late error is dropped.
         cancelled = true
-        outLock.synchronized { sendException(out, e) }
+        outLock.synchronized { if (!sentEos) sendException(out, e) }
       case null => throw new IllegalStateException(
         "native query worker finished without a result")
     }
@@ -429,12 +433,61 @@ class NativeServer(spark: SparkSession, port: Int = 0,
   /** `INSERT INTO t [(cols)]` with NO inline source (no SELECT, no
     * VALUES tuples) — the native batch-insert opening: the client
     * expects the target's header block back, then streams Data blocks. */
-  private val ClientDataInsertRe =
-    ("""(?is)^\s*INSERT\s+INTO\s+(?:TABLE\s+)?([`"\w.]+)\s*""" +
-      """(\(([^)]*)\))?\s*(?:VALUES|FORMAT\s+Native)?\s*$""").r
+  private val ClientDataInsertHeadRe =
+    """(?is)^\s*INSERT\s+INTO\s+(?:TABLE\s+)?([`"\w.]+)\s*""".r
+  private val ClientDataInsertTailRe =
+    """(?is)^\s*(?:VALUES|FORMAT\s+Native)?\s*$""".r
+
+  /** Parse the batch-insert opener into (table, Some(columns)|None).
+    * The column list is TOKENIZED, not regexed (r14 verdict "what's
+    * wrong" #2: `\(([^)]*)\)` + bare-comma split mis-parsed backtick-
+    * quoted column names containing `,` or `)`): backtick / double-
+    * quoted identifiers keep their content verbatim, with the doubled
+    * quote as the in-identifier escape, per CH's lexer. */
+  private[service] def parseClientDataInsert(
+      q: String): Option[(String, Option[Seq[String]])] =
+    ClientDataInsertHeadRe.findPrefixMatchOf(q).flatMap { m =>
+      val table = m.group(1).replaceAll("[`\"]", "")
+      var rest = q.substring(m.end)
+      var cols: Option[Seq[String]] = None
+      var malformed = false
+      if (rest.startsWith("(")) {
+        val out = scala.collection.mutable.ArrayBuffer.empty[String]
+        val cur = new StringBuilder
+        var quote: Char = 0
+        var closed = -1
+        var i = 1
+        while (i < rest.length && closed < 0) {
+          val ch = rest.charAt(i)
+          if (quote != 0) {
+            if (ch == quote) {
+              if (i + 1 < rest.length && rest.charAt(i + 1) == quote) {
+                cur += ch; i += 1 // doubled quote = escaped quote
+              } else quote = 0
+            } else cur += ch
+          } else ch match {
+            case '`' | '"' => quote = ch
+            case ',' => out += cur.toString.trim; cur.clear()
+            case ')' => closed = i
+            case c => cur += c
+          }
+          i += 1
+        }
+        if (closed < 0) malformed = true
+        else {
+          if (cur.toString.trim.nonEmpty || out.nonEmpty)
+            out += cur.toString.trim
+          cols = Some(out.toSeq.filter(_.nonEmpty))
+          rest = rest.substring(closed + 1)
+        }
+      }
+      if (!malformed && ClientDataInsertTailRe.matches(rest))
+        Some((table, cols))
+      else None
+    }
 
   private def isClientDataInsert(q: String): Boolean =
-    ClientDataInsertRe.matches(q)
+    parseClientDataInsert(q).isDefined
 
   /** Peak rows buffered driver-side by the LAST streaming INSERT —
     * test hook proving the flush bound holds (the buffer must never
@@ -451,13 +504,10 @@ class NativeServer(spark: SparkSession, port: Int = 0,
     // stays in sync (advisor r13: the error was silently swallowed and
     // the raw query ran)
     querySub.left.foreach(e => throw e)
-    val m = ClientDataInsertRe.findFirstMatchIn(query).get
-    val table = m.group(1).replaceAll("[`\"]", "")
+    val (table, colsOpt) = parseClientDataInsert(query).get
     graft.core.Catalog.ensureSessionViews(session, table)
     val full = session.table(table).schema
-    val wanted: Seq[String] = Option(m.group(3))
-      .map(_.split(",").map(_.trim.replaceAll("[`\"]", ""))
-        .filter(_.nonEmpty).toSeq)
+    val wanted: Seq[String] = colsOpt.filter(_.nonEmpty)
       .getOrElse(full.fieldNames.toSeq)
     wanted.foreach(c => require(full.fieldNames.contains(c),
       s"INSERT INTO $table: no column '$c'"))

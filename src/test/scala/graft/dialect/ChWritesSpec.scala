@@ -168,10 +168,30 @@ class ChWritesSpec extends AnyFunSuite {
       val multi = ChSql.sql(spark,
         "SELECT s FROM inline_mt WHERE id = 7").collect()
       assert(multi.head.getString(0) == "two\nlines", multi.toSeq)
+      // TSV escape sequences decode per CH's text format: \t \n \\
+      // inside a field are DATA, not two-char literals (advisor r14);
+      // \N stays NULL-only when unescaped
+      ChSql.sql(spark,
+        "INSERT INTO inline_mt FORMAT TSV\n8\tta\\tb nl\\nc bs\\\\d\t8.5")
+      val esc = ChSql.sql(spark,
+        "SELECT s FROM inline_mt WHERE id = 8").collect()
+      assert(esc.head.getString(0) == "ta\tb nl\nc bs\\d", esc.toSeq)
+      // TSVWithNames: the header maps by NAME in any order, and field
+      // escapes decode in the body rows
+      ChSql.sql(spark,
+        "INSERT INTO inline_mt FORMAT TSVWithNames\nv\tid\ts\n9.5\t9\tz\\tz")
+      val byName = ChSql.sql(spark,
+        "SELECT s, v FROM inline_mt WHERE id = 9").collect()
+      assert(byName.head.getString(0) == "z\tz" &&
+        byName.head.getDouble(1) == 9.5, byName.toSeq)
       // malformed inline rows refuse the INSERT (FAILFAST, as CH)
       intercept[Exception] {
         ChSql.sql(spark,
           "INSERT INTO inline_mt FORMAT CSV\nnot_a_number,x,y")
+      }
+      // TSV arity mismatch refuses too
+      intercept[Exception] {
+        ChSql.sql(spark, "INSERT INTO inline_mt FORMAT TSV\n10\tonly_two")
       }
       // unknown inline format refuses with guidance
       val e = intercept[IllegalArgumentException] {

@@ -109,7 +109,7 @@ class GovernanceSpec extends AnyFunSuite {
     } finally native.stop()
   }
 
-  test("max_bytes_to_read refuses an oversized scan BEFORE running it; alias max_memory_usage") {
+  test("max_bytes_to_read refuses an oversized scan BEFORE running it; max_memory_usage accepted, not a scan gate") {
     val svc = new QueryService(spark)
     try {
       // a query that must actually SCAN (sum isn't footer-answerable;
@@ -133,13 +133,25 @@ class GovernanceSpec extends AnyFunSuite {
       val ok = svc.execute(QueryRequest(scanQ))
       assert(ok.rows.nonEmpty)
       spark.conf.unset(Governance.MaxBytesToRead)
-      // max_memory_usage is honored as the alias
+      // max_memory_usage is ACCEPTED but does NOT gate the scan (r15,
+      // ADVICE: CH's RAM cap is routinely far below a legitimate scan
+      // size — aliasing it to the bytes-READ gate refused mainstream
+      // workloads CH runs fine)
       spark.conf.set(Governance.MaxMemoryUsage, "1024")
-      val e2 = intercept[IllegalArgumentException] {
-        svc.execute(QueryRequest(scanQ))
-      }
-      assert(e2.getMessage.contains("max_memory_usage"), e2.getMessage)
+      val memOk = svc.execute(QueryRequest(scanQ))
+      assert(memOk.rows.nonEmpty)
       spark.conf.unset(Governance.MaxMemoryUsage)
+      // stats-less leaves (defaultSizeInBytes) are SKIPPED from the
+      // estimate — a temp view over local data must not refuse under a
+      // budget its real file scan fits (r15, ADVICE: defaultSizeInBytes
+      // is Long.MaxValue, which refused every such query)
+      import spark.implicits._
+      Seq(1, 2, 3).toDF("x").createOrReplaceTempView("gov_local_v")
+      spark.conf.set(Governance.MaxBytesToRead, "1000000000")
+      val lv = svc.execute(QueryRequest("SELECT sum(x) AS s FROM gov_local_v"))
+      assert(lv.rows == Seq(Seq(6L)), lv.rows)
+      spark.catalog.dropTempView("gov_local_v")
+      spark.conf.unset(Governance.MaxBytesToRead)
       // the budget also governs WRITE-driving scans (review r14: the
       // gate only fired at result iteration, so INSERT … SELECT / CTAS
       // bypassed it)
