@@ -141,6 +141,17 @@ class QueryServer(
         case m if m != "POST" && m != "GET" => (405, "text/plain", "POST or GET")
         case m => refuseUnauthorized(ex, plainErrors = true).getOrElse(
           withDecodedBody(plainErrors = true) {
+          // `?query=INSERT INTO t FORMAT Parquet` + a BINARY body:
+          // CH's bulk parquet ingest — the body must never round-trip
+          // through a string, so it branches before the text read
+          val parquetIns =
+            if (m == "POST")
+              InsertOpeners.parse(params.getOrElse("query", ""),
+                ParquetInsertTailRe)
+            else None
+          if (parquetIns.isDefined)
+            serveParquetInsert(ex, reqId, parquetIns.get)
+          else {
           val bodySql = if (m == "POST") requestBody(ex) else ""
           // CH concatenates ?query= and the body (a statement may be
           // split across both)
@@ -168,7 +179,10 @@ class QueryServer(
           else serveQuery(ex, reqId,
             () => QueryService.QueryRequest(QueryParams.substitute(sql, bound)),
             defaultFormat = fmt.orElse(Some("TabSeparated")),
-            plainErrors = true)
+            plainErrors = true,
+            progressHeaders = params.get("send_progress_in_http_headers")
+              .exists(v => v == "1" || v.equalsIgnoreCase("true")))
+          }
         })
       }
     })
@@ -273,7 +287,11 @@ class QueryServer(
       reqId: String,
       buildReq: () => QueryService.QueryRequest,
       defaultFormat: Option[String],
-      plainErrors: Boolean): (Int, String, String) = {
+      plainErrors: Boolean,
+      /** `send_progress_in_http_headers=1`: accumulate
+        * `X-ClickHouse-Progress` headers while the response is still
+        * uncommitted (see [[progressIterator]] for the honest scope). */
+      progressHeaders: Boolean = false): (Int, String, String) = {
     val t0 = System.nanoTime()
     inFlight.incrementAndGet()
     def err(msg: String): (String, String) =
@@ -285,7 +303,10 @@ class QueryServer(
     // non-null once the render sink exists; `committed` on it means
     // the chunked 200 is on the wire and no second response may go out
     @volatile var sinkRef: SpoolSink = null
-    def committed: Boolean = sinkRef != null && sinkRef.committed
+    // the parquet spool path bypasses SpoolSink — its own commit flag
+    @volatile var parquetSent = false
+    def committed: Boolean =
+      parquetSent || (sinkRef != null && sinkRef.committed)
     try {
       // per-request session isolation (the reference gives each
       // workflow its own CH session, `workflow_query_executor.go:302`):
@@ -313,16 +334,53 @@ class QueryServer(
           // consume runs INSIDE the governance window — the deadline
           // covers plan + stream, and max_result_rows bounds the
           // iterator (whose jobs run per-partition via toLocalIterator)
-          svc.executeStreamed(req) { (meta, rowIt) =>
+          // FORMAT Parquet never streams row-wise — the whole result
+          // spools to ONE parquet file (a Spark job; the driver never
+          // materializes rows), then the bytes go out Content-Length'd
+          val wantsParquet = {
+            val main = graft.dialect.ChSql.stripOnCluster(
+              graft.dialect.ChSql.substituteMacros(req.query, req.macros))
+            val stmtFmt =
+              if (graft.dialect.ChWrites.isWrite(main)) None
+              else graft.dialect.ChSql.requestedFormat(main)
+            stmtFmt.orElse(defaultFormat).exists(_.equalsIgnoreCase("parquet"))
+          }
+          if (wantsParquet) {
+            svc.executeSpooledParquet(req) { (_, file) =>
+              ex.getResponseHeaders.set("Content-Type", "application/octet-stream")
+              // parquet is internally compressed — no gzip layer
+              parquetSent = true
+              ex.sendResponseHeaders(200, file.length())
+              val os = ex.getResponseBody
+              try java.nio.file.Files.copy(file.toPath, os) finally os.close()
+              streamedRows = -1L // logged as bytes-shipped, not rows
+            }
+          } else
+          svc.executeStreamed(req) { (meta, rowIt0) =>
             // a statement-level FORMAT always wins; default_format
             // only fills the gap (CH's precedence)
             val fmtKey = meta.format.orElse(defaultFormat).map(_.toLowerCase)
             val ctype = formatContentType(fmtKey)
             val sink = new SpoolSink(ex, ctype, acceptsGzip(ex))
             sinkRef = sink
+            val rowIt =
+              if (progressHeaders) progressIterator(ex, sink, rowIt0, t0)
+              else rowIt0
             try {
-              streamedRows = renderStream(fmtKey, meta, rowIt, sink.writer)
-              spooled = sink.finishOk().map(b => (ctype, b))
+              if (fmtKey.contains("native")) {
+                // binary: commit the chunked 200 up front — the spool's
+                // small-response path hands bytes back as a STRING,
+                // which would corrupt the block framing
+                sink.forceCommit()
+                streamedRows = nativeFormatStream(meta, rowIt, sink.rawOut)
+                spooled = sink.finishOk().map(b => (ctype, b)) // None
+              } else {
+                streamedRows = renderStream(fmtKey, meta, rowIt, sink.writer)
+                if (progressHeaders && !sink.committed)
+                  ex.getResponseHeaders.set("X-ClickHouse-Summary",
+                    progressJson(streamedRows, t0))
+                spooled = sink.finishOk().map(b => (ctype, b))
+              }
             } catch {
               case e: Throwable if sink.committed =>
                 // this IS the render thread — flush its own buffered
@@ -628,6 +686,16 @@ class QueryServer(
     }
     val writer = new java.io.BufferedWriter(
       new java.io.OutputStreamWriter(encoder, UTF_8), 16384)
+    /** Raw byte access for the BINARY formats (Native) — same spool/
+      * commit/abort machinery, no charset round-trip. Callers must
+      * [[forceCommit]] first: the classic small-response path hands
+      * the spool back as a STRING, which would corrupt binary bytes. */
+    def rawOut: java.io.OutputStream = encoder
+    /** Commit the chunked 200 now (binary formats stream from byte 0). */
+    def forceCommit(): Unit = {
+      lock.lock()
+      try if (!committed && !aborted) commit() finally lock.unlock()
+    }
     private def commit(): Unit = {
       ex.getResponseHeaders.set("Content-Type", ctype)
       if (gzipOk) {
@@ -747,14 +815,50 @@ class QueryServer(
     * "SQL" would produce a baffling parse error — review finding);
     * corrupt gzip surfaces as ZipException for the routes to map to a
     * 400, the caller's fault, not a 500. */
-  private def requestBody(ex: HttpExchange): String = {
+  private def requestBody(ex: HttpExchange): String =
+    new String(requestBodyBytes(ex), UTF_8)
+
+  private def requestBodyBytes(ex: HttpExchange): Array[Byte] = {
     val enc = Option(ex.getRequestHeaders.getFirst("Content-Encoding"))
       .map(_.trim.toLowerCase).filter(e => e.nonEmpty && e != "identity")
     enc match {
-      case None => new String(ex.getRequestBody.readAllBytes(), UTF_8)
-      case Some("gzip") => new String(
-        new java.util.zip.GZIPInputStream(ex.getRequestBody).readAllBytes(), UTF_8)
+      case None => ex.getRequestBody.readAllBytes()
+      case Some("gzip") =>
+        new java.util.zip.GZIPInputStream(ex.getRequestBody).readAllBytes()
       case Some(other) => throw new UnsupportedEncodingBody(other)
+    }
+  }
+
+  /** `?query=INSERT INTO t [(cols)] FORMAT Parquet` with the parquet
+    * file as the POST body — CH's binary bulk-ingest spelling. The
+    * body spools to a temp file and the INSERT rides the normal
+    * `INSERT … SELECT FROM parquet` path (part append on MergeTree,
+    * MV triggers, NULL-refusal, journal) with Parquet's BY-NAME column
+    * mapping; the temp file is deleted after the response. */
+  private val ParquetInsertTailRe =
+    """(?is)^\s*FORMAT\s+Parquet\s*$""".r
+
+  private def serveParquetInsert(ex: HttpExchange, reqId: String,
+      target: (String, Option[Seq[String]])): (Int, String, String) = {
+    val (table, colsOpt) = target
+    val bytes = requestBodyBytes(ex)
+    if (bytes.isEmpty)
+      (400, "text/plain",
+        "INSERT INTO … FORMAT Parquet needs the parquet file as the request body\n")
+    else {
+      val tmp = java.nio.file.Files.createTempFile("graft_http_ins", ".parquet")
+      try {
+        java.nio.file.Files.write(tmp, bytes)
+        val cols = colsOpt.filter(_.nonEmpty)
+        val colSel = cols.map(_.map(c => s"`$c`").mkString(", ")).getOrElse("*")
+        val colTgt = cols.map(cs =>
+          s" (${cs.map(c => s"`$c`").mkString(", ")})").getOrElse("")
+        val ins = s"INSERT INTO `$table`$colTgt SELECT $colSel " +
+          s"FROM parquet.`${tmp.toString}`"
+        serveQuery(ex, reqId,
+          () => QueryService.QueryRequest(ins),
+          defaultFormat = Some("TabSeparated"), plainErrors = true)
+      } finally java.nio.file.Files.deleteIfExists(tmp)
     }
   }
 
@@ -827,6 +931,7 @@ class QueryServer(
       "text/tab-separated-values"
     case Some("pretty") | Some("prettycompact") | Some("values") |
          Some("vertical") | Some("null") => "text/plain"
+    case Some("native") | Some("parquet") => "application/octet-stream"
     case Some(_) => "application/json"
   }
 
@@ -834,6 +939,95 @@ class QueryServer(
     * one format whose column widths need the rows buffered, so it caps
     * there (the other formats stream row-by-row). */
   private val PrettyMaxRows = 10000
+
+  /** Rows per `FORMAT Native` block on the HTTP door — same block
+    * granularity as the TCP door's Data frames. */
+  private val NativeFormatBlockRows = 8192
+
+  /** CH's progress-header cadence (`http_headers_progress_interval_ms`
+    * default). */
+  private val ProgressIntervalNs = 100L * 1000 * 1000
+
+  private def progressJson(rows: Long, t0: Long): String = {
+    val ns = System.nanoTime() - t0
+    // CH stringifies the numbers; read/result counts are the rows that
+    // crossed the door (same accounting as the native door's Progress
+    // frames — the driver doesn't see executor-side scan counters)
+    s"""{"read_rows":"$rows","read_bytes":"0","written_rows":"0",""" +
+      s""""written_bytes":"0","total_rows_to_read":"0",""" +
+      s""""result_rows":"$rows","result_bytes":"0","elapsed_ns":"$ns"}"""
+  }
+
+  /** `send_progress_in_http_headers=1`: add `X-ClickHouse-Progress`
+    * headers (cumulative row counts, ≥100 ms apart) while the response
+    * is STILL UNCOMMITTED. The JDK HttpServer writes its header block
+    * once, at commit — so unlike CH (which flushes header lines
+    * progressively before the body), the client reads the accumulated
+    * progress values when the response commits: several increasing
+    * values on a response that spooled, the pre-commit ones on a
+    * chunked stream. The per-row cost is one branch once the response
+    * commits. */
+  private def progressIterator(ex: HttpExchange, sink: SpoolSink,
+      it: Iterator[Seq[Any]], t0: Long): Iterator[Seq[Any]] =
+    new Iterator[Seq[Any]] {
+      private var n = 0L
+      private var lastNs = 0L
+      private var lastAt = 0L
+      private var done = false
+      override def hasNext: Boolean = it.hasNext
+      override def next(): Seq[Any] = {
+        val r = it.next()
+        n += 1
+        if (!done) {
+          if (sink.committed) done = true
+          else {
+            val now = System.nanoTime()
+            // row cadence keeps the pre-commit window (≤ the 256 KiB
+            // spool) yielding several increasing values even when the
+            // driver drains faster than the 100 ms tick
+            if (lastNs == 0L || n - lastAt >= 8192 ||
+                now - lastNs >= ProgressIntervalNs) {
+              lastNs = now
+              lastAt = n
+              ex.getResponseHeaders.add("X-ClickHouse-Progress",
+                progressJson(n, t0))
+            }
+          }
+        }
+        r
+      }
+    }
+
+  /** Stream the result as CH `FORMAT Native` blocks: one 0-row header
+    * block (names + types, as the TCP door leads with), then
+    * [[NativeFormatBlockRows]]-sized data blocks — the file-layout
+    * framing ([[graft.service.native.NativeBlock.writeFormatBlock]]).
+    * Bounded by one block buffer driver-side. */
+  private def nativeFormatStream(meta: QueryService.QueryResult,
+      rows: Iterator[Seq[Any]], out: java.io.OutputStream): Long = {
+    import graft.service.native.{NativeBlock, NativeWire}
+    val schema = meta.schema.getOrElse(throw new IllegalStateException(
+      "FORMAT Native: the result schema is unavailable on this path"))
+    def emit(chunk: Array[org.apache.spark.sql.Row]): Unit = {
+      val o = new NativeWire.WireOut
+      NativeBlock.writeFormatBlock(o,
+        NativeBlock.fromRows(schema, chunk), chunk.length)
+      out.write(o.bytes)
+    }
+    emit(Array.empty)
+    var n = 0L
+    val buf = new scala.collection.mutable.ArrayBuffer[
+      org.apache.spark.sql.Row](NativeFormatBlockRows)
+    rows.foreach { r =>
+      buf += org.apache.spark.sql.Row.fromSeq(r)
+      if (buf.length >= NativeFormatBlockRows) {
+        emit(buf.toArray); n += buf.length; buf.clear()
+      }
+    }
+    if (buf.nonEmpty) { emit(buf.toArray); n += buf.length; buf.clear() }
+    out.flush()
+    n
+  }
 
   /** Render rows to `w` AS THEY ARRIVE from the governed iterator
     * (VERDICT r13 task #1) — the output bytes are identical to the

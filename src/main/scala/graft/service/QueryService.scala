@@ -46,7 +46,11 @@ object QueryService {
       types: Seq[String],
       rows: Seq[Seq[Any]],
       settings: Map[String, String],
-      format: Option[String] = None)
+      format: Option[String] = None,
+      /** Spark-level schema of the streamed result — what the BINARY
+        * response formats (Native, Parquet) need to encode typed
+        * columns; None on the legacy collect paths. */
+      schema: Option[org.apache.spark.sql.types.StructType] = None)
 
   /** Temporal-shaped retry policy (SURVEY §2.7 O1): the reference gets
     * per-activity retry from Temporal's defaults — exponential backoff,
@@ -266,7 +270,14 @@ class QueryService(spark: SparkSession) {
           QueryResult(
             cols = Seq("path", "rows", "status"),
             types = Seq("string", "bigint", "string"),
-            rows = Nil, settings = Map.empty),
+            rows = Nil, settings = Map.empty,
+            schema = Some(org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField("path",
+                org.apache.spark.sql.types.StringType),
+              org.apache.spark.sql.types.StructField("rows",
+                org.apache.spark.sql.types.LongType),
+              org.apache.spark.sql.types.StructField("status",
+                org.apache.spark.sql.types.StringType))))),
           Iterator(Seq[Any](path, n,
             if (reused) "already_written" else "written")))
       case None =>
@@ -280,9 +291,74 @@ class QueryService(spark: SparkSession) {
             QueryResult(
               cols = df.columns.toSeq,
               types = df.schema.fields.map(_.dataType.simpleString).toSeq,
-              rows = Nil, settings = settings, format = fmt),
+              rows = Nil, settings = settings, format = fmt,
+              schema = Some(df.schema)),
             Governance.iterateBounded(df).map(_.toSeq))
         } finally Processes.unregister(qid)
+    }
+  }
+
+  /** `FORMAT Parquet` support for the HTTP door: run the request
+    * governed and hand the consumer ONE parquet file holding the whole
+    * result, spooled under a temp dir (deleted after `consume`
+    * returns). The write itself is a Spark job — executor-parallel
+    * encode, coalesced to a single output task so the response is one
+    * well-formed file; the driver never materializes the rows. This is
+    * a PROTOCOL endpoint, not the bulk-extract path — at 100 TB use
+    * `sink_path` / `INSERT INTO FUNCTION file(…)`, which keep the
+    * output parallel. `max_result_rows` is enforced on the plan
+    * (limit+1 → refuse/truncate per `result_overflow_mode`), and
+    * `max_execution_time` covers plan + write. */
+  def executeSpooledParquet[A](req: QueryRequest)(
+      consume: (QueryResult, java.io.File) => A): A = {
+    val qid = java.util.UUID.randomUUID().toString
+    val group = s"graft-query-${qid.take(8)}"
+    Processes.register(Processes.Proc(qid, req.query, "default",
+      "sql", System.currentTimeMillis(), group, spark))
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_http_parquet").toFile
+    try Governance.runGoverned(spark, group) {
+      val (df0, settings) = executeToDf(req)
+      Governance.checkScanBudget(df0)
+      val maxRows = spark.conf.getOption(Governance.MaxResultRows)
+        .map(_.trim).filter(_.nonEmpty).map(_.toLong).getOrElse(0L)
+      val overflow = spark.conf.getOption(Governance.ResultOverflowMode)
+        .map(_.trim.toLowerCase).getOrElse("throw")
+      val df =
+        if (maxRows > 0 && maxRows < Int.MaxValue - 1)
+          df0.limit(maxRows.toInt + 1)
+        else df0
+      val out = new java.io.File(tmp, "out")
+      df.coalesce(1).write.parquet(out.toString)
+      def partIn(dir: java.io.File): java.io.File =
+        dir.listFiles().find(_.getName.endsWith(".parquet"))
+          .getOrElse(throw new IllegalStateException(
+            s"parquet spool produced no part file under $dir"))
+      val part =
+        if (maxRows > 0 &&
+            spark.read.parquet(out.toString).count() > maxRows) {
+          // footer-served count; overflow surfaces per CH semantics
+          if (overflow != "break")
+            throw new IllegalArgumentException(
+              s"Limit for result rows exceeded: read ${maxRows + 1}+ " +
+                s"rows, maximum $maxRows. TOO_MANY_ROWS (set " +
+                "result_overflow_mode = 'break' to truncate instead)")
+          // break: re-write truncated (bounded by maxRows, still a job)
+          val cut = new java.io.File(tmp, "cut")
+          spark.read.parquet(out.toString).limit(maxRows.toInt)
+            .coalesce(1).write.parquet(cut.toString)
+          partIn(cut)
+        } else partIn(out)
+      consume(
+        QueryResult(df.columns.toSeq,
+          df.schema.fields.map(_.dataType.simpleString).toSeq,
+          Nil, settings, Some("parquet"), Some(df.schema)), part)
+    } finally {
+      Processes.unregister(qid)
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+      }
+      rm(tmp)
     }
   }
 

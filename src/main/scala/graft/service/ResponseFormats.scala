@@ -9,7 +9,10 @@ object ResponseFormats {
     "JSON", "JSONEachRow", "NDJSON",
     "CSV", "CSVWithNames",
     "TSV", "TabSeparated", "TSVWithNames", "TabSeparatedWithNames",
-    "Pretty", "PrettyCompact", "Values", "Vertical", "Null")
+    "Pretty", "PrettyCompact", "Values", "Vertical", "Null",
+    // binary extract formats (r15): Native streams the CH block
+    // codec one BlockRows chunk at a time; Parquet spools one file
+    "Native", "Parquet")
   private val lower = names.map(_.toLowerCase).toSet
   def supported(name: String): Boolean = lower.contains(name.toLowerCase)
 }

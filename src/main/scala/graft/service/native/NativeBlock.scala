@@ -150,6 +150,34 @@ object NativeBlock {
     * Timestamp, Seq for arrays, null). */
   final case class Col(name: String, t: ChT, values: IndexedSeq[Any])
 
+  /** One block in CH's `FORMAT Native` FILE layout (what the HTTP door
+    * serves and `clickhouse-client --format Native` writes): columns
+    * count, rows count, then per column name/type/data — NO BlockInfo
+    * and NO custom-serialization flag, i.e. the revision-0 framing
+    * CH's NativeOutputFormat uses outside the TCP protocol. */
+  def writeFormatBlock(o: WireOut, cols: Seq[Col], rows: Int): Unit = {
+    o.writeVarUInt(cols.size.toLong)
+    o.writeVarUInt(rows.toLong)
+    cols.foreach { c =>
+      o.writeString(c.name)
+      o.writeString(renderType(c.t))
+      writeColumnData(o, c.t, c.values)
+    }
+  }
+
+  /** Decode one `FORMAT Native` file-layout block ([[writeFormatBlock]]
+    * inverse). */
+  def readFormatBlock(src: ByteSource): DecodedBlock = {
+    val nCols = src.readVarUInt().toInt
+    val nRows = src.readVarUInt().toInt
+    val cols = (0 until nCols).map { _ =>
+      val name = src.readString()
+      val t = parseType(src.readString())
+      Col(name, t, readColumnData(src, t, nRows))
+    }
+    DecodedBlock(cols, nRows)
+  }
+
   def writeBlock(o: WireOut, cols: Seq[Col], rows: Int, revision: Long): Unit = {
     // BlockInfo (field-id/value pairs, 0-terminated)
     o.writeVarUInt(1); o.writeByte(0)        // is_overflows = false
@@ -443,10 +471,25 @@ object NativeBlock {
 
   // ---- Spark bridge ----
 
-  /** Result rows → wire columns under the schema-derived types. */
+  /** Result rows → wire columns under the schema-derived types. A
+    * column whose field metadata carries `ch.lowcardinality` (set by
+    * [[graft.types.ChSchemaParser]] when the declared CH type was
+    * `LowCardinality(…)`, preserved by Spark through plain column
+    * references) goes out in the LC transport — CH's own behavior:
+    * `SELECT tag FROM t` keeps the column's LC wire format, while an
+    * expression over it (which drops Spark's field metadata) returns
+    * plain, as CH's type algebra mostly does too. Restricted to
+    * String inners — the only LC shape the reference's corpus uses
+    * and the one every client accepts without suspicious-type flags. */
   def fromRows(schema: StructType, rows: Array[Row]): Seq[Col] =
     schema.fields.zipWithIndex.toSeq.map { case (f, i) =>
-      Col(f.name, chTypeFor(f.dataType, f.nullable),
-        rows.toIndexedSeq.map(r => r.get(i)))
+      val base = chTypeFor(f.dataType, f.nullable)
+      val t =
+        if (f.metadata.contains("ch.lowcardinality") &&
+            f.metadata.getBoolean("ch.lowcardinality")) base match {
+          case TString | TNullable(TString) => TLowCardinality(base)
+          case _ => base
+        } else base
+      Col(f.name, t, rows.toIndexedSeq.map(r => r.get(i)))
     }
 }

@@ -433,58 +433,16 @@ class NativeServer(spark: SparkSession, port: Int = 0,
   /** `INSERT INTO t [(cols)]` with NO inline source (no SELECT, no
     * VALUES tuples) — the native batch-insert opening: the client
     * expects the target's header block back, then streams Data blocks. */
-  private val ClientDataInsertHeadRe =
-    """(?is)^\s*INSERT\s+INTO\s+(?:TABLE\s+)?([`"\w.]+)\s*""".r
   private val ClientDataInsertTailRe =
     """(?is)^\s*(?:VALUES|FORMAT\s+Native)?\s*$""".r
 
-  /** Parse the batch-insert opener into (table, Some(columns)|None).
-    * The column list is TOKENIZED, not regexed (r14 verdict "what's
-    * wrong" #2: `\(([^)]*)\)` + bare-comma split mis-parsed backtick-
-    * quoted column names containing `,` or `)`): backtick / double-
-    * quoted identifiers keep their content verbatim, with the doubled
-    * quote as the in-identifier escape, per CH's lexer. */
+  /** Parse the batch-insert opener into (table, Some(columns)|None) —
+    * the shared quote-aware tokenizer (r14 verdict "what's wrong" #2:
+    * the old `\(([^)]*)\)` + bare-comma split mis-parsed backtick-
+    * quoted column names containing `,` or `)`). */
   private[service] def parseClientDataInsert(
       q: String): Option[(String, Option[Seq[String]])] =
-    ClientDataInsertHeadRe.findPrefixMatchOf(q).flatMap { m =>
-      val table = m.group(1).replaceAll("[`\"]", "")
-      var rest = q.substring(m.end)
-      var cols: Option[Seq[String]] = None
-      var malformed = false
-      if (rest.startsWith("(")) {
-        val out = scala.collection.mutable.ArrayBuffer.empty[String]
-        val cur = new StringBuilder
-        var quote: Char = 0
-        var closed = -1
-        var i = 1
-        while (i < rest.length && closed < 0) {
-          val ch = rest.charAt(i)
-          if (quote != 0) {
-            if (ch == quote) {
-              if (i + 1 < rest.length && rest.charAt(i + 1) == quote) {
-                cur += ch; i += 1 // doubled quote = escaped quote
-              } else quote = 0
-            } else cur += ch
-          } else ch match {
-            case '`' | '"' => quote = ch
-            case ',' => out += cur.toString.trim; cur.clear()
-            case ')' => closed = i
-            case c => cur += c
-          }
-          i += 1
-        }
-        if (closed < 0) malformed = true
-        else {
-          if (cur.toString.trim.nonEmpty || out.nonEmpty)
-            out += cur.toString.trim
-          cols = Some(out.toSeq.filter(_.nonEmpty))
-          rest = rest.substring(closed + 1)
-        }
-      }
-      if (!malformed && ClientDataInsertTailRe.matches(rest))
-        Some((table, cols))
-      else None
-    }
+    graft.service.InsertOpeners.parse(q, ClientDataInsertTailRe)
 
   private def isClientDataInsert(q: String): Boolean =
     parseClientDataInsert(q).isDefined

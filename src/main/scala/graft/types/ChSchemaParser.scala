@@ -147,7 +147,12 @@ object ChSchemaParser {
       case "Nullable" =>
         val (dt, _, m) = parseType(args); (dt, true, m)
       case "LowCardinality" =>
-        parseType(args) // storage hint only
+        // a storage hint for Spark (parquet dictionary encoding plays
+        // the role), but RECORDED in field metadata: the native door
+        // re-emits the LC transport for result columns that declared
+        // it (r15 — r14 decoded LC inbound but always emitted plain)
+        val (dt, n, m) = parseType(args)
+        (dt, n, m.putBoolean("ch.lowcardinality", true))
       case "Array" =>
         val (el, elNull, _) = parseType(args)
         (ArrayType(el, containsNull = elNull), false, meta)

@@ -491,6 +491,41 @@ class NativeProtocolSpec extends AnyFunSuite {
     } finally spark.conf.unset(graft.dialect.ChWrites.WarehouseConf)
   }
 
+  test("LowCardinality OUT: the server emits the LC transport for declared-LC columns (r15)") {
+    val wh = Files.createTempDirectory("graft_native_lc_out").toString
+    spark.conf.set(graft.dialect.ChWrites.WarehouseConf, wh)
+    try {
+      withServer { port =>
+        val c = new NativeClient("127.0.0.1", port)
+        try {
+          c.exec("CREATE TABLE native_lc_out " +
+            "(id Int64, tag LowCardinality(String)) " +
+            "ENGINE = MergeTree ORDER BY id")
+          c.insert("INSERT INTO native_lc_out", Seq(Seq(
+            Col("id", TInt64, IndexedSeq(1L, 2L, 3L, 4L)),
+            Col("tag", TString, IndexedSeq("a", "b", "a", "a")))))
+          val r = c.query("SELECT id, tag FROM native_lc_out ORDER BY id")
+          assert(r.rows == Seq(Seq(1L, "a"), Seq(2L, "b"),
+            Seq(3L, "a"), Seq(4L, "a")), r.rows)
+          // the WIRE type is LowCardinality, not plain String — the
+          // server round-trips the declared transport (r14 only
+          // decoded it inbound); the Spark view marks result columns
+          // nullable, hence the Nullable wrapping
+          assert(r.types == Seq("Nullable(Int64)",
+            "LowCardinality(Nullable(String))"), r.types)
+          // an EXPRESSION over the column returns plain (metadata
+          // drops through functions — CH's type algebra mostly
+          // matches)
+          val e = c.query(
+            "SELECT concat(tag, 'x') AS t2 FROM native_lc_out LIMIT 1")
+          assert(e.types.head.contains("String") &&
+            !e.types.head.contains("LowCardinality"), e.types)
+          c.exec("DROP TABLE native_lc_out")
+        } finally c.close()
+      }
+    } finally spark.conf.unset(graft.dialect.ChWrites.WarehouseConf)
+  }
+
   test("Cancel during external data aborts before execution (EndOfStream, no side effect)") {
     val wh = Files.createTempDirectory("graft_native_extcancel").toString
     spark.conf.set(graft.dialect.ChWrites.WarehouseConf, wh)

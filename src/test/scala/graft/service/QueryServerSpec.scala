@@ -531,6 +531,131 @@ class QueryServerSpec extends AnyFunSuite {
     assert(!early.body().startsWith("\""), early.body().take(80))
   }
 
+  test("FORMAT Native out: CH block-codec bytes the native codec decodes (r15)") {
+    val q = java.net.URLEncoder.encode(
+      "SELECT number AS n, toString(number) AS s FROM numbers(20000) " +
+        "ORDER BY n FORMAT Native", "UTF-8")
+    val r = client.send(
+      HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port/?query=$q"))
+        .GET().build(),
+      HttpResponse.BodyHandlers.ofByteArray())
+    assert(r.statusCode() == 200)
+    assert(r.headers().firstValue("Content-Type").orElse("") ==
+      "application/octet-stream")
+    val src = new graft.service.native.NativeWire.WireIn(r.body())
+    var names: Seq[String] = Nil
+    var total = 0L
+    var blocks = 0
+    var firstN = -1L
+    var lastN = -1L
+    while (!src.atEnd) {
+      val b = graft.service.native.NativeBlock.readFormatBlock(src)
+      if (names.isEmpty) names = b.cols.map(_.name)
+      if (b.rows > 0) {
+        val nCol = b.cols.find(_.name == "n").get.values
+        if (firstN < 0) firstN = nCol.head.asInstanceOf[Long]
+        lastN = nCol.last.asInstanceOf[Long]
+      }
+      total += b.rows
+      blocks += 1
+    }
+    assert(names == Seq("n", "s"), names)
+    assert(total == 20000, total)
+    assert(blocks >= 3, s"$blocks blocks — expected a 0-row header + chunks")
+    assert(firstN == 0L && lastN == 19999L, (firstN, lastN))
+  }
+
+  test("FORMAT Parquet out: one well-formed parquet file as the response body (r15)") {
+    val q = java.net.URLEncoder.encode(
+      "SELECT number AS n, number * 2 AS d FROM numbers(1000) FORMAT Parquet",
+      "UTF-8")
+    val r = client.send(
+      HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port/?query=$q"))
+        .GET().build(),
+      HttpResponse.BodyHandlers.ofByteArray())
+    assert(r.statusCode() == 200, new String(r.body(), "UTF-8"))
+    // parquet magic both ends
+    assert(new String(r.body().take(4), "US-ASCII") == "PAR1")
+    assert(new String(r.body().takeRight(4), "US-ASCII") == "PAR1")
+    val tmp = java.nio.file.Files.createTempFile("graft_fmt_parquet", ".parquet")
+    try {
+      java.nio.file.Files.write(tmp, r.body())
+      val back = spark.read.parquet(tmp.toString)
+      assert(back.columns.toSeq == Seq("n", "d"))
+      assert(back.count() == 1000)
+      import org.apache.spark.sql.functions.sum
+      assert(back.agg(sum("d")).head.getLong(0) == 999000L)
+    } finally java.nio.file.Files.deleteIfExists(tmp)
+  }
+
+  test("INSERT … FORMAT Parquet with a binary body round-trips (r15)") {
+    assert(post("/", "CREATE TABLE xreq_parq (id Int64, s String) " +
+      "ENGINE = MergeTree ORDER BY id").statusCode() == 200)
+    // build a parquet file with spark, ship its bytes as the body
+    val dir = java.nio.file.Files.createTempDirectory("graft_parq_body")
+    import spark.implicits._
+    Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "s")
+      .coalesce(1).write.parquet(s"$dir/out")
+    val part = new java.io.File(s"$dir/out").listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    val bytes = java.nio.file.Files.readAllBytes(part.toPath)
+    val q = java.net.URLEncoder.encode(
+      "INSERT INTO xreq_parq FORMAT Parquet", "UTF-8")
+    val ins = client.send(
+      HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port/?query=$q"))
+        .POST(HttpRequest.BodyPublishers.ofByteArray(bytes)).build(),
+      HttpResponse.BodyHandlers.ofString())
+    assert(ins.statusCode() == 200, ins.body())
+    assert(post("/?default_format=CSV",
+      "SELECT count(), max(s) FROM xreq_parq").body() == "3,\"c\"\n")
+    // column-subset spelling maps by name
+    val q2 = java.net.URLEncoder.encode(
+      "INSERT INTO xreq_parq (id, s) FORMAT Parquet", "UTF-8")
+    assert(client.send(
+      HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port/?query=$q2"))
+        .POST(HttpRequest.BodyPublishers.ofByteArray(bytes)).build(),
+      HttpResponse.BodyHandlers.ofString()).statusCode() == 200)
+    assert(post("/?default_format=CSV",
+      "SELECT count() FROM xreq_parq").body() == "6\n")
+    // an empty body is the caller's fault
+    assert(client.send(
+      HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port/?query=$q"))
+        .POST(HttpRequest.BodyPublishers.noBody()).build(),
+      HttpResponse.BodyHandlers.ofString()).statusCode() == 400)
+    assert(post("/", "DROP TABLE xreq_parq").statusCode() == 200)
+  }
+
+  test("send_progress_in_http_headers=1: increasing X-ClickHouse-Progress values + Summary (r15)") {
+    // big multi-chunk result: several progress values accumulate
+    // before the 256 KiB spool commits the chunked 200
+    val q = java.net.URLEncoder.encode(
+      "SELECT number FROM numbers(3000000) FORMAT TSV", "UTF-8")
+    val r = client.send(
+      HttpRequest.newBuilder(URI.create(
+        s"http://127.0.0.1:$port/?query=$q&send_progress_in_http_headers=1"))
+        .GET().build(),
+      HttpResponse.BodyHandlers.ofByteArray())
+    assert(r.statusCode() == 200)
+    val prog = r.headers().allValues("X-ClickHouse-Progress")
+    assert(prog.size() >= 2, s"expected ≥2 progress headers, got $prog")
+    val reads = (0 until prog.size()).map { i =>
+      val m = """"read_rows":"(\d+)"""".r.findFirstMatchIn(prog.get(i)).get
+      m.group(1).toLong
+    }
+    assert(reads == reads.sorted && reads.distinct.size == reads.size,
+      s"progress not increasing: $reads")
+    // small result (fits the spool): exact X-ClickHouse-Summary
+    val q2 = java.net.URLEncoder.encode(
+      "SELECT number FROM numbers(10) FORMAT TSV", "UTF-8")
+    val r2 = get(s"/?query=$q2&send_progress_in_http_headers=1")
+    assert(r2.statusCode() == 200)
+    val sum = r2.headers().firstValue("X-ClickHouse-Summary").orElse("")
+    assert(sum.contains("\"read_rows\":\"10\""), sum)
+    // off by default: no progress headers without the setting
+    val r3 = get(s"/?query=$q2")
+    assert(r3.headers().allValues("X-ClickHouse-Progress").isEmpty)
+  }
+
   test("requests are session-isolated: one request's SET never leaks into the next") {
     // request A pins a setting via init_queries; request B reads it
     // back — with per-request newSession() isolation B sees the
