@@ -174,6 +174,52 @@ object MultiJvmSmoke {
         finally spark.conf.unset(graft.sources.mergetree.MergeTree.FsConf)
       ok &= check("hadoopfs_ctas", fmt(mtH), fmt(expMt))
 
+      // (e) the DOORS + the allocator against a REAL cluster manager
+      // (r15, VERDICT "what's missing" #4: the O2/O4 seam had only
+      // ever no-op'd in local[32]): O2's requestTotalExecutors goes to
+      // the standalone-in-miniature master, O4's readiness barrier
+      // polls real executor registrations, and both doors answer a
+      // query whose jobs run across the forked executor JVMs.
+      val alloc = new graft.cluster.ExecutorAllocator(spark)
+      println(s"[multijvm] allocator: isLocal=${alloc.isLocal} " +
+        s"registered=${alloc.registered}")
+      if (alloc.isLocal) {
+        ok = false
+        println("[multijvm] allocator: MISMATCH (local-cluster must not report isLocal)")
+      }
+      val accepted = alloc.ensure(2) // O2 against the real master
+      val ready = alloc.waitReady(2, timeoutMs = 60000) // O4 barrier
+      println(s"[multijvm] allocator: ensure_accepted=$accepted ready=$ready")
+      if (ready < 2) { ok = false; println("[multijvm] allocator: MISMATCH") }
+
+      val http = new graft.service.QueryServer(spark)
+      val httpPort = http.start()
+      val native = new graft.service.native.NativeServer(spark)
+      val nativePort = native.start()
+      try {
+        val sumSql = "SELECT CAST(sum(l_quantity) AS BIGINT) AS s " +
+          s"FROM parquet.`$dir/lineitem.parquet`"
+        val expSum = spark.read.parquet(s"$dir/lineitem.parquet")
+          .agg(sum("l_quantity").cast("long")).head.getLong(0)
+        val q = java.net.URLEncoder.encode(s"$sumSql FORMAT CSV", "UTF-8")
+        val resp = java.net.http.HttpClient.newHttpClient().send(
+          java.net.http.HttpRequest.newBuilder(java.net.URI.create(
+            s"http://127.0.0.1:$httpPort/?query=$q")).GET().build(),
+          java.net.http.HttpResponse.BodyHandlers.ofString())
+        ok &= check("http_door",
+          Seq(s"${resp.statusCode()}|${resp.body().trim}"),
+          Seq(s"200|$expSum"))
+        val nc = new graft.service.native.NativeClient("127.0.0.1", nativePort)
+        try {
+          val nr = nc.query(sumSql)
+          ok &= check("native_door",
+            nr.rows.map(_.mkString("|")), Seq(s"$expSum"))
+        } finally nc.close()
+      } finally {
+        native.stop()
+        http.stop(drainMs = 1000)
+      }
+
       println(s"[multijvm] ${if (ok) "ALL OK" else "FAILED"}")
       if (!ok) sys.exit(1)
     } finally {

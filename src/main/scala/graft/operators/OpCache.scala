@@ -29,9 +29,16 @@ object OpCache {
 
   /** Unpersist every tracked intermediate (non-blocking) and forget the
     * handles. Safe while queries over them run: Spark recomputes evicted
-    * blocks from lineage. */
+    * blocks from lineage. Per-frame failures are swallowed: a frame
+    * whose originating SparkContext has STOPPED has no block manager to
+    * release (unpersist NPEs on the dead driver endpoint) — r15 finding
+    * from MultiJvmSmoke, where the doors' idle sweep hit state tracked
+    * under an earlier, stopped session and failed the in-flight
+    * request. Releasing a dead frame is a no-op, never an error. */
   def releaseAll(): Unit = synchronized {
-    tracked.foreach(_.unpersist(blocking = false))
+    tracked.foreach(df =>
+      try df.unpersist(blocking = false)
+      catch { case scala.util.control.NonFatal(_) => () })
     tracked.clear()
   }
 
