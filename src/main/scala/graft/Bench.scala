@@ -402,6 +402,9 @@ object Bench {
       // q3_uniq_exact sf10 0.39 → 0.26 s median with AQE on (Q3Matrix);
       // automatic fallback for unsupported key shapes
       .config("spark.sql.codegen.aggregate.map.vectorized.enable", "true")
+      // 16k reader batches (r15, the q2 finding — BatchSizeProbe, two
+      // windows): q2 −20/−34%, q4 −7/−25%, q1/q3 neutral, GC flat
+      .config("spark.sql.parquet.columnarReaderBatchSize", "16384")
       // Task-memory page size. Spark's default scales with the execution
       // pool (min(64MB, pool/cores/16)) — under a multi-ten-GB driver
       // heap every sort/agg task grabs fresh 64MB zero-filled pages, and
@@ -684,6 +687,7 @@ object Bench {
             .config("spark.sql.shuffle.partitions", cpus)
             .config("spark.sql.session.timeZone", "UTC")
             .config("spark.buffer.pageSize", "4m")
+            .config("spark.sql.parquet.columnarReaderBatchSize", "16384")
             .config("spark.ui.enabled", "false")
           if (minPart != "0") b.config("spark.sql.files.minPartitionNum", minPart)
           if (maxPartBytes != "0")

@@ -48,6 +48,15 @@ object Engine {
       // iters) with AQE on, and is a no-op for key shapes it doesn't
       // support (automatic fallback)
       .config("spark.sql.codegen.aggregate.map.vectorized.enable", "true")
+      // Reader batch size 4× Spark's 4096 default (r15, BatchSizeProbe
+      // over the sf10 fixture, two independent windows): q2 group-sum
+      // −20/−34%, q4 16-column hash-scan −7/−25%, q1/q3 neutral-to-
+      // better, GC flat. Per-task vector memory grows with the batch
+      // (16k rows × column width × read columns ≈ 4 MB for a 16-column
+      // scan) — noise against multi-GB executors, and the per-batch
+      // loop/virtual-call overhead it amortizes is measured, not
+      // guessed.
+      .config("spark.sql.parquet.columnarReaderBatchSize", "16384")
       // Leaf-scan packing (r11): Spark's default minPartitionNum=cores
       // shreds small many-file tables into per-file tiny tasks; measured
       // here (Bench.scala/Q3Probe) per-row aggregate cost inflates ~10×

@@ -18,6 +18,44 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** Schema per parquet path, keyed by a content signature (mtimes +
+    * lengths from one readdir): `spark.read.parquet` re-INFERS the
+    * schema on every call — a footer read plus FileIndex construction
+    * measured at ~70 ms of the ~157 ms per-query floor on the sf10
+    * fixture (r15 `FloorProbe`; DuckDB answers the whole query in
+    * 1–13 ms). A metastore amortizes exactly this cost once per table;
+    * this cache is that, process-wide — StructType is a pure value,
+    * safe across sessions. A changed file invalidates by signature. */
+  private val schemaCache =
+    new java.util.concurrent.ConcurrentHashMap[
+      String, (String, org.apache.spark.sql.types.StructType)]()
+
+  private def contentSig(f: java.io.File): String =
+    if (f.isDirectory) {
+      val fs = Option(f.listFiles()).getOrElse(Array.empty)
+      s"${f.lastModified}:${fs.length}:${fs.map(x => x.length + x.lastModified).sum}"
+    } else s"${f.lastModified}:${f.length}"
+
+  /** `spark.read.parquet` with the inference skipped when the cached
+    * schema's content signature still matches. Non-local paths fall
+    * back to plain inference. */
+  def readParquetCached(spark: SparkSession, path: String): DataFrame = {
+    val f = new java.io.File(path.stripPrefix("file:").stripPrefix("//"))
+    if (!f.exists()) spark.read.parquet(path)
+    else {
+      val sig = contentSig(f)
+      val hit = schemaCache.get(path)
+      val schema =
+        if (hit != null && hit._1 == sig) hit._2
+        else {
+          val s = spark.read.parquet(path).schema
+          schemaCache.put(path, (sig, s))
+          s
+        }
+      spark.read.schema(schema).parquet(path)
+    }
+  }
+
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     require(names.contains(name), s"unknown table '$name' (known: ${names.mkString(", ")})")
     // events.ts arrives in whatever physical form the generator chose —
@@ -29,7 +67,7 @@ object Tables {
     // division would lose precision at 1.7e18); NTZ→LTZ under the UTC
     // session zone re-tags the same wall-clock instant.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val df = spark.read.parquet(s"$dir/$name.parquet")
+    val df = readParquetCached(spark, s"$dir/$name.parquet")
     df.schema.fields.find(_.name == "ts").map(_.dataType) match {
       case Some(org.apache.spark.sql.types.LongType) =>
         df.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts DIV 1000)"))
