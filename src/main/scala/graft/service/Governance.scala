@@ -60,10 +60,88 @@ object Governance {
     * part (bounding driver memory to one flush, not the whole load). */
   val DefaultInsertBlockSize = 1048449L
 
+  /** CH's `readonly` setting (r15, the governance tail): 0 = anything,
+    * 1 = read-only statements and no setting changes, 2 = read-only
+    * statements but non-protected setting changes allowed (`readonly`
+    * itself stays protected). The HTTP door's GET route already forced
+    * readonly behavior per CH's HTTP contract; this is the session
+    * spelling. */
+  val Readonly = "readonly"
+  /** CH's server-wide concurrent-query cap, enforced against the
+    * global [[Processes]] registry at query registration. */
+  val MaxConcurrentQueries = "max_concurrent_queries"
+
   /** The conf keys [[graft.dialect.ChSql.applySettings]] must forward
     * into the session instead of dropping as no-op CH knobs. */
   val Keys: Set[String] = Set(MaxExecutionTime, MaxResultRows,
-    ResultOverflowMode, MaxInsertBlockSize, MaxBytesToRead, MaxMemoryUsage)
+    ResultOverflowMode, MaxInsertBlockSize, MaxBytesToRead, MaxMemoryUsage,
+    Readonly, MaxConcurrentQueries)
+
+  // statement classification for readonly — the same shape the HTTP
+  // door's GET route enforces (state-changing verb at the head, AFTER
+  // stripping comments/parens/semicolons so `/*x*/DROP …` classifies)
+  private val WriteStmtRe =
+    ("(?is)^(INSERT|CREATE|ALTER|TRUNCATE|DELETE|OPTIMIZE|DROP|ATTACH|" +
+      "DETACH|RENAME|EXCHANGE|KILL)\\b.*").r
+  private val SetStmtRe = """(?is)^SET\b.*""".r
+  private val SetReadonlyRe = """(?is)^SET\s+`?readonly`?\s*=.*""".r
+
+  @annotation.tailrec
+  def stripStatementPrefix(s: String): String = {
+    val t = s.dropWhile(c => c.isWhitespace || c == '(' || c == ';')
+    if (t.startsWith("--"))
+      stripStatementPrefix(t.dropWhile(c => c != '\n' && c != '\r'))
+    else if (t.startsWith("/*")) {
+      val end = t.indexOf("*/", 2)
+      if (end < 0) "" else stripStatementPrefix(t.substring(end + 2))
+    } else t
+  }
+
+  def isStateChanging(sql: String): Boolean =
+    WriteStmtRe.matches(stripStatementPrefix(sql))
+
+  /** Refuse state-changing statements (and, at level 1, setting
+    * changes) when the session is `readonly` — CH's READONLY error
+    * shape. Scans the WHOLE request (init queries + main) before
+    * anything executes. */
+  def checkReadonly(spark: org.apache.spark.sql.SparkSession,
+      statements: Seq[String]): Unit = {
+    val ro = spark.conf.getOption(Readonly).map(_.trim).filter(_.nonEmpty)
+      .flatMap(v => scala.util.Try(v.toInt).toOption).getOrElse(0)
+    if (ro <= 0) return
+    statements.foreach { q =>
+      val head = stripStatementPrefix(q)
+      if (WriteStmtRe.matches(head))
+        throw new IllegalArgumentException(
+          s"Cannot execute query in readonly mode ($Readonly = $ro). READONLY")
+      if (SetStmtRe.matches(head)) {
+        if (ro == 1) throw new IllegalArgumentException(
+          s"Cannot modify settings in readonly mode ($Readonly = 1; " +
+            s"$Readonly = 2 permits non-protected setting changes). READONLY")
+        if (SetReadonlyRe.matches(head)) throw new IllegalArgumentException(
+          s"Setting '$Readonly' is protected and cannot be modified in " +
+            "readonly mode. READONLY")
+      }
+    }
+  }
+
+  /** Refuse a new query when [[MaxConcurrentQueries]] other queries
+    * are already running (the global [[Processes]] registry — both
+    * doors and the Scala API register there) — CH's
+    * TOO_MANY_SIMULTANEOUS_QUERIES shape. Called BEFORE the query
+    * registers itself. */
+  def checkConcurrency(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val limit = spark.conf.getOption(MaxConcurrentQueries)
+      .map(_.trim).filter(_.nonEmpty)
+      .flatMap(v => scala.util.Try(v.toLong).toOption).filter(_ > 0)
+    limit.foreach { max =>
+      val running = Processes.all.size
+      if (running >= max) throw new IllegalArgumentException(
+        s"Too many simultaneous queries: $running already running, " +
+          s"maximum $max ($MaxConcurrentQueries). " +
+          "TOO_MANY_SIMULTANEOUS_QUERIES")
+    }
+  }
 
   /** Refuse a query whose SCAN estimate exceeds `max_bytes_to_read`
     * BEFORE running it — the sum of the optimized plan's leaf-relation

@@ -114,6 +114,11 @@ class QueryService(spark: SparkSession) {
     * main query through the dialect front door. The plan is lazy — the
     * caller picks the action (collect, write, explain). */
   def executeToDf(req: QueryRequest): (DataFrame, Map[String, String]) = {
+    // readonly scans the WHOLE request text (init + main, macro-
+    // substituted) BEFORE anything executes — CH's READONLY contract
+    Governance.checkReadonly(spark,
+      (req.initQueries :+ req.query).map(q =>
+        ChSql.substituteMacros(q, req.macros)))
     // the catalog outlives the per-request session isolation: tables
     // CTAS'd/ATTACH'd by EARLIER requests re-materialize as views here,
     // so request 2 can query what request 1 created (CH's own HTTP
@@ -222,6 +227,7 @@ class QueryService(spark: SparkSession) {
         // that group, so the deadline and KILL QUERY share the kill
         // handle. A statement-level SETTINGS deadline (applied inside
         // executeToDf) still engages at the collect.
+        Governance.checkConcurrency(spark)
         val qid = java.util.UUID.randomUUID().toString
         val group = s"graft-query-${qid.take(8)}"
         Processes.register(Processes.Proc(qid, req.query, "default",
@@ -281,6 +287,7 @@ class QueryService(spark: SparkSession) {
           Iterator(Seq[Any](path, n,
             if (reused) "already_written" else "written")))
       case None =>
+        Governance.checkConcurrency(spark)
         val qid = java.util.UUID.randomUUID().toString
         val group = s"graft-query-${qid.take(8)}"
         Processes.register(Processes.Proc(qid, req.query, "default",
@@ -311,6 +318,7 @@ class QueryService(spark: SparkSession) {
     * `max_execution_time` covers plan + write. */
   def executeSpooledParquet[A](req: QueryRequest)(
       consume: (QueryResult, java.io.File) => A): A = {
+    Governance.checkConcurrency(spark)
     val qid = java.util.UUID.randomUUID().toString
     val group = s"graft-query-${qid.take(8)}"
     Processes.register(Processes.Proc(qid, req.query, "default",

@@ -288,6 +288,7 @@ class NativeServer(spark: SparkSession, port: Int = 0,
     // the job-group kill handle
     val qid = if (clientQueryId.nonEmpty) clientQueryId
       else java.util.UUID.randomUUID().toString
+    graft.service.Governance.checkConcurrency(session)
     graft.service.Processes.register(graft.service.Processes.Proc(
       qid, query, "default", "native", System.currentTimeMillis(),
       group, session))
@@ -462,6 +463,9 @@ class NativeServer(spark: SparkSession, port: Int = 0,
     // stays in sync (advisor r13: the error was silently swallowed and
     // the raw query ran)
     querySub.left.foreach(e => throw e)
+    // a readonly session refuses the INSERT at the OPENER — before the
+    // header block commits the exchange (r15)
+    graft.service.Governance.checkReadonly(session, Seq(query))
     val (table, colsOpt) = parseClientDataInsert(query).get
     graft.core.Catalog.ensureSessionViews(session, table)
     val full = session.table(table).schema

@@ -229,4 +229,66 @@ class GovernanceSpec extends AnyFunSuite {
       } finally c.close()
     } finally native.stop()
   }
+
+  test("readonly: level 1 refuses writes and SETs; level 2 allows SETs but not writes or SET readonly") {
+    val svc = new QueryService(spark)
+    try {
+      spark.conf.set(Governance.Readonly, "1")
+      val e1 = intercept[IllegalArgumentException] {
+        svc.execute(QueryRequest(
+          "CREATE TABLE ro_t (id Int64) ENGINE = MergeTree ORDER BY id"))
+      }
+      assert(e1.getMessage.contains("READONLY"), e1.getMessage)
+      val e2 = intercept[IllegalArgumentException] {
+        svc.execute(QueryRequest("SET max_result_rows = 10"))
+      }
+      assert(e2.getMessage.contains("READONLY"), e2.getMessage)
+      // reads still answer
+      assert(svc.execute(QueryRequest("SELECT 1 AS x")).rows == Seq(Seq(1)))
+      // a write hidden in INIT queries (behind a comment) refuses too
+      val e3 = intercept[IllegalArgumentException] {
+        svc.execute(QueryRequest("SELECT 1 AS x",
+          initQueries = Seq("/*c*/ DROP TABLE nope")))
+      }
+      assert(e3.getMessage.contains("READONLY"), e3.getMessage)
+      // level 2: CH's GET-mode semantics — settings may change…
+      spark.conf.set(Governance.Readonly, "2")
+      svc.execute(QueryRequest("SET max_result_rows = 0"))
+      spark.conf.unset(Governance.MaxResultRows)
+      // …but readonly itself is protected and writes still refuse
+      val e4 = intercept[IllegalArgumentException] {
+        svc.execute(QueryRequest("SET readonly = 0"))
+      }
+      assert(e4.getMessage.contains("protected"), e4.getMessage)
+      val e5 = intercept[IllegalArgumentException] {
+        svc.execute(QueryRequest("INSERT INTO whatever VALUES (1)"))
+      }
+      assert(e5.getMessage.contains("READONLY"), e5.getMessage)
+    } finally {
+      spark.conf.unset(Governance.Readonly)
+      clear()
+    }
+  }
+
+  test("max_concurrent_queries refuses at the cap (TOO_MANY_SIMULTANEOUS_QUERIES)") {
+    val svc = new QueryService(spark)
+    spark.conf.set(Governance.MaxConcurrentQueries, "1")
+    Processes.register(Processes.Proc("gov-conc-dummy", "SELECT 1",
+      "default", "sql", System.currentTimeMillis(), "gov-conc-group", spark))
+    try {
+      val e = intercept[IllegalArgumentException] {
+        svc.execute(QueryRequest("SELECT 1 AS x"))
+      }
+      assert(e.getMessage.contains("TOO_MANY_SIMULTANEOUS_QUERIES"),
+        e.getMessage)
+    } finally {
+      Processes.unregister("gov-conc-dummy")
+    }
+    // back under the cap: the same query answers
+    try assert(svc.execute(QueryRequest("SELECT 1 AS x")).rows == Seq(Seq(1)))
+    finally {
+      spark.conf.unset(Governance.MaxConcurrentQueries)
+      clear()
+    }
+  }
 }
