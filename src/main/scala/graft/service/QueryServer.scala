@@ -294,6 +294,16 @@ class QueryServer(
       progressHeaders: Boolean = false): (Int, String, String) = {
     val t0 = System.nanoTime()
     inFlight.incrementAndGet()
+    // CH identity headers on EVERY response (success or error): the
+    // query id (caller's `?query_id=` or the request id) and the
+    // server timezone — what clickhouse-connect/JDBC read back (r15)
+    val chQueryId = queryParams(ex.getRequestURI.getRawQuery)
+      .get("query_id").map(_.replaceAll("[^A-Za-z0-9._-]", "").take(100))
+      .filter(_.nonEmpty).getOrElse(reqId)
+    ex.getResponseHeaders.set("X-ClickHouse-Query-Id", chQueryId)
+    ex.getResponseHeaders.set("X-ClickHouse-Timezone",
+      spark.conf.getOption("spark.sql.session.timeZone")
+        .getOrElse(java.util.TimeZone.getDefault.getID))
     def err(msg: String): (String, String) =
       if (plainErrors) ("text/plain", Option(msg).getOrElse("unknown") + "\n")
       else ("application/json", errorJson(msg))
@@ -348,6 +358,7 @@ class QueryServer(
           if (wantsParquet) {
             svc.executeSpooledParquet(req) { (_, file) =>
               ex.getResponseHeaders.set("Content-Type", "application/octet-stream")
+              ex.getResponseHeaders.set("X-ClickHouse-Format", "Parquet")
               // parquet is internally compressed — no gzip layer
               parquetSent = true
               ex.sendResponseHeaders(200, file.length())
@@ -361,7 +372,11 @@ class QueryServer(
             // only fills the gap (CH's precedence)
             val fmtKey = meta.format.orElse(defaultFormat).map(_.toLowerCase)
             val ctype = formatContentType(fmtKey)
-            val sink = new SpoolSink(ex, ctype, acceptsGzip(ex))
+            // the CANONICAL format spelling, as CH reports it
+            ResponseFormats.names.find(n =>
+                fmtKey.contains(n.toLowerCase)).foreach(n =>
+              ex.getResponseHeaders.set("X-ClickHouse-Format", n))
+            val sink = new SpoolSink(ex, ctype, pickEncoding(ex))
             sinkRef = sink
             val rowIt =
               if (progressHeaders) progressIterator(ex, sink, rowIt0, t0)
@@ -373,6 +388,20 @@ class QueryServer(
                 // which would corrupt the block framing
                 sink.forceCommit()
                 streamedRows = nativeFormatStream(meta, rowIt, sink.rawOut)
+                spooled = sink.finishOk().map(b => (ctype, b)) // None
+              } else if (fmtKey.contains("arrow") ||
+                  fmtKey.contains("arrowstream")) {
+                sink.forceCommit()
+                val schema = meta.schema.getOrElse(
+                  throw new IllegalStateException(
+                    "FORMAT Arrow: the result schema is unavailable"))
+                streamedRows = org.apache.spark.sql.graft.ArrowShim
+                  .streamResult(schema,
+                    spark.conf.getOption("spark.sql.session.timeZone")
+                      .getOrElse(java.util.TimeZone.getDefault.getID),
+                    rowIt, sink.rawOut, NativeFormatBlockRows,
+                    fileFormat = fmtKey.contains("arrow") &&
+                      !fmtKey.contains("arrowstream"))
                 spooled = sink.finishOk().map(b => (ctype, b)) // None
               } else {
                 streamedRows = renderStream(fmtKey, meta, rowIt, sink.writer)
@@ -628,13 +657,41 @@ class QueryServer(
 
   /** Token-parsed Accept-Encoding gzip check (`gzip;q=0` is an
     * explicit refusal). */
-  private def acceptsGzip(ex: HttpExchange): Boolean =
-    Option(ex.getRequestHeaders.getFirst("Accept-Encoding"))
-      .exists(_.toLowerCase.split(',').exists { t =>
+  /** Response codecs the door can produce, CH's own HTTP set minus the
+    * exotic tail (CH: gzip, br, deflate, xz, zstd, lz4, bz2, snappy —
+    * zstd/lz4 via the jars Spark already ships, gzip/deflate via the
+    * JDK). Order of PREFERENCE follows the client's Accept-Encoding
+    * token order, as CH does. */
+  private val ResponseCodecs = Set("gzip", "zstd", "lz4", "deflate")
+
+  /** First client-accepted encoding (q>0, client token order) this
+    * door can produce; None = identity. */
+  private def pickEncoding(ex: HttpExchange): Option[String] =
+    Option(ex.getRequestHeaders.getFirst("Accept-Encoding")).toSeq
+      .flatMap(_.toLowerCase.split(','))
+      .flatMap { t =>
         val parts = t.split(';').map(_.trim)
-        parts.headOption.contains("gzip") &&
-          !parts.tail.exists(_.replace(" ", "").matches("q=0(\\.0+)?"))
-      })
+        val name = parts.headOption.getOrElse("")
+        val refused = parts.tail.exists(_.replace(" ", "").matches("q=0(\\.0+)?"))
+        if (!refused && ResponseCodecs.contains(name)) Some(name) else None
+      }
+      .headOption
+
+  private def encodeStream(enc: String,
+      os: java.io.OutputStream): java.io.OutputStream = enc match {
+    case "gzip" => new java.util.zip.GZIPOutputStream(os, 16384)
+    case "deflate" => new java.util.zip.DeflaterOutputStream(os)
+    case "zstd" => new com.github.luben.zstd.ZstdOutputStream(os)
+    case "lz4" => new net.jpountz.lz4.LZ4FrameOutputStream(os)
+    case other => throw new IllegalStateException(s"unreachable codec $other")
+  }
+
+  private def encodeBytes(enc: String, plain: Array[Byte]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream(plain.length / 2 + 64)
+    val cs = encodeStream(enc, bos)
+    cs.write(plain); cs.close()
+    bos.toByteArray
+  }
 
   /** The CH-shaped error text appended to an already-committed chunked
     * body: the deadline maps to CH's 159, a job-group cancel (KILL
@@ -658,7 +715,8 @@ class QueryServer(
     * render thread writes; the request thread may call [[abort]] after
     * a governed deadline while the render thread is still mid-write —
     * every sink operation synchronizes on the sink (review finding). */
-  private final class SpoolSink(ex: HttpExchange, ctype: String, gzipOk: Boolean) {
+  private final class SpoolSink(ex: HttpExchange, ctype: String,
+      encoding: Option[String]) {
     private val spool = new java.io.ByteArrayOutputStream(8192)
     private var streamOut: java.io.OutputStream = _
     @volatile var committed = false
@@ -698,14 +756,15 @@ class QueryServer(
     }
     private def commit(): Unit = {
       ex.getResponseHeaders.set("Content-Type", ctype)
-      if (gzipOk) {
-        ex.getResponseHeaders.set("Content-Encoding", "gzip")
+      encoding.foreach { enc =>
+        ex.getResponseHeaders.set("Content-Encoding", enc)
         ex.getResponseHeaders.set("Vary", "Accept-Encoding")
       }
       ex.sendResponseHeaders(200, 0) // 0 = chunked
-      streamOut =
-        if (gzipOk) new java.util.zip.GZIPOutputStream(ex.getResponseBody, 16384)
-        else ex.getResponseBody
+      streamOut = encoding match {
+        case Some(enc) => encodeStream(enc, ex.getResponseBody)
+        case None => ex.getResponseBody
+      }
       spool.writeTo(streamOut)
       spool.reset()
       committed = true
@@ -825,6 +884,12 @@ class QueryServer(
       case None => ex.getRequestBody.readAllBytes()
       case Some("gzip") =>
         new java.util.zip.GZIPInputStream(ex.getRequestBody).readAllBytes()
+      case Some("deflate") =>
+        new java.util.zip.InflaterInputStream(ex.getRequestBody).readAllBytes()
+      case Some("zstd") =>
+        new com.github.luben.zstd.ZstdInputStream(ex.getRequestBody).readAllBytes()
+      case Some("lz4") =>
+        new net.jpountz.lz4.LZ4FrameInputStream(ex.getRequestBody).readAllBytes()
       case Some(other) => throw new UnsupportedEncodingBody(other)
     }
   }
@@ -863,7 +928,8 @@ class QueryServer(
   }
 
   private final class UnsupportedEncodingBody(val enc: String)
-    extends RuntimeException(s"unsupported Content-Encoding: $enc (gzip or identity)")
+    extends RuntimeException(
+      s"unsupported Content-Encoding: $enc (gzip, deflate, zstd, lz4, or identity)")
 
   /** Map a body-decode failure to the route's 400 shape; `None` when
     * the body decoded fine and `run` produced the response. */
@@ -931,7 +997,8 @@ class QueryServer(
       "text/tab-separated-values"
     case Some("pretty") | Some("prettycompact") | Some("values") |
          Some("vertical") | Some("null") => "text/plain"
-    case Some("native") | Some("parquet") => "application/octet-stream"
+    case Some("native") | Some("parquet") |
+         Some("arrow") | Some("arrowstream") => "application/octet-stream"
     case Some(_) => "application/json"
   }
 
@@ -1332,15 +1399,13 @@ class QueryServer(
           // not substring-matched: `gzip;q=0` is an explicit REFUSAL
           // (review finding), and the negotiated response carries
           // `Vary: Accept-Encoding` so caches key the variant correctly
-          val bytes =
-            if (acceptsGzip(ex) && plain.length > 1024) {
-              val bos = new java.io.ByteArrayOutputStream(plain.length / 2 + 64)
-              val gz = new java.util.zip.GZIPOutputStream(bos)
-              gz.write(plain); gz.close()
-              ex.getResponseHeaders.set("Content-Encoding", "gzip")
+          val bytes = pickEncoding(ex) match {
+            case Some(enc) if plain.length > 1024 =>
+              ex.getResponseHeaders.set("Content-Encoding", enc)
               ex.getResponseHeaders.set("Vary", "Accept-Encoding")
-              bos.toByteArray
-            } else plain
+              encodeBytes(enc, plain)
+            case _ => plain
+          }
           ex.getResponseHeaders.set("Content-Type", ctype)
           ex.sendResponseHeaders(code, bytes.length.toLong)
           ex.getResponseBody.write(bytes)

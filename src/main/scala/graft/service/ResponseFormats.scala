@@ -11,8 +11,9 @@ object ResponseFormats {
     "TSV", "TabSeparated", "TSVWithNames", "TabSeparatedWithNames",
     "Pretty", "PrettyCompact", "Values", "Vertical", "Null",
     // binary extract formats (r15): Native streams the CH block
-    // codec one BlockRows chunk at a time; Parquet spools one file
-    "Native", "Parquet")
+    // codec one BlockRows chunk at a time; Parquet spools one file;
+    // Arrow/ArrowStream ride Spark's own IPC writers
+    "Native", "Parquet", "Arrow", "ArrowStream")
   private val lower = names.map(_.toLowerCase).toSet
   def supported(name: String): Boolean = lower.contains(name.toLowerCase)
 }

@@ -206,7 +206,8 @@ class QueryServerSpec extends AnyFunSuite {
     val vert = run("Vertical").body()
     assert(vert.startsWith("Row 1:\n") && vert.contains("n_name:      NATION_0"))
     // unknown format = caller's fault, refused BEFORE execution
-    assert(run("Arrow").statusCode() == 400)
+    // (Arrow became a real format in r15 — ORC stays unknown)
+    assert(run("ORC").statusCode() == 400)
   }
 
   test("raw door binds ?param_<name>= into {name:Type} placeholders (CH's HTTP parameters)") {
@@ -254,7 +255,7 @@ class QueryServerSpec extends AnyFunSuite {
       "SELECT 41 + 1 AS x FORMAT CSV", "UTF-8")).body() == "42\n")
     // unknown default_format refuses before execution; errors are
     // PLAIN TEXT on this door (CH convention), not the JSON envelope
-    assert(post("/?default_format=Arrow", "SELECT 1").statusCode() == 400)
+    assert(post("/?default_format=ORC", "SELECT 1").statusCode() == 400)
     val err = post("/", "SELECT nope FROM missing_table")
     assert(err.statusCode() == 400)
     assert(err.headers().firstValue("Content-Type").orElse("").startsWith("text/plain"))
@@ -654,6 +655,122 @@ class QueryServerSpec extends AnyFunSuite {
     // off by default: no progress headers without the setting
     val r3 = get(s"/?query=$q2")
     assert(r3.headers().allValues("X-ClickHouse-Progress").isEmpty)
+  }
+
+  test("FORMAT ArrowStream / Arrow out: IPC bytes Arrow's own reader decodes (r15)") {
+    def fetch(fmt: String): Array[Byte] = {
+      val q = java.net.URLEncoder.encode(
+        s"SELECT number AS n, toString(number) AS s FROM numbers(20000) " +
+          s"ORDER BY n FORMAT $fmt", "UTF-8")
+      val r = client.send(
+        HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port/?query=$q"))
+          .GET().build(),
+        HttpResponse.BodyHandlers.ofByteArray())
+      assert(r.statusCode() == 200, new String(r.body(), "UTF-8").take(200))
+      assert(r.headers().firstValue("X-ClickHouse-Format").orElse("") == fmt)
+      r.body()
+    }
+    // stream framing
+    val alloc = new org.apache.arrow.memory.RootAllocator()
+    val rdr = new org.apache.arrow.vector.ipc.ArrowStreamReader(
+      new java.io.ByteArrayInputStream(fetch("ArrowStream")), alloc)
+    var total = 0L
+    var batches = 0
+    var first = -1L
+    var last = -1L
+    while (rdr.loadNextBatch()) {
+      val root = rdr.getVectorSchemaRoot
+      assert(root.getSchema.getFields.size() == 2)
+      val n = root.getVector("n").asInstanceOf[org.apache.arrow.vector.BigIntVector]
+      if (root.getRowCount > 0) {
+        if (first < 0) first = n.get(0)
+        last = n.get(root.getRowCount - 1)
+      }
+      total += root.getRowCount
+      batches += 1
+    }
+    rdr.close()
+    assert(total == 20000 && batches >= 3, (total, batches))
+    assert(first == 0L && last == 19999L, (first, last))
+    // file framing (footer-capped, seekable)
+    val fileBytes = fetch("Arrow")
+    val frdr = new org.apache.arrow.vector.ipc.ArrowFileReader(
+      new org.apache.arrow.vector.ipc.SeekableReadChannel(
+        new org.apache.arrow.vector.util.ByteArrayReadableSeekableByteChannel(
+          fileBytes)), alloc)
+    var ftotal = 0L
+    while (frdr.loadNextBatch()) ftotal += frdr.getVectorSchemaRoot.getRowCount
+    frdr.close()
+    alloc.close()
+    assert(ftotal == 20000, ftotal)
+  }
+
+  test("zstd/lz4/deflate on the HTTP door: encoded bodies both ways (r15)") {
+    // zstd response on request (big body; small bodies stay plain)
+    val big = client.send(
+      HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port/"))
+        .header("Accept-Encoding", "zstd")
+        .POST(HttpRequest.BodyPublishers.ofString(
+          "SELECT n1.number AS a, n2.number AS b FROM numbers(80) n1, " +
+            "numbers(80) n2 FORMAT CSV")).build(),
+      HttpResponse.BodyHandlers.ofByteArray())
+    assert(big.statusCode() == 200)
+    assert(big.headers().firstValue("Content-Encoding").orElse("") == "zstd")
+    val back = new String(new com.github.luben.zstd.ZstdInputStream(
+      new java.io.ByteArrayInputStream(big.body())).readAllBytes(), "UTF-8")
+    assert(back.linesIterator.size == 6400)
+    // lz4 response
+    val lz = client.send(
+      HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port/"))
+        .header("Accept-Encoding", "lz4")
+        .POST(HttpRequest.BodyPublishers.ofString(
+          "SELECT number FROM numbers(5000) FORMAT CSV")).build(),
+      HttpResponse.BodyHandlers.ofByteArray())
+    assert(lz.headers().firstValue("Content-Encoding").orElse("") == "lz4")
+    val lzBack = new String(new net.jpountz.lz4.LZ4FrameInputStream(
+      new java.io.ByteArrayInputStream(lz.body())).readAllBytes(), "UTF-8")
+    assert(lzBack.linesIterator.size == 5000)
+    // zstd REQUEST body
+    val sqlBytes = "SELECT 6 * 7 AS x".getBytes("UTF-8")
+    val bos = new java.io.ByteArrayOutputStream()
+    val zo = new com.github.luben.zstd.ZstdOutputStream(bos)
+    zo.write(sqlBytes); zo.close()
+    val zreq = client.send(
+      HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port/"))
+        .header("Content-Encoding", "zstd")
+        .POST(HttpRequest.BodyPublishers.ofByteArray(bos.toByteArray)).build(),
+      HttpResponse.BodyHandlers.ofString())
+    assert(zreq.statusCode() == 200 && zreq.body() == "42\n", zreq.body())
+    // client token ORDER wins: "lz4, gzip" → lz4
+    val pref = client.send(
+      HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port/"))
+        .header("Accept-Encoding", "lz4, gzip")
+        .POST(HttpRequest.BodyPublishers.ofString(
+          "SELECT number FROM numbers(5000) FORMAT CSV")).build(),
+      HttpResponse.BodyHandlers.ofByteArray())
+    assert(pref.headers().firstValue("Content-Encoding").orElse("") == "lz4")
+  }
+
+  test("CH identity headers: X-ClickHouse-Query-Id / Timezone / Format (r15)") {
+    val r = get("/?query=SELECT+1+AS+x&query_id=my-query-7")
+    assert(r.statusCode() == 200)
+    assert(r.headers().firstValue("X-ClickHouse-Query-Id").orElse("") ==
+      "my-query-7")
+    assert(r.headers().firstValue("X-ClickHouse-Timezone").orElse("") == "UTC")
+    assert(r.headers().firstValue("X-ClickHouse-Format").orElse("") ==
+      "TabSeparated")
+    // without query_id: the request id doubles as the query id
+    val r2 = get("/?query=SELECT+1+AS+x")
+    assert(r2.headers().firstValue("X-ClickHouse-Query-Id").orElse("").nonEmpty)
+    // a statement-level FORMAT wins the Format header
+    val r3 = get("/?query=" + java.net.URLEncoder.encode(
+      "SELECT 1 AS x FORMAT JSONEachRow", "UTF-8"))
+    assert(r3.headers().firstValue("X-ClickHouse-Format").orElse("") ==
+      "JSONEachRow")
+    // errors carry the identity headers too
+    val r4 = get("/?query=SELECT+nope+FROM+missing&query_id=err-1")
+    assert(r4.statusCode() != 200)
+    assert(r4.headers().firstValue("X-ClickHouse-Query-Id").orElse("") == "err-1")
   }
 
   test("requests are session-isolated: one request's SET never leaks into the next") {
