@@ -141,16 +141,15 @@ class QueryServer(
         case m if m != "POST" && m != "GET" => (405, "text/plain", "POST or GET")
         case m => refuseUnauthorized(ex, plainErrors = true).getOrElse(
           withDecodedBody(plainErrors = true) {
-          // `?query=INSERT INTO t FORMAT Parquet` + a BINARY body:
-          // CH's bulk parquet ingest — the body must never round-trip
-          // through a string, so it branches before the text read
-          val parquetIns =
-            if (m == "POST")
-              InsertOpeners.parse(params.getOrElse("query", ""),
-                ParquetInsertTailRe)
+          // `?query=INSERT INTO t FORMAT Parquet|Native|ArrowStream` +
+          // a BINARY body: CH's bulk binary ingest — the body must
+          // never round-trip through a string, so it branches before
+          // the text read
+          val binaryIns =
+            if (m == "POST") parseBinaryInsert(params.getOrElse("query", ""))
             else None
-          if (parquetIns.isDefined)
-            serveParquetInsert(ex, reqId, parquetIns.get)
+          if (binaryIns.isDefined)
+            serveBinaryInsert(ex, reqId, binaryIns.get)
           else {
           val bodySql = if (m == "POST") requestBody(ex) else ""
           // CH concatenates ?query= and the body (a statement may be
@@ -181,7 +180,14 @@ class QueryServer(
             defaultFormat = fmt.orElse(Some("TabSeparated")),
             plainErrors = true,
             progressHeaders = params.get("send_progress_in_http_headers")
-              .exists(v => v == "1" || v.equalsIgnoreCase("true")))
+              .exists(v => v == "1" || v.equalsIgnoreCase("true")),
+            // CH accepts any SETTING as a URL param, scoped to the
+            // query: everything not reserved for the protocol itself
+            // reaches the request session as a SET (r15) — so
+            // `?max_result_rows=10&readonly=1` govern exactly like
+            // their SET spellings
+            urlSettings = params.view.filterKeys(k =>
+              !ReservedParams.contains(k) && !k.startsWith("param_")).toMap)
           }
         })
       }
@@ -291,7 +297,12 @@ class QueryServer(
       /** `send_progress_in_http_headers=1`: accumulate
         * `X-ClickHouse-Progress` headers while the response is still
         * uncommitted (see [[progressIterator]] for the honest scope). */
-      progressHeaders: Boolean = false): (Int, String, String) = {
+      progressHeaders: Boolean = false,
+      /** CH accepts ANY setting as a URL parameter
+        * (`?max_result_rows=10&readonly=1`) scoped to the query —
+        * applied to the request session before execution and restored
+        * after (a `?session_id=`-pinned session must not keep them). */
+      urlSettings: Map[String, String] = Map.empty): (Int, String, String) = {
     val t0 = System.nanoTime()
     inFlight.incrementAndGet()
     // CH identity headers on EVERY response (success or error): the
@@ -331,6 +342,17 @@ class QueryServer(
         return acquired.left.toOption.get
       }
       val (reqSession, releaseSession) = acquired.toOption.get
+      // per-query URL settings: set on the request session, restored
+      // after the response (CH scopes URL settings to the query)
+      val savedSettings = urlSettings.keys
+        .map(k => k -> reqSession.conf.getOption(k)).toMap
+      urlSettings.foreach { case (k, v) => reqSession.conf.set(k, v) }
+      def restoreSettings(): Unit = savedSettings.foreach {
+        case (k, Some(v)) => reqSession.conf.set(k, v)
+        case (k, None) =>
+          try reqSession.conf.unset(k)
+          catch { case scala.util.control.NonFatal(_) => () }
+      }
       val res =
         try {
           val req = buildReq()
@@ -472,7 +494,7 @@ class QueryServer(
             if (sinkRef != null && !sinkRef.aborted)
               sinkRef.abort(inBandError(e))
             ResponseSent
-        } finally releaseSession()
+        } finally { restoreSettings(); releaseSession() }
       // any response — success or error — means the caller learns
       // this request's fate: it must never replay
       journalKey.foreach(k => journal.foreach(_.complete(k)))
@@ -840,6 +862,14 @@ class QueryServer(
     }
   }
 
+  /** URL parameters that belong to the HTTP protocol layer, NOT the
+    * settings namespace — everything else in the query string forwards
+    * to the request session as a per-query SET (CH's contract). */
+  private val ReservedParams: Set[String] = Set(
+    "query", "user", "password", "default_format", "query_id",
+    "session_id", "session_check", "session_timeout", "database",
+    "send_progress_in_http_headers")
+
   /** Statements the GET form of the raw door refuses — ClickHouse's
     * HTTP interface forces readonly for GET, so state-changing
     * statements only execute over POST. Classification happens AFTER
@@ -894,26 +924,65 @@ class QueryServer(
     }
   }
 
-  /** `?query=INSERT INTO t [(cols)] FORMAT Parquet` with the parquet
-    * file as the POST body — CH's binary bulk-ingest spelling. The
-    * body spools to a temp file and the INSERT rides the normal
-    * `INSERT … SELECT FROM parquet` path (part append on MergeTree,
-    * MV triggers, NULL-refusal, journal) with Parquet's BY-NAME column
-    * mapping; the temp file is deleted after the response. */
-  private val ParquetInsertTailRe =
-    """(?is)^\s*FORMAT\s+Parquet\s*$""".r
+  /** `?query=INSERT INTO t [(cols)] FORMAT Parquet|Native|ArrowStream`
+    * with the encoded data as the POST body — CH's binary bulk-ingest
+    * spellings. Each body decodes to ONE temp parquet file (Parquet
+    * bodies verbatim; Native via the block codec; ArrowStream via
+    * Spark's Arrow bridge) and the INSERT rides the normal
+    * `INSERT … SELECT FROM parquet` path (part append on MergeTree, MV
+    * triggers, NULL-refusal, journal, readonly) with BY-NAME column
+    * mapping; temp files are deleted after the response. Inline ingest
+    * is driver-side by nature — the bytes ARE the request body; bulk
+    * loads at scale use the native door's streamed batches or
+    * `INSERT … SELECT` over files. */
+  private val BinaryInsertTails: Seq[(String, scala.util.matching.Regex)] =
+    Seq("parquet", "native", "arrowstream").map(f =>
+      f -> s"""(?is)^\\s*FORMAT\\s+$f\\s*$$""".r)
 
-  private def serveParquetInsert(ex: HttpExchange, reqId: String,
-      target: (String, Option[Seq[String]])): (Int, String, String) = {
-    val (table, colsOpt) = target
+  private def parseBinaryInsert(
+      q: String): Option[(String, Option[Seq[String]], String)] =
+    BinaryInsertTails.view.flatMap { case (fmt, re) =>
+      InsertOpeners.parse(q, re).map { case (t, cols) => (t, cols, fmt) }
+    }.headOption
+
+  private def serveBinaryInsert(ex: HttpExchange, reqId: String,
+      target: (String, Option[Seq[String]], String)): (Int, String, String) = {
+    val (table, colsOpt, fmt) = target
     val bytes = requestBodyBytes(ex)
     if (bytes.isEmpty)
       (400, "text/plain",
-        "INSERT INTO … FORMAT Parquet needs the parquet file as the request body\n")
+        s"INSERT INTO … FORMAT $fmt needs the encoded data as the request body\n")
     else {
       val tmp = java.nio.file.Files.createTempFile("graft_http_ins", ".parquet")
       try {
-        java.nio.file.Files.write(tmp, bytes)
+        fmt match {
+          case "parquet" => java.nio.file.Files.write(tmp, bytes)
+          case "native" =>
+            val src = new graft.service.native.NativeWire.WireIn(bytes)
+            val rows = scala.collection.mutable.ArrayBuffer.empty[
+              org.apache.spark.sql.Row]
+            var schema: org.apache.spark.sql.types.StructType = null
+            while (!src.atEnd) {
+              val b = graft.service.native.NativeBlock.readFormatBlock(src)
+              if (schema == null) schema =
+                org.apache.spark.sql.types.StructType(b.cols.map(c =>
+                  org.apache.spark.sql.types.StructField(c.name,
+                    graft.service.native.NativeBlock.sparkTypeOf(c.t))))
+              var i = 0
+              while (i < b.rows) {
+                rows += org.apache.spark.sql.Row.fromSeq(
+                  b.cols.map(c => c.values(i)))
+                i += 1
+              }
+            }
+            require(schema != null,
+              s"INSERT INTO $table FORMAT Native: the body holds no blocks")
+            writeTempParquet(schema, rows.toSeq, tmp)
+          case "arrowstream" =>
+            val (schema, rows) =
+              org.apache.spark.sql.graft.ArrowShim.readStream(bytes)
+            writeTempParquet(schema, rows, tmp)
+        }
         val cols = colsOpt.filter(_.nonEmpty)
         val colSel = cols.map(_.map(c => s"`$c`").mkString(", ")).getOrElse("*")
         val colTgt = cols.map(cs =>
@@ -924,6 +993,29 @@ class QueryServer(
           () => QueryService.QueryRequest(ins),
           defaultFormat = Some("TabSeparated"), plainErrors = true)
       } finally java.nio.file.Files.deleteIfExists(tmp)
+    }
+  }
+
+  private def writeTempParquet(
+      schema: org.apache.spark.sql.types.StructType,
+      rows: Seq[org.apache.spark.sql.Row],
+      tmp: java.nio.file.Path): Unit = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_http_ins_dir")
+    try {
+      spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](
+          scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava), schema)
+        .coalesce(1).write.mode("overwrite").parquet(dir.toString)
+      val part = dir.toFile.listFiles()
+        .find(_.getName.endsWith(".parquet"))
+        .getOrElse(throw new IllegalStateException("no part written"))
+      java.nio.file.Files.copy(part.toPath, tmp,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+      }
+      rm(dir.toFile)
     }
   }
 

@@ -366,6 +366,33 @@ object NativeBlock {
 
   final case class DecodedBlock(cols: Seq[Col], rows: Int)
 
+  /** Wire type → the Spark type [[readColumnData]]'s JVM values carry
+    * (the inverse of [[chTypeFor]] up to the documented unsigned
+    * reinterpretations) — what a decoded client/body block needs to
+    * become a DataFrame. */
+  def sparkTypeOf(t: ChT): org.apache.spark.sql.types.DataType = {
+    import org.apache.spark.sql.types._
+    t match {
+      case TInt8 => ByteType
+      case TInt16 => ShortType
+      case TInt32 => IntegerType
+      case TInt64 => LongType
+      case TUInt8 => ShortType
+      case TUInt16 => IntegerType
+      case TUInt32 => LongType
+      case TUInt64 => LongType // signed reinterpretation, documented
+      case TFloat32 => FloatType
+      case TFloat64 => DoubleType
+      case TBool => BooleanType
+      case TString => StringType
+      case TDate => DateType
+      case TDateTime | TDateTime64(_) => TimestampType
+      case TNullable(i) => sparkTypeOf(i)
+      case TArray(i) => ArrayType(sparkTypeOf(i))
+      case TLowCardinality(i) => sparkTypeOf(i) // a transport, not a type
+    }
+  }
+
   def readBlock(src: ByteSource, revision: Long): DecodedBlock = {
     // BlockInfo field pairs until 0
     var field = src.readVarUInt()

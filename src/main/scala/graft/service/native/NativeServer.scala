@@ -589,29 +589,8 @@ class NativeServer(spark: SparkSession, port: Int = 0,
         scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava), schema)
   }
 
-  private def sparkType(t: NativeBlock.ChT): org.apache.spark.sql.types.DataType = {
-    import NativeBlock._
-    import org.apache.spark.sql.types._
-    t match {
-      case TInt8 => ByteType
-      case TInt16 => ShortType
-      case TInt32 => IntegerType
-      case TInt64 => LongType
-      case TUInt8 => ShortType
-      case TUInt16 => IntegerType
-      case TUInt32 => LongType
-      case TUInt64 => LongType // signed reinterpretation, documented
-      case TFloat32 => FloatType
-      case TFloat64 => DoubleType
-      case TBool => BooleanType
-      case TString => StringType
-      case TDate => DateType
-      case TDateTime | TDateTime64(_) => TimestampType
-      case TNullable(i) => sparkType(i)
-      case TArray(i) => ArrayType(sparkType(i))
-      case TLowCardinality(i) => sparkType(i) // a transport, not a type
-    }
-  }
+  private def sparkType(t: NativeBlock.ChT): org.apache.spark.sql.types.DataType =
+    NativeBlock.sparkTypeOf(t) // shared with the HTTP door's Native ingest (r15)
 
   private def sendBlock(out: OutputStream, revision: Long,
       compression: Boolean, cols: Seq[NativeBlock.Col], rows: Int): Unit = {

@@ -751,6 +751,65 @@ class QueryServerSpec extends AnyFunSuite {
     assert(pref.headers().firstValue("Content-Encoding").orElse("") == "lz4")
   }
 
+  test("INSERT … FORMAT Native / ArrowStream with binary bodies round-trip (r15)") {
+    assert(post("/", "CREATE TABLE xreq_bin (id Int64, s String) " +
+      "ENGINE = MergeTree ORDER BY id").statusCode() == 200)
+    def postBytes(query: String, body: Array[Byte]): HttpResponse[String] = {
+      val q = java.net.URLEncoder.encode(query, "UTF-8")
+      client.send(
+        HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port/?query=$q"))
+          .POST(HttpRequest.BodyPublishers.ofByteArray(body)).build(),
+        HttpResponse.BodyHandlers.ofString())
+    }
+    // Native body: two file-layout blocks via the block codec
+    import graft.service.native.{NativeBlock, NativeWire}
+    val o = new NativeWire.WireOut
+    NativeBlock.writeFormatBlock(o, Seq(
+      NativeBlock.Col("id", NativeBlock.TInt64, IndexedSeq(1L, 2L)),
+      NativeBlock.Col("s", NativeBlock.TString, IndexedSeq("a", "b"))), 2)
+    NativeBlock.writeFormatBlock(o, Seq(
+      NativeBlock.Col("id", NativeBlock.TInt64, IndexedSeq(3L)),
+      NativeBlock.Col("s", NativeBlock.TString, IndexedSeq("c"))), 1)
+    val insN = postBytes("INSERT INTO xreq_bin FORMAT Native", o.bytes)
+    assert(insN.statusCode() == 200, insN.body())
+    assert(post("/?default_format=CSV",
+      "SELECT count(), max(s) FROM xreq_bin").body() == "3,\"c\"\n")
+    // ArrowStream body: built with the same shim the response path uses
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("s",
+        org.apache.spark.sql.types.StringType)))
+    val bos = new java.io.ByteArrayOutputStream()
+    org.apache.spark.sql.graft.ArrowShim.streamResult(schema, "UTC",
+      Iterator(Seq[Any](10L, "x"), Seq[Any](11L, "y")), bos, 8192,
+      fileFormat = false)
+    val insA = postBytes("INSERT INTO xreq_bin (id, s) FORMAT ArrowStream",
+      bos.toByteArray)
+    assert(insA.statusCode() == 200, insA.body())
+    assert(post("/?default_format=CSV",
+      "SELECT count(), max(id) FROM xreq_bin").body() == "5,11\n")
+    assert(post("/", "DROP TABLE xreq_bin").statusCode() == 200)
+  }
+
+  test("URL parameters are per-query SETTINGS, restored after the request (r15)") {
+    // max_result_rows as a URL param governs exactly like its SET form
+    val q = java.net.URLEncoder.encode(
+      "SELECT number FROM numbers(100) FORMAT CSV", "UTF-8")
+    val broke = get(s"/?query=$q&max_result_rows=5&result_overflow_mode=break")
+    assert(broke.statusCode() == 200)
+    assert(broke.body().linesIterator.size == 5, broke.body())
+    // readonly=1 as a URL param refuses a write
+    val w = java.net.URLEncoder.encode(
+      "CREATE TABLE url_ro (id Int64) ENGINE = MergeTree ORDER BY id", "UTF-8")
+    val ro = post(s"/?readonly=1", new String(
+      java.net.URLDecoder.decode(w, "UTF-8")))
+    assert(ro.statusCode() == 400 && ro.body().contains("READONLY"), ro.body())
+    // the settings do NOT leak into the next request (restored)
+    val again = get(s"/?query=$q")
+    assert(again.body().linesIterator.size == 100)
+  }
+
   test("CH identity headers: X-ClickHouse-Query-Id / Timezone / Format (r15)") {
     val r = get("/?query=SELECT+1+AS+x&query_id=my-query-7")
     assert(r.statusCode() == 200)
