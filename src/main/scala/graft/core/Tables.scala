@@ -30,11 +30,23 @@ object Tables {
     new java.util.concurrent.ConcurrentHashMap[
       String, (String, org.apache.spark.sql.types.StructType)]()
 
-  private def contentSig(f: java.io.File): String =
-    if (f.isDirectory) {
-      val fs = Option(f.listFiles()).getOrElse(Array.empty)
-      s"${f.lastModified}:${fs.length}:${fs.map(x => x.length + x.lastModified).sum}"
-    } else s"${f.lastModified}:${f.length}"
+  /** Recursive (name, length, mtime) digest — partitioned datasets
+    * change in NESTED subdirs the top-level listing can't see, and a
+    * summed `length + mtime` is collision-prone (review r15); an MD5
+    * over the full entry list is order-stable and cheap (readdirs on
+    * the driver; non-local paths never reach this cache). */
+  private def contentSig(f: java.io.File): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def walk(x: java.io.File): Unit = {
+      md.update(
+        s"${x.getName}:${x.length}:${x.lastModified};".getBytes("UTF-8"))
+      if (x.isDirectory)
+        Option(x.listFiles()).getOrElse(Array.empty)
+          .sortBy(_.getName).foreach(walk)
+    }
+    walk(f)
+    md.digest().map("%02x".format(_)).mkString
+  }
 
   /** `spark.read.parquet` with the inference skipped when the cached
     * schema's content signature still matches. Non-local paths fall

@@ -590,6 +590,17 @@ object ChSql {
     * accepted no-ops (recorded in the envelope by QueryService). */
   def applySettings(spark: SparkSession, settings: Map[String, String]): Unit =
     settings.foreach {
+      case (k, _) if k.equalsIgnoreCase(graft.service.Governance.Readonly) &&
+          spark.conf.getOption(graft.service.Governance.Readonly)
+            .flatMap(v => scala.util.Try(v.trim.toInt).toOption)
+            .exists(_ > 0) =>
+        // a readonly session must not clear its own readonly via a
+        // statement-level SETTINGS clause (review r15: checkReadonly
+        // only guarded SET statements, so `SELECT 1 SETTINGS
+        // readonly=0` permanently un-readonly'd the session)
+        throw new IllegalArgumentException(
+          "Setting 'readonly' is protected and cannot be modified in " +
+            "readonly mode. READONLY")
       case (k, v) if k.startsWith("spark.") => spark.conf.set(k, v)
       case (k, v) if graft.service.Governance.Keys(k.toLowerCase) =>
         // resource governance (max_execution_time / max_result_rows /

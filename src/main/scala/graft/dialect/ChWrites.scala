@@ -450,8 +450,11 @@ object ChWrites {
               // real tabs, driver-side (inline data IS the request
               // body); unescaped `\N` is NULL. The all-string frame is
               // cast by the recursive INSERT … SELECT, same as the
-              // WithNames csv path.
-              val all = rawRows.filter(_.trim.nonEmpty)
+              // WithNames csv path. Only truly EMPTY lines drop: a
+              // line of one tab is a real all-empty-fields row (review
+              // r15 — trim-filtering silently discarded it; CH inserts
+              // ('',''))
+              val all = rawRows.filter(_.nonEmpty)
               val colNames: Seq[String] =
                 if (withNames) all.head.split("\t", -1)
                   .map(unescapeTsvField).toSeq

@@ -125,23 +125,15 @@ object Governance {
     }
   }
 
-  /** Refuse a new query when [[MaxConcurrentQueries]] other queries
-    * are already running (the global [[Processes]] registry — both
-    * doors and the Scala API register there) — CH's
-    * TOO_MANY_SIMULTANEOUS_QUERIES shape. Called BEFORE the query
-    * registers itself. */
-  def checkConcurrency(spark: org.apache.spark.sql.SparkSession): Unit = {
-    val limit = spark.conf.getOption(MaxConcurrentQueries)
+  /** The session's [[MaxConcurrentQueries]] cap, for
+    * [[Processes.registerBounded]] — the check-and-register must be
+    * ONE atomic operation (review r15: a separate pre-check raced past
+    * the cap under concurrency). */
+  def concurrencyLimit(
+      spark: org.apache.spark.sql.SparkSession): Option[Long] =
+    spark.conf.getOption(MaxConcurrentQueries)
       .map(_.trim).filter(_.nonEmpty)
       .flatMap(v => scala.util.Try(v.toLong).toOption).filter(_ > 0)
-    limit.foreach { max =>
-      val running = Processes.all.size
-      if (running >= max) throw new IllegalArgumentException(
-        s"Too many simultaneous queries: $running already running, " +
-          s"maximum $max ($MaxConcurrentQueries). " +
-          "TOO_MANY_SIMULTANEOUS_QUERIES")
-    }
-  }
 
   /** Refuse a query whose SCAN estimate exceeds `max_bytes_to_read`
     * BEFORE running it — the sum of the optimized plan's leaf-relation

@@ -28,6 +28,23 @@ object Processes {
 
   def register(p: Proc): Proc = { procs(p.queryId) = p; p }
 
+  /** Atomic check-then-register against `max_concurrent_queries`
+    * (review r15: a separate check raced — two concurrent requests
+    * both measured 0 running and both registered past a cap of 1).
+    * One lock guards the measure and the insert; CH's
+    * TOO_MANY_SIMULTANEOUS_QUERIES shape on refusal. */
+  def registerBounded(p: Proc, maxConcurrent: Option[Long]): Proc =
+    synchronized {
+      maxConcurrent.filter(_ > 0).foreach { max =>
+        if (procs.size >= max) throw new IllegalArgumentException(
+          s"Too many simultaneous queries: ${procs.size} already running, " +
+            s"maximum $max (max_concurrent_queries). " +
+            "TOO_MANY_SIMULTANEOUS_QUERIES")
+      }
+      procs(p.queryId) = p
+      p
+    }
+
   def unregister(queryId: String): Unit = { procs.remove(queryId); () }
 
   def all: Seq[Proc] = procs.values.toSeq.sortBy(_.startedMs)

@@ -148,8 +148,13 @@ class QueryServer(
           val binaryIns =
             if (m == "POST") parseBinaryInsert(params.getOrElse("query", ""))
             else None
+          // URL settings govern binary INSERTs too (review r15:
+          // `?readonly=1` / `?max_execution_time=` were silently
+          // dropped on this branch)
+          val urlSettings0 = params.view.filterKeys(k =>
+            !ReservedParams.contains(k) && !k.startsWith("param_")).toMap
           if (binaryIns.isDefined)
-            serveBinaryInsert(ex, reqId, binaryIns.get)
+            serveBinaryInsert(ex, reqId, binaryIns.get, urlSettings0)
           else {
           val bodySql = if (m == "POST") requestBody(ex) else ""
           // CH concatenates ?query= and the body (a statement may be
@@ -186,8 +191,7 @@ class QueryServer(
             // reaches the request session as a SET (r15) — so
             // `?max_result_rows=10&readonly=1` govern exactly like
             // their SET spellings
-            urlSettings = params.view.filterKeys(k =>
-              !ReservedParams.contains(k) && !k.startsWith("param_")).toMap)
+            urlSettings = urlSettings0)
           }
         })
       }
@@ -346,12 +350,40 @@ class QueryServer(
       // after the response (CH scopes URL settings to the query)
       val savedSettings = urlSettings.keys
         .map(k => k -> reqSession.conf.getOption(k)).toMap
-      urlSettings.foreach { case (k, v) => reqSession.conf.set(k, v) }
       def restoreSettings(): Unit = savedSettings.foreach {
-        case (k, Some(v)) => reqSession.conf.set(k, v)
+        case (k, Some(v)) =>
+          try reqSession.conf.set(k, v)
+          catch { case scala.util.control.NonFatal(_) => () }
         case (k, None) =>
           try reqSession.conf.unset(k)
           catch { case scala.util.control.NonFatal(_) => () }
+      }
+      // application runs inside ITS OWN guard (review r15): a throwing
+      // conf.set (static/core confs) before the main try would skip
+      // restore AND releaseSession, locking a pinned session forever.
+      // And a readonly session refuses URL setting changes like the
+      // SET path does — `?readonly=0` must not un-readonly a request
+      // (level 1 refuses all; level 2 protects readonly itself).
+      try {
+        val ro = reqSession.conf.getOption(Governance.Readonly)
+          .flatMap(v => scala.util.Try(v.trim.toInt).toOption).getOrElse(0)
+        if (ro == 1 && urlSettings.nonEmpty)
+          throw new IllegalArgumentException(
+            "Cannot modify settings in readonly mode (readonly = 1). READONLY")
+        if (ro == 2 && urlSettings.keys.exists(
+            _.equalsIgnoreCase(Governance.Readonly)))
+          throw new IllegalArgumentException(
+            "Setting 'readonly' is protected and cannot be modified in " +
+              "readonly mode. READONLY")
+        urlSettings.foreach { case (k, v) => reqSession.conf.set(k, v) }
+      } catch {
+        case e: Exception =>
+          restoreSettings()
+          releaseSession()
+          errorsTotal.increment()
+          log.info(s"request_id=$reqId status=400 error=url_settings")
+          val (ct, b) = err(e.getMessage)
+          return (400, ct, b)
       }
       val res =
         try {
@@ -381,9 +413,12 @@ class QueryServer(
             svc.executeSpooledParquet(req) { (_, file) =>
               ex.getResponseHeaders.set("Content-Type", "application/octet-stream")
               ex.getResponseHeaders.set("X-ClickHouse-Format", "Parquet")
-              // parquet is internally compressed — no gzip layer
-              parquetSent = true
+              // parquet is internally compressed — no gzip layer.
+              // the committed flag flips AFTER the header send succeeds
+              // (review r15: flipping first misclassified a failed send
+              // as "already committed" and the client got no response)
               ex.sendResponseHeaders(200, file.length())
+              parquetSent = true
               val os = ex.getResponseBody
               try java.nio.file.Files.copy(file.toPath, os) finally os.close()
               streamedRows = -1L // logged as bytes-shipped, not rows
@@ -878,24 +913,11 @@ class QueryServer(
     * `GET /?query=/*x*/DROP TABLE t` execute a write over GET, where
     * proxy retries and prefetchers replay freely (advisor r11). */
   // SET stays GET-allowed: CH's GET maps to readonly=2, which permits
-  // changing non-protected settings
-  private val WriteStmtRe =
-    ("(?is)^(INSERT|CREATE|ALTER|TRUNCATE|DELETE|OPTIMIZE|DROP|ATTACH|" +
-      "DETACH|RENAME|EXCHANGE)\\b.*").r
-  @annotation.tailrec
-  private def stripStatementPrefix(s: String): String = {
-    val t = s.dropWhile(c => c.isWhitespace || c == '(' || c == ';')
-    if (t.startsWith("--")) stripStatementPrefix(t.dropWhile(c => c != '\n' && c != '\r'))
-    else if (t.startsWith("/*")) {
-      val end = t.indexOf("*/", 2)
-      // unterminated comment: nothing executable follows — and an
-      // empty head classifies as non-write, which is fine (the
-      // statement itself will fail to parse downstream)
-      if (end < 0) "" else stripStatementPrefix(t.substring(end + 2))
-    } else t
-  }
+  // changing non-protected settings. ONE classifier for both the GET
+  // guard and the readonly sessions (review r15: two private copies
+  // had already drifted — Governance refused KILL, GET permitted it).
   private def isWriteStatement(sql: String): Boolean =
-    WriteStmtRe.matches(stripStatementPrefix(sql))
+    Governance.isStateChanging(sql)
 
   /** Request body, transparently gunzipped when the caller sent
     * `Content-Encoding: gzip` — `curl --data-binary @big.sql.gz` is a
@@ -946,7 +968,8 @@ class QueryServer(
     }.headOption
 
   private def serveBinaryInsert(ex: HttpExchange, reqId: String,
-      target: (String, Option[Seq[String]], String)): (Int, String, String) = {
+      target: (String, Option[Seq[String]], String),
+      urlSettings: Map[String, String]): (Int, String, String) = {
     val (table, colsOpt, fmt) = target
     val bytes = requestBodyBytes(ex)
     if (bytes.isEmpty)
@@ -991,7 +1014,8 @@ class QueryServer(
           s"FROM parquet.`${tmp.toString}`"
         serveQuery(ex, reqId,
           () => QueryService.QueryRequest(ins),
-          defaultFormat = Some("TabSeparated"), plainErrors = true)
+          defaultFormat = Some("TabSeparated"), plainErrors = true,
+          urlSettings = urlSettings)
       } finally java.nio.file.Files.deleteIfExists(tmp)
     }
   }

@@ -227,11 +227,11 @@ class QueryService(spark: SparkSession) {
         // that group, so the deadline and KILL QUERY share the kill
         // handle. A statement-level SETTINGS deadline (applied inside
         // executeToDf) still engages at the collect.
-        Governance.checkConcurrency(spark)
         val qid = java.util.UUID.randomUUID().toString
         val group = s"graft-query-${qid.take(8)}"
-        Processes.register(Processes.Proc(qid, req.query, "default",
-          "sql", System.currentTimeMillis(), group, spark))
+        Processes.registerBounded(Processes.Proc(qid, req.query, "default",
+          "sql", System.currentTimeMillis(), group, spark),
+          Governance.concurrencyLimit(spark))
         val (cols, types, rows, settings) =
           try Governance.runGoverned(spark, group) {
             val (df, settings) = executeToDf(req)
@@ -287,11 +287,11 @@ class QueryService(spark: SparkSession) {
           Iterator(Seq[Any](path, n,
             if (reused) "already_written" else "written")))
       case None =>
-        Governance.checkConcurrency(spark)
         val qid = java.util.UUID.randomUUID().toString
         val group = s"graft-query-${qid.take(8)}"
-        Processes.register(Processes.Proc(qid, req.query, "default",
-          "sql", System.currentTimeMillis(), group, spark))
+        Processes.registerBounded(Processes.Proc(qid, req.query, "default",
+          "sql", System.currentTimeMillis(), group, spark),
+          Governance.concurrencyLimit(spark))
         try Governance.runGoverned(spark, group) {
           val (df, settings) = executeToDf(req)
           consume(
@@ -318,11 +318,11 @@ class QueryService(spark: SparkSession) {
     * `max_execution_time` covers plan + write. */
   def executeSpooledParquet[A](req: QueryRequest)(
       consume: (QueryResult, java.io.File) => A): A = {
-    Governance.checkConcurrency(spark)
     val qid = java.util.UUID.randomUUID().toString
     val group = s"graft-query-${qid.take(8)}"
-    Processes.register(Processes.Proc(qid, req.query, "default",
-      "sql", System.currentTimeMillis(), group, spark))
+    Processes.registerBounded(Processes.Proc(qid, req.query, "default",
+      "sql", System.currentTimeMillis(), group, spark),
+      Governance.concurrencyLimit(spark))
     val tmp = java.nio.file.Files
       .createTempDirectory("graft_http_parquet").toFile
     try Governance.runGoverned(spark, group) {

@@ -288,10 +288,9 @@ class NativeServer(spark: SparkSession, port: Int = 0,
     // the job-group kill handle
     val qid = if (clientQueryId.nonEmpty) clientQueryId
       else java.util.UUID.randomUUID().toString
-    graft.service.Governance.checkConcurrency(session)
-    graft.service.Processes.register(graft.service.Processes.Proc(
+    graft.service.Processes.registerBounded(graft.service.Processes.Proc(
       qid, query, "default", "native", System.currentTimeMillis(),
-      group, session))
+      group, session), graft.service.Governance.concurrencyLimit(session))
     val outLock = new Object
     @volatile var cancelled = false
     @volatile var sentEos = false

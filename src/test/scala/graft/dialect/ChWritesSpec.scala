@@ -193,6 +193,16 @@ class ChWritesSpec extends AnyFunSuite {
       intercept[Exception] {
         ChSql.sql(spark, "INSERT INTO inline_mt FORMAT TSV\n10\tonly_two")
       }
+      // an all-empty-fields TSV row is DATA, not a blank line (review
+      // r15: trim-filtering silently discarded it; CH inserts '')
+      ChSql.sql(spark, "CREATE TABLE inline_tsv_empty (a String, b String) " +
+        "ENGINE = MergeTree ORDER BY a")
+      ChSql.sql(spark, "INSERT INTO inline_tsv_empty FORMAT TSV\n\t")
+      val emp = ChSql.sql(spark,
+        "SELECT count() AS n FROM inline_tsv_empty WHERE a = '' AND b = ''")
+        .collect()
+      assert(emp.head.getLong(0) == 1L, emp.toSeq)
+      ChSql.sql(spark, "DROP TABLE inline_tsv_empty")
       // unknown inline format refuses with guidance
       val e = intercept[IllegalArgumentException] {
         ChSql.sql(spark, "INSERT INTO inline_mt FORMAT Arrow\nxx")

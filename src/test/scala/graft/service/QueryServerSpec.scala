@@ -810,6 +810,37 @@ class QueryServerSpec extends AnyFunSuite {
     assert(again.body().linesIterator.size == 100)
   }
 
+  test("readonly cannot be un-set through any spelling on a readonly session (r15 review)") {
+    val sid = "ro_pin_" + System.nanoTime()
+    // pin a session and make it readonly
+    assert(post(s"/?session_id=$sid", "SET readonly = 1").statusCode() == 200)
+    // URL param spelling must not clear it for a request
+    val w = post(s"/?session_id=$sid&readonly=0",
+      "CREATE TABLE ro_bypass (id Int64) ENGINE = MergeTree ORDER BY id")
+    assert(w.statusCode() == 400 && w.body().contains("READONLY"), w.body())
+    // SETTINGS-clause spelling must not clear it either
+    val s2 = post(s"/?session_id=$sid", "SELECT 1 AS x SETTINGS readonly = 0")
+    assert(s2.statusCode() == 400 && s2.body().contains("READONLY"), s2.body())
+    // and it is still readonly afterwards
+    val w2 = post(s"/?session_id=$sid",
+      "CREATE TABLE ro_bypass2 (id Int64) ENGINE = MergeTree ORDER BY id")
+    assert(w2.statusCode() == 400 && w2.body().contains("READONLY"), w2.body())
+    // reads still answer on the pinned session
+    assert(post(s"/?session_id=$sid&default_format=CSV", "SELECT 1").body() == "1\n")
+  }
+
+  test("a failing URL setting neither locks the pinned session nor leaks applied settings (r15 review)") {
+    val sid = "set_fail_" + System.nanoTime()
+    // spark.sql.warehouse.dir is a STATIC conf — RuntimeConfig.set throws
+    val bad = post(s"/?session_id=$sid&spark.sql.warehouse.dir=/x",
+      "SELECT 1 AS v")
+    assert(bad.statusCode() == 400, s"${bad.statusCode()} ${bad.body()}")
+    // the session is NOT left locked: the next request on it answers
+    val ok = post(s"/?session_id=$sid&default_format=CSV", "SELECT 2")
+    assert(ok.statusCode() == 200 && ok.body() == "2\n",
+      s"${ok.statusCode()} ${ok.body()}")
+  }
+
   test("CH identity headers: X-ClickHouse-Query-Id / Timezone / Format (r15)") {
     val r = get("/?query=SELECT+1+AS+x&query_id=my-query-7")
     assert(r.statusCode() == 200)

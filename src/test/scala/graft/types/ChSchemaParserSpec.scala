@@ -131,4 +131,16 @@ class ChSchemaParserSpec extends AnyFunSuite {
       ChSchemaParser.parse("a NotAType")
     }
   }
+
+  test("splitTopLevel respects backticked and double-quoted identifiers (r15)") {
+    assert(ChSchemaParser.splitTopLevel("a, `x,y`, b", ',').map(_.trim) ==
+      Seq("a", "`x,y`", "b"))
+    assert(ChSchemaParser.splitTopLevel("""a, "x,y", b""", ',').map(_.trim) ==
+      Seq("a", "\"x,y\"", "b"))
+    // parens inside quoted identifiers do not disturb the depth count
+    assert(ChSchemaParser.splitTopLevel("`v(a`, `w)b`", ',').map(_.trim) ==
+      Seq("`v(a`", "`w)b`"))
+    assert(ChSchemaParser.splitTopLevel("""f(a, b), "g(h", c""", ',')
+      .map(_.trim) == Seq("f(a, b)", "\"g(h\"", "c"))
+  }
 }
