@@ -40,7 +40,10 @@ object Tables {
     def walk(x: java.io.File): Unit = {
       md.update(
         s"${x.getName}:${x.length}:${x.lastModified};".getBytes("UTF-8"))
-      if (x.isDirectory)
+      // symlinks contribute their own stat but are never FOLLOWED — a
+      // link cycle would otherwise recurse to stack overflow (review)
+      if (x.isDirectory &&
+          !java.nio.file.Files.isSymbolicLink(x.toPath))
         Option(x.listFiles()).getOrElse(Array.empty)
           .sortBy(_.getName).foreach(walk)
     }

@@ -588,19 +588,25 @@ object ChSql {
 
   /** Apply extracted settings: `spark.*` keys set directly; CH knobs are
     * accepted no-ops (recorded in the envelope by QueryService). */
-  def applySettings(spark: SparkSession, settings: Map[String, String]): Unit =
-    settings.foreach {
-      case (k, _) if k.equalsIgnoreCase(graft.service.Governance.Readonly) &&
-          spark.conf.getOption(graft.service.Governance.Readonly)
-            .flatMap(v => scala.util.Try(v.trim.toInt).toOption)
-            .exists(_ > 0) =>
-        // a readonly session must not clear its own readonly via a
-        // statement-level SETTINGS clause (review r15: checkReadonly
-        // only guarded SET statements, so `SELECT 1 SETTINGS
-        // readonly=0` permanently un-readonly'd the session)
+  def applySettings(spark: SparkSession, settings: Map[String, String]): Unit = {
+    // readonly guards run UP FRONT, before anything applies, so a
+    // refusal never leaves a half-applied settings block (review r15):
+    // level 1 refuses ALL settings changes (CH's contract — the SET and
+    // URL-param spellings already did), level 2 protects `readonly`
+    // itself
+    if (settings.nonEmpty) {
+      val ro = spark.conf.getOption(graft.service.Governance.Readonly)
+        .flatMap(v => scala.util.Try(v.trim.toInt).toOption).getOrElse(0)
+      if (ro == 1) throw new IllegalArgumentException(
+        "Cannot modify settings in readonly mode (readonly = 1; " +
+          "readonly = 2 permits non-protected setting changes). READONLY")
+      if (ro >= 2 && settings.keys.exists(
+          _.equalsIgnoreCase(graft.service.Governance.Readonly)))
         throw new IllegalArgumentException(
           "Setting 'readonly' is protected and cannot be modified in " +
             "readonly mode. READONLY")
+    }
+    settings.foreach {
       case (k, v) if k.startsWith("spark.") => spark.conf.set(k, v)
       case (k, v) if graft.service.Governance.Keys(k.toLowerCase) =>
         // resource governance (max_execution_time / max_result_rows /
@@ -609,6 +615,7 @@ object ChSql {
         spark.conf.set(k.toLowerCase, v)
       case _ => // CH tuning knob — accepted, no Spark equivalent needed
     }
+  }
 
   private val TrailingFormat = """(?is)\s+FORMAT\s+[A-Za-z][A-Za-z0-9]*\s*;?\s*$""".r
   private val TrailingFormatName = """(?is)\s+FORMAT\s+([A-Za-z][A-Za-z0-9]*)\s*;?\s*$""".r

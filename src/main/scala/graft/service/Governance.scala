@@ -80,9 +80,12 @@ object Governance {
   // statement classification for readonly — the same shape the HTTP
   // door's GET route enforces (state-changing verb at the head, AFTER
   // stripping comments/parens/semicolons so `/*x*/DROP …` classifies)
+  // KILL stays PERMITTED: CH lets readonly users stop their own
+  // queries, and the GET door's replay rationale doesn't apply to an
+  // idempotent cancel (review r15 — unification had added it here)
   private val WriteStmtRe =
     ("(?is)^(INSERT|CREATE|ALTER|TRUNCATE|DELETE|OPTIMIZE|DROP|ATTACH|" +
-      "DETACH|RENAME|EXCHANGE|KILL)\\b.*").r
+      "DETACH|RENAME|EXCHANGE)\\b.*").r
   private val SetStmtRe = """(?is)^SET\b.*""".r
   private val SetReadonlyRe = """(?is)^SET\s+`?readonly`?\s*=.*""".r
 

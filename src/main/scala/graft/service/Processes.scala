@@ -26,7 +26,10 @@ object Processes {
   private val procs =
     scala.collection.concurrent.TrieMap.empty[String, Proc]
 
-  def register(p: Proc): Proc = { procs(p.queryId) = p; p }
+  /** Uncapped registration — delegates to [[registerBounded]] so no
+    * caller can skirt `max_concurrent_queries` by picking the shorter
+    * name (review r15). */
+  def register(p: Proc): Proc = registerBounded(p, None)
 
   /** Atomic check-then-register against `max_concurrent_queries`
     * (review r15: a separate check raced — two concurrent requests

@@ -320,11 +320,14 @@ class QueryService(spark: SparkSession) {
       consume: (QueryResult, java.io.File) => A): A = {
     val qid = java.util.UUID.randomUUID().toString
     val group = s"graft-query-${qid.take(8)}"
+    // tempdir BEFORE registration (review r15): a full /tmp must not
+    // leak a registered slot that unregister (in the try's finally)
+    // would never release
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_http_parquet").toFile
     Processes.registerBounded(Processes.Proc(qid, req.query, "default",
       "sql", System.currentTimeMillis(), group, spark),
       Governance.concurrencyLimit(spark))
-    val tmp = java.nio.file.Files
-      .createTempDirectory("graft_http_parquet").toFile
     try Governance.runGoverned(spark, group) {
       val (df0, settings) = executeToDf(req)
       Governance.checkScanBudget(df0)

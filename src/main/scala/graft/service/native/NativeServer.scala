@@ -240,11 +240,17 @@ class NativeServer(spark: SparkSession, port: Int = 0,
       catch { case scala.util.control.NonFatal(e) => Left(e) }
     val query = querySub.getOrElse(rawQuery)
 
-    ChSql.applySettings(session, settings.toMap)
+    // settings application can REFUSE (readonly guards, r15) — like
+    // querySub, the error must not throw before the client's pending
+    // data blocks drain, or the conn desynchronizes; defer it past the
+    // protocol exchange
+    val settingsApplied: Either[Throwable, Unit] =
+      try Right(ChSql.applySettings(session, settings.toMap))
+      catch { case scala.util.control.NonFatal(e) => Left(e) }
 
     if (isClientDataInsert(query)) {
       insertFromClientBlocks(session, svc, in, out, revision, compression,
-        query, querySub)
+        query, querySub.flatMap(q => settingsApplied.map(_ => q)))
       return
     }
 
@@ -265,6 +271,7 @@ class NativeServer(spark: SparkSession, port: Int = 0,
     }
     // the protocol exchange is complete — deferred errors surface now
     querySub.left.foreach(e => throw e)
+    settingsApplied.left.foreach(e => throw e)
 
     val started = System.nanoTime()
     // governance + cancellation: the WHOLE request (plan, DDL/INSERT
