@@ -115,6 +115,44 @@ object SystemTables {
     // front door on a system_parts mention (review finding)
   }
 
+  /** ≈ system.settings: the governance settings this engine ENFORCES
+    * (readonly, max_execution_time, max_result_rows, …) with the
+    * session's current value and CH's `changed` flag — the
+    * `SELECT * FROM system.settings WHERE changed` staple. Registered
+    * on demand (per referencing query) like `system_processes`: the
+    * values mutate with every SET. Descriptions state this engine's
+    * actual contract, not CH's prose. */
+  def registerSettings(spark: SparkSession): Unit = {
+    import spark.implicits._
+    import graft.service.Governance
+    val desc = Map(
+      Governance.MaxExecutionTime ->
+        "seconds before the query's job group is cancelled (0 = unlimited)",
+      Governance.MaxResultRows ->
+        "result row bound, enforced in-plan as limit+1",
+      Governance.ResultOverflowMode ->
+        "throw (default) or break when max_result_rows is exceeded",
+      Governance.MaxInsertBlockSize ->
+        "rows buffered per streaming-INSERT flush (one part per flush)",
+      Governance.MaxBytesToRead ->
+        "refuse queries whose leaf-scan estimate exceeds this",
+      Governance.MaxMemoryUsage ->
+        "accepted for compatibility; not enforced (Spark cannot meter per-query heap)",
+      Governance.Readonly ->
+        "0 = anything; 1 = reads only, no setting changes; 2 = reads + non-protected setting changes",
+      Governance.MaxConcurrentQueries ->
+        "server-wide cap on simultaneously registered queries")
+    val defaults = Map(
+      Governance.MaxInsertBlockSize -> Governance.DefaultInsertBlockSize.toString,
+      Governance.ResultOverflowMode -> "throw")
+    Governance.Keys.toSeq.sorted.map { k =>
+      val cur = spark.conf.getOption(k)
+      (k, cur.orElse(defaults.get(k)).getOrElse(""),
+        if (cur.isDefined) 1 else 0, desc.getOrElse(k, ""))
+    }.toDF("name", "value", "changed", "description")
+      .createOrReplaceTempView("system_settings")
+  }
+
   /** ≈ system.projections: one row per registered aggregate projection
     * (name, source, keys, declared states, companion path). Registered
     * on demand like `system_parts` — the registry mutates as ALTER

@@ -110,6 +110,9 @@ object ChSql {
       // processes: the live-query registry mutates per request
       if (sys.toLowerCase.contains("system_processes"))
         graft.core.SystemTables.registerProcesses(spark)
+      // settings: values mutate with every SET — register fresh
+      if (sys.toLowerCase.contains("system_settings"))
+        graft.core.SystemTables.registerSettings(spark)
     }
     val rewritten = rewriteTableFunctions(spark, sys)
     registerCombinators(spark, rewritten)

@@ -55,6 +55,29 @@ class SystemTablesSpec extends AnyFunSuite {
     assert(names.size > 250, s"expected the full static surface, got ${names.size}")
   }
 
+  test("system.settings lists the enforced governance keys with live values + changed flag (r15)") {
+    // unchanged: defaults show, changed = 0
+    val before = ChSql.sql(spark,
+      "SELECT name, value, changed FROM system.settings ORDER BY name")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2)))
+    assert(before.map(_._1).toSet.contains("readonly"))
+    assert(before.map(_._1).toSet.contains("max_execution_time"))
+    assert(before.find(_._1 == "result_overflow_mode")
+      .exists(r => r._2 == "throw" && r._3 == 0), before.toSeq)
+    // a SET flips the value and the changed flag; unset restores
+    spark.conf.set("max_result_rows", "123")
+    try {
+      val row = ChSql.sql(spark,
+        "SELECT value, changed FROM system.settings WHERE name = 'max_result_rows'")
+        .collect().head
+      assert(row.getString(0) == "123" && row.getInt(1) == 1, row)
+      val changed = ChSql.sql(spark,
+        "SELECT name FROM system.settings WHERE changed = 1")
+        .collect().map(_.getString(0)).toSet
+      assert(changed.contains("max_result_rows"), changed)
+    } finally spark.conf.unset("max_result_rows")
+  }
+
   test("system.projections reflects the live registry, not a frozen view") {
     val dir = java.nio.file.Files.createTempDirectory("graft_sysproj").toString + "/t"
     spark.read.parquet("/root/testdata/sf0.001/nation.parquet")
