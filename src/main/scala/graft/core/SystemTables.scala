@@ -142,9 +142,18 @@ object SystemTables {
         "0 = anything; 1 = reads only, no setting changes; 2 = reads + non-protected setting changes",
       Governance.MaxConcurrentQueries ->
         "server-wide cap on simultaneously registered queries")
+    // the ENFORCED defaults — CH renders a real value for every
+    // setting, and clients numeric-parse the staple columns (review
+    // r15: six keys rendered '')
     val defaults = Map(
       Governance.MaxInsertBlockSize -> Governance.DefaultInsertBlockSize.toString,
-      Governance.ResultOverflowMode -> "throw")
+      Governance.ResultOverflowMode -> "throw",
+      Governance.MaxExecutionTime -> "0",
+      Governance.MaxResultRows -> "0",
+      Governance.MaxBytesToRead -> "0",
+      Governance.MaxMemoryUsage -> "0",
+      Governance.Readonly -> "0",
+      Governance.MaxConcurrentQueries -> "0")
     Governance.Keys.toSeq.sorted.map { k =>
       val cur = spark.conf.getOption(k)
       (k, cur.orElse(defaults.get(k)).getOrElse(""),

@@ -37,15 +37,21 @@ object Tables {
     * the driver; non-local paths never reach this cache). */
   private def contentSig(f: java.io.File): String = {
     val md = java.security.MessageDigest.getInstance("MD5")
+    // cycle guard by CANONICAL path (review r15, twice): skipping
+    // symlinks outright left the cache blind to changes behind a
+    // `current -> dataset` pointer; a visited set follows them safely
+    val seen = scala.collection.mutable.Set.empty[String]
     def walk(x: java.io.File): Unit = {
       md.update(
         s"${x.getName}:${x.length}:${x.lastModified};".getBytes("UTF-8"))
-      // symlinks contribute their own stat but are never FOLLOWED — a
-      // link cycle would otherwise recurse to stack overflow (review)
-      if (x.isDirectory &&
-          !java.nio.file.Files.isSymbolicLink(x.toPath))
-        Option(x.listFiles()).getOrElse(Array.empty)
-          .sortBy(_.getName).foreach(walk)
+      if (x.isDirectory) {
+        val canon =
+          try x.getCanonicalPath
+          catch { case _: java.io.IOException => x.getAbsolutePath }
+        if (seen.add(canon))
+          Option(x.listFiles()).getOrElse(Array.empty)
+            .sortBy(_.getName).foreach(walk)
+      }
     }
     walk(f)
     md.digest().map("%02x".format(_)).mkString

@@ -80,9 +80,13 @@ object Governance {
   // statement classification for readonly — the same shape the HTTP
   // door's GET route enforces (state-changing verb at the head, AFTER
   // stripping comments/parens/semicolons so `/*x*/DROP …` classifies)
-  // KILL stays PERMITTED: CH lets readonly users stop their own
-  // queries, and the GET door's replay rationale doesn't apply to an
-  // idempotent cancel (review r15 — unification had added it here)
+  // KILL stays PERMITTED: CH lets readonly users stop their OWN
+  // queries, and this engine is single-user by construction (one
+  // configured user on both doors; every proc registers as 'default'),
+  // so "own" spans the registry — the multi-user ownership check CH
+  // applies has no subject here. The GET door's replay rationale also
+  // doesn't apply to an idempotent cancel. (review r15, settled after
+  // one flip each way)
   private val WriteStmtRe =
     ("(?is)^(INSERT|CREATE|ALTER|TRUNCATE|DELETE|OPTIMIZE|DROP|ATTACH|" +
       "DETACH|RENAME|EXCHANGE)\\b.*").r

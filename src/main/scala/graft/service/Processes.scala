@@ -26,10 +26,12 @@ object Processes {
   private val procs =
     scala.collection.concurrent.TrieMap.empty[String, Proc]
 
-  /** Uncapped registration — delegates to [[registerBounded]] so no
-    * caller can skirt `max_concurrent_queries` by picking the shorter
-    * name (review r15). */
-  def register(p: Proc): Proc = registerBounded(p, None)
+  /** Registration with the cap derived from the proc's OWN session —
+    * so no caller can skirt `max_concurrent_queries` by picking the
+    * shorter name (review r15, twice: the first delegation passed None
+    * and enforced nothing). */
+  def register(p: Proc): Proc =
+    registerBounded(p, graft.service.Governance.concurrencyLimit(p.session))
 
   /** Atomic check-then-register against `max_concurrent_queries`
     * (review r15: a separate check raced — two concurrent requests

@@ -370,7 +370,7 @@ class QueryServer(
         if (ro == 1 && urlSettings.nonEmpty)
           throw new IllegalArgumentException(
             "Cannot modify settings in readonly mode (readonly = 1). READONLY")
-        if (ro == 2 && urlSettings.keys.exists(
+        if (ro >= 2 && urlSettings.keys.exists(
             _.equalsIgnoreCase(Governance.Readonly)))
           throw new IllegalArgumentException(
             "Setting 'readonly' is protected and cannot be modified in " +

@@ -320,15 +320,17 @@ class QueryService(spark: SparkSession) {
       consume: (QueryResult, java.io.File) => A): A = {
     val qid = java.util.UUID.randomUUID().toString
     val group = s"graft-query-${qid.take(8)}"
-    // tempdir BEFORE registration (review r15): a full /tmp must not
-    // leak a registered slot that unregister (in the try's finally)
-    // would never release
-    val tmp = java.nio.file.Files
-      .createTempDirectory("graft_http_parquet").toFile
+    // register FIRST, then create the tempdir INSIDE the guarded
+    // region (review r15, twice): tempdir-then-register leaked a dir
+    // per concurrency-cap refusal; register-then-tempdir leaked a slot
+    // on a full /tmp — one try/finally owns both now
     Processes.registerBounded(Processes.Proc(qid, req.query, "default",
       "sql", System.currentTimeMillis(), group, spark),
       Governance.concurrencyLimit(spark))
+    var tmp: java.io.File = null
     try Governance.runGoverned(spark, group) {
+      tmp = java.nio.file.Files
+        .createTempDirectory("graft_http_parquet").toFile
       val (df0, settings) = executeToDf(req)
       Governance.checkScanBudget(df0)
       val maxRows = spark.conf.getOption(Governance.MaxResultRows)
@@ -369,7 +371,7 @@ class QueryService(spark: SparkSession) {
       def rm(f: java.io.File): Unit = {
         Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
       }
-      rm(tmp)
+      if (tmp != null) rm(tmp)
     }
   }
 
