@@ -526,6 +526,30 @@ class NativeProtocolSpec extends AnyFunSuite {
     } finally spark.conf.unset(graft.dialect.ChWrites.WarehouseConf)
   }
 
+  test("native per-query settings: a readonly session refuses the block without desyncing the conn (r15)") {
+    withServer { port =>
+      val c = new NativeClient("127.0.0.1", port)
+      try {
+        c.exec("SET readonly = 1")
+        // a settings block on a readonly=1 session refuses (CH refuses
+        // ALL settings changes at level 1) — as a clean Exception
+        // frame, and the CONNECTION stays usable (the refusal must not
+        // throw before the client's end-of-data block drains)
+        val e = intercept[NativeClient.ServerSideException] {
+          c.query("SELECT 1 AS x", settings = Map("readonly" -> "0"))
+        }
+        assert(e.getMessage.contains("READONLY"), e.getMessage)
+        val ok = c.query("SELECT 2 AS y")
+        assert(ok.rows == Seq(Seq(2)), ok.rows)
+        // and the session is still readonly
+        val w = intercept[NativeClient.ServerSideException] {
+          c.query("CREATE TABLE native_ro (id Int64) ENGINE = MergeTree ORDER BY id")
+        }
+        assert(w.getMessage.contains("READONLY"), w.getMessage)
+      } finally c.close()
+    }
+  }
+
   test("Cancel during external data aborts before execution (EndOfStream, no side effect)") {
     val wh = Files.createTempDirectory("graft_native_extcancel").toString
     spark.conf.set(graft.dialect.ChWrites.WarehouseConf, wh)
