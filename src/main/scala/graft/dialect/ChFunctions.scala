@@ -36,6 +36,7 @@ object ChFunctions {
       // count/min/max from parquet footers (graft.plans.FooterAggregates)
       FunctionShim.addOptimization(spark, graft.plans.FooterAggregates(spark))
       FunctionShim.addOptimization(spark, graft.plans.AggProjectionRewrite(spark))
+      FunctionShim.addOptimization(spark, graft.plans.DictAggRewrite(spark))
       registered += id
     }
   }

@@ -29,5 +29,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     }
     ext.injectOptimizerRule(graft.plans.FooterAggregates.apply)
     ext.injectOptimizerRule(graft.plans.AggProjectionRewrite.apply)
+    ext.injectOptimizerRule(graft.plans.DictAggRewrite.apply)
   }
 }

@@ -1,0 +1,671 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, Cast, Coalesce, Expression, Literal, NamedExpression}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Count, Max, Min, Sum}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Project, SubqueryAlias}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.execution.vectorized.WritableColumnVector
+import org.apache.spark.sql.graft.FunctionShim
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.vectorized.{ColumnarBatch, ColumnVector}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Dictionary-code aggregation for GROUP BY over a low-cardinality
+  * string key of a parquet table (reference analog: the reference's own
+  * headline query shape, `sum(commits) … GROUP BY event_type` over a
+  * LowCardinality(String) key — `temporal/workflow_query_executor_test.go:75`;
+  * its delegated ClickHouse engine aggregates LowCardinality keys on
+  * dictionary positions, and DuckDB aggregates parquet dictionary codes
+  * directly).
+  *
+  * The problem this removes (measured, SCALING.md "Round 15" Q2Matrix):
+  * Spark's row-oriented hash aggregate materializes a `UTF8String` from
+  * the column vector and re-hashes its bytes FOR EVERY ROW — ~13 ns/row
+  * over the 600 M-row sf10 fixture, which is the entire remaining
+  * q2-vs-DuckDB gap. Parquet already ships the key as a small dictionary
+  * plus per-row integer codes; within one batch a group's identity is
+  * fully determined by its code.
+  *
+  * The rewrite (kill switch `spark.graft.dictAgg=false`):
+  *
+  * {{{
+  *   Aggregate(stringKey, [sum/count/min/max/avg])      — over —
+  *   (Project of attrs)? (LogicalRelation parquet)
+  * }}}
+  *
+  * becomes a two-stage plan: a per-partition partial aggregation that
+  * consumes the vectorized scan's `ColumnarBatch`es directly
+  * ([[DictAgg.partial]]) and emits one row per (partition, group), and
+  * a tiny final `Aggregate` that merges the partials — sums re-sum,
+  * counts re-sum, min/max re-min/max, avg merges as Σsum ÷ Σcount (the
+  * same mergeable-state discipline as [[AggProjections]]).
+  *
+  * The kernel's inner loop per row is: dictionary code → int array
+  * index → accumulator update. The UTF8String is materialized ONCE per
+  * distinct code per batch (when the code→slot cache misses), not once
+  * per row. Batches without dictionary encoding (plain pages, partition
+  * constants) fall back to per-row key materialization inside the same
+  * kernel — never a wrong answer, worst case the old cost.
+  *
+  * Exactness guardrails:
+  *   - group keys travel as BINARY partials and are compared by
+  *     Spark's own binary grouping in the final stage, then cast back
+  *     to string — byte-exact even for non-UTF-8-roundtrippable data
+  *     (a java.lang.String key would collapse invalid sequences);
+  *   - every aggregate must rewrite onto a mergeable partial (no
+  *     DISTINCT, no FILTER clause, no decimals) and the rewritten
+  *     output's data type must equal the original's exactly;
+  *   - integral sums honor the session's ANSI mode (Math.addExact vs
+  *     wrapping add);
+  *   - float/double min/max use java.lang.Double.compare ordering —
+  *     Spark's NaN-greatest, -0.0 < 0.0 contract.
+  *
+  * 100 TB posture: the partial stage is embarrassingly parallel over
+  * scan splits and its shuffle volume is (distinct keys × partitions)
+  * rows — for a LowCardinality key, kilobytes. A high-cardinality key
+  * is the wrong target for this path, so the kernel bounds its hash
+  * map at `spark.graft.dictAgg.maxGroupsPerPartition` (default 1M)
+  * groups per partition and degrades to streaming singleton partials
+  * (group size 1) beyond it — bounded memory, still correct, and the
+  * final aggregate absorbs the extra rows exactly like a normal
+  * shuffle-side merge.
+  */
+object DictAgg {
+
+  val EnabledKey = "spark.graft.dictAgg"
+  val MaxGroupsKey = "spark.graft.dictAgg.maxGroupsPerPartition"
+
+  // op codes
+  final val OpSum = 0
+  final val OpCountStar = 1
+  final val OpCountCol = 2
+  final val OpMin = 3
+  final val OpMax = 4
+  final val OpAvg = 5
+
+  // value type tags (the scan column's data type)
+  final val TInt = 0
+  final val TLong = 1
+  final val TFloat = 2
+  final val TDouble = 3
+
+  /** One aggregate's kernel descriptor. `vecIdx` is the column's index
+    * in the SCAN output (-1 for count(*)); `ansi` only matters for
+    * integral sums. */
+  final case class Spec(op: Int, vecIdx: Int, typ: Int, ansi: Boolean)
+      extends Serializable {
+    /** Number of partial columns this spec emits (avg emits sum+count). */
+    def width: Int = if (op == OpAvg) 2 else 1
+  }
+
+  /** Engagement counter — PlanSpec asserts the rewrite actually fired
+    * on the bench q2 shape (a silently-disengaged optimization is the
+    * bug class this guards against). */
+  val engagements = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** Per-partition partial aggregation over the vectorized scan's
+    * batches. Emits `Row(keyBytes, partial0, partial1, …)` — one row
+    * per group while the group map fits `maxGroups`, then one row per
+    * INPUT row (singleton partials) past it. */
+  def partial(
+      batches: Iterator[ColumnarBatch],
+      keyIdx: Int,
+      specs: Array[Spec],
+      maxGroups: Int): Iterator[Row] = {
+
+    val nSpecs = specs.length
+    val totalWidth = 1 + specs.map(_.width).sum
+
+    // group state: key bytes per slot + per-spec accumulators
+    var cap = 64
+    var keys = new Array[Array[Byte]](cap) // null for the null-key slot
+    val slots = new java.util.HashMap[UTF8String, Integer]()
+    var nullSlot = -1
+    var nGroups = 0
+    // acc layout per spec: longs (sums/counts/int min-max), doubles
+    // (float sums/min-max), cnt (non-null count: null-sum semantics,
+    // countCol, avg count). OpCountStar uses cnt as the row count.
+    var accL = Array.fill(nSpecs)(new Array[Long](cap))
+    var accD = Array.fill(nSpecs)(new Array[Double](cap))
+    var accC = Array.fill(nSpecs)(new Array[Long](cap))
+
+    def grow(need: Int): Unit = {
+      var c = cap
+      while (c < need) c = c * 2
+      if (c != cap) {
+        keys = java.util.Arrays.copyOf(keys, c)
+        var j = 0
+        while (j < nSpecs) {
+          accL(j) = java.util.Arrays.copyOf(accL(j), c)
+          accD(j) = java.util.Arrays.copyOf(accD(j), c)
+          accC(j) = java.util.Arrays.copyOf(accC(j), c)
+          j += 1
+        }
+        cap = c
+      }
+    }
+
+    def newSlot(keyBytes: Array[Byte]): Int = {
+      grow(nGroups + 1)
+      keys(nGroups) = keyBytes
+      nGroups += 1
+      nGroups - 1
+    }
+
+    // per-batch code→slot cache (parquet dictionaries are per
+    // column-chunk: codes are only comparable within one batch)
+    var codeSlots = new Array[Int](1024)
+
+    def boxPartial(spec: Spec, sIdx: Int, l: Long, d: Double, c: Long,
+        out: Array[Any], at: Int): Unit = spec.op match {
+      case OpSum =>
+        out(at) =
+          if (c == 0L) null
+          else if (spec.typ == TInt || spec.typ == TLong) java.lang.Long.valueOf(l)
+          else java.lang.Double.valueOf(d)
+      case OpCountStar | OpCountCol => out(at) = java.lang.Long.valueOf(c)
+      case OpMin | OpMax =>
+        out(at) =
+          if (c == 0L) null
+          else spec.typ match {
+            case TInt => java.lang.Integer.valueOf(l.toInt)
+            case TLong => java.lang.Long.valueOf(l)
+            case TFloat => java.lang.Float.valueOf(d.toFloat)
+            case TDouble => java.lang.Double.valueOf(d)
+          }
+      case OpAvg =>
+        out(at) =
+          if (c == 0L) null
+          else if (spec.typ == TInt || spec.typ == TLong) java.lang.Long.valueOf(l)
+          else java.lang.Double.valueOf(d)
+        out(at + 1) = java.lang.Long.valueOf(c)
+    }
+
+    def slotRow(slot: Int): Row = {
+      val vals = new Array[Any](totalWidth)
+      vals(0) = keys(slot)
+      var at = 1
+      var j = 0
+      while (j < nSpecs) {
+        boxPartial(specs(j), slot, accL(j)(slot), accD(j)(slot), accC(j)(slot), vals, at)
+        at += specs(j).width
+        j += 1
+      }
+      Row.fromSeq(scala.collection.immutable.ArraySeq.unsafeWrapArray(vals))
+    }
+
+    // a singleton partial: the row's own values, group size 1
+    def singletonRow(keyBytes: Array[Byte], vecs: Array[ColumnVector], i: Int): Row = {
+      val vals = new Array[Any](totalWidth)
+      vals(0) = keyBytes
+      var at = 1
+      var j = 0
+      while (j < nSpecs) {
+        val spec = specs(j)
+        val vec = if (spec.vecIdx >= 0) vecs(spec.vecIdx) else null
+        val isNull = vec != null && vec.isNullAt(i)
+        spec.op match {
+          case OpSum | OpAvg =>
+            vals(at) =
+              if (isNull) null
+              else spec.typ match {
+                case TInt => java.lang.Long.valueOf(vec.getInt(i).toLong)
+                case TLong => java.lang.Long.valueOf(vec.getLong(i))
+                case TFloat => java.lang.Double.valueOf(vec.getFloat(i).toDouble)
+                case TDouble => java.lang.Double.valueOf(vec.getDouble(i))
+              }
+            if (spec.op == OpAvg)
+              vals(at + 1) = java.lang.Long.valueOf(if (isNull) 0L else 1L)
+          case OpCountStar => vals(at) = java.lang.Long.valueOf(1L)
+          case OpCountCol => vals(at) = java.lang.Long.valueOf(if (isNull) 0L else 1L)
+          case OpMin | OpMax =>
+            vals(at) =
+              if (isNull) null
+              else spec.typ match {
+                case TInt => java.lang.Integer.valueOf(vec.getInt(i))
+                case TLong => java.lang.Long.valueOf(vec.getLong(i))
+                case TFloat => java.lang.Float.valueOf(vec.getFloat(i))
+                case TDouble => java.lang.Double.valueOf(vec.getDouble(i))
+              }
+        }
+        at += spec.width
+        j += 1
+      }
+      Row.fromSeq(scala.collection.immutable.ArraySeq.unsafeWrapArray(vals))
+    }
+
+    var slotsBuf = new Array[Int](16384)
+
+    /** One batch's work; returns the overflow singleton rows (bounded
+      * by the batch size — past-maxGroups keys must stream out per
+      * batch, never buffer for the whole partition). */
+    def processBatch(batch: ColumnarBatch): Iterator[Row] = {
+      val overflow = new scala.collection.mutable.ArrayBuffer[Row]()
+      val n = batch.numRows()
+      if (n > 0) {
+        if (slotsBuf.length < n) slotsBuf = new Array[Int](n)
+        val keyVec = batch.column(keyIdx)
+        val vecs = new Array[ColumnVector](batch.numCols())
+        var v = 0
+        while (v < vecs.length) { vecs(v) = batch.column(v); v += 1 }
+
+        // resolve slots for the whole batch first (one pass), then run
+        // each spec's tight typed loop over the recorded slots
+        val dictIds: ColumnVector = keyVec match {
+          case w: WritableColumnVector if w.hasDictionary && w.getDictionaryIds != null =>
+            w.getDictionaryIds
+          case _ => null
+        }
+        if (dictIds != null) java.util.Arrays.fill(codeSlots, -1)
+
+        var i = 0
+        while (i < n) {
+          var slot = -1
+          if (keyVec.isNullAt(i)) {
+            if (nullSlot == -1 && nGroups < maxGroups) nullSlot = newSlot(null)
+            slot = nullSlot
+            if (slot == -1) overflow += singletonRow(null, vecs, i)
+          } else if (dictIds != null) {
+            val code = dictIds.getInt(i)
+            if (code >= codeSlots.length) {
+              val old = codeSlots
+              codeSlots = new Array[Int](Integer.highestOneBit(code) * 2)
+              java.util.Arrays.fill(codeSlots, -1)
+              System.arraycopy(old, 0, codeSlots, 0, old.length)
+            }
+            slot = codeSlots(code)
+            if (slot == -1) {
+              val k = keyVec.getUTF8String(i)
+              val hit = slots.get(k)
+              if (hit != null) slot = hit.intValue()
+              else if (nGroups < maxGroups) {
+                val kb = k.getBytes
+                slot = newSlot(kb)
+                slots.put(UTF8String.fromBytes(kb), Integer.valueOf(slot))
+              }
+              if (slot >= 0) codeSlots(code) = slot
+              else overflow += singletonRow(k.getBytes, vecs, i)
+            }
+          } else {
+            val k = keyVec.getUTF8String(i)
+            val hit = slots.get(k)
+            if (hit != null) slot = hit.intValue()
+            else if (nGroups < maxGroups) {
+              val kb = k.getBytes
+              slot = newSlot(kb)
+              slots.put(UTF8String.fromBytes(kb), Integer.valueOf(slot))
+            } else overflow += singletonRow(k.getBytes, vecs, i)
+          }
+          slotsBuf(i) = slot
+          i += 1
+        }
+
+        var j = 0
+        while (j < nSpecs) {
+          val spec = specs(j)
+          val l = accL(j); val d = accD(j); val c = accC(j)
+          val vec = if (spec.vecIdx >= 0) vecs(spec.vecIdx) else null
+          spec.op match {
+            case OpCountStar =>
+              var i = 0
+              while (i < n) {
+                val s = slotsBuf(i); if (s >= 0) c(s) += 1
+                i += 1
+              }
+            case OpCountCol =>
+              var i = 0
+              while (i < n) {
+                val s = slotsBuf(i)
+                if (s >= 0 && !vec.isNullAt(i)) c(s) += 1
+                i += 1
+              }
+            case OpSum | OpAvg => spec.typ match {
+              case TInt =>
+                var i = 0
+                while (i < n) {
+                  val s = slotsBuf(i)
+                  if (s >= 0 && !vec.isNullAt(i)) {
+                    val x = vec.getInt(i).toLong
+                    l(s) = if (spec.ansi) Math.addExact(l(s), x) else l(s) + x
+                    c(s) += 1
+                  }
+                  i += 1
+                }
+              case TLong =>
+                var i = 0
+                while (i < n) {
+                  val s = slotsBuf(i)
+                  if (s >= 0 && !vec.isNullAt(i)) {
+                    val x = vec.getLong(i)
+                    l(s) = if (spec.ansi) Math.addExact(l(s), x) else l(s) + x
+                    c(s) += 1
+                  }
+                  i += 1
+                }
+              case TFloat =>
+                var i = 0
+                while (i < n) {
+                  val s = slotsBuf(i)
+                  if (s >= 0 && !vec.isNullAt(i)) { d(s) += vec.getFloat(i); c(s) += 1 }
+                  i += 1
+                }
+              case TDouble =>
+                var i = 0
+                while (i < n) {
+                  val s = slotsBuf(i)
+                  if (s >= 0 && !vec.isNullAt(i)) { d(s) += vec.getDouble(i); c(s) += 1 }
+                  i += 1
+                }
+            }
+            case OpMin | OpMax => spec.typ match {
+              case TInt | TLong =>
+                val isMin = spec.op == OpMin
+                var i = 0
+                while (i < n) {
+                  val s = slotsBuf(i)
+                  if (s >= 0 && !vec.isNullAt(i)) {
+                    val x = if (spec.typ == TInt) vec.getInt(i).toLong else vec.getLong(i)
+                    if (c(s) == 0L || (if (isMin) x < l(s) else x > l(s))) l(s) = x
+                    c(s) += 1
+                  }
+                  i += 1
+                }
+              case _ =>
+                val isMin = spec.op == OpMin
+                var i = 0
+                while (i < n) {
+                  val s = slotsBuf(i)
+                  if (s >= 0 && !vec.isNullAt(i)) {
+                    val x = if (spec.typ == TFloat) vec.getFloat(i).toDouble else vec.getDouble(i)
+                    val cmp = java.lang.Double.compare(x, d(s))
+                    if (c(s) == 0L || (if (isMin) cmp < 0 else cmp > 0)) d(s) = x
+                    c(s) += 1
+                  }
+                  i += 1
+                }
+            }
+          }
+          j += 1
+        }
+      }
+      overflow.iterator
+    }
+
+    new Iterator[Row] {
+      private var pending: Iterator[Row] = Iterator.empty
+      private var tail: Iterator[Row] = null
+      override def hasNext: Boolean = {
+        while (!pending.hasNext && batches.hasNext)
+          pending = processBatch(batches.next())
+        if (pending.hasNext) true
+        else {
+          if (tail == null) tail = (0 until nGroups).iterator.map(slotRow)
+          tail.hasNext
+        }
+      }
+      override def next(): Row = {
+        if (!hasNext) throw new NoSuchElementException("exhausted")
+        if (pending.hasNext) pending.next() else tail.next()
+      }
+    }
+  }
+}
+
+/** The rewrite rule — see [[DictAgg]] for semantics and guardrails.
+  * Registered via [[graft.dialect.GraftExtensions]] and the runtime
+  * twin in `ChFunctions.register`, after [[FooterAggregates]] and
+  * [[AggProjectionRewrite]] (a projection reroute, when fresh, is
+  * strictly better than re-scanning; this rule picks up the shapes no
+  * projection covers). */
+case class DictAggRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
+
+  import DictAgg._
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    if (spark.conf.getOption(EnabledKey).exists(_.trim.equalsIgnoreCase("false")))
+      return plan
+    plan.transformDown {
+      case agg @ Aggregate(Seq(g: AttributeReference), aggExprs, child, _)
+          if g.dataType == StringType =>
+        (try tryRewrite(g, aggExprs, child)
+        catch {
+          // an optimization must never fail the query
+          case scala.util.control.NonFatal(e) =>
+            logWarning(s"dictAgg rewrite failed; keeping the scan plan: $e")
+            None
+        }).getOrElse(agg)
+    }
+  }
+
+  private def typeTag(dt: DataType): Option[Int] = dt match {
+    case IntegerType => Some(TInt)
+    case LongType => Some(TLong)
+    case FloatType => Some(TFloat)
+    case DoubleType => Some(TDouble)
+    case _ => None
+  }
+
+  private def tryRewrite(
+      g: AttributeReference,
+      aggExprs: Seq[NamedExpression],
+      child: LogicalPlan): Option[LogicalPlan] = {
+    val lr = relationOf(child).getOrElse(return None)
+    // never re-rewrite an AggProjections COMPANION scan: the reroute
+    // already reduced the query to a scan of the (tiny) pre-aggregated
+    // table, the kernel could not improve on it, and replacing its
+    // FileScan with an RDD node would only obscure plan audits (the
+    // r16 suite caught exactly that: scansProjection assertions went
+    // false while answers stayed identical)
+    val roots = lr.relation.asInstanceOf[HadoopFsRelation]
+      .location.rootPaths.map(_.toString)
+    val projRoot = AggProjections.projectionRoot(spark)
+    if (roots.exists(_.contains(projRoot)) ||
+        AggProjections.allManifests.exists(m =>
+          roots.exists(_.contains(m.dataPath))))
+      return None
+    val keyName = resolve(child, g).getOrElse(return None)
+
+    // collect every AggregateExpression (identity-keyed: the same
+    // object may be referenced from several output expressions; a
+    // boxed-Integer map because IdentityHashMap[_, Int] unboxes a
+    // missing key's null to 0 — a silent wrong-index bug)
+    val aes = new java.util.IdentityHashMap[AggregateExpression, Integer]()
+    aggExprs.foreach(_.foreach {
+      case ae: AggregateExpression =>
+        aes.putIfAbsent(ae, Integer.valueOf(aes.size))
+      case _ =>
+    })
+    val aeList: Seq[AggregateExpression] = {
+      val arr = new Array[AggregateExpression](aes.size)
+      aes.forEach((k, v) => arr(v.intValue) = k)
+      scala.collection.immutable.ArraySeq.unsafeWrapArray(arr)
+    }
+
+    val ansi = spark.conf.get("spark.sql.ansi.enabled", "true")
+      .equalsIgnoreCase("true")
+
+    // classify each aggregate → (input column name or None for count(*),
+    // op, value type tag)
+    final case class AggPlan(ae: AggregateExpression, op: Int,
+        colName: Option[String], typ: Int)
+    def colOf(e: Expression): Option[String] = e match {
+      case a: AttributeReference => resolve(child, a)
+      case _ => None
+    }
+    val plans: Seq[AggPlan] = aeList.map { ae =>
+      if (ae.isDistinct || ae.filter.isDefined) return None
+      ae.aggregateFunction match {
+        case Count(cs) if cs.forall { case l: Literal => l.value != null; case _ => false } =>
+          AggPlan(ae, OpCountStar, None, TLong)
+        case Count(Seq(e)) =>
+          val n = colOf(e).getOrElse(return None)
+          // count(col) only needs null-ness: the kernel reads validity,
+          // never the value, so any vectorized-scannable type works
+          // (scan.supportsColumnar below gates the rest)
+          AggPlan(ae, OpCountCol, Some(n), TLong)
+        case s: Sum =>
+          val n = colOf(s.child).getOrElse(return None)
+          AggPlan(ae, OpSum, Some(n), typeTag(s.child.dataType).getOrElse(return None))
+        case m: Min =>
+          val n = colOf(m.child).getOrElse(return None)
+          AggPlan(ae, OpMin, Some(n), typeTag(m.child.dataType).getOrElse(return None))
+        case m: Max =>
+          val n = colOf(m.child).getOrElse(return None)
+          AggPlan(ae, OpMax, Some(n), typeTag(m.child.dataType).getOrElse(return None))
+        case a: Average =>
+          val n = colOf(a.child).getOrElse(return None)
+          AggPlan(ae, OpAvg, Some(n), typeTag(a.child.dataType).getOrElse(return None))
+        case _ => return None
+      }
+    }
+
+    // ---- build the columnar scan over exactly the needed columns ----
+    val relNew = lr.newInstance()
+    val neededNames = (keyName +: plans.flatMap(_.colName)).distinct
+    val relAttrs = neededNames.map(n =>
+      relNew.output.find(_.name == n).getOrElse(return None))
+    val scanDf = FunctionShim.ofRows(spark, Project(relAttrs, relNew))
+    val scan = scanDf.queryExecution.executedPlan.collectFirst {
+      case f: FileSourceScanExec => f
+    }.getOrElse(return None)
+    if (!scan.supportsColumnar) return None
+    val scanOut = scan.output
+    val keyIdx = scanOut.indexWhere(_.name == keyName)
+    if (keyIdx < 0) return None
+    val specs: Array[Spec] = plans.map { p =>
+      val vecIdx = p.colName.map(n => scanOut.indexWhere(_.name == n)).getOrElse(-1)
+      if (p.colName.isDefined && vecIdx < 0) return None
+      Spec(p.op, vecIdx, p.typ, ansi)
+    }.toArray
+
+    val maxGroups = spark.conf.getOption(MaxGroupsKey)
+      .flatMap(v => scala.util.Try(v.toInt).toOption).getOrElse(1 << 20)
+
+    val batchRdd = scan.executeColumnar()
+    val rowRdd: RDD[Row] =
+      batchRdd.mapPartitions(it => DictAgg.partial(it, keyIdx, specs, maxGroups))
+
+    // ---- partial schema: binary key + per-spec mergeable state ----
+    def partialFields(p: AggPlan, i: Int): Seq[StructField] = p.op match {
+      case OpSum =>
+        val dt = if (p.typ == TInt || p.typ == TLong) LongType else DoubleType
+        Seq(StructField(s"s_$i", dt, nullable = true))
+      case OpCountStar | OpCountCol =>
+        Seq(StructField(s"c_$i", LongType, nullable = false))
+      case OpMin => Seq(StructField(s"mn_$i", typOf(p.typ), nullable = true))
+      case OpMax => Seq(StructField(s"mx_$i", typOf(p.typ), nullable = true))
+      case OpAvg =>
+        val dt = if (p.typ == TInt || p.typ == TLong) LongType else DoubleType
+        Seq(StructField(s"s_$i", dt, nullable = true),
+          StructField(s"c_$i", LongType, nullable = false))
+    }
+    val schema = StructType(
+      StructField("k", BinaryType, nullable = true) +:
+        plans.zipWithIndex.flatMap { case (p, i) => partialFields(p, i) })
+    val partialDf = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .createDataFrame(rowRdd, schema)
+    val partialPlan = partialDf.queryExecution.analyzed
+    val pAttr: Map[String, Attribute] = partialPlan.output.map(a => a.name -> a).toMap
+    val kAttr = pAttr("k")
+
+    // ---- final merge expressions, rebound to the original exprIds ----
+    def mergeOf(i: Int): Expression = {
+      val p = plans(i)
+      p.op match {
+        case OpSum => Sum(pAttr(s"s_$i")).toAggregateExpression()
+        case OpCountStar | OpCountCol =>
+          Coalesce(Seq(Sum(pAttr(s"c_$i")).toAggregateExpression(), Literal(0L)))
+        case OpMin => Min(pAttr(s"mn_$i")).toAggregateExpression()
+        case OpMax => Max(pAttr(s"mx_$i")).toAggregateExpression()
+        case OpAvg =>
+          // LEGACY divide: an all-NULL group merges to 0 count and the
+          // direct path's Average yields NULL there, not a DIVIDE_BY_ZERO
+          org.apache.spark.sql.catalyst.expressions.Divide(
+            Cast(Sum(pAttr(s"s_$i")).toAggregateExpression(), DoubleType),
+            Cast(Sum(pAttr(s"c_$i")).toAggregateExpression(), DoubleType),
+            org.apache.spark.sql.catalyst.expressions.EvalMode.LEGACY)
+      }
+    }
+    val keyExpr: Expression = Cast(kAttr, StringType)
+
+    def rewriteExpr(e: Expression): Option[Expression] = e match {
+      case ae: AggregateExpression =>
+        val boxed = aes.get(ae)
+        val idx: Option[Int] =
+          if (boxed != null) Some(boxed.intValue)
+          else aeList.zipWithIndex
+            .collectFirst { case (x, i) if x.semanticEquals(ae) => i }
+        idx.map(mergeOf)
+      case a: AttributeReference if a.exprId == g.exprId => Some(keyExpr)
+      case l: Literal => Some(l)
+      case other if other.children.nonEmpty && other.deterministic =>
+        val kids = other.children.map(rewriteExpr)
+        if (kids.forall(_.isDefined)) Some(other.withNewChildren(kids.map(_.get)))
+        else None
+      case _ => None
+    }
+
+    val outputs: Seq[NamedExpression] = aggExprs.map { ne =>
+      val (inner, name) = ne match {
+        case Alias(c, n) => (c, n)
+        case a: Attribute => (a: Expression, a.name)
+        case other => (other: Expression, other.name)
+      }
+      rewriteExpr(inner)
+        .filter(_.dataType == ne.dataType) // exact type or no rewrite
+        .map(r => Alias(r, name)(exprId = ne.exprId, qualifier = ne.qualifier))
+        .getOrElse(return None)
+    }
+
+    engagements.incrementAndGet()
+    logInfo(s"dictAgg: rewriting GROUP BY $keyName over " +
+      s"${lr.relation.asInstanceOf[HadoopFsRelation].location.rootPaths.headOption.getOrElse("?")} " +
+      s"to dictionary-code partial aggregation (${specs.length} aggregates)")
+    Some(Aggregate(Seq(kAttr), outputs, partialPlan))
+  }
+
+  private def typOf(t: Int): DataType = t match {
+    case TInt => IntegerType
+    case TLong => LongType
+    case TFloat => FloatType
+    case TDouble => DoubleType
+  }
+
+  /** The parquet relation under cardinality-preserving wrappers only —
+    * any Filter/Sample/Limit/join leaves the plan untouched (a filter
+    * would have to be re-applied batch-side; out of scope, the scan
+    * path handles it). */
+  private def relationOf(p: LogicalPlan): Option[LogicalRelation] = p match {
+    case l: LogicalRelation if !l.isStreaming =>
+      l.relation match {
+        case r: HadoopFsRelation if r.fileFormat.isInstanceOf[ParquetFileFormat] =>
+          // partition columns never carry dictionary ids and the key
+          // could be one of them — still correct (constant-vector
+          // fallback), so no exclusion needed
+          Some(l)
+        case _ => None
+      }
+    case Project(projList, c) if projList.forall(_.isInstanceOf[AttributeReference]) =>
+      relationOf(c)
+    case SubqueryAlias(_, c) => relationOf(c)
+    case _ => None
+  }
+
+  private def resolve(p: LogicalPlan, attr: Attribute): Option[String] = p match {
+    case l: LogicalRelation =>
+      l.output.find(_.exprId == attr.exprId).map(_.name)
+    case Project(projList, c) =>
+      projList.find(_.exprId == attr.exprId).flatMap {
+        case a: AttributeReference => resolve(c, a)
+        case Alias(a: AttributeReference, _) => resolve(c, a)
+        case _ => None
+      }
+    case SubqueryAlias(_, c) => resolve(c, attr)
+    case _ => None
+  }
+}

@@ -134,4 +134,15 @@ object FunctionShim {
       }
       .collect()
   }
+
+  /** Wrap an analyzed/analyzable logical plan as a `DataFrame`
+    * (`Dataset.ofRows` is `private[sql]`). The dictionary-code
+    * aggregation rewrite ([[graft.plans.DictAggRewrite]]) uses this to
+    * plan its columnar scan sub-query at rule time. */
+  def ofRows(
+      spark: SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
 }

@@ -90,8 +90,13 @@ class PlanSpec extends AnyFunSuite {
     val filtered = li.filter(col("l_quantity") > 10).agg(count(lit(1)))
     assert(planOf(filtered).contains("FileScan"),
       s"filtered count must scan:\n${planOf(filtered)}")
+    // a grouped count must still read the data — either a plain
+    // FileScan, or (since r16) the dictionary-code partial RDD whose
+    // lineage IS the columnar file scan; never a footer LocalTableScan
     val grouped = li.groupBy("l_returnflag").agg(count(lit(1)))
-    assert(planOf(grouped).contains("FileScan"),
+    assert((planOf(grouped).contains("FileScan") ||
+        planOf(grouped).contains("ExistingRDD")) &&
+        !planOf(grouped).contains("LocalTableScan"),
       s"grouped count must scan:\n${planOf(grouped)}")
     // double stats can be NaN-poisoned, string stats truncated — scan
     val dblMin = li.agg(min(col("l_quantity")))
@@ -110,6 +115,17 @@ class PlanSpec extends AnyFunSuite {
     // limit under the aggregate changes cardinality
     val limited = li.limit(7).agg(count(lit(1)).as("c"))
     assert(limited.collect().head.getLong(0) == 7L)
+  }
+
+  test("dictionary-code aggregation ENGAGES on the bench q2 shape (r16 gate lever)") {
+    val before = graft.plans.DictAgg.engagements.get()
+    val df = Tables.load(spark, dir, "lineitem")
+      .groupBy("l_returnflag").agg(sum("l_quantity").as("s"))
+    val plan = df.queryExecution.optimizedPlan.toString
+    assert(graft.plans.DictAgg.engagements.get() > before,
+      s"dictAgg rewrite did not engage on the bench q2 shape:\n$plan")
+    assert(plan.contains("LogicalRDD") || plan.contains("ExistingRDD"),
+      s"expected the dictionary-code partial RDD:\n$plan")
   }
 
   test("footer shortcut disqualifies on unsigned logical types and absent stats (VERDICT r9 #7)") {

@@ -1,0 +1,161 @@
+package graft.plans
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Dictionary-code aggregation rewrite ([[DictAggRewrite]]): the
+  * rewritten plan must be answer-identical to the direct path across
+  * every supported aggregate, null shape, and the maxGroups overflow
+  * degradation — and it must actually ENGAGE on the bench q2 shape
+  * (a silently-disengaged optimization is the r15 bug class). */
+class DictAggSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+
+  private lazy val table: String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_dictagg").toString
+    import scala.jdk.CollectionConverters._
+    val rows = (0 until 5000).map { i =>
+      val key = if (i % 97 == 0) null else s"k${i % 7}"
+      org.apache.spark.sql.Row(
+        key,
+        if (i % 13 == 0) null else java.lang.Integer.valueOf(i % 100),
+        if (i % 11 == 0) null else java.lang.Long.valueOf(i.toLong * 3),
+        if (i % 17 == 0) null else java.lang.Float.valueOf(i / 7.0f),
+        if (i % 19 == 0) null else java.lang.Double.valueOf(i / 3.0),
+        s"v$i")
+    }.asJava
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("i", org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("l", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("f", org.apache.spark.sql.types.FloatType),
+      org.apache.spark.sql.types.StructField("d", org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("s", org.apache.spark.sql.types.StringType)))
+    spark.createDataFrame(rows, schema)
+      .repartition(3)
+      .write.mode("overwrite").parquet(s"$dir/t.parquet")
+    s"$dir/t.parquet"
+  }
+
+  private def agged(df: DataFrame): DataFrame =
+    df.groupBy("k").agg(
+      sum("i").as("si"), sum("l").as("sl"), sum("f").as("sf"), sum("d").as("sd"),
+      count(lit(1)).as("c"), count(col("d")).as("cd"), count(col("s")).as("cs"),
+      min("i").as("mni"), max("l").as("mxl"), min("f").as("mnf"), max("d").as("mxd"),
+      avg("i").as("ai"), avg("d").as("ad"),
+      sum("l").cast("string").as("slc"))
+
+  private def collectSorted(df: DataFrame): Seq[String] =
+    df.collect().map(_.toString).sorted.toSeq
+
+  private def withDisabled[T](f: => T): T = {
+    spark.conf.set(DictAgg.EnabledKey, "false")
+    try f finally spark.conf.unset(DictAgg.EnabledKey)
+  }
+
+  test("rewrite engages on the q2 shape and matches the direct path") {
+    val df = spark.read.parquet(table)
+    val before = DictAgg.engagements.get()
+    val fast = collectSorted(agged(df))
+    assert(DictAgg.engagements.get() > before,
+      "dictAgg rewrite did not engage on a plain GROUP BY string key over parquet")
+    val slow = withDisabled(collectSorted(agged(spark.read.parquet(table))))
+    assert(fast == slow)
+  }
+
+  test("engagement is visible in the optimized plan (LogicalRDD partials)") {
+    val df = spark.read.parquet(table)
+      .groupBy("k").agg(sum("d").as("s"))
+    val plan = df.queryExecution.optimizedPlan.toString
+    assert(plan.contains("LogicalRDD") || plan.contains("ExistingRDD"),
+      s"expected the dictionary-code partial RDD in the plan:\n$plan")
+  }
+
+  test("maxGroups overflow degrades to singleton partials, same answer") {
+    spark.conf.set(DictAgg.MaxGroupsKey, "2")
+    try {
+      val before = DictAgg.engagements.get()
+      val fast = collectSorted(agged(spark.read.parquet(table)))
+      assert(DictAgg.engagements.get() > before)
+      val slow = withDisabled(collectSorted(agged(spark.read.parquet(table))))
+      assert(fast == slow)
+    } finally spark.conf.unset(DictAgg.MaxGroupsKey)
+  }
+
+  test("all-null measure groups and the null key group match") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_dictagg2").toString
+    import scala.jdk.CollectionConverters._
+    val rows = Seq(
+      org.apache.spark.sql.Row("a", null),
+      org.apache.spark.sql.Row("a", null),
+      org.apache.spark.sql.Row(null, java.lang.Double.valueOf(2.5)),
+      org.apache.spark.sql.Row(null, null),
+      org.apache.spark.sql.Row("b", java.lang.Double.valueOf(-1.0))).asJava
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("d", org.apache.spark.sql.types.DoubleType)))
+    spark.createDataFrame(rows, schema).write.mode("overwrite").parquet(s"$dir/t.parquet")
+    def q() = spark.read.parquet(s"$dir/t.parquet").groupBy("k")
+      .agg(sum("d").as("s"), avg("d").as("a"), count(lit(1)).as("c"),
+        min("d").as("mn"), max("d").as("mx"))
+    val before = DictAgg.engagements.get()
+    val fast = collectSorted(q())
+    assert(DictAgg.engagements.get() > before)
+    assert(fast == withDisabled(collectSorted(q())))
+  }
+
+  test("float NaN and -0.0 min/max ordering matches Spark") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_dictagg3").toString
+    import scala.jdk.CollectionConverters._
+    val rows = Seq(
+      org.apache.spark.sql.Row("a", java.lang.Double.valueOf(Double.NaN)),
+      org.apache.spark.sql.Row("a", java.lang.Double.valueOf(1.0)),
+      org.apache.spark.sql.Row("b", java.lang.Double.valueOf(-0.0)),
+      org.apache.spark.sql.Row("b", java.lang.Double.valueOf(0.0))).asJava
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("d", org.apache.spark.sql.types.DoubleType)))
+    spark.createDataFrame(rows, schema).write.mode("overwrite").parquet(s"$dir/t.parquet")
+    def q() = spark.read.parquet(s"$dir/t.parquet").groupBy("k")
+      .agg(min("d").as("mn"), max("d").as("mx"))
+    val fast = collectSorted(q())
+    assert(fast == withDisabled(collectSorted(q())))
+  }
+
+  test("does not engage on filtered, distinct, or non-string-key shapes") {
+    val df = spark.read.parquet(table)
+    def noEngage(mk: => DataFrame): Unit = {
+      val before = DictAgg.engagements.get()
+      mk.collect()
+      assert(DictAgg.engagements.get() == before)
+    }
+    noEngage(df.filter(col("i") > 10).groupBy("k").agg(sum("d")))
+    noEngage(df.groupBy("k").agg(countDistinct("i")))
+    noEngage(df.groupBy("i").agg(sum("d")))
+    noEngage(df.groupBy("k", "s").agg(sum("d")))
+  }
+
+  test("kill switch disables the rewrite") {
+    withDisabled {
+      val before = DictAgg.engagements.get()
+      spark.read.parquet(table).groupBy("k").agg(sum("d")).collect()
+      assert(DictAgg.engagements.get() == before)
+    }
+  }
+
+  test("the dialect front door (ChSql) engages too — the q2 bench spelling") {
+    graft.dialect.ChFunctions.register(spark)
+    spark.read.parquet(table).createOrReplaceTempView("dictagg_t")
+    val before = DictAgg.engagements.get()
+    val fast = collectSorted(graft.dialect.ChSql.sql(spark,
+      "SELECT k, sum(d) AS s FROM dictagg_t GROUP BY k"))
+    assert(DictAgg.engagements.get() > before)
+    val slow = withDisabled(collectSorted(graft.dialect.ChSql.sql(spark,
+      "SELECT k, sum(d) AS s FROM dictagg_t GROUP BY k")))
+    assert(fast == slow)
+  }
+}
