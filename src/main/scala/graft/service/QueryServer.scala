@@ -151,8 +151,16 @@ class QueryServer(
           // URL settings govern binary INSERTs too (review r15:
           // `?readonly=1` / `?max_execution_time=` were silently
           // dropped on this branch)
+          // governance keys normalize to the lowercase spelling the
+          // SET path uses and Governance reads — '?MAX_RESULT_ROWS=5'
+          // must apply the bound, not set a wrong-cased key that is
+          // silently unenforced (advisor r16)
           val urlSettings0 = params.view.filterKeys(k =>
             !ReservedParams.contains(k) && !k.startsWith("param_")).toMap
+            .map { case (k, v) =>
+              (if (graft.service.Governance.Keys(k.toLowerCase)) k.toLowerCase
+               else k, v)
+            }
           if (binaryIns.isDefined)
             serveBinaryInsert(ex, reqId, binaryIns.get, urlSettings0)
           else {
@@ -445,6 +453,16 @@ class QueryServer(
                 // which would corrupt the block framing
                 sink.forceCommit()
                 streamedRows = nativeFormatStream(meta, rowIt, sink.rawOut)
+                spooled = sink.finishOk().map(b => (ctype, b)) // None
+              } else if (fmtKey.exists(_.startsWith("rowbinary"))) {
+                sink.forceCommit()
+                val schema = meta.schema.getOrElse(
+                  throw new IllegalStateException(
+                    "FORMAT RowBinary: the result schema is unavailable"))
+                val withNames = fmtKey.exists(_.contains("withnames"))
+                val withTypes = fmtKey.exists(_.contains("andtypes"))
+                streamedRows = graft.service.native.RowBinary.streamResult(
+                  schema, rowIt, sink.rawOut, withNames, withTypes)
                 spooled = sink.finishOk().map(b => (ctype, b)) // None
               } else if (fmtKey.contains("arrow") ||
                   fmtKey.contains("arrowstream")) {
@@ -958,7 +976,8 @@ class QueryServer(
     * loads at scale use the native door's streamed batches or
     * `INSERT … SELECT` over files. */
   private val BinaryInsertTails: Seq[(String, scala.util.matching.Regex)] =
-    Seq("parquet", "native", "arrowstream").map(f =>
+    Seq("parquet", "native", "arrowstream",
+      "rowbinary", "rowbinarywithnames", "rowbinarywithnamesandtypes").map(f =>
       f -> s"""(?is)^\\s*FORMAT\\s+$f\\s*$$""".r)
 
   private def parseBinaryInsert(
@@ -978,6 +997,13 @@ class QueryServer(
     else {
       val tmp = java.nio.file.Files.createTempFile("graft_http_ins", ".parquet")
       try {
+        // self-describing bodies (Native / ArrowStream / RowBinary with
+        // header) carry authoritative column NAMES: pass them through
+        // as the INSERT's column list so mapping stays by-name — the
+        // bare `INSERT … SELECT *` maps positionally, and a body whose
+        // column order differs from the table's would misattribute
+        // values (r16, caught by the reversed-order RowBinary spec)
+        var bodyCols: Option[Seq[String]] = None
         fmt match {
           case "parquet" => java.nio.file.Files.write(tmp, bytes)
           case "native" =>
@@ -985,12 +1011,25 @@ class QueryServer(
             val rows = scala.collection.mutable.ArrayBuffer.empty[
               org.apache.spark.sql.Row]
             var schema: org.apache.spark.sql.types.StructType = null
+            // CH refuses a structure mismatch between blocks of one
+            // INSERT; without this check a later block with the same
+            // column count but reordered compatible types would insert
+            // misattributed values (advisor r16)
+            var structure: Seq[(String, graft.service.native.NativeBlock.ChT)] = null
             while (!src.atEnd) {
               val b = graft.service.native.NativeBlock.readFormatBlock(src)
-              if (schema == null) schema =
-                org.apache.spark.sql.types.StructType(b.cols.map(c =>
-                  org.apache.spark.sql.types.StructField(c.name,
-                    graft.service.native.NativeBlock.sparkTypeOf(c.t))))
+              val bStructure = b.cols.map(c => (c.name, c.t))
+              if (schema == null) {
+                schema =
+                  org.apache.spark.sql.types.StructType(b.cols.map(c =>
+                    org.apache.spark.sql.types.StructField(c.name,
+                      graft.service.native.NativeBlock.sparkTypeOf(c.t))))
+                structure = bStructure
+              } else require(bStructure == structure,
+                s"INSERT INTO $table FORMAT Native: block structure is " +
+                  s"INCOMPATIBLE with the first block's — expected " +
+                  s"${structure.map(_._1).mkString(", ")}, got " +
+                  s"${bStructure.map(_._1).mkString(", ")}")
               var i = 0
               while (i < b.rows) {
                 rows += org.apache.spark.sql.Row.fromSeq(
@@ -1000,13 +1039,59 @@ class QueryServer(
             }
             require(schema != null,
               s"INSERT INTO $table FORMAT Native: the body holds no blocks")
+            bodyCols = Some(schema.fieldNames.toSeq)
             writeTempParquet(schema, rows.toSeq, tmp)
           case "arrowstream" =>
             val (schema, rows) =
               org.apache.spark.sql.graft.ArrowShim.readStream(bytes)
+            bodyCols = Some(schema.fieldNames.toSeq)
+            writeTempParquet(schema, rows, tmp)
+          case v @ ("rowbinary" | "rowbinarywithnames" |
+                    "rowbinarywithnamesandtypes") =>
+            // plain RowBinary carries no structure; WithNames no types —
+            // both take them from the TARGET table (CH's contract), in
+            // the INSERT column-list order when one was given
+            val declared: Seq[(String, graft.service.native.NativeBlock.ChT)] =
+              if (v == "rowbinarywithnamesandtypes") Nil
+              else {
+                // the structure must come from the table's DECLARED CH
+                // types — a materialized Spark view is all-nullable,
+                // which would make every non-Nullable value grow a
+                // phantom null-flag byte and misalign the whole body.
+                // Catalog-declared tables carry their DDL; anything
+                // else falls back to the session schema's types.
+                val cat = graft.core.Catalog.lookup(table)
+                val all: Seq[(String, graft.service.native.NativeBlock.ChT)] =
+                  cat.map(_.schemaDdl).filter(_.nonEmpty) match {
+                    case Some(ddl) =>
+                      graft.types.ChSchemaParser.columnPairs(ddl).map {
+                        case (n, t) =>
+                          n -> graft.service.native.NativeBlock.parseType(t)
+                      }
+                    case None =>
+                      graft.core.Catalog.ensureSessionViews(spark, s"`$table`")
+                      graft.dialect.ChSql.sql(spark,
+                        s"SELECT * FROM `$table` WHERE 1=0").schema.fields
+                        .toSeq.map(f => f.name ->
+                          graft.service.native.NativeBlock
+                            .chTypeFor(f.dataType, f.nullable))
+                  }
+                colsOpt.filter(_.nonEmpty) match {
+                  case Some(cs) => cs.map(c =>
+                    all.find(_._1 == c).getOrElse(
+                      throw new IllegalArgumentException(
+                        s"INSERT INTO $table: unknown column `$c`")))
+                  case None => all
+                }
+              }
+            val (schema, rows) =
+              graft.service.native.RowBinary.readBody(bytes, v, declared)
+            if (v == "rowbinarywithnamesandtypes" ||
+                v == "rowbinarywithnames")
+              bodyCols = Some(schema.fieldNames.toSeq)
             writeTempParquet(schema, rows, tmp)
         }
-        val cols = colsOpt.filter(_.nonEmpty)
+        val cols = colsOpt.filter(_.nonEmpty).orElse(bodyCols)
         val colSel = cols.map(_.map(c => s"`$c`").mkString(", ")).getOrElse("*")
         val colTgt = cols.map(cs =>
           s" (${cs.map(c => s"`$c`").mkString(", ")})").getOrElse("")
@@ -1114,7 +1199,9 @@ class QueryServer(
     case Some("pretty") | Some("prettycompact") | Some("values") |
          Some("vertical") | Some("null") => "text/plain"
     case Some("native") | Some("parquet") |
-         Some("arrow") | Some("arrowstream") => "application/octet-stream"
+         Some("arrow") | Some("arrowstream") | Some("rowbinary") |
+         Some("rowbinarywithnames") | Some("rowbinarywithnamesandtypes") =>
+      "application/octet-stream"
     case Some(_) => "application/json"
   }
 

@@ -13,7 +13,10 @@ object ResponseFormats {
     // binary extract formats (r15): Native streams the CH block
     // codec one BlockRows chunk at a time; Parquet spools one file;
     // Arrow/ArrowStream ride Spark's own IPC writers
-    "Native", "Parquet", "Arrow", "ArrowStream")
+    "Native", "Parquet", "Arrow", "ArrowStream",
+    // row-major binary (r16): the format most CH SDKs default to
+    // after Native — graft.service.native.RowBinary
+    "RowBinary", "RowBinaryWithNames", "RowBinaryWithNamesAndTypes")
   private val lower = names.map(_.toLowerCase).toSet
   def supported(name: String): Boolean = lower.contains(name.toLowerCase)
 }

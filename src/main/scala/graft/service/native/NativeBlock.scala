@@ -230,7 +230,7 @@ object NativeBlock {
     case other => toLongNum(other)
   }
 
-  private def writeColumnData(o: WireOut, t: ChT, vs: IndexedSeq[Any]): Unit =
+  private[native] def writeColumnData(o: WireOut, t: ChT, vs: IndexedSeq[Any]): Unit =
     t match {
       case TNullable(inner) =>
         vs.foreach(v => o.writeByte(if (v == null) 1 else 0))
@@ -420,7 +420,7 @@ object NativeBlock {
     DecodedBlock(cols, nRows)
   }
 
-  private def readColumnData(src: ByteSource, t: ChT,
+  private[native] def readColumnData(src: ByteSource, t: ChT,
       rows: Int): IndexedSeq[Any] = t match {
     case TNullable(inner) =>
       val nulls = (0 until rows).map(_ => src.readByte() != 0)

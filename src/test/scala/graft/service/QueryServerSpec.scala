@@ -792,6 +792,86 @@ class QueryServerSpec extends AnyFunSuite {
     assert(post("/", "DROP TABLE xreq_bin").statusCode() == 200)
   }
 
+  test("FORMAT RowBinary[WithNames[AndTypes]] out: golden bytes + header (r16)") {
+    def bytesOf(sql: String): Array[Byte] = {
+      val q = java.net.URLEncoder.encode(sql, "UTF-8")
+      val r = client.send(
+        HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port/?query=$q"))
+          .GET().build(),
+        HttpResponse.BodyHandlers.ofByteArray())
+      assert(r.statusCode() == 200, new String(r.body(), "UTF-8").take(200))
+      assert(r.headers().firstValue("Content-Type").orElse("") ==
+        "application/octet-stream")
+      r.body()
+    }
+    def hex(b: Array[Byte]) = b.map("%02x".format(_)).mkString(" ")
+    // plain RowBinary: rows only — 3×Int64 LE
+    assert(hex(bytesOf(
+      "SELECT number AS n FROM numbers(3) ORDER BY n FORMAT RowBinary")) ==
+      "00 00 00 00 00 00 00 00 " +
+      "01 00 00 00 00 00 00 00 " +
+      "02 00 00 00 00 00 00 00")
+    // WithNamesAndTypes: 01 | 01 'n' | 05 "Int64" | one row
+    assert(hex(bytesOf("SELECT number AS n FROM numbers(1) " +
+      "FORMAT RowBinaryWithNamesAndTypes")) ==
+      "01 01 6e 05 49 6e 74 36 34 00 00 00 00 00 00 00 00")
+    // WithNames: header without types; strings varuint-prefixed
+    assert(hex(bytesOf("SELECT 'hi' AS s FORMAT RowBinaryWithNames")) ==
+      "01 01 73 02 68 69")
+  }
+
+  test("INSERT … FORMAT RowBinary[WithNamesAndTypes] with binary bodies round-trips (r16)") {
+    // s is Nullable so the column-subset spelling below can fill it
+    // with NULL (this engine refuses NULL into non-Nullable columns)
+    assert(post("/", "CREATE TABLE xreq_rb (id Int64, s Nullable(String)) " +
+      "ENGINE = MergeTree ORDER BY id").statusCode() == 200)
+    def postBytes(query: String, body: Array[Byte]): HttpResponse[String] = {
+      val q = java.net.URLEncoder.encode(query, "UTF-8")
+      client.send(
+        HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port/?query=$q"))
+          .POST(HttpRequest.BodyPublishers.ofByteArray(body)).build(),
+        HttpResponse.BodyHandlers.ofString())
+    }
+    // plain RowBinary: structure comes from the TARGET table's DECLARED
+    // CH types (Int64 bare, Nullable(String) flagged) — body is
+    // hand-built bytes per the public layout (independent of the codec)
+    val plain = new java.io.ByteArrayOutputStream()
+    def varstr(s: String): Unit = {
+      plain.write(0) // Nullable present-flag
+      plain.write(s.length); plain.write(s.getBytes("UTF-8"))
+    }
+    def i64(v: Long): Unit =
+      (0 until 8).foreach(i => plain.write(((v >> (8 * i)) & 0xFF).toInt))
+    i64(1L); varstr("a"); i64(2L); varstr("b")
+    val ins = postBytes("INSERT INTO xreq_rb FORMAT RowBinary", plain.toByteArray)
+    assert(ins.statusCode() == 200, ins.body())
+    assert(post("/?default_format=CSV",
+      "SELECT count(), max(s) FROM xreq_rb").body() == "2,\"b\"\n")
+    // WithNamesAndTypes: self-describing header, REVERSED column order —
+    // by-name mapping must still land values in the right columns
+    val o = new graft.service.native.NativeWire.WireOut
+    import graft.service.native.{NativeBlock, RowBinary}
+    RowBinary.writeHeader(o,
+      Seq("s" -> NativeBlock.TNullable(NativeBlock.TString),
+        "id" -> NativeBlock.TInt64),
+      withTypes = true)
+    RowBinary.writeValue(o, NativeBlock.TNullable(NativeBlock.TString), "z")
+    RowBinary.writeValue(o, NativeBlock.TInt64, 9L)
+    val ins2 = postBytes(
+      "INSERT INTO xreq_rb FORMAT RowBinaryWithNamesAndTypes", o.bytes)
+    assert(ins2.statusCode() == 200, ins2.body())
+    assert(post("/?default_format=CSV",
+      "SELECT count(), max(id), max(s) FROM xreq_rb").body() == "3,9,\"z\"\n")
+    // column-subset spelling: body carries only the listed column
+    val o2 = new graft.service.native.NativeWire.WireOut
+    RowBinary.writeValue(o2, NativeBlock.TInt64, 42L)
+    val ins3 = postBytes("INSERT INTO xreq_rb (id) FORMAT RowBinary", o2.bytes)
+    assert(ins3.statusCode() == 200, ins3.body())
+    assert(post("/?default_format=CSV",
+      "SELECT count(), max(id) FROM xreq_rb").body() == "4,42\n")
+    assert(post("/", "DROP TABLE xreq_rb").statusCode() == 200)
+  }
+
   test("URL parameters are per-query SETTINGS, restored after the request (r15)") {
     // max_result_rows as a URL param governs exactly like its SET form
     val q = java.net.URLEncoder.encode(
