@@ -34,7 +34,26 @@ object Tables {
     * change in NESTED subdirs the top-level listing can't see, and a
     * summed `length + mtime` is collision-prone (review r15); an MD5
     * over the full entry list is order-stable and cheap (readdirs on
-    * the driver; non-local paths never reach this cache). */
+    * the driver; non-local paths never reach this cache).
+    *
+    * Known caveats (advisor r16), both bounded and documented rather
+    * than plugged:
+    *   - mtime granularity: a file rewritten with IDENTICAL length
+    *     inside the same filesystem mtime tick yields the same
+    *     signature and serves the stale cached schema — the schema,
+    *     not data (data is re-read every query), and only until the
+    *     next real mtime change;
+    *   - walk cost: on a deep partitioned tree the recursive readdir
+    *     can exceed the ~70 ms of inference it saves, so the signature
+    *     itself is memoized per path for [[SigTtlMs]] — a hot query
+    *     loop pays one walk per TTL window, and a dataset swapped
+    *     within the window is picked up at most [[SigTtlMs]] late
+    *     (schema only, and the projection-style fingerprint gates
+    *     stay exact because they never read this cache). */
+  private val SigTtlMs = 2000L
+  private val sigMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, String)]()
+
   private def contentSig(f: java.io.File): String = {
     val md = java.security.MessageDigest.getInstance("MD5")
     // cycle guard by CANONICAL path (review r15, twice): skipping
@@ -64,7 +83,15 @@ object Tables {
     val f = new java.io.File(path.stripPrefix("file:").stripPrefix("//"))
     if (!f.exists()) spark.read.parquet(path)
     else {
-      val sig = contentSig(f)
+      val now = System.currentTimeMillis()
+      val memo = sigMemo.get(path)
+      val sig =
+        if (memo != null && now - memo._1 < SigTtlMs) memo._2
+        else {
+          val s = contentSig(f)
+          sigMemo.put(path, (now, s))
+          s
+        }
       val hit = schemaCache.get(path)
       val schema =
         if (hit != null && hit._1 == sig) hit._2

@@ -455,6 +455,11 @@ object ChWrites {
               // r15 — trim-filtering silently discarded it; CH inserts
               // ('',''))
               val all = rawRows.filter(_.nonEmpty)
+              // a clean caller-fault message, not all.head's
+              // NoSuchElementException (advisor r16; the CSV/JSON
+              // paths already fail gracefully on empty data)
+              require(!withNames || all.nonEmpty,
+                s"INSERT INTO $name FORMAT $fmtName: inline data is empty")
               val colNames: Seq[String] =
                 if (withNames) all.head.split("\t", -1)
                   .map(unescapeTsvField).toSeq

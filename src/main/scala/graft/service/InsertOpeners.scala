@@ -51,8 +51,15 @@ object InsertOpeners {
         else {
           if (cur.toString.trim.nonEmpty || out.nonEmpty)
             out += cur.toString.trim
-          cols = Some(out.toSeq.filter(_.nonEmpty))
-          rest = rest.substring(closed + 1)
+          val parsed = out.toSeq.filter(_.nonEmpty)
+          // an explicitly EMPTY column list `INSERT INTO t () …` is a
+          // syntax error in CH — collapsing it to the no-column-list
+          // spelling would silently mean "all columns" (advisor r16)
+          if (parsed.isEmpty) malformed = true
+          else {
+            cols = Some(parsed)
+            rest = rest.substring(closed + 1)
+          }
         }
       }
       if (!malformed && tailRe.matches(rest)) Some((table, cols))
