@@ -444,10 +444,18 @@ class QueryServer(
             val sink = new SpoolSink(ex, ctype, pickEncoding(ex))
             sinkRef = sink
             val rowIt =
-              if (progressHeaders) progressIterator(ex, sink, rowIt0, t0)
+              if (progressHeaders) progressIterator(ex, sink, meta, rowIt0, t0)
               else rowIt0
             try {
-              if (fmtKey.contains("native")) {
+              if (fmtKey.contains("jsoneachrowwithprogress")) {
+                // in-body progress events require the chunked stream
+                // from byte 0 — a spooled response would deliver every
+                // "progress" line at commit, defeating the format
+                sink.forceCommit()
+                streamedRows =
+                  ndjsonProgressStream(meta, rowIt, sink.writer, t0, sink)
+                spooled = sink.finishOk().map(b => (ctype, b)) // None
+              } else if (fmtKey.contains("native")) {
                 // binary: commit the chunked 200 up front — the spool's
                 // small-response path hands bytes back as a STRING,
                 // which would corrupt the block framing
@@ -482,7 +490,7 @@ class QueryServer(
                 streamedRows = renderStream(fmtKey, meta, rowIt, sink.writer)
                 if (progressHeaders && !sink.committed)
                   ex.getResponseHeaders.set("X-ClickHouse-Summary",
-                    progressJson(streamedRows, t0))
+                    progressJson(meta, streamedRows, t0, sink.bytesOut.get))
                 spooled = sink.finishOk().map(b => (ctype, b))
               }
             } catch {
@@ -794,6 +802,9 @@ class QueryServer(
       encoding: Option[String]) {
     private val spool = new java.io.ByteArrayOutputStream(8192)
     private var streamOut: java.io.OutputStream = _
+    /** Rendered (pre-compression) bytes — `result_bytes` in progress
+      * reporting (r16). */
+    val bytesOut = new java.util.concurrent.atomic.AtomicLong(0L)
     @volatile var committed = false
     private val abortedFlag = new java.util.concurrent.atomic.AtomicBoolean(false)
     def aborted: Boolean = abortedFlag.get
@@ -809,6 +820,7 @@ class QueryServer(
         lock.lock()
         try {
           if (aborted) throw new java.io.IOException("response aborted")
+          bytesOut.addAndGet(len.toLong)
           if (committed) streamOut.write(b, off, len)
           else {
             spool.write(b, off, len)
@@ -1191,7 +1203,8 @@ class QueryServer(
     * formats were refused BEFORE execution). */
   private def formatContentType(fmtKey: Option[String]): String = fmtKey match {
     case None | Some("json") => "application/json"
-    case Some("jsoneachrow") | Some("ndjson") => "application/x-ndjson"
+    case Some("jsoneachrow") | Some("ndjson") |
+         Some("jsoneachrowwithprogress") => "application/x-ndjson"
     case Some("csv") | Some("csvwithnames") => "text/csv"
     case Some("tsv") | Some("tabseparated") |
          Some("tsvwithnames") | Some("tabseparatedwithnames") =>
@@ -1218,14 +1231,21 @@ class QueryServer(
     * default). */
   private val ProgressIntervalNs = 100L * 1000 * 1000
 
-  private def progressJson(rows: Long, t0: Long): String = {
+  private def progressJson(meta: QueryService.QueryResult, rows: Long,
+      t0: Long, resultBytes: Long): String = {
     val ns = System.nanoTime() - t0
-    // CH stringifies the numbers; read/result counts are the rows that
-    // crossed the door (same accounting as the native door's Progress
-    // frames — the driver doesn't see executor-side scan counters)
-    s"""{"read_rows":"$rows","read_bytes":"0","written_rows":"0",""" +
-      s""""written_bytes":"0","total_rows_to_read":"0",""" +
-      s""""result_rows":"$rows","result_bytes":"0","elapsed_ns":"$ns"}"""
+    // CH stringifies the numbers. read_rows/read_bytes come from the
+    // executors' task input metrics ([[ScanProgress]], keyed by the
+    // query's job group) — the storage-layer accounting CH reports;
+    // the door's shipped-row count is the floor when the listener bus
+    // lags. result_* count what crossed the door; total_rows_to_read
+    // is the leaf-relation row estimate when stats carry one.
+    val c = meta.jobGroup.flatMap(ScanProgress.get)
+    val readRows = math.max(rows, c.map(_.recordsRead.get).getOrElse(0L))
+    val readBytes = c.map(_.bytesRead.get).getOrElse(0L)
+    s"""{"read_rows":"$readRows","read_bytes":"$readBytes","written_rows":"0",""" +
+      s""""written_bytes":"0","total_rows_to_read":"${meta.estRowsToRead}",""" +
+      s""""result_rows":"$rows","result_bytes":"$resultBytes","elapsed_ns":"$ns"}"""
   }
 
   /** `send_progress_in_http_headers=1`: add `X-ClickHouse-Progress`
@@ -1238,6 +1258,7 @@ class QueryServer(
     * chunked stream. The per-row cost is one branch once the response
     * commits. */
   private def progressIterator(ex: HttpExchange, sink: SpoolSink,
+      meta: QueryService.QueryResult,
       it: Iterator[Seq[Any]], t0: Long): Iterator[Seq[Any]] =
     new Iterator[Seq[Any]] {
       private var n = 0L
@@ -1260,7 +1281,7 @@ class QueryServer(
               lastNs = now
               lastAt = n
               ex.getResponseHeaders.add("X-ClickHouse-Progress",
-                progressJson(n, t0))
+                progressJson(meta, n, t0, sink.bytesOut.get))
             }
           }
         }
@@ -1367,6 +1388,46 @@ class QueryServer(
       w.write("\n")
       n += 1
     }
+    n
+  }
+
+  /** CH `JSONEachRowWithProgress`: each line is an EVENT object —
+    * `{"progress":{…}}` at ≥[[ProgressIntervalNs]] cadence (flushed
+    * immediately, so a client on a long-running query sees progress
+    * WHILE it runs — the JDK HttpServer cannot flush progressive
+    * HEADERS mid-response, which is why the header spelling reports
+    * accumulate-at-commit and this format is the live channel), data
+    * rows wrapped as `{"row":{…}}`, and a final
+    * `{"rows_before_limit_at_least":…}` — the event layout of CH's
+    * streaming JSON formats. */
+  private def ndjsonProgressStream(meta: QueryService.QueryResult,
+      rows: Iterator[Seq[Any]], w: java.io.Writer, t0: Long,
+      sink: SpoolSink): Long = {
+    var n = 0L
+    var lastNs = 0L
+    def progressLine(): Unit = {
+      w.write("{\"progress\":" +
+        progressJson(meta, n, t0, sink.bytesOut.get) + "}\n")
+      w.flush() // live: the client reads this while the query runs
+      lastNs = System.nanoTime()
+    }
+    progressLine() // CH leads with a progress event before the rows
+    rows.foreach { row =>
+      if (System.nanoTime() - lastNs >= ProgressIntervalNs) progressLine()
+      val sb = new StringBuilder(128)
+      sb.append("{\"row\":{")
+      var first = true
+      meta.cols.zip(row).foreach { case (c, v) =>
+        if (!first) sb.append(','); first = false
+        sb.append(jsonStr(c)).append(':').append(jsonVal(v))
+      }
+      sb.append("}}\n")
+      w.write(sb.toString)
+      n += 1
+    }
+    progressLine()
+    w.write(s"""{"rows_before_limit_at_least":$n}\n""")
+    w.flush()
     n
   }
 

@@ -50,7 +50,14 @@ object QueryService {
       /** Spark-level schema of the streamed result — what the BINARY
         * response formats (Native, Parquet) need to encode typed
         * columns; None on the legacy collect paths. */
-      schema: Option[org.apache.spark.sql.types.StructType] = None)
+      schema: Option[org.apache.spark.sql.types.StructType] = None,
+      /** The query's Spark job group — the key into [[ScanProgress]]'s
+        * executor-side read counters, which the doors' progress
+        * reporting reads while streaming (r16). */
+      jobGroup: Option[String] = None,
+      /** Leaf-relation row estimate (CBO rowCount stats when present) —
+        * CH's `total_rows_to_read`; 0 when unknown. */
+      estRowsToRead: Long = 0L)
 
   /** Temporal-shaped retry policy (SURVEY §2.7 O1): the reference gets
     * per-activity retry from Temporal's defaults — exponential backoff,
@@ -292,16 +299,24 @@ class QueryService(spark: SparkSession) {
         Processes.registerBounded(Processes.Proc(qid, req.query, "default",
           "sql", System.currentTimeMillis(), group, spark),
           Governance.concurrencyLimit(spark))
+        ScanProgress.ensureListener(spark)
+        ScanProgress.track(group)
         try Governance.runGoverned(spark, group) {
           val (df, settings) = executeToDf(req)
+          val estRows = df.queryExecution.optimizedPlan.collectLeaves()
+            .flatMap(_.stats.rowCount).map(_.toLong).sum
           consume(
             QueryResult(
               cols = df.columns.toSeq,
               types = df.schema.fields.map(_.dataType.simpleString).toSeq,
               rows = Nil, settings = settings, format = fmt,
-              schema = Some(df.schema)),
+              schema = Some(df.schema),
+              jobGroup = Some(group), estRowsToRead = estRows),
             Governance.iterateBounded(df).map(_.toSeq))
-        } finally Processes.unregister(qid)
+        } finally {
+          Processes.unregister(qid)
+          ScanProgress.release(group)
+        }
     }
   }
 

@@ -6,7 +6,7 @@ package graft.service
   * (which renders). Names are case-insensitive, as in CH. */
 object ResponseFormats {
   val names: Seq[String] = Seq(
-    "JSON", "JSONEachRow", "NDJSON",
+    "JSON", "JSONEachRow", "NDJSON", "JSONEachRowWithProgress",
     "CSV", "CSVWithNames",
     "TSV", "TabSeparated", "TSVWithNames", "TabSeparatedWithNames",
     "Pretty", "PrettyCompact", "Values", "Vertical", "Null",

@@ -464,8 +464,17 @@ object MergeTreeCtas {
           // the table's own type is authoritative; NULLs into a
           // non-Nullable column refuse, as ClickHouse itself does — a
           // silently-Nullable rewrite would contradict the registered
-          // view's schema and fold IS NULL to false (review finding)
-          require(!hasNull || dt.trim.startsWith("Nullable"),
+          // view's schema and fold IS NULL to false (review finding).
+          // Nullability may hide under a LowCardinality wrapper:
+          // LowCardinality(Nullable(String)) IS nullable (r16 bug —
+          // the bare startsWith refused legal NULLs)
+          val declaredNullable = {
+            val t = dt.trim
+            t.startsWith("Nullable") ||
+              (t.startsWith("LowCardinality(") &&
+                t.stripPrefix("LowCardinality(").trim.startsWith("Nullable"))
+          }
+          require(!hasNull || declaredNullable,
             s"$op: cannot write NULL into non-Nullable column " +
               s"'${f.name}' ($dt) — ClickHouse refuses this too; " +
               "coalesce the value or declare the column Nullable")

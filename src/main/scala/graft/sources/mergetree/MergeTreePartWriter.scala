@@ -382,21 +382,34 @@ object MergeTreePartWriter {
     }
   }
 
-  private def writeLcBlock(main: StreamOut, inner: ChType, g: Seq[Any]): Unit = {
-    {
-      val keys = g.distinct
-      val index = keys.zipWithIndex.toMap
-      val widthTag = if (keys.size <= 0x100) 0 else if (keys.size <= 0x10000) 1 else 2
-      main.w.writeLongLE(widthTag.toLong | (1L << 9)) // HasAdditionalKeys
-      main.w.writeLongLE(keys.size.toLong)
-      keys.foreach(writeScalar(main.w, inner, _))
-      g.foreach { x =>
-        val i = index(x)
-        widthTag match {
-          case 0 => main.w.writeByte(i)
-          case 1 => main.w.writeShortLE(i.toShort)
-          case _ => main.w.writeIntLE(i)
-        }
+  private def writeLcBlock(main: StreamOut, inner0: ChType, g: Seq[Any]): Unit = {
+    // Nullable inner (r16): the dictionary serializes as the NESTED
+    // type with slot 0 reserved for null — CH's layout; a real value
+    // equal to the nested default still gets its OWN slot, so ''
+    // never collapses into NULL
+    val (nested, nullable) = inner0 match {
+      case ChType.NullableT(n) => (n, true)
+      case other => (other, false)
+    }
+    val realKeys =
+      if (nullable) g.filter(_ != null).distinct else g.distinct
+    val keys: Seq[Any] =
+      if (nullable) defaultOf(nested) +: realKeys else realKeys
+    val offset = if (nullable) 1 else 0
+    val index = realKeys.zipWithIndex.map { case (k, i) => k -> (i + offset) }.toMap
+    val widthTag = if (keys.size <= 0x100) 0 else if (keys.size <= 0x10000) 1 else 2
+    main.w.writeLongLE(widthTag.toLong | (1L << 9)) // HasAdditionalKeys
+    main.w.writeLongLE(keys.size.toLong)
+    keys.foreach(writeScalar(main.w, nested, _))
+    g.foreach { x =>
+      val i = if (x == null) {
+        require(nullable, "NULL in a non-Nullable LowCardinality column")
+        0
+      } else index(x)
+      widthTag match {
+        case 0 => main.w.writeByte(i)
+        case 1 => main.w.writeShortLE(i.toShort)
+        case _ => main.w.writeIntLE(i)
       }
     }
   }

@@ -57,14 +57,22 @@ private[mergetree] object ChType {
       case "LowCardinality" =>
         val inner = parse(args)
         inner match {
-          case _: ArrayT | _: NullableT | _: LowCardinalityT =>
+          // Nullable INNERS are in the subset (r16): the dictionary
+          // serializes as the nested type with slot 0 reserved for
+          // null, CH's own layout. Arrays/nested LC stay out.
+          case _: ArrayT | _: LowCardinalityT =>
             throw new IllegalArgumentException(s"unsupported MergeTree type: $t")
+          case NullableT(n) => n match {
+            case _: ArrayT | _: NullableT | _: LowCardinalityT =>
+              throw new IllegalArgumentException(s"unsupported MergeTree type: $t")
+            case _ => LowCardinalityT(inner)
+          }
           case _ => LowCardinalityT(inner)
         }
       case "Array" =>
         val inner = parse(args)
         inner match {
-          case _: ArrayT | _: NullableT =>
+          case _: ArrayT | _: NullableT | LowCardinalityT(_: NullableT) =>
             throw new IllegalArgumentException(
               s"unsupported MergeTree type: $t (nested/nullable arrays not in the subset)")
           case _ => ArrayT(inner)
@@ -362,10 +370,16 @@ private[mergetree] object ColumnCodec {
     * refuses loudly. */
   private def decodeLowCardinality(
       name: String,
-      inner: ChType,
+      inner0: ChType,
       st: Streams,
       markStart: Int,
       granuleCounts: Array[Int]): Array[Any] = {
+    // Nullable inner: the dictionary serializes as the NESTED type and
+    // index 0 is the reserved null slot (CH's layout; r16)
+    val (inner, lcNullable) = inner0 match {
+      case NullableT(n) => (n, true)
+      case other => (other, false)
+    }
     val dict = st.seekStart(s"$name.dict")
     val version = dict.readLongLE()
     require(version == 1L,
@@ -418,7 +432,7 @@ private[mergetree] object ColumnCodec {
           }
           require(idx >= 0 && idx < keys.length,
             s"LowCardinality index $idx outside dictionary of ${keys.length} for $name")
-          out(pos) = keys(idx)
+          out(pos) = if (lcNullable && idx == 0) null else keys(idx)
           pos += 1
           i += 1
         }

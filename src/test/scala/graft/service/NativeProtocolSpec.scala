@@ -526,6 +526,38 @@ class NativeProtocolSpec extends AnyFunSuite {
     } finally spark.conf.unset(graft.dialect.ChWrites.WarehouseConf)
   }
 
+  test("LowCardinality(Nullable(String)) OUT with real NULLs: slot-0 null marker, '' stays distinct (r16)") {
+    val wh = Files.createTempDirectory("graft_native_lcn_out").toString
+    spark.conf.set(graft.dialect.ChWrites.WarehouseConf, wh)
+    try {
+      withServer { port =>
+        val c = new NativeClient("127.0.0.1", port)
+        try {
+          c.exec("CREATE TABLE native_lcn_out " +
+            "(id Int64, tag LowCardinality(Nullable(String))) " +
+            "ENGINE = MergeTree ORDER BY id")
+          // NULL and '' both present: the LC dictionary reserves slot 0
+          // for null, so an empty string must survive as its own value
+          // (the r15 review bug class this pins)
+          c.insert("INSERT INTO native_lcn_out", Seq(Seq(
+            Col("id", TInt64, IndexedSeq(1L, 2L, 3L, 4L, 5L)),
+            Col("tag", TNullable(TString),
+              IndexedSeq("a", null, "", "a", null)))))
+          val r = c.query("SELECT id, tag FROM native_lcn_out ORDER BY id")
+          assert(r.rows == Seq(Seq(1L, "a"), Seq(2L, null), Seq(3L, ""),
+            Seq(4L, "a"), Seq(5L, null)), r.rows)
+          assert(r.types == Seq("Nullable(Int64)",
+            "LowCardinality(Nullable(String))"), r.types)
+          // aggregates over the column behave: NULLs drop from count
+          val n = c.query(
+            "SELECT count(tag) AS c, uniqExact(tag) AS u FROM native_lcn_out")
+          assert(n.rows == Seq(Seq(3L, 2L)), n.rows)
+          c.exec("DROP TABLE native_lcn_out")
+        } finally c.close()
+      }
+    } finally spark.conf.unset(graft.dialect.ChWrites.WarehouseConf)
+  }
+
   test("native per-query settings: a readonly session refuses the block without desyncing the conn (r15)") {
     withServer { port =>
       val c = new NativeClient("127.0.0.1", port)
