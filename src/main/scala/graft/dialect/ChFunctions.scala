@@ -37,6 +37,7 @@ object ChFunctions {
       FunctionShim.addOptimization(spark, graft.plans.FooterAggregates(spark))
       FunctionShim.addOptimization(spark, graft.plans.AggProjectionRewrite(spark))
       FunctionShim.addOptimization(spark, graft.plans.DictAggRewrite(spark))
+      FunctionShim.addOptimization(spark, graft.plans.BitmapDistinctRewrite(spark))
       registered += id
     }
   }

@@ -30,5 +30,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectOptimizerRule(graft.plans.FooterAggregates.apply)
     ext.injectOptimizerRule(graft.plans.AggProjectionRewrite.apply)
     ext.injectOptimizerRule(graft.plans.DictAggRewrite.apply)
+    ext.injectOptimizerRule(graft.plans.BitmapDistinctRewrite.apply)
   }
 }
