@@ -39,9 +39,28 @@ private[mergetree] final class SeekableFile(path: String) extends AutoCloseable 
     val b = new Array[Byte](n)
     raf.seek(off)
     raf.readFully(b)
+    ScanBytes.add(n.toLong)
     b
   }
   override def close(): Unit = raf.close()
+}
+
+/** Credit MergeTree storage reads to Hadoop's per-thread FileSystem
+  * statistics — the channel Spark's DSv2 `MetricsHandler` snapshots
+  * into `inputMetrics.setBytesRead` (it OVERWRITES any direct
+  * increment, so crediting the task metrics object directly is lost;
+  * measured r16). The reads themselves stay on RandomAccessFile /
+  * readAllBytes for speed; only the accounting goes through the
+  * statistics object. Records are already counted by Spark's own
+  * MetricsIterator per emitted row — never incremented here. Driver-
+  * side reads (marks, primary.idx at planning) land on driver threads
+  * whose baselines no task snapshots, so they never pollute a task's
+  * delta. */
+private[mergetree] object ScanBytes {
+  private lazy val stats =
+    org.apache.hadoop.fs.FileSystem.getStatistics(
+      "file", classOf[org.apache.hadoop.fs.RawLocalFileSystem])
+  def add(n: Long): Unit = stats.incrementBytesRead(n)
 }
 
 /** Sequential reader over a compressed `.bin` stream with mark-style

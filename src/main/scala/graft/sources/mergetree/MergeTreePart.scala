@@ -145,7 +145,11 @@ private[mergetree] final case class LocalTableFiles(root: String) extends TableF
         }
       })
   def list(): Seq[String] = listing
-  def smallFile(rel: String): Array[Byte] = Files.readAllBytes(Paths.get(root, rel))
+  def smallFile(rel: String): Array[Byte] = {
+    val b = Files.readAllBytes(Paths.get(root, rel))
+    ScanBytes.add(b.length.toLong)
+    b
+  }
   def seekable(rel: String): SeekableFile = new SeekableFile(s"$root/$rel")
 }
 
@@ -172,7 +176,11 @@ private[mergetree] final case class HadoopTableFiles(
       },
       () => io.walkFiles(endpoint))
   def list(): Seq[String] = listing
-  def smallFile(rel: String): Array[Byte] = io.readBytes(s"$endpoint/$rel")
+  def smallFile(rel: String): Array[Byte] = {
+    val b = io.readBytes(s"$endpoint/$rel")
+    ScanBytes.add(b.length.toLong)
+    b
+  }
   def seekable(rel: String): SeekableFile = {
     val url = s"$endpoint/$rel"
     new SeekableFile(HttpTableFiles.cachedBy(url) { tmp =>
@@ -229,7 +237,9 @@ private[mergetree] final case class HttpTableFiles(endpoint: String) extends Tab
   }
   def smallFile(rel: String): Array[Byte] = {
     val in = graft.sources.Sources.openHttpStream(s"$endpoint/$rel")
-    try in.readAllBytes() finally in.close()
+    val b = try in.readAllBytes() finally in.close()
+    ScanBytes.add(b.length.toLong)
+    b
   }
   def seekable(rel: String): SeekableFile =
     new SeekableFile(HttpTableFiles.cached(s"$endpoint/$rel"))

@@ -105,8 +105,12 @@ class PlanSpec extends AnyFunSuite {
     val strMin = li.agg(min(col("l_returnflag")))
     assert(planOf(strMin).contains("FileScan"),
       s"min(string col) must scan:\n${planOf(strMin)}")
+    // count(distinct intCol) scans too — since r16 through the bitmap
+    // partial RDD (whose lineage is the columnar scan); never a footer
     val distinct = li.agg(countDistinct(col("l_orderkey")))
-    assert(planOf(distinct).contains("FileScan"),
+    assert((planOf(distinct).contains("FileScan") ||
+        planOf(distinct).contains("ExistingRDD")) &&
+        !planOf(distinct).contains("LocalTableScan"),
       s"count(distinct) must scan:\n${planOf(distinct)}")
     // min over a derived expression (not a bare column) must scan
     val derived = li.agg(min(col("l_orderkey") + 1))
