@@ -182,6 +182,36 @@ object SystemTables {
       .createOrReplaceTempView("system_projections")
   }
 
+  /** ≈ system.quotas + system.quota_usage: the registered quota
+    * budgets and the live per-window counters — registered on demand
+    * like projections (the registry mutates via CREATE/DROP QUOTA and
+    * every admitted query). */
+  def registerQuotas(spark: SparkSession): Unit = {
+    import spark.implicits._
+    graft.service.Quotas.all
+      .map { q =>
+        (q.name, q.intervalSec,
+          if (q.users.isEmpty) "ALL" else q.users.mkString(","),
+          q.limits.maxQueries.map(_.toString).orNull,
+          q.limits.maxErrors.map(_.toString).orNull,
+          q.limits.maxResultRows.map(_.toString).orNull,
+          q.limits.maxReadRows.map(_.toString).orNull,
+          q.limits.maxExecSec.map(_.toString).orNull)
+      }
+      .toDF("name", "interval_seconds", "apply_to", "max_queries",
+        "max_errors", "max_result_rows", "max_read_rows",
+        "max_execution_time")
+      .createOrReplaceTempView("system_quotas")
+    graft.service.Quotas.usageRows()
+      .map { case (q, user, u, endsInMs) =>
+        (q.name, user, u.queries, u.errors, u.resultRows, u.readRows,
+          u.execSec, math.max(0L, endsInMs / 1000))
+      }
+      .toDF("quota_name", "user", "queries", "errors", "result_rows",
+        "read_rows", "execution_time", "window_ends_in_seconds")
+      .createOrReplaceTempView("system_quota_usage")
+  }
+
   /** Register `system_parts` on demand — see the note in
     * [[registerViews]]; [[graft.dialect.ChSql]] calls this only when
     * the query text references the view. */

@@ -113,6 +113,9 @@ object ChSql {
       // settings: values mutate with every SET — register fresh
       if (sys.toLowerCase.contains("system_settings"))
         graft.core.SystemTables.registerSettings(spark)
+      // quotas: budgets and live window counters — same story
+      if (sys.toLowerCase.contains("system_quota"))
+        graft.core.SystemTables.registerQuotas(spark)
     }
     val rewritten = rewriteTableFunctions(spark, sys)
     registerCombinators(spark, rewritten)
@@ -510,6 +513,9 @@ object ChSql {
     if (DropSql.isDrop(m)) return DropSql.run(spark, m)
     // operator verbs over the live-query registry
     if (KillSql.isKill(m)) return KillSql.run(spark, m)
+    // access entities: CREATE/DROP QUOTA, SHOW QUOTAS (enforced at
+    // QueryService admission — graft.service.Quotas)
+    if (QuotaSql.isQuota(m)) return QuotaSql.run(spark, m)
     // CH `SYSTEM …` maintenance statements: accepted no-ops with a
     // status row — this engine has no background loops to poke
     // (dictionaries are always live, logs flush synchronously, merges

@@ -196,6 +196,8 @@ class QueryService(spark: SparkSession) {
       return (graft.dialect.DropSql.run(spark, main), Map.empty)
     if (graft.dialect.KillSql.isKill(main))
       return (graft.dialect.KillSql.run(spark, main), Map.empty)
+    if (graft.dialect.QuotaSql.isQuota(main))
+      return (graft.dialect.QuotaSql.run(spark, main), Map.empty)
     val r = ChSql.rewrite(spark, req.query, req.macros)
     ChSql.applySettings(spark, r.settings)
     (ChSql.finish(spark, r), r.settings)
@@ -236,17 +238,39 @@ class QueryService(spark: SparkSession) {
         // executeToDf) still engages at the collect.
         val qid = java.util.UUID.randomUUID().toString
         val group = s"graft-query-${qid.take(8)}"
+        // access-entity/operator verbs stay OUTSIDE quota metering: a
+        // single-user engine must be able to DROP an exhausted quota
+        // (CH has other users for that; documented divergence)
+        val metered = !graft.dialect.QuotaSql.isQuota(main) &&
+          !graft.dialect.KillSql.isKill(main)
+        if (metered) Quotas.admit("default")
         Processes.registerBounded(Processes.Proc(qid, req.query, "default",
           "sql", System.currentTimeMillis(), group, spark),
           Governance.concurrencyLimit(spark))
+        ScanProgress.ensureListener(spark)
+        ScanProgress.track(group)
+        val t0 = System.nanoTime()
+        var resultRows = -1L
+        var failed = true
         val (cols, types, rows, settings) =
-          try Governance.runGoverned(spark, group) {
-            val (df, settings) = executeToDf(req)
-            (df.columns.toSeq,
-              df.schema.fields.map(_.dataType.simpleString).toSeq,
-              Governance.collectBounded(df, Some(group)).map(_.toSeq).toSeq,
-              settings)
-          } finally Processes.unregister(qid)
+          try {
+            val out = Governance.runGoverned(spark, group) {
+              val (df, settings) = executeToDf(req)
+              (df.columns.toSeq,
+                df.schema.fields.map(_.dataType.simpleString).toSeq,
+                Governance.collectBounded(df, Some(group)).map(_.toSeq).toSeq,
+                settings)
+            }
+            resultRows = out._3.size.toLong
+            failed = false
+            out
+          } finally {
+            Processes.unregister(qid)
+            if (metered) Quotas.record("default", resultRows,
+              ScanProgress.get(group).map(_.recordsRead.get).getOrElse(0L),
+              (System.nanoTime() - t0) / 1e9, failed)
+            ScanProgress.release(group)
+          }
         QueryResult(
           cols = cols,
           types = types,
@@ -301,11 +325,16 @@ class QueryService(spark: SparkSession) {
           Governance.concurrencyLimit(spark))
         ScanProgress.ensureListener(spark)
         ScanProgress.track(group)
+        val metered = !graft.dialect.QuotaSql.isQuota(main) &&
+          !graft.dialect.KillSql.isKill(main)
+        if (metered) Quotas.admit("default")
+        val t0 = System.nanoTime()
+        var failed = true
         try Governance.runGoverned(spark, group) {
           val (df, settings) = executeToDf(req)
           val estRows = df.queryExecution.optimizedPlan.collectLeaves()
             .flatMap(_.stats.rowCount).map(_.toLong).sum
-          consume(
+          val out = consume(
             QueryResult(
               cols = df.columns.toSeq,
               types = df.schema.fields.map(_.dataType.simpleString).toSeq,
@@ -313,8 +342,15 @@ class QueryService(spark: SparkSession) {
               schema = Some(df.schema),
               jobGroup = Some(group), estRowsToRead = estRows),
             Governance.iterateBounded(df).map(_.toSeq))
+          failed = false
+          out
         } finally {
           Processes.unregister(qid)
+          // the door counts shipped rows itself; quotas meter what the
+          // executors READ (real task metrics) + wall time here
+          if (metered) Quotas.record("default", 0L,
+            ScanProgress.get(group).map(_.recordsRead.get).getOrElse(0L),
+            (System.nanoTime() - t0) / 1e9, failed)
           ScanProgress.release(group)
         }
     }

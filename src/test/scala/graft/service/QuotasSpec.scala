@@ -1,0 +1,118 @@
+package graft.service
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** CH quota semantics: interval-windowed budgets admitted before
+  * execution, consumption recorded after, QUOTA_EXCEEDED refusals,
+  * window roll, user targeting, and the system.quotas introspection. */
+class QuotasSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  private def svc = new QueryService(spark)
+  private def run(sql: String) =
+    svc.execute(QueryService.QueryRequest(sql))
+
+  private def withCleanQuotas[T](f: => T): T =
+    try f finally Quotas.clear()
+
+  test("CREATE QUOTA MAX queries: the N+1th query in the window refuses") {
+    withCleanQuotas {
+      run("CREATE QUOTA q_test FOR INTERVAL 1 hour MAX queries = 2 TO default")
+      run("SELECT 1")
+      run("SELECT 2")
+      val e = intercept[IllegalArgumentException](run("SELECT 3"))
+      assert(e.getMessage.contains("QUOTA_EXCEEDED"), e.getMessage)
+      assert(e.getMessage.contains("queries = 3/2"), e.getMessage)
+    }
+  }
+
+  test("the window ROLLS: a fresh interval admits again") {
+    withCleanQuotas {
+      run("CREATE QUOTA q_roll FOR INTERVAL 1 second MAX queries = 1")
+      run("SELECT 1")
+      intercept[IllegalArgumentException](run("SELECT 2"))
+      Thread.sleep(1100)
+      run("SELECT 3") // new window
+    }
+  }
+
+  test("read_rows budget meters REAL executor scan counters") {
+    withCleanQuotas {
+      val dir = java.nio.file.Files.createTempDirectory("graft_quota").toString
+      spark.range(10000).selectExpr("id", "id * 2 AS v")
+        .write.parquet(s"$dir/t")
+      spark.read.parquet(s"$dir/t").createOrReplaceTempView("quota_t")
+      run("CREATE QUOTA q_rows FOR INTERVAL 1 hour MAX read_rows = 5000")
+      // first query runs (admission sees 0 consumed), records ~10000
+      run("SELECT sum(v) AS s FROM quota_t")
+      // next admission sees the consumed budget exceeded
+      val e = intercept[IllegalArgumentException](run("SELECT 1"))
+      assert(e.getMessage.contains("read_rows"), e.getMessage)
+    }
+  }
+
+  test("errors count toward MAX errors") {
+    withCleanQuotas {
+      run("CREATE QUOTA q_err FOR INTERVAL 1 hour MAX errors = 0")
+      intercept[Exception](run("SELECT broken syntax here FROM"))
+      val e = intercept[IllegalArgumentException](run("SELECT 1"))
+      assert(e.getMessage.contains("errors"), e.getMessage)
+    }
+  }
+
+  test("TO targeting: a quota for another user never gates 'default'") {
+    withCleanQuotas {
+      run("CREATE QUOTA q_other FOR INTERVAL 1 hour MAX queries = 0 TO alice")
+      run("SELECT 1") // unaffected
+      // and TO ALL applies
+      run("CREATE QUOTA q_all FOR INTERVAL 1 hour MAX queries = 1 TO ALL")
+      run("SELECT 2")
+      intercept[IllegalArgumentException](run("SELECT 3"))
+    }
+  }
+
+  test("DROP QUOTA lifts the budget; IF [NOT] EXISTS spellings behave") {
+    withCleanQuotas {
+      run("CREATE QUOTA q_drop FOR INTERVAL 1 hour MAX queries = 1")
+      run("SELECT 1")
+      intercept[IllegalArgumentException](run("SELECT 2"))
+      run("DROP QUOTA q_drop")
+      run("SELECT 3")
+      intercept[IllegalArgumentException](run("DROP QUOTA q_drop"))
+      run("DROP QUOTA IF EXISTS q_drop") // no-op
+      run("CREATE QUOTA q_dup FOR INTERVAL 1 hour MAX queries = 100")
+      intercept[IllegalArgumentException](
+        run("CREATE QUOTA q_dup FOR INTERVAL 1 hour MAX queries = 5"))
+      run("CREATE QUOTA IF NOT EXISTS q_dup FOR INTERVAL 1 hour MAX queries = 5")
+      // OR REPLACE swaps the budget
+      run("CREATE OR REPLACE QUOTA q_dup FOR INTERVAL 1 hour MAX queries = 1")
+      run("SELECT 1")
+      intercept[IllegalArgumentException](run("SELECT 2"))
+    }
+  }
+
+  test("system.quotas / system.quota_usage introspection") {
+    withCleanQuotas {
+      graft.dialect.ChFunctions.register(spark)
+      run("CREATE QUOTA q_sys FOR INTERVAL 1 hour MAX queries = 50, " +
+        "result_rows = 1000 TO default")
+      run("SELECT 1")
+      val rows = graft.dialect.ChSql.sql(spark,
+        "SELECT name, interval_seconds, apply_to, max_queries " +
+          "FROM system.quotas").collect()
+      assert(rows.map(_.getString(0)).contains("q_sys"))
+      val r = rows.find(_.getString(0) == "q_sys").get
+      assert(r.getLong(1) == 3600L && r.getString(2) == "default" &&
+        r.getString(3) == "50")
+      val usage = graft.dialect.ChSql.sql(spark,
+        "SELECT quota_name, queries FROM system.quota_usage " +
+          "WHERE quota_name = 'q_sys'").collect()
+      assert(usage.nonEmpty && usage.head.getLong(1) >= 1L, usage.toSeq)
+      // SHOW QUOTAS
+      val shown = run("SHOW QUOTAS")
+      assert(shown.rows.exists(_.head == "q_sys"), shown.rows)
+    }
+  }
+}
