@@ -2890,7 +2890,45 @@ object SparkEntry {
           "INSERT INTO def_cols (id) VALUES (1)",
           "INSERT INTO def_cols (id, s) VALUES (2, 'x')",
           "INSERT INTO def_cols (id, v) FORMAT CSV\n3,9.5")))._1
-    })
+    }),
+
+    // r16: the dictionary-code aggregation kernel across EVERY
+    // supported aggregate in one grouped statement (DictAggRewrite
+    // engages on this shape — engagement pinned in PlanSpec; this
+    // entry pins the ANSWERS against DuckDB)
+    "q220_dictagg_wide" -> ch(
+      """SELECT l_returnflag,
+        |       CAST(sum(l_quantity) AS BIGINT) AS sum_q,
+        |       CAST(sum(l_orderkey) AS BIGINT) AS sum_ok,
+        |       CAST(sum(l_linenumber) AS BIGINT) AS sum_ln,
+        |       count() AS cnt,
+        |       count(l_tax) AS cnt_t,
+        |       CAST(min(l_extendedprice) * 100 AS BIGINT) AS min_ep_c,
+        |       CAST(max(l_extendedprice) * 100 AS BIGINT) AS max_ep_c,
+        |       min(l_linenumber) AS min_ln,
+        |       max(l_orderkey) AS max_ok,
+        |       CAST(round(avg(l_discount) * 10000) AS BIGINT) AS avg_disc_bp,
+        |       CAST(round(avg(l_linenumber) * 1000) AS BIGINT) AS avg_ln_m
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
+
+    // r16: multi-column bitmap exact distinct in one scan
+    // (BitmapDistinctRewrite)
+    "q221_bitmap_multi" -> ch(
+      """SELECT uniqExact(l_orderkey) AS u_ok,
+        |       uniqExact(l_suppkey) AS u_sk,
+        |       uniqExact(l_linenumber) AS u_ln
+        |FROM lineitem""".stripMargin),
+
+    // r16: grouped uniqExact — per-slot bitmaps inside the
+    // dictionary-code kernel (the reference's github_events shape:
+    // GROUP BY event_type, count distinct actors)
+    "q222_grouped_uniq" -> ch(
+      """SELECT l_linestatus,
+        |       uniqExact(l_suppkey) AS u_sk,
+        |       uniqExact(l_linenumber) AS u_ln,
+        |       count() AS cnt,
+        |       CAST(sum(l_quantity) AS BIGINT) AS sum_q
+        |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin)
   )
 
   // ---------------------------------------------------------------
@@ -2934,6 +2972,32 @@ object SparkEntry {
       k -> baseOracleSql(twin) } ++ inlineInsertOracle
 
   private val baseOracleSql: Map[String, String] = Map(
+    "q220_dictagg_wide" ->
+      """SELECT l_returnflag,
+        |       CAST(sum(l_quantity) AS BIGINT) AS sum_q,
+        |       CAST(sum(l_orderkey) AS BIGINT) AS sum_ok,
+        |       CAST(sum(l_linenumber) AS BIGINT) AS sum_ln,
+        |       count(*) AS cnt,
+        |       count(l_tax) AS cnt_t,
+        |       CAST(min(l_extendedprice) * 100 AS BIGINT) AS min_ep_c,
+        |       CAST(max(l_extendedprice) * 100 AS BIGINT) AS max_ep_c,
+        |       min(l_linenumber) AS min_ln,
+        |       max(l_orderkey) AS max_ok,
+        |       CAST(round(avg(l_discount) * 10000) AS BIGINT) AS avg_disc_bp,
+        |       CAST(round(avg(l_linenumber) * 1000) AS BIGINT) AS avg_ln_m
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q221_bitmap_multi" ->
+      """SELECT count(DISTINCT l_orderkey) AS u_ok,
+        |       count(DISTINCT l_suppkey) AS u_sk,
+        |       count(DISTINCT l_linenumber) AS u_ln
+        |FROM lineitem""".stripMargin,
+    "q222_grouped_uniq" ->
+      """SELECT l_linestatus,
+        |       count(DISTINCT l_suppkey) AS u_sk,
+        |       count(DISTINCT l_linenumber) AS u_ln,
+        |       count(*) AS cnt,
+        |       CAST(sum(l_quantity) AS BIGINT) AS sum_q
+        |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
     "q201_replicated_ddl" ->
       """WITH base AS (
         |  SELECT c_custkey AS ck, c_nationkey AS nk, 0 AS ver

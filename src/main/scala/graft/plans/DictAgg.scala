@@ -34,7 +34,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * The rewrite (kill switch `spark.graft.dictAgg=false`):
   *
   * {{{
-  *   Aggregate(stringKey, [sum/count/min/max/avg])      — over —
+  *   Aggregate(stringKey, [sum/count/min/max/avg/count-distinct-int]) — over —
   *   (Project of attrs)? (LogicalRelation parquet)
   * }}}
   *
@@ -58,7 +58,8 @@ import org.apache.spark.unsafe.types.UTF8String
   *     to string — byte-exact even for non-UTF-8-roundtrippable data
   *     (a java.lang.String key would collapse invalid sequences);
   *   - every aggregate must rewrite onto a mergeable partial (no
-  *     DISTINCT, no FILTER clause, no decimals) and the rewritten
+  *     FILTER clause, no decimals; DISTINCT only as count(DISTINCT
+  *     intCol) via per-slot Roaring64 bitmaps) and the rewritten
   *     output's data type must equal the original's exactly;
   *   - integral sums honor the session's ANSI mode (Math.addExact vs
   *     wrapping add);
@@ -87,6 +88,11 @@ object DictAgg {
   final val OpMin = 3
   final val OpMax = 4
   final val OpAvg = 5
+  /** count(DISTINCT intCol) per group — a Roaring64 bitmap per slot,
+    * merged by [[BitmapOrCardinality]] at the final stage (the grouped
+    * composition of the two r16 rewrites; the reference's natural
+    * `GROUP BY event_type, uniqExact(actor_login)` analytics shape). */
+  final val OpUniq = 6
 
   // value type tags (the scan column's data type)
   final val TInt = 0
@@ -133,6 +139,9 @@ object DictAgg {
     var accL = Array.fill(nSpecs)(new Array[Long](cap))
     var accD = Array.fill(nSpecs)(new Array[Double](cap))
     var accC = Array.fill(nSpecs)(new Array[Long](cap))
+    // per-slot bitmaps, allocated lazily and only for OpUniq specs
+    var accB = Array.fill(nSpecs)(
+      null: Array[org.roaringbitmap.longlong.Roaring64Bitmap])
 
     def grow(need: Int): Unit = {
       var c = cap
@@ -144,6 +153,7 @@ object DictAgg {
           accL(j) = java.util.Arrays.copyOf(accL(j), c)
           accD(j) = java.util.Arrays.copyOf(accD(j), c)
           accC(j) = java.util.Arrays.copyOf(accC(j), c)
+          if (accB(j) != null) accB(j) = java.util.Arrays.copyOf(accB(j), c)
           j += 1
         }
         cap = c
@@ -184,6 +194,7 @@ object DictAgg {
           else if (spec.typ == TInt || spec.typ == TLong) java.lang.Long.valueOf(l)
           else java.lang.Double.valueOf(d)
         out(at + 1) = java.lang.Long.valueOf(c)
+      case OpUniq => () // filled by slotRow from accB directly
     }
 
     def slotRow(slot: Int): Row = {
@@ -192,7 +203,14 @@ object DictAgg {
       var at = 1
       var j = 0
       while (j < nSpecs) {
-        boxPartial(specs(j), slot, accL(j)(slot), accD(j)(slot), accC(j)(slot), vals, at)
+        if (specs(j).op == OpUniq) {
+          val bm =
+            if (accB(j) == null || accB(j)(slot) == null)
+              new org.roaringbitmap.longlong.Roaring64Bitmap()
+            else { accB(j)(slot).runOptimize(); accB(j)(slot) }
+          vals(at) = BitmapDistinct.serialize(bm)
+        } else boxPartial(specs(j), slot,
+          accL(j)(slot), accD(j)(slot), accC(j)(slot), vals, at)
         at += specs(j).width
         j += 1
       }
@@ -232,6 +250,11 @@ object DictAgg {
                 case TFloat => java.lang.Float.valueOf(vec.getFloat(i))
                 case TDouble => java.lang.Double.valueOf(vec.getDouble(i))
               }
+          case OpUniq =>
+            val bm = new org.roaringbitmap.longlong.Roaring64Bitmap()
+            if (!isNull) bm.addLong(
+              if (spec.typ == TInt) vec.getInt(i).toLong else vec.getLong(i))
+            vals(at) = BitmapDistinct.serialize(bm)
         }
         at += spec.width
         j += 1
@@ -362,6 +385,24 @@ object DictAgg {
                   i += 1
                 }
             }
+            case OpUniq =>
+              if (accB(j) == null) accB(j) =
+                new Array[org.roaringbitmap.longlong.Roaring64Bitmap](cap)
+              val bmArr = accB(j)
+              var i = 0
+              while (i < n) {
+                val sl = slotsBuf(i)
+                if (sl >= 0 && !vec.isNullAt(i)) {
+                  var bm = bmArr(sl)
+                  if (bm == null) {
+                    bm = new org.roaringbitmap.longlong.Roaring64Bitmap()
+                    bmArr(sl) = bm
+                  }
+                  bm.addLong(
+                    if (spec.typ == TInt) vec.getInt(i).toLong else vec.getLong(i))
+                }
+                i += 1
+              }
             case OpMin | OpMax => spec.typ match {
               case TInt | TLong =>
                 val isMin = spec.op == OpMin
@@ -498,8 +539,18 @@ case class DictAggRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       case _ => None
     }
     val plans: Seq[AggPlan] = aeList.map { ae =>
-      if (ae.isDistinct || ae.filter.isDefined) return None
-      ae.aggregateFunction match {
+      if (ae.filter.isDefined) return None
+      if (ae.isDistinct) ae.aggregateFunction match {
+        // grouped count(DISTINCT intCol): per-slot Roaring64 bitmap,
+        // OR-merged by BitmapOrCardinality at the final stage
+        case Count(Seq(a: AttributeReference))
+            if a.dataType == IntegerType || a.dataType == LongType =>
+          val n = colOf(a).getOrElse(return None)
+          AggPlan(ae, OpUniq, Some(n),
+            if (a.dataType == LongType) TLong else TInt)
+        case _ => return None
+      }
+      else ae.aggregateFunction match {
         case Count(cs) if cs.forall { case l: Literal => l.value != null; case _ => false } =>
           AggPlan(ae, OpCountStar, None, TLong)
         case Count(Seq(e)) =>
@@ -552,6 +603,7 @@ case class DictAggRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
 
     // ---- partial schema: binary key + per-spec mergeable state ----
     def partialFields(p: AggPlan, i: Int): Seq[StructField] = p.op match {
+      case OpUniq => Seq(StructField(s"u_$i", BinaryType, nullable = true))
       case OpSum =>
         val dt = if (p.typ == TInt || p.typ == TLong) LongType else DoubleType
         Seq(StructField(s"s_$i", dt, nullable = true))
@@ -577,6 +629,8 @@ case class DictAggRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     def mergeOf(i: Int): Expression = {
       val p = plans(i)
       p.op match {
+        case OpUniq =>
+          BitmapOrCardinality(pAttr(s"u_$i")).toAggregateExpression()
         case OpSum => Sum(pAttr(s"s_$i")).toAggregateExpression()
         case OpCountStar | OpCountCol =>
           Coalesce(Seq(Sum(pAttr(s"c_$i")).toAggregateExpression(), Literal(0L)))

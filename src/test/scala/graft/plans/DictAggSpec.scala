@@ -134,7 +134,9 @@ class DictAggSpec extends AnyFunSuite {
       assert(DictAgg.engagements.get() == before)
     }
     noEngage(df.filter(col("i") > 10).groupBy("k").agg(sum("d")))
-    noEngage(df.groupBy("k").agg(countDistinct("i")))
+    // int count-distinct engages since the OpUniq extension; STRING
+    // distinct has no bitmap domain and stays native
+    noEngage(df.groupBy("k").agg(countDistinct("s")))
     noEngage(df.groupBy("i").agg(sum("d")))
     noEngage(df.groupBy("k", "s").agg(sum("d")))
   }
@@ -145,6 +147,25 @@ class DictAggSpec extends AnyFunSuite {
       spark.read.parquet(table).groupBy("k").agg(sum("d")).collect()
       assert(DictAgg.engagements.get() == before)
     }
+  }
+
+  test("grouped count(DISTINCT intCol) rides per-slot bitmaps, same answers") {
+    def q() = spark.read.parquet(table).groupBy("k").agg(
+      countDistinct(col("i")).as("ui"), countDistinct(col("l")).as("ul"),
+      sum("d").as("sd"), count(lit(1)).as("c"))
+    val before = DictAgg.engagements.get()
+    val fast = collectSorted(q())
+    assert(DictAgg.engagements.get() > before,
+      "dictAgg did not engage on the grouped count-distinct shape")
+    assert(fast == withDisabled(collectSorted(q())))
+    // overflow mode keeps distinct counts exact too
+    spark.conf.set(DictAgg.MaxGroupsKey, "2")
+    try assert(collectSorted(q()) == fast)
+    finally spark.conf.unset(DictAgg.MaxGroupsKey)
+    // string distinct stays on the native plan
+    val b2 = DictAgg.engagements.get()
+    spark.read.parquet(table).groupBy("k").agg(countDistinct(col("s"))).collect()
+    assert(DictAgg.engagements.get() == b2)
   }
 
   test("the dialect front door (ChSql) engages too — the q2 bench spelling") {
