@@ -2928,7 +2928,19 @@ object SparkEntry {
         |       uniqExact(l_linenumber) AS u_ln,
         |       count() AS cnt,
         |       CAST(sum(l_quantity) AS BIGINT) AS sum_q
-        |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin)
+        |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin),
+
+    // r16: TWO string group keys — the packed-code pair cache in the
+    // dictionary-code kernel (the q9 projection shape, answered from
+    // the corpus scan)
+    "q223_dictagg_two_keys" -> ch(
+      """SELECT l_returnflag, l_linestatus,
+        |       CAST(sum(l_quantity) AS BIGINT) AS sum_q,
+        |       count() AS cnt,
+        |       uniqExact(l_suppkey) AS u_sk,
+        |       CAST(round(avg(l_extendedprice) * 100) AS BIGINT) AS avg_ep_c
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin)
   )
 
   // ---------------------------------------------------------------
@@ -2998,6 +3010,14 @@ object SparkEntry {
         |       count(*) AS cnt,
         |       CAST(sum(l_quantity) AS BIGINT) AS sum_q
         |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
+    "q223_dictagg_two_keys" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       CAST(sum(l_quantity) AS BIGINT) AS sum_q,
+        |       count(*) AS cnt,
+        |       count(DISTINCT l_suppkey) AS u_sk,
+        |       CAST(round(avg(l_extendedprice) * 100) AS BIGINT) AS avg_ep_c
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
     "q201_replicated_ddl" ->
       """WITH base AS (
         |  SELECT c_custkey AS ck, c_nationkey AS nk, 0 AS ver

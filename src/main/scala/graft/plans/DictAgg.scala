@@ -115,24 +115,49 @@ object DictAgg {
   val engagements = new java.util.concurrent.atomic.AtomicLong(0L)
 
   /** Per-partition partial aggregation over the vectorized scan's
-    * batches. Emits `Row(keyBytes, partial0, partial1, …)` — one row
-    * per group while the group map fits `maxGroups`, then one row per
-    * INPUT row (singleton partials) past it. */
+    * batches. Emits `Row(key0Bytes[, key1Bytes], partial0, partial1,
+    * …)` — one row per group while the group map fits `maxGroups`,
+    * then one row per INPUT row (singleton partials) past it. One or
+    * two string keys: a single key rides the per-batch code→slot
+    * array; a key PAIR rides a per-batch packed-long (code0,code1)
+    * cache when both columns are dictionary-coded, the byte-composite
+    * map otherwise. */
   def partial(
       batches: Iterator[ColumnarBatch],
-      keyIdx: Int,
+      keyIdxs: Array[Int],
       specs: Array[Spec],
       maxGroups: Int): Iterator[Row] = {
 
     val nSpecs = specs.length
-    val totalWidth = 1 + specs.map(_.width).sum
+    val nKeys = keyIdxs.length
+    val totalWidth = nKeys + specs.map(_.width).sum
 
-    // group state: key bytes per slot + per-spec accumulators
+    // group state: per-slot per-key bytes (null = NULL key part) +
+    // per-spec accumulators
     var cap = 64
-    var keys = new Array[Array[Byte]](cap) // null for the null-key slot
+    var keys = new Array[Array[Array[Byte]]](cap)
+    // cross-batch identity: one length-prefixed byte composite of all
+    // key parts (-1-length marks NULL — unambiguous, unlike separators)
     val slots = new java.util.HashMap[UTF8String, Integer]()
-    var nullSlot = -1
+    var nullSlot = -1 // single-key NULL group fast path
     var nGroups = 0
+
+    def composite(parts: Array[Array[Byte]]): UTF8String = {
+      var len = 0
+      var i = 0
+      while (i < parts.length) {
+        len += 4 + (if (parts(i) == null) 0 else parts(i).length); i += 1
+      }
+      val b = java.nio.ByteBuffer.allocate(len)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      i = 0
+      while (i < parts.length) {
+        if (parts(i) == null) b.putInt(-1)
+        else { b.putInt(parts(i).length); b.put(parts(i)) }
+        i += 1
+      }
+      UTF8String.fromBytes(b.array())
+    }
     // acc layout per spec: longs (sums/counts/int min-max), doubles
     // (float sums/min-max), cnt (non-null count: null-sum semantics,
     // countCol, avg count). OpCountStar uses cnt as the row count.
@@ -160,16 +185,31 @@ object DictAgg {
       }
     }
 
-    def newSlot(keyBytes: Array[Byte]): Int = {
+    def newSlot(keyBytes: Array[Array[Byte]]): Int = {
       grow(nGroups + 1)
       keys(nGroups) = keyBytes
       nGroups += 1
       nGroups - 1
     }
 
+    /** Cross-batch lookup-or-create off the composite identity; -1 =
+      * past maxGroups (the caller streams a singleton). */
+    def slotOf(parts: Array[Array[Byte]]): Int = {
+      val ck = composite(parts)
+      val hit = slots.get(ck)
+      if (hit != null) hit.intValue()
+      else if (nGroups < maxGroups) {
+        val s = newSlot(parts)
+        slots.put(ck, Integer.valueOf(s))
+        s
+      } else -1
+    }
+
     // per-batch code→slot cache (parquet dictionaries are per
     // column-chunk: codes are only comparable within one batch)
     var codeSlots = new Array[Int](1024)
+    // per-batch (code0,code1)→slot cache for the two-key dict path
+    val pairSlots = new java.util.HashMap[java.lang.Long, Integer]()
 
     def boxPartial(spec: Spec, sIdx: Int, l: Long, d: Double, c: Long,
         out: Array[Any], at: Int): Unit = spec.op match {
@@ -199,8 +239,8 @@ object DictAgg {
 
     def slotRow(slot: Int): Row = {
       val vals = new Array[Any](totalWidth)
-      vals(0) = keys(slot)
-      var at = 1
+      var at = 0
+      while (at < nKeys) { vals(at) = keys(slot)(at); at += 1 }
       var j = 0
       while (j < nSpecs) {
         if (specs(j).op == OpUniq) {
@@ -218,10 +258,11 @@ object DictAgg {
     }
 
     // a singleton partial: the row's own values, group size 1
-    def singletonRow(keyBytes: Array[Byte], vecs: Array[ColumnVector], i: Int): Row = {
+    def singletonRow(keyBytes: Array[Array[Byte]],
+        vecs: Array[ColumnVector], i: Int): Row = {
       val vals = new Array[Any](totalWidth)
-      vals(0) = keyBytes
-      var at = 1
+      var at = 0
+      while (at < nKeys) { vals(at) = keyBytes(at); at += 1 }
       var j = 0
       while (j < nSpecs) {
         val spec = specs(j)
@@ -272,60 +313,90 @@ object DictAgg {
       val n = batch.numRows()
       if (n > 0) {
         if (slotsBuf.length < n) slotsBuf = new Array[Int](n)
-        val keyVec = batch.column(keyIdx)
         val vecs = new Array[ColumnVector](batch.numCols())
         var v = 0
         while (v < vecs.length) { vecs(v) = batch.column(v); v += 1 }
 
         // resolve slots for the whole batch first (one pass), then run
         // each spec's tight typed loop over the recorded slots
-        val dictIds: ColumnVector = keyVec match {
-          case w: WritableColumnVector if w.hasDictionary && w.getDictionaryIds != null =>
+        def dictOf(vec: ColumnVector): ColumnVector = vec match {
+          case w: WritableColumnVector
+              if w.hasDictionary && w.getDictionaryIds != null =>
             w.getDictionaryIds
           case _ => null
         }
-        if (dictIds != null) java.util.Arrays.fill(codeSlots, -1)
-
-        var i = 0
-        while (i < n) {
-          var slot = -1
-          if (keyVec.isNullAt(i)) {
-            if (nullSlot == -1 && nGroups < maxGroups) nullSlot = newSlot(null)
-            slot = nullSlot
-            if (slot == -1) overflow += singletonRow(null, vecs, i)
-          } else if (dictIds != null) {
-            val code = dictIds.getInt(i)
-            if (code >= codeSlots.length) {
-              val old = codeSlots
-              codeSlots = new Array[Int](Integer.highestOneBit(code) * 2)
-              java.util.Arrays.fill(codeSlots, -1)
-              System.arraycopy(old, 0, codeSlots, 0, old.length)
-            }
-            slot = codeSlots(code)
-            if (slot == -1) {
-              val k = keyVec.getUTF8String(i)
-              val hit = slots.get(k)
-              if (hit != null) slot = hit.intValue()
-              else if (nGroups < maxGroups) {
-                val kb = k.getBytes
-                slot = newSlot(kb)
-                slots.put(UTF8String.fromBytes(kb), Integer.valueOf(slot))
-              }
-              if (slot >= 0) codeSlots(code) = slot
-              else overflow += singletonRow(k.getBytes, vecs, i)
-            }
-          } else {
-            val k = keyVec.getUTF8String(i)
-            val hit = slots.get(k)
-            if (hit != null) slot = hit.intValue()
-            else if (nGroups < maxGroups) {
-              val kb = k.getBytes
-              slot = newSlot(kb)
-              slots.put(UTF8String.fromBytes(kb), Integer.valueOf(slot))
-            } else overflow += singletonRow(k.getBytes, vecs, i)
+        def partsOf(i: Int): Array[Array[Byte]] = {
+          val p = new Array[Array[Byte]](nKeys)
+          var k = 0
+          while (k < nKeys) {
+            val kv = vecs(keyIdxs(k))
+            p(k) = if (kv.isNullAt(i)) null else kv.getUTF8String(i).getBytes
+            k += 1
           }
-          slotsBuf(i) = slot
-          i += 1
+          p
+        }
+
+        if (nKeys == 1) {
+          val keyVec = vecs(keyIdxs(0))
+          val dictIds = dictOf(keyVec)
+          if (dictIds != null) java.util.Arrays.fill(codeSlots, -1)
+          var i = 0
+          while (i < n) {
+            var slot = -1
+            if (keyVec.isNullAt(i)) {
+              if (nullSlot == -1 && nGroups < maxGroups)
+                nullSlot = newSlot(Array(null))
+              slot = nullSlot
+              if (slot == -1) overflow += singletonRow(Array(null), vecs, i)
+            } else if (dictIds != null) {
+              val code = dictIds.getInt(i)
+              if (code >= codeSlots.length) {
+                val old = codeSlots
+                codeSlots = new Array[Int](Integer.highestOneBit(code) * 2)
+                java.util.Arrays.fill(codeSlots, -1)
+                System.arraycopy(old, 0, codeSlots, 0, old.length)
+              }
+              slot = codeSlots(code)
+              if (slot == -1) {
+                slot = slotOf(partsOf(i))
+                if (slot >= 0) codeSlots(code) = slot
+                else overflow += singletonRow(partsOf(i), vecs, i)
+              }
+            } else {
+              slot = slotOf(partsOf(i))
+              if (slot < 0) overflow += singletonRow(partsOf(i), vecs, i)
+            }
+            slotsBuf(i) = slot
+            i += 1
+          }
+        } else {
+          // two keys: packed-long (code0,code1) cache when both columns
+          // are dictionary-coded in this batch (the common parquet
+          // case); rows with a NULL part or plain pages go composite
+          val kv0 = vecs(keyIdxs(0)); val kv1 = vecs(keyIdxs(1))
+          val d0 = dictOf(kv0); val d1 = dictOf(kv1)
+          val paired = d0 != null && d1 != null
+          if (paired) pairSlots.clear()
+          var i = 0
+          while (i < n) {
+            var slot = -1
+            if (paired && !kv0.isNullAt(i) && !kv1.isNullAt(i)) {
+              val packed = java.lang.Long.valueOf(
+                (d0.getInt(i).toLong << 32) | (d1.getInt(i).toLong & 0xFFFFFFFFL))
+              val hit = pairSlots.get(packed)
+              if (hit != null) slot = hit.intValue()
+              else {
+                slot = slotOf(partsOf(i))
+                if (slot >= 0) pairSlots.put(packed, Integer.valueOf(slot))
+                else overflow += singletonRow(partsOf(i), vecs, i)
+              }
+            } else {
+              slot = slotOf(partsOf(i))
+              if (slot < 0) overflow += singletonRow(partsOf(i), vecs, i)
+            }
+            slotsBuf(i) = slot
+            i += 1
+          }
         }
 
         var j = 0
@@ -471,9 +542,14 @@ case class DictAggRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     if (spark.conf.getOption(EnabledKey).exists(_.trim.equalsIgnoreCase("false")))
       return plan
     plan.transformDown {
-      case agg @ Aggregate(Seq(g: AttributeReference), aggExprs, child, _)
-          if g.dataType == StringType =>
-        (try tryRewrite(g, aggExprs, child)
+      case agg @ Aggregate(groupExprs, aggExprs, child, _)
+          if groupExprs.nonEmpty && groupExprs.size <= 2 &&
+            groupExprs.forall {
+              case a: AttributeReference => a.dataType == StringType
+              case _ => false
+            } =>
+        (try tryRewrite(
+          groupExprs.map(_.asInstanceOf[AttributeReference]), aggExprs, child)
         catch {
           // an optimization must never fail the query
           case scala.util.control.NonFatal(e) =>
@@ -492,7 +568,7 @@ case class DictAggRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
   }
 
   private def tryRewrite(
-      g: AttributeReference,
+      gs: Seq[AttributeReference],
       aggExprs: Seq[NamedExpression],
       child: LogicalPlan): Option[LogicalPlan] = {
     val lr = relationOf(child).getOrElse(return None)
@@ -509,7 +585,7 @@ case class DictAggRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
         AggProjections.allManifests.exists(m =>
           roots.exists(_.contains(m.dataPath))))
       return None
-    val keyName = resolve(child, g).getOrElse(return None)
+    val keyNames = gs.map(g => resolve(child, g).getOrElse(return None))
 
     // collect every AggregateExpression (identity-keyed: the same
     // object may be referenced from several output expressions; a
@@ -577,7 +653,7 @@ case class DictAggRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
 
     // ---- build the columnar scan over exactly the needed columns ----
     val relNew = lr.newInstance()
-    val neededNames = (keyName +: plans.flatMap(_.colName)).distinct
+    val neededNames = (keyNames ++ plans.flatMap(_.colName)).distinct
     val relAttrs = neededNames.map(n =>
       relNew.output.find(_.name == n).getOrElse(return None))
     val scanDf = FunctionShim.ofRows(spark, Project(relAttrs, relNew))
@@ -586,8 +662,8 @@ case class DictAggRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     }.getOrElse(return None)
     if (!scan.supportsColumnar) return None
     val scanOut = scan.output
-    val keyIdx = scanOut.indexWhere(_.name == keyName)
-    if (keyIdx < 0) return None
+    val keyIdxs = keyNames.map(n => scanOut.indexWhere(_.name == n)).toArray
+    if (keyIdxs.exists(_ < 0)) return None
     val specs: Array[Spec] = plans.map { p =>
       val vecIdx = p.colName.map(n => scanOut.indexWhere(_.name == n)).getOrElse(-1)
       if (p.colName.isDefined && vecIdx < 0) return None
@@ -599,7 +675,7 @@ case class DictAggRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
 
     val batchRdd = scan.executeColumnar()
     val rowRdd: RDD[Row] =
-      batchRdd.mapPartitions(it => DictAgg.partial(it, keyIdx, specs, maxGroups))
+      batchRdd.mapPartitions(it => DictAgg.partial(it, keyIdxs, specs, maxGroups))
 
     // ---- partial schema: binary key + per-spec mergeable state ----
     def partialFields(p: AggPlan, i: Int): Seq[StructField] = p.op match {
@@ -617,13 +693,14 @@ case class DictAggRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
           StructField(s"c_$i", LongType, nullable = false))
     }
     val schema = StructType(
-      StructField("k", BinaryType, nullable = true) +:
+      keyNames.indices.map(i =>
+        StructField(s"k_$i", BinaryType, nullable = true)) ++
         plans.zipWithIndex.flatMap { case (p, i) => partialFields(p, i) })
     val partialDf = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .createDataFrame(rowRdd, schema)
     val partialPlan = partialDf.queryExecution.analyzed
     val pAttr: Map[String, Attribute] = partialPlan.output.map(a => a.name -> a).toMap
-    val kAttr = pAttr("k")
+    val kAttrs = keyNames.indices.map(i => pAttr(s"k_$i"))
 
     // ---- final merge expressions, rebound to the original exprIds ----
     def mergeOf(i: Int): Expression = {
@@ -645,7 +722,10 @@ case class DictAggRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
             org.apache.spark.sql.catalyst.expressions.EvalMode.LEGACY)
       }
     }
-    val keyExpr: Expression = Cast(kAttr, StringType)
+    val keyExprByExprId: Map[Long, Expression] =
+      gs.zipWithIndex.map { case (g, i) =>
+        g.exprId.id -> (Cast(kAttrs(i), StringType): Expression)
+      }.toMap
 
     def rewriteExpr(e: Expression): Option[Expression] = e match {
       case ae: AggregateExpression =>
@@ -655,7 +735,7 @@ case class DictAggRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
           else aeList.zipWithIndex
             .collectFirst { case (x, i) if x.semanticEquals(ae) => i }
         idx.map(mergeOf)
-      case a: AttributeReference if a.exprId == g.exprId => Some(keyExpr)
+      case a: AttributeReference => keyExprByExprId.get(a.exprId.id)
       case l: Literal => Some(l)
       case other if other.children.nonEmpty && other.deterministic =>
         val kids = other.children.map(rewriteExpr)
@@ -677,10 +757,10 @@ case class DictAggRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     }
 
     engagements.incrementAndGet()
-    logInfo(s"dictAgg: rewriting GROUP BY $keyName over " +
+    logInfo(s"dictAgg: rewriting GROUP BY ${keyNames.mkString(", ")} over " +
       s"${lr.relation.asInstanceOf[HadoopFsRelation].location.rootPaths.headOption.getOrElse("?")} " +
       s"to dictionary-code partial aggregation (${specs.length} aggregates)")
-    Some(Aggregate(Seq(kAttr), outputs, partialPlan))
+    Some(Aggregate(kAttrs, outputs, partialPlan))
   }
 
   private def typOf(t: Int): DataType = t match {

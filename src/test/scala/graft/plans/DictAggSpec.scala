@@ -138,7 +138,6 @@ class DictAggSpec extends AnyFunSuite {
     // distinct has no bitmap domain and stays native
     noEngage(df.groupBy("k").agg(countDistinct("s")))
     noEngage(df.groupBy("i").agg(sum("d")))
-    noEngage(df.groupBy("k", "s").agg(sum("d")))
   }
 
   test("kill switch disables the rewrite") {
@@ -165,6 +164,37 @@ class DictAggSpec extends AnyFunSuite {
     // string distinct stays on the native plan
     val b2 = DictAgg.engagements.get()
     spark.read.parquet(table).groupBy("k").agg(countDistinct(col("s"))).collect()
+    assert(DictAgg.engagements.get() == b2)
+  }
+
+  test("TWO string keys ride the packed-code pair cache, same answers (r16)") {
+    // k (7 values + null) × s2 (derived 3-value string col) — write a
+    // two-string-key table
+    val dir = java.nio.file.Files.createTempDirectory("graft_dictagg2k").toString
+    spark.read.parquet(table)
+      .withColumn("s2", concat(lit("g"), (col("i") % 3).cast("string")))
+      .write.mode("overwrite").parquet(s"$dir/t.parquet")
+    // double sums/avgs round to 6dp: merge ORDER across partitions is
+    // nondeterministic in both the native and the rewritten plan, so
+    // the last ULPs legitimately move (same caveat as AggProjections)
+    def q() = spark.read.parquet(s"$dir/t.parquet")
+      .groupBy("k", "s2").agg(
+        round(sum("d"), 6).as("sd"), count(lit(1)).as("c"),
+        countDistinct(col("l")).as("ul"), round(avg("i"), 6).as("ai"))
+    val before = DictAgg.engagements.get()
+    val fast = collectSorted(q())
+    assert(DictAgg.engagements.get() > before,
+      "dictAgg did not engage on the two-key shape")
+    assert(fast == withDisabled(collectSorted(q())))
+    // s2 is null when i is null → null key PARTS in both positions
+    // are exercised; overflow mode stays exact
+    spark.conf.set(DictAgg.MaxGroupsKey, "3")
+    try assert(collectSorted(q()) == fast)
+    finally spark.conf.unset(DictAgg.MaxGroupsKey)
+    // three keys stay native
+    val b2 = DictAgg.engagements.get()
+    spark.read.parquet(s"$dir/t.parquet")
+      .groupBy("k", "s2", "s").agg(sum("d")).collect()
     assert(DictAgg.engagements.get() == b2)
   }
 
