@@ -375,9 +375,14 @@ class QueryService(spark: SparkSession) {
     // region (review r15, twice): tempdir-then-register leaked a dir
     // per concurrency-cap refusal; register-then-tempdir leaked a slot
     // on a full /tmp — one try/finally owns both now
+    Quotas.admit("default") // FORMAT Parquet is always a SELECT
     Processes.registerBounded(Processes.Proc(qid, req.query, "default",
       "sql", System.currentTimeMillis(), group, spark),
       Governance.concurrencyLimit(spark))
+    ScanProgress.ensureListener(spark)
+    ScanProgress.track(group)
+    val tq0 = System.nanoTime()
+    var spooledOk = false
     var tmp: java.io.File = null
     try Governance.runGoverned(spark, group) {
       tmp = java.nio.file.Files
@@ -413,12 +418,18 @@ class QueryService(spark: SparkSession) {
             .coalesce(1).write.parquet(cut.toString)
           partIn(cut)
         } else partIn(out)
-      consume(
+      val res = consume(
         QueryResult(df.columns.toSeq,
           df.schema.fields.map(_.dataType.simpleString).toSeq,
           Nil, settings, Some("parquet"), Some(df.schema)), part)
+      spooledOk = true
+      res
     } finally {
       Processes.unregister(qid)
+      Quotas.record("default", 0L,
+        ScanProgress.get(group).map(_.recordsRead.get).getOrElse(0L),
+        (System.nanoTime() - tq0) / 1e9, failed = !spooledOk)
+      ScanProgress.release(group)
       def rm(f: java.io.File): Unit = {
         Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
       }

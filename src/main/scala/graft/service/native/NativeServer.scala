@@ -295,9 +295,17 @@ class NativeServer(spark: SparkSession, port: Int = 0,
     // the job-group kill handle
     val qid = if (clientQueryId.nonEmpty) clientQueryId
       else java.util.UUID.randomUUID().toString
+    // quotas gate the native door too (quota/kill operator verbs stay
+    // outside metering — see QueryService)
+    val metered = !graft.dialect.QuotaSql.isQuota(query) &&
+      !graft.dialect.KillSql.isKill(query)
+    if (metered) graft.service.Quotas.admit("default")
     graft.service.Processes.registerBounded(graft.service.Processes.Proc(
       qid, query, "default", "native", System.currentTimeMillis(),
       group, session), graft.service.Governance.concurrencyLimit(session))
+    graft.service.ScanProgress.ensureListener(session)
+    val scanCounters = graft.service.ScanProgress.track(group)
+    val startedWall = System.nanoTime()
     val outLock = new Object
     @volatile var cancelled = false
     @volatile var sentEos = false
@@ -331,8 +339,9 @@ class NativeServer(spark: SparkSession, port: Int = 0,
                 // CH interleaves Progress with Data as the pipeline
                 // produces blocks (clickhouse-go surfaces it as the
                 // progress callback) — cumulative rows so far
-                sendProgress(out, revision, sent + chunk.length,
-                  System.nanoTime() - started)
+                sendProgress(out, revision,
+                  math.max(sent + chunk.length, scanCounters.recordsRead.get),
+                  scanCounters.bytesRead.get, System.nanoTime() - started)
                 sent += chunk.length
                 blocks += 1
               }
@@ -350,7 +359,9 @@ class NativeServer(spark: SparkSession, port: Int = 0,
               // cancel EOS) is sent under this same lock — the tail
               // frames must never follow it
               if (!cancelled) {
-                sendProgress(out, revision, sent, System.nanoTime() - started)
+                sendProgress(out, revision,
+                  math.max(sent, scanCounters.recordsRead.get),
+                  scanCounters.bytesRead.get, System.nanoTime() - started)
                 sendProfileInfo(out, sent, blocks)
                 NativeWire.writeVarUInt(out, ServerEndOfStream)
                 out.flush()
@@ -362,7 +373,14 @@ class NativeServer(spark: SparkSession, port: Int = 0,
         outcome = Right(())
       }
       catch { case e: Throwable => outcome = Left(e) }
-      finally graft.service.Processes.unregister(qid)
+      finally {
+        graft.service.Processes.unregister(qid)
+        if (metered) graft.service.Quotas.record("default", 0L,
+          scanCounters.recordsRead.get,
+          (System.nanoTime() - startedWall) / 1e9,
+          failed = outcome == null || outcome.isLeft)
+        graft.service.ScanProgress.release(group)
+      }
     }, group)
     worker.setDaemon(true)
     worker.start()
@@ -610,11 +628,11 @@ class NativeServer(spark: SparkSession, port: Int = 0,
   }
 
   private def sendProgress(out: OutputStream, revision: Long,
-      rows: Long, elapsedNs: Long): Unit = {
+      rows: Long, bytes: Long, elapsedNs: Long): Unit = {
     NativeWire.writeVarUInt(out, ServerProgress)
     val b = new WireOut
-    b.writeVarUInt(rows) // rows
-    b.writeVarUInt(0)    // bytes
+    b.writeVarUInt(rows)  // rows read (executor scan counters, r16)
+    b.writeVarUInt(math.max(bytes, 0L)) // bytes read
     b.writeVarUInt(0)    // total rows to read
     if (revision >= MinRevisionWithClientWriteInfo) {
       b.writeVarUInt(0)  // wrote rows

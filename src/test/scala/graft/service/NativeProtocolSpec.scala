@@ -216,7 +216,10 @@ class NativeProtocolSpec extends AnyFunSuite {
             "SELECT count() AS cnt, sum(v) AS sv FROM native_back")
           assert(r.cols == Seq("cnt", "sv"), r.cols)
           assert(r.rows == Seq(Seq(3L, 60L)), r.rows)
-          assert(r.progressRows == 1L)
+          // r16: Progress carries rows READ from storage (executor scan
+          // counters — the 3 scanned source rows), not the 1 shipped
+          // result row; CH's own read_rows semantics
+          assert(r.progressRows == 3L, r.progressRows)
           // session state persisted across the three round-trips —
           // the ATTACH made on this conn still resolves
           val r2 = c.query("SELECT id FROM native_back ORDER BY id")

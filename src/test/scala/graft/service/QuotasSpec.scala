@@ -93,6 +93,23 @@ class QuotasSpec extends AnyFunSuite {
     }
   }
 
+  test("quotas gate the native TCP door too, and CREATE/DROP work through it") {
+    withCleanQuotas {
+      val srv = new graft.service.native.NativeServer(spark)
+      val port = srv.start()
+      val c = new graft.service.native.NativeClient("127.0.0.1", port)
+      try {
+        c.exec("CREATE QUOTA q_native FOR INTERVAL 1 hour MAX queries = 1")
+        c.query("SELECT 1")
+        val e = intercept[Exception](c.query("SELECT 2"))
+        assert(e.getMessage.contains("QUOTA_EXCEEDED"), e.getMessage)
+        // the conn survives the refusal and quota DDL stays unmetered
+        c.exec("DROP QUOTA q_native")
+        c.query("SELECT 3")
+      } finally { c.close(); srv.stop() }
+    }
+  }
+
   test("system.quotas / system.quota_usage introspection") {
     withCleanQuotas {
       graft.dialect.ChFunctions.register(spark)
