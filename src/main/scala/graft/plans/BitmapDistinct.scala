@@ -177,6 +177,16 @@ case class BitmapDistinctRewrite(spark: SparkSession) extends Rule[LogicalPlan] 
       aggExprs: Seq[org.apache.spark.sql.catalyst.expressions.NamedExpression],
       child: LogicalPlan): Option[LogicalPlan] = {
     val lr = relationOf(child).getOrElse(return None)
+    // never re-rewrite an AggProjections COMPANION scan — same
+    // exclusion (and rationale) as DictAggRewrite: the reroute already
+    // won, and hiding its FileScan behind an RDD breaks plan audits
+    val roots = lr.relation.asInstanceOf[HadoopFsRelation]
+      .location.rootPaths.map(_.toString)
+    val projRoot = AggProjections.projectionRoot(spark)
+    if (roots.exists(_.contains(projRoot)) ||
+        AggProjections.allManifests.exists(m =>
+          roots.exists(_.contains(m.dataPath))))
+      return None
 
     // every aggregate call must be count(DISTINCT intCol); collect the
     // distinct columns in first-seen order

@@ -229,10 +229,8 @@ object DictAgg {
             case TDouble => java.lang.Double.valueOf(d)
           }
       case OpAvg =>
-        out(at) =
-          if (c == 0L) null
-          else if (spec.typ == TInt || spec.typ == TLong) java.lang.Long.valueOf(l)
-          else java.lang.Double.valueOf(d)
+        // always the Double accumulator — see the OpAvg kernel branch
+        out(at) = if (c == 0L) null else java.lang.Double.valueOf(d)
         out(at + 1) = java.lang.Long.valueOf(c)
       case OpUniq => () // filled by slotRow from accB directly
     }
@@ -272,6 +270,12 @@ object DictAgg {
           case OpSum | OpAvg =>
             vals(at) =
               if (isNull) null
+              else if (spec.op == OpAvg) java.lang.Double.valueOf(spec.typ match {
+                case TInt => vec.getInt(i).toDouble
+                case TLong => vec.getLong(i).toDouble
+                case TFloat => vec.getFloat(i).toDouble
+                case TDouble => vec.getDouble(i)
+              })
               else spec.typ match {
                 case TInt => java.lang.Long.valueOf(vec.getInt(i).toLong)
                 case TLong => java.lang.Long.valueOf(vec.getLong(i))
@@ -416,6 +420,22 @@ object DictAgg {
               while (i < n) {
                 val s = slotsBuf(i)
                 if (s >= 0 && !vec.isNullAt(i)) c(s) += 1
+                i += 1
+              }
+            // avg ALWAYS accumulates in Double — Spark's Average sums
+            // every non-decimal numeric in Double and can never
+            // overflow, so a Long accumulator here would crash (ANSI)
+            // or silently wrap (legacy) where the native plan succeeds
+            // (review r16)
+            case OpAvg if spec.typ == TInt || spec.typ == TLong =>
+              var i = 0
+              while (i < n) {
+                val s = slotsBuf(i)
+                if (s >= 0 && !vec.isNullAt(i)) {
+                  d(s) += (if (spec.typ == TInt) vec.getInt(i).toDouble
+                           else vec.getLong(i).toDouble)
+                  c(s) += 1
+                }
                 i += 1
               }
             case OpSum | OpAvg => spec.typ match {
@@ -688,8 +708,8 @@ case class DictAggRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       case OpMin => Seq(StructField(s"mn_$i", typOf(p.typ), nullable = true))
       case OpMax => Seq(StructField(s"mx_$i", typOf(p.typ), nullable = true))
       case OpAvg =>
-        val dt = if (p.typ == TInt || p.typ == TLong) LongType else DoubleType
-        Seq(StructField(s"s_$i", dt, nullable = true),
+        // Double sum regardless of input type — Average's own contract
+        Seq(StructField(s"s_$i", DoubleType, nullable = true),
           StructField(s"c_$i", LongType, nullable = false))
     }
     val schema = StructType(

@@ -516,6 +516,12 @@ class QueryServer(
               queriesTotal.increment()
               val secs = (System.nanoTime() - t0) / 1e9
               querySecondsTotal.add(secs)
+              // shipped rows consume the result_rows quota budget
+              // (quota/kill operator verbs stay unmetered)
+              if (streamedRows > 0 &&
+                  !graft.dialect.QuotaSql.isQuota(req.query) &&
+                  !graft.dialect.KillSql.isKill(req.query))
+                Quotas.recordResultRows("default", streamedRows)
               log.info(s"request_id=$reqId status=200 rows=$streamedRows " +
                 f"seconds=$secs%.3f")
               spooled match {

@@ -243,7 +243,9 @@ class QueryService(spark: SparkSession) {
         // (CH has other users for that; documented divergence)
         val metered = !graft.dialect.QuotaSql.isQuota(main) &&
           !graft.dialect.KillSql.isKill(main)
-        if (metered) Quotas.admit("default")
+        // register FIRST, admit INSIDE the try: a quota refusal must
+        // not leak the Proc, and a concurrency refusal must not burn
+        // quota budget for a query that never ran (review r16)
         Processes.registerBounded(Processes.Proc(qid, req.query, "default",
           "sql", System.currentTimeMillis(), group, spark),
           Governance.concurrencyLimit(spark))
@@ -252,8 +254,11 @@ class QueryService(spark: SparkSession) {
         val t0 = System.nanoTime()
         var resultRows = -1L
         var failed = true
+        var admitted = false
         val (cols, types, rows, settings) =
           try {
+            if (metered) Quotas.admit("default")
+            admitted = true
             val out = Governance.runGoverned(spark, group) {
               val (df, settings) = executeToDf(req)
               (df.columns.toSeq,
@@ -266,7 +271,7 @@ class QueryService(spark: SparkSession) {
             out
           } finally {
             Processes.unregister(qid)
-            if (metered) Quotas.record("default", resultRows,
+            if (metered && admitted) Quotas.record("default", resultRows,
               ScanProgress.get(group).map(_.recordsRead.get).getOrElse(0L),
               (System.nanoTime() - t0) / 1e9, failed)
             ScanProgress.release(group)
@@ -327,10 +332,16 @@ class QueryService(spark: SparkSession) {
         ScanProgress.track(group)
         val metered = !graft.dialect.QuotaSql.isQuota(main) &&
           !graft.dialect.KillSql.isKill(main)
-        if (metered) Quotas.admit("default")
         val t0 = System.nanoTime()
         var failed = true
-        try Governance.runGoverned(spark, group) {
+        var admitted = false
+        try {
+          // inside the try: a quota refusal must not leak the Proc or
+          // the tracked scan group (review r16 — this path admitted
+          // outside the cleanup and leaked both on refusal)
+          if (metered) Quotas.admit("default")
+          admitted = true
+          Governance.runGoverned(spark, group) {
           val (df, settings) = executeToDf(req)
           val estRows = df.queryExecution.optimizedPlan.collectLeaves()
             .flatMap(_.stats.rowCount).map(_.toLong).sum
@@ -344,11 +355,12 @@ class QueryService(spark: SparkSession) {
             Governance.iterateBounded(df).map(_.toSeq))
           failed = false
           out
-        } finally {
+        } } finally {
           Processes.unregister(qid)
-          // the door counts shipped rows itself; quotas meter what the
-          // executors READ (real task metrics) + wall time here
-          if (metered) Quotas.record("default", 0L,
+          // the doors record shipped rows via Quotas.recordResultRows;
+          // quotas meter what the executors READ (real task metrics)
+          // + wall time here
+          if (metered && admitted) Quotas.record("default", 0L,
             ScanProgress.get(group).map(_.recordsRead.get).getOrElse(0L),
             (System.nanoTime() - t0) / 1e9, failed)
           ScanProgress.release(group)
@@ -375,7 +387,6 @@ class QueryService(spark: SparkSession) {
     // region (review r15, twice): tempdir-then-register leaked a dir
     // per concurrency-cap refusal; register-then-tempdir leaked a slot
     // on a full /tmp — one try/finally owns both now
-    Quotas.admit("default") // FORMAT Parquet is always a SELECT
     Processes.registerBounded(Processes.Proc(qid, req.query, "default",
       "sql", System.currentTimeMillis(), group, spark),
       Governance.concurrencyLimit(spark))
@@ -383,8 +394,12 @@ class QueryService(spark: SparkSession) {
     ScanProgress.track(group)
     val tq0 = System.nanoTime()
     var spooledOk = false
+    var admitted = false
     var tmp: java.io.File = null
-    try Governance.runGoverned(spark, group) {
+    try {
+      Quotas.admit("default") // FORMAT Parquet is always a SELECT
+      admitted = true
+      Governance.runGoverned(spark, group) {
       tmp = java.nio.file.Files
         .createTempDirectory("graft_http_parquet").toFile
       val (df0, settings) = executeToDf(req)
@@ -424,9 +439,9 @@ class QueryService(spark: SparkSession) {
           Nil, settings, Some("parquet"), Some(df.schema)), part)
       spooledOk = true
       res
-    } finally {
+    } } finally {
       Processes.unregister(qid)
-      Quotas.record("default", 0L,
+      if (admitted) Quotas.record("default", 0L,
         ScanProgress.get(group).map(_.recordsRead.get).getOrElse(0L),
         (System.nanoTime() - tq0) / 1e9, failed = !spooledOk)
       ScanProgress.release(group)

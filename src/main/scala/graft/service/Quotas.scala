@@ -98,12 +98,20 @@ object Quotas {
   private def applying(user: String): Seq[Quota] =
     all.filter(q => q.users.isEmpty || q.users.exists(_.equalsIgnoreCase(user)))
 
-  /** Pre-execution gate: counts the query and refuses if any budget is
-    * already (or would be) exceeded. CH error shape: QUOTA_EXCEEDED. */
+  /** One lock for the whole admit: validation and the counter bump
+    * must be atomic ACROSS quotas — incrementing quota A then refusing
+    * on quota B would burn A's budget for a query that never ran
+    * (review r16). Admissions are cheap; contention is negligible. */
+  private val admitLock = new Object
+
+  /** Pre-execution gate: refuses if any budget is already (or would
+    * be) exceeded, then counts the query in EVERY applying quota. CH
+    * error shape: QUOTA_EXCEEDED. */
   def admit(user: String, now: Long = System.currentTimeMillis()): Unit =
-    applying(user).foreach { q =>
-      val u = windowOf(q, user, now)
-      u.synchronized {
+    admitLock.synchronized {
+      val qs = applying(user).map(q => (q, windowOf(q, user, now)))
+      // phase 1: validate all
+      qs.foreach { case (q, u) =>
         def refuse(what: String, used: Any, max: Any): Nothing = {
           val endsIn = (u.windowStart + q.intervalSec * 1000 - now) / 1000.0
           throw new IllegalArgumentException(
@@ -121,8 +129,20 @@ object Quotas {
           refuse("read_rows", u.readRows, m))
         q.limits.maxExecSec.foreach(m => if (u.execSec > m)
           refuse("execution_time", f"${u.execSec}%.1f", m))
-        u.queries += 1
       }
+      // phase 2: count the query everywhere
+      qs.foreach { case (_, u) => u.queries += 1 }
+    }
+
+  /** Result rows shipped ACROSS a door — the doors call this after
+    * rendering (the QueryService layer cannot see shipped counts on
+    * the streaming paths; review r16 — MAX result_rows was otherwise
+    * never consumed on any live door). */
+  def recordResultRows(user: String, rows: Long,
+      now: Long = System.currentTimeMillis()): Unit =
+    if (rows > 0) applying(user).foreach { q =>
+      val u = windowOf(q, user, now)
+      u.synchronized { u.resultRows += rows }
     }
 
   /** Post-execution consumption record. */

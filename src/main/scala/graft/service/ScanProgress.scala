@@ -34,8 +34,13 @@ object ScanProgress {
     java.util.Collections.synchronizedSet(new java.util.HashSet[Int]())
 
   /** Sweep guard: if releases are missed (crashed handlers), cap the
-    * tracked-group count rather than grow unbounded. */
+    * tracked-group count rather than grow unbounded. Eviction is
+    * OLDEST-FIRST (insertion order), never a blanket clear — wiping
+    * live groups would regress in-flight progress to zero mid-stream
+    * and under-meter quota read budgets (review r16). */
   private val MaxGroups = 4096
+  private val insertionOrder =
+    new java.util.concurrent.ConcurrentLinkedQueue[String]()
 
   def ensureListener(spark: SparkSession): Unit = {
     val sc = spark.sparkContext
@@ -70,14 +75,22 @@ object ScanProgress {
 
   /** Start tracking a group (called before the query runs). */
   def track(group: String): Counters = {
-    if (byGroup.size > MaxGroups) { byGroup.clear(); stageToGroup.clear() }
-    byGroup.getOrElseUpdate(group, new Counters)
+    while (byGroup.size > MaxGroups) {
+      val victim = insertionOrder.poll()
+      if (victim == null) { byGroup.clear(); stageToGroup.clear() }
+      else release(victim)
+    }
+    val fresh = !byGroup.contains(group)
+    val c = byGroup.getOrElseUpdate(group, new Counters)
+    if (fresh) insertionOrder.add(group)
+    c
   }
 
   def get(group: String): Option[Counters] = byGroup.get(group)
 
   def release(group: String): Unit = {
     byGroup.remove(group)
+    insertionOrder.remove(group)
     stageToGroup.filterInPlace((_, g) => g != group)
   }
 }

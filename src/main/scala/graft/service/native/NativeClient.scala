@@ -277,7 +277,7 @@ final class NativeClient(
             rows += block.cols.map(_.values(i))
             i += 1
           }
-        case ServerProgress => progressRows = math.max(progressRows, readProgress())
+        case ServerProgress => progressRows += readProgress() // wire carries DELTAS (r16)
         case ServerProfileInfo => readProfileInfo()
         case ServerEndOfStream => done = true
         case ServerException => throw readException()

@@ -296,16 +296,26 @@ class NativeServer(spark: SparkSession, port: Int = 0,
     val qid = if (clientQueryId.nonEmpty) clientQueryId
       else java.util.UUID.randomUUID().toString
     // quotas gate the native door too (quota/kill operator verbs stay
-    // outside metering — see QueryService)
+    // outside metering — see QueryService). Register FIRST, admit
+    // under the cleanup guard: a quota refusal must not leak the Proc
+    // or the tracked group, and a concurrency refusal must not burn
+    // quota budget (review r16)
     val metered = !graft.dialect.QuotaSql.isQuota(query) &&
       !graft.dialect.KillSql.isKill(query)
-    if (metered) graft.service.Quotas.admit("default")
     graft.service.Processes.registerBounded(graft.service.Processes.Proc(
       qid, query, "default", "native", System.currentTimeMillis(),
       group, session), graft.service.Governance.concurrencyLimit(session))
     graft.service.ScanProgress.ensureListener(session)
     val scanCounters = graft.service.ScanProgress.track(group)
     val startedWall = System.nanoTime()
+    if (metered)
+      try graft.service.Quotas.admit("default")
+      catch {
+        case e: Throwable =>
+          graft.service.Processes.unregister(qid)
+          graft.service.ScanProgress.release(group)
+          throw e
+      }
     val outLock = new Object
     @volatile var cancelled = false
     @volatile var sentEos = false
@@ -327,6 +337,24 @@ class NativeServer(spark: SparkSession, port: Int = 0,
           val buf = new scala.collection.mutable.ArrayBuffer[Row](BlockRows)
           var sent = 0L
           var blocks = 0L // DATA blocks (the header is not counted)
+          // CH's TCP Progress packets carry INCREMENTS the client
+          // accumulates (clickhouse-go sums them) — track what was
+          // last reported and ship deltas (review r16: cumulative
+          // values overcount ~Nx on real SDKs)
+          var reportedRows = 0L
+          var reportedBytes = 0L
+          def progressDelta(shipped: Long): Unit = {
+            val curRows = math.max(shipped, scanCounters.recordsRead.get)
+            val curBytes = scanCounters.bytesRead.get
+            val dr = curRows - reportedRows
+            val db = curBytes - reportedBytes
+            if (dr > 0 || db > 0) {
+              sendProgress(out, revision, math.max(dr, 0L),
+                math.max(db, 0L), System.nanoTime() - started)
+              reportedRows = curRows
+              reportedBytes = curBytes
+            }
+          }
           def flush(): Unit = if (buf.nonEmpty) {
             val chunk = buf.toArray
             buf.clear()
@@ -338,10 +366,8 @@ class NativeServer(spark: SparkSession, port: Int = 0,
                   NativeBlock.fromRows(schema, chunk), chunk.length)
                 // CH interleaves Progress with Data as the pipeline
                 // produces blocks (clickhouse-go surfaces it as the
-                // progress callback) — cumulative rows so far
-                sendProgress(out, revision,
-                  math.max(sent + chunk.length, scanCounters.recordsRead.get),
-                  scanCounters.bytesRead.get, System.nanoTime() - started)
+                // progress callback)
+                progressDelta(sent + chunk.length)
                 sent += chunk.length
                 blocks += 1
               }
@@ -359,9 +385,10 @@ class NativeServer(spark: SparkSession, port: Int = 0,
               // cancel EOS) is sent under this same lock — the tail
               // frames must never follow it
               if (!cancelled) {
-                sendProgress(out, revision,
-                  math.max(sent, scanCounters.recordsRead.get),
-                  scanCounters.bytesRead.get, System.nanoTime() - started)
+                progressDelta(sent)
+                // shipped rows consume the result_rows quota budget
+                if (metered)
+                  graft.service.Quotas.recordResultRows("default", sent)
                 sendProfileInfo(out, sent, blocks)
                 NativeWire.writeVarUInt(out, ServerEndOfStream)
                 out.flush()

@@ -27,6 +27,18 @@ import NativeWire.{ByteSource, WireOut}
   *     Native column layout's cumulative UInt64 offsets.
   *   - `LowCardinality(T)`: row formats carry no dictionary — the
   *     value serializes as plain `T` (CH's own RowBinary behavior).
+  *
+  * Known asymmetry (documented, spec-pinned): EXTRACTION derives types
+  * from the Spark RESULT schema, and parquet/MergeTree-backed views
+  * are all-nullable in Spark — so `SELECT id FROM t` over a declared
+  * `id Int64` column extracts in the `Nullable(Int64)` layout (one
+  * present-flag byte per value), where CH itself would emit bare
+  * Int64. INGEST deliberately uses the TABLE's declared types (CH's
+  * contract for header-less bodies). A client round-tripping a
+  * non-Nullable table through header-less RowBinary must therefore use
+  * `RowBinaryWithNamesAndTypes`, whose header carries the actual
+  * layout — the lossless spelling. This is a Spark nullability-model
+  * boundary, not a codec choice.
   */
 object RowBinary {
 

@@ -126,6 +126,26 @@ class DictAggSpec extends AnyFunSuite {
     assert(fast == withDisabled(collectSorted(q())))
   }
 
+  test("avg over huge longs matches Spark: Double accumulation (review r16)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_dictagg_ovf").toString
+    import scala.jdk.CollectionConverters._
+    val rows = Seq(
+      org.apache.spark.sql.Row("a", java.lang.Long.valueOf(Long.MaxValue)),
+      org.apache.spark.sql.Row("a", java.lang.Long.valueOf(10L)),
+      org.apache.spark.sql.Row("b", java.lang.Long.valueOf(-3L))).asJava
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("v", org.apache.spark.sql.types.LongType)))
+    spark.createDataFrame(rows, schema).write.mode("overwrite").parquet(s"$dir/t")
+    // a Long accumulator would throw (ANSI) or wrap negative here —
+    // Spark's Average sums every non-decimal numeric in Double
+    def q() = spark.read.parquet(s"$dir/t").groupBy("k").agg(avg("v").as("a"))
+    val before = DictAgg.engagements.get()
+    val fast = collectSorted(q())
+    assert(DictAgg.engagements.get() > before)
+    assert(fast == withDisabled(collectSorted(q())))
+  }
+
   test("does not engage on filtered, distinct, or non-string-key shapes") {
     val df = spark.read.parquet(table)
     def noEngage(mk: => DataFrame): Unit = {

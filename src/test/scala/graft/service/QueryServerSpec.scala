@@ -944,6 +944,23 @@ class QueryServerSpec extends AnyFunSuite {
     assert(post("/", "DROP TABLE xreq_prog_mt").statusCode() == 200)
   }
 
+  test("MAX result_rows quota is consumed by rows shipped over the door (r16)") {
+    try {
+      assert(post("/", "CREATE QUOTA q_http_rows FOR INTERVAL 1 hour " +
+        "MAX result_rows = 100").statusCode() == 200)
+      val q = java.net.URLEncoder.encode(
+        "SELECT number FROM numbers(200) FORMAT CSV", "UTF-8")
+      assert(get(s"/?query=$q").statusCode() == 200) // ships 200 rows
+      // the consumed budget now refuses the next admission
+      val r2 = get(s"/?query=$q")
+      assert(r2.statusCode() != 200 &&
+        r2.body().contains("result_rows"), s"${r2.statusCode()}: ${r2.body()}")
+      // quota DDL stays unmetered — the drop works
+      assert(post("/", "DROP QUOTA q_http_rows").statusCode() == 200)
+      assert(get(s"/?query=$q").statusCode() == 200)
+    } finally graft.service.Quotas.clear()
+  }
+
   test("URL parameters are per-query SETTINGS, restored after the request (r15)") {
     // max_result_rows as a URL param governs exactly like its SET form
     val q = java.net.URLEncoder.encode(

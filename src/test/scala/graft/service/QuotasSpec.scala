@@ -110,6 +110,48 @@ class QuotasSpec extends AnyFunSuite {
     }
   }
 
+  test("a QUOTA_EXCEEDED refusal leaks NOTHING: processes stay clean (review r16)") {
+    withCleanQuotas {
+      run("CREATE QUOTA q_leak FOR INTERVAL 1 hour MAX queries = 1")
+      val before = Processes.all.size
+      // the streaming path is where the r16 review found the leak
+      svc.executeStreamed(QueryService.QueryRequest("SELECT 1")) {
+        (_, it) => it.size }
+      (1 to 3).foreach { _ =>
+        intercept[IllegalArgumentException](
+          svc.executeStreamed(QueryService.QueryRequest("SELECT 2")) {
+            (_, it) => it.size })
+      }
+      assert(Processes.all.size == before,
+        s"refused queries leaked processes: ${Processes.all.map(_.query)}")
+    }
+  }
+
+  test("a concurrency-cap refusal never burns quota budget (review r16)") {
+    withCleanQuotas {
+      run("CREATE QUOTA q_cc FOR INTERVAL 1 hour MAX queries = 2")
+      spark.conf.set(Governance.MaxConcurrentQueries, "1")
+      try {
+        // saturate the single slot with a long-running streamed query,
+        // then hit the cap: the refusal must not consume the quota
+        val gate = new java.util.concurrent.CountDownLatch(1)
+        val started = new java.util.concurrent.CountDownLatch(1)
+        val t = new Thread(() => {
+          svc.executeStreamed(QueryService.QueryRequest(
+            "SELECT number FROM numbers(10)")) { (_, it) =>
+            started.countDown(); gate.await(); it.size }
+        })
+        t.start(); started.await()
+        val e = intercept[Exception](run("SELECT 1"))
+        assert(e.getMessage.contains("TOO_MANY_SIMULTANEOUS_QUERIES") ||
+          e.getMessage.toLowerCase.contains("simultaneous"), e.getMessage)
+        gate.countDown(); t.join()
+        // budget: 1 consumed by the long query; this one must still run
+        run("SELECT 2")
+      } finally spark.conf.unset(Governance.MaxConcurrentQueries)
+    }
+  }
+
   test("system.quotas / system.quota_usage introspection") {
     withCleanQuotas {
       graft.dialect.ChFunctions.register(spark)
