@@ -591,20 +591,24 @@ case class DictAggRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       gs: Seq[AttributeReference],
       aggExprs: Seq[NamedExpression],
       child: LogicalPlan): Option[LogicalPlan] = {
-    val lr = relationOf(child).getOrElse(return None)
-    // never re-rewrite an AggProjections COMPANION scan: the reroute
-    // already reduced the query to a scan of the (tiny) pre-aggregated
-    // table, the kernel could not improve on it, and replacing its
-    // FileScan with an RDD node would only obscure plan audits (the
-    // r16 suite caught exactly that: scansProjection assertions went
-    // false while answers stayed identical)
-    val roots = lr.relation.asInstanceOf[HadoopFsRelation]
-      .location.rootPaths.map(_.toString)
-    val projRoot = AggProjections.projectionRoot(spark)
-    if (roots.exists(_.contains(projRoot)) ||
-        AggProjections.allManifests.exists(m =>
-          roots.exists(_.contains(m.dataPath))))
-      return None
+    val src = relationOf(child).getOrElse(return None)
+    src match {
+      case ParquetRel(lr) =>
+        // never re-rewrite an AggProjections COMPANION scan: the
+        // reroute already reduced the query to a scan of the (tiny)
+        // pre-aggregated table, the kernel could not improve on it,
+        // and replacing its FileScan with an RDD node would only
+        // obscure plan audits (the r16 suite caught exactly that:
+        // scansProjection assertions went false, answers identical)
+        val roots = lr.relation.asInstanceOf[HadoopFsRelation]
+          .location.rootPaths.map(_.toString)
+        val projRoot = AggProjections.projectionRoot(spark)
+        if (roots.exists(_.contains(projRoot)) ||
+            AggProjections.allManifests.exists(m =>
+              roots.exists(_.contains(m.dataPath))))
+          return None
+      case _: MergeTreeRel => ()
+    }
     val keyNames = gs.map(g => resolve(child, g).getOrElse(return None))
 
     // collect every AggregateExpression (identity-keyed: the same
@@ -672,14 +676,25 @@ case class DictAggRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     }
 
     // ---- build the columnar scan over exactly the needed columns ----
-    val relNew = lr.newInstance()
     val neededNames = (keyNames ++ plans.flatMap(_.colName)).distinct
-    val relAttrs = neededNames.map(n =>
-      relNew.output.find(_.name == n).getOrElse(return None))
-    val scanDf = FunctionShim.ofRows(spark, Project(relAttrs, relNew))
-    val scan = scanDf.queryExecution.executedPlan.collectFirst {
-      case f: FileSourceScanExec => f
-    }.getOrElse(return None)
+    val scanDf = src match {
+      case ParquetRel(lr) =>
+        val relNew = lr.newInstance()
+        val relAttrs = neededNames.map(n =>
+          relNew.output.find(_.name == n).getOrElse(return None))
+        FunctionShim.ofRows(spark, Project(relAttrs, relNew))
+      case MergeTreeRel(endpoint, ddl, orderBy) =>
+        // a fresh DSv2 read — column pruning rides the normal
+        // V2ScanRelationPushDown on the select
+        graft.sources.mergetree.MergeTree.read(spark, endpoint, ddl, orderBy)
+          .select(neededNames.map(org.apache.spark.sql.functions.col): _*)
+    }
+    val scan: org.apache.spark.sql.execution.SparkPlan =
+      scanDf.queryExecution.executedPlan.collectFirst {
+        case f: FileSourceScanExec => (f: org.apache.spark.sql.execution.SparkPlan)
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+          (b: org.apache.spark.sql.execution.SparkPlan)
+      }.getOrElse(return None)
     if (!scan.supportsColumnar) return None
     val scanOut = scan.output
     val keyIdxs = keyNames.map(n => scanOut.indexWhere(_.name == n)).toArray
@@ -777,8 +792,7 @@ case class DictAggRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     }
 
     engagements.incrementAndGet()
-    logInfo(s"dictAgg: rewriting GROUP BY ${keyNames.mkString(", ")} over " +
-      s"${lr.relation.asInstanceOf[HadoopFsRelation].location.rootPaths.headOption.getOrElse("?")} " +
+    logInfo(s"dictAgg: rewriting GROUP BY ${keyNames.mkString(", ")} " +
       s"to dictionary-code partial aggregation (${specs.length} aggregates)")
     Some(Aggregate(kAttrs, outputs, partialPlan))
   }
@@ -790,20 +804,32 @@ case class DictAggRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     case TDouble => DoubleType
   }
 
-  /** The parquet relation under cardinality-preserving wrappers only —
-    * any Filter/Sample/Limit/join leaves the plan untouched (a filter
-    * would have to be re-applied batch-side; out of scope, the scan
-    * path handles it). */
-  private def relationOf(p: LogicalPlan): Option[LogicalRelation] = p match {
+  private sealed trait SrcRel
+  private final case class ParquetRel(lr: LogicalRelation) extends SrcRel
+  private final case class MergeTreeRel(
+      endpoint: String, ddl: String, orderBy: Seq[String]) extends SrcRel
+
+  /** The parquet relation — or an ATTACHed MergeTree DSv2 relation
+    * (r16: its columnar reader emits DICTIONARY-BACKED vectors for
+    * LowCardinality(String) columns, so the code→slot fast path
+    * engages there too) — under cardinality-preserving wrappers only;
+    * any Filter/Sample/Limit/join leaves the plan untouched. */
+  private def relationOf(p: LogicalPlan): Option[SrcRel] = p match {
     case l: LogicalRelation if !l.isStreaming =>
       l.relation match {
         case r: HadoopFsRelation if r.fileFormat.isInstanceOf[ParquetFileFormat] =>
           // partition columns never carry dictionary ids and the key
           // could be one of them — still correct (constant-vector
           // fallback), so no exclusion needed
-          Some(l)
+          Some(ParquetRel(l))
         case _ => None
       }
+    case d: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation =>
+      graft.sources.mergetree.MergeTree.relationInfo(d)
+        .map { case (ep, ddl, ob) => MergeTreeRel(ep, ddl, ob) }
+    case sr: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+      graft.sources.mergetree.MergeTree.relationInfo(sr)
+        .map { case (ep, ddl, ob) => MergeTreeRel(ep, ddl, ob) }
     case Project(projList, c) if projList.forall(_.isInstanceOf[AttributeReference]) =>
       relationOf(c)
     case SubqueryAlias(_, c) => relationOf(c)
@@ -813,6 +839,12 @@ case class DictAggRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
   private def resolve(p: LogicalPlan, attr: Attribute): Option[String] = p match {
     case l: LogicalRelation =>
       l.output.find(_.exprId == attr.exprId).map(_.name)
+    case d: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+        if graft.sources.mergetree.MergeTree.relationInfo(d).isDefined =>
+      d.output.find(_.exprId == attr.exprId).map(_.name)
+    case sr: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation
+        if graft.sources.mergetree.MergeTree.relationInfo(sr).isDefined =>
+      sr.output.find(_.exprId == attr.exprId).map(_.name)
     case Project(projList, c) =>
       projList.find(_.exprId == attr.exprId).flatMap {
         case a: AttributeReference => resolve(c, a)

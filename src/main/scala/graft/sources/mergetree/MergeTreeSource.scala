@@ -680,14 +680,39 @@ private final class MergeTreeReaderFactory(required: StructType, ddl: String)
                 partTypes.get(f.name) match {
                   case None => v.putNulls(0, n) // column added after this part
                   case Some(chTypeStr) =>
-                    val t = ChType.parse(chTypeStr)
-                    if (ColumnCodec.fastScalar(t))
-                      withStreams(split)(st => ColumnCodec.scalarsInto(
-                        t, st.seek(f.name, split.markStart), n, v))
-                    else {
-                      val vals = withStreams(split)(st => ColumnCodec.decode(
-                        f.name, t, st, split.markStart, split.granuleRows))
-                      ColumnarFill.fillColumn(v, f.dataType, vals, n)
+                    ChType.parse(chTypeStr) match {
+                      // LowCardinality(String[, Nullable]) emits a
+                      // DICTIONARY-BACKED vector (r16): the split-global
+                      // key list becomes the vector dictionary and rows
+                      // carry int ids — a dictionary-aware consumer
+                      // (graft.plans.DictAgg) then touches each distinct
+                      // value once per batch instead of once per row,
+                      // the same contract the parquet reader gives it
+                      case ChType.LowCardinalityT(inner)
+                          if inner == ChType.Str ||
+                            inner == ChType.NullableT(ChType.Str) =>
+                        val (keys, ids) = withStreams(split)(st =>
+                          ColumnCodec.decodeLowCardinalityIndexed(
+                            f.name, inner, st, split.markStart,
+                            split.granuleRows))
+                        val keyBytes = keys.map(
+                          _.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+                            .getBytes)
+                        v.setDictionary(new LcVectorDictionary(keyBytes))
+                        val idsVec = v.reserveDictionaryIds(n)
+                        var i = 0
+                        while (i < n) {
+                          if (ids(i) < 0) v.putNull(i)
+                          else idsVec.putInt(i, ids(i))
+                          i += 1
+                        }
+                      case t if ColumnCodec.fastScalar(t) =>
+                        withStreams(split)(st => ColumnCodec.scalarsInto(
+                          t, st.seek(f.name, split.markStart), n, v))
+                      case t =>
+                        val vals = withStreams(split)(st => ColumnCodec.decode(
+                          f.name, t, st, split.markStart, split.granuleRows))
+                        ColumnarFill.fillColumn(v, f.dataType, vals, n)
                     }
                 }
                 v
@@ -725,4 +750,22 @@ private final class MergeTreeReaderFactory(required: StructType, ddl: String)
       }
     } finally f.close()
   }
+}
+
+
+/** Column-vector dictionary over a LowCardinality split's key bytes —
+  * implements Spark's `Dictionary` so `WritableColumnVector` serves
+  * `getUTF8String` through id lookup (only `decodeToBinary` is ever
+  * called for string vectors). */
+private[mergetree] final class LcVectorDictionary(keys: Array[Array[Byte]])
+    extends org.apache.spark.sql.execution.vectorized.Dictionary {
+  override def decodeToBinary(id: Int): Array[Byte] = keys(id)
+  override def decodeToInt(id: Int): Int =
+    throw new UnsupportedOperationException("LC string dictionary")
+  override def decodeToLong(id: Int): Long =
+    throw new UnsupportedOperationException("LC string dictionary")
+  override def decodeToFloat(id: Int): Float =
+    throw new UnsupportedOperationException("LC string dictionary")
+  override def decodeToDouble(id: Int): Double =
+    throw new UnsupportedOperationException("LC string dictionary")
 }

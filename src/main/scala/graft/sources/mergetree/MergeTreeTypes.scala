@@ -374,6 +374,29 @@ private[mergetree] object ColumnCodec {
       st: Streams,
       markStart: Int,
       granuleCounts: Array[Int]): Array[Any] = {
+    val (keys, ids) =
+      decodeLowCardinalityIndexed(name, inner0, st, markStart, granuleCounts)
+    val out = new Array[Any](ids.length)
+    var i = 0
+    while (i < ids.length) {
+      out(i) = if (ids(i) < 0) null else keys(ids(i))
+      i += 1
+    }
+    out
+  }
+
+  /** LowCardinality decode to (split-global dictionary, per-row ids);
+    * id -1 marks a NULL row (Nullable inner's reserved slot 0). Per-
+    * granule additional-keys dictionaries remap onto one split-global
+    * key list — what the DICTIONARY-BACKED column-vector emit needs
+    * (r16: a dictionary-aware consumer like DictAgg then touches each
+    * distinct value once per batch instead of once per row). */
+  private[mergetree] def decodeLowCardinalityIndexed(
+      name: String,
+      inner0: ChType,
+      st: Streams,
+      markStart: Int,
+      granuleCounts: Array[Int]): (Array[Any], Array[Int]) = {
     // Nullable inner: the dictionary serializes as the NESTED type and
     // index 0 is the reserved null slot (CH's layout; r16)
     val (inner, lcNullable) = inner0 match {
@@ -385,7 +408,20 @@ private[mergetree] object ColumnCodec {
     require(version == 1L,
       s"LowCardinality keys-serialization version $version (expected 1) for $name")
     var globalKeys: Array[Any] = null
-    val out = new Array[Any](granuleCounts.sum)
+    var globalMap: Array[Int] = null // per-granule-key → split-global id
+    val out = new Array[Int](granuleCounts.sum)
+    val merged = new java.util.ArrayList[Any]()
+    val mergedIdx = new java.util.HashMap[Any, Integer]()
+    def globalIdOf(k: Any): Int = {
+      val hit = mergedIdx.get(k)
+      if (hit != null) hit.intValue()
+      else {
+        val id = merged.size()
+        merged.add(k)
+        mergedIdx.put(k, Integer.valueOf(id))
+        id
+      }
+    }
     val r = st.seek(name, markStart)
     var g = 0
     var pos = 0
@@ -402,18 +438,19 @@ private[mergetree] object ColumnCodec {
         require(!(needGlobal && hasAdditional),
           s"LowCardinality block for $name mixes a global dictionary with " +
             "additional keys — outside the supported subset")
-        val keys: Array[Any] =
+        val remap: Array[Int] =
           if (needGlobal) {
             if (globalKeys == null || (flags & NeedUpdateDictionaryBit) != 0) {
               val nKeys = dict.readLongLE()
               require(nKeys <= Int.MaxValue, s"dictionary of $nKeys keys")
               globalKeys = scalars(inner, dict, nKeys.toInt)
+              globalMap = globalKeys.map(globalIdOf)
             }
-            globalKeys
+            globalMap
           } else if (hasAdditional) {
             val nKeys = r.readLongLE()
             require(nKeys <= Int.MaxValue, s"dictionary of $nKeys keys")
-            scalars(inner, r, nKeys.toInt)
+            scalars(inner, r, nKeys.toInt).map(globalIdOf)
           } else {
             throw new IllegalArgumentException(
               s"LowCardinality block for $name declares neither a global " +
@@ -430,16 +467,19 @@ private[mergetree] object ColumnCodec {
               require(v >= 0 && v <= Int.MaxValue, s"LowCardinality index $v")
               v.toInt
           }
-          require(idx >= 0 && idx < keys.length,
-            s"LowCardinality index $idx outside dictionary of ${keys.length} for $name")
-          out(pos) = if (lcNullable && idx == 0) null else keys(idx)
+          require(idx >= 0 && idx < remap.length,
+            s"LowCardinality index $idx outside dictionary of ${remap.length} for $name")
+          out(pos) = if (lcNullable && idx == 0) -1 else remap(idx)
           pos += 1
           i += 1
         }
       }
       g += 1
     }
-    out
+    val keysOut = new Array[Any](merged.size())
+    var k = 0
+    while (k < keysOut.length) { keysOut(k) = merged.get(k); k += 1 }
+    (keysOut, out)
   }
 
   /** Plain scalar column types whose decode can write STRAIGHT into a

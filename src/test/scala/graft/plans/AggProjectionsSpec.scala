@@ -349,7 +349,13 @@ class AggProjectionsSpec extends AnyFunSuite {
     // post-pushdown DataSourceV2ScanRelation, not the bare relation —
     // apply the rule to the fully-optimized plan and pin that it still
     // reroutes (review: it silently never fired on such sessions)
-    val lateInput = unoptimized(q.queryExecution.optimizedPlan)
+    // dictAgg must ALSO sit out here: since r16 it accepts the
+    // MergeTree ScanRelation and would rewrite this aggregate to a
+    // LogicalRDD before the late-phase input is captured
+    spark.conf.set(graft.plans.DictAgg.EnabledKey, "false")
+    val lateInput =
+      try unoptimized(q.queryExecution.optimizedPlan)
+      finally spark.conf.unset(graft.plans.DictAgg.EnabledKey)
     assert(lateInput.collectFirst {
       case s: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation => s
     }.isDefined, s"expected a ScanRelation in $lateInput")

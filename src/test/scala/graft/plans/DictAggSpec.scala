@@ -218,6 +218,30 @@ class DictAggSpec extends AnyFunSuite {
     assert(DictAgg.engagements.get() == b2)
   }
 
+  test("ATTACHed MergeTree tables engage too — dictionary-backed LC vectors (r16)") {
+    graft.dialect.ChFunctions.register(spark)
+    val wh = java.nio.file.Files.createTempDirectory("graft_dictagg_mt").toString
+    spark.conf.set(graft.dialect.ChWrites.WarehouseConf, wh)
+    val svc = new graft.service.QueryService(spark)
+    try {
+      svc.execute(graft.service.QueryService.QueryRequest(
+        "CREATE TABLE dictagg_mt (tag LowCardinality(String), v Int64, " +
+          "w Float64) ENGINE = MergeTree ORDER BY tag AS " +
+          "SELECT concat('t', toString(number % 5)) AS tag, " +
+          "number AS v, number / 7 AS w FROM numbers(20000)"))
+      def q() = graft.dialect.ChSql.sql(spark,
+        "SELECT tag, sum(v) AS sv, uniqExact(v) AS uv, " +
+          "round(avg(w), 6) AS aw, count() AS c " +
+          "FROM dictagg_mt GROUP BY tag ORDER BY tag")
+      val before = DictAgg.engagements.get()
+      val fast = collectSorted(q())
+      assert(DictAgg.engagements.get() > before,
+        "dictAgg did not engage on the MergeTree DSv2 relation")
+      assert(fast == withDisabled(collectSorted(q())))
+      svc.execute(graft.service.QueryService.QueryRequest("DROP TABLE dictagg_mt"))
+    } finally spark.conf.unset(graft.dialect.ChWrites.WarehouseConf)
+  }
+
   test("the dialect front door (ChSql) engages too — the q2 bench spelling") {
     graft.dialect.ChFunctions.register(spark)
     spark.read.parquet(table).createOrReplaceTempView("dictagg_t")
