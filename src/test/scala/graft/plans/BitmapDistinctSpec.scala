@@ -87,6 +87,28 @@ class BitmapDistinctSpec extends AnyFunSuite {
     noEngage(df.agg(countDistinct(col("l")), sum(col("i"))))
   }
 
+  test("ATTACHed MergeTree tables engage too (r16)") {
+    graft.dialect.ChFunctions.register(spark)
+    val wh = java.nio.file.Files.createTempDirectory("graft_bmd_mt").toString
+    spark.conf.set(graft.dialect.ChWrites.WarehouseConf, wh)
+    val svc = new graft.service.QueryService(spark)
+    try {
+      svc.execute(graft.service.QueryService.QueryRequest(
+        "CREATE TABLE bmd_mt (v Int64, w Int32) ENGINE = MergeTree " +
+          "ORDER BY v AS SELECT number % 321 AS v, " +
+          "CAST(number % 77 AS INT) AS w FROM numbers(10000)"))
+      def q() = graft.dialect.ChSql.sql(spark,
+        "SELECT uniqExact(v) AS uv, uniqExact(w) AS uw FROM bmd_mt")
+      val before = BitmapDistinct.engagements.get()
+      val fast = rows(q())
+      assert(BitmapDistinct.engagements.get() > before,
+        "bitmapDistinct did not engage on the MergeTree DSv2 relation")
+      assert(fast == Seq("[321,77]"))
+      assert(fast == withDisabled(rows(q())))
+      svc.execute(graft.service.QueryService.QueryRequest("DROP TABLE bmd_mt"))
+    } finally spark.conf.unset(graft.dialect.ChWrites.WarehouseConf)
+  }
+
   test("the dialect uniqExact spelling engages — the q3 bench shape") {
     graft.dialect.ChFunctions.register(spark)
     spark.read.parquet(table).createOrReplaceTempView("bmd_t")
