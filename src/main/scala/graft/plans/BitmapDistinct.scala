@@ -176,22 +176,10 @@ case class BitmapDistinctRewrite(spark: SparkSession) extends Rule[LogicalPlan] 
   private def tryRewrite(
       aggExprs: Seq[org.apache.spark.sql.catalyst.expressions.NamedExpression],
       child: LogicalPlan): Option[LogicalPlan] = {
-    val src = relationOf(child).getOrElse(return None)
-    src match {
-      case PqRel(lr) =>
-        // never re-rewrite an AggProjections COMPANION scan — same
-        // exclusion (and rationale) as DictAggRewrite: the reroute
-        // already won, and hiding its FileScan behind an RDD breaks
-        // plan audits
-        val roots = lr.relation.asInstanceOf[HadoopFsRelation]
-          .location.rootPaths.map(_.toString)
-        val projRoot = AggProjections.projectionRoot(spark)
-        if (roots.exists(_.contains(projRoot)) ||
-            AggProjections.allManifests.exists(m =>
-              roots.exists(_.contains(m.dataPath))))
-          return None
-      case _: MtRel => ()
-    }
+    val src = ScanRelations.relationOf(child).getOrElse(return None)
+    // never re-rewrite an AggProjections COMPANION scan — same
+    // exclusion (and rationale) as DictAggRewrite
+    if (ScanRelations.isProjectionCompanion(spark, src)) return None
 
     // every aggregate call must be count(DISTINCT intCol); collect the
     // distinct columns in first-seen order
@@ -211,7 +199,7 @@ case class BitmapDistinctRewrite(spark: SparkSession) extends Rule[LogicalPlan] 
       if (!ae.isDistinct || ae.filter.isDefined) return None
       ae.aggregateFunction match {
         case Count(Seq(a: AttributeReference)) =>
-          val n = resolve(child, a).getOrElse(return None)
+          val n = ScanRelations.resolve(child, a).getOrElse(return None)
           a.dataType match {
             case LongType => (n, true)
             case IntegerType => (n, false)
@@ -222,29 +210,14 @@ case class BitmapDistinctRewrite(spark: SparkSession) extends Rule[LogicalPlan] 
     }
 
     val neededNames = plans.map(_._1).distinct
-    val scanDf = src match {
-      case PqRel(lr) =>
-        val relNew = lr.newInstance()
-        val relAttrs = neededNames.map(n =>
-          relNew.output.find(_.name == n).getOrElse(return None))
-        FunctionShim.ofRows(spark, Project(relAttrs, relNew))
-      case MtRel(endpoint, ddl, orderBy) =>
-        graft.sources.mergetree.MergeTree.read(spark, endpoint, ddl, orderBy)
-          .select(neededNames.map(org.apache.spark.sql.functions.col): _*)
-    }
-    val scan: org.apache.spark.sql.execution.SparkPlan =
-      scanDf.queryExecution.executedPlan.collectFirst {
-        case f: FileSourceScanExec => (f: org.apache.spark.sql.execution.SparkPlan)
-        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
-          (b: org.apache.spark.sql.execution.SparkPlan)
-      }.getOrElse(return None)
-    if (!scan.supportsColumnar) return None
+    val scanDf = ScanRelations.scanDf(spark, src, neededNames)
+      .getOrElse(return None)
+    val scan = ScanRelations.columnarScan(scanDf).getOrElse(return None)
     val scanOut = scan.output
     // one bitmap per DISTINCT tracked column; aggregates share them
     val colIdxs = neededNames.map(n => scanOut.indexWhere(_.name == n)).toArray
     if (colIdxs.exists(_ < 0)) return None
-    val isLong = neededNames.map(n =>
-      scanOut(scanOut.indexWhere(_.name == n)).dataType == LongType).toArray
+    val isLong = colIdxs.map(i => scanOut(i).dataType == LongType)
     val blobIdxOf: Map[String, Int] = neededNames.zipWithIndex.toMap
 
     val rowRdd: RDD[Row] = scan.executeColumnar()
@@ -298,46 +271,4 @@ case class BitmapDistinctRewrite(spark: SparkSession) extends Rule[LogicalPlan] 
     Some(Aggregate(Nil, outputs, partialPlan))
   }
 
-  private sealed trait SrcRel
-  private final case class PqRel(lr: LogicalRelation) extends SrcRel
-  private final case class MtRel(
-      endpoint: String, ddl: String, orderBy: Seq[String]) extends SrcRel
-
-  private def relationOf(p: LogicalPlan): Option[SrcRel] = p match {
-    case l: LogicalRelation if !l.isStreaming =>
-      l.relation match {
-        case r: HadoopFsRelation if r.fileFormat.isInstanceOf[ParquetFileFormat] =>
-          Some(PqRel(l))
-        case _ => None
-      }
-    case d: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation =>
-      graft.sources.mergetree.MergeTree.relationInfo(d)
-        .map { case (ep, ddl, ob) => MtRel(ep, ddl, ob) }
-    case sr: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
-      graft.sources.mergetree.MergeTree.relationInfo(sr)
-        .map { case (ep, ddl, ob) => MtRel(ep, ddl, ob) }
-    case Project(projList, c) if projList.forall(_.isInstanceOf[AttributeReference]) =>
-      relationOf(c)
-    case SubqueryAlias(_, c) => relationOf(c)
-    case _ => None
-  }
-
-  private def resolve(p: LogicalPlan, attr: Attribute): Option[String] = p match {
-    case l: LogicalRelation =>
-      l.output.find(_.exprId == attr.exprId).map(_.name)
-    case d: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
-        if graft.sources.mergetree.MergeTree.relationInfo(d).isDefined =>
-      d.output.find(_.exprId == attr.exprId).map(_.name)
-    case sr: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation
-        if graft.sources.mergetree.MergeTree.relationInfo(sr).isDefined =>
-      sr.output.find(_.exprId == attr.exprId).map(_.name)
-    case Project(projList, c) =>
-      projList.find(_.exprId == attr.exprId).flatMap {
-        case a: AttributeReference => resolve(c, a)
-        case Alias(a: AttributeReference, _) => resolve(c, a)
-        case _ => None
-      }
-    case SubqueryAlias(_, c) => resolve(c, attr)
-    case _ => None
-  }
 }

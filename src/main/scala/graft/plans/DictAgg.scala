@@ -591,25 +591,16 @@ case class DictAggRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       gs: Seq[AttributeReference],
       aggExprs: Seq[NamedExpression],
       child: LogicalPlan): Option[LogicalPlan] = {
-    val src = relationOf(child).getOrElse(return None)
-    src match {
-      case ParquetRel(lr) =>
-        // never re-rewrite an AggProjections COMPANION scan: the
-        // reroute already reduced the query to a scan of the (tiny)
-        // pre-aggregated table, the kernel could not improve on it,
-        // and replacing its FileScan with an RDD node would only
-        // obscure plan audits (the r16 suite caught exactly that:
-        // scansProjection assertions went false, answers identical)
-        val roots = lr.relation.asInstanceOf[HadoopFsRelation]
-          .location.rootPaths.map(_.toString)
-        val projRoot = AggProjections.projectionRoot(spark)
-        if (roots.exists(_.contains(projRoot)) ||
-            AggProjections.allManifests.exists(m =>
-              roots.exists(_.contains(m.dataPath))))
-          return None
-      case _: MergeTreeRel => ()
-    }
-    val keyNames = gs.map(g => resolve(child, g).getOrElse(return None))
+    val src = ScanRelations.relationOf(child).getOrElse(return None)
+    // never re-rewrite an AggProjections COMPANION scan: the reroute
+    // already reduced the query to a scan of the (tiny) pre-aggregated
+    // table, the kernel could not improve on it, and replacing its
+    // FileScan with an RDD node would only obscure plan audits (the
+    // r16 suite caught exactly that: scansProjection assertions went
+    // false while answers stayed identical)
+    if (ScanRelations.isProjectionCompanion(spark, src)) return None
+    val keyNames = gs.map(g =>
+      ScanRelations.resolve(child, g).getOrElse(return None))
 
     // collect every AggregateExpression (identity-keyed: the same
     // object may be referenced from several output expressions; a
@@ -635,7 +626,7 @@ case class DictAggRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     final case class AggPlan(ae: AggregateExpression, op: Int,
         colName: Option[String], typ: Int)
     def colOf(e: Expression): Option[String] = e match {
-      case a: AttributeReference => resolve(child, a)
+      case a: AttributeReference => ScanRelations.resolve(child, a)
       case _ => None
     }
     val plans: Seq[AggPlan] = aeList.map { ae =>
@@ -677,25 +668,9 @@ case class DictAggRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
 
     // ---- build the columnar scan over exactly the needed columns ----
     val neededNames = (keyNames ++ plans.flatMap(_.colName)).distinct
-    val scanDf = src match {
-      case ParquetRel(lr) =>
-        val relNew = lr.newInstance()
-        val relAttrs = neededNames.map(n =>
-          relNew.output.find(_.name == n).getOrElse(return None))
-        FunctionShim.ofRows(spark, Project(relAttrs, relNew))
-      case MergeTreeRel(endpoint, ddl, orderBy) =>
-        // a fresh DSv2 read — column pruning rides the normal
-        // V2ScanRelationPushDown on the select
-        graft.sources.mergetree.MergeTree.read(spark, endpoint, ddl, orderBy)
-          .select(neededNames.map(org.apache.spark.sql.functions.col): _*)
-    }
-    val scan: org.apache.spark.sql.execution.SparkPlan =
-      scanDf.queryExecution.executedPlan.collectFirst {
-        case f: FileSourceScanExec => (f: org.apache.spark.sql.execution.SparkPlan)
-        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
-          (b: org.apache.spark.sql.execution.SparkPlan)
-      }.getOrElse(return None)
-    if (!scan.supportsColumnar) return None
+    val scanDf = ScanRelations.scanDf(spark, src, neededNames)
+      .getOrElse(return None)
+    val scan = ScanRelations.columnarScan(scanDf).getOrElse(return None)
     val scanOut = scan.output
     val keyIdxs = keyNames.map(n => scanOut.indexWhere(_.name == n)).toArray
     if (keyIdxs.exists(_ < 0)) return None
@@ -804,54 +779,4 @@ case class DictAggRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     case TDouble => DoubleType
   }
 
-  private sealed trait SrcRel
-  private final case class ParquetRel(lr: LogicalRelation) extends SrcRel
-  private final case class MergeTreeRel(
-      endpoint: String, ddl: String, orderBy: Seq[String]) extends SrcRel
-
-  /** The parquet relation — or an ATTACHed MergeTree DSv2 relation
-    * (r16: its columnar reader emits DICTIONARY-BACKED vectors for
-    * LowCardinality(String) columns, so the code→slot fast path
-    * engages there too) — under cardinality-preserving wrappers only;
-    * any Filter/Sample/Limit/join leaves the plan untouched. */
-  private def relationOf(p: LogicalPlan): Option[SrcRel] = p match {
-    case l: LogicalRelation if !l.isStreaming =>
-      l.relation match {
-        case r: HadoopFsRelation if r.fileFormat.isInstanceOf[ParquetFileFormat] =>
-          // partition columns never carry dictionary ids and the key
-          // could be one of them — still correct (constant-vector
-          // fallback), so no exclusion needed
-          Some(ParquetRel(l))
-        case _ => None
-      }
-    case d: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation =>
-      graft.sources.mergetree.MergeTree.relationInfo(d)
-        .map { case (ep, ddl, ob) => MergeTreeRel(ep, ddl, ob) }
-    case sr: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
-      graft.sources.mergetree.MergeTree.relationInfo(sr)
-        .map { case (ep, ddl, ob) => MergeTreeRel(ep, ddl, ob) }
-    case Project(projList, c) if projList.forall(_.isInstanceOf[AttributeReference]) =>
-      relationOf(c)
-    case SubqueryAlias(_, c) => relationOf(c)
-    case _ => None
-  }
-
-  private def resolve(p: LogicalPlan, attr: Attribute): Option[String] = p match {
-    case l: LogicalRelation =>
-      l.output.find(_.exprId == attr.exprId).map(_.name)
-    case d: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
-        if graft.sources.mergetree.MergeTree.relationInfo(d).isDefined =>
-      d.output.find(_.exprId == attr.exprId).map(_.name)
-    case sr: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation
-        if graft.sources.mergetree.MergeTree.relationInfo(sr).isDefined =>
-      sr.output.find(_.exprId == attr.exprId).map(_.name)
-    case Project(projList, c) =>
-      projList.find(_.exprId == attr.exprId).flatMap {
-        case a: AttributeReference => resolve(c, a)
-        case Alias(a: AttributeReference, _) => resolve(c, a)
-        case _ => None
-      }
-    case SubqueryAlias(_, c) => resolve(c, attr)
-    case _ => None
-  }
 }

@@ -1,0 +1,115 @@
+package graft.plans
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference}
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Project, SubqueryAlias}
+import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.graft.FunctionShim
+
+/** The columnar-rewrite rules' shared source-relation machinery —
+  * [[DictAggRewrite]] and [[BitmapDistinctRewrite]] accept the same
+  * two scan shapes (a bare parquet relation, an ATTACHed MergeTree
+  * DSv2 relation) with the same unwrapping, name resolution, and
+  * columnar-scan extraction; keeping one copy stops the two rules
+  * drifting (review r16 — a fix had to be applied four times). */
+private[plans] object ScanRelations {
+
+  sealed trait SrcRel
+  final case class ParquetRel(lr: LogicalRelation) extends SrcRel
+  final case class MergeTreeRel(
+      endpoint: String, ddl: String, orderBy: Seq[String]) extends SrcRel
+
+  /** The relation under cardinality-preserving wrappers only — any
+    * Filter/Sample/Limit/join leaves the plan unmatched (the
+    * MergeTree scan's pushFilters keeps all filters as residuals, so a
+    * filtered scan always carries a Filter node and never matches). */
+  def relationOf(p: LogicalPlan): Option[SrcRel] = p match {
+    case l: LogicalRelation if !l.isStreaming =>
+      l.relation match {
+        case r: HadoopFsRelation if r.fileFormat.isInstanceOf[ParquetFileFormat] =>
+          Some(ParquetRel(l))
+        case _ => None
+      }
+    case d: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation =>
+      graft.sources.mergetree.MergeTree.relationInfo(d)
+        .map { case (ep, ddl, ob) => MergeTreeRel(ep, ddl, ob) }
+    case sr: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+      graft.sources.mergetree.MergeTree.relationInfo(sr)
+        .map { case (ep, ddl, ob) => MergeTreeRel(ep, ddl, ob) }
+    case Project(projList, c) if projList.forall(_.isInstanceOf[AttributeReference]) =>
+      relationOf(c)
+    case SubqueryAlias(_, c) => relationOf(c)
+    case _ => None
+  }
+
+  /** An attribute's RELATION column name, or None if it doesn't reach
+    * the relation as a bare data column. */
+  def resolve(p: LogicalPlan, attr: Attribute): Option[String] = p match {
+    case l: LogicalRelation =>
+      l.output.find(_.exprId == attr.exprId).map(_.name)
+    case d: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+        if graft.sources.mergetree.MergeTree.relationInfo(d).isDefined =>
+      d.output.find(_.exprId == attr.exprId).map(_.name)
+    case sr: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation
+        if graft.sources.mergetree.MergeTree.relationInfo(sr).isDefined =>
+      sr.output.find(_.exprId == attr.exprId).map(_.name)
+    case Project(projList, c) =>
+      projList.find(_.exprId == attr.exprId).flatMap {
+        case a: AttributeReference => resolve(c, a)
+        case Alias(a: AttributeReference, _) => resolve(c, a)
+        case _ => None
+      }
+    case SubqueryAlias(_, c) => resolve(c, attr)
+    case _ => None
+  }
+
+  /** True when the AggProjections reroute owns this source (parquet
+    * companion scans) — the rewrites must not re-rewrite it. */
+  def isProjectionCompanion(spark: SparkSession, src: SrcRel): Boolean =
+    src match {
+      case ParquetRel(lr) =>
+        val roots = lr.relation.asInstanceOf[HadoopFsRelation]
+          .location.rootPaths.map(_.toString)
+        val projRoot = AggProjections.projectionRoot(spark)
+        roots.exists(_.contains(projRoot)) ||
+          AggProjections.allManifests.exists(m =>
+            roots.exists(_.contains(m.dataPath)))
+      case _: MergeTreeRel => false
+    }
+
+  /** A fresh DataFrame scanning exactly `neededNames` of the source —
+    * attribute-based projection on the parquet branch, a new DSv2 read
+    * (pruned by V2ScanRelationPushDown) on the MergeTree branch. The
+    * MergeTree select goes through `Dataset.col`-safe resolution by
+    * ATTRIBUTE, never by parsed name (a dotted CH column name like
+    * `a.b` would misparse as struct access; review r16). */
+  def scanDf(spark: SparkSession, src: SrcRel,
+      neededNames: Seq[String]): Option[DataFrame] = src match {
+    case ParquetRel(lr) =>
+      val relNew = lr.newInstance()
+      val attrs = neededNames.map(n => relNew.output.find(_.name == n) match {
+        case Some(a) => a
+        case None => return None
+      })
+      Some(FunctionShim.ofRows(spark, Project(attrs, relNew)))
+    case MergeTreeRel(endpoint, ddl, orderBy) =>
+      val df = graft.sources.mergetree.MergeTree.read(spark, endpoint, ddl, orderBy)
+      val rel = df.queryExecution.analyzed
+      val attrs = neededNames.map(n => rel.output.find(_.name == n) match {
+        case Some(a) => a
+        case None => return None
+      })
+      Some(FunctionShim.ofRows(spark, Project(attrs, rel)))
+  }
+
+  /** The columnar leaf scan of a planned scan DataFrame — None when
+    * the plan holds no (columnar) scan to consume. */
+  def columnarScan(df: DataFrame): Option[SparkPlan] =
+    df.queryExecution.executedPlan.collectFirst {
+      case f: FileSourceScanExec => (f: SparkPlan)
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+        (b: SparkPlan)
+    }.filter(_.supportsColumnar)
+}
