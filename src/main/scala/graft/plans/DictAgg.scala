@@ -308,6 +308,8 @@ object DictAgg {
     }
 
     var slotsBuf = new Array[Int](16384)
+    // the GLOBAL-aggregate spelling (no keys): one slot for everything
+    if (nKeys == 0) newSlot(Array.empty)
 
     /** One batch's work; returns the overflow singleton rows (bounded
       * by the batch size — past-maxGroups keys must stream out per
@@ -340,7 +342,9 @@ object DictAgg {
           p
         }
 
-        if (nKeys == 1) {
+        if (nKeys == 0) {
+          java.util.Arrays.fill(slotsBuf, 0, n, 0)
+        } else if (nKeys == 1) {
           val keyVec = vecs(keyIdxs(0))
           val dictIds = dictOf(keyVec)
           if (dictIds != null) java.util.Arrays.fill(codeSlots, -1)
@@ -563,7 +567,7 @@ case class DictAggRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       return plan
     plan.transformDown {
       case agg @ Aggregate(groupExprs, aggExprs, child, _)
-          if groupExprs.nonEmpty && groupExprs.size <= 2 &&
+          if groupExprs.size <= 2 &&
             groupExprs.forall {
               case a: AttributeReference => a.dataType == StringType
               case _ => false
@@ -601,6 +605,12 @@ case class DictAggRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     if (ScanRelations.isProjectionCompanion(spark, src)) return None
     val keyNames = gs.map(g =>
       ScanRelations.resolve(child, g).getOrElse(return None))
+    // the groupless spelling engages ONLY for the mixed shape — at
+    // least one count(DISTINCT intCol) alongside at least one plain
+    // aggregate (Spark's native plan pays an Expand there; see the
+    // engagement guard after classification). Pure-plain globals keep
+    // their codegen'd native plan; pure-distinct globals belong to
+    // BitmapDistinctRewrite.
 
     // collect every AggregateExpression (identity-keyed: the same
     // object may be referenced from several output expressions; a
@@ -665,6 +675,10 @@ case class DictAggRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
         case _ => return None
       }
     }
+
+    if (gs.isEmpty &&
+        !(plans.exists(_.op == OpUniq) && plans.exists(_.op != OpUniq)))
+      return None
 
     // ---- build the columnar scan over exactly the needed columns ----
     val neededNames = (keyNames ++ plans.flatMap(_.colName)).distinct

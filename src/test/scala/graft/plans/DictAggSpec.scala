@@ -160,6 +160,29 @@ class DictAggSpec extends AnyFunSuite {
     noEngage(df.groupBy("i").agg(sum("d")))
   }
 
+  test("GLOBAL mixed distinct+plain aggregates engage — no Expand (r16)") {
+    // the q26 shape: count/min/max/sum + uniqExact in ONE global
+    // statement — Spark's native plan pays an Expand; the kernel
+    // shares one scan with a bitmap for the distinct
+    // the double sum rounds to 6dp — merge ORDER across partitions is
+    // nondeterministic on both paths, so the last ULPs move
+    def q() = spark.read.parquet(table).agg(
+      count(lit(1)).as("c"), round(sum("d"), 6).as("sd"),
+      min("i").as("mn"), max("l").as("mx"),
+      countDistinct(col("l")).as("ul"))
+    val before = DictAgg.engagements.get()
+    val fast = collectSorted(q())
+    assert(DictAgg.engagements.get() > before,
+      "dictAgg did not engage on the global mixed shape")
+    assert(fast == withDisabled(collectSorted(q())))
+    // pure-plain global stays native (codegen wins there) and
+    // pure-distinct global stays with BitmapDistinct
+    val b2 = DictAgg.engagements.get()
+    spark.read.parquet(table).agg(sum("d"), count(lit(1))).collect()
+    spark.read.parquet(table).agg(countDistinct(col("l"))).collect()
+    assert(DictAgg.engagements.get() == b2)
+  }
+
   test("kill switch disables the rewrite") {
     withDisabled {
       val before = DictAgg.engagements.get()
