@@ -183,6 +183,22 @@ class DictAggSpec extends AnyFunSuite {
     assert(DictAgg.engagements.get() == b2)
   }
 
+  test("GLOBAL mixed over an EMPTY table: one row, native semantics") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_dictagg_empty").toString
+    spark.range(0).selectExpr("CAST(id AS STRING) AS k", "id AS v")
+      .write.parquet(s"$dir/t")
+    def q() = spark.read.parquet(s"$dir/t").agg(
+      count(lit(1)).as("c"), sum("v").as("s"), countDistinct(col("v")).as("u"))
+    val fast = collectSorted(q())
+    assert(fast == Seq("[0,null,0]"), fast)
+    assert(fast == withDisabled(collectSorted(q())))
+    // and the grouped spelling over empty yields NO rows on both paths
+    def g() = spark.read.parquet(s"$dir/t").groupBy("k")
+      .agg(sum("v").as("s"), countDistinct(col("v")).as("u"))
+    assert(collectSorted(g()).isEmpty)
+    assert(withDisabled(collectSorted(g())).isEmpty)
+  }
+
   test("kill switch disables the rewrite") {
     withDisabled {
       val before = DictAgg.engagements.get()
