@@ -114,6 +114,47 @@ object DictAgg {
     * bug class this guards against). */
   val engagements = new java.util.concurrent.atomic.AtomicLong(0L)
 
+  /** Per-batch primitive long→slot map (open addressing, linear
+    * probing). Only non-negative slots are ever stored, so `get`
+    * returns -1 as the miss marker. Not thread-safe — one instance per
+    * partition iterator. */
+  private[plans] final class LongSlotMap(initCap: Int) {
+    private var cap = Integer.highestOneBit(math.max(16, initCap)) * 2
+    private var ks = new Array[Long](cap)
+    private var vs = new Array[Int](cap)
+    private var live = new Array[Boolean](cap)
+    private var n = 0
+    def clear(): Unit = { java.util.Arrays.fill(live, false); n = 0 }
+    def get(k: Long): Int = {
+      var i = java.lang.Long.hashCode(k) & (cap - 1)
+      while (live(i)) {
+        if (ks(i) == k) return vs(i)
+        i = (i + 1) & (cap - 1)
+      }
+      -1
+    }
+    def put(k: Long, v: Int): Unit = {
+      if (n * 2 >= cap) grow()
+      var i = java.lang.Long.hashCode(k) & (cap - 1)
+      while (live(i)) {
+        if (ks(i) == k) { vs(i) = v; return }
+        i = (i + 1) & (cap - 1)
+      }
+      live(i) = true; ks(i) = k; vs(i) = v; n += 1
+    }
+    private def grow(): Unit = {
+      val oldKs = ks; val oldVs = vs; val oldLive = live
+      cap = cap * 2
+      ks = new Array[Long](cap); vs = new Array[Int](cap)
+      live = new Array[Boolean](cap); n = 0
+      var i = 0
+      while (i < oldKs.length) {
+        if (oldLive(i)) put(oldKs(i), oldVs(i))
+        i += 1
+      }
+    }
+  }
+
   /** Per-partition partial aggregation over the vectorized scan's
     * batches. Emits `Row(key0Bytes[, key1Bytes], partial0, partial1,
     * …)` — one row per group while the group map fits `maxGroups`,
@@ -208,8 +249,10 @@ object DictAgg {
     // per-batch code→slot cache (parquet dictionaries are per
     // column-chunk: codes are only comparable within one batch)
     var codeSlots = new Array[Int](1024)
-    // per-batch (code0,code1)→slot cache for the two-key dict path
-    val pairSlots = new java.util.HashMap[java.lang.Long, Integer]()
+    // per-batch (code0,code1)→slot cache for the two-key dict path —
+    // primitive open addressing: a boxed-Long HashMap key would
+    // allocate once per ROW on the hot path
+    val pairSlots = new DictAgg.LongSlotMap(256)
 
     def boxPartial(spec: Spec, sIdx: Int, l: Long, d: Double, c: Long,
         out: Array[Any], at: Int): Unit = spec.op match {
@@ -389,13 +432,13 @@ object DictAgg {
           while (i < n) {
             var slot = -1
             if (paired && !kv0.isNullAt(i) && !kv1.isNullAt(i)) {
-              val packed = java.lang.Long.valueOf(
-                (d0.getInt(i).toLong << 32) | (d1.getInt(i).toLong & 0xFFFFFFFFL))
+              val packed =
+                (d0.getInt(i).toLong << 32) | (d1.getInt(i).toLong & 0xFFFFFFFFL)
               val hit = pairSlots.get(packed)
-              if (hit != null) slot = hit.intValue()
+              if (hit >= 0) slot = hit
               else {
                 slot = slotOf(partsOf(i))
-                if (slot >= 0) pairSlots.put(packed, Integer.valueOf(slot))
+                if (slot >= 0) pairSlots.put(packed, slot)
                 else overflow += singletonRow(partsOf(i), vecs, i)
               }
             } else {
