@@ -4,13 +4,9 @@ import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{Row, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, Cast, Coalesce, Expression, Literal, NamedExpression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Count, Max, Min, Sum}
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Project, SubqueryAlias}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan}
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.execution.FileSourceScanExec
-import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
-import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.execution.vectorized.WritableColumnVector
-import org.apache.spark.sql.graft.FunctionShim
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.vectorized.{ColumnarBatch, ColumnVector}
 import org.apache.spark.unsafe.types.UTF8String
@@ -34,7 +30,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * The rewrite (kill switch `spark.graft.dictAgg=false`):
   *
   * {{{
-  *   Aggregate(stringKey, [sum/count/min/max/avg/count-distinct-int]) — over —
+  *   Aggregate([0-2 stringKeys], [sum/count/min/max/avg/count-distinct-int]) — over —
   *   (Project of attrs)? (LogicalRelation parquet)
   * }}}
   *
@@ -158,11 +154,12 @@ object DictAgg {
   /** Per-partition partial aggregation over the vectorized scan's
     * batches. Emits `Row(key0Bytes[, key1Bytes], partial0, partial1,
     * …)` — one row per group while the group map fits `maxGroups`,
-    * then one row per INPUT row (singleton partials) past it. One or
-    * two string keys: a single key rides the per-batch code→slot
-    * array; a key PAIR rides a per-batch packed-long (code0,code1)
-    * cache when both columns are dictionary-coded, the byte-composite
-    * map otherwise. */
+    * then one row per INPUT row (singleton partials) past it. ZERO to
+    * two string keys: empty `keyIdxs` is the GLOBAL-aggregate spelling
+    * (one slot, load-bearing for the mixed distinct+plain shape); a
+    * single key rides the per-batch code→slot array; a key PAIR rides
+    * a per-batch packed-long (code0,code1) cache when both columns are
+    * dictionary-coded, the byte-composite map otherwise. */
   def partial(
       batches: Iterator[ColumnarBatch],
       keyIdxs: Array[Int],
@@ -386,7 +383,9 @@ object DictAgg {
         }
 
         if (nKeys == 0) {
-          java.util.Arrays.fill(slotsBuf, 0, n, 0)
+          // slot 0 for every row — slotsBuf arrays are zero-initialized
+          // at allocation and no other branch writes them when nKeys
+          // is 0 (fixed per partial() call), so nothing to do
         } else if (nKeys == 1) {
           val keyVec = vecs(keyIdxs(0))
           val dictIds = dictOf(keyVec)

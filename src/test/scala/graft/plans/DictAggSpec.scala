@@ -189,7 +189,10 @@ class DictAggSpec extends AnyFunSuite {
       .write.parquet(s"$dir/t")
     def q() = spark.read.parquet(s"$dir/t").agg(
       count(lit(1)).as("c"), sum("v").as("s"), countDistinct(col("v")).as("u"))
+    val before = DictAgg.engagements.get()
     val fast = collectSorted(q())
+    assert(DictAgg.engagements.get() > before,
+      "dictAgg did not engage on the empty-table global mixed shape")
     assert(fast == Seq("[0,null,0]"), fast)
     assert(fast == withDisabled(collectSorted(q())))
     // and the grouped spelling over empty yields NO rows on both paths
