@@ -760,9 +760,15 @@ object Bench {
       "projection_build" -> jnum(projBuild),
       "q10_parquet_twin" -> jnum(twinSec))
     val compact = new StringBuilder("{").append(mandatoryHead)
+    // STOP at the first piece that does not fit — inclusion must follow
+    // the priority order strictly (a later smaller section appearing
+    // while an earlier one is absent would misread as "the earlier
+    // section was never measured"; review r16)
+    var fits = true
     optional.foreach { case (k, v) =>
       val piece = s""","$k":$v"""
-      if (compact.length + piece.length + 1 <= budget) compact.append(piece)
+      if (fits && compact.length + piece.length + 1 <= budget) compact.append(piece)
+      else fits = false
     }
     compact.append("}")
     println(compact.toString)

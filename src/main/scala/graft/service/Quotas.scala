@@ -101,7 +101,14 @@ object Quotas {
   /** One lock for the whole admit: validation and the counter bump
     * must be atomic ACROSS quotas — incrementing quota A then refusing
     * on quota B would burn A's budget for a query that never ran
-    * (review r16). Admissions are cheap; contention is negligible. */
+    * (review r16). Admissions are cheap; contention is negligible.
+    * Within a quota, every read/bump ALSO holds that Usage's own
+    * monitor — record()/recordResultRows()/windowOf() mutate the same
+    * fields under `u.synchronized` only, so a common monitor is the
+    * only thing that keeps a concurrent completion's counters from
+    * being read stale or a window roll from losing the bump (review
+    * r17). Lock order is always admitLock → u; the record paths take u
+    * alone, so no cycle exists. */
   private val admitLock = new Object
 
   /** Pre-execution gate: refuses if any budget is already (or would
@@ -110,7 +117,8 @@ object Quotas {
   def admit(user: String, now: Long = System.currentTimeMillis()): Unit =
     admitLock.synchronized {
       val qs = applying(user).map(q => (q, windowOf(q, user, now)))
-      // phase 1: validate all
+      // phase 1: validate all (reads under each Usage's own monitor —
+      // a concurrent record() mutates these fields under u.synchronized)
       qs.foreach { case (q, u) =>
         def refuse(what: String, used: Any, max: Any): Nothing = {
           val endsIn = (u.windowStart + q.intervalSec * 1000 - now) / 1000.0
@@ -119,19 +127,21 @@ object Quotas {
               s"exceeded: $what = $used/$max (quota '${q.name}'; interval " +
               f"ends in $endsIn%.0fs). QUOTA_EXCEEDED")
         }
-        q.limits.maxQueries.foreach(m => if (u.queries + 1 > m)
-          refuse("queries", u.queries + 1, m))
-        q.limits.maxErrors.foreach(m => if (u.errors > m)
-          refuse("errors", u.errors, m))
-        q.limits.maxResultRows.foreach(m => if (u.resultRows > m)
-          refuse("result_rows", u.resultRows, m))
-        q.limits.maxReadRows.foreach(m => if (u.readRows > m)
-          refuse("read_rows", u.readRows, m))
-        q.limits.maxExecSec.foreach(m => if (u.execSec > m)
-          refuse("execution_time", f"${u.execSec}%.1f", m))
+        u.synchronized {
+          q.limits.maxQueries.foreach(m => if (u.queries + 1 > m)
+            refuse("queries", u.queries + 1, m))
+          q.limits.maxErrors.foreach(m => if (u.errors > m)
+            refuse("errors", u.errors, m))
+          q.limits.maxResultRows.foreach(m => if (u.resultRows > m)
+            refuse("result_rows", u.resultRows, m))
+          q.limits.maxReadRows.foreach(m => if (u.readRows > m)
+            refuse("read_rows", u.readRows, m))
+          q.limits.maxExecSec.foreach(m => if (u.execSec > m)
+            refuse("execution_time", f"${u.execSec}%.1f", m))
+        }
       }
       // phase 2: count the query everywhere
-      qs.foreach { case (_, u) => u.queries += 1 }
+      qs.foreach { case (_, u) => u.synchronized { u.queries += 1 } }
     }
 
   /** Result rows shipped ACROSS a door — the doors call this after

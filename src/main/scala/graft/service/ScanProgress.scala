@@ -77,7 +77,13 @@ object ScanProgress {
   def track(group: String): Counters = {
     while (byGroup.size > MaxGroups) {
       val victim = insertionOrder.poll()
-      if (victim == null) { byGroup.clear(); stageToGroup.clear() }
+      if (victim == null) {
+        // insertionOrder drained while byGroup is still over cap (a
+        // lost enqueue under contention): evict by the map's own keys —
+        // NEVER a blanket clear, which would wipe live in-flight
+        // groups and regress their progress to zero (review r17)
+        byGroup.keySet.headOption.foreach(release)
+      }
       else release(victim)
     }
     val fresh = !byGroup.contains(group)
