@@ -38,6 +38,7 @@ object ChFunctions {
       FunctionShim.addOptimization(spark, graft.plans.AggProjectionRewrite(spark))
       FunctionShim.addOptimization(spark, graft.plans.DictAggRewrite(spark))
       FunctionShim.addOptimization(spark, graft.plans.BitmapDistinctRewrite(spark))
+      FunctionShim.addStrategy(spark, graft.plans.DriverMergeStrategy)
       registered += id
     }
   }

@@ -31,5 +31,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectOptimizerRule(graft.plans.AggProjectionRewrite.apply)
     ext.injectOptimizerRule(graft.plans.DictAggRewrite.apply)
     ext.injectOptimizerRule(graft.plans.BitmapDistinctRewrite.apply)
+    ext.injectPlannerStrategy(_ => graft.plans.DriverMergeStrategy)
   }
 }

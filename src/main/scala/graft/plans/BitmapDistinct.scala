@@ -6,10 +6,12 @@ import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{Row, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, Expression, Literal}
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, TypedImperativeAggregate}
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.catalyst.trees.UnaryLike
+import org.apache.spark.sql.execution.datasources.HadoopFsRelation
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.vectorized.ColumnarBatch
 
@@ -26,28 +28,46 @@ import org.apache.spark.sql.vectorized.ColumnarBatch
   * at 100 TB it shuffles every distinct key across the cluster.
   *
   * This rewrite (kill switch `spark.graft.bitmapDistinct=false`)
-  * turns the global-aggregate spelling into TWO stages: a columnar
-  * scan stage that folds each partition's values into a
-  * [[Roaring64Bitmap]] and emits ONE serialized blob per
-  * partition, and a final merge that ORs the blobs and takes the
-  * cardinality ([[BitmapOrCardinality]], a native
-  * `TypedImperativeAggregate` — no UDFs). The shuffle is one compressed
-  * bitmap per partition — never larger than the raw distinct keys it
-  * replaces (Roaring's worst case on sparse 64-bit keys is bounded by
-  * the key bytes themselves), and typically orders of magnitude
-  * smaller.
+  * folds each partition's values into ONE set state per column and
+  * emits one serialized blob per partition. By default (r17, the
+  * VERDICT r16 lever) the blobs come back as JOB RESULTS and are
+  * OR-merged on the driver under [[DriverMergeAgg]] — a SINGLE-STAGE
+  * plan, no shuffle at all. With `spark.graft.driverMerge=false` the
+  * r16 two-stage shape remains: a final merge through
+  * [[BitmapOrCardinality]] (a native `TypedImperativeAggregate` — no
+  * UDFs). Either way the moved volume is one compressed state per
+  * partition — never larger than the raw distinct keys it replaces,
+  * typically orders of magnitude smaller.
   *
-  * Scope: a global `Aggregate` (no GROUP BY) over a bare parquet
-  * relation whose every output is `count(DISTINCT col)` on an
-  * Int/Long column (several distinct columns each get their own
-  * bitmap). NULLs are ignored, as `count(DISTINCT …)` requires.
+  * Set-state representation, chosen PER COLUMN at plan time:
+  *   - DENSE bitset when the parquet footers prove the column's
+  *     global [min, max] span is small (`spark.graft.bitmapDistinct.
+  *     denseMaxRange`, default 2^24): a flat long[] of (range/64)+1
+  *     words — `add` is one shift+or (~1 ns vs Roaring's ~6-10 ns),
+  *     merge is word-wise OR, cardinality is a popcount sweep. This is
+  *     DuckDB's dense-domain trick, and TPC-H key columns (o_custkey,
+  *     l_suppkey, …) all qualify. A value outside the footer range
+  *     (file mutated between plan and scan) fails fast into the
+  *     native fallback — never a wrong count.
+  *   - Roaring64 otherwise — sparse-safe for arbitrary 64-bit keys.
+  *
+  * Scope: a global `Aggregate` (no GROUP BY) over a bare parquet or
+  * ATTACHed-MergeTree relation whose every output is
+  * `count(DISTINCT col)` on an Int/Long column (several distinct
+  * columns each get their own state). NULLs are ignored, as
+  * `count(DISTINCT …)` requires.
   */
 object BitmapDistinct {
 
   val EnabledKey = "spark.graft.bitmapDistinct"
 
+  /** Max (max-min) column span for the dense-bitset representation;
+    * 2^24 ⇒ 2 MB of words per partition per column, worst case. */
+  val DenseMaxRangeKey = "spark.graft.bitmapDistinct.denseMaxRange"
+  val DenseMaxRangeDefault: Long = 1L << 24
+
   /** Engagement counter — PlanSpec asserts the rewrite fires on the
-    * bench q3 shape. */
+    * q3 bench shape. */
   val engagements = new java.util.concurrent.atomic.AtomicLong(0L)
 
   def serialize(bm: Roaring64Bitmap): Array[Byte] = {
@@ -63,47 +83,157 @@ object BitmapDistinct {
     bm
   }
 
+  /** A column's dense-domain descriptor (None in the specs array ⇒
+    * Roaring). `words` = ceil((max-min+1)/64). */
+  final case class DenseCol(base: Long, words: Int) extends Serializable
+
   /** One blob row per partition: every non-null value of each tracked
-    * column folded into that column's bitmap. `colIdxs(j)` is the j-th
-    * tracked column's index in the scan output; `isLong(j)` picks the
-    * vector getter. */
+    * column folded into that column's set state. `colIdxs(j)` is the
+    * j-th tracked column's index in the scan output; `isLong(j)` picks
+    * the vector getter; `dense(j)`, when set, selects the flat-bitset
+    * representation (trailing zero words trimmed from the blob). */
   def partial(
       batches: Iterator[ColumnarBatch],
       colIdxs: Array[Int],
-      isLong: Array[Boolean]): Iterator[Row] = {
-    val bms = Array.fill(colIdxs.length)(new Roaring64Bitmap())
+      isLong: Array[Boolean],
+      dense: Array[DenseCol]): Iterator[Row] = {
+    val n = colIdxs.length
+    val bms = new Array[Roaring64Bitmap](n)
+    val words = new Array[Array[Long]](n)
+    var j0 = 0
+    while (j0 < n) {
+      if (dense(j0) == null) bms(j0) = new Roaring64Bitmap()
+      else words(j0) = new Array[Long](dense(j0).words)
+      j0 += 1
+    }
     while (batches.hasNext) {
       val batch = batches.next()
-      val n = batch.numRows()
+      val rows = batch.numRows()
       var j = 0
-      while (j < colIdxs.length) {
+      while (j < n) {
         val vec = batch.column(colIdxs(j))
-        val bm = bms(j)
+        val d = dense(j)
         var i = 0
-        if (isLong(j)) {
-          while (i < n) {
-            if (!vec.isNullAt(i)) bm.addLong(vec.getLong(i))
+        if (d != null) {
+          val w = words(j)
+          val base = d.base
+          val span = d.words.toLong << 6
+          while (i < rows) {
+            if (!vec.isNullAt(i)) {
+              val v = (if (isLong(j)) vec.getLong(i) else vec.getInt(i).toLong) - base
+              // footer-stats race (file replaced after planning):
+              // fail fast into the native fallback, never a wrong count
+              if (v < 0 || v >= span) DriverMerge.overflow()
+              w((v >>> 6).toInt) |= 1L << v
+            }
             i += 1
           }
         } else {
-          while (i < n) {
-            if (!vec.isNullAt(i)) bm.addLong(vec.getInt(i).toLong)
-            i += 1
+          val bm = bms(j)
+          if (isLong(j)) {
+            while (i < rows) {
+              if (!vec.isNullAt(i)) bm.addLong(vec.getLong(i))
+              i += 1
+            }
+          } else {
+            while (i < rows) {
+              if (!vec.isNullAt(i)) bm.addLong(vec.getInt(i).toLong)
+              i += 1
+            }
           }
         }
         j += 1
       }
     }
-    bms.foreach(_.runOptimize())
+    val blobs = new Array[Any](n)
+    var j = 0
+    while (j < n) {
+      blobs(j) =
+        if (dense(j) == null) { bms(j).runOptimize(); serialize(bms(j)) }
+        else packWords(words(j))
+      j += 1
+    }
     Iterator.single(Row.fromSeq(
-      scala.collection.immutable.ArraySeq.unsafeWrapArray(
-        bms.map(serialize))))
+      scala.collection.immutable.ArraySeq.unsafeWrapArray(blobs)))
+  }
+
+  /** LE bytes of the word array, trailing zero words trimmed. */
+  private[plans] def packWords(w: Array[Long]): Array[Byte] = {
+    var last = w.length - 1
+    while (last >= 0 && w(last) == 0L) last -= 1
+    val bb = java.nio.ByteBuffer.allocate((last + 1) * 8)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    var i = 0
+    while (i <= last) { bb.putLong(w(i)); i += 1 }
+    bb.array()
+  }
+
+  /** Driver-side OR + cardinality — the merge half of the
+    * single-stage plan. `outCols(i)` maps output position i to its
+    * tracked column (several outputs may share one column's state).
+    * Zero partial rows (an empty relation with no splits) still
+    * yields the global aggregate's one row of zeros. */
+  final case class BitmapCardMerger(
+      nCols: Int,
+      dense: Array[DenseCol],
+      outCols: Array[Int])
+      extends DriverMerger {
+
+    override def merge(rows: Iterator[Row]): Iterator[InternalRow] = {
+      val bms = new Array[Roaring64Bitmap](nCols)
+      val words = new Array[Array[Long]](nCols)
+      while (rows.hasNext) {
+        val r = rows.next()
+        var j = 0
+        while (j < nCols) {
+          val blob = r.get(j).asInstanceOf[Array[Byte]]
+          if (blob != null) {
+            if (dense(j) == null) {
+              val bm = deserialize(blob)
+              if (bms(j) == null) bms(j) = bm else bms(j).or(bm)
+            } else {
+              if (words(j) == null) words(j) = new Array[Long](dense(j).words)
+              val w = words(j)
+              val bb = java.nio.ByteBuffer.wrap(blob)
+                .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+              var i = 0
+              val m = blob.length / 8
+              while (i < m) { w(i) |= bb.getLong(i * 8); i += 1 }
+            }
+          }
+          j += 1
+        }
+      }
+      val cards = new Array[Long](nCols)
+      var j = 0
+      while (j < nCols) {
+        cards(j) =
+          if (dense(j) != null) {
+            val w = words(j)
+            if (w == null) 0L
+            else {
+              var c = 0L
+              var i = 0
+              while (i < w.length) { c += java.lang.Long.bitCount(w(i)); i += 1 }
+              c
+            }
+          } else if (bms(j) == null) 0L
+          else bms(j).getLongCardinality
+        j += 1
+      }
+      val vals = new Array[Any](outCols.length)
+      var i = 0
+      while (i < outCols.length) {
+        vals(i) = java.lang.Long.valueOf(cards(outCols(i))); i += 1
+      }
+      Iterator.single(new GenericInternalRow(vals))
+    }
   }
 }
 
 /** `OR` the per-partition bitmap blobs, evaluate to the cardinality —
-  * the merge side of [[BitmapDistinct]]. A native Catalyst typed
-  * aggregate: stays inside ObjectHashAggregate, no UDF. */
+  * the merge side of the two-stage [[BitmapDistinct]] shape. A native
+  * Catalyst typed aggregate: stays inside ObjectHashAggregate, no UDF. */
 case class BitmapOrCardinality(
     child: Expression,
     mutableAggBufferOffset: Int = 0,
@@ -158,9 +288,10 @@ case class BitmapDistinctRewrite(spark: SparkSession) extends Rule[LogicalPlan] 
   override def apply(plan: LogicalPlan): LogicalPlan = {
     if (spark.conf.getOption(EnabledKey).exists(_.trim.equalsIgnoreCase("false")))
       return plan
+    if (DriverMerge.suppress.get()) return plan // planning an overflow fallback
     plan.transformDown {
       case agg @ Aggregate(Nil, aggExprs, child, _) =>
-        (try tryRewrite(aggExprs, child)
+        (try tryRewrite(agg, aggExprs, child)
         catch {
           case scala.util.control.NonFatal(e) =>
             logWarning(s"bitmapDistinct rewrite failed; keeping the scan plan: $e")
@@ -170,6 +301,7 @@ case class BitmapDistinctRewrite(spark: SparkSession) extends Rule[LogicalPlan] 
   }
 
   private def tryRewrite(
+      agg: Aggregate,
       aggExprs: Seq[org.apache.spark.sql.catalyst.expressions.NamedExpression],
       child: LogicalPlan): Option[LogicalPlan] = {
     val src = ScanRelations.relationOf(child).getOrElse(return None)
@@ -210,14 +342,116 @@ case class BitmapDistinctRewrite(spark: SparkSession) extends Rule[LogicalPlan] 
       .getOrElse(return None)
     val scan = ScanRelations.columnarScan(scanDf).getOrElse(return None)
     val scanOut = scan.output
-    // one bitmap per DISTINCT tracked column; aggregates share them
+    // one set state per DISTINCT tracked column; aggregates share them
     val colIdxs = neededNames.map(n => scanOut.indexWhere(_.name == n)).toArray
     if (colIdxs.exists(_ < 0)) return None
     val isLong = colIdxs.map(i => scanOut(i).dataType == LongType)
     val blobIdxOf: Map[String, Int] = neededNames.zipWithIndex.toMap
 
+    def aeIdx(ae: AggregateExpression): Option[Int] = {
+      val boxed = aes.get(ae)
+      if (boxed != null) Some(boxed.intValue)
+      else aeList.zipWithIndex
+        .collectFirst { case (x, i) if x.semanticEquals(ae) => i }
+    }
+
+    // ---- single-stage driver merge (default; VERDICT r16 lever) ----
+    if (DriverMerge.enabled(spark)) {
+      // dense-domain gate per column: footer-exact [min, max] with a
+      // small span → flat bitset instead of Roaring (parquet only; the
+      // MergeTree scan keeps Roaring)
+      val dense: Array[DenseCol] = {
+        val maxRange = spark.conf.getOption(DenseMaxRangeKey)
+          .flatMap(v => scala.util.Try(v.toLong).toOption)
+          .getOrElse(DenseMaxRangeDefault)
+        val ranges: Map[String, Option[(Long, Long)]] = src match {
+          case ScanRelations.ParquetRel(lr) =>
+            try FooterAggregates.columnRanges(spark,
+              lr.relation.asInstanceOf[HadoopFsRelation], neededNames)
+            catch {
+              case scala.util.control.NonFatal(_) =>
+                neededNames.map(_ -> None).toMap
+            }
+          case _ => neededNames.map(_ -> None).toMap
+        }
+        neededNames.map { n =>
+          ranges.getOrElse(n, None) match {
+            case Some((mn, mx)) if mx - mn >= 0 && mx - mn < maxRange =>
+              DenseCol(mn, (((mx - mn) >> 6) + 1).toInt)
+            case _ => null
+          }
+        }.toArray
+      }
+      val rowRdd: RDD[Row] = scan.executeColumnar()
+        .mapPartitions(it => BitmapDistinct.partial(it, colIdxs, isLong, dense))
+
+      // DIRECT mode: every output is a bare count(DISTINCT …) → the
+      // leaf emits the aggregate's own attrs, no Project, and collect()
+      // is ONE stage end-to-end
+      val direct: Option[Seq[Int]] = {
+        val cols = aggExprs.map { ne =>
+          val inner = ne match { case Alias(c, _) => c; case other => other }
+          inner match {
+            case ae: AggregateExpression if ne.dataType == LongType =>
+              aeIdx(ae).map(i => blobIdxOf(plans(i)._1))
+            case _ => None
+          }
+        }
+        if (cols.forall(_.isDefined)) Some(cols.map(_.get)) else None
+      }
+
+      val rewritten: Option[LogicalPlan] = direct match {
+        case Some(outCols) =>
+          val merger = BitmapCardMerger(neededNames.size, dense, outCols.toArray)
+          Some(DriverMergeAgg(
+            aggExprs.map(_.toAttribute), rowRdd, merger, Some(agg)))
+        case None =>
+          // GENERAL mode: leaf = one cardinality per tracked column,
+          // outputs re-expressed over it under a Project
+          val leafAttrs: Seq[Attribute] = neededNames.indices.map(i =>
+            AttributeReference(s"card_$i", LongType, nullable = false)())
+          def rewriteExpr(e: Expression): Option[Expression] = e match {
+            case ae: AggregateExpression =>
+              aeIdx(ae).map(i => leafAttrs(blobIdxOf(plans(i)._1)))
+            case l: Literal => Some(l)
+            case other if other.children.nonEmpty && other.deterministic =>
+              val kids = other.children.map(rewriteExpr)
+              if (kids.forall(_.isDefined))
+                Some(other.withNewChildren(kids.map(_.get)))
+              else None
+            case _ => None
+          }
+          val outputs = aggExprs.map { ne =>
+            val (inner, name) = ne match {
+              case Alias(c, n) => (c, n)
+              case a: Attribute => (a: Expression, a.name)
+              case other => (other: Expression, other.name)
+            }
+            rewriteExpr(inner)
+              .filter(_.dataType == ne.dataType)
+              .map(r => Alias(r, name)(exprId = ne.exprId, qualifier = ne.qualifier))
+              .getOrElse(return None)
+          }
+          val merger = BitmapCardMerger(neededNames.size, dense,
+            neededNames.indices.toArray)
+          Some(Project(outputs,
+            DriverMergeAgg(leafAttrs, rowRdd, merger, Some(agg))))
+      }
+      rewritten.foreach { p =>
+        engagements.incrementAndGet()
+        DriverMerge.engagements.incrementAndGet()
+        logInfo(s"bitmapDistinct: single-stage count(DISTINCT " +
+          s"${neededNames.mkString(", ")}) — " +
+          neededNames.indices.map(i =>
+            if (dense(i) != null) "dense" else "roaring").mkString("/"))
+        return Some(p)
+      }
+    }
+
+    // ---- two-stage shape (driver merge off) ----
     val rowRdd: RDD[Row] = scan.executeColumnar()
-      .mapPartitions(it => BitmapDistinct.partial(it, colIdxs, isLong))
+      .mapPartitions(it => BitmapDistinct.partial(it, colIdxs, isLong,
+        new Array[DenseCol](colIdxs.length)))
 
     val schema = StructType(neededNames.zipWithIndex.map { case (_, i) =>
       StructField(s"bm_$i", BinaryType, nullable = true)
@@ -234,13 +468,7 @@ case class BitmapDistinctRewrite(spark: SparkSession) extends Rule[LogicalPlan] 
     }
 
     def rewriteExpr(e: Expression): Option[Expression] = e match {
-      case ae: AggregateExpression =>
-        val boxed = aes.get(ae)
-        val idx: Option[Int] =
-          if (boxed != null) Some(boxed.intValue)
-          else aeList.zipWithIndex
-            .collectFirst { case (x, i) if x.semanticEquals(ae) => i }
-        idx.map(mergeOf)
+      case ae: AggregateExpression => aeIdx(ae).map(mergeOf)
       case l: Literal => Some(l)
       case other if other.children.nonEmpty && other.deterministic =>
         val kids = other.children.map(rewriteExpr)

@@ -2,9 +2,11 @@ package graft.plans
 
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, Cast, Coalesce, Expression, Literal, NamedExpression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Count, Max, Min, Sum}
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan}
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.vectorized.WritableColumnVector
 import org.apache.spark.sql.types._
@@ -34,12 +36,18 @@ import org.apache.spark.unsafe.types.UTF8String
   *   (Project of attrs)? (LogicalRelation parquet)
   * }}}
   *
-  * becomes a two-stage plan: a per-partition partial aggregation that
-  * consumes the vectorized scan's `ColumnarBatch`es directly
-  * ([[DictAgg.partial]]) and emits one row per (partition, group), and
-  * a tiny final `Aggregate` that merges the partials — sums re-sum,
-  * counts re-sum, min/max re-min/max, avg merges as Σsum ÷ Σcount (the
-  * same mergeable-state discipline as [[AggProjections]]).
+  * becomes, by default, a SINGLE-STAGE plan (r17, the VERDICT r16
+  * lever): a per-partition partial aggregation that consumes the
+  * vectorized scan's `ColumnarBatch`es directly ([[DictAgg.partial]])
+  * and emits one row per (partition, group), collected as JOB RESULTS
+  * and folded into the final answer on the driver by
+  * [[DictAgg.DictAggMerger]] under [[DriverMergeAgg]] — no exchange, no
+  * second stage, the same merge topology DuckDB's gather uses. With
+  * `spark.graft.driverMerge=false` the r16 two-stage shape remains: a
+  * tiny final `Aggregate` merges the partials through a shuffle —
+  * sums re-sum, counts re-sum, min/max re-min/max, avg merges as
+  * Σsum ÷ Σcount (the same mergeable-state discipline as
+  * [[AggProjections]]).
   *
   * The kernel's inner loop per row is: dictionary code → int array
   * index → accumulator update. The UTF8String is materialized ONCE per
@@ -49,10 +57,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * kernel — never a wrong answer, worst case the old cost.
   *
   * Exactness guardrails:
-  *   - group keys travel as BINARY partials and are compared by
-  *     Spark's own binary grouping in the final stage, then cast back
-  *     to string — byte-exact even for non-UTF-8-roundtrippable data
-  *     (a java.lang.String key would collapse invalid sequences);
+  *   - group keys travel as BINARY partials and are compared byte-wise
+  *     (Spark's own binary grouping in the two-stage shape, the
+  *     composite map in the driver merger), then cast back to string —
+  *     byte-exact even for non-UTF-8-roundtrippable data (a
+  *     java.lang.String key would collapse invalid sequences);
   *   - every aggregate must rewrite onto a mergeable partial (no
   *     FILTER clause, no decimals; DISTINCT only as count(DISTINCT
   *     intCol) via per-slot Roaring64 bitmaps) and the rewritten
@@ -63,19 +72,30 @@ import org.apache.spark.unsafe.types.UTF8String
   *     Spark's NaN-greatest, -0.0 < 0.0 contract.
   *
   * 100 TB posture: the partial stage is embarrassingly parallel over
-  * scan splits and its shuffle volume is (distinct keys × partitions)
+  * scan splits and its output volume is (distinct keys × partitions)
   * rows — for a LowCardinality key, kilobytes. A high-cardinality key
   * is the wrong target for this path, so the kernel bounds its hash
   * map at `spark.graft.dictAgg.maxGroupsPerPartition` (default 1M)
-  * groups per partition and degrades to streaming singleton partials
-  * (group size 1) beyond it — bounded memory, still correct, and the
-  * final aggregate absorbs the extra rows exactly like a normal
-  * shuffle-side merge.
+  * groups per partition and FLUSHES the full map as partial rows when
+  * it fills (bounded memory, still correct — the merge side absorbs
+  * repeated groups exactly like a normal shuffle-side merge; this
+  * replaced the r16 per-input-row singleton stream, whose
+  * count(DISTINCT) degradation shipped one bitmap blob per row —
+  * review r17). Under a driver-merge plan the per-partition cap also
+  * shrinks with the partition count (total collected rows stay under
+  * `spark.graft.driverMerge.maxTotalRows`), and instead of flushing
+  * the task FAILS FAST with the overflow marker — [[DriverMergeAggExec]]
+  * then runs the untouched native plan, so a mis-gated high-cardinality
+  * key costs one wasted partial scan, never a driver OOM.
   */
 object DictAgg {
 
   val EnabledKey = "spark.graft.dictAgg"
   val MaxGroupsKey = "spark.graft.dictAgg.maxGroupsPerPartition"
+
+  /** Per-partition group cap under driver merge (further shrunk so
+    * partitions × cap ≤ [[DriverMerge.MaxTotalRowsKey]]). */
+  val DriverMergeGroupCap = 1 << 16
 
   // op codes
   final val OpSum = 0
@@ -85,9 +105,10 @@ object DictAgg {
   final val OpMax = 4
   final val OpAvg = 5
   /** count(DISTINCT intCol) per group — a Roaring64 bitmap per slot,
-    * merged by [[BitmapOrCardinality]] at the final stage (the grouped
-    * composition of the two r16 rewrites; the reference's natural
-    * `GROUP BY event_type, uniqExact(actor_login)` analytics shape). */
+    * merged by [[BitmapOrCardinality]] (two-stage) or the driver
+    * merger (the grouped composition of the two r16 rewrites; the
+    * reference's natural `GROUP BY event_type, uniqExact(actor_login)`
+    * analytics shape). */
   final val OpUniq = 6
 
   // value type tags (the scan column's data type)
@@ -105,10 +126,35 @@ object DictAgg {
     def width: Int = if (op == OpAvg) 2 else 1
   }
 
+  /** One FINAL output column of the driver merger: a group key part
+    * (`isKey`, `idx` = key position) or a finalized aggregate (`idx` =
+    * spec index). */
+  final case class FinalCol(isKey: Boolean, idx: Int) extends Serializable
+
   /** Engagement counter — PlanSpec asserts the rewrite actually fired
     * on the bench q2 shape (a silently-disengaged optimization is the
     * bug class this guards against). */
   val engagements = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** Length-prefixed byte composite of all key parts (-1-length marks
+    * NULL — unambiguous, unlike separators); the cross-partition group
+    * identity both the kernel and the driver merger hash on. */
+  private[plans] def compositeKey(parts: Array[Array[Byte]]): UTF8String = {
+    var len = 0
+    var i = 0
+    while (i < parts.length) {
+      len += 4 + (if (parts(i) == null) 0 else parts(i).length); i += 1
+    }
+    val b = java.nio.ByteBuffer.allocate(len)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    i = 0
+    while (i < parts.length) {
+      if (parts(i) == null) b.putInt(-1)
+      else { b.putInt(parts(i).length); b.put(parts(i)) }
+      i += 1
+    }
+    UTF8String.fromBytes(b.array())
+  }
 
   /** Per-batch primitive long→slot map (open addressing, linear
     * probing). Only non-negative slots are ever stored, so `get`
@@ -153,18 +199,22 @@ object DictAgg {
 
   /** Per-partition partial aggregation over the vectorized scan's
     * batches. Emits `Row(key0Bytes[, key1Bytes], partial0, partial1,
-    * …)` — one row per group while the group map fits `maxGroups`,
-    * then one row per INPUT row (singleton partials) past it. ZERO to
-    * two string keys: empty `keyIdxs` is the GLOBAL-aggregate spelling
-    * (one slot, load-bearing for the mixed distinct+plain shape); a
-    * single key rides the per-batch code→slot array; a key PAIR rides
-    * a per-batch packed-long (code0,code1) cache when both columns are
+    * …)` — one row per live group, plus a full-map FLUSH whenever the
+    * group map hits `maxGroups` (the map resets and the scan
+    * continues; repeated groups across flushes merge downstream).
+    * With `failFast` (driver-merge plans) the overflow instead throws
+    * [[DriverMerge.OverflowMarker]]. ZERO to two string keys: empty
+    * `keyIdxs` is the GLOBAL-aggregate spelling (one slot,
+    * load-bearing for the mixed distinct+plain shape); a single key
+    * rides the per-batch code→slot array; a key PAIR rides a per-batch
+    * packed-long (code0,code1) cache when both columns are
     * dictionary-coded, the byte-composite map otherwise. */
   def partial(
       batches: Iterator[ColumnarBatch],
       keyIdxs: Array[Int],
       specs: Array[Spec],
-      maxGroups: Int): Iterator[Row] = {
+      maxGroups: Int,
+      failFast: Boolean): Iterator[Row] = {
 
     val nSpecs = specs.length
     val nKeys = keyIdxs.length
@@ -174,28 +224,11 @@ object DictAgg {
     // per-spec accumulators
     var cap = 64
     var keys = new Array[Array[Array[Byte]]](cap)
-    // cross-batch identity: one length-prefixed byte composite of all
-    // key parts (-1-length marks NULL — unambiguous, unlike separators)
+    // cross-batch identity: the length-prefixed composite
     val slots = new java.util.HashMap[UTF8String, Integer]()
     var nullSlot = -1 // single-key NULL group fast path
     var nGroups = 0
 
-    def composite(parts: Array[Array[Byte]]): UTF8String = {
-      var len = 0
-      var i = 0
-      while (i < parts.length) {
-        len += 4 + (if (parts(i) == null) 0 else parts(i).length); i += 1
-      }
-      val b = java.nio.ByteBuffer.allocate(len)
-        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-      i = 0
-      while (i < parts.length) {
-        if (parts(i) == null) b.putInt(-1)
-        else { b.putInt(parts(i).length); b.put(parts(i)) }
-        i += 1
-      }
-      UTF8String.fromBytes(b.array())
-    }
     // acc layout per spec: longs (sums/counts/int min-max), doubles
     // (float sums/min-max), cnt (non-null count: null-sum semantics,
     // countCol, avg count). OpCountStar uses cnt as the row count.
@@ -231,9 +264,9 @@ object DictAgg {
     }
 
     /** Cross-batch lookup-or-create off the composite identity; -1 =
-      * past maxGroups (the caller streams a singleton). */
+      * past maxGroups (the caller flushes or fails fast). */
     def slotOf(parts: Array[Array[Byte]]): Int = {
-      val ck = composite(parts)
+      val ck = compositeKey(parts)
       val hit = slots.get(ck)
       if (hit != null) hit.intValue()
       else if (nGroups < maxGroups) {
@@ -295,109 +328,96 @@ object DictAgg {
       Row.fromSeq(scala.collection.immutable.ArraySeq.unsafeWrapArray(vals))
     }
 
-    // a singleton partial: the row's own values, group size 1
-    def singletonRow(keyBytes: Array[Array[Byte]],
-        vecs: Array[ColumnVector], i: Int): Row = {
-      val vals = new Array[Any](totalWidth)
-      var at = 0
-      while (at < nKeys) { vals(at) = keyBytes(at); at += 1 }
+    /** Emit every live group as a partial row and reset ALL group
+      * state for slot reuse — the bounded-memory overflow discipline.
+      * Repeated groups across flushes are mergeable partials; the
+      * merge side (driver or shuffle) absorbs them. */
+    def flushAll(): Array[Row] = {
+      val out = new Array[Row](nGroups)
+      var s = 0
+      while (s < nGroups) { out(s) = slotRow(s); s += 1 }
+      slots.clear()
+      nullSlot = -1
       var j = 0
       while (j < nSpecs) {
-        val spec = specs(j)
-        val vec = if (spec.vecIdx >= 0) vecs(spec.vecIdx) else null
-        val isNull = vec != null && vec.isNullAt(i)
-        spec.op match {
-          case OpSum | OpAvg =>
-            vals(at) =
-              if (isNull) null
-              else if (spec.op == OpAvg) java.lang.Double.valueOf(spec.typ match {
-                case TInt => vec.getInt(i).toDouble
-                case TLong => vec.getLong(i).toDouble
-                case TFloat => vec.getFloat(i).toDouble
-                case TDouble => vec.getDouble(i)
-              })
-              else spec.typ match {
-                case TInt => java.lang.Long.valueOf(vec.getInt(i).toLong)
-                case TLong => java.lang.Long.valueOf(vec.getLong(i))
-                case TFloat => java.lang.Double.valueOf(vec.getFloat(i).toDouble)
-                case TDouble => java.lang.Double.valueOf(vec.getDouble(i))
-              }
-            if (spec.op == OpAvg)
-              vals(at + 1) = java.lang.Long.valueOf(if (isNull) 0L else 1L)
-          case OpCountStar => vals(at) = java.lang.Long.valueOf(1L)
-          case OpCountCol => vals(at) = java.lang.Long.valueOf(if (isNull) 0L else 1L)
-          case OpMin | OpMax =>
-            vals(at) =
-              if (isNull) null
-              else spec.typ match {
-                case TInt => java.lang.Integer.valueOf(vec.getInt(i))
-                case TLong => java.lang.Long.valueOf(vec.getLong(i))
-                case TFloat => java.lang.Float.valueOf(vec.getFloat(i))
-                case TDouble => java.lang.Double.valueOf(vec.getDouble(i))
-              }
-          case OpUniq =>
-            val bm = new org.roaringbitmap.longlong.Roaring64Bitmap()
-            if (!isNull) bm.addLong(
-              if (spec.typ == TInt) vec.getInt(i).toLong else vec.getLong(i))
-            vals(at) = BitmapDistinct.serialize(bm)
-        }
-        at += spec.width
+        java.util.Arrays.fill(accL(j), 0, nGroups, 0L)
+        java.util.Arrays.fill(accD(j), 0, nGroups, 0.0d)
+        java.util.Arrays.fill(accC(j), 0, nGroups, 0L)
+        if (accB(j) != null)
+          java.util.Arrays.fill(
+            accB(j).asInstanceOf[Array[AnyRef]], 0, nGroups, null)
         j += 1
       }
-      Row.fromSeq(scala.collection.immutable.ArraySeq.unsafeWrapArray(vals))
+      java.util.Arrays.fill(keys.asInstanceOf[Array[AnyRef]], 0, nGroups, null)
+      nGroups = 0
+      if (nKeys == 0) newSlot(Array.empty) // the global slot stays live
+      out
     }
 
     var slotsBuf = new Array[Int](16384)
     // the GLOBAL-aggregate spelling (no keys): one slot for everything
     if (nKeys == 0) newSlot(Array.empty)
 
-    /** One batch's work; returns the overflow singleton rows (bounded
-      * by the batch size — past-maxGroups keys must stream out per
-      * batch, never buffer for the whole partition). */
+    /** One batch's work; returns flushed partial rows (bounded by the
+      * group cap per flush — past-cap scans must stream partials out,
+      * never buffer unbounded state). */
     def processBatch(batch: ColumnarBatch): Iterator[Row] = {
-      val overflow = new scala.collection.mutable.ArrayBuffer[Row]()
       val n = batch.numRows()
-      if (n > 0) {
-        if (slotsBuf.length < n) slotsBuf = new Array[Int](n)
-        val vecs = new Array[ColumnVector](batch.numCols())
-        var v = 0
-        while (v < vecs.length) { vecs(v) = batch.column(v); v += 1 }
+      if (n == 0) return Iterator.empty
+      if (slotsBuf.length < n) slotsBuf = new Array[Int](n)
+      val vecs = new Array[ColumnVector](batch.numCols())
+      var v = 0
+      while (v < vecs.length) { vecs(v) = batch.column(v); v += 1 }
 
-        // resolve slots for the whole batch first (one pass), then run
-        // each spec's tight typed loop over the recorded slots
-        def dictOf(vec: ColumnVector): ColumnVector = vec match {
-          case w: WritableColumnVector
-              if w.hasDictionary && w.getDictionaryIds != null =>
-            w.getDictionaryIds
-          case _ => null
+      def dictOf(vec: ColumnVector): ColumnVector = vec match {
+        case w: WritableColumnVector
+            if w.hasDictionary && w.getDictionaryIds != null =>
+          w.getDictionaryIds
+        case _ => null
+      }
+      def partsOf(i: Int): Array[Array[Byte]] = {
+        val p = new Array[Array[Byte]](nKeys)
+        var k = 0
+        while (k < nKeys) {
+          val kv = vecs(keyIdxs(k))
+          p(k) = if (kv.isNullAt(i)) null else kv.getUTF8String(i).getBytes
+          k += 1
         }
-        def partsOf(i: Int): Array[Array[Byte]] = {
-          val p = new Array[Array[Byte]](nKeys)
-          var k = 0
-          while (k < nKeys) {
-            val kv = vecs(keyIdxs(k))
-            p(k) = if (kv.isNullAt(i)) null else kv.getUTF8String(i).getBytes
-            k += 1
-          }
-          p
-        }
+        p
+      }
 
+      // per-batch key-shape setup
+      val keyVec = if (nKeys == 1) vecs(keyIdxs(0)) else null
+      val dictIds = if (nKeys == 1) dictOf(keyVec) else null
+      val kv0 = if (nKeys == 2) vecs(keyIdxs(0)) else null
+      val kv1 = if (nKeys == 2) vecs(keyIdxs(1)) else null
+      val d0 = if (nKeys == 2) dictOf(kv0) else null
+      val d1 = if (nKeys == 2) dictOf(kv1) else null
+      val paired = d0 != null && d1 != null
+      def resetBatchCaches(): Unit = {
+        if (dictIds != null) java.util.Arrays.fill(codeSlots, -1)
+        if (paired) pairSlots.clear()
+      }
+      resetBatchCaches()
+
+      /** Resolve slots for rows [start, n) into slotsBuf; returns the
+        * first row whose NEW group could not be allocated under
+        * `maxGroups` (n = all resolved). */
+      def resolveSlots(start: Int): Int = {
         if (nKeys == 0) {
-          // slot 0 for every row — slotsBuf arrays are zero-initialized
-          // at allocation and no other branch writes them when nKeys
-          // is 0 (fixed per partial() call), so nothing to do
-        } else if (nKeys == 1) {
-          val keyVec = vecs(keyIdxs(0))
-          val dictIds = dictOf(keyVec)
-          if (dictIds != null) java.util.Arrays.fill(codeSlots, -1)
-          var i = 0
+          java.util.Arrays.fill(slotsBuf, start, n, 0)
+          return n
+        }
+        var i = start
+        if (nKeys == 1) {
           while (i < n) {
             var slot = -1
             if (keyVec.isNullAt(i)) {
-              if (nullSlot == -1 && nGroups < maxGroups)
+              if (nullSlot == -1) {
+                if (nGroups >= maxGroups) return i
                 nullSlot = newSlot(Array(null))
+              }
               slot = nullSlot
-              if (slot == -1) overflow += singletonRow(Array(null), vecs, i)
             } else if (dictIds != null) {
               val code = dictIds.getInt(i)
               if (code >= codeSlots.length) {
@@ -409,12 +429,12 @@ object DictAgg {
               slot = codeSlots(code)
               if (slot == -1) {
                 slot = slotOf(partsOf(i))
-                if (slot >= 0) codeSlots(code) = slot
-                else overflow += singletonRow(partsOf(i), vecs, i)
+                if (slot < 0) return i
+                codeSlots(code) = slot
               }
             } else {
               slot = slotOf(partsOf(i))
-              if (slot < 0) overflow += singletonRow(partsOf(i), vecs, i)
+              if (slot < 0) return i
             }
             slotsBuf(i) = slot
             i += 1
@@ -423,11 +443,6 @@ object DictAgg {
           // two keys: packed-long (code0,code1) cache when both columns
           // are dictionary-coded in this batch (the common parquet
           // case); rows with a NULL part or plain pages go composite
-          val kv0 = vecs(keyIdxs(0)); val kv1 = vecs(keyIdxs(1))
-          val d0 = dictOf(kv0); val d1 = dictOf(kv1)
-          val paired = d0 != null && d1 != null
-          if (paired) pairSlots.clear()
-          var i = 0
           while (i < n) {
             var slot = -1
             if (paired && !kv0.isNullAt(i) && !kv1.isNullAt(i)) {
@@ -437,18 +452,23 @@ object DictAgg {
               if (hit >= 0) slot = hit
               else {
                 slot = slotOf(partsOf(i))
-                if (slot >= 0) pairSlots.put(packed, slot)
-                else overflow += singletonRow(partsOf(i), vecs, i)
+                if (slot < 0) return i
+                pairSlots.put(packed, slot)
               }
             } else {
               slot = slotOf(partsOf(i))
-              if (slot < 0) overflow += singletonRow(partsOf(i), vecs, i)
+              if (slot < 0) return i
             }
             slotsBuf(i) = slot
             i += 1
           }
         }
+        n
+      }
 
+      /** Run each spec's tight typed loop over the recorded slots of
+        * rows [start, end). */
+      def accumulate(start: Int, end: Int): Unit = {
         var j = 0
         while (j < nSpecs) {
           val spec = specs(j)
@@ -456,14 +476,14 @@ object DictAgg {
           val vec = if (spec.vecIdx >= 0) vecs(spec.vecIdx) else null
           spec.op match {
             case OpCountStar =>
-              var i = 0
-              while (i < n) {
+              var i = start
+              while (i < end) {
                 val s = slotsBuf(i); if (s >= 0) c(s) += 1
                 i += 1
               }
             case OpCountCol =>
-              var i = 0
-              while (i < n) {
+              var i = start
+              while (i < end) {
                 val s = slotsBuf(i)
                 if (s >= 0 && !vec.isNullAt(i)) c(s) += 1
                 i += 1
@@ -474,8 +494,8 @@ object DictAgg {
             // or silently wrap (legacy) where the native plan succeeds
             // (review r16)
             case OpAvg if spec.typ == TInt || spec.typ == TLong =>
-              var i = 0
-              while (i < n) {
+              var i = start
+              while (i < end) {
                 val s = slotsBuf(i)
                 if (s >= 0 && !vec.isNullAt(i)) {
                   d(s) += (if (spec.typ == TInt) vec.getInt(i).toDouble
@@ -486,8 +506,8 @@ object DictAgg {
               }
             case OpSum | OpAvg => spec.typ match {
               case TInt =>
-                var i = 0
-                while (i < n) {
+                var i = start
+                while (i < end) {
                   val s = slotsBuf(i)
                   if (s >= 0 && !vec.isNullAt(i)) {
                     val x = vec.getInt(i).toLong
@@ -497,8 +517,8 @@ object DictAgg {
                   i += 1
                 }
               case TLong =>
-                var i = 0
-                while (i < n) {
+                var i = start
+                while (i < end) {
                   val s = slotsBuf(i)
                   if (s >= 0 && !vec.isNullAt(i)) {
                     val x = vec.getLong(i)
@@ -508,15 +528,15 @@ object DictAgg {
                   i += 1
                 }
               case TFloat =>
-                var i = 0
-                while (i < n) {
+                var i = start
+                while (i < end) {
                   val s = slotsBuf(i)
                   if (s >= 0 && !vec.isNullAt(i)) { d(s) += vec.getFloat(i); c(s) += 1 }
                   i += 1
                 }
               case TDouble =>
-                var i = 0
-                while (i < n) {
+                var i = start
+                while (i < end) {
                   val s = slotsBuf(i)
                   if (s >= 0 && !vec.isNullAt(i)) { d(s) += vec.getDouble(i); c(s) += 1 }
                   i += 1
@@ -526,8 +546,8 @@ object DictAgg {
               if (accB(j) == null) accB(j) =
                 new Array[org.roaringbitmap.longlong.Roaring64Bitmap](cap)
               val bmArr = accB(j)
-              var i = 0
-              while (i < n) {
+              var i = start
+              while (i < end) {
                 val sl = slotsBuf(i)
                 if (sl >= 0 && !vec.isNullAt(i)) {
                   var bm = bmArr(sl)
@@ -543,8 +563,8 @@ object DictAgg {
             case OpMin | OpMax => spec.typ match {
               case TInt | TLong =>
                 val isMin = spec.op == OpMin
-                var i = 0
-                while (i < n) {
+                var i = start
+                while (i < end) {
                   val s = slotsBuf(i)
                   if (s >= 0 && !vec.isNullAt(i)) {
                     val x = if (spec.typ == TInt) vec.getInt(i).toLong else vec.getLong(i)
@@ -555,8 +575,8 @@ object DictAgg {
                 }
               case _ =>
                 val isMin = spec.op == OpMin
-                var i = 0
-                while (i < n) {
+                var i = start
+                while (i < end) {
                   val s = slotsBuf(i)
                   if (s >= 0 && !vec.isNullAt(i)) {
                     val x = if (spec.typ == TFloat) vec.getFloat(i).toDouble else vec.getDouble(i)
@@ -571,7 +591,22 @@ object DictAgg {
           j += 1
         }
       }
-      overflow.iterator
+
+      var flushed: scala.collection.mutable.ArrayBuffer[Row] = null
+      var start = 0
+      while (start < n) {
+        val end = resolveSlots(start)
+        accumulate(start, end)
+        if (end < n) {
+          // the group map is full at row `end`: emit + reset, resume
+          if (failFast) DriverMerge.overflow()
+          if (flushed == null) flushed = new scala.collection.mutable.ArrayBuffer[Row]()
+          flushed ++= flushAll()
+          resetBatchCaches() // per-batch caches hold now-stale slots
+        }
+        start = end
+      }
+      if (flushed == null) Iterator.empty else flushed.iterator
     }
 
     new Iterator[Row] {
@@ -592,6 +627,185 @@ object DictAgg {
       }
     }
   }
+
+  /** Driver-side fold of [[partial]] rows into FINAL rows — the merge
+    * half of the single-stage plan. One pass over (groups × partitions)
+    * tiny rows; finalization follows the same per-op contracts as the
+    * two-stage merge expressions (null sum for all-NULL groups, LEGACY
+    * avg divide — null on zero count, bitmap OR → cardinality). */
+  /** Per-group merge state of [[DictAggMerger]]. */
+  private final class MergeSt(val parts: Array[Array[Byte]], nSpecs: Int) {
+    val l = new Array[Long](nSpecs)
+    val d = new Array[Double](nSpecs)
+    val c = new Array[Long](nSpecs)
+    var bms: Array[org.roaringbitmap.longlong.Roaring64Bitmap] = null
+  }
+
+  final case class DictAggMerger(
+      nKeys: Int,
+      specs: Array[Spec],
+      finalCols: Array[FinalCol],
+      globalIdentity: Boolean)
+      extends DriverMerger {
+
+    override def merge(rows: Iterator[Row]): Iterator[InternalRow] = {
+      val nSpecs = specs.length
+      val specOff = new Array[Int](nSpecs)
+      var off = nKeys
+      var j0 = 0
+      while (j0 < nSpecs) { specOff(j0) = off; off += specs(j0).width; j0 += 1 }
+
+      val byKey = new java.util.LinkedHashMap[UTF8String, MergeSt]()
+
+      while (rows.hasNext) {
+        val r = rows.next()
+        val parts = new Array[Array[Byte]](nKeys)
+        var k = 0
+        while (k < nKeys) {
+          parts(k) = r.get(k).asInstanceOf[Array[Byte]]; k += 1
+        }
+        val ck = compositeKey(parts)
+        var st = byKey.get(ck)
+        if (st == null) { st = new MergeSt(parts, nSpecs); byKey.put(ck, st) }
+        var j = 0
+        while (j < nSpecs) {
+          val spec = specs(j)
+          val at = specOff(j)
+          spec.op match {
+            case OpSum =>
+              val v = r.get(at)
+              if (v != null) {
+                if (spec.typ == TInt || spec.typ == TLong) {
+                  val x = v.asInstanceOf[java.lang.Long].longValue()
+                  st.l(j) = if (spec.ansi) Math.addExact(st.l(j), x) else st.l(j) + x
+                } else st.d(j) += v.asInstanceOf[java.lang.Double].doubleValue()
+                st.c(j) += 1
+              }
+            case OpCountStar | OpCountCol =>
+              st.c(j) += r.getLong(at)
+            case OpMin | OpMax =>
+              val v = r.get(at)
+              if (v != null) {
+                val isMin = spec.op == OpMin
+                if (spec.typ == TInt || spec.typ == TLong) {
+                  val x = v match {
+                    case i: java.lang.Integer => i.longValue()
+                    case l: java.lang.Long => l.longValue()
+                  }
+                  if (st.c(j) == 0L || (if (isMin) x < st.l(j) else x > st.l(j)))
+                    st.l(j) = x
+                } else {
+                  val x = v match {
+                    case f: java.lang.Float => f.doubleValue()
+                    case d: java.lang.Double => d.doubleValue()
+                  }
+                  val cmp = java.lang.Double.compare(x, st.d(j))
+                  if (st.c(j) == 0L || (if (isMin) cmp < 0 else cmp > 0))
+                    st.d(j) = x
+                }
+                st.c(j) += 1
+              }
+            case OpAvg =>
+              val s = r.get(at)
+              if (s != null) st.d(j) += s.asInstanceOf[java.lang.Double].doubleValue()
+              st.c(j) += r.getLong(at + 1)
+            case OpUniq =>
+              val blob = r.get(at).asInstanceOf[Array[Byte]]
+              if (blob != null) {
+                if (st.bms == null) st.bms =
+                  new Array[org.roaringbitmap.longlong.Roaring64Bitmap](nSpecs)
+                val bm = BitmapDistinct.deserialize(blob)
+                if (st.bms(j) == null) st.bms(j) = bm else st.bms(j).or(bm)
+              }
+          }
+          j += 1
+        }
+      }
+
+      // a GLOBAL aggregate over zero partitions still yields one row
+      if (byKey.isEmpty && globalIdentity)
+        byKey.put(compositeKey(Array.empty), new MergeSt(Array.empty, nSpecs))
+
+      val it = byKey.values().iterator()
+      new Iterator[InternalRow] {
+        override def hasNext: Boolean = it.hasNext
+        override def next(): InternalRow = finalizeRow(it.next())
+      }
+    }
+
+    /** UnsafeRowWriter's float normalization contract: -0.0 → +0.0,
+      * every NaN → the canonical NaN. The two-stage shape gets this
+      * for free when partials cross an UnsafeRow boundary; the driver
+      * merger must apply it explicitly or `min(d)` could surface a
+      * -0.0 the native plan never shows. */
+    private def normD(v: Double): Double =
+      if (v != v) Double.NaN else if (v == 0.0d) 0.0d else v
+    private def normF(v: Float): Float =
+      if (v != v) Float.NaN else if (v == 0.0f) 0.0f else v
+
+    /** One FINAL row from a merged group — catalyst values, same
+      * per-op contracts as the two-stage merge expressions. */
+    private def finalizeRow(st: MergeSt): InternalRow = {
+      val vals = new Array[Any](finalCols.length)
+      var i = 0
+      while (i < finalCols.length) {
+        val fc = finalCols(i)
+        vals(i) =
+          if (fc.isKey) {
+            val p = st.parts(fc.idx)
+            if (p == null) null else UTF8String.fromBytes(p)
+          } else {
+            val j = fc.idx
+            val spec = specs(j)
+            spec.op match {
+              case OpSum =>
+                if (st.c(j) == 0L) null
+                else if (spec.typ == TInt || spec.typ == TLong)
+                  java.lang.Long.valueOf(st.l(j))
+                else java.lang.Double.valueOf(normD(st.d(j)))
+              case OpCountStar | OpCountCol => java.lang.Long.valueOf(st.c(j))
+              case OpMin | OpMax =>
+                if (st.c(j) == 0L) null
+                else spec.typ match {
+                  case TInt => java.lang.Integer.valueOf(st.l(j).toInt)
+                  case TLong => java.lang.Long.valueOf(st.l(j))
+                  case TFloat => java.lang.Float.valueOf(normF(st.d(j).toFloat))
+                  case TDouble => java.lang.Double.valueOf(normD(st.d(j)))
+                }
+              case OpAvg =>
+                // LEGACY divide: an all-NULL group merges to 0 count
+                // and yields NULL, matching the direct path's Average
+                if (st.c(j) == 0L) null
+                else java.lang.Double.valueOf(normD(st.d(j) / st.c(j)))
+              case OpUniq =>
+                java.lang.Long.valueOf(
+                  if (st.bms == null || st.bms(j) == null) 0L
+                  else st.bms(j).getLongCardinality)
+            }
+          }
+        i += 1
+      }
+      new GenericInternalRow(vals)
+    }
+  }
+
+  /** The finalized data type of spec `j`'s driver-merge output. */
+  private[plans] def mergedType(spec: Spec): DataType = spec.op match {
+    case OpSum => if (spec.typ == TInt || spec.typ == TLong) LongType else DoubleType
+    case OpCountStar | OpCountCol | OpUniq => LongType
+    case OpAvg => DoubleType
+    case OpMin | OpMax => spec.typ match {
+      case TInt => IntegerType
+      case TLong => LongType
+      case TFloat => FloatType
+      case TDouble => DoubleType
+    }
+  }
+
+  private[plans] def mergedNullable(spec: Spec): Boolean = spec.op match {
+    case OpCountStar | OpCountCol | OpUniq => false
+    case _ => true
+  }
 }
 
 /** The rewrite rule — see [[DictAgg]] for semantics and guardrails.
@@ -607,6 +821,7 @@ case class DictAggRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan = {
     if (spark.conf.getOption(EnabledKey).exists(_.trim.equalsIgnoreCase("false")))
       return plan
+    if (DriverMerge.suppress.get()) return plan // planning an overflow fallback
     plan.transformDown {
       case agg @ Aggregate(groupExprs, aggExprs, child, _)
           if groupExprs.size <= 2 &&
@@ -614,7 +829,7 @@ case class DictAggRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
               case a: AttributeReference => a.dataType == StringType
               case _ => false
             } =>
-        (try tryRewrite(
+        (try tryRewrite(agg,
           groupExprs.map(_.asInstanceOf[AttributeReference]), aggExprs, child)
         catch {
           // an optimization must never fail the query
@@ -634,6 +849,7 @@ case class DictAggRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
   }
 
   private def tryRewrite(
+      agg: Aggregate,
       gs: Seq[AttributeReference],
       aggExprs: Seq[NamedExpression],
       child: LogicalPlan): Option[LogicalPlan] = {
@@ -685,7 +901,7 @@ case class DictAggRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       if (ae.filter.isDefined) return None
       if (ae.isDistinct) ae.aggregateFunction match {
         // grouped count(DISTINCT intCol): per-slot Roaring64 bitmap,
-        // OR-merged by BitmapOrCardinality at the final stage
+        // OR-merged at the final stage (driver or shuffle)
         case Count(Seq(a: AttributeReference))
             if a.dataType == IntegerType || a.dataType == LongType =>
           val n = colOf(a).getOrElse(return None)
@@ -740,8 +956,33 @@ case class DictAggRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       .flatMap(v => scala.util.Try(v.toInt).toOption).getOrElse(1 << 20)
 
     val batchRdd = scan.executeColumnar()
+
+    // ---- single-stage driver merge (default; VERDICT r16 lever) ----
+    // per-partition cap sized so the collected volume stays bounded
+    // regardless of cluster width: partitions × cap ≤ maxTotalRows.
+    // At 32 partitions that is 64k groups/partition; at 100k scan
+    // splits the cap shrinks to ~40 and a non-LC key fails fast into
+    // the native plan instead of flooding the driver.
+    val parts = math.max(1, batchRdd.getNumPartitions)
+    val dmCap = math.min(
+      math.min(maxGroups.toLong, DriverMergeGroupCap.toLong),
+      DriverMerge.maxTotalRows(spark) / parts).toInt
+    if (DriverMerge.enabled(spark) && dmCap >= 16) {
+      buildDriverMerge(agg, gs, aggExprs, aes, aeList, specs, keyIdxs,
+        batchRdd, dmCap).foreach { p =>
+        engagements.incrementAndGet()
+        DriverMerge.engagements.incrementAndGet()
+        logInfo(s"dictAgg: single-stage driver-merge GROUP BY " +
+          s"${keyNames.mkString(", ")} (${specs.length} aggregates, " +
+          s"cap $dmCap × $parts partitions)")
+        return Some(p)
+      }
+    }
+
+    // ---- two-stage shape (driver merge off or shape not expressible) ----
     val rowRdd: RDD[Row] =
-      batchRdd.mapPartitions(it => DictAgg.partial(it, keyIdxs, specs, maxGroups))
+      batchRdd.mapPartitions(it =>
+        DictAgg.partial(it, keyIdxs, specs, maxGroups, failFast = false))
 
     // ---- partial schema: binary key + per-spec mergeable state ----
     def partialFields(p: AggPlan, i: Int): Seq[StructField] = p.op match {
@@ -826,6 +1067,95 @@ case class DictAggRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     logInfo(s"dictAgg: rewriting GROUP BY ${keyNames.mkString(", ")} " +
       s"to dictionary-code partial aggregation (${specs.length} aggregates)")
     Some(Aggregate(kAttrs, outputs, partialPlan))
+  }
+
+  /** The single-stage plan: [[DriverMergeAgg]] (+ a `Project` when the
+    * output expressions are not bare aggregate/key references). Returns
+    * None only if an output's type would not match exactly — the caller
+    * then falls through to the two-stage shape. */
+  private def buildDriverMerge(
+      agg: Aggregate,
+      gs: Seq[AttributeReference],
+      aggExprs: Seq[NamedExpression],
+      aes: java.util.IdentityHashMap[AggregateExpression, Integer],
+      aeList: Seq[AggregateExpression],
+      specs: Array[Spec],
+      keyIdxs: Array[Int],
+      batchRdd: RDD[ColumnarBatch],
+      dmCap: Int): Option[LogicalPlan] = {
+    val nKeys = gs.size
+    val rowRdd: RDD[Row] = batchRdd.mapPartitions(it =>
+      DictAgg.partial(it, keyIdxs, specs, dmCap, failFast = true))
+    def aeIdx(ae: AggregateExpression): Option[Int] = {
+      val boxed = aes.get(ae)
+      if (boxed != null) Some(boxed.intValue)
+      else aeList.zipWithIndex
+        .collectFirst { case (x, i) if x.semanticEquals(ae) => i }
+    }
+
+    // DIRECT mode: every output is a bare finalized column → the leaf
+    // emits the aggregate's own output attrs and no Project (and no
+    // extra job) is needed — collect() is ONE stage end-to-end.
+    val direct: Option[Seq[FinalCol]] = {
+      val cols = aggExprs.map { ne =>
+        val inner = ne match { case Alias(c, _) => c; case other => other }
+        inner match {
+          case ae: AggregateExpression =>
+            aeIdx(ae).filter(i => mergedType(specs(i)) == ne.dataType)
+              .map(i => FinalCol(isKey = false, i))
+          case a: AttributeReference =>
+            val k = gs.indexWhere(_.exprId == a.exprId)
+            if (k >= 0) Some(FinalCol(isKey = true, k)) else None
+          case _ => None
+        }
+      }
+      if (cols.forall(_.isDefined)) Some(cols.map(_.get)) else None
+    }
+
+    direct match {
+      case Some(cols) =>
+        val merger = DictAggMerger(nKeys, specs, cols.toArray, gs.isEmpty)
+        Some(DriverMergeAgg(
+          aggExprs.map(_.toAttribute), rowRdd, merger, Some(agg)))
+      case None =>
+        // GENERAL mode: leaf = keys ++ finalized specs (fresh attrs),
+        // outputs re-expressed over them under a Project
+        val leafAttrs: Seq[Attribute] =
+          gs.indices.map(i =>
+            AttributeReference(s"k_$i", StringType, nullable = true)()) ++
+          specs.indices.map(j => AttributeReference(
+            s"a_$j", mergedType(specs(j)), nullable = mergedNullable(specs(j)))())
+        val keyAttrByExprId: Map[Long, Attribute] =
+          gs.zipWithIndex.map { case (g, i) => g.exprId.id -> leafAttrs(i) }.toMap
+        def rewriteExpr(e: Expression): Option[Expression] = e match {
+          case ae: AggregateExpression =>
+            aeIdx(ae).map(i => leafAttrs(nKeys + i))
+          case a: AttributeReference => keyAttrByExprId.get(a.exprId.id)
+          case l: Literal => Some(l)
+          case other if other.children.nonEmpty && other.deterministic =>
+            val kids = other.children.map(rewriteExpr)
+            if (kids.forall(_.isDefined)) Some(other.withNewChildren(kids.map(_.get)))
+            else None
+          case _ => None
+        }
+        val outputs: Seq[NamedExpression] = aggExprs.map { ne =>
+          val (inner, name) = ne match {
+            case Alias(c, n) => (c, n)
+            case a: Attribute => (a: Expression, a.name)
+            case other => (other: Expression, other.name)
+          }
+          rewriteExpr(inner)
+            .filter(_.dataType == ne.dataType) // exact type or no rewrite
+            .map(r => Alias(r, name)(exprId = ne.exprId, qualifier = ne.qualifier))
+            .getOrElse(return None)
+        }
+        val finalCols =
+          gs.indices.map(i => FinalCol(isKey = true, i)) ++
+            specs.indices.map(j => FinalCol(isKey = false, j))
+        val merger = DictAggMerger(nKeys, specs, finalCols.toArray, gs.isEmpty)
+        Some(Project(outputs,
+          DriverMergeAgg(leafAttrs, rowRdd, merger, Some(agg))))
+    }
   }
 
   private def typOf(t: Int): DataType = t match {

@@ -197,7 +197,7 @@ case class FooterAggregates(spark: SparkSession) extends Rule[LogicalPlan] {
     * (path+size+mtime) and wanted set: optimizer batches run to
     * fixpoint, so without the cache one query could pay the sweep
     * several times over (and a 100k-object sweep is a real job). */
-  private def sweep(rel: HadoopFsRelation, wanted: Seq[String]): FileStats = {
+  private[plans] def sweep(rel: HadoopFsRelation, wanted: Seq[String]): FileStats = {
     val files = rel.location.listFiles(Nil, Nil)
       .flatMap(_.files).filter(_.getLen > 0)
     val key = files.map(f =>
@@ -249,7 +249,7 @@ object FooterAggregates {
 
   /** Per-column running state over row groups. `exact` collapses to
     * false the moment any row group's metadata cannot answer exactly. */
-  private case class ColState(
+  private[plans] case class ColState(
       nulls: Long = 0L,
       min: Long = Long.MaxValue,
       max: Long = Long.MinValue,
@@ -264,7 +264,7 @@ object FooterAggregates {
       statsExact && o.statsExact)
   }
 
-  private case class FileStats(rows: Long, cols: Map[String, ColState]) {
+  private[plans] case class FileStats(rows: Long, cols: Map[String, ColState]) {
     def merge(o: FileStats): FileStats = FileStats(
       rows + o.rows,
       (cols.keySet ++ o.cols.keySet).map { k =>
@@ -321,4 +321,22 @@ object FooterAggregates {
 
   /** Above this many files the footer sweep becomes a Spark job. */
   val DriverReadMaxFiles = 64
+
+  /** Exact global (min, max) per integer-family column from the
+    * relation's footers, or None where the stats cannot answer exactly
+    * (missing/truncated stats, unsigned types) or the column is
+    * all-NULL. Shares [[sweep]]'s memoization — the dense-domain gate
+    * of [[BitmapDistinctRewrite]] costs nothing extra when
+    * [[FooterAggregates]] already swept the same listing. */
+  private[plans] def columnRanges(
+      spark: SparkSession,
+      rel: HadoopFsRelation,
+      wanted: Seq[String]): Map[String, Option[(Long, Long)]] = {
+    val total = FooterAggregates(spark).sweep(rel, wanted)
+    wanted.map { n =>
+      n -> total.cols.get(n)
+        .filter(c => c.statsExact && c.hasValue)
+        .map(c => (c.min, c.max))
+    }.toMap
+  }
 }

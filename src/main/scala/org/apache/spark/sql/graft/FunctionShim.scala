@@ -79,6 +79,23 @@ object FunctionShim {
       exp.extraOptimizations = exp.extraOptimizations :+ rule
   }
 
+  /** Idempotently append a planner strategy to an ALREADY-RUNNING
+    * session (`experimental.extraStrategies` — the runtime twin of
+    * `SparkSessionExtensions.injectPlannerStrategy`). */
+  def addStrategy(
+      spark: SparkSession,
+      strategy: org.apache.spark.sql.execution.SparkStrategy): Unit = {
+    val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    // a session built WITH GraftExtensions already carries the strategy
+    // in its planner's extra strategies — adding it again would plan it
+    // twice per query
+    val injected = classic.sessionState.planner.extraPlanningStrategies
+      .exists(_.getClass == strategy.getClass)
+    val exp = classic.experimental
+    if (!injected && !exp.extraStrategies.exists(_.getClass == strategy.getClass))
+      exp.extraStrategies = exp.extraStrategies :+ strategy
+  }
+
   /** Open ONLY the footer of one parquet file (a ~kilobyte ranged
     * read; no row-group page IO). */
   def readParquetFooter(

@@ -90,12 +90,14 @@ class PlanSpec extends AnyFunSuite {
     val filtered = li.filter(col("l_quantity") > 10).agg(count(lit(1)))
     assert(planOf(filtered).contains("FileScan"),
       s"filtered count must scan:\n${planOf(filtered)}")
-    // a grouped count must still read the data — either a plain
-    // FileScan, or (since r16) the dictionary-code partial RDD whose
-    // lineage IS the columnar file scan; never a footer LocalTableScan
+    // a grouped count must still read the data — a plain FileScan, the
+    // r16 dictionary-code partial RDD, or the r17 driver-merge leaf
+    // (whose embedded RDD's lineage IS the columnar file scan); never
+    // a footer LocalTableScan
     val grouped = li.groupBy("l_returnflag").agg(count(lit(1)))
     assert((planOf(grouped).contains("FileScan") ||
-        planOf(grouped).contains("ExistingRDD")) &&
+        planOf(grouped).contains("ExistingRDD") ||
+        planOf(grouped).contains("DriverMergeAgg")) &&
         !planOf(grouped).contains("LocalTableScan"),
       s"grouped count must scan:\n${planOf(grouped)}")
     // double stats can be NaN-poisoned, string stats truncated — scan
@@ -106,10 +108,11 @@ class PlanSpec extends AnyFunSuite {
     assert(planOf(strMin).contains("FileScan"),
       s"min(string col) must scan:\n${planOf(strMin)}")
     // count(distinct intCol) scans too — since r16 through the bitmap
-    // partial RDD (whose lineage is the columnar scan); never a footer
+    // partial RDD (r17: under the driver-merge leaf); never a footer
     val distinct = li.agg(countDistinct(col("l_orderkey")))
     assert((planOf(distinct).contains("FileScan") ||
-        planOf(distinct).contains("ExistingRDD")) &&
+        planOf(distinct).contains("ExistingRDD") ||
+        planOf(distinct).contains("DriverMergeAgg")) &&
         !planOf(distinct).contains("LocalTableScan"),
       s"count(distinct) must scan:\n${planOf(distinct)}")
     // min over a derived expression (not a bare column) must scan
@@ -128,8 +131,25 @@ class PlanSpec extends AnyFunSuite {
     val plan = df.queryExecution.optimizedPlan.toString
     assert(graft.plans.DictAgg.engagements.get() > before,
       s"dictAgg rewrite did not engage on the bench q2 shape:\n$plan")
-    assert(plan.contains("LogicalRDD") || plan.contains("ExistingRDD"),
-      s"expected the dictionary-code partial RDD:\n$plan")
+    // r17: the default plan is SINGLE-STAGE — partials collected as job
+    // results, merged on the driver, no exchange anywhere
+    assert(plan.contains("DriverMergeAgg"),
+      s"expected the single-stage driver-merge leaf:\n$plan")
+    assert(!df.queryExecution.executedPlan.toString.contains("Exchange"),
+      s"the q2 shape must not shuffle:\n${df.queryExecution.executedPlan}")
+  }
+
+  test("q3 uniqExact plans single-stage too — no exchange (r17 lever)") {
+    val before = graft.plans.BitmapDistinct.engagements.get()
+    val df = Tables.load(spark, dir, "orders")
+      .agg(countDistinct(col("o_custkey")).as("u"))
+    val plan = df.queryExecution.optimizedPlan.toString
+    assert(graft.plans.BitmapDistinct.engagements.get() > before,
+      s"bitmapDistinct did not engage on the bench q3 shape:\n$plan")
+    assert(plan.contains("DriverMergeAgg"),
+      s"expected the single-stage driver-merge leaf:\n$plan")
+    assert(!df.queryExecution.executedPlan.toString.contains("Exchange"),
+      s"the q3 shape must not shuffle:\n${df.queryExecution.executedPlan}")
   }
 
   test("footer shortcut disqualifies on unsigned logical types and absent stats (VERDICT r9 #7)") {

@@ -109,6 +109,26 @@ class BitmapDistinctSpec extends AnyFunSuite {
     } finally spark.conf.unset(graft.dialect.ChWrites.WarehouseConf)
   }
 
+  test("dense-domain bitset and Roaring agree; plan is single-stage driver merge") {
+    def q() = spark.read.parquet(table)
+      .agg(countDistinct(col("l")).as("ul"), countDistinct(col("i")).as("ui"))
+    // the table's l-span (~7.9M) and i-span (211) both sit under the
+    // 2^24 dense gate → dense engages by default; forcing the gate to
+    // 0 falls back to Roaring — answers must be identical
+    val dense = rows(q())
+    spark.conf.set(BitmapDistinct.DenseMaxRangeKey, "0")
+    val roaring = try rows(q())
+    finally spark.conf.unset(BitmapDistinct.DenseMaxRangeKey)
+    assert(dense == roaring)
+    // the optimized plan is the single-stage driver-merge leaf — no
+    // Aggregate, no exchange (the r17 lever made visible)
+    val plan = q().queryExecution.optimizedPlan.toString
+    assert(plan.contains("DriverMergeAgg"),
+      s"expected the single-stage driver-merge leaf:\n$plan")
+    assert(!q().queryExecution.executedPlan.toString.contains("Exchange"),
+      "single-stage plan must not shuffle")
+  }
+
   test("the dialect uniqExact spelling engages — the q3 bench shape") {
     graft.dialect.ChFunctions.register(spark)
     spark.read.parquet(table).createOrReplaceTempView("bmd_t")

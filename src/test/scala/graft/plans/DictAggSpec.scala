@@ -41,12 +41,17 @@ class DictAggSpec extends AnyFunSuite {
     s"$dir/t.parquet"
   }
 
+  // float/double sums and avgs round to 6dp: merge ORDER across
+  // partitions is nondeterministic on both the native and rewritten
+  // paths (shuffle fetch order vs driver collect order), so the last
+  // ULPs legitimately move — same caveat as AggProjections
   private def agged(df: DataFrame): DataFrame =
     df.groupBy("k").agg(
-      sum("i").as("si"), sum("l").as("sl"), sum("f").as("sf"), sum("d").as("sd"),
+      sum("i").as("si"), sum("l").as("sl"),
+      round(sum("f"), 6).as("sf"), round(sum("d"), 6).as("sd"),
       count(lit(1)).as("c"), count(col("d")).as("cd"), count(col("s")).as("cs"),
       min("i").as("mni"), max("l").as("mxl"), min("f").as("mnf"), max("d").as("mxd"),
-      avg("i").as("ai"), avg("d").as("ad"),
+      round(avg("i"), 6).as("ai"), round(avg("d"), 6).as("ad"),
       sum("l").cast("string").as("slc"))
 
   private def collectSorted(df: DataFrame): Seq[String] =
@@ -67,22 +72,43 @@ class DictAggSpec extends AnyFunSuite {
     assert(fast == slow)
   }
 
-  test("engagement is visible in the optimized plan (LogicalRDD partials)") {
+  test("engagement is visible in the optimized plan (single-stage driver merge)") {
     val df = spark.read.parquet(table)
       .groupBy("k").agg(sum("d").as("s"))
     val plan = df.queryExecution.optimizedPlan.toString
-    assert(plan.contains("LogicalRDD") || plan.contains("ExistingRDD"),
-      s"expected the dictionary-code partial RDD in the plan:\n$plan")
+    assert(plan.contains("DriverMergeAgg"),
+      s"expected the single-stage driver-merge leaf in the plan:\n$plan")
+    // with driver merge off, the r16 two-stage shape (partials RDD +
+    // final Aggregate) remains
+    spark.conf.set(DriverMerge.EnabledKey, "false")
+    try {
+      val p2 = spark.read.parquet(table).groupBy("k").agg(sum("d").as("s"))
+        .queryExecution.optimizedPlan.toString
+      assert(p2.contains("LogicalRDD") || p2.contains("ExistingRDD"),
+        s"expected the dictionary-code partial RDD in the two-stage plan:\n$p2")
+    } finally spark.conf.unset(DriverMerge.EnabledKey)
   }
 
-  test("maxGroups overflow degrades to singleton partials, same answer") {
+  test("maxGroups overflow: driver merge falls back, shuffle path flushes — same answer") {
     spark.conf.set(DictAgg.MaxGroupsKey, "2")
     try {
+      // default (driver merge): the partial task fails fast and the
+      // exec re-runs the native plan — identical answers
       val before = DictAgg.engagements.get()
       val fast = collectSorted(agged(spark.read.parquet(table)))
       assert(DictAgg.engagements.get() > before)
       val slow = withDisabled(collectSorted(agged(spark.read.parquet(table))))
       assert(fast == slow)
+      // two-stage shape: the kernel flushes its full map and resumes —
+      // bounded memory, repeated groups merge downstream (r17; replaced
+      // the r16 per-row singleton stream)
+      spark.conf.set(DriverMerge.EnabledKey, "false")
+      try {
+        val b2 = DictAgg.engagements.get()
+        val flushed = collectSorted(agged(spark.read.parquet(table)))
+        assert(DictAgg.engagements.get() > b2)
+        assert(flushed == slow)
+      } finally spark.conf.unset(DriverMerge.EnabledKey)
     } finally spark.conf.unset(DictAgg.MaxGroupsKey)
   }
 
@@ -122,8 +148,13 @@ class DictAggSpec extends AnyFunSuite {
     spark.createDataFrame(rows, schema).write.mode("overwrite").parquet(s"$dir/t.parquet")
     def q() = spark.read.parquet(s"$dir/t.parquet").groupBy("k")
       .agg(min("d").as("mn"), max("d").as("mx"))
-    val fast = collectSorted(q())
-    assert(fast == withDisabled(collectSorted(q())))
+    // Spark's SQL ordering ties -0.0 with 0.0 (SQLOrderingUtil), so the
+    // NATIVE min/max keep an arrival-order-dependent representative of
+    // the tie — native-vs-native reruns flip the sign bit too. The
+    // kernel normalizes to +0.0 deterministically; compare up to sign.
+    def normZero(s: Seq[String]): Seq[String] = s.map(_.replace("-0.0", "0.0"))
+    val fast = normZero(collectSorted(q()))
+    assert(fast == normZero(withDisabled(collectSorted(q()))))
   }
 
   test("avg over huge longs matches Spark: Double accumulation (review r16)") {
@@ -213,7 +244,7 @@ class DictAggSpec extends AnyFunSuite {
   test("grouped count(DISTINCT intCol) rides per-slot bitmaps, same answers") {
     def q() = spark.read.parquet(table).groupBy("k").agg(
       countDistinct(col("i")).as("ui"), countDistinct(col("l")).as("ul"),
-      sum("d").as("sd"), count(lit(1)).as("c"))
+      round(sum("d"), 6).as("sd"), count(lit(1)).as("c"))
     val before = DictAgg.engagements.get()
     val fast = collectSorted(q())
     assert(DictAgg.engagements.get() > before,
