@@ -2940,7 +2940,45 @@ object SparkEntry {
         |       uniqExact(l_suppkey) AS u_sk,
         |       CAST(round(avg(l_extendedprice) * 100) AS BIGINT) AS avg_ep_c
         |FROM lineitem GROUP BY l_returnflag, l_linestatus
-        |ORDER BY l_returnflag, l_linestatus""".stripMargin)
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin),
+
+    // r17: the kernel over a FILTERED scan — TPC-H Q1's own shape (the
+    // filter compiles into the kernel's predicate mask; the scan gets
+    // it pushed for row-group pruning)
+    "q224_dictagg_filtered" -> ch(
+      """SELECT l_returnflag, l_linestatus,
+        |       CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+        |       CAST(round(avg(l_extendedprice) * 100) AS BIGINT) AS avg_ep_c,
+        |       count() AS cnt
+        |FROM lineitem
+        |WHERE l_shipdate <= '1996-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin),
+
+    // r17: INT group key — slot identity is the raw value (no byte
+    // composites), single-stage driver merge
+    "q225_dictagg_int_key" -> ch(
+      """SELECT l_linenumber,
+        |       CAST(sum(l_quantity) AS BIGINT) AS sum_q,
+        |       count() AS cnt,
+        |       uniqExact(l_suppkey) AS u_sk
+        |FROM lineitem GROUP BY l_linenumber ORDER BY l_linenumber""".stripMargin),
+
+    // r17: LONG group key at real cardinality, filtered on int +
+    // string predicates, with ORDER/LIMIT above (exercises the
+    // driver-merge leaf's doExecute path, not just executeCollect)
+    "q226_dictagg_long_key" -> ch(
+      """SELECT l_suppkey, count() AS cnt,
+        |       CAST(min(l_orderkey) AS BIGINT) AS min_ok
+        |FROM lineitem
+        |WHERE l_linenumber >= 2 AND l_returnflag != 'N'
+        |GROUP BY l_suppkey ORDER BY l_suppkey LIMIT 50""".stripMargin),
+
+    // r17: filtered GLOBAL mixed shape (timestamp predicate + plain
+    // count + exact distinct in one single-stage scan)
+    "q227_dictagg_ts_filter" -> ch(
+      """SELECT count() AS cnt, uniqExact(l_suppkey) AS u_sk
+        |FROM lineitem WHERE l_shipdate > '1995-06-01 00:00:00'""".stripMargin)
   )
 
   // ---------------------------------------------------------------
@@ -3018,6 +3056,30 @@ object SparkEntry {
         |       CAST(round(avg(l_extendedprice) * 100) AS BIGINT) AS avg_ep_c
         |FROM lineitem GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q224_dictagg_filtered" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+        |       CAST(round(avg(l_extendedprice) * 100) AS BIGINT) AS avg_ep_c,
+        |       count(*) AS cnt
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1996-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q225_dictagg_int_key" ->
+      """SELECT l_linenumber,
+        |       CAST(sum(l_quantity) AS BIGINT) AS sum_q,
+        |       count(*) AS cnt,
+        |       count(DISTINCT l_suppkey) AS u_sk
+        |FROM lineitem GROUP BY l_linenumber ORDER BY l_linenumber""".stripMargin,
+    "q226_dictagg_long_key" ->
+      """SELECT l_suppkey, count(*) AS cnt,
+        |       CAST(min(l_orderkey) AS BIGINT) AS min_ok
+        |FROM lineitem
+        |WHERE l_linenumber >= 2 AND l_returnflag != 'N'
+        |GROUP BY l_suppkey ORDER BY l_suppkey LIMIT 50""".stripMargin,
+    "q227_dictagg_ts_filter" ->
+      """SELECT count(*) AS cnt, count(DISTINCT l_suppkey) AS u_sk
+        |FROM lineitem WHERE l_shipdate > TIMESTAMP '1995-06-01 00:00:00'""".stripMargin,
     "q201_replicated_ddl" ->
       """WITH base AS (
         |  SELECT c_custkey AS ck, c_nationkey AS nk, 0 AS ver

@@ -117,6 +117,66 @@ object DictAgg {
   final val TFloat = 2
   final val TDouble = 3
 
+  // group-key kinds (r17 generalization past string keys): the kernel
+  // encodes every key part as bytes (numerics 8-byte LE) so slot
+  // identity and partial rows stay uniform; the kind drives encode/
+  // decode and the single-numeric-key fast path. KInt covers Date
+  // (int days), KLong covers Timestamp (long micros).
+  final val KStr = 0
+  final val KInt = 1
+  final val KLong = 2
+
+  // predicate ops for filtered scans (r17): the kernel re-applies the
+  // pushed-down filter exactly on the scan's batches (parquet pushdown
+  // prunes row groups, it does not guarantee row-level filtering)
+  final val PIsNotNull = 0
+  final val PIsNull = 1
+  final val PEq = 2
+  final val PLt = 3
+  final val PLe = 4
+  final val PGt = 5
+  final val PGe = 6
+  final val PNe = 7
+
+  // predicate value types: TInt/TLong/TFloat/TDouble from above, plus
+  final val PTStr = 4
+
+  /** One compiled filter conjunct: `vecIdx` in the SCAN output, value
+    * type, op, and the literal in the matching slot. String literals
+    * travel as bytes (UTF8String is rebuilt per partition). */
+  final case class Pred(vecIdx: Int, typ: Int, op: Int,
+      lLit: Long, dLit: Double, bLit: Array[Byte]) extends Serializable
+
+  /** Spark's SQL comparison for doubles: NaN greatest, -0.0 == 0.0
+    * (SQLOrderingUtil's contract — `NaN > x` is TRUE in Spark, unlike
+    * raw IEEE). */
+  private def cmpD(a: Double, b: Double): Int =
+    if (a == b) 0 else java.lang.Double.compare(a, b)
+
+  private def predSat(op: Int, cmp: Int): Boolean = op match {
+    case PEq => cmp == 0
+    case PLt => cmp < 0
+    case PLe => cmp <= 0
+    case PGt => cmp > 0
+    case PGe => cmp >= 0
+    case PNe => cmp != 0
+  }
+
+  private[plans] def le8(v: Long): Array[Byte] = {
+    val b = new Array[Byte](8)
+    var i = 0
+    var x = v
+    while (i < 8) { b(i) = (x & 0xFF).toByte; x >>>= 8; i += 1 }
+    b
+  }
+
+  private[plans] def le8ToLong(b: Array[Byte]): Long = {
+    var v = 0L
+    var i = 7
+    while (i >= 0) { v = (v << 8) | (b(i) & 0xFFL); i -= 1 }
+    v
+  }
+
   /** One aggregate's kernel descriptor. `vecIdx` is the column's index
     * in the SCAN output (-1 for count(*)); `ansi` only matters for
     * integral sums. */
@@ -212,13 +272,22 @@ object DictAgg {
   def partial(
       batches: Iterator[ColumnarBatch],
       keyIdxs: Array[Int],
+      keyKinds: Array[Int],
       specs: Array[Spec],
+      preds: Array[Pred],
       maxGroups: Int,
       failFast: Boolean): Iterator[Row] = {
 
     val nSpecs = specs.length
     val nKeys = keyIdxs.length
     val totalWidth = nKeys + specs.map(_.width).sum
+    // single NUMERIC key: slot identity is the raw long value — a
+    // cross-batch primitive map, no byte composites on the hot path
+    val singleNumKey = nKeys == 1 && keyKinds(0) != KStr
+    val valueSlots = if (singleNumKey) new DictAgg.LongSlotMap(256) else null
+    // rebuilt per partition from serializable bytes
+    val strLits: Array[UTF8String] = preds.map(p =>
+      if (p.bLit == null) null else UTF8String.fromBytes(p.bLit))
 
     // group state: per-slot per-key bytes (null = NULL key part) +
     // per-spec accumulators
@@ -337,6 +406,7 @@ object DictAgg {
       var s = 0
       while (s < nGroups) { out(s) = slotRow(s); s += 1 }
       slots.clear()
+      if (valueSlots != null) valueSlots.clear()
       nullSlot = -1
       var j = 0
       while (j < nSpecs) {
@@ -380,10 +450,70 @@ object DictAgg {
         var k = 0
         while (k < nKeys) {
           val kv = vecs(keyIdxs(k))
-          p(k) = if (kv.isNullAt(i)) null else kv.getUTF8String(i).getBytes
+          p(k) =
+            if (kv.isNullAt(i)) null
+            else keyKinds(k) match {
+              case KStr => kv.getUTF8String(i).getBytes
+              case KInt => le8(kv.getInt(i).toLong)
+              case KLong => le8(kv.getLong(i))
+            }
           k += 1
         }
         p
+      }
+
+      // ---- filter mask: rows failing any conjunct never reach a slot
+      // (slotsBuf -1 = skip; every accumulation loop guards on it) ----
+      val mask: Array[Boolean] = if (preds.isEmpty) null else {
+        val m = new Array[Boolean](n)
+        java.util.Arrays.fill(m, true)
+        var pi = 0
+        while (pi < preds.length) {
+          val p = preds(pi)
+          val vec = vecs(p.vecIdx)
+          var i = 0
+          p.op match {
+            case PIsNotNull =>
+              while (i < n) { if (vec.isNullAt(i)) m(i) = false; i += 1 }
+            case PIsNull =>
+              while (i < n) { if (!vec.isNullAt(i)) m(i) = false; i += 1 }
+            case op => p.typ match {
+              case TInt =>
+                while (i < n) {
+                  if (m(i)) m(i) = !vec.isNullAt(i) && predSat(op,
+                    java.lang.Long.compare(vec.getInt(i).toLong, p.lLit))
+                  i += 1
+                }
+              case TLong =>
+                while (i < n) {
+                  if (m(i)) m(i) = !vec.isNullAt(i) && predSat(op,
+                    java.lang.Long.compare(vec.getLong(i), p.lLit))
+                  i += 1
+                }
+              case TFloat =>
+                while (i < n) {
+                  if (m(i)) m(i) = !vec.isNullAt(i) && predSat(op,
+                    cmpD(vec.getFloat(i).toDouble, p.dLit))
+                  i += 1
+                }
+              case TDouble =>
+                while (i < n) {
+                  if (m(i)) m(i) = !vec.isNullAt(i) && predSat(op,
+                    cmpD(vec.getDouble(i), p.dLit))
+                  i += 1
+                }
+              case PTStr =>
+                val lit = strLits(pi)
+                while (i < n) {
+                  if (m(i)) m(i) = !vec.isNullAt(i) && predSat(op,
+                    vec.getUTF8String(i).compareTo(lit))
+                  i += 1
+                }
+            }
+          }
+          pi += 1
+        }
+        m
       }
 
       // per-batch key-shape setup
@@ -405,62 +535,98 @@ object DictAgg {
         * `maxGroups` (n = all resolved). */
       def resolveSlots(start: Int): Int = {
         if (nKeys == 0) {
-          java.util.Arrays.fill(slotsBuf, start, n, 0)
+          if (mask == null) java.util.Arrays.fill(slotsBuf, start, n, 0)
+          else {
+            var i = start
+            while (i < n) { slotsBuf(i) = if (mask(i)) 0 else -1; i += 1 }
+          }
           return n
         }
         var i = start
-        if (nKeys == 1) {
+        if (singleNumKey) {
+          val kind = keyKinds(0)
           while (i < n) {
-            var slot = -1
-            if (keyVec.isNullAt(i)) {
+            if (mask != null && !mask(i)) slotsBuf(i) = -1
+            else if (keyVec.isNullAt(i)) {
               if (nullSlot == -1) {
                 if (nGroups >= maxGroups) return i
                 nullSlot = newSlot(Array(null))
               }
-              slot = nullSlot
-            } else if (dictIds != null) {
-              val code = dictIds.getInt(i)
-              if (code >= codeSlots.length) {
-                val old = codeSlots
-                codeSlots = new Array[Int](Integer.highestOneBit(code) * 2)
-                java.util.Arrays.fill(codeSlots, -1)
-                System.arraycopy(old, 0, codeSlots, 0, old.length)
+              slotsBuf(i) = nullSlot
+            } else {
+              val v = if (kind == KInt) keyVec.getInt(i).toLong else keyVec.getLong(i)
+              var slot = valueSlots.get(v)
+              if (slot < 0) {
+                if (nGroups >= maxGroups) return i
+                slot = newSlot(Array(le8(v)))
+                valueSlots.put(v, slot)
               }
-              slot = codeSlots(code)
-              if (slot == -1) {
+              slotsBuf(i) = slot
+            }
+            i += 1
+          }
+        } else if (nKeys == 1) {
+          while (i < n) {
+            if (mask != null && !mask(i)) {
+              slotsBuf(i) = -1
+              i += 1
+            } else {
+              var slot = -1
+              if (keyVec.isNullAt(i)) {
+                if (nullSlot == -1) {
+                  if (nGroups >= maxGroups) return i
+                  nullSlot = newSlot(Array(null))
+                }
+                slot = nullSlot
+              } else if (dictIds != null) {
+                val code = dictIds.getInt(i)
+                if (code >= codeSlots.length) {
+                  val old = codeSlots
+                  codeSlots = new Array[Int](Integer.highestOneBit(code) * 2)
+                  java.util.Arrays.fill(codeSlots, -1)
+                  System.arraycopy(old, 0, codeSlots, 0, old.length)
+                }
+                slot = codeSlots(code)
+                if (slot == -1) {
+                  slot = slotOf(partsOf(i))
+                  if (slot < 0) return i
+                  codeSlots(code) = slot
+                }
+              } else {
                 slot = slotOf(partsOf(i))
                 if (slot < 0) return i
-                codeSlots(code) = slot
               }
-            } else {
-              slot = slotOf(partsOf(i))
-              if (slot < 0) return i
+              slotsBuf(i) = slot
+              i += 1
             }
-            slotsBuf(i) = slot
-            i += 1
           }
         } else {
           // two keys: packed-long (code0,code1) cache when both columns
           // are dictionary-coded in this batch (the common parquet
           // case); rows with a NULL part or plain pages go composite
           while (i < n) {
-            var slot = -1
-            if (paired && !kv0.isNullAt(i) && !kv1.isNullAt(i)) {
-              val packed =
-                (d0.getInt(i).toLong << 32) | (d1.getInt(i).toLong & 0xFFFFFFFFL)
-              val hit = pairSlots.get(packed)
-              if (hit >= 0) slot = hit
-              else {
+            if (mask != null && !mask(i)) {
+              slotsBuf(i) = -1
+              i += 1
+            } else {
+              var slot = -1
+              if (paired && !kv0.isNullAt(i) && !kv1.isNullAt(i)) {
+                val packed =
+                  (d0.getInt(i).toLong << 32) | (d1.getInt(i).toLong & 0xFFFFFFFFL)
+                val hit = pairSlots.get(packed)
+                if (hit >= 0) slot = hit
+                else {
+                  slot = slotOf(partsOf(i))
+                  if (slot < 0) return i
+                  pairSlots.put(packed, slot)
+                }
+              } else {
                 slot = slotOf(partsOf(i))
                 if (slot < 0) return i
-                pairSlots.put(packed, slot)
               }
-            } else {
-              slot = slotOf(partsOf(i))
-              if (slot < 0) return i
+              slotsBuf(i) = slot
+              i += 1
             }
-            slotsBuf(i) = slot
-            i += 1
           }
         }
         n
@@ -643,6 +809,7 @@ object DictAgg {
 
   final case class DictAggMerger(
       nKeys: Int,
+      keyKinds: Array[Int],
       specs: Array[Spec],
       finalCols: Array[FinalCol],
       globalIdentity: Boolean)
@@ -753,7 +920,14 @@ object DictAgg {
         vals(i) =
           if (fc.isKey) {
             val p = st.parts(fc.idx)
-            if (p == null) null else UTF8String.fromBytes(p)
+            if (p == null) null
+            else keyKinds(fc.idx) match {
+              case KStr => UTF8String.fromBytes(p)
+              // KInt covers Date (internal int days); KLong covers
+              // Timestamp (internal long micros)
+              case KInt => java.lang.Integer.valueOf(le8ToLong(p).toInt)
+              case KLong => java.lang.Long.valueOf(le8ToLong(p))
+            }
           } else {
             val j = fc.idx
             val spec = specs(j)
@@ -814,7 +988,8 @@ object DictAgg {
   * [[AggProjectionRewrite]] (a projection reroute, when fresh, is
   * strictly better than re-scanning; this rule picks up the shapes no
   * projection covers). */
-case class DictAggRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
+case class DictAggRewrite(spark: SparkSession) extends Rule[LogicalPlan]
+    with org.apache.spark.sql.catalyst.expressions.PredicateHelper {
 
   import DictAgg._
 
@@ -826,7 +1001,7 @@ case class DictAggRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       case agg @ Aggregate(groupExprs, aggExprs, child, _)
           if groupExprs.size <= 2 &&
             groupExprs.forall {
-              case a: AttributeReference => a.dataType == StringType
+              case a: AttributeReference => keyKindOf(a.dataType).isDefined
               case _ => false
             } =>
         (try tryRewrite(agg,
@@ -848,12 +1023,99 @@ case class DictAggRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     case _ => None
   }
 
+  /** r17 key generalization: DateType rides KInt (internal int days),
+    * TimestampType rides KLong (internal long micros). Non-string keys
+    * engage on the driver-merge path only (the two-stage partial
+    * schema's Row encoder would need java.sql external types). */
+  private def keyKindOf(dt: DataType): Option[Int] = dt match {
+    case StringType => Some(KStr)
+    case IntegerType | DateType => Some(KInt)
+    case LongType | TimestampType | TimestampNTZType => Some(KLong)
+    case _ => None
+  }
+
+  /** Peel every Filter between the aggregate and the relation into
+    * conjuncts (the kernel re-applies them exactly; the rebuilt scan
+    * gets them pushed for row-group pruning). */
+  private def decomposeFilters(p: LogicalPlan): (Seq[Expression], LogicalPlan) =
+    p match {
+      case org.apache.spark.sql.catalyst.plans.logical.Filter(cond, c) =>
+        val (fs, leaf) = decomposeFilters(c)
+        (splitConjunctivePredicates(cond) ++ fs, leaf)
+      case Project(pl, c) if pl.forall(_.isInstanceOf[AttributeReference]) =>
+        decomposeFilters(c)
+      case org.apache.spark.sql.catalyst.plans.logical.SubqueryAlias(_, c) =>
+        decomposeFilters(c)
+      case other => (Nil, other)
+    }
+
+  private def predTypeOf(dt: DataType): Option[Int] = dt match {
+    case IntegerType | DateType => Some(TInt)
+    case LongType | TimestampType | TimestampNTZType => Some(TLong)
+    case FloatType => Some(TFloat)
+    case DoubleType => Some(TDouble)
+    case StringType => Some(PTStr)
+    case _ => None
+  }
+
+  /** One conjunct → (column name, compiled Pred without vecIdx), or
+    * None if the shape is outside the kernel's predicate language —
+    * the whole rewrite then stands down (never a partial filter). */
+  private def classifyPred(
+      child: LogicalPlan, e: Expression): Option[(String, Int, Int, Long, Double, Array[Byte])] = {
+    import org.apache.spark.sql.catalyst.expressions._
+    def col(a: AttributeReference): Option[String] = ScanRelations.resolve(child, a)
+    def lits(a: AttributeReference, l: Literal, op: Int): Option[(String, Int, Int, Long, Double, Array[Byte])] = {
+      if (l.value == null || l.dataType != a.dataType) return None
+      val typ = predTypeOf(a.dataType).getOrElse(return None)
+      val n = col(a).getOrElse(return None)
+      typ match {
+        case TInt => Some((n, typ, op, l.value.asInstanceOf[Int].toLong, 0d, null))
+        case TLong => Some((n, typ, op, l.value.asInstanceOf[Long], 0d, null))
+        case TFloat => Some((n, typ, op, 0L, l.value.asInstanceOf[Float].toDouble, null))
+        case TDouble => Some((n, typ, op, 0L, l.value.asInstanceOf[Double], null))
+        case PTStr => Some((n, typ, op, 0L, 0d,
+          l.value.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].getBytes))
+      }
+    }
+    def flip(op: Int): Int = op match {
+      case PLt => PGt
+      case PLe => PGe
+      case PGt => PLt
+      case PGe => PLe
+      case other => other
+    }
+    e match {
+      case IsNotNull(a: AttributeReference) =>
+        col(a).map(n => (n, TInt, PIsNotNull, 0L, 0d, null))
+      case IsNull(a: AttributeReference) =>
+        col(a).map(n => (n, TInt, PIsNull, 0L, 0d, null))
+      case EqualTo(a: AttributeReference, l: Literal) => lits(a, l, PEq)
+      case EqualTo(l: Literal, a: AttributeReference) => lits(a, l, PEq)
+      case Not(EqualTo(a: AttributeReference, l: Literal)) => lits(a, l, PNe)
+      case Not(EqualTo(l: Literal, a: AttributeReference)) => lits(a, l, PNe)
+      case LessThan(a: AttributeReference, l: Literal) => lits(a, l, PLt)
+      case LessThan(l: Literal, a: AttributeReference) => lits(a, l, flip(PLt))
+      case LessThanOrEqual(a: AttributeReference, l: Literal) => lits(a, l, PLe)
+      case LessThanOrEqual(l: Literal, a: AttributeReference) => lits(a, l, flip(PLe))
+      case GreaterThan(a: AttributeReference, l: Literal) => lits(a, l, PGt)
+      case GreaterThan(l: Literal, a: AttributeReference) => lits(a, l, flip(PGt))
+      case GreaterThanOrEqual(a: AttributeReference, l: Literal) => lits(a, l, PGe)
+      case GreaterThanOrEqual(l: Literal, a: AttributeReference) => lits(a, l, flip(PGe))
+      case _ => None
+    }
+  }
+
   private def tryRewrite(
       agg: Aggregate,
       gs: Seq[AttributeReference],
       aggExprs: Seq[NamedExpression],
       child: LogicalPlan): Option[LogicalPlan] = {
-    val src = ScanRelations.relationOf(child).getOrElse(return None)
+    // r17: peel filters between the aggregate and the relation — every
+    // conjunct must compile into the kernel's predicate language or
+    // the rewrite stands down entirely
+    val (conds, scanChild) = decomposeFilters(child)
+    val src = ScanRelations.relationOf(scanChild).getOrElse(return None)
     // never re-rewrite an AggProjections COMPANION scan: the reroute
     // already reduced the query to a scan of the (tiny) pre-aggregated
     // table, the kernel could not improve on it, and replacing its
@@ -863,6 +1125,20 @@ case class DictAggRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     if (ScanRelations.isProjectionCompanion(spark, src)) return None
     val keyNames = gs.map(g =>
       ScanRelations.resolve(child, g).getOrElse(return None))
+    val keyKinds: Array[Int] =
+      gs.map(g => keyKindOf(g.dataType).getOrElse(return None)).toArray
+    // compiled predicates (vecIdx filled after the scan is built) +
+    // the attr→name map for rebuilding the pushdown condition. Filter
+    // attrs resolve against the RELATION side (`scanChild`): the
+    // column-pruning Project above a filter does not carry filter-only
+    // columns, but projections are attr-transparent so the exprIds
+    // reach the relation unchanged
+    val predsRaw: Seq[(String, Int, Int, Long, Double, Array[Byte])] =
+      conds.map(c => classifyPred(scanChild, c).getOrElse(return None))
+    val attrNameOf: Map[Long, String] = conds.flatMap(_.collect {
+      case a: AttributeReference =>
+        a.exprId.id -> ScanRelations.resolve(scanChild, a).getOrElse(return None)
+    }).toMap
     // the groupless spelling engages ONLY for the mixed shape — at
     // least one count(DISTINCT intCol) alongside at least one plain
     // aggregate (Spark's native plan pays an Expand there; see the
@@ -939,8 +1215,14 @@ case class DictAggRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       return None
 
     // ---- build the columnar scan over exactly the needed columns ----
-    val neededNames = (keyNames ++ plans.flatMap(_.colName)).distinct
-    val scanDf = ScanRelations.scanDf(spark, src, neededNames)
+    val neededNames =
+      (keyNames ++ plans.flatMap(_.colName) ++ predsRaw.map(_._1)).distinct
+    val mkFilter: Option[Map[String, Attribute] => Expression] =
+      if (conds.isEmpty) None
+      else Some(byName => conds.map(_.transform {
+        case a: AttributeReference => byName(attrNameOf(a.exprId.id))
+      }).reduce(org.apache.spark.sql.catalyst.expressions.And(_, _)))
+    val scanDf = ScanRelations.scanDf(spark, src, neededNames, mkFilter)
       .getOrElse(return None)
     val scan = ScanRelations.columnarScan(scanDf).getOrElse(return None)
     val scanOut = scan.output
@@ -950,6 +1232,11 @@ case class DictAggRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       val vecIdx = p.colName.map(n => scanOut.indexWhere(_.name == n)).getOrElse(-1)
       if (p.colName.isDefined && vecIdx < 0) return None
       Spec(p.op, vecIdx, p.typ, ansi)
+    }.toArray
+    val preds: Array[Pred] = predsRaw.map { case (n, typ, op, lL, dL, bL) =>
+      val vecIdx = scanOut.indexWhere(_.name == n)
+      if (vecIdx < 0) return None
+      Pred(vecIdx, typ, op, lL, dL, bL)
     }.toArray
 
     val maxGroups = spark.conf.getOption(MaxGroupsKey)
@@ -969,20 +1256,25 @@ case class DictAggRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       DriverMerge.maxTotalRows(spark) / parts).toInt
     if (DriverMerge.enabled(spark) && dmCap >= 16) {
       buildDriverMerge(agg, gs, aggExprs, aes, aeList, specs, keyIdxs,
-        batchRdd, dmCap).foreach { p =>
+        keyKinds, preds, batchRdd, dmCap).foreach { p =>
         engagements.incrementAndGet()
         DriverMerge.engagements.incrementAndGet()
         logInfo(s"dictAgg: single-stage driver-merge GROUP BY " +
           s"${keyNames.mkString(", ")} (${specs.length} aggregates, " +
-          s"cap $dmCap × $parts partitions)")
+          s"${preds.length} predicates, cap $dmCap × $parts partitions)")
         return Some(p)
       }
     }
 
-    // ---- two-stage shape (driver merge off or shape not expressible) ----
+    // ---- two-stage shape (driver merge off or shape not expressible).
+    // String keys and no predicates only: the partial schema's Row
+    // encoder would need java.sql external types for date/timestamp
+    // keys, and the merge expressions have no filter analog ----
+    if (preds.nonEmpty || keyKinds.exists(_ != KStr)) return None
     val rowRdd: RDD[Row] =
       batchRdd.mapPartitions(it =>
-        DictAgg.partial(it, keyIdxs, specs, maxGroups, failFast = false))
+        DictAgg.partial(it, keyIdxs, keyKinds, specs, Array.empty,
+          maxGroups, failFast = false))
 
     // ---- partial schema: binary key + per-spec mergeable state ----
     def partialFields(p: AggPlan, i: Int): Seq[StructField] = p.op match {
@@ -1081,11 +1373,13 @@ case class DictAggRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       aeList: Seq[AggregateExpression],
       specs: Array[Spec],
       keyIdxs: Array[Int],
+      keyKinds: Array[Int],
+      preds: Array[Pred],
       batchRdd: RDD[ColumnarBatch],
       dmCap: Int): Option[LogicalPlan] = {
     val nKeys = gs.size
     val rowRdd: RDD[Row] = batchRdd.mapPartitions(it =>
-      DictAgg.partial(it, keyIdxs, specs, dmCap, failFast = true))
+      DictAgg.partial(it, keyIdxs, keyKinds, specs, preds, dmCap, failFast = true))
     def aeIdx(ae: AggregateExpression): Option[Int] = {
       val boxed = aes.get(ae)
       if (boxed != null) Some(boxed.intValue)
@@ -1114,15 +1408,16 @@ case class DictAggRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
 
     direct match {
       case Some(cols) =>
-        val merger = DictAggMerger(nKeys, specs, cols.toArray, gs.isEmpty)
+        val merger = DictAggMerger(nKeys, keyKinds, specs, cols.toArray, gs.isEmpty)
         Some(DriverMergeAgg(
           aggExprs.map(_.toAttribute), rowRdd, merger, Some(agg)))
       case None =>
         // GENERAL mode: leaf = keys ++ finalized specs (fresh attrs),
         // outputs re-expressed over them under a Project
         val leafAttrs: Seq[Attribute] =
-          gs.indices.map(i =>
-            AttributeReference(s"k_$i", StringType, nullable = true)()) ++
+          gs.zipWithIndex.map { case (g, i) =>
+            AttributeReference(s"k_$i", g.dataType, nullable = true)()
+          } ++
           specs.indices.map(j => AttributeReference(
             s"a_$j", mergedType(specs(j)), nullable = mergedNullable(specs(j)))())
         val keyAttrByExprId: Map[Long, Attribute] =
@@ -1152,7 +1447,7 @@ case class DictAggRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
         val finalCols =
           gs.indices.map(i => FinalCol(isKey = true, i)) ++
             specs.indices.map(j => FinalCol(isKey = false, j))
-        val merger = DictAggMerger(nKeys, specs, finalCols.toArray, gs.isEmpty)
+        val merger = DictAggMerger(nKeys, keyKinds, specs, finalCols.toArray, gs.isEmpty)
         Some(Project(outputs,
           DriverMergeAgg(leafAttrs, rowRdd, merger, Some(agg))))
     }

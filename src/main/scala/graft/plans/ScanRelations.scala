@@ -1,7 +1,7 @@
 package graft.plans
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, Expression}
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Project, SubqueryAlias}
 import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
@@ -45,8 +45,11 @@ private[plans] object ScanRelations {
   }
 
   /** An attribute's RELATION column name, or None if it doesn't reach
-    * the relation as a bare data column. */
+    * the relation as a bare data column. Filters are attribute-
+    * transparent (r17: [[DictAggRewrite]] accepts filtered scans). */
   def resolve(p: LogicalPlan, attr: Attribute): Option[String] = p match {
+    case org.apache.spark.sql.catalyst.plans.logical.Filter(_, c) =>
+      resolve(c, attr)
     case l: LogicalRelation =>
       l.output.find(_.exprId == attr.exprId).map(_.name)
     case d: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
@@ -86,22 +89,43 @@ private[plans] object ScanRelations {
     * ATTRIBUTE, never by parsed name (a dotted CH column name like
     * `a.b` would misparse as struct access; review r16). */
   def scanDf(spark: SparkSession, src: SrcRel,
-      neededNames: Seq[String]): Option[DataFrame] = src match {
-    case ParquetRel(lr) =>
-      val relNew = lr.newInstance()
-      val attrs = neededNames.map(n => relNew.output.find(_.name == n) match {
-        case Some(a) => a
-        case None => return None
-      })
-      Some(FunctionShim.ofRows(spark, Project(attrs, relNew)))
-    case MergeTreeRel(endpoint, ddl, orderBy) =>
-      val df = graft.sources.mergetree.MergeTree.read(spark, endpoint, ddl, orderBy)
-      val rel = df.queryExecution.analyzed
-      val attrs = neededNames.map(n => rel.output.find(_.name == n) match {
-        case Some(a) => a
-        case None => return None
-      })
-      Some(FunctionShim.ofRows(spark, Project(attrs, rel)))
+      neededNames: Seq[String]): Option[DataFrame] =
+    scanDf(spark, src, neededNames, None)
+
+  /** As above, with an optional filter REBUILT over the fresh
+    * relation's attrs (`mkFilter(name → attr)`): pushed into the scan
+    * for row-group/granule pruning. The caller's kernel still
+    * re-applies the predicate exactly — parquet pushdown prunes pages,
+    * it does not guarantee row-level filtering. */
+  def scanDf(spark: SparkSession, src: SrcRel,
+      neededNames: Seq[String],
+      mkFilter: Option[Map[String, Attribute] => Expression]): Option[DataFrame] = {
+    def wrap(rel: LogicalPlan, attrs: Seq[Attribute]): LogicalPlan = {
+      val byName = rel.output.map(a => a.name -> a).toMap
+      val inner = mkFilter match {
+        case Some(f) =>
+          org.apache.spark.sql.catalyst.plans.logical.Filter(f(byName), rel)
+        case None => rel
+      }
+      Project(attrs, inner)
+    }
+    src match {
+      case ParquetRel(lr) =>
+        val relNew = lr.newInstance()
+        val attrs = neededNames.map(n => relNew.output.find(_.name == n) match {
+          case Some(a) => a
+          case None => return None
+        })
+        Some(FunctionShim.ofRows(spark, wrap(relNew, attrs)))
+      case MergeTreeRel(endpoint, ddl, orderBy) =>
+        val df = graft.sources.mergetree.MergeTree.read(spark, endpoint, ddl, orderBy)
+        val rel = df.queryExecution.analyzed
+        val attrs = neededNames.map(n => rel.output.find(_.name == n) match {
+          case Some(a) => a
+          case None => return None
+        })
+        Some(FunctionShim.ofRows(spark, wrap(rel, attrs)))
+    }
   }
 
   /** The columnar leaf scan of a planned scan DataFrame — None when

@@ -177,18 +177,81 @@ class DictAggSpec extends AnyFunSuite {
     assert(fast == withDisabled(collectSorted(q())))
   }
 
-  test("does not engage on filtered, distinct, or non-string-key shapes") {
+  test("stays native: string-distinct, float keys, unsupported predicates") {
     val df = spark.read.parquet(table)
     def noEngage(mk: => DataFrame): Unit = {
       val before = DictAgg.engagements.get()
       mk.collect()
       assert(DictAgg.engagements.get() == before)
     }
-    noEngage(df.filter(col("i") > 10).groupBy("k").agg(sum("d")))
-    // int count-distinct engages since the OpUniq extension; STRING
-    // distinct has no bitmap domain and stays native
+    // STRING distinct has no bitmap domain and stays native
     noEngage(df.groupBy("k").agg(countDistinct("s")))
-    noEngage(df.groupBy("i").agg(sum("d")))
+    // float group keys are outside the key language (NaN/-0.0 identity)
+    noEngage(df.groupBy("f").agg(sum("d")))
+    // a predicate outside the kernel's language (column-vs-column)
+    // stands the whole rewrite down
+    noEngage(df.filter(col("i") > col("l")).groupBy("k").agg(sum("d")))
+    // LIKE / startsWith is not in the predicate language either
+    noEngage(df.filter(col("s").startsWith("v1")).groupBy("k").agg(sum("d")))
+  }
+
+  test("FILTERED scans engage and match native (r17 generalization)") {
+    def q() = spark.read.parquet(table)
+      .filter(col("i") > 10 && col("k") >= "k2" && col("l") =!= 33L)
+      .groupBy("k").agg(
+        sum("i").as("si"), round(sum("d"), 6).as("sd"), count(lit(1)).as("c"),
+        countDistinct(col("l")).as("ul"), min("i").as("mn"))
+    val before = DictAgg.engagements.get()
+    val fast = collectSorted(q())
+    assert(DictAgg.engagements.get() > before,
+      "dictAgg did not engage on the filtered grouped shape")
+    assert(fast == withDisabled(collectSorted(q())))
+    // filtered GLOBAL mixed shape engages too
+    def g() = spark.read.parquet(table)
+      .filter(col("d") <= 900.0)
+      .agg(count(lit(1)).as("c"), countDistinct(col("i")).as("ui"),
+        sum("l").as("sl"))
+    val b2 = DictAgg.engagements.get()
+    val gFast = collectSorted(g())
+    assert(DictAgg.engagements.get() > b2,
+      "dictAgg did not engage on the filtered global mixed shape")
+    assert(gFast == withDisabled(collectSorted(g())))
+    // a filter selecting NOTHING still yields grouped-empty / global-one-row
+    def e() = spark.read.parquet(table).filter(col("i") > 1000000)
+      .groupBy("k").agg(sum("l").as("s"))
+    assert(collectSorted(e()).isEmpty && withDisabled(collectSorted(e())).isEmpty)
+  }
+
+  test("INT / LONG group keys engage and match native (r17 generalization)") {
+    // int key (102 groups incl. null), with distinct + avg riding along
+    def qi() = spark.read.parquet(table).groupBy("i").agg(
+      sum("l").as("sl"), count(lit(1)).as("c"),
+      countDistinct(col("l")).as("ul"), round(avg("d"), 6).as("ad"))
+    val before = DictAgg.engagements.get()
+    val fast = collectSorted(qi())
+    assert(DictAgg.engagements.get() > before,
+      "dictAgg did not engage on the int-key shape")
+    assert(fast == withDisabled(collectSorted(qi())))
+    // long key at higher cardinality (~4.5k groups), filtered
+    def ql() = spark.read.parquet(table).filter(col("i").isNotNull)
+      .groupBy("l").agg(count(lit(1)).as("c"), min("i").as("mn"))
+    val b2 = DictAgg.engagements.get()
+    val lFast = collectSorted(ql())
+    assert(DictAgg.engagements.get() > b2,
+      "dictAgg did not engage on the long-key shape")
+    assert(lFast == withDisabled(collectSorted(ql())))
+    // (int, string) key pair rides the composite path
+    def q2() = spark.read.parquet(table).groupBy("i", "k")
+      .agg(sum("l").as("s"), count(lit(1)).as("c"))
+    val b3 = DictAgg.engagements.get()
+    val pFast = collectSorted(q2())
+    assert(DictAgg.engagements.get() > b3,
+      "dictAgg did not engage on the (int, string) key pair")
+    assert(pFast == withDisabled(collectSorted(q2())))
+    // int-key overflow under a tiny cap: fail-fast → native fallback
+    spark.conf.set(DictAgg.MaxGroupsKey, "2")
+    try assert(collectSorted(qi()) == fast)
+    finally spark.conf.unset(DictAgg.MaxGroupsKey)
   }
 
   test("GLOBAL mixed distinct+plain aggregates engage — no Expand (r16)") {
