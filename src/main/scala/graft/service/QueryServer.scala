@@ -77,7 +77,13 @@ class QueryServer(
       * `?password=` URL params, or HTTP Basic auth — CH's own three
       * spellings; health/metrics handles stay open, as CH's `/ping`
       * does. Mismatches answer 403 with CH's code-516 text. */
-    auth: Option[(String, String)] = None) {
+    auth: Option[(String, String)] = None,
+    /** r17: serve over the door's OWN socket loop ([[RawHttpServer]])
+      * — same handlers, plus progressive `X-ClickHouse-Progress`
+      * header lines while a query runs (the one behavior the JDK
+      * `HttpServer` cannot express: it writes its header block once,
+      * at commit). `false` = the JDK transport, as a kill switch. */
+    rawDoor: Boolean = true) {
 
   require(recover == "report" || recover == "rerun",
     s"recover must be 'report' or 'rerun', got '$recover'")
@@ -96,17 +102,21 @@ class QueryServer(
   private val journal = journalDir.map(new QueryJournal(_))
 
   private var server: HttpServer = _
+  private var rawServer: RawHttpServer = _
 
   /** Bind and serve; returns the bound port (ephemeral when `port=0`).
     * Journal recovery runs BEFORE the listener binds, so a `rerun`
     * recovery never races fresh traffic. */
   def start(): Int = synchronized {
-    require(server == null, "already started")
+    require(server == null && rawServer == null, "already started")
     recoverJournal()
-    server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
-    server.createContext("/hc", handler { (_, _) => (200, "text/plain", "ok") })
-    server.createContext("/metrics", handler { (_, _) => (200, "text/plain", metricsText()) })
-    server.createContext("/query", handler { (ex, reqId) =>
+    val contexts = scala.collection.mutable.ArrayBuffer
+      .empty[(String, HttpHandler)]
+    def registerContext(path: String, h: HttpHandler): Unit =
+      contexts += (path -> h)
+    registerContext("/hc", handler { (_, _) => (200, "text/plain", "ok") })
+    registerContext("/metrics", handler { (_, _) => (200, "text/plain", metricsText()) })
+    registerContext("/query", handler { (ex, reqId) =>
       if (ex.getRequestMethod != "POST") (405, "text/plain", "POST only")
       else refuseUnauthorized(ex, plainErrors = false).getOrElse {
         withDecodedBody(plainErrors = false) {
@@ -124,7 +134,7 @@ class QueryServer(
     // answering `Ok.` (CH's root banner — what a load balancer probes).
     // `curl 'http://host/?default_format=CSVWithNames' -d 'SELECT …'`
     // works unmodified; /query stays the structured superset.
-    server.createContext("/", handler { (ex, reqId) =>
+    registerContext("/", handler { (ex, reqId) =>
       val path = ex.getRequestURI.getPath
       val params = queryParams(ex.getRequestURI.getRawQuery)
       // only the CH handles live here: `/` (query door), `/ping`, and
@@ -204,18 +214,26 @@ class QueryServer(
         })
       }
     })
-    // small fixed pool: control-plane requests only; Spark owns the cores
-    server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(4, r => {
-      val t = new Thread(r, "graft-query-server"); t.setDaemon(true); t
-    }))
     started.set(System.currentTimeMillis())
-    // as StaticHttp: start from a daemon thread so the dispatcher
-    // inherits daemon status and a finished main can exit the JVM
-    val starter = new Thread(() => server.start(), "graft-query-server-starter")
-    starter.setDaemon(true)
-    starter.start()
-    starter.join()
-    server.getAddress.getPort
+    if (rawDoor) {
+      rawServer = new RawHttpServer("127.0.0.1", port)
+      contexts.foreach { case (p, h) => rawServer.createContext(p, h) }
+      rawServer.start()
+    } else {
+      server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
+      contexts.foreach { case (p, h) => server.createContext(p, h) }
+      // small fixed pool: control-plane requests only; Spark owns the cores
+      server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(4, r => {
+        val t = new Thread(r, "graft-query-server"); t.setDaemon(true); t
+      }))
+      // as StaticHttp: start from a daemon thread so the dispatcher
+      // inherits daemon status and a finished main can exit the JVM
+      val starter = new Thread(() => server.start(), "graft-query-server-starter")
+      starter.setDaemon(true)
+      starter.start()
+      starter.join()
+      server.getAddress.getPort
+    }
   }
 
   /** Graceful shutdown (reference `http_server.go:87-90`): close the
@@ -226,11 +244,15 @@ class QueryServer(
     * is exactly this contract: socket closes immediately, the call
     * blocks until current handlers complete or ~delay seconds pass. */
   def stop(drainMs: Long = 30000L): Unit = synchronized {
+    val delaySec =
+      if (drainMs <= 0) 0 else math.max(1, math.ceil(drainMs / 1000.0).toInt)
     if (server != null) {
-      val delaySec =
-        if (drainMs <= 0) 0 else math.max(1, math.ceil(drainMs / 1000.0).toInt)
       server.stop(delaySec)
       server = null
+    }
+    if (rawServer != null) {
+      rawServer.stop(delaySec)
+      rawServer = null
     }
   }
 

@@ -665,6 +665,49 @@ class QueryServerSpec extends AnyFunSuite {
     assert(r3.headers().allValues("X-ClickHouse-Progress").isEmpty)
   }
 
+  test("raw door: progress header lines TRICKLE live before the body (r17)") {
+    // a scan long enough for several 100 ms ticks, emitting few rows
+    // (the result never fills the spool, so EVERY tick streams a live
+    // header line pre-commit)
+    val q = java.net.URLEncoder.encode(
+      "SELECT number FROM numbers(1500000000) WHERE number % 5000000 = 0",
+      "UTF-8")
+    val sock = new java.net.Socket("127.0.0.1", port)
+    try {
+      sock.setSoTimeout(180000)
+      sock.getOutputStream.write(
+        (s"GET /?query=$q&send_progress_in_http_headers=1 HTTP/1.1\r\n" +
+          "Host: localhost\r\nConnection: close\r\n\r\n").getBytes("UTF-8"))
+      sock.getOutputStream.flush()
+      val in = new java.io.BufferedInputStream(sock.getInputStream)
+      def line(): String = {
+        val sb = new StringBuilder
+        var c = in.read()
+        while (c >= 0 && c != '\n') { if (c != '\r') sb.append(c.toChar); c = in.read() }
+        sb.toString
+      }
+      assert(line().startsWith("HTTP/1.1 200"), "status line")
+      val arrivals = scala.collection.mutable.ArrayBuffer.empty[Long]
+      var l = line()
+      while (l.nonEmpty) {
+        if (l.toLowerCase.startsWith("x-clickhouse-progress:"))
+          arrivals += System.nanoTime()
+        l = line()
+      }
+      // liveness, not just presence: the lines arrived SPACED over the
+      // query's runtime. A commit-time header block (the JDK transport)
+      // delivers every line within microseconds of each other.
+      assert(arrivals.size >= 2,
+        s"expected ≥2 live progress header lines, got ${arrivals.size}")
+      val spreadMs = (arrivals.last - arrivals.head) / 1000000L
+      assert(spreadMs >= 60,
+        s"progress lines arrived $spreadMs ms apart — not a live trickle")
+      // the body still follows intact after the trickle
+      val body = new String(in.readAllBytes(), "UTF-8")
+      assert(body.contains("0\n") || body.contains("\n0"), "body rows present")
+    } finally sock.close()
+  }
+
   test("FORMAT ArrowStream / Arrow out: IPC bytes Arrow's own reader decodes (r15)") {
     def fetch(fmt: String): Array[Byte] = {
       val q = java.net.URLEncoder.encode(
