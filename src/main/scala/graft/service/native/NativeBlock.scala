@@ -467,18 +467,37 @@ object NativeBlock {
       if (rows == 0) IndexedSeq.empty
       else {
         val serType = src.readLongLE()
-        require((serType & LcNeedGlobalDict) == 0,
-          "native protocol: global LowCardinality dictionaries are not " +
-            "supported (send inline additional keys)")
-        require((serType & LcHasAdditionalKeys) != 0,
-          "native protocol: LowCardinality block without inline keys")
+        val hasGlobal = (serType & LcNeedGlobalDict) != 0
+        val hasAdditional = (serType & LcHasAdditionalKeys) != 0
+        require(hasGlobal || hasAdditional,
+          "native protocol: LowCardinality block without any keys")
         val nullable = inner0.isInstanceOf[TNullable]
         val nested = inner0 match {
           case TNullable(i) => i
           case i => i
         }
-        val dictSize = src.readLongLE().toInt
-        val dict = readColumnData(src, nested, dictSize)
+        // GLOBAL-dictionary variant (r17; previously refused): the
+        // shared dictionary precedes the per-block additional keys.
+        // CH's index semantics (SerializationLowCardinality.cpp,
+        // mapIndexWithAdditionalKeys): an index below the global
+        // dictionary's size references the global dictionary; an index
+        // at or past it references additional_keys[idx - global_size]
+        // — i.e. the combined [global ++ additional] table. Slot 0 of
+        // whichever table comes first is the default value (NULL for a
+        // Nullable inner), as ColumnUnique keeps it.
+        val globalDict: IndexedSeq[Any] =
+          if (hasGlobal) {
+            val gs = src.readLongLE().toInt
+            readColumnData(src, nested, gs)
+          } else IndexedSeq.empty
+        val additional: IndexedSeq[Any] =
+          if (hasAdditional) {
+            val as = src.readLongLE().toInt
+            readColumnData(src, nested, as)
+          } else IndexedSeq.empty
+        val dict = if (hasGlobal && hasAdditional) globalDict ++ additional
+          else if (hasGlobal) globalDict
+          else additional
         val n = src.readLongLE().toInt
         require(n == rows,
           s"native protocol: LowCardinality row count $n != block rows $rows")

@@ -156,6 +156,67 @@ class NativeProtocolSpec extends AnyFunSuite {
       "LowCardinality(Nullable(String))")
   }
 
+  test("GLOBAL-dictionary LowCardinality blocks decode (r17)") {
+    // the serialization variant clients CAN send but ours never emits:
+    // a shared dictionary ahead of (optionally) per-block additional
+    // keys. CH's index semantics (SerializationLowCardinality.cpp,
+    // mapIndexWithAdditionalKeys): idx < |global| → global dictionary,
+    // else additional_keys[idx - |global|] — i.e. [global ++ additional]
+    def block(typeStr: String, rows: Int)(lcBody: WireOut => Unit): Array[Byte] = {
+      val o = new WireOut
+      o.writeVarUInt(1); o.writeByte(0)            // BlockInfo is_overflows
+      o.writeVarUInt(2); o.writeIntLE(-1)          // BlockInfo bucket_num
+      o.writeVarUInt(0)
+      o.writeVarUInt(1)                            // 1 column
+      o.writeVarUInt(rows.toLong)
+      o.writeString("s")
+      o.writeString(typeStr)
+      o.writeByte(0)                               // no custom serialization
+      lcBody(o)
+      o.bytes
+    }
+    def str(o: WireOut, s: String): Unit = o.writeString(s)
+
+    // global only: dict ["", "a", "b"], UInt8 indices [1,2,1]
+    val globalOnly = block("LowCardinality(String)", 3) { o =>
+      o.writeLongLE(1L)                  // keys version
+      o.writeLongLE(0L | (1L << 8))      // UInt8 | NeedGlobalDictionary
+      o.writeLongLE(3L)                  // global dict size
+      str(o, ""); str(o, "a"); str(o, "b")
+      o.writeLongLE(3L)                  // rows
+      o.writeByte(1); o.writeByte(2); o.writeByte(1)
+    }
+    val d1 = readBlock(new WireIn(globalOnly), NativeProtocol.ServerRevision)
+    assert(d1.cols.head.values == IndexedSeq("a", "b", "a"))
+
+    // global + additional over a Nullable inner: global ["", "x"],
+    // additional ["y"]; combined idx 0 → NULL, 1 → "x", 2 → "y"
+    val combined = block("LowCardinality(Nullable(String))", 4) { o =>
+      o.writeLongLE(1L)
+      o.writeLongLE(0L | (1L << 8) | (1L << 9))
+      o.writeLongLE(2L)                  // global dict size
+      str(o, ""); str(o, "x")
+      o.writeLongLE(1L)                  // additional keys size
+      str(o, "y")
+      o.writeLongLE(4L)                  // rows
+      o.writeByte(1); o.writeByte(0); o.writeByte(2); o.writeByte(1)
+    }
+    val d2 = readBlock(new WireIn(combined), NativeProtocol.ServerRevision)
+    assert(d2.cols.head.values == IndexedSeq("x", null, "y", "x"))
+
+    // a block with NO keys at all still refuses loudly
+    val none = block("LowCardinality(String)", 1) { o =>
+      o.writeLongLE(1L)
+      o.writeLongLE(0L)
+      o.writeLongLE(1L)
+      o.writeByte(0)
+    }
+    val e = intercept[IllegalArgumentException] {
+      readBlock(new WireIn(none), NativeProtocol.ServerRevision)
+    }
+    assert(e.getMessage.contains("without any keys"))
+  }
+
   test("LZ4 frame: layout, round-trip, checksum tamper detection") {
     val raw = ("the quick brown fox jumps over the lazy dog " * 10).getBytes
     val frame = lz4Frame(raw)
