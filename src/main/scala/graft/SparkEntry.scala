@@ -2978,7 +2978,14 @@ object SparkEntry {
     // count + exact distinct in one single-stage scan)
     "q227_dictagg_ts_filter" -> ch(
       """SELECT count() AS cnt, uniqExact(l_suppkey) AS u_sk
-        |FROM lineitem WHERE l_shipdate > '1995-06-01 00:00:00'""".stripMargin)
+        |FROM lineitem WHERE l_shipdate > '1995-06-01 00:00:00'""".stripMargin),
+
+    // r17: filtered PURE-distinct global — Spark's native plan is three
+    // shuffle-bound stages; the kernel masks and bitmaps in ONE
+    "q228_uniq_filtered" -> ch(
+      """SELECT uniqExact(o_custkey) AS u, uniqExact(o_orderkey) AS uo
+        |FROM orders
+        |WHERE o_orderstatus != 'F' AND o_orderkey > 1000""".stripMargin)
   )
 
   // ---------------------------------------------------------------
@@ -3080,6 +3087,10 @@ object SparkEntry {
     "q227_dictagg_ts_filter" ->
       """SELECT count(*) AS cnt, count(DISTINCT l_suppkey) AS u_sk
         |FROM lineitem WHERE l_shipdate > TIMESTAMP '1995-06-01 00:00:00'""".stripMargin,
+    "q228_uniq_filtered" ->
+      """SELECT count(DISTINCT o_custkey) AS u, count(DISTINCT o_orderkey) AS uo
+        |FROM orders
+        |WHERE o_orderstatus != 'F' AND o_orderkey > 1000""".stripMargin,
     "q201_replicated_ddl" ->
       """WITH base AS (
         |  SELECT c_custkey AS ck, c_nationkey AS nk, 0 AS ver

@@ -1210,9 +1210,17 @@ case class DictAggRewrite(spark: SparkSession) extends Rule[LogicalPlan]
       }
     }
 
-    if (gs.isEmpty &&
-        !(plans.exists(_.op == OpUniq) && plans.exists(_.op != OpUniq)))
-      return None
+    if (gs.isEmpty) {
+      val hasUniq = plans.exists(_.op == OpUniq)
+      val mixed = hasUniq && plans.exists(_.op != OpUniq)
+      // the groupless spelling engages for the MIXED shape (native pays
+      // an Expand there) and — r17 — for FILTERED pure-distinct (native
+      // plans 3 shuffle-bound stages; the kernel masks and bitmaps in
+      // one). UNFILTERED pure-distinct stays with BitmapDistinctRewrite
+      // (its dense-bitset state beats per-slot Roaring); pure-plain
+      // globals keep their codegen'd native plan.
+      if (!mixed && !(hasUniq && conds.nonEmpty)) return None
+    }
 
     // ---- build the columnar scan over exactly the needed columns ----
     val neededNames =

@@ -220,6 +220,21 @@ class DictAggSpec extends AnyFunSuite {
     def e() = spark.read.parquet(table).filter(col("i") > 1000000)
       .groupBy("k").agg(sum("l").as("s"))
     assert(collectSorted(e()).isEmpty && withDisabled(collectSorted(e())).isEmpty)
+    // filtered PURE-distinct global engages here too (r17: unfiltered
+    // stays with BitmapDistinct's dense path; native pays 3 stages on
+    // the filtered spelling)
+    def pd() = spark.read.parquet(table).filter(col("i") > 50)
+      .agg(countDistinct(col("l")).as("ul"), countDistinct(col("i")).as("ui"))
+    val b3 = DictAgg.engagements.get()
+    val pdFast = collectSorted(pd())
+    assert(DictAgg.engagements.get() > b3,
+      "dictAgg did not engage on the filtered pure-distinct global")
+    assert(pdFast == withDisabled(collectSorted(pd())))
+    // an empty filtered pure-distinct global yields one row of zeros
+    def pz() = spark.read.parquet(table).filter(col("i") > 1000000)
+      .agg(countDistinct(col("l")).as("ul"))
+    assert(collectSorted(pz()) == Seq("[0]"))
+    assert(collectSorted(pz()) == withDisabled(collectSorted(pz())))
   }
 
   test("INT / LONG group keys engage and match native (r17 generalization)") {
