@@ -348,12 +348,7 @@ case class BitmapDistinctRewrite(spark: SparkSession) extends Rule[LogicalPlan] 
     val isLong = colIdxs.map(i => scanOut(i).dataType == LongType)
     val blobIdxOf: Map[String, Int] = neededNames.zipWithIndex.toMap
 
-    def aeIdx(ae: AggregateExpression): Option[Int] = {
-      val boxed = aes.get(ae)
-      if (boxed != null) Some(boxed.intValue)
-      else aeList.zipWithIndex
-        .collectFirst { case (x, i) if x.semanticEquals(ae) => i }
-    }
+    val aeIdx = RewriteOutputs.aeIndex(aes, aeList) _
 
     // ---- single-stage driver merge (default; VERDICT r16 lever) ----
     if (DriverMerge.enabled(spark)) {
@@ -410,28 +405,9 @@ case class BitmapDistinctRewrite(spark: SparkSession) extends Rule[LogicalPlan] 
           // outputs re-expressed over it under a Project
           val leafAttrs: Seq[Attribute] = neededNames.indices.map(i =>
             AttributeReference(s"card_$i", LongType, nullable = false)())
-          def rewriteExpr(e: Expression): Option[Expression] = e match {
-            case ae: AggregateExpression =>
-              aeIdx(ae).map(i => leafAttrs(blobIdxOf(plans(i)._1)))
-            case l: Literal => Some(l)
-            case other if other.children.nonEmpty && other.deterministic =>
-              val kids = other.children.map(rewriteExpr)
-              if (kids.forall(_.isDefined))
-                Some(other.withNewChildren(kids.map(_.get)))
-              else None
-            case _ => None
-          }
-          val outputs = aggExprs.map { ne =>
-            val (inner, name) = ne match {
-              case Alias(c, n) => (c, n)
-              case a: Attribute => (a: Expression, a.name)
-              case other => (other: Expression, other.name)
-            }
-            rewriteExpr(inner)
-              .filter(_.dataType == ne.dataType)
-              .map(r => Alias(r, name)(exprId = ne.exprId, qualifier = ne.qualifier))
-              .getOrElse(return None)
-          }
+          val outputs = RewriteOutputs(aggExprs,
+            ae => aeIdx(ae).map(i => leafAttrs(blobIdxOf(plans(i)._1))),
+            _ => None).getOrElse(return None)
           val merger = BitmapCardMerger(neededNames.size, dense,
             neededNames.indices.toArray)
           Some(Project(outputs,
@@ -467,27 +443,8 @@ case class BitmapDistinctRewrite(spark: SparkSession) extends Rule[LogicalPlan] 
       BitmapOrCardinality(pAttr(blobIdxOf(colName))).toAggregateExpression()
     }
 
-    def rewriteExpr(e: Expression): Option[Expression] = e match {
-      case ae: AggregateExpression => aeIdx(ae).map(mergeOf)
-      case l: Literal => Some(l)
-      case other if other.children.nonEmpty && other.deterministic =>
-        val kids = other.children.map(rewriteExpr)
-        if (kids.forall(_.isDefined)) Some(other.withNewChildren(kids.map(_.get)))
-        else None
-      case _ => None
-    }
-
-    val outputs = aggExprs.map { ne =>
-      val (inner, name) = ne match {
-        case Alias(c, n) => (c, n)
-        case a: Attribute => (a: Expression, a.name)
-        case other => (other: Expression, other.name)
-      }
-      rewriteExpr(inner)
-        .filter(_.dataType == ne.dataType)
-        .map(r => Alias(r, name)(exprId = ne.exprId, qualifier = ne.qualifier))
-        .getOrElse(return None)
-    }
+    val outputs = RewriteOutputs(aggExprs,
+      ae => aeIdx(ae).map(mergeOf), _ => None).getOrElse(return None)
 
     engagements.incrementAndGet()
     logInfo(s"bitmapDistinct: rewriting count(DISTINCT ${neededNames.mkString(", ")}) " +

@@ -1334,34 +1334,9 @@ case class DictAggRewrite(spark: SparkSession) extends Rule[LogicalPlan]
         g.exprId.id -> (Cast(kAttrs(i), StringType): Expression)
       }.toMap
 
-    def rewriteExpr(e: Expression): Option[Expression] = e match {
-      case ae: AggregateExpression =>
-        val boxed = aes.get(ae)
-        val idx: Option[Int] =
-          if (boxed != null) Some(boxed.intValue)
-          else aeList.zipWithIndex
-            .collectFirst { case (x, i) if x.semanticEquals(ae) => i }
-        idx.map(mergeOf)
-      case a: AttributeReference => keyExprByExprId.get(a.exprId.id)
-      case l: Literal => Some(l)
-      case other if other.children.nonEmpty && other.deterministic =>
-        val kids = other.children.map(rewriteExpr)
-        if (kids.forall(_.isDefined)) Some(other.withNewChildren(kids.map(_.get)))
-        else None
-      case _ => None
-    }
-
-    val outputs: Seq[NamedExpression] = aggExprs.map { ne =>
-      val (inner, name) = ne match {
-        case Alias(c, n) => (c, n)
-        case a: Attribute => (a: Expression, a.name)
-        case other => (other: Expression, other.name)
-      }
-      rewriteExpr(inner)
-        .filter(_.dataType == ne.dataType) // exact type or no rewrite
-        .map(r => Alias(r, name)(exprId = ne.exprId, qualifier = ne.qualifier))
-        .getOrElse(return None)
-    }
+    val outputs: Seq[NamedExpression] = RewriteOutputs(aggExprs,
+      ae => RewriteOutputs.aeIndex(aes, aeList)(ae).map(mergeOf),
+      a => keyExprByExprId.get(a.exprId.id)).getOrElse(return None)
 
     engagements.incrementAndGet()
     logInfo(s"dictAgg: rewriting GROUP BY ${keyNames.mkString(", ")} " +
@@ -1388,12 +1363,7 @@ case class DictAggRewrite(spark: SparkSession) extends Rule[LogicalPlan]
     val nKeys = gs.size
     val rowRdd: RDD[Row] = batchRdd.mapPartitions(it =>
       DictAgg.partial(it, keyIdxs, keyKinds, specs, preds, dmCap, failFast = true))
-    def aeIdx(ae: AggregateExpression): Option[Int] = {
-      val boxed = aes.get(ae)
-      if (boxed != null) Some(boxed.intValue)
-      else aeList.zipWithIndex
-        .collectFirst { case (x, i) if x.semanticEquals(ae) => i }
-    }
+    val aeIdx = RewriteOutputs.aeIndex(aes, aeList) _
 
     // DIRECT mode: every output is a bare finalized column → the leaf
     // emits the aggregate's own output attrs and no Project (and no
@@ -1430,28 +1400,9 @@ case class DictAggRewrite(spark: SparkSession) extends Rule[LogicalPlan]
             s"a_$j", mergedType(specs(j)), nullable = mergedNullable(specs(j)))())
         val keyAttrByExprId: Map[Long, Attribute] =
           gs.zipWithIndex.map { case (g, i) => g.exprId.id -> leafAttrs(i) }.toMap
-        def rewriteExpr(e: Expression): Option[Expression] = e match {
-          case ae: AggregateExpression =>
-            aeIdx(ae).map(i => leafAttrs(nKeys + i))
-          case a: AttributeReference => keyAttrByExprId.get(a.exprId.id)
-          case l: Literal => Some(l)
-          case other if other.children.nonEmpty && other.deterministic =>
-            val kids = other.children.map(rewriteExpr)
-            if (kids.forall(_.isDefined)) Some(other.withNewChildren(kids.map(_.get)))
-            else None
-          case _ => None
-        }
-        val outputs: Seq[NamedExpression] = aggExprs.map { ne =>
-          val (inner, name) = ne match {
-            case Alias(c, n) => (c, n)
-            case a: Attribute => (a: Expression, a.name)
-            case other => (other: Expression, other.name)
-          }
-          rewriteExpr(inner)
-            .filter(_.dataType == ne.dataType) // exact type or no rewrite
-            .map(r => Alias(r, name)(exprId = ne.exprId, qualifier = ne.qualifier))
-            .getOrElse(return None)
-        }
+        val outputs: Seq[NamedExpression] = RewriteOutputs(aggExprs,
+          ae => aeIdx(ae).map(i => leafAttrs(nKeys + i)),
+          a => keyAttrByExprId.get(a.exprId.id)).getOrElse(return None)
         val finalCols =
           gs.indices.map(i => FinalCol(isKey = true, i)) ++
             specs.indices.map(j => FinalCol(isKey = false, j))

@@ -137,3 +137,64 @@ private[plans] object ScanRelations {
         (b: SparkPlan)
     }.filter(_.supportsColumnar)
 }
+
+/** The rewrites' shared output-expression walker — both rules (each in
+  * two modes) re-express an Aggregate's outputs over replacement
+  * expressions for the aggregate calls and group keys, with the same
+  * recursion and the same exact-dataType guard. One copy, four call
+  * sites (same rationale as [[ScanRelations]]: r16 needed one fix
+  * applied four times; review r17 caught the walker drifting the same
+  * way). */
+private[plans] object RewriteOutputs {
+
+  import org.apache.spark.sql.catalyst.expressions.{Literal, NamedExpression}
+  import org.apache.spark.sql.catalyst.expressions.aggregate.AggregateExpression
+
+  /** Each output rewritten through `mapAgg`/`mapAttr` (literals pass,
+    * deterministic compositions recurse), aliased back under the
+    * original name and exprId; None the moment any output cannot be
+    * expressed EXACTLY (type included) — the caller then abandons the
+    * whole rewrite. */
+  def apply(
+      aggExprs: Seq[NamedExpression],
+      mapAgg: AggregateExpression => Option[Expression],
+      mapAttr: AttributeReference => Option[Expression]): Option[Seq[NamedExpression]] = {
+    def rewriteExpr(e: Expression): Option[Expression] = e match {
+      case ae: AggregateExpression => mapAgg(ae)
+      case a: AttributeReference => mapAttr(a)
+      case l: Literal => Some(l)
+      case other if other.children.nonEmpty && other.deterministic =>
+        val kids = other.children.map(rewriteExpr)
+        if (kids.forall(_.isDefined)) Some(other.withNewChildren(kids.map(_.get)))
+        else None
+      case _ => None
+    }
+    val out = Seq.newBuilder[NamedExpression]
+    aggExprs.foreach { ne =>
+      val (inner, name) = ne match {
+        case Alias(c, n) => (c, n)
+        case a: Attribute => (a: Expression, a.name)
+        case other => (other: Expression, other.name)
+      }
+      rewriteExpr(inner)
+        .filter(_.dataType == ne.dataType) // exact type or no rewrite
+        .map(r => Alias(r, name)(exprId = ne.exprId, qualifier = ne.qualifier)) match {
+        case Some(a) => out += a
+        case None => return None
+      }
+    }
+    Some(out.result())
+  }
+
+  /** The aggregate-call index lookup both rules share: identity first
+    * (the common case — the same object referenced from several
+    * outputs), semantic equality as the fallback. */
+  def aeIndex(
+      aes: java.util.IdentityHashMap[AggregateExpression, Integer],
+      aeList: Seq[AggregateExpression])(ae: AggregateExpression): Option[Int] = {
+    val boxed = aes.get(ae)
+    if (boxed != null) Some(boxed.intValue)
+    else aeList.zipWithIndex
+      .collectFirst { case (x, i) if x.semanticEquals(ae) => i }
+  }
+}

@@ -924,18 +924,29 @@ class QueryServer(
         finally lock.unlock()
       } else {
         // The render thread is stuck in a socket write to a stalled
-        // client. Closing the exchange HERE would let the JDK server
-        // end the chunked body with a CLEAN terminal chunk once it can
-        // flush — the truncated stream reading as a complete success,
-        // the exact failure the in-band error line exists to prevent
-        // (advisor r14). Hand the abort to a daemon reaper that WAITS
-        // for the lock off the handler pool: when the stuck write
-        // returns (or the socket dies and it throws), the reaper
+        // client. On the RAW transport (r17) the fix is direct: sever
+        // the socket NOW — the stuck write fails, the client sees a
+        // reset (broken framing = the error signal), and the exchange
+        // is marked so connection housekeeping never writes clean
+        // terminal framing over the truncated body.
+        ex match {
+          case raw: RawExchange => raw.markBroken()
+          case _ => ()
+        }
+        // JDK transport: closing the exchange HERE would let the JDK
+        // server end the chunked body with a CLEAN terminal chunk once
+        // it can flush — the truncated stream reading as a complete
+        // success, the exact failure the in-band error line exists to
+        // prevent (advisor r14). Hand the abort to a daemon reaper
+        // that WAITS for the lock off the handler pool: when the stuck
+        // write returns (or the socket dies and it throws), the reaper
         // writes the in-band error and closes; a dead socket makes
         // that write fail, leaving the framing broken — which is the
         // correct signal. The handler thread returns immediately, and
         // the `aborted` flag already poisons every later render write
-        // and finishOk, so no clean close can happen first.
+        // and finishOk, so no clean close can happen first. (On the
+        // raw transport the socket is already severed, so the reaper's
+        // write fails immediately — same terminal state.)
         val reaper = new Thread(() => {
           lock.lock()
           try {

@@ -29,26 +29,41 @@ import com.sun.net.httpserver.{Headers, HttpContext, HttpExchange, HttpHandler, 
   * values. A failure after the 200 status line is on the wire follows
   * CH too: `X-ClickHouse-Exception-Code` header + in-band error text.
   *
-  * Supported request surface (all the door's clients use): HTTP/1.0+1.1
-  * request lines, header folding none, bodies by `Content-Length` or
-  * `Transfer-Encoding: chunked`, `Expect: 100-continue`, keep-alive
-  * with per-connection sequential requests, `Connection: close`.
-  * Responses frame as `Content-Length` (fixed) or chunked, mirroring
-  * `sendResponseHeaders`' JDK contract (len>0 fixed, 0 chunked, -1
-  * empty).
+  * Abort discipline (SpoolSink's stalled-client contract, advisor
+  * r14): an exchange whose chunked body was NOT cleanly closed — the
+  * handler bailed, or `ex.close()` arrived from the abort reaper —
+  * must NEVER receive a clean terminal chunk from connection
+  * housekeeping, and its connection must be SEVERED, not reused: a
+  * truncated stream that frames cleanly reads as a complete success.
+  * [[RawExchange.close]]/[[RawExchange.finish]] implement exactly
+  * that: incomplete response → no terminal bytes, socket closed.
   *
-  * Scale posture: a thin control-plane door, one thread per live
-  * connection off a cached daemon pool — identical to the JDK
-  * transport's 4-thread posture in spirit; Spark owns the cores. The
-  * JDK transport remains behind `QueryServer(rawDoor = false)` as the
-  * kill switch.
+  * Supported request surface (all the door's clients use): HTTP/1.0
+  * and 1.1 request lines, bodies by `Content-Length` or
+  * `Transfer-Encoding: chunked` (premature connection EOF inside a
+  * declared body is an ERROR, as the JDK streams throw — a truncated
+  * POST must never execute as a prefix query), `Expect: 100-continue`,
+  * keep-alive with per-connection sequential requests,
+  * `Connection: close`. Responses frame as `Content-Length` (fixed),
+  * chunked (1.1), or close-delimited (1.0 streams — chunked framing
+  * predates 1.0 clients). A malformed request line answers 400.
+  *
+  * Scale posture: one thread per live connection off a daemon pool,
+  * CAPPED at [[RawHttpServer.MaxConnections]] (excess connections get
+  * an immediate 503) — the bounded-door posture the JDK transport's
+  * 4-thread executor expressed; Spark owns the cores. The JDK
+  * transport remains behind `QueryServer(rawDoor = false)` as the kill
+  * switch.
   */
 final class RawHttpServer(host: String, port: Int) {
+
+  import RawHttpServer.MaxConnections
 
   private val routes = scala.collection.mutable.ArrayBuffer.empty[(String, HttpHandler)]
   @volatile private var closed = false
   private var listener: ServerSocket = _
   private val active = new AtomicLong(0L)
+  private val connections = new AtomicLong(0L)
   private val sockets =
     java.util.Collections.synchronizedSet(new java.util.HashSet[Socket]())
   private val pool = Executors.newCachedThreadPool(r => {
@@ -74,8 +89,21 @@ final class RawHttpServer(host: String, port: Int) {
         while (!closed) {
           try {
             val s = listener.accept()
-            sockets.add(s)
-            pool.submit(new Runnable { override def run(): Unit = serve(s) })
+            if (connections.incrementAndGet() > MaxConnections) {
+              // bounded door: refuse loudly rather than grow a thread
+              // and a stack per connection without limit
+              connections.decrementAndGet()
+              try {
+                s.getOutputStream.write(
+                  ("HTTP/1.1 503 Service Unavailable\r\nContent-Length: 0\r\n" +
+                    "Connection: close\r\n\r\n").getBytes(ISO_8859_1))
+                s.getOutputStream.flush()
+              } catch { case _: Exception => () }
+              try s.close() catch { case _: Exception => () }
+            } else {
+              sockets.add(s)
+              pool.submit(new Runnable { override def run(): Unit = serve(s) })
+            }
           } catch {
             case _: Exception if closed => ()
             case _: Exception => () // transient accept failure; keep listening
@@ -111,10 +139,23 @@ final class RawHttpServer(host: String, port: Int) {
       val out = new BufferedOutputStream(sock.getOutputStream, 16 * 1024)
       var keep = true
       while (keep && !closed) {
-        val ex = RawHttp.readExchange(sock, in, out) match {
-          case Some(e) => e
-          case None => keep = false; null
-        }
+        val ex =
+          try RawHttp.readExchange(sock, in, out) match {
+            case Some(e) => e
+            case None => keep = false; null
+          } catch {
+            case _: EOFException => keep = false; null
+            case _: Exception =>
+              // malformed request line / headers / URI: answer 400
+              // (the JDK transport's behavior), then cut the connection
+              try {
+                out.write(("HTTP/1.1 400 Bad Request\r\nContent-Length: 0\r\n" +
+                  "Connection: close\r\n\r\n").getBytes(ISO_8859_1))
+                out.flush()
+              } catch { case _: Exception => () }
+              keep = false
+              null
+          }
         if (ex != null) {
           active.incrementAndGet()
           try {
@@ -150,9 +191,14 @@ final class RawHttpServer(host: String, port: Int) {
       case _: Exception => () // connection-level failure: drop it
     } finally {
       try sock.close() catch { case _: Exception => () }
-      sockets.remove(sock)
+      if (sockets.remove(sock)) connections.decrementAndGet()
     }
   }
+}
+
+object RawHttpServer {
+  /** Concurrent-connection cap — the bounded-door posture. */
+  val MaxConnections = 256
 }
 
 private[service] object RawHttp {
@@ -221,17 +267,46 @@ private[service] object RawHttp {
       sock, keepAlive))
   }
 
+  /** The handlers' own query-string semantics ([[QueryServer]]'s
+    * queryParams): split on `&`, then the first `=`, URL-decode both
+    * sides — so the transport's progressive-mode decision matches the
+    * handler's `send_progress_in_http_headers` parse exactly (a
+    * substring sniff misfires on the token inside another parameter's
+    * value; review r17). */
+  def queryParam(rawQuery: String, name: String): Option[String] =
+    Option(rawQuery).toSeq.flatMap(_.split("&"))
+      .filter(_.nonEmpty)
+      .flatMap { kv =>
+        val i = kv.indexOf('=')
+        val (k, v) = if (i < 0) (kv, "") else (kv.take(i), kv.drop(i + 1))
+        try Some((java.net.URLDecoder.decode(k, "UTF-8"),
+          java.net.URLDecoder.decode(v, "UTF-8")))
+        catch { case _: Exception => None }
+      }
+      .collectFirst { case (k, v) if k == name => v }
+
   // ---- request body framings ----
 
+  /** Premature EOF inside a declared body is an ERROR — a truncated
+    * POST must never execute as a valid prefix (review r17; the JDK
+    * streams throw the same way). */
   private final class FixedIn(in: InputStream, total: Long) extends InputStream {
     private var left = total
     override def read(): Int =
       if (left <= 0) -1
-      else { val c = in.read(); if (c >= 0) left -= 1 else left = 0; c }
+      else {
+        val c = in.read()
+        if (c < 0) throw new EOFException(
+          s"connection closed with $left of $total body bytes unread")
+        left -= 1
+        c
+      }
     override def read(b: Array[Byte], off: Int, len: Int): Int = {
       if (left <= 0) return -1
       val m = in.read(b, off, math.min(len.toLong, left).toInt)
-      if (m > 0) left -= m else left = 0
+      if (m < 0) throw new EOFException(
+        s"connection closed with $left of $total body bytes unread")
+      left -= m
       m
     }
     override def available(): Int = math.min(left, Int.MaxValue.toLong).toInt
@@ -256,14 +331,16 @@ private[service] object RawHttp {
       if (chunkLeft == 0L && !done) nextChunk()
       if (done) return -1
       val c = in.read()
-      if (c >= 0) chunkLeft -= 1
+      if (c < 0) throw new EOFException("connection closed mid-chunk")
+      chunkLeft -= 1
       c
     }
     override def read(b: Array[Byte], off: Int, len: Int): Int = {
       if (chunkLeft == 0L && !done) nextChunk()
       if (done) return -1
       val m = in.read(b, off, math.min(len.toLong, chunkLeft).toInt)
-      if (m > 0) chunkLeft -= m
+      if (m < 0) throw new EOFException("connection closed mid-chunk")
+      chunkLeft -= m
       m
     }
   }
@@ -286,7 +363,7 @@ private[service] object RawHttp {
   // ---- response body framings ----
 
   private[service] final class ChunkedOut(out: OutputStream) extends OutputStream {
-    private var closedChunks = false
+    @volatile private[service] var closedCleanly = false
     override def write(b: Int): Unit = write(Array(b.toByte), 0, 1)
     override def write(b: Array[Byte], off: Int, len: Int): Unit = {
       if (len <= 0) return
@@ -296,8 +373,8 @@ private[service] object RawHttp {
       out.write('\r'); out.write('\n')
     }
     override def flush(): Unit = out.flush()
-    override def close(): Unit = if (!closedChunks) {
-      closedChunks = true
+    override def close(): Unit = if (!closedCleanly) {
+      closedCleanly = true
       out.write("0\r\n\r\n".getBytes(ISO_8859_1))
       out.flush()
     }
@@ -317,6 +394,18 @@ private[service] object RawHttp {
     override def flush(): Unit = out.flush()
     override def close(): Unit = out.flush() // the socket stays open (keep-alive)
   }
+
+  /** Close-delimited body for HTTP/1.0 streaming responses (chunked
+    * framing would interleave hex size lines into a 1.0 client's
+    * body; review r17). The connection never keeps alive after. */
+  private[service] final class CloseDelimitedOut(out: OutputStream)
+      extends OutputStream {
+    override def write(b: Int): Unit = out.write(b)
+    override def write(b: Array[Byte], off: Int, len: Int): Unit =
+      out.write(b, off, len)
+    override def flush(): Unit = out.flush()
+    override def close(): Unit = out.flush()
+  }
 }
 
 /** One request/response pair over the raw transport — the JDK
@@ -332,17 +421,23 @@ private[service] final class RawExchange(
     sock: Socket,
     requestKeepAlive: Boolean) extends HttpExchange {
 
-  /** Progressive mode: the request itself asked for header progress. */
+  private val http10 = proto.endsWith("1.0")
+
+  /** Progressive mode: the request itself asked for header progress —
+    * parsed with the handlers' own parameter semantics. */
   private val progressive: Boolean =
-    Option(uri.getRawQuery).exists(q =>
-      q.contains("send_progress_in_http_headers=1") ||
-        q.toLowerCase.contains("send_progress_in_http_headers=true"))
+    RawHttp.queryParam(uri.getRawQuery, "send_progress_in_http_headers")
+      .exists(v => v == "1" || v.equalsIgnoreCase("true"))
 
   @volatile private[service] var headersSent = false
   @volatile private var statusWritten = false
+  /** Incomplete/aborted response: the connection must be severed and
+    * no terminal framing written (SpoolSink's abort contract). */
+  @volatile private var broken = false
   private var respCode = -1
   private var respBody: OutputStream = _
   private var fixedOut: RawHttp.FixedOut = _
+  private var closeDelimited = false
   private var inBody: InputStream = reqBody
 
   private def writeAscii(s: String): Unit = rawOut.write(s.getBytes(ISO_8859_1))
@@ -400,10 +495,13 @@ private[service] final class RawExchange(
         respHeaders.remove("Transfer-Encoding")
       } else if (responseLength > 0) {
         respHeaders.set("Content-Length", responseLength.toString)
+      } else if (http10) {
+        // a 1.0 client cannot parse chunked framing: close-delimited
+        closeDelimited = true
       } else {
         respHeaders.set("Transfer-Encoding", "chunked")
       }
-      if (!requestKeepAlive) respHeaders.set("Connection", "close")
+      if (!requestKeepAlive || closeDelimited) respHeaders.set("Connection", "close")
       val it = respHeaders.entrySet().iterator()
       while (it.hasNext) {
         val e = it.next()
@@ -416,7 +514,8 @@ private[service] final class RawExchange(
         if (noBody) { fixedOut = new RawHttp.FixedOut(rawOut, 0L); fixedOut }
         else if (responseLength > 0) {
           fixedOut = new RawHttp.FixedOut(rawOut, responseLength); fixedOut
-        } else new RawHttp.ChunkedOut(rawOut)
+        } else if (closeDelimited) new RawHttp.CloseDelimitedOut(rawOut)
+        else new RawHttp.ChunkedOut(rawOut)
     }
 
   override def getResponseCode: Int = respCode
@@ -432,21 +531,50 @@ private[service] final class RawExchange(
     if (o != null) respBody = o
   }
   override def getPrincipal: HttpPrincipal = null
-  override def close(): Unit = () // finish() owns connection lifecycle
+
+  /** The SINK's abort signal (SpoolSink's stalled-client path): the
+    * response is truncated mid-stream and MUST NOT receive clean
+    * terminal framing — sever the socket now. This also unsticks a
+    * render thread blocked in a write to the stalled client, and the
+    * reset the client sees IS the error signal (advisor r14: a clean
+    * terminal chunk over a truncated body reads as success). */
+  private[service] def markBroken(): Unit = {
+    broken = true
+    try sock.close() catch { case _: Exception => () }
+  }
+
+  /** JDK semantics: the exchange is over; an open response stream
+    * closes CLEANLY (an empty chunked body — `sendResponseHeaders(200,
+    * 0)` with no writes — gets its terminal chunk here, exactly as the
+    * JDK transport finishes it on close()). A severed exchange
+    * ([[markBroken]]) never writes another byte. */
+  override def close(): Unit = {
+    if (broken) return
+    respBody match {
+      case c: RawHttp.ChunkedOut =>
+        try c.close() catch { case _: Exception => broken = true }
+      case f: RawHttp.FixedOut =>
+        if (f.remaining > 0) broken = true
+        else try f.flush() catch { case _: Exception => broken = true }
+      case _ => ()
+    }
+  }
 
   /** Complete the exchange; returns whether the connection can serve
     * another request. */
   private[service] def finish(): Boolean = {
     try {
+      if (broken) return false
       if (!headersSent) {
         // handler produced no response at all
         sendResponseHeaders(500, -1)
       }
       respBody match {
-        case c: RawHttp.ChunkedOut => c.close()
+        case c: RawHttp.ChunkedOut => c.close() // terminal chunk if still open
         case f: RawHttp.FixedOut =>
           f.flush()
-          if (f.remaining > 0) return false // short body: cut the connection
+          if (f.remaining > 0) { broken = true; return false }
+        case _: RawHttp.CloseDelimitedOut => return false // body ends at close
         case _ => ()
       }
       // drain any unread request body so the next request parses

@@ -708,6 +708,62 @@ class QueryServerSpec extends AnyFunSuite {
     } finally sock.close()
   }
 
+  test("raw door: truncated POST body never executes as a prefix (r17)") {
+    // declare 100 body bytes, deliver 18, close our sending side — the
+    // JDK streams throw on this; the raw door must too (a prefix of a
+    // query/INSERT body must never execute as if complete)
+    val sock = new java.net.Socket("127.0.0.1", port)
+    try {
+      sock.setSoTimeout(30000)
+      val out = sock.getOutputStream
+      out.write(("POST /query HTTP/1.1\r\nHost: x\r\n" +
+        "Content-Length: 100\r\n\r\n").getBytes("UTF-8"))
+      out.write("""{"query":"SELECT""".getBytes("UTF-8"))
+      out.flush()
+      sock.shutdownOutput()
+      val resp = new String(sock.getInputStream.readAllBytes(), "UTF-8")
+      assert(!resp.startsWith("HTTP/1.1 200"),
+        s"a truncated body must not answer 200: ${resp.take(120)}")
+    } finally sock.close()
+  }
+
+  test("raw door: malformed request line answers 400 (r17)") {
+    val sock = new java.net.Socket("127.0.0.1", port)
+    try {
+      sock.setSoTimeout(30000)
+      sock.getOutputStream.write("GARBAGE\r\n\r\n".getBytes("UTF-8"))
+      sock.getOutputStream.flush()
+      sock.shutdownOutput()
+      val resp = new String(sock.getInputStream.readAllBytes(), "UTF-8")
+      assert(resp.startsWith("HTTP/1.1 400"), s"got: ${resp.take(120)}")
+    } finally sock.close()
+  }
+
+  test("raw door: HTTP/1.0 streaming is close-delimited, never chunked (r17)") {
+    // a result past the 256 KiB spool streams; a 1.0 client cannot
+    // parse chunked framing, so the body must be close-delimited
+    val q = java.net.URLEncoder.encode(
+      "SELECT number FROM numbers(3000000) FORMAT TSV", "UTF-8")
+    val sock = new java.net.Socket("127.0.0.1", port)
+    try {
+      sock.setSoTimeout(120000)
+      sock.getOutputStream.write(
+        (s"GET /?query=$q HTTP/1.0\r\nHost: x\r\n\r\n").getBytes("UTF-8"))
+      sock.getOutputStream.flush()
+      val resp = new String(sock.getInputStream.readAllBytes(), "UTF-8")
+      val headerEnd = resp.indexOf("\r\n\r\n")
+      assert(headerEnd > 0, "no header block")
+      val headers = resp.substring(0, headerEnd).toLowerCase
+      assert(resp.startsWith("HTTP/1.1 200"), resp.take(60))
+      assert(!headers.contains("transfer-encoding"),
+        "HTTP/1.0 response must not be chunked")
+      assert(headers.contains("connection: close"))
+      val body = resp.substring(headerEnd + 4)
+      assert(body.endsWith("2999999\n"),
+        s"close-delimited body truncated: …${body.takeRight(30)}")
+    } finally sock.close()
+  }
+
   test("FORMAT ArrowStream / Arrow out: IPC bytes Arrow's own reader decodes (r15)") {
     def fetch(fmt: String): Array[Byte] = {
       val q = java.net.URLEncoder.encode(
