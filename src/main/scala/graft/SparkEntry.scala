@@ -2985,7 +2985,24 @@ object SparkEntry {
     "q228_uniq_filtered" -> ch(
       """SELECT uniqExact(o_custkey) AS u, uniqExact(o_orderkey) AS uo
         |FROM orders
-        |WHERE o_orderstatus != 'F' AND o_orderkey > 1000""".stripMargin)
+        |WHERE o_orderstatus != 'F' AND o_orderkey > 1000""".stripMargin),
+
+    // r17b: THREE group keys (composite slot path) under an IN-list
+    // predicate — one scan, one stage
+    "q229_dictagg_three_keys" -> ch(
+      """SELECT l_returnflag, l_linestatus, l_linenumber,
+        |       CAST(sum(l_quantity) AS BIGINT) AS sum_q, count() AS cnt
+        |FROM lineitem
+        |WHERE l_suppkey IN (1, 2, 3, 5, 8, 13, 21, 34)
+        |GROUP BY l_returnflag, l_linestatus, l_linenumber
+        |ORDER BY l_returnflag, l_linestatus, l_linenumber""".stripMargin),
+
+    // r17b: prefix LIKE + string IN list in the kernel's predicate mask
+    "q230_dictagg_like_in" -> ch(
+      """SELECT o_orderstatus, count() AS cnt, uniqExact(o_custkey) AS u_c
+        |FROM orders
+        |WHERE o_orderpriority LIKE '1%' AND o_orderstatus IN ('O', 'F')
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
   )
 
   // ---------------------------------------------------------------
@@ -3091,6 +3108,18 @@ object SparkEntry {
       """SELECT count(DISTINCT o_custkey) AS u, count(DISTINCT o_orderkey) AS uo
         |FROM orders
         |WHERE o_orderstatus != 'F' AND o_orderkey > 1000""".stripMargin,
+    "q229_dictagg_three_keys" ->
+      """SELECT l_returnflag, l_linestatus, l_linenumber,
+        |       CAST(sum(l_quantity) AS BIGINT) AS sum_q, count(*) AS cnt
+        |FROM lineitem
+        |WHERE l_suppkey IN (1, 2, 3, 5, 8, 13, 21, 34)
+        |GROUP BY l_returnflag, l_linestatus, l_linenumber
+        |ORDER BY l_returnflag, l_linestatus, l_linenumber""".stripMargin,
+    "q230_dictagg_like_in" ->
+      """SELECT o_orderstatus, count(*) AS cnt, count(DISTINCT o_custkey) AS u_c
+        |FROM orders
+        |WHERE o_orderpriority LIKE '1%' AND o_orderstatus IN ('O', 'F')
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "q201_replicated_ddl" ->
       """WITH base AS (
         |  SELECT c_custkey AS ck, c_nationkey AS nk, 0 AS ver

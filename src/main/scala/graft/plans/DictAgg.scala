@@ -137,15 +137,25 @@ object DictAgg {
   final val PGt = 5
   final val PGe = 6
   final val PNe = 7
+  /** `col IN (…)` — int-family via sorted-array binary search, strings
+    * via a per-partition UTF8String set (r17b). NULL literals drop from
+    * the set: `a IN (1, NULL)` is true on match and NULL (⇒ filtered)
+    * otherwise, so the row outcome is identical. */
+  final val PIn = 8
+  /** `col LIKE 'x%'` after Spark's LikeSimplification. */
+  final val PStartsWith = 9
 
   // predicate value types: TInt/TLong/TFloat/TDouble from above, plus
   final val PTStr = 4
 
   /** One compiled filter conjunct: `vecIdx` in the SCAN output, value
-    * type, op, and the literal in the matching slot. String literals
-    * travel as bytes (UTF8String is rebuilt per partition). */
+    * type, op, and the literal(s) in the matching slot. String
+    * literals travel as bytes (UTF8String is rebuilt per partition);
+    * `lSet` is the SORTED integral IN-list, `bSet` the string one. */
   final case class Pred(vecIdx: Int, typ: Int, op: Int,
-      lLit: Long, dLit: Double, bLit: Array[Byte]) extends Serializable
+      lLit: Long, dLit: Double, bLit: Array[Byte],
+      lSet: Array[Long] = null,
+      bSet: Array[Array[Byte]] = null) extends Serializable
 
   /** Spark's SQL comparison for doubles: NaN greatest, -0.0 == 0.0
     * (SQLOrderingUtil's contract — `NaN > x` is TRUE in Spark, unlike
@@ -288,6 +298,14 @@ object DictAgg {
     // rebuilt per partition from serializable bytes
     val strLits: Array[UTF8String] = preds.map(p =>
       if (p.bLit == null) null else UTF8String.fromBytes(p.bLit))
+    val strSets: Array[java.util.HashSet[UTF8String]] = preds.map { p =>
+      if (p.bSet == null) null
+      else {
+        val s = new java.util.HashSet[UTF8String](p.bSet.length * 2)
+        p.bSet.foreach(b => s.add(UTF8String.fromBytes(b)))
+        s
+      }
+    }
 
     // group state: per-slot per-key bytes (null = NULL key part) +
     // per-spec accumulators
@@ -477,6 +495,29 @@ object DictAgg {
               while (i < n) { if (vec.isNullAt(i)) m(i) = false; i += 1 }
             case PIsNull =>
               while (i < n) { if (!vec.isNullAt(i)) m(i) = false; i += 1 }
+            case PIn => p.typ match {
+              case PTStr =>
+                val set = strSets(pi)
+                while (i < n) {
+                  if (m(i)) m(i) = !vec.isNullAt(i) &&
+                    set.contains(vec.getUTF8String(i))
+                  i += 1
+                }
+              case t =>
+                while (i < n) {
+                  if (m(i)) m(i) = !vec.isNullAt(i) &&
+                    java.util.Arrays.binarySearch(p.lSet,
+                      if (t == TInt) vec.getInt(i).toLong else vec.getLong(i)) >= 0
+                  i += 1
+                }
+            }
+            case PStartsWith =>
+              val lit = strLits(pi)
+              while (i < n) {
+                if (m(i)) m(i) = !vec.isNullAt(i) &&
+                  vec.getUTF8String(i).startsWith(lit)
+                i += 1
+              }
             case op => p.typ match {
               case TInt =>
                 while (i < n) {
@@ -998,8 +1039,12 @@ case class DictAggRewrite(spark: SparkSession) extends Rule[LogicalPlan]
       return plan
     if (DriverMerge.suppress.get()) return plan // planning an overflow fallback
     plan.transformDown {
+      // up to FOUR group keys (r17b): 1 key rides the code→slot /
+      // raw-value fast paths, 2 dict-coded string keys the packed-pair
+      // cache, anything else the byte-composite map — still one scan,
+      // one stage
       case agg @ Aggregate(groupExprs, aggExprs, child, _)
-          if groupExprs.size <= 2 &&
+          if groupExprs.size <= 4 &&
             groupExprs.forall {
               case a: AttributeReference => keyKindOf(a.dataType).isDefined
               case _ => false
@@ -1058,24 +1103,57 @@ case class DictAggRewrite(spark: SparkSession) extends Rule[LogicalPlan]
     case _ => None
   }
 
-  /** One conjunct → (column name, compiled Pred without vecIdx), or
-    * None if the shape is outside the kernel's predicate language —
+  /** One conjunct → (column name, Pred builder given the scan vecIdx),
+    * or None if the shape is outside the kernel's predicate language —
     * the whole rewrite then stands down (never a partial filter). */
   private def classifyPred(
-      child: LogicalPlan, e: Expression): Option[(String, Int, Int, Long, Double, Array[Byte])] = {
+      child: LogicalPlan, e: Expression): Option[(String, Int => Pred)] = {
     import org.apache.spark.sql.catalyst.expressions._
     def col(a: AttributeReference): Option[String] = ScanRelations.resolve(child, a)
-    def lits(a: AttributeReference, l: Literal, op: Int): Option[(String, Int, Int, Long, Double, Array[Byte])] = {
+    def lits(a: AttributeReference, l: Literal, op: Int): Option[(String, Int => Pred)] = {
       if (l.value == null || l.dataType != a.dataType) return None
       val typ = predTypeOf(a.dataType).getOrElse(return None)
       val n = col(a).getOrElse(return None)
       typ match {
-        case TInt => Some((n, typ, op, l.value.asInstanceOf[Int].toLong, 0d, null))
-        case TLong => Some((n, typ, op, l.value.asInstanceOf[Long], 0d, null))
-        case TFloat => Some((n, typ, op, 0L, l.value.asInstanceOf[Float].toDouble, null))
-        case TDouble => Some((n, typ, op, 0L, l.value.asInstanceOf[Double], null))
-        case PTStr => Some((n, typ, op, 0L, 0d,
-          l.value.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].getBytes))
+        case TInt =>
+          val v = l.value.asInstanceOf[Int].toLong
+          Some((n, idx => Pred(idx, typ, op, v, 0d, null)))
+        case TLong =>
+          val v = l.value.asInstanceOf[Long]
+          Some((n, idx => Pred(idx, typ, op, v, 0d, null)))
+        case TFloat =>
+          val v = l.value.asInstanceOf[Float].toDouble
+          Some((n, idx => Pred(idx, typ, op, 0L, v, null)))
+        case TDouble =>
+          val v = l.value.asInstanceOf[Double]
+          Some((n, idx => Pred(idx, typ, op, 0L, v, null)))
+        case PTStr =>
+          val b = l.value.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].getBytes
+          Some((n, idx => Pred(idx, typ, op, 0L, 0d, b)))
+      }
+    }
+    /** `col IN (…)` — NULL literals drop (see [[PIn]]); float/double
+      * IN-lists stand down (ordering-equality edge cases are not worth
+      * the kernel's while). */
+    def inPred(a: AttributeReference, values: Iterable[Any]): Option[(String, Int => Pred)] = {
+      val typ = predTypeOf(a.dataType).getOrElse(return None)
+      if (typ == TFloat || typ == TDouble) return None
+      val n = col(a).getOrElse(return None)
+      val nonNull = values.filter(_ != null)
+      if (typ == PTStr) {
+        val bs = nonNull.map {
+          case u: org.apache.spark.unsafe.types.UTF8String => u.getBytes
+          case _ => return None
+        }.toArray
+        Some((n, idx => Pred(idx, typ, PIn, 0L, 0d, null, null, bs)))
+      } else {
+        val ls = nonNull.map {
+          case i: java.lang.Integer => i.longValue()
+          case l: java.lang.Long => l.longValue()
+          case _ => return None
+        }.toArray
+        java.util.Arrays.sort(ls)
+        Some((n, idx => Pred(idx, typ, PIn, 0L, 0d, null, ls, null)))
       }
     }
     def flip(op: Int): Int = op match {
@@ -1087,9 +1165,9 @@ case class DictAggRewrite(spark: SparkSession) extends Rule[LogicalPlan]
     }
     e match {
       case IsNotNull(a: AttributeReference) =>
-        col(a).map(n => (n, TInt, PIsNotNull, 0L, 0d, null))
+        col(a).map(n => (n, (idx: Int) => Pred(idx, TInt, PIsNotNull, 0L, 0d, null)))
       case IsNull(a: AttributeReference) =>
-        col(a).map(n => (n, TInt, PIsNull, 0L, 0d, null))
+        col(a).map(n => (n, (idx: Int) => Pred(idx, TInt, PIsNull, 0L, 0d, null)))
       case EqualTo(a: AttributeReference, l: Literal) => lits(a, l, PEq)
       case EqualTo(l: Literal, a: AttributeReference) => lits(a, l, PEq)
       case Not(EqualTo(a: AttributeReference, l: Literal)) => lits(a, l, PNe)
@@ -1102,6 +1180,19 @@ case class DictAggRewrite(spark: SparkSession) extends Rule[LogicalPlan]
       case GreaterThan(l: Literal, a: AttributeReference) => lits(a, l, flip(PGt))
       case GreaterThanOrEqual(a: AttributeReference, l: Literal) => lits(a, l, PGe)
       case GreaterThanOrEqual(l: Literal, a: AttributeReference) => lits(a, l, flip(PGe))
+      case In(a: AttributeReference, ls)
+          if ls.nonEmpty && ls.forall {
+            case lit: Literal => lit.dataType == a.dataType
+            case _ => false
+          } =>
+        inPred(a, ls.map(_.asInstanceOf[Literal].value))
+      case InSet(a: AttributeReference, hset) => inPred(a, hset)
+      case StartsWith(a: AttributeReference, l: Literal)
+          if a.dataType == StringType && l.value != null =>
+        col(a).map { n =>
+          val b = l.value.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].getBytes
+          (n, (idx: Int) => Pred(idx, PTStr, PStartsWith, 0L, 0d, b))
+        }
       case _ => None
     }
   }
@@ -1133,7 +1224,7 @@ case class DictAggRewrite(spark: SparkSession) extends Rule[LogicalPlan]
     // column-pruning Project above a filter does not carry filter-only
     // columns, but projections are attr-transparent so the exprIds
     // reach the relation unchanged
-    val predsRaw: Seq[(String, Int, Int, Long, Double, Array[Byte])] =
+    val predsRaw: Seq[(String, Int => Pred)] =
       conds.map(c => classifyPred(scanChild, c).getOrElse(return None))
     val attrNameOf: Map[Long, String] = conds.flatMap(_.collect {
       case a: AttributeReference =>
@@ -1241,10 +1332,10 @@ case class DictAggRewrite(spark: SparkSession) extends Rule[LogicalPlan]
       if (p.colName.isDefined && vecIdx < 0) return None
       Spec(p.op, vecIdx, p.typ, ansi)
     }.toArray
-    val preds: Array[Pred] = predsRaw.map { case (n, typ, op, lL, dL, bL) =>
+    val preds: Array[Pred] = predsRaw.map { case (n, mk) =>
       val vecIdx = scanOut.indexWhere(_.name == n)
       if (vecIdx < 0) return None
-      Pred(vecIdx, typ, op, lL, dL, bL)
+      mk(vecIdx)
     }.toArray
 
     val maxGroups = spark.conf.getOption(MaxGroupsKey)

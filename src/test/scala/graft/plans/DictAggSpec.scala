@@ -191,8 +191,34 @@ class DictAggSpec extends AnyFunSuite {
     // a predicate outside the kernel's language (column-vs-column)
     // stands the whole rewrite down
     noEngage(df.filter(col("i") > col("l")).groupBy("k").agg(sum("d")))
-    // LIKE / startsWith is not in the predicate language either
-    noEngage(df.filter(col("s").startsWith("v1")).groupBy("k").agg(sum("d")))
+    // contains / suffix LIKE is outside the language (only the
+    // prefix-LIKE simplification compiles)
+    noEngage(df.filter(col("s").contains("42")).groupBy("k").agg(sum("d")))
+    // five group keys stay native (the guard stops at four)
+    noEngage(df.groupBy("k", "s", "i", "l", "f").agg(sum("d")))
+  }
+
+  test("IN lists, prefix LIKE, and 3-4 group keys engage (r17b)") {
+    val df = spark.read.parquet(table)
+    def matches(mk: => DataFrame): Unit = {
+      val before = DictAgg.engagements.get()
+      val fast = collectSorted(mk)
+      assert(DictAgg.engagements.get() > before, "did not engage")
+      assert(fast == withDisabled(collectSorted(mk)))
+    }
+    // int IN list + string IN list + prefix LIKE in one conjunction
+    matches(df.filter(col("i").isin(1, 5, 7, 99) &&
+        col("k").isin("k1", "k3", "nope") && col("s").startsWith("v1"))
+      .groupBy("k").agg(sum("l").as("sl"), count(lit(1)).as("c")))
+    // a big IN list (Spark converts to InSet past 10 elements)
+    matches(df.filter(col("i").isin(0 to 40: _*))
+      .groupBy("k").agg(count(lit(1)).as("c")))
+    // three keys (composite path), mixed types
+    matches(df.groupBy("k", "i", "s")
+      .agg(sum("l").as("sl"), count(lit(1)).as("c")))
+    // four keys with a filter and a distinct riding along
+    matches(df.filter(col("l") > 100L).groupBy("k", "i", "l", "s")
+      .agg(count(lit(1)).as("c"), countDistinct(col("i")).as("ui")))
   }
 
   test("FILTERED scans engage and match native (r17 generalization)") {
@@ -362,11 +388,13 @@ class DictAggSpec extends AnyFunSuite {
     spark.conf.set(DictAgg.MaxGroupsKey, "3")
     try assert(collectSorted(q()) == fast)
     finally spark.conf.unset(DictAgg.MaxGroupsKey)
-    // three keys stay native
+    // three keys engage too since r17b (composite path) — same answers
     val b2 = DictAgg.engagements.get()
-    spark.read.parquet(s"$dir/t.parquet")
-      .groupBy("k", "s2", "s").agg(sum("d")).collect()
-    assert(DictAgg.engagements.get() == b2)
+    def q3() = spark.read.parquet(s"$dir/t.parquet")
+      .groupBy("k", "s2", "s").agg(round(sum("d"), 6).as("sd"))
+    val threeKey = collectSorted(q3())
+    assert(DictAgg.engagements.get() > b2)
+    assert(threeKey == withDisabled(collectSorted(q3())))
   }
 
   test("ATTACHed MergeTree tables engage too — dictionary-backed LC vectors (r16)") {
