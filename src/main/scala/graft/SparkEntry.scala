@@ -3002,7 +3002,17 @@ object SparkEntry {
       """SELECT o_orderstatus, count() AS cnt, uniqExact(o_custkey) AS u_c
         |FROM orders
         |WHERE o_orderpriority LIKE '1%' AND o_orderstatus IN ('O', 'F')
-        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin),
+
+    // r17b: conditional aggregates (-If combinators) ride per-spec
+    // masks inside the kernel — one scan answers every condition
+    "q231_dictagg_conditional" -> ch(
+      """SELECT l_returnflag,
+        |       CAST(sumIf(l_quantity, l_linenumber > 3) AS BIGINT) AS sq_hi,
+        |       countIf(l_linestatus = 'O') AS c_o,
+        |       CAST(round(avgIf(l_extendedprice, l_suppkey <= 50) * 100) AS BIGINT) AS aep_c,
+        |       count() AS cnt
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
   )
 
   // ---------------------------------------------------------------
@@ -3120,6 +3130,13 @@ object SparkEntry {
         |FROM orders
         |WHERE o_orderpriority LIKE '1%' AND o_orderstatus IN ('O', 'F')
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q231_dictagg_conditional" ->
+      """SELECT l_returnflag,
+        |       CAST(sum(l_quantity) FILTER (WHERE l_linenumber > 3) AS BIGINT) AS sq_hi,
+        |       count(*) FILTER (WHERE l_linestatus = 'O') AS c_o,
+        |       CAST(round((avg(l_extendedprice) FILTER (WHERE l_suppkey <= 50)) * 100) AS BIGINT) AS aep_c,
+        |       count(*) AS cnt
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q201_replicated_ddl" ->
       """WITH base AS (
         |  SELECT c_custkey AS ck, c_nationkey AS nk, 0 AS ver

@@ -226,6 +226,97 @@ object DictAgg {
     UTF8String.fromBytes(b.array())
   }
 
+  /** Per-partition compiled predicate-conjunction evaluator
+    * (UTF8String literals and IN-sets rebuilt from bytes once per
+    * partition; one tight typed loop per conjunct per batch). Shared
+    * by the global filter mask and the per-spec sumIf/FILTER masks. */
+  private[plans] final class CompiledPreds(ps: Array[Pred]) {
+    private val strLits: Array[UTF8String] = ps.map(p =>
+      if (p.bLit == null) null else UTF8String.fromBytes(p.bLit))
+    private val strSets: Array[java.util.HashSet[UTF8String]] = ps.map { p =>
+      if (p.bSet == null) null
+      else {
+        val s = new java.util.HashSet[UTF8String](p.bSet.length * 2)
+        p.bSet.foreach(b => s.add(UTF8String.fromBytes(b)))
+        s
+      }
+    }
+
+    /** Fill `m(0 until n)` with the conjunction over the batch. */
+    def evalInto(vecs: Array[ColumnVector], n: Int, m: Array[Boolean]): Unit = {
+      java.util.Arrays.fill(m, 0, n, true)
+      var pi = 0
+      while (pi < ps.length) {
+        val p = ps(pi)
+        val vec = vecs(p.vecIdx)
+        var i = 0
+        p.op match {
+          case PIsNotNull =>
+            while (i < n) { if (vec.isNullAt(i)) m(i) = false; i += 1 }
+          case PIsNull =>
+            while (i < n) { if (!vec.isNullAt(i)) m(i) = false; i += 1 }
+          case PIn => p.typ match {
+            case PTStr =>
+              val set = strSets(pi)
+              while (i < n) {
+                if (m(i)) m(i) = !vec.isNullAt(i) &&
+                  set.contains(vec.getUTF8String(i))
+                i += 1
+              }
+            case t =>
+              while (i < n) {
+                if (m(i)) m(i) = !vec.isNullAt(i) &&
+                  java.util.Arrays.binarySearch(p.lSet,
+                    if (t == TInt) vec.getInt(i).toLong else vec.getLong(i)) >= 0
+                i += 1
+              }
+          }
+          case PStartsWith =>
+            val lit = strLits(pi)
+            while (i < n) {
+              if (m(i)) m(i) = !vec.isNullAt(i) &&
+                vec.getUTF8String(i).startsWith(lit)
+              i += 1
+            }
+          case op => p.typ match {
+            case TInt =>
+              while (i < n) {
+                if (m(i)) m(i) = !vec.isNullAt(i) && predSat(op,
+                  java.lang.Long.compare(vec.getInt(i).toLong, p.lLit))
+                i += 1
+              }
+            case TLong =>
+              while (i < n) {
+                if (m(i)) m(i) = !vec.isNullAt(i) && predSat(op,
+                  java.lang.Long.compare(vec.getLong(i), p.lLit))
+                i += 1
+              }
+            case TFloat =>
+              while (i < n) {
+                if (m(i)) m(i) = !vec.isNullAt(i) && predSat(op,
+                  cmpD(vec.getFloat(i).toDouble, p.dLit))
+                i += 1
+              }
+            case TDouble =>
+              while (i < n) {
+                if (m(i)) m(i) = !vec.isNullAt(i) && predSat(op,
+                  cmpD(vec.getDouble(i), p.dLit))
+                i += 1
+              }
+            case PTStr =>
+              val lit = strLits(pi)
+              while (i < n) {
+                if (m(i)) m(i) = !vec.isNullAt(i) && predSat(op,
+                  vec.getUTF8String(i).compareTo(lit))
+                i += 1
+              }
+          }
+        }
+        pi += 1
+      }
+    }
+  }
+
   /** Per-batch primitive long→slot map (open addressing, linear
     * probing). Only non-negative slots are ever stored, so `get`
     * returns -1 as the miss marker. Not thread-safe — one instance per
@@ -285,6 +376,11 @@ object DictAgg {
       keyKinds: Array[Int],
       specs: Array[Spec],
       preds: Array[Pred],
+      /** Per-spec condition masks (null = unconditional) — the
+        * `sumIf`/`FILTER (WHERE …)` compilation (r17b): the spec's
+        * accumulation only sees rows its own mask passes, exactly the
+        * NULL-skip semantics of `agg(If(cond, x, NULL))`. */
+      specPreds: Array[Array[Pred]],
       maxGroups: Int,
       failFast: Boolean): Iterator[Row] = {
 
@@ -295,17 +391,13 @@ object DictAgg {
     // cross-batch primitive map, no byte composites on the hot path
     val singleNumKey = nKeys == 1 && keyKinds(0) != KStr
     val valueSlots = if (singleNumKey) new DictAgg.LongSlotMap(256) else null
-    // rebuilt per partition from serializable bytes
-    val strLits: Array[UTF8String] = preds.map(p =>
-      if (p.bLit == null) null else UTF8String.fromBytes(p.bLit))
-    val strSets: Array[java.util.HashSet[UTF8String]] = preds.map { p =>
-      if (p.bSet == null) null
-      else {
-        val s = new java.util.HashSet[UTF8String](p.bSet.length * 2)
-        p.bSet.foreach(b => s.add(UTF8String.fromBytes(b)))
-        s
-      }
-    }
+    val globalPreds = if (preds.isEmpty) null else new CompiledPreds(preds)
+    val compiledSpecPreds: Array[CompiledPreds] =
+      if (specPreds == null) new Array[CompiledPreds](nSpecs)
+      else specPreds.map(ps => if (ps == null || ps.isEmpty) null else new CompiledPreds(ps))
+    // mask buffers, grown with the batch size, reused across batches
+    val specMasks = new Array[Array[Boolean]](nSpecs)
+    var gMask: Array[Boolean] = null
 
     // group state: per-slot per-key bytes (null = NULL key part) +
     // per-spec accumulators
@@ -480,81 +572,25 @@ object DictAgg {
         p
       }
 
-      // ---- filter mask: rows failing any conjunct never reach a slot
-      // (slotsBuf -1 = skip; every accumulation loop guards on it) ----
-      val mask: Array[Boolean] = if (preds.isEmpty) null else {
-        val m = new Array[Boolean](n)
-        java.util.Arrays.fill(m, true)
-        var pi = 0
-        while (pi < preds.length) {
-          val p = preds(pi)
-          val vec = vecs(p.vecIdx)
-          var i = 0
-          p.op match {
-            case PIsNotNull =>
-              while (i < n) { if (vec.isNullAt(i)) m(i) = false; i += 1 }
-            case PIsNull =>
-              while (i < n) { if (!vec.isNullAt(i)) m(i) = false; i += 1 }
-            case PIn => p.typ match {
-              case PTStr =>
-                val set = strSets(pi)
-                while (i < n) {
-                  if (m(i)) m(i) = !vec.isNullAt(i) &&
-                    set.contains(vec.getUTF8String(i))
-                  i += 1
-                }
-              case t =>
-                while (i < n) {
-                  if (m(i)) m(i) = !vec.isNullAt(i) &&
-                    java.util.Arrays.binarySearch(p.lSet,
-                      if (t == TInt) vec.getInt(i).toLong else vec.getLong(i)) >= 0
-                  i += 1
-                }
-            }
-            case PStartsWith =>
-              val lit = strLits(pi)
-              while (i < n) {
-                if (m(i)) m(i) = !vec.isNullAt(i) &&
-                  vec.getUTF8String(i).startsWith(lit)
-                i += 1
-              }
-            case op => p.typ match {
-              case TInt =>
-                while (i < n) {
-                  if (m(i)) m(i) = !vec.isNullAt(i) && predSat(op,
-                    java.lang.Long.compare(vec.getInt(i).toLong, p.lLit))
-                  i += 1
-                }
-              case TLong =>
-                while (i < n) {
-                  if (m(i)) m(i) = !vec.isNullAt(i) && predSat(op,
-                    java.lang.Long.compare(vec.getLong(i), p.lLit))
-                  i += 1
-                }
-              case TFloat =>
-                while (i < n) {
-                  if (m(i)) m(i) = !vec.isNullAt(i) && predSat(op,
-                    cmpD(vec.getFloat(i).toDouble, p.dLit))
-                  i += 1
-                }
-              case TDouble =>
-                while (i < n) {
-                  if (m(i)) m(i) = !vec.isNullAt(i) && predSat(op,
-                    cmpD(vec.getDouble(i), p.dLit))
-                  i += 1
-                }
-              case PTStr =>
-                val lit = strLits(pi)
-                while (i < n) {
-                  if (m(i)) m(i) = !vec.isNullAt(i) && predSat(op,
-                    vec.getUTF8String(i).compareTo(lit))
-                  i += 1
-                }
-            }
-          }
-          pi += 1
+      // ---- filter masks: rows failing a GLOBAL conjunct never reach a
+      // slot (slotsBuf -1 = skip); a spec's own mask (sumIf/FILTER)
+      // only gates that spec's accumulation ----
+      val mask: Array[Boolean] =
+        if (globalPreds == null) null
+        else {
+          if (gMask == null || gMask.length < n)
+            gMask = new Array[Boolean](math.max(n, 16384))
+          globalPreds.evalInto(vecs, n, gMask)
+          gMask
         }
-        m
+      var jm = 0
+      while (jm < nSpecs) {
+        if (compiledSpecPreds(jm) != null) {
+          if (specMasks(jm) == null || specMasks(jm).length < n)
+            specMasks(jm) = new Array[Boolean](math.max(n, 16384))
+          compiledSpecPreds(jm).evalInto(vecs, n, specMasks(jm))
+        }
+        jm += 1
       }
 
       // per-batch key-shape setup
@@ -681,18 +717,21 @@ object DictAgg {
           val spec = specs(j)
           val l = accL(j); val d = accD(j); val c = accC(j)
           val vec = if (spec.vecIdx >= 0) vecs(spec.vecIdx) else null
+          // this spec's own condition mask (sumIf/FILTER), or null
+          val sm = if (compiledSpecPreds(j) == null) null else specMasks(j)
           spec.op match {
             case OpCountStar =>
               var i = start
               while (i < end) {
-                val s = slotsBuf(i); if (s >= 0) c(s) += 1
+                val s = slotsBuf(i)
+                if (s >= 0 && (sm == null || sm(i))) c(s) += 1
                 i += 1
               }
             case OpCountCol =>
               var i = start
               while (i < end) {
                 val s = slotsBuf(i)
-                if (s >= 0 && !vec.isNullAt(i)) c(s) += 1
+                if (s >= 0 && (sm == null || sm(i)) && !vec.isNullAt(i)) c(s) += 1
                 i += 1
               }
             // avg ALWAYS accumulates in Double — Spark's Average sums
@@ -704,7 +743,7 @@ object DictAgg {
               var i = start
               while (i < end) {
                 val s = slotsBuf(i)
-                if (s >= 0 && !vec.isNullAt(i)) {
+                if (s >= 0 && (sm == null || sm(i)) && !vec.isNullAt(i)) {
                   d(s) += (if (spec.typ == TInt) vec.getInt(i).toDouble
                            else vec.getLong(i).toDouble)
                   c(s) += 1
@@ -716,7 +755,7 @@ object DictAgg {
                 var i = start
                 while (i < end) {
                   val s = slotsBuf(i)
-                  if (s >= 0 && !vec.isNullAt(i)) {
+                  if (s >= 0 && (sm == null || sm(i)) && !vec.isNullAt(i)) {
                     val x = vec.getInt(i).toLong
                     l(s) = if (spec.ansi) Math.addExact(l(s), x) else l(s) + x
                     c(s) += 1
@@ -727,7 +766,7 @@ object DictAgg {
                 var i = start
                 while (i < end) {
                   val s = slotsBuf(i)
-                  if (s >= 0 && !vec.isNullAt(i)) {
+                  if (s >= 0 && (sm == null || sm(i)) && !vec.isNullAt(i)) {
                     val x = vec.getLong(i)
                     l(s) = if (spec.ansi) Math.addExact(l(s), x) else l(s) + x
                     c(s) += 1
@@ -738,14 +777,14 @@ object DictAgg {
                 var i = start
                 while (i < end) {
                   val s = slotsBuf(i)
-                  if (s >= 0 && !vec.isNullAt(i)) { d(s) += vec.getFloat(i); c(s) += 1 }
+                  if (s >= 0 && (sm == null || sm(i)) && !vec.isNullAt(i)) { d(s) += vec.getFloat(i); c(s) += 1 }
                   i += 1
                 }
               case TDouble =>
                 var i = start
                 while (i < end) {
                   val s = slotsBuf(i)
-                  if (s >= 0 && !vec.isNullAt(i)) { d(s) += vec.getDouble(i); c(s) += 1 }
+                  if (s >= 0 && (sm == null || sm(i)) && !vec.isNullAt(i)) { d(s) += vec.getDouble(i); c(s) += 1 }
                   i += 1
                 }
             }
@@ -756,7 +795,7 @@ object DictAgg {
               var i = start
               while (i < end) {
                 val sl = slotsBuf(i)
-                if (sl >= 0 && !vec.isNullAt(i)) {
+                if (sl >= 0 && (sm == null || sm(i)) && !vec.isNullAt(i)) {
                   var bm = bmArr(sl)
                   if (bm == null) {
                     bm = new org.roaringbitmap.longlong.Roaring64Bitmap()
@@ -773,7 +812,7 @@ object DictAgg {
                 var i = start
                 while (i < end) {
                   val s = slotsBuf(i)
-                  if (s >= 0 && !vec.isNullAt(i)) {
+                  if (s >= 0 && (sm == null || sm(i)) && !vec.isNullAt(i)) {
                     val x = if (spec.typ == TInt) vec.getInt(i).toLong else vec.getLong(i)
                     if (c(s) == 0L || (if (isMin) x < l(s) else x > l(s))) l(s) = x
                     c(s) += 1
@@ -785,7 +824,7 @@ object DictAgg {
                 var i = start
                 while (i < end) {
                   val s = slotsBuf(i)
-                  if (s >= 0 && !vec.isNullAt(i)) {
+                  if (s >= 0 && (sm == null || sm(i)) && !vec.isNullAt(i)) {
                     val x = if (spec.typ == TFloat) vec.getFloat(i).toDouble else vec.getDouble(i)
                     val cmp = java.lang.Double.compare(x, d(s))
                     if (c(s) == 0L || (if (isMin) cmp < 0 else cmp > 0)) d(s) = x
@@ -1257,15 +1296,37 @@ case class DictAggRewrite(spark: SparkSession) extends Rule[LogicalPlan]
       .equalsIgnoreCase("true")
 
     // classify each aggregate → (input column name or None for count(*),
-    // op, value type tag)
+    // op, value type tag, compiled per-spec condition)
     final case class AggPlan(ae: AggregateExpression, op: Int,
-        colName: Option[String], typ: Int)
+        colName: Option[String], typ: Int,
+        condPreds: Seq[(String, Int => Pred)] = Nil)
     def colOf(e: Expression): Option[String] = e match {
       case a: AttributeReference => ScanRelations.resolve(child, a)
       case _ => None
     }
+    // r17b: conditional aggregates — `agg(If(cond, x, NULL))` (the -If
+    // combinators' shape; NULL-skip makes the If a per-row gate) and
+    // the SQL FILTER (WHERE …) clause both compile into a per-SPEC
+    // predicate mask. Any conjunct outside the language stands the
+    // whole rewrite down (native handles it).
+    def unwrapIf(e: Expression): (Seq[Expression], Expression) = e match {
+      case org.apache.spark.sql.catalyst.expressions.If(c, t, Literal(null, _)) =>
+        (splitConjunctivePredicates(c), t)
+      // the DataFrame `when(cond, x)` / SQL single-branch CASE spelling
+      case org.apache.spark.sql.catalyst.expressions.CaseWhen(Seq((c, t)), None) =>
+        (splitConjunctivePredicates(c), t)
+      case org.apache.spark.sql.catalyst.expressions.CaseWhen(
+          Seq((c, t)), Some(Literal(null, _))) =>
+        (splitConjunctivePredicates(c), t)
+      case other => (Nil, other)
+    }
+    // a function VALUE: `return None` inside must leave tryRewrite
+    // (a nested def would capture the return locally)
+    val compile: Seq[Expression] => Seq[(String, Int => Pred)] =
+      conds0 => conds0.map(c => classifyPred(child, c).getOrElse(return None))
     val plans: Seq[AggPlan] = aeList.map { ae =>
-      if (ae.filter.isDefined) return None
+      val filterConds: Seq[Expression] =
+        ae.filter.map(splitConjunctivePredicates).getOrElse(Nil)
       if (ae.isDistinct) ae.aggregateFunction match {
         // grouped count(DISTINCT intCol): per-slot Roaring64 bitmap,
         // OR-merged at the final stage (driver or shuffle)
@@ -1273,30 +1334,49 @@ case class DictAggRewrite(spark: SparkSession) extends Rule[LogicalPlan]
             if a.dataType == IntegerType || a.dataType == LongType =>
           val n = colOf(a).getOrElse(return None)
           AggPlan(ae, OpUniq, Some(n),
-            if (a.dataType == LongType) TLong else TInt)
+            if (a.dataType == LongType) TLong else TInt,
+            compile(filterConds))
         case _ => return None
       }
       else ae.aggregateFunction match {
         case Count(cs) if cs.forall { case l: Literal => l.value != null; case _ => false } =>
-          AggPlan(ae, OpCountStar, None, TLong)
+          AggPlan(ae, OpCountStar, None, TLong, compile(filterConds))
         case Count(Seq(e)) =>
-          val n = colOf(e).getOrElse(return None)
-          // count(col) only needs null-ness: the kernel reads validity,
-          // never the value, so any vectorized-scannable type works
-          // (scan.supportsColumnar below gates the rest)
-          AggPlan(ae, OpCountCol, Some(n), TLong)
+          val (ifConds, v) = unwrapIf(e)
+          v match {
+            // countIf spelling: count(If(cond, lit, NULL)) counts the
+            // cond-true rows
+            case l: Literal if l.value != null && ifConds.nonEmpty =>
+              AggPlan(ae, OpCountStar, None, TLong,
+                compile(filterConds ++ ifConds))
+            case _ =>
+              val n = colOf(v).getOrElse(return None)
+              // count(col) only needs null-ness: the kernel reads
+              // validity, never the value, so any vectorized-scannable
+              // type works (scan.supportsColumnar below gates the rest)
+              AggPlan(ae, OpCountCol, Some(n), TLong,
+                compile(filterConds ++ ifConds))
+          }
         case s: Sum =>
-          val n = colOf(s.child).getOrElse(return None)
-          AggPlan(ae, OpSum, Some(n), typeTag(s.child.dataType).getOrElse(return None))
+          val (ifConds, v) = unwrapIf(s.child)
+          val n = colOf(v).getOrElse(return None)
+          AggPlan(ae, OpSum, Some(n), typeTag(v.dataType).getOrElse(return None),
+            compile(filterConds ++ ifConds))
         case m: Min =>
-          val n = colOf(m.child).getOrElse(return None)
-          AggPlan(ae, OpMin, Some(n), typeTag(m.child.dataType).getOrElse(return None))
+          val (ifConds, v) = unwrapIf(m.child)
+          val n = colOf(v).getOrElse(return None)
+          AggPlan(ae, OpMin, Some(n), typeTag(v.dataType).getOrElse(return None),
+            compile(filterConds ++ ifConds))
         case m: Max =>
-          val n = colOf(m.child).getOrElse(return None)
-          AggPlan(ae, OpMax, Some(n), typeTag(m.child.dataType).getOrElse(return None))
+          val (ifConds, v) = unwrapIf(m.child)
+          val n = colOf(v).getOrElse(return None)
+          AggPlan(ae, OpMax, Some(n), typeTag(v.dataType).getOrElse(return None),
+            compile(filterConds ++ ifConds))
         case a: Average =>
-          val n = colOf(a.child).getOrElse(return None)
-          AggPlan(ae, OpAvg, Some(n), typeTag(a.child.dataType).getOrElse(return None))
+          val (ifConds, v) = unwrapIf(a.child)
+          val n = colOf(v).getOrElse(return None)
+          AggPlan(ae, OpAvg, Some(n), typeTag(v.dataType).getOrElse(return None),
+            compile(filterConds ++ ifConds))
         case _ => return None
       }
     }
@@ -1315,7 +1395,8 @@ case class DictAggRewrite(spark: SparkSession) extends Rule[LogicalPlan]
 
     // ---- build the columnar scan over exactly the needed columns ----
     val neededNames =
-      (keyNames ++ plans.flatMap(_.colName) ++ predsRaw.map(_._1)).distinct
+      (keyNames ++ plans.flatMap(_.colName) ++ predsRaw.map(_._1) ++
+        plans.flatMap(_.condPreds.map(_._1))).distinct
     val mkFilter: Option[Map[String, Attribute] => Expression] =
       if (conds.isEmpty) None
       else Some(byName => conds.map(_.transform {
@@ -1337,6 +1418,14 @@ case class DictAggRewrite(spark: SparkSession) extends Rule[LogicalPlan]
       if (vecIdx < 0) return None
       mk(vecIdx)
     }.toArray
+    val specPreds: Array[Array[Pred]] = plans.map { p =>
+      if (p.condPreds.isEmpty) null
+      else p.condPreds.map { case (n, mk) =>
+        val vecIdx = scanOut.indexWhere(_.name == n)
+        if (vecIdx < 0) return None
+        mk(vecIdx)
+      }.toArray
+    }.toArray
 
     val maxGroups = spark.conf.getOption(MaxGroupsKey)
       .flatMap(v => scala.util.Try(v.toInt).toOption).getOrElse(1 << 20)
@@ -1355,7 +1444,7 @@ case class DictAggRewrite(spark: SparkSession) extends Rule[LogicalPlan]
       DriverMerge.maxTotalRows(spark) / parts).toInt
     if (DriverMerge.enabled(spark) && dmCap >= 16) {
       buildDriverMerge(agg, gs, aggExprs, aes, aeList, specs, keyIdxs,
-        keyKinds, preds, batchRdd, dmCap).foreach { p =>
+        keyKinds, preds, specPreds, batchRdd, dmCap).foreach { p =>
         engagements.incrementAndGet()
         DriverMerge.engagements.incrementAndGet()
         logInfo(s"dictAgg: single-stage driver-merge GROUP BY " +
@@ -1372,7 +1461,7 @@ case class DictAggRewrite(spark: SparkSession) extends Rule[LogicalPlan]
     if (preds.nonEmpty || keyKinds.exists(_ != KStr)) return None
     val rowRdd: RDD[Row] =
       batchRdd.mapPartitions(it =>
-        DictAgg.partial(it, keyIdxs, keyKinds, specs, Array.empty,
+        DictAgg.partial(it, keyIdxs, keyKinds, specs, Array.empty, specPreds,
           maxGroups, failFast = false))
 
     // ---- partial schema: binary key + per-spec mergeable state ----
@@ -1449,11 +1538,13 @@ case class DictAggRewrite(spark: SparkSession) extends Rule[LogicalPlan]
       keyIdxs: Array[Int],
       keyKinds: Array[Int],
       preds: Array[Pred],
+      specPreds: Array[Array[Pred]],
       batchRdd: RDD[ColumnarBatch],
       dmCap: Int): Option[LogicalPlan] = {
     val nKeys = gs.size
     val rowRdd: RDD[Row] = batchRdd.mapPartitions(it =>
-      DictAgg.partial(it, keyIdxs, keyKinds, specs, preds, dmCap, failFast = true))
+      DictAgg.partial(it, keyIdxs, keyKinds, specs, preds, specPreds,
+        dmCap, failFast = true))
     val aeIdx = RewriteOutputs.aeIndex(aes, aeList) _
 
     // DIRECT mode: every output is a bare finalized column → the leaf

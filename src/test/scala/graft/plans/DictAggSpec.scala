@@ -337,6 +337,42 @@ class DictAggSpec extends AnyFunSuite {
     assert(withDisabled(collectSorted(g())).isEmpty)
   }
 
+  test("conditional aggregates ride per-spec masks: sumIf/countIf/FILTER (r17b)") {
+    graft.dialect.ChFunctions.register(spark)
+    spark.read.parquet(table).createOrReplaceTempView("dictagg_cond")
+    def matches(sql: String): Unit = {
+      def q() = graft.dialect.ChSql.sql(spark, sql)
+      val before = DictAgg.engagements.get()
+      val fast = collectSorted(q())
+      assert(DictAgg.engagements.get() > before, s"did not engage: $sql")
+      assert(fast == withDisabled(collectSorted(q())), sql)
+    }
+    // the CH -If spellings (agg(If(cond, x, NULL)) underneath)
+    matches("SELECT k, sumIf(l, i > 50) AS s_hi, countIf(i > 50) AS c_hi, " +
+      "round(avgIf(d, i < 30), 6) AS a_lo, minIf(i, l > 300) AS mn, " +
+      "maxIf(l, k != 'k3') AS mx, count() AS c " +
+      "FROM dictagg_cond GROUP BY k")
+    // SQL FILTER (WHERE …) clauses, including on count(DISTINCT)
+    matches("SELECT k, sum(l) FILTER (WHERE i > 50) AS s_hi, " +
+      "count(DISTINCT i) FILTER (WHERE l > 300) AS u_hi, " +
+      "count(*) FILTER (WHERE s >= 'v5') AS c_s " +
+      "FROM dictagg_cond GROUP BY k")
+    // the DataFrame when(cond, x) spelling (single-branch CaseWhen)
+    val df = spark.read.parquet(table)
+    def wq() = df.groupBy("k").agg(
+      sum(when(col("i") > 50, col("l"))).as("s_hi"),
+      count(lit(1)).as("c"))
+    val b2 = DictAgg.engagements.get()
+    val wFast = collectSorted(wq())
+    assert(DictAgg.engagements.get() > b2, "when() spelling did not engage")
+    assert(wFast == withDisabled(collectSorted(wq())))
+    // a condition OUTSIDE the predicate language stands the rewrite down
+    val b3 = DictAgg.engagements.get()
+    graft.dialect.ChSql.sql(spark,
+      "SELECT k, sumIf(l, i > l) AS s FROM dictagg_cond GROUP BY k").collect()
+    assert(DictAgg.engagements.get() == b3)
+  }
+
   test("kill switch disables the rewrite") {
     withDisabled {
       val before = DictAgg.engagements.get()
