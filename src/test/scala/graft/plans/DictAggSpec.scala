@@ -371,6 +371,18 @@ class DictAggSpec extends AnyFunSuite {
     graft.dialect.ChSql.sql(spark,
       "SELECT k, sumIf(l, i > l) AS s FROM dictagg_cond GROUP BY k").collect()
     assert(DictAgg.engagements.get() == b3)
+    // the TWO-STAGE shape (driver merge off) applies the same per-spec
+    // masks in its partial kernel
+    spark.conf.set(DriverMerge.EnabledKey, "false")
+    try {
+      val sql = "SELECT k, sumIf(l, i > 50) AS s_hi, countIf(i > 50) AS c_hi, " +
+        "count() AS c FROM dictagg_cond GROUP BY k"
+      def q() = graft.dialect.ChSql.sql(spark, sql)
+      val b4 = DictAgg.engagements.get()
+      val twoStage = collectSorted(q())
+      assert(DictAgg.engagements.get() > b4, "two-stage did not engage")
+      assert(twoStage == withDisabled(collectSorted(q())))
+    } finally spark.conf.unset(DriverMerge.EnabledKey)
   }
 
   test("kill switch disables the rewrite") {
