@@ -242,9 +242,12 @@ object DictAgg {
       }
     }
 
-    /** Fill `m(0 until n)` with the conjunction over the batch. */
-    def evalInto(vecs: Array[ColumnVector], n: Int, m: Array[Boolean]): Unit = {
-      java.util.Arrays.fill(m, 0, n, true)
+    /** Fill `m(0 until n)` with the conjunction over the batch,
+      * starting from `seed` (null = all-true). */
+    def evalInto(vecs: Array[ColumnVector], n: Int, m: Array[Boolean],
+        seed: Array[Boolean]): Unit = {
+      if (seed == null) java.util.Arrays.fill(m, 0, n, true)
+      else System.arraycopy(seed, 0, m, 0, n)
       var pi = 0
       while (pi < ps.length) {
         val p = ps(pi)
@@ -364,23 +367,28 @@ object DictAgg {
     * group map hits `maxGroups` (the map resets and the scan
     * continues; repeated groups across flushes merge downstream).
     * With `failFast` (driver-merge plans) the overflow instead throws
-    * [[DriverMerge.OverflowMarker]]. ZERO to two string keys: empty
-    * `keyIdxs` is the GLOBAL-aggregate spelling (one slot,
-    * load-bearing for the mixed distinct+plain shape); a single key
-    * rides the per-batch code→slot array; a key PAIR rides a per-batch
-    * packed-long (code0,code1) cache when both columns are
-    * dictionary-coded, the byte-composite map otherwise. */
+    * [[DriverMerge.OverflowMarker]]. ZERO to FOUR keys of string /
+    * int(+date) / long(+timestamp) kinds (r17): empty `keyIdxs` is the
+    * GLOBAL-aggregate spelling (one slot, load-bearing for the mixed
+    * distinct+plain shape); a single string key rides the per-batch
+    * code→slot array and a single NUMERIC key the raw-value slot map;
+    * a dict-coded string PAIR rides a per-batch packed-long
+    * (code0,code1) cache; everything else goes through the
+    * byte-composite map. */
   def partial(
       batches: Iterator[ColumnarBatch],
       keyIdxs: Array[Int],
       keyKinds: Array[Int],
       specs: Array[Spec],
       preds: Array[Pred],
-      /** Per-spec condition masks (null = unconditional) — the
-        * `sumIf`/`FILTER (WHERE …)` compilation (r17b): the spec's
-        * accumulation only sees rows its own mask passes, exactly the
-        * NULL-skip semantics of `agg(If(cond, x, NULL))`. */
-      specPreds: Array[Array[Pred]],
+      /** DISTINCT per-spec condition groups (the `sumIf`/`FILTER
+        * (WHERE …)` compilation, r17b) + each spec's group index (-1 =
+        * unconditional): a spec's accumulation only sees rows its
+        * group's mask passes — the NULL-skip semantics of
+        * `agg(If(cond, x, NULL))` — and specs sharing a condition
+        * share ONE evaluation per batch. */
+      specPredGroups: Array[Array[Pred]],
+      specGroupIdx: Array[Int],
       maxGroups: Int,
       failFast: Boolean): Iterator[Row] = {
 
@@ -392,11 +400,12 @@ object DictAgg {
     val singleNumKey = nKeys == 1 && keyKinds(0) != KStr
     val valueSlots = if (singleNumKey) new DictAgg.LongSlotMap(256) else null
     val globalPreds = if (preds.isEmpty) null else new CompiledPreds(preds)
-    val compiledSpecPreds: Array[CompiledPreds] =
-      if (specPreds == null) new Array[CompiledPreds](nSpecs)
-      else specPreds.map(ps => if (ps == null || ps.isEmpty) null else new CompiledPreds(ps))
+    val nGroupsM = if (specPredGroups == null) 0 else specPredGroups.length
+    val compiledGroupPreds: Array[CompiledPreds] =
+      if (specPredGroups == null) Array.empty
+      else specPredGroups.map(ps => new CompiledPreds(ps))
     // mask buffers, grown with the batch size, reused across batches
-    val specMasks = new Array[Array[Boolean]](nSpecs)
+    val groupMasks = new Array[Array[Boolean]](nGroupsM)
     var gMask: Array[Boolean] = null
 
     // group state: per-slot per-key bytes (null = NULL key part) +
@@ -580,16 +589,16 @@ object DictAgg {
         else {
           if (gMask == null || gMask.length < n)
             gMask = new Array[Boolean](math.max(n, 16384))
-          globalPreds.evalInto(vecs, n, gMask)
+          globalPreds.evalInto(vecs, n, gMask, null)
           gMask
         }
       var jm = 0
-      while (jm < nSpecs) {
-        if (compiledSpecPreds(jm) != null) {
-          if (specMasks(jm) == null || specMasks(jm).length < n)
-            specMasks(jm) = new Array[Boolean](math.max(n, 16384))
-          compiledSpecPreds(jm).evalInto(vecs, n, specMasks(jm))
-        }
+      while (jm < nGroupsM) {
+        if (groupMasks(jm) == null || groupMasks(jm).length < n)
+          groupMasks(jm) = new Array[Boolean](math.max(n, 16384))
+        // seed with the global mask: rows the WHERE already dropped
+        // never pay the spec conjunction
+        compiledGroupPreds(jm).evalInto(vecs, n, groupMasks(jm), mask)
         jm += 1
       }
 
@@ -718,7 +727,9 @@ object DictAgg {
           val l = accL(j); val d = accD(j); val c = accC(j)
           val vec = if (spec.vecIdx >= 0) vecs(spec.vecIdx) else null
           // this spec's own condition mask (sumIf/FILTER), or null
-          val sm = if (compiledSpecPreds(j) == null) null else specMasks(j)
+          val sm =
+            if (specGroupIdx == null || specGroupIdx(j) < 0) null
+            else groupMasks(specGroupIdx(j))
           spec.op match {
             case OpCountStar =>
               var i = start
@@ -1299,7 +1310,7 @@ case class DictAggRewrite(spark: SparkSession) extends Rule[LogicalPlan]
     // op, value type tag, compiled per-spec condition)
     final case class AggPlan(ae: AggregateExpression, op: Int,
         colName: Option[String], typ: Int,
-        condPreds: Seq[(String, Int => Pred)] = Nil)
+        conds: Seq[Expression] = Nil)
     def colOf(e: Expression): Option[String] = e match {
       case a: AttributeReference => ScanRelations.resolve(child, a)
       case _ => None
@@ -1320,10 +1331,6 @@ case class DictAggRewrite(spark: SparkSession) extends Rule[LogicalPlan]
         (splitConjunctivePredicates(c), t)
       case other => (Nil, other)
     }
-    // a function VALUE: `return None` inside must leave tryRewrite
-    // (a nested def would capture the return locally)
-    val compile: Seq[Expression] => Seq[(String, Int => Pred)] =
-      conds0 => conds0.map(c => classifyPred(child, c).getOrElse(return None))
     val plans: Seq[AggPlan] = aeList.map { ae =>
       val filterConds: Seq[Expression] =
         ae.filter.map(splitConjunctivePredicates).getOrElse(Nil)
@@ -1334,52 +1341,65 @@ case class DictAggRewrite(spark: SparkSession) extends Rule[LogicalPlan]
             if a.dataType == IntegerType || a.dataType == LongType =>
           val n = colOf(a).getOrElse(return None)
           AggPlan(ae, OpUniq, Some(n),
-            if (a.dataType == LongType) TLong else TInt,
-            compile(filterConds))
+            if (a.dataType == LongType) TLong else TInt, filterConds)
         case _ => return None
       }
       else ae.aggregateFunction match {
         case Count(cs) if cs.forall { case l: Literal => l.value != null; case _ => false } =>
-          AggPlan(ae, OpCountStar, None, TLong, compile(filterConds))
+          AggPlan(ae, OpCountStar, None, TLong, filterConds)
         case Count(Seq(e)) =>
           val (ifConds, v) = unwrapIf(e)
           v match {
             // countIf spelling: count(If(cond, lit, NULL)) counts the
             // cond-true rows
             case l: Literal if l.value != null && ifConds.nonEmpty =>
-              AggPlan(ae, OpCountStar, None, TLong,
-                compile(filterConds ++ ifConds))
+              AggPlan(ae, OpCountStar, None, TLong, filterConds ++ ifConds)
             case _ =>
               val n = colOf(v).getOrElse(return None)
               // count(col) only needs null-ness: the kernel reads
               // validity, never the value, so any vectorized-scannable
               // type works (scan.supportsColumnar below gates the rest)
-              AggPlan(ae, OpCountCol, Some(n), TLong,
-                compile(filterConds ++ ifConds))
+              AggPlan(ae, OpCountCol, Some(n), TLong, filterConds ++ ifConds)
           }
         case s: Sum =>
           val (ifConds, v) = unwrapIf(s.child)
           val n = colOf(v).getOrElse(return None)
           AggPlan(ae, OpSum, Some(n), typeTag(v.dataType).getOrElse(return None),
-            compile(filterConds ++ ifConds))
+            filterConds ++ ifConds)
         case m: Min =>
           val (ifConds, v) = unwrapIf(m.child)
           val n = colOf(v).getOrElse(return None)
           AggPlan(ae, OpMin, Some(n), typeTag(v.dataType).getOrElse(return None),
-            compile(filterConds ++ ifConds))
+            filterConds ++ ifConds)
         case m: Max =>
           val (ifConds, v) = unwrapIf(m.child)
           val n = colOf(v).getOrElse(return None)
           AggPlan(ae, OpMax, Some(n), typeTag(v.dataType).getOrElse(return None),
-            compile(filterConds ++ ifConds))
+            filterConds ++ ifConds)
         case a: Average =>
           val (ifConds, v) = unwrapIf(a.child)
           val n = colOf(v).getOrElse(return None)
           AggPlan(ae, OpAvg, Some(n), typeTag(v.dataType).getOrElse(return None),
-            compile(filterConds ++ ifConds))
+            filterConds ++ ifConds)
         case _ => return None
       }
     }
+
+    // dedupe identical spec conditions (canonicalized): one compiled
+    // group, ONE per-batch evaluation shared by every spec that carries
+    // it — q231-style sumIf(x, c) + countIf(c) pay c once (review r17)
+    val groupConds = scala.collection.mutable.ArrayBuffer.empty[Seq[Expression]]
+    val groupKeyOf = scala.collection.mutable.HashMap.empty[String, Int]
+    val specGroupIdx: Array[Int] = plans.map { p =>
+      if (p.conds.isEmpty) -1
+      else {
+        val key = p.conds.map(_.canonicalized.toString).sorted.mkString(" && ")
+        groupKeyOf.getOrElseUpdate(key,
+          { groupConds += p.conds; groupConds.size - 1 })
+      }
+    }.toArray
+    val groupPredsRaw: Seq[Seq[(String, Int => Pred)]] =
+      groupConds.toSeq.map(_.map(c => classifyPred(child, c).getOrElse(return None)))
 
     if (gs.isEmpty) {
       val hasUniq = plans.exists(_.op == OpUniq)
@@ -1396,7 +1416,7 @@ case class DictAggRewrite(spark: SparkSession) extends Rule[LogicalPlan]
     // ---- build the columnar scan over exactly the needed columns ----
     val neededNames =
       (keyNames ++ plans.flatMap(_.colName) ++ predsRaw.map(_._1) ++
-        plans.flatMap(_.condPreds.map(_._1))).distinct
+        groupPredsRaw.flatten.map(_._1)).distinct
     val mkFilter: Option[Map[String, Attribute] => Expression] =
       if (conds.isEmpty) None
       else Some(byName => conds.map(_.transform {
@@ -1418,9 +1438,8 @@ case class DictAggRewrite(spark: SparkSession) extends Rule[LogicalPlan]
       if (vecIdx < 0) return None
       mk(vecIdx)
     }.toArray
-    val specPreds: Array[Array[Pred]] = plans.map { p =>
-      if (p.condPreds.isEmpty) null
-      else p.condPreds.map { case (n, mk) =>
+    val specPredGroups: Array[Array[Pred]] = groupPredsRaw.map { g =>
+      g.map { case (n, mk) =>
         val vecIdx = scanOut.indexWhere(_.name == n)
         if (vecIdx < 0) return None
         mk(vecIdx)
@@ -1444,7 +1463,7 @@ case class DictAggRewrite(spark: SparkSession) extends Rule[LogicalPlan]
       DriverMerge.maxTotalRows(spark) / parts).toInt
     if (DriverMerge.enabled(spark) && dmCap >= 16) {
       buildDriverMerge(agg, gs, aggExprs, aes, aeList, specs, keyIdxs,
-        keyKinds, preds, specPreds, batchRdd, dmCap).foreach { p =>
+        keyKinds, preds, specPredGroups, specGroupIdx, batchRdd, dmCap).foreach { p =>
         engagements.incrementAndGet()
         DriverMerge.engagements.incrementAndGet()
         logInfo(s"dictAgg: single-stage driver-merge GROUP BY " +
@@ -1461,8 +1480,8 @@ case class DictAggRewrite(spark: SparkSession) extends Rule[LogicalPlan]
     if (preds.nonEmpty || keyKinds.exists(_ != KStr)) return None
     val rowRdd: RDD[Row] =
       batchRdd.mapPartitions(it =>
-        DictAgg.partial(it, keyIdxs, keyKinds, specs, Array.empty, specPreds,
-          maxGroups, failFast = false))
+        DictAgg.partial(it, keyIdxs, keyKinds, specs, Array.empty,
+          specPredGroups, specGroupIdx, maxGroups, failFast = false))
 
     // ---- partial schema: binary key + per-spec mergeable state ----
     def partialFields(p: AggPlan, i: Int): Seq[StructField] = p.op match {
@@ -1538,13 +1557,14 @@ case class DictAggRewrite(spark: SparkSession) extends Rule[LogicalPlan]
       keyIdxs: Array[Int],
       keyKinds: Array[Int],
       preds: Array[Pred],
-      specPreds: Array[Array[Pred]],
+      specPredGroups: Array[Array[Pred]],
+      specGroupIdx: Array[Int],
       batchRdd: RDD[ColumnarBatch],
       dmCap: Int): Option[LogicalPlan] = {
     val nKeys = gs.size
     val rowRdd: RDD[Row] = batchRdd.mapPartitions(it =>
-      DictAgg.partial(it, keyIdxs, keyKinds, specs, preds, specPreds,
-        dmCap, failFast = true))
+      DictAgg.partial(it, keyIdxs, keyKinds, specs, preds, specPredGroups,
+        specGroupIdx, dmCap, failFast = true))
     val aeIdx = RewriteOutputs.aeIndex(aes, aeList) _
 
     // DIRECT mode: every output is a bare finalized column → the leaf

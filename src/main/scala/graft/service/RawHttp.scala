@@ -135,6 +135,12 @@ final class RawHttpServer(host: String, port: Int) {
   private def serve(sock: Socket): Unit = {
     try {
       sock.setTcpNoDelay(true)
+      // idle keep-alive connections must expire, or MaxConnections idle
+      // clients lock the door with 503s forever (the JDK transport's
+      // idleInterval posture; review r17). SO_TIMEOUT only gates READS:
+      // the timer runs between requests and while a body trickles in,
+      // never during query execution or response writes.
+      sock.setSoTimeout(120000)
       val in = new BufferedInputStream(sock.getInputStream, 16 * 1024)
       val out = new BufferedOutputStream(sock.getOutputStream, 16 * 1024)
       var keep = true
@@ -145,6 +151,8 @@ final class RawHttpServer(host: String, port: Int) {
             case None => keep = false; null
           } catch {
             case _: EOFException => keep = false; null
+            case _: java.net.SocketTimeoutException =>
+              keep = false; null // idle keep-alive expiry: close silently
             case _: Exception =>
               // malformed request line / headers / URI: answer 400
               // (the JDK transport's behavior), then cut the connection
@@ -164,8 +172,8 @@ final class RawHttpServer(host: String, port: Int) {
                 try h.handle(ex)
                 catch {
                   case e: Exception =>
-                    // handler escaped without a response: 500 if possible
                     if (!ex.headersSent) {
+                      // handler escaped without a response: 500
                       try {
                         val msg = ("{\"error\":\"internal: " +
                           String.valueOf(e.getMessage).replace('"', '\'') +
@@ -174,6 +182,11 @@ final class RawHttpServer(host: String, port: Int) {
                         ex.sendResponseHeaders(500, msg.length.toLong)
                         ex.getResponseBody.write(msg)
                       } catch { case _: Exception => () }
+                    } else {
+                      // handler bailed MID-RESPONSE: the body is
+                      // truncated — sever, never clean-terminate
+                      // (the abort discipline; review r17)
+                      ex.markBroken()
                     }
                 }
               case None =>
@@ -283,7 +296,8 @@ private[service] object RawHttp {
           java.net.URLDecoder.decode(v, "UTF-8")))
         catch { case _: Exception => None }
       }
-      .collectFirst { case (k, v) if k == name => v }
+      .collect { case (k, v) if k == name => v }
+      .lastOption // duplicate keys: LAST wins, as QueryServer.queryParams' toMap does
 
   // ---- request body framings ----
 
@@ -574,7 +588,9 @@ private[service] final class RawExchange(
         case f: RawHttp.FixedOut =>
           f.flush()
           if (f.remaining > 0) { broken = true; return false }
-        case _: RawHttp.CloseDelimitedOut => return false // body ends at close
+        case cd: RawHttp.CloseDelimitedOut =>
+          cd.flush() // buffered tail must reach the socket before close
+          return false // body ends at close
         case _ => ()
       }
       // drain any unread request body so the next request parses
