@@ -1243,10 +1243,15 @@ class QueryServer(
   private def formatContentType(fmtKey: Option[String]): String = fmtKey match {
     case None | Some("json") => "application/json"
     case Some("jsoneachrow") | Some("ndjson") |
-         Some("jsoneachrowwithprogress") => "application/x-ndjson"
-    case Some("csv") | Some("csvwithnames") => "text/csv"
+         Some("jsoneachrowwithprogress") |
+         Some("jsoncompacteachrow") => "application/x-ndjson"
+    case Some("jsoncompact") => "application/json"
+    case Some("csv") | Some("csvwithnames") |
+         Some("csvwithnamesandtypes") => "text/csv"
     case Some("tsv") | Some("tabseparated") |
-         Some("tsvwithnames") | Some("tabseparatedwithnames") =>
+         Some("tsvwithnames") | Some("tabseparatedwithnames") |
+         Some("tsvwithnamesandtypes") |
+         Some("tabseparatedwithnamesandtypes") =>
       "text/tab-separated-values"
     case Some("pretty") | Some("prettycompact") | Some("values") |
          Some("vertical") | Some("null") => "text/plain"
@@ -1371,12 +1376,18 @@ class QueryServer(
       rows: Iterator[Seq[Any]], w: java.io.Writer): Long = fmtKey match {
     case None | Some("json") => envelopeStream(meta, rows, w)
     case Some("jsoneachrow") | Some("ndjson") => ndjsonStream(meta.cols, rows, w)
+    case Some("jsoncompact") => jsonCompactStream(meta, rows, w)
+    case Some("jsoncompacteachrow") => jsonCompactEachRowStream(rows, w)
     case Some("csv") => sepStream(meta.cols, rows, header = false, Csv, w)
     case Some("csvwithnames") => sepStream(meta.cols, rows, header = true, Csv, w)
+    case Some("csvwithnamesandtypes") =>
+      sepStream(meta.cols, rows, header = true, Csv, w, Some(chTypeNames(meta)))
     case Some("tsv") | Some("tabseparated") =>
       sepStream(meta.cols, rows, header = false, Tsv, w)
     case Some("tsvwithnames") | Some("tabseparatedwithnames") =>
       sepStream(meta.cols, rows, header = true, Tsv, w)
+    case Some("tsvwithnamesandtypes") | Some("tabseparatedwithnamesandtypes") =>
+      sepStream(meta.cols, rows, header = true, Tsv, w, Some(chTypeNames(meta)))
     case Some("pretty") | Some("prettycompact") => prettyStream(meta.cols, rows, w)
     case Some("values") => valuesStream(rows, w)
     case Some("vertical") => verticalStream(meta.cols, rows, w)
@@ -1495,8 +1506,54 @@ class QueryServer(
   /** CH text conventions: CSV quotes strings (doubling inner quotes),
     * leaves numbers bare, renders NULL as empty; TSV escapes
     * tab/newline/backslash and renders NULL as `\N`. */
+  /** The result columns' ClickHouse type spellings (the *AndTypes
+    * formats and JSONCompact's meta declare them — a type-declaring
+    * format without a schema refuses loudly, like Native). */
+  private def chTypeNames(meta: QueryService.QueryResult): Seq[String] = {
+    import graft.service.native.NativeBlock
+    val schema = meta.schema.getOrElse(throw new IllegalStateException(
+      "type-declaring format: the result schema is unavailable on this path"))
+    schema.fields.toSeq.map(f =>
+      NativeBlock.renderType(NativeBlock.chTypeFor(f.dataType, f.nullable)))
+  }
+
+  /** CH `JSONCompact` — the play-UI envelope: meta (name + CH type),
+    * data rows as ARRAYS, row count. */
+  private def jsonCompactStream(meta: QueryService.QueryResult,
+      rows: Iterator[Seq[Any]], w: java.io.Writer): Long = {
+    val types = chTypeNames(meta)
+    val metaJson = meta.cols.zip(types).map { case (c, t) =>
+      "{\"name\":" + jsonStr(c) + ",\"type\":" + jsonStr(t) + "}"
+    }.mkString("[", ",", "]")
+    w.write("{\"meta\":")
+    w.write(metaJson)
+    w.write(",\"data\":[")
+    var n = 0L
+    rows.foreach { row =>
+      if (n > 0) w.write(",")
+      w.write("\n")
+      w.write(row.map(jsonVal).mkString("[", ",", "]"))
+      n += 1
+    }
+    w.write("\n],\"rows\":" + n + "}\n")
+    n
+  }
+
+  /** CH `JSONCompactEachRow`: one JSON ARRAY per line. */
+  private def jsonCompactEachRowStream(
+      rows: Iterator[Seq[Any]], w: java.io.Writer): Long = {
+    var n = 0L
+    rows.foreach { row =>
+      w.write(row.map(jsonVal).mkString("[", ",", "]"))
+      w.write("\n")
+      n += 1
+    }
+    n
+  }
+
   private def sepStream(cols: Seq[String], rows: Iterator[Seq[Any]],
-      header: Boolean, kind: SepKind, w: java.io.Writer): Long = {
+      header: Boolean, kind: SepKind, w: java.io.Writer,
+      types: Option[Seq[String]] = None): Long = {
     val sep = kind match { case Csv => ','; case Tsv => '\t' }
     def cell(v: Any): String = (kind, v) match {
       case (Csv, null) => ""
@@ -1518,6 +1575,9 @@ class QueryServer(
     }
     if (header) {
       w.write(cols.map(headerCell).mkString(sep.toString)); w.write("\n")
+    }
+    types.foreach { ts =>
+      w.write(ts.map(headerCell).mkString(sep.toString)); w.write("\n")
     }
     var n = 0L
     rows.foreach { row =>

@@ -7,8 +7,11 @@ package graft.service
 object ResponseFormats {
   val names: Seq[String] = Seq(
     "JSON", "JSONEachRow", "NDJSON", "JSONEachRowWithProgress",
-    "CSV", "CSVWithNames",
+    // r17: the play-UI envelope + its row-per-line sibling
+    "JSONCompact", "JSONCompactEachRow",
+    "CSV", "CSVWithNames", "CSVWithNamesAndTypes",
     "TSV", "TabSeparated", "TSVWithNames", "TabSeparatedWithNames",
+    "TSVWithNamesAndTypes", "TabSeparatedWithNamesAndTypes",
     "Pretty", "PrettyCompact", "Values", "Vertical", "Null",
     // binary extract formats (r15): Native streams the CH block
     // codec one BlockRows chunk at a time; Parquet spools one file;

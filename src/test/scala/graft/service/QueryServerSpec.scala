@@ -708,6 +708,26 @@ class QueryServerSpec extends AnyFunSuite {
     } finally sock.close()
   }
 
+  test("JSONCompact / JSONCompactEachRow / *WithNamesAndTypes formats (r17)") {
+    val q = java.net.URLEncoder.encode(
+      "SELECT number AS n, toString(number) AS s FROM numbers(2) ORDER BY n",
+      "UTF-8")
+    def body(fmt: String): String =
+      get(s"/?query=$q&default_format=$fmt").body()
+    // the play-UI envelope: meta carries CH type spellings, data rows
+    // are arrays (UInt64 surfaces as Int64 — the documented signed
+    // reinterpretation of this engine's Long carrier)
+    assert(body("JSONCompact") ==
+      "{\"meta\":[{\"name\":\"n\",\"type\":\"Int64\"},{\"name\":\"s\",\"type\":\"String\"}]," +
+        "\"data\":[\n[0,\"0\"],\n[1,\"1\"]\n],\"rows\":2}\n")
+    assert(body("JSONCompactEachRow") == "[0,\"0\"]\n[1,\"1\"]\n")
+    assert(body("TSVWithNamesAndTypes") == "n\ts\nInt64\tString\n0\t0\n1\t1\n")
+    assert(body("CSVWithNamesAndTypes") ==
+      "\"n\",\"s\"\n\"Int64\",\"String\"\n0,\"0\"\n1,\"1\"\n")
+    val r = get(s"/?query=$q&default_format=JSONCompact")
+    assert(r.headers().firstValue("Content-Type").orElse("") == "application/json")
+  }
+
   test("raw door: truncated POST body never executes as a prefix (r17)") {
     // declare 100 body bytes, deliver 18, close our sending side — the
     // JDK streams throw on this; the raw door must too (a prefix of a
