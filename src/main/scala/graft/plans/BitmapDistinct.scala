@@ -395,11 +395,17 @@ case class BitmapDistinctRewrite(spark: SparkSession) extends Rule[LogicalPlan] 
         if (cols.forall(_.isDefined)) Some(cols.map(_.get)) else None
       }
 
+      val sourceDesc = src match {
+        case ScanRelations.ParquetRel(lr) =>
+          "parquet " + lr.relation
+            .asInstanceOf[HadoopFsRelation].location.rootPaths.mkString(",")
+        case ScanRelations.MergeTreeRel(ep, _, _) => s"mergetree $ep"
+      }
       val rewritten: Option[LogicalPlan] = direct match {
         case Some(outCols) =>
           val merger = BitmapCardMerger(neededNames.size, dense, outCols.toArray)
           Some(DriverMergeAgg(
-            aggExprs.map(_.toAttribute), rowRdd, merger, Some(agg)))
+            aggExprs.map(_.toAttribute), rowRdd, merger, Some(agg), sourceDesc))
         case None =>
           // GENERAL mode: leaf = one cardinality per tracked column,
           // outputs re-expressed over it under a Project
@@ -411,7 +417,7 @@ case class BitmapDistinctRewrite(spark: SparkSession) extends Rule[LogicalPlan] 
           val merger = BitmapCardMerger(neededNames.size, dense,
             neededNames.indices.toArray)
           Some(Project(outputs,
-            DriverMergeAgg(leafAttrs, rowRdd, merger, Some(agg))))
+            DriverMergeAgg(leafAttrs, rowRdd, merger, Some(agg), sourceDesc)))
       }
       rewritten.foreach { p =>
         engagements.incrementAndGet()

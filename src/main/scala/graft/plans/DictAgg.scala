@@ -1257,13 +1257,20 @@ case class DictAggRewrite(spark: SparkSession) extends Rule[LogicalPlan]
     // the rewrite stands down entirely
     val (conds, scanChild) = decomposeFilters(child)
     val src = ScanRelations.relationOf(scanChild).getOrElse(return None)
-    // never re-rewrite an AggProjections COMPANION scan: the reroute
-    // already reduced the query to a scan of the (tiny) pre-aggregated
-    // table, the kernel could not improve on it, and replacing its
-    // FileScan with an RDD node would only obscure plan audits (the
-    // r16 suite caught exactly that: scansProjection assertions went
-    // false while answers stayed identical)
-    if (ScanRelations.isProjectionCompanion(spark, src)) return None
+    // an AggProjections COMPANION scan may ride the DRIVER-MERGE path
+    // only (r17: the reroute reduced the query to a tiny pre-aggregated
+    // scan; removing its final exchange is a real win and the leaf's
+    // sourceDesc keeps the companion path visible to plan audits). The
+    // TWO-STAGE shape must never take it — replacing its FileScan with
+    // an opaque RDD node obscured audits in r16.
+    val isCompanion = ScanRelations.isProjectionCompanion(spark, src)
+    val sourceDesc = src match {
+      case ScanRelations.ParquetRel(lr) =>
+        "parquet " + lr.relation
+          .asInstanceOf[org.apache.spark.sql.execution.datasources.HadoopFsRelation]
+          .location.rootPaths.mkString(",")
+      case ScanRelations.MergeTreeRel(ep, _, _) => s"mergetree $ep"
+    }
     val keyNames = gs.map(g =>
       ScanRelations.resolve(child, g).getOrElse(return None))
     val keyKinds: Array[Int] =
@@ -1463,7 +1470,8 @@ case class DictAggRewrite(spark: SparkSession) extends Rule[LogicalPlan]
       DriverMerge.maxTotalRows(spark) / parts).toInt
     if (DriverMerge.enabled(spark) && dmCap >= 16) {
       buildDriverMerge(agg, gs, aggExprs, aes, aeList, specs, keyIdxs,
-        keyKinds, preds, specPredGroups, specGroupIdx, batchRdd, dmCap).foreach { p =>
+        keyKinds, preds, specPredGroups, specGroupIdx, batchRdd, dmCap,
+        sourceDesc).foreach { p =>
         engagements.incrementAndGet()
         DriverMerge.engagements.incrementAndGet()
         logInfo(s"dictAgg: single-stage driver-merge GROUP BY " +
@@ -1476,8 +1484,9 @@ case class DictAggRewrite(spark: SparkSession) extends Rule[LogicalPlan]
     // ---- two-stage shape (driver merge off or shape not expressible).
     // String keys and no predicates only: the partial schema's Row
     // encoder would need java.sql external types for date/timestamp
-    // keys, and the merge expressions have no filter analog ----
-    if (preds.nonEmpty || keyKinds.exists(_ != KStr)) return None
+    // keys, and the merge expressions have no filter analog. Companion
+    // scans never take this shape (plan-audit visibility, r16) ----
+    if (isCompanion || preds.nonEmpty || keyKinds.exists(_ != KStr)) return None
     val rowRdd: RDD[Row] =
       batchRdd.mapPartitions(it =>
         DictAgg.partial(it, keyIdxs, keyKinds, specs, Array.empty,
@@ -1560,7 +1569,8 @@ case class DictAggRewrite(spark: SparkSession) extends Rule[LogicalPlan]
       specPredGroups: Array[Array[Pred]],
       specGroupIdx: Array[Int],
       batchRdd: RDD[ColumnarBatch],
-      dmCap: Int): Option[LogicalPlan] = {
+      dmCap: Int,
+      sourceDesc: String): Option[LogicalPlan] = {
     val nKeys = gs.size
     val rowRdd: RDD[Row] = batchRdd.mapPartitions(it =>
       DictAgg.partial(it, keyIdxs, keyKinds, specs, preds, specPredGroups,
@@ -1590,7 +1600,7 @@ case class DictAggRewrite(spark: SparkSession) extends Rule[LogicalPlan]
       case Some(cols) =>
         val merger = DictAggMerger(nKeys, keyKinds, specs, cols.toArray, gs.isEmpty)
         Some(DriverMergeAgg(
-          aggExprs.map(_.toAttribute), rowRdd, merger, Some(agg)))
+          aggExprs.map(_.toAttribute), rowRdd, merger, Some(agg), sourceDesc))
       case None =>
         // GENERAL mode: leaf = keys ++ finalized specs (fresh attrs),
         // outputs re-expressed over them under a Project
@@ -1610,7 +1620,7 @@ case class DictAggRewrite(spark: SparkSession) extends Rule[LogicalPlan]
             specs.indices.map(j => FinalCol(isKey = false, j))
         val merger = DictAggMerger(nKeys, keyKinds, specs, finalCols.toArray, gs.isEmpty)
         Some(Project(outputs,
-          DriverMergeAgg(leafAttrs, rowRdd, merger, Some(agg))))
+          DriverMergeAgg(leafAttrs, rowRdd, merger, Some(agg), sourceDesc)))
     }
   }
 

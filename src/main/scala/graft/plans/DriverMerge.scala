@@ -99,12 +99,15 @@ object DriverMerge {
 
 /** Logical leaf carrying the partial-scan RDD and its driver-side
   * merger. `fallback` is the original (pre-rewrite) aggregate subtree,
-  * executed only if a partial task signals overflow. */
+  * executed only if a partial task signals overflow. `sourceDesc`
+  * names the scanned source in plan text (the RDD arg prints as an
+  * opaque MapPartitionsRDD — audits need to see WHAT is scanned). */
 case class DriverMergeAgg(
     output: Seq[Attribute],
     @transient partials: RDD[Row],
     merger: DriverMerger,
-    @transient fallback: Option[LogicalPlan])
+    @transient fallback: Option[LogicalPlan],
+    sourceDesc: String = "")
     extends LeafNode {
   // tiny by construction (the gates bound collected rows); a fixed
   // small estimate keeps downstream joins broadcasting this side
@@ -116,7 +119,8 @@ case class DriverMergeAggExec(
     output: Seq[Attribute],
     @transient partials: RDD[Row],
     merger: DriverMerger,
-    @transient fallback: Option[LogicalPlan])
+    @transient fallback: Option[LogicalPlan],
+    sourceDesc: String = "")
     extends LeafExecNode {
 
   override def outputPartitioning: Partitioning = SinglePartition
@@ -157,7 +161,8 @@ case class DriverMergeAggExec(
 object DriverMergeStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case d: DriverMergeAgg =>
-      DriverMergeAggExec(d.output, d.partials, d.merger, d.fallback) :: Nil
+      DriverMergeAggExec(d.output, d.partials, d.merger, d.fallback,
+        d.sourceDesc) :: Nil
     case _ => Nil
   }
 }

@@ -46,6 +46,9 @@ class AggProjectionsSpec extends AnyFunSuite {
       case l: LogicalRelation if l.relation.isInstanceOf[HadoopFsRelation] &&
         l.relation.asInstanceOf[HadoopFsRelation].location.rootPaths
           .exists(_.toString.contains(projRoot)) => true
+      // r17: the rerouted aggregate may continue into the single-stage
+      // driver merge — the leaf's sourceDesc names the companion scan
+      case d: DriverMergeAgg if d.sourceDesc.contains(projRoot) => true
     }.getOrElse(false)
 
   private def base: DataFrame = spark.read.parquet(srcDir)
