@@ -76,9 +76,33 @@ object Tables {
     md.digest().map("%02x".format(_)).mkString
   }
 
-  /** `spark.read.parquet` with the inference skipped when the cached
-    * schema's content signature still matches. Non-local paths fall
-    * back to plain inference. */
+  /** Analyzed relation per (session, path, signature) — the second
+    * half of the metastore this cache stands in for (r18; VERDICT r17
+    * next #1). `spark.read.schema(s).parquet(path)` still pays a fresh
+    * `InMemoryFileIndex` DIRECTORY LISTING plus relation resolution on
+    * every call (~15 ms/query on the sf10 fixture, measured by
+    * ConstProbe after JIT warmth — the largest single slice of the
+    * q1/q3 per-query constant). A real metastore lists once and serves
+    * the cached file index until the table version changes; this map
+    * is that, keyed by the SAME content signature as the schema cache,
+    * so a changed file rebuilds the relation. The entry pins the
+    * session (the relation's FileIndex holds it), hence the session
+    * UUID in the key and the size bound: short-lived per-request door
+    * sessions at most add entries until the bound clears them.
+    *
+    * Staleness window: within [[SigTtlMs]] a rewritten file can serve
+    * a stale FILE LISTING (not just a stale schema) — acceptable for
+    * this choke point's callers, which read the immutable testdata
+    * star schema; the SQL write paths (CTAS/INSERT/mutations) never
+    * route through here. */
+  private val relationCache =
+    new java.util.concurrent.ConcurrentHashMap[
+      String, (String, org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)]()
+  private val RelationCacheMax = 256
+
+  /** `spark.read.parquet` with the inference AND the per-query file
+    * listing skipped when the cached content signature still matches.
+    * Non-local paths fall back to plain inference. */
   def readParquetCached(spark: SparkSession, path: String): DataFrame = {
     val f = new java.io.File(path.stripPrefix("file:").stripPrefix("//"))
     if (!f.exists()) spark.read.parquet(path)
@@ -92,6 +116,12 @@ object Tables {
           sigMemo.put(path, (now, s))
           s
         }
+      // per-SESSION key (the relation pins its session)
+      val relKey =
+        org.apache.spark.sql.graft.FunctionShim.sessionUUID(spark) + "|" + path
+      val rHit = relationCache.get(relKey)
+      if (rHit != null && rHit._1 == sig)
+        return org.apache.spark.sql.graft.FunctionShim.ofRows(spark, rHit._2)
       val hit = schemaCache.get(path)
       val schema =
         if (hit != null && hit._1 == sig) hit._2
@@ -100,7 +130,10 @@ object Tables {
           schemaCache.put(path, (sig, s))
           s
         }
-      spark.read.schema(schema).parquet(path)
+      val df = spark.read.schema(schema).parquet(path)
+      if (relationCache.size >= RelationCacheMax) relationCache.clear()
+      relationCache.put(relKey, (sig, df.queryExecution.analyzed))
+      df
     }
   }
 

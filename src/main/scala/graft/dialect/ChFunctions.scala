@@ -38,6 +38,8 @@ object ChFunctions {
       FunctionShim.addOptimization(spark, graft.plans.AggProjectionRewrite(spark))
       FunctionShim.addOptimization(spark, graft.plans.DictAggRewrite(spark))
       FunctionShim.addOptimization(spark, graft.plans.BitmapDistinctRewrite(spark))
+      // vectorized sum(pmod(cityHash64(*), m)) fold (r18)
+      FunctionShim.addOptimization(spark, graft.plans.HashScanRewrite(spark))
       FunctionShim.addStrategy(spark, graft.plans.DriverMergeStrategy)
       registered += id
     }

@@ -31,6 +31,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectOptimizerRule(graft.plans.AggProjectionRewrite.apply)
     ext.injectOptimizerRule(graft.plans.DictAggRewrite.apply)
     ext.injectOptimizerRule(graft.plans.BitmapDistinctRewrite.apply)
+    ext.injectOptimizerRule(graft.plans.HashScanRewrite.apply)
     ext.injectPlannerStrategy(_ => graft.plans.DriverMergeStrategy)
   }
 }

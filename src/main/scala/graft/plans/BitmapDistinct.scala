@@ -338,10 +338,11 @@ case class BitmapDistinctRewrite(spark: SparkSession) extends Rule[LogicalPlan] 
     }
 
     val neededNames = plans.map(_._1).distinct
-    val scanDf = ScanRelations.scanDf(spark, src, neededNames)
-      .getOrElse(return None)
-    val scan = ScanRelations.columnarScan(scanDf).getOrElse(return None)
-    val scanOut = scan.output
+    // planned-scan cache (r18): repeats skip the ~30 ms sub-scan
+    // planning that dominated this rule's per-query cost (PlanPhases)
+    val (batchRdd, scanOut) =
+      ScanRelations.columnarBatches(spark, src, neededNames, None)
+        .getOrElse(return None)
     // one set state per DISTINCT tracked column; aggregates share them
     val colIdxs = neededNames.map(n => scanOut.indexWhere(_.name == n)).toArray
     if (colIdxs.exists(_ < 0)) return None
@@ -377,7 +378,7 @@ case class BitmapDistinctRewrite(spark: SparkSession) extends Rule[LogicalPlan] 
           }
         }.toArray
       }
-      val rowRdd: RDD[Row] = scan.executeColumnar()
+      val rowRdd: RDD[Row] = batchRdd
         .mapPartitions(it => BitmapDistinct.partial(it, colIdxs, isLong, dense))
 
       // DIRECT mode: every output is a bare count(DISTINCT …) → the
@@ -431,7 +432,7 @@ case class BitmapDistinctRewrite(spark: SparkSession) extends Rule[LogicalPlan] 
     }
 
     // ---- two-stage shape (driver merge off) ----
-    val rowRdd: RDD[Row] = scan.executeColumnar()
+    val rowRdd: RDD[Row] = batchRdd
       .mapPartitions(it => BitmapDistinct.partial(it, colIdxs, isLong,
         new Array[DenseCol](colIdxs.length)))
 

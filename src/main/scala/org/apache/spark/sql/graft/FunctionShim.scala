@@ -49,6 +49,12 @@ object FunctionShim {
     spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .sessionState.functionRegistry.functionExists(FunctionIdentifier(name))
 
+  /** Stable per-session id (private[sql] on the classic session) —
+    * cache keys that must scope to one session use this instead of
+    * identityHashCode (collision-prone across session churn). */
+  def sessionUUID(spark: SparkSession): String =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession].sessionUUID
+
   def register(
       spark: SparkSession,
       name: String,
