@@ -3012,8 +3012,55 @@ object SparkEntry {
         |       countIf(l_linestatus = 'O') AS c_o,
         |       CAST(round(avgIf(l_extendedprice, l_suppkey <= 50) * 100) AS BIGINT) AS aep_c,
         |       count() AS cnt
-        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
+
+    // r18: remote() table function — the engine dials ITS OWN native
+    // TCP door (loopback) and reads a catalog table over the wire, the
+    // CH remote('host:9000', db.table) spelling (S-remote; reference
+    // workflow_query_executor.go:313 delegates these spellings)
+    "q232_remote_native" -> ((spark, dir) => {
+      prep(spark, dir)
+      val port = remoteDoorPort(spark, dir)
+      ChSql.sql(spark,
+        s"""SELECT n_nationkey, n_name, n_regionkey
+           |FROM remote('127.0.0.1:$port', default.nation_rm)
+           |ORDER BY n_nationkey""".stripMargin)
+    }),
+
+    // r18: Decimal32/64/128 end-to-end — a MergeTree CTAS whose columns
+    // are all three CH decimal widths (16-byte two's-complement
+    // Decimal128 included), written by the part writer, ATTACHed, and
+    // aggregated back (S5c/S5d type surface; VERDICT r17 next #4)
+    "q233_mt_decimal_ctas" -> ((spark, dir) => {
+      prep(spark, dir)
+      val wh = s"${derivedDir(spark, dir)}/wh"
+      spark.conf.set(graft.dialect.ChWrites.WarehouseConf, wh)
+      val svc = new graft.service.QueryService(spark)
+      svc.executeToDf(graft.service.QueryService.QueryRequest(
+        query = """SELECT count() AS n, sum(price) AS sp, sum(qty) AS sq,
+                  |       min(neg_wide) AS minnw, max(price) AS maxp
+                  |FROM dec_mt_233""".stripMargin,
+        initQueries = Seq(
+          """CREATE TABLE dec_mt_233 ENGINE = MergeTree ORDER BY (okey) AS
+            |SELECT l_orderkey AS okey,
+            |       CAST(l_extendedprice AS DECIMAL(18, 2)) AS price,
+            |       CAST(l_quantity AS DECIMAL(9, 4)) AS qty,
+            |       - CAST(l_extendedprice AS DECIMAL(38, 6)) AS neg_wide
+            |FROM lineitem WHERE l_orderkey % 7 = 0""".stripMargin)))._1
+    })
   )
+
+  /** One native door per Verify JVM for q232's loopback remote() read:
+    * the catalog gains `nation_rm` (the sfDir's nation parquet) and a
+    * [[graft.service.native.NativeServer]] serves it on a private
+    * port. Idempotent per dir; the daemon socket dies with the JVM. */
+  private val remoteDoor = scala.collection.concurrent.TrieMap.empty[String, Int]
+  private def remoteDoorPort(spark: SparkSession, dir: String): Int =
+    remoteDoor.getOrElseUpdate(dir, {
+      graft.core.Catalog.update(graft.core.Catalog.AttachedTable(
+        "nation_rm", "", Nil, Some(s"$dir/nation.parquet")))
+      new graft.service.native.NativeServer(spark).start()
+    })
 
   // ---------------------------------------------------------------
   // DuckDB oracle twins (driver runs these on the same tables)
@@ -3137,6 +3184,16 @@ object SparkEntry {
         |       CAST(round((avg(l_extendedprice) FILTER (WHERE l_suppkey <= 50)) * 100) AS BIGINT) AS aep_c,
         |       count(*) AS cnt
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q232_remote_native" ->
+      """SELECT n_nationkey, n_name, n_regionkey
+        |FROM nation ORDER BY n_nationkey""".stripMargin,
+    "q233_mt_decimal_ctas" ->
+      """SELECT count(*) AS n,
+        |       sum(CAST(l_extendedprice AS DECIMAL(18, 2))) AS sp,
+        |       sum(CAST(l_quantity AS DECIMAL(9, 4))) AS sq,
+        |       min(- CAST(l_extendedprice AS DECIMAL(38, 6))) AS minnw,
+        |       max(CAST(l_extendedprice AS DECIMAL(18, 2))) AS maxp
+        |FROM lineitem WHERE l_orderkey % 7 = 0""".stripMargin,
     "q201_replicated_ddl" ->
       """WITH base AS (
         |  SELECT c_custkey AS ck, c_nationkey AS nk, 0 AS ver

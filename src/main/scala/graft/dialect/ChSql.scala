@@ -1169,7 +1169,7 @@ object ChSql {
   // ---- table functions ----
 
   private val TableFn =
-    ("""(?i)\b(s3Cluster|s3|urlCluster|url|file|numbers|""" +
+    ("""(?i)\b(s3Cluster|s3|urlCluster|url|file|numbers|remote|""" +
       PipelineTableFns.Names + """)\s*\(""").r
 
   /** Replace every `s3(…)`/`url(…)`-style call with a temp view created
@@ -1241,6 +1241,23 @@ object ChSql {
       // data in the argument tables stays visible
       val view = s"graft_tf_${viewKey(fn + argStr)}"
       PipelineTableFns.build(spark, fn, rawArgs)
+        .createOrReplaceTempView(view)
+      return view
+    }
+    if (fn == "remote") {
+      // remote('host:port[,host2…]', db.table | db, table [, user[, pw]])
+      // — native-protocol reads, one partition per address (S-remote)
+      val lit = rawArgs.map(unquote)
+      require(lit.size >= 2, "remote() needs (addresses, table) at least")
+      val (db, tbl, user, pw) =
+        if (lit(1).contains(".")) {
+          val Array(d, t) = lit(1).split("\\.", 2)
+          (d, t, lit.lift(2).getOrElse("default"), lit.lift(3).getOrElse(""))
+        } else if (lit.size >= 3)
+          (lit(1), lit(2), lit.lift(3).getOrElse("default"), lit.lift(4).getOrElse(""))
+        else ("default", lit(1), "default", "")
+      val view = s"graft_tf_remote_${viewKey(argStr)}"
+      graft.sources.RemoteNative.read(spark, lit(0), db, tbl, user, pw)
         .createOrReplaceTempView(view)
       return view
     }

@@ -64,6 +64,16 @@ object NativeBlock {
     * plain types, which CH clients accept. */
   final case class TLowCardinality(inner: ChT) extends ChT
 
+  /** CH Decimal(P, S): fixed-width scaled integer on the wire —
+    * 4 bytes for P ≤ 9 (Decimal32), 8 for P ≤ 18 (Decimal64), 16 for
+    * P ≤ 38 (Decimal128), little-endian two's complement (r18). */
+  final case class TDecimal(precision: Int, scale: Int) extends ChT {
+    require(precision >= 1 && precision <= 38 && scale >= 0 && scale <= precision,
+      s"Decimal($precision, $scale) out of the supported range")
+    def byteWidth: Int =
+      if (precision <= 9) 4 else if (precision <= 18) 8 else 16
+  }
+
   def parseType(s0: String): ChT = {
     val s = s0.trim
     def inner(prefix: String): String =
@@ -77,6 +87,13 @@ object NativeBlock {
       TDateTime64(args(0).trim.toInt)
     }
     else if (s.startsWith("DateTime")) TDateTime // optional ('tz')
+    else if (s.startsWith("Decimal32(")) TDecimal(9, inner("Decimal32").trim.toInt)
+    else if (s.startsWith("Decimal64(")) TDecimal(18, inner("Decimal64").trim.toInt)
+    else if (s.startsWith("Decimal128(")) TDecimal(38, inner("Decimal128").trim.toInt)
+    else if (s.startsWith("Decimal(")) {
+      val args = inner("Decimal").split(",")
+      TDecimal(args(0).trim.toInt, args(1).trim.toInt)
+    }
     else s match {
       case "Int8" => TInt8
       case "Int16" => TInt16
@@ -112,6 +129,7 @@ object NativeBlock {
     case TBool => "Bool"
     case TDateTime => "DateTime('UTC')"
     case TDateTime64(p) => s"DateTime64($p, 'UTC')"
+    case TDecimal(p, sc) => s"Decimal($p, $sc)"
     case TNullable(i) => s"Nullable(${renderType(i)})"
     case TArray(i) => s"Array(${renderType(i)})"
     case TLowCardinality(i) => s"LowCardinality(${renderType(i)})"
@@ -131,9 +149,9 @@ object NativeBlock {
       case StringType => wrap(TString)
       case DateType => wrap(TDate)
       case _: TimestampType => wrap(TDateTime64(6))
-      // Decimal keeps full precision as text; Binary is a CH byte
-      // string already; anything else (struct/map) renders as text
-      case _: DecimalType => wrap(TString)
+      case d: DecimalType => wrap(TDecimal(d.precision, d.scale))
+      // Binary is a CH byte string already; anything else (struct/map)
+      // renders as text
       case BinaryType => wrap(TString)
       case ArrayType(et, containsNull) =>
         // CH has no Nullable(Array) — the array itself is never null
@@ -230,6 +248,26 @@ object NativeBlock {
     case other => toLongNum(other)
   }
 
+  /** Write a scaled-integer decimal body: `width` bytes, little-endian
+    * two's complement, sign-extended (CH's Decimal32/64/128 layout). */
+  private def writeScaledInt(o: WireOut, unscaled: java.math.BigInteger,
+      width: Int): Unit = {
+    if (width == 4) o.writeIntLE(unscaled.intValueExact())
+    else if (width == 8) o.writeLongLE(unscaled.longValueExact())
+    else {
+      require(unscaled.bitLength() < 127,
+        s"Decimal128 overflow: $unscaled needs ${unscaled.bitLength() + 1} bits")
+      val be = unscaled.toByteArray // big-endian, minimal length
+      val pad = if (unscaled.signum() < 0) 0xFF else 0x00
+      var i = 0
+      while (i < 16) {
+        val beIdx = be.length - 1 - i // LE byte i = BE byte from the end
+        o.writeByte(if (beIdx >= 0) be(beIdx) & 0xFF else pad)
+        i += 1
+      }
+    }
+  }
+
   private[native] def writeColumnData(o: WireOut, t: ChT, vs: IndexedSeq[Any]): Unit =
     t match {
       case TNullable(inner) =>
@@ -241,6 +279,7 @@ object NativeBlock {
           case TBool => java.lang.Boolean.FALSE
           case TDate => java.time.LocalDate.ofEpochDay(0)
           case TDateTime | TDateTime64(_) => java.time.Instant.EPOCH
+          case TDecimal(_, sc) => java.math.BigDecimal.valueOf(0L, sc)
           case _ => java.lang.Long.valueOf(0L)
         }
         writeColumnData(o, inner, vs.map(v => if (v == null) zero else v))
@@ -277,6 +316,16 @@ object NativeBlock {
         val b = toStringBytes(v)
         o.writeVarUInt(b.length.toLong)
         o.writeBytes(b)
+      }
+      case d @ TDecimal(_, sc) => vs.foreach { v =>
+        val bd = v match {
+          case b: java.math.BigDecimal => b
+          case b: scala.math.BigDecimal => b.bigDecimal
+          case other => new java.math.BigDecimal(String.valueOf(other))
+        }
+        // exact rescale: a value that cannot carry the column's scale
+        // is a caller error, never a silent rounding
+        writeScaledInt(o, bd.setScale(sc).unscaledValue(), d.byteWidth)
       }
       case TDate => vs.foreach { v =>
         // CH Date is UInt16 days since epoch — clamp like CH does
@@ -385,6 +434,7 @@ object NativeBlock {
       case TFloat64 => DoubleType
       case TBool => BooleanType
       case TString => StringType
+      case TDecimal(p, sc) => DecimalType(p, sc)
       case TDate => DateType
       case TDateTime | TDateTime64(_) => TimestampType
       case TNullable(i) => sparkTypeOf(i)
@@ -446,6 +496,18 @@ object NativeBlock {
     case TFloat32 => (0 until rows).map(_ => src.readFloatLE())
     case TFloat64 => (0 until rows).map(_ => src.readDoubleLE())
     case TString => (0 until rows).map(_ => src.readString())
+    case d @ TDecimal(_, sc) => (0 until rows).map { _ =>
+      val unscaled = d.byteWidth match {
+        case 4 => java.math.BigInteger.valueOf(src.readIntLE().toLong)
+        case 8 => java.math.BigInteger.valueOf(src.readLongLE())
+        case _ =>
+          val be = new Array[Byte](16)
+          var i = 15
+          while (i >= 0) { be(i) = src.readByte().toByte; i -= 1 }
+          new java.math.BigInteger(be)
+      }
+      new java.math.BigDecimal(unscaled, sc)
+    }
     case TDate => (0 until rows).map(_ =>
       java.time.LocalDate.ofEpochDay((src.readShortLE() & 0xFFFF).toLong))
     case TDateTime => (0 until rows).map(_ =>

@@ -122,6 +122,14 @@ private[mergetree] object ColumnarFill {
           }
           i += 1
         }
+      case dt: org.apache.spark.sql.types.DecimalType =>
+        while (i < n) {
+          val x = vals(i)
+          if (x == null) v.putNull(i)
+          else v.putDecimal(i,
+            x.asInstanceOf[org.apache.spark.sql.types.Decimal], dt.precision)
+          i += 1
+        }
       case other =>
         throw new IllegalStateException(s"non-columnar atomic type $other")
     }

@@ -57,10 +57,18 @@ object MergeTreeCtas {
     case BooleanType => "Bool"
     case DateType => "Date32"
     case TimestampType | TimestampNTZType => "DateTime64(6)"
+    // Decimal → the narrowest CH width that carries the precision
+    // (Decimal32/64/128 per CH's own tiering; r18)
+    case d: org.apache.spark.sql.types.DecimalType if d.precision <= 9 =>
+      s"Decimal32(${d.scale})"
+    case d: org.apache.spark.sql.types.DecimalType if d.precision <= 18 =>
+      s"Decimal64(${d.scale})"
+    case d: org.apache.spark.sql.types.DecimalType if d.precision <= 38 =>
+      s"Decimal128(${d.scale})"
     case other => throw new IllegalArgumentException(
       s"CTAS ENGINE=MergeTree: no MergeTree encoding for Spark type " +
-        s"${other.simpleString} — cast it in the SELECT (decimals → " +
-        "double or string, maps/structs → explicit columns)")
+        s"${other.simpleString} — cast it in the SELECT " +
+        "(maps/structs → explicit columns)")
   }
 
   /** Write `df` as a part tree under `dir`; returns (rows, ATTACH ddl).

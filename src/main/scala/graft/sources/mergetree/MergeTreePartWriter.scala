@@ -431,6 +431,7 @@ object MergeTreePartWriter {
 
   private def defaultOf(t: ChType): Any = t match {
     case ChType.Str | _: ChType.FixedStr => ""
+    case d: ChType.DecimalT => java.math.BigDecimal.valueOf(0L, d.scale)
     case ChType.F32 => 0f
     case ChType.F64 => 0d
     case ChType.BoolT => false
@@ -477,6 +478,31 @@ object MergeTreePartWriter {
           .getOrElse(throw new IllegalArgumentException(s"'$x' not in enum declaration"))
         if (e.bytes == 1) w.writeByte(code & 0xFF) else w.writeShortLE(code.toShort)
       case BoolT => w.writeByte(if (x.asInstanceOf[Boolean]) 1 else 0)
+      case d: DecimalT =>
+        val bd = x match {
+          case b: java.math.BigDecimal => b
+          case b: scala.math.BigDecimal => b.bigDecimal
+          case dec: org.apache.spark.sql.types.Decimal => dec.toJavaBigDecimal
+          case other => throw new IllegalArgumentException(
+            s"decimal value expected: $other")
+        }
+        // exact rescale — scale overflow is a caller error, not rounding
+        val unscaled = bd.setScale(d.scale).unscaledValue()
+        d.byteWidth match {
+          case 4 => w.writeIntLE(unscaled.intValueExact())
+          case 8 => w.writeLongLE(unscaled.longValueExact())
+          case _ =>
+            require(unscaled.bitLength() < 127,
+              s"Decimal128 overflow: $unscaled")
+            val be = unscaled.toByteArray
+            val pad = if (unscaled.signum() < 0) 0xFF else 0x00
+            var i = 0
+            while (i < 16) {
+              val beIdx = be.length - 1 - i
+              w.writeByte(if (beIdx >= 0) be(beIdx) & 0xFF else pad)
+              i += 1
+            }
+        }
       case other => throw new IllegalArgumentException(s"not a scalar type: $other")
     }
   }

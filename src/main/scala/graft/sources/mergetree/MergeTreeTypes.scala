@@ -34,6 +34,13 @@ private[mergetree] object ChType {
   final case class DateTime64T(scale: Int) extends ChType
   final case class Enum(bytes: Int, codeToName: Map[Int, String]) extends ChType
   case object BoolT extends ChType
+  /** CH Decimal(P, S): fixed-width scaled integer in the .bin stream —
+    * 4 bytes (P ≤ 9, Decimal32), 8 (P ≤ 18, Decimal64), 16 (P ≤ 38,
+    * Decimal128), little-endian two's complement (r18). */
+  final case class DecimalT(precision: Int, scale: Int) extends ChType {
+    def byteWidth: Int =
+      if (precision <= 9) 4 else if (precision <= 18) 8 else 16
+  }
   final case class NullableT(inner: ChType) extends ChType
   final case class LowCardinalityT(inner: ChType) extends ChType
   final case class ArrayT(elem: ChType) extends ChType
@@ -106,6 +113,14 @@ private[mergetree] object ChType {
       case "UInt64" => FixedInt(8, signed = false)
       case "Float32" => F32
       case "Float64" => F64
+      case "Decimal32" => DecimalT(9, args.trim.toInt)
+      case "Decimal64" => DecimalT(18, args.trim.toInt)
+      case "Decimal128" => DecimalT(38, args.trim.toInt)
+      case "Decimal" =>
+        val ps = ChSchemaParser.splitTopLevel(args, ',').map(_.trim.toInt)
+        require(ps.nonEmpty && ps.head >= 1 && ps.head <= 38,
+          s"Decimal precision out of range: $args")
+        DecimalT(ps.head, if (ps.length > 1) ps(1) else 0)
       case other =>
         throw new IllegalArgumentException(
           s"unsupported MergeTree column type: $other (supported subset: " +
@@ -488,7 +503,8 @@ private[mergetree] object ColumnCodec {
     * boxed structural decode + vector fill. */
   private[mergetree] def fastScalar(t: ChType): Boolean = t match {
     case _: FixedInt | F32 | F64 | Date16 | Date32T | DateTime32 |
-         _: DateTime64T | BoolT | Str | _: FixedStr | _: Enum => true
+         _: DateTime64T | BoolT | Str | _: FixedStr | _: Enum |
+         _: DecimalT => true
     case _ => false
   }
 
@@ -545,6 +561,19 @@ private[mergetree] object ColumnCodec {
           v.putByteArray(i, b, 0, b.length)
           i += 1
         }
+      case d: DecimalT =>
+        // the vector's DecimalType storage matches the wire width:
+        // int (P ≤ 9), long (P ≤ 18), unscaled big-endian bytes (P ≤ 38)
+        d.byteWidth match {
+          case 4 => while (i < n) { v.putInt(i, r.readIntLE()); i += 1 }
+          case 8 => while (i < n) { v.putLong(i, r.readLongLE()); i += 1 }
+          case _ =>
+            while (i < n) {
+              val be = decimal128Be(r)
+              v.putByteArray(i, be, 0, be.length)
+              i += 1
+            }
+        }
       case other =>
         throw new IllegalArgumentException(s"not a fast-scalar MergeTree type: $other")
     }
@@ -587,10 +616,30 @@ private[mergetree] object ColumnCodec {
           i += 1
         }
       case BoolT => while (i < n) { out(i) = r.readByte() != 0; i += 1 }
+      case d: DecimalT =>
+        while (i < n) {
+          val unscaled = d.byteWidth match {
+            case 4 => java.math.BigInteger.valueOf(r.readIntLE().toLong)
+            case 8 => java.math.BigInteger.valueOf(r.readLongLE())
+            case _ => new java.math.BigInteger(decimal128Be(r))
+          }
+          out(i) = org.apache.spark.sql.types.Decimal(
+            new java.math.BigDecimal(unscaled, d.scale), d.precision, d.scale)
+          i += 1
+        }
       case other =>
         throw new IllegalArgumentException(s"not a scalar MergeTree type: $other")
     }
     out
+  }
+
+  /** 16 little-endian stream bytes → big-endian two's complement (the
+    * layout BigInteger and decimal column vectors consume). */
+  private def decimal128Be(r: ChCompressedReader): Array[Byte] = {
+    val be = new Array[Byte](16)
+    var j = 15
+    while (j >= 0) { be(j) = r.readByte().toByte; j -= 1 }
+    be
   }
 }
 

@@ -295,6 +295,32 @@ SETTINGS disk = disk(type = web, endpoint = '$endpoint')"""
     } finally native.stop()
   }
 
+  /** A federation spelling the reference delegates verbatim
+    * (`workflow_query_executor.go:313` ships the whole SQL string to
+    * CH, `remote(...)` included): the initiator reads github_events
+    * THROUGH a second server's native door — here the engine's own —
+    * and the aggregate matches the direct scan (r18). */
+  test("github_events via remote('host:port', db.table) over the native door (r18)") {
+    val (dir, _) = fixture
+    val svc = new QueryService(spark)
+    // attach locally so the door's session resolves the table
+    svc.execute(QueryService.QueryRequest(
+      query = "SELECT 1 AS ok",
+      initQueries = Seq(githubEventsAttach(s"$dir/github_events_parquet"), initSet)))
+    val native = new graft.service.native.NativeServer(spark)
+    val port = native.start()
+    try {
+      val out = svc.execute(QueryService.QueryRequest(
+        query = "SELECT sum(commits) AS s, event_type FROM " +
+          s"remote('127.0.0.1:$port', default.github_events) " +
+          "GROUP BY event_type"))
+      val byType = out.rows.map(r => r(1).toString -> r(0)).toMap
+      assert(byType("PushEvent") == 8L)
+      assert(byType("PullRequestEvent") == 2L)
+      assert(byType("WatchEvent") == 0L)
+    } finally native.stop()
+  }
+
   /** The SAME verbatim statement against an endpoint serving an actual
     * MergeTree wide-part tree over http — the reference's real flagship
     * shape end-to-end: all 63 columns (DateTime, two dozen Enum8s,

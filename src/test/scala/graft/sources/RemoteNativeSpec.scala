@@ -1,0 +1,65 @@
+package graft.sources
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** `remote()` over the native TCP door — loopback proof (VERDICT r17
+  * next #3): the engine dials its own port 9000 protocol and reads a
+  * catalog table back identically to the local scan. */
+class RemoteNativeSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private lazy val port: Int = {
+    graft.core.Catalog.update(graft.core.Catalog.AttachedTable(
+      "nation_rspec", "", Nil, Some(s"$dir/nation.parquet")))
+    new graft.service.native.NativeServer(spark).start()
+  }
+
+  test("address expansion: lists, ranges, default port") {
+    assert(RemoteNative.expandAddresses("h1:9000,h2:9440") ==
+      Seq(("h1", 9000), ("h2", 9440)))
+    assert(RemoteNative.expandAddresses("node{1..3}:9001") ==
+      Seq(("node1", 9001), ("node2", 9001), ("node3", 9001)))
+    assert(RemoteNative.expandAddresses("solo") == Seq(("solo", 9000)))
+  }
+
+  test("loopback remote() read matches the local scan") {
+    val local = graft.core.Tables.load(spark, dir, "nation")
+      .select("n_nationkey", "n_name", "n_regionkey")
+      .collect().map(_.toString).sorted.toSeq
+    val remote = RemoteNative
+      .read(spark, s"127.0.0.1:$port", "default", "nation_rspec")
+      .select("n_nationkey", "n_name", "n_regionkey")
+      .collect().map(_.toString).sorted.toSeq
+    assert(remote == local)
+  }
+
+  test("a two-address spec scans each address (shard fan-out topology)") {
+    val df = RemoteNative.read(spark,
+      s"127.0.0.1:$port,127.0.0.1:$port", "default", "nation_rspec")
+    assert(df.rdd.getNumPartitions == 2)
+    assert(df.count() == 2 * 25) // both "shards" stream their rows
+  }
+
+  test("the SQL spelling FROM remote(…) answers through ChSql") {
+    val r = graft.dialect.ChSql.sql(spark,
+      s"""SELECT count() AS cnt, sum(n_regionkey) AS s
+         |FROM remote('127.0.0.1:$port', default.nation_rspec)""".stripMargin)
+      .collect()(0)
+    assert(r.getLong(0) == 25L)
+    val localSum = graft.core.Tables.load(spark, dir, "nation")
+      .agg(org.apache.spark.sql.functions.sum("n_regionkey")).collect()(0).getLong(0)
+    assert(r.getLong(1) == localSum)
+  }
+
+  test("(addr, db, table, user, password) form authenticates") {
+    // the default door accepts default/'' — the 5-arg spelling parses
+    val r = graft.dialect.ChSql.sql(spark,
+      s"SELECT count() AS cnt FROM remote('127.0.0.1:$port', 'default', 'nation_rspec', 'default', '')")
+      .collect()(0)
+    assert(r.getLong(0) == 25L)
+  }
+}
