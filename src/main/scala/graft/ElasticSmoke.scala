@@ -149,6 +149,44 @@ object ElasticSmoke {
       ok &= n2 <= 2
       ok &= check("group_sum@2b", fmt(groupSum(spark, dir)), expect)
 
+      // ---- 5. NODE DEATH (r18; VERDICT r17 next #5): a worker in its
+      // OWN PROCESS joins, then dies by SIGKILL — daemon and its forked
+      // executor both — while a query is IN FLIGHT. The lost executor's
+      // tasks re-run on survivors and the query still answers: the
+      // reference's partial-capacity tolerance
+      // (workflow_query_executor.go:155-158) as a live drill.
+      val t3 = System.nanoTime()
+      val procId = pool.addProcessWorker(cores = 4, memoryMb = 2048,
+        workDirBase = scratch)
+      val n3 = alloc.waitReady(minReady = 3, timeoutMs = 120000)
+      println(f"[elastic] process-worker join: $n3 executor JVMs in " +
+        f"${(System.nanoTime() - t3) / 1e9}%.2f s")
+      ok &= n3 >= 3
+      graft.dialect.ChFunctions.register(spark)
+      def slowQuery(): Long =
+        spark.range(0, 1200000000L, 1, 24)
+          .selectExpr("sum(pmod(cityHash64(toString(id)), 1000000007)) AS s")
+          .collect()(0).getLong(0)
+      val expectSlow = slowQuery() // all nodes healthy
+      @volatile var slowGot = -1L
+      @volatile var slowErr: Throwable = null
+      val qt = new Thread(() => {
+        try slowGot = slowQuery()
+        catch { case e: Throwable => slowErr = e }
+      }, "elastic-inflight")
+      qt.start()
+      Thread.sleep(1500) // let tasks land on the doomed executor
+      val killed = pool.killWorker9(procId)
+      println(s"[elastic] SIGKILL process worker $procId mid-query: $killed")
+      qt.join(180000)
+      val survived = slowErr == null && slowGot == expectSlow
+      println(s"[elastic] in-flight query after node death: " +
+        (if (survived) s"OK ($slowGot)"
+         else s"FAILED (got=$slowGot err=$slowErr)"))
+      ok &= killed && survived
+      // the fleet keeps answering after the death
+      ok &= check("group_sum@after_kill", fmt(groupSum(spark, dir)), expect)
+
       println(s"[elastic] ${if (ok) "ALL OK" else "FAILURES"}")
     } finally {
       spark.stop()

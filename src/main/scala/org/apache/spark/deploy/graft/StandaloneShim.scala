@@ -21,6 +21,9 @@ object StandaloneShim {
   final class EndpointHandle private[StandaloneShim] (env: RpcEnv) {
     def shutdown(): Unit = env.shutdown()
     def hostPort: String = s"${env.address.host}:${env.address.port}"
+    /** Block until the RpcEnv stops — the worker DAEMON main parks on
+      * this so a forked worker process stays alive (r18). */
+    def awaitTermination(): Unit = env.awaitTermination()
   }
 
   /** Start a standalone Master on an ephemeral port; returns its
