@@ -110,12 +110,19 @@ object DictAgg {
     * reference's natural `GROUP BY event_type, uniqExact(actor_login)`
     * analytics shape). */
   final val OpUniq = 6
+  /** APPROXIMATE distinct per group — `uniq()` (HLL++ at the default
+    * rsd 0.05): per-slot register words driven by Spark's own helper
+    * ([[HllRegisters]]), so the estimate is bit-identical to the
+    * native HyperLogLogPlusPlus plan. Driver-merge path only (r18). */
+  final val OpHll = 7
 
   // value type tags (the scan column's data type)
   final val TInt = 0
   final val TLong = 1
   final val TFloat = 2
   final val TDouble = 3
+  /** String values — OpHll only (every other op is numeric). */
+  final val TStr = 4
 
   // group-key kinds (r17 generalization past string keys): the kernel
   // encodes every key part as bytes (numerics 8-byte LE) so slot
@@ -426,6 +433,8 @@ object DictAgg {
     // per-slot bitmaps, allocated lazily and only for OpUniq specs
     var accB = Array.fill(nSpecs)(
       null: Array[org.roaringbitmap.longlong.Roaring64Bitmap])
+    // per-slot HLL register words, lazily and only for OpHll specs
+    var accH = Array.fill(nSpecs)(null: Array[Array[Long]])
 
     def grow(need: Int): Unit = {
       var c = cap
@@ -438,6 +447,7 @@ object DictAgg {
           accD(j) = java.util.Arrays.copyOf(accD(j), c)
           accC(j) = java.util.Arrays.copyOf(accC(j), c)
           if (accB(j) != null) accB(j) = java.util.Arrays.copyOf(accB(j), c)
+          if (accH(j) != null) accH(j) = java.util.Arrays.copyOf(accH(j), c)
           j += 1
         }
         cap = c
@@ -494,6 +504,7 @@ object DictAgg {
         out(at) = if (c == 0L) null else java.lang.Double.valueOf(d)
         out(at + 1) = java.lang.Long.valueOf(c)
       case OpUniq => () // filled by slotRow from accB directly
+      case OpHll => () // filled by slotRow from accH directly
     }
 
     def slotRow(slot: Int): Row = {
@@ -508,6 +519,10 @@ object DictAgg {
               new org.roaringbitmap.longlong.Roaring64Bitmap()
             else { accB(j)(slot).runOptimize(); accB(j)(slot) }
           vals(at) = BitmapDistinct.serialize(bm)
+        } else if (specs(j).op == OpHll) {
+          vals(at) =
+            if (accH(j) == null || accH(j)(slot) == null) null
+            else HllRegisters.serialize(accH(j)(slot))
         } else boxPartial(specs(j), slot,
           accL(j)(slot), accD(j)(slot), accC(j)(slot), vals, at)
         at += specs(j).width
@@ -535,6 +550,9 @@ object DictAgg {
         if (accB(j) != null)
           java.util.Arrays.fill(
             accB(j).asInstanceOf[Array[AnyRef]], 0, nGroups, null)
+        if (accH(j) != null)
+          java.util.Arrays.fill(
+            accH(j).asInstanceOf[Array[AnyRef]], 0, nGroups, null)
         j += 1
       }
       java.util.Arrays.fill(keys.asInstanceOf[Array[AnyRef]], 0, nGroups, null)
@@ -817,6 +835,38 @@ object DictAgg {
                 }
                 i += 1
               }
+            case OpHll =>
+              if (accH(j) == null) accH(j) = new Array[Array[Long]](cap)
+              val hArr = accH(j)
+              // the DataType drives the helper's xxHash — identical
+              // bits to the native plan's hash of the same value
+              val dt = spec.typ match {
+                case TInt => IntegerType
+                case TLong => LongType
+                case TFloat => FloatType
+                case TDouble => DoubleType
+                case _ => org.apache.spark.sql.types.StringType
+              }
+              var i = start
+              while (i < end) {
+                val sl = slotsBuf(i)
+                if (sl >= 0 && (sm == null || sm(i)) && !vec.isNullAt(i)) {
+                  var regs = hArr(sl)
+                  if (regs == null) {
+                    regs = new Array[Long](HllRegisters.numWords)
+                    hArr(sl) = regs
+                  }
+                  val v: Any = spec.typ match {
+                    case TInt => java.lang.Integer.valueOf(vec.getInt(i))
+                    case TLong => java.lang.Long.valueOf(vec.getLong(i))
+                    case TFloat => java.lang.Float.valueOf(vec.getFloat(i))
+                    case TDouble => java.lang.Double.valueOf(vec.getDouble(i))
+                    case _ => vec.getUTF8String(i)
+                  }
+                  HllRegisters.update(regs, v, dt)
+                }
+                i += 1
+              }
             case OpMin | OpMax => spec.typ match {
               case TInt | TLong =>
                 val isMin = spec.op == OpMin
@@ -896,6 +946,7 @@ object DictAgg {
     val d = new Array[Double](nSpecs)
     val c = new Array[Long](nSpecs)
     var bms: Array[org.roaringbitmap.longlong.Roaring64Bitmap] = null
+    var hlls: Array[Array[Long]] = null
   }
 
   final case class DictAggMerger(
@@ -975,6 +1026,14 @@ object DictAgg {
                 val bm = BitmapDistinct.deserialize(blob)
                 if (st.bms(j) == null) st.bms(j) = bm else st.bms(j).or(bm)
               }
+            case OpHll =>
+              val blob = r.get(at).asInstanceOf[Array[Byte]]
+              if (blob != null) {
+                if (st.hlls == null) st.hlls = new Array[Array[Long]](nSpecs)
+                val regs = HllRegisters.deserialize(blob)
+                if (st.hlls(j) == null) st.hlls(j) = regs
+                else HllRegisters.merge(st.hlls(j), regs)
+              }
           }
           j += 1
         }
@@ -1046,6 +1105,10 @@ object DictAgg {
                 java.lang.Long.valueOf(
                   if (st.bms == null || st.bms(j) == null) 0L
                   else st.bms(j).getLongCardinality)
+              case OpHll =>
+                java.lang.Long.valueOf(
+                  if (st.hlls == null || st.hlls(j) == null) 0L
+                  else HllRegisters.cardinality(st.hlls(j)))
             }
           }
         i += 1
@@ -1057,7 +1120,7 @@ object DictAgg {
   /** The finalized data type of spec `j`'s driver-merge output. */
   private[plans] def mergedType(spec: Spec): DataType = spec.op match {
     case OpSum => if (spec.typ == TInt || spec.typ == TLong) LongType else DoubleType
-    case OpCountStar | OpCountCol | OpUniq => LongType
+    case OpCountStar | OpCountCol | OpUniq | OpHll => LongType
     case OpAvg => DoubleType
     case OpMin | OpMax => spec.typ match {
       case TInt => IntegerType
@@ -1068,7 +1131,7 @@ object DictAgg {
   }
 
   private[plans] def mergedNullable(spec: Spec): Boolean = spec.op match {
-    case OpCountStar | OpCountCol | OpUniq => false
+    case OpCountStar | OpCountCol | OpUniq | OpHll => false
     case _ => true
   }
 }
@@ -1388,6 +1451,22 @@ case class DictAggRewrite(spark: SparkSession) extends Rule[LogicalPlan]
           val n = colOf(v).getOrElse(return None)
           AggPlan(ae, OpAvg, Some(n), typeTag(v.dataType).getOrElse(return None),
             filterConds ++ ifConds)
+        // the dialect's uniq() — HLL++ at the default rsd only (the
+        // kernel's registers are sized for it; other rsds keep the
+        // native plan)
+        case h: org.apache.spark.sql.catalyst.expressions.aggregate.HyperLogLogPlusPlus
+            if h.relativeSD == HllRegisters.Rsd =>
+          val (ifConds, v) = unwrapIf(h.child)
+          val n = colOf(v).getOrElse(return None)
+          val tag = v.dataType match {
+            case IntegerType | DateType => TInt
+            case LongType | TimestampType | TimestampNTZType => TLong
+            case FloatType => TFloat
+            case DoubleType => TDouble
+            case StringType => TStr
+            case _ => return None
+          }
+          AggPlan(ae, OpHll, Some(n), tag, filterConds ++ ifConds)
         case _ => return None
       }
     }
@@ -1410,14 +1489,18 @@ case class DictAggRewrite(spark: SparkSession) extends Rule[LogicalPlan]
 
     if (gs.isEmpty) {
       val hasUniq = plans.exists(_.op == OpUniq)
-      val mixed = hasUniq && plans.exists(_.op != OpUniq)
+      val hasHll = plans.exists(_.op == OpHll)
+      val mixed = (hasUniq || hasHll) &&
+        plans.exists(p => p.op != OpUniq && p.op != OpHll)
       // the groupless spelling engages for the MIXED shape (native pays
       // an Expand there) and — r17 — for FILTERED pure-distinct (native
       // plans 3 shuffle-bound stages; the kernel masks and bitmaps in
       // one). UNFILTERED pure-distinct stays with BitmapDistinctRewrite
       // (its dense-bitset state beats per-slot Roaring); pure-plain
       // globals keep their codegen'd native plan.
-      if (!mixed && !(hasUniq && conds.nonEmpty)) return None
+      // pure-HLL globals engage too: the native plan still pays a
+      // partial→exchange→final round for a 400-byte sketch
+      if (!mixed && !hasHll && !(hasUniq && conds.nonEmpty)) return None
     }
 
     // ---- build the columnar scan over exactly the needed columns ----
@@ -1490,6 +1573,11 @@ case class DictAggRewrite(spark: SparkSession) extends Rule[LogicalPlan]
       batchRdd.mapPartitions(it =>
         DictAgg.partial(it, keyIdxs, keyKinds, specs, Array.empty,
           specPredGroups, specGroupIdx, maxGroups, failFast = false))
+
+    // OpHll is driver-merge-only (its two-stage merge would need a
+    // dedicated register-OR Catalyst aggregate); without the driver
+    // merge the native HLL++ plan stands (r18)
+    if (specs.exists(_.op == OpHll)) return None
 
     // ---- partial schema: binary key + per-spec mergeable state ----
     def partialFields(p: AggPlan, i: Int): Seq[StructField] = p.op match {

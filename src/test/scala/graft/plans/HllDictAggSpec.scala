@@ -1,0 +1,90 @@
+package graft.plans
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** `uniq()` on the DictAgg kernel (r18, VERDICT r17 stretch #8):
+  * per-slot HLL++ registers driven by Spark's own helper, so the
+  * kernel's estimates are BIT-IDENTICAL to the native
+  * HyperLogLogPlusPlus plan — pinned by comparing against the kill
+  * switch, grouped and global, strings and ints, filtered and not. */
+class HllDictAggSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def withDisabled[T](f: => T): T = {
+    spark.conf.set(DictAgg.EnabledKey, "false")
+    try f finally spark.conf.unset(DictAgg.EnabledKey)
+  }
+
+  private def rows(df: DataFrame): Seq[String] =
+    df.collect().map(_.toString).sorted.toSeq
+
+  private def ch(sql: String): DataFrame = {
+    graft.core.Tables.registerViews(spark, sfDir)
+    graft.dialect.ChSql.sql(spark, sql)
+  }
+
+  test("grouped uniq(string) rides the kernel and matches native HLL++ exactly") {
+    def q() = ch(
+      "SELECT o_orderstatus, uniq(o_orderpriority) AS u FROM orders GROUP BY o_orderstatus")
+    val before = DictAgg.engagements.get()
+    val fast = rows(q())
+    assert(DictAgg.engagements.get() > before, "kernel did not engage")
+    assert(fast == withDisabled(rows(q())))
+  }
+
+  test("the reference headline shape: grouped uniq over a long key column") {
+    def q() = ch(
+      "SELECT o_orderstatus, uniq(o_custkey) AS u, count() AS n FROM orders GROUP BY o_orderstatus")
+    val before = DictAgg.engagements.get()
+    val fast = rows(q())
+    assert(DictAgg.engagements.get() > before, "kernel did not engage")
+    assert(fast == withDisabled(rows(q())))
+    // the estimate is in uniq()'s accuracy class vs the exact answer
+    val exact = ch(
+      "SELECT o_orderstatus, uniqExact(o_custkey) AS u FROM orders GROUP BY o_orderstatus")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    q().collect().foreach { r =>
+      val e = exact(r.getString(0)).toDouble
+      assert(math.abs(r.getLong(1) - e) / e <= 0.05,
+        s"${r.getString(0)}: estimate ${r.getLong(1)} vs exact $e")
+    }
+  }
+
+  test("GLOBAL uniq engages single-stage and matches native exactly (q32 shape)") {
+    def q() = ch("SELECT uniq(o_custkey) AS u FROM orders")
+    val before = DictAgg.engagements.get()
+    val plan = q().queryExecution.executedPlan
+    assert(plan.collectFirst { case d: DriverMergeAggExec => d }.isDefined,
+      s"expected a single-stage DriverMergeAgg leaf, got:\n$plan")
+    val fast = rows(q())
+    assert(DictAgg.engagements.get() > before, "kernel did not engage")
+    assert(fast == withDisabled(rows(q())))
+  }
+
+  test("filtered uniq (WHERE + uniqIf) matches native exactly") {
+    def q() = ch(
+      """SELECT o_orderstatus, uniq(o_custkey) AS u,
+        |       uniqIf(o_custkey, o_orderpriority LIKE '1%') AS ui
+        |FROM orders WHERE o_totalprice > 1000
+        |GROUP BY o_orderstatus""".stripMargin)
+    val fast = rows(q())
+    assert(fast == withDisabled(rows(q())))
+  }
+
+  test("non-default rsd and unsupported inputs keep the native plan") {
+    import org.apache.spark.sql.catalyst.expressions.aggregate.HyperLogLogPlusPlus
+    val ord = graft.core.Tables.load(spark, sfDir, "orders")
+    val before = DictAgg.engagements.get()
+    // approx_count_distinct(col, 0.02): non-default rsd
+    ord.groupBy("o_orderstatus")
+      .agg(approx_count_distinct(col("o_custkey"), 0.02).as("u")).collect()
+    assert(DictAgg.engagements.get() == before,
+      "kernel engaged on a non-default rsd")
+  }
+}

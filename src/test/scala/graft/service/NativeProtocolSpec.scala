@@ -305,7 +305,9 @@ class NativeProtocolSpec extends AnyFunSuite {
         val row = r.rows.head
         assert(row(0) == 42)
         assert(row(1) == 1.5)
-        assert(row(2) == "2.25") // Decimal rides as full-precision text
+        // r18: Decimal rides NATIVELY (Decimal32/64/128 wire columns),
+        // no longer as text
+        assert(row(2) == new java.math.BigDecimal("2.25"))
         assert(row(3) == "hi")
         assert(row(4) == java.time.LocalDate.of(2024, 3, 1))
         assert(row(5) == IndexedSeq(1, 2, 3))
