@@ -130,7 +130,10 @@ case class HashScanRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     }
 
     val sourceDesc = src match {
-      case ScanRelations.ParquetRel(lr) => "parquet " + lr.relation
+      case ScanRelations.ParquetRel(lr) =>
+        "parquet " + lr.relation
+          .asInstanceOf[org.apache.spark.sql.execution.datasources.HadoopFsRelation]
+          .location.rootPaths.mkString(",")
       case ScanRelations.MergeTreeRel(ep, _, _) => s"mergetree $ep"
     }
     engagements.incrementAndGet()

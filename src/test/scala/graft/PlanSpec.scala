@@ -152,6 +152,35 @@ class PlanSpec extends AnyFunSuite {
       s"the q3 shape must not shuffle:\n${df.queryExecution.executedPlan}")
   }
 
+  test("q4 hash scan plans as the vectorized kernel — single stage, no exchange (r18 lever)") {
+    val before = graft.plans.HashScan.engagements.get()
+    val li = Tables.load(spark, dir, "lineitem")
+    val df = li.select(call_function("cityHash64",
+        li.columns.map(col).toIndexedSeq: _*).as("h"))
+      .agg(sum(pmod(col("h"), lit(1000000007L))).as("s"))
+    val plan = df.queryExecution.optimizedPlan.toString
+    assert(graft.plans.HashScan.engagements.get() > before,
+      s"hashScan rewrite did not engage on the bench q4 shape:\n$plan")
+    assert(plan.contains("DriverMergeAgg"),
+      s"expected the single-stage driver-merge leaf:\n$plan")
+    assert(!df.queryExecution.executedPlan.toString.contains("Exchange"),
+      s"the q4 shape must not shuffle:\n${df.queryExecution.executedPlan}")
+  }
+
+  test("q32 uniq() rides the DictAgg kernel — single stage (r18 stretch)") {
+    val before = graft.plans.DictAgg.engagements.get()
+    graft.core.Tables.registerViews(spark, dir)
+    val df = graft.dialect.ChSql.sql(spark,
+      "SELECT uniq(o_custkey) AS u FROM orders")
+    val plan = df.queryExecution.optimizedPlan.toString
+    assert(graft.plans.DictAgg.engagements.get() > before,
+      s"dictAgg OpHll did not engage on the q32 shape:\n$plan")
+    assert(plan.contains("DriverMergeAgg"),
+      s"expected the single-stage driver-merge leaf:\n$plan")
+    assert(!df.queryExecution.executedPlan.toString.contains("Exchange"),
+      s"the q32 shape must not shuffle:\n${df.queryExecution.executedPlan}")
+  }
+
   test("footer shortcut disqualifies on unsigned logical types and absent stats (VERDICT r9 #7)") {
     // fixtures a Spark writer cannot produce: pyarrow (driver-side
     // harness tool) writes (a) a UINT32 column — footer min/max compare
