@@ -99,6 +99,53 @@ final class NativeClient(
     readResult()
   }
 
+  /** STREAMING query: rows surface block by block as the server sends
+    * them — the caller holds at most ONE decoded block, never the full
+    * result (the `remote()` scan's 100 TB posture: a shard's stream is
+    * bounded by the server's BlockRows framing, not its table size).
+    * The iterator must be drained to EndOfStream (or the connection
+    * closed) before the connection is reused. */
+  def queryStream(sql: String,
+      settings: Map[String, String] = Map.empty): Iterator[Seq[Any]] = {
+    sendQuery(sql, settings)
+    sendBlock(Nil, 0)
+    new Iterator[Seq[Any]] {
+      private var block: NativeBlock.DecodedBlock = _
+      private var i = 0
+      private var done = false
+      private def advance(): Unit = {
+        while (!done && (block == null || i >= block.rows)) {
+          NativeWire.readVarUInt(in) match {
+            case ServerData =>
+              NativeWire.readString(in) // table name
+              val src: ByteSource =
+                if (compression) new FrameIn(in) else new StreamIn(in)
+              block = NativeBlock.readBlock(src, revision)
+              i = 0
+            case ServerProgress => readProgress()
+            case ServerProfileInfo => readProfileInfo()
+            case ServerEndOfStream => done = true
+            case ServerException => throw readException()
+            case ServerTotals | ServerExtremes =>
+              NativeWire.readString(in)
+              val src: ByteSource =
+                if (compression) new FrameIn(in) else new StreamIn(in)
+              NativeBlock.readBlock(src, revision)
+            case other => throw new IllegalStateException(
+              s"unexpected server packet $other")
+          }
+        }
+      }
+      override def hasNext: Boolean = { advance(); !done }
+      override def next(): Seq[Any] = {
+        if (!hasNext) throw new NoSuchElementException("stream drained")
+        val r = block.cols.map(_.values(i))
+        i += 1
+        r
+      }
+    }
+  }
+
   /** Fire a query without waiting — pair with [[cancel]] and
     * [[awaitResult]] (clickhouse-go's ctx-cancellation shape). */
   def queryAsync(sql: String,

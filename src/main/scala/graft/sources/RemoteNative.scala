@@ -83,10 +83,17 @@ object RemoteNative {
 
     val rdd = spark.sparkContext
       .parallelize(addrs, addrs.size)
-      .flatMap { case (h, p) =>
-        val c = new NativeClient(h, p, user = user, password = password)
-        try c.query(s"SELECT * FROM $target").rows.map(Row.fromSeq)
-        finally c.close()
+      .mapPartitions { it =>
+        it.flatMap { case (h, p) =>
+          // STREAMING read: at most one decoded block on this executor's
+          // heap, never a shard's whole result; the connection closes
+          // when the task completes (early exit included — a LIMIT that
+          // stops consuming must not leak the socket)
+          val c = new NativeClient(h, p, user = user, password = password)
+          Option(org.apache.spark.TaskContext.get()).foreach(
+            _.addTaskCompletionListener[Unit](_ => c.close()))
+          c.queryStream(s"SELECT * FROM $target").map(Row.fromSeq)
+        }
       }
     spark.createDataFrame(rdd, schema)
   }

@@ -55,6 +55,28 @@ class RemoteNativeSpec extends AnyFunSuite {
     assert(r.getLong(1) == localSum)
   }
 
+  test("reads stream block by block; an abandoned stream (LIMIT) closes cleanly") {
+    // register a bigger table so the server frames MULTIPLE data blocks
+    graft.core.Catalog.update(graft.core.Catalog.AttachedTable(
+      "orders_rspec", "", Nil, Some(s"$dir/orders.parquet")))
+    val c = new graft.service.native.NativeClient("127.0.0.1", port)
+    try {
+      val it = c.queryStream("SELECT o_orderkey FROM orders_rspec")
+      var n = 0L
+      while (it.hasNext) { it.next(); n += 1 }
+      assert(n == graft.core.Tables.load(spark, dir, "orders").count())
+    } finally c.close()
+    // early exit: a LIMIT abandons the stream mid-read — the task
+    // completion listener closes the socket; no hang, fresh reads work
+    val few = RemoteNative
+      .read(spark, s"127.0.0.1:$port", "default", "orders_rspec")
+      .limit(5).collect()
+    assert(few.length == 5)
+    assert(RemoteNative
+      .read(spark, s"127.0.0.1:$port", "default", "nation_rspec")
+      .count() == 25L)
+  }
+
   test("(addr, db, table, user, password) form authenticates") {
     // the default door accepts default/'' — the 5-arg spelling parses
     val r = graft.dialect.ChSql.sql(spark,
