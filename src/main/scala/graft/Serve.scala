@@ -52,6 +52,20 @@ object Serve {
       System.err.println(s"[serve] native protocol on 127.0.0.1:$nbound")
       sys.addShutdownHook(native.stop())
     }
+    // SECURE native door (CH's 9440 posture, r18): binds only when the
+    // keystore is configured; same handlers over TLS
+    val securePort = sys.env.getOrElse("GRAFT_NATIVE_SECURE_PORT", "-1").toInt
+    if (securePort >= 0) {
+      val ks = sys.env.getOrElse("GRAFT_TLS_KEYSTORE",
+        throw new IllegalArgumentException(
+          "GRAFT_NATIVE_SECURE_PORT needs GRAFT_TLS_KEYSTORE (PKCS12)"))
+      val pw = sys.env.getOrElse("GRAFT_TLS_KEYSTORE_PASSWORD", "")
+      val secure = new graft.service.native.NativeServer(spark, securePort,
+        auth = auth, tls = Some(graft.service.Tls.serverContext(ks, pw)))
+      val sbound = secure.start()
+      System.err.println(s"[serve] native protocol (TLS) on 127.0.0.1:$sbound")
+      sys.addShutdownHook(secure.stop())
+    }
     // block until signalled, like the reference's signal.Notify +
     // e.Shutdown loop (`http_server.go:87-90`): the JVM shutdown hook is
     // the SIGTERM/SIGINT path, and stop() drains in-flight queries

@@ -1169,7 +1169,7 @@ object ChSql {
   // ---- table functions ----
 
   private val TableFn =
-    ("""(?i)\b(s3Cluster|s3|urlCluster|url|file|numbers|remote|""" +
+    ("""(?i)\b(s3Cluster|s3|urlCluster|url|file|numbers|remoteSecure|remote|""" +
       PipelineTableFns.Names + """)\s*\(""").r
 
   /** Replace every `s3(…)`/`url(…)`-style call with a temp view created
@@ -1244,7 +1244,7 @@ object ChSql {
         .createOrReplaceTempView(view)
       return view
     }
-    if (fn == "remote") {
+    if (fn == "remote" || fn == "remotesecure") {
       // remote('host:port[,host2…]', db.table | db, table [, user[, pw]])
       // — native-protocol reads, one partition per address (S-remote)
       val lit = rawArgs.map(unquote)
@@ -1256,8 +1256,9 @@ object ChSql {
         } else if (lit.size >= 3)
           (lit(1), lit(2), lit.lift(3).getOrElse("default"), lit.lift(4).getOrElse(""))
         else ("default", lit(1), "default", "")
-      val view = s"graft_tf_remote_${viewKey(argStr)}"
-      graft.sources.RemoteNative.read(spark, lit(0), db, tbl, user, pw)
+      val view = s"graft_tf_remote_${viewKey(fn + argStr)}"
+      graft.sources.RemoteNative.read(spark, lit(0), db, tbl, user, pw,
+          secure = fn == "remotesecure")
         .createOrReplaceTempView(view)
       return view
     }

@@ -20,7 +20,11 @@ final class NativeClient(
     database: String = "default",
     user: String = "default",
     password: String = "",
-    compression: Boolean = true) extends AutoCloseable {
+    compression: Boolean = true,
+    /** TLS context for a SECURE door (9440/`remoteSecure`, r18): the
+      * socket wraps in SSL before the Hello; no trust-all mode — the
+      * context's truststore decides (see [[graft.service.Tls]]). */
+    tls: Option[javax.net.ssl.SSLContext] = None) extends AutoCloseable {
 
   /** `dataBlocks` counts the NON-EMPTY Data frames — the streaming
     * proof surface: a server that materialized-then-chunked and one
@@ -30,9 +34,22 @@ final class NativeClient(
       cols: Seq[String], types: Seq[String], rows: Seq[Seq[Any]],
       progressRows: Long, dataBlocks: Int = 0)
 
-  private val sock = new Socket()
+  private val sock = tls match {
+    case Some(ctx) =>
+      val s = ctx.getSocketFactory.createSocket()
+      s.connect(new InetSocketAddress(host, port), 5000)
+      val ssl = s.asInstanceOf[javax.net.ssl.SSLSocket]
+      // verify the presented hostname against the certificate — the
+      // half of TLS a bare SSLSocket silently skips
+      val params = ssl.getSSLParameters
+      params.setEndpointIdentificationAlgorithm("HTTPS")
+      ssl.setSSLParameters(params)
+      ssl.startHandshake()
+      ssl
+    case None => new Socket()
+  }
   sock.setTcpNoDelay(true)
-  sock.connect(new InetSocketAddress(host, port), 5000)
+  if (tls.isEmpty) sock.connect(new InetSocketAddress(host, port), 5000)
   private val in = new BufferedInputStream(sock.getInputStream)
   private val out = new BufferedOutputStream(sock.getOutputStream)
 

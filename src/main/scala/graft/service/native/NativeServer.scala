@@ -63,7 +63,11 @@ class NativeServer(spark: SparkSession, port: Int = 0,
       * VERDICT r13 "what's missing" #4 asked for the check before a
       * real client points here). Mismatches answer CH's
       * AUTHENTICATION_FAILED (code 516) instead of ServerHello. */
-    auth: Option[(String, String)] = None) {
+    auth: Option[(String, String)] = None,
+    /** TLS context for the SECURE door (CH's port 9440 posture, r18):
+      * the listener becomes an SSLServerSocket; everything above the
+      * transport is unchanged. See [[graft.service.Tls]]. */
+    tls: Option[javax.net.ssl.SSLContext] = None) {
 
   /** Result rows per Data block — CH's own default block granularity
     * (max_block_size = 65409 in CH; smaller here keeps per-block
@@ -79,7 +83,12 @@ class NativeServer(spark: SparkSession, port: Int = 0,
 
   def start(): Int = {
     require(running.compareAndSet(false, true), "native server already started")
-    server = new ServerSocket(port, 64, InetAddress.getLoopbackAddress)
+    server = tls match {
+      case Some(ctx) =>
+        ctx.getServerSocketFactory
+          .createServerSocket(port, 64, InetAddress.getLoopbackAddress)
+      case None => new ServerSocket(port, 64, InetAddress.getLoopbackAddress)
+    }
     acceptor = new Thread(() => acceptLoop(), "graft-native-accept")
     acceptor.setDaemon(true)
     acceptor.start()

@@ -64,14 +64,30 @@ object RemoteNative {
   }
 
   def read(spark: SparkSession, addrSpec: String, db: String, table: String,
-      user: String = "default", password: String = ""): DataFrame = {
+      user: String = "default", password: String = "",
+      /** `remoteSecure()`: TLS per connection; the truststore comes
+        * from `spark.graft.tls.truststore`/`.truststorePassword`
+        * (captured at plan time, loaded on each executor — a shared
+        * filesystem path, like any deployment credential). */
+      secure: Boolean = false): DataFrame = {
     val addrs = expandAddresses(addrSpec)
     require(addrs.nonEmpty, s"remote(): no addresses in '$addrSpec'")
     val target = qualified(db, table)
+    val trust: Option[(String, String)] =
+      if (!secure) None
+      else Some((
+        spark.conf.getOption(graft.service.Tls.TruststoreConf).getOrElse(
+          throw new IllegalArgumentException(
+            s"remoteSecure() needs ${graft.service.Tls.TruststoreConf} set")),
+        spark.conf.getOption(graft.service.Tls.TruststorePasswordConf)
+          .getOrElse("")))
+    def ctx(): Option[javax.net.ssl.SSLContext] =
+      trust.map { case (p, pw) => graft.service.Tls.clientContext(p, pw) }
 
     // schema probe: one short driver-side connection to the first address
     val (h0, p0) = addrs.head
-    val probe = new NativeClient(h0, p0, user = user, password = password)
+    val probe = new NativeClient(h0, p0, user = user, password = password,
+      tls = ctx())
     val schema =
       try {
         val r = probe.query(s"SELECT * FROM $target LIMIT 0")
@@ -89,7 +105,9 @@ object RemoteNative {
           // heap, never a shard's whole result; the connection closes
           // when the task completes (early exit included — a LIMIT that
           // stops consuming must not leak the socket)
-          val c = new NativeClient(h, p, user = user, password = password)
+          val c = new NativeClient(h, p, user = user, password = password,
+            tls = trust.map { case (tp, tpw) =>
+              graft.service.Tls.clientContext(tp, tpw) })
           Option(org.apache.spark.TaskContext.get()).foreach(
             _.addTaskCompletionListener[Unit](_ => c.close()))
           c.queryStream(s"SELECT * FROM $target").map(Row.fromSeq)

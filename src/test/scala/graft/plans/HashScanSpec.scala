@@ -125,6 +125,25 @@ class HashScanSpec extends AnyFunSuite {
       s"native path error: ${cls(nativeErr)}")
   }
 
+  test("ATTACHed MergeTree tables ride the kernel too (the reference's table format)") {
+    graft.dialect.ChFunctions.register(spark)
+    graft.core.Tables.registerViews(spark, sfDir)
+    val wh = java.nio.file.Files.createTempDirectory("graft_hs_mt").toString
+    spark.conf.set(graft.dialect.ChWrites.WarehouseConf, wh)
+    graft.dialect.ChSql.sql(spark,
+      """CREATE TABLE hs_mt ENGINE = MergeTree ORDER BY (okey) AS
+        |SELECT l_orderkey AS okey, l_quantity AS q, l_returnflag AS rf
+        |FROM lineitem""".stripMargin).collect()
+    def q() = graft.dialect.ChSql.sql(spark,
+      "SELECT sum(pmod(cityHash64(okey, q, rf), 1000000007)) AS s FROM hs_mt")
+    val before = HashScan.engagements.get()
+    val fast = rows(q())
+    assert(HashScan.engagements.get() > before,
+      "hashScan did not engage on the MergeTree scan")
+    assert(fast == withDisabled(rows(q())))
+    graft.dialect.ChSql.sql(spark, "DROP TABLE hs_mt").collect()
+  }
+
   test("stays off: filter below, GROUP BY, non-literal modulus, mixed aggs") {
     val li = graft.core.Tables.load(spark, sfDir, "lineitem")
     val h = call_function("cityHash64", li.columns.map(col).toIndexedSeq: _*)

@@ -77,6 +77,18 @@ class HllDictAggSpec extends AnyFunSuite {
     assert(fast == withDisabled(rows(q())))
   }
 
+  test("uniq over an ATTACHed MergeTree table matches native (LC strings decode)") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_hll_mt").toString
+    spark.conf.set(graft.dialect.ChWrites.WarehouseConf, wh)
+    ch("""CREATE TABLE hll_mt ENGINE = MergeTree ORDER BY (okey) AS
+        |SELECT o_orderkey AS okey, o_orderstatus AS st, o_custkey AS ck
+        |FROM orders""".stripMargin).collect()
+    def q() = ch("SELECT st, uniq(ck) AS u FROM hll_mt GROUP BY st")
+    val fast = rows(q())
+    assert(fast == withDisabled(rows(q())))
+    ch("DROP TABLE hll_mt").collect()
+  }
+
   test("non-default rsd and unsupported inputs keep the native plan") {
     import org.apache.spark.sql.catalyst.expressions.aggregate.HyperLogLogPlusPlus
     val ord = graft.core.Tables.load(spark, sfDir, "orders")

@@ -42,6 +42,31 @@ object HashScanProbe {
     run("expression")
     spark.conf.unset(graft.plans.HashScan.EnabledKey)
     run("vectorized2")
+
+    // attribution: same full-width decode with Spark's cheaper
+    // builtin xxhash64 (hash-cost delta), and a no-hash decode floor
+    def runQ(name: String, mk: () => org.apache.spark.sql.DataFrame): Unit = {
+      mk().write.format("noop").mode("overwrite").save()
+      val ts = (1 to iters).map(_ => ms {
+        mk().write.format("noop").mode("overwrite").save() })
+      println(f"[hashscanprobe] $name median=${med(ts)}%.0f ms all=${ts.map(v => f"$v%.0f").mkString(",")}")
+    }
+    runQ("xxhash64_builtin", () => {
+      val li = graft.core.Tables.load(spark, base, "lineitem")
+      li.select(xxhash64(li.columns.map(col).toIndexedSeq: _*).as("h"))
+        .agg(sum(pmod(col("h"), lit(1000000007L))).as("s"))
+    })
+    runQ("decode_floor", () => {
+      val li = graft.core.Tables.load(spark, base, "lineitem")
+      // touch every column's values with the cheapest aggregate
+      li.agg(
+        sum(col("l_orderkey")).as("a"), sum(col("l_partkey")).as("b"),
+        sum(col("l_suppkey")).as("c"), sum(col("l_linenumber")).as("d"),
+        sum(col("l_quantity")).as("e"), sum(col("l_extendedprice")).as("f"),
+        sum(col("l_discount")).as("g"), sum(col("l_tax")).as("h"),
+        max(col("l_returnflag")).as("i"), max(col("l_linestatus")).as("j"),
+        max(col("l_shipdate")).as("k"))
+    })
     spark.stop()
   }
 }
