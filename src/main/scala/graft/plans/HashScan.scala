@@ -348,7 +348,11 @@ object HashScan {
     s
   }
 
-  /** Driver merger: add the per-partition partial sums. */
+  /** Driver merger: add the per-partition partial sums. A cross-
+    * partition overflow (each partial fits, the total does not) throws
+    * the overflow marker so [[DriverMergeAggExec]] re-runs the native
+    * plan, whose ANSI Sum raises the canonical error — same discipline
+    * as the in-partition fold. */
   final case class SumMerger(nAggs: Int) extends DriverMerger {
     override def merge(rows: Iterator[Row]): Iterator[InternalRow] = {
       val sums = new Array[Long](nAggs)
@@ -357,7 +361,10 @@ object HashScan {
         val r = rows.next()
         var j = 0
         while (j < nAggs) {
-          sums(j) = Math.addExact(sums(j), r.getLong(j)); j += 1
+          sums(j) =
+            try Math.addExact(sums(j), r.getLong(j))
+            catch { case _: ArithmeticException => DriverMerge.overflow() }
+          j += 1
         }
         any = true
       }

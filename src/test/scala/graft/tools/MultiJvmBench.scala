@@ -84,13 +84,17 @@ object MultiJvmBench {
           s"[multijvm-bench] $name iters: ${ts.map(jnum).mkString(", ")}")
         name -> ts(ts.size / 2)
       }
-      // engagement proof under real executors: the r16 rewrites fire
+      // engagement proof under real executors: the r16 rewrites fire,
+      // and (r18) the vectorized hash scan does too
       val dictBefore = graft.plans.DictAgg.engagements.get()
       val bmBefore = graft.plans.BitmapDistinct.engagements.get()
+      val hsBefore = graft.plans.HashScan.engagements.get()
       shapes(1)._2().queryExecution.optimizedPlan
       shapes(2)._2().queryExecution.optimizedPlan
+      shapes(3)._2().queryExecution.optimizedPlan
       val engaged = graft.plans.DictAgg.engagements.get() > dictBefore &&
-        graft.plans.BitmapDistinct.engagements.get() > bmBefore
+        graft.plans.BitmapDistinct.engagements.get() > bmBefore &&
+        graft.plans.HashScan.engagements.get() > hsBefore
       println(s"""{"metric":"multijvm_bench","executors":$execs,""" +
         s""""engaged_rewrites":$engaged,"iters":$iters,""" +
         times.map { case (k, v) => s""""$k":${jnum(v)}""" }.mkString(",") +
