@@ -40,6 +40,22 @@ object Serve {
       auth = auth)
     val bound = srv.start()
     System.err.println(s"[serve] listening on 127.0.0.1:$bound (GET /hc, POST /query, GET /metrics)")
+    // HTTPS door (CH's 8443 posture, r18): binds only when configured
+    val httpsPort = sys.env.getOrElse("GRAFT_HTTPS_PORT", "-1").toInt
+    if (httpsPort >= 0) {
+      val ks = sys.env.getOrElse("GRAFT_TLS_KEYSTORE",
+        throw new IllegalArgumentException(
+          "GRAFT_HTTPS_PORT needs GRAFT_TLS_KEYSTORE (PKCS12)"))
+      val pw = sys.env.getOrElse("GRAFT_TLS_KEYSTORE_PASSWORD", "")
+      val https = new graft.service.QueryServer(spark, httpsPort,
+        journalDir = sys.env.get("GRAFT_JOURNAL_DIR"),
+        recover = "report", // one recovery pass (the plain door's) is enough
+        auth = auth,
+        tls = Some(graft.service.Tls.serverContext(ks, pw)))
+      val hbound = https.start()
+      System.err.println(s"[serve] HTTPS on 127.0.0.1:$hbound")
+      sys.addShutdownHook(https.stop())
+    }
     // the ClickHouse native TCP door — what the reference's control
     // plane dials (workflow_query_executor.go builds a clickhouse-go
     // conn on port 9000); GRAFT_NATIVE_PORT=0 picks an ephemeral port,

@@ -83,7 +83,11 @@ class QueryServer(
       * header lines while a query runs (the one behavior the JDK
       * `HttpServer` cannot express: it writes its header block once,
       * at commit). `false` = the JDK transport, as a kill switch. */
-    rawDoor: Boolean = true) {
+    rawDoor: Boolean = true,
+    /** r18: serve HTTPS (CH's 8443 posture) — raw transport only; the
+      * listener becomes an SSLServerSocket, everything above is
+      * unchanged. See [[Tls]]. */
+    tls: Option[javax.net.ssl.SSLContext] = None) {
 
   require(recover == "report" || recover == "rerun",
     s"recover must be 'report' or 'rerun', got '$recover'")
@@ -216,10 +220,12 @@ class QueryServer(
     })
     started.set(System.currentTimeMillis())
     if (rawDoor) {
-      rawServer = new RawHttpServer("127.0.0.1", port)
+      rawServer = new RawHttpServer("127.0.0.1", port, tls)
       contexts.foreach { case (p, h) => rawServer.createContext(p, h) }
       rawServer.start()
     } else {
+      require(tls.isEmpty,
+        "HTTPS needs the raw transport (rawDoor = true)")
       server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
       contexts.foreach { case (p, h) => server.createContext(p, h) }
       // small fixed pool: control-plane requests only; Spark owns the cores

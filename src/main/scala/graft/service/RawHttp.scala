@@ -55,7 +55,9 @@ import com.sun.net.httpserver.{Headers, HttpContext, HttpExchange, HttpHandler, 
   * transport remains behind `QueryServer(rawDoor = false)` as the kill
   * switch.
   */
-final class RawHttpServer(host: String, port: Int) {
+final class RawHttpServer(host: String, port: Int,
+    /** HTTPS (r18): TLS at the listener, the HTTP loop unchanged. */
+    tls: Option[javax.net.ssl.SSLContext] = None) {
 
   import RawHttpServer.MaxConnections
 
@@ -84,7 +86,10 @@ final class RawHttpServer(host: String, port: Int) {
   }
 
   def start(): Int = {
-    listener = new ServerSocket()
+    listener = tls match {
+      case Some(ctx) => ctx.getServerSocketFactory.createServerSocket()
+      case None => new ServerSocket()
+    }
     listener.bind(new InetSocketAddress(host, port), 128)
     pool.submit(new Runnable {
       override def run(): Unit = {

@@ -56,6 +56,34 @@ class TlsSpec extends AnyFunSuite {
     }
   }
 
+  test("the HTTPS door serves the full HTTP surface over TLS (8443 posture)") {
+    val srv = new QueryServer(spark,
+      tls = Some(Tls.serverContext(keystore, password)))
+    val port = srv.start()
+    try {
+      val sslCtx = Tls.clientContext(keystore, password)
+      val client = java.net.http.HttpClient.newBuilder().sslContext(sslCtx).build()
+      val r = client.send(
+        java.net.http.HttpRequest.newBuilder(
+          java.net.URI.create(s"https://127.0.0.1:$port/hc")).GET().build(),
+        java.net.http.HttpResponse.BodyHandlers.ofString())
+      assert(r.statusCode() == 200 && r.body() == "ok")
+      val q = java.net.URLEncoder.encode("SELECT 41 + 1 AS v", "UTF-8")
+      val r2 = client.send(
+        java.net.http.HttpRequest.newBuilder(
+          java.net.URI.create(s"https://127.0.0.1:$port/?query=$q")).GET().build(),
+        java.net.http.HttpResponse.BodyHandlers.ofString())
+      assert(r2.statusCode() == 200 && r2.body().trim == "42", r2.body())
+      // plain http against the TLS door fails
+      intercept[Exception] {
+        java.net.http.HttpClient.newHttpClient().send(
+          java.net.http.HttpRequest.newBuilder(
+            java.net.URI.create(s"http://127.0.0.1:$port/hc")).GET().build(),
+          java.net.http.HttpResponse.BodyHandlers.ofString())
+      }
+    } finally srv.stop(2)
+  }
+
   test("remoteSecure() reads over TLS end-to-end; the plain spelling refuses") {
     spark.conf.set(Tls.TruststoreConf, keystore)
     spark.conf.set(Tls.TruststorePasswordConf, password)
