@@ -3047,8 +3047,37 @@ object SparkEntry {
             |       CAST(l_quantity AS DECIMAL(9, 4)) AS qty,
             |       - CAST(l_extendedprice AS DECIMAL(38, 6)) AS neg_wide
             |FROM lineitem WHERE l_orderkey % 7 = 0""".stripMargin)))._1
+    }),
+
+    // r18: the SECURE spelling — remoteSecure() over the TLS native
+    // door (CH's 9440), self-signed material generated in-run with the
+    // JDK's keytool; same rows as the plain q232 read
+    "q234_remote_secure" -> ((spark, dir) => {
+      prep(spark, dir)
+      val (port, keystore, password) = secureDoorPort(spark, dir)
+      spark.conf.set(graft.service.Tls.TruststoreConf, keystore)
+      spark.conf.set(graft.service.Tls.TruststorePasswordConf, password)
+      ChSql.sql(spark,
+        s"""SELECT n_nationkey, n_name, n_regionkey
+           |FROM remoteSecure('127.0.0.1:$port', default.nation_rm)
+           |ORDER BY n_nationkey""".stripMargin)
     })
   )
+
+  /** TLS twin of [[remoteDoorPort]]: one secure native door per Verify
+    * JVM with self-signed PKCS12 material. */
+  private val secureDoor =
+    scala.collection.concurrent.TrieMap.empty[String, (Int, String, String)]
+  private def secureDoorPort(spark: SparkSession,
+      dir: String): (Int, String, String) =
+    secureDoor.getOrElseUpdate(dir, {
+      remoteDoorPort(spark, dir) // ensures the nation_rm catalog entry
+      val (ks, pw) = graft.service.Tls.ensureSelfSigned(
+        java.nio.file.Files.createTempDirectory("graft_q234_tls").toString)
+      val port = new graft.service.native.NativeServer(spark,
+        tls = Some(graft.service.Tls.serverContext(ks, pw))).start()
+      (port, ks, pw)
+    })
 
   /** One native door per Verify JVM for q232's loopback remote() read:
     * the catalog gains `nation_rm` (the sfDir's nation parquet) and a
@@ -3185,6 +3214,12 @@ object SparkEntry {
         |       count(*) AS cnt
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q232_remote_native" ->
+      """SELECT n_nationkey, n_name, n_regionkey
+        |FROM nation ORDER BY n_nationkey""".stripMargin,
+    "q234_remote_secure" ->
+      """SELECT n_nationkey, n_name, n_regionkey
+        |FROM nation ORDER BY n_nationkey""".stripMargin,
+    "q234_remote_secure" ->
       """SELECT n_nationkey, n_name, n_regionkey
         |FROM nation ORDER BY n_nationkey""".stripMargin,
     "q233_mt_decimal_ctas" ->
