@@ -174,7 +174,11 @@ private[plans] object ScanRelations {
     src match {
       case ParquetRel(lr) if mkFilter.isEmpty =>
         val relKey: AnyRef = lr.relation
-        val colKey = neededNames.mkString(" ")
+        // split-size confs shape the cached RDD's partitioning - a
+        // mid-session change must miss, not serve the old splits
+        val colKey = neededNames.mkString(",") + "|" +
+          spark.conf.getOption("spark.sql.files.maxPartitionBytes").getOrElse("") + "|" +
+          spark.conf.getOption("spark.sql.files.minPartitionNum").getOrElse("")
         plannedScans.synchronized {
           val m = plannedScans.get(relKey)
           if (m != null) {

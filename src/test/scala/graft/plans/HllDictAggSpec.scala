@@ -89,6 +89,17 @@ class HllDictAggSpec extends AnyFunSuite {
     ch("DROP TABLE hll_mt").collect()
   }
 
+  test("float, double, and date inputs match native exactly too") {
+    def q() = ch(
+      """SELECT l_returnflag, uniq(l_quantity) AS uq,
+        |       uniq(l_extendedprice) AS up, uniq(l_shipdate) AS ud
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin)
+    val before = DictAgg.engagements.get()
+    val fast = rows(q())
+    assert(DictAgg.engagements.get() > before, "kernel did not engage")
+    assert(fast == withDisabled(rows(q())))
+  }
+
   test("non-default rsd and unsupported inputs keep the native plan") {
     import org.apache.spark.sql.catalyst.expressions.aggregate.HyperLogLogPlusPlus
     val ord = graft.core.Tables.load(spark, sfDir, "orders")
