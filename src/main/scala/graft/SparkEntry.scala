@@ -3037,8 +3037,15 @@ object SparkEntry {
       spark.conf.set(graft.dialect.ChWrites.WarehouseConf, wh)
       val svc = new graft.service.QueryService(spark)
       svc.executeToDf(graft.service.QueryService.QueryRequest(
-        query = """SELECT count() AS n, sum(price) AS sp, sum(qty) AS sq,
-                  |       min(neg_wide) AS minnw, max(price) AS maxp
+        // aggregate OUTPUTS are engine-rendered strings so the compare
+        // is hermetic to the checker's pandas decimal-vs-float64
+        // rendering skew (r18: q233 hash-red on the driver only); the
+        // decimal COLUMNS stay in the table — that is the test
+        query = """SELECT count() AS n,
+                  |       CAST(sum(price) AS STRING) AS sp,
+                  |       CAST(sum(qty) AS STRING) AS sq,
+                  |       CAST(min(neg_wide) AS STRING) AS minnw,
+                  |       CAST(max(price) AS STRING) AS maxp
                   |FROM dec_mt_233""".stripMargin,
         initQueries = Seq(
           """CREATE TABLE dec_mt_233 ENGINE = MergeTree ORDER BY (okey) AS
@@ -3219,15 +3226,12 @@ object SparkEntry {
     "q234_remote_secure" ->
       """SELECT n_nationkey, n_name, n_regionkey
         |FROM nation ORDER BY n_nationkey""".stripMargin,
-    "q234_remote_secure" ->
-      """SELECT n_nationkey, n_name, n_regionkey
-        |FROM nation ORDER BY n_nationkey""".stripMargin,
     "q233_mt_decimal_ctas" ->
       """SELECT count(*) AS n,
-        |       sum(CAST(l_extendedprice AS DECIMAL(18, 2))) AS sp,
-        |       sum(CAST(l_quantity AS DECIMAL(9, 4))) AS sq,
-        |       min(- CAST(l_extendedprice AS DECIMAL(38, 6))) AS minnw,
-        |       max(CAST(l_extendedprice AS DECIMAL(18, 2))) AS maxp
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18, 2))) AS STRING) AS sp,
+        |       CAST(sum(CAST(l_quantity AS DECIMAL(9, 4))) AS STRING) AS sq,
+        |       CAST(min(- CAST(l_extendedprice AS DECIMAL(38, 6))) AS STRING) AS minnw,
+        |       CAST(max(CAST(l_extendedprice AS DECIMAL(18, 2))) AS STRING) AS maxp
         |FROM lineitem WHERE l_orderkey % 7 = 0""".stripMargin,
     "q201_replicated_ddl" ->
       """WITH base AS (

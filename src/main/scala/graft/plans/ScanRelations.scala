@@ -174,11 +174,18 @@ private[plans] object ScanRelations {
     src match {
       case ParquetRel(lr) if mkFilter.isEmpty =>
         val relKey: AnyRef = lr.relation
-        // split-size confs shape the cached RDD's partitioning - a
-        // mid-session change must miss, not serve the old splits
-        val colKey = neededNames.mkString(",") + "|" +
-          spark.conf.getOption("spark.sql.files.maxPartitionBytes").getOrElse("") + "|" +
-          spark.conf.getOption("spark.sql.files.minPartitionNum").getOrElse("")
+        // reader-shaping confs shape the cached RDD's partitioning and
+        // batch format - a mid-session change must miss, not serve the
+        // old plan (ADVICE r18: split-size alone was not enough)
+        val colKey = neededNames.mkString(",") + "|" + Seq(
+          "spark.sql.files.maxPartitionBytes",
+          "spark.sql.files.minPartitionNum",
+          "spark.sql.files.openCostInBytes",
+          "spark.sql.leafNodeDefaultParallelism",
+          "spark.default.parallelism",
+          "spark.sql.parquet.enableVectorizedReader",
+          "spark.sql.parquet.columnarReaderBatchSize")
+          .map(k => spark.conf.getOption(k).getOrElse("")).mkString("|")
         plannedScans.synchronized {
           val m = plannedScans.get(relKey)
           if (m != null) {

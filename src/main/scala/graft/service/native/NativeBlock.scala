@@ -255,7 +255,9 @@ object NativeBlock {
     if (width == 4) o.writeIntLE(unscaled.intValueExact())
     else if (width == 8) o.writeLongLE(unscaled.longValueExact())
     else {
-      require(unscaled.bitLength() < 127,
+      // fits 128-bit signed two's complement iff bitLength <= 127
+      // (bitLength excludes the sign bit; 10^38-1 has bitLength 127)
+      require(unscaled.bitLength() <= 127,
         s"Decimal128 overflow: $unscaled needs ${unscaled.bitLength() + 1} bits")
       val be = unscaled.toByteArray // big-endian, minimal length
       val pad = if (unscaled.signum() < 0) 0xFF else 0x00

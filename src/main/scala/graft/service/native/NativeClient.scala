@@ -193,7 +193,15 @@ final class NativeClient(
   /** Native batch insert: opener + typed columns, like PrepareBatch.
     * Returns the server-sent header (the target's columns + types). */
   def insert(opener: String,
-      blocks: Seq[Seq[NativeBlock.Col]]): Seq[(String, String)] = {
+      blocks: Seq[Seq[NativeBlock.Col]]): Seq[(String, String)] =
+    insertStream(opener, blocks.iterator)
+
+  /** [[insert]] over a LAZY block iterator: blocks are built and sent
+    * one at a time, so a caller streaming a large partition holds one
+    * block on the heap, never the payload (`remote()` write-side
+    * federation rides this from each executor task). */
+  def insertStream(opener: String,
+      blocks: Iterator[Seq[NativeBlock.Col]]): Seq[(String, String)] = {
     sendQuery(opener, Map.empty)
     // server answers the target header block first
     val packet = NativeWire.readVarUInt(in)

@@ -48,11 +48,32 @@ object RemoteNative {
             one.substring(0, m.start) + i + one.substring(m.end))
         case None => Seq(one)
       }
-      expanded.map { a =>
-        val i = a.lastIndexOf(':')
-        if (i < 0) (a, 9000)
-        else (a.substring(0, i), a.substring(i + 1).toInt)
+      expanded.map(splitHostPort)
+    }
+
+  /** Split one address into (host, port). Handles bracketed IPv6
+    * (`[::1]:9440`, `[2001:db8::1]`) and falls back to the default
+    * port 9000 when there is no port — including a bare IPv6 literal
+    * (`::1`), whose last hextet must NOT be read as a port. */
+  private[sources] def splitHostPort(a: String): (String, Int) =
+    if (a.startsWith("[")) {
+      val close = a.indexOf(']')
+      require(close > 0, s"remote(): unterminated '[' in address '$a'")
+      val host = a.substring(1, close)
+      val rest = a.substring(close + 1)
+      if (rest.isEmpty) (host, 9000)
+      else {
+        require(rest.head == ':', s"remote(): bad address '$a'")
+        (host, rest.tail.toInt)
       }
+    } else {
+      val i = a.lastIndexOf(':')
+      val tail = if (i < 0) "" else a.substring(i + 1)
+      // a second colon means an unbracketed IPv6 literal with no port;
+      // a non-numeric tail is not a port either
+      if (i < 0 || a.indexOf(':') != i || !tail.forall(_.isDigit) || tail.isEmpty)
+        (a, 9000)
+      else (a.substring(0, i), tail.toInt)
     }
 
   /** Back-quote an identifier; the `default` database prefix is

@@ -492,7 +492,9 @@ object MergeTreePartWriter {
           case 4 => w.writeIntLE(unscaled.intValueExact())
           case 8 => w.writeLongLE(unscaled.longValueExact())
           case _ =>
-            require(unscaled.bitLength() < 127,
+            // fits 128-bit signed two's complement iff bitLength <= 127
+            // (bitLength excludes the sign bit; 10^38-1 has bitLength 127)
+            require(unscaled.bitLength() <= 127,
               s"Decimal128 overflow: $unscaled")
             val be = unscaled.toByteArray
             val pad = if (unscaled.signum() < 0) 0xFF else 0x00

@@ -26,6 +26,21 @@ class RemoteNativeSpec extends AnyFunSuite {
     assert(RemoteNative.expandAddresses("solo") == Seq(("solo", 9000)))
   }
 
+  test("address expansion: IPv6 literals, bracketed and bare (ADVICE r18)") {
+    assert(RemoteNative.expandAddresses("[::1]:9440") == Seq(("::1", 9440)))
+    assert(RemoteNative.expandAddresses("[2001:db8::1]") ==
+      Seq(("2001:db8::1", 9000)))
+    // a bare IPv6 literal's last hextet is NOT a port
+    assert(RemoteNative.expandAddresses("::1") == Seq(("::1", 9000)))
+    assert(RemoteNative.expandAddresses("2001:db8::1") ==
+      Seq(("2001:db8::1", 9000)))
+    assert(RemoteNative.expandAddresses("[::1]:9440,h2:9000") ==
+      Seq(("::1", 9440), ("h2", 9000)))
+    intercept[IllegalArgumentException] {
+      RemoteNative.expandAddresses("[::1")
+    }
+  }
+
   test("loopback remote() read matches the local scan") {
     val local = graft.core.Tables.load(spark, dir, "nation")
       .select("n_nationkey", "n_name", "n_regionkey")

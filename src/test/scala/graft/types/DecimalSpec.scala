@@ -52,6 +52,47 @@ class DecimalSpec extends AnyFunSuite {
     assert(d.cols(3).values == cols(3).values)
   }
 
+  test("Decimal128 extremes: +/-(10^38-1) fit the 16-byte lane (bitLength 127)") {
+    // ADVICE r18: bitLength() < 127 rejected legitimate full-range
+    // Decimal(38) values; the whole CH range +/-(10^38-1) must encode
+    val max38 = bd("99999999999999999999999999999999999999") // 10^38-1
+    val min38 = max38.negate()
+    assert(max38.unscaledValue().bitLength() == 127) // the boundary case
+    val cols = Seq(Col("dx", TDecimal(38, 0),
+      IndexedSeq(max38, min38, bd("0"))))
+    val o = new WireOut
+    writeBlock(o, cols, 3, NativeProtocol.ServerRevision)
+    val d = readBlock(new WireIn(o.bytes), NativeProtocol.ServerRevision)
+    assert(d.cols(0).values == cols(0).values)
+    // and with a nonzero scale (unscaled magnitude is what matters)
+    val scaled = Seq(Col("ds", TDecimal(38, 6),
+      IndexedSeq(bd("99999999999999999999999999999999.999999"),
+        bd("-99999999999999999999999999999999.999999"))))
+    val o2 = new WireOut
+    writeBlock(o2, scaled, 2, NativeProtocol.ServerRevision)
+    assert(readBlock(new WireIn(o2.bytes), NativeProtocol.ServerRevision)
+      .cols(0).values == scaled(0).values)
+  }
+
+  test("MergeTree part codec: Decimal128 extremes round-trip through CTAS") {
+    import graft.service.QueryService
+    val wh = java.nio.file.Files.createTempDirectory("graft_dec_x_wh").toString
+    spark.conf.set(graft.dialect.ChWrites.WarehouseConf, wh)
+    graft.dialect.ChFunctions.register(spark)
+    val svc = new QueryService(spark)
+    val back = svc.executeToDf(QueryService.QueryRequest(
+      query = "SELECT CAST(hi AS STRING) AS hi, CAST(lo AS STRING) AS lo FROM dec_mt_x",
+      initQueries = Seq(
+        """CREATE TABLE dec_mt_x ENGINE = MergeTree ORDER BY (k) AS
+          |SELECT 1 AS k,
+          |       CAST('99999999999999999999999999999999999999' AS DECIMAL(38, 0)) AS hi,
+          |       CAST('-99999999999999999999999999999999999999' AS DECIMAL(38, 0)) AS lo""".stripMargin)))
+      ._1.collect()(0)
+    assert(back.getString(0) == "99999999999999999999999999999999999999")
+    assert(back.getString(1) == "-99999999999999999999999999999999999999")
+    svc.executeToDf(QueryService.QueryRequest("DROP TABLE dec_mt_x"))
+  }
+
   test("RowBinary: decimal values round-trip through write/readValue") {
     Seq(
       (TDecimal(9, 4), bd("-123.4567")),
