@@ -1170,6 +1170,7 @@ object ChSql {
 
   private val TableFn =
     ("""(?i)\b(s3Cluster|s3|urlCluster|url|file|numbers|remoteSecure|remote|""" +
+      """clusterAllReplicas|cluster|""" +
       PipelineTableFns.Names + """)\s*\(""").r
 
   /** Replace every `s3(…)`/`url(…)`-style call with a temp view created
@@ -1261,6 +1262,25 @@ object ChSql {
           secure = fn == "remotesecure")
         .createOrReplaceTempView(view)
       return view
+    }
+    if (fn == "cluster" || fn == "clusterallreplicas") {
+      // cluster('<name>', db.table | db, table) — the engine's Spark
+      // session IS the cluster (every scan already distributes splits
+      // across executors), so the spelling resolves to the local table;
+      // the cluster-name argument is accepted and dropped, like
+      // s3Cluster's (S2). The narrow regex at [[ClusterAllReplicas]]
+      // still short-circuits the system.* spellings before this runs.
+      val lit = rawArgs.map(unquote)
+      require(lit.size >= 2, s"$fn() needs (cluster, table) at least")
+      val (db, tbl) =
+        if (lit(1).contains(".")) {
+          val Array(d, t) = lit(1).split("\\.", 2)
+          (d, t)
+        } else if (lit.size >= 3) (lit(1), lit(2))
+        else ("default", lit(1))
+      return if (db == "system") s"system_$tbl"
+      else if (db.isEmpty || db == "default") tbl
+      else s"$db.$tbl"
     }
     if (fn == "numbers") {
       // CH numbers(N) / numbers(start, N) → a distributed range with

@@ -8,13 +8,17 @@ import org.apache.spark.sql.types._
   * payloads with a typed metadata struct, processed in partition-sized
   * batches.
   *
-  * The decode step is STUBBED (this container has no image/audio codecs
-  * — builder-prompt instruction): [[fakeDecode]] is a deterministic
-  * stand-in that derives "pixels" from the payload bytes. Everything
-  * around it — the schema contract, the batch iterator shape
-  * (`mapPartitions`, the Scala analog of `mapInPandas` batches), the
-  * partitioning posture — is real and tested, so swapping in a real
-  * codec is a one-function change.
+  * The decode step is REAL for images (r19, closes three rounds of
+  * "fakeDecode is the one simulated path"): [[imageDims]] parses
+  * PNG/JPEG/GIF/BMP dimensions straight from the header bytes (no full
+  * decode — the path metadata extraction rides at scan speed), and
+  * [[decodeImage]]/[[resizeImage]] run the JDK's own `javax.imageio`
+  * codecs (PNG/JPEG/GIF/BMP ship with the JRE — no new dependency).
+  * Payloads that are NOT a decodable image (this repo's synthetic
+  * fixtures derive payloads from text bytes) fall back to the
+  * deterministic byte-fold ([[fakeDecode]]/[[fakeResize]]) so pipeline
+  * shape stays exercised end-to-end on any corpus; the REAL codecs are
+  * pinned by specs and the q237 corpus query over ImageIO-encoded PNGs.
   *
   * Scale posture: payloads stay opaque until the per-partition decode,
   * so Parquet scans of metadata-only queries never touch the bytes
@@ -22,6 +26,138 @@ import org.apache.spark.sql.types._
   * parallelism = partition count; no shuffle anywhere.
   */
 object Multimodal {
+
+  // ImageIO is headless-safe, but make it explicit for executor JVMs
+  try System.setProperty("java.awt.headless", "true") catch { case _: SecurityException => }
+
+  /** Sniffed (format, width, height) from payload HEADER bytes only —
+    * no pixel decode, no codec invocation. Covers the four formats the
+    * JDK can also fully decode:
+    *   - PNG:  8-byte signature, then the IHDR chunk's big-endian w/h
+    *   - GIF:  "GIF87a"/"GIF89a", then little-endian u16 w/h
+    *   - BMP:  "BM", BITMAPINFOHEADER's little-endian i32 w/h at 18/22
+    *   - JPEG: scan markers for the first frame header SOFn (C0-CF,
+    *     skipping C4/C8/CC), big-endian u16 height then width
+    */
+  def imageDims(payload: Array[Byte]): Option[(String, Int, Int)] = {
+    def u8(i: Int) = payload(i) & 0xff
+    def beU16(i: Int) = (u8(i) << 8) | u8(i + 1)
+    def beI32(i: Int) = (u8(i) << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3)
+    def leU16(i: Int) = u8(i) | (u8(i + 1) << 8)
+    def leI32(i: Int) = u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16) | (u8(i + 3) << 24)
+    if (payload == null) None
+    else if (payload.length >= 24 &&
+        u8(0) == 0x89 && u8(1) == 'P' && u8(2) == 'N' && u8(3) == 'G' &&
+        u8(12) == 'I' && u8(13) == 'H' && u8(14) == 'D' && u8(15) == 'R')
+      Some(("png", beI32(16), beI32(20)))
+    else if (payload.length >= 10 &&
+        u8(0) == 'G' && u8(1) == 'I' && u8(2) == 'F' && u8(3) == '8' &&
+        (u8(4) == '7' || u8(4) == '9') && u8(5) == 'a')
+      Some(("gif", leU16(6), leU16(8)))
+    else if (payload.length >= 26 && u8(0) == 'B' && u8(1) == 'M')
+      Some(("bmp", leI32(18), math.abs(leI32(22))))
+    else if (payload.length >= 4 && u8(0) == 0xff && u8(1) == 0xd8) {
+      // JPEG: walk marker segments to the first SOFn
+      var i = 2
+      while (i + 9 < payload.length) {
+        if (u8(i) != 0xff) return None // lost sync — not a well-formed JPEG
+        val marker = u8(i + 1)
+        if (marker == 0xd8 || (marker >= 0xd0 && marker <= 0xd7) || marker == 0x01) {
+          i += 2 // standalone markers carry no length
+        } else if (marker >= 0xc0 && marker <= 0xcf &&
+            marker != 0xc4 && marker != 0xc8 && marker != 0xcc) {
+          return Some(("jpeg", beU16(i + 7), beU16(i + 5)))
+        } else {
+          val len = beU16(i + 2)
+          if (len < 2) return None
+          i += 2 + len
+        }
+      }
+      None
+    } else None
+  }
+
+  /** REAL image decode via the JDK's ImageIO (PNG/JPEG/GIF/BMP).
+    * Returns None when the bytes are not a decodable image. */
+  def decodeImage(payload: Array[Byte]): Option[java.awt.image.BufferedImage] =
+    if (payload == null || payload.length < 8) None
+    else try Option(javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(payload)))
+    catch { case _: Exception => None }
+
+  /** REAL pixel feature: a `gridW x gridH` mean-luminance grid from the
+    * decoded image (the classic thumbnail-embedding used for visual
+    * near-dup detection), row-major, each cell in [0, 1]. */
+  def luminanceGrid(img: java.awt.image.BufferedImage,
+      gridW: Int, gridH: Int): Array[Double] = {
+    val out = new Array[Double](gridW * gridH)
+    val counts = new Array[Int](gridW * gridH)
+    val w = img.getWidth
+    val h = img.getHeight
+    var y = 0
+    while (y < h) {
+      val cy = math.min(gridH - 1, y * gridH / math.max(1, h))
+      var x = 0
+      while (x < w) {
+        val cx = math.min(gridW - 1, x * gridW / math.max(1, w))
+        val rgb = img.getRGB(x, y)
+        val lum = (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
+          (rgb & 0xff) * 114) / 1000.0 / 255.0
+        val c = cy * gridW + cx
+        out(c) += lum
+        counts(c) += 1
+        x += 1
+      }
+      y += 1
+    }
+    var i = 0
+    while (i < out.length) {
+      if (counts(i) > 0) out(i) /= counts(i)
+      i += 1
+    }
+    out
+  }
+
+  /** REAL resize: decode, bilinear-resample to (w, h) with Graphics2D,
+    * re-encode as PNG. None when the payload is not a decodable image. */
+  def resizeImage(payload: Array[Byte], w: Int, h: Int): Option[Array[Byte]] =
+    decodeImage(payload).map { src =>
+      val dst = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = dst.createGraphics()
+      try {
+        g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+          java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+        g.drawImage(src, 0, 0, w, h, null)
+      } finally g.dispose()
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(dst, "png", bos)
+      bos.toByteArray
+    }
+
+  /** Per-partition header-sniff over the media contract: one row per
+    * media with the format + dimensions parsed from the payload's
+    * MAGIC BYTES (no pixel decode — this is the 100 TB metadata-extract
+    * shape). Unrecognized payloads surface format "unknown". */
+  def probeMedia(spark: SparkSession, media: DataFrame): DataFrame = {
+    val probeSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("format", StringType, nullable = false),
+      StructField("width", IntegerType, nullable = true),
+      StructField("height", IntegerType, nullable = true),
+      StructField("n_bytes", LongType, nullable = false)))
+    val rdd = media.select("media_id", "payload").rdd.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val payload = if (r.isNullAt(1)) Array.empty[Byte] else r.getAs[Array[Byte]](1)
+        imageDims(payload) match {
+          case Some((fmt, w, h)) => Row(id, fmt, w, h, payload.length.toLong)
+          case None => Row(id, "unknown", null, null, payload.length.toLong)
+        }
+      }
+    }
+    spark.createDataFrame(rdd, probeSchema)
+  }
 
   /** The multimodal column contract: binary payload + typed metadata. */
   val mediaSchema: StructType = StructType(Seq(
@@ -53,10 +189,10 @@ object Multimodal {
     StructField("head_hash", LongType, nullable = false),
     StructField("feature", ArrayType(DoubleType), nullable = true)))
 
-  /** STUB decode: a real implementation would decode image bytes here
-    * (e.g. JPEG → HxWx3). This deterministic fake folds payload bytes
-    * into a fixed-width "feature" so downstream code (ANN over features,
-    * quality filters) is exercised end-to-end. */
+  /** Fallback feature for NON-image payloads (the real decode path is
+    * [[decodeImage]] + [[luminanceGrid]]): a deterministic byte-fold
+    * into a fixed-width vector, so pipelines over corpora whose binary
+    * columns are not images (or are truncated/corrupt) still flow. */
   private[operators] def fakeDecode(payload: Array[Byte], dim: Int): Array[Double] = {
     val out = new Array[Double](dim)
     var i = 0
@@ -69,16 +205,23 @@ object Multimodal {
 
   /** Per-partition batch feature extraction — the `mapInPandas` analog:
     * one iterator in, one iterator out, batch = partition. Runs the
-    * (stubbed) decode executor-side; the driver never sees payloads. */
+    * decode executor-side; the driver never sees payloads. Image
+    * payloads get the REAL pixel feature (a mean-luminance grid from
+    * the ImageIO decode); anything else gets the deterministic
+    * byte-fold fallback. */
   def extractFeatures(spark: SparkSession, media: DataFrame, dim: Int = 8): DataFrame = {
     val rdd = media.select("media_id", "payload").rdd.mapPartitions { it =>
       it.map { r =>
         val id = r.getLong(0)
         val payload = if (r.isNullAt(1)) Array.empty[Byte] else r.getAs[Array[Byte]](1)
+        val feature = decodeImage(payload) match {
+          case Some(img) => luminanceGrid(img, dim, 1)
+          case None => fakeDecode(payload, dim)
+        }
         Row(id,
           payload.length.toLong,
           graft.functions.CityHash.hash64(payload, 0, math.min(64, payload.length)),
-          fakeDecode(payload, dim).toSeq)
+          feature.toSeq)
       }
     }
     spark.createDataFrame(rdd, featureSchema)
@@ -93,10 +236,10 @@ object Multimodal {
         sum(col("meta.n_bytes")).as("total_bytes"),
         max(col("meta.width")).as("max_width"))
 
-  /** STUB resize: a real implementation would decode, bilinear-resample
-    * to (w, h), re-encode. The deterministic fake keeps the byte-volume
-    * contract (output length = w*h) so downstream size accounting and
-    * the batch shape are exercised for real. */
+  /** Fallback resize for NON-image payloads (the real path is
+    * [[resizeImage]]): nearest-neighbor byte resample keeping the
+    * byte-volume contract (output length = w*h) so downstream size
+    * accounting flows for opaque payloads too. */
   private[operators] def fakeResize(payload: Array[Byte], w: Int, h: Int): Array[Byte] = {
     val out = new Array[Byte](w * h)
     if (payload.nonEmpty) {
@@ -111,14 +254,16 @@ object Multimodal {
 
   /** Batched resize over the media contract (same `mapPartitions` batch
     * shape as [[extractFeatures]]): payload replaced, metadata updated
-    * to the new dimensions. Runs executor-side, one batch per
-    * partition, no shuffle. */
+    * to the new dimensions. Image payloads take the REAL ImageIO
+    * bilinear resample (PNG out); opaque payloads take the byte
+    * resample fallback. Runs executor-side, one batch per partition,
+    * no shuffle. */
   def resize(spark: SparkSession, media: DataFrame, w: Int, h: Int): DataFrame = {
     val rdd = media.select("media_id", "payload").rdd.mapPartitions { it =>
       it.map { r =>
         val id = r.getLong(0)
         val payload = if (r.isNullAt(1)) Array.empty[Byte] else r.getAs[Array[Byte]](1)
-        val resized = fakeResize(payload, w, h)
+        val resized = resizeImage(payload, w, h).getOrElse(fakeResize(payload, w, h))
         Row(id, resized, Row("image", w, h, resized.length.toLong))
       }
     }

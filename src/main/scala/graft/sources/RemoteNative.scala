@@ -136,4 +136,83 @@ object RemoteNative {
       }
     spark.createDataFrame(rdd, schema)
   }
+
+  /** Write-side federation — `INSERT INTO FUNCTION remote(…) SELECT …`
+    * (CH's push spelling; the reference delegates it with the rest of
+    * the SQL surface at `workflow_query_executor.go:313`).
+    *
+    * Topology mirrors [[read]] upside down: each DataFrame PARTITION
+    * opens its own native INSERT connection on the executor and streams
+    * its rows as typed blocks of `blockRows`, so the write fans out
+    * across the cluster with one block per connection on any heap at a
+    * time — never a partition's whole payload, never anything on the
+    * driver. Partitions round-robin over the address list (a sharded
+    * spelling load-balances like CH's Distributed insert with
+    * `internal_replication=false` semantics: each row lands on exactly
+    * one shard). Returns the row count written. */
+  def write(spark: SparkSession, addrSpec: String, db: String, table: String,
+      df: DataFrame, user: String = "default", password: String = "",
+      secure: Boolean = false, blockRows: Int = 65536): Long = {
+    val addrs = expandAddresses(addrSpec)
+    require(addrs.nonEmpty, s"remote(): no addresses in '$addrSpec'")
+    val target = qualified(db, table)
+    val trust: Option[(String, String)] =
+      if (!secure) None
+      else Some((
+        spark.conf.getOption(graft.service.Tls.TruststoreConf).getOrElse(
+          throw new IllegalArgumentException(
+            s"remoteSecure() needs ${graft.service.Tls.TruststoreConf} set")),
+        spark.conf.getOption(graft.service.Tls.TruststorePasswordConf)
+          .getOrElse("")))
+    def ctx(): Option[javax.net.ssl.SSLContext] =
+      trust.map { case (p, pw) => graft.service.Tls.clientContext(p, pw) }
+
+    // schema probe (mirror of the read path): blocks must carry the
+    // TARGET's declared wire types, not whatever width the local frame
+    // happens to have (an Int32 parquet column inserting into an Int64
+    // target would otherwise fail server-side)
+    val (h0, p0) = addrs.head
+    val probe = new NativeClient(h0, p0, user = user, password = password,
+      tls = ctx())
+    val declared: Map[String, NativeBlock.ChT] =
+      try {
+        val r = probe.query(s"SELECT * FROM $target LIMIT 0")
+        r.cols.zip(r.types.map(NativeBlock.parseType)).toMap
+      } finally probe.close()
+    val names = df.schema.fieldNames.toSeq
+    val types = names.map(n => declared.getOrElse(n,
+      throw new IllegalArgumentException(
+        s"INSERT INTO FUNCTION remote(…, $target): remote table has no " +
+          s"column '$n' (it has ${declared.keys.mkString(", ")})")))
+    val aligned = df.select(names.zip(types).map { case (n, t) =>
+      org.apache.spark.sql.functions.col(n)
+        .cast(NativeBlock.sparkTypeOf(t)).as(n)
+    }: _*)
+    val opener = s"INSERT INTO $target (" +
+      names.map(n => "`" + n.replace("`", "``") + "`").mkString(", ") + ")"
+    val counts = aligned.rdd.mapPartitions { it =>
+      if (it.isEmpty) Iterator.single(0L)
+      else {
+        val pid = Option(org.apache.spark.TaskContext.get())
+          .map(_.partitionId()).getOrElse(0)
+        val (h, p) = addrs(pid % addrs.size)
+        val c = new NativeClient(h, p, user = user, password = password,
+          tls = trust.map { case (tp, tpw) =>
+            graft.service.Tls.clientContext(tp, tpw) })
+        Option(org.apache.spark.TaskContext.get()).foreach(
+          _.addTaskCompletionListener[Unit](_ => c.close()))
+        var n = 0L
+        val blocks = it.grouped(blockRows).map { rows =>
+          n += rows.size
+          names.indices.map { i =>
+            NativeBlock.Col(names(i), types(i),
+              rows.map(r => r.get(i)).toIndexedSeq)
+          }
+        }
+        c.insertStream(opener, blocks)
+        Iterator.single(n)
+      }
+    }
+    counts.fold(0L)(_ + _)
+  }
 }

@@ -99,4 +99,51 @@ class RemoteNativeSpec extends AnyFunSuite {
       .collect()(0)
     assert(r.getLong(0) == 25L)
   }
+
+  test("write-side federation: INSERT INTO FUNCTION remote(…) SELECT streams rows out") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_rw_wh").toString
+    spark.conf.set(graft.dialect.ChWrites.WarehouseConf, wh)
+    graft.dialect.ChFunctions.register(spark)
+    val svc = new graft.service.QueryService(spark)
+    try {
+      svc.executeToDf(graft.service.QueryService.QueryRequest(
+        "CREATE TABLE rw_target (nk Int64, nm String, rk Int64) " +
+          "ENGINE = MergeTree ORDER BY nk"))
+      // the push spelling: SELECT runs locally, rows land on the
+      // "remote" (loopback) server over the native protocol
+      val status = svc.executeToDf(graft.service.QueryService.QueryRequest(
+        s"""INSERT INTO FUNCTION remote('127.0.0.1:$port', default.rw_target)
+           |SELECT n_nationkey AS nk, n_name AS nm, n_regionkey AS rk
+           |FROM nation_rspec""".stripMargin))._1.collect()(0)
+      assert(status.getLong(2) == 25L, status.toString)
+      val back = graft.dialect.ChSql.sql(spark,
+        "SELECT count() AS c, sum(rk) AS s FROM rw_target").collect()(0)
+      assert(back.getLong(0) == 25L)
+      val localSum = graft.core.Tables.load(spark, dir, "nation")
+        .agg(org.apache.spark.sql.functions.sum("n_regionkey"))
+        .collect()(0).getLong(0)
+      assert(back.getLong(1) == localSum)
+      // multi-address spec: partitions round-robin, every row lands once
+      svc.executeToDf(graft.service.QueryService.QueryRequest(
+        s"""INSERT INTO FUNCTION remote('127.0.0.1:$port,127.0.0.1:$port',
+           |default.rw_target)
+           |SELECT n_nationkey AS nk, n_name AS nm, n_regionkey AS rk
+           |FROM nation_rspec""".stripMargin))
+      assert(graft.dialect.ChSql.sql(spark,
+        "SELECT count() AS c FROM rw_target").collect()(0).getLong(0) == 50L)
+      svc.executeToDf(graft.service.QueryService.QueryRequest(
+        "DROP TABLE rw_target"))
+    } finally spark.conf.unset(graft.dialect.ChWrites.WarehouseConf)
+  }
+
+  test("cluster() read spelling resolves to the local table (the session IS the cluster)") {
+    val r = graft.dialect.ChSql.sql(spark,
+      "SELECT count() AS cnt FROM cluster('graft', default.nation_rspec)")
+      .collect()(0)
+    assert(r.getLong(0) == 25L)
+    val r2 = graft.dialect.ChSql.sql(spark,
+      "SELECT count() AS cnt FROM clusterAllReplicas('graft', 'default', 'nation_rspec')")
+      .collect()(0)
+    assert(r2.getLong(0) == 25L)
+  }
 }
