@@ -103,17 +103,31 @@ class ElasticPool(host: String = "127.0.0.1") {
   // ---- out-of-process workers (r18; VERDICT r17 next #5) ----
 
   private val procWorkers =
-    scala.collection.mutable.LinkedHashMap.empty[Int, Process]
+    scala.collection.mutable.LinkedHashMap.empty[Int, HostProvider.NodeHandle]
 
-  /** O2, the daemon variant: fork [[WorkerDaemon]] as its OWN JVM —
-    * the process a cloud `SpawnNodes` boots on a fresh VM. The worker
-    * registers with the live master exactly like the in-JVM variant;
-    * unlike it, the node can DIE ungracefully ([[killWorker9]]). */
-  def addProcessWorker(cores: Int, memoryMb: Int,
-      workDirBase: String): Int = synchronized {
+  /** O2, the daemon variant: launch [[WorkerDaemon]] as its OWN JVM
+    * through a [[HostProvider]] (r19 seam) — the process a cloud
+    * `SpawnNodes` boots on a fresh VM. The default provider forks on
+    * this host; a remote provider changes ONLY where the argv runs.
+    * The worker registers with the live master exactly like the
+    * in-JVM variant; unlike it, the node can DIE ungracefully
+    * ([[killWorker9]]). */
+  def addProcessWorker(cores: Int, memoryMb: Int, workDirBase: String,
+      provider: HostProvider = HostProvider.LocalProcess): Int = synchronized {
     require(masterEnv != null, "pool not started")
     val id = nextWorker
     nextWorker += 1
+    procWorkers(id) = provider.launch(
+      workerLaunchSpec(id, cores, memoryMb, workDirBase))
+    id
+  }
+
+  /** The fully-resolved daemon launch for worker `id` — argv, workdir,
+    * env, log sink. Public so an out-of-tree provider (ssh/cloud) can
+    * render it into its own bootstrap (user-data script, docker CMD). */
+  def workerLaunchSpec(id: Int, cores: Int, memoryMb: Int,
+      workDirBase: String): HostProvider.LaunchSpec = {
+    require(masterUrl != null, "pool not started")
     val wd = new java.io.File(s"$workDirBase/worker-$id")
     wd.mkdirs()
     val javaBin = s"${System.getProperty("java.home")}/bin/java"
@@ -131,13 +145,12 @@ class ElasticPool(host: String = "127.0.0.1") {
       "graft.cluster.WorkerDaemon",
       host, cores.toString, memoryMb.toString, masterUrl,
       wd.getAbsolutePath, id.toString)
-    val pb = new ProcessBuilder(cmd: _*)
-    pb.redirectOutput(new java.io.File(wd, "daemon.out"))
-    pb.redirectErrorStream(true)
-    sys.env.get("SPARK_SCALA_VERSION")
-      .foreach(v => pb.environment().put("SPARK_SCALA_VERSION", v))
-    procWorkers(id) = pb.start()
-    id
+    HostProvider.LaunchSpec(
+      command = cmd,
+      workDir = wd.getAbsolutePath,
+      env = sys.env.get("SPARK_SCALA_VERSION")
+        .map(v => "SPARK_SCALA_VERSION" -> v).toMap,
+      logFile = new java.io.File(wd, "daemon.out").getAbsolutePath)
   }
 
   /** O8, the crash variant: SIGKILL the worker's whole process tree —
@@ -148,11 +161,7 @@ class ElasticPool(host: String = "127.0.0.1") {
     * tolerance, `workflow_query_executor.go:155-158`). */
   def killWorker9(id: Int): Boolean = synchronized {
     procWorkers.remove(id) match {
-      case Some(p) =>
-        p.toHandle.descendants()
-          .forEach(d => { d.destroyForcibly(); () })
-        p.destroyForcibly()
-        true
+      case Some(h) => h.kill9(); true
       case None => false
     }
   }
@@ -160,10 +169,7 @@ class ElasticPool(host: String = "127.0.0.1") {
   def stop(): Unit = synchronized {
     workers.values.foreach(_.shutdown())
     workers.clear()
-    procWorkers.values.foreach { p =>
-      p.toHandle.descendants().forEach(d => { d.destroyForcibly(); () })
-      p.destroyForcibly()
-    }
+    procWorkers.values.foreach(_.kill9())
     procWorkers.clear()
     if (masterEnv != null) { masterEnv.shutdown(); masterEnv = null }
   }
