@@ -87,6 +87,43 @@ object BitmapDistinct {
     * Roaring). `words` = ceil((max-min+1)/64). */
   final case class DenseCol(base: Long, words: Int) extends Serializable
 
+  // Zero-copy access to OnHeapColumnVector's backing arrays (r19): the
+  // public getLongs/getInts COPY (and the 3.7 MB/task allocations show
+  // up as GC time); the private fields are stable on the pinned Spark
+  // build and any reflection failure degrades to the virtual-getter
+  // loop. Only null-free, non-dictionary vectors qualify — dictionary
+  // ids live in a different array and nulls leave garbage slots.
+  private val onHeapLongData: java.lang.reflect.Field =
+    try {
+      val f = classOf[org.apache.spark.sql.execution.vectorized.OnHeapColumnVector]
+        .getDeclaredField("longData")
+      f.setAccessible(true); f
+    } catch { case _: Throwable => null }
+  private val onHeapIntData: java.lang.reflect.Field =
+    try {
+      val f = classOf[org.apache.spark.sql.execution.vectorized.OnHeapColumnVector]
+        .getDeclaredField("intData")
+      f.setAccessible(true); f
+    } catch { case _: Throwable => null }
+
+  private[plans] def rawLongs(
+      vec: org.apache.spark.sql.vectorized.ColumnVector): Array[Long] =
+    vec match {
+      case v: org.apache.spark.sql.execution.vectorized.OnHeapColumnVector
+          if onHeapLongData != null && !v.hasNull && !v.hasDictionary =>
+        onHeapLongData.get(v).asInstanceOf[Array[Long]]
+      case _ => null
+    }
+
+  private[plans] def rawInts(
+      vec: org.apache.spark.sql.vectorized.ColumnVector): Array[Int] =
+    vec match {
+      case v: org.apache.spark.sql.execution.vectorized.OnHeapColumnVector
+          if onHeapIntData != null && !v.hasNull && !v.hasDictionary =>
+        onHeapIntData.get(v).asInstanceOf[Array[Int]]
+      case _ => null
+    }
+
   /** One blob row per partition: every non-null value of each tracked
     * column folded into that column's set state. `colIdxs(j)` is the
     * j-th tracked column's index in the scan output; `isLong(j)` picks
@@ -118,11 +155,40 @@ object BitmapDistinct {
           val w = words(j)
           val base = d.base
           val span = d.words.toLong << 6
-          while (i < rows) {
-            if (!vec.isNullAt(i)) {
-              val v = (if (isLong(j)) vec.getLong(i) else vec.getInt(i).toLong) - base
+          // bulk lanes (r19): a null-free non-dictionary ON-HEAP vector
+          // exposes its backing array zero-copy — the loop then runs
+          // free of virtual getLong dispatch and allocation (the
+          // getLongs() copy variant traded the win back as GC time).
+          // Dictionary-backed, nullable, or off-heap batches take the
+          // per-row path with the null check hoisted per batch.
+          val longLane = if (isLong(j)) rawLongs(vec) else null
+          val intLane = if (isLong(j)) null else rawInts(vec)
+          if (longLane != null) {
+            while (i < rows) {
+              val v = longLane(i) - base
               // footer-stats race (file replaced after planning):
               // fail fast into the native fallback, never a wrong count
+              if (v < 0 || v >= span) DriverMerge.overflow()
+              w((v >>> 6).toInt) |= 1L << v
+              i += 1
+            }
+          } else if (intLane != null) {
+            while (i < rows) {
+              val v = intLane(i).toLong - base
+              if (v < 0 || v >= span) DriverMerge.overflow()
+              w((v >>> 6).toInt) |= 1L << v
+              i += 1
+            }
+          } else if (!vec.hasNull) {
+            while (i < rows) {
+              val v = (if (isLong(j)) vec.getLong(i) else vec.getInt(i).toLong) - base
+              if (v < 0 || v >= span) DriverMerge.overflow()
+              w((v >>> 6).toInt) |= 1L << v
+              i += 1
+            }
+          } else while (i < rows) {
+            if (!vec.isNullAt(i)) {
+              val v = (if (isLong(j)) vec.getLong(i) else vec.getInt(i).toLong) - base
               if (v < 0 || v >= span) DriverMerge.overflow()
               w((v >>> 6).toInt) |= 1L << v
             }
