@@ -3133,6 +3133,40 @@ object SparkEntry {
           min("width").as("minw"),
           max("height").as("maxh"))
         .orderBy("format")
+    }),
+
+    // r19: the AUDIO leg of the same loop — genuine WAVs from the
+    // JDK's own encoder (javax.sound.sampled), frame counts a function
+    // of doc_id, durations sniffed back from the RIFF header bytes
+    "q238_audio_probe" -> ((spark, dir) => {
+      prep(spark, dir)
+      import org.apache.spark.sql.Row
+      val docs = Tables.load(spark, dir, "documents").select("doc_id")
+      val media = spark.createDataFrame(
+        docs.rdd.mapPartitions { it =>
+          it.map { r =>
+            val id = r.getLong(0)
+            val channels = (id % 2 + 1).toInt
+            val frames = ((id % 100 + 1) * 80).toInt
+            val fmt = new javax.sound.sampled.AudioFormat(
+              8000f, 16, channels, true, false)
+            val pcm = new Array[Byte](frames * channels * 2)
+            val ais = new javax.sound.sampled.AudioInputStream(
+              new java.io.ByteArrayInputStream(pcm), fmt, frames.toLong)
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.sound.sampled.AudioSystem.write(ais,
+              javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+            val bytes = bos.toByteArray
+            Row(id, bytes, Row("audio", 0, 0, bytes.length.toLong))
+          }
+        }, Multimodal.mediaSchema)
+      Multimodal.probeMedia(spark, media)
+        .groupBy("format")
+        .agg(count(lit(1)).as("n"),
+          sum("duration_ms").cast("long").as("sdur"),
+          sum("channels").cast("long").as("sch"),
+          max("sample_rate").as("maxrate"))
+        .orderBy("format")
     })
   )
 
@@ -3304,6 +3338,12 @@ object SparkEntry {
         |       CAST(sum((doc_id % 5 + 1) * 4) AS BIGINT) AS sh,
         |       CAST(min((doc_id % 7 + 1) * 4) AS INT) AS minw,
         |       CAST(max((doc_id % 5 + 1) * 4) AS INT) AS maxh
+        |FROM documents""".stripMargin,
+    "q238_audio_probe" ->
+      """SELECT 'wav' AS format, count(*) AS n,
+        |       CAST(sum((doc_id % 100 + 1) * 10) AS BIGINT) AS sdur,
+        |       CAST(sum(doc_id % 2 + 1) AS BIGINT) AS sch,
+        |       CAST(max(8000) AS INT) AS maxrate
         |FROM documents""".stripMargin,
     "q233_mt_decimal_ctas" ->
       """SELECT count(*) AS n,

@@ -77,6 +77,74 @@ object Multimodal {
     } else None
   }
 
+  /** Sniffed audio metadata from a WAV/RIFF header: (sampleRate,
+    * channels, bitsPerSample, nFrames) from the `fmt ` and `data`
+    * chunks — byte-level parse, no codec. */
+  def wavInfo(payload: Array[Byte]): Option[(Int, Int, Int, Long)] = {
+    def u8(i: Int) = payload(i) & 0xff
+    def leU16(i: Int) = u8(i) | (u8(i + 1) << 8)
+    def leI32(i: Int) = u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16) | (u8(i + 3) << 24)
+    def tag(i: Int, s: String) =
+      payload.length >= i + 4 && (0 until 4).forall(k => u8(i + k) == s.charAt(k))
+    if (payload == null || payload.length < 44 ||
+        !tag(0, "RIFF") || !tag(8, "WAVE")) return None
+    var i = 12
+    var fmt: Option[(Int, Int, Int)] = None
+    var dataBytes = -1L
+    while (i + 8 <= payload.length && (fmt.isEmpty || dataBytes < 0)) {
+      val size = leI32(i + 4).toLong & 0xFFFFFFFFL
+      if (tag(i, "fmt ") && i + 24 <= payload.length)
+        fmt = Some((leI32(i + 12), leU16(i + 10), leU16(i + 22)))
+      else if (tag(i, "data")) dataBytes = size
+      i += 8 + size.toInt + (size.toInt & 1) // chunks are word-aligned
+      if (i < 0) return None // corrupt size wrapped
+    }
+    fmt.collect { case (rate, ch, bits) if ch > 0 && bits > 0 && dataBytes >= 0 =>
+      (rate, ch, bits, dataBytes / (ch.toLong * (bits / 8).max(1)))
+    }
+  }
+
+  /** Sniffed video metadata from an MP4/ISO-BMFF header: (brand,
+    * durationMs) from the `ftyp` major brand and the `moov/mvhd` box
+    * (version 0 or 1) — box-structure walk, no codec. */
+  def mp4Info(payload: Array[Byte]): Option[(String, Long)] = {
+    def u8(i: Int) = payload(i) & 0xff
+    def beI32(i: Int) = (u8(i) << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3)
+    def beI64(i: Int) = (beI32(i).toLong << 32) | (beI32(i + 4).toLong & 0xFFFFFFFFL)
+    def tag(i: Int) = new String(payload, i, 4, "US-ASCII")
+    if (payload == null || payload.length < 16 || tag(4) != "ftyp") return None
+    val brand = tag(8)
+    // walk top-level boxes to moov, then moov's children to mvhd
+    def findBox(from: Int, until: Int, name: String): Option[(Int, Int)] = {
+      var i = from
+      while (i + 8 <= until) {
+        val size = beI32(i).toLong & 0xFFFFFFFFL
+        if (size < 8) return None
+        if (tag(i + 4) == name)
+          return Some((i + 8, math.min(until.toLong, i + size).toInt))
+        i += size.toInt
+        if (i < 0) return None
+      }
+      None
+    }
+    findBox(0, payload.length, "moov").flatMap { case (s, e) =>
+      findBox(s, e, "mvhd").flatMap { case (ms, _) =>
+        if (ms + 4 > payload.length) None
+        else u8(ms) match { // mvhd version byte
+          case 0 if ms + 20 <= payload.length =>
+            val scale = beI32(ms + 12).toLong & 0xFFFFFFFFL
+            val dur = beI32(ms + 16).toLong & 0xFFFFFFFFL
+            if (scale > 0) Some((brand, dur * 1000L / scale)) else None
+          case 1 if ms + 32 <= payload.length =>
+            val scale = beI32(ms + 20).toLong & 0xFFFFFFFFL
+            val dur = beI64(ms + 24)
+            if (scale > 0) Some((brand, dur * 1000L / scale)) else None
+          case _ => None
+        }
+      }
+    }
+  }
+
   /** REAL image decode via the JDK's ImageIO (PNG/JPEG/GIF/BMP).
     * Returns None when the bytes are not a decodable image. */
   def decodeImage(payload: Array[Byte]): Option[java.awt.image.BufferedImage] =
@@ -145,14 +213,27 @@ object Multimodal {
       StructField("format", StringType, nullable = false),
       StructField("width", IntegerType, nullable = true),
       StructField("height", IntegerType, nullable = true),
+      StructField("sample_rate", IntegerType, nullable = true),
+      StructField("channels", IntegerType, nullable = true),
+      StructField("duration_ms", LongType, nullable = true),
       StructField("n_bytes", LongType, nullable = false)))
     val rdd = media.select("media_id", "payload").rdd.mapPartitions { it =>
       it.map { r =>
         val id = r.getLong(0)
         val payload = if (r.isNullAt(1)) Array.empty[Byte] else r.getAs[Array[Byte]](1)
+        val nb = payload.length.toLong
         imageDims(payload) match {
-          case Some((fmt, w, h)) => Row(id, fmt, w, h, payload.length.toLong)
-          case None => Row(id, "unknown", null, null, payload.length.toLong)
+          case Some((fmt, w, h)) => Row(id, fmt, w, h, null, null, null, nb)
+          case None => wavInfo(payload) match {
+            case Some((rate, ch, bits, frames)) =>
+              Row(id, "wav", null, null, rate, ch,
+                if (rate > 0) frames * 1000L / rate else null, nb)
+            case None => mp4Info(payload) match {
+              case Some((brand, durMs)) =>
+                Row(id, s"mp4/$brand", null, null, null, null, durMs, nb)
+              case None => Row(id, "unknown", null, null, null, null, null, nb)
+            }
+          }
         }
       }
     }

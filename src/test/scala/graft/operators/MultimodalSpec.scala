@@ -79,6 +79,58 @@ class MultimodalSpec extends AnyFunSuite {
     assert(feats(2L).exists(v => v > 0))                // fallback fold flowed
   }
 
+  private def encodeWav(sampleRate: Int, channels: Int, frames: Int): Array[Byte] = {
+    // genuine encoder output: the JDK's own WAV writer
+    val fmt = new javax.sound.sampled.AudioFormat(
+      sampleRate.toFloat, 16, channels, true, false)
+    val pcm = new Array[Byte](frames * channels * 2)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, frames.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  test("wavInfo sniffs sample rate / channels / frames from real JDK WAV bytes") {
+    val bytes = encodeWav(sampleRate = 16000, channels = 2, frames = 4800)
+    assert(Multimodal.wavInfo(bytes) == Some((16000, 2, 16, 4800L)))
+    assert(Multimodal.wavInfo("not audio".getBytes).isEmpty)
+    assert(Multimodal.imageDims(bytes).isEmpty) // no cross-sniffing
+  }
+
+  test("mp4Info walks ftyp + moov/mvhd for brand and duration") {
+    // minimal valid ISO-BMFF per the public spec: ftyp, then
+    // moov{mvhd v0: timescale 1000, duration 5400}
+    def be32(v: Int) = Array[Byte](
+      (v >> 24).toByte, (v >> 16).toByte, (v >> 8).toByte, v.toByte)
+    val mvhdBody = Array[Byte](0, 0, 0, 0) ++ // version 0 + flags
+      be32(0) ++ be32(0) ++                    // ctime, mtime
+      be32(1000) ++ be32(5400) ++              // timescale, duration
+      new Array[Byte](80)                      // rate..next_track_ID
+    val mvhd = be32(8 + mvhdBody.length) ++ "mvhd".getBytes ++ mvhdBody
+    val moov = be32(8 + mvhd.length) ++ "moov".getBytes ++ mvhd
+    val ftyp = be32(16) ++ "ftyp".getBytes ++ "isom".getBytes ++ be32(0x200)
+    val bytes = ftyp ++ moov
+    assert(Multimodal.mp4Info(bytes) == Some(("isom", 5400L)))
+    assert(Multimodal.mp4Info("GIF89a-not-mp4-bytes".getBytes).isEmpty)
+  }
+
+  test("probeMedia surfaces audio/video fields alongside image dims") {
+    import org.apache.spark.sql.Row
+    val rows = java.util.Arrays.asList(
+      Row(1L, encodeWav(8000, 1, 2000), Row("audio", 0, 0, 0L)),
+      Row(2L, encode("png", 5, 7, 0), Row("image", 5, 7, 0L)))
+    val media = spark.createDataFrame(rows, Multimodal.mediaSchema)
+    val probed = Multimodal.probeMedia(spark, media).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val audio = probed(1L)
+    assert(audio.getString(1) == "wav")
+    assert(audio.getInt(4) == 8000 && audio.getInt(5) == 1)
+    assert(audio.getLong(6) == 250L) // 2000 frames @ 8 kHz
+    assert(probed(2L).getString(1) == "png")
+  }
+
   test("probeMedia: header-sniff over the media contract, no pixel decode") {
     import org.apache.spark.sql.Row
     val rows = java.util.Arrays.asList(
