@@ -318,6 +318,29 @@ SETTINGS disk = disk(type = web, endpoint = '$endpoint')"""
       assert(byType("PushEvent") == 8L)
       assert(byType("PullRequestEvent") == 2L)
       assert(byType("WatchEvent") == 0L)
+
+      // the WRITE direction of the same delegation (r19): push a
+      // filtered slice into a table on the "remote" server, read it
+      // back through the same door
+      val wh = java.nio.file.Files.createTempDirectory("graft_refcorp_rw").toString
+      spark.conf.set(graft.dialect.ChWrites.WarehouseConf, wh)
+      try {
+        svc.execute(QueryService.QueryRequest(
+          query = "SELECT 1 AS ok",
+          initQueries = Seq(
+            "CREATE TABLE ge_pushes (repo_name String, commits Int64) " +
+              "ENGINE = MergeTree ORDER BY repo_name")))
+        svc.execute(QueryService.QueryRequest(
+          s"""INSERT INTO FUNCTION remote('127.0.0.1:$port', default.ge_pushes)
+             |SELECT coalesce(repo_name, '') AS repo_name,
+             |       CAST(commits AS BIGINT) AS commits
+             |FROM github_events WHERE event_type = 'PushEvent'""".stripMargin))
+        val back = svc.execute(QueryService.QueryRequest(
+          s"SELECT count() AS n, sum(commits) AS s FROM " +
+            s"remote('127.0.0.1:$port', default.ge_pushes)"))
+        assert(back.rows.head(1) == 8L, back.rows.toString)
+        svc.execute(QueryService.QueryRequest("DROP TABLE ge_pushes"))
+      } finally spark.conf.unset(graft.dialect.ChWrites.WarehouseConf)
     } finally native.stop()
   }
 
