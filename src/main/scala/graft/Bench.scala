@@ -165,9 +165,10 @@ object Bench {
     * `SPARK_GRAFT_BENCH_VERBOSE=1` prints every iteration to stderr —
     * the variance diagnostic (median alone hides bimodal runs). */
   private def timeMedian(
-      spark: SparkSession, name: String, mk: () => DataFrame): Double = {
+      spark: SparkSession, name: String, mk: () => DataFrame,
+      iters: Int = Iters): Double = {
     mk().write.format("noop").mode("overwrite").save() // JIT/codegen warmup
-    val ts = (1 to Iters).map { _ =>
+    val ts = (1 to iters).map { _ =>
       spark.catalog.clearCache()
       // settle the heap before timing: the dropped cache blocks and the
       // previous iteration's aggregation state otherwise surface as a
@@ -181,7 +182,7 @@ object Bench {
     if (sys.env.get("SPARK_GRAFT_BENCH_VERBOSE").contains("1"))
       System.err.println(
         s"[bench] $name iters: ${ts.map(t => f"$t%.3f").mkString(", ")}")
-    ts.sorted.apply(Iters / 2)
+    ts.sorted.apply(iters / 2)
   }
 
   /** Materialize a 10× copy of the baseline-shape tables (content-keyed
@@ -466,9 +467,10 @@ object Bench {
     def runAll(
         qs: Seq[(String, () => DataFrame)],
         into: scala.collection.mutable.LinkedHashMap[String, Double],
-        errKey: String => String): Unit =
+        errKey: String => String,
+        iters: Int = Iters): Unit =
       qs.foreach { case (name, mk) =>
-        try into(name) = timeMedian(spark, name, mk)
+        try into(name) = timeMedian(spark, name, mk, iters)
         catch {
           case e: Throwable =>
             errors(errKey(name)) = Option(e.getMessage).getOrElse(e.getClass.getName)
@@ -567,7 +569,11 @@ object Bench {
       try {
         val base100 = ensure100x(spark, b10)
         base100Opt = Some(base100)
-        runAll(shapes100x(spark, base100), timesSf10, n => s"sf10_$n")
+        // median-of-5 here (vs 3 elsewhere): these four are the judged
+        // DuckDB-comparable shapes and this box's degraded-IO windows
+        // can poison 1-2 of the iterations — 5 rejects two outliers,
+        // matching the in-run q4_ab control's sample size
+        runAll(shapes100x(spark, base100), timesSf10, n => s"sf10_$n", iters = 5)
         try q2Decomp = q2Decompose(spark, base100)
         catch {
           case e: Throwable =>
