@@ -118,12 +118,19 @@ object Multimodal {
     def findBox(from: Int, until: Int, name: String): Option[(Int, Int)] = {
       var i = from
       while (i + 8 <= until) {
-        val size = beI32(i).toLong & 0xFFFFFFFFL
-        if (size < 8) return None
+        val size32 = beI32(i).toLong & 0xFFFFFFFFL
+        // size==1 → 64-bit largesize follows the tag (the big-mdat
+        // layout real files use, with moov after); size==0 → box runs
+        // to end-of-payload
+        val (size, hdr) =
+          if (size32 == 1 && i + 16 <= until) (beI64(i + 8), 16)
+          else if (size32 == 0) ((until - i).toLong, 8)
+          else (size32, 8)
+        if (size < hdr) return None
         if (tag(i + 4) == name)
-          return Some((i + 8, math.min(until.toLong, i + size).toInt))
+          return Some((i + hdr, math.min(until.toLong, i + size).toInt))
+        if (i + size > Int.MaxValue) return None
         i += size.toInt
-        if (i < 0) return None
       }
       None
     }

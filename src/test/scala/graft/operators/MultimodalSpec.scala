@@ -114,6 +114,12 @@ class MultimodalSpec extends AnyFunSuite {
     val bytes = ftyp ++ moov
     assert(Multimodal.mp4Info(bytes) == Some(("isom", 5400L)))
     assert(Multimodal.mp4Info("GIF89a-not-mp4-bytes".getBytes).isEmpty)
+    // the real-file layout: a largesize (size==1 + 64-bit length) mdat
+    // BEFORE moov — the walker must stride over it, not lose sync
+    val mdatPayload = new Array[Byte](32)
+    val mdat = be32(1) ++ "mdat".getBytes ++
+      Array[Byte](0, 0, 0, 0) ++ be32(16 + mdatPayload.length) ++ mdatPayload
+    assert(Multimodal.mp4Info(ftyp ++ mdat ++ moov) == Some(("isom", 5400L)))
   }
 
   test("probeMedia surfaces audio/video fields alongside image dims") {

@@ -103,4 +103,36 @@ class TlsSpec extends AnyFunSuite {
       spark.conf.unset(Tls.TruststorePasswordConf)
     }
   }
+
+  test("INSERT INTO FUNCTION remoteSecure(…) writes over TLS from executor tasks (r19)") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_tls_rw").toString
+    spark.conf.set(graft.dialect.ChWrites.WarehouseConf, wh)
+    spark.conf.set(Tls.TruststoreConf, keystore)
+    spark.conf.set(Tls.TruststorePasswordConf, password)
+    graft.dialect.ChFunctions.register(spark)
+    val svc = new QueryService(spark)
+    try {
+      svc.executeToDf(QueryService.QueryRequest(
+        "CREATE TABLE tls_rw (nk Int64, rk Int64) ENGINE = MergeTree ORDER BY nk"))
+      val status = svc.executeToDf(QueryService.QueryRequest(
+        s"""INSERT INTO FUNCTION remoteSecure('127.0.0.1:$securePort', default.tls_rw)
+           |SELECT n_nationkey AS nk, n_regionkey AS rk FROM nation_tls""".stripMargin))
+        ._1.collect()(0)
+      assert(status.getLong(2) == 25L, status.toString)
+      val back = graft.dialect.ChSql.sql(spark,
+        "SELECT count() AS n FROM tls_rw").collect()(0)
+      assert(back.getLong(0) == 25L)
+      // the INSECURE write spelling against the TLS port fails loudly
+      intercept[Exception] {
+        svc.executeToDf(QueryService.QueryRequest(
+          s"""INSERT INTO FUNCTION remote('127.0.0.1:$securePort', default.tls_rw)
+             |SELECT n_nationkey AS nk, n_regionkey AS rk FROM nation_tls""".stripMargin))
+      }
+      svc.executeToDf(QueryService.QueryRequest("DROP TABLE tls_rw"))
+    } finally {
+      spark.conf.unset(graft.dialect.ChWrites.WarehouseConf)
+      spark.conf.unset(Tls.TruststoreConf)
+      spark.conf.unset(Tls.TruststorePasswordConf)
+    }
+  }
 }
