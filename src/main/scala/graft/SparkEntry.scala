@@ -3167,6 +3167,30 @@ object SparkEntry {
           sum("channels").cast("long").as("sch"),
           max("sample_rate").as("maxrate"))
         .orderBy("format")
+    }),
+
+    // r19: the bitmap family — groupBitmap as the segment-count
+    // aggregate (Roaring64 blobs, map-side partials)
+    "q239_group_bitmap" -> ((spark, dir) => {
+      prep(spark, dir)
+      ChSql.sql(spark,
+        """SELECT o_orderstatus AS s, groupBitmap(o_custkey) AS u
+          |FROM orders GROUP BY s ORDER BY s""".stripMargin)
+    }),
+
+    // r19: the funnel shape — two audience segments as bitmap states,
+    // intersect/union cardinalities over the blobs
+    "q240_bitmap_funnel" -> ((spark, dir) => {
+      prep(spark, dir)
+      ChSql.sql(spark,
+        """SELECT
+          |  bitmapAndCardinality(
+          |    (SELECT groupBitmapState(o_custkey) FROM orders WHERE o_orderstatus = 'F'),
+          |    (SELECT groupBitmapState(o_custkey) FROM orders WHERE o_orderstatus = 'O')) AS both,
+          |  bitmapOrCardinality(
+          |    (SELECT groupBitmapState(o_custkey) FROM orders WHERE o_orderstatus = 'F'),
+          |    (SELECT groupBitmapState(o_custkey) FROM orders WHERE o_orderstatus = 'O')) AS either
+          |""".stripMargin)
     })
   )
 
@@ -3345,6 +3369,17 @@ object SparkEntry {
         |       CAST(sum(doc_id % 2 + 1) AS BIGINT) AS sch,
         |       CAST(max(8000) AS INT) AS maxrate
         |FROM documents""".stripMargin,
+    "q239_group_bitmap" ->
+      """SELECT o_orderstatus AS s, count(DISTINCT o_custkey) AS u
+        |FROM orders GROUP BY s ORDER BY s""".stripMargin,
+    "q240_bitmap_funnel" ->
+      """SELECT
+        |  (SELECT count(*) FROM (
+        |     SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        |     INTERSECT
+        |     SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'O')) AS both,
+        |  (SELECT count(DISTINCT o_custkey) FROM orders
+        |   WHERE o_orderstatus IN ('F', 'O')) AS either""".stripMargin,
     "q233_mt_decimal_ctas" ->
       """SELECT count(*) AS n,
         |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18, 2))) AS STRING) AS sp,

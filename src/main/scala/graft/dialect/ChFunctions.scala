@@ -544,6 +544,34 @@ object ChFunctions {
       // exactly as parser-written `x -> …` text would be
       def lv(name: String) = UnresolvedNamedLambdaVariable(Seq(name))
 
+      // bitmap family (CH's segment/funnel analytics surface):
+      // Roaring64 blobs as binary values — native typed aggregates +
+      // eval'd scalar ops, the -State/-Merge incremental-audience flow
+      // included (graft.functions.Bitmaps for the contracts)
+      {
+        import graft.functions._
+        reg("groupBitmap")(e => GroupBitmapAgg(e.head, 0).toAggregateExpression())
+        reg("groupBitmapState")(e => GroupBitmapAgg(e.head, 1).toAggregateExpression())
+        reg("groupBitmapMerge")(e => GroupBitmapAgg(e.head, 2).toAggregateExpression())
+        reg("groupBitmapMergeState")(e => GroupBitmapAgg(e.head, 3).toAggregateExpression())
+        reg("bitmapBuild")(e => BitmapBuild(e.head))
+        reg("bitmapCardinality")(e => BitmapUnary(e.head, 0))
+        reg("bitmapMin")(e => BitmapUnary(e.head, 1))
+        reg("bitmapMax")(e => BitmapUnary(e.head, 2))
+        reg("bitmapToArray")(e => BitmapUnary(e.head, 3))
+        reg("bitmapAnd")(e => BitmapBinary(e(0), e(1), 0, cardinality = false))
+        reg("bitmapOr")(e => BitmapBinary(e(0), e(1), 1, cardinality = false))
+        reg("bitmapXor")(e => BitmapBinary(e(0), e(1), 2, cardinality = false))
+        reg("bitmapAndnot")(e => BitmapBinary(e(0), e(1), 3, cardinality = false))
+        reg("bitmapAndCardinality")(e => BitmapBinary(e(0), e(1), 0, cardinality = true))
+        reg("bitmapOrCardinality")(e => BitmapBinary(e(0), e(1), 1, cardinality = true))
+        reg("bitmapXorCardinality")(e => BitmapBinary(e(0), e(1), 2, cardinality = true))
+        reg("bitmapAndnotCardinality")(e => BitmapBinary(e(0), e(1), 3, cardinality = true))
+        reg("bitmapContains")(e => BitmapContains(e(0), e(1)))
+        reg("bitmapHasAny")(e => BitmapHas(e(0), e(1), all = false))
+        reg("bitmapHasAll")(e => BitmapHas(e(0), e(1), all = true))
+      }
+
       // topK(x[, k]) — CH's "≈k most frequent values". Exact here (the
       // approximation in CH is a space bound, not a semantic): rank
       // distinct values by (count desc, value asc — deterministic
