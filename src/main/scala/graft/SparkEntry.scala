@@ -3191,7 +3191,16 @@ object SparkEntry {
           |    (SELECT groupBitmapState(o_custkey) FROM orders WHERE o_orderstatus = 'F'),
           |    (SELECT groupBitmapState(o_custkey) FROM orders WHERE o_orderstatus = 'O')) AS either
           |""".stripMargin)
-    })
+    }),
+
+    // r19: uniqCombined — the precision-17 HLL class on the DictAgg
+    // kernel (per-spec register sizing); approximate by definition →
+    // rows-only like q32, accuracy pinned by HllDictAggSpec
+    "q241_uniq_combined" -> ch(
+      """SELECT o_orderstatus AS s, uniqCombined(o_custkey) AS uc,
+        |       uniqCombined(12)(o_custkey) AS uc12,
+        |       uniqCombined64(o_custkey) AS uc64
+        |FROM orders GROUP BY s ORDER BY s""".stripMargin)
   )
 
   /** TLS twin of [[remoteDoorPort]]: one secure native door per Verify

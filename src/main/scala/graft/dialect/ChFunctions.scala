@@ -63,8 +63,27 @@ object ChFunctions {
 
       // approximate distinct — HLL++, the same sketch family as CH uniq
       reg("uniq")(exprs => new HyperLogLogPlusPlus(exprs.head))
-      reg("uniqCombined")(exprs => new HyperLogLogPlusPlus(exprs.head))
-      reg("uniqCombined64")(exprs => new HyperLogLogPlusPlus(exprs.head))
+      // uniqCombined/uniqCombined64 — CH's higher-accuracy class: HLL
+      // precision 17 by default (~0.3% rsd vs uniq's ~5%), and the
+      // parametric `uniqCombined(p)(x)` spelling (pre-pass delivers it
+      // as (x, p)). CH admits p in [12, 20]; Spark's HLL++ bias tables
+      // stop at 18, so 19/20 saturate there (same estimate class, the
+      // deviation documented here). uniqCombined64's 64-bit-hash
+      // distinction is moot: the helper always hashes via xxHash64.
+      // Both ride the DictAgg kernel (r19 — per-spec register sizing).
+      def uniqCombinedAt(exprs: Seq[Expression]): Expression = exprs match {
+        case Seq(x) =>
+          new HyperLogLogPlusPlus(x, graft.plans.HllRegisters.rsdForPrecision(17))
+        case Seq(x, Literal(p: Int, IntegerType)) =>
+          require(p >= 12 && p <= 20,
+            s"uniqCombined precision must be in [12, 20], got $p")
+          new HyperLogLogPlusPlus(
+            x, graft.plans.HllRegisters.rsdForPrecision(math.min(p, 18)))
+        case other => throw new IllegalArgumentException(
+          s"uniqCombined expects (x) or (precision)(x), got ${other.length} args")
+      }
+      reg("uniqCombined")(uniqCombinedAt)
+      reg("uniqCombined64")(uniqCombinedAt)
       // exact distinct
       reg("uniqExact")(exprs => Count(exprs).toAggregateExpression(isDistinct = true))
 

@@ -115,6 +115,10 @@ object Combinators {
     case "max" => Some(Kernel(1, a => Max(a.head)))
     case "avg" => Some(Kernel(1, a => Average(a.head)))
     case "uniq" => Some(Kernel(1, a => new HyperLogLogPlusPlus(a.head)))
+    // the uniqCombined class (r19): precision 17, same sketch algebra
+    case "uniqCombined" | "uniqCombined64" => Some(Kernel(1, a =>
+      new HyperLogLogPlusPlus(
+        a.head, graft.plans.HllRegisters.rsdForPrecision(17))))
     case "uniqExact" =>
       Some(Kernel(1, a => Count(a).toAggregateExpression(isDistinct = true)))
     case "groupArray" => Some(Kernel(1, a => CollectList(a.head)))

@@ -92,6 +92,14 @@ object DictAgg {
 
   val EnabledKey = "spark.graft.dictAgg"
   val MaxGroupsKey = "spark.graft.dictAgg.maxGroupsPerPartition"
+  /** Byte budget for the driver gather of per-slot HLL registers
+    * (r19): caps slots so partitions × cap × register-bytes stays
+    * bounded even at uniqCombined's precision-17 register size. */
+  val HllGatherBytesKey = "spark.graft.dictAgg.hllGatherBytes"
+  private[plans] def HllGatherBytes(spark: SparkSession): Long =
+    spark.conf.getOption(HllGatherBytesKey)
+      .flatMap(v => scala.util.Try(v.toLong).toOption)
+      .getOrElse(256L << 20)
 
   /** Per-partition group cap under driver merge (further shrunk so
     * partitions × cap ≤ [[DriverMerge.MaxTotalRowsKey]]). */
@@ -196,8 +204,11 @@ object DictAgg {
 
   /** One aggregate's kernel descriptor. `vecIdx` is the column's index
     * in the SCAN output (-1 for count(*)); `ansi` only matters for
-    * integral sums. */
-  final case class Spec(op: Int, vecIdx: Int, typ: Int, ansi: Boolean)
+    * integral sums; `hllRsd` only for OpHll (r19 — the precision the
+    * registers are sized for, resolved per-process via
+    * [[HllRegisters.forRsd]]). */
+  final case class Spec(op: Int, vecIdx: Int, typ: Int, ansi: Boolean,
+      hllRsd: Double = HllRegisters.Rsd)
       extends Serializable {
     /** Number of partial columns this spec emits (avg emits sum+count). */
     def width: Int = if (op == OpAvg) 2 else 1
@@ -402,6 +413,11 @@ object DictAgg {
     val nSpecs = specs.length
     val nKeys = keyIdxs.length
     val totalWidth = nKeys + specs.map(_.width).sum
+    // per-spec HLL algebra (OpHll only) — resolved once per partition
+    // from the spec's rsd (r19: the kernel engages at ANY supported
+    // precision, not just the default)
+    val hllOf: Array[HllRegisters.Hll] =
+      specs.map(s => if (s.op == OpHll) HllRegisters.forRsd(s.hllRsd) else null)
     // single NUMERIC key: slot identity is the raw long value — a
     // cross-batch primitive map, no byte composites on the hot path
     val singleNumKey = nKeys == 1 && keyKinds(0) != KStr
@@ -522,7 +538,7 @@ object DictAgg {
         } else if (specs(j).op == OpHll) {
           vals(at) =
             if (accH(j) == null || accH(j)(slot) == null) null
-            else HllRegisters.serialize(accH(j)(slot))
+            else hllOf(j).serialize(accH(j)(slot))
         } else boxPartial(specs(j), slot,
           accL(j)(slot), accD(j)(slot), accC(j)(slot), vals, at)
         at += specs(j).width
@@ -853,7 +869,7 @@ object DictAgg {
                 if (sl >= 0 && (sm == null || sm(i)) && !vec.isNullAt(i)) {
                   var regs = hArr(sl)
                   if (regs == null) {
-                    regs = new Array[Long](HllRegisters.numWords)
+                    regs = new Array[Long](hllOf(j).numWords)
                     hArr(sl) = regs
                   }
                   val v: Any = spec.typ match {
@@ -863,7 +879,7 @@ object DictAgg {
                     case TDouble => java.lang.Double.valueOf(vec.getDouble(i))
                     case _ => vec.getUTF8String(i)
                   }
-                  HllRegisters.update(regs, v, dt)
+                  hllOf(j).update(regs, v, dt)
                 }
                 i += 1
               }
@@ -957,6 +973,10 @@ object DictAgg {
       globalIdentity: Boolean)
       extends DriverMerger {
 
+    // per-spec HLL algebra, resolved driver-side from the spec's rsd
+    @transient private lazy val hllOf: Array[HllRegisters.Hll] =
+      specs.map(s => if (s.op == OpHll) HllRegisters.forRsd(s.hllRsd) else null)
+
     override def merge(rows: Iterator[Row]): Iterator[InternalRow] = {
       val nSpecs = specs.length
       val specOff = new Array[Int](nSpecs)
@@ -1030,9 +1050,9 @@ object DictAgg {
               val blob = r.get(at).asInstanceOf[Array[Byte]]
               if (blob != null) {
                 if (st.hlls == null) st.hlls = new Array[Array[Long]](nSpecs)
-                val regs = HllRegisters.deserialize(blob)
+                val regs = hllOf(j).deserialize(blob)
                 if (st.hlls(j) == null) st.hlls(j) = regs
-                else HllRegisters.merge(st.hlls(j), regs)
+                else hllOf(j).merge(st.hlls(j), regs)
               }
           }
           j += 1
@@ -1108,7 +1128,7 @@ object DictAgg {
               case OpHll =>
                 java.lang.Long.valueOf(
                   if (st.hlls == null || st.hlls(j) == null) 0L
-                  else HllRegisters.cardinality(st.hlls(j)))
+                  else hllOf(j).cardinality(st.hlls(j)))
             }
           }
         i += 1
@@ -1380,7 +1400,8 @@ case class DictAggRewrite(spark: SparkSession) extends Rule[LogicalPlan]
     // op, value type tag, compiled per-spec condition)
     final case class AggPlan(ae: AggregateExpression, op: Int,
         colName: Option[String], typ: Int,
-        conds: Seq[Expression] = Nil)
+        conds: Seq[Expression] = Nil,
+        hllRsd: Double = HllRegisters.Rsd)
     def colOf(e: Expression): Option[String] = e match {
       case a: AttributeReference => ScanRelations.resolve(child, a)
       case _ => None
@@ -1451,11 +1472,11 @@ case class DictAggRewrite(spark: SparkSession) extends Rule[LogicalPlan]
           val n = colOf(v).getOrElse(return None)
           AggPlan(ae, OpAvg, Some(n), typeTag(v.dataType).getOrElse(return None),
             filterConds ++ ifConds)
-        // the dialect's uniq() — HLL++ at the default rsd only (the
-        // kernel's registers are sized for it; other rsds keep the
-        // native plan)
+        // the dialect's uniq()/uniqCombined() — HLL++ at any rsd whose
+        // precision Spark's bias tables cover (r19; was default-rsd
+        // only). The spec carries the rsd; registers size per spec.
         case h: org.apache.spark.sql.catalyst.expressions.aggregate.HyperLogLogPlusPlus
-            if h.relativeSD == HllRegisters.Rsd =>
+            if HllRegisters.supported(h.relativeSD) =>
           val (ifConds, v) = unwrapIf(h.child)
           val n = colOf(v).getOrElse(return None)
           val tag = v.dataType match {
@@ -1466,7 +1487,8 @@ case class DictAggRewrite(spark: SparkSession) extends Rule[LogicalPlan]
             case StringType => TStr
             case _ => return None
           }
-          AggPlan(ae, OpHll, Some(n), tag, filterConds ++ ifConds)
+          AggPlan(ae, OpHll, Some(n), tag, filterConds ++ ifConds,
+            hllRsd = h.relativeSD)
         case _ => return None
       }
     }
@@ -1522,7 +1544,7 @@ case class DictAggRewrite(spark: SparkSession) extends Rule[LogicalPlan]
     val specs: Array[Spec] = plans.map { p =>
       val vecIdx = p.colName.map(n => scanOut.indexWhere(_.name == n)).getOrElse(-1)
       if (p.colName.isDefined && vecIdx < 0) return None
-      Spec(p.op, vecIdx, p.typ, ansi)
+      Spec(p.op, vecIdx, p.typ, ansi, p.hllRsd)
     }.toArray
     val preds: Array[Pred] = predsRaw.map { case (n, mk) =>
       val vecIdx = scanOut.indexWhere(_.name == n)
@@ -1547,9 +1569,23 @@ case class DictAggRewrite(spark: SparkSession) extends Rule[LogicalPlan]
     // splits the cap shrinks to ~40 and a non-LC key fails fast into
     // the native plan instead of flooding the driver.
     val parts = math.max(1, batchRdd.getNumPartitions)
-    val dmCap = math.min(
+    val dmCapRows = math.min(
       math.min(maxGroups.toLong, DriverMergeGroupCap.toLong),
       DriverMerge.maxTotalRows(spark) / parts).toInt
+    // r19: OpHll registers are fixed-size but can be BIG (precision 17
+    // — the uniqCombined class — is ~105 KB/slot vs ~416 B at the
+    // default rsd), so the gather is bounded in BYTES too: partitions
+    // × cap × per-slot register bytes ≤ hllGatherBytes. Past the cap
+    // the overflow fails fast into the native two-stage plan, which
+    // shuffles sketches instead of gathering them — the right posture
+    // for high-cardinality keys under a high-precision sketch.
+    val hllBytesPerSlot = specs.collect {
+      case s if s.op == OpHll => HllRegisters.forRsd(s.hllRsd).numWords * 8L
+    }.sum
+    val dmCap =
+      if (hllBytesPerSlot == 0L) dmCapRows
+      else math.min(dmCapRows.toLong, math.max(16L,
+        HllGatherBytes(spark) / (parts * hllBytesPerSlot))).toInt
     if (DriverMerge.enabled(spark) && dmCap >= 16) {
       buildDriverMerge(agg, gs, aggExprs, aes, aeList, specs, keyIdxs,
         keyKinds, preds, specPredGroups, specGroupIdx, batchRdd, dmCap,
