@@ -3200,7 +3200,24 @@ object SparkEntry {
       """SELECT o_orderstatus AS s, uniqCombined(o_custkey) AS uc,
         |       uniqCombined(12)(o_custkey) AS uc12,
         |       uniqCombined64(o_custkey) AS uc64
-        |FROM orders GROUP BY s ORDER BY s""".stripMargin)
+        |FROM orders GROUP BY s ORDER BY s""".stripMargin),
+
+    // r19b: cross-segment rollups — AND/OR/XOR over per-status
+    // bitmap states (ids in every / any / an odd number of segments)
+    "q242_bitmap_rollup" -> ch(
+      """SELECT groupBitmapAnd(st) AS inter, groupBitmapOr(st) AS uni,
+        |       groupBitmapXor(st) AS odd
+        |FROM (SELECT o_orderstatus AS s, groupBitmapState(o_custkey) AS st
+        |      FROM orders GROUP BY s)""".stripMargin),
+
+    // r19b: the subset trio over one segment's bitmap
+    "q243_bitmap_subset" -> ch(
+      """SELECT
+        |  bitmapCardinality(bitmapSubsetInRange(st, 100, 500)) AS rng,
+        |  bitmapCardinality(bitmapSubsetLimit(st, 100, 50)) AS lim,
+        |  bitmapCardinality(subBitmap(st, 10, 25)) AS sub
+        |FROM (SELECT groupBitmapState(o_custkey) AS st
+        |      FROM orders WHERE o_orderstatus = 'F')""".stripMargin)
   )
 
   /** TLS twin of [[remoteDoorPort]]: one secure native door per Verify
@@ -3389,6 +3406,25 @@ object SparkEntry {
         |     SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'O')) AS both,
         |  (SELECT count(DISTINCT o_custkey) FROM orders
         |   WHERE o_orderstatus IN ('F', 'O')) AS either""".stripMargin,
+    "q242_bitmap_rollup" ->
+      """SELECT
+        |  (SELECT count(*) FROM (
+        |     SELECT o_custkey FROM orders GROUP BY o_custkey
+        |     HAVING count(DISTINCT o_orderstatus) =
+        |       (SELECT count(DISTINCT o_orderstatus) FROM orders))) AS inter,
+        |  (SELECT count(DISTINCT o_custkey) FROM orders) AS uni,
+        |  (SELECT count(*) FROM (
+        |     SELECT o_custkey FROM orders GROUP BY o_custkey
+        |     HAVING count(DISTINCT o_orderstatus) % 2 = 1)) AS odd""".stripMargin,
+    "q243_bitmap_subset" ->
+      """SELECT
+        |  (SELECT count(DISTINCT o_custkey) FROM orders
+        |   WHERE o_orderstatus = 'F'
+        |     AND o_custkey >= 100 AND o_custkey < 500) AS rng,
+        |  (SELECT least(50, count(DISTINCT o_custkey)) FROM orders
+        |   WHERE o_orderstatus = 'F' AND o_custkey >= 100) AS lim,
+        |  (SELECT greatest(0, least(25, count(DISTINCT o_custkey) - 10))
+        |   FROM orders WHERE o_orderstatus = 'F') AS sub""".stripMargin,
     "q233_mt_decimal_ctas" ->
       """SELECT count(*) AS n,
         |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18, 2))) AS STRING) AS sp,

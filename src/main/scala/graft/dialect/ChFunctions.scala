@@ -586,6 +586,24 @@ object ChFunctions {
         reg("bitmapOrCardinality")(e => BitmapBinary(e(0), e(1), 1, cardinality = true))
         reg("bitmapXorCardinality")(e => BitmapBinary(e(0), e(1), 2, cardinality = true))
         reg("bitmapAndnotCardinality")(e => BitmapBinary(e(0), e(1), 3, cardinality = true))
+        // r19b: cross-segment rollups over already-built states + the
+        // subset/transform scalars (CH's full bitmap namespace)
+        reg("groupBitmapAnd")(e =>
+          GroupBitmapCombineAgg(e.head, 0, blobOut = false).toAggregateExpression())
+        reg("groupBitmapOr")(e =>
+          GroupBitmapCombineAgg(e.head, 1, blobOut = false).toAggregateExpression())
+        reg("groupBitmapXor")(e =>
+          GroupBitmapCombineAgg(e.head, 2, blobOut = false).toAggregateExpression())
+        reg("groupBitmapAndState")(e =>
+          GroupBitmapCombineAgg(e.head, 0, blobOut = true).toAggregateExpression())
+        reg("groupBitmapOrState")(e =>
+          GroupBitmapCombineAgg(e.head, 1, blobOut = true).toAggregateExpression())
+        reg("groupBitmapXorState")(e =>
+          GroupBitmapCombineAgg(e.head, 2, blobOut = true).toAggregateExpression())
+        reg("bitmapSubsetInRange")(e => BitmapSubset(e(0), e(1), e(2), 0))
+        reg("bitmapSubsetLimit")(e => BitmapSubset(e(0), e(1), e(2), 1))
+        reg("subBitmap")(e => BitmapSubset(e(0), e(1), e(2), 2))
+        reg("bitmapTransform")(e => BitmapTransform(e(0), e(1), e(2)))
         reg("bitmapContains")(e => BitmapContains(e(0), e(1)))
         reg("bitmapHasAny")(e => BitmapHas(e(0), e(1), all = false))
         reg("bitmapHasAll")(e => BitmapHas(e(0), e(1), all = true))

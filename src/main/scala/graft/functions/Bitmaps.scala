@@ -194,6 +194,198 @@ case class BitmapBinary(left: Expression, right: Expression, op: Int,
       l: Expression, r: Expression): BitmapBinary = copy(left = l, right = r)
 }
 
+/** `groupBitmapAnd/Or/Xor(blob)` (+`-State`): combine already-built
+  * bitmap states across rows — CH's cross-segment rollup aggregates
+  * (AND = ids present in EVERY segment, XOR = ids in an odd number).
+  * AND's identity is the universe, so the accumulator tracks whether a
+  * blob has been seen yet instead of starting from the empty bitmap
+  * (empty is OR/XOR's identity but AND's absorbing element); the
+  * partial serialization carries that seen flag. NULL blobs are
+  * skipped like CH skips NULL aggregate inputs. `op` 0=and 1=or 2=xor;
+  * `blobOut` is the `-State` spelling. */
+case class GroupBitmapCombineAgg(
+    child: Expression,
+    op: Int,
+    blobOut: Boolean,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[GroupBitmapCombineAgg.Acc]
+    with UnaryLike[Expression] {
+  import GroupBitmapCombineAgg.Acc
+
+  override def createAggregationBuffer(): Acc = new Acc(new Roaring64Bitmap(), false)
+
+  private def combine(into: Roaring64Bitmap, from: Roaring64Bitmap): Unit =
+    op match {
+      case 0 => into.and(from)
+      case 1 => into.or(from)
+      case _ => into.xor(from)
+    }
+
+  override def update(buffer: Acc, input: InternalRow): Acc = {
+    val v = child.eval(input)
+    if (v != null) {
+      val bm = Bitmaps.deserialize(v.asInstanceOf[Array[Byte]])
+      if (!buffer.seen) { buffer.bm = bm; buffer.seen = true }
+      else combine(buffer.bm, bm)
+    }
+    buffer
+  }
+
+  override def merge(buffer: Acc, other: Acc): Acc = {
+    if (other.seen) {
+      if (!buffer.seen) { buffer.bm = other.bm; buffer.seen = true }
+      else combine(buffer.bm, other.bm)
+    }
+    buffer
+  }
+
+  override def eval(buffer: Acc): Any =
+    if (blobOut) Bitmaps.serialize(buffer.bm)
+    else buffer.bm.getLongCardinality
+
+  override def serialize(buffer: Acc): Array[Byte] = {
+    val blob = Bitmaps.serialize(buffer.bm)
+    val out = new Array[Byte](blob.length + 1)
+    out(0) = if (buffer.seen) 1 else 0
+    System.arraycopy(blob, 0, out, 1, blob.length)
+    out
+  }
+  override def deserialize(storageFormat: Array[Byte]): Acc =
+    new Acc(
+      Bitmaps.deserialize(java.util.Arrays.copyOfRange(
+        storageFormat, 1, storageFormat.length)),
+      storageFormat(0) == 1)
+
+  override def dataType: DataType = if (blobOut) BinaryType else LongType
+  override def nullable: Boolean = false
+  override def prettyName: String = {
+    val base = op match {
+      case 0 => "groupBitmapAnd"; case 1 => "groupBitmapOr"
+      case _ => "groupBitmapXor"
+    }
+    if (blobOut) base + "State" else base
+  }
+  override def withNewMutableAggBufferOffset(n: Int): GroupBitmapCombineAgg =
+    copy(mutableAggBufferOffset = n)
+  override def withNewInputAggBufferOffset(n: Int): GroupBitmapCombineAgg =
+    copy(inputAggBufferOffset = n)
+  override protected def withNewChildInternal(c: Expression): GroupBitmapCombineAgg =
+    copy(child = c)
+}
+
+object GroupBitmapCombineAgg {
+  /** Mutable combine state: the bitmap plus whether any input blob has
+    * been folded in yet (AND's identity problem — see the class doc). */
+  final class Acc(var bm: Roaring64Bitmap, var seen: Boolean)
+}
+
+/** The CH subset trio over a blob — all honoring UInt64 (unsigned)
+  * ordering, which is Roaring64's own iteration order:
+  * `bitmapSubsetInRange(bm, start, end)` keeps values in [start, end);
+  * `bitmapSubsetLimit(bm, start, card)` keeps the first `card` values
+  * ≥ start; `subBitmap(bm, offset, card)` skips `offset` values and
+  * keeps the next `card` (rank-addressed, CH ≥ 22). `kind` 0/1/2 in
+  * that order. Blobs on aggregated rows only — never a scan hot path. */
+case class BitmapSubset(first: Expression, second: Expression,
+    third: Expression, kind: Int)
+    extends Expression with CodegenFallback {
+  override def children: Seq[Expression] = Seq(first, second, third)
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = children.exists(_.nullable)
+  override def eval(input: InternalRow): Any = {
+    val b = first.eval(input)
+    val p1 = second.eval(input)
+    val p2 = third.eval(input)
+    if (b == null || p1 == null || p2 == null) return null
+    val bm = Bitmaps.deserialize(b.asInstanceOf[Array[Byte]])
+    val a = Bitmaps.toLong(p1)
+    val c = Bitmaps.toLong(p2)
+    val out = new Roaring64Bitmap()
+    val it = bm.getLongIterator
+    var taken = 0L
+    var skipped = 0L
+    var done = false
+    while (it.hasNext && !done) {
+      val v = it.next()
+      kind match {
+        case 0 => // [start, end) unsigned
+          if (java.lang.Long.compareUnsigned(v, c) >= 0) done = true
+          else if (java.lang.Long.compareUnsigned(v, a) >= 0) out.addLong(v)
+        case 1 => // values >= start, up to card
+          if (taken >= c) done = true
+          else if (java.lang.Long.compareUnsigned(v, a) >= 0) {
+            out.addLong(v); taken += 1
+          }
+        case _ => // rank window [offset, offset + card)
+          if (taken >= c) done = true
+          else if (skipped < a) skipped += 1
+          else { out.addLong(v); taken += 1 }
+      }
+    }
+    Bitmaps.serialize(out)
+  }
+  override def prettyName: String = kind match {
+    case 0 => "bitmapSubsetInRange"
+    case 1 => "bitmapSubsetLimit"
+    case _ => "subBitmap"
+  }
+  override protected def withNewChildrenInternal(
+      cs: IndexedSeq[Expression]): BitmapSubset =
+    copy(first = cs(0), second = cs(1), third = cs(2))
+}
+
+/** `bitmapTransform(bm, from_arr, to_arr)`: values present in the
+  * bitmap AND in `from` move to the pairwise `to` value; everything
+  * else stays. CH applies the mapping on the ORIGINAL membership (a
+  * value is "present" per the input bitmap, not the evolving one), so
+  * membership is tested up front. */
+case class BitmapTransform(first: Expression, second: Expression,
+    third: Expression)
+    extends Expression with CodegenFallback {
+  override def children: Seq[Expression] = Seq(first, second, third)
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = children.exists(_.nullable)
+  private def longs(v: Any, dt: DataType): Array[Long] = {
+    val arr = v.asInstanceOf[ArrayData]
+    val et = dt.asInstanceOf[ArrayType].elementType
+    val out = new Array[Long](arr.numElements())
+    var i = 0
+    while (i < out.length) {
+      out(i) = et match {
+        case LongType => arr.getLong(i)
+        case IntegerType => arr.getInt(i).toLong
+        case ShortType => arr.getShort(i).toLong
+        case ByteType => arr.getByte(i).toLong
+        case other => throw new IllegalArgumentException(
+          s"bitmapTransform takes integer arrays, got $other")
+      }
+      i += 1
+    }
+    out
+  }
+  override def eval(input: InternalRow): Any = {
+    val b = first.eval(input)
+    val f = second.eval(input)
+    val t = third.eval(input)
+    if (b == null || f == null || t == null) return null
+    val bm = Bitmaps.deserialize(b.asInstanceOf[Array[Byte]])
+    val from = longs(f, second.dataType)
+    val to = longs(t, third.dataType)
+    require(from.length == to.length,
+      s"bitmapTransform arrays must align: ${from.length} vs ${to.length}")
+    // membership on the ORIGINAL bitmap, then apply removes + adds
+    val present = from.indices.filter(i => bm.contains(from(i)))
+    present.foreach(i => bm.removeLong(from(i)))
+    present.foreach(i => bm.addLong(to(i)))
+    Bitmaps.serialize(bm)
+  }
+  override def prettyName: String = "bitmapTransform"
+  override protected def withNewChildrenInternal(
+      cs: IndexedSeq[Expression]): BitmapTransform =
+    copy(first = cs(0), second = cs(1), third = cs(2))
+}
+
 /** `bitmapContains(blob, value)`. */
 case class BitmapContains(left: Expression, right: Expression)
     extends Expression with BinaryLike[Expression] with CodegenFallback {

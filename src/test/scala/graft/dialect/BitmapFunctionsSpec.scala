@@ -85,6 +85,65 @@ class BitmapFunctionsSpec extends AnyFunSuite {
     assert(re == direct)
   }
 
+  test("groupBitmapAnd/Or/Xor roll already-built states up (r19b)") {
+    prep()
+    // three per-status segments; AND = custkeys in ALL of them,
+    // OR = any, XOR = an odd number of them
+    ChSql.sql(spark,
+      """SELECT o_orderstatus AS s, groupBitmapState(o_custkey) AS st
+        |FROM orders GROUP BY s""".stripMargin)
+      .createOrReplaceTempView("bm_seg")
+    val r = ChSql.sql(spark,
+      """SELECT groupBitmapAnd(st) AS a, groupBitmapOr(st) AS o,
+        |       groupBitmapXor(st) AS x,
+        |       bitmapCardinality(groupBitmapAndState(st)) AS as_,
+        |       bitmapCardinality(groupBitmapOrState(st)) AS os_,
+        |       bitmapCardinality(groupBitmapXorState(st)) AS xs_
+        |FROM bm_seg""".stripMargin).collect()(0)
+    val nStatuses = ChSql.sql(spark,
+      "SELECT count(DISTINCT o_orderstatus) AS n FROM orders").collect()(0).getLong(0)
+    val perKey = ChSql.sql(spark,
+      """SELECT count(DISTINCT o_orderstatus) AS n FROM orders
+        |GROUP BY o_custkey""".stripMargin)
+      .collect().map(_.getLong(0))
+    assert(r.getLong(0) == perKey.count(_ == nStatuses).toLong, "AND")
+    assert(r.getLong(1) == perKey.length.toLong, "OR")
+    assert(r.getLong(2) == perKey.count(_ % 2 == 1).toLong, "XOR")
+    assert(r.getLong(3) == r.getLong(0) && r.getLong(4) == r.getLong(1) &&
+      r.getLong(5) == r.getLong(2), "-State spellings agree")
+  }
+
+  test("groupBitmapAnd identity: a single state (and NULL inputs) pass through") {
+    prep()
+    val r = ChSql.sql(spark,
+      """SELECT groupBitmapAnd(st) AS a FROM (
+        |  SELECT bitmapBuild(array(1, 2, 3)) AS st
+        |  UNION ALL SELECT CAST(NULL AS BINARY)
+        |)""".stripMargin).collect()(0)
+    assert(r.getLong(0) == 3L,
+      "AND over one non-NULL state must be that state, not empty")
+  }
+
+  test("subset trio and transform (r19b)") {
+    prep()
+    val r = ChSql.sql(spark,
+      """SELECT
+        |  bitmapToArray(bitmapSubsetInRange(bitmapBuild(array(1, 5, 10, 20, 30)), 5, 30)) AS rng,
+        |  bitmapToArray(bitmapSubsetLimit(bitmapBuild(array(1, 5, 10, 20, 30)), 5, 2)) AS lim,
+        |  bitmapToArray(subBitmap(bitmapBuild(array(1, 5, 10, 20, 30)), 1, 3)) AS sub,
+        |  bitmapToArray(bitmapTransform(bitmapBuild(array(1, 2, 3)),
+        |    array(2, 9), array(20, 90))) AS tr,
+        |  bitmapToArray(bitmapTransform(bitmapBuild(array(1, 2, 3)),
+        |    array(2, 3), array(3, 2))) AS swap
+        |""".stripMargin).collect()(0)
+    assert(r.getSeq[Long](0) == Seq(5L, 10L, 20L), "rng")
+    assert(r.getSeq[Long](1) == Seq(5L, 10L), "lim")
+    assert(r.getSeq[Long](2) == Seq(5L, 10L, 20L), "sub")
+    assert(r.getSeq[Long](3) == Seq(1L, 3L, 20L), "tr: 2→20, 9 absent → no-op")
+    assert(r.getSeq[Long](4) == Seq(1L, 2L, 3L),
+      "swap on original membership: 2→3 and 3→2 leaves {1,2,3}")
+  }
+
   test("null discipline: null arrays and blobs stay null; empty bitmap min/max are null") {
     prep()
     val r = ChSql.sql(spark,
