@@ -1070,6 +1070,62 @@ object ChFunctions {
         If(EqualTo(n, Literal(0L)), Literal.create(null, NullType),
           ElementAt(sorted, idx))
       })
+      // quantileExactWeighted(q)(x, w) — parametric pre-pass delivers
+      // (x, w, q). ClickHouse's element semantics (QuantileExactWeighted
+      // ::get): sort the exact (value, weight) multiset, return the
+      // FIRST element whose running weight reaches q × total weight —
+      // no interpolation. Composed: a typed struct fold counts the
+      // prefix positions strictly below the threshold, then
+      // element_at picks the crossing value with its input type.
+      reg("quantileExactWeighted")({ case Seq(x, w, q) =>
+        import org.apache.spark.sql.catalyst.analysis.UnresolvedExtractValue
+        val pairs = new SortArray(
+          CollectList(CreateNamedStruct(Seq(
+            Literal("v"), x, Literal("f"), w))).toAggregateExpression(),
+          Literal(true))
+        val totW = Sum(Cast(w, DoubleType)).toAggregateExpression()
+        val thr = Multiply(Cast(q, DoubleType), totW)
+        val n = Count(Seq(x)).toAggregateExpression()
+        // fold: cum weight + how many elements land strictly below thr
+        val acc = lv("qewAcc"); val p = lv("qewP")
+        val newCum = Add(UnresolvedExtractValue(acc, Literal("c")),
+          Cast(UnresolvedExtractValue(p, Literal("f")), DoubleType))
+        val below = CaseWhen(Seq((LessThan(newCum, thr),
+          Add(UnresolvedExtractValue(acc, Literal("b")), Literal(1L)))),
+          Some(UnresolvedExtractValue(acc, Literal("b"))))
+        val folded = ArrayAggregate(pairs,
+          CreateNamedStruct(Seq(
+            Literal("c"), Literal(0.0d), Literal("b"), Literal(0L))),
+          LambdaFunction(CreateNamedStruct(Seq(
+            Literal("c"), newCum, Literal("b"), below)), Seq(acc, p)),
+          LambdaFunction(UnresolvedExtractValue(acc, Literal("b")), Seq(acc)))
+        val idx = Cast(Least(Seq(Add(folded, Literal(1L)), n)), IntegerType)
+        If(EqualTo(n, Literal(0L)), Literal.create(null, NullType),
+          UnresolvedExtractValue(ElementAt(pairs, idx), Literal("v")))
+      })
+      // boundingRatio(x, y) — the slope of the group's bounding points:
+      // (y at max x − y at min x) / (max x − min x)
+      reg("boundingRatio")({ case Seq(x, y) =>
+        Divide(
+          Subtract(
+            Cast(MaxBy(y, x).toAggregateExpression(), DoubleType),
+            Cast(MinBy(y, x).toAggregateExpression(), DoubleType)),
+          Subtract(
+            Cast(Max(x).toAggregateExpression(), DoubleType),
+            Cast(Min(x).toAggregateExpression(), DoubleType)))
+      })
+      // simpleLinearRegression(x, y) → named tuple (k, b) for y = kx+b
+      // (Spark's own regr_slope/regr_intercept take (y, x) order)
+      reg("simpleLinearRegression")({ case Seq(x, y) =>
+        CreateNamedStruct(Seq(
+          Literal("k"),
+          RegrSlope(Cast(y, DoubleType), Cast(x, DoubleType))
+            .toAggregateExpression(),
+          Literal("b"),
+          RegrIntercept(Cast(y, DoubleType), Cast(x, DoubleType))
+            .toAggregateExpression()))
+      })
+
       // -State/-Merge for the EXACT quantile family (VERDICT r9 task #8):
       // the exact state IS the value multiset, which plain SQL types
       // express (sorted array) and parquet round-trips — so re-aggregation
@@ -1600,6 +1656,13 @@ object ChFunctions {
         }
         RegExpExtractAll(s, p, Literal(group))
       })
+      // every match's FULL capture-group vector (r19b)
+      reg("extractAllGroups")(
+        { case Seq(s, p) => graft.functions.ExtractAllGroupsExpr(s, p, horizontal = false) })
+      reg("extractAllGroupsVertical")(
+        { case Seq(s, p) => graft.functions.ExtractAllGroupsExpr(s, p, horizontal = false) })
+      reg("extractAllGroupsHorizontal")(
+        { case Seq(s, p) => graft.functions.ExtractAllGroupsExpr(s, p, horizontal = true) })
 
       // common-name tail: CH spellings whose Spark twin exists under a
       // different name (or composes from two builtins)

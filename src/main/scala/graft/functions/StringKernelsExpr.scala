@@ -205,3 +205,76 @@ case class JsonArrayRawExpr(json: Expression, key: Option[Expression])
     copy(json = newChildren(0),
       key = if (newChildren.length > 1) Some(newChildren(1)) else None)
 }
+
+/** `extractAllGroupsVertical(text, re)` (CH's `extractAllGroups`) and
+  * `extractAllGroupsHorizontal(text, re)`: every match's capture
+  * groups as `Array(Array(String))` — vertical groups them per MATCH
+  * (`[[m1g1, m1g2], [m2g1, m2g2], …]`), horizontal per GROUP
+  * (`[[m1g1, m2g1, …], [m1g2, m2g2, …]]`). The pattern must contain
+  * at least one capture group (CH errors likewise); non-participating
+  * optional groups surface as empty strings, CH's convention. The
+  * compiled pattern is cached when the regex is a literal — the
+  * common shape; dynamic patterns compile per row. */
+case class ExtractAllGroupsExpr(subject: Expression, pattern: Expression,
+    horizontal: Boolean)
+    extends Expression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def children: Seq[Expression] = Seq(subject, pattern)
+  override def nullable: Boolean = true
+  override def dataType: DataType =
+    ArrayType(ArrayType(StringType, containsNull = false), containsNull = false)
+  override def prettyName: String =
+    if (horizontal) "extractAllGroupsHorizontal" else "extractAllGroupsVertical"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (children.forall(_.dataType == StringType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string inputs, got " +
+        children.map(_.dataType.sql).mkString(" / "))
+
+  @transient private lazy val literalPattern: java.util.regex.Pattern =
+    pattern match {
+      case org.apache.spark.sql.catalyst.expressions.Literal(v: UTF8String, StringType)
+          if v != null =>
+        java.util.regex.Pattern.compile(v.toString)
+      case _ => null
+    }
+
+  override def eval(input: InternalRow): Any = {
+    val s = subject.eval(input)
+    if (s == null) return null
+    val p = pattern.eval(input)
+    if (p == null) return null
+    val compiled =
+      if (literalPattern != null) literalPattern
+      else java.util.regex.Pattern.compile(p.asInstanceOf[UTF8String].toString)
+    val ng = compiled.matcher("").groupCount()
+    require(ng >= 1,
+      s"$prettyName needs at least one capture group in the pattern")
+    val m = compiled.matcher(s.asInstanceOf[UTF8String].toString)
+    val matches = scala.collection.mutable.ArrayBuffer.empty[Array[UTF8String]]
+    while (m.find()) {
+      val row = new Array[UTF8String](ng)
+      var g = 0
+      while (g < ng) {
+        val v = m.group(g + 1)
+        row(g) = UTF8String.fromString(if (v == null) "" else v)
+        g += 1
+      }
+      matches += row
+    }
+    if (horizontal) {
+      val cols = Array.tabulate(ng)(g =>
+        new GenericArrayData(matches.map(_(g)).toArray[Any]))
+      new GenericArrayData(cols.toArray[Any])
+    } else {
+      new GenericArrayData(
+        matches.map(r => new GenericArrayData(r.toArray[Any])).toArray[Any])
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(subject = newChildren(0), pattern = newChildren(1))
+}

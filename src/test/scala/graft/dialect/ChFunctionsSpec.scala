@@ -1176,4 +1176,49 @@ class ChFunctionsSpec extends AnyFunSuite {
     assert(one("SELECT appendTrailingCharIfAbsent('dir', '/')") == "dir/")
     assert(one("SELECT appendTrailingCharIfAbsent('dir/', '/')") == "dir/")
   }
+
+  test("quantileExactWeighted: element semantics at the weight crossing (r19b)") {
+    def q(sql: String): Any = ChSql.sql(spark, sql).collect().head.get(0)
+    // values 1,2,3 with weights 1,1,8 (total 10): the 0.5 crossing
+    // lands inside 3's weight → 3, an ACTUAL element (no interpolation)
+    assert(q("""SELECT quantileExactWeighted(0.5)(v, w) FROM VALUES
+      (1, 1), (2, 1), (3, 8) AS t(v, w)""") == 3)
+    // uniform weights degrade to quantileExact's element answer
+    assert(q("""SELECT quantileExactWeighted(0.5)(v, w) FROM VALUES
+      (10, 1), (20, 1), (30, 1), (40, 1) AS t(v, w)""") == 20)
+    // level 0 → first element; level 1 → last
+    assert(q("""SELECT quantileExactWeighted(0.0)(v, w) FROM VALUES
+      (5, 2), (7, 3) AS t(v, w)""") == 5)
+    assert(q("""SELECT quantileExactWeighted(1.0)(v, w) FROM VALUES
+      (5, 2), (7, 3) AS t(v, w)""") == 7)
+    // empty group → NULL
+    assert(q("""SELECT quantileExactWeighted(0.5)(v, w)
+      FROM (SELECT 1 AS v, 1 AS w WHERE false)""") == null)
+  }
+
+  test("boundingRatio and simpleLinearRegression (r19b)") {
+    // exact line y = 2x + 1: bounding slope = regression slope = 2
+    assert(one("""SELECT boundingRatio(x, y) FROM VALUES
+      (1, 3.0), (2, 5.0), (4, 9.0) AS t(x, y)""") == 2.0)
+    val r = spark.sql("""SELECT simpleLinearRegression(x, y) FROM VALUES
+      (1, 3.0), (2, 5.0), (4, 9.0) AS t(x, y)""").collect().head.getStruct(0)
+    assert(math.abs(r.getDouble(0) - 2.0) < 1e-9, "k")
+    assert(math.abs(r.getDouble(1) - 1.0) < 1e-9, "b")
+  }
+
+  test("extractAllGroups vertical and horizontal (r19b)") {
+    val v = spark.sql(
+      """SELECT extractAllGroups('a=1, b=2, c=3', '(\\w)=(\\d)')""")
+      .collect().head.getSeq[scala.collection.Seq[String]](0)
+    assert(v.map(_.toSeq) == Seq(Seq("a", "1"), Seq("b", "2"), Seq("c", "3")))
+    val h = spark.sql(
+      """SELECT extractAllGroupsHorizontal('a=1, b=2, c=3', '(\\w)=(\\d)')""")
+      .collect().head.getSeq[scala.collection.Seq[String]](0)
+    assert(h.map(_.toSeq) == Seq(Seq("a", "b", "c"), Seq("1", "2", "3")))
+    // no-group pattern is an error; NULL text stays NULL
+    val err = intercept[Exception](
+      spark.sql("SELECT extractAllGroups('x', 'nogroups')").collect())
+    assert(err.getMessage.contains("capture group"))
+    assert(one("SELECT extractAllGroups(CAST(NULL AS STRING), '(a)')") == null)
+  }
 }
