@@ -117,6 +117,14 @@ object ChFunctions {
         Slice(new ArraySort(CollectList(x).toAggregateExpression()),
           Literal(1), Cast(n, IntegerType))
       })
+      // groupArrayLast(n)(x) — the LAST n values in arrival order
+      // (r19b); negative-start slice, whole array when it fits
+      reg("groupArrayLast")({ case Seq(x, n) =>
+        val arr = CollectList(x).toAggregateExpression()
+        val nn = Cast(n, IntegerType)
+        If(LessThanOrEqual(Size(arr), nn), arr,
+          Slice(arr, UnaryMinus(nn), nn))
+      })
 
       // groupArrayMovingSum/Avg(x[, n]): running (windowed) sums/avgs in
       // the group's arrival order — same engine-defined ordering caveat
@@ -343,6 +351,47 @@ object ChFunctions {
             LambdaFunction(acc, Seq(acc))),
           Seq(x, i)))
       })
+      // arrayCumSumNonNegative: the clamped running sum is SEQUENTIAL
+      // (each step depends on the clamped previous — prefix sums can't
+      // express it), so a single left fold carries (last, out) in a
+      // struct; the empty typed array zero is Slice(arr, 1, 0) and the
+      // element-typed floor is typedZero (r19b)
+      reg("arrayCumSumNonNegative")({ case Seq(arr) =>
+        import org.apache.spark.sql.catalyst.analysis.UnresolvedExtractValue
+        val acc = lv("accCN"); val e = lv("eCN")
+        val last = UnresolvedExtractValue(acc, Literal("c"))
+        val out = UnresolvedExtractValue(acc, Literal("r"))
+        val step = Greatest(Seq(Add(last, e), typedZero(arr)))
+        // the zero's array must already carry the WIDENED element type
+        // (int arrays fold in Int64) or the fold's accumulator type
+        // mismatches — widen via a transform before the empty slice
+        val w = lv("wCN")
+        val emptyWidened = Slice(
+          ArrayTransform(arr,
+            LambdaFunction(Add(w, typedZero(arr)), Seq(w))),
+          Literal(1), Literal(0))
+        ArrayAggregate(arr,
+          CreateNamedStruct(Seq(
+            Literal("c"), typedZero(arr),
+            Literal("r"), emptyWidened)),
+          LambdaFunction(CreateNamedStruct(Seq(
+            Literal("c"), step,
+            Literal("r"), Concat(Seq(out, CreateArray(Seq(step)))))),
+            Seq(acc, e)),
+          LambdaFunction(out, Seq(acc)))
+      })
+      // arrayProduct → Float64, CH's contract
+      reg("arrayProduct")({ case Seq(arr) =>
+        val acc = lv("accAP"); val e = lv("eAP"); val f = lv("fAP")
+        ArrayAggregate(
+          ArrayTransform(arr, LambdaFunction(
+            Cast(lv("xAP"), DoubleType), Seq(lv("xAP")))),
+          Literal(1.0d),
+          LambdaFunction(Multiply(acc, e), Seq(acc, e)),
+          LambdaFunction(f, Seq(f)))
+      })
+      // arrayShuffle — Spark's own non-deterministic Shuffle
+      reg("arrayShuffle")(exprs => new Shuffle(exprs.head))
 
       // arithmetic under CH's function-call spellings
       reg("plus")({ case Seq(a, b) => Add(a, b) })
@@ -1162,6 +1211,9 @@ object ChFunctions {
       reg("quantilesTDigest")({ case x +: qs if qs.nonEmpty =>
         new ApproximatePercentile(x, CreateArray(qs))
       })
+      reg("quantilesTiming")({ case x +: qs if qs.nonEmpty =>
+        new Percentile(x, CreateArray(qs))
+      })
       // quantileDeterministic(q)(x, determinator): CH trades exactness
       // for run-determinism via the determinator seed; exact nearest
       // interpolation is both — the determinator is accepted and unused
@@ -1386,6 +1438,35 @@ object ChFunctions {
         Divide(mu4, Multiply(sig2, sig2))
       })
 
+      // r19b statistical aggregate tail — native typed aggregates in
+      // graft.functions.StatsAgg (mergeable states, never UDFs)
+      reg("sumKahan")({ case Seq(x) =>
+        graft.functions.KahanSumAgg(Cast(x, DoubleType)).toAggregateExpression()
+      })
+      // histogram(bins)(x) → (x, bins) via the parametric pre-pass
+      reg("histogram")({ case Seq(x, Literal(b: Int, IntegerType)) =>
+        graft.functions.HistogramAgg(Cast(x, DoubleType), b)
+          .toAggregateExpression()
+      })
+      reg("maxIntersections")({ case Seq(s, e) =>
+        graft.functions.MaxIntersectionsAgg(
+          Cast(s, LongType), Cast(e, LongType), position = false)
+          .toAggregateExpression()
+      })
+      reg("maxIntersectionsPosition")({ case Seq(s, e) =>
+        graft.functions.MaxIntersectionsAgg(
+          Cast(s, LongType), Cast(e, LongType), position = true)
+          .toAggregateExpression()
+      })
+      // largestTriangleThreeBuckets(n)(x, y) → (x, y, n)
+      reg("largestTriangleThreeBuckets")(
+        { case Seq(x, y, Literal(b: Int, IntegerType)) =>
+          graft.functions.LttbAgg(x, y, b).toAggregateExpression()
+        })
+      reg("lttb")({ case Seq(x, y, Literal(b: Int, IntegerType)) =>
+        graft.functions.LttbAgg(x, y, b).toAggregateExpression()
+      })
+
       // (dateDiff is NOT here: Spark's parser special-cases the name
       // before the registry, so ChSql.rewriteDateDiff handles it)
 
@@ -1593,6 +1674,9 @@ object ChFunctions {
       reg("tokens")(exprs => ArrayRemove(
         StringSplit(exprs.head, Literal("[^A-Za-z0-9]+"), Literal(-1)),
         Literal("")))
+      // alphaTokens(s): maximal LATIN-LETTER runs only (digits split)
+      reg("alphaTokens")(exprs =>
+        RegExpExtractAll(exprs.head, Literal("([A-Za-z]+)"), Literal(1)))
       // character n-gram array: substrings of length n at offsets 1..len-n+1
       // (built as a native transform-over-sequence lambda — codegen'd,
       // no UDF); shorter strings yield an empty array

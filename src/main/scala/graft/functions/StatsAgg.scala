@@ -1,0 +1,439 @@
+package graft.functions
+
+import java.nio.ByteBuffer
+import java.nio.ByteOrder
+
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.trees.{BinaryLike, TernaryLike, UnaryLike}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+
+/** Statistical aggregate tail of the CH dialect (r19b) — each one a
+  * native `TypedImperativeAggregate` (ObjectHashAggregate, map-side
+  * partials, mergeable states; never a UDF). The function namespace is
+  * delegated CH surface in the reference
+  * (`workflow_query_executor.go:313`). */
+object StatsAgg {
+  private[functions] def numD(v: Any): Double = v match {
+    case d: java.lang.Double => d
+    case f: java.lang.Float => f.toDouble
+    case l: java.lang.Long => l.toDouble
+    case i: java.lang.Integer => i.toDouble
+    case s: java.lang.Short => s.toDouble
+    case b: java.lang.Byte => b.toDouble
+    case d: org.apache.spark.sql.types.Decimal => d.toDouble
+    case other => throw new IllegalArgumentException(
+      s"numeric input expected, got ${other.getClass.getSimpleName}")
+  }
+}
+
+/** `sumKahan(x)` — Neumaier-compensated Float64 sum: the compensation
+  * term rides the partial state, so merges stay compensated too. */
+case class KahanSumAgg(
+    child: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[Array[Double]]
+    with UnaryLike[Expression] {
+
+  override def createAggregationBuffer(): Array[Double] = new Array[Double](2)
+
+  private def add(buf: Array[Double], v: Double): Unit = {
+    val t = buf(0) + v
+    buf(1) +=
+      (if (math.abs(buf(0)) >= math.abs(v)) (buf(0) - t) + v
+       else (v - t) + buf(0))
+    buf(0) = t
+  }
+
+  override def update(buf: Array[Double], input: InternalRow): Array[Double] = {
+    val v = child.eval(input)
+    if (v != null) add(buf, StatsAgg.numD(v))
+    buf
+  }
+  override def merge(buf: Array[Double], other: Array[Double]): Array[Double] = {
+    add(buf, other(0))
+    buf(1) += other(1)
+    buf
+  }
+  override def eval(buf: Array[Double]): Any = buf(0) + buf(1)
+
+  override def serialize(buf: Array[Double]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(16).order(ByteOrder.LITTLE_ENDIAN)
+    bb.putDouble(buf(0)).putDouble(buf(1))
+    bb.array()
+  }
+  override def deserialize(b: Array[Byte]): Array[Double] = {
+    val bb = ByteBuffer.wrap(b).order(ByteOrder.LITTLE_ENDIAN)
+    Array(bb.getDouble(), bb.getDouble())
+  }
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = false
+  override def prettyName: String = "sumKahan"
+  override def withNewMutableAggBufferOffset(n: Int): KahanSumAgg =
+    copy(mutableAggBufferOffset = n)
+  override def withNewInputAggBufferOffset(n: Int): KahanSumAgg =
+    copy(inputAggBufferOffset = n)
+  override protected def withNewChildInternal(c: Expression): KahanSumAgg =
+    copy(child = c)
+}
+
+/** `histogram(bins)(x)` — the streaming adaptive histogram (Ben-Haim &
+  * Tom-Tov's streaming decision-tree summary, the algorithm family CH
+  * uses): at most `2×bins` weighted centroids during accumulation and
+  * merge, compressed to `bins` at finalization by repeatedly merging
+  * the closest adjacent pair. Output is CH's shape — an array of
+  * `(lower, upper, height)` rows where interior bounds are midpoints
+  * between adjacent centroid means and the extremes are the true
+  * min/max. Approximate and (like CH's) dependent on arrival order by
+  * design. */
+case class HistogramAgg(
+    child: Expression,
+    bins: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[HistogramAgg.St]
+    with UnaryLike[Expression] {
+  import HistogramAgg.St
+
+  require(bins >= 1, s"histogram needs at least one bin, got $bins")
+  private def cap = bins * 2
+
+  override def createAggregationBuffer(): St = new St()
+
+  private def insert(st: St, mean: Double, weight: Double): Unit = {
+    // binary search by mean, insert, compress past the cap
+    var lo = 0
+    var hi = st.means.length
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if (st.means(mid) < mean) lo = mid + 1 else hi = mid
+    }
+    if (lo < st.means.length && st.means(lo) == mean) {
+      st.weights(lo) += weight
+    } else {
+      st.means.insert(lo, mean)
+      st.weights.insert(lo, weight)
+      if (st.means.length > cap) compress(st, cap)
+    }
+  }
+
+  private def compress(st: St, to: Int): Unit = {
+    while (st.means.length > to) {
+      var best = 0
+      var bestGap = Double.MaxValue
+      var i = 0
+      while (i < st.means.length - 1) {
+        val gap = st.means(i + 1) - st.means(i)
+        if (gap < bestGap) { bestGap = gap; best = i }
+        i += 1
+      }
+      val w = st.weights(best) + st.weights(best + 1)
+      st.means(best) =
+        (st.means(best) * st.weights(best) +
+          st.means(best + 1) * st.weights(best + 1)) / w
+      st.weights(best) = w
+      st.means.remove(best + 1)
+      st.weights.remove(best + 1)
+    }
+  }
+
+  override def update(st: St, input: InternalRow): St = {
+    val v = child.eval(input)
+    if (v != null) {
+      val d = StatsAgg.numD(v)
+      if (d < st.min) st.min = d
+      if (d > st.max) st.max = d
+      insert(st, d, 1.0)
+    }
+    st
+  }
+
+  override def merge(st: St, other: St): St = {
+    var i = 0
+    while (i < other.means.length) {
+      insert(st, other.means(i), other.weights(i))
+      i += 1
+    }
+    if (other.min < st.min) st.min = other.min
+    if (other.max > st.max) st.max = other.max
+    st
+  }
+
+  override def eval(st: St): Any = {
+    if (st.means.isEmpty) return new GenericArrayData(Array.empty[Any])
+    compress(st, bins)
+    val n = st.means.length
+    val rows = new Array[Any](n)
+    var i = 0
+    while (i < n) {
+      val lower =
+        if (i == 0) st.min else (st.means(i - 1) + st.means(i)) / 2.0
+      val upper =
+        if (i == n - 1) st.max else (st.means(i) + st.means(i + 1)) / 2.0
+      rows(i) = InternalRow(lower, upper, st.weights(i))
+      i += 1
+    }
+    new GenericArrayData(rows)
+  }
+
+  override def serialize(st: St): Array[Byte] = {
+    val bb = ByteBuffer.allocate(4 + 16 + st.means.length * 16)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(st.means.length).putDouble(st.min).putDouble(st.max)
+    var i = 0
+    while (i < st.means.length) {
+      bb.putDouble(st.means(i)).putDouble(st.weights(i))
+      i += 1
+    }
+    bb.array()
+  }
+  override def deserialize(b: Array[Byte]): St = {
+    val bb = ByteBuffer.wrap(b).order(ByteOrder.LITTLE_ENDIAN)
+    val st = new St()
+    val n = bb.getInt()
+    st.min = bb.getDouble()
+    st.max = bb.getDouble()
+    var i = 0
+    while (i < n) {
+      st.means += bb.getDouble()
+      st.weights += bb.getDouble()
+      i += 1
+    }
+    st
+  }
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("lower", DoubleType, nullable = false),
+    StructField("upper", DoubleType, nullable = false),
+    StructField("height", DoubleType, nullable = false))),
+    containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "histogram"
+  override def withNewMutableAggBufferOffset(n: Int): HistogramAgg =
+    copy(mutableAggBufferOffset = n)
+  override def withNewInputAggBufferOffset(n: Int): HistogramAgg =
+    copy(inputAggBufferOffset = n)
+  override protected def withNewChildInternal(c: Expression): HistogramAgg =
+    copy(child = c)
+}
+
+object HistogramAgg {
+  /** Sorted centroid state: parallel mean/weight buffers + true
+    * extremes for the outer bin bounds. */
+  final class St {
+    val means = ArrayBuffer.empty[Double]
+    val weights = ArrayBuffer.empty[Double]
+    var min: Double = Double.MaxValue
+    var max: Double = Double.MinValue
+  }
+}
+
+/** `maxIntersections(start, end)` / `maxIntersectionsPosition`: the
+  * maximum number of simultaneously-open `[start, end)` intervals in
+  * the group, or the leftmost position where that maximum is reached.
+  * The state is the raw event list (+1 at start, −1 at end) — the
+  * sweep happens once at finalization. Half-open by choice: an
+  * interval ending where another starts does NOT intersect it, which
+  * also makes the answer deterministic where CH's unstable sort is
+  * not. */
+case class MaxIntersectionsAgg(
+    left: Expression,
+    right: Expression,
+    position: Boolean,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[ArrayBuffer[(Long, Int)]]
+    with BinaryLike[Expression] {
+
+  override def createAggregationBuffer(): ArrayBuffer[(Long, Int)] =
+    ArrayBuffer.empty
+
+  private def numL(v: Any): Long = v match {
+    case l: java.lang.Long => l
+    case i: java.lang.Integer => i.toLong
+    case s: java.lang.Short => s.toLong
+    case b: java.lang.Byte => b.toLong
+    case other => throw new IllegalArgumentException(
+      s"maxIntersections takes integer bounds, got ${other.getClass.getSimpleName}")
+  }
+
+  override def update(buf: ArrayBuffer[(Long, Int)], input: InternalRow)
+      : ArrayBuffer[(Long, Int)] = {
+    val s = left.eval(input)
+    val e = right.eval(input)
+    if (s != null && e != null) {
+      buf += ((numL(s), 1))
+      buf += ((numL(e), -1))
+    }
+    buf
+  }
+  override def merge(buf: ArrayBuffer[(Long, Int)],
+      other: ArrayBuffer[(Long, Int)]): ArrayBuffer[(Long, Int)] = {
+    buf ++= other
+    buf
+  }
+
+  override def eval(buf: ArrayBuffer[(Long, Int)]): Any = {
+    // ends (−1) before starts at the same coordinate — half-open
+    val events = buf.sortBy { case (pos, delta) => (pos, delta) }
+    var cur = 0L
+    var best = 0L
+    var bestPos = 0L
+    events.foreach { case (pos, delta) =>
+      cur += delta
+      if (cur > best) { best = cur; bestPos = pos }
+    }
+    if (position) bestPos else best
+  }
+
+  override def serialize(buf: ArrayBuffer[(Long, Int)]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(4 + buf.length * 9)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(buf.length)
+    buf.foreach { case (pos, delta) => bb.putLong(pos).put(delta.toByte) }
+    bb.array()
+  }
+  override def deserialize(b: Array[Byte]): ArrayBuffer[(Long, Int)] = {
+    val bb = ByteBuffer.wrap(b).order(ByteOrder.LITTLE_ENDIAN)
+    val n = bb.getInt()
+    val out = new ArrayBuffer[(Long, Int)](n)
+    var i = 0
+    while (i < n) {
+      out += ((bb.getLong(), bb.get().toInt))
+      i += 1
+    }
+    out
+  }
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = false
+  override def prettyName: String =
+    if (position) "maxIntersectionsPosition" else "maxIntersections"
+  override def withNewMutableAggBufferOffset(n: Int): MaxIntersectionsAgg =
+    copy(mutableAggBufferOffset = n)
+  override def withNewInputAggBufferOffset(n: Int): MaxIntersectionsAgg =
+    copy(inputAggBufferOffset = n)
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): MaxIntersectionsAgg =
+    copy(left = l, right = r)
+}
+
+/** `largestTriangleThreeBuckets(n)(x, y)` — LTTB series downsampling
+  * (Steinarsson 2013): first and last points kept, the interior
+  * bucketed into n−2 ranges, each contributing the point that
+  * maximizes the triangle area against the previously kept point and
+  * the next bucket's centroid. The state collects the group's (x, y)
+  * points and sorts by x at finalization — series-sized groups by
+  * contract (a visualization reducer, not a corpus scan). */
+case class LttbAgg(
+    first: Expression,
+    second: Expression,
+    n: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[ArrayBuffer[(Double, Double)]]
+    with BinaryLike[Expression] {
+
+  require(n >= 2, s"largestTriangleThreeBuckets needs n >= 2, got $n")
+
+  override def left: Expression = first
+  override def right: Expression = second
+
+  override def createAggregationBuffer(): ArrayBuffer[(Double, Double)] =
+    ArrayBuffer.empty
+
+  override def update(buf: ArrayBuffer[(Double, Double)], input: InternalRow)
+      : ArrayBuffer[(Double, Double)] = {
+    val x = first.eval(input)
+    val y = second.eval(input)
+    if (x != null && y != null)
+      buf += ((StatsAgg.numD(x), StatsAgg.numD(y)))
+    buf
+  }
+  override def merge(buf: ArrayBuffer[(Double, Double)],
+      other: ArrayBuffer[(Double, Double)]): ArrayBuffer[(Double, Double)] = {
+    buf ++= other
+    buf
+  }
+
+  override def eval(buf: ArrayBuffer[(Double, Double)]): Any = {
+    val pts = buf.sortBy(_._1)
+    if (pts.length <= n) {
+      return new GenericArrayData(
+        pts.map(p => InternalRow(p._1, p._2)).toArray[Any])
+    }
+    val out = new Array[Any](n)
+    out(0) = InternalRow(pts.head._1, pts.head._2)
+    val every = (pts.length - 2).toDouble / (n - 2)
+    var a = 0 // index of the previously selected point
+    var i = 0
+    while (i < n - 2) {
+      val rangeStart = (i * every).toInt + 1
+      val rangeEnd = math.min(((i + 1) * every).toInt + 1, pts.length - 1)
+      // next bucket's centroid (the last "bucket" is the final point)
+      val nextStart = rangeEnd
+      val nextEnd = math.min(((i + 2) * every).toInt + 1, pts.length)
+      var cx = 0.0
+      var cy = 0.0
+      var j = nextStart
+      while (j < nextEnd) { cx += pts(j)._1; cy += pts(j)._2; j += 1 }
+      val cnt = math.max(1, nextEnd - nextStart)
+      cx /= cnt
+      cy /= cnt
+      val (ax, ay) = pts(a)
+      var bestArea = -1.0
+      var bestIdx = rangeStart
+      j = rangeStart
+      while (j < rangeEnd) {
+        val area = math.abs(
+          (ax - cx) * (pts(j)._2 - ay) - (ax - pts(j)._1) * (cy - ay))
+        if (area > bestArea) { bestArea = area; bestIdx = j }
+        j += 1
+      }
+      out(i + 1) = InternalRow(pts(bestIdx)._1, pts(bestIdx)._2)
+      a = bestIdx
+      i += 1
+    }
+    out(n - 1) = InternalRow(pts.last._1, pts.last._2)
+    new GenericArrayData(out)
+  }
+
+  override def serialize(buf: ArrayBuffer[(Double, Double)]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(4 + buf.length * 16)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(buf.length)
+    buf.foreach { case (x, y) => bb.putDouble(x).putDouble(y) }
+    bb.array()
+  }
+  override def deserialize(b: Array[Byte]): ArrayBuffer[(Double, Double)] = {
+    val bb = ByteBuffer.wrap(b).order(ByteOrder.LITTLE_ENDIAN)
+    val m = bb.getInt()
+    val out = new ArrayBuffer[(Double, Double)](m)
+    var i = 0
+    while (i < m) {
+      out += ((bb.getDouble(), bb.getDouble()))
+      i += 1
+    }
+    out
+  }
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("x", DoubleType, nullable = false),
+    StructField("y", DoubleType, nullable = false))),
+    containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "largestTriangleThreeBuckets"
+  override def withNewMutableAggBufferOffset(m: Int): LttbAgg =
+    copy(mutableAggBufferOffset = m)
+  override def withNewInputAggBufferOffset(m: Int): LttbAgg =
+    copy(inputAggBufferOffset = m)
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): LttbAgg =
+    copy(first = l, second = r)
+}

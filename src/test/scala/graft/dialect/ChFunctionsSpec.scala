@@ -1196,6 +1196,76 @@ class ChFunctionsSpec extends AnyFunSuite {
       FROM (SELECT 1 AS v, 1 AS w WHERE false)""") == null)
   }
 
+  test("sumKahan keeps the compensation across merges (r19b)") {
+    // naive double summation loses the two 1.0s against 1e16
+    val got = one("""SELECT sumKahan(v) FROM VALUES
+      (1e16), (1.0), (1.0), (-1e16) AS t(v)""").asInstanceOf[Double]
+    assert(got == 2.0, s"sumKahan gave $got")
+  }
+
+  test("groupArrayLast / arrayCumSumNonNegative / arrayProduct / arrayShuffle / alphaTokens (r19b)") {
+    def q(sql: String): Any = ChSql.sql(spark, sql).collect().head.get(0)
+    assert(q("""SELECT groupArrayLast(2)(v) FROM VALUES
+      (1), (2), (3), (4) AS t(v)""").asInstanceOf[scala.collection.Seq[Int]].toSeq
+      == Seq(3, 4))
+    assert(q("""SELECT groupArrayLast(9)(v) FROM VALUES
+      (1), (2) AS t(v)""").asInstanceOf[scala.collection.Seq[Int]].toSeq
+      == Seq(1, 2), "whole array when it fits")
+    assert(one("SELECT arrayCumSumNonNegative(array(1, 1, -4, 1))")
+      .asInstanceOf[scala.collection.Seq[Long]].toSeq == Seq(1L, 2L, 0L, 1L))
+    assert(one("SELECT arrayProduct(array(2, 3, 4))") == 24.0)
+    val sh = one("SELECT arrayShuffle(array(1, 2, 3, 4, 5))")
+      .asInstanceOf[scala.collection.Seq[Int]]
+    assert(sh.sorted == Seq(1, 2, 3, 4, 5))
+    assert(one("SELECT alphaTokens('abc1def tail')")
+      .asInstanceOf[scala.collection.Seq[String]].toSeq == Seq("abc", "def", "tail"))
+  }
+
+  test("histogram(bins)(x): adaptive bins cover the range, heights sum to n (r19b)") {
+    val rows = ChSql.sql(spark,
+      """SELECT inline(histogram(3)(v)) FROM VALUES
+        (1.0), (2.0), (3.0), (4.0), (5.0), (6.0),
+        (7.0), (8.0), (9.0), (10.0) AS t(v)""").collect()
+    assert(rows.length == 3)
+    assert(rows.head.getDouble(0) == 1.0, "first lower = min")
+    assert(rows.last.getDouble(1) == 10.0, "last upper = max")
+    assert(rows.map(_.getDouble(2)).sum == 10.0, "heights sum to the count")
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getDouble(1) == b.getDouble(0), "adjacent bins share bounds")
+    case _ => }
+  }
+
+  test("maxIntersections / maxIntersectionsPosition, half-open (r19b)") {
+    assert(one("""SELECT maxIntersections(s, e) FROM VALUES
+      (1, 5), (2, 6), (4, 8), (10, 12) AS t(s, e)""") == 3L)
+    assert(one("""SELECT maxIntersectionsPosition(s, e) FROM VALUES
+      (1, 5), (2, 6), (4, 8), (10, 12) AS t(s, e)""") == 4L)
+    assert(one("""SELECT maxIntersections(s, e) FROM VALUES
+      (1, 3), (3, 5) AS t(s, e)""") == 1L,
+      "touching half-open intervals do not intersect")
+  }
+
+  test("largestTriangleThreeBuckets keeps endpoints and the bucket extremes (r19b)") {
+    def q(sql: String) = ChSql.sql(spark, sql).collect()
+    val pts = q("""SELECT inline(largestTriangleThreeBuckets(4)(x, y)) FROM VALUES
+      (1, 1.0), (2, 1.0), (3, 9.0), (4, 1.0), (5, 1.0),
+      (6, 1.0), (7, -7.0), (8, 1.0), (9, 1.0), (10, 1.0) AS t(x, y)""")
+    assert(pts.length == 4)
+    assert(pts.head.getDouble(0) == 1.0 && pts.last.getDouble(0) == 10.0)
+    val ys = pts.map(_.getDouble(1)).toSet
+    assert(ys.contains(9.0) && ys.contains(-7.0),
+      s"the spike points must survive downsampling, got ${ys.mkString(",")}")
+    // n >= series length passes everything through, sorted by x
+    val all = q("""SELECT inline(lttb(9)(x, y)) FROM VALUES
+      (3, 30.0), (1, 10.0), (2, 20.0) AS t(x, y)""")
+    assert(all.map(_.getDouble(0)).toSeq == Seq(1.0, 2.0, 3.0))
+    // quantilesTiming plural rides along (parametric → ChSql pre-pass)
+    val qs = ChSql.sql(spark,
+      "SELECT quantilesTiming(0.0, 1.0)(v) FROM VALUES (1), (5) AS t(v)")
+      .collect().head.getSeq[Any](0)
+    assert(qs.toSeq == Seq(1.0, 5.0))
+  }
+
   test("boundingRatio and simpleLinearRegression (r19b)") {
     // exact line y = 2x + 1: bounding slope = regression slope = 2
     assert(one("""SELECT boundingRatio(x, y) FROM VALUES
