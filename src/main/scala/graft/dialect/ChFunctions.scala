@@ -759,6 +759,27 @@ object ChFunctions {
         RLike(s, Literal(
           "^((25[0-5]|2[0-4][0-9]|[01]?[0-9]?[0-9])\\.){3}(25[0-5]|2[0-4][0-9]|[01]?[0-9]?[0-9])$"))
       })
+      // IPv6/MAC family (r19b): 16-byte binary addresses, RFC 5952
+      // rendering, pure-JDK parse (graft.functions.IpKernels — no
+      // InetAddress, whose hostname path could resolve DNS)
+      reg("IPv6StringToNum")(e => graft.functions.IpExpr(e.head, 0))
+      reg("IPv6NumToString")(e => graft.functions.IpExpr(e.head, 1))
+      reg("isIPv6String")(e => graft.functions.IpExpr(e.head, 2))
+      reg("MACNumToString")(e => graft.functions.IpExpr(e.head, 3))
+      reg("MACStringToNum")(e => graft.functions.IpExpr(e.head, 4))
+      reg("IPv4ToIPv6")(e => graft.functions.IpExpr(e.head, 5))
+      reg("toIPv6")(e => graft.functions.IpExpr(e.head, 0))
+      reg("cutIPv6")(
+        { case Seq(b, c6, c4) => graft.functions.CutIpv6Expr(b, c6, c4) })
+      // toIPv4 — CH's IPv4 type carries the UInt32 value (Long here)
+      reg("toIPv4")({ case Seq(s) =>
+        val parts = StringSplit(s, Literal("\\."), Literal(-1))
+        def part(i: Int): Expression =
+          Cast(ElementAt(parts, Literal(i)), LongType)
+        Add(Add(Multiply(part(1), Literal(16777216L)),
+            Multiply(part(2), Literal(65536L))),
+          Add(Multiply(part(3), Literal(256L)), part(4)))
+      })
 
       // sumMap/minMap/maxMap(keys, vals): per-group reduce of the
       // zipped (key, value) pairs, keyed by distinct key, returned as

@@ -1177,6 +1177,61 @@ class ChFunctionsSpec extends AnyFunSuite {
     assert(one("SELECT appendTrailingCharIfAbsent('dir/', '/')") == "dir/")
   }
 
+  test("IPv6/MAC family: parse, RFC 5952 render, cut, round-trips (r19b)") {
+    // canonical rendering: longest zero run compressed, lowercase
+    assert(one("SELECT IPv6NumToString(IPv6StringToNum('2001:0DB8:0:0:0:0:0:1'))")
+      == "2001:db8::1")
+    assert(one("SELECT IPv6NumToString(IPv6StringToNum('::'))") == "::")
+    assert(one("SELECT IPv6NumToString(IPv6StringToNum('1:0:0:2:0:0:0:3'))")
+      == "1:0:0:2::3", "the LONGEST zero run wins")
+    // IPv4-mapped renders dotted-quad; IPv4ToIPv6 builds it
+    assert(one("SELECT IPv6NumToString(IPv6StringToNum('::ffff:192.168.0.1'))")
+      == "::ffff:192.168.0.1")
+    assert(one("SELECT IPv6NumToString(IPv4ToIPv6(IPv4StringToNum('10.0.0.7')))")
+      == "::ffff:10.0.0.7")
+    // full-form round trip through binary
+    assert(one("SELECT hex(IPv6StringToNum('::1'))")
+      .asInstanceOf[String].toLowerCase.endsWith("01"))
+    assert(one("SELECT isIPv6String('2001:db8::1')") == true)
+    assert(one("SELECT isIPv6String('2001:db8::1::2')") == false)
+    assert(one("SELECT isIPv6String('1.2.3.4')") == false)
+    assert(one("SELECT IPv6StringToNum('not-an-ip')") == null)
+    // cutIPv6: v6 cut zeroes the tail bytes; v4-mapped uses the v4 cut
+    assert(one("SELECT cutIPv6(IPv6StringToNum('2001:db8:1:2:3:4:5:6'), 8, 0)")
+      == "2001:db8:1:2::")
+    assert(one("SELECT cutIPv6(IPv6StringToNum('::ffff:192.168.11.22'), 0, 2)")
+      == "::ffff:192.168.0.0")
+    // MAC round trip (uppercase colon form, CH's rendering)
+    assert(one("SELECT MACNumToString(MACStringToNum('aa:bb:cc:dd:ee:ff'))")
+      == "AA:BB:CC:DD:EE:FF")
+    assert(one("SELECT MACStringToNum('zz:bb:cc:dd:ee:ff')") == null)
+    assert(one("SELECT toIPv4('1.2.3.4')") == 16909060L)
+  }
+
+  test("IPv6 format/parse round-trips on 2000 seeded random addresses") {
+    import graft.functions.IpKernels
+    val rnd = new scala.util.Random(190819L)
+    (1 to 2000).foreach { i =>
+      val b = new Array[Byte](16)
+      rnd.nextBytes(b)
+      // bias toward zero runs so compression paths get exercised
+      if (i % 3 == 0) (0 until rnd.nextInt(12)).foreach { _ =>
+        b(rnd.nextInt(16)) = 0
+      }
+      if (i % 7 == 0) {
+        java.util.Arrays.fill(b, 0, 10, 0.toByte)
+        b(10) = -1; b(11) = -1 // v4-mapped
+      }
+      val text = IpKernels.formatIpv6(b)
+      val back = IpKernels.parseIpv6(text)
+      assert(back != null && java.util.Arrays.equals(back, b),
+        s"round-trip failed for $text (${b.mkString(",")})")
+    }
+    // full uncompressed spellings parse to the same bytes
+    assert(java.util.Arrays.equals(
+      IpKernels.parseIpv6("0:0:0:0:0:0:0:1"), IpKernels.parseIpv6("::1")))
+  }
+
   test("quantileExactWeighted: element semantics at the weight crossing (r19b)") {
     def q(sql: String): Any = ChSql.sql(spark, sql).collect().head.get(0)
     // values 1,2,3 with weights 1,1,8 (total 10): the 0.5 crossing
