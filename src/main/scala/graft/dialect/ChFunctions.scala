@@ -1487,6 +1487,16 @@ object ChFunctions {
       reg("lttb")({ case Seq(x, y, Literal(b: Int, IntegerType)) =>
         graft.functions.LttbAgg(x, y, b).toAggregateExpression()
       })
+      // exponentialMovingAverage(halflife)(value, time) → (v, t, h)
+      reg("exponentialMovingAverage")({ case Seq(v, t, h) =>
+        val hl = h match {
+          case Literal(d: java.lang.Number, _) => d.doubleValue()
+          case Literal(d: Decimal, _) => d.toDouble
+          case other => throw new IllegalArgumentException(
+            s"exponentialMovingAverage needs a literal halflife, got $other")
+        }
+        graft.functions.ExpMovingAvgAgg(v, t, hl).toAggregateExpression()
+      })
 
       // (dateDiff is NOT here: Spark's parser special-cases the name
       // before the registry, so ChSql.rewriteDateDiff handles it)

@@ -324,6 +324,79 @@ case class MaxIntersectionsAgg(
     copy(left = l, right = r)
 }
 
+/** `exponentialMovingAverage(halflife)(value, time)` — the EMA of an
+  * irregular series evaluated at its LATEST time point:
+  * Σ vᵢ·2^((tᵢ−T)/h) / Σ 2^((tᵢ−T)/h) with T = max(tᵢ). The state
+  * (T, num, den) is mergeable exactly — the smaller-T side rescales
+  * by 2^((T_small−T)/h) — so partials compose without ordering
+  * assumptions, unlike CH's block-order formulation (same math on
+  * sorted input). */
+case class ExpMovingAvgAgg(
+    left: Expression,
+    right: Expression,
+    halflife: Double,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[Array[Double]]
+    with BinaryLike[Expression] {
+
+  require(halflife > 0, s"exponentialMovingAverage needs halflife > 0, got $halflife")
+
+  // buffer: (latestTime, decayedNum, decayedDen, seen)
+  override def createAggregationBuffer(): Array[Double] =
+    Array(Double.NegativeInfinity, 0.0, 0.0, 0.0)
+
+  private def fold(buf: Array[Double], t: Double, num: Double, den: Double): Unit = {
+    if (buf(3) == 0.0) {
+      buf(0) = t; buf(1) = num; buf(2) = den; buf(3) = 1.0
+    } else if (t <= buf(0)) {
+      val w = math.pow(2.0, (t - buf(0)) / halflife)
+      buf(1) += num * w
+      buf(2) += den * w
+    } else {
+      val w = math.pow(2.0, (buf(0) - t) / halflife)
+      buf(1) = buf(1) * w + num
+      buf(2) = buf(2) * w + den
+      buf(0) = t
+    }
+  }
+
+  override def update(buf: Array[Double], input: InternalRow): Array[Double] = {
+    val v = left.eval(input)
+    val t = right.eval(input)
+    if (v != null && t != null)
+      fold(buf, StatsAgg.numD(t), StatsAgg.numD(v), 1.0)
+    buf
+  }
+  override def merge(buf: Array[Double], other: Array[Double]): Array[Double] = {
+    if (other(3) != 0.0) fold(buf, other(0), other(1), other(2))
+    buf
+  }
+  override def eval(buf: Array[Double]): Any =
+    if (buf(3) == 0.0 || buf(2) == 0.0) null else buf(1) / buf(2)
+
+  override def serialize(buf: Array[Double]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(32).order(ByteOrder.LITTLE_ENDIAN)
+    buf.foreach(bb.putDouble)
+    bb.array()
+  }
+  override def deserialize(b: Array[Byte]): Array[Double] = {
+    val bb = ByteBuffer.wrap(b).order(ByteOrder.LITTLE_ENDIAN)
+    Array(bb.getDouble(), bb.getDouble(), bb.getDouble(), bb.getDouble())
+  }
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "exponentialMovingAverage"
+  override def withNewMutableAggBufferOffset(n: Int): ExpMovingAvgAgg =
+    copy(mutableAggBufferOffset = n)
+  override def withNewInputAggBufferOffset(n: Int): ExpMovingAvgAgg =
+    copy(inputAggBufferOffset = n)
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): ExpMovingAvgAgg =
+    copy(left = l, right = r)
+}
+
 /** `largestTriangleThreeBuckets(n)(x, y)` — LTTB series downsampling
   * (Steinarsson 2013): first and last points kept, the interior
   * bucketed into n−2 ranges, each contributing the point that

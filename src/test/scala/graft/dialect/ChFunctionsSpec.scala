@@ -1321,6 +1321,24 @@ class ChFunctionsSpec extends AnyFunSuite {
     assert(qs.toSeq == Seq(1.0, 5.0))
   }
 
+  test("exponentialMovingAverage: decayed mean at the latest point (r19b)") {
+    def q(sql: String): Any = ChSql.sql(spark, sql).collect().head.get(0)
+    // one half-life apart: weights 0.5 and 1 → (1·0.5 + 3·1)/1.5
+    val got = q("""SELECT exponentialMovingAverage(1)(v, t) FROM VALUES
+      (1.0, 0), (3.0, 1) AS s(v, t)""").asInstanceOf[Double]
+    assert(math.abs(got - (1.0 * 0.5 + 3.0) / 1.5) < 1e-12, s"got $got")
+    // a constant series is its own EMA regardless of spacing
+    val const = q("""SELECT exponentialMovingAverage(5)(v, t) FROM VALUES
+      (7.0, 0), (7.0, 3), (7.0, 11) AS s(v, t)""").asInstanceOf[Double]
+    assert(math.abs(const - 7.0) < 1e-12)
+    // merge-order independence: same answer when rows arrive shuffled
+    val shuffled = q("""SELECT exponentialMovingAverage(1)(v, t) FROM VALUES
+      (3.0, 1), (1.0, 0) AS s(v, t)""").asInstanceOf[Double]
+    assert(math.abs(shuffled - got) < 1e-12)
+    assert(q("""SELECT exponentialMovingAverage(1)(v, t)
+      FROM (SELECT 1.0 AS v, 0 AS t WHERE false)""") == null)
+  }
+
   test("boundingRatio and simpleLinearRegression (r19b)") {
     // exact line y = 2x + 1: bounding slope = regression slope = 2
     assert(one("""SELECT boundingRatio(x, y) FROM VALUES
