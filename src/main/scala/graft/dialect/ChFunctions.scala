@@ -534,6 +534,49 @@ object ChFunctions {
             ArrayJoin(Slice(labels, Subtract(n, Literal(1)), Literal(2)),
               Literal("."), None))
       })
+      // r19b URL tail
+      reg("netloc")(exprs =>
+        rex(exprs.head, SchemeOpt + """([^/?#]*)"""))
+      // port(url[, default]) — 0 (CH's default) when absent
+      reg("port")({ case url +: rest =>
+        val dflt = rest.headOption.getOrElse(Literal(0))
+        Coalesce(Seq(
+          Cast(new NullIf(
+            rex(url, SchemeOpt + """(?:[^/?#@]*@)?[^/?#:]*:(\d+)"""),
+            Literal("")), IntegerType),
+          Cast(dflt, IntegerType)))
+      })
+      reg("queryStringAndFragment")(exprs =>
+        rex(exprs.head, """\?(.*)$"""))
+      reg("URLHierarchy")(e =>
+        graft.functions.UrlHierarchyExpr(e.head, pathOnly = false))
+      reg("URLPathHierarchy")(e =>
+        graft.functions.UrlHierarchyExpr(e.head, pathOnly = true))
+      // names of the query parameters, in order
+      reg("extractURLParameterNames")({ case Seq(url) =>
+        val q = rex(url, """\?([^#]*)""")
+        ArrayRemove(
+          ArrayTransform(
+            StringSplit(q, Literal("&"), Literal(-1)),
+            LambdaFunction(
+              ElementAt(StringSplit(lv("pUPN"), Literal("="), Literal(2)),
+                Literal(1)),
+              Seq(lv("pUPN")))),
+          Literal(""))
+      })
+      // form-encoding twins: '+' is the space convention
+      reg("encodeURLFormComponent")({ case Seq(s) =>
+        StringReplace(UrlEncode(s), Literal("%20"), Literal("+"))
+      })
+      reg("decodeURLFormComponent")({ case Seq(s) =>
+        UrlDecode(StringReplace(s, Literal("+"), Literal("%20")))
+      })
+      // URLHash: CH's "hash without one trailing /?#" contract; the
+      // hash itself is engine-defined — this engine's is cityHash64
+      reg("URLHash")({ case Seq(url) =>
+        CityHash64Expr(Seq(
+          RegExpReplace(url, Literal("""[/?#]$"""), Literal(""))))
+      })
       // extractURLParameter(url, 'name') — value of one query parameter
       reg("extractURLParameter")({ case Seq(url, name) =>
         val pat = name match {

@@ -268,3 +268,55 @@ case class CutIpv6Expr(first: Expression, second: Expression,
       cs: IndexedSeq[Expression]): CutIpv6Expr =
     copy(first = cs(0), second = cs(1), third = cs(2))
 }
+
+/** `URLHierarchy(url)` / `URLPathHierarchy(url)` — the URL truncated
+  * at each successive `/`, `?`, `#` boundary, shortest first (CH's
+  * drill-down helper). Path form keeps only the part after the
+  * authority. Empty array when there is nothing below the authority
+  * (resp. path). */
+case class UrlHierarchyExpr(child: Expression, pathOnly: Boolean)
+    extends Expression with CodegenFallback {
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = true
+  override def dataType: DataType =
+    ArrayType(StringType, containsNull = false)
+  override def prettyName: String =
+    if (pathOnly) "URLPathHierarchy" else "URLHierarchy"
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) return null
+    val url = v.asInstanceOf[UTF8String].toString
+    // authority ends at the first /?# after the scheme
+    val schemeEnd = {
+      val i = url.indexOf("//")
+      if (i >= 0 && (i == 0 || url.charAt(i - 1) == ':')) i + 2 else 0
+    }
+    var authEnd = schemeEnd
+    while (authEnd < url.length && "/?#".indexOf(url.charAt(authEnd)) < 0)
+      authEnd += 1
+    val out = scala.collection.mutable.ArrayBuffer.empty[UTF8String]
+    var i = authEnd
+    while (i < url.length) {
+      val c = url.charAt(i)
+      if (c == '/') {
+        // cut AFTER the slash
+        val cut = url.substring(if (pathOnly) authEnd else 0, i + 1)
+        if (i + 1 > authEnd + 1 || !pathOnly)
+          out += UTF8String.fromString(cut)
+      } else if (c == '?' || c == '#') {
+        val cut = url.substring(if (pathOnly) authEnd else 0, i)
+        if (out.isEmpty || out.last.toString != cut)
+          out += UTF8String.fromString(cut)
+      }
+      i += 1
+    }
+    val whole = url.substring(if (pathOnly) authEnd else 0)
+    if (whole.nonEmpty && (out.isEmpty || out.last.toString != whole))
+      out += UTF8String.fromString(whole)
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      out.toArray[Any])
+  }
+  override protected def withNewChildrenInternal(
+      cs: IndexedSeq[Expression]): UrlHierarchyExpr = copy(child = cs(0))
+}

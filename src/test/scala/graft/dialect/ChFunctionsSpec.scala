@@ -1208,6 +1208,34 @@ class ChFunctionsSpec extends AnyFunSuite {
     assert(one("SELECT toIPv4('1.2.3.4')") == 16909060L)
   }
 
+  test("URL tail: netloc, port, hierarchy, parameter names, form encoding (r19b)") {
+    val u = "'https://user:pw@example.com:8443/a/b/c?x=1&y=2#frag'"
+    assert(one(s"SELECT netloc($u)") == "user:pw@example.com:8443")
+    assert(one(s"SELECT port($u)") == 8443)
+    assert(one("SELECT port('https://example.com/a')") == 0)
+    assert(one("SELECT port('https://example.com/a', 443)") == 443)
+    assert(one(s"SELECT queryStringAndFragment($u)") == "x=1&y=2#frag")
+    assert(one(s"SELECT URLHierarchy($u)")
+      .asInstanceOf[scala.collection.Seq[String]].toSeq == Seq(
+        "https://user:pw@example.com:8443/",
+        "https://user:pw@example.com:8443/a/",
+        "https://user:pw@example.com:8443/a/b/",
+        "https://user:pw@example.com:8443/a/b/c",
+        "https://user:pw@example.com:8443/a/b/c?x=1&y=2",
+        "https://user:pw@example.com:8443/a/b/c?x=1&y=2#frag"))
+    assert(one(s"SELECT URLPathHierarchy($u)")
+      .asInstanceOf[scala.collection.Seq[String]].toSeq == Seq(
+        "/a/", "/a/b/", "/a/b/c", "/a/b/c?x=1&y=2", "/a/b/c?x=1&y=2#frag"))
+    assert(one(s"SELECT extractURLParameterNames($u)")
+      .asInstanceOf[scala.collection.Seq[String]].toSeq == Seq("x", "y"))
+    assert(one("SELECT encodeURLFormComponent('a b+c')") == "a+b%2Bc")
+    assert(one("SELECT decodeURLFormComponent('a+b%2Bc')") == "a b+c")
+    assert(one(s"SELECT URLHash($u)") ==
+      one(s"SELECT cityHash64($u)"), "no trailing cut char → same hash")
+    assert(one("SELECT URLHash('http://e.com/p/')") ==
+      one("SELECT cityHash64('http://e.com/p')"), "one trailing / cut")
+  }
+
   test("IPv6 format/parse round-trips on 2000 seeded random addresses") {
     import graft.functions.IpKernels
     val rnd = new scala.util.Random(190819L)
