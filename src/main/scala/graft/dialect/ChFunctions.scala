@@ -634,6 +634,14 @@ object ChFunctions {
         exprs => TruncTimestamp(Literal("day"), exprs.head))
       reg("toStartOfMonth")(
         exprs => TruncDate(Cast(exprs.head, DateType), Literal("month")))
+      reg("toLastDayOfMonth")(
+        exprs => LastDay(Cast(exprs.head, DateType)))
+      // timeDiff(older, newer) — seconds between, CH arg order
+      reg("timeDiff")({ case Seq(a, b) =>
+        Subtract(
+          Cast(Cast(b, TimestampType), LongType),
+          Cast(Cast(a, TimestampType), LongType))
+      })
       reg("toYear")(
         exprs => Year(Cast(exprs.head, DateType)))
       reg("toMonth")(
@@ -1598,6 +1606,20 @@ object ChFunctions {
       reg("leftPad")({ case Seq(s, n, p) => StringLPad(s, Cast(n, IntegerType), p) })
       reg("rightPad")({ case Seq(s, n, p) => StringRPad(s, Cast(n, IntegerType), p) })
       reg("base64Encode")(exprs => Base64(Cast(exprs.head, BinaryType)))
+      // base58/base32 codecs + IDNA (r19b): pure kernels in
+      // graft.functions.BaseCodecs; try-variants NULL on bad input
+      reg("base58Encode")(e => graft.functions.BaseCodecExpr(e.head, 0))
+      reg("base58Decode")(e => graft.functions.BaseCodecExpr(e.head, 1))
+      reg("tryBase58Decode")(e => graft.functions.BaseCodecExpr(e.head, 2))
+      reg("base32Encode")(e => graft.functions.BaseCodecExpr(e.head, 3))
+      reg("base32Decode")(e => graft.functions.BaseCodecExpr(e.head, 4))
+      reg("tryBase32Decode")(e => graft.functions.BaseCodecExpr(e.head, 5))
+      reg("idnaEncode")(e => graft.functions.BaseCodecExpr(e.head, 6))
+      reg("idnaDecode")(e => graft.functions.BaseCodecExpr(e.head, 7))
+      reg("mortonEncode")(
+        { case Seq(a, b) => graft.functions.MortonExpr(a, b, encode = true) })
+      reg("mortonDecode")(
+        { case Seq(d, z) => graft.functions.MortonExpr(d, z, encode = false) })
       reg("base64Decode")(exprs => Cast(UnBase64(exprs.head), StringType))
       reg("assumeNotNull")(exprs => KnownNotNull(exprs.head))
       // CH tuples are Spark structs; tupleElement is 1-based positional
@@ -1662,6 +1684,14 @@ object ChFunctions {
       })
       reg("positionCaseInsensitive")({ case Seq(h, n) =>
         StringLocate(Lower(n), Lower(h), Literal(1)) })
+      reg("positionCaseInsensitiveUTF8")({ case Seq(h, n) =>
+        StringLocate(Lower(n), Lower(h), Literal(1)) })
+      reg("countSubstringsCaseInsensitive")({ case Seq(s0, sub) =>
+        Cast(Divide(
+          Subtract(Length(s0),
+            Length(StringReplace(Lower(s0), Lower(sub), Literal("")))),
+          Length(sub)), LongType)
+      })
       // multiSearchAny(haystack, array('n1','n2',…)): true if any needle
       // is a substring. The literal needle set expands to an Or-chain of
       // Contains — stays codegen'd, no regex engine
@@ -1675,6 +1705,15 @@ object ChFunctions {
       // no lookaround — so the same regex runs under Java and RE2
       reg("hasToken")({ case Seq(h, Literal(t: org.apache.spark.unsafe.types.UTF8String, StringType)) =>
         RLike(h, Literal(
+          "(^|[^A-Za-z0-9])" + java.util.regex.Pattern.quote(t.toString) +
+            "([^A-Za-z0-9]|$)"))
+      })
+      // hasTokenOrNull: NULL (not an error) when the needle is not a
+      // single token — CH's OrNull convention
+      reg("hasTokenOrNull")({ case Seq(h, lit @ Literal(t: org.apache.spark.unsafe.types.UTF8String, StringType)) =>
+        if (t.toString.isEmpty || !t.toString.forall(_.isLetterOrDigit))
+          Literal.create(null, BooleanType)
+        else RLike(h, Literal(
           "(^|[^A-Za-z0-9])" + java.util.regex.Pattern.quote(t.toString) +
             "([^A-Za-z0-9]|$)"))
       })
@@ -2086,6 +2125,7 @@ object ChFunctions {
       // half-transpositions, Winkler boost 0.1 above 0.7, byte-set
       // Jaccard (CH's byte-string contract)
       reg("editDistance")({ case Seq(a, b) => Levenshtein(a, b) })
+      reg("editDistanceUTF8")({ case Seq(a, b) => Levenshtein(a, b) })
       reg("levenshteinDistance")({ case Seq(a, b) => Levenshtein(a, b) })
       reg("damerauLevenshteinDistance")({ case Seq(a, b) =>
         graft.functions.StringDistExpr(a, b, "damerau") })

@@ -1,0 +1,241 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** base58 (Bitcoin alphabet) and base32 (RFC 4648) codecs for the CH
+  * dialect (r19b) — pure kernels, NULL on invalid input for the
+  * `try`/decode paths like CH's tryBase58Decode. */
+object BaseCodecs {
+
+  private val B58 =
+    "123456789ABCDEFGHJKLMNPQRSTUVWXYZabcdefghijkmnopqrstuvwxyz"
+  private val B58Inv: Array[Int] = {
+    val inv = Array.fill(128)(-1)
+    B58.zipWithIndex.foreach { case (c, i) => inv(c.toInt) = i }
+    inv
+  }
+
+  def base58Encode(in: Array[Byte]): String = {
+    if (in.isEmpty) return ""
+    val zeros = in.takeWhile(_ == 0).length
+    // big-number base conversion over a mutable copy
+    val digits = scala.collection.mutable.ArrayBuffer.empty[Char]
+    var start = zeros
+    val work = in.clone()
+    while (start < work.length) {
+      var rem = 0
+      var i = start
+      while (i < work.length) {
+        val cur = (rem << 8) | (work(i) & 0xff)
+        work(i) = (cur / 58).toByte
+        rem = cur % 58
+        i += 1
+      }
+      digits += B58.charAt(rem)
+      // skip ALL newly-zero leading positions — advancing one per
+      // iteration would divide a zero prefix and emit spurious digits
+      while (start < work.length && work(start) == 0) start += 1
+    }
+    ("1" * zeros) + digits.reverse.mkString
+  }
+
+  def base58Decode(s: String): Array[Byte] = {
+    if (s == null) return null
+    if (s.isEmpty) return Array.empty
+    val ones = s.takeWhile(_ == '1').length
+    val out = scala.collection.mutable.ArrayBuffer.empty[Byte]
+    val work = scala.collection.mutable.ArrayBuffer.empty[Int]
+    var i = ones
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c >= 128 || B58Inv(c.toInt) < 0) return null
+      work += B58Inv(c.toInt)
+      i += 1
+    }
+    var start = 0
+    while (start < work.length) {
+      var rem = 0
+      var j = start
+      while (j < work.length) {
+        val cur = rem * 58 + work(j)
+        work(j) = cur >> 8
+        rem = cur & 0xff
+        j += 1
+      }
+      out += rem.toByte
+      // same multi-zero advance as the encoder
+      while (start < work.length && work(start) == 0) start += 1
+    }
+    (Array.fill[Byte](ones)(0) ++ out.reverse).toArray
+  }
+
+  private val B32 = "ABCDEFGHIJKLMNOPQRSTUVWXYZ234567"
+  private val B32Inv: Array[Int] = {
+    val inv = Array.fill(128)(-1)
+    B32.zipWithIndex.foreach { case (c, i) => inv(c.toInt) = i }
+    // lowercase accepted on decode
+    B32.map(Character.toLowerCase).zipWithIndex.foreach {
+      case (c, i) => inv(c.toInt) = i
+    }
+    inv
+  }
+
+  def base32Encode(in: Array[Byte]): String = {
+    val sb = new StringBuilder
+    var buffer = 0L
+    var bits = 0
+    var i = 0
+    while (i < in.length) {
+      buffer = (buffer << 8) | (in(i) & 0xff)
+      bits += 8
+      while (bits >= 5) {
+        sb.append(B32.charAt(((buffer >> (bits - 5)) & 0x1f).toInt))
+        bits -= 5
+      }
+      i += 1
+    }
+    if (bits > 0)
+      sb.append(B32.charAt(((buffer << (5 - bits)) & 0x1f).toInt))
+    while (sb.length % 8 != 0) sb.append('=')
+    sb.toString
+  }
+
+  def base32Decode(s: String): Array[Byte] = {
+    if (s == null) return null
+    val trimmed = s.reverse.dropWhile(_ == '=').reverse
+    val out = scala.collection.mutable.ArrayBuffer.empty[Byte]
+    var buffer = 0L
+    var bits = 0
+    var i = 0
+    while (i < trimmed.length) {
+      val c = trimmed.charAt(i)
+      if (c >= 128 || B32Inv(c.toInt) < 0) return null
+      buffer = (buffer << 5) | B32Inv(c.toInt)
+      bits += 5
+      if (bits >= 8) {
+        out += ((buffer >> (bits - 8)) & 0xff).toByte
+        bits -= 8
+      }
+      i += 1
+    }
+    out.toArray
+  }
+
+  /** 2-way Morton (Z-order) interleave: UInt32 × UInt32 → UInt64. */
+  def mortonEncode2(a: Long, b: Long): Long = {
+    def spread(v: Long): Long = {
+      var x = v & 0xffffffffL
+      x = (x | (x << 16)) & 0x0000ffff0000ffffL
+      x = (x | (x << 8)) & 0x00ff00ff00ff00ffL
+      x = (x | (x << 4)) & 0x0f0f0f0f0f0f0f0fL
+      x = (x | (x << 2)) & 0x3333333333333333L
+      x = (x | (x << 1)) & 0x5555555555555555L
+      x
+    }
+    spread(a) | (spread(b) << 1)
+  }
+
+  def mortonDecode2(z: Long): (Long, Long) = {
+    def compact(v: Long): Long = {
+      var x = v & 0x5555555555555555L
+      x = (x | (x >> 1)) & 0x3333333333333333L
+      x = (x | (x >> 2)) & 0x0f0f0f0f0f0f0f0fL
+      x = (x | (x >> 4)) & 0x00ff00ff00ff00ffL
+      x = (x | (x >> 8)) & 0x0000ffff0000ffffL
+      x = (x | (x >> 16)) & 0x00000000ffffffffL
+      x
+    }
+    (compact(z), compact(z >> 1))
+  }
+}
+
+/** Dialect dispatcher for the codecs. `kind`: 0 = base58Encode
+  * (string→string, CH's convention), 1 = base58Decode (throws on bad
+  * input), 2 = tryBase58Decode (NULL on bad input), 3 = base32Encode,
+  * 4 = base32Decode, 5 = tryBase32Decode, 6 = idnaEncode (JDK IDN,
+  * lenient → NULL on failure), 7 = idnaDecode. */
+case class BaseCodecExpr(child: Expression, kind: Int)
+    extends Expression with CodegenFallback {
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = true
+  override def dataType: DataType = StringType
+  override def prettyName: String = kind match {
+    case 0 => "base58Encode"
+    case 1 => "base58Decode"
+    case 2 => "tryBase58Decode"
+    case 3 => "base32Encode"
+    case 4 => "base32Decode"
+    case 5 => "tryBase32Decode"
+    case 6 => "idnaEncode"
+    case _ => "idnaDecode"
+  }
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) return null
+    val s = v.asInstanceOf[UTF8String]
+    kind match {
+      case 0 => UTF8String.fromString(BaseCodecs.base58Encode(s.getBytes))
+      case 1 | 2 =>
+        val d = BaseCodecs.base58Decode(s.toString)
+        if (d == null) {
+          if (kind == 2) null
+          else throw new IllegalArgumentException(
+            s"base58Decode: invalid input '${s.toString.take(64)}'")
+        } else UTF8String.fromBytes(d)
+      case 3 => UTF8String.fromString(BaseCodecs.base32Encode(s.getBytes))
+      case 4 | 5 =>
+        val d = BaseCodecs.base32Decode(s.toString)
+        if (d == null) {
+          if (kind == 5) null
+          else throw new IllegalArgumentException(
+            s"base32Decode: invalid input '${s.toString.take(64)}'")
+        } else UTF8String.fromBytes(d)
+      case 6 =>
+        try UTF8String.fromString(java.net.IDN.toASCII(s.toString))
+        catch { case _: IllegalArgumentException => null }
+      case _ =>
+        try UTF8String.fromString(java.net.IDN.toUnicode(s.toString))
+        catch { case _: IllegalArgumentException => null }
+    }
+  }
+  override protected def withNewChildrenInternal(
+      cs: IndexedSeq[Expression]): BaseCodecExpr = copy(child = cs(0))
+}
+
+/** `mortonEncode(a, b)` / `mortonDecode(2, z)` — 2-way Z-order codes
+  * (CH ≥ 23.10; the 2-argument form is the common spatial case).
+  * Decode returns the (a, b) tuple. */
+case class MortonExpr(left: Expression, right: Expression, encode: Boolean)
+    extends Expression with CodegenFallback {
+  override def children: Seq[Expression] = Seq(left, right)
+  override def nullable: Boolean = true
+  override def dataType: DataType =
+    if (encode) LongType
+    else StructType(Seq(
+      StructField("_1", LongType, nullable = false),
+      StructField("_2", LongType, nullable = false)))
+  override def prettyName: String =
+    if (encode) "mortonEncode" else "mortonDecode"
+  override def eval(input: InternalRow): Any = {
+    val l = left.eval(input)
+    val r = right.eval(input)
+    if (l == null || r == null) return null
+    if (encode)
+      BaseCodecs.mortonEncode2(
+        l.asInstanceOf[Number].longValue(), r.asInstanceOf[Number].longValue())
+    else {
+      // mortonDecode(dims, z): only dims = 2 here
+      require(l.asInstanceOf[Number].intValue() == 2,
+        "mortonDecode supports 2 dimensions")
+      val (a, b) = BaseCodecs.mortonDecode2(r.asInstanceOf[Number].longValue())
+      InternalRow(a, b)
+    }
+  }
+  override protected def withNewChildrenInternal(
+      cs: IndexedSeq[Expression]): MortonExpr =
+    copy(left = cs(0), right = cs(1))
+}

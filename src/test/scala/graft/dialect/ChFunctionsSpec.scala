@@ -1208,6 +1208,49 @@ class ChFunctionsSpec extends AnyFunSuite {
     assert(one("SELECT toIPv4('1.2.3.4')") == 16909060L)
   }
 
+  test("base58/base32/IDNA/morton codecs and alias tail (r19b)") {
+    // Bitcoin-alphabet base58 golden vectors
+    assert(one("SELECT base58Encode('Hello')") == "9Ajdvzr")
+    assert(one("SELECT base58Decode(base58Encode('Hello World!'))") == "Hello World!")
+    assert(one("SELECT tryBase58Decode('0IOl')") == null, "excluded chars")
+    // RFC 4648 base32 golden vector
+    assert(one("SELECT base32Encode('foobar')") == "MZXW6YTBOI======")
+    assert(one("SELECT base32Decode('MZXW6YTBOI======')") == "foobar")
+    assert(one("SELECT tryBase32Decode('@@@')") == null)
+    assert(one("SELECT idnaEncode('münchen.de')") == "xn--mnchen-3ya.de")
+    assert(one("SELECT idnaDecode('xn--mnchen-3ya.de')") == "münchen.de")
+    // morton: interleave/deinterleave round trip + a known code
+    assert(one("SELECT mortonEncode(3, 1)") == 7L) // 3=0b11, 1=0b1 → 0b111
+    val dec = spark.sql("SELECT mortonDecode(2, mortonEncode(12345, 67890))")
+      .collect().head.getStruct(0)
+    assert(dec.getLong(0) == 12345L && dec.getLong(1) == 67890L)
+    // aliases + OrNull discipline
+    assert(one("SELECT editDistanceUTF8('kitten', 'sitting')") == 3)
+    assert(one("SELECT positionCaseInsensitiveUTF8('Hello World', 'WORLD')") == 7)
+    assert(one("SELECT countSubstringsCaseInsensitive('aAaA', 'aa')") == 2L)
+    assert(one("SELECT hasTokenOrNull('a b c', 'b')") == true)
+    assert(one("SELECT hasTokenOrNull('a b c', 'b c')") == null)
+    assert(one("SELECT toLastDayOfMonth(toDate('2024-02-10'))").toString == "2024-02-29")
+    assert(one("SELECT timeDiff(toDateTime('2024-01-01 00:00:00'), toDateTime('2024-01-01 00:01:30'))") == 90L)
+    // seeded round-trip fuzz, leading zeros included
+    import graft.functions.BaseCodecs
+    val rnd = new scala.util.Random(5858L)
+    (1 to 500).foreach { i =>
+      val b = new Array[Byte](rnd.nextInt(40))
+      rnd.nextBytes(b)
+      if (i % 4 == 0 && b.nonEmpty) b(0) = 0
+      assert(java.util.Arrays.equals(
+        BaseCodecs.base58Decode(BaseCodecs.base58Encode(b)), b),
+        s"base58 round-trip failed at ${b.mkString(",")}")
+      assert(java.util.Arrays.equals(
+        BaseCodecs.base32Decode(BaseCodecs.base32Encode(b)), b),
+        s"base32 round-trip failed at ${b.mkString(",")}")
+      val m = (rnd.nextLong() & 0xffffffffL, rnd.nextLong() & 0xffffffffL)
+      assert(BaseCodecs.mortonDecode2(
+        BaseCodecs.mortonEncode2(m._1, m._2)) == m, s"morton failed at $m")
+    }
+  }
+
   test("URL tail: netloc, port, hierarchy, parameter names, form encoding (r19b)") {
     val u = "'https://user:pw@example.com:8443/a/b/c?x=1&y=2#frag'"
     assert(one(s"SELECT netloc($u)") == "user:pw@example.com:8443")
