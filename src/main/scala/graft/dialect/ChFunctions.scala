@@ -612,6 +612,25 @@ object ChFunctions {
         case Seq(json, key) => LengthOfJsonArray(GetJsonObject(json, jsonPath(key)))
       })
       reg("JSONExtractKeys")(exprs => JsonObjectKeys(exprs.head))
+      reg("JSONArrayLength")(exprs => LengthOfJsonArray(exprs.head))
+      reg("JSONType")({
+        case Seq(json) => graft.functions.JsonTypeExpr(json, isValid = false)
+        case Seq(json, key) =>
+          graft.functions.JsonTypeExpr(
+            GetJsonObject(json, jsonPath(key)), isValid = false)
+      })
+      reg("isValidJSON")(e => graft.functions.JsonTypeExpr(e.head, isValid = true))
+      // UUID family (r19b)
+      reg("generateUUIDv4")(_ => new Uuid())
+      reg("generateUUIDv7")(_ => graft.functions.RandomGenExpr(Literal(0), 0))
+      reg("randomString")(e => graft.functions.RandomGenExpr(e.head, 1))
+      reg("randomPrintableASCII")(e => graft.functions.RandomGenExpr(e.head, 2))
+      reg("UUIDStringToNum")(e => graft.functions.UuidBytesExpr(e.head, 0))
+      reg("UUIDNumToString")(e => graft.functions.UuidBytesExpr(e.head, 1))
+      reg("toUUID")(e => graft.functions.UuidBytesExpr(e.head, 2))
+      reg("toUUIDOrNull")(e => graft.functions.UuidBytesExpr(e.head, 3))
+      reg("serverUUID")(_ =>
+        Literal(graft.functions.UuidBytesExpr.serverUuid))
       // simpleJSON* (a.k.a. visitParam*): CH's naive-scan variants; we
       // parse properly — a documented superset (CH finds the first
       // occurrence of the key at ANY nesting level, we resolve the

@@ -239,3 +239,182 @@ case class MortonExpr(left: Expression, right: Expression, encode: Boolean)
       cs: IndexedSeq[Expression]): MortonExpr =
     copy(left = cs(0), right = cs(1))
 }
+
+/** UUID value kernels (r19b). `UuidBytesExpr` converts between the
+  * canonical 36-char text and the 16-byte FixedString (CH's
+  * UUIDStringToNum/UUIDNumToString default big-endian variant);
+  * `toUUID` canonicalizes (lowercase) and NULLs (OrNull) or throws on
+  * invalid text. */
+case class UuidBytesExpr(child: Expression, kind: Int)
+    extends Expression with CodegenFallback {
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = true
+  override def dataType: DataType = kind match {
+    case 0 => BinaryType // UUIDStringToNum
+    case _ => StringType // 1 = UUIDNumToString, 2 = toUUID, 3 = toUUIDOrNull
+  }
+  override def prettyName: String = kind match {
+    case 0 => "UUIDStringToNum"
+    case 1 => "UUIDNumToString"
+    case 2 => "toUUID"
+    case _ => "toUUIDOrNull"
+  }
+  private def parse(s: String): Array[Byte] = {
+    val t = s.trim
+    if (t.length != 36) return null
+    val out = new Array[Byte](16)
+    var bi = 0
+    var i = 0
+    while (i < 36) {
+      val c = t.charAt(i)
+      if (i == 8 || i == 13 || i == 18 || i == 23) {
+        if (c != '-') return null
+        i += 1
+      } else {
+        val hi = Character.digit(c, 16)
+        val lo = Character.digit(t.charAt(i + 1), 16)
+        if (hi < 0 || lo < 0) return null
+        out(bi) = ((hi << 4) | lo).toByte
+        bi += 1
+        i += 2
+      }
+    }
+    out
+  }
+  private def format(b: Array[Byte]): String = {
+    val sb = new StringBuilder(36)
+    var i = 0
+    while (i < 16) {
+      if (i == 4 || i == 6 || i == 8 || i == 10) sb.append('-')
+      sb.append(Character.forDigit((b(i) & 0xf0) >> 4, 16))
+      sb.append(Character.forDigit(b(i) & 0x0f, 16))
+      i += 1
+    }
+    sb.toString
+  }
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) return null
+    kind match {
+      case 0 =>
+        parse(v.asInstanceOf[UTF8String].toString)
+      case 1 =>
+        val b = v.asInstanceOf[Array[Byte]]
+        if (b.length != 16) null else UTF8String.fromString(format(b))
+      case 2 | 3 =>
+        val p = parse(v.asInstanceOf[UTF8String].toString)
+        if (p == null) {
+          if (kind == 3) null
+          else throw new IllegalArgumentException(
+            s"toUUID: invalid UUID text '${v.toString.take(64)}'")
+        } else UTF8String.fromString(format(p))
+    }
+  }
+  override protected def withNewChildrenInternal(
+      cs: IndexedSeq[Expression]): UuidBytesExpr = copy(child = cs(0))
+}
+
+object UuidBytesExpr {
+  /** Stable per-JVM identity for `serverUUID()` — fixed at class load,
+    * CH's per-server-start contract. */
+  val serverUuid: String = java.util.UUID.randomUUID().toString
+}
+
+/** Nondeterministic generators (r19b): `generateUUIDv7()` (RFC 9562 —
+  * 48-bit unix-ms timestamp, version 7, random tail; time-ordered),
+  * `randomString(n)` (arbitrary bytes as a string) and
+  * `randomPrintableASCII(n)`. Per-partition ThreadLocalRandom draw —
+  * the same nondeterminism contract as Spark's own uuid()/rand(). */
+case class RandomGenExpr(child: Expression, kind: Int)
+    extends Expression
+    with org.apache.spark.sql.catalyst.expressions.Nondeterministic
+    with CodegenFallback {
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = kind != 0
+  override def dataType: DataType = StringType
+  override def prettyName: String = kind match {
+    case 0 => "generateUUIDv7"
+    case 1 => "randomString"
+    case _ => "randomPrintableASCII"
+  }
+  @transient private var rng: java.util.Random = _
+  override protected def initializeInternal(partitionIndex: Int): Unit =
+    rng = new java.util.Random(
+      java.util.concurrent.ThreadLocalRandom.current().nextLong() ^
+        partitionIndex)
+  override protected def evalInternal(input: InternalRow): Any = kind match {
+    case 0 =>
+      val ms = System.currentTimeMillis()
+      var hi = (ms << 16) | 0x7000L | (rng.nextLong() & 0x0fffL)
+      var lo = (rng.nextLong() & 0x3fffffffffffffffL) | 0x8000000000000000L
+      val b = new Array[Byte](16)
+      var i = 7
+      while (i >= 0) { b(i) = (hi & 0xff).toByte; hi >>>= 8; i -= 1 }
+      i = 15
+      while (i >= 8) { b(i) = (lo & 0xff).toByte; lo >>>= 8; i -= 1 }
+      val sb = new StringBuilder(36)
+      i = 0
+      while (i < 16) {
+        if (i == 4 || i == 6 || i == 8 || i == 10) sb.append('-')
+        sb.append(Character.forDigit((b(i) & 0xf0) >> 4, 16))
+        sb.append(Character.forDigit(b(i) & 0x0f, 16))
+        i += 1
+      }
+      UTF8String.fromString(sb.toString)
+    case k =>
+      val n = child.eval(input)
+      if (n == null) return null
+      val len = math.max(0, n.asInstanceOf[Number].intValue())
+      if (k == 1) {
+        val bytes = new Array[Byte](len)
+        rng.nextBytes(bytes)
+        UTF8String.fromBytes(bytes)
+      } else {
+        val chars = new Array[Byte](len)
+        var i = 0
+        while (i < len) {
+          chars(i) = (32 + rng.nextInt(95)).toByte // ' '..'~'
+          i += 1
+        }
+        UTF8String.fromBytes(chars)
+      }
+  }
+  override protected def withNewChildrenInternal(
+      cs: IndexedSeq[Expression]): RandomGenExpr = copy(child = cs(0))
+}
+
+/** JSON introspection tail (r19b): `JSONType` (CH's type-name enum as
+  * text), `isValidJSON`. Jackson parse, lenient NULL/false on
+  * malformed input. */
+case class JsonTypeExpr(child: Expression, isValid: Boolean)
+    extends Expression with CodegenFallback {
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = !isValid
+  override def dataType: DataType = if (isValid) BooleanType else StringType
+  override def prettyName: String = if (isValid) "isValidJSON" else "JSONType"
+  @transient private lazy val mapper =
+    new com.fasterxml.jackson.databind.ObjectMapper
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) return if (isValid) false else null
+    val parsed =
+      try mapper.readTree(v.asInstanceOf[UTF8String].toString)
+      catch { case _: Exception => null }
+    if (isValid) parsed != null
+    else if (parsed == null) null
+    else UTF8String.fromString {
+      import com.fasterxml.jackson.databind.node.JsonNodeType._
+      parsed.getNodeType match {
+        case OBJECT => "Object"
+        case ARRAY => "Array"
+        case STRING => "String"
+        case BOOLEAN => "Bool"
+        case NULL => "Null"
+        case NUMBER => if (parsed.isIntegralNumber) "Int64" else "Double"
+        case _ => "String"
+      }
+    }
+  }
+  override protected def withNewChildrenInternal(
+      cs: IndexedSeq[Expression]): JsonTypeExpr = copy(child = cs(0))
+}

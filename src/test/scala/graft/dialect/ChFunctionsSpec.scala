@@ -1208,6 +1208,35 @@ class ChFunctionsSpec extends AnyFunSuite {
     assert(one("SELECT toIPv4('1.2.3.4')") == 16909060L)
   }
 
+  test("UUID family and JSON introspection tail (r19b)") {
+    val v4 = one("SELECT generateUUIDv4()").asInstanceOf[String]
+    assert(v4.matches("[0-9a-f]{8}-[0-9a-f]{4}-4[0-9a-f]{3}-[0-9a-f]{4}-[0-9a-f]{12}"))
+    val v7 = one("SELECT generateUUIDv7()").asInstanceOf[String]
+    assert(v7.matches("[0-9a-f]{8}-[0-9a-f]{4}-7[0-9a-f]{3}-[89ab][0-9a-f]{3}-[0-9a-f]{12}"),
+      s"v7 shape: $v7")
+    // v7 is time-ordered: two draws sort by generation time
+    val v7b = one("SELECT generateUUIDv7()").asInstanceOf[String]
+    assert(v7 <= v7b, s"$v7 !<= $v7b")
+    assert(one("SELECT UUIDNumToString(UUIDStringToNum('61f0c404-5cb3-11e7-907b-a6006ad3dba0'))")
+      == "61f0c404-5cb3-11e7-907b-a6006ad3dba0")
+    assert(one("SELECT toUUID('61F0C404-5CB3-11E7-907B-A6006AD3DBA0')")
+      == "61f0c404-5cb3-11e7-907b-a6006ad3dba0", "canonical lowercase")
+    assert(one("SELECT toUUIDOrNull('nope')") == null)
+    assert(one("SELECT serverUUID()") == one("SELECT serverUUID()"))
+    assert(one("SELECT octet_length(randomString(12))") == 12,
+      "byte-random payload: octet length is the contract (CH's too)")
+    val pa = one("SELECT randomPrintableASCII(40)").asInstanceOf[String]
+    assert(pa.length == 40 && pa.forall(c => c >= ' ' && c <= '~'))
+    // JSON introspection
+    assert(one("""SELECT JSONType('{"a": 1}')""") == "Object")
+    assert(one("""SELECT JSONType('[1, 2]')""") == "Array")
+    assert(one("""SELECT JSONType('{"a": {"b": [1]}}', 'a')""") == "Object")
+    assert(one("""SELECT JSONType('1.5')""") == "Double")
+    assert(one("""SELECT isValidJSON('{"a": 1}')""") == true)
+    assert(one("""SELECT isValidJSON('{a: 1}')""") == false)
+    assert(one("""SELECT JSONArrayLength('[1, 2, 3]')""") == 3)
+  }
+
   test("base58/base32/IDNA/morton codecs and alias tail (r19b)") {
     // Bitcoin-alphabet base58 golden vectors
     assert(one("SELECT base58Encode('Hello')") == "9Ajdvzr")
