@@ -54,7 +54,10 @@ object Combinators {
     Seq("uniqExact", "groupArray", "uniq", "sum", "count", "min", "max", "avg")
 
   private val SuffixTokens =
-    Seq("Array", "Distinct", "OrNull", "State", "Merge", "ForEach", "Map", "If")
+    // longest-first where one token prefixes another (SimpleState vs
+    // State, OrDefault vs OrNull share no prefix but keep the idea)
+    Seq("Array", "Distinct", "OrDefault", "OrNull", "SimpleState", "State",
+      "Merge", "ForEach", "Map", "If")
 
   /** The composed builder for `name`, when `name` is base+suffix-chain
     * under this grammar and the combination is exactly expressible. */
@@ -316,6 +319,19 @@ object Combinators {
           af.toAggregateExpression(isDistinct = true)
         case _ => throw new IllegalArgumentException(
           s"-Distinct cannot compose with ${base}'s ${k.build.getClass.getSimpleName} kernel here")
+      }))
+      // CH -SimpleState stores the plain value as the state — which is
+      // exactly what this engine's parquet-backed states are (r19b)
+      case "SimpleState" => Some(k)
+      // -OrDefault: the type's default on an empty set — 0 for the
+      // numeric bases (the CH-documented use); NULL-yielding bases
+      // coalesce, counting bases are 0 already
+      case "OrDefault" => Some(Kernel(k.arity, args => {
+        val agg = k.build(args) match {
+          case af: AggregateFunction => af.toAggregateExpression()
+          case other => other
+        }
+        Coalesce(Seq(agg, Literal(0)))
       }))
       case "OrNull" => Some(Kernel(k.arity, args => {
         val agg = k.build(args) match {

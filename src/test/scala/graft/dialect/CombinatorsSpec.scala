@@ -109,6 +109,15 @@ class CombinatorsSpec extends AnyFunSuite {
     assert(r == Seq(null, 2L, null))
   }
 
+  test("-OrDefault zeros empty sets; -SimpleState is the plain value (r19b)") {
+    val r = one(
+      """SELECT (SELECT sumOrDefault(x) FROM VALUES (1L) AS t(x) WHERE x < 0) AS s0,
+        |       (SELECT sumOrDefault(x) FROM VALUES (1L), (2L) AS t(x)) AS s2,
+        |       (SELECT maxOrDefault(x) FROM VALUES (1.5D) AS t(x) WHERE x < 0) AS m0,
+        |       (SELECT sumSimpleState(x) FROM VALUES (3L), (4L) AS t(x)) AS ss""".stripMargin)
+    assert(r == Seq(0L, 3L, 0.0, 7L))
+  }
+
   test("dynamic registration never shadows builtins or static names") {
     // a builtin name is skipped even if the grammar could parse it
     ChSql.registerCombinators(spark, "SELECT sum(x) FROM t")
