@@ -57,7 +57,7 @@ object Combinators {
     // longest-first where one token prefixes another (SimpleState vs
     // State, OrDefault vs OrNull share no prefix but keep the idea)
     Seq("Array", "Distinct", "OrDefault", "OrNull", "SimpleState", "State",
-      "Merge", "ForEach", "Map", "If")
+      "Merge", "ForEach", "Map", "If", "Resample")
 
   /** The composed builder for `name`, when `name` is base+suffix-chain
     * under this grammar and the combination is exactly expressible. */
@@ -332,6 +332,39 @@ object Combinators {
           case other => other
         }
         Coalesce(Seq(agg, Literal(0)))
+      }))
+      // -Resample(start, end, step)(args…, key): the aggregate split
+      // into fixed key buckets, one array element per bucket — the
+      // parametric pre-pass delivers (args…, key, start, end, step).
+      // Bounds must be integer literals (the bucket count shapes the
+      // PLAN: one masked aggregate per bucket, all in a single pass —
+      // capped so a typo cannot explode the plan).
+      case "Resample" => Some(Kernel(k.arity + 4, args => {
+        def lit(e: Expression, nme: String): Long = e match {
+          case Literal(v: java.lang.Number, _) => v.longValue()
+          case other => throw new IllegalArgumentException(
+            s"${base}Resample needs a literal $nme, got $other")
+        }
+        val Seq(key, startE, endE, stepE) = args.takeRight(4)
+        val baseArgs = args.dropRight(4)
+        val start = lit(startE, "start")
+        val end = lit(endE, "end")
+        val step = lit(stepE, "step")
+        require(step > 0, s"${base}Resample needs step > 0, got $step")
+        val n = math.ceil((end - start).toDouble / step).toLong
+        require(n >= 1 && n <= 1000,
+          s"${base}Resample would build $n buckets (supported: 1..1000)")
+        CreateArray(Seq.tabulate(n.toInt) { i =>
+          val lo = Literal(start + i * step)
+          val hi = Literal(math.min(start + (i + 1L) * step, end))
+          val cond = And(
+            GreaterThanOrEqual(Cast(key, LongType), lo),
+            LessThan(Cast(key, LongType), hi))
+          k.build(baseArgs.map(a => If(cond, a, Literal(null, NullType)))) match {
+            case af: AggregateFunction => af.toAggregateExpression()
+            case other => other
+          }
+        })
       }))
       case "OrNull" => Some(Kernel(k.arity, args => {
         val agg = k.build(args) match {

@@ -118,6 +118,25 @@ class CombinatorsSpec extends AnyFunSuite {
     assert(r == Seq(0L, 3L, 0.0, 7L))
   }
 
+  test("-Resample buckets the aggregate by key ranges in one pass (r19b)") {
+    val r = one(
+      """SELECT sumResample(0, 30, 10)(v, k) AS s,
+        |       countResample(0, 30, 10)(k) AS c,
+        |       maxResample(0, 30, 10)(v, k) AS m
+        |FROM VALUES (1L, 5), (2L, 5), (10L, 15), (100L, 25), (7L, 99)
+        |  AS t(v, k)""".stripMargin)
+    assert(r(0).asInstanceOf[scala.collection.Seq[Long]].toSeq == Seq(3L, 10L, 100L))
+    assert(r(1).asInstanceOf[scala.collection.Seq[Long]].toSeq == Seq(2L, 1L, 1L))
+    assert(r(2).asInstanceOf[scala.collection.Seq[Long]].toSeq == Seq(2L, 10L, 100L))
+    // out-of-range keys (99) fall outside every bucket; a partial last
+    // bucket clips at end
+    val p = one(
+      """SELECT countResample(0, 25, 10)(k)
+        |FROM VALUES (5), (15), (24), (25) AS t(k)""".stripMargin)
+    assert(p(0).asInstanceOf[scala.collection.Seq[Long]].toSeq == Seq(1L, 1L, 1L),
+      "k=25 is outside the clipped [20, 25) bucket")
+  }
+
   test("dynamic registration never shadows builtins or static names") {
     // a builtin name is skipped even if the grammar could parse it
     ChSql.registerCombinators(spark, "SELECT sum(x) FROM t")
