@@ -3217,7 +3217,20 @@ object SparkEntry {
         |  bitmapCardinality(bitmapSubsetLimit(st, 100, 50)) AS lim,
         |  bitmapCardinality(subBitmap(st, 10, 25)) AS sub
         |FROM (SELECT groupBitmapState(o_custkey) AS st
-        |      FROM orders WHERE o_orderstatus = 'F')""".stripMargin)
+        |      FROM orders WHERE o_orderstatus = 'F')""".stripMargin),
+
+    // r19b: maxIntersections — peak simultaneously-open intervals,
+    // oracled against DuckDB's event-sweep window spelling
+    "q244_max_intersections" -> ch(
+      """SELECT maxIntersections(o_custkey, o_custkey + 100) AS mi,
+        |       maxIntersectionsPosition(o_custkey, o_custkey + 100) AS mip
+        |FROM orders WHERE o_orderstatus = 'F'""".stripMargin),
+
+    // r19b: compensated summation — cents-exact against DuckDB's sum
+    "q245_sum_kahan" -> ch(
+      """SELECT CAST(round(sumKahan(l_extendedprice) * 100) AS BIGINT) AS cents,
+        |       count() AS n
+        |FROM lineitem WHERE l_returnflag = 'R'""".stripMargin)
   )
 
   /** TLS twin of [[remoteDoorPort]]: one secure native door per Verify
@@ -3425,6 +3438,23 @@ object SparkEntry {
         |   WHERE o_orderstatus = 'F' AND o_custkey >= 100) AS lim,
         |  (SELECT greatest(0, least(25, count(DISTINCT o_custkey) - 10))
         |   FROM orders WHERE o_orderstatus = 'F') AS sub""".stripMargin,
+    "q244_max_intersections" ->
+      """WITH ev AS (
+        |  SELECT o_custkey AS pos, 1 AS delta FROM orders
+        |  WHERE o_orderstatus = 'F'
+        |  UNION ALL
+        |  SELECT o_custkey + 100, -1 FROM orders
+        |  WHERE o_orderstatus = 'F'),
+        |sweep AS (
+        |  SELECT pos, sum(delta) OVER (ORDER BY pos, delta) AS run FROM ev)
+        |SELECT (SELECT CAST(max(run) AS BIGINT) FROM sweep) AS mi,
+        |       (SELECT pos FROM sweep
+        |        WHERE run = (SELECT max(run) FROM sweep)
+        |        ORDER BY pos LIMIT 1) AS mip""".stripMargin,
+    "q245_sum_kahan" ->
+      """SELECT CAST(round(sum(l_extendedprice) * 100) AS BIGINT) AS cents,
+        |       count(*) AS n
+        |FROM lineitem WHERE l_returnflag = 'R'""".stripMargin,
     "q233_mt_decimal_ctas" ->
       """SELECT count(*) AS n,
         |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18, 2))) AS STRING) AS sp,
