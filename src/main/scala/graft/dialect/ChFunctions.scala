@@ -2122,6 +2122,27 @@ object ChFunctions {
         Multiply(Literal(2.0 * 6371000.0), Asin(Sqrt(a)))
       })
 
+      // geoDistance — CH's WGS84-aware variant; the same haversine on
+      // the WGS84 MEAN radius (6371.0088 km) here: CH's ellipsoid
+      // correction is sub-0.5% and its polynomial is engine-internal
+      reg("geoDistance")({ case Seq(lon1, lat1, lon2, lat2) =>
+        def rad(e: Expression) = Multiply(Cast(e, DoubleType),
+          Literal(math.Pi / 180.0))
+        val dLat = Divide(Subtract(rad(lat2), rad(lat1)), Literal(2.0))
+        val dLon = Divide(Subtract(rad(lon2), rad(lon1)), Literal(2.0))
+        val a = Add(
+          Multiply(Sin(dLat), Sin(dLat)),
+          Multiply(Multiply(Cos(rad(lat1)), Cos(rad(lat2))),
+            Multiply(Sin(dLon), Sin(dLon))))
+        Multiply(Literal(2.0 * 6371008.8), Asin(Sqrt(a)))
+      })
+      // pointInPolygon(array(x, y), array(array(x1, y1), …)) — the
+      // array spelling (Spark SQL has no CH tuple literals); boundary
+      // handling follows ray casting's half-open convention
+      reg("pointInPolygon")({ case Seq(pt, poly) =>
+        graft.functions.PointInPolygonExpr(pt, poly)
+      })
+
       // parseDateTimeBestEffort(s): the common formats, first match
       // wins, NULL only when nothing parses (CH errors; the OrNull
       // spelling returns NULL — we fold both onto the lenient form)

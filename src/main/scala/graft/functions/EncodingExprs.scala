@@ -418,3 +418,59 @@ case class JsonTypeExpr(child: Expression, isValid: Boolean)
   override protected def withNewChildrenInternal(
       cs: IndexedSeq[Expression]): JsonTypeExpr = copy(child = cs(0))
 }
+
+/** `pointInPolygon(array(x, y), array(array(x1, y1), …))` — ray
+  * casting (even-odd rule) over a simple polygon; the last vertex
+  * implicitly closes to the first. Array spelling because Spark SQL
+  * has no CH tuple literals. */
+case class PointInPolygonExpr(left: Expression, right: Expression)
+    extends Expression with CodegenFallback {
+  import org.apache.spark.sql.catalyst.util.ArrayData
+  override def children: Seq[Expression] = Seq(left, right)
+  override def nullable: Boolean = true
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "pointInPolygon"
+  private def coord(a: ArrayData, et: DataType, i: Int): Double = et match {
+    case DoubleType => a.getDouble(i)
+    case FloatType => a.getFloat(i).toDouble
+    case LongType => a.getLong(i).toDouble
+    case IntegerType => a.getInt(i).toDouble
+    case d: DecimalType =>
+      a.getDecimal(i, d.precision, d.scale).toDouble
+    case other => throw new IllegalArgumentException(
+      s"pointInPolygon takes numeric coordinates, got $other")
+  }
+  override def eval(input: InternalRow): Any = {
+    val p = left.eval(input)
+    val g = right.eval(input)
+    if (p == null || g == null) return null
+    val pet = left.dataType.asInstanceOf[ArrayType].elementType
+    val pa = p.asInstanceOf[ArrayData]
+    require(pa.numElements() == 2, "pointInPolygon point must be (x, y)")
+    val px = coord(pa, pet, 0)
+    val py = coord(pa, pet, 1)
+    val polyArr = g.asInstanceOf[ArrayData]
+    val vet = right.dataType.asInstanceOf[ArrayType]
+      .elementType.asInstanceOf[ArrayType].elementType
+    val n = polyArr.numElements()
+    if (n < 3) return false
+    var inside = false
+    var i = 0
+    var j = n - 1
+    while (i < n) {
+      val vi = polyArr.getArray(i)
+      val vj = polyArr.getArray(j)
+      val xi = coord(vi, vet, 0); val yi = coord(vi, vet, 1)
+      val xj = coord(vj, vet, 0); val yj = coord(vj, vet, 1)
+      if ((yi > py) != (yj > py) &&
+          px < (xj - xi) * (py - yi) / (yj - yi) + xi)
+        inside = !inside
+      j = i
+      i += 1
+    }
+    inside
+  }
+  override protected def withNewChildrenInternal(
+      cs: IndexedSeq[Expression]): PointInPolygonExpr =
+    copy(left = cs(0), right = cs(1))
+}

@@ -1208,6 +1208,31 @@ class ChFunctionsSpec extends AnyFunSuite {
     assert(one("SELECT toIPv4('1.2.3.4')") == 16909060L)
   }
 
+  test("geoDistance and pointInPolygon (r19b)") {
+    // Paris → NYC ≈ 5837 km; geoDistance and greatCircleDistance agree
+    // within their radius-convention difference
+    val d = one("SELECT geoDistance(2.3522, 48.8566, -74.0060, 40.7128)")
+      .asInstanceOf[Double]
+    assert(d > 5.80e6 && d < 5.88e6, s"Paris-NYC $d")
+    val g = one("SELECT greatCircleDistance(2.3522, 48.8566, -74.0060, 40.7128)")
+      .asInstanceOf[Double]
+    assert(math.abs(d - g) / g < 0.002)
+    // unit square: inside, outside, and a concave polygon
+    assert(one("""SELECT pointInPolygon(array(0.5, 0.5),
+      array(array(0.0, 0.0), array(1.0, 0.0), array(1.0, 1.0), array(0.0, 1.0)))""") == true)
+    assert(one("""SELECT pointInPolygon(array(1.5, 0.5),
+      array(array(0.0, 0.0), array(1.0, 0.0), array(1.0, 1.0), array(0.0, 1.0)))""") == false)
+    // concave "C" shape: the notch is outside
+    assert(one("""SELECT pointInPolygon(array(2.0, 1.0),
+      array(array(0.0, 0.0), array(3.0, 0.0), array(3.0, 0.5),
+            array(1.0, 0.5), array(1.0, 1.5), array(3.0, 1.5),
+            array(3.0, 2.0), array(0.0, 2.0)))""") == false)
+    assert(one("""SELECT pointInPolygon(array(0.5, 1.0),
+      array(array(0.0, 0.0), array(3.0, 0.0), array(3.0, 0.5),
+            array(1.0, 0.5), array(1.0, 1.5), array(3.0, 1.5),
+            array(3.0, 2.0), array(0.0, 2.0)))""") == true)
+  }
+
   test("UUID family and JSON introspection tail (r19b)") {
     val v4 = one("SELECT generateUUIDv4()").asInstanceOf[String]
     assert(v4.matches("[0-9a-f]{8}-[0-9a-f]{4}-4[0-9a-f]{3}-[0-9a-f]{4}-[0-9a-f]{12}"))
