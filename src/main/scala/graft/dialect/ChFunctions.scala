@@ -2026,6 +2026,59 @@ object ChFunctions {
         val n = Pmod(Cast(n0, IntegerType), Literal(64))
         BitwiseOr(ShiftLeft(v, n), ShiftRightUnsigned(v, Subtract(Literal(64), n)))
       })
+      reg("bitRotateRight")({ case Seq(x, n0) =>
+        val v = Cast(x, LongType)
+        val n = Pmod(Cast(n0, IntegerType), Literal(64))
+        BitwiseOr(ShiftRightUnsigned(v, n), ShiftLeft(v, Subtract(Literal(64), n)))
+      })
+      // r19b bit/math tail
+      reg("bitHammingDistance")({ case Seq(a, b) =>
+        BitwiseCount(BitwiseXor(Cast(a, LongType), Cast(b, LongType)))
+      })
+      def bitAt(x: Expression, n: Expression): Expression =
+        BitwiseAnd(ShiftRight(Cast(x, LongType), Cast(n, IntegerType)),
+          Literal(1L))
+      reg("bitTestAll")({ case x +: ps if ps.nonEmpty =>
+        ps.map(p => EqualTo(bitAt(x, p), Literal(1L)): Expression).reduceLeft(And)
+      })
+      reg("bitTestAny")({ case x +: ps if ps.nonEmpty =>
+        ps.map(p => EqualTo(bitAt(x, p), Literal(1L)): Expression).reduceLeft(Or)
+      })
+      reg("byteSwap")(e => graft.functions.MathFnExpr(e, 6))
+      reg("intExp10")({ case Seq(x) =>
+        Cast(Pow(Literal(10.0d), Cast(x, DoubleType)), LongType) })
+      reg("max2")({ case Seq(a, b) =>
+        Greatest(Seq(Cast(a, DoubleType), Cast(b, DoubleType))) })
+      reg("min2")({ case Seq(a, b) =>
+        Least(Seq(Cast(a, DoubleType), Cast(b, DoubleType))) })
+      reg("gcd")(e => graft.functions.MathFnExpr(e, 4))
+      reg("lcm")(e => graft.functions.MathFnExpr(e, 5))
+      reg("erf")(e => graft.functions.MathFnExpr(e, 0))
+      reg("erfc")(e => graft.functions.MathFnExpr(e, 1))
+      reg("lgamma")(e => graft.functions.MathFnExpr(e, 2))
+      reg("tgamma")(e => graft.functions.MathFnExpr(e, 3))
+      // CH's fixed bucket helpers
+      reg("roundDuration")({ case Seq(x) =>
+        val bounds = Seq(1, 10, 30, 60, 120, 180, 240, 300, 600, 1200,
+          1800, 3600, 7200, 18000, 36000)
+        val v = Cast(x, LongType)
+        CaseWhen(
+          bounds.reverse.map(b =>
+            (GreaterThanOrEqual(v, Literal(b.toLong)),
+              Literal(b.toLong): Expression)),
+          Some(Literal(0L)))
+      })
+      reg("roundAge")({ case Seq(x) =>
+        val v = Cast(x, LongType)
+        CaseWhen(Seq(
+          (GreaterThanOrEqual(v, Literal(55L)), Literal(55L): Expression),
+          (GreaterThanOrEqual(v, Literal(45L)), Literal(45L)),
+          (GreaterThanOrEqual(v, Literal(35L)), Literal(35L)),
+          (GreaterThanOrEqual(v, Literal(25L)), Literal(25L)),
+          (GreaterThanOrEqual(v, Literal(18L)), Literal(18L)),
+          (GreaterThanOrEqual(v, Literal(1L)), Literal(17L))),
+          Some(Literal(0L)))
+      })
 
       // toStartOfWeek(d[, mode]): CH follows MySQL WEEK modes — EVEN
       // modes (0,2,4,6) start Sunday, ODD modes Monday (review finding:

@@ -1,0 +1,158 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.types._
+
+/** Special-function kernels the JDK lacks (r19b): Lanczos log-gamma,
+  * gamma, and erf/erfc via the regularized incomplete gamma (series
+  * for small arguments, continued fraction for large — the standard
+  * public formulations, ~1e-14 relative accuracy, pinned against
+  * known values in the spec). */
+object MathKernels {
+
+  // Lanczos g=7, n=9 coefficients (public domain)
+  private val LanczosG = 7.0
+  private val LanczosC = Array(
+    0.99999999999980993, 676.5203681218851, -1259.1392167224028,
+    771.32342877765313, -176.61502916214059, 12.507343278686905,
+    -0.13857109526572012, 9.9843695780195716e-6, 1.5056327351493116e-7)
+
+  def lgamma(x: Double): Double = {
+    if (x.isNaN) return Double.NaN
+    if (x < 0.5) {
+      // reflection: Γ(x)Γ(1−x) = π / sin(πx)
+      math.log(math.Pi / math.abs(math.sin(math.Pi * x))) - lgamma(1.0 - x)
+    } else {
+      val xx = x - 1.0
+      var a = LanczosC(0)
+      val t = xx + LanczosG + 0.5
+      var i = 1
+      while (i < LanczosC.length) {
+        a += LanczosC(i) / (xx + i)
+        i += 1
+      }
+      0.5 * math.log(2.0 * math.Pi) + (xx + 0.5) * math.log(t) - t +
+        math.log(a)
+    }
+  }
+
+  def tgamma(x: Double): Double = {
+    if (x.isNaN) return Double.NaN
+    if (x < 0.5)
+      math.Pi / (math.sin(math.Pi * x) * math.exp(lgamma(1.0 - x)))
+    else math.exp(lgamma(x))
+  }
+
+  /** Regularized lower incomplete gamma P(a, x). */
+  private def gammp(a: Double, x: Double): Double = {
+    require(a > 0 && x >= 0, s"gammp domain: a=$a x=$x")
+    if (x == 0) 0.0
+    else if (x < a + 1.0) {
+      // series representation
+      var ap = a
+      var sum = 1.0 / a
+      var del = sum
+      var n = 0
+      while (n < 200 && math.abs(del) >= math.abs(sum) * 1e-16) {
+        ap += 1.0
+        del *= x / ap
+        sum += del
+        n += 1
+      }
+      sum * math.exp(-x + a * math.log(x) - lgamma(a))
+    } else {
+      // continued fraction for Q, then P = 1 − Q (Lentz's method)
+      val fpmin = 1e-300
+      var b = x + 1.0 - a
+      var c = 1.0 / fpmin
+      var d = 1.0 / b
+      var h = d
+      var i = 1
+      var done = false
+      while (i <= 200 && !done) {
+        val an = -i * (i - a)
+        b += 2.0
+        d = an * d + b
+        if (math.abs(d) < fpmin) d = fpmin
+        c = b + an / c
+        if (math.abs(c) < fpmin) c = fpmin
+        d = 1.0 / d
+        val del = d * c
+        h *= del
+        if (math.abs(del - 1.0) < 1e-16) done = true
+        i += 1
+      }
+      1.0 - math.exp(-x + a * math.log(x) - lgamma(a)) * h
+    }
+  }
+
+  def erf(x: Double): Double =
+    if (x.isNaN) Double.NaN
+    else if (x >= 0) gammp(0.5, x * x)
+    else -gammp(0.5, x * x)
+
+  def erfc(x: Double): Double = 1.0 - erf(x)
+
+  def gcd(a: Long, b: Long): Long = {
+    var x = math.abs(a)
+    var y = math.abs(b)
+    while (y != 0) { val t = x % y; x = y; y = t }
+    x
+  }
+
+  def lcm(a: Long, b: Long): Long = {
+    if (a == 0 || b == 0) return 0
+    val g = gcd(a, b)
+    math.abs(a / g * b)
+  }
+}
+
+/** Dialect dispatcher. `kind`: 0 = erf, 1 = erfc, 2 = lgamma,
+  * 3 = tgamma (unary double); 4 = gcd, 5 = lcm (binary long);
+  * 6 = byteSwap (width follows the input's integer type, CH's rule). */
+case class MathFnExpr(children: Seq[Expression], kind: Int)
+    extends Expression with CodegenFallback {
+  override def nullable: Boolean = true
+  override def dataType: DataType = kind match {
+    case 4 | 5 | 6 => LongType
+    case _ => DoubleType
+  }
+  override def prettyName: String = kind match {
+    case 0 => "erf"
+    case 1 => "erfc"
+    case 2 => "lgamma"
+    case 3 => "tgamma"
+    case 4 => "gcd"
+    case 5 => "lcm"
+    case _ => "byteSwap"
+  }
+  override def eval(input: InternalRow): Any = {
+    val vs = children.map(_.eval(input))
+    if (vs.exists(_ == null)) return null
+    // Spark's Decimal is not a java.lang.Number — go through numD
+    def d(i: Int): Double = StatsAgg.numD(vs(i))
+    def l(i: Int): Long = StatsAgg.numD(vs(i)).toLong
+    kind match {
+      case 0 => MathKernels.erf(d(0))
+      case 1 => MathKernels.erfc(d(0))
+      case 2 => MathKernels.lgamma(d(0))
+      case 3 => MathKernels.tgamma(d(0))
+      case 4 => MathKernels.gcd(l(0), l(1))
+      case 5 => MathKernels.lcm(l(0), l(1))
+      case _ =>
+        // byteSwap swaps within the INPUT's width (CH semantics)
+        children.head.dataType match {
+          case ByteType => l(0)
+          case ShortType =>
+            java.lang.Short.reverseBytes(l(0).toShort).toLong & 0xffffL
+          case IntegerType =>
+            java.lang.Integer.reverseBytes(l(0).toInt).toLong & 0xffffffffL
+          case _ => java.lang.Long.reverseBytes(l(0))
+        }
+    }
+  }
+  override protected def withNewChildrenInternal(
+      cs: IndexedSeq[Expression]): MathFnExpr = copy(children = cs)
+}

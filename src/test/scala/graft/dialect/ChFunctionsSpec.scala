@@ -1208,6 +1208,44 @@ class ChFunctionsSpec extends AnyFunSuite {
     assert(one("SELECT toIPv4('1.2.3.4')") == 16909060L)
   }
 
+  test("special functions and bit/math tail (r19b)") {
+    def near(sql: String, want: Double, tol: Double = 1e-12): Unit = {
+      val got = one(sql).asInstanceOf[Double]
+      assert(math.abs(got - want) <= tol, s"$sql → $got, want $want")
+    }
+    near("SELECT erf(1.0)", 0.8427007929497149)
+    near("SELECT erf(0.5)", 0.5204998778130465)
+    near("SELECT erf(-1.0)", -0.8427007929497149)
+    near("SELECT erfc(2.0)", 0.004677734981063127)
+    near("SELECT lgamma(5.0)", math.log(24.0))
+    near("SELECT lgamma(0.5)", math.log(math.sqrt(math.Pi)))
+    near("SELECT tgamma(6.0)", 120.0, 1e-9)
+    near("SELECT tgamma(0.5)", math.sqrt(math.Pi), 1e-12)
+    assert(one("SELECT gcd(12, 18)") == 6L)
+    assert(one("SELECT lcm(4, 6)") == 12L)
+    assert(one("SELECT gcd(0, 5)") == 5L)
+    assert(one("SELECT byteSwap(CAST(305419896 AS INT))") == 2018915346L,
+      "0x12345678 → 0x78563412 within the 32-bit lane")
+    assert(one("SELECT byteSwap(CAST(123294967295 AS BIGINT))") ==
+      java.lang.Long.reverseBytes(123294967295L))
+    assert(one("SELECT bitHammingDistance(111, 183)") == 4L,
+      "0b01101111 xor 0b10110111 = 0b11011000")
+    assert(one("SELECT bitTestAll(43, 0, 1, 3, 5)") == true)
+    assert(one("SELECT bitTestAll(43, 0, 1, 3, 5, 2)") == false)
+    assert(one("SELECT bitTestAny(43, 4, 2)") == false)
+    assert(one("SELECT bitTestAny(43, 4, 1)") == true)
+    assert(one("SELECT bitRotateRight(8, 3)") == 1L)
+    assert(one("SELECT bitRotateRight(1, 1)") == java.lang.Long.MIN_VALUE)
+    assert(one("SELECT intExp10(3)") == 1000L)
+    assert(one("SELECT max2(1, 2.5)") == 2.5)
+    assert(one("SELECT min2(-1, 2)") == -1.0)
+    assert(one("SELECT roundDuration(230)") == 180L)
+    assert(one("SELECT roundDuration(0)") == 0L)
+    assert(one("SELECT roundAge(31)") == 25L)
+    assert(one("SELECT roundAge(12)") == 17L)
+    assert(one("SELECT roundAge(0)") == 0L)
+  }
+
   test("geoDistance and pointInPolygon (r19b)") {
     // Paris → NYC ≈ 5837 km; geoDistance and greatCircleDistance agree
     // within their radius-convention difference
