@@ -1557,6 +1557,15 @@ object ChFunctions {
       reg("lttb")({ case Seq(x, y, Literal(b: Int, IntegerType)) =>
         graft.functions.LttbAgg(x, y, b).toAggregateExpression()
       })
+      reg("studentTTest")({ case Seq(v, ix) =>
+        graft.functions.TTestAgg(v, ix, welch = false).toAggregateExpression()
+      })
+      reg("welchTTest")({ case Seq(v, ix) =>
+        graft.functions.TTestAgg(v, ix, welch = true).toAggregateExpression()
+      })
+      reg("mannWhitneyUTest")({ case Seq(v, ix) =>
+        graft.functions.MannWhitneyAgg(v, ix).toAggregateExpression()
+      })
       // exponentialMovingAverage(halflife)(value, time) → (v, t, h)
       reg("exponentialMovingAverage")({ case Seq(v, t, h) =>
         val hl = h match {

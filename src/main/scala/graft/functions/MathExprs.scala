@@ -156,3 +156,64 @@ case class MathFnExpr(children: Seq[Expression], kind: Int)
   override protected def withNewChildrenInternal(
       cs: IndexedSeq[Expression]): MathFnExpr = copy(children = cs)
 }
+
+/** Incomplete-beta tail for the t-test p-values (r19b) — the standard
+  * continued-fraction formulation (Lentz), ~1e-14. Public math, pinned
+  * against known CDF values in the spec. */
+object BetaKernels {
+  import MathKernels.lgamma
+
+  private def betacf(a: Double, b: Double, x: Double): Double = {
+    val fpmin = 1e-300
+    val qab = a + b
+    val qap = a + 1.0
+    val qam = a - 1.0
+    var c = 1.0
+    var d = 1.0 - qab * x / qap
+    if (math.abs(d) < fpmin) d = fpmin
+    d = 1.0 / d
+    var h = d
+    var m = 1
+    var done = false
+    while (m <= 300 && !done) {
+      val m2 = 2 * m
+      var aa = m * (b - m) * x / ((qam + m2) * (a + m2))
+      d = 1.0 + aa * d
+      if (math.abs(d) < fpmin) d = fpmin
+      c = 1.0 + aa / c
+      if (math.abs(c) < fpmin) c = fpmin
+      d = 1.0 / d
+      h *= d * c
+      aa = -(a + m) * (qab + m) * x / ((a + m2) * (qap + m2))
+      d = 1.0 + aa * d
+      if (math.abs(d) < fpmin) d = fpmin
+      c = 1.0 + aa / c
+      if (math.abs(c) < fpmin) c = fpmin
+      d = 1.0 / d
+      val del = d * c
+      h *= del
+      if (math.abs(del - 1.0) < 1e-15) done = true
+      m += 1
+    }
+    h
+  }
+
+  /** Regularized incomplete beta I_x(a, b). */
+  def betai(a: Double, b: Double, x: Double): Double = {
+    require(x >= 0 && x <= 1, s"betai domain: x=$x")
+    if (x == 0) 0.0
+    else if (x == 1) 1.0
+    else {
+      val bt = math.exp(
+        lgamma(a + b) - lgamma(a) - lgamma(b) +
+          a * math.log(x) + b * math.log(1.0 - x))
+      if (x < (a + 1.0) / (a + b + 2.0)) bt * betacf(a, b, x) / a
+      else 1.0 - bt * betacf(b, a, 1.0 - x) / b
+    }
+  }
+
+  /** Two-sided Student p-value for statistic `t` at `df` degrees. */
+  def studentP(t: Double, df: Double): Double =
+    if (df <= 0 || t.isNaN) Double.NaN
+    else betai(df / 2.0, 0.5, df / (df + t * t))
+}

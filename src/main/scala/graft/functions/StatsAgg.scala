@@ -510,3 +510,189 @@ case class LttbAgg(
       l: Expression, r: Expression): LttbAgg =
     copy(first = l, second = r)
 }
+
+/** `studentTTest(value, index)` / `welchTTest(value, index)` — the
+  * two-sample location tests over an index-0/1 labeled column, CH's
+  * spelling. The state is six moments (n, Σv, Σv² per sample) — tiny
+  * and exactly mergeable; the (t, p) tuple finalizes through the
+  * incomplete beta ([[graft.functions.BetaKernels]]). `welch` picks
+  * the unequal-variance statistic with Welch–Satterthwaite degrees. */
+case class TTestAgg(
+    left: Expression,
+    right: Expression,
+    welch: Boolean,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[Array[Double]]
+    with BinaryLike[Expression] {
+
+  // buffer: n0, s0, q0, n1, s1, q1
+  override def createAggregationBuffer(): Array[Double] = new Array[Double](6)
+
+  override def update(buf: Array[Double], input: InternalRow): Array[Double] = {
+    val v = left.eval(input)
+    val ix = right.eval(input)
+    if (v != null && ix != null) {
+      val x = StatsAgg.numD(v)
+      val g = StatsAgg.numD(ix).toInt
+      require(g == 0 || g == 1, s"tTest sample index must be 0 or 1, got $g")
+      val o = g * 3
+      buf(o) += 1.0
+      buf(o + 1) += x
+      buf(o + 2) += x * x
+    }
+    buf
+  }
+  override def merge(buf: Array[Double], other: Array[Double]): Array[Double] = {
+    var i = 0
+    while (i < 6) { buf(i) += other(i); i += 1 }
+    buf
+  }
+
+  override def eval(buf: Array[Double]): Any = {
+    val n0 = buf(0); val n1 = buf(3)
+    if (n0 < 2 || n1 < 2) return null
+    val m0 = buf(1) / n0
+    val m1 = buf(4) / n1
+    val v0 = (buf(2) - buf(1) * buf(1) / n0) / (n0 - 1)
+    val v1 = (buf(5) - buf(4) * buf(4) / n1) / (n1 - 1)
+    val (t, df) =
+      if (welch) {
+        val se0 = v0 / n0
+        val se1 = v1 / n1
+        val tt = (m0 - m1) / math.sqrt(se0 + se1)
+        val dd = (se0 + se1) * (se0 + se1) /
+          (se0 * se0 / (n0 - 1) + se1 * se1 / (n1 - 1))
+        (tt, dd)
+      } else {
+        val sp2 = ((n0 - 1) * v0 + (n1 - 1) * v1) / (n0 + n1 - 2)
+        ((m0 - m1) / math.sqrt(sp2 * (1.0 / n0 + 1.0 / n1)), n0 + n1 - 2)
+      }
+    InternalRow(t, graft.functions.BetaKernels.studentP(t, df))
+  }
+
+  override def serialize(buf: Array[Double]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(48).order(ByteOrder.LITTLE_ENDIAN)
+    buf.foreach(bb.putDouble)
+    bb.array()
+  }
+  override def deserialize(b: Array[Byte]): Array[Double] = {
+    val bb = ByteBuffer.wrap(b).order(ByteOrder.LITTLE_ENDIAN)
+    Array.fill(6)(bb.getDouble())
+  }
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("t_statistic", DoubleType, nullable = false),
+    StructField("p_value", DoubleType, nullable = false)))
+  override def nullable: Boolean = true
+  override def prettyName: String = if (welch) "welchTTest" else "studentTTest"
+  override def withNewMutableAggBufferOffset(n: Int): TTestAgg =
+    copy(mutableAggBufferOffset = n)
+  override def withNewInputAggBufferOffset(n: Int): TTestAgg =
+    copy(inputAggBufferOffset = n)
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): TTestAgg =
+    copy(left = l, right = r)
+}
+
+/** `mannWhitneyUTest(value, index)` — the rank-sum test with the
+  * tie-corrected normal approximation (the standard large-sample
+  * form; CH's default is the same approximation). The state collects
+  * both samples — ranks need the full multiset — so group sizes are
+  * series-scale by contract, like the quantileExact family. Returns
+  * (u_statistic, p_value). */
+case class MannWhitneyAgg(
+    left: Expression,
+    right: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[(ArrayBuffer[Double], ArrayBuffer[Double])]
+    with BinaryLike[Expression] {
+
+  override def createAggregationBuffer(): (ArrayBuffer[Double], ArrayBuffer[Double]) =
+    (ArrayBuffer.empty, ArrayBuffer.empty)
+
+  override def update(buf: (ArrayBuffer[Double], ArrayBuffer[Double]),
+      input: InternalRow): (ArrayBuffer[Double], ArrayBuffer[Double]) = {
+    val v = left.eval(input)
+    val ix = right.eval(input)
+    if (v != null && ix != null) {
+      val g = StatsAgg.numD(ix).toInt
+      require(g == 0 || g == 1,
+        s"mannWhitneyUTest sample index must be 0 or 1, got $g")
+      (if (g == 0) buf._1 else buf._2) += StatsAgg.numD(v)
+    }
+    buf
+  }
+  override def merge(buf: (ArrayBuffer[Double], ArrayBuffer[Double]),
+      other: (ArrayBuffer[Double], ArrayBuffer[Double]))
+      : (ArrayBuffer[Double], ArrayBuffer[Double]) = {
+    buf._1 ++= other._1
+    buf._2 ++= other._2
+    buf
+  }
+
+  override def eval(buf: (ArrayBuffer[Double], ArrayBuffer[Double])): Any = {
+    val n0 = buf._1.length
+    val n1 = buf._2.length
+    if (n0 == 0 || n1 == 0) return null
+    val all = (buf._1.map((_, 0)) ++ buf._2.map((_, 1))).sortBy(_._1)
+    val n = all.length
+    // mid-ranks with tie groups; accumulate rank sum of sample 0 and
+    // the tie-correction Σ(t³−t)
+    var r0 = 0.0
+    var tieCorr = 0.0
+    var i = 0
+    while (i < n) {
+      var j = i
+      while (j < n && all(j)._1 == all(i)._1) j += 1
+      val ties = j - i
+      val midRank = (i + 1 + j).toDouble / 2.0
+      var k = i
+      while (k < j) {
+        if (all(k)._2 == 0) r0 += midRank
+        k += 1
+      }
+      if (ties > 1) tieCorr += ties.toDouble * ties * ties - ties
+      i = j
+    }
+    val u0 = r0 - n0.toDouble * (n0 + 1) / 2.0
+    val u = math.min(u0, n0.toDouble * n1 - u0)
+    val mu = n0.toDouble * n1 / 2.0
+    val sigma = math.sqrt(
+      n0.toDouble * n1 / 12.0 *
+        ((n + 1).toDouble - tieCorr / (n.toDouble * (n - 1))))
+    if (sigma == 0) return InternalRow(u0, 1.0)
+    val z = (u - mu) / sigma
+    val p = graft.functions.MathKernels.erfc(math.abs(z) / math.sqrt(2.0))
+    InternalRow(u0, p)
+  }
+
+  override def serialize(buf: (ArrayBuffer[Double], ArrayBuffer[Double])): Array[Byte] = {
+    val bb = ByteBuffer.allocate(8 + (buf._1.length + buf._2.length) * 8)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(buf._1.length).putInt(buf._2.length)
+    buf._1.foreach(bb.putDouble)
+    buf._2.foreach(bb.putDouble)
+    bb.array()
+  }
+  override def deserialize(b: Array[Byte]): (ArrayBuffer[Double], ArrayBuffer[Double]) = {
+    val bb = ByteBuffer.wrap(b).order(ByteOrder.LITTLE_ENDIAN)
+    val c0 = bb.getInt()
+    val c1 = bb.getInt()
+    (ArrayBuffer.fill(c0)(bb.getDouble()), ArrayBuffer.fill(c1)(bb.getDouble()))
+  }
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("u_statistic", DoubleType, nullable = false),
+    StructField("p_value", DoubleType, nullable = false)))
+  override def nullable: Boolean = true
+  override def prettyName: String = "mannWhitneyUTest"
+  override def withNewMutableAggBufferOffset(n: Int): MannWhitneyAgg =
+    copy(mutableAggBufferOffset = n)
+  override def withNewInputAggBufferOffset(n: Int): MannWhitneyAgg =
+    copy(inputAggBufferOffset = n)
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): MannWhitneyAgg =
+    copy(left = l, right = r)
+}

@@ -1208,6 +1208,33 @@ class ChFunctionsSpec extends AnyFunSuite {
     assert(one("SELECT toIPv4('1.2.3.4')") == 16909060L)
   }
 
+  test("two-sample tests: studentTTest, welchTTest, mannWhitneyUTest (r19b)") {
+    // textbook two-sample case: A = (30.02, 29.99, 30.11, 29.97,
+    // 30.01, 29.99), B = (29.89, 29.93, 29.72, 29.98, 30.02, 29.98)
+    val vals =
+      """VALUES (30.02, 0), (29.99, 0), (30.11, 0), (29.97, 0),
+        | (30.01, 0), (29.99, 0), (29.89, 1), (29.93, 1), (29.72, 1),
+        | (29.98, 1), (30.02, 1), (29.98, 1) AS t(v, ix)""".stripMargin
+    val st = spark.sql(s"SELECT studentTTest(v, ix) FROM $vals")
+      .collect().head.getStruct(0)
+    // known answers: pooled t ≈ 1.959, two-sided p ≈ 0.0785
+    assert(math.abs(st.getDouble(0) - 1.9590) < 1e-3, s"t = ${st.getDouble(0)}")
+    assert(math.abs(st.getDouble(1) - 0.07857) < 1e-3, s"p = ${st.getDouble(1)}")
+    val w = spark.sql(s"SELECT welchTTest(v, ix) FROM $vals")
+      .collect().head.getStruct(0)
+    // Welch: same t, df ≈ 7.03, p ≈ 0.091
+    assert(math.abs(w.getDouble(0) - 1.9590) < 1e-3)
+    assert(math.abs(w.getDouble(1) - 0.0907) < 2e-3, s"welch p = ${w.getDouble(1)}")
+    val mw = spark.sql(s"SELECT mannWhitneyUTest(v, ix) FROM $vals")
+      .collect().head.getStruct(0)
+    // rank-sum: sample-0 ranks {4, 7.5, 7.5, 9, 10.5, 12} → R0 = 50.5,
+    // U0 = 50.5 − 21 = 29.5
+    assert(math.abs(mw.getDouble(0) - 29.5) < 1e-9, s"U = ${mw.getDouble(0)}")
+    assert(mw.getDouble(1) > 0 && mw.getDouble(1) < 1)
+    // under-sized samples answer NULL, not a throw
+    assert(one("SELECT studentTTest(v, ix) FROM VALUES (1.0, 0), (2.0, 1) AS t(v, ix)") == null)
+  }
+
   test("special functions and bit/math tail (r19b)") {
     def near(sql: String, want: Double, tol: Double = 1e-12): Unit = {
       val got = one(sql).asInstanceOf[Double]
