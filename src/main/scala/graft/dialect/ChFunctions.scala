@@ -295,6 +295,50 @@ object ChFunctions {
       }
       reg("arrayFirst")({ case Seq(f, arr) => firstElem(ArrayFilter(arr, f)) })
       reg("arrayLast")({ case Seq(f, arr) => firstElem(Reverse(ArrayFilter(arr, f))) })
+      // index twins (r19b). Same HOF-ROOT constraint as arrayCount, so
+      // the whole thing is ONE ArrayAggregate over per-position match
+      // markers; the user lambda's body inlines with its parameter
+      // substituted (pre-binding lambda variables are named, so the
+      // substitution is purely syntactic). No match answers 0 (CH).
+      def inlineLambda(f: Expression, arg: Expression): Expression = f match {
+        case LambdaFunction(body, Seq(p: UnresolvedNamedLambdaVariable), _) =>
+          body.transformUp {
+            case v: UnresolvedNamedLambdaVariable
+                if v.nameParts == p.nameParts => arg
+          }
+        case other => throw new IllegalArgumentException(
+          s"expected a one-argument lambda, got $other")
+      }
+      def matchIndexes(f: Expression, arr: Expression): Expression = {
+        val x = lv("xMIdx"); val i = lv("iMIdx")
+        ArrayTransform(arr, LambdaFunction(
+          If(Cast(inlineLambda(f, x), BooleanType),
+            Add(Cast(i, LongType), Literal(1L)), Literal(0L)),
+          Seq(x, i)))
+      }
+      reg("arrayFirstIndex")({ case Seq(f, arr) =>
+        val acc = lv("accFIdx"); val m = lv("mFIdx"); val fin = lv("fFIdx")
+        ArrayAggregate(matchIndexes(f, arr), Literal(0L),
+          LambdaFunction(
+            If(And(EqualTo(acc, Literal(0L)), GreaterThan(m, Literal(0L))),
+              m, acc), Seq(acc, m)),
+          LambdaFunction(fin, Seq(fin)))
+      })
+      reg("arrayLastIndex")({ case Seq(f, arr) =>
+        val acc = lv("accLIdx"); val m = lv("mLIdx"); val fin = lv("fLIdx")
+        ArrayAggregate(matchIndexes(f, arr), Literal(0L),
+          LambdaFunction(
+            If(GreaterThan(m, Literal(0L)), m, acc), Seq(acc, m)),
+          LambdaFunction(fin, Seq(fin)))
+      })
+      reg("arrayWithConstant")({ case Seq(n, x) =>
+        ArrayRepeat(x, Cast(n, IntegerType)) })
+      // elements in the union but not the intersection (folds n-ary)
+      reg("arraySymmetricDifference")({ case arrs if arrs.length >= 2 =>
+        val union = arrs.reduceLeft((a, b) => ArrayUnion(a, b))
+        val inter = arrs.reduceLeft((a, b) => ArrayIntersect(a, b))
+        ArrayExcept(union, inter)
+      })
       reg("arrayEnumerate")(exprs =>
         new Sequence(Literal(1), Size(exprs.head)))
       reg("arrayReverse")(exprs => Reverse(exprs.head))
@@ -1557,6 +1601,35 @@ object ChFunctions {
       reg("lttb")({ case Seq(x, y, Literal(b: Int, IntegerType)) =>
         graft.functions.LttbAgg(x, y, b).toAggregateExpression()
       })
+      // groupConcat[(delim[, limit])](x) — parametric pre-pass gives
+      // (x[, delim[, limit]]); CH's default delimiter is EMPTY
+      reg("groupConcat")({
+        case Seq(x) =>
+          ArrayJoin(CollectList(Cast(x, StringType)).toAggregateExpression(),
+            Literal(""), None)
+        case Seq(x, delim) =>
+          ArrayJoin(CollectList(Cast(x, StringType)).toAggregateExpression(),
+            delim, None)
+        case Seq(x, delim, limit) =>
+          ArrayJoin(
+            Slice(CollectList(Cast(x, StringType)).toAggregateExpression(),
+              Literal(1), Cast(limit, IntegerType)),
+            delim, None)
+      })
+      // accurateCast(x, 'T') — CH's loss-refusing cast (ANSI throw);
+      // accurateCastOrNull NULLs instead. Type names parse through the
+      // native protocol's own CH type grammar.
+      def chTypeOf(t: Expression): DataType = t match {
+        case Literal(s: org.apache.spark.unsafe.types.UTF8String, StringType) =>
+          graft.service.native.NativeBlock.sparkTypeOf(
+            graft.service.native.NativeBlock.parseType(s.toString))
+        case other => throw new IllegalArgumentException(
+          s"accurateCast needs a literal type name, got $other")
+      }
+      reg("accurateCast")({ case Seq(x, t) =>
+        Cast(x, chTypeOf(t), None, EvalMode.ANSI) })
+      reg("accurateCastOrNull")({ case Seq(x, t) =>
+        Cast(x, chTypeOf(t), None, EvalMode.TRY) })
       reg("studentTTest")({ case Seq(v, ix) =>
         graft.functions.TTestAgg(v, ix, welch = false).toAggregateExpression()
       })

@@ -1208,6 +1208,30 @@ class ChFunctionsSpec extends AnyFunSuite {
     assert(one("SELECT toIPv4('1.2.3.4')") == 16909060L)
   }
 
+  test("groupConcat, array index twins, accurateCast (r19b)") {
+    def q(sql: String): Any = ChSql.sql(spark, sql).collect().head.get(0)
+    assert(q("SELECT groupConcat(v) FROM VALUES ('a'), ('b'), ('c') AS t(v)")
+      == "abc", "CH's default delimiter is empty")
+    assert(q("SELECT groupConcat(', ')(v) FROM VALUES ('a'), ('b') AS t(v)")
+      == "a, b")
+    assert(q("SELECT groupConcat('-', 2)(v) FROM VALUES ('a'), ('b'), ('c') AS t(v)")
+      == "a-b", "limit keeps the first n")
+    assert(one("SELECT arrayFirstIndex(x -> x > 1, array(1, 2, 3, 2))") == 2L)
+    assert(one("SELECT arrayLastIndex(x -> x > 1, array(1, 2, 3, 2))") == 4L)
+    assert(one("SELECT arrayFirstIndex(x -> x > 9, array(1, 2))") == 0L,
+      "no match answers 0")
+    assert(one("SELECT arrayWithConstant(3, 7)")
+      .asInstanceOf[scala.collection.Seq[Int]].toSeq == Seq(7, 7, 7))
+    assert(one("SELECT arraySymmetricDifference(array(1, 2), array(2, 3))")
+      .asInstanceOf[scala.collection.Seq[Int]].sorted == Seq(1, 3))
+    assert(one("SELECT accurateCastOrNull(300, 'Int8')") == null,
+      "out-of-range refuses to wrap")
+    assert(one("SELECT accurateCast(300, 'Int64')") == 300L)
+    assert(intercept[Exception](
+      spark.sql("SELECT accurateCast(300, 'Int8')").collect())
+      .getMessage.toLowerCase.contains("overflow"))
+  }
+
   test("two-sample tests: studentTTest, welchTTest, mannWhitneyUTest (r19b)") {
     // textbook two-sample case: A = (30.02, 29.99, 30.11, 29.97,
     // 30.01, 29.99), B = (29.89, 29.93, 29.72, 29.98, 30.02, 29.98)
