@@ -699,6 +699,56 @@ object ChFunctions {
         exprs => TruncDate(Cast(exprs.head, DateType), Literal("month")))
       reg("toLastDayOfMonth")(
         exprs => LastDay(Cast(exprs.head, DateType)))
+      reg("toStartOfSecond")(
+        exprs => TruncTimestamp(Literal("second"), Cast(exprs.head, TimestampType)))
+      // toTime: the time-of-day moved onto CH's fixed 1970-01-02 date
+      reg("toTime")({ case Seq(t) =>
+        Cast(Concat(Seq(Literal("1970-01-02 "),
+          DateFormatClass(Cast(t, TimestampType), Literal("HH:mm:ss")))),
+          TimestampType)
+      })
+      // makeDate(y, m, d) | makeDate(y, dayOfYear)
+      reg("makeDate")({
+        case Seq(y, m, d) => MakeDate(Cast(y, IntegerType),
+          Cast(m, IntegerType), Cast(d, IntegerType))
+        case Seq(y, doy) => DateAdd(
+          MakeDate(Cast(y, IntegerType), Literal(1), Literal(1)),
+          Subtract(Cast(doy, IntegerType), Literal(1)))
+      })
+      reg("makeDateTime")({ case Seq(y, m, d, h, mi, s) =>
+        MakeTimestamp(Cast(y, IntegerType), Cast(m, IntegerType),
+          Cast(d, IntegerType), Cast(h, IntegerType), Cast(mi, IntegerType),
+          Cast(s, DecimalType(8, 6)), None, None)
+      })
+      reg("toRelativeHourNum")({ case Seq(t) =>
+        Cast(Divide(Cast(Cast(t, TimestampType), LongType),
+          Literal(3600L)), LongType) })
+      reg("toRelativeMinuteNum")({ case Seq(t) =>
+        Cast(Divide(Cast(Cast(t, TimestampType), LongType),
+          Literal(60L)), LongType) })
+      reg("toRelativeSecondNum")({ case Seq(t) =>
+        Cast(Cast(t, TimestampType), LongType) })
+      // days since 0000-01-01 (proleptic): epoch day + 719528
+      reg("toDaysSinceYearZero")({ case Seq(d) =>
+        Add(Cast(UnixDate(Cast(d, DateType)), LongType), Literal(719528L)) })
+      reg("fromDaysSinceYearZero")({ case Seq(n) =>
+        DateAdd(Literal.create(java.time.LocalDate.ofEpochDay(0), DateType),
+          Cast(Subtract(Cast(n, LongType), Literal(719528L)), IntegerType)) })
+      reg("UTCTimestamp")(_ => CurrentTimestamp())
+      // Twitter-epoch snowflake ids (CH's default epoch 1288834974657)
+      reg("snowflakeToDateTime")({ case Seq(id) =>
+        Cast(Divide(
+          Cast(Add(ShiftRight(Cast(id, LongType), Literal(22)),
+            Literal(1288834974657L)), DoubleType),
+          Literal(1000.0d)), TimestampType)
+      })
+      reg("dateTimeToSnowflake")({ case Seq(t) =>
+        ShiftLeft(Subtract(
+          Multiply(Cast(Cast(t, TimestampType), LongType), Literal(1000L)),
+          Literal(1288834974657L)), Literal(22))
+      })
+      reg("generateULID")(_ => graft.functions.RandomGenExpr(Literal(0), 3))
+      reg("ULIDStringToDateTime")(e => graft.functions.UlidTimeExpr(e.head))
       // timeDiff(older, newer) — seconds between, CH arg order
       reg("timeDiff")({ case Seq(a, b) =>
         Subtract(
@@ -1665,6 +1715,11 @@ object ChFunctions {
               case 'd' => "dd"; case 'H' => "HH"; case 'M' => "mm"
               case 'S' => "ss"; case 'F' => "yyyy-MM-dd"
               case 'T' => "HH:mm:ss"; case 'j' => "DDD"; case 'e' => "d"
+              // the MySQL-style codes CH also documents (r19b)
+              case 'i' => "mm"; case 's' => "ss"; case 'p' => "a"
+              case 'b' => "MMM"; case 'W' => "EEEE"; case 'a' => "EEE"
+              case 'c' => "M"; case 'I' => "hh"; case 'l' => "h"
+              case 'n' => "\n"; case 't' => "\t"
               case '%' => "%"
               case other => throw new IllegalArgumentException(
                 s"formatDateTime: unsupported code %$other")
@@ -1677,6 +1732,14 @@ object ChFunctions {
       reg("formatDateTime")({ case Seq(ts, Literal(f: org.apache.spark.unsafe.types.UTF8String, StringType)) =>
         DateFormatClass(Cast(ts, TimestampType),
           Literal(strftimeToJava(f.toString)))
+      })
+      // parseDateTime — the MySQL-style format CH documents; rides the
+      // same strftime→Java translation as formatDateTime (r19b)
+      reg("parseDateTime")({ case Seq(s, Literal(f: org.apache.spark.unsafe.types.UTF8String, StringType)) =>
+        new ParseToTimestamp(s, Literal(strftimeToJava(f.toString)))
+      })
+      reg("parseDateTimeOrNull")({ case Seq(s, Literal(f: org.apache.spark.unsafe.types.UTF8String, StringType)) =>
+        TryEval(new ParseToTimestamp(s, Literal(strftimeToJava(f.toString))))
       })
 
       // splitByString(sep, s) — multi-char literal separator, CH arg order

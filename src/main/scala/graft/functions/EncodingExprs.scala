@@ -335,6 +335,7 @@ case class RandomGenExpr(child: Expression, kind: Int)
   override def prettyName: String = kind match {
     case 0 => "generateUUIDv7"
     case 1 => "randomString"
+    case 3 => "generateULID"
     case _ => "randomPrintableASCII"
   }
   @transient private var rng: java.util.Random = _
@@ -358,6 +359,21 @@ case class RandomGenExpr(child: Expression, kind: Int)
         if (i == 4 || i == 6 || i == 8 || i == 10) sb.append('-')
         sb.append(Character.forDigit((b(i) & 0xf0) >> 4, 16))
         sb.append(Character.forDigit(b(i) & 0x0f, 16))
+        i += 1
+      }
+      UTF8String.fromString(sb.toString)
+    case 3 =>
+      // ULID: 10 Crockford chars of unix-ms (48 bits) + 16 random
+      val ms = System.currentTimeMillis()
+      val sb = new StringBuilder(26)
+      var i = 9
+      val ts = new Array[Char](10)
+      var t = ms
+      while (i >= 0) { ts(i) = UlidTimeExpr.Crockford.charAt((t & 0x1f).toInt); t >>>= 5; i -= 1 }
+      sb.appendAll(ts)
+      i = 0
+      while (i < 16) {
+        sb.append(UlidTimeExpr.Crockford.charAt(rng.nextInt(32)))
         i += 1
       }
       UTF8String.fromString(sb.toString)
@@ -473,4 +489,41 @@ case class PointInPolygonExpr(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(
       cs: IndexedSeq[Expression]): PointInPolygonExpr =
     copy(left = cs(0), right = cs(1))
+}
+
+/** `ULIDStringToDateTime(s)` — the 48-bit unix-ms prefix of a ULID
+  * (first 10 Crockford base32 chars) as a timestamp; invalid text →
+  * NULL. */
+case class UlidTimeExpr(child: Expression)
+    extends Expression with CodegenFallback {
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = true
+  override def dataType: DataType = TimestampType
+  override def prettyName: String = "ULIDStringToDateTime"
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) return null
+    val s = v.asInstanceOf[UTF8String].toString
+    if (s.length != 26) return null
+    var ms = 0L
+    var i = 0
+    while (i < 10) {
+      val idx = UlidTimeExpr.CrockfordInv(s.charAt(i).toUpper.toInt & 0x7f)
+      if (idx < 0) return null
+      ms = (ms << 5) | idx
+      i += 1
+    }
+    ms * 1000L // micros
+  }
+  override protected def withNewChildrenInternal(
+      cs: IndexedSeq[Expression]): UlidTimeExpr = copy(child = cs(0))
+}
+
+object UlidTimeExpr {
+  val Crockford = "0123456789ABCDEFGHJKMNPQRSTVWXYZ"
+  val CrockfordInv: Array[Int] = {
+    val inv = Array.fill(128)(-1)
+    Crockford.zipWithIndex.foreach { case (c, i) => inv(c.toInt) = i }
+    inv
+  }
 }

@@ -1208,6 +1208,38 @@ class ChFunctionsSpec extends AnyFunSuite {
     assert(one("SELECT toIPv4('1.2.3.4')") == 16909060L)
   }
 
+  test("date/time tail: parseDateTime, makeDate, snowflake, ULID (r19b)") {
+    assert(one("SELECT parseDateTime('2024-02-29 13:45:00', '%Y-%m-%d %H:%i:%s')")
+      .toString == "2024-02-29 13:45:00.0")
+    assert(one("SELECT parseDateTimeOrNull('nope', '%Y-%m-%d')") == null)
+    assert(one("SELECT makeDate(2024, 2, 29)").toString == "2024-02-29")
+    assert(one("SELECT makeDate(2024, 60)").toString == "2024-02-29",
+      "day-of-year spelling")
+    assert(one("SELECT makeDateTime(2024, 1, 2, 3, 4, 5)")
+      .toString == "2024-01-02 03:04:05.0")
+    assert(one("SELECT toStartOfSecond(toDateTime('2024-01-01 01:02:03'))")
+      .toString == "2024-01-01 01:02:03.0")
+    assert(one("SELECT toTime(toDateTime('2024-05-06 07:08:09'))")
+      .toString == "1970-01-02 07:08:09.0")
+    assert(one("SELECT toDaysSinceYearZero(toDate('1970-01-01'))") == 719528L)
+    assert(one("SELECT fromDaysSinceYearZero(719528)").toString == "1970-01-01")
+    assert(one("SELECT fromDaysSinceYearZero(toDaysSinceYearZero(toDate('2024-02-29')))")
+      .toString == "2024-02-29")
+    assert(one("SELECT toRelativeHourNum(toDateTime('1970-01-02 01:00:00'))") == 25L)
+    // snowflake round trip at second precision (the low 22 bits drop ms)
+    assert(one("""SELECT snowflakeToDateTime(
+      dateTimeToSnowflake(toDateTime('2021-08-15 10:57:56')))""")
+      .toString == "2021-08-15 10:57:56.0")
+    val ulid = one("SELECT generateULID()").asInstanceOf[String]
+    assert(ulid.length == 26 && ulid.forall(
+      "0123456789ABCDEFGHJKMNPQRSTVWXYZ".contains(_)), s"ulid: $ulid")
+    val ts = spark.sql("SELECT ULIDStringToDateTime(generateULID())")
+      .collect().head.getTimestamp(0)
+    assert(math.abs(ts.getTime - System.currentTimeMillis()) < 3600L * 1000,
+      s"ULID time prefix decodes to about now, got $ts")
+    assert(one("SELECT ULIDStringToDateTime('zz')") == null)
+  }
+
   test("groupConcat, array index twins, accurateCast (r19b)") {
     def q(sql: String): Any = ChSql.sql(spark, sql).collect().head.get(0)
     assert(q("SELECT groupConcat(v) FROM VALUES ('a'), ('b'), ('c') AS t(v)")
