@@ -675,6 +675,66 @@ object ChFunctions {
       reg("toUUIDOrNull")(e => graft.functions.UuidBytesExpr(e.head, 3))
       reg("serverUUID")(_ =>
         Literal(graft.functions.UuidBytesExpr.serverUuid))
+      // introspection/misc tail (r19b). Literal-at-analysis is the
+      // right granularity for the per-query constants (builders run
+      // during each query's resolution).
+      reg("hostName")(_ => Literal(
+        try java.net.InetAddress.getLocalHost.getHostName
+        catch { case _: Exception => "localhost" }))
+      reg("currentUser")(_ => CurrentUser())
+      reg("currentDatabase")(_ => CurrentDatabase())
+      // the version the native door presents in its hello (23.8);
+      // dialect text routes version() here via the conflict pre-pass
+      // (Spark's own version() keeps its build string)
+      reg("chVersion")(_ => Literal("23.8.0"))
+      reg("uptime")(_ => Literal(
+        (System.currentTimeMillis() -
+          java.lang.management.ManagementFactory.getRuntimeMXBean
+            .getStartTime) / 1000L))
+      reg("identity")(e => e.head)
+      reg("ignore")(_ => Literal(0))
+      reg("isZeroOrNull")({ case Seq(x) =>
+        Or(IsNull(x), EqualTo(x, Literal(0))) })
+      reg("throwIf")({
+        case Seq(c) => If(Cast(c, BooleanType),
+          RaiseError(Literal("throwIf condition met")), Literal(0))
+        case Seq(c, msg) => If(Cast(c, BooleanType),
+          RaiseError(msg), Literal(0))
+      })
+      reg("sleep")(e => graft.functions.SleepExpr(e.head))
+      reg("reinterpretAsUInt64")(e =>
+        graft.functions.ReinterpretExpr(e.head, toInt = true))
+      reg("reinterpretAsString")(e =>
+        graft.functions.ReinterpretExpr(e.head, toInt = false))
+      // blockNumber/rowNumberInAllBlocks: block = partition here (the
+      // engine-defined granularity CH also disclaims)
+      reg("blockNumber")(_ => Cast(SparkPartitionID(), LongType))
+      reg("rowNumberInAllBlocks")(_ => MonotonicallyIncreasingID())
+      reg("basename")({ case Seq(s) =>
+        ElementAt(StringSplit(s, Literal("/"), Literal(-1)), Literal(-1)) })
+      reg("toStringCutToZero")({ case Seq(s) =>
+        ElementAt(StringSplit(s, Literal("\u0000"), Literal(2)), Literal(1)) })
+      // toFixedString(s, n): CH errors past n bytes, zero-pads under
+      reg("toFixedString")({ case Seq(s, n) =>
+        If(GreaterThan(OctetLength(s), Cast(n, IntegerType)),
+          RaiseError(Literal("toFixedString: value longer than N")),
+          StringRPad(s, Cast(n, IntegerType), Literal("\u0000")))
+      })
+      // normalizeQuery: literals → placeholders (log analytics shape)
+      reg("normalizeQuery")({ case Seq(q) =>
+        RegExpReplace(
+          RegExpReplace(
+            RegExpReplace(q, Literal("'[^']*'"), Literal("?")),
+            Literal("\"[^\"]*\""), Literal("?")),
+          Literal("""\b\d+(\.\d+)?\b"""), Literal("?"))
+      })
+      reg("normalizedQueryHash")({ case Seq(q) =>
+        CityHash64Expr(Seq(RegExpReplace(
+          RegExpReplace(
+            RegExpReplace(q, Literal("'[^']*'"), Literal("?")),
+            Literal("\"[^\"]*\""), Literal("?")),
+          Literal("""\b\d+(\.\d+)?\b"""), Literal("?"))))
+      })
       // simpleJSON* (a.k.a. visitParam*): CH's naive-scan variants; we
       // parse properly — a documented superset (CH finds the first
       // occurrence of the key at ANY nesting level, we resolve the

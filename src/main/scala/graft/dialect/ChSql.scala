@@ -1082,10 +1082,14 @@ object ChSql {
     // resolve would be silently different, so the dialect session
     // reroutes to the full-name registration.
     val mn = replaceFnName(ext, "monthName", "chMonthName")
+    // CH version() reports the server's CH-style version; Spark's
+    // builtin returns the Spark build string — dialect queries reroute
+    // to the ch-prefixed registration (r19b).
+    val ver = replaceFnName(mn, "version", "chVersion")
     // `position(substr IN str)` is ANSI syntax Spark parses natively —
     // rewriting it would produce invalid `instr(substr IN str)`; only
     // the CH two-argument spelling is renamed.
-    replaceFnName(mn, "position", "instr",
+    replaceFnName(ver, "position", "instr",
       skipArgs = args => """(?i)\bIN\b""".r.findAllMatchIn(args)
         .exists(m => !insideQuote(args, m.start) && depthAt(args, m.start) == 0))
   }

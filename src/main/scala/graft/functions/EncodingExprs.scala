@@ -527,3 +527,72 @@ object UlidTimeExpr {
     inv
   }
 }
+
+/** `reinterpretAsUInt64(s)` / `reinterpretAsString(n)` — CH's
+  * little-endian byte reinterpretation between strings and ints
+  * (strings shorter than 8 bytes zero-extend; rendering trims
+  * trailing zero bytes). */
+case class ReinterpretExpr(child: Expression, toInt: Boolean)
+    extends Expression with CodegenFallback {
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = true
+  override def dataType: DataType = if (toInt) LongType else StringType
+  override def prettyName: String =
+    if (toInt) "reinterpretAsUInt64" else "reinterpretAsString"
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) return null
+    if (toInt) {
+      val b = v.asInstanceOf[UTF8String].getBytes
+      var n = 0L
+      var i = math.min(7, b.length - 1)
+      while (i >= 0) { n = (n << 8) | (b(i) & 0xffL); i -= 1 }
+      n
+    } else {
+      var n = v.asInstanceOf[Number].longValue()
+      val b = new Array[Byte](8)
+      var len = 0
+      var i = 0
+      while (i < 8) {
+        b(i) = (n & 0xff).toByte
+        if (b(i) != 0) len = i + 1
+        n >>>= 8
+        i += 1
+      }
+      UTF8String.fromBytes(java.util.Arrays.copyOf(b, len))
+    }
+  }
+  override protected def withNewChildrenInternal(
+      cs: IndexedSeq[Expression]): ReinterpretExpr = copy(child = cs(0))
+}
+
+/** `sleep(seconds)` — CH's per-block testing helper, capped at 3 s
+  * like ClickHouse's default max_sleep; evaluates once per ROW here
+  * (documented deviation — this engine has no block granularity at
+  * the expression level), so keep it on tiny row counts. */
+case class SleepExpr(child: Expression)
+    extends Expression
+    with org.apache.spark.sql.catalyst.expressions.Nondeterministic
+    with CodegenFallback {
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ByteType
+  override def prettyName: String = "sleep"
+  override protected def initializeInternal(partitionIndex: Int): Unit = ()
+  override protected def evalInternal(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v != null) {
+      val secs = v match {
+        case d: java.lang.Double => d.doubleValue()
+        case n: Number => n.doubleValue()
+        case d: org.apache.spark.sql.types.Decimal => d.toDouble
+      }
+      require(secs >= 0 && secs <= 3.0,
+        s"sleep() accepts 0..3 seconds, got $secs")
+      Thread.sleep((secs * 1000).toLong)
+    }
+    0.toByte
+  }
+  override protected def withNewChildrenInternal(
+      cs: IndexedSeq[Expression]): SleepExpr = copy(child = cs(0))
+}

@@ -1208,6 +1208,43 @@ class ChFunctionsSpec extends AnyFunSuite {
     assert(one("SELECT toIPv4('1.2.3.4')") == 16909060L)
   }
 
+  test("introspection and misc tail (r19b)") {
+    assert(one("SELECT hostName()").asInstanceOf[String].nonEmpty)
+    assert(one("SELECT currentUser()").asInstanceOf[String].nonEmpty)
+    assert(ChSql.sql(spark, "SELECT version()").collect().head.get(0)
+      == "23.8.0", "dialect version() matches the native door's hello")
+    assert(one("SELECT version()").asInstanceOf[String]
+      .startsWith("4."), "Spark's own version() keeps its build string")
+    assert(one("SELECT uptime()").asInstanceOf[Long] >= 0L)
+    assert(one("SELECT identity(41) + 1") == 42)
+    assert(one("SELECT ignore(1, 'x')") == 0)
+    assert(one("SELECT isZeroOrNull(0)") == true)
+    assert(one("SELECT isZeroOrNull(CAST(NULL AS INT))") == true)
+    assert(one("SELECT isZeroOrNull(3)") == false)
+    assert(one("SELECT throwIf(1 > 2, 'nope')") == 0)
+    assert(intercept[Exception](
+      spark.sql("SELECT throwIf(2 > 1, 'boom')").collect())
+      .getMessage.contains("boom"))
+    assert(one("SELECT reinterpretAsUInt64('ab')") == ('a'.toLong | ('b'.toLong << 8)))
+    assert(one("SELECT reinterpretAsString(reinterpretAsUInt64('hi!'))") == "hi!")
+    assert(one("SELECT basename('/a/b/c.txt')") == "c.txt")
+    assert(one("SELECT toStringCutToZero(concat('ab', char(0), 'cd'))") == "ab")
+    assert(one("SELECT octet_length(toFixedString('ab', 4))") == 4)
+    assert(intercept[Exception](
+      spark.sql("SELECT toFixedString('abcde', 4)").collect())
+      .getMessage.contains("longer"))
+    assert(one("SELECT normalizeQuery(\"SELECT a FROM t WHERE x = 5 AND s = 'v'\")")
+      == "SELECT a FROM t WHERE x = ? AND s = ?")
+    assert(one("SELECT normalizedQueryHash('SELECT 5') = normalizedQueryHash('SELECT 77')") == true)
+    assert(one("SELECT blockNumber() >= 0") == true)
+    val rn = spark.sql("SELECT rowNumberInAllBlocks() FROM VALUES (1), (2) AS t(x)")
+      .collect().map(_.getLong(0))
+    assert(rn.distinct.length == 2)
+    val t0 = System.nanoTime()
+    spark.sql("SELECT sleep(0.2)").collect()
+    assert((System.nanoTime() - t0) / 1e9 >= 0.2)
+  }
+
   test("date/time tail: parseDateTime, makeDate, snowflake, ULID (r19b)") {
     assert(one("SELECT parseDateTime('2024-02-29 13:45:00', '%Y-%m-%d %H:%i:%s')")
       .toString == "2024-02-29 13:45:00.0")
