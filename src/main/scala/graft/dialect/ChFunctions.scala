@@ -21,6 +21,12 @@ object ChFunctions {
 
   @volatile private var registered: Set[Int] = Set.empty
 
+  /** hostName()'s answer, resolved once — getLocalHost can take ms
+    * per call and builders run during every query's analysis. */
+  private lazy val cachedHostName: String =
+    try java.net.InetAddress.getLocalHost.getHostName
+    catch { case _: Exception => "localhost" }
+
   /** Idempotent per-session registration (runtime path — works on any
     * already-built session, e.g. the driver harness's own). The
     * config-time path is [[GraftExtensions]], which injects the same
@@ -678,9 +684,7 @@ object ChFunctions {
       // introspection/misc tail (r19b). Literal-at-analysis is the
       // right granularity for the per-query constants (builders run
       // during each query's resolution).
-      reg("hostName")(_ => Literal(
-        try java.net.InetAddress.getLocalHost.getHostName
-        catch { case _: Exception => "localhost" }))
+      reg("hostName")(_ => Literal(ChFunctions.cachedHostName))
       reg("currentUser")(_ => CurrentUser())
       reg("currentDatabase")(_ => CurrentDatabase())
       // the version the native door presents in its hello (23.8);
