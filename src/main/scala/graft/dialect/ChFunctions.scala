@@ -706,6 +706,39 @@ object ChFunctions {
           RaiseError(msg), Literal(0))
       })
       reg("sleep")(e => graft.functions.SleepExpr(e.head))
+      // encrypt/decrypt — CH's mode strings onto Spark's own AES
+      // expressions. Self-consistent pair (encrypt → decrypt
+      // round-trips here); the CIPHERTEXT LAYOUT is engine-defined —
+      // Spark prefixes the random IV in GCM/CBC where CH keys the IV
+      // separately, so cross-engine blobs do not interchange
+      // (documented deviation; same key-length rules).
+      def aesMode(m: Expression): (Expression, Expression) = m match {
+        case Literal(v: org.apache.spark.unsafe.types.UTF8String, StringType) =>
+          v.toString.toLowerCase match {
+            case s if s.endsWith("-gcm") => (Literal("GCM"), Literal("NONE"))
+            case s if s.endsWith("-cbc") => (Literal("CBC"), Literal("PKCS"))
+            case s if s.endsWith("-ecb") => (Literal("ECB"), Literal("PKCS"))
+            case other => throw new IllegalArgumentException(
+              s"encrypt: unsupported mode '$other' (aes-*-gcm/cbc/ecb)")
+          }
+        case other => throw new IllegalArgumentException(
+          s"encrypt needs a literal mode, got $other")
+      }
+      reg("encrypt")({ case m +: data +: key +: _ =>
+        val (mode, pad) = aesMode(m)
+        new AesEncrypt(Cast(data, BinaryType), Cast(key, BinaryType),
+          mode, pad)
+      })
+      reg("decrypt")({ case m +: data +: key +: _ =>
+        val (mode, pad) = aesMode(m)
+        Cast(new AesDecrypt(Cast(data, BinaryType), Cast(key, BinaryType),
+          mode, pad), StringType)
+      })
+      reg("tryDecrypt")({ case m +: data +: key +: _ =>
+        val (mode, pad) = aesMode(m)
+        TryEval(Cast(new AesDecrypt(Cast(data, BinaryType),
+          Cast(key, BinaryType), mode, pad), StringType))
+      })
       reg("reinterpretAsUInt64")(e =>
         graft.functions.ReinterpretExpr(e.head, toInt = true))
       reg("reinterpretAsString")(e =>

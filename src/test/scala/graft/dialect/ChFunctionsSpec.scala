@@ -1208,6 +1208,26 @@ class ChFunctionsSpec extends AnyFunSuite {
     assert(one("SELECT toIPv4('1.2.3.4')") == 16909060L)
   }
 
+  test("encrypt/decrypt round-trip per mode; tryDecrypt NULLs on bad key (r19b)") {
+    val key16 = "'0123456789abcdef'"
+    val key32 = "'0123456789abcdef0123456789abcdef'"
+    for (mode <- Seq("aes-128-gcm", "aes-128-cbc", "aes-128-ecb")) {
+      assert(one(
+        s"SELECT decrypt('$mode', encrypt('$mode', 'secret text', $key16), $key16)")
+        == "secret text", mode)
+    }
+    assert(one(
+      s"SELECT decrypt('aes-256-gcm', encrypt('aes-256-gcm', 'x', $key32), $key32)")
+      == "x")
+    assert(one(
+      s"""SELECT tryDecrypt('aes-128-gcm',
+        encrypt('aes-128-gcm', 'secret', $key16), 'ffffffffffffffff')""")
+      == null, "wrong key answers NULL, not a throw")
+    assert(intercept[Exception](spark.sql(
+      s"SELECT encrypt('rot13', 'x', $key16)").collect())
+      .getMessage.contains("unsupported mode"))
+  }
+
   test("introspection and misc tail (r19b)") {
     assert(one("SELECT hostName()").asInstanceOf[String].nonEmpty)
     assert(one("SELECT currentUser()").asInstanceOf[String].nonEmpty)
