@@ -3230,7 +3230,15 @@ object SparkEntry {
     "q245_sum_kahan" -> ch(
       """SELECT CAST(round(sumKahan(l_extendedprice) * 100) AS BIGINT) AS cents,
         |       count() AS n
-        |FROM lineitem WHERE l_returnflag = 'R'""".stripMargin)
+        |FROM lineitem WHERE l_returnflag = 'R'""".stripMargin),
+
+    // r19b: the -Resample combinator — bucketed counts in one scan
+    // pass, exploded to rows so the DuckDB oracle is a plain GROUP BY
+    "q246_count_resample" -> ch(
+      """SELECT pos AS bucket, CAST(cnt AS BIGINT) AS n
+        |FROM (SELECT posexplode(countResample(0, 20000, 1000)(o_custkey)) AS (pos, cnt)
+        |      FROM orders)
+        |WHERE cnt > 0 ORDER BY bucket""".stripMargin)
   )
 
   /** TLS twin of [[remoteDoorPort]]: one secure native door per Verify
@@ -3455,6 +3463,11 @@ object SparkEntry {
       """SELECT CAST(round(sum(l_extendedprice) * 100) AS BIGINT) AS cents,
         |       count(*) AS n
         |FROM lineitem WHERE l_returnflag = 'R'""".stripMargin,
+    "q246_count_resample" ->
+      """SELECT CAST(floor(o_custkey / 1000) AS INT) AS bucket,
+        |       count(*) AS n
+        |FROM orders WHERE o_custkey >= 0 AND o_custkey < 20000
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q233_mt_decimal_ctas" ->
       """SELECT count(*) AS n,
         |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18, 2))) AS STRING) AS sp,
