@@ -3238,7 +3238,23 @@ object SparkEntry {
       """SELECT pos AS bucket, CAST(cnt AS BIGINT) AS n
         |FROM (SELECT posexplode(countResample(0, 20000, 1000)(o_custkey)) AS (pos, cnt)
         |      FROM orders)
-        |WHERE cnt > 0 ORDER BY bucket""".stripMargin)
+        |WHERE cnt > 0 ORDER BY bucket""".stripMargin),
+
+    // r19b: the mergeable decayed-sum EMA — deterministic math, so it
+    // oracles directly against DuckDB's closed-form spelling
+    "q247_ema" -> ch(
+      """SELECT CAST(round(exponentialMovingAverage(30)(
+        |  o_totalprice, dateDiff('day', toDate('1992-01-01'), o_orderdate)
+        |)) AS BIGINT) AS ema FROM orders""".stripMargin),
+
+    // r19b: the streaming adaptive histogram — bin BOUNDS are
+    // arrival-order dependent (like CH's), but the conserved
+    // quantities oracle exactly: heights sum to the row count and the
+    // bin count is the requested one
+    "q248_histogram" -> ch(
+      """SELECT CAST(round(sum(height)) AS BIGINT) AS total_height,
+        |       count() AS bins
+        |FROM (SELECT inline(histogram(5)(o_totalprice)) FROM orders)""".stripMargin)
   )
 
   /** TLS twin of [[remoteDoorPort]]: one secure native door per Verify
@@ -3468,6 +3484,19 @@ object SparkEntry {
         |       count(*) AS n
         |FROM orders WHERE o_custkey >= 0 AND o_custkey < 20000
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q247_ema" ->
+      """WITH t AS (
+        |  SELECT o_totalprice AS v,
+        |         date_diff('day', DATE '1992-01-01', o_orderdate) AS d
+        |  FROM orders),
+        |m AS (SELECT max(d) AS md FROM t)
+        |SELECT CAST(round(
+        |  sum(v * pow(2.0, (d - md) / 30.0)) /
+        |  sum(pow(2.0, (d - md) / 30.0))) AS BIGINT) AS ema
+        |FROM t, m""".stripMargin,
+    "q248_histogram" ->
+      """SELECT CAST(count(*) AS BIGINT) AS total_height,
+        |       CAST(5 AS BIGINT) AS bins FROM orders""".stripMargin,
     "q233_mt_decimal_ctas" ->
       """SELECT count(*) AS n,
         |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18, 2))) AS STRING) AS sp,
