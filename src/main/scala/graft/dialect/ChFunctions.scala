@@ -2253,6 +2253,89 @@ object ChFunctions {
             Slice(arr, Add(n, Literal(1)), Subtract(len, n)),
             Slice(arr, Literal(1), n))))
       })
+      // r19b array/map tail
+      reg("arrayRotateRight")({ case Seq(arr, n0) =>
+        val len = Size(arr)
+        val n = Pmod(Subtract(len,
+          Pmod(Cast(n0, IntegerType), Greatest(Seq(len, Literal(1))))),
+          Greatest(Seq(len, Literal(1))))
+        If(LessThanOrEqual(len, Literal(1)), arr,
+          Concat(Seq(
+            Slice(arr, Add(n, Literal(1)), Subtract(len, n)),
+            Slice(arr, Literal(1), n))))
+      })
+      // shift drops n and pads with the fill (default 0) on the far end
+      reg("arrayShiftLeft")({ case arr +: n0 +: rest =>
+        val fill = rest.headOption.getOrElse(Literal(0))
+        val len = Size(arr)
+        val n = Least(Seq(Cast(n0, IntegerType), len))
+        Concat(Seq(
+          Slice(arr, Add(n, Literal(1)), Subtract(len, n)),
+          ArrayRepeat(fill, n)))
+      })
+      reg("arrayShiftRight")({ case arr +: n0 +: rest =>
+        val fill = rest.headOption.getOrElse(Literal(0))
+        val len = Size(arr)
+        val n = Least(Seq(Cast(n0, IntegerType), len))
+        Concat(Seq(
+          ArrayRepeat(fill, n),
+          Slice(arr, Literal(1), Subtract(len, n))))
+      })
+      reg("arrayJaccardIndex")({ case Seq(a, b) =>
+        Divide(
+          Cast(Size(ArrayIntersect(a, b)), DoubleType),
+          Cast(Size(ArrayUnion(a, b)), DoubleType))
+      })
+      reg("arrayRandomSample")({ case Seq(arr, k) =>
+        Slice(new Shuffle(arr), Literal(1), Cast(k, IntegerType)) })
+      reg("arrayDotProduct")({ case Seq(a, b) =>
+        graft.functions.VectorDistExpr(a, b, "dot") })
+      // normalizeL2: x / ||x||₂ (zero vectors pass through — CH
+      // divides by zero into inf; the guarded form is the useful one)
+      reg("normalizeL2")({ case Seq(a0) =>
+        // decimal literals arrive as ARRAY<DECIMAL>: widen first
+        val a = Cast(a0, ArrayType(DoubleType))
+        val norm = graft.functions.VectorNormExpr(a, "l2")
+        val x = lv("xNL2")
+        ArrayTransform(a, LambdaFunction(
+          If(EqualTo(norm, Literal(0.0d)), x, Divide(x, norm)), Seq(x)))
+      })
+      // mapAdd/mapSubtract: union the key sets, combine per key
+      def mapCombine(m1: Expression, m2: Expression, sub: Boolean): Expression = {
+        val keys = ArrayUnion(MapKeys(m1), MapKeys(m2))
+        val k = lv(if (sub) "kMS" else "kMA")
+        val a = Coalesce(Seq(ElementAt(m1, k), Literal(0)))
+        val b = Coalesce(Seq(ElementAt(m2, k), Literal(0)))
+        MapFromArrays(keys, ArrayTransform(keys, LambdaFunction(
+          if (sub) Subtract(a, b) else Add(a, b), Seq(k))))
+      }
+      reg("mapAdd")({ case ms if ms.length >= 2 =>
+        ms.reduceLeft((acc, m) => mapCombine(acc, m, sub = false)) })
+      reg("mapSubtract")({ case Seq(m1, m2) => mapCombine(m1, m2, sub = true) })
+      reg("mapContainsKeyLike")({ case Seq(m, p) =>
+        val k = lv("kMCL")
+        ArrayExists(MapKeys(m), LambdaFunction(new Like(k, p), Seq(k)))
+      })
+      reg("mapExtractKeyLike")({ case Seq(m, p) =>
+        val k = lv("kMEL"); val v = lv("vMEL")
+        MapFilter(m, LambdaFunction(new Like(k, p), Seq(k, v)))
+      })
+      reg("mapSort")({ case Seq(m) =>
+        MapFromEntries(new SortArray(MapEntries(m), Literal(true))) })
+      reg("mapReverseSort")({ case Seq(m) =>
+        MapFromEntries(new SortArray(MapEntries(m), Literal(false))) })
+      // mapPopulateSeries: every integer key from min to max, absent
+      // values filled with 0 (the map spelling; optional max bound)
+      reg("mapPopulateSeries")({ case m +: rest =>
+        val mk = MapKeys(m)
+        val hi = rest.headOption.map(Cast(_, LongType))
+          .getOrElse(Cast(ArrayMax(mk), LongType))
+        val keys = new Sequence(Cast(ArrayMin(mk), LongType), hi,
+          Some(Literal(1L)), None)
+        val k = lv("kMPS")
+        MapFromArrays(keys, ArrayTransform(keys, LambdaFunction(
+          Coalesce(Seq(ElementAt(m, k), Literal(0))), Seq(k))))
+      })
 
       // bit family over 64-bit integers (CH's unsigned spellings widen
       // through the same two's-complement lanes)

@@ -1208,6 +1208,39 @@ class ChFunctionsSpec extends AnyFunSuite {
     assert(one("SELECT toIPv4('1.2.3.4')") == 16909060L)
   }
 
+  test("array/map tail: rotate/shift/jaccard/normalize, mapAdd family (r19b)") {
+    assert(one("SELECT arrayRotateRight(array(1, 2, 3, 4), 1)")
+      .asInstanceOf[scala.collection.Seq[Int]].toSeq == Seq(4, 1, 2, 3))
+    assert(one("SELECT arrayShiftLeft(array(1, 2, 3), 1)")
+      .asInstanceOf[scala.collection.Seq[Int]].toSeq == Seq(2, 3, 0))
+    assert(one("SELECT arrayShiftRight(array(1, 2, 3), 2, 9)")
+      .asInstanceOf[scala.collection.Seq[Int]].toSeq == Seq(9, 9, 1))
+    assert(one("SELECT arrayJaccardIndex(array(1, 2, 3), array(2, 3, 4))") == 0.5)
+    assert(one("SELECT size(arrayRandomSample(array(1, 2, 3, 4, 5), 3))") == 3)
+    assert(one("""SELECT arrayDotProduct(
+      CAST(array(1.0, 2.0) AS ARRAY<DOUBLE>),
+      CAST(array(3.0, 4.0) AS ARRAY<DOUBLE>))""") == 11.0)
+    val nl = one("SELECT normalizeL2(array(3.0, 4.0))")
+      .asInstanceOf[scala.collection.Seq[Double]]
+    assert(math.abs(nl(0) - 0.6) < 1e-12 && math.abs(nl(1) - 0.8) < 1e-12)
+    // maps
+    val added = one("SELECT mapAdd(map('a', 1, 'b', 2), map('b', 10, 'c', 3))")
+      .asInstanceOf[Map[String, Int]]
+    assert(added == Map("a" -> 1, "b" -> 12, "c" -> 3))
+    val subd = one("SELECT mapSubtract(map('a', 5), map('a', 2, 'z', 1))")
+      .asInstanceOf[Map[String, Int]]
+    assert(subd == Map("a" -> 3, "z" -> -1))
+    assert(one("SELECT mapContainsKeyLike(map('abc', 1, 'xy', 2), 'a%')") == true)
+    assert(one("SELECT mapContainsKeyLike(map('abc', 1), 'z%')") == false)
+    assert(one("SELECT map_keys(mapExtractKeyLike(map('abc', 1, 'axy', 2, 'b', 3), 'a%'))")
+      .asInstanceOf[scala.collection.Seq[String]].sorted == Seq("abc", "axy"))
+    assert(one("SELECT map_keys(mapSort(map(3, 'c', 1, 'a', 2, 'b')))")
+      .asInstanceOf[scala.collection.Seq[Int]].toSeq == Seq(1, 2, 3))
+    val pop = one("SELECT mapPopulateSeries(map(1, 10, 4, 40))")
+      .asInstanceOf[Map[Long, Int]]
+    assert(pop == Map(1L -> 10, 2L -> 0, 3L -> 0, 4L -> 40))
+  }
+
   test("encrypt/decrypt round-trip per mode; tryDecrypt NULLs on bad key (r19b)") {
     val key16 = "'0123456789abcdef'"
     val key32 = "'0123456789abcdef0123456789abcdef'"
