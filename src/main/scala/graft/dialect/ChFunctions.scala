@@ -339,6 +339,37 @@ object ChFunctions {
       })
       reg("arrayWithConstant")({ case Seq(n, x) =>
         ArrayRepeat(x, Cast(n, IntegerType)) })
+      // arrayFill(f, arr): where f answers false the element copies
+      // its left neighbor (the first element always stays) — a
+      // sequential struct fold like arrayCumSumNonNegative, user
+      // lambda inlined; reverse form runs over the reversed array
+      def fillFold(f: Expression, arr: Expression,
+          reverseOut: Boolean = false): Expression = {
+        val acc = lv("accAF"); val e = lv("eAF")
+        import org.apache.spark.sql.catalyst.analysis.UnresolvedExtractValue
+        val last = UnresolvedExtractValue(acc, Literal("c"))
+        val out = UnresolvedExtractValue(acc, Literal("r"))
+        val keep = Cast(inlineLambda(f, e), BooleanType)
+        // seed c with a TYPED null (max of an empty slice) — the root
+        // must stay the ArrayAggregate itself (HOF-root constraint),
+        // so no If-guard and no element_at on a possibly-empty array.
+        // First element: keep OR null-seed both take e.
+        val v = If(Or(keep, IsNull(last)), e, last)
+        ArrayAggregate(arr,
+          CreateNamedStruct(Seq(
+            Literal("c"), ArrayMax(Slice(arr, Literal(1), Literal(0))),
+            Literal("r"), Slice(arr, Literal(1), Literal(0)))),
+          LambdaFunction(CreateNamedStruct(Seq(
+            Literal("c"), v,
+            Literal("r"), Concat(Seq(out, CreateArray(Seq(v)))))),
+            Seq(acc, e)),
+          // the un-reverse lives INSIDE the finish lambda so the
+          // expression root stays the HOF
+          LambdaFunction(if (reverseOut) Reverse(out) else out, Seq(acc)))
+      }
+      reg("arrayFill")({ case Seq(f, arr) => fillFold(f, arr) })
+      reg("arrayReverseFill")({ case Seq(f, arr) =>
+        fillFold(f, Reverse(arr), reverseOut = true) })
       // elements in the union but not the intersection (folds n-ary)
       reg("arraySymmetricDifference")({ case arrs if arrs.length >= 2 =>
         val union = arrs.reduceLeft((a, b) => ArrayUnion(a, b))
@@ -1786,6 +1817,20 @@ object ChFunctions {
       reg("mannWhitneyUTest")({ case Seq(v, ix) =>
         graft.functions.MannWhitneyAgg(v, ix).toAggregateExpression()
       })
+      reg("kolmogorovSmirnovTest")({ case Seq(v, ix) =>
+        graft.functions.KsTestAgg(v, ix).toAggregateExpression()
+      })
+      // categorical association over one contingency-table state
+      reg("cramersV")({ case Seq(x, y) =>
+        graft.functions.AssociationAgg(x, y, 0).toAggregateExpression() })
+      reg("cramersVBiasCorrected")({ case Seq(x, y) =>
+        graft.functions.AssociationAgg(x, y, 1).toAggregateExpression() })
+      reg("theilsU")({ case Seq(x, y) =>
+        graft.functions.AssociationAgg(x, y, 2).toAggregateExpression() })
+      reg("contingency")({ case Seq(x, y) =>
+        graft.functions.AssociationAgg(x, y, 3).toAggregateExpression() })
+      reg("arrayAUC")({ case Seq(s, l) =>
+        graft.functions.ArrayAucExpr(s, l) })
       // exponentialMovingAverage(halflife)(value, time) → (v, t, h)
       reg("exponentialMovingAverage")({ case Seq(v, t, h) =>
         val hl = h match {

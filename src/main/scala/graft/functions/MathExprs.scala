@@ -217,3 +217,60 @@ object BetaKernels {
     if (df <= 0 || t.isNaN) Double.NaN
     else betai(df / 2.0, 0.5, df / (df + t * t))
 }
+
+/** `arrayAUC(scores, labels)` — ROC AUC over a row-local series: the
+  * rank-sum (Mann–Whitney) formulation with mid-ranks on tied scores,
+  * labels truthy = positive. NULL on empty or one-class input. */
+case class ArrayAucExpr(left: Expression, right: Expression)
+    extends Expression with CodegenFallback {
+  import org.apache.spark.sql.catalyst.util.ArrayData
+  override def children: Seq[Expression] = Seq(left, right)
+  override def nullable: Boolean = true
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "arrayAUC"
+  private def d(a: ArrayData, et: DataType, i: Int): Double = et match {
+    case DoubleType => a.getDouble(i)
+    case FloatType => a.getFloat(i).toDouble
+    case LongType => a.getLong(i).toDouble
+    case IntegerType => a.getInt(i).toDouble
+    case BooleanType => if (a.getBoolean(i)) 1.0 else 0.0
+    case dt: DecimalType => a.getDecimal(i, dt.precision, dt.scale).toDouble
+    case other => throw new IllegalArgumentException(
+      s"arrayAUC takes numeric arrays, got $other")
+  }
+  override def eval(input: InternalRow): Any = {
+    val s = left.eval(input)
+    val l = right.eval(input)
+    if (s == null || l == null) return null
+    val sa = s.asInstanceOf[ArrayData]
+    val la = l.asInstanceOf[ArrayData]
+    val set = left.dataType.asInstanceOf[ArrayType].elementType
+    val let = right.dataType.asInstanceOf[ArrayType].elementType
+    val n = sa.numElements()
+    require(la.numElements() == n,
+      s"arrayAUC arrays must align: $n vs ${la.numElements()}")
+    if (n == 0) return null
+    val pairs = Array.tabulate(n)(i => (d(sa, set, i), d(la, let, i) != 0.0))
+      .sortBy(_._1)
+    var rankSumPos = 0.0
+    var nPos = 0L
+    var i = 0
+    while (i < n) {
+      var j = i
+      while (j < n && pairs(j)._1 == pairs(i)._1) j += 1
+      val midRank = (i + 1 + j).toDouble / 2.0
+      var k = i
+      while (k < j) {
+        if (pairs(k)._2) { rankSumPos += midRank; nPos += 1 }
+        k += 1
+      }
+      i = j
+    }
+    val nNeg = n - nPos
+    if (nPos == 0 || nNeg == 0) return null
+    (rankSumPos - nPos.toDouble * (nPos + 1) / 2.0) / (nPos.toDouble * nNeg)
+  }
+  override protected def withNewChildrenInternal(
+      cs: IndexedSeq[Expression]): ArrayAucExpr =
+    copy(left = cs(0), right = cs(1))
+}

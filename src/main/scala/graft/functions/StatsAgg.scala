@@ -696,3 +696,238 @@ case class MannWhitneyAgg(
       l: Expression, r: Expression): MannWhitneyAgg =
     copy(left = l, right = r)
 }
+
+/** `kolmogorovSmirnovTest(value, index)` — the two-sample KS test:
+  * D = sup |F0 − F1| over the merged sample, asymptotic p-value via
+  * the Kolmogorov distribution Q(λ) = 2 Σ (−1)^{k−1} e^{−2k²λ²}.
+  * Collects both samples (the ECDF needs the full multisets), the
+  * quantileExact-family contract. Returns (d_statistic, p_value). */
+case class KsTestAgg(
+    left: Expression,
+    right: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[(ArrayBuffer[Double], ArrayBuffer[Double])]
+    with BinaryLike[Expression] {
+
+  override def createAggregationBuffer(): (ArrayBuffer[Double], ArrayBuffer[Double]) =
+    (ArrayBuffer.empty, ArrayBuffer.empty)
+
+  override def update(buf: (ArrayBuffer[Double], ArrayBuffer[Double]),
+      input: InternalRow): (ArrayBuffer[Double], ArrayBuffer[Double]) = {
+    val v = left.eval(input)
+    val ix = right.eval(input)
+    if (v != null && ix != null) {
+      val g = StatsAgg.numD(ix).toInt
+      require(g == 0 || g == 1,
+        s"kolmogorovSmirnovTest sample index must be 0 or 1, got $g")
+      (if (g == 0) buf._1 else buf._2) += StatsAgg.numD(v)
+    }
+    buf
+  }
+  override def merge(buf: (ArrayBuffer[Double], ArrayBuffer[Double]),
+      other: (ArrayBuffer[Double], ArrayBuffer[Double]))
+      : (ArrayBuffer[Double], ArrayBuffer[Double]) = {
+    buf._1 ++= other._1
+    buf._2 ++= other._2
+    buf
+  }
+
+  override def eval(buf: (ArrayBuffer[Double], ArrayBuffer[Double])): Any = {
+    val a = buf._1.sorted
+    val b = buf._2.sorted
+    val n0 = a.length
+    val n1 = b.length
+    if (n0 == 0 || n1 == 0) return null
+    var i = 0
+    var j = 0
+    var d = 0.0
+    while (i < n0 && j < n1) {
+      val x = math.min(a(i), b(j))
+      while (i < n0 && a(i) <= x) i += 1
+      while (j < n1 && b(j) <= x) j += 1
+      d = math.max(d, math.abs(i.toDouble / n0 - j.toDouble / n1))
+    }
+    val ne = n0.toDouble * n1 / (n0.toDouble + n1)
+    val lambda = (math.sqrt(ne) + 0.12 + 0.11 / math.sqrt(ne)) * d
+    // Q(0) = 1 by definition; the alternating series does not damp at
+    // λ ≈ 0 (every term is ±2), so the degenerate case short-circuits
+    val p =
+      if (lambda < 1e-8) 1.0
+      else {
+        var acc = 0.0
+        var k = 1
+        var term = Double.MaxValue
+        while (k <= 100 && math.abs(term) > 1e-16) {
+          term = 2.0 * (if (k % 2 == 1) 1.0 else -1.0) *
+            math.exp(-2.0 * k * k * lambda * lambda)
+          acc += term
+          k += 1
+        }
+        acc
+      }
+    InternalRow(d, math.max(0.0, math.min(1.0, p)))
+  }
+
+  override def serialize(buf: (ArrayBuffer[Double], ArrayBuffer[Double])): Array[Byte] = {
+    val bb = ByteBuffer.allocate(8 + (buf._1.length + buf._2.length) * 8)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(buf._1.length).putInt(buf._2.length)
+    buf._1.foreach(bb.putDouble)
+    buf._2.foreach(bb.putDouble)
+    bb.array()
+  }
+  override def deserialize(b: Array[Byte]): (ArrayBuffer[Double], ArrayBuffer[Double]) = {
+    val bb = ByteBuffer.wrap(b).order(ByteOrder.LITTLE_ENDIAN)
+    val c0 = bb.getInt()
+    val c1 = bb.getInt()
+    (ArrayBuffer.fill(c0)(bb.getDouble()), ArrayBuffer.fill(c1)(bb.getDouble()))
+  }
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("d_statistic", DoubleType, nullable = false),
+    StructField("p_value", DoubleType, nullable = false)))
+  override def nullable: Boolean = true
+  override def prettyName: String = "kolmogorovSmirnovTest"
+  override def withNewMutableAggBufferOffset(n: Int): KsTestAgg =
+    copy(mutableAggBufferOffset = n)
+  override def withNewInputAggBufferOffset(n: Int): KsTestAgg =
+    copy(inputAggBufferOffset = n)
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): KsTestAgg =
+    copy(left = l, right = r)
+}
+
+/** Categorical-association family over one contingency-table state:
+  * `cramersV`, `cramersVBiasCorrected` (Bergsma 2013), `theilsU`
+  * (U(x|y) — how much knowing y reduces x's entropy, asymmetric like
+  * CH's), `contingency` (Pearson's contingency coefficient). The
+  * state maps canonicalized (x, y) value pairs to counts — mergeable,
+  * bounded by the categorical cardinality product. `kind`:
+  * 0 = cramersV, 1 = biasCorrected, 2 = theilsU, 3 = contingency. */
+case class AssociationAgg(
+    left: Expression,
+    right: Expression,
+    kind: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[scala.collection.mutable.HashMap[(String, String), Long]]
+    with BinaryLike[Expression] {
+  type Tab = scala.collection.mutable.HashMap[(String, String), Long]
+
+  override def createAggregationBuffer(): Tab =
+    scala.collection.mutable.HashMap.empty
+
+  private def s(v: Any): String = v match {
+    case u: org.apache.spark.unsafe.types.UTF8String => u.toString
+    case other => String.valueOf(other)
+  }
+
+  override def update(buf: Tab, input: InternalRow): Tab = {
+    val x = left.eval(input)
+    val y = right.eval(input)
+    if (x != null && y != null) {
+      val k = (s(x), s(y))
+      buf.update(k, buf.getOrElse(k, 0L) + 1L)
+    }
+    buf
+  }
+  override def merge(buf: Tab, other: Tab): Tab = {
+    other.foreach { case (k, c) => buf.update(k, buf.getOrElse(k, 0L) + c) }
+    buf
+  }
+
+  override def eval(buf: Tab): Any = {
+    if (buf.isEmpty) return null
+    val n = buf.values.sum.toDouble
+    val rows = buf.groupMapReduce(_._1._1)(_._2)(_ + _)
+    val cols = buf.groupMapReduce(_._1._2)(_._2)(_ + _)
+    val r = rows.size
+    val c = cols.size
+    kind match {
+      case 2 =>
+        // Theil's U(x|y): (H(x) − H(x|y)) / H(x)
+        def h(counts: Iterable[Long], tot: Double): Double =
+          counts.foldLeft(0.0) { (acc, cnt) =>
+            if (cnt == 0) acc
+            else { val p = cnt / tot; acc - p * math.log(p) }
+          }
+        val hx = h(rows.values, n)
+        if (hx == 0.0) return 1.0
+        // H(x|y) = Σ_y p(y) H(x | Y=y)
+        val hxy = cols.keys.foldLeft(0.0) { (acc, y) =>
+          val ny = cols(y).toDouble
+          val inner = rows.keys.foldLeft(0.0) { (a2, x) =>
+            val nxy = buf.getOrElse((x, y), 0L)
+            if (nxy == 0) a2
+            else { val p = nxy / ny; a2 - p * math.log(p) }
+          }
+          acc + (ny / n) * inner
+        }
+        (hx - hxy) / hx
+      case _ =>
+        var chi2 = 0.0
+        rows.foreach { case (x, nx) =>
+          cols.foreach { case (y, ny) =>
+            val expect = nx.toDouble * ny / n
+            val got = buf.getOrElse((x, y), 0L).toDouble
+            if (expect > 0) chi2 += (got - expect) * (got - expect) / expect
+          }
+        }
+        kind match {
+          case 0 =>
+            val denom = n * math.max(1, math.min(r, c) - 1)
+            math.sqrt(chi2 / denom)
+          case 1 =>
+            // Bergsma's bias correction
+            val phi2 = chi2 / n
+            val phi2c = math.max(0.0,
+              phi2 - (r - 1.0) * (c - 1.0) / (n - 1.0))
+            val rc = r - (r - 1.0) * (r - 1.0) / (n - 1.0)
+            val cc = c - (c - 1.0) * (c - 1.0) / (n - 1.0)
+            val denom = math.max(1e-300, math.min(rc, cc) - 1.0)
+            math.sqrt(phi2c / denom)
+          case _ =>
+            math.sqrt(chi2 / (n + chi2))
+        }
+    }
+  }
+
+  override def serialize(buf: Tab): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val out = new java.io.DataOutputStream(bos)
+    out.writeInt(buf.size)
+    buf.foreach { case ((x, y), cnt) =>
+      out.writeUTF(x); out.writeUTF(y); out.writeLong(cnt)
+    }
+    bos.toByteArray
+  }
+  override def deserialize(b: Array[Byte]): Tab = {
+    val in = new java.io.DataInputStream(new java.io.ByteArrayInputStream(b))
+    val m: Tab = scala.collection.mutable.HashMap.empty
+    val sz = in.readInt()
+    var i = 0
+    while (i < sz) {
+      val x = in.readUTF(); val y = in.readUTF(); val cnt = in.readLong()
+      m.update((x, y), cnt)
+      i += 1
+    }
+    m
+  }
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = kind match {
+    case 0 => "cramersV"
+    case 1 => "cramersVBiasCorrected"
+    case 2 => "theilsU"
+    case _ => "contingency"
+  }
+  override def withNewMutableAggBufferOffset(n: Int): AssociationAgg =
+    copy(mutableAggBufferOffset = n)
+  override def withNewInputAggBufferOffset(n: Int): AssociationAgg =
+    copy(inputAggBufferOffset = n)
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): AssociationAgg =
+    copy(left = l, right = r)
+}

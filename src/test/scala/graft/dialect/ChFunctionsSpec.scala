@@ -1208,6 +1208,48 @@ class ChFunctionsSpec extends AnyFunSuite {
     assert(one("SELECT toIPv4('1.2.3.4')") == 16909060L)
   }
 
+  test("KS test, categorical association, arrayAUC, arrayFill (r19b)") {
+    // identical samples → D = 0, p = 1; disjoint → D = 1, p tiny
+    val same = spark.sql("""SELECT kolmogorovSmirnovTest(v, ix) FROM VALUES
+      (1.0, 0), (2.0, 0), (3.0, 0), (1.0, 1), (2.0, 1), (3.0, 1) AS t(v, ix)""")
+      .collect().head.getStruct(0)
+    assert(same.getDouble(0) == 0.0 && math.abs(same.getDouble(1) - 1.0) < 1e-9)
+    val far = spark.sql("""SELECT kolmogorovSmirnovTest(v, ix) FROM VALUES
+      (1.0, 0), (2.0, 0), (3.0, 0), (4.0, 0), (5.0, 0), (6.0, 0),
+      (11.0, 1), (12.0, 1), (13.0, 1), (14.0, 1), (15.0, 1), (16.0, 1) AS t(v, ix)""")
+      .collect().head.getStruct(0)
+    assert(far.getDouble(0) == 1.0 && far.getDouble(1) < 0.05,
+      s"disjoint: D=${far.getDouble(0)} p=${far.getDouble(1)}")
+    // perfect association → V = 1; independence → V ≈ 0
+    val vq = """VALUES ('a', 'x'), ('a', 'x'), ('b', 'y'), ('b', 'y') AS t(u, w)"""
+    assert(math.abs(one(s"SELECT cramersV(u, w) FROM $vq")
+      .asInstanceOf[Double] - 1.0) < 1e-9)
+    val indep = """VALUES ('a','x'),('a','y'),('b','x'),('b','y') AS t(u, w)"""
+    assert(one(s"SELECT cramersV(u, w) FROM $indep").asInstanceOf[Double] < 1e-9)
+    assert(math.abs(one(s"SELECT theilsU(u, w) FROM $vq")
+      .asInstanceOf[Double] - 1.0) < 1e-9, "perfect prediction → U = 1")
+    assert(one(s"SELECT theilsU(u, w) FROM $indep").asInstanceOf[Double] < 1e-9)
+    val cont = one(s"SELECT contingency(u, w) FROM $vq").asInstanceOf[Double]
+    assert(cont > 0.5 && cont < 1.0, s"contingency $cont")
+    assert(one(s"SELECT cramersVBiasCorrected(u, w) FROM $indep")
+      .asInstanceOf[Double] < 1e-9)
+    // AUC: perfect ranking → 1; anti-ranking → 0; random-ish → 0.5
+    assert(one("""SELECT arrayAUC(CAST(array(0.1, 0.4, 0.35, 0.8) AS ARRAY<DOUBLE>),
+      array(0, 0, 1, 1))""") == 0.75)
+    assert(one("""SELECT arrayAUC(CAST(array(0.9, 0.8, 0.1) AS ARRAY<DOUBLE>),
+      array(1, 1, 0))""") == 1.0)
+    assert(one("SELECT arrayAUC(CAST(array(0.5) AS ARRAY<DOUBLE>), array(1))") == null,
+      "one-class input answers NULL")
+    // fills
+    assert(one("SELECT arrayFill(x -> x > 0, array(1, 0, 0, 5, 0))")
+      .asInstanceOf[scala.collection.Seq[Int]].toSeq == Seq(1, 1, 1, 5, 5))
+    assert(one("SELECT arrayFill(x -> x > 0, array(0, 2))")
+      .asInstanceOf[scala.collection.Seq[Int]].toSeq == Seq(0, 2),
+      "the first element stays even when f is false")
+    assert(one("SELECT arrayReverseFill(x -> x > 0, array(0, 0, 3, 0))")
+      .asInstanceOf[scala.collection.Seq[Int]].toSeq == Seq(3, 3, 3, 0))
+  }
+
   test("array/map tail: rotate/shift/jaccard/normalize, mapAdd family (r19b)") {
     assert(one("SELECT arrayRotateRight(array(1, 2, 3, 4), 1)")
       .asInstanceOf[scala.collection.Seq[Int]].toSeq == Seq(4, 1, 2, 3))
