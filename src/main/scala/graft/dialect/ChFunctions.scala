@@ -1831,6 +1831,44 @@ object ChFunctions {
         graft.functions.AssociationAgg(x, y, 3).toAggregateExpression() })
       reg("arrayAUC")({ case Seq(s, l) =>
         graft.functions.ArrayAucExpr(s, l) })
+      reg("seriesOutliersDetectTukey")(es =>
+        graft.functions.TukeyOutliersExpr(es))
+      // A/B sample-size calculators (two-sided alpha, one-sided power)
+      // — closed normal-approximation formulas on AS241 quantiles;
+      // literal parameters (they shape a constant)
+      def litD(e: Expression, nme: String): Double = e match {
+        case Literal(v: java.lang.Number, _) => v.doubleValue()
+        case Literal(d: Decimal, _) => d.toDouble
+        case other => throw new IllegalArgumentException(
+          s"minSampleSize needs a literal $nme, got $other")
+      }
+      reg("minSampleSizeContinuous")({ case Seq(bl, sg, mde, p, a) =>
+        val sigma = litD(sg, "sigma"); val m = litD(mde, "mde")
+        val power = litD(p, "power"); val alpha = litD(a, "alpha")
+        val baseline = litD(bl, "baseline")
+        val za = graft.functions.NormInv(1.0 - alpha / 2.0)
+        val zb = graft.functions.NormInv(power)
+        val delta = m * baseline
+        val n = math.ceil(
+          2.0 * (za + zb) * (za + zb) * sigma * sigma / (delta * delta))
+        CreateNamedStruct(Seq(
+          Literal("minimum_sample_size"), Literal(n),
+          Literal("detect_range_lower"), Literal(baseline - delta),
+          Literal("detect_range_upper"), Literal(baseline + delta)))
+      })
+      reg("minSampleSizeConversion")({ case Seq(bl, mde, p, a) =>
+        val baseline = litD(bl, "baseline"); val m = litD(mde, "mde")
+        val power = litD(p, "power"); val alpha = litD(a, "alpha")
+        val za = graft.functions.NormInv(1.0 - alpha / 2.0)
+        val zb = graft.functions.NormInv(power)
+        val variance = baseline * (1.0 - baseline)
+        val n = math.ceil(
+          2.0 * (za + zb) * (za + zb) * variance / (m * m))
+        CreateNamedStruct(Seq(
+          Literal("minimum_sample_size"), Literal(n),
+          Literal("detect_range_lower"), Literal(baseline - m),
+          Literal("detect_range_upper"), Literal(baseline + m)))
+      })
       // exponentialMovingAverage(halflife)(value, time) → (v, t, h)
       reg("exponentialMovingAverage")({ case Seq(v, t, h) =>
         val hl = h match {

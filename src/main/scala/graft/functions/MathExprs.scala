@@ -274,3 +274,107 @@ case class ArrayAucExpr(left: Expression, right: Expression)
       cs: IndexedSeq[Expression]): ArrayAucExpr =
     copy(left = cs(0), right = cs(1))
 }
+
+/** Wichura's AS241 (PPND16) inverse normal CDF — the standard public
+  * rational approximation, ~1e-16 relative. Powers the A/B sample-size
+  * calculators. */
+object NormInv {
+  def apply(p: Double): Double = {
+    require(p > 0 && p < 1, s"normInv domain: p=$p")
+    val q = p - 0.5
+    if (math.abs(q) <= 0.425) {
+      val r = 0.180625 - q * q
+      q * (((((((2.5090809287301226727e3 * r + 3.3430575583588128105e4) * r +
+        6.7265770927008700853e4) * r + 4.5921953931549871457e4) * r +
+        1.3731693765509461125e4) * r + 1.9715909503065514427e3) * r +
+        1.3314166789178437745e2) * r + 3.3871328727963666080e0) /
+        (((((((5.2264952788528545610e3 * r + 2.8729085735721942674e4) * r +
+          3.9307895800092710610e4) * r + 2.1213794301586595867e4) * r +
+          5.3941960214247511077e3) * r + 6.8718700749205790830e2) * r +
+          4.2313330701600911252e1) * r + 1.0)
+    } else {
+      var r = if (q < 0) p else 1.0 - p
+      r = math.sqrt(-math.log(r))
+      val v =
+        if (r <= 5.0) {
+          val s = r - 1.6
+          (((((((7.74545014278341407640e-4 * s + 2.27238449892691845833e-2) * s +
+            2.41780725177450611770e-1) * s + 1.27045825245236838258e0) * s +
+            3.64784832476320460504e0) * s + 5.76949722146069140550e0) * s +
+            4.63033784615654529590e0) * s + 1.42343711074968357734e0) /
+            (((((((1.05075007164441684324e-9 * s + 5.47593808499534494600e-4) * s +
+              1.51986665636164571966e-2) * s + 1.48103976427480074590e-1) * s +
+              6.89767334985100004550e-1) * s + 1.67638483018380384940e0) * s +
+              2.05319162663775882187e0) * s + 1.0)
+        } else {
+          val s = r - 5.0
+          (((((((2.01033439929228813265e-7 * s + 2.71155556874348757815e-5) * s +
+            1.24266094738807843860e-3) * s + 2.65321895265761230930e-2) * s +
+            2.96560571828504891230e-1) * s + 1.78482653991729133580e0) * s +
+            5.46378491116411436990e0) * s + 6.65790464350110377720e0) /
+            (((((((2.04426310338993978564e-15 * s + 1.42151175831644588870e-7) * s +
+              1.84631831751005468180e-5) * s + 7.86869131145613259100e-4) * s +
+              1.48753612908506148525e-2) * s + 1.36929880922735805310e-1) * s +
+              5.99832206555887937690e-1) * s + 1.0)
+        }
+      if (q < 0) -v else v
+    }
+  }
+}
+
+/** `seriesOutliersDetectTukey(series[, q1, q3, k])` — per-position
+  * outlier scores: 0 inside the [Q1 − k·IQR, Q3 + k·IQR] fence,
+  * else the distance past the fence (CH's shape). Quartiles are the
+  * linear-interpolation kind; default percentiles 25/75 with k = 1.5. */
+case class TukeyOutliersExpr(children: Seq[Expression])
+    extends Expression with CodegenFallback {
+  import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+  require(children.length == 1 || children.length == 4,
+    "seriesOutliersDetectTukey takes (series) or (series, q1, q3, k)")
+  override def nullable: Boolean = true
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "seriesOutliersDetectTukey"
+  override def eval(input: InternalRow): Any = {
+    val v = children.head.eval(input)
+    if (v == null) return null
+    val arr = v.asInstanceOf[ArrayData]
+    val et = children.head.dataType.asInstanceOf[ArrayType].elementType
+    val n = arr.numElements()
+    if (n < 4) return new GenericArrayData(Array.fill[Any](n)(0.0))
+    val xs = Array.tabulate(n) { i =>
+      et match {
+        case DoubleType => arr.getDouble(i)
+        case FloatType => arr.getFloat(i).toDouble
+        case LongType => arr.getLong(i).toDouble
+        case IntegerType => arr.getInt(i).toDouble
+        case dt: DecimalType => arr.getDecimal(i, dt.precision, dt.scale).toDouble
+        case other => throw new IllegalArgumentException(
+          s"seriesOutliersDetectTukey takes numeric series, got $other")
+      }
+    }
+    val (p1, p3, k) =
+      if (children.length == 1) (25.0, 75.0, 1.5)
+      else {
+        def d(e: Expression): Double =
+          StatsAgg.numD(e.eval(input))
+        (d(children(1)), d(children(2)), d(children(3)))
+      }
+    val sorted = xs.sorted
+    def percentile(p: Double): Double = {
+      val pos = p / 100.0 * (n - 1)
+      val lo = pos.toInt
+      val hi = math.min(lo + 1, n - 1)
+      sorted(lo) + (pos - lo) * (sorted(hi) - sorted(lo))
+    }
+    val q1 = percentile(p1)
+    val q3 = percentile(p3)
+    val iqr = q3 - q1
+    val loF = q1 - k * iqr
+    val hiF = q3 + k * iqr
+    new GenericArrayData(xs.map { x =>
+      (if (x < loF) loF - x else if (x > hiF) x - hiF else 0.0): Any
+    })
+  }
+  override protected def withNewChildrenInternal(
+      cs: IndexedSeq[Expression]): TukeyOutliersExpr = copy(children = cs)
+}

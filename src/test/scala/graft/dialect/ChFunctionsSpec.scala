@@ -1208,6 +1208,37 @@ class ChFunctionsSpec extends AnyFunSuite {
     assert(one("SELECT toIPv4('1.2.3.4')") == 16909060L)
   }
 
+  test("Tukey outliers and A/B sample-size calculators (r19b)") {
+    val scores = one(
+      "SELECT seriesOutliersDetectTukey(CAST(array(1, 2, 3, 2, 100, 3, 2) AS ARRAY<DOUBLE>))")
+      .asInstanceOf[scala.collection.Seq[Double]]
+    assert(scores.count(_ > 0) == 1 && scores(4) > 0,
+      s"only the spike scores: $scores")
+    assert(scores.take(4).forall(_ == 0.0))
+    // AS241 golden values: z(0.975) = 1.959964..., z(0.8) = 0.841621...
+    import graft.functions.NormInv
+    assert(math.abs(NormInv(0.975) - 1.959963984540054) < 1e-12)
+    assert(math.abs(NormInv(0.8) - 0.8416212335729143) < 1e-12)
+    assert(math.abs(NormInv(0.5)) < 1e-15)
+    // 1.0 − 1e-10 loses bits in double and dz/dp ≈ 4e10 out there —
+    // the ~1e-8 asymmetry is representation, not the approximation
+    assert(math.abs(NormInv(1e-10) + NormInv(1.0 - 1e-10)) < 1e-6, "symmetry far out")
+    // textbook: sigma 112, detect 15% of baseline 200 (delta 30),
+    // power .8, alpha .05 → n = ceil(2(1.96+0.8416)^2 * 112^2/30^2) = 219...
+    val ct = spark.sql(
+      "SELECT minSampleSizeContinuous(200, 112, 0.15, 0.8, 0.05)")
+      .collect().head.getStruct(0)
+    val zsum = NormInv(0.975) + NormInv(0.8)
+    val want = math.ceil(2 * zsum * zsum * 112.0 * 112.0 / (30.0 * 30.0))
+    assert(ct.getDouble(0) == want, s"n = ${ct.getDouble(0)}, want $want")
+    assert(ct.getDouble(1) == 170.0 && ct.getDouble(2) == 230.0)
+    val cv = spark.sql(
+      "SELECT minSampleSizeConversion(0.25, 0.03, 0.8, 0.05)")
+      .collect().head.getStruct(0)
+    val wantC = math.ceil(2 * zsum * zsum * 0.25 * 0.75 / (0.03 * 0.03))
+    assert(cv.getDouble(0) == wantC, s"n = ${cv.getDouble(0)}, want $wantC")
+  }
+
   test("KS test, categorical association, arrayAUC, arrayFill (r19b)") {
     // identical samples → D = 0, p = 1; disjoint → D = 1, p tiny
     val same = spark.sql("""SELECT kolmogorovSmirnovTest(v, ix) FROM VALUES
