@@ -1833,6 +1833,52 @@ object ChFunctions {
         graft.functions.ArrayAucExpr(s, l) })
       reg("seriesOutliersDetectTukey")(es =>
         graft.functions.TukeyOutliersExpr(es))
+      reg("deltaSumTimestamp")({ case Seq(v, t) =>
+        graft.functions.DeltaSumTimestampAgg(v, t).toAggregateExpression() })
+      // singleValueOrNull: the value when the group holds exactly one
+      // distinct value, NULL otherwise (scalar-subquery semantics)
+      reg("singleValueOrNull")({ case Seq(x) =>
+        If(EqualTo(
+          Count(Seq(x)).toAggregateExpression(isDistinct = true),
+          Literal(1L)),
+          Max(x).toAggregateExpression(), Literal(null, NullType))
+      })
+      // groupArraySample(n)(x) — engine-defined sample like CH's
+      // (Shuffle is per-task seeded, never deterministic by contract)
+      reg("groupArraySample")({ case Seq(x, n) =>
+        Slice(new Shuffle(CollectList(x).toAggregateExpression()),
+          Literal(1), Cast(n, IntegerType))
+      })
+      // groupArrayIntersect: intersection of the array column across
+      // rows — fold over the collected arrays; the typed empty zero is
+      // Flatten of an empty slice and the first element seeds via a
+      // branch INSIDE the HOF (never element_at on an empty collect)
+      reg("groupArrayIntersect")({ case Seq(arr) =>
+        val c = CollectList(arr).toAggregateExpression()
+        val acc = lv("accGAI"); val a = lv("aGAI"); val fin = lv("fGAI")
+        ArrayAggregate(
+          Slice(c, Literal(2), Greatest(Seq(
+            Subtract(Size(c), Literal(1)), Literal(0)))),
+          If(EqualTo(Size(c), Literal(0)),
+            Flatten(Slice(c, Literal(1), Literal(0))),
+            ElementAt(c, Literal(1))),
+          LambdaFunction(ArrayIntersect(acc, a), Seq(acc, a)),
+          LambdaFunction(fin, Seq(fin)))
+      })
+      // countMap(keys): occurrences per key — sumMap over unit values
+      reg("countMap")({ case Seq(keys) =>
+        val k = lv("kCM")
+        org.apache.spark.sql.catalyst.analysis.UnresolvedFunction(
+          "sumMap", Seq(keys,
+            ArrayTransform(keys, LambdaFunction(Literal(1L), Seq(k)))),
+          isDistinct = false)
+      })
+      reg("hostname")(_ => Literal(ChFunctions.cachedHostName))
+      reg("firstLine")({ case Seq(s) =>
+        ElementAt(StringSplit(s, Literal("\n"), Literal(2)), Literal(1)) })
+      // the doors' CH-convention ports
+      reg("tcpPort")(_ => Literal(9000))
+      reg("httpPort")(_ => Literal(8123))
       // A/B sample-size calculators (two-sided alpha, one-sided power)
       // — closed normal-approximation formulas on AS241 quantiles;
       // literal parameters (they shape a constant)

@@ -1125,7 +1125,7 @@ object ChSql {
   }
 
   private val ParametricAgg =
-    """(?i)\b(quantileExactWeighted|quantileExactState|quantileExactMerge|quantilesExact|quantileExact|quantilesTiming|quantilesTDigest|quantileTDigest|quantileDeterministic|quantileTiming|quantileGK|quantiles|quantile|topKWeighted|topK|uniqUpTo|uniqCombined64|uniqCombined|groupArraySorted|groupArrayLast|histogram|largestTriangleThreeBuckets|lttb|exponentialMovingAverage|groupConcat|[A-Za-z][A-Za-z0-9]*Resample|windowFunnel|sequenceMatch|sequenceCount)\s*\(""".r
+    """(?i)\b(quantileExactWeighted|quantileExactState|quantileExactMerge|quantilesExact|quantileExact|quantilesTiming|quantilesTDigest|quantileTDigest|quantileDeterministic|quantileTiming|quantileGK|quantiles|quantile|topKWeighted|topK|uniqUpTo|uniqCombined64|uniqCombined|groupArraySorted|groupArraySample|groupArrayLast|histogram|largestTriangleThreeBuckets|lttb|exponentialMovingAverage|groupConcat|[A-Za-z][A-Za-z0-9]*Resample|windowFunnel|sequenceMatch|sequenceCount)\s*\(""".r
 
   /** CH parametric-aggregate syntax `f(params)(args)` →
     * `f(args, params)` — the calling convention the registered builders

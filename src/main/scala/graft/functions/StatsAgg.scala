@@ -931,3 +931,71 @@ case class AssociationAgg(
       l: Expression, r: Expression): AssociationAgg =
     copy(left = l, right = r)
 }
+
+/** `deltaSumTimestamp(value, timestamp)` — the sum of positive deltas
+  * taken in TIMESTAMP order; the state collects the series (exact
+  * regardless of arrival/merge order, where CH's boundary-state merge
+  * is approximate — a documented refinement). Series-scale groups by
+  * contract. */
+case class DeltaSumTimestampAgg(
+    left: Expression,
+    right: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[ArrayBuffer[(Double, Double)]]
+    with BinaryLike[Expression] {
+
+  override def createAggregationBuffer(): ArrayBuffer[(Double, Double)] =
+    ArrayBuffer.empty
+
+  override def update(buf: ArrayBuffer[(Double, Double)], input: InternalRow)
+      : ArrayBuffer[(Double, Double)] = {
+    val v = left.eval(input)
+    val t = right.eval(input)
+    if (v != null && t != null)
+      buf += ((StatsAgg.numD(t), StatsAgg.numD(v)))
+    buf
+  }
+  override def merge(buf: ArrayBuffer[(Double, Double)],
+      other: ArrayBuffer[(Double, Double)]): ArrayBuffer[(Double, Double)] = {
+    buf ++= other
+    buf
+  }
+  override def eval(buf: ArrayBuffer[(Double, Double)]): Any = {
+    if (buf.isEmpty) return null
+    val sorted = buf.sortBy(_._1)
+    var acc = 0.0
+    var i = 1
+    while (i < sorted.length) {
+      val d = sorted(i)._2 - sorted(i - 1)._2
+      if (d > 0) acc += d
+      i += 1
+    }
+    acc
+  }
+  override def serialize(buf: ArrayBuffer[(Double, Double)]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(4 + buf.length * 16)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(buf.length)
+    buf.foreach { case (t, v) => bb.putDouble(t).putDouble(v) }
+    bb.array()
+  }
+  override def deserialize(b: Array[Byte]): ArrayBuffer[(Double, Double)] = {
+    val bb = ByteBuffer.wrap(b).order(ByteOrder.LITTLE_ENDIAN)
+    val n = bb.getInt()
+    val out = new ArrayBuffer[(Double, Double)](n)
+    var i = 0
+    while (i < n) { out += ((bb.getDouble(), bb.getDouble())); i += 1 }
+    out
+  }
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "deltaSumTimestamp"
+  override def withNewMutableAggBufferOffset(n: Int): DeltaSumTimestampAgg =
+    copy(mutableAggBufferOffset = n)
+  override def withNewInputAggBufferOffset(n: Int): DeltaSumTimestampAgg =
+    copy(inputAggBufferOffset = n)
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): DeltaSumTimestampAgg =
+    copy(left = l, right = r)
+}

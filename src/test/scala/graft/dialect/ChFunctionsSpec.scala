@@ -1208,6 +1208,29 @@ class ChFunctionsSpec extends AnyFunSuite {
     assert(one("SELECT toIPv4('1.2.3.4')") == 16909060L)
   }
 
+  test("deltaSumTimestamp, singleValueOrNull, group array tail, countMap (r19b)") {
+    def q(sql: String): Any = ChSql.sql(spark, sql).collect().head.get(0)
+    // rows arrive out of order; deltas follow TIMESTAMP order:
+    // series by t = 1,5,3,2 → ordered values 1,2,5,3 → +1 +3 = 4
+    assert(one("""SELECT deltaSumTimestamp(v, t) FROM VALUES
+      (1.0, 10), (5.0, 40), (3.0, 30), (2.0, 20) AS s(v, t)""") == 4.0)
+    assert(one("""SELECT singleValueOrNull(v) FROM VALUES (7), (7) AS t(v)""") == 7)
+    assert(one("""SELECT singleValueOrNull(v) FROM VALUES (7), (8) AS t(v)""") == null)
+    val sample = q("""SELECT groupArraySample(2)(v) FROM VALUES
+      (1), (2), (3), (4), (5) AS t(v)""")
+      .asInstanceOf[scala.collection.Seq[Int]]
+    assert(sample.length == 2 && sample.forall((1 to 5).contains(_)))
+    assert(one("""SELECT sort_array(groupArrayIntersect(a)) FROM VALUES
+      (array(1, 2, 3)), (array(2, 3, 4)), (array(3, 2)) AS t(a)""")
+      .asInstanceOf[scala.collection.Seq[Int]].toSeq == Seq(2, 3))
+    val cm = one("""SELECT countMap(k) FROM VALUES
+      (array('a', 'b')), (array('a')) AS t(k)""")
+    assert(cm.toString.contains("a") && cm.toString.contains("2"))
+    assert(one("SELECT firstLine('one\ntwo')") == "one")
+    assert(one("SELECT hostname()") == one("SELECT hostName()"))
+    assert(one("SELECT tcpPort()") == 9000 && one("SELECT httpPort()") == 8123)
+  }
+
   test("Tukey outliers and A/B sample-size calculators (r19b)") {
     val scores = one(
       "SELECT seriesOutliersDetectTukey(CAST(array(1, 2, 3, 2, 100, 3, 2) AS ARRAY<DOUBLE>))")
