@@ -1865,14 +1865,9 @@ object ChFunctions {
           LambdaFunction(ArrayIntersect(acc, a), Seq(acc, a)),
           LambdaFunction(fin, Seq(fin)))
       })
-      // countMap(keys): occurrences per key — sumMap over unit values
-      reg("countMap")({ case Seq(keys) =>
-        val k = lv("kCM")
-        org.apache.spark.sql.catalyst.analysis.UnresolvedFunction(
-          "sumMap", Seq(keys,
-            ArrayTransform(keys, LambdaFunction(Literal(1L), Seq(k)))),
-          isDistinct = false)
-      })
+      // (countMap is NOT here: the combinator grammar already serves
+      // count+Map over (keys, values) — a static single-arg spelling
+      // would shadow it, the bug class the shadow-guard exists for)
       reg("hostname")(_ => Literal(ChFunctions.cachedHostName))
       reg("firstLine")({ case Seq(s) =>
         ElementAt(StringSplit(s, Literal("\n"), Literal(2)), Literal(1)) })
