@@ -70,6 +70,14 @@ object BitmapDistinct {
     * q3 bench shape. */
   val engagements = new java.util.concurrent.atomic.AtomicLong(0L)
 
+  /** Probe-only kill switch for the dictionary id-seen lane
+    * (JVM-local: `-Dgraft.bitmapDistinct.dictLane=false`, or flipped
+    * directly by the A/B probes — local mode shares the JVM) —
+    * same-build A/B timing; both lanes are bit-identical. */
+  @volatile private[graft] var dictLaneEnabled =
+    !"false".equalsIgnoreCase(
+      System.getProperty("graft.bitmapDistinct.dictLane", "true"))
+
   def serialize(bm: Roaring64Bitmap): Array[Byte] = {
     val bos = new java.io.ByteArrayOutputStream()
     bm.serialize(new java.io.DataOutputStream(bos))
@@ -124,6 +132,27 @@ object BitmapDistinct {
       case _ => null
     }
 
+  /** Per-column dictionary "already folded" marker (r19 optimization
+    * round): a DISTINCT fold only needs each dictionary entry ONCE per
+    * column chunk — the hot loop degrades to id-seen bookkeeping (one
+    * int read + one boolean) and the value decode + set insertion runs
+    * once per distinct entry instead of once per row. Keys on the
+    * [[org.apache.spark.sql.execution.vectorized.Dictionary]] instance
+    * (one per column chunk); a decode-probe failure marks the column
+    * `broken`, reverting it to the per-row lanes. */
+  private final class DictSeen {
+    var dict: org.apache.spark.sql.execution.vectorized.Dictionary = null
+    var seen = new Array[Boolean](1024)
+    var broken = false
+    def reset(d: org.apache.spark.sql.execution.vectorized.Dictionary): Unit = {
+      dict = d
+      java.util.Arrays.fill(seen, false)
+    }
+    def ensure(maxId: Int): Unit =
+      if (maxId >= seen.length)
+        seen = java.util.Arrays.copyOf(seen, Integer.highestOneBit(maxId) * 2)
+  }
+
   /** One blob row per partition: every non-null value of each tracked
     * column folded into that column's set state. `colIdxs(j)` is the
     * j-th tracked column's index in the scan output; `isLong(j)` picks
@@ -137,11 +166,108 @@ object BitmapDistinct {
     val n = colIdxs.length
     val bms = new Array[Roaring64Bitmap](n)
     val words = new Array[Array[Long]](n)
+    val dictSeen = Array.fill(n)(new DictSeen)
     var j0 = 0
     while (j0 < n) {
       if (dense(j0) == null) bms(j0) = new Roaring64Bitmap()
       else words(j0) = new Array[Long](dense(j0).words)
       j0 += 1
+    }
+
+    /** Dictionary-coded fold for column j over this batch; returns
+      * false (with no state touched) when the batch cannot ride the
+      * dictionary — the caller then runs the per-row lanes. */
+    def dictFold(j: Int, vec: org.apache.spark.sql.vectorized.ColumnVector,
+        rows: Int): Boolean = {
+      val ds = dictSeen(j)
+      if (!BitmapDistinct.dictLaneEnabled || ds.broken) return false
+      val w = vec match {
+        case w: org.apache.spark.sql.execution.vectorized.WritableColumnVector
+            if w.hasDictionary && w.getDictionaryIds != null => w
+        case _ => return false
+      }
+      val d = org.apache.spark.sql.execution.vectorized.GraftVectorShim.dictionaryOf(w)
+      if (d == null) return false
+      if (ds.dict ne d) ds.reset(d)
+      val ids = w.getDictionaryIds
+      val hasNull = vec.hasNull
+      val long = isLong(j)
+      // max-id pre-scan sizes the seen array once — a branch-free
+      // primitive sweep over the raw ids array when exposed (ids
+      // vectors carry neither nulls nor dictionaries; null rows' slots
+      // hold stale non-negative ids that only round the size up)
+      val rawIds = rawInts(ids)
+      var maxId = 0
+      var i = 0
+      if (rawIds != null) {
+        while (i < rows) { val id = rawIds(i); if (id > maxId) maxId = id; i += 1 }
+      } else {
+        while (i < rows) { val id = ids.getDictId(i); if (id > maxId) maxId = id; i += 1 }
+      }
+      var probe = -1
+      i = 0
+      while (probe < 0 && i < rows) {
+        if (!hasNull || !vec.isNullAt(i)) probe = ids.getDictId(i)
+        i += 1
+      }
+      if (probe < 0) return true // all-null batch: nothing to fold
+      ds.ensure(maxId)
+      // decode probe before any set-state write
+      try { if (long) d.decodeToLong(probe) else d.decodeToInt(probe) }
+      catch { case _: Throwable => ds.broken = true; return false }
+      val seen = ds.seen
+      val dc = dense(j)
+      i = 0
+      if (dc != null) {
+        val wd = words(j)
+        val base = dc.base
+        val span = dc.words.toLong << 6
+        if (rawIds != null && !hasNull) {
+          while (i < rows) {
+            val id = rawIds(i)
+            if (!seen(id)) {
+              seen(id) = true
+              val v = (if (long) d.decodeToLong(id) else d.decodeToInt(id).toLong) - base
+              if (v < 0 || v >= span) DriverMerge.overflow()
+              wd((v >>> 6).toInt) |= 1L << v
+            }
+            i += 1
+          }
+        } else while (i < rows) {
+          if (!hasNull || !vec.isNullAt(i)) {
+            val id = ids.getDictId(i)
+            if (!seen(id)) {
+              seen(id) = true
+              val v = (if (long) d.decodeToLong(id) else d.decodeToInt(id).toLong) - base
+              if (v < 0 || v >= span) DriverMerge.overflow()
+              wd((v >>> 6).toInt) |= 1L << v
+            }
+          }
+          i += 1
+        }
+      } else {
+        val bm = bms(j)
+        if (rawIds != null && !hasNull) {
+          while (i < rows) {
+            val id = rawIds(i)
+            if (!seen(id)) {
+              seen(id) = true
+              bm.addLong(if (long) d.decodeToLong(id) else d.decodeToInt(id).toLong)
+            }
+            i += 1
+          }
+        } else while (i < rows) {
+          if (!hasNull || !vec.isNullAt(i)) {
+            val id = ids.getDictId(i)
+            if (!seen(id)) {
+              seen(id) = true
+              bm.addLong(if (long) d.decodeToLong(id) else d.decodeToInt(id).toLong)
+            }
+          }
+          i += 1
+        }
+      }
+      true
     }
     while (batches.hasNext) {
       val batch = batches.next()
@@ -151,7 +277,9 @@ object BitmapDistinct {
         val vec = batch.column(colIdxs(j))
         val d = dense(j)
         var i = 0
-        if (d != null) {
+        if (dictFold(j, vec, rows)) {
+          // dictionary lane handled the whole batch for this column
+        } else if (d != null) {
           val w = words(j)
           val base = d.base
           val span = d.words.toLong << 6

@@ -9,6 +9,7 @@ import org.apache.spark.sql.catalyst.expressions.aggregate.{
   AggregateExpression, Complete, Sum}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan}
 import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.vectorized.{Dictionary, GraftVectorShim, WritableColumnVector}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.vectorized.{ColumnarBatch, ColumnVector}
 
@@ -173,7 +174,7 @@ object HashScan {
     case _ => false
   }
 
-  private[plans] def typeTag(dt: DataType): Int = dt match {
+  private[graft] def typeTag(dt: DataType): Int = dt match {
     case LongType | TimestampType | TimestampNTZType => TLong
     case IntegerType | DateType => TInt
     case ShortType => TShort
@@ -188,6 +189,163 @@ object HashScan {
 
   final case class HashSpec(vecIdxs: Array[Int], tags: Array[Int], m: Long)
     extends Serializable
+
+  /** Per-column memo of dictionary-entry hashes (r19 optimization
+    * round): parquet dictionary pages mean each distinct value is
+    * decoded — and under this kernel, CityHash64'd — once per COLUMN
+    * CHUNK instead of once per row. The memo keys on the
+    * [[Dictionary]] instance (one per column chunk); `broken` records
+    * a decode-probe failure (unsupported physical type), which
+    * permanently reverts that column to the per-row lane. */
+  private[plans] final class DictMemo {
+    var dict: Dictionary = null
+    var hashes = new Array[Long](1024)
+    var known = new Array[Boolean](1024)
+    var broken = false
+    def reset(d: Dictionary): Unit = {
+      dict = d
+      java.util.Arrays.fill(known, false)
+    }
+    def ensure(maxId: Int): Unit = {
+      if (maxId >= hashes.length) {
+        val c = Integer.highestOneBit(maxId) * 2
+        hashes = java.util.Arrays.copyOf(hashes, c)
+        known = java.util.Arrays.copyOf(known, c)
+      }
+    }
+  }
+
+  /** The hash the typed per-row lane would produce for dictionary
+    * entry `id` — MUST stay bit-identical to the `lane` branch of the
+    * same tag (the getters used there decode through the same
+    * dictionary). */
+  private def dictEntryHash(d: Dictionary, id: Int, tag: Int): Long = tag match {
+    case TLong => CityHash.hashLong(d.decodeToLong(id))
+    case TInt => CityHash.hashInt(d.decodeToInt(id))
+    case TShort => CityHash.hashShort(d.decodeToInt(id).toShort)
+    case TByte => CityHash.hashByte(d.decodeToInt(id).toByte)
+    case TDouble => CityHash.hashDouble(d.decodeToDouble(id))
+    case TFloat => CityHash.hashFloat(d.decodeToFloat(id))
+    case TString | TBinary => CityHash.hash64(d.decodeToBinary(id))
+    case _ => throw new UnsupportedOperationException(s"tag $tag")
+  }
+
+  /** Dictionary-coded lane: fold memoized entry hashes by dict id.
+    * Returns false when the column cannot ride the dictionary this
+    * batch (no dictionary, boolean, or a failed decode probe) — the
+    * caller then runs the per-row lane, with `hs` untouched. */
+  /** Probe-only kill switch for the dictionary memo lane (JVM-local:
+    * `-Dgraft.hashScan.dictLane=false`, or flipped directly by the
+    * A/B probes — local mode shares the JVM). Not a session conf: the
+    * lane is not a semantic choice, both lanes are bit-identical. */
+  @volatile private[graft] var dictLaneEnabled =
+    !"false".equalsIgnoreCase(System.getProperty("graft.hashScan.dictLane", "true"))
+
+  private def dictLane(v: ColumnVector, tag: Int, n: Int,
+      hs: Array[Long], first: Boolean, memo: DictMemo): Boolean = {
+    if (!dictLaneEnabled || memo == null || memo.broken || tag == TBool) return false
+    val w = v match {
+      case w: WritableColumnVector
+          if w.hasDictionary && w.getDictionaryIds != null => w
+      case _ => return false
+    }
+    val d = GraftVectorShim.dictionaryOf(w)
+    if (d == null) return false
+    if (memo.dict ne d) memo.reset(d)
+    val ids = w.getDictionaryIds
+    val hasNull = v.hasNull
+    // pre-size the memo to the batch's max id. The raw ids array (ids
+    // vectors carry neither nulls nor dictionaries) makes the max scan
+    // a branch-free primitive sweep; null rows' slots hold stale
+    // non-negative ids from earlier batches — they only round the memo
+    // size up, never get decoded. Probe one real decode BEFORE any hs
+    // write so an unsupported physical type falls back with the fold
+    // state intact.
+    val rawIds = BitmapDistinct.rawInts(ids)
+    var maxId = 0
+    var i = 0
+    if (rawIds != null) {
+      while (i < n) { val id = rawIds(i); if (id > maxId) maxId = id; i += 1 }
+    } else {
+      while (i < n) { val id = ids.getDictId(i); if (id > maxId) maxId = id; i += 1 }
+    }
+    var probe = -1
+    i = 0
+    while (probe < 0 && i < n) {
+      if (!hasNull || !v.isNullAt(i)) probe = ids.getDictId(i)
+      i += 1
+    }
+    if (probe < 0) {
+      // all-null batch: the per-row lane handles it without decode
+      return false
+    }
+    memo.ensure(maxId)
+    if (!memo.known(probe)) {
+      try {
+        memo.hashes(probe) = dictEntryHash(d, probe, tag)
+        memo.known(probe) = true
+      } catch {
+        case _: Throwable => memo.broken = true; return false
+      }
+    }
+    val hashes = memo.hashes
+    val known = memo.known
+    i = 0
+    if (rawIds != null) {
+      if (first) {
+        while (i < n) {
+          hs(i) = if (hasNull && v.isNullAt(i)) CityHash.NullHash
+            else {
+              val id = rawIds(i)
+              if (!known(id)) {
+                hashes(id) = dictEntryHash(d, id, tag); known(id) = true
+              }
+              hashes(id)
+            }
+          i += 1
+        }
+      } else {
+        while (i < n) {
+          hs(i) = CityHash.combine(hs(i),
+            if (hasNull && v.isNullAt(i)) CityHash.NullHash
+            else {
+              val id = rawIds(i)
+              if (!known(id)) {
+                hashes(id) = dictEntryHash(d, id, tag); known(id) = true
+              }
+              hashes(id)
+            })
+          i += 1
+        }
+      }
+    } else if (first) {
+      while (i < n) {
+        hs(i) = if (hasNull && v.isNullAt(i)) CityHash.NullHash
+          else {
+            val id = ids.getDictId(i)
+            if (!known(id)) {
+              hashes(id) = dictEntryHash(d, id, tag); known(id) = true
+            }
+            hashes(id)
+          }
+        i += 1
+      }
+    } else {
+      while (i < n) {
+        hs(i) = CityHash.combine(hs(i),
+          if (hasNull && v.isNullAt(i)) CityHash.NullHash
+          else {
+            val id = ids.getDictId(i)
+            if (!known(id)) {
+              hashes(id) = dictEntryHash(d, id, tag); known(id) = true
+            }
+            hashes(id)
+          })
+        i += 1
+      }
+    }
+    true
+  }
 
   /** One lane pass: fold column `tag`'s hash into `hs[0..n)`.
     * `first` seeds instead of combining (CH's left-fold). The null
@@ -297,6 +455,10 @@ object HashScan {
     val sums = new Array[Long](specs.length)
     var rowsSeen = 0L
     var hs = new Array[Long](0)
+    // per-scan-column dictionary-hash memos, shared across batches
+    val nCols =
+      (specs.iterator.flatMap(_.vecIdxs.iterator) ++ Iterator.single(-1)).max + 1
+    val memos = Array.fill(nCols)(new DictMemo)
     // when every aggregate hashes the same columns in the same order
     // (the `sum(pmod(cityHash64(*), m))` shape), hash once, fold many
     val shared = specs.length == 1 || specs.forall(s =>
@@ -309,7 +471,7 @@ object HashScan {
           rowsSeen += n
           if (hs.length < n) hs = new Array[Long](n)
           if (shared) {
-            foldHashes(b, specs(0), n, hs)
+            foldHashes(b, specs(0), n, hs, memos)
             var j = 0
             while (j < specs.length) {
               sums(j) = accumulate(sums(j), hs, n, specs(j).m); j += 1
@@ -317,7 +479,7 @@ object HashScan {
           } else {
             var j = 0
             while (j < specs.length) {
-              foldHashes(b, specs(j), n, hs)
+              foldHashes(b, specs(j), n, hs, memos)
               sums(j) = accumulate(sums(j), hs, n, specs(j).m); j += 1
             }
           }
@@ -330,10 +492,15 @@ object HashScan {
   }
 
   private def foldHashes(b: ColumnarBatch, spec: HashSpec, n: Int,
-      hs: Array[Long]): Unit = {
+      hs: Array[Long], memos: Array[DictMemo]): Unit = {
     var c = 0
     while (c < spec.vecIdxs.length) {
-      lane(b.column(spec.vecIdxs(c)), spec.tags(c), n, hs, first = c == 0)
+      val idx = spec.vecIdxs(c)
+      val v = b.column(idx)
+      val tag = spec.tags(c)
+      val first = c == 0
+      if (!dictLane(v, tag, n, hs, first, memos(idx)))
+        lane(v, tag, n, hs, first)
       c += 1
     }
   }

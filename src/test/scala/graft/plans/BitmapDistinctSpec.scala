@@ -139,4 +139,30 @@ class BitmapDistinctSpec extends AnyFunSuite {
     assert(fast == withDisabled(rows(graft.dialect.ChSql.sql(spark,
       "SELECT uniqExact(l) AS u FROM bmd_t"))))
   }
+
+  test("dictionary-coded distinct agrees with native (dense and roaring, nulls)") {
+    // low-cardinality columns ride the r19 id-seen dictionary lane:
+    // `i` spans < 2^24 (dense bitset), `l` spans the full Long range
+    // (Roaring) — both must match the native plan, nulls ignored
+    val dir = java.nio.file.Files.createTempDirectory("graft_bmd_d").toString
+    import scala.jdk.CollectionConverters._
+    val rows0 = (0 until 50000).map { i =>
+      org.apache.spark.sql.Row(
+        if (i % 19 == 0) null
+        else java.lang.Long.valueOf((i % 101).toLong * 92233720368547L - 4611686018427387904L),
+        if (i % 23 == 0) null else java.lang.Integer.valueOf(i % 347))
+    }.asJava
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("l", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("i", org.apache.spark.sql.types.IntegerType)))
+    spark.createDataFrame(rows0, schema).repartition(3)
+      .write.mode("overwrite").parquet(s"$dir/t.parquet")
+    def q() = spark.read.parquet(s"$dir/t.parquet")
+      .agg(countDistinct(col("l")).as("ul"), countDistinct(col("i")).as("ui"))
+    val before = BitmapDistinct.engagements.get()
+    val fast = rows(q())
+    assert(BitmapDistinct.engagements.get() > before,
+      "bitmapDistinct did not engage")
+    assert(fast == withDisabled(rows(q())))
+  }
 }

@@ -175,4 +175,62 @@ class HashScanSpec extends AnyFunSuite {
       case e: org.apache.spark.sql.execution.exchange.Exchange => e
     }.isEmpty, s"unexpected exchange in:\n$plan")
   }
+
+  test("dictionary-coded columns agree with the expression path (memo lane)") {
+    // low-cardinality columns across every memo-able lane type: the
+    // parquet writer dictionary-encodes all of them, so this pins the
+    // r19 dictionary-hash memo against the codegen'd expression path
+    val dir = java.nio.file.Files.createTempDirectory("graft_hs_d").toString
+    import scala.jdk.CollectionConverters._
+    val rows0 = (0 until 20000).map { i =>
+      org.apache.spark.sql.Row(
+        if (i % 7 == 0) null else java.lang.Long.valueOf((i % 13).toLong * 1234567L),
+        if (i % 11 == 0) null else java.lang.Integer.valueOf(i % 29),
+        java.lang.Short.valueOf((i % 17).toShort),
+        java.lang.Byte.valueOf((i % 5).toByte),
+        if (i % 13 == 0) null else java.lang.Double.valueOf((i % 31) * 0.37),
+        java.lang.Float.valueOf((i % 23) * 1.5f),
+        if (i % 5 == 0) null else s"cat-${i % 19}",
+        Array.tabulate(i % 3)(b => (b * 7).toByte),
+        java.sql.Date.valueOf("2024-01-01").toLocalDate.plusDays(i % 41),
+        java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(1700000000L + i % 37)))
+    }.asJava
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("l", LongType), StructField("i", IntegerType),
+      StructField("sh", ShortType), StructField("b", ByteType),
+      StructField("d", DoubleType), StructField("f", FloatType),
+      StructField("s", StringType), StructField("bin", BinaryType),
+      StructField("dt", DateType), StructField("ts", TimestampType)))
+    spark.createDataFrame(rows0, schema).repartition(2)
+      .write.mode("overwrite").parquet(s"$dir/t.parquet")
+    def q() = hashScan(spark.read.parquet(s"$dir/t.parquet"), m = 777777773L)
+    val before = HashScan.engagements.get()
+    val fast = rows(q())
+    assert(HashScan.engagements.get() > before, "hashScan did not engage")
+    assert(fast == withDisabled(rows(q())))
+  }
+
+  test("mid-file dictionary fallback (high-cardinality strings) stays bit-exact") {
+    // enough distinct long strings to overflow the writer's dictionary
+    // page: later pages fall back to PLAIN, so the reader serves some
+    // batches dictionary-coded and some not — both lanes must agree
+    val dir = java.nio.file.Files.createTempDirectory("graft_hs_m").toString
+    import scala.jdk.CollectionConverters._
+    val rows0 = (0 until 60000).map { i =>
+      org.apache.spark.sql.Row(
+        java.lang.Long.valueOf((i % 11).toLong),
+        if (i % 9 == 0) null else s"payload-$i-${"y" * 40}")
+    }.asJava
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("k", LongType), StructField("s", StringType)))
+    spark.createDataFrame(rows0, schema).coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/t.parquet")
+    def q() = hashScan(spark.read.parquet(s"$dir/t.parquet"))
+    val before = HashScan.engagements.get()
+    val fast = rows(q())
+    assert(HashScan.engagements.get() > before, "hashScan did not engage")
+    assert(fast == withDisabled(rows(q())))
+  }
 }
