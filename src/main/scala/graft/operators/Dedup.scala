@@ -176,9 +176,18 @@ object Dedup {
       idCol: String,
       signatureCol: String,
       bands: Int): DataFrame = {
+    // plan-time signature length (from the state's metadata stamp)
+    // selects the numeric band hash — no long→string conversion
+    val numHashes = {
+      val m = df.schema(signatureCol).metadata
+      if (m.contains(MetaNumHashes)) m.getLong(MetaNumHashes).toInt else -1
+    }
+    val bh =
+      if (numHashes > 0) bandHashes(col(signatureCol), bands, numHashes)
+      else bandHashes(col(signatureCol), bands)
     val banded = df.select(
       col(idCol).as("_id"),
-      posexplode(bandHashes(col(signatureCol), bands)).as(Seq("_band", "_bandhash")))
+      posexplode(bh).as(Seq("_band", "_bandhash")))
     val a = banded.as("a")
     // shuffle-hash, never broadcast: the banded frame is corpus-sized
     // (docs × bands rows) — a broadcast build would collect the whole
@@ -193,12 +202,36 @@ object Dedup {
       .distinct()
   }
 
-  /** Hash each of `bands` equal slices of the signature array. */
+  /** Hash each of `bands` equal slices of the signature array.
+    * Dynamic form: signature length read per row — pays a
+    * long→string conversion per element (`concat_ws`) inside an
+    * interpreted lambda. Used only when the plan-time length is
+    * unknown; [[bandHashes(sig:org\.apache\.spark\.sql\.Column,bands:Int,numHashes:Int)*]]
+    * is the hot-path spelling. */
   def bandHashes(sig: Column, bands: Int): Column =
     transform(
       sequence(lit(0), lit(bands - 1)),
       bnd => xxhash64(concat_ws(",",
         slice(sig, bnd * (size(sig) / bands) + 1, size(sig) / bands)), bnd))
+
+  /** Numeric band hashes when the signature length is known at plan
+    * time (r19 optimization round): `xxhash64` folds the band's long
+    * elements DIRECTLY — zero string building, whole-stage codegen.
+    * Bucket semantics are unchanged: equal slices collide under any
+    * deterministic hash, and the band index still salts the value, so
+    * the candidate set differs from the dynamic form only through
+    * 64-bit collisions on UNEQUAL slices — which the exact-Jaccard
+    * verify stage filters either way. OpsProbe measured the dynamic
+    * form at 8-13 s summed task time per banded side at sf0.1; this
+    * form is noise. */
+  def bandHashes(sig: Column, bands: Int, numHashes: Int): Column = {
+    val len = numHashes / bands
+    require(len > 0, s"numHashes=$numHashes must be >= bands=$bands")
+    array((0 until bands).map { b =>
+      val elems = (0 until len).map(i => sig.getItem(b * len + i))
+      xxhash64((elems :+ lit(b.toLong)): _*)
+    }: _*)
+  }
 
   /** Full MinHash-LSH near-dup pipeline: shingle → sign → band → candidate
     * pairs → exact-Jaccard verify (computed only for candidates).
@@ -223,8 +256,18 @@ object Dedup {
       numHashes: Int = 128,
       bands: Int = 32,
       threshold: Double = 0.7): DataFrame = {
-    val state = OpCache.persist(
-      minHashState(docs, idCol, textCol, shingleSize, numHashes, bands))
+    // One hash exchange on _id is the state's materialization point
+    // (r19 optimization round): all four consumers (two banded sides,
+    // two verify sides) read the SAME shuffle output — AQE dedupes the
+    // identical exchange subtrees, so the scan+kernel runs exactly once
+    // per action. The r7-r18 `persist` protected the same recompute,
+    // but its four InMemoryTableScan occurrences materialized as four
+    // SERIALIZED cache stages racing the same blocks (~0.8 s of wall at
+    // sf0.1, OpsProbe) — and it shuffled the fat `_sh` sets twice (sa +
+    // sb sides), where this layout moves them ONCE and the verify
+    // sides' exchanges vanish (already distributed by _id).
+    val state = minHashState(docs, idCol, textCol, shingleSize, numHashes, bands)
+      .repartition(col("_id"))
     val cand = lshCandidates(state, "_id", "_sig", bands)
     // the verify side carries the per-doc hashed shingle SETS — fat
     // arrays that must shuffle on the id key, never build a broadcast
@@ -364,7 +407,8 @@ object Dedup {
       minHashState(newDocs, idCol, textCol, shingleSize, numHashes, bands))
     def banded(df: DataFrame) = df.select(
       col("_id"),
-      posexplode(bandHashes(col("_sig"), bands)).as(Seq("_band", "_bandhash")))
+      posexplode(bandHashes(col("_sig"), bands, numHashes))
+        .as(Seq("_band", "_bandhash")))
     val cand = banded(newState).as("n")
       .join(banded(refState).as("r").hint("shuffle_hash"),
         col("n._band") === col("r._band") &&

@@ -43,11 +43,11 @@ object Retrieval {
   def tfidf(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val hits = df.select(col(idCol).as("_id"),
       explode(tokens(col(textCol))).as("term"))
-    // persist the (doc, term) aggregate: document frequencies derive
-    // from this state below — without the persist the un-reused
-    // lineage re-scans and re-explodes the corpus a second time
-    val tf = OpCache.persist(
-      hits.groupBy("_id", "term").agg(count(lit(1)).as("tf")))
+    // the (doc, term) aggregate's own exchange is the materialization
+    // point: document frequencies derive from the same shuffle output
+    // via exchange reuse — the corpus is scanned and exploded once per
+    // action, no cache stages (r19 optimization round)
+    val tf = hits.groupBy("_id", "term").agg(count(lit(1)).as("tf"))
     // df per term from the (doc, term) aggregate: each row is one
     // distinct (doc, term), so a plain count IS the document frequency
     val docFreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
@@ -99,11 +99,17 @@ object Retrieval {
       return bm25ManyTerms(df, idCol, textCol, terms, k1, b)
     val tfCols = terms.zipWithIndex.map { case (t, i) =>
       sum(when(col("_tok") === lit(t), 1d).otherwise(0d)).as(s"_tf$i") }
-    val perDoc = OpCache.persist(
+    // the groupBy's own exchange is the materialization point: the two
+    // consumers (stats aggregate, score projection) share the shuffle
+    // via exchange reuse, so the corpus tokenizes exactly once per
+    // action and only the doc-count-sized final aggregation runs per
+    // consumer. (r19 optimization round: the former persist pinned the
+    // same property but paid serialized cache-materialization stages.)
+    val perDoc =
       df.where(col(textCol).isNotNull)
         .select(col(idCol).as("_id"), explode_outer(tokens(col(textCol))).as("_tok"))
         .groupBy("_id")
-        .agg(count(col("_tok")).cast("double").as("_dl"), tfCols: _*))
+        .agg(count(col("_tok")).cast("double").as("_dl"), tfCols: _*)
     val dfCols = terms.indices.map(i =>
       sum(when(col(s"_tf$i") > 0, 1d).otherwise(0d)).as(s"_df$i"))
     val stats = perDoc.agg(
@@ -150,11 +156,12 @@ object Retrieval {
     val stats = corpus.agg(
       count(lit(1)).cast("double").as("_n"),
       avg(size(tokens(col(textCol)))).cast("double").as("_avgdl"))
-    val hits = OpCache.persist(
+    // exchange reuse materializes the hit aggregate once (see bm25)
+    val hits =
       corpus
         .select(col(idCol).as("_id"), explode(tokens(col(textCol))).as("_tok"))
         .where(col("_tok").isin(terms: _*))
-        .groupBy("_id", "_tok").agg(count(lit(1)).cast("double").as("_tf")))
+        .groupBy("_id", "_tok").agg(count(lit(1)).cast("double").as("_tf"))
     val dfPerTerm = hits.groupBy("_tok")
       .agg(count(lit(1)).cast("double").as("_df"))
     val dl = corpus.select(col(idCol).as("_id"),

@@ -48,8 +48,12 @@ object SemDedup {
           lit(0).as("_cluster"))
       else Ivf.assign(emb, idCol, vecCol,
         Ivf.trainCentroids(emb, idCol, vecCol, k, dim, iters))
-    // one corpus scan: the self-join reads the persisted assignment
-    val st = OpCache.persist(assigned)
+    // One hash exchange on _cluster materializes the assignment (r19
+    // optimization round): both self-join sides need exactly that
+    // distribution, so exchange reuse serves them from one shuffle —
+    // the corpus is scanned and assigned once per action, with no cache
+    // stages and no second shuffle of the vectors.
+    val st = assigned.repartition(col("_cluster"))
     // shuffle-hash both sides: cluster-sized partitions, never broadcast
     st.as("a")
       .join(st.as("b").hint("shuffle_hash"),

@@ -149,9 +149,15 @@ object Similarity {
       planes: Int = 12,
       dim: Int = 64,
       minCosine: Double = 0.9): DataFrame = {
-    val sig = OpCache.persist(emb.select(
+    // One hash exchange on _id materializes the signed corpus (r19
+    // optimization round): the probe side and the bucket side share the
+    // shuffle via exchange reuse, so the corpus is scanned and the
+    // planes×dim dot products run once per action — the former persist
+    // pinned the same property but paid serialized cache stages.
+    val sig = emb.select(
         col(idCol).as("_id"), col(vecCol).as("_vec"),
-        lshSignature(col(vecCol), planes, dim).as("_sig")))
+        lshSignature(col(vecCol), planes, dim).as("_sig"))
+      .repartition(col("_id"))
     // probe buckets: own signature + one-bit flips
     val probes = sig.select(
       col("_id"), col("_vec"), col("_sig"),

@@ -243,25 +243,38 @@ class PlanSpec extends AnyFunSuite {
       s"corpus-sized join side would broadcast:\n$plan")
   }
 
-  test("MinHash pipeline scans documents once (state persisted, joins hit the cache)") {
+  test("MinHash pipeline: one _id exchange materializes the state; corpus scans bounded") {
+    // r19 optimization round: the state's materialization point is a
+    // hash repartition on _id that every consumer subtree shares —
+    // exchange reuse dedupes the identical subtrees, so the scan+kernel
+    // runs at most TWICE per action (the full-width and (_id,_sh)
+    // column-pruned exchange variants), never once per consumer. The
+    // r7-r18 persist ran the kernel once but materialized four
+    // serialized cache stages and shuffled the fat _sh sets twice;
+    // this layout moves them once (Q5Probe A/B, OPTIMIZATION_r19.md).
     val docs = Tables.load(spark, dir, "documents")
     val df = Dedup.minHashDupPairs(docs, "doc_id", "text")
-    // cache substitution happens in withCachedData → optimizedPlan: every
-    // read of the (_id,_sig,_sh) state must resolve to InMemoryRelation,
-    // leaving ZERO direct file scans of documents in the outer plan — the
-    // single real scan lives inside the cached relation
     val optimized = df.queryExecution.optimizedPlan
-    val fileScans = optimized.collect {
-      case r: org.apache.spark.sql.execution.datasources.LogicalRelation
-          if r.simpleString(100).contains("documents") => r
+    val reparts = optimized.collect {
+      case r: org.apache.spark.sql.catalyst.plans.logical.RepartitionByExpression => r
     }
-    val cached = optimized.collect {
-      case m: org.apache.spark.sql.execution.columnar.InMemoryRelation => m
+    assert(reparts.nonEmpty, s"state _id repartition missing:\n$optimized")
+    // empirical scan bound: parquet input rows across the whole action
+    // stay <= 2x the corpus (shuffle reads are not input records)
+    val docRows = docs.count()
+    val read = new java.util.concurrent.atomic.AtomicLong()
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (e.taskMetrics != null)
+          read.addAndGet(e.taskMetrics.inputMetrics.recordsRead)
     }
-    assert(fileScans.isEmpty,
-      s"documents scanned outside the cached state ${fileScans.size}x:\n$optimized")
-    assert(cached.size == 4, // candidate self-join (2 sides) + 2 verify sides read cache
-      s"expected all state reads cached:\n$optimized")
+    spark.sparkContext.addSparkListener(l)
+    try {
+      df.write.format("noop").mode("overwrite").save()
+      Thread.sleep(500) // listener bus drain
+    } finally spark.sparkContext.removeSparkListener(l)
+    assert(read.get() <= 2 * docRows,
+      s"corpus scanned more than twice: ${read.get()} input rows for $docRows docs")
   }
 
   test("MinHash signature build is a pure scan: zero shuffles, one kernel eval per row") {
@@ -370,11 +383,25 @@ class PlanSpec extends AnyFunSuite {
     val exchangeAt = aboveGen.lastIndexOf("Exchange")
     assert(partialAt >= 0 && partialAt > exchangeAt,
       s"per-doc tf aggregate must partial-combine below the exchange:\n$plan")
-    // the per-doc frame is the ONLY persisted state, read by both the
-    // stats aggregate and the score projection — the corpus is
-    // tokenized exactly once
-    assert(plan.contains("InMemoryTableScan"),
-      s"per-doc tf state must be persisted and reused:\n$plan")
+    // the per-doc frame materializes through its own exchange, shared
+    // by the stats aggregate and the score projection via exchange
+    // reuse (r19: the former persist pinned the same property but paid
+    // serialized cache stages) — empirically, the corpus is tokenized
+    // exactly once per action: parquet input rows stay <= one corpus
+    val docRows = docs.count()
+    val read = new java.util.concurrent.atomic.AtomicLong()
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (e.taskMetrics != null)
+          read.addAndGet(e.taskMetrics.inputMetrics.recordsRead)
+    }
+    spark.sparkContext.addSparkListener(l)
+    try {
+      df.write.format("noop").mode("overwrite").save()
+      Thread.sleep(500) // listener bus drain
+    } finally spark.sparkContext.removeSparkListener(l)
+    assert(read.get() <= docRows,
+      s"corpus tokenized more than once: ${read.get()} input rows for $docRows docs")
     // corpus stats + per-term document frequencies reach the score
     // projection as a single broadcast row
     assert(plan.contains("BroadcastNestedLoopJoin BuildRight, Cross") ||
@@ -472,20 +499,31 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
-  test("LSH ANN scans embeddings once (signature state persisted)") {
+  test("LSH ANN scans embeddings once (signatures materialize through one exchange)") {
+    // r19: the signed corpus materializes through a hash exchange on
+    // _id that both self-join sides share via exchange reuse — the
+    // corpus is scanned and signed once per action, no cache stages
     val emb = Tables.load(spark, dir, "embeddings")
-    val optimized = Similarity.lshNeighbors(emb, "vec_id", "embedding")
-      .queryExecution.optimizedPlan
-    val fileScans = optimized.collect {
-      case r: org.apache.spark.sql.execution.datasources.LogicalRelation
-          if r.simpleString(100).contains("embeddings") => r
+    val df = Similarity.lshNeighbors(emb, "vec_id", "embedding")
+    val optimized = df.queryExecution.optimizedPlan
+    val reparts = optimized.collect {
+      case r: org.apache.spark.sql.catalyst.plans.logical.RepartitionByExpression => r
     }
-    val cached = optimized.collect {
-      case m: org.apache.spark.sql.execution.columnar.InMemoryRelation => m
+    assert(reparts.nonEmpty, s"signature _id repartition missing:\n$optimized")
+    val embRows = emb.count()
+    val read = new java.util.concurrent.atomic.AtomicLong()
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (e.taskMetrics != null)
+          read.addAndGet(e.taskMetrics.inputMetrics.recordsRead)
     }
-    assert(fileScans.isEmpty,
-      s"embeddings scanned outside the cached signatures:\n$optimized")
-    assert(cached.size == 2, s"both self-join sides must hit the cache:\n$optimized")
+    spark.sparkContext.addSparkListener(l)
+    try {
+      df.write.format("noop").mode("overwrite").save()
+      Thread.sleep(500) // listener bus drain
+    } finally spark.sparkContext.removeSparkListener(l)
+    assert(read.get() <= embRows,
+      s"corpus signed more than once: ${read.get()} input rows for $embRows vectors")
   }
 
   test("metadata-only multimodal stats never read the payload column") {

@@ -17,8 +17,12 @@ class OpCacheSpec extends AnyFunSuite {
       (1L, "alpha beta gamma"), (2L, "alpha beta delta"), (3L, "epsilon zeta eta"))
       .toDF("doc_id", "text")
     val before = OpCache.trackedCount
-    Retrieval.tfidf(docs, "doc_id", "text").count()
-    Retrieval.bm25(docs, "doc_id", "text", Seq("alpha")).count()
+    // r19: tfidf/bm25/minHashDupPairs materialize through reused
+    // exchanges instead of internal persists; the operators that still
+    // persist corpus-derived state are the cross-corpus family
+    graft.operators.BloomDedup.antiJoinAgainst(
+      docs, docs.filter($"doc_id" === 1L), "text").count()
+    Dedup.simHashDupPairs(docs, "doc_id", "text").count()
     assert(OpCache.trackedCount >= before + 2)
     // the persisted intermediates hold real cache entries…
     assert(!spark.sharedState.cacheManager.isEmpty)
