@@ -116,7 +116,7 @@ private[plans] object ScanRelations {
           case Some(a) => a
           case None => return None
         })
-        Some(FunctionShim.ofRows(planningSession(spark, lr), wrap(relNew, attrs)))
+        Some(FunctionShim.ofRows(spark, wrap(relNew, attrs)))
       case MergeTreeRel(endpoint, ddl, orderBy) =>
         val df = graft.sources.mergetree.MergeTree.read(spark, endpoint, ddl, orderBy)
         val rel = df.queryExecution.analyzed
@@ -126,45 +126,6 @@ private[plans] object ScanRelations {
         })
         Some(FunctionShim.ofRows(spark, wrap(rel, attrs)))
     }
-  }
-
-  /** Kill switch for the input-size-derived kernel split sizing. */
-  val AdaptiveSplitsKey = "spark.graft.kernelScan.adaptiveSplits"
-  /** Never shrink kernel splits below this (fragmenting a scan into
-    * sub-8MB tasks trades scheduling and per-task fixed cost for no
-    * parallelism gain — the r11 tiny-task finding). */
-  private val MinKernelSplitBytes = 8L << 20
-
-  /** The session a kernel scan PLANS under (guide §2: derive scan
-    * partitioning from input size, never a constant). The session's
-    * `maxPartitionBytes` is a fixed cap tuned for the big-table case;
-    * a mid-sized table (cap < bytes < cores×cap) splits into fewer
-    * tasks than cores and pins the kernel to a fraction of the machine
-    * — the bench's sf10 orders scan ran 8-10 tasks on 32 cores. In
-    * exactly that regime the scan plans under a throwaway session
-    * CLONE (runtime conf inherited, shared session untouched) whose
-    * split size is bytes/cores, floored at 8 MB. Big tables (≥ cap per
-    * core) and small tables (under one cap) keep the session's own
-    * sizing, so nothing changes at scale or for tiny scans. */
-  private def planningSession(
-      spark: SparkSession, lr: LogicalRelation): SparkSession = {
-    if (spark.conf.getOption(AdaptiveSplitsKey).exists(
-        _.trim.equalsIgnoreCase("false"))) return spark
-    val total =
-      try lr.relation.asInstanceOf[HadoopFsRelation].location.sizeInBytes
-      catch { case _: Throwable => return spark }
-    val cores = math.max(1, spark.sparkContext.defaultParallelism)
-    val sessMax = FunctionShim.filesMaxPartitionBytes(spark)
-    val target = math.max(MinKernelSplitBytes, total / cores)
-    if (total <= sessMax || target >= sessMax) return spark
-    val clone = FunctionShim.cloneSession(spark)
-    clone.conf.set("spark.sql.files.maxPartitionBytes", target.toString)
-    // per-file open cost would re-merge the narrower splits when the
-    // table is many small files; scale it with the target
-    clone.conf.set("spark.sql.files.openCostInBytes",
-      math.min(FunctionShim.filesOpenCostInBytes(spark),
-        math.max(1L << 20, target / 4)).toString)
-    clone
   }
 
   /** The columnar leaf scan of a planned scan DataFrame — None when
@@ -223,8 +184,7 @@ private[plans] object ScanRelations {
           "spark.sql.leafNodeDefaultParallelism",
           "spark.default.parallelism",
           "spark.sql.parquet.enableVectorizedReader",
-          "spark.sql.parquet.columnarReaderBatchSize",
-          AdaptiveSplitsKey)
+          "spark.sql.parquet.columnarReaderBatchSize")
           .map(k => spark.conf.getOption(k).getOrElse("")).mkString("|")
         plannedScans.synchronized {
           val m = plannedScans.get(relKey)

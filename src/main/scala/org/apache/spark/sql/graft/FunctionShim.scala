@@ -55,22 +55,6 @@ object FunctionShim {
   def sessionUUID(spark: SparkSession): String =
     spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession].sessionUUID
 
-  /** Clone the session INCLUDING runtime conf (private[sql]) — the
-    * kernel-scan planner uses a throwaway clone to plan one scan under
-    * input-size-derived file-split confs without mutating the shared
-    * session's conf under concurrent queries. */
-  def cloneSession(spark: SparkSession): SparkSession =
-    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession].cloneSession()
-
-  /** The session's effective file-split sizing (SQLConf, bytes). */
-  def filesMaxPartitionBytes(spark: SparkSession): Long =
-    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
-      .sessionState.conf.filesMaxPartitionBytes
-
-  def filesOpenCostInBytes(spark: SparkSession): Long =
-    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
-      .sessionState.conf.filesOpenCostInBytes
-
   def register(
       spark: SparkSession,
       name: String,
