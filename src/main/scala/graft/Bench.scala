@@ -676,6 +676,8 @@ object Bench {
     // off-heap pool; this section keeps that attribution pinned in
     // every round's artifact. SPARK_GRAFT_Q4AB=0 skips.
     var q4Ab = "null"
+    // in-run onheap control median, for the window-consistency tag below
+    var abOnheapMed = -1.0
     if (base100Opt.isDefined &&
         sys.env.getOrElse("SPARK_GRAFT_Q4AB", "1") != "0") {
       try {
@@ -714,6 +716,7 @@ object Bench {
             }
             once() // warmup
             val ts = (1 to 5).map(_ => once()).sorted
+            if (name == "onheap") abOnheapMed = ts(ts.size / 2)
             s"${jstr(name)}:{" +
               s""""median":${jnum(ts(ts.size / 2))},""" +
               s""""min":${jnum(ts.head)},"max":${jnum(ts.last)}}"""
@@ -731,8 +734,24 @@ object Bench {
     val es = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }
       .mkString("{", ",", "}")
     val total = times.values.sum
+    // Window-consistency tag (VERDICT r18 next #2): this box's
+    // documented degraded-IO windows show up as the judged sf10 q4
+    // diverging from the in-run onheap control (and/or the control
+    // itself blowing past 1 s). Tagging the fingerprint IN the artifact
+    // lets any consumer separate clean-window medians from poisoned
+    // runs without re-deriving the rule. ADDITIVE field only — every
+    // existing key is unchanged.
+    val window: String = {
+      val q4 = timesSf10.getOrElse("q4_hash_scan", -1.0)
+      if (abOnheapMed <= 0 || q4 <= 0) "null"
+      else {
+        val div = q4 / abOnheapMed
+        val clean = abOnheapMed < 1.0 && div < 1.5
+        s"""{"q4_vs_control":${jnum(div)},"control_onheap":${jnum(abOnheapMed)},"clean":$clean}"""
+      }
+    }
     val line =
-      s"""{"metric":"total","value":${jnum(total)},"unit":"sec","iters":$Iters,"queries":${jmap(times)},"sf10x":${jmap(times10)},"ratio_10x":${jmap(ratios)},"projection_build":${jnum(projBuild)},"q10_parquet_twin":${jnum(twinSec)},"duckdb":${jmap(duck)},"ratio_vs_duckdb":${jmap(ratioDuck)},"duckdb_sf1":${jmap(duckSf1)},"ratio_vs_duckdb_sf1":${jmap(ratioDuckSf1)},"sf10":${jmap(timesSf10)},"duckdb_sf10":${jmap(duckSf10)},"ratio_vs_duckdb_sf10":${jmap(ratioDuckSf10)},"q3_decomposition":$q3Decomp,"q2_decomposition":$q2Decomp,"q4_ab":$q4Ab,"errors":$es,"sf":${jstr(sfDir)}}"""
+      s"""{"metric":"total","value":${jnum(total)},"unit":"sec","iters":$Iters,"queries":${jmap(times)},"sf10x":${jmap(times10)},"ratio_10x":${jmap(ratios)},"projection_build":${jnum(projBuild)},"q10_parquet_twin":${jnum(twinSec)},"duckdb":${jmap(duck)},"ratio_vs_duckdb":${jmap(ratioDuck)},"duckdb_sf1":${jmap(duckSf1)},"ratio_vs_duckdb_sf1":${jmap(ratioDuckSf1)},"sf10":${jmap(timesSf10)},"duckdb_sf10":${jmap(duckSf10)},"ratio_vs_duckdb_sf10":${jmap(ratioDuckSf10)},"q3_decomposition":$q3Decomp,"q2_decomposition":$q2Decomp,"q4_ab":$q4Ab,"window":$window,"errors":$es,"sf":${jstr(sfDir)}}"""
     // machine-readable artifact independent of log scraping (the r8
     // driver harness failed to extract the metric line from the sbt
     // tail): the FULL detail line always goes to a file
@@ -764,7 +783,8 @@ object Bench {
       "sf10x" -> jmap(times10),
       "ratio_10x" -> jmap(ratios),
       "projection_build" -> jnum(projBuild),
-      "q10_parquet_twin" -> jnum(twinSec))
+      "q10_parquet_twin" -> jnum(twinSec),
+      "window" -> window)
     val compact = new StringBuilder("{").append(mandatoryHead)
     // STOP at the first piece that does not fit — inclusion must follow
     // the priority order strictly (a later smaller section appearing
