@@ -144,10 +144,40 @@ object Q5Probe {
     }
     val ff = variantF().collect().map(_.toString).sorted.toSeq
     println(s"[q5probe] F=${ff.size} A==F=${a == ff}")
+
+    // G: ONE exchange carrying an opaque struct — column pruning can't
+    // split it, so the state kernel runs exactly once per action
+    def variantG(): DataFrame = {
+      val st0 = Dedup.minHashState(docs, "doc_id", "text", 3, 128, 32)
+      val state = st0.select(struct(col("_id"), col("_sig"), col("_sh")).as("_st"))
+        .repartition(col("_st._id"))
+      val flat = state.select(
+        col("_st._id").as("_id"), col("_st._sig").as("_sig"), col("_st._sh").as("_sh"))
+      // metadata does not survive the struct round-trip: band inline
+      // with the plan-time numHashes
+      val banded = flat.select(col("_id"),
+        posexplode(Dedup.bandHashes(col("_sig"), 32, 128)).as(Seq("_band", "_bandhash")))
+      val cand = banded.as("a")
+        .join(banded.as("b").hint("shuffle_hash"),
+          col("a._band") === col("b._band") &&
+            col("a._bandhash") === col("b._bandhash") &&
+            col("a._id") < col("b._id"))
+        .select(col("a._id").as("id_a"), col("b._id").as("id_b"))
+        .distinct()
+      val side = flat.select(col("_id"), col("_sh")).hint("shuffle_hash")
+      cand
+        .join(side.as("sa"), cand("id_a") === col("sa._id"))
+        .join(side.as("sb"), cand("id_b") === col("sb._id"))
+        .select(col("id_a"), col("id_b"),
+          Dedup.jaccard(col("sa._sh"), col("sb._sh")).as("jaccard"))
+        .filter(col("jaccard") >= 0.7)
+    }
+    val gg = variantG().collect().map(_.toString).sorted.toSeq
+    println(s"[q5probe] G=${gg.size} A==G=${a == gg}")
     run("A_status_quo", variantA)
-    run("F_cache_above_exchange", variantF)
+    run("G_struct_exchange", variantG)
     run("A_again", variantA)
-    run("F_again", variantF)
+    run("G_again", variantG)
     spark.stop()
   }
 }
