@@ -11,6 +11,14 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Driver bench contract (VERDICT r19 next #1): the driver invokes
+// `sbt "runMain graft.Bench"` and extracts the one-line JSON metric from
+// the process stdout, but the default LoggedOutput strategy frames every
+// forked line as "[info] …" — the driver's extractor has recorded
+// "parsed": null in every BENCH artifact since r15 because of it.
+// StdoutOutput hands the forked JVM the sbt process's own stdout/stderr,
+// so Bench's println reaches the capture raw and machine-parseable.
+Compile / run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

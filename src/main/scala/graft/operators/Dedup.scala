@@ -182,6 +182,16 @@ object Dedup {
       val m = df.schema(signatureCol).metadata
       if (m.contains(MetaNumHashes)) m.getLong(MetaNumHashes).toInt else -1
     }
+    // advisor r19: the two forms produce DIFFERENT band-hash values
+    // (within-run joins are consistent either way) — log the dispatch
+    // so a caller mixing persisted old-form hashes with fresh ones can
+    // see which lane computed theirs
+    if (numHashes <= 0)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"lshCandidates: signature column '$signatureCol' carries no " +
+          s"$MetaNumHashes metadata — using the dynamic (string-form) " +
+          "band hashes, which are incomparable with the numeric form " +
+          "minHashState-stamped signatures get")
     val bh =
       if (numHashes > 0) bandHashes(col(signatureCol), bands, numHashes)
       else bandHashes(col(signatureCol), bands)
@@ -256,6 +266,7 @@ object Dedup {
       numHashes: Int = 128,
       bands: Int = 32,
       threshold: Double = 0.7): DataFrame = {
+    ExchangeReuse.warnIfDisabled(docs.sparkSession)
     // One hash exchange on _id is the state's materialization point
     // (r19 optimization round): all four consumers (two banded sides,
     // two verify sides) read the SAME shuffle output — AQE dedupes the
@@ -626,13 +637,20 @@ object Dedup {
       textCol: String,
       maxHamming: Int = 3,
       portable: Boolean = false): DataFrame = {
+    ExchangeReuse.warnIfDisabled(docs.sparkSession)
     val (fp0, blockBits) =
       if (portable) (simHashFingerprintsPortable(docs, idCol, textCol), 15)
       else (simHashFingerprints(docs, idCol, textCol), 16)
-    // persist the fingerprints: the block self-join below reads the
-    // cached (_id, _fp) pairs instead of re-running the corpus scan and
-    // the per-bit vote aggregate on both sides
-    val fp = OpCache.persist(fp0)
+    // the block self-join's own (_blk, _blkval) exchanges are the
+    // materialization point: both sides are identical subtrees, so
+    // exchange reuse serves them from ONE shuffle — the corpus scan and
+    // the per-bit vote aggregate (whose own _id exchange sits below and
+    // is equally shared) run once per action. The former persist pinned
+    // the same property but paid serialized cache-materialization
+    // stages (the r19-measured loss in q5/q6/q7/q8). Requires
+    // spark.sql.exchange.reuse (default true); disabled it stays
+    // correct, just derives the fingerprints once per side.
+    val fp = fp0
     val blockMask = (1L << blockBits) - 1
     val blocks = fp.select(
       col("_id"), col("_fp"),
@@ -750,13 +768,21 @@ object Dedup {
       textCol: String,
       shingleSize: Int = 3,
       threshold: Double = 0.5): DataFrame = {
+    ExchangeReuse.warnIfDisabled(docs.sparkSession)
     // hashed shingle sets from the row-based path (see shingleHashRows —
-    // the column form's inner lambda is O(words²) per doc), persisted so
-    // the length-bucket self-join reads the cache instead of deriving
-    // the shingle pipeline twice
-    val sh = OpCache.persist(shingleHashRows(docs, idCol, textCol, shingleSize)
+    // the column form's inner lambda is O(words²) per doc). The
+    // groupBy's own _id exchange is the materialization point: the two
+    // self-join sides differ only ABOVE it (side b adds the bucket-probe
+    // explode), so exchange reuse serves both from one shuffle and the
+    // scan + shingle explode run once per action; only the doc-count-
+    // sized collect_set final aggregation runs per side. The former
+    // persist pinned the same property but paid serialized cache-
+    // materialization stages (the r19-measured loss in q5-q8). Requires
+    // spark.sql.exchange.reuse (default true); disabled it stays
+    // correct, just derives the sets once per side.
+    val sh = shingleHashRows(docs, idCol, textCol, shingleSize)
       .groupBy("_id").agg(collect_set(col("_hs")).as("_sh"))
-      .withColumn("_n", size(col("_sh"))))
+      .withColumn("_n", size(col("_sh")))
     // Length filter: |A∩B| ≥ t·|A∪B| implies t·|A| ≤ |B| ≤ |A|/t.
     // Expressed as an EQUI-join on a coarse log-scale length bucket
     // g = floor(log1p(n)/log(1/t)): for any qualifying pair the buckets

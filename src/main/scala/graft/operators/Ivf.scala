@@ -58,24 +58,37 @@ object Ivf {
       .orderBy(col(idCol)).limit(k)
       .select(col(vecCol)).collect()
       .map(_.getSeq[Float](0).map(_.toDouble).toSeq).toSeq
-    (0 until iters).foreach { _ =>
-      val assigned = emb.select(
-        col(vecCol).as("_v"), nearest(col(vecCol), centroids).as("_c"))
-      // mean per (cluster, dimension): explode once, codegen'd aggregate
-      val means = assigned
-        .select(col("_c"), posexplode(col("_v")).as(Seq("_d", "_x")))
-        .groupBy("_c", "_d").agg(avg("_x").as("_m"))
-        .groupBy("_c").agg(map_from_arrays(
-          collect_list("_d"), collect_list("_m")).as("_byDim"))
-        .collect()
-        .map(r => r.getInt(0) -> r.getMap[Int, Double](1)).toMap
-      centroids = centroids.zipWithIndex.map { case (seed, i) =>
-        means.get(i) match {
-          case Some(byDim) => (0 until dim).map(d => byDim.getOrElse(d, 0.0))
-          case None => seed // empty cluster keeps its seed
+    if (iters <= 0) return centroids
+    // Each Lloyd pass is its own collect-action launched serially from
+    // the driver, so exchange reuse cannot share work ACROSS passes —
+    // persist the projected vectors once and let every pass scan the
+    // cached projection instead of re-deriving `emb`'s full lineage per
+    // iteration (r20 optimization round; guide §5 — caching is worth it
+    // exactly when a frame is reused across actions and recompute costs
+    // more). Unpersisted before returning (the OpCache contract for
+    // operator-internal state the operator itself releases).
+    val vecs = emb.select(col(vecCol).as("_v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      (0 until iters).foreach { _ =>
+        val assigned = vecs.select(
+          col("_v"), nearest(col("_v"), centroids).as("_c"))
+        // mean per (cluster, dimension): explode once, codegen'd aggregate
+        val means = assigned
+          .select(col("_c"), posexplode(col("_v")).as(Seq("_d", "_x")))
+          .groupBy("_c", "_d").agg(avg("_x").as("_m"))
+          .groupBy("_c").agg(map_from_arrays(
+            collect_list("_d"), collect_list("_m")).as("_byDim"))
+          .collect()
+          .map(r => r.getInt(0) -> r.getMap[Int, Double](1)).toMap
+        centroids = centroids.zipWithIndex.map { case (seed, i) =>
+          means.get(i) match {
+            case Some(byDim) => (0 until dim).map(d => byDim.getOrElse(d, 0.0))
+            case None => seed // empty cluster keeps its seed
+          }
         }
       }
-    }
+    } finally vecs.unpersist(blocking = false)
     centroids
   }
 

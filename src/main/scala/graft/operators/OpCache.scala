@@ -44,3 +44,27 @@ object OpCache {
 
   def trackedCount: Int = synchronized(tracked.size)
 }
+
+/** The r19/r20 exchange-materialization layouts (minHashDupPairs,
+  * lshNeighbors, bm25/tfidf, SemDedup.dupPairs, simHashDupPairs,
+  * ngramJaccardPairs, lexicalCosinePairs) rely on
+  * `spark.sql.exchange.reuse` (default true) to serve identical
+  * self-join subtrees from ONE shuffle. With it disabled — or under a
+  * canonicalization miss — the operators stay CORRECT (every
+  * computation is deterministic), but the corpus scan+kernel silently
+  * runs once per consumer (up to 4× in minHashDupPairs). Advisor r19:
+  * make that config dependency visible instead of silent. */
+private[operators] object ExchangeReuse {
+  private val warned =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
+
+  /** Warn once per session when exchange reuse is off. */
+  def warnIfDisabled(spark: org.apache.spark.sql.SparkSession): Unit =
+    if (!spark.conf.get("spark.sql.exchange.reuse", "true").toBoolean &&
+        warned.add(System.identityHashCode(spark)))
+      org.slf4j.LoggerFactory.getLogger(getClass)
+        .warn("spark.sql.exchange.reuse is DISABLED: the dedup/retrieval " +
+          "operators' shared-exchange materialization degrades to one " +
+          "corpus derivation per self-join side (correct, but up to 4x " +
+          "the scan work)")
+}

@@ -41,6 +41,7 @@ object Retrieval {
     * count-distinct over the id column only (a pruned scan), joined in
     * as a broadcast scalar — nothing is collected to the driver. */
   def tfidf(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    ExchangeReuse.warnIfDisabled(df.sparkSession)
     val hits = df.select(col(idCol).as("_id"),
       explode(tokens(col(textCol))).as("term"))
     // the (doc, term) aggregate's own exchange is the materialization
@@ -94,6 +95,7 @@ object Retrieval {
       k1: Double = 1.2,
       b: Double = 0.75): DataFrame = {
     require(queryTerms.nonEmpty, "bm25 needs at least one query term")
+    ExchangeReuse.warnIfDisabled(df.sparkSession)
     val terms = queryTerms.distinct
     if (terms.size > Bm25MaxTfColumns)
       return bm25ManyTerms(df, idCol, textCol, terms, k1, b)
@@ -198,14 +200,25 @@ object Retrieval {
       textCol: String,
       minCosine: Double,
       maxDf: Long): DataFrame = {
+    ExchangeReuse.warnIfDisabled(df.sparkSession)
     val w = tfidf(df, idCol, textCol)
       .filter(col("df") <= maxDf)
       .select(col(idCol).as("_id"), col("term"), col("tfidf"))
     val byDoc = org.apache.spark.sql.expressions.Window.partitionBy(col("_id"))
-    val unit = OpCache.persist(w
+    // the self-join's own term-key exchanges are the materialization
+    // point: both sides are identical subtrees, so exchange reuse
+    // serves them from ONE shuffle and the tfidf pipeline (scan,
+    // explode, (doc,term) aggregate, per-doc window) runs once per
+    // action — the former persist pinned the same single-derivation
+    // property but paid serialized cache-materialization stages, the
+    // defect the r19 round measured as a net loss in four sibling
+    // operators (q5/q6/q7/q8). Requires spark.sql.exchange.reuse
+    // (default true); with it disabled the plan stays correct, just
+    // derives the posting list once per side.
+    val unit = w
       .withColumn("_n", sqrt(sum(col("tfidf") * col("tfidf")).over(byDoc)))
       .filter(col("_n") > 0) // docs whose every term was pruned (or all-zero idf)
-      .select(col("_id"), col("term"), (col("tfidf") / col("_n")).as("_w")))
+      .select(col("_id"), col("term"), (col("tfidf") / col("_n")).as("_w"))
     unit.as("a")
       .join(unit.as("b").hint("shuffle_hash"),
         col("a.term") === col("b.term") && col("a._id") < col("b._id"))

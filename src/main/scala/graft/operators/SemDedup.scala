@@ -42,6 +42,7 @@ object SemDedup {
       threshold: Double,
       iters: Int = 2): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
+    ExchangeReuse.warnIfDisabled(emb.sparkSession)
     val assigned =
       if (k == 1)
         emb.select(col(idCol).as("_id"), col(vecCol).as("_vec"),

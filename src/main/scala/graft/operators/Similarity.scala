@@ -137,11 +137,11 @@ object Similarity {
     * bucket at Hamming distance 1, trading `planes`× duplication for
     * recall — still linear, never all-pairs.
     *
-    * The signature projection is PERSISTED before the self-join: both
-    * join sides read the cached (_id, _vec, _sig) blocks, so the
-    * corpus is scanned once, the `planes`×`dim` dot products run once
-    * per vector (not once per side), and the hyperplane literal arrays
-    * appear once in the plan instead of bloating both branches. */
+    * The signature projection materializes through one `_id` exchange
+    * shared by both self-join sides (exchange reuse): the corpus is
+    * scanned once per action, the `planes`×`dim` dot products run once
+    * per vector (not once per side), and no serialized cache stages
+    * are paid (r19 optimization round). */
   def lshNeighbors(
       emb: DataFrame,
       idCol: String,
@@ -149,6 +149,7 @@ object Similarity {
       planes: Int = 12,
       dim: Int = 64,
       minCosine: Double = 0.9): DataFrame = {
+    ExchangeReuse.warnIfDisabled(emb.sparkSession)
     // One hash exchange on _id materializes the signed corpus (r19
     // optimization round): the probe side and the bucket side share the
     // shuffle via exchange reuse, so the corpus is scanned and the

@@ -186,14 +186,22 @@ object TextAnalysis {
     * (the vocabulary — orders of magnitude smaller than the corpus);
     * (2) re-explode and probe the BROADCAST vocabulary, aggregating
     * Σ log p per doc. The corpus text itself never shuffles; only
-    * (doc, word-hit) rows reach the per-doc aggregate. Returns
+    * (doc, word-hit) rows reach the per-doc aggregate. The vocabulary
+    * TOTAL is a scalar aggregate attached as a broadcast cross-join
+    * (the same pattern bm25's stats row uses) — the former
+    * `sum(...).over()` unpartitioned window pulled the whole vocabulary
+    * to ONE partition, and a 100 TB web corpus's distinct-token
+    * vocabulary is billions of rows (r20 optimization round; the
+    * scalar's aggregation reuses the vocabulary aggregate's own
+    * exchange, so the corpus still tokenizes once per action). Returns
     * (idCol, n_scored_words, logprob_sum). */
   def unigramLogProb(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val words = df.select(col(idCol).as("_id"),
       explode(regexp_extract_all(col(textCol), lit("\\S+"), lit(0))).as("_w"))
     val vocab = words.groupBy("_w").agg(count(lit(1)).as("_c"))
-    val total = lit(1.0) * sum(col("_c")).over() // window-total avoids a driver collect
-    val probs = vocab.select(col("_w"), (col("_c") / total).as("_p"))
+    val total = vocab.agg((lit(1.0) * sum(col("_c"))).as("_t"))
+    val probs = vocab.crossJoin(broadcast(total))
+      .select(col("_w"), (col("_c") / col("_t")).as("_p"))
     words
       .join(broadcast(probs), Seq("_w"))
       .groupBy("_id")

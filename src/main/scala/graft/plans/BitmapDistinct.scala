@@ -140,6 +140,14 @@ object BitmapDistinct {
     * [[org.apache.spark.sql.execution.vectorized.Dictionary]] instance
     * (one per column chunk); a decode-probe failure marks the column
     * `broken`, reverting it to the per-row lanes. */
+  /** Dictionary ids above this cap fall back to the per-row lanes: the
+    * seen/memo grow arithmetic (`Integer.highestOneBit(maxId) * 2`)
+    * goes NEGATIVE for maxId >= 2^30, and a 2^28-slot boolean/long
+    * array is already far past any real parquet column-chunk
+    * dictionary (advisor r19 — a pathological id value must degrade,
+    * not throw NegativeArraySizeException). */
+  private[plans] val MaxDictId: Int = (1 << 28) - 1
+
   private final class DictSeen {
     var dict: org.apache.spark.sql.execution.vectorized.Dictionary = null
     var seen = new Array[Boolean](1024)
@@ -209,6 +217,7 @@ object BitmapDistinct {
       } else {
         while (i < rows) { val id = ids.getDictId(i); if (id > maxId) maxId = id; i += 1 }
       }
+      if (maxId > BitmapDistinct.MaxDictId) { ds.broken = true; return false }
       var probe = -1
       i = 0
       while (probe < 0 && i < rows) {

@@ -279,6 +279,9 @@ object HashScan {
       // all-null batch: the per-row lane handles it without decode
       return false
     }
+    // pathological id values must degrade to the per-row lane, never
+    // overflow the grow arithmetic (see BitmapDistinct.MaxDictId)
+    if (maxId > BitmapDistinct.MaxDictId) { memo.broken = true; return false }
     memo.ensure(maxId)
     if (!memo.known(probe)) {
       try {

@@ -137,6 +137,18 @@ private[mergetree] final class ChCompressedReader(file: SeekableFile) {
     v
   }
 
+  // ---- bulk access to the current decompressed block (r20): the
+  // fixed-width decode lanes copy whole value runs straight out of the
+  // block via the column vector's little-endian bulk puts — one
+  // copyMemory per block instead of per-value byte shifts. The caller
+  // owns the arithmetic: stay within blockRemaining, fall back to the
+  // per-value readers for a value spanning a frame boundary. ----
+  def ensureBlock(): Unit = if (pos >= block.length) loadNextBlock()
+  def blockRemaining: Int = block.length - pos
+  def blockBytes: Array[Byte] = block
+  def blockOffset: Int = pos
+  def skipInBlock(n: Int): Unit = pos += n
+
   def readByte(): Int = {
     if (pos >= block.length) loadNextBlock()
     val b = block(pos) & 0xFF

@@ -471,22 +471,38 @@ private[mergetree] object ColumnCodec {
               s"LowCardinality block for $name declares neither a global " +
                 "dictionary nor additional keys")
           }
-        var i = 0
-        while (i < rows) {
-          val idx = width match {
-            case 1 => r.readByte()
-            case 2 => r.readShortLE() & 0xFFFF
-            case 4 => r.readIntLE()
-            case 8 =>
-              val v = r.readLongLE()
-              require(v >= 0 && v <= Int.MaxValue, s"LowCardinality index $v")
-              v.toInt
+        // width-1 indexes (the common LowCardinality case: <=256 keys
+        // per granule) read the granule's whole index run in one
+        // readBytes instead of a bounds-checked reader call per row
+        // (r20, guide §1.2 per-task work)
+        if (width == 1) {
+          val raw = r.readBytes(rows)
+          var i = 0
+          while (i < rows) {
+            val idx = raw(i) & 0xFF
+            require(idx < remap.length,
+              s"LowCardinality index $idx outside dictionary of ${remap.length} for $name")
+            out(pos) = if (lcNullable && idx == 0) -1 else remap(idx)
+            pos += 1
+            i += 1
           }
-          require(idx >= 0 && idx < remap.length,
-            s"LowCardinality index $idx outside dictionary of ${remap.length} for $name")
-          out(pos) = if (lcNullable && idx == 0) -1 else remap(idx)
-          pos += 1
-          i += 1
+        } else {
+          var i = 0
+          while (i < rows) {
+            val idx = width match {
+              case 2 => r.readShortLE() & 0xFFFF
+              case 4 => r.readIntLE()
+              case 8 =>
+                val v = r.readLongLE()
+                require(v >= 0 && v <= Int.MaxValue, s"LowCardinality index $v")
+                v.toInt
+            }
+            require(idx >= 0 && idx < remap.length,
+              s"LowCardinality index $idx outside dictionary of ${remap.length} for $name")
+            out(pos) = if (lcNullable && idx == 0) -1 else remap(idx)
+            pos += 1
+            i += 1
+          }
         }
       }
       g += 1
@@ -515,17 +531,47 @@ private[mergetree] object ColumnCodec {
       t: ChType, r: ChCompressedReader, n: Int,
       v: org.apache.spark.sql.execution.vectorized.WritableColumnVector): Unit = {
     var i = 0
+    // Bulk lane for width-preserving fixed-width LE types (r20, guide
+    // §1.2 per-task work): whole value runs are copied out of the
+    // decompressed block with ONE little-endian bulk put per block
+    // (copyMemory on this platform) instead of per-value byte shifts
+    // through the reader. A value spanning a frame boundary falls back
+    // to the per-value reader for exactly that value — bit-identical
+    // (the LE bulk puts and the readXxxLE readers decode the same
+    // layout; pinned by the columnar-vs-row equivalence spec).
+    def bulk(width: Int,
+        putRun: (Int, Int, Array[Byte], Int) => Unit,
+        putOne: Int => Unit): Unit = {
+      var row = 0
+      while (row < n) {
+        r.ensureBlock()
+        val take = math.min(r.blockRemaining / width, n - row)
+        if (take > 0) {
+          putRun(row, take, r.blockBytes, r.blockOffset)
+          r.skipInBlock(take * width)
+          row += take
+        } else { // fewer than one whole value left in this frame
+          putOne(row)
+          row += 1
+        }
+      }
+    }
     t match {
-      case FixedInt(1, true)  => while (i < n) { v.putByte(i, r.readByte().toByte); i += 1 }
+      case FixedInt(1, true)  =>
+        bulk(1, v.putBytes, row => v.putByte(row, r.readByte().toByte))
       case FixedInt(1, false) => while (i < n) { v.putShort(i, r.readByte().toShort); i += 1 }
       case FixedInt(2, true)  => while (i < n) { v.putShort(i, r.readShortLE()); i += 1 }
       case FixedInt(2, false) => while (i < n) { v.putInt(i, r.readShortLE() & 0xFFFF); i += 1 }
-      case FixedInt(4, true)  => while (i < n) { v.putInt(i, r.readIntLE()); i += 1 }
+      case FixedInt(4, true)  =>
+        bulk(4, v.putIntsLittleEndian, row => v.putInt(row, r.readIntLE()))
       case FixedInt(4, false) => while (i < n) { v.putLong(i, r.readIntLE() & 0xFFFFFFFFL); i += 1 }
-      case FixedInt(8, _)     => while (i < n) { v.putLong(i, r.readLongLE()); i += 1 }
+      case FixedInt(8, _)     =>
+        bulk(8, v.putLongsLittleEndian, row => v.putLong(row, r.readLongLE()))
       case FixedInt(b, _) => throw new IllegalArgumentException(s"int width $b")
-      case F32 => while (i < n) { v.putFloat(i, r.readFloatLE()); i += 1 }
-      case F64 => while (i < n) { v.putDouble(i, r.readDoubleLE()); i += 1 }
+      case F32 =>
+        bulk(4, v.putFloatsLittleEndian, row => v.putFloat(row, r.readFloatLE()))
+      case F64 =>
+        bulk(8, v.putDoublesLittleEndian, row => v.putDouble(row, r.readDoubleLE()))
       case Str =>
         while (i < n) {
           val b = r.readStringBytes()
@@ -540,7 +586,8 @@ private[mergetree] object ColumnCodec {
         }
       case BoolT => while (i < n) { v.putBoolean(i, r.readByte() != 0); i += 1 }
       case Date16 => while (i < n) { v.putInt(i, r.readShortLE() & 0xFFFF); i += 1 }
-      case Date32T => while (i < n) { v.putInt(i, r.readIntLE()); i += 1 }
+      case Date32T =>
+        bulk(4, v.putIntsLittleEndian, row => v.putInt(row, r.readIntLE()))
       case DateTime32 =>
         while (i < n) { v.putLong(i, (r.readIntLE() & 0xFFFFFFFFL) * 1000000L); i += 1 }
       case DateTime64T(scale) =>
@@ -565,8 +612,10 @@ private[mergetree] object ColumnCodec {
         // the vector's DecimalType storage matches the wire width:
         // int (P ≤ 9), long (P ≤ 18), unscaled big-endian bytes (P ≤ 38)
         d.byteWidth match {
-          case 4 => while (i < n) { v.putInt(i, r.readIntLE()); i += 1 }
-          case 8 => while (i < n) { v.putLong(i, r.readLongLE()); i += 1 }
+          case 4 =>
+            bulk(4, v.putIntsLittleEndian, row => v.putInt(row, r.readIntLE()))
+          case 8 =>
+            bulk(8, v.putLongsLittleEndian, row => v.putLong(row, r.readLongLE()))
           case _ =>
             while (i < n) {
               val be = decimal128Be(r)

@@ -17,12 +17,15 @@ class OpCacheSpec extends AnyFunSuite {
       (1L, "alpha beta gamma"), (2L, "alpha beta delta"), (3L, "epsilon zeta eta"))
       .toDF("doc_id", "text")
     val before = OpCache.trackedCount
-    // r19: tfidf/bm25/minHashDupPairs materialize through reused
+    // r19/r20: tfidf/bm25/minHashDupPairs/simHashDupPairs/
+    // ngramJaccardPairs/lexicalCosinePairs materialize through reused
     // exchanges instead of internal persists; the operators that still
     // persist corpus-derived state are the cross-corpus family
     graft.operators.BloomDedup.antiJoinAgainst(
       docs, docs.filter($"doc_id" === 1L), "text").count()
-    Dedup.simHashDupPairs(docs, "doc_id", "text").count()
+    Dedup.crossCorpusDupPairs(
+      docs.filter($"doc_id" === 3L), "doc_id", "text",
+      Dedup.minHashState(docs, "doc_id", "text")).count()
     assert(OpCache.trackedCount >= before + 2)
     // the persisted intermediates hold real cache entries…
     assert(!spark.sharedState.cacheManager.isEmpty)
