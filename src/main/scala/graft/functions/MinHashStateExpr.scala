@@ -69,6 +69,40 @@ object MinHashKernel {
     wc
   }
 
+  /** Maximal `\S+` runs as UTF8String tokens — byte-identical to
+    * `regexp_extract_all(text, "\\S+", 0)` (r20, guide §1.2 per-task
+    * work: the regex machinery costs ~2× a plain byte scan on the
+    * bench corpus — R20Probe tokab). Java's default `\s` is exactly
+    * the six ASCII whitespace bytes of [[isWs]], which never occur
+    * inside UTF-8 multibyte sequences, so the byte-level scan
+    * tokenizes identically for any UTF-8 input. Empty/all-whitespace
+    * text → empty array (the regex form's no-match case); tokens are
+    * COPIES (never views of the reusable scan buffers). */
+  def words(text: UTF8String): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val base = text.getBaseObject
+    val off = text.getBaseOffset
+    val len = text.numBytes
+    var out = new Array[AnyRef](8)
+    var n = 0
+    var i = 0
+    while (i < len) {
+      while (i < len && isWs(Platform.getByte(base, off + i))) i += 1
+      if (i < len) {
+        val s = i
+        while (i < len && !isWs(Platform.getByte(base, off + i))) i += 1
+        val l = i - s
+        val b = new Array[Byte](l)
+        Platform.copyMemory(base, off + s, b, Platform.BYTE_ARRAY_OFFSET, l.toLong)
+        if (n == out.length) out = java.util.Arrays.copyOf(out, n * 2)
+        out(n) = UTF8String.fromBytes(b)
+        n += 1
+      }
+    }
+    new GenericArrayData(
+      (if (n == out.length) out
+       else java.util.Arrays.copyOf(out, n)).asInstanceOf[Array[Any]])
+  }
+
   def state(text: UTF8String, n: Int, k: Int): InternalRow = {
     if (text == null) return null
     val base = text.getBaseObject
@@ -170,6 +204,43 @@ case class WordCountExpr(child: Expression) extends Expression {
       |${gen.code}
       |boolean ${ev.isNull} = ${gen.isNull};
       |int ${ev.value} = ${ev.isNull} ? 0 : $MK.wordCount(${gen.value});
+    """.stripMargin)
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression = copy(child = newChildren.head)
+}
+
+/** [[MinHashKernel.words]] as a codegen'd expression — the `\S+`
+  * tokenizer of the retrieval/text operators without the regex
+  * machinery (bit-identical output; null text → null). */
+case class WordsExpr(child: Expression) extends Expression {
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = child.nullable
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "words"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string input, got ${other.sql}")
+  }
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) null
+    else MinHashKernel.words(v.asInstanceOf[UTF8String])
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val MK = MinHashKernel.getClass.getName.stripSuffix("$")
+    val gen = child.genCode(ctx)
+    ev.copy(code = code"""
+      |${gen.code}
+      |boolean ${ev.isNull} = ${gen.isNull};
+      |org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} =
+      |  ${ev.isNull} ? null : $MK.words(${gen.value});
     """.stripMargin)
   }
 

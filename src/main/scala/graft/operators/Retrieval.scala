@@ -25,8 +25,13 @@ import org.apache.spark.sql.functions._
   */
 object Retrieval {
 
+  // byte-scan tokenizer, bit-identical to regexp_extract_all(\S+)
+  // (r20: the regex machinery measured ~2× the byte scan — R20Probe
+  // tokab; WordsSpec pins the equivalence property-style)
   private def tokens(text: Column): Column =
-    regexp_extract_all(text, lit("\\S+"), lit(0))
+    org.apache.spark.sql.graft.FunctionShim.column(
+      graft.functions.WordsExpr(
+        org.apache.spark.sql.graft.FunctionShim.expression(text)))
 
   /** Per-(document, term) TF-IDF over the whole corpus:
     * `tf * ln(N / df)` with raw term counts, where `df` counts

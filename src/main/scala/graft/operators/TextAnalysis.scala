@@ -10,10 +10,17 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis {
 
+  /** The `\S+` tokenizer as a byte-scan expression — bit-identical to
+    * `regexp_extract_all(text, "\\S+", 0)` without the regex machinery
+    * (r20 optimization round; equivalence pinned by WordsSpec). */
+  private[operators] def words(text: Column): Column =
+    org.apache.spark.sql.graft.FunctionShim.column(
+      graft.functions.WordsExpr(
+        org.apache.spark.sql.graft.FunctionShim.expression(text)))
+
   /** Token count via `\S+` runs — robust to repeated/leading whitespace
     * (deterministic across engines, unlike split-on-space). */
-  def tokenCount(text: Column): Column =
-    size(regexp_extract_all(text, lit("\\S+"), lit(0)))
+  def tokenCount(text: Column): Column = size(words(text))
 
   /** BPE-ish subword count: word-piece regex that splits words, numbers,
     * and punctuation runs separately (a cheap stand-in for a real BPE
@@ -79,7 +86,7 @@ object TextAnalysis {
   def fingerprint(text: Column): Column = {
     val p = 2147483647L // 2^31 - 1
     val b = 1000003L
-    val tokens = regexp_extract_all(text, lit("\\S+"), lit(0))
+    val tokens = words(text)
     aggregate(tokens, lit(0L),
       (acc, t) => pmod(acc * b + pmod(xxhash64(t), lit(p)), lit(p)))
   }
@@ -91,7 +98,7 @@ object TextAnalysis {
   def fingerprintPortable(text: Column): Column = {
     val p = 2147483647L
     val b = 1000003L
-    val tokens = regexp_extract_all(text, lit("\\S+"), lit(0))
+    val tokens = words(text)
     aggregate(tokens, lit(0L),
       (acc, t) => pmod(acc * b + pmod(Dedup.md5Hash60(t), lit(p)), lit(p)))
   }
@@ -101,7 +108,7 @@ object TextAnalysis {
     * `1 - n_distinct_words/n_words`, left to the caller so the stored
     * columns stay float-free). Array-local — zero shuffles. */
   def wordRepetitionFeatures(df: DataFrame, textCol: String): DataFrame = {
-    val words = regexp_extract_all(col(textCol), lit("\\S+"), lit(0))
+    val words = TextAnalysis.words(col(textCol))
     df.withColumn("n_words", size(words).cast("long"))
       .withColumn("n_distinct_words", size(array_distinct(words)).cast("long"))
   }
@@ -116,7 +123,7 @@ object TextAnalysis {
     * document's repeats map-side before the exchange. */
   def topNgramStats(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
     require(n >= 1, "n-gram size must be >= 1")
-    val words = regexp_extract_all(col(textCol), lit("\\S+"), lit(0))
+    val words = TextAnalysis.words(col(textCol))
     val grams =
       if (n == 1) words
       else transform(
@@ -152,7 +159,7 @@ object TextAnalysis {
       df: DataFrame,
       textCol: String,
       t: GopherThresholds = GopherThresholds()): DataFrame = {
-    val words = regexp_extract_all(col(textCol), lit("\\S+"), lit(0))
+    val words = TextAnalysis.words(col(textCol))
     val nWords = size(words)
     val nChars = aggregate(words, lit(0L), (acc, w) => acc + length(w))
     val nDigits = size(regexp_extract_all(col(textCol), lit("[0-9]"), lit(0)))
@@ -197,7 +204,7 @@ object TextAnalysis {
     * (idCol, n_scored_words, logprob_sum). */
   def unigramLogProb(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val words = df.select(col(idCol).as("_id"),
-      explode(regexp_extract_all(col(textCol), lit("\\S+"), lit(0))).as("_w"))
+      explode(TextAnalysis.words(col(textCol))).as("_w"))
     val vocab = words.groupBy("_w").agg(count(lit(1)).as("_c"))
     val total = vocab.agg((lit(1.0) * sum(col("_c"))).as("_t"))
     val probs = vocab.crossJoin(broadcast(total))

@@ -109,10 +109,47 @@ object R20AbProbe {
     }
     def ngramNew(): DataFrame = Dedup.ngramJaccardPairs(docs, "doc_id", "text")
 
+    // bm25 with the r19 regex tokenizer vs the r20 byte-scan words()
+    // (the only difference; identical shape otherwise)
+    def bm25With(tokens: org.apache.spark.sql.Column => org.apache.spark.sql.Column): DataFrame = {
+      val terms = Seq("spark", "vector", "customer")
+      val k1 = 1.2; val b = 0.75
+      val tfCols = terms.zipWithIndex.map { case (t, i) =>
+        sum(when(col("_tok") === lit(t), 1d).otherwise(0d)).as(s"_tf$i") }
+      val perDoc = docs.where(col("text").isNotNull)
+        .select(col("doc_id").as("_id"), explode_outer(tokens(col("text"))).as("_tok"))
+        .groupBy("_id")
+        .agg(count(col("_tok")).cast("double").as("_dl"), tfCols: _*)
+      val dfCols = terms.indices.map(i =>
+        sum(when(col(s"_tf$i") > 0, 1d).otherwise(0d)).as(s"_df$i"))
+      val stats = perDoc.agg(
+        count(lit(1)).cast("double").as("_n"),
+        (avg(col("_dl")).as("_avgdl") +: dfCols): _*)
+      val nHit = terms.indices
+        .map(i => when(col(s"_tf$i") > 0, 1L).otherwise(0L)).reduce(_ + _)
+      def termWeight(i: Int) = {
+        val tf = col(s"_tf$i"); val dfi = col(s"_df$i")
+        val idf = log(lit(1.0) + (col("_n") - dfi + 0.5) / (dfi + 0.5))
+        when(tf > 0, idf * tf * (k1 + 1.0) /
+          (tf + (col("_dl") / col("_avgdl") * b + (1.0 - b)) * k1)).otherwise(0d)
+      }
+      perDoc.filter(terms.indices.map(i => col(s"_tf$i") > 0).reduce(_ || _))
+        .crossJoin(broadcast(stats))
+        .select(col("_id").as("doc_id"), nHit.as("n_hit_terms"),
+          terms.indices.map(termWeight).reduce(_ + _).as("bm25"))
+    }
+    def bm25Old(): DataFrame =
+      bm25With(t => regexp_extract_all(t, lit("\\S+"), lit(0)))
+    def bm25New(): DataFrame =
+      bm25With(t => org.apache.spark.sql.graft.FunctionShim.column(
+        graft.functions.WordsExpr(
+          org.apache.spark.sql.graft.FunctionShim.expression(t))))
+
     val ops: Seq[(String, () => DataFrame, () => DataFrame)] = Seq(
       ("lexcos", lexcosOld _, lexcosNew _),
       ("simhash", simhashOld _, simhashNew _),
-      ("ngram", ngramOld _, ngramNew _))
+      ("ngram", ngramOld _, ngramNew _),
+      ("bm25tok", bm25Old _, bm25New _))
 
     ops.filter(o => only.forall(_ == o._1)).foreach { case (name, old, neu) =>
       val aRows = old().collect().map(_.toString).sorted.toSeq

@@ -46,7 +46,12 @@ object R20PlanDump {
         graft.operators.Dedup.simHashDupPairs(docs, "doc_id", "text")),
       "ngram_jaccard" -> (() =>
         graft.operators.Dedup.ngramJaccardPairs(docs, "doc_id", "text")),
-      "q10_mergetree_scan" -> (() => mtScan))
+      "q10_mergetree_scan" -> (() => mtScan),
+      "minhash_pairs" -> (() =>
+        graft.operators.Dedup.minHashDupPairs(docs, "doc_id", "text")),
+      "q7_bm25" -> (() =>
+        graft.operators.Retrieval.bm25(
+          docs, "doc_id", "text", Seq("spark", "vector", "customer"))))
 
     val outDir = java.nio.file.Paths.get("plans/r20")
     java.nio.file.Files.createDirectories(outDir)

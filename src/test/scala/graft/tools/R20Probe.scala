@@ -27,6 +27,33 @@ object R20Probe {
       case "simhash" => graft.operators.Dedup.simHashDupPairs(docs, "doc_id", "text")
       case "ngram" => graft.operators.Dedup.ngramJaccardPairs(docs, "doc_id", "text")
       case "unigram" => graft.operators.TextAnalysis.unigramLogProb(docs, "doc_id", "text")
+      case "minhash" => graft.operators.Dedup.minHashDupPairs(docs, "doc_id", "text")
+      case "tokab" =>
+        // regex-vs-bytescan tokenize cost, same data, same aggregate
+        import org.apache.spark.sql.functions._
+        import org.apache.spark.sql.graft.FunctionShim
+        def ms(f: => Unit): Double = {
+          val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e6
+        }
+        def run(name: String, mk: () => org.apache.spark.sql.DataFrame): Unit = {
+          mk().write.format("noop").mode("overwrite").save()
+          val ts = (1 to 7).map { _ =>
+            System.gc(); ms(mk().write.format("noop").mode("overwrite").save())
+          }
+          println(f"[tokab] $name median=${ts.sorted.apply(3)}%.0f ms " +
+            f"all=${ts.map(v => f"$v%.0f").mkString(",")}")
+        }
+        run("regex_count", () => docs.select(
+          size(regexp_extract_all(col("text"), lit("\\S+"), lit(0))).as("n"))
+          .agg(sum("n")))
+        run("bytescan_count", () => docs.select(
+          FunctionShim.column(graft.functions.WordCountExpr(
+            FunctionShim.expression(col("text")))).as("n"))
+          .agg(sum(col("n") - 1))) // wordCount counts split(-1) tokens: \S+ runs + 1
+        run("regex_explode", () => docs.select(
+          explode(regexp_extract_all(col("text"), lit("\\S+"), lit(0))).as("w"))
+          .agg(count(lit(1))))
+        docs.limit(0)
     }
     val read = new java.util.concurrent.atomic.AtomicLong()
     spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
